@@ -1,13 +1,657 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScalarFns._
+import graft.operators.{Dedup, Layers}
+import graft.llmdata.{DedupOps, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * (parity surface, q01-q28) and per EXT LLM-data operator (q30+), each
+  * paired with DuckDB-runnable oracle SQL over the same parquet tables.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - sums/avgs of doubles go through decimal(20,6) (see
+  *    [[graft.functions.ScalarFns.exactSum]]) — bit-exact at any
+  *    parallelism, any engine;
+  *  - surrogate keys only render ints/strings/timestamps (portable);
+  *  - dedup/top-k windows use total orderings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.read(s, dir, name)
+
+  /** Flagship query (SURVEY.md §7.2): silver-style clean of lineitem →
+    * monthly gold aggregate. Driver smoke-checks rows>0 at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val cleaned = silverClean(t(spark, "/root/testdata/sf0.001", "lineitem"))
+    cleaned.groupBy(monthKey(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        exactSum(col("revenue")).as("monthly_revenue"),
+        exactAvg(col("clean_price")).as("avg_price"))
+  }
+
+  /** The silver-layer transform family (F1-F8, P7, W1) instantiated on the
+    * lineitem stand-in (FIXTURES.md §5 mapping). */
+  private def silverClean(li: DataFrame): DataFrame = {
+    val enriched = li
+      .withColumn("clean_price", absCoalesce0(col("l_extendedprice")))
+      .withColumn("clean_discount", absCoalesce0(col("l_discount")))
+      .withColumn("clean_tax", absCoalesce0(col("l_tax")))
+      .withColumn("flag_desc",
+        when(col("l_returnflag") === "R", "Refunded")
+          .when(col("l_returnflag") === "A", "Accepted")
+          .when(col("l_returnflag") === "N", "None")
+          .otherwise("Unknown"))
+      // raw IEEE product — bit-identical in any engine; rounding a double
+      // product is NOT portable (Spark rounds the shortest decimal repr,
+      // DuckDB the binary value)
+      .withColumn("revenue", col("clean_price") * (lit(1.0) - col("clean_discount")))
+      .filter(col("l_linenumber").isin(1, 2, 3, 4, 5, 6))
+      .withColumn("line_id", surrogateKey(Seq(
+        col("l_orderkey") -> "-1", col("l_partkey") -> "-1",
+        col("l_suppkey") -> "-1", col("l_linenumber") -> "-1")))
+    Dedup.firstRowPerKey(enriched, Seq(col("line_id")), Seq(col("l_shipdate")))
+  }
+
+  // ---- SQL helpers shared by the oracle strings -------------------------
+
+  private def sqlSum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(20,6))) AS DOUBLE)"
+  private def sqlAvg(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(20,6))) AS DOUBLE) / COUNT($c)"
+  private val lineId =
+    "md5(COALESCE(CAST(l_orderkey AS VARCHAR),'-1') || COALESCE(CAST(l_partkey AS VARCHAR),'-1') || " +
+      "COALESCE(CAST(l_suppkey AS VARCHAR),'-1') || COALESCE(CAST(l_linenumber AS VARCHAR),'-1'))"
+  private val silverCleanSql =
+    s"""SELECT * FROM (
+       |  SELECT $lineId AS line_id, l_orderkey, l_partkey, l_suppkey, l_linenumber, l_shipdate,
+       |    ABS(COALESCE(l_extendedprice, 0)) AS clean_price,
+       |    ABS(COALESCE(l_discount, 0)) AS clean_discount,
+       |    ABS(COALESCE(l_tax, 0)) AS clean_tax,
+       |    CASE l_returnflag WHEN 'R' THEN 'Refunded' WHEN 'A' THEN 'Accepted'
+       |      WHEN 'N' THEN 'None' ELSE 'Unknown' END AS flag_desc,
+       |    ABS(COALESCE(l_extendedprice, 0)) * (1.0 - ABS(COALESCE(l_discount, 0))) AS revenue,
+       |    row_number() OVER (PARTITION BY $lineId ORDER BY l_shipdate) AS rn
+       |  FROM lineitem WHERE l_linenumber IN (1,2,3,4,5,6)
+       |) WHERE rn = 1""".stripMargin
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+P4+F11+S5: explicit projection, month-key filter
+    "q01_bronze_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(monthKey(col("l_shipdate")) === "1996-03")),
+
+    // F1-F8+P7+W1: full silver clean on the lineitem stand-in
+    "q02_silver_clean" -> ((s, d) =>
+      silverClean(t(s, d, "lineitem"))
+        .select("line_id", "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "clean_price", "clean_discount", "flag_desc", "revenue")),
+
+    // A1+F9: gold daily summary on events
+    "q03_gold_daily" -> ((s, d) =>
+      t(s, d, "events").groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("total_events"),
+          exactSum(col("value")).as("total_value"),
+          exactAvg(col("value")).as("avg_value"),
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // A2+F10/F11: gold monthly summary on orders
+    "q04_gold_monthly" -> ((s, d) =>
+      t(s, d, "orders").groupBy(monthKey(col("o_orderdate")).as("revenue_month"))
+        .agg(exactSum(col("o_totalprice")).as("total_monthly_revenue"),
+          count(lit(1)).as("total_monthly_orders"),
+          exactAvg(col("o_totalprice")).as("avg_order_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))),
+
+    // A3: two-key gold zone summary
+    "q05_gold_zone" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(monthKey(col("l_shipdate")).as("ship_month"), col("l_suppkey"))
+        .agg(exactSum(col("l_extendedprice")).as("zone_revenue"),
+          count(lit(1)).as("zone_lines"))),
+
+    // A4+F1: vendor-style decode + aggregate
+    "q06_gold_vendor" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(when(col("o_orderstatus") === "O", "Open")
+          .when(col("o_orderstatus") === "F", "Fulfilled")
+          .when(col("o_orderstatus") === "P", "Pending")
+          .otherwise("Unknown").as("status_name"))
+        .agg(count(lit(1)).as("total_orders"),
+          exactSum(col("o_totalprice")).as("total_revenue"),
+          exactAvg(col("o_totalprice")).as("avg_price"))),
+
+    // A5+F12+F13: payment-style summary with guarded post-agg ratio
+    "q07_gold_payment" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(coalesce(col("o_orderpriority"), lit("Unknown")).as("priority"))
+        .agg(count(lit(1)).as("total_orders"),
+          exactSum(col("o_totalprice")).as("total_revenue"),
+          exactSum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)).as("fulfilled_revenue"))
+        .withColumn("fulfilled_percent",
+          round(guardedPercent(col("fulfilled_revenue"), col("total_revenue")), 2))),
+
+    // P5+A6: strict high-watermark via scalar subquery (driver-side scalar)
+    "q08_watermark_strict" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      // generic get: ts may load as TIMESTAMP or TIMESTAMP_NTZ depending on
+      // parquet isAdjustedToUTC — lit() handles both runtime classes
+      val wm = ev.filter(col("event_type") === "signup").agg(max(col("ts"))).first().get(0)
+      ev.filter(col("ts") > lit(wm)).select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+
+    // P6+F14: COALESCE-floored inclusive month watermark (empty source → floor)
+    "q09_watermark_floor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val wmRow = ev.filter(col("event_type") === "__none__").agg(max(col("ts"))).first()
+      val floorLit = lit("1900-01-01 00:00:00").cast(ev.schema("ts").dataType)
+      val wm = if (wmRow.isNullAt(0)) floorLit else lit(wmRow.get(0))
+      ev.filter(date_trunc("month", col("ts")) >= wm)
+        .agg(count(lit(1)).as("n_after_floor"))
+    }),
+
+    // J1+Q9: referential-integrity left-anti join (non-empty by filtered parent)
+    "q10_anti_join_ri" -> ((s, d) => {
+      val solvent = t(s, d, "customer").filter(col("c_acctbal") > 0)
+      t(s, d, "orders").join(broadcast(solvent), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    // A8+Q7: uniqueness violations (GROUP BY ... HAVING count>1)
+    "q11_unique_violations" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)),
+
+    // W1: DISTINCT ON — first event per user by (ts, event_id)
+    "q12_distinct_on" -> ((s, d) =>
+      Dedup.firstRowPerKey(t(s, d, "events"), Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "ts", "event_type", "value")),
+
+    // F4+F5: sub-second epoch arithmetic + round
+    "q13_epoch_minutes" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        round(epochSeconds(col("ts"), date_trunc("day", col("ts"))) / 60.0, 2)
+          .as("minutes_into_day"))),
+
+    // F2/F3+P7: CASE decode + set-membership filter
+    "q14_decode_filter" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_id"),
+          when(col("event_type") === "click", "Click")
+            .when(col("event_type") === "view", "Page view")
+            .when(col("event_type") === "purchase", "Purchase")
+            .otherwise("Unknown").as("type_desc"))),
+
+    // Q2/A9: row-count gate
+    "q15_rowcount" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("row_cnt"))),
+
+    // Q3: null-fraction metrics (count-exact division)
+    "q16_null_metrics" -> ((s, d) =>
+      t(s, d, "events").agg(count(lit(1)).as("n"),
+          count(when(col("props").isNull, 1)).as("props_nulls"))
+        .withColumn("null_frac", col("props_nulls").cast("double") / col("n"))),
+
+    // Q4: between-with-mostly fraction (NULLs excluded from denominator)
+    "q17_between_mostly" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+          count(col("l_quantity")).as("nonnull_cnt"),
+          count(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1)).as("pass_cnt"))
+        .withColumn("pass_frac", col("pass_cnt").cast("double") / col("nonnull_cnt"))
+        .withColumn("passed", col("pass_frac") >= 0.99)),
+
+    // Q8: accepted_values violations (expected empty)
+    "q18_accepted_values" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus").isNotNull && !col("o_orderstatus").isin("F", "O", "P"))
+        .select("o_orderkey", "o_orderstatus")),
+
+    // P9/Q10: singular test — no negative totals (expected empty)
+    "q19_no_negative_totals" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_totalprice") < 0)
+        .select("o_orderkey", "o_totalprice")),
+
+    // §2.7: the fused CheckSuite itself, results as a table
+    "q20_check_suite" -> ((s, d) => {
+      import graft.checks._
+      val li = t(s, d, "lineitem")
+      val results = new CheckSuite(Seq(
+        NotNull("l_orderkey"),
+        Between("l_quantity", 1, 50, 0.99),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        NoRowsWhere("neg_price", col("l_extendedprice") < 0),
+        RowCountBetween(1))).run(li)
+      import s.implicits._
+      results.map(r => (r.constraint, r.column.orNull, r.passed, r.unexpectedPercent))
+        .toDF("constraint_name", "column_name", "passed", "unexpected_percent")
+    }),
+
+    // I1+F15: metadata month cursor (MAX month + 1)
+    "q21_month_cursor" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        date_format(add_months(max(col("o_orderdate")), 1), "yyyy-MM").as("next_month"))),
+
+    // S8/S9: keyed delete+insert merge semantics
+    "q22_delete_insert" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val existing = li.filter(col("l_linenumber") <= 3)
+      val incoming = li.filter(col("l_linenumber") >= 3)
+      graft.incremental.Writers
+        .keyedDeleteInsert(Some(existing), incoming, Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("l_linenumber")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // J1 variant: distinct orphan keys against a filtered parent
+    "q23_ri_orphans" -> ((s, d) => {
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+      t(s, d, "lineitem").select(col("l_orderkey")).distinct()
+        .join(bigOrders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+    }),
+
+    // I2/streaming-analog: epoch-aligned tumbling window aggregate
+    "q24_window_tumbling" -> ((s, d) =>
+      t(s, d, "events").groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("window_value"))
+        .select(col("window.start").as("bucket_start"), col("n_events"), col("window_value"))),
+
+    // top-k per group (free Spark surface; SURVEY §2.5)
+    "q25_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    }),
+
+    // broadcast dimension join + aggregate
+    "q26_join_enrich" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("brand_revenue"))),
+
+    // multi-hop star join (orders→customer→nation→region)
+    "q27_star_join" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("region_revenue"))),
+
+    // uncorrelated scalar subquery (exact-decimal avg, driver-side scalar)
+    "q28_scalar_subquery" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val avgPrice = o.agg(exactAvg(col("o_totalprice"))).first().getDouble(0)
+      o.filter(col("o_totalprice") > avgPrice).select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- EXT: LLM-data operators -------------------------------------
+
+    "q30_dedup_exact" -> ((s, d) =>
+      DedupOps.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "q31_token_stats" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(t(s, d, "documents"), "text")
+        .select("doc_id", "n_chars_txt", "n_tokens", "mean_word_len",
+          "punct_ratio", "stopword_ratio")),
+
+    "q32_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("predicted_lang"))),
+
+    "q33_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+        .select("doc_id", "quality_score")),
+
+    "q34_minhash_pairs" -> ((s, d) =>
+      DedupOps.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, bands = 4, rows = 2, jaccardThreshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    "q35_simhash" -> ((s, d) =>
+      DedupOps.simhash(t(s, d, "documents"), "doc_id", "text")),
+
+    "q36_cosine_top1" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q37_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 3, bits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q38_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("asset_id"), col("byte_len"), col("checksum"),
+          col("meta.width").as("width"), element_at(col("hist"), 1).as("hist0"))),
+
+    "q39_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text"),
+        chunkBytes = 64, stride = 4)
+        .select("asset_id", "frame_index", "frame_checksum")),
+
+    "q40_embedding_stats" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        round(Similarity.norm(col("embedding")), 6).as("norm"),
+        Similarity.signLshBucket(col("embedding"), 4).as("lsh_bucket"))),
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private def langScoreSql(lang: String): String =
+    TextAnalysis.markers(lang)
+      .map(w => s"CAST((length(padded) - length(replace(padded, '$w', ''))) / ${w.length} AS INT)")
+      .mkString(" + ")
+
+  private val stopwordSql: String =
+    Seq(" the ", " and ", " a ", " of ", " to ", " in ")
+      .map(w => s"CAST((length(padded) - length(replace(padded, '$w', ''))) / ${w.length} AS INT)")
+      .mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_bronze_project" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'""".stripMargin,
+
+    "q02_silver_clean" ->
+      s"""SELECT line_id, l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |  clean_price, clean_discount, flag_desc, revenue
+         |FROM ($silverCleanSql)""".stripMargin,
+
+    "q03_gold_daily" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS total_events,
+         |  ${sqlSum("value")} AS total_value, ${sqlAvg("value")} AS avg_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q04_gold_monthly" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS revenue_month,
+         |  ${sqlSum("o_totalprice")} AS total_monthly_revenue,
+         |  COUNT(*) AS total_monthly_orders,
+         |  ${sqlAvg("o_totalprice")} AS avg_order_price,
+         |  COUNT(DISTINCT o_custkey) AS n_customers
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q05_gold_zone" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_suppkey,
+         |  ${sqlSum("l_extendedprice")} AS zone_revenue, COUNT(*) AS zone_lines
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q06_gold_vendor" ->
+      s"""SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Fulfilled'
+         |    WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_name,
+         |  COUNT(*) AS total_orders, ${sqlSum("o_totalprice")} AS total_revenue,
+         |  ${sqlAvg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q07_gold_payment" ->
+      s"""SELECT priority, total_orders, total_revenue, fulfilled_revenue,
+         |  ROUND(CASE WHEN total_revenue <= 0 THEN 0
+         |    ELSE fulfilled_revenue / total_revenue * 100 END, 2) AS fulfilled_percent
+         |FROM (
+         |  SELECT COALESCE(o_orderpriority, 'Unknown') AS priority,
+         |    COUNT(*) AS total_orders, ${sqlSum("o_totalprice")} AS total_revenue,
+         |    ${sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS fulfilled_revenue
+         |  FROM orders GROUP BY 1)""".stripMargin,
+
+    "q08_watermark_strict" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')""".stripMargin,
+
+    "q09_watermark_floor" ->
+      """SELECT COUNT(*) AS n_after_floor FROM events
+        |WHERE date_trunc('month', CAST(ts AS TIMESTAMP)) >=
+        |  COALESCE((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = '__none__'),
+        |           TIMESTAMP '1900-01-01')""".stripMargin,
+
+    "q10_anti_join_ri" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)""".stripMargin,
+
+    "q11_unique_violations" ->
+      """SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+
+    "q12_distinct_on" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q13_epoch_minutes" ->
+      """SELECT event_id,
+        |  ROUND((epoch(CAST(ts AS TIMESTAMP)) - epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) / 60.0, 2)
+        |    AS minutes_into_day
+        |FROM events""".stripMargin,
+
+    "q14_decode_filter" ->
+      """SELECT event_id, CASE event_type WHEN 'click' THEN 'Click'
+        |  WHEN 'view' THEN 'Page view' WHEN 'purchase' THEN 'Purchase'
+        |  ELSE 'Unknown' END AS type_desc
+        |FROM events WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin,
+
+    "q15_rowcount" -> "SELECT COUNT(*) AS row_cnt FROM lineitem",
+
+    "q16_null_metrics" ->
+      """SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN props IS NULL THEN 1 END) AS props_nulls,
+        |  CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) AS null_frac
+        |FROM events""".stripMargin,
+
+    "q17_between_mostly" ->
+      """SELECT COUNT(l_quantity) AS nonnull_cnt,
+        |  COUNT(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 END) AS pass_cnt,
+        |  CAST(COUNT(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 END) AS DOUBLE)
+        |    / COUNT(l_quantity) AS pass_frac,
+        |  (CAST(COUNT(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 END) AS DOUBLE)
+        |    / COUNT(l_quantity)) >= 0.99 AS passed
+        |FROM lineitem""".stripMargin,
+
+    "q18_accepted_values" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P')""".stripMargin,
+
+    "q19_no_negative_totals" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0",
+
+    "q20_check_suite" ->
+      """SELECT 'not_null(l_orderkey)' AS constraint_name, 'l_orderkey' AS column_name,
+        |  (SELECT COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem) = 0 AS passed,
+        |  (SELECT CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) * 100 FROM lineitem) AS unexpected_percent
+        |UNION ALL
+        |SELECT 'between(l_quantity,1.0,50.0)', 'l_quantity',
+        |  (SELECT CAST(COUNT(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 END) AS DOUBLE) >= 0.99 * COUNT(l_quantity) - 1e-9 FROM lineitem),
+        |  (SELECT CAST(COUNT(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 END) AS DOUBLE) / COUNT(l_quantity) * 100 FROM lineitem)
+        |UNION ALL
+        |SELECT 'in_set(l_returnflag)', 'l_returnflag',
+        |  (SELECT COUNT(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 END) = 0 FROM lineitem),
+        |  (SELECT CAST(COUNT(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS DOUBLE) / COUNT(l_returnflag) * 100 FROM lineitem)
+        |UNION ALL
+        |SELECT 'no_rows_where(neg_price)', NULL,
+        |  (SELECT COUNT(CASE WHEN l_extendedprice < 0 THEN 1 END) = 0 FROM lineitem),
+        |  (SELECT CAST(COUNT(CASE WHEN l_extendedprice < 0 THEN 1 END) AS DOUBLE) / COUNT(*) * 100 FROM lineitem)
+        |UNION ALL
+        |SELECT 'row_count_between(1,9223372036854775807)', NULL,
+        |  (SELECT COUNT(*) >= 1 FROM lineitem), 0.0""".stripMargin,
+
+    "q21_month_cursor" ->
+      "SELECT strftime(MAX(o_orderdate) + INTERVAL 1 MONTH, '%Y-%m') AS next_month FROM orders",
+
+    "q22_delete_insert" ->
+      """SELECT l_linenumber, COUNT(*) AS cnt FROM (
+        |  SELECT * FROM lineitem e WHERE l_linenumber <= 3 AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem i WHERE i.l_linenumber >= 3
+        |      AND i.l_orderkey = e.l_orderkey AND i.l_linenumber = e.l_linenumber)
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_linenumber >= 3
+        |) GROUP BY 1""".stripMargin,
+
+    "q23_ri_orphans" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 100000)""".stripMargin,
+
+    "q24_window_tumbling" ->
+      s"""SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 * 1000000 AS BIGINT)) AS bucket_start,
+         |  COUNT(*) AS n_events, ${sqlSum("value")} AS window_value
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q25_topk_per_group" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+
+    "q26_join_enrich" ->
+      s"""SELECT p_brand, COUNT(*) AS n_lines,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS brand_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin,
+
+    "q27_star_join" ->
+      s"""SELECT r_name, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS region_revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1""".stripMargin,
+
+    "q28_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${sqlAvg("o_totalprice")} FROM orders)""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q31_token_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(length(text) AS DOUBLE) / greatest(
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS mean_word_len,
+         |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1), 6) AS punct_ratio,
+         |  ROUND(CAST($stopwordSql AS DOUBLE) / greatest(
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS stopword_ratio
+         |FROM (SELECT *, ' ' || lower(text) || ' ' AS padded FROM documents)""".stripMargin,
+
+    "q32_langid" -> {
+      val langs = TextAnalysis.markers.keys.toSeq.sorted
+      val scores = langs.map(l => s"(${langScoreSql(l)}) AS s_$l").mkString(", ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN best <= 0 THEN 'und' $cases ELSE 'und' END AS predicted_lang
+         |FROM (SELECT doc_id, lang, $best AS best, s_${langs.mkString(", s_")}
+         |  FROM (SELECT doc_id, lang, $scores
+         |    FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents)))""".stripMargin
+    },
+
+    "q34_minhash_pairs" -> {
+      // mirrors DedupOps.minhashLsh(shingleSize=3, bands=4, rows=2, thr=0.4)
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+        s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+      val sig = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(sh, s -> substr(md5(s || '#$i'), 1, 16)), 'min')")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, sh, $b AS band, md5(${sig(2 * b)} || '|' || ${sig(2 * b + 1)}) AS band_hash FROM shingled")
+      s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+         |banded AS (${bandRows.mkString(" UNION ALL ")})
+         |SELECT id_a, id_b, ROUND(MAX(jaccard), 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM (SELECT * FROM banded WHERE len(sh) > 0) a
+         |  JOIN (SELECT * FROM banded WHERE len(sh) > 0) b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |GROUP BY 1, 2 HAVING MAX(jaccard) >= 0.4""".stripMargin
+    },
+
+    "q35_simhash" -> {
+      // mirrors DedupOps.simhash: 32-bit md5-derived token hashes
+      val bitTerms = (0 until 32).map(b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)")
+      s"""SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |    FROM documents))
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    "q37_lsh_topk" -> {
+      val bucket = "CAST((CASE WHEN embedding[1] >= embedding[2] THEN 1 ELSE 0 END)" +
+        " + (CASE WHEN embedding[3] >= embedding[4] THEN 2 ELSE 0 END)" +
+        " + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)" +
+        " + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT)"
+      s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    $bucket AS bucket FROM embeddings)
+         |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb)
+         |      / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.emb, c.emb)
+         |        / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+         |        c.vec_id ASC) AS INT) AS rank
+         |  FROM (SELECT * FROM vecs WHERE vec_id < 16) q
+         |  JOIN vecs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |) WHERE rank <= 3""".stripMargin
+    },
+
+    "q36_cosine_top1" ->
+      """SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.emb, c.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.emb, c.emb)
+        |        / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |        c.vec_id ASC) AS rnk
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings WHERE vec_id < 16) q,
+        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings) c
+        |  WHERE q.vec_id <> c.vec_id
+        |) WHERE rnk = 1""".stripMargin,
+
+    "q38_multimodal_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  CAST(length(text) % 1024 + 1 AS INT) AS width,
+        |  CAST(length(regexp_replace(regexp_replace(lower(substr(hex(CAST(text AS BLOB)), 1, 2048)), '(.).', '\1', 'g'), '[^0123]', '', 'g')) AS BIGINT) AS hist0
+        |FROM documents""".stripMargin,
+
+    "q39_frame_sample" ->
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id, CAST(i AS INT) AS frame_index,
+        |  md5(substr(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_checksum
+        |FROM (SELECT doc_id, text,
+        |  unnest(generate_series(0, greatest(length(text) // 256 - 1, 0))) AS i
+        |FROM documents)""".stripMargin,
+
+    "q40_embedding_stats" ->
+      """SELECT vec_id, label,
+        |  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        |  CAST((CASE WHEN embedding[1] >= embedding[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN embedding[3] >= embedding[4] THEN 2 ELSE 0 END)
+        |     + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)
+        |     + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT) AS lsh_bucket
+        |FROM embeddings""".stripMargin,
+  )
 }

@@ -1,0 +1,138 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (SURVEY.md §2.7) — the engine's
+  * equivalent of the reference's Great Expectations suites
+  * (reference: dags/validation_utils.py) and dbt schema/singular tests.
+  *
+  * Where GX issues one SQL query per expectation, this compiler fuses every
+  * aggregate-able constraint of a suite into ONE `df.agg(...)` pass (single
+  * scan, single job — the 100 TB-friendly shape); only referential-
+  * integrity checks need their own anti-join. `mostly = p` means "fraction
+  * of passing rows ≥ p"; Between/InSet exclude NULLs from the denominator
+  * (GX semantics, SURVEY.md §7.4 item 6), NotNull does not.
+  */
+sealed trait Constraint { def name: String }
+case class ColumnExists(column: String) extends Constraint { val name = s"column_exists($column)" }
+case class RowCountBetween(min: Long, max: Long = Long.MaxValue) extends Constraint { val name = s"row_count_between($min,$max)" }
+case class NotNull(column: String, mostly: Double = 1.0) extends Constraint { val name = s"not_null($column)" }
+case class Between(column: String, lo: Double, hi: Double, mostly: Double = 1.0) extends Constraint { val name = s"between($column,$lo,$hi)" }
+case class InSet(column: String, values: Seq[Any], mostly: Double = 1.0) extends Constraint { val name = s"in_set($column)" }
+case class Unique(columns: Seq[String]) extends Constraint { val name = s"unique(${columns.mkString(",")})" }
+case class AcceptedValues(column: String, values: Seq[Any]) extends Constraint { val name = s"accepted_values($column)" }
+case class References(column: String, parent: DataFrame, parentColumn: String) extends Constraint { val name = s"references($column)" }
+/** dbt singular test: rows satisfying `predicate` must not exist
+  * (reference: tests/assert_total_amount_positive.sql). */
+case class NoRowsWhere(label: String, predicate: Column) extends Constraint { val name = s"no_rows_where($label)" }
+
+case class CheckResult(constraint: String, column: Option[String],
+                       passed: Boolean, unexpectedPercent: Double)
+
+/** Thrown when a suite fails — the engine analog of the reference's
+  * `raise ValueError(failures)` gate (validation_utils.py:72-84). */
+case class QualityGateException(failures: Seq[CheckResult])
+  extends RuntimeException(
+    "quality gate failed: " + failures.map(f =>
+      s"${f.constraint} unexpected=${f.unexpectedPercent}%").mkString("; "))
+
+class CheckSuite(constraints: Seq[Constraint]) {
+
+  /** Run all constraints; aggregate-able ones fuse into one pass. */
+  def run(df: DataFrame): Seq[CheckResult] = {
+    val total = "__total"
+    // (constraint, unexpected-count expr, denominator expr)
+    val fused: Seq[(Constraint, Column, Column)] = constraints.collect {
+      case c @ NotNull(cn, _) =>
+        (c, count(when(col(cn).isNull, 1)), count(lit(1)))
+      case c @ Between(cn, lo, hi, _) =>
+        (c, count(when(col(cn).isNotNull && !(col(cn) >= lo && col(cn) <= hi), 1)), count(col(cn)))
+      case c @ InSet(cn, vs, _) =>
+        (c, count(when(col(cn).isNotNull && !col(cn).isin(vs: _*), 1)), count(col(cn)))
+      case c @ AcceptedValues(cn, vs) =>
+        (c, count(when(col(cn).isNotNull && !col(cn).isin(vs: _*), 1)), count(col(cn)))
+      case c @ Unique(cols) =>
+        (c, count(lit(1)) - countDistinct(cols.head, cols.tail: _*), count(lit(1)))
+      case c @ NoRowsWhere(_, p) =>
+        (c, count(when(p, 1)), count(lit(1)))
+      case c @ RowCountBetween(_, _) =>
+        (c, count(lit(1)), count(lit(1))) // repurposed: unexpected expr carries the row count
+    }
+
+    val aggExprs = fused.zipWithIndex.flatMap { case ((_, bad, denom), i) =>
+      Seq(bad.as(s"__bad_$i"), denom.as(s"__den_$i"))
+    } :+ count(lit(1)).as(total)
+    val row = if (aggExprs.nonEmpty) df.agg(aggExprs.head, aggExprs.tail: _*).first() else null
+
+    val fusedResults = fused.zipWithIndex.map { case ((c, _, _), i) =>
+      val bad = row.getLong(row.fieldIndex(s"__bad_$i"))
+      val den = row.getLong(row.fieldIndex(s"__den_$i"))
+      c match {
+        case RowCountBetween(mn, mx) =>
+          val n = row.getLong(row.fieldIndex(total))
+          CheckResult(c.name, None, n >= mn && n <= mx, 0.0)
+        case _ =>
+          val pct = if (den == 0) 0.0 else bad.toDouble / den * 100.0
+          val mostly = c match {
+            case NotNull(_, m) => m; case Between(_, _, _, m) => m
+            case InSet(_, _, m) => m; case _ => 1.0
+          }
+          val columnOf = c match {
+            case NotNull(cn, _) => Some(cn); case Between(cn, _, _, _) => Some(cn)
+            case InSet(cn, _, _) => Some(cn); case AcceptedValues(cn, _) => Some(cn)
+            case Unique(cs) => Some(cs.mkString(",")); case _ => None
+          }
+          CheckResult(c.name, columnOf, (den - bad).toDouble >= mostly * den - 1e-9, pct)
+      }
+    }
+
+    val schemaResults = constraints.collect { case ColumnExists(cn) =>
+      val exists = df.columns.exists(_.equalsIgnoreCase(cn)) // case-insensitive, §1.2
+      CheckResult(s"column_exists($cn)", Some(cn), exists, if (exists) 0.0 else 100.0)
+    }
+
+    val riResults = constraints.collect { case References(cn, parent, pc) =>
+      val orphans = df.select(col(cn)).filter(col(cn).isNotNull).distinct()
+        .join(parent.select(col(pc).as(cn)).distinct(), Seq(cn), "left_anti")
+        .count()
+      CheckResult(s"references($cn)", Some(cn), orphans == 0, if (orphans == 0) 0.0 else 100.0)
+    }
+
+    schemaResults ++ fusedResults ++ riResults
+  }
+
+  /** Run and throw [[QualityGateException]] on any failure (Q11). */
+  def gate(df: DataFrame): Seq[CheckResult] = {
+    val results = run(df)
+    val failures = results.filterNot(_.passed)
+    if (failures.nonEmpty) throw QualityGateException(failures)
+    results
+  }
+}
+
+object CheckSuite {
+  def apply(constraints: Constraint*): CheckSuite = new CheckSuite(constraints)
+
+  /** The reference's three layer suites, verbatim thresholds
+    * (validation_utils.py:93-127; models/(bronze|silver|gold)/schema.yml). */
+  def bronzeSuite(): CheckSuite = new CheckSuite(
+    graft.model.Schemas.trip.fieldNames.filterNot(_ == "airport_fee").map(ColumnExists(_)).toSeq ++
+      Seq(RowCountBetween(1), NotNull("tpep_pickup_datetime", 0.99),
+        NotNull("vendorid"), NotNull("tpep_dropoff_datetime")))
+
+  def silverSuite(bronze: DataFrame): CheckSuite = new CheckSuite(Seq(
+    NotNull("vendorid"), NotNull("tpep_pickup_datetime"),
+    Between("total_amount", 0, Double.MaxValue, 0.99),
+    Between("trip_distance", 0, Double.MaxValue, 0.99),
+    InSet("payment_type", Seq(1, 2, 3, 4, 5, 6), 0.99),
+    Unique(Seq("unique_trip_id")), NotNull("unique_trip_id"),
+    AcceptedValues("payment_type", Seq(0, 1, 2, 3, 4, 5, 6)),
+    References("vendorid", bronze, "vendorid"),
+    NoRowsWhere("total_amount_positive", col("total_amount") < 0)))
+
+  def goldMonthlySuite(): CheckSuite = new CheckSuite(Seq(
+    NotNull("revenue_month"),
+    Between("total_monthly_revenue", 0, 1e9),
+    Between("total_monthly_trips", 1, 1e7)))
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's scalar-expression library (SURVEY.md §2.6, F1-F14).
+  *
+  * Every function is a pure `Column => Column` built from
+  * `org.apache.spark.sql.functions` — fully codegen'd by Tungsten, no UDFs
+  * anywhere (the reference likewise uses only built-in SQL expressions;
+  * SURVEY.md §2.9). Citations point into /root/reference/.
+  */
+object ScalarFns {
+
+  /** F1 — vendor decode (silver_yellow_tripdata.sql:20-26). NULL and
+    * unknown codes both fall to 'Unknown', matching CASE-without-ELSE-match
+    * semantics in Postgres. */
+  def decodeVendor(c: Column): Column =
+    when(c === 1, "Creative Mobile Technologies, LLC")
+      .when(c === 2, "Curb Mobility, LLC")
+      .when(c === 6, "Myle Technologies Inc")
+      .when(c === 7, "Helix")
+      .otherwise("Unknown")
+
+  /** F2 — ratecode decode (silver_yellow_tripdata.sql:28-36). */
+  def decodeRatecode(c: Column): Column =
+    when(c === 1, "Standard rate")
+      .when(c === 2, "JFK")
+      .when(c === 3, "Newark")
+      .when(c === 4, "Nassau or Westchester")
+      .when(c === 5, "Negotiated fare")
+      .when(c === 6, "Group ride")
+      .otherwise("Null/unknown")
+
+  /** F3 — payment decode (silver_yellow_tripdata.sql:38-47). */
+  def decodePayment(c: Column): Column =
+    when(c === 0, "Flex Fare trip")
+      .when(c === 1, "Credit card")
+      .when(c === 2, "Cash")
+      .when(c === 3, "No charge")
+      .when(c === 4, "Dispute")
+      .when(c === 5, "Unknown")
+      .when(c === 6, "Voided trip")
+      .otherwise("Unknown")
+
+  /** F4 — EXTRACT(EPOCH FROM (t2-t1)) with sub-second precision
+    * (silver_yellow_tripdata.sql:50). Double-cast of a timestamp yields
+    * fractional epoch seconds; `unix_timestamp` would truncate. */
+  def epochSeconds(t2: Column, t1: Column): Column =
+    t2.cast("timestamp").cast("double") - t1.cast("timestamp").cast("double")
+
+  /** F4+F5 — trip duration in minutes, rounded to 2 decimals
+    * (silver_yellow_tripdata.sql:50). */
+  def durationMinutes(pickup: Column, dropoff: Column): Column =
+    round(epochSeconds(dropoff, pickup) / 60.0, 2)
+
+  /** F6 — ABS(COALESCE(x, 0)): the silver money normalization
+    * (silver_yellow_tripdata.sql:52-59). */
+  def absCoalesce0(c: Column): Column = abs(coalesce(c, lit(0.0)))
+
+  /** F8 — md5 surrogate key over ||-concatenated COALESCE(CAST(col AS
+    * VARCHAR), default) fields (silver_yellow_tripdata.sql:72-80).
+    *
+    * Key-rendering spec (SURVEY.md §7.4 item 1): callers must pass columns
+    * whose string rendering is engine-portable — integer/long/string/
+    * timestamp columns render identically in Spark and DuckDB/Postgres;
+    * raw doubles do NOT ('2.0' vs '2'), so fractional columns must be
+    * pre-formatted (e.g. `format_number` / `round(..).cast("string")`)
+    * before entering the key. */
+  def surrogateKey(parts: Seq[(Column, String)]): Column =
+    md5(concat(parts.map { case (c, default) =>
+      coalesce(c.cast("string"), lit(default))
+    }: _*))
+
+  /** F13 — guarded percentage ratio (gold_payment_summary.sql:8-11):
+    * CASE WHEN denom <= 0 THEN 0 ELSE num/denom*100 END. */
+  def guardedPercent(num: Column, denom: Column): Column =
+    when(denom <= 0, lit(0.0)).otherwise(num / denom * 100.0)
+
+  /** F11 — month key 'yyyy-MM' (bronze_yellow_tripdata.sql:34). */
+  def monthKey(ts: Column): Column = date_format(ts, "yyyy-MM")
+
+  /** Decimal-exact sum of a double column, returned as double.
+    *
+    * Plain `sum(double)` is non-associative: partial-aggregate order (and
+    * therefore partition count) changes the low-order bits, which breaks
+    * bit-exact comparison against any other engine AND between two runs of
+    * this engine at different parallelism. Casting each value to
+    * decimal(20,6) first makes the sum exact integer arithmetic —
+    * deterministic at any partitioning, any cluster size — then one final
+    * cast back to double. The double→decimal cast itself is deterministic
+    * (no double is exactly representable at a .5 ULP tie at scale 6).
+    * Overhead is small and the aggregation stays whole-stage-codegen'd. */
+  def exactSum(c: Column): Column =
+    sum(c.cast("decimal(20,6)")).cast("double")
+
+  /** Decimal-exact average of a double column (same rationale as
+    * [[exactSum]]); NULLs excluded from both numerator and denominator,
+    * matching SQL AVG. The division happens in double (not decimal) space —
+    * decimal-division scale rules are engine-specific, IEEE double division
+    * is not. */
+  def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(20,6)")).cast("double") / count(c)
+}

@@ -1,0 +1,139 @@
+package graft.incremental
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-load semantics (SURVEY.md §2.8, §7.1 module 5):
+  * high-watermark filters, idempotent writer policies, and the
+  * metadata-driven monthly cursor.
+  */
+object Watermark {
+
+  /** P5 — strict high-watermark: keep `src` rows with ts strictly past the
+    * max ts already in `existing` (reference: silver_yellow_tripdata.sql:9-11;
+    * gold_daily_summary.sql:17-19). Late rows ≤ watermark are silently
+    * dropped — intentional reference semantics (SURVEY.md §7.4 item 7).
+    *
+    * One scalar aggregate is collected to the driver (a single row — the
+    * only driver-side collect in the engine); at 100 TB the max() is a
+    * column-stats scan over the small existing target, not the source. */
+  def strictlyAfterMax(src: DataFrame, existing: Option[DataFrame], tsCol: String,
+                       existingTsCol: Option[String] = None): DataFrame =
+    existing.flatMap(e =>
+      Option(e.agg(max(col(existingTsCol.getOrElse(tsCol)))).first().get(0))) match {
+      case Some(wm) => src.filter(col(tsCol) > lit(wm).cast(src.schema(tsCol).dataType))
+      case None     => src
+    }
+
+  /** P6 — inclusive month-floor watermark with COALESCE('1900-01-01')
+    * (reference: gold_monthly_summary.sql:18-22): the current month is
+    * re-read and re-aggregated (then upserted by key), so a month gets
+    * corrected as long as it is the latest. */
+  def monthFloorInclusive(src: DataFrame, existing: Option[DataFrame],
+                          monthCol: String, tsCol: String): DataFrame = {
+    val floor = Timestamp.valueOf("1900-01-01 00:00:00")
+    val wm = existing.flatMap(e => Option(e.agg(max(col(monthCol))).first().get(0)))
+      .getOrElse(floor)
+    src.filter(date_trunc("month", col(tsCol)) >= lit(wm))
+  }
+}
+
+/** Writer policies — the engine's materialization strategies (SURVEY.md
+  * §2.1 S7-S10). No transactional table format is available offline, so
+  * keyed upsert is read→anti-join→union→rewrite with an atomic directory
+  * swap; month-grained keys use dynamic partition overwrite instead (exact,
+  * cheaper, and the 100 TB-scale path).
+  */
+object Writers {
+  import org.apache.spark.sql.SaveMode
+
+  /** S7 — full rebuild (dbt `table` materialization). */
+  def fullRebuild(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8/S10 — month-partitioned write with dynamic partition overwrite:
+    * only the month partitions present in `df` are replaced (idempotent
+    * re-load of a month; reference: nyc_taxi_pipeline.py:130-135). */
+  def monthOverwrite(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("pickup_month", date_format(col(tsCol), "yyyy-MM"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pickup_month")
+      .parquet(path)
+
+  /** S9 — keyed delete+insert (dbt `incremental_strategy='delete+insert'`,
+    * silver_yellow_tripdata.sql:1-5): existing rows whose key collides with
+    * an incoming row are dropped (left_anti), then the new rows appended.
+    * Returns the merged frame; caller writes it (atomic swap via temp dir
+    * happens in [[atomicRewrite]]). Broadcast the incoming keys when small —
+    * at 100 TB the incoming batch is one month, the target is the lake, so
+    * the anti-join must broadcast the batch keys, never shuffle the lake. */
+  def keyedDeleteInsert(existing: Option[DataFrame], incoming: DataFrame,
+                        keys: Seq[String]): DataFrame =
+    existing match {
+      case None => incoming
+      case Some(e) =>
+        val incomingKeys = incoming.select(keys.map(col): _*).distinct()
+        e.join(broadcast(incomingKeys), keys, "left_anti").unionByName(incoming)
+    }
+
+  /** Write-to-temp + atomic rename, so a failed job never leaves a
+    * half-written target (the offline stand-in for a transactional commit). */
+  def atomicRewrite(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".__tmp__"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
+
+/** The metadata control plane (reference: nyc_taxi_pipeline.py:84-127,
+  * I1/I5/I6): a tiny single-partition ledger driving the monthly cursor and
+  * the RUNNING→SUCCESS/FAILED state machine.
+  */
+class MetadataLedger(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private def readOpt(): Option[DataFrame] =
+    try Some(spark.read.schema(graft.model.Schemas.pipelineMetadata).parquet(path))
+    catch { case _: Throwable => None }
+
+  /** I1 — next month to load: MAX(target_month) over SUCCESS runs + 1 month,
+    * else the initial month (reference: nyc_taxi_pipeline.py:107-116). */
+  def nextMonth(pipeline: String, initial: String = "2024-01"): String =
+    readOpt().flatMap { df =>
+      Option(df.filter($"pipeline_name" === pipeline && $"status" === "SUCCESS")
+        .agg(max($"target_month")).first().getString(0))
+    } match {
+      case Some(last) =>
+        java.time.YearMonth.parse(last).plusMonths(1)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+      case None => initial
+    }
+
+  /** I5/I6 — upsert one run row keyed by run_id (read-modify-overwrite of a
+    * single-partition table; the run_id UNIQUE constraint of the reference
+    * becomes last-writer-wins on the key). */
+  def upsertRun(runId: String, pipeline: String, targetMonth: String,
+                status: String, runtimeSeconds: Option[Double] = None,
+                errorMessage: Option[String] = None): Unit = {
+    val now = new Timestamp(System.currentTimeMillis())
+    val row = Seq((0L, pipeline, runId, "incremental", targetMonth,
+      null.asInstanceOf[String], status, runtimeSeconds.getOrElse(Double.NaN),
+      errorMessage.map(_.take(500)).orNull, now, now))
+      .toDF(graft.model.Schemas.pipelineMetadata.fieldNames: _*)
+      .select(graft.model.Schemas.pipelineMetadata.fields.map(f =>
+        col(f.name).cast(f.dataType)): _*)
+    val merged = readOpt() match {
+      case Some(e) => e.filter($"run_id" =!= runId).unionByName(row)
+      case None    => row
+    }
+    Writers.atomicRewrite(merged.coalesce(1), path)
+  }
+
+  def read(): Option[DataFrame] = readOpt()
+}

@@ -1,0 +1,86 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (EXT surface): image/audio/video payloads as
+  * opaque `binary` columns + typed metadata structs, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch shape, operator
+  * signatures) is real and tested; the codec itself is a clearly marked
+  * STUB (no image/audio libraries exist in this container) producing
+  * deterministic features from the raw bytes, so the pipeline shape —
+  * a partition-parallel map stage over binary blobs, the Scala analog of
+  * `mapInPandas` — is exactly what a real decoder would slot into.
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset, payload opaque. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType),            // image | audio | video
+    StructField("payload", BinaryType),               // opaque encoded bytes
+    StructField("meta", StructType(Seq(               // typed metadata
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType)))),
+  ))
+
+  /** Wrap a text/doc table into a media table (test harness: payload =
+    * utf-8 bytes; real ingests read encoded image/audio files). */
+  def fromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit("image").as("media_type"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        (length(col(textCol)) % 1024 + 1).cast("int").as("width"),
+        (length(col(textCol)) % 768 + 1).cast("int").as("height"),
+        (length(col(textCol)) * 10).cast("long").as("duration_ms"),
+        lit("stub/raw").as("codec")).as("meta"))
+
+  /** STUB decoder — stands in for e.g. JPEG decode. Deterministic features
+    * from the payload bytes only: byte length, md5 checksum, and a 4-bin
+    * byte histogram. A real implementation replaces ONLY the expressions
+    * here; signature, schema and parallel shape stay identical. */
+  def decodeFeatures(media: DataFrame): DataFrame =
+    media
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("checksum", md5(col("payload")))
+      .withColumn("hist", array(
+        // 4-bin histogram over the high hex nibble of the first 1024 bytes:
+        // bin b counts odd-position hex chars in [b*4, b*4+4)
+        (0 until 4).map { b =>
+          val wanted = "0123456789abcdef".substring(b * 4, b * 4 + 4)
+          length(regexp_replace(
+            regexp_replace(lower(substring(hex(col("payload")), 1, 2048)),
+              "(.).", "$1"),                       // keep high nibbles only
+            s"[^$wanted]", "")).cast("long")
+        }: _*))
+
+  /** Frame-sample: emit every `stride`-th chunk of `chunkBytes` from the
+    * payload as its own row — the shape of video frame sampling (posexplode
+    * keeps it one map stage, no shuffle). */
+  def frameSample(media: DataFrame, chunkBytes: Int = 64, stride: Int = 4): DataFrame =
+    media.select(col("asset_id"), col("media_type"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(floor(octet_length(col("payload")) / lit(chunkBytes * stride)).cast("int") - 1, lit(0))),
+          i => substr(col("payload"), i * lit(chunkBytes * stride) + 1, lit(chunkBytes)))))
+      .withColumnRenamed("pos", "frame_index")
+      .withColumnRenamed("col", "frame_bytes")
+      .withColumn("frame_checksum", md5(col("frame_bytes")))
+
+  /** Resize STUB: truncate/pad payload to a target byte budget and rewrite
+    * meta — the plumbing of an image resize (map-only, no shuffle). */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload", substring(col("payload"), 1, targetBytes))
+      .withColumn("meta", struct(
+        least(col("meta.width"), lit(targetBytes)).as("width"),
+        least(col("meta.height"), lit(targetBytes)).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        concat(col("meta.codec"), lit(s";resized=$targetBytes")).as("codec")))
+}

@@ -1,0 +1,86 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (EXT surface): brute-force cosine top-k as
+  * the exact baseline, and a sign-LSH bucketed variant as the scale path.
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`)
+  * over `array<float>` columns, computed in double precision — no UDFs, no
+  * driver loops. At 100 TB the query set is broadcast (it is small by
+  * construction); the corpus is never shuffled in the brute-force path and
+  * shuffled once by bucket in the LSH path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector, by cosine, ties broken
+    * by neighbor id. `queries` must be small (it is broadcast to every
+    * executor; the corpus-side scan stays partition-parallel). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Sign-LSH bucket id: bit j is the sign of the fixed hyperplane
+    * (e_{2j} − e_{2j+1})·v — deterministic, engine-portable, no randomness
+    * needed (a fixed orthogonal family is a valid cosine-LSH). */
+  def signLshBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, 2 * j + 1).cast("double") >=
+           element_at(vec, 2 * j + 2).cast("double"), lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * One shuffle of the corpus on bucket id; each bucket holds ~N/2^bits
+    * vectors, so per-query work drops by the same factor. Recall is
+    * tunable via `bits` (fewer bits → bigger buckets → higher recall). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), signLshBucket(col(vecCol), bits).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), signLshBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
+    * to LSH-bucket collisions (the near-dup variant of [[lshTopK]]). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 4): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}
