@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks._
+
+/** `mostly` semantics per GX (SURVEY.md §2.7, §7.4 item 6): Between/InSet
+  * exclude NULLs from the denominator; NotNull does not. */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq[(Option[Int], Option[Double])](
+    (Some(1), Some(10.0)), (Some(2), Some(20.0)), (Some(3), Some(-5.0)),
+    (Some(1), None), (None, Some(30.0))
+  ).toDF("pay", "amount")
+
+  private def result(s: Seq[CheckResult], name: String): CheckResult =
+    s.find(_.constraint.startsWith(name)).get
+
+  test("NotNull counts NULLs over ALL rows") {
+    val r = result(new CheckSuite(Seq(NotNull("pay", 0.8))).run(df), "not_null")
+    assert(r.passed)                         // 4/5 = 0.8 ≥ 0.8
+    assert(math.abs(r.unexpectedPercent - 20.0) < 1e-9)
+    assert(!result(new CheckSuite(Seq(NotNull("pay", 0.9))).run(df), "not_null").passed)
+  }
+
+  test("Between excludes NULLs from the denominator") {
+    val r = result(new CheckSuite(Seq(Between("amount", 0, 100, 0.75))).run(df), "between")
+    assert(r.passed)                         // 3 of 4 non-null in range
+    assert(math.abs(r.unexpectedPercent - 25.0) < 1e-9)
+  }
+
+  test("InSet ignores NULLs; AcceptedValues is the strict dbt variant") {
+    val r = result(new CheckSuite(Seq(InSet("pay", Seq(1, 2), 0.75))).run(df), "in_set")
+    assert(r.passed)                         // 3 of 4 non-null in {1,2}
+    val r2 = result(new CheckSuite(Seq(AcceptedValues("pay", Seq(1, 2)))).run(df), "accepted")
+    assert(!r2.passed)                       // value 3 violates strictly
+  }
+
+  test("Unique detects duplicate keys") {
+    val r = result(new CheckSuite(Seq(Unique(Seq("pay")))).run(df), "unique")
+    assert(!r.passed)                        // pay=1 appears twice
+    val ok = Seq(1, 2, 3).toDF("k")
+    assert(result(new CheckSuite(Seq(Unique(Seq("k")))).run(ok), "unique").passed)
+  }
+
+  test("References is an anti-join on distinct child keys") {
+    val parent = Seq(1, 2).toDF("id")
+    val r = result(new CheckSuite(Seq(References("pay", parent, "id"))).run(df), "references")
+    assert(!r.passed)                        // pay=3 is an orphan
+    val parent2 = Seq(1, 2, 3).toDF("id")
+    assert(result(new CheckSuite(Seq(References("pay", parent2, "id"))).run(df), "references").passed)
+  }
+
+  test("ColumnExists is case-insensitive; RowCountBetween gates emptiness") {
+    val s = new CheckSuite(Seq(ColumnExists("PAY"), ColumnExists("missing"), RowCountBetween(1))).run(df)
+    assert(result(s, "column_exists(PAY)").passed)
+    assert(!result(s, "column_exists(missing)").passed)
+    assert(result(s, "row_count").passed)
+  }
+
+  test("gate throws QualityGateException carrying the failures") {
+    val e = intercept[QualityGateException] {
+      new CheckSuite(Seq(NotNull("pay"), NoRowsWhere("neg", col("amount") < 0))).gate(df)
+    }
+    assert(e.failures.size == 2)
+    new CheckSuite(Seq(RowCountBetween(1))).gate(df) // passes, no throw
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.incremental.{MetadataLedger, Watermark, Writers}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-test").toString
+
+  test("strict watermark drops late rows (I3 semantics)") {
+    val existing = Seq("2024-01-05 00:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("ts"))
+    val src = Seq("2024-01-04 00:00:00", "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"))
+    val out = Watermark.strictlyAfterMax(src, Some(existing), "ts")
+    assert(out.count() == 1) // only the row strictly after the max survives
+    assert(Watermark.strictlyAfterMax(src, None, "ts").count() == 3)
+  }
+
+  test("month-floor watermark re-includes the watermark month (P6)") {
+    val existing = Seq("2024-02-01 00:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("revenue_month"))
+    val src = Seq("2024-01-15 00:00:00", "2024-02-10 00:00:00", "2024-03-01 00:00:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"))
+    assert(Watermark.monthFloorInclusive(src, Some(existing), "revenue_month", "ts").count() == 2)
+    assert(Watermark.monthFloorInclusive(src, None, "revenue_month", "ts").count() == 3)
+  }
+
+  test("keyedDeleteInsert replaces colliding keys and appends the rest") {
+    val existing = Seq((1, "old"), (2, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v")
+    val merged = Writers.keyedDeleteInsert(Some(existing), incoming, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(merged == Map(1 -> "old", 2 -> "new", 3 -> "new"))
+  }
+
+  test("monthOverwrite is idempotent per month partition (S10)") {
+    val path = tmp() + "/staging"
+    def rows(v: Double) = Seq(("2024-01-10 00:00:00", v), ("2024-02-10 00:00:00", 1.0))
+      .toDF("s", "x").select($"s".cast("timestamp").as("tpep_pickup_datetime"), $"x")
+    Writers.monthOverwrite(rows(1.0), path, "tpep_pickup_datetime")
+    // reload January with a changed value; February must survive untouched
+    val jan = Seq(("2024-01-10 00:00:00", 2.0)).toDF("s", "x")
+      .select($"s".cast("timestamp").as("tpep_pickup_datetime"), $"x")
+    Writers.monthOverwrite(jan, path, "tpep_pickup_datetime")
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2)
+    assert(out.filter($"pickup_month" === "2024-01").select("x").first().getDouble(0) == 2.0)
+  }
+
+  test("atomicRewrite replaces the target only after a full write") {
+    val path = tmp() + "/t"
+    Writers.atomicRewrite(Seq(1, 2, 3).toDF("x"), path)
+    assert(spark.read.parquet(path).count() == 3)
+    Writers.atomicRewrite(Seq(9).toDF("x"), path)
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("MetadataLedger cursor: initial month, advance on SUCCESS only") {
+    val ledger = new MetadataLedger(spark, tmp() + "/meta")
+    assert(ledger.nextMonth("p") == "2024-01")
+    ledger.upsertRun("r1", "p", "2024-01", "RUNNING")
+    assert(ledger.nextMonth("p") == "2024-01")   // RUNNING doesn't advance
+    ledger.upsertRun("r1", "p", "2024-01", "SUCCESS", runtimeSeconds = Some(1.5))
+    assert(ledger.nextMonth("p") == "2024-02")   // run_id upsert, not append
+    assert(ledger.read().get.count() == 1)
+    ledger.upsertRun("r2", "p", "2024-02", "FAILED", errorMessage = Some("boom" * 500))
+    assert(ledger.nextMonth("p") == "2024-02")   // FAILED doesn't advance
+    val err = ledger.read().get.filter($"run_id" === "r2").select("error_message").first().getString(0)
+    assert(err.length == 500)                    // reference truncates to 500 chars
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmdata.{DedupOps, Multimodal, Similarity, TextAnalysis}
+
+class LlmDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),      // near dup of 1
+    (4L, "completely different words entirely here unrelated content")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical fingerprints, keeper = min id") {
+    val out = DedupOps.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("fingerprint normalizes case/punctuation/whitespace") {
+    val pairs = Seq(("The  quick,   FOX!", "the quick fox")).toDF("a", "b")
+      .select(TextAnalysis.fingerprint($"a").as("fa"), TextAnalysis.fingerprint($"b").as("fb"))
+      .first()
+    assert(pairs.getString(0) == pairs.getString(1))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = DedupOps.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide in every band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+    val exact = DedupOps.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints; near dups are close") {
+    val fps = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(1L) == fps(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(1L), fps(3L)) < hamming(fps(1L), fps(4L)))
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("language markers score and langid is deterministic") {
+    val out = Seq((1L, "the cat and the dog of the house"),
+                  (2L, "der Hund und die Katze und der Vogel"),
+                  (3L, "xyzzy plugh"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.languageId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("token counting and quality features") {
+    val f = TextAnalysis.qualityFeatures(Seq((1L, "one two  three")).toDF("id", "text"), "text")
+      .select("n_tokens", "mean_word_len").first()
+    assert(f.getLong(0) == 3L)
+    val q = TextAnalysis.qualityScore(Seq((1L, "too short")).toDF("id", "text"), "text")
+      .select("quality_score").first().getDouble(0)
+    assert(q == 0.0) // < 5 tokens floor
+  }
+
+  test("brute-force cosine top-k: nearest vector wins, self excluded") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(top.forall(_.getAs[Long]("neighbor_id") != 1L))
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with matching scores") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 50)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 3, bits = 4).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result's cosine must equal the brute-force cosine for that pair
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
+  test("multimodal: frame sampling covers the payload deterministically") {
+    val media = Multimodal.fromDocuments(Seq((1L, "x" * 1000)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 4).collect()
+    assert(frames.length == 1000 / 256 + (if (1000 % 256 > 0) 0 else 0)) // floor(1000/256)=3 frames
+    val feats = Multimodal.decodeFeatures(media).first()
+    assert(feats.getAs[Long]("byte_len") == 1000L)
+    assert(feats.getAs[String]("checksum").length == 32)
+    val resized = Multimodal.resize(media, 100).first()
+    assert(resized.getAs[Array[Byte]]("payload").length == 100)
+  }
+}

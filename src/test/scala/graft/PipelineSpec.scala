@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.model.Schemas
+import graft.pipeline.Pipeline
+
+/** End-to-end DAG semantics (SURVEY.md §3.1): two monthly incremental runs
+  * against a temp lake, checking cursor advance, layer contents, and
+  * idempotency of the second run's data. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trip(vendor: Int, pickup: String, pay: Int, fare: Double): Row = {
+    def ts(s: String) = Timestamp.valueOf(s)
+    Row(Integer.valueOf(vendor), ts(pickup), ts(pickup.replace(" 0", " 1")),
+      Integer.valueOf(1), java.lang.Double.valueOf(2.0), Integer.valueOf(1), "N",
+      Integer.valueOf(10), Integer.valueOf(20), Integer.valueOf(pay),
+      java.lang.Double.valueOf(fare), java.lang.Double.valueOf(0.5),
+      java.lang.Double.valueOf(0.5), java.lang.Double.valueOf(1.0),
+      java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.3),
+      java.lang.Double.valueOf(fare + 2.3), java.lang.Double.valueOf(0.0),
+      java.lang.Double.valueOf(0.0))
+  }
+
+  private val source: Map[String, Seq[Row]] = Map(
+    "2024-01" -> Seq(
+      trip(1, "2024-01-05 08:00:00", 1, 10.0),
+      trip(2, "2024-01-06 09:00:00", 2, 20.0),
+      trip(1, "2024-01-07 08:30:00", 1, 15.0)),
+    "2024-02" -> Seq(
+      trip(1, "2024-02-03 07:00:00", 1, 12.0),
+      trip(2, "2024-02-04 06:00:00", 3, 25.0)))
+
+  private def rawSource(month: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(source.getOrElse(month, Seq.empty)), Schemas.trip)
+
+  test("two monthly runs: cursor advances, layers accumulate, golds rebuild") {
+    val lake = Files.createTempDirectory("graft-lake").toString
+    val p = new Pipeline(spark, lake, rawSource)
+
+    assert(p.runOnce(maxRetries = 0) == "2024-01")
+    assert(spark.read.parquet(s"$lake/silver").count() == 3)
+    assert(p.runOnce(maxRetries = 0) == "2024-02")
+    assert(spark.read.parquet(s"$lake/silver").count() == 5)
+
+    val daily = spark.read.parquet(s"$lake/gold_daily")
+    assert(daily.count() == 5) // five distinct trip dates
+    val monthly = spark.read.parquet(s"$lake/gold_monthly")
+    assert(monthly.count() == 2)
+    val vendor = spark.read.parquet(s"$lake/gold_vendor")
+    assert(vendor.select("vendor_name").collect().map(_.getString(0)).toSet ==
+      Set("Creative Mobile Technologies, LLC", "Curb Mobility, LLC"))
+
+    val meta = spark.read.parquet(s"$lake/metadata")
+    assert(meta.filter($"status" === "SUCCESS").count() == 2)
+    val rt = meta.filter($"status" === "SUCCESS").select("runtime_seconds")
+      .collect().map(_.getDouble(0))
+    assert(rt.forall(_ > 0))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("file-source micro-batch + watermarked tumbling window (append mode)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Seq(("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:02:00", "click", 2.0),
+        ("2024-01-01 00:07:00", "view", 3.0),
+        ("2024-01-01 02:00:00", "click", 4.0))   // advances watermark, closes earlier windows
+      .toDF("s", "event_type", "value")
+      .select($"s".cast("timestamp").as("ts"), $"event_type", $"value")
+      .write.parquet(dir + "/in")
+
+    val stream = Streaming.fileStream(spark, schema, dir + "/in")
+    val agg = Streaming.windowedCounts(stream, "ts", "event_type", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wincounts")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("wincounts")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    // the two closed 00:00 / 00:05 windows are emitted; the 02:00 window is
+    // still open (watermark semantics — I3: append emits only final windows)
+    assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+    assert(out.contains(("2024-01-01 00:05:00.0", "view", 1L)))
+    assert(!out.exists(_._1.startsWith("2024-01-01 02:")))
+  }
+
+  test("mapGroupsWithState sessionization accumulates per-user state") {
+    val evs = Seq(Streaming.Ev(1L, 1.0), Streaming.Ev(1L, 2.0), Streaming.Ev(2L, 5.0)).toDS()
+    val out = Streaming.sessionize(evs).collect().map(s => s.userId -> s).toMap
+    assert(out(1L).nEvents == 2 && out(1L).totalValue == 3.0)
+    assert(out(2L).nEvents == 1 && out(2L).totalValue == 5.0)
+  }
+}
