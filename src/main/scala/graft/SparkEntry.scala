@@ -564,6 +564,22 @@ object SparkEntry {
          |    FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents)))""".stripMargin
     },
 
+    "q33_quality_score" -> {
+      val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""SELECT doc_id, ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         |    least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |    + least(stopword_ratio * 10.0, 1.0) * 0.3
+         |    + CASE WHEN punct_ratio > 0 THEN 0.2 ELSE 0.0 END END, 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS punct_ratio,
+         |    ROUND(CAST($stopwordSql AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+         |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+         |          $nTok AS n_tokens
+         |        FROM documents))""".stripMargin
+    },
+
     "q34_minhash_pairs" -> {
       // mirrors DedupOps.minhashLsh(shingleSize=3, bands=4, rows=2, thr=0.4)
       val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
