@@ -348,6 +348,15 @@ object SparkEntry {
       t(s, d, "embeddings").select(col("vec_id"), col("label"),
         round(Similarity.norm(col("embedding")), 6).as("norm"),
         Similarity.signLshBucket(col("embedding"), 4).as("lsh_bucket"))),
+
+    "q41_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
+        threshold = 0.35, bits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    "q42_simhash_pairs" -> ((s, d) =>
+      DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -660,6 +669,36 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(generate_series(0, greatest(length(text) // 256 - 1, 0))) AS i
         |FROM documents)""".stripMargin,
+
+    "q41_cosine_neardup" -> {
+      val bucket = "CAST((CASE WHEN embedding[1] >= embedding[2] THEN 1 ELSE 0 END)" +
+        " + (CASE WHEN embedding[3] >= embedding[4] THEN 2 ELSE 0 END)" +
+        " + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)" +
+        " + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    $bucket AS bucket FROM embeddings WHERE vec_id < 500)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_dot_product(a.emb, b.emb)
+         |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+         |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.emb, b.emb)
+         |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin
+    },
+
+    "q42_simhash_pairs" -> {
+      val bitTerms = (0 until 32).map(b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)")
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+         |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |      FROM documents))
+         |  GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM s a JOIN s b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+    },
 
     "q40_embedding_stats" ->
       """SELECT vec_id, label,

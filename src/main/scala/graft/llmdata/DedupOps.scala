@@ -150,7 +150,10 @@ object DedupOps {
     * production variant uses multiple bit-permutation tables). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // persist: the fingerprint frame feeds both sides of the self-join —
+    // without it the explode+groupBy simhash computation runs twice
     val fp = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val block = shiftright(col("simhash"), 16)
     val a = fp.select(block.as("blk"), col("doc_id").as("id_a"), col("simhash").as("fp_a"))
     val b = fp.select(block.as("blk"), col("doc_id").as("id_b"), col("simhash").as("fp_b"))

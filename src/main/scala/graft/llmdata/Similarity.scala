@@ -7,23 +7,47 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search (EXT surface): brute-force cosine top-k as
   * the exact baseline, and a sign-LSH bucketed variant as the scale path.
   *
-  * All vector math uses higher-order functions (`zip_with` + `aggregate`)
-  * over `array<float>` columns, computed in double precision — no UDFs, no
-  * driver loops. At 100 TB the query set is broadcast (it is small by
-  * construction); the corpus is never shuffled in the brute-force path and
-  * shuffled once by bucket in the LSH path.
+  * All vector math is double-precision built-in expressions — no UDFs, no
+  * driver loops. Hot paths unroll the dot product to `dim` codegen'd terms
+  * ([[Similarity.dotFixed]]); the HOF forms remain for unknown dimensions.
+  * At 100 TB the query set is broadcast (it is small by construction); the
+  * corpus is never shuffled in the brute-force path and shuffled once by
+  * bucket in the LSH path.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision (higher-order-function form; interpreted —
+    * fine for casual use, hot paths use [[dotFixed]]). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ·bᵢ expanded to `dim` plain expressions — array HOF lambdas
+    * evaluate interpreted (~100μs/row at dim 64), while this unrolled sum
+    * stays inside whole-stage codegen. Addition order matches [[dot]]'s
+    * left fold, so results are bit-identical. */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen-friendly cosine for a known dimension. */
+  def cosineFixed(a: Column, b: Column, dim: Int): Column =
+    dotFixed(a, b, dim) / (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
+
+  /** Probe the (fixed) embedding dimension from the data — one 1-row job. */
+  private def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
+
+  private def cosineAuto(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
+    probeDim(df, vecCol) match {
+      case Some(d) if d > 0 => cosineFixed(a, b, d)
+      case _                => cosine(a, b)
+    }
 
   /** Exact top-k neighbors for each query vector, by cosine, ties broken
     * by neighbor id. `queries` must be small (it is broadcast to every
@@ -33,7 +57,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineAuto(corpus, vecCol)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -62,7 +86,7 @@ object Similarity {
       col(vecCol).as("cv"), signLshBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineAuto(corpus, vecCol)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -79,7 +103,7 @@ object Similarity {
     val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", cosineAuto(df, vecCol)(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
