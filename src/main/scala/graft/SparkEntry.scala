@@ -357,6 +357,19 @@ object SparkEntry {
 
     "q42_simhash_pairs" -> ((s, d) =>
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)),
+
+    // salted two-phase aggregation must equal the plain aggregate (the
+    // oracle IS the unsalted SQL) — proves skew mitigation is semantics-free
+    "q43_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(t(s, d, "lineitem"), Seq("l_returnflag"), salts = 16,
+        partial = Seq(count(lit(1)).as("c"), sum(col("l_quantity").cast("decimal(20,6)")).as("q")),
+        merge = Seq(sum(col("c")).as("cnt"), sum(col("q")).cast("double").as("sum_qty")))),
+
+    // mapPartitions codec plumbing (Scala analog of mapInPandas)
+    "q44_codec_decode" -> ((s, d) =>
+      Multimodal.decodeWithCodec(
+        Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text"))
+        .toDF().select("asset_id", "byte_len", "checksum")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -699,6 +712,16 @@ object SparkEntry {
          |FROM s a JOIN s b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
     },
+
+    "q43_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q44_codec_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
 
     "q40_embedding_stats" ->
       """SELECT vec_id, label,

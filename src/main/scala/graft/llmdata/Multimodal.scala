@@ -74,6 +74,41 @@ object Multimodal {
       .withColumnRenamed("col", "frame_bytes")
       .withColumn("frame_checksum", md5(col("frame_bytes")))
 
+  /** Typed features produced by a codec. */
+  case class DecodedFeatures(asset_id: Long, byte_len: Long, checksum: String,
+                             width: Int, height: Int)
+
+  /** A codec maps raw payload bytes to features. Real deployments plug a
+    * JPEG/PNG/audio decoder here; [[stubCodec]] is the deterministic
+    * stand-in (no media libraries exist in this container). */
+  type Codec = Array[Byte] => (Long, String, Int, Int)
+
+  val stubCodec: Codec = bytes => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    (bytes.length.toLong, hex, bytes.length % 1024 + 1, bytes.length % 768 + 1)
+  }
+
+  /** The imperative-codec escape hatch: decode via `mapPartitions` (the
+    * Scala analog of `mapInPandas` — one codec instance per partition,
+    * rows streamed through it in batches). Preference order (build brief):
+    * compose built-ins first — [[decodeFeatures]] IS the expression form —
+    * and drop to this shape only when the codec is a real native library
+    * call. Partition-parallel, no shuffle, constant memory. */
+  def decodeWithCodec(media: DataFrame, codec: Codec = stubCodec): Dataset[DecodedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec setup happens here (native lib init, etc.)
+        rows.map { case (id, bytes) =>
+          val (len, sum, w, h) = codec(bytes)
+          DecodedFeatures(id, len, sum, w, h)
+        }
+      }
+  }
+
   /** Resize STUB: truncate/pad payload to a target byte budget and rewrite
     * meta — the plumbing of an image resize (map-only, no shuffle). */
   def resize(media: DataFrame, targetBytes: Int): DataFrame =

@@ -97,6 +97,17 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: mapPartitions codec path agrees with the expression path") {
+    val media = Multimodal.fromDocuments(
+      Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+    val viaCodec = Multimodal.decodeWithCodec(media).collect()
+      .map(f => f.asset_id -> (f.byte_len, f.checksum)).toMap
+    val viaExpr = Multimodal.decodeFeatures(media)
+      .select("asset_id", "byte_len", "checksum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(viaCodec == viaExpr)
+  }
+
   test("multimodal: frame sampling covers the payload deterministically") {
     val media = Multimodal.fromDocuments(Seq((1L, "x" * 1000)).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 4).collect()

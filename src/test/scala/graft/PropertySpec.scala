@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.ScalarFns._
+import graft.operators.Dedup
+import graft.llmdata.TextAnalysis
+
+/** Property tests for the algebraic contracts SURVEY.md §5 calls out:
+  * dedup idempotence, ABS/COALESCE non-negativity, decimal-sum exactness,
+  * fingerprint normalization idempotence, watermark monotonicity.
+  *
+  * Driven by plain ScalaCheck generators with fixed seeds (the
+  * scalatest-scalacheck bridge artifact is not on the offline classpath);
+  * each property is checked over `Rounds` generated datasets. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Rounds = 6
+  private def samples[T](g: Gen[T]): Seq[T] =
+    (0 until Rounds).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("absCoalesce0 output is always non-negative and never null") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 5), Gen.option(Gen.choose(-500.0, 500.0))))
+    samples(gen).foreach { rows =>
+      val out = rows.toDF("k", "x").select(absCoalesce0($"x").as("y"))
+        .agg(min($"y"), count(when($"y".isNull, 1))).first()
+      assert(out.getDouble(0) >= 0.0 && out.getLong(1) == 0L)
+    }
+  }
+
+  test("firstRowPerKeyTotal is idempotent and emits one row per key") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 8), Gen.choose(1, 1000)))
+    samples(gen).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val once = Dedup.firstRowPerKeyTotal(df, Seq("k"), Seq("v"))
+      val twice = Dedup.firstRowPerKeyTotal(once, Seq("k"), Seq("v"))
+      assert(once.count() == rows.map(_._1).distinct.size.toLong)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    }
+  }
+
+  test("exactSum equals decimal-exact sequential sum regardless of partitioning") {
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)), Gen.choose(1, 17))
+    samples(gen).foreach { case (xs, parts) =>
+      val viaSpark = xs.toDF("x").repartition(parts).agg(exactSum($"x")).first().getDouble(0)
+      val local = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(viaSpark == local)
+    }
+  }
+
+  test("fingerprint is invariant under pre-normalization of its input") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("The", "fox ", "JUMPS,", "dog!", "  ", "42")).map(_.mkString(" "))
+    samples(Gen.nonEmptyListOf(textGen)).foreach { texts =>
+      val df = texts.toDF("t").select(
+        TextAnalysis.fingerprint($"t").as("f1"),
+        TextAnalysis.fingerprint(
+          trim(regexp_replace(regexp_replace(lower($"t"), "[^a-z0-9 ]", " "), " +", " "))).as("f2"))
+      assert(df.filter($"f1" =!= $"f2").isEmpty)
+    }
+  }
+
+  test("strict watermark output never contains rows at or before the watermark") {
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 3000000L)), Gen.choose(0L, 3000000L))
+    samples(gen).foreach { case (ticks, wmTick) =>
+      val src = ticks.toDF("t").select(timestamp_seconds($"t").as("ts"))
+      val existing = Seq(wmTick).toDF("t").select(timestamp_seconds($"t").as("ts"))
+      val out = graft.incremental.Watermark.strictlyAfterMax(src, Some(existing), "ts")
+      assert(out.filter($"ts" <= timestamp_seconds(lit(wmTick))).isEmpty)
+      assert(out.count() == ticks.count(_ > wmTick).toLong)
+    }
+  }
+}
