@@ -370,6 +370,14 @@ object SparkEntry {
       Multimodal.decodeWithCodec(
         Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text"))
         .toDF().select("asset_id", "byte_len", "checksum")),
+
+    "q45_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 3, nCells = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -711,6 +719,27 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM s a JOIN s b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+    },
+
+    "q45_ivf_topk" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, emb AS centroid FROM v ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+         |    FROM v CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cos("q.emb", "c.emb")} AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cos("q.emb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
+         |  FROM (SELECT * FROM assigned WHERE vec_id < 16) q
+         |  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |) WHERE rank <= 3""".stripMargin
     },
 
     "q43_salted_agg" ->

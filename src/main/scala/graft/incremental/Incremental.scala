@@ -78,6 +78,19 @@ object Writers {
         e.join(broadcast(incomingKeys), keys, "left_anti").unionByName(incoming)
     }
 
+  /** Bucketed table writer: pre-shuffles once at write time so every later
+    * equi-join or aggregation on `keys` is exchange-free (co-located).
+    * The 100 TB payoff: the fact table is written bucketed by its join key
+    * once per load; every downstream join against an equally-bucketed
+    * table (or bucket-aware aggregation) skips its shuffle entirely.
+    * Requires a catalog table (Spark bucketing metadata lives there). */
+  def bucketedWrite(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Write-to-temp + atomic rename, so a failed job never leaves a
     * half-written target (the offline stand-in for a transactional commit). */
   def atomicRewrite(df: DataFrame, path: String): Unit = {

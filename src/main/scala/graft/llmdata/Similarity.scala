@@ -94,6 +94,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
+    * around deterministic centroids (the lowest-id vectors — a stand-in
+    * for trained k-means centroids, which a production pipeline would fit
+    * offline and broadcast the same way), then search only the query's
+    * cell (nprobe=1).
+    *
+    * Scale shape: centroid assignment is one broadcast-join map stage over
+    * the corpus (each row scored against all `nCells` centroids, cheapest
+    * wins); the per-cell search shuffles the corpus once on cell id. The
+    * cell assignment is reusable — at 100 TB it is written once as a
+    * `cell` column and every subsequent query skips the assignment scan. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16): DataFrame = {
+    val centroids = broadcast(corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
+
+    def assign(df: DataFrame, outIdCol: String, outVecCol: String): DataFrame = {
+      val scored = df.select(col(idCol).as(outIdCol), col(vecCol).as(outVecCol))
+        .crossJoin(centroids)
+        .withColumn("sim", cosineAuto(corpus, vecCol)(col(outVecCol), col("centroid")))
+      val w = Window.partitionBy(col(outIdCol))
+        .orderBy(col("sim").desc, col("cell_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(outIdCol), col(outVecCol), col("cell_id").as("cell"))
+    }
+
+    val c = assign(corpus, "neighbor_id", "cv")
+    val q = broadcast(assign(queries, "query_id", "qv"))
+    val scored = c.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineAuto(corpus, vecCol)(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
     * to LSH-bucket collisions (the near-dup variant of [[lshTopK]]). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

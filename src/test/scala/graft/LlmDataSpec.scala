@@ -97,6 +97,20 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k cosines match brute-force scores for shared pairs") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 500)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 3, nCells = 8).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
   test("multimodal: mapPartitions codec path agrees with the expression path") {
     val media = Multimodal.fromDocuments(
       Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text"), "doc_id", "text")

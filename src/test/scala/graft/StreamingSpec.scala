@@ -15,13 +15,18 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source micro-batch + watermarked tumbling window (append mode)") {
     val dir = Files.createTempDirectory("graft-stream").toString
-    Seq(("2024-01-01 00:01:00", "click", 1.0),
-        ("2024-01-01 00:02:00", "click", 2.0),
-        ("2024-01-01 00:07:00", "view", 3.0),
-        ("2024-01-01 02:00:00", "click", 4.0))   // advances watermark, closes earlier windows
-      .toDF("s", "event_type", "value")
-      .select($"s".cast("timestamp").as("ts"), $"event_type", $"value")
-      .write.parquet(dir + "/in")
+    def writeBatch(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("s", "event_type", "value")
+        .select($"s".cast("timestamp").as("ts"), $"event_type", $"value")
+        .coalesce(1).write.mode("append").parquet(dir + "/in")
+    // two files written in order (file source replays by mtime): the early
+    // events first, then the watermark-advancing late event — a shuffled
+    // single write would let the 02:00 file process first and drop the rest
+    writeBatch(Seq(("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:02:00", "click", 2.0),
+      ("2024-01-01 00:07:00", "view", 3.0)))
+    Thread.sleep(1100) // distinct mtimes even on 1s-granularity filesystems
+    writeBatch(Seq(("2024-01-01 02:00:00", "click", 4.0)))
 
     val stream = Streaming.fileStream(spark, schema, dir + "/in")
     val agg = Streaming.windowedCounts(stream, "ts", "event_type", "5 minutes", "10 minutes")
