@@ -57,6 +57,33 @@ object SparkEntry {
     Dedup.firstRowPerKey(enriched, Seq(col("line_id")), Seq(col("l_shipdate")))
   }
 
+  /** Deterministic lineitem → 19-column trip-schema mapping, so the REAL
+    * [[graft.operators.Layers]] silver/gold code runs inside the oracle
+    * gate (not only on fixtures). The mapping keeps the silver surrogate
+    * key collision-free ((l_orderkey, l_linenumber) is the lineitem PK and
+    * both survive into key fields), keeps trip_distance integral (< 1000,
+    * so format_number renders without grouping or rounding edges), and
+    * keeps timestamps whole-second (portable string rendering). */
+  private def tripFromLineitem(li: DataFrame): DataFrame = li.select(
+    (col("l_suppkey") % 10).cast("int").as("vendorid"),
+    col("l_shipdate").as("tpep_pickup_datetime"),
+    expr("timestampadd(MINUTE, l_linenumber, l_shipdate)").as("tpep_dropoff_datetime"),
+    col("l_linenumber").cast("int").as("passenger_count"),
+    col("l_quantity").as("trip_distance"),
+    (col("l_partkey") % 7).cast("int").as("ratecodeid"),
+    col("l_returnflag").as("store_and_fwd_flag"),
+    (col("l_partkey") % 100).cast("int").as("pulocationid"),
+    col("l_orderkey").cast("int").as("dolocationid"),
+    (col("l_orderkey") % 8).cast("int").as("payment_type"),
+    col("l_extendedprice").as("fare_amount"),
+    col("l_tax").as("extra"),
+    lit(0.5).as("mta_tax"),
+    (col("l_discount") * 100).as("tip_amount"),
+    lit(0.0).as("tolls_amount"),
+    lit(0.3).as("improvement_surcharge"),
+    col("l_tax").as("airport_fee"),
+    lit(2.5).as("congestion_surcharge"))
+
   // ---- SQL helpers shared by the oracle strings -------------------------
 
   private def sqlSum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(20,6))) AS DOUBLE)"
@@ -371,6 +398,17 @@ object SparkEntry {
         Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text"))
         .toDF().select("asset_id", "byte_len", "checksum")),
 
+    // the REAL trip-schema silver layer (Layers.silver) over mapped lineitem
+    "q46_trip_silver" -> ((s, d) =>
+      Layers.silver(tripFromLineitem(t(s, d, "lineitem")))
+        .select("unique_trip_id", "vendor_name", "ratecode_description",
+          "payment_description", "trip_duration_minutes",
+          "fare_amount", "tip_amount", "total_amount")),
+
+    // the REAL gold payment summary chained through Layers.silver
+    "q47_trip_gold_payment" -> ((s, d) =>
+      Layers.goldPayment(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))),
+
     "q45_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
@@ -392,7 +430,71 @@ object SparkEntry {
       .map(w => s"CAST((length(padded) - length(replace(padded, '$w', ''))) / ${w.length} AS INT)")
       .mkString(" + ")
 
+  /** Oracle mirror of [[tripFromLineitem]] + Layers.silver, shared by the
+    * q46/q47 oracles. Addition order and every cast mirror the Scala code
+    * exactly — IEEE arithmetic is order-sensitive. */
+  private val tripSilverSql: String =
+    """WITH trips AS (
+      |  SELECT CAST(l_suppkey % 10 AS INT) AS vendorid,
+      |    l_shipdate AS pickup,
+      |    l_shipdate + to_minutes(CAST(l_linenumber AS BIGINT)) AS dropoff,
+      |    l_quantity AS trip_distance,
+      |    CAST(l_partkey % 7 AS INT) AS ratecodeid,
+      |    CAST(l_partkey % 100 AS INT) AS pulocationid,
+      |    CAST(l_orderkey AS INT) AS dolocationid,
+      |    CAST(l_orderkey % 8 AS INT) AS payment_type,
+      |    ABS(COALESCE(l_extendedprice, 0)) AS fare_amount,
+      |    ABS(COALESCE(l_tax, 0)) AS extra,
+      |    CAST(0.5 AS DOUBLE) AS mta_tax,
+      |    ABS(COALESCE(l_discount * 100, 0)) AS tip_amount,
+      |    CAST(0.0 AS DOUBLE) AS tolls_amount,
+      |    CAST(0.3 AS DOUBLE) AS improvement_surcharge,
+      |    CAST(2.5 AS DOUBLE) AS congestion_surcharge,
+      |    ABS(COALESCE(l_tax, 0)) AS airport_fee
+      |  FROM lineitem),
+      |silver AS (
+      |  SELECT
+      |    md5(COALESCE(CAST(vendorid AS VARCHAR), '-1')
+      |      || COALESCE(CAST(pickup AS VARCHAR), '1900-01-01')
+      |      || COALESCE(CAST(dropoff AS VARCHAR), '1900-01-01')
+      |      || COALESCE(CAST(pulocationid AS VARCHAR), '-1')
+      |      || COALESCE(CAST(dolocationid AS VARCHAR), '-1')
+      |      || COALESCE(CAST(payment_type AS VARCHAR), '-1')
+      |      || COALESCE(printf('%.2f', trip_distance), '0')) AS unique_trip_id,
+      |    CASE vendorid WHEN 1 THEN 'Creative Mobile Technologies, LLC'
+      |      WHEN 2 THEN 'Curb Mobility, LLC' WHEN 6 THEN 'Myle Technologies Inc'
+      |      WHEN 7 THEN 'Helix' ELSE 'Unknown' END AS vendor_name,
+      |    CASE ratecodeid WHEN 1 THEN 'Standard rate' WHEN 2 THEN 'JFK'
+      |      WHEN 3 THEN 'Newark' WHEN 4 THEN 'Nassau or Westchester'
+      |      WHEN 5 THEN 'Negotiated fare' WHEN 6 THEN 'Group ride'
+      |      ELSE 'Null/unknown' END AS ratecode_description,
+      |    CASE payment_type WHEN 1 THEN 'Credit card' WHEN 2 THEN 'Cash'
+      |      WHEN 3 THEN 'No charge' WHEN 4 THEN 'Dispute' WHEN 5 THEN 'Unknown'
+      |      WHEN 6 THEN 'Voided trip' ELSE 'Unknown' END AS payment_description,
+      |    ROUND((epoch(dropoff) - epoch(pickup)) / 60.0, 2) AS trip_duration_minutes,
+      |    fare_amount, tip_amount,
+      |    fare_amount + extra + mta_tax + tip_amount + tolls_amount
+      |      + improvement_surcharge + congestion_surcharge + airport_fee AS total_amount
+      |  FROM trips WHERE payment_type IN (1, 2, 3, 4, 5, 6))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q46_trip_silver" ->
+      (tripSilverSql + "\n" +
+        """SELECT unique_trip_id, vendor_name, ratecode_description, payment_description,
+          |  trip_duration_minutes, fare_amount, tip_amount, total_amount
+          |FROM silver""".stripMargin),
+
+    "q47_trip_gold_payment" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT payment_description, total_trips, total_revenue, total_tips,
+           |  ROUND(CASE WHEN total_revenue <= 0 THEN 0
+           |    ELSE total_tips / total_revenue * 100 END, 2) AS avg_tip_percent
+           |FROM (
+           |  SELECT COALESCE(payment_description, 'Unknown') AS payment_description,
+           |    COUNT(*) AS total_trips,
+           |    ${sqlSum("total_amount")} AS total_revenue,
+           |    ${sqlSum("tip_amount")} AS total_tips
+           |  FROM silver GROUP BY 1)""".stripMargin),
     "q01_bronze_project" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'""".stripMargin,
