@@ -409,6 +409,19 @@ object SparkEntry {
     "q47_trip_gold_payment" -> ((s, d) =>
       Layers.goldPayment(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))),
 
+    "q48_trip_gold_daily" -> ((s, d) =>
+      Layers.goldDaily(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))
+        .withColumn("trip_date", date_format(col("trip_date"), "yyyy-MM-dd"))),
+
+    "q49_trip_gold_monthly" -> ((s, d) =>
+      Layers.goldMonthly(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))),
+
+    "q50_trip_gold_zone" -> ((s, d) =>
+      Layers.goldZone(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))),
+
+    "q51_trip_gold_vendor" -> ((s, d) =>
+      Layers.goldVendor(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))),
+
     "q45_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
@@ -443,6 +456,7 @@ object SparkEntry {
       |    CAST(l_partkey % 100 AS INT) AS pulocationid,
       |    CAST(l_orderkey AS INT) AS dolocationid,
       |    CAST(l_orderkey % 8 AS INT) AS payment_type,
+      |    CAST(l_linenumber AS INT) AS passenger_count,
       |    ABS(COALESCE(l_extendedprice, 0)) AS fare_amount,
       |    ABS(COALESCE(l_tax, 0)) AS extra,
       |    CAST(0.5 AS DOUBLE) AS mta_tax,
@@ -472,7 +486,8 @@ object SparkEntry {
       |      WHEN 3 THEN 'No charge' WHEN 4 THEN 'Dispute' WHEN 5 THEN 'Unknown'
       |      WHEN 6 THEN 'Voided trip' ELSE 'Unknown' END AS payment_description,
       |    ROUND((epoch(dropoff) - epoch(pickup)) / 60.0, 2) AS trip_duration_minutes,
-      |    fare_amount, tip_amount,
+      |    fare_amount, tip_amount, pickup, trip_distance, pulocationid,
+      |    CAST(passenger_count AS INT) AS passenger_count,
       |    fare_amount + extra + mta_tax + tip_amount + tolls_amount
       |      + improvement_surcharge + congestion_surcharge + airport_fee AS total_amount
       |  FROM trips WHERE payment_type IN (1, 2, 3, 4, 5, 6))""".stripMargin
@@ -822,6 +837,43 @@ object SparkEntry {
          |FROM s a JOIN s b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
     },
+
+    "q48_trip_gold_daily" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT strftime(pickup, '%Y-%m-%d') AS trip_date,
+           |  COUNT(*) AS total_trips,
+           |  CAST(SUM(passenger_count) AS BIGINT) AS total_passengers,
+           |  ${sqlSum("trip_distance")} AS total_distance,
+           |  ${sqlSum("total_amount")} AS total_revenue,
+           |  ${sqlSum("tip_amount")} AS total_tips,
+           |  ${sqlAvg("fare_amount")} AS avg_fare,
+           |  ${sqlAvg("trip_distance")} AS avg_trip_distance
+           |FROM silver GROUP BY 1""".stripMargin),
+
+    "q49_trip_gold_monthly" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT date_trunc('month', pickup) AS revenue_month,
+           |  ${sqlSum("total_amount")} AS total_monthly_revenue,
+           |  CAST(SUM(passenger_count) AS BIGINT) AS total_monthly_passengers,
+           |  COUNT(*) AS total_monthly_trips,
+           |  ${sqlAvg("trip_distance")} AS avg_trip_distance
+           |FROM silver GROUP BY 1""".stripMargin),
+
+    "q50_trip_gold_zone" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT date_trunc('month', pickup) AS revenue_month, pulocationid,
+           |  ${sqlSum("total_amount")} AS zone_revenue,
+           |  COUNT(*) AS zone_trips
+           |FROM silver GROUP BY 1, 2""".stripMargin),
+
+    "q51_trip_gold_vendor" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT vendor_name, COUNT(*) AS total_trips,
+           |  ${sqlSum("total_amount")} AS total_revenue,
+           |  ${sqlSum("trip_distance")} AS total_distance,
+           |  ${sqlAvg("trip_distance")} AS avg_trip_distance,
+           |  ${sqlAvg("fare_amount")} AS avg_fare
+           |FROM silver GROUP BY 1""".stripMargin),
 
     "q45_ivf_topk" -> {
       val cos = (a: String, b: String) =>
