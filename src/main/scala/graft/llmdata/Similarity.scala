@@ -39,15 +39,14 @@ object Similarity {
   def cosineFixed(a: Column, b: Column, dim: Int): Column =
     dotFixed(a, b, dim) / (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
 
-  /** Probe the (fixed) embedding dimension from the data — one 1-row job. */
-  private def probeDim(df: DataFrame, vecCol: String): Option[Int] =
-    df.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
-
-  private def cosineAuto(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
-    probeDim(df, vecCol) match {
-      case Some(d) if d > 0 => cosineFixed(a, b, d)
-      case _                => cosine(a, b)
-    }
+  /** Hot-path cosine built on the codegen'd [[graft.functions.DotProduct]]
+    * expression — dimension-agnostic, a single tight loop per row inside
+    * whole-stage codegen, bit-identical to the HOF and unrolled forms
+    * (same sequential left-to-right double accumulation). */
+  def cosineNative(a: Column, b: Column): Column = {
+    import graft.functions.DotProduct.dot_product
+    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
+  }
 
   /** Exact top-k neighbors for each query vector, by cosine, ties broken
     * by neighbor id. `queries` must be small (it is broadcast to every
@@ -57,7 +56,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineAuto(corpus, vecCol)(col("qv"), col("cv")))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -86,7 +85,7 @@ object Similarity {
       col(vecCol).as("cv"), signLshBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineAuto(corpus, vecCol)(col("qv"), col("cv")))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -113,7 +112,7 @@ object Similarity {
     def assign(df: DataFrame, outIdCol: String, outVecCol: String): DataFrame = {
       val scored = df.select(col(idCol).as(outIdCol), col(vecCol).as(outVecCol))
         .crossJoin(centroids)
-        .withColumn("sim", cosineAuto(corpus, vecCol)(col(outVecCol), col("centroid")))
+        .withColumn("sim", cosineNative(col(outVecCol), col("centroid")))
       val w = Window.partitionBy(col(outIdCol))
         .orderBy(col("sim").desc, col("cell_id").asc)
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -124,7 +123,7 @@ object Similarity {
     val q = broadcast(assign(queries, "query_id", "qv"))
     val scored = c.join(q, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineAuto(corpus, vecCol)(col("qv"), col("cv")))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -141,7 +140,7 @@ object Similarity {
     val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineAuto(df, vecCol)(col("v_a"), col("v_b")))
+      .withColumn("cosine", cosineNative(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
