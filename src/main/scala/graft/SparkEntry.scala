@@ -327,7 +327,9 @@ object SparkEntry {
 
     "q31_token_stats" -> ((s, d) =>
       TextAnalysis.qualityFeatures(t(s, d, "documents"), "text")
-        .select("doc_id", "n_chars_txt", "n_tokens", "mean_word_len",
+        .withColumn("n_subwords",
+          TextAnalysis.subwordCountEstimate(col("text")).cast("long"))
+        .select("doc_id", "n_chars_txt", "n_tokens", "n_subwords", "mean_word_len",
           "punct_ratio", "stopword_ratio")),
 
     "q32_langid" -> ((s, d) =>
@@ -691,6 +693,8 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt,
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
          |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |    + (length(text) - length(regexp_replace(text, '[0-9.,;:!?]', '', 'g'))) AS BIGINT) AS n_subwords,
          |  ROUND(CAST(length(text) AS DOUBLE) / greatest(
          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS mean_word_len,
          |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)

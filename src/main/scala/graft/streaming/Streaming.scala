@@ -37,6 +37,38 @@ object Streaming {
   case class SessionAgg(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
   case class Ev(user_id: Long, value: Double)
 
+  /** Event-time session windows via flatMapGroupsWithState: events for a
+    * user belong to one session until a gap of `gapSeconds`; closed
+    * sessions are emitted (0..n outputs per group per batch — the flatMap
+    * variant), open sessions stay in state. The streaming analog of the
+    * reference's "one run = one bounded unit of work" semantics, with the
+    * session boundary replacing the month boundary. */
+  case class SessionWindow(userId: Long, startSec: Long, endSec: Long, nEvents: Long)
+  case class TimedEv(user_id: Long, sec: Long)
+
+  def sessionWindows(events: Dataset[TimedEv], gapSeconds: Long): Dataset[SessionWindow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionWindow], SessionWindow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TimedEv], state: GroupState[List[SessionWindow]]) =>
+          val sorted = evs.map(_.sec).toSeq.sorted
+          // fold the batch into sessions, splitting on gaps
+          val sessions = sorted.foldLeft(List.empty[SessionWindow]) {
+            case (Nil, s) => List(SessionWindow(user, s, s, 1))
+            case (head :: tail, s) if s - head.endSec <= gapSeconds =>
+              head.copy(endSec = s, nEvents = head.nEvents + 1) :: tail
+            case (acc, s) => SessionWindow(user, s, s, 1) :: acc
+          }.reverse
+          sessions match {
+            case Nil => Iterator.empty
+            case all :+ open =>
+              state.update(List(open)) // last session may still grow
+              all.iterator
+          }
+      }
+  }
+
   /** Custom stateful operator via mapGroupsWithState: per-user running
     * session aggregate with processing-time timeout — the
     * KeyValueGroupedDataset state API the reference's control table

@@ -45,6 +45,21 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._1.startsWith("2024-01-01 02:")))
   }
 
+  test("flatMapGroupsWithState emits closed session windows, keeps the open one") {
+    val evs = Seq(
+      Streaming.TimedEv(1L, 100), Streaming.TimedEv(1L, 130), // session A
+      Streaming.TimedEv(1L, 500), Streaming.TimedEv(1L, 520), // session B
+      Streaming.TimedEv(1L, 2000),                            // open session
+      Streaming.TimedEv(2L, 10)                               // open session
+    ).toDS()
+    val out = Streaming.sessionWindows(evs, gapSeconds = 60).collect()
+    val u1 = out.filter(_.userId == 1L).sortBy(_.startSec)
+    assert(u1.length == 2) // A and B closed; the 2000s session stays open
+    assert(u1(0) == Streaming.SessionWindow(1L, 100, 130, 2))
+    assert(u1(1) == Streaming.SessionWindow(1L, 500, 520, 2))
+    assert(!out.exists(_.userId == 2L)) // single open session, nothing emitted
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val evs = Seq(Streaming.Ev(1L, 1.0), Streaming.Ev(1L, 2.0), Streaming.Ev(2L, 5.0)).toDS()
     val out = Streaming.sessionize(evs).collect().map(s => s.userId -> s).toMap
