@@ -78,6 +78,19 @@ object Writers {
         e.join(broadcast(incomingKeys), keys, "left_anti").unionByName(incoming)
     }
 
+  /** Small-file compaction: incremental monthly loads fragment a table
+    * into many small files (each run appends/overwrites its slice); scans
+    * then pay per-file open cost and lose row-group locality. Rewrites the
+    * table at ~`targetBytes` per file via an atomic swap. At 100 TB this
+    * runs per-partition (compact the months that fragmented, not the
+    * lake) — pass the partition directory as `path`. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    atomicRewrite(spark.read.parquet(path).repartition(nFiles), path)
+  }
+
   /** Bucketed table writer: pre-shuffles once at write time so every later
     * equi-join or aggregation on `keys` is exchange-free (co-located).
     * The 100 TB payoff: the fact table is written bucketed by its join key
