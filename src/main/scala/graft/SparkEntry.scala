@@ -424,6 +424,18 @@ object SparkEntry {
     "q51_trip_gold_vendor" -> ((s, d) =>
       Layers.goldVendor(Layers.silver(tripFromLineitem(t(s, d, "lineitem"))))),
 
+    // as-of join: each purchase matched to the user's latest prior click
+    "q52_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+          keyCol = "user_id", tsCol = "ts",
+          rightIdCol = "event_id", rightPayload = Seq("value"))
+        .select("event_id", "user_id", "ts", "asof_event_id", "asof_value")
+    }),
+
     "q45_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
@@ -878,6 +890,25 @@ object SparkEntry {
            |  ${sqlAvg("trip_distance")} AS avg_trip_distance,
            |  ${sqlAvg("fare_amount")} AS avg_fare
            |FROM silver GROUP BY 1""".stripMargin),
+
+    "q52_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, NULL, 0 AS side,
+        |    event_id AS r_id, value AS r_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, user_id, ts, asof_event_id, asof_value FROM (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(r_id IGNORE NULLS) OVER w AS asof_event_id,
+        |    last_value(r_value IGNORE NULLS) OVER w AS asof_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, side, r_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) WHERE side = 1""".stripMargin,
 
     "q45_ivf_topk" -> {
       val cos = (a: String, b: String) =>
