@@ -37,6 +37,21 @@ object Streaming {
   case class SessionAgg(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
   case class Ev(user_id: Long, value: Double)
 
+  /** Watermarked stream-stream interval join (the click-attribution
+    * shape): right events join left events on key when they occur within
+    * `within` AFTER the left event. Watermarks on both sides bound the
+    * join state — without them state grows forever; with them Spark drops
+    * buffered rows once they can no longer match (the same late-data
+    * policy as I3). Inner join, append mode. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         within: String, lateness: String): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $within"))
+
   /** Event-time session windows via flatMapGroupsWithState: events for a
     * user belong to one session until a gap of `gapSeconds`; closed
     * sessions are emitted (0..n outputs per group per batch — the flatMap

@@ -60,6 +60,36 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_.userId == 2L)) // single open session, nothing emitted
   }
 
+  test("watermarked stream-stream interval join attributes clicks to impressions") {
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    Seq((1L, 7L, "2024-01-01 00:00:00"), (2L, 8L, "2024-01-01 01:00:00"))
+      .toDF("imp_id", "imp_user", "s")
+      .select($"imp_id", $"imp_user", $"s".cast("timestamp").as("imp_ts"))
+      .coalesce(1).write.parquet(dir + "/imp")
+    Seq((10L, 7L, "2024-01-01 00:03:00"),   // within 5 min of imp 1 → match
+        (11L, 7L, "2024-01-01 00:30:00"),   // too late → no match
+        (12L, 9L, "2024-01-01 00:01:00"))   // wrong user → no match
+      .toDF("clk_id", "clk_user", "s")
+      .select($"clk_id", $"clk_user", $"s".cast("timestamp").as("clk_ts"))
+      .coalesce(1).write.parquet(dir + "/clk")
+
+    val impSchema = spark.read.parquet(dir + "/imp").schema
+    val clkSchema = spark.read.parquet(dir + "/clk").schema
+    val joined = Streaming.streamIntervalJoin(
+      Streaming.fileStream(spark, impSchema, dir + "/imp"),
+      Streaming.fileStream(spark, clkSchema, dir + "/clk"),
+      "imp_user", "clk_user", "imp_ts", "clk_ts",
+      within = "5 MINUTES", lateness = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attributed")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("attributed")
+      .select("imp_id", "clk_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val evs = Seq(Streaming.Ev(1L, 1.0), Streaming.Ev(1L, 2.0), Streaming.Ev(2L, 5.0)).toDS()
     val out = Streaming.sessionize(evs).collect().map(s => s.userId -> s).toMap
