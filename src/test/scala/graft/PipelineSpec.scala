@@ -38,6 +38,26 @@ class PipelineSpec extends SparkSpec {
     spark.createDataFrame(
       spark.sparkContext.parallelize(source.getOrElse(month, Seq.empty)), Schemas.trip)
 
+  test("quality-gate failure records FAILED in the ledger and rethrows") {
+    val lake = Files.createTempDirectory("graft-lake-fail").toString
+    // vendorid NULL violates the bronze suite's strict NotNull
+    val badRow = {
+      val r = trip(1, "2024-01-05 08:00:00", 1, 10.0).toSeq.toArray
+      r(0) = null
+      Row.fromSeq(r.toIndexedSeq)
+    }
+    val p = new Pipeline(spark, lake,
+      _ => spark.createDataFrame(spark.sparkContext.parallelize(Seq(badRow)), Schemas.trip))
+    intercept[graft.checks.QualityGateException] { p.runOnce(maxRetries = 0) }
+    val meta = spark.read.parquet(s"$lake/metadata")
+    val failed = meta.filter(meta("status") === "FAILED").collect()
+    assert(failed.length == 1)
+    assert(failed(0).getAs[String]("error_message").contains("not_null(vendorid)"))
+    // cursor must NOT advance after a failure
+    assert(new graft.incremental.MetadataLedger(spark, s"$lake/metadata")
+      .nextMonth("yellow_taxi_full_pipeline") == "2024-01")
+  }
+
   test("two monthly runs: cursor advances, layers accumulate, golds rebuild") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val p = new Pipeline(spark, lake, rawSource)
