@@ -320,6 +320,49 @@ object SparkEntry {
       o.filter(col("o_totalprice") > avgPrice).select("o_orderkey", "o_totalprice")
     }),
 
+    // running-frame window aggregates + lag (free Spark surface, §2.5)
+    "q53_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // decimal-path running sum: DuckDB windows aggregate via segment
+      // tree (reassociated), Spark sequentially — doubles diverge in low
+      // bits, decimals cannot
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(20,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"))
+    }),
+
+    // rollup with grouping indicators
+    "q54_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          exactSum(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderpriority")).as("g_priority"),
+          grouping(col("o_orderstatus")).as("g_status"))),
+
+    // set operations (INTERSECT / EXCEPT, distinct semantics)
+    "q55_set_ops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def custsWith(status: String) =
+        o.filter(col("o_orderstatus") === status).select("o_custkey")
+      custsWith("F").intersect(custsWith("O")).except(custsWith("P"))
+    }),
+
+    // exact percentiles (linear interpolation) per group
+    "q56_percentiles" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_value"))),
+
+    // pivot: per-day value sums by event type
+    "q57_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(exactSum(col("value")))),
+
     // ---- EXT: LLM-data operators -------------------------------------
 
     "q30_dedup_exact" -> ((s, d) =>
@@ -695,6 +738,42 @@ object SparkEntry {
     "q28_scalar_subquery" ->
       s"""SELECT o_orderkey, o_totalprice FROM orders
          |WHERE o_totalprice > (SELECT ${sqlAvg("o_totalprice")} FROM orders)""".stripMargin,
+
+    "q53_running_total" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+        |FROM events""".stripMargin,
+
+    "q54_rollup" ->
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlSum("o_totalprice")} AS revenue,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q55_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "q56_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q57_pivot" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         |  ${sqlSum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${sqlSum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+         |  ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${sqlSum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${sqlSum("CASE WHEN event_type = 'view' THEN value END")} AS view
+         |FROM events GROUP BY 1""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
