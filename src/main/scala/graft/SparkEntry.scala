@@ -320,6 +320,23 @@ object SparkEntry {
       o.filter(col("o_totalprice") > avgPrice).select("o_orderkey", "o_totalprice")
     }),
 
+    // left-semi join (EXISTS)
+    "q58_semi_join" -> ((s, d) => {
+      val heavy = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+      t(s, d, "orders").join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // full outer join of two aggregates (null-completing both sides)
+    "q59_full_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def daily(tpe: String, alias: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+          .agg(count(lit(1)).as(alias))
+      daily("click", "clicks").join(daily("purchase", "purchases"), Seq("event_date"), "full_outer")
+    }),
+
     // running-frame window aggregates + lag (free Spark surface, §2.5)
     "q53_running_total" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -390,6 +407,12 @@ object SparkEntry {
 
     "q35_simhash" -> ((s, d) =>
       DedupOps.simhash(t(s, d, "documents"), "doc_id", "text")),
+
+    // transitive near-dup clusters over the LSH pair graph
+    "q60_neardup_clusters" -> ((s, d) =>
+      DedupOps.nearDupClusters(
+        DedupOps.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, bands = 4, rows = 2, jaccardThreshold = 0.4))),
 
     "q36_cosine_top1" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -548,6 +571,29 @@ object SparkEntry {
       |    fare_amount + extra + mta_tax + tip_amount + tolls_amount
       |      + improvement_surcharge + congestion_surcharge + airport_fee AS total_amount
       |  FROM trips WHERE payment_type IN (1, 2, 3, 4, 5, 6))""".stripMargin
+
+  /** Shared CTEs mirroring DedupOps.minhashLsh(shingleSize=3, bands=4,
+    * rows=2, thr=0.4); `mh_pairs` is the verified near-dup pair set. */
+  private val minhashPairsCtes: String = {
+    val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+    val sig = (0 until 8).map(i =>
+      s"list_aggregate(list_transform(sh, s -> substr(md5(s || '#$i'), 1, 16)), 'min')")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, sh, $b AS band, md5(${sig(2 * b)} || '|' || ${sig(2 * b + 1)}) AS band_hash FROM shingled")
+    s"""shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+       |banded AS (${bandRows.mkString(" UNION ALL ")}),
+       |mh_pairs AS (
+       |  SELECT id_a, id_b, MAX(jaccard) AS jaccard FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |    FROM (SELECT * FROM banded WHERE len(sh) > 0) a
+       |    JOIN (SELECT * FROM banded WHERE len(sh) > 0) b
+       |      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2 HAVING MAX(jaccard) >= 0.4)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q46_trip_silver" ->
@@ -739,6 +785,20 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_totalprice FROM orders
          |WHERE o_totalprice > (SELECT ${sqlAvg("o_totalprice")} FROM orders)""".stripMargin,
 
+    "q58_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""".stripMargin,
+
+    "q59_full_outer" ->
+      """SELECT COALESCE(c.event_date, p.event_date) AS event_date, c.clicks, p.purchases
+        |FROM (SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS purchases
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        |  ON c.event_date = p.event_date""".stripMargin,
+
     "q53_running_total" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -822,26 +882,19 @@ object SparkEntry {
          |        FROM documents))""".stripMargin
     },
 
-    "q34_minhash_pairs" -> {
-      // mirrors DedupOps.minhashLsh(shingleSize=3, bands=4, rows=2, thr=0.4)
-      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-      val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
-        s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
-      val sig = (0 until 8).map(i =>
-        s"list_aggregate(list_transform(sh, s -> substr(md5(s || '#$i'), 1, 16)), 'min')")
-      val bandRows = (0 until 4).map(b =>
-        s"SELECT doc_id, sh, $b AS band, md5(${sig(2 * b)} || '|' || ${sig(2 * b + 1)}) AS band_hash FROM shingled")
-      s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
-         |banded AS (${bandRows.mkString(" UNION ALL ")})
-         |SELECT id_a, id_b, ROUND(MAX(jaccard), 6) AS jaccard FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-         |  FROM (SELECT * FROM banded WHERE len(sh) > 0) a
-         |  JOIN (SELECT * FROM banded WHERE len(sh) > 0) b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-         |GROUP BY 1, 2 HAVING MAX(jaccard) >= 0.4""".stripMargin
-    },
+    "q34_minhash_pairs" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM mh_pairs""".stripMargin,
+
+    "q60_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a, id_b FROM mh_pairs
+         |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
 
     "q35_simhash" -> {
       // mirrors DedupOps.simhash: 32-bit md5-derived token hashes

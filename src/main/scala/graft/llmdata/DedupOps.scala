@@ -133,6 +133,46 @@ object DedupOps {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Transitive near-dup clustering: connected components over the pair
+    * graph (the step after [[minhashLsh]] — a keeper must be chosen per
+    * CLUSTER, not per pair, or A~B, B~C keeps both A and C). Label
+    * propagation to the minimum reachable id, iterated to fixpoint; the
+    * driver only coordinates iterations (checks a convergence count), all
+    * data work is joins/aggregations — the Pregel shape. The pair graph is
+    * post-LSH and therefore small relative to the corpus; components of
+    * near-dup graphs have tiny diameters in practice, so the loop
+    * converges in a few iterations.
+    *
+    * Returns (doc_id, cluster_id) for every doc appearing in `pairs`,
+    * cluster_id = min doc id of the component (the canonical keeper). */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("nl")), "id_b")
+        .groupBy(col("id_a").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** N-gram Jaccard similarity for an explicit candidate pair set
     * (exact verification path; used standalone on pre-blocked pairs). */
   def jaccard(shA: Column, shB: Column): Column =

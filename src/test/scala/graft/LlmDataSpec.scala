@@ -37,6 +37,14 @@ class LlmDataSpec extends SparkSpec {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("near-dup clustering assigns transitive components the min-id label") {
+    // chain: 1-2, 2-3 (transitive), separate pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = DedupOps.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs get identical fingerprints; near dups are close") {
     val fps = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
