@@ -152,6 +152,11 @@ object DedupOps {
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Convergence via the label-sum invariant: Σ cluster_id strictly
+    // decreases every iteration that changes anything (labels only ever
+    // drop to a smaller id), so one scalar aggregate per iteration detects
+    // the fixpoint — no second comparison join/job.
+    var prevSum = Option.empty[java.math.BigDecimal]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -162,12 +167,13 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      // decimal sum: immune to long overflow at billions-of-nodes scale
+      val labelSum = updated.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .first().getDecimal(0)
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = prevSum.contains(labelSum)
+      prevSum = Some(labelSum)
       iter += 1
     }
     labels
