@@ -61,9 +61,9 @@ object SparkEntry {
     * [[graft.operators.Layers]] silver/gold code runs inside the oracle
     * gate (not only on fixtures). The mapping keeps the silver surrogate
     * key collision-free ((l_orderkey, l_linenumber) is the lineitem PK and
-    * both survive into key fields), keeps trip_distance integral (< 1000,
-    * so format_number renders without grouping or rounding edges), and
-    * keeps timestamps whole-second (portable string rendering). */
+    * both survive into key fields), keeps trip_distance integral (so the
+    * "%.2f" rendering has no rounding edges), and keeps timestamps
+    * whole-second (portable string rendering). */
   private def tripFromLineitem(li: DataFrame): DataFrame = li.select(
     (col("l_suppkey") % 10).cast("int").as("vendorid"),
     col("l_shipdate").as("tpep_pickup_datetime"),
@@ -469,7 +469,7 @@ object SparkEntry {
     // the REAL trip-schema silver layer (Layers.silver) over mapped lineitem
     "q46_trip_silver" -> ((s, d) =>
       Layers.silver(tripFromLineitem(t(s, d, "lineitem")))
-        .select("unique_trip_id", "vendor_name", "ratecode_description",
+        .select("unique_trip_id", "vendor_name", "rate_description",
           "payment_description", "trip_duration_minutes",
           "fare_amount", "tip_amount", "total_amount")),
 
@@ -553,7 +553,7 @@ object SparkEntry {
       |      || COALESCE(CAST(dropoff AS VARCHAR), '1900-01-01')
       |      || COALESCE(CAST(pulocationid AS VARCHAR), '-1')
       |      || COALESCE(CAST(dolocationid AS VARCHAR), '-1')
-      |      || COALESCE(CAST(payment_type AS VARCHAR), '-1')
+      |      || COALESCE(CAST(passenger_count AS VARCHAR), '0')
       |      || COALESCE(printf('%.2f', trip_distance), '0')) AS unique_trip_id,
       |    CASE vendorid WHEN 1 THEN 'Creative Mobile Technologies, LLC'
       |      WHEN 2 THEN 'Curb Mobility, LLC' WHEN 6 THEN 'Myle Technologies Inc'
@@ -561,7 +561,7 @@ object SparkEntry {
       |    CASE ratecodeid WHEN 1 THEN 'Standard rate' WHEN 2 THEN 'JFK'
       |      WHEN 3 THEN 'Newark' WHEN 4 THEN 'Nassau or Westchester'
       |      WHEN 5 THEN 'Negotiated fare' WHEN 6 THEN 'Group ride'
-      |      ELSE 'Null/unknown' END AS ratecode_description,
+      |      ELSE 'Null/unknown' END AS rate_description,
       |    CASE payment_type WHEN 1 THEN 'Credit card' WHEN 2 THEN 'Cash'
       |      WHEN 3 THEN 'No charge' WHEN 4 THEN 'Dispute' WHEN 5 THEN 'Unknown'
       |      WHEN 6 THEN 'Voided trip' ELSE 'Unknown' END AS payment_description,
@@ -598,18 +598,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q46_trip_silver" ->
       (tripSilverSql + "\n" +
-        """SELECT unique_trip_id, vendor_name, ratecode_description, payment_description,
+        """SELECT unique_trip_id, vendor_name, rate_description, payment_description,
           |  trip_duration_minutes, fare_amount, tip_amount, total_amount
           |FROM silver""".stripMargin),
 
     "q47_trip_gold_payment" ->
       (tripSilverSql + "\n" +
-        s"""SELECT payment_description, total_trips, total_revenue, total_tips,
+        s"""SELECT payment_description, trip_count, total_revenue, total_tips,
            |  ROUND(CASE WHEN total_revenue <= 0 THEN 0
            |    ELSE total_tips / total_revenue * 100 END, 2) AS avg_tip_percent
            |FROM (
            |  SELECT COALESCE(payment_description, 'Unknown') AS payment_description,
-           |    COUNT(*) AS total_trips,
+           |    COUNT(*) AS trip_count,
            |    ${sqlSum("total_amount")} AS total_revenue,
            |    ${sqlSum("tip_amount")} AS total_tips
            |  FROM silver GROUP BY 1)""".stripMargin),
@@ -982,7 +982,7 @@ object SparkEntry {
          |  GROUP BY doc_id)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM s a JOIN s b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
     },
 
@@ -991,7 +991,7 @@ object SparkEntry {
         s"""SELECT strftime(pickup, '%Y-%m-%d') AS trip_date,
            |  COUNT(*) AS total_trips,
            |  CAST(SUM(passenger_count) AS BIGINT) AS total_passengers,
-           |  ${sqlSum("trip_distance")} AS total_distance,
+           |  ${sqlSum("trip_distance")} AS total_distance_miles,
            |  ${sqlSum("total_amount")} AS total_revenue,
            |  ${sqlSum("tip_amount")} AS total_tips,
            |  ${sqlAvg("fare_amount")} AS avg_fare,
@@ -1010,8 +1010,8 @@ object SparkEntry {
     "q50_trip_gold_zone" ->
       (tripSilverSql + "\n" +
         s"""SELECT date_trunc('month', pickup) AS revenue_month, pulocationid,
-           |  ${sqlSum("total_amount")} AS zone_revenue,
-           |  COUNT(*) AS zone_trips
+           |  ${sqlSum("total_amount")} AS total_revenue,
+           |  COUNT(*) AS total_trips
            |FROM silver GROUP BY 1, 2""".stripMargin),
 
     "q51_trip_gold_vendor" ->

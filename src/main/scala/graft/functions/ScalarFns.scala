@@ -65,7 +65,9 @@ object ScalarFns {
     * whose string rendering is engine-portable — integer/long/string/
     * timestamp columns render identically in Spark and DuckDB/Postgres;
     * raw doubles do NOT ('2.0' vs '2'), so fractional columns must be
-    * pre-formatted (e.g. `format_number` / `round(..).cast("string")`)
+    * pre-formatted (e.g. `format_string("%.2f", ..)` — separator-free,
+    * matching printf in other engines; NOT `format_number`, which inserts
+    * grouping separators at >= 1000)
     * before entering the key. */
   def surrogateKey(parts: Seq[(Column, String)]): Column =
     md5(concat(parts.map { case (c, default) =>

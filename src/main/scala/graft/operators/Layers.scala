@@ -52,17 +52,21 @@ object Layers {
     *  - payment_type IN (1..6) filter (P7, silver:63);
     *  - DISTINCT ON (unique_trip_id) dedup (W1, silver:85-87).
     *
-    * The md5 key concatenates int/timestamp renderings only (double columns
-    * never enter the key in the reference either — trip_distance enters as
-    * part of the 7 fields via CAST; we format it explicitly to 2 decimals
-    * to keep the rendering engine-portable, SURVEY.md §7.4). */
+    * The md5 key mirrors the reference's 7 fields exactly
+    * (silver_yellow_tripdata.sql:72-80): vendorid, pickup, dropoff,
+    * pulocationid, dolocationid, passenger_count (default '0'),
+    * trip_distance. The only deviation is trip_distance's rendering: the
+    * reference CASTs the raw double to VARCHAR, which is not
+    * engine-portable ('2' vs '2.0'); we render it with a separator-free
+    * printf-style "%.2f" (SURVEY.md §7.4 item 1) — same formatter family
+    * as DuckDB's printf, no grouping separators at any magnitude. */
   def silver(bronzeDf: DataFrame): DataFrame = {
     val moneyFixed = graft.model.Schemas.moneyColumns.foldLeft(bronzeDf) {
       (df, c) => df.withColumn(c, absCoalesce0(col(c)))
     }
     val enriched = moneyFixed
       .withColumn("vendor_name", decodeVendor(col("vendorid")))
-      .withColumn("ratecode_description", decodeRatecode(col("ratecodeid")))
+      .withColumn("rate_description", decodeRatecode(col("ratecodeid")))
       .withColumn("payment_description", decodePayment(col("payment_type")))
       .withColumn("trip_duration_minutes",
         durationMinutes(col("tpep_pickup_datetime"), col("tpep_dropoff_datetime")))
@@ -78,8 +82,11 @@ object Layers {
         col("tpep_dropoff_datetime")-> "1900-01-01",
         col("pulocationid")        -> "-1",
         col("dolocationid")        -> "-1",
-        col("payment_type")        -> "-1",
-        format_number(col("trip_distance"), 2) -> "0",
+        col("passenger_count")     -> "0",
+        // format_string("null") on NULL input is not a SQL NULL — guard so
+        // the surrogateKey COALESCE default '0' still applies
+        when(col("trip_distance").isNull, lit(null).cast("string"))
+          .otherwise(format_string("%.2f", col("trip_distance"))) -> "0",
       )))
     Dedup.firstRowPerKeyTotal(enriched,
       keys = Seq("unique_trip_id"), ordering = Seq("tpep_pickup_datetime"))
@@ -91,7 +98,7 @@ object Layers {
       .agg(
         count(lit(1)).as("total_trips"),
         sum(col("passenger_count")).as("total_passengers"),
-        exactSum(col("trip_distance")).as("total_distance"),
+        exactSum(col("trip_distance")).as("total_distance_miles"),
         exactSum(col("total_amount")).as("total_revenue"),
         exactSum(col("tip_amount")).as("total_tips"),
         exactAvg(col("fare_amount")).as("avg_fare"),
@@ -112,8 +119,8 @@ object Layers {
         date_trunc("month", col("tpep_pickup_datetime")).as("revenue_month"),
         col("pulocationid"))
       .agg(
-        exactSum(col("total_amount")).as("zone_revenue"),
-        count(lit(1)).as("zone_trips"))
+        exactSum(col("total_amount")).as("total_revenue"),
+        count(lit(1)).as("total_trips"))
 
   /** Gold vendor summary (reference: gold_vendor_summary.sql:3-11, A4). */
   def goldVendor(silverDf: DataFrame): DataFrame =
@@ -131,7 +138,7 @@ object Layers {
   def goldPayment(silverDf: DataFrame): DataFrame =
     silverDf.groupBy(coalesce(col("payment_description"), lit("Unknown")).as("payment_description"))
       .agg(
-        count(lit(1)).as("total_trips"),
+        count(lit(1)).as("trip_count"),
         exactSum(col("total_amount")).as("total_revenue"),
         exactSum(col("tip_amount")).as("total_tips"))
       .withColumn("avg_tip_percent",
