@@ -36,6 +36,56 @@ class IncrementalSpec extends SparkSpec {
     assert(merged == Map(1 -> "old", 2 -> "new", 3 -> "new"))
   }
 
+  test("keyedDeleteInsert above the broadcast gate falls back to a shuffled anti-join") {
+    val existing = Seq((1, "old"), (2, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v")
+    // gate of 0 bytes: nothing is broadcastable, the fallback path runs
+    val merged = Writers.keyedDeleteInsert(Some(existing), incoming, Seq("k"),
+        broadcastMaxBytes = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(merged == Map(1 -> "old", 2 -> "new", 3 -> "new"))
+    // the gated plan carries no broadcast hint (AQE may still choose one
+    // at runtime from true sizes — that's the point of the fallback)
+    val gated = Writers.keyedDeleteInsert(Some(existing), incoming, Seq("k"),
+      broadcastMaxBytes = 0L)
+    assert(!gated.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+  }
+
+  test("monthScopedDeleteInsert rewrites only the affected month partitions") {
+    val path = tmp() + "/silver"
+    def df(rows: Seq[(String, String, Double)]) = rows.toDF("k", "s", "x")
+      .select($"k", $"s".cast("timestamp").as("ts"), $"x")
+    // seed two months
+    Writers.monthScopedDeleteInsert(None,
+      df(Seq(("a", "2024-01-10 00:00:00", 1.0), ("b", "2024-02-10 00:00:00", 1.0))),
+      Seq("k"), "ts", path)
+    val janFiles = new java.io.File(s"$path/pickup_month=2024-01")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
+    // merge into February only: replace b, add c
+    Writers.monthScopedDeleteInsert(
+      Some(spark.read.parquet(path)),
+      df(Seq(("b", "2024-02-11 00:00:00", 2.0), ("c", "2024-02-12 00:00:00", 3.0))),
+      Seq("k"), "ts", path)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3)
+    assert(out.filter($"k" === "b").select("x").first().getDouble(0) == 2.0)
+    // January's partition files are byte-for-byte untouched
+    val janAfter = new java.io.File(s"$path/pickup_month=2024-01")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(janAfter == janFiles)
+  }
+
+  test("corrupt metadata raises instead of silently resetting the cursor") {
+    val path = tmp() + "/meta"
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-00000.parquet"),
+      "this is not a parquet file".getBytes)
+    val ledger = new MetadataLedger(spark, path)
+    intercept[Exception] { ledger.nextMonth("p") }
+  }
+
   test("monthOverwrite is idempotent per month partition (S10)") {
     val path = tmp() + "/staging"
     def rows(v: Double) = Seq(("2024-01-10 00:00:00", v), ("2024-02-10 00:00:00", 1.0))

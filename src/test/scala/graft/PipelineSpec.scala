@@ -58,14 +58,38 @@ class PipelineSpec extends SparkSpec {
       .nextMonth("yellow_taxi_full_pipeline") == "2024-01")
   }
 
+  test("quality-gate failure is not retried (deterministic, reference retries are for transients)") {
+    val lake = Files.createTempDirectory("graft-lake-noretry").toString
+    val badRow = {
+      val r = trip(1, "2024-01-05 08:00:00", 1, 10.0).toSeq.toArray
+      r(0) = null
+      Row.fromSeq(r.toIndexedSeq)
+    }
+    var attempts = 0
+    val p = new Pipeline(spark, lake, { _ =>
+      attempts += 1
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(badRow)), Schemas.trip)
+    })
+    intercept[graft.checks.QualityGateException] {
+      p.runOnce(maxRetries = 3, retryDelayMs = 0L)
+    }
+    assert(attempts == 1) // gate failures record FAILED after ONE attempt
+  }
+
   test("two monthly runs: cursor advances, layers accumulate, golds rebuild") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val p = new Pipeline(spark, lake, rawSource)
 
     assert(p.runOnce(maxRetries = 0) == "2024-01")
     assert(spark.read.parquet(s"$lake/silver").count() == 3)
+    val janFiles = new java.io.File(s"$lake/silver/pickup_month=2024-01")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
     assert(p.runOnce(maxRetries = 0) == "2024-02")
     assert(spark.read.parquet(s"$lake/silver").count() == 5)
+    // the second month's load must NOT rewrite January's silver partition
+    val janAfter = new java.io.File(s"$lake/silver/pickup_month=2024-01")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(janAfter == janFiles)
 
     val daily = spark.read.parquet(s"$lake/gold_daily")
     assert(daily.count() == 5) // five distinct trip dates
