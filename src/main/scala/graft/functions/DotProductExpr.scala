@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   * bound-checked `element_at` calls. This expression is a single tight
   * loop inside whole-stage codegen, dimension-agnostic.
   *
-  * Semantics match the HOF form exactly: accumulation is a sequential
-  * left-to-right fold in double precision (bit-identical results); a NULL
-  * array yields NULL; a NULL element yields NULL (as aggregate-over-null
-  * does); lengths must match at runtime (shorter length wins, as zip_with
-  * pads — we instead require equal to surface data bugs early).
+  * Semantics match the HOF form on well-formed input: accumulation is a
+  * sequential left-to-right fold in double precision (bit-identical
+  * results); a NULL array yields NULL; a NULL element yields NULL (as
+  * aggregate-over-null does). Ragged input (unequal lengths) RAISES —
+  * zip_with would null-pad and yield NULL, but a length mismatch in an
+  * embedding column is always a data bug, and a silent NULL hides it
+  * until it skews a downstream aggregate. Fail fast at the row.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -48,7 +50,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -69,7 +74,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: array length mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }

@@ -68,8 +68,13 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[TimedEv], state: GroupState[List[SessionWindow]]) =>
           val sorted = evs.map(_.sec).toSeq.sorted
-          // fold the batch into sessions, splitting on gaps
-          val sessions = sorted.foldLeft(List.empty[SessionWindow]) {
+          // Seed the fold with the PREVIOUS batch's open session (if any):
+          // a session spanning micro-batches either extends it (gap not
+          // exceeded) or closes it (first new event past the gap), in which
+          // case it is finally emitted below. Starting from Nil instead
+          // would silently drop cross-batch sessions (round-1 advice).
+          val prior = state.getOption.getOrElse(List.empty[SessionWindow])
+          val sessions = sorted.foldLeft(prior) {
             case (Nil, s) => List(SessionWindow(user, s, s, 1))
             case (head :: tail, s) if s - head.endSec <= gapSeconds =>
               head.copy(endSec = s, nEvents = head.nEvents + 1) :: tail

@@ -39,6 +39,16 @@ class DotProductSpec extends SparkSpec {
     assert(r.getDouble(0) == 9.0)
   }
 
+  test("ragged arrays raise instead of silently truncating") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(DotProduct.dot_product(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")))
+  }
+
   test("type mismatch is rejected at analysis time") {
     val df = Seq((Seq("x"), Seq(1.0f))).toDF("a", "b")
     intercept[Exception] {

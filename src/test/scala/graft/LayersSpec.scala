@@ -74,6 +74,29 @@ class LayersSpec extends SparkSpec {
     assert(rows(1).getInt(0) == 3 && rows(1).isNullAt(1))
   }
 
+  test("CSV seed source loads through stage into bronze (S11, reference CI seed)") {
+    // mirrors /root/reference/dbt/nyc_taxi/seeds/mock_yellow_tripdata.csv:1-2
+    val dir = java.nio.file.Files.createTempDirectory("graft-seed")
+    val csv = dir.resolve("mock_yellow_tripdata.csv")
+    java.nio.file.Files.write(csv,
+      ("vendorid,tpep_pickup_datetime,tpep_dropoff_datetime,passenger_count,trip_distance," +
+        "ratecodeid,store_and_fwd_flag,pulocationid,dolocationid,payment_type,fare_amount," +
+        "extra,mta_tax,tip_amount,tolls_amount,improvement_surcharge,total_amount," +
+        "congestion_surcharge,airport_fee\n" +
+        "1,2024-01-01 00:00:00,2024-01-01 00:10:00,1,1.5,1,N,1,1,1,10.0,0.5,0.5,2.0,0.0,0.3,13.3,2.5,1.25\n")
+        .getBytes)
+    val seeded = Layers.stage(
+      spark.read.option("header", true)
+        .schema(graft.model.Schemas.trip)
+        .csv(csv.toString))
+    val bronze = Layers.bronze(seeded, Some("2024-01"))
+    assert(bronze.schema == graft.model.Schemas.trip)
+    val row = bronze.first()
+    assert(row.getAs[Int]("vendorid") == 1 && row.getAs[Double]("trip_distance") == 1.5)
+    // the seeded row flows through silver end-to-end (CI smoke parity)
+    assert(Layers.silver(bronze).count() == 1)
+  }
+
   test("gold daily/monthly/vendor/payment aggregate shapes") {
     val silver = Layers.silver(frame(
       trip(pickup = "2024-01-01 01:00:00", pay = 1),

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_.userId == 2L)) // single open session, nothing emitted
   }
 
+  test("sessionWindows merges a session spanning two micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sess2").toString
+    val in = MemoryStream[Streaming.TimedEv]
+    val q = Streaming.sessionWindows(in.toDS(), gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess2")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try {
+      // batch 1: an open session ending at 130
+      in.addData(Streaming.TimedEv(1L, 100), Streaming.TimedEv(1L, 130))
+      q.processAllAvailable()
+      assert(spark.table("sess2").isEmpty) // still open, nothing emitted
+      // batch 2: 150 extends it across the batch boundary; 5000 closes it
+      in.addData(Streaming.TimedEv(1L, 150), Streaming.TimedEv(1L, 5000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess2").as[Streaming.SessionWindow].collect()
+    // the merged 100..150 session (3 events) is emitted exactly once
+    assert(out.toSeq == Seq(Streaming.SessionWindow(1L, 100, 150, 3)))
+  }
+
   test("watermarked stream-stream interval join attributes clicks to impressions") {
     val dir = Files.createTempDirectory("graft-ssjoin").toString
     Seq((1L, 7L, "2024-01-01 00:00:00"), (2L, 8L, "2024-01-01 01:00:00"))
