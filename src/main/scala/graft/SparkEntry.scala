@@ -422,7 +422,7 @@ object SparkEntry {
 
     "q37_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 3, bits = 4)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding", k = 3, bits = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
     }),
@@ -447,7 +447,7 @@ object SparkEntry {
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
-        threshold = 0.35, bits = 4)
+        threshold = 0.35, bits = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     "q42_simhash_pairs" -> ((s, d) =>
@@ -505,7 +505,7 @@ object SparkEntry {
     "q45_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
-        k = 3, nCells = 16)
+        k = 3, nCells = 16, lloydIters = 2, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
     }),
@@ -517,6 +517,12 @@ object SparkEntry {
     TextAnalysis.markers(lang)
       .map(w => s"CAST((length(padded) - length(replace(padded, '$w', ''))) / ${w.length} AS INT)")
       .mkString(" + ")
+
+  /** Oracle mirror of [[Similarity.signLshBucket]] at `bits` hyperplanes. */
+  private def bucketSql(bits: Int): String =
+    "CAST(" + (0 until bits).map(j =>
+      s"(CASE WHEN embedding[${2 * j + 1}] >= embedding[${2 * j + 2}] THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
 
   private val stopwordSql: String =
     Seq(" the ", " and ", " a ", " of ", " to ", " in ")
@@ -908,12 +914,10 @@ object SparkEntry {
     },
 
     "q37_lsh_topk" -> {
-      val bucket = "CAST((CASE WHEN embedding[1] >= embedding[2] THEN 1 ELSE 0 END)" +
-        " + (CASE WHEN embedding[3] >= embedding[4] THEN 2 ELSE 0 END)" +
-        " + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)" +
-        " + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT)"
+      // multi-probe: candidates are corpus vectors whose bucket is within
+      // Hamming distance 1 of the query's bucket (bits = 8)
       s"""WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |    $bucket AS bucket FROM embeddings)
+         |    ${bucketSql(8)} AS bucket FROM embeddings)
          |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    list_dot_product(q.emb, c.emb)
@@ -923,7 +927,7 @@ object SparkEntry {
          |        / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
          |        c.vec_id ASC) AS INT) AS rank
          |  FROM (SELECT * FROM vecs WHERE vec_id < 16) q
-         |  JOIN vecs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  JOIN vecs c ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
          |) WHERE rank <= 3""".stripMargin
     },
 
@@ -957,16 +961,13 @@ object SparkEntry {
         |FROM documents)""".stripMargin,
 
     "q41_cosine_neardup" -> {
-      val bucket = "CAST((CASE WHEN embedding[1] >= embedding[2] THEN 1 ELSE 0 END)" +
-        " + (CASE WHEN embedding[3] >= embedding[4] THEN 2 ELSE 0 END)" +
-        " + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)" +
-        " + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT)"
+      // multi-probe near-dup: pairs whose buckets are within Hamming 1
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |    $bucket AS bucket FROM embeddings WHERE vec_id < 500)
+         |    ${bucketSql(8)} AS bucket FROM embeddings WHERE vec_id < 500)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(list_dot_product(a.emb, b.emb)
          |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-         |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM v a JOIN v b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.emb, b.emb)
          |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin
     },
@@ -1043,23 +1044,48 @@ object SparkEntry {
         |) WHERE side = 1""".stripMargin,
 
     "q45_ivf_topk" -> {
+      // mirrors Similarity.fitCentroids (seed = lowest-id vectors, 2 Lloyd
+      // rounds with decimal-exact element means) + nprobe=2 search
       val cos = (a: String, b: String) =>
         s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      def assignCte(centTbl: String, outTbl: String) =
+        s"""$outTbl AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+           |    FROM v CROSS JOIN $centTbl c) WHERE rn = 1)""".stripMargin
+      // zipped unnests (DuckDB SELECT-list unnest semantics) stand in for
+      // WITH ORDINALITY: (element, 1-based index) rows per vector
+      def meanCte(assignTbl: String, outTbl: String) =
+        s"""$outTbl AS (
+           |  SELECT cell AS cell_id, list(m ORDER BY i) AS centroid FROM (
+           |    SELECT cell, i,
+           |      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+           |    FROM (SELECT cell, unnest(emb) AS x,
+           |            unnest(generate_series(1, len(emb))) AS i
+           |          FROM $assignTbl)
+           |    GROUP BY cell, i)
+           |  GROUP BY cell)""".stripMargin
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cent AS (SELECT vec_id AS cell_id, emb AS centroid FROM v ORDER BY vec_id LIMIT 16),
-         |assigned AS (
-         |  SELECT vec_id, emb, cell FROM (
-         |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
-         |    FROM v CROSS JOIN cent c) WHERE rn = 1)
+         |cent0 AS (SELECT vec_id AS cell_id, emb AS centroid FROM v ORDER BY vec_id LIMIT 16),
+         |${assignCte("cent0", "asg0")},
+         |${meanCte("asg0", "cent1")},
+         |${assignCte("cent1", "asg1")},
+         |${meanCte("asg1", "cent2")},
+         |${assignCte("cent2", "assigned")},
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, emb AS qemb, cell FROM (
+         |    SELECT q.vec_id, q.emb, c.cell_id AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+         |    FROM (SELECT * FROM v WHERE vec_id < 16) q CROSS JOIN cent2 c) WHERE rn <= 2)
          |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${cos("q.emb", "c.emb")} AS cosine,
-         |    CAST(row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${cos("q.emb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
-         |  FROM (SELECT * FROM assigned WHERE vec_id < 16) q
-         |  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cos("q.qemb", "c.emb")} AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cos("q.qemb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
+         |  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id
          |) WHERE rank <= 3""".stripMargin
     },
 

@@ -73,14 +73,27 @@ object Similarity {
            element_at(vec, 2 * j + 2).cast("double"), lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * One shuffle of the corpus on bucket id; each bucket holds ~N/2^bits
-    * vectors, so per-query work drops by the same factor. Recall is
-    * tunable via `bits` (fewer bits → bigger buckets → higher recall). */
+  /** Multi-probe bucket set for a query: its own bucket plus every bucket
+    * at Hamming distance 1 (one hyperplane sign flipped) — `bits + 1`
+    * probes. A vector near a hyperplane lands on either side with near-
+    * equal probability; probing the flip recovers those neighbors, so
+    * `bits` can grow with N (keeping buckets small, ~N/2^bits) without
+    * the recall collapse of exact-bucket LSH (Lv et al., VLDB'07). */
+  def probeBuckets(vec: Column, bits: Int): Column = {
+    val b = signLshBucket(vec, bits)
+    array(b +: (0 until bits).map(j => b.bitwiseXOR(lit(1L << j))): _*)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's probe set —
+    * the corpus is shuffled ONCE on its exact bucket id; only the (small)
+    * query side fans out ×(bits+1). Each corpus vector lives in exactly
+    * one bucket, so a (query, neighbor) pair matches at most one probe
+    * and needs no dedup. Recall/cost dial: `bits` up → smaller buckets,
+    * cheaper; multi-probe keeps recall from collapsing. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), signLshBucket(col(vecCol), bits).as("bucket")))
+              vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeBuckets(col(vecCol), bits)).as("bucket")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), signLshBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, "bucket")
@@ -93,34 +106,78 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
-    * around deterministic centroids (the lowest-id vectors — a stand-in
-    * for trained k-means centroids, which a production pipeline would fit
-    * offline and broadcast the same way), then search only the query's
-    * cell (nprobe=1).
-    *
-    * Scale shape: centroid assignment is one broadcast-join map stage over
-    * the corpus (each row scored against all `nCells` centroids, cheapest
-    * wins); the per-cell search shuffles the corpus once on cell id. The
-    * cell assignment is reusable — at 100 TB it is written once as a
-    * `cell` column and every subsequent query skips the assignment scan. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16): DataFrame = {
-    val centroids = broadcast(corpus.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
-
-    def assign(df: DataFrame, outIdCol: String, outVecCol: String): DataFrame = {
-      val scored = df.select(col(idCol).as(outIdCol), col(vecCol).as(outVecCol))
-        .crossJoin(centroids)
-        .withColumn("sim", cosineNative(col(outVecCol), col("centroid")))
-      val w = Window.partitionBy(col(outIdCol))
-        .orderBy(col("sim").desc, col("cell_id").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col(outIdCol), col(outVecCol), col("cell_id").as("cell"))
+  /** K-means-lite centroid fit for [[ivfTopK]]: seed with the `nCells`
+    * lowest-id vectors (deterministic), then run `iters` Lloyd rounds —
+    * assign every vector to its nearest centroid by cosine, recompute
+    * each centroid as the elementwise mean of its members. Entirely
+    * joins/aggregations: assignment is a broadcast cross-join map stage;
+    * the mean is explode → (cell, dim) aggregate → re-assembled array.
+    * Element means go through the decimal-sum path so the fitted
+    * centroids are bit-identical at any partitioning/engine (the same
+    * determinism contract as [[graft.functions.ScalarFns.exactSum]]).
+    * Returns (cell_id, centroid: array<double>); empty cells drop out. */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, iters: Int): DataFrame = {
+    var centroids = corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, broadcast(centroids))
+      val dims = assigned.select(col("cell"), posexplode(col("__v")))
+      centroids = dims.groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast("decimal(30,15)")).cast("double") /
+          count(col("col"))).as("m"))
+        .groupBy(col("cell")).agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("centroid"))
+        .withColumnRenamed("cell", "cell_id")
     }
+    centroids
+  }
 
-    val c = assign(corpus, "neighbor_id", "cv")
-    val q = broadcast(assign(queries, "query_id", "qv"))
+  /** Nearest-centroid assignment (shared by fit and search): returns
+    * (idCol, __v, cell). `centroids` must be broadcastable. */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(centroids)
+      .withColumn("sim", cosineNative(col("__v"), col("centroid")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("__v"), col("cell_id").as("cell"))
+  }
+
+  /** IVF ANN with trained centroids and multi-cell probing: fit `nCells`
+    * centroids with `lloydIters` k-means rounds, assign the corpus once,
+    * then search each query's `nprobe` nearest cells.
+    *
+    * Scale shape: centroid fit and assignment are broadcast-join map
+    * stages over the corpus (centroids are tiny by construction); the
+    * per-cell search shuffles the corpus once on cell id. The assignment
+    * is reusable — at 100 TB it is written once as a `cell` column and
+    * every subsequent query batch skips the fit+assignment scans.
+    * nprobe > 1 recovers neighbors that fall just across a Voronoi
+    * boundary — the standard IVF recall dial. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              lloydIters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      fitCentroids(corpus, idCol, vecCol, nCells, lloydIters).localCheckpoint(true))
+
+    val c = assignCells(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("cell"))
+    // query side: top-nprobe cells each (corpus vectors live in ONE cell,
+    // so a (query, neighbor) pair matches at most one probe — no dedup)
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(centroids)
+      .withColumn("sim", cosineNative(col("qv"), col("centroid")))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val q = broadcast(qScored.withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell_id").as("cell")))
+
     val scored = c.join(q, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("qv"), col("cv")))
@@ -132,12 +189,17 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
-    * to LSH-bucket collisions (the near-dup variant of [[lshTopK]]). */
+    * to probe-set collisions (buckets within Hamming distance 1 — the
+    * near-dup variant of [[lshTopK]]'s multi-probe). Side A fans out to
+    * its probe set, side B stays at its exact bucket; each unordered pair
+    * within Hamming ≤ 1 matches exactly once after the `id_a < id_b`
+    * filter (the reversed ordering fails it), so no distinct is needed. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bits: Int = 4): DataFrame = {
+                         threshold: Double, bits: Int = 8): DataFrame = {
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       signLshBucket(col(vecCol), bits).as("bucket"))
-    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      explode(probeBuckets(col(vecCol), bits)).as("bucket"))
     val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosineNative(col("v_a"), col("v_b")))

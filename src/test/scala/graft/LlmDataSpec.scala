@@ -105,6 +105,46 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe sign-LSH recovers a neighbor across one flipped hyperplane") {
+    // cluster A: pairs (1,-1) → all 8 bucket bits set; member 4 sits just
+    // on the OTHER side of hyperplane 0, so exact-bucket LSH misses it and
+    // only the Hamming-1 probe finds it
+    val a = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def perturbed(idx: Int) = { val v = a.clone(); v(idx) = v(idx) + 0.1f; v }
+    val m4 = a.clone(); m4(0) = 0.95f; m4(1) = 1.0f
+    val b = a.map(x => -x)
+    val vecs = Seq(
+      1L -> a, 2L -> perturbed(2), 3L -> perturbed(4), 4L -> m4,
+      10L -> b, 11L -> b.map(_ * 1.1f), 12L -> perturbed(6).map(x => -x)
+    ).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" === 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val bf = ids(Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 3))
+    val lsh = ids(Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 3, bits = 8))
+    assert(bf.contains(4L), "the flipped vector is a true top-3 neighbor")
+    assert(lsh == bf, "multi-probe recall must be 1.0 on this construction")
+  }
+
+  test("IVF nprobe=2 recall dominates nprobe=1 against brute-force truth") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 4)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3))
+    def recall(ivf: Map[Long, Set[Long]]): Double =
+      bf.map { case (q, truth) =>
+        ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / bf.size
+    val r1 = recall(topSets(Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+      k = 3, nCells = 8, lloydIters = 2, nprobe = 1)))
+    val r2 = recall(topSets(Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+      k = 3, nCells = 8, lloydIters = 2, nprobe = 2)))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 must not trail nprobe=1 recall $r1")
+    assert(r2 > 0.3, s"nprobe=2 recall $r2 unexpectedly low")
+  }
+
   test("IVF top-k cosines match brute-force scores for shared pairs") {
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.filter($"vec_id" < 4)
