@@ -28,6 +28,33 @@ class PruningSpec extends SparkSpec {
     assert(!planText.contains("PushedFilters: [IsNotNull(pickup_month"))
   }
 
+  test("dimension joins broadcast (q26/q27 plan shape)") {
+    // PLANS.md claims, frozen as assertions so plan shapes can't silently
+    // regress: small dimension sides must become BroadcastHashJoin
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q26_join_enrich", "q27_star_join")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast its dimension side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q must not shuffle-sort a broadcastable dimension:\n$plan")
+    }
+  }
+
+  test("silver dedup runs one exchange with a map-side group limit (q02/q46 plan shape)") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q02_silver_clean", "q46_trip_silver")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+      val text = plan.toString
+      // WindowGroupLimit prunes each key's rows to the top-1 BEFORE the
+      // exchange — the dedup never shuffles more than one row per key-ish
+      assert(text.contains("WindowGroupLimit"),
+        s"$q dedup must use the map-side window group limit:\n$text")
+      val exchanges = text.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 2, s"$q must not add exchanges beyond the dedup shuffle:\n$text")
+    }
+  }
+
   test("compaction rewrites a fragmented table into bounded file count") {
     val path = Files.createTempDirectory("graft-compact").toString + "/t"
     (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
