@@ -509,6 +509,29 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
     }),
+
+    // deterministic stratified Bernoulli sample (per-language rates)
+    "q61_stratified_sample" -> ((s, d) =>
+      graft.llmdata.Sampling.stratifiedSample(t(s, d, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.25)
+        .select("doc_id", "lang")),
+
+    // fixed-size deterministic per-stratum sample (reservoir analog)
+    "q62_per_stratum_sample" -> ((s, d) =>
+      graft.llmdata.Sampling.perStratumSample(t(s, d, "documents"),
+        "doc_id", "lang", n = 10)
+        .select("doc_id", "lang")),
+
+    // end-to-end near-dup corpus materialization: losers dropped, keepers
+    // + unpaired docs survive
+    "q63_dedup_corpus" -> ((s, d) =>
+      DedupOps.dedupCorpus(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, bands = 4, rows = 2, jaccardThreshold = 0.4)
+        .select("doc_id", "lang")),
+
+    // top-3 characteristic terms per doc, linear-idf (engine-exact)
+    "q64_tfidf_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -901,6 +924,51 @@ object SparkEntry {
          |  UNION
          |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id)
          |SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+
+    "q61_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0
+         |  < (CASE WHEN lang = 'de' THEN 0.1 WHEN lang = 'en' THEN 0.5 ELSE 0.25 END)""".stripMargin,
+
+    "q62_per_stratum_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        / 4294967296.0 ASC,
+         |      doc_id ASC) AS rn
+         |  FROM documents) WHERE rn <= 10""".stripMargin,
+
+    "q63_dedup_corpus" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a, id_b FROM mh_pairs
+         |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
+         |losers AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY 1 HAVING id <> MIN(label))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN losers x ON d.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL""".stripMargin,
+
+    "q64_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |      CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) DESC,
+        |      tf.term ASC) AS INT) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |) WHERE rank <= 3""".stripMargin,
 
     "q35_simhash" -> {
       // mirrors DedupOps.simhash: 32-bit md5-derived token hashes

@@ -205,6 +205,22 @@ object DedupOps {
     labels
   }
 
+  /** End-to-end near-dup corpus materialization: LSH pairs → transitive
+    * clusters → keep only each cluster's keeper (the min-id member) plus
+    * every unpaired document. The step that actually shrinks a training
+    * corpus; everything upstream is already bucketed (never all-pairs) and
+    * the loser set is the tiny near-dup slice, so the final anti-join
+    * broadcasts it against the full corpus scan. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 2,
+                  jaccardThreshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(
+      minhashLsh(df, idCol, textCol, shingleSize, bands, rows, jaccardThreshold))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard similarity for an explicit candidate pair set
     * (exact verification path; used standalone on pre-blocked pairs). */
   def jaccard(shA: Column, shB: Column): Column =

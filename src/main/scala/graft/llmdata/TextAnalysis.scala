@@ -93,4 +93,34 @@ object TextAnalysis {
     * fingerprint used by exact dedup. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Top-k characteristic terms per document by TF×IDF with a LINEAR
+    * inverse document frequency (score = tf × N/df, no logarithm): libm
+    * `log` differs across engines in the last ulp, while IEEE
+    * multiply/divide are exactly specified — the linear variant ranks
+    * identically for single-term comparisons and keeps scores bit-exact
+    * everywhere (the engine-portability contract of SparkEntry).
+    *
+    * Shape at 100 TB: one explode + two hash aggregations (term frequency
+    * per doc, document frequency per term), a broadcast of the corpus-size
+    * scalar AS A FRAME (no driver collect), and a per-doc top-k window.
+    * Ties break by term ascending for determinism. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
 }

@@ -159,6 +159,43 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus keeps cluster keepers and unpaired docs") {
+    val out = DedupOps.dedupCorpus(docs, "doc_id", "text", jaccardThreshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {1,2} cluster → keeper 1 kept, exact dup 2 dropped; 3 (no band
+    // collision at these LSH params) and 4 are unpaired and survive
+    assert(out == Set(1L, 3L, 4L))
+    assert(!out.contains(2L), "the non-keeper duplicate must be dropped")
+  }
+
+  test("stratified sampling is deterministic and rate-ordered") {
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s = graft.llmdata.Sampling.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.25)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic: the same sample twice
+    assert(s.collect().toSet == graft.llmdata.Sampling.stratifiedSample(rows,
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1), 0.25).collect().toSet)
+    // rates order the strata (200 docs each: en @ .5 ≫ de @ .1)
+    assert(counts("en") > counts("de"))
+    val perN = graft.llmdata.Sampling.perStratumSample(rows, "doc_id", "lang", n = 7)
+    assert(perN.groupBy("lang").count().collect().forall(_.getLong(1) == 7L))
+  }
+
+  test("tfidf top terms rank a doc's distinctive word first") {
+    val corpus = Seq(
+      (1L, "apple banana common common"),
+      (2L, "cherry banana common common"),
+      (3L, "durian elderberry common common")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // 'common' appears everywhere (df=3) → low idf; the unique fruit wins
+    assert(top(1L) == "apple" && top(2L) == "cherry")
+  }
+
   test("multimodal: mapPartitions codec path agrees with the expression path") {
     val media = Multimodal.fromDocuments(
       Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
