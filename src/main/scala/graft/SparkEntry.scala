@@ -532,6 +532,17 @@ object SparkEntry {
     // top-3 characteristic terms per doc, linear-idf (engine-exact)
     "q64_tfidf_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)),
+
+    // incremental dedup: the doc_id >= 250 batch admitted against the
+    // already-deduped doc_id < 250 corpus (batch-involving candidates only)
+    "q65_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleSize = 3, bands = 4, rows = 2,
+        jaccardThreshold = 0.4)
+        .select("doc_id", "lang")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -952,6 +963,15 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |LEFT JOIN losers x ON d.doc_id = x.doc_id
          |WHERE x.doc_id IS NULL""".stripMargin,
+
+    // corpus ids (< 250) are all smaller than batch ids, so every
+    // mh_pairs row with a batch id_b is exactly a "corpus partner or
+    // smaller-id batch partner" collision — the operator's drop rule
+    "q65_incremental_dedup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id >= 250
+         |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
 
     "q64_tfidf_terms" ->
       """WITH toks AS (

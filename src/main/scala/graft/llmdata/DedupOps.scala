@@ -74,53 +74,71 @@ object DedupOps {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 2,
                  jaccardThreshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rows
     // The whole operator is row-oriented — no array columns, no
     // higher-order functions. HOF lambdas (`transform`/`array_min`/
     // `array_intersect`) evaluate interpreted at ~100μs/element; at any
     // scale the winning shape is explode → window → codegen'd joins/aggs
     // with map-side combine. Measured on 5k docs: 14s (HOF) → ~3s (this).
-
-    // Stage 1: one (doc_id, shingle) row per word n-gram (NOT deduped —
-    // a MinHash minimum over the multiset equals the minimum over the set,
-    // so the global distinct shuffle is unnecessary; set semantics are
-    // restored later, but only over candidate documents). posexplode
-    // evaluates the tokenizer once per document (codegen'd generator);
-    // `lead` over the doc window forms the n-grams.
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingleRows = df
-      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
-      .withColumnRenamed("col", "tok")
-      .select(col("doc_id"), concat_ws(" ",
-          col("tok") +: (1 until shingleSize).map(j => lead(col("tok"), j).over(w)): _*).as("s"),
-        lead(col("tok"), shingleSize - 1).over(w).isNotNull.as("complete"))
-      .filter(col("complete")).drop("complete")
+    val shingleRows = shingleStream(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedSignatures(shingleRows, bands, rows)
 
-    // Stage 2: MinHash signature — 8 salted md5 minima per doc, one
-    // hash-agg keyed by doc_id (partitioning carries over from the window,
-    // so no extra exchange); then tiny (doc_id, band, band_hash) rows.
-    val sigCols = (0 until numHashes).map(i =>
-      min(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 16)).as(s"h$i"))
-    val signatures = shingleRows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val banded = signatures
-      .select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-
-    // Stage 3: candidate pairs, deduped across bands BEFORE verification
-    // (a pair colliding in 3 bands verifies once).
+    // Candidate pairs, deduped across bands BEFORE verification (a pair
+    // colliding in 3 bands verifies once).
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    // Stage 4: exact Jaccard via set algebra on rows, restricted FIRST to
-    // candidate documents (a semi-join against the tiny candidate id set) —
-    // at scale only the near-dup slice of the corpus is deduped and joined,
-    // never the whole shingle stream. |A∩B| from an equi-join on the
-    // shingle string; |A∪B| = |A|+|B|−|A∩B|.
+    val jac = exactJaccard(candidates, shingleRows)
+    shingleRows.unpersist()
+    jac.filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Stage 1 of the MinHash operators: one (doc_id, s) row per word
+    * n-gram (NOT deduped — a MinHash minimum over the multiset equals the
+    * minimum over the set, so the global distinct shuffle is unnecessary;
+    * set semantics are restored later, only over candidate documents).
+    * posexplode evaluates the tokenizer once per document (codegen'd
+    * generator); `lead` over the doc window forms the n-grams. Public so
+    * a pipeline can persist the stream alongside its signature table. */
+  def shingleStream(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+      .select(col("doc_id"), concat_ws(" ",
+          col("tok") +: (1 until shingleSize).map(j => lead(col("tok"), j).over(w)): _*).as("s"),
+        lead(col("tok"), shingleSize - 1).over(w).isNotNull.as("complete"))
+      .filter(col("complete")).drop("complete")
+  }
+
+  /** Stage 2: banded MinHash signatures — bands×rows salted md5 minima
+    * per doc, one hash-agg keyed by doc_id (partitioning carries over
+    * from the shingle window, so no extra exchange); then tiny
+    * (doc_id, band, band_hash) rows. Public so an incremental pipeline
+    * can materialize the corpus signature table once and join new
+    * batches against it ([[incrementalDedup]]). */
+  def bandedSignatures(shingleRows: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val numHashes = bands * rows
+    val sigCols = (0 until numHashes).map(i =>
+      min(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 16)).as(s"h$i"))
+    shingleRows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Exact Jaccard for an explicit (id_a, id_b) candidate set via set
+    * algebra on shingle rows, restricted FIRST to candidate documents (a
+    * semi-join against the tiny candidate id set) — at scale only the
+    * near-dup slice of the corpus is deduped and joined, never the whole
+    * shingle stream. |A∩B| from an equi-join on the shingle string;
+    * |A∪B| = |A|+|B|−|A∩B|. Returns ALL candidates with their jaccard,
+    * eagerly checkpointed (the set is small by construction) with the
+    * internal candidate-shingle cache released before returning. */
+  private def exactJaccard(candidates: DataFrame, shingleRows: DataFrame): DataFrame = {
     val candDocs = candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
     val candShingles = shingleRows
@@ -140,13 +158,48 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
       // eager: materialize the (small) verified pair set, then drop the
-      // big intermediate caches — see the materialization contract above
+      // big intermediate cache — see the materialization contract above
       .localCheckpoint(true)
-    shingleRows.unpersist()
     candShingles.unpersist()
     result
+  }
+
+  /** Incremental near-dup dedup: admit only the rows of a NEW `batch`
+    * that near-duplicate neither the existing `corpus` nor a smaller-id
+    * batch row — the growing-training-corpus shape, where the corpus is
+    * already deduped and must never be re-paired against itself.
+    *
+    * Candidate generation joins the batch's banded signatures against
+    * corpus + batch signatures, so corpus×corpus pairs are never formed:
+    * per-batch cost is |batch|×bands signature rows probing the bucket
+    * index, independent of corpus size. At 100 TB the corpus side of the
+    * bucket join reads a PERSISTED signature table ([[bandedSignatures]]
+    * written once per load) instead of recomputing it — recomputation
+    * here keeps the operator self-contained for the oracle gate.
+    * Corpus and batch ids must be disjoint. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, shingleSize: Int = 3, bands: Int = 4,
+                       rows: Int = 2, jaccardThreshold: Double = 0.5): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shCorpus = shingleStream(corpus, idCol, textCol, shingleSize).persist(mem)
+    val shBatch = shingleStream(batch, idCol, textCol, shingleSize).persist(mem)
+    val bandedCorpus = bandedSignatures(shCorpus, bands, rows)
+    val bandedBatch = bandedSignatures(shBatch, bands, rows)
+    // every candidate involves a batch doc on the id_b side:
+    // (corpus, batch) at any ids; (batch, batch) ordered a < b
+    val corpusBatch = bandedCorpus.as("a").join(bandedBatch.as("b"), Seq("band", "band_hash"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val batchBatch = bandedBatch.as("a").join(bandedBatch.as("b"), Seq("band", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candidates = corpusBatch.unionByName(batchBatch).distinct()
+    val jac = exactJaccard(candidates, shCorpus.unionByName(shBatch))
+    shCorpus.unpersist()
+    shBatch.unpersist()
+    val dropped = jac.filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.join(broadcast(dropped), Seq(idCol), "left_anti")
   }
 
   /** Transitive near-dup clustering: connected components over the pair

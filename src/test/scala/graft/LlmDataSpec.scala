@@ -168,6 +168,28 @@ class LlmDataSpec extends SparkSpec {
     assert(!out.contains(2L), "the non-keeper duplicate must be dropped")
   }
 
+  test("incrementalDedup admits only batch docs that dup neither corpus nor earlier batch") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here unrelated content")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // dup of corpus 1 → dropped
+      (11L, "some genuinely novel sentence with new vocabulary throughout"),
+      (12L, "some genuinely novel sentence with new vocabulary throughout") // dup of 11 → dropped
+    ).toDF("doc_id", "text")
+    val admitted = DedupOps.incrementalDedup(corpus, batch, "doc_id", "text",
+      jaccardThreshold = 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L))
+    // corpus is never re-paired against itself: an all-dup corpus stays intact
+    val dupCorpus = corpus.unionByName(Seq((3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+    val none = DedupOps.incrementalDedup(dupCorpus,
+      Seq((20L, "fresh material only")).toDF("doc_id", "text"),
+      "doc_id", "text", jaccardThreshold = 0.3)
+    assert(none.count() == 1) // batch survives; corpus dups are not its problem
+  }
+
   test("stratified sampling is deterministic and rate-ordered") {
     val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
