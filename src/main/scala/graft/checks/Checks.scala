@@ -30,6 +30,33 @@ case class NoRowsWhere(label: String, predicate: Column) extends Constraint { va
 case class CheckResult(constraint: String, column: Option[String],
                        passed: Boolean, unexpectedPercent: Double)
 
+/** Per-run quality telemetry — the engine analog of GX writing a
+  * validation result per expectation per run (validation_utils.py:69-84;
+  * the reference keeps only runtime_seconds in its metadata table, so
+  * this is a strict superset): one row per constraint per gate, appended
+  * to a single-partition parquet ledger keyed by (run_id, layer). */
+class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String) {
+
+  def record(runId: String, layer: String, results: Seq[CheckResult]): Unit = {
+    import spark.implicits._
+    if (results.isEmpty) return
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    results.map(r => (runId, layer, r.constraint, r.column.orNull,
+        r.passed, r.unexpectedPercent, now))
+      .toDF("run_id", "layer", "constraint", "column", "passed",
+        "unexpected_percent", "checked_at")
+      .coalesce(1)
+      .write.mode("append").parquet(path)
+  }
+
+  def read(): Option[org.apache.spark.sql.DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
+}
+
 /** Thrown when a suite fails — the engine analog of the reference's
   * `raise ValueError(failures)` gate (validation_utils.py:72-84). */
 case class QualityGateException(failures: Seq[CheckResult])

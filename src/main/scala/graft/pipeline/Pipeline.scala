@@ -6,7 +6,7 @@ import scala.concurrent.duration.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.checks.{CheckSuite, QualityGateException}
+import graft.checks.{CheckLedger, CheckSuite, QualityGateException}
 import graft.incremental.{MetadataLedger, Watermark, Writers}
 import graft.operators.Layers
 
@@ -34,6 +34,18 @@ import graft.operators.Layers
 class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataFrame) {
 
   private val ledger = new MetadataLedger(spark, s"$lakeRoot/metadata")
+  private val checkLedger = new CheckLedger(spark, s"$lakeRoot/metadata_checks")
+
+  /** Run a suite, record EVERY result (passing and failing) in the check
+    * ledger, then gate — so a failed run still leaves its telemetry
+    * behind (GX parity: validation results are recorded per run). */
+  private def gateAndRecord(layer: String, runId: String,
+                            suite: CheckSuite, df: DataFrame): Unit = {
+    val results = suite.run(df)
+    checkLedger.record(runId, layer, results)
+    val failures = results.filterNot(_.passed)
+    if (failures.nonEmpty) throw QualityGateException(failures)
+  }
 
   /** Absent-layer detection is NARROW: only path-missing / no-files map to
     * None (first run → CTAS semantics). Corrupt or transiently unreadable
@@ -72,7 +84,7 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
     var attempt = 0
     while (true) {
       try {
-        loadMonth(month)
+        loadMonth(month, runId)
         ledger.upsertRun(runId, pipelineName, month, "SUCCESS",
           runtimeSeconds = Some((System.nanoTime() - t0) / 1e9))
         return month
@@ -88,7 +100,7 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
   }
 
   /** The task chain for one month (create_schemas … finalize). */
-  private[graft] def loadMonth(month: String): Unit = {
+  private[graft] def loadMonth(month: String, runId: String = "adhoc"): Unit = {
     // load_yellow_taxi_staging — idempotent month overwrite (S10)
     val staged = Layers.stage(rawSource(month))
     Writers.monthOverwrite(staged, s"$lakeRoot/staging", "tpep_pickup_datetime")
@@ -99,7 +111,7 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
     val bronzeDf = Layers.bronze(staging, Some(month))
     Writers.monthOverwrite(bronzeDf, s"$lakeRoot/bronze", "tpep_pickup_datetime")
     val bronzeAll = spark.read.parquet(s"$lakeRoot/bronze").drop("pickup_month")
-    CheckSuite.bronzeSuite().gate(bronzeAll)
+    gateAndRecord("bronze", runId, CheckSuite.bronzeSuite(), bronzeAll)
 
     // dbt_silver_run (watermark + month-scoped delete+insert) + gates.
     // unique_trip_id embeds the pickup timestamp, so keys are month-stable
@@ -111,7 +123,7 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
     Writers.monthScopedDeleteInsert(silverExisting, silverNew,
       Seq("unique_trip_id"), "tpep_pickup_datetime", s"$lakeRoot/silver")
     val silverAll = spark.read.parquet(s"$lakeRoot/silver").drop("pickup_month")
-    CheckSuite.silverSuite(bronzeAll).gate(silverAll)
+    gateAndRecord("silver", runId, CheckSuite.silverSuite(bronzeAll), silverAll)
 
     // dbt_gold_run — five summaries built CONCURRENTLY (dbt threads=4
     // parity, profiles.yml:12): each build is an independent Spark action
@@ -149,7 +161,7 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
       Await.result(Future.sequence(goldBuilds.map(b => Future(b()))), Duration.Inf)
     finally pool.shutdown()
 
-    CheckSuite.goldMonthlySuite().gate(
+    gateAndRecord("gold", runId, CheckSuite.goldMonthlySuite(),
       spark.read.parquet(s"$lakeRoot/gold_monthly").drop("rev_month"))
   }
 }

@@ -42,15 +42,43 @@ object Streaming {
     * `within` AFTER the left event. Watermarks on both sides bound the
     * join state — without them state grows forever; with them Spark drops
     * buffered rows once they can no longer match (the same late-data
-    * policy as I3). Inner join, append mode. */
+    * policy as I3). `joinType` "inner" emits matches as they arrive;
+    * "leftOuter" additionally emits unmatched left rows (null right side)
+    * once the watermark proves no match can still come. Append mode. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTs: String, rightTs: String,
-                         within: String, lateness: String): DataFrame =
+                         within: String, lateness: String,
+                         joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, lateness)
       .join(right.withWatermark(rightTs, lateness),
         expr(s"$leftKey = $rightKey AND " +
-          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $within"))
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $within"),
+        joinType)
+
+  /** foreachBatch sink through the engine's month-scoped materialization:
+    * each micro-batch merges into the month-partitioned target with the
+    * SAME keyed delete+insert the batch pipeline uses
+    * ([[graft.incremental.Writers.monthScopedDeleteInsert]]) — streaming
+    * and batch share one write path, so a micro-batch load is idempotent
+    * per key and touches only its affected month partitions. */
+  def monthScopedSink(df: DataFrame, keys: Seq[String], tsCol: String,
+                      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try Some(batch.sparkSession.read.parquet(path))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        graft.incremental.Writers.monthScopedDeleteInsert(
+          existing, batch, keys, tsCol, path)
+      }
+      .start()
 
   /** Event-time session windows via flatMapGroupsWithState: events for a
     * user belong to one session until a gap of `gapSeconds`; closed
@@ -85,6 +113,48 @@ object Streaming {
             case all :+ open =>
               state.update(List(open)) // last session may still grow
               all.iterator
+          }
+      }
+  }
+
+  /** Event-time variant of [[sessionWindows]]: the open session also
+    * CLOSES when the event-time watermark passes its end + gap, not only
+    * when a later event for the same user arrives — without a timeout, a
+    * user who goes quiet holds state (and their last session) forever.
+    * Requires a watermarked timestamp column; the timeout fires on the
+    * first trigger after the watermark crosses the session boundary. */
+  case class TimedEvT(user_id: Long, sec: Long, ts: java.sql.Timestamp)
+
+  def sessionWindowsWithTimeout(events: Dataset[TimedEvT],
+                                gapSeconds: Long,
+                                lateness: String): Dataset[SessionWindow] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionWindow], SessionWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[TimedEvT], state: GroupState[List[SessionWindow]]) =>
+          if (state.hasTimedOut) {
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.iterator // the watermark proved no event can extend it
+          } else {
+            val sorted = evs.map(_.sec).toSeq.sorted
+            val prior = state.getOption.getOrElse(List.empty[SessionWindow])
+            val sessions = sorted.foldLeft(prior) {
+              case (Nil, s) => List(SessionWindow(user, s, s, 1))
+              case (head :: tail, s) if s - head.endSec <= gapSeconds =>
+                head.copy(endSec = s, nEvents = head.nEvents + 1) :: tail
+              case (acc, s) => SessionWindow(user, s, s, 1) :: acc
+            }.reverse
+            sessions match {
+              case Nil => Iterator.empty
+              case all :+ open =>
+                state.update(List(open))
+                // close the open session once the watermark passes its gap
+                state.setTimeoutTimestamp((open.endSec + gapSeconds) * 1000L)
+                all.iterator
+            }
           }
       }
   }

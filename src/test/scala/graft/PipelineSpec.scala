@@ -49,6 +49,9 @@ class PipelineSpec extends SparkSpec {
     val p = new Pipeline(spark, lake,
       _ => spark.createDataFrame(spark.sparkContext.parallelize(Seq(badRow)), Schemas.trip))
     intercept[graft.checks.QualityGateException] { p.runOnce(maxRetries = 0) }
+    // the failed bronze gate still leaves its per-constraint telemetry
+    val checks = spark.read.parquet(s"$lake/metadata_checks")
+    assert(checks.filter($"layer" === "bronze" && !$"passed").count() >= 1)
     val meta = spark.read.parquet(s"$lake/metadata")
     val failed = meta.filter(meta("status") === "FAILED").collect()
     assert(failed.length == 1)
@@ -98,6 +101,13 @@ class PipelineSpec extends SparkSpec {
     val vendor = spark.read.parquet(s"$lake/gold_vendor")
     assert(vendor.select("vendor_name").collect().map(_.getString(0)).toSet ==
       Set("Creative Mobile Technologies, LLC", "Curb Mobility, LLC"))
+
+    // two successful runs × three gated layers, every constraint recorded
+    val checks = spark.read.parquet(s"$lake/metadata_checks")
+    assert(checks.select("layer").distinct().collect().map(_.getString(0)).toSet ==
+      Set("bronze", "silver", "gold"))
+    assert(checks.filter(!$"passed").count() == 0)
+    assert(checks.select("run_id").distinct().count() == 2)
 
     val meta = spark.read.parquet(s"$lake/metadata")
     assert(meta.filter($"status" === "SUCCESS").count() == 2)

@@ -114,6 +114,91 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 10L)))
   }
 
+  test("event-time timeout closes an open session once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sess-to").toString
+    def ev(user: Long, sec: Long) =
+      Streaming.TimedEvT(user, sec, new java.sql.Timestamp(sec * 1000L))
+    val in = MemoryStream[Streaming.TimedEvT]
+    val q = Streaming.sessionWindowsWithTimeout(in.toDS(), gapSeconds = 60,
+        lateness = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessto")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try {
+      in.addData(ev(1L, 100), ev(1L, 130))
+      q.processAllAvailable()
+      assert(spark.table("sessto").isEmpty) // open, watermark still behind
+      // another USER's far-future event advances the watermark past
+      // user 1's session end + gap; the next trigger fires the timeout
+      in.addData(ev(99L, 10000))
+      q.processAllAvailable()
+      in.addData(ev(99L, 20000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessto").as[Streaming.SessionWindow].collect()
+    // user 1's session was emitted by TIMEOUT (no further user-1 event)
+    assert(out.exists(_ == Streaming.SessionWindow(1L, 100, 130, 2)))
+  }
+
+  test("left-outer interval join emits unmatched impressions after the watermark") {
+    val dir = Files.createTempDirectory("graft-ssjoin-lo").toString
+    Seq((1L, 7L, "2024-01-01 00:00:00"),   // will match
+        (2L, 8L, "2024-01-01 00:00:00"),   // never matches → null right
+        (3L, 7L, "2024-01-01 09:00:00"))   // far future: advances watermark
+      .toDF("imp_id", "imp_user", "s")
+      .select($"imp_id", $"imp_user", $"s".cast("timestamp").as("imp_ts"))
+      .coalesce(1).write.parquet(dir + "/imp")
+    Seq((10L, 7L, "2024-01-01 00:03:00"), (11L, 7L, "2024-01-01 09:00:00"))
+      .toDF("clk_id", "clk_user", "s")
+      .select($"clk_id", $"clk_user", $"s".cast("timestamp").as("clk_ts"))
+      .coalesce(1).write.parquet(dir + "/clk")
+
+    val joined = Streaming.streamIntervalJoin(
+      Streaming.fileStream(spark, spark.read.parquet(dir + "/imp").schema, dir + "/imp"),
+      Streaming.fileStream(spark, spark.read.parquet(dir + "/clk").schema, dir + "/clk"),
+      "imp_user", "clk_user", "imp_ts", "clk_ts",
+      within = "5 MINUTES", lateness = "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attributed_lo")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("attributed_lo").select("imp_id", "clk_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out.contains((1L, Some(10L))))
+    assert(out.contains((2L, None)), "unmatched impression must emit with null right side")
+  }
+
+  test("foreachBatch month-scoped sink merges micro-batches idempotently by key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fbsink").toString
+    case class Rec(k: String, ts: java.sql.Timestamp, x: Double)
+    def rec(k: String, s: String, x: Double) = (k, java.sql.Timestamp.valueOf(s), x)
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = Streaming.monthScopedSink(
+      in.toDF().toDF("k", "ts", "x"),
+      keys = Seq("k"), tsCol = "ts", path = dir + "/t", checkpoint = dir + "/ckpt")
+    try {
+      in.addData(rec("a", "2024-01-10 00:00:00", 1.0), rec("b", "2024-02-10 00:00:00", 1.0))
+      q.processAllAvailable()
+      val janFiles = new java.io.File(dir + "/t/pickup_month=2024-01")
+        .listFiles().map(f => (f.getName, f.lastModified())).toSet
+      // second batch: replace key b, add c — both February
+      in.addData(rec("b", "2024-02-11 00:00:00", 2.0), rec("c", "2024-02-12 00:00:00", 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir + "/t")
+      assert(out.count() == 3)
+      assert(out.filter($"k" === "b").select("x").first().getDouble(0) == 2.0)
+      // January's partition untouched by the February micro-batch
+      val janAfter = new java.io.File(dir + "/t/pickup_month=2024-01")
+        .listFiles().map(f => (f.getName, f.lastModified())).toSet
+      assert(janAfter == janFiles)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val evs = Seq(Streaming.Ev(1L, 1.0), Streaming.Ev(1L, 2.0), Streaming.Ev(2L, 5.0)).toDS()
     val out = Streaming.sessionize(evs).collect().map(s => s.userId -> s).toMap
