@@ -543,6 +543,25 @@ object SparkEntry {
         jaccardThreshold = 0.4)
         .select("doc_id", "lang")
     }),
+
+    // PII redaction (emails, long digit runs) — map-only scrub
+    "q66_redact_pii" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        md5(TextAnalysis.redactPii(
+          concat(col("text"), lit(" contact: a.b+c@example.org tel 5551234567 end"))))
+          .as("redacted_md5"))),
+
+    // sliding token-window chunking (context-length prep)
+    "q67_chunk_tokens" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_index"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+
+    // greedy contiguous sequence packing into token-budget bins
+    "q68_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
+        budgetTokens = 512, nShards = 4)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -972,6 +991,45 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id >= 250
          |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
+
+    "q66_redact_pii" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(
+        |    text || ' contact: a.b+c@example.org tel 5551234567 end',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{7,}\b', '[NUMBER]', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+
+    "q67_chunk_tokens" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+        |chunks AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      greatest(0, CAST(floor((len(toks) - 32 + 24 - 1) / 24.0) AS INT)))) AS chunk_index
+        |  FROM docs)
+        |SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+        |  CAST(len(list_slice(toks, chunk_index * 24 + 1, chunk_index * 24 + 32)) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_index * 24 + 1, chunk_index * 24 + 32), ' '))
+        |    AS chunk_md5
+        |FROM chunks""".stripMargin,
+
+    "q68_pack_sequences" ->
+      """SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id
+        |FROM (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY doc_id % 4
+        |      ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |    FROM documents))""".stripMargin,
 
     "q64_tfidf_terms" ->
       """WITH toks AS (

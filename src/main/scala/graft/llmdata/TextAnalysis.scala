@@ -94,6 +94,66 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
 
+  /** PII-shaped span redaction with typed tags: emails → [EMAIL], long
+    * digit runs (phone/account numbers) → [NUMBER]. Pure regexp_replace
+    * chain — one map stage; patterns are RE2-safe so the DuckDB oracle
+    * runs them verbatim (with its 'g' flag). A production scrubber swaps
+    * in larger pattern sets (same shape, same cost model). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "\\b\\d{7,}\\b", "[NUMBER]")
+
+  /** Sliding token-window chunking (context-length packing prep): split
+    * each document into chunks of `chunkTokens` whitespace tokens with
+    * stride `stride` (overlap = chunkTokens − stride); the final chunk
+    * may be short, and a doc at most `chunkTokens` long yields exactly
+    * one chunk. One tokenize + generator explode per doc — map-only,
+    * no shuffle. Integer arithmetic only, so chunk boundaries are
+    * bit-identical in any engine. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(col("__toks"))
+    // K = ceil((n - chunkTokens) / stride) extra chunks past the first,
+    // via the floor identity ceil(a/b) = floor((a+b-1)/b) (holds for any
+    // sign of a, positive b — so both engines agree on empty-tail docs)
+    val extra = greatest(lit(0),
+      floor((n - chunkTokens + stride - 1) / lit(stride.toDouble)).cast("int"))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(n > 0)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), extra.cast("int"))).as("chunk_index"))
+      .select(col("doc_id"), col("chunk_index"),
+        size(slice(col("__toks"), col("chunk_index") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_index") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Greedy contiguous sequence packing: walk documents in id order
+    * within a shard, accumulate token counts, and assign each document
+    * the bin its PREFIX sum lands in — bin_id = (cumsum − n_tokens) ÷
+    * budget. Documents longer than the budget get their own bin(s).
+    * The shard key bounds the window state (one running sum per shard) —
+    * at 100 TB packing is per-shard-parallel, and the cumulative sum is
+    * integer-exact at any partitioning. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = tokenCount(col(textCol)).cast("long")
+    val shard = pmod(col(idCol), lit(nShards)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("doc_id"), shard.as("shard"), nTok.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budgetTokens.toDouble)).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
+  }
+
   /** Top-k characteristic terms per document by TF×IDF with a LINEAR
     * inverse document frequency (score = tf × N/df, no logarithm): libm
     * `log` differs across engines in the last ulp, while IEEE

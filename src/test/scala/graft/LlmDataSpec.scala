@@ -206,6 +206,40 @@ class LlmDataSpec extends SparkSpec {
     assert(perN.groupBy("lang").count().collect().forall(_.getLong(1) == 7L))
   }
 
+  test("PII redaction tags emails and long digit runs, leaves prose alone") {
+    val out = Seq((1L, "mail me at jo.doe+x@corp.example.com or call 12345678 ok 123"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.redactPii($"text").as("r")).first().getString(0)
+    assert(out == "mail me at [EMAIL] or call [NUMBER] ok 123")
+  }
+
+  test("token chunking covers every token with the configured overlap") {
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val chunks = TextAnalysis.chunkByTokens(
+        Seq((1L, text), (2L, "tiny doc")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32, stride = 24)
+      .orderBy("doc_id", "chunk_index").collect()
+    val c1 = chunks.filter(_.getLong(0) == 1L)
+    // 80 tokens, window 32, stride 24 → ceil((80-32)/24)=2 extra chunks:
+    // starts 1, 25, 49 — the third window (49..80) reaches the last token
+    assert(c1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 32L, 32L))
+    assert(c1.head.getAs[String]("chunk_text").startsWith("w1 w2 "))
+    assert(c1.last.getAs[String]("chunk_text") == (49 to 80).map("w" + _).mkString(" "))
+    // a doc shorter than one window yields exactly one (short) chunk
+    assert(chunks.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("sequence packing fills bins to the budget in id order per shard") {
+    // 6 docs of 100 tokens each, one shard → budget 250 packs 2.5 docs/bin
+    val docs = (1L to 6L).map(i => (i, (1 to 100).map(j => "t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+        budgetTokens = 250, nShards = 1)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("bin_id")).toSeq
+    // prefix sums 0,100,200,300,400,500 → bins 0,0,0,1,1,2
+    assert(packed == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+  }
+
   test("tfidf top terms rank a doc's distinctive word first") {
     val corpus = Seq(
       (1L, "apple banana common common"),
