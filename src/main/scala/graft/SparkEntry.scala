@@ -562,6 +562,26 @@ object SparkEntry {
     "q68_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         budgetTokens = 512, nShards = 4)),
+
+    // corpus vocabulary heavy hitters (tokenizer-training stats)
+    "q69_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(t(s, d, "documents"), "doc_id", "text", k = 20)),
+
+    // the Check API generalized to LLM-data curation: a quality gate over
+    // the documents corpus, verdicts as rows (same shape as q20)
+    "q70_docs_quality_suite" -> ((s, d) => {
+      import graft.checks._
+      val scored = TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+      val results = new CheckSuite(Seq(
+        NotNull("text"),
+        Between("quality_score", 0.2, 1.0, 0.5),
+        InSet("lang", Seq("de", "en", "es", "fr", "zh"), 0.9),
+        NoRowsWhere("empty_doc", length(trim(col("text"))) === 0),
+        RowCountBetween(1))).run(scored)
+      import s.implicits._
+      results.map(r => (r.constraint, r.column.orNull, r.passed, r.unexpectedPercent))
+        .toDF("constraint_name", "column_name", "passed", "unexpected_percent")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -991,6 +1011,62 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id >= 250
          |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
+
+    "q69_vocab_topk" ->
+      """SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |      FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term
+        |ORDER BY n_occurrences DESC, term ASC
+        |LIMIT 20""".stripMargin,
+
+    "q70_docs_quality_suite" -> {
+      // the q33 quality-score pipeline, widened with text/lang, feeding
+      // the five verdicts of the documents CheckSuite (exact name strings
+      // and pass rules of graft.checks.CheckSuite.run)
+      val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang,
+         |    ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         |      least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + least(stopword_ratio * 10.0, 1.0) * 0.3
+         |      + CASE WHEN punct_ratio > 0 THEN 0.2 ELSE 0.0 END END, 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id, text, lang, n_tokens,
+         |      ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1), 6) AS punct_ratio,
+         |      ROUND(CAST($stopwordSql AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+         |    FROM (SELECT doc_id, text, lang, ' ' || lower(text) || ' ' AS padded,
+         |            $nTok AS n_tokens
+         |          FROM documents))),
+         |agg AS (
+         |  SELECT COUNT(*) AS n,
+         |    COUNT(CASE WHEN text IS NULL THEN 1 END) AS bad_null,
+         |    COUNT(CASE WHEN quality_score IS NOT NULL
+         |      AND NOT (quality_score >= 0.2 AND quality_score <= 1.0) THEN 1 END) AS bad_btw,
+         |    COUNT(quality_score) AS den_btw,
+         |    COUNT(CASE WHEN lang IS NOT NULL
+         |      AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END) AS bad_set,
+         |    COUNT(lang) AS den_set,
+         |    COUNT(CASE WHEN length(trim(text)) = 0 THEN 1 END) AS bad_empty
+         |  FROM scored)
+         |SELECT 'not_null(text)' AS constraint_name, 'text' AS column_name,
+         |  (n - bad_null) >= 1.0 * n - 1e-9 AS passed,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_null AS DOUBLE) / n * 100.0 END AS unexpected_percent
+         |FROM agg
+         |UNION ALL SELECT 'between(quality_score,0.2,1.0)', 'quality_score',
+         |  (den_btw - bad_btw) >= 0.5 * den_btw - 1e-9,
+         |  CASE WHEN den_btw = 0 THEN 0.0 ELSE CAST(bad_btw AS DOUBLE) / den_btw * 100.0 END FROM agg
+         |UNION ALL SELECT 'in_set(lang)', 'lang',
+         |  (den_set - bad_set) >= 0.9 * den_set - 1e-9,
+         |  CASE WHEN den_set = 0 THEN 0.0 ELSE CAST(bad_set AS DOUBLE) / den_set * 100.0 END FROM agg
+         |UNION ALL SELECT 'no_rows_where(empty_doc)', CAST(NULL AS VARCHAR),
+         |  (n - bad_empty) >= 1.0 * n - 1e-9,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_empty AS DOUBLE) / n * 100.0 END FROM agg
+         |UNION ALL SELECT 'row_count_between(1,9223372036854775807)', CAST(NULL AS VARCHAR),
+         |  n >= 1, 0.0 FROM agg""".stripMargin
+    },
 
     "q66_redact_pii" ->
       """SELECT doc_id,

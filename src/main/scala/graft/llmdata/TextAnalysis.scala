@@ -154,6 +154,21 @@ object TextAnalysis {
       .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
   }
 
+  /** Corpus-level vocabulary heavy hitters: the `k` most frequent terms
+    * with their occurrence and document counts — the exact form of the
+    * vocab-stats pass a tokenizer-training pipeline runs. One explode +
+    * one hash aggregate; the top-k is a TakeOrdered (per-partition top-k
+    * then a k-row driver merge), so no global sort materializes. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+
   /** Top-k characteristic terms per document by TF×IDF with a LINEAR
     * inverse document frequency (score = tf × N/df, no logarithm): libm
     * `log` differs across engines in the last ulp, while IEEE
