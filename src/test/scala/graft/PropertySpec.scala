@@ -64,6 +64,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly, in order, under any window/stride") {
+    val gen = Gen.zip(Gen.choose(1, 60), Gen.choose(1, 40), Gen.choose(1, 40))
+    samples(gen).foreach { case (nTokens, chunk, stride0) =>
+      val stride = math.min(stride0, chunk) // stride > chunk would skip tokens
+      val text = (1 to nTokens).map("w" + _).mkString(" ")
+      val chunks = TextAnalysis.chunkByTokens(Seq((1L, text)).toDF("id", "text"),
+          "id", "text", chunk, stride)
+        .orderBy("chunk_index").collect()
+      // reassembling each chunk's fresh-stride prefix reproduces the doc
+      val rebuilt = chunks.zipWithIndex.flatMap { case (r, i) =>
+        val toks = r.getAs[String]("chunk_text").split(" ").toSeq
+        if (i == chunks.length - 1) toks.drop(if (i == 0) 0 else chunk - stride)
+        else toks.take(stride)
+      }
+      // every chunk except possibly the last is full-width
+      assert(chunks.dropRight(1).forall(_.getAs[Long]("n_chunk_tokens") == chunk.toLong))
+      val all = chunks.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+      assert(all == (1 to nTokens).map("w" + _).toSet, "all tokens covered")
+    }
+  }
+
+  test("packing bins are contiguous, non-decreasing, and budget-bounded per shard") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1, 40))
+    samples(gen).foreach { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(_ => "t").mkString(" "))
+      }.toDF("doc_id", "text")
+      val budget = 64
+      val out = TextAnalysis.packSequences(docs, "doc_id", "text", budget, nShards = 2)
+        .orderBy("shard", "doc_id").collect()
+      out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+        val bins = rows.map(_.getAs[Long]("bin_id")).toSeq
+        assert(bins == bins.sorted, "bins non-decreasing in doc order")
+        // each bin's token total stays under budget + its last doc's size
+        rows.groupBy(_.getAs[Long]("bin_id")).values.foreach { binRows =>
+          val total = binRows.map(_.getAs[Long]("n_tokens")).sum
+          val maxDoc = binRows.map(_.getAs[Long]("n_tokens")).max
+          assert(total <= budget + maxDoc)
+        }
+      }
+    }
+  }
+
+  test("stratified sample is always a subset and grows with the rate") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1L, 10000L))
+    samples(gen).foreach { ids =>
+      val df = ids.distinct.map(i => (i, "s")).toDF("id", "g")
+      def sampleIds(r: Double) =
+        graft.llmdata.Sampling.stratifiedSample(df, "id", "g", Map.empty, r)
+          .collect().map(_.getLong(0)).toSet
+      val lo = sampleIds(0.3)
+      val hi = sampleIds(0.8)
+      assert(lo.subsetOf(hi), "raising the rate only adds rows")
+      assert(hi.subsetOf(ids.toSet))
+    }
+  }
+
   test("strict watermark output never contains rows at or before the watermark") {
     val gen = Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 3000000L)), Gen.choose(0L, 3000000L))
     samples(gen).foreach { case (ticks, wmTick) =>
