@@ -72,7 +72,7 @@ object DedupOps {
     * input makes those forks cache reads, not recomputations of the whole
     * LSH pipeline. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleSize: Int = 3, bands: Int = 4, rows: Int = 2,
+                 shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
                  jaccardThreshold: Double = 0.5): DataFrame = {
     // The whole operator is row-oriented — no array columns, no
     // higher-order functions. HOF lambdas (`transform`/`array_min`/
@@ -180,7 +180,7 @@ object DedupOps {
     * Corpus and batch ids must be disjoint. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, shingleSize: Int = 3, bands: Int = 4,
-                       rows: Int = 2, jaccardThreshold: Double = 0.5): DataFrame = {
+                       rows: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shCorpus = shingleStream(corpus, idCol, textCol, shingleSize).persist(mem)
     val shBatch = shingleStream(batch, idCol, textCol, shingleSize).persist(mem)
@@ -265,7 +265,7 @@ object DedupOps {
     * the loser set is the tiny near-dup slice, so the final anti-join
     * broadcasts it against the full corpus scan. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 2,
+                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
                   jaccardThreshold: Double = 0.5): DataFrame = {
     val clusters = nearDupClusters(
       minhashLsh(df, idCol, textCol, shingleSize, bands, rows, jaccardThreshold))
