@@ -83,9 +83,8 @@ object Writers {
       case None => incoming
       case Some(e) =>
         val incomingKeys = incoming.select(keys.map(col): _*).distinct()
-        val estBytes = incomingKeys.queryExecution.optimizedPlan.stats.sizeInBytes
-        val keySide = if (estBytes <= broadcastMaxBytes) broadcast(incomingKeys)
-                      else incomingKeys
+        val keySide =
+          graft.operators.Broadcasts.maybeBroadcast(incomingKeys, broadcastMaxBytes)
         e.join(keySide, keys, "left_anti").unionByName(incoming)
     }
 

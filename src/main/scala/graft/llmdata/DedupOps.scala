@@ -142,7 +142,7 @@ object DedupOps {
     val candDocs = candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
     val candShingles = shingleRows
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(graft.operators.Broadcasts.maybeBroadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct() // set semantics, now only over candidate docs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = candShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -199,7 +199,7 @@ object DedupOps {
     shBatch.unpersist()
     val dropped = jac.filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    batch.join(broadcast(dropped), Seq(idCol), "left_anti")
+    batch.join(graft.operators.Broadcasts.maybeBroadcast(dropped), Seq(idCol), "left_anti")
   }
 
   /** Transitive near-dup clustering: connected components over the pair
@@ -271,7 +271,7 @@ object DedupOps {
       minhashLsh(df, idCol, textCol, shingleSize, bands, rows, jaccardThreshold))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    df.join(graft.operators.Broadcasts.maybeBroadcast(losers), Seq(idCol), "left_anti")
   }
 
   /** N-gram Jaccard similarity for an explicit candidate pair set

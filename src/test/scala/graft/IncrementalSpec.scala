@@ -75,6 +75,14 @@ class IncrementalSpec extends SparkSpec {
     assert(janAfter == janFiles)
   }
 
+  test("maybeBroadcast applies the hint only under the size gate") {
+    val df = (1 to 100).toDF("x")
+    def hinted(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(graft.operators.Broadcasts.maybeBroadcast(df, maxBytes = Long.MaxValue)))
+    assert(!hinted(graft.operators.Broadcasts.maybeBroadcast(df, maxBytes = 0L)))
+  }
+
   test("corrupt metadata raises instead of silently resetting the cursor") {
     val path = tmp() + "/meta"
     val dir = new java.io.File(path)

@@ -79,6 +79,20 @@ class PipelineSpec extends SparkSpec {
     assert(attempts == 1) // gate failures record FAILED after ONE attempt
   }
 
+  test("corrupt silver layer raises instead of silently degrading to first-run CTAS") {
+    val lake = Files.createTempDirectory("graft-lake-corrupt").toString
+    val p = new Pipeline(spark, lake, rawSource)
+    assert(p.runOnce(maxRetries = 0) == "2024-01")
+    // corrupt the silver table: an unreadable file where parquet should be
+    val silverDir = new java.io.File(s"$lake/silver/pickup_month=2024-01")
+    silverDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not parquet anymore".getBytes)
+    }
+    val e = intercept[Exception] { p.runOnce(maxRetries = 0) }
+    // the February run must fail loudly — history is NOT silently dropped
+    assert(!e.isInstanceOf[graft.checks.QualityGateException])
+  }
+
   test("two monthly runs: cursor advances, layers accumulate, golds rebuild") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val p = new Pipeline(spark, lake, rawSource)
