@@ -567,6 +567,19 @@ object SparkEntry {
     "q69_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(t(s, d, "documents"), "doc_id", "text", k = 20)),
 
+    // decontamination sweep: corpus docs sharing 3-grams with the
+    // doc_id < 10 "benchmark" slice
+    "q71_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.contamination(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", shingleSize = 3, minShared = 2)
+    }),
+
+    // training-mix proportions report per language
+    "q72_mix_report" -> ((s, d) =>
+      TextAnalysis.mixReport(t(s, d, "documents"), "lang", "text")),
+
     // the Check API generalized to LLM-data curation: a quality gate over
     // the documents corpus, verdicts as rows (same shape as q20)
     "q70_docs_quality_suite" -> ((s, d) => {
@@ -1018,6 +1031,31 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id >= 250
          |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
+
+    "q71_decontaminate" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+        s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+      s"""WITH bench AS (
+         |  SELECT DISTINCT s FROM (
+         |    SELECT unnest($sh) AS s FROM documents WHERE doc_id < 10)),
+         |corpus AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest($sh) AS s FROM documents WHERE doc_id >= 10))
+         |SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+         |FROM corpus JOIN bench USING (s)
+         |GROUP BY doc_id HAVING COUNT(*) >= 2""".stripMargin
+    },
+
+    "q72_mix_report" ->
+      """WITH per AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)) AS n_tokens
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST((SELECT SUM(n_tokens) FROM per) AS DOUBLE) AS token_share
+        |FROM per""".stripMargin,
 
     "q69_vocab_topk" ->
       """SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs

@@ -274,6 +274,30 @@ object DedupOps {
     df.join(graft.operators.Broadcasts.maybeBroadcast(losers), Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word n-grams with any benchmark document — the
+    * standard test-set-leakage sweep a training pipeline runs before
+    * training. The benchmark shingle set is small by construction
+    * (benchmarks are thousands of items, not billions) and hits the
+    * size-gated broadcast; the corpus side is one shingle explode + one
+    * semi-ish join + one count aggregate — never all-pairs, never a
+    * corpus shuffle beyond the count's key exchange.
+    *
+    * Returns (doc_id, n_contaminated_shingles) for flagged corpus docs. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 3,
+                    minShared: Int = 2): DataFrame = {
+    val benchShingles = shingleStream(benchmark, idCol, textCol, shingleSize)
+      .select(col("s")).distinct()
+    val corpusShingles = shingleStream(corpus, idCol, textCol, shingleSize)
+      .distinct() // count each shared shingle once per doc
+    corpusShingles
+      .join(graft.operators.Broadcasts.maybeBroadcast(benchShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .filter(col("n_contaminated_shingles") >= minShared)
+  }
+
   /** N-gram Jaccard similarity for an explicit candidate pair set
     * (exact verification path; used standalone on pre-blocked pairs). */
   def jaccard(shA: Column, shB: Column): Column =

@@ -154,6 +154,22 @@ object TextAnalysis {
       .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
   }
 
+  /** Training-mix report: per-stratum document count, token count, and
+    * token share of the corpus — the proportions table a data-mixing
+    * step consumes. Two aggregations (per-stratum, then a broadcast
+    * one-row total joined back); shares are bigint-exact counts divided
+    * in double space, so the report is bit-identical on any engine. */
+  def mixReport(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val perStratum = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = perStratum.agg(sum(col("n_tokens")).as("total_tokens"))
+    perStratum.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("token_share"))
+  }
+
   /** Corpus-level vocabulary heavy hitters: the `k` most frequent terms
     * with their occurrence and document counts — the exact form of the
     * vocab-stats pass a tokenizer-training pipeline runs. One explode +

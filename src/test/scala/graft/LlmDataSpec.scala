@@ -190,6 +190,29 @@ class LlmDataSpec extends SparkSpec {
     assert(none.count() == 1) // batch survives; corpus dups are not its problem
   }
 
+  test("contamination flags corpus docs overlapping the benchmark set") {
+    val benchmark = Seq((1L, "the capital of france is paris")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "we know the capital of france is paris indeed"), // contaminated
+      (11L, "the capital city gets mentioned once of france"), // 1 shared 3-gram
+      (12L, "entirely unrelated content about boats")
+    ).toDF("doc_id", "text")
+    val flagged = DedupOps.contamination(corpus, benchmark, "doc_id", "text",
+        shingleSize = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(10L) && flagged(10L) >= 2)
+    assert(!flagged.contains(11L) && !flagged.contains(12L))
+  }
+
+  test("mix report shares sum to one and count tokens exactly") {
+    val docs = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four five"),
+      (3L, "de", "eins zwei drei vier five")).toDF("doc_id", "lang", "text")
+    val rep = TextAnalysis.mixReport(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep("en") == ((2L, 5L, 0.5)) && rep("de") == ((1L, 5L, 0.5)))
+  }
+
   test("stratified sampling is deterministic and rate-ordered") {
     val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
