@@ -580,6 +580,20 @@ object SparkEntry {
     "q72_mix_report" -> ((s, d) =>
       TextAnalysis.mixReport(t(s, d, "documents"), "lang", "text")),
 
+    // bucketed range join: clicks inside any error's 30-minute window —
+    // a bucket equi-join, NOT a nested-loop theta join
+    "q73_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      graft.operators.RangeJoin.pointInInterval(clicks, errors,
+          "ts", "w_start", "w_end", bucketSeconds = 1800)
+        .select("error_id", "click_id")
+    }),
+
     // the Check API generalized to LLM-data curation: a quality gate over
     // the documents corpus, verdicts as rows (same shape as q20)
     "q70_docs_quality_suite" -> ((s, d) => {
@@ -1046,6 +1060,14 @@ object SparkEntry {
          |FROM corpus JOIN bench USING (s)
          |GROUP BY doc_id HAVING COUNT(*) >= 2""".stripMargin
     },
+
+    "q73_range_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id
+        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'error') e
+        |JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "q72_mix_report" ->
       """WITH per AS (
