@@ -660,7 +660,13 @@ object SparkEntry {
       |      || COALESCE(CAST(pulocationid AS VARCHAR), '-1')
       |      || COALESCE(CAST(dolocationid AS VARCHAR), '-1')
       |      || COALESCE(CAST(passenger_count AS VARCHAR), '0')
-      |      || COALESCE(printf('%.2f', trip_distance), '0')) AS unique_trip_id,
+      |      || COALESCE(
+      |           CASE WHEN CAST(FLOOR(trip_distance * 100 + 0.5) AS BIGINT) < 0
+      |             THEN '-' ELSE '' END
+      |           || CAST(CAST(FLOOR(abs(CAST(FLOOR(trip_distance * 100 + 0.5) AS BIGINT)) / 100.0) AS BIGINT) AS VARCHAR)
+      |           || '.'
+      |           || lpad(CAST(abs(CAST(FLOOR(trip_distance * 100 + 0.5) AS BIGINT)) % 100 AS VARCHAR), 2, '0'),
+      |           '0')) AS unique_trip_id,
       |    CASE vendorid WHEN 1 THEN 'Creative Mobile Technologies, LLC'
       |      WHEN 2 THEN 'Curb Mobility, LLC' WHEN 6 THEN 'Myle Technologies Inc'
       |      WHEN 7 THEN 'Helix' ELSE 'Unknown' END AS vendor_name,
@@ -1146,7 +1152,7 @@ object SparkEntry {
     "q67_chunk_tokens" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+        |  FROM documents WHERE length(trim(text)) > 0),
         |chunks AS (
         |  SELECT doc_id, toks,
         |    unnest(generate_series(0,

@@ -50,11 +50,7 @@ class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String) {
   }
 
   def read(): Option[org.apache.spark.sql.DataFrame] =
-    try Some(spark.read.parquet(path))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" => None
-    }
+    graft.sources.Tables.readParquetIfExists(spark, path)
 }
 
 /** Thrown when a suite fails — the engine analog of the reference's

@@ -74,6 +74,27 @@ object ScalarFns {
       coalesce(c.cast("string"), lit(default))
     }: _*))
 
+  /** Engine-portable fixed-2-decimal rendering for surrogate-key fields.
+    *
+    * Formatter families disagree exactly where it hurts: Java's
+    * `format_string("%.2f")` rounds HALF_UP on the decimal representation
+    * while C/DuckDB `printf` rounds the binary value half-to-even — e.g.
+    * 0.125 renders "0.13" vs "0.12", silently forking md5 keys across
+    * engines. This renders via integer-cents arithmetic instead:
+    * `floor(x*100 + 0.5)` is the same IEEE multiply/add/floor everywhere,
+    * and the string assembly is plain integer ops — bit-identical in any
+    * engine that has floor/abs/mod/lpad. NULL in → NULL out (concat
+    * propagates it), so COALESCE defaults still apply downstream. */
+  def render2(c: Column): Column = {
+    val cents = floor(c * 100 + lit(0.5)).cast("long")
+    val a = abs(cents)
+    concat(
+      when(cents < 0, lit("-")).otherwise(lit("")),
+      floor(a.cast("double") / 100).cast("long").cast("string"),
+      lit("."),
+      lpad((a % 100).cast("string"), 2, "0"))
+  }
+
   /** F13 — guarded percentage ratio (gold_payment_summary.sql:8-11):
     * CASE WHEN denom <= 0 THEN 0 ELSE num/denom*100 END. */
   def guardedPercent(num: Column, denom: Column): Column =

@@ -215,16 +215,13 @@ object DedupOps {
     * Returns (doc_id, cluster_id) for every doc appearing in `pairs`,
     * cluster_id = min doc id of the component (the canonical keeper). */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // localCheckpoint, not persist: the edge list is forked by every
-    // iteration's join, and each iteration's labels frame would otherwise
-    // chain its lineage onto it — after k iterations the plan is k joins
-    // deep and re-optimizing/recomputing it dominates (round-1: 111s at
-    // sf0.1, most of it lineage growth). Checkpointing truncates lineage
-    // to a materialized scan; `pairs` itself arrives pre-materialized from
-    // minhashLsh's own checkpoint, so this union is one cheap cache pass.
+    // persist (CacheManager-managed, so the unpersist below actually
+    // frees it): edges is forked by every iteration's join, and `pairs`
+    // arrives pre-materialized from minhashLsh's checkpoint, so the union
+    // is shallow lineage over cached blocks — no checkpoint needed here.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
@@ -240,7 +237,11 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("nl")), "id_b")
         .groupBy(col("id_a").as("doc_id")).agg(min(col("nl")).as("nmin"))
       // eager checkpoint: materializes this iteration's labels AND resets
-      // plan depth to a flat scan, so iteration cost stays constant
+      // plan depth to a flat scan, so iteration cost stays constant.
+      // (Checkpoint blocks of superseded label generations are reclaimed
+      // by the ContextCleaner once unreferenced — Dataset.unpersist
+      // cannot reach RDD-level checkpoint storage — and are bounded by
+      // the few iterations a near-dup graph needs to converge.)
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
@@ -248,7 +249,6 @@ object DedupOps {
       // decimal sum: immune to long overflow at billions-of-nodes scale
       val labelSum = updated.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .first().getDecimal(0)
-      labels.unpersist()
       labels = updated
       converged = prevSum.contains(labelSum)
       prevSum = Some(labelSum)

@@ -122,8 +122,11 @@ object TextAnalysis {
     // sign of a, positive b — so both engines agree on empty-tail docs)
     val extra = greatest(lit(0),
       floor((n - chunkTokens + stride - 1) / lit(stride.toDouble)).cast("int"))
-    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .filter(n > 0)
+    df
+      // trim-length guard, NOT size(toks) > 0: split("") returns [""], so
+      // an empty doc would otherwise emit one phantom 1-token chunk
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(0), extra.cast("int"))).as("chunk_index"))
       .select(col("doc_id"), col("chunk_index"),

@@ -57,9 +57,10 @@ object Layers {
     * pulocationid, dolocationid, passenger_count (default '0'),
     * trip_distance. The only deviation is trip_distance's rendering: the
     * reference CASTs the raw double to VARCHAR, which is not
-    * engine-portable ('2' vs '2.0'); we render it with a separator-free
-    * printf-style "%.2f" (SURVEY.md §7.4 item 1) — same formatter family
-    * as DuckDB's printf, no grouping separators at any magnitude. */
+    * engine-portable ('2' vs '2.0'); we render 2 decimals via
+    * [[graft.functions.ScalarFns.render2]]'s integer-cents arithmetic —
+    * no grouping separators at any magnitude AND no printf-family
+    * rounding divergence at binary-halfway values (SURVEY.md §7.4). */
   def silver(bronzeDf: DataFrame): DataFrame = {
     val moneyFixed = graft.model.Schemas.moneyColumns.foldLeft(bronzeDf) {
       (df, c) => df.withColumn(c, absCoalesce0(col(c)))
@@ -83,10 +84,7 @@ object Layers {
         col("pulocationid")        -> "-1",
         col("dolocationid")        -> "-1",
         col("passenger_count")     -> "0",
-        // format_string("null") on NULL input is not a SQL NULL — guard so
-        // the surrogateKey COALESCE default '0' still applies
-        when(col("trip_distance").isNull, lit(null).cast("string"))
-          .otherwise(format_string("%.2f", col("trip_distance"))) -> "0",
+        render2(col("trip_distance")) -> "0",
       )))
     Dedup.firstRowPerKeyTotal(enriched,
       keys = Seq("unique_trip_id"), ordering = Seq("tpep_pickup_datetime"))

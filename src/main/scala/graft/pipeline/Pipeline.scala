@@ -47,18 +47,11 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
     if (failures.nonEmpty) throw QualityGateException(failures)
   }
 
-  /** Absent-layer detection is NARROW: only path-missing / no-files map to
-    * None (first run → CTAS semantics). Corrupt or transiently unreadable
-    * data RAISES — silently degrading delete+insert into a first-run CTAS
-    * would drop history (round-1 judge finding #3). The head(1) forces a
-    * real read so footer/data corruption surfaces here, not mid-merge. */
+  /** Absent-layer detection is NARROW (first run → CTAS semantics); the
+    * shared idiom lives in [[graft.sources.Tables.readParquetIfExists]].
+    * Eager: footer/data corruption surfaces here, not mid-merge. */
   private def readOpt(path: String): Option[DataFrame] =
-    try { val df = spark.read.parquet(path); df.head(1); Some(df) }
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" ||
-             e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-    }
+    graft.sources.Tables.readParquetIfExists(spark, path, eager = true)
 
   /** One monthly incremental run end-to-end; returns the loaded month
     * (the reference returns it via XCom, nyc_taxi_pipeline.py:162).
@@ -157,9 +150,17 @@ class Pipeline(spark: SparkSession, lakeRoot: String, rawSource: String => DataF
       },
       () => Writers.fullRebuild(Layers.goldVendor(silverAll), s"$lakeRoot/gold_vendor"),
       () => Writers.fullRebuild(Layers.goldPayment(silverAll), s"$lakeRoot/gold_payment"))
-    try
-      Await.result(Future.sequence(goldBuilds.map(b => Future(b()))), Duration.Inf)
-    finally pool.shutdown()
+    // Await ALL builds (lifted to Try) before propagating any failure:
+    // fail-fast would leave sibling builds running as zombies, and a
+    // retry of loadMonth would then race them on the same gold paths'
+    // destructive atomic swaps.
+    try {
+      val outcomes = Await.result(
+        Future.sequence(goldBuilds.map(b =>
+          Future(b()).transform(t => scala.util.Success(t)))),
+        Duration.Inf)
+      outcomes.foreach(_.get) // rethrow the first failure, if any
+    } finally pool.shutdown()
 
     gateAndRecord("gold", runId, CheckSuite.goldMonthlySuite(),
       spark.read.parquet(s"$lakeRoot/gold_monthly").drop("rev_month"))

@@ -69,12 +69,7 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val existing =
-          try Some(batch.sparkSession.read.parquet(path))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+          graft.sources.Tables.readParquetIfExists(batch.sparkSession, path)
         graft.incremental.Writers.monthScopedDeleteInsert(
           existing, batch, keys, tsCol, path)
       }
@@ -105,7 +100,11 @@ object Streaming {
           val sessions = sorted.foldLeft(prior) {
             case (Nil, s) => List(SessionWindow(user, s, s, 1))
             case (head :: tail, s) if s - head.endSec <= gapSeconds =>
-              head.copy(endSec = s, nEvents = head.nEvents + 1) :: tail
+              // max: an out-of-order event inside the gap joins the session
+              // but must not REWIND its end (which would wrongly split a
+              // later extension into a new session)
+              head.copy(endSec = math.max(head.endSec, s),
+                nEvents = head.nEvents + 1) :: tail
             case (acc, s) => SessionWindow(user, s, s, 1) :: acc
           }.reverse
           sessions match {
@@ -144,15 +143,22 @@ object Streaming {
             val sessions = sorted.foldLeft(prior) {
               case (Nil, s) => List(SessionWindow(user, s, s, 1))
               case (head :: tail, s) if s - head.endSec <= gapSeconds =>
-                head.copy(endSec = s, nEvents = head.nEvents + 1) :: tail
+                head.copy(endSec = math.max(head.endSec, s),
+                  nEvents = head.nEvents + 1) :: tail
               case (acc, s) => SessionWindow(user, s, s, 1) :: acc
             }.reverse
             sessions match {
               case Nil => Iterator.empty
               case all :+ open =>
                 state.update(List(open))
-                // close the open session once the watermark passes its gap
-                state.setTimeoutTimestamp((open.endSec + gapSeconds) * 1000L)
+                // close the open session once the watermark passes its gap;
+                // clamp to just past the current watermark — Spark rejects
+                // past timestamps, and a session already behind the
+                // watermark (late events for a quiet user) should simply
+                // fire on the next trigger
+                state.setTimeoutTimestamp(
+                  math.max((open.endSec + gapSeconds) * 1000L,
+                    state.getCurrentWatermarkMs() + 1))
                 all.iterator
             }
           }

@@ -83,6 +83,21 @@ class IncrementalSpec extends SparkSpec {
     assert(!hinted(graft.operators.Broadcasts.maybeBroadcast(df, maxBytes = 0L)))
   }
 
+  test("monthScopedDeleteInsert routes NULL-timestamp rows to the sentinel partition") {
+    val path = tmp() + "/t"
+    val df = Seq(("a", Some("2024-01-10 00:00:00"), 1.0), ("b", None, 2.0))
+      .toDF("k", "s", "x")
+      .select($"k", $"s".cast("timestamp").as("ts"), $"x")
+    Writers.monthScopedDeleteInsert(None, df, Seq("k"), "ts", path)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2, "the null-ts row must not be silently dropped")
+    assert(out.filter($"pickup_month" === "0000-00").select("k").first().getString(0) == "b")
+    // idempotent re-merge of the null-ts row replaces, not duplicates
+    Writers.monthScopedDeleteInsert(Some(spark.read.parquet(path)),
+      df.filter($"k" === "b").withColumn("x", lit(9.0)), Seq("k"), "ts", path)
+    assert(spark.read.parquet(path).filter($"k" === "b").select("x").first().getDouble(0) == 9.0)
+  }
+
   test("corrupt metadata raises instead of silently resetting the cursor") {
     val path = tmp() + "/meta"
     val dir = new java.io.File(path)

@@ -39,6 +39,19 @@ class ScalarFnsSpec extends SparkSpec {
     assert(df.first().getDouble(0) == 10.5)
   }
 
+  test("render2 is separator-free, halfway-stable, and null-propagating") {
+    val out = Seq(Some(0.125), Some(1234.5), Some(2.0), Some(-1.005), None)
+      .toDF("x").select(render2($"x").as("r")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    // 0.125*100+0.5 = 13.0 exactly → "0.13" on EVERY engine (no
+    // printf-family divergence); 1234.5 → no grouping separator
+    assert(out(0) == "0.13")
+    assert(out(1) == "1234.50")
+    assert(out(2) == "2.00")
+    assert(out(3) == "-1.00") // floor(-100.5+0.5) = -100 cents
+    assert(out(4) == null)    // NULL propagates for COALESCE defaults
+  }
+
   test("surrogateKey is stable and null-defaulted") {
     val df = Seq((Some(1), Some(2)), (None, Some(2))).toDF("a", "b")
       .select(surrogateKey(Seq($"a" -> "-1", $"b" -> "-1")).as("k"))

@@ -114,6 +114,29 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 10L)))
   }
 
+  test("a late in-gap event must not rewind a cross-batch session's end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sess3").toString
+    val in = MemoryStream[Streaming.TimedEv]
+    val q = Streaming.sessionWindows(in.toDS(), gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess3")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try {
+      in.addData(Streaming.TimedEv(1L, 100), Streaming.TimedEv(1L, 150))
+      q.processAllAvailable()
+      // batch 2: 120 is late-but-in-gap (must not rewind end from 150);
+      // 200 extends (200-150=50 <= gap); 5000 closes the whole session
+      in.addData(Streaming.TimedEv(1L, 120), Streaming.TimedEv(1L, 200),
+        Streaming.TimedEv(1L, 5000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess3").as[Streaming.SessionWindow].collect()
+    assert(out.toSeq == Seq(Streaming.SessionWindow(1L, 100, 200, 4)),
+      s"one merged session 100..200, not a split: ${out.toSeq}")
+  }
+
   test("event-time timeout closes an open session once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
