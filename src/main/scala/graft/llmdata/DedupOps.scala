@@ -182,10 +182,19 @@ object DedupOps {
                        textCol: String, shingleSize: Int = 3, bands: Int = 4,
                        rows: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shCorpus = shingleStream(corpus, idCol, textCol, shingleSize).persist(mem)
-    val shBatch = shingleStream(batch, idCol, textCol, shingleSize).persist(mem)
-    val bandedCorpus = bandedSignatures(shCorpus, bands, rows)
-    val bandedBatch = bandedSignatures(shBatch, bands, rows)
+    // ONE shingle+signature pass over corpus∪batch (the expensive window
+    // and 16-way min-agg stages run once, not per side); the sides are
+    // then split with cheap joins against the batch id set — the same
+    // frame class as a delete+insert key set, size-gate-broadcastable
+    val all = corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .unionByName(batch.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+    val sh = shingleStream(all, "doc_id", "__t", shingleSize).persist(mem)
+    val banded = bandedSignatures(sh, bands, rows).persist(mem)
+    val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
+    val bandedBatch = banded.join(
+      graft.operators.Broadcasts.maybeBroadcast(batchIds), Seq("doc_id"), "left_semi")
+    val bandedCorpus = banded.join(
+      graft.operators.Broadcasts.maybeBroadcast(batchIds), Seq("doc_id"), "left_anti")
     // every candidate involves a batch doc on the id_b side:
     // (corpus, batch) at any ids; (batch, batch) ordered a < b
     val corpusBatch = bandedCorpus.as("a").join(bandedBatch.as("b"), Seq("band", "band_hash"))
@@ -194,9 +203,9 @@ object DedupOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val candidates = corpusBatch.unionByName(batchBatch).distinct()
-    val jac = exactJaccard(candidates, shCorpus.unionByName(shBatch))
-    shCorpus.unpersist()
-    shBatch.unpersist()
+    val jac = exactJaccard(candidates, sh)
+    sh.unpersist()
+    banded.unpersist()
     val dropped = jac.filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     batch.join(graft.operators.Broadcasts.maybeBroadcast(dropped), Seq(idCol), "left_anti")
