@@ -156,15 +156,26 @@ object Writers {
       .saveAsTable(table)
 
   /** Write-to-temp + atomic rename, so a failed job never leaves a
-    * half-written target (the offline stand-in for a transactional commit). */
+    * half-written target (the offline stand-in for a transactional
+    * commit).
+    *
+    * The temp dir name starts with an underscore: `path` may be a
+    * PARTITION directory inside a table root (monthScopedDeleteInsert,
+    * compact), and a crash between write and rename would otherwise
+    * leave a `pickup_month=2024-01.__tmp__` sibling that Spark's
+    * partition discovery happily parses as a real partition value —
+    * silently double-counting the month on every later read. `_`- and
+    * `.`-prefixed paths are invisible to discovery, so an orphaned temp
+    * dir is inert garbage, not phantom data. */
   def atomicRewrite(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".__tmp__"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      s"_tmp_${dst.getName}.__graft__")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.rename(tmp, dst)
   }
 }
 

@@ -135,16 +135,19 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment (shared by fit and search): returns
-    * (idCol, __v, cell). `centroids` must be broadcastable. */
+  /** Top-`n` nearest-centroid assignment (shared by fit, corpus
+    * assignment, and query probing — ONE scoring/tie-break definition,
+    * so the engine and its oracle mirror cannot drift): returns
+    * (idCol, __v, cell), one row per (vector, probed cell).
+    * `centroids` must be broadcastable. */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
-                          centroids: DataFrame): DataFrame = {
+                          centroids: DataFrame, n: Int = 1): DataFrame = {
     val scored = df.select(col(idCol), col(vecCol).as("__v"))
       .crossJoin(centroids)
       .withColumn("sim", cosineNative(col("__v"), col("centroid")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("sim").desc, col("cell_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
       .select(col(idCol), col("__v"), col("cell_id").as("cell"))
   }
 
@@ -169,14 +172,8 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("cell"))
     // query side: top-nprobe cells each (corpus vectors live in ONE cell,
     // so a (query, neighbor) pair matches at most one probe — no dedup)
-    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(centroids)
-      .withColumn("sim", cosineNative(col("qv"), col("centroid")))
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cell_id").asc)
-    val q = broadcast(qScored.withColumn("__rn", row_number().over(qw))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell_id").as("cell")))
+    val q = broadcast(assignCells(queries, idCol, vecCol, centroids, n = nprobe)
+      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("cell")))
 
     val scored = c.join(q, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -84,29 +84,45 @@ object Streaming {
   case class SessionWindow(userId: Long, startSec: Long, endSec: Long, nEvents: Long)
   case class TimedEv(user_id: Long, sec: Long)
 
+  /** Shared session assembly for both sessionWindows variants:
+    * sessionize this batch's (sorted) event times from scratch, insert
+    * the previous batch's open session into start order, then merge
+    * adjacent sessions whose gap is within `gapSeconds` (the standard
+    * interval-gap merge). Doing the merge on SESSIONS rather than
+    * seeding the event fold with the prior session is what makes late
+    * events correct: an event far OLDER than the open session forms its
+    * own (immediately closable) session instead of being absorbed —
+    * `s - head.endSec <= gap` is trivially true for any negative delta,
+    * which the seeded-fold formulation got wrong twice. Returns sessions
+    * ascending by start; the last one is the still-open candidate. */
+  private def foldSessions(user: Long, prior: List[SessionWindow],
+                           sortedSecs: Seq[Long],
+                           gapSeconds: Long): List[SessionWindow] = {
+    val batchSessions = sortedSecs.foldLeft(List.empty[SessionWindow]) {
+      case (Nil, s) => List(SessionWindow(user, s, s, 1))
+      case (head :: tail, s) if s - head.endSec <= gapSeconds =>
+        head.copy(endSec = s, nEvents = head.nEvents + 1) :: tail
+      case (acc, s) => SessionWindow(user, s, s, 1) :: acc
+    }.reverse
+    val all = (prior ++ batchSessions).sortBy(_.startSec)
+    all.foldLeft(List.empty[SessionWindow]) {
+      case (Nil, s) => List(s)
+      case (head :: tail, s) if s.startSec - head.endSec <= gapSeconds =>
+        head.copy(startSec = math.min(head.startSec, s.startSec),
+          endSec = math.max(head.endSec, s.endSec),
+          nEvents = head.nEvents + s.nEvents) :: tail
+      case (acc, s) => s :: acc
+    }.reverse
+  }
+
   def sessionWindows(events: Dataset[TimedEv], gapSeconds: Long): Dataset[SessionWindow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionWindow], SessionWindow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[TimedEv], state: GroupState[List[SessionWindow]]) =>
-          val sorted = evs.map(_.sec).toSeq.sorted
-          // Seed the fold with the PREVIOUS batch's open session (if any):
-          // a session spanning micro-batches either extends it (gap not
-          // exceeded) or closes it (first new event past the gap), in which
-          // case it is finally emitted below. Starting from Nil instead
-          // would silently drop cross-batch sessions (round-1 advice).
           val prior = state.getOption.getOrElse(List.empty[SessionWindow])
-          val sessions = sorted.foldLeft(prior) {
-            case (Nil, s) => List(SessionWindow(user, s, s, 1))
-            case (head :: tail, s) if s - head.endSec <= gapSeconds =>
-              // max: an out-of-order event inside the gap joins the session
-              // but must not REWIND its end (which would wrongly split a
-              // later extension into a new session)
-              head.copy(endSec = math.max(head.endSec, s),
-                nEvents = head.nEvents + 1) :: tail
-            case (acc, s) => SessionWindow(user, s, s, 1) :: acc
-          }.reverse
+          val sessions = foldSessions(user, prior, evs.map(_.sec).toSeq.sorted, gapSeconds)
           sessions match {
             case Nil => Iterator.empty
             case all :+ open =>
@@ -138,15 +154,8 @@ object Streaming {
             state.remove()
             open.iterator // the watermark proved no event can extend it
           } else {
-            val sorted = evs.map(_.sec).toSeq.sorted
             val prior = state.getOption.getOrElse(List.empty[SessionWindow])
-            val sessions = sorted.foldLeft(prior) {
-              case (Nil, s) => List(SessionWindow(user, s, s, 1))
-              case (head :: tail, s) if s - head.endSec <= gapSeconds =>
-                head.copy(endSec = math.max(head.endSec, s),
-                  nEvents = head.nEvents + 1) :: tail
-              case (acc, s) => SessionWindow(user, s, s, 1) :: acc
-            }.reverse
+            val sessions = foldSessions(user, prior, evs.map(_.sec).toSeq.sorted, gapSeconds)
             sessions match {
               case Nil => Iterator.empty
               case all :+ open =>

@@ -137,6 +137,29 @@ class StreamingSpec extends SparkSpec {
       s"one merged session 100..200, not a split: ${out.toSeq}")
   }
 
+  test("an event far older than the open session forms its own closed session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sess4").toString
+    val in = MemoryStream[Streaming.TimedEv]
+    val q = Streaming.sessionWindows(in.toDS(), gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess4")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try {
+      in.addData(Streaming.TimedEv(1L, 1000), Streaming.TimedEv(1L, 1005))
+      q.processAllAvailable()
+      // a straggler at 100 is 900s BEFORE the open session — it must NOT
+      // be absorbed into [1000,1005]; it is its own session, closed
+      // immediately (the open [1000,1005] session comes after it)
+      in.addData(Streaming.TimedEv(1L, 100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess4").as[Streaming.SessionWindow].collect()
+    assert(out.toSeq == Seq(Streaming.SessionWindow(1L, 100, 100, 1)),
+      s"straggler emitted alone, open session retained: ${out.toSeq}")
+  }
+
   test("event-time timeout closes an open session once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
