@@ -185,6 +185,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Materialize an IVF index on disk — the 100 TB operating mode the
+    * per-query [[ivfTopK]] only simulates: fit centroids once, assign
+    * the corpus once, write both; every later query batch reads the
+    * (tiny) centroid table and probes only its cells' PARTITION
+    * directories of the assignment table, never rescanning or refitting
+    * the corpus. Layout: `path/centroids` (nCells rows),
+    * `path/assigned` partitioned by `cell`. */
+  def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nCells: Int = 16, lloydIters: Int = 2): Unit = {
+    val centroids = broadcast(
+      fitCentroids(corpus, idCol, vecCol, nCells, lloydIters).localCheckpoint(true))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, idCol, vecCol, centroids)
+      .select(col(idCol), col("__v").as(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Search a materialized IVF index ([[ivfIndexWrite]]): score queries
+    * against the stored centroids, then join their `nprobe` cells
+    * against the cell-partitioned assignment table — the broadcast query
+    * side lets dynamic partition pruning skip every unprobed cell's
+    * files. Same ranking semantics as [[ivfTopK]]. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = broadcast(assignCells(queries, idCol, vecCol, centroids, n = nprobe)
+      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("cell")))
+    val c = spark.read.parquet(s"$path/assigned")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val scored = c.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
     * to probe-set collisions (buckets within Hamming distance 1 — the
     * near-dup variant of [[lshTopK]]'s multi-probe). Side A fans out to

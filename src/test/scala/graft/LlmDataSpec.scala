@@ -145,6 +145,26 @@ class LlmDataSpec extends SparkSpec {
     assert(r2 > 0.3, s"nprobe=2 recall $r2 unexpectedly low")
   }
 
+  test("materialized IVF index returns exactly the per-query ivfTopK results") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", path, nCells = 8, lloydIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val direct = rows(Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+      k = 3, nCells = 8, lloydIters = 2, nprobe = 2))
+    val indexed = rows(Similarity.ivfTopKIndexed(spark, path, qs, "vec_id", "embedding",
+      k = 3, nprobe = 2))
+    assert(indexed == direct)
+    // the assignment table is physically partitioned by cell (the probe
+    // side prunes unprobed cells' files)
+    val dirs = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
+  }
+
   test("IVF top-k cosines match brute-force scores for shared pairs") {
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.filter($"vec_id" < 4)
