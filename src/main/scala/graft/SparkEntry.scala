@@ -1078,8 +1078,8 @@ object SparkEntry {
     "q72_mix_report" ->
       """WITH per AS (
         |  SELECT lang, COUNT(*) AS n_docs,
-        |    SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)) AS n_tokens
+        |    CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang)
         |SELECT lang, n_docs, n_tokens,
         |  CAST(n_tokens AS DOUBLE) / CAST((SELECT SUM(n_tokens) FROM per) AS DOUBLE) AS token_share
@@ -1171,9 +1171,9 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
         |    CAST(n_tokens AS BIGINT) AS n_tokens,
-        |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY doc_id % 4
+        |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY doc_id % 4
         |      ORDER BY doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM (
         |    SELECT doc_id,
         |      CASE WHEN length(trim(text)) = 0 THEN 0

@@ -10,11 +10,50 @@ Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def dtype_class(t: pa.DataType) -> str:
+    """Collapse an arrow type to the class the driver's typed hash keys on.
+
+    The round-2 blind spot: DuckDB SUM(BIGINT) -> HUGEINT arrives as
+    decimal128(38,0); pandas coerces Decimal(774) == int 774 so values_equal
+    passed locally while the driver's typed hash failed. Distinguish the
+    classes (int vs decimal vs float vs ...) but not widths within a class
+    (int32 vs int64 both render as plain ints driver-side).
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    # date and timestamp are ONE class: q49/q50 ship spark timestamp vs
+    # duckdb date and were hash-green in CORRECTNESS_r02 — the driver
+    # normalizes datetimes before hashing, so the local gate must too.
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "datetime"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{dtype_class(t.value_type)}>"
+    return str(t)
+
+
+def dtype_mismatches(spark_tbl: pa.Table, oracle_tbl: pa.Table):
+    """Compare arrow column type classes by (sorted) column name."""
+    s = {f.name: dtype_class(f.type) for f in spark_tbl.schema}
+    o = {f.name: dtype_class(f.type) for f in oracle_tbl.schema}
+    return [(c, s[c], o[c]) for c in sorted(set(s) & set(o)) if s[c] != o[c]]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -54,11 +93,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        got = canon(pq.read_table(files[0]).to_pandas())
+        got_tbl = pq.read_table(files[0])
+        got = canon(got_tbl.to_pandas(date_as_object=False))
         try:
-            exp = canon(con.execute(oracle[name]).df())
+            exp_tbl = con.execute(oracle[name]).arrow()
+            exp = canon(exp_tbl.to_pandas(date_as_object=False))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        dt_bad = dtype_mismatches(got_tbl, exp_tbl)
+        if dt_bad:
+            c, sg, og = dt_bad[0]
+            print(f"FAIL {name}: dtype mismatch col={c}: spark={sg} oracle={og} "
+                  f"(driver's typed hash would diverge)")
             failures += 1
             continue
         if list(got.columns) != list(exp.columns):
