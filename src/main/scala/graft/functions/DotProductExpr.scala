@@ -47,6 +47,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private lazy val leftIsFloat = elemType(left).contains(FloatType)
   private lazy val rightIsFloat = elemType(right).contains(FloatType)
 
+  /** Nullable iff an input array OR an element can be null — the default
+    * (children only) under-reports: a non-null array with a null element
+    * yields NULL here, and when Catalyst proves the arrays non-null (e.g.
+    * posexplode's inferred isnotnull filter, literal centroids),
+    * nullSafeCodeGen declares no isNull variable and the unconditional
+    * `ev.isNull = true` write referenced an undeclared name — janino
+    * compile failure, silent interpreted fallback on the hot path. */
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -73,6 +87,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val sum = ctx.freshName("sum")
       val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // only a nullable expression owns a writable ev.isNull; when the
+      // planner proves both arrays null-free the element check is dead
+      // code anyway (containsNull = false on both sides)
+      val nullElemCheck = if (nullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException(
@@ -81,7 +101,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullElemCheck
          |  $sum += ($getA) * ($getB);
          |}
          |${ev.value} = $sum;

@@ -110,7 +110,8 @@ object Similarity {
     * lowest-id vectors (deterministic), then run `iters` Lloyd rounds —
     * assign every vector to its nearest centroid by cosine, recompute
     * each centroid as the elementwise mean of its members. Entirely
-    * joins/aggregations: assignment is a broadcast cross-join map stage;
+    * map work + aggregations: assignment is the literal-inline map stage
+    * of [[assignCorpusCells]] (zero exchanges);
     * the mean is explode → (cell, dim) aggregate → re-assembled array.
     * Element means go through the decimal-sum path so the fitted
     * centroids are bit-identical at any partitioning/engine (the same
@@ -122,7 +123,12 @@ object Similarity {
       .select(col(idCol).as("cell_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(corpus, idCol, vecCol, broadcast(centroids))
+      // map-stage assignment: each Lloyd round is ONE corpus pass with
+      // zero exchanges before the (cell, dim) mean aggregation — and the
+      // per-round driver collect resets lineage, so round N's plan does
+      // not nest round N-1's (the lazy-DataFrame form re-scanned the
+      // corpus once per nesting level)
+      val assigned = assignCorpusCells(corpus, idCol, vecCol, centroids)
       val dims = assigned.select(col("cell"), posexplode(col("__v")))
       centroids = dims.groupBy(col("cell"), col("pos"))
         .agg((sum(col("col").cast("decimal(30,15)")).cast("double") /
@@ -135,11 +141,12 @@ object Similarity {
     centroids
   }
 
-  /** Top-`n` nearest-centroid assignment (shared by fit, corpus
-    * assignment, and query probing — ONE scoring/tie-break definition,
-    * so the engine and its oracle mirror cannot drift): returns
-    * (idCol, __v, cell), one row per (vector, probed cell).
-    * `centroids` must be broadcastable. */
+  /** Top-`n` nearest-centroid ranking for the QUERY side (query batches
+    * are small by construction): broadcast cross-join + window rank.
+    * Returns (idCol, __v, cell), one row per (vector, probed cell).
+    * `centroids` must be broadcastable. The corpus path must use
+    * [[assignCorpusCells]] instead — this form shuffles the
+    * nCells-times-expanded input on a unique key. */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
                           centroids: DataFrame, n: Int = 1): DataFrame = {
     val scored = df.select(col(idCol), col(vecCol).as("__v"))
@@ -149,6 +156,47 @@ object Similarity {
       .orderBy(col("sim").desc, col("cell_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
       .select(col(idCol), col("__v"), col("cell_id").as("cell"))
+  }
+
+  /** Nearest-cell assignment as a PURE MAP STAGE — the corpus path.
+    *
+    * The centroid table is metadata-scale (≤ nCells rows), so it is
+    * collected to the driver (the shape of MLlib's own k-means loop) and
+    * inlined as literal expressions: one projection scores every centroid
+    * and takes the argmax via `array_max` over (sim, -cell_id) structs.
+    * ZERO exchanges. The alternative — crossJoin + row_number ranking
+    * ([[assignCells]]) — shuffles the nCells-times-expanded corpus on a
+    * unique key (no partial-agg reduction possible), which at 100 TB
+    * means shuffling ~16× the lake per assignment pass.
+    *
+    * Scoring and tie-break are bit-identical to [[assignCells]] and the
+    * q45 oracle mirror: sim = dot(v,c)/(|v|·|c|) with sequential
+    * left-fold double sums (centroid norms pre-folded on the driver with
+    * the same left fold — IEEE-identical to sqrt(dot(c,c)) in-engine),
+    * ties broken toward the LOWEST cell_id (struct max on -cell_id), and
+    * NaN sims (zero vectors) ranking above everything in both forms
+    * (Spark's double ordering treats NaN as largest in window sort and
+    * struct comparison alike). */
+  def assignCorpusCells(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    val cents = centroids
+      .select(col("cell_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignCorpusCells: empty centroid table")
+    val nv = sqrt(dot_product(col("__v"), col("__v")))
+    val scored = array(cents.map { case (cid, cvec) =>
+      var s = 0.0; var i = 0
+      while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
+      struct(
+        (dot_product(col("__v"), typedlit(cvec.toSeq)) / (nv * lit(math.sqrt(s))))
+          .as("sim"),
+        lit(-cid).as("neg_cell"))
+    }: _*)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("cell", -array_max(scored).getField("neg_cell"))
   }
 
   /** IVF ANN with trained centroids and multi-cell probing: fit `nCells`
@@ -168,7 +216,7 @@ object Similarity {
     val centroids = broadcast(
       fitCentroids(corpus, idCol, vecCol, nCells, lloydIters).localCheckpoint(true))
 
-    val c = assignCells(corpus, idCol, vecCol, centroids)
+    val c = assignCorpusCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("cell"))
     // query side: top-nprobe cells each (corpus vectors live in ONE cell,
     // so a (query, neighbor) pair matches at most one probe — no dedup)
@@ -197,7 +245,7 @@ object Similarity {
     val centroids = broadcast(
       fitCentroids(corpus, idCol, vecCol, nCells, lloydIters).localCheckpoint(true))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    assignCells(corpus, idCol, vecCol, centroids)
+    assignCorpusCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol), col("__v").as(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }

@@ -55,6 +55,32 @@ class PruningSpec extends SparkSpec {
     }
   }
 
+  test("IVF corpus cell assignment is a pure map stage (zero exchanges)") {
+    import graft.llmdata.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", nCells = 4, iters = 1)
+    val plan = Similarity.assignCorpusCells(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"corpus assignment must not shuffle (was the r2 scale-killer):\n$plan")
+    // and it agrees with the crossJoin + window-rank form on every vector
+    // (same scoring, same lowest-cell_id tie-break)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"sim".desc, $"cell_id".asc)
+    val viaWindow = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosineNative($"embedding", $"centroid"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cell_id".cast("long").as("cell"))
+    val mapStage = Similarity.assignCorpusCells(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell")
+    assert(mapStage.join(viaWindow, Seq("vec_id", "cell")).count() == emb.count(),
+      "map-stage assignment must match the window-rank assignment row-for-row")
+  }
+
   test("compaction rewrites a fragmented table into bounded file count") {
     val path = Files.createTempDirectory("graft-compact").toString + "/t"
     (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
