@@ -544,6 +544,20 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // the 100 TB shape of q65: corpus signatures materialized once
+    // (signatureWrite), batch admitted against the stored index — same
+    // admit rule, so the oracle is q65's
+    "q74_incremental_dedup_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/idx"
+      DedupOps.signatureWrite(docs.filter(col("doc_id") < 250), "doc_id", "text",
+        path, shingleSize = 3, bands = 4, rows = 4)
+      DedupOps.incrementalDedupIndexed(s, path, docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+        jaccardThreshold = 0.4)
+        .select("doc_id", "lang")
+    }),
+
     // PII redaction (emails, long digit runs) — map-only scrub
     "q66_redact_pii" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -1047,6 +1061,14 @@ object SparkEntry {
     // mh_pairs row with a batch id_b is exactly a "corpus partner or
     // smaller-id batch partner" collision — the operator's drop rule
     "q65_incremental_dedup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id >= 250
+         |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
+
+    // identical admit rule to q65 — the indexed path must reproduce the
+    // self-contained path exactly
+    "q74_incremental_dedup_indexed" ->
       s"""WITH $minhashPairsCtes
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id >= 250

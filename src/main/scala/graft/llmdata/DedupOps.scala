@@ -173,10 +173,10 @@ object DedupOps {
     * Candidate generation joins the batch's banded signatures against
     * corpus + batch signatures, so corpus×corpus pairs are never formed:
     * per-batch cost is |batch|×bands signature rows probing the bucket
-    * index, independent of corpus size. At 100 TB the corpus side of the
-    * bucket join reads a PERSISTED signature table ([[bandedSignatures]]
-    * written once per load) instead of recomputing it — recomputation
-    * here keeps the operator self-contained for the oracle gate.
+    * index, independent of corpus size. At 100 TB use
+    * [[incrementalDedupIndexed]] against a [[signatureWrite]] index so the
+    * corpus is never re-shingled — the recompute here keeps the operator
+    * self-contained for the oracle gate.
     * Corpus and batch ids must be disjoint. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, shingleSize: Int = 3, bands: Int = 4,
@@ -195,20 +195,95 @@ object DedupOps {
       graft.operators.Broadcasts.maybeBroadcast(batchIds), Seq("doc_id"), "left_semi")
     val bandedCorpus = banded.join(
       graft.operators.Broadcasts.maybeBroadcast(batchIds), Seq("doc_id"), "left_anti")
-    // every candidate involves a batch doc on the id_b side:
-    // (corpus, batch) at any ids; (batch, batch) ordered a < b
+    val result = incrementalCore(bandedCorpus, bandedBatch, sh, batch, idCol,
+      jaccardThreshold)
+    sh.unpersist()
+    banded.unpersist()
+    result
+  }
+
+  /** Shared admit logic of [[incrementalDedup]] / [[incrementalDedupIndexed]]:
+    * every candidate involves a batch doc on the id_b side —
+    * (corpus, batch) at any ids; (batch, batch) ordered a < b — so
+    * corpus×corpus pairs are never formed. The exact-Jaccard verify is
+    * EAGER (exactJaccard checkpoints its small result), so callers may
+    * release their caches as soon as this returns. */
+  private def incrementalCore(bandedCorpus: DataFrame, bandedBatch: DataFrame,
+                              allShingles: DataFrame, batch: DataFrame,
+                              idCol: String, jaccardThreshold: Double): DataFrame = {
     val corpusBatch = bandedCorpus.as("a").join(bandedBatch.as("b"), Seq("band", "band_hash"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val batchBatch = bandedBatch.as("a").join(bandedBatch.as("b"), Seq("band", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val candidates = corpusBatch.unionByName(batchBatch).distinct()
-    val jac = exactJaccard(candidates, sh)
-    sh.unpersist()
-    banded.unpersist()
+    val jac = exactJaccard(candidates, allShingles)
     val dropped = jac.filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     batch.join(graft.operators.Broadcasts.maybeBroadcast(dropped), Seq(idCol), "left_anti")
+  }
+
+  /** Materialize the LSH signature index on disk — the dedup analog of
+    * `Similarity.ivfIndexWrite`, and the real 100 TB growing-corpus shape:
+    * the corpus shingle stream and banded signatures are computed ONCE per
+    * corpus load and persisted; every later batch probes the stored bucket
+    * index instead of re-running the window + 16-way min-agg over the
+    * whole corpus ([[incrementalDedup]]'s self-contained recompute).
+    * Layout: `path/shingles` (doc_id, s — multiset, set semantics restored
+    * at verify time), `path/signatures` (doc_id, band, band_hash).
+    * The shingle stream is written first and READ BACK to derive
+    * signatures, so the expensive tokenize+window stage runs exactly once
+    * with no cache pressure. Readers must pass the same (shingleSize,
+    * bands, rows) the index was built with. */
+  def signatureWrite(corpus: DataFrame, idCol: String, textCol: String,
+                     path: String, shingleSize: Int = 3, bands: Int = 4,
+                     rows: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    shingleStream(corpus, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    bandedSignatures(spark.read.parquet(s"$path/shingles"), bands, rows)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+  }
+
+  /** [[incrementalDedup]] against a materialized [[signatureWrite]] index:
+    * only the NEW batch is shingled and signed; the corpus side of the
+    * bucket join and of the exact-Jaccard verify reads the stored tables.
+    * Per-batch cost is |batch|×bands signature rows plus the candidate
+    * slice of the stored shingle table — independent of corpus size.
+    * Same admit rule and result as the self-contained form (spec-proven
+    * equal). Admit the result, then [[signatureAppend]] it to keep the
+    * index current. */
+  def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                              path: String, batch: DataFrame, idCol: String,
+                              textCol: String, shingleSize: Int = 3,
+                              bands: Int = 4, rows: Int = 4,
+                              jaccardThreshold: Double = 0.5): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val batchSh = shingleStream(b, "doc_id", "__t", shingleSize).persist(mem)
+    val bandedBatch = bandedSignatures(batchSh, bands, rows).persist(mem)
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+    val bandedCorpus = spark.read.parquet(s"$path/signatures")
+    val result = incrementalCore(bandedCorpus, bandedBatch,
+      corpusSh.unionByName(batchSh), batch, idCol, jaccardThreshold)
+    batchSh.unpersist()
+    bandedBatch.unpersist()
+    result
+  }
+
+  /** Append newly-admitted documents to a [[signatureWrite]] index — one
+    * shingle pass over the (small) admitted batch, reused for both tables
+    * via an eager checkpoint. Parquet append is not atomic: at 100 TB this
+    * write belongs inside the pipeline's staged-commit wrapper (the
+    * `Writers` temp-dir + swap pattern); kept plain here because the index
+    * is rebuildable from the corpus at any time. */
+  def signatureAppend(admitted: DataFrame, idCol: String, textCol: String,
+                      path: String, shingleSize: Int = 3, bands: Int = 4,
+                      rows: Int = 4): Unit = {
+    val a = admitted.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val sh = shingleStream(a, "doc_id", "__t", shingleSize).localCheckpoint(true)
+    sh.write.mode("append").parquet(s"$path/shingles")
+    bandedSignatures(sh, bands, rows).write.mode("append").parquet(s"$path/signatures")
   }
 
   /** Transitive near-dup clustering: connected components over the pair

@@ -210,6 +210,33 @@ class LlmDataSpec extends SparkSpec {
     assert(none.count() == 1) // batch survives; corpus dups are not its problem
   }
 
+  test("indexed incremental dedup ≡ self-contained, and append keeps the index current") {
+    val docsSf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docsSf.filter($"doc_id" < 250)
+    val batch = docsSf.filter($"doc_id" >= 250 && $"doc_id" < 350)
+    val path = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/idx"
+    DedupOps.signatureWrite(corpus, "doc_id", "text", path)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = ids(DedupOps.incrementalDedup(corpus, batch, "doc_id", "text",
+      jaccardThreshold = 0.4))
+    val indexed = ids(DedupOps.incrementalDedupIndexed(spark, path, batch,
+      "doc_id", "text", jaccardThreshold = 0.4))
+    assert(indexed == direct, "stored-signature path must equal the self-contained path")
+    // append the admitted batch, then a second batch must be deduped
+    // against corpus ∪ admitted — exactly the self-contained result over
+    // the grown corpus
+    val admitted = batch.join(
+      docsSf.sparkSession.createDataset(indexed.toSeq).toDF("doc_id"), Seq("doc_id"))
+    DedupOps.signatureAppend(admitted, "doc_id", "text", path)
+    val batch2 = docsSf.filter($"doc_id" >= 350 && $"doc_id" < 400)
+    val direct2 = ids(DedupOps.incrementalDedup(corpus.unionByName(admitted), batch2,
+      "doc_id", "text", jaccardThreshold = 0.4))
+    val indexed2 = ids(DedupOps.incrementalDedupIndexed(spark, path, batch2,
+      "doc_id", "text", jaccardThreshold = 0.4))
+    assert(indexed2 == direct2, "appended index must dedup against corpus ∪ admitted")
+  }
+
   test("contamination flags corpus docs overlapping the benchmark set") {
     val benchmark = Seq((1L, "the capital of france is paris")).toDF("doc_id", "text")
     val corpus = Seq(
