@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, operator
-  * signatures) is real and tested; the codec itself is a clearly marked
-  * STUB (no image/audio libraries exist in this container) producing
-  * deterministic features from the raw bytes, so the pipeline shape —
-  * a partition-parallel map stage over binary blobs, the Scala analog of
-  * `mapInPandas` — is exactly what a real decoder would slot into.
+  * signatures) is real and tested. Image decode is REAL via the JDK's
+  * `javax.imageio` ([[imageIoCodec]], [[imageStats]] — PNG/JPEG/BMP/GIF,
+  * true pixel dimensions and luma stats); audio/video codecs remain a
+  * clearly marked STUB ([[stubCodec]] — no such libraries exist in this
+  * container) producing deterministic features from the raw bytes, with
+  * undecodable payloads falling back to the same stub shape. Either way
+  * the pipeline shape is a partition-parallel map stage over binary
+  * blobs — the Scala analog of `mapInPandas`.
   */
 object Multimodal {
 
@@ -89,13 +92,83 @@ object Multimodal {
     (bytes.length.toLong, hex, bytes.length % 1024 + 1, bytes.length % 768 + 1)
   }
 
+  /** REAL image codec, JDK-only: `javax.imageio.ImageIO` ships with the
+    * JRE (PNG/JPEG/BMP/GIF readers) — no external media libraries needed.
+    * Decodes the payload and reports true pixel dimensions; payloads
+    * ImageIO cannot decode (text fixtures, unsupported formats, truncated
+    * files) fall back to [[stubCodec]]'s deterministic shape, because one
+    * corrupt asset must not kill a 100 TB scan — flag-and-continue is the
+    * curation-pipeline contract (the quality Checks surface catches the
+    * fallback dimensions downstream). */
+  val imageIoCodec: Codec = bytes => {
+    // in-memory decode only: the default ImageIO cache writes a temp FILE
+    // per decode — a silent disk-I/O tax on an executor scanning millions
+    // of assets (idempotent static toggle, safe to re-set per row)
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // corrupt/truncated headers
+    if (img == null) stubCodec(bytes)
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      (bytes.length.toLong, hex, img.getWidth, img.getHeight)
+    }
+  }
+
+  /** Typed per-image pixel statistics ([[imageStats]]). */
+  case class ImageStats(asset_id: Long, width: Int, height: Int,
+                        mean_luma: Double, decoded: Boolean)
+
+  /** Decode + pixel-stat extraction over the payload column: true
+    * width/height and mean luma (mean over pixels of (r+g+b)/3, 0-255
+    * scale) for every ImageIO-decodable payload; undecodable rows keep
+    * the stub dimensions with `decoded = false` and NaN luma so curation
+    * queries can gate on decode health. Same partition-parallel
+    * mapPartitions shape as [[decodeWithCodec]] — no shuffle, constant
+    * memory, codec state per partition. */
+  def imageStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            ImageStats(id, bytes.length % 1024 + 1, bytes.length % 768 + 1,
+              Double.NaN, decoded = false)
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            ImageStats(id, img.getWidth, img.getHeight,
+              sum / (img.getWidth.toLong * img.getHeight), decoded = true)
+          }
+        }
+      }
+  }
+
   /** The imperative-codec escape hatch: decode via `mapPartitions` (the
     * Scala analog of `mapInPandas` — one codec instance per partition,
     * rows streamed through it in batches). Preference order (build brief):
     * compose built-ins first — [[decodeFeatures]] IS the expression form —
-    * and drop to this shape only when the codec is a real native library
-    * call. Partition-parallel, no shuffle, constant memory. */
-  def decodeWithCodec(media: DataFrame, codec: Codec = stubCodec): Dataset[DecodedFeatures] = {
+    * and drop to this shape only when the codec is a real library call.
+    * Partition-parallel, no shuffle, constant memory. Default is the real
+    * [[imageIoCodec]] (stub fallback for undecodable payloads, so text
+    * fixtures keep their deterministic oracle shape). */
+  def decodeWithCodec(media: DataFrame, codec: Codec = imageIoCodec): Dataset[DecodedFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("asset_id"), col("payload"))

@@ -333,6 +333,31 @@ class LlmDataSpec extends SparkSpec {
     assert(viaCodec == viaExpr)
   }
 
+  test("multimodal: imageio codec decodes a real generated PNG, stub-falls-back on text") {
+    // a real 3x2 PNG: left column black, middle gray(120), right white
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2) {
+      img.setRGB(0, y, 0x000000)
+      img.setRGB(1, y, 0x787878) // 120,120,120
+      img.setRGB(2, y, 0xffffff)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val media = Seq((1L, png), (2L, "just text bytes".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    // default decodeWithCodec path: real dims for the PNG, stub for text
+    val decoded = Multimodal.decodeWithCodec(media).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(decoded(1L).width == 3 && decoded(1L).height == 2)
+    assert(decoded(2L).width == "just text bytes".length % 1024 + 1) // stub fallback
+    // pixel stats: mean luma over {0,120,255} columns = 125.0 exactly
+    val stats = Multimodal.imageStats(media).collect().map(s => s.asset_id -> s).toMap
+    assert(stats(1L).decoded && stats(1L).width == 3 && stats(1L).height == 2)
+    assert(stats(1L).mean_luma == 125.0)
+    assert(!stats(2L).decoded && stats(2L).mean_luma.isNaN)
+  }
+
   test("multimodal: frame sampling covers the payload deterministically") {
     val media = Multimodal.fromDocuments(Seq((1L, "x" * 1000)).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 4).collect()
