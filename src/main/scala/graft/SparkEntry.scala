@@ -1220,11 +1220,18 @@ object SparkEntry {
         |) WHERE rank <= 3""".stripMargin,
 
     "q35_simhash" -> {
-      // mirrors DedupOps.simhash: 32-bit md5-derived token hashes
-      val bitTerms = (0 until 32).map(b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)")
+      // mirrors DedupOps.simhash: 64-bit md5-derived token hashes kept as
+      // two unsigned-32 halves (hhi = hex chars 1-8 → bits 32-63, hlo =
+      // chars 9-16 → bits 0-31) — a single 16-char hex cast would
+      // overflow signed BIGINT. Bit 63's weight is Long.MinValue.
+      val bitTerms = (0 until 64).map { b =>
+        val h = if (b < 32) "hlo" else "hhi"
+        s"(CASE WHEN SUM((($h >> ${b % 32}) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)"
+      }
       s"""SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
-         |FROM (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+         |FROM (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+         |    CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
          |    FROM documents))
          |GROUP BY doc_id""".stripMargin
@@ -1290,11 +1297,17 @@ object SparkEntry {
     },
 
     "q42_simhash_pairs" -> {
-      val bitTerms = (0 until 32).map(b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)")
+      // same two-half 64-bit fingerprint as q35's oracle; the pair scan is
+      // exact all-pairs, so blocking recall is proven against ground truth
+      val bitTerms = (0 until 64).map { b =>
+        val h = if (b < 32) "hlo" else "hhi"
+        s"(CASE WHEN SUM((($h >> ${b % 32}) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)"
+      }
       s"""WITH s AS (
          |  SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
-         |  FROM (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+         |      CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
          |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
          |      FROM documents))
          |  GROUP BY doc_id)

@@ -388,17 +388,30 @@ object DedupOps {
     when(size(array_union(shA, shB)) === 0, 0.0).otherwise(
       size(array_intersect(shA, shB)).cast("double") / size(array_union(shA, shB)))
 
-  /** 32-bit SimHash fingerprint (Charikar 2002): per-token md5-derived
-    * 32-bit hash; fingerprint bit b is the sign of Σ_tokens (±1 by token
-    * bit b). Explode→groupBy keeps it one shuffle on the doc id; the 32
-    * per-bit sums are plain aggregate expressions (codegen'd). */
+  /** 64-bit SimHash fingerprint (Charikar 2002): per-token md5-derived
+    * 64-bit hash; fingerprint bit b is the sign of Σ_tokens (±1 by token
+    * bit b). Explode→groupBy keeps it one shuffle on the doc id; the 64
+    * per-bit sums are plain aggregate expressions (codegen'd).
+    *
+    * The 64 token-hash bits come from the md5's first 16 hex chars kept
+    * as TWO 32-bit `conv` halves (hi = chars 1-8 → bits 32-63, lo =
+    * chars 9-16 → bits 0-31): a single 16-char conv would produce values
+    * past signed-long range, which portable SQL mirrors (DuckDB
+    * `CAST('0x…' AS BIGINT)`) reject — halves stay unsigned-32 on every
+    * engine. Bit 63's weight is Long.MinValue; the weight sum never
+    * overflows (bits 0-62 total at most Long.MaxValue). 64 bits keep
+    * pigeonhole blocks ([[simhashPairs]]) sparse at billion-doc scale,
+    * where 32-bit blocks crowd into huge buckets. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map(bit =>
-      sum(shiftright(col("h"), bit).bitwiseAND(1) * 2 - 1).as(s"b$bit"))
-    val fp = (0 until 32).map(bit =>
+      .withColumn("hhi", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hlo", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { bit =>
+      val h = if (bit < 32) col("hlo") else col("hhi")
+      sum(shiftright(h, bit % 32).bitwiseAND(1) * 2 - 1).as(s"b$bit")
+    }
+    val fp = (0 until 64).map(bit =>
       when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L)).reduce(_ + _)
     toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
@@ -407,7 +420,7 @@ object DedupOps {
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`, with
     * pigeonhole blocking (the multi-table scheme of Manku/Jain/Sarma,
-    * WWW'07): the 32-bit fingerprint splits into `maxHamming + 1`
+    * WWW'07): the 64-bit fingerprint splits into `maxHamming + 1`
     * contiguous blocks, and any pair within the distance budget must agree
     * EXACTLY on at least one block — so candidates are the union of
     * `maxHamming + 1` equi-joins, recall is 100% (no near-dup can be
@@ -415,9 +428,10 @@ object DedupOps {
     *
     * Cost at scale: each doc emits `maxHamming + 1` (block_id, block_value)
     * rows; candidates are quadratic only within a (block_id, block_value)
-    * bucket. Block width = 32 / (h+1) bits; for billion-doc corpora widen
-    * the fingerprint (64-bit SimHash) so buckets stay small — the plan
-    * shape is unchanged. */
+    * bucket. Block width = 64 / (h+1) bits — 16+ bits per block up to
+    * maxHamming 3, so buckets stay sparse even at billion-doc scale (the
+    * r2 32-bit form crowded at that size; widening changed no plan
+    * shape). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
@@ -426,12 +440,14 @@ object DedupOps {
     // explode+groupBy simhash per side, and nothing is left cached after
     // the (small) pair result is consumed
     val fp = simhash(df, idCol, textCol).localCheckpoint(true)
-    // contiguous block boundaries: block b covers bits [32*b/n, 32*(b+1)/n)
-    val bounds = (0 to nBlocks).map(b => 32 * b / nBlocks)
+    // contiguous block boundaries: block b covers bits [64*b/n, 64*(b+1)/n)
+    val bounds = (0 to nBlocks).map(b => 64 * b / nBlocks)
     val blocked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map { b =>
         val lo = bounds(b); val width = bounds(b + 1) - lo
-        shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1)
+        // 1L << 64 wraps to 1 in Scala — the full-width block masks with -1
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        shiftright(col("simhash"), lo).bitwiseAND(mask)
       }: _*)))
       .withColumnRenamed("pos", "blk_id").withColumnRenamed("col", "blk_val")
     val a = blocked.select(col("blk_id"), col("blk_val"),
