@@ -392,9 +392,14 @@ object SparkEntry {
         .select("doc_id", "n_chars_txt", "n_tokens", "n_subwords", "mean_word_len",
           "punct_ratio", "stopword_ratio")),
 
-    "q32_langid" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), col("lang"),
-        TextAnalysis.languageId(col("text")).as("predicted_lang"))),
+    // data-driven language ID: broadcast stopword-frequency profile frame,
+    // weight-sum argmax per doc (r2 marker literals retired)
+    "q32_langid" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.languageIdByProfile(docs, "doc_id", "text",
+          TextAnalysis.profileFrame(s)), Seq("doc_id"))
+    }),
 
     "q33_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(t(s, d, "documents"), "text")
@@ -626,11 +631,6 @@ object SparkEntry {
   )
 
   // ---- oracles ----------------------------------------------------------
-
-  private def langScoreSql(lang: String): String =
-    TextAnalysis.markers(lang)
-      .map(w => s"CAST((length(padded) - length(replace(padded, '$w', ''))) / ${w.length} AS INT)")
-      .mkString(" + ")
 
   /** Oracle mirror of [[Similarity.signLshBucket]] at `bits` hyperplanes. */
   private def bucketSql(bits: Int): String =
@@ -988,15 +988,22 @@ object SparkEntry {
          |FROM (SELECT *, ' ' || lower(text) || ' ' AS padded FROM documents)""".stripMargin,
 
     "q32_langid" -> {
-      val langs = TextAnalysis.markers.keys.toSeq.sorted
-      val scores = langs.map(l => s"(${langScoreSql(l)}) AS s_$l").mkString(", ")
-      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN best <= 0 THEN 'und' $cases ELSE 'und' END AS predicted_lang
-         |FROM (SELECT doc_id, lang, $best AS best, s_${langs.mkString(", s_")}
-         |  FROM (SELECT doc_id, lang, $scores
-         |    FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents)))""".stripMargin
+      // profile VALUES generated from the SAME Scala map the engine
+      // broadcasts — one source of truth, the two sides cannot drift
+      val values = TextAnalysis.languageProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ts) => ts.map { case (t, w) => s"('$l','$t',$w)" } }
+        .mkString(", ")
+      s"""WITH prof AS (SELECT * FROM (VALUES $values) t(lang, term, weight)),
+         |toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |scored AS (SELECT doc_id, p.lang, CAST(SUM(weight) AS BIGINT) AS score
+         |  FROM toks JOIN prof p USING (term) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang AS predicted_lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, lang ASC) AS rn FROM scored) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang, COALESCE(b.predicted_lang, 'und') AS predicted_lang
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
     },
 
     "q33_quality_score" -> {

@@ -70,10 +70,22 @@ object DedupOps {
     * driver (round-1 judge finding). Downstream consumers
     * ([[nearDupClusters]]) fork the result repeatedly; a checkpointed
     * input makes those forks cache reads, not recomputations of the whole
-    * LSH pipeline. */
+    * LSH pipeline.
+    *
+    * Recall envelope: a pair at jaccard s collides in at least one band
+    * with probability 1 − (1 − s^rows)^bands; the S-curve midpoint is
+    * (1/bands)^(1/rows) ≈ 0.707 at the (4, 4) defaults. The default
+    * threshold sits AT that midpoint so the defaults are self-consistent
+    * (candidates at the threshold are found with ~50%+ probability, and
+    * well-above-threshold pairs near-certainly). Lowering the threshold
+    * below the midpoint without adding bands (or shrinking rows) trades
+    * recall for cost — candidates at jaccard 0.5 under the defaults
+    * appear with only ~23% probability. The pinned bench/oracle queries
+    * choose measured operating points (SweepLsh) instead of these
+    * defaults. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
-                 jaccardThreshold: Double = 0.5): DataFrame = {
+                 jaccardThreshold: Double = 0.7): DataFrame = {
     // The whole operator is row-oriented — no array columns, no
     // higher-order functions. HOF lambdas (`transform`/`array_min`/
     // `array_intersect`) evaluate interpreted at ~100μs/element; at any
@@ -180,7 +192,7 @@ object DedupOps {
     * Corpus and batch ids must be disjoint. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, shingleSize: Int = 3, bands: Int = 4,
-                       rows: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
+                       rows: Int = 4, jaccardThreshold: Double = 0.7): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ONE shingle+signature pass over corpus∪batch (the expensive window
     // and 16-way min-agg stages run once, not per side); the sides are
@@ -257,7 +269,7 @@ object DedupOps {
                               path: String, batch: DataFrame, idCol: String,
                               textCol: String, shingleSize: Int = 3,
                               bands: Int = 4, rows: Int = 4,
-                              jaccardThreshold: Double = 0.5): DataFrame = {
+                              jaccardThreshold: Double = 0.7): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     val batchSh = shingleStream(b, "doc_id", "__t", shingleSize).persist(mem)
@@ -350,7 +362,7 @@ object DedupOps {
     * broadcasts it against the full corpus scan. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
-                  jaccardThreshold: Double = 0.5): DataFrame = {
+                  jaccardThreshold: Double = 0.7): DataFrame = {
     val clusters = nearDupClusters(
       minhashLsh(df, idCol, textCol, shingleSize, bands, rows, jaccardThreshold))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))

@@ -23,7 +23,8 @@ object TextAnalysis {
   /** Heuristic language scores: count occurrences of per-language marker
     * words (the classic stopword-profile n-gram heuristic, cf. Cavnar &
     * Trenkle 1994). Marker sets are tiny and inlined as literals —
-    * broadcast-free. */
+    * broadcast-free. This is the quick expression form; the production
+    * path is [[languageIdByProfile]] over a real frequency-profile frame. */
   val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of "),
     "de" -> Seq(" der ", " und ", " die "),
@@ -44,6 +45,60 @@ object TextAnalysis {
     scored.foldLeft(when(best <= 0, "und")) { case (acc, (l, s)) =>
       acc.when(s === best, lit(l))
     }.otherwise("und")
+  }
+
+  /** Per-language stopword frequency profiles: (term → integer weight),
+    * weights Zipf-ranked from published frequency lists (top function
+    * words per language — public linguistic data, not corpus-derived
+    * here). The DATA is swappable — a production deployment loads a
+    * profile TABLE built from a reference corpus; every consumer takes
+    * the frame, not this constant. */
+  val languageProfiles: Map[String, Seq[(String, Int)]] = Map(
+    "en" -> Seq("the" -> 10, "and" -> 8, "of" -> 7, "to" -> 6, "in" -> 5,
+      "is" -> 4, "that" -> 4, "for" -> 3, "with" -> 3, "was" -> 2),
+    "de" -> Seq("der" -> 10, "die" -> 9, "und" -> 8, "das" -> 6, "ist" -> 5,
+      "nicht" -> 4, "von" -> 4, "mit" -> 3, "den" -> 3, "ein" -> 2),
+    "es" -> Seq("que" -> 10, "de" -> 9, "el" -> 8, "la" -> 7, "los" -> 5,
+      "en" -> 5, "un" -> 4, "por" -> 3, "con" -> 3, "una" -> 2),
+    "fr" -> Seq("le" -> 10, "les" -> 9, "des" -> 8, "est" -> 6, "une" -> 5,
+      "dans" -> 4, "pour" -> 4, "qui" -> 3, "pas" -> 3, "sur" -> 2),
+    "zh" -> Seq("de" -> 10, "shi" -> 8, "le" -> 7, "wo" -> 6, "ni" -> 5,
+      "ta" -> 4, "men" -> 3, "zai" -> 3, "you" -> 2, "bu" -> 2))
+
+  /** The built-in profiles as a (lang, term, weight) frame. */
+  def profileFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    languageProfiles.toSeq.sortBy(_._1)
+      .flatMap { case (l, ts) => ts.map { case (t, w) => (l, t, w) } }
+      .toDF("lang", "term", "weight")
+  }
+
+  /** Data-driven language ID: tokenize, broadcast-join the (lang, term,
+    * weight) profile frame, sum weights per (doc, language), argmax —
+    * ties to the alphabetically first language, no profile hit → 'und'.
+    *
+    * Shape at 100 TB: the profile table is broadcast (thousands of rows
+    * even for hundreds of languages); the only shuffle is the per-doc
+    * score aggregation with map-side combine. Weights are integers, so
+    * scores are exact and the argmax is engine-portable.
+    * `profiles` columns: lang, term, weight. Output: one row per input
+    * doc — (doc_id, predicted_lang). */
+  def languageIdByProfile(df: DataFrame, idCol: String, textCol: String,
+                          profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val scored = toks.join(broadcast(profiles), Seq("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("weight")).cast("long").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("__best"))
+    df.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__best"), lit("und")).as("predicted_lang"))
   }
 
   /** Whitespace token count (the baseline tokenizer). */
@@ -115,6 +170,13 @@ object TextAnalysis {
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkTokens > 0)
+    // overlap semantics per the docstring: a gap stride (stride >
+    // chunkTokens) would let ceil((n - chunkTokens)/stride) place the
+    // last chunk start past the token array, emitting a phantom empty
+    // chunk (e.g. n=20, chunk=5, stride=10 → chunk_index 2 at token 21)
+    require(stride <= chunkTokens,
+      s"stride ($stride) must not exceed chunkTokens ($chunkTokens): " +
+        "chunks are overlapping windows, not gapped samples")
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(col("__toks"))
     // K = ceil((n - chunkTokens) / stride) extra chunks past the first,

@@ -115,6 +115,16 @@ object Streaming {
     }.reverse
   }
 
+  /** Session windows without a watermark (NoTimeout): sessions close only
+    * when a later event for the same user arrives.
+    *
+    * Append-mode caveat — emitted sessions are NOT guaranteed
+    * gap-disjoint under late data: a straggler older than the open
+    * session closes as its own session even if it falls within `gap` of
+    * a session emitted in an earlier batch (already-emitted output
+    * cannot be retracted without a watermark). Consumers needing
+    * gap-disjoint sessions should use [[sessionWindowsWithTimeout]] with
+    * lateness covering their maximum event delay. */
   def sessionWindows(events: Dataset[TimedEv], gapSeconds: Long): Dataset[SessionWindow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -68,6 +68,28 @@ class LlmDataSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("profile-frame language ID classifies multi-language fixtures") {
+    val fixtures = Seq(
+      (1L, "the cat and the dog of the house is here"),
+      (2L, "der Hund und die Katze ist nicht mit den"),
+      (3L, "el que de la los en un por"),
+      (4L, "le les des est une dans pour"),
+      (5L, "wo shi ni de ta men zai"),
+      (6L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageIdByProfile(fixtures, "doc_id", "text",
+      TextAnalysis.profileFrame(spark)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("chunkByTokens rejects gap strides (phantom-chunk guard)") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(df, "doc_id", "text", chunkTokens = 5, stride = 10)
+    }
+  }
+
   test("token counting and quality features") {
     val f = TextAnalysis.qualityFeatures(Seq((1L, "one two  three")).toDF("id", "text"), "text")
       .select("n_tokens", "mean_word_len").first()
