@@ -125,7 +125,15 @@ object Writers {
     val merged = keyedDeleteInsert(existingAffected, incoming, keys)
       .localCheckpoint(true)
     affected.foreach { m =>
-      atomicRewrite(merged.filter(monthOf === m), s"$path/$partCol=$m")
+      val dir = s"$path/$partCol=$m"
+      atomicRewrite(merged.filter(monthOf === m), dir)
+      // the swap writes one file per shuffle task; compact-if-fragmented
+      // here (not in the pipeline) because the AFFECTED set is the truth —
+      // a boundary-date re-merge can touch a month the pipeline's nominal
+      // load month doesn't name. Large partitions already at byte-optimal
+      // file count skip the rewrite, so the extra cost concentrates on
+      // exactly the small fragmented partitions where it is cheap.
+      compactIfFragmented(merged.sparkSession, dir)
     }
   }
 
@@ -140,6 +148,25 @@ object Writers {
     val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     atomicRewrite(spark.read.parquet(path).repartition(nFiles), path)
+  }
+
+  /** [[compact]] gated on ACTUAL fragmentation: skips the rewrite when the
+    * directory already holds no more data files than the byte-optimal
+    * count — so the pipeline can call this after every load and the cost
+    * converges to zero instead of rewriting each partition each run.
+    * Missing paths are a no-op (a month may legitimately lack a gold
+    * slice). Meant for PARTITION directories — the per-run unit of IO. */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          targetBytes: Long = 128L << 20): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return
+    val dataFiles = fs.listStatus(p).count(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nOptimal = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles > nOptimal)
+      atomicRewrite(spark.read.parquet(path).repartition(nOptimal), path)
   }
 
   /** Bucketed table writer: pre-shuffles once at write time so every later

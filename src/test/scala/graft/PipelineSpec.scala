@@ -93,6 +93,30 @@ class PipelineSpec extends SparkSpec {
     assert(!e.isInstanceOf[graft.checks.QualityGateException])
   }
 
+  test("post-load compaction bounds partition file counts across monthly loads") {
+    val lake = Files.createTempDirectory("graft-lake-compact").toString
+    val p = new Pipeline(spark, lake, rawSource)
+    assert(p.runOnce(maxRetries = 0) == "2024-01")
+    assert(p.runOnce(maxRetries = 0) == "2024-02")
+    // every loaded month partition must end compacted to its byte-optimal
+    // file count (1 at test scale) — not one file per shuffle task
+    val dirs = Seq(
+      "staging/pickup_month=2024-01", "staging/pickup_month=2024-02",
+      "bronze/pickup_month=2024-01", "bronze/pickup_month=2024-02",
+      "silver/pickup_month=2024-01", "silver/pickup_month=2024-02",
+      "gold_daily/trip_month=2024-01", "gold_daily/trip_month=2024-02",
+      "gold_monthly/rev_month=2024-01", "gold_monthly/rev_month=2024-02",
+      "gold_zone/rev_month=2024-01", "gold_zone/rev_month=2024-02")
+    for (d <- dirs) {
+      val files = new java.io.File(s"$lake/$d").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d fragmented: ${files.length} data files")
+    }
+    // compaction must not change the data
+    assert(spark.read.parquet(s"$lake/silver").count() == 5)
+    assert(spark.read.parquet(s"$lake/gold_monthly").count() == 2)
+  }
+
   test("two monthly runs: cursor advances, layers accumulate, golds rebuild") {
     val lake = Files.createTempDirectory("graft-lake").toString
     val p = new Pipeline(spark, lake, rawSource)
