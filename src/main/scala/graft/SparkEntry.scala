@@ -615,6 +615,35 @@ object SparkEntry {
 
     // the Check API generalized to LLM-data curation: a quality gate over
     // the documents corpus, verdicts as rows (same shape as q20)
+    // CheckLedger telemetry: three simulated runs (doc_id mod 3 slices)
+    // recorded through the real ledger, then the gold-style pass-rate
+    // summary per constraint — the ops view of quality over time
+    "q75_check_telemetry" -> ((s, d) => {
+      import graft.checks._
+      val docs = t(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-ledger").toString + "/checks"
+      val ledger = new CheckLedger(s, path)
+      val suite = new CheckSuite(Seq(
+        NotNull("text"),
+        InSet("lang", Seq("de", "en", "es", "fr", "zh"), 0.9),
+        NoRowsWhere("empty_doc", length(trim(col("text"))) === 0),
+        RowCountBetween(1)))
+      (0 until 3).foreach { r =>
+        ledger.record(s"run$r", "documents",
+          suite.run(docs.filter(col("doc_id") % 3 === r)))
+      }
+      ledger.read().get
+        .groupBy(col("layer"), col("constraint"))
+        .agg(count(lit(1)).cast("long").as("n_runs"),
+          sum(col("passed").cast("long")).cast("long").as("n_passed"),
+          max(col("unexpected_percent")).as("max_unexpected_percent"))
+        .withColumn("pass_rate",
+          col("n_passed").cast("double") / col("n_runs").cast("double"))
+        .select(col("layer"), col("constraint").as("constraint_name"),
+          col("n_runs"), col("n_passed"), col("pass_rate"),
+          col("max_unexpected_percent"))
+    }),
+
     "q70_docs_quality_suite" -> ((s, d) => {
       import graft.checks._
       val scored = TextAnalysis.qualityScore(t(s, d, "documents"), "text")
@@ -1122,6 +1151,45 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC
         |LIMIT 20""".stripMargin,
+
+    // replays q75's three simulated runs and CheckSuite.run's exact pass
+    // rules (mostly-epsilon 1e-9, NULL-excluded in_set denominator,
+    // bad/den*100 percent) then aggregates like the telemetry query;
+    // constraint name strings are graft.checks literals
+    "q75_check_telemetry" ->
+      s"""WITH runs AS (SELECT doc_id % 3 AS run_id, text, lang FROM documents),
+         |per AS (
+         |  SELECT run_id, COUNT(*) AS n,
+         |    COUNT(CASE WHEN text IS NULL THEN 1 END) AS bad_null,
+         |    COUNT(CASE WHEN lang IS NOT NULL
+         |      AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END) AS bad_set,
+         |    COUNT(lang) AS den_set,
+         |    COUNT(CASE WHEN length(trim(text)) = 0 THEN 1 END) AS bad_empty
+         |  FROM runs GROUP BY 1),
+         |results AS (
+         |  SELECT run_id, 'not_null(text)' AS constraint_name,
+         |    CAST(n - bad_null AS DOUBLE) >= CAST(1.0 AS DOUBLE) * n - 1e-9 AS passed,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_null AS DOUBLE) / n * 100.0 END AS pct
+         |  FROM per
+         |  UNION ALL
+         |  SELECT run_id, 'in_set(lang)',
+         |    CAST(den_set - bad_set AS DOUBLE) >= CAST(0.9 AS DOUBLE) * den_set - 1e-9,
+         |    CASE WHEN den_set = 0 THEN 0.0 ELSE CAST(bad_set AS DOUBLE) / den_set * 100.0 END
+         |  FROM per
+         |  UNION ALL
+         |  SELECT run_id, 'no_rows_where(empty_doc)',
+         |    CAST(n - bad_empty AS DOUBLE) >= CAST(1.0 AS DOUBLE) * n - 1e-9,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(bad_empty AS DOUBLE) / n * 100.0 END
+         |  FROM per
+         |  UNION ALL
+         |  SELECT run_id, 'row_count_between(1,${Long.MaxValue})', n >= 1, 0.0
+         |  FROM per)
+         |SELECT 'documents' AS layer, constraint_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+         |  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate,
+         |  MAX(pct) AS max_unexpected_percent
+         |FROM results GROUP BY 1, 2""".stripMargin,
 
     "q70_docs_quality_suite" -> {
       // the q33 quality-score pipeline, widened with text/lang, feeding
