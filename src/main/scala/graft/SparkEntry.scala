@@ -615,6 +615,10 @@ object SparkEntry {
 
     // the Check API generalized to LLM-data curation: a quality gate over
     // the documents corpus, verdicts as rows (same shape as q20)
+    // Gopher-style repetition features over every document
+    "q76_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(t(s, d, "documents"), "doc_id", "text")),
+
     // CheckLedger telemetry: three simulated runs (doc_id mod 3 slices)
     // recorded through the real ledger, then the gold-style pass-rate
     // summary per constraint — the ops view of quality over time
@@ -1151,6 +1155,38 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC
         |LIMIT 20""".stripMargin,
+
+    "q76_repetition" -> {
+      val toksArr = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      s"""WITH toks AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest($toksArr) AS t FROM documents)
+         |  WHERE length(t) > 0),
+         |tok_stats AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT term) AS n_distinct
+         |  FROM toks GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len($toksArr) - 1),
+         |    i -> $toksArr[i] || ' ' || $toksArr[i+1])) AS s
+         |  FROM documents),
+         |bi_counts AS (SELECT doc_id, s, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+         |bi_stats AS (
+         |  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |  FROM bi_counts GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN COALESCE(t.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens END
+         |    AS dup_token_fraction,
+         |  CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+         |    ELSE CAST(b.top_c AS DOUBLE) / b.n_bigrams END
+         |    AS top_bigram_fraction
+         |FROM documents d
+         |LEFT JOIN tok_stats t ON d.doc_id = t.doc_id
+         |LEFT JOIN bi_stats b ON d.doc_id = b.doc_id""".stripMargin
+    },
 
     // replays q75's three simulated runs and CheckSuite.run's exact pass
     // rules (mostly-epsilon 1e-9, NULL-excluded in_set denominator,

@@ -235,6 +235,55 @@ object TextAnalysis {
       .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("token_share"))
   }
 
+  /** Gopher-style repetition features (Rae et al. 2021 §A1.1 family):
+    * per-document duplicate-token fraction (1 − distinct/total) and
+    * top-bigram fraction (occurrences of the most frequent word 2-gram
+    * over all 2-grams) — the standard signals for dropping boilerplate
+    * and degenerate repetition from a training corpus.
+    *
+    * Shape at 100 TB: one token explode + per-doc aggregate, one bigram
+    * stream (the [[DedupOps.shingleStream]] window) + two aggregates —
+    * all keyed on doc_id with map-side combine. Fractions are integer
+    * counts divided in double space: bit-identical on any engine.
+    * Docs with no tokens (or no bigrams) report 0.0 fractions. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tokStats = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_distinct"))
+    val biCounts = DedupOps.shingleStream(df, idCol, textCol, 2)
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+    val biStats = biCounts.groupBy(col("doc_id")).agg(
+      max(col("c")).as("top_c"), sum(col("c")).cast("long").as("n_bigrams"))
+    df.select(col(idCol).as("doc_id"))
+      .join(tokStats, Seq("doc_id"), "left")
+      .join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+          .otherwise((col("n_tokens") - col("n_distinct")).cast("double")
+            / col("n_tokens")).as("dup_token_fraction"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+          .otherwise(col("top_c").cast("double") / col("n_bigrams"))
+          .as("top_bigram_fraction"))
+  }
+
+  /** Drop repetitive documents: keep rows whose repetition features stay
+    * under both thresholds (defaults in the Gopher-rule neighborhood;
+    * callers tune per corpus). Broadcast-anti-join shape: the dropped
+    * set is the small slice, the corpus scan passes through. */
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+                       maxDupTokenFraction: Double = 0.6,
+                       maxTopBigramFraction: Double = 0.18): DataFrame = {
+    val dropped = repetitionFeatures(df, idCol, textCol)
+      .filter(col("dup_token_fraction") > maxDupTokenFraction ||
+        col("top_bigram_fraction") > maxTopBigramFraction)
+      .select(col("doc_id").as(idCol))
+    df.join(graft.operators.Broadcasts.maybeBroadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level vocabulary heavy hitters: the `k` most frequent terms
     * with their occurrence and document counts — the exact form of the
     * vocab-stats pass a tokenizer-training pipeline runs. One explode +

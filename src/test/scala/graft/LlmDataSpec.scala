@@ -68,6 +68,24 @@ class LlmDataSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("repetition features and filter flag degenerate docs, pass diverse ones") {
+    val fixtures = Seq(
+      (1L, "spam spam spam spam"),                         // dup 3/4, top bigram 3/3
+      (2L, "one two three four five six seven eight"),     // dup 0, top 1/7
+      (3L, ""),                                            // empty → zeros
+      (4L, "alpha")).toDF("doc_id", "text")                // 1 token, no bigrams
+    val f = TextAnalysis.repetitionFeatures(fixtures, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(f(1L) == ((4L, 0.75, 1.0)))
+    assert(f(2L)._2 == 0.0 && f(2L)._3 == 1.0 / 7)
+    assert(f(3L) == ((0L, 0.0, 0.0)))
+    assert(f(4L) == ((1L, 0.0, 0.0)))
+    val kept = TextAnalysis.repetitionFilter(fixtures, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), "only the spam doc is dropped")
+  }
+
   test("profile-frame language ID classifies multi-language fixtures") {
     val fixtures = Seq(
       (1L, "the cat and the dog of the house is here"),
