@@ -619,6 +619,24 @@ object SparkEntry {
     "q76_repetition" -> ((s, d) =>
       TextAnalysis.repetitionFeatures(t(s, d, "documents"), "doc_id", "text")),
 
+    // int8 embedding quantization (per-vector scale, round-half-up via
+    // floor — the storage form a 100 TB vector corpus ships). The qvec
+    // is emitted as a joined string: the hash gate compares scalar
+    // columns, not nested arrays
+    "q77_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", transform(col("qvec"), q => q.cast("string"))).as("qvec_str"))),
+
+    // containment-scored near-dup pairs (doc-in-doc detection; exact
+    // inverted-index blocking, df-capped)
+    "q78_containment_pairs" -> ((s, d) =>
+      DedupOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, containmentThreshold = 0.5, maxShingleDf = 1000)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))),
+
     // CheckLedger telemetry: three simulated runs (doc_id mod 3 slices)
     // recorded through the real ledger, then the gold-style pass-rate
     // summary per constraint — the ops view of quality over time
@@ -1155,6 +1173,43 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC
         |LIMIT 20""".stripMargin,
+
+    "q77_quantize_int8" ->
+      """SELECT vec_id,
+        |  ROUND(CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END, 6) AS scale,
+        |  array_to_string(CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
+        |    ELSE list_transform(emb,
+        |      x -> CAST(floor(x / (mx / 127.0) + 0.5) AS INT)) END, ',') AS qvec_str
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |        list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |      FROM embeddings)""".stripMargin,
+
+    // mirrors containmentPairs: exact inverted-index candidates (any
+    // shared shingle with df <= 1000), containments divide the shared
+    // intersection by each side's (already-distinct) shingle-set size
+    "q78_containment_pairs" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+        s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+      s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+         |expl AS (SELECT doc_id, unnest(sh) AS s FROM shingled WHERE len(sh) > 0),
+         |rare AS (SELECT s FROM expl GROUP BY s HAVING COUNT(*) <= 1000),
+         |kept AS (SELECT e.doc_id, e.s FROM expl e JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b USING (s) WHERE a.doc_id < b.doc_id),
+         |cont AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS c_a,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS c_b
+         |  FROM cand c
+         |  JOIN shingled sa ON c.id_a = sa.doc_id
+         |  JOIN shingled sb ON c.id_b = sb.doc_id)
+         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard,
+         |  ROUND(c_a, 6) AS containment_a, ROUND(c_b, 6) AS containment_b
+         |FROM cont WHERE greatest(c_a, c_b) >= 0.5""".stripMargin
+    },
 
     "q76_repetition" -> {
       val toksArr = "regexp_split_to_array(trim(lower(text)), '\\s+')"

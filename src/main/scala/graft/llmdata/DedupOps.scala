@@ -85,12 +85,59 @@ object DedupOps {
     * defaults. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
-                 jaccardThreshold: Double = 0.7): DataFrame = {
-    // The whole operator is row-oriented — no array columns, no
-    // higher-order functions. HOF lambdas (`transform`/`array_min`/
-    // `array_intersect`) evaluate interpreted at ~100μs/element; at any
-    // scale the winning shape is explode → window → codegen'd joins/aggs
-    // with map-side combine. Measured on 5k docs: 14s (HOF) → ~3s (this).
+                 jaccardThreshold: Double = 0.7): DataFrame =
+    lshVerified(df, idCol, textCol, shingleSize, bands, rows)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Near-dup pairs scored by CONTAINMENT (|A∩B|/|A| and |A∩B|/|B|)
+    * alongside jaccard — containment detects doc-in-doc relations
+    * (quotes, boilerplate wrappers, supersets) that the symmetric
+    * jaccard understates: a short doc fully inside a long one has
+    * jaccard ≈ |A|/|B| but containment_a = 1.0. Pairs are admitted when
+    * EITHER side's containment reaches the threshold.
+    *
+    * Blocking is NOT MinHash (whose collision probability tracks
+    * jaccard — it would miss exactly the low-jaccard/high-containment
+    * pairs this operator exists for) but an exact inverted-index join on
+    * the shingle posting lists (the set-similarity-join family of
+    * Vernica/Carey/Li 2010): candidates are every pair sharing at least
+    * one shingle whose document frequency is ≤ `maxShingleDf`. The df
+    * cap bounds the quadratic blow-up of ultra-common shingles' posting
+    * lists; a pair is missed only if EVERY shared shingle is more common
+    * than the cap, which for a high-containment pair means the contained
+    * doc consists entirely of boilerplate-frequency shingles. Cost at
+    * scale: Σ_shingle df² over capped lists — the standard trade. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, containmentThreshold: Double = 0.8,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shingleRows = shingleStream(df, idCol, textCol, shingleSize).persist(mem)
+    val sets = shingleRows.distinct().persist(mem) // set semantics per doc
+    val rare = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("s")
+    val kept = sets.join(rare, Seq("s"))
+    val candidates = kept.as("a").join(kept.as("b"), Seq("s"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val jac = exactJaccard(candidates, shingleRows)
+    shingleRows.unpersist()
+    sets.unpersist()
+    jac.filter(greatest(col("containment_a"), col("containment_b")) >= containmentThreshold)
+      .select("id_a", "id_b", "jaccard", "containment_a", "containment_b")
+  }
+
+  /** Shared LSH candidate + exact-verify pipeline behind [[minhashLsh]] /
+    * [[containmentPairs]]. The whole pipeline is row-oriented — no array
+    * columns, no higher-order functions. HOF lambdas (`transform`/
+    * `array_min`/`array_intersect`) evaluate interpreted at ~100μs/element;
+    * at any scale the winning shape is explode → window → codegen'd
+    * joins/aggs with map-side combine. Measured on 5k docs: 14s (HOF) →
+    * ~3s (this). Returns ALL verified candidates with jaccard and both
+    * containments, eagerly checkpointed (see exactJaccard contract). */
+  private def lshVerified(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int, bands: Int, rows: Int): DataFrame = {
     val shingleRows = shingleStream(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedSignatures(shingleRows, bands, rows)
@@ -104,7 +151,7 @@ object DedupOps {
 
     val jac = exactJaccard(candidates, shingleRows)
     shingleRows.unpersist()
-    jac.filter(col("jaccard") >= jaccardThreshold)
+    jac
   }
 
   /** Stage 1 of the MinHash operators: one (doc_id, s) row per word
@@ -169,7 +216,9 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+          (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"),
+        (col("n_inter").cast("double") / col("sz_a")).as("containment_a"),
+        (col("n_inter").cast("double") / col("sz_b")).as("containment_b"))
       // eager: materialize the (small) verified pair set, then drop the
       // big intermediate cache — see the materialization contract above
       .localCheckpoint(true)

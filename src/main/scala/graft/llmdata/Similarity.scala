@@ -273,6 +273,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4× (vs
+    * float32) / 8× (vs float64) storage cut that makes a 100 TB vector
+    * corpus scan-able: per-vector scale = max|x|/127, each element
+    * `floor(x/scale + 0.5)` (round-half-up via floor — IEEE-exact and
+    * engine-portable, unlike `round()` whose half-way rule differs
+    * across engines). A zero vector quantizes to zeros with scale 0.
+    * Map-only; the HOF lambdas evaluate interpreted, which is acceptable
+    * for a once-per-corpus storage pass (bandwidth-bound at scale).
+    * Returns (idCol, scale: double, qvec: array<int>). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = when(mx === 0.0, 0.0).otherwise(mx / 127.0)
+    df.select(col(idCol), scale.as("scale"),
+      when(mx === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => floor(x / (mx / 127.0) + 0.5).cast("int")))
+        .as("qvec"))
+  }
+
+  /** Dequantize an int8-quantized vector back to doubles (q * scale).
+    * Reconstruction error per element is bounded by scale/2. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
     * to probe-set collisions (buckets within Hamming distance 1 — the
     * near-dup variant of [[lshTopK]]'s multi-probe). Side A fans out to

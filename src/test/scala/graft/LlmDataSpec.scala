@@ -68,6 +68,40 @@ class LlmDataSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("int8 quantization bounds reconstruction error by scale/2") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = emb.join(q, "vec_id")
+      .select($"vec_id", $"scale",
+        Similarity.dequantize($"qvec", $"scale").as("deq"),
+        transform($"embedding", x => x.cast("double")).as("orig"))
+      .withColumn("max_err", array_max(zip_with($"deq", $"orig", (d, o) => abs(d - o))))
+    val bad = joined.filter($"max_err" > $"scale" / 2 + 1e-12).count()
+    assert(bad == 0, "every element must reconstruct within scale/2")
+    // quantized values fit int8
+    val range = q.select(array_max($"qvec").as("mx"), array_min($"qvec").as("mn"))
+      .agg(max($"mx"), min($"mn")).first()
+    assert(range.getInt(0) <= 127 && range.getInt(1) >= -127)
+    // zero vector → scale 0, all-zero qvec
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding"), "vec_id", "embedding").first()
+    assert(z.getDouble(1) == 0.0 && z.getSeq[Int](2).forall(_ == 0))
+  }
+
+  test("containment flags doc-in-doc pairs that jaccard understates") {
+    val sub = "alpha beta gamma delta epsilon zeta"  // 4 trigrams, all in sup
+    val sup = sub + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val fixtures = Seq((1L, sub), (2L, sup), (3L, "totally unrelated words here now then"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.containmentPairs(fixtures, "doc_id", "text",
+      containmentThreshold = 0.9).collect()
+    val p = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p.isDefined, "the contained doc must pair with its superset")
+    assert(p.get.getAs[Double]("containment_a") == 1.0)
+    assert(p.get.getAs[Double]("jaccard") < 0.5, "jaccard understates the relation")
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
   test("repetition features and filter flag degenerate docs, pass diverse ones") {
     val fixtures = Seq(
       (1L, "spam spam spam spam"),                         // dup 3/4, top bigram 3/3

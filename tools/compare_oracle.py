@@ -70,6 +70,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def values_equal(a, b) -> bool:
+    import numpy as np
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
+        if not (isinstance(a, (list, tuple, np.ndarray)) and
+                isinstance(b, (list, tuple, np.ndarray))):
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(values_equal(x, y) for x, y in zip(la, lb))
     if pd.isna(a) and pd.isna(b):
         return True
     if isinstance(a, float) or isinstance(b, float):
