@@ -75,6 +75,42 @@ object Streaming {
       }
       .start()
 
+  /** Continuous corpus admission: each micro-batch of documents is
+    * near-dup-deduped against the persisted corpus signature index
+    * ([[graft.llmdata.DedupOps.signatureWrite]] seeds it — an empty seed
+    * corpus is valid), admitted rows are appended to `corpusPath`, and
+    * their signatures are appended to the index so the NEXT batch dedups
+    * against everything admitted so far — the streaming composition of
+    * `incrementalDedupIndexed` + `signatureAppend`.
+    *
+    * Scale shape: per-batch cost is |batch|×bands signature rows probing
+    * the stored bucket index — independent of corpus size, which is the
+    * property that makes continuous admission viable at 100 TB. Exactly-
+    * once caveat: the appends are not transactional with the streaming
+    * checkpoint; a crash between them can re-admit a batch on replay
+    * (dedup is idempotent for exact replays at the corpus level only if
+    * ids repeat — document ids make replays detectable downstream). */
+  def dedupAdmissionSink(df: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, corpusPath: String,
+                         checkpoint: String, shingleSize: Int = 3,
+                         bands: Int = 4, rows: Int = 4,
+                         jaccardThreshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admitted = graft.llmdata.DedupOps.incrementalDedupIndexed(
+          batch.sparkSession, indexPath, batch, idCol, textCol,
+          shingleSize, bands, rows, jaccardThreshold)
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.write.mode("append").parquet(corpusPath)
+          graft.llmdata.DedupOps.signatureAppend(
+            admitted, idCol, textCol, indexPath, shingleSize, bands, rows)
+        }
+      }
+      .start()
+
   /** Event-time session windows via flatMapGroupsWithState: events for a
     * user belong to one session until a gap of `gapSeconds`; closed
     * sessions are emitted (0..n outputs per group per batch — the flatMap

@@ -55,6 +55,13 @@ class PruningSpec extends SparkSpec {
     }
   }
 
+  test("language-profile join broadcasts the profile frame (q32 plan shape)") {
+    val plan = SparkEntry.queries("q32_langid")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (lang, term, weight) profile frame must broadcast:\n$plan")
+  }
+
   test("IVF corpus cell assignment is a pure map stage (zero exchanges)") {
     import graft.llmdata.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(Streaming.SessionWindow(1L, 100, 150, 3)))
   }
 
+  test("dedup admission sink grows the corpus and index across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-admit").toString
+    val (idx, corpus, ckpt) = (dir + "/idx", dir + "/corpus", dir + "/ckpt")
+    // seed with an EMPTY corpus — a brand-new admission pipeline
+    graft.llmdata.DedupOps.signatureWrite(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.dedupAdmissionSink(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, corpus, ckpt, jaccardThreshold = 0.5)
+    try {
+      // batch 1: novel doc 10 + its exact intra-batch dup 11 → admit 10
+      in.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      def ids() = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids() == Set(10L))
+      // batch 2: cross-batch dup of 10 (caught via the APPENDED index) +
+      // novel 21 → admit 21 only
+      in.addData((20L, "the quick brown fox jumps over the lazy dog"),
+        (21L, "completely different vocabulary appears in this new document"))
+      q.processAllAvailable()
+      assert(ids() == Set(10L, 21L))
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream interval join attributes clicks to impressions") {
     val dir = Files.createTempDirectory("graft-ssjoin").toString
     Seq((1L, 7L, "2024-01-01 00:00:00"), (2L, 8L, "2024-01-01 01:00:00"))
