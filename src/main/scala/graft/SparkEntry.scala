@@ -628,6 +628,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           concat_ws(",", transform(col("qvec"), q => q.cast("string"))).as("qvec_str"))),
 
+    // exact top-1 search over the DEQUANTIZED int8 corpus — the composed
+    // form of q77 + q36: proves the storage format search-round-trips
+    // bit-exactly (quantized values and q*scale products are IEEE-exact)
+    "q79_quantized_top1" -> ((s, d) => {
+      val deq = Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantize(col("qvec"), col("scale")).as("embedding"))
+      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // containment-scored near-dup pairs (doc-in-doc detection; exact
     // inverted-index blocking, df-capped)
     "q78_containment_pairs" -> ((s, d) =>
@@ -1183,6 +1195,32 @@ object SparkEntry {
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |        list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
         |      FROM embeddings)""".stripMargin,
+
+    // q77's quantization CTE feeding q36's exact top-1 rank, over the
+    // dequantized vectors
+    "q79_quantized_top1" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END AS scale,
+        |    CASE WHEN mx = 0 THEN list_transform(emb, x -> 0)
+        |      ELSE list_transform(emb,
+        |        x -> CAST(floor(x / (mx / 127.0) + 0.5) AS INT)) END AS qvec
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |        FROM embeddings)),
+        |deq AS (SELECT vec_id, list_transform(qvec, q -> CAST(q AS DOUBLE) * scale) AS emb
+        |  FROM qz)
+        |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.emb, c.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.emb, c.emb)
+        |        / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |        c.vec_id ASC) AS rnk
+        |  FROM (SELECT * FROM deq WHERE vec_id < 16) q, deq c
+        |  WHERE q.vec_id <> c.vec_id
+        |) WHERE rnk = 1""".stripMargin,
 
     // mirrors containmentPairs: exact inverted-index candidates (any
     // shared shingle with df <= 1000), containments divide the shared

@@ -88,6 +88,23 @@ class LlmDataSpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getSeq[Int](2).forall(_ == 0))
   }
 
+  test("quantized search recalls full-precision neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 16)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val full = topSets(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3))
+    val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select($"vec_id", Similarity.dequantize($"qvec", $"scale").as("embedding"))
+    val quant = topSets(Similarity.bruteForceTopK(deq, deq.filter($"vec_id" < 16),
+      "vec_id", "embedding", k = 3))
+    val recall = full.keys.toSeq.map { q =>
+      full(q).intersect(quant.getOrElse(q, Set.empty)).size.toDouble / full(q).size
+    }.sum / full.size
+    assert(recall >= 0.8, s"int8 top-3 recall vs full precision was $recall")
+  }
+
   test("containment flags doc-in-doc pairs that jaccard understates") {
     val sub = "alpha beta gamma delta epsilon zeta"  // 4 trigrams, all in sup
     val sup = sub + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
