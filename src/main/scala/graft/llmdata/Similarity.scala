@@ -178,7 +178,7 @@ object Similarity {
     * (Spark's double ordering treats NaN as largest in window sort and
     * struct comparison alike). */
   def assignCorpusCells(df: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame): DataFrame = {
+                        centroids: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.DotProduct.dot_product
     val cents = centroids
       .select(col("cell_id").cast("long"), col("centroid"))
@@ -195,8 +195,22 @@ object Similarity {
           .as("sim"),
         lit(-cid).as("neg_cell"))
     }: _*)
-    df.select(col(idCol), col(vecCol).as("__v"))
+    df.select(col(idCol) +: col(vecCol).as("__v") +: keep.map(col): _*)
       .withColumn("cell", -array_max(scored).getField("neg_cell"))
+  }
+
+  /** Shared top-k ranking of probed (query, neighbor) candidates —
+    * ONE definition for every IVF search path so rank semantics cannot
+    * drift: cosine desc, neighbor id asc, self-pairs excluded. */
+  private def rankTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val scored = c.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** IVF ANN with trained centroids and multi-cell probing: fit `nCells`
@@ -222,15 +236,7 @@ object Similarity {
     // so a (query, neighbor) pair matches at most one probe — no dedup)
     val q = broadcast(assignCells(queries, idCol, vecCol, centroids, n = nprobe)
       .select(col(idCol).as("query_id"), col("__v").as("qv"), col("cell")))
-
-    val scored = c.join(q, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(c, q, k)
   }
 
   /** Materialize an IVF index on disk — the 100 TB operating mode the
@@ -263,14 +269,43 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("__v").as("qv"), col("cell")))
     val c = spark.read.parquet(s"$path/assigned")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
-    val scored = c.join(q, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(c, q, k)
+  }
+
+  /** Quantized materialized IVF index: [[ivfIndexWrite]] with the corpus
+    * stored as int8 ([[quantizeInt8]]) — the assignment table shrinks ~4×
+    * (the dominant index cost at 100 TB), and search dequantizes on read.
+    * Centroids are fitted on the DEQUANTIZED vectors so the index is
+    * self-consistent: the vectors being ranked at query time are exactly
+    * the vectors the cells were trained on. Queries stay full-precision
+    * (standard asymmetric search). Layout: `path/centroids` +
+    * `path/assigned` (idCol, qvec, scale) partitioned by `cell`. */
+  def ivfIndexWriteQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                             path: String, nCells: Int = 16,
+                             lloydIters: Int = 2): Unit = {
+    val deq = quantizeInt8(corpus, idCol, vecCol)
+      .withColumn(vecCol, dequantize(col("qvec"), col("scale")))
+    val centroids = broadcast(
+      fitCentroids(deq, idCol, vecCol, nCells, lloydIters).localCheckpoint(true))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignCorpusCells(deq, idCol, vecCol, centroids, keep = Seq("qvec", "scale"))
+      .select(col(idCol), col("qvec"), col("scale"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Search a quantized index ([[ivfIndexWriteQuantized]]): probe with
+    * full-precision queries, dequantize stored corpus vectors on read,
+    * rank with the shared [[rankTopK]] semantics. */
+  def ivfTopKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame, idCol: String,
+                              vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = broadcast(assignCells(queries, idCol, vecCol, centroids, n = nprobe)
+      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("cell")))
+    val c = spark.read.parquet(s"$path/assigned")
+      .select(col(idCol).as("neighbor_id"),
+        dequantize(col("qvec"), col("scale")).as("cv"), col("cell"))
+    rankTopK(c, q, k)
   }
 
   /** Symmetric int8 quantization of an embedding column — the 4× (vs

@@ -88,6 +88,29 @@ class LlmDataSpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getSeq[Int](2).forall(_ == 0))
   }
 
+  test("quantized IVF index returns exactly the direct dequantized-corpus results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-qivf").toString + "/idx"
+    Similarity.ivfIndexWriteQuantized(emb, "vec_id", "embedding", path,
+      nCells = 8, lloydIters = 2)
+    // direct reference: same dequantized corpus, same deterministic fit
+    val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .withColumn("embedding", Similarity.dequantize($"qvec", $"scale"))
+      .select("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = rows(Similarity.ivfTopK(deq, qs, "vec_id", "embedding",
+      k = 3, nCells = 8, lloydIters = 2))
+    val indexed = rows(Similarity.ivfTopKIndexedQuantized(spark, path, qs,
+      "vec_id", "embedding", k = 3))
+    assert(indexed == direct)
+    // and the stored assignment is actually int8-quantized
+    val stored = spark.read.parquet(s"$path/assigned")
+    assert(stored.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+  }
+
   test("quantized search recalls full-precision neighbors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter($"vec_id" < 16)
