@@ -644,7 +644,8 @@ object SparkEntry {
     // inverted-index blocking, df-capped)
     "q78_containment_pairs" -> ((s, d) =>
       DedupOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, containmentThreshold = 0.5, maxShingleDf = 1000)
+        shingleSize = 3, containmentThreshold = 0.5, maxShingleDf = 1000,
+        minSharedShingles = 2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
           round(col("containment_a"), 6).as("containment_a"),
           round(col("containment_b"), 6).as("containment_b"))),
@@ -1233,8 +1234,9 @@ object SparkEntry {
          |expl AS (SELECT doc_id, unnest(sh) AS s FROM shingled WHERE len(sh) > 0),
          |rare AS (SELECT s FROM expl GROUP BY s HAVING COUNT(*) <= 1000),
          |kept AS (SELECT e.doc_id, e.s FROM expl e JOIN rare USING (s)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM kept a JOIN kept b USING (s) WHERE a.doc_id < b.doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b USING (s) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          |cont AS (
          |  SELECT c.id_a, c.id_b,
          |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

@@ -110,17 +110,24 @@ object DedupOps {
     * scale: Σ_shingle df² over capped lists — the standard trade. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, containmentThreshold: Double = 0.8,
-                       maxShingleDf: Int = 1000): DataFrame = {
+                       maxShingleDf: Int = 1000,
+                       minSharedShingles: Int = 1): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shingleRows = shingleStream(df, idCol, textCol, shingleSize).persist(mem)
     val sets = shingleRows.distinct().persist(mem) // set semantics per doc
     val rare = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("s")
     val kept = sets.join(rare, Seq("s"))
+    // minSharedShingles > 1 prunes low-vocabulary corpora where nearly
+    // every pair shares SOME shingle (candidates degenerate toward
+    // all-pairs); a contained doc with >= minSharedShingles shingles is
+    // unaffected, so only docs smaller than the floor can be missed
     val candidates = kept.as("a").join(kept.as("b"), Seq("s"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedShingles)
+      .select("id_a", "id_b")
     val jac = exactJaccard(candidates, shingleRows)
     shingleRows.unpersist()
     sets.unpersist()
