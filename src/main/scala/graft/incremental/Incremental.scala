@@ -144,8 +144,11 @@ object Writers {
     * runs per-partition (compact the months that fragmented, not the
     * lake) — pass the partition directory as `path`. */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    // the PATH's filesystem, not the default FS — a lake on s3a:// with a
+    // local/HDFS fs.defaultFS would otherwise throw Wrong FS mid-load
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     atomicRewrite(spark.read.parquet(path).repartition(nFiles), path)
   }
@@ -158,8 +161,8 @@ object Writers {
     * slice). Meant for PARTITION directories — the per-run unit of IO. */
   def compactIfFragmented(spark: SparkSession, path: String,
                           targetBytes: Long = 128L << 20): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val dataFiles = fs.listStatus(p).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
@@ -199,7 +202,7 @@ object Writers {
     val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
       s"_tmp_${dst.getName}.__graft__")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = dst.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(tmp, dst)

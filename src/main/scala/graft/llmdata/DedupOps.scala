@@ -128,7 +128,10 @@ object DedupOps {
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minSharedShingles)
       .select("id_a", "id_b")
-    val jac = exactJaccard(candidates, shingleRows)
+    // hand exactJaccard the already-distinct persisted sets frame: its
+    // internal distinct becomes a cache read, not a second shuffle of the
+    // raw multiset stream
+    val jac = exactJaccard(candidates, sets)
     shingleRows.unpersist()
     sets.unpersist()
     jac.filter(greatest(col("containment_a"), col("containment_b")) >= containmentThreshold)

@@ -138,9 +138,12 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
-          if (img == null)
-            ImageStats(id, bytes.length % 1024 + 1, bytes.length % 768 + 1,
-              Double.NaN, decoded = false)
+          if (img == null) {
+            // one source of truth for the undecodable shape: the stub
+            // codec's dimensions (oracle-pinned via q44)
+            val (_, _, w, h) = stubCodec(bytes)
+            ImageStats(id, w, h, Double.NaN, decoded = false)
+          }
           else {
             var sum = 0.0
             var y = 0

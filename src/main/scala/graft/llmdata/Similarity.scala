@@ -283,8 +283,13 @@ object Similarity {
   def ivfIndexWriteQuantized(corpus: DataFrame, idCol: String, vecCol: String,
                              path: String, nCells: Int = 16,
                              lloydIters: Int = 2): Unit = {
+    // eager: quantize+dequantize are interpreted HOF lambdas over the
+    // whole corpus — checkpoint so the fit's per-round passes and the
+    // final assignment write all read materialized rows (one quantize
+    // pass total, per the quantizeInt8 once-per-corpus contract)
     val deq = quantizeInt8(corpus, idCol, vecCol)
       .withColumn(vecCol, dequantize(col("qvec"), col("scale")))
+      .localCheckpoint(true)
     val centroids = broadcast(
       fitCentroids(deq, idCol, vecCol, nCells, lloydIters).localCheckpoint(true))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
