@@ -394,12 +394,9 @@ object SparkEntry {
 
     // data-driven language ID: broadcast stopword-frequency profile frame,
     // weight-sum argmax per doc (r2 marker literals retired)
-    "q32_langid" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      docs.select(col("doc_id"), col("lang"))
-        .join(TextAnalysis.languageIdByProfile(docs, "doc_id", "text",
-          TextAnalysis.profileFrame(s)), Seq("doc_id"))
-    }),
+    "q32_langid" -> ((s, d) =>
+      TextAnalysis.languageIdByProfile(t(s, d, "documents"), "doc_id", "text",
+        TextAnalysis.profileFrame(s), keep = Seq("lang"))),
 
     "q33_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(t(s, d, "documents"), "text")

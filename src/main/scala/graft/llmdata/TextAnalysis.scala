@@ -84,7 +84,7 @@ object TextAnalysis {
     * `profiles` columns: lang, term, weight. Output: one row per input
     * doc — (doc_id, predicted_lang). */
   def languageIdByProfile(df: DataFrame, idCol: String, textCol: String,
-                          profiles: DataFrame): DataFrame = {
+                          profiles: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
@@ -96,9 +96,12 @@ object TextAnalysis {
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("__best"))
-    df.select(col(idCol).as("doc_id"))
+    // `keep` passes caller columns through the final join so consumers
+    // don't re-scan the corpus to reattach them (the q32 pattern)
+    df.select(col(idCol).as("doc_id") +: keep.map(col): _*)
       .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__best"), lit("und")).as("predicted_lang"))
+      .select(col("doc_id") +: keep.map(col) :+
+        coalesce(col("__best"), lit("und")).as("predicted_lang"): _*)
   }
 
   /** Whitespace token count (the baseline tokenizer). */
