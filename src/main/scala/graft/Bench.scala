@@ -38,10 +38,17 @@ object Bench {
       // (noise only inflates, so the bias is toward caution)
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision (noise floor is far above 1ms) keeps the line compact:
+    // the driver captures a bounded TAIL of stdout, and round 2/3 lines at
+    // full double precision overflowed it (BENCH_r03 "parsed": null, head
+    // queries truncated). Summary fields go AFTER the queries map for the
+    // same reason — if the head is ever cut again, the total still lands
+    // inside the captured tail.
+    def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","reps":$reps,"unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }
