@@ -637,6 +637,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // SemDeDup-style semantic dedup: embedding near-dup clusters
+    // (LSH-bucketed pairs → transitive components), losers dropped,
+    // min-id keeper + unpaired vectors survive
+    "q80_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, bits = 8)
+        .select("vec_id", "label")),
+
     // containment-scored near-dup pairs (doc-in-doc detection; exact
     // inverted-index blocking, df-capped)
     "q78_containment_pairs" -> ((s, d) =>
@@ -1219,6 +1227,28 @@ object SparkEntry {
         |  FROM (SELECT * FROM deq WHERE vec_id < 16) q, deq c
         |  WHERE q.vec_id <> c.vec_id
         |) WHERE rnk = 1""".stripMargin,
+
+    // q41's multi-probe pair CTE over the FULL embeddings table, then
+    // q60's recursive-CTE transitive clustering and q63's loser anti-join
+    // — the oracle mirror of semanticDedup's three composed stages
+    "q80_semantic_dedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${bucketSql(8)} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM v a JOIN v b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb)
+         |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35),
+         |edges AS (SELECT id_a, id_b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(lbl))
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |LEFT JOIN losers x ON e.vec_id = x.id
+         |WHERE x.id IS NULL""".stripMargin,
 
     // mirrors containmentPairs: exact inverted-index candidates (any
     // shared shingle with df <= 1000), containments divide the shared

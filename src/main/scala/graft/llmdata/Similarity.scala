@@ -337,6 +337,29 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): drop every
+    * document whose EMBEDDING near-duplicates a smaller-id survivor —
+    * textual dedup's blind spot is paraphrases and translations, which
+    * land nearby in embedding space while sharing few n-grams.
+    *
+    * Pipeline: LSH-bucketed cosine pairs ([[cosineNearDupPairs]] — never
+    * all-pairs) → transitive components ([[DedupOps.nearDupClusters]] —
+    * a keeper per CLUSTER, not per pair, or A~B, B~C keeps both A and C)
+    * → broadcast-anti-join the loser set against the corpus scan. The
+    * loser set is the near-dup slice, small by construction; the corpus
+    * is scanned once. Pairs are eagerly checkpointed before the cluster
+    * loop forks them per iteration ([[DedupOps.nearDupClusters]]'s input
+    * contract). Returns the surviving rows of `df` unchanged. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bits: Int = 8): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, bits)
+      .localCheckpoint(true)
+    val clusters = DedupOps.nearDupClusters(pairs)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(graft.operators.Broadcasts.maybeBroadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
     * to probe-set collisions (buckets within Hamming distance 1 — the
     * near-dup variant of [[lshTopK]]'s multi-probe). Side A fans out to

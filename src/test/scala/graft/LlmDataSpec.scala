@@ -293,6 +293,21 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps one embedding per transitive cosine cluster") {
+    // 1 ≈ 2 ≈ 3 (identical + tiny perturbation: same bucket, cosine ≈ 1);
+    // 4 is the sign-flipped pattern — complementary bucket (Hamming 8,
+    // never paired) and strongly negative cosine
+    val a = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val a3 = a.clone(); a3(2) = 0.9f
+    val vecs = Seq(1L -> a, 2L -> a.clone(), 3L -> a3, 4L -> a.map(-_))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.8, bits = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == Set(1L, 4L),
+      "cluster {1,2,3} keeps its min id; the unpaired vector survives")
+  }
+
   test("dedupCorpus keeps cluster keepers and unpaired docs") {
     val out = DedupOps.dedupCorpus(docs, "doc_id", "text", jaccardThreshold = 0.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
