@@ -645,6 +645,14 @@ object SparkEntry {
         threshold = 0.35, bits = 8)
         .select("vec_id", "label")),
 
+    // boilerplate n-gram scrubbing: spans covered by a 3-gram occurring
+    // in >= 4 distinct docs are removed from every document
+    "q81_scrub_boilerplate" -> ((s, d) =>
+      TextAnalysis.scrubBoilerplate(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minDf = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))),
+
     // containment-scored near-dup pairs (doc-in-doc detection; exact
     // inverted-index blocking, df-capped)
     "q78_containment_pairs" -> ((s, d) =>
@@ -1249,6 +1257,35 @@ object SparkEntry {
          |SELECT e.vec_id, e.label FROM embeddings e
          |LEFT JOIN losers x ON e.vec_id = x.id
          |WHERE x.id IS NULL""".stripMargin,
+
+    // mirrors scrubBoilerplate: zipped unnests stand in for WITH
+    // ORDINALITY; coverage is the same 2-PRECEDING running window sum;
+    // string_agg(CASE…) drops removed tokens (aggregates skip NULLs)
+    "q81_scrub_boilerplate" ->
+      """WITH arr AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (SELECT doc_id, unnest(generate_series(1, len(t))) - 1 AS pos,
+        |                unnest(t) AS tok FROM arr),
+        |starts AS (SELECT doc_id,
+        |             unnest(generate_series(1, greatest(len(t) - 2, 0))) - 1 AS pos,
+        |             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |           FROM arr),
+        |freq AS (SELECT s FROM starts GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 4),
+        |cov AS (SELECT st.doc_id, st.pos, 1 AS hit FROM starts st JOIN freq USING (s)),
+        |marked AS (SELECT tk.doc_id, tk.pos, tk.tok,
+        |             SUM(COALESCE(c.hit, 0)) OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) > 0 AS covered
+        |           FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |          CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |          COALESCE(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+        |        FROM marked GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(a.clean_text, '')) AS clean_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // mirrors containmentPairs: exact inverted-index candidates (any
     // shared shingle with df <= 1000), containments divide the shared

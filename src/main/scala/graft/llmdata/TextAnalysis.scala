@@ -287,6 +287,75 @@ object TextAnalysis {
     df.join(graft.operators.Broadcasts.maybeBroadcast(dropped), Seq(idCol), "left_anti")
   }
 
+  /** Boilerplate n-gram scrubbing: remove every token span covered by a
+    * word n-gram that occurs in at least `minDf` DISTINCT documents — the
+    * cross-document repeated-span filter (headers, footers, license
+    * blocks, navigation chrome) of the C4/RefinedWeb curation family.
+    * Complements [[repetitionFeatures]] (within-doc repetition) and
+    * near-dup dedup (whole-doc similarity): boilerplate contaminates
+    * otherwise-unique documents, so the unit of removal is the SPAN.
+    *
+    * Semantics: token at position p is removed iff ANY frequent n-gram
+    * starts in [p−n+1, p] (i.e. the token lies inside at least one
+    * frequent-span occurrence). Text is normalized (trim/lower/whitespace
+    * tokenize) the same way as every dedup operator.
+    *
+    * Shape at 100 TB: two passes over the token stream (the same
+    * inherent two-pass shape as TF-IDF — the document-frequency table is
+    * a global aggregate that must join back): pass 1 builds n-gram
+    * starts (posexplode + lead window, the [[DedupOps.shingleStream]]
+    * stage) and their doc-frequencies; the frequent set and its covered
+    * (doc, pos) starts are the SMALL boilerplate slice, equi-joined back
+    * onto the token stream; coverage is a per-doc running window sum
+    * (n−1 preceding rows), and reassembly one groupBy(doc) with an
+    * order-restoring sort_array — all key-shuffles on doc_id or the
+    * n-gram, never all-pairs, no driver state.
+    *
+    * Returns one row per input doc: (doc_id, clean_text, n_tokens,
+    * n_removed) — clean_text in normalized token form. */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    require(minDf >= 1, s"minDf must be positive, got $minDf")
+    val base = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), posexplode(DedupOps.tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val starts = base
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok") +:
+          (1 until n).map(j => lead(col("tok"), j).over(w)): _*).as("s"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("complete"))
+      .filter(col("complete")).drop("complete")
+    val frequent = starts.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("s")
+    // covered starts = the boilerplate slice (small by construction)
+    val cov = starts.join(frequent, Seq("s")).select(col("doc_id"), col("pos"))
+      .withColumn("__hit", lit(1))
+    val wCov = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val marked = base.join(cov, Seq("doc_id", "pos"), "left")
+      .withColumn("covered",
+        sum(coalesce(col("__hit"), lit(0))).over(wCov) > 0)
+    val agg = marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("covered").cast("long")).as("n_removed"),
+      // collect_list skips nulls: only kept tokens enter; sort_array on
+      // (pos, tok) structs restores document order deterministically
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(!col("covered"),
+          struct(col("pos"), col("tok"))))),
+        x => x.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Corpus-level vocabulary heavy hitters: the `k` most frequent terms
     * with their occurrence and document counts — the exact form of the
     * vocab-stats pass a tokenizer-training pipeline runs. One explode +

@@ -293,6 +293,36 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("scrubBoilerplate removes frequent-span tokens, leaves unique docs intact") {
+    val fixture = Seq(
+      (1L, "aaa bbb ccc unique1 xxx"),        // boilerplate at head
+      (2L, "zzz aaa bbb ccc yyy"),            // boilerplate mid-doc
+      (3L, "totally different words here")    // no boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplate(fixture, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(out(1L) == (("unique1 xxx", 5L, 3L)))
+    assert(out(2L) == (("zzz yyy", 5L, 3L)))
+    assert(out(3L) == (("totally different words here", 4L, 0L)))
+  }
+
+  test("scrubBoilerplate covers overlapping frequent spans exactly once per token") {
+    // "a b c d" in both docs: frequent 3-grams "a b c" (pos 0) and
+    // "b c d" (pos 1) overlap on b,c — each token removed once, no
+    // double-count in n_removed
+    val fixture = Seq(
+      (1L, "a b c d tail1"),
+      (2L, "head2 a b c d")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplate(fixture, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) == (("tail1", 4L)))
+    assert(out(2L) == (("head2", 4L)))
+  }
+
   test("semanticDedup keeps one embedding per transitive cosine cluster") {
     // 1 ≈ 2 ≈ 3 (identical + tiny perturbation: same bucket, cosine ≈ 1);
     // 4 is the sign-flipped pattern — complementary bucket (Hamming 8,
