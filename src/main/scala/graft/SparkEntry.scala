@@ -645,6 +645,13 @@ object SparkEntry {
         threshold = 0.35, bits = 8)
         .select("vec_id", "label")),
 
+    // deterministic shuffle-shard: reproducible training-export
+    // permutation (hash-fraction shard + in-shard position)
+    "q82_shuffle_shard" -> ((s, d) =>
+      graft.llmdata.Sampling.shuffleShard(t(s, d, "documents"), "doc_id",
+        nShards = 8, salt = "epoch1")
+        .select("doc_id", "shard", "position")),
+
     // boilerplate n-gram scrubbing: spans covered by a 3-gram occurring
     // in >= 4 distinct docs are removed from every document
     "q81_scrub_boilerplate" -> ((s, d) =>
@@ -1257,6 +1264,16 @@ object SparkEntry {
          |SELECT e.vec_id, e.label FROM embeddings e
          |LEFT JOIN losers x ON e.vec_id = x.id
          |WHERE x.id IS NULL""".stripMargin,
+
+    // mirrors shuffleShard's md5 hash-fraction arithmetic exactly
+    "q82_shuffle_shard" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'epoch1'), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac FROM documents)
+        |SELECT doc_id, CAST(floor(frac * 8) AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY CAST(floor(frac * 8) AS INT)
+        |    ORDER BY frac ASC, doc_id ASC) AS BIGINT) AS position
+        |FROM f""".stripMargin,
 
     // mirrors scrubBoilerplate: zipped unnests stand in for WITH
     // ORDINALITY; coverage is the same 2-PRECEDING running window sum;

@@ -32,6 +32,44 @@ object Sampling {
     df.filter(hashFraction(col(keyCol)) < rate)
   }
 
+  /** Deterministic global shuffle + shard assignment — the export step
+    * that turns a curated corpus into training shards: every row gets a
+    * pseudorandom but REPRODUCIBLE position (same inputs + salt → same
+    * permutation on any engine or cluster size; a new `salt` is a fresh
+    * epoch-level permutation). shard = floor(hashFrac × nShards), so
+    * shards are contiguous ranges of the hash fraction and shard sizes
+    * are uniform in expectation; `position` orders rows within a shard
+    * by the same fraction (ties by key — total order).
+    *
+    * Shape at 100 TB: the fraction is a map-stage expression; the only
+    * exchange is one partition-by-shard sort — exactly the
+    * repartition + sortWithinPartitions shuffle [[exportShards]] runs.
+    * No global ordering bottleneck: position is per-shard. */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__frac").asc, col(keyCol).asc)
+    df.withColumn("__frac", frac)
+      .withColumn("shard", floor(col("__frac") * nShards).cast("int"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__frac")
+  }
+
+  /** Write a [[shuffleShard]]-shuffled corpus as partitioned JSONL — the
+    * on-disk layout a training loader streams: `path/shard=N/….json`,
+    * one JSON object per line, lines in shuffled (position) order within
+    * each shard. One shuffle (repartition on shard) + an in-partition
+    * sort; at 100 TB each shard writes in parallel and no global sort
+    * materializes. */
+  def exportShards(df: DataFrame, keyCol: String, nShards: Int, path: String,
+                   salt: String = ""): Unit =
+    shuffleShard(df, keyCol, nShards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("position"))
+      .write.mode("overwrite").partitionBy("shard").json(path)
+
   /** Fixed-size per-stratum sample: the `n` rows with the smallest hash
     * fractions in each stratum (ties broken by key) — a deterministic
     * reservoir-sample analog. One shuffle on the stratum key; the window

@@ -293,6 +293,45 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShard is a reproducible dense permutation; exportShards writes ordered JSONL") {
+    import graft.llmdata.Sampling
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    def run(salt: String) = Sampling.shuffleShard(docs, "doc_id", 4, salt)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("shard"), r.getAs[Long]("position")))).toMap
+    val a = run("s1")
+    assert(a.size == n, "every doc appears exactly once")
+    // positions are dense 1..|shard| within each shard
+    a.values.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(0 <= shard && shard < 4)
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+    assert(run("s1") == a, "same salt reproduces the permutation")
+    assert(run("s2") != a, "a new salt is a fresh permutation")
+
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    Sampling.exportShards(docs.select("doc_id", "text"), "doc_id", 4, path, salt = "s1")
+    assert(spark.read.json(path).count() == n, "JSONL round-trips every row")
+    val shardDirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.getName.startsWith("shard=")))
+    // within each output file, lines ride in shuffled (position) order
+    shardDirs.foreach { dir =>
+      dir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+        val ids = scala.io.Source.fromFile(f).getLines()
+          .map(l => ujsonDocId(l)).toSeq
+        val ps = ids.map(id => a(id)._2)
+        assert(ps == ps.sorted, s"lines in ${f.getName} must be position-ordered")
+      }
+    }
+  }
+
+  /** Minimal doc_id extractor for a one-level JSON object line. */
+  private def ujsonDocId(line: String): Long = {
+    val m = """"doc_id"\s*:\s*(\d+)""".r.findFirstMatchIn(line)
+    m.get.group(1).toLong
+  }
+
   test("scrubBoilerplate removes frequent-span tokens, leaves unique docs intact") {
     val fixture = Seq(
       (1L, "aaa bbb ccc unique1 xxx"),        // boilerplate at head
