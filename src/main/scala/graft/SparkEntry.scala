@@ -645,6 +645,22 @@ object SparkEntry {
         threshold = 0.35, bits = 8)
         .select("vec_id", "label")),
 
+    // asymmetric containment search (quote-finding): non-overlapping
+    // 12-token chunks of the first 5 docs as queries — each is contained
+    // in its source by construction — searched against the FULL corpus;
+    // the query side broadcasts, recall over queries is exhaustive
+    "q83_containment_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val chunks = TextAnalysis.chunkByTokens(docs.filter(col("doc_id") < 5),
+          "doc_id", "text", chunkTokens = 12, stride = 12)
+        .select((col("doc_id") * 1000 + col("chunk_index")).as("doc_id"),
+          col("chunk_text").as("text"))
+      DedupOps.containmentSearch(docs, chunks, "doc_id", "text",
+        shingleSize = 3, containmentThreshold = 0.8)
+        .select(col("query_id"), col("doc_id"), col("n_shared"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // deterministic shuffle-shard: reproducible training-export
     // permutation (hash-fraction shard + in-shard position)
     "q82_shuffle_shard" -> ((s, d) =>
@@ -1264,6 +1280,39 @@ object SparkEntry {
          |SELECT e.vec_id, e.label FROM embeddings e
          |LEFT JOIN losers x ON e.vec_id = x.id
          |WHERE x.id IS NULL""".stripMargin,
+
+    // mirrors containmentSearch with q67's chunk CTE as the query side:
+    // 12-token non-overlapping chunks of doc_id < 5 (re-keyed
+    // doc_id*1000+chunk_index), containment = shared distinct shingles
+    // over the QUERY set size, searched against the full corpus
+    "q83_containment_search" -> {
+      def shOf(t: String) =
+        s"list_sort(list_distinct(list_transform(generate_series(1, len($t) - 2), " +
+          s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])))"
+      val corpusToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val chunkToks = "regexp_split_to_array(trim(lower(chunk_text)), '\\s+')"
+      s"""WITH src AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0 AND doc_id < 5),
+         |chunks AS (
+         |  SELECT doc_id * 1000 + chunk_index AS query_id,
+         |    array_to_string(list_slice(toks, chunk_index * 12 + 1, chunk_index * 12 + 12), ' ')
+         |      AS chunk_text
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(0,
+         |        greatest(0, CAST(floor((len(toks) - 12 + 12 - 1) / 12.0) AS INT)))) AS chunk_index
+         |    FROM src)),
+         |q AS (SELECT query_id, unnest(${shOf(chunkToks)}) AS s FROM chunks),
+         |qsz AS (SELECT query_id, COUNT(*) AS q_sz FROM q GROUP BY 1),
+         |c AS (SELECT doc_id, unnest(${shOf(corpusToks)}) AS s FROM documents),
+         |shared AS (
+         |  SELECT q.query_id, c.doc_id, COUNT(*) AS n_shared
+         |  FROM c JOIN q USING (s) GROUP BY 1, 2)
+         |SELECT s.query_id, s.doc_id, CAST(s.n_shared AS BIGINT) AS n_shared,
+         |  ROUND(CAST(s.n_shared AS DOUBLE) / z.q_sz, 6) AS containment
+         |FROM shared s JOIN qsz z USING (query_id)
+         |WHERE CAST(s.n_shared AS DOUBLE) / z.q_sz >= 0.8""".stripMargin
+    },
 
     // mirrors shuffleShard's md5 hash-fraction arithmetic exactly
     "q82_shuffle_shard" ->

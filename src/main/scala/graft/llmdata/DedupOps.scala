@@ -453,6 +453,42 @@ object DedupOps {
       .filter(col("n_contaminated_shingles") >= minShared)
   }
 
+  /** Asymmetric containment SEARCH: for each document of a small `queries`
+    * frame (templates, benchmark items, license texts), find every corpus
+    * document that CONTAINS it — containment = |Q∩C| / |Q| ≥ threshold,
+    * where Q and C are distinct word-n-gram sets.
+    *
+    * The asymmetric complement of [[containmentPairs]] (the corpus
+    * self-join form, whose df-capped inverted index can miss a contained
+    * doc made entirely of boilerplate-frequency shingles): here the query
+    * side is small BY CONTRACT, so its full shingle set broadcasts
+    * uncapped and recall over the query set is exhaustive — a corpus doc
+    * containing a query shares ALL of that query's shingles, every one of
+    * which survives (no df cap exists to drop them).
+    *
+    * Cost at scale: one corpus shingle pass (explode + window), a
+    * broadcast hash join against the query shingle set, one (query, doc)
+    * count aggregate with map-side combine — never all-pairs, the corpus
+    * is never self-joined. Returns (query_id, doc_id, n_shared,
+    * containment). Callers filter `doc_id != query_id` if the query slice
+    * also lives in the corpus. */
+  def containmentSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        textCol: String, shingleSize: Int = 3,
+                        containmentThreshold: Double = 0.8): DataFrame = {
+    val qSh = shingleStream(queries, idCol, textCol, shingleSize)
+      .distinct() // set semantics
+      .withColumnRenamed("doc_id", "query_id")
+    val qSizes = qSh.groupBy(col("query_id")).agg(count(lit(1)).as("q_sz"))
+    val cSh = shingleStream(corpus, idCol, textCol, shingleSize).distinct()
+    cSh.join(graft.operators.Broadcasts.maybeBroadcast(qSh), Seq("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(qSizes), Seq("query_id"))
+      .withColumn("containment", col("n_shared").cast("double") / col("q_sz"))
+      .filter(col("containment") >= containmentThreshold)
+      .select("query_id", "doc_id", "n_shared", "containment")
+  }
+
   /** N-gram Jaccard similarity for an explicit candidate pair set
     * (exact verification path; used standalone on pre-blocked pairs). */
   def jaccard(shA: Column, shB: Column): Column =

@@ -142,6 +142,25 @@ class LlmDataSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("containmentSearch finds corpus docs containing a query's shingles") {
+    // query 1 has shingle set {aaa bbb ccc, bbb ccc ddd} (|Q| = 2)
+    val queries = Seq((1L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro words aaa bbb ccc ddd trailing content here"), // full containment
+      (11L, "aaa bbb ccc elsewhere entirely other stuff"),        // half
+      (12L, "unrelated corpus document nothing shared")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentSearch(corpus, queries, "doc_id", "text",
+      shingleSize = 3, containmentThreshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("containment")).toMap
+    assert(out == Map(10L -> 1.0, 11L -> 0.5))
+    val strict = DedupOps.containmentSearch(corpus, queries, "doc_id", "text",
+      shingleSize = 3, containmentThreshold = 0.6)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(strict == Set(10L), "threshold prunes the partial match")
+  }
+
   test("repetition features and filter flag degenerate docs, pass diverse ones") {
     val fixtures = Seq(
       (1L, "spam spam spam spam"),                         // dup 3/4, top bigram 3/3
