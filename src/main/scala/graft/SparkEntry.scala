@@ -661,6 +661,13 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // data-derived mix resampling: downsample to a 40/30/30 en/de/fr
+    // corpus (untargeted langs dropped; binding stratum keeps all rows)
+    "q84_resample_mix" -> ((s, d) =>
+      graft.llmdata.Sampling.resampleToMix(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3))
+        .select("doc_id", "lang")),
+
     // deterministic shuffle-shard: reproducible training-export
     // permutation (hash-fraction shard + in-shard position)
     "q82_shuffle_shard" -> ((s, d) =>
@@ -1313,6 +1320,19 @@ object SparkEntry {
          |FROM shared s JOIN qsz z USING (query_id)
          |WHERE CAST(s.n_shared AS DOUBLE) / z.q_sz >= 0.8""".stripMargin
     },
+
+    // mirrors resampleToMix: K = MIN(n/target) over targeted strata,
+    // rate = target*K/n, the same md5 hash-fraction membership rule
+    "q84_resample_mix" ->
+      """WITH tgt AS (SELECT * FROM (VALUES ('de', 0.3), ('en', 0.4), ('fr', 0.3)) t(lang, target)),
+        |counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT MIN(CAST(n AS DOUBLE) / target) AS k
+        |      FROM counts JOIN tgt USING (lang)),
+        |rates AS (SELECT c.lang, t.target * (SELECT k FROM k) / CAST(c.n AS DOUBLE) AS rate
+        |          FROM counts c JOIN tgt t USING (lang))
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 < r.rate""".stripMargin,
 
     // mirrors shuffleShard's md5 hash-fraction arithmetic exactly
     "q82_shuffle_shard" ->

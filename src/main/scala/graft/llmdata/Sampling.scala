@@ -32,6 +32,46 @@ object Sampling {
     df.filter(hashFraction(col(keyCol)) < rate)
   }
 
+  /** Resample a corpus to a TARGET mix: given desired per-stratum shares
+    * (e.g. language or source weights for a training run), keep the
+    * largest downsample-only subset whose expected composition matches
+    * the targets exactly. K = minᵢ(Nᵢ/targetᵢ) is the largest total with
+    * no stratum upsampled; stratum i keeps targetᵢ·K rows in expectation
+    * (rate = targetᵢ·K/Nᵢ, and the binding stratum keeps everything).
+    * Strata absent from `targets` are dropped (share 0).
+    *
+    * Unlike [[stratifiedSample]] (caller provides RATES), this derives
+    * the rates FROM the data — the operator a mixing step actually wants:
+    * "make the corpus 40% en / 30% de / 30% fr" without hand-computing
+    * per-run rates as counts drift.
+    *
+    * Shape at 100 TB: the count table is strata-scale, joined as a
+    * broadcast frame (no driver collect); membership is the same
+    * hash-fraction map filter as [[stratifiedSample]] — deterministic,
+    * engine-portable, reproducible across runs and cluster sizes. Two
+    * corpus passes (counts, then filter) — inherent, the rates depend on
+    * a global aggregate. */
+  def resampleToMix(df: DataFrame, keyCol: String, stratumCol: String,
+                    targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "resampleToMix: empty target map")
+    require(targets.values.forall(_ > 0), "resampleToMix: targets must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF("__stratum", "__target")
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    // inner join: untargeted strata get no rate row and are dropped
+    val ratios = counts.join(broadcast(tgt), Seq("__stratum"))
+      .withColumn("__ratio", col("__n").cast("double") / col("__target"))
+    val k = ratios.agg(min(col("__ratio")).as("__k"))
+    val rates = ratios.crossJoin(broadcast(k))
+      .withColumn("__rate", col("__target") * col("__k") / col("__n").cast("double"))
+      .select(col("__stratum"), col("__rate"))
+    df.join(broadcast(rates), col(stratumCol).cast("string") === col("__stratum"))
+      .filter(hashFraction(col(keyCol)) < col("__rate"))
+      .drop("__stratum", "__rate")
+  }
+
   /** Deterministic global shuffle + shard assignment — the export step
     * that turns a curated corpus into training shards: every row gets a
     * pseudorandom but REPRODUCIBLE position (same inputs + salt → same

@@ -312,6 +312,29 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("resampleToMix hits the target mix: binding stratum keeps all, others downsample") {
+    import graft.llmdata.Sampling
+    // A: 200 rows, B: 10 rows; targets 50/50 → K = min(400, 20) = 20:
+    // B is binding (rate 1.0, all kept), A keeps ~10 in expectation
+    val df = ((1L to 200L).map(i => (i, "A")) ++ (1001L to 1010L).map(i => (i, "B")))
+      .toDF("doc_id", "src")
+    val kept = Sampling.resampleToMix(df, "doc_id", "src",
+      Map("A" -> 0.5, "B" -> 0.5)).collect()
+    val byStratum = kept.groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    assert(byStratum.getOrElse("B", 0) == 10, "binding stratum keeps every row")
+    val nA = byStratum.getOrElse("A", 0)
+    assert(nA > 0 && nA < 50, s"A must downsample toward ~10 rows, got $nA")
+    // deterministic: a second run returns the identical set
+    val again = Sampling.resampleToMix(df, "doc_id", "src",
+      Map("A" -> 0.5, "B" -> 0.5)).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
+    // untargeted strata are dropped entirely
+    val withC = df.union(Seq((2000L, "C")).toDF("doc_id", "src"))
+    val keptC = Sampling.resampleToMix(withC, "doc_id", "src",
+      Map("A" -> 0.5, "B" -> 0.5)).collect().map(_.getAs[String]("src")).toSet
+    assert(!keptC.contains("C"))
+  }
+
   test("shuffleShard is a reproducible dense permutation; exportShards writes ordered JSONL") {
     import graft.llmdata.Sampling
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
