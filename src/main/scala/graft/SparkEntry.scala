@@ -661,6 +661,22 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // tombstone-aware indexed dedup: corpus docs 72/107 are deleted
+    // AFTER the index build — retracted content must stop suppressing
+    // new batches (at sf0.01 this re-admits batch docs 377/387, whose
+    // only near-dup partners were the tombstoned pair)
+    "q85_incremental_dedup_tombstone" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-sig-tb").toString + "/idx"
+      DedupOps.signatureWrite(docs.filter(col("doc_id") < 250), "doc_id", "text",
+        path, shingleSize = 3, bands = 4, rows = 4)
+      DedupOps.signatureDelete(docs.filter(col("doc_id").isin(72, 107)), "doc_id", path)
+      DedupOps.incrementalDedupIndexed(s, path, docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+        jaccardThreshold = 0.4)
+        .select("doc_id", "lang")
+    }),
+
     // data-derived mix resampling: downsample to a 40/30/30 en/de/fr
     // corpus (untargeted langs dropped; binding stratum keeps all rows)
     "q84_resample_mix" -> ((s, d) =>
@@ -812,7 +828,9 @@ object SparkEntry {
     * `mh_pairs` is the verified near-dup pair set. */
   private val mhBands = 4
   private val mhRows = 4
-  private val minhashPairsCtes: String = {
+  /** The q34-family MinHash CTE chain, with an optional WHERE on the
+    * document source — q85 excludes tombstoned corpus docs. */
+  private def minhashPairsCtesWhere(where: String): String = {
     val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
@@ -822,7 +840,7 @@ object SparkEntry {
       val bandSig = (0 until mhRows).map(r => sig(b * mhRows + r)).mkString(" || '|' || ")
       s"SELECT doc_id, sh, $b AS band, md5($bandSig) AS band_hash FROM shingled"
     }
-    s"""shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+    s"""shingled AS (SELECT doc_id, $sh AS sh FROM documents $where),
        |banded AS (${bandRows.mkString(" UNION ALL ")}),
        |mh_pairs AS (
        |  SELECT id_a, id_b, MAX(jaccard) AS jaccard FROM (
@@ -834,6 +852,8 @@ object SparkEntry {
        |      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
        |  GROUP BY 1, 2 HAVING MAX(jaccard) >= 0.4)""".stripMargin
   }
+
+  private val minhashPairsCtes: String = minhashPairsCtesWhere("")
 
   def oracleSql: Map[String, String] = Map(
     "q46_trip_silver" ->
@@ -1320,6 +1340,14 @@ object SparkEntry {
          |FROM shared s JOIN qsz z USING (query_id)
          |WHERE CAST(s.n_shared AS DOUBLE) / z.q_sz >= 0.8""".stripMargin
     },
+
+    // q65's admit rule with the tombstoned corpus docs excluded from the
+    // pair CTE — deletion must change admission, not just the index files
+    "q85_incremental_dedup_tombstone" ->
+      s"""WITH ${minhashPairsCtesWhere("WHERE doc_id NOT IN (72, 107)")}
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id >= 250
+         |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
 
     // mirrors resampleToMix: K = MIN(n/target) over targeted strata,
     // rate = target*K/n, the same md5 hash-fraction membership rule

@@ -333,13 +333,63 @@ object DedupOps {
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     val batchSh = shingleStream(b, "doc_id", "__t", shingleSize).persist(mem)
     val bandedBatch = bandedSignatures(batchSh, bands, rows).persist(mem)
-    val corpusSh = spark.read.parquet(s"$path/shingles")
-    val bandedCorpus = spark.read.parquet(s"$path/signatures")
+    // live views: tombstoned corpus docs ([[signatureDelete]]) no longer
+    // block admission — deleted content must not suppress new batches
+    val corpusSh = liveIndexTable(spark, path, "shingles")
+    val bandedCorpus = liveIndexTable(spark, path, "signatures")
     val result = incrementalCore(bandedCorpus, bandedBatch,
       corpusSh.unionByName(batchSh), batch, idCol, jaccardThreshold)
     batchSh.unpersist()
     bandedBatch.unpersist()
     result
+  }
+
+  /** Tombstone corpus documents in a [[signatureWrite]] index: retracted
+    * docs (takedowns, license revocations, re-curation) must stop
+    * suppressing new batches, but eagerly rewriting the two large stored
+    * tables per deletion would make deletes O(corpus). Tombstones are the
+    * standard table-format answer (no transactional format exists
+    * offline, so the index carries its own): a tiny `path/tombstones`
+    * id table, anti-joined at read time, physically purged by
+    * [[signatureCompact]] when enough accumulate. The tombstone write is
+    * a parquet append of an id list — same non-atomicity note as
+    * [[signatureAppend]] (the index is rebuildable). */
+  def signatureDelete(tombstoned: DataFrame, idCol: String, path: String): Unit =
+    tombstoned.select(col(idCol).as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The live view of a stored index table: tombstoned doc ids are
+    * anti-joined out. The tombstone set is deletion-scale (small), so
+    * the size-gated broadcast makes this a map-side filter on the stored
+    * table's scan — reads pay ~zero for carrying deletions. */
+  private def liveIndexTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String, table: String): DataFrame = {
+    val stored = spark.read.parquet(s"$path/$table")
+    graft.sources.Tables.readParquetIfExists(spark, s"$path/tombstones") match {
+      case Some(tb) => stored.join(
+        graft.operators.Broadcasts.maybeBroadcast(tb.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      case None => stored
+    }
+  }
+
+  /** Physically purge tombstoned docs from a [[signatureWrite]] index:
+    * rewrite shingles + signatures without them (atomic temp-dir swap —
+    * a crash never leaves a half-rewritten table), then clear the
+    * tombstone list. Run when the tombstone set has grown enough that
+    * the per-read anti-join or the dead rows' scan cost matter; between
+    * compactions reads are already correct via the live view. */
+  def signatureCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Tables.readParquetIfExists(spark, s"$path/tombstones").foreach { _ =>
+      Seq("shingles", "signatures").foreach { t =>
+        graft.incremental.Writers.atomicRewrite(
+          liveIndexTable(spark, path, t), s"$path/$t")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
   }
 
   /** Append newly-admitted documents to a [[signatureWrite]] index — one

@@ -477,6 +477,31 @@ class LlmDataSpec extends SparkSpec {
     assert(indexed2 == direct2, "appended index must dedup against corpus ∪ admitted")
   }
 
+  test("tombstoned corpus docs stop suppressing batches; compact purges them") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here unrelated content")
+    ).toDF("doc_id", "text")
+    val batch = Seq( // dup of corpus doc 1 — suppressed while 1 is live
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-sig-tb").toString + "/idx"
+    DedupOps.signatureWrite(corpus, "doc_id", "text", path)
+    def admitted() = DedupOps.incrementalDedupIndexed(spark, path, batch,
+      "doc_id", "text", jaccardThreshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted() == Set.empty[Long], "live corpus dup suppresses the batch")
+    DedupOps.signatureDelete(Seq(1L).toDF("doc_id"), "doc_id", path)
+    assert(admitted() == Set(10L), "tombstoned content must stop suppressing")
+    // compact: physical purge, tombstone list cleared, behavior unchanged
+    DedupOps.signatureCompact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(), "tombstones cleared")
+    val liveIds = spark.read.parquet(s"$path/shingles")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(liveIds == Set(2L), "purged doc's rows are physically gone")
+    assert(admitted() == Set(10L), "compaction preserves read semantics")
+  }
+
   test("contamination flags corpus docs overlapping the benchmark set") {
     val benchmark = Seq((1L, "the capital of france is paris")).toDF("doc_id", "text")
     val corpus = Seq(
