@@ -163,6 +163,73 @@ object Multimodal {
       }
   }
 
+  /** Typed per-clip audio statistics ([[audioStats]]). */
+  case class AudioStats(asset_id: Long, sample_rate: Int, channels: Int,
+                        n_frames: Long, mean_abs_amplitude: Double,
+                        decoded: Boolean)
+
+  /** REAL audio decode, JDK-only: `javax.sound.sampled.AudioSystem` ships
+    * WAV/AIFF/AU readers with the JRE — the audio analog of the
+    * [[imageIoCodec]] round: true sample rate / channel count / frame
+    * count and mean absolute amplitude (normalized to [0,1]) for every
+    * decodable PCM payload. Non-audio or unsupported payloads report
+    * `decoded = false` with zeroed stats and NaN amplitude
+    * (flag-and-continue: one corrupt asset must not kill a 100 TB scan;
+    * the Checks surface gates on decode health downstream). PCM_SIGNED
+    * 16-bit (either endianness) and 8-bit are read directly — the
+    * formats `AudioSystem.write` itself produces.
+    *
+    * Same partition-parallel `mapPartitions` shape as [[imageStats]]:
+    * no shuffle, constant memory, codec state per partition. */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          var in: javax.sound.sampled.AudioInputStream = null
+          try {
+            in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val pcmSigned =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcmSigned || (bits != 16 && bits != 8))
+              AudioStats(id, 0, 0, 0L, Double.NaN, decoded = false)
+            else {
+              val data = in.readAllBytes()
+              val bytesPerSample = bits / 8
+              val nSamples = data.length / bytesPerSample
+              var sum = 0.0
+              var i = 0
+              while (i < nSamples) {
+                val s =
+                  if (bits == 8) data(i * 1).toDouble / 128.0
+                  else {
+                    val off = i * 2
+                    val (lo, hi) =
+                      if (fmt.isBigEndian) (data(off + 1), data(off))
+                      else (data(off), data(off + 1))
+                    (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+                  }
+                sum += math.abs(s)
+                i += 1
+              }
+              val frames = nSamples.toLong / math.max(fmt.getChannels, 1)
+              AudioStats(id, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+                if (nSamples == 0) Double.NaN else sum / nSamples,
+                decoded = true)
+            }
+          } catch {
+            case _: Exception => // not audio / unsupported container
+              AudioStats(id, 0, 0, 0L, Double.NaN, decoded = false)
+          } finally if (in != null) in.close()
+        }
+      }
+  }
+
   /** The imperative-codec escape hatch: decode via `mapPartitions` (the
     * Scala analog of `mapInPandas` — one codec instance per partition,
     * rows streamed through it in batches). Preference order (build brief):

@@ -623,6 +623,33 @@ class LlmDataSpec extends SparkSpec {
     assert(!stats(2L).decoded && stats(2L).mean_luma.isNaN)
   }
 
+  test("multimodal: audio codec decodes a real generated WAV, flags non-audio") {
+    import javax.sound.sampled._
+    // 8 kHz mono 16-bit PCM: 800 frames of a 400 Hz sine at amplitude 0.5
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * 400 * i / 8000.0) * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    val media = Seq((1L, buf.toByteArray), (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val stats = Multimodal.audioStats(media).collect().map(s => s.asset_id -> s).toMap
+    assert(stats(1L).decoded)
+    assert(stats(1L).sample_rate == 8000 && stats(1L).channels == 1)
+    assert(stats(1L).n_frames == n.toLong)
+    // mean |0.5·sin| = 0.5·2/π ≈ 0.3183 (quantization keeps it within 1%)
+    assert(math.abs(stats(1L).mean_abs_amplitude - 0.3183) < 0.005,
+      s"got ${stats(1L).mean_abs_amplitude}")
+    assert(!stats(2L).decoded && stats(2L).mean_abs_amplitude.isNaN)
+  }
+
   test("multimodal: frame sampling covers the payload deterministically") {
     val media = Multimodal.fromDocuments(Seq((1L, "x" * 1000)).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 4).collect()
