@@ -68,10 +68,7 @@ class PruningSpec extends SparkSpec {
     val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", nCells = 4, iters = 1)
     val plan = Similarity.assignCorpusCells(emb, "vec_id", "embedding", cents)
       .queryExecution.executedPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.Exchange => e
-    }
-    assert(exchanges.isEmpty,
+    assert(countExchanges(plan) == 0,
       s"corpus assignment must not shuffle (was the r2 scale-killer):\n$plan")
     // and it agrees with the crossJoin + window-rank form on every vector
     // (same scoring, same lowest-cell_id tie-break)
@@ -86,6 +83,47 @@ class PruningSpec extends SparkSpec {
       .select($"vec_id", $"cell")
     assert(mapStage.join(viaWindow, Seq("vec_id", "cell")).count() == emb.count(),
       "map-stage assignment must match the window-rank assignment row-for-row")
+  }
+
+  /** Exchange count from the RENDERED tree: `plan.collect` cannot see
+    * through AdaptiveSparkPlanExec (a leaf wrapper — its inner plan is
+    * not a child), so node-collect assertions on AQE plans are vacuous;
+    * the toString renders the whole tree. Counts shuffle AND broadcast
+    * exchanges. */
+  private def countExchanges(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.toString.linesIterator.count(_.contains("Exchange"))
+
+  test("round-3/4 EXT queries never plan all-pairs joins (q76/q78/q80/q81/q83)") {
+    // these operators exist BECAUSE the naive form is quadratic: freeze
+    // the evidence that every join is an equi-join (hash/sort-merge),
+    // never a nested-loop or cartesian product over the corpus
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q76_repetition", "q78_containment_pairs",
+        "q80_semantic_dedup", "q81_scrub_boilerplate", "q83_containment_search")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a nested-loop join:\n$plan")
+    }
+  }
+
+  test("int8 quantization is a pure map stage (q77 plan shape)") {
+    import graft.llmdata.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan
+    assert(countExchanges(plan) == 0,
+      s"quantization must not shuffle (once-per-corpus storage pass):\n$plan")
+  }
+
+  test("shuffle-shard export plans exactly one exchange (q82 plan shape)") {
+    import graft.llmdata.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Sampling.shuffleShard(docs, "doc_id", 8, "s1")
+      .queryExecution.executedPlan
+    assert(countExchanges(plan) == 1,
+      s"the hash fraction is map-stage; only the per-shard sort may shuffle:\n$plan")
   }
 
   test("compaction rewrites a fragmented table into bounded file count") {
