@@ -661,6 +661,18 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // embedding-space decontamination: corpus vectors semantically close
+    // to the vec_id < 16 "benchmark" slice (paraphrase-class leakage the
+    // n-gram sweep q71 cannot see)
+    "q86_semantic_decontaminate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", threshold = 0.35, bits = 8)
+        .select(col("doc_id"), col("n_benchmark_hits"),
+          round(col("max_cosine"), 6).as("max_cosine"))
+    }),
+
     // tombstone-aware indexed dedup: corpus docs 72/107 are deleted
     // AFTER the index build — retracted content must stop suppressing
     // new batches (at sf0.01 this re-admits batch docs 377/387, whose
@@ -1340,6 +1352,21 @@ object SparkEntry {
          |FROM shared s JOIN qsz z USING (query_id)
          |WHERE CAST(s.n_shared AS DOUBLE) / z.q_sz >= 0.8""".stripMargin
     },
+
+    // q41's multi-probe collision condition, asymmetric: benchmark side
+    // vec_id < 16, corpus side >= 16, aggregated per corpus doc
+    "q86_semantic_decontaminate" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${bucketSql(8)} AS bucket FROM embeddings),
+         |hits AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    list_dot_product(b.emb, c.emb)
+         |      / (sqrt(list_dot_product(b.emb, b.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+         |  FROM v c JOIN v b ON bit_count(xor(c.bucket, b.bucket)) <= 1
+         |  WHERE c.vec_id >= 16 AND b.vec_id < 16)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_benchmark_hits,
+         |  ROUND(MAX(cosine), 6) AS max_cosine
+         |FROM hits WHERE cosine >= 0.35 GROUP BY doc_id""".stripMargin,
 
     // q65's admit rule with the tombstoned corpus docs excluded from the
     // pair CTE — deletion must change admission, not just the index files

@@ -360,6 +360,34 @@ object Similarity {
     df.join(graft.operators.Broadcasts.maybeBroadcast(losers), Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space decontamination: flag corpus vectors whose cosine to
+    * ANY benchmark vector reaches `threshold` — the semantic complement
+    * of [[DedupOps.contamination]]'s n-gram sweep (a paraphrased or
+    * translated test item shares no shingles but lands next to the
+    * benchmark in embedding space).
+    *
+    * The benchmark side is small by construction and fans out to its
+    * multi-probe bucket set ([[probeBuckets]]) as a broadcast; the corpus
+    * stays at its exact bucket — one map-stage bucket computation, one
+    * broadcast join, one per-doc aggregate. A (corpus, benchmark) pair
+    * matches at most one probe (corpus vectors live in exactly one
+    * bucket), so hit counts are exact without dedup.
+    *
+    * Returns (doc_id, n_benchmark_hits, max_cosine) for flagged docs. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            bits: Int = 8): DataFrame = {
+    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"),
+      explode(probeBuckets(col(vecCol), bits)).as("bucket"))
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    c.join(graft.operators.Broadcasts.maybeBroadcast(b), Seq("bucket"))
+      .withColumn("cosine", cosineNative(col("bv"), col("cv")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_benchmark_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted
     * to probe-set collisions (buckets within Hamming distance 1 — the
     * near-dup variant of [[lshTopK]]'s multi-probe). Side A fans out to

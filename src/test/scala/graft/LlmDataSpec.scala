@@ -419,6 +419,25 @@ class LlmDataSpec extends SparkSpec {
       "cluster {1,2,3} keeps its min id; the unpaired vector survives")
   }
 
+  test("semanticDecontaminate flags corpus vectors near a benchmark item") {
+    val b = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val nearSameBucket = b.clone(); nearSameBucket(2) = 0.9f
+    // one hyperplane flipped: lands in a Hamming-1 bucket — only the
+    // multi-probe fan-out can find it
+    val nearFlipped = b.clone(); nearFlipped(0) = -0.05f; nearFlipped(1) = 0.0f
+    val far = b.map(-_)
+    val benchmark = Seq(1L -> b).toDF("vec_id", "embedding")
+    val corpus = Seq(100L -> nearSameBucket, 101L -> nearFlipped, 102L -> far)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, benchmark,
+      "vec_id", "embedding", threshold = 0.5, bits = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_benchmark_hits")).toMap
+    assert(out.keySet == Set(100L, 101L),
+      "same-bucket and flipped-hyperplane neighbors flagged, far vector not")
+    assert(out.values.forall(_ == 1L))
+  }
+
   test("dedupCorpus keeps cluster keepers and unpaired docs") {
     val out = DedupOps.dedupCorpus(docs, "doc_id", "text", jaccardThreshold = 0.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
