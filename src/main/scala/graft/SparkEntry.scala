@@ -661,6 +661,14 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // batch gap sessionization: 30-minute-gap sessions per user over the
+    // events stream table (the batch twin of the streaming session op)
+    "q87_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.byGap(t(s, d, "events"), "user_id", "ts",
+        gapSeconds = 1800, tieBreakCol = "event_id")
+        .select("user_id", "session_index", "session_start", "session_end",
+          "n_events")),
+
     // embedding-space decontamination: corpus vectors semantically close
     // to the vec_id < 16 "benchmark" slice (paraphrase-class leakage the
     // n-gram sweep q71 cannot see)
@@ -1352,6 +1360,24 @@ object SparkEntry {
          |FROM shared s JOIN qsz z USING (query_id)
          |WHERE CAST(s.n_shared AS DOUBLE) / z.q_sz >= 0.8""".stripMargin
     },
+
+    // mirrors Sessionize.byGap: boundary flag from lag over the same
+    // total (ts, event_id) order, running-sum session index, integer
+    // microsecond gap arithmetic (epoch_us)
+    "q87_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b)
+        |SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY 1, 2""".stripMargin,
 
     // q41's multi-probe collision condition, asymmetric: benchmark side
     // vec_id < 16, corpus side >= 16, aggregated per corpus doc

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch gap-based sessionization — the batch twin of
+  * `graft.streaming.Streaming.sessionWindows` (same gap semantics, proven
+  * there with mapGroupsWithState): a new session starts wherever the gap
+  * to the previous event of the same key exceeds `gapSeconds`.
+  *
+  * Classic two-window shape: a boundary flag from `lag`, a running sum of
+  * boundaries as the session index — both over the same (key, ts) window,
+  * so ONE shuffle on the key; the final per-session aggregate groups by
+  * (key, session_index). Gap comparison runs in integer microseconds
+  * (`unix_micros`), never float epoch — bit-identical on any engine.
+  * Ordering is total (ts, then `tieBreakCol`), so session assignment is
+  * deterministic under equal timestamps.
+  *
+  * At 100 TB: per-key window state is one row (the lag); no driver state,
+  * no all-pairs. Skewed keys (a bot user with millions of events) sort
+  * within one partition — the standard mitigation is pre-splitting such
+  * keys by day before sessionizing, which this operator composes with
+  * (sessionize per (key, day) slice).
+  */
+object Sessionize {
+
+  /** Returns one row per session: (keyCol, session_index (1-based),
+    * session_start, session_end, n_events). */
+  def byGap(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+            tieBreakCol: String): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(micros, 1).over(w)
+    val boundary = when(prev.isNull ||
+      micros - prev > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("__brk", boundary)
+      .withColumn("session_index", sum(col("__brk")).over(run).cast("long"))
+      .groupBy(col(keyCol), col("session_index"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}
