@@ -661,6 +661,19 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // deterministic train/val/test assignment — growth-stable (a doc's
+    // split never changes as the corpus grows)
+    "q88_split_assign" -> ((s, d) =>
+      graft.llmdata.Sampling.splitAssign(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .select("doc_id", "split")),
+
+    // corpus bigram continuation table with exact conditional
+    // probabilities (the n-gram LM count-table data product)
+    "q89_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramTopContinuations(t(s, d, "documents"), "doc_id", "text",
+        k = 3, minHeadCount = 10)),
+
     // batch gap sessionization: 30-minute-gap sessions per user over the
     // events stream table (the batch twin of the streaming session op)
     "q87_sessionize" -> ((s, d) =>
@@ -1360,6 +1373,41 @@ object SparkEntry {
          |FROM shared s JOIN qsz z USING (query_id)
          |WHERE CAST(s.n_shared AS DOUBLE) / z.q_sz >= 0.8""".stripMargin
     },
+
+    // thresholds interpolated from the SAME splitThresholds doubles the
+    // operator folds into its plan — prefix-sum float drift cannot
+    // diverge the mirror
+    "q88_split_assign" -> {
+      val ts = graft.llmdata.Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = ts.init.map { case (name, t) =>
+        s"WHEN frac < $t THEN '$name'" }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
+         |FROM (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS frac FROM documents)""".stripMargin
+    },
+
+    // mirrors bigramTopContinuations: multiset bigram stream (every
+    // occurrence counts), two aggregates, vocabulary-scale top-k window
+    "q89_bigram_lm" ->
+      """WITH arr AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |             FROM documents),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS s FROM arr),
+        |counts AS (SELECT string_split(s, ' ')[1] AS head,
+        |             string_split(s, ' ')[2] AS cont, COUNT(*) AS c
+        |           FROM bi GROUP BY 1, 2),
+        |heads AS (SELECT head, CAST(SUM(c) AS BIGINT) AS n_head
+        |          FROM counts GROUP BY 1
+        |          HAVING CAST(SUM(c) AS BIGINT) >= 10)
+        |SELECT head, cont, n_bigram, n_head, p, rank FROM (
+        |  SELECT c.head, c.cont, CAST(c.c AS BIGINT) AS n_bigram, h.n_head,
+        |    CAST(c.c AS DOUBLE) / h.n_head AS p,
+        |    CAST(row_number() OVER (PARTITION BY c.head
+        |      ORDER BY c.c DESC, c.cont ASC) AS INT) AS rank
+        |  FROM counts c JOIN heads h USING (head))
+        |WHERE rank <= 3""".stripMargin,
 
     // mirrors Sessionize.byGap: boundary flag from lag over the same
     // total (ts, event_id) order, running-sum session index, integer

@@ -32,6 +32,44 @@ object Sampling {
     df.filter(hashFraction(col(keyCol)) < rate)
   }
 
+  /** Deterministic train/val/test assignment: the hash fraction falls
+    * into cumulative-weight buckets — (name, weight) splits in order,
+    * weights normalized, the LAST split absorbing the full tail (so
+    * float prefix sums can never leave a row unassigned). Same contract
+    * as every operator here: content-hash randomness, so the assignment
+    * is stable across runs, engines, cluster sizes — and across CORPUS
+    * GROWTH (a doc's split never changes when other docs are added, the
+    * property that keeps eval sets from silently bleeding into training
+    * as the corpus is re-curated). Map-only, zero shuffles.
+    *
+    * Returns `df` plus a `split` column. Thresholds are exposed via
+    * [[splitThresholds]] so oracle mirrors share the exact doubles. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    val ts = splitThresholds(splits)
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit(salt)))
+    val assigned = ts.init.foldLeft(Option.empty[Column] -> lit(splits.last._1)) {
+      case ((acc, last), (name, t)) =>
+        val c = acc match {
+          case None    => when(frac < t, name)
+          case Some(w) => w.when(frac < t, name)
+        }
+        (Some(c), last)
+    } match { case (Some(w), last) => w.otherwise(last); case (None, last) => last }
+    df.withColumn("split", assigned)
+  }
+
+  /** Cumulative normalized thresholds for [[splitAssign]] — (name,
+    * upper_bound) per split, last bound exactly 1.0. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Double)] = {
+    require(splits.nonEmpty, "splitAssign: no splits")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split names")
+    require(splits.forall(_._2 > 0), "split weights must be > 0")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.map(_._1).zip(cum.map(_ / total))
+  }
+
   /** Resample a corpus to a TARGET mix: given desired per-stratum shares
     * (e.g. language or source weights for a training run), keep the
     * largest downsample-only subset whose expected composition matches

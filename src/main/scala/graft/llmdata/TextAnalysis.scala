@@ -371,6 +371,39 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Corpus bigram continuation table: for every head word (appearing as
+    * a bigram head at least `minHeadCount` times), the `k` most frequent
+    * continuations with their EXACT conditional probabilities
+    * p(w₂|w₁) = c(w₁w₂)/Σ_w c(w₁w) — the count table an n-gram language
+    * model (or contamination heuristic, or generation-loop detector)
+    * trains from. Probabilities are integer counts divided in double
+    * space: bit-identical on any engine (no log anywhere, per the
+    * determinism contract).
+    *
+    * Shape at 100 TB: the bigram stream is the [[DedupOps.shingleStream]]
+    * window (multiset — every occurrence counts), then two hash
+    * aggregates with map-side combine (bigram counts, head totals) and a
+    * per-head top-k window over the COUNT table (vocabulary-scale, not
+    * corpus-scale — the expensive stream never reaches the window). */
+  def bigramTopContinuations(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, minHeadCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = DedupOps.shingleStream(df, idCol, textCol, 2)
+      .groupBy(col("s")).agg(count(lit(1)).as("n_bigram"))
+      .withColumn("head", split(col("s"), " ").getItem(0))
+      .withColumn("cont", split(col("s"), " ").getItem(1))
+    val heads = counts.groupBy(col("head"))
+      .agg(sum(col("n_bigram")).as("n_head"))
+      .filter(col("n_head") >= minHeadCount)
+    val w = Window.partitionBy(col("head"))
+      .orderBy(col("n_bigram").desc, col("cont").asc)
+    counts.join(heads, Seq("head"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("head"), col("cont"), col("n_bigram"), col("n_head"),
+        (col("n_bigram").cast("double") / col("n_head")).as("p"), col("rank"))
+  }
+
   /** Top-k characteristic terms per document by TF×IDF with a LINEAR
     * inverse document frequency (score = tf × N/df, no logarithm): libm
     * `log` differs across engines in the last ulp, while IEEE

@@ -335,6 +335,38 @@ class LlmDataSpec extends SparkSpec {
     assert(!keptC.contains("C"))
   }
 
+  test("splitAssign is total, growth-stable, and roughly weight-proportioned") {
+    import graft.llmdata.Sampling
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitAssign(docs, "doc_id", splits, salt = "v1")
+      .select("doc_id", "split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a.size == docs.count(), "every row gets exactly one split")
+    val shares = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.08, s"train share ${shares("train")}")
+    assert(shares.keySet == Set("train", "val", "test"))
+    // growth stability: assignments on a subset are the restriction of
+    // the full assignment (the anti-bleed property)
+    val sub = Sampling.splitAssign(docs.filter($"doc_id" < 100), "doc_id", splits, "v1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(sub.forall { case (id, s) => a(id) == s })
+  }
+
+  test("bigram continuation probabilities sum to 1 over each head's full table") {
+    val docs = Seq(
+      (1L, "a b a b a c"),   // bigrams: a→b ×2, b→a ×2, a→c ×1
+      (2L, "a b")            // a→b ×1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramTopContinuations(docs, "doc_id", "text",
+      k = 10, minHeadCount = 1).collect()
+    val aRows = out.filter(_.getAs[String]("head") == "a")
+    assert(aRows.map(r => (r.getAs[String]("cont"), r.getAs[Long]("n_bigram"))).toSet ==
+      Set(("b", 3L), ("c", 1L)))
+    assert(aRows.map(_.getAs[Double]("p")).sum == 1.0, "full table sums to 1 exactly")
+    assert(aRows.find(_.getAs[String]("cont") == "b").get.getAs[Int]("rank") == 1)
+  }
+
   test("shuffleShard is a reproducible dense permutation; exportShards writes ordered JSONL") {
     import graft.llmdata.Sampling
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
