@@ -694,6 +694,40 @@ object SparkEntry {
           round(col("max_cosine"), 6).as("max_cosine"))
     }),
 
+    // the BPE merge-step statistic: top within-word adjacent char pairs
+    "q90_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(t(s, d, "documents"), "doc_id", "text", k = 20)),
+
+    // BM25 (linear-idf) retrieval: top-5 docs per query term
+    "q91_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("vector", "hash", "merge"), k = 5)),
+
+    // curriculum buckets: exact global NTILE(4) over the quality score
+    // WITHOUT a corpus-wide single-partition window (distinct-score
+    // cumulative table + per-score distributed rank + ntile formula)
+    "q92_curriculum" -> ((s, d) =>
+      graft.llmdata.Sampling.globalNtile(
+        TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+          .select("doc_id", "quality_score"),
+        "doc_id", "quality_score", nBuckets = 4)
+        .select("doc_id", "quality_score", "bucket")),
+
+    // per-label embedding centroids (class prototypes), decimal-exact means
+    "q93_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(t(s, d, "embeddings"), "vec_id", "embedding", "label")),
+
+    // cross-document duplicated-window coverage (Lee et al. substring-dup
+    // measurement at 8-gram granularity)
+    "q94_dup_coverage" -> ((s, d) =>
+      DedupOps.duplicateWindowCoverage(t(s, d, "documents"), "doc_id", "text",
+        n = 8, minDf = 2)),
+
+    // sequential conversion funnel over the events stream
+    "q95_funnel" -> ((s, d) =>
+      graft.operators.Funnel.conversion(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
     // tombstone-aware indexed dedup: corpus docs 72/107 are deleted
     // AFTER the index build — retracted content must stop suppressing
     // new batches (at sf0.01 this re-admits batch docs 377/387, whose
@@ -798,6 +832,24 @@ object SparkEntry {
     Seq(" the ", " and ", " a ", " of ", " to ", " in ")
       .map(w => s"CAST((length(padded) - length(replace(padded, '$w', ''))) / ${w.length} AS INT)")
       .mkString(" + ")
+
+  /** Oracle mirror of [[TextAnalysis.qualityScore]] — (doc_id,
+    * quality_score). Shared by q33 (direct) and q92 (curriculum input). */
+  private lazy val qualityScoreSql: String = {
+    val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    s"""SELECT doc_id, ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+       |    least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+       |    + least(stopword_ratio * 10.0, 1.0) * 0.3
+       |    + CASE WHEN punct_ratio > 0 THEN 0.2 ELSE 0.0 END END, 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1), 6) AS punct_ratio,
+       |    ROUND(CAST($stopwordSql AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+       |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+       |          $nTok AS n_tokens
+       |        FROM documents))""".stripMargin
+  }
 
   /** Oracle mirror of [[tripFromLineitem]] + Layers.silver, shared by the
     * q46/q47 oracles. Addition order and every cast mirror the Scala code
@@ -1166,21 +1218,7 @@ object SparkEntry {
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
     },
 
-    "q33_quality_score" -> {
-      val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-      s"""SELECT doc_id, ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-         |    least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
-         |    + least(stopword_ratio * 10.0, 1.0) * 0.3
-         |    + CASE WHEN punct_ratio > 0 THEN 0.2 ELSE 0.0 END END, 6) AS quality_score
-         |FROM (
-         |  SELECT doc_id, n_tokens,
-         |    ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-         |      / greatest(length(text), 1), 6) AS punct_ratio,
-         |    ROUND(CAST($stopwordSql AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
-         |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
-         |          $nTok AS n_tokens
-         |        FROM documents))""".stripMargin
-    },
+    "q33_quality_score" -> qualityScoreSql,
 
     "q34_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
@@ -1426,6 +1464,121 @@ object SparkEntry {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // mirrors bpePairCounts: word explode, position explode via
+    // list_transform(generate_series), substr char pairs, one aggregate
+    "q90_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, COUNT(*) AS n_occurrences
+        |FROM pairs GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // mirrors bm25TopK term-for-term: same literal constants (1.25, 0.75,
+    // 2.25 — all exactly-representable doubles), same expression tree, so
+    // the IEEE score is bit-identical
+    "q91_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens,
+        |            COUNT(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+        |       WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.term, t.doc_id, t.tf, f.df, l.dl,
+        |    (CAST(s.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE))
+        |      * (CAST(t.tf AS DOUBLE) * 2.25)
+        |      / (CAST(t.tf AS DOUBLE)
+        |        + 1.25 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+        |          / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS score
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (term)
+        |  CROSS JOIN stats s)
+        |SELECT term, doc_id, tf, df, dl, score, rank FROM (
+        |  SELECT term, doc_id, tf, df, dl, score,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // the oracle runs the PLAIN one-window ntile the operator refuses to
+    // (globalNtile's whole point is reproducing this exact semantics
+    // without a corpus-wide single-partition window)
+    "q92_curriculum" ->
+      s"""WITH qs AS ($qualityScoreSql)
+         |SELECT doc_id, quality_score,
+         |  CAST(ntile(4) OVER (ORDER BY quality_score DESC, doc_id ASC) AS INT) AS bucket
+         |FROM qs""".stripMargin,
+
+    // mirrors labelCentroids: zipped unnests stand in for posexplode,
+    // decimal(20,6) exact sums, double-space mean
+    "q93_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT label,
+        |    CAST(unnest(generate_series(1, len(emb))) - 1 AS INT) AS dim,
+        |    unnest(emb) AS x
+        |  FROM e)
+        |SELECT label, dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // mirrors duplicateWindowCoverage: multiset 8-gram stream, distinct-doc
+    // df filter, per-doc window counts, left joins back onto documents
+    "q94_dup_coverage" -> {
+      val gram8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH arr AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> $gram8)) AS s FROM arr),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM g GROUP BY 1),
+         |dupg AS (SELECT s FROM g GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dpd AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+         |        FROM g JOIN dupg USING (s) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(t.n_windows, 0) AS n_windows,
+         |  COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+         |  CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE) / t.n_windows
+         |  END AS dup_window_fraction
+         |FROM documents d
+         |LEFT JOIN tot t USING (doc_id)
+         |LEFT JOIN dpd p USING (doc_id)""".stripMargin
+    },
+
+    // mirrors Funnel.conversion: per-step min-ts CTE chain, each step
+    // strictly after the previous step's reach time
+    "q95_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT CAST(1 AS INT) AS step_index, 'view' AS step, n1 AS n_keys,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion
+        |FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', n2,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', n3,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n""".stripMargin,
 
     // q41's multi-probe collision condition, asymmetric: benchmark side
     // vec_id < 16, corpus side >= 16, aggregated per corpus doc

@@ -539,6 +539,47 @@ object DedupOps {
       .select("query_id", "doc_id", "n_shared", "containment")
   }
 
+  /** Duplicated-window coverage (the measurement form of Lee et al. 2022's
+    * exact substring dedup, at word-n-gram granularity): per document, the
+    * fraction of its n-gram windows whose gram occurs in at least `minDf`
+    * DISTINCT documents. The per-doc signal a curation pipeline thresholds
+    * to quarantine template-heavy / syndicated documents — complementary
+    * to [[TextAnalysis.repetitionFeatures]] (WITHIN-doc repetition) and
+    * [[TextAnalysis.scrubBoilerplate]] (span REMOVAL): this one measures
+    * cross-document duplication without rewriting anything.
+    *
+    * Shape at 100 TB: the multiset window stream ([[shingleStream]]) feeds
+    * (a) the gram document-frequency table (hash agg on the gram) and
+    * (b) the per-doc totals (hash agg on doc_id); the duplicated-gram set
+    * joins back onto the stream by gram. Windows (multiset) vs distinct
+    * docs (df) mirror the paper's semantics: a gram repeated inside one
+    * document is NOT cross-doc duplicated. Fractions are integer counts
+    * divided in double space — bit-exact on any engine. Docs with fewer
+    * than `n` tokens have no windows and report 0.0. */
+  def duplicateWindowCoverage(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"window size must be positive, got $n")
+    require(minDf >= 2, s"minDf below 2 marks every window duplicated, got $minDf")
+    val grams = shingleStream(df, idCol, textCol, n)
+    val dup = grams.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") >= minDf)
+      .select(col("s"))
+    val totals = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = grams.join(dup, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, 0.0)
+          .otherwise(coalesce(col("n_dup_windows"), lit(0L)).cast("double")
+            / col("n_windows"))
+          .as("dup_window_fraction"))
+  }
+
   /** N-gram Jaccard similarity for an explicit candidate pair set
     * (exact verification path; used standalone on pre-blocked pairs). */
   def jaccard(shA: Column, shB: Column): Column =

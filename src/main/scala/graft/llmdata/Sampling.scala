@@ -148,6 +148,60 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("position"))
       .write.mode("overwrite").partitionBy("shard").json(path)
 
+  /** Exact global NTILE without a single-partition window over the corpus
+    * — the curriculum-bucketing primitive (order a corpus by a quality /
+    * difficulty score, cut it into `nBuckets` equal slices for staged
+    * training). A naive `ntile(n) OVER (ORDER BY score)` funnels 100 TB
+    * through ONE task; this operator reproduces ntile's exact semantics
+    * (bucket sizes differ by ≤1, earlier buckets take the remainder) from
+    * an exact global rank assembled in three scale-safe pieces:
+    *
+    *   1. distinct-score count table (hash agg, map-side combine) and its
+    *      running sum — the only single-partition window, over the
+    *      DISTINCT-SCORE table (scores are rounded/coarse by contract:
+    *      vocabulary-scale, not corpus-scale);
+    *   2. per-score `row_number` ordered by key — partitioned by score,
+    *      fully distributed;
+    *   3. rank = scores-before + rank-within-score; bucket via the SQL
+    *      ntile formula in exact integer arithmetic: with q = N÷n,
+    *      r = N mod n, the first r buckets hold q+1 rows.
+    *
+    * Ordering is (score `descending`, key ascending) — a total order, so
+    * the result is bit-identical to the one-window form (the oracle runs
+    * plain ntile). Returns `df` plus a `bucket` column in [1, nBuckets]. */
+  def globalNtile(df: DataFrame, keyCol: String, scoreCol: String,
+                  nBuckets: Int, descending: Boolean = true): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val scoreOrd = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    val counts = df.groupBy(col(scoreCol).as("__score"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.orderBy(if (descending) col("__score").desc else col("__score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__before", sum(col("__cnt")).over(wCum) - col("__cnt"))
+      .select(col("__score"), col("__before"))
+    val total = counts.agg(sum(col("__cnt")).cast("long").as("__n"))
+    val wIn = Window.partitionBy(col(scoreCol)).orderBy(col(keyCol).asc)
+    val ranked = df
+      .join(broadcast(cum), col(scoreCol) === col("__score"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__before") + row_number().over(wIn))
+    // SQL ntile: i0 = rank-1, q = N÷n, r = N mod n; buckets 1..r get q+1.
+    // Exact integer division for non-negative longs: (a - a mod b) is
+    // divisible by b, so the double division is IEEE-exact for any count
+    // below 2^53 (plain `/` on longs is double division; a raw cast could
+    // round across an integer boundary at extreme magnitudes)
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val i0 = col("__rank") - 1
+    val q = floorDiv(col("__n"), lit(nBuckets.toLong))
+    val r = pmod(col("__n"), lit(nBuckets.toLong))
+    val bucket = when(i0 < (q + 1) * r, floorDiv(i0, q + 1) + 1)
+      .otherwise(r + floorDiv(i0 - (q + 1) * r, greatest(q, lit(1L))) + 1)
+    ranked.withColumn("bucket", bucket.cast("int"))
+      .drop("__score", "__before", "__n", "__rank")
+  }
+
   /** Fixed-size per-stratum sample: the `n` rows with the smallest hash
     * fractions in each stratum (ties broken by key) — a deterministic
     * reservoir-sample analog. One shuffle on the stratum key; the window

@@ -406,4 +406,24 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Per-label embedding centroids: mean vector per class, one (label,
+    * dim, n_vecs, centroid) row per dimension — the class-prototype table
+    * a labeled-data pipeline derives (nearest-centroid classification,
+    * per-class drift monitoring, seed centroids for clustering).
+    *
+    * Shape at 100 TB: one posexplode (codegen'd generator — rows × dim)
+    * into ONE hash aggregate keyed (label, dim) with map-side combine;
+    * output is |labels|×dim rows — metadata-scale. Sums go through the
+    * decimal-exact path ([[graft.functions.ScalarFns.exactSum]]): float →
+    * double is exact, and the decimal(20,6) sum is integer arithmetic —
+    * the centroid is bit-identical at any partitioning and in the oracle.
+    * The final mean divides in double space (IEEE-exact). */
+  def labelCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("x"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (graft.functions.ScalarFns.exactSum(col("x")) / count(lit(1))).as("centroid"))
 }

@@ -404,6 +404,71 @@ object TextAnalysis {
         (col("n_bigram").cast("double") / col("n_head")).as("p"), col("rank"))
   }
 
+  /** Corpus-wide adjacent character-pair counts — the statistic one BPE
+    * merge step consumes (the most frequent pair becomes the next merge;
+    * cf. Sennrich et al. 2016). Pairs are counted WITHIN whitespace words
+    * (the classic pre-tokenization boundary), every occurrence counts.
+    *
+    * Shape at 100 TB: word explode → position explode → substr, all
+    * codegen'd generators (no array lambdas — the interpreted-HOF cliff),
+    * then ONE hash aggregate with map-side combine; the top-k is a
+    * TakeOrdered like [[vocabTopK]] — no global sort. A full BPE trainer
+    * iterates merge→re-pair; each iteration is this same single-shuffle
+    * shape over the current symbol stream. */
+  def bpePairCounts(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+
+  /** BM25 retrieval scores for a literal query-term set: the `k` best
+    * documents per term. Uses the LINEAR idf (N/df, no logarithm) for the
+    * same engine-portability reason as [[tfidfTopTerms]]; k1/b defaults
+    * (1.25, 0.75) are exactly representable doubles, so the whole score —
+    * integer counts combined with IEEE multiply/divide in a fixed tree —
+    * is bit-identical on any engine.
+    *
+    * Shape at 100 TB: the token stream is aggregated twice on doc_id
+    * (lengths, then per-term tf AFTER the term filter prunes the stream
+    * to the query slice); document frequency and the corpus-stats scalar
+    * ride as broadcast frames; the final top-k is a per-term window over
+    * the scored slice — never the corpus. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).cast("long").as("total_tokens"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("score",
+        (col("n_docs").cast("double") / col("df").cast("double"))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("df"),
+        col("dl"), col("score"), col("rank"))
+  }
+
   /** Top-k characteristic terms per document by TF×IDF with a LINEAR
     * inverse document frequency (score = tf × N/df, no logarithm): libm
     * `log` differs across engines in the last ulp, while IEEE

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequential conversion funnel over an event stream: how many keys
+  * (users) performed step 1, then step 2 STRICTLY AFTER their first
+  * qualifying step-1 event, then step 3 after that, … The strict
+  * sequential semantics (each step's earliest timestamp must exceed the
+  * previous step's reach time) is what separates a funnel from a bag of
+  * per-step counts — a purchase before the first view does not convert.
+  *
+  * Shape at 100 TB: one aggregate per step, every one keyed on the same
+  * key column — the event scan is filtered to one step's slice before
+  * each aggregate, the reach table (one row per converted key, shrinking
+  * monotonically) joins back on the key, and every exchange in the chain
+  * hashes the same key, so Spark reuses the partitioning across steps.
+  * No window over the full stream, no driver state, no all-pairs. The
+  * final report aggregates the reach table into one row per step.
+  */
+object Funnel {
+
+  /** Per-key reach times: (key, t_1 … t_k) with t_i = the earliest `tsCol`
+    * of a `steps(i-1)` event strictly after t_(i-1) (t_1 = earliest step-1
+    * event); NULL once the key falls out of the funnel. One row per key
+    * that completed step 1. */
+  def reachTimes(df: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val events = df.select(col(keyCol), col(typeCol), col(tsCol))
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t_1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val prevT = s"t_${i + 1}"
+      val curT = s"t_${i + 2}"
+      val next = events.filter(col(typeCol) === step)
+        .join(acc.select(col(keyCol), col(prevT)), Seq(keyCol))
+        .filter(col(tsCol) > col(prevT))
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as(curT))
+      acc.join(next.select(col(keyCol), col(curT)), Seq(keyCol), "left")
+    }
+  }
+
+  /** The funnel report: one row per step — (step_index (1-based), step,
+    * n_keys reaching it in sequence, conversion = n_keys/step-1 keys as an
+    * exact integer-over-integer double). An empty step-1 cohort reports
+    * zero rows-reached with conversion 0.0 for every step. */
+  def conversion(df: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String]): DataFrame = {
+    val reach = reachTimes(df, keyCol, tsCol, typeCol, steps)
+    val counts = reach.agg(
+      count(col("t_1")).as("n_1"),
+      steps.indices.tail.map(i => count(col(s"t_${i + 1}")).as(s"n_${i + 1}")): _*)
+    val perStep = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_index"), lit(step).as("step"),
+        col(s"n_${i + 1}").as("n_keys"))
+    }
+    counts.select(explode(array(perStep: _*)).as("r"), col("n_1"))
+      .select(col("r.step_index"), col("r.step"), col("r.n_keys"),
+        when(col("n_1") === 0, 0.0)
+          .otherwise(col("r.n_keys").cast("double") / col("n_1").cast("double"))
+          .as("conversion"))
+  }
+}
