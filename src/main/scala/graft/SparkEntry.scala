@@ -818,6 +818,45 @@ object SparkEntry {
       results.map(r => (r.constraint, r.column.orNull, r.passed, r.unexpectedPercent))
         .toDF("constraint_name", "column_name", "passed", "unexpected_percent")
     }),
+
+    // corpus-wide KNN graph: top-3 cosine neighbors for EVERY vector
+    // among multi-probe LSH collisions (never all-pairs)
+    "q96_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, bits = 8)
+        .select(col("node_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))),
+
+    // bigram-LM familiarity scoring: the exact-arithmetic stand-in for
+    // perplexity filtering (known-bigram fraction + corpus support ratio)
+    "q97_lm_familiarity" -> ((s, d) =>
+      TextAnalysis.lmFamiliarity(t(s, d, "documents"), "doc_id", "text",
+        minCount = 2)),
+
+    // windowed co-occurrence with exact lift (log-free PMI ratio):
+    // ordered pairs within 3 tokens, pruned below 5 occurrences
+    "q98_cooccurrence" -> ((s, d) =>
+      TextAnalysis.cooccurrence(t(s, d, "documents"), "doc_id", "text",
+        window = 3, minPairCount = 5)
+        .select(col("a"), col("b"), col("c_pair"), col("c_a"), col("c_b"),
+          round(col("lift"), 6).as("lift"))),
+
+    // fractional epoch replication: en×2.5, de×1.25, fr×0.5, others ×1 —
+    // the upsampling half of training-mix construction
+    "q99_replicate_epochs" -> ((s, d) =>
+      graft.llmdata.Sampling.replicateByEpochs(t(s, d, "documents"),
+        "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 1.25, "fr" -> 0.5), defaultEpochs = 1.0)
+        .select("doc_id", "lang", "copy_index")),
+
+    // Morton z-value over (l_partkey, l_suppkey) masked to 10 bits — the
+    // derived layout key multi-dimensional file skipping sorts by
+    "q100_zorder_key" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 10)
+            .as("zval"))),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2075,5 +2114,103 @@ object SparkEntry {
         |     + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)
         |     + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT) AS lsh_bucket
         |FROM embeddings""".stripMargin,
+
+    // mirrors knnGraph: q41's Hamming<=1 multi-probe collision set, but
+    // symmetric (every vector is a node), ranked per node on the
+    // UNROUNDED cosine with the same tie-break
+    "q96_knn_graph" -> {
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${bucketSql(8)} AS bucket FROM embeddings)
+         |SELECT node_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+         |  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+         |    ${cos("a.emb", "b.emb")} AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM v a JOIN v b
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 3""".stripMargin
+    },
+
+    // mirrors lmFamiliarity: q89's multiset bigram stream kept per-doc,
+    // corpus counts + head totals joined back, BIGINT sums divided once
+    "q97_lm_familiarity" ->
+      """WITH arr AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |             FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS s FROM arr),
+        |counts AS (SELECT s, COUNT(*) AS c_bigram FROM bi GROUP BY 1),
+        |heads AS (SELECT string_split(s, ' ')[1] AS head,
+        |            CAST(SUM(c_bigram) AS BIGINT) AS c_head
+        |          FROM counts GROUP BY 1),
+        |perdoc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN c.c_bigram >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+        |    CAST(SUM(c.c_bigram) AS BIGINT) AS sum_bigram,
+        |    CAST(SUM(h.c_head) AS BIGINT) AS sum_head
+        |  FROM bi b JOIN counts c USING (s)
+        |  JOIN heads h ON string_split(b.s, ' ')[1] = h.head
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p.n_known, 0) AS n_known,
+        |  CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE CAST(p.n_known AS DOUBLE) / p.n_bigrams END AS known_fraction,
+        |  CASE WHEN COALESCE(p.sum_head, 0) = 0 THEN 0.0
+        |    ELSE CAST(p.sum_bigram AS DOUBLE) / p.sum_head END AS support_ratio
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    // mirrors cooccurrence: lead-window pairs as position arithmetic
+    // (t[i], t[i+j]) for j in 1..3, lift multiplied before the one divide
+    "q98_cooccurrence" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM arr),
+        |pairs AS (
+        |  SELECT t[i] AS a, t[i + j] AS b
+        |  FROM (SELECT doc_id, t, i, unnest([1, 2, 3]) AS j FROM pos)
+        |  WHERE i + j <= len(t)),
+        |pc AS (SELECT a, b, COUNT(*) AS c_pair FROM pairs GROUP BY 1, 2
+        |       HAVING COUNT(*) >= 5),
+        |uni AS (SELECT unnest(t) AS tok FROM arr),
+        |uc AS (SELECT tok, COUNT(*) AS c_uni FROM uni GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_positions FROM uni)
+        |SELECT p.a, p.b, p.c_pair, ua.c_uni AS c_a, ub.c_uni AS c_b,
+        |  ROUND(CAST(p.c_pair AS DOUBLE) * CAST(t.n_positions AS DOUBLE)
+        |    / (CAST(ua.c_uni AS DOUBLE) * CAST(ub.c_uni AS DOUBLE)), 6) AS lift
+        |FROM pc p
+        |JOIN uc ua ON p.a = ua.tok
+        |JOIN uc ub ON p.b = ub.tok
+        |CROSS JOIN tot t""".stripMargin,
+
+    // mirrors replicateByEpochs: q88's md5 hash fraction with the '#rep'
+    // salt, floor(e) copies + the fractional coin, generate_series fanout
+    "q99_replicate_epochs" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.25
+        |      WHEN 'fr' THEN 0.5 ELSE 1.0 END AS e,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#rep'), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS frac
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |    CAST(floor(e) AS INT)
+        |      + (CASE WHEN frac < e - floor(e) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM d)
+        |SELECT doc_id, lang, unnest(generate_series(0, n_copies - 1)) AS copy_index
+        |FROM n WHERE n_copies >= 1""".stripMargin,
+
+    // mirrors ZOrder.zValue bit-for-bit: disjoint bit positions, so the
+    // additive form equals the engine's bitwise-OR fold
+    "q100_zorder_key" -> {
+      val terms = (0 until 10).flatMap { i =>
+        Seq(s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)})",
+          s"(((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)})")
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST($terms AS BIGINT) AS zval
+         |FROM lineitem""".stripMargin
+    },
   )
 }

@@ -202,6 +202,46 @@ object Sampling {
       .drop("__score", "__before", "__n", "__rank")
   }
 
+  /** Fractional epoch replication — the UPSAMPLING half of training-mix
+    * construction ([[resampleToMix]] only downsamples): stratum i's rows
+    * each appear `epochs(i)` times in expectation. A row gets
+    * floor(e) guaranteed copies plus one more iff its hash fraction falls
+    * under frac(e) — so e = 2.3 means every row appears twice and a
+    * deterministic 30% slice appears a third time (the standard way a
+    * high-value source is repeated for 2–3 epochs while commons crawl
+    * runs under 1). e < 1 degenerates to Bernoulli downsampling, e = 0
+    * (or an unlisted stratum with `defaultEpochs` 0) drops the stratum.
+    *
+    * Determinism contract: the extra-copy coin is the same md5 hash
+    * fraction as every sampler here, salted with "#rep" so it is
+    * independent of the membership coins of [[stratifiedSample]] /
+    * [[splitAssign]]. Output rows carry `copy_index` (0-based), so
+    * downstream shuffling ([[shuffleShard]] keyed on key+copy_index)
+    * spreads the copies across shards.
+    *
+    * Shape at 100 TB: pure map work — the copy count is a per-row
+    * expression and the fan-out is one `sequence` explode (a codegen'd
+    * generator); no shuffle, no state, output size = Σᵢ eᵢ·Nᵢ by
+    * construction. */
+  def replicateByEpochs(df: DataFrame, keyCol: String, stratumCol: String,
+                        epochs: Map[String, Double],
+                        defaultEpochs: Double = 0.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "replicateByEpochs: epoch factors must be >= 0")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (stratum, v)) =>
+      when(col(stratumCol) === stratum, v).otherwise(acc)
+    }
+    val extra = (hashFraction(concat(col(keyCol).cast("string"), lit("#rep")))
+      < (e - floor(e))).cast("int")
+    val nCopies = (floor(e).cast("int") + extra).as("__n_copies")
+    // guard BEFORE the explode: Spark's sequence(0, -1) yields a
+    // DESCENDING [0, -1], not an empty array
+    df.withColumn("__n_copies", nCopies)
+      .filter(col("__n_copies") >= 1)
+      .withColumn("copy_index", explode(sequence(lit(0), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
+
   /** Fixed-size per-stratum sample: the `n` rows with the smallest hash
     * fractions in each stratum (ties broken by key) — a deterministic
     * reservoir-sample analog. One shuffle on the stratum key; the window

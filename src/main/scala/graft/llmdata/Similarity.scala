@@ -407,6 +407,40 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** K-nearest-neighbor GRAPH over the whole corpus: for EVERY vector,
+    * its `k` most-cosine-similar neighbors among multi-probe LSH bucket
+    * collisions — the all-nodes generalization of [[lshTopK]] (whose
+    * query side is a small batch) and the candidate structure semantic
+    * clustering / diversity sampling / graph-based ANN start from.
+    *
+    * Never all-pairs: side A fans out to its probe set (bucket plus every
+    * Hamming-1 flip, ×(bits+1) rows), side B stays at its exact bucket,
+    * and the equi-join on bucket bounds candidates to probe collisions.
+    * Each (a, b) pair matches at most once (B-side vectors live in
+    * exactly one bucket), so no dedup precedes the per-node top-k window.
+    * `bits` is the cost dial: buckets hold ~N/2^bits vectors, so the
+    * join stays near-linear as N grows when bits tracks log2(N) — at
+    * 100 TB the probe fan-out is a map stage and the ONLY corpus-scale
+    * shuffles are the bucket equi-join and the per-node window.
+    *
+    * Returns (node_id, neighbor_id, cosine, rank) — nodes whose probe
+    * set collides with nothing drop out (no padded rows). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               bits: Int = 8): DataFrame = {
+    val a = df.select(col(idCol).as("node_id"), col(vecCol).as("va"),
+      explode(probeBuckets(col(vecCol), bits)).as("bucket"))
+    val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("node_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineNative(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("node_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Per-label embedding centroids: mean vector per class, one (label,
     * dim, n_vecs, centroid) row per dimension — the class-prototype table
     * a labeled-data pipeline derives (nearest-centroid classification,

@@ -404,6 +404,95 @@ object TextAnalysis {
         (col("n_bigram").cast("double") / col("n_head")).as("p"), col("rank"))
   }
 
+  /** Per-document corpus-familiarity score from the bigram count table —
+    * the exact-arithmetic stand-in for n-gram-LM perplexity filtering
+    * (CCNet/KenLM family): documents whose bigrams are rare in the corpus
+    * are novel (or gibberish); documents dominated by high-count bigrams
+    * are familiar (or boilerplate). A bigram is "known" when its corpus
+    * count reaches `minCount` — i.e. it appears anywhere else at least
+    * once more. Scores avoid the two cross-engine traps: no `log`
+    * (geometric-mean perplexity is libm-dependent) and no double
+    * accumulation (order-dependent); instead
+    * `known_fraction` = known bigrams / doc bigrams and
+    * `support_ratio` = Σ c(bigram) / Σ c(head) over the doc's bigram
+    * stream — all BIGINT sums divided once in double space, bit-identical
+    * on any engine.
+    *
+    * Shape at 100 TB: one bigram-stream pass aggregated into the corpus
+    * count table (vocabulary-scale), head totals derived from it, then
+    * the doc stream re-joins both keyed on the bigram/head — hash
+    * equi-joins with map-side-combinable per-doc aggregation, never
+    * all-pairs, no broadcast of corpus-scale state. Docs with fewer than
+    * two tokens report zero bigrams and NULL-free 0.0 scores. */
+  def lmFamiliarity(df: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 2): DataFrame = {
+    val stream = DedupOps.shingleStream(df, idCol, textCol, 2)
+    val counts = stream.groupBy(col("s")).agg(count(lit(1)).as("c_bigram"))
+      .withColumn("head", split(col("s"), " ").getItem(0))
+    val heads = counts.groupBy(col("head"))
+      .agg(sum(col("c_bigram")).cast("long").as("c_head"))
+    val perDoc = stream
+      .join(counts, Seq("s"))
+      .join(heads, Seq("head"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bigram") >= minCount, 1L).otherwise(0L)).cast("long")
+          .as("n_known"),
+        sum(col("c_bigram")).cast("long").as("sum_bigram"),
+        sum(col("c_head")).cast("long").as("sum_head"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_known").cast("double") / col("n_bigrams"))
+          .as("known_fraction"),
+        when(coalesce(col("sum_head"), lit(0L)) === 0, 0.0)
+          .otherwise(col("sum_bigram").cast("double") / col("sum_head"))
+          .as("support_ratio"))
+  }
+
+  /** Windowed term co-occurrence with exact lift: every ordered token
+    * pair (a, b) where b follows a within `window` tokens in the same
+    * document, counted over all occurrences, with
+    * lift = (c(a,b) · n_positions) / (c(a) · c(b)) — the PMI ratio
+    * WITHOUT the log (libm-free: counts are < 2^53 so their double
+    * products are exact and the one division is IEEE-exact). The
+    * collocation/embedding-co-occurrence table of a word-vector or
+    * phrase-mining pipeline.
+    *
+    * Shape at 100 TB: the pair stream is `window` lead() columns over
+    * the per-doc token order — ONE window pass (no self-join), exploded
+    * and hash-aggregated with map-side combine; unigram counts and the
+    * scalar total ride as one vocabulary-scale join plus a broadcast.
+    * `minPairCount` prunes the long tail before the join. */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 3, minPairCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be positive, got $window")
+    val base = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), posexplode(DedupOps.tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val uni = base.groupBy(col("tok").as("t")).agg(count(lit(1)).as("c_uni"))
+    val total = base.agg(count(lit(1)).as("n_positions"))
+    val pairs = base
+      .select(col("tok").as("a"),
+        array((1 to window).map(j => lead(col("tok"), j).over(w)): _*).as("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minPairCount)
+    pairs
+      .join(uni.withColumnRenamed("t", "a").withColumnRenamed("c_uni", "c_a"), Seq("a"))
+      .join(uni.withColumnRenamed("t", "b").withColumnRenamed("c_uni", "c_b"), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_pair"), col("c_a"), col("c_b"),
+        (col("c_pair").cast("double") * col("n_positions").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+  }
+
   /** Corpus-wide adjacent character-pair counts — the statistic one BPE
     * merge step consumes (the most frequent pair becomes the next merge;
     * cf. Sennrich et al. 2016). Pairs are counted WITHIN whitespace words

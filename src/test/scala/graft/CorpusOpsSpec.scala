@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmdata.{Sampling, Similarity, TextAnalysis}
+import graft.operators.ZOrder
+
+/** Round-4 additions, second wave: KNN graph, LM familiarity scoring,
+  * windowed co-occurrence, epoch replication, z-order layout. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- knnGraph -----------------------------------------------------------
+
+  test("knnGraph finds the exact nearest neighbor within a probe collision") {
+    // 16-dim so bits=8 hyperplanes (pairs 1..16) are all defined
+    def v(seed: Int): Seq[Float] =
+      (0 until 16).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val close = v(1).updated(0, v(1)(0) + 0.01f) // tiny perturbation of v(1)
+    val emb = Seq((1L, v(1)), (2L, close), (3L, v(7)), (4L, v(11)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(emb, "vec_id", "embedding", k = 1, bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 and 2 share a bucket (identical signs) and are each other's top-1
+    assert(out(1L) == 2L && out(2L) == 1L)
+  }
+
+  test("knnGraph emits each node at most k times and never a self-edge") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val out = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 8)
+      .cache()
+    val perNode = out.groupBy($"node_id").count().agg(max($"count")).head.getLong(0)
+    assert(perNode <= 3)
+    assert(out.filter($"node_id" === $"neighbor_id").isEmpty)
+    val ranks = out.filter($"node_id" === out.select(min($"node_id")).head.getLong(0))
+      .orderBy($"rank").select($"rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks == (1 to ranks.length), "ranks are dense from 1")
+    out.unpersist()
+  }
+
+  // -- lmFamiliarity ------------------------------------------------------
+
+  test("lmFamiliarity scores known fraction and support ratio exactly") {
+    val docs = Seq(
+      (1L, "a b c"),  // bigrams: "a b", "b c"
+      (2L, "a b d"),  // bigrams: "a b", "b d"
+      (3L, "x")       // no bigrams
+    ).toDF("doc_id", "text")
+    // corpus counts: "a b"→2, "b c"→1, "b d"→1; heads: a→2, b→2
+    val out = TextAnalysis.lmFamiliarity(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc1: n=2, known=1 ("a b"), support = (2+1)/(2+2) = 0.75
+    assert(out(1L) == ((2L, 1L, 0.5, 0.75)))
+    assert(out(2L) == ((2L, 1L, 0.5, 0.75)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0)), "bigram-free docs report zeros")
+  }
+
+  test("lmFamiliarity: a fully duplicated doc is fully known") {
+    val docs = Seq((1L, "p q r"), (2L, "p q r"), (3L, "z z q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmFamiliarity(docs, "doc_id", "text")
+      .filter($"doc_id" === 1).head
+    assert(out.getDouble(3) == 1.0, "every bigram of a duplicated doc is known")
+  }
+
+  // -- cooccurrence -------------------------------------------------------
+
+  test("cooccurrence counts ordered pairs within the window with exact lift") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(docs, "doc_id", "text",
+        window = 2, minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // doc1 pairs (window 2): a→b, a→a, b→a, b→b, a→b; doc2: a→b
+    // c(a)=3+1=4? doc1 has a,b,a,b → c(a)=2+1=3, c(b)=2+1=3; N=6
+    assert(out(("a", "b")) == ((3L, 3L, 3L, 3L * 6.0 / 9.0)))
+    assert(out(("a", "a")) == ((1L, 3L, 3L, 1L * 6.0 / 9.0)))
+    assert(out(("b", "a")) == ((1L, 3L, 3L, 1L * 6.0 / 9.0)))
+    assert(out(("b", "b")) == ((1L, 3L, 3L, 1L * 6.0 / 9.0)))
+  }
+
+  test("cooccurrence window never crosses document boundaries") {
+    val docs = Seq((1L, "a x"), (2L, "y b")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(docs, "doc_id", "text",
+      window = 3, minPairCount = 1)
+    assert(out.filter($"a" === "x" && $"b" === "y").isEmpty,
+      "x (end of doc 1) must not pair with y (start of doc 2)")
+  }
+
+  // -- replicateByEpochs --------------------------------------------------
+
+  test("replicateByEpochs: integer epochs replicate exactly, zero drops") {
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "xx"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.replicateByEpochs(docs, "doc_id", "lang",
+        Map("en" -> 2.0), defaultEpochs = 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSet == Set((1L, 0), (1L, 1), (2L, 0), (2L, 1)))
+  }
+
+  test("replicateByEpochs: fractional epochs hit the expected count and are deterministic") {
+    val docs = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val run = () => Sampling.replicateByEpochs(docs, "doc_id", "lang",
+      Map("en" -> 1.5)).collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val a = run()
+    assert(a == run(), "same inputs → same copies")
+    // every doc at least once; ~50% twice (hash-fraction coin)
+    assert(a.count(_._2 == 0) == 1000)
+    val extra = a.count(_._2 == 1)
+    assert(extra > 400 && extra < 600, s"~500 expected, got $extra")
+  }
+
+  test("replicateByEpochs epochs below 1 downsample") {
+    val docs = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val n = Sampling.replicateByEpochs(docs, "doc_id", "lang",
+      Map("en" -> 0.25)).count()
+    assert(n > 150 && n < 350, s"~250 expected, got $n")
+  }
+
+  // -- ZOrder -------------------------------------------------------------
+
+  test("zValue interleaves bits (worked examples)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (1023L, 1023L))
+      .toDF("a", "b")
+    val out = df.select(ZOrder.zValue($"a", $"b", 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(3,5) = a bits {0,1} at even, b bits {0,2} at odd:
+    // 1 + 4 + 2 + 32 = 39
+    assert(out == Seq(0L, 1L, 2L, 3L, 39L, (1L << 20) - 1))
+  }
+
+  test("zValue masks inputs above bitsPer bits") {
+    val out = Seq((1024L + 3L, 0L)).toDF("a", "b")
+      .select(ZOrder.zValue($"a", $"b", 10)).head.getLong(0)
+    assert(out == 5L, "bit 10 of a is out of range and ignored")
+  }
+
+  test("z-order layout bounds BOTH dimensions per partition; single-column sort does not") {
+    val df = (for { a <- 0 until 64; b <- 0 until 64 } yield (a, b)).toDF("a", "b")
+    def spans(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val parts = laid
+        .withColumn("pid", spark_partition_id())
+        .groupBy($"pid")
+        .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+        .agg(avg($"sa"), avg($"sb")).head
+      (parts.getDouble(0), parts.getDouble(1))
+    }
+    val (za, zb) = spans(ZOrder.layout(df, "a", "b", bitsPer = 6, nFiles = 16))
+    val (la, lb) = spans(df.repartitionByRange(16, $"a").sortWithinPartitions($"a"))
+    assert(za < 40 && zb < 40,
+      s"z-order must bound both dims (got a-span $za, b-span $zb)")
+    assert(lb > 55, s"a-only sort leaves b unbounded (got $lb)")
+    assert(za < lb, "z-order strictly beats single-column sort on the second dim")
+  }
+}
