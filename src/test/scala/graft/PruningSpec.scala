@@ -126,6 +126,43 @@ class PruningSpec extends SparkSpec {
       s"the hash fraction is map-stage; only the per-shard sort may shuffle:\n$plan")
   }
 
+  test("round-4 EXT queries never plan all-pairs joins (q96/q97/q98)") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q96_knn_graph", "q97_lm_familiarity", "q98_cooccurrence")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$plan")
+      // q98's single BroadcastNestedLoopJoin is the sanctioned one-row
+      // scalar cross join (the tfidf/mixReport pattern); corpus-side
+      // candidate generation must still be equi-joins only
+      val allowedBnlj = if (q == "q98_cooccurrence") 1 else 0
+      val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= allowedBnlj,
+        s"$q must not plan a nested-loop join over corpus-scale sides:\n$plan")
+    }
+  }
+
+  test("epoch replication and z-value are pure map stages (q99/q100 plan shape)") {
+    import graft.llmdata.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = Sampling.replicateByEpochs(docs, "doc_id", "lang",
+      Map("en" -> 2.5), defaultEpochs = 1.0).queryExecution.executedPlan
+    assert(countExchanges(rep) == 0,
+      s"replication is a per-row expression + generator, never a shuffle:\n$rep")
+    val z = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(graft.operators.ZOrder.zValue($"l_partkey", $"l_suppkey", 10))
+      .queryExecution.executedPlan
+    assert(countExchanges(z) == 0, s"the z-value is bit math in a projection:\n$z")
+  }
+
+  test("z-order layout plans exactly one range exchange") {
+    val df = (0 until 256).map(i => (i % 16, i / 16)).toDF("a", "b")
+    val plan = graft.operators.ZOrder.layout(df, "a", "b", bitsPer = 4, nFiles = 4)
+      .queryExecution.executedPlan
+    val ranges = plan.toString.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges == 1, s"layout is one range exchange + in-partition sort:\n$plan")
+  }
+
   test("compaction rewrites a fragmented table into bounded file count") {
     val path = Files.createTempDirectory("graft-compact").toString + "/t"
     (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
