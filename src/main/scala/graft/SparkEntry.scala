@@ -857,6 +857,26 @@ object SparkEntry {
           col("l_partkey"), col("l_suppkey"),
           graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 10)
             .as("zval"))),
+
+    // cross-split leakage audit: TEST docs sharing >= 2 3-gram shingles
+    // with any TRAIN doc under the q88 assignment — the check that keeps
+    // a held-out split honest as the corpus is re-curated
+    "q101_split_leakage" -> ((s, d) => {
+      val split = graft.llmdata.Sampling.splitAssign(t(s, d, "documents"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      DedupOps.contamination(
+        split.filter(col("split") === "test"),
+        split.filter(col("split") === "train"),
+        "doc_id", "text", shingleSize = 3, minShared = 2)
+    }),
+
+    // packed training rows materialized: q68's bins emitted as actual
+    // concatenated sequences (id-ordered), md5'd for the scalar gate
+    "q102_pack_bins" -> ((s, d) =>
+      TextAnalysis.materializePacked(t(s, d, "documents"), "doc_id", "text",
+        budgetTokens = 512, nShards = 4)
+        .select(col("shard"), col("bin_id"), col("n_docs"), col("bin_tokens"),
+          md5(col("packed_text")).as("packed_md5"))),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2212,5 +2232,54 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS zval
          |FROM lineitem""".stripMargin
     },
+
+    // q88's split thresholds (interpolated from the same doubles the
+    // operator folds in) feeding q71's shingle-overlap sweep
+    "q101_split_leakage" -> {
+      val ts = graft.llmdata.Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = ts.init.map { case (name, t) =>
+        s"WHEN frac < $t THEN '$name'" }.mkString(" ")
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+        s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+      s"""WITH split AS (
+         |  SELECT doc_id, text, CASE $cases ELSE '${ts.last._1}' END AS split
+         |  FROM (SELECT doc_id, text,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 AS frac FROM documents)),
+         |bench AS (SELECT DISTINCT s FROM (
+         |    SELECT unnest($sh) AS s FROM split WHERE split = 'train')),
+         |corpus AS (SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest($sh) AS s FROM split WHERE split = 'test'))
+         |SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+         |FROM corpus JOIN bench USING (s)
+         |GROUP BY doc_id HAVING COUNT(*) >= 2""".stripMargin
+    },
+
+    // q68's packing CTE joined back to the text, id-ordered string_agg
+    // per bin — ' ' separator and order mirror concat_ws over the
+    // sorted struct array
+    "q102_pack_bins" ->
+      """WITH packed AS (
+        |  SELECT doc_id, shard,
+        |    CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+        |    n_tokens
+        |  FROM (
+        |    SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+        |      CAST(n_tokens AS BIGINT) AS n_tokens,
+        |      CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY doc_id % 4
+        |        ORDER BY doc_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |      FROM documents)))
+        |SELECT p.shard, p.bin_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(p.n_tokens) AS BIGINT) AS bin_tokens,
+        |  md5(string_agg(d.text, ' ' ORDER BY p.doc_id)) AS packed_md5
+        |FROM packed p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -230,6 +230,101 @@ object Multimodal {
       }
   }
 
+  /** Typed row for [[imageAHash]]: the 64-bit perceptual hash carried as
+    * one long; `decoded=false` rows hash to 0 and are excluded from
+    * pairing. */
+  case class ImageHash(asset_id: Long, ahash: Long, decoded: Boolean)
+
+  /** Perceptual average-hash (aHash): decode, average-pool luma to an
+    * 8×8 grid (area-exact integer cell boundaries), set bit k iff cell
+    * k's mean exceeds the mean of the 64 cell means. Near-identical
+    * images (recompression, mild resize, small overlays) land within a
+    * few bits — the image analog of SimHash, and the standard first pass
+    * of image dedup in a multimodal training pipeline. Same
+    * partition-parallel mapPartitions shape as [[imageStats]]; images
+    * smaller than 8×8 (and undecodable payloads) report decoded=false. */
+  def imageAHash(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 8 || img.getHeight < 8)
+            ImageHash(id, 0L, decoded = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cells = new Array[Double](64)
+            var k = 0
+            while (k < 64) {
+              val ci = k % 8; val cj = k / 8
+              val x0 = ci * w / 8; val x1 = (ci + 1) * w / 8
+              val y0 = cj * h / 8; val y1 = (cj + 1) * h / 8
+              var sum = 0.0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                  x += 1
+                }
+                y += 1
+              }
+              cells(k) = sum / ((x1 - x0).toLong * (y1 - y0))
+              k += 1
+            }
+            val mean = cells.sum / 64
+            var hash = 0L
+            k = 0
+            while (k < 64) {
+              if (cells(k) > mean) hash |= (1L << k)
+              k += 1
+            }
+            ImageHash(id, hash, decoded = true)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs: asset pairs whose aHash Hamming distance
+    * is ≤ `maxHamming`, found with the SAME pigeonhole blocking as
+    * 64-bit SimHash text dedup ([[DedupOps.simhashPairs]]): split the 64
+    * bits into maxHamming+1 contiguous blocks — two hashes within the
+    * budget MUST agree on at least one whole block — equi-join on
+    * (block index, block value), then verify with one bit_count(xor).
+    * 100% recall within the budget, never all-pairs; undecoded assets
+    * are excluded (their zero hash would false-cluster). */
+  def imageNearDupPairs(hashes: Dataset[ImageHash], maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val df = hashes.toDF().filter(col("decoded"))
+    val blocked = df.select(col("asset_id"), col("ahash"),
+      explode(array((0 until nBlocks).map { b =>
+        // last block takes the remainder bits; -1L >>> 0 would wrap, so
+        // full-width masks use -1L directly
+        val lo = b * blockBits
+        val width = if (b == nBlocks - 1) 64 - lo else blockBits
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        struct(lit(b).as("block"),
+          shiftrightunsigned(col("ahash"), lo).bitwiseAND(mask).as("bval"))
+      }: _*)).as("blk"))
+      .select(col("asset_id"), col("ahash"),
+        col("blk.block").as("block"), col("blk.bval").as("bval"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.bval") === col("b.bval")
+          && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct() // a pair can agree on several blocks
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The imperative-codec escape hatch: decode via `mapPartitions` (the
     * Scala analog of `mapInPandas` — one codec instance per partition,
     * rows streamed through it in batches). Preference order (build brief):

@@ -222,6 +222,31 @@ object TextAnalysis {
       .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
   }
 
+  /** Materialize packed training sequences: [[packSequences]] assigns
+    * each document a (shard, bin); this emits one row PER BIN with the
+    * documents concatenated in id order — the actual fixed-budget
+    * training row a data loader streams. Returns (shard, bin_id, n_docs,
+    * bin_tokens, packed_text); `bin_tokens` can exceed the budget only
+    * when a single document does (packSequences' own contract).
+    *
+    * Shape at 100 TB: one equi-join of the bin assignment back to the
+    * text (keyed on the id), then one hash aggregate keyed (shard, bin);
+    * in-bin ordering is restored with sort_array over (id, text) structs
+    * — per-bin arrays are budget-bounded (~thousands of tokens), so the
+    * aggregate state stays small no matter the corpus size. */
+  def materializePacked(df: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Int, nShards: Int): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, budgetTokens, nShards)
+    packed.join(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        Seq("doc_id"))
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+          x => x.getField("__text"))).as("packed_text"))
+  }
+
   /** Training-mix report: per-stratum document count, token count, and
     * token share of the corpus — the proportions table a data-mixing
     * step consumes. Two aggregations (per-stratum, then a broadcast

@@ -111,6 +111,26 @@ object Streaming {
       }
       .start()
 
+  /** Streaming EXACT dedup: drop any document whose content fingerprint
+    * ([[graft.llmdata.TextAnalysis.fingerprint]] — md5 of the normalized
+    * text) was already seen within the watermark horizon, using Spark's
+    * own `dropDuplicatesWithinWatermark` state store. The streaming twin
+    * of the batch exact-dedup operator, and the cheap first stage in
+    * front of [[dedupAdmissionSink]]'s near-dup probe: an exact byte
+    * duplicate never reaches the LSH index.
+    *
+    * State is bounded BY THE WATERMARK (fingerprints older than
+    * `lateness` are evicted) — the honest contract for an unbounded
+    * stream: exactness within the horizon, cross-horizon duplicates fall
+    * through to the batch dedup that periodically re-curates the corpus.
+    * Append mode; the first arrival (in processing order) survives. */
+  def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
+                       lateness: String): DataFrame =
+    df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Event-time session windows via flatMapGroupsWithState: events for a
     * user belong to one session until a gap of `gapSeconds`; closed
     * sessions are emitted (0..n outputs per group per batch — the flatMap

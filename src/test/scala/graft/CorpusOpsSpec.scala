@@ -117,6 +117,97 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n > 150 && n < 350, s"~250 expected, got $n")
   }
 
+  // -- materializePacked --------------------------------------------------
+
+  test("materializePacked concatenates each bin's docs in id order") {
+    val docs = Seq((0L, "a b"), (1L, "x"), (2L, "c"), (3L, "y z"), (4L, "d e f"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.materializePacked(docs, "doc_id", "text",
+        budgetTokens = 3, nShards = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // shard 0: docs 0 (2 tok, cum 2), 2 (1 tok, cum 3) → bin 0; 4 (3 tok) → bin 1
+    // shard 1: docs 1 (1 tok), 3 (2 tok) → bin 0
+    assert(out == Map(
+      (0, 0L) -> ((2L, 3L, "a b c")),
+      (0, 1L) -> ((1L, 3L, "d e f")),
+      (1, 0L) -> ((2L, 3L, "x y z"))))
+  }
+
+  // -- exactDedupStream ---------------------------------------------------
+
+  test("exactDedupStream drops normalized-fingerprint duplicates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-xdedup").toString
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.Streaming.exactDedupStream(
+        in.toDF().toDF("id", "ts", "text"), "ts", "text", lateness = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xdedup")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try {
+      in.addData((1L, ts(1), "Hello,  World!"))
+      q.processAllAvailable()
+      // same normalized fingerprint ("hello world") in a LATER batch +
+      // a genuinely novel doc
+      in.addData((2L, ts(2), "hello world"), (3L, ts(2), "something else"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("xdedup").select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), "the cross-batch duplicate must be dropped")
+  }
+
+  // -- image perceptual hash ----------------------------------------------
+
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("imageAHash is stable under a tiny pixel change, far for the inverse") {
+    val a = pngBytes(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val b = pngBytes(16, 16)((x, y) =>
+      if (x == 0 && y == 0) 0x0a0a0a else if (x < 8) 0x000000 else 0xffffff)
+    val c = pngBytes(16, 16)((x, _) => if (x < 8) 0xffffff else 0x000000)
+    val media = Seq((1L, a), (2L, b), (3L, c),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val hashes = graft.llmdata.Multimodal.imageAHash(media)
+    val byId = hashes.collect().map(x => x.asset_id -> x).toMap
+    assert(byId(1L).decoded && byId(2L).decoded && byId(3L).decoded)
+    assert(!byId(4L).decoded, "text payloads must flag undecoded")
+    assert(byId(1L).ahash == byId(2L).ahash,
+      "one perturbed pixel must not move the aHash")
+    assert(java.lang.Long.bitCount(byId(1L).ahash ^ byId(3L).ahash) == 64,
+      "the inverted image is the complement hash")
+    val pairs = graft.llmdata.Multimodal.imageNearDupPairs(hashes, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), "only the near-identical pair survives")
+  }
+
+  test("imageNearDupPairs pigeonhole recall: hamming <= budget pairs are always found") {
+    import graft.llmdata.Multimodal.ImageHash
+    // synthetic hashes: base, base with 2 flipped bits (in DIFFERENT
+    // 21/22-bit blocks — the adversarial case for block agreement), and
+    // a 3-bit flip that must be excluded
+    val base = 0x0123456789abcdefL
+    val two = base ^ (1L << 3) ^ (1L << 40)
+    val three = base ^ (1L << 3) ^ (1L << 30) ^ (1L << 60)
+    val hs = Seq(ImageHash(1L, base, decoded = true),
+      ImageHash(2L, two, decoded = true),
+      ImageHash(3L, three, decoded = true)).toDS()
+    val pairs = graft.llmdata.Multimodal.imageNearDupPairs(hs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 2)))
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "3 flips exceed the budget")
+  }
+
   // -- ZOrder -------------------------------------------------------------
 
   test("zValue interleaves bits (worked examples)") {
