@@ -877,6 +877,12 @@ object SparkEntry {
         budgetTokens = 512, nShards = 4)
         .select(col("shard"), col("bin_id"), col("n_docs"), col("bin_tokens"),
           md5(col("packed_text")).as("packed_md5"))),
+
+    // embedding-space outliers: the 16 vectors farthest from the
+    // decimal-exact corpus centroid (mis-embedded-row detection)
+    "q103_embedding_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 16)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2281,5 +2287,24 @@ object SparkEntry {
         |  md5(string_agg(d.text, ' ' ORDER BY p.doc_id)) AS packed_md5
         |FROM packed p JOIN documents d USING (doc_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors centroidOutliers: q93's decimal-exact per-dim mean as the
+    // centroid list, squared distance via list_dot_product over the diff
+    // list (the proven left-fold twin of the unrolled engine terms),
+    // raw doubles compared (both engines compute bit-identical values)
+    "q103_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cm AS (SELECT dim, CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS m
+        |       FROM (SELECT CAST(unnest(generate_series(1, len(emb))) AS INT) AS dim,
+        |                    unnest(emb) AS x FROM e)
+        |       GROUP BY 1),
+        |c AS (SELECT list(m ORDER BY dim) AS cent FROM cm)
+        |SELECT vec_id, dist2 FROM (
+        |  SELECT e.vec_id,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] - c.cent[i]),
+        |      list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] - c.cent[i])) AS dist2
+        |  FROM e CROSS JOIN c)
+        |ORDER BY dist2 DESC, vec_id ASC LIMIT 16""".stripMargin,
   )
 }

@@ -441,6 +441,37 @@ object Similarity {
       .select("node_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Embedding outliers: the `k` vectors farthest (squared Euclidean)
+    * from the corpus centroid — the standard embedding-space health
+    * check (mis-embedded rows, encoder drift, garbage inputs all land
+    * far from the mass).
+    *
+    * Determinism: the centroid is the decimal-exact per-dim mean (the
+    * [[labelCentroids]] machinery with one global label), collected —
+    * it is dim-scale, the same metadata-scale collect as
+    * [[assignCorpusCells]] — and inlined as literals; the distance is
+    * dim unrolled codegen'd terms added in left-fold order, so the
+    * doubles are bit-identical in any engine (float→double exact,
+    * products exact-operand IEEE, same fold order as the oracle's
+    * list_dot_product over the diff list). The top-k is a TakeOrdered —
+    * no global sort; everything before it is ONE map stage. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val cent = df.select(posexplode(col(vecCol)))
+      .groupBy(col("pos"))
+      .agg((graft.functions.ScalarFns.exactSum(col("col").cast("double"))
+        / count(lit(1))).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    require(cent.nonEmpty, "centroidOutliers: empty corpus")
+    val dist2 = cent.indices.map { i =>
+      val d = element_at(col(vecCol), i + 1).cast("double") - lit(cent(i))
+      d * d
+    }.reduce(_ + _)
+    df.select(col(idCol), dist2.as("dist2"))
+      .orderBy(col("dist2").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-label embedding centroids: mean vector per class, one (label,
     * dim, n_vecs, centroid) row per dimension — the class-prototype table
     * a labeled-data pipeline derives (nearest-centroid classification,

@@ -117,6 +117,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n > 150 && n < 350, s"~250 expected, got $n")
   }
 
+  // -- centroidOutliers ---------------------------------------------------
+
+  test("centroidOutliers ranks by exact distance to the decimal-exact centroid") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(9.0f, 8.0f))
+    ).toDF("vec_id", "embedding")
+    // centroid = (3, 2); dist2: vec 4 → 36+36=72, vecs 1-3 → 4+4=8
+    val out = Similarity.centroidOutliers(emb, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((4L, 72.0), (1L, 8.0)),
+      "farthest first, ties broken by lowest id")
+  }
+
   // -- materializePacked --------------------------------------------------
 
   test("materializePacked concatenates each bin's docs in id order") {
