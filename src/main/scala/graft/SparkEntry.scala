@@ -883,6 +883,32 @@ object SparkEntry {
     "q103_embedding_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 16)),
+
+    // top-p (nucleus) pruning of the bigram LM table: smallest
+    // count-ranked continuation prefix reaching 80% per head
+    "q104_bigram_topp" -> ((s, d) =>
+      TextAnalysis.bigramTopP(t(s, d, "documents"), "doc_id", "text",
+        p = 0.8, minHeadCount = 10)),
+
+    // hard-negative mining: top-3 most-similar DIFFERENT-label vectors
+    // per anchor (contrastive-training negatives)
+    "q105_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", k = 3, bits = 8)
+        .select(col("anchor_id"), col("negative_id"), col("anchor_label"),
+          col("negative_label"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))),
+
+    // corpus snapshot diff: docs <350 vs docs >=150 (every 7th text
+    // modified) → added / removed / modified / unchanged per id
+    "q106_corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") < 350)
+      val newSnap = docs.filter(col("doc_id") >= 150)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" zzz"))).otherwise(col("text")))
+      DedupOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2306,5 +2332,67 @@ object SparkEntry {
         |      list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] - c.cent[i])) AS dist2
         |  FROM e CROSS JOIN c)
         |ORDER BY dist2 DESC, vec_id ASC LIMIT 16""".stripMargin,
+
+    // q89's bigram table with a 1-PRECEDING cumulative window; the
+    // nucleus cut multiplies the exact BIGINT prefix by the same 0.8
+    // literal (IEEE multiply — identical even though 0.8 is inexact)
+    "q104_bigram_topp" ->
+      """WITH arr AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |             FROM documents),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS s FROM arr),
+        |counts AS (SELECT string_split(s, ' ')[1] AS head,
+        |             string_split(s, ' ')[2] AS cont, COUNT(*) AS c
+        |           FROM bi GROUP BY 1, 2),
+        |heads AS (SELECT head, CAST(SUM(c) AS BIGINT) AS n_head
+        |          FROM counts GROUP BY 1
+        |          HAVING CAST(SUM(c) AS BIGINT) >= 10)
+        |SELECT head, cont, n_bigram, n_head, p_cont, cum_p, rank FROM (
+        |  SELECT c.head, c.cont, CAST(c.c AS BIGINT) AS n_bigram, h.n_head,
+        |    CAST(c.c AS DOUBLE) / h.n_head AS p_cont,
+        |    CAST(COALESCE(SUM(c.c) OVER w_prev, 0) + c.c AS DOUBLE) / h.n_head AS cum_p,
+        |    CAST(row_number() OVER w AS INT) AS rank,
+        |    CAST(COALESCE(SUM(c.c) OVER w_prev, 0) AS BIGINT) AS cum_prev
+        |  FROM counts c JOIN heads h USING (head)
+        |  WINDOW w AS (PARTITION BY c.head ORDER BY c.c DESC, c.cont ASC),
+        |    w_prev AS (PARTITION BY c.head ORDER BY c.c DESC, c.cont ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE CAST(cum_prev AS DOUBLE) < 0.8 * CAST(n_head AS DOUBLE)""".stripMargin,
+
+    // q96's collision set with labels; the label inequality prunes
+    // before the rank window
+    "q105_hard_negatives" -> {
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${bucketSql(8)} AS bucket FROM embeddings)
+         |SELECT anchor_id, negative_id, anchor_label, negative_label,
+         |  ROUND(cosine, 6) AS cosine, rank FROM (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         |    a.label AS anchor_label, b.label AS negative_label,
+         |    ${cos("a.emb", "b.emb")} AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM v a JOIN v b
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.label <> b.label)
+         |WHERE rank <= 3""".stripMargin
+    },
+
+    // full-outer fingerprint diff; the 'new' snapshot appends a token to
+    // every 7th doc so all four statuses appear
+    "q106_corpus_diff" -> {
+      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+      val fpNew = fp.replace("lower(text)",
+        "lower(CASE WHEN doc_id % 7 = 0 THEN text || ' zzz' ELSE text END)")
+      s"""WITH o AS (SELECT doc_id, $fp AS old_fp FROM documents WHERE doc_id < 350),
+         |n AS (SELECT doc_id, $fpNew AS new_fp FROM documents WHERE doc_id >= 150)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |    WHEN n.doc_id IS NULL THEN 'removed'
+         |    WHEN o.old_fp = n.new_fp THEN 'unchanged'
+         |    ELSE 'modified' END AS status,
+         |  o.old_fp, n.new_fp
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+    },
   )
 }

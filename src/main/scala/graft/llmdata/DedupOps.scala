@@ -539,6 +539,34 @@ object DedupOps {
       .select("query_id", "doc_id", "n_shared", "containment")
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as added / removed / modified / unchanged, comparing
+    * CONTENT by the normalized fingerprint
+    * ([[TextAnalysis.fingerprint]]) so cosmetic whitespace or casing
+    * churn does not read as modification — the change-data report an
+    * incremental curation pipeline consumes to re-run only affected
+    * downstream work (re-embed modified docs, retire removed ids from
+    * indexes, dedup-admit added ones).
+    *
+    * Shape at 100 TB: fingerprints are a map stage over each side; the
+    * diff is ONE full-outer hash equi-join on the id — no content
+    * shuffled beyond the 32-char fingerprint. Returns (doc_id, status,
+    * old_fp, new_fp) with NULL fingerprints on the absent side. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("modified").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** Duplicated-window coverage (the measurement form of Lee et al. 2022's
     * exact substring dedup, at word-n-gram granularity): per document, the
     * fraction of its n-gram windows whose gram occurs in at least `minDf`

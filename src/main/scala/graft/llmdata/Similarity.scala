@@ -441,6 +441,33 @@ object Similarity {
       .select("node_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most-similar vectors with a DIFFERENT label — the
+    * near-misses that make the best negatives (Karpukhin et al. 2020
+    * family). Identical candidate structure to [[knnGraph]] (multi-probe
+    * fan-out × exact-bucket equi-join, never all-pairs); the label
+    * inequality prunes before ranking, so positives never occupy
+    * candidate slots. Returns (anchor_id, negative_id, anchor_label,
+    * negative_label, cosine, rank). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val a = df.select(col(idCol).as("anchor_id"), col(vecCol).as("va"),
+      col(labelCol).as("anchor_label"),
+      explode(probeBuckets(col(vecCol), bits)).as("bucket"))
+    val b = df.select(col(idCol).as("negative_id"), col(vecCol).as("vb"),
+      col(labelCol).as("negative_label"),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("anchor_label") =!= col("negative_label"))
+      .withColumn("cosine", cosineNative(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "negative_id", "anchor_label", "negative_label",
+        "cosine", "rank")
+  }
+
   /** Embedding outliers: the `k` vectors farthest (squared Euclidean)
     * from the corpus centroid — the standard embedding-space health
     * check (mis-embedded rows, encoder drift, garbage inputs all land

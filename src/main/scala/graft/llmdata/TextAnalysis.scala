@@ -429,6 +429,49 @@ object TextAnalysis {
         (col("n_bigram").cast("double") / col("n_head")).as("p"), col("rank"))
   }
 
+  /** Top-p (nucleus) pruning of the bigram continuation table: per head
+    * word, keep the SMALLEST count-ranked prefix of continuations whose
+    * cumulative probability reaches `p` — the standard way a sampling
+    * vocabulary or an n-gram backoff table is truncated without a fixed
+    * k. A row survives iff the cumulative count BEFORE it is still under
+    * p·total (so the row that crosses the threshold is kept, and
+    * nothing after it).
+    *
+    * Determinism: ranks and cumulative sums are integer counts; the one
+    * double comparison (cum_prev < p·n_head) multiplies an exact BIGINT
+    * by the same p literal in both engines — IEEE multiply is exactly
+    * specified, so the cut is bit-identical even when p itself (e.g.
+    * 0.8) has no finite binary expansion.
+    *
+    * Same scale shape as [[bigramTopContinuations]]: corpus-scale work
+    * ends at the count aggregate; windows run over the vocabulary-scale
+    * count table. */
+  def bigramTopP(df: DataFrame, idCol: String, textCol: String,
+                 p: Double, minHeadCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p <= 1, s"p must be in (0,1], got $p")
+    val counts = DedupOps.shingleStream(df, idCol, textCol, 2)
+      .groupBy(col("s")).agg(count(lit(1)).as("n_bigram"))
+      .withColumn("head", split(col("s"), " ").getItem(0))
+      .withColumn("cont", split(col("s"), " ").getItem(1))
+    val heads = counts.groupBy(col("head"))
+      .agg(sum(col("n_bigram")).cast("long").as("n_head"))
+      .filter(col("n_head") >= minHeadCount)
+    val w = Window.partitionBy(col("head"))
+      .orderBy(col("n_bigram").desc, col("cont").asc)
+    counts.join(heads, Seq("head"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_prev",
+        coalesce(sum(col("n_bigram")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .filter(col("cum_prev").cast("double") < lit(p) * col("n_head").cast("double"))
+      .select(col("head"), col("cont"), col("n_bigram"), col("n_head"),
+        (col("n_bigram").cast("double") / col("n_head")).as("p_cont"),
+        ((col("cum_prev") + col("n_bigram")).cast("double") / col("n_head"))
+          .as("cum_p"),
+        col("rank"))
+  }
+
   /** Per-document corpus-familiarity score from the bigram count table —
     * the exact-arithmetic stand-in for n-gram-LM perplexity filtering
     * (CCNet/KenLM family): documents whose bigrams are rare in the corpus

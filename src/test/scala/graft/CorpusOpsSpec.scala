@@ -117,6 +117,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n > 150 && n < 350, s"~250 expected, got $n")
   }
 
+  // -- bigramTopP ---------------------------------------------------------
+
+  test("bigramTopP keeps the smallest prefix reaching p, crossing row included") {
+    // head 'b' continuations: c×2, d×1, e×1 (n_head=4)
+    val docs = Seq((1L, "b c b c b d b e")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramTopP(docs, "doc_id", "text",
+        p = 0.75, minHeadCount = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))).toMap
+    // cum_prev: c→0 < 3, d→2 < 3, e→3 not< 3 → c and d survive
+    assert(out == Map(
+      ("b", "c") -> ((2L, 4L, 0.5, 0.5, 1)),
+      ("b", "d") -> ((1L, 4L, 0.25, 0.75, 2))))
+  }
+
+  test("bigramTopP at p=1 keeps every continuation") {
+    val docs = Seq((1L, "b c b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramTopP(docs, "doc_id", "text",
+      p = 1.0, minHeadCount = 2)
+    assert(out.filter($"head" === "b").count() == 2)
+  }
+
+  // -- hardNegatives ------------------------------------------------------
+
+  test("hardNegatives excludes same-label candidates and ranks the rest") {
+    def v(seed: Int): Seq[Float] =
+      (0 until 16).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val close = v(1).updated(0, v(1)(0) + 0.01f)   // same signs as v(1)
+    val close2 = v(1).updated(2, v(1)(2) + 0.01f)  // same signs as v(1)
+    val emb = Seq((1L, v(1), 0), (2L, close, 0), (3L, close2, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        k = 1, bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 3L, "the same-label near-dup (2) must not be a negative")
+    assert(out(3L) != 3L && Set(1L, 2L).contains(out(3L)))
+  }
+
+  // -- corpusDiff ---------------------------------------------------------
+
+  test("corpusDiff classifies added/removed/modified/unchanged by normalized content") {
+    val oldSnap = Seq((1L, "Hello World"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b!"), (3L, "c changed"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val out = graft.llmdata.DedupOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "b!" normalizes to "b" — punctuation churn is NOT a modification
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+  }
+
   // -- centroidOutliers ---------------------------------------------------
 
   test("centroidOutliers ranks by exact distance to the decimal-exact centroid") {
