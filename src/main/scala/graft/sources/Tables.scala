@@ -30,6 +30,23 @@ object Tables {
     }
   }
 
+  /** Per-file min/max statistics for a parquet table — the ops view of
+    * whether a layout enables file skipping: a reader filtering on a
+    * column prunes every file whose [min, max] excludes the predicate,
+    * so narrow per-file ranges = real skipping (the evidence behind
+    * [[graft.operators.ZOrder.layout]]). One scan with
+    * `input_file_name()` + a per-file aggregate; the output is
+    * file-count-scale. (Parquet footers already hold these stats — this
+    * recomputes them engine-side for inspection without footer-parsing
+    * code.) */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
+
   /** The engine's ONE absent-table idiom: a parquet read where only
     * "table does not exist yet" (missing path, or an existing dir with no
     * data files to infer from) maps to None — every other failure

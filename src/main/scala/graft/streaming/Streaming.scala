@@ -131,6 +131,25 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Session windows via Spark's BUILT-IN `session_window` function —
+    * the declarative form of [[sessionWindows]], preferred when the
+    * per-session output is an aggregate (counts/sums) rather than
+    * custom state: Catalyst owns the session merge, state store layout,
+    * and watermark eviction, so there is no hand-rolled fold to get
+    * wrong. Use the flatMapGroupsWithState variants below only when the
+    * session logic genuinely cannot be expressed as an aggregation
+    * (the build brief's built-ins-first rule). Works identically on a
+    * batch frame (no watermark needed there). */
+  def sessionWindowsBuiltin(events: DataFrame, tsCol: String, keyCol: String,
+                            gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Event-time session windows via flatMapGroupsWithState: events for a
     * user belong to one session until a gap of `gapSeconds`; closed
     * sessions are emitted (0..n outputs per group per batch — the flatMap

@@ -292,6 +292,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == 5L, "bit 10 of a is out of range and ignored")
   }
 
+  test("z-order layout written to parquet yields file stats bounded on both dims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zfiles").toString
+    val df = (for { a <- 0 until 64; b <- 0 until 64 } yield (a, b)).toDF("a", "b")
+    graft.operators.ZOrder.layout(df, "a", "b", bitsPer = 6, nFiles = 16)
+      .write.parquet(dir + "/z")
+    val stats = graft.sources.Tables.fileStats(spark, dir + "/z", Seq("a", "b"))
+      .collect()
+    assert(stats.length >= 8, "the range partitioning must spread files")
+    val spans = stats.map(r => (r.getAs[Int]("max_a") - r.getAs[Int]("min_a"),
+      r.getAs[Int]("max_b") - r.getAs[Int]("min_b")))
+    val (avgA, avgB) = (spans.map(_._1).sum.toDouble / spans.length,
+      spans.map(_._2).sum.toDouble / spans.length)
+    assert(avgA < 40 && avgB < 40,
+      s"per-FILE min/max must bound both dims (a-span $avgA, b-span $avgB) — " +
+        "this is what lets a reader skip files on either predicate")
+  }
+
   test("z-order layout bounds BOTH dimensions per partition; single-column sort does not") {
     val df = (for { a <- 0 until 64; b <- 0 until 64 } yield (a, b)).toDF("a", "b")
     def spans(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {

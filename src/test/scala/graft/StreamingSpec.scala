@@ -279,4 +279,46 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L).nEvents == 2 && out(1L).totalValue == 3.0)
     assert(out(2L).nEvents == 1 && out(2L).totalValue == 5.0)
   }
+
+  test("built-in session_window merges events within the gap (batch form)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(40)), (2L, ts(1)))
+      .toDF("user_id", "ts")
+    val out = Streaming.sessionWindowsBuiltin(events, "ts", "user_id",
+        gap = "10 minutes", lateness = "0 seconds")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getTimestamp(2), r.getLong(3)))).toMap
+    // session end = last event + gap (the built-in's semantics)
+    assert(out((1L, ts(0))) == ((ts(15), 2L)))
+    assert(out((1L, ts(40))) == ((ts(50), 1L)))
+    assert(out((2L, ts(1))) == ((ts(11), 1L)))
+  }
+
+  test("built-in session_window emits closed sessions in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sessbi").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.sessionWindowsBuiltin(in.toDF().toDF("user_id", "ts"),
+        "ts", "user_id", gap = "10 minutes", lateness = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessbi")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(5)))
+      q.processAllAvailable()
+      // watermark still at 5min - 5min lateness: nothing closed yet
+      assert(spark.table("sessbi").isEmpty)
+      // an event far in the future pushes the watermark past 0..15+gap
+      in.addData((2L, ts(55)))
+      q.processAllAvailable()
+      in.addData((2L, ts(59))) // advance once more so the batch emits
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sessbi")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    assert(closed.contains((1L, ts(0), 2L)),
+      "the merged 10:00-10:05 session must close once the watermark passes")
+  }
 }
