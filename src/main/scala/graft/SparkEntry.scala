@@ -899,6 +899,33 @@ object SparkEntry {
           col("negative_label"), round(col("cosine"), 6).as("cosine"),
           col("rank"))),
 
+    // the end-to-end curation pass, composed from oracled pieces: exact-
+    // dedup keepers only, then quality >= 0.3, Gopher repetition caps,
+    // and <= 50% cross-doc duplicated windows — the single operator
+    // chain a corpus actually ships through before training
+    "q107_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      val rep = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+      val dup = DedupOps.duplicateWindowCoverage(docs, "doc_id", "text",
+        n = 8, minDf = 2)
+      val keepers = docs
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.select(col("doc_id"), col("lang"))
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .join(dup.select(col("doc_id"), col("dup_window_fraction")), Seq("doc_id"))
+        .filter(col("quality_score") >= 0.3
+          && col("dup_token_fraction") <= 0.6
+          && col("top_bigram_fraction") <= 0.18
+          && col("dup_window_fraction") <= 0.5)
+        .select("doc_id", "lang", "quality_score")
+    }),
+
     // corpus snapshot diff: docs <350 vs docs >=150 (every 7th text
     // modified) → added / removed / modified / unchanged per id
     "q106_corpus_diff" -> ((s, d) => {
@@ -2376,6 +2403,72 @@ object SparkEntry {
          |  FROM v a JOIN v b
          |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.label <> b.label)
          |WHERE rank <= 3""".stripMargin
+    },
+
+    // composes the q33 (quality), q76 (repetition), q94 (dup coverage)
+    // and q30 (keeper) oracle CTEs — names are disjoint by construction
+    "q107_curation_pipeline" -> {
+      val toksArr = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val gram8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH qs AS ($qualityScoreSql),
+         |toks AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest($toksArr) AS t FROM documents)
+         |  WHERE length(t) > 0),
+         |tok_stats AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT term) AS n_distinct
+         |  FROM toks GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len($toksArr) - 1),
+         |    i -> $toksArr[i] || ' ' || $toksArr[i+1])) AS s
+         |  FROM documents),
+         |bi_counts AS (SELECT doc_id, s, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+         |bi_stats AS (
+         |  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |  FROM bi_counts GROUP BY 1),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN COALESCE(t.n_tokens, 0) = 0 THEN 0.0
+         |      ELSE CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens END
+         |      AS dup_token_fraction,
+         |    CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+         |      ELSE CAST(b.top_c AS DOUBLE) / b.n_bigrams END
+         |      AS top_bigram_fraction
+         |  FROM documents d
+         |  LEFT JOIN tok_stats t ON d.doc_id = t.doc_id
+         |  LEFT JOIN bi_stats b ON d.doc_id = b.doc_id),
+         |arr AS (
+         |  SELECT doc_id, $toksArr AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> $gram8)) AS s FROM arr),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM g GROUP BY 1),
+         |dupg AS (SELECT s FROM g GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dpd AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+         |        FROM g JOIN dupg USING (s) GROUP BY 1),
+         |dupcov AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+         |      ELSE CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE) / t.n_windows
+         |    END AS dup_window_fraction
+         |  FROM documents d
+         |  LEFT JOIN tot t USING (doc_id)
+         |  LEFT JOIN dpd p USING (doc_id)),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))))
+         |SELECT d.doc_id, d.lang, q.quality_score
+         |FROM documents d
+         |JOIN keep USING (doc_id)
+         |JOIN qs q USING (doc_id)
+         |JOIN rep USING (doc_id)
+         |JOIN dupcov USING (doc_id)
+         |WHERE q.quality_score >= 0.3
+         |  AND rep.dup_token_fraction <= 0.6
+         |  AND rep.top_bigram_fraction <= 0.18
+         |  AND dupcov.dup_window_fraction <= 0.5""".stripMargin
     },
 
     // full-outer fingerprint diff; the 'new' snapshot appends a token to

@@ -583,6 +583,85 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(k)
 
+  /** Greedy left-to-right application of one BPE merge (a, b) → ab over
+    * a symbol array: the standard non-overlapping leftmost-first rule,
+    * as an `aggregate` fold (if the accumulator ends with `a` and the
+    * next symbol is `b`, fuse them; a fused symbol never re-matches, so
+    * "a a a" under (a,a) yields ["aa", "a"]). Interpreted HOF —
+    * acceptable: it runs over the vocabulary-scale word table during
+    * training and once per document at encode time. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** TRAIN a byte-pair-encoding vocabulary (Sennrich et al. 2016): run
+    * `nMerges` iterations of [count all adjacent symbol pairs over the
+    * corpus → fuse the most frequent pair everywhere]. This is the real
+    * iterative trainer ([[bpePairCounts]] is one iteration's statistic):
+    * each round is ONE distributed aggregate over the word-frequency
+    * table plus a 1-row driver collect (the argmax merge — the same
+    * metadata-scale collect as [[Similarity.fitCentroids]]) and a
+    * map-stage re-segmentation. Training runs on the DISTINCT-word
+    * table weighted by occurrence counts — vocabulary-scale, not
+    * corpus-scale, the classic trick that makes BPE training cheap at
+    * 100 TB (one corpus pass builds the word table; every iteration
+    * after that touches only the vocabulary).
+    *
+    * Ties break by pair string ascending (deterministic). Returns the
+    * ordered merge list; stops early if no pair occurs twice. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val pairsOf = (syms: Column) =>
+      when(size(syms) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(syms) - 1),
+          i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+    var words = df
+      .select(explode(DedupOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val top = words
+        .select(col("wc"), explode(pairsOf(col("syms"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((a, b))
+        // localCheckpoint: constant-depth lineage across iterations (the
+        // nearDupClusters/fitCentroids loop contract)
+        words = words.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** ENCODE documents with a trained merge list ([[bpeTrain]]): apply
+    * the merges in training order to every word. Pure map stage — the
+    * merge list folds into the expression tree as literals (no join, no
+    * broadcast, no state). Returns (doc_id, tokens: array<string>,
+    * n_bpe_tokens). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(split(w, "")) { case (syms, (a, b)) => applyMerge(syms, a, b) }
+    df.select(col(idCol).as("doc_id"),
+        flatten(transform(DedupOps.tokens(col(textCol)),
+          w => encodeWord(w))).as("tokens"))
+      .withColumn("n_bpe_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** BM25 retrieval scores for a literal query-term set: the `k` best
     * documents per term. Uses the LINEAR idf (N/df, no logarithm) for the
     * same engine-portability reason as [[tfidfTopTerms]]; k1/b defaults

@@ -139,6 +139,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter($"head" === "b").count() == 2)
   }
 
+  // -- BPE train/encode ---------------------------------------------------
+
+  test("bpeTrain learns merges by weighted pair frequency, greedy application") {
+    // word counts: aaab×3, aab×2 → pair counts: (a,a)=3·2+2·1=8, (a,b)=5
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "aaab aab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+    // round 2 tie (aa,a)=3 vs (a,b)=3 breaks to "a b" (string asc)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(2L) == Seq("aaab", "aa", "b"))
+  }
+
+  test("bpeTrain stops early when no pair repeats") {
+    val docs = Seq((1L, "xy")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 5).isEmpty)
+  }
+
+  test("bpeEncode with no merges is character segmentation") {
+    val docs = Seq((1L, "ab c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", Nil).head
+    assert(out.getSeq[String](1) == Seq("a", "b", "c"))
+    assert(out.getLong(2) == 3L)
+  }
+
   // -- hardNegatives ------------------------------------------------------
 
   test("hardNegatives excludes same-label candidates and ranks the rest") {
