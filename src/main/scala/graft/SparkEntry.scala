@@ -2208,7 +2208,8 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
          |  FROM v a JOIN v b
-         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id)
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(${cos("a.emb", "b.emb")}))
          |WHERE rank <= 3""".stripMargin
     },
 
@@ -2401,7 +2402,8 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
          |  FROM v a JOIN v b
-         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.label <> b.label)
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.label <> b.label
+         |  WHERE NOT isnan(${cos("a.emb", "b.emb")}))
          |WHERE rank <= 3""".stripMargin
     },
 

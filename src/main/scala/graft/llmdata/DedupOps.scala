@@ -554,14 +554,21 @@ object DedupOps {
     * old_fp, new_fp) with NULL fingerprints on the absent side. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
+    // presence is tracked with explicit markers, NOT fingerprint
+    // nullability: a NULL-text row fingerprints to NULL and would
+    // otherwise read as absent (misclassifying modified/removed rows
+    // as added). Two NULL fingerprints on a both-sides id compare as
+    // 'modified' (null-unsafe ===), matching the SQL oracle's `=`.
     val o = oldDf.select(col(idCol).as("doc_id"),
-      TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+      TextAnalysis.fingerprint(col(textCol)).as("old_fp"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(idCol).as("doc_id"),
-      TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+      TextAnalysis.fingerprint(col(textCol)).as("new_fp"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
           .when(col("old_fp") === col("new_fp"), "unchanged")
           .otherwise("modified").as("status"),
         col("old_fp"), col("new_fp"))

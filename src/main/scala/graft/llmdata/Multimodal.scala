@@ -242,7 +242,9 @@ object Multimodal {
     * few bits — the image analog of SimHash, and the standard first pass
     * of image dedup in a multimodal training pipeline. Same
     * partition-parallel mapPartitions shape as [[imageStats]]; images
-    * smaller than 8×8 (and undecodable payloads) report decoded=false. */
+    * smaller than 8×8, FLAT images (all cells equal — no perceptual
+    * signal; black and white would otherwise false-pair at hash 0),
+    * and undecodable payloads report decoded=false. */
   def imageAHash(media: DataFrame): Dataset[ImageHash] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -279,13 +281,21 @@ object Multimodal {
               k += 1
             }
             val mean = cells.sum / 64
-            var hash = 0L
-            k = 0
-            while (k < 64) {
-              if (cells(k) > mean) hash |= (1L << k)
-              k += 1
+            // a FLAT image (every cell equal — solid fills, blank scans)
+            // hashes to 0 with no perceptual signal: black and white
+            // would false-pair at Hamming 0. Exclude it from pairing
+            // the same way as undecodable payloads; exact byte dedup
+            // still catches true flat duplicates.
+            if (cells.max == cells.min) ImageHash(id, 0L, decoded = false)
+            else {
+              var hash = 0L
+              k = 0
+              while (k < 64) {
+                if (cells(k) > mean) hash |= (1L << k)
+                k += 1
+              }
+              ImageHash(id, hash, decoded = true)
             }
-            ImageHash(id, hash, decoded = true)
           }
         }
       }

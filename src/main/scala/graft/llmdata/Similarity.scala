@@ -436,6 +436,11 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("node_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineNative(col("va"), col("vb")))
+      // a zero-norm vector (failed embed) yields NaN cosine for every
+      // pair it touches, and NaN orders ABOVE all reals in the desc
+      // sort — it would displace a true neighbor from every top-k it
+      // collides with. Drop NaN-scored candidates before ranking.
+      .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("node_id", "neighbor_id", "cosine", "rank")
@@ -462,6 +467,9 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("anchor_label") =!= col("negative_label"))
       .withColumn("cosine", cosineNative(col("va"), col("vb")))
+      // same NaN guard as [[knnGraph]]: a zero-norm vector must not
+      // surface as every anchor's "hardest negative"
+      .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("anchor_id", "negative_id", "anchor_label", "negative_label",

@@ -648,18 +648,48 @@ object TextAnalysis {
   }
 
   /** ENCODE documents with a trained merge list ([[bpeTrain]]): apply
-    * the merges in training order to every word. Pure map stage — the
-    * merge list folds into the expression tree as literals (no join, no
-    * broadcast, no state). Returns (doc_id, tokens: array<string>,
-    * n_bpe_tokens). */
+    * the merges in training order to every word (same greedy
+    * leftmost-first rule as [[applyMerge]]). Implemented as a
+    * `mapPartitions` stage with the driver-resident merge list in the
+    * task closure — NOT as folded expressions: a real BPE vocabulary is
+    * 1k–32k merges, and |merges| nested `aggregate` lambdas blow up
+    * Catalyst analysis long before that (the expression form is fine
+    * for the per-iteration single merge inside [[bpeTrain]], where the
+    * depth is always 1). Pure map stage — partition-parallel, no
+    * shuffle, no state. Normalization matches [[DedupOps.tokens]]
+    * (trim, lower, whitespace split). Returns (doc_id,
+    * tokens: array<string>, n_bpe_tokens). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
-    val encodeWord = (w: Column) =>
-      merges.foldLeft(split(w, "")) { case (syms, (a, b)) => applyMerge(syms, a, b) }
-    df.select(col(idCol).as("doc_id"),
-        flatten(transform(DedupOps.tokens(col(textCol)),
-          w => encodeWord(w))).as("tokens"))
-      .withColumn("n_bpe_tokens", size(col("tokens")).cast("long"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeList = merges.toArray
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        def applyOne(syms: Array[String], a: String, b: String): Array[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (out.nonEmpty && out.last == a && syms(i) == b)
+              out(out.length - 1) = a + b
+            else out += syms(i)
+            i += 1
+          }
+          out.toArray
+        }
+        rows.map { case (id, text) =>
+          val words = Option(text).getOrElse("").trim.toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+          val toks = words.flatMap { w =>
+            mergeList.foldLeft(w.split("")) { case (syms, (a, b)) =>
+              applyOne(syms, a, b)
+            }
+          }
+          (id, toks, toks.length.toLong)
+        }
+      }
+      .toDF("doc_id", "tokens", "n_bpe_tokens")
   }
 
   /** BM25 retrieval scores for a literal query-term set: the `k` best

@@ -194,6 +194,51 @@ class CorpusOpsSpec extends SparkSpec {
       3L -> "modified", 4L -> "added"))
   }
 
+  // -- review-finding regressions -----------------------------------------
+
+  test("corpusDiff: NULL text is presence, not absence") {
+    val oldSnap = Seq((1L, null: String), (5L, null: String)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "hello")).toDF("doc_id", "text")
+    val out = graft.llmdata.DedupOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "modified", "null→text on a both-sides id is a modification")
+    assert(out(5L) == "removed", "a null-text doc only in the old snapshot was removed")
+  }
+
+  test("knnGraph: a zero vector never displaces real neighbors (NaN guard)") {
+    def v(seed: Int): Seq[Float] =
+      (0 until 16).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val close = v(1).updated(0, v(1)(0) + 0.01f)
+    val zero = Seq.fill(16)(0.0f)  // lands in some bucket; cosine = NaN
+    val emb = Seq((1L, v(1)), (2L, close), (9L, zero))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(emb, "vec_id", "embedding", k = 1, bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L && out(2L) == 1L,
+      "the NaN-scored zero vector must not be anyone's rank-1 neighbor")
+    assert(!out.contains(9L), "the zero vector itself has no non-NaN candidates")
+  }
+
+  test("imageAHash: flat images carry no perceptual signal and never pair") {
+    val black = pngBytes(16, 16)((_, _) => 0x000000)
+    val white = pngBytes(16, 16)((_, _) => 0xffffff)
+    val media = Seq((1L, black), (2L, white)).toDF("asset_id", "payload")
+    val hashes = graft.llmdata.Multimodal.imageAHash(media)
+    assert(hashes.collect().forall(!_.decoded),
+      "flat images are excluded like undecodable payloads")
+    assert(graft.llmdata.Multimodal.imageNearDupPairs(hashes, 2).isEmpty,
+      "black and white must not false-pair at hash 0")
+  }
+
+  test("bpeEncode plans and runs with a vocabulary-scale merge list") {
+    val docs = Seq((1L, "aaab aab")).toDF("doc_id", "text")
+    // 2k merges (mostly no-ops) — the expression-tree form died here
+    val merges = Seq(("a", "a"), ("a", "b")) ++
+      (0 until 2000).map(i => (s"x$i", s"y$i"))
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges).head
+    assert(out.getSeq[String](1) == Seq("aa", "ab", "aa", "b"))
+  }
+
   // -- centroidOutliers ---------------------------------------------------
 
   test("centroidOutliers ranks by exact distance to the decimal-exact centroid") {
