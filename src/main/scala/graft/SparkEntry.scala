@@ -884,6 +884,17 @@ object SparkEntry {
       Similarity.centroidOutliers(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 16)),
 
+    // exact-percentile winsorization of the price column at [1%, 99%]
+    "q108_winsorize" -> ((s, d) =>
+      graft.operators.Robust.winsorize(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        "l_extendedprice", loP = 0.01, hiP = 0.99)),
+
+    // weekly cohort retention triangle over the events stream
+    "q109_retention" -> ((s, d) =>
+      graft.operators.Retention.cohorts(t(s, d, "events"), "user_id", "ts")),
+
     // top-p (nucleus) pruning of the bigram LM table: smallest
     // count-ranked continuation prefix reaching 80% per head
     "q104_bigram_topp" -> ((s, d) =>
@@ -2360,6 +2371,27 @@ object SparkEntry {
         |      list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] - c.cent[i])) AS dist2
         |  FROM e CROSS JOIN c)
         |ORDER BY dist2 DESC, vec_id ASC LIMIT 16""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile (the q56 parity family); the
+    // clamp picks either the original value or a boundary — both exact
+    "q108_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  least(greatest(l_extendedprice, b.lo), b.hi) AS l_extendedprice_winsorized
+        |FROM lineitem CROSS JOIN b""".stripMargin,
+
+    // mirrors Retention.cohorts: ISO-Monday week truncation, integer
+    // day diff, floor/7 week index, distinct users per cell
+    "q109_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, MIN(ts) AS first_ts FROM e GROUP BY 1)
+        |SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |  CAST(floor(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS INT)
+        |    AS week_index,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // q89's bigram table with a 1-PRECEDING cumulative window; the
     // nucleus cut multiplies the exact BIGINT prefix by the same 0.8
