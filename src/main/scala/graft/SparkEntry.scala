@@ -947,6 +947,26 @@ object SparkEntry {
           concat(col("text"), lit(" zzz"))).otherwise(col("text")))
       DedupOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
     }),
+
+    // calendar gap-fill + forward fill of per-user daily value series
+    // (engagement-feature repair over sparse activity logs)
+    "q110_gap_fill" -> ((s, d) =>
+      graft.operators.Timeseries.gapFillDaily(
+        t(s, d, "events").filter(col("user_id") < 200),
+        "user_id", "ts", "value")),
+
+    // 7-day RANGE-window rolling value per user — calendar-correct
+    // across missing days, decimal-exact through the window
+    "q111_rolling_window" -> ((s, d) =>
+      graft.operators.Timeseries.rollingDaily(
+        t(s, d, "events").filter(col("user_id") < 500),
+        "user_id", "ts", "value", windowDays = 7)),
+
+    // per-event-type anomalous days via the sqrt-free integer z-test
+    // (N*x-S)^2 > k^2*(N*Sxx-S^2) — drift monitoring with no libm
+    "q112_anomalous_days" -> ((s, d) =>
+      graft.operators.Timeseries.anomalousDays(t(s, d, "events"),
+        "event_type", "ts", k = 2)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2521,5 +2541,53 @@ object SparkEntry {
          |  o.old_fp, n.new_fp
          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
     },
+
+    // mirrors Timeseries.gapFillDaily: per-key spine from generate_series
+    // (scalar list form — lateral args are unsupported), forward fill via
+    // last_value IGNORE NULLS over the same total order
+    "q110_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_value
+        |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS min_day, MAX(day) AS max_day
+        |  FROM daily GROUP BY 1),
+        |sp AS (SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(min_day AS TIMESTAMP), CAST(max_day AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds)
+        |SELECT sp.user_id, sp.day, daily.day_value IS NOT NULL AS observed,
+        |  last_value(daily.day_value IGNORE NULLS)
+        |    OVER (PARTITION BY sp.user_id ORDER BY sp.day) AS value_filled
+        |FROM sp LEFT JOIN daily USING (user_id, day)""".stripMargin,
+
+    // decimal stays decimal through the RANGE window (window sums of
+    // doubles are order-dependent); integer day index keys the frame
+    "q111_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(20,6))) AS day_value,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+        |  FROM events WHERE user_id < 500 GROUP BY 1, 2, 4)
+        |SELECT user_id, day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_observed,
+        |  CAST(SUM(day_value) OVER w AS DOUBLE) AS rolling_value
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // HUGEINT mirrors Spark's decimal(38,0): both sides evaluate the
+    // sqrt-free z-test in exact integer arithmetic, k^2 = 4
+    "q112_anomalous_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(SUM(n) AS HUGEINT) AS s1,
+        |    CAST(SUM(n*n) AS HUGEINT) AS s2,
+        |    CAST(COUNT(*) AS HUGEINT) AS n_days FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events
+        |FROM daily d JOIN m USING (event_type)
+        |WHERE (m.n_days * d.n - m.s1) * (m.n_days * d.n - m.s1)
+        |    > 4 * (m.n_days * m.s2 - m.s1 * m.s1)""".stripMargin,
   )
 }

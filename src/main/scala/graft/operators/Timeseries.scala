@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair and feature operators over keyed event data:
+  * calendar gap-filling with forward fill, fixed-horizon rolling
+  * aggregates, and variance-based anomaly flagging.
+  *
+  * These are the feature-engineering steps a training pipeline runs over
+  * activity logs (per-user daily series for engagement features, per-type
+  * daily counts for drift monitoring). All arithmetic is engine-portable:
+  * date spines are integer `sequence` ranges, sums go through the
+  * decimal(20,6) exact path, and the anomaly test is the sqrt-free
+  * integer form `(N*x - S)^2 > k^2 * (N*Sxx - S^2)` so no libm call
+  * (sqrt/stddev) ever enters an oracle-compared column.
+  *
+  * At 100 TB: the spine explode is map-side from a one-row-per-key
+  * aggregate (never a driver loop); the forward-fill window carries one
+  * row of state per key; rolling frames are bounded RANGE windows over
+  * integer day indices. Hot keys sort within one partition — the standard
+  * mitigation (pre-split by month, then stitch) composes on top.
+  */
+object Timeseries {
+
+  /** Daily aggregate of `valueCol` per (key, day) with missing calendar
+    * days restored and forward-filled.
+    *
+    * Output: (keyCol, day, observed, value_filled) where `observed` marks
+    * real days and `value_filled` is the decimal-exact daily sum, carried
+    * forward across gap days (NULL before a key's first observation —
+    * there is nothing to carry).
+    *
+    * Plan shape: one hash agg to (key, day); one hash agg to per-key
+    * [min_day, max_day]; `sequence()` explode of the spine (map-side —
+    * the spine frame is rows_per_key ≈ span_days, generated distributed,
+    * never collected); a key+day equi-join of spine to observations; one
+    * window over key for the carry. The join and the window both hash on
+    * the key, so AQE coalesces them into adjacent stages of the same
+    * lineage — no driver-side state anywhere.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(graft.functions.ScalarFns.exactSum(col(valueCol)).as("day_value"))
+    val spine = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .select(col(keyCol),
+        explode(sequence(col("min_day"), col("max_day"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("observed", col("day_value").isNotNull)
+      .withColumn("value_filled",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .drop("day_value")
+  }
+
+  /** Rolling `windowDays`-day sum and observation count of the daily
+    * series, computed with a RANGE frame over the integer day index
+    * (`datediff` from epoch) — a calendar-correct moving window even when
+    * days are missing, with no spine materialization at all.
+    *
+    * Output: (keyCol, day, n_days_observed, rolling_value). One shuffle
+    * (the key window); the frame is bounded, so per-row state is
+    * O(windowDays).
+    */
+  def rollingDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    // the daily value stays DECIMAL through the rolling window (window
+    // sums of doubles are partition-order-dependent — same rule as
+    // ScalarFns.exactSum) and casts to double only at the very end
+    val daily = df
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(sum(col(valueCol).cast("decimal(20,6)")).as("day_value"))
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day_idx").asc)
+      .rangeBetween(-(windowDays - 1L), 0L)
+    daily.select(col(keyCol), col("day"),
+      count(lit(1)).over(w).as("n_days_observed"),
+      sum(col("day_value")).over(w).cast("double").as("rolling_value"))
+  }
+
+  /** Days whose event count is an outlier versus the key's own history:
+    * flags day x of key g when `(N*x - S)^2 > k^2 * (N*Sxx - S^2)`, the
+    * integer-exact form of `|x - mean| > k * stddev_pop` (multiply both
+    * sides by N^2; no sqrt, no division — every compared quantity is a
+    * product of BIGINTs carried in decimal(38,0), bit-identical on any
+    * engine; k enters as k^2, kept integral).
+    *
+    * Plan: one (key, day) count agg, one per-key moment agg (S, Sxx, N)
+    * joined back broadcast-or-hash by key — two shuffles total, constant
+    * state per key. Output only flagged rows: (keyCol, day, n_events).
+    */
+  def anomalousDays(df: DataFrame, keyCol: String, tsCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d38 = "decimal(38,0)"
+    val daily = df
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).cast(d38).as("n_events"))
+    val moments = daily.groupBy(col(keyCol)).agg(
+      sum(col("n_events")).cast(d38).as("s1"),
+      sum(col("n_events") * col("n_events")).cast(d38).as("s2"),
+      count(lit(1)).cast(d38).as("n"))
+    val lhs = (col("n") * col("n_events") - col("s1")) *
+      (col("n") * col("n_events") - col("s1"))
+    val rhs = lit(k.toLong * k).cast(d38) * (col("n") * col("s2") - col("s1") * col("s1"))
+    daily.join(Broadcasts.maybeBroadcast(moments), Seq(keyCol))
+      .filter(lhs > rhs)
+      .select(col(keyCol), col("day"), col("n_events").cast("long").as("n_events"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Timeseries
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 9) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("gapFillDaily restores missing calendar days and forward-fills") {
+    val events = Seq(
+      ("a", ts(1), 1.0), ("a", ts(1, 15), 2.0), // day 1: 3.0
+      ("a", ts(4), 7.5),                        // days 2-3 missing
+      ("b", ts(2), 5.0)                         // single-day key
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.gapFillDaily(events, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out.size == 5, "a: 4 spine days, b: 1")
+    assert(out(("a", "2024-01-01")) == ((true, Some(3.0))))
+    assert(out(("a", "2024-01-02")) == ((false, Some(3.0))), "gap day carries day-1 value")
+    assert(out(("a", "2024-01-03")) == ((false, Some(3.0))))
+    assert(out(("a", "2024-01-04")) == ((true, Some(7.5))))
+    assert(out(("b", "2024-01-02")) == ((true, Some(5.0))))
+  }
+
+  test("rollingDaily uses a calendar RANGE frame, not a row frame") {
+    // days 1, 2, 9: a 7-day window at day 9 must see ONLY day 9 (days 1-2
+    // are 8 and 7 days back) — a ROWS frame would wrongly include them
+    val events = Seq(
+      ("a", ts(1), 10.0), ("a", ts(2), 20.0), ("a", ts(9), 40.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.rollingDaily(events, "user_id", "ts", "value", windowDays = 7)
+      .collect()
+      .map(r => r.getDate(1).toString -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("2024-01-01") == ((1L, 10.0)))
+    assert(out("2024-01-02") == ((2L, 30.0)))
+    assert(out("2024-01-09") == ((1L, 40.0)), "days 1-2 fell out of the 7-day frame")
+  }
+
+  test("anomalousDays flags the spike day and nothing on a uniform key") {
+    // key "spiky": 9 days of 1 event + 1 day of 30 events; key "flat":
+    // identical counts every day → variance 0, never flagged
+    val rows =
+      (1 to 9).map(d => ("spiky", ts(d))) ++
+        (1 to 30).map(_ => ("spiky", ts(10))) ++
+        (1 to 12).flatMap(d => Seq(("flat", ts(d)), ("flat", ts(d, 16))))
+    val events = rows.toDF("event_type", "ts").withColumn("value", lit(1.0))
+    val out = Timeseries.anomalousDays(events, "event_type", "ts", k = 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(("spiky", "2024-01-10", 30L)))
+  }
+
+  test("anomalousDays matches the float z-score rule on a mixed series") {
+    // independent float reference: flag iff |x - mean| > k * stddev_pop
+    val counts = Seq(3, 4, 5, 3, 4, 25, 4, 3, 5, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(_ => ("t", ts(i + 1)))
+    }
+    val events = rows.toDF("event_type", "ts")
+    val mean = counts.sum.toDouble / counts.size
+    val varp = counts.map(c => (c - mean) * (c - mean)).sum / counts.size
+    val expected = counts.zipWithIndex.collect {
+      case (c, i) if math.abs(c - mean) > 2 * math.sqrt(varp) =>
+        f"2024-01-${i + 1}%02d"
+    }.toSet
+    val got = Timeseries.anomalousDays(events, "event_type", "ts", k = 2)
+      .collect().map(_.getDate(1).toString).toSet
+    assert(got == expected && expected == Set("2024-01-06"))
+  }
+}
