@@ -967,6 +967,48 @@ object SparkEntry {
     "q112_anomalous_days" -> ((s, d) =>
       graft.operators.Timeseries.anomalousDays(t(s, d, "events"),
         "event_type", "ts", k = 2)),
+
+    // domain capping: keep the 10 highest-quality docs per source (no
+    // site dominates the mix); WindowGroupLimit discards past-cap rows
+    // map-side
+    "q113_source_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      graft.llmdata.Sampling.capPerStratum(
+        docs.select(col("doc_id"), col("source")).join(scored, Seq("doc_id")),
+        "source", Seq(col("quality_score").desc, col("doc_id").asc), cap = 10)
+    }),
+
+    // tokenizer-vocab coverage: per-doc out-of-vocabulary rate against
+    // the corpus top-30 vocabulary
+    "q114_oov_rate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.oovRate(docs, "doc_id", "text",
+        TextAnalysis.vocabTopK(docs, "doc_id", "text", k = 20))
+    }),
+
+    // wide→long melt of the lineitem money columns (Dataset.unpivot —
+    // map-only, no shuffle)
+    "q115_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
+    // 3 rounds of fixed-point-integer PageRank over the corpus bigram
+    // word graph (exact cross-engine: micro-unit ranks, floor division)
+    "q116_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select(expr("filter(split(trim(lower(text)), '\\\\s+'), t -> length(t) > 0)").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a)-1), i -> struct(a[i-1] AS src, a[i] AS dst))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.pageRank(edges, iterations = 3)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2589,5 +2631,78 @@ object SparkEntry {
         |FROM daily d JOIN m USING (event_type)
         |WHERE (m.n_days * d.n - m.s1) * (m.n_days * d.n - m.s1)
         |    > 4 * (m.n_days * m.s2 - m.s1 * m.s1)""".stripMargin,
+
+    // shares the q33 quality CTE; the rank filter mirrors capPerStratum's
+    // total order (quality desc, doc_id asc)
+    "q113_source_cap" ->
+      s"""WITH qs AS ($qualityScoreSql),
+         |j AS (SELECT d.doc_id, d.source, q.quality_score
+         |  FROM documents d JOIN qs q USING (doc_id))
+         |SELECT doc_id, source, quality_score,
+         |  CAST(rn AS INT) AS rank_in_stratum FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY quality_score DESC, doc_id ASC) AS rn FROM j)
+         |WHERE rn <= 10""".stripMargin,
+
+    // top-20 vocab by occurrence (ties by term — mirrors vocabTopK's
+    // total order); OOV = token with no vocab match, two BIGINTs divided
+    // once in double space
+    "q114_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1)
+        |  ORDER BY c DESC, term ASC LIMIT 20),
+        |per AS (SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks LEFT JOIN vocab v USING (term) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+        |  COALESCE(per.n_oov, 0) AS n_oov,
+        |  CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0.0
+        |    ELSE CAST(per.n_oov AS DOUBLE) / per.n_tokens END AS oov_rate
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // wide→long melt as explicit UNION ALL (engine-neutral form of
+    // Dataset.unpivot)
+    "q115_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+
+    // Graph.pageRank unrolled: micro-unit BIGINT ranks, `//` floor
+    // division ≡ Spark `div` on non-negatives, 85/100 damping as
+    // multiply-then-divide — every iteration is exact integer arithmetic
+    "q116_pagerank" ->
+      """WITH arr AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> length(t) > 0) AS a FROM documents),
+        |e0 AS (SELECT
+        |    unnest(list_transform(generate_series(1, len(a)-1), i -> a[i])) AS src,
+        |    unnest(list_transform(generate_series(1, len(a)-1), i -> a[i+1])) AS dst
+        |  FROM arr WHERE len(a) >= 2),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.rank_micro // d.outdeg) AS BIGINT) AS in_mass
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.in_mass, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.rank_micro // d.outdeg) AS BIGINT) AS in_mass
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.in_mass, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.rank_micro // d.outdeg) AS BIGINT) AS in_mass
+        |  FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.in_mass, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, rank_micro FROM r3""".stripMargin,
   )
 }

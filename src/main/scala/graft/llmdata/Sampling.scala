@@ -254,4 +254,25 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Quality-ordered per-stratum quota: keep the best `cap` rows of each
+    * stratum under an explicit total order (e.g. quality desc, id asc) —
+    * the domain-capping step of web-corpus curation (no single site may
+    * dominate the training mix), where [[perStratumSample]] keeps a
+    * RANDOM fixed-size subset this keeps the TOP one.
+    *
+    * Emits the surviving rows plus their 1-based `rank_in_stratum`. One
+    * shuffle; the `row_number <= cap` filter becomes a WindowGroupLimit,
+    * so every partition discards past-cap rows map-side before the sort —
+    * a hot domain with 10^9 pages ships only `cap` rows per partition to
+    * the final window. `orderCols` must be a TOTAL order (append the
+    * unique id) or ranks are nondeterministic.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, orderCols: Seq[Column],
+                    cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(orderCols: _*)
+    df.withColumn("rank_in_stratum", row_number().over(w))
+      .filter(col("rank_in_stratum") <= cap)
+  }
 }

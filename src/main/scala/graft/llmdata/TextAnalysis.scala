@@ -764,4 +764,40 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
+
+  /** Out-of-vocabulary rate per document against a supplied vocabulary
+    * frame (one `term` column — typically [[vocabTopK]] output or a
+    * tokenizer's exported vocab): the fraction of a doc's whitespace
+    * tokens not found in the vocabulary. The coverage check run before
+    * committing to a tokenizer — a rising OOV rate on new data means the
+    * vocab no longer fits the corpus.
+    *
+    * Plan: token explode → LEFT join the (small, broadcast-gated) vocab →
+    * one per-doc count agg → left join back to all docs so token-less
+    * docs report 0/0/0.0. The rate is two BIGINT counts divided once in
+    * double space — bit-exact on any engine. At 100 TB the vocab frame is
+    * the broadcast side (vocabularies are 10^4-10^6 rows); the heavy
+    * token stream never shuffles before its per-doc aggregate.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val marked = toks.join(
+      graft.operators.Broadcasts.maybeBroadcast(
+        vocab.select(col("term")).distinct().withColumn("__in_vocab", lit(1))),
+      Seq("term"), "left")
+    val perDoc = marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_oov").cast("double") / col("n_tokens"))
+          .as("oov_rate"))
+  }
 }

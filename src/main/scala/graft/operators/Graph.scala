@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms expressed as fixed-point join/aggregate
+  * chains over edge DataFrames — the Pregel-style "rank flows along
+  * edges" pattern in plain declarative Spark.
+  *
+  * All rank arithmetic is FIXED-POINT INTEGER: ranks are micro-units
+  * (10^6 = 1.0) carried as BIGINT, contributions use integral division
+  * (`div` — floor for non-negative values, matching DuckDB's `//`), and
+  * the damping factor is a percent ratio (85/100) applied as
+  * multiply-then-divide. No doubles anywhere, so an oracle reproduces
+  * the iteration bit-exactly — and at cluster scale the result does not
+  * depend on partition count or aggregation order.
+  *
+  * At 100 TB: each iteration is one (edge ⨝ rank) hash join on `src`
+  * plus one `dst` aggregate — the canonical distributed PageRank step.
+  * The rank frame is nodes-sized (≪ edges); iterations build a
+  * constant-depth lineage per round and persist intermediate ranks so
+  * round k+1 does not recompute round k. Dangling nodes (no out-edges)
+  * keep receiving mass but leak their own — the standard simplification;
+  * renormalize downstream if a distribution is needed.
+  */
+object Graph {
+
+  private val Micro = 1000000L
+
+  /** `iterations` rounds of damped PageRank over directed `edges`
+    * (columns `src`, `dst`; duplicates are collapsed). Returns
+    * (node, rank_micro): rank in micro-units, initialized to 1.0 per
+    * node, updated as
+    * `r'(v) = (1-d) + d * Σ_{u→v} r(u) div outdeg(u)` with d =
+    * `dampingPct`/100 evaluated as `(dampingPct * Σ) div 100`.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = lit((100 - dampingPct) * Micro / 100)
+    var ranks = nodes.withColumn("rank_micro", lit(Micro))
+    var previous: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(Broadcasts.maybeBroadcast(outdeg), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
+            .as("rank_micro"))
+        .persist()
+      ranks.count() // materialize: bounds lineage depth per round
+      previous.foreach(_.unpersist(blocking = false))
+      previous = Some(ranks)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmdata.{Sampling, TextAnalysis}
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPerStratum keeps the top-cap rows per stratum in order") {
+    val docs = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.7), ("a", 3L, 0.8), ("a", 4L, 0.6),
+      ("b", 5L, 0.5)
+    ).toDF("source", "doc_id", "quality")
+    val out = Sampling.capPerStratum(docs, "source",
+        Seq(col("quality").desc, col("doc_id").asc), cap = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(out == Set((1L, 1), (3L, 2), (5L, 1)),
+      "a keeps its two best (0.9, 0.8); b keeps its only row")
+  }
+
+  test("capPerStratum breaks quality ties by id deterministically") {
+    val docs = Seq(("a", 10L, 0.5), ("a", 11L, 0.5), ("a", 12L, 0.5))
+      .toDF("source", "doc_id", "quality")
+    val out = Sampling.capPerStratum(docs, "source",
+        Seq(col("quality").desc, col("doc_id").asc), cap = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(10L, 11L), "lowest ids win equal quality")
+  }
+
+  test("oovRate counts tokens missing from the vocabulary") {
+    val docs = Seq(
+      (1L, "the cat sat"),          // 'sat' OOV → 1/3
+      (2L, "the the dog"),          // all in vocab → 0/3
+      (3L, "zz yy"),                // all OOV → 2/2
+      (4L, "   ")                   // token-less → 0/0 → 0.0
+    ).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "dog").toDF("term")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)), "empty doc still reported, rate 0")
+  }
+
+  test("oovRate against vocabTopK covers the whole corpus at full k") {
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabTopK(docs, "doc_id", "text", k = 10)
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .agg(sum(col("n_oov"))).head.getLong(0)
+    assert(out == 0L, "vocab covering every term → zero OOV anywhere")
+  }
+}
