@@ -1009,6 +1009,13 @@ object SparkEntry {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.pageRank(edges, iterations = 3)
     }),
+
+    // exact column profile (row/null/distinct counts, min/max) in long
+    // form — the pre-ingest drift check; the approx (HLL) tier shares
+    // the shape and is spec-bounded against this one
+    "q117_profile" -> ((s, d) =>
+      graft.operators.Profile.numeric(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2704,5 +2711,16 @@ object SparkEntry {
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.in_mass, 0)) // 100 AS BIGINT) AS rank_micro
         |  FROM nodes n LEFT JOIN c3 USING (node))
         |SELECT node, rank_micro FROM r3""".stripMargin,
+
+    // one UNION ALL branch per profiled column; min/max as DOUBLE values
+    // (never rendered strings — engines disagree on float formatting)
+    "q117_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_orderkey").map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_value,
+         |  CAST(MAX($c) AS DOUBLE) AS max_value FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the per-column statistics pass (row/null/distinct
+  * counts, min/max) a pipeline runs before trusting a new dataset drop.
+  * Emits ONE LONG ROW PER COLUMN: (column_name, n_rows, n_nulls,
+  * n_distinct, min_value, max_value), so downstream checks can join
+  * profiles across runs and alert on drift.
+  *
+  * Two cost tiers with one output shape:
+  *  - [[numeric]] — EXACT distinct counts. Multiple `countDistinct`s in
+  *    one aggregate make Catalyst plan an Expand (k copies of every
+  *    input row, one per distinct-aggregate). Exact is the oracle-able
+  *    form, priced at a k× expanded shuffle — fine nightly at 10^9 rows,
+  *    wrong as a routine pass at 100 TB.
+  *  - [[approxNumeric]] — HLL++ `approx_count_distinct` sketches: no
+  *    Expand, one map-side-combined aggregate pass at any k, with
+  *    relative error `rsd`. The 100 TB default; the spec pins its error
+  *    envelope against the exact tier.
+  *
+  * min/max are emitted as DOUBLE (exact for longs up to 2^53), never as
+  * rendered strings — engines disagree on float formatting, not on float
+  * values.
+  */
+object Profile {
+
+  /** Exact profile of numeric columns: one aggregate (k-way Expand), then
+    * a map-only `stack` to long form. */
+  def numeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    stackWide(wideAgg(df, cols, exact = true), cols)
+
+  /** Sketch profile: identical shape, `approx_count_distinct(rsd)` for
+    * n_distinct — single pass, no Expand, mergeable partial sketches. */
+  def approxNumeric(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.02): DataFrame =
+    stackWide(wideAgg(df, cols, exact = false, rsd), cols)
+
+  private def wideAgg(df: DataFrame, cols: Seq[String], exact: Boolean,
+                      rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val perCol = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    df.agg(count(lit(1)).as("n_rows"), perCol: _*)
+  }
+
+  private def stackWide(wide: DataFrame, cols: Seq[String]): DataFrame = {
+    val args = cols.map(c =>
+      s"'$c', n_rows, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $args) AS " +
+      "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numeric profile reports exact stats per column in long form") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.5), (2L, null), (2L, 4.0), (3L, 2.5)
+    ).toDF("k", "v")
+    val out = Profile.numeric(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("k") == ((4L, 0L, 3L, 1.0, 3.0)))
+    assert(out("v") == ((4L, 1L, 2L, 2.5, 4.0)), "nulls excluded from distinct/min/max")
+  }
+
+  test("approx tier stays within the HLL error envelope of exact") {
+    val docs = spark.read.parquet(sf("lineitem"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_extendedprice")
+    val exact = Profile.numeric(docs, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.approxNumeric(docs, cols, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) / e < 0.1,
+        s"$c: approx $a vs exact $e beyond 10% (rsd=0.02 → ~2% expected)")
+    }
+  }
+
+  test("approx tier plans no Expand; exact tier does (documented cost)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val approxPlan = Profile.approxNumeric(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      "sketch profile must stay single-pass at any column count")
+    val exactPlan = Profile.numeric(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-distinct is the k-way Expand by design")
+  }
+}
