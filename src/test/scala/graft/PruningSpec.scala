@@ -163,6 +163,42 @@ class PruningSpec extends SparkSpec {
     assert(ranges == 1, s"layout is one range exchange + in-partition sort:\n$plan")
   }
 
+  test("source capping plans a map-side window group limit (q113 plan shape)") {
+    // the rank<=cap filter must become WindowGroupLimit: a hot domain
+    // ships only `cap` rows per input partition to the final window
+    val plan = SparkEntry.queries("q113_source_cap")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"capPerStratum must prune past-cap rows before the shuffle:\n$plan")
+  }
+
+  test("unpivot is a pure map stage (q115 plan shape)") {
+    val plan = SparkEntry.queries("q115_unpivot")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    assert(countExchanges(plan) == 0,
+      s"wide-to-long melt must not shuffle:\n$plan")
+  }
+
+  test("time-series and graph queries never plan all-pairs joins (q110/q116)") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q110_gap_fill", "q116_pagerank")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must plan equi-joins only:\n$plan")
+    }
+  }
+
+  test("rolling window reuses the daily-aggregate ordering (q111 plan shape)") {
+    // two exchanges are inherent ((key,day) agg + key window); anything
+    // more means the window stopped composing with the aggregate
+    val plan = SparkEntry.queries("q111_rolling_window")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val hashEx = plan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"rollingDaily must plan at most 2 hash exchanges:\n$plan")
+  }
+
   test("compaction rewrites a fragmented table into bounded file count") {
     val path = Files.createTempDirectory("graft-compact").toString + "/t"
     (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
