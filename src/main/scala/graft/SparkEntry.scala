@@ -1016,6 +1016,34 @@ object SparkEntry {
     "q117_profile" -> ((s, d) =>
       graft.operators.Profile.numeric(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))),
+
+    // fixed-width price histogram; bin edges resolved in integer
+    // micro-units so edge values bin identically on every engine
+    "q118_histogram" -> ((s, d) =>
+      graft.operators.Profile.histogram(t(s, d, "lineitem"),
+        "l_extendedprice", lo = BigDecimal(0), width = BigDecimal(5000),
+        nBins = 16)),
+
+    // per-event-type daily-volume trend: closed-form OLS from
+    // decimal(38,0) moments, one IEEE division at the end
+    "q119_trend" -> ((s, d) =>
+      graft.operators.Timeseries.trendByKey(t(s, d, "events"),
+        "event_type", "ts")),
+
+    // SCD2 state history of each user's event_type: a mid-January
+    // snapshot merged with the remainder — merge re-derives the version
+    // chain, so the result equals re-sequencing the full history (the
+    // idempotence Scd2Spec proves)
+    "q120_scd2" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val cur = graft.incremental.Scd2.resequence(
+        ev.filter(col("ts") < lit("2024-01-15").cast("timestamp_ntz")),
+        "user_id", Seq("event_type"), "ts")
+      graft.incremental.Scd2.merge(cur,
+        ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp_ntz")),
+        "user_id", Seq("event_type"), "ts")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2722,5 +2750,58 @@ object SparkEntry {
          |  CAST(MIN($c) AS DOUBLE) AS min_value,
          |  CAST(MAX($c) AS DOUBLE) AS max_value FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n"),
+
+    // micro-unit integer binning: decimal exact-scale → BIGINT floor
+    // division (`//` ≡ Spark `div` on non-negatives)
+    "q118_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS xm
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(0 + bin * 5000000000 AS DOUBLE) / 1000000.0 AS bin_lo
+        |FROM (SELECT (xm - 0) // 5000000000 AS bin FROM b WHERE xm >= 0)
+        |WHERE bin < 16 GROUP BY 1""".stripMargin,
+
+    // OLS moments in HUGEINT (≡ Spark decimal(38,0)); x rebased to the
+    // key's first day; slope/intercept as single IEEE expressions over
+    // exact operands
+    "q119_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS HUGEINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |based AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day)
+        |      AS HUGEINT) AS x, y
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx
+        |  FROM based GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM m WHERE n >= 2 AND (n*sxx - sx*sx) <> 0""".stripMargin,
+
+    // re-sequencing the FULL history is the oracle for merge (Scd2Spec
+    // proves merge ≡ full resequence); change-lag + successor-lead over
+    // the same (valid_from, attr) total order
+    "q120_scd2" ->
+      """WITH src AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS valid_from FROM events),
+        |ord AS (SELECT user_id, event_type, valid_from,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_type) AS prev FROM src),
+        |chg AS (SELECT user_id, event_type, valid_from FROM ord
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  LEAD(valid_from) OVER w AS valid_to,
+        |  LEAD(valid_from) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)""".stripMargin,
   )
 }

@@ -58,4 +58,33 @@ object Profile {
     wide.selectExpr(s"stack(${cols.size}, $args) AS " +
       "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Fixed-width histogram of a numeric column: bin index
+    * `floor((x - lo) / width)`, one count row per non-empty bin in
+    * [0, nBins). The bin arithmetic runs in INTEGER MICRO-UNITS (values,
+    * lo, and width exact-scaled by 10^6 via decimal, then BIGINT floor
+    * division) — a value sitting exactly on a bin edge lands in the same
+    * bin on every engine, where the float form `floor((x-lo)/w)` can
+    * round either way across engines on representation boundaries.
+    *
+    * One map stage + one hash aggregate on the bin id; NULLs and values
+    * outside [lo, lo + nBins*width) are dropped (profile them separately
+    * via [[numeric]]'s min/max before choosing bounds).
+    */
+  def histogram(df: DataFrame, colName: String, lo: BigDecimal,
+                width: BigDecimal, nBins: Int): DataFrame = {
+    require(nBins >= 1 && width > 0, "need nBins>=1, width>0")
+    val micro = (d: BigDecimal) => (d * 1000000).toLongExact
+    val xm = (col(colName).cast("decimal(20,6)") * 1000000).cast("long")
+    val bin = expr(s"(__xm - ${micro(lo)}L) div ${micro(width)}L")
+    df.filter(col(colName).isNotNull)
+      .withColumn("__xm", xm)
+      .filter(col("__xm") >= micro(lo)) // div truncates toward 0: keep x>=lo only
+      .withColumn("bin", bin)
+      .filter(col("bin") < nBins)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        ((lit(micro(lo)) + col("bin") * micro(width)).cast("double") / 1e6))
+  }
 }

@@ -114,4 +114,45 @@ object Timeseries {
       .filter(lhs > rhs)
       .select(col(keyCol), col("day"), col("n_events").cast("long").as("n_events"))
   }
+
+  /** Per-key linear trend of the daily event-count series: closed-form
+    * OLS over (x = days since the key's first active day, y = daily
+    * count) — the drift detector behind "is this source growing or
+    * dying". Returns (keyCol, n_days, slope, intercept) for keys with
+    * >= 2 distinct days and non-degenerate x variance.
+    *
+    * Exactness: all five moments (N, Σx, Σy, Σxy, Σx²) accumulate in
+    * decimal(38,0) — order-independent integer sums. Only the final
+    * slope/intercept evaluate in double, as single IEEE expressions over
+    * exactly-representable operands (x is rebased per key, so the
+    * moments stay ≪ 2^53 even on century-long series) — bit-identical on
+    * any engine. Plan: (key, day) count agg → per-key min-day window
+    * (the groupBy that follows reuses the window's hash partitioning on
+    * the key) → one moments agg. Two exchanges, constant state per key.
+    */
+  def trendByKey(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = df
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val wk = Window.partitionBy(col(keyCol))
+    val based = daily
+      .withColumn("x", datediff(col("day"), min(col("day")).over(wk)))
+    val m = based.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("sx"),
+      sum(col("y")).cast(d38).as("sy"),
+      sum(col("x") * col("y")).cast(d38).as("sxy"),
+      sum(col("x") * col("x")).cast(d38).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.filter(col("n") >= 2 &&
+        (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0)
+      .withColumn("slope", num / den)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select(col(keyCol), col("n").cast("long").as("n_days"),
+        col("slope"), col("intercept"))
+  }
 }

@@ -32,6 +32,16 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("histogram bins edge values exactly and drops out-of-range rows") {
+    val df = Seq[java.lang.Double](0.0, 4.999999, 5.0, 9.999999, 10.0, -0.000001, 80.0, null)
+      .toDF("x")
+    // lo=0, width=5, 16 bins: 5.0 must land in bin 1 (edge belongs to the
+    // upper bin), -1e-6 and null drop, 80 = bin 16 → out of range
+    val out = Profile.histogram(df, "x", BigDecimal(0), BigDecimal(5), nBins = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(0L -> ((2L, 0.0)), 1L -> ((2L, 5.0)), 2L -> ((1L, 10.0))))
+  }
+
   test("approx tier plans no Expand; exact tier does (documented cost)") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val approxPlan = Profile.approxNumeric(df, Seq("a", "b"))

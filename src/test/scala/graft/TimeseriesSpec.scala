@@ -56,6 +56,19 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("spiky", "2024-01-10", 30L)))
   }
 
+  test("trendByKey recovers an exact linear series and filters degenerates") {
+    // key "up": y = 2x + 3 on days 1..5 → slope exactly 2, intercept 3
+    val rows = (0 until 5).flatMap { x =>
+      (1 to (2 * x + 3)).map(_ => ("up", ts(x + 1)))
+    } ++ Seq(("one_day", ts(1)), ("one_day", ts(1, 10)))
+    val out = graft.operators.Timeseries
+      .trendByKey(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("up") == ((5L, 2.0, 3.0)), "exact fit has zero residual")
+    assert(!out.contains("one_day"), "single-day keys have no defined slope")
+  }
+
   test("anomalousDays matches the float z-score rule on a mixed series") {
     // independent float reference: flag iff |x - mean| > k * stddev_pop
     val counts = Seq(3, 4, 5, 3, 4, 25, 4, 3, 5, 4)
