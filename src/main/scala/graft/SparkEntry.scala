@@ -1044,6 +1044,42 @@ object SparkEntry {
         ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp_ntz")),
         "user_id", Seq("event_type"), "ts")
     }),
+
+    // interval×interval overlap via bucketed equi-join with the
+    // first-overlap-bucket exactly-once rule (never a nested loop)
+    "q121_interval_overlap" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") < 1500)
+        .withColumn("end_ts",
+          expr("timestampadd(HOUR, l_linenumber, l_shipdate)"))
+      val a = li.filter(col("l_linenumber") <= 2).select(
+        col("l_orderkey").as("a_order"), col("l_linenumber").as("a_line"),
+        col("l_shipdate").as("a_start"), col("end_ts").as("a_end"))
+      val b = li.filter(col("l_linenumber") >= 3).select(
+        col("l_orderkey").as("b_order"), col("l_linenumber").as("b_line"),
+        col("l_shipdate").as("b_start"), col("end_ts").as("b_end"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 86400L)
+        .select("a_order", "a_line", "b_order", "b_line")
+    }),
+
+    // CUBE over (returnflag, linestatus) with grouping_id disambiguating
+    // subtotal rows from NULL group values
+    "q122_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"),
+          exactSum(col("l_quantity")).as("sum_qty"))),
+
+    // percent_rank / cume_dist parity: integer rank ratios evaluated in
+    // double — exact cross-engine
+    "q123_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").asc)
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2803,5 +2839,34 @@ object SparkEntry {
         |  LEAD(valid_from) OVER w IS NULL AS is_current
         |FROM chg
         |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)""".stripMargin,
+
+    // plain theta-join form of the bucketed interval overlap (DuckDB can
+    // afford the nested loop at gate scale)
+    "q121_interval_overlap" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |    l_shipdate + l_linenumber * INTERVAL '1 hour' AS end_ts
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |a AS (SELECT l_orderkey AS a_order, l_linenumber AS a_line,
+        |    l_shipdate AS a_start, end_ts AS a_end FROM li WHERE l_linenumber <= 2),
+        |b AS (SELECT l_orderkey AS b_order, l_linenumber AS b_line,
+        |    l_shipdate AS b_start, end_ts AS b_end FROM li WHERE l_linenumber >= 3)
+        |SELECT a_order, a_line, b_order, b_line
+        |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end""".stripMargin,
+
+    // GROUPING() uses the same bit convention as Spark's grouping_id
+    "q122_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // tie-aware integer rank ratios; the one double division each is
+    // IEEE-exact on both engines
+    "q123_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)""".stripMargin,
   )
 }

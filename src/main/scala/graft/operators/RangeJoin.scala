@@ -39,4 +39,32 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join: pairs where
+    * `lStart <= rEnd AND rStart <= lEnd` (closed intervals). Same
+    * bucketing idea as [[pointInInterval]], plus the standard
+    * exactly-once trick for interval pairs: both sides explode into
+    * their covered buckets, and a candidate pair is kept ONLY in the
+    * bucket containing `greatest(lStart, rStart)` — the overlap's first
+    * bucket — so a pair overlapping many buckets still matches exactly
+    * once, with no distinct over the pair stream. Column names of the
+    * two inputs must be disjoint; all columns of both sides survive.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStartCol: String, lEndCol: String,
+                      rStartCol: String, rEndCol: String,
+                      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("timestamp").cast("double") / bucketSeconds).cast("long")
+    val lb = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(lStartCol)), bucketOf(col(lEndCol)))))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rStartCol)), bucketOf(col(rEndCol)))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(lStartCol), col(rStartCol))))
+      .drop("__bucket")
+  }
 }

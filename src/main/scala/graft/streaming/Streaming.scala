@@ -111,6 +111,40 @@ object Streaming {
       }
       .start()
 
+  /** Streaming SCD2 maintenance: each micro-batch of dimension updates
+    * (keyCol, attrCols..., tsCol) merges into the parquet version-history
+    * snapshot at `snapshotPath` via [[graft.incremental.Scd2.merge]] —
+    * change detection, version closing, and out-of-order re-sequencing
+    * per key — then the snapshot is replaced atomically (write to an
+    * underscore-prefixed temp dir Spark ignores, then directory swap, the
+    * engine's standard crash-safe rewrite).
+    *
+    * Scale shape: per-batch cost is one key-shuffle of
+    * (snapshot ∪ batch) — dimension-sized, not fact-sized. Because merge
+    * is idempotent and order-insensitive (Scd2Spec), a crash-replayed
+    * batch converges to the same snapshot — the atomic swap means readers
+    * see either the old or the new complete history, never a partial.
+    */
+  def scd2Sink(df: DataFrame, keyCol: String, attrCols: Seq[String],
+               tsCol: String, snapshotPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(snapshotPath)
+        val merged =
+          if (dir.exists())
+            graft.incremental.Scd2.merge(spark.read.parquet(snapshotPath),
+              batch, keyCol, attrCols, tsCol)
+          else
+            graft.incremental.Scd2.resequence(batch, keyCol, attrCols, tsCol)
+        // sever lineage from the directory about to be replaced
+        val out = merged.localCheckpoint(true)
+        graft.incremental.Writers.atomicRewrite(out, snapshotPath)
+      }
+      .start()
+
   /** Streaming EXACT dedup: drop any document whose content fingerprint
     * ([[graft.llmdata.TextAnalysis.fingerprint]] — md5 of the normalized
     * text) was already seen within the watermark horizon, using Spark's

@@ -112,6 +112,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 sink maintains the version history across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-scd2").toString
+    val (snap, ckpt) = (dir + "/dim", dir + "/ckpt")
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming.scd2Sink(in.toDF().toDF("user_id", "tier", "ts"),
+      "user_id", Seq("tier"), "ts", snap, ckpt)
+    try {
+      in.addData((1L, "bronze", ts(1)), (2L, "gold", ts(2)))
+      q.processAllAvailable()
+      def rows() = spark.read.parquet(snap)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getTimestamp(3)).map(_.toString.take(10)))).toSet
+      assert(rows() == Set((1L, "bronze", None), (2L, "gold", None)))
+      // batch 2: tier change for 1 closes its version; no-change for 2
+      in.addData((1L, "silver", ts(10)), (2L, "gold", ts(11)))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (1L, "bronze", Some("2024-01-10")), (1L, "silver", None),
+        (2L, "gold", None)))
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream interval join attributes clicks to impressions") {
     val dir = Files.createTempDirectory("graft-ssjoin").toString
     Seq((1L, 7L, "2024-01-01 00:00:00"), (2L, 8L, "2024-01-01 01:00:00"))
