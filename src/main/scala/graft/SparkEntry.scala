@@ -1070,6 +1070,28 @@ object SparkEntry {
         .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"),
           exactSum(col("l_quantity")).as("sum_qty"))),
 
+    // point-in-time dimension enrichment: every purchase joined to the
+    // SCD2 browsing-state version ACTIVE at purchase time (AsOfJoin ∘
+    // Scd2 — the warehouse pattern that makes backfills time-correct).
+    // Non-purchase events are deduped to one per (user, instant) so
+    // version starts are strictly increasing per key and as-of ≡
+    // interval semantics exactly
+    "q124_scd2_pit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val stateEvents = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("event_type"))
+      val dim = graft.incremental.Scd2.resequence(stateEvents,
+          "user_id", Seq("event_type"), "ts")
+        .select(col("user_id"), col("valid_from").as("ts"),
+          unix_micros(col("valid_from").cast("timestamp")).as("version_id"),
+          col("event_type").as("state"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(facts, dim, "user_id", "ts",
+        "version_id", Seq("state"))
+    }),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -2868,5 +2890,31 @@ object SparkEntry {
         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
         |FROM lineitem WHERE l_orderkey < 2000
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)""".stripMargin,
+
+    // the q120 version chain joined as intervals — as-of ≡ interval
+    // semantics because version starts are strictly increasing per key
+    // (the (user, instant) pre-dedup both sides mirror)
+    "q124_scd2_pit" ->
+      """WITH src AS (
+        |  SELECT user_id, MIN(event_type) AS event_type,
+        |    CAST(ts AS TIMESTAMP) AS valid_from
+        |  FROM events WHERE event_type <> 'purchase'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |ord AS (SELECT user_id, event_type, valid_from,
+        |    LAG(event_type) OVER w AS prev FROM src
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)),
+        |chg AS (SELECT user_id, event_type, valid_from FROM ord
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |ver AS (SELECT user_id, event_type AS state, valid_from,
+        |    epoch_us(valid_from) AS version_id,
+        |    LEAD(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_type) AS valid_to
+        |  FROM chg),
+        |facts AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.ts,
+        |  v.version_id AS asof_version_id, v.state AS asof_state
+        |FROM facts f LEFT JOIN ver v ON f.user_id = v.user_id
+        |  AND v.valid_from <= f.ts AND (v.valid_to IS NULL OR f.ts < v.valid_to)""".stripMargin,
   )
 }

@@ -48,8 +48,12 @@ object Graph {
     var ranks = nodes.withColumn("rank_micro", lit(Micro))
     var previous: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
+      // the rank/degree frames are nodes-sized (≪ edges): broadcast them
+      // under the size gate so the edge stream never shuffles for the
+      // join — at web scale the gate falls back to a hash join on src
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(Broadcasts.maybeBroadcast(
+          ranks.withColumnRenamed("node", "src")), Seq("src"))
         .join(Broadcasts.maybeBroadcast(outdeg), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_micro div outdeg").as("contrib"))
