@@ -1092,6 +1092,19 @@ object SparkEntry {
         "version_id", Seq("state"))
     }),
 
+    // MATCH_RECOGNIZE-lite: per-user ordered journey string + RE2-subset
+    // regex ("signed up then eventually purchased")
+    "q125_pattern_match" -> ((s, d) =>
+      graft.operators.Patterns.matchSequence(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        pattern = "^signup.*purchase$")),
+
+    // trailing-7-day distinct active users per day (WAU):
+    // contribute-then-count — sliding DISTINCT can't be a window agg
+    "q126_rolling_active" -> ((s, d) =>
+      graft.operators.Retention.rollingActive(t(s, d, "events"),
+        "user_id", "ts", windowDays = 7)),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -2890,6 +2903,30 @@ object SparkEntry {
         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
         |FROM lineitem WHERE l_orderkey < 2000
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)""".stripMargin,
+
+    // journey = total-order token render (list ORDER BY ≡ sort_array);
+    // the anchored RE2-subset pattern means "first event signup, last
+    // event purchase"
+    "q125_pattern_match" ->
+      """SELECT user_id, journey,
+        |  regexp_matches(journey, '^signup.*purchase$') AS matched
+        |FROM (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS journey
+        |  FROM events GROUP BY 1)""".stripMargin,
+
+    // contribute-then-count: each (user, active day) feeds its trailing
+    // window's report days; no COUNT(DISTINCT) OVER anywhere
+    "q126_rolling_active" ->
+      """WITH perday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day FROM perday),
+        |contrib AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |      CAST(greatest(day, min_day) AS TIMESTAMP),
+        |      CAST(least(day + 6, max_day) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS report_day
+        |  FROM perday CROSS JOIN b)
+        |SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM contrib GROUP BY 1""".stripMargin,
 
     // the q120 version chain joined as intervals — as-of ≡ interval
     // semantics because version starts are strictly increasing per key

@@ -29,4 +29,32 @@ object Retention {
       .groupBy(col("cohort_week"), col("week_index"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Rolling distinct active users: for every calendar day, the count of
+    * distinct keys active in the trailing `windowDays` window (WAU=7,
+    * MAU=30). Sliding DISTINCT cannot run as a window aggregate (no
+    * engine supports COUNT(DISTINCT) OVER); the scale shape is
+    * contribute-then-count: dedup to (key, active day), explode each
+    * into the `windowDays` report days it contributes to (bounded ×W
+    * map-side fan-out of an already-day-deduped frame — not of raw
+    * events), then one distinct-count per report day. Report days are
+    * clamped to the observed [min, max] day span.
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val perDay = events
+      .select(col(userCol).as("user_id"), col(tsCol).cast("date").as("day"))
+      .distinct()
+    val bounds = perDay.agg(min(col("day")).as("min_day"),
+      max(col("day")).as("max_day"))
+    perDay
+      .join(Broadcasts.maybeBroadcast(bounds))
+      .select(col("user_id"), explode(sequence(
+        greatest(col("day"), col("min_day")),
+        least(date_add(col("day"), windowDays - 1), col("max_day"))))
+        .as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{Patterns, Retention}
+
+class PatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(d: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-$d%02d 10:$m%02d:00")
+
+  test("matchSequence renders the total-order journey and matches the regex") {
+    val ev = Seq(
+      (1L, 10L, ts(1), "signup"), (1L, 11L, ts(2), "view"),
+      (1L, 12L, ts(3), "purchase"),
+      (2L, 20L, ts(1), "view"), (2L, 21L, ts(2), "signup"),
+      // same-instant tie broken by event_id: 31 then 32
+      (3L, 32L, ts(1), "purchase"), (3L, 31L, ts(1), "signup")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Patterns.matchSequence(ev, "user_id", "ts", "event_id",
+        "event_type", "^signup.*purchase$")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == (("signup view purchase", true)))
+    assert(out(2L) == (("view signup", false)), "journey must not start mid-string")
+    assert(out(3L) == (("signup purchase", true)), "ties ordered by event_id")
+  }
+
+  test("rollingActive counts distinct users in the trailing window") {
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(1, 30)), // same user+day counts once
+      (2L, ts(2)),
+      (1L, ts(10))                  // outside day-2..8 window
+    ).toDF("user_id", "ts")
+    val out = Retention.rollingActive(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-01") == 1L)
+    assert(out("2024-01-02") == 2L, "users 1 and 2 both active in window")
+    assert(out("2024-01-07") == 2L, "day 1 still inside the 7-day trail")
+    assert(out("2024-01-08") == 1L, "day 1 fell out; only user 2's day-2 remains")
+    assert(out("2024-01-10") == 1L)
+    assert(!out.contains("2023-12-31") && !out.contains("2024-01-11"),
+      "report days clamp to the observed span")
+  }
+}
