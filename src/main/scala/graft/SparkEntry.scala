@@ -1105,6 +1105,36 @@ object SparkEntry {
       graft.operators.Retention.rollingActive(t(s, d, "events"),
         "user_id", "ts", windowDays = 7)),
 
+    // EXACT similarity join via prefix filtering (AllPairs/PPJoin):
+    // 100%-recall deterministic near-dup pairs, rarest-first prefix
+    // blocking, integer-rational threshold (1/2) verify
+    "q127_prefix_jaccard" -> ((s, d) =>
+      graft.llmdata.DedupOps.prefixJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", shingleSize = 3, tNum = 1, tDen = 2)),
+
+    // funnel scoped to 30-min gap-sessions: view -> click -> purchase
+    // must happen within ONE sitting to convert
+    "q128_session_funnel" -> ((s, d) =>
+      graft.operators.Funnel.sessionConversion(t(s, d, "events"),
+        "user_id", "ts", "event_type", tieBreakCol = "event_id",
+        gapSeconds = 1800, steps = Seq("view", "click", "purchase"))),
+
+    // semi-structured JSON property extraction (get_json_object path
+    // into the props column) + integer aggregates per event type
+    "q129_json_extract" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          min(get_json_object(col("props"), "$.k").cast("long")).as("min_k"),
+          max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))),
+
+    // exact edit-distance near-dup pairs: length blocking (provable
+    // recall — each edit moves length by <= 1) + banded thresholded
+    // levenshtein verify
+    "q130_edit_neardup" -> ((s, d) =>
+      graft.llmdata.DedupOps.editDistancePairs(t(s, d, "documents"),
+        "doc_id", "text", maxDist = 20, bucketWidth = 32)),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -2953,5 +2983,88 @@ object SparkEntry {
         |  v.version_id AS asof_version_id, v.state AS asof_state
         |FROM facts f LEFT JOIN ver v ON f.user_id = v.user_id
         |  AND v.valid_from <= f.ts AND (v.valid_to IS NULL OR f.ts < v.valid_to)""".stripMargin,
+
+    // exact-Jaccard ground truth: all-pairs over distinct shingle sets
+    // with the same rational threshold — prefix blocking is invisible in
+    // the result (100% recall), which is exactly what the gate proves
+    "q127_prefix_jaccard" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, len($toks) - 2),
+         |      i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS sh
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+         |  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(o AS BIGINT) AS overlap,
+         |  CAST(sa.n + sb.n - o AS BIGINT) AS union_size
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE 2 * o >= 1 * (sa.n + sb.n - o)""".stripMargin
+    },
+
+    // q87's session CTE feeding q95's funnel shape, keyed on the
+    // (user, session) composite
+    "q128_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_type, ts,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(SUM(brk) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS skey
+        |  FROM b),
+        |s1 AS (SELECT skey, MIN(ts) AS t1 FROM sess
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s.skey, MIN(s.ts) AS t2 FROM sess s JOIN s1 USING (skey)
+        |       WHERE s.event_type = 'click' AND s.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT s.skey, MIN(s.ts) AS t3 FROM sess s JOIN s2 USING (skey)
+        |       WHERE s.event_type = 'purchase' AND s.ts > s2.t2 GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT CAST(1 AS INT) AS step_index, 'view' AS step, n1 AS n_keys,
+        |  CASE WHEN n1 = 0 THEN 0.0
+        |    ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', n2,
+        |  CASE WHEN n1 = 0 THEN 0.0
+        |    ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', n3,
+        |  CASE WHEN n1 = 0 THEN 0.0
+        |    ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n""".stripMargin,
+
+    // get_json_object ≡ json_extract_string on the same path; all
+    // aggregates integer (SUM cast per the HUGEINT rule)
+    "q129_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // the same length-banded candidate set (the blocking is exact, so
+    // mirroring it only saves the oracle from an all-pairs levenshtein)
+    "q130_edit_neardup" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |  FROM d a JOIN d b
+        |    ON (b.n // 32) BETWEEN (a.n // 32) - 1 AND (a.n // 32) + 1
+        |   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 20)
+        |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 20""".stripMargin,
   )
 }

@@ -693,4 +693,106 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
       .distinct() // a pair may agree on several blocks — emit once
   }
+
+  /** EXACT Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family) — the deterministic alternative to
+    * [[minhashLsh]]: every pair with shingle-set Jaccard >= tNum/tDen is
+    * returned, with NO probabilistic recall loss, yet without an
+    * all-pairs scan.
+    *
+    * Blocking theorem (Chaudhuri et al., Bayardo et al.): order each
+    * document's shingles by ascending global document frequency (rarest
+    * first, ties by value); if J(A,B) >= t, the first
+    * |X| - ceil(t*|X|) + 1 shingles of BOTH documents must share an
+    * element — so an equi-join on prefix shingles alone generates a
+    * candidate superset. Rare-first ordering makes the prefix buckets the
+    * SPARSEST ones (a frequent shingle lands in few prefixes), which is
+    * what bounds the candidate count. Verification then computes the
+    * exact overlap restricted to candidates and keeps
+    * tDen*o >= tNum*(|A|+|B|-o) — the threshold stays a rational in pure
+    * integer arithmetic, so the emitted (overlap, union_size) pair is
+    * bit-exact on any engine.
+    *
+    * Shape at 100 TB: shingle stream -> distinct (one shuffle on the
+    * shingle), df counts reuse that partitioning, per-doc ranking is one
+    * key shuffle, the candidate join hashes prefix shingles only, and
+    * verification expands candidate pairs — never the corpus. The df
+    * table doubles as the place to DROP stop-shingles (df above a cap)
+    * entirely at prefix time if a corpus has pathological hot shingles.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3,
+                         tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    val sh = shingleStream(df, idCol, textCol, shingleSize).distinct()
+    val withDf = sh.join(sh.groupBy("s").agg(count(lit(1)).as("__df")), "s")
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = withDf
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__rk", row_number().over(
+        byDoc.orderBy(col("__df").asc, col("s").asc)))
+      // ceil(t*n) = (tNum*n + tDen - 1) DIV tDen, all integer
+      .withColumn("__pfx", expr(
+        s"__rk <= __n - ((${tNum}L * __n + ${tDen - 1}L) DIV ${tDen}L) + 1"))
+    val prefixes = ranked.filter(col("__pfx")).select("doc_id", "s")
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__sz"))
+    val aSh = sh.select(col("doc_id").as("id_a"), col("s"))
+    val bSh = sh.select(col("doc_id").as("id_b"), col("s"))
+    val overlap = cand.join(aSh, "id_a").join(bSh, Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("overlap"))
+    overlap
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        sizes.select(col("doc_id").as("id_a"), col("__sz").as("__na"))), "id_a")
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        sizes.select(col("doc_id").as("id_b"), col("__sz").as("__nb"))), "id_b")
+      .filter(lit(tDen.toLong) * col("overlap") >=
+        lit(tNum.toLong) * (col("__na") + col("__nb") - col("overlap")))
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        (col("__na") + col("__nb") - col("overlap")).as("union_size"))
+  }
+
+  /** Edit-distance near-dup pairs: every pair of documents with
+    * Levenshtein distance <= maxDist, found WITHOUT an all-pairs scan via
+    * length blocking — |len(a) - len(b)| <= maxDist is a hard necessary
+    * condition for edit distance (each edit changes length by at most 1),
+    * so bucketing by floor(len / bucketWidth) and probing each document's
+    * own bucket ± 1 has 100% recall whenever maxDist <= bucketWidth.
+    *
+    * The probe side fans out to its three neighbor buckets and equi-joins
+    * the home-bucket side; a qualifying pair is found EXACTLY once (the
+    * right side's home bucket is unique — the q121 exactly-once pattern,
+    * no distinct needed). Verification uses Spark's thresholded
+    * `levenshtein(l, r, k)`, which runs the banded O(k * min(n,m)) DP and
+    * early-exits — never the full quadratic matrix.
+    *
+    * At 100 TB length blocking alone leaves fat buckets (most documents
+    * have typical lengths); production composes this AFTER a cheaper
+    * blocker (LSH buckets or [[simhashPairs]] candidates) and uses this
+    * operator's verify stage on that candidate set. The exact length
+    * bound is what makes THIS operator's recall provable. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 20, bucketWidth: Int = 32): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxDist <= bucketWidth,
+      s"recall needs maxDist <= bucketWidth ($maxDist > $bucketWidth)")
+    val d = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("long").as("__n"))
+      .withColumn("__b", expr(s"__n DIV ${bucketWidth}L"))
+    val probes = d.withColumn("__pb",
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
+    probes.as("a").join(d.as("b"),
+        col("a.__pb") === col("b.__b") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.__n") - col("b.__n")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("a.__t"), col("b.__t"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0) // thresholded form returns -1 past k
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("edit_dist"))
+  }
 }

@@ -62,4 +62,25 @@ object Funnel {
           .otherwise(col("r.n_keys").cast("double") / col("n_1").cast("double"))
           .as("conversion"))
   }
+
+  /** Funnel scoped to gap-sessions instead of whole users: a session (a
+    * burst of activity separated by > `gapSeconds` of silence, per
+    * [[Sessionize.tag]]) converts only if the steps happen in order
+    * WITHIN it — the "did the user view, click and buy in one sitting"
+    * question, stricter than the lifetime funnel above.
+    *
+    * Composition: one key shuffle to tag sessions, then the per-step
+    * aggregates keyed on the (user, session) composite — rendered as one
+    * string column because every step aggregate re-keys on it anyway and
+    * a single column keeps the reach-table joins narrow. Same
+    * scale shape as [[conversion]]; the session tag adds no exchange
+    * beyond its own (user-keyed) one. */
+  def sessionConversion(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieBreakCol: String,
+                        gapSeconds: Long, steps: Seq[String]): DataFrame = {
+    val tagged = Sessionize.tag(df, userCol, tsCol, gapSeconds, tieBreakCol)
+      .withColumn("__skey", concat_ws(":",
+        col(userCol).cast("string"), col("session_index").cast("string")))
+    conversion(tagged, "__skey", tsCol, typeCol, steps)
+  }
 }

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Returns one row per session: (keyCol, session_index (1-based),
-    * session_start, session_end, n_events). */
-  def byGap(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
-            tieBreakCol: String): DataFrame = {
+  /** Tags every input row with its 1-based `session_index` (the
+    * per-event form of [[byGap]] — same boundary semantics, same single
+    * key shuffle). Use this when downstream logic needs the events
+    * themselves grouped by session (e.g. a per-session funnel), not just
+    * the session summaries. */
+  def tag(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+          tieBreakCol: String): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
@@ -39,9 +42,16 @@ object Sessionize {
       micros - prev > gapSeconds * 1000000L, 1).otherwise(0)
     df.withColumn("__brk", boundary)
       .withColumn("session_index", sum(col("__brk")).over(run).cast("long"))
+      .drop("__brk")
+  }
+
+  /** Returns one row per session: (keyCol, session_index (1-based),
+    * session_start, session_end, n_events). */
+  def byGap(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+            tieBreakCol: String): DataFrame =
+    tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
       .groupBy(col(keyCol), col("session_index"))
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
-  }
 }
