@@ -1135,6 +1135,50 @@ object SparkEntry {
       graft.llmdata.DedupOps.editDistancePairs(t(s, d, "documents"),
         "doc_id", "text", maxDist = 20, bucketWidth = 32)),
 
+    // hybrid retrieval: BM25 lexical top-50 ⊕ exact-cosine semantic
+    // top-50, reciprocal-rank fused (two-term IEEE-exact scores)
+    "q131_rrf_fusion" -> ((s, d) => {
+      val lex = graft.llmdata.TextAnalysis.bm25TopK(t(s, d, "documents"),
+        "doc_id", "text", terms = Seq("vector"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, d, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lex, sem, "doc_id", kRrf = 60, topN = 10)
+    }),
+
+    // coarse-to-fine ANN: rank on the first 8 of 64 dims, exact-rerank
+    // the 12-candidate overfetch to a final top-3
+    "q132_truncated_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.truncatedRerank(emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", dPrefix = 8, overfetch = 4, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // incremental aggregate maintenance: merged partials over a
+    // history/delta split must equal the direct full aggregate (the
+    // oracle IS the direct form — equivalence is the point)
+    "q133_agg_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val prev = graft.operators.AggMerge.dailyPartial(
+        ev.filter(to_date(col("ts")) < lit("2024-01-15").cast("date")),
+        "ts", "value")
+      val delta = graft.operators.AggMerge.dailyPartial(
+        ev.filter(to_date(col("ts")) >= lit("2024-01-15").cast("date")),
+        "ts", "value")
+      graft.operators.AggMerge.finish(
+        graft.operators.AggMerge.merge(Seq(prev, delta)))
+    }),
+
+    // per-doc novelty in ingestion order: share of 8-gram windows no
+    // smaller-id doc contains — the "is this source mined out" curve
+    "q134_novelty" -> ((s, d) =>
+      graft.llmdata.DedupOps.noveltyByOrder(t(s, d, "documents"),
+        "doc_id", "text", windowSize = 8)),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3066,5 +3110,104 @@ object SparkEntry {
         |   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 20)
         |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
         |FROM cand WHERE levenshtein(ta, tb) <= 20""".stripMargin,
+
+    // q91's BM25 CTE (single term) ⊕ q36's cosine CTE (single query),
+    // full-outer joined; the two reciprocal terms sum in fixed order
+    "q131_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens,
+        |            COUNT(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+        |       WHERE term IN ('vector') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    (CAST(s.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE))
+        |      * (CAST(t.tf AS DOUBLE) * 2.25)
+        |      / (CAST(t.tf AS DOUBLE)
+        |        + 1.25 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+        |          / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS score
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (term)
+        |  CROSS JOIN stats s),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM scored QUALIFY rank <= 50),
+        |sem AS (SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT c.vec_id AS neighbor_id,
+        |    row_number() OVER (ORDER BY list_dot_product(q.emb, c.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb))
+        |        * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |      c.vec_id ASC) AS rnk
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb
+        |        FROM embeddings WHERE vec_id = 1) q,
+        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings) c
+        |  WHERE q.vec_id <> c.vec_id) WHERE rnk <= 50)
+        |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |  l.rank AS rank_lex, s.rank AS rank_sem,
+        |  COALESCE(1.0 / CAST(60 + l.rank AS DOUBLE), 0.0)
+        |    + COALESCE(1.0 / CAST(60 + s.rank AS DOUBLE), 0.0) AS rrf_score,
+        |  CAST(row_number() OVER (ORDER BY
+        |    COALESCE(1.0 / CAST(60 + l.rank AS DOUBLE), 0.0)
+        |      + COALESCE(1.0 / CAST(60 + s.rank AS DOUBLE), 0.0) DESC,
+        |    COALESCE(l.doc_id, s.doc_id) ASC) AS INT) AS fused_rank
+        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        |QUALIFY fused_rank <= 10""".stripMargin,
+
+    // list slicing mirrors Spark's slice(); coarse rank, 12-candidate
+    // cut, exact full-dim rerank — both stages tie-broken by id
+    "q132_truncated_rerank" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb
+        |           FROM embeddings WHERE vec_id < 16),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    q.emb AS qv, c.emb AS cv,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.emb[1:8], c.emb[1:8])
+        |        / (sqrt(list_dot_product(q.emb[1:8], q.emb[1:8]))
+        |          * sqrt(list_dot_product(c.emb[1:8], c.emb[1:8]))) DESC,
+        |      c.vec_id ASC) AS crank
+        |  FROM q, c WHERE q.vec_id <> c.vec_id),
+        |cand AS (SELECT * FROM coarse WHERE crank <= 12)
+        |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+        |      list_dot_product(qv, cv)
+        |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |      neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
+        |WHERE rank <= 3""".stripMargin,
+
+    // the DIRECT full aggregate — hash-equality proves the algebraic
+    // merge of history+delta partials reconstructs it bit-exactly
+    "q133_agg_merge" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // first-occurrence attribution by min(doc_id) over the distinct
+    // 8-gram window stream; one division of two BIGINTs
+    "q134_novelty" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |      generate_series(1, len($toks) - 7),
+         |      i -> list_aggregate(($toks)[i:i+7], 'string_agg', ' '))) AS s
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |fs AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+         |FROM sh JOIN fs f USING (s) GROUP BY 1""".stripMargin
+    },
   )
 }

@@ -694,6 +694,33 @@ object DedupOps {
       .distinct() // a pair may agree on several blocks — emit once
   }
 
+  /** Per-document novelty under the corpus's document order: the
+    * fraction of a document's distinct token `windowSize`-grams that no
+    * smaller-id document contains — "how much new text does each
+    * document add", the incremental complement of
+    * [[duplicateWindowCoverage]] (which measures cross-doc duplication
+    * symmetrically). Curation pipelines read the novelty CURVE over
+    * ingestion order to decide when a source is mined out.
+    *
+    * First-occurrence attribution is one `min(doc_id)` aggregate over
+    * the distinct window stream — the same df-table shape every dedup
+    * operator here builds — then a join back and a per-doc count. Two
+    * key shuffles (window string, then doc id), map-side combined; no
+    * windowed cumulative state, no driver loops. The single division is
+    * IEEE-exact (two BIGINTs). */
+  def noveltyByOrder(df: DataFrame, idCol: String, textCol: String,
+                     windowSize: Int = 8): DataFrame = {
+    val sh = shingleStream(df, idCol, textCol, windowSize).distinct()
+    val firstSeen = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty_rate",
+        col("n_novel").cast("double") / col("n_windows").cast("double"))
+  }
+
   /** EXACT Jaccard similarity join via prefix filtering (the
     * AllPairs/PPJoin family) — the deterministic alternative to
     * [[minhashLsh]]: every pair with shingle-set Jaccard >= tNum/tDen is

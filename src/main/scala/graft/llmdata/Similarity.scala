@@ -526,4 +526,70 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vecs"),
         (graft.functions.ScalarFns.exactSum(col("x")) / count(lit(1))).as("centroid"))
+
+  /** Reciprocal-rank fusion of two retriever rankings — the standard
+    * hybrid-retrieval combiner (lexical BM25 list ⊕ embedding ANN list):
+    * rrf(d) = Σ 1/(kRrf + rank_i(d)) over the lists containing d. With
+    * exactly two lists the score is a fixed-order two-term IEEE sum of
+    * exact integer reciprocals — bit-identical on any engine (no
+    * accumulation-order ambiguity, the constraint that rules out a
+    * variadic fold). Ties break by id.
+    *
+    * Input frames carry (idCol, rank). Both are top-k lists — metadata-
+    * scale by construction — so the full-outer join and the final global
+    * ordering window run on at most |a|+|b| rows; the single-partition
+    * window is deliberate and safe HERE (never on a corpus: see
+    * `Sampling.globalNtile` for the corpus-scale ranking pattern). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              kRrf: Int = 60, topN: Int = 10): DataFrame = {
+    require(kRrf >= 1 && topN >= 1, s"bad rrf params ($kRrf, $topN)")
+    val ra = a.select(col(idCol).as("id"), col("rank").cast("long").as("rank_lex"))
+    val rb = b.select(col(idCol).as("id"), col("rank").cast("long").as("rank_sem"))
+    val fused = ra.join(rb, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kRrf.toLong) + col("rank_lex")).cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf.toLong) + col("rank_sem")).cast("double"), lit(0.0)))
+    val w = Window.orderBy(col("rrf_score").desc, col("id").asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= topN)
+      .select(col("id").as(idCol), col("rank_lex"), col("rank_sem"),
+        col("rrf_score"), col("fused_rank"))
+  }
+
+  /** Coarse-to-fine ANN via dimension truncation (the Matryoshka-
+    * representation pattern): stage 1 ranks by cosine over only the first
+    * `dPrefix` dimensions and keeps `k * overfetch` candidates per query;
+    * stage 2 reranks those candidates with the exact full-dimension
+    * cosine and emits the top k. Both stages are deterministic (ties by
+    * neighbor id), so the result is oracle-exact — recall vs. a pure
+    * full-dim scan is a measured property (spec), not a promise.
+    *
+    * Why it scales: the coarse stage is where the corpus-wide work
+    * happens, and it touches dPrefix/dim of the vector bytes — at 100 TB
+    * the corpus side materializes a separate prefix-vector column (or
+    * table) so the stage-1 scan reads 8/64ths of the lake, and only the
+    * k × overfetch × |queries| candidate rows ever load full vectors.
+    * Queries ride broadcast in both stages; the rerank is a candidate-
+    * sized join, never a second corpus pass. */
+  def truncatedRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, dPrefix: Int, overfetch: Int,
+                      k: Int): DataFrame = {
+    require(dPrefix >= 1 && overfetch >= 1 && k >= 1,
+      s"bad params ($dPrefix, $overfetch, $k)")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val coarse = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse", cosineNative(
+        slice(col("qv"), 1, dPrefix), slice(col("cv"), 1, dPrefix)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * overfetch)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wf).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Algebraic partial-aggregate maintenance: compute a daily summary as
+  * mergeable partials, so yesterday's materialized aggregate and today's
+  * delta combine WITHOUT rescanning history — the incremental-view shape
+  * every warehouse needs once the fact table stops fitting a nightly
+  * full rebuild. COUNT/SUM/MIN/MAX are the algebraic kernel (AVG derives
+  * as sum/count at read time; distinct counts need a sketch — see
+  * `Profile.approxNumeric` — or a re-union, and are deliberately not
+  * offered here).
+  *
+  * Exactness contract: the sum partial stays DECIMAL end-to-end
+  * (double → decimal(20,6) per element, decimal sums thereafter — pure
+  * integer arithmetic), so merge order and partition count cannot change
+  * the result, and merged-vs-recomputed is bit-identical — the q133
+  * oracle proves merge(prev, delta) ≡ direct full aggregate.
+  *
+  * At 100 TB: each load aggregates ONLY its delta (one shuffle on the
+  * day key, map-side combine); the merge touches |days| rows of stored
+  * partials — metadata-scale next to the fact scan it replaces. Compose
+  * with `Writers.monthScopedDeleteInsert` to persist only affected days.
+  */
+object AggMerge {
+
+  /** Mergeable daily partials for an event slice: (day, n_events,
+    * sum_value_dec (decimal), min_value, max_value). */
+  def dailyPartial(events: DataFrame, tsCol: String,
+                   valCol: String): DataFrame =
+    events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(20,6)")).as("sum_value_dec"),
+        min(col(valCol)).as("min_value"),
+        max(col(valCol)).as("max_value"))
+
+  /** Merge any number of partial frames into one — re-aggregation of
+    * partials under the same algebra (sum of counts, sum of decimal
+    * sums, min of mins, max of maxes). */
+  def merge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "merge needs at least one partial frame")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("day"))
+      .agg(sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("sum_value_dec")).as("sum_value_dec"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+  }
+
+  /** Read-time finish: the external row shape (decimal partial cast to
+    * double exactly once, matching `ScalarFns.exactSum`). */
+  def finish(partials: DataFrame): DataFrame =
+    partials.select(col("day"), col("n_events"),
+      col("sum_value_dec").cast("double").as("sum_value"),
+      col("min_value"), col("max_value"))
+}
