@@ -1182,6 +1182,14 @@ object SparkEntry {
       graft.llmdata.DedupOps.noveltyByOrder(t(s, d, "documents"),
         "doc_id", "text", windowSize = 8)),
 
+    // within-session Markov transition matrix (user-flow table):
+    // session boundaries cut transitions; share = two exact BIGINTs
+    // divided once
+    "q135_session_transitions" -> ((s, d) =>
+      graft.operators.Sessionize.transitions(t(s, d, "events"),
+        "user_id", "ts", "event_type", gapSeconds = 1800,
+        tieBreakCol = "event_id")),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3212,5 +3220,29 @@ object SparkEntry {
          |    / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
          |FROM sh JOIN fs f USING (s) GROUP BY 1""".stripMargin
     },
+
+    // q87's session CTE + a lead window per (user, session); the share
+    // is n over the from-type row sum — both exact integers
+    "q135_session_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b),
+        |nxt AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_index
+        |      ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM sess),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM nxt
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM m""".stripMargin,
   )
 }

@@ -358,7 +358,9 @@ object Multimodal {
   }
 
   /** Resize STUB: truncate/pad payload to a target byte budget and rewrite
-    * meta — the plumbing of an image resize (map-only, no shuffle). */
+    * meta — the plumbing of an image resize (map-only, no shuffle). Kept
+    * for payloads no codec can decode; [[resizeImages]] is the REAL
+    * image path. */
   def resize(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("payload", substring(col("payload"), 1, targetBytes))
       .withColumn("meta", struct(
@@ -366,4 +368,51 @@ object Multimodal {
         least(col("meta.height"), lit(targetBytes)).as("height"),
         col("meta.duration_ms").as("duration_ms"),
         concat(col("meta.codec"), lit(s";resized=$targetBytes")).as("codec")))
+
+  case class ResizedImage(asset_id: Long, payload: Array[Byte],
+                          width: Int, height: Int, decoded: Boolean)
+
+  /** REAL image resize, JDK-only: ImageIO decode → nearest-neighbor
+    * `AffineTransformOp` scale to exactly (targetW, targetH) → PNG
+    * re-encode. Nearest-neighbor is the deterministic kernel (pure pixel
+    * selection, no filter-kernel float summation ordering to worry
+    * about), PNG the deterministic container (lossless; no encoder
+    * quality heuristics). Payloads ImageIO cannot decode pass through
+    * byte-unchanged with `decoded = false` — the same honest fallback
+    * contract as [[imageStats]].
+    *
+    * Same scale shape as every codec op here: mapPartitions (the
+    * sanctioned native-codec escape hatch), map-only, no shuffle; the
+    * output column is a new binary payload, so the op composes with the
+    * partitioned media sinks unchanged. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    require(targetW >= 1 && targetH >= 1, s"bad target ($targetW x $targetH)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ResizedImage(id, bytes, -1, -1, decoded = false)
+          else {
+            // Graphics2D draw (not AffineTransformOp.filter, which
+            // rejects TYPE_CUSTOM sources some PNGs decode to)
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedImage(id, bos.toByteArray, targetW, targetH, decoded = true)
+          }
+        }
+      }
+  }
 }

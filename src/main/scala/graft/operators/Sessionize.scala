@@ -54,4 +54,31 @@ object Sessionize {
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Within-session transition matrix — the user-flow ("Sankey") table:
+    * for each ordered pair of event types, how often does `to_type`
+    * immediately follow `from_type` inside one session, and what share
+    * of `from_type`'s outgoing transitions is that (an exact two-BIGINT
+    * division). Session boundaries CUT transitions: the last event of a
+    * session has no successor.
+    *
+    * Shape: the session tag's key shuffle, a second exchange for the
+    * (key, session_index) lead window, then one hash aggregate into a
+    * |types|² matrix — metadata-scale output, so the per-row share
+    * window runs on a tiny frame. */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String, gapSeconds: Long,
+                  tieBreakCol: String): DataFrame = {
+    val tagged = tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
+    val w = Window.partitionBy(col(keyCol), col("session_index"))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val matrix = tagged
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    matrix.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+  }
 }

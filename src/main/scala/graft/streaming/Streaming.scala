@@ -145,6 +145,35 @@ object Streaming {
       }
       .start()
 
+  /** Streaming incremental aggregate maintenance — the streaming twin of
+    * `operators.AggMerge` (q133): each micro-batch is aggregated into
+    * mergeable daily partials (COUNT/SUM-as-decimal/MIN/MAX) and merged
+    * into the persisted partial table with an atomic swap. Because the
+    * partials are algebraic and decimal-exact, the stored table equals
+    * the direct aggregate of every event ever seen, REGARDLESS of how
+    * the stream was batched — the spec proves two-batch ≡ one-shot.
+    *
+    * At 100 TB: per batch, one delta-sized shuffle plus a |days|-row
+    * merge — history is never rescanned. Readers call
+    * `AggMerge.finish(spark.read.parquet(path))`. */
+  def aggMergeSink(df: DataFrame, tsCol: String, valCol: String,
+                   path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.AggMerge.dailyPartial(batch, tsCol, valCol)
+        val merged =
+          if (new java.io.File(path).exists())
+            graft.operators.AggMerge.merge(Seq(
+              spark.read.parquet(path), delta))
+          else delta
+        val out = merged.localCheckpoint(true) // sever lineage pre-swap
+        graft.incremental.Writers.atomicRewrite(out, path)
+      }
+      .start()
+
   /** Streaming EXACT dedup: drop any document whose content fingerprint
     * ([[graft.llmdata.TextAnalysis.fingerprint]] — md5 of the normalized
     * text) was already seen within the watermark horizon, using Spark's

@@ -396,4 +396,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lb > 55, s"a-only sort leaves b unbounded (got $lb)")
     assert(za < lb, "z-order strictly beats single-column sort on the second dim")
   }
+
+  test("resizeImages really rescales decodable payloads, passes others through") {
+    // 16x12 left-black right-white split
+    val src = pngBytes(16, 12)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val media = Seq((1L, src), (2L, junk)).toDF("asset_id", "payload")
+    val out = graft.llmdata.Multimodal.resizeImages(media, targetW = 8, targetH = 6)
+      .collect().map(r => r.asset_id -> r).toMap
+    assert(out(1L).decoded && out(1L).width == 8 && out(1L).height == 6)
+    // the emitted payload is a REAL PNG of the claimed size with the
+    // source's structure preserved (left half dark, right half bright)
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(round.getWidth == 8 && round.getHeight == 6)
+    assert((round.getRGB(1, 3) & 0xffffff) == 0x000000
+      && (round.getRGB(6, 3) & 0xffffff) == 0xffffff,
+      "nearest-neighbor scaling preserves the halves")
+    assert(!out(2L).decoded && out(2L).payload.sameElements(junk),
+      "undecodable payloads pass through byte-unchanged")
+  }
 }

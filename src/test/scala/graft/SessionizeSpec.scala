@@ -38,4 +38,24 @@ class SessionizeSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("transitions count within-session successors only, shares sum to 1") {
+    val events = Seq(
+      // user a, one session: view -> click -> view
+      ("a", 1L, ts(0), "view"), ("a", 2L, ts(1), "click"), ("a", 3L, ts(2), "view"),
+      // user a, NEW session (big gap): view alone — no transition emitted
+      ("a", 4L, ts(7200), "view"),
+      // user b: view -> view
+      ("b", 5L, ts(0), "view"), ("b", 6L, ts(1), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Sessionize.transitions(events, "user_id", "ts", "event_type",
+        gapSeconds = 1800, tieBreakCol = "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "view") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))),
+      s"session boundary must cut the a3 -> a4 transition: $out")
+  }
 }

@@ -346,4 +346,33 @@ class StreamingSpec extends SparkSpec {
     assert(closed.contains((1L, ts(0), 2L)),
       "the merged 10:00-10:05 session must close once the watermark passes")
   }
+
+  test("aggMergeSink: streamed partials equal the one-shot direct aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-aggmerge").toString
+    val (table, ckpt) = (dir + "/daily", dir + "/ckpt")
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.aggMergeSink(in.toDF().toDF("ts", "value"),
+      "ts", "value", table, ckpt)
+    val all = Seq(
+      (ts(1, 1), 1.5), (ts(1, 2), 2.25), (ts(2, 3), -4.0),
+      (ts(1, 9), 0.125), (ts(2, 10), 8.0), (ts(3, 11), 3.0))
+    try {
+      in.addData(all.take(3): _*) // batch 1
+      q.processAllAvailable()
+      in.addData(all.drop(3): _*) // batch 2: day 1 and 2 get MERGED rows
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.operators.AggMerge.finish(spark.read.parquet(table))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val direct = graft.operators.AggMerge.finish(graft.operators.AggMerge
+        .dailyPartial(all.toDF("ts", "value"), "ts", "value"))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed == direct, s"$streamed vs $direct")
+    assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
+  }
 }
