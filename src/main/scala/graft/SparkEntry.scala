@@ -1190,6 +1190,32 @@ object SparkEntry {
         "user_id", "ts", "event_type", gapSeconds = 1800,
         tieBreakCol = "event_id")),
 
+    // acquisition report: marginal 8-gram novelty of a candidate batch
+    // (doc_id % 5 = 4, a scale-free 20% slice) against the corpus rest —
+    // corpus side is ONE map pass against the broadcast batch window set
+    "q136_batch_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llmdata.DedupOps.batchNovelty(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+        "doc_id", "text", windowSize = 8)
+    }),
+
+    // which sources copy from which: the exact near-dup pair set rolled
+    // up to an unordered source×source matrix
+    "q137_source_copy_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.llmdata.DedupOps.prefixJaccardPairs(docs,
+        "doc_id", "text", shingleSize = 3, tNum = 4, tDen = 5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_x"),
+          greatest(col("__sa"), col("__sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3244,5 +3270,47 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM m""".stripMargin,
+
+    // batch (doc_id%5=4) windows LEFT JOIN the corpus-rest window set;
+    // novelty = null-match fraction
+    "q136_batch_novelty" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val sh8 = s"list_transform(generate_series(1, len($toks) - 7), " +
+        s"i -> list_aggregate(($toks)[i:i+7], 'string_agg', ' '))"
+      s"""WITH bsh AS (SELECT DISTINCT doc_id, unnest($sh8) AS s
+         |  FROM documents WHERE doc_id % 5 = 4 AND length(trim(text)) > 0),
+         |csh AS (SELECT DISTINCT unnest($sh8) AS s
+         |  FROM documents WHERE doc_id % 5 <> 4 AND length(trim(text)) > 0)
+         |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(SUM(CASE WHEN c.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(SUM(CASE WHEN c.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS new_rate
+         |FROM bsh b LEFT JOIN csh c USING (s) GROUP BY 1""".stripMargin
+    },
+
+    // q127's exact pair CTEs rolled up to the unordered source matrix
+    "q137_source_copy_matrix" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, len($toks) - 2),
+         |      i -> ($toks)[i] || ' ' || ($toks)[i+1] || ' ' || ($toks)[i+2]))) AS sh
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+         |  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE 5 * o >= 4 * (sa.n + sb.n - o))
+         |SELECT least(da.source, db.source) AS source_x,
+         |  greatest(da.source, db.source) AS source_y,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+         |             JOIN documents db ON p.id_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    },
   )
 }

@@ -721,6 +721,39 @@ object DedupOps {
         col("n_novel").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** Batch-vs-corpus novelty: for each document of a CANDIDATE batch,
+    * the fraction of its distinct `windowSize`-gram windows that appear
+    * nowhere in the existing corpus — the acquisition signal ("how much
+    * would this crawl actually add") read BEFORE admitting anything,
+    * complementing [[noveltyByOrder]] (within-corpus, after the fact)
+    * and [[incrementalDedup]] (which drops whole near-dup docs rather
+    * than measuring marginal content).
+    *
+    * Join shape at 100 TB: the batch window set is broadcast and the
+    * corpus window stream SEMI-joins against it in its scan — one
+    * map-only pass over the lake, no corpus shuffle (the output, windows
+    * the corpus shares with the batch, is bounded by the batch size).
+    * That small "seen" set then left-joins back to the batch windows.
+    * Never joins corpus×corpus. */
+  def batchNovelty(corpus: DataFrame, batch: DataFrame, idCol: String,
+                   textCol: String, windowSize: Int = 8): DataFrame = {
+    val bwin = shingleStream(batch, idCol, textCol, windowSize).distinct()
+    val bset = bwin.select("s").distinct()
+    val seen = shingleStream(corpus, idCol, textCol, windowSize)
+      .select("s")
+      .join(graft.operators.Broadcasts.maybeBroadcast(bset), Seq("s"), "left_semi")
+      .distinct()
+      .withColumn("__seen", lit(1))
+    bwin
+      .join(graft.operators.Broadcasts.maybeBroadcast(seen), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .withColumn("new_rate",
+        col("n_new").cast("double") / col("n_windows").cast("double"))
+  }
+
   /** EXACT Jaccard similarity join via prefix filtering (the
     * AllPairs/PPJoin family) — the deterministic alternative to
     * [[minhashLsh]]: every pair with shingle-set Jaccard >= tNum/tDen is

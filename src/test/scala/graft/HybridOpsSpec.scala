@@ -94,6 +94,33 @@ class HybridOpsSpec extends SparkSpec {
       && r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
   }
 
+  test("batchNovelty measures marginal windows against the corpus only") {
+    val corpus = Seq(1L -> "a b c d e f g h i j").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "a b c d e f g h i j",               // all 3 windows known
+      11L -> "z y x w v u t s r q",               // all 3 windows new
+      12L -> "a b c d e f g h z z z z z z z"      // 1 of 8 known
+    ).toDF("doc_id", "text")
+    val out = graft.llmdata.DedupOps.batchNovelty(corpus, batch,
+        "doc_id", "text", windowSize = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((3L, 0L, 0.0)))
+    assert(out(11L) == ((3L, 3L, 1.0)))
+    assert(out(12L) == ((8L, 7L, 7.0 / 8.0)))
+    // batch-internal duplicates must NOT make each other "seen": 10 and
+    // a copy of it still both read novelty 0 only because of the CORPUS
+    val out2 = graft.llmdata.DedupOps.batchNovelty(
+      Seq(1L -> "completely unrelated corpus text here now ok fine yes")
+        .toDF("doc_id", "text"),
+      Seq(10L -> "a b c d e f g h i j", 11L -> "a b c d e f g h i j")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", windowSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out2 == Map(10L -> 1.0, 11L -> 1.0),
+      "a batch-internal duplicate is still NEW relative to the corpus")
+  }
+
   test("noveltyByOrder attributes windows to the smallest doc id") {
     val base = "a b c d e f g h i j"        // 3 distinct 8-gram windows
     val docs = Seq(
