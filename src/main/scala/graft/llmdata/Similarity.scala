@@ -39,14 +39,16 @@ object Similarity {
   def cosineFixed(a: Column, b: Column, dim: Int): Column =
     dotFixed(a, b, dim) / (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
 
-  /** Hot-path cosine built on the codegen'd [[graft.functions.DotProduct]]
-    * expression — dimension-agnostic, a single tight loop per row inside
-    * whole-stage codegen, bit-identical to the HOF and unrolled forms
-    * (same sequential left-to-right double accumulation). */
-  def cosineNative(a: Column, b: Column): Column = {
-    import graft.functions.DotProduct.dot_product
-    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
-  }
+  /** Hot-path cosine: the fused codegen'd
+    * [[graft.functions.CosineSim]] expression — dot product and both
+    * norms in ONE array pass (the previous three-[[graft.functions.DotProduct]]
+    * composition walked each array three times). Bit-identical to that
+    * composition — each accumulator is still an independent sequential
+    * left-to-right double fold, and the same `/(sqrt·sqrt)` tree runs on
+    * the sums — so every cosine oracle hash is unchanged
+    * (CosineSimSpec asserts the equivalence bit-for-bit). */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector, by cosine, ties broken
     * by neighbor id. `queries` must be small (it is broadcast to every

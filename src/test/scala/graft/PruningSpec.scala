@@ -126,6 +126,22 @@ class PruningSpec extends SparkSpec {
       s"the hash fraction is map-stage; only the per-shard sort may shuffle:\n$plan")
   }
 
+  test("exact-join wave plans equi-joins only (q127/q130/q134/q136)") {
+    // prefix filtering, length blocking, and window-set joins exist to
+    // AVOID quadratic scans; freeze the evidence that every join in
+    // their plans hashes a key (the range/threshold conditions ride as
+    // post-join filters on an equi-join, never a nested loop)
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q127_prefix_jaccard", "q130_edit_neardup",
+        "q134_novelty", "q136_batch_novelty")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a nested-loop join:\n$plan")
+    }
+  }
+
   test("round-4 EXT queries never plan all-pairs joins (q96/q97/q98)") {
     val d = "/root/testdata/sf0.001"
     for (q <- Seq("q96_knn_graph", "q97_lm_familiarity", "q98_cooccurrence")) {
