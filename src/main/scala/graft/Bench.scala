@@ -4,17 +4,39 @@ import org.apache.spark.sql.SparkSession
 /** Headline benchmark: every SparkEntry query timed on SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout.
   *
-  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
-  * the per-query MEDIAN: the host shows documented firecracker-neighbor
-  * noise swinging single-run totals 66→137s at sf0.1 (NOTES.md), so
-  * single samples made round-over-round deltas untrustworthy. The total
-  * is the sum of medians — an estimate of one quiet sequential pass. */
+  * Design goals, in priority order (round-4 lesson: the suite grew past the
+  * driver's wall-clock budget, the process was SIGKILLed mid-query, and the
+  * round recorded NO bench at all — partial coverage beats a dead artifact):
+  *
+  *  1. COVERAGE FIRST. Pass 1 runs every query exactly once, cheapest-known
+  *     risk order (alphabetical, as always), so even a budget-exhausted run
+  *     has a sample for every query.
+  *  2. ADAPTIVE REPS. Only queries whose first rep came in under
+  *     SPARK_GRAFT_BENCH_LONGQ seconds (default 5) get extra reps, up to
+  *     SPARK_GRAFT_BENCH_REPS (default 3) total. Cheap queries are where
+  *     host noise dominates and median-of-3 pays off; a 10 s query's median
+  *     is not worth 20 more seconds of wall.
+  *  3. CUMULATIVE BUDGET. SPARK_GRAFT_BENCH_BUDGET seconds (default 360)
+  *     bounds the TIMED region: once spent, remaining extra reps are
+  *     skipped (pass 1 always completes — coverage wins over the budget).
+  *     The JSON line prints whatever was measured either way.
+  *  4. ERRORS ARE VISIBLE. A throwing query used to record a fast fake
+  *     median and look healthy; now its first exception class lands in an
+  *     "errors" map after the queries map and its timing is still reported
+  *     (the time-to-failure, honest but flagged).
+  *
+  * Per-query value is the MEDIAN of collected samples: the host shows
+  * documented firecracker-neighbor noise swinging single-run totals
+  * 66→137 s at sf0.1 (NOTES.md). The total is the sum of medians — an
+  * estimate of one quiet sequential pass. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val longQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_LONGQ", "5").toDouble
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toDouble
+    require(maxReps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $maxReps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,19 +52,41 @@ object Bench {
     // subset when chasing one query's timing (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        elapsed
-      }.sorted
+
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var spent = 0.0
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable =>
+        if (!errors.contains(name)) errors(name) = t.getClass.getSimpleName
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      samples(name) = elapsed :: samples.getOrElse(name, Nil)
+      spent += elapsed
+      elapsed
+    }
+    // Pass 1: one sample per query, unconditionally (coverage first).
+    queries.foreach { case (name, fn) => runOnce(name, fn) }
+    // Passes 2..maxReps: extra reps for short, non-erroring queries while
+    // the budget holds. Round-robin by pass (not per-query) so an early
+    // budget stop leaves every cheap query with the SAME rep count — a
+    // comparable sum — rather than 3-rep medians for a..m and singles after.
+    (2 to maxReps).foreach { _ =>
+      queries.foreach { case (name, fn) =>
+        val first = samples(name).last // pass-1 sample (list is prepended)
+        if (spent < budget && first < longQ && !errors.contains(name)) runOnce(name, fn)
+      }
+    }
+    val results = queries.map { case (name, _) =>
+      val sorted = samples(name).sorted
       // median; for even reps this is the UPPER mid sample — deliberate
       // (noise only inflates, so the bias is toward caution)
-      name -> times(times.length / 2)
+      name -> sorted(sorted.length / 2)
     }
     // ms precision (noise floor is far above 1ms) keeps the line compact:
     // the driver captures a bounded TAIL of stdout, and round 2/3 lines at
@@ -53,8 +97,10 @@ object Bench {
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","reps":$reps,"unit":"sec","value":${f(total)}}""")
+    println(s"""{"metric":"total","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$maxReps,"budget_sec":${f(budget)},"spent_sec":${f(spent)},"unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -981,7 +981,7 @@ object SparkEntry {
     }),
 
     // tokenizer-vocab coverage: per-doc out-of-vocabulary rate against
-    // the corpus top-30 vocabulary
+    // the corpus top-20 vocabulary
     "q114_oov_rate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       TextAnalysis.oovRate(docs, "doc_id", "text",

@@ -34,7 +34,17 @@ case class CheckResult(constraint: String, column: Option[String],
   * validation result per expectation per run (validation_utils.py:69-84;
   * the reference keeps only runtime_seconds in its metadata table, so
   * this is a strict superset): one row per constraint per gate, appended
-  * to a single-partition parquet ledger keyed by (run_id, layer). */
+  * to a single-partition parquet ledger keyed by (run_id, layer).
+  *
+  * Concurrency contract: SINGLE WRITER. `record` is a plain parquet
+  * append — sequential multi-run appends are safe and spec-proven, but
+  * two pipelines appending the SAME ledger concurrently are only kept
+  * apart by part-file UUID luck (parquet directories have no commit
+  * protocol). Orchestrators running gates in parallel must give each
+  * pipeline its own ledger path (union at read time: the ledger is
+  * metadata-scale) or serialize gate execution — the reference's
+  * orchestrator runs validation tasks strictly sequentially, so the
+  * single-writer shape is the semantics being matched, not a shortcut. */
 class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String) {
 
   def record(runId: String, layer: String, results: Seq[CheckResult]): Unit = {

@@ -25,13 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object AggMerge {
 
+  /** The stored partial-sum type is PINNED: Spark widens a decimal sum's
+    * precision per aggregation (20,6 → 30,6 → capped 38,6), so without the
+    * pin a persisted partial table's schema would drift across the first
+    * few merge generations, and schema-strict readers of the stored table
+    * would break batch-to-batch. 38,6 is the cap Spark converges to
+    * anyway; pinning just reaches it on generation one. */
+  private val sumType = "decimal(38,6)"
+
   /** Mergeable daily partials for an event slice: (day, n_events,
     * sum_value_dec (decimal), min_value, max_value). */
   def dailyPartial(events: DataFrame, tsCol: String,
                    valCol: String): DataFrame =
     events.groupBy(to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valCol).cast("decimal(20,6)")).as("sum_value_dec"),
+        sum(col(valCol).cast("decimal(20,6)")).cast(sumType).as("sum_value_dec"),
         min(col(valCol)).as("min_value"),
         max(col(valCol)).as("max_value"))
 
@@ -43,7 +51,7 @@ object AggMerge {
     parts.reduce(_.unionByName(_))
       .groupBy(col("day"))
       .agg(sum(col("n_events")).cast("long").as("n_events"),
-        sum(col("sum_value_dec")).as("sum_value_dec"),
+        sum(col("sum_value_dec")).cast(sumType).as("sum_value_dec"),
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
   }

@@ -84,6 +84,11 @@ object Funnel {
     // -> ~4s at sf0.1. Sessionization must see ALL the user's events
     // (gaps are defined over every event, not just funnel steps), so the
     // step filter cannot be pushed below the tag.
+    // NOTE: localCheckpoint(true) runs an eager Spark job HERE, at
+    // DataFrame-construction time, and the checkpoint blocks stay on the
+    // executors until the returned frame becomes unreachable (Spark's
+    // ContextCleaner releases them on GC). Callers holding many results
+    // long-term should collect/write the result, then drop the reference.
     val tagged = Sessionize.tag(df, userCol, tsCol, gapSeconds, tieBreakCol)
       .withColumn("__skey", concat_ws(":",
         col(userCol).cast("string"), col("session_index").cast("string")))

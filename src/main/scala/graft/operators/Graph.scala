@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * round k+1 does not recompute round k. Dangling nodes (no out-edges)
   * keep receiving mass but leak their own — the standard simplification;
   * renormalize downstream if a distribution is needed.
+  *
+  * The RETURNED frame is still persisted (that cache is what keeps the
+  * last iteration from recomputing the whole chain on every downstream
+  * action); call `.unpersist()` on it once consumed, or let Spark's
+  * ContextCleaner release the blocks when the frame is GC'd.
   */
 object Graph {
 

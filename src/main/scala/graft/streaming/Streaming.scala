@@ -132,13 +132,17 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(snapshotPath)
-        val merged =
-          if (dir.exists())
-            graft.incremental.Scd2.merge(spark.read.parquet(snapshotPath),
-              batch, keyCol, attrCols, tsCol)
-          else
-            graft.incremental.Scd2.resequence(batch, keyCol, attrCols, tsCol)
+        // Snapshot existence MUST be probed through the Hadoop FS layer
+        // (readParquetIfExists), not java.io.File: on HDFS/S3 a local-file
+        // probe is always false, and "always first batch" + atomicRewrite
+        // would silently replace the accumulated history with one batch.
+        val merged = graft.sources.Tables
+          .readParquetIfExists(spark, snapshotPath) match {
+            case Some(snap) =>
+              graft.incremental.Scd2.merge(snap, batch, keyCol, attrCols, tsCol)
+            case None =>
+              graft.incremental.Scd2.resequence(batch, keyCol, attrCols, tsCol)
+          }
         // sever lineage from the directory about to be replaced
         val out = merged.localCheckpoint(true)
         graft.incremental.Writers.atomicRewrite(out, snapshotPath)
@@ -153,24 +157,41 @@ object Streaming {
     * the direct aggregate of every event ever seen, REGARDLESS of how
     * the stream was batched — the spec proves two-batch ≡ one-shot.
     *
+    * EXACTLY-ONCE under replay: foreachBatch is at-least-once, and
+    * merging SUM/COUNT partials is NOT idempotent (unlike scd2Sink's
+    * re-derivation), so the sink persists the last-applied `batchId` as a
+    * constant column of the partial table — swapped atomically WITH the
+    * partials — and skips any batch id ≤ the stored one. A batch replayed
+    * after a successful swap but failed checkpoint commit is therefore a
+    * no-op instead of a double count. Spark's batch ids are monotonically
+    * increasing per checkpoint, which makes the ≤ test sufficient.
+    *
     * At 100 TB: per batch, one delta-sized shuffle plus a |days|-row
     * merge — history is never rescanned. Readers call
-    * `AggMerge.finish(spark.read.parquet(path))`. */
+    * `AggMerge.finish(spark.read.parquet(path))` (finish drops the
+    * bookkeeping column). */
   def aggMergeSink(df: DataFrame, tsCol: String, valCol: String,
                    path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val delta = graft.operators.AggMerge.dailyPartial(batch, tsCol, valCol)
-        val merged =
-          if (new java.io.File(path).exists())
-            graft.operators.AggMerge.merge(Seq(
-              spark.read.parquet(path), delta))
-          else delta
-        val out = merged.localCheckpoint(true) // sever lineage pre-swap
-        graft.incremental.Writers.atomicRewrite(out, path)
+        // Hadoop-FS existence probe (NOT java.io.File — see scd2Sink).
+        val stored = graft.sources.Tables.readParquetIfExists(spark, path)
+        val lastApplied = stored.map(s =>
+          s.select(max(col("last_batch_id"))).head.getLong(0))
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = graft.operators.AggMerge.dailyPartial(batch, tsCol, valCol)
+          val merged = stored match {
+            case Some(s) => graft.operators.AggMerge.merge(Seq(
+              s.drop("last_batch_id"), delta))
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          graft.incremental.Writers.atomicRewrite(out, path)
+        }
       }
       .start()
 

@@ -375,4 +375,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct, s"$streamed vs $direct")
     assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
   }
+
+  test("aggMergeSink: a replayed batch id is a no-op, not a double count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-aggreplay").toString
+    val (table, ckpt) = (dir + "/daily", dir + "/ckpt")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 $h%02d:00:00")
+    val rows = Seq((ts(1), 1.5), (ts(2), 2.5))
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.aggMergeSink(in.toDF().toDF("ts", "value"),
+      "ts", "value", table, ckpt)
+    try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    // Simulate foreachBatch's at-least-once replay: a restart from the
+    // SAME checkpoint after a swap-committed-but-checkpoint-failed crash
+    // re-delivers the batch with the SAME batch id. Here the checkpoint
+    // DID commit, so restarting and re-feeding the data produces batch
+    // id 1 — drive the replay path directly instead: feed batch id 0's
+    // merge a second time through a fresh sink sharing the table but a
+    // NEW checkpoint (batch ids restart at 0 → stored id 0 must be
+    // skipped as already applied).
+    val in2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val q2 = Streaming.aggMergeSink(in2.toDF().toDF("ts", "value"),
+      "ts", "value", table, ckpt + "2")
+    try { in2.addData(rows: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = graft.operators.AggMerge.finish(spark.read.parquet(table))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, 4.0)),
+      s"replayed batch 0 must not double-count: $got")
+  }
 }
