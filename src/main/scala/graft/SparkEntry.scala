@@ -1216,6 +1216,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // scale-default edit-distance near-dup: simhash pigeonhole blocker
+    // (never fat length buckets) → |Δlen| gate → banded levenshtein
+    // verify; q130 keeps the exact small-corpus form
+    "q138_edit_blocked" -> ((s, d) =>
+      graft.llmdata.DedupOps.editDistancePairsBlocked(t(s, d, "documents"),
+        "doc_id", "text", maxDist = 5, maxHamming = 3)),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3311,6 +3318,33 @@ object SparkEntry {
          |FROM pairs p JOIN documents da ON p.id_a = da.doc_id
          |             JOIN documents db ON p.id_b = db.doc_id
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q35's simhash CTE, then the blocked composition's EXACT semantics:
+    // hamming gate (an all-pairs bit_count is fine at oracle scale — the
+    // pigeonhole equi-joins produce precisely this set), length gate,
+    // levenshtein verify
+    "q138_edit_blocked" -> {
+      val bitTerms = (0 until 64).map { b =>
+        val h = if (b < 32) "hlo" else "hhi"
+        s"(CASE WHEN SUM((($h >> ${b % 32}) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)"
+      }
+      s"""WITH fp AS (SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+         |      CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
+         |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |      FROM documents WHERE length(trim(text)) > 0))
+         |  GROUP BY doc_id),
+         |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+         |FROM cand JOIN d da ON cand.id_a = da.doc_id
+         |          JOIN d db ON cand.id_b = db.doc_id
+         |WHERE abs(da.n - db.n) <= 5 AND levenshtein(da.text, db.text) <= 5""".stripMargin
     },
   )
 }

@@ -855,4 +855,54 @@ object DedupOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("edit_dist"))
   }
+
+  /** Edit-distance near-dup pairs behind a SIMHASH blocker — the
+    * 100 TB-default composition [[editDistancePairs]]'s scaladoc promises:
+    * candidates come from [[simhashPairs]]'s pigeonhole equi-joins
+    * (bucket keys are 16-bit fingerprint blocks, which stay sparse at
+    * billion-doc scale regardless of the corpus's length distribution),
+    * then the |Δlen| <= maxDist necessary condition prunes, then the
+    * banded thresholded `levenshtein(l, r, k)` verifies. Length blocking
+    * alone leaves fat buckets on a real corpus — document lengths
+    * cluster, so [[editDistancePairs]]'s bucket self-join degenerates
+    * toward within-bucket all-pairs at scale; the simhash blocker's
+    * candidate volume tracks actual near-duplication instead.
+    *
+    * RECALL CONTRACT (the trade for scale-safety): a pair is found iff
+    * its fingerprints agree within `maxHamming` bits — guaranteed by the
+    * pigeonhole scheme, NOT by the edit distance itself. Small edits
+    * inside a few tokens of a many-token document flip few simhash bits
+    * (each affected token's ±1 vote rarely crosses a bit-sum's sign), so
+    * the envelope is effectively total for long documents; short
+    * documents with whole-token replacements can exceed the Hamming
+    * budget and are missed — corpora dominated by short texts should run
+    * the exact operator on length-sliced subsets instead. The q138
+    * oracle mirrors this exact semantics (hamming gate + length gate +
+    * levenshtein), so the gate proves the composition, and
+    * DedupSpec proves blocked ≡ exact on a long-document fixture.
+    *
+    * Cost at scale: simhash is one token shuffle; candidates are
+    * `maxHamming + 1` equi-joins on 16-bit block keys; texts join back
+    * by id (two key shuffles) ONLY for surviving candidates; each verify
+    * is O(maxDist * min(n, m)) banded, never the full DP matrix. */
+  def editDistancePairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                               maxDist: Int = 20,
+                               maxHamming: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("long").as("__n"))
+    val cand = simhashPairs(d, "doc_id", "__t", maxHamming)
+      .select("id_a", "id_b")
+    cand
+      .join(d.select(col("doc_id").as("id_a"),
+        col("__t").as("__ta"), col("__n").as("__na")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"),
+        col("__t").as("__tb"), col("__n").as("__nb")), "id_b")
+      .filter(abs(col("__na") - col("__nb")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0) // thresholded form returns -1 past k
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
 }

@@ -96,6 +96,50 @@ class ExactNearDupSpec extends SparkSpec {
       maxDist = 5, bucketWidth = 32).count() == 0)
   }
 
+  // long-document fixture: 60 distinct tokens per doc, near-pairs differ
+  // by single-character edits inside one or two tokens — the regime the
+  // blocked operator's scaladoc claims as its envelope (one changed
+  // token's ±1 votes rarely cross a 60-token bit-sum's sign)
+  private val longBase =
+    (0 until 60).map(i => s"w${i}x${(i * 7) % 13}").mkString(" ")
+  private val longDocs = Seq(
+    1L -> longBase,
+    2L -> longBase.replace("w5x9", "w5x8"),     // 1 char edit, 1 token
+    3L -> longBase.replace("w11x12", "w11x19"), // 1-2 char edit elsewhere
+    4L -> (0 until 60).map(i => s"q${i}z${(i * 5) % 11}").mkString(" "),
+    5L -> "short text"                          // length-gap excluded
+  )
+
+  test("editDistancePairsBlocked ≡ exact editDistancePairs on long documents") {
+    val docs = longDocs.toDF("doc_id", "text")
+    def pairSet(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = pairSet(DedupOps.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 5, bucketWidth = 32))
+    // wide Hamming budget: the envelope is total by construction here,
+    // so the composition must reproduce the exact pair set
+    val blocked = pairSet(DedupOps.editDistancePairsBlocked(docs, "doc_id",
+      "text", maxDist = 5, maxHamming = 16))
+    assert(exact.nonEmpty && exact.contains((1L, 2L)),
+      s"fixture must contain near pairs: $exact")
+    assert(blocked == exact, s"blocked $blocked vs exact $exact")
+  }
+
+  test("editDistancePairsBlocked at the production Hamming budget is a subset") {
+    val docs = longDocs.toDF("doc_id", "text")
+    def pairSet(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = pairSet(DedupOps.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 5, bucketWidth = 32))
+    val blocked = pairSet(DedupOps.editDistancePairsBlocked(docs, "doc_id",
+      "text", maxDist = 5, maxHamming = 3))
+    // precision is exact (every emitted pair carries its true distance);
+    // recall is the documented envelope
+    assert(blocked.toSet.subsetOf(exact.toSet), s"blocked $blocked vs $exact")
+    assert(blocked.contains((1L, 2L)),
+      s"a single in-token edit on a 60-token doc must stay in the envelope: $blocked")
+  }
+
   private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
 
   test("sessionConversion scopes the funnel to gap-sessions") {

@@ -133,7 +133,7 @@ class PruningSpec extends SparkSpec {
     // post-join filters on an equi-join, never a nested loop)
     val d = "/root/testdata/sf0.001"
     for (q <- Seq("q127_prefix_jaccard", "q130_edit_neardup",
-        "q134_novelty", "q136_batch_novelty")) {
+        "q134_novelty", "q136_batch_novelty", "q138_edit_blocked")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$q must not plan a cartesian product:\n$plan")
