@@ -47,23 +47,45 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
-  /** Per-language stopword frequency profiles: (term → integer weight),
-    * weights Zipf-ranked from published frequency lists (top function
-    * words per language — public linguistic data, not corpus-derived
-    * here). The DATA is swappable — a production deployment loads a
-    * profile TABLE built from a reference corpus; every consumer takes
-    * the frame, not this constant. */
+  /** Per-language function-word profiles: terms in DESCENDING corpus
+    * frequency rank (the orderings every published frequency list agrees
+    * on for these closed-class words — public linguistic knowledge, not
+    * derived from any particular corpus), weighted by the Zipf harmonic
+    * rule weight(rank) = round(1000 / rank), so a rank-1 hit counts 25×
+    * a rank-25 hit — the shape that makes one 'the'/'der'/'que' beat a
+    * handful of deep-list collisions. Chinese is romanized (pinyin
+    * syllables) because tokenization here is whitespace-based. The DATA
+    * is swappable — a production deployment loads a profile TABLE built
+    * from a reference corpus; every consumer takes the frame, not this
+    * constant. */
+  private def zipfRanked(terms: String*): Seq[(String, Int)] =
+    terms.zipWithIndex.map { case (t, i) =>
+      t -> math.round(1000.0 / (i + 1)).toInt }
   val languageProfiles: Map[String, Seq[(String, Int)]] = Map(
-    "en" -> Seq("the" -> 10, "and" -> 8, "of" -> 7, "to" -> 6, "in" -> 5,
-      "is" -> 4, "that" -> 4, "for" -> 3, "with" -> 3, "was" -> 2),
-    "de" -> Seq("der" -> 10, "die" -> 9, "und" -> 8, "das" -> 6, "ist" -> 5,
-      "nicht" -> 4, "von" -> 4, "mit" -> 3, "den" -> 3, "ein" -> 2),
-    "es" -> Seq("que" -> 10, "de" -> 9, "el" -> 8, "la" -> 7, "los" -> 5,
-      "en" -> 5, "un" -> 4, "por" -> 3, "con" -> 3, "una" -> 2),
-    "fr" -> Seq("le" -> 10, "les" -> 9, "des" -> 8, "est" -> 6, "une" -> 5,
-      "dans" -> 4, "pour" -> 4, "qui" -> 3, "pas" -> 3, "sur" -> 2),
-    "zh" -> Seq("de" -> 10, "shi" -> 8, "le" -> 7, "wo" -> 6, "ni" -> 5,
-      "ta" -> 4, "men" -> 3, "zai" -> 3, "you" -> 2, "bu" -> 2))
+    "en" -> zipfRanked("the", "of", "and", "to", "a", "in", "is", "was",
+      "that", "it", "for", "on", "with", "as", "be", "at", "by", "have",
+      "are", "this", "not", "but", "from", "or", "his"),
+    "de" -> zipfRanked("der", "die", "und", "in", "den", "von", "zu",
+      "das", "mit", "sich", "des", "auf", "für", "ist", "im", "dem",
+      "nicht", "ein", "eine", "als", "auch", "es", "an", "werden", "aus"),
+    "es" -> zipfRanked("de", "la", "que", "el", "en", "y", "a", "los",
+      "del", "se", "las", "por", "un", "para", "con", "no", "una", "su",
+      "al", "lo", "como", "más", "pero", "sus", "le"),
+    "fr" -> zipfRanked("de", "la", "le", "et", "les", "des", "en", "un",
+      "du", "une", "que", "est", "pour", "qui", "dans", "a", "par",
+      "plus", "pas", "au", "sur", "ne", "se", "ce", "il"),
+    "it" -> zipfRanked("di", "e", "il", "la", "che", "in", "a", "per",
+      "un", "del", "una", "non", "sono", "le", "della", "i", "con", "si",
+      "da", "più", "al", "come", "dei", "nel", "anche"),
+    "pt" -> zipfRanked("de", "a", "o", "que", "e", "do", "da", "em",
+      "um", "para", "com", "não", "uma", "os", "no", "se", "na", "por",
+      "mais", "as", "dos", "como", "mas", "ao", "ele"),
+    "nl" -> zipfRanked("de", "van", "het", "een", "en", "in", "is",
+      "dat", "op", "te", "zijn", "met", "die", "voor", "niet", "aan",
+      "er", "om", "ook", "als", "dan", "maar", "bij", "of", "uit"),
+    "zh" -> zipfRanked("de", "shi", "le", "wo", "ni", "ta", "men", "zai",
+      "you", "bu", "he", "zhe", "ge", "shang", "ye", "dou", "hen", "dao",
+      "shuo", "jiu"))
 
   /** The built-in profiles as a (lang, term, weight) frame. */
   def profileFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {

@@ -194,6 +194,29 @@ class LlmDataSpec extends SparkSpec {
       5L -> "zh", 6L -> "und"))
   }
 
+  test("language ID held-out sentences: natural text, all 8 languages") {
+    // HELD OUT: none of these sentences was consulted when ranking the
+    // profiles; each mixes function words with content words the
+    // profiles have never seen, and the Romance/Germanic cross-language
+    // collisions ('de', 'la', 'le', 'en', 'is') are all present — the
+    // Zipf weighting has to resolve them, not term overlap alone
+    val fixtures = Seq(
+      (1L, "the children were playing in the garden and it was warm"),
+      (2L, "der alte Mann ist mit dem Fahrrad zu der Schule gefahren"),
+      (3L, "la casa de mi madre es muy grande y los niños juegan en el patio"),
+      (4L, "le chien est dans le jardin et les enfants jouent pas loin du pont"),
+      (5L, "il gatto dorme sulla sedia e non sono sicuro che la cosa sia vera"),
+      (6L, "o menino não está em casa mas a menina foi para o mercado com ele"),
+      (7L, "de hond is niet in het huis en de kat zit op de tafel met een bal"),
+      (8L, "wo men zai zhe li ni shi bu shi hen hao")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageIdByProfile(fixtures, "doc_id", "text",
+      TextAnalysis.profileFrame(spark)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "it", 6L -> "pt", 7L -> "nl", 8L -> "zh"), s"got $out")
+  }
+
   test("chunkByTokens rejects gap strides (phantom-chunk guard)") {
     val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
