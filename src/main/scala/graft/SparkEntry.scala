@@ -682,6 +682,14 @@ object SparkEntry {
         .select("user_id", "session_index", "session_start", "session_end",
           "n_events")),
 
+    // q87 via the skew-safe per-(key, day) tag + seam stitch: same
+    // result (the oracle IS q87's SQL), bot-key sort bounded by one day
+    "q139_sessionize_skewsafe" -> ((s, d) =>
+      graft.operators.Sessionize.byGapSkewSafe(t(s, d, "events"), "user_id",
+        "ts", gapSeconds = 1800, tieBreakCol = "event_id")
+        .select("user_id", "session_index", "session_start", "session_end",
+          "n_events")),
+
     // embedding-space decontamination: corpus vectors semantically close
     // to the vec_id < 16 "benchmark" slice (paraphrase-class leakage the
     // n-gram sweep q71 cannot see)
@@ -1866,6 +1874,23 @@ object SparkEntry {
     // total (ts, event_id) order, running-sum session index, integer
     // microsecond gap arithmetic (epoch_us)
     "q87_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b)
+        |SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // q87's oracle verbatim: the skew-safe tag is output-equivalent by
+    // construction (SessionizeSpec proves row-level equality)
+    "q139_sessionize_skewsafe" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |b AS (SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

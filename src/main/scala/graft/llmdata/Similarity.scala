@@ -258,6 +258,33 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Append a batch of new vectors to a materialized IVF index
+    * ([[ivfIndexWrite]]) WITHOUT refitting or rescanning the corpus:
+    * assign the batch to the EXISTING stored centroids (one broadcast
+    * map stage over the batch) and append to the affected cell
+    * partitions of the assignment table. Per-batch cost is
+    * batch-sized — independent of the indexed corpus, the same
+    * growing-corpus shape as [[DedupOps.signatureAppend]] on the LSH
+    * side.
+    *
+    * STALENESS CONTRACT: the centroids stay those fitted at
+    * [[ivfIndexWrite]] time. Appends do not move them, so search remains
+    * EXACTLY equivalent to an index whose corpus is the union but whose
+    * centroids came from the original fit (the spec's equivalence) — and
+    * as the appended fraction grows and the vector distribution drifts,
+    * cell balance and recall decay. Rebuild with [[ivfIndexWrite]] once
+    * appends dominate (a common rule of thumb: refit when appended rows
+    * exceed ~30-50% of the fitted corpus, or on a recall probe's alarm).
+    * Appends are plain parquet file-adds: atomic per file, safe for the
+    * single-writer curation loop, readers never see partial rows. */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    assignCorpusCells(batch, idCol, vecCol, centroids)
+      .select(col(idCol), col("__v").as(vecCol), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Search a materialized IVF index ([[ivfIndexWrite]]): score queries
     * against the stored centroids, then join their `nprobe` cells
     * against the cell-partitioned assignment table — the broadcast query

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: per-key window state is one row (the lag); no driver state,
   * no all-pairs. Skewed keys (a bot user with millions of events) sort
-  * within one partition — the standard mitigation is pre-splitting such
-  * keys by day before sessionizing, which this operator composes with
-  * (sessionize per (key, day) slice).
+  * within one partition under [[tag]] — [[tagSkewSafe]] is the built
+  * mitigation: sessionize per (key, day) slice, then stitch sessions
+  * across the day seams with a metadata-scale summary pass.
   */
 object Sessionize {
 
@@ -45,11 +45,77 @@ object Sessionize {
       .drop("__brk")
   }
 
+  /** Skew-safe [[tag]]: identical output (spec-proven row-for-row), but
+    * the big sort runs per (key, DAY) — a bot key's million-event stream
+    * splits across its days instead of serializing through one
+    * partition's sort, so the heaviest partition is bounded by one
+    * key-day, not one key.
+    *
+    * Stitching: local 1-based session indexes are computed inside each
+    * (key, day) slice; a per-(key, day) summary (first/last event micros,
+    * local session count — |keys|×|days| rows, metadata-scale next to
+    * the event stream) then decides for each day whether its first local
+    * session CONTINUES the previous present day's last session (seam gap
+    * <= gapSeconds, exactly [[tag]]'s boundary test, so absent days in
+    * between fall out naturally when gapSeconds spans them). The global
+    * index is local index + (sessions on earlier days) - (stitched
+    * seams so far) — two running sums over the summary frame's per-key
+    * window, whose partition size is the key's day count, never its
+    * event count.
+    *
+    * Cost: one extra exchange ((key, day) for the slice window, then the
+    * summary agg reuses it; the final (key, day) equi-join rides the
+    * same partitioning) — the price of removing the per-key sort
+    * bottleneck. Use [[tag]] when keys are known to be light. */
+  def tagSkewSafe(df: DataFrame, keyCol: String, tsCol: String,
+                  gapSeconds: Long, tieBreakCol: String): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val wDay = Window.partitionBy(col(keyCol), col("__day"))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val runDay = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withDay = df
+      .withColumn("__day", to_date(col(tsCol)))
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+    val prev = lag(col("__us"), 1).over(wDay)
+    val boundary = when(prev.isNull ||
+      col("__us") - prev > gapSeconds * 1000000L, 1).otherwise(0)
+    val local = withDay.withColumn("__brk", boundary)
+      .withColumn("__li", sum(col("__brk")).over(runDay).cast("long"))
+    val summary = local.groupBy(col(keyCol), col("__day"))
+      .agg(min(col("__us")).as("__first_us"),
+        max(col("__us")).as("__last_us"),
+        max(col("__li")).as("__n_sessions"))
+    val wKey = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+    // first present day: lag is NULL -> condition NULL -> no stitch
+    val stitch = when(col("__first_us") - lag(col("__last_us"), 1).over(wKey)
+      <= gapSeconds * 1000000L, 1L).otherwise(0L)
+    val offsets = summary.withColumn("__stitch", stitch)
+      .withColumn("__base", coalesce(sum(col("__n_sessions"))
+          .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        - sum(col("__stitch"))
+          .over(wKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(keyCol), col("__day"), col("__base"))
+    local.join(offsets, Seq(keyCol, "__day"))
+      .withColumn("session_index", (col("__base") + col("__li")).cast("long"))
+      .drop("__brk", "__li", "__base", "__day", "__us")
+  }
+
   /** Returns one row per session: (keyCol, session_index (1-based),
     * session_start, session_end, n_events). */
   def byGap(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
             tieBreakCol: String): DataFrame =
     tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
+      .groupBy(col(keyCol), col("session_index"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** [[byGap]] on the skew-safe tag — same output (the q139 oracle is
+    * q87's SQL verbatim), heaviest sort partition bounded by one
+    * key-day. */
+  def byGapSkewSafe(df: DataFrame, keyCol: String, tsCol: String,
+                    gapSeconds: Long, tieBreakCol: String): DataFrame =
+    tagSkewSafe(df, keyCol, tsCol, gapSeconds, tieBreakCol)
       .groupBy(col(keyCol), col("session_index"))
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),

@@ -111,6 +111,35 @@ object Streaming {
       }
       .start()
 
+  /** Continuous ANN-index maintenance — the vector twin of
+    * [[dedupAdmissionSink]]: each micro-batch of embeddings is assigned
+    * to the EXISTING centroids of a materialized IVF index
+    * ([[graft.llmdata.Similarity.ivfIndexWrite]] must have built it; a
+    * centroid fit needs a seed corpus, so unlike the LSH index there is
+    * no empty seed) and appended to the affected cell partitions via
+    * [[graft.llmdata.Similarity.ivfIndexAppend]] — searches see new
+    * vectors as soon as the batch commits, without refit or rescan.
+    *
+    * Scale shape: per-batch cost is batch-sized (one broadcast-centroid
+    * map stage + a partitioned append), independent of the indexed
+    * corpus. Staleness contract inherited from ivfIndexAppend: centroids
+    * don't move — schedule a rebuild when appends dominate the fitted
+    * corpus. Exactly-once caveat as [[dedupAdmissionSink]]: the append
+    * is not transactional with the streaming checkpoint, so a crash
+    * between them can re-append a batch on replay (vector ids make
+    * replays detectable; a periodic compaction can dedup by id). */
+  def ivfAppendSink(df: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.llmdata.Similarity.ivfIndexAppend(
+            batch.sparkSession, indexPath, batch, idCol, vecCol)
+      }
+      .start()
+
   /** Streaming SCD2 maintenance: each micro-batch of dimension updates
     * (keyCol, attrCols..., tsCol) merges into the parquet version-history
     * snapshot at `snapshotPath` via [[graft.incremental.Scd2.merge]] —

@@ -321,6 +321,50 @@ class LlmDataSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
   }
 
+  test("ivfIndexAppend: indexed-after-append ≡ direct index on the union") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val fitted = emb.filter($"vec_id" % 4 =!= 0) // initial corpus
+    val batch = emb.filter($"vec_id" % 4 === 0)  // appended later
+    val qs = emb.filter($"vec_id" < 4)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    val grown = s"$base/grown"; val oneshot = s"$base/oneshot"
+    // index A: fit on the initial corpus, append the batch
+    Similarity.ivfIndexWrite(fitted, "vec_id", "embedding", grown,
+      nCells = 8, lloydIters = 2)
+    Similarity.ivfIndexAppend(spark, grown, batch, "vec_id", "embedding")
+    // index B: the staleness contract's reference — SAME centroids
+    // (copied from A's fit), assignment table written in one shot over
+    // the union; equality proves an append is exactly a union re-index
+    // under the original centroids
+    val cents = spark.read.parquet(s"$grown/centroids")
+    cents.write.parquet(s"$oneshot/centroids")
+    Similarity.assignCorpusCells(fitted.unionByName(batch), "vec_id",
+        "embedding", broadcast(cents))
+      .select($"vec_id", $"__v".as("embedding"), $"cell")
+      .write.partitionBy("cell").parquet(s"$oneshot/assigned")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank"))).toSet
+    val after = rows(Similarity.ivfTopKIndexed(spark, grown, qs,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val union = rows(Similarity.ivfTopKIndexed(spark, oneshot, qs,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(after == union)
+    // appended vectors are actually retrievable: an appended vector's
+    // own embedding (probed under a fresh id — search excludes
+    // self-pairs) returns that vector at rank 1, cosine 1
+    val wanted = batch.orderBy($"vec_id").limit(1)
+    val probe = wanted.withColumn("vec_id", lit(999999L))
+    val hit = Similarity.ivfTopKIndexed(spark, grown, probe,
+        "vec_id", "embedding", k = 1, nprobe = 1)
+      .collect().head
+    val wantedId = wanted.select("vec_id").head.getLong(0)
+    assert(hit.getAs[Long]("neighbor_id") == wantedId
+      && math.abs(hit.getAs[Double]("cosine") - 1.0) < 1e-12,
+      s"appended vector must be found by its own embedding: $hit")
+  }
+
   test("IVF top-k cosines match brute-force scores for shared pairs") {
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.filter($"vec_id" < 4)

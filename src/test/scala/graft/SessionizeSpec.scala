@@ -39,6 +39,54 @@ class SessionizeSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("tagSkewSafe ≡ tag across day seams, gaps, ties, and absent days") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user a: session crossing midnight (23:59 -> 00:05, gap 6 min)
+      ("a", 1L, t("2024-01-01 23:50:00")), ("a", 2L, t("2024-01-01 23:59:00")),
+      ("a", 3L, t("2024-01-02 00:05:00")),
+      // ... then a real gap the same day -> new session
+      ("a", 4L, t("2024-01-02 09:00:00")),
+      // ... and a seam that does NOT stitch (day 3 starts cold)
+      ("a", 5L, t("2024-01-03 09:00:00")),
+      // user b: equal timestamps at the seam, tie-broken by event_id
+      ("b", 6L, t("2024-01-01 23:59:59")), ("b", 7L, t("2024-01-01 23:59:59")),
+      ("b", 8L, t("2024-01-02 00:00:01")),
+      // user c: single event
+      ("c", 9L, t("2024-01-02 12:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    for (gap <- Seq(1800L, 3L * 86400)) { // 30 min; and > 1 day so the
+      // 2-day absent-day seam (a4 -> a5 via no events on the calendar
+      // gap) must STITCH under the large gap and split under the small
+      val exact = Sessionize.tag(events, "user_id", "ts", gap, "event_id")
+        .select("user_id", "event_id", "session_index")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val safe = Sessionize.tagSkewSafe(events, "user_id", "ts", gap, "event_id")
+        .select("user_id", "event_id", "session_index")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(safe == exact, s"gap=$gap: $safe vs $exact")
+    }
+    // pin the interesting values once (30-min gap): midnight stitched,
+    // intra-day gap split, cold day-3 start split
+    val pinned = Sessionize.tagSkewSafe(events, "user_id", "ts", 1800L, "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_index")).toMap
+    assert(pinned == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L), s"got $pinned")
+  }
+
+  test("tagSkewSafe partitions the event sort by (key, day), not key alone") {
+    val events = Seq(("a", 1L, ts(0)), ("a", 2L, ts(10)))
+      .toDF("user_id", "event_id", "ts")
+    val plan = Sessionize.tagSkewSafe(events, "user_id", "ts", 1800L, "event_id")
+      .queryExecution.executedPlan.toString
+    // the event-stream exchange must key on the day too — that IS the
+    // skew bound (heaviest partition = one key-day, not one key)
+    assert(plan.contains("hashpartitioning(user_id") &&
+      plan.linesIterator.exists(l => l.contains("hashpartitioning(user_id")
+        && l.contains("__day")),
+      s"expected a (user_id, __day) exchange in:\n$plan")
+  }
+
   test("transitions count within-session successors only, shares sum to 1") {
     val events = Seq(
       // user a, one session: view -> click -> view

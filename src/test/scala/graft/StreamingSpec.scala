@@ -376,6 +376,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
   }
 
+  test("ivfAppendSink: streamed vectors become searchable in the index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = Files.createTempDirectory("graft-ivfsink").toString
+    val idx = dir + "/idx"
+    graft.llmdata.Similarity.ivfIndexWrite(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", idx,
+      nCells = 4, lloydIters = 1)
+    val newVecs = emb.filter($"vec_id" % 2 =!= 0).orderBy($"vec_id").limit(4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.ivfAppendSink(in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, dir + "/ckpt")
+    try {
+      in.addData(newVecs.take(2): _*); q.processAllAvailable()
+      in.addData(newVecs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // every streamed vector, probed by its own embedding under a fresh
+    // id, comes back at rank 1 with cosine 1
+    val probes = newVecs.zipWithIndex
+      .map { case ((_, v), i) => (900000L + i, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val hits = graft.llmdata.Similarity.ivfTopKIndexed(spark, idx, probes,
+        "vec_id", "embedding", k = 1, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("query_id") - 900000L ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    newVecs.zipWithIndex.foreach { case ((id, _), i) =>
+      val (nb, cos) = hits(i.toLong)
+      assert(nb == id && math.abs(cos - 1.0) < 1e-6,
+        s"streamed vec $id must be its own nearest neighbor: got $nb @ $cos")
+    }
+  }
+
   test("aggMergeSink: a replayed batch id is a no-op, not a double count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
