@@ -1231,6 +1231,13 @@ object SparkEntry {
       graft.llmdata.DedupOps.editDistancePairsBlocked(t(s, d, "documents"),
         "doc_id", "text", maxDist = 5, maxHamming = 3)),
 
+    // exact duplicated-substring span removal (Lee et al. exact-substring
+    // dedup at token granularity): cross-doc 8-gram windows merge into
+    // maximal spans, cut from the canonical token stream
+    "q140_dup_span_scrub" -> ((s, d) =>
+      graft.llmdata.DedupOps.dupSpanScrub(t(s, d, "documents"),
+        "doc_id", "text", n = 8, minDf = 2)),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3371,5 +3378,36 @@ object SparkEntry {
          |          JOIN d db ON cand.id_b = db.doc_id
          |WHERE abs(da.n - db.n) <= 5 AND levenshtein(da.text, db.text) <= 5""".stripMargin
     },
+
+    // mirrors dupSpanScrub window-for-window: positional 8-gram windows,
+    // >= 2 distinct docs → duplicated, bounded ×8 position fan-out,
+    // lag-island span count, ORDER BY pos string_agg reassembly
+    "q140_dup_span_scrub" ->
+      """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (SELECT doc_id, i AS pos, arr[i] AS tok
+        |  FROM docs, unnest(generate_series(1, len(arr))) AS t(i)),
+        |wins AS (SELECT doc_id, i AS pos, list_aggregate(arr[i:i+7], 'string_agg', ' ') AS s
+        |  FROM docs, unnest(generate_series(1, len(arr) - 7)) AS t(i)),
+        |dup AS (SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |dpos AS (SELECT DISTINCT w.doc_id, p
+        |  FROM wins w JOIN dup USING (s), unnest(generate_series(w.pos, w.pos + 7)) AS u(p)),
+        |isl AS (SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 1 THEN 1 ELSE 0 END AS brk
+        |  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens,
+        |    CAST(sum(brk) AS BIGINT) AS n_spans FROM isl GROUP BY 1),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN dpos d ON t.doc_id = d.doc_id AND t.pos = d.p WHERE d.p IS NULL),
+        |scrub AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+        |  FROM kept GROUP BY 1),
+        |totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+        |SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
+        |  coalesce(s.n_spans, 0) AS n_spans,
+        |  coalesce(sc.scrubbed_text, '') AS scrubbed_text
+        |FROM documents d
+        |LEFT JOIN totals t USING (doc_id) LEFT JOIN stats s USING (doc_id)
+        |LEFT JOIN scrub sc USING (doc_id)""".stripMargin,
   )
 }

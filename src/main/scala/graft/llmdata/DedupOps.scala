@@ -856,6 +856,77 @@ object DedupOps {
         col("edit_dist"))
   }
 
+  /** Exact duplicated-substring SPAN removal — the within-document
+    * complement of whole-doc dedup (the operator family of Lee et al.
+    * 2022's exact-substring deduplication, re-expressed at token
+    * granularity on Spark instead of a suffix array): any length-`n`
+    * token window occurring in >= `minDf` DISTINCT documents is
+    * duplicated; a document's duplicated windows merge into maximal
+    * token spans (overlapping-or-adjacent islands), and those spans are
+    * cut from the text. Whole-doc near-dup removal misses the
+    * boilerplate/quotation case — two long documents sharing one big
+    * passage — which is exactly what this catches.
+    *
+    * Returns one row per input document: (doc_id, n_tokens,
+    * n_dup_tokens, n_spans, scrubbed_text). The scrubbed text is the
+    * surviving tokens of the CANONICAL stream (lowercased,
+    * whitespace-normalized) rejoined with single spaces — same
+    * normalization contract as the boilerplate scrubber; a fully
+    * duplicated document scrubs to ''.
+    *
+    * Shape at 100 TB: positional grams are one (doc) key shuffle
+    * (posexplode + lead window); the duplicated-gram set is one gram
+    * shuffle with map-side combine; dup positions fan out bounded ×n
+    * then distinct on (doc, pos); islands and reassembly are per-doc
+    * windows/aggregates. No all-pairs anywhere — cost is linear in
+    * corpus tokens, the property the suffix-array original loses on a
+    * distributed runtime. */
+  def dupSpanScrub(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"window size must be >= 2, got $n")
+    require(minDf >= 2, s"minDf below 2 marks every window duplicated, got $minDf")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("pos", col("pos") + 1) // 1-based, matching the oracle
+    val grams = toks.select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok") +:
+          (1 until n).map(j => lead(col("tok"), j).over(w)): _*).as("s"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+    val dup = grams.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") >= minDf).select(col("s"))
+    val dupPos = grams.join(dup, Seq("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val stats = dupPos
+      .withColumn("__brk", when(lag(col("pos"), 1).over(wPos).isNull ||
+        col("pos") - lag(col("pos"), 1).over(wPos) > 1, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tokens"),
+        sum(col("__brk")).cast("long").as("n_spans"))
+    val scrub = toks.join(dupPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("scrubbed_text"))
+    val totals = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    df.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
+
   /** Edit-distance near-dup pairs behind a SIMHASH blocker — the
     * 100 TB-default composition [[editDistancePairs]]'s scaladoc promises:
     * candidates come from [[simhashPairs]]'s pigeonhole equi-joins

@@ -92,6 +92,30 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(5L) == ((4L, 0L, 0.0)), "same-doc repeats must not count")
   }
 
+  test("dupSpanScrub merges overlapping/adjacent windows into maximal spans") {
+    val docs = Seq(
+      (1L, "x1 a b c x2 x3 a b c x4"), // "a b c" twice -> TWO spans
+      (2L, "a b c y1 y2"),             // prefix span
+      (3L, "z1 z2 z3"),                // unique: untouched
+      (4L, "a b c"),                   // fully duplicated -> scrubs to ''
+      (5L, "a b c"),
+      (6L, "a b c d"),                 // "a b c" + "b c d" OVERLAP -> one span
+      (7L, "b c d e"),                 // shares "b c d" with 6
+      (8L, "")                         // empty doc: all zeros
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanScrub(docs, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((10L, 6L, 2L, "x1 x2 x3 x4")), s"got ${out(1L)}")
+    assert(out(2L) == ((5L, 3L, 1L, "y1 y2")))
+    assert(out(3L) == ((3L, 0L, 0L, "z1 z2 z3")), "unique doc is untouched")
+    assert(out(4L) == ((3L, 3L, 1L, "")), "fully-dup doc scrubs to empty")
+    assert(out(5L) == ((3L, 3L, 1L, "")))
+    assert(out(6L) == ((4L, 4L, 1L, "")), "overlapping windows merge into ONE span")
+    assert(out(7L) == ((4L, 3L, 1L, "e")))
+    assert(out(8L) == ((0L, 0L, 0L, "")))
+  }
+
   test("funnel requires each step strictly after the previous reach time") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
     val events = Seq(
