@@ -531,6 +531,14 @@ object SparkEntry {
         shingleSize = 3, bands = 4, rows = 4, jaccardThreshold = 0.4)
         .select("doc_id", "lang")),
 
+    // q63 with the quality-priority keeper: per cluster keep the LONGEST
+    // member (ties min id), not the smallest id — drop truncated mirrors
+    "q141_dedup_corpus_best" -> ((s, d) =>
+      DedupOps.dedupCorpusBy(t(s, d, "documents"), "doc_id", "text",
+        priority = length(col("text")),
+        shingleSize = 3, bands = 4, rows = 4, jaccardThreshold = 0.4)
+        .select("doc_id", "lang")),
+
     // top-3 characteristic terms per doc, linear-idf (engine-exact)
     "q64_tfidf_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)),
@@ -1688,6 +1696,25 @@ object SparkEntry {
          |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
          |losers AS (
          |  SELECT id AS doc_id FROM reach GROUP BY 1 HAVING id <> MIN(label))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN losers x ON d.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL""".stripMargin,
+
+    // q63's cluster CTEs with the keeper re-ranked by text length
+    // (desc, id asc) instead of min id
+    "q141_dedup_corpus_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a, id_b FROM mh_pairs
+         |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
+         |comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+         |ranked AS (SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY length(d.text) DESC, c.id ASC) AS rn
+         |  FROM comp c JOIN documents d ON c.id = d.doc_id),
+         |losers AS (SELECT id AS doc_id FROM ranked WHERE rn <> 1)
          |SELECT d.doc_id, d.lang FROM documents d
          |LEFT JOIN losers x ON d.doc_id = x.doc_id
          |WHERE x.doc_id IS NULL""".stripMargin,

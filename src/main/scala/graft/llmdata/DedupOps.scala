@@ -479,6 +479,33 @@ object DedupOps {
     df.join(graft.operators.Broadcasts.maybeBroadcast(losers), Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a QUALITY-priority keeper: per near-dup
+    * cluster, keep the member maximizing `priority` (ties broken by min
+    * id — total order, so the survivor set is deterministic) instead of
+    * blindly keeping the smallest id. This is what a real curation pass
+    * wants: when a crawl holds five copies of an article, keep the
+    * longest / highest-quality-scored one, drop the truncated mirrors.
+    *
+    * `priority` is any deterministic expression over `df`'s columns
+    * (length(text), a quality score column, a source-rank CASE).
+    * Cost adds only a cluster-keyed window over the PAIRED docs (the
+    * tiny near-dup slice) on top of [[dedupCorpus]]; the corpus-scale
+    * anti-join is unchanged. */
+  def dedupCorpusBy(df: DataFrame, idCol: String, textCol: String,
+                    priority: Column, shingleSize: Int = 3, bands: Int = 4,
+                    rows: Int = 4, jaccardThreshold: Double = 0.7): DataFrame = {
+    val clusters = nearDupClusters(
+      minhashLsh(df, idCol, textCol, shingleSize, bands, rows, jaccardThreshold))
+    val pri = df.select(col(idCol).as("doc_id"), priority.as("__pri"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__pri").desc, col("doc_id").asc)
+    val losers = clusters.join(pri, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("doc_id").as(idCol))
+    df.join(graft.operators.Broadcasts.maybeBroadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` distinct word n-grams with any benchmark document — the
     * standard test-set-leakage sweep a training pipeline runs before

@@ -546,6 +546,24 @@ class LlmDataSpec extends SparkSpec {
     assert(!out.contains(2L), "the non-keeper duplicate must be dropped")
   }
 
+  test("dedupCorpusBy keeps the highest-priority cluster member, not the min id") {
+    val base = (1 to 20).map(i => s"t$i").mkString(" ")
+    val fixture = Seq(
+      (1L, base),              // near-dup of 2, SHORTER
+      (2L, base + " extra"),   // longest copy: the priority keeper
+      (3L, (1 to 10).map(i => s"u$i").mkString(" ")) // unpaired
+    ).toDF("doc_id", "text")
+    val best = DedupOps.dedupCorpusBy(fixture, "doc_id", "text",
+        priority = length(col("text")), jaccardThreshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 3L),
+      s"longest member wins under the length priority: $best")
+    val minId = DedupOps.dedupCorpus(fixture, "doc_id", "text",
+        jaccardThreshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 3L), "min-id keeper keeps doc 1 on the same corpus")
+  }
+
   test("incrementalDedup admits only batch docs that dup neither corpus nor earlier batch") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
