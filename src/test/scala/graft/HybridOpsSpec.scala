@@ -94,6 +94,32 @@ class HybridOpsSpec extends SparkSpec {
       && r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
   }
 
+  test("AggMerge HLL: merged distinct partials equal the direct sketch, replay-idempotent") {
+    val ev = (1 to 200).map(i =>
+      (ts(1 + i % 3, i % 24), s"user${i % 57}")).toDF("ts", "uid")
+    val direct = AggMerge.finishDistinct(
+      AggMerge.dailyDistinctPartial(ev, "ts", "uid"))
+    val prev = AggMerge.dailyDistinctPartial(
+      ev.filter(to_date(col("ts")) <= lit("2024-03-02")), "ts", "uid")
+    val delta = AggMerge.dailyDistinctPartial(
+      ev.filter(to_date(col("ts")) > lit("2024-03-02")), "ts", "uid")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val merged = AggMerge.finishDistinct(AggMerge.mergeDistinct(Seq(prev, delta)))
+    assert(key(merged) == key(direct),
+      "register-max union must reproduce the direct sketch's estimates")
+    // replay idempotence: merging the SAME delta twice changes nothing
+    // (unlike SUM/COUNT partials — max is idempotent)
+    val replayed = AggMerge.finishDistinct(
+      AggMerge.mergeDistinct(Seq(prev, delta, delta)))
+    assert(key(replayed) == key(direct))
+    // at this cardinality (<= 57/day) the sketch is still exact
+    val exact = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("uid")).as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(key(direct) == exact, s"${key(direct)} vs $exact")
+  }
+
   test("batchNovelty measures marginal windows against the corpus only") {
     val corpus = Seq(1L -> "a b c d e f g h i j").toDF("doc_id", "text")
     val batch = Seq(

@@ -133,7 +133,8 @@ class PruningSpec extends SparkSpec {
     // post-join filters on an equi-join, never a nested loop)
     val d = "/root/testdata/sf0.001"
     for (q <- Seq("q127_prefix_jaccard", "q130_edit_neardup",
-        "q134_novelty", "q136_batch_novelty", "q138_edit_blocked")) {
+        "q134_novelty", "q136_batch_novelty", "q138_edit_blocked",
+        "q140_dup_span_scrub", "q141_dedup_corpus_best")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$q must not plan a cartesian product:\n$plan")
