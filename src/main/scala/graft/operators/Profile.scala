@@ -59,6 +59,52 @@ object Profile {
       "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
 
+  /** Exact profile of STRING columns — the categorical complement of
+    * [[numeric]]: one row per column with null/distinct counts, length
+    * bounds, and the top-`topK` most frequent values rendered
+    * `value:count` in a comma list (ordered count desc, value asc — a
+    * total order, so the rendering is deterministic on any engine).
+    * The top-value list is what drift checks actually diff run-over-run
+    * for enum-ish columns (status codes, locales, sources).
+    *
+    * Shape: all columns melt into ONE (column, value) stream (`stack`,
+    * map-only), so the whole profile costs one value-keyed aggregate +
+    * one column-keyed aggregate regardless of column count — not one
+    * pass per column. The exact distinct uses the same documented
+    * Expand trade as [[numeric]]; values containing ':' or ',' render
+    * ambiguously in the summary string (counts stay right) — acceptable
+    * for the enum-ish columns this targets. */
+  def strings(df: DataFrame, cols: Seq[String], topK: Int = 3): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val long = df.selectExpr(s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") AS (column_name, value)")
+    val stats = long.groupBy(col("column_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("value")).as("n_distinct"),
+      min(length(col("value"))).cast("long").as("min_len"),
+      max(length(col("value"))).cast("long").as("max_len"))
+    val w = Window.partitionBy(col("column_name"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    val tops = long.filter(col("value").isNotNull)
+      .groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .groupBy(col("column_name"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("rn").as("r"),
+          concat_ws(":", col("value"), col("cnt")).as("v")))),
+        x => x.getField("v"))).as("top_values"))
+    stats.join(tops, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_len"), col("max_len"),
+        coalesce(col("top_values"), lit("")).as("top_values"))
+  }
+
   /** Fixed-width histogram of a numeric column: bin index
     * `floor((x - lo) / width)`, one count row per non-empty bin in
     * [0, nBins). The bin arithmetic runs in INTEGER MICRO-UNITS (values,

@@ -224,6 +224,35 @@ object Streaming {
       }
       .start()
 
+  /** Streaming daily-distinct-count maintenance — [[aggMergeSink]]'s
+    * sketch sibling: each micro-batch's keys are HLL-sketched per day
+    * ([[graft.operators.AggMerge.dailyDistinctPartial]]) and UNIONED
+    * into the persisted sketch table with an atomic swap. Unlike the
+    * SUM/COUNT partials, NO batch-id fence is needed: HLL union is
+    * register-wise max, so a crash-replayed batch merges to the
+    * identical sketch (idempotence by algebra, not bookkeeping).
+    * Readers call `AggMerge.finishDistinct(spark.read.parquet(path))`.
+    * Per-batch cost: one delta-sized shuffle + a |days|-row union. */
+  def distinctMergeSink(df: DataFrame, tsCol: String, keyCol: String,
+                        path: String, checkpoint: String,
+                        lgConfigK: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.AggMerge
+          .dailyDistinctPartial(batch, tsCol, keyCol, lgConfigK)
+        val merged = graft.sources.Tables.readParquetIfExists(spark, path)
+          match {
+            case Some(s) => graft.operators.AggMerge.mergeDistinct(Seq(s, delta))
+            case None => delta
+          }
+        val out = merged.localCheckpoint(true) // sever lineage pre-swap
+        graft.incremental.Writers.atomicRewrite(out, path)
+      }
+      .start()
+
   /** Streaming EXACT dedup: drop any document whose content fingerprint
     * ([[graft.llmdata.TextAnalysis.fingerprint]] — md5 of the normalized
     * text) was already seen within the watermark horizon, using Spark's

@@ -376,6 +376,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
   }
 
+  test("distinctMergeSink: streamed sketches equal the one-shot, replay included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-hllsink").toString
+    val (table, ckpt) = (dir + "/daily", dir + "/ckpt")
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    val all = Seq((ts(1, 1), "u1"), (ts(1, 2), "u2"), (ts(1, 3), "u1"),
+      (ts(2, 4), "u3"), (ts(2, 5), "u4"))
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.distinctMergeSink(in.toDF().toDF("ts", "uid"),
+      "ts", "uid", table, ckpt)
+    try {
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      in.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    // replay the SECOND batch through a fresh checkpoint: HLL union is
+    // idempotent, so the stored estimates must not change
+    val in2 = MemoryStream[(java.sql.Timestamp, String)]
+    val q2 = Streaming.distinctMergeSink(in2.toDF().toDF("ts", "uid"),
+      "ts", "uid", table, ckpt + "2")
+    try { in2.addData(all.drop(3): _*); q2.processAllAvailable() } finally q2.stop()
+    val got = graft.operators.AggMerge.finishDistinct(spark.read.parquet(table))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == Map("2024-02-01" -> 2L, "2024-02-02" -> 2L), s"got $got")
+  }
+
   test("ivfAppendSink: streamed vectors become searchable in the index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
