@@ -1246,6 +1246,19 @@ object SparkEntry {
       graft.llmdata.DedupOps.dupSpanScrub(t(s, d, "documents"),
         "doc_id", "text", n = 8, minDf = 2)),
 
+    // categorical column profile: one melt (stack) → one value-keyed +
+    // one column-keyed aggregate for ALL columns; top-3 values rendered
+    // under a total order
+    "q142_string_profile" -> ((s, d) =>
+      graft.operators.Profile.strings(t(s, d, "documents"),
+        Seq("lang", "source"), topK = 3)),
+
+    // engagement stickiness: DAU / trailing-7-day AU per day (two
+    // contribute-then-count passes; exact integer ratio in double)
+    "q143_stickiness" -> ((s, d) =>
+      graft.operators.Retention.stickiness(t(s, d, "events"),
+        "user_id", "ts", windowDays = 7)),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3436,5 +3449,43 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN totals t USING (doc_id) LEFT JOIN stats s USING (doc_id)
         |LEFT JOIN scrub sc USING (doc_id)""".stripMargin,
+
+    // mirrors Profile.strings: UNION ALL melt, per-column stats, top-3
+    // by (count desc, value asc), value:count comma rendering
+    "q142_string_profile" ->
+      """WITH long AS (
+        |  SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+        |stats AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |    CAST(min(length(value)) AS BIGINT) AS min_len,
+        |    CAST(max(length(value)) AS BIGINT) AS max_len
+        |  FROM long GROUP BY 1),
+        |byval AS (SELECT column_name, value, count(*) AS cnt FROM long
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY column_name
+        |    ORDER BY cnt DESC, value ASC) AS rn FROM byval),
+        |tops AS (SELECT column_name, string_agg(value || ':' || cnt, ',' ORDER BY rn) AS top_values
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1)
+        |SELECT s.column_name, s.n_rows, s.n_nulls, s.n_distinct, s.min_len,
+        |  s.max_len, coalesce(t.top_values, '') AS top_values
+        |FROM stats s LEFT JOIN tops t USING (column_name)""".stripMargin,
+
+    // mirrors Retention.stickiness: day-deduped stream, window-1 and
+    // window-7 contribute-then-count, one exact double division
+    "q143_stickiness" ->
+      """WITH perday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM perday),
+        |dau AS (SELECT day AS report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM perday GROUP BY 1),
+        |wau AS (SELECT CAST(d AS DATE) AS report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM (SELECT user_id, unnest(generate_series(CAST(greatest(day, mn) AS TIMESTAMP),
+        |      CAST(least(day + 6, mx) AS TIMESTAMP), INTERVAL 1 DAY)) AS d
+        |    FROM perday, bounds) GROUP BY 1)
+        |SELECT report_day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (report_day)""".stripMargin,
   )
 }

@@ -57,4 +57,22 @@ object Retention {
       .groupBy(col("report_day"))
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
+
+  /** Engagement stickiness: per day, DAU / trailing-`windowDays`-AU
+    * (the classic DAU/WAU ratio — "what share of this week's users
+    * showed up today"). Composes two [[rollingActive]] passes (window 1
+    * and `windowDays`) over the SAME day-deduped stream; the ratio is
+    * two BIGINTs divided once in double space — engine-exact. Early
+    * days (within windowDays of the stream start) use the truncated
+    * window, the standard convention. */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 7): DataFrame = {
+    val dau = rollingActive(events, userCol, tsCol, 1)
+      .withColumnRenamed("n_active", "dau")
+    val wau = rollingActive(events, userCol, tsCol, windowDays)
+      .withColumnRenamed("n_active", "wau")
+    dau.join(wau, Seq("report_day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+  }
 }

@@ -41,4 +41,18 @@ class PatternsSpec extends SparkSpec {
     assert(!out.contains("2023-12-31") && !out.contains("2024-01-11"),
       "report days clamp to the observed span")
   }
+
+  test("stickiness is DAU over trailing-window AU, truncated at stream start") {
+    val ev = Seq(
+      (1L, ts(1)), (2L, ts(1)), // day 1: u1 u2
+      (1L, ts(2)),              // day 2: u1
+      (3L, ts(3))               // day 3: u3
+    ).toDF("user_id", "ts")
+    val out = Retention.stickiness(ev, "user_id", "ts", windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 1.0)), "first day: window is itself")
+    assert(out("2024-01-02") == ((1L, 2L, 0.5)), "u1 today over {u1,u2} in trail")
+    assert(out("2024-01-03") == ((1L, 2L, 0.5)), "u3 today over {u1,u3} in trail")
+  }
 }

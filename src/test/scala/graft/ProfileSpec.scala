@@ -42,6 +42,22 @@ class ProfileSpec extends SparkSpec {
     assert(out == Map(0L -> ((2L, 0.0)), 1L -> ((2L, 5.0)), 2L -> ((1L, 10.0))))
   }
 
+  test("strings profile: nulls, distincts, length bounds, ordered top values") {
+    val df = Seq(
+      (Some("x"), Some("aa")),
+      (Some("x"), None),
+      (Some("y"), None),
+      (None, Some("bb"))
+    ).toDF("a", "b")
+    val out = Profile.strings(df, Seq("a", "b"), topK = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(out("a") == ((4L, 1L, 2L, 1L, 1L, "x:2,y:1")),
+      s"ties and counts ordered (count desc, value asc): ${out("a")}")
+    assert(out("b") == ((4L, 2L, 2L, 2L, 2L, "aa:1,bb:1")))
+  }
+
   test("approx tier plans no Expand; exact tier does (documented cost)") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val approxPlan = Profile.approxNumeric(df, Seq("a", "b"))
