@@ -1259,6 +1259,18 @@ object SparkEntry {
       graft.operators.Retention.stickiness(t(s, d, "events"),
         "user_id", "ts", windowDays = 7)),
 
+    // leakage-safe split: hash the near-dup cluster representative so a
+    // doc and its near-duplicate can never cross splits (the fix for
+    // what q101 audits)
+    "q144_split_by_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llmdata.Sampling.splitByCluster(docs, "doc_id",
+        DedupOps.nearDupClusters(DedupOps.minhashLsh(docs, "doc_id", "text",
+          shingleSize = 3, bands = 4, rows = 4, jaccardThreshold = 0.4)),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+        .select("doc_id", "split")
+    }),
+
     // percent_rank / cume_dist parity: integer rank ratios evaluated in
     // double — exact cross-engine
     "q123_percent_rank" -> ((s, d) => {
@@ -3472,6 +3484,30 @@ object SparkEntry {
         |SELECT s.column_name, s.n_rows, s.n_nulls, s.n_distinct, s.min_len,
         |  s.max_len, coalesce(t.top_values, '') AS top_values
         |FROM stats s LEFT JOIN tops t USING (column_name)""".stripMargin,
+
+    // q63's cluster CTEs → representative key (cluster_id, else own id,
+    // both as VARCHAR) → q88's md5-fraction CASE on the representative
+    "q144_split_by_cluster" -> {
+      val ts = graft.llmdata.Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = ts.init.map { case (name, t) =>
+        s"WHEN frac < $t THEN '$name'" }.mkString(" ")
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a, id_b FROM mh_pairs
+         |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
+         |comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+         |rep AS (SELECT d.doc_id,
+         |    coalesce(CAST(c.cluster_id AS VARCHAR), CAST(d.doc_id AS VARCHAR)) AS r
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
+         |FROM (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(r || 'v1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS frac FROM rep)""".stripMargin
+    },
 
     // mirrors Retention.stickiness: day-deduped stream, window-1 and
     // window-7 contribute-then-count, one exact double division

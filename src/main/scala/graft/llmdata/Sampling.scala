@@ -59,6 +59,30 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe [[splitAssign]]: hash the near-dup CLUSTER
+    * representative instead of the document id, so every member of a
+    * near-dup cluster lands in the SAME split — the fix for the
+    * train/test bleed that q101's audit detects (a doc and its near-
+    * duplicate in different splits silently inflates eval scores).
+    * `clusters` is [[DedupOps.nearDupClusters]]' (doc_id, cluster_id)
+    * frame; unpaired documents (absent from it) hash their own id,
+    * identical to [[splitAssign]]. Same growth-stability contract: a
+    * doc's split changes only if its CLUSTER membership changes.
+    *
+    * Shape: the cluster frame is the tiny near-dup slice (size-gated
+    * broadcast left join); the assignment itself stays a map stage. */
+  def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+                     splits: Seq[(String, Double)],
+                     salt: String = ""): DataFrame = {
+    val rep = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    val withRep = df
+      .join(graft.operators.Broadcasts.maybeBroadcast(rep), Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("cluster_id").cast("string"),
+        col(idCol).cast("string")))
+      .drop("cluster_id")
+    splitAssign(withRep, "__rep", splits, salt).drop("__rep")
+  }
+
   /** Cumulative normalized thresholds for [[splitAssign]] — (name,
     * upper_bound) per split, last bound exactly 1.0. */
   def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Double)] = {

@@ -420,6 +420,36 @@ class LlmDataSpec extends SparkSpec {
     assert(sub.forall { case (id, s) => a(id) == s })
   }
 
+  test("splitByCluster keeps near-dup clusters whole; singletons match splitAssign") {
+    import graft.llmdata.Sampling
+    val base = (1 to 20).map(i => s"t$i").mkString(" ")
+    val other = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (7L, base),       // one exact-dup cluster
+      (3L, other), (4L, other),                 // a second cluster
+      (5L, "u1 u2 u3 u4 u5"), (6L, "w1 w2 w3 w4 w5") // unpaired
+    ).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val clusters = DedupOps.nearDupClusters(DedupOps.minhashLsh(
+      docs, "doc_id", "text", jaccardThreshold = 0.4))
+    val out = Sampling.splitByCluster(docs, "doc_id", clusters, splits, "v1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.size == 7)
+    assert(out(1L) == out(2L) && out(2L) == out(7L),
+      s"cluster {1,2,7} must land whole: $out")
+    assert(out(3L) == out(4L), s"cluster {3,4} must land whole: $out")
+    // zero leakage over the pair graph (the property q101 audits for)
+    val pairs = DedupOps.minhashLsh(docs, "doc_id", "text",
+        jaccardThreshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => out(a) == out(b) })
+    // singletons hash their own id — identical to plain splitAssign
+    val plain = Sampling.splitAssign(docs.filter($"doc_id".isin(5L, 6L)),
+        "doc_id", splits, "v1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out(5L) == plain(5L) && out(6L) == plain(6L))
+  }
+
   test("bigram continuation probabilities sum to 1 over each head's full table") {
     val docs = Seq(
       (1L, "a b a b a c"),   // bigrams: a→b ×2, b→a ×2, a→c ×1
