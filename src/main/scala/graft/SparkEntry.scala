@@ -1259,6 +1259,16 @@ object SparkEntry {
       graft.operators.Retention.stickiness(t(s, d, "events"),
         "user_id", "ts", windowDays = 7)),
 
+    // vocabulary drift: old slice (doc_id < 250) vs new slice — per-term
+    // fpm shift classified new/gone/rising/falling/stable (the
+    // source-monitoring signal read before tokens reach a training mix)
+    "q145_vocab_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.vocabDrift(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", minCount = 5, risingAt = 2.0)
+    }),
+
     // leakage-safe split: hash the near-dup cluster representative so a
     // doc and its near-duplicate can never cross splits (the fix for
     // what q101 audits)
@@ -3484,6 +3494,32 @@ object SparkEntry {
         |SELECT s.column_name, s.n_rows, s.n_nulls, s.n_distinct, s.min_len,
         |  s.max_len, coalesce(t.top_values, '') AS top_values
         |FROM stats s LEFT JOIN tops t USING (column_name)""".stripMargin,
+
+    // mirrors vocabDrift expression-for-expression (fpm trees identical
+    // so the IEEE values and threshold comparisons are bit-stable)
+    "q145_vocab_drift" ->
+      """WITH oldtok AS (SELECT t FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id < 250) WHERE length(t) > 0),
+        |newtok AS (SELECT t FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id >= 250) WHERE length(t) > 0),
+        |co AS (SELECT t AS term, count(*) AS n_old FROM oldtok GROUP BY 1),
+        |cn AS (SELECT t AS term, count(*) AS n_new FROM newtok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM oldtok) AS total_old,
+        |               (SELECT count(*) FROM newtok) AS total_new),
+        |j AS (SELECT term, n_old, n_new, total_old, total_new
+        |  FROM co FULL OUTER JOIN cn USING (term) CROSS JOIN tot
+        |  WHERE coalesce(n_old, 0) + coalesce(n_new, 0) >= 5)
+        |SELECT term, CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(n_old AS DOUBLE) * 1000000.0 / CAST(total_old AS DOUBLE) AS fpm_old,
+        |  CAST(n_new AS DOUBLE) * 1000000.0 / CAST(total_new AS DOUBLE) AS fpm_new,
+        |  CASE WHEN n_old IS NULL THEN 'new' WHEN n_new IS NULL THEN 'gone'
+        |    WHEN CAST(n_new AS DOUBLE) * 1000000.0 / CAST(total_new AS DOUBLE)
+        |      >= (CAST(n_old AS DOUBLE) * 1000000.0 / CAST(total_old AS DOUBLE)) * 2.0 THEN 'rising'
+        |    WHEN (CAST(n_new AS DOUBLE) * 1000000.0 / CAST(total_new AS DOUBLE)) * 2.0
+        |      <= CAST(n_old AS DOUBLE) * 1000000.0 / CAST(total_old AS DOUBLE) THEN 'falling'
+        |    ELSE 'stable' END AS status
+        |FROM j""".stripMargin,
 
     // q63's cluster CTEs → representative key (cluster_id, else own id,
     // both as VARCHAR) → q88's md5-fraction CASE on the representative

@@ -418,6 +418,56 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Vocabulary drift between two corpus slices (last month's crawl vs
+    * this month's): per term, occurrence counts and frequency-per-
+    * million on each side, the fpm ratio, and a status — `new` / `gone`
+    * / `rising` (ratio >= risingAt) / `falling` (<= 1/risingAt) /
+    * `stable`. The monitoring signal a training-data pipeline reads to
+    * catch a source going off-topic, a scraper breaking, or template
+    * spam flooding in — BEFORE the tokens reach a training mix.
+    *
+    * Determinism: counts and totals are exact BIGINTs; each fpm is one
+    * IEEE multiply+divide and the ratio one more divide — identical
+    * expression trees on both engines, so values and the threshold
+    * comparisons are bit-stable. `minCount` bounds the output to terms
+    * with at least that many combined occurrences (drop the long tail
+    * of hapaxes). Shape: one explode + term-keyed aggregate per side,
+    * a full-outer term join, scalar totals broadcast (one-row frames).
+    */
+  def vocabDrift(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String, minCount: Int = 5,
+                 risingAt: Double = 2.0): DataFrame = {
+    require(risingAt > 1.0, s"risingAt must exceed 1, got $risingAt")
+    def counts(df: DataFrame, side: String) =
+      df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as(s"n_$side"))
+    def total(df: DataFrame, side: String) =
+      df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0)
+        .agg(count(lit(1)).as(s"total_$side"))
+    val joined = counts(oldDf, "old").join(counts(newDf, "new"), Seq("term"), "full_outer")
+      .crossJoin(broadcast(total(oldDf, "old")))
+      .crossJoin(broadcast(total(newDf, "new")))
+      .filter(coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))
+        >= minCount)
+    val fpmOld = col("n_old").cast("double") * 1000000.0 / col("total_old").cast("double")
+    val fpmNew = col("n_new").cast("double") * 1000000.0 / col("total_new").cast("double")
+    joined
+      .withColumn("fpm_old", fpmOld)  // NULL count -> NULL fpm
+      .withColumn("fpm_new", fpmNew)
+      .withColumn("status",
+        when(col("n_old").isNull, "new")
+          .when(col("n_new").isNull, "gone")
+          .when(col("fpm_new") >= col("fpm_old") * risingAt, "rising")
+          .when(col("fpm_new") * risingAt <= col("fpm_old"), "falling")
+          .otherwise("stable"))
+      .select(col("term"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("fpm_old"), col("fpm_new"), col("status"))
+  }
+
   /** Corpus bigram continuation table: for every head word (appearing as
     * a bigram head at least `minHeadCount` times), the `k` most frequent
     * continuations with their EXACT conditional probabilities

@@ -450,6 +450,22 @@ class LlmDataSpec extends SparkSpec {
     assert(out(5L) == plain(5L) && out(6L) == plain(6L))
   }
 
+  test("vocabDrift classifies new/gone/rising/falling/stable exactly") {
+    // equal totals (11 tokens each) make fpm ratios equal count ratios
+    val oldDf = Seq((1L, "s s s s r f f f f g g")).toDF("doc_id", "text")
+    val newDf = Seq((2L, "s s s s r r r r f n n")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabDrift(oldDf, newDf, "doc_id", "text",
+        minCount = 2, risingAt = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(5)))).toMap
+    assert(out == Map(
+      "s" -> ((4L, 4L, "stable")),
+      "r" -> ((1L, 4L, "rising")),
+      "f" -> ((4L, 1L, "falling")),
+      "g" -> ((2L, 0L, "gone")),
+      "n" -> ((0L, 2L, "new"))), s"got $out")
+  }
+
   test("bigram continuation probabilities sum to 1 over each head's full table") {
     val docs = Seq(
       (1L, "a b a b a c"),   // bigrams: a→b ×2, b→a ×2, a→c ×1

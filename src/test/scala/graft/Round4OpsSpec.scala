@@ -116,6 +116,31 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(8L) == ((0L, 0L, 0L, "")))
   }
 
+  test("dupSpanScrub conservation and identity properties on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = DedupOps.dupSpanScrub(docs, "doc_id", "text", n = 8, minDf = 2)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, dup, spans, scrubbed) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      // conservation: surviving tokens + removed tokens == all tokens
+      val kept = if (scrubbed.isEmpty) 0 else scrubbed.split(" ").length
+      assert(kept + dup == n, s"doc ${r.getLong(0)}: $kept + $dup != $n")
+      // spans are non-empty runs of >= n tokens each
+      assert(spans <= dup / 8, s"each span covers >= 8 tokens: $spans vs $dup")
+      assert((spans == 0) == (dup == 0))
+    }
+    // identity: a corpus with no cross-doc duplication is untouched
+    val unique = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val id = DedupOps.dupSpanScrub(unique, "doc_id", "text", n = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(id(1L) == ((0L, (1 to 12).map(i => s"a$i").mkString(" "))))
+    assert(id(2L)._1 == 0L)
+  }
+
   test("funnel requires each step strictly after the previous reach time") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
     val events = Seq(
