@@ -1269,6 +1269,14 @@ object SparkEntry {
         "doc_id", "text", minCount = 5, risingAt = 2.0)
     }),
 
+    // temperature-flattened training mix: 200-doc sample whose language
+    // shares follow n^0.5 instead of n (low-resource langs boosted);
+    // integer-exact quotas, deterministic hash-rank membership
+    "q146_temperature_mix" -> ((s, d) =>
+      graft.llmdata.Sampling.temperatureMix(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", budget = 200L)),
+
     // leakage-safe split: hash the near-dup cluster representative so a
     // doc and its near-duplicate can never cross splits (the fix for
     // what q101 audits)
@@ -3520,6 +3528,23 @@ object SparkEntry {
         |      <= CAST(n_old AS DOUBLE) * 1000000.0 / CAST(total_old AS DOUBLE) THEN 'falling'
         |    ELSE 'stable' END AS status
         |FROM j""".stripMargin,
+
+    // integer-exact mirror of temperatureMix at α = 0.5: w = ⌊√n⌋
+    // (correctly-rounded IEEE sqrt both engines), quota = budget·w // Σw
+    // capped at n, membership = q88's md5-fraction rank order
+    "q146_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w),
+        |q AS (SELECT lang, LEAST((200 * w) // wt, n) AS quota FROM w, t),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS frac
+        |      FROM documents),
+        |rr AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY frac, doc_id) AS rn FROM r)
+        |SELECT rr.doc_id, rr.lang, CAST(rn AS INT) AS rank_in_stratum
+        |FROM rr JOIN q USING (lang) WHERE rn <= quota""".stripMargin,
 
     // q63's cluster CTEs → representative key (cluster_id, else own id,
     // both as VARCHAR) → q88's md5-fraction CASE on the representative

@@ -299,4 +299,47 @@ object Sampling {
     df.withColumn("rank_in_stratum", row_number().over(w))
       .filter(col("rank_in_stratum") <= cap)
   }
+
+  /** Temperature-based mix sampling: draw a `budget`-row corpus whose
+    * per-stratum shares follow nᵅ instead of n — the multilingual-corpus
+    * flattening rule (α < 1 boosts low-resource strata relative to their
+    * raw counts; α = 1 is proportional, α = 0 is uniform). Stratum s gets
+    * quota = ⌊budget · wₛ / Σw⌋ capped at nₛ (downsample-only, no
+    * upsampling; floor allocation may undershoot `budget` by < #strata
+    * rows). Membership is the deterministic hash-rank order — the quota
+    * CHEAPEST-rank rows of each stratum — so the sample is reproducible
+    * and GROWS MONOTONICALLY with budget (a bigger budget only adds rows,
+    * a property epoch schedulers rely on).
+    *
+    * α = 0.5 (the default, and the common published setting) computes
+    * integer-exact weights wₛ = ⌊√nₛ⌋: IEEE sqrt is correctly rounded on
+    * every engine, so quotas are bit-portable. Other α use
+    * wₛ = ⌊nₛᵅ·10⁶⌋ via libm `pow` — deterministic within one engine,
+    * documented last-ulp risk across engines (spec-proven here, not
+    * oracle-compared).
+    *
+    * Shape at 100 TB: counts and quotas are strata-scale (broadcast
+    * join); selection is one row_number window per stratum — the same
+    * single shuffle as [[perStratumSample]]. budget·wₛ stays within
+    * BIGINT for budgets to ~10¹² at α = 0.5. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val weight =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
+      else floor(pow(col("__n").cast("double"), lit(alpha)) * lit(1e6)).cast("long")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weight)
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("__w")).as("__wt"))))
+      .withColumn("__quota", least(expr(s"(${budget}L * __w) div __wt"), col("__n")))
+      .select(col(stratumCol), col("__quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashFraction(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("rank_in_stratum", row_number().over(w))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("rank_in_stratum") <= col("__quota"))
+      .drop("__quota")
+  }
 }

@@ -27,6 +27,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Set(10L, 11L), "lowest ids win equal quality")
   }
 
+  test("temperatureMix flattens shares to n^0.5 with integer-exact quotas") {
+    // big: n=100 → w=10; small: n=4 → w=2; W=12; budget=24
+    // quotas: 24·10 div 12 = 20, 24·2 div 12 = 4 (proportional would be ~23/1)
+    val docs = ((1L to 100L).map(("big", _)) ++ (101L to 104L).map(("small", _)))
+      .toDF("lang", "doc_id")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "lang", budget = 24L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("big" -> 20L, "small" -> 4L))
+  }
+
+  test("temperatureMix never upsamples: quota caps at the stratum size") {
+    val docs = ((1L to 9L).map(("a", _)) ++ Seq(("b", 10L))).toDF("lang", "doc_id")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "lang", budget = 1000L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 9L, "b" -> 1L), "budget beyond corpus keeps all")
+  }
+
+  test("temperatureMix grows monotonically with budget") {
+    val docs = ((1L to 50L).map(("a", _)) ++ (51L to 70L).map(("b", _)))
+      .toDF("lang", "doc_id")
+    def ids(b: Long) = Sampling.temperatureMix(docs, "doc_id", "lang", b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(10L); val large = ids(30L)
+    assert(small.subsetOf(large), "a bigger budget only ADDS rows")
+  }
+
+  test("temperatureMix at alpha=1 is proportional allocation") {
+    // n=30/10, w=30e6/10e6, budget=20 → quotas 15/5
+    val docs = ((1L to 30L).map(("x", _)) ++ (31L to 40L).map(("y", _)))
+      .toDF("lang", "doc_id")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "lang",
+        budget = 20L, alpha = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("x" -> 15L, "y" -> 5L))
+  }
+
   test("oovRate counts tokens missing from the vocabulary") {
     val docs = Seq(
       (1L, "the cat sat"),          // 'sat' OOV → 1/3
