@@ -1239,6 +1239,19 @@ object SparkEntry {
       graft.llmdata.DedupOps.editDistancePairsBlocked(t(s, d, "documents"),
         "doc_id", "text", maxDist = 5, maxHamming = 3)),
 
+    // blocker evaluation harness: the simhash-blocked edit-distance pass
+    // (q138) audited against the exact pair set (q130) — one row of
+    // exact counts + recall/precision (the measurement that licenses an
+    // approximate blocker before it gates a production dedup pass)
+    "q147_blocker_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llmdata.DedupOps.pairSetAudit(
+        graft.llmdata.DedupOps.editDistancePairs(docs,
+          "doc_id", "text", maxDist = 5, bucketWidth = 32),
+        graft.llmdata.DedupOps.editDistancePairsBlocked(docs,
+          "doc_id", "text", maxDist = 5, maxHamming = 3))
+    }),
+
     // exact duplicated-substring span removal (Lee et al. exact-substring
     // dedup at token granularity): cross-doc 8-gram windows merge into
     // maximal spans, cut from the canonical token stream
@@ -3447,6 +3460,51 @@ object SparkEntry {
          |FROM cand JOIN d da ON cand.id_a = da.doc_id
          |          JOIN d db ON cand.id_b = db.doc_id
          |WHERE abs(da.n - db.n) <= 5 AND levenshtein(da.text, db.text) <= 5""".stripMargin
+    },
+
+    // q130's exact CTE (renamed) vs q138's blocked CTE, full-outer joined
+    // on the canonical pair key; counts are exact, recall/precision two
+    // BIGINTs divided once
+    "q147_blocker_audit" -> {
+      val bitTerms = (0 until 64).map { b =>
+        val h = if (b < 32) "hlo" else "hhi"
+        s"(CASE WHEN SUM((($h >> ${b % 32}) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)"
+      }
+      s"""WITH ed AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |exact_pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ed a JOIN ed b
+         |    ON (b.n // 32) BETWEEN (a.n // 32) - 1 AND (a.n // 32) + 1
+         |   AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 5
+         |  WHERE levenshtein(a.text, b.text) <= 5),
+         |fp AS (SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+         |      CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
+         |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |      FROM documents WHERE length(trim(text)) > 0))
+         |  GROUP BY doc_id),
+         |blocked_pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) c
+         |  JOIN ed da ON c.id_a = da.doc_id JOIN ed db ON c.id_b = db.doc_id
+         |  WHERE abs(da.n - db.n) <= 5 AND levenshtein(da.text, db.text) <= 5)
+         |SELECT CAST(COUNT(t.id_a) AS BIGINT) AS n_truth,
+         |  CAST(COUNT(c.id_a) AS BIGINT) AS n_candidate,
+         |  CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS BIGINT) AS n_common,
+         |  CAST(COUNT(CASE WHEN c.id_a IS NULL THEN 1 END) AS BIGINT) AS n_missed,
+         |  CAST(COUNT(CASE WHEN t.id_a IS NULL THEN 1 END) AS BIGINT) AS n_spurious,
+         |  CASE WHEN COUNT(t.id_a) > 0
+         |    THEN CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+         |       / CAST(COUNT(t.id_a) AS DOUBLE) ELSE 0.0 END AS recall,
+         |  CASE WHEN COUNT(c.id_a) > 0
+         |    THEN CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+         |       / CAST(COUNT(c.id_a) AS DOUBLE) ELSE 0.0 END AS precision
+         |FROM exact_pairs t FULL OUTER JOIN blocked_pairs c
+         |  ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin
     },
 
     // mirrors dupSpanScrub window-for-window: positional 8-gram windows,

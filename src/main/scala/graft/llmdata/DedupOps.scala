@@ -1003,4 +1003,46 @@ object DedupOps {
       .filter(col("edit_dist") >= 0) // thresholded form returns -1 past k
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
+
+  /** Pair-set audit: measure a candidate pair generator against a ground-
+    * truth pair set — the evaluation harness every approximate blocker
+    * (simhash, LSH, length buckets) needs before it gates a production
+    * dedup pass. Both inputs are canonical (id_a < id_b) pair frames;
+    * returns ONE row: exact counts (truth / candidate / common / missed /
+    * spurious) plus recall and precision as two exact BIGINTs divided
+    * once in double space (bit-stable cross-engine; 0.0 on an empty
+    * denominator).
+    *
+    * Shape at 100 TB: pair sets dedup map-side, then ONE full-outer
+    * shuffle join on the composite key and a single global count — no
+    * row ever fans out. Run it on a sampled slice where exact truth is
+    * affordable; the measured envelope then licenses (or rejects) the
+    * blocker on the full corpus. */
+  def pairSetAudit(truth: DataFrame, candidate: DataFrame,
+                   leftCol: String = "id_a",
+                   rightCol: String = "id_b"): DataFrame = {
+    def canon(p: DataFrame, tag: String) = p
+      .select(least(col(leftCol), col(rightCol)).as(s"${tag}_a"),
+        greatest(col(leftCol), col(rightCol)).as(s"${tag}_b"))
+      .distinct()
+    val t = canon(truth, "t")
+    val c = canon(candidate, "c")
+    t.join(c, col("t_a") === col("c_a") && col("t_b") === col("c_b"),
+        "full_outer")
+      .agg(
+        count(col("t_a")).as("n_truth"),
+        count(col("c_a")).as("n_candidate"),
+        count(when(col("t_a").isNotNull && col("c_a").isNotNull, lit(1)))
+          .as("n_common"),
+        count(when(col("c_a").isNull, lit(1))).as("n_missed"),
+        count(when(col("t_a").isNull, lit(1))).as("n_spurious"))
+      .withColumn("recall",
+        when(col("n_truth") > 0,
+          col("n_common").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("precision",
+        when(col("n_candidate") > 0,
+          col("n_common").cast("double") / col("n_candidate").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

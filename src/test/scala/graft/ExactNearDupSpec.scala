@@ -142,6 +142,31 @@ class ExactNearDupSpec extends SparkSpec {
 
   private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
 
+  test("pairSetAudit counts hits/misses/spurious over canonical pairs") {
+    import spark.implicits._
+    // truth: (1,2) (3,4) (5,6); candidate: (2,1) reversed + dup, (3,4), (7,8) spurious
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cand = Seq((2L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = graft.llmdata.DedupOps.pairSetAudit(truth, cand).collect()(0)
+    assert(r.getAs[Long]("n_truth") == 3L)
+    assert(r.getAs[Long]("n_candidate") == 3L, "reversed dup canonicalizes away")
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(r.getAs[Long]("n_missed") == 1L)
+    assert(r.getAs[Long]("n_spurious") == 1L)
+    assert(r.getAs[Double]("recall") == 2.0 / 3)
+    assert(r.getAs[Double]("precision") == 2.0 / 3)
+  }
+
+  test("pairSetAudit guards empty denominators") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = graft.llmdata.DedupOps.pairSetAudit(empty, cand).collect()(0)
+    assert(r.getAs[Long]("n_truth") == 0L)
+    assert(r.getAs[Double]("recall") == 0.0)
+    assert(r.getAs[Double]("precision") == 0.0, "no common pairs")
+  }
+
   test("sessionConversion scopes the funnel to gap-sessions") {
     val ev = Seq(
       // user 1: full funnel inside one 30-min-gap session
