@@ -446,6 +446,13 @@ object SparkEntry {
         round(Similarity.norm(col("embedding")), 6).as("norm"),
         Similarity.signLshBucket(col("embedding"), 4).as("lsh_bucket"))),
 
+    // vector-column hygiene gate: exact defect counts (null / wrong dim /
+    // non-finite / all-zero) — the expectation-suite analogue for the
+    // embedding column, run BEFORE any index build
+    "q148_vector_hygiene" -> ((s, d) =>
+      Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
+        expectedDim = 64)),
+
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
@@ -2605,6 +2612,28 @@ object SparkEntry {
         |     + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)
         |     + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT) AS lsh_bucket
         |FROM embeddings""".stripMargin,
+
+    // mirrors vectorHygiene flag-for-flag: pure equality/size predicates
+    // (no float arithmetic), one global count; rate = two BIGINTs once
+    "q148_vector_hygiene" ->
+      """WITH flags AS (SELECT
+        |    embedding IS NULL AS is_null,
+        |    embedding IS NOT NULL AND len(embedding) <> 64 AS wrong_dim,
+        |    embedding IS NOT NULL
+        |      AND len(list_filter(embedding, e -> isnan(e) OR isinf(e))) > 0 AS nonfinite,
+        |    embedding IS NOT NULL AND len(embedding) > 0
+        |      AND len(list_filter(embedding, e -> e <> 0)) = 0 AS all_zero
+        |  FROM embeddings)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(CASE WHEN is_null THEN 1 END) AS BIGINT) AS n_null,
+        |  CAST(COUNT(CASE WHEN wrong_dim THEN 1 END) AS BIGINT) AS n_wrong_dim,
+        |  CAST(COUNT(CASE WHEN nonfinite THEN 1 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(COUNT(CASE WHEN all_zero THEN 1 END) AS BIGINT) AS n_all_zero,
+        |  CAST(COUNT(CASE WHEN NOT (is_null OR wrong_dim OR nonfinite OR all_zero) THEN 1 END) AS BIGINT) AS n_clean,
+        |  CASE WHEN COUNT(*) > 0
+        |    THEN CAST(COUNT(CASE WHEN NOT (is_null OR wrong_dim OR nonfinite OR all_zero) THEN 1 END) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE) ELSE 0.0 END AS clean_rate
+        |FROM flags""".stripMargin,
 
     // mirrors knnGraph: q41's Hamming<=1 multi-probe collision set, but
     // symmetric (every vector is a node), ranked per node on the

@@ -621,4 +621,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Vector-column hygiene gate: ONE row of exact defect counts for an
+    * embedding column — NULL vectors, wrong dimensionality, non-finite
+    * elements (NaN/±Inf), and all-zero vectors — plus `n_clean` and a
+    * `clean_rate` (two exact BIGINTs divided once). The vector-side
+    * analogue of the reference's expectation suites (cf. the
+    * NotNull/Between `mostly` checks in graft.checks): zero-norm vectors
+    * break cosine, NaN poisons k-means fits, and a silent dim drift
+    * corrupts every dot product downstream — gate BEFORE indexing.
+    *
+    * Shape at 100 TB: pure map-stage predicates (equality/size checks
+    * on array elements — no float arithmetic, so engine-portable) into
+    * one global count aggregate; nothing shuffles but partial counters. */
+  def vectorHygiene(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
+    require(expectedDim >= 1, s"expectedDim must be >= 1, got $expectedDim")
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val wrongDim = v.isNotNull && size(v) =!= expectedDim
+    val nonFinite = v.isNotNull && exists(v, e => isnan(e) ||
+      e === lit(Float.PositiveInfinity) || e === lit(Float.NegativeInfinity))
+    val allZero = v.isNotNull && size(v) > 0 && forall(v, _ === lit(0.0f))
+    val clean = !(isNull || wrongDim || nonFinite || allZero)
+    df.agg(
+      count(lit(1)).as("n_vectors"),
+      count(when(isNull, lit(1))).as("n_null"),
+      count(when(wrongDim, lit(1))).as("n_wrong_dim"),
+      count(when(nonFinite, lit(1))).as("n_nonfinite"),
+      count(when(allZero, lit(1))).as("n_all_zero"),
+      count(when(clean, lit(1))).as("n_clean"))
+      .withColumn("clean_rate",
+        when(col("n_vectors") > 0,
+          col("n_clean").cast("double") / col("n_vectors").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -842,4 +842,36 @@ class LlmDataSpec extends SparkSpec {
     val resized = Multimodal.resize(media, 100).first()
     assert(resized.getAs[Array[Byte]]("payload").length == 100)
   }
+
+  test("vectorHygiene flags null / wrong-dim / non-finite / all-zero vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),                    // clean
+      (2L, null.asInstanceOf[Array[Float]]),      // null
+      (3L, Array(1.0f, 2.0f, 3.0f)),              // wrong dim
+      (4L, Array(Float.NaN, 1.0f)),               // NaN
+      (5L, Array(Float.PositiveInfinity, 0.0f)),  // +Inf
+      (6L, Array(0.0f, 0.0f)),                    // all zero
+      (7L, Array(0.0f, -1.0f))                    // clean (has a nonzero)
+    ).toDF("vec_id", "embedding")
+    val r = graft.llmdata.Similarity
+      .vectorHygiene(vecs, "embedding", expectedDim = 2).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == 7L)
+    assert(r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Long]("n_wrong_dim") == 1L)
+    assert(r.getAs[Long]("n_nonfinite") == 2L)
+    assert(r.getAs[Long]("n_all_zero") == 1L)
+    assert(r.getAs[Long]("n_clean") == 2L)
+    assert(r.getAs[Double]("clean_rate") == 2.0 / 7)
+  }
+
+  test("vectorHygiene counts a multi-defect vector once per flag, not as clean") {
+    // wrong dim AND all-zero: flagged in both counts, never clean
+    val vecs = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.llmdata.Similarity
+      .vectorHygiene(vecs, "embedding", expectedDim = 2).collect()(0)
+    assert(r.getAs[Long]("n_wrong_dim") == 1L)
+    assert(r.getAs[Long]("n_all_zero") == 1L)
+    assert(r.getAs[Long]("n_clean") == 1L)
+  }
 }
