@@ -453,6 +453,22 @@ object SparkEntry {
       Similarity.vectorHygiene(t(s, d, "embeddings"), "embedding",
         expectedDim = 64)),
 
+    // mergeable heavy-hitters: two disjoint Misra-Gries partial frames
+    // (split by event parity) merged, then finished to per-day top-3 —
+    // capacity 16 > |event types|, so weights are EXACT and the oracle
+    // is the direct GROUP BY count (merge ≡ direct, any merge tree)
+    "q149_heavy_hitters" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cap = 16
+      val parts = Seq(
+        graft.functions.MisraGries.dailyTopKPartial(
+          ev.filter(col("event_id") % 2 === 0), "ts", "event_type", cap),
+        graft.functions.MisraGries.dailyTopKPartial(
+          ev.filter(col("event_id") % 2 === 1), "ts", "event_type", cap))
+      graft.functions.MisraGries.finishTopK(
+        graft.functions.MisraGries.mergeTopK(parts, cap), k = 3)
+    }),
+
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
@@ -2612,6 +2628,17 @@ object SparkEntry {
         |     + (CASE WHEN embedding[5] >= embedding[6] THEN 4 ELSE 0 END)
         |     + (CASE WHEN embedding[7] >= embedding[8] THEN 8 ELSE 0 END) AS BIGINT) AS lsh_bucket
         |FROM embeddings""".stripMargin,
+
+    // exactness-regime mirror: capacity exceeds the item domain, so the
+    // MG weights equal true counts — oracle is the direct aggregate
+    "q149_heavy_hitters" ->
+      """SELECT day, item, weight, CAST(rn AS INT) AS rank FROM (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS weight,
+        |    ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+        |      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rn <= 3""".stripMargin,
 
     // mirrors vectorHygiene flag-for-flag: pure equality/size predicates
     // (no float arithmetic), one global count; rate = two BIGINTs once
