@@ -469,6 +469,11 @@ object SparkEntry {
         graft.functions.MisraGries.mergeTopK(parts, cap), k = 3)
     }),
 
+    // collocation mining: lift-ranked bigram associations (PMI sans log)
+    "q150_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(t(s, d, "documents"), "doc_id", "text",
+        minPairCount = 5)),
+
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
@@ -2639,6 +2644,34 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
         |  FROM events GROUP BY 1, 2)
         |WHERE rn <= 3""".stripMargin,
+
+    // mirrors collocations term-for-term: same bigram stream as q89's
+    // oracle, unigram/total counts over the raw token unnest, and the
+    // IDENTICAL double expression tree (mul, mul, div of exact BIGINTs)
+    // so lift — and therefore the rank order — is bit-stable
+    "q150_collocations" ->
+      """WITH arr AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |             FROM documents),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS s FROM arr),
+        |counts AS (SELECT string_split(s, ' ')[1] AS term_a,
+        |             string_split(s, ' ')[2] AS term_b,
+        |             CAST(COUNT(*) AS BIGINT) AS n_pair
+        |           FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(t) AS tok FROM arr) GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok
+        |        FROM (SELECT unnest(t) AS tok FROM arr))
+        |SELECT term_a, term_b, n_pair, ca.c AS c_a, cb.c AS c_b,
+        |  (CAST(n_tok AS DOUBLE) * CAST(n_pair AS DOUBLE))
+        |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift,
+        |  CAST(row_number() OVER (ORDER BY
+        |    (CAST(n_tok AS DOUBLE) * CAST(n_pair AS DOUBLE))
+        |      / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) DESC,
+        |    term_a ASC, term_b ASC) AS INT) AS rank
+        |FROM counts JOIN uni ca ON ca.tok = counts.term_a
+        |            JOIN uni cb ON cb.tok = counts.term_b
+        |CROSS JOIN tot""".stripMargin,
 
     // mirrors vectorHygiene flag-for-flag: pure equality/size predicates
     // (no float arithmetic), one global count; rate = two BIGINTs once

@@ -544,6 +544,65 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Corpus collocation mining by association lift: every bigram with at
+    * least `minPairCount` occurrences, scored by
+    * lift = (N · c(ab)) / (c(a) · c(b)) — the PMI family's ratio with the
+    * log dropped (log is monotone, so lift ranks identically to PMI while
+    * staying libm-free per the determinism contract; cf. Church & Hanks
+    * 1990, "Word Association Norms, Mutual Information, and Lexicography").
+    * lift > 1 means the pair co-occurs more than independence predicts —
+    * the phrase-detection / tokenizer-merge-candidate signal.
+    *
+    * Determinism: N, c(a), c(b), c(ab) are exact BIGINTs; lift is one
+    * double multiply per side and one divide — each IEEE-exact on
+    * exactly-representable ints, so bits (and hence the rank order) match
+    * any engine. Doubles (not BIGINT products) so a 100 TB corpus's
+    * N · c(ab) cannot overflow.
+    *
+    * Shape at 100 TB: corpus-scale work ends at two hash aggregates (the
+    * bigram count table and the unigram count table, both map-side
+    * combinable); the thresholded pair table is vocabulary-scale, joins
+    * the unigram counts via broadcast-able equi-joins, and the global
+    * rank window runs over that metadata-scale frame only (same
+    * deliberate single-partition trade as rrfFuse's top-k lists). */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minPairCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val toks = df.select(explode(DedupOps.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+    // the bigram stream carries (term_a, term_b) as SEPARATE columns
+    // rather than re-splitting shingleStream's joined string: a split-[1]
+    // join key invites Catalyst to push `isnotnull(split(s)[1])` below
+    // the aggregate, where ANSI mode throws on the incomplete last-token
+    // rows the window filter would have dropped (observed, sf0.01)
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = df
+      .select(col(idCol).as("doc_id"), posexplode(DedupOps.tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+      .select(col("tok").as("term_a"), lead(col("tok"), 1).over(w0).as("term_b"))
+      .filter(col("term_b").isNotNull)
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val w = Window.orderBy(col("lift").desc, col("term_a").asc,
+      col("term_b").asc)
+    pairs
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        uni.select(col("tok").as("term_a"), col("c").as("c_a"))), Seq("term_a"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        uni.select(col("tok").as("term_b"), col("c").as("c_b"))), Seq("term_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("n_tok").cast("double") * col("n_pair").cast("double"))
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+      .select(col("term_a"), col("term_b"), col("n_pair"), col("c_a"),
+        col("c_b"), col("lift"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+  }
+
   /** Per-document corpus-familiarity score from the bigram count table —
     * the exact-arithmetic stand-in for n-gram-LM perplexity filtering
     * (CCNet/KenLM family): documents whose bigrams are rare in the corpus

@@ -416,4 +416,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out(2L).decoded && out(2L).payload.sameElements(junk),
       "undecodable payloads pass through byte-unchanged")
   }
+
+  // -- collocations -------------------------------------------------------
+
+  test("collocations computes exact lift and dense rank on a hand fixture") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c) → (a,b) count 3
+    // unigrams: a=3, b=3, c=1; N=7 → lift(a,b) = 7·3 / (3·3)
+    val out = TextAnalysis.collocations(docs, "doc_id", "text", minPairCount = 2)
+      .collect()
+    assert(out.length == 1, "minPairCount=2 keeps only (a,b)")
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 7.0 * 3.0 / (3.0 * 3.0), "lift is IEEE-exact")
+    assert(r.getInt(6) == 1)
+  }
+
+  test("collocations never pairs tokens across document boundaries") {
+    val docs = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a doc1-tail→doc2-head leak would fabricate (y, y)
+    assert(pairs == Set(("x", "y"), ("y", "x")))
+  }
+
+  test("collocations ranks are dense from 1 in lift-descending order") {
+    val docs = Seq((1L, "p q p q r s r s p q")).toDF("doc_id", "text")
+    val rows = TextAnalysis.collocations(docs, "doc_id", "text", minPairCount = 1)
+      .orderBy($"rank").collect()
+    assert(rows.map(_.getInt(6)).toSeq == (1 to rows.length))
+    val lifts = rows.map(_.getDouble(5)).toSeq
+    assert(lifts == lifts.sorted.reverse, "rank follows lift desc")
+  }
 }
