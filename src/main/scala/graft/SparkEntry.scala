@@ -474,6 +474,10 @@ object SparkEntry {
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", "text",
         minPairCount = 5)),
 
+    // Simpson concentration + effective vocabulary per document
+    "q151_lexical_concentration" -> ((s, d) =>
+      TextAnalysis.lexicalConcentration(t(s, d, "documents"), "doc_id", "text")),
+
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
@@ -2672,6 +2676,31 @@ object SparkEntry {
         |FROM counts JOIN uni ca ON ca.tok = counts.term_a
         |            JOIN uni cb ON cb.tok = counts.term_b
         |CROSS JOIN tot""".stripMargin,
+
+    // mirrors lexicalConcentration moment-for-moment: exact BIGINT
+    // (n, distinct, Σc²) then the IDENTICAL one-divide IEEE trees for
+    // λ and 1/λ — bit-stable without rounding
+    "q151_lexical_concentration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |              CAST(SUM(c*c) AS BIGINT) AS sum_sq
+        |       FROM tf GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(n_distinct, 0) AS n_distinct,
+        |  COALESCE(sum_sq, 0) AS sum_sq,
+        |  CASE WHEN st.n_tokens IS NULL THEN 0.0
+        |       ELSE CAST(sum_sq AS DOUBLE)
+        |            / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END AS simpson,
+        |  CASE WHEN st.n_tokens IS NULL THEN 0.0
+        |       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |            / CAST(sum_sq AS DOUBLE) END AS eff_vocab
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
     // mirrors vectorHygiene flag-for-flag: pure equality/size predicates
     // (no float arithmetic), one global count; rate = two BIGINTs once

@@ -603,6 +603,50 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("int"))
   }
 
+  /** Per-document lexical concentration: Simpson's index λ = Σ pᵢ² over
+    * the document's term distribution, and its reciprocal 1/λ — the
+    * "effective vocabulary size" (how many equally-likely terms would
+    * produce this concentration). Gibberish and template spam concentrate
+    * mass on few terms (λ → 1, eff_vocab → 1); natural prose spreads it
+    * (eff_vocab tracks true vocabulary). Complements
+    * [[repetitionFeatures]]: dup_token_fraction only sees distinct-vs-total,
+    * λ weighs the whole count distribution, so a doc repeating one word
+    * 50× among 50 singletons scores far worse than one repeating 50 words
+    * 2× — same dup fraction, very different concentration.
+    *
+    * Determinism: the three moments are exact BIGINTs (hash-stable);
+    * λ = sum_sq / (n·n) and eff_vocab = (n·n) / sum_sq are each one IEEE
+    * divide over exactly-representable ints (docs stay far below 2²⁶
+    * tokens, so n·n is an exact double product) with the identical
+    * expression tree mirrored in the oracle — bit-stable cross-engine.
+    *
+    * Shape at 100 TB: two hash aggregates keyed on doc_id (map-side
+    * combinable; the (doc, term) aggregate is the same shuffle any tf
+    * computation pays) and a final left join back to the id column —
+    * no corpus-wide state, no windows. */
+  def lexicalConcentration(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTerm = df
+      .select(col(idCol).as("doc_id"),
+        explode(DedupOps.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val stats = perTerm.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c") * col("c")).cast("long").as("sum_sq"))
+    val n = col("n_tokens").cast("double")
+    df.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("sum_sq"), lit(0L)).as("sum_sq"),
+        when(col("n_tokens").isNull, 0.0)
+          .otherwise(col("sum_sq").cast("double") / (n * n)).as("simpson"),
+        when(col("n_tokens").isNull, 0.0)
+          .otherwise((n * n) / col("sum_sq").cast("double")).as("eff_vocab"))
+  }
+
   /** Per-document corpus-familiarity score from the bigram count table —
     * the exact-arithmetic stand-in for n-gram-LM perplexity filtering
     * (CCNet/KenLM family): documents whose bigrams are rare in the corpus

@@ -874,4 +874,29 @@ class LlmDataSpec extends SparkSpec {
     assert(r.getAs[Long]("n_all_zero") == 1L)
     assert(r.getAs[Long]("n_clean") == 1L)
   }
+
+  test("lexicalConcentration computes exact moments and IEEE ratios") {
+    val docs = Seq((1L, "w w w"), (2L, "a b c"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalConcentration(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(1L).getLong(2) == 1L
+      && out(1L).getLong(3) == 9L)
+    assert(out(1L).getDouble(4) == 1.0 && out(1L).getDouble(5) == 1.0)
+    assert(out(2L).getDouble(4) == 3.0 / 9.0 && out(2L).getDouble(5) == 9.0 / 3.0)
+    assert(out(3L).getLong(1) == 0L && out(3L).getDouble(4) == 0.0
+      && out(3L).getDouble(5) == 0.0, "token-free docs report zeros")
+  }
+
+  test("lexicalConcentration weighs the count distribution, not just distincts") {
+    // one-word-heavy doc has MORE distinct terms than the doubled doc
+    // (5 vs 4, so dup_token_fraction ranks it better) yet HIGHER
+    // concentration — the signal repetitionFeatures cannot see
+    val docs = Seq((1L, "x x x x a b c d"), (2L, "p p q q r r s s"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalConcentration(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 5L && out(2L).getLong(2) == 4L)
+    assert(out(1L).getLong(3) == 20L && out(2L).getLong(3) == 16L)
+    assert(out(1L).getDouble(4) > out(2L).getDouble(4))
+  }
 }
