@@ -478,6 +478,12 @@ object SparkEntry {
     "q151_lexical_concentration" -> ((s, d) =>
       TextAnalysis.lexicalConcentration(t(s, d, "documents"), "doc_id", "text")),
 
+    // Gopher-rule gate; stopword set adapted to the synthetic vocabulary
+    "q152_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 30, maxTokens = 100000,
+        stopwords = Seq("a", "the"), minStopwords = 2)),
+
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
@@ -2701,6 +2707,43 @@ object SparkEntry {
         |       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |            / CAST(sum_sq AS DOUBLE) END AS eff_vocab
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    // mirrors gopherRules rule-for-rule: every threshold an integer
+    // cross-multiplication, so the gate hashes exactly with zero float
+    // arithmetic; list_filter lambdas = Spark's higher-order filter
+    "q152_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+        |    CAST((length(text) - length(translate(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST((CASE WHEN position(' a ' IN ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ') > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN position(' the ' IN ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ') > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_lines,
+        |  n_tokens >= 30 AND n_tokens <= 100000 AS word_count_ok,
+        |  3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens AS mean_word_len_ok,
+        |  10 * n_symbols <= n_tokens AS symbol_ok,
+        |  10 * n_bullet <= 9 * n_lines AS bullet_ok,
+        |  10 * n_ell <= 3 * n_lines AS ellipsis_ok,
+        |  10 * n_alpha >= 8 * n_tokens AS alpha_ok,
+        |  n_stop >= 2 AS stopword_ok,
+        |  (n_tokens >= 30 AND n_tokens <= 100000)
+        |    AND (3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens)
+        |    AND (10 * n_symbols <= n_tokens) AND (10 * n_bullet <= 9 * n_lines)
+        |    AND (10 * n_ell <= 3 * n_lines) AND (10 * n_alpha >= 8 * n_tokens)
+        |    AND (n_stop >= 2) AS pass
+        |FROM base""".stripMargin,
 
     // mirrors vectorHygiene flag-for-flag: pure equality/size predicates
     // (no float arithmetic), one global count; rate = two BIGINTs once

@@ -603,6 +603,65 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("int"))
   }
 
+  /** Gopher-style quality rule gate (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", §A1.1):
+    * per-document boolean flags for the classic web-curation rules —
+    * word count bounds, mean word length in [3,10], symbol-to-word ratio,
+    * bullet/ellipsis line fractions, alphabetic-word fraction, and
+    * minimum distinct stopwords — plus the conjunction `pass`.
+    *
+    * Every threshold is an integer CROSS-MULTIPLICATION
+    * (e.g. mean-word-length ∈ [3,10] is `3·n ≤ chars ∧ chars ≤ 10·n`,
+    * symbol ratio ≤ 0.1 is `10·symbols ≤ n`) — no division anywhere, so
+    * the gate is exact on any engine and immune to float-rounding drift
+    * at the decision boundary.
+    *
+    * Shape at 100 TB: map-only — per-row string/array expressions with
+    * no explode, no aggregate, no shuffle; composes with a parquet scan
+    * into one WholeStage pass (the higher-order `filter` calls are
+    * native expressions over the per-row line/token arrays). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  stopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                  minStopwords: Int = 2): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val t = col(textCol)
+    val nTokens = tokenCount(t).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nWordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nSymbols = ((length(t) - length(translate(t, "#", ""))) +
+      (length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("long")
+    val nBullet = size(filter(lines, l =>
+      startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
+        startswith(l, lit("• ")))).cast("long")
+    val nEllipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")))).cast("long")
+    val toks = DedupOps.tokens(t)
+    val nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val padded = concat(lit(" "),
+      regexp_replace(lower(t), "\\s+", " "), lit(" "))
+    val nStopwords = stopwords
+      .map(w => when(instr(padded, s" $w ") > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    df.select(col(idCol).as("doc_id"),
+      nTokens.as("n_tokens"),
+      nLines.as("n_lines"),
+      (nTokens >= minTokens && nTokens <= maxTokens).as("word_count_ok"),
+      (lit(3L) * nTokens <= nWordChars &&
+        nWordChars <= lit(10L) * nTokens).as("mean_word_len_ok"),
+      (lit(10L) * nSymbols <= nTokens).as("symbol_ok"),
+      (lit(10L) * nBullet <= lit(9L) * nLines).as("bullet_ok"),
+      (lit(10L) * nEllipsisLines <= lit(3L) * nLines).as("ellipsis_ok"),
+      (lit(10L) * nAlphaWords >= lit(8L) * nTokens).as("alpha_ok"),
+      (nStopwords >= minStopwords.toLong).as("stopword_ok"))
+      .withColumn("pass",
+        col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stopword_ok"))
+  }
+
   /** Per-document lexical concentration: Simpson's index λ = Σ pᵢ² over
     * the document's term distribution, and its reciprocal 1/λ — the
     * "effective vocabulary size" (how many equally-likely terms would

@@ -899,4 +899,46 @@ class LlmDataSpec extends SparkSpec {
     assert(out(1L).getLong(3) == 20L && out(2L).getLong(3) == 16L)
     assert(out(1L).getDouble(4) > out(2L).getDouble(4))
   }
+
+  test("gopherRules trips each rule on its own fixture") {
+    val docs = Seq(
+      (1L, "the cat and dog ran"),        // clean: every flag true
+      (2L, "a"),                          // word count below min
+      (3L, "aa bb the and"),              // mean word len < 3
+      (4L, "# # # the and cat"),          // symbol ratio > 0.1
+      (5L, "- a\n- b"),                   // 100% bullet lines
+      (6L, "a...  \nb...\nc d e f g h"),  // 2/3 ellipsis lines > 30%
+      (7L, "1 2 3 4 5"),                  // no alphabetic words
+      (8L, "cat dog bird frog")           // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+      minTokens = 2, maxTokens = 100, stopwords = Seq("the", "and"),
+      minStopwords = 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(10), "clean doc passes every rule")
+    assert(!out(2L).getBoolean(3) && out(1L).getBoolean(3))
+    assert(!out(3L).getBoolean(4) && out(1L).getBoolean(4))
+    assert(!out(4L).getBoolean(5) && out(1L).getBoolean(5))
+    assert(!out(5L).getBoolean(6) && out(1L).getBoolean(6))
+    assert(!out(6L).getBoolean(7) && out(1L).getBoolean(7),
+      "rtrim'd trailing spaces still count as an ellipsis line")
+    assert(!out(7L).getBoolean(8) && out(1L).getBoolean(8))
+    assert(!out(8L).getBoolean(9) && out(1L).getBoolean(9))
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).forall(i => !out(i).getBoolean(10)))
+  }
+
+  test("gopherRules boundary: thresholds are exact, not float-rounded") {
+    // exactly mean word length 3 (9 chars / 3 tokens) and exactly 10%
+    // symbols (1 '#' per 10 tokens) sit INSIDE the allowed region
+    val docs = Seq(
+      (1L, "abc def gh i"),  // 9 chars / 4 tokens... pick exact: see below
+      (2L, "# the and aa bb cc dd ee ff gg")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+      minTokens = 1, maxTokens = 100, stopwords = Seq("the", "and"),
+      minStopwords = 1).collect().map(r => r.getLong(0) -> r).toMap
+    // doc1: 10 word chars, 4 tokens → 12 ≤ 10 is false (mean 2.5 < 3)
+    assert(!out(1L).getBoolean(4))
+    // doc2: 1 symbol, 10 tokens → 10·1 ≤ 10 exactly at the boundary: ok
+    assert(out(2L).getBoolean(5))
+  }
 }
