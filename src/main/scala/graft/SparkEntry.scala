@@ -484,6 +484,19 @@ object SparkEntry {
         minTokens = 30, maxTokens = 100000,
         stopwords = Seq("a", "the"), minStopwords = 2)),
 
+    // mergeable exact-quantile partials: 3 arbitrary shards -> merge ->
+    // rational-threshold quantiles; oracle computes directly (merge
+    // correctness IS the claim, like q149's heavy-hitter partials)
+    "q153_quantile_partials" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val shards = (0 until 3).map(i =>
+        graft.operators.Profile.quantilePartial(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i), "l_quantity"))
+      graft.operators.Profile.quantilesFromCounts(
+        graft.operators.Profile.mergeQuantilePartials(shards),
+        Seq((1, 2), (9, 10), (99, 100)))
+    }),
+
     "q41_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 500), "vec_id", "embedding",
@@ -2707,6 +2720,20 @@ object SparkEntry {
         |       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |            / CAST(sum_sq AS DOUBLE) END AS eff_vocab
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    // computes the quantiles DIRECTLY (no sharding): equality proves the
+    // shard->merge path loses nothing; cum*den >= num*n is the same
+    // integer cross-multiplied threshold, no float ceil
+    "q153_quantile_partials" ->
+      """WITH c AS (SELECT l_quantity AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT value, cnt,
+        |          CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum,
+        |          CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(q_num, q_den))
+        |SELECT q_num, q_den, MIN(value) AS quantile_value, CAST(MIN(n) AS BIGINT) AS n
+        |FROM qs JOIN cum ON cum.cum * qs.q_den >= qs.q_num * cum.n
+        |GROUP BY 1, 2""".stripMargin,
 
     // mirrors gopherRules rule-for-rule: every threshold an integer
     // cross-multiplication, so the gate hashes exactly with zero float

@@ -133,4 +133,70 @@ object Profile {
       .withColumn("bin_lo",
         ((lit(micro(lo)) + col("bin") * micro(width)).cast("double") / 1e6))
   }
+
+  /** Mergeable exact-quantile partials for BOUNDED value domains — the
+    * third member of the sketch-maintenance family next to the HLL
+    * distinct partials and the Misra-Gries heavy-hitter partials.
+    *
+    * A partial is the full value→count map of one shard
+    * ([[quantilePartial]]). Maps merge associatively (union + re-sum,
+    * [[mergeQuantilePartials]]) — shards can be days, sources, or
+    * micro-batches, merged in any order or grouping. Quantiles read off
+    * the merged map ([[quantilesFromCounts]]) are EXACT, not sketched:
+    * the q-quantile is the smallest value whose cumulative count reaches
+    * ⌈q·N⌉, and with q supplied as a RATIONAL (num, den) the threshold
+    * test is the integer cross-multiplication `cum·den ≥ num·N` — no
+    * float ceil, no rounding at the boundary.
+    *
+    * Regime: exact only while the DISTINCT value space stays bounded
+    * (ints, cents, micro-units, enum codes — the histogram/discrete
+    * case). The partial's size is the shard's distinct-value count, so
+    * a continuous unbounded column should be discretized first
+    * ([[histogram]] bins) or profiled via [[approxNumeric]] — same
+    * trade the heavy-hitter partials document for their capacity.
+    *
+    * Shape at 100 TB: each partial is one map-side-combinable aggregate
+    * over its shard; the merge re-aggregates value-space-scale rows
+    * (never corpus rows). The cumulative window in
+    * [[quantilesFromCounts]] orders the DISTINCT-VALUE table in one
+    * partition — deliberate and bounded, same trade as rrfFuse's top-k
+    * lists; the rational-threshold join is a broadcast nested loop of
+    * that value table against a literal handful of quantile rows. */
+  def quantilePartial(df: DataFrame, colName: String): DataFrame =
+    df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Associative merge: union the partials' value→count maps, re-sum.
+    * Output has the same schema as a partial — merge trees of any shape
+    * (daily → monthly → total) compose. */
+  def mergeQuantilePartials(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("value"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** Exact rational-threshold quantiles from a merged value→count map:
+    * one row per requested (q_num, q_den) with the quantile value and
+    * the total count it was read at. */
+  def quantilesFromCounts(counts: DataFrame, qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      "quantiles must be rationals in [0,1]")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("cnt")).cast("long").as("n"))))
+    val qdf = qs.toDF("q_num", "q_den")
+    cum.join(broadcast(qdf),
+        cum("cum") * qdf("q_den") >= qdf("q_num") * cum("n"))
+      .groupBy(col("q_num"), col("q_den"))
+      .agg(min(col("value")).as("quantile_value"),
+        min(col("n")).as("n"))
+  }
 }

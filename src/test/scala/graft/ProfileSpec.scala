@@ -69,4 +69,43 @@ class ProfileSpec extends SparkSpec {
     assert(exactPlan.contains("Expand"),
       "exact multi-distinct is the k-way Expand by design")
   }
+
+  test("quantile partials: any shard split merges to the direct answer") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val direct = Profile.quantilesFromCounts(
+      Profile.quantilePartial(df, "v"), Seq((1, 2), (9, 10)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byParity = Seq(0, 1).map(p =>
+      Profile.quantilePartial(df.filter($"id" % 2 === p), "v"))
+    val byRange = Seq(df.filter($"id" <= 33), df.filter($"id" > 33 && $"id" <= 66),
+      df.filter($"id" > 66)).map(Profile.quantilePartial(_, "v"))
+    for (shards <- Seq(byParity, byRange)) {
+      val merged = Profile.quantilesFromCounts(
+        Profile.mergeQuantilePartials(shards), Seq((1, 2), (9, 10)))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(merged == direct, "shard layout must not change the quantiles")
+    }
+  }
+
+  test("quantile partials: merge trees compose associatively") {
+    val df = (1 to 60).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "v")
+    val Seq(a, b, c) = (0 until 3).map(p =>
+      Profile.quantilePartial(df.filter($"id" % 3 === p), "v"))
+    val flat = Profile.mergeQuantilePartials(Seq(a, b, c))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nested = Profile.mergeQuantilePartials(
+      Seq(Profile.mergeQuantilePartials(Seq(a, b)), c))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == nested)
+  }
+
+  test("quantile threshold is integer-exact at the boundary") {
+    // values 1..4, one each: median threshold cum*2 >= 1*4 first holds
+    // at value 2 (cum=2) — the lower median, no float ceil ambiguity
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val out = Profile.quantilesFromCounts(
+      Profile.quantilePartial(df, "v"), Seq((1, 2), (1, 4), (1, 1)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((1, 2)) == 2L && out((1, 4)) == 1L && out((1, 1)) == 4L)
+  }
 }
