@@ -484,6 +484,12 @@ object SparkEntry {
         minTokens = 30, maxTokens = 100000,
         stopwords = Seq("a", "the"), minStopwords = 2)),
 
+    // median/MAD robust length-outlier gate, all integer arithmetic
+    "q154_mad_outliers" -> ((s, d) =>
+      graft.operators.Robust.madOutliers(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", k = 2)),
+
     // mergeable exact-quantile partials: 3 arbitrary shards -> merge ->
     // rational-threshold quantiles; oracle computes directly (merge
     // correctness IS the claim, like q149's heavy-hitter partials)
@@ -2720,6 +2726,24 @@ object SparkEntry {
         |       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |            / CAST(sum_sq AS DOUBLE) END AS eff_vocab
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    // mirrors madOutliers with the same LOWER-median definition
+    // (min value with cum*2 >= n) at both stages; everything integer
+    "q154_mad_outliers" ->
+      """WITH c AS (SELECT n_chars AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT value, CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum,
+        |               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+        |med AS (SELECT MIN(value) AS m FROM cum WHERE cum * 2 >= n),
+        |dc AS (SELECT abs(c.value - med.m) AS value, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |       FROM c CROSS JOIN med GROUP BY 1),
+        |dcum AS (SELECT value, CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum,
+        |                CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM dc),
+        |mad AS (SELECT MIN(value) AS m FROM dcum WHERE cum * 2 >= n)
+        |SELECT d.doc_id, d.n_chars, med.m AS median,
+        |  abs(d.n_chars - med.m) AS abs_dev, mad.m AS mad,
+        |  COALESCE(abs(d.n_chars - med.m) > 2 * mad.m, FALSE) AS is_outlier
+        |FROM documents d CROSS JOIN med CROSS JOIN mad""".stripMargin,
 
     // computes the quantiles DIRECTLY (no sharding): equality proves the
     // shard->merge path loses nothing; cum*den >= num*n is the same

@@ -32,7 +32,52 @@ object Robust {
       percentile(col(valueCol), lit(hiP)).as("__hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valueCol}_winsorized",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        // explicit NULL guard: Spark's least/greatest SKIP nulls (they
+        // return the surviving non-null operand), which would silently
+        // clamp a NULL measurement to the lower bound — a fabricated
+        // value. NULL in, NULL out.
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
+  }
+
+  /** Median/MAD robust outlier gate: flag rows where
+    * |x − median| > k · MAD (MAD = median absolute deviation) — the
+    * distribution-free alternative to mean/stddev z-scores, immune to
+    * the outliers it hunts (a handful of corrupt rows shifts a mean
+    * arbitrarily but cannot move a median). The standard document-length
+    * and feature-sanity gate in curation pipelines.
+    *
+    * Exactness: both medians are LOWER medians read off exact
+    * value→count maps with [[Profile.quantilesFromCounts]]'s integer
+    * cross-multiplied threshold, so for integer-valued columns
+    * (lengths, counts, micro-units) median, deviation, MAD, and the
+    * k·MAD comparison are all integer arithmetic — no float anywhere.
+    * Same bounded-value-domain regime as [[Profile.quantilePartial]].
+    *
+    * Shape at 100 TB: ONE corpus-scale aggregate (the value→count map,
+    * map-side combinable). The deviation distribution is derived from
+    * that map, not the corpus — |v − med| per DISTINCT value carries its
+    * count — so the MAD pass is value-space scale. The two one-row
+    * stats frames ride back as broadcasts; the flag is a map-only
+    * projection fused with the scan. */
+  def madOutliers(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vc = Profile.quantilePartial(df, valueCol)
+    val med = Profile.quantilesFromCounts(vc, Seq((1, 2)))
+      .select(col("quantile_value").as("__med"))
+    val devCounts = vc.crossJoin(broadcast(med))
+      .select(abs(col("value") - col("__med")).as("value"), col("cnt"))
+      .groupBy(col("value")).agg(sum(col("cnt")).cast("long").as("cnt"))
+    val mad = Profile.quantilesFromCounts(devCounts, Seq((1, 2)))
+      .select(col("quantile_value").as("__mad"))
+    df.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("median", col("__med"))
+      .withColumn("abs_dev", abs(col(valueCol) - col("__med")))
+      .withColumn("mad", col("__mad"))
+      .withColumn("is_outlier",
+        coalesce(abs(col(valueCol) - col("__med")) > lit(k) * col("__mad"),
+          lit(false)))
+      .drop("__med", "__mad")
   }
 }
