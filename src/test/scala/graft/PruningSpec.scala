@@ -216,6 +216,27 @@ class PruningSpec extends SparkSpec {
     assert(hashEx <= 2, s"rollingDaily must plan at most 2 hash exchanges:\n$plan")
   }
 
+  test("gopherRules is map-only: zero exchanges, one codegen span (q152)") {
+    val plan = SparkEntry.queries("q152_gopher_rules")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"an eight-rule quality gate must fuse with the scan:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"gopherRules must not explode token arrays:\n$plan")
+  }
+
+  test("madOutliers flags via broadcast stats: no corpus re-shuffle (q154)") {
+    val plan = SparkEntry.queries("q154_mad_outliers")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the documents scan appears for the value-count aggregate and the
+    // flag projection; the flag side must join the two one-row stats
+    // frames by broadcast, never shuffle the corpus against them
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"madOutliers must not globally sort the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stats frames must ride as broadcasts:\n$plan")
+  }
+
   test("compaction rewrites a fragmented table into bounded file count") {
     val path = Files.createTempDirectory("graft-compact").toString + "/t"
     (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
