@@ -484,6 +484,14 @@ object SparkEntry {
         minTokens = 30, maxTokens = 100000,
         stopwords = Seq("a", "the"), minStopwords = 2)),
 
+    // per-source length quantiles: grouped value-count maps, the
+    // cumulative window partitioned by group (no single-partition stage)
+    "q155_quantiles_by_source" -> ((s, d) =>
+      graft.operators.Profile.quantilesFromCountsBy(
+        graft.operators.Profile.quantilePartialBy(
+          t(s, d, "documents"), "source", "n_chars"),
+        Seq((1, 2), (9, 10)))),
+
     // median/MAD robust length-outlier gate, all integer arithmetic
     "q154_mad_outliers" -> ((s, d) =>
       graft.operators.Robust.madOutliers(
@@ -2726,6 +2734,19 @@ object SparkEntry {
         |       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |            / CAST(sum_sq AS DOUBLE) END AS eff_vocab
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    // grouped twin of q153's threshold: PARTITION BY grp in both
+    // windows, same integer cross-multiplication
+    "q155_quantiles_by_source" ->
+      """WITH c AS (SELECT source AS grp, n_chars AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT grp, value,
+        |          CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY value) AS BIGINT) AS cum,
+        |          CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n FROM c),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(q_num, q_den))
+        |SELECT grp, q_num, q_den, MIN(value) AS quantile_value, CAST(MIN(n) AS BIGINT) AS n
+        |FROM qs JOIN cum ON cum.cum * qs.q_den >= qs.q_num * cum.n
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors madOutliers with the same LOWER-median definition
     // (min value with cum*2 >= n) at both stages; everything integer

@@ -177,6 +177,52 @@ object Profile {
       .agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** Grouped form of [[quantilePartial]]: one value→count map PER GROUP
+    * (source, language, day...). Same merge algebra keyed on
+    * (grp, value); unlike the global form, the downstream cumulative
+    * window partitions by group, so the grouped quantile path scales
+    * with groups × distinct-values and has NO single-partition stage. */
+  def quantilePartialBy(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Associative merge of grouped partials (union + re-sum per
+    * (grp, value)) — the grouped twin of [[mergeQuantilePartials]]. */
+  def mergeQuantilePartialsBy(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("value"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** Per-group exact rational-threshold quantiles from grouped
+    * value→count maps: one row per (grp, q_num, q_den). Same integer
+    * cross-multiplied threshold as the global form; the cumulative
+    * window is partitioned by `grp` (one key shuffle of value-space
+    * rows), and group totals join back on the group key. */
+  def quantilesFromCountsBy(counts: DataFrame, qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      "quantiles must be rationals in [0,1]")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = counts.groupBy(col("grp"))
+      .agg(sum(col("cnt")).cast("long").as("n"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(Broadcasts.maybeBroadcast(totals), Seq("grp"))
+    val qdf = qs.toDF("q_num", "q_den")
+    cum.join(broadcast(qdf),
+        cum("cum") * qdf("q_den") >= qdf("q_num") * cum("n"))
+      .groupBy(col("grp"), col("q_num"), col("q_den"))
+      .agg(min(col("value")).as("quantile_value"),
+        min(col("n")).as("n"))
+  }
+
   /** Exact rational-threshold quantiles from a merged value→count map:
     * one row per requested (q_num, q_den) with the quantile value and
     * the total count it was read at. */

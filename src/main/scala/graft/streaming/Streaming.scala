@@ -253,6 +253,46 @@ object Streaming {
       }
       .start()
 
+  /** Streaming exact-quantile maintenance — the quantile member of the
+    * mergeable-partial sink family ([[aggMergeSink]] SUM/COUNT,
+    * [[distinctMergeSink]] HLL): each micro-batch's grouped value→count
+    * map ([[graft.operators.Profile.quantilePartialBy]]) is merged into
+    * the persisted map with an atomic swap, so exact per-group quantiles
+    * ([[graft.operators.Profile.quantilesFromCountsBy]]) are readable at
+    * any moment without rescanning history. Count merge is NOT
+    * idempotent, so the sink carries [[aggMergeSink]]'s batch-id fence
+    * (skip batch ids ≤ the stored one — replay after a successful swap
+    * but failed checkpoint commit is a no-op, not a double count).
+    *
+    * Same bounded-value-domain regime as the batch partials; per-batch
+    * cost is one delta-sized shuffle plus a (groups × values)-row merge.
+    * Readers: `Profile.quantilesFromCountsBy(
+    *   spark.read.parquet(path).drop("last_batch_id"), qs)`. */
+  def quantilePartialSink(df: DataFrame, groupCol: String, valueCol: String,
+                          path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, path)
+        val lastApplied = stored.map(s =>
+          s.select(max(col("last_batch_id"))).head.getLong(0))
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = graft.operators.Profile
+            .quantilePartialBy(batch, groupCol, valueCol)
+          val merged = stored match {
+            case Some(s) => graft.operators.Profile.mergeQuantilePartialsBy(
+              Seq(s.drop("last_batch_id"), delta))
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          graft.incremental.Writers.atomicRewrite(out, path)
+        }
+      }
+      .start()
+
   /** Streaming EXACT dedup: drop any document whose content fingerprint
     * ([[graft.llmdata.TextAnalysis.fingerprint]] — md5 of the normalized
     * text) was already seen within the watermark horizon, using Spark's

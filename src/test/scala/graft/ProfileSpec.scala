@@ -99,6 +99,23 @@ class ProfileSpec extends SparkSpec {
     assert(flat == nested)
   }
 
+  test("grouped quantiles match per-group direct computation") {
+    val df = (1 to 90).map(i => (i.toLong, s"g${i % 3}", (i % 11).toLong))
+      .toDF("id", "g", "v")
+    val grouped = Profile.quantilesFromCountsBy(
+      Profile.quantilePartialBy(df, "g", "v"), Seq((1, 2), (9, 10)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Profile.quantilesFromCounts(
+        Profile.quantilePartial(df.filter($"g" === g), "v"), Seq((1, 2), (9, 10)))
+        .collect().map(r => (g, r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      solo.foreach { case (k, v) => assert(grouped(k) == v,
+        s"group $g must be independent of the others") }
+    }
+  }
+
   test("quantile threshold is integer-exact at the boundary") {
     // values 1..4, one each: median threshold cum*2 >= 1*4 first holds
     // at value 2 (cum=2) — the lower median, no float ceil ambiguity

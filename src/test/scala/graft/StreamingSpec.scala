@@ -376,6 +376,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
   }
 
+  test("quantilePartialSink: streamed map equals one-shot; replay is fenced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-qsink").toString
+    val (table, ckpt) = (dir + "/counts", dir + "/ckpt")
+    val all = Seq(("s1", 10L), ("s1", 20L), ("s2", 10L),
+      ("s1", 10L), ("s2", 30L), ("s2", 30L))
+    val in = MemoryStream[(String, Long)]
+    val q = Streaming.quantilePartialSink(in.toDF().toDF("src", "len"),
+      "src", "len", table, ckpt)
+    try {
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      in.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    def readMap() = spark.read.parquet(table).drop("last_batch_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = readMap()
+    val direct = graft.operators.Profile
+      .quantilePartialBy(all.toDF("src", "len"), "src", "len")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == direct, s"$streamed vs $direct")
+    // quantiles read off the stored map are the exact per-group answers
+    val med = graft.operators.Profile.quantilesFromCountsBy(
+        spark.read.parquet(table).drop("last_batch_id"), Seq((1, 2)))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(med == Map("s1" -> 10L, "s2" -> 30L))
+    // replay batch 1 through a fresh checkpoint: ids restart at 0,
+    // the stored fence (last_batch_id=1) must reject it — no recount
+    val in2 = MemoryStream[(String, Long)]
+    val q2 = Streaming.quantilePartialSink(in2.toDF().toDF("src", "len"),
+      "src", "len", table, dir + "/ckpt2")
+    try { in2.addData(all.take(3): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(readMap() == streamed, "replayed batch must be a no-op")
+  }
+
   test("distinctMergeSink: streamed sketches equal the one-shot, replay included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
