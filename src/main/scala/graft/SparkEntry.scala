@@ -484,6 +484,11 @@ object SparkEntry {
         minTokens = 30, maxTokens = 100000,
         stopwords = Seq("a", "the"), minStopwords = 2)),
 
+    // ordered per-user sequence assembly (training-example builder)
+    "q156_assemble_sequences" -> ((s, d) =>
+      graft.operators.Sessionize.assembleSequences(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type")),
+
     // per-source length quantiles: grouped value-count maps, the
     // cumulative window partitioned by group (no single-partition stage)
     "q155_quantiles_by_source" -> ((s, d) =>
@@ -2734,6 +2739,14 @@ object SparkEntry {
         |       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |            / CAST(sum_sq AS DOUBLE) END AS eff_vocab
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
+    // same total order (ts, event_id) rendered by string_agg; Spark
+    // assembles via struct-sort, DuckDB via ordered aggregate — the
+    // string is identical iff the order is truly total
+    "q156_assemble_sequences" ->
+      """SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '->' ORDER BY ts, event_id) AS sequence
+        |FROM events GROUP BY 1""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

@@ -147,4 +147,35 @@ object Sessionize {
     matrix.withColumn("p",
       col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
   }
+
+  /** Ordered sequence assembly: collapse each key's event stream into ONE
+    * row carrying the full ordered value sequence — the
+    * training-example builder (SFT conversations, behavioral-cloning
+    * trajectories, next-event-prediction examples) that turns a
+    * billion-row event log into per-key documents.
+    *
+    * Ordering is a TOTAL order — (ts, tieBreak) with tieBreak unique per
+    * key — pinned inside the row: events collect as structs whose field
+    * order is (ts, tie, value), `array_sort` orders them
+    * lexicographically by exactly that prefix, and only then is the
+    * value projected out and joined. Any engine assembling under the
+    * same total order produces the identical string.
+    *
+    * Shape at 100 TB: one hash aggregate keyed on `keyCol` (partial
+    * aggregation packs structs map-side; one key shuffle). Per-key state
+    * is the key's OWN event list — bounded by the training-example
+    * length a consumer could use anyway; keys too hot for that belong
+    * behind [[tagSkewSafe]]'s per-day split or a per-key cap upstream
+    * ([[graft.llmdata.Sampling]]), not in a single example. */
+  def assembleSequences(df: DataFrame, keyCol: String, tsCol: String,
+                        tieBreakCol: String, valueCol: String,
+                        sep: String = "->"): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(tsCol), col(tieBreakCol), col(valueCol)))),
+            x => x.getField(valueCol)),
+          sep).as("sequence"))
 }

@@ -106,4 +106,22 @@ class SessionizeSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1.0))),
       s"session boundary must cut the a3 -> a4 transition: $out")
   }
+
+  test("assembleSequences orders by (ts, tie) regardless of input order") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:00:$s%02d")
+    // arrival order scrambled; two events share ts(5) → event_id breaks
+    val ev = Seq(
+      (7L, ts(9), 3L, "C"), (7L, ts(5), 2L, "B"), (7L, ts(5), 1L, "A"),
+      (8L, ts(1), 4L, "X")).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Sessionize
+      .assembleSequences(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(7L) == ((3L, "A->B->C")))
+    assert(out(8L) == ((1L, "X")))
+    val shuffled = graft.operators.Sessionize
+      .assembleSequences(ev.orderBy(org.apache.spark.sql.functions.rand(42)),
+        "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(shuffled == out, "assembly must be input-order invariant")
+  }
 }
