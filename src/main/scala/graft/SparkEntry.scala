@@ -489,6 +489,10 @@ object SparkEntry {
       graft.operators.Sessionize.assembleSequences(
         t(s, d, "events"), "user_id", "ts", "event_id", "event_type")),
 
+    // tokenizer fertility / corpus-volume report per (lang, source)
+    "q157_token_fertility" -> ((s, d) =>
+      TextAnalysis.tokenFertility(t(s, d, "documents"), Seq("lang", "source"))),
+
     // per-source length quantiles: grouped value-count maps, the
     // cumulative window partitioned by group (no single-partition stage)
     "q155_quantiles_by_source" -> ((s, d) =>
@@ -2747,6 +2751,26 @@ object SparkEntry {
       """SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  string_agg(event_type, '->' ORDER BY ts, event_id) AS sequence
         |FROM events GROUP BY 1""".stripMargin,
+
+    // four exact BIGINT totals; each rate is ONE division of two exact
+    // integers (bit-identical IEEE on both engines, no rounding)
+    "q157_token_fertility" ->
+      """WITH f AS (SELECT lang, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars, octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(n_chars) AS DOUBLE)
+        |    / CAST(greatest(SUM(n_tokens), 1) AS DOUBLE) AS chars_per_token,
+        |  CAST(SUM(n_bytes) AS DOUBLE)
+        |    / CAST(greatest(SUM(n_tokens), 1) AS DOUBLE) AS bytes_per_token,
+        |  CAST(SUM(n_tokens) AS DOUBLE)
+        |    / CAST(greatest(COUNT(*), 1) AS DOUBLE) AS tokens_per_doc
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

@@ -1034,4 +1034,39 @@ object TextAnalysis {
           .otherwise(col("n_oov").cast("double") / col("n_tokens"))
           .as("oov_rate"))
   }
+
+  /** Tokenizer fertility / corpus-volume report per slice: document,
+    * token, character, and byte totals with the derived per-unit rates
+    * (chars per token ≈ tokenizer fertility, bytes per token = the
+    * storage-to-training-token exchange rate, tokens per doc = example
+    * granularity). These are the numbers a mix designer reads before
+    * assigning sampling weights to a source — and the denominators every
+    * "how many training tokens do we own" estimate is built on.
+    *
+    * Exactness: all four totals are BIGINT sums of integer per-row
+    * features; each rate is ONE division of two exact BIGINTs, so the
+    * IEEE result is bit-identical on any engine (cheat-sheet rule:
+    * divide exact integers once, never accumulate doubles).
+    *
+    * Shape at 100 TB: map-side partial aggregation collapses each
+    * partition to |slices| rows before the single hash-agg shuffle on
+    * the (few-hundred-value) group key — the same one-pass profile
+    * shape as [[vocabDrift]]'s totals. No window, no join. */
+  def tokenFertility(df: DataFrame, groupCols: Seq[String],
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val g = (c: Column) => greatest(c, lit(1L)).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).cast("long").as("total_tokens"),
+        sum(length(t).cast("long")).cast("long").as("total_chars"),
+        sum(octet_length(t).cast("long")).cast("long").as("total_bytes"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast("double") / g(col("total_tokens")))
+      .withColumn("bytes_per_token",
+        col("total_bytes").cast("double") / g(col("total_tokens")))
+      .withColumn("tokens_per_doc",
+        col("total_tokens").cast("double") / g(col("n_docs")))
+  }
 }

@@ -941,4 +941,31 @@ class LlmDataSpec extends SparkSpec {
     // doc2: 1 symbol, 10 tokens → 10·1 ≤ 10 exactly at the boundary: ok
     assert(out(2L).getBoolean(5))
   }
+
+  test("tokenFertility: exact totals and single-division rates per slice") {
+    val docs = Seq(
+      (1L, "en", "web", "ab cd"),        // 2 tokens, 5 chars
+      (2L, "en", "web", "xyz"),          // 1 token, 3 chars
+      (3L, "en", "book", ""),            // 0 tokens, 0 chars (guarded denom)
+      (4L, "de", "web", "äö üß")         // 2 tokens, 5 chars, 9 UTF-8 bytes
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextAnalysis.tokenFertility(docs, Seq("lang", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val enWeb = out(("en", "web"))
+    assert(enWeb.getAs[Long]("n_docs") == 2L)
+    assert(enWeb.getAs[Long]("total_tokens") == 3L)
+    assert(enWeb.getAs[Long]("total_chars") == 8L)
+    assert(enWeb.getAs[Long]("total_bytes") == 8L)          // pure ASCII
+    assert(enWeb.getAs[Double]("chars_per_token") == 8.0 / 3.0)
+    assert(enWeb.getAs[Double]("tokens_per_doc") == 1.5)
+    // multi-byte UTF-8: 4 letters × 2 bytes + 1 space = 9 bytes, 5 chars
+    val deWeb = out(("de", "web"))
+    assert(deWeb.getAs[Long]("total_chars") == 5L)
+    assert(deWeb.getAs[Long]("total_bytes") == 9L)
+    assert(deWeb.getAs[Double]("bytes_per_token") == 4.5)
+    // empty doc: zero totals survive the guarded denominator
+    val enBook = out(("en", "book"))
+    assert(enBook.getAs[Long]("total_tokens") == 0L)
+    assert(enBook.getAs[Double]("chars_per_token") == 0.0)
+  }
 }
