@@ -493,6 +493,10 @@ object SparkEntry {
     "q157_token_fertility" -> ((s, d) =>
       TextAnalysis.tokenFertility(t(s, d, "documents"), Seq("lang", "source"))),
 
+    // per-doc character-class census (encoding/script health check)
+    "q158_char_classes" -> ((s, d) =>
+      TextAnalysis.charClassProfile(t(s, d, "documents"), "doc_id", "text")),
+
     // per-source length quantiles: grouped value-count maps, the
     // cumulative window partitioned by group (no single-partition stage)
     "q155_quantiles_by_source" -> ((s, d) =>
@@ -2771,6 +2775,28 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS DOUBLE)
         |    / CAST(greatest(COUNT(*), 1) AS DOUBLE) AS tokens_per_doc
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // explicit ASCII classes only (no \p{...} — engine-portable);
+    // length-diff counting, one BIGINT/BIGINT division for the ratio
+    "q158_char_classes" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letters,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_space,
+        |  length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+        |  length(regexp_replace(text, '[ -~\t\n\r]', '', 'g')) AS n_non_ascii
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_letters AS BIGINT) AS n_letters,
+        |  CAST(n_digits AS BIGINT) AS n_digits,
+        |  CAST(n_space AS BIGINT) AS n_space,
+        |  CAST(n_punct AS BIGINT) AS n_punct,
+        |  CAST(n_non_ascii AS BIGINT) AS n_non_ascii,
+        |  CAST(n_chars - n_letters - n_digits - n_space - n_punct - n_non_ascii
+        |       AS BIGINT) AS n_other_ascii,
+        |  CAST(n_letters AS DOUBLE)
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS letter_ratio
+        |FROM c""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

@@ -1035,6 +1035,42 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Character-class census per document: exact counts of ASCII
+    * letters / digits / whitespace / punctuation, the non-ASCII tail,
+    * and whatever printable-ASCII residue is left — the script/encoding
+    * health check run before language ID (mojibake shows up as a fat
+    * `n_other_ascii`/`n_non_ascii`, binary-in-text as both). The ratio
+    * is ONE division of two exact BIGINTs.
+    *
+    * Counts come from length-difference against `regexp_replace` with
+    * explicit ASCII character classes — deliberately NOT `\p{...}`
+    * Unicode properties, whose syntax and semantics differ between
+    * regex engines (Java `\p{IsHan}` vs RE2 `\p{Han}`); explicit
+    * ranges behave identically everywhere. Non-ASCII = everything
+    * outside printable ASCII + [tab, LF, CR].
+    *
+    * Shape at 100 TB: pure map stage (six codegen'd regex counts per
+    * row, no shuffle); aggregate downstream by whatever slice the
+    * caller groups on. */
+  def charClassProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) = (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val letters = cnt("[A-Za-z]")
+    val digits = cnt("[0-9]")
+    val space = cnt("[ \t\n\r]")
+    val punct = cnt("[!-/:-@\\[-`{-~]")
+    val nonAscii = length(regexp_replace(t, "[ -~\t\n\r]", "")).cast("long")
+    df.select(col(idCol), length(t).cast("long").as("n_chars"),
+        letters.as("n_letters"), digits.as("n_digits"), space.as("n_space"),
+        punct.as("n_punct"), nonAscii.as("n_non_ascii"))
+      .withColumn("n_other_ascii",
+        col("n_chars") - col("n_letters") - col("n_digits") - col("n_space")
+          - col("n_punct") - col("n_non_ascii"))
+      .withColumn("letter_ratio",
+        col("n_letters").cast("double")
+          / greatest(col("n_chars"), lit(1L)).cast("double"))
+  }
+
   /** Tokenizer fertility / corpus-volume report per slice: document,
     * token, character, and byte totals with the derived per-unit rates
     * (chars per token ≈ tokenizer fertility, bytes per token = the

@@ -942,6 +942,30 @@ class LlmDataSpec extends SparkSpec {
     assert(out(2L).getBoolean(5))
   }
 
+  test("charClassProfile: every class counted exactly, residue classes split") {
+    val docs = Seq(
+      (1L, "Ab1 , é中"), // 2 letters, 1 digit, 2 space, 1 punct, 2 non-ASCII
+      (2L, "\u0007x"),      // BEL: outside [ -~] and tab/LF/CR -> non-ASCII tail
+      (3L, "")                      // empty: all zeros, guarded ratio
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charClassProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_chars") == 8L)
+    assert(d1.getAs[Long]("n_letters") == 2L)
+    assert(d1.getAs[Long]("n_digits") == 1L)
+    assert(d1.getAs[Long]("n_space") == 2L)
+    assert(d1.getAs[Long]("n_punct") == 1L)
+    assert(d1.getAs[Long]("n_non_ascii") == 2L)
+    assert(d1.getAs[Long]("n_other_ascii") == 0L)
+    assert(d1.getAs[Double]("letter_ratio") == 2.0 / 8.0)
+    // control chars below 0x20 fall in the non-ASCII (non-printable) tail
+    assert(out(2L).getAs[Long]("n_non_ascii") == 1L)
+    assert(out(2L).getAs[Long]("n_letters") == 1L)
+    assert(out(3L).getAs[Long]("n_chars") == 0L)
+    assert(out(3L).getAs[Double]("letter_ratio") == 0.0)
+  }
+
   test("tokenFertility: exact totals and single-division rates per slice") {
     val docs = Seq(
       (1L, "en", "web", "ab cd"),        // 2 tokens, 5 chars
