@@ -497,6 +497,19 @@ object SparkEntry {
     "q158_char_classes" -> ((s, d) =>
       TextAnalysis.charClassProfile(t(s, d, "documents"), "doc_id", "text")),
 
+    // consistent pseudonymization: doc-dependent + shared injected PII;
+    // the shared email maps to the SAME token in all 500 docs
+    "q159_pseudonymize" -> ((s, d) =>
+      TextAnalysis.pseudonymizePii(
+        t(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@corp.example.com or shared@example.org ref "),
+            (lit(7000000L) + col("doc_id") * 7).cast("string"),
+            lit(" tel 5551234567 end"))),
+        "doc_id", "text")
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrubbed_md5"),
+          col("n_pii"), col("pii_map"))),
+
     // per-source length quantiles: grouped value-count maps, the
     // cumulative window partitioned by group (no single-partition stage)
     "q155_quantiles_by_source" -> ((s, d) =>
@@ -2797,6 +2810,38 @@ object SparkEntry {
         |  CAST(n_letters AS DOUBLE)
         |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS letter_ratio
         |FROM c""".stripMargin,
+
+    // same (length DESC, value ASC) fold via struct-sorted list_reduce;
+    // chr(1) is the value/token pair separator inside the fold items
+    "q159_pseudonymize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@corp.example.com or shared@example.org ref '
+        |         || CAST(7000000 + doc_id * 7 AS BIGINT) || ' tel 5551234567 end' AS text
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+        |    list_distinct(regexp_extract_all(text, '\b\d{7,}\b')) AS nums
+        |  FROM aug),
+        |items AS (
+        |  SELECT doc_id, text,
+        |    list_transform(
+        |      list_sort(list_transform(emails, v -> struct_pack(k := -length(v), v := v))),
+        |      s -> s.v || chr(1) || '<EMAIL_' || substr(md5(s.v), 1, 8) || '>') ||
+        |    list_transform(
+        |      list_sort(list_transform(nums, v -> struct_pack(k := -length(v), v := v))),
+        |      s -> s.v || chr(1) || '<NUMBER_' || substr(md5(s.v), 1, 8) || '>') AS repl
+        |  FROM ext)
+        |SELECT doc_id,
+        |  md5(list_reduce(list_prepend(text, repl),
+        |      (acc, x) -> replace(acc, split_part(x, chr(1), 1),
+        |                          split_part(x, chr(1), 2)))) AS scrubbed_md5,
+        |  CAST(len(repl) AS BIGINT) AS n_pii,
+        |  array_to_string(list_transform(repl, x ->
+        |      split_part(x, chr(1), 1) || '=>' || split_part(x, chr(1), 2)), '|') AS pii_map
+        |FROM items""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

@@ -1035,6 +1035,53 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Consistent PII pseudonymization: every email / long-digit-run match
+    * is replaced by a STABLE typed token `<KIND_xxxxxxxx>` (first 8 hex
+    * chars of md5 of the matched value) instead of [[redactPii]]'s
+    * lossy fixed tag — the same value maps to the same token in every
+    * document, so cross-document joins on the pseudonym still work
+    * (referential integrity preserved) while the raw value never leaves
+    * the row. The per-doc mapping is emitted alongside (`pii_map`,
+    * rendered under a total order) so a governed re-identification
+    * table can be split off and access-controlled.
+    *
+    * Replacement is a FOLD over the doc's distinct matches sorted by
+    * (length DESC, value ASC): longer values replace first, so a value
+    * that is a substring of another (`a@b.com` inside `xa@b.com`, a
+    * digit run inside an email) cannot corrupt the longer match's
+    * replacement. The sort key is a (−length, value) struct — struct
+    * ordering is lexicographic-by-field in Spark and DuckDB alike, so
+    * the fold order (and therefore the output) is engine-portable.
+    * Number extraction runs against the ORIGINAL text: a digit run
+    * that only occurs inside an email is listed in the mapping but its
+    * replace is a no-op on the already-scrubbed string (deterministic
+    * on any engine; documented wart, not a hazard).
+    *
+    * Shape at 100 TB: pure map stage — two regex extractions and a
+    * per-row fold over a handful of matches (the HOF-lambda cost is
+    * bounded by PII density, not text length; the regex scans
+    * dominate). No shuffle, no state. */
+  def pseudonymizePii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "\\b\\d{7,}\\b"
+    def items(re: String, kind: String): Column =
+      transform(
+        array_sort(transform(
+          array_distinct(regexp_extract_all(t, lit(re), lit(0))),
+          v => struct((-length(v)).as("k"), v.as("v")))),
+        s => struct(s.getField("v").as("v"),
+          concat(lit("<" + kind + "_"),
+            substring(md5(s.getField("v")), 1, 8), lit(">")).as("tok")))
+    df.withColumn("__repl", concat(items(emailRe, "EMAIL"), items(numRe, "NUMBER")))
+      .withColumn("scrubbed", aggregate(col("__repl"), t,
+        (acc, x) => replace(acc, x.getField("v"), x.getField("tok"))))
+      .withColumn("n_pii", size(col("__repl")).cast("long"))
+      .withColumn("pii_map", array_join(transform(col("__repl"),
+        x => concat(x.getField("v"), lit("=>"), x.getField("tok"))), "|"))
+      .drop("__repl")
+  }
+
   /** Character-class census per document: exact counts of ASCII
     * letters / digits / whitespace / punctuation, the non-ASCII tail,
     * and whatever printable-ASCII residue is left — the script/encoding

@@ -942,6 +942,35 @@ class LlmDataSpec extends SparkSpec {
     assert(out(2L).getBoolean(5))
   }
 
+  test("pseudonymizePii: stable tokens, substring-safe fold, cross-doc consistency") {
+    def h8(v: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val docs = Seq(
+      (1L, "ping a@b.com and xa@b.com now"),  // a@b.com substring of xa@b.com
+      (2L, "call 12345678@mail.net asap"),    // digit run inside the email
+      (3L, "a@b.com again"),                  // same value as doc 1
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pseudonymizePii(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // longer email replaced first: the short one's token must not corrupt it
+    assert(out(1L).getAs[String]("scrubbed") ==
+      s"ping <EMAIL_${h8("a@b.com")}> and <EMAIL_${h8("xa@b.com")}> now")
+    assert(out(1L).getAs[Long]("n_pii") == 2L)
+    // the digit run is listed in the map but already scrubbed inside the email
+    assert(out(2L).getAs[String]("scrubbed")
+      .startsWith(s"call <EMAIL_${h8("12345678@mail.net")}>"))
+    assert(out(2L).getAs[Long]("n_pii") == 2L)
+    assert(out(2L).getAs[String]("pii_map").contains("12345678=>"))
+    // the same value pseudonymizes to the same token in a different doc
+    assert(out(3L).getAs[String]("scrubbed") ==
+      s"<EMAIL_${h8("a@b.com")}> again")
+    // no PII: text passes through untouched
+    assert(out(4L).getAs[String]("scrubbed") == "clean text")
+    assert(out(4L).getAs[Long]("n_pii") == 0L)
+    assert(out(4L).getAs[String]("pii_map") == "")
+  }
+
   test("charClassProfile: every class counted exactly, residue classes split") {
     val docs = Seq(
       (1L, "Ab1 , é中"), // 2 letters, 1 digit, 2 space, 1 punct, 2 non-ASCII
