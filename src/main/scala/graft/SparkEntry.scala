@@ -510,6 +510,13 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("scrubbed")).as("scrubbed_md5"),
           col("n_pii"), col("pii_map"))),
 
+    // padding waste of length-sorted batch assembly (batch = 32 docs)
+    "q160_padding_waste" -> ((s, d) =>
+      graft.llmdata.Sampling.paddingWaste(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 32)),
+
     // per-source length quantiles: grouped value-count maps, the
     // cumulative window partitioned by group (no single-partition stage)
     "q155_quantiles_by_source" -> ((s, d) =>
@@ -2842,6 +2849,24 @@ object SparkEntry {
         |  array_to_string(list_transform(repl, x ->
         |      split_part(x, chr(1), 1) || '=>' || split_part(x, chr(1), 2)), '|') AS pii_map
         |FROM items""".stripMargin,
+
+    // same total order (n_tokens, doc_id); DuckDB // ≡ Spark div
+    "q160_padding_waste" ->
+      """WITH f AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk FROM f)
+        |SELECT CAST(rk // 32 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS padded_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS waste_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+        |    / CAST(greatest(COUNT(*) * MAX(n_tokens), 1) AS DOUBLE) AS waste_frac
+        |FROM r GROUP BY 1""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

@@ -342,4 +342,47 @@ object Sampling {
       .filter(col("rank_in_stratum") <= col("__quota"))
       .drop("__quota")
   }
+
+  /** Padding-waste report for length-bucketed batch assembly: order the
+    * corpus by (token count, id) — the total order a dynamic-batching
+    * loader uses — cut it into fixed-size batches, and report per batch
+    * how many pad tokens the batch-max padding convention burns
+    * (`padded = n_docs × max_tokens`, `waste = padded − sum_tokens`).
+    * This is the report that justifies length-bucketed batching: sorted
+    * batches put like-sized docs together, so waste_frac collapses vs
+    * arrival-order batching. All counts are exact BIGINTs; the fraction
+    * is ONE division.
+    *
+    * The global rank is NOT a single-partition window: per-value counts
+    * aggregate first (the value domain — distinct token LENGTHS — is
+    * bounded, the q153 partial-quantile argument), the exclusive
+    * cumulative runs over that value-count table, and each doc's rank =
+    * its value's cumulative-before + its row_number within the value
+    * (window partitioned by token count — distributed). `idCol` must be
+    * unique: it is the tie-break that makes the order total and the
+    * batches engine-portable. */
+  def paddingWaste(df: DataFrame, idCol: String, tokenCol: String,
+                   batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val vc = df.groupBy(col(tokenCol).as("__v")).agg(count(lit(1)).as("__cnt"))
+    val cum = vc
+      .withColumn("__cum_before",
+        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .select(col("__v"), col("__cum_before"))
+    val byVal = Window.partitionBy(col(tokenCol)).orderBy(col(idCol))
+    df.join(graft.operators.Broadcasts.maybeBroadcast(cum),
+        col(tokenCol) === col("__v"))
+      .withColumn("__rank",
+        col("__cum_before") + row_number().over(byVal).cast("long") - 1L)
+      .withColumn("batch_id", expr(s"__rank div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokenCol)).cast("long").as("max_tokens"),
+        sum(col(tokenCol)).cast("long").as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+      .withColumn("waste_frac", col("waste_tokens").cast("double")
+        / greatest(col("padded_tokens"), lit(1L)).cast("double"))
+  }
 }

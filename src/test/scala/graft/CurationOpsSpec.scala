@@ -91,4 +91,30 @@ class CurationOpsSpec extends SparkSpec {
       .agg(sum(col("n_oov"))).head.getLong(0)
     assert(out == 0L, "vocab covering every term → zero OOV anywhere")
   }
+
+  test("paddingWaste: length-sorted batches, exact waste, short tail batch") {
+    // 5 docs, batch of 2: sorted token counts (1,2,3,5,9) →
+    // batches [1,2] [3,5] [9]; waste = 1, 2, 0
+    val docs = Seq((10L, 9L), (11L, 1L), (12L, 5L), (13L, 2L), (14L, 3L))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.llmdata.Sampling.paddingWaste(docs, "doc_id", "n_tokens", 2)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).getAs[Long]("max_tokens") == 2L)
+    assert(out(0L).getAs[Long]("waste_tokens") == 1L)   // 2*2 - 3
+    assert(out(1L).getAs[Long]("waste_tokens") == 2L)   // 2*5 - 8
+    assert(out(1L).getAs[Double]("waste_frac") == 2.0 / 10.0)
+    // tail batch has one doc: padded == sum, zero waste
+    assert(out(2L).getAs[Long]("n_docs") == 1L)
+    assert(out(2L).getAs[Long]("waste_tokens") == 0L)
+  }
+
+  test("paddingWaste ties broken by id: equal lengths split deterministically") {
+    // four docs all length 4, batch of 3 → batch 0 = ids (1,2,3), batch 1 = (4)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.llmdata.Sampling.paddingWaste(docs, "doc_id", "n_tokens", 3)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(0L -> 3L, 1L -> 1L))
+  }
 }
