@@ -517,6 +517,16 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", 32)),
 
+    // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
+    // only thins the fact scan); oracle is the plain EXISTS form
+    "q161_bloom_semijoin" -> ((s, d) =>
+      graft.operators.BloomJoin.semiJoin(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey")),
+        t(s, d, "part").filter(col("p_size") < 10)
+          .select(col("p_partkey").as("l_partkey")),
+        "l_partkey", expectedItems = 10000L)),
+
     // per-source length quantiles: grouped value-count maps, the
     // cumulative window partitioned by group (no single-partition stage)
     "q155_quantiles_by_source" -> ((s, d) =>
@@ -2867,6 +2877,13 @@ object SparkEntry {
         |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
         |    / CAST(greatest(COUNT(*) * MAX(n_tokens), 1) AS DOUBLE) AS waste_frac
         |FROM r GROUP BY 1""".stripMargin,
+
+    // the bloom filter is plan-only: the exact semi-join defines results
+    "q161_bloom_semijoin" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM part p
+        |              WHERE p.p_partkey = l.l_partkey AND p.p_size < 10)""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

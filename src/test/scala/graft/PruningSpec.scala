@@ -247,4 +247,39 @@ class PruningSpec extends SparkSpec {
     assert(after.inputFiles.length == 1)
     assert(after.count() == 2000)
   }
+
+  test("bloom semi-join probes in the fact scan stage, below the join") {
+    // parquet-backed fact: a LocalRelation would let the optimizer
+    // evaluate the probe at plan time and hide it from the plan text
+    val path = Files.createTempDirectory("graft-bloom").toString + "/fact"
+    (1L to 2000L).map(i => (i, i % 97)).toDF("id", "k")
+      .write.parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Seq(3L, 5L, 7L).toDF("k")
+    val out = graft.operators.BloomJoin.semiJoin(fact, dim, "k",
+      expectedItems = 16L)
+    val plan = out.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val probeLine = lines.indexWhere(_.contains("might_contain"))
+    val joinLine = lines.indexWhere(_.contains("Join"))
+    val factScanLine = lines.indexWhere(_.contains("parquet"))
+    assert(probeLine >= 0, s"bloom probe must appear in the plan:\n$plan")
+    // tree dump order: join above, probe filter below it, parquet scan
+    // below the probe — the probe thins the fact stream inside the scan
+    // stage, before any exchange the join needs
+    assert(joinLine < probeLine && probeLine < factScanLine,
+      s"probe must sit between join and fact scan:\n$plan")
+  }
+
+  test("bloom semi-join result is exactly the plain semi-join") {
+    val fact = ((1L to 500L).map(i => (i, i % 13)) :+ ((501L, -1L)))
+      .toDF("id", "k")
+    val dim = Seq(0L, 4L, 12L).toDF("k")
+    val bloomed = graft.operators.BloomJoin.semiJoin(fact, dim, "k", 16L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"))).toSet
+    val plain = fact.join(dim, Seq("k"), "left_semi")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"))).toSet
+    assert(bloomed == plain)
+    assert(plain.nonEmpty && !plain.exists(_._2 == -1L))
+  }
 }
