@@ -111,6 +111,70 @@ object Streaming {
       }
       .start()
 
+  /** End-to-end streaming curation: the full ingestion pipeline a
+    * training corpus actually runs, composed in admission order inside
+    * one foreachBatch —
+    *
+    *   1. quality gate ([[graft.llmdata.TextAnalysis.qualityScore]] ≥
+    *      `minQuality`) — cheapest first, pure map stage;
+    *   2. batch-internal exact dedup (min-id per normalized
+    *      fingerprint — a batch must not admit its own copies);
+    *   3. corpus-level exact dedup: anti-join against the STORED
+    *      corpus' fingerprint column (only 32-char fingerprints
+    *      shuffle; the corpus text is never re-read);
+    *   4. near-dup admission against the persisted LSH signature index
+    *      + [[graft.llmdata.DedupOps.signatureAppend]] + corpus append
+    *      (the [[dedupAdmissionSink]] core).
+    *
+    * The admitted corpus at `corpusPath` carries a `fingerprint` column
+    * so step 3 of every FUTURE batch is a fingerprint-only anti-join —
+    * the at-scale contract: per-batch cost depends on batch size and
+    * index size, never on corpus text volume.
+    *
+    * Exactly-once caveat as [[dedupAdmissionSink]]: appends are not
+    * transactional with the checkpoint; a replayed batch re-probes the
+    * index it already appended to, so its rows arrive as exact dups and
+    * are rejected by step 3 — replay amplification is bounded by the
+    * one batch that crashed mid-append. */
+  def curationIngestSink(df: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, corpusPath: String,
+                         checkpoint: String, minQuality: Double = 0.3,
+                         shingleSize: Int = 3, bands: Int = 4,
+                         rows: Int = 4, jaccardThreshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val keep = batch.columns.map(col)
+        val gated = graft.llmdata.TextAnalysis.qualityScore(batch, textCol)
+          .filter(col("quality_score") >= minQuality)
+          .select(keep: _*)
+        val fp = gated.withColumn("fingerprint",
+          graft.llmdata.TextAnalysis.fingerprint(col(textCol)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint")).orderBy(col(idCol))
+        val uniq = fp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fresh = graft.sources.Tables.readParquetIfExists(ss, corpusPath)
+          .fold(uniq)(c =>
+            uniq.join(c.select(col("fingerprint")), Seq("fingerprint"), "left_anti"))
+          .localCheckpoint(true)
+        val admitted = graft.llmdata.DedupOps.incrementalDedupIndexed(
+          ss, indexPath, fresh, idCol, textCol,
+          shingleSize, bands, rows, jaccardThreshold)
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.write.mode("append").parquet(corpusPath)
+          graft.llmdata.DedupOps.signatureAppend(
+            admitted, idCol, textCol, indexPath, shingleSize, bands, rows)
+        }
+        fresh.unpersist()
+        admitted.unpersist()
+        ()
+      }
+      .start()
+
   /** Continuous ANN-index maintenance — the vector twin of
     * [[dedupAdmissionSink]]: each micro-batch of embeddings is assigned
     * to the EXISTING centroids of a materialized IVF index

@@ -112,6 +112,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation ingest sink: quality gate, exact + near dedup, corpus growth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val (idx, corpus, ckpt) = (dir + "/idx", dir + "/corpus", dir + "/ckpt")
+    graft.llmdata.DedupOps.signatureWrite(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.curationIngestSink(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, corpus, ckpt,
+      minQuality = 0.3, jaccardThreshold = 0.5)
+    try {
+      // batch 1: good novel doc + its exact intra-batch copy + a
+      // too-short quality reject → admit only 10
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog and then runs home across the wide green field"),
+        (11L, "the quick brown fox jumps over the lazy dog and then runs home across the wide green field"),
+        (12L, "too short"))
+      q.processAllAvailable()
+      def ids() = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids() == Set(10L))
+      // batch 2: cross-batch exact dup (fingerprint anti-join), a
+      // near-dup (LSH admission), and a novel doc → admit only 22
+      // 21 appends two words to 10's text: shingle Jaccard ≈ 16/18,
+      // far above the 0.5 threshold — a true near-dup
+      in.addData(
+        (20L, "the quick brown fox jumps over the lazy dog and then runs home across the wide green field"),
+        (21L, "the quick brown fox jumps over the lazy dog and then runs home across the wide green field again tonight"),
+        (22L, "completely different vocabulary appears in the new document"))
+      q.processAllAvailable()
+      assert(ids() == Set(10L, 22L))
+      // the stored corpus carries the fingerprint column that makes the
+      // NEXT batch's exact dedup a fingerprint-only anti-join
+      assert(spark.read.parquet(corpus).columns.contains("fingerprint"))
+    } finally q.stop()
+  }
+
   test("scd2 sink maintains the version history across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
