@@ -517,6 +517,10 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", 32)),
 
+    // upper-triangle embedding covariance (PCA/drift diagnostics input)
+    "q162_embedding_cov" -> ((s, d) =>
+      Similarity.covarianceMatrix(t(s, d, "embeddings"), "vec_id", "embedding")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2884,6 +2888,28 @@ object SparkEntry {
         |FROM lineitem l
         |WHERE EXISTS (SELECT 1 FROM part p
         |              WHERE p.p_partkey = l.l_partkey AND p.p_size < 10)""".stripMargin,
+
+    // float products are exact in double; both sum families go through
+    // DECIMAL(20,6); cov is the same fixed IEEE tree as the Spark side
+    "q162_embedding_cov" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT vec_id,
+        |    CAST(unnest(generate_series(1, len(emb))) - 1 AS INT) AS i,
+        |    unnest(emb) AS xi
+        |  FROM e),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |s AS (SELECT i, CAST(SUM(CAST(xi AS DECIMAL(20,6))) AS DOUBLE) AS si
+        |      FROM x GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |        CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(20,6))) AS DOUBLE) AS sij
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |      GROUP BY 1, 2)
+        |SELECT p.i, p.j, n1.n AS n, p.sij,
+        |  (p.sij / CAST(n1.n AS DOUBLE))
+        |    - ((sa.si / CAST(n1.n AS DOUBLE)) * (sb.si / CAST(n1.n AS DOUBLE))) AS cov
+        |FROM p, n1
+        |JOIN s sa ON sa.i = p.i
+        |JOIN s sb ON sb.i = p.j""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

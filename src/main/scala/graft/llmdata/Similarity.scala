@@ -655,4 +655,81 @@ object Similarity {
           col("n_clean").cast("double") / col("n_vectors").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Embedding covariance matrix (upper triangle): population covariance
+    * of every dimension pair — the input to PCA-style drift diagnostics
+    * (anisotropy, collapsed dimensions, batch-over-batch rotation). One
+    * (i, j, n, sij, cov) row per pair with i ≤ j.
+    *
+    * Exactness: float→double is exact, a product of two floats is exact
+    * in double (24-bit mantissas), and both the per-dim sums and the
+    * per-pair product sums go through the decimal-exact path
+    * ([[graft.functions.ScalarFns.exactSum]]) — deterministic at any
+    * partitioning. The final `cov = sij/n − (si/n)(sj/n)` is a fixed
+    * IEEE expression tree mirrored by the oracle.
+    *
+    * Shape at 100 TB: two chained codegen generators fan each vector
+    * into its d(d+1)/2 upper-triangle pairs, then ONE hash aggregate
+    * keyed (i, j) with map-side combine — each partition collapses to
+    * ≤ d(d+1)/2 partials before the (tiny) shuffle; the d-row dim-sum
+    * frame and 1-row count broadcast back onto the d²-row result.
+    * The fan-out is inherent to covariance (every pair needs every
+    * row's product); nothing is quadratic in ROWS. */
+  def covarianceMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = df.select(col(idCol), col(vecCol).as("__v"),
+        posexplode(col(vecCol)))
+      .select(col(idCol), col("__v"), col("pos").as("i"),
+        col("col").cast("double").as("xi"))
+    val pairs = x.select(col("i"), col("xi"), posexplode(col("__v")))
+      .filter(col("pos") >= col("i"))
+      .select(col("i"), col("xi"), col("pos").as("j"),
+        col("col").cast("double").as("xj"))
+    val sij = pairs.groupBy(col("i"), col("j"))
+      .agg(graft.functions.ScalarFns.exactSum(col("xi") * col("xj")).as("sij"))
+    val si = x.groupBy(col("i"))
+      .agg(graft.functions.ScalarFns.exactSum(col("xi")).as("si"))
+    val n = df.agg(count(lit(1)).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    sij.crossJoin(broadcast(n))
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        si.select(col("i").as("__ia"), col("si").as("__sa"))), col("i") === col("__ia"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        si.select(col("i").as("__ib"), col("si").as("__sb"))), col("j") === col("__ib"))
+      .select(col("i"), col("j"), col("n"), col("sij"),
+        ((col("sij") / nD) - ((col("__sa") / nD) * (col("__sb") / nD))).as("cov"))
+  }
+
+  /** Dominant principal component by power iteration over
+    * [[covarianceMatrix]]: the covariance matrix is METADATA-scale
+    * (d(d+1)/2 entries — 2,080 doubles at d=64), so it is collected and
+    * iterated on the driver; the corpus itself is touched exactly once
+    * (by covarianceMatrix). Fixed iteration count and a deterministic
+    * uniform start vector — no randomness, same loadings every run.
+    * Returns (loadings normalized to unit L2 with a sign convention —
+    * largest-|loading| dim made positive — and the Rayleigh-quotient
+    * eigenvalue estimate). */
+  def topPrincipalComponent(df: DataFrame, idCol: String, vecCol: String,
+                            iterations: Int = 50): (Array[Double], Double) = {
+    require(iterations > 0)
+    val entries = covarianceMatrix(df, idCol, vecCol)
+      .select(col("i"), col("j"), col("cov")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(entries.nonEmpty, "topPrincipalComponent: empty corpus")
+    val d = entries.iterator.map(_._2).max + 1
+    val m = Array.ofDim[Double](d, d)
+    entries.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    (1 to iterations).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(k => m(i)(k) * v(k)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) {
+        v = w.map(_ / norm)
+        lambda = norm
+      }
+    }
+    val signDim = v.indices.maxBy(i => math.abs(v(i)))
+    val signed = if (v(signDim) < 0) v.map(-_) else v
+    (signed, lambda)
+  }
 }

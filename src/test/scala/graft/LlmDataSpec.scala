@@ -942,6 +942,34 @@ class LlmDataSpec extends SparkSpec {
     assert(out(2L).getBoolean(5))
   }
 
+  test("covarianceMatrix: hand-computed upper triangle, exact sums") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), (3L, Array(5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMatrix(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set((0, 0), (0, 1), (1, 1)))
+    assert(out((0, 0)) == ((3L, 35.0, 35.0 / 3.0 - (9.0 / 3.0) * (9.0 / 3.0))))
+    assert(out((0, 1)) == ((3L, 14.0, 14.0 / 3.0 - (9.0 / 3.0) * (6.0 / 3.0))))
+    assert(out((1, 1)) == ((3L, 20.0, 20.0 / 3.0 - (6.0 / 3.0) * (6.0 / 3.0))))
+  }
+
+  test("topPrincipalComponent finds the dominant axis deterministically") {
+    // variance ~100 along dim 0, ~1 along dim 1, 0 along dim 2
+    val vecs = (1 to 40).map { k =>
+      val a = if (k % 2 == 0) 10.0f else -10.0f
+      val b = if (k % 4 < 2) 1.0f else -1.0f
+      (k.toLong, Array(a, b, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val (v1, lambda1) = Similarity.topPrincipalComponent(vecs, "vec_id", "embedding")
+    assert(math.abs(v1(0)) > 0.999, s"dominant loading must be dim 0: ${v1.toSeq}")
+    assert(v1(0) > 0, "sign convention: largest-|loading| dim positive")
+    assert(math.abs(lambda1 - 100.0) < 1.0, s"eigenvalue ~ var(dim0): $lambda1")
+    val (v2, _) = Similarity.topPrincipalComponent(vecs, "vec_id", "embedding")
+    assert(v1.toSeq == v2.toSeq, "re-run must be bit-identical")
+  }
+
   test("pseudonymizePii: stable tokens, substring-safe fold, cross-doc consistency") {
     def h8(v: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
