@@ -521,6 +521,11 @@ object SparkEntry {
     "q162_embedding_cov" -> ((s, d) =>
       Similarity.covarianceMatrix(t(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // exact source×source shingle-set Jaccard (content overlap matrix)
+    "q163_source_overlap" -> ((s, d) =>
+      DedupOps.sourceShingleOverlap(t(s, d, "documents"), "source", "text",
+        shingleSize = 3)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2910,6 +2915,25 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // distinct (source, shingle) stream, sizes, shingle-keyed self-join
+    "q163_source_overlap" ->
+      """WITH toks AS (SELECT source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh0 AS (SELECT source, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+        |shd AS (SELECT DISTINCT source, s FROM sh0),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_common
+        |          FROM shd a JOIN shd b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+        |  CAST(i.n_common AS DOUBLE)
+        |    / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.source = i.source_a
+        |JOIN sizes sb ON sb.source = i.source_b""".stripMargin,
 
     // grouped twin of q153's threshold: PARTITION BY grp in both
     // windows, same integer cross-multiplication

@@ -1045,4 +1045,53 @@ object DedupOps {
           col("n_common").cast("double") / col("n_candidate").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Source-level content-overlap matrix: exact shingle-set Jaccard for
+    * every source pair — which sources carry the same CONTENT, whether
+    * or not whole documents near-duplicate (the complement of the
+    * doc-pair rollup in q137's copy matrix: a source that scatters
+    * copied passages across many documents shows up here and not
+    * there). One (source_a, source_b, n_a, n_b, n_common, jaccard) row
+    * per unordered pair with n_common > 0; counts are exact BIGINTs,
+    * jaccard is ONE division.
+    *
+    * Shape at 100 TB: distinct (source, shingle) pairs first (one
+    * shuffle keyed by (source, shingle)); sizes are a source-keyed agg;
+    * the intersection self-join shuffles by SHINGLE and fans out s² per
+    * shingle only across the sources actually sharing it. For corpora
+    * with thousands of sources, `maxSourcesPerShingle` caps that
+    * fan-out by dropping shingles present in more than `cap` sources —
+    * boilerplate n-grams carry no copy signal (the same df-cap argument
+    * as [[containmentPairs]]); the cap changes the measure and is
+    * therefore part of the operator's declared semantics, not a silent
+    * optimization. */
+  def sourceShingleOverlap(df: DataFrame, sourceCol: String, textCol: String,
+                           shingleSize: Int,
+                           maxSourcesPerShingle: Option[Int] = None): DataFrame = {
+    val shd = df.select(col(sourceCol).as("source"),
+        explode(shingles(col(textCol), shingleSize)).as("s"))
+      .distinct()
+    val capped = maxSourcesPerShingle.fold(shd) { cap =>
+      require(cap >= 2, s"maxSourcesPerShingle must be >= 2, got $cap")
+      val keep = shd.groupBy(col("s"))
+        .agg(count(lit(1)).as("__ns")).filter(col("__ns") <= cap)
+        .select(col("s"))
+      shd.join(keep, Seq("s"), "left_semi")
+    }
+    val sizes = capped.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
 }

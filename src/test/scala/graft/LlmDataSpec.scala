@@ -942,6 +942,32 @@ class LlmDataSpec extends SparkSpec {
     assert(out(2L).getBoolean(5))
   }
 
+  test("sourceShingleOverlap: exact pair jaccard, df cap drops boilerplate") {
+    val docs = Seq(
+      (1L, "A", "one two three four"),     // shingles: {one two three, two three four}
+      (2L, "A", "one two three"),          // dup shingle within source → distinct
+      (3L, "B", "one two three five six"), // shares "one two three"
+      (4L, "C", "one two three"),          // the shared shingle spans 3 sources
+      (5L, "C", "totally different words here")
+    ).toDF("doc_id", "source", "text")
+    val out = DedupOps.sourceShingleOverlap(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // sizes: A=2, B=3, C=3; every pair shares exactly {one two three}
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")) == ((2L, 3L, 1L, 1.0 / 4.0)))
+    assert(out(("A", "C")) == ((2L, 3L, 1L, 1.0 / 4.0)))
+    assert(out(("B", "C")) == ((3L, 3L, 1L, 1.0 / 5.0)))
+    // cap 2 drops the 3-source boilerplate shingle → no overlap remains
+    val capped = DedupOps.sourceShingleOverlap(docs, "source", "text", 3,
+      maxSourcesPerShingle = Some(2))
+    assert(capped.collect().isEmpty)
+    // cap 3 keeps it → matrix unchanged
+    val capped3 = DedupOps.sourceShingleOverlap(docs, "source", "text", 3,
+      maxSourcesPerShingle = Some(3))
+    assert(capped3.collect().length == 3)
+  }
+
   test("covarianceMatrix: hand-computed upper triangle, exact sums") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), (3L, Array(5.0f, 0.0f))
