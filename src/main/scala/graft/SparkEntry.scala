@@ -526,6 +526,27 @@ object SparkEntry {
       DedupOps.sourceShingleOverlap(t(s, d, "documents"), "source", "text",
         shingleSize = 3)),
 
+    // CDC retraction maintenance: stored daily partials + a change batch
+    // (deletes incl. per-day extremes + inserts) ≡ direct aggregate of
+    // the post-CDC state — count/sum retract algebraically, extreme-
+    // touching days rebuild day-pruned
+    "q164_agg_cdc" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val stored = graft.operators.AggMerge.dailyPartial(ev, "ts", "value")
+      val del = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+        .withColumn("op", lit("delete"))
+      val ins = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
+          (col("value") * 2).as("value"))
+        .withColumn("op", lit("insert"))
+      graft.operators.AggMerge.finish(
+        graft.operators.AggMerge.applyCdc(stored, ev,
+          del.select("op", "event_id", "ts", "value")
+            .unionByName(ins.select("op", "event_id", "ts", "value")),
+          "event_id", "ts", "value"))
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2915,6 +2936,20 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // the oracle aggregates the post-CDC state directly: the claim is
+    // retract-then-merge ≡ recompute, bit-exact (q133's merge analog)
+    "q164_agg_cdc" ->
+      """WITH ins AS (SELECT event_id + 1000000000 AS event_id,
+        |    ts + INTERVAL 1 HOUR AS ts, value * 2 AS value
+        |  FROM events WHERE event_id % 5 = 0),
+        |new_state AS (
+        |  SELECT event_id, ts, value FROM events WHERE event_id % 7 <> 0
+        |  UNION ALL SELECT event_id, ts, value FROM ins)
+        |SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM new_state GROUP BY 1""".stripMargin,
 
     // distinct (source, shingle) stream, sizes, shingle-keyed self-join
     "q163_source_overlap" ->

@@ -63,6 +63,83 @@ object AggMerge {
       col("sum_value_dec").cast("double").as("sum_value"),
       col("min_value"), col("max_value"))
 
+  /** Apply a CDC batch (inserts + deletes) to a stored daily-partial
+    * table WITHOUT rescanning untouched history — the retraction half of
+    * incremental-view maintenance that [[merge]] alone cannot express
+    * (merge only ever ADDS partials).
+    *
+    * Algebra, per day:
+    *  - COUNT and the decimal SUM are fully retractable: subtract the
+    *    delete-batch partial exactly (pure integer arithmetic, so
+    *    retract-then-merge is bit-identical to a recompute).
+    *  - MIN/MAX are NOT retractable: deleting a non-extreme value
+    *    provably leaves them unchanged (kept, no rescan), but deleting a
+    *    value at the stored extreme — or emptying the day — makes them
+    *    unknowable from partials alone. Those days (and only those) are
+    *    rebuilt from `base`, the CURRENT pre-CDC fact slice.
+    *
+    * Scale contract at 100 TB: the per-day delete summary and the
+    * flagged-day frame are metadata-scale (|days| rows); the only base
+    * reads are (a) the semi-join-pruned rebuild of flagged days — with a
+    * day-partitioned base table this is dynamic-partition-pruned to the
+    * affected partitions — and (b) nothing else. A typical CDC batch
+    * deletes few rows and flags fewer days, so maintenance cost tracks
+    * the delta, not the corpus. Deletes are matched by `idCol` (the CDC
+    * row carries the full deleted row — the standard change-feed shape);
+    * delete rows MUST correspond to live base rows exactly once, the
+    * usual change-capture contract.
+    *
+    * Compose with `Streaming.aggMergeSink`-style persistence for the
+    * stored side; the result is a partial table in the same shape as
+    * [[dailyPartial]], so [[finish]] and further [[merge]]s apply. */
+  def applyCdc(partials: DataFrame, base: DataFrame, cdc: DataFrame,
+               idCol: String, tsCol: String, valCol: String,
+               opCol: String = "op"): DataFrame = {
+    val ins = cdc.filter(col(opCol) === "insert")
+      .drop(opCol)
+    val del = cdc.filter(col(opCol) === "delete")
+    // Per-day retraction summary: counts and decimal sums subtract
+    // exactly; the delete-side extremes only DECIDE whether min/max
+    // survive, they never become outputs.
+    val delAdj = del.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_del"),
+        sum(col(valCol).cast("decimal(20,6)")).cast(sumType).as("sum_del"),
+        min(col(valCol)).as("min_del"),
+        max(col(valCol)).as("max_del"))
+    // A day needs a rebuild iff a delete reached the stored extreme or
+    // emptied the day. NULL-valued deletes cannot move min/max
+    // (coalesce(false)); days absent from the delete batch never rebuild.
+    val touched = partials.join(delAdj, Seq("day"), "inner")
+    val flagExpr = coalesce(col("min_del") <= col("min_value"), lit(false))
+      .or(coalesce(col("max_del") >= col("max_value"), lit(false)))
+      .or(col("n_del") === col("n_events"))
+    val rebuildDays = touched.filter(flagExpr).select(col("day"))
+    // Safe retraction path: delete-touched days whose extremes survive.
+    val retracted = touched.filter(!flagExpr)
+      .select(col("day"),
+        (col("n_events") - col("n_del")).cast("long").as("n_events"),
+        (col("sum_value_dec") - col("sum_del")).cast(sumType).as("sum_value_dec"),
+        col("min_value"), col("max_value"))
+    val untouched = partials
+      .join(broadcast(delAdj.select(col("day"))), Seq("day"), "left_anti")
+    // Flagged days rebuild from the post-CDC day state: base minus its
+    // deleted rows plus the batch's inserts, day-pruned by semi-join
+    // (dynamic partition pruning on a day-partitioned base).
+    val flaggedKey = broadcast(rebuildDays.withColumnRenamed("day", "__day"))
+    def daySlice(df: DataFrame, joinType: String): DataFrame =
+      df.withColumn("__day", to_date(col(tsCol)))
+        .join(flaggedKey, Seq("__day"), joinType)
+        .drop("__day")
+    val cols = Seq(idCol, tsCol, valCol).map(col)
+    val rebuiltState = daySlice(base.select(cols: _*), "left_semi")
+      .join(del.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(daySlice(ins.select(cols: _*), "left_semi"))
+    val rebuilt = dailyPartial(rebuiltState, tsCol, valCol)
+    // Inserts on non-flagged days merge as ordinary new partials.
+    val insP = dailyPartial(daySlice(ins, "left_anti"), tsCol, valCol)
+    merge(Seq(untouched, retracted, insP)).unionByName(rebuilt)
+  }
+
   /** Mergeable daily DISTINCT-count partials — the piece the algebraic
     * kernel above deliberately excludes (COUNT DISTINCT is not
     * algebraic): Datasketches HLL sketches via Spark's built-in

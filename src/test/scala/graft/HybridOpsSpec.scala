@@ -94,6 +94,54 @@ class HybridOpsSpec extends SparkSpec {
       && r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0)
   }
 
+  test("AggMerge.applyCdc equals a direct recompute across all retraction regimes") {
+    // day 1: delete a NON-extreme row (pure algebraic retraction)
+    // day 2: delete the stored MAX (rebuild path)
+    // day 3: delete every row (day must vanish)
+    // day 4: insert-only new day; plus an insert landing on day 1
+    val base = Seq(
+      (1L, ts(1, 1), 1.0), (2L, ts(1, 2), 5.0), (3L, ts(1, 3), 9.0),
+      (4L, ts(2, 1), 2.0), (5L, ts(2, 2), 8.0),
+      (6L, ts(3, 1), 4.0), (7L, ts(3, 2), 6.0)
+    ).toDF("event_id", "ts", "value")
+    val stored = AggMerge.dailyPartial(base, "ts", "value")
+    val cdc = Seq(
+      ("delete", 2L, ts(1, 2), 5.0),
+      ("delete", 5L, ts(2, 2), 8.0),
+      ("delete", 6L, ts(3, 1), 4.0), ("delete", 7L, ts(3, 2), 6.0),
+      ("insert", 100L, ts(1, 5), -3.5), ("insert", 101L, ts(4, 1), 7.25)
+    ).toDF("op", "event_id", "ts", "value")
+    val out = AggMerge.finish(
+      AggMerge.applyCdc(stored, base, cdc, "event_id", "ts", "value"))
+    val newState = Seq(
+      (1L, ts(1, 1), 1.0), (3L, ts(1, 3), 9.0), (4L, ts(2, 1), 2.0),
+      (100L, ts(1, 5), -3.5), (101L, ts(4, 1), 7.25)
+    ).toDF("event_id", "ts", "value")
+    val direct = AggMerge.finish(AggMerge.dailyPartial(newState, "ts", "value"))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (o, dct) = (key(out), key(direct))
+    assert(o == dct, s"applyCdc $o vs direct $dct")
+    assert(!o.contains("2024-03-03"), "fully-deleted day vanishes")
+    assert(o("2024-03-01") == ((3L, 6.5, -3.5, 9.0)), "day-1 insert lands; non-extreme delete retracted")
+    assert(o("2024-03-02") == ((1L, 2.0, 2.0, 2.0)), "extreme-delete day rebuilt")
+    assert(o("2024-03-04") == ((1L, 7.25, 7.25, 7.25)), "insert-only new day")
+  }
+
+  test("AggMerge.applyCdc with an empty delete batch degrades to plain merge") {
+    val base = Seq((1L, ts(1, 1), 1.0), (2L, ts(2, 1), 2.0))
+      .toDF("event_id", "ts", "value")
+    val stored = AggMerge.dailyPartial(base, "ts", "value")
+    val cdc = Seq(("insert", 10L, ts(2, 5), 4.0))
+      .toDF("op", "event_id", "ts", "value")
+    val out = AggMerge.finish(
+      AggMerge.applyCdc(stored, base, cdc, "event_id", "ts", "value"))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("2024-03-01" -> ((1L, 1.0)), "2024-03-02" -> ((2L, 6.0))))
+  }
+
   test("AggMerge HLL: merged distinct partials equal the direct sketch, replay-idempotent") {
     val ev = (1 to 200).map(i =>
       (ts(1 + i % 3, i % 24), s"user${i % 57}")).toDF("ts", "uid")
