@@ -547,6 +547,16 @@ object SparkEntry {
           "event_id", "ts", "value"))
     }),
 
+    // materialized BM25 inverted index probed at query time — same
+    // scoring tree as the live q91 operator, so the oracle is the live
+    // SQL on the same terms
+    "q165_bm25_index_search" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/idx"
+      TextAnalysis.bm25IndexBuild(s, path, t(s, d, "documents"), "doc_id", "text")
+      TextAnalysis.bm25IndexSearch(s, path,
+        terms = Seq("table", "scan", "join"), k = 5)
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2936,6 +2946,34 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // indexed search ≡ live bm25TopK (q91's SQL, this query's terms)
+    "q165_bm25_index_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens,
+        |            COUNT(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+        |       WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.term, t.doc_id, t.tf, f.df, l.dl,
+        |    (CAST(s.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE))
+        |      * (CAST(t.tf AS DOUBLE) * 2.25)
+        |      / (CAST(t.tf AS DOUBLE)
+        |        + 1.25 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+        |          / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS score
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (term)
+        |  CROSS JOIN stats s)
+        |SELECT term, doc_id, tf, df, dl, score, rank FROM (
+        |  SELECT term, doc_id, tf, df, dl, score,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     // the oracle aggregates the post-CDC state directly: the claim is
     // retract-then-merge ≡ recompute, bit-exact (q133's merge analog)

@@ -969,6 +969,68 @@ object TextAnalysis {
         col("dl"), col("score"), col("rank"))
   }
 
+  /** Materialize a BM25 inverted index so query-time search touches the
+    * POSTINGS SLICE for its terms, never the corpus: `postings` rows are
+    * fully denormalized — (term, doc_id, tf, dl, df) — the classic
+    * search-index trade (per-posting bytes for zero query-time joins),
+    * plus a one-row `stats` table (n_docs, total_tokens).
+    *
+    * Layout: postings repartition on term, then sort WITHIN partitions
+    * by (term, doc_id) — every parquet row-group covers a narrow term
+    * range, so a `term IN (...)` probe prunes by row-group min/max
+    * statistics on top of the pushed filter. At 100 TB the index is
+    * term-sharded; a query reads only its terms' shards.
+    *
+    * Staleness contract: like the IVF index, the build is write-once —
+    * df/dl/stats bake corpus-wide constants into the rows, so appending
+    * documents requires a rebuild (or accepting scores drifting from
+    * [[bm25TopK]]'s live values; the spec pins search ≡ live exactly). */
+  def bm25IndexBuild(spark: org.apache.spark.sql.SparkSession, path: String,
+                     df: DataFrame, idCol: String, textCol: String): Unit = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = tf.join(dl, "doc_id").join(dfreq, "term")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    dl.agg(sum(col("dl")).cast("long").as("total_tokens"),
+        count(lit(1)).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query the materialized index: identical scoring tree to
+    * [[bm25TopK]] (linear idf, k1/b defaults), so results are
+    * bit-identical to the live operator on the indexed corpus. The term
+    * filter reaches the postings scan as a pushed `In`; the only other
+    * input is the broadcast one-row stats table. */
+  def bm25IndexSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                      terms: Seq[String], k: Int,
+                      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val scored = postings.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("score",
+        (col("n_docs").cast("double") / col("df").cast("double"))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("df"),
+        col("dl"), col("score"), col("rank"))
+  }
+
   /** Top-k characteristic terms per document by TF×IDF with a LINEAR
     * inverse document frequency (score = tf × N/df, no logarithm): libm
     * `log` differs across engines in the last ulp, while IEEE

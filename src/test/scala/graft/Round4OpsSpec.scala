@@ -18,6 +18,32 @@ class Round4OpsSpec extends SparkSpec {
     assert(out == Map("aa" -> 2L, "ab" -> 2L))
   }
 
+  test("bm25IndexSearch over a materialized index equals live bm25TopK bit-exactly") {
+    val docs = Seq((1L, "x x x y"), (2L, "x y z"), (3L, "y z z"), (4L, "w w"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    TextAnalysis.bm25IndexBuild(spark, path, docs, "doc_id", "text")
+    val live = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x", "z"), k = 5)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("dl"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    val indexed = TextAnalysis.bm25IndexSearch(spark, path, Seq("x", "z"), k = 5)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("dl"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    assert(indexed == live, s"indexed $indexed vs live $live")
+  }
+
+  test("bm25IndexSearch pushes the term filter into the postings scan") {
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25idx2").toString + "/idx"
+    TextAnalysis.bm25IndexBuild(spark, path, docs, "doc_id", "text")
+    val plan = TextAnalysis.bm25IndexSearch(spark, path, Seq("x", "z"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term In-filter must reach the parquet scan:\n$plan")
+  }
+
   test("bm25TopK matches the hand-computed score and ranks by it") {
     val docs = Seq((1L, "x x x y"), (2L, "x y z"), (3L, "y z z"))
       .toDF("doc_id", "text")
