@@ -557,6 +557,17 @@ object SparkEntry {
         terms = Seq("table", "scan", "join"), k = 5)
     }),
 
+    // last-touch conversion attribution (12 h lookback): purchases
+    // credited to the latest prior view/click, else organic; channel
+    // rollup with exact decimal revenue
+    "q166_attribution" -> ((s, d) => {
+      val att = graft.operators.Attribution.lastTouch(t(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id",
+        touchTypes = Seq("view", "click"), conversionType = "purchase",
+        lookbackSeconds = 43200L)
+      graft.operators.Attribution.channelReport(att, "value")
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2946,6 +2957,33 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // asOf's union+running-last_value shape replicated (same total
+    // order: ts, side, touch-id NULLS FIRST — q110 proved the
+    // last_value IGNORE NULLS parity); age gate in exact epoch micros
+    "q166_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |touch AS (SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS side, event_id, value,
+        |    NULL::BIGINT AS tid, NULL::VARCHAR AS ttype, NULL::TIMESTAMP AS tts
+        |  FROM conv
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, event_id, event_type, ts FROM touch),
+        |c AS (SELECT *,
+        |   last_value(ttype IGNORE NULLS) OVER w AS a_ttype,
+        |   last_value(tts IGNORE NULLS) OVER w AS a_tts
+        |   FROM u
+        |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tid NULLS FIRST
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CASE WHEN a_tts IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(a_tts) <= 43200000000
+        |    THEN a_ttype ELSE 'organic' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM c WHERE side = 1 GROUP BY 1""".stripMargin,
 
     // indexed search ≡ live bm25TopK (q91's SQL, this query's terms)
     "q165_bm25_index_search" ->

@@ -1,13 +1,41 @@
 package graft
 
 import java.sql.Timestamp
-import graft.operators.{Patterns, Retention}
+import graft.operators.{Attribution, Patterns, Retention}
 
 class PatternsSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(d: Int, m: Int = 0) =
     Timestamp.valueOf(f"2024-01-$d%02d 10:$m%02d:00")
+
+  test("lastTouch credits the latest in-window touch, else organic") {
+    val ev = Seq(
+      // u1: view then click then purchase — click is last touch
+      (1L, 10L, ts(1, 0), "view", 0.0), (1L, 11L, ts(1, 5), "click", 0.0),
+      (1L, 12L, ts(1, 9), "purchase", 10.0),
+      // u1 second purchase: latest touch (the same click) now outside
+      // the 10-minute lookback → organic
+      (1L, 13L, ts(1, 30), "purchase", 20.0),
+      // u2: touch AFTER the purchase only → organic
+      (2L, 20L, ts(2, 5), "purchase", 5.0), (2L, 21L, ts(2, 9), "view", 0.0),
+      // u3: same-instant touch is visible (<= semantics); larger touch
+      // id wins the tie between simultaneous touches
+      (3L, 31L, ts(3, 0), "view", 0.0), (3L, 32L, ts(3, 0), "click", 0.0),
+      (3L, 33L, ts(3, 0), "purchase", 7.5)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val att = Attribution.lastTouch(ev, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click"), "purchase", lookbackSeconds = 600L)
+    val out = att.collect().map(r => r.getAs[Long]("event_id") ->
+      ((r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_id"))))).toMap
+    assert(out(12L) == (("click", Some(11L))))
+    assert(out(13L) == (("organic", None)), "stale touch falls outside lookback")
+    assert(out(20L) == (("organic", None)), "future touches never credit")
+    assert(out(33L) == (("click", Some(32L))), "same-instant tie: largest touch id")
+    val report = Attribution.channelReport(att, "value")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(report == Map("click" -> ((2L, 17.5)), "organic" -> ((2L, 25.0))))
+  }
 
   test("matchSequence renders the total-order journey and matches the regex") {
     val ev = Seq(
