@@ -568,6 +568,12 @@ object SparkEntry {
       graft.operators.Attribution.channelReport(att, "value")
     }),
 
+    // market-basket association pairs over 30-min gap-sessions:
+    // support / confidence / lift from exact basket counts
+    "q167_basket_pairs" -> ((s, d) =>
+      graft.operators.Patterns.basketPairs(t(s, d, "events"), "user_id",
+        "ts", "event_id", "event_type", gapSeconds = 1800L)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2957,6 +2963,42 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q87's session CTEs, then distinct (user, session, type) baskets;
+    // pair counts via a<b self-join (the Spark side fans out sets —
+    // same pair multiset); all measures are exact-BIGINT ratios
+    "q167_basket_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b),
+        |bk AS (SELECT DISTINCT user_id, session_index, event_type FROM sess),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+        |        FROM (SELECT DISTINCT user_id, session_index FROM bk)),
+        |sz AS (SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM bk GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM bk a JOIN bk b2 ON a.user_id = b2.user_id
+        |         AND a.session_index = b2.session_index
+        |         AND a.event_type < b2.event_type
+        |       GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, sa.n AS n_a, sb.n AS n_b, pr.n_ab,
+        |  tot.n_baskets,
+        |  CAST(pr.n_ab AS DOUBLE) / CAST(tot.n_baskets AS DOUBLE) AS support,
+        |  CAST(pr.n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS conf_a_b,
+        |  CAST(pr.n_ab AS DOUBLE) / CAST(sb.n AS DOUBLE) AS conf_b_a,
+        |  CAST(pr.n_ab * tot.n_baskets AS DOUBLE)
+        |    / CAST(sa.n * sb.n AS DOUBLE) AS lift
+        |FROM pr JOIN sz sa ON sa.t = pr.type_a
+        |JOIN sz sb ON sb.t = pr.type_b CROSS JOIN tot""".stripMargin,
 
     // asOf's union+running-last_value shape replicated (same total
     // order: ts, side, touch-id NULLS FIRST — q110 proved the

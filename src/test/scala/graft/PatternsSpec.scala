@@ -9,6 +9,29 @@ class PatternsSpec extends SparkSpec {
   private def ts(d: Int, m: Int = 0) =
     Timestamp.valueOf(f"2024-01-$d%02d 10:$m%02d:00")
 
+  test("basketPairs counts co-occurrence per session with exact measures") {
+    val ev = Seq(
+      // u1 session 1: view+click+view (dup type dedups in the basket)
+      (1L, 10L, ts(1, 0), "view"), (1L, 11L, ts(1, 5), "click"),
+      (1L, 12L, ts(1, 9), "view"),
+      // u1 session 2 (gap > 10 min): click only — singleton basket
+      (1L, 13L, ts(1, 30), "click"),
+      // u2 session 1: view+purchase
+      (2L, 20L, ts(2, 0), "view"), (2L, 21L, ts(2, 3), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Patterns.basketPairs(ev, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 600L)
+      .collect().map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"),
+          r.getAs[Long]("n_baskets"), r.getAs[Double]("support"),
+          r.getAs[Double]("lift")))).toMap
+    // 3 baskets: {view,click}, {click}, {view,purchase}
+    assert(out.keySet == Set(("click", "view"), ("purchase", "view")))
+    assert(out(("click", "view")) ==
+      ((2L, 2L, 1L, 3L, 1.0 / 3, 3.0 / 4)), "lift = n_ab*n / (n_a*n_b)")
+    assert(out(("purchase", "view")) == ((1L, 2L, 1L, 3L, 1.0 / 3, 3.0 / 2)))
+  }
+
   test("lastTouch credits the latest in-window touch, else organic") {
     val ev = Seq(
       // u1: view then click then purchase — click is last touch
