@@ -574,6 +574,11 @@ object SparkEntry {
       graft.operators.Patterns.basketPairs(t(s, d, "events"), "user_id",
         "ts", "event_id", "event_type", gapSeconds = 1800L)),
 
+    // JL random projection 64→16 dims, md5-Rademacher matrix, map-only
+    "q168_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, kOut = 16, seed = 42)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2963,6 +2968,21 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // same md5-parity sign matrix; decimal products sum in any order
+    // (decimal addition is associative), one cast + one sqrt division
+    "q168_random_projection" ->
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS xi
+        |  FROM embeddings),
+        |jd AS (SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS j),
+        |s AS (SELECT x.vec_id, jd.j,
+        |    SUM(CAST(x.xi * (CASE WHEN substring(md5(concat('42:', x.i, ':', jd.j)), 1, 1)
+        |        IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END)
+        |      AS DECIMAL(20,6))) AS sdec
+        |  FROM x CROSS JOIN jd GROUP BY 1, 2)
+        |SELECT vec_id, j, CAST(sdec AS DOUBLE) / sqrt(16.0) AS y FROM s""".stripMargin,
 
     // q87's session CTEs, then distinct (user, session, type) baskets;
     // pair counts via a<b self-join (the Spark side fans out sets —

@@ -699,6 +699,44 @@ object Similarity {
         ((col("sij") / nD) - ((col("__sa") / nD) * (col("__sb") / nD))).as("cov"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `kOut` dimensions with
+    * a DETERMINISTIC Rademacher matrix: σ(i,j) = ±1 from the parity of
+    * the first hex nibble of md5("seed:i:j") — reproducible on any
+    * engine with md5, no RNG state, no projection-matrix table to ship
+    * (the matrix is a pure function of the seed). y_j = Σ_i x_i·σ_ij /
+    * √kOut preserves pairwise distances within (1±ε) for kOut =
+    * O(log n / ε²) — the cheap front-end for distance sketches,
+    * LSH-style bucketing, or shipping d-dim vectors at kOut/d the
+    * bytes.
+    *
+    * Exactness: each product is cast to decimal(20,6) and the per-row
+    * sum is an UNROLLED decimal expression tree (the centroidOutliers
+    * pattern) — decimal addition is associative, so an oracle summing
+    * the same products in any order is bit-equal; √kOut and the final
+    * division are correctly-rounded IEEE ops. Map-only: zero
+    * exchanges, one codegen'd projection per row ((d·kOut)-term trees;
+    * fine at d=64·k=16, mind codegen size if d·kOut grows 100×).
+    * Output long form: (idCol, j, y) — gate-friendly scalars. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, kOut: Int, seed: Int): DataFrame = {
+    require(dim > 0 && kOut > 0, s"dim/kOut must be positive: $dim, $kOut")
+    def sign(i: Int, j: Int): Double = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      // first hex nibble = high nibble of byte 0
+      if (((digest(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    val scale = lit(math.sqrt(kOut.toDouble))
+    val ys = (0 until kOut).map { j =>
+      (0 until dim).map { i =>
+        (element_at(col(vecCol), i + 1).cast("double") * lit(sign(i, j)))
+          .cast("decimal(20,6)")
+      }.reduce(_ + _).cast("double")./(scale)
+    }
+    df.select(col(idCol), posexplode(array(ys: _*)))
+      .select(col(idCol), col("pos").as("j"), col("col").as("y"))
+  }
+
   /** Dominant principal component by power iteration over
     * [[covarianceMatrix]]: the covariance matrix is METADATA-scale
     * (d(d+1)/2 entries — 2,080 doubles at d=64), so it is collected and

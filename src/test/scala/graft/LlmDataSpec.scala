@@ -1075,4 +1075,34 @@ class LlmDataSpec extends SparkSpec {
     assert(enBook.getAs[Long]("total_tokens") == 0L)
     assert(enBook.getAs[Double]("chars_per_token") == 0.0)
   }
+
+  test("randomProjection: basis vector reads out one sign row, scaled 1/sqrt(k)") {
+    // e_0 (1 in dim 0): y_j = sign(0, j) / sqrt(4) — each output is
+    // exactly ±0.5 and equals the md5-parity sign the operator defines
+    val e0 = Seq((1L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(e0, "vec_id", "embedding",
+        dim = 3, kOut = 4, seed = 7)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out.size == 4 && out.values.forall(v => math.abs(v) == 0.5))
+    def expectedSign(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$i:$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    (0 until 4).foreach(j => assert(out(j) == expectedSign(0, j) / 2.0))
+  }
+
+  test("randomProjection is linear and seed-stable") {
+    val v = Seq((1L, Array(0.5f, -1.25f, 2f))).toDF("vec_id", "embedding")
+    val v2 = Seq((1L, Array(1f, -2.5f, 4f))).toDF("vec_id", "embedding")
+    val y = Similarity.randomProjection(v, "vec_id", "embedding", 3, 4, seed = 9)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val y2 = Similarity.randomProjection(v2, "vec_id", "embedding", 3, 4, seed = 9)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // doubling the vector doubles every projection (exact: decimal sums)
+    (0 until 4).foreach(j => assert(y2(j) == 2.0 * y(j)))
+    val yAgain = Similarity.randomProjection(v, "vec_id", "embedding", 3, 4, seed = 9)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(yAgain == y, "same seed, same projection")
+  }
 }
