@@ -579,6 +579,13 @@ object SparkEntry {
       Similarity.randomProjection(t(s, d, "embeddings"), "vec_id",
         "embedding", dim = 64, kOut = 16, seed = 42)),
 
+    // per-source z-score of document length: exact decimal moments,
+    // single-division (x·n − S)/√(n·Sxx − S²) IEEE tree
+    "q169_zscore_by_source" -> ((s, d) =>
+      graft.operators.Robust.normalizeByGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), "n_chars")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2968,6 +2975,22 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // identical moments (decimal-exact) and identical single-division
+    // z tree; degenerate/NULL rows normalize to NULL
+    "q169_zscore_by_source" ->
+      """WITH m AS (SELECT source, CAST(COUNT(n_chars) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+        |      AS DECIMAL(20,6))) AS DOUBLE) AS sxx
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN d.n_chars IS NOT NULL
+        |      AND CAST(m.n AS DOUBLE) * m.sxx - m.s * m.s > 0.0
+        |    THEN (CAST(d.n_chars AS DOUBLE) * CAST(m.n AS DOUBLE) - m.s)
+        |      / sqrt(CAST(m.n AS DOUBLE) * m.sxx - m.s * m.s)
+        |    ELSE NULL END AS n_chars_z
+        |FROM documents d JOIN m USING (source)""".stripMargin,
 
     // same md5-parity sign matrix; decimal products sum in any order
     // (decimal addition is associative), one cast + one sqrt division

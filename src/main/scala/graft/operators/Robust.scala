@@ -80,4 +80,40 @@ object Robust {
           lit(false)))
       .drop("__med", "__mad")
   }
+
+  /** Per-group z-score normalization — the standard feature-scaling
+    * step before mixing scores across heterogeneous groups (per-source
+    * quality scores, per-label distances). Adds `<valueCol>_z` =
+    * (x − μ_g)/σ_g with the POPULATION σ.
+    *
+    * Engine-exactness: the group moments are decimal-exact (count,
+    * Σx, Σx² via the one-cast-per-element decimal path), and the
+    * z-score is the algebraically equivalent single-division form
+    *   z = (x·n − S) / √(n·Sxx − S²)
+    * — a FIXED IEEE tree over those exact moments (multiply, subtract,
+    * correctly-rounded sqrt, one division), so any engine reproduces it
+    * bit-for-bit; no mean/σ intermediate whose rounding could differ.
+    * Degenerate groups (constant value, single row — radicand ≤ 0) and
+    * NULL inputs normalize to NULL rather than a fabricated 0.
+    *
+    * Shape at 100 TB: one moments aggregate on the group key (map-side
+    * combine), broadcast back onto the stream (`maybeBroadcast` — group
+    * cardinality is typically small), map-stage projection. NULLs are
+    * excluded from all three moments (SQL COUNT/SUM semantics). */
+  def normalizeByGroup(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "normalizeByGroup needs at least one group column")
+    val x = col(valueCol).cast("double")
+    val moments = df.groupBy(groupCols.map(col): _*)
+      .agg(count(col(valueCol)).cast("long").as("__n"),
+        graft.functions.ScalarFns.exactSum(x).as("__s"),
+        graft.functions.ScalarFns.exactSum(x * x).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val radicand = nD * col("__sxx") - col("__s") * col("__s")
+    df.join(Broadcasts.maybeBroadcast(moments), groupCols)
+      .withColumn(s"${valueCol}_z",
+        when(col(valueCol).isNotNull && radicand > lit(0.0),
+          (x * nD - col("__s")) / sqrt(radicand)))
+      .drop("__n", "__s", "__sxx")
+  }
 }

@@ -52,4 +52,23 @@ class RobustSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_outlier")).toMap
     assert(!out(2L), "NULL value coalesces to not-outlier")
   }
+
+  test("normalizeByGroup computes the exact-moment z-score per group") {
+    // group a: values 1,2,3 → n=3, S=6, Sxx=14, radicand = 3·14−36 = 6
+    val df = Seq((1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),
+      (4L, "b", Some(7.0)), (5L, "b", Some(7.0)),  // constant group
+      (6L, "c", Some(9.0)),                        // singleton group
+      (7L, "a", None)                              // NULL value
+    ).toDF("id", "g", "v")
+    val out = Robust.normalizeByGroup(df, Seq("g"), "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("v_z"))).toMap
+    assert(out(1L) == Some(-3.0 / math.sqrt(6.0)))
+    assert(out(2L) == Some(0.0))
+    assert(out(3L) == Some(3.0 / math.sqrt(6.0)))
+    assert(out(4L).isEmpty && out(5L).isEmpty, "constant group has no z")
+    assert(out(6L).isEmpty, "singleton group has no z")
+    assert(out(7L).isEmpty, "NULL value normalizes to NULL")
+    // NULL row is excluded from group a's moments: z(2) is exactly 0
+  }
 }
