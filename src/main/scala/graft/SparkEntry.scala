@@ -586,6 +586,14 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
         Seq("source"), "n_chars")),
 
+    // exact-count stratified split: per-source ⌊n·w/W⌋ assignment by
+    // md5 rank — the proportions-exact complement of q88's hash split
+    "q170_exact_split" -> ((s, d) =>
+      graft.llmdata.Sampling.exactStratifiedSplit(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Seq("train" -> 800L, "val" -> 100L, "test" -> 100L), salt = "s1")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2975,6 +2983,20 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // same md5 rank order (hex strings sort identically) and the same
+    // integer thresholds — `//` ≡ Spark `div` on non-negatives
+    "q170_exact_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 's1'), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn <= (n * 800) // 1000 THEN 'train'
+        |       WHEN rn <= (n * 900) // 1000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
 
     // identical moments (decimal-exact) and identical single-division
     // z tree; degenerate/NULL rows normalize to NULL

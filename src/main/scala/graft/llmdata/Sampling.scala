@@ -59,6 +59,45 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Exact-count stratified split — [[splitAssign]]'s complement for
+    * when the PROPORTIONS are the contract, not per-doc stability:
+    * within every stratum, split sizes are exactly ⌊n·w/W⌋ by
+    * cumulative integer weight (the last split absorbs the remainder),
+    * never the ±√n drift of Bernoulli hashing. The trade is documented
+    * growth-INstability: ranks shift when the stratum grows, so a doc's
+    * split can change across curations — use [[splitAssign]] (or
+    * [[splitByCluster]]) when eval-set stability matters more than
+    * exact counts.
+    *
+    * Determinism: rows order by md5(key‖salt) (content-hash shuffle,
+    * ties by key), and every threshold is integer arithmetic —
+    * (n·cumWeight) div W — so the assignment is bit-stable across
+    * engines and cluster sizes. Shape: ONE stratum-keyed sort window
+    * (rank + stratum size from the same exchange), then a map-stage
+    * CASE. Strata sort independently — skew bounded by the largest
+    * stratum (pre-split upstream if one stratum dominates). */
+  def exactStratifiedSplit(df: DataFrame, keyCol: String, stratumCol: String,
+                           splits: Seq[(String, Long)],
+                           salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive integer weights: $splits")
+    val totalW = splits.map(_._2).sum
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))).asc,
+        col(keyCol).asc)
+    val cums = splits.scanLeft(0L)(_ + _._2).tail
+    val withRank = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(stratumCol))).cast("long"))
+    val assigned = splits.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cw)) =>
+        val hit = col("__rn") <= expr(s"(__n * ${cw}L) div ${totalW}L")
+        Some(acc.fold(when(hit, name))(_.when(hit, name)))
+      }.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    withRank.withColumn("split", assigned).drop("__rn", "__n")
+  }
+
   /** Leakage-safe [[splitAssign]]: hash the near-dup CLUSTER
     * representative instead of the document id, so every member of a
     * near-dup cluster lands in the SAME split — the fix for the

@@ -117,4 +117,31 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n_docs")).toMap
     assert(out == Map(0L -> 3L, 1L -> 1L))
   }
+
+  test("exactStratifiedSplit hits floor-exact per-stratum counts") {
+    val df = ((1 to 10).map(i => (i.toLong, "big")) ++
+      (11 to 13).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val out = Sampling.exactStratifiedSplit(df, "doc_id", "source",
+        Seq("train" -> 800L, "val" -> 100L, "test" -> 100L))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("split")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // big (n=10): 8 / 1 / 1 exactly
+    assert(out(("big", "train")) == 8 && out(("big", "val")) == 1
+      && out(("big", "test")) == 1)
+    // small (n=3): floor thresholds → 2 train, 0 val, 1 test remainder
+    assert(out(("small", "train")) == 2 && out(("small", "test")) == 1
+      && !out.contains(("small", "val")))
+  }
+
+  test("exactStratifiedSplit is deterministic and salt-sensitive") {
+    val df = (1 to 20).map(i => (i.toLong, "s")).toDF("doc_id", "source")
+    val splits = Seq("train" -> 1L, "test" -> 1L)
+    def assign(salt: String) =
+      Sampling.exactStratifiedSplit(df, "doc_id", "source", splits, salt)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val a = assign("x")
+    assert(assign("x") == a, "same salt, same assignment")
+    assert(a.values.count(_ == "train") == 10 && a.values.count(_ == "test") == 10)
+    assert(assign("y") != a, "salt reshuffles the ranking")
+  }
 }
