@@ -594,6 +594,13 @@ object SparkEntry {
         "doc_id", "source",
         Seq("train" -> 800L, "val" -> 100L, "test" -> 100L), salt = "s1")),
 
+    // per-user engagement with 7-day staircase half-life decay as of a
+    // fixed instant; integer-weighted decimal sum, one 2^-30 scaling
+    "q171_decayed_engagement" -> ((s, d) =>
+      graft.operators.Timeseries.decayedScore(t(s, d, "events"), "user_id",
+        "ts", "value", java.sql.Timestamp.valueOf("2024-04-01 00:00:00"),
+        halflifeSeconds = 604800L)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2983,6 +2990,21 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // same integer bucket (// ≡ div), same shifted-integer weights,
+    // same decimal sum; 2^-30 scaling is exact in double
+    "q171_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |           WHERE ts <= TIMESTAMP '2024-04-01 00:00:00'),
+        |b AS (SELECT user_id, value,
+        |    (epoch_us(TIMESTAMP '2024-04-01 00:00:00') - epoch_us(ts))
+        |      // 604800000000 AS bkt
+        |  FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))
+        |      * (1::BIGINT << CAST(30 - bkt AS INT))) AS DOUBLE)
+        |    / 1073741824.0 AS decayed_score
+        |FROM b WHERE bkt < 30 GROUP BY 1""".stripMargin,
 
     // same md5 rank order (hex strings sort identically) and the same
     // integer thresholds — `//` ≡ Spark `div` on non-negatives

@@ -155,4 +155,41 @@ object Timeseries {
       .select(col(keyCol), col("n").cast("long").as("n_days"),
         col("slope"), col("intercept"))
   }
+
+  /** Time-decayed engagement score per key — recent activity counts
+    * more, with a STAIRCASE half-life decay that stays engine-exact:
+    * weight = 2^-⌊age/halflife⌋ (the continuous e^{-λ·age} variant is
+    * one libm exp away but not oracle-comparable; the staircase loses
+    * at most a factor 2 of resolution within a bucket).
+    *
+    * Exactness: contributions accumulate as
+    * decimal(value) · 2^(maxBuckets − bucket) — an INTEGER-weighted
+    * decimal sum, order-independent — and the single final division by
+    * 2^maxBuckets is an exact power-of-two double scaling. Events older
+    * than maxBuckets half-lives (weight < 2^-maxBuckets) and events
+    * after `asOf` are excluded — both the recency semantics and the
+    * overflow bound (weights fit a BIGINT for maxBuckets ≤ 62; the
+    * default 30 keeps the decimal product inside precision 38).
+    *
+    * Shape at 100 TB: one map stage (bucket + weight) into one key agg
+    * with map-side combine; `asOf` is an explicit parameter, so the
+    * operator is pure and replayable. */
+  def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, asOf: java.sql.Timestamp,
+                   halflifeSeconds: Long, maxBuckets: Int = 30): DataFrame = {
+    require(halflifeSeconds > 0, s"halflifeSeconds must be positive")
+    require(maxBuckets >= 1 && maxBuckets <= 62, s"maxBuckets in [1, 62]")
+    val asOfUs = unix_micros(lit(asOf))
+    val ageUs = asOfUs - unix_micros(col(tsCol).cast("timestamp"))
+    df.filter(col(tsCol).cast("timestamp") <= lit(asOf))
+      .withColumn("__age_us", ageUs)
+      .withColumn("__bkt", expr(s"__age_us div ${halflifeSeconds * 1000000L}L"))
+      .filter(col("__bkt") < maxBuckets)
+      .withColumn("__w",
+        expr(s"shiftleft(1L, cast($maxBuckets - __bkt as int))"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col(valCol).cast("decimal(20,6)") * col("__w")).cast("double")
+          / lit(math.pow(2.0, maxBuckets))).as("decayed_score"))
+  }
 }

@@ -86,4 +86,29 @@ class TimeseriesSpec extends SparkSpec {
       .collect().map(_.getDate(1).toString).toSet
     assert(got == expected && expected == Set("2024-01-06"))
   }
+
+  test("decayedScore halves per half-life bucket, excludes stale and future rows") {
+    val asOf = Timestamp.valueOf("2024-01-10 00:00:00")
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-09 12:00:00"), 8.0), // age 0.5d → bkt 0, w 1
+      (1L, Timestamp.valueOf("2024-01-08 12:00:00"), 8.0), // age 1.5d → bkt 1, w 1/2
+      (1L, Timestamp.valueOf("2024-01-06 00:00:00"), 8.0), // age 4d   → bkt 4, w 1/16
+      (1L, Timestamp.valueOf("2024-01-11 00:00:00"), 99.0), // future: dropped
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 5.0)  // age 9d ≥ 3 buckets: dropped
+    ).toDF("user_id", "ts", "value")
+    val out = Timeseries.decayedScore(ev, "user_id", "ts", "value", asOf,
+        halflifeSeconds = 86400L, maxBuckets = 3)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("decayed_score")))).toMap
+    // bkt 4 exceeds maxBuckets=3 → third event dropped too
+    assert(out == Map(1L -> ((2L, 8.0 + 4.0))))
+  }
+
+  test("decayedScore at-asOf event gets full weight (bucket 0, <= semantics)") {
+    val asOf = Timestamp.valueOf("2024-01-10 00:00:00")
+    val ev = Seq((1L, asOf, 2.5)).toDF("user_id", "ts", "value")
+    val out = Timeseries.decayedScore(ev, "user_id", "ts", "value", asOf,
+      halflifeSeconds = 3600L).collect()
+    assert(out.head.getAs[Double]("decayed_score") == 2.5)
+  }
 }
