@@ -601,6 +601,12 @@ object SparkEntry {
         "ts", "value", java.sql.Timestamp.valueOf("2024-04-01 00:00:00"),
         halflifeSeconds = 604800L)),
 
+    // per-source curation decision table: corpus-wide dup charging,
+    // decimal-exact mean quality, threshold decision
+    "q172_source_curation" -> ((s, d) =>
+      TextAnalysis.sourceCurationReport(t(s, d, "documents"),
+        "doc_id", "source", "text")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2990,6 +2996,36 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q30's fingerprint keeper + qualityScoreSql, rolled up per source;
+    // every compared quantity is an exact ratio or decimal-path mean
+    "q172_source_curation" ->
+      s"""WITH qs AS ($qualityScoreSql),
+         |fp AS (SELECT doc_id, source,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
+         |  FROM documents),
+         |k AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY 1),
+         |d AS (SELECT fp.doc_id, fp.source,
+         |    CASE WHEN fp.doc_id <> k.keeper THEN 1 ELSE 0 END AS red
+         |  FROM fp JOIN k USING (f)),
+         |a AS (SELECT d.source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(d.red) AS BIGINT) AS n_redundant,
+         |    CAST(SUM(CAST(q.quality_score AS DECIMAL(20,6))) AS DOUBLE)
+         |      / COUNT(q.quality_score) AS avg_quality,
+         |    CAST(SUM(CASE WHEN q.quality_score < 0.35 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_low_quality
+         |  FROM d JOIN qs q USING (doc_id) GROUP BY 1)
+         |SELECT source, n_docs, n_redundant, avg_quality, n_low_quality,
+         |  CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+         |  CAST(n_low_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS low_quality_frac,
+         |  CASE WHEN CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5
+         |      OR avg_quality < 0.3 THEN 'drop'
+         |    WHEN CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.2
+         |      OR CAST(n_low_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5
+         |      THEN 'review'
+         |    ELSE 'keep' END AS decision
+         |FROM a""".stripMargin,
 
     // same integer bucket (// ≡ div), same shifted-integer weights,
     // same decimal sum; 2^-30 scaling is exact in double

@@ -168,6 +168,59 @@ object TextAnalysis {
             least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3 +
             when(col("punct_ratio") > 0, 0.2).otherwise(0.0)), 6))
 
+  /** Source-level curation decision table — the rollup a curation
+    * operator reads to decide which SOURCES to keep, sample, or drop
+    * (doc-level gates like q107's pipeline act after this): per source,
+    * exact doc/duplicate/low-quality counts, decimal-exact mean
+    * quality, and a threshold decision. `n_redundant` counts non-keeper
+    * copies under the corpus-wide exact fingerprint (min-id keeper), so
+    * a source that mirrors another source's content is charged for it
+    * even when the copies are unique WITHIN the source.
+    *
+    * decision: 'drop' when dup_frac > dropDupFrac OR avg_quality <
+    * dropAvgQuality; else 'review' when dup_frac > reviewDupFrac OR
+    * low_quality_frac > reviewLowFrac; else 'keep'. All compared values
+    * are exact BIGINT ratios / decimal-path means, so the CASE is
+    * engine-deterministic.
+    *
+    * Shape at 100 TB: one fingerprint groupBy (the q30 shuffle), one
+    * quality map stage, one source-keyed rollup — sources are few, so
+    * the report is metadata-scale. */
+  def sourceCurationReport(df: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String,
+                           lowQualityBelow: Double = 0.35,
+                           dropDupFrac: Double = 0.5,
+                           dropAvgQuality: Double = 0.3,
+                           reviewDupFrac: Double = 0.2,
+                           reviewLowFrac: Double = 0.5): DataFrame = {
+    val fp = df.select(col(idCol).as("__id"), col(sourceCol).as("source"),
+      fingerprint(col(textCol)).as("__fp"))
+    val keepers = fp.groupBy(col("__fp")).agg(min(col("__id")).as("__keeper"))
+    val flagged = fp.join(keepers, Seq("__fp"))
+      .select(col("__id"), col("source"),
+        (col("__id") =!= col("__keeper")).cast("int").as("__redundant"))
+    val quality = qualityScore(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).as("__id"), col("quality_score"))
+    val agg = flagged.join(quality, Seq("__id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__redundant")).cast("long").as("n_redundant"),
+        graft.functions.ScalarFns.exactAvg(col("quality_score")).as("avg_quality"),
+        sum(when(col("quality_score") < lowQualityBelow, 1).otherwise(0))
+          .cast("long").as("n_low_quality"))
+    agg
+      .withColumn("dup_frac",
+        col("n_redundant").cast("double") / col("n_docs").cast("double"))
+      .withColumn("low_quality_frac",
+        col("n_low_quality").cast("double") / col("n_docs").cast("double"))
+      .withColumn("decision",
+        when(col("dup_frac") > dropDupFrac
+          || col("avg_quality") < dropAvgQuality, "drop")
+          .when(col("dup_frac") > reviewDupFrac
+            || col("low_quality_frac") > reviewLowFrac, "review")
+          .otherwise("keep"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics, collapse whitespace) — the canonical-form exact
     * fingerprint used by exact dedup. */

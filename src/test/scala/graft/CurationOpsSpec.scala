@@ -118,6 +118,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map(0L -> 3L, 1L -> 1L))
   }
 
+  test("sourceCurationReport charges cross-source dups and decides per thresholds") {
+    val docs = Seq(
+      (1L, "src_a", "the cat sat on the mat, happily resting today."),
+      (2L, "src_a", "a dog ran over the hill today, quickly indeed."),
+      // src_b: two of three docs copy src_a content → dup_frac 2/3 → drop
+      (10L, "src_b", "the cat sat on the mat, happily resting today."),
+      (11L, "src_b", "a dog ran over the hill today, quickly indeed."),
+      (12L, "src_b", "completely novel words appear in this line, yes."),
+      // src_c: one of four dup → 0.25 ∈ (0.2, 0.5] → review
+      (20L, "src_c", "the cat sat on the mat, happily resting today."),
+      (21L, "src_c", "fresh unique sentence number one for the corpus, ok."),
+      (22L, "src_c", "fresh unique sentence number two for the corpus, ok."),
+      (23L, "src_c", "fresh unique sentence number three for the corpus, ok."),
+      // src_d: sub-5-token docs score 0 → avg < 0.3 → drop
+      (30L, "src_d", "short text"), (31L, "src_d", "tiny doc")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceCurationReport(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_redundant"),
+          r.getAs[String]("decision")))).toMap
+    assert(out("src_a") == ((2L, 0L, "keep")))
+    assert(out("src_b") == ((3L, 2L, "drop")), "cross-source copies counted")
+    assert(out("src_c") == ((4L, 1L, "review")))
+    assert(out("src_d") == ((2L, 0L, "drop")), "low quality alone drops")
+  }
+
   test("exactStratifiedSplit hits floor-exact per-stratum counts") {
     val df = ((1 to 10).map(i => (i.toLong, "big")) ++
       (11 to 13).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
