@@ -607,6 +607,14 @@ object SparkEntry {
       TextAnalysis.sourceCurationReport(t(s, d, "documents"),
         "doc_id", "source", "text")),
 
+    // join-skew diagnosis: top-10 user keys by exact join-output
+    // contribution for events ⨝ purchases — the pre-join skew probe
+    "q173_join_skew_report" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Skew.joinSkewReport(ev,
+        ev.filter(col("event_type") === "purchase"), "user_id", topN = 10)
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -2996,6 +3004,24 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // key histograms, full-outer, exact n_l·n_r contributions; same
+    // (contribution DESC, key) total order for the top-10 and ranks
+    "q173_join_skew_report" ->
+      """WITH la AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left
+        |  FROM events GROUP BY 1),
+        |ra AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_right
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT user_id, COALESCE(n_left, 0) AS n_left,
+        |    COALESCE(n_right, 0) AS n_right,
+        |    CAST(COALESCE(n_left, 0) * COALESCE(n_right, 0) AS BIGINT) AS contribution
+        |  FROM la FULL OUTER JOIN ra USING (user_id)),
+        |t AS (SELECT CAST(SUM(contribution) AS BIGINT) AS total_rows FROM j),
+        |top AS (SELECT * FROM j ORDER BY contribution DESC, user_id LIMIT 10)
+        |SELECT user_id, n_left, n_right, contribution, t.total_rows,
+        |  CAST(contribution AS DOUBLE) / CAST(t.total_rows AS DOUBLE) AS share,
+        |  CAST(row_number() OVER (ORDER BY contribution DESC, user_id) AS INT) AS rank
+        |FROM top CROSS JOIN t""".stripMargin,
 
     // q30's fingerprint keeper + qualityScoreSql, rolled up per source;
     // every compared quantity is an exact ratio or decimal-path mean

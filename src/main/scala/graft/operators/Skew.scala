@@ -43,4 +43,41 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("long"))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-skew diagnosis: BEFORE running an expensive equi-join, rank
+    * the keys by their exact output contribution n_left(k) · n_right(k)
+    * — the number the shuffle-join reducer for key k must produce. One
+    * key carrying a large `share` of `total_rows` is the signal to
+    * reach for [[saltedJoin]] / AQE skew handling (or to question the
+    * join's key choice entirely). Keys present on one side only
+    * contribute 0 but still appear in the histograms.
+    *
+    * Shape at 100 TB: each side collapses to its key histogram FIRST
+    * (map-side combinable count agg — the full fact tables never meet),
+    * the histograms full-outer join at key cardinality, and top-N is a
+    * distributed TakeOrdered, not a global window; only the N survivors
+    * see a single partition (rank + broadcast total). Deterministic:
+    * ties order by key. */
+  def joinSkewReport(left: DataFrame, right: DataFrame, keyCol: String,
+                     topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val la = left.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_left"))
+    val ra = right.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_right"))
+    val j = la.join(ra, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("contribution",
+        (col("n_left") * col("n_right")).cast("long"))
+    val total = j.agg(sum(col("contribution")).cast("long").as("total_rows"))
+    val top = j.orderBy(col("contribution").desc, col(keyCol).asc).limit(topN)
+    top.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("contribution").cast("double") / col("total_rows").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("contribution").desc, col(keyCol).asc)))
+  }
 }

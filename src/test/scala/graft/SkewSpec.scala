@@ -28,4 +28,23 @@ class SkewSpec extends SparkSpec {
     assert(plain.count() == salted.count())
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
+
+  test("joinSkewReport ranks keys by exact output contribution") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq("hot", "hot", "hot", "k1", "k1", "k2", "only_l")
+      .map(Tuple1(_)).toDF("k")
+    val right = Seq("hot", "hot", "k1", "k3").map(Tuple1(_)).toDF("k")
+    val out = Skew.joinSkewReport(left, right, "k", topN = 3)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        ((r.getAs[String]("k"), r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+          r.getAs[Long]("contribution"), r.getAs[Long]("total_rows"),
+          r.getAs[Double]("share")))).toMap
+    // contributions: hot 3·2=6, k1 2·1=2, k2/k3/only_l 0 → total 8
+    assert(out(1) == (("hot", 3L, 2L, 6L, 8L, 0.75)))
+    assert(out(2) == (("k1", 2L, 1L, 2L, 8L, 0.25)))
+    // rank 3 is a zero-contribution key, ties broken by key name
+    assert(out(3)._1 == "k2" && out(3)._4 == 0L)
+    // the diagnosed total equals the real join's row count
+    assert(left.join(right, "k").count() == 8L)
+  }
 }
