@@ -615,6 +615,13 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"), "user_id", topN = 10)
     }),
 
+    // time-constrained funnel: each step within 30 min of the previous
+    // reach — q95's lifetime funnel with a promptness gate
+    "q174_funnel_windowed" -> ((s, d) =>
+      graft.operators.Funnel.conversion(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(1800L))),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3004,6 +3011,33 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q95's chain with the exact-microsecond promptness gate per step
+    "q174_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND epoch_us(e.ts) - epoch_us(s1.t1) <= 1800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND epoch_us(e.ts) - epoch_us(s2.t2) <= 1800000000 GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT CAST(1 AS INT) AS step_index, 'view' AS step, n1 AS n_keys,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion
+        |FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', n2,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', n3,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n""".stripMargin,
 
     // key histograms, full-outer, exact n_l·n_r contributions; same
     // (contribution DESC, key) total order for the top-10 and ranks

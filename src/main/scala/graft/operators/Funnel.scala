@@ -23,20 +23,34 @@ object Funnel {
   /** Per-key reach times: (key, t_1 … t_k) with t_i = the earliest `tsCol`
     * of a `steps(i-1)` event strictly after t_(i-1) (t_1 = earliest step-1
     * event); NULL once the key falls out of the funnel. One row per key
-    * that completed step 1. */
+    * that completed step 1.
+    *
+    * `maxGapSeconds` adds the TIME-CONSTRAINED variant: step i must
+    * land within that many seconds of the previous step's reach time
+    * (exact integer-microsecond comparison), the "did they convert
+    * promptly" funnel — a qualifying event beyond the window drops the
+    * key even if nothing else intervenes. Note the semantics stay
+    * first-qualifying-event: t_i is the earliest in-window event after
+    * t_(i-1), not a search over all (t_(i-1) candidate, t_i) pairings. */
   def reachTimes(df: DataFrame, keyCol: String, tsCol: String,
-                 typeCol: String, steps: Seq[String]): DataFrame = {
+                 typeCol: String, steps: Seq[String],
+                 maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     val events = df.select(col(keyCol), col(typeCol), col(tsCol))
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t_1"))
     steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
       val prevT = s"t_${i + 1}"
       val curT = s"t_${i + 2}"
+      val inWindow = maxGapSeconds.fold(lit(true)) { g =>
+        unix_micros(col(tsCol).cast("timestamp")) -
+          unix_micros(col(prevT).cast("timestamp")) <= lit(g * 1000000L)
+      }
       val next = events.filter(col(typeCol) === step)
         .join(acc.select(col(keyCol), col(prevT)), Seq(keyCol))
-        .filter(col(tsCol) > col(prevT))
+        .filter(col(tsCol) > col(prevT) && inWindow)
         .groupBy(col(keyCol)).agg(min(col(tsCol)).as(curT))
       acc.join(next.select(col(keyCol), col(curT)), Seq(keyCol), "left")
     }
@@ -47,8 +61,9 @@ object Funnel {
     * exact integer-over-integer double). An empty step-1 cohort reports
     * zero rows-reached with conversion 0.0 for every step. */
   def conversion(df: DataFrame, keyCol: String, tsCol: String,
-                 typeCol: String, steps: Seq[String]): DataFrame = {
-    val reach = reachTimes(df, keyCol, tsCol, typeCol, steps)
+                 typeCol: String, steps: Seq[String],
+                 maxGapSeconds: Option[Long] = None): DataFrame = {
+    val reach = reachTimes(df, keyCol, tsCol, typeCol, steps, maxGapSeconds)
     val counts = reach.agg(
       count(col("t_1")).as("n_1"),
       steps.indices.tail.map(i => count(col(s"t_${i + 1}")).as(s"n_${i + 1}")): _*)

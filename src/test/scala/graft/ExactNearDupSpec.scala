@@ -189,6 +189,28 @@ class ExactNearDupSpec extends SparkSpec {
     assert(out(3) == ((1L, 1.0 / 3.0)), "user 3's purchase needs the click first")
   }
 
+  test("windowed conversion drops steps that qualify only outside the gate") {
+    val ev = Seq(
+      // user 1: click 5 min after view — inside a 10-min gate
+      (1L, 10L, ts(10, 0), "view"), (1L, 11L, ts(10, 5), "click"),
+      // user 2: click 30 min after view — ordered, but too late
+      (2L, 20L, ts(10, 0), "view"), (2L, 21L, ts(10, 30), "click"),
+      // user 3: early click inside the gate, and the FIRST qualifying
+      // click sets the next window (first-qualifying semantics)
+      (3L, 30L, ts(10, 0), "view"), (3L, 31L, ts(10, 9), "click"),
+      (3L, 32L, ts(10, 15), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val gated = Funnel.conversion(ev, "user_id", "ts", "event_type", steps,
+        maxGapSeconds = Some(600L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(gated == Map(1 -> 3L, 2 -> 2L, 3 -> 1L),
+      "user 2's late click is out; user 3's purchase is 6 min after the click")
+    val open = Funnel.conversion(ev, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(open == Map(1 -> 3L, 2 -> 3L, 3 -> 1L), "ungated keeps user 2")
+  }
+
   test("sessionConversion vs whole-user funnel: the session split matters") {
     // one user whose view and click are in different sessions: lifetime
     // funnel converts step 2, session funnel must not
