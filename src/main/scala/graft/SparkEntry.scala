@@ -622,6 +622,12 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"),
         maxGapSeconds = Some(1800L))),
 
+    // code-mixing report: dominant language + share of profile
+    // evidence pointing elsewhere (integer scores, one division)
+    "q175_code_mixing" -> ((s, d) =>
+      TextAnalysis.codeMixing(t(s, d, "documents"), "doc_id", "text",
+        TextAnalysis.profileFrame(s))),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3011,6 +3017,34 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q32's profile CTEs; totals + rank-1 slice; BIGINT ratio
+    "q175_code_mixing" -> {
+      val values = TextAnalysis.languageProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ts) => ts.map { case (t, w) => s"('$l','$t',$w)" } }
+        .mkString(", ")
+      s"""WITH prof AS (SELECT * FROM (VALUES $values) t(lang, term, weight)),
+         |toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |scored AS (SELECT doc_id, p.lang, CAST(SUM(weight) AS BIGINT) AS score
+         |  FROM toks JOIN prof p USING (term) GROUP BY 1, 2),
+         |ranked AS (SELECT doc_id, lang, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored),
+         |tot AS (SELECT doc_id, CAST(SUM(score) AS BIGINT) AS total_score,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM scored GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.lang, 'und') AS dominant_lang,
+         |  COALESCE(t.n_langs, 0) AS n_langs,
+         |  COALESCE(t.total_score, 0) AS total_score,
+         |  COALESCE(r.score, 0) AS best_score,
+         |  CASE WHEN COALESCE(t.total_score, 0) > 0
+         |    THEN CAST(t.total_score - r.score AS DOUBLE)
+         |      / CAST(t.total_score AS DOUBLE)
+         |    ELSE 0.0 END AS mixing_ratio
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.doc_id
+         |LEFT JOIN tot t ON d.doc_id = t.doc_id""".stripMargin
+    },
 
     // q95's chain with the exact-microsecond promptness gate per step
     "q174_funnel_windowed" ->

@@ -126,6 +126,47 @@ object TextAnalysis {
         coalesce(col("__best"), lit("und")).as("predicted_lang"): _*)
   }
 
+  /** Code-mixing report over the same broadcast profile frame as
+    * [[languageIdByProfile]]: per document, the dominant language plus
+    * how much profile evidence points ELSEWHERE — `mixing_ratio` =
+    * 1 − best_score/total_score (0 for profile-silent docs). A
+    * multilingual or code-switched document scores high; a clean
+    * monolingual one near 0. All scores are integer sums; the ratio is
+    * one division of two BIGINTs.
+    *
+    * Shape: identical to languageIdByProfile (broadcast profile join,
+    * one doc-keyed agg + one rank window on the doc×lang frame —
+    * |langs| rows per doc at most). */
+  def codeMixing(df: DataFrame, idCol: String, textCol: String,
+                 profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val scored = toks.join(broadcast(profiles), Seq("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("weight")).cast("long").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("__lang"), col("score").as("__best"))
+    val totals = scored.groupBy(col("doc_id"))
+      .agg(sum(col("score")).cast("long").as("__total"),
+        count(lit(1)).cast("long").as("__nl"))
+    df.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .join(totals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__lang"), lit("und")).as("dominant_lang"),
+        coalesce(col("__nl"), lit(0L)).as("n_langs"),
+        coalesce(col("__total"), lit(0L)).as("total_score"),
+        coalesce(col("__best"), lit(0L)).as("best_score"),
+        when(coalesce(col("__total"), lit(0L)) > 0,
+          (col("__total") - col("__best")).cast("double")
+            / col("__total").cast("double"))
+          .otherwise(lit(0.0)).as("mixing_ratio"))
+  }
+
   /** Whitespace token count (the baseline tokenizer). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)

@@ -1076,6 +1076,25 @@ class LlmDataSpec extends SparkSpec {
     assert(enBook.getAs[Double]("chars_per_token") == 0.0)
   }
 
+  test("codeMixing separates monolingual, mixed, and profile-silent docs") {
+    // en-only terms: 'the'=1000 (rank 1), 'that'=111 (rank 9); de-only:
+    // 'der'=1000, 'und'=333 ('of' would NOT do — it is also a nl term)
+    val fixture = Seq(
+      (1L, "the that the"),      // pure en
+      (2L, "the der und the"),   // en 2000 vs de 1333
+      (3L, "zzz qqq")            // no profile hits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeMixing(fixture, "doc_id", "text",
+        TextAnalysis.profileFrame(spark))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dominant_lang"), r.getAs[Long]("n_langs"),
+          r.getAs[Long]("total_score"), r.getAs[Long]("best_score"),
+          r.getAs[Double]("mixing_ratio")))).toMap
+    assert(out(1L) == (("en", 1L, 2111L, 2111L, 0.0)))
+    assert(out(2L) == (("en", 2L, 3333L, 2000L, 1333.0 / 3333.0)))
+    assert(out(3L) == (("und", 0L, 0L, 0L, 0.0)))
+  }
+
   test("randomProjection: basis vector reads out one sign row, scaled 1/sqrt(k)") {
     // e_0 (1 in dim 0): y_j = sign(0, j) / sqrt(4) — each output is
     // exactly ±0.5 and equals the md5-parity sign the operator defines
