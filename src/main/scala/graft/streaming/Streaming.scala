@@ -288,6 +288,69 @@ object Streaming {
       }
       .start()
 
+  /** Streaming CDC maintenance — the streaming driver for
+    * `operators.AggMerge.applyCdc` (q164): the stream carries CHANGE
+    * rows (`opCol` ∈ insert/delete, each with the full row), and every
+    * micro-batch maintains BOTH stores:
+    *
+    *  1. the daily-partial table at `partialsPath` via applyCdc —
+    *     count/sum retract algebraically, extreme-touching days rebuild
+    *     from the STORED fact snapshot (the pre-batch state, read
+    *     before step 2 touches it);
+    *  2. the fact snapshot at `factPath` — stored minus the batch's
+    *     deletes (anti-join on `idCol`) plus its inserts.
+    *
+    * Replay safety: both tables carry their own `last_batch_id` fence
+    * (the aggMergeSink bookkeeping), swapped atomically WITH their
+    * contents. The two swaps are NOT mutually atomic; order fixes the
+    * crash contract — partials first (they need the pre-CDC base), so
+    * a crash between swaps replays the batch with the partials fenced
+    * off and only the fact store applying. Either way each table
+    * applies each batch exactly once.
+    *
+    * At 100 TB: partial maintenance is delta-sized (applyCdc's
+    * contract); the fact swap here is a whole-snapshot rewrite —
+    * production deployments partition `factPath` by day and rewrite
+    * only affected partitions (`Writers.monthScopedDeleteInsert` is
+    * that shape); the sink's semantics are unchanged by that swap. */
+  def cdcMaintSink(cdc: DataFrame, idCol: String, tsCol: String,
+                   valCol: String, opCol: String,
+                   factPath: String, partialsPath: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cols = Seq(idCol, tsCol, valCol).map(col)
+        val none = batch.filter(lit(false))
+        val storedFact = graft.sources.Tables.readParquetIfExists(spark, factPath)
+        val storedPart = graft.sources.Tables.readParquetIfExists(spark, partialsPath)
+        def fence(df: Option[DataFrame]): Option[Long] =
+          df.map(_.select(max(col("last_batch_id"))).head.getLong(0))
+        val base = storedFact.map(_.drop("last_batch_id"))
+          .getOrElse(none.select(cols: _*))
+        if (!fence(storedPart).exists(_ >= batchId)) {
+          val prev = storedPart.map(_.drop("last_batch_id")).getOrElse(
+            graft.operators.AggMerge.dailyPartial(none, tsCol, valCol))
+          val out = graft.operators.AggMerge
+            .applyCdc(prev, base, batch, idCol, tsCol, valCol, opCol)
+            .withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true)
+          graft.incremental.Writers.atomicRewrite(out, partialsPath)
+        }
+        if (!fence(storedFact).exists(_ >= batchId)) {
+          val newFact = base
+            .join(batch.filter(col(opCol) === "delete").select(col(idCol)),
+              Seq(idCol), "left_anti")
+            .unionByName(batch.filter(col(opCol) === "insert").select(cols: _*))
+            .withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true)
+          graft.incremental.Writers.atomicRewrite(newFact, factPath)
+        }
+      }
+      .start()
+
   /** Streaming daily-distinct-count maintenance — [[aggMergeSink]]'s
     * sketch sibling: each micro-batch's keys are HLL-sketched per day
     * ([[graft.operators.AggMerge.dailyDistinctPartial]]) and UNIONED

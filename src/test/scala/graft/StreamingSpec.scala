@@ -414,6 +414,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
   }
 
+  test("cdcMaintSink maintains fact + partials through deletes of a stored extreme") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdcsink").toString
+    val (fact, parts, ckpt) = (dir + "/fact", dir + "/daily", dir + "/ckpt")
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    val in = MemoryStream[(String, Long, java.sql.Timestamp, Double)]
+    val q = Streaming.cdcMaintSink(
+      in.toDF().toDF("op", "event_id", "ts", "value"),
+      "event_id", "ts", "value", "op", fact, parts, ckpt)
+    try {
+      // batch 1: initial load
+      in.addData(("insert", 1L, ts(1, 1), 1.0), ("insert", 2L, ts(1, 2), 9.0),
+        ("insert", 3L, ts(2, 1), 4.0))
+      q.processAllAvailable()
+      // batch 2: delete day-1's stored MAX (rebuild path) + a new insert
+      in.addData(("delete", 2L, ts(1, 2), 9.0), ("insert", 4L, ts(2, 5), 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val factRows = spark.read.parquet(fact).drop("last_batch_id")
+      .collect().map(r => r.getAs[Long]("event_id")).toSet
+    assert(factRows == Set(1L, 3L, 4L), "fact snapshot tracks the CDC stream")
+    val streamed = graft.operators.AggMerge.finish(
+        spark.read.parquet(parts).drop("last_batch_id"))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed == Map(
+      "2024-02-01" -> ((1L, 1.0, 1.0, 1.0)),   // max 9.0 retracted via rebuild
+      "2024-02-02" -> ((2L, 10.0, 4.0, 6.0))))
+  }
+
   test("quantilePartialSink: streamed map equals one-shot; replay is fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
