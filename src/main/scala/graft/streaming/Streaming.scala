@@ -568,6 +568,54 @@ object Streaming {
       }
   }
 
+  /** Streaming last-touch attribution — the streaming twin of
+    * `operators.Attribution.lastTouch` (q166): per-user state is ONE
+    * row (the latest touch seen), and each conversion event emits its
+    * attribution the moment it arrives — (channel = the stored touch's
+    * type if within `lookbackSeconds`, else 'organic').
+    *
+    * Within a batch, events fold in (sec, event_id) order, so the
+    * batch-boundary placement cannot change results for in-order
+    * streams; the spec proves two-batch ≡ the batch operator on the
+    * union. Caveat (append-mode fundamentals): a TOUCH arriving late —
+    * after a conversion it should have credited was already emitted —
+    * cannot retract that attribution; bound staleness upstream with a
+    * watermark when late touches matter. State is one touch per user
+    * (bounded by live users), monotone by (sec, id). */
+  case class AttrEv(user_id: Long, sec: Long, event_type: String, event_id: Long)
+  case class TouchState(sec: Long, id: Long, kind: String)
+  case class Attributed(user_id: Long, conversion_id: Long, conversion_sec: Long,
+                        channel: String, touch_id: Option[Long])
+
+  def attributionStream(events: Dataset[AttrEv], touchTypes: Set[String],
+                        conversionType: String,
+                        lookbackSeconds: Long): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attributed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AttrEv], state: GroupState[TouchState]) =>
+          var touch = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Attributed]
+          evs.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+            if (touchTypes.contains(e.event_type)) {
+              // monotone: same-instant touches resolve to the largest id
+              // (the batch operator's tie rule)
+              if (touch.forall(t =>
+                e.sec > t.sec || (e.sec == t.sec && e.event_id >= t.id)))
+                touch = Some(TouchState(e.sec, e.event_id, e.event_type))
+            } else if (e.event_type == conversionType) {
+              val hit = touch.filter(t =>
+                t.sec <= e.sec && e.sec - t.sec <= lookbackSeconds)
+              out += Attributed(user, e.event_id, e.sec,
+                hit.map(_.kind).getOrElse("organic"), hit.map(_.id))
+            }
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Custom stateful operator via mapGroupsWithState: per-user running
     * session aggregate with processing-time timeout — the
     * KeyValueGroupedDataset state API the reference's control table

@@ -445,6 +445,49 @@ class StreamingSpec extends SparkSpec {
       "2024-02-02" -> ((2L, 10.0, 4.0, 6.0))))
   }
 
+  test("attributionStream matches the batch lastTouch operator across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.AttrEv]
+    val q = Streaming.attributionStream(in.toDS(),
+        touchTypes = Set("view", "click"), conversionType = "purchase",
+        lookbackSeconds = 600L)
+      .writeStream.format("memory").queryName("attrstream")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 views (t=100) then clicks (t=200)
+      in.addData(Streaming.AttrEv(1L, 100L, "view", 10L),
+        Streaming.AttrEv(1L, 200L, "click", 11L))
+      q.processAllAvailable()
+      // batch 2: u1 purchase at 300 (credit click 11), purchase at 900
+      // (click now 700s stale → organic); u2 purchase with no touch
+      in.addData(Streaming.AttrEv(1L, 300L, "purchase", 12L),
+        Streaming.AttrEv(1L, 900L, "purchase", 13L),
+        Streaming.AttrEv(2L, 300L, "purchase", 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attrstream")
+      .collect().map(r => r.getAs[Long]("conversion_id") ->
+        ((r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_id"))))).toMap
+    assert(streamed == Map(
+      12L -> (("click", Some(11L))),
+      13L -> (("organic", None)),
+      20L -> (("organic", None))))
+    // parity with the batch operator on the union of both batches
+    val ev = Seq(
+      (1L, 10L, new java.sql.Timestamp(100000L), "view", 0.0),
+      (1L, 11L, new java.sql.Timestamp(200000L), "click", 0.0),
+      (1L, 12L, new java.sql.Timestamp(300000L), "purchase", 1.0),
+      (1L, 13L, new java.sql.Timestamp(900000L), "purchase", 1.0),
+      (2L, 20L, new java.sql.Timestamp(300000L), "purchase", 1.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val batch = graft.operators.Attribution.lastTouch(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click"), "purchase", 600L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_id"))))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
+
   test("quantilePartialSink: streamed map equals one-shot; replay is fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
