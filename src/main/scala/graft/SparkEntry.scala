@@ -628,6 +628,36 @@ object SparkEntry {
       TextAnalysis.codeMixing(t(s, d, "documents"), "doc_id", "text",
         TextAnalysis.profileFrame(s))),
 
+    // explicit GROUPING SETS (neither cube nor rollup): chosen subtotal
+    // combos only, grouping_id disambiguates
+    "q176_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("q176_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id() AS INT) AS gid,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        FROM q176_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }),
+
+    // time-to-convert: every click's NEXT purchase via the forward
+    // as-of join; gap in exact microseconds
+    "q177_next_purchase" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("p_ts", col("ts"))
+      graft.operators.AsOfJoin.asOfForward(clicks, purchases, "user_id",
+          "ts", "event_id", Seq("p_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id").as("next_purchase_id"),
+          col("asof_p_ts").as("next_purchase_ts"),
+          (unix_micros(col("asof_p_ts").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3017,6 +3047,32 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // rank-1 of (p.ts, p.event_id) per click ≡ the forward-asOf tie
+    // rule (earliest ts, then smallest id); LEFT JOIN keeps organics
+    "q177_next_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, c.ts,
+        |    p.event_id AS pid, p.ts AS pts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id, ts, pid AS next_purchase_id,
+        |  pts AS next_purchase_ts,
+        |  epoch_us(CAST(pts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // same sets, same GROUPING bit convention as q122
+    "q176_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     // q32's profile CTEs; totals + rank-1 slice; BIGINT ratio
     "q175_code_mixing" -> {

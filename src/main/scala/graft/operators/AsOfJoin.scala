@@ -53,4 +53,46 @@ object AsOfJoin {
       .select(left.columns.map(col) ++
         rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join — for every left row, the EARLIEST right row
+    * with `rightTs >= leftTs` on the same key: "what happens next"
+    * lookups (time-to-convert, next maintenance window, next price
+    * revision). Mirror of [[asOf]] — the union traverses ts DESCENDING,
+    * so the running `last` carries the nearest FUTURE right row; same
+    * one-shuffle cost.
+    *
+    * Determinism: at equal timestamps the right row is visible (`>=`
+    * semantics — right rows sort before left in the traversal), and
+    * simultaneous right rows resolve to the SMALLEST `rightIdCol`
+    * ("earliest wins", the forward mirror of asOf's largest-id rule) —
+    * they traverse in id-descending order, so the running last lands on
+    * the smallest. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, rightIdCol: String,
+                  rightPayload: Seq[String]): DataFrame = {
+    val rightCols = rightIdCol +: rightPayload
+    val leftTagged = left
+      .withColumn("__side", lit(1))
+      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
+    val rightTagged = right
+      .select((keyCol +: tsCol +: rightCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val rightProjected = rightTagged.select(
+      col(keyCol) +: col(tsCol) +: col("__side") +:
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val unioned = leftTagged.select(
+      (left.columns.map(col) :+ col("__side")) ++
+        rightCols.map(c => col(s"__r_$c")): _*)
+      .unionByName(rightProjected, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col("__side").asc,
+        col(s"__r_$rightIdCol").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
 }
