@@ -658,6 +658,12 @@ object SparkEntry {
             unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
     }),
 
+    // pairwise Pearson matrix over four lineitem measures — one
+    // aggregate pass of decimal-exact moments, single-division trees
+    "q178_correlation_matrix" -> ((s, d) =>
+      graft.operators.Profile.correlationMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3047,6 +3053,31 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // generated from the SAME column list as the operator call — one
+    // moments CTE, one UNION ALL row per pair, identical IEEE trees
+    "q178_correlation_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val prs = for { i <- cs.indices; j <- i + 1 until cs.size }
+        yield (cs(i), cs(j))
+      val moments =
+        (Seq("CAST(COUNT(*) AS BIGINT) AS n") ++
+          cs.map(c => s"CAST(SUM(CAST($c AS DECIMAL(20,6))) AS DOUBLE) AS s_$c") ++
+          cs.map(c => s"CAST(SUM(CAST($c * $c AS DECIMAL(20,6))) AS DOUBLE) AS ss_$c") ++
+          prs.map { case (a, b) =>
+            s"CAST(SUM(CAST($a * $b AS DECIMAL(20,6))) AS DOUBLE) AS p_${a}_$b" })
+          .mkString(",\n    ")
+      val notNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val rows = prs.map { case (a, b) =>
+        val (da, db) = (s"(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)",
+          s"(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)")
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  CASE WHEN $da > 0.0 AND $db > 0.0
+           |    THEN (CAST(n AS DOUBLE) * p_${a}_$b - s_$a * s_$b)
+           |      / (sqrt($da) * sqrt($db)) END AS corr FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH m AS (SELECT\n    $moments\n  FROM lineitem WHERE $notNull)\n$rows"
+    },
 
     // rank-1 of (p.ts, p.event_id) per click ≡ the forward-asOf tie
     // rule (earliest ts, then smallest id); LEFT JOIN keeps organics

@@ -105,6 +105,49 @@ object Profile {
         coalesce(col("top_values"), lit("")).as("top_values"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregate pass: k sums, k sums-of-squares and k(k−1)/2 cross
+    * products accumulate together (decimal-exact, order-free), and
+    * every correlation is the single-division tree
+    *   (n·Sxy − Sx·Sy) / (√(n·Sxx−Sx²) · √(n·Syy−Sy²))
+    * over those exact moments — fixed IEEE ops, engine-reproducible
+    * (the Robust.normalizeByGroup argument, pairwise). Degenerate
+    * columns (constant — zero variance) correlate as NULL.
+    *
+    * NULL contract: LISTWISE deletion (rows with a NULL in ANY profiled
+    * column are dropped first) — all pairs share one n, the matrix is
+    * positive semi-definite, and the single-pass shape holds; pairwise-
+    * complete would need a pass per pair.
+    *
+    * Output long form: (col_a, col_b, n, corr) for each unordered pair.
+    * Shape at 100 TB: one map-side-combined aggregate to a single
+    * moment row; the matrix explode is driver-free and metadata-scale. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val clean = df.na.drop(cols)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val exactSum = graft.functions.ScalarFns.exactSum _
+    val aggs = Seq(count(lit(1)).cast("long").as("__n")) ++
+      cols.map(c => exactSum(col(c)).as(s"__s_$c")) ++
+      cols.map(c => exactSum(col(c) * col(c)).as(s"__ss_$c")) ++
+      pairs.map { case (a, b) => exactSum(col(a) * col(b)).as(s"__p_${a}_$b") }
+    val m = clean.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val (sa, sb) = (col(s"__s_$a"), col(s"__s_$b"))
+      val num = nD * col(s"__p_${a}_$b") - sa * sb
+      val da = nD * col(s"__ss_$a") - sa * sa
+      val db = nD * col(s"__ss_$b") - sb * sb
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(da > lit(0.0) && db > lit(0.0),
+          num / (sqrt(da) * sqrt(db))).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Fixed-width histogram of a numeric column: bin index
     * `floor((x - lo) / width)`, one count row per non-empty bin in
     * [0, nBins). The bin arithmetic runs in INTEGER MICRO-UNITS (values,

@@ -125,4 +125,26 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(out((1, 2)) == 2L && out((1, 4)) == 1L && out((1, 1)) == 4L)
   }
+
+  test("correlationMatrix: perfect, inverse, constant, and NULL-listwise cases") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(3.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(2.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(1.0), Some(5.0)),
+      (Some(9.0), None, Some(9.0), Some(9.0))  // dropped listwise
+    ).toDF("a", "b", "c", "k")
+    val out = Profile.correlationMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.getAs[java.lang.Double]("corr"))))).toMap
+    assert(out.size == 6)
+    // the single-division tree is deterministic but not algebraically
+    // exact — ±1 comes back within a few ulps, not bit-equal to 1.0
+    def near(v: Option[java.lang.Double], x: Double) =
+      v.exists(d => math.abs(d - x) < 1e-12)
+    assert(out(("a", "b"))._1 == 3L && near(out(("a", "b"))._2, 1.0),
+      "b = 2a correlates to 1 within ulps")
+    assert(near(out(("a", "c"))._2, -1.0), "c = 4-a correlates to -1")
+    assert(out(("a", "k"))._2.isEmpty, "constant column has no correlation")
+    assert(near(out(("b", "c"))._2, -1.0))
+  }
 }
