@@ -664,6 +664,12 @@ object SparkEntry {
       graft.operators.Profile.correlationMatrix(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // time-to-convert per funnel step: exact-microsecond gaps between
+    // successive reach times, aggregated per step
+    "q179_funnel_gaps" -> ((s, d) =>
+      graft.operators.Funnel.stepGaps(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3053,6 +3059,32 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q95's reach CTEs; per-step gap aggregates, avg = exact BIGINT
+    // sum / count in one division
+    "q179_funnel_gaps" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |g2 AS (SELECT epoch_us(s2.t2) - epoch_us(s1.t1) AS g
+        |       FROM s2 JOIN s1 USING (user_id)),
+        |g3 AS (SELECT epoch_us(s3.t3) - epoch_us(s2.t2) AS g
+        |       FROM s3 JOIN s2 USING (user_id))
+        |SELECT CAST(2 AS INT) AS step_index, 'click' AS step,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us,
+        |  MIN(g) AS min_gap_us, MAX(g) AS max_gap_us FROM g2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |  MIN(g), MAX(g) FROM g3""".stripMargin,
 
     // generated from the SAME column list as the operator call — one
     // moments CTE, one UNION ALL row per pair, identical IEEE trees

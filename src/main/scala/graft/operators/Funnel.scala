@@ -78,6 +78,33 @@ object Funnel {
           .as("conversion"))
   }
 
+  /** Time-to-convert per funnel step: for every key that reached step i,
+    * the gap t_i − t_(i−1) in exact integer microseconds, aggregated to
+    * (step_index, step, n_keys, avg/min/max gap). The avg is one
+    * division of an exact BIGINT sum by the key count — engine-exact
+    * like every ratio here. Steps nobody reached report n_keys = 0 with
+    * NULL gap stats.
+    *
+    * Cost: [[reachTimes]]' chain plus k−1 single-row aggregates over
+    * the (already small) reach table. */
+  def stepGaps(df: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, steps: Seq[String],
+               maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "stepGaps needs at least two steps")
+    val reach = reachTimes(df, keyCol, tsCol, typeCol, steps, maxGapSeconds)
+    steps.indices.tail.map { i =>
+      val g = unix_micros(col(s"t_${i + 1}").cast("timestamp")) -
+        unix_micros(col(s"t_$i").cast("timestamp"))
+      reach.filter(col(s"t_${i + 1}").isNotNull)
+        .agg(count(lit(1)).as("n_keys"),
+          (sum(g).cast("double") / count(lit(1)).cast("double")).as("avg_gap_us"),
+          min(g).as("min_gap_us"), max(g).as("max_gap_us"))
+        .select(lit(i + 1).cast("int").as("step_index"),
+          lit(steps(i)).as("step"), col("n_keys"),
+          col("avg_gap_us"), col("min_gap_us"), col("max_gap_us"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Funnel scoped to gap-sessions instead of whole users: a session (a
     * burst of activity separated by > `gapSeconds` of silence, per
     * [[Sessionize.tag]]) converts only if the steps happen in order

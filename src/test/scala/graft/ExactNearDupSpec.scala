@@ -211,6 +211,21 @@ class ExactNearDupSpec extends SparkSpec {
     assert(open == Map(1 -> 3L, 2 -> 3L, 3 -> 1L), "ungated keeps user 2")
   }
 
+  test("stepGaps aggregates exact microsecond gaps between reach times") {
+    val ev = Seq(
+      (1L, 10L, ts(10, 0), "view"), (1L, 11L, ts(10, 1), "click"),
+      (1L, 12L, ts(10, 2), "purchase"),
+      (2L, 20L, ts(10, 0), "view"), (2L, 21L, ts(10, 3), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.stepGaps(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    // gaps to click: u1 60s, u2 180s; to purchase: u1 60s
+    assert(out(2) == ((2L, 120e6, 60000000L, 180000000L)))
+    assert(out(3) == ((1L, 60e6, 60000000L, 60000000L)))
+  }
+
   test("sessionConversion vs whole-user funnel: the session split matters") {
     // one user whose view and click are in different sessions: lifetime
     // funnel converts step 2, session funnel must not
