@@ -271,6 +271,47 @@ class PruningSpec extends SparkSpec {
       s"probe must sit between join and fact scan:\n$plan")
   }
 
+  test("as-of attribution and forward as-of plan the one-key-shuffle shape (q166/q177)") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q166_attribution", "q177_next_purchase")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+      assert(!plan.toString.contains("SortMergeJoin") &&
+        !plan.toString.contains("CartesianProduct"),
+        s"$q must use the union+running-window shape, not a range probe:\n$plan")
+      val hashEx = plan.toString.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx <= 2, s"$q: union window + rollup only:\n$plan")
+    }
+  }
+
+  test("basketPairs fans sets out map-side, never a basket self-join (q167)") {
+    val plan = SparkEntry.queries("q167_basket_pairs")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair counts must come from the set fan-out, not a shuffled self-join:\n$plan")
+  }
+
+  test("joinSkewReport top-N is a distributed TakeOrdered, not a global sort (q173)") {
+    val plan = SparkEntry.queries("q173_join_skew_report")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must plan TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort of the key histograms:\n$plan")
+  }
+
+  test("randomProjection plans the codegen-friendly join+agg shape (q168)") {
+    // the regression to guard: an unrolled d·kOut-term decimal Project
+    // (blows janino's method limit → interpreted execution). The
+    // codegen-safe form is posexplode → broadcast sign join → hash agg.
+    val plan = SparkEntry.queries("q168_random_projection")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("Generate posexplode")
+      && plan.contains("BroadcastHashJoin")
+      && plan.contains("partial_sum"),
+      s"projection must be the explode+join+agg shape:\n$plan")
+  }
+
   test("bloom semi-join result is exactly the plain semi-join") {
     val fact = ((1L to 500L).map(i => (i, i % 13)) :+ ((501L, -1L)))
       .toDF("id", "k")
