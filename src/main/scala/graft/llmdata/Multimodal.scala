@@ -230,6 +230,89 @@ object Multimodal {
       }
   }
 
+  /** Typed per-clip silence/energy profile ([[audioSilenceProfile]]). */
+  case class AudioSilence(asset_id: Long, n_windows: Long,
+                          n_silent: Long, silence_fraction: Double,
+                          leading_silent: Long, trailing_silent: Long,
+                          peak_rms: Double, decoded: Boolean)
+
+  /** Windowed silence/energy profile over decodable PCM audio — the
+    * speech-data curation gate that drops dead air and clipped/empty
+    * recordings before an expensive transcription or embedding pass:
+    * per clip, RMS over fixed `windowFrames` windows (channel-
+    * interleaved samples pooled — energy, not per-channel phase),
+    * windows with RMS < `silenceRms` counted as silent, plus the
+    * leading/trailing silent-run lengths (trim points) and the peak
+    * window RMS (clipping probe). The trailing partial window is
+    * profiled too (its RMS divides by its true sample count).
+    *
+    * Decode path and flag-and-continue contract are [[audioStats]]'
+    * verbatim (PCM 8/16-bit via the JDK's WAV/AIFF/AU readers;
+    * undecodable → decoded=false, NaN stats). Same mapPartitions
+    * shape: no shuffle, constant memory per partition. */
+  def audioSilenceProfile(media: DataFrame, windowFrames: Int = 1024,
+                          silenceRms: Double = 0.01): Dataset[AudioSilence] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          var in: javax.sound.sampled.AudioInputStream = null
+          try {
+            in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val pcmSigned =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcmSigned || (bits != 16 && bits != 8))
+              AudioSilence(id, 0L, 0L, Double.NaN, 0L, 0L, Double.NaN, decoded = false)
+            else {
+              val data = in.readAllBytes()
+              val bytesPerSample = bits / 8
+              val nSamples = data.length / bytesPerSample
+              def sample(i: Int): Double =
+                if (bits == 8) data(i).toDouble / 128.0
+                else {
+                  val off = i * 2
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (data(off + 1), data(off))
+                    else (data(off), data(off + 1))
+                  (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+                }
+              val windowSamples = windowFrames * math.max(fmt.getChannels, 1)
+              val nWindows = (nSamples + windowSamples - 1) / windowSamples
+              val silent = new Array[Boolean](nWindows)
+              var peak = Double.NaN
+              var w = 0
+              while (w < nWindows) {
+                val start = w * windowSamples
+                val end = math.min(start + windowSamples, nSamples)
+                var ss = 0.0
+                var i = start
+                while (i < end) { val s = sample(i); ss += s * s; i += 1 }
+                val rms = math.sqrt(ss / (end - start))
+                silent(w) = rms < silenceRms
+                if (peak.isNaN || rms > peak) peak = rms
+                w += 1
+              }
+              val leading = silent.takeWhile(identity).length.toLong
+              val trailing = silent.reverse.takeWhile(identity).length.toLong
+              val nSilent = silent.count(identity).toLong
+              AudioSilence(id, nWindows.toLong, nSilent,
+                if (nWindows == 0) Double.NaN else nSilent.toDouble / nWindows,
+                leading, trailing, peak, decoded = true)
+            }
+          } catch {
+            case _: Exception =>
+              AudioSilence(id, 0L, 0L, Double.NaN, 0L, 0L, Double.NaN, decoded = false)
+          } finally if (in != null) in.close()
+        }
+      }
+  }
+
   /** Typed row for [[imageAHash]]: the 64-bit perceptual hash carried as
     * one long; `decoded=false` rows hash to 0 and are excluded from
     * pairing. */

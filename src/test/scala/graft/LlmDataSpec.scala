@@ -832,6 +832,35 @@ class LlmDataSpec extends SparkSpec {
     assert(!stats(2L).decoded && stats(2L).mean_abs_amplitude.isNaN)
   }
 
+  test("multimodal: audioSilenceProfile finds silent runs and peak energy") {
+    import javax.sound.sampled._
+    // 8 kHz mono 16-bit: 256 silent frames, 512 loud frames (amp 0.5),
+    // 256 silent frames → with 256-frame windows: S L L S
+    val n = 1024
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 256 until 768) {
+      val s = (0.5 * math.sin(2 * math.Pi * 400 * i / 8000.0) * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    val media = Seq((1L, buf.toByteArray), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.audioSilenceProfile(media, windowFrames = 256)
+      .collect().map(s => s.asset_id -> s).toMap
+    val p = out(1L)
+    assert(p.decoded && p.n_windows == 4L && p.n_silent == 2L)
+    assert(p.silence_fraction == 0.5)
+    assert(p.leading_silent == 1L && p.trailing_silent == 1L)
+    // loud window RMS of a 0.5-amp sine ≈ 0.5/√2 ≈ 0.354
+    assert(math.abs(p.peak_rms - 0.3536) < 0.01, s"peak ${p.peak_rms}")
+    assert(!out(2L).decoded && out(2L).peak_rms.isNaN)
+  }
+
   test("multimodal: frame sampling covers the payload deterministically") {
     val media = Multimodal.fromDocuments(Seq((1L, "x" * 1000)).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 4).collect()
