@@ -602,10 +602,11 @@ object SparkEntry {
         halflifeSeconds = 604800L)),
 
     // per-source curation decision table: corpus-wide dup charging,
-    // decimal-exact mean quality, threshold decision
+    // decimal-exact mean quality, threshold decision (reviewLowFrac
+    // tightened to 0.2 so the synthetic corpus exercises >1 branch)
     "q172_source_curation" -> ((s, d) =>
       TextAnalysis.sourceCurationReport(t(s, d, "documents"),
-        "doc_id", "source", "text")),
+        "doc_id", "source", "text", reviewLowFrac = 0.2)),
 
     // join-skew diagnosis: top-10 user keys by exact join-output
     // contribution for events ⨝ purchases — the pre-join skew probe
@@ -669,6 +670,22 @@ object SparkEntry {
     "q179_funnel_gaps" -> ((s, d) =>
       graft.operators.Funnel.stepGaps(t(s, d, "events"), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
+
+    // what the q172 decisions would do to the corpus: doc and token
+    // volume per decision (the "how much data survives" readout)
+    "q180_curation_impact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val decisions = TextAnalysis.sourceCurationReport(docs,
+        "doc_id", "source", "text", reviewLowFrac = 0.2)
+        .select(col("source"), col("decision"))
+      docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"))
+        .join(broadcast(decisions), Seq("source"))
+        .groupBy(col("decision"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("__tok")).cast("long").as("total_tokens"))
+    }),
 
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
@@ -3060,6 +3077,43 @@ object SparkEntry {
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
 
+    // q172's decision CTEs rolled up to per-decision volumes
+    "q180_curation_impact" ->
+      s"""WITH qs AS ($qualityScoreSql),
+         |fp AS (SELECT doc_id, source,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
+         |  FROM documents),
+         |k AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY 1),
+         |d AS (SELECT fp.doc_id, fp.source,
+         |    CASE WHEN fp.doc_id <> k.keeper THEN 1 ELSE 0 END AS red
+         |  FROM fp JOIN k USING (f)),
+         |a AS (SELECT d.source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(d.red) AS BIGINT) AS n_redundant,
+         |    CAST(SUM(CAST(q.quality_score AS DECIMAL(20,6))) AS DOUBLE)
+         |      / COUNT(q.quality_score) AS avg_quality,
+         |    CAST(SUM(CASE WHEN q.quality_score < 0.35 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_low_quality
+         |  FROM d JOIN qs q USING (doc_id) GROUP BY 1),
+         |dec AS (SELECT source,
+         |  CASE WHEN CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5
+         |      OR avg_quality < 0.3 THEN 'drop'
+         |    WHEN CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.2
+         |      OR CAST(n_low_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.2
+         |      THEN 'review'
+         |    ELSE 'keep' END AS decision
+         |  FROM a),
+         |toks AS (SELECT source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok
+         |  FROM documents)
+         |SELECT dec.decision,
+         |  CAST(COUNT(DISTINCT toks.source) AS BIGINT) AS n_sources,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks.tok) AS BIGINT) AS total_tokens
+         |FROM toks JOIN dec USING (source)
+         |GROUP BY 1""".stripMargin,
+
     // q95's reach CTEs; per-step gap aggregates, avg = exact BIGINT
     // sum / count in one division
     "q179_funnel_gaps" ->
@@ -3235,7 +3289,7 @@ object SparkEntry {
          |  CASE WHEN CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5
          |      OR avg_quality < 0.3 THEN 'drop'
          |    WHEN CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.2
-         |      OR CAST(n_low_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5
+         |      OR CAST(n_low_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.2
          |      THEN 'review'
          |    ELSE 'keep' END AS decision
          |FROM a""".stripMargin,

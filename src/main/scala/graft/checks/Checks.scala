@@ -147,6 +147,27 @@ class CheckSuite(constraints: Seq[Constraint]) {
 object CheckSuite {
   def apply(constraints: Constraint*): CheckSuite = new CheckSuite(constraints)
 
+  /** Zero-extra-scan pipeline telemetry via Spark's `Observation` API:
+    * attach row/null counters to a frame and they are computed INSIDE
+    * whatever action the caller was going to run anyway — unlike a
+    * CheckSuite run, which is its own aggregate job over the data. The
+    * "free metrics alongside the write" half of validation: gate on the
+    * observed values after the action (`obs.get`), reserve the full
+    * suite for gates that must block BEFORE downstream work reads the
+    * output.
+    *
+    * At 100 TB the difference is one full scan: suites re-aggregate,
+    * observations piggyback. Metrics: `n_rows` plus `n_null_<col>` per
+    * requested column. */
+  def observeRowStats(df: org.apache.spark.sql.DataFrame,
+                      obs: org.apache.spark.sql.Observation,
+                      nullCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val metrics = count(lit(1)).as("n_rows") +:
+      nullCols.map(c =>
+        sum(col(c).isNull.cast("long")).as(s"n_null_$c"))
+    df.observe(obs, metrics.head, metrics.tail: _*)
+  }
+
   /** The reference's three layer suites, verbatim thresholds
     * (validation_utils.py:93-127; models/(bronze|silver|gold)/schema.yml). */
   def bronzeSuite(): CheckSuite = new CheckSuite(

@@ -65,4 +65,15 @@ class ChecksSpec extends SparkSpec {
     assert(e.failures.size == 2)
     new CheckSuite(Seq(RowCountBetween(1))).gate(df) // passes, no throw
   }
+
+  test("observeRowStats piggybacks row/null metrics on the caller's action") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "pay")
+    val obs = org.apache.spark.sql.Observation("rowstats")
+    val observed = CheckSuite.observeRowStats(df, obs, Seq("pay"))
+    observed.write.format("noop").mode("overwrite").save() // the caller's own action
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("n_null_pay") == 1L)
+  }
 }
