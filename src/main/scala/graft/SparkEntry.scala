@@ -687,6 +687,24 @@ object SparkEntry {
           sum(col("__tok")).cast("long").as("total_tokens"))
     }),
 
+    // systematic token-proportional sampling: exactly 100 grid hits on
+    // the cumulative-token line in hash order, all-integer hit counts
+    "q181_systematic_pps" -> ((s, d) =>
+      graft.llmdata.Sampling.systematicWeighted(
+        t(s, d, "documents").select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+          .filter(col("w") > 0),
+        "doc_id", "w", k = 100L, salt = "pps1")),
+
+    // deterministic ~10k-token corpus slice: hash-order prefix under
+    // the budget (budgets NEST: a smaller budget is a prefix)
+    "q182_token_budget" -> ((s, d) =>
+      graft.llmdata.Sampling.tokenBudgetSubset(
+        t(s, d, "documents").select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+          .filter(col("w") > 0),
+        "doc_id", "w", budget = 10000L, salt = "tb1")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3076,6 +3094,39 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // one global cumsum window (fine at oracle scale; the operator
+    // decomposes it by hash-prefix bucket), identical ceil-div grid
+    "q181_systematic_pps" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, md5(CAST(doc_id AS VARCHAR) || 'pps1') AS h
+        |  FROM f WHERE w > 0),
+        |c AS (SELECT doc_id, w,
+        |    SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM g),
+        |t AS (SELECT MAX(cw) AS tw FROM c)
+        |SELECT doc_id, w,
+        |  CAST(((cw * 100 + tw - 1) // tw)
+        |    - (((cw - w) * 100 + tw - 1) // tw) AS BIGINT) AS n_hits
+        |FROM c CROSS JOIN t
+        |WHERE ((cw * 100 + tw - 1) // tw)
+        |    - (((cw - w) * 100 + tw - 1) // tw) >= 1""".stripMargin,
+
+    // same cumsum, inclusive-budget prefix
+    "q182_token_budget" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, md5(CAST(doc_id AS VARCHAR) || 'tb1') AS h
+        |  FROM f WHERE w > 0),
+        |c AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+        |  FROM g)
+        |SELECT doc_id, w, cum_weight FROM c WHERE cum_weight <= 10000""".stripMargin,
 
     // q172's decision CTEs rolled up to per-decision volumes
     "q180_curation_impact" ->

@@ -211,6 +211,84 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("position"))
       .write.mode("overwrite").partitionBy("shard").json(path)
 
+  /** Exact INCLUSIVE cumulative weight in content-hash order, without a
+    * corpus-wide single-partition window: the md5 hex prefix (2 chars =
+    * 256 buckets) partitions the corpus, and because a string sorts
+    * after its prefix-mates consistently, (bucket, hash, key) order ==
+    * (hash, key) order — so per-bucket distributed running sums plus a
+    * 256-row bucket-offset table (the only unpartitioned window,
+    * metadata-scale) reassemble the exact global cumsum. The
+    * globalNtile decomposition, keyed by hash prefix instead of score.
+    * Returns df + `__hash` + `__cw` (inclusive). */
+  private def hashOrderedCumsum(df: DataFrame, keyCol: String,
+                                weightCol: String, salt: String): DataFrame = {
+    val hashed = df
+      .withColumn("__hash", md5(concat(col(keyCol).cast("string"), lit(salt))))
+      .withColumn("__b", substring(col("__hash"), 1, 2))
+    val bucketTotals = hashed.groupBy(col("__b"))
+      .agg(sum(col(weightCol)).cast("long").as("__bw"))
+    val wB = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals
+      .withColumn("__off", (sum(col("__bw")).over(wB) - col("__bw")).cast("long"))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__hash").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hashed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cw",
+        (col("__off") + sum(col(weightCol)).over(wIn)).cast("long"))
+      .drop("__b", "__off")
+  }
+
+  /** Systematic weight-proportional sampling (PPS): exactly `k` grid
+    * hits over the corpus's cumulative-weight line in content-hash
+    * order — the "sample documents proportional to token count"
+    * primitive. Item i with weight interval [cw−w, cw) receives
+    *   n_hits = ⌈k·cw/W⌉ − ⌈k·(cw−w)/W⌉
+    * (the count of grid multiples j·W/k inside its interval, computed
+    * in EXACT integer arithmetic — Σ n_hits = k by construction, no
+    * float grid positions to disagree on). Items with w ≥ W/k are
+    * always selected (possibly multiply — keep n_hits as a
+    * replication count for mix building); inclusion probability for
+    * small items is k·w/W. Deterministic per (salt, corpus); the
+    * caller's weights must be positive integers with k·W < 2^63
+    * (token counts at any realistic k: fine).
+    *
+    * Shape: [[hashOrderedCumsum]] (distributed) + a broadcast one-row
+    * total + a map-stage hit count. */
+  def systematicWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                         k: Long, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cum = hashOrderedCumsum(df, keyCol, weightCol, salt)
+    val total = cum.agg(max(col("__cw")).cast("long").as("__W"))
+    cum.crossJoin(broadcast(total))
+      // ceil(a/W) on non-negatives = (a + W − 1) div W, exact integers
+      .withColumn("__hi", col("__cw") * lit(k) + col("__W") - lit(1L))
+      .withColumn("__lo",
+        (col("__cw") - col(weightCol)) * lit(k) + col("__W") - lit(1L))
+      .withColumn("n_hits",
+        (expr("__hi div __W") - expr("__lo div __W")).cast("long"))
+      .filter(col("n_hits") >= 1)
+      .drop("__hash", "__cw", "__W", "__hi", "__lo")
+  }
+
+  /** Deterministic token-budget subset: documents in content-hash order
+    * whose INCLUSIVE cumulative weight stays within `budget` — "give me
+    * a ~B-token random-but-reproducible slice of the corpus". The
+    * prefix property is what makes budgets nest: the 1B-token subset
+    * is a prefix of the 10B-token subset under the same salt (grow a
+    * training mix without resampling what you already trained on).
+    * Returns the surviving rows plus their `cum_weight`. */
+  def tokenBudgetSubset(df: DataFrame, keyCol: String, weightCol: String,
+                        budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    hashOrderedCumsum(df, keyCol, weightCol, salt)
+      .filter(col("__cw") <= budget)
+      .withColumn("cum_weight", col("__cw"))
+      .drop("__hash", "__cw")
+  }
+
   /** Exact global NTILE without a single-partition window over the corpus
     * — the curriculum-bucketing primitive (order a corpus by a quality /
     * difficulty score, cut it into `nBuckets` equal slices for staged

@@ -144,6 +144,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("src_d") == ((2L, 0L, "drop")), "low quality alone drops")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("systematicWeighted lands exactly k grid hits, matching the hash-order truth") {
+    val items = Seq((1L, 5L), (2L, 1L), (3L, 40L), (4L, 2L), (5L, 12L))
+    val df = items.toDF("doc_id", "w")
+    val k = 7L
+    val out = Sampling.systematicWeighted(df, "doc_id", "w", k, salt = "s")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(out.values.sum == k, s"grid hits must total k: $out")
+    // replicate the operator's order and grid in plain Scala
+    val ordered = items.sortBy { case (id, _) => (md5hex(s"$id" + "s"), id) }
+    val bigW = items.map(_._2).sum
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    var cw = 0L
+    val truth = ordered.flatMap { case (id, w) =>
+      cw += w
+      val hits = ceilDiv(cw * k, bigW) - ceilDiv((cw - w) * k, bigW)
+      if (hits >= 1) Some(id -> hits) else None
+    }.toMap
+    assert(out == truth, s"operator $out vs scala truth $truth")
+    // the heavy item (w=40 > W/k ≈ 8.6) is always selected
+    assert(out.contains(3L) && out(3L) >= 4L)
+  }
+
+  test("tokenBudgetSubset is the exact hash-order prefix, and budgets nest") {
+    val items = (1L to 30L).map(i => (i, 3L + i % 5))
+    val df = items.toDF("doc_id", "w")
+    def subset(b: Long) =
+      Sampling.tokenBudgetSubset(df, "doc_id", "w", b, salt = "t")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val (small, large) = (subset(30L), subset(60L))
+    assert(small.subsetOf(large), "a smaller budget must be a prefix")
+    // exact prefix truth in plain Scala
+    val ordered = items.sortBy { case (id, _) => (md5hex(s"$id" + "t"), id) }
+    var cw = 0L
+    val truth = ordered.takeWhile { case (_, w) => cw += w; cw <= 30L }
+      .map(_._1).toSet
+    assert(small == truth, s"$small vs $truth")
+    val sumW = items.filter(t => small(t._1)).map(_._2).sum
+    assert(sumW <= 30L)
+  }
+
   test("exactStratifiedSplit hits floor-exact per-stratum counts") {
     val df = ((1 to 10).map(i => (i.toLong, "big")) ++
       (11 to 13).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
