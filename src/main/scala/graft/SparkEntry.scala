@@ -705,6 +705,12 @@ object SparkEntry {
           .filter(col("w") > 0),
         "doc_id", "w", budget = 10000L, salt = "tb1")),
 
+    // RFM segmentation: recency/frequency/monetary quintiles via the
+    // scale-safe globalNtile (≡ plain NTILE, oracle runs the window)
+    "q183_rfm_segments" -> ((s, d) =>
+      graft.operators.Retention.rfm(t(s, d, "events"), "user_id", "ts",
+        "value", nBuckets = 5)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3094,6 +3100,23 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // plain NTILE windows — globalNtile reproduces them bit-exactly
+    // (the q92 parity family); ties (score DESC, user ASC)
+    "q183_rfm_segments" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, last_us, frequency, monetary, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS rfm_segment
+        |FROM (SELECT user_id, last_us, frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id ASC) AS INT) AS r,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT) AS f,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT) AS m
+        |FROM u)""".stripMargin,
 
     // one global cumsum window (fine at oracle scale; the operator
     // decomposes it by hash-prefix bucket), identical ceil-div grid

@@ -75,4 +75,43 @@ object Retention {
       .withColumn("stickiness",
         col("dau").cast("double") / col("wau").cast("double"))
   }
+
+  /** RFM segmentation — the classic customer scoring: per user,
+    * Recency (latest event instant), Frequency (event count) and
+    * Monetary (decimal-exact value sum), each cut into `nBuckets`
+    * exact global NTILE buckets with bucket 1 = best (most recent /
+    * most frequent / highest spend), plus the concatenated `rfm_segment`
+    * code ("111" = champions, "555" = lost at nBuckets=5).
+    *
+    * Exactness: recency ranks on integer microseconds, frequency on
+    * BIGINTs, monetary on the decimal-path sum — and each cut goes
+    * through [[graft.llmdata.Sampling.globalNtile]] (ties broken by
+    * user id), so no corpus-wide single-partition window exists and
+    * the result is bit-identical to the plain one-window NTILE the
+    * oracle runs.
+    *
+    * Shape at 100 TB: one user-keyed aggregate, then three
+    * globalNtile passes over the USER-level frame (users ≪ events),
+    * joined back on the user key. */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, nBuckets: Int = 5): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(unix_micros(col(tsCol).cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        graft.functions.ScalarFns.exactSum(col(valueCol)).as("monetary"))
+    def cut(scoreCol: String, as: String): DataFrame =
+      graft.llmdata.Sampling.globalNtile(
+        perUser.select(col(userCol), col(scoreCol)),
+        userCol, scoreCol, nBuckets)
+        .select(col(userCol), col("bucket").cast("int").as(as))
+    perUser
+      .join(cut("last_us", "r"), Seq(userCol))
+      .join(cut("frequency", "f"), Seq(userCol))
+      .join(cut("monetary", "m"), Seq(userCol))
+      .withColumn("rfm_segment",
+        concat(col("r").cast("string"), col("f").cast("string"),
+          col("m").cast("string")))
+      .select(col(userCol), col("last_us"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"), col("rfm_segment"))
+  }
 }

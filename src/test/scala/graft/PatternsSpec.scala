@@ -9,6 +9,29 @@ class PatternsSpec extends SparkSpec {
   private def ts(d: Int, m: Int = 0) =
     Timestamp.valueOf(f"2024-01-$d%02d 10:$m%02d:00")
 
+  test("rfm buckets each dimension independently, bucket 1 = best") {
+    val ev = Seq(
+      // u1: recent, frequent, big spender — 1/1/1
+      (1L, ts(9, 0), 10.0), (1L, ts(9, 1), 10.0), (1L, ts(9, 2), 10.0),
+      // u2: old single small event — 2/2/2
+      (2L, ts(1, 0), 1.0),
+      // u3: recent but one mid event — r=1, f=2, m=1 (2 users per bucket
+      // at nBuckets=2 over 4 users; ties by user id)
+      (3L, ts(8, 0), 5.0),
+      // u4: old, two events, small total
+      (4L, ts(2, 0), 0.5), (4L, ts(2, 1), 0.5)
+    ).toDF("user_id", "ts", "value")
+    val out = graft.operators.Retention.rfm(ev, "user_id", "ts", "value",
+        nBuckets = 2)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("r"), r.getAs[Int]("f"), r.getAs[Int]("m"),
+          r.getAs[String]("rfm_segment")))).toMap
+    assert(out(1L) == ((1, 1, 1, "111")), "champion")
+    assert(out(2L) == ((2, 2, 2, "222")), "lost")
+    assert(out(3L) == ((1, 2, 1, "121")))
+    assert(out(4L) == ((2, 1, 2, "212")), "frequency 2 ties u1's bucket")
+  }
+
   test("basketPairs counts co-occurrence per session with exact measures") {
     val ev = Seq(
       // u1 session 1: view+click+view (dup type dedups in the basket)
