@@ -711,6 +711,12 @@ object SparkEntry {
       graft.operators.Retention.rfm(t(s, d, "events"), "user_id", "ts",
         "value", nBuckets = 5)),
 
+    // level-shift change point per event type over daily revenue:
+    // running decimal sums, one division per candidate boundary
+    "q184_level_shift" -> ((s, d) =>
+      graft.operators.Timeseries.levelShift(t(s, d, "events"),
+        "event_type", "ts", "value")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3100,6 +3106,29 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // same running-decimal-sum scan; argmax ties to the earliest day
+    "q184_level_shift" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, v,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS si,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type) AS DECIMAL(38,6)) AS sn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |s AS (SELECT event_type, day, i, n,
+        |    CAST(si AS DOUBLE) / CAST(i AS DOUBLE) AS mean_before,
+        |    CAST(sn - si AS DOUBLE) / CAST(n - i AS DOUBLE) AS mean_after
+        |  FROM c WHERE i < n)
+        |SELECT event_type, day AS boundary_day, n AS n_days,
+        |  mean_before, mean_after, abs(mean_before - mean_after) AS shift
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(mean_before - mean_after) DESC, day ASC) AS rk
+        |  FROM s)
+        |WHERE rk = 1""".stripMargin,
 
     // plain NTILE windows — globalNtile reproduces them bit-exactly
     // (the q92 parity family); ties (score DESC, user ASC)

@@ -156,6 +156,53 @@ object Timeseries {
         col("slope"), col("intercept"))
   }
 
+  /** Single change-point (level-shift) detection per key: the day
+    * boundary that maximizes |mean(before) − mean(after)| over the
+    * key's OBSERVED daily values — the "when did this metric move"
+    * primitive behind regression triage and data-drift alarms. The
+    * two-window scan is O(days) per key: one running decimal sum gives
+    * every prefix/suffix mean; no per-boundary rescan.
+    *
+    * Exactness: daily values and their running sums stay decimal (order
+    * -free); each candidate's means are one double division each, the
+    * shift is one subtraction — fixed IEEE trees, so argmax (ties →
+    * earliest boundary) is engine-deterministic. Keys with fewer than
+    * two observed days have no interior boundary and are absent.
+    *
+    * Output: (key, boundary_day = last day of the left segment,
+    * n_days, mean_before, mean_after, shift). */
+  def levelShift(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast("decimal(20,6)")).cast("decimal(38,6)")
+        .as("__v"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val scored = daily
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("day").asc)).cast("long"))
+      .withColumn("__si", sum(col("__v")).over(wOrd).cast("decimal(38,6)"))
+      .withColumn("__n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("__sn", sum(col("__v")).over(wAll).cast("decimal(38,6)"))
+      .filter(col("__i") < col("__n")) // interior boundaries only
+      .withColumn("mean_before",
+        col("__si").cast("double") / col("__i").cast("double"))
+      .withColumn("mean_after",
+        (col("__sn") - col("__si")).cast("double")
+          / (col("__n") - col("__i")).cast("double"))
+      .withColumn("shift", abs(col("mean_before") - col("mean_after")))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("shift").desc, col("day").asc)))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("day").as("boundary_day"),
+        col("__n").as("n_days"), col("mean_before"), col("mean_after"),
+        col("shift"))
+  }
+
   /** Time-decayed engagement score per key — recent activity counts
     * more, with a STAIRCASE half-life decay that stays engine-exact:
     * weight = 2^-⌊age/halflife⌋ (the continuous e^{-λ·age} variant is

@@ -87,6 +87,25 @@ class TimeseriesSpec extends SparkSpec {
     assert(got == expected && expected == Set("2024-01-06"))
   }
 
+  test("levelShift finds the boundary that maximizes the mean jump") {
+    // key a: 1,1,1 then 9,9 — boundary after day 3; key b: 2 days flat
+    // (zero shift, boundary after day 1 by tie rule); key c: 1 day only
+    val ev = Seq(
+      ("a", ts(1), 1.0), ("a", ts(2), 1.0), ("a", ts(3), 1.0),
+      ("a", ts(4), 9.0), ("a", ts(5), 9.0),
+      ("b", ts(1), 4.0), ("b", ts(2), 4.0),
+      ("c", ts(1), 7.0)
+    ).toDF("k", "ts", "value")
+    val out = Timeseries.levelShift(ev, "k", "ts", "value")
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[java.sql.Date]("boundary_day").toString,
+          r.getAs[Double]("mean_before"), r.getAs[Double]("mean_after"),
+          r.getAs[Double]("shift")))).toMap
+    assert(out("a") == (("2024-01-03", 1.0, 9.0, 8.0)))
+    assert(out("b") == (("2024-01-01", 4.0, 4.0, 0.0)), "flat series ties to earliest")
+    assert(!out.contains("c"), "single-day keys have no interior boundary")
+  }
+
   test("decayedScore halves per half-life bucket, excludes stale and future rows") {
     val asOf = Timestamp.valueOf("2024-01-10 00:00:00")
     val ev = Seq(
