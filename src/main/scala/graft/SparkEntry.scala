@@ -717,6 +717,20 @@ object SparkEntry {
       graft.operators.Timeseries.levelShift(t(s, d, "events"),
         "event_type", "ts", "value")),
 
+    // Pareto 80/20: sources ranked by token volume with cumulative
+    // share; head = minimal prefix covering 80%
+    "q185_pareto_sources" -> ((s, d) =>
+      graft.operators.Profile.paretoReport(
+        t(s, d, "documents").select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("w")),
+        "source", "w")),
+
+    // week-over-week revenue: prior period by CALENDAR join (row-lag
+    // misaligns on gap days), guarded relative delta
+    "q186_week_over_week" -> ((s, d) =>
+      graft.operators.Timeseries.periodOverPeriod(t(s, d, "events"),
+        "ts", "value", lagDays = 7)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3106,6 +3120,40 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // decimal group sums, one window ordered (weight DESC, source);
+    // in_head = share-before-this-row still under 0.8
+    "q185_pareto_sources" ->
+      """WITH g AS (SELECT source,
+        |    CAST(SUM(CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw FROM g)
+        |SELECT source,
+        |  CAST(row_number() OVER ord AS INT) AS rank,
+        |  CAST(w AS DOUBLE) AS weight,
+        |  CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+        |  CAST(SUM(w) OVER cum AS DOUBLE) / CAST(tw AS DOUBLE) AS cum_share,
+        |  CAST(SUM(w) OVER cum - w AS DOUBLE) / CAST(tw AS DOUBLE) < 0.8
+        |    AS in_head
+        |FROM g CROSS JOIN t
+        |WINDOW ord AS (ORDER BY w DESC, source ASC),
+        |  cum AS (ORDER BY w DESC, source ASC ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // daily exact sums; prior period via calendar-day self-join
+    "q186_week_over_week" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT d.day, d.n_events, d.sum_value,
+        |  p.n_events AS prior_n_events, p.sum_value AS prior_sum_value,
+        |  d.sum_value - p.sum_value AS delta,
+        |  CASE WHEN p.sum_value IS NOT NULL AND p.sum_value <> 0.0
+        |    THEN (d.sum_value - p.sum_value) / p.sum_value END AS pct_change
+        |FROM daily d
+        |LEFT JOIN daily p ON d.day = p.day + INTERVAL 7 DAY""".stripMargin,
 
     // same running-decimal-sum scan; argmax ties to the earliest day
     "q184_level_shift" ->

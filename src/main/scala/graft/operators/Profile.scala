@@ -105,6 +105,43 @@ object Profile {
         coalesce(col("top_values"), lit("")).as("top_values"))
   }
 
+  /** Pareto (contribution) report: groups ranked by weight share with
+    * running cumulative share — the 80/20 readout ("which sources carry
+    * the corpus", "which customers carry revenue"). `in_head` flags the
+    * minimal prefix covering `headShare` (a group is in the head iff
+    * the share BEFORE it is still under the threshold, so the head
+    * always includes the crossing group). Counts and cumulative sums
+    * are exact BIGINT/decimal; each share is one division.
+    *
+    * Shape: one group aggregate, then one window over the GROUP table
+    * (group cardinality — metadata-scale next to the fact scan; for
+    * million-group keys, compose with the hash-prefix decomposition
+    * used by Sampling.globalNtile). */
+  def paretoReport(df: DataFrame, groupCol: String, weightCol: String,
+                   headShare: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("decimal(20,6)")).cast("decimal(38,6)")
+        .as("__w"))
+    val w = Window.orderBy(col("__w").desc, col(groupCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byGroup
+      .crossJoin(broadcast(byGroup.agg(
+        sum(col("__w")).cast("decimal(38,6)").as("__tw"))))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__w").desc, col(groupCol).asc)))
+      .withColumn("weight", col("__w").cast("double"))
+      .withColumn("share",
+        col("__w").cast("double") / col("__tw").cast("double"))
+      .withColumn("cum_share",
+        sum(col("__w")).over(w).cast("double") / col("__tw").cast("double"))
+      .withColumn("in_head",
+        (sum(col("__w")).over(w) - col("__w")).cast("double")
+          / col("__tw").cast("double") < headShare)
+      .select(col(groupCol), col("rank"), col("weight"), col("share"),
+        col("cum_share"), col("in_head"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE
     * aggregate pass: k sums, k sums-of-squares and k(k−1)/2 cross
     * products accumulate together (decimal-exact, order-free), and

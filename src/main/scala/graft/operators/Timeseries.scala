@@ -156,6 +156,33 @@ object Timeseries {
         col("slope"), col("intercept"))
   }
 
+  /** Period-over-period comparison: each day's aggregate next to the
+    * value `lagDays` earlier, with absolute and guarded relative
+    * deltas — the WoW/MoM dashboard row. The prior period comes from a
+    * self-JOIN on the shifted calendar day, NOT a row-lag window, so
+    * gap days cannot silently misalign periods (lag(7) over rows is
+    * wrong the first time a day is missing). Days with no prior-period
+    * row report NULL deltas.
+    *
+    * Shape: one day aggregate (map-side combine), one day-keyed join of
+    * the day table against itself — |days| rows, metadata-scale. */
+  def periodOverPeriod(df: DataFrame, tsCol: String, valCol: String,
+                       lagDays: Int): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.ScalarFns.exactSum(col(valCol)).as("sum_value"))
+    val prior = daily.select(
+      date_add(col("day"), lagDays).as("day"),
+      col("n_events").as("prior_n_events"),
+      col("sum_value").as("prior_sum_value"))
+    daily.join(prior, Seq("day"), "left")
+      .withColumn("delta", col("sum_value") - col("prior_sum_value"))
+      .withColumn("pct_change",
+        when(col("prior_sum_value").isNotNull && col("prior_sum_value") =!= 0.0,
+          (col("sum_value") - col("prior_sum_value")) / col("prior_sum_value")))
+  }
+
   /** Single change-point (level-shift) detection per key: the day
     * boundary that maximizes |mean(before) − mean(after)| over the
     * key's OBSERVED daily values — the "when did this metric move"

@@ -126,6 +126,18 @@ class ProfileSpec extends SparkSpec {
     assert(out((1, 2)) == 2L && out((1, 4)) == 1L && out((1, 1)) == 4L)
   }
 
+  test("paretoReport ranks by weight and flags the minimal 80% head") {
+    val df = Seq(("a", 20L), ("a", 40L), ("b", 30L), ("c", 10L))
+      .toDF("g", "w")
+    val out = Profile.paretoReport(df, "g", "w")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Int]("rank"), r.getAs[Double]("share"),
+          r.getAs[Double]("cum_share"), r.getAs[Boolean]("in_head")))).toMap
+    assert(out("a") == ((1, 0.6, 0.6, true)))
+    assert(out("b") == ((2, 0.3, 0.9, true)), "crossing group stays in the head")
+    assert(out("c") == ((3, 0.1, 1.0, false)))
+  }
+
   test("correlationMatrix: perfect, inverse, constant, and NULL-listwise cases") {
     val df = Seq(
       (Some(1.0), Some(2.0), Some(3.0), Some(5.0)),

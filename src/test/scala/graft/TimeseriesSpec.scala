@@ -87,6 +87,20 @@ class TimeseriesSpec extends SparkSpec {
     assert(got == expected && expected == Set("2024-01-06"))
   }
 
+  test("periodOverPeriod aligns by calendar day, not row position") {
+    val ev = Seq(
+      (ts(1), 10.0), (ts(2), 20.0),
+      (ts(9), 25.0) // 7 days after day 2; day 8 (after day 1) is absent
+    ).toDF("ts", "value")
+    val out = Timeseries.periodOverPeriod(ev, "ts", "value", lagDays = 7)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((Option(r.getAs[java.lang.Double]("prior_sum_value")),
+          Option(r.getAs[java.lang.Double]("pct_change"))))).toMap
+    assert(out("2024-01-01") == ((None, None)), "no prior period")
+    assert(out("2024-01-09") == ((Some(20.0), Some(0.25))),
+      "day 9 compares against day 2 — a row-lag would have grabbed day 1")
+  }
+
   test("levelShift finds the boundary that maximizes the mean jump") {
     // key a: 1,1,1 then 9,9 — boundary after day 3; key b: 2 days flat
     // (zero shift, boundary after day 1 by tie rule); key c: 1 day only
