@@ -731,6 +731,12 @@ object SparkEntry {
       graft.operators.Timeseries.periodOverPeriod(t(s, d, "events"),
         "ts", "value", lagDays = 7)),
 
+    // cohort revenue / LTV curve: weekly + running cohort revenue,
+    // cumulative per first-week member
+    "q187_cohort_ltv" -> ((s, d) =>
+      graft.operators.Retention.cohortRevenue(t(s, d, "events"),
+        "user_id", "ts", "value")),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3120,6 +3126,33 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q109's cohort CTEs + decimal weekly sums, running window per
+    // cohort, LTV = cum / first-week cohort size
+    "q187_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |f AS (SELECT user_id, MIN(ts) AS first_ts FROM e GROUP BY 1),
+        |t AS (SELECT e.user_id,
+        |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |    CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+        |      CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_index,
+        |    e.value
+        |  FROM e JOIN f USING (user_id)),
+        |sizes AS (SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+        |    COUNT(DISTINCT user_id) AS cohort_size FROM f GROUP BY 1),
+        |weekly AS (SELECT cohort_week, week_index,
+        |    COUNT(DISTINCT user_id) AS n_active,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS rev
+        |  FROM t GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, week_index, n_active, rev,
+        |    CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_index ASC
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS cumrev
+        |  FROM weekly)
+        |SELECT c.cohort_week, c.week_index, c.n_active, s.cohort_size,
+        |  CAST(c.rev AS DOUBLE) AS revenue,
+        |  CAST(c.cumrev AS DOUBLE) AS cum_revenue,
+        |  CAST(c.cumrev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS ltv_per_user
+        |FROM cum c JOIN sizes s USING (cohort_week)""".stripMargin,
 
     // decimal group sums, one window ordered (weight DESC, source);
     // in_head = share-before-this-row still under 0.8

@@ -30,6 +30,52 @@ object Retention {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Cohort revenue / LTV curve — [[cohorts]] with money attached: per
+    * (cohort_week, week_index), active users, exact weekly revenue, the
+    * cohort's RUNNING cumulative revenue, and cumulative revenue per
+    * cohort member (the LTV-by-age curve marketing plots). Revenue
+    * stays decimal through the running window (order-free, engine-
+    * exact); each LTV is one double division by the cohort size (ALL
+    * first-week members, not week-i actives — LTV denominators don't
+    * shrink as users churn).
+    *
+    * Shape: [[cohorts]]' two keyed aggregates, plus one running window
+    * over the (cohort, week) table and a broadcast cohort-size join —
+    * both metadata-scale. */
+  def cohortRevenue(events: DataFrame, userCol: String, tsCol: String,
+                    valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = events.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__first_ts"))
+    val tagged = events
+      .join(first, col(userCol) === col("__u"))
+      .select(col(userCol).as("user_id"),
+        date_trunc("week", col("__first_ts")).cast("date").as("cohort_week"),
+        floor(datediff(to_date(col(tsCol)), to_date(col("__first_ts"))) / 7.0)
+          .cast("int").as("week_index"),
+        col(valCol).as("__v"))
+    val sizes = first
+      .select(date_trunc("week", col("__first_ts")).cast("date")
+        .as("cohort_week"), col("__u"))
+      .groupBy(col("cohort_week"))
+      .agg(countDistinct(col("__u")).as("cohort_size"))
+    val weekly = tagged.groupBy(col("cohort_week"), col("week_index"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("__v").cast("decimal(20,6)")).cast("decimal(38,6)").as("__rev"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_index").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("__cum", sum(col("__rev")).over(w).cast("decimal(38,6)"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_index"), col("n_active"),
+        col("cohort_size"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"),
+        (col("__cum").cast("double") / col("cohort_size").cast("double"))
+          .as("ltv_per_user"))
+  }
+
   /** Rolling distinct active users: for every calendar day, the count of
     * distinct keys active in the trailing `windowDays` window (WAU=7,
     * MAU=30). Sliding DISTINCT cannot run as a window aggregate (no

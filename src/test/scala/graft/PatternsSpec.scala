@@ -9,6 +9,23 @@ class PatternsSpec extends SparkSpec {
   private def ts(d: Int, m: Int = 0) =
     Timestamp.valueOf(f"2024-01-$d%02d 10:$m%02d:00")
 
+  test("cohortRevenue: LTV divides by the FIRST-week cohort size, not actives") {
+    val ev = Seq(
+      // cohort of 2 users (both first-seen in week of Jan 1)
+      (1L, ts(2, 0), 10.0), (2L, ts(3, 0), 30.0),
+      // week 1: only user 1 returns — denominator must stay 2
+      (1L, ts(9, 0), 6.0)
+    ).toDF("user_id", "ts", "value")
+    val out = graft.operators.Retention.cohortRevenue(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getAs[Int]("week_index") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("revenue"), r.getAs[Double]("cum_revenue"),
+          r.getAs[Double]("ltv_per_user")))).toMap
+    assert(out(0) == ((2L, 2L, 40.0, 40.0, 20.0)))
+    assert(out(1) == ((1L, 2L, 6.0, 46.0, 23.0)),
+      "cumulative revenue, churn-proof denominator")
+  }
+
   test("rfm buckets each dimension independently, bucket 1 = best") {
     val ev = Seq(
       // u1: recent, frequent, big spender — 1/1/1
