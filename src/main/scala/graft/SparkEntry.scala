@@ -737,6 +737,11 @@ object SparkEntry {
       graft.operators.Retention.cohortRevenue(t(s, d, "events"),
         "user_id", "ts", "value")),
 
+    // search-result snippets: ±3 tokens around each term's first hit
+    "q188_kwic_snippets" -> ((s, d) =>
+      TextAnalysis.kwicSnippets(t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("vector", "hash", "merge"), window = 3)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3126,6 +3131,20 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // list_position = 1-based first hit ≡ min(pos)+1 (0 = absent);
+    // inclusive slice tk[a:b] ≡ slice(toks, a, b-a+1)
+    "q188_kwic_snippets" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |hits AS (SELECT doc_id, t.term,
+        |    CAST(list_position(tk, t.term) AS BIGINT) AS position, tk
+        |  FROM toks CROSS JOIN (VALUES ('vector'), ('hash'), ('merge')) t(term)
+        |  WHERE list_position(tk, t.term) > 0)
+        |SELECT doc_id, term, position,
+        |  array_to_string(tk[CAST(greatest(position - 3, 1) AS INT)
+        |    : CAST(position + 3 AS INT)], ' ') AS snippet
+        |FROM hits""".stripMargin,
 
     // q109's cohort CTEs + decimal weekly sums, running window per
     // cohort, LTV = cum / first-week cohort size

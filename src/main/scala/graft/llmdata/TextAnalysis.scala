@@ -1125,6 +1125,35 @@ object TextAnalysis {
         col("dl"), col("score"), col("rank"))
   }
 
+  /** KWIC (keyword-in-context) snippets: for each document containing a
+    * query term, the ±`window` token context around the FIRST
+    * occurrence — the search-result snippet stage downstream of
+    * [[bm25IndexSearch]]. `position` is the 1-based token index of the
+    * hit (ties: first occurrence by construction).
+    *
+    * Shape: the token array binds ONCE per document (the documented
+    * inline-split O(tokens²) trap), positions come from a codegen
+    * posexplode, the first-hit aggregate is term-filtered BEFORE the
+    * shuffle (query-slice-sized), and the snippet slice rejoins the
+    * array by doc key. */
+  def kwicSnippets(df: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], window: Int): DataFrame = {
+    require(terms.nonEmpty && window >= 0, s"need terms and window >= 0")
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("__toks"))
+    val hits = toks
+      .select(col("doc_id"), posexplode(col("__toks")))
+      .filter(col("col").isin(terms: _*))
+      .groupBy(col("doc_id"), col("col").as("term"))
+      .agg((min(col("pos")) + 1).cast("long").as("position"))
+    hits.join(toks, Seq("doc_id"))
+      .withColumn("__start", greatest(col("position") - window, lit(1L)))
+      .select(col("doc_id"), col("term"), col("position"),
+        concat_ws(" ", slice(col("__toks"), col("__start").cast("int"),
+          (col("position") + window - col("__start") + 1).cast("int")))
+          .as("snippet"))
+  }
+
   /** Top-k characteristic terms per document by TF×IDF with a LINEAR
     * inverse document frequency (score = tf × N/df, no logarithm): libm
     * `log` differs across engines in the last ulp, while IEEE

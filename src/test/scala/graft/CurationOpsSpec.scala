@@ -144,6 +144,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("src_d") == ((2L, 0L, "drop")), "low quality alone drops")
   }
 
+  test("kwicSnippets clips the window at document edges, first hit wins") {
+    val docs = Seq(
+      (1L, "alpha beta target gamma delta epsilon"),
+      (2L, "target at the very start here"),
+      (3L, "no match in this one"),
+      (4L, "twice target then target again")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.kwicSnippets(docs, "doc_id", "text",
+        Seq("target"), window = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("position"), r.getAs[String]("snippet")))).toMap
+    assert(out(1L) == ((3L, "alpha beta target gamma delta")))
+    assert(out(2L) == ((1L, "target at the")), "left edge clips")
+    assert(!out.contains(3L))
+    assert(out(4L) == ((2L, "twice target then target")), "first occurrence")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
