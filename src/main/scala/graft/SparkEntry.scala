@@ -742,6 +742,19 @@ object SparkEntry {
       TextAnalysis.kwicSnippets(t(s, d, "documents"), "doc_id", "text",
         terms = Seq("vector", "hash", "merge"), window = 3)),
 
+    // weakly-connected components of the high-quantity co-purchase
+    // graph (parts sharing an order) — generic min-label propagation
+    "q189_copurchase_components" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3131,6 +3144,23 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // transitive closure by recursive CTE; component = MIN reachable
+    // node ≡ the operator's converged min-label
+    "q189_copurchase_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, root) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.node)
+        |SELECT node AS node_id, CAST(MIN(root) AS BIGINT) AS component_id
+        |FROM reach GROUP BY 1""".stripMargin,
 
     // list_position = 1-based first hit ≡ min(pos)+1 (0 = absent);
     // inclusive slice tk[a:b] ≡ slice(toks, a, b-a+1)

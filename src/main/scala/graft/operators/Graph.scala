@@ -32,6 +32,27 @@ object Graph {
 
   private val Micro = 1000000L
 
+  /** Weakly-connected components over undirected `edges` — the generic
+    * face of the min-label propagation that powers near-dup clustering
+    * (`DedupOps.nearDupClusters` IS this algorithm on dedup pairs; this
+    * entry point serves any graph: co-purchase families, entity
+    * resolution, account linking). Component id = the MINIMUM node id
+    * reachable from the node. Only nodes appearing on an edge are
+    * returned (isolated nodes are their own trivial components —
+    * left-join them back if needed).
+    *
+    * Scale/convergence contract inherited: per-iteration eager
+    * localCheckpoint keeps lineage flat, the label-sum invariant
+    * detects the fixpoint with one scalar aggregate per round, and
+    * rounds needed ≈ graph diameter (raise `maxIterations` for
+    * chain-shaped graphs). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIterations: Int = 20): DataFrame =
+    graft.llmdata.DedupOps.nearDupClusters(
+      edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+      maxIterations)
+      .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
+
   /** `iterations` rounds of damped PageRank over directed `edges`
     * (columns `src`, `dst`; duplicates are collapsed). Returns
     * (node, rank_micro): rank in micro-units, initialized to 1.0 per

@@ -39,4 +39,25 @@ class GraphSpec extends SparkSpec {
     assert((1 to 5).map(i => r(s"leaf$i")).distinct.size == 1,
       "symmetric leaves tie exactly")
   }
+
+  test("connectedComponents labels every node with its min reachable id") {
+    // two components {1,2,3,4} (chain) and {10,11}; 20 is absent (no edge)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("node_id") ->
+        r.getAs[Long]("component_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain within maxIterations") {
+    // one-hop-per-round propagation needs diameter+1 rounds: 12 for
+    // this path — inside the default 20, and the scaladoc's warning
+    // case for longer chains
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("component_id")).distinct
+    assert(out.toSeq == Seq(1L), "one chain, one component")
+  }
 }
