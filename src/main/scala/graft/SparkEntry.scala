@@ -755,6 +755,13 @@ object SparkEntry {
       graft.operators.Graph.connectedComponents(edges, "src", "dst")
     }),
 
+    // top-20 three-step session flows (sliding path 3-grams that never
+    // cross a session boundary)
+    "q190_top_paths" -> ((s, d) =>
+      graft.operators.Sessionize.pathNgrams(t(s, d, "events"), "user_id",
+        "ts", "event_id", "event_type", gapSeconds = 1800L, n = 3,
+        topK = 20)),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3144,6 +3151,33 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q87's session CTEs + two leads over the same session order;
+    // rank over the top-20 only, ties by path
+    "q190_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b),
+        |p AS (SELECT event_type || ' > ' || lead(event_type, 1) OVER w
+        |      || ' > ' || lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS last_step
+        |  FROM sess WINDOW w AS (PARTITION BY user_id, session_index
+        |    ORDER BY ts ASC, event_id ASC)),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM p WHERE last_step IS NOT NULL GROUP BY 1
+        |  ORDER BY n_occurrences DESC, path ASC LIMIT 20)
+        |SELECT path, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, path ASC) AS INT)
+        |    AS rank
+        |FROM c""".stripMargin,
 
     // transitive closure by recursive CTE; component = MIN reachable
     // node ≡ the operator's converged min-label

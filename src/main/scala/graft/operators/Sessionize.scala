@@ -67,6 +67,37 @@ object Sessionize {
     * summary agg reuses it; the final (key, day) equi-join rides the
     * same partitioning) — the price of removing the per-key sort
     * bottleneck. Use [[tag]] when keys are known to be light. */
+  /** Top-k frequent session path n-grams — "what are users' most common
+    * 3-step flows": within every gap-session, each sliding window of
+    * `n` consecutive event types becomes a ` > `-joined path string
+    * (windows never cross session boundaries — the [[transitions]]
+    * boundary rule at length n), counted corpus-wide and ranked.
+    *
+    * Shape: the session tag's one key shuffle; the n−1 leads ride the
+    * SAME (key, session) window sort; path counts hash-aggregate with
+    * map-side combine (path cardinality ≤ |types|^n — vocabulary-scale
+    * for small n); top-k is a TakeOrdered, ranks assigned over the k
+    * survivors only. Ties rank by path ascending. */
+  def pathNgrams(df: DataFrame, keyCol: String, tsCol: String,
+                 tieBreakCol: String, typeCol: String, gapSeconds: Long,
+                 n: Int, topK: Int): DataFrame = {
+    require(n >= 2, s"paths need n >= 2, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tagged = tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
+    val w = Window.partitionBy(col(keyCol), col("session_index"))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val steps = col(typeCol) +: (1 until n).map(j => lead(col(typeCol), j).over(w))
+    val paths = tagged
+      .withColumn("__last", steps.last)
+      .withColumn("__path", concat_ws(" > ", steps: _*))
+      .filter(col("__last").isNotNull) // window fits inside the session
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    paths.orderBy(col("n_occurrences").desc, col("path").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("path").asc)))
+  }
+
   def tagSkewSafe(df: DataFrame, keyCol: String, tsCol: String,
                   gapSeconds: Long, tieBreakCol: String): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")

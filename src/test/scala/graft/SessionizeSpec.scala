@@ -124,4 +124,21 @@ class SessionizeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(shuffled == out, "assembly must be input-order invariant")
   }
+
+  test("pathNgrams windows stay inside sessions, top-k ranks by count then path") {
+    val events = Seq(
+      // a session 1: view click buy  → one 3-gram
+      ("a", 1L, ts(0), "view"), ("a", 2L, ts(1), "click"), ("a", 3L, ts(2), "buy"),
+      // a session 2 (gap): view click buy again → same path counted twice
+      ("a", 4L, ts(50), "view"), ("a", 5L, ts(51), "click"), ("a", 6L, ts(52), "buy"),
+      // b: view click | (gap) buy — no 3-gram crosses the boundary
+      ("b", 7L, ts(0), "view"), ("b", 8L, ts(1), "click"), ("b", 9L, ts(55), "buy")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.Sessionize.pathNgrams(events, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L, n = 3, topK = 5)
+      .collect().map(r => r.getAs[String]("path") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Int]("rank")))).toMap
+    assert(out == Map("view > click > buy" -> ((2L, 1))),
+      s"boundary-crossing windows must vanish: $out")
+  }
 }
