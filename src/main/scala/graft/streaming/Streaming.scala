@@ -420,6 +420,43 @@ object Streaming {
       }
       .start()
 
+  /** Streaming heavy-hitter maintenance — the Misra-Gries member of the
+    * mergeable-partials sink family (SUM/COUNT: aggMergeSink; distinct:
+    * distinctMergeSink; quantiles: quantilePartialSink): each
+    * micro-batch folds into per-day MG summaries and merges into the
+    * stored summary table (pointwise sum + re-compression — the
+    * mergeable-summaries bound holds for any merge tree, so streaming
+    * batching cannot worsen the error). MG merge is NOT idempotent, so
+    * the aggMergeSink batch-id fence applies. Within the exactness
+    * regime (capacity > distinct items) the stored weights ARE exact
+    * counts, the q149 contract. Readers:
+    * `MisraGries.finishTopK(spark.read.parquet(path)
+    *   .drop("last_batch_id"), k)`. */
+  def heavyHitterSink(df: DataFrame, tsCol: String, itemCol: String,
+                      capacity: Int, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, path)
+        val lastApplied = stored.map(s =>
+          s.select(max(col("last_batch_id"))).head.getLong(0))
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = graft.functions.MisraGries
+            .dailyTopKPartial(batch, tsCol, itemCol, capacity)
+          val merged = stored match {
+            case Some(s) => graft.functions.MisraGries.mergeTopK(
+              Seq(s.drop("last_batch_id"), delta), capacity)
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          graft.incremental.Writers.atomicRewrite(out, path)
+        }
+      }
+      .start()
+
   /** Streaming EXACT dedup: drop any document whose content fingerprint
     * ([[graft.llmdata.TextAnalysis.fingerprint]] — md5 of the normalized
     * text) was already seen within the watermark horizon, using Spark's

@@ -488,6 +488,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
   }
 
+  test("heavyHitterSink: streamed MG summaries equal the one-shot top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-hhsink").toString
+    val (table, ckpt) = (dir + "/mg", dir + "/ckpt")
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    val all = Seq(
+      (ts(1, 1), "view"), (ts(1, 2), "view"), (ts(1, 3), "click"),
+      (ts(1, 4), "view"), (ts(2, 1), "buy"), (ts(2, 2), "buy"), (ts(2, 3), "view"))
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.heavyHitterSink(in.toDF().toDF("ts", "item"),
+      "ts", "item", capacity = 16, table, ckpt)
+    try {
+      in.addData(all.take(4): _*); q.processAllAvailable()
+      in.addData(all.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.functions.MisraGries.finishTopK(
+        spark.read.parquet(table).drop("last_batch_id"), k = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("item"), r.getAs[Long]("weight")))).toMap
+    // capacity 16 > 3 items → exact counts
+    assert(streamed(("2024-02-01", 1)) == (("view", 3L)))
+    assert(streamed(("2024-02-01", 2)) == (("click", 1L)))
+    assert(streamed(("2024-02-02", 1)) == (("buy", 2L)))
+    assert(streamed(("2024-02-02", 2)) == (("view", 1L)))
+  }
+
   test("quantilePartialSink: streamed map equals one-shot; replay is fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
