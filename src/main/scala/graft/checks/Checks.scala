@@ -144,6 +144,62 @@ class CheckSuite(constraints: Seq[Constraint]) {
   }
 }
 
+/** Structural (schema-level) data contract — the zero-scan complement
+  * of the row-level CheckSuite: missing columns, unexpected extras, and
+  * type drift are caught from METADATA before any job runs, the way the
+  * reference's ColumnExists battery gates a layer before validating its
+  * rows. Expected types are Spark DDL strings ("bigint", "string",
+  * "decimal(38,6)", "array<float>"); names compare case-insensitively
+  * (ingest lowercases, S2). */
+case class SchemaDiff(missing: Seq[(String, String)],
+                      extra: Seq[(String, String)],
+                      typeMismatch: Seq[(String, String, String)]) {
+  def isClean: Boolean = missing.isEmpty && extra.isEmpty && typeMismatch.isEmpty
+  def describe: String = (
+    missing.map { case (c, t) => s"missing $c: $t" } ++
+      extra.map { case (c, t) => s"unexpected $c: $t" } ++
+      typeMismatch.map { case (c, e, a) => s"$c: expected $e, got $a" })
+    .mkString("; ")
+}
+
+object SchemaContract {
+
+  def diff(df: DataFrame, expected: Seq[(String, String)]): SchemaDiff = {
+    val actual = df.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val exp = expected.map { case (n, t) =>
+      n.toLowerCase -> org.apache.spark.sql.types.DataType.fromDDL(t)
+    }
+    val missing = exp.collect { case (n, t) if !actual.contains(n) =>
+      n -> t.simpleString }
+    val extra = actual.toSeq.collect {
+      case (n, t) if !exp.exists(_._1 == n) => n -> t.simpleString
+    }.sortBy(_._1)
+    val mismatch = exp.collect {
+      case (n, t) if actual.contains(n) && actual(n) != t =>
+        (n, t.simpleString, actual(n).simpleString)
+    }
+    SchemaDiff(missing, extra, mismatch)
+  }
+
+  /** Gate form: throws [[QualityGateException]] (one synthetic failed
+    * CheckResult per problem) when the contract is violated;
+    * `allowExtra` tolerates additive evolution (new columns) while
+    * still failing on loss or drift. */
+  def validate(df: DataFrame, expected: Seq[(String, String)],
+               allowExtra: Boolean = false): Unit = {
+    val d = diff(df, expected)
+    val failures =
+      d.missing.map { case (c, t) =>
+        CheckResult(s"schema_missing($c: $t)", Some(c), passed = false, 100.0) } ++
+        (if (allowExtra) Nil else d.extra.map { case (c, t) =>
+          CheckResult(s"schema_extra($c: $t)", Some(c), passed = false, 100.0) }) ++
+        d.typeMismatch.map { case (c, e, a) =>
+          CheckResult(s"schema_type($c: $e != $a)", Some(c), passed = false, 100.0) }
+    if (failures.nonEmpty) throw QualityGateException(failures)
+  }
+}
+
 object CheckSuite {
   def apply(constraints: Constraint*): CheckSuite = new CheckSuite(constraints)
 

@@ -66,6 +66,30 @@ class ChecksSpec extends SparkSpec {
     new CheckSuite(Seq(RowCountBetween(1))).gate(df) // passes, no throw
   }
 
+  test("SchemaContract catches loss, drift, and extras from metadata only") {
+    val df = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    val good = Seq("id" -> "bigint", "name" -> "string", "score" -> "double")
+    assert(SchemaContract.diff(df, good).isClean)
+    SchemaContract.validate(df, good) // no throw
+    val bad = Seq("id" -> "int", "missing_col" -> "string", "name" -> "string")
+    val d = SchemaContract.diff(df, bad)
+    assert(d.missing == Seq("missing_col" -> "string"))
+    assert(d.extra == Seq("score" -> "double"))
+    assert(d.typeMismatch == Seq(("id", "int", "bigint")))
+    val e = intercept[QualityGateException] { SchemaContract.validate(df, bad) }
+    assert(e.failures.size == 3)
+    // additive evolution tolerated with allowExtra
+    val subset = Seq("id" -> "bigint", "name" -> "string")
+    SchemaContract.validate(df, subset, allowExtra = true)
+    intercept[QualityGateException] { SchemaContract.validate(df, subset) }
+  }
+
+  test("SchemaContract names compare case-insensitively (lowercase ingest)") {
+    val df = Seq((1L, 2.0)).toDF("ID", "Val")
+    assert(SchemaContract.diff(df,
+      Seq("id" -> "bigint", "val" -> "double")).isClean)
+  }
+
   test("observeRowStats piggybacks row/null metrics on the caller's action") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
       .toDF("id", "pay")
