@@ -762,6 +762,23 @@ object SparkEntry {
         "ts", "event_id", "event_type", gapSeconds = 1800L, n = 3,
         topK = 20)),
 
+    // per-user cadence: median and p90 inter-event gap (whole seconds)
+    // via the exact grouped value-count quantiles
+    "q191_user_cadence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("__gap_us", col("__us") - lag(col("__us"), 1).over(w))
+        .filter(col("__gap_us").isNotNull)
+        .withColumn("gap_s", expr("__gap_us div 1000000L"))
+      graft.operators.Profile.quantilesFromCountsBy(
+        graft.operators.Profile.quantilePartialBy(gaps, "user_id", "gap_s"),
+        Seq((1, 2), (9, 10)))
+    }),
+
     // bloom-prefiltered semi-join: result ≡ plain semi-join (the bloom
     // only thins the fact scan); oracle is the plain EXISTS form
     "q161_bloom_semijoin" -> ((s, d) =>
@@ -3151,6 +3168,24 @@ object SparkEntry {
         |FROM p, n1
         |JOIN s sa ON sa.i = p.i
         |JOIN s sb ON sb.i = p.j""".stripMargin,
+
+    // q155's rational-threshold quantile CTEs over integer-second gaps
+    "q191_user_cadence" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id,
+        |    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC))
+        |      // 1000000 AS gap_s
+        |  FROM e),
+        |c AS (SELECT user_id AS grp, gap_s AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT grp, value,
+        |          CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY value) AS BIGINT) AS cum,
+        |          CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n FROM c),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(q_num, q_den))
+        |SELECT grp, q_num, q_den, MIN(value) AS quantile_value, CAST(MIN(n) AS BIGINT) AS n
+        |FROM qs JOIN cum ON cum.cum * qs.q_den >= qs.q_num * cum.n
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q87's session CTEs + two leads over the same session order;
     // rank over the top-20 only, ties by path
