@@ -88,19 +88,35 @@ object Bench {
       // (noise only inflates, so the bias is toward caution)
       name -> sorted(sorted.length / 2)
     }
-    // ms precision (noise floor is far above 1ms) keeps the line compact:
-    // the driver captures a bounded TAIL of stdout, and round 2/3 lines at
-    // full double precision overflowed it (BENCH_r03 "parsed": null, head
-    // queries truncated). Summary fields go AFTER the queries map for the
-    // same reason — if the head is ever cut again, the total still lands
-    // inside the captured tail.
+    // TWO artifacts (round-5 lesson — the second bench-artifact loss in a
+    // row): the driver captures only a bounded TAIL (~2 KB) of stdout, and
+    // the per-query map at 190 entries (~5 KB) overflowed it, so BENCH_r05
+    // recorded totals but lost q100–q191's timings ("parsed": null).
+    //  1. The FULL per-query map goes to a FILE (SPARK_GRAFT_BENCH_OUT,
+    //     default BENCH_LOCAL.json in the repo cwd) — committed per round,
+    //     it is the durable regression-tracking record.
+    //  2. stdout carries ONE COMPACT summary line — totals, error map,
+    //     query count, the 10 slowest queries, and the detail-file path —
+    //     a few hundred bytes, parseable no matter how the tail is cut
+    //     (value/spent still go last so even a truncated head leaves the
+    //     totals inside the captured window).
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> f(v).toString })
+    val errs = jmap(errors.toSeq.map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$maxReps,"budget_sec":${f(budget)},"spent_sec":${f(spent)},"unit":"sec","value":${f(total)}}""")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val fullLine =
+      s"""{"metric":"total","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$maxReps,"budget_sec":${f(budget)},"spent_sec":${f(spent)},"unit":"sec","value":${f(total)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // "queries" kept for driver-schema compatibility but capped to the 10
+    // SLOWEST (the ones regression-watching cares about); the full map is
+    // in the detail file.
+    val top10 = jmap(results.sortBy(-_._2).take(10)
+      .map { case (k, v) => k -> f(v).toString })
+    println(s"""{"metric":"total","n_queries":${results.size},"queries":$top10,"errors":$errs,"sf":"$sfDir","reps":$maxReps,"budget_sec":${f(budget)},"detail_file":"$outFile","unit":"sec","spent_sec":${f(spent)},"value":${f(total)}}""")
     spark.stop()
   }
 }

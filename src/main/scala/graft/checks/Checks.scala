@@ -36,31 +36,55 @@ case class CheckResult(constraint: String, column: Option[String],
   * this is a strict superset): one row per constraint per gate, appended
   * to a single-partition parquet ledger keyed by (run_id, layer).
   *
-  * Concurrency contract: SINGLE WRITER. `record` is a plain parquet
-  * append — sequential multi-run appends are safe and spec-proven, but
-  * two pipelines appending the SAME ledger concurrently are only kept
-  * apart by part-file UUID luck (parquet directories have no commit
-  * protocol). Orchestrators running gates in parallel must give each
-  * pipeline its own ledger path (union at read time: the ledger is
-  * metadata-scale) or serialize gate execution — the reference's
-  * orchestrator runs validation tasks strictly sequentially, so the
-  * single-writer shape is the semantics being matched, not a shortcut. */
-class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String) {
+  * Concurrency contract: the default (`concurrent = false`) is SINGLE
+  * WRITER. `record` is a plain parquet append — sequential multi-run
+  * appends are safe and spec-proven, but two pipelines appending the
+  * SAME flat ledger concurrently are only kept apart by part-file UUID
+  * luck (parquet directories have no commit protocol). The reference's
+  * orchestrator runs validation tasks strictly sequentially, so the flat
+  * shape is the semantics being matched, not a shortcut.
+  *
+  * `concurrent = true` removes the external-serialization requirement:
+  * each run appends under its OWN subdirectory (`path/run_id=<id>/` —
+  * writers with distinct run ids never touch the same directory, so
+  * parallel orchestrators need no coordination), and `read()` unions the
+  * per-run subdirectories — metadata-scale, a few files per run. Run ids
+  * are restricted to filesystem-safe characters in this mode. */
+class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String,
+                  concurrent: Boolean = false) {
 
   def record(runId: String, layer: String, results: Seq[CheckResult]): Unit = {
     import spark.implicits._
     if (results.isEmpty) return
+    if (concurrent) require(runId.matches("[A-Za-z0-9._-]+"),
+      s"concurrent ledger run ids must be [A-Za-z0-9._-]+, got '$runId'")
     val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val target = if (concurrent) s"$path/run_id=$runId" else path
     results.map(r => (runId, layer, r.constraint, r.column.orNull,
         r.passed, r.unexpectedPercent, now))
       .toDF("run_id", "layer", "constraint", "column", "passed",
         "unexpected_percent", "checked_at")
       .coalesce(1)
-      .write.mode("append").parquet(path)
+      .write.mode("append").parquet(target)
   }
 
   def read(): Option[org.apache.spark.sql.DataFrame] =
-    graft.sources.Tables.readParquetIfExists(spark, path)
+    if (!concurrent) graft.sources.Tables.readParquetIfExists(spark, path)
+    else {
+      // union-at-read over the per-run subdirectories; each subdir
+      // carries the full schema (run_id lives in the DATA, the dir name
+      // is only an isolation key), so no partition-inference is involved
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val runs = fs.listStatus(p).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("run_id="))
+        if (runs.isEmpty) None
+        else Some(runs.map(s => spark.read.parquet(s.getPath.toString))
+          .reduce(_ unionByName _))
+      }
+    }
 }
 
 /** Thrown when a suite fails — the engine analog of the reference's
@@ -164,11 +188,30 @@ case class SchemaDiff(missing: Seq[(String, String)],
 
 object SchemaContract {
 
+  import org.apache.spark.sql.types._
+
+  /** Strip nullability (and field metadata) at every nesting level
+    * before comparing: `DataType` equality is structural, so an
+    * `array<int>` whose elements happen to be provably non-null
+    * (`containsNull = false`) would otherwise report as TYPE DRIFT
+    * against the DDL default `array<int>` (containsNull = true) — with
+    * a message rendering two identical `simpleString`s. Nullability is
+    * an optimizer fact, not a contract violation; the contract compares
+    * the logical type shape only. */
+  private def normalize(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(normalize(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normalize(k), normalize(v), valueContainsNull = true)
+    case StructType(fields) => StructType(fields.map(f =>
+      StructField(f.name, normalize(f.dataType), nullable = true)))
+    case other => other
+  }
+
   def diff(df: DataFrame, expected: Seq[(String, String)]): SchemaDiff = {
     val actual = df.schema.fields
-      .map(f => f.name.toLowerCase -> f.dataType).toMap
+      .map(f => f.name.toLowerCase -> normalize(f.dataType)).toMap
     val exp = expected.map { case (n, t) =>
-      n.toLowerCase -> org.apache.spark.sql.types.DataType.fromDDL(t)
+      n.toLowerCase -> normalize(DataType.fromDDL(t))
     }
     val missing = exp.collect { case (n, t) if !actual.contains(n) =>
       n -> t.simpleString }

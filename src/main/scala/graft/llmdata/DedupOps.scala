@@ -460,6 +460,17 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // the labels at a cap exit are NOT a fixpoint: components with
+    // diameter > maxIterations carry wrong (unpropagated) ids. Loud
+    // warning rather than throw — callers on known-small-diameter
+    // near-dup graphs keep working; chain-shaped graphs get told to
+    // raise maxIterations.
+    if (!converged)
+      System.err.println(
+        "WARN graft.DedupOps.nearDupClusters: iteration cap " +
+          s"($maxIterations) reached WITHOUT converging - cluster ids " +
+          "are incorrect for components with diameter > cap; raise " +
+          "maxIterations (rounds needed ~= graph diameter)")
     labels
   }
 

@@ -418,6 +418,147 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Typed per-clip container metadata ([[videoContainerMeta]]). */
+  case class VideoMeta(asset_id: Long, container: String, duration_ms: Long,
+                       n_tracks: Int, width: Int, height: Int, parsed: Boolean)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** One level of ISO-BMFF (MP4) box structure in [start, end):
+    * (type, payloadStart, payloadEnd). Handles 64-bit `largesize`
+    * (size == 1) and to-end boxes (size == 0); stops cleanly at the
+    * first malformed header — truncated uploads yield the boxes seen
+    * so far, never an exception. */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var o = start.toLong
+    var ok = true
+    while (ok && o + 8 <= end) {
+      var size = be32(b, o.toInt)
+      val typ = fourcc(b, o.toInt + 4)
+      var hdr = 8L
+      if (size == 1 && o + 16 <= end) { size = be64(b, o.toInt + 8); hdr = 16 }
+      else if (size == 0) size = end - o
+      if (size < hdr || o + size > end) ok = false
+      else { out += ((typ, (o + hdr).toInt, (o + size).toInt)); o += size }
+    }
+    out.toSeq
+  }
+
+  /** One level of RIFF chunk structure in [start, end): (fourcc,
+    * dataStart, dataEnd). Chunk sizes are little-endian and padded to
+    * even offsets; malformed headers stop the walk cleanly. */
+  private def riffChunks(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var o = start.toLong
+    var ok = true
+    while (ok && o + 8 <= end) {
+      val id = fourcc(b, o.toInt)
+      val size = le32(b, o.toInt + 4)
+      if (o + 8 + size > end) ok = false
+      else {
+        out += ((id, (o + 8).toInt, (o + 8 + size).toInt))
+        o += 8 + size + (size & 1)
+      }
+    }
+    out.toSeq
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[(Long, Int, Int, Int)] = {
+    if (b.length < 16) return None
+    val top = mp4Boxes(b, 0, b.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    top.find(_._1 == "moov").map { case (_, ms, me) =>
+      val inMoov = mp4Boxes(b, ms, me)
+      val durationMs = inMoov.find(_._1 == "mvhd").flatMap { case (_, s, e) =>
+        if (e - s < 20) None
+        else {
+          val v = b(s) & 0xff
+          // v0: ts u32 @ +12, dur u32 @ +16; v1: ts u32 @ +20, dur u64 @ +24
+          val (ts, dur) =
+            if (v == 1 && e - s >= 32) (be32(b, s + 20), be64(b, s + 24))
+            else (be32(b, s + 12), be32(b, s + 16))
+          if (ts > 0) Some(dur * 1000L / ts) else None
+        }
+      }.getOrElse(0L)
+      val traks = inMoov.filter(_._1 == "trak")
+      // width/height live in each track's tkhd as 16.16 fixed point;
+      // audio tracks carry 0×0, so max over tracks finds the video track
+      val dims = traks.flatMap { case (_, ts, te) =>
+        mp4Boxes(b, ts, te).find(_._1 == "tkhd").flatMap { case (_, s, e) =>
+          val v = b(s) & 0xff
+          val (wo, need) = if (v == 1) (s + 88, 96) else (s + 76, 84)
+          if (e - s >= need)
+            Some(((be32(b, wo) >> 16).toInt, (be32(b, wo + 4) >> 16).toInt))
+          else None
+        }
+      }
+      val (w, h) = if (dims.isEmpty) (0, 0) else dims.maxBy(d => d._1.toLong * d._2)
+      (durationMs, traks.size, w, h)
+    }
+  }
+
+  private def parseAvi(b: Array[Byte]): Option[(Long, Int, Int, Int)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    val top = riffChunks(b, 12, b.length)
+    val hdrl = top.collectFirst {
+      case ("LIST", s, e) if e - s >= 4 && fourcc(b, s) == "hdrl" => (s + 4, e)
+    }
+    hdrl.flatMap { case (s, e) =>
+      riffChunks(b, s, e).collectFirst { case ("avih", as, ae) if ae - as >= 40 =>
+        val usPerFrame = le32(b, as)           // dwMicroSecPerFrame
+        val totalFrames = le32(b, as + 16)     // dwTotalFrames
+        val streams = le32(b, as + 24).toInt   // dwStreams
+        val w = le32(b, as + 32).toInt         // dwWidth
+        val h = le32(b, as + 36).toInt         // dwHeight
+        (totalFrames * usPerFrame / 1000L, streams, w, h)
+      }
+    }
+  }
+
+  /** REAL video CONTAINER metadata, JDK-only: walks ISO-BMFF (MP4/MOV)
+    * box structure — `mvhd` movie duration, `trak` count, `tkhd` 16.16
+    * fixed-point track dimensions — and RIFF-AVI chunk structure
+    * (`hdrl`/`avih`: frame timing, stream count, frame dimensions).
+    * PER-FRAME PIXEL DECODE remains the one sanctioned stub in the
+    * multimodal surface (no codec library ships in this container or the
+    * JDK), but duration/track/resolution triage — the metadata a
+    * curation pipeline filters on before paying for any decode — needs
+    * only the container headers parsed here. Unrecognized or truncated
+    * payloads report `parsed = false` with zeroed fields
+    * (flag-and-continue, the [[imageStats]] contract; the walkers stop
+    * cleanly at the first malformed header, so an arbitrary byte blob
+    * can never throw). Same mapPartitions shape as every codec op:
+    * map-only, no shuffle, constant memory — and only the header region
+    * of each payload is touched. */
+  def videoContainerMeta(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          parseMp4(b).map { case (d, t, w, h) =>
+            VideoMeta(id, "mp4", d, t, w, h, parsed = true)
+          }.orElse(parseAvi(b).map { case (d, t, w, h) =>
+            VideoMeta(id, "avi", d, t, w, h, parsed = true)
+          }).getOrElse(
+            VideoMeta(id, "unknown", 0L, 0, 0, 0, parsed = false))
+        }
+      }
+  }
+
   /** The imperative-codec escape hatch: decode via `mapPartitions` (the
     * Scala analog of `mapInPandas` — one codec instance per partition,
     * rows streamed through it in batches). Preference order (build brief):

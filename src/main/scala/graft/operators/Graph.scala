@@ -53,15 +53,32 @@ object Graph {
       maxIterations)
       .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
 
-  /** `iterations` rounds of damped PageRank over directed `edges`
+  /** Up to `iterations` rounds of damped PageRank over directed `edges`
     * (columns `src`, `dst`; duplicates are collapsed). Returns
     * (node, rank_micro): rank in micro-units, initialized to 1.0 per
     * node, updated as
     * `r'(v) = (1-d) + d * Σ_{u→v} r(u) div outdeg(u)` with d =
     * `dampingPct`/100 evaluated as `(dampingPct * Σ) div 100`.
-    */
+    *
+    * EARLY EXIT: integer fixed-point ranks reach an EXACT fixpoint (no
+    * epsilon needed); the loop stops as soon as no node's rank changed.
+    * The convergence test rides the SAME job that materializes each
+    * round's ranks (one `changed`-count aggregate over the persisted
+    * frame — replacing the old pure-materialization `count()`), so
+    * convergence detection costs zero extra jobs and a converged graph
+    * stops paying per-round scheduler overhead.
+    *
+    * `redistributeDangling = true` adds the standard dangling-mass
+    * correction for users expecting a distribution: each round, the rank
+    * mass of sink nodes (no out-edges) is split evenly across all N
+    * nodes — `r'(v) = (1-d) + d * (Σ contribs + danglingSum div N)`,
+    * still all-integer (`div` floors, so a few micro-units evaporate per
+    * round rather than appearing from nowhere; total mass stays within
+    * N micro-units of N). Default false preserves the documented
+    * leak-dangling-mass simplification (and the q116 oracle). */
   def pageRank(edges: DataFrame, iterations: Int,
-               dampingPct: Int = 85): DataFrame = {
+               dampingPct: Int = 85,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -69,32 +86,58 @@ object Graph {
       col("dst").cast("string").as("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist() // nodes-sized; forked by every round's left join
+    val nNodes = nodes.count()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val base = lit((100 - dampingPct) * Micro / 100)
     var ranks = nodes.withColumn("rank_micro", lit(Micro))
     var previous: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    var converged = false
+    var iter = 0
+    while (!converged && iter < iterations) {
       // the rank/degree frames are nodes-sized (≪ edges): broadcast them
       // under the size gate so the edge stream never shuffles for the
       // join — at web scale the gate falls back to a hash join on src
       val contribs = e
         .join(Broadcasts.maybeBroadcast(
-          ranks.withColumnRenamed("node", "src")), Seq("src"))
+          ranks.select(col("node").as("src"), col("rank_micro"))), Seq("src"))
         .join(Broadcasts.maybeBroadcast(outdeg), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_micro div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))
-      ranks = nodes
+      // ranks IS the node universe, so folding over it (rather than
+      // `nodes`) both supplies every node's row and carries last round's
+      // value for the convergence test — no extra join.
+      var next = ranks.select(col("node"), col("rank_micro").as("__prev"))
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
+      if (redistributeDangling) {
+        // dangling mass = rank held by nodes with NO out-edges; a
+        // one-row scalar, broadcast-crossed onto every node
+        val danglingSum = ranks
+          .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dangling_sum"))
+        next = next.crossJoin(broadcast(danglingSum))
+          .withColumn("in_mass",
+            expr("coalesce(in_mass, 0L)") + expr(s"dangling_sum div ${nNodes}L"))
+          .drop("dangling_sum")
+      }
+      val stepped = next
+        .select(col("node"), col("__prev"),
           (base + expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
             .as("rank_micro"))
         .persist()
-      ranks.count() // materialize: bounds lineage depth per round
+      // one job: materializes the persisted frame AND counts changes
+      val changed = stepped
+        .agg(count(when(col("rank_micro") =!= col("__prev"), lit(1))).as("c"))
+        .first().getLong(0)
       previous.foreach(_.unpersist(blocking = false))
-      previous = Some(ranks)
+      previous = Some(stepped)
+      ranks = stepped.drop("__prev")
+      converged = changed == 0L
+      iter += 1
     }
+    nodes.unpersist(blocking = false)
     ranks
   }
 }

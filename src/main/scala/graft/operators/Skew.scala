@@ -76,7 +76,10 @@ object Skew {
     val top = j.orderBy(col("contribution").desc, col(keyCol).asc).limit(topN)
     top.crossJoin(broadcast(total))
       .withColumn("share",
-        col("contribution").cast("double") / col("total_rows").cast("double"))
+        // disjoint key sets → total_rows = 0; a defined 0.0 beats NaN
+        when(col("total_rows") > 0,
+          col("contribution").cast("double") / col("total_rows").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("contribution").desc, col(keyCol).asc)))
   }

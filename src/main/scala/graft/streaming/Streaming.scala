@@ -13,6 +13,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Streaming {
 
+  /** Max stored `last_batch_id` fence for the mergeable-partial sinks.
+    * None when the table is absent OR exists with zero rows: `max` over
+    * empty input is SQL NULL, and the old `.getLong(0)` read would NPE on
+    * every subsequent batch — an empty first snapshot (e.g. an empty
+    * initial micro-batch) must not wedge the stream forever. */
+  private def storedFence(stored: Option[DataFrame]): Option[Long] =
+    stored.flatMap { s =>
+      val row = s.select(max(col("last_batch_id"))).head
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+
   /** File-source micro-batch ingest (the streaming analog of the monthly
     * loader): one file per trigger mirrors one month per run. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String,
@@ -272,8 +283,7 @@ object Streaming {
         val spark = batch.sparkSession
         // Hadoop-FS existence probe (NOT java.io.File — see scd2Sink).
         val stored = graft.sources.Tables.readParquetIfExists(spark, path)
-        val lastApplied = stored.map(s =>
-          s.select(max(col("last_batch_id"))).head.getLong(0))
+        val lastApplied = storedFence(stored)
         if (!lastApplied.exists(_ >= batchId)) {
           val delta = graft.operators.AggMerge.dailyPartial(batch, tsCol, valCol)
           val merged = stored match {
@@ -326,8 +336,7 @@ object Streaming {
         val none = batch.filter(lit(false))
         val storedFact = graft.sources.Tables.readParquetIfExists(spark, factPath)
         val storedPart = graft.sources.Tables.readParquetIfExists(spark, partialsPath)
-        def fence(df: Option[DataFrame]): Option[Long] =
-          df.map(_.select(max(col("last_batch_id"))).head.getLong(0))
+        def fence(df: Option[DataFrame]): Option[Long] = storedFence(df)
         val base = storedFact.map(_.drop("last_batch_id"))
           .getOrElse(none.select(cols: _*))
         if (!fence(storedPart).exists(_ >= batchId)) {
@@ -403,8 +412,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val stored = graft.sources.Tables.readParquetIfExists(spark, path)
-        val lastApplied = stored.map(s =>
-          s.select(max(col("last_batch_id"))).head.getLong(0))
+        val lastApplied = storedFence(stored)
         if (!lastApplied.exists(_ >= batchId)) {
           val delta = graft.operators.Profile
             .quantilePartialBy(batch, groupCol, valueCol)
@@ -440,8 +448,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val stored = graft.sources.Tables.readParquetIfExists(spark, path)
-        val lastApplied = stored.map(s =>
-          s.select(max(col("last_batch_id"))).head.getLong(0))
+        val lastApplied = storedFence(stored)
         if (!lastApplied.exists(_ >= batchId)) {
           val delta = graft.functions.MisraGries
             .dailyTopKPartial(batch, tsCol, itemCol, capacity)
@@ -611,10 +618,13 @@ object Streaming {
     * attribution the moment it arrives — (channel = the stored touch's
     * type if within `lookbackSeconds`, else 'organic').
     *
-    * Within a batch, events fold in (sec, event_id) order, so the
-    * batch-boundary placement cannot change results for in-order
-    * streams; the spec proves two-batch ≡ the batch operator on the
-    * union. Caveat (append-mode fundamentals): a TOUCH arriving late —
+    * Within a batch, events fold in (sec, touches-first, event_id)
+    * order: a touch sharing a conversion's second is processed BEFORE
+    * the conversion, matching the batch operator's tie rule (AsOfJoin
+    * sorts right rows before left at equal ts — a same-instant touch is
+    * visible and credited). Batch-boundary placement therefore cannot
+    * change results for in-order streams; the spec proves two-batch ≡
+    * the batch operator on the union, including same-second ties. Caveat (append-mode fundamentals): a TOUCH arriving late —
     * after a conversion it should have credited was already emitted —
     * cannot retract that attribution; bound staleness upstream with a
     * watermark when late touches matter. State is one touch per user
@@ -634,7 +644,11 @@ object Streaming {
         (user: Long, evs: Iterator[AttrEv], state: GroupState[TouchState]) =>
           var touch = state.getOption
           val out = scala.collection.mutable.ListBuffer.empty[Attributed]
-          evs.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+          // touches before conversions at equal sec — the batch tie rule
+          // (asOf makes a same-instant touch visible to the conversion)
+          evs.toSeq.sortBy(e =>
+            (e.sec, if (touchTypes.contains(e.event_type)) 0 else 1,
+              e.event_id)).foreach { e =>
             if (touchTypes.contains(e.event_type)) {
               // monotone: same-instant touches resolve to the largest id
               // (the batch operator's tie rule)

@@ -90,6 +90,61 @@ class ChecksSpec extends SparkSpec {
       Seq("id" -> "bigint", "val" -> "double")).isClean)
   }
 
+  test("SchemaContract ignores nested nullability (optimizer fact, not drift)") {
+    import org.apache.spark.sql.types._
+    // array elements provably non-null (containsNull = false) and a
+    // required struct field: both must compare CLEAN against the DDL
+    // forms, whose nested types default to nullable — before the
+    // normalization fix this reported type drift with two identical
+    // simpleStrings in the message.
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(IntegerType, containsNull = false)),
+      StructField("meta", StructType(Seq(
+        StructField("k", StringType, nullable = false),
+        StructField("v", MapType(StringType, LongType,
+          valueContainsNull = false)))))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val expected = Seq("id" -> "bigint", "tags" -> "array<int>",
+      "meta" -> "struct<k:string,v:map<string,bigint>>")
+    assert(SchemaContract.diff(df, expected).isClean)
+    // a REAL nested type change still reports
+    val drift = SchemaContract.diff(df, Seq("id" -> "bigint",
+      "tags" -> "array<string>",
+      "meta" -> "struct<k:string,v:map<string,bigint>>"))
+    assert(drift.typeMismatch ==
+      Seq(("tags", "array<string>", "array<int>")))
+  }
+
+  test("CheckLedger concurrent mode: parallel appends, union-at-read") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ledger-conc").toString + "/ledger"
+    val ledger = new CheckLedger(spark, path, concurrent = true)
+    val res = Seq(CheckResult("not_null(x)", Some("x"), passed = true, 0.0))
+    // genuinely concurrent appends with distinct run ids — each lands in
+    // its own run_id= subdirectory, no commit-protocol collision possible
+    val threads = (1 to 4).map { i =>
+      new Thread(() => ledger.record(s"run-$i", "silver", res))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val out = ledger.read().get
+    assert(out.count() == 4)
+    assert(out.select("run_id").distinct().count() == 4)
+    assert(out.columns.toSeq == Seq("run_id", "layer", "constraint",
+      "column", "passed", "unexpected_percent", "checked_at"))
+    // same-run sequential append still accumulates
+    ledger.record("run-1", "gold", res)
+    assert(ledger.read().get.count() == 5)
+    // unsafe run id refused up front
+    intercept[IllegalArgumentException] {
+      ledger.record("run/../escape", "silver", res)
+    }
+    // empty/absent ledger reads as None
+    assert(new CheckLedger(spark, path + "-absent", concurrent = true)
+      .read().isEmpty)
+  }
+
   test("observeRowStats piggybacks row/null metrics on the caller's action") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
       .toDF("id", "pay")

@@ -40,6 +40,56 @@ class GraphSpec extends SparkSpec {
       "symmetric leaves tie exactly")
   }
 
+  test("pageRank exits early at the exact integer fixpoint") {
+    // A→D reaches its fixpoint at round 3 (round 1 drops A to base and
+    // fills D; round 2 re-levels D; round 3 confirms no change) — asking
+    // for 50 iterations must not run 50 rounds. Integer ranks make the
+    // fixpoint exact, so the convergence test is equality, not epsilon.
+    val e = Seq(("A", "D")).toDF("src", "dst")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Graph.pageRank(e, iterations = 50)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      Thread.sleep(1000) // let the async listener bus drain
+      // converged result = the round-2 values, held at the fixpoint
+      assert(r == Map("A" -> 150000L, "D" -> 277500L))
+      // 3 executed rounds cost a handful of jobs (round agg + broadcasts
+      // + setup + final collect); 50 rounds would cost ≥ 50. The bound is
+      // deliberately loose — it proves early exit, not a job budget.
+      assert(jobs.get() < 30,
+        s"expected early exit after ~3 rounds, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("redistributeDangling feeds sink mass back (hand-computed round)") {
+    // N=2, D dangling with rank 1000000 at round start: each node gains
+    // dangling_sum div N = 500000 in-mass.
+    //   A: 150000 + 85%·500000          = 575000
+    //   D: 150000 + 85%·(1000000+500000) = 1425000  (sum = 2·Micro exactly)
+    val e = Seq(("A", "D")).toDF("src", "dst")
+    val r = Graph.pageRank(e, iterations = 1, redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("A" -> 575000L, "D" -> 1425000L))
+  }
+
+  test("redistributeDangling conserves total mass within floor rounding") {
+    // chain with a sink: A→B→C, C dangling. Integer div floors can only
+    // EVAPORATE micro-units (never mint them), a few per node per round.
+    val e = Seq(("A", "B"), ("B", "C")).toDF("src", "dst")
+    val total = Graph.pageRank(e, iterations = 5, redistributeDangling = true)
+      .agg(org.apache.spark.sql.functions.sum("rank_micro"))
+      .first().getLong(0)
+    assert(total <= 3000000L && total >= 3000000L - 100L,
+      s"mass must stay within floor-rounding of 3.0, got $total")
+  }
+
   test("connectedComponents labels every node with its min reachable id") {
     // two components {1,2,3,4} (chain) and {10,11}; 20 is absent (no edge)
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))

@@ -861,6 +861,68 @@ class LlmDataSpec extends SparkSpec {
     assert(!out(2L).decoded && out(2L).peak_rms.isNaN)
   }
 
+  test("multimodal: videoContainerMeta parses a crafted MP4 box tree") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(payload.length + 8) // big-endian
+      bb.putInt(payload.length + 8).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    // mvhd v0: timescale 1000 @ +12, duration 90000 @ +16, padded to the
+    // real 100-byte payload
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.position(12); bb.putInt(1000); bb.putInt(90000)
+      bb.array()
+    }
+    // tkhd v0 (84-byte payload): width<<16 @ +76, height<<16 @ +80
+    def tkhd(w: Int, h: Int) = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76); bb.putInt(w << 16); bb.putInt(h << 16)
+      bb.array()
+    }
+    val moov = box("moov", box("mvhd", mvhd) ++
+      box("trak", box("tkhd", tkhd(0, 0))) ++        // audio track, 0×0
+      box("trak", box("tkhd", tkhd(640, 360))))      // video track
+    val mp4 = box("ftyp", "isom    isom".getBytes("ISO-8859-1")) ++
+      moov ++ box("mdat", Array.fill[Byte](32)(7))
+    val media = Seq(
+      (1L, mp4),
+      (2L, "definitely not a video".getBytes("UTF-8")),
+      (3L, mp4.dropRight(mp4.length - 40))           // truncated mid-moov
+    ).toDF("asset_id", "payload")
+    val out = Multimodal.videoContainerMeta(media)
+      .collect().map(v => v.asset_id -> v).toMap
+    assert(out(1L).parsed && out(1L).container == "mp4")
+    assert(out(1L).duration_ms == 90000L, s"got ${out(1L).duration_ms}")
+    assert(out(1L).n_tracks == 2)
+    assert(out(1L).width == 640 && out(1L).height == 360)
+    assert(!out(2L).parsed && out(2L).container == "unknown")
+    assert(!out(3L).parsed) // clean stop, no exception on truncation
+  }
+
+  test("multimodal: videoContainerMeta parses a crafted RIFF-AVI header") {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + 8 + 4 + 8 + 56)
+      .put("AVI ".getBytes("ISO-8859-1"))
+    bb.put("LIST".getBytes("ISO-8859-1")).putInt(4 + 8 + 56)
+      .put("hdrl".getBytes("ISO-8859-1"))
+    bb.put("avih".getBytes("ISO-8859-1")).putInt(56)
+    bb.putInt(33333)   // dwMicroSecPerFrame
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(300)     // dwTotalFrames
+    bb.putInt(0)
+    bb.putInt(2)       // dwStreams
+    bb.putInt(0)
+    bb.putInt(320).putInt(240) // dwWidth, dwHeight
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    val media = Seq((1L, bb.array())).toDF("asset_id", "payload")
+    val v = Multimodal.videoContainerMeta(media).collect().head
+    assert(v.parsed && v.container == "avi")
+    assert(v.duration_ms == 300L * 33333 / 1000) // 9999
+    assert(v.n_tracks == 2 && v.width == 320 && v.height == 240)
+  }
+
   test("multimodal: frame sampling covers the payload deterministically") {
     val media = Multimodal.fromDocuments(Seq((1L, "x" * 1000)).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 4).collect()

@@ -414,6 +414,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("2024-02-01") == ((3L, 3.875, 0.125, 2.25)))
   }
 
+  test("aggMergeSink survives a pre-existing EMPTY snapshot (null fence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-aggmerge-empty").toString
+    val (table, ckpt) = (dir + "/daily", dir + "/ckpt")
+    // a zero-row stored table (e.g. an empty first micro-batch wrote an
+    // empty snapshot): max(last_batch_id) is SQL NULL — the fence read
+    // used to NPE here and wedge the stream on every subsequent batch
+    graft.operators.AggMerge.dailyPartial(
+        Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "value"),
+        "ts", "value")
+      .withColumn("last_batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(table)
+    assert(spark.read.parquet(table).count() == 0)
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.aggMergeSink(in.toDF().toDF("ts", "value"),
+      "ts", "value", table, ckpt)
+    try {
+      in.addData((java.sql.Timestamp.valueOf("2024-02-01 01:00:00"), 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = graft.operators.AggMerge.finish(
+        spark.read.parquet(table).drop("last_batch_id"))
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    assert(out == Map("2024-02-01" -> 2.5))
+  }
+
   test("cdcMaintSink maintains fact + partials through deletes of a stored extreme") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -485,6 +512,38 @@ class StreamingSpec extends SparkSpec {
         "event_type", "event_id", Seq("view", "click"), "purchase", 600L)
       .collect().map(r => r.getAs[Long]("event_id") ->
         ((r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_id"))))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
+
+  test("attributionStream credits a same-second touch (batch tie rule)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.AttrEv]
+    val q = Streaming.attributionStream(in.toDS(),
+        touchTypes = Set("click"), conversionType = "purchase",
+        lookbackSeconds = 600L)
+      .writeStream.format("memory").queryName("attrtie")
+      .outputMode("append").start()
+    try {
+      // SAME SECOND, touch id LARGER than the conversion id: the fold
+      // must still process the touch first — AsOfJoin's batch tie rule
+      // makes a same-instant touch visible to the conversion
+      in.addData(Streaming.AttrEv(1L, 500L, "purchase", 30L),
+        Streaming.AttrEv(1L, 500L, "click", 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attrtie")
+      .collect().map(r => r.getAs[Long]("conversion_id") ->
+        ((r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_id"))))).toMap
+    val ev = Seq(
+      (1L, 30L, new java.sql.Timestamp(500000L), "purchase", 1.0),
+      (1L, 99L, new java.sql.Timestamp(500000L), "click", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val batch = graft.operators.Attribution.lastTouch(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("click"), "purchase", 600L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("channel"), Option(r.getAs[java.lang.Long]("touch_id"))))).toMap
+    assert(streamed == Map(30L -> (("click", Some(99L)))))
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
   }
 
