@@ -1682,6 +1682,162 @@ object SparkEntry {
           col("l_quantity"),
           percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
     }),
+
+    // ---- round 6: drift / quarantine / linkage / attribution / diff ----
+
+    // categorical distribution drift: order-priority mix, early years vs
+    // 1998+ — per-category shares + chi-squared contributions
+    "q192_categorical_drift" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.checks.Drift.categoricalDrift(
+        o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz")),
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz")),
+        col("o_orderpriority"))
+    }),
+
+    // numeric drift via fixed-width bins on l_quantity (exact integer
+    // binning chain; -1/nBins sentinel bins catch out-of-range)
+    "q193_numeric_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.checks.Drift.numericDrift(
+        li.filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")),
+        li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")),
+        col("l_quantity"), lo = 0.0, width = 5.0, nBins = 10)
+    }),
+
+    // scalar drift gate: total-variation distance of the event-type mix
+    // across the month's halves — exact integer numerator, ONE division
+    "q194_tv_distance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.checks.Drift.totalVariation(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz")),
+        col("event_type"))
+    }),
+
+    // row-level dead-letter routing: every failing document with its
+    // comma-joined reason list (declaration order)
+    "q195_quarantine" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.checks.Quarantine.annotate(docs, Seq(
+        "len_range" -> col("n_chars").between(100, 450),
+        "lang_known" -> col("lang").isin("en", "de", "es", "fr"),
+        "min_tokens" -> (size(split(trim(col("text")), "\\s+")) >= 30)))
+        .filter(col("quarantine_reasons").isNotNull)
+        .select(col("doc_id"), col("quarantine_reasons"))
+    }),
+
+    // blocked record linkage: customers vs a deterministically dirtied
+    // view of themselves (digit smudge / truncation), blocked on
+    // (nation, segment), integer levenshtein-falloff scoring
+    "q196_record_linkage" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val dirty = c.select(
+        col("c_custkey").as("d_id"), col("c_nationkey").as("d_nation"),
+        when(col("c_custkey") % 3 === 0, regexp_replace(col("c_name"), "1", "l"))
+          .when(col("c_custkey") % 3 === 1,
+            expr("substr(c_name, 1, length(c_name) - 2)"))
+          .otherwise(col("c_name")).as("d_name"),
+        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("d_seg"))
+      graft.operators.Linkage.linkRecords(
+        c, dirty,
+        blockOn = Seq("c_nationkey" -> "d_nation", "c_mktsegment" -> "d_seg"),
+        score = graft.operators.Linkage.levenshteinPoints(
+          col("l.c_name"), col("r.d_name"), 10),
+        select = Seq(col("l.c_custkey").as("left_id"), col("r.d_id").as("right_id")),
+        matchAt = 10, possibleAt = 7)
+    }),
+
+    // linear multi-touch attribution: every in-window touch splits the
+    // conversion's 1e6 micro-credits equally; remainder to the last
+    // touch, so per-conversion credit is exactly 1e6 in any engine
+    "q197_linear_attribution" -> ((s, d) =>
+      graft.operators.Attribution.channelCredit(
+        graft.operators.Attribution.multiTouch(t(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id",
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackSeconds = 7200L))),
+
+    // time-decay multi-touch: staircase half-life weights (integer
+    // shifts, q171 pattern) — recent touches out-earn older ones
+    "q198_decay_attribution" -> ((s, d) =>
+      graft.operators.Attribution.channelCredit(
+        graft.operators.Attribution.multiTouch(t(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id",
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackSeconds = 7200L, halfLifeSeconds = Some(1800L),
+          maxShift = 20))),
+
+    // keyed snapshot diff: orders vs a derived "next load" (drops,
+    // reclassifications, price bumps, synthetic inserts) — added /
+    // removed / changed with per-row changed-column lists
+    "q199_table_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val next = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 97 === 0, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0 && col("o_orderkey") > 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.operators.Diff.tableDiff(o, next, Seq("o_orderkey"))
+    }),
+
+    // sequential pattern support: ordered "a … then eventually b" type
+    // pairs per gap-session (first-occurrence-before-last-occurrence)
+    "q200_seq_patterns" -> ((s, d) =>
+      graft.operators.Patterns.sequencePairSupport(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", gapSeconds = 1800L)),
+
+    // measured LSH recall vs the exact pair set, per jaccard decile —
+    // the bands×rows calibration readout
+    "q201_lsh_recall" -> ((s, d) =>
+      graft.llmdata.DedupOps.lshRecallReport(t(s, d, "documents"),
+        "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+        tNum = 1, tDen = 2)),
+
+    // functional-dependency discovery on orders: which columns determine
+    // which (key → attrs hold; custkey → priority must not)
+    "q202_fd_check" -> ((s, d) =>
+      graft.operators.Profile.functionalDependencies(t(s, d, "orders"), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_orderkey" -> "o_orderdate",
+        "o_custkey" -> "o_orderpriority",
+        "o_orderpriority" -> "o_orderstatus"))),
+
+    // semi-structured profiling of the event props JSON payload: key
+    // presence, distinct values, scalar class
+    "q203_json_profile" -> ((s, d) =>
+      graft.operators.Profile.jsonKeyProfile(t(s, d, "events"), "props")),
+
+    // per-source rank normalization of document lengths: within-group
+    // quantile position pos/(n+1) — cross-source score calibration
+    "q204_rank_normalize" -> ((s, d) =>
+      graft.llmdata.Sampling.quantileNormalize(t(s, d, "documents"),
+        "doc_id", "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pos"), col("n"), col("quantile"))),
+
+    // next-event prediction eval: first-order Markov model trained on
+    // the month's first half, top-1 accuracy scored on the second
+    "q205_markov_eval" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Patterns.markovEval(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz")),
+        "user_id", "ts", "event_type", gapSeconds = 1800L,
+        tieBreakCol = "event_id")
+    }),
+
+    // burst detection: hourly event counts vs their trailing-24h
+    // baseline, exact integer cross-multiplied threshold (2x)
+    "q206_bursts" -> ((s, d) =>
+      graft.operators.Timeseries.burstDetect(t(s, d, "events"), "ts",
+        bucketSeconds = 3600L, trailingN = 24, factorNum = 2L,
+        factorDen = 1L)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1779,7 +1935,7 @@ object SparkEntry {
   private val mhRows = 4
   /** The q34-family MinHash CTE chain, with an optional WHERE on the
     * document source — q85 excludes tombstoned corpus docs. */
-  private def minhashPairsCtesWhere(where: String): String = {
+  private def minhashPairsCtesWhere(where: String, thr: String = "0.4"): String = {
     val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
@@ -1799,7 +1955,7 @@ object SparkEntry {
        |    FROM (SELECT * FROM banded WHERE len(sh) > 0) a
        |    JOIN (SELECT * FROM banded WHERE len(sh) > 0) b
        |      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-       |  GROUP BY 1, 2 HAVING MAX(jaccard) >= 0.4)""".stripMargin
+       |  GROUP BY 1, 2 HAVING MAX(jaccard) >= $thr)""".stripMargin
   }
 
   private val minhashPairsCtes: String = minhashPairsCtesWhere("")
@@ -4920,5 +5076,371 @@ object SparkEntry {
         |SELECT report_day, dau.dau, wau.wau,
         |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau USING (report_day)""".stripMargin,
+
+    // ---- round 6 ---------------------------------------------------------
+
+    // full-outer category align + single-division share/chi2 trees (the
+    // operator's exact IEEE expression trees, mirrored literally)
+    "q192_categorical_drift" ->
+      """WITH r AS (SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS ref_cnt
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |c AS (SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS cur_cnt
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+        |              CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j)
+        |SELECT category, ref_cnt, cur_cnt,
+        |  CAST(ref_cnt AS DOUBLE) / CAST(ref_total AS DOUBLE) AS ref_share,
+        |  CAST(cur_cnt AS DOUBLE) / CAST(cur_total AS DOUBLE) AS cur_share,
+        |  CAST(cur_cnt AS DOUBLE) / CAST(cur_total AS DOUBLE)
+        |    - CAST(ref_cnt AS DOUBLE) / CAST(ref_total AS DOUBLE) AS share_delta,
+        |  CASE WHEN ref_cnt > 0 AND ref_total > 0 AND cur_total > 0 THEN
+        |    (CAST(cur_cnt AS DOUBLE) - CAST(ref_cnt AS DOUBLE) * CAST(cur_total AS DOUBLE) / CAST(ref_total AS DOUBLE))
+        |    * (CAST(cur_cnt AS DOUBLE) - CAST(ref_cnt AS DOUBLE) * CAST(cur_total AS DOUBLE) / CAST(ref_total AS DOUBLE))
+        |    / (CAST(ref_cnt AS DOUBLE) * CAST(cur_total AS DOUBLE) / CAST(ref_total AS DOUBLE))
+        |  END AS chi2_contribution
+        |FROM j, tt""".stripMargin,
+
+    // same machinery over the exact floor((x-lo)/width) bin chain
+    "q193_numeric_drift" ->
+      """WITH rb AS (SELECT CASE WHEN l_quantity IS NULL THEN NULL
+        |    WHEN CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT) < 0 THEN -1
+        |    WHEN CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT) >= 10 THEN 10
+        |    ELSE CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT) END AS bin
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+        |cb AS (SELECT CASE WHEN l_quantity IS NULL THEN NULL
+        |    WHEN CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT) < 0 THEN -1
+        |    WHEN CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT) >= 10 THEN 10
+        |    ELSE CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT) END AS bin
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+        |r AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_cnt FROM rb GROUP BY 1),
+        |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cur_cnt FROM cb GROUP BY 1),
+        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |        COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+        |      FROM r FULL OUTER JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
+        |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+        |              CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j)
+        |SELECT bin, ref_cnt, cur_cnt,
+        |  CAST(ref_cnt AS DOUBLE) / CAST(ref_total AS DOUBLE) AS ref_share,
+        |  CAST(cur_cnt AS DOUBLE) / CAST(cur_total AS DOUBLE) AS cur_share,
+        |  CAST(cur_cnt AS DOUBLE) / CAST(cur_total AS DOUBLE)
+        |    - CAST(ref_cnt AS DOUBLE) / CAST(ref_total AS DOUBLE) AS share_delta,
+        |  CASE WHEN ref_cnt > 0 AND ref_total > 0 AND cur_total > 0 THEN
+        |    (CAST(cur_cnt AS DOUBLE) - CAST(ref_cnt AS DOUBLE) * CAST(cur_total AS DOUBLE) / CAST(ref_total AS DOUBLE))
+        |    * (CAST(cur_cnt AS DOUBLE) - CAST(ref_cnt AS DOUBLE) * CAST(cur_total AS DOUBLE) / CAST(ref_total AS DOUBLE))
+        |    / (CAST(ref_cnt AS DOUBLE) * CAST(cur_total AS DOUBLE) / CAST(ref_total AS DOUBLE))
+        |  END AS chi2_contribution
+        |FROM j, tt""".stripMargin,
+
+    // exact BIGINT TV numerator summed as decimal, ONE final division
+    "q194_tv_distance" ->
+      """WITH r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS ref_cnt
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |c AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS cur_cnt
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+        |              CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |  CAST(SUM(CAST(ABS(cur_cnt * ref_total - ref_cnt * cur_total) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tv_numerator,
+        |  CAST(MAX(ref_total) AS BIGINT) AS ref_total,
+        |  CAST(MAX(cur_total) AS BIGINT) AS cur_total
+        |  FROM j, tt)
+        |SELECT n_categories, tv_numerator, ref_total, cur_total,
+        |  CAST(tv_numerator AS DOUBLE)
+        |    / (2.0 * CAST(ref_total AS DOUBLE) * CAST(cur_total AS DOUBLE)) AS tv_distance
+        |FROM agg""".stripMargin,
+
+    // row-level reason routing: concat_ws skips NULL (passing) checks in
+    // declaration order on both engines
+    "q195_quarantine" ->
+      """SELECT doc_id, reasons AS quarantine_reasons FROM (
+        |  SELECT doc_id, concat_ws(',',
+        |    CASE WHEN NOT COALESCE(n_chars BETWEEN 100 AND 450, FALSE) THEN 'len_range' END,
+        |    CASE WHEN NOT COALESCE(lang IN ('en', 'de', 'es', 'fr'), FALSE) THEN 'lang_known' END,
+        |    CASE WHEN NOT COALESCE(len(regexp_split_to_array(trim(text), '\s+')) >= 30, FALSE) THEN 'min_tokens' END
+        |  ) AS reasons FROM documents)
+        |WHERE length(reasons) > 0""".stripMargin,
+
+    // blocked linkage: levenshtein falloff scoring within
+    // (nation, segment) blocks against the deterministically dirtied view
+    "q196_record_linkage" ->
+      """WITH dirty AS (SELECT c_custkey AS d_id, c_nationkey AS d_nation,
+        |    CASE WHEN c_custkey % 3 = 0 THEN regexp_replace(c_name, '1', 'l', 'g')
+        |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, length(c_name) - 2)
+        |         ELSE c_name END AS d_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+        |  FROM customer),
+        |scored AS (SELECT l.c_custkey AS left_id, r.d_id AS right_id,
+        |    CASE WHEN l.c_name IS NULL OR r.d_name IS NULL THEN 0
+        |         ELSE greatest(0, 10 - levenshtein(l.c_name, r.d_name)) END AS score
+        |  FROM customer l JOIN dirty r
+        |    ON l.c_nationkey = r.d_nation AND l.c_mktsegment = r.d_seg)
+        |SELECT left_id, right_id, score,
+        |  CASE WHEN score >= 10 THEN 'match' ELSE 'possible' END AS tier
+        |FROM scored WHERE score >= 7""".stripMargin,
+
+    // exact micro-credit split: integer division, remainder to the last
+    // touch (latest ts, largest id), organic fallback rows
+    "q197_linear_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+        |    event_type AS channel FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (SELECT c.u, c.conv_ts, c.conv_id, t.touch_ts, t.touch_id, t.channel
+        |  FROM conv c LEFT JOIN tch t ON c.u = t.user_id AND t.touch_ts <= c.conv_ts
+        |    AND epoch_us(CAST(c.conv_ts AS TIMESTAMP)) - epoch_us(CAST(t.touch_ts AS TIMESTAMP)) <= 7200000000),
+        |wtd AS (SELECT *, CASE WHEN touch_id IS NOT NULL THEN CAST(1 AS BIGINT) END AS weight FROM pairs),
+        |b1 AS (SELECT *, SUM(weight) OVER (PARTITION BY conv_id) AS w_total FROM wtd),
+        |b2 AS (SELECT *, (weight * 1000000) // w_total AS base,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rn
+        |  FROM b1),
+        |b3 AS (SELECT *, SUM(base) OVER (PARTITION BY conv_id) AS base_total FROM b2),
+        |cr AS (SELECT COALESCE(channel, 'organic') AS channel, touch_id, conv_id,
+        |    CASE WHEN touch_id IS NULL THEN 1000000
+        |         WHEN rn = 1 THEN base + (1000000 - base_total)
+        |         ELSE base END AS credit_micro
+        |  FROM b3),
+        |agg AS (SELECT channel, CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+        |    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |    CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+        |  FROM cr GROUP BY 1)
+        |SELECT channel, n_touches, n_conversions, credit_micro,
+        |  CAST(credit_micro AS DOUBLE) / 1000000.0 AS credit
+        |FROM agg""".stripMargin,
+
+    // staircase half-life weights: exact 2^(20-steps) BIGINT shifts
+    "q198_decay_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+        |    event_type AS channel FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (SELECT c.u, c.conv_ts, c.conv_id, t.touch_ts, t.touch_id, t.channel,
+        |    epoch_us(CAST(c.conv_ts AS TIMESTAMP)) - epoch_us(CAST(t.touch_ts AS TIMESTAMP)) AS age_us
+        |  FROM conv c LEFT JOIN tch t ON c.u = t.user_id AND t.touch_ts <= c.conv_ts
+        |    AND epoch_us(CAST(c.conv_ts AS TIMESTAMP)) - epoch_us(CAST(t.touch_ts AS TIMESTAMP)) <= 7200000000),
+        |wtd AS (SELECT *, CASE WHEN touch_id IS NOT NULL THEN
+        |    CAST(1 AS BIGINT) << CAST(20 - least(age_us // 1800000000, 20) AS INT) END AS weight
+        |  FROM pairs),
+        |b1 AS (SELECT *, SUM(weight) OVER (PARTITION BY conv_id) AS w_total FROM wtd),
+        |b2 AS (SELECT *, (weight * 1000000) // w_total AS base,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rn
+        |  FROM b1),
+        |b3 AS (SELECT *, SUM(base) OVER (PARTITION BY conv_id) AS base_total FROM b2),
+        |cr AS (SELECT COALESCE(channel, 'organic') AS channel, touch_id, conv_id,
+        |    CASE WHEN touch_id IS NULL THEN 1000000
+        |         WHEN rn = 1 THEN base + (1000000 - base_total)
+        |         ELSE base END AS credit_micro
+        |  FROM b3),
+        |agg AS (SELECT channel, CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+        |    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |    CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+        |  FROM cr GROUP BY 1)
+        |SELECT channel, n_touches, n_conversions, credit_micro,
+        |  CAST(credit_micro AS DOUBLE) / 1000000.0 AS credit
+        |FROM agg""".stripMargin,
+
+    // full-outer key align; null-safe per-column compares in declared
+    // order; unchanged rows dropped
+    "q199_table_diff" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN '9-RECLASSIFIED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey > 0),
+        |j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+        |    concat_ws(',',
+        |      CASE WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey) THEN 'o_custkey' END,
+        |      CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END,
+        |      CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'o_totalprice' END,
+        |      CASE WHEN NOT (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate) THEN 'o_orderdate' END,
+        |      CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) THEN 'o_orderpriority' END
+        |    ) AS chg
+        |  FROM orders o FULL OUTER JOIN nxt n ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey)
+        |SELECT COALESCE(nk, ok) AS o_orderkey,
+        |  CASE WHEN ok IS NULL THEN 'added'
+        |       WHEN nk IS NULL THEN 'removed'
+        |       WHEN length(chg) > 0 THEN 'changed' END AS diff_status,
+        |  CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND length(chg) > 0 THEN chg END AS changed_cols
+        |FROM j
+        |WHERE ok IS NULL OR nk IS NULL OR length(chg) > 0""".stripMargin,
+
+    // q87's session CTEs; per-(session, type) first/last occurrence rows
+    // pair-joined with the lexicographic (ts, id) precedence test
+    "q200_seq_patterns" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b),
+        |sp AS (SELECT user_id, session_index, event_type AS t,
+        |    min(row(ts, event_id)) AS f, max(row(ts, event_id)) AS l
+        |  FROM sess GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, session_index FROM sess)),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM sp a JOIN sp b ON a.user_id = b.user_id
+        |    AND a.session_index = b.session_index AND a.t <> b.t AND a.f < b.l
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, n_sessions,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS support
+        |FROM p, tot""".stripMargin,
+
+    // exact pair set from the q127 inverted-index CTEs at 1/2; LSH side
+    // from the q34 MinHash CTEs at the same threshold; per-decile recall
+    "q201_lsh_recall" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      s"""WITH ${minhashPairsCtesWhere("", "0.5")},
+         |tok AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, len($toks) - 2),
+         |      i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS s
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+         |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT id_a, id_b, CAST(o AS BIGINT) AS overlap,
+         |    CAST(sa.n + sb.n - o AS BIGINT) AS union_size
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE 2 * o >= 1 * (sa.n + sb.n - o)),
+         |fl AS (SELECT ex.overlap, ex.union_size,
+         |    CASE WHEN mp.id_a IS NOT NULL THEN 1 ELSE 0 END AS f
+         |  FROM ex LEFT JOIN mh_pairs mp ON ex.id_a = mp.id_a AND ex.id_b = mp.id_b),
+         |agg AS (SELECT (10 * overlap) // union_size AS j_bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(SUM(f) AS BIGINT) AS n_found
+         |  FROM fl GROUP BY 1)
+         |SELECT j_bucket, n_exact, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM agg""".stripMargin
+    },
+
+    // per-pair branch counts (NULL counts as one extra value), unioned
+    "q202_fd_check" -> {
+      def one(det: String, dep: String) =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(COALESCE(SUM(CASE WHEN branch > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_keys,
+           |  CAST(MAX(branch) AS BIGINT) AS max_branching,
+           |  COALESCE(SUM(CASE WHEN branch > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
+           |FROM (SELECT $det AS k,
+           |    COUNT(DISTINCT $dep) + MAX(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS branch
+           |  FROM orders WHERE $det IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq("o_orderkey" -> "o_custkey", "o_orderkey" -> "o_orderdate",
+        "o_custkey" -> "o_orderpriority", "o_orderpriority" -> "o_orderstatus")
+        .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
+    },
+
+    // key unnest + scalar-class regexes (identical patterns both engines)
+    "q203_json_profile" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events),
+        |kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events),
+        |v AS (SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv),
+        |c AS (SELECT key, val, CASE WHEN val IS NULL THEN 'null'
+        |    WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'integer'
+        |    WHEN regexp_matches(val, '^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$') THEN 'number'
+        |    WHEN val IN ('true', 'false') THEN 'boolean'
+        |    ELSE 'string' END AS cls FROM v),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+        |    CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_values,
+        |    min(cls) AS cmin, max(cls) AS cmax FROM c GROUP BY 1)
+        |SELECT key, n_present, n_rows,
+        |  CAST(n_present AS DOUBLE) / CAST(n_rows AS DOUBLE) AS present_frac,
+        |  n_distinct_values,
+        |  CASE WHEN cmin = cmax THEN cmin ELSE 'mixed' END AS value_class
+        |FROM g, t""".stripMargin,
+
+    // within-group total-order position / (n+1): one exact division
+    "q204_rank_normalize" ->
+      """SELECT doc_id, source, n_chars, pos, n,
+        |  CAST(pos AS DOUBLE) / CAST(n + 1 AS DOUBLE) AS quantile
+        |FROM (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS pos,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents)""".stripMargin,
+
+    // train-slice transition argmax (ties: smallest to_type) scored on
+    // the eval slice's session-bounded next events
+    "q205_markov_eval" ->
+      """WITH et AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |bt AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM et WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |st AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM bt),
+        |tr AS (SELECT event_type AS from_type, lead(event_type) OVER w AS to_type
+        |  FROM st WINDOW w AS (PARTITION BY user_id, session_index
+        |    ORDER BY ts ASC, event_id ASC)),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |best AS (SELECT from_type, to_type AS predicted_to FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY from_type
+        |      ORDER BY n DESC, to_type ASC) AS rn FROM m) WHERE rn = 1),
+        |ee AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |be AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM ee WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |se AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM be),
+        |evp AS (SELECT event_type AS from_type, lead(event_type) OVER w AS actual_to
+        |  FROM se WINDOW w AS (PARTITION BY user_id, session_index
+        |    ORDER BY ts ASC, event_id ASC)),
+        |agg AS (SELECT from_type, max(predicted_to) AS predicted_to,
+        |    CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |    CAST(COALESCE(SUM(CASE WHEN actual_to = predicted_to THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+        |  FROM evp LEFT JOIN best USING (from_type)
+        |  WHERE actual_to IS NOT NULL GROUP BY 1)
+        |SELECT from_type, predicted_to, n_transitions, n_hits,
+        |  CAST(n_hits AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS accuracy
+        |FROM agg""".stripMargin,
+
+    // gap-filled hourly buckets; trailing-24 window; exact integer
+    // cross-multiplied burst test
+    "q206_bursts" ->
+      """WITH c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT unnest(generate_series(mn, mx)) AS b
+        |  FROM (SELECT min(b) AS mn, max(b) AS mx FROM c)),
+        |f AS (SELECT r.b, COALESCE(cnt, 0) AS cnt FROM r LEFT JOIN c USING (b)),
+        |w AS (SELECT b, cnt,
+        |    CAST(COALESCE(SUM(cnt) OVER win, 0) AS BIGINT) AS baseline_sum,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n_prev
+        |  FROM f WINDOW win AS (ORDER BY b ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT b AS bucket_id, make_timestamp(b * 3600000000) AS bucket_start,
+        |  cnt, baseline_sum, n_prev,
+        |  CASE WHEN baseline_sum > 0 THEN
+        |    CAST(cnt * n_prev AS DOUBLE) / CAST(baseline_sum AS DOUBLE) END AS ratio,
+        |  (n_prev > 0 AND baseline_sum >= 0
+        |    AND cnt * n_prev * 1 >= 2 * baseline_sum AND cnt > 0) AS is_burst
+        |FROM w""".stripMargin,
   )
 }

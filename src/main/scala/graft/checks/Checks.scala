@@ -289,3 +289,39 @@ object CheckSuite {
     Between("total_monthly_revenue", 0, 1e9),
     Between("total_monthly_trips", 1, 1e7)))
 }
+
+/** Row-level quarantine routing — the per-ROW complement of the
+  * aggregate suites above. Where a [[CheckSuite]] gate answers "is this
+  * BATCH acceptable" (and a `mostly` threshold tolerates stragglers),
+  * quarantine answers "WHICH rows failed, and why" and routes them to a
+  * dead-letter output instead of failing the batch — the standard
+  * production pattern for pipelines that must keep flowing while bad
+  * rows are triaged (the reference's GX checkpoints can only
+  * pass/fail a whole batch; reference: dags/validation_utils.py).
+  *
+  * Each named check is a row PREDICATE (true = row passes). A row's
+  * `quarantine_reasons` is the comma-joined names of every check it
+  * fails, in declaration order — one deterministic map-side projection,
+  * no shuffle, no second scan: the 100 TB cost is exactly the cost of
+  * reading the rows. */
+object Quarantine {
+
+  /** Annotate: all input columns + `quarantine_reasons` (NULL for clean
+    * rows). */
+  def annotate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one named check required")
+    val reasons = concat_ws(",",
+      checks.map { case (name, pred) =>
+        when(!coalesce(pred, lit(false)), lit(name)) }: _*)
+    df.withColumn("quarantine_reasons",
+      when(length(reasons) > 0, reasons))
+  }
+
+  /** Route: (clean rows, quarantined rows with reasons). Both sides are
+    * lazy single-scan projections of the annotated frame. */
+  def split(df: DataFrame, checks: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val annotated = annotate(df, checks)
+    (annotated.filter(col("quarantine_reasons").isNull).drop("quarantine_reasons"),
+      annotated.filter(col("quarantine_reasons").isNotNull))
+  }
+}

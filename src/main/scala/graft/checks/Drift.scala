@@ -1,0 +1,148 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between a reference slice and a current
+  * slice of the same table — the data-quality gate the reference's
+  * expectation suites (great_expectations checkpoints over the taxi
+  * tables, reference: gx/expectations JSON suites) cannot express: those
+  * validate one batch against STATIC bounds; these compare two batches
+  * against each other, which is how production pipelines catch upstream
+  * schema-preserving content regressions (a vendor silently changing an
+  * enum mix, a feed dropping a value range).
+  *
+  * Scale design (100 TB): both inputs reduce to per-category count
+  * tables in ONE hash aggregate each (map-side partial combine), then
+  * everything downstream — the full-outer category align, the share and
+  * chi-squared arithmetic — runs on category-cardinality frames
+  * (thousands of rows, not billions). The grand totals ride a broadcast
+  * one-row cross join, the repo's standard metadata-scale pattern.
+  *
+  * Cross-engine determinism (the oracle gate hashes values): shares and
+  * chi-squared contributions are SHORT single-operation IEEE chains over
+  * exact integers — `cnt/total`, `(o-e)^2/e` with `e = cast(ref AS
+  * double)*curTotal/refTotal` — each add/sub/mul/div is exact-rounded,
+  * so Spark and DuckDB produce bit-identical doubles as long as both
+  * evaluate the same expression tree (they do; the oracle SQL mirrors
+  * the tree verbatim). SUMS of doubles are order-dependent, so the
+  * scalar drift statistic ([[totalVariation]]) aggregates an exact
+  * BIGINT numerator (`|cur*refTotal - ref*curTotal|`) and divides ONCE
+  * at the end. PSI needs `ln` (libm, last-ulp divergent across engines)
+  * → [[psiReport]] exists for users but is spec-verified with a
+  * tolerance, never oracle-hashed.
+  */
+object Drift {
+
+  /** Per-category count table: ONE hash aggregate, the only pass over
+    * the (possibly huge) input. */
+  private def counts(df: DataFrame, cat: Column): DataFrame =
+    df.groupBy(cat.as("category")).agg(count(lit(1)).as("cnt"))
+
+  /** Aligned (category, ref_cnt, cur_cnt, ref_total, cur_total) frame —
+    * full outer so categories NEW in current (ref_cnt=0) and VANISHED
+    * from current (cur_cnt=0) both surface. Category-cardinality sized.
+    */
+  private def aligned(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
+    val r = counts(ref, cat).withColumnRenamed("cnt", "ref_cnt")
+    val c = counts(cur, cat).withColumnRenamed("cnt", "cur_cnt")
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val totals = joined.agg(
+      sum(col("ref_cnt")).as("ref_total"),
+      sum(col("cur_cnt")).as("cur_total"))
+    joined.crossJoin(broadcast(totals))
+  }
+
+  /** Per-category drift report: counts, shares, share delta, and the
+    * chi-squared contribution `(observed-expected)^2/expected` of each
+    * category under the reference distribution. The chi-squared column
+    * is NULL for categories absent from the reference (expected=0 —
+    * those are "new category" findings, visible via ref_cnt=0, not a
+    * divisible statistic). A gate thresholds `chi2_contribution` or
+    * `share_delta` per category; for one scalar use [[totalVariation]].
+    */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
+    val refShare = col("ref_cnt").cast("double") / col("ref_total").cast("double")
+    val curShare = col("cur_cnt").cast("double") / col("cur_total").cast("double")
+    // expected current count under the ref distribution; double mul
+    // before div so the tree never overflows at any input scale
+    val expected = col("ref_cnt").cast("double") * col("cur_total").cast("double") /
+      col("ref_total").cast("double")
+    aligned(ref, cur, cat)
+      .withColumn("ref_share", refShare)
+      .withColumn("cur_share", curShare)
+      .withColumn("share_delta", curShare - refShare)
+      .withColumn("chi2_contribution",
+        when(col("ref_cnt") > 0 && col("ref_total") > 0 && col("cur_total") > 0,
+          (col("cur_cnt").cast("double") - expected) *
+            (col("cur_cnt").cast("double") - expected) / expected))
+      .select("category", "ref_cnt", "cur_cnt", "ref_share", "cur_share",
+        "share_delta", "chi2_contribution")
+  }
+
+  /** Scalar total-variation distance `0.5 * sum |p_cur - p_ref|` as a
+    * one-row gate value. The sum runs over EXACT integers — per-category
+    * numerator `|cur_cnt*ref_total - ref_cnt*cur_total|` summed as
+    * decimal(38,0) — and the single final division to double is
+    * exact-rounded, so the statistic is bit-identical at any parallelism
+    * and in any engine. TV is bounded [0,1]: 0 = identical mixes,
+    * 1 = disjoint supports. */
+  def totalVariation(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame =
+    aligned(ref, cur, cat)
+      .withColumn("num",
+        abs(col("cur_cnt") * col("ref_total") - col("ref_cnt") * col("cur_total"))
+          .cast("decimal(38,0)"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("num")).cast("decimal(38,0)").as("tv_numerator"),
+        max(col("ref_total")).as("ref_total"),
+        max(col("cur_total")).as("cur_total"))
+      .withColumn("tv_distance",
+        col("tv_numerator").cast("double") /
+          (lit(2.0) * col("ref_total").cast("double") * col("cur_total").cast("double")))
+
+  /** Numeric drift via fixed-width binning: `bin = floor((x-lo)/width)`
+    * clamped to [-1, nBins] (−1 = below lo, nBins = at/above hi, NULL
+    * values get bin NULL — all three surface as their own categories).
+    * The binning chain is one double sub + one div + floor — exact-
+    * rounded at every step, so bin assignment is engine-identical.
+    * Downstream is [[categoricalDrift]] on the bin id. */
+  def numericDrift(ref: DataFrame, cur: DataFrame, value: Column,
+      lo: Double, width: Double, nBins: Int): DataFrame = {
+    def bin(c: Column): Column = {
+      val raw = floor((c.cast("double") - lit(lo)) / lit(width))
+      when(c.isNull, lit(null).cast("long"))
+        .when(raw < 0, lit(-1L))
+        .when(raw >= nBins, lit(nBins.toLong))
+        .otherwise(raw.cast("long"))
+    }
+    categoricalDrift(ref.select(bin(value).as("bin")),
+      cur.select(bin(value).as("bin")), col("bin"))
+      .withColumnRenamed("category", "bin")
+  }
+
+  /** Population-stability-index report: per-category
+    * `(p_cur - p_ref) * ln(p_cur / p_ref)` with epsilon-floored shares
+    * (the industry PSI convention; eps keeps new/vanished categories
+    * finite). Uses `ln` — libm, last-ulp divergent across engines — so
+    * this report is for USERS and tolerance-based specs, never for the
+    * oracle hash gate (NOTES.md cheat-sheet: no libm in oracle-compared
+    * scores). Rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate,
+    * > 0.25 drifted. */
+  def psiReport(ref: DataFrame, cur: DataFrame, cat: Column,
+      eps: Double = 1e-6): DataFrame = {
+    val refShare = greatest(
+      col("ref_cnt").cast("double") / col("ref_total").cast("double"), lit(eps))
+    val curShare = greatest(
+      col("cur_cnt").cast("double") / col("cur_total").cast("double"), lit(eps))
+    aligned(ref, cur, cat)
+      .withColumn("ref_share", refShare)
+      .withColumn("cur_share", curShare)
+      .withColumn("psi_contribution",
+        (curShare - refShare) * log(curShare / refShare))
+      .select("category", "ref_cnt", "cur_cnt", "ref_share", "cur_share",
+        "psi_contribution")
+  }
+}

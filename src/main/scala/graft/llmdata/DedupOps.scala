@@ -1132,4 +1132,39 @@ object DedupOps {
         (col("n_common").cast("double")
           / (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
   }
+
+  /** LSH quality evaluation: measured recall of the banded-MinHash
+    * candidate generator against the EXACT pair set, per jaccard
+    * decile — the report that answers "are my bands×rows right for
+    * THIS corpus" with data instead of the S-curve formula (which
+    * assumes independent uniform hashes and says nothing about a
+    * corpus whose shingle distribution makes buckets collide
+    * structurally — see the q34 operating-point note in NOTES.md).
+    *
+    * Ground truth is [[prefixJaccardPairs]] (provably 100% recall at
+    * the threshold); the LSH side is [[minhashLsh]] at the same
+    * rational threshold. Verified LSH pairs are a SUBSET of the exact
+    * pairs (both verify with the same exact jaccard over the same
+    * shingle definition), so per-bucket recall = found/exact with no
+    * precision leg needed. Bucket = `(10*overlap) div union` — exact
+    * integers; recall is one final division.
+    *
+    * Cost: one run of each generator — this is an OFFLINE calibration
+    * tool for a corpus SAMPLE (run it on 1%, pick bands×rows, dedup
+    * the 100 TB with the winner), not a per-pipeline stage. */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
+                      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val exact = prefixJaccardPairs(df, idCol, textCol, shingleSize, tNum, tDen)
+    val found = minhashLsh(df, idCol, textCol, shingleSize, bands, rows,
+        tNum.toDouble / tDen)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__found"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .withColumn("j_bucket", expr("(10L * overlap) DIV union_size"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__found"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_exact").cast("double"))
+  }
 }

@@ -502,4 +502,31 @@ object Sampling {
       .withColumn("waste_frac", col("waste_tokens").cast("double")
         / greatest(col("padded_tokens"), lit(1L)).cast("double"))
   }
+
+  /** Per-group rank (quantile) normalization: map each row's score to
+    * its within-group quantile position `pos / (n + 1)` — the
+    * calibration step before comparing quality scores ACROSS sources
+    * whose scorers sit on different scales (source A's 0.9 and source
+    * B's 0.4 may be the same percentile; a single global threshold
+    * over raw scores silently over-keeps whichever source scores
+    * generously). After normalization a global cut keeps the same
+    * fraction of every group by construction.
+    *
+    * Position is `row_number` under the total (score, key) order —
+    * ties broken by key, so the mapping is deterministic; the quantile
+    * is exact integers with ONE division. Shape: one window
+    * PARTITIONED by group (no global sort; the heaviest task is the
+    * largest single group — for a handful of billion-row sources,
+    * compose per-group via [[globalNtile]]'s hash-prefix cumsum
+    * instead). */
+  def quantileNormalize(df: DataFrame, keyCol: String, groupCol: String,
+                        scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(keyCol).asc)
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("quantile",
+        col("pos").cast("double") / (col("n") + lit(1L)).cast("double"))
+  }
 }

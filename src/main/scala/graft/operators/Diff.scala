@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot diff — "what changed between yesterday's table and
+  * today's": added / removed / changed rows, with the exact set of
+  * changed columns per row. The table-level sibling of the document
+  * fingerprint corpusDiff (DedupOps): corpusDiff compares by content
+  * hash and cannot say WHICH field moved; tableDiff aligns on the
+  * business key and reports per-column drift — the tool for auditing an
+  * incremental load (did the delete+insert touch exactly the rows it
+  * should?), validating a migration, or building a CDC feed from two
+  * full snapshots when the source system offers no change log.
+  *
+  * Scale design (100 TB): ONE full-outer shuffle join on the key —
+  * the minimum possible for snapshot alignment — then a map-side
+  * null-safe column compare (`<=>`, so NULL→value and value→NULL count
+  * as changes while NULL→NULL does not). No window, no collect;
+  * unchanged rows are dropped before the result materializes. For
+  * repeated diffs of bucketed snapshots, write both sides bucketed by
+  * the key and even the join shuffle disappears.
+  */
+object Diff {
+
+  /** Diff `newDf` against `oldDf` aligned on `keys`.
+    *
+    * Output: key columns + `diff_status` ('added' | 'removed' |
+    * 'changed') + `changed_cols` (comma-joined compared-column names in
+    * the order given, NULL for added/removed). Unchanged rows are
+    * omitted. `compareCols` defaults to every shared non-key column. */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.filter(c =>
+        !keys.contains(c) && newDf.columns.contains(c)).toSeq
+    require(cols.nonEmpty, "no non-key columns to compare")
+    val o = oldDf.select((keys ++ cols).map(col): _*).alias("o")
+    val n = newDf.select((keys ++ cols).map(col): _*).alias("n")
+    val joinCond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // presence markers survive the outer join even when every payload
+    // column is NULL on one side
+    val joined = o.withColumn("__in_old", lit(1))
+      .join(n.withColumn("__in_new", lit(1)), joinCond, "full_outer")
+    val changedList = concat_ws(",",
+      cols.map(c => when(!(col(s"o.$c") <=> col(s"n.$c")), lit(c))): _*)
+    joined
+      .withColumn("diff_status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(length(changedList) > 0, lit("changed")))
+      .filter(col("diff_status").isNotNull)
+      .withColumn("changed_cols",
+        when(col("diff_status") === "changed", changedList))
+      .select(keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+        Seq(col("diff_status"), col("changed_cols")): _*)
+  }
+
+  /** Rollup of [[tableDiff]]: one row per (status, changed_cols) combo
+    * with counts — the audit summary a reviewer reads first. */
+  def diffSummary(diff: DataFrame): DataFrame =
+    diff.groupBy(col("diff_status"), col("changed_cols"))
+      .agg(count(lit(1)).as("n_rows"))
+}

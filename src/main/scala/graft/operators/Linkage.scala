@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked record linkage (entity resolution across two tables) — the
+  * classic Fellegi-Sunter shape with deterministic integer scoring:
+  * blocking keys cut the cross product to within-block candidates, a
+  * field-agreement score ranks each candidate pair, and fixed
+  * thresholds tier pairs into match / possible. The LLM-data cousin of
+  * the document near-dup family: dedup joins documents to documents by
+  * content; linkage joins ENTITY rows (customers, suppliers, users)
+  * across sources by field evidence.
+  *
+  * Scale design (100 TB): candidates come ONLY from the blocking
+  * equi-join — one shuffle on the block key, never an all-pairs cross
+  * product (the same discipline PruningSpec enforces on the dedup
+  * family). Block selectivity is the caller's lever: a block key that
+  * keeps the biggest block in the thousands bounds per-task work
+  * regardless of table size; composite blocks (e.g. region + name
+  * prefix) or multi-pass blocking handle skew. Scoring is a map-side
+  * projection over candidate pairs.
+  *
+  * Determinism: scores are INTEGER sums of per-field agreement points
+  * (exact in any engine — the oracle gate hashes them); no libm, no
+  * doubles. Levenshtein is Spark's builtin (same definition as
+  * DuckDB's `levenshtein`).
+  */
+object Linkage {
+
+  /** Agreement points from string edit distance: `max(0, w - lev(l,r))`
+    * — full weight on exact match, linear falloff per edit, floor 0.
+    * NULL on either side scores 0 (no evidence, not negative
+    * evidence). */
+  def levenshteinPoints(l: Column, r: Column, weight: Int): Column =
+    when(l.isNull || r.isNull, lit(0))
+      .otherwise(greatest(lit(0), lit(weight) - levenshtein(l, r)))
+
+  /** Agreement points from exact equality (the null-safe kind: NULL on
+    * either side is "no evidence" → 0, not a match). */
+  def equalityPoints(l: Column, r: Column, weight: Int): Column =
+    when(l.isNull || r.isNull, lit(0))
+      .otherwise(when(l === r, lit(weight)).otherwise(lit(0)))
+
+  /** Link `left` (aliased `l`) to `right` (aliased `r`).
+    *
+    * @param blockOn   (leftCol, rightCol) equi-join blocking keys —
+    *                  candidates ONLY form within a block
+    * @param score     integer scoring expression over `l.`/`r.` columns
+    *                  (compose [[levenshteinPoints]]/[[equalityPoints]])
+    * @param select    output columns (over `l.`/`r.` refs), e.g. the two
+    *                  ids — `score` and `tier` are appended
+    * @param matchAt   score ≥ matchAt → tier "match"
+    * @param possibleAt score in [possibleAt, matchAt) → tier
+    *                  "possible"; below → pair dropped
+    * @param extraPred additional candidate predicate (e.g. `l.id <
+    *                  r.id` for self-dedup linkage)
+    */
+  def linkRecords(left: DataFrame, right: DataFrame,
+      blockOn: Seq[(String, String)], score: Column,
+      select: Seq[Column], matchAt: Int, possibleAt: Int,
+      extraPred: Column = lit(true)): DataFrame = {
+    require(possibleAt <= matchAt, "possibleAt must be <= matchAt")
+    require(blockOn.nonEmpty, "blocking keys required — unblocked linkage is a cross product")
+    val joinCond = blockOn.map { case (lc, rc) =>
+      col(s"l.$lc") === col(s"r.$rc") }.reduce(_ && _) && extraPred
+    left.alias("l").join(right.alias("r"), joinCond)
+      .withColumn("score", score)
+      .filter(col("score") >= possibleAt)
+      .withColumn("tier",
+        when(col("score") >= matchAt, lit("match")).otherwise(lit("possible")))
+      .select(select :+ col("score") :+ col("tier"): _*)
+  }
+
+  /** One-best assignment on top of [[linkRecords]] output: keep each
+    * left id's highest-scoring pair (ties → smallest right id) — turns
+    * the pair list into a usable crosswalk. Window is partitioned by
+    * the left id: no global sort. */
+  def bestMatchPerLeft(pairs: DataFrame, leftId: String, rightId: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftId))
+      .orderBy(col("score").desc, col(rightId).asc)
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

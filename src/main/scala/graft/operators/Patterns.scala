@@ -89,4 +89,80 @@ object Patterns {
         ((col("n_ab") * col("n_baskets")).cast("double")
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Sequential pattern support (PrefixSpan-lite, length 2): for each
+    * ORDERED type pair (a, b), in how many sessions does some a-event
+    * happen strictly before some b-event? The ordered, NON-contiguous
+    * complement of both [[basketPairs]] (unordered co-occurrence) and
+    * `Sessionize.transitions` (adjacent steps only): "signup … then
+    * eventually purchase, anything in between".
+    *
+    * "some a before some b" ⟺ FIRST occurrence of a precedes LAST
+    * occurrence of b — so each session reduces to one (type, first,
+    * last) row per distinct type (state bounded by |types|), and pairs
+    * fan out from that per-session set (the q163 set-fan-out shape,
+    * never a session self-join). Occurrence order is the total
+    * (ts, tieBreak) order; support = n_ab / n_sessions is exact
+    * integers with one final division. */
+  def sequencePairSupport(df: DataFrame, keyCol: String, tsCol: String,
+                          tieBreakCol: String, typeCol: String,
+                          gapSeconds: Long): DataFrame = {
+    val tagged = Sessionize.tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
+    val spans = tagged
+      .groupBy(col(keyCol), col("session_index"), col(typeCol).as("t"))
+      .agg(min(struct(col(tsCol), col(tieBreakCol))).as("first_ev"),
+        max(struct(col(tsCol), col(tieBreakCol))).as("last_ev"))
+      .groupBy(col(keyCol), col("session_index"))
+      .agg(collect_list(struct(col("t"), col("first_ev"), col("last_ev")))
+        .as("__spans"))
+    val totals = spans.agg(count(lit(1)).as("n_sessions"))
+    val pairs = spans
+      .select(explode(col("__spans")).as("a"), col("__spans"))
+      .select(col("a"), explode(col("__spans")).as("b"))
+      .filter(col("a.t") =!= col("b.t") && col("a.first_ev") < col("b.last_ev"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_sessions"),
+        (col("n_ab").cast("double") / col("n_sessions").cast("double"))
+          .as("support"))
+  }
+
+  /** Next-event-prediction evaluation: train a first-order Markov model
+    * (the `Sessionize.transitions` matrix) on one slice, score top-1
+    * accuracy on another — the in-engine eval loop for "is user
+    * behavior predictable enough to pre-fetch / rank by". Prediction
+    * per from_type is argmax count (ties → lexicographically smallest
+    * to_type, a total rule); accuracy is exact integers with one final
+    * division. Unseen from_types predict NULL and score as misses.
+    *
+    * Scale shape: the model matrix is |types|² — broadcast; eval is one
+    * session window over the eval slice + a broadcast join. */
+  def markovEval(train: DataFrame, eval: DataFrame, keyCol: String,
+                 tsCol: String, typeCol: String, gapSeconds: Long,
+                 tieBreakCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type").asc)
+    val predicted = Sessionize
+      .transitions(train, keyCol, tsCol, typeCol, gapSeconds, tieBreakCol)
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted_to"))
+    val tagged = Sessionize.tag(eval, keyCol, tsCol, gapSeconds, tieBreakCol)
+    val wSess = Window.partitionBy(col(keyCol), col("session_index"))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    tagged
+      .withColumn("__to", lead(col(typeCol), 1).over(wSess))
+      .filter(col("__to").isNotNull)
+      .select(col(typeCol).as("from_type"), col("__to").as("actual_to"))
+      .join(broadcast(predicted), Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(max(col("predicted_to")).as("predicted_to"), // constant per group
+        count(lit(1)).as("n_transitions"),
+        sum(coalesce((col("actual_to") === col("predicted_to")).cast("long"),
+          lit(0L))).as("n_hits"))
+      .withColumn("accuracy",
+        col("n_hits").cast("double") / col("n_transitions").cast("double"))
+  }
 }

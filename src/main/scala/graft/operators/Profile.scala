@@ -325,4 +325,72 @@ object Profile {
       .agg(min(col("value")).as("quantile_value"),
         min(col("n")).as("n"))
   }
+
+  /** Functional-dependency discovery: does `determinant → dependent`
+    * hold, and how badly does it not — the profiling question behind
+    * "is this column a safe join key / dimension attribute?". For each
+    * requested pair: distinct determinant values, how many of them map
+    * to >1 distinct dependent (violations), and the worst branching
+    * factor. NULL determinants are excluded (SQL FD convention); NULL
+    * dependents count as one value.
+    *
+    * Scale shape: per pair, one hash aggregate on (determinant,
+    * dependent) then one on determinant — both with map-side partials,
+    * no window, no collect. Pairs are independent jobs unioned at
+    * metadata scale. */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det).as("__k"))
+        .agg((countDistinct(col(dep)) + max(col(dep).isNull.cast("long")))
+          .as("__branch"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum((col("__branch") > 1).cast("long")).as("n_violating_keys"),
+          max(col("__branch")).as("max_branching"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), coalesce(col("n_violating_keys"), lit(0L))
+            .as("n_violating_keys"),
+          col("max_branching"),
+          (coalesce(col("n_violating_keys"), lit(0L)) === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Semi-structured profiling of a JSON string column: which keys
+    * appear, how often, with how many distinct values, and what scalar
+    * class the values are (integer / number / boolean / null / string,
+    * or 'mixed'). The schema-inference half of profiling an event
+    * `props` payload before promoting keys to real columns.
+    *
+    * Values are read through a `map<string,string>` parse (scalar
+    * payloads; nested objects profile as their JSON text). Class
+    * labels come from regexes over the value string — deterministic
+    * and engine-portable, unlike engine-native JSON type tags. One
+    * explode + one hash aggregate; totals ride a broadcast row. */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val totals = df.agg(count(lit(1)).as("n_rows"))
+    val cls = when(col("__v").isNull, lit("null"))
+      .when(col("__v").rlike("^-?[0-9]+$"), lit("integer"))
+      .when(col("__v").rlike("^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$"), lit("number"))
+      .when(col("__v").isin("true", "false"), lit("boolean"))
+      .otherwise(lit("string"))
+    df.select(explode(from_json(col(jsonCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .as(Seq("key", "__v")))
+      .withColumn("__cls", cls)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("__v")).as("n_distinct_values"),
+        min(col("__cls")).as("__cmin"), max(col("__cls")).as("__cmax"))
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("n_present"), col("n_rows"),
+        (col("n_present").cast("double") / col("n_rows").cast("double"))
+          .as("present_frac"),
+        col("n_distinct_values"),
+        when(col("__cmin") === col("__cmax"), col("__cmin"))
+          .otherwise(lit("mixed")).as("value_class"))
+  }
 }

@@ -266,4 +266,53 @@ object Timeseries {
         (sum(col(valCol).cast("decimal(20,6)") * col("__w")).cast("double")
           / lit(math.pow(2.0, maxBuckets))).as("decayed_score"))
   }
+
+  /** Burst detection: buckets whose event count spikes against their
+    * own trailing baseline — the streaming-abuse / incident-onset
+    * readout ([[levelShift]] finds one sustained regime change;
+    * this flags every transient spike). Bucket = integer
+    * `epoch div bucketSeconds`; the bucket axis is GAP-FILLED from a
+    * generated integer range so the trailing window always spans real
+    * time, not "previous nonempty buckets" (a quiet hour must not
+    * stretch the baseline back a day).
+    *
+    * Burst test is EXACT integer cross-multiplication:
+    * `cnt * n_prev * factorDen >= factorNum * baseline_sum` with the
+    * trailing `trailingN` buckets as baseline (current excluded; the
+    * first `trailingN` buckets have partial baselines and test against
+    * what exists). `ratio` is one exact division for human reading.
+    *
+    * Scale shape: one hash aggregate to per-bucket counts, then one
+    * window over the BUCKET table — calendar-scale (8.8k rows/year of
+    * hours), the documented metadata-scale escape, regardless of input
+    * row count. */
+  def burstDetect(df: DataFrame, tsCol: String, bucketSeconds: Long,
+                  trailingN: Int, factorNum: Long, factorDen: Long): DataFrame = {
+    require(bucketSeconds > 0 && trailingN >= 1 && factorNum > 0 && factorDen > 0,
+      "bucketSeconds/trailingN/factor must be positive")
+    val counts = df
+      .withColumn("__b",
+        expr(s"unix_micros(cast(${tsCol} as timestamp)) div ${bucketSeconds * 1000000L}L"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("cnt"))
+    val range = counts.agg(min(col("__b")).as("lo"), max(col("__b")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("__b"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(-trailingN.toLong, -1L)
+    range.join(counts, Seq("__b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("baseline_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("bucket_start",
+        timestamp_micros(col("__b") * lit(bucketSeconds * 1000000L)))
+      .withColumn("ratio",
+        when(col("baseline_sum") > 0,
+          (col("cnt") * col("n_prev")).cast("double")
+            / col("baseline_sum").cast("double")))
+      .withColumn("is_burst",
+        col("n_prev") > 0 && col("baseline_sum") >= 0 &&
+          col("cnt") * col("n_prev") * lit(factorDen) >=
+            lit(factorNum) * col("baseline_sum") && col("cnt") > 0)
+      .select(col("__b").as("bucket_id"), col("bucket_start"), col("cnt"),
+        col("baseline_sum"), col("n_prev"), col("ratio"), col("is_burst"))
+  }
 }

@@ -1,0 +1,375 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.checks.{Drift, Quarantine}
+import graft.operators.{Attribution, Diff, Linkage, Patterns, Profile, Timeseries}
+
+/** Round-6 operator family: drift detection, quarantine routing, record
+  * linkage, multi-touch attribution, snapshot diff, sequential patterns,
+  * FD/JSON profiling, rank normalization, burst detection, LSH recall. */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Drift ------------------------------------------------------------
+
+  private lazy val refCat = Seq("A", "A", "A", "B").toDF("c")
+  private lazy val curCat = Seq("A", "B", "B", "C").toDF("c")
+
+  test("categoricalDrift aligns categories full-outer and computes exact counts") {
+    val out = Drift.categoricalDrift(refCat, curCat, col("c"))
+      .orderBy("category").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("A", 3L, 1L), ("B", 1L, 2L), ("C", 0L, 1L)))
+    val a = out(0)
+    assert(a.getDouble(3) == 0.75 && a.getDouble(4) == 0.25) // shares
+    // chi2 for A: E = 3*4/4 = 3; (1-3)^2/3 = 4/3
+    assert(math.abs(a.getDouble(6) - 4.0 / 3.0) < 1e-12)
+    // C is new in cur: ref_cnt 0 -> chi2 NULL
+    assert(out(2).isNullAt(6))
+  }
+
+  test("totalVariation is 0 on identical mixes, 1 on disjoint supports") {
+    val same = Drift.totalVariation(refCat, refCat, col("c")).head()
+    assert(same.getAs[Double]("tv_distance") == 0.0)
+    val disj = Drift.totalVariation(
+      Seq("A", "A").toDF("c"), Seq("B", "C").toDF("c"), col("c")).head()
+    assert(disj.getAs[Double]("tv_distance") == 1.0)
+  }
+
+  test("numericDrift bins with -1/nBins sentinels and NULL passthrough") {
+    val ref = Seq[Option[Double]](Some(1.0), Some(5.0), Some(25.0)).toDF("v")
+    val cur = Seq[Option[Double]](Some(-3.0), Some(100.0), None).toDF("v")
+    val bins = Drift.numericDrift(ref, cur, col("v"), lo = 0.0, width = 10.0,
+        nBins = 3)
+      .select("bin", "ref_cnt", "cur_cnt").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(bins == Set(
+      (Some(0L), 2L, 0L),   // 1.0, 5.0
+      (Some(2L), 1L, 0L),   // 25.0
+      (Some(-1L), 0L, 1L),  // -3.0 below lo
+      (Some(3L), 0L, 1L),   // 100.0 at/above hi (nBins sentinel)
+      (None, 0L, 1L)))      // NULL
+  }
+
+  test("psiReport matches a hand-computed PSI within tolerance") {
+    val out = Drift.psiReport(refCat, curCat, col("c"))
+      .orderBy("category").collect()
+    // A: (0.25-0.75)*ln(0.25/0.75)
+    val expA = (0.25 - 0.75) * math.log(0.25 / 0.75)
+    assert(math.abs(out(0).getAs[Double]("psi_contribution") - expA) < 1e-12)
+    // C: ref share floored at eps -> finite, positive
+    val psiC = out(2).getAs[Double]("psi_contribution")
+    assert(psiC > 0 && java.lang.Double.isFinite(psiC))
+  }
+
+  // ---- Quarantine -------------------------------------------------------
+
+  test("quarantine reasons join failed checks in declaration order; split routes") {
+    val df = Seq((1, 50, "en"), (2, 500, "xx"), (3, 5, "yy")).toDF("id", "len", "lang")
+    val checks = Seq(
+      "len_ok" -> col("len").between(10, 100),
+      "lang_ok" -> col("lang").isin("en", "de"))
+    val ann = Quarantine.annotate(df, checks).orderBy("id").collect()
+    assert(ann(0).isNullAt(3))                                  // clean
+    assert(ann(1).getString(3) == "len_ok,lang_ok")             // both fail
+    assert(ann(2).getString(3) == "len_ok,lang_ok")
+    val (clean, bad) = Quarantine.split(df, checks)
+    assert(clean.count() == 1 && bad.count() == 2)
+    assert(!clean.columns.contains("quarantine_reasons"))
+  }
+
+  test("quarantine treats NULL predicate results as failures") {
+    val df = Seq[(Int, Option[Int])]((1, None), (2, Some(50))).toDF("id", "len")
+    val ann = Quarantine.annotate(df, Seq("len_ok" -> (col("len") > 10)))
+      .orderBy("id").collect()
+    assert(ann(0).getString(2) == "len_ok") // NULL > 10 is not a pass
+    assert(ann(1).isNullAt(2))
+  }
+
+  // ---- Linkage ----------------------------------------------------------
+
+  test("linkage scores with levenshtein falloff inside blocks only") {
+    val left = Seq((1L, 10, "alice"), (2L, 10, "bob"), (3L, 20, "alice"))
+      .toDF("lid", "block", "name")
+    val right = Seq((101L, 10, "alice"), (102L, 10, "alicx"), (103L, 20, "bob"))
+      .toDF("rid", "block", "name")
+    val pairs = Linkage.linkRecords(left, right,
+      blockOn = Seq("block" -> "block"),
+      score = Linkage.levenshteinPoints(col("l.name"), col("r.name"), 5),
+      select = Seq(col("l.lid"), col("r.rid")),
+      matchAt = 5, possibleAt = 3)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getString(3))).toSet
+    // (1, alice) vs block-10 rights: alice=5 match, alicx=4 possible;
+    // (3, alice) is in block 20, so it never meets block-10's alice
+    assert(rows == Set((1L, 101L, 5, "match"), (1L, 102L, 4, "possible")))
+  }
+
+  test("bestMatchPerLeft keeps highest score, ties to smallest right id") {
+    val pairs = Seq((1L, 9L, 4, "possible"), (1L, 5L, 4, "possible"),
+      (1L, 7L, 5, "match")).toDF("lid", "rid", "score", "tier")
+    val best = Linkage.bestMatchPerLeft(pairs, "lid", "rid").collect()
+    assert(best.length == 1 && best(0).getLong(1) == 7L)
+    val tied = Linkage.bestMatchPerLeft(
+      Seq((1L, 9L, 4), (1L, 5L, 4)).toDF("lid", "rid", "score"), "lid", "rid")
+      .collect()
+    assert(tied(0).getLong(1) == 5L)
+  }
+
+  test("equalityPoints: NULL is no evidence, not negative evidence") {
+    val df = Seq[(Option[String], Option[String])](
+      (Some("x"), Some("x")), (Some("x"), Some("y")), (None, Some("x")))
+      .toDF("a", "b")
+    val out = df.select(Linkage.equalityPoints(col("a"), col("b"), 3).as("p"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(3, 0, 0))
+  }
+
+  // ---- Multi-touch attribution ------------------------------------------
+
+  private def ev(rows: (Long, String, String, Long)*) =
+    rows.toSeq.toDF("user_id", "ts_s", "event_type", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+  test("linear multiTouch splits 1e6 micro-credits, remainder to last touch") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:10:00", "click", 2L),
+      (1L, "2024-01-01 10:20:00", "view", 3L),
+      (1L, "2024-01-01 10:30:00", "purchase", 4L))
+    val out = Attribution.multiTouch(e, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click"), "purchase", lookbackSeconds = 7200L)
+      .orderBy("touch_id").collect()
+    assert(out.length == 3)
+    val credits = out.map(r => (r.getAs[Long]("touch_id"),
+      r.getAs[Long]("credit_micro"))).toSeq
+    // 1e6 div 3 = 333333; remainder 1 goes to the LAST touch (id 3)
+    assert(credits == Seq((1L, 333333L), (2L, 333333L), (3L, 333334L)))
+    assert(credits.map(_._2).sum == 1000000L)
+  }
+
+  test("multiTouch credits organic when no touch is in the lookback window") {
+    val e = ev(
+      (1L, "2024-01-01 01:00:00", "view", 1L),
+      (1L, "2024-01-01 10:00:00", "purchase", 2L))
+    val out = Attribution.multiTouch(e, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click"), "purchase", lookbackSeconds = 3600L)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("channel") == "organic")
+    assert(out(0).getAs[Long]("credit_micro") == 1000000L)
+    assert(out(0).isNullAt(out(0).fieldIndex("touch_id")))
+  }
+
+  test("decay multiTouch weights recent touches heavier, credit still sums to 1e6") {
+    val e = ev(
+      (1L, "2024-01-01 09:00:00", "view", 1L),   // age 3600s = 2 half-lives
+      (1L, "2024-01-01 09:45:00", "view", 2L),   // age 900s = 0 half-lives
+      (1L, "2024-01-01 10:00:00", "purchase", 3L))
+    val out = Attribution.multiTouch(e, "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click"), "purchase", lookbackSeconds = 7200L,
+      halfLifeSeconds = Some(1800L), maxShift = 20)
+      .orderBy("touch_id").collect()
+    val c1 = out(0).getAs[Long]("credit_micro")
+    val c2 = out(1).getAs[Long]("credit_micro")
+    // weights 2^18 vs 2^20 -> 1:4 split = 200000 / 800000
+    assert(c1 == 200000L && c2 == 800000L)
+    assert(c1 + c2 == 1000000L)
+  }
+
+  test("channelCredit rolls up exact micro totals") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:30:00", "purchase", 2L),
+      (2L, "2024-01-01 11:00:00", "purchase", 3L))
+    val out = Attribution.channelCredit(
+      Attribution.multiTouch(e, "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click"), "purchase", 3600L))
+      .orderBy("channel").collect()
+    val byCh = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("credit_micro"), r.getAs[Double]("credit"))).toMap
+    assert(byCh("view") == ((1000000L, 1.0)))
+    assert(byCh("organic") == ((1000000L, 1.0)))
+  }
+
+  // ---- Snapshot diff ----------------------------------------------------
+
+  test("tableDiff reports added/removed/changed with per-column lists") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val nw = Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val d = Diff.tableDiff(old, nw, Seq("k")).orderBy("k").collect()
+    assert(d.map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)))).toSeq == Seq(
+      (2L, "changed", Some("s,v")),
+      (3L, "removed", None),
+      (4L, "added", None)))
+  }
+
+  test("tableDiff treats NULL<->value as a change, NULL<->NULL as equal") {
+    val old = Seq[(Long, Option[String])]((1L, None), (2L, None)).toDF("k", "s")
+    val nw = Seq[(Long, Option[String])]((1L, Some("x")), (2L, None)).toDF("k", "s")
+    val d = Diff.tableDiff(old, nw, Seq("k")).collect()
+    assert(d.length == 1 && d(0).getLong(0) == 1L
+      && d(0).getString(2) == "s")
+  }
+
+  test("diffSummary groups by status and changed set") {
+    val old = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val nw = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+    val sm = Diff.diffSummary(Diff.tableDiff(old, nw, Seq("k")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2))).toSet
+    assert(sm == Set(("changed", Some("s"), 2L), ("added", None, 1L)))
+  }
+
+  // ---- Sequential patterns / Markov eval --------------------------------
+
+  test("sequencePairSupport honors order and session boundaries") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "a", 1L),
+      (1L, "2024-01-01 10:05:00", "b", 2L),   // a before b, same session
+      (1L, "2024-01-01 12:00:00", "c", 3L),   // new session (gap > 30 min)
+      (2L, "2024-01-01 10:00:00", "b", 4L),
+      (2L, "2024-01-01 10:01:00", "a", 5L))   // b before a
+    val out = Patterns.sequencePairSupport(e, "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 1800L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+    // 3 sessions total -> support 1/3 each
+  }
+
+  test("sequencePairSupport: first-before-last catches interleaved repeats") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "b", 1L),
+      (1L, "2024-01-01 10:01:00", "a", 2L),
+      (1L, "2024-01-01 10:02:00", "b", 3L))  // a(10:01) precedes last b(10:02)
+    val out = Patterns.sequencePairSupport(e, "user_id", "ts", "event_id",
+      "event_type", 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "a")))
+  }
+
+  test("markovEval: argmax prediction with lexicographic ties; unseen misses") {
+    val train = ev(
+      (1L, "2024-01-01 10:00:00", "a", 1L),
+      (1L, "2024-01-01 10:01:00", "b", 2L),
+      (1L, "2024-01-01 10:02:00", "a", 3L),
+      (1L, "2024-01-01 10:03:00", "b", 4L))    // a->b twice, b->a once
+    val eval = ev(
+      (2L, "2024-01-01 10:00:00", "a", 5L),
+      (2L, "2024-01-01 10:01:00", "b", 6L),    // a->b: hit
+      (2L, "2024-01-01 10:02:00", "c", 7L),    // b->c: miss (predicted a)
+      (2L, "2024-01-01 10:03:00", "d", 8L))    // c->d: unseen from_type
+    val out = Patterns.markovEval(train, eval, "user_id", "ts", "event_type",
+      1800L, "event_id")
+      .collect().map(r => r.getString(0) -> (Option(r.getString(1)),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("accuracy"))).toMap
+    assert(out("a") == ((Some("b"), 1L, 1.0)))
+    assert(out("b") == ((Some("a"), 0L, 0.0)))
+    assert(out("c") == ((None, 0L, 0.0)))
+  }
+
+  // ---- Profiling --------------------------------------------------------
+
+  test("functionalDependencies: holds, violations, NULL-as-value branching") {
+    val df = Seq[(Option[Int], Option[String])](
+      (Some(1), Some("x")), (Some(1), Some("x")),
+      (Some(2), Some("y")), (Some(2), None),
+      (None, Some("z"))).toDF("det", "dep")
+    val out = Profile.functionalDependencies(df, Seq("det" -> "dep")).head()
+    assert(out.getAs[Long]("n_keys") == 2)          // NULL det excluded
+    assert(out.getAs[Long]("n_violating_keys") == 1) // det=2 -> {y, NULL}
+    assert(out.getAs[Long]("max_branching") == 2)
+    assert(!out.getAs[Boolean]("holds"))
+  }
+
+  test("jsonKeyProfile classifies scalar classes and key presence") {
+    val df = Seq(
+      """{"n": 1, "s": "a", "b": true}""",
+      """{"n": 2.5, "s": "b"}""",
+      """{"n": 3}""").toDF("js")
+    val out = Profile.jsonKeyProfile(df, "js").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_present"),
+        r.getAs[String]("value_class"))).toMap
+    assert(out("n") == ((3L, "mixed")))      // integer + number
+    assert(out("s") == ((2L, "string")))
+    assert(out("b") == ((1L, "boolean")))
+    val frac = Profile.jsonKeyProfile(df, "js")
+      .filter(col("key") === "b").head().getAs[Double]("present_frac")
+    assert(math.abs(frac - 1.0 / 3.0) < 1e-15)
+  }
+
+  // ---- Rank normalization ----------------------------------------------
+
+  test("quantileNormalize maps per-group positions to pos/(n+1)") {
+    val df = Seq((1L, "g1", 10), (2L, "g1", 30), (3L, "g1", 20),
+      (4L, "g2", 99)).toDF("id", "grp", "score")
+    val out = llmdata.Sampling.quantileNormalize(df, "id", "grp", "score")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("pos"), r.getAs[Double]("quantile"))).toMap
+    assert(out(1L) == ((1L, 0.25)) && out(3L) == ((2L, 0.5)) &&
+      out(2L) == ((3L, 0.75)))
+    assert(out(4L) == ((1L, 0.5)))  // singleton group -> 1/2
+  }
+
+  test("quantileNormalize ties break deterministically by key") {
+    val df = Seq((2L, "g", 5), (1L, "g", 5)).toDF("id", "grp", "score")
+    val out = llmdata.Sampling.quantileNormalize(df, "id", "grp", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos")).toMap
+    assert(out(1L) == 1L && out(2L) == 2L)
+  }
+
+  // ---- Burst detection --------------------------------------------------
+
+  test("burstDetect gap-fills buckets and flags exact 2x spikes") {
+    // buckets (3600s): h0: 4 events, h1: 0 (gap), h2: 4, h3: 17
+    val times = Seq.fill(4)("2024-01-01 00:10:00") ++
+      Seq.fill(4)("2024-01-01 02:10:00") ++
+      Seq.fill(17)("2024-01-01 03:10:00")
+    val df = times.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("ts_s", "id").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Timeseries.burstDetect(df, "ts", 3600L, trailingN = 24,
+      factorNum = 2L, factorDen = 1L)
+      .orderBy("bucket_id").collect()
+    assert(out.length == 4)                       // h1 gap-filled
+    assert(out(1).getAs[Long]("cnt") == 0L)
+    assert(!out(0).getAs[Boolean]("is_burst"))    // no baseline yet
+    // h2: baseline {4, 0} over 2 buckets: 4*2 >= 2*4 -> burst (exactly 2x avg)
+    assert(out(2).getAs[Boolean]("is_burst"))
+    // h3: baseline {4,0,4}: 17*3 = 51 >= 2*8 = 16 -> burst
+    assert(out(3).getAs[Boolean]("is_burst"))
+    assert(math.abs(out(3).getAs[Double]("ratio") - 51.0 / 8.0) < 1e-12)
+  }
+
+  test("burstDetect: steady traffic never flags") {
+    val times = (0 until 6).flatMap(h => Seq.fill(5)(f"2024-01-01 $h%02d:30:00"))
+    val df = times.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("ts_s", "id").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Timeseries.burstDetect(df, "ts", 3600L, 24, 2L, 1L).collect()
+    assert(out.drop(1).forall(!_.getAs[Boolean]("is_burst")))
+  }
+
+  // ---- LSH recall -------------------------------------------------------
+
+  test("lshRecallReport: identical docs land in the top decile at recall 1") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, text), (2L, text),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "unrelated words entirely different content here now")).toDF("doc_id", "text")
+    val out = llmdata.DedupOps.lshRecallReport(docs, "doc_id", "text")
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.find(_.getAs[Long]("j_bucket") == 10L).get
+    assert(top.getAs[Long]("n_exact") == 1L && top.getAs[Long]("n_found") == 1L)
+    assert(top.getAs[Double]("recall") == 1.0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_exact"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+}
