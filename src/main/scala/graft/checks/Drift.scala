@@ -123,6 +123,48 @@ object Drift {
       .withColumnRenamed("category", "bin")
   }
 
+  /** First-significant-digit (Benford) profile: the digit-frequency
+    * fraud/synthetic-data check — naturally occurring multi-scale
+    * positive quantities (amounts, populations, trade volumes) follow
+    * `P(d) = log10(1 + 1/d)`; fabricated or truncated data usually does
+    * not. One map projection + one 9-row aggregate.
+    *
+    * Determinism: the digit comes from a FIXED-FORMAT rendering
+    * (`format_string("%.6f")` ≡ DuckDB `printf('%.6f')` — the repo's
+    * established cross-engine float bridge), first `[1-9]` char; the
+    * Benford expectations are 6-decimal LITERAL doubles (log10 is libm,
+    * so it must not be evaluated in-engine); shares and the chi-squared
+    * contribution are the usual short exact-IEEE chains. Values ≤ 0 or
+    * NULL are excluded (Benford is defined on positive magnitudes). */
+  def benfordProfile(df: DataFrame, value: Column): DataFrame = {
+    val expected = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val digit = substring(
+      regexp_replace(format_string("%.6f", abs(value.cast("double"))),
+        "[^1-9]", ""), 1, 1)
+    val counts = df.filter(value.isNotNull && value > 0)
+      .select(digit.as("digit"))
+      .filter(length(col("digit")) > 0)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expectedDf = broadcast(
+      df.sparkSession.createDataFrame(
+        expected.zipWithIndex.map { case (p, i) => ((i + 1).toString, p) })
+        .toDF("digit", "expected_share"))
+    val totals = counts.agg(sum(col("n")).as("total"))
+    // full outer vs the 9-digit table so an absent digit surfaces as 0
+    expectedDf.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("delta", col("share") - col("expected_share"))
+      .withColumn("chi2_contribution",
+        (col("n").cast("double") - col("expected_share") * col("total").cast("double"))
+          * (col("n").cast("double") - col("expected_share") * col("total").cast("double"))
+          / (col("expected_share") * col("total").cast("double")))
+      .select("digit", "n", "total", "share", "expected_share", "delta",
+        "chi2_contribution")
+  }
+
   /** Population-stability-index report: per-category
     * `(p_cur - p_ref) * ln(p_cur / p_ref)` with epsilon-floored shares
     * (the industry PSI convention; eps keeps new/vanished categories

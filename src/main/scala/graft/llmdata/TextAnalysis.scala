@@ -1337,4 +1337,52 @@ object TextAnalysis {
       .withColumn("tokens_per_doc",
         col("total_tokens").cast("double") / g(col("n_docs")))
   }
+
+  /** Compression-ratio quality signal: `deflate(text).length / length`
+    * per document — the classic cheap redundancy detector (the
+    * Gopher/CCNet pipeline family uses exactly this): highly repetitive
+    * machine-generated text compresses far below prose, random noise
+    * barely compresses at all, so both tails of the ratio distribution
+    * are removal candidates that token-level heuristics
+    * ([[repetitionStats]]) can miss.
+    *
+    * Computed in a `mapPartitions` pass with ONE java.util.zip.Deflater
+    * reused per partition (native zlib allocation is the dominant cost;
+    * per-row allocation is 5-10x slower) — the same JVM-codec escape
+    * hatch contract as Multimodal's image/audio decode. Map-only: no
+    * shuffle, cost is one scan at any corpus size.
+    *
+    * Deterministic for a fixed (JVM zlib version, level) pair, which
+    * holds within a cluster — but NOT oracle-portable (DuckDB has no
+    * deflate), so this operator is spec-verified against direct JDK
+    * compression, deliberately outside the hash gate (the HLL-sketch
+    * precedent). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level in [1,9], got $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed)
+        }
+      }
+      .toDF(idCol, "raw_bytes", "deflated_bytes")
+    out.withColumn("compression_ratio",
+      when(col("raw_bytes") > 0,
+        col("deflated_bytes").cast("double") / col("raw_bytes").cast("double")))
+  }
 }

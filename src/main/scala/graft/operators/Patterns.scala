@@ -128,6 +128,33 @@ object Patterns {
           .as("support"))
   }
 
+  /** Process-conformance report: which session-bounded transitions occur,
+    * and which of them violate a declared allowed-transition whitelist —
+    * the process-mining half of [[graft.operators.Sessionize.transitions]]
+    * (which only measures; this one JUDGES against the intended state
+    * machine). The operational check for event-instrumentation bugs
+    * ("purchase fired before click"), bot traffic (impossible paths), or
+    * pipeline reordering.
+    *
+    * Output: one row per observed (from_type, to_type) with its count and
+    * `is_allowed`; violations are the `!is_allowed` rows. The whitelist
+    * is a literal broadcast table; the transition scan is the one session
+    * window [[graft.operators.Sessionize.transitions]] already costs. */
+  def conformanceReport(df: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, gapSeconds: Long, tieBreakCol: String,
+                        allowed: Seq[(String, String)]): DataFrame = {
+    require(allowed.nonEmpty, "allowed transition list must be non-empty")
+    val spark = df.sparkSession
+    val allowedDf = broadcast(
+      spark.createDataFrame(allowed).toDF("from_type", "to_type")
+        .withColumn("__ok", lit(true)))
+    Sessionize.transitions(df, keyCol, tsCol, typeCol, gapSeconds, tieBreakCol)
+      .select("from_type", "to_type", "n")
+      .join(allowedDf, Seq("from_type", "to_type"), "left")
+      .withColumn("is_allowed", coalesce(col("__ok"), lit(false)))
+      .drop("__ok")
+  }
+
   /** Next-event-prediction evaluation: train a first-order Markov model
     * (the `Sessionize.transitions` matrix) on one slice, score top-1
     * accuracy on another — the in-engine eval loop for "is user

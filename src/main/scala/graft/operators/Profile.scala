@@ -357,6 +357,68 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Value-set overlap between two columns (possibly of different
+    * tables): distinct counts, intersection, jaccard and both
+    * containments — the schema-matching / foreign-key-discovery
+    * primitive ("is a.x a subset of b.y?"). containment_a = 1 with a
+    * large n_b is the FK signature; high jaccard both ways suggests the
+    * same domain recorded twice.
+    *
+    * Shape: two distinct-projections (hash aggregates with map-side
+    * partials), one equi-join on the value to count the intersection,
+    * three broadcast scalar counts — never a cross join, never a
+    * collect. NULLs are excluded (SQL join semantics would drop them
+    * anyway). */
+  def columnOverlap(dfA: DataFrame, colA: String,
+                    dfB: DataFrame, colB: String): DataFrame = {
+    val a = dfA.filter(col(colA).isNotNull)
+      .select(col(colA).cast("string").as("__v")).distinct()
+    val b = dfB.filter(col(colB).isNotNull)
+      .select(col(colB).cast("string").as("__v")).distinct()
+    val common = a.join(b, Seq("__v")).agg(count(lit(1)).as("n_common"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(common))
+      .select(lit(colA).as("column_a"), lit(colB).as("column_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"))
+  }
+
+  /** Candidate-key discovery: for each requested column combination,
+    * its distinct-combination count vs the row count — `is_key` iff
+    * they match (with NULL-bearing combos counted distinctly via a
+    * null-safe struct, mirroring the dbt `unique` convention that a
+    * real key has no NULLs: any NULL in the combo disqualifies).
+    * Uniqueness ratio is exact integers with one division.
+    *
+    * Shape: one distinct-aggregate per combo (each its own hash
+    * shuffle), unioned at metadata scale — combos are independent jobs,
+    * not one Expand over all combos at once (the documented k-way
+    * Expand trade in [[numeric]] would multiply the scan by |combos|).
+    */
+  def keyCandidates(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty), "combos required")
+    combos.map { cols =>
+      val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(struct(cols.map(col): _*)).as("n_distinct"),
+        sum(anyNull.cast("long")).as("__n_null_rows"))
+        .select(lit(cols.mkString(",")).as("columns"),
+          col("n_rows"), col("n_distinct"),
+          coalesce(col("__n_null_rows"), lit(0L)).as("n_null_rows"),
+          (col("n_distinct").cast("double") / col("n_rows").cast("double"))
+            .as("uniqueness"),
+          (col("n_distinct") === col("n_rows") &&
+            coalesce(col("__n_null_rows"), lit(0L)) === 0).as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Semi-structured profiling of a JSON string column: which keys
     * appear, how often, with how many distinct values, and what scalar
     * class the values are (integer / number / boolean / null / string,

@@ -353,6 +353,105 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.drop(1).forall(!_.getAs[Boolean]("is_burst")))
   }
 
+  // ---- Compression-ratio quality signal ---------------------------------
+
+  test("compressionRatio matches direct JDK deflate; repetitive < prose < noise") {
+    val rep = "spam " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far afield seeking novel provender in distant meadows " * 4
+    val noise = (1 to 400).map(i =>
+      Integer.toString(i * 2654435761L.toInt, 36)).mkString(" ")
+    val df = Seq((1L, rep), (2L, prose), (3L, noise)).toDF("id", "text")
+    val out = llmdata.TextAnalysis.compressionRatio(df, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("raw_bytes"), r.getAs[Long]("deflated_bytes"),
+          r.getAs[Double]("compression_ratio"))).toMap
+    // bit-exact vs a direct Deflater run
+    def direct(s: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 20)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    assert(out(1L)._2 == direct(rep))
+    assert(out(2L)._2 == direct(prose))
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
+    assert(out(1L)._1 == rep.getBytes("UTF-8").length.toLong)
+  }
+
+  test("compressionRatio: empty text yields NULL ratio, zero bytes") {
+    val out = llmdata.TextAnalysis.compressionRatio(
+      Seq((1L, "")).toDF("id", "text"), "id", "text").head()
+    assert(out.getAs[Long]("raw_bytes") == 0L)
+    assert(out.isNullAt(out.fieldIndex("compression_ratio")))
+  }
+
+  // ---- Benford ----------------------------------------------------------
+
+  test("benfordProfile extracts first significant digits and fills absent ones") {
+    val df = Seq(123.0, 19.5, 0.0072, 2000.0, 95.0, -4.0, 0.0)
+      .toDF("v") // digits: 1, 1, 7, 2, 9; -4 and 0 excluded
+    val out = Drift.benfordProfile(df, col("v")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("total"))).toMap
+    assert(out.keySet == (1 to 9).map(_.toString).toSet)
+    assert(out("1") == ((2L, 5L)) && out("7") == ((1L, 5L)) &&
+      out("2") == ((1L, 5L)) && out("9") == ((1L, 5L)))
+    assert(out("3") == ((0L, 5L))) // absent digit surfaces as zero
+    val row1 = Drift.benfordProfile(df, col("v"))
+      .filter(col("digit") === "1").head()
+    assert(row1.getAs[Double]("share") == 0.4)
+    assert(math.abs(row1.getAs[Double]("expected_share") - 0.301030) < 1e-12)
+  }
+
+  // ---- Conformance ------------------------------------------------------
+
+  test("conformanceReport flags transitions outside the whitelist") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:01:00", "click", 2L),
+      (1L, "2024-01-01 10:02:00", "purchase", 3L),
+      (2L, "2024-01-01 10:00:00", "purchase", 4L),
+      (2L, "2024-01-01 10:01:00", "view", 5L))   // purchase->view: violation
+    val out = Patterns.conformanceReport(e, "user_id", "ts", "event_type",
+      1800L, "event_id", allowed = Seq("view" -> "click", "click" -> "purchase"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n"), r.getAs[Boolean]("is_allowed")))).toMap
+    assert(out(("view", "click")) == ((1L, true)))
+    assert(out(("click", "purchase")) == ((1L, true)))
+    assert(out(("purchase", "view")) == ((1L, false)))
+  }
+
+  // ---- Column overlap / key candidates ----------------------------------
+
+  test("columnOverlap computes jaccard and containments over distinct sets") {
+    val a = Seq(1, 2, 3, 4).toDF("x")
+    val b = Seq(3, 4, 5, 3).toDF("y") // distinct: {3,4,5}
+    val out = Profile.columnOverlap(a, "x", b, "y").head()
+    assert(out.getAs[Long]("n_a") == 4 && out.getAs[Long]("n_b") == 3)
+    assert(out.getAs[Long]("n_common") == 2)
+    assert(out.getAs[Double]("jaccard") == 0.4)          // 2/5
+    assert(out.getAs[Double]("containment_a") == 0.5)    // 2/4
+    assert(math.abs(out.getAs[Double]("containment_b") - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("keyCandidates: NULL presence disqualifies, combos independent") {
+    val df = Seq[(Option[Int], Option[Int])](
+      (Some(1), Some(1)), (Some(1), Some(2)), (Some(2), None))
+      .toDF("a", "b")
+    val out = Profile.keyCandidates(df, Seq(Seq("a"), Seq("a", "b")))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_null_rows"), r.getAs[Boolean]("is_key"))).toMap
+    assert(out("a") == ((2L, 0L, false)))       // duplicate a=1
+    assert(out("a,b") == ((3L, 1L, false)))     // unique combos but a NULL row
+    val clean = Profile.keyCandidates(
+      Seq((1, 1), (1, 2), (2, 1)).toDF("a", "b"), Seq(Seq("a", "b"))).head()
+    assert(clean.getAs[Boolean]("is_key"))
+    assert(clean.getAs[Double]("uniqueness") == 1.0)
+  }
+
   // ---- LSH recall -------------------------------------------------------
 
   test("lshRecallReport: identical docs land in the top decile at recall 1") {
