@@ -1874,6 +1874,37 @@ object SparkEntry {
         Seq("l_orderkey"),
         Seq("l_orderkey", "l_linenumber"),
         Seq("l_partkey", "l_suppkey")))),
+
+    // per-node triangles / degree / clustering coefficient of the
+    // co-purchase graph (q189's edge set) — ordered 3-way join, each
+    // triangle found exactly once
+    "q211_triangle_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.triangleStats(edges, "src", "dst")
+    }),
+
+    // per-event-type dwell times within gap-sessions (exact integer
+    // micros; session-final events excluded as right-censored)
+    "q212_dwell_times" -> ((s, d) =>
+      graft.operators.Sessionize.dwellTimes(t(s, d, "events"),
+        "user_id", "ts", "event_type", gapSeconds = 1800L,
+        tieBreakCol = "event_id")),
+
+    // A/B conversion chi-squared (2x2, libm-free z^2) over a
+    // deterministic user-parity variant assignment
+    "q213_ab_test" -> ((s, d) => {
+      val units = t(s, d, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("converted"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      graft.operators.Robust.abChiSquare(units, "variant", "converted")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5567,5 +5598,87 @@ object SparkEntry {
       Seq(Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"),
         Seq("l_partkey", "l_suppkey")).map(one).mkString("\nUNION ALL\n")
     },
+
+    // canonical undirected edges; ordered (a<b<c) 3-way join counts each
+    // triangle once; corners explode into per-node counts
+    "q211_triangle_stats" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE least(src, dst) < greatest(src, dst)),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+        |        UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.degree, COALESCE(n_triangles, 0) AS n_triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE) END AS clustering_coeff
+        |FROM deg LEFT JOIN pn USING (node)""".stripMargin,
+
+    // q87 session CTEs; dwell = lead(epoch) - epoch within the session
+    // order; final events censored out
+    "q212_dwell_times" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b),
+        |d AS (SELECT event_type,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dwell_us
+        |  FROM sess WINDOW w AS (PARTITION BY user_id, session_index
+        |    ORDER BY ts ASC, event_id ASC)),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+        |    CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us
+        |  FROM d WHERE dwell_us IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_events, total_dwell_us, max_dwell_us,
+        |  CAST(total_dwell_us AS DOUBLE)
+        |    / CAST(n_events * 1000000 AS DOUBLE) AS mean_dwell_s
+        |FROM agg""".stripMargin,
+
+    // 2x2 chi-squared from exact counts; every double is cast from an
+    // integer, every op is one exact-rounded IEEE step
+    "q213_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CAST(user_id % 2 AS INT) AS variant, converted FROM u),
+        |agg AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(converted AS BIGINT)) AS BIGINT) AS conv
+        |  FROM v GROUP BY 1),
+        |p AS (SELECT x.variant AS variant_a, y.variant AS variant_b,
+        |    x.n AS n_a, x.conv AS conv_a, y.n AS n_b, y.conv AS conv_b
+        |  FROM agg x JOIN agg y ON x.variant < y.variant)
+        |SELECT variant_a, variant_b, n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CASE WHEN conv_a + conv_b > 0
+        |      AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN
+        |    CAST(n_a + n_b AS DOUBLE)
+        |      * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+        |         - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+        |      * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+        |         - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+        |      / ((CAST(conv_a AS DOUBLE) + CAST(n_a - conv_a AS DOUBLE))
+        |         * (CAST(conv_b AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE))
+        |         * (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+        |         * (CAST(n_a - conv_a AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE)))
+        |  END AS chi2
+        |FROM p""".stripMargin,
   )
 }

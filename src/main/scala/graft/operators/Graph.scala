@@ -140,4 +140,50 @@ object Graph {
     nodes.unpersist(blocking = false)
     ranks
   }
+
+  /** Per-node triangle count, degree, and local clustering coefficient —
+    * the cohesion profile of a similarity/co-occurrence graph (dense
+    * triangles = tight near-dup families or genuinely bundled products;
+    * high degree with NO triangles = hub/spam signature).
+    *
+    * Edges are canonicalized undirected-distinct (src < dst, self-loops
+    * dropped). Triangles enumerate via the ordered 3-way equi-join
+    * (a<b<c: (a,b)⋈(b,c)⋈(a,c)) so each triangle is found EXACTLY once —
+    * no distinct, no double counting, never an all-pairs product; the
+    * worst join fan-out is bounded by the skewest node's ordered
+    * adjacency (the standard compact-forward bound). Per-node counts
+    * come from exploding each triangle's three corners into one hash
+    * aggregate. Coefficient `2t / (d(d-1))` is exact integers with ONE
+    * division; degree-<2 nodes emit NULL (undefined, not 0 — a leaf is
+    * not "uncohesive", it has no possible triangle).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // three consumers (degree, e1/e2/e3 self-joins) — materialize the
+    // canonical edge set once (eager localCheckpoint, the nearDupClusters
+    // pattern and its release caveat) instead of re-shuffling per branch
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_triangles")).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double")))
+    out
+  }
 }

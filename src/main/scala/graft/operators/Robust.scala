@@ -116,4 +116,44 @@ object Robust {
           (x * nD - col("__s")) / sqrt(radicand)))
       .drop("__n", "__s", "__sxx")
   }
+
+  /** Two-variant A/B conversion test as a chi-squared statistic (2x2,
+    * one degree of freedom) — the experimentation readout that needs no
+    * libm: chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) over the
+    * converted/not x variant contingency table. z^2 == chi2 for a 2x2
+    * table, so the familiar |z| > 1.96 gate becomes chi2 > 3.8415 —
+    * same decision, sqrt-free (the q112 integer-anomaly argument).
+    *
+    * Counts are exact integers from one hash aggregate; the statistic
+    * is a fixed tree of double products cast from those integers (each
+    * op exact-rounded, engine-identical — integer BIGINT products would
+    * overflow at ~1e9 units, doubles never do). Output is ONE row per
+    * variant pair: counts, rates, and chi2; significance thresholds are
+    * the caller's policy. Expects unit-grain input (one row per
+    * experimental unit, boolean success); variants beyond two -> run
+    * pairwise. */
+  def abChiSquare(df: DataFrame, variantCol: String,
+                  successCol: String): DataFrame = {
+    val agg = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("conv"))
+    val pairs = agg.as("x").join(agg.as("y"),
+        col("x.variant") < col("y.variant"))
+      .select(col("x.variant").as("variant_a"), col("y.variant").as("variant_b"),
+        col("x.n").as("n_a"), col("x.conv").as("conv_a"),
+        col("y.n").as("n_b"), col("y.conv").as("conv_b"))
+    val a = col("conv_a").cast("double")           // converted, A
+    val b = (col("n_a") - col("conv_a")).cast("double")
+    val c = col("conv_b").cast("double")
+    val d = (col("n_b") - col("conv_b")).cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    pairs
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("chi2",
+        when(col("conv_a") + col("conv_b") > 0 &&
+          (col("n_a") - col("conv_a")) + (col("n_b") - col("conv_b")) > 0,
+          n * (a * d - b * c) * (a * d - b * c)
+            / ((a + b) * (c + d) * (a + c) * (b + d))))
+  }
 }

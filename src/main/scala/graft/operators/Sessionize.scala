@@ -209,4 +209,37 @@ object Sessionize {
               struct(col(tsCol), col(tieBreakCol), col(valueCol)))),
             x => x.getField(valueCol)),
           sep).as("sequence"))
+
+  /** Dwell-time analysis: how long users sit ON each event type before
+    * their next action in the same session — the engagement readout
+    * behind "which screen do people stall on". An event's dwell is the
+    * gap to the session's NEXT event (total (ts, tieBreak) order); each
+    * session's final event has no successor and is excluded (its dwell
+    * is right-censored, not zero — counting it as 0 would bias every
+    * mean downward).
+    *
+    * Exact arithmetic: gaps are integer microseconds summed as BIGINTs;
+    * the mean is ONE final double division. Shape: the one session
+    * window [[tag]] already costs, then a types-cardinality hash
+    * aggregate. */
+  def dwellTimes(df: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String, gapSeconds: Long,
+                 tieBreakCol: String): DataFrame = {
+    val tagged = tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
+    val w = Window.partitionBy(col(keyCol), col("session_index"))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    tagged
+      .withColumn("__next_us",
+        lead(unix_micros(col(tsCol).cast("timestamp")), 1).over(w))
+      .filter(col("__next_us").isNotNull)
+      .withColumn("__dwell_us",
+        col("__next_us") - unix_micros(col(tsCol).cast("timestamp")))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__dwell_us")).as("total_dwell_us"),
+        max(col("__dwell_us")).as("max_dwell_us"))
+      .withColumn("mean_dwell_s",
+        col("total_dwell_us").cast("double")
+          / (col("n_events") * lit(1000000L)).cast("double"))
+  }
 }

@@ -452,6 +452,70 @@ class Round6OpsSpec extends SparkSpec {
     assert(clean.getAs[Double]("uniqueness") == 1.0)
   }
 
+  // ---- Triangles --------------------------------------------------------
+
+  test("triangleStats: K4 gives 3 triangles/node, coeff 1; bridge node 0") {
+    // complete graph on {1,2,3,4} plus a pendant 4-5 bridge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L) /* dup reversed */).toDF("src", "dst")
+    val out = graft.operators.Graph.triangleStats(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"),
+        Option(r.get(r.fieldIndex("clustering_coeff"))).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(1L) == ((3L, 3L, Some(1.0))))
+    assert(out(2L) == ((3L, 3L, Some(1.0))))
+    assert(out(4L) == ((4L, 3L, Some(0.5))))   // 3 of C(4,2)=6 closed
+    assert(out(5L) == ((1L, 0L, None)))        // degree < 2: undefined
+    // global triangle total = sum/3 = 4 (the K4's four faces)
+    assert(out.values.map(_._2).sum == 12L)
+  }
+
+  test("triangleStats: triangle-free path graph counts zero") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.operators.Graph.triangleStats(edges, "src", "dst").collect()
+    assert(out.forall(_.getAs[Long]("n_triangles") == 0L))
+  }
+
+  // ---- Dwell times ------------------------------------------------------
+
+  test("dwellTimes: gap to next in-session event; final events censored") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:00:30", "click", 2L),
+      (1L, "2024-01-01 10:02:30", "purchase", 3L), // view dwell 30s, click 120s
+      (1L, "2024-01-01 12:00:00", "view", 4L))     // new session, censored
+    val out = graft.operators.Sessionize.dwellTimes(e, "user_id", "ts",
+      "event_type", 1800L, "event_id")
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("total_dwell_us"), r.getAs[Double]("mean_dwell_s"))).toMap
+    assert(out("view") == ((1L, 30000000L, 30.0)))   // session-2 view censored
+    assert(out("click") == ((1L, 120000000L, 120.0)))
+    assert(!out.contains("purchase"))                // always final
+  }
+
+  // ---- A/B chi-square ---------------------------------------------------
+
+  test("abChiSquare matches the textbook 2x2 statistic") {
+    // A: 100 units 30 conv; B: 100 units 10 conv
+    val units = ((1 to 100).map(i => ("A", if (i <= 30) 1 else 0)) ++
+      (1 to 100).map(i => ("B", if (i <= 10) 1 else 0))).toDF("variant", "conv")
+    val out = graft.operators.Robust.abChiSquare(units, "variant", "conv").head()
+    assert(out.getAs[Long]("n_a") == 100 && out.getAs[Long]("conv_a") == 30)
+    assert(out.getAs[Double]("rate_a") == 0.3 && out.getAs[Double]("rate_b") == 0.1)
+    // chi2 = 200*(30*90-70*10)^2/(100*100*40*160)
+    val expected = 200.0 * math.pow(30.0 * 90 - 70.0 * 10, 2) /
+      (100.0 * 100 * 40 * 160)
+    assert(math.abs(out.getAs[Double]("chi2") - expected) < 1e-9)
+    assert(out.getAs[Double]("chi2") > 3.8415) // significant at 0.05
+  }
+
+  test("abChiSquare: degenerate table (no conversions) yields NULL chi2") {
+    val units = Seq(("A", 0), ("A", 0), ("B", 0)).toDF("variant", "conv")
+    val out = graft.operators.Robust.abChiSquare(units, "variant", "conv").head()
+    assert(out.isNullAt(out.fieldIndex("chi2")))
+  }
+
   // ---- LSH recall -------------------------------------------------------
 
   test("lshRecallReport: identical docs land in the top decile at recall 1") {
