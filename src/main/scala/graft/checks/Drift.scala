@@ -91,7 +91,24 @@ object Drift {
     * and in any engine. TV is bounded [0,1]: 0 = identical mixes,
     * 1 = disjoint supports. */
   def totalVariation(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame =
-    aligned(ref, cur, cat)
+    totalVariationFromCounts(counts(ref, cat), counts(cur, cat))
+
+  /** [[totalVariation]] over PRE-AGGREGATED (category, cnt) count
+    * tables — the form incremental/streaming monitors use (the counts
+    * are the mergeable partial; recounting the raw slices per
+    * evaluation would rescan history). */
+  def totalVariationFromCounts(refCounts: DataFrame,
+                               curCounts: DataFrame): DataFrame = {
+    val r = refCounts.withColumnRenamed("cnt", "ref_cnt")
+    val c = curCounts.withColumnRenamed("cnt", "cur_cnt")
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val totals = joined.agg(
+      sum(col("ref_cnt")).as("ref_total"),
+      sum(col("cur_cnt")).as("cur_total"))
+    joined.crossJoin(broadcast(totals))
       .withColumn("num",
         abs(col("cur_cnt") * col("ref_total") - col("ref_cnt") * col("cur_total"))
           .cast("decimal(38,0)"))
@@ -102,6 +119,7 @@ object Drift {
       .withColumn("tv_distance",
         col("tv_numerator").cast("double") /
           (lit(2.0) * col("ref_total").cast("double") * col("cur_total").cast("double")))
+  }
 
   /** Numeric drift via fixed-width binning: `bin = floor((x-lo)/width)`
     * clamped to [-1, nBins] (−1 = below lo, nBins = at/above hi, NULL

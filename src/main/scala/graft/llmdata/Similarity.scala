@@ -779,4 +779,126 @@ object Similarity {
     val signed = if (v(signDim) < 0) v.map(-_) else v
     (signed, lambda)
   }
+
+  // ---- Product quantization (PQ) ANN -------------------------------------
+
+  /** Train a product-quantization codebook: split each `dim`-dim vector
+    * into `m` contiguous subvectors and fit `k` centroids per subspace
+    * (the [[fitCentroids]] Lloyd loop, reused verbatim per subspace).
+    * Returns (sub_id, cell_id, centroid) — m*k rows, metadata-scale.
+    *
+    * PQ is the memory-scale path past [[quantizeInt8]]: int8 keeps
+    * dim bytes/vector (64 here), PQ keeps m bytes (8) — at 1e11
+    * vectors that is the difference between a 6.4 TB and an 0.8 TB
+    * resident index, which decides whether ADC scans stay in memory.
+    * The trade is reconstruction error, bounded by the per-subspace
+    * quantizer; [[pqTopK]] repairs ranking error with exact rerank. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, k: Int, iters: Int = 3): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim ($m, $dim)")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val subFrame = corpus.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as("__sv"))
+      fitCentroids(subFrame, idCol, "__sv", nCells = k, iters = iters)
+        .select(lit(s).as("sub_id"), col("cell_id"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode the corpus against a trained codebook: per subspace, the
+    * cell minimizing reconstruction distance `|c|^2 - 2*dot(x_sub, c)`
+    * (the `|x_sub|^2` term is constant per row, so argmin over cells is
+    * the true L2 argmin without computing it) — ties to the LOWEST
+    * cell id. One codes column of m small ints per vector.
+    *
+    * Map-stage by the [[assignCorpusCells]] argument: the codebook is
+    * metadata-scale (m*k rows), collected and inlined as literal
+    * expressions — ZERO exchanges; a crossJoin+rank form would shuffle
+    * the m-times-exploded corpus on a unique key. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    require(m >= 1 && dim % m == 0, s"m must divide dim ($m, $dim)")
+    val sub = dim / m
+    val cents = codebook
+      .select(col("sub_id").cast("int"), col("cell_id").cast("long"),
+        col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+    require(cents.nonEmpty, "pqEncode: empty codebook")
+    val codeCols = (0 until m).map { s =>
+      val cells = cents(s).sortBy(_._2)
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      val scored = array(cells.map { case (_, cid, cvec) =>
+        var n2 = 0.0; var i = 0
+        while (i < cvec.length) { n2 += cvec(i) * cvec(i); i += 1 }
+        struct(
+          (lit(n2) - lit(2.0) * dot_product(sv, typedlit(cvec.toSeq)))
+            .as("d2"),
+          lit(cid).as("cell"))
+      }: _*)
+      array_min(scored).getField("cell").cast("int")
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ ANN search with asymmetric distance computation (ADC) + exact
+    * rerank: per query, the inner-product contribution of every
+    * (subspace, cell) pair forms a small distance table (|Q|*m*k rows —
+    * broadcast); the approximate dot of a corpus vector is the SUM of
+    * its codes' contributions — one broadcast join on the exploded
+    * codes and a map-side-combined hash aggregate, never a
+    * vector-length scan of the corpus. The top `k*overfetch` approx
+    * candidates per query then rerank by EXACT cosine against the full
+    * vectors (candidate-sized join), top-k final. Output matches the
+    * engine's ANN surface: (query_id, neighbor_id, cosine, rank).
+    *
+    * At 100 TB: the ADC scan touches m bytes per corpus vector — the
+    * point of PQ — and the only full-width vector reads are the
+    * candidate rows. `overfetch` is the recall dial (the IVF nprobe
+    * analog). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebook: DataFrame, codes: DataFrame,
+             dim: Int, m: Int, k: Int, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val sub = dim / m
+    val qsub = (0 until m).map { s =>
+      queries.select(col(idCol).as("query_id"), lit(s).as("sub_id"),
+        slice(col(vecCol), s * sub + 1, sub).as("__qs"))
+    }.reduce(_ unionByName _)
+    val distTable = broadcast(
+      qsub.join(codebook, Seq("sub_id"))
+        .select(col("query_id"), col("sub_id"), col("cell_id").cast("int").as("code"),
+          dot(col("__qs"), col("centroid")).as("contrib"))
+        .localCheckpoint(true))
+    val exploded = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("sub_id", "code")))
+    // approx_dot is a hash-agg double sum (partition-order-dependent in
+    // the last ulp) — acceptable HERE because it only selects overfetch
+    // candidates; the exact-rerank stage below re-scores them with the
+    // engine's deterministic cosine, so the final (cosine, rank) output
+    // is stable. This operator stays spec-verified (no oracle row), like
+    // the HLL sketches.
+    val approx = exploded.join(distTable, Seq("sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("approx_dot"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("neighbor_id").asc)
+    val candidates = approx.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k * overfetch)
+      .select("query_id", "neighbor_id")
+    val reranked = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -477,6 +477,55 @@ object Streaming {
     * stream: exactness within the horizon, cross-horizon duplicates fall
     * through to the batch dedup that periodically re-curates the corpus.
     * Append mode; the first arrival (in processing order) survives. */
+  /** Streaming distribution-drift monitor: maintain the stream's
+    * cumulative per-category counts (a mergeable COUNT partial with the
+    * aggMergeSink batch-id fence) and, each applied batch, append one
+    * drift snapshot — the total-variation distance of the cumulative
+    * mix against a PINNED reference count table
+    * ([[graft.checks.Drift.totalVariationFromCounts]]). The streaming
+    * form of the q192/q194 gates: upstream mix regressions surface
+    * within one micro-batch of arriving, without ever rescanning
+    * history (per batch: one delta-sized aggregate + a
+    * categories-sized merge + a categories-sized TV evaluation).
+    *
+    * Replay contract: counts carry `last_batch_id` and swap atomically
+    * (exactly-once under at-least-once foreachBatch). The snapshot
+    * append rides INSIDE the fence: a crash between swap and append
+    * loses that batch's snapshot ROW (never corrupts one) — the next
+    * batch's snapshot covers the same cumulative state, so the monitor
+    * stream stays monotone-correct. Readers treat snapshots as a log,
+    * latest-batch-id wins. */
+  def driftMonitorSink(df: DataFrame, catCol: String, refCounts: DataFrame,
+                       countsPath: String, snapshotsPath: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, countsPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = batch.groupBy(col(catCol).as("category"))
+            .agg(count(lit(1)).as("cnt"))
+          val merged = stored match {
+            case Some(s) => s.drop("last_batch_id").unionByName(delta)
+              .groupBy(col("category"))
+              .agg(sum(col("cnt")).cast("long").as("cnt"))
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          graft.incremental.Writers.atomicRewrite(out, countsPath)
+          graft.checks.Drift
+            .totalVariationFromCounts(refCounts, out.drop("last_batch_id"))
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1) // one-row snapshot
+            .write.mode("append").parquet(snapshotsPath)
+        }
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -516,6 +516,48 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("chi2")))
   }
 
+  // ---- Product quantization ---------------------------------------------
+
+  test("PQ: codebook shape, byte-scale codes, rerank recovers brute-force top-1") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings").limit(200)
+    val codebook = llmdata.Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 2)
+    assert(codebook.count() == 8L * 16)
+    assert(codebook.select("centroid").head().getSeq[Double](0).length == 8)
+
+    val codes = llmdata.Similarity.pqEncode(emb, "vec_id", "embedding",
+      codebook, dim = 64, m = 8)
+    val c0 = codes.head()
+    assert(c0.getSeq[Int](1).length == 8)
+    assert(codes.count() == 200L)
+
+    val queries = emb.limit(8)
+    val pq = llmdata.Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      codebook, codes, dim = 64, m = 8, k = 1, overfetch = 8)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val exact = llmdata.Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(pq.keySet == exact.keySet)
+    val hits = pq.count { case (q, n) => exact(q) == n }
+    // ADC + 8x overfetch + exact rerank: most true top-1s survive
+    assert(hits >= (pq.size * 2) / 3, s"recall@1 $hits/${pq.size}")
+  }
+
+  test("PQ encode is deterministic and ties break to the lowest cell") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings").limit(50)
+    val cb = llmdata.Similarity.pqTrain(emb, "vec_id", "embedding", 64, 8, 4, 1)
+    val a = llmdata.Similarity.pqEncode(emb, "vec_id", "embedding", cb, 64, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = llmdata.Similarity.pqEncode(emb, "vec_id", "embedding", cb, 64, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+  }
+
   // ---- LSH recall -------------------------------------------------------
 
   test("lshRecallReport: identical docs land in the top decile at recall 1") {

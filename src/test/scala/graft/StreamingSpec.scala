@@ -698,4 +698,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 4.0)),
       s"replayed batch 0 must not double-count: $got")
   }
+
+  test("driftMonitorSink: fenced cumulative counts, per-batch TV snapshots") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val ref = Seq(("A", 2L), ("B", 2L)).toDF("category", "cnt")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.driftMonitorSink(in.toDF().toDF("id", "cat"), "cat",
+      ref, dir + "/counts", dir + "/snaps", dir + "/ckpt")
+    try {
+      in.addData((1L, "A"), (2L, "A"))       // cumulative {A:2} -> TV 0.5
+      q.processAllAvailable()
+      in.addData((3L, "B"), (4L, "A"))       // cumulative {A:3, B:1} -> TV 0.25
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.read.parquet(dir + "/counts")
+      .select("category", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("A" -> 3L, "B" -> 1L))
+    val snaps = spark.read.parquet(dir + "/snaps")
+      .orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Double]("tv_distance")))
+    assert(snaps.toSeq == Seq((0L, 0.5), (1L, 0.25)))
+    // replay batch id 0 through a fresh checkpoint sharing the stores:
+    // counts must not double, no duplicate snapshot row
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.driftMonitorSink(in2.toDF().toDF("id", "cat"), "cat",
+      ref, dir + "/counts", dir + "/snaps", dir + "/ckpt2")
+    try { in2.addData((9L, "A")); q2.processAllAvailable() } finally q2.stop()
+    val counts2 = spark.read.parquet(dir + "/counts")
+      .select("category", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts2 == Map("A" -> 3L, "B" -> 1L), "replay must be fenced")
+    assert(spark.read.parquet(dir + "/snaps").count() == 2L)
+  }
 }
