@@ -1905,6 +1905,32 @@ object SparkEntry {
         .withColumn("variant", (col("user_id") % 2).cast("int"))
       graft.operators.Robust.abChiSquare(units, "variant", "converted")
     }),
+
+    // cross-table reconciliation: order headers vs the decimal-exact
+    // sum of their line revenues, per-key status
+    "q214_reconciliation" -> ((s, d) =>
+      graft.checks.Reconcile.reconcile(
+        t(s, d, "orders"), "o_orderkey", col("o_totalprice"),
+        t(s, d, "lineitem"), "l_orderkey",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")),
+        tolerance = BigDecimal(1000))),
+
+    // daily growth accounting: DAU decomposed into new / retained /
+    // resurrected, churn attributed to the day after last activity
+    "q215_growth_accounting" -> ((s, d) =>
+      graft.operators.Retention.growthAccounting(t(s, d, "events"),
+        "user_id", "ts")),
+
+    // token-mass-weighted document-length quantiles (the curation
+    // question: where does the token budget actually sit)
+    "q216_weighted_quantiles" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("__tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.operators.Profile.quantilesFromCounts(
+        graft.operators.Profile.weightedQuantilePartial(docs, "n_chars", "__tok"),
+        Seq((1, 4), (1, 2), (9, 10)))
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5680,5 +5706,57 @@ object SparkEntry {
         |         * (CAST(n_a - conv_a AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE)))
         |  END AS chi2
         |FROM p""".stripMargin,
+
+    // decimal-exact child rollup vs declared header total; USING-style
+    // coalesced key; tolerance compare in decimal space
+    "q214_reconciliation" ->
+      """WITH p AS (SELECT o_orderkey AS key,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,6)) AS DECIMAL(38,6)) AS declared_total
+        |  FROM orders),
+        |c AS (SELECT l_orderkey AS key,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |      AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS computed_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(p.key, c.key) AS key, declared_total, computed_total,
+        |  declared_total - computed_total AS diff,
+        |  CASE WHEN declared_total IS NULL THEN 'missing_parent'
+        |       WHEN computed_total IS NULL THEN 'missing_children'
+        |       WHEN abs(declared_total - computed_total) <= 1000 THEN 'matched'
+        |       ELSE 'mismatch' END AS status
+        |FROM p FULL OUTER JOIN c ON p.key = c.key""".stripMargin,
+
+    // per-user active-day lag/lead classification; churn lands on
+    // day + 1; full-outer day align
+    "q215_growth_accounting" ->
+      """WITH pd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |w AS (SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        |  FROM pd),
+        |cls AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+        |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM w GROUP BY 1),
+        |ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM w WHERE nxt IS NULL OR nxt <> day + 1 GROUP BY 1)
+        |SELECT COALESCE(cls.day, ch.day) AS day,
+        |  COALESCE(dau, 0) AS dau, COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM cls FULL OUTER JOIN ch ON cls.day = ch.day""".stripMargin,
+
+    // q191's rational-threshold cumsum over token-weighted counts
+    "q216_weighted_quantiles" ->
+      """WITH c AS (SELECT CAST(n_chars AS BIGINT) AS value,
+        |    CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT value, CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+        |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (9, 10)) t(q_num, q_den))
+        |SELECT q_num, q_den, MIN(value) AS quantile_value, CAST(MIN(n) AS BIGINT) AS n
+        |FROM qs JOIN cum ON cum.cum * qs.q_den >= qs.q_num * cum.n
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -290,6 +290,46 @@ object CheckSuite {
     Between("total_monthly_trips", 1, 1e7)))
 }
 
+/** Cross-table reconciliation: does a parent table's DECLARED total
+  * equal the SUM of its children — the classic ledger/rollup audit
+  * (order header vs line items, invoice vs postings, daily rollup vs
+  * fact rows). A whole-batch CheckSuite can say a table is internally
+  * plausible; only reconciliation catches a loader that dropped half an
+  * order's lines while keeping the header.
+  *
+  * Arithmetic is decimal-exact end-to-end (the exactSum path, kept in
+  * decimal rather than finished to double, so the diff is exact and the
+  * tolerance compare has no float edge). One child aggregate + one
+  * full-outer key join; both sides shuffle once on the key. Status per
+  * key: matched / mismatch / missing_children (header without lines) /
+  * missing_parent (lines without a header). */
+object Reconcile {
+  def reconcile(parent: DataFrame, parentKey: String, declared: Column,
+                child: DataFrame, childKey: String, childValue: Column,
+                tolerance: BigDecimal = BigDecimal(0)): DataFrame = {
+    val p = parent.select(col(parentKey).as("key"),
+      declared.cast("decimal(20,6)").cast("decimal(38,6)").as("declared_total"))
+    val c = child
+      .groupBy(col(childKey).as("key"))
+      .agg(sum(childValue.cast("decimal(20,6)")).cast("decimal(38,6)")
+        .as("computed_total"))
+    p.join(c, Seq("key"), "full_outer")
+      .withColumn("diff", col("declared_total") - col("computed_total"))
+      .withColumn("status",
+        when(col("declared_total").isNull, lit("missing_parent"))
+          .when(col("computed_total").isNull, lit("missing_children"))
+          .when(abs(col("diff")) <= lit(tolerance), lit("matched"))
+          .otherwise(lit("mismatch")))
+  }
+
+  /** Rollup of [[reconcile]]: row counts and exact total absolute
+    * drift per status — the one-look audit summary. */
+  def summary(reconciled: DataFrame): DataFrame =
+    reconciled.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(abs(col("diff"))).cast("decimal(38,6)").as("total_abs_diff"))
+}
+
 /** Row-level quarantine routing — the per-ROW complement of the
   * aggregate suites above. Where a [[CheckSuite]] gate answers "is this
   * BATCH acceptable" (and a `mostly` threshold tolerates stragglers),

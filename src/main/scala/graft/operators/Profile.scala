@@ -357,6 +357,21 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Weighted value→count partial for the exact-quantile machinery:
+    * `cnt` is the SUM of integer weights rather than the row count, so
+    * [[quantilesFromCounts]] / [[quantilesFromCountsBy]] downstream
+    * compute WEIGHTED quantiles ("the median document length BY TOKEN
+    * MASS, not by document count" — the curation question, since one
+    * 100k-token doc matters 1000x a 100-token one in a token budget).
+    * Same mergeable one-hash-agg shape as [[quantilePartial]]; weights
+    * must be non-negative integers (exact cumulative thresholds — the
+    * rational-threshold compare stays integer arithmetic). */
+  def weightedQuantilePartial(df: DataFrame, colName: String,
+                              weightCol: String): DataFrame =
+    df.filter(col(colName).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(colName).cast("long").as("value"))
+      .agg(sum(col(weightCol).cast("long")).cast("long").as("cnt"))
+
   /** Value-set overlap between two columns (possibly of different
     * tables): distinct counts, intersection, jaccard and both
     * containments — the schema-matching / foreign-key-discovery

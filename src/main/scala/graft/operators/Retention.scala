@@ -160,4 +160,51 @@ object Retention {
       .select(col(userCol), col("last_us"), col("frequency"),
         col("monetary"), col("r"), col("f"), col("m"), col("rfm_segment"))
   }
+
+  /** Daily growth accounting — the canonical DAU decomposition every
+    * growth team reads: each day's actives split into `new` (first day
+    * ever), `retained` (also active the previous day), `resurrected`
+    * (seen before, but not yesterday); plus `churned` = users active
+    * the previous day who did not return today. The identity
+    * `dau(d) = new + retained + resurrected` holds by construction,
+    * and `dau(d) = dau(d-1) + new + resurrected - churned` follows.
+    *
+    * Shape: one distinct to (user, day), one user-partitioned window
+    * for lag/lead over each user's ACTIVE days (per-user state is the
+    * user's active-day count, not raw events), one day-keyed aggregate
+    * + a full-outer align of the churn series (churn attributes to the
+    * day AFTER the last active day). All integer counts. */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val perDay = events
+      .select(col(userCol).as("user_id"), col(tsCol).cast("date").as("day"))
+      .distinct()
+      .withColumn("__prev", lag(col("day"), 1).over(w))
+      .withColumn("__next", lead(col("day"), 1).over(w))
+    val classes = perDay
+      .withColumn("is_new", col("__prev").isNull)
+      .withColumn("is_retained",
+        col("__prev").isNotNull && col("__prev") === date_sub(col("day"), 1))
+      .withColumn("is_resurrected",
+        col("__prev").isNotNull && col("__prev") < date_sub(col("day"), 1))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(col("is_new").cast("long")).as("n_new"),
+        sum(col("is_retained").cast("long")).as("n_retained"),
+        sum(col("is_resurrected").cast("long")).as("n_resurrected"))
+    // a user churns on day+1 when their next active day is not day+1
+    val churn = perDay
+      .filter(col("__next").isNull || col("__next") =!= date_add(col("day"), 1))
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    classes.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
 }

@@ -516,6 +516,66 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("chi2")))
   }
 
+  // ---- Reconciliation ---------------------------------------------------
+
+  test("reconcile: matched/mismatch/missing statuses with exact decimal diff") {
+    val parent = Seq((1L, 30.0), (2L, 50.0), (3L, 10.0)).toDF("k", "total")
+    val child = Seq((1L, 10.0), (1L, 20.0), (2L, 49.5), (4L, 5.0))
+      .toDF("k", "v")
+    val out = graft.checks.Reconcile.reconcile(parent, "k", col("total"),
+      child, "k", col("v"), tolerance = BigDecimal("0.25"))
+      .collect().map(r => r.getLong(0) -> (r.getString(4),
+        Option(r.getDecimal(3)).map(_.toPlainString))).toMap
+    assert(out(1L)._1 == "matched")
+    assert(out(2L) == (("mismatch", Some("0.500000"))))
+    assert(out(3L)._1 == "missing_children")
+    assert(out(4L)._1 == "missing_parent")
+    val sm = graft.checks.Reconcile.summary(
+      graft.checks.Reconcile.reconcile(parent, "k", col("total"),
+        child, "k", col("v"), BigDecimal("0.25")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sm == Map("matched" -> 1L, "mismatch" -> 1L,
+      "missing_children" -> 1L, "missing_parent" -> 1L))
+  }
+
+  // ---- Growth accounting ------------------------------------------------
+
+  test("growthAccounting: new/retained/resurrected/churned identities") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1L),  // u1 new on d1
+      (1L, "2024-01-02 10:00:00", "view", 2L),  // u1 retained d2
+      (1L, "2024-01-04 10:00:00", "view", 3L),  // u1 resurrected d4 (churned d3)
+      (2L, "2024-01-02 10:00:00", "view", 4L))  // u2 new d2, churns d3
+    val out = graft.operators.Retention.growthAccounting(e, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("2024-01-01") == ((1L, 1L, 0L, 0L, 0L)))
+    assert(out("2024-01-02") == ((2L, 1L, 1L, 0L, 0L)))
+    assert(out("2024-01-03") == ((0L, 0L, 0L, 0L, 2L)))  // both churn
+    assert(out("2024-01-04") == ((1L, 0L, 0L, 1L, 0L)))
+    assert(out("2024-01-05") == ((0L, 0L, 0L, 0L, 1L)))  // u1's final churn
+    // identity: dau = new + retained + resurrected, every day
+    out.values.foreach { case (dau, nw, ret, res, _) =>
+      assert(dau == nw + ret + res) }
+  }
+
+  // ---- Weighted quantiles -----------------------------------------------
+
+  test("weightedQuantilePartial: weighted median lands where the mass sits") {
+    val df = Seq((10L, 1L), (20L, 1L), (30L, 98L)).toDF("v", "w")
+    val parts = Profile.weightedQuantilePartial(df, "v", "w")
+    val med = Profile.quantilesFromCounts(parts, Seq((1, 2)))
+      .head()
+    assert(med.getAs[Long]("quantile_value") == 30L) // 98% of mass at 30
+    assert(med.getAs[Long]("n") == 100L)
+    // unweighted median of the same values would be 20
+    val unw = Profile.quantilesFromCounts(
+      Profile.quantilePartial(df.select(col("v").as("value")), "value"),
+      Seq((1, 2))).head()
+    assert(unw.getAs[Long]("quantile_value") == 20L)
+  }
+
   // ---- Product quantization ---------------------------------------------
 
   test("PQ: codebook shape, byte-scale codes, rerank recovers brute-force top-1") {
