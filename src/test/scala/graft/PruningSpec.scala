@@ -323,4 +323,43 @@ class PruningSpec extends SparkSpec {
     assert(bloomed == plain)
     assert(plain.nonEmpty && !plain.exists(_._2 == -1L))
   }
+
+  test("round-6 linkage/attribution/diff/patterns plan equi-joins only") {
+    // the round-6 pair-forming operators all exist to AVOID quadratic
+    // joins: linkage candidates only from blocking keys, attribution
+    // pairs only from the user equi-join, diff from the key align,
+    // sequence pairs from set fan-out. Freeze that evidence.
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q196_record_linkage", "q197_linear_attribution",
+        "q199_table_diff", "q200_seq_patterns", "q205_markov_eval",
+        "q211_triangle_stats", "q214_reconciliation")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$plan")
+      // q200's single BroadcastNestedLoopJoin is the sanctioned one-row
+      // totals broadcast (the Profile/Sampling metadata-crossjoin
+      // pattern) — anything beyond that is a regression
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      val allowed = if (q == "q200_seq_patterns") 1 else 0
+      assert(nlj <= allowed,
+        s"$q plans $nlj nested-loop joins (allowed $allowed):\n$plan")
+    }
+  }
+
+  test("drift/quarantine/benford reduce before they align (round-6 plan shape)") {
+    val d = "/root/testdata/sf0.001"
+    // categorical drift: the only exchanges are the two count aggregates
+    // and the category align — the raw scans never shuffle full rows
+    val drift = SparkEntry.queries("q192_categorical_drift")(spark, d)
+      .queryExecution.executedPlan
+    assert(countExchanges(drift) <= 6,
+      s"drift should align category-scale frames, got:\n$drift")
+    // quarantine is one map-side projection: zero exchanges
+    val quarantine = graft.checks.Quarantine.annotate(
+      graft.sources.Tables.read(spark, d, "documents"),
+      Seq("len" -> (org.apache.spark.sql.functions.col("n_chars") > 10)))
+      .queryExecution.executedPlan
+    assert(countExchanges(quarantine) == 0,
+      s"quarantine must be map-only:\n$quarantine")
+  }
 }
