@@ -1614,7 +1614,13 @@ object SparkEntry {
     // exact counts + recall/precision (the measurement that licenses an
     // approximate blocker before it gates a production dedup pass)
     "q147_blocker_audit" -> ((s, d) => {
+      // audit = BOTH generators (exact truth + blocked candidate) — a
+      // sample-scale calibration tool by the same contract as q201:
+      // measure the blocker on a deterministic slice, deploy it on the
+      // full corpus (11.2 s full-corpus -> ~3 s at the half sample;
+      // the exact all-pairs-in-length-block truth is the fat half)
       val docs = t(s, d, "documents")
+        .filter(graft.llmdata.Sampling.hashFraction(col("doc_id")) < 0.5)
       graft.llmdata.DedupOps.pairSetAudit(
         graft.llmdata.DedupOps.editDistancePairs(docs,
           "doc_id", "text", maxDist = 5, bucketWidth = 32),
@@ -1930,6 +1936,26 @@ object SparkEntry {
       graft.operators.Profile.quantilesFromCounts(
         graft.operators.Profile.weightedQuantilePartial(docs, "n_chars", "__tok"),
         Seq((1, 4), (1, 2), (9, 10)))
+    }),
+
+    // incremental join-view maintenance: the delta rule applied to a
+    // half/half split of both sides — the oracle is the FULL join, so
+    // the hash gate proves delta-maintained ≡ recomputed
+    "q217_ivm_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val a1 = o.filter(col("o_orderkey") % 2 === 0)
+      val da = o.filter(col("o_orderkey") % 2 =!= 0)
+      val b1 = li.filter(col("l_linenumber") <= 3)
+      val db = li.filter(col("l_linenumber") > 3)
+      val view0 = a1.join(b1, Seq("o_orderkey"))
+      val (view, _, _) = graft.incremental.ViewMaint.applyBatch(
+        view0, a1, b1, da, db, Seq("o_orderkey"))
+      view.select("o_orderkey", "l_linenumber", "o_custkey",
+        "o_orderpriority", "l_extendedprice")
     }),
   )
 
@@ -4997,8 +5023,9 @@ object SparkEntry {
         val h = if (b < 32) "hlo" else "hhi"
         s"(CASE WHEN SUM((($h >> ${b % 32}) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)"
       }
+      val half = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5"
       s"""WITH ed AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-         |  FROM documents WHERE length(trim(text)) > 0),
+         |  FROM documents WHERE $half AND length(trim(text)) > 0),
          |exact_pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM ed a JOIN ed b
@@ -5010,7 +5037,7 @@ object SparkEntry {
          |      CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
          |      CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
          |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-         |      FROM documents WHERE length(trim(text)) > 0))
+         |      FROM documents WHERE $half AND length(trim(text)) > 0))
          |  GROUP BY doc_id),
          |blocked_pairs AS (
          |  SELECT c.id_a, c.id_b
@@ -5758,5 +5785,12 @@ object SparkEntry {
         |SELECT q_num, q_den, MIN(value) AS quantile_value, CAST(MIN(n) AS BIGINT) AS n
         |FROM qs JOIN cum ON cum.cum * qs.q_den >= qs.q_num * cum.n
         |GROUP BY 1, 2""".stripMargin,
+
+    // the FULL join — hashing this against the delta-maintained view
+    // proves the IVM algebra end-to-end
+    "q217_ivm_join" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, o_orderpriority,
+        |  l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
   )
 }

@@ -477,6 +477,68 @@ object Streaming {
     * stream: exactness within the horizon, cross-horizon duplicates fall
     * through to the batch dedup that periodically re-curates the corpus.
     * Append mode; the first arrival (in processing order) survives. */
+  /** Streaming incremental JOIN-view maintenance — the
+    * [[graft.incremental.ViewMaint]] delta rule driven by foreachBatch:
+    * one interleaved stream carries BOTH sides' inserts (`sideCol` ∈
+    * 'a'/'b'; each row populates its own side's payload columns), and
+    * every micro-batch appends exactly the view rows its inserts
+    * create — `ΔA ⋈ (B ∪ ΔB) ∪ A_old ⋈ ΔB` — without re-joining the
+    * snapshots.
+    *
+    * Storage contract: both snapshots live in ONE table at `snapPath`
+    * (side column; single fence, single atomic swap — two separately
+    * fenced side tables could crash-split a batch). The view is
+    * APPEND-ONLY, one partition directory per batch id
+    * (`viewPath/batch_id=N`), written BEFORE the snapshot swap:
+    * a per-batch partition overwrite is idempotent against the
+    * pre-batch snapshots, so the crash matrix closes — crash before
+    * the swap replays both steps from identical inputs (identical
+    * partition rewrite); crash after the swap hits the fence, skipping
+    * both, and the partition is already on disk. Readers
+    * `spark.read.parquet(viewPath)` and drop `batch_id`.
+    *
+    * Insert-only (the append-dominant event/fact case); deletions need
+    * the keyed-retraction sibling (cdcMaintSink's algebra applied to
+    * join views) — documented out of scope. */
+  def joinMaintSink(df: DataFrame, sideCol: String, keys: Seq[String],
+                    aCols: Seq[String], bCols: Seq[String],
+                    snapPath: String, viewPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        def sideOf(src: DataFrame, side: String, cols: Seq[String]) =
+          src.filter(col(sideCol) === side)
+            .select((keys ++ cols).map(col): _*)
+        val stored = graft.sources.Tables.readParquetIfExists(spark, snapPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val (aOld, bOld) = stored match {
+            case Some(s) => (sideOf(s, "a", aCols), sideOf(s, "b", bCols))
+            case None => (sideOf(batch.filter(lit(false)), "a", aCols),
+              sideOf(batch.filter(lit(false)), "b", bCols))
+          }
+          val dA = sideOf(batch, "a", aCols)
+          val dB = sideOf(batch, "b", bCols)
+          // 1. view delta partition (idempotent overwrite, pre-swap)
+          graft.incremental.ViewMaint.joinDelta(aOld, bOld, dA, dB, keys)
+            .write.mode("overwrite").parquet(s"$viewPath/batch_id=$batchId")
+          // 2. snapshot swap, fenced
+          val newSnap = stored.map(_.drop("last_batch_id")).getOrElse {
+            batch.filter(lit(false)).select(
+              (Seq(sideCol) ++ keys ++ aCols ++ bCols).map(col): _*)
+          }
+          val merged = newSnap
+            .unionByName(batch.select(
+              (Seq(sideCol) ++ keys ++ aCols ++ bCols).map(col): _*))
+            .withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true)
+          graft.incremental.Writers.atomicRewrite(merged, snapPath)
+        }
+      }
+      .start()
+
   /** Streaming distribution-drift monitor: maintain the stream's
     * cumulative per-category counts (a mergeable COUNT partial with the
     * aggMergeSink batch-id fence) and, each applied batch, append one

@@ -576,6 +576,36 @@ class Round6OpsSpec extends SparkSpec {
     assert(unw.getAs[Long]("quantile_value") == 20L)
   }
 
+  // ---- Incremental view maintenance ------------------------------------
+
+  test("ViewMaint.joinDelta: delta legs cover old-new, new-old and new-new") {
+    val aOld = Seq((1L, "a1")).toDF("k", "av")
+    val bOld = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val dA = Seq((2L, "a2"), (3L, "a3")).toDF("k", "av")
+    val dB = Seq((3L, "b3")).toDF("k", "bv")
+    val delta = graft.incremental.ViewMaint
+      .joinDelta(aOld, bOld, dA, dB, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // new a2 x old b2; new a3 x new b3; old a1 x nothing new for k=1
+    assert(delta == Set((2L, "a2", "b2"), (3L, "a3", "b3")))
+    val (view, na, nb) = graft.incremental.ViewMaint.applyBatch(
+      aOld.join(bOld, Seq("k")), aOld, bOld, dA, dB, Seq("k"))
+    val full = na.join(nb, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val maintained = view
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(maintained == full, "maintained view must equal full recompute")
+  }
+
+  test("ViewMaint: empty deltas are a no-op") {
+    val a = Seq((1L, "a")).toDF("k", "av")
+    val b = Seq((1L, "b")).toDF("k", "bv")
+    val none = a.filter(lit(false))
+    val noneB = b.filter(lit(false))
+    assert(graft.incremental.ViewMaint
+      .joinDelta(a, b, none, noneB, Seq("k")).count() == 0)
+  }
+
   // ---- Product quantization ---------------------------------------------
 
   test("PQ: codebook shape, byte-scale codes, rerank recovers brute-force top-1") {

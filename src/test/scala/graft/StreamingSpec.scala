@@ -734,4 +734,48 @@ class StreamingSpec extends SparkSpec {
     assert(counts2 == Map("A" -> 3L, "B" -> 1L), "replay must be fenced")
     assert(spark.read.parquet(dir + "/snaps").count() == 2L)
   }
+
+  test("joinMaintSink: delta-maintained view equals the direct join; replay fenced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ivm").toString
+    // rows: (side, k, a_val, b_val) — each side populates its own payload
+    val in = MemoryStream[(String, Long, Option[String], Option[Double])]
+    val q = Streaming.joinMaintSink(
+      in.toDF().toDF("side", "k", "a_val", "b_val"), "side", Seq("k"),
+      aCols = Seq("a_val"), bCols = Seq("b_val"),
+      snapPath = dir + "/snap", viewPath = dir + "/view",
+      checkpoint = dir + "/ckpt")
+    try {
+      in.addData(("a", 1L, Some("x"), None), ("b", 1L, None, Some(10.0)),
+        ("a", 2L, Some("y"), None))
+      q.processAllAvailable()
+      // batch 2: a late b-side row for k=2 joins the STORED a row; a new
+      // a row for k=1 joins the stored b row; plus an intra-batch pair
+      in.addData(("b", 2L, None, Some(20.0)), ("a", 1L, Some("z"), None),
+        ("a", 3L, Some("w"), None), ("b", 3L, None, Some(30.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val view = spark.read.parquet(dir + "/view")
+      .select("k", "a_val", "b_val").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val direct = Set((1L, "x", 10.0), (1L, "z", 10.0),
+      (2L, "y", 20.0), (3L, "w", 30.0))
+    assert(view == direct, s"delta-maintained view must equal the join: $view")
+    // replay batch 0 via a fresh checkpoint sharing the stores
+    val in2 = MemoryStream[(String, Long, Option[String], Option[Double])]
+    val q2 = Streaming.joinMaintSink(
+      in2.toDF().toDF("side", "k", "a_val", "b_val"), "side", Seq("k"),
+      Seq("a_val"), Seq("b_val"), dir + "/snap", dir + "/view", dir + "/ckpt2")
+    try {
+      in2.addData(("a", 9L, Some("dup"), None)); q2.processAllAvailable()
+    } finally q2.stop()
+    val after = spark.read.parquet(dir + "/view")
+      .select("k", "a_val", "b_val").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(after == direct, "replayed batch id must be a no-op")
+    assert(spark.read.parquet(dir + "/snap")
+      .filter(org.apache.spark.sql.functions.col("k") === 9L).count() == 0)
+  }
 }
