@@ -1957,6 +1957,30 @@ object SparkEntry {
       view.select("o_orderkey", "l_linenumber", "o_custkey",
         "o_orderpriority", "l_extendedprice")
     }),
+
+    // degree assortativity of the co-purchase graph: hub-to-hub vs
+    // hub-to-leaf in one exact-moment correlation
+    "q218_assortativity" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
+    }),
+
+    // Luhn-validated card scan over a derived digit-bearing corpus
+    // (customer keys stretched to 16-digit runs — some pass the
+    // checksum, most do not; documents are digit-free)
+    "q219_luhn_scan" -> ((s, d) => {
+      val cards = t(s, d, "customer").select(col("c_custkey"),
+        concat(lit("acct "),
+          lpad((col("c_custkey") * 7919L).cast("string"), 16, "4"),
+          lit(" on file")).as("text"))
+      graft.llmdata.TextAnalysis.luhnCardScan(cards, "c_custkey", "text")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5792,5 +5816,61 @@ object SparkEntry {
       """SELECT o_orderkey, l_linenumber, o_custkey, o_orderpriority,
         |  l_extendedprice
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+
+    // q211's canonical edges + degree table; both-direction endpoint
+    // degrees through q178's exact-moment correlation tree
+    "q218_assortativity" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE least(src, dst) < greatest(src, dst)),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY 1),
+        |dir AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |x AS (SELECT du.degree AS deg_src, dv.degree AS deg_dst
+        |  FROM dir JOIN deg du ON dir.u = du.node JOIN deg dv ON dir.v = dv.node),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(deg_src AS DECIMAL(20,6))) AS DOUBLE) AS s_a,
+        |    CAST(SUM(CAST(deg_dst AS DECIMAL(20,6))) AS DOUBLE) AS s_b,
+        |    CAST(SUM(CAST(deg_src * deg_src AS DECIMAL(20,6))) AS DOUBLE) AS ss_a,
+        |    CAST(SUM(CAST(deg_dst * deg_dst AS DECIMAL(20,6))) AS DOUBLE) AS ss_b,
+        |    CAST(SUM(CAST(deg_src * deg_dst AS DECIMAL(20,6))) AS DOUBLE) AS p_ab
+        |  FROM x WHERE deg_src IS NOT NULL AND deg_dst IS NOT NULL)
+        |SELECT 'deg_src' AS col_a, 'deg_dst' AS col_b, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * ss_a - s_a * s_a) > 0.0
+        |      AND (CAST(n AS DOUBLE) * ss_b - s_b * s_b) > 0.0
+        |    THEN (CAST(n AS DOUBLE) * p_ab - s_a * s_b)
+        |      / (sqrt(CAST(n AS DOUBLE) * ss_a - s_a * s_a)
+        |         * sqrt(CAST(n AS DOUBLE) * ss_b - s_b * s_b)) END AS corr
+        |FROM m""".stripMargin,
+
+    // same candidate regex; the Luhn fold as list_sum over the same
+    // positional CASE tree; zero-candidate docs kept at 0/0
+    "q219_luhn_scan" ->
+      """WITH cards AS (SELECT c_custkey,
+        |    'acct ' || lpad(CAST(c_custkey * 7919 AS VARCHAR), 16, '4')
+        |      || ' on file' AS text
+        |  FROM customer),
+        |cand AS (SELECT c_custkey,
+        |    unnest(regexp_extract_all(text, '[0-9]{13,19}')) AS cand
+        |  FROM cards),
+        |tot AS (SELECT c_custkey, cand,
+        |    list_sum(list_transform(generate_series(1, length(cand)), i ->
+        |      CASE WHEN (i - 1) % 2 = 0
+        |        THEN CAST(substr(reverse(cand), i, 1) AS INT)
+        |        ELSE CASE WHEN 2 * CAST(substr(reverse(cand), i, 1) AS INT) > 9
+        |          THEN 2 * CAST(substr(reverse(cand), i, 1) AS INT) - 9
+        |          ELSE 2 * CAST(substr(reverse(cand), i, 1) AS INT) END
+        |      END)) AS t
+        |  FROM cand),
+        |agg AS (SELECT c_custkey, CAST(COUNT(cand) AS BIGINT) AS n_candidates,
+        |    CAST(COALESCE(SUM(CASE WHEN t % 10 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_valid
+        |  FROM tot GROUP BY 1)
+        |SELECT c.c_custkey, COALESCE(n_candidates, 0) AS n_candidates,
+        |  COALESCE(n_valid, 0) AS n_valid
+        |FROM cards c LEFT JOIN agg ON c.c_custkey = agg.c_custkey""".stripMargin,
   )
 }

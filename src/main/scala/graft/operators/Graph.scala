@@ -186,4 +186,35 @@ object Graph {
             (col("degree") * (col("degree") - lit(1L))).cast("double")))
     out
   }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the (directed-both-ways) edge list — one scalar summarizing
+    * whether hubs attach to hubs (r > 0, social-network shape) or to
+    * leaves (r < 0, hub-and-spoke / star-spam shape). The one-look
+    * complement of [[triangleStats]]' per-node cohesion.
+    *
+    * Built ON the engine's exact correlation machinery
+    * (Profile.correlationMatrix: decimal-exact moments, one
+    * single-division IEEE tree per correlation — engine-reproducible),
+    * fed by the canonical edge set joined twice against the degree
+    * table. Degrees are integers, so every moment is exact. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true) // degree + both-direction join consumers
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val directed = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val withDeg = directed
+      .join(deg.select(col("node").as("u"), col("degree").as("deg_src")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("deg_dst")), Seq("v"))
+      .select("deg_src", "deg_dst")
+    Profile.correlationMatrix(withDeg, Seq("deg_src", "deg_dst"))
+  }
 }

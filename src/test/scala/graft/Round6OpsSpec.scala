@@ -576,6 +576,38 @@ class Round6OpsSpec extends SparkSpec {
     assert(unw.getAs[Long]("quantile_value") == 20L)
   }
 
+  // ---- Assortativity ----------------------------------------------------
+
+  test("degreeAssortativity: star graph is perfectly disassortative") {
+    // hub 1 connected to leaves 2..5: every edge pairs degree 4 with 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val r = graft.operators.Graph.degreeAssortativity(star, "src", "dst").head()
+    assert(r.getAs[Long]("n") == 8L) // both directions
+    assert(r.getAs[Double]("corr") == -1.0)
+    // a uniform cycle has constant degree -> zero variance -> NULL corr
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = graft.operators.Graph.degreeAssortativity(cycle, "src", "dst").head()
+    assert(rc.isNullAt(rc.fieldIndex("corr")))
+  }
+
+  // ---- Luhn card scan ---------------------------------------------------
+
+  test("luhnCardScan validates checksums, not just shapes") {
+    val df = Seq(
+      (1L, "pay with 4532015112830366 now"),     // valid Visa test number
+      (2L, "id 4532015112830367 stamp"),          // checksum off by one
+      (3L, "ref 1234 too short, no runs"),
+      (4L, "two: 4532015112830366 and 79927398713")) // valid 16 + valid 11? no: 11 digits < 13
+      .toDF("id", "text")
+    val out = llmdata.TextAnalysis.luhnCardScan(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_valid"))).toMap
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((1L, 0L)))   // shape matches, checksum fails
+    assert(out(3L) == ((0L, 0L)))   // no candidates, doc still reported
+    assert(out(4L) == ((1L, 1L)))   // 11-digit run is below the floor
+  }
+
   // ---- Incremental view maintenance ------------------------------------
 
   test("ViewMaint.joinDelta: delta legs cover old-new, new-old and new-new") {
