@@ -1981,6 +1981,15 @@ object SparkEntry {
           lit(" on file")).as("text"))
       graft.llmdata.TextAnalysis.luhnCardScan(cards, "c_custkey", "text")
     }),
+
+    // experiment funnel: per step transition, A/B conversion chi2
+    // (user-parity variants; units = reached FROM, success = reached TO)
+    "q220_funnel_ab" -> ((s, d) =>
+      graft.operators.Funnel.abFunnel(
+        t(s, d, "events").withColumn("variant",
+          (col("user_id") % 2).cast("int")),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"), variantCol = "variant")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5872,5 +5881,55 @@ object SparkEntry {
         |SELECT c.c_custkey, COALESCE(n_candidates, 0) AS n_candidates,
         |  COALESCE(n_valid, 0) AS n_valid
         |FROM cards c LEFT JOIN agg ON c.c_custkey = agg.c_custkey""".stripMargin,
+
+    // q95's sequential-reach CTEs + per-transition q213 chi2 trees
+    "q220_funnel_ab" -> {
+      def leg(idx: Int, from: String, to: String, where: String,
+              conv: String) =
+        s"""SELECT CAST($idx AS INT) AS step_index, '$from' AS from_step,
+           |  '$to' AS to_step, variant_a, variant_b, n_a, conv_a, n_b,
+           |  conv_b,
+           |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           |  CASE WHEN conv_a + conv_b > 0
+           |      AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN
+           |    CAST(n_a + n_b AS DOUBLE)
+           |      * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+           |         - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+           |      * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+           |         - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+           |      / ((CAST(conv_a AS DOUBLE) + CAST(n_a - conv_a AS DOUBLE))
+           |         * (CAST(conv_b AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE))
+           |         * (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+           |         * (CAST(n_a - conv_a AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE)))
+           |  END AS chi2
+           |FROM (SELECT x.variant AS variant_a, y.variant AS variant_b,
+           |    x.n AS n_a, x.conv AS conv_a, y.n AS n_b, y.conv AS conv_b
+           |  FROM (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           |      CAST(SUM(CAST($conv AS BIGINT)) AS BIGINT) AS conv
+           |    FROM r WHERE $where GROUP BY 1) x
+           |  JOIN (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           |      CAST(SUM(CAST($conv AS BIGINT)) AS BIGINT) AS conv
+           |    FROM r WHERE $where GROUP BY 1) y
+           |    ON x.variant < y.variant)""".stripMargin
+      s"""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         |            FROM events),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+         |            WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+         |       JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+         |       JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+         |r AS (SELECT s1.user_id, CAST(s1.user_id % 2 AS INT) AS variant,
+         |        s2.t2, s3.t3
+         |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+         |${leg(1, "view", "click", "TRUE",
+              "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END")}
+         |UNION ALL
+         |${leg(2, "click", "purchase", "t2 IS NOT NULL",
+              "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END")}""".stripMargin
+    },
   )
 }

@@ -87,6 +87,38 @@ object Funnel {
     *
     * Cost: [[reachTimes]]' chain plus k−1 single-row aggregates over
     * the (already small) reach table. */
+  /** Experiment funnel: per step transition, the A/B conversion
+    * comparison — units are keys that reached the FROM step, success is
+    * reaching the TO step, scored with the libm-free 2x2 chi-squared
+    * ([[Robust.abChiSquare]]). The answer to "did the variant move
+    * step-2 conversion, or just traffic" that a plain per-variant
+    * funnel cannot give without a significance column.
+    *
+    * `variantCol` must be constant per key (unit-level assignment — a
+    * hash of the key is the standard deterministic form); the per-key
+    * variant is read via `max` over the key's events. Costs
+    * [[reachTimes]] once plus one tiny aggregate per transition. */
+  def abFunnel(df: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, steps: Seq[String],
+               variantCol: String): DataFrame = {
+    require(steps.size >= 2, "abFunnel needs at least two steps")
+    val variants = df.groupBy(col(keyCol))
+      .agg(max(col(variantCol)).as("__variant"))
+    val reach = reachTimes(df, keyCol, tsCol, typeCol, steps)
+      .join(variants, Seq(keyCol))
+    steps.indices.tail.map { i =>
+      val units = reach.filter(col(s"t_$i").isNotNull)
+        .select(col("__variant").as("variant"),
+          col(s"t_${i + 1}").isNotNull.cast("int").as("converted"))
+      Robust.abChiSquare(units, "variant", "converted")
+        .select(lit(i).as("step_index"),
+          lit(steps(i - 1)).as("from_step"), lit(steps(i)).as("to_step"),
+          col("variant_a"), col("variant_b"), col("n_a"), col("conv_a"),
+          col("n_b"), col("conv_b"), col("rate_a"), col("rate_b"),
+          col("chi2"))
+    }.reduce(_ unionByName _)
+  }
+
   def stepGaps(df: DataFrame, keyCol: String, tsCol: String,
                typeCol: String, steps: Seq[String],
                maxGapSeconds: Option[Long] = None): DataFrame = {

@@ -608,6 +608,32 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L)))   // 11-digit run is below the floor
   }
 
+  // ---- A/B funnel -------------------------------------------------------
+
+  test("abFunnel conditions each transition on reaching the from-step") {
+    val e = ev(
+      // variant 0 (users 2, 4): both view, one clicks, none purchase
+      (2L, "2024-01-01 10:00:00", "view", 1L),
+      (2L, "2024-01-01 10:01:00", "click", 2L),
+      (4L, "2024-01-01 10:00:00", "view", 3L),
+      // variant 1 (users 1, 3): both view+click, one purchases
+      (1L, "2024-01-01 10:00:00", "view", 4L),
+      (1L, "2024-01-01 10:01:00", "click", 5L),
+      (1L, "2024-01-01 10:02:00", "purchase", 6L),
+      (3L, "2024-01-01 10:00:00", "view", 7L),
+      (3L, "2024-01-01 10:01:00", "click", 8L))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val out = graft.operators.Funnel.abFunnel(e, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), "variant")
+      .collect().map(r => r.getAs[Int]("step_index") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))).toMap
+    // step 1 (view->click): variant 0 = 2 viewers 1 click, variant 1 = 2/2
+    assert(out(1) == ((2L, 1L, 2L, 2L)))
+    // step 2 (click->purchase): units ONLY those who clicked: 1 vs 2
+    assert(out(2) == ((1L, 0L, 2L, 1L)))
+  }
+
   // ---- Incremental view maintenance ------------------------------------
 
   test("ViewMaint.joinDelta: delta legs cover old-new, new-old and new-new") {
