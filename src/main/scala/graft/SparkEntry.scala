@@ -1990,6 +1990,12 @@ object SparkEntry {
           (col("user_id") % 2).cast("int")),
         "user_id", "ts", "event_type",
         steps = Seq("view", "click", "purchase"), variantCol = "variant")),
+
+    // per-event-type freshness vs a pinned asOf instant (exact integer
+    // lag; never wall-clock-now inside the operator)
+    "q221_freshness" -> ((s, d) =>
+      graft.checks.Freshness.report(t(s, d, "events"), "event_type", "ts",
+        asOf = "2024-02-01 00:00:00", maxLagSeconds = 86400L)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5931,5 +5937,16 @@ object SparkEntry {
          |${leg(2, "click", "purchase", "t2 IS NOT NULL",
               "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END")}""".stripMargin
     },
+
+    // one max/count aggregate; integer-microsecond lag vs the pinned
+    // asOf, floor-divided to whole seconds
+    "q221_freshness" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MAX(ts) AS last_ts,
+        |  (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+        |    - epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 1000000 AS lag_seconds,
+        |  (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+        |    - epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 1000000 > 86400 AS is_stale
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -290,6 +290,32 @@ object CheckSuite {
     Between("total_monthly_trips", 1, 1e7)))
 }
 
+/** Data-freshness monitor: per group (source, feed, partition key),
+  * how stale is the newest row relative to an `asOf` reference instant
+  * — the first thing an on-call checks when a dashboard flatlines.
+  * The reference's orchestrator infers freshness from task success;
+  * this measures it from the DATA, which catches the
+  * succeeding-but-empty-load failure mode tasks cannot.
+  *
+  * One hash aggregate (map-side combined max/count); lag is exact
+  * integer microseconds against the caller-pinned `asOf` (never
+  * wall-clock-now inside the operator — determinism and replays). */
+object Freshness {
+  def report(df: DataFrame, groupCol: String, tsCol: String,
+             asOf: String, maxLagSeconds: Long): DataFrame = {
+    require(maxLagSeconds > 0, "maxLagSeconds must be positive")
+    val asOfUs = unix_micros(lit(asOf).cast("timestamp_ntz").cast("timestamp"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(tsCol)).as("last_ts"))
+      .withColumn("__asof_us", asOfUs)
+      .withColumn("lag_seconds",
+        expr("(__asof_us - unix_micros(cast(last_ts as timestamp))) div 1000000L"))
+      .drop("__asof_us")
+      .withColumn("is_stale", col("lag_seconds") > maxLagSeconds)
+  }
+}
+
 /** Cross-table reconciliation: does a parent table's DECLARED total
   * equal the SUM of its children — the classic ledger/rollup audit
   * (order header vs line items, invoice vs postings, daily rollup vs

@@ -187,6 +187,61 @@ object Graph {
     out
   }
 
+  /** k-core decomposition (fixed k): the maximal subgraph in which
+    * every node keeps degree ≥ k — the standard "dense core vs
+    * peripheral fluff" cut (spam rings and tight near-dup families
+    * survive high-k cores; drive-by links do not). Complements
+    * [[triangleStats]] (local cohesion) and [[connectedComponents]]
+    * (reachability) with a global density filter.
+    *
+    * The classic iterative peel, in the [[connectedComponents]] shape:
+    * each round recomputes degrees (one hash agg) and drops
+    * under-degree nodes via two semi-joins, with an eager
+    * localCheckpoint so round N's plan does not nest round N−1's; the
+    * fixpoint test (edge count unchanged) rides the materializing
+    * count. Rounds are bounded by the graph's degeneracy ordering —
+    * tens, not thousands, on real graphs; the iteration cap is a
+    * backstop that LOUDLY warns (the nearDupClusters contract) since a
+    * capped exit can only OVER-include nodes.
+    *
+    * Returns (node, degree) of the k-core members (degree measured
+    * INSIDE the core). Empty result = no k-core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIterations: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select("node")
+      val pruned = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == nEdges
+      e = pruned
+      nEdges = n
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] kCore: iteration cap $maxIterations hit " +
+        "before the peel fixpoint - result may OVER-include nodes")
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees
     * over the (directed-both-ways) edge list — one scalar summarizing
     * whether hubs attach to hubs (r > 0, social-network shape) or to

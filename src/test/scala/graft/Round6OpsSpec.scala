@@ -608,6 +608,37 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L)))   // 11-digit run is below the floor
   }
 
+  // ---- k-core / freshness -----------------------------------------------
+
+  test("kCore peels to the dense core; pendant chains drop") {
+    // K4 {1,2,3,4} with a pendant path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = graft.operators.Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core3.values.forall(_ == 3L)) // K4 internal degrees
+    // 2-core: the path still peels away (5 and 6 never reach degree 2)
+    val core2 = graft.operators.Graph.kCore(edges, "src", "dst", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L))
+    // k above the max degree: empty core
+    assert(graft.operators.Graph.kCore(edges, "src", "dst", k = 5).count() == 0)
+  }
+
+  test("Freshness.report: exact lag vs pinned asOf, stale flag") {
+    val df = Seq(("a", "2024-01-31 23:00:00"), ("a", "2024-01-30 00:00:00"),
+      ("b", "2024-01-20 00:00:00")).toDF("src", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.checks.Freshness.report(df, "src", "ts",
+      "2024-02-01 00:00:00", maxLagSeconds = 7200L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("lag_seconds"),
+          r.getAs[Boolean]("is_stale"))).toMap
+    assert(out("a") == ((2L, 3600L, false)))
+    assert(out("b") == ((1L, 12L * 86400L, true)))
+  }
+
   // ---- A/B funnel -------------------------------------------------------
 
   test("abFunnel conditions each transition on reaching the from-step") {
