@@ -1412,7 +1412,9 @@ object TextAnalysis {
           while (!deflater.finished())
             compressed += deflater.deflate(buf)
           (id, raw.length.toLong, compressed)
-        }
+          // release the native zlib stream when the partition drains
+          // (early-terminated tasks fall back to the finalizer)
+        } ++ { deflater.end(); Iterator.empty }
       }
       .toDF(idCol, "raw_bytes", "deflated_bytes")
     out.withColumn("compression_ratio",
