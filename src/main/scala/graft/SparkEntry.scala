@@ -1996,6 +1996,18 @@ object SparkEntry {
     "q221_freshness" -> ((s, d) =>
       graft.checks.Freshness.report(t(s, d, "events"), "event_type", "ts",
         asOf = "2024-02-01 00:00:00", maxLagSeconds = 86400L)),
+
+    // cross-column association: does order priority depend on status —
+    // per-cell chi2 contributions over the contingency table
+    "q222_contingency" -> ((s, d) =>
+      graft.operators.Profile.contingency(t(s, d, "orders"),
+        "o_orderpriority", "o_orderstatus")),
+
+    // per-source language diversity: Simpson index + effective
+    // category count, all exact integer squares and single divisions
+    "q223_diversity" -> ((s, d) =>
+      graft.operators.Profile.simpsonDiversity(t(s, d, "documents"),
+        "source", "lang")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5948,5 +5960,40 @@ object SparkEntry {
         |  (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
         |    - epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 1000000 > 86400 AS is_stale
         |FROM events GROUP BY 1""".stripMargin,
+
+    // cell aggregate + margins of the CELL table; q192's single-op
+    // IEEE chains per cell; no order-dependent total
+    "q222_contingency" ->
+      """WITH cells AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(SUM(n_obs) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+        |cm AS (SELECT b, CAST(SUM(n_obs) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells)
+        |SELECT cells.a, cells.b, n_obs, row_total, col_total, n,
+        |  CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  (CAST(n_obs AS DOUBLE)
+        |     - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+        |  * (CAST(n_obs AS DOUBLE)
+        |     - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS chi2_contribution
+        |FROM cells JOIN rm USING (a) JOIN cm USING (b), t""".stripMargin,
+
+    // exact integer squares; simpson and effective counts are single
+    // divisions of BIGINT-derived doubles
+    "q223_diversity" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n, n_categories,
+        |  CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson,
+        |  CAST(n * n AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_categories
+        |FROM g""".stripMargin,
   )
 }

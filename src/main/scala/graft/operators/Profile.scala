@@ -357,6 +357,65 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Cross-column association report (r×c contingency): per observed
+    * (a, b) cell, the count, margins, expected count under
+    * independence, and the chi-squared contribution — "does payment
+    * type depend on region" as data, the two-COLUMN sibling of the
+    * two-SLICE categoricalDrift. Per-cell contributions are short
+    * exact-IEEE chains over integer counts (the q192 argument); the
+    * TOTAL chi-squared is deliberately NOT emitted — a double sum over
+    * cells is partition-order-dependent, so gates threshold per-cell
+    * contributions (the drift convention) or sum client-side.
+    *
+    * Shape: one (a, b) hash aggregate, two margin aggregates of THAT
+    * (cell-scale) table, broadcast joins — the raw table scans once. */
+  def contingency(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(true) // three consumers: margins x2 + output
+    val rowM = cells.groupBy(col("a")).agg(sum(col("n_obs")).cast("long").as("row_total"))
+    val colM = cells.groupBy(col("b")).agg(sum(col("n_obs")).cast("long").as("col_total"))
+    val total = cells.agg(sum(col("n_obs")).cast("long").as("n"))
+    val expected = col("row_total").cast("double") * col("col_total").cast("double") /
+      col("n").cast("double")
+    cells
+      .join(broadcast(rowM), Seq("a"))
+      .join(broadcast(colM), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("expected", expected)
+      .withColumn("chi2_contribution",
+        (col("n_obs").cast("double") - expected) *
+          (col("n_obs").cast("double") - expected) / expected)
+      .select("a", "b", "n_obs", "row_total", "col_total", "n", "expected",
+        "chi2_contribution")
+  }
+
+  /** Simpson diversity per group: `1 - sum(p_i^2)` over the category
+    * mix, plus the effective category count `1/sum(p_i^2)` — the
+    * libm-free concentration readout (entropy needs ln; Simpson does
+    * the same job for "is this source one-note or varied" with exact
+    * arithmetic): `sum(n_i^2)` is an exact BIGINT, each output is one
+    * division. 0 = single category; -> 1 as the mix evens out.
+    *
+    * Shape: one (group, category) aggregate, one group aggregate —
+    * both map-side combined. */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame =
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(col("__c") * col("__c")).cast("long").as("__s2"))
+      .withColumn("simpson",
+        (col("n") * col("n") - col("__s2")).cast("double") /
+          (col("n") * col("n")).cast("double"))
+      .withColumn("effective_categories",
+        (col("n") * col("n")).cast("double") / col("__s2").cast("double"))
+      .drop("__s2")
+
   /** Weighted value→count partial for the exact-quantile machinery:
     * `cnt` is the SUM of integer weights rather than the row count, so
     * [[quantilesFromCounts]] / [[quantilesFromCountsBy]] downstream

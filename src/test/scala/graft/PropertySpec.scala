@@ -131,4 +131,28 @@ class PropertySpec extends SparkSpec {
       assert(out.count() == ticks.count(_ > wmTick).toLong)
     }
   }
+
+  test("multiTouch conserves exactly 1e6 micro-credits per conversion") {
+    // random event streams: touches and conversions at random seconds
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 3L),                    // user
+      Gen.choose(0L, 5000L),                 // second offset
+      Gen.oneOf("view", "click", "purchase")))
+    samples(gen).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((u, sec, t), i) =>
+        (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000 + sec, t, i.toLong)
+      }.toDF("user_id", "epoch_s", "event_type", "event_id")
+        .withColumn("ts", col("epoch_s").cast("timestamp").cast("timestamp_ntz"))
+      val credited = graft.operators.Attribution.multiTouch(df,
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click"), "purchase", lookbackSeconds = 1800L,
+        halfLifeSeconds = if (rows.size % 2 == 0) Some(600L) else None)
+      val perConv = credited.groupBy(col("conv_id"))
+        .agg(sum(col("credit_micro")).as("total")).collect()
+      val nConv = rows.count(_._3 == "purchase")
+      assert(perConv.length == nConv)
+      assert(perConv.forall(_.getAs[Long]("total") == 1000000L),
+        s"every conversion must carry exactly 1e6 micros")
+    }
+  }
 }

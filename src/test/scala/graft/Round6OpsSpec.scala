@@ -608,6 +608,35 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L)))   // 11-digit run is below the floor
   }
 
+  // ---- Contingency / diversity ------------------------------------------
+
+  test("contingency: expected counts under independence, exact margins") {
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q"))
+      .toDF("a0", "b0")
+    val out = Profile.contingency(df, "a0", "b0")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_obs"), r.getAs[Long]("row_total"),
+          r.getAs[Long]("col_total"), r.getAs[Double]("expected"))).toMap
+    assert(out(("x", "p")) == ((2L, 3L, 2L, 1.5)))  // E = 3*2/4
+    assert(out(("y", "q")) == ((1L, 1L, 2L, 0.5)))
+    val chi = Profile.contingency(df, "a0", "b0")
+      .filter(col("a") === "x" && col("b") === "p").head()
+      .getAs[Double]("chi2_contribution")
+    assert(math.abs(chi - 0.25 / 1.5) < 1e-12)       // (2-1.5)^2/1.5
+  }
+
+  test("simpsonDiversity: 0 for one-note groups, rises with evenness") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "en"),
+      ("s2", "en"), ("s2", "de"), ("s2", "fr")).toDF("src", "lang")
+    val out = Profile.simpsonDiversity(df, "src", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("simpson"), r.getAs[Double]("effective_categories")))
+      .toMap
+    assert(out("s1") == ((0.0, 1.0)))
+    assert(math.abs(out("s2")._1 - 2.0 / 3.0) < 1e-15)  // 1 - 3*(1/9)
+    assert(out("s2")._2 == 3.0)                          // perfectly even
+  }
+
   // ---- k-core / freshness -----------------------------------------------
 
   test("kCore peels to the dense core; pendant chains drop") {
