@@ -312,7 +312,11 @@ object Freshness {
       .withColumn("lag_seconds",
         expr("(__asof_us - unix_micros(cast(last_ts as timestamp))) div 1000000L"))
       .drop("__asof_us")
-      .withColumn("is_stale", col("lag_seconds") > maxLagSeconds)
+      // a group with no timestamp at all (all-NULL ts) has no freshness
+      // evidence — that IS the stale case, not an unknown
+      .withColumn("is_stale",
+        when(col("last_ts").isNull, lit(true))
+          .otherwise(col("lag_seconds") > maxLagSeconds))
   }
 }
 

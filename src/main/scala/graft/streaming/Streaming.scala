@@ -499,7 +499,10 @@ object Streaming {
     *
     * Insert-only (the append-dominant event/fact case); deletions need
     * the keyed-retraction sibling (cdcMaintSink's algebra applied to
-    * join views) — documented out of scope. */
+    * join views) — documented out of scope. A batch producing ZERO view
+    * rows writes an empty partition directory; readers need at least
+    * one nonempty batch before `read.parquet(viewPath)` can infer the
+    * schema (standard parquet-directory semantics). */
   def joinMaintSink(df: DataFrame, sideCol: String, keys: Seq[String],
                     aCols: Seq[String], bCols: Seq[String],
                     snapPath: String, viewPath: String, checkpoint: String)
