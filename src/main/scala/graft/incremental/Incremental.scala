@@ -207,6 +207,35 @@ object Writers {
     fs.delete(dst, true)
     fs.rename(tmp, dst)
   }
+
+  /** Startup recovery for [[atomicRewrite]]'s documented crash window
+    * (NOTES "Known gaps": no transactional table format offline, so the
+    * swap is write-temp → delete-dst → rename): inspect one target path
+    * and repair whatever half-state a crash left —
+    *
+    *  - temp present, destination MISSING → the crash hit between
+    *    delete and rename; the temp is the complete new table, so
+    *    FINISH the rename ("completed_rename");
+    *  - temp present, destination present → the crash hit before the
+    *    delete (or during the temp write); the destination is the
+    *    intact OLD table and the temp is unfinished — sweep it
+    *    ("swept_stale_tmp"); the lost batch replays through the
+    *    batch-id fence as usual;
+    *  - no temp → nothing to do ("clean").
+    *
+    * Call it for each swap-managed path before starting a pipeline or
+    * stream (single-process contract, like the swap itself: run it
+    * while no writer is active). Returns the action taken so operators
+    * can log/alert on non-clean starts. */
+  def recoverSwap(spark: SparkSession, path: String): String = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      s"_tmp_${dst.getName}.__graft__")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tmp)) "clean"
+    else if (!fs.exists(dst)) { fs.rename(tmp, dst); "completed_rename" }
+    else { fs.delete(tmp, true); "swept_stale_tmp" }
+  }
 }
 
 /** The metadata control plane (reference: nyc_taxi_pipeline.py:84-127,

@@ -144,4 +144,34 @@ class IncrementalSpec extends SparkSpec {
     val err = ledger.read().get.filter($"run_id" === "r2").select("error_message").first().getString(0)
     assert(err.length == 500)                    // reference truncates to 500 chars
   }
+
+  test("recoverSwap repairs each half-state of the atomic-swap crash window") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-swap").toString
+    val path = base + "/table"
+    val tmpDir = base + "/_tmp_table.__graft__"
+    import spark.implicits._
+    def write(dir: String, v: Long): Unit =
+      Seq(v).toDF("v").write.mode("overwrite").parquet(dir)
+
+    // clean: destination only
+    write(path, 1L)
+    assert(graft.incremental.Writers.recoverSwap(spark, path) == "clean")
+    assert(spark.read.parquet(path).head().getLong(0) == 1L)
+
+    // crash BETWEEN delete and rename: temp holds the new table
+    write(tmpDir, 2L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    assert(graft.incremental.Writers.recoverSwap(spark, path) == "completed_rename")
+    assert(spark.read.parquet(path).head().getLong(0) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpDir)))
+
+    // crash BEFORE the delete: old table intact, temp unfinished
+    write(tmpDir, 3L)
+    assert(graft.incremental.Writers.recoverSwap(spark, path) == "swept_stale_tmp")
+    assert(spark.read.parquet(path).head().getLong(0) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpDir)))
+  }
 }
