@@ -2008,6 +2008,114 @@ object SparkEntry {
     "q223_diversity" -> ((s, d) =>
       graft.operators.Profile.simpsonDiversity(t(s, d, "documents"),
         "source", "lang")),
+
+    // Kaplan-Meier survival over user lifetimes: censoring-aware churn
+    // curve; the running product is an ORDERED double fold (ascending
+    // t), replicated verbatim by the oracle's recursive CTE
+    "q224_kaplan_meier" -> ((s, d) =>
+      graft.operators.Retention.kaplanMeier(t(s, d, "events"), "user_id",
+        "ts", censorDays = 3)),
+
+    // day-of-week seasonal profile of the value stream — weekday from
+    // pure integer epoch-day arithmetic (engines disagree on week
+    // starts), decimal sums, two-division IEEE index
+    "q225_seasonal_index" -> ((s, d) =>
+      graft.operators.Timeseries.seasonalIndex(t(s, d, "events"), "ts",
+        "value")),
+
+    // lag-7 autocorrelation per event type: calendar-joined day pairs,
+    // exact decimal moments, IEEE sqrt (correctly rounded -> portable)
+    "q226_autocorrelation" -> ((s, d) =>
+      graft.operators.Timeseries.autocorrelation(t(s, d, "events"),
+        "event_type", "ts", lagDays = 7)),
+
+    // golden-record survivorship over linked entity clusters: clean +
+    // mangled clone rows (q196's corruption model) -> blocked linkage
+    // -> connected components -> one per-cluster survivorship aggregate
+    "q227_golden_record" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val clean = c.select((col("c_custkey") * 2).as("ent_id"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+      val dirty = c.select((col("c_custkey") * 2 + 1).as("ent_id"),
+        when(col("c_custkey") % 3 === 1,
+          expr("substr(c_name, 1, length(c_name) - 2)"))
+          .otherwise(col("c_name")).as("name"),
+        (col("c_acctbal") - lit(5.0)).as("acctbal"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+      val pairs = graft.operators.Linkage.linkRecords(
+        clean, dirty,
+        blockOn = Seq("nation" -> "nation", "seg" -> "seg"),
+        score = graft.operators.Linkage.levenshteinPoints(
+          col("l.name"), col("r.name"), 10),
+        select = Seq(col("l.ent_id").as("left_id"), col("r.ent_id").as("right_id")),
+        matchAt = 8, possibleAt = 8)
+        .filter(col("tier") === "match")
+      graft.operators.Linkage.goldenRecord(
+        clean.unionByName(dirty), "ent_id", pairs, "left_id", "right_id",
+        longestOf = Seq("name"), maxOf = Seq("acctbal"), minOf = Seq("nation"))
+    }),
+
+    // pairwise audience overlap between behavioral segments (user x
+    // event_type membership): exact counts, jaccard/containment/lift
+    "q228_segment_overlap" -> ((s, d) =>
+      graft.operators.Profile.segmentOverlap(t(s, d, "events"), "user_id",
+        "event_type")),
+
+    // 3-hop blast radius on the sparsified co-purchase graph from a
+    // deterministic seed set — min-hop BFS, frontier-only per round
+    "q229_khop" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.kHopDistances(edges, "src", "dst", seeds,
+        "p_partkey", maxHops = 3)
+    }),
+
+    // 2 synchronous label-propagation rounds on the co-purchase graph
+    // (deterministic argmax: most frequent neighbor label, tie -> min)
+    "q230_label_propagation" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+    }),
+
+    // exact consecutive-token phrase search via positional postings —
+    // term-filtered postings, (doc, pos+offset) equi-joins only
+    "q231_phrase_search" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.phraseSearch(t(s, d, "documents"),
+        "doc_id", "text", Seq("value", "table", "part"))),
+
+    // two-sided CUSUM drift alarms per event type: exact integer
+    // micro-units, prefix-sum-minus-running-min closed form, silent
+    // calendar days count as zero
+    "q232_cusum" -> ((s, d) =>
+      graft.operators.Timeseries.cusum(t(s, d, "events"), "event_type",
+        "ts", slackMicro = 20000000L, hMicro = 100000000L)),
+
+    // neighborhood link prediction on the co-purchase graph: wedge-join
+    // candidates only, exact jaccard + preferential attachment
+    "q233_link_prediction" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.linkPrediction(edges, "src", "dst", minCommon = 1)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -5995,5 +6103,241 @@ object SparkEntry {
         |  CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson,
         |  CAST(n * n AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_categories
         |FROM g""".stripMargin,
+
+    // the running survival product is a SEQUENTIAL recursive fold in
+    // ascending t — the same left-to-right IEEE multiply order as
+    // Spark's aggregate() over the running collect_list, so the curve
+    // hashes bit-exact (an unordered product aggregate would not)
+    "q224_kaplan_meier" ->
+      """WITH RECURSIVE pu AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS fd,
+        |    CAST(MAX(ts) AS DATE) AS ld FROM events GROUP BY 1),
+        |se AS (SELECT MAX(ld) AS stream_end FROM pu),
+        |lab AS (SELECT CAST(ld - fd AS INT) AS t_day,
+        |    ld >= stream_end - 3 AS censored FROM pu, se),
+        |byt AS (SELECT t_day,
+        |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_deaths,
+        |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM lab GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_deaths + n_censored) AS BIGINT) AS total FROM byt),
+        |idx AS (SELECT t_day, n_deaths, n_censored,
+        |    total - COALESCE(CAST(SUM(n_deaths + n_censored) OVER
+        |      (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_at_risk,
+        |    row_number() OVER (ORDER BY t_day) AS rn
+        |  FROM byt, tot),
+        |f AS (SELECT *, CAST(1.0 AS DOUBLE)
+        |    - CAST(n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor
+        |  FROM idx),
+        |km(rn, t_day, n_at_risk, n_deaths, n_censored, survival) AS (
+        |  SELECT rn, t_day, n_at_risk, n_deaths, n_censored, factor
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.rn, f.t_day, f.n_at_risk, f.n_deaths, f.n_censored,
+        |    km.survival * f.factor
+        |  FROM km JOIN f ON f.rn = km.rn + 1)
+        |SELECT t_day, n_at_risk, n_deaths, n_censored, survival FROM km""".stripMargin,
+
+    // weekday from pure integer epoch-day arithmetic ((d+3)%7, Monday=0)
+    // — engine dayofweek() builtins disagree on week starts; decimal
+    // sums, fixed two-division IEEE index tree
+    "q225_seasonal_index" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS dv
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT *, CAST((CAST(day - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS INT) AS dow
+        |  FROM daily),
+        |byd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dv) AS DECIMAL(38,6)) AS dt FROM d2 GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+        |    CAST(SUM(dv) AS DECIMAL(38,6)) AS gt FROM d2)
+        |SELECT dow, n_days, CAST(dt AS DOUBLE) AS dow_total,
+        |  CAST(dt AS DOUBLE) / CAST(n_days AS DOUBLE) AS dow_mean,
+        |  (CAST(dt AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index
+        |FROM byd, g""".stripMargin,
+
+    // calendar self-join pairs day d with d-7 (row-lag misaligns on gap
+    // days); exact integer moment sums -> one fixed IEEE tree; IEEE
+    // sqrt is correctly rounded, hence engine-portable (unlike log/exp)
+    "q226_autocorrelation" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.cnt AS x, b.cnt AS y
+        |  FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day = b.day + 7),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, CAST(7 AS INT) AS lag_days, n_pairs,
+        |  CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0.0
+        |        AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0.0
+        |    THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END AS autocorr
+        |FROM m WHERE n_pairs >= 3""".stripMargin,
+
+    // q196's corruption model (truncation arm only) -> blocked linkage
+    // at score >= 8 -> recursive transitive closure -> survivorship:
+    // longest name (tie lexicographically greatest), max balance, min
+    // nation, exact member counts
+    "q227_golden_record" ->
+      """WITH RECURSIVE ent AS (
+        |  SELECT c_custkey * 2 AS ent_id, c_name AS name, c_acctbal AS acctbal,
+        |    c_nationkey AS nation, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    CASE WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, length(c_name) - 2)
+        |         ELSE c_name END,
+        |    c_acctbal - CAST(5.0 AS DOUBLE), c_nationkey, c_mktsegment FROM customer),
+        |pr AS (SELECT l.ent_id AS src, r.ent_id AS dst
+        |  FROM (SELECT * FROM ent WHERE ent_id % 2 = 0) l
+        |  JOIN (SELECT * FROM ent WHERE ent_id % 2 = 1) r
+        |  ON l.nation = r.nation AND l.seg = r.seg
+        |  WHERE (CASE WHEN l.name IS NULL OR r.name IS NULL THEN 0
+        |    ELSE greatest(0, 10 - levenshtein(l.name, r.name)) END) >= 8),
+        |e AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, root) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(root) AS component_id FROM reach GROUP BY 1),
+        |asg AS (SELECT ent.*, COALESCE(comp.component_id, ent.ent_id) AS cluster_id
+        |  FROM ent LEFT JOIN comp ON ent.ent_id = comp.node),
+        |pick AS (SELECT cluster_id, name, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY length(name) DESC, name DESC) AS rk
+        |  FROM asg WHERE name IS NOT NULL),
+        |base AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    MAX(acctbal) AS acctbal, MIN(nation) AS nation
+        |  FROM asg GROUP BY 1)
+        |SELECT base.cluster_id, base.n_members, pick.name, base.acctbal, base.nation
+        |FROM base JOIN pick ON pick.cluster_id = base.cluster_id AND pick.rk = 1""".stripMargin,
+
+    // exact BIGINT counts, single-division jaccard/containments, lift =
+    // (n_both * universe) / (n_a * n_b) — one division of exact products
+    "q228_segment_overlap" ->
+      """WITH m AS (SELECT DISTINCT user_id AS e, event_type AS s FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |u AS (SELECT CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities FROM m),
+        |p AS (SELECT a.s AS seg_a, b.s AS seg_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM m a JOIN m b ON a.e = b.e AND a.s < b.s GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_both, n_entities,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+        |  CAST(n_both AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b,
+        |  CAST(n_both * n_entities AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) AS lift
+        |FROM p JOIN sz sa ON sa.s = p.seg_a JOIN sz sb ON sb.s = p.seg_b, u""".stripMargin,
+
+    // bounded-depth BFS: UNION-deduped (node, hop) recursion capped at
+    // hop 3, min-hop per node; seeds at hop 0 whether or not they touch
+    // an edge
+    "q229_khop" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 10 = 0),
+        |reach(node, hop) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.hop < 3)
+        |SELECT node, CAST(MIN(hop) AS INT) AS hop FROM reach GROUP BY 1""".stripMargin,
+
+    // two unrolled synchronous rounds; per-node argmax = row_number
+    // ORDER BY cnt DESC, label ASC — the max(struct(cnt, -label)) rule
+    "q230_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |e AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS label FROM e),
+        |c1 AS (SELECT e.u, l0.label, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2),
+        |r1 AS (SELECT u AS node, label FROM (SELECT u, label,
+        |    row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT e.u, r1.label, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e JOIN r1 ON e.v = r1.node GROUP BY 1, 2),
+        |r2 AS (SELECT u AS node, label FROM (SELECT u, label,
+        |    row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM c2) WHERE rk = 1)
+        |SELECT node, label FROM r2""".stripMargin,
+
+    // zipped-unnest positional postings (1-based), three term-filtered
+    // aliases equi-joined on (doc, pos+offset)
+    "q231_phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(tk) AS term,
+        |    unnest(generate_series(1, len(tk))) AS pos FROM toks)
+        |SELECT a.doc_id, CAST(a.pos AS BIGINT) AS match_pos
+        |FROM p a
+        |JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |WHERE a.term = 'value' AND b.term = 'table' AND c.term = 'part'""".stripMargin,
+
+    // exact integer micro-units end to end; CUSUM closed form
+    // S = P - min(0, running_min(P)); silent calendar days restored as
+    // zero-count rows via the per-key spine
+    "q232_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi,
+        |    CAST(SUM(cnt) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |sp AS (SELECT event_type,
+        |    (s * 1000000) // (CAST(hi - lo AS BIGINT) + 1) AS target,
+        |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT sp.event_type, sp.day, sp.target,
+        |    COALESCE(daily.cnt, 0) AS n_events
+        |  FROM sp LEFT JOIN daily USING (event_type, day)),
+        |dv AS (SELECT *, n_events * 1000000 - target - 20000000 AS dev_up,
+        |    target - n_events * 1000000 - 20000000 AS dev_dn FROM j),
+        |w AS (SELECT *, CAST(SUM(dev_up) OVER win AS BIGINT) AS pu,
+        |    CAST(SUM(dev_dn) OVER win AS BIGINT) AS pd
+        |  FROM dv WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *,
+        |    pu - least(0, CAST(MIN(pu) OVER win AS BIGINT)) AS s_plus_micro,
+        |    pd - least(0, CAST(MIN(pd) OVER win AS BIGINT)) AS s_minus_micro
+        |  FROM w WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n_events, s_plus_micro, s_minus_micro,
+        |  s_plus_micro > 100000000 AS alarm_up,
+        |  s_minus_micro > 100000000 AS alarm_down
+        |FROM f""".stripMargin,
+
+    // wedge-join candidates only (pair appears once per common
+    // neighbor), existing edges anti-joined out, exact integer scores
+    "q233_link_prediction" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |adj AS (SELECT src AS mid, dst AS leaf FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT mid AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM adj GROUP BY 1),
+        |w AS (SELECT l.leaf AS a, r.leaf AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM adj l JOIN adj r ON l.mid = r.mid AND l.leaf < r.leaf
+        |  GROUP BY 1, 2),
+        |nw AS (SELECT w.* FROM w LEFT JOIN e0
+        |  ON e0.src = w.a AND e0.dst = w.b WHERE e0.src IS NULL)
+        |SELECT a, b, n_common, da.degree AS deg_a, db.degree AS deg_b,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(da.degree + db.degree - n_common AS DOUBLE) AS jaccard,
+        |  CAST(da.degree * db.degree AS BIGINT) AS pref_attachment
+        |FROM nw JOIN deg da ON da.node = nw.a JOIN deg db ON db.node = nw.b
+        |WHERE n_common >= 1""".stripMargin,
   )
 }

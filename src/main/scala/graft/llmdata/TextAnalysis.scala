@@ -1421,4 +1421,46 @@ object TextAnalysis {
       when(col("raw_bytes") > 0,
         col("deflated_bytes").cast("double") / col("raw_bytes").cast("double")))
   }
+
+  /** Exact token-phrase search over the corpus: documents containing
+    * the tokens of `phrase` CONSECUTIVELY, with every 1-based start
+    * position — the grep-for-token-sequences primitive behind
+    * contamination spot checks ("which documents contain this exact
+    * benchmark sentence") and boilerplate hunting, where substring LIKE
+    * matches the wrong thing ("rowing" contains "row") and bag-of-words
+    * retrieval ignores order.
+    *
+    * Positional-postings join: tokenize once per document (the
+    * inline-split O(tokens²) trap documented at [[kwicSnippets]]),
+    * posexplode, keep ONLY postings whose term appears in the phrase
+    * (the pushed filter makes the joined frames query-selective, the
+    * [[kwicSnippets]] discipline), then m−1 self-equi-joins on
+    * (doc, pos + offset) pin the consecutive alignment. Every join is a
+    * key equi-join on (doc_id, pos) — never a cross product; fan-out is
+    * bounded by per-doc phrase-term frequency.
+    *
+    * Output: (doc_id, match_pos) per occurrence, match_pos 1-based.
+    * Single-token phrases degrade to a plain postings filter. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val terms = phrase.map(_.trim.toLowerCase)
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase tokens must be non-empty single words, got $phrase")
+    val postings = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.llmdata.DedupOps.tokens(col(textCol))))
+      .filter(col("col").isin(terms.distinct: _*))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val first = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("__p0"))
+    val matched = terms.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(
+          postings.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("__p0")),
+          Seq("doc_id", "__p0"))
+    }
+    matched.select(col("doc_id"), (col("__p0") + 1).cast("long").as("match_pos"))
+  }
 }

@@ -272,4 +272,145 @@ object Graph {
       .select("deg_src", "deg_dst")
     Profile.correlationMatrix(withDeg, Seq("deg_src", "deg_dst"))
   }
+
+  /** Minimum hop distance from a seed set, breadth-first up to
+    * `maxHops` — "everything within k links of a flagged account", the
+    * blast-radius primitive behind fraud-ring expansion, abuse-cluster
+    * takedowns, and influence neighborhoods. Undirected (edges
+    * symmetrized); returns (node, hop) for every node reached within
+    * `maxHops`, hop = the MINIMUM link count from any seed (seeds
+    * themselves at hop 0).
+    *
+    * Frontier BFS in the [[connectedComponents]] shape: each round
+    * joins ONLY the newly-reached frontier (not the accumulated set)
+    * against the edge list, anti-joins out already-reached nodes, and
+    * eager-localCheckpoints so round N's plan never nests round N−1's.
+    * Per-round cost is |frontier|-proportional; `maxHops` bounds the
+    * rounds explicitly (this is a distance cut, not a convergence
+    * loop — no cap warning needed). */
+  def kHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                    seeds: DataFrame, seedCol: String,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reached = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0))
+      .localCheckpoint(true)
+    var frontier = reached
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier
+        .join(e, frontier("node") === e("u"))
+        .select(col("v").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(true)
+      reached = reached.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    e.unpersist()
+    reached
+  }
+
+  /** Synchronous label-propagation community detection, `rounds` fixed
+    * rounds: every node starts as its own label; each round all nodes
+    * simultaneously adopt the most frequent label among their neighbors
+    * (ties → the SMALLEST label, so every round is fully
+    * deterministic — the usual random-order async LPA is not
+    * reproducible and has no place in an oracle-gated engine).
+    * Communities = label groups after the last round.
+    *
+    * Fixed synchronous rounds are the honest contract: async LPA's
+    * convergence is order-dependent folklore, and synchronous LPA can
+    * oscillate on bipartite structures — so the operator takes `rounds`
+    * explicitly and documents that callers wanting a fixpoint should
+    * compare successive rounds themselves.
+    *
+    * Per round: one neighbor-label join (edge-scale), one
+    * (node, label) count aggregate, one per-node argmax via the
+    * max(struct(cnt, −label)) trick — all map-side-combining hash
+    * aggregates, eager-checkpointed per round ([[connectedComponents]]
+    * lineage discipline). Labels must be numeric (the tie rule
+    * negates). Returns (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("u"),
+        col(srcCol).cast("long").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < rounds) {
+      labels = e
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__nl")))
+          .as("__best"))
+        .select(col("node"), (-col("__best.__nl")).as("label"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Neighborhood-overlap link prediction: for every non-adjacent node
+    * pair sharing ≥ `minCommon` neighbors, the common-neighbor count,
+    * Jaccard of neighborhoods, and preferential-attachment score — the
+    * classic "who should be connected" ranking behind follow
+    * recommendations and missing-edge repair in entity graphs.
+    *
+    * Candidates come ONLY from the wedge join (two edges sharing a
+    * midpoint): pair (a, c) appears once per common neighbor b, so one
+    * (a, c) count aggregate yields common counts without ever forming
+    * non-wedge pairs — the same never-all-pairs discipline as the dedup
+    * family. Existing edges are anti-joined out (we predict NEW links).
+    * Jaccard = common / (deg_a + deg_c − common), exact BIGINTs, one
+    * division. Wedge fan-out is Σ_b deg(b)² — the standard bound; cap
+    * hub degrees upstream (as any production link predictor does) when
+    * the graph has super-hubs. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 1): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(true) // forked by degree, wedges, and the anti-join
+    val adj = e.select(col("a").as("mid"), col("b").as("leaf"))
+      .unionAll(e.select(col("b").as("mid"), col("a").as("leaf")))
+    val deg = adj.groupBy(col("mid").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val wedges = adj.as("l")
+      .join(adj.as("r"),
+        col("l.mid") === col("r.mid") && col("l.leaf") < col("r.leaf"))
+      .groupBy(col("l.leaf").as("a"), col("r.leaf").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(e, Seq("a", "b"), "left_anti")
+      .filter(col("n_common") >= minCommon)
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double")
+          / (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("deg_a") * col("deg_b")).as("pref_attachment"))
+  }
 }

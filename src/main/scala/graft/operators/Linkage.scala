@@ -83,4 +83,50 @@ object Linkage {
     pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Golden-record survivorship: collapse matched-entity clusters into
+    * one canonical row each — the step AFTER [[linkRecords]] that a
+    * master-data pipeline actually ships. Match pairs become an
+    * undirected graph; [[graft.operators.Graph.connectedComponents]]
+    * assigns every entity its transitive cluster (a→b, b→c ⇒ {a,b,c}
+    * even though a–c never scored); unmatched records stay singleton
+    * clusters of themselves; then one per-cluster aggregate applies the
+    * survivorship rules field by field.
+    *
+    * Rules (all engine-deterministic, ties included):
+    *  - `longestOf`: the longest non-NULL string, ties → the
+    *    lexicographically GREATEST (via max over (length, value)
+    *    structs — one aggregate, no window);
+    *  - `maxOf` / `minOf`: plain extremes (NULLs ignored by max/min).
+    *
+    * Output: (cluster_id, n_members, <rule columns in declaration
+    * order>). Shape at 100 TB: component propagation is the
+    * [[Graph.connectedComponents]] contract (pairs-scale, diameter
+    * rounds); the cluster assignment is one left join (match pairs are
+    * usually a small fraction of records — the join broadcasts when
+    * they are); survivorship is ONE hash aggregate with map-side
+    * combine. */
+  def goldenRecord(records: DataFrame, idCol: String, matchPairs: DataFrame,
+      leftIdCol: String, rightIdCol: String,
+      longestOf: Seq[String] = Nil, maxOf: Seq[String] = Nil,
+      minOf: Seq[String] = Nil): DataFrame = {
+    require(longestOf.nonEmpty || maxOf.nonEmpty || minOf.nonEmpty,
+      "at least one survivorship rule column required")
+    val comp = graft.operators.Graph.connectedComponents(
+      matchPairs.select(col(leftIdCol), col(rightIdCol)),
+      leftIdCol, rightIdCol)
+    val assigned = records
+      .join(comp, records(idCol) === comp("node_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col(idCol)))
+    val aggs =
+      Seq(count(lit(1)).as("n_members")) ++
+      longestOf.map(c =>
+        max(when(col(c).isNotNull,
+          struct(length(col(c)).as("l"), col(c).as("v"))))
+          .getField("v").as(c)) ++
+      maxOf.map(c => max(col(c)).as(c)) ++
+      minOf.map(c => min(col(c)).as(c))
+    assigned.groupBy(col("cluster_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -529,4 +529,57 @@ object Profile {
         when(col("__cmin") === col("__cmax"), col("__cmin"))
           .otherwise(lit("mixed")).as("value_class"))
   }
+
+  /** Pairwise audience overlap between segments — the co-membership
+    * report behind every "does segment A add reach over B" targeting
+    * question and the dedup step of audience-union size estimates
+    * (inclusion–exclusion needs exactly these pairwise intersections).
+    *
+    * Input: an (entity, segment) membership frame (any multiplicity —
+    * deduped internally). For each unordered segment pair (a < b):
+    * member counts, intersection size, Jaccard, containment in both
+    * directions, and lift = P(a∩b)/(P(a)·P(b)) against the universe of
+    * ALL distinct entities in the frame.
+    *
+    * Exactness: every count is a BIGINT; jaccard/containment are single
+    * divisions; lift is `(n_both · n_entities) / (n_a · n_b)` — exact
+    * BIGINT products, one division.
+    *
+    * Shape at 100 TB: dedup to (entity, segment) — one shuffle; the
+    * pair build self-joins on the ENTITY key (each entity fans out to
+    * C(k,2) of its own segments — bounded by per-entity segment count,
+    * never |segments|²); one (seg_a, seg_b) aggregate; per-segment
+    * sizes and the one-row universe count ride broadcasts. */
+  def segmentOverlap(membership: DataFrame, entityCol: String,
+                     segmentCol: String): DataFrame = {
+    val m = membership
+      .select(col(entityCol).as("__e"), col(segmentCol).as("__s"))
+      .filter(col("__e").isNotNull && col("__s").isNotNull)
+      .distinct()
+    val sizes = m.groupBy(col("__s")).agg(count(lit(1)).as("n"))
+    val universe = m.select(col("__e")).distinct()
+      .agg(count(lit(1)).as("n_entities"))
+    val pairs = m.as("a")
+      .join(m.as("b"),
+        col("a.__e") === col("b.__e") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("seg_a"), col("b.__s").as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("__s").as("seg_a"), col("n").as("n_a"))),
+        Seq("seg_a"))
+      .join(broadcast(sizes.select(col("__s").as("seg_b"), col("n").as("n_b"))),
+        Seq("seg_b"))
+      .crossJoin(broadcast(universe))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("n_entities"),
+        (col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"),
+        (col("n_both").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("n_both").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"),
+        ((col("n_both") * col("n_entities")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
 }

@@ -207,4 +207,69 @@ object Retention {
         coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
+
+  /** Kaplan-Meier survival curve over user lifetimes — the
+    * right-censoring-aware answer to "what share of users are still
+    * active after t days", where naive retention curves silently count
+    * still-alive users as churned. Lifetime = days from a user's first
+    * to last event; a user whose last event falls within `censorDays`
+    * of the stream end is CENSORED (we only know they survived at least
+    * that long), not dead.
+    *
+    * Estimator: at each observed lifetime t, with n_t users still at
+    * risk and d_t (uncensored) deaths, `S(t) = Π_{j ≤ t} (1 − d_j/n_j)`.
+    * Censored users count in n at their censor time and drop out after
+    * (the standard deaths-before-censoring convention).
+    *
+    * Engine determinism: n/d/c are exact BIGINTs; each factor is ONE
+    * IEEE division; and the running product is an ORDERED left fold
+    * (ascending t) via `aggregate` over a running `collect_list` — both
+    * engines multiply the same doubles in the same order, so the curve
+    * hashes bit-exact (an unordered product aggregate would not).
+    *
+    * Shape at 100 TB: one per-user aggregate (map-side combine), a
+    * one-row stream-end frame broadcast back, then EVERYTHING else runs
+    * on the lifetime-day table — |distinct lifetimes| ≤ span days, the
+    * documented metadata-scale escape for its unpartitioned windows
+    * (the prefix collect_list carries O(days) state on a O(days) frame).
+    *
+    * Output: (t_day, n_at_risk, n_deaths, n_censored, survival). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol).cast("date")).as("__fd"),
+        max(col(tsCol).cast("date")).as("__ld"))
+    val end = perUser.agg(max(col("__ld")).as("__stream_end"))
+    val labeled = perUser.join(Broadcasts.maybeBroadcast(end))
+      .select(datediff(col("__ld"), col("__fd")).as("t_day"),
+        // inclusive: censorDays = 0 still censors users whose last event
+        // IS the stream-end day (indistinguishable from still-active)
+        (col("__ld") >= date_sub(col("__stream_end"), censorDays))
+          .as("__censored"))
+    val byT = labeled.groupBy(col("t_day"))
+      .agg(sum(when(col("__censored"), lit(0L)).otherwise(lit(1L)))
+        .cast("long").as("n_deaths"),
+        sum(when(col("__censored"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_censored"))
+    val total = byT.agg(sum(col("n_deaths") + col("n_censored")).cast("long")
+      .as("__total"))
+    val wPrior = Window.orderBy(col("t_day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t_day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.join(Broadcasts.maybeBroadcast(total))
+      .withColumn("n_at_risk",
+        col("__total") - coalesce(
+          sum(col("n_deaths") + col("n_censored")).over(wPrior), lit(0L)))
+      .withColumn("__factor",
+        lit(1.0) - col("n_deaths").cast("double")
+          / col("n_at_risk").cast("double"))
+      .withColumn("survival",
+        aggregate(collect_list(col("__factor")).over(wRun), lit(1.0),
+          (acc, x) => acc * x))
+      .select(col("t_day"), col("n_at_risk"), col("n_deaths"),
+        col("n_censored"), col("survival"))
+  }
 }

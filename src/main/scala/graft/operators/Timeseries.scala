@@ -286,6 +286,165 @@ object Timeseries {
     * window over the BUCKET table — calendar-scale (8.8k rows/year of
     * hours), the documented metadata-scale escape, regardless of input
     * row count. */
+  /** Day-of-week seasonal index of a daily value series — the
+    * seasonality profile a forecasting pipeline divides out before
+    * trend-fitting, and the sanity check behind "is Monday really our
+    * slow day". For each weekday: observed days, total value, mean
+    * value, and the seasonal index = dow mean / grand daily mean
+    * (index 1.0 = a typical day).
+    *
+    * Engine portability: the weekday comes from PURE INTEGER calendar
+    * arithmetic — `(days_since_epoch + 3) % 7` (0 = Monday; 1970-01-01
+    * was a Thursday) — never from a `dayofweek()` builtin, because
+    * engines disagree on week-start conventions (Spark counts Sunday=1,
+    * DuckDB Sunday=0, ISO Monday=1). Sums stay decimal to the end; the
+    * mean and the index are fixed two-division IEEE trees evaluated
+    * identically everywhere.
+    *
+    * Shape at 100 TB: one (day) hash aggregate with map-side combine,
+    * then a 7-row weekday aggregate and a one-row grand-total frame
+    * broadcast back — nothing past the first aggregate touches data
+    * scale. */
+  def seasonalIndex(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(graft.functions.ScalarFns.exactSum(col(valCol)).as("day_value"))
+      .withColumn("dow",
+        ((datediff(col("day"), lit("1970-01-01").cast("date")) + 3) % 7)
+          .cast("int"))
+    // day_value is a decimal-exact double (exactSum contract) — route the
+    // second-level sums back through decimal so they stay order-free
+    val byDow = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day_value").cast("decimal(20,6)")).cast("decimal(38,6)")
+          .as("__dt"))
+    val grand = daily.agg(count(lit(1)).as("__n_total"),
+      sum(col("day_value").cast("decimal(20,6)")).cast("decimal(38,6)")
+        .as("__gt"))
+    byDow.join(Broadcasts.maybeBroadcast(grand))
+      .withColumn("dow_total", col("__dt").cast("double"))
+      .withColumn("dow_mean",
+        col("__dt").cast("double") / col("n_days").cast("double"))
+      .withColumn("seasonal_index",
+        (col("__dt").cast("double") / col("n_days").cast("double"))
+          / (col("__gt").cast("double") / col("__n_total").cast("double")))
+      .select(col("dow"), col("n_days"), col("dow_total"), col("dow_mean"),
+        col("seasonal_index"))
+  }
+
+  /** Lag-k autocorrelation of each key's daily event-count series —
+    * "does today predict next week" (lag 7 ≈ weekly seasonality
+    * strength, lag 1 ≈ short-term momentum), the feature-selection
+    * screen before fitting any sequence model per key.
+    *
+    * Day d is paired with day d+lag via a CALENDAR self-join on the
+    * shifted day (the [[periodOverPeriod]] rule: a row-lag window
+    * silently misaligns the first time a day is missing). Pearson r
+    * comes from exact decimal moments over the matched pairs —
+    * `(n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))` — with the
+    * numerator/denominators exact BIGINT-derived decimals and the final
+    * expression a fixed IEEE tree (IEEE-754 `sqrt` is correctly rounded,
+    * so it is engine-deterministic, unlike log/exp). Degenerate series
+    * (a constant side) report NULL. Keys with fewer than `minPairs`
+    * matched pairs are dropped.
+    *
+    * Shape: one (key, day) count aggregate, one day-shifted key
+    * equi-join of the day table against itself (|keys|·|days| rows —
+    * metadata-scale), one per-key moment aggregate. */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                      lagDays: Int, minPairs: Int = 3): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    val d38 = "decimal(38,0)"
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val shifted = daily.select(col(keyCol),
+      date_add(col("day"), lagDays).as("day"), col("cnt").as("__y"))
+    val paired = daily.join(shifted, Seq(keyCol, "day"))
+      .select(col(keyCol), col("cnt").cast(d38).as("__x"),
+        col("__y").cast(d38).as("__y"))
+    val m = paired.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(col("__x")).cast(d38).as("__sx"),
+      sum(col("__y")).cast(d38).as("__sy"),
+      sum(col("__x") * col("__x")).cast(d38).as("__sxx"),
+      sum(col("__y") * col("__y")).cast(d38).as("__syy"),
+      sum(col("__x") * col("__y")).cast(d38).as("__sxy"))
+    val nD = col("n_pairs").cast("double")
+    // keep each subtraction on ONE expression line: a continuation line
+    // starting with `-` is a new (discarded) unary-minus statement to
+    // Scala's semicolon inference — the subtraction silently vanishes
+    val num = (nD * col("__sxy").cast("double")) -
+      (col("__sx").cast("double") * col("__sy").cast("double"))
+    val dx = (nD * col("__sxx").cast("double")) -
+      (col("__sx").cast("double") * col("__sx").cast("double"))
+    val dy = (nD * col("__syy").cast("double")) -
+      (col("__sy").cast("double") * col("__sy").cast("double"))
+    m.filter(col("n_pairs") >= minPairs)
+      .select(col(keyCol), lit(lagDays).as("lag_days"), col("n_pairs"),
+        when(dx > lit(0.0) && dy > lit(0.0),
+          num / (sqrt(dx) * sqrt(dy))).as("autocorr"))
+  }
+
+  /** Two-sided CUSUM drift detection over each key's daily count series
+    * — the classic "small persistent shift" alarm that a plain
+    * per-day threshold ([[anomalousDays]]) can't see: five days of +20%
+    * never trips a 3σ day test but accumulates immediately here.
+    *
+    * Runs in EXACT integer micro-units end to end. Target = the key's
+    * own mean daily count, `(S·1e6) div n_days`; each day's deviation
+    * `dev = cnt·1e6 − target − slack` (and the mirrored
+    * `target − cnt·1e6 − slack` for the downward side). The textbook
+    * recursion `S⁺_i = max(0, S⁺_{i-1} + dev_i)` is NOT windowable, but
+    * its closed form is: `S⁺_i = P_i − min(0, min_{j≤i} P_j)` with P
+    * the prefix sum — one running-sum window plus one running-min
+    * window, both per-key partitioned and order-exact on BIGINTs.
+    * Missing calendar days count as ZERO events (a silent feed is
+    * exactly what the downward side must catch), restored via the
+    * per-key [[gapFillDaily]]-style spine.
+    *
+    * Alarms fire when a side exceeds `hMicro` (in count-micro-units,
+    * e.g. 5.0 days-worth of mean drift = 5e6·mean... caller picks the
+    * scale — the operator stays parameter-honest rather than deriving a
+    * σ it can't compute without sqrt).
+    *
+    * Output: (key, day, n_events, s_plus_micro, s_minus_micro,
+    * alarm_up, alarm_down). Shape: one (key, day) aggregate, a spine
+    * explode from per-key bounds, one per-key target join, two windows
+    * on the same (key ordered by day) shuffle. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String,
+            slackMicro: Long, hMicro: Long): DataFrame = {
+    require(slackMicro >= 0 && hMicro > 0, "slackMicro >= 0, hMicro > 0")
+    val M = 1000000L
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"),
+        sum(col("cnt")).as("__s"), count(lit(1)).as("__nobs"))
+      .withColumn("__span",
+        (datediff(col("__hi"), col("__lo")) + 1).cast("long"))
+      // target over the FULL calendar span (zero-days included), so the
+      // baseline matches what the series actually delivers per day
+      .withColumn("__target", expr("(__s * 1000000) div __span"))
+      .select(col(keyCol), col("__target"),
+        explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("n_events", coalesce(col("cnt"), lit(0L)))
+      .withColumn("__dev_up", col("n_events") * M - col("__target") - slackMicro)
+      .withColumn("__dev_dn", col("__target") - col("n_events") * M - slackMicro)
+      .withColumn("__pu", sum(col("__dev_up")).over(w))
+      .withColumn("__pd", sum(col("__dev_dn")).over(w))
+      .withColumn("s_plus_micro",
+        col("__pu") - least(lit(0L), min(col("__pu")).over(w)))
+      .withColumn("s_minus_micro",
+        col("__pd") - least(lit(0L), min(col("__pd")).over(w)))
+      .withColumn("alarm_up", col("s_plus_micro") > hMicro)
+      .withColumn("alarm_down", col("s_minus_micro") > hMicro)
+      .select(col(keyCol), col("day"), col("n_events"),
+        col("s_plus_micro"), col("s_minus_micro"),
+        col("alarm_up"), col("alarm_down"))
+  }
+
   def burstDetect(df: DataFrame, tsCol: String, bucketSeconds: Long,
                   trailingN: Int, factorNum: Long, factorDen: Long): DataFrame = {
     require(bucketSeconds > 0 && trailingN >= 1 && factorNum > 0 && factorDen > 0,

@@ -346,6 +346,29 @@ class PruningSpec extends SparkSpec {
     }
   }
 
+  test("second-wave pair/graph/phrase operators plan equi-joins only") {
+    // phrase search: candidates only from (doc, pos+offset) equi-joins
+    // over term-filtered postings; link prediction: wedge equi-join +
+    // anti-join; segment overlap: entity-keyed pair fan-out; golden
+    // record / autocorrelation: key equi-joins. The sanctioned
+    // BroadcastNestedLoopJoins are the ONE-ROW metadata crossjoins
+    // (seasonal grand total, KM stream-end + total, overlap universe).
+    val d = "/root/testdata/sf0.001"
+    val allowedOneRow = Map(
+      "q224_kaplan_meier" -> 3, "q225_seasonal_index" -> 1,
+      "q228_segment_overlap" -> 1)
+    for (q <- Seq("q224_kaplan_meier", "q225_seasonal_index",
+        "q226_autocorrelation", "q228_segment_overlap",
+        "q231_phrase_search", "q232_cusum", "q233_link_prediction")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$plan")
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(nlj <= allowedOneRow.getOrElse(q, 0),
+        s"$q plans $nlj nested-loop joins (allowed ${allowedOneRow.getOrElse(q, 0)}):\n$plan")
+    }
+  }
+
   test("drift/quarantine/benford reduce before they align (round-6 plan shape)") {
     val d = "/root/testdata/sf0.001"
     // categorical drift: the only exchanges are the two count aggregates
