@@ -2031,7 +2031,12 @@ object SparkEntry {
 
     // golden-record survivorship over linked entity clusters: clean +
     // mangled clone rows (q196's corruption model) -> blocked linkage
-    // -> connected components -> one per-cluster survivorship aggregate
+    // -> connected components -> one per-cluster survivorship aggregate.
+    // The block key adds the name's digit-prefix-7 (truncation-stable —
+    // the mangle only removes the LAST two digits): composite blocking
+    // is the documented skew lever, and it cuts the candidate set from
+    // (nation, seg)-block quadratic (~7M levenshteins at sf0.1, 14 s)
+    // to near-linear (sub-second)
     "q227_golden_record" -> ((s, d) => {
       val c = t(s, d, "customer")
       val clean = c.select((col("c_custkey") * 2).as("ent_id"),
@@ -2043,9 +2048,10 @@ object SparkEntry {
           .otherwise(col("c_name")).as("name"),
         (col("c_acctbal") - lit(5.0)).as("acctbal"),
         col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+      def blk(df: DataFrame) = df.withColumn("blk", expr("substr(name, 10, 7)"))
       val pairs = graft.operators.Linkage.linkRecords(
-        clean, dirty,
-        blockOn = Seq("nation" -> "nation", "seg" -> "seg"),
+        blk(clean), blk(dirty),
+        blockOn = Seq("nation" -> "nation", "seg" -> "seg", "blk" -> "blk"),
         score = graft.operators.Linkage.levenshteinPoints(
           col("l.name"), col("r.name"), 10),
         select = Seq(col("l.ent_id").as("left_id"), col("r.ent_id").as("right_id")),
@@ -2103,6 +2109,98 @@ object SparkEntry {
     "q232_cusum" -> ((s, d) =>
       graft.operators.Timeseries.cusum(t(s, d, "events"), "event_type",
         "ts", slackMicro = 20000000L, hMicro = 100000000L)),
+
+    // deterministic NULL repair with provenance: per-group exact-median
+    // numeric fills + deterministic-mode categorical fills over a
+    // derived corruption model (q196/q199 pattern)
+    "q234_impute" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        col("event_id"), (col("user_id") % 20).as("grp"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"))
+      graft.operators.Robust.impute(ev, "grp",
+        medianCols = Seq("value"), modeCols = Seq("etype"))
+    }),
+
+    // seasonal anomaly screen: the q112 sqrt-free z-test judged against
+    // SAME-WEEKDAY history (composite key), so a busy Monday is judged
+    // by Mondays — k=1 (one-sigma screen; dow slices have ~4 obs each)
+    "q235_seasonal_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("type_dow",
+        concat(col("event_type"), lit("|"),
+          ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3)
+            % 7).cast("string")))
+      graft.operators.Timeseries.anomalousDays(ev, "type_dow", "ts", k = 1)
+    }),
+
+    // incremental connected components: half the co-purchase edges
+    // folded into the OTHER half's standing assignment — oracle is the
+    // FULL closure, so the hash gate proves incremental ≡ recomputed
+    "q237_incremental_components" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val e1 = edges.filter((col("src") + col("dst")) % 2 === 0)
+      val e2 = edges.filter((col("src") + col("dst")) % 2 =!= 0)
+      val base = graft.operators.Graph.connectedComponents(e1, "src", "dst")
+      graft.operators.Graph.connectedComponentsIncremental(base, e2,
+        "src", "dst")
+    }),
+
+    // snapshot pair -> retraction-style change feed (q199's mutation
+    // model): removed -> delete, added -> insert, changed -> both; the
+    // apply rule (delete-by-key ∪ inserts) is spec-proven an identity
+    "q236_cdc_feed" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val next = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 97 === 0, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0 && col("o_orderkey") > 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.operators.Diff.toCdcFeed(o, next, keys = Seq("o_orderkey"),
+        compareCols = Seq("o_orderpriority", "o_totalprice"))
+    }),
+
+    // RAKE keywords over the corpus: stopword-delimited phrases,
+    // integer-micro word degree/frequency ratios, top-20
+    "q238_rake_keywords" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.rakeKeywords(t(s, d, "documents"),
+        "doc_id", "text",
+        stopwords = Seq("the", "and", "a", "of", "to", "in"), topK = 20)),
+
+    // weighted PageRank: rank flows proportionally to co-purchase
+    // counts — (rank·w) div W(u) stays exact BIGINT; 2 iterations,
+    // oracle unrolled (q116's shape with weights)
+    "q239_weighted_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.unionByName(pairs.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      graft.operators.Graph.pageRank(edges, iterations = 2,
+        weightCol = Some("w"))
+    }),
+
+    // k-anonymity / l-diversity release gate over declared
+    // quasi-identifiers: exact class counts, suppression cost, verdicts
+    "q240_k_anonymity" -> ((s, d) =>
+      graft.checks.Privacy.kAnonymityReport(t(s, d, "customer"),
+        qiCols = Seq("c_nationkey", "c_mktsegment"),
+        sensitiveCol = Some("c_acctbal"), k = 15, l = 10)),
 
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
@@ -6195,6 +6293,7 @@ object SparkEntry {
         |  FROM (SELECT * FROM ent WHERE ent_id % 2 = 0) l
         |  JOIN (SELECT * FROM ent WHERE ent_id % 2 = 1) r
         |  ON l.nation = r.nation AND l.seg = r.seg
+        |    AND substr(l.name, 10, 7) = substr(r.name, 10, 7)
         |  WHERE (CASE WHEN l.name IS NULL OR r.name IS NULL THEN 0
         |    ELSE greatest(0, 10 - levenshtein(l.name, r.name)) END) >= 8),
         |e AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
@@ -6315,6 +6414,170 @@ object SparkEntry {
         |  s_plus_micro > 100000000 AS alarm_up,
         |  s_minus_micro > 100000000 AS alarm_down
         |FROM f""".stripMargin,
+
+    // per-group rational-threshold median (min v with 2*cum >= n, the
+    // engine's exact-quantile convention) + deterministic mode (cnt
+    // DESC, value ASC); provenance via nullif(concat_ws(...), '')
+    "q234_impute" ->
+      """WITH base AS (SELECT event_id, user_id % 20 AS grp,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS etype
+        |  FROM events),
+        |vc AS (SELECT grp, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM base WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT grp, v,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n FROM vc),
+        |med AS (SELECT grp, MIN(v) AS fv FROM cum WHERE cum * 2 >= n GROUP BY 1),
+        |mc AS (SELECT grp, etype AS e, COUNT(*) AS cnt
+        |  FROM base WHERE etype IS NOT NULL GROUP BY 1, 2),
+        |md AS (SELECT grp, e AS fe FROM (SELECT grp, e,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, e ASC) AS rk
+        |  FROM mc) WHERE rk = 1)
+        |SELECT b.grp, b.event_id,
+        |  COALESCE(b.value, med.fv) AS value,
+        |  COALESCE(b.etype, md.fe) AS etype,
+        |  nullif(concat_ws(',',
+        |    CASE WHEN b.value IS NULL AND med.fv IS NOT NULL THEN 'value' END,
+        |    CASE WHEN b.etype IS NULL AND md.fe IS NOT NULL THEN 'etype' END),
+        |    '') AS imputed_cols
+        |FROM base b LEFT JOIN med ON b.grp = med.grp
+        |  LEFT JOIN md ON b.grp = md.grp""".stripMargin,
+
+    // q112's integer z-test with the composite (type, weekday) key;
+    // weekday from the q225 integer convention
+    "q235_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type || '|' || CAST((CAST(CAST(ts AS DATE)
+        |      - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS VARCHAR) AS type_dow,
+        |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT type_dow, CAST(SUM(n) AS HUGEINT) AS s1,
+        |    CAST(SUM(n*n) AS HUGEINT) AS s2,
+        |    CAST(COUNT(*) AS HUGEINT) AS n_days FROM daily GROUP BY 1)
+        |SELECT d.type_dow, d.day, CAST(d.n AS BIGINT) AS n_events
+        |FROM daily d JOIN m USING (type_dow)
+        |WHERE (m.n_days * d.n - m.s1) * (m.n_days * d.n - m.s1)
+        |    > 1 * (m.n_days * m.s2 - m.s1 * m.s1)""".stripMargin,
+
+    // the oracle is the FULL-graph closure (q189's): the hash gate
+    // proves the incrementally-maintained assignment equals recompute
+    "q237_incremental_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, root) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.node)
+        |SELECT node AS node_id, CAST(MIN(root) AS BIGINT) AS component_id
+        |FROM reach GROUP BY 1""".stripMargin,
+
+    // q199's mutation model rendered as delete/insert pairs: one full
+    // outer join, changed keys emit both ops with side-matched payloads
+    "q236_cdc_feed" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN '9-RECLASSIFIED' ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey > 0),
+        |j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+        |    o.o_orderpriority AS op_, o.o_totalprice AS ot,
+        |    n.o_orderpriority AS np, n.o_totalprice AS nt
+        |  FROM orders o FULL OUTER JOIN nxt n
+        |  ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey),
+        |j2 AS (SELECT *,
+        |    NOT (op_ IS NOT DISTINCT FROM np)
+        |      OR NOT (ot IS NOT DISTINCT FROM nt) AS chg
+        |  FROM j)
+        |SELECT 'delete' AS op, ok AS o_orderkey, op_ AS o_orderpriority,
+        |  ot AS o_totalprice
+        |FROM j2 WHERE ok IS NOT NULL AND (nk IS NULL OR chg)
+        |UNION ALL
+        |SELECT 'insert' AS op, nk AS o_orderkey, np AS o_orderpriority,
+        |  nt AS o_totalprice
+        |FROM j2 WHERE nk IS NOT NULL AND (ok IS NULL OR chg)""".stripMargin,
+
+    // zipped-unnest positions -> running stopword count = phrase id;
+    // integer-micro word scores; string_agg(ORDER BY pos) phrases;
+    // deterministic top-20 (score DESC, phrase ASC)
+    "q238_rake_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(tk) AS term,
+        |    unnest(generate_series(1, len(tk))) AS pos FROM toks),
+        |p2 AS (SELECT *, term IN ('the','and','a','of','to','in') AS stop
+        |  FROM p WHERE length(term) > 0),
+        |m AS (SELECT *, SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM p2),
+        |mem AS (SELECT doc_id, pid, term, pos FROM m WHERE NOT stop),
+        |wl AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen FROM mem),
+        |ws AS (SELECT term, CAST(SUM(plen) AS BIGINT) AS deg,
+        |    CAST(COUNT(*) AS BIGINT) AS freq FROM wl GROUP BY 1),
+        |ws2 AS (SELECT term, (deg * 1000000) // freq AS wscore FROM ws),
+        |ph AS (SELECT doc_id, pid,
+        |    string_agg(wl.term, ' ' ORDER BY pos) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS nw,
+        |    CAST(SUM(ws2.wscore) AS BIGINT) AS score
+        |  FROM wl JOIN ws2 ON wl.term = ws2.term GROUP BY 1, 2)
+        |SELECT phrase, CAST(MAX(nw) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(MAX(score) AS BIGINT) AS score_micro
+        |FROM ph GROUP BY 1
+        |ORDER BY score_micro DESC, phrase ASC LIMIT 20""".stripMargin,
+
+    // q116's unrolled-iteration shape with edge weights: contribution
+    // (rank*w) // W(u), two rounds
+    "q239_weighted_pagerank" ->
+      """WITH e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48 GROUP BY 1, 2),
+        |e AS (SELECT CAST(s AS VARCHAR) AS src, CAST(t AS VARCHAR) AS dst, w FROM e0
+        |  UNION ALL SELECT CAST(t AS VARCHAR), CAST(s AS VARCHAR), w FROM e0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+        |c1 AS (SELECT e.dst AS node,
+        |    CAST(SUM((r0.rank_micro * e.w) // o.outw) AS BIGINT) AS im
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN ow o ON e.src = o.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.im, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node,
+        |    CAST(SUM((r1.rank_micro * e.w) // o.outw) AS BIGINT) AS im
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN ow o ON e.src = o.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.im, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nodes n LEFT JOIN c2 USING (node))
+        |SELECT node, rank_micro FROM r2""".stripMargin,
+
+    // one qi-tuple aggregate, class-scale rollup; exact counts and one
+    // suppression-rate division
+    "q240_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS cs,
+        |    CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS ns
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(cs) AS BIGINT) AS n_rows,
+        |  MIN(cs) AS achieved_k,
+        |  CAST(SUM(CASE WHEN cs < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_k,
+        |  CAST(SUM(CASE WHEN cs < 15 THEN cs ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+        |  MIN(ns) AS achieved_l,
+        |  CAST(SUM(CASE WHEN ns < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_l,
+        |  CAST(SUM(CASE WHEN ns < 10 THEN cs ELSE 0 END) AS BIGINT) AS n_rows_below_l,
+        |  CAST(SUM(CASE WHEN cs < 15 THEN cs ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(cs) AS DOUBLE) AS suppression_rate,
+        |  MIN(cs) >= 15 AS k_anonymous,
+        |  MIN(ns) >= 10 AS l_diverse
+        |FROM cls""".stripMargin,
 
     // wedge-join candidates only (pair appears once per common
     // neighbor), existing edges anti-joined out, exact integer scores

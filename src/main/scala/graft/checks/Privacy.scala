@@ -1,0 +1,84 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy risk profiling for publishable datasets: k-anonymity and
+  * l-diversity over declared quasi-identifier columns — the release
+  * gate a data-sharing pipeline runs before an extract leaves the
+  * boundary. A row is re-identifiable when its quasi-identifier
+  * combination is rare (k-anonymity: every equivalence class must have
+  * ≥ k members) and attribute-disclosable when its class is uniform in
+  * the sensitive column (l-diversity: every class must carry ≥ l
+  * distinct sensitive values).
+  *
+  * All outputs are exact BIGINT counts and single divisions — the
+  * oracle gate hashes them. NULL is treated as a VALUE in the
+  * quasi-identifier (two rows with NULL zip codes are in the same
+  * class — the standard release-audit convention, and the
+  * null-safe-grouping default both engines share).
+  *
+  * Scale shape: ONE hash aggregate on the quasi-identifier tuple
+  * (map-side combined) carrying count + distinct-sensitive per class,
+  * then class-scale summaries. Nothing after the first aggregate
+  * touches row scale; no window, no collect.
+  */
+object Privacy {
+
+  /** Per-equivalence-class audit: (qi columns..., class_size,
+    * n_sensitive_values, at_risk_k, at_risk_l). Classes sorted out by
+    * the caller; use [[kAnonymityReport]] for the dataset-level
+    * verdict. `sensitiveCol = None` skips diversity (l ignored). */
+  def equivalenceClasses(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: Option[String], k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "quasi-identifier columns required")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    val aggs = Seq(count(lit(1)).as("class_size")) ++
+      sensitiveCol.map(s =>
+        countDistinct(col(s)).as("n_sensitive_values")).toSeq
+    val base = df.groupBy(qiCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val withL = sensitiveCol.fold(
+      base.withColumn("n_sensitive_values", lit(null).cast("long")))(_ => base)
+    withL
+      .withColumn("at_risk_k", col("class_size") < k)
+      .withColumn("at_risk_l",
+        sensitiveCol.fold(lit(null).cast("boolean"))(_ =>
+          col("n_sensitive_values") < l))
+  }
+
+  /** Dataset-level k-anonymity / l-diversity verdict: the achieved k
+    * (smallest class) and l (least-diverse class), how many classes and
+    * ROWS fail each bar, the suppression cost (share of rows that would
+    * have to be dropped to reach k), and the pass/fail verdicts. One
+    * row. */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: Option[String], k: Int, l: Int): DataFrame = {
+    val classes = equivalenceClasses(df, qiCols, sensitiveCol, k, l)
+    val lAggs =
+      if (sensitiveCol.isDefined) Seq(
+        min(col("n_sensitive_values")).as("achieved_l"),
+        sum(when(col("at_risk_l"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_classes_below_l"),
+        sum(when(col("at_risk_l"), col("class_size")).otherwise(lit(0L)))
+          .cast("long").as("n_rows_below_l"))
+      else Seq(
+        lit(null).cast("long").as("achieved_l"),
+        lit(null).cast("long").as("n_classes_below_l"),
+        lit(null).cast("long").as("n_rows_below_l"))
+    val aggs = Seq(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).cast("long").as("n_rows"),
+      min(col("class_size")).as("achieved_k"),
+      sum(when(col("at_risk_k"), lit(1L)).otherwise(lit(0L)))
+        .cast("long").as("n_classes_below_k"),
+      sum(when(col("at_risk_k"), col("class_size")).otherwise(lit(0L)))
+        .cast("long").as("n_rows_below_k")) ++ lAggs
+    classes.agg(aggs.head, aggs.tail: _*)
+      .withColumn("suppression_rate",
+        col("n_rows_below_k").cast("double") / col("n_rows").cast("double"))
+      .withColumn("k_anonymous", col("achieved_k") >= k)
+      .withColumn("l_diverse",
+        if (sensitiveCol.isDefined) col("achieved_l") >= l
+        else lit(null).cast("boolean"))
+  }
+}

@@ -1463,4 +1463,66 @@ object TextAnalysis {
     }
     matched.select(col("doc_id"), (col("__p0") + 1).cast("long").as("match_pos"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010), corpus-wide: candidate
+    * phrases are the maximal stopword-free token runs; each word earns
+    * degree = Σ length of the phrases it appears in and frequency =
+    * its occurrence count; a phrase scores the sum of its words'
+    * degree/frequency ratios. The unsupervised keyword step of a
+    * curation pipeline — what is this corpus about, which phrases
+    * should seed a topic filter.
+    *
+    * Exactness deviation from the paper, deliberately: word ratios are
+    * INTEGER MICRO-UNITS (`deg·1e6 div freq`) so the phrase score is a
+    * sum of exact BIGINTs — order-free and engine-identical — instead
+    * of a sum of doubles whose value depends on addition order. The
+    * floor loses < 1e-6 per word: irrelevant to ranking, essential to
+    * reproducibility.
+    *
+    * Shape at 100 TB: tokenize once (posexplode), phrase ids from ONE
+    * per-doc running stopword count (doc-keyed window); phrase length
+    * from a (doc, phrase) window on the same shuffle; word stats are a
+    * vocabulary-scale aggregate that joins back
+    * [[graft.operators.Broadcasts.maybeBroadcast]]; identical phrases
+    * collapse in one hash aggregate and top-k is a distributed
+    * TakeOrdered — no global sort, no all-pairs anything. */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], topK: Int): DataFrame = {
+    require(stopwords.nonEmpty, "stopword list required (phrases split on them)")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.llmdata.DedupOps.tokens(col(textCol))))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val members = toks
+      .withColumn("__stop", col("term").isin(stopwords: _*))
+      .withColumn("__pid", sum(col("__stop").cast("int")).over(wDoc))
+      .filter(!col("__stop"))
+    val withLen = members.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("__pid"))))
+    val wordScores = withLen.groupBy(col("term"))
+      .agg(sum(col("plen")).cast("long").as("__deg"),
+        count(lit(1)).as("__freq"))
+      .withColumn("__wscore", expr("(__deg * 1000000) div __freq"))
+      .select(col("term"), col("__wscore"))
+    val phraseInstances = withLen
+      .join(graft.operators.Broadcasts.maybeBroadcast(wordScores), Seq("term"))
+      .groupBy(col("doc_id"), col("__pid"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term"))).as("phrase"),
+        count(lit(1)).as("__nw"),
+        sum(col("__wscore")).cast("long").as("__score"))
+    phraseInstances.groupBy(col("phrase"))
+      .agg(max(col("__nw")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("__score")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }

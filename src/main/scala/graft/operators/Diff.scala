@@ -63,4 +63,57 @@ object Diff {
   def diffSummary(diff: DataFrame): DataFrame =
     diff.groupBy(col("diff_status"), col("changed_cols"))
       .agg(count(lit(1)).as("n_rows"))
+
+  /** Snapshot diff rendered as a CHANGE FEED — delete/insert events
+    * with full payloads, the bridge from "the source only gives us full
+    * dumps" to every CDC consumer in the engine
+    * ([[AggMerge.applyCdc]], the cdc maintenance sink, a keyed-upsert
+    * load): `removed → delete(old row)`, `added → insert(new row)`,
+    * `changed → delete(old row) + insert(new row)` — the
+    * retraction-style encoding whose apply rule is pure set algebra
+    * (delete by key, then union inserts).
+    *
+    * Output: `op` ('delete' | 'insert') + key columns + compared
+    * columns, payload taken from the matching side. Same ONE
+    * full-outer key join as [[tableDiff]] — the change pair for an
+    * updated row rides a 2-element generator off the single joined row,
+    * not a second scan. */
+  def toCdcFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.filter(c =>
+        !keys.contains(c) && newDf.columns.contains(c)).toSeq
+    require(cols.nonEmpty, "no non-key columns to carry")
+    val o = oldDf.select((keys ++ cols).map(col): _*).alias("o")
+    val n = newDf.select((keys ++ cols).map(col): _*).alias("n")
+    val joinCond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val joined = o.withColumn("__in_old", lit(1))
+      .join(n.withColumn("__in_new", lit(1)), joinCond, "full_outer")
+    val changed = cols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    def payload(side: String, op: String) = struct(
+      lit(op).as("op") +:
+        (keys ++ cols).map(c => col(s"$side.$c").as(c)): _*)
+    val del = when(col("__in_old").isNotNull &&
+      (col("__in_new").isNull || changed), payload("o", "delete"))
+    val ins = when(col("__in_new").isNotNull &&
+      (col("__in_old").isNull || changed), payload("n", "insert"))
+    joined.select(explode(array(del, ins)).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("__e.*"))
+  }
+
+  /** Apply a [[toCdcFeed]] feed to a snapshot: delete by key, union
+    * inserts — the retraction-apply rule, exposed so the
+    * diff → feed → apply loop is a tested identity (apply(old, feed) ≡
+    * new), not folklore. One anti-join + one union. */
+  def applyCdcFeed(snapshot: DataFrame, feed: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dels = feed.filter(col("op") === "delete").select(keys.map(col): _*)
+    val inss = feed.filter(col("op") === "insert").drop("op")
+    snapshot
+      .join(dels.distinct(), keys, "left_anti")
+      .unionByName(inss.select(snapshot.columns.map(col): _*))
+  }
 }

@@ -53,6 +53,33 @@ object Graph {
       maxIterations)
       .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
 
+  /** Incremental connected components: fold a NEW edge batch into an
+    * existing (node_id, component_id) assignment without replaying the
+    * full edge history — the index-maintenance twin of
+    * [[connectedComponents]], for the standing near-dup/entity-graph
+    * clusters a production pipeline keeps current batch over batch.
+    *
+    * The prior assignment is itself a set of edges (node — its
+    * component label, which is a real member node, the cluster min), so
+    * the union (assignment-as-edges ∪ new edges) has the SAME
+    * components as (all historical edges ∪ new edges) — but with every
+    * old cluster compressed to a depth-1 star. Propagation rounds
+    * therefore track the diameter of the NEW merge structure, not the
+    * historical graph: per-batch cost is independent of how many
+    * batches came before (the [[graft.llmdata.DedupOps]] incremental
+    * index discipline). Component ids stay min-stable: a merge of old
+    * clusters relabels to the smallest involved id.
+    *
+    * Returns the FULL refreshed assignment (all old nodes + new). */
+  def connectedComponentsIncremental(prevAssign: DataFrame,
+      newEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): DataFrame =
+    connectedComponents(
+      prevAssign.select(col("node_id").as("__s"), col("component_id").as("__d"))
+        .unionByName(
+          newEdges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))),
+      "__s", "__d", maxIterations)
+
   /** Up to `iterations` rounds of damped PageRank over directed `edges`
     * (columns `src`, `dst`; duplicates are collapsed). Returns
     * (node, rank_micro): rank in micro-units, initialized to 1.0 per
@@ -78,17 +105,30 @@ object Graph {
     * leak-dangling-mass simplification (and the q116 oracle). */
   def pageRank(edges: DataFrame, iterations: Int,
                dampingPct: Int = 85,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct()
+    // weighted variant: rank flows proportionally to positive INTEGER
+    // edge weights — `contrib = (rank · w) div W(u)` stays exact BIGINT
+    // arithmetic (the unweighted path is weight ≡ 1, same formula).
+    // Duplicate (src, dst) rows SUM their weights; keep rank·weight
+    // inside BIGINT (ranks carry ~1e6·mass — fine up to ~1e12 total
+    // weight per edge, far past any real co-occurrence count).
+    val e = weightCol.fold(
+      edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).distinct()
+        .withColumn("w", lit(1L))) { wc =>
+      edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), col(wc).cast("long").as("w"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist() // nodes-sized; forked by every round's left join
     val nNodes = nodes.count()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val base = lit((100 - dampingPct) * Micro / 100)
     var ranks = nodes.withColumn("rank_micro", lit(Micro))
     var previous: Option[DataFrame] = None
@@ -103,7 +143,7 @@ object Graph {
           ranks.select(col("node").as("src"), col("rank_micro"))), Seq("src"))
         .join(Broadcasts.maybeBroadcast(outdeg), Seq("src"))
         .select(col("dst").as("node"),
-          expr("rank_micro div outdeg").as("contrib"))
+          expr("(rank_micro * w) div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))
       // ranks IS the node universe, so folding over it (rather than

@@ -411,11 +411,20 @@ object Timeseries {
     * explode from per-key bounds, one per-key target join, two windows
     * on the same (key ordered by day) shuffle. */
   def cusum(df: DataFrame, keyCol: String, tsCol: String,
-            slackMicro: Long, hMicro: Long): DataFrame = {
+            slackMicro: Long, hMicro: Long): DataFrame =
+    cusumFromDaily(
+      df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      keyCol, slackMicro, hMicro)
+
+  /** [[cusum]] from an already-aggregated (key, day, cnt) daily table —
+    * the entry point the streaming sink re-derives alarms through after
+    * each counts merge (the daily table is days-scale, so a full
+    * re-derive per micro-batch is cheaper than any state threading). */
+  def cusumFromDaily(daily: DataFrame, keyCol: String,
+                     slackMicro: Long, hMicro: Long): DataFrame = {
     require(slackMicro >= 0 && hMicro > 0, "slackMicro >= 0, hMicro > 0")
     val M = 1000000L
-    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("cnt"))
     val spine = daily.groupBy(col(keyCol))
       .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"),
         sum(col("cnt")).as("__s"), count(lit(1)).as("__nobs"))

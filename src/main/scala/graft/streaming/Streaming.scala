@@ -591,6 +591,55 @@ object Streaming {
       }
       .start()
 
+  /** Streaming CUSUM drift alarms: per micro-batch, merge the batch's
+    * (key, day) counts into a stored daily table (mergeable-partials
+    * algebra, batch-id replay fence), then re-derive the closed-form
+    * CUSUM ([[graft.operators.Timeseries.cusumFromDaily]]) over the
+    * merged table and append the batch's alarm snapshot. Re-deriving is
+    * the honest scale choice: the daily table is days×keys-scale, so a
+    * full recompute per batch costs less than any carried window state,
+    * and late rows for PAST days (which would invalidate carried
+    * prefix sums) are handled for free — the merge just updates the day
+    * and the next derive sees it.
+    *
+    * Exactly-once: counts swap atomically WITH the fence id; a replayed
+    * batch id is skipped whole, so neither the counts nor the alarm
+    * append double-apply (alarm snapshots carry `batch_id` — readers
+    * take the latest). */
+  def cusumSink(df: DataFrame, keyCol: String, tsCol: String,
+                slackMicro: Long, hMicro: Long,
+                countsPath: String, alarmsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, countsPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = batch
+            .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+            .agg(count(lit(1)).as("cnt"))
+          val merged = stored match {
+            case Some(s) => s.drop("last_batch_id").unionByName(delta)
+              .groupBy(col(keyCol), col("day"))
+              .agg(sum(col("cnt")).cast("long").as("cnt"))
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          graft.incremental.Writers.atomicRewrite(out, countsPath)
+          graft.operators.Timeseries
+            .cusumFromDaily(out.drop("last_batch_id"), keyCol,
+              slackMicro, hMicro)
+            .filter(col("alarm_up") || col("alarm_down"))
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1) // alarm snapshots are days-scale
+            .write.mode("append").parquet(alarmsPath)
+        }
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -778,4 +778,60 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/snap")
       .filter(org.apache.spark.sql.functions.col("k") === 9L).count() == 0)
   }
+
+  test("cusumSink: latest alarms ≡ batch operator on the merged series; replay fenced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cusum").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:00:00")
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streaming.cusumSink(in.toDF().toDF("k", "ts"), "k", "ts",
+      slackMicro = 0L, hMicro = 1500000L,
+      dir + "/counts", dir + "/alarms", dir + "/ckpt")
+    val b1 = Seq(("k", ts("2024-01-01")), ("k", ts("2024-01-01")),
+      ("k", ts("2024-01-02")))
+    // batch 2 adds a surge day AND a late row for day 1 — the merge must
+    // fold it into the already-stored day before re-deriving
+    val b2 = Seq(("k", ts("2024-01-03")), ("k", ts("2024-01-03")),
+      ("k", ts("2024-01-03")), ("k", ts("2024-01-03")),
+      ("k", ts("2024-01-03")), ("k", ts("2024-01-01")))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.read.parquet(dir + "/counts")
+      .select("day", "cnt").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(counts == Map("2024-01-01" -> 3L, "2024-01-02" -> 1L,
+      "2024-01-03" -> 5L))
+    // streamed alarms at the LATEST batch equal the batch operator run
+    // over everything delivered so far
+    val alarms = spark.read.parquet(dir + "/alarms")
+    val lastBatch = alarms.agg(max(col("batch_id"))).head.getLong(0)
+    val streamed = alarms.filter(col("batch_id") === lastBatch)
+      .select("k", "day", "n_events", "s_plus_micro", "s_minus_micro")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val direct = graft.operators.Timeseries.cusum(
+      (b1 ++ b2).toDF("k", "ts"), "k", "ts", 0L, 1500000L)
+      .filter(col("alarm_up") || col("alarm_down"))
+      .select("k", "day", "n_events", "s_plus_micro", "s_minus_micro")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == direct && streamed.nonEmpty)
+    // replay batch 0 through a fresh checkpoint sharing the stores
+    val in2 = MemoryStream[(String, java.sql.Timestamp)]
+    val q2 = Streaming.cusumSink(in2.toDF().toDF("k", "ts"), "k", "ts",
+      slackMicro = 0L, hMicro = 1500000L,
+      dir + "/counts", dir + "/alarms", dir + "/ckpt2")
+    try {
+      in2.addData(("k", ts("2024-01-09"))); q2.processAllAvailable()
+    } finally q2.stop()
+    val counts2 = spark.read.parquet(dir + "/counts")
+      .select("day", "cnt").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(counts2 == counts, "replayed batch id must be fenced")
+    assert(spark.read.parquet(dir + "/alarms").count() == alarms.count())
+  }
 }
