@@ -2202,6 +2202,71 @@ object SparkEntry {
         qiCols = Seq("c_nationkey", "c_mktsegment"),
         sensitiveCol = Some("c_acctbal"), k = 15, l = 10)),
 
+    // vector-space drift between two embedding snapshots (vec_id-parity
+    // split): per-label centroid cosine + L2 shift, the q178 decimal
+    // discipline for every dim-space reduction
+    "q241_embedding_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llmdata.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0),
+        "embedding", "label")
+    }),
+
+    // reliability diagram: md5-fraction scores vs the purchase label,
+    // micro-unit integer bins, decimal-exact mean predicted score
+    "q242_calibration" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        graft.llmdata.Sampling.hashFraction(col("event_id")).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      graft.operators.Profile.calibration(ev, "score", "label", nBins = 10)
+    }),
+
+    // personalized PageRank (random-walk-with-restart): teleport mass
+    // restricted to the seed parts -> proximity-to-seeds ranking
+    "q243_personalized_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.pageRank(edges, iterations = 2,
+        teleportTo = Some(seeds))
+    }),
+
+    // frequent 3-itemsets at the part-category rollup (raw part keys
+    // never repeat triples on synthetic data); map-side C(k,3) fan-out
+    "q244_itemsets3" -> ((s, d) =>
+      graft.operators.Patterns.itemsets3(
+        t(s, d, "lineitem").withColumn("cat", col("l_partkey") % 50),
+        "l_orderkey", "cat", minSupport = 5)),
+
+    // MinHash near-dup over ITEM SETS (order baskets at category
+    // granularity) — the text dedup pipeline with stage 1 swapped for
+    // caller-supplied memberships; same banded signatures + exact
+    // verify, jaccard rounded like q34. Category universe 2000: a
+    // 400-item universe went bucket-quadratic at sf0.1 (38.6 s — the
+    // q34 small-vocab trap); the universe must scale with the corpus
+    "q245_basket_neardup" -> ((s, d) =>
+      graft.llmdata.DedupOps.minhashLshSets(
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          (col("l_partkey") % 2000).as("cat")),
+        "l_orderkey", "cat", bands = 4, rows = 4, jaccardThreshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    // leakage-safe temporal split: per user, the time-ordered last 20%
+    // of events -> test (hash splits leak the future into training)
+    "q246_temporal_split" -> ((s, d) =>
+      graft.llmdata.Sampling.temporalSplit(
+        t(s, d, "events").select("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_id", testPct = 20)),
+
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
     "q233_link_prediction" -> ((s, d) => {
@@ -2311,17 +2376,17 @@ object SparkEntry {
   private val mhRows = 4
   /** The q34-family MinHash CTE chain, with an optional WHERE on the
     * document source — q85 excludes tombstoned corpus docs. */
-  private def minhashPairsCtesWhere(where: String, thr: String = "0.4"): String = {
-    val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-    val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
-      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+  /** Shared minhash CTE machinery parameterized by the `shingled` CTE
+    * body (doc_id, sh) — the document path supplies shingle lists, the
+    * set path ([[q245|minhashLshSets]]) supplies item lists. */
+  private def minhashPairsCtesFrom(shingledCte: String, thr: String): String = {
     val sig = (0 until mhBands * mhRows).map(i =>
       s"list_aggregate(list_transform(sh, s -> substr(md5(s || '#$i'), 1, 16)), 'min')")
     val bandRows = (0 until mhBands).map { b =>
       val bandSig = (0 until mhRows).map(r => sig(b * mhRows + r)).mkString(" || '|' || ")
       s"SELECT doc_id, sh, $b AS band, md5($bandSig) AS band_hash FROM shingled"
     }
-    s"""shingled AS (SELECT doc_id, $sh AS sh FROM documents $where),
+    s"""shingled AS ($shingledCte),
        |banded AS (${bandRows.mkString(" UNION ALL ")}),
        |mh_pairs AS (
        |  SELECT id_a, id_b, MAX(jaccard) AS jaccard FROM (
@@ -2332,6 +2397,13 @@ object SparkEntry {
        |    JOIN (SELECT * FROM banded WHERE len(sh) > 0) b
        |      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
        |  GROUP BY 1, 2 HAVING MAX(jaccard) >= $thr)""".stripMargin
+  }
+
+  private def minhashPairsCtesWhere(where: String, thr: String = "0.4"): String = {
+    val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val sh = s"list_sort(list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])))"
+    minhashPairsCtesFrom(s"SELECT doc_id, $sh AS sh FROM documents $where", thr)
   }
 
   private val minhashPairsCtes: String = minhashPairsCtesWhere("")
@@ -6578,6 +6650,149 @@ object SparkEntry {
         |  MIN(cs) >= 15 AS k_anonymous,
         |  MIN(ns) >= 10 AS l_diverse
         |FROM cls""".stripMargin,
+
+    // q93's unnest-with-position dims; every dim-space reduction routes
+    // each double product through DECIMAL(20,6) before summing (q178's
+    // order-free discipline); IEEE sqrt at the very end
+    "q241_embedding_drift" ->
+      """WITH r AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id % 2 <> 0),
+        |xr AS (SELECT label, CAST(unnest(generate_series(1, len(emb))) - 1 AS INT) AS dim,
+        |    unnest(emb) AS x FROM r),
+        |xc AS (SELECT label, CAST(unnest(generate_series(1, len(emb))) - 1 AS INT) AS dim,
+        |    unnest(emb) AS x FROM c),
+        |sr AS (SELECT label, dim, CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS s_ref
+        |  FROM xr GROUP BY 1, 2),
+        |sc AS (SELECT label, dim, CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS s_cur
+        |  FROM xc GROUP BY 1, 2),
+        |nr AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_ref FROM r GROUP BY 1),
+        |nc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cur FROM c GROUP BY 1),
+        |dims AS (SELECT sr.label, s_ref, s_cur,
+        |    s_ref / CAST(n_ref AS DOUBLE) - s_cur / CAST(n_cur AS DOUBLE) AS df_
+        |  FROM sr JOIN sc ON sr.label = sc.label AND sr.dim = sc.dim
+        |  JOIN nr ON nr.label = sr.label JOIN nc ON nc.label = sr.label),
+        |g AS (SELECT label,
+        |    CAST(SUM(CAST(s_ref * s_cur AS DECIMAL(20,6))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(s_ref * s_ref AS DECIMAL(20,6))) AS DOUBLE) AS rr,
+        |    CAST(SUM(CAST(s_cur * s_cur AS DECIMAL(20,6))) AS DOUBLE) AS cc,
+        |    CAST(SUM(CAST(df_ * df_ AS DECIMAL(20,6))) AS DOUBLE) AS l2sq
+        |  FROM dims GROUP BY 1)
+        |SELECT n.label, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        |  CASE WHEN rr > 0.0 AND cc > 0.0
+        |    THEN dot / (sqrt(rr) * sqrt(cc)) END AS centroid_cosine,
+        |  CASE WHEN l2sq IS NOT NULL THEN sqrt(l2sq) END AS centroid_l2
+        |FROM (SELECT COALESCE(nr.label, nc.label) AS label, n_ref, n_cur
+        |  FROM nr FULL OUTER JOIN nc ON nr.label = nc.label) n
+        |LEFT JOIN g ON g.label = n.label""".stripMargin,
+
+    // md5-fraction score (banked hex-parse bridge), micro-unit integer
+    // bins, decimal-path mean score, single-division rates
+    "q242_calibration" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS score,
+        |    event_type = 'purchase' AS label FROM events),
+        |b2 AS (SELECT *, CAST(CAST(score AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS sm FROM b),
+        |b3 AS (SELECT *, least((sm * 10) // 1000000, 9) AS bin
+        |  FROM b2 WHERE sm BETWEEN 0 AND 1000000)
+        |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+        |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS observed_rate,
+        |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    - CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS calibration_gap
+        |FROM b3 GROUP BY 1""".stripMargin,
+
+    // q116's unrolled shape with seed-restricted init + restart mass
+    "q243_personalized_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |e AS (SELECT CAST(s AS VARCHAR) AS src, CAST(t AS VARCHAR) AS dst FROM e0
+        |  UNION ALL SELECT CAST(t AS VARCHAR), CAST(s AS VARCHAR) FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |sd AS (SELECT CAST(p_partkey AS VARCHAR) AS node FROM part
+        |  WHERE p_partkey % 10 = 0),
+        |nf AS (SELECT n.node, sd.node IS NOT NULL AS seed
+        |  FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, seed,
+        |    CAST(CASE WHEN seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank_micro
+        |  FROM nf),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.rank_micro // d.outdeg) AS BIGINT) AS im
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.node, n.seed,
+        |    CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
+        |      + (85 * COALESCE(c1.im, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nf n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.rank_micro // d.outdeg) AS BIGINT) AS im
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |    CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
+        |      + (85 * COALESCE(c2.im, 0)) // 100 AS BIGINT) AS rank_micro
+        |  FROM nf n LEFT JOIN c2 USING (node))
+        |SELECT node, rank_micro FROM r2""".stripMargin,
+
+    // 3-way ordered self-join of the category-level basket table — the
+    // SQL twin of the map-side C(k,3) generator fan-out
+    "q244_itemsets3" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS p
+        |  FROM lineitem WHERE l_partkey IS NOT NULL)
+        |SELECT a.p AS item_a, b.p AS item_b, c.p AS item_c,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+        |  JOIN oi c ON b.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5""".stripMargin,
+
+    // the set variant's 60-bit LONG minhash (15 hex chars -> BIGINT,
+    // band hash over '|'-joined decimal renderings); category rollup
+    // keeps the item universe sparse (q34 small-vocab lesson)
+    "q245_basket_neardup" -> {
+      val hashes = (0 until mhBands * mhRows).map(i =>
+        s"CAST('0x' || substr(md5(s || '#$i'), 1, 15) AS BIGINT) AS x$i")
+        .mkString(", ")
+      val mins = (0 until mhBands * mhRows).map(i => s"MIN(x$i) AS h$i")
+        .mkString(", ")
+      val bandRows = (0 until mhBands).map { b =>
+        val parts = (0 until mhRows).map(r => s"CAST(h${b * mhRows + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH oi AS (SELECT l_orderkey AS doc_id,
+         |    CAST(l_partkey % 2000 AS VARCHAR) AS s FROM lineitem),
+         |hashed AS (SELECT doc_id, $hashes FROM oi),
+         |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY 1),
+         |banded AS ($bandRows),
+         |sets AS (SELECT doc_id, list_sort(list_distinct(list(s))) AS sh
+         |  FROM oi GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(a2.sh, b2.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a2.sh, b2.sh))) AS jaccard
+         |  FROM cand JOIN sets a2 ON a2.doc_id = cand.id_a
+         |  JOIN sets b2 ON b2.doc_id = cand.id_b)
+         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM ver
+         |WHERE jaccard >= 0.6""".stripMargin
+    },
+
+    // per-entity rank over (ts DESC, id DESC); floor-div test quota
+    "q246_temporal_split" ->
+      """WITH r AS (SELECT event_id, user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT event_id, user_id, ts, event_type,
+        |  CASE WHEN rn <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
+        |FROM r""".stripMargin,
 
     // wedge-join candidates only (pair appears once per common
     // neighbor), existing edges anti-joined out, exact integer scores

@@ -122,6 +122,35 @@ object Sampling {
     splitAssign(withRep, "__rep", splits, salt).drop("__rep")
   }
 
+  /** Leakage-safe TEMPORAL split: per entity, the time-ordered LAST
+    * `testPct`% of events become the test set — the backtest
+    * convention, where a hash split would leak the future into
+    * training (a model must never train on events after its own test
+    * window FOR THAT ENTITY). Equal-instant ties order by descending
+    * `idCol` (larger id = later), so the cut is total-ordered and
+    * engine-deterministic.
+    *
+    * Exact integer allocation: an entity with n events puts
+    * `n·testPct div 100` (floor) in test — entities with few events
+    * keep everything in train rather than surrendering their only
+    * rows. One per-entity window (rank + count on the same key
+    * shuffle), no global ordering anywhere.
+    *
+    * Output: df columns + `split` ('train' | 'test'). */
+  def temporalSplit(df: DataFrame, entityCol: String, tsCol: String,
+                    idCol: String, testPct: Int): DataFrame = {
+    require(testPct >= 0 && testPct <= 100, s"testPct in [0,100], got $testPct")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val wAll = Window.partitionBy(col(entityCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"(__n * $testPct) div 100"), lit("test"))
+          .otherwise(lit("train")))
+      .drop("__rn", "__n")
+  }
+
   /** Cumulative normalized thresholds for [[splitAssign]] — (name,
     * upper_bound) per split, last bound exactly 1.0. */
   def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Double)] = {

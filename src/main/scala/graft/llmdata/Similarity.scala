@@ -901,4 +901,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Embedding-distribution drift between two vector snapshots — the
+    * VECTOR face of the drift family (categorical: Drift
+    * .categoricalDrift, numeric: numericDrift, text: vocabDrift): per
+    * label, did the population's centroid move. Catches a retrained
+    * embedder, an upstream preprocessing change, or label-conditional
+    * distribution shift that per-scalar drift tests can't see.
+    *
+    * Per label: ref/cur vector counts, the cosine between the two
+    * centroids (scale-invariant, so it is computed on the per-dim SUM
+    * vectors — no division before the dot products), and the L2
+    * distance between the centroids. Labels present on only one side
+    * report NULL geometry (appearing/vanishing labels are themselves
+    * the drift signal).
+    *
+    * Exactness: per-dim sums take the decimal path (order-free); the
+    * dim-space reductions (dot, norms, squared diffs) route each
+    * double product through decimal(20,6) before summing — the q178
+    * correlation-matrix discipline — so no order-dependent double
+    * accumulation exists; sqrt is IEEE-correctly-rounded.
+    *
+    * Shape at 100 TB: two (label, dim) hash aggregates with map-side
+    * combine (rows × dim fan-out is the explode, map-side); everything
+    * after is (labels × dims)-scale. Counts join broadcast. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val d20 = "decimal(20,6)"
+    def dimSums(df: DataFrame, side: String) = df
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos").as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy(col("label"), col("dim"))
+      .agg(graft.functions.ScalarFns.exactSum(col("x")).as(s"s_$side"))
+    def vecCounts(df: DataFrame, side: String) = df
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as(s"n_$side"))
+    val nr = vecCounts(ref, "ref")
+    val nc = vecCounts(cur, "cur")
+    val dims = dimSums(ref, "ref").join(dimSums(cur, "cur"), Seq("label", "dim"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(nr), Seq("label"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(nc), Seq("label"))
+      .withColumn("__diff",
+        col("s_ref") / col("n_ref").cast("double")
+          - col("s_cur") / col("n_cur").cast("double"))
+    val geom = dims.groupBy(col("label")).agg(
+      sum((col("s_ref") * col("s_cur")).cast(d20)).cast("double").as("__dot"),
+      sum((col("s_ref") * col("s_ref")).cast(d20)).cast("double").as("__rr"),
+      sum((col("s_cur") * col("s_cur")).cast(d20)).cast("double").as("__cc"),
+      sum((col("__diff") * col("__diff")).cast(d20)).cast("double").as("__l2sq"))
+    nr.join(nc, Seq("label"), "full_outer")
+      .join(geom, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        when(col("__rr") > 0.0 && col("__cc") > 0.0,
+          col("__dot") / (sqrt(col("__rr")) * sqrt(col("__cc"))))
+          .as("centroid_cosine"),
+        when(col("__l2sq").isNotNull, sqrt(col("__l2sq")))
+          .as("centroid_l2"))
+  }
 }

@@ -106,7 +106,8 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int,
                dampingPct: Int = 85,
                redistributeDangling: Boolean = false,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               teleportTo: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -124,13 +125,28 @@ object Graph {
         col("dst").cast("string").as("dst"), col(wc).cast("long").as("w"))
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     }
-    val nodes = e.select(col("src").as("node"))
+    // personalized (random-walk-with-restart) variant: `teleportTo`
+    // restricts BOTH the initial mass and the restart term to the seed
+    // set (first column, restricted to graph nodes) — rank becomes
+    // proximity-to-seeds instead of global centrality. None = every
+    // node is a seed, which reduces to exactly the classic formula.
+    val nodesRaw = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist() // nodes-sized; forked by every round's left join
+    val nodes = (teleportTo match {
+      case None => nodesRaw.withColumn("__seed", lit(true))
+      case Some(s) =>
+        val seeds = s.select(col(s.columns.head).cast("string").as("node"))
+          .distinct().withColumn("__flag", lit(true))
+        nodesRaw.join(Broadcasts.maybeBroadcast(seeds), Seq("node"), "left")
+          .withColumn("__seed", coalesce(col("__flag"), lit(false)))
+          .drop("__flag")
+    }).persist() // nodes-sized; forked by every round's left join
     val nNodes = nodes.count()
     val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    val base = lit((100 - dampingPct) * Micro / 100)
-    var ranks = nodes.withColumn("rank_micro", lit(Micro))
+    val base = when(col("__seed"), lit((100 - dampingPct) * Micro / 100))
+      .otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank_micro",
+      when(col("__seed"), lit(Micro)).otherwise(lit(0L)))
     var previous: Option[DataFrame] = None
     var converged = false
     var iter = 0
@@ -149,7 +165,8 @@ object Graph {
       // ranks IS the node universe, so folding over it (rather than
       // `nodes`) both supplies every node's row and carries last round's
       // value for the convergence test — no extra join.
-      var next = ranks.select(col("node"), col("rank_micro").as("__prev"))
+      var next = ranks.select(col("node"), col("__seed"),
+          col("rank_micro").as("__prev"))
         .join(contribs, Seq("node"), "left")
       if (redistributeDangling) {
         // dangling mass = rank held by nodes with NO out-edges; a
@@ -163,7 +180,7 @@ object Graph {
           .drop("dangling_sum")
       }
       val stepped = next
-        .select(col("node"), col("__prev"),
+        .select(col("node"), col("__seed"), col("__prev"),
           (base + expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
             .as("rank_micro"))
         .persist()
@@ -178,7 +195,7 @@ object Graph {
       iter += 1
     }
     nodes.unpersist(blocking = false)
-    ranks
+    ranks.drop("__seed")
   }
 
   /** Per-node triangle count, degree, and local clustering coefficient —

@@ -192,4 +192,40 @@ object Patterns {
       .withColumn("accuracy",
         col("n_hits").cast("double") / col("n_transitions").cast("double"))
   }
+
+  /** Frequent 3-itemsets: ordered item triples (a < b < c) co-occurring
+    * in at least `minSupport` baskets — one rung up the association
+    * ladder from [[basketPairs]] (pairs miss three-way bundles whose
+    * pairwise supports are unremarkable).
+    *
+    * The triple fan-out is MAP-SIDE off each basket's sorted distinct
+    * item array (chained generators with position guards — C(k,3) rows
+    * per basket, no self-join anywhere); one hash aggregate counts
+    * supports. Cost is Σ C(k,3) over baskets: cap pathological basket
+    * sizes upstream the way every association miner does (a 10k-item
+    * basket is a crawler, not a customer). Item ordering inside a
+    * triple is the array's sort order — ascending, engine-identical. */
+  def itemsets3(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val baskets = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull)
+      .distinct()
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+      .filter(size(col("__items")) >= 3)
+    baskets
+      .select(col("__b"), col("__items"),
+        posexplode(col("__items")).as(Seq("__pi", "item_a")))
+      .select(col("__b"), col("__items"), col("__pi"), col("item_a"),
+        posexplode(col("__items")).as(Seq("__pj", "item_b")))
+      .filter(col("__pj") > col("__pi"))
+      .select(col("__b"), col("__pj"), col("item_a"), col("item_b"),
+        posexplode(col("__items")).as(Seq("__pk", "item_c")))
+      .filter(col("__pk") > col("__pj"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -582,4 +582,43 @@ object Profile {
         ((col("n_both") * col("n_entities")).cast("double")
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Model-calibration (reliability) report: scores in [0, 1] cut into
+    * `nBins` equal bins, each reporting volume, positives, mean
+    * predicted score, observed positive rate, and the calibration gap
+    * (observed − predicted) — the table behind every reliability
+    * diagram and the first artifact an ML-eval pipeline materializes
+    * for a scored dataset.
+    *
+    * Binning follows the [[histogram]] micro-unit discipline: scores
+    * exact-scale to integer micro via decimal, bin = `(sm·nBins) div
+    * 1e6` — a score exactly on a bin edge lands identically on every
+    * engine (the float form does not); score 1.0 clamps into the last
+    * bin. NULL scores/labels drop. Mean score takes the decimal-sum
+    * path; rates and gap are single divisions/subtractions.
+    *
+    * One map stage + one nBins-scale hash aggregate. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__sm",
+        (col(scoreCol).cast("decimal(20,6)") * 1000000).cast("long"))
+      .filter(col("__sm") >= 0 && col("__sm") <= 1000000L)
+      .withColumn("bin",
+        least(expr(s"(__sm * $nBins) div 1000000"), lit(nBins - 1L)))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        graft.functions.ScalarFns.exactSum(col(scoreCol)).as("__ssum"))
+      .select(col("bin"),
+        (col("bin").cast("double") / nBins).as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("__ssum") / col("n").cast("double")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("observed_rate"),
+        (col("n_pos").cast("double") / col("n").cast("double")
+          - col("__ssum") / col("n").cast("double")).as("calibration_gap"))
+  }
 }

@@ -225,4 +225,164 @@ class RepairFeedOpsSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("pageRank personalized: mass concentrates near seeds; all-seeds ≡ classic") {
+    // path 1 -> 2 -> 3 with seed {1}: node 1 restarts, 3 only receives
+    // via 2 — decaying with distance; non-seeds get no restart mass
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("s")
+    val r = Graph.pageRank(e, 2, teleportTo = Some(seeds))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // round 1: 1 -> 150000; 2 -> 0 + 85%*1000000 = 850000; 3 -> 0
+    // round 2: 1 -> 150000; 2 -> 85%*150000 = 127500; 3 -> 85%*850000
+    assert(r == Map("1" -> 150000L, "2" -> 127500L, "3" -> 722500L))
+    val classic = Graph.pageRank(e, 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val allSeeds = Graph.pageRank(e, 2,
+      teleportTo = Some(Seq(1L, 2L, 3L).toDF("s")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(classic == allSeeds, "teleporting to every node ≡ classic PageRank")
+  }
+
+  // ---- embedding drift --------------------------------------------------
+
+  test("embeddingDrift: identical snapshots -> cosine 1, L2 0; shifted label detected") {
+    val ref = Seq((1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.0f, 1.0f), "a"),
+      (3L, Seq(1.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val same = graft.llmdata.Similarity
+      .embeddingDrift(ref, ref, "embedding", "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(same("a").getDouble(3) - 1.0) < 1e-12)
+    assert(same("a").getDouble(4) == 0.0)
+    // cur: label a rotated 90° in aggregate -> centroid moves
+    val cur = Seq((4L, Seq(-1.0f, 0.0f), "a"), (5L, Seq(0.0f, -1.0f), "a"),
+      (6L, Seq(1.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val moved = graft.llmdata.Similarity
+      .embeddingDrift(ref, cur, "embedding", "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(moved("a").getDouble(3) - (-1.0)) < 1e-12) // opposite
+    assert(moved("a").getDouble(4) > 1.0)                      // centroids far
+    assert(math.abs(moved("b").getDouble(3) - 1.0) < 1e-12)    // unmoved
+  }
+
+  test("embeddingDrift: one-sided labels report counts with NULL geometry") {
+    val ref = Seq((1L, Seq(1.0f, 0.0f), "only_ref")).toDF("vec_id", "embedding", "label")
+    val cur = Seq((2L, Seq(1.0f, 0.0f), "only_cur")).toDF("vec_id", "embedding", "label")
+    val out = graft.llmdata.Similarity
+      .embeddingDrift(ref, cur, "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3), r.isNullAt(4))).toMap
+    assert(out("only_ref") == ((1L, 0L, true, true)))
+    assert(out("only_cur") == ((0L, 1L, true, true)))
+  }
+
+  // ---- calibration ------------------------------------------------------
+
+  test("calibration: exact bins, rates, and gaps; edge scores clamp deterministically") {
+    val df = Seq(
+      (0.05, true), (0.05, false),    // bin 0: rate 0.5, mean 0.05
+      (0.10, false),                  // exactly on the 0.1 edge -> bin 1
+      (0.95, true), (1.0, true))      // 1.0 clamps into bin 9
+      .toDF("score", "label")
+    val out = graft.operators.Profile.calibration(df, "score", "label", 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 9L))
+    val b0 = out(0L)
+    assert(b0.getAs[Long]("n") == 2L && b0.getAs[Long]("n_pos") == 1L)
+    assert(b0.getAs[Double]("observed_rate") == 0.5)
+    assert(math.abs(b0.getAs[Double]("mean_score") - 0.05) < 1e-12)
+    assert(math.abs(b0.getAs[Double]("calibration_gap") - 0.45) < 1e-12)
+    assert(out(1L).getAs[Long]("n") == 1L) // edge landed UP, exactly
+    assert(out(9L).getAs[Long]("n") == 2L) // 0.95 and the clamped 1.0
+    assert(out(9L).getAs[Double]("bin_lo") == 0.9)
+  }
+
+  // ---- itemsets ---------------------------------------------------------
+
+  test("itemsets3: ordered triples, support threshold, duplicate items dedup") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "c"), // dup item in basket
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "a"), (3L, "b"), (3L, "d"))
+      .toDF("basket", "item")
+    val out = graft.operators.Patterns.itemsets3(df, "basket", "item", 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    // (a,b,c) in baskets 1,2; (a,b,d) in 2,3; all other triples once
+    assert(out == Map(("a", "b", "c") -> 2L, ("a", "b", "d") -> 2L))
+  }
+
+  test("itemsets3: baskets below three distinct items contribute nothing") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("basket", "item")
+    assert(graft.operators.Patterns.itemsets3(df, "basket", "item", 1L).isEmpty)
+  }
+
+  // ---- set minhash ------------------------------------------------------
+
+  test("minhashLshSets: identical sets pair at jaccard 1; duplicates dedup; disjoint never pair") {
+    val m = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "c"), // dup membership row
+      (3L, "x"), (3L, "y"), (3L, "z"))
+      .toDF("set_id", "item")
+    val out = graft.llmdata.DedupOps.minhashLshSets(m, "set_id", "item",
+      bands = 4, rows = 2, jaccardThreshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == 1.0)
+  }
+
+  test("minhashLshSets: verified jaccard is the exact set jaccard") {
+    // sets {a,b,c,d} vs {a,b,c,e}: jaccard 3/5 — identical first 3
+    // minima make band collisions likely at rows=1
+    val m = (Seq("a", "b", "c", "d").map((10L, _)) ++
+      Seq("a", "b", "c", "e").map((20L, _))).toDF("set_id", "item")
+    val out = graft.llmdata.DedupOps.minhashLshSets(m, "set_id", "item",
+      bands = 8, rows = 1, jaccardThreshold = 0.5).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 0.6)
+  }
+
+  // ---- temporal split ---------------------------------------------------
+
+  test("temporalSplit: per-entity floor quota, latest rows to test, tie rule") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (2L, 100L, ts("2024-01-02 00:00:00")),
+      (3L, 100L, ts("2024-01-03 00:00:00")),
+      (4L, 100L, ts("2024-01-04 00:00:00")),
+      (5L, 100L, ts("2024-01-05 00:00:00")),
+      // entity 200: 2 events at 20% -> floor(0.4) = 0 in test
+      (6L, 200L, ts("2024-01-01 00:00:00")),
+      (7L, 200L, ts("2024-01-02 00:00:00")),
+      // entity 300: equal instants -> larger id counts as later
+      (8L, 300L, ts("2024-01-01 00:00:00")),
+      (9L, 300L, ts("2024-01-01 00:00:00")),
+      (10L, 300L, ts("2024-01-01 00:00:00")),
+      (11L, 300L, ts("2024-01-01 00:00:00")),
+      (12L, 300L, ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.llmdata.Sampling
+      .temporalSplit(df, "user_id", "ts", "event_id", testPct = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(5L) == "test") // latest of 5 for user 100
+    assert((1L to 4L).forall(i => out(i) == "train"))
+    assert(out(6L) == "train" && out(7L) == "train") // floor quota 0
+    assert(out(12L) == "test") // largest id at the shared instant
+    assert((8L to 11L).forall(i => out(i) == "train"))
+  }
+
+  test("temporalSplit: testPct 0 and 100 are total") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-02 00:00:00"))).toDF("event_id", "user_id", "ts")
+    assert(graft.llmdata.Sampling
+      .temporalSplit(df, "user_id", "ts", "event_id", 0)
+      .filter(col("split") === "test").isEmpty)
+    assert(graft.llmdata.Sampling
+      .temporalSplit(df, "user_id", "ts", "event_id", 100)
+      .filter(col("split") === "train").isEmpty)
+  }
 }
