@@ -2267,6 +2267,23 @@ object SparkEntry {
         t(s, d, "events").select("event_id", "user_id", "ts", "event_type"),
         "user_id", "ts", "event_id", testPct = 20)),
 
+    // Theil-Sen robust trend per event type: median of pairwise daily
+    // slopes — outlier days can't drag it the way OLS (q119) moves
+    "q247_theil_sen" -> ((s, d) =>
+      graft.operators.Timeseries.theilSen(t(s, d, "events"), "event_type",
+        "ts", "value")),
+
+    // deterministic negative sampling (supplier x part): md5 draws into
+    // the dense item index, positives anti-joined, first k by draw
+    // order — no anchor x universe cross join anywhere
+    "q248_negative_sample" -> ((s, d) =>
+      graft.llmdata.Sampling.negativeSample(
+        t(s, d, "lineitem").select(col("l_suppkey").as("anchor"),
+          col("l_partkey").as("item")),
+        "anchor", "item",
+        t(s, d, "part").select(col("p_partkey").as("item")),
+        k = 3, oversample = 8)),
+
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
     "q233_link_prediction" -> ((s, d) => {
@@ -6793,6 +6810,49 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, event_type,
         |  CASE WHEN rn <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
         |FROM r""".stripMargin,
+
+    // pairwise slopes = one double subtraction over one integer-day
+    // division; positional lower-median (2*rn >= n)
+    "q247_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM p)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  MIN(slope) AS theil_sen_slope
+        |FROM r WHERE 2 * rn >= n GROUP BY 1""".stripMargin,
+
+    // scalar-list unnest in SELECT = the anchor x draws fan-out (lateral
+    // generate_series is unsupported — banked); md5 hex bridge mod N
+    "q248_negative_sample" ->
+      """WITH pos AS (SELECT DISTINCT l_suppkey AS anchor, l_partkey AS item
+        |  FROM lineitem),
+        |idx AS (SELECT item,
+        |    CAST(row_number() OVER (ORDER BY item) AS BIGINT) - 1 AS ix
+        |  FROM (SELECT DISTINCT p_partkey AS item FROM part)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM idx),
+        |anchors AS (SELECT DISTINCT anchor FROM pos),
+        |dr AS (SELECT anchor, unnest(generate_series(0, 10)) AS draw_index
+        |  FROM anchors),
+        |dr2 AS (SELECT anchor, draw_index,
+        |    CAST('0x' || substr(md5(CAST(anchor AS VARCHAR) || '#'
+        |      || CAST(draw_index AS VARCHAR)), 1, 8) AS BIGINT) % nn AS ix
+        |  FROM dr, n),
+        |cand AS (SELECT dr2.anchor, idx.item, dr2.draw_index
+        |  FROM dr2 JOIN idx USING (ix)),
+        |neg AS (SELECT c.anchor, c.item, MIN(c.draw_index) AS draw_index
+        |  FROM cand c LEFT JOIN pos
+        |  ON pos.anchor = c.anchor AND pos.item = c.item
+        |  WHERE pos.anchor IS NULL GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY anchor
+        |    ORDER BY draw_index) AS rk FROM neg)
+        |SELECT anchor, item, draw_index FROM rk WHERE rk <= 3""".stripMargin,
 
     // wedge-join candidates only (pair appears once per common
     // neighbor), existing edges anti-joined out, exact integer scores

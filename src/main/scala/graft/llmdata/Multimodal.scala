@@ -384,6 +384,74 @@ object Multimodal {
       }
   }
 
+  case class ImageDHash(asset_id: Long, dhash: Long, decoded: Boolean)
+
+  /** Perceptual difference-hash (dHash): average-pool luma to a 9×8
+    * grid and set bit (row j, col i) iff cell (i+1, j) is brighter
+    * than cell (i, j) — a horizontal-GRADIENT signature. Where
+    * [[imageAHash]] compares cells to the global mean (so a uniform
+    * brightness/contrast shift can flip bits near the mean), dHash
+    * encodes only local ordering and is invariant to any monotone
+    * global tone change — the standard second opinion in image dedup
+    * (agreeing aHash+dHash pairs are near-certain duplicates).
+    * Same mapPartitions shape and flat-image exclusion as aHash;
+    * pair via [[imageNearDupPairs]]-style pigeonhole blocking on the
+    * `dhash` column. */
+  def imageDHash(media: DataFrame): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            ImageDHash(id, 0L, decoded = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cells = Array.ofDim[Double](8, 9) // [row][col], 9 cols
+            var cj = 0
+            while (cj < 8) {
+              var ci = 0
+              while (ci < 9) {
+                val x0 = ci * w / 9; val x1 = (ci + 1) * w / 9
+                val y0 = cj * h / 8; val y1 = (cj + 1) * h / 8
+                var sum = 0.0
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                    x += 1
+                  }
+                  y += 1
+                }
+                cells(cj)(ci) = sum / ((x1 - x0).toLong * (y1 - y0))
+                ci += 1
+              }
+              cj += 1
+            }
+            val flat = cells.flatten.distinct.length == 1
+            if (flat) ImageDHash(id, 0L, decoded = false)
+            else {
+              var hash = 0L
+              var k = 0
+              while (k < 64) {
+                val ci = k % 8; val row = k / 8
+                if (cells(row)(ci + 1) > cells(row)(ci)) hash |= (1L << k)
+                k += 1
+              }
+              ImageDHash(id, hash, decoded = true)
+            }
+          }
+        }
+      }
+  }
+
   /** Near-duplicate image pairs: asset pairs whose aHash Hamming distance
     * is ≤ `maxHamming`, found with the SAME pigeonhole blocking as
     * 64-bit SimHash text dedup ([[DedupOps.simhashPairs]]): split the 64

@@ -151,6 +151,53 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic negative sampling for contrastive training: for
+    * every anchor in `positives`, exactly `k` pseudo-random items the
+    * anchor is NOT paired with — reproducible run to run (md5 draws,
+    * never `rand()`), and with NO anchor×universe cross join anywhere:
+    * each anchor generates `k + oversample` candidate DRAWS map-side
+    * (`hash(anchor, j) mod N` indexes into the item universe), the
+    * draws join the dense item index on the index key, known positives
+    * anti-join out, duplicate draws collapse to their first draw
+    * number, and the first `k` survivors (by draw order) win. The
+    * oversample margin absorbs positive/duplicate collisions; anchors
+    * whose margin runs out return fewer than `k` (raise `oversample`
+    * — at real universe sizes collisions are rare).
+    *
+    * The dense item index is a row_number over the ITEM DIMENSION —
+    * the documented metadata-scale global window (items are a
+    * dimension, not the fact stream); the N-row count rides a one-row
+    * broadcast. Modulo bias over N is the standard, documented trade.
+    *
+    * Output: (anchorCol, itemCol, draw_index). */
+  def negativeSample(positives: DataFrame, anchorCol: String,
+                     itemCol: String, items: DataFrame,
+                     k: Int, oversample: Int = 8): DataFrame = {
+    require(k >= 1 && oversample >= 0, s"bad k=$k / oversample=$oversample")
+    import org.apache.spark.sql.expressions.Window
+    val idx = items.select(col(itemCol)).distinct()
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col(itemCol))).cast("long") - 1)
+    val n = idx.agg(count(lit(1)).as("__n"))
+    val draws = positives.select(col(anchorCol)).distinct()
+      .join(graft.operators.Broadcasts.maybeBroadcast(n))
+      .select(col(anchorCol), col("__n"),
+        explode(sequence(lit(0), lit(k + oversample - 1))).as("draw_index"))
+      .withColumn("__idx",
+        conv(substring(md5(concat(col(anchorCol).cast("string"), lit("#"),
+          col("draw_index"))), 1, 8), 16, 10).cast("long") % col("__n"))
+    draws
+      .join(graft.operators.Broadcasts.maybeBroadcast(idx), Seq("__idx"))
+      .join(positives.select(col(anchorCol), col(itemCol)).distinct(),
+        Seq(anchorCol, itemCol), "left_anti")
+      .groupBy(col(anchorCol), col(itemCol))
+      .agg(min(col("draw_index")).as("draw_index"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(anchorCol)).orderBy(col("draw_index").asc)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Cumulative normalized thresholds for [[splitAssign]] — (name,
     * upper_bound) per split, last bound exactly 1.0. */
   def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Double)] = {

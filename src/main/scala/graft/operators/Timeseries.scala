@@ -454,6 +454,45 @@ object Timeseries {
         col("alarm_up"), col("alarm_down"))
   }
 
+  /** Theil-Sen robust trend per key: the MEDIAN of all pairwise daily
+    * slopes — the robust twin of [[trendByKey]]'s OLS line (one wild
+    * outlier day drags a least-squares slope arbitrarily; it moves the
+    * pairwise-slope median not at all, up to a 29% breakdown point).
+    *
+    * Exactness: daily values take the decimal path; each pairwise
+    * slope is ONE double subtraction over ONE integer-day division —
+    * a fixed IEEE tree; the median is the engine's lower-median
+    * convention (smallest slope with 2·rank ≥ n over the per-key
+    * slope ordering) — positional, so duplicate slope values cannot
+    * make engines disagree.
+    *
+    * Cost contract: C(days, 2) pairs PER KEY — quadratic in the key's
+    * OBSERVED DAYS (not events): ~500 pairs for a month, ~66k for a
+    * year. For multi-year series, pre-aggregate to weeks upstream.
+    * Keys with fewer than two days are absent. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(graft.functions.ScalarFns.exactSum(col(valCol)).as("__v"))
+      .withColumn("__d",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.__d") < col("b.__d"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        ((col("b.__v") - col("a.__v"))
+          / (col("b.__d") - col("a.__d")).cast("double")).as("__slope"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__slope").asc)
+    val wAll = Window.partitionBy(col(keyCol))
+    pairs
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(lit(2L) * col("__rn") >= col("__n"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_pairs"),
+        min(col("__slope")).as("theil_sen_slope"))
+  }
+
   def burstDetect(df: DataFrame, tsCol: String, bucketSeconds: Long,
                   trailingN: Int, factorNum: Long, factorDen: Long): DataFrame = {
     require(bucketSeconds > 0 && trailingN >= 1 && factorNum > 0 && factorDen > 0,

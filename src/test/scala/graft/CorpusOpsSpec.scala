@@ -326,6 +326,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), "only the near-identical pair survives")
   }
 
+  test("imageDHash: invariant to a global brightness shift where aHash is not guaranteed") {
+    // horizontal gradient image and a +60-brightness clone: every local
+    // left-right ordering is preserved -> identical dHash
+    def clamp(v: Int) = math.min(255, math.max(0, v))
+    def grey(v: Int) = { val c = clamp(v); (c << 16) | (c << 8) | c }
+    val a = pngBytes(18, 16)((x, _) => grey(x * 10))
+    val bright = pngBytes(18, 16)((x, _) => grey(x * 10 + 60))
+    val reversed = pngBytes(18, 16)((x, _) => grey((17 - x) * 10))
+    val media = Seq((1L, a), (2L, bright), (3L, reversed),
+      (4L, pngBytes(16, 16)((_, _) => 0x808080)), // flat
+      (5L, "junk".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val hashes = graft.llmdata.Multimodal.imageDHash(media)
+      .collect().map(x => x.asset_id -> x).toMap
+    assert(hashes(1L).decoded && hashes(2L).decoded && hashes(3L).decoded)
+    assert(hashes(1L).dhash == hashes(2L).dhash,
+      "a monotone tone shift must not move the dHash")
+    assert(hashes(1L).dhash == -1L,
+      "a strictly increasing gradient sets every comparison bit")
+    assert(java.lang.Long.bitCount(hashes(1L).dhash ^ hashes(3L).dhash) == 64,
+      "the mirrored gradient flips every comparison")
+    assert(!hashes(4L).decoded, "flat images carry no gradient signal")
+    assert(!hashes(5L).decoded)
+  }
+
   test("imageNearDupPairs pigeonhole recall: hamming <= budget pairs are always found") {
     import graft.llmdata.Multimodal.ImageHash
     // synthetic hashes: base, base with 2 flipped bits (in DIFFERENT

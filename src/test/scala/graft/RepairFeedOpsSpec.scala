@@ -374,6 +374,42 @@ class RepairFeedOpsSpec extends SparkSpec {
     assert((8L to 11L).forall(i => out(i) == "train"))
   }
 
+  test("theilSen: outlier days cannot drag the median slope") {
+    // daily values 1, 2, 3 then an outlier 100: five of six pairwise
+    // slopes are 1.0 or huge; the lower median stays 1.0
+    val ev = Seq(("k", "2024-01-01", 1.0), ("k", "2024-01-02", 2.0),
+      ("k", "2024-01-03", 3.0), ("k", "2024-01-04", 100.0))
+      .toDF("k", "d", "value")
+      .select(col("k"), col("d").cast("timestamp").as("ts"), col("value"))
+    val out = graft.operators.Timeseries.theilSen(ev, "k", "ts", "value")
+      .head()
+    assert(out.getLong(1) == 6L)
+    assert(out.getDouble(2) == 1.0)
+  }
+
+  test("negativeSample: k draws, never a positive, reproducible, margin exhaustion honest") {
+    val pos = Seq((1L, 2L), (1L, 5L), (2L, 0L)).toDF("anchor", "item")
+    val items = (0L until 10L).toDF("item")
+    val a = graft.llmdata.Sampling.negativeSample(pos, "anchor", "item",
+      items, k = 3, oversample = 8)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.size == 6) // 3 per anchor
+    assert(!rows.contains((1L, 2L)) && !rows.contains((1L, 5L))
+      && !rows.contains((2L, 0L)))
+    assert(rows.forall { case (_, i) => i >= 0 && i < 10 })
+    // reproducible: a second evaluation is identical
+    val b = graft.llmdata.Sampling.negativeSample(pos, "anchor", "item",
+      items, k = 3, oversample = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == b)
+    // a 3-item universe with 2 positives can yield at most 1 negative
+    val tiny = graft.llmdata.Sampling.negativeSample(
+      Seq((1L, 0L), (1L, 1L)).toDF("anchor", "item"),
+      "anchor", "item", (0L until 3L).toDF("item"), k = 3, oversample = 20)
+      .collect()
+    assert(tiny.length == 1 && tiny.head.getLong(1) == 2L)
+  }
+
   test("temporalSplit: testPct 0 and 100 are total") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
