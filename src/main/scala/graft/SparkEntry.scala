@@ -2284,6 +2284,78 @@ object SparkEntry {
         t(s, d, "part").select(col("p_partkey").as("item")),
         k = 3, oversample = 8)),
 
+    // exact proration: order totals spread over lines by quantity in
+    // integer micro-units, remainder to ONE deterministic line — the
+    // shares sum back exactly at any parallelism. Lines pre-aggregate
+    // per (order, linenumber): the synthetic data repeats line numbers
+    // within an order, and the remainder rule needs a UNIQUE line id
+    "q249_prorate" -> ((s, d) =>
+      graft.operators.Allocate.prorate(
+        t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("okey"), col("l_linenumber"))
+          .agg(sum(col("l_quantity").cast("decimal(20,6)"))
+            .cast("double").as("l_quantity")),
+        t(s, d, "orders").select(col("o_orderkey").as("okey"),
+          col("o_totalprice")),
+        "okey", "l_linenumber", "l_quantity", "o_totalprice")),
+
+    // order->ship lead time in BUSINESS days (pure integer weekday
+    // arithmetic), distribution per priority class
+    "q250_business_days" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      o.join(li, Seq("o_orderkey"))
+        .withColumn("biz_days", graft.functions.ScalarFns.businessDaysBetween(
+          col("o_orderdate").cast("date"), col("l_shipdate").cast("date")))
+        .groupBy(col("o_orderpriority"), col("biz_days"))
+        .agg(count(lit(1)).as("n_lines"))
+    }),
+
+    // method scoring: exact-fingerprint dup pairs evaluated against the
+    // minhash near-dup pair set — precision/recall/F1 as exact single
+    // divisions (F1 = 2tp/(np+nt), no p*r/(p+r) intermediate)
+    "q251_pair_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = docs.select(col("doc_id"),
+        graft.llmdata.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val pred = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val truth = graft.llmdata.DedupOps.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 3, bands = 4, rows = 4, jaccardThreshold = 0.4)
+      graft.llmdata.DedupOps.pairEval(pred, truth)
+    }),
+
+    // column-level PII screen over a planted-identifier probe frame:
+    // email/phone/card-shaped shares per column, Luhn-validated cards
+    "q252_pii_scan" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val probe = c.select(
+        when(col("c_custkey") % 3 === 0,
+          concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]", "."),
+            lit("@example.com")))
+          .otherwise(col("c_name")).as("contact"),
+        when(col("c_custkey") % 4 === 0,
+          concat(lit("+1 (555) "),
+            lpad((col("c_custkey") % 10000000).cast("string"), 7, "0")))
+          .otherwise(col("c_mktsegment")).as("phone_field"),
+        when(col("c_custkey") % 5 === 0,
+          lpad((col("c_custkey") * 7919L).cast("string"), 16, "4"))
+          .otherwise(col("c_mktsegment")).as("card_field"))
+      graft.checks.Privacy.piiColumnScan(probe,
+        Seq("contact", "phone_field", "card_field"), flagAt = 0.1)
+    }),
+
+    // survival BY segment (derived acquisition channel): one curve per
+    // channel, shared global censoring horizon, per-segment ordered
+    // folds mirrored by per-segment recursive chains
+    "q253_survival_by_channel" -> ((s, d) =>
+      graft.operators.Retention.kaplanMeierBy(
+        t(s, d, "events").withColumn("channel", col("user_id") % 3),
+        "channel", "user_id", "ts", censorDays = 3)),
+
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
     "q233_link_prediction" -> ((s, d) => {
@@ -6810,6 +6882,160 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, event_type,
         |  CASE WHEN rn <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
         |FROM r""".stripMargin,
+
+    // the q224 recursive fold, chained PER SEGMENT (join on channel +
+    // rn); global stream end shared across channels
+    "q253_survival_by_channel" ->
+      """WITH RECURSIVE pu AS (SELECT user_id % 3 AS channel, user_id,
+        |    CAST(MIN(ts) AS DATE) AS fd, CAST(MAX(ts) AS DATE) AS ld
+        |  FROM events GROUP BY 1, 2),
+        |se AS (SELECT MAX(ld) AS stream_end FROM pu),
+        |lab AS (SELECT channel, CAST(ld - fd AS INT) AS t_day,
+        |    ld >= stream_end - 3 AS censored FROM pu, se),
+        |byt AS (SELECT channel, t_day,
+        |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_deaths,
+        |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM lab GROUP BY 1, 2),
+        |tot AS (SELECT channel, CAST(SUM(n_deaths + n_censored) AS BIGINT) AS total
+        |  FROM byt GROUP BY 1),
+        |idx AS (SELECT byt.channel, t_day, n_deaths, n_censored,
+        |    total - COALESCE(CAST(SUM(n_deaths + n_censored) OVER
+        |      (PARTITION BY byt.channel ORDER BY t_day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_at_risk,
+        |    row_number() OVER (PARTITION BY byt.channel ORDER BY t_day) AS rn
+        |  FROM byt JOIN tot ON tot.channel = byt.channel),
+        |f AS (SELECT *, CAST(1.0 AS DOUBLE)
+        |    - CAST(n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor
+        |  FROM idx),
+        |km(channel, rn, t_day, n_at_risk, n_deaths, n_censored, survival) AS (
+        |  SELECT channel, rn, t_day, n_at_risk, n_deaths, n_censored, factor
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.channel, f.rn, f.t_day, f.n_at_risk, f.n_deaths,
+        |    f.n_censored, km.survival * f.factor
+        |  FROM km JOIN f ON f.channel = km.channel AND f.rn = km.rn + 1)
+        |SELECT channel, t_day, n_at_risk, n_deaths, n_censored, survival
+        |FROM km""".stripMargin,
+
+    // per-column union of (email regex, digit-length phone test,
+    // Luhn-folded card test) aggregates over the planted probe
+    "q252_pii_scan" -> {
+      val luhn = "CASE WHEN length(dg) BETWEEN 13 AND 19 THEN " +
+        "list_sum(list_transform(generate_series(1, length(dg)), i -> " +
+        "CASE WHEN (i - 1) % 2 = 0 THEN CAST(substr(reverse(dg), i, 1) AS INT) " +
+        "ELSE CASE WHEN 2 * CAST(substr(reverse(dg), i, 1) AS INT) > 9 " +
+        "THEN 2 * CAST(substr(reverse(dg), i, 1) AS INT) - 9 " +
+        "ELSE 2 * CAST(substr(reverse(dg), i, 1) AS INT) END END)) % 10 = 0 " +
+        "ELSE FALSE END"
+      val email = "regexp_matches(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')"
+      val phone = "length(dg) BETWEEN 7 AND 12 AND regexp_matches(v, '^[0-9 ()+.-]+$')"
+      def one(name: String, sel: String) =
+        s"""SELECT '$name' AS column_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(SUM(CASE WHEN $email THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+           |  CAST(SUM(CASE WHEN $phone THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+           |  CAST(SUM(CASE WHEN $luhn THEN 1 ELSE 0 END) AS BIGINT) AS n_card_luhn
+           |FROM (SELECT $sel AS v,
+           |    regexp_replace($sel, '[^0-9]', '', 'g') AS dg
+           |  FROM probe WHERE $sel IS NOT NULL)""".stripMargin
+      s"""WITH probe AS (SELECT
+         |    CASE WHEN c_custkey % 3 = 0
+         |      THEN regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g') || '@example.com'
+         |      ELSE c_name END AS contact,
+         |    CASE WHEN c_custkey % 4 = 0
+         |      THEN '+1 (555) ' || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0')
+         |      ELSE c_mktsegment END AS phone_field,
+         |    CASE WHEN c_custkey % 5 = 0
+         |      THEN lpad(CAST(c_custkey * 7919 AS VARCHAR), 16, '4')
+         |      ELSE c_mktsegment END AS card_field
+         |  FROM customer),
+         |u AS (${one("contact", "contact")}
+         |  UNION ALL ${one("phone_field", "phone_field")}
+         |  UNION ALL ${one("card_field", "card_field")})
+         |SELECT column_name, n_values, n_email, n_phone, n_card_luhn,
+         |  CAST(n_email AS DOUBLE) / CAST(n_values AS DOUBLE) AS email_share,
+         |  CAST(n_phone AS DOUBLE) / CAST(n_values AS DOUBLE) AS phone_share,
+         |  CAST(n_card_luhn AS DOUBLE) / CAST(n_values AS DOUBLE) AS card_share,
+         |  CAST(n_email AS DOUBLE) / CAST(n_values AS DOUBLE) >= 0.1
+         |    OR CAST(n_phone AS DOUBLE) / CAST(n_values AS DOUBLE) >= 0.1
+         |    OR CAST(n_card_luhn AS DOUBLE) / CAST(n_values AS DOUBLE) >= 0.1
+         |    AS flagged
+         |FROM u""".stripMargin
+    },
+
+    // HUGEINT mirrors the decimal(38,0) micro products; floor shares,
+    // remainder to rank-1 (ew DESC, line DESC); equal-split fallback
+    "q249_prorate" ->
+      """WITH l0 AS (SELECT l_orderkey AS okey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |l AS (SELECT okey, l_linenumber,
+        |    CAST(COALESCE(q, 0) AS DECIMAL(20,6)) AS w,
+        |    CAST(CAST(COALESCE(q, 0) AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS wm
+        |  FROM l0),
+        |h AS (SELECT o_orderkey AS okey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS tm
+        |  FROM orders),
+        |ws AS (SELECT okey, CAST(SUM(wm) AS BIGINT) AS tw,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1),
+        |e AS (SELECT l.okey, l.l_linenumber, l.w, h.tm,
+        |    CASE WHEN tw > 0 THEN wm ELSE 1 END AS sw,
+        |    CASE WHEN tw > 0 THEN tw ELSE n END AS dw
+        |  FROM l JOIN ws USING (okey) JOIN h USING (okey)),
+        |s AS (SELECT *,
+        |    CAST((CAST(tm AS HUGEINT) * CAST(sw AS HUGEINT)) // dw AS BIGINT) AS share,
+        |    row_number() OVER (PARTITION BY okey
+        |      ORDER BY sw DESC, l_linenumber DESC) AS rk
+        |  FROM e),
+        |f AS (SELECT *,
+        |    tm - CAST(SUM(share) OVER (PARTITION BY okey) AS BIGINT) AS rem
+        |  FROM s)
+        |SELECT okey, l_linenumber, CAST(w AS DOUBLE) AS weight,
+        |  share + CASE WHEN rk = 1 THEN rem ELSE 0 END AS allocated_micro,
+        |  CAST(share + CASE WHEN rk = 1 THEN rem ELSE 0 END AS DOUBLE)
+        |    / 1000000.0 AS allocated
+        |FROM f""".stripMargin,
+
+    // Monday-anchored index m = epoch_days + 4 (the +1 for the
+    // exclusive start folded in); B(x) = 5*(x//7) + least(x%7, 5)
+    "q250_business_days" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 4 AS me,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 4 AS ms
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |b AS (SELECT o_orderpriority,
+        |    (5 * ((me - me % 7) // 7) + least(me % 7, 5))
+        |  - (5 * ((ms - ms % 7) // 7) + least(ms % 7, 5)) AS biz_days
+        |  FROM j)
+        |SELECT o_orderpriority, CAST(biz_days AS BIGINT) AS biz_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q30's fingerprint pairs scored against the q34 minhash truth set
+    "q251_pair_eval" ->
+      s"""WITH $minhashPairsCtes,
+         |fp AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f
+         |  FROM documents),
+         |pred AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+         |    greatest(a.doc_id, b.doc_id) AS pb
+         |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+         |tr AS (SELECT DISTINCT least(id_a, id_b) AS pa,
+         |    greatest(id_a, id_b) AS pb FROM mh_pairs),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_predicted FROM pred),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+         |tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+         |  FROM pred JOIN tr USING (pa, pb))
+         |SELECT n_predicted, n_truth, n_matched,
+         |  CASE WHEN n_predicted > 0
+         |    THEN CAST(n_matched AS DOUBLE) / CAST(n_predicted AS DOUBLE) END AS precision,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST(n_matched AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+         |  CASE WHEN n_predicted + n_truth > 0
+         |    THEN CAST(2 * n_matched AS DOUBLE)
+         |      / CAST(n_predicted + n_truth AS DOUBLE) END AS f1
+         |FROM np, nt, tp""".stripMargin,
 
     // pairwise slopes = one double subtraction over one integer-day
     // division; positional lower-median (2*rn >= n)

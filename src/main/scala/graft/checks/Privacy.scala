@@ -81,4 +81,59 @@ object Privacy {
         if (sensitiveCol.isDefined) col("achieved_l") >= l
         else lit(null).cast("boolean"))
   }
+
+  /** Column-level PII screening: for each listed string column, the
+    * share of non-NULL values matching email / phone-length digit-run /
+    * 13-19-digit card patterns — the "which columns must never leave
+    * the boundary" scan a data catalog runs before classifying an
+    * extract, complementing [[kAnonymityReport]] (quasi-identifier
+    * risk) with direct-identifier detection. Patterns are RE2-safe
+    * regexes (the redactPii discipline) so the oracle runs them
+    * verbatim; card hits additionally validate the Luhn checksum via
+    * the same exact integer fold as `TextAnalysis.luhnCardScan`.
+    *
+    * One map stage and one nColumns-row aggregate per column, unioned
+    * at metadata scale; flagged = any share ≥ `flagAt`. */
+  def piiColumnScan(df: DataFrame, cols: Seq[String],
+                    flagAt: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "columns to scan required")
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val perCol = cols.map { c =>
+      val v = col(c).cast("string")
+      val luhnTot = expr(
+        """aggregate(transform(sequence(1, length(__digits)), i ->
+          |  CASE WHEN (i - 1) % 2 = 0
+          |    THEN cast(substr(reverse(__digits), i, 1) as int)
+          |    ELSE CASE WHEN 2 * cast(substr(reverse(__digits), i, 1) as int) > 9
+          |      THEN 2 * cast(substr(reverse(__digits), i, 1) as int) - 9
+          |      ELSE 2 * cast(substr(reverse(__digits), i, 1) as int) END
+          |  END), 0, (acc, x) -> acc + x)""".stripMargin)
+      df.select(v.as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__digits", regexp_replace(col("__v"), "[^0-9]", ""))
+        .select(
+          lit(c).as("column_name"),
+          lit(1L).as("__one"),
+          col("__v").rlike(emailRe).cast("long").as("__email"),
+          (length(col("__digits")).between(7, 12) &&
+            col("__v").rlike("^[0-9 ()+.-]+$")).cast("long").as("__phone"),
+          (length(col("__digits")).between(13, 19) &&
+            (luhnTot % 10 === 0)).cast("long").as("__card"))
+        .groupBy(col("column_name"))
+        .agg(sum(col("__one")).as("n_values"),
+          sum(col("__email")).as("n_email"),
+          sum(col("__phone")).as("n_phone"),
+          sum(col("__card")).as("n_card_luhn"))
+    }
+    perCol.reduce(_ unionByName _)
+      .withColumn("email_share",
+        col("n_email").cast("double") / col("n_values").cast("double"))
+      .withColumn("phone_share",
+        col("n_phone").cast("double") / col("n_values").cast("double"))
+      .withColumn("card_share",
+        col("n_card_luhn").cast("double") / col("n_values").cast("double"))
+      .withColumn("flagged",
+        col("email_share") >= flagAt || col("phone_share") >= flagAt ||
+          col("card_share") >= flagAt)
+  }
 }

@@ -124,4 +124,22 @@ object ScalarFns {
     * is not. */
   def exactAvg(c: Column): Column =
     sum(c.cast("decimal(20,6)")).cast("double") / count(c)
+
+  /** Business days from `start` (exclusive) to `end` (inclusive) —
+    * weekday counting for SLA/lead-time math, in PURE INTEGER calendar
+    * arithmetic (the q225 weekday discipline: engine `dayofweek()`
+    * conventions disagree; epoch-day arithmetic can't). Uses the
+    * Monday-anchored absolute index m = epoch_days + 3 and the closed
+    * form B(x) = 5·⌊x/7⌋ + min(x mod 7, 5) counting weekdays in
+    * [0, x); the answer is B(m_end + 1) − B(m_start + 1). Negative
+    * when end < start (anti-symmetric), zero for same-day and
+    * weekend-to-adjacent-weekend spans. */
+  def businessDaysBetween(start: Column, end: Column): Column = {
+    def m(d: Column) =
+      (datediff(d, lit("1970-01-01").cast("date")) + 4).cast("long")
+    def b(x: Column) =
+      lit(5L) * ((x - pmod(x, lit(7L))) / 7).cast("long") +
+        least(pmod(x, lit(7L)), lit(5L))
+    b(m(end)) - b(m(start))
+  }
 }

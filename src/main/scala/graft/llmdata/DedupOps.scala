@@ -1236,4 +1236,45 @@ object DedupOps {
       .withColumn("recall",
         col("n_found").cast("double") / col("n_exact").cast("double"))
   }
+
+  /** Precision / recall / F1 of a PREDICTED pair set against a labeled
+    * TRUTH pair set — the generic scorer behind every dedup/linkage
+    * method comparison ([[lshRecallReport]] measures one method's
+    * recall per jaccard decile; this scores any two pair frames
+    * head-to-head, e.g. a cheap blocker against the exact join, or
+    * last month's model against an audited sample). Pairs canonicalize
+    * to unordered (min, max) and dedup, so direction and duplicates
+    * can't skew counts.
+    *
+    * All metrics are exact-integer single divisions — F1 folds to
+    * `2·tp / (n_pred + n_truth)`, one division, no p·r/(p+r)
+    * intermediate to round differently. Empty sides report NULL
+    * rather than a fake 0 or 1.
+    *
+    * One equi-join on the canonical pair plus three one-row
+    * aggregates. */
+  def pairEval(predicted: DataFrame, truth: DataFrame,
+               idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col(idACol), col(idBCol)).as("a"),
+      greatest(col(idACol), col(idBCol)).as("b")).distinct()
+    // each canonical set feeds two aggregates (own count + the match
+    // join) — materialize the small pair frames once
+    val p = canon(predicted).localCheckpoint(true)
+    val t = canon(truth).localCheckpoint(true)
+    val np = p.agg(count(lit(1)).as("n_predicted"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val tp = p.join(t, Seq("a", "b")).agg(count(lit(1)).as("n_matched"))
+    np.join(nt).join(tp)
+      .withColumn("precision",
+        when(col("n_predicted") > 0,
+          col("n_matched").cast("double") / col("n_predicted").cast("double")))
+      .withColumn("recall",
+        when(col("n_truth") > 0,
+          col("n_matched").cast("double") / col("n_truth").cast("double")))
+      .withColumn("f1",
+        when(col("n_predicted") + col("n_truth") > 0,
+          (lit(2L) * col("n_matched")).cast("double")
+            / (col("n_predicted") + col("n_truth")).cast("double")))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact proportional allocation (proration): distribute a header
+  * amount across its lines by weight so the shares SUM BACK EXACTLY —
+  * the invoice-tax / freight / discount spreading step of every billing
+  * and cost-accounting pipeline, where naive `total * w/W` doubles
+  * leave cents appearing or vanishing in reconciliation.
+  *
+  * The attribution micro-credit discipline (q197) generalized: amounts
+  * scale to exact integer micro-units, each line takes
+  * `(total_micro · w_micro) div W_micro` (floor), and the remainder —
+  * at most lines−1 micro-units — lands on ONE deterministic line (the
+  * largest weight, ties → largest line id), so Σ allocated ≡ total in
+  * any engine at any parallelism. Zero-total-weight groups fall back to
+  * equal split by line count under the same remainder rule. Products
+  * ride decimal(38,0) (micro×micro exceeds BIGINT); the integral
+  * divide returns exact longs.
+  *
+  * Shape at 100 TB: one per-key weight aggregate joined back
+  * (broadcast under the gate), one map-side share projection, one
+  * per-key window for the remainder line — all on the natural (key)
+  * partitioning. */
+object Allocate {
+
+  /** @param lines   line rows
+    * @param headers  (keyCol, totalCol) one row per key — keys missing
+    *                 here allocate nothing (lines drop); keys with no
+    *                 lines contribute nothing
+    * @param keyCol   join key
+    * @param lineIdCol line identity (remainder tie-break)
+    * @param weightCol non-negative weights (NULL = 0)
+    * @return lines' key + id + weight with `allocated_micro` (BIGINT)
+    *         and `allocated` (micro/1e6, exact double scaling) */
+  def prorate(lines: DataFrame, headers: DataFrame, keyCol: String,
+              lineIdCol: String, weightCol: String,
+              totalCol: String): DataFrame = {
+    val M = 1000000L
+    val d38 = "decimal(38,0)"
+    val l = lines.select(col(keyCol), col(lineIdCol),
+      coalesce(col(weightCol), lit(0)).cast("decimal(20,6)").as("__w"))
+      .withColumn("__wm", (col("__w") * M).cast("long"))
+    val h = headers.select(col(keyCol),
+      (col(totalCol).cast("decimal(20,6)") * M).cast("long").as("__tm"))
+    val wsum = l.groupBy(col(keyCol))
+      .agg(sum(col("__wm")).as("__wsum"), count(lit(1)).as("__n"))
+    val eff = l
+      .join(Broadcasts.maybeBroadcast(wsum), Seq(keyCol))
+      .join(Broadcasts.maybeBroadcast(h), Seq(keyCol))
+      // zero-weight groups: equal split (weight 1 each, W = n)
+      .withColumn("__ew", when(col("__wsum") > 0, col("__wm")).otherwise(lit(1L)))
+      .withColumn("__edenom", when(col("__wsum") > 0, col("__wsum")).otherwise(col("__n")))
+      .withColumn("__share",
+        expr(s"CAST(CAST(__tm AS $d38) * CAST(__ew AS $d38) AS $d38) div __edenom"))
+    val wRem = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ew").desc, col(lineIdCol).desc)
+    val wAll = Window.partitionBy(col(keyCol))
+    eff
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("__rem", col("__tm") - sum(col("__share")).over(wAll))
+      .withColumn("allocated_micro",
+        col("__share") + when(col("__rk") === 1, col("__rem")).otherwise(lit(0L)))
+      .select(col(keyCol), col(lineIdCol),
+        col("__w").cast("double").as("weight"),
+        col("allocated_micro"),
+        (col("allocated_micro").cast("double") / M).as("allocated"))
+  }
+}

@@ -235,31 +235,49 @@ object Retention {
     *
     * Output: (t_day, n_at_risk, n_deaths, n_censored, survival). */
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
-                  censorDays: Int): DataFrame = {
+                  censorDays: Int): DataFrame =
+    kaplanMeierBy(events.withColumn("__seg", lit("all")), "__seg",
+      userCol, tsCol, censorDays).drop("__seg")
+
+  /** [[kaplanMeier]] stratified by a segment column (acquisition
+    * channel, plan tier, cohort) — the form survival analysis actually
+    * ships as: one curve PER SEGMENT so channels can be compared.
+    * Same estimator, same ordered-fold determinism; the day-table
+    * windows partition by the segment, the censoring horizon stays the
+    * GLOBAL stream end (segments share one wall clock — a per-segment
+    * end would censor a dying segment's users against their own
+    * silence). */
+  def kaplanMeierBy(events: DataFrame, segmentCol: String, userCol: String,
+                    tsCol: String, censorDays: Int): DataFrame = {
     require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
     import org.apache.spark.sql.expressions.Window
-    val perUser = events.groupBy(col(userCol).as("__u"))
+    val perUser = events
+      .groupBy(col(segmentCol), col(userCol).as("__u"))
       .agg(min(col(tsCol).cast("date")).as("__fd"),
         max(col(tsCol).cast("date")).as("__ld"))
     val end = perUser.agg(max(col("__ld")).as("__stream_end"))
     val labeled = perUser.join(Broadcasts.maybeBroadcast(end))
-      .select(datediff(col("__ld"), col("__fd")).as("t_day"),
+      .select(col(segmentCol),
+        datediff(col("__ld"), col("__fd")).as("t_day"),
         // inclusive: censorDays = 0 still censors users whose last event
         // IS the stream-end day (indistinguishable from still-active)
         (col("__ld") >= date_sub(col("__stream_end"), censorDays))
           .as("__censored"))
-    val byT = labeled.groupBy(col("t_day"))
+    val byT = labeled.groupBy(col(segmentCol), col("t_day"))
       .agg(sum(when(col("__censored"), lit(0L)).otherwise(lit(1L)))
         .cast("long").as("n_deaths"),
         sum(when(col("__censored"), lit(1L)).otherwise(lit(0L)))
           .cast("long").as("n_censored"))
-    val total = byT.agg(sum(col("n_deaths") + col("n_censored")).cast("long")
-      .as("__total"))
-    val wPrior = Window.orderBy(col("t_day").asc)
+    val totals = byT.groupBy(col(segmentCol))
+      .agg(sum(col("n_deaths") + col("n_censored")).cast("long")
+        .as("__total"))
+    val wPrior = Window.partitionBy(col(segmentCol))
+      .orderBy(col("t_day").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.orderBy(col("t_day").asc)
+    val wRun = Window.partitionBy(col(segmentCol))
+      .orderBy(col("t_day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byT.join(Broadcasts.maybeBroadcast(total))
+    byT.join(Broadcasts.maybeBroadcast(totals), Seq(segmentCol))
       .withColumn("n_at_risk",
         col("__total") - coalesce(
           sum(col("n_deaths") + col("n_censored")).over(wPrior), lit(0L)))
@@ -269,7 +287,7 @@ object Retention {
       .withColumn("survival",
         aggregate(collect_list(col("__factor")).over(wRun), lit(1.0),
           (acc, x) => acc * x))
-      .select(col("t_day"), col("n_at_risk"), col("n_deaths"),
-        col("n_censored"), col("survival"))
+      .select(col(segmentCol), col("t_day"), col("n_at_risk"),
+        col("n_deaths"), col("n_censored"), col("survival"))
   }
 }

@@ -410,6 +410,108 @@ class RepairFeedOpsSpec extends SparkSpec {
     assert(tiny.length == 1 && tiny.head.getLong(1) == 2L)
   }
 
+  test("prorate: floor shares + deterministic remainder sum back exactly") {
+    val lines = Seq((1L, 1L, 3.0), (1L, 2L, 1.0)).toDF("k", "line", "w")
+    val headers = Seq((1L, 10.000001)).toDF("k", "total")
+    val out = graft.operators.Allocate
+      .prorate(lines, headers, "k", "line", "w", "total")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // tm 10000001; floors 7500000 / 2500000; remainder 1 -> heavier line
+    assert(out == Map(1L -> 7500001L, 2L -> 2500000L))
+    assert(out.values.sum == 10000001L)
+  }
+
+  test("prorate: zero-weight groups split equally, remainder to the last line id") {
+    val lines = Seq((1L, 1L, 0.0), (1L, 2L, 0.0)).toDF("k", "line", "w")
+    val headers = Seq((1L, 5.000001)).toDF("k", "total")
+    val out = graft.operators.Allocate
+      .prorate(lines, headers, "k", "line", "w", "total")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 2500000L, 2L -> 2500001L))
+  }
+
+  test("prorate: the sum-back identity holds across many keys") {
+    val lines = (1L to 50L).flatMap(k =>
+      (1L to (k % 5 + 1)).map(l => (k, l, (k * l % 7).toDouble)))
+      .toDF("k", "line", "w")
+    val headers = (1L to 50L).map(k => (k, k * 13.37)).toDF("k", "total")
+    val out = graft.operators.Allocate
+      .prorate(lines, headers, "k", "line", "w", "total")
+    val sums = out.groupBy("k")
+      .agg(sum(col("allocated_micro")).as("s"))
+      .join(headers.select(col("k"),
+        (col("total").cast("decimal(20,6)") * 1000000).cast("long").as("tm")),
+        Seq("k"))
+      .filter(col("s") =!= col("tm"))
+    assert(sums.isEmpty, "every key's shares must sum exactly to its total")
+  }
+
+  test("businessDaysBetween: weekday spans, weekends, antisymmetry") {
+    def d(s: String) = s
+    val df = Seq(
+      ("2024-01-01", "2024-01-05"), // Mon -> Fri: 4
+      ("2024-01-05", "2024-01-08"), // Fri -> Mon: 1
+      ("2024-01-06", "2024-01-07"), // Sat -> Sun: 0
+      ("2024-01-01", "2024-01-01"), // same day: 0
+      ("2024-01-08", "2024-01-01"), // backwards: -5 (Mon back past a week)
+      ("2024-01-01", "2024-01-15")) // two full weeks: 10
+      .toDF("s", "e")
+      .select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val out = df.select(graft.functions.ScalarFns
+      .businessDaysBetween(col("s"), col("e")).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(4L, 1L, 0L, 0L, -5L, 10L))
+  }
+
+  test("pairEval: canonicalized dedup, exact metrics, empty-side NULLs") {
+    val pred = Seq((1L, 2L), (3L, 4L), (2L, 1L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = graft.llmdata.DedupOps.pairEval(pred, truth).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    val empty = graft.llmdata.DedupOps.pairEval(
+      pred.filter(col("id_a") < 0), truth).head()
+    assert(empty.isNullAt(3) && empty.getDouble(4) == 0.0)
+  }
+
+  test("piiColumnScan: email/phone/Luhn-card shares per column, flag threshold") {
+    val df = Seq(
+      ("a@b.com", "555-123-4567", "4111111111111111"), // valid Luhn card
+      ("plain text", "BUILDING", "4111111111111112"),  // bad check digit
+      ("x@y.org", null, "MACHINERY"))
+      .toDF("contact", "phone", "card")
+    val out = graft.checks.Privacy.piiColumnScan(df,
+      Seq("contact", "phone", "card"), flagAt = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = out("contact")
+    assert(c.getAs[Long]("n_values") == 3L && c.getAs[Long]("n_email") == 2L)
+    assert(c.getAs[Boolean]("flagged")) // 2/3 >= 0.5
+    val p = out("phone")
+    assert(p.getAs[Long]("n_values") == 2L && p.getAs[Long]("n_phone") == 1L)
+    assert(p.getAs[Double]("phone_share") == 0.5 && p.getAs[Boolean]("flagged"))
+    val k = out("card")
+    assert(k.getAs[Long]("n_card_luhn") == 1L, "only the valid-Luhn card counts")
+    assert(!k.getAs[Boolean]("flagged")) // 1/3 < 0.5
+  }
+
+  test("kaplanMeierBy: independent per-segment curves, shared global horizon") {
+    // segment A: users dying at t=0 and t=1; segment B: one censored user
+    val ev = Seq(
+      ("A", 1L, "2024-01-01"), ("A", 2L, "2024-01-01"), ("A", 2L, "2024-01-02"),
+      ("B", 3L, "2024-01-01"), ("B", 3L, "2024-01-10"))
+      .toDF("seg", "user_id", "d")
+      .select(col("seg"), col("user_id"), col("d").cast("timestamp").as("ts"))
+    val out = graft.operators.Retention
+      .kaplanMeierBy(ev, "seg", "user_id", "ts", censorDays = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    // A: t=0 risk 2 death 1 -> S 0.5; t=1 risk 1 death 1 -> S 0.0
+    assert(out(("A", 0)).getDouble(5) == 0.5)
+    assert(out(("A", 1)).getDouble(5) == 0.0)
+    // B: user 3's last day IS the global stream end -> censored, S stays 1
+    val b = out(("B", 9))
+    assert(b.getLong(3) == 0L && b.getLong(4) == 1L && b.getDouble(5) == 1.0)
+  }
+
   test("temporalSplit: testPct 0 and 100 are total") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
