@@ -2356,6 +2356,33 @@ object SparkEntry {
         t(s, d, "events").withColumn("channel", col("user_id") % 3),
         "channel", "user_id", "ts", censorDays = 3)),
 
+    // top-5 suppliers per nation by revenue with an __other__ rollup —
+    // the tail's mass is preserved, shares still sum to group totals
+    "q254_top_suppliers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.Profile.topKWithOthers(
+        li.join(broadcast(sup), Seq("s_suppkey")),
+        "s_nationkey", "s_suppkey", "l_extendedprice", k = 5)
+    }),
+
+    // region -> nation revenue shares (share-of-parent + share-of-total)
+    "q255_share_of_parent" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, d, "nation").select(col("n_nationkey").as("s_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      val reg = t(s, d, "region").select(col("r_regionkey").as("n_regionkey"),
+        col("r_name"))
+      graft.operators.Profile.shareOfParent(
+        li.join(broadcast(sup), Seq("s_suppkey"))
+          .join(broadcast(nat), Seq("s_nationkey"))
+          .join(broadcast(reg), Seq("n_regionkey")),
+        "r_name", "n_name", "l_extendedprice")
+    }),
+
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
     "q233_link_prediction" -> ((s, d) => {
@@ -6882,6 +6909,38 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, event_type,
         |  CASE WHEN rn <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
         |FROM r""".stripMargin,
+
+    // decimal-ranked (weight DESC, item ASC) top-5 cut; Other rank k+1
+    "q254_top_suppliers" ->
+      """WITH a AS (SELECT s_nationkey, l.l_suppkey AS sk,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS w
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+        |    ORDER BY w DESC, sk ASC) AS rk FROM a),
+        |b AS (SELECT s_nationkey,
+        |    CASE WHEN rk <= 5 THEN CAST(sk AS VARCHAR) ELSE '__other__' END AS item,
+        |    rk, w FROM r)
+        |SELECT s_nationkey, item,
+        |  CAST(least(MIN(rk), 6) AS INT) AS rank,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(w) AS DOUBLE) AS total
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // two decimal rollups, single-division shares
+    "q255_share_of_parent" ->
+      """WITH c AS (SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS cw
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        |  GROUP BY 1, 2),
+        |p AS (SELECT r_name, CAST(SUM(cw) AS DECIMAL(38,6)) AS pw FROM c GROUP BY 1),
+        |g AS (SELECT CAST(SUM(pw) AS DECIMAL(38,6)) AS gw FROM p)
+        |SELECT c.r_name, c.n_name, CAST(cw AS DOUBLE) AS total,
+        |  CAST(cw AS DOUBLE) / CAST(pw AS DOUBLE) AS share_of_parent,
+        |  CAST(cw AS DOUBLE) / CAST(gw AS DOUBLE) AS share_of_total
+        |FROM c JOIN p USING (r_name), g""".stripMargin,
 
     // the q224 recursive fold, chained PER SEGMENT (join on channel +
     // rn); global stream end shared across channels

@@ -583,6 +583,65 @@ object Profile {
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Top-k contributors per group with an `__other__` rollup — the
+    * reporting staple behind every "top 5 suppliers, rest as Other"
+    * table: unlike a plain top-k, the tail's mass is PRESERVED (shares
+    * still sum to the group total), so the readout can't silently hide
+    * a long tail that outweighs the head.
+    *
+    * Weights take the decimal path and stay decimal through ranking
+    * (order-free, engine-exact); rank order is (weight desc, item asc)
+    * — total, so the k-cut is deterministic; `rank` on the Other row
+    * is k+1 for stable downstream ordering.
+    *
+    * One (group, item) hash aggregate with map-side combine, one
+    * group-partitioned window over the AGGREGATED frame (items per
+    * group, not rows), one rollup aggregate. */
+  def topKWithOthers(df: DataFrame, groupCol: String, itemCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val agg0 = df.groupBy(col(groupCol), col(itemCol))
+      .agg(sum(col(weightCol).cast("decimal(20,6)")).cast("decimal(38,6)")
+        .as("__w"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__w").desc, col(itemCol).asc)
+    agg0.withColumn("__rk", row_number().over(w))
+      .withColumn("item",
+        when(col("__rk") <= k, col(itemCol).cast("string"))
+          .otherwise(lit("__other__")))
+      .groupBy(col(groupCol), col("item"))
+      .agg(least(min(col("__rk")), lit(k + 1)).cast("int").as("rank"),
+        count(lit(1)).as("n_items"),
+        sum(col("__w")).cast("double").as("total"))
+  }
+
+  /** Two-level hierarchical shares: per (parent, child), the child's
+    * weight, its share of the PARENT's total, and its share of the
+    * GRAND total — the share-of-parent readout every hierarchy report
+    * (region→nation revenue, source→language token mass) renders.
+    * Sums ride decimal end-to-end; each share is one double division.
+    * Two hash aggregates + a broadcast parent join + a one-row grand
+    * total. */
+  def shareOfParent(df: DataFrame, parentCol: String, childCol: String,
+                    weightCol: String): DataFrame = {
+    val child = df.groupBy(col(parentCol), col(childCol))
+      .agg(sum(col(weightCol).cast("decimal(20,6)")).cast("decimal(38,6)")
+        .as("__cw"))
+    val parent = child.groupBy(col(parentCol))
+      .agg(sum(col("__cw")).cast("decimal(38,6)").as("__pw"))
+    val grand = parent.agg(sum(col("__pw")).cast("decimal(38,6)").as("__gw"))
+    child
+      .join(broadcast(parent), Seq(parentCol))
+      .join(broadcast(grand))
+      .select(col(parentCol), col(childCol),
+        col("__cw").cast("double").as("total"),
+        (col("__cw").cast("double") / col("__pw").cast("double"))
+          .as("share_of_parent"),
+        (col("__cw").cast("double") / col("__gw").cast("double"))
+          .as("share_of_total"))
+  }
+
   /** Model-calibration (reliability) report: scores in [0, 1] cut into
     * `nBins` equal bins, each reporting volume, positives, mean
     * predicted score, observed positive rate, and the calibration gap

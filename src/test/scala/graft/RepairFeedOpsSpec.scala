@@ -512,6 +512,33 @@ class RepairFeedOpsSpec extends SparkSpec {
     assert(b.getLong(3) == 0L && b.getLong(4) == 1L && b.getDouble(5) == 1.0)
   }
 
+  test("topKWithOthers: deterministic cut, tail mass preserved, Other rank k+1") {
+    val df = Seq(("g", "a", 5.0), ("g", "b", 3.0), ("g", "c", 3.0),
+      ("g", "d", 1.0), ("g", "e", 1.0), ("h", "x", 2.0))
+      .toDF("grp", "item", "w")
+    val out = graft.operators.Profile.topKWithOthers(df, "grp", "item", "w", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    // g top-2: a (5), b (3 — tie with c breaks lexicographically)
+    assert(out(("g", "a")) == ((1, 1L, 5.0)))
+    assert(out(("g", "b")) == ((2, 1L, 3.0)))
+    assert(out(("g", "__other__")) == ((3, 3L, 5.0))) // c + d + e
+    assert(out(("h", "x")) == ((1, 1L, 2.0)))
+    // mass conservation
+    assert(out.collect { case (("g", _), (_, _, t)) => t }.sum == 13.0)
+  }
+
+  test("shareOfParent: shares sum to 1 within parents and globally") {
+    val df = Seq(("r1", "n1", 6.0), ("r1", "n2", 2.0), ("r2", "n3", 2.0))
+      .toDF("r", "n", "w")
+    val out = graft.operators.Profile.shareOfParent(df, "r", "n", "w")
+      .collect().map(x => x.getString(1) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(out("n1") == ((6.0, 0.75, 0.6)))
+    assert(out("n2") == ((2.0, 0.25, 0.2)))
+    assert(out("n3") == ((2.0, 1.0, 0.2)))
+  }
+
   test("temporalSplit: testPct 0 and 100 are total") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
