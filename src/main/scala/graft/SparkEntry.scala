@@ -2383,6 +2383,13 @@ object SparkEntry {
         "r_name", "n_name", "l_extendedprice")
     }),
 
+    // association rules {a,b} -> c off the frequent triples: exact
+    // confidence + lift (support*n / (pair_support*cnt_c), one division)
+    "q256_rules3" -> ((s, d) =>
+      graft.operators.Patterns.rules3(
+        t(s, d, "lineitem").withColumn("cat", col("l_partkey") % 50),
+        "l_orderkey", "cat", minSupport = 5)),
+
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
     "q233_link_prediction" -> ((s, d) => {
@@ -6909,6 +6916,30 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, event_type,
         |  CASE WHEN rn <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
         |FROM r""".stripMargin,
+
+    // q244's triple counts unioned into 3 rules each, joined to pair
+    // supports and consequent counts; basket total rides a scalar
+    "q256_rules3" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS p
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |t3 AS (SELECT a.p AS pa3, b.p AS pb3, c.p AS pc3,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+        |  JOIN oi c ON b.o = c.o AND b.p < c.p
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |p2 AS (SELECT x.p AS qa, y.p AS qb,
+        |    CAST(COUNT(*) AS BIGINT) AS pair_support
+        |  FROM oi x JOIN oi y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cn FROM oi GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM oi),
+        |r AS (SELECT pa3 AS ant_a, pb3 AS ant_b, pc3 AS consequent, support FROM t3
+        |  UNION ALL SELECT pa3, pc3, pb3, support FROM t3
+        |  UNION ALL SELECT pb3, pc3, pa3, support FROM t3)
+        |SELECT ant_a, ant_b, consequent, support, pair_support,
+        |  CAST(support AS DOUBLE) / CAST(pair_support AS DOUBLE) AS confidence,
+        |  CAST(support * n AS DOUBLE) / CAST(pair_support * cn AS DOUBLE) AS lift
+        |FROM r JOIN p2 ON ant_a = qa AND ant_b = qb
+        |JOIN ic ON consequent = ic.p, nb""".stripMargin,
 
     // decimal-ranked (weight DESC, item ASC) top-5 cut; Other rank k+1
     "q254_top_suppliers" ->

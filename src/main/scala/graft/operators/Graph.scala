@@ -330,6 +330,82 @@ object Graph {
     Profile.correlationMatrix(withDeg, Seq("deg_src", "deg_dst"))
   }
 
+  /** Minimum spanning forest via Borůvka — THE parallel MSF algorithm
+    * (each round every component grabs its minimum outgoing edge and
+    * components contract; rounds = O(log n), each a handful of
+    * equi-joins — where Kruskal's sequential sorted scan cannot
+    * distribute). The backbone-extraction primitive for similarity
+    * graphs: the MSF of a distance graph is single-linkage clustering's
+    * dendrogram, and cutting it at a threshold is a principled
+    * alternative to fixed-radius near-dup edges.
+    *
+    * Determinism with TIED weights: edges order by the total key
+    * (w, a, b) — equivalent to perturbing ties infinitesimally, under
+    * which the MSF is UNIQUE, so the result is reproducible and equals
+    * Kruskal's under the same order (spec-pinned). Simultaneous
+    * min-edge selection under a total order cannot create cycles (the
+    * classic Borůvka argument). Parallel edges collapse to their min
+    * weight; self-loops drop.
+    *
+    * Per round: two label joins + one per-component min (struct
+    * aggregate) + a component-label contraction via
+    * [[connectedComponents]] on the COMPONENT-scale merge graph —
+    * never the node graph. Weights must cast to long (micro-scale
+    * upstream if fractional). Returns the forest's (a, b, w) edges. */
+  def minSpanningForest(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String,
+                        maxIterations: Int = 20): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var forest = e.filter(lit(false)).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIterations) {
+      val lab = e
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      val cand = lab
+        .select(col("ca").as("c"), struct(col("w"), col("a"), col("b")).as("e"))
+        .unionByName(lab.select(col("cb").as("c"),
+          struct(col("w"), col("a"), col("b")).as("e")))
+        .groupBy(col("c")).agg(min(col("e")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+        .distinct() // the two merging components often pick the same edge
+        .localCheckpoint(true)
+      if (cand.isEmpty) done = true
+      else {
+        forest = forest.unionByName(cand).localCheckpoint(true)
+        val compEdges = cand
+          .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
+          .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
+          .select(col("ca"), col("cb"))
+        val mapping = connectedComponents(compEdges, "ca", "cb")
+          .select(col("node_id").as("comp"), col("component_id"))
+        comp = comp.join(mapping, Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("component_id"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        iter += 1
+      }
+    }
+    e.unpersist()
+    if (!done)
+      System.err.println(s"[graft] minSpanningForest: iteration cap " +
+        s"$maxIterations hit before all components merged - the result " +
+        "is a partial forest")
+    forest
+  }
+
   /** Minimum hop distance from a seed set, breadth-first up to
     * `maxHops` — "everything within k links of a flagged account", the
     * blast-radius primitive behind fraud-ring expansion, abuse-cluster

@@ -205,6 +205,53 @@ object Patterns {
     * sizes upstream the way every association miner does (a 10k-item
     * basket is a crawler, not a customer). Item ordering inside a
     * triple is the array's sort order — ascending, engine-identical. */
+  /** Association rules {a, b} → c from frequent 3-itemsets: for every
+    * triple passing `minSupport` and every choice of consequent,
+    * confidence = sup{a,b,c} / sup{antecedent pair} and lift =
+    * confidence / P(consequent) — the actionable form of [[itemsets3]]
+    * ("customers with a AND b also buy c"), one rung past
+    * [[basketPairs]]' single-antecedent rules.
+    *
+    * Counts are exact BIGINTs from two aggregates (pairs via the same
+    * map-side C(k,2) generator, triples via [[itemsets3]]); each
+    * metric is a single division / one fixed two-division tree. Pair
+    * supports join back on the antecedent pair (pair-table-scale);
+    * basket count rides a one-row broadcast. */
+  def rules3(df: DataFrame, basketCol: String, itemCol: String,
+             minSupport: Long): DataFrame = {
+    val triples = itemsets3(df, basketCol, itemCol, minSupport)
+    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("pa"), col("y.__i").as("pb"))
+      .agg(count(lit(1)).as("pair_support"))
+    val itemCounts = b.groupBy(col("__i").as("ci"))
+      .agg(count(lit(1)).as("__cn"))
+    val nBaskets = b.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    // three rules per triple: consequent = c, b, a (antecedents sorted)
+    val rules = triples.select(explode(array(
+      struct(col("item_a").as("ant_a"), col("item_b").as("ant_b"),
+        col("item_c").as("consequent"), col("support")),
+      struct(col("item_a").as("ant_a"), col("item_c").as("ant_b"),
+        col("item_b").as("consequent"), col("support")),
+      struct(col("item_b").as("ant_a"), col("item_c").as("ant_b"),
+        col("item_a").as("consequent"), col("support")))).as("r"))
+      .select(col("r.*"))
+    rules
+      .join(pairs, col("ant_a") === col("pa") && col("ant_b") === col("pb"))
+      .join(Broadcasts.maybeBroadcast(itemCounts),
+        col("consequent") === col("ci"))
+      .join(Broadcasts.maybeBroadcast(nBaskets))
+      .select(col("ant_a"), col("ant_b"), col("consequent"), col("support"),
+        col("pair_support"),
+        (col("support").cast("double") / col("pair_support").cast("double"))
+          .as("confidence"),
+        ((col("support") * col("__nb")).cast("double")
+          / (col("pair_support") * col("__cn")).cast("double")).as("lift"))
+  }
+
   def itemsets3(df: DataFrame, basketCol: String, itemCol: String,
                 minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")

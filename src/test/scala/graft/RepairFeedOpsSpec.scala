@@ -539,6 +539,49 @@ class RepairFeedOpsSpec extends SparkSpec {
     assert(out("n3") == ((2.0, 1.0, 0.2)))
   }
 
+  // ---- minimum spanning forest ------------------------------------------
+
+  /** Kruskal reference under the same (w, a, b) total order. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val canon = edges.map { case (s, d, w) =>
+      (math.min(s, d), math.max(s, d), w) }
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), es) =>
+        (a, b, es.map(_._3).min) }.toSeq
+    canon.sortBy(e => (e._3, e._1, e._2)).flatMap { case (a, b, w) =>
+      if (find(a) != find(b)) { parent(find(a)) = find(b); Some((a, b, w)) }
+      else None
+    }.toSet
+  }
+
+  test("minSpanningForest ≡ Kruskal under the shared total order (ties, parallels, forest)") {
+    // two components, a tie at weight 3, and a parallel edge pair
+    val raw = Seq(
+      (1L, 2L, 4L), (2L, 3L, 3L), (1L, 3L, 3L), (3L, 4L, 9L), (1L, 4L, 8L),
+      (2L, 1L, 7L), // parallel to (1,2,4) — min kept
+      (10L, 11L, 1L), (11L, 12L, 2L), (10L, 12L, 5L))
+    val got = Graph.minSpanningForest(raw.toDF("s", "d", "w"), "s", "d", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == kruskal(raw))
+    // forest sizes: 3 edges for the 4-node component, 2 for the 3-node
+    assert(got.size == 5)
+  }
+
+  test("minSpanningForest on a larger deterministic graph matches Kruskal") {
+    val raw = (0 until 120).map { i =>
+      val s = (i * 7919L) % 40
+      val d = (i * 104729L + 13) % 40
+      (s, d, (i * 31L) % 17 + 1)
+    }.filter(e => e._1 != e._2)
+    val got = Graph.minSpanningForest(raw.toDF("s", "d", "w"), "s", "d", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == kruskal(raw))
+  }
+
   test("temporalSplit: testPct 0 and 100 are total") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
