@@ -182,12 +182,16 @@ object DedupOps {
     // every pair shares SOME shingle (candidates degenerate toward
     // all-pairs); a contained doc with >= minSharedShingles shingles is
     // unaffected, so only docs smaller than the floor can be missed
+    // eager checkpoint: exactJaccard fans out over the candidate set,
+    // and each branch would otherwise replay the inverted-index
+    // self-join + shared-count aggregate (the q34-family lesson)
     val candidates = kept.as("a").join(kept.as("b"), Seq("s"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minSharedShingles)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
     // hand exactJaccard the already-distinct persisted sets frame: its
     // internal distinct becomes a cache read, not a second shuffle of the
     // raw multiset stream
@@ -356,7 +360,9 @@ object DedupOps {
     val batchBatch = bandedBatch.as("a").join(bandedBatch.as("b"), Seq("band", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // eager checkpoint: same fan-out rationale as containmentPairs
     val candidates = corpusBatch.unionByName(batchBatch).distinct()
+      .localCheckpoint(true)
     val jac = exactJaccard(candidates, allShingles)
     val dropped = jac.filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
