@@ -2390,6 +2390,24 @@ object SparkEntry {
         t(s, d, "lineitem").withColumn("cat", col("l_partkey") % 50),
         "l_orderkey", "cat", minSupport = 5)),
 
+    // SLA readout: p50/p90/p99 business-day lead times per priority via
+    // the exact rational-threshold grouped-quantile machinery
+    "q257_sla_quantiles" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      val lead = o.join(li, Seq("o_orderkey"))
+        .select(col("o_orderpriority"),
+          graft.functions.ScalarFns.businessDaysBetween(
+            col("o_orderdate").cast("date"), col("l_shipdate").cast("date"))
+            .as("biz_days"))
+      graft.operators.Profile.quantilesFromCountsBy(
+        graft.operators.Profile.quantilePartialBy(lead, "o_orderpriority",
+          "biz_days"),
+        Seq((1, 2), (9, 10), (99, 100)))
+    }),
+
     // neighborhood link prediction on the co-purchase graph: wedge-join
     // candidates only, exact jaccard + preferential attachment
     "q233_link_prediction" -> ((s, d) => {
@@ -6916,6 +6934,28 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, event_type,
         |  CASE WHEN rn <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
         |FROM r""".stripMargin,
+
+    // q250's integer lead times through the banked rational-threshold
+    // grouped quantile convention (min value with cum*den >= num*n)
+    "q257_sla_quantiles" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 4 AS me,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 4 AS ms
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |b AS (SELECT o_orderpriority AS grp,
+        |    (5 * ((me - me % 7) // 7) + least(me % 7, 5))
+        |  - (5 * ((ms - ms % 7) // 7) + least(ms % 7, 5)) AS value
+        |  FROM j),
+        |vc AS (SELECT grp, CAST(value AS BIGINT) AS value,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (SELECT grp, value,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY value) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n FROM vc),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den))
+        |SELECT grp, q_num, q_den, MIN(value) AS quantile_value,
+        |  CAST(MIN(n) AS BIGINT) AS n
+        |FROM cum JOIN qs ON cum * q_den >= q_num * n
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q244's triple counts unioned into 3 rules each, joined to pair
     // supports and consequent counts; basket total rides a scalar

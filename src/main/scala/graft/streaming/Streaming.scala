@@ -640,6 +640,60 @@ object Streaming {
       }
       .start()
 
+  /** Streaming freshness monitor: per micro-batch, merge each key's
+    * MAX event timestamp into a stored watermark table (max is the
+    * simplest mergeable algebra; batch-id replay fence), then append a
+    * lag snapshot judged against the BATCH's own max timestamp as the
+    * asOf instant — so a key that stops emitting shows a GROWING lag
+    * with every batch that advances the clock, which is exactly the
+    * succeeding-but-empty-load failure `checks.Freshness` catches in
+    * batch. Completes the monitor-sink triangle (distribution drift,
+    * CUSUM level drift, freshness lag).
+    *
+    * Exactly-once: watermarks swap atomically WITH the fence id;
+    * replayed batch ids skip both the merge and the snapshot append.
+    * Lag is exact integer seconds (pinned-instant arithmetic, never
+    * wall clock — replays stay deterministic). */
+  def freshnessSink(df: DataFrame, keyCol: String, tsCol: String,
+                    maxLagSeconds: Long, marksPath: String,
+                    snapshotsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, marksPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = batch.groupBy(col(keyCol))
+            .agg(max(col(tsCol)).as("last_ts"))
+          val merged = stored match {
+            case Some(s) => s.drop("last_batch_id").unionByName(delta)
+              .groupBy(col(keyCol))
+              .agg(max(col("last_ts")).as("last_ts"))
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          graft.incremental.Writers.atomicRewrite(out, marksPath)
+          val asOfRow = out.agg(max(col("last_ts")).as("__asof")).head
+          if (!asOfRow.isNullAt(0)) {
+            val asOf = asOfRow.getTimestamp(0)
+            out.drop("last_batch_id")
+              .withColumn("__lag_us",
+                unix_micros(lit(asOf).cast("timestamp"))
+                  - unix_micros(col("last_ts").cast("timestamp")))
+              .withColumn("lag_seconds", expr("__lag_us div 1000000"))
+              .drop("__lag_us")
+              .withColumn("is_stale", col("lag_seconds") > maxLagSeconds)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1) // key-scale snapshot
+              .write.mode("append").parquet(snapshotsPath)
+          }
+        }
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

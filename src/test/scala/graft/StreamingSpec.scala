@@ -779,6 +779,43 @@ class StreamingSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("k") === 9L).count() == 0)
   }
 
+  test("freshnessSink: silent keys grow stale as the clock advances; replay fenced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fresh").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streaming.freshnessSink(in.toDF().toDF("k", "ts"), "k", "ts",
+      maxLagSeconds = 3600L, dir + "/marks", dir + "/snaps", dir + "/ckpt")
+    try {
+      in.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // only `a` emits again, two hours later: b must go stale
+      in.addData(("a", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.read.parquet(dir + "/snaps")
+    val lastBatch = last.agg(max(col("batch_id"))).head.getLong(0)
+    val snap = last.filter(col("batch_id") === lastBatch)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("lag_seconds"), r.getAs[Boolean]("is_stale"))).toMap
+    assert(snap("a") == ((0L, false)))
+    assert(snap("b") == ((7200L, true)), "the silent key must show the lag")
+    // replay batch 0 through a fresh checkpoint sharing the stores
+    val in2 = MemoryStream[(String, java.sql.Timestamp)]
+    val q2 = Streaming.freshnessSink(in2.toDF().toDF("k", "ts"), "k", "ts",
+      3600L, dir + "/marks", dir + "/snaps", dir + "/ckpt2")
+    try {
+      in2.addData(("a", ts("2024-01-01 09:00:00"))); q2.processAllAvailable()
+    } finally q2.stop()
+    val marks = spark.read.parquet(dir + "/marks")
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    assert(marks("a").startsWith("2024-01-01 12:00"),
+      "replayed batch id must not regress the watermark")
+    assert(spark.read.parquet(dir + "/snaps").count() == 4L) // 2 + 2, no extra
+  }
+
   test("cusumSink: latest alarms ≡ batch operator on the merged series; replay fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
