@@ -155,4 +155,92 @@ class PropertySpec extends SparkSpec {
         s"every conversion must carry exactly 1e6 micros")
     }
   }
+
+  test("cusum closed form equals the textbook recursion on random series") {
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.choose(0, 20)),
+      Gen.choose(0L, 3000000L))
+    samples(gen).foreach { case (counts, slack) =>
+      val M = 1000000L
+      val ev = counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("k", java.sql.Timestamp.valueOf(
+          f"2024-01-${i % 28 + 1}%02d 12:00:00"))) }
+      if (ev.nonEmpty) {
+        val out = graft.operators.Timeseries
+          .cusum(ev.toDF("k", "ts"), "k", "ts", slack, 1000000L)
+          .orderBy("day").collect()
+        // reference recursion over the SAME gap-filled series
+        val series = out.map(_.getLong(2))
+        val target = series.sum * M / series.length
+        var sp = 0L; var sn = 0L
+        val expect = series.map { c =>
+          sp = math.max(0L, sp + (c * M - target - slack))
+          sn = math.max(0L, sn + (target - c * M - slack))
+          (sp, sn)
+        }
+        assert(out.map(r => (r.getLong(3), r.getLong(4))).toSeq == expect.toSeq)
+      }
+    }
+  }
+
+  test("prorate: shares always sum back exactly and never go negative") {
+    val lineGen = Gen.nonEmptyListOf(Gen.choose(0.0, 99.0))
+    val gen = Gen.zip(lineGen, Gen.choose(0.01, 99999.99))
+    samples(gen).foreach { case (weights, total) =>
+      val lines = weights.zipWithIndex.map { case (w, i) =>
+        (1L, i.toLong, BigDecimal(w).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val headers = Seq((1L, BigDecimal(total).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val out = graft.operators.Allocate.prorate(
+        lines.toDF("k", "line", "w"), headers.toDF("k", "total"),
+        "k", "line", "w", "total").collect()
+      val tm = (BigDecimal(headers.head._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+      assert(out.map(_.getAs[Long]("allocated_micro")).sum == tm,
+        s"shares must sum exactly to $tm")
+      assert(out.length == lines.length)
+    }
+  }
+
+  test("businessDaysBetween matches a brute-force weekday walk") {
+    val gen = Gen.zip(Gen.choose(0, 3000), Gen.choose(-40, 400))
+    val base = java.time.LocalDate.of(2020, 1, 6) // a Monday
+    samples(gen).foreach { case (off, span) =>
+      val s = base.plusDays(off.toLong)
+      val e = s.plusDays(span.toLong)
+      // brute force: count weekdays in (s, e] (negative spans mirror)
+      def walk(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+        Iterator.iterate(a.plusDays(1))(_.plusDays(1))
+          .takeWhile(!_.isAfter(b))
+          .count(d => d.getDayOfWeek.getValue <= 5).toLong
+      val expect = if (span >= 0) walk(s, e) else -walk(e, s)
+      val got = Seq((java.sql.Date.valueOf(s), java.sql.Date.valueOf(e)))
+        .toDF("s", "e")
+        .select(graft.functions.ScalarFns
+          .businessDaysBetween(col("s"), col("e")).as("b"))
+        .head().getLong(0)
+      assert(got == expect, s"$s -> $e: got $got, expected $expect")
+    }
+  }
+
+  test("temporalSplit: per-entity test quota is exactly floor(n*pct/100), latest rows") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 27)))
+    samples(gen).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")) }
+      val out = graft.llmdata.Sampling
+        .temporalSplit(ev.toDF("event_id", "user_id", "ts"),
+          "user_id", "ts", "event_id", testPct = 30)
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getString(3)))
+      out.groupBy(_._1).foreach { case (u, es) =>
+        val n = es.length
+        val nTest = es.count(_._3 == "test")
+        assert(nTest == n * 30 / 100, s"user $u quota")
+        // every test row's (ts, id) must rank strictly above every train row
+        val ids = ev.filter(_._2 == u).map(e => (e._3.getTime, e._1)).sorted.reverse
+        val expectTest = ids.take(nTest).map(_._2).toSet
+        assert(es.filter(_._3 == "test").map(_._2).toSet == expectTest)
+      }
+    }
+  }
 }
