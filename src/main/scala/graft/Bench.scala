@@ -73,11 +73,17 @@ object Bench {
     // Pass 1: one sample per query, unconditionally (coverage first).
     queries.foreach { case (name, fn) => runOnce(name, fn) }
     // Passes 2..maxReps: extra reps for short, non-erroring queries while
-    // the budget holds. Round-robin by pass (not per-query) so an early
-    // budget stop leaves every cheap query with the SAME rep count — a
-    // comparable sum — rather than 3-rep medians for a..m and singles after.
+    // the budget holds, CHEAPEST-FIRST by pass-1 time (round-robin by
+    // pass, so an early stop still leaves uniform rep counts across the
+    // queries it reached). Cheapest-first is the r6 lesson: with 256
+    // queries pass 1 nearly exhausted the budget, and the alphabetical
+    // rep order left many sub-second queries — exactly where host noise
+    // corrupts a 1-sample "median" — with phantom 2-5x regressions.
+    // Cheapest-first banks the cheap queries' reps for minimal budget
+    // before any multi-second query spends it.
+    val byCost = queries.sortBy { case (name, _) => samples(name).last }
     (2 to maxReps).foreach { _ =>
-      queries.foreach { case (name, fn) =>
+      byCost.foreach { case (name, fn) =>
         val first = samples(name).last // pass-1 sample (list is prepended)
         if (spent < budget && first < longQ && !errors.contains(name)) runOnce(name, fn)
       }

@@ -1712,13 +1712,18 @@ object SparkEntry {
     }),
 
     // scalar drift gate: total-variation distance of the event-type mix
-    // across the month's halves — exact integer numerator, ONE division
+    // across the month's halves. Compared columns are the EXACT integer
+    // statistics only (numerator + totals); the derived tv_distance
+    // double is dropped from the oracle comparison — its decimal->double
+    // cast proved driver-red across DuckDB builds in r6 even when
+    // locally bit-equal, and the caller derives it in one division.
     "q194_tv_distance" -> ((s, d) => {
       val ev = t(s, d, "events")
       graft.checks.Drift.totalVariation(
         ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz")),
         ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz")),
         col("event_type"))
+        .drop("tv_distance")
     }),
 
     // row-level dead-letter routing: every failing document with its
@@ -1913,13 +1918,21 @@ object SparkEntry {
     }),
 
     // cross-table reconciliation: order headers vs the decimal-exact
-    // sum of their line revenues, per-key status
+    // sum of their line revenues, per-key status. Inputs are cast to
+    // their true 2-dp decimal grid BEFORE the arithmetic (tie-free
+    // double->decimal: the data sits exactly on the grid, and a 2-dp
+    // tie would need a 3-decimal-digit double — impossible here), so
+    // the product is exact decimal end-to-end and no engine-dependent
+    // double->decimal tie-rounding can bite (the r6 driver-red).
     "q214_reconciliation" -> ((s, d) =>
       graft.checks.Reconcile.reconcile(
         t(s, d, "orders"), "o_orderkey", col("o_totalprice"),
         t(s, d, "lineitem"), "l_orderkey",
-        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax")),
+        col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(BigDecimal(1)).cast("decimal(3,2)")
+            - col("l_discount").cast("decimal(3,2)"))
+          * (lit(BigDecimal(1)).cast("decimal(3,2)")
+            + col("l_tax").cast("decimal(3,2)")),
         tolerance = BigDecimal(1000))),
 
     // daily growth accounting: DAU decomposed into new / retained /
@@ -5724,7 +5737,8 @@ object SparkEntry {
         |  END AS chi2_contribution
         |FROM j, tt""".stripMargin,
 
-    // exact BIGINT TV numerator summed as decimal, ONE final division
+    // exact BIGINT TV numerator summed as decimal; the derived double
+    // scalar is NOT compared (decimal->double cast is build-dependent)
     "q194_tv_distance" ->
       """WITH r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS ref_cnt
         |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
@@ -5740,9 +5754,7 @@ object SparkEntry {
         |  CAST(MAX(ref_total) AS BIGINT) AS ref_total,
         |  CAST(MAX(cur_total) AS BIGINT) AS cur_total
         |  FROM j, tt)
-        |SELECT n_categories, tv_numerator, ref_total, cur_total,
-        |  CAST(tv_numerator AS DOUBLE)
-        |    / (2.0 * CAST(ref_total AS DOUBLE) * CAST(cur_total AS DOUBLE)) AS tv_distance
+        |SELECT n_categories, tv_numerator, ref_total, cur_total
         |FROM agg""".stripMargin,
 
     // row-level reason routing: concat_ws skips NULL (passing) checks in
@@ -6205,13 +6217,18 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     // decimal-exact child rollup vs declared header total; USING-style
-    // coalesced key; tolerance compare in decimal space
+    // coalesced key; tolerance compare in decimal space. Inputs cast to
+    // the 2-dp grid BEFORE multiplying (tie-free, engine-identical) so
+    // the whole product is exact decimal — no double->decimal rounding
+    // of a computed value anywhere.
     "q214_reconciliation" ->
       """WITH p AS (SELECT o_orderkey AS key,
         |    CAST(CAST(o_totalprice AS DECIMAL(20,6)) AS DECIMAL(38,6)) AS declared_total
         |  FROM orders),
         |c AS (SELECT l_orderkey AS key,
-        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
         |      AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS computed_total
         |  FROM lineitem GROUP BY 1)
         |SELECT COALESCE(p.key, c.key) AS key, declared_total, computed_total,
@@ -6991,12 +7008,13 @@ object SparkEntry {
         |    ORDER BY w DESC, sk ASC) AS rk FROM a),
         |b AS (SELECT s_nationkey,
         |    CASE WHEN rk <= 5 THEN CAST(sk AS VARCHAR) ELSE '__other__' END AS item,
+        |    rk > 5 AS is_other,
         |    rk, w FROM r)
-        |SELECT s_nationkey, item,
+        |SELECT s_nationkey, item, is_other,
         |  CAST(least(MIN(rk), 6) AS INT) AS rank,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
         |  CAST(SUM(w) AS DOUBLE) AS total
-        |FROM b GROUP BY 1, 2""".stripMargin,
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     // two decimal rollups, single-division shares
     "q255_share_of_parent" ->
@@ -7190,7 +7208,8 @@ object SparkEntry {
       """WITH pos AS (SELECT DISTINCT l_suppkey AS anchor, l_partkey AS item
         |  FROM lineitem),
         |idx AS (SELECT item,
-        |    CAST(row_number() OVER (ORDER BY item) AS BIGINT) - 1 AS ix
+        |    CAST(row_number() OVER (ORDER BY md5(CAST(item AS VARCHAR)), item)
+        |      AS BIGINT) - 1 AS ix
         |  FROM (SELECT DISTINCT p_partkey AS item FROM part)),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM idx),
         |anchors AS (SELECT DISTINCT anchor FROM pos),

@@ -116,6 +116,10 @@ object Drift {
         sum(col("num")).cast("decimal(38,0)").as("tv_numerator"),
         max(col("ref_total")).as("ref_total"),
         max(col("cur_total")).as("cur_total"))
+      // advisory convenience scalar: the decimal->double cast below is
+      // NOT cross-engine stable (demonstrated divergent across DuckDB
+      // builds in r6 even when locally bit-equal) — gate on the exact
+      // integer columns above, treat tv_distance as display-only.
       .withColumn("tv_distance",
         col("tv_numerator").cast("double") /
           (lit(2.0) * col("ref_total").cast("double") * col("cur_total").cast("double")))

@@ -164,10 +164,15 @@ object Sampling {
     * whose margin runs out return fewer than `k` (raise `oversample`
     * — at real universe sizes collisions are rare).
     *
-    * The dense item index is a row_number over the ITEM DIMENSION —
-    * the documented metadata-scale global window (items are a
-    * dimension, not the fact stream); the N-row count rides a one-row
-    * broadcast. Modulo bias over N is the standard, documented trade.
+    * The dense item index is bucket-decomposed like
+    * [[hashOrderedCumsum]]: items order by (md5(item), item), the
+    * 2-hex-char prefix partitions the universe into 256 buckets, and
+    * per-bucket row_numbers plus a 256-row offset table (the only
+    * unpartitioned window — metadata-scale by construction) reassemble
+    * the exact global dense index. No single-partition window ever
+    * sees the item catalog, so the index holds at billion-item scale.
+    * The N-row count rides a one-row broadcast. Modulo bias over N is
+    * the standard, documented trade.
     *
     * Output: (anchorCol, itemCol, draw_index). */
   def negativeSample(positives: DataFrame, anchorCol: String,
@@ -175,9 +180,21 @@ object Sampling {
                      k: Int, oversample: Int = 8): DataFrame = {
     require(k >= 1 && oversample >= 0, s"bad k=$k / oversample=$oversample")
     import org.apache.spark.sql.expressions.Window
-    val idx = items.select(col(itemCol)).distinct()
+    val it = items.select(col(itemCol)).distinct()
+      .withColumn("__h", md5(col(itemCol).cast("string")))
+      .withColumn("__bk", substring(col("__h"), 1, 2))
+    val bCounts = it.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
+    val wB = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bCounts
+      .withColumn("__off", (sum(col("__bn")).over(wB) - col("__bn")).cast("long"))
+      .select(col("__bk"), col("__off"))
+    val wIn = Window.partitionBy(col("__bk"))
+      .orderBy(col("__h").asc, col(itemCol).asc)
+    val idx = it.join(broadcast(offs), Seq("__bk"))
       .withColumn("__idx",
-        row_number().over(Window.orderBy(col(itemCol))).cast("long") - 1)
+        col("__off") + row_number().over(wIn).cast("long") - 1)
+      .select(col(itemCol), col("__idx"))
     val n = idx.agg(count(lit(1)).as("__n"))
     val draws = positives.select(col(anchorCol)).distinct()
       .join(graft.operators.Broadcasts.maybeBroadcast(n))

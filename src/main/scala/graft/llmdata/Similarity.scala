@@ -945,10 +945,15 @@ object Similarity {
       .withColumn("__diff",
         col("s_ref") / col("n_ref").cast("double")
           - col("s_cur") / col("n_cur").cast("double"))
+    // products of SUMS need the wide accumulator: a dim-sum of ~1e7
+    // squares to 1e14, which overflows decimal(20,6) to NULL (ANSI
+    // off) and silently drops from the sum — decimal(38,6) holds to
+    // ~1e32 while keeping the order-free exact accumulation
+    val d38 = "decimal(38,6)"
     val geom = dims.groupBy(col("label")).agg(
-      sum((col("s_ref") * col("s_cur")).cast(d20)).cast("double").as("__dot"),
-      sum((col("s_ref") * col("s_ref")).cast(d20)).cast("double").as("__rr"),
-      sum((col("s_cur") * col("s_cur")).cast(d20)).cast("double").as("__cc"),
+      sum((col("s_ref") * col("s_cur")).cast(d38)).cast("double").as("__dot"),
+      sum((col("s_ref") * col("s_ref")).cast(d38)).cast("double").as("__rr"),
+      sum((col("s_cur") * col("s_cur")).cast(d38)).cast("double").as("__cc"),
       sum((col("__diff") * col("__diff")).cast(d20)).cast("double").as("__l2sq"))
     nr.join(nc, Seq("label"), "full_outer")
       .join(geom, Seq("label"), "left")

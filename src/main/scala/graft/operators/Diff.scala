@@ -110,6 +110,15 @@ object Diff {
     * new), not folklore. One anti-join + one union. */
   def applyCdcFeed(snapshot: DataFrame, feed: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // contract: the feed must carry every snapshot column (a feed built
+    // with a compareCols SUBSET can delete but cannot reconstruct the
+    // uncompared columns of its inserts) — fail with the contract, not
+    // an AnalysisException from the projection below
+    val missing = snapshot.columns.filterNot(feed.columns.contains)
+    require(missing.isEmpty,
+      s"applyCdcFeed: feed lacks snapshot column(s) ${missing.mkString(", ")} — " +
+        "build the feed with compareCols covering ALL non-key columns " +
+        "(or empty = all shared) so inserts carry the full row")
     val dels = feed.filter(col("op") === "delete").select(keys.map(col): _*)
     val inss = feed.filter(col("op") === "insert").drop("op")
     snapshot

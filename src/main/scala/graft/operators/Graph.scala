@@ -98,7 +98,8 @@ object Graph {
     * `redistributeDangling = true` adds the standard dangling-mass
     * correction for users expecting a distribution: each round, the rank
     * mass of sink nodes (no out-edges) is split evenly across all N
-    * nodes — `r'(v) = (1-d) + d * (Σ contribs + danglingSum div N)`,
+    * nodes (or across the SEEDS only when `teleportTo` is set — restart
+    * semantics) — `r'(v) = (1-d) + d * (Σ contribs + danglingSum div N)`,
     * still all-integer (`div` floors, so a few micro-units evaporate per
     * round rather than appearing from nowhere; total mass stays within
     * N micro-units of N). Default false preserves the documented
@@ -142,6 +143,13 @@ object Graph {
           .drop("__flag")
     }).persist() // nodes-sized; forked by every round's left join
     val nNodes = nodes.count()
+    // seed count for the teleport-aware dangling redistribution (0 when
+    // the seed set misses the graph entirely — mass then evaporates,
+    // matching the all-zero rank vector such a seed set produces)
+    lazy val nSeeds: Long =
+      if (teleportTo.isDefined && redistributeDangling)
+        nodes.filter(col("__seed")).count()
+      else nNodes
     val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val base = when(col("__seed"), lit((100 - dampingPct) * Micro / 100))
       .otherwise(lit(0L))
@@ -170,13 +178,22 @@ object Graph {
         .join(contribs, Seq("node"), "left")
       if (redistributeDangling) {
         // dangling mass = rank held by nodes with NO out-edges; a
-        // one-row scalar, broadcast-crossed onto every node
+        // one-row scalar, broadcast-crossed onto every node. Under a
+        // teleport set the mass returns to the SEEDS only (restart
+        // semantics: a walker stuck at a sink restarts at a seed) —
+        // spreading it div nNodes over all nodes would leak rank to
+        // non-seeds and break random-walk-with-restart proximity.
         val danglingSum = ranks
           .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
           .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dangling_sum"))
+        val perNode =
+          if (teleportTo.isDefined)
+            when(col("__seed"),
+              if (nSeeds > 0) expr(s"dangling_sum div ${nSeeds}L") else lit(0L))
+              .otherwise(lit(0L))
+          else expr(s"dangling_sum div ${nNodes}L")
         next = next.crossJoin(broadcast(danglingSum))
-          .withColumn("in_mass",
-            expr("coalesce(in_mass, 0L)") + expr(s"dangling_sum div ${nNodes}L"))
+          .withColumn("in_mass", expr("coalesce(in_mass, 0L)") + perNode)
           .drop("dangling_sum")
       }
       val stepped = next

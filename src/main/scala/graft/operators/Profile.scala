@@ -592,7 +592,10 @@ object Profile {
     * Weights take the decimal path and stay decimal through ranking
     * (order-free, engine-exact); rank order is (weight desc, item asc)
     * — total, so the k-cut is deterministic; `rank` on the Other row
-    * is k+1 for stable downstream ordering.
+    * is k+1 for stable downstream ordering. The rollup row is marked by
+    * the `is_other` BOOLEAN (part of the grouping key), so a genuine
+    * item whose string form happens to be `__other__` stays its own
+    * head row rather than silently merging into the rollup.
     *
     * One (group, item) hash aggregate with map-side combine, one
     * group-partitioned window over the AGGREGATED frame (items per
@@ -607,10 +610,11 @@ object Profile {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__w").desc, col(itemCol).asc)
     agg0.withColumn("__rk", row_number().over(w))
+      .withColumn("is_other", col("__rk") > k)
       .withColumn("item",
-        when(col("__rk") <= k, col(itemCol).cast("string"))
+        when(!col("is_other"), col(itemCol).cast("string"))
           .otherwise(lit("__other__")))
-      .groupBy(col(groupCol), col("item"))
+      .groupBy(col(groupCol), col("item"), col("is_other"))
       .agg(least(min(col("__rk")), lit(k + 1)).cast("int").as("rank"),
         count(lit(1)).as("n_items"),
         sum(col("__w")).cast("double").as("total"))

@@ -24,6 +24,19 @@ object Streaming {
       if (row.isNullAt(0)) None else Some(row.getLong(0))
     }
 
+  /** Max `batch_id` over an append-log table (None if absent or empty)
+    * — the append side's OWN replay fence, kept separate from the state
+    * table's `last_batch_id` so the monitor sinks can commit the
+    * snapshot append BEFORE the state swap: a crash between the two
+    * replays the batch with the append fenced off and only the state
+    * swap re-applying, so neither effect double-applies. */
+  private def appendLogFence(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[Long] =
+    graft.sources.Tables.readParquetIfExists(spark, path).flatMap { s =>
+      val row = s.select(max(col("batch_id"))).head
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+
   /** File-source micro-batch ingest (the streaming analog of the monthly
     * loader): one file per trigger mirrors one month per run. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String,
@@ -555,11 +568,14 @@ object Streaming {
     *
     * Replay contract: counts carry `last_batch_id` and swap atomically
     * (exactly-once under at-least-once foreachBatch). The snapshot
-    * append rides INSIDE the fence: a crash between swap and append
-    * loses that batch's snapshot ROW (never corrupts one) — the next
-    * batch's snapshot covers the same cumulative state, so the monitor
-    * stream stays monotone-correct. Readers treat snapshots as a log,
-    * latest-batch-id wins. */
+    * append commits BEFORE the swap under its OWN fence (the log's max
+    * `batch_id` — see [[appendLogFence]]): a crash between the two
+    * replays the batch with the append fenced off and only the swap
+    * re-applying, so neither effect double-applies. The one remaining
+    * corner is a crash MID-append (a partial snapshot for that batch id
+    * that the replay then fences off) — superseded by the next batch's
+    * snapshot, since readers treat snapshots as a log where the
+    * latest batch id wins. */
   def driftMonitorSink(df: DataFrame, catCol: String, refCounts: DataFrame,
                        countsPath: String, snapshotsPath: String,
                        checkpoint: String)
@@ -581,12 +597,14 @@ object Streaming {
           }
           val out = merged.withColumn("last_batch_id", lit(batchId))
             .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second — see appendLogFence
+          if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId))
+            graft.checks.Drift
+              .totalVariationFromCounts(refCounts, out.drop("last_batch_id"))
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1) // one-row snapshot
+              .write.mode("append").parquet(snapshotsPath)
           graft.incremental.Writers.atomicRewrite(out, countsPath)
-          graft.checks.Drift
-            .totalVariationFromCounts(refCounts, out.drop("last_batch_id"))
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1) // one-row snapshot
-            .write.mode("append").parquet(snapshotsPath)
         }
       }
       .start()
@@ -602,10 +620,14 @@ object Streaming {
     * prefix sums) are handled for free — the merge just updates the day
     * and the next derive sees it.
     *
-    * Exactly-once: counts swap atomically WITH the fence id; a replayed
-    * batch id is skipped whole, so neither the counts nor the alarm
-    * append double-apply (alarm snapshots carry `batch_id` — readers
-    * take the latest). */
+    * Exactly-once: counts swap atomically WITH the fence id; the alarm
+    * append commits BEFORE the swap under its own fence (the alarm
+    * log's max `batch_id`, [[appendLogFence]]), so a crash between the
+    * two replays with the append fenced off and only the swap
+    * re-applying — neither effect double-applies, and no committed
+    * append can be lost. Alarm snapshots carry `batch_id`; readers
+    * take the latest (which also supersedes the one residual corner,
+    * a partial append from a mid-append crash). */
   def cusumSink(df: DataFrame, keyCol: String, tsCol: String,
                 slackMicro: Long, hMicro: Long,
                 countsPath: String, alarmsPath: String, checkpoint: String)
@@ -628,14 +650,16 @@ object Streaming {
           }
           val out = merged.withColumn("last_batch_id", lit(batchId))
             .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second — see appendLogFence
+          if (!appendLogFence(spark, alarmsPath).exists(_ >= batchId))
+            graft.operators.Timeseries
+              .cusumFromDaily(out.drop("last_batch_id"), keyCol,
+                slackMicro, hMicro)
+              .filter(col("alarm_up") || col("alarm_down"))
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1) // alarm snapshots are days-scale
+              .write.mode("append").parquet(alarmsPath)
           graft.incremental.Writers.atomicRewrite(out, countsPath)
-          graft.operators.Timeseries
-            .cusumFromDaily(out.drop("last_batch_id"), keyCol,
-              slackMicro, hMicro)
-            .filter(col("alarm_up") || col("alarm_down"))
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1) // alarm snapshots are days-scale
-            .write.mode("append").parquet(alarmsPath)
         }
       }
       .start()
@@ -650,10 +674,12 @@ object Streaming {
     * batch. Completes the monitor-sink triangle (distribution drift,
     * CUSUM level drift, freshness lag).
     *
-    * Exactly-once: watermarks swap atomically WITH the fence id;
-    * replayed batch ids skip both the merge and the snapshot append.
-    * Lag is exact integer seconds (pinned-instant arithmetic, never
-    * wall clock — replays stay deterministic). */
+    * Exactly-once: watermarks swap atomically WITH the fence id; the
+    * snapshot append commits BEFORE the swap under its own fence
+    * ([[appendLogFence]]), so neither effect double-applies on replay
+    * and no committed append can be lost to the swap-append crash
+    * window. Lag is exact integer seconds (pinned-instant arithmetic,
+    * never wall clock — replays stay deterministic). */
   def freshnessSink(df: DataFrame, keyCol: String, tsCol: String,
                     maxLagSeconds: Long, marksPath: String,
                     snapshotsPath: String, checkpoint: String)
@@ -675,9 +701,10 @@ object Streaming {
           }
           val out = merged.withColumn("last_batch_id", lit(batchId))
             .localCheckpoint(true) // sever lineage pre-swap
-          graft.incremental.Writers.atomicRewrite(out, marksPath)
+          // append FIRST (own fence), state swap second — see appendLogFence
           val asOfRow = out.agg(max(col("last_ts")).as("__asof")).head
-          if (!asOfRow.isNullAt(0)) {
+          if (!asOfRow.isNullAt(0)
+              && !appendLogFence(spark, snapshotsPath).exists(_ >= batchId)) {
             val asOf = asOfRow.getTimestamp(0)
             out.drop("last_batch_id")
               .withColumn("__lag_us",
@@ -690,6 +717,7 @@ object Streaming {
               .coalesce(1) // key-scale snapshot
               .write.mode("append").parquet(snapshotsPath)
           }
+          graft.incremental.Writers.atomicRewrite(out, marksPath)
         }
       }
       .start()

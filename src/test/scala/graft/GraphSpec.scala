@@ -110,4 +110,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("component_id")).distinct
     assert(out.toSeq == Seq(1L), "one chain, one component")
   }
+
+  test("connectedComponents signals LOUDLY when the iteration cap truncates") {
+    // diameter (9) > maxIterations (3): the labels at exit are NOT a
+    // fixpoint and the operator must say so on stderr — a silent cap
+    // exit would hand wrong cluster ids to every dedup consumer
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val captured =
+      try {
+        System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+        val out = Graph.connectedComponents(edges, "src", "dst",
+          maxIterations = 3)
+        val ids = out.collect().map(_.getAs[Long]("component_id")).distinct
+        assert(ids.length > 1, "cap-truncated chain cannot have merged fully")
+        new String(buf.toByteArray, "UTF-8")
+      } finally System.setErr(old)
+    assert(captured.contains("WITHOUT converging"),
+      s"expected non-convergence warning on stderr, got: $captured")
+  }
 }

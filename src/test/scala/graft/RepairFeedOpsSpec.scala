@@ -244,6 +244,23 @@ class RepairFeedOpsSpec extends SparkSpec {
     assert(classic == allSeeds, "teleporting to every node ≡ classic PageRank")
   }
 
+  test("pageRank: dangling mass returns to SEEDS under a teleport set") {
+    // 1 -> 2, 2 is a sink; seed {1}. Round 1: dangling mass = node 2's
+    // initial 0 (only seed 1 starts with mass)... run 2 rounds so node
+    // 2 holds mass entering round 2, then check its dangling rank goes
+    // back to seed 1 ONLY — node 2 (non-seed) must get no share
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("s")
+    val r = Graph.pageRank(e, iterations = 2, redistributeDangling = true,
+      teleportTo = Some(seeds))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // round 1: dangling = rank(2) = 0 -> 1: 150000, 2: 85%*1000000 = 850000
+    // round 2: dangling = 850000; seeds get it all:
+    //   1: 150000 + (85 * 850000) div 100 = 872500
+    //   2: 0 + 85%*rank(1)=150000 -> 127500  (no dangling share)
+    assert(r == Map("1" -> 872500L, "2" -> 127500L))
+  }
+
   // ---- embedding drift --------------------------------------------------
 
   test("embeddingDrift: identical snapshots -> cosine 1, L2 0; shifted label detected") {
@@ -410,6 +427,24 @@ class RepairFeedOpsSpec extends SparkSpec {
     assert(tiny.length == 1 && tiny.head.getLong(1) == 2L)
   }
 
+  test("negativeSample: every unpartitioned window sits over an aggregated frame") {
+    // the r6 scale flag: the item index used a global row_number over
+    // the raw item catalog (single-partition at scale). The bucket
+    // decomposition leaves exactly one class of unpartitioned window —
+    // the 256-row bucket-offset table, whose child is an Aggregate —
+    // and this pins that shape
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val pos = Seq((1L, 2L)).toDF("anchor", "item")
+    val plan = graft.llmdata.Sampling.negativeSample(pos, "anchor", "item",
+      (0L until 10L).toDF("item"), k = 2).queryExecution.optimizedPlan
+    val bare = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bare.nonEmpty, "expected the bucket-offset window in the plan")
+    bare.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        s"unpartitioned window over a NON-aggregated (catalog-scale) frame:\n$w")
+    }
+  }
+
   test("prorate: floor shares + deterministic remainder sum back exactly") {
     val lines = Seq((1L, 1L, 3.0), (1L, 2L, 1.0)).toDF("k", "line", "w")
     val headers = Seq((1L, 10.000001)).toDF("k", "total")
@@ -517,15 +552,28 @@ class RepairFeedOpsSpec extends SparkSpec {
       ("g", "d", 1.0), ("g", "e", 1.0), ("h", "x", 2.0))
       .toDF("grp", "item", "w")
     val out = graft.operators.Profile.topKWithOthers(df, "grp", "item", "w", 2)
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)) ->
+        (r.getInt(3), r.getLong(4), r.getDouble(5))).toMap
     // g top-2: a (5), b (3 — tie with c breaks lexicographically)
-    assert(out(("g", "a")) == ((1, 1L, 5.0)))
-    assert(out(("g", "b")) == ((2, 1L, 3.0)))
-    assert(out(("g", "__other__")) == ((3, 3L, 5.0))) // c + d + e
-    assert(out(("h", "x")) == ((1, 1L, 2.0)))
+    assert(out(("g", "a", false)) == ((1, 1L, 5.0)))
+    assert(out(("g", "b", false)) == ((2, 1L, 3.0)))
+    assert(out(("g", "__other__", true)) == ((3, 3L, 5.0))) // c + d + e
+    assert(out(("h", "x", false)) == ((1, 1L, 2.0)))
     // mass conservation
-    assert(out.collect { case (("g", _), (_, _, t)) => t }.sum == 13.0)
+    assert(out.collect { case (("g", _, _), (_, _, t)) => t }.sum == 13.0)
+  }
+
+  test("topKWithOthers: a genuine '__other__' item does not merge into the rollup") {
+    val df = Seq(("g", "__other__", 9.0), ("g", "b", 3.0), ("g", "c", 2.0),
+      ("g", "d", 1.0)).toDF("grp", "item", "w")
+    val out = graft.operators.Profile.topKWithOthers(df, "grp", "item", "w", 2)
+      .collect().map(r => (r.getString(1), r.getBoolean(2)) ->
+        (r.getInt(3), r.getLong(4), r.getDouble(5))).toMap
+    // the literal item wins rank 1 as a HEAD row; the rollup row is the
+    // separate is_other=true bucket with c + d
+    assert(out(("__other__", false)) == ((1, 1L, 9.0)))
+    assert(out(("b", false)) == ((2, 1L, 3.0)))
+    assert(out(("__other__", true)) == ((3, 2L, 3.0)))
   }
 
   test("shareOfParent: shares sum to 1 within parents and globally") {
