@@ -2433,6 +2433,72 @@ object SparkEntry {
         .distinct()
       graft.operators.Graph.linkPrediction(edges, "src", "dst", minCommon = 1)
     }),
+
+    // monitor-sink replay equivalence (q217/q237 pattern): the month's
+    // events split into three "micro-batches" by day and folded through
+    // EXACTLY the drift sink's merge algebra; the final cumulative mix
+    // vs the pinned first-half reference must equal a one-shot
+    // computation (oracle computes it directly from raw events)
+    "q258_drift_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def delta(lo: String, hi: String) = ev
+        .filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz"))
+        .groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("cnt"))
+      val folded = graft.streaming.Streaming.mergeCategoryCounts(
+        graft.streaming.Streaming.mergeCategoryCounts(
+          delta("2024-01-01", "2024-01-11"), delta("2024-01-11", "2024-01-21")),
+        delta("2024-01-21", "2024-02-01"))
+      val ref = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz"))
+        .groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.checks.Drift.totalVariationFromCounts(ref, folded)
+        .drop("tv_distance")
+    }),
+
+    // CUSUM sink replay: three day-sliced batches folded through the
+    // sink's daily-counts merge, alarms re-derived from the merged
+    // state — must equal the one-shot q232 computation (same oracle)
+    "q259_cusum_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def delta(lo: String, hi: String) = ev
+        .filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val folded = graft.streaming.Streaming.mergeDailyCounts(
+        graft.streaming.Streaming.mergeDailyCounts(
+          delta("2024-01-01", "2024-01-11"), delta("2024-01-11", "2024-01-21"),
+          "event_type"),
+        delta("2024-01-21", "2024-02-01"), "event_type")
+      graft.operators.Timeseries.cusumFromDaily(folded, "event_type",
+        slackMicro = 20000000L, hMicro = 100000000L)
+    }),
+
+    // freshness sink replay: per-key MAX watermarks folded across the
+    // three batches, lag snapshot judged at the merged table's own max
+    // instant (the sink's asOf rule) — equals the one-shot report
+    "q260_freshness_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def delta(lo: String, hi: String) = ev
+        .filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz"))
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("last_ts"))
+      val folded = graft.streaming.Streaming.mergeWatermarks(
+        graft.streaming.Streaming.mergeWatermarks(
+          delta("2024-01-01", "2024-01-11"), delta("2024-01-11", "2024-01-21"),
+          "event_type"),
+        delta("2024-01-21", "2024-02-01"), "event_type")
+      folded
+        .crossJoin(broadcast(folded.agg(max(col("last_ts")).as("__asof"))))
+        .withColumn("lag_seconds",
+          expr("(unix_micros(cast(__asof as timestamp)) " +
+            "- unix_micros(cast(last_ts as timestamp))) div 1000000L"))
+        .drop("__asof")
+        .withColumn("is_stale", col("lag_seconds") > 43200L)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7252,5 +7318,70 @@ object SparkEntry {
         |  CAST(da.degree * db.degree AS BIGINT) AS pref_attachment
         |FROM nw JOIN deg da ON da.node = nw.a JOIN deg db ON db.node = nw.b
         |WHERE n_common >= 1""".stripMargin,
+
+    // one-shot mix vs pinned first-half reference — the fold through
+    // the sink's merge algebra must land on exactly this
+    "q258_drift_sink_replay" ->
+      """WITH r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS ref_cnt
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |c AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS cur_cnt
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2024-02-01' GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+        |              CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |  CAST(SUM(CAST(ABS(cur_cnt * ref_total - ref_cnt * cur_total) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tv_numerator,
+        |  CAST(MAX(ref_total) AS BIGINT) AS ref_total,
+        |  CAST(MAX(cur_total) AS BIGINT) AS cur_total
+        |FROM j, tt""".stripMargin,
+
+    // one-shot CUSUM over the same day window the three folded batches
+    // cover (the q232 closed form, window-restricted)
+    "q259_cusum_sink_replay" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi,
+        |    CAST(SUM(cnt) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |sp AS (SELECT event_type,
+        |    (s * 1000000) // (CAST(hi - lo AS BIGINT) + 1) AS target,
+        |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT sp.event_type, sp.day, sp.target,
+        |    COALESCE(daily.cnt, 0) AS n_events
+        |  FROM sp LEFT JOIN daily USING (event_type, day)),
+        |dv AS (SELECT *, n_events * 1000000 - target - 20000000 AS dev_up,
+        |    target - n_events * 1000000 - 20000000 AS dev_dn FROM j),
+        |w AS (SELECT *, CAST(SUM(dev_up) OVER win AS BIGINT) AS pu,
+        |    CAST(SUM(dev_dn) OVER win AS BIGINT) AS pd
+        |  FROM dv WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *,
+        |    pu - least(0, CAST(MIN(pu) OVER win AS BIGINT)) AS s_plus_micro,
+        |    pd - least(0, CAST(MIN(pd) OVER win AS BIGINT)) AS s_minus_micro
+        |  FROM w WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n_events, s_plus_micro, s_minus_micro,
+        |  s_plus_micro > 100000000 AS alarm_up,
+        |  s_minus_micro > 100000000 AS alarm_down
+        |FROM f""".stripMargin,
+
+    // one-shot per-key watermark + lag at the table's own max instant
+    "q260_freshness_sink_replay" ->
+      """WITH m AS (SELECT event_type, MAX(ts) AS last_ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1),
+        |a AS (SELECT MAX(last_ts) AS as_of FROM m)
+        |SELECT event_type, last_ts,
+        |  (epoch_us(CAST(as_of AS TIMESTAMP)) - epoch_us(CAST(last_ts AS TIMESTAMP)))
+        |    // 1000000 AS lag_seconds,
+        |  (epoch_us(CAST(as_of AS TIMESTAMP)) - epoch_us(CAST(last_ts AS TIMESTAMP)))
+        |    // 1000000 > 43200 AS is_stale
+        |FROM m, a""".stripMargin,
   )
 }

@@ -37,6 +37,29 @@ object Streaming {
       if (row.isNullAt(0)) None else Some(row.getLong(0))
     }
 
+  /** The monitor sinks' merge algebras, exposed as plain BATCH
+    * functions: each sink's foreachBatch calls one of these verbatim,
+    * and the replay-equivalence queries (q258–q260) fold a SPLIT corpus
+    * through the same call chain and oracle-compare the result against
+    * a direct one-shot computation — the q217/q237 pattern, closing the
+    * monitor sinks' spec-only gap (batch recompute ≡ fenced streaming
+    * state). All three are mergeable-partial algebras (SUM over counts,
+    * MAX over watermarks): associative + commutative, so ANY batch
+    * split reproduces the one-shot answer bit-for-bit. */
+  def mergeCategoryCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta).groupBy(col("category"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  def mergeDailyCounts(stored: DataFrame, delta: DataFrame,
+                       keyCol: String): DataFrame =
+    stored.unionByName(delta).groupBy(col(keyCol), col("day"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  def mergeWatermarks(stored: DataFrame, delta: DataFrame,
+                      keyCol: String): DataFrame =
+    stored.unionByName(delta).groupBy(col(keyCol))
+      .agg(max(col("last_ts")).as("last_ts"))
+
   /** File-source micro-batch ingest (the streaming analog of the monthly
     * loader): one file per trigger mirrors one month per run. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String,
@@ -590,9 +613,7 @@ object Streaming {
           val delta = batch.groupBy(col(catCol).as("category"))
             .agg(count(lit(1)).as("cnt"))
           val merged = stored match {
-            case Some(s) => s.drop("last_batch_id").unionByName(delta)
-              .groupBy(col("category"))
-              .agg(sum(col("cnt")).cast("long").as("cnt"))
+            case Some(s) => mergeCategoryCounts(s.drop("last_batch_id"), delta)
             case None => delta
           }
           val out = merged.withColumn("last_batch_id", lit(batchId))
@@ -643,9 +664,7 @@ object Streaming {
             .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
             .agg(count(lit(1)).as("cnt"))
           val merged = stored match {
-            case Some(s) => s.drop("last_batch_id").unionByName(delta)
-              .groupBy(col(keyCol), col("day"))
-              .agg(sum(col("cnt")).cast("long").as("cnt"))
+            case Some(s) => mergeDailyCounts(s.drop("last_batch_id"), delta, keyCol)
             case None => delta
           }
           val out = merged.withColumn("last_batch_id", lit(batchId))
@@ -694,9 +713,7 @@ object Streaming {
           val delta = batch.groupBy(col(keyCol))
             .agg(max(col(tsCol)).as("last_ts"))
           val merged = stored match {
-            case Some(s) => s.drop("last_batch_id").unionByName(delta)
-              .groupBy(col(keyCol))
-              .agg(max(col("last_ts")).as("last_ts"))
+            case Some(s) => mergeWatermarks(s.drop("last_batch_id"), delta, keyCol)
             case None => delta
           }
           val out = merged.withColumn("last_batch_id", lit(batchId))
