@@ -2499,6 +2499,31 @@ object SparkEntry {
         .drop("__asof")
         .withColumn("is_stale", col("lag_seconds") > 43200L)
     }),
+
+    // two-sample Kolmogorov-Smirnov per line status: returned vs kept
+    // quantity distributions — exact integer D numerator over the
+    // distinct-value CDF lattice, one final division
+    "q261_ks_two_sample" -> ((s, d) =>
+      graft.operators.RankStats.ksTwoSample(t(s, d, "lineitem"),
+        "l_linestatus", "l_quantity", col("l_returnflag") === "R")),
+
+    // Mann-Whitney U per order priority: finished vs open order totals
+    // — doubled midranks keep average-rank ties exact-integer
+    "q262_mann_whitney" -> ((s, d) =>
+      graft.operators.RankStats.mannWhitneyU(t(s, d, "orders"),
+        "o_orderpriority", "o_totalprice", col("o_orderstatus") === "F")),
+
+    // Gini concentration of order totals per priority — micro-unit
+    // integer sorted-position sums via the tie-group identity
+    "q263_gini" -> ((s, d) =>
+      graft.operators.RankStats.giniByKey(t(s, d, "orders"),
+        "o_orderpriority", "o_totalprice")),
+
+    // Spearman rank correlation (quantity vs revenue) per return flag
+    // — midranks from distinct-value cumulations, moments in decimal
+    "q264_spearman" -> ((s, d) =>
+      graft.operators.RankStats.spearmanByKey(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7383,5 +7408,106 @@ object SparkEntry {
         |  (epoch_us(CAST(as_of AS TIMESTAMP)) - epoch_us(CAST(last_ts AS TIMESTAMP)))
         |    // 1000000 > 43200 AS is_stale
         |FROM m, a""".stripMargin,
+
+    // CDF lattice over distinct values; HUGEINT cross products (exact),
+    // final width pinned to DECIMAL(38,0) to match the engine
+    "q261_ks_two_sample" ->
+      """WITH c AS (SELECT l_linestatus AS k, l_quantity AS v,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(ca) OVER win AS HUGEINT) AS cuma,
+        |    CAST(SUM(cb) OVER win AS HUGEINT) AS cumb
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM c GROUP BY 1),
+        |g AS (SELECT w.k, t.n_a, t.n_b,
+        |    MAX(ABS(cuma * t.n_b - cumb * t.n_a)) AS dnum
+        |  FROM w JOIN t USING (k) WHERE t.n_a > 0 AND t.n_b > 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT k AS l_linestatus, n_a, n_b,
+        |  CAST(dnum AS DECIMAL(38,0)) AS d_numerator,
+        |  CAST(dnum AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_statistic
+        |FROM g""".stripMargin,
+
+    // doubled midranks 2*C_prev + t + 1 on the distinct-value frame;
+    // 2*U_A = 2*R_A - nA*(nA+1); identity gives U_B
+    "q262_mann_whitney" ->
+      """WITH c AS (SELECT o_orderpriority AS k, o_totalprice AS v,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *, ca + cb AS t,
+        |    CAST(SUM(ca + cb) OVER win AS HUGEINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * (cum - t) + t + 1)) AS ra_d
+        |  FROM w GROUP BY 1)
+        |SELECT k AS o_orderpriority, n_a, n_b,
+        |  CAST(ra_d - CAST(n_a AS HUGEINT) * (n_a + 1) AS DECIMAL(38,0)) AS u_a_doubled,
+        |  CAST(2 * CAST(n_a AS HUGEINT) * n_b
+        |    - (ra_d - CAST(n_a AS HUGEINT) * (n_a + 1)) AS DECIMAL(38,0)) AS u_b_doubled
+        |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
+    // tie-group identity turns the sorted-position sum into a
+    // distinct-value aggregate; micro-unit integers end-to-end
+    "q263_gini" ->
+      """WITH m AS (SELECT o_orderpriority AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000 AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(t) OVER win AS HUGEINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT k, CAST(SUM(t) AS BIGINT) AS n,
+        |    SUM(CAST(v AS HUGEINT) * t) AS total_micro,
+        |    SUM(CAST(v AS HUGEINT) * t * (2 * (cum - t) + t + 1)) AS two_ix
+        |  FROM w GROUP BY 1)
+        |SELECT k AS o_orderpriority, n,
+        |  CAST(total_micro AS DECIMAL(38,0)) AS total_micro,
+        |  CASE WHEN total_micro > 0 THEN
+        |    (CAST(two_ix AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total_micro AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(total_micro AS DOUBLE))
+        |  END AS gini
+        |FROM g""".stripMargin,
+
+    // Pearson over doubled midranks; single-op IEEE finish, sqrt safe
+    "q264_spearman" ->
+      """WITH b AS (SELECT l_returnflag AS k, l_quantity AS x,
+        |    l_extendedprice AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL GROUP BY 1, 2, 3),
+        |rx AS (SELECT k, x, 2 * (CAST(SUM(SUM(c)) OVER win AS HUGEINT) - SUM(c))
+        |      + SUM(c) + 1 AS rd
+        |  FROM b GROUP BY 1, 2 WINDOW win AS (PARTITION BY k ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ry AS (SELECT k, y, 2 * (CAST(SUM(SUM(c)) OVER win AS HUGEINT) - SUM(c))
+        |      + SUM(c) + 1 AS rd
+        |  FROM b GROUP BY 1, 2 WINDOW win AS (PARTITION BY k ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT b.k, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(c * rx.rd) AS sx, SUM(c * ry.rd) AS sy,
+        |    SUM(c * rx.rd * rx.rd) AS sxx, SUM(c * ry.rd * ry.rd) AS syy,
+        |    SUM(c * rx.rd * ry.rd) AS sxy
+        |  FROM b JOIN rx ON b.k = rx.k AND b.x = rx.x
+        |  JOIN ry ON b.k = ry.k AND b.y = ry.y GROUP BY 1)
+        |SELECT k AS l_returnflag, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS rho
+        |FROM m""".stripMargin,
   )
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact rank/order statistics — the distribution-comparison and
+  * concentration tests an analytics engine needs beyond moment-based
+  * drift (TV distance, chi-square, CUSUM already live in
+  * `graft.checks.Drift` / `Timeseries`): two-sample Kolmogorov–Smirnov,
+  * Mann–Whitney U, the Gini coefficient, and Spearman rank correlation.
+  *
+  * Two design rules shared by every operator here:
+  *
+  *  1. **Distinct-value decomposition.** Ranks are never assigned per
+  *     ROW: every statistic is an exact function of the per-key
+  *     (value, count) aggregate — cumulative counts give midranks
+  *     (`2·C_prev + t + 1`, doubled to stay integer under average-rank
+  *     ties), so the only windows run over per-key DISTINCT-VALUE
+  *     frames (values-scale, partitioned by key), never over the raw
+  *     fact stream. At 100 TB the plan is: one hash aggregate with
+  *     map-side combine, then windows/joins on frames that are orders
+  *     of magnitude smaller. No global or raw-row window anywhere.
+  *  2. **Integer/decimal exactness.** Counts and doubled ranks are
+  *     integers; cross products ride decimal(38,0) (a cum-count ×
+  *     sample-size product overflows BIGINT near 1e10 rows per side);
+  *     the statistic itself is ONE final IEEE division (or a
+  *     division over sqrt, which is correctly rounded) — the q119 /
+  *     autocorrelation discipline, engine-exact at any parallelism.
+  */
+object RankStats {
+
+  /** Per-(key, value) counts split by membership in sample A:
+    * (key, __v, __ca, __cb) — the shared reduction. */
+  private def splitCounts(df: DataFrame, keyCol: String, valueCol: String,
+                          isA: Column): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+
+  /** Two-sample Kolmogorov–Smirnov statistic per key:
+    * `D = max_v |F_A(v) − F_B(v)|`, evaluated in EXACT integer
+    * arithmetic as `d_numerator = max |cumA·nB − cumB·nA|` over the
+    * per-key distinct values, with `d_statistic = d_numerator/(nA·nB)`
+    * as the one final division. The CDF-shaped companion to the
+    * mix-based TV distance: sensitive to location/shape shifts a
+    * category mix can't see.
+    *
+    * Output: (key, n_a, n_b, d_numerator decimal(38,0), d_statistic).
+    * Keys where either sample is empty are dropped (D undefined). */
+  def ksTwoSample(df: DataFrame, keyCol: String, valueCol: String,
+                  isA: Column): DataFrame = {
+    val counts = splitCounts(df, keyCol, valueCol, isA)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(Broadcasts.maybeBroadcast(totals), Seq(keyCol))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__gap",
+        abs(col("__cuma").cast("decimal(38,0)") * col("n_b")
+          - col("__cumb").cast("decimal(38,0)") * col("n_a"))
+          .cast("decimal(38,0)"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("__gap")).cast("decimal(38,0)").as("d_numerator"))
+      .withColumn("d_statistic",
+        col("d_numerator").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+  }
+
+  /** Mann–Whitney U per key with exact average-rank tie handling, kept
+    * integer by DOUBLING: a tie group of size `t` whose first combined
+    * position is `C_prev + 1` has doubled midrank `2·C_prev + t + 1`,
+    * so `2·R_A = Σ cA·(2·C_prev + t + 1)` is exact BIGINT-style
+    * arithmetic (ridden in decimal(38,0) for the count×rank products)
+    * and `2·U_A = 2·R_A − nA·(nA+1)`. The identity
+    * `u_a_doubled + u_b_doubled = 2·nA·nB` holds exactly.
+    *
+    * Output: (key, n_a, n_b, u_a_doubled, u_b_doubled) — the caller
+    * normalizes (U/2, or the z-approximation) if a scalar is wanted;
+    * the exact integers are the oracle-comparable core. */
+  def mannWhitneyU(df: DataFrame, keyCol: String, valueCol: String,
+                   isA: Column): DataFrame = {
+    val counts = splitCounts(df, keyCol, valueCol, isA)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+      // doubled midrank of this tie group: 2*(cum - t) + t + 1
+      .withColumn("__rd",
+        (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+          .cast("decimal(38,0)"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca").cast("decimal(38,0)") * col("__rd"))
+          .cast("decimal(38,0)").as("__ra_d"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("u_a_doubled",
+        (col("__ra_d") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
+          .cast("decimal(38,0)"))
+      .withColumn("u_b_doubled",
+        (lit(2L).cast("decimal(38,0)") * col("n_a") * col("n_b")
+          - col("u_a_doubled")).cast("decimal(38,0)"))
+      .drop("__ra_d")
+  }
+
+  /** Gini concentration coefficient per key over a NON-NEGATIVE value
+    * on the 2-dp grid (amounts): `G = (2·Σ i·x_(i) − (n+1)·Σx)/(n·Σx)`
+    * with `i` the 1-based position in the sorted order. Equal values
+    * make Σ i·x invariant to tie order, so the statistic is total-order
+    * deterministic without a tiebreak.
+    *
+    * Exactness: values convert to integer MICRO units via their exact
+    * decimal grid (the CUSUM discipline); the tie-group identity
+    * `Σ_{i∈group} i = t·(2·C_prev + t + 1)/2` turns the sorted-position
+    * sum into a distinct-value aggregate — `2·Σ i·x = Σ_v xμ_v·t·rd_v`
+    * — all decimal(38,0); `gini` is the one final double division.
+    *
+    * Output: (key, n, total_micro, gini). Keys with a zero total get
+    * NULL gini (concentration of nothing is undefined). */
+  def giniByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val micro = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__mu"))
+      .withColumn("__mu", col("__mu") * 10000L) // 2-dp grid -> micro
+    val counts = micro.groupBy(col(keyCol), col("__mu").as("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .withColumn("__rd",
+        (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+          .cast("decimal(38,0)"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__t")).as("n"),
+        sum(col("__v").cast("decimal(38,0)") * col("__t"))
+          .cast("decimal(38,0)").as("total_micro"),
+        sum(col("__v").cast("decimal(38,0)") * col("__t") * col("__rd"))
+          .cast("decimal(38,0)").as("__two_ix"))
+      .withColumn("gini",
+        when(col("total_micro") > 0,
+          (col("__two_ix").cast("double")
+            - (col("n") + 1).cast("double") * col("total_micro").cast("double"))
+            / (col("n").cast("double") * col("total_micro").cast("double"))))
+      .drop("__two_ix")
+  }
+
+  /** Spearman rank correlation per key: Pearson over exact doubled
+    * midranks of x and y (average-rank ties; the doubling cancels in
+    * ρ). Midranks come from per-key distinct-value cumulative counts
+    * joined back to the (x, y) pair aggregate — the raw stream is
+    * touched by hash aggregates only. Moments ride decimal(38,0); ρ is
+    * `(n·Σxy − Σx·Σy) / (√(n·Σxx−Σx²) · √(n·Σyy−Σy²))` in doubles
+    * (sqrt is correctly rounded — engine-portable; keys with a
+    * degenerate side yield NULL).
+    *
+    * Output: (key, n, rho). */
+  def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def midranks(vCol: String, out: String) = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(keyCol), col(vCol).as("__v"))
+        .agg(sum(col("__c")).as("__t"))
+        .withColumn("__cum", sum(col("__t")).over(w))
+        .select(col(keyCol), col("__v").as(vCol),
+          (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+            .cast("decimal(38,0)").as(out))
+    }
+    val d38 = "decimal(38,0)"
+    val m = base
+      .join(midranks("__x", "__rx"), Seq(keyCol, "__x"))
+      .join(midranks("__y", "__ry"), Seq(keyCol, "__y"))
+      .groupBy(col(keyCol)).agg(
+        sum(col("__c")).as("n"),
+        sum(col("__c") * col("__rx")).cast(d38).as("__sx"),
+        sum(col("__c") * col("__ry")).cast(d38).as("__sy"),
+        sum(col("__c") * col("__rx") * col("__rx")).cast(d38).as("__sxx"),
+        sum(col("__c") * col("__ry") * col("__ry")).cast(d38).as("__syy"),
+        sum(col("__c") * col("__rx") * col("__ry")).cast(d38).as("__sxy"))
+    val nD = col("n").cast("double")
+    // one-line subtractions (leading-`-` continuation trap — NOTES.md)
+    val num = (nD * col("__sxy").cast("double")) -
+      (col("__sx").cast("double") * col("__sy").cast("double"))
+    val dx = (nD * col("__sxx").cast("double")) -
+      (col("__sx").cast("double") * col("__sx").cast("double"))
+    val dy = (nD * col("__syy").cast("double")) -
+      (col("__sy").cast("double") * col("__sy").cast("double"))
+    m.select(col(keyCol), col("n"),
+      when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("rho"))
+  }
+}
