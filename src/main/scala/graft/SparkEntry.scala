@@ -2524,6 +2524,25 @@ object SparkEntry {
     "q264_spearman" -> ((s, d) =>
       graft.operators.RankStats.spearmanByKey(t(s, d, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // hashing-trick featurization: signed 64-bucket sparse vectors, no
+    // fitted vocabulary — one map-side pass + one hash aggregate
+    "q265_feature_hash" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.featureHash(t(s, d, "documents"),
+        "doc_id", "text", nBuckets = 64)),
+
+    // K-fold out-of-fold target encoding table (leakage-safe): md5
+    // fold draws, decimal-exact sums, single-division means
+    "q266_target_encode" -> ((s, d) =>
+      graft.operators.Encode.targetEncodeOOF(t(s, d, "orders"),
+        "o_orderpriority", "o_totalprice", "o_orderkey",
+        nFolds = 5, salt = "#te")),
+
+    // per-document boilerplate: fraction of its distinct 3-gram
+    // shingles the corpus repeats in >= 10 documents
+    "q267_boilerplate" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.boilerplateProfile(t(s, d, "documents"),
+        "doc_id", "text", shingleSize = 3, dfAtLeast = 10)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7509,5 +7528,63 @@ object SparkEntry {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END AS rho
         |FROM m""".stripMargin,
+
+    // md5 hex bridge for bucket + sign; cancelled buckets dropped
+    "q265_feature_hash" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(term) AS h FROM tok WHERE length(term) > 0),
+        |s AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 64 AS INT) AS bucket,
+        |    CASE WHEN substr(h, 9, 1) < '8' THEN 1 ELSE -1 END AS sign
+        |  FROM h)
+        |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+        |FROM s GROUP BY 1, 2 HAVING SUM(sign) <> 0""".stripMargin,
+
+    // md5 fold draw; per-(cat,fold) decimal sums; OOF mean = (tot -
+    // fold)/(n_tot - n_fold); single-fold categories take the prior
+    "q266_target_encode" ->
+      """WITH r AS (SELECT o_orderpriority AS category,
+        |    CAST(o_totalprice AS DECIMAL(20,6)) AS t,
+        |    CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#te'), 1, 8)
+        |      AS BIGINT) % 5 AS INT) AS fold
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pf AS (SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n_in_fold,
+        |    CAST(SUM(t) AS DECIMAL(38,6)) AS s FROM r GROUP BY 1, 2),
+        |pc AS (SELECT category, CAST(SUM(n_in_fold) AS BIGINT) AS n_tot,
+        |    CAST(SUM(s) AS DECIMAL(38,6)) AS s_tot FROM pf GROUP BY 1),
+        |pr AS (SELECT CAST(CAST(SUM(t) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS prior FROM r)
+        |SELECT category, fold, n_in_fold,
+        |  n_tot - n_in_fold AS n_oof,
+        |  CASE WHEN n_tot - n_in_fold > 0
+        |    THEN CAST(s_tot - s AS DOUBLE) / CAST(n_tot - n_in_fold AS DOUBLE)
+        |    ELSE prior END AS mean_oof,
+        |  n_tot - n_in_fold = 0 AS is_prior
+        |FROM pf JOIN pc USING (category), pr""".stripMargin,
+
+    // distinct per-doc 3-gram shingles -> corpus df -> per-doc common
+    // fraction; short docs keep a row with 0 shingles
+    "q267_boilerplate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |  FROM tok),
+        |dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM sh GROUP BY 1),
+        |per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |  FROM sh JOIN dfc USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_shingles, 0) AS n_shingles,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  CASE WHEN COALESCE(n_shingles, 0) > 0
+        |    THEN CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |  END AS boilerplate_fraction
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
   )
 }

@@ -1525,4 +1525,77 @@ object TextAnalysis {
       .orderBy(col("score_micro").desc, col("phrase").asc)
       .limit(topK)
   }
+
+  /** The hashing trick: each document's bag of tokens folded into a
+    * fixed `nBuckets`-dimensional SIGNED sparse vector — the
+    * vocabulary-free featurization (Weinberger et al. 2009 /
+    * HashingTF's signed variant) that needs no fitted dictionary, so a
+    * 100 TB corpus featurizes in ONE map-side pass with no
+    * vocabulary-build stage at all. Bucket = first 8 md5 hex chars mod
+    * `nBuckets`; sign = the 9th hex char (< '8' → +1, else −1 — the
+    * unbiased-inner-product trick: collisions cancel in expectation
+    * instead of accumulating). Zero-weight entries (fully cancelled
+    * buckets) are dropped: the output is the sparse representation.
+    *
+    * Deterministic (md5, no fitted state) and engine-portable (integer
+    * weights). One explode + one (doc, bucket) hash aggregate with
+    * map-side combine; nothing global anywhere.
+    *
+    * Output: (doc_id, bucket, weight). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 24),
+      s"nBuckets must be in [2, 2^24], got $nBuckets")
+    df.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("__h", md5(col("term")))
+      .withColumn("bucket",
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+      .withColumn("__sign",
+        when(substring(col("__h"), 9, 1) < "8", 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
+  /** Boilerplate profile: per document, how much of it is made of
+    * shingles the REST of the corpus repeats — the template/navigation/
+    * legal-footer signal that near-dup removal (whole-document scope)
+    * and novelty (batch-vs-corpus scope) both miss. A page can be
+    * globally unique yet 80% chrome; this catches it.
+    *
+    * Per doc: its DISTINCT word `shingleSize`-grams; corpus df per
+    * shingle; `n_common` = shingles with df ≥ `dfAtLeast` (appearing in
+    * that many documents, self included), `boilerplate_fraction` =
+    * n_common / n_shingles (one exact-integer division). Docs too short
+    * to shingle report 0 shingles and NULL fraction.
+    *
+    * Shape at 100 TB: shingle explode → (shingle) df aggregate →
+    * semi-broadcastable join back on the shingle stream → per-doc
+    * aggregate. The df table is vocabulary-scale; everything else is
+    * scan-proportional. No windows. */
+  def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 5, dfAtLeast: Long = 3): DataFrame = {
+    require(shingleSize >= 1 && dfAtLeast >= 1, "bad shingle/df params")
+    val toks = df.select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("__toks"))
+    val sh = toks.select(col("doc_id"),
+        explode(DedupOps.shinglesFromTokens(col("__toks"), shingleSize))
+          .as("shingle"))
+    val dfCounts = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df")) // shingles are per-doc DISTINCT
+    sh.join(dfCounts, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= dfAtLeast, 1L).otherwise(0L)).as("n_common"))
+      .join(toks.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("boilerplate_fraction",
+        when(col("n_shingles") > 0,
+          col("n_common").cast("double") / col("n_shingles").cast("double")))
+  }
 }

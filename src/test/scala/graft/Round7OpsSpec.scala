@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation/feature-engineering operators. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- featureHash ------------------------------------------------------
+
+  test("featureHash: deterministic sparse vectors; repeated token doubles weight") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha")).toDF("id", "text")
+    val out = graft.llmdata.TextAnalysis.featureHash(df, "id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    // identical docs -> identical vectors
+    val v1 = out.collect { case ((1L, b), w) => b -> w }.toMap
+    val v2 = out.collect { case ((2L, b), w) => b -> w }.toMap
+    assert(v1 == v2 && v1.nonEmpty)
+    // alpha appears twice: its bucket's |weight| is 2 (same sign twice)
+    assert(v1.values.map(math.abs).toSet == Set(1L, 2L))
+  }
+
+  test("featureHash drops fully-cancelled buckets and empty docs") {
+    val out = graft.llmdata.TextAnalysis.featureHash(
+      Seq((1L, "   ")).toDF("id", "text"), "id", "text", 16)
+    assert(out.count() == 0)
+  }
+
+  // ---- targetEncodeOOF --------------------------------------------------
+
+  test("targetEncodeOOF: constant target encodes to the constant; fold counts conserve") {
+    val df = (1L to 40L).map(i => (i, "c", 7.5)).toDF("id", "cat", "y")
+    val out = graft.operators.Encode.targetEncodeOOF(df, "cat", "y", "id", 4)
+      .collect()
+    assert(out.map(_.getLong(2)).sum == 40L) // n_in_fold conserves rows
+    out.foreach { r =>
+      assert(r.getLong(3) == 40L - r.getLong(2)) // n_oof identity
+      assert(r.getDouble(4) == 7.5)              // constant target
+      assert(!r.getBoolean(5))
+    }
+  }
+
+  test("targetEncodeOOF: single-row category takes the global prior, flagged") {
+    val df = ((1L to 20L).map(i => (i, "big", 10.0)) :+ ((99L, "solo", 0.0)))
+      .toDF("id", "cat", "y")
+    val out = graft.operators.Encode.targetEncodeOOF(df, "cat", "y", "id", 4)
+      .collect().map(r => (r.getString(0), r.getBoolean(5), r.getDouble(4)))
+    val solo = out.filter(_._1 == "solo")
+    assert(solo.length == 1 && solo.head._2, "solo category must be prior-flagged")
+    assert(solo.head._3 == 200.0 / 21.0) // global mean
+    // big category's OOF means exclude the solo row entirely
+    out.filter(_._1 == "big").foreach { case (_, p, m) => assert(!p && m == 10.0) }
+  }
+
+  test("targetEncodeOOF: OOF mean really excludes the in-fold slice") {
+    // replicate the md5 fold draw host-side and check each fold's
+    // encoding equals the exact mean of the OTHER fold's targets
+    def fold(id: Long, n: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % n).toInt
+    }
+    val ids = (1L to 30L)
+    val byFold = ids.groupBy(fold(_, 2)).map { case (f, is) =>
+      f -> (is.size.toLong, is.map(_.toDouble).sum)
+    }
+    assert(byFold.size == 2, "fixture must span both folds")
+    val df = ids.map(i => (i, "c", i.toDouble)).toDF("id", "cat", "y")
+    val enc = graft.operators.Encode.targetEncodeOOF(df, "cat", "y", "id", 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(enc.size == 2)
+    enc.foreach { case (f, (nIn, mean)) =>
+      val (otherN, otherSum) = byFold(1 - f)
+      assert(nIn == byFold(f)._1)
+      assert(mean == otherSum / otherN.toDouble,
+        s"fold $f mean_oof must be the other fold's exact mean")
+    }
+  }
+
+  // ---- boilerplateProfile -----------------------------------------------
+
+  test("boilerplateProfile: shared shingles counted, fraction exact, short docs NULL") {
+    val df = Seq(
+      (1L, "the quick brown fox"),   // shingles: "the quick brown", "quick brown fox"
+      (2L, "the quick brown cat"),
+      (3L, "the quick brown dog"),
+      (4L, "totally different words here"),
+      (5L, "tiny doc"))              // too short for 3-grams
+      .toDF("id", "text")
+    val out = graft.llmdata.TextAnalysis
+      .boilerplateProfile(df, "id", "text", shingleSize = 3, dfAtLeast = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // "the quick brown" appears in docs 1-3 (df = 3 >= 3); each doc's
+    // second shingle is unique
+    assert(out(1L) == ((2L, 1L, Some(0.5))))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((2L, 1L, Some(0.5))))
+    assert(out(4L) == ((2L, 0L, Some(0.0))))
+    assert(out(5L) == ((0L, 0L, None)))
+  }
+}
