@@ -2543,6 +2543,19 @@ object SparkEntry {
     "q267_boilerplate" -> ((s, d) =>
       graft.llmdata.TextAnalysis.boilerplateProfile(t(s, d, "documents"),
         "doc_id", "text", shingleSize = 3, dfAtLeast = 10)),
+
+    // lead/lag scan: click vs purchase daily series cross-correlated at
+    // every lag in [-7, 7]; calendar-join pairing, exact moments
+    "q268_cross_correlation" -> ((s, d) =>
+      graft.operators.Timeseries.crossCorrelation(t(s, d, "events"),
+        "event_type", "ts", keyA = "click", keyB = "purchase",
+        maxLagDays = 7)),
+
+    // Heaps-law vocabulary growth over 10 acquisition bins — exact
+    // integer curve, no doc-scale windows
+    "q269_vocab_growth" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.vocabularyGrowth(t(s, d, "documents"),
+        "doc_id", "text", nBins = 10)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7586,5 +7599,54 @@ object SparkEntry {
         |    THEN CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE)
         |  END AS boilerplate_fraction
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // lag fan-out over the days-scale B series; q226's exact-moment
+    // Pearson tree per lag
+    "q268_cross_correlation" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        |  WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+        |a AS (SELECT day, cnt AS x FROM daily WHERE event_type = 'click'),
+        |b AS (SELECT day AS bday, cnt AS y FROM daily WHERE event_type = 'purchase'),
+        |lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS INT) AS lag_days),
+        |bl AS (SELECT lag_days, bday - lag_days AS day, y FROM b, lags),
+        |p AS (SELECT lag_days, x, y FROM a JOIN bl USING (day)),
+        |m AS (SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT lag_days, n_pairs,
+        |  CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0.0
+        |        AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0.0
+        |    THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END AS r
+        |FROM m WHERE n_pairs >= 3""".stripMargin,
+
+    // per-term first doc id -> equal-width id bins -> cumulative curve
+    "q269_vocab_growth" ->
+      """WITH bounds AS (SELECT MIN(doc_id) AS lo,
+        |    MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+        |    CAST(((doc_id - lo) * 10) // span AS INT) AS bin
+        |  FROM documents, bounds),
+        |pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |tk AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |ft AS (SELECT term, MIN(doc_id) AS fid FROM tk
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |nt AS (SELECT CAST(((fid - lo) * 10) // span AS INT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_new_terms FROM ft, bounds GROUP BY 1)
+        |SELECT pb.bin, n_docs, n_tokens,
+        |  COALESCE(n_new_terms, 0) AS n_new_terms,
+        |  CAST(SUM(COALESCE(n_new_terms, 0)) OVER (ORDER BY pb.bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocabulary
+        |FROM pb LEFT JOIN nt USING (bin)""".stripMargin,
   )
 }

@@ -1598,4 +1598,51 @@ object TextAnalysis {
         when(col("n_shingles") > 0,
           col("n_common").cast("double") / col("n_shingles").cast("double")))
   }
+
+  /** Vocabulary growth curve: how fast the corpus stops yielding NEW
+    * terms — the diversity-saturation readout behind "will another
+    * crawl month add vocabulary or just mass". The corpus is cut into
+    * `nBins` equal-width id-range bins (ids ordered by ingestion make
+    * this the acquisition timeline); each bin reports its docs, token
+    * occurrences, terms whose FIRST occurrence falls in it, and the
+    * cumulative vocabulary — a Heaps-law curve in exact integers,
+    * no log fit (logs aren't engine-portable; the raw curve is).
+    *
+    * Shape at 100 TB: one token explode feeding (a) a per-term
+    * `min(doc_id)` hash aggregate (vocabulary-scale) and (b) a per-bin
+    * doc/token rollup; binning is integer arithmetic off a broadcast
+    * (min, max) id pair — NO ranks, no doc-scale windows; the one
+    * running-sum window orders the nBins-row aggregate (metadata). */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).cast("long").as("__id"),
+      split(trim(lower(col(textCol))), "\\s+").as("__toks"),
+      when(length(trim(col(textCol))) === 0, 0L)
+        .otherwise(size(split(trim(col(textCol)), "\\s+"))).as("__nt"))
+    val bounds = docs.agg(min(col("__id")).as("__lo"),
+      (max(col("__id")) - min(col("__id")) + 1).as("__span"))
+    def binned(frame: DataFrame, on: String) = frame
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr(s"(($on - __lo) * $nBins) div __span").cast("int"))
+      .drop("__lo", "__span")
+    val terms = docs.select(col("__id"),
+        explode(col("__toks")).as("term"))
+      .filter(length(col("term")) > 0)
+    val perBin = binned(docs.select(col("__id"), col("__nt")), "__id")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).cast("long").as("n_tokens"))
+    val newTerms = binned(terms.groupBy(col("term"))
+      .agg(min(col("__id")).as("__first")), "__first")
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_new_terms"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin.join(newTerms, Seq("bin"), "left")
+      .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+      .withColumn("cum_vocabulary",
+        sum(col("n_new_terms")).over(w).cast("long"))
+  }
 }

@@ -522,4 +522,65 @@ object Timeseries {
       .select(col("__b").as("bucket_id"), col("bucket_start"), col("cnt"),
         col("baseline_sum"), col("n_prev"), col("ratio"), col("is_burst"))
   }
+
+  /** Lagged CROSS-correlation between two keys' daily count series —
+    * "do clicks lead purchases, and by how many days": Pearson r of
+    * (A at day d, B at day d+lag) for every lag in [−maxLagDays,
+    * maxLagDays]. Positive-lag peaks mean A LEADS B; the lag-0 column
+    * is plain co-movement; the mirrored negative lags complete the
+    * lead/lag scan a metric-dependency investigation reads.
+    *
+    * Determinism inherits [[autocorrelation]] wholesale: calendar-join
+    * pairing (a row-lag window misaligns on gaps), exact decimal
+    * moments, the fixed `(n·Sxy−SxSy)/(√dx·√dy)` IEEE tree (sqrt is
+    * correctly rounded — portable), NULL on degenerate sides, lags
+    * with fewer than `minPairs` matched days dropped.
+    *
+    * Shape: one (key, day) aggregate; series A and B are days-scale
+    * slices of it; the lag fan-out multiplies B's day table by
+    * (2·maxLag+1) BEFORE the join (days × lags — metadata-scale), so
+    * the raw stream is touched by the one aggregate only. */
+  def crossCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                       keyA: String, keyB: String, maxLagDays: Int,
+                       minPairs: Int = 3): DataFrame = {
+    require(maxLagDays >= 0, s"maxLagDays must be >= 0, got $maxLagDays")
+    val d38 = "decimal(38,0)"
+    val daily = df.filter(col(keyCol).isin(keyA, keyB))
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.filter(col(keyCol) === keyA)
+      .select(col("day"), col("cnt").as("__x"))
+    val b = daily.filter(col(keyCol) === keyB)
+      .select(col("day").as("__bday"), col("cnt").as("__y"))
+    val lagged = b
+      .crossJoin(broadcast(
+        spark_range_lags(-maxLagDays, maxLagDays)(daily.sparkSession)))
+      .withColumn("day", expr("date_add(__bday, -lag_days)"))
+    val paired = a.join(lagged, Seq("day"))
+      .select(col("lag_days"), col("__x").cast(d38).as("__x"),
+        col("__y").cast(d38).as("__y"))
+    val m = paired.groupBy(col("lag_days")).agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(col("__x")).cast(d38).as("__sx"),
+      sum(col("__y")).cast(d38).as("__sy"),
+      sum(col("__x") * col("__x")).cast(d38).as("__sxx"),
+      sum(col("__y") * col("__y")).cast(d38).as("__syy"),
+      sum(col("__x") * col("__y")).cast(d38).as("__sxy"))
+    val nD = col("n_pairs").cast("double")
+    // one-line subtractions (leading-`-` continuation trap — NOTES.md)
+    val num = (nD * col("__sxy").cast("double")) -
+      (col("__sx").cast("double") * col("__sy").cast("double"))
+    val dx = (nD * col("__sxx").cast("double")) -
+      (col("__sx").cast("double") * col("__sx").cast("double"))
+    val dy = (nD * col("__syy").cast("double")) -
+      (col("__sy").cast("double") * col("__sy").cast("double"))
+    m.filter(col("n_pairs") >= minPairs)
+      .select(col("lag_days"), col("n_pairs"),
+        when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("r"))
+  }
+
+  /** One-row-per-lag frame [−maxLag, maxLag] (broadcast fan-out). */
+  private def spark_range_lags(lo: Int, hi: Int)(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(lo, hi + 1L).select(col("id").cast("int").as("lag_days"))
 }

@@ -102,4 +102,43 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, Some(0.0))))
     assert(out(5L) == ((0L, 0L, None)))
   }
+
+  // ---- crossCorrelation -------------------------------------------------
+
+  test("crossCorrelation: recovers the planted lead; pair counts shrink off-peak") {
+    // series B is series A delayed by exactly 2 days (irregular counts,
+    // so only the true lag is a perfect linear match)
+    val counts = Seq(1, 3, 2, 5, 4, 7)
+    def rows(key: String, startDay: Int) = counts.zipWithIndex.flatMap {
+      case (c, i) => Seq.fill(c)(
+        (key, java.sql.Timestamp.valueOf(f"2024-01-${startDay + i}%02d 12:00:00")))
+    }
+    val df = (rows("a", 1) ++ rows("b", 3)).toDF("k", "ts")
+    val out = graft.operators.Timeseries
+      .crossCorrelation(df, "k", "ts", "a", "b", maxLagDays = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (nPeak, rPeak) = out(2)
+    assert(nPeak == 6L, "all six days pair at the true lag")
+    assert(rPeak > 0.9999)
+    out.filterNot(_._1 == 2).values.foreach { case (_, r) =>
+      assert(r < rPeak, "the planted lag must be the unique peak")
+    }
+  }
+
+  // ---- vocabularyGrowth -------------------------------------------------
+
+  test("vocabularyGrowth: new terms land in their first bin; curve accumulates") {
+    val df = Seq(
+      (1L, "a b"), (2L, "a c"),   // bin 0: vocab {a,b,c}
+      (3L, "b c"), (4L, "d d"),   // bin 1: +{d}
+      (5L, "a b c d"), (6L, "e")) // bin 2: +{e}
+      .toDF("doc_id", "text")
+    val out = graft.llmdata.TextAnalysis
+      .vocabularyGrowth(df, "doc_id", "text", nBins = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0) == ((2L, 4L, 3L, 3L)))
+    assert(out(1) == ((2L, 4L, 1L, 4L)))
+    assert(out(2) == ((2L, 5L, 1L, 5L)))
+  }
 }
