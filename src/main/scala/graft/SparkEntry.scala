@@ -2556,6 +2556,21 @@ object SparkEntry {
     "q269_vocab_growth" -> ((s, d) =>
       graft.llmdata.TextAnalysis.vocabularyGrowth(t(s, d, "documents"),
         "doc_id", "text", nBins = 10)),
+
+    // ECDF score recalibration: late-1998 shipments' quantities mapped
+    // to their percentile in the pre-1998 reference distribution;
+    // output collapsed to the (value, percentile) map + row mass
+    "q270_percentile_normalize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.operators.Profile.percentileNormalize(
+        li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")
+            && col("l_quantity").isNotNull)
+          .select(col("l_quantity")),
+        li.filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")),
+        "l_quantity", lo = 0.0, width = 5.0, nBins = 10)
+        .groupBy(col("l_quantity"), col("percentile"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7648,5 +7663,24 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_vocabulary
         |FROM pb LEFT JOIN nt USING (bin)""".stripMargin,
+
+    // ECDF against the aggregated reference: count-weighted <= rollup
+    // over the distinct-value grid, one division per value
+    "q270_percentile_normalize" ->
+      """WITH refc AS (SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_quantity IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_ref FROM refc),
+        |tgt AS (SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_quantity IS NOT NULL GROUP BY 1),
+        |cl AS (SELECT t.v, t.n_rows,
+        |    CAST(COALESCE(SUM(CASE WHEN r.v <= t.v THEN r.c END), 0) AS BIGINT) AS cnt_le
+        |  FROM tgt t LEFT JOIN refc r ON true GROUP BY 1, 2)
+        |SELECT v AS l_quantity,
+        |  CASE WHEN n_ref > 0
+        |    THEN CAST(cnt_le AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS percentile,
+        |  n_rows
+        |FROM cl, n""".stripMargin,
   )
 }

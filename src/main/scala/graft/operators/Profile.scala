@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the per-column statistics pass (row/null/distinct
@@ -683,5 +683,61 @@ object Profile {
           .as("observed_rate"),
         (col("n_pos").cast("double") / col("n").cast("double")
           - col("__ssum") / col("n").cast("double")).as("calibration_gap"))
+  }
+
+  /** Percentile normalization against a REFERENCE distribution: each
+    * row's value mapped to `F_ref(v) = #{ref ≤ v} / n_ref` — the score
+    * recalibration every model-version migration needs (new model's
+    * raw scores land on the old threshold scale), and the classic
+    * ECDF feature transform.
+    *
+    * EXACT at any scale, with no global window: values range-bucket by
+    * `bin = floor((v−lo)/width)` (clamped to [−1, nBins] — a monotone
+    * map, so (bin, value) order ≡ value order; the numericDrift binning
+    * chain, exact-rounded); per-bin reference totals roll into a
+    * bins-scale offset table (the only unpartitioned window —
+    * metadata by construction), and within-bin cumulative counts run
+    * bin-partitioned over the distinct-VALUE lattice (ref values with
+    * their counts ∪ target distinct values at count 0, reference
+    * ordered first at equal value so ties take ≤ semantics). Target
+    * rows then join their value's cumulative count — one values-scale
+    * map join onto the fact stream.
+    *
+    * Output: `df` + `percentile` (NULL when the reference is empty;
+    * NULL-value rows pass through with NULL percentile). */
+  def percentileNormalize(df: DataFrame, ref: DataFrame, valueCol: String,
+                          lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins >= 1, s"bad binning: width=$width nBins=$nBins")
+    import org.apache.spark.sql.expressions.Window
+    def bin(v: Column): Column =
+      least(greatest(floor((v.cast("double") - lo) / width), lit(-1.0)),
+        lit(nBins.toDouble)).cast("int")
+    val refAgg = ref.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    val tgtVals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v")).distinct()
+      .withColumn("__c", lit(0L)).withColumn("__src", lit(1))
+    val lattice = refAgg.withColumn("__src", lit(0)).unionByName(tgtVals)
+      .withColumn("__b", bin(col("__v")))
+    val offsets = lattice.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__bc"))
+      .withColumn("__off",
+        (sum(col("__bc")).over(Window.orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__bc")).cast("long"))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__v").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRef = refAgg.agg(sum(col("__c")).cast("long").as("__n_ref"))
+    val cdf = lattice.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(wIn))
+      .filter(col("__src") === 1)
+      .crossJoin(broadcast(nRef))
+      .select(col("__v").as(valueCol),
+        when(col("__n_ref") > 0,
+          col("__cum").cast("double") / col("__n_ref").cast("double"))
+          .as("percentile"))
+    df.join(Broadcasts.maybeBroadcast(cdf), Seq(valueCol), "left")
   }
 }

@@ -141,4 +141,35 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 4L, 1L, 4L)))
     assert(out(2) == ((2L, 5L, 1L, 5L)))
   }
+
+  // ---- percentileNormalize ----------------------------------------------
+
+  test("percentileNormalize: exact ECDF with ties-at-value and range edges") {
+    val ref = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val tgt = Seq(0.0, 2.0, 5.0, 2.0).toDF("v")
+    val out = graft.operators.Profile
+      .percentileNormalize(tgt, ref, "v", lo = 0.0, width = 1.0, nBins = 3)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.0) == 0.0)   // below all reference mass
+    assert(out(2.0) == 0.75)  // <= 2: three of four ref rows
+    assert(out(5.0) == 1.0)   // above the clamp bin, full mass
+    // empty reference -> NULL percentile, no blowup
+    val empty = graft.operators.Profile.percentileNormalize(
+      tgt, ref.filter(col("v") > 99), "v", 0.0, 1.0, 3)
+    assert(empty.collect().forall(_.isNullAt(1)))
+  }
+
+  test("percentileNormalize: only bins-scale unpartitioned windows in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val ref = Seq(1.0, 2.0).toDF("v")
+    val plan = graft.operators.Profile
+      .percentileNormalize(Seq(3.0).toDF("v"), ref, "v", 0.0, 1.0, 4)
+      .queryExecution.optimizedPlan
+    val bare = plan.collect { case w: LW if w.partitionSpec.isEmpty => w }
+    assert(bare.nonEmpty, "expected the bin-offset window")
+    bare.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+        s"unpartitioned window over a non-aggregated frame:\n$w")
+    }
+  }
 }
