@@ -2571,6 +2571,30 @@ object SparkEntry {
         .groupBy(col("l_quantity"), col("percentile"))
         .agg(count(lit(1)).as("n_rows"))
     }),
+
+    // quasi-experimental effect: even-id users "treated", mid-month
+    // cutover; DiD nets the secular trend out of the treated change
+    "q271_diff_in_diff" -> ((s, d) =>
+      graft.operators.Robust.diffInDiff(
+        t(s, d, "events")
+          .withColumn("treated", col("user_id") % 2 === 0)
+          .withColumn("post",
+            col("ts") >= lit("2024-01-16").cast("timestamp_ntz")),
+        "treated", "post", "value")),
+
+    // sample-ratio-mismatch screen vs a deliberately wrong 2:1:1:1:1
+    // design — exact per-variant chi-square terms
+    "q272_srm" -> ((s, d) =>
+      graft.operators.Robust.sampleRatioMismatch(t(s, d, "events"),
+        "event_type", Seq("click" -> 2L, "error" -> 1L, "purchase" -> 1L,
+          "signup" -> 1L, "view" -> 1L))),
+
+    // top-3-step session openings with session share — the sequence
+    // view the one-hop transition matrix (q135) can't show
+    "q273_top_paths" -> ((s, d) =>
+      graft.operators.Sessionize.topPaths(t(s, d, "events"),
+        "user_id", "ts", "event_type", gapSeconds = 1800,
+        tieBreakCol = "event_id", depth = 3)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7682,5 +7706,78 @@ object SparkEntry {
         |    THEN CAST(cnt_le AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS percentile,
         |  n_rows
         |FROM cl, n""".stripMargin,
+
+    // four conditional cells in ONE aggregate; decimal sums, means and
+    // the DiD as fixed IEEE trees
+    "q271_diff_in_diff" ->
+      """WITH b AS (SELECT (user_id % 2 = 0) AS tr,
+        |    (ts >= TIMESTAMP '2024-01-16') AS po, value FROM events),
+        |g AS (SELECT
+        |  CAST(SUM(CASE WHEN NOT tr AND NOT po AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |  CAST(SUM(CASE WHEN NOT tr AND po AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        |  CAST(SUM(CASE WHEN tr AND NOT po AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |  CAST(SUM(CASE WHEN tr AND po AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |  CAST(CAST(SUM(CASE WHEN NOT tr AND NOT po THEN CAST(value AS DECIMAL(20,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS s_c0,
+        |  CAST(CAST(SUM(CASE WHEN NOT tr AND po THEN CAST(value AS DECIMAL(20,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS s_c1,
+        |  CAST(CAST(SUM(CASE WHEN tr AND NOT po THEN CAST(value AS DECIMAL(20,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS s_t0,
+        |  CAST(CAST(SUM(CASE WHEN tr AND po THEN CAST(value AS DECIMAL(20,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS s_t1
+        | FROM b)
+        |SELECT n_c0, n_c1, n_t0, n_t1,
+        |  s_c0 / CAST(n_c0 AS DOUBLE) AS mean_c0,
+        |  s_c1 / CAST(n_c1 AS DOUBLE) AS mean_c1,
+        |  s_t0 / CAST(n_t0 AS DOUBLE) AS mean_t0,
+        |  s_t1 / CAST(n_t1 AS DOUBLE) AS mean_t1,
+        |  (s_t1 / CAST(n_t1 AS DOUBLE) - s_t0 / CAST(n_t0 AS DOUBLE))
+        |    - (s_c1 / CAST(n_c1 AS DOUBLE) - s_c0 / CAST(n_c0 AS DOUBLE)) AS did
+        |FROM g""".stripMargin,
+
+    // exact integer chi-square term parts per variant; W = 6
+    "q272_srm" ->
+      """WITH obs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT * FROM (VALUES ('click', CAST(2 AS BIGINT)),
+        |    ('error', CAST(1 AS BIGINT)), ('purchase', CAST(1 AS BIGINT)),
+        |    ('signup', CAST(1 AS BIGINT)), ('view', CAST(1 AS BIGINT)))
+        |  t(event_type, weight)),
+        |tt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+        |j AS (SELECT COALESCE(obs.event_type, d.event_type) AS event_type,
+        |    COALESCE(n_obs, 0) AS n_obs, weight, n_total
+        |  FROM obs FULL OUTER JOIN d ON obs.event_type = d.event_type, tt),
+        |k AS (SELECT *,
+        |    (CAST(n_obs AS HUGEINT) * 6 - CAST(n_total AS HUGEINT) * weight)
+        |      * (CAST(n_obs AS HUGEINT) * 6 - CAST(n_total AS HUGEINT) * weight)
+        |      AS tn,
+        |    CAST(weight AS HUGEINT) * 6 * n_total AS td
+        |  FROM j)
+        |SELECT event_type, n_obs, weight, n_total,
+        |  CAST(tn AS DECIMAL(38,0)) AS term_num,
+        |  CAST(td AS DECIMAL(38,0)) AS term_den,
+        |  CASE WHEN td > 0 THEN CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) END
+        |    AS srm_term
+        |FROM k""".stripMargin,
+
+    // q135's session tag, then ordered first-3 list per session
+    "q273_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (SELECT user_id, event_id, event_type, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS session_index
+        |  FROM b),
+        |p AS (SELECT user_id, session_index,
+        |    array_to_string(list(event_type ORDER BY ts ASC, event_id ASC)[1:3], '>')
+        |      AS path
+        |  FROM sess GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS tot FROM c)
+        |SELECT path, n_sessions,
+        |  CAST(n_sessions AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM c, tt""".stripMargin,
   )
 }

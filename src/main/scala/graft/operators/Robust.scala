@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust-statistics cleanup operators: outlier clamping for numeric
@@ -155,6 +155,86 @@ object Robust {
           (col("n_a") - col("conv_a")) + (col("n_b") - col("conv_b")) > 0,
           n * (a * d - b * c) * (a * d - b * c)
             / ((a + b) * (c + d) * (a + c) * (b + d))))
+  }
+
+  /** Difference-in-differences estimator — the quasi-experimental
+    * effect readout when a clean A/B split isn't available (a rollout
+    * hit one segment at a known time): `DiD = (ȳ_treated,post −
+    * ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre)`, the change in
+    * the treated group net of the secular trend the control group
+    * measures.
+    *
+    * One pass, ONE aggregate: the four cells are conditional
+    * count/exact-decimal-sum pairs (order-free), each mean one double
+    * division, DiD one fixed IEEE tree of the four means. Cells with
+    * no rows make their mean — and the estimate — NULL, loudly. */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean, as: String) = {
+      val cond = col(treatedCol) === t && col(postCol) === p &&
+        col(valueCol).isNotNull
+      Seq(sum(when(cond, 1L).otherwise(0L)).as(s"n_$as"),
+        sum(when(cond, col(valueCol)).cast("decimal(20,6)"))
+          .cast("decimal(38,6)").as(s"__s_$as"))
+    }
+    def mean(as: String): Column =
+      when(col(s"n_$as") > 0,
+        col(s"__s_$as").cast("double") / col(s"n_$as").cast("double"))
+    val cells = cell(false, false, "c0") ++ cell(false, true, "c1") ++
+      cell(true, false, "t0") ++ cell(true, true, "t1")
+    df.agg(cells.head, cells.tail: _*)
+      .withColumn("mean_c0", mean("c0")).withColumn("mean_c1", mean("c1"))
+      .withColumn("mean_t0", mean("t0")).withColumn("mean_t1", mean("t1"))
+      .withColumn("did",
+        (col("mean_t1") - col("mean_t0")) - (col("mean_c1") - col("mean_c0")))
+      .select(col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+        col("mean_c0"), col("mean_c1"), col("mean_t0"), col("mean_t1"),
+        col("did"))
+  }
+
+  /** Sample-ratio-mismatch screen — the first thing to check when an
+    * experiment looks off: do the observed per-variant counts match the
+    * DESIGNED split? `expected` carries integer design weights (50/50 →
+    * 1:1). Output is PER-VARIANT: observed count, the exact integer
+    * chi-square term numerator `(obs·W − total·w)²` (decimal(38,0) —
+    * cross products overflow BIGINT at ~1e10 rows) over denominator
+    * `w·W·total`, and the term as one double division. The caller sums
+    * the handful of terms for the test statistic — emitting exact
+    * per-variant parts keeps the output order-free and
+    * engine-portable (a double total would be partition-order-
+    * dependent). Variants observed but absent from the design get NULL
+    * expectation columns — the loudest possible mismatch. */
+  def sampleRatioMismatch(df: DataFrame, variantCol: String,
+                          expected: Seq[(String, Long)]): DataFrame = {
+    require(expected.nonEmpty && expected.forall(_._2 > 0),
+      "expected weights must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "duplicate variant in expected")
+    val bigW = expected.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = expected.toDF(variantCol, "weight")
+    val obs = df.groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).cast("long").as("__total"))
+    obs.join(Broadcasts.maybeBroadcast(design), Seq(variantCol), "full_outer")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("term_num",
+        (col("n_obs").cast("decimal(38,0)") * bigW
+          - col("__total").cast("decimal(38,0)") * col("weight"))
+          .cast("decimal(38,0)"))
+      .withColumn("term_num", (col("term_num") * col("term_num"))
+        .cast("decimal(38,0)"))
+      .withColumn("term_den",
+        (col("weight").cast("decimal(38,0)") * bigW * col("__total"))
+          .cast("decimal(38,0)"))
+      .withColumn("srm_term",
+        when(col("term_den") > 0,
+          col("term_num").cast("double") / col("term_den").cast("double")))
+      .select(col(variantCol), col("n_obs"), col("weight"),
+        col("__total").as("n_total"), col("term_num"), col("term_den"),
+        col("srm_term"))
   }
 
   /** Deterministic NULL imputation with provenance — the data-repair

@@ -242,4 +242,36 @@ object Sessionize {
         col("total_dwell_us").cast("double")
           / (col("n_events") * lit(1000000L)).cast("double"))
   }
+
+  /** Top session paths: the first `depth` event types of each session
+    * joined with `>` — the "how do users actually start" table behind
+    * every onboarding/funnel-design review (the transition MATRIX
+    * q135 shows only one hop; paths show the sequence). Sessions
+    * shorter than `depth` report their full (shorter) path.
+    *
+    * Deterministic: in-session order is (ts, tieBreak) — total; the
+    * per-session array is built by array_sort over collected structs
+    * (order-insensitive input, sorted output), truncated with slice.
+    * Shape: the session tag's key shuffle + one (key, session)
+    * aggregate + one paths-scale count aggregate; `share` divides two
+    * exact BIGINTs on the tiny path frame. */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, gapSeconds: Long, tieBreakCol: String,
+               depth: Int = 3): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val perSession = tag(df, keyCol, tsCol, gapSeconds, tieBreakCol)
+      .groupBy(col(keyCol), col("session_index"))
+      .agg(concat_ws(">",
+        slice(transform(
+          array_sort(collect_list(struct(col(tsCol).as("t"),
+            col(tieBreakCol).as("b"), col(typeCol).as("e")))),
+          x => x.getField("e")), 1, depth)).as("path"))
+    val counted = perSession.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val total = counted.agg(sum(col("n_sessions")).cast("long").as("__tot"))
+    counted.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_sessions").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
 }

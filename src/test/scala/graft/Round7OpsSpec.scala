@@ -172,4 +172,62 @@ class Round7OpsSpec extends SparkSpec {
         s"unpartitioned window over a non-aggregated frame:\n$w")
     }
   }
+
+  // ---- diffInDiff -------------------------------------------------------
+
+  test("diffInDiff: treated change net of the control trend; empty cell -> NULL") {
+    val df = Seq(
+      (false, false, 1.0), (false, false, 3.0),  // control pre: mean 2
+      (false, true, 4.0), (false, true, 6.0),    // control post: mean 5
+      (true, false, 10.0),                       // treated pre: 10
+      (true, true, 20.0))                        // treated post: 20
+      .toDF("tr", "po", "v")
+    val r = graft.operators.Robust.diffInDiff(df, "tr", "po", "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 1L, 1L)))
+    assert(r.getDouble(8) == (20.0 - 10.0) - (5.0 - 2.0)) // DiD = 7
+    val missing = graft.operators.Robust.diffInDiff(
+      df.filter(!(col("tr") && !col("po"))), "tr", "po", "v").head()
+    assert(missing.isNullAt(8), "empty treated-pre cell must NULL the estimate")
+  }
+
+  // ---- sampleRatioMismatch ----------------------------------------------
+
+  test("sampleRatioMismatch: exact chi-square terms; off-design and unobserved variants") {
+    val df = (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c"))
+      .toDF("variant")
+    val out = graft.operators.Robust.sampleRatioMismatch(df, "variant",
+      Seq("a" -> 1L, "b" -> 1L, "d" -> 2L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // W = 4, total = 45
+    assert(out("a").getDecimal(4).longValueExact() == 5625L) // (120-45)^2
+    assert(out("a").getDouble(6) == 5625.0 / 180.0)
+    assert(out("d").getLong(1) == 0L)                        // designed, unseen
+    assert(out("d").getDecimal(4).longValueExact() == 8100L) // (0-90)^2
+    assert(out("d").getDouble(6) == 8100.0 / 360.0)
+    assert(out("c").isNullAt(2) && out("c").isNullAt(6),
+      "observed-but-undesigned variant must surface with NULL design columns")
+  }
+
+  // ---- topPaths ---------------------------------------------------------
+
+  test("topPaths: ordered first-k steps per session, gap splits, shares sum to 1") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:05:00"), "click", 2L),
+      (1L, ts("2024-01-01 10:06:00"), "purchase", 3L),
+      (1L, ts("2024-01-01 10:07:00"), "error", 4L), // 4th step: truncated away
+      (1L, ts("2024-01-01 12:00:00"), "view", 5L),  // new session (gap > 30 min)
+      (1L, ts("2024-01-01 12:10:00"), "view", 6L),
+      (2L, ts("2024-01-01 09:00:00"), "signup", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.operators.Sessionize
+      .topPaths(df, "user_id", "ts", "event_type", 1800, "event_id", depth = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "view>click>purchase" -> ((1L, 1.0 / 3.0)),
+      "view>view" -> ((1L, 1.0 / 3.0)),
+      "signup" -> ((1L, 1.0 / 3.0))))
+  }
 }
