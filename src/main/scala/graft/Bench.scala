@@ -110,11 +110,15 @@ object Bench {
     def jmap(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, v) => k -> f(v).toString })
+    // per-query sample counts, so rep coverage (cheapest-first pass
+    // discipline) is auditable from the artifact itself
+    val reps = jmap(queries.map { case (k, _) =>
+      k -> samples(k).length.toString })
     val errs = jmap(errors.toSeq.map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = results.map(_._2).sum
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val fullLine =
-      s"""{"metric":"total","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$maxReps,"budget_sec":${f(budget)},"spent_sec":${f(spent)},"unit":"sec","value":${f(total)}}"""
+      s"""{"metric":"total","queries":$qs,"n_samples":$reps,"errors":$errs,"sf":"$sfDir","reps":$maxReps,"budget_sec":${f(budget)},"spent_sec":${f(spent)},"unit":"sec","value":${f(total)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // "queries" kept for driver-schema compatibility but capped to the 10

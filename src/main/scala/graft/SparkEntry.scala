@@ -2595,6 +2595,36 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(t(s, d, "events"),
         "user_id", "ts", "event_type", gapSeconds = 1800,
         tieBreakCol = "event_id", depth = 3)),
+
+    // small-file compaction plan over a synthetic per-day listing
+    // (path = order day, bytes = 100*rows): next-fit groups via one
+    // metadata-scale prefix sum
+    "q274_compaction_plan" -> ((s, d) =>
+      graft.operators.Layout.compactionPlan(
+        t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).cast("string").as("path"))
+          .agg((count(lit(1)) * 100).cast("long").as("bytes")),
+        "path", "bytes", targetBytes = 50000L)),
+
+    // Z-order locality histogram: morton(part % 1024, supp % 1024) at
+    // 10 bits, rolled to 256 z-cells — the data-skipping layout key
+    "q275_zorder_cells" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("__z", graft.operators.Layout.mortonCode(
+          col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10))
+        .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
+        .agg(count(lit(1)).as("n_rows"))),
+
+    // supplier Pareto front (line count vs decimal-exact revenue, both
+    // maximized) via the bucket-decomposed skyline
+    "q276_skyline" -> ((s, d) =>
+      graft.operators.Profile.skyline2d(
+        t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(20,6)"))
+              .cast("decimal(38,6)").as("revenue")),
+        "n_items", "revenue", lo = 0.0, width = 100.0, nBins = 20)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -7779,5 +7809,44 @@ object SparkEntry {
         |SELECT path, n_sessions,
         |  CAST(n_sessions AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM c, tt""".stripMargin,
+
+    // next-fit grouping = prefix-sum div target over the path order
+    "q274_compaction_plan" ->
+      """WITH f AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS path,
+        |    CAST(COUNT(*) * 100 AS BIGINT) AS bytes FROM orders GROUP BY 1),
+        |a AS (SELECT path, bytes,
+        |    CAST((SUM(bytes) OVER (ORDER BY path ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+        |      // 50000 AS BIGINT) AS group_id
+        |  FROM f),
+        |g AS (SELECT group_id, CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_files FROM a GROUP BY 1)
+        |SELECT path, bytes, a.group_id, group_bytes, n_files
+        |FROM a JOIN g USING (group_id)""".stripMargin,
+
+    // morton interleave mirrored as div/mod arithmetic (no engine bit
+    // intrinsics in the oracle)
+    "q275_zorder_cells" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"((y // ${1L << i}) % 2) * ${2L * (1L << (2 * i))}")).mkString(" + ")
+      s"""WITH k AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |  FROM lineitem),
+         |m AS (SELECT ($terms) AS z FROM k)
+         |SELECT CAST(z // 4096 AS BIGINT) AS z_cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // direct NOT EXISTS dominance check over the supplier aggregate
+    "q276_skyline" ->
+      """WITH s AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6))
+        |      AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_items, l_suppkey, revenue FROM s a
+        |WHERE NOT EXISTS (SELECT 1 FROM s b
+        |  WHERE b.n_items >= a.n_items AND b.revenue >= a.revenue
+        |    AND (b.n_items > a.n_items OR b.revenue > a.revenue))""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Physical-layout planning operators: the table-maintenance math a
+  * lakehouse pipeline runs BETWEEN queries — small-file compaction
+  * grouping and space-filling-curve (Z-order) sort keys for
+  * multi-column locality. Both are pure, deterministic computations
+  * over table METADATA or key columns; the actual rewrite is the
+  * caller's `Writers` swap.
+  */
+object Layout {
+
+  /** Compaction plan over a file-listing frame: contiguous files (in
+    * `pathCol` order) grouped so each group's cumulative size crosses
+    * one `targetBytes` boundary — the next-fit bin packing a
+    * small-file compactor wants (groups may overshoot by at most one
+    * file; singleton oversized files get their own group). Group ids
+    * are stable under re-listing (pure function of the sorted listing).
+    *
+    * `group_id = (cum_bytes_before_this_file) div targetBytes` — a
+    * prefix sum over the file listing. File listings are
+    * table-metadata-scale (not data-scale), so the one ordered window
+    * here is the documented metadata exception; partition the listing
+    * by table/partition column upstream to bound it further.
+    *
+    * Output: (path, bytes, group_id) + per-group `group_bytes` and
+    * `n_files` joined back for the planner's readout. */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val w = Window.orderBy(col(pathCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = files
+      .select(col(pathCol), col(bytesCol).cast("long").as("bytes"))
+      .withColumn("__cum", sum(col("bytes")).over(w))
+      .withColumn("group_id",
+        expr(s"(__cum - bytes) div ${targetBytes}L").cast("long"))
+      .drop("__cum")
+    val groups = assigned.groupBy(col("group_id"))
+      .agg(sum(col("bytes")).cast("long").as("group_bytes"),
+        count(lit(1)).as("n_files"))
+    assigned.join(Broadcasts.maybeBroadcast(groups), Seq("group_id"))
+      .select(col(pathCol), col("bytes"), col("group_id"),
+        col("group_bytes"), col("n_files"))
+  }
+
+  /** Z-order (Morton) key of two non-negative ints below `2^bits`:
+    * bit-interleave x (even positions) and y (odd positions) —
+    * `Σᵢ bitᵢ(x)·4ⁱ + 2·bitᵢ(y)·4ⁱ`, a pure shift/mask/add tree that
+    * whole-stage codegen collapses to straight-line long arithmetic
+    * (the oracle mirrors it with div/mod arithmetic, so the value is
+    * engine-portable by construction). Sorting or range-partitioning
+    * by this key co-locates rows close in BOTH dimensions — the
+    * classic multi-column data-skipping layout (a file covers a
+    * z-range ⇒ tight min/max on both columns, so predicates on either
+    * prune files).
+    *
+    * `bits ≤ 31` keeps the interleave inside a signed long. Inputs out
+    * of [0, 2^bits) yield NULL (loud in any downstream sort) rather
+    * than a silently-wrapped key. */
+  def mortonCode(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val lim = 1L << bits
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    val terms: Seq[Column] = (0 until bits).flatMap { i =>
+      val p4 = 1L << (2 * i)
+      Seq(
+        shiftright(xl, i).bitwiseAND(1L) * p4,
+        shiftright(yl, i).bitwiseAND(1L) * (2L * p4))
+    }
+    when(x.isNotNull && y.isNotNull &&
+      xl >= 0 && xl < lim && yl >= 0 && yl < lim,
+      terms.reduce(_ + _).cast("long"))
+  }
+}

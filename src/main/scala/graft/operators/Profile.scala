@@ -740,4 +740,44 @@ object Profile {
           .as("percentile"))
     df.join(Broadcasts.maybeBroadcast(cdf), Seq(valueCol), "left")
   }
+
+  /** 2-D skyline (Pareto front, both dimensions MAXIMIZED): rows no
+    * other row dominates (`x' ≥ x ∧ y' ≥ y` with one strict) — the
+    * "best trade-offs" cut behind price-vs-quality and
+    * coverage-vs-cost readouts. Duplicate points are mutually
+    * non-dominating and all survive.
+    *
+    * Decomposition (no all-pairs, no global window): a row survives
+    * iff `y = maxy(x)` and `maxy(x) > M(x)` where `maxy` is the
+    * per-distinct-x max of y and `M(x)` the max of `maxy` over x' > x.
+    * `M` runs over the distinct-x frame, range-bucketed exactly like
+    * [[percentileNormalize]] (monotone fixed-width bins: bins-scale
+    * suffix-max table + bin-partitioned windows), then one
+    * values-scale map join filters the fact stream. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins >= 1, s"bad binning: width=$width nBins=$nBins")
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__maxy"))
+      .withColumn("__b",
+        least(greatest(floor((col("__x").cast("double") - lo) / width),
+          lit(-1.0)), lit(nBins.toDouble)).cast("int"))
+    val binMax = perX.groupBy(col("__b")).agg(max(col("__maxy")).as("__bm"))
+      .withColumn("__above",
+        max(col("__bm")).over(Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__above"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = perX.join(broadcast(binMax), Seq("__b"))
+      .withColumn("__strict",
+        greatest(coalesce(max(col("__maxy")).over(wIn), col("__above")),
+          coalesce(col("__above"), max(col("__maxy")).over(wIn))))
+      .filter(col("__strict").isNull || col("__maxy") > col("__strict"))
+      .select(col("__x").as(xCol), col("__maxy"))
+    df.join(Broadcasts.maybeBroadcast(survivors), Seq(xCol))
+      .filter(col(yCol) === col("__maxy"))
+      .drop("__maxy")
+  }
 }

@@ -230,4 +230,51 @@ class Round7OpsSpec extends SparkSpec {
       "view>view" -> ((1L, 1.0 / 3.0)),
       "signup" -> ((1L, 1.0 / 3.0))))
   }
+
+  // ---- Layout -----------------------------------------------------------
+
+  test("compactionPlan: next-fit groups, overshoot bounded by one file") {
+    val files = Seq(("a", 30L), ("b", 30L), ("c", 50L), ("d", 10L))
+      .toDF("path", "bytes")
+    val out = graft.operators.Layout.compactionPlan(files, "path", "bytes", 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((0L, 60L, 2L))) // a+b cross the first boundary
+    assert(out("b") == ((0L, 60L, 2L)))
+    assert(out("c") == ((1L, 50L, 1L)))
+    assert(out("d") == ((2L, 10L, 1L)))
+  }
+
+  test("mortonCode: known interleave; out-of-range and NULL inputs go NULL") {
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 7L), (8L, 0L))
+      .toDF("x", "y")
+      .withColumn("z", graft.operators.Layout.mortonCode(col("x"), col("y"), 3))
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out((3L, 5L)) == Some(39L)) // z-bits y2x2y1x1y0x0 = 100111
+    assert(out((0L, 0L)) == Some(0L))
+    assert(out((7L, 7L)) == Some(63L))
+    assert(out((8L, 0L)) == None, "x = 2^bits is out of range")
+    // z-order locality: sorting by z keeps both coordinates monotone
+    // within each quadrant — spot-check the quadrant split at bit 2
+    val z = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)).toDF("x", "y")
+      .withColumn("z", graft.operators.Layout.mortonCode(col("x"), col("y"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z.filter { case ((x, y), _) => x < 4 && y < 4 }.values.forall(_ < 16))
+    assert(z.filter { case ((x, y), _) => x >= 4 && y >= 4 }.values.forall(_ >= 48))
+  }
+
+  // ---- skyline2d --------------------------------------------------------
+
+  test("skyline2d: Pareto front with duplicates kept and extremes surviving") {
+    val df = Seq((1L, 10L, "p1"), (2L, 9L, "p2"), (3L, 1L, "p3"),
+      (2L, 5L, "p4"), (1L, 10L, "p5"), (0L, 11L, "p6"))
+      .toDF("x", "y", "id")
+    val out = graft.operators.Profile
+      .skyline2d(df, "x", "y", lo = 0.0, width = 1.0, nBins = 2)
+      .collect().map(_.getString(2)).sorted
+    // front: (0,11), both copies of (1,10), (2,9), and (3,1) — the max-x
+    // point always survives; (2,5) is dominated by (2,9)
+    assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
+  }
 }
