@@ -277,4 +277,34 @@ class Round7OpsSpec extends SparkSpec {
     // point always survives; (2,5) is dominated by (2,9)
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
+
+  // ---- Bucketing --------------------------------------------------------
+
+  test("bucketed tables join with ZERO shuffle exchanges (co-located join)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val left = (1L to 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 200L).map(i => (i, i * 2)).toDF("k", "rv")
+    graft.sources.Bucketing.writeBucketed(left, "graft_bkt_l", "k", 4)
+    graft.sources.Bucketing.writeBucketed(right, "graft_bkt_r", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path a fact-to-fact join takes at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.sources.Bucketing.readBucketed(spark, "graft_bkt_l")
+        .join(graft.sources.Bucketing.readBucketed(spark, "graft_bkt_r"),
+          Seq("k"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed-bucketed join must not shuffle, found: $shuffles")
+      assert(joined.count() == 200L)
+      // and the result is right
+      assert(joined.filter(col("k") === 7L).head().getLong(2) == 14L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
+    }
+  }
 }
