@@ -2615,6 +2615,23 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // the q20 suite expressed as DATA: a JSON config parsed by
+    // CheckConfig into the same fused-aggregate CheckSuite — proves
+    // the declarative path lands on identical results (same oracle)
+    "q277_config_checks" -> ((s, d) => {
+      val json =
+        """[{"type":"not_null","column":"l_orderkey"},
+          |{"type":"between","column":"l_quantity","lo":1,"hi":50,"mostly":0.99},
+          |{"type":"in_set","column":"l_returnflag","values":["A","N","R"]},
+          |{"type":"no_rows_where","label":"neg_price","predicate":"l_extendedprice < 0"},
+          |{"type":"row_count_between","min":1}]""".stripMargin
+      val results = graft.checks.CheckConfig.fromJson(s, json)
+        .run(t(s, d, "lineitem"))
+      import s.implicits._
+      results.map(r => (r.constraint, r.column.orNull, r.passed, r.unexpectedPercent))
+        .toDF("constraint_name", "column_name", "passed", "unexpected_percent")
+    }),
+
     // supplier Pareto front (line count vs decimal-exact revenue, both
     // maximized) via the bucket-decomposed skyline
     "q276_skyline" -> ((s, d) =>
@@ -2879,6 +2896,27 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0",
 
     "q20_check_suite" ->
+      """SELECT 'not_null(l_orderkey)' AS constraint_name, 'l_orderkey' AS column_name,
+        |  (SELECT COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem) = 0 AS passed,
+        |  (SELECT CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) * 100 FROM lineitem) AS unexpected_percent
+        |UNION ALL
+        |SELECT 'between(l_quantity,1.0,50.0)', 'l_quantity',
+        |  (SELECT CAST(COUNT(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 END) AS DOUBLE) >= 0.99 * COUNT(l_quantity) - 1e-9 FROM lineitem),
+        |  (SELECT CAST(COUNT(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 END) AS DOUBLE) / COUNT(l_quantity) * 100 FROM lineitem)
+        |UNION ALL
+        |SELECT 'in_set(l_returnflag)', 'l_returnflag',
+        |  (SELECT COUNT(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 END) = 0 FROM lineitem),
+        |  (SELECT CAST(COUNT(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS DOUBLE) / COUNT(l_returnflag) * 100 FROM lineitem)
+        |UNION ALL
+        |SELECT 'no_rows_where(neg_price)', NULL,
+        |  (SELECT COUNT(CASE WHEN l_extendedprice < 0 THEN 1 END) = 0 FROM lineitem),
+        |  (SELECT CAST(COUNT(CASE WHEN l_extendedprice < 0 THEN 1 END) AS DOUBLE) / COUNT(*) * 100 FROM lineitem)
+        |UNION ALL
+        |SELECT 'row_count_between(1,9223372036854775807)', NULL,
+        |  (SELECT COUNT(*) >= 1 FROM lineitem), 0.0""".stripMargin,
+
+    // config-driven suite: identical semantics, identical oracle (q20)
+    "q277_config_checks" ->
       """SELECT 'not_null(l_orderkey)' AS constraint_name, 'l_orderkey' AS column_name,
         |  (SELECT COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem) = 0 AS passed,
         |  (SELECT CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) * 100 FROM lineitem) AS unexpected_percent

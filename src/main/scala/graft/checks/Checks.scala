@@ -168,6 +168,79 @@ class CheckSuite(constraints: Seq[Constraint]) {
   }
 }
 
+/** Declarative suite CONFIG — constraints as data, the way the
+  * reference expresses them (GX suites / dbt schema.yml are YAML the
+  * operators never see at compile time): a JSON array of descriptors
+  * parses into a [[CheckSuite]], so suites ship as config files,
+  * diff in code review, and generate programmatically. Parsing runs
+  * through Spark's own JSON reader (no extra dependency, schema
+  * pinned), values arrive as strings and compare under Spark's usual
+  * implicit casts, and singular-test predicates are SQL strings
+  * compiled with `expr(...)`.
+  *
+  * Descriptor shapes (unknown `type` throws, listing the offender):
+  * {{{
+  * [{"type":"not_null","column":"l_orderkey"},
+  *  {"type":"between","column":"l_quantity","lo":1,"hi":50,"mostly":0.99},
+  *  {"type":"in_set","column":"flag","values":["A","N"],"mostly":1.0},
+  *  {"type":"unique","columns":["k1","k2"]},
+  *  {"type":"accepted_values","column":"c","values":["1","2"]},
+  *  {"type":"column_exists","column":"c"},
+  *  {"type":"row_count_between","min":1,"max":100},
+  *  {"type":"references","column":"fk","parent":"dim","parent_column":"pk"},
+  *  {"type":"no_rows_where","label":"neg","predicate":"amount < 0"}]
+  * }}}
+  * `references.parent` resolves through the caller's `tables` map —
+  * config stays engine-agnostic table NAMES, binding happens here. */
+object CheckConfig {
+  def fromJson(spark: org.apache.spark.sql.SparkSession, json: String,
+               tables: Map[String, DataFrame] = Map.empty): CheckSuite = {
+    import spark.implicits._
+    val schema = "type STRING, column STRING, columns ARRAY<STRING>, " +
+      "values ARRAY<STRING>, lo DOUBLE, hi DOUBLE, mostly DOUBLE, " +
+      "min BIGINT, max BIGINT, parent STRING, parent_column STRING, " +
+      "label STRING, predicate STRING"
+    val rows = spark.read.schema(schema).json(Seq(json).toDS).collect()
+    val constraints: Seq[Constraint] = rows.toIndexedSeq.map { r =>
+      def opt(f: String): Option[String] = Option(r.getAs[String](f))
+      def req(f: String): String = opt(f).getOrElse(throw new
+          IllegalArgumentException(s"constraint '${opt("type").getOrElse("?")}' missing '$f'"))
+      def num(f: String, dflt: Double): Double =
+        if (r.isNullAt(r.fieldIndex(f))) dflt else r.getDouble(r.fieldIndex(f))
+      def lng(f: String, dflt: Long): Long =
+        if (r.isNullAt(r.fieldIndex(f))) dflt else r.getLong(r.fieldIndex(f))
+      def strs(f: String): Seq[String] = {
+        val i = r.fieldIndex(f)
+        require(!r.isNullAt(i), s"constraint '${req("type")}' missing '$f'")
+        r.getSeq[String](i)
+      }
+      req("type") match {
+        case "column_exists" => ColumnExists(req("column"))
+        case "row_count_between" =>
+          RowCountBetween(lng("min", 0L), lng("max", Long.MaxValue))
+        case "not_null" => NotNull(req("column"), num("mostly", 1.0))
+        case "between" =>
+          require(!r.isNullAt(r.fieldIndex("lo")) && !r.isNullAt(r.fieldIndex("hi")),
+            "'between' needs lo and hi")
+          Between(req("column"), num("lo", 0), num("hi", 0), num("mostly", 1.0))
+        case "in_set" => InSet(req("column"), strs("values"), num("mostly", 1.0))
+        case "unique" => Unique(strs("columns"))
+        case "accepted_values" => AcceptedValues(req("column"), strs("values"))
+        case "references" =>
+          val p = req("parent")
+          References(req("column"),
+            tables.getOrElse(p, throw new IllegalArgumentException(
+              s"references parent table '$p' not in the provided tables map")),
+            req("parent_column"))
+        case "no_rows_where" => NoRowsWhere(req("label"), expr(req("predicate")))
+        case other =>
+          throw new IllegalArgumentException(s"unknown constraint type '$other'")
+      }
+    }
+    new CheckSuite(constraints)
+  }
+}
+
 /** Structural (schema-level) data contract — the zero-scan complement
   * of the row-level CheckSuite: missing columns, unexpected extras, and
   * type drift are caught from METADATA before any job runs, the way the

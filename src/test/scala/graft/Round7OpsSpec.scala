@@ -278,6 +278,47 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- CheckConfig ------------------------------------------------------
+
+  test("CheckConfig: JSON suite ≡ directly-built suite; references bind via tables map") {
+    import graft.checks._
+    val df = Seq((1L, "A", 10.0), (2L, "A", -3.0), (3L, "Z", 5.0))
+      .toDF("id", "flag", "amount")
+    val dim = Seq("A", "B").toDF("flag")
+    val json =
+      """[{"type":"not_null","column":"id"},
+        |{"type":"in_set","column":"flag","values":["A","Z"]},
+        |{"type":"unique","columns":["id"]},
+        |{"type":"no_rows_where","label":"neg","predicate":"amount < 0"},
+        |{"type":"references","column":"flag","parent":"dim","parent_column":"flag"},
+        |{"type":"column_exists","column":"missing_col"}]""".stripMargin
+    val fromCfg = CheckConfig.fromJson(spark, json, Map("dim" -> dim)).run(df)
+    val direct = new CheckSuite(Seq(
+      NotNull("id"), InSet("flag", Seq("A", "Z")), Unique(Seq("id")),
+      NoRowsWhere("neg", col("amount") < 0),
+      References("flag", dim, "flag"), ColumnExists("missing_col"))).run(df)
+    assert(fromCfg == direct)
+    val byName = fromCfg.map(r => r.constraint -> r.passed).toMap
+    assert(byName("no_rows_where(neg)") == false)     // the -3.0 row
+    assert(byName("references(flag)") == false)       // Z has no parent
+    assert(byName("column_exists(missing_col)") == false)
+    assert(byName("unique(id)") == true)
+  }
+
+  test("CheckConfig: unknown type and missing fields fail loudly") {
+    import graft.checks._
+    intercept[IllegalArgumentException] {
+      CheckConfig.fromJson(spark, """[{"type":"wibble"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      CheckConfig.fromJson(spark, """[{"type":"not_null"}]""") // no column
+    }
+    intercept[IllegalArgumentException] {
+      CheckConfig.fromJson(spark,
+        """[{"type":"references","column":"a","parent":"nope","parent_column":"b"}]""")
+    }
+  }
+
   // ---- Bucketing --------------------------------------------------------
 
   test("bucketed tables join with ZERO shuffle exchanges (co-located join)") {
