@@ -2615,6 +2615,15 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // U-shaped positional multi-touch: 40/40 first/last, 20 split over
+    // middles — exact integer weights 40(n-2)/20, micro-credit division
+    "q278_positional_attribution" -> ((s, d) =>
+      graft.operators.Attribution.channelCredit(
+        graft.operators.Attribution.multiTouchPositional(t(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id",
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackSeconds = 7200L))),
+
     // the q20 suite expressed as DATA: a JSON config parsed by
     // CheckConfig into the same fused-aggregate CheckSuite — proves
     // the declarative path lands on identical results (same oracle)
@@ -7875,6 +7884,45 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // positional weights from per-conversion position windows; same
+    // micro-credit block as q197
+    "q278_positional_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+        |    event_type AS channel FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (SELECT c.u, c.conv_ts, c.conv_id, t.touch_ts, t.touch_id, t.channel
+        |  FROM conv c LEFT JOIN tch t ON c.u = t.user_id AND t.touch_ts <= c.conv_ts
+        |    AND epoch_us(CAST(c.conv_ts AS TIMESTAMP)) - epoch_us(CAST(t.touch_ts AS TIMESTAMP)) <= 7200000000),
+        |pos AS (SELECT *,
+        |    COUNT(touch_id) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts ASC, touch_id ASC) AS p
+        |  FROM pairs),
+        |wtd AS (SELECT u, conv_ts, conv_id, touch_ts, touch_id, channel,
+        |    CASE WHEN touch_id IS NULL THEN NULL
+        |         WHEN n <= 2 THEN CAST(1 AS BIGINT)
+        |         WHEN p = 1 OR p = n THEN CAST(40 * (n - 2) AS BIGINT)
+        |         ELSE CAST(20 AS BIGINT) END AS weight
+        |  FROM pos),
+        |b1 AS (SELECT *, SUM(weight) OVER (PARTITION BY conv_id) AS w_total FROM wtd),
+        |b2 AS (SELECT *, (weight * 1000000) // w_total AS base,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rn
+        |  FROM b1),
+        |b3 AS (SELECT *, SUM(base) OVER (PARTITION BY conv_id) AS base_total FROM b2),
+        |cr AS (SELECT COALESCE(channel, 'organic') AS channel, touch_id, conv_id,
+        |    CASE WHEN touch_id IS NULL THEN 1000000
+        |         WHEN rn = 1 THEN base + (1000000 - base_total)
+        |         ELSE base END AS credit_micro
+        |  FROM b3),
+        |agg AS (SELECT channel, CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+        |    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |    CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+        |  FROM cr GROUP BY 1)
+        |SELECT channel, n_touches, n_conversions, credit_micro,
+        |  CAST(credit_micro AS DOUBLE) / 1000000.0 AS credit
+        |FROM agg""".stripMargin,
 
     // direct NOT EXISTS dominance check over the supplier aggregate
     "q276_skyline" ->

@@ -116,11 +116,18 @@ object Attribution {
         expr(s"shiftleft(1L, cast($maxShift - least(__age_us div ${h * 1000000L}, " +
           s"${maxShift.toLong}L) as int))")
     }
+    creditFromWeights(
+      pairs.withColumn("weight", when(col("touch_id").isNotNull, weight)))
+  }
+
+  /** Shared micro-credit division over per-conversion weighted touch
+    * pairs: `w·1e6 div W` with the remainder to the LAST touch, organic
+    * rows full credit — per-conversion credit sums to exactly 1e6. */
+  private def creditFromWeights(weighted: DataFrame): DataFrame = {
     val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
     val wLast = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
       .orderBy(col("touch_ts").desc, col("touch_id").desc)
-    pairs
-      .withColumn("weight", when(col("touch_id").isNotNull, weight))
+    weighted
       .withColumn("__w_total", sum(col("weight")).over(wConv))
       .withColumn("__base",
         expr("(weight * 1000000L) div __w_total"))
@@ -134,6 +141,49 @@ object Attribution {
       .withColumn("channel", coalesce(col("channel"), lit("organic")))
       .select("user", "conv_id", "conv_ts", "touch_id", "channel",
         "weight", "credit_micro")
+  }
+
+  /** U-shaped (positional) multi-touch: 40% to the FIRST touch, 40% to
+    * the LAST, 20% split evenly across the middles — the standard
+    * position-based model, expressed as EXACT integer weights so the
+    * micro-credit discipline holds: for n ≥ 3 touches, first/last get
+    * weight `40·(n−2)` and each middle `20` (total `100·(n−2)`, shares
+    * exactly 40/40/20·…); n ≤ 2 degenerates to an equal split (50/50,
+    * or full credit for a single touch), which is also the standard
+    * convention. Same join shape, windows, tie rules, remainder-to-last
+    * rule, and organic fallback as [[multiTouch]]. */
+  def multiTouchPositional(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, idCol: String,
+                           touchTypes: Seq[String], conversionType: String,
+                           lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("user"), col(tsCol).as("conv_ts"),
+        col(idCol).as("conv_id"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user"), col(tsCol).as("touch_ts"),
+        col(idCol).as("touch_id"), col(typeCol).as("channel"))
+    val ageUs = unix_micros(col("conv_ts").cast("timestamp")) -
+      unix_micros(col("touch_ts").cast("timestamp"))
+    val pairs = conv.join(touch,
+      conv("user") === touch("user") &&
+        col("touch_ts") <= col("conv_ts") &&
+        ageUs <= lit(lookbackSeconds) * lit(1000000L), "left")
+      .select(conv("user"), col("conv_ts"), col("conv_id"),
+        col("touch_ts"), col("touch_id"), col("channel"))
+    val wConv = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+    val wAsc = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").asc, col("touch_id").asc)
+    creditFromWeights(pairs
+      .withColumn("__n", count(col("touch_id")).over(wConv))
+      .withColumn("__pos", row_number().over(wAsc))
+      .withColumn("weight",
+        when(col("touch_id").isNull, lit(null).cast("long"))
+          .when(col("__n") <= 2, lit(1L))
+          .when(col("__pos") === 1 || col("__pos") === col("__n"),
+            lit(40L) * (col("__n") - 2))
+          .otherwise(lit(20L)))
+      .drop("__n", "__pos"))
   }
 
   /** Channel rollup of [[multiTouch]]: touches, distinct conversions,

@@ -278,6 +278,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- multiTouchPositional ---------------------------------------------
+
+  test("multiTouchPositional: 40/20/20/40 exact micro-credits; n<=2 equal split") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:10:00"), "click", 2L),
+      (1L, ts("2024-01-01 10:20:00"), "view", 3L),
+      (1L, ts("2024-01-01 10:30:00"), "click", 4L),
+      (1L, ts("2024-01-01 10:40:00"), "purchase", 5L),
+      (2L, ts("2024-01-01 09:00:00"), "view", 6L),
+      (2L, ts("2024-01-01 09:05:00"), "click", 7L),
+      (2L, ts("2024-01-01 09:10:00"), "purchase", 8L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.operators.Attribution.multiTouchPositional(df,
+      "user_id", "ts", "event_type", "event_id",
+      Seq("view", "click"), "purchase", 7200L)
+      .collect().map(r => r.getAs[Long]("touch_id") ->
+        r.getAs[Long]("credit_micro")).toMap
+    // user 1, four touches: 40% / 10% / 10% / 40%
+    assert(out(1L) == 400000L && out(2L) == 100000L
+      && out(3L) == 100000L && out(4L) == 400000L)
+    // user 2, two touches: equal split
+    assert(out(6L) == 500000L && out(7L) == 500000L)
+  }
+
   // ---- CheckConfig ------------------------------------------------------
 
   test("CheckConfig: JSON suite ≡ directly-built suite; references bind via tables map") {
