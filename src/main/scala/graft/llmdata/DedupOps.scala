@@ -897,7 +897,12 @@ object DedupOps {
                          shingleSize: Int = 3,
                          tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    // the shingle stream feeds FIVE consumers (df-count join sides,
+    // doc sizes, both overlap probe sides) and the prefix frame its
+    // own self-join — persist both or every consumer replays the full
+    // tokenize+shingle lineage (the measured minhash-family trap)
     val sh = shingleStream(df, idCol, textCol, shingleSize).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDf = sh.join(sh.groupBy("s").agg(count(lit(1)).as("__df")), "s")
     val byDoc = Window.partitionBy(col("doc_id"))
     val ranked = withDf
@@ -908,6 +913,7 @@ object DedupOps {
       .withColumn("__pfx", expr(
         s"__rk <= __n - ((${tNum}L * __n + ${tDen - 1}L) DIV ${tDen}L) + 1"))
     val prefixes = ranked.filter(col("__pfx")).select("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -917,7 +923,7 @@ object DedupOps {
     val bSh = sh.select(col("doc_id").as("id_b"), col("s"))
     val overlap = cand.join(aSh, "id_a").join(bSh, Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("overlap"))
-    overlap
+    val out = overlap
       .join(graft.operators.Broadcasts.maybeBroadcast(
         sizes.select(col("doc_id").as("id_a"), col("__sz").as("__na"))), "id_a")
       .join(graft.operators.Broadcasts.maybeBroadcast(
@@ -926,6 +932,12 @@ object DedupOps {
         lit(tNum.toLong) * (col("__na") + col("__nb") - col("overlap")))
       .select(col("id_a"), col("id_b"), col("overlap"),
         (col("__na") + col("__nb") - col("overlap")).as("union_size"))
+      // eager pair-scale result, then release the two big caches
+      // (the lshVerified materialization contract)
+      .localCheckpoint(true)
+    sh.unpersist()
+    prefixes.unpersist()
+    out
   }
 
   /** Edit-distance near-dup pairs: every pair of documents with
