@@ -2615,6 +2615,18 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // exact ROC-AUC per event type: does value separate the planted
+    // user segment — the Mann-Whitney identity, ties exact
+    "q279_auc" -> ((s, d) =>
+      graft.operators.Eval.aucByKey(t(s, d, "events"),
+        "event_type", "value", col("user_id") % 3 === 0)),
+
+    // decile gains/lift of value against the planted segment; whole
+    // tie groups stay in one bin (deterministic cut)
+    "q280_gains_table" -> ((s, d) =>
+      graft.operators.Eval.gainsTable(t(s, d, "events"),
+        "value", col("user_id") % 3 === 0, nBins = 10)),
+
     // U-shaped positional multi-touch: 40/40 first/last, 20 split over
     // middles — exact integer weights 40(n-2)/20, micro-credit division
     "q278_positional_attribution" -> ((s, d) =>
@@ -7884,6 +7896,53 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // the q262 MWU lattice specialized to AUC = U+/(n+ * n-)
+    "q279_auc" ->
+      """WITH c AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *, ca + cb AS t,
+        |    CAST(SUM(ca + cb) OVER win AS HUGEINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * (cum - t) + t + 1)) AS ra_d
+        |  FROM w GROUP BY 1)
+        |SELECT k AS event_type, n_a AS n_pos, n_b AS n_neg,
+        |  CAST(ra_d - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+        |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc
+        |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
+    // distinct-score desc lattice; tie groups assigned whole to the
+    // bin of their first row; bins-scale cumulative rollup
+    "q280_gains_table" ->
+      """WITH ps AS (SELECT value AS s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+        |    CAST(SUM(p) AS BIGINT) AS totp FROM ps),
+        |cw AS (SELECT *, CAST(SUM(n) OVER (ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM ps),
+        |b AS (SELECT CAST(((cum - n) * 10) // tot AS INT) AS bin,
+        |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(MAX(tot) AS BIGINT) AS tot, CAST(MAX(totp) AS BIGINT) AS totp
+        |  FROM cw, tt GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(SUM(n) OVER wb AS BIGINT) AS cum_n,
+        |  CAST(SUM(n_pos) OVER wb AS BIGINT) AS cum_pos,
+        |  CASE WHEN totp > 0 THEN
+        |    CAST(CAST(SUM(n_pos) OVER wb AS BIGINT) AS DOUBLE)
+        |      / CAST(totp AS DOUBLE) END AS capture_rate,
+        |  CASE WHEN totp > 0 AND CAST(SUM(n) OVER wb AS BIGINT) > 0 THEN
+        |    (CAST(CAST(SUM(n_pos) OVER wb AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(n) OVER wb AS BIGINT) AS DOUBLE))
+        |    / (CAST(totp AS DOUBLE) / CAST(tot AS DOUBLE)) END AS cum_lift
+        |FROM b WINDOW wb AS (ORDER BY bin ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // positional weights from per-conversion position windows; same
     // micro-credit block as q197

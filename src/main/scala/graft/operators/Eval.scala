@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scored-model evaluation tables — the offline-eval artifacts every
+  * model-scoring pipeline materializes next to [[Profile.calibration]]:
+  * exact ROC-AUC and the decile gains/lift table. Both inherit the
+  * [[RankStats]] discipline: every statistic is a function of the
+  * per-key DISTINCT-SCORE aggregate (hash aggregate first, windows
+  * only over values-scale frames), with exact integer/decimal
+  * arithmetic and one final IEEE division per emitted scalar. */
+object Eval {
+
+  /** Exact ROC-AUC per key via the Mann–Whitney identity:
+    * `AUC = U⁺/(n⁺·n⁻)` = P(score⁺ > score⁻) + ½·P(tie) — computed
+    * from [[RankStats.mannWhitneyU]]'s doubled integers, so ties are
+    * exact and no sorting of raw rows happens anywhere. Keys with only
+    * one class are dropped (AUC undefined).
+    *
+    * Output: (key, n_pos, n_neg, auc). */
+  def aucByKey(df: DataFrame, keyCol: String, scoreCol: String,
+               isPositive: Column): DataFrame =
+    RankStats.mannWhitneyU(df, keyCol, scoreCol, isPositive)
+      .select(col(keyCol), col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("u_a_doubled").cast("double")
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("auc"))
+
+  /** Decile gains/lift table: rows ranked by score DESCENDING and cut
+    * into `nBins` population bins; per bin — volume, positives, the
+    * cumulative capture rate ("top 20% of scores catch X% of
+    * positives") and cumulative lift vs the base rate. The targeting
+    * readout behind every campaign-sizing decision.
+    *
+    * Determinism under ties: a distinct score's WHOLE tie group lands
+    * in the bin of its first row (`bin = cum_before·nBins div total`),
+    * so no arbitrary within-tie split exists — bins can be uneven by
+    * at most one tie group, and the table is bit-identical on every
+    * engine. Computation runs on the distinct-score frame (per-key
+    * hash aggregate → values-scale windows → nBins-scale rollup);
+    * rates are single divisions of exact BIGINTs.
+    *
+    * Scale note: the one ordered window here runs over the DISTINCT
+    * SCORE frame. Model scores are bounded-grid values in practice
+    * (float probabilities quantize to ≤1e6 distinct values at a 1e-6
+    * grid — metadata-scale); for a genuinely continuous unbounded
+    * score, pre-quantize (the gains table is decile-granular anyway)
+    * or range-bucket-decompose as [[Profile.percentileNormalize]]
+    * does. Output: (bin, n, n_pos, cum_n, cum_pos, capture_rate,
+    * cum_lift). */
+  def gainsTable(df: DataFrame, scoreCol: String, isPositive: Column,
+                 nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val perScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(isPositive, 1L).otherwise(0L)).as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perScore.agg(sum(col("__n")).cast("long").as("__tot"),
+      sum(col("__p")).cast("long").as("__totp"))
+    val binned = perScore
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("bin",
+        expr(s"((__cum - __n) * $nBins) div __tot").cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        sum(col("__p")).cast("long").as("n_pos"),
+        max(col("__tot")).as("__tot"), max(col("__totp")).as("__totp"))
+    val wB = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_n", sum(col("n")).over(wB).cast("long"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wB).cast("long"))
+      .withColumn("capture_rate",
+        when(col("__totp") > 0,
+          col("cum_pos").cast("double") / col("__totp").cast("double")))
+      .withColumn("cum_lift",
+        when(col("__totp") > 0 && col("cum_n") > 0,
+          (col("cum_pos").cast("double") / col("cum_n").cast("double"))
+            / (col("__totp").cast("double") / col("__tot").cast("double"))))
+      .drop("__tot", "__totp")
+  }
+}

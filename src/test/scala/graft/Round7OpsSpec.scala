@@ -278,6 +278,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- Eval -------------------------------------------------------------
+
+  test("aucByKey: perfect separation -> 1, reversed -> 0, all-tied -> 0.5") {
+    def mk(rows: Seq[(Double, Boolean)]) =
+      rows.map { case (s, p) => ("k", s, p) }.toDF("g", "s", "pos")
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      graft.operators.Eval.aucByKey(mk(rows), "g", "s", col("pos"))
+        .head().getDouble(3)
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) == 1.0)
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))) == 0.0)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))) == 0.5)
+    // one-class keys dropped
+    assert(graft.operators.Eval.aucByKey(
+      mk(Seq((0.5, true), (0.7, true))), "g", "s", col("pos")).count() == 0)
+  }
+
+  test("gainsTable: top bin captures the planted positives; tie group stays whole") {
+    // 10 rows, scores 10..1, positives at the top 3 scores
+    val df = (1 to 10).map(i => (i.toDouble, i >= 8)).toDF("s", "pos")
+    val out = graft.operators.Eval.gainsTable(df, "s", col("pos"), nBins = 5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(0) == ((2L, 2L, 2L, 2.0 / 3.0))) // scores 10,9
+    assert(out(1) == ((2L, 1L, 3L, 1.0)))       // score 8 completes capture
+    assert(out(4)._3 == 3L)
+    // a tie group straddling a boundary lands whole in its first bin
+    val tied = (Seq.fill(6)((5.0, false)) ++ Seq((1.0, true), (1.0, false)))
+      .toDF("s", "pos")
+    val bins = graft.operators.Eval.gainsTable(tied, "s", col("pos"), nBins = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bins == Map(0 -> 6L, 3 -> 2L), s"got $bins")
+  }
+
   // ---- multiTouchPositional ---------------------------------------------
 
   test("multiTouchPositional: 40/20/20/40 exact micro-credits; n<=2 equal split") {
