@@ -486,6 +486,61 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  case class ImagePatch(asset_id: Long, patch_index: Int, row: Int,
+                        col: Int, mean_luma: Double)
+
+  /** ViT-style patch sequence: average-pool luma to a `grid`×`grid`
+    * patch grid, one row per patch in row-major `patch_index` order —
+    * the Spark-side prep for patch-embedding pipelines (the real
+    * embedding lookup is the model's job; the partitioning, decode,
+    * and patch geometry are the data-engineering part, and they are
+    * REAL here via javax.imageio like the hash family above).
+    *
+    * Determinism: per-patch luma is an integer pixel-sum (fixed scan
+    * order) finished by ONE double division. Undecodable or
+    * smaller-than-grid images emit no rows — audit losses with
+    * [[imageStats]]'s `decoded` flag. Patch boundaries use the same
+    * `i·w div grid` cell edges as the hash family, so the full image
+    * is exactly tiled with no overlap. */
+  def imagePatchGrid(media: DataFrame, grid: Int = 4): Dataset[ImagePatch] = {
+    require(grid >= 1 && grid <= 64, s"grid must be in [1,64], got $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < grid || img.getHeight < grid)
+            Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            (0 until grid * grid).iterator.map { k =>
+              val ci = k % grid; val cj = k / grid
+              val x0 = ci * w / grid; val x1 = (ci + 1) * w / grid
+              val y0 = cj * h / grid; val y1 = (cj + 1) * h / grid
+              var sum3 = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum3 += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              val npx = (x1 - x0).toLong * (y1 - y0)
+              ImagePatch(id, k, cj, ci, sum3.toDouble / (3.0 * npx))
+            }
+          }
+        }
+      }
+  }
+
   /** Typed per-clip container metadata ([[videoContainerMeta]]). */
   case class VideoMeta(asset_id: Long, container: String, duration_ms: Long,
                        n_tracks: Int, width: Int, height: Int, parsed: Boolean)

@@ -278,6 +278,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- imagePatchGrid ---------------------------------------------------
+
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("imagePatchGrid: exact tiling, row-major order, luma means per patch") {
+    // left half black, right half white -> 2x2 grid means 0/255/0/255
+    val a = pngBytes(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val media = Seq((1L, a), (2L, "junk".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val out = graft.llmdata.Multimodal.imagePatchGrid(media, grid = 2)
+      .collect().map(p => p.patch_index -> ((p.row, p.col, p.mean_luma))).toMap
+    assert(out.size == 4, "undecodable payloads emit no rows")
+    assert(out(0) == ((0, 0, 0.0)) && out(1) == ((0, 1, 255.0)))
+    assert(out(2) == ((1, 0, 0.0)) && out(3) == ((1, 1, 255.0)))
+  }
+
   // ---- Eval -------------------------------------------------------------
 
   test("aucByKey: perfect separation -> 1, reversed -> 0, all-tied -> 0.5") {
