@@ -2615,6 +2615,31 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // bounded weighted SSSP from the seed decade over the co-purchase
+    // graph; integer weights (src+dst)%5+1, exact fixpoint rounds
+    "q281_shortest_paths" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+        .withColumn("w", (col("src") + col("dst")) % 5 + 1)
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
+        seeds, "p_partkey", maxRounds = 6)
+    }),
+
+    // debounce: first event of each (user, type) burst at a 10-minute
+    // gap window — retry storms collapse, later re-occurrences survive
+    "q282_burst_dedup" -> ((s, d) =>
+      graft.operators.Dedup.burstFirst(
+        t(s, d, "events").select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        Seq("user_id", "event_type"), "ts", "event_id", 600L)),
+
     // exact ROC-AUC per event type: does value separate the planted
     // user segment — the Mann-Whitney identity, ties exact
     "q279_auc" -> ((s, d) =>
@@ -7896,6 +7921,40 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // bounded-depth weighted walk enumeration; MIN(d) per node equals
+    // Bellman-Ford after <= 6 rounds (and the exact dists on early
+    // convergence)
+    "q281_shortest_paths" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |ew AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e0),
+        |e AS (SELECT src AS u, dst AS v, w FROM ew
+        |  UNION SELECT dst, src, w FROM ew),
+        |e2 AS (SELECT u, v, CAST(MIN(w) AS BIGINT) AS w FROM e
+        |  WHERE u <> v GROUP BY 1, 2),
+        |seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 10 = 0),
+        |walk(node, d, depth) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+        |  UNION
+        |  SELECT e2.v, wk.d + e2.w, wk.depth + 1
+        |  FROM walk wk JOIN e2 ON e2.u = wk.node
+        |  WHERE wk.depth < 6)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY 1""".stripMargin,
+
+    // same lag-gap window; exact integer microseconds
+    "q282_burst_dedup" ->
+      """WITH w AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events)
+        |SELECT user_id, event_type, ts, event_id FROM w
+        |WHERE prev_us IS NULL
+        |  OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 600000000""".stripMargin,
 
     // the q262 MWU lattice specialized to AUC = U+/(n+ * n-)
     "q279_auc" ->

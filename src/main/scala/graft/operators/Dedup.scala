@@ -34,4 +34,27 @@ object Dedup {
     val rest = df.columns.filterNot(c => keys.contains(c) || ordering.contains(c))
     firstRowPerKey(df, keys.map(col), (ordering ++ rest).map(col))
   }
+
+  /** Burst (debounce) dedup: within each key, keep only the FIRST
+    * event of every burst — a new burst starts where the gap to the
+    * PREVIOUS event exceeds `windowSeconds` (gap semantics, exactly
+    * the sessionization rule, so "burst" ≡ "session" and the survivor
+    * is its opening event). The double-click / retry-storm / duplicate
+    * webhook cleaner: identical payloads milliseconds apart collapse,
+    * genuine re-occurrences later survive.
+    *
+    * Deterministic: in-key order is (ts, tieBreak) — total; gap
+    * comparison is exact integer microseconds. One key-partitioned
+    * window (single hash shuffle, groups streamed). */
+  def burstFirst(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tieBreakCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    df.withColumn("__prev_us", lag(us, 1).over(w))
+      .filter(col("__prev_us").isNull ||
+        us - col("__prev_us") > windowSeconds * 1000000L)
+      .drop("__prev_us")
+  }
 }

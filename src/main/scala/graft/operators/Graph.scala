@@ -468,6 +468,76 @@ object Graph {
     reached
   }
 
+  /** Bounded weighted single-source(-set) shortest paths: exact
+    * min-cost distances from a SEED SET over positive integer edge
+    * weights, Bellman-Ford-style rounds — `dist'(v) = min(dist(v),
+    * min over in-edges (dist(u) + w))` — run `maxRounds` times or to
+    * the exact fixpoint, whichever first. The weighted upgrade of
+    * [[kHopDistances]] (hop counts are the weight-1 special case):
+    * blast-radius with COSTS, lead-time graphs, influence decay.
+    *
+    * Exactness/convergence: distances are BIGINTs and only ever
+    * DECREASE, so Σ dist strictly decreases on every changing round —
+    * the [[graft.llmdata.DedupOps.nearDupClusters]] one-aggregate
+    * fixpoint test (decimal sum, overflow-safe) with the same LOUD
+    * stderr signal on a cap exit (distances for nodes whose shortest
+    * path uses more than `maxRounds` edges are upper bounds, not
+    * final). Edges are treated as UNDIRECTED (both directions added),
+    * matching kHopDistances.
+    *
+    * Shape: per round one frontier-scale equi-join + one dst min
+    * aggregate + a full-outer merge, all eagerly checkpointed —
+    * constant per-round plan depth, rounds ≈ weighted-path edge count.
+    * Output: (node, dist) for REACHED nodes only. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame, seedCol: String,
+                    maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v"),
+        col(weightCol).cast("long").as("w")))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    // fixpoint test: Σ dist strictly decreases while any distance
+    // improves, but a round that only ADDS newly-reached nodes raises
+    // it — so the stable signature is the (node count, dist sum) PAIR:
+    // unchanged pair ⇒ no adds and no improvements ⇒ fixpoint. One
+    // aggregate job per round (it also materializes the checkpoint).
+    var prev = Option.empty[(Long, java.math.BigDecimal)]
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val cand = dist.join(e, dist("node") === e("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("__d"))
+        .groupBy(col("node")).agg(min(col("__d")).as("__d"))
+      val updated = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("__d")),
+            coalesce(col("__d"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+      val row = updated.agg(count(lit(1)),
+        sum(col("dist").cast("decimal(38,0)"))).first()
+      val sig = (row.getLong(0), row.getDecimal(1))
+      dist = updated
+      converged = prev.contains(sig)
+      prev = Some(sig)
+      round += 1
+    }
+    e.unpersist()
+    if (!converged)
+      System.err.println(
+        "WARN graft.Graph.shortestPaths: round cap " +
+          s"($maxRounds) reached WITHOUT converging - distances may be " +
+          "upper bounds for paths longer than the cap; raise maxRounds")
+    dist
+  }
+
   /** Synchronous label-propagation community detection, `rounds` fixed
     * rounds: every node starts as its own label; each round all nodes
     * simultaneously adopt the most frequent label among their neighbors

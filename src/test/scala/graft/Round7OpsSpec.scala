@@ -278,6 +278,54 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- shortestPaths ----------------------------------------------------
+
+  test("shortestPaths: cheap detour beats a heavy direct edge; unreached absent") {
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 15L),
+      (8L, 9L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("s")
+    val out = graft.operators.Graph
+      .shortestPaths(edges, "src", "dst", "w", seeds, "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 11L),
+      s"detour 1-2-3 (11) must beat direct 1-3 (15); got $out")
+  }
+
+  test("shortestPaths: round cap signals LOUDLY; capped dists are upper bounds") {
+    val edges = (1L until 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val captured =
+      try {
+        System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+        val out = graft.operators.Graph.shortestPaths(edges, "src", "dst",
+          "w", Seq(1L).toDF("s"), "s", maxRounds = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+          "2 rounds reach exactly 2 hops")
+        new String(buf.toByteArray, "UTF-8")
+      } finally System.setErr(old)
+    assert(captured.contains("WITHOUT converging"), s"got: $captured")
+  }
+
+  // ---- burstFirst -------------------------------------------------------
+
+  test("burstFirst: retry storms collapse to their opener; later events survive") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:00:03"), 2L), // burst dup
+      (1L, "click", ts("2024-01-01 10:00:05"), 3L), // chained dup
+      (1L, "click", ts("2024-01-01 10:30:00"), 4L), // new burst
+      (1L, "view", ts("2024-01-01 10:00:01"), 5L),  // other key untouched
+      (2L, "click", ts("2024-01-01 10:00:02"), 6L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val kept = graft.operators.Dedup
+      .burstFirst(df, Seq("user_id", "event_type"), "ts", "event_id", 10L)
+      .collect().map(_.getLong(3)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L))
+  }
+
   // ---- imagePatchGrid ---------------------------------------------------
 
   private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
