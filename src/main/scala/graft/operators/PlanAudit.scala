@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan linting — the scale-review discipline this repo's PruningSpec /
+  * RankStatsSpec enforce on its OWN operators, packaged for users to
+  * run on THEIR pipelines before shipping: catch the two classic
+  * silent scale-killers a locally-green job hides, plus a shuffle
+  * count for regression tracking.
+  *
+  *  - **Global window over a raw-row frame**: `Window.orderBy(...)`
+  *    with no partitioning collapses the whole dataset onto one task.
+  *    Windows over AGGREGATED frames (bucket-offset tables, per-key
+  *    rollups) are the documented metadata-scale exception and are NOT
+  *    flagged — the check requires an Aggregate somewhere under the
+  *    window, exactly the rule this repo's own decompositions follow.
+  *  - **Unbounded cross join**: a Cartesian product where neither side
+  *    is provably ≤ 1 row. The broadcast-one-row-totals pattern
+  *    (`crossJoin(broadcast(df.agg(...)))`) stays silent because a
+  *    global Aggregate reports `maxRows = 1`.
+  *
+  * `audit` returns findings (empty = clean); `assertScaleSafe` throws
+  * with all findings listed — drop it in a smoke test the way this
+  * repo pins its plan shapes in specs. */
+object PlanAudit {
+
+  case class PlanFinding(kind: String, detail: String)
+
+  def audit(df: DataFrame): Seq[PlanFinding] = {
+    val plan = df.queryExecution.optimizedPlan
+    val rawGlobalWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        PlanFinding("global-window-over-raw-rows",
+          w.windowExpressions.map(_.sql).mkString(", "))
+    }
+    val unboundedCross = plan.collect {
+      case j: Join if j.joinType == Cross &&
+          !j.left.maxRows.exists(_ <= 1L) && !j.right.maxRows.exists(_ <= 1L) =>
+        PlanFinding("unbounded-cross-join",
+          s"left=${j.left.nodeName} right=${j.right.nodeName}")
+    }
+    rawGlobalWindows ++ unboundedCross
+  }
+
+  /** Shuffle exchanges in the PHYSICAL plan — not a defect by itself,
+    * but the number to watch across versions of a pipeline (a new
+    * exchange where there was none is usually a lost partitioning). */
+  def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.size
+
+  /** Throw (listing every finding) if [[audit]] flags anything. */
+  def assertScaleSafe(df: DataFrame): Unit = {
+    val fs = audit(df)
+    require(fs.isEmpty,
+      "plan audit failed:\n" + fs.map(f => s"  [${f.kind}] ${f.detail}").mkString("\n"))
+  }
+}

@@ -278,6 +278,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- PlanAudit --------------------------------------------------------
+
+  test("PlanAudit flags raw-row global windows and unbounded cross joins only") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PlanAudit
+    val df = (1L to 50L).map(i => (i, i % 5, i * 2.0)).toDF("id", "k", "v")
+    // bad: global window straight over the fact rows
+    val bad = df.withColumn("rk", row_number().over(Window.orderBy(col("v"))))
+    assert(PlanAudit.audit(bad).exists(_.kind == "global-window-over-raw-rows"))
+    intercept[IllegalArgumentException] { PlanAudit.assertScaleSafe(bad) }
+    // fine: the same window over an AGGREGATED (metadata-scale) frame
+    val agg = df.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("s"))))
+    assert(PlanAudit.audit(agg).isEmpty)
+    // bad: genuine cartesian product
+    val cross = df.crossJoin(df.select(col("k").as("k2")))
+    assert(PlanAudit.audit(cross).exists(_.kind == "unbounded-cross-join"))
+    // fine: the blessed one-row-totals broadcast cross
+    val totals = df.crossJoin(broadcast(df.agg(sum(col("v")).as("tot"))))
+    assert(PlanAudit.audit(totals).isEmpty)
+    // partitioned windows never flag
+    val okWin = df.withColumn("rk",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("v"))))
+    assert(PlanAudit.audit(okWin).isEmpty)
+  }
+
   // ---- shortestPaths ----------------------------------------------------
 
   test("shortestPaths: cheap detour beats a heavy direct edge; unreached absent") {
