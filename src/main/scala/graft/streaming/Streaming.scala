@@ -746,6 +746,41 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  case class DebEv(key: String, sec: Long, event_id: Long)
+
+  /** Streaming debounce — the streaming twin of
+    * `operators.Dedup.burstFirst`: per key, emit only the event that
+    * OPENS each burst, where a burst chains while gaps stay ≤
+    * `windowSeconds`. State is ONE (sec, id) pair per key — the last
+    * event SEEN (kept or suppressed; the gap rule compares to the
+    * previous event, not the previous survivor, matching the batch
+    * operator exactly). Within a batch events fold in (sec, event_id)
+    * order, so for in-order streams batch-boundary placement cannot
+    * change the survivor set — the spec proves two-batch ≡ the batch
+    * operator on the union. Late (out-of-order) events can't retract
+    * an already-emitted opener (append-mode fundamentals — same caveat
+    * as [[attributionStream]]); bound disorder upstream if it
+    * matters. */
+  def debounceStream(events: Dataset[DebEv],
+                     windowSeconds: Long): Dataset[DebEv] = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), DebEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, evs: Iterator[DebEv], state: GroupState[(Long, Long)]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[DebEv]
+          evs.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+            if (last.forall { case (s, _) => e.sec - s > windowSeconds })
+              out += e
+            last = Some((e.sec, e.event_id))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Session windows via Spark's BUILT-IN `session_window` function —
     * the declarative form of [[sessionWindows]], preferred when the
     * per-session output is an aggregate (counts/sums) rather than

@@ -871,4 +871,32 @@ class StreamingSpec extends SparkSpec {
     assert(counts2 == counts, "replayed batch id must be fenced")
     assert(spark.read.parquet(dir + "/alarms").count() == alarms.count())
   }
+
+  test("debounceStream ≡ batch burstFirst across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming.DebEv
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DebEv]
+    val q = graft.streaming.Streaming.debounceStream(in.toDS(), 10L)
+      .writeStream.format("memory").queryName("debounced")
+      .outputMode("append").start()
+    // burst chains THROUGH suppressed events: a@100 keep, a@103 drop,
+    // a@105 drop (gap to 103, not to 100), a@130 keep; batch boundary
+    // sits inside the chain
+    val b1 = Seq(DebEv("a", 100L, 1L), DebEv("a", 103L, 2L), DebEv("b", 100L, 3L))
+    val b2 = Seq(DebEv("a", 105L, 4L), DebEv("a", 130L, 5L), DebEv("b", 150L, 6L))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("debounced")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    val batch = graft.operators.Dedup.burstFirst(
+      (b1 ++ b2).map(e => (e.key, e.sec, e.event_id)).toDF("key", "sec", "event_id")
+        .withColumn("ts", org.apache.spark.sql.functions.col("sec").cast("timestamp")),
+      Seq("key"), "ts", "event_id", 10L)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed == Set(1L, 3L, 5L, 6L))
+  }
 }
