@@ -2615,6 +2615,12 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // seasonal-naive backtest: same-day-last-week forecast per event
+    // type, exact integer errors, WAPE/MAE single divisions
+    "q283_naive_backtest" -> ((s, d) =>
+      graft.operators.Timeseries.seasonalNaiveBacktest(t(s, d, "events"),
+        "event_type", "ts", periodDays = 7)),
+
     // bounded weighted SSSP from the seed decade over the co-purchase
     // graph; integer weights (src+dst)%5+1, exact fixpoint rounds
     "q281_shortest_paths" -> ((s, d) => {
@@ -7921,6 +7927,27 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // per-key zero-filled spine, day-shifted self-join, exact errors
+    "q283_naive_backtest" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+        |sp AS (SELECT k, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |f AS (SELECT sp.k, sp.day, COALESCE(daily.cnt, 0) AS cnt
+        |  FROM sp LEFT JOIN daily ON daily.k = sp.k AND daily.day = sp.day),
+        |j AS (SELECT a.k, a.cnt, fc.cnt AS fcv
+        |  FROM f a JOIN f fc ON a.k = fc.k AND a.day = fc.day + 7),
+        |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(ABS(cnt - fcv)) AS BIGINT) AS sum_abs_err,
+        |    CAST(SUM(cnt) AS BIGINT) AS total_actual
+        |  FROM j GROUP BY 1)
+        |SELECT k AS event_type, n_days, sum_abs_err, total_actual,
+        |  CASE WHEN total_actual > 0 THEN
+        |    CAST(sum_abs_err AS DOUBLE) / CAST(total_actual AS DOUBLE) END AS wape,
+        |  CAST(sum_abs_err AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae
+        |FROM g""".stripMargin,
 
     // bounded-depth weighted walk enumeration; MIN(d) per node equals
     // Bellman-Ford after <= 6 rounds (and the exact dists on early

@@ -583,4 +583,42 @@ object Timeseries {
   private def spark_range_lags(lo: Int, hi: Int)(
       spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(lo, hi + 1L).select(col("id").cast("int").as("lag_days"))
+
+  /** Seasonal-naive forecast backtest: forecast each day's count as
+    * the SAME key's count `periodDays` earlier (the no-model baseline
+    * every real forecast must beat — if your model loses to "same day
+    * last week", ship the calendar), evaluated over every day with a
+    * matching history day. Errors are exact integers; per key the
+    * report carries `n_days`, `sum_abs_err`, `total_actual`, WAPE
+    * (Σ|err|/Σactual — the aggregate-safe percentage error; per-day
+    * MAPE blows up on zero days) and MAE, each ONE final division.
+    *
+    * Missing calendar days count as ZERO on both sides via the per-key
+    * day spine (a silent feed is a forecastable zero, not a hole) —
+    * the [[cusumFromDaily]] spine rule. Shape: one (key, day)
+    * aggregate, a spine explode, one day-shifted self-join
+    * (days-scale), one per-key rollup. */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
+                            periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val filled = spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val forecast = filled.select(col(keyCol),
+      date_add(col("day"), periodDays).as("day"), col("cnt").as("__fc"))
+    filled.join(forecast, Seq(keyCol, "day"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cnt") - col("__fc"))).cast("long").as("sum_abs_err"),
+        sum(col("cnt")).cast("long").as("total_actual"))
+      .withColumn("wape",
+        when(col("total_actual") > 0,
+          col("sum_abs_err").cast("double") / col("total_actual").cast("double")))
+      .withColumn("mae",
+        col("sum_abs_err").cast("double") / col("n_days").cast("double"))
+  }
 }

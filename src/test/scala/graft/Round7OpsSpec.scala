@@ -278,6 +278,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- seasonalNaiveBacktest --------------------------------------------
+
+  test("seasonalNaiveBacktest: zero-filled spine, exact errors, WAPE/MAE") {
+    // day i carries i events except day 5 (silent -> counts as 0)
+    val counts = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 6 -> 6, 7 -> 7)
+    val df = counts.toSeq.flatMap { case (d, c) =>
+      (1 to c).map(i => ("k",
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 0${i % 8}:00:00")))
+    }.toDF("k", "ts")
+    val r = graft.operators.Timeseries
+      .seasonalNaiveBacktest(df, "k", "ts", periodDays = 3).head()
+    // eval days 4..7 vs days 1..4: |4-1| + |0-2| + |6-3| + |7-4| = 11
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 11L)
+    assert(r.getLong(3) == 17L) // 4 + 0 + 6 + 7
+    assert(r.getDouble(4) == 11.0 / 17.0)
+    assert(r.getDouble(5) == 11.0 / 4.0)
+  }
+
   // ---- PlanAudit --------------------------------------------------------
 
   test("PlanAudit flags raw-row global windows and unbounded cross joins only") {
