@@ -2615,6 +2615,16 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // declarative metric layer: four metrics from JSON config fused
+    // into ONE grouped pass, each with its own FILTER scope
+    "q284_metric_layer" -> ((s, d) =>
+      graft.operators.Metrics.fromJson(s, t(s, d, "lineitem"),
+        """[{"name":"n_lines","agg":"COUNT(*)","cast":"BIGINT"},
+          |{"name":"revenue","agg":"SUM(CAST(l_extendedprice AS DECIMAL(20,6)))","cast":"DECIMAL(38,6)"},
+          |{"name":"returned_lines","agg":"COUNT(*)","where":"l_returnflag = 'R'","cast":"BIGINT"},
+          |{"name":"big_qty_lines","agg":"COUNT(*)","where":"l_quantity >= 40","cast":"BIGINT"}]""".stripMargin,
+        groupBy = Seq("l_linestatus"))),
+
     // seasonal-naive backtest: same-day-last-week forecast per event
     // type, exact integer errors, WAPE/MAE single divisions
     "q283_naive_backtest" -> ((s, d) =>
@@ -7927,6 +7937,15 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // same four metrics written directly (FILTER clause ≡ CASE-scoped)
+    "q284_metric_layer" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS returned_lines,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity >= 40) AS BIGINT) AS big_qty_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // per-key zero-filled spine, day-shifted self-join, exact errors
     "q283_naive_backtest" ->

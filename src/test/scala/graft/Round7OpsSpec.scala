@@ -278,6 +278,33 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- Metrics ----------------------------------------------------------
+
+  test("Metrics.fromJson: fused grouped metrics with per-metric FILTER scopes") {
+    val df = Seq(("a", 1.0, true), ("a", 2.0, false), ("b", 3.0, true))
+      .toDF("g", "v", "flag")
+    val out = graft.operators.Metrics.fromJson(spark, df,
+      """[{"name":"n","agg":"COUNT(*)","cast":"BIGINT"},
+        |{"name":"flagged","agg":"COUNT(*)","where":"flag","cast":"BIGINT"},
+        |{"name":"v_sum","agg":"SUM(CAST(v AS DECIMAL(20,6)))","cast":"DECIMAL(38,6)"}]""".stripMargin,
+      groupBy = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+    assert(out("a") == ((2L, 1L, 3.0)))
+    assert(out("b") == ((1L, 1L, 3.0)))
+    // global (ungrouped) form and loud failures
+    val g = graft.operators.Metrics.fromJson(spark, df,
+      """[{"name":"n","agg":"COUNT(*)","cast":"BIGINT"}]""").head()
+    assert(g.getLong(0) == 3L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Metrics.fromJson(spark, df,
+        """[{"name":"x","agg":"COUNT(*)"},{"name":"x","agg":"COUNT(*)"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Metrics.fromJson(spark, df, """[{"name":"x"}]""")
+    }
+  }
+
   // ---- seasonalNaiveBacktest --------------------------------------------
 
   test("seasonalNaiveBacktest: zero-filled spine, exact errors, WAPE/MAE") {
