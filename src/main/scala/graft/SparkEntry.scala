@@ -2615,6 +2615,16 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // categorical cleanup: truncation-corrupted segments collapse onto
+    // their frequent parent (distinct-value lev<=1 argmax)
+    "q285_canonicalize" -> ((s, d) =>
+      graft.operators.Linkage.canonicalizeCategories(
+        t(s, d, "customer").select(
+          when(col("c_custkey") % 7 === 0,
+            expr("substring(c_mktsegment, 1, length(c_mktsegment) - 1)"))
+            .otherwise(col("c_mktsegment")).as("seg")),
+        "seg", maxDist = 1)),
+
     // declarative metric layer: four metrics from JSON config fused
     // into ONE grouped pass, each with its own FILTER scope
     "q284_metric_layer" -> ((s, d) =>
@@ -7937,6 +7947,22 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // distinct-value length-banded lev join; argmax via window rank
+    "q285_canonicalize" ->
+      """WITH base AS (SELECT CASE WHEN c_custkey % 7 = 0
+        |      THEN substr(c_mktsegment, 1, length(c_mktsegment) - 1)
+        |      ELSE c_mktsegment END AS v FROM customer),
+        |vals AS (SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS n_value
+        |  FROM base WHERE v IS NOT NULL GROUP BY 1),
+        |cand AS (SELECT a.value, a.n_value, b.value AS cv, b.n_value AS cn
+        |  FROM vals a JOIN vals b
+        |  ON abs(length(a.value) - length(b.value)) <= 1
+        |    AND levenshtein(a.value, b.value) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY value
+        |    ORDER BY cn DESC, cv ASC) AS rk FROM cand)
+        |SELECT value, cv AS canonical, n_value, cn AS n_canonical
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // same four metrics written directly (FILTER clause ≡ CASE-scoped)
     "q284_metric_layer" ->

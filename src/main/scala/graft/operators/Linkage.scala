@@ -129,4 +129,45 @@ object Linkage {
     assigned.groupBy(col("cluster_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Categorical canonicalization: collapse near-duplicate category
+    * strings ("RETAIL", "RETAIl", "RETAI") onto their most frequent
+    * neighbor — the dimension-cleanup pass before any groupBy on a
+    * hand-entered column. Each DISTINCT value maps to the candidate
+    * within Levenshtein ≤ `maxDist` (itself included) with the
+    * HIGHEST count, ties to the lexicographically smallest value — a
+    * deterministic single-hop argmax, not transitive closure (a chain
+    * a~b~c with lev(a,c) > maxDist keeps a and c apart; run the
+    * mapping to fixpoint or use goldenRecord's CC path when chains
+    * matter — single-hop is the predictable default).
+    *
+    * Cost: the candidate join runs on the DISTINCT-VALUE frame only
+    * (category domains, not rows), length-banded (|len diff| ≤
+    * maxDist is necessary for edit distance) so blocks stay sparse;
+    * Spark's thresholded `levenshtein(l, r, k)` band-verifies.
+    *
+    * Output: (value, canonical, n_value, n_canonical) — the mapping
+    * table; broadcast-join it onto the fact stream to apply. */
+  def canonicalizeCategories(df: DataFrame, colName: String,
+                             maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val vals = df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).cast("string").as("value"))
+      .agg(count(lit(1)).as("n_value"))
+      .withColumn("__len", length(col("value")))
+    val probe = vals.withColumn("__band",
+      explode(array((-maxDist to maxDist).map(d => col("__len") + d): _*)))
+    val cand = probe.as("a").join(vals.as("b"),
+        col("a.__band") === col("b.__len") &&
+          levenshtein(col("a.value"), col("b.value"), maxDist) >= 0 &&
+          levenshtein(col("a.value"), col("b.value"), maxDist) <= maxDist)
+      .select(col("a.value").as("value"), col("a.n_value").as("n_value"),
+        col("b.value").as("__cand"), col("b.n_value").as("__cn"))
+    // argmax by (count desc, value asc) = min of (-count, value)
+    cand.groupBy(col("value"), col("n_value"))
+      .agg(min(struct((-col("__cn")).as("negn"), col("__cand").as("v"),
+        col("__cn").as("n"))).as("__best"))
+      .select(col("value"), col("__best.v").as("canonical"),
+        col("n_value"), col("__best.n").as("n_canonical"))
+  }
 }

@@ -278,6 +278,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- canonicalizeCategories -------------------------------------------
+
+  test("canonicalizeCategories: typos collapse to the frequent parent, ties break low") {
+    val df = (Seq.fill(10)("RETAIL") ++ Seq("RETAIl", "RETAI") ++
+      Seq.fill(5)("AUTO") ++ Seq("AUTOX") ++ Seq.fill(3)("FOOD"))
+      .toDF("cat")
+    val out = graft.operators.Linkage.canonicalizeCategories(df, "cat")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out("RETAIl") == (("RETAIL", 10L)))
+    assert(out("RETAI") == (("RETAIL", 10L)))
+    assert(out("AUTOX") == (("AUTO", 5L)))
+    assert(out("RETAIL") == (("RETAIL", 10L)), "the canonical maps to itself")
+    assert(out("FOOD") == (("FOOD", 3L)), "isolated values stay put")
+    // a value tied between two equal-count parents picks the smaller
+    val tie = (Seq.fill(3)("AA") ++ Seq.fill(3)("AC") ++ Seq("AB")).toDF("cat")
+    val t = graft.operators.Linkage.canonicalizeCategories(tie, "cat")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(t("AB") == "AA")
+  }
+
   // ---- Metrics ----------------------------------------------------------
 
   test("Metrics.fromJson: fused grouped metrics with per-metric FILTER scopes") {
