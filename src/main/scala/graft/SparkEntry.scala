@@ -2615,6 +2615,15 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // chance-corrected agreement of the REAL langid predictions vs
+    // planted labels — exact integer kappa over the q32 composition
+    "q286_cohen_kappa" -> ((s, d) =>
+      graft.operators.Eval.cohenKappa(
+        graft.llmdata.TextAnalysis.languageIdByProfile(
+          t(s, d, "documents"), "doc_id", "text",
+          graft.llmdata.TextAnalysis.profileFrame(s), keep = Seq("lang")),
+        "lang", "predicted_lang")),
+
     // categorical cleanup: truncation-corrupted segments collapse onto
     // their frequent parent (distinct-value lev<=1 argmax)
     "q285_canonicalize" -> ((s, d) =>
@@ -7946,6 +7955,42 @@ object SparkEntry {
          |SELECT CAST(z // 4096 AS BIGINT) AS z_cell,
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // q32's langid CTEs -> contingency margins -> exact-integer kappa
+    "q286_cohen_kappa" -> {
+      val values = TextAnalysis.languageProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ts) => ts.map { case (t, w) => s"('$l','$t',$w)" } }
+        .mkString(", ")
+      s"""WITH prof AS (SELECT * FROM (VALUES $values) t(lang, term, weight)),
+         |toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |scored AS (SELECT doc_id, p.lang, CAST(SUM(weight) AS BIGINT) AS score
+         |  FROM toks JOIN prof p USING (term) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang AS predicted_lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, lang ASC) AS rn FROM scored) WHERE rn = 1),
+         |pred AS (SELECT d.lang AS a, COALESCE(b.predicted_lang, 'und') AS bb
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |  WHERE d.lang IS NOT NULL),
+         |cells AS (SELECT a, bb, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pred GROUP BY 1, 2),
+         |rm AS (SELECT a AS k, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |cm AS (SELECT bb AS k, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |rc AS (SELECT CAST(COALESCE(SUM(CAST(COALESCE(ra, 0) AS HUGEINT)
+         |    * COALESCE(cb, 0)), 0) AS DECIMAL(38,0)) AS chance_num
+         |  FROM rm FULL OUTER JOIN cm USING (k)),
+         |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = bb THEN c ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM cells)
+         |SELECT n, n_agree, chance_num,
+         |  CASE WHEN CAST(n AS HUGEINT) * n <> CAST(chance_num AS HUGEINT) THEN
+         |    (CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE)
+         |      - CAST(chance_num AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |      - CAST(chance_num AS DOUBLE)) END AS kappa
+         |FROM tt, rc""".stripMargin
     },
 
     // distinct-value length-banded lev join; argmax via window rank

@@ -28,6 +28,43 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical columns (annotator vs annotator, prediction vs
+    * label): `κ = (p_o − p_e)/(1 − p_e)` computed entirely in exact
+    * integers as `(N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k)`
+    * — counts, margins, and the chance numerator never touch floats;
+    * κ is the ONE final division. Degenerate tables (p_e = 1: a single
+    * label on both sides) yield NULL, not a 0/0.
+    *
+    * Shape: one (a, b) cell aggregate (labels² rows — metadata), two
+    * margin rollups, a labels-scale full-outer margin join. NULL in
+    * either column drops the row (no agreement evidence).
+    *
+    * Output: one row (n, n_agree, chance_num decimal(38,0), kappa). */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val rm = cells.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__ra"))
+    val cm = cells.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__cb"))
+    val rc = rm.join(cm, Seq("__k"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("__ra"), lit(0L)).cast("decimal(38,0)")
+          * coalesce(col("__cb"), lit(0L))), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("chance_num"))
+    val tot = cells.agg(sum(col("__c")).cast("long").as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .cast("long").as("n_agree"))
+    tot.crossJoin(broadcast(rc))
+      .withColumn("kappa",
+        when(col("n").cast("decimal(38,0)") * col("n") =!= col("chance_num"),
+          (col("n").cast("double") * col("n_agree").cast("double")
+            - col("chance_num").cast("double"))
+            / (col("n").cast("double") * col("n").cast("double")
+              - col("chance_num").cast("double"))))
+  }
+
   /** Decile gains/lift table: rows ranked by score DESCENDING and cut
     * into `nBins` population bins; per bin — volume, positives, the
     * cumulative capture rate ("top 20% of scores catch X% of

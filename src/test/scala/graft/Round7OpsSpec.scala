@@ -278,6 +278,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- cohenKappa -------------------------------------------------------
+
+  test("cohenKappa: hand-computed table; perfect/degenerate edges") {
+    // classic 2x2: a=20, d=15 agree; b=5, c=10 disagree; N=50
+    // rows: (25, 25); cols: (30, 20); pe_num = 25*30 + 25*20 = 1250
+    // kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    val df = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))).toDF("a", "b")
+    val r = graft.operators.Eval.cohenKappa(df, "a", "b").head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(r.getDecimal(2).longValueExact() == 1250L)
+    assert(r.getDouble(3) == 0.4)
+    // perfect agreement -> 1; single-label degenerate -> NULL
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(graft.operators.Eval.cohenKappa(perfect, "a", "b")
+      .head().getDouble(3) == 1.0)
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(graft.operators.Eval.cohenKappa(degen, "a", "b").head().isNullAt(3))
+  }
+
   // ---- canonicalizeCategories -------------------------------------------
 
   test("canonicalizeCategories: typos collapse to the frequent parent, ties break low") {
