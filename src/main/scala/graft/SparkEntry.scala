@@ -2615,6 +2615,21 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // retrieval eval over the REAL kNN graph: same-label neighbors as
+    // relevance, hit@3 + fixed-point MRR (exact integer sums)
+    "q287_ranking_eval" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val knn = graft.llmdata.Similarity
+        .knnGraph(emb, "vec_id", "embedding", k = 3, bits = 8)
+        .join(labels.select(col("vec_id").as("node_id"),
+          col("label").as("__la")), "node_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__lb")), "neighbor_id")
+      graft.operators.Eval.rankingReport(knn, "node_id", "rank",
+        col("__la") === col("__lb"))
+    }),
+
     // chance-corrected agreement of the REAL langid predictions vs
     // planted labels — exact integer kappa over the q32 composition
     "q286_cohen_kappa" -> ((s, d) =>
@@ -7955,6 +7970,33 @@ object SparkEntry {
          |SELECT CAST(z // 4096 AS BIGINT) AS z_cell,
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // the q96 knn SQL + label joins -> per-query best relevant rank ->
+    // exact-integer micro-MRR rollup
+    "q287_ranking_eval" -> {
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+         |    ${bucketSql(8)} AS bucket FROM embeddings),
+         |knn AS (SELECT node_id, la, lb, rank FROM (
+         |  SELECT a.vec_id AS node_id, a.label AS la, b.label AS lb,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM v a JOIN v b
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(${cos("a.emb", "b.emb")})) WHERE rank <= 3),
+         |per AS (SELECT node_id,
+         |    CAST(MIN(CASE WHEN la = lb THEN rank END) AS BIGINT) AS best
+         |  FROM knn GROUP BY 1),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |    CAST(SUM(CASE WHEN best IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(SUM(COALESCE(1000000 // best, 0)) AS BIGINT) AS sum_mrr_micro
+         |  FROM per)
+         |SELECT n_queries, n_hit, sum_mrr_micro,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_queries AS DOUBLE) AS hit_rate,
+         |  CAST(sum_mrr_micro AS DOUBLE) / CAST(n_queries AS DOUBLE) AS mean_mrr_micro
+         |FROM g""".stripMargin
     },
 
     // q32's langid CTEs -> contingency margins -> exact-integer kappa

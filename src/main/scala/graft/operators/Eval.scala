@@ -28,6 +28,32 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Ranking-eval rollup over a PRE-TRUNCATED top-k table (one row per
+    * (query, candidate) with its 1-based rank): hit rate (any relevant
+    * candidate in the list) and MRR in the repo's fixed-point
+    * convention — `mrr_micro = 1e6 div best_relevant_rank` per query
+    * (0 when nothing relevant), so the sum is an exact BIGINT at any
+    * parallelism and the mean is ONE final division (a float Σ1/r
+    * would be partition-order-dependent). Queries with no candidate
+    * rows at all are absent by construction — the denominator is
+    * "queries that produced a ranking", the retrieval-eval convention.
+    *
+    * Output: one row (n_queries, n_hit, sum_mrr_micro, hit_rate,
+    * mean_mrr_micro). */
+  def rankingReport(ranked: DataFrame, queryCol: String, rankCol: String,
+                    isRelevant: Column): DataFrame =
+    ranked.groupBy(col(queryCol).as("__q"))
+      .agg(min(when(isRelevant, col(rankCol).cast("long"))).as("__best"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__best").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_hit"),
+        sum(coalesce(expr("1000000L div __best"), lit(0L)))
+          .cast("long").as("sum_mrr_micro"))
+      .withColumn("hit_rate",
+        col("n_hit").cast("double") / col("n_queries").cast("double"))
+      .withColumn("mean_mrr_micro",
+        col("sum_mrr_micro").cast("double") / col("n_queries").cast("double"))
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical columns (annotator vs annotator, prediction vs
     * label): `κ = (p_o − p_e)/(1 − p_e)` computed entirely in exact

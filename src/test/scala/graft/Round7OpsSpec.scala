@@ -278,6 +278,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- rankingReport ----------------------------------------------------
+
+  test("rankingReport: best relevant rank drives fixed-point MRR; misses count 0") {
+    val ranked = Seq(
+      (1L, 1, false), (1L, 2, true), (1L, 3, true), // best = 2 -> 500000
+      (2L, 1, true), (2L, 2, false),                // best = 1 -> 1000000
+      (3L, 1, false), (3L, 2, false), (3L, 3, false)) // miss -> 0
+      .toDF("q", "rank", "rel")
+    val r = graft.operators.Eval.rankingReport(ranked, "q", "rank", col("rel"))
+      .head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1500000L)
+    assert(r.getDouble(3) == 2.0 / 3.0)
+    assert(r.getDouble(4) == 500000.0)
+  }
+
   // ---- cohenKappa -------------------------------------------------------
 
   test("cohenKappa: hand-computed table; perfect/degenerate edges") {
