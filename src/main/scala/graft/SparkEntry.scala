@@ -2615,6 +2615,12 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // precision/recall at every distinct value threshold of the
+    // planted-segment score — the cutoff-picking table
+    "q288_pr_curve" -> ((s, d) =>
+      graft.operators.Eval.prCurve(t(s, d, "events"),
+        "value", col("user_id") % 3 === 0)),
+
     // retrieval eval over the REAL kNN graph: same-label neighbors as
     // relevance, hit@3 + fixed-point MRR (exact integer sums)
     "q287_ranking_eval" -> ((s, d) => {
@@ -7971,6 +7977,23 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // desc cumulative lattice; single-division precision/recall
+    "q288_pr_curve" ->
+      """WITH ps AS (SELECT value AS threshold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(p) AS BIGINT) AS totp FROM ps),
+        |cw AS (SELECT *,
+        |    CAST(SUM(n) OVER wd AS BIGINT) AS n_ge,
+        |    CAST(SUM(p) OVER wd AS BIGINT) AS pos_ge
+        |  FROM ps WINDOW wd AS (ORDER BY threshold DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT threshold, n_ge, pos_ge,
+        |  CAST(pos_ge AS DOUBLE) / CAST(n_ge AS DOUBLE) AS precision,
+        |  CASE WHEN totp > 0 THEN CAST(pos_ge AS DOUBLE) / CAST(totp AS DOUBLE) END
+        |    AS recall
+        |FROM cw, tt""".stripMargin,
 
     // the q96 knn SQL + label joins -> per-query best relevant rank ->
     // exact-integer micro-MRR rollup

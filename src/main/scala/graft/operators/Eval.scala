@@ -28,6 +28,37 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Precision/recall curve at every DISTINCT score threshold
+    * ("predict positive when score ≥ t"): per threshold — rows at or
+    * above, positives at or above, precision, recall. The
+    * threshold-picking table behind every alerting/moderation cutoff
+    * decision; AUC ([[aucByKey]]) summarizes, this chooses.
+    *
+    * Same machinery and contracts as [[gainsTable]]: distinct-score
+    * lattice (quantized-score scale contract), DESC cumulative counts,
+    * precision/recall as single divisions of exact BIGINTs.
+    *
+    * Output: (threshold, n_ge, pos_ge, precision, recall). */
+  def prCurve(df: DataFrame, scoreCol: String, isPositive: Column): DataFrame = {
+    val perScore = df.filter(col(scoreCol).isNotNull && isPositive.isNotNull)
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(isPositive, 1L).otherwise(0L)).as("__p"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perScore.agg(sum(col("__p")).cast("long").as("__totp"))
+    perScore
+      .withColumn("n_ge", sum(col("__n")).over(w).cast("long"))
+      .withColumn("pos_ge", sum(col("__p")).over(w).cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_ge"), col("pos_ge"),
+        (col("pos_ge").cast("double") / col("n_ge").cast("double"))
+          .as("precision"),
+        when(col("__totp") > 0,
+          col("pos_ge").cast("double") / col("__totp").cast("double"))
+          .as("recall"))
+  }
+
   /** Ranking-eval rollup over a PRE-TRUNCATED top-k table (one row per
     * (query, candidate) with its 1-based rank): hit rate (any relevant
     * candidate in the list) and MRR in the repo's fixed-point

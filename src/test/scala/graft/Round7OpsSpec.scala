@@ -278,6 +278,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("p1", "p2", "p3", "p5", "p6"))
   }
 
+  // ---- prCurve ----------------------------------------------------------
+
+  test("prCurve: hand curve with ties; recall reaches 1 at the lowest threshold") {
+    val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.1, false))
+      .toDF("s", "pos")
+    val out = graft.operators.Eval.prCurve(df, "s", col("pos"))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0.9) == ((1L, 1L, 1.0, 0.5)))
+    assert(out(0.8) == ((3L, 2L, 2.0 / 3.0, 1.0))) // the tie group moves together
+    assert(out(0.1) == ((4L, 2L, 0.5, 1.0)))
+  }
+
   // ---- rankingReport ----------------------------------------------------
 
   test("rankingReport: best relevant rank drives fixed-point MRR; misses count 0") {
