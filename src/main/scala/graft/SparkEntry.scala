@@ -2615,6 +2615,12 @@ object SparkEntry {
         .groupBy(expr("__z div 4096L").cast("long").as("z_cell"))
         .agg(count(lit(1)).as("n_rows"))),
 
+    // corpus concentration: Gini of document character mass per
+    // language — "does one doc dominate the slice" curation readout
+    "q289_corpus_gini" -> ((s, d) =>
+      graft.operators.RankStats.giniByKey(t(s, d, "documents"),
+        "lang", "n_chars")),
+
     // precision/recall at every distinct value threshold of the
     // planted-segment score — the cutoff-picking table
     "q288_pr_curve" -> ((s, d) =>
@@ -7977,6 +7983,27 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM m GROUP BY 1""".stripMargin
     },
+
+    // q263's tie-group identity on the documents table
+    "q289_corpus_gini" ->
+      """WITH m AS (SELECT lang AS k,
+        |    CAST(CAST(n_chars AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000 AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(t) OVER win AS HUGEINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT k, CAST(SUM(t) AS BIGINT) AS n,
+        |    SUM(CAST(v AS HUGEINT) * t) AS total_micro,
+        |    SUM(CAST(v AS HUGEINT) * t * (2 * (cum - t) + t + 1)) AS two_ix
+        |  FROM w GROUP BY 1)
+        |SELECT k AS lang, n,
+        |  CAST(total_micro AS DECIMAL(38,0)) AS total_micro,
+        |  CASE WHEN total_micro > 0 THEN
+        |    (CAST(two_ix AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total_micro AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(total_micro AS DOUBLE))
+        |  END AS gini
+        |FROM g""".stripMargin,
 
     // desc cumulative lattice; single-division precision/recall
     "q288_pr_curve" ->
