@@ -67,6 +67,42 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.spearmanByKey(const, "g", "x", "y").head().isNullAt(2))
   }
 
+  test("KS/MWU/Gini agree with brute-force references on a hashed fixture") {
+    // deterministic pseudorandom data (md5-derived, no rand()): 200
+    // rows, values on a small tied grid, ~half in each sample
+    def h(i: Int, salt: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val rows = (1 to 200).map(i => (h(i, "v") % 13, h(i, "s") % 2 == 0))
+    val df = rows.map { case (v, a) => ("k", v, a) }.toDF("g", "v", "a")
+    val as = rows.filter(_._2).map(_._1.toDouble).sorted
+    val bs = rows.filterNot(_._2).map(_._1.toDouble).sorted
+    // brute KS
+    val grid = (as ++ bs).distinct
+    def cdf(xs: Seq[Double], v: Double) = xs.count(_ <= v)
+    val dNum = grid.map(v =>
+      math.abs(cdf(as, v).toLong * bs.size - cdf(bs, v).toLong * as.size)).max
+    val ks = RankStats.ksTwoSample(df, "g", "v", col("a")).head()
+    assert(ks.getDecimal(3).longValueExact() == dNum)
+    // brute MWU: 2*U_A = sum over pairs of 2*[a>b] + 1*[a==b]
+    val u2 = (for (x <- as; y <- bs) yield
+      if (x > y) 2L else if (x == y) 1L else 0L).sum
+    val mwu = RankStats.mannWhitneyU(df, "g", "v", col("a")).head()
+    assert(mwu.getDecimal(3).longValueExact() == u2)
+    // brute Gini on the doubled-sum identity (micro units cancel)
+    val all = rows.map(_._1.toDouble).sorted
+    val n = all.size
+    val twoIx = all.zipWithIndex.map { case (x, i) => 2.0 * (i + 1) * x }.sum
+    val tot = all.sum
+    val expected = (twoIx - (n + 1) * tot) / (n * tot)
+    val g = RankStats.giniByKey(df.select(col("g"), col("v").cast("double").as("v")),
+      "g", "v").head()
+    assert(math.abs(g.getDouble(3) - expected) < 1e-12,
+      s"gini ${g.getDouble(3)} vs brute $expected")
+  }
+
   test("RankStats windows run on distinct-value frames only (plan shape)") {
     // every window in all four plans must be key-partitioned AND sit
     // over an Aggregate child — the raw fact stream is reduced by a
