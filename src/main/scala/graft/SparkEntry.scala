@@ -1920,11 +1920,13 @@ object SparkEntry {
     // cross-table reconciliation: order headers vs the decimal-exact
     // sum of their line revenues, per-key status. Inputs are cast to
     // their true 2-dp decimal grid BEFORE the arithmetic (tie-free
-    // double->decimal: the data sits exactly on the grid, and a 2-dp
-    // tie would need a 3-decimal-digit double — impossible here), so
-    // the product is exact decimal end-to-end and no engine-dependent
-    // double->decimal tie-rounding can bite (the r6 driver-red).
-    "q214_reconciliation" -> ((s, d) =>
+    // double->decimal: the data sits exactly on the grid), so the
+    // product is exact decimal end-to-end. COMPARED columns are
+    // micro-unit BIGINTs — the decimal class itself proved driver-red
+    // in r7 (NOTES.md: no DecimalType in oracle-compared output; the
+    // 6-dp totals are integral in micro units, ≤ ~6e11 « BIGINT max).
+    "q214_reconciliation" -> ((s, d) => {
+      def micro(c: Column) = (c * 1000000L).cast("long")
       graft.checks.Reconcile.reconcile(
         t(s, d, "orders"), "o_orderkey", col("o_totalprice"),
         t(s, d, "lineitem"), "l_orderkey",
@@ -1933,7 +1935,12 @@ object SparkEntry {
             - col("l_discount").cast("decimal(3,2)"))
           * (lit(BigDecimal(1)).cast("decimal(3,2)")
             + col("l_tax").cast("decimal(3,2)")),
-        tolerance = BigDecimal(1000))),
+        tolerance = BigDecimal(1000))
+        .select(col("key"),
+          micro(col("declared_total")).as("declared_micro"),
+          micro(col("computed_total")).as("computed_micro"),
+          micro(col("diff")).as("diff_micro"), col("status"))
+    }),
 
     // daily growth accounting: DAU decomposed into new / retained /
     // resurrected, churn attributed to the day after last activity
@@ -2666,7 +2673,7 @@ object SparkEntry {
     "q284_metric_layer" -> ((s, d) =>
       graft.operators.Metrics.fromJson(s, t(s, d, "lineitem"),
         """[{"name":"n_lines","agg":"COUNT(*)","cast":"BIGINT"},
-          |{"name":"revenue","agg":"SUM(CAST(l_extendedprice AS DECIMAL(20,6)))","cast":"DECIMAL(38,6)"},
+          |{"name":"revenue_cents","agg":"SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))","cast":"BIGINT"},
           |{"name":"returned_lines","agg":"COUNT(*)","where":"l_returnflag = 'R'","cast":"BIGINT"},
           |{"name":"big_qty_lines","agg":"COUNT(*)","where":"l_quantity >= 40","cast":"BIGINT"}]""".stripMargin,
         groupBy = Seq("l_linestatus"))),
@@ -2741,15 +2748,18 @@ object SparkEntry {
     }),
 
     // supplier Pareto front (line count vs decimal-exact revenue, both
-    // maximized) via the bucket-decomposed skyline
+    // maximized) via the bucket-decomposed skyline. Revenue rides the
+    // 2-dp decimal grid internally and is emitted as BIGINT cents
+    // (NOTES.md: no DecimalType in compared output); dominance over
+    // cents ≡ dominance over the decimal value.
     "q276_skyline" -> ((s, d) =>
       graft.operators.Profile.skyline2d(
         t(s, d, "lineitem")
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("n_items"),
-            sum(col("l_extendedprice").cast("decimal(20,6)"))
-              .cast("decimal(38,6)").as("revenue")),
-        "n_items", "revenue", lo = 0.0, width = 100.0, nBins = 20)),
+            (sum(col("l_extendedprice").cast("decimal(12,2)")
+              .cast("decimal(38,2)")) * 100).cast("long").as("revenue_cents")),
+        "n_items", "revenue_cents", lo = 0.0, width = 100.0, nBins = 20)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -6075,8 +6085,8 @@ object SparkEntry {
         |  END AS chi2_contribution
         |FROM j, tt""".stripMargin,
 
-    // exact BIGINT TV numerator summed as decimal; the derived double
-    // scalar is NOT compared (decimal->double cast is build-dependent)
+    // exact TV numerator: HUGEINT cross products internally, BIGINT
+    // out; the derived double scalar is NOT compared
     "q194_tv_distance" ->
       """WITH r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS ref_cnt
         |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
@@ -6088,7 +6098,7 @@ object SparkEntry {
         |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
         |              CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j),
         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
-        |  CAST(SUM(CAST(ABS(cur_cnt * ref_total - ref_cnt * cur_total) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tv_numerator,
+        |  CAST(SUM(ABS(CAST(cur_cnt AS HUGEINT) * ref_total - CAST(ref_cnt AS HUGEINT) * cur_total)) AS BIGINT) AS tv_numerator,
         |  CAST(MAX(ref_total) AS BIGINT) AS ref_total,
         |  CAST(MAX(cur_total) AS BIGINT) AS cur_total
         |  FROM j, tt)
@@ -6569,8 +6579,10 @@ object SparkEntry {
         |      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
         |      AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS computed_total
         |  FROM lineitem GROUP BY 1)
-        |SELECT COALESCE(p.key, c.key) AS key, declared_total, computed_total,
-        |  declared_total - computed_total AS diff,
+        |SELECT COALESCE(p.key, c.key) AS key,
+        |  CAST(declared_total * 1000000 AS BIGINT) AS declared_micro,
+        |  CAST(computed_total * 1000000 AS BIGINT) AS computed_micro,
+        |  CAST((declared_total - computed_total) * 1000000 AS BIGINT) AS diff_micro,
         |  CASE WHEN declared_total IS NULL THEN 'missing_parent'
         |       WHEN computed_total IS NULL THEN 'missing_children'
         |       WHEN abs(declared_total - computed_total) <= 1000 THEN 'matched'
@@ -7605,7 +7617,7 @@ object SparkEntry {
         |tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
         |              CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
-        |  CAST(SUM(CAST(ABS(cur_cnt * ref_total - ref_cnt * cur_total) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tv_numerator,
+        |  CAST(SUM(ABS(CAST(cur_cnt AS HUGEINT) * ref_total - CAST(ref_cnt AS HUGEINT) * cur_total)) AS BIGINT) AS tv_numerator,
         |  CAST(MAX(ref_total) AS BIGINT) AS ref_total,
         |  CAST(MAX(cur_total) AS BIGINT) AS cur_total
         |FROM j, tt""".stripMargin,
@@ -7675,7 +7687,7 @@ object SparkEntry {
         |  FROM w JOIN t USING (k) WHERE t.n_a > 0 AND t.n_b > 0
         |  GROUP BY 1, 2, 3)
         |SELECT k AS l_linestatus, n_a, n_b,
-        |  CAST(dnum AS DECIMAL(38,0)) AS d_numerator,
+        |  CAST(dnum AS BIGINT) AS d_numerator,
         |  CAST(dnum AS DOUBLE)
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_statistic
         |FROM g""".stripMargin,
@@ -7696,9 +7708,9 @@ object SparkEntry {
         |    SUM(CAST(ca AS HUGEINT) * (2 * (cum - t) + t + 1)) AS ra_d
         |  FROM w GROUP BY 1)
         |SELECT k AS o_orderpriority, n_a, n_b,
-        |  CAST(ra_d - CAST(n_a AS HUGEINT) * (n_a + 1) AS DECIMAL(38,0)) AS u_a_doubled,
+        |  CAST(ra_d - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u_a_doubled,
         |  CAST(2 * CAST(n_a AS HUGEINT) * n_b
-        |    - (ra_d - CAST(n_a AS HUGEINT) * (n_a + 1)) AS DECIMAL(38,0)) AS u_b_doubled
+        |    - (ra_d - CAST(n_a AS HUGEINT) * (n_a + 1)) AS BIGINT) AS u_b_doubled
         |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin,
 
     // tie-group identity turns the sorted-position sum into a
@@ -7716,7 +7728,7 @@ object SparkEntry {
         |    SUM(CAST(v AS HUGEINT) * t * (2 * (cum - t) + t + 1)) AS two_ix
         |  FROM w GROUP BY 1)
         |SELECT k AS o_orderpriority, n,
-        |  CAST(total_micro AS DECIMAL(38,0)) AS total_micro,
+        |  CAST(total_micro AS BIGINT) AS total_micro,
         |  CASE WHEN total_micro > 0 THEN
         |    (CAST(two_ix AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total_micro AS DOUBLE))
         |      / (CAST(n AS DOUBLE) * CAST(total_micro AS DOUBLE))
@@ -7926,8 +7938,8 @@ object SparkEntry {
         |    CAST(weight AS HUGEINT) * 6 * n_total AS td
         |  FROM j)
         |SELECT event_type, n_obs, weight, n_total,
-        |  CAST(tn AS DECIMAL(38,0)) AS term_num,
-        |  CAST(td AS DECIMAL(38,0)) AS term_den,
+        |  CAST(tn AS BIGINT) AS term_num,
+        |  CAST(td AS BIGINT) AS term_den,
         |  CASE WHEN td > 0 THEN CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) END
         |    AS srm_term
         |FROM k""".stripMargin,
@@ -7998,7 +8010,7 @@ object SparkEntry {
         |    SUM(CAST(v AS HUGEINT) * t * (2 * (cum - t) + t + 1)) AS two_ix
         |  FROM w GROUP BY 1)
         |SELECT k AS lang, n,
-        |  CAST(total_micro AS DECIMAL(38,0)) AS total_micro,
+        |  CAST(total_micro AS BIGINT) AS total_micro,
         |  CASE WHEN total_micro > 0 THEN
         |    (CAST(two_ix AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total_micro AS DOUBLE))
         |      / (CAST(n AS DOUBLE) * CAST(total_micro AS DOUBLE))
@@ -8071,7 +8083,7 @@ object SparkEntry {
          |rm AS (SELECT a AS k, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY 1),
          |cm AS (SELECT bb AS k, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
          |rc AS (SELECT CAST(COALESCE(SUM(CAST(COALESCE(ra, 0) AS HUGEINT)
-         |    * COALESCE(cb, 0)), 0) AS DECIMAL(38,0)) AS chance_num
+         |    * COALESCE(cb, 0)), 0) AS BIGINT) AS chance_num
          |  FROM rm FULL OUTER JOIN cm USING (k)),
          |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
          |    CAST(SUM(CASE WHEN a = bb THEN c ELSE 0 END) AS BIGINT) AS n_agree
@@ -8105,7 +8117,7 @@ object SparkEntry {
     "q284_metric_layer" ->
       """SELECT l_linestatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS returned_lines,
         |  CAST(COUNT(*) FILTER (WHERE l_quantity >= 40) AS BIGINT) AS big_qty_lines
         |FROM lineitem GROUP BY 1""".stripMargin,
@@ -8254,12 +8266,12 @@ object SparkEntry {
     // direct NOT EXISTS dominance check over the supplier aggregate
     "q276_skyline" ->
       """WITH s AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6))
-        |      AS revenue
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS revenue_cents
         |  FROM lineitem GROUP BY 1)
-        |SELECT n_items, l_suppkey, revenue FROM s a
+        |SELECT n_items, l_suppkey, revenue_cents FROM s a
         |WHERE NOT EXISTS (SELECT 1 FROM s b
-        |  WHERE b.n_items >= a.n_items AND b.revenue >= a.revenue
-        |    AND (b.n_items > a.n_items OR b.revenue > a.revenue))""".stripMargin,
+        |  WHERE b.n_items >= a.n_items AND b.revenue_cents >= a.revenue_cents
+        |    AND (b.n_items > a.n_items OR b.revenue_cents > a.revenue_cents))""".stripMargin,
   )
 }

@@ -19,11 +19,27 @@ object Verify {
     // driver never sets it, so the gate always sees every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    var decimalViolations = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // schema lint (r7 postmortem): the driver's typed-hash compare
+        // diverges on the DECIMAL output CLASS — decimal arithmetic is
+        // fine INTERNALLY, but no DecimalType column may reach the
+        // compared output. Fail loudly here, not 12 minutes later in
+        // the DuckDB gate.
+        lintDecimalOutput(name, df.schema) match {
+          case Some(msg) =>
+            // fail THIS query (driver records one red row), never the
+            // whole run — the write is skipped so the red is loud
+            decimalViolations ::= msg
+            System.err.println(s"[verify] $name failed: LINT $msg")
+          case None =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -47,5 +63,28 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (decimalViolations.nonEmpty)
+      System.err.println("[verify] decimal-output lint failed for: " +
+        decimalViolations.reverse.mkString("; "))
+  }
+
+  /** Some(message) when any column in an oracle-compared output schema
+    * is DecimalType (including nested in array/map/struct) — the r7
+    * driver-red class. Shared by the gate above and the spec that pins
+    * every SparkEntry query green. */
+  def lintDecimalOutput(name: String,
+                        schema: org.apache.spark.sql.types.StructType): Option[String] = {
+    import org.apache.spark.sql.types._
+    def hasDec(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case a: ArrayType => hasDec(a.elementType)
+      case m: MapType => hasDec(m.keyType) || hasDec(m.valueType)
+      case s: StructType => s.fields.exists(f => hasDec(f.dataType))
+      case _ => false
+    }
+    val bad = schema.fields.filter(f => hasDec(f.dataType)).map(_.name)
+    if (bad.isEmpty) None
+    else Some(s"$name emits DecimalType column(s) ${bad.mkString(",")} — " +
+      "cast to BIGINT (micro-units) or double before the compared output")
   }
 }

@@ -85,8 +85,9 @@ object Drift {
 
   /** Scalar total-variation distance `0.5 * sum |p_cur - p_ref|` as a
     * one-row gate value. The sum runs over EXACT integers — per-category
-    * numerator `|cur_cnt*ref_total - ref_cnt*cur_total|` summed as
-    * decimal(38,0) — and the single final division to double is
+    * numerator `|cur_cnt*ref_total - ref_cnt*cur_total|` summed in
+    * decimal(38,0) internally, emitted as BIGINT — and the single final
+    * division to double is
     * exact-rounded, so the statistic is bit-identical at any parallelism
     * and in any engine. TV is bounded [0,1]: 0 = identical mixes,
     * 1 = disjoint supports. */
@@ -109,11 +110,19 @@ object Drift {
       sum(col("ref_cnt")).as("ref_total"),
       sum(col("cur_cnt")).as("cur_total"))
     joined.crossJoin(broadcast(totals))
+      // cast BEFORE the multiply so the cross product rides decimal
+      // (a cnt×total product overflows BIGINT near 3e9 rows per side)
       .withColumn("num",
-        abs(col("cur_cnt") * col("ref_total") - col("ref_cnt") * col("cur_total"))
+        abs(col("cur_cnt").cast("decimal(38,0)") * col("ref_total")
+          - col("ref_cnt").cast("decimal(38,0)") * col("cur_total"))
           .cast("decimal(38,0)"))
       .agg(count(lit(1)).as("n_categories"),
-        sum(col("num")).cast("decimal(38,0)").as("tv_numerator"),
+        // decimal internally, BIGINT out: no DecimalType column may
+        // reach oracle-compared output (NOTES.md determinism rule); the
+        // numerator is ≤ ref_total·cur_total, within BIGINT while the
+        // two side totals stay under ~3e9 rows each (documented bound —
+        // beyond it the cast NULLs loudly rather than wrapping)
+        sum(col("num")).cast("decimal(38,0)").cast("long").as("tv_numerator"),
         max(col("ref_total")).as("ref_total"),
         max(col("cur_total")).as("cur_total"))
       // advisory convenience scalar: the decimal->double cast below is

@@ -97,7 +97,10 @@ object Eval {
     * margin rollups, a labels-scale full-outer margin join. NULL in
     * either column drops the row (no agreement evidence).
     *
-    * Output: one row (n, n_agree, chance_num decimal(38,0), kappa). */
+    * Output: one row (n, n_agree, chance_num BIGINT, kappa). The
+    * margin cross products ride decimal(38,0) internally; the emitted
+    * chance_num is BIGINT (≤ n², exact while n ≤ ~3e9 — no DecimalType
+    * reaches compared output per the NOTES.md determinism rule). */
   def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
     val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
       .select(col(colA).cast("string").as("__a"),
@@ -109,7 +112,7 @@ object Eval {
     val rc = rm.join(cm, Seq("__k"), "full_outer")
       .agg(coalesce(sum(coalesce(col("__ra"), lit(0L)).cast("decimal(38,0)")
           * coalesce(col("__cb"), lit(0L))), lit(0).cast("decimal(38,0)"))
-        .cast("decimal(38,0)").as("chance_num"))
+        .cast("decimal(38,0)").cast("long").as("chance_num"))
     val tot = cells.agg(sum(col("__c")).cast("long").as("n"),
       sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
         .cast("long").as("n_agree"))

@@ -27,6 +27,11 @@ import org.apache.spark.sql.expressions.Window
   *     the statistic itself is ONE final IEEE division (or a
   *     division over sqrt, which is correctly rounded) — the q119 /
   *     autocorrelation discipline, engine-exact at any parallelism.
+  *     Decimal stays INTERNAL: every emitted integer column is BIGINT
+  *     (no DecimalType may reach oracle-compared output — NOTES.md).
+  *     The BIGINT casts are exact while per-key sample sizes stay
+  *     under ~3e9 rows (numerators are ≤ nA·nB / n·Σx-scale); beyond
+  *     that they NULL loudly rather than wrap.
   */
 object RankStats {
 
@@ -49,7 +54,7 @@ object RankStats {
     * mix-based TV distance: sensitive to location/shape shifts a
     * category mix can't see.
     *
-    * Output: (key, n_a, n_b, d_numerator decimal(38,0), d_statistic).
+    * Output: (key, n_a, n_b, d_numerator BIGINT, d_statistic).
     * Keys where either sample is empty are dropped (D undefined). */
   def ksTwoSample(df: DataFrame, keyCol: String, valueCol: String,
                   isA: Column): DataFrame = {
@@ -69,7 +74,7 @@ object RankStats {
           .cast("decimal(38,0)"))
       .groupBy(col(keyCol))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        max(col("__gap")).cast("decimal(38,0)").as("d_numerator"))
+        max(col("__gap")).cast("decimal(38,0)").cast("long").as("d_numerator"))
       .withColumn("d_statistic",
         col("d_numerator").cast("double")
           / (col("n_a").cast("double") * col("n_b").cast("double")))
@@ -103,13 +108,14 @@ object RankStats {
         sum(col("__ca").cast("decimal(38,0)") * col("__rd"))
           .cast("decimal(38,0)").as("__ra_d"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
-      .withColumn("u_a_doubled",
+      .withColumn("__ua_d",
         (col("__ra_d") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
           .cast("decimal(38,0)"))
+      .withColumn("u_a_doubled", col("__ua_d").cast("long"))
       .withColumn("u_b_doubled",
         (lit(2L).cast("decimal(38,0)") * col("n_a") * col("n_b")
-          - col("u_a_doubled")).cast("decimal(38,0)"))
-      .drop("__ra_d")
+          - col("__ua_d")).cast("decimal(38,0)").cast("long"))
+      .drop("__ra_d", "__ua_d")
   }
 
   /** Gini concentration coefficient per key over a NON-NEGATIVE value
@@ -124,14 +130,31 @@ object RankStats {
     * sum into a distinct-value aggregate — `2·Σ i·x = Σ_v xμ_v·t·rd_v`
     * — all decimal(38,0); `gini` is the one final double division.
     *
-    * Output: (key, n, total_micro, gini). Keys with a zero total get
-    * NULL gini (concentration of nothing is undefined). */
+    * Output: (key, n, total_micro BIGINT, gini). Keys with a zero total
+    * get NULL gini (concentration of nothing is undefined).
+    *
+    * Contract enforcement (negative / out-of-grid inputs): a value that
+    * is negative, or whose magnitude overflows the decimal(12,2) grid,
+    * violates the stated contract — rather than silently producing a
+    * meaningless statistic (negatives) or a spurious NULL distinct
+    * group (overflow → NULL under non-ANSI cast), the WHOLE key is
+    * NULLed out loudly: the key's row survives (when it has ≥1 valid
+    * row; `n` counts valid rows) with `total_micro` and `gini` NULL —
+    * the mortonCode out-of-range-goes-NULL discipline. A key with NO
+    * valid rows drops entirely. */
   def giniByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val micro = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol),
-        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__mu"))
+        when(col(valueCol) >= 0,
+          (col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__mu"))
       .withColumn("__mu", col("__mu") * 10000L) // 2-dp grid -> micro
-    val counts = micro.groupBy(col(keyCol), col("__mu").as("__v"))
+    // per-key contract violations (negative => NULL above; decimal
+    // overflow => NULL cast): key-cardinality frame, one extra agg
+    val bad = micro.groupBy(col(keyCol))
+      .agg(sum(when(col("__mu").isNull, 1L).otherwise(0L)).as("__nbad"))
+    val counts = micro.filter(col("__mu").isNotNull)
+      .groupBy(col(keyCol), col("__mu").as("__v"))
       .agg(count(lit(1)).as("__t"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -143,15 +166,19 @@ object RankStats {
       .groupBy(col(keyCol))
       .agg(sum(col("__t")).as("n"),
         sum(col("__v").cast("decimal(38,0)") * col("__t"))
-          .cast("decimal(38,0)").as("total_micro"),
+          .cast("decimal(38,0)").as("__tm"),
         sum(col("__v").cast("decimal(38,0)") * col("__t") * col("__rd"))
           .cast("decimal(38,0)").as("__two_ix"))
+      .join(Broadcasts.maybeBroadcast(bad), Seq(keyCol), "left")
+      .withColumn("__ok", coalesce(col("__nbad"), lit(0L)) === 0L)
+      .withColumn("total_micro",
+        when(col("__ok"), col("__tm").cast("long")))
       .withColumn("gini",
-        when(col("total_micro") > 0,
+        when(col("__ok") && col("__tm") > 0,
           (col("__two_ix").cast("double")
-            - (col("n") + 1).cast("double") * col("total_micro").cast("double"))
-            / (col("n").cast("double") * col("total_micro").cast("double"))))
-      .drop("__two_ix")
+            - (col("n") + 1).cast("double") * col("__tm").cast("double"))
+            / (col("n").cast("double") * col("__tm").cast("double"))))
+      .drop("__two_ix", "__tm", "__nbad", "__ok")
   }
 
   /** Spearman rank correlation per key: Pearson over exact doubled

@@ -196,8 +196,9 @@ object Robust {
     * experiment looks off: do the observed per-variant counts match the
     * DESIGNED split? `expected` carries integer design weights (50/50 →
     * 1:1). Output is PER-VARIANT: observed count, the exact integer
-    * chi-square term numerator `(obs·W − total·w)²` (decimal(38,0) —
-    * cross products overflow BIGINT at ~1e10 rows) over denominator
+    * chi-square term numerator `(obs·W − total·w)²` (decimal(38,0)
+    * internally — cross products overflow BIGINT at ~1e10 rows —
+    * emitted as BIGINT, exact while total·ΣW ≤ ~3e9) over denominator
     * `w·W·total`, and the term as one double division. The caller sums
     * the handful of terms for the test statistic — emitting exact
     * per-variant parts keeps the output order-free and
@@ -220,21 +221,25 @@ object Robust {
     obs.join(Broadcasts.maybeBroadcast(design), Seq(variantCol), "full_outer")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
       .crossJoin(broadcast(total))
-      .withColumn("term_num",
+      .withColumn("__tn",
         (col("n_obs").cast("decimal(38,0)") * bigW
           - col("__total").cast("decimal(38,0)") * col("weight"))
           .cast("decimal(38,0)"))
-      .withColumn("term_num", (col("term_num") * col("term_num"))
-        .cast("decimal(38,0)"))
-      .withColumn("term_den",
+      .withColumn("__tn", (col("__tn") * col("__tn")).cast("decimal(38,0)"))
+      .withColumn("__td",
         (col("weight").cast("decimal(38,0)") * bigW * col("__total"))
           .cast("decimal(38,0)"))
       .withColumn("srm_term",
-        when(col("term_den") > 0,
-          col("term_num").cast("double") / col("term_den").cast("double")))
+        when(col("__td") > 0,
+          col("__tn").cast("double") / col("__td").cast("double")))
+      // decimal internals, BIGINT out (NOTES.md: no DecimalType in
+      // compared output). Exact while total·ΣW ≤ ~3e9 (term_num is the
+      // SQUARE of a total-scale delta); past that the cast NULLs loudly
+      // and callers gate on srm_term, which stays exact in decimal
+      // until its one division.
       .select(col(variantCol), col("n_obs"), col("weight"),
-        col("__total").as("n_total"), col("term_num"), col("term_den"),
-        col("srm_term"))
+        col("__total").as("n_total"), col("__tn").cast("long").as("term_num"),
+        col("__td").cast("long").as("term_den"), col("srm_term"))
   }
 
   /** Deterministic NULL imputation with provenance — the data-repair

@@ -13,7 +13,7 @@ class RankStatsSpec extends SparkSpec {
       .toDF("g", "v", "s")
     val r = RankStats.ksTwoSample(df, "g", "v", col("s") === "A").head()
     assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
-    assert(r.getDecimal(3).longValueExact() == 8L) // |cumA*nB - cumB*nA| at v=2
+    assert(r.getLong(3) == 8L) // |cumA*nB - cumB*nA| at v=2
     assert(r.getDouble(4) == 0.5)
     // disjoint supports: D = 1 exactly
     val dj = Seq(("k", 1, "A"), ("k", 2, "A"), ("k", 9, "B"))
@@ -32,14 +32,14 @@ class RankStatsSpec extends SparkSpec {
     val sep = Seq(("k", 1.0, "A"), ("k", 2.0, "A"), ("k", 3.0, "B"), ("k", 4.0, "B"))
       .toDF("g", "v", "s")
     val r1 = RankStats.mannWhitneyU(sep, "g", "v", col("s") === "A").head()
-    assert(r1.getDecimal(3).longValueExact() == 0L)
-    assert(r1.getDecimal(4).longValueExact() == 8L) // 2*nA*nB
+    assert(r1.getLong(3) == 0L)
+    assert(r1.getLong(4) == 8L) // 2*nA*nB
     // tie across samples: A=[1,2], B=[2,3] -> R_A = 3.5, U_A = 0.5
     val tie = Seq(("k", 1.0, "A"), ("k", 2.0, "A"), ("k", 2.0, "B"), ("k", 3.0, "B"))
       .toDF("g", "v", "s")
     val r2 = RankStats.mannWhitneyU(tie, "g", "v", col("s") === "A").head()
-    assert(r2.getDecimal(3).longValueExact() == 1L) // 2*U_A
-    assert(r2.getDecimal(4).longValueExact() == 7L)
+    assert(r2.getLong(3) == 1L) // 2*U_A
+    assert(r2.getLong(4) == 7L)
   }
 
   test("giniByKey: uniform -> 0, one-holder -> (n-1)/n, tie-order invariant") {
@@ -85,12 +85,12 @@ class RankStatsSpec extends SparkSpec {
     val dNum = grid.map(v =>
       math.abs(cdf(as, v).toLong * bs.size - cdf(bs, v).toLong * as.size)).max
     val ks = RankStats.ksTwoSample(df, "g", "v", col("a")).head()
-    assert(ks.getDecimal(3).longValueExact() == dNum)
+    assert(ks.getLong(3) == dNum)
     // brute MWU: 2*U_A = sum over pairs of 2*[a>b] + 1*[a==b]
     val u2 = (for (x <- as; y <- bs) yield
       if (x > y) 2L else if (x == y) 1L else 0L).sum
     val mwu = RankStats.mannWhitneyU(df, "g", "v", col("a")).head()
-    assert(mwu.getDecimal(3).longValueExact() == u2)
+    assert(mwu.getLong(3) == u2)
     // brute Gini on the doubled-sum identity (micro units cancel)
     val all = rows.map(_._1.toDouble).sorted
     val n = all.size

@@ -200,10 +200,10 @@ class Round7OpsSpec extends SparkSpec {
       Seq("a" -> 1L, "b" -> 1L, "d" -> 2L))
       .collect().map(r => r.getString(0) -> r).toMap
     // W = 4, total = 45
-    assert(out("a").getDecimal(4).longValueExact() == 5625L) // (120-45)^2
+    assert(out("a").getLong(4) == 5625L) // (120-45)^2
     assert(out("a").getDouble(6) == 5625.0 / 180.0)
     assert(out("d").getLong(1) == 0L)                        // designed, unseen
-    assert(out("d").getDecimal(4).longValueExact() == 8100L) // (0-90)^2
+    assert(out("d").getLong(4) == 8100L) // (0-90)^2
     assert(out("d").getDouble(6) == 8100.0 / 360.0)
     assert(out("c").isNullAt(2) && out("c").isNullAt(6),
       "observed-but-undesigned variant must surface with NULL design columns")
@@ -317,7 +317,7 @@ class Round7OpsSpec extends SparkSpec {
       Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))).toDF("a", "b")
     val r = graft.operators.Eval.cohenKappa(df, "a", "b").head()
     assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
-    assert(r.getDecimal(2).longValueExact() == 1250L)
+    assert(r.getLong(2) == 1250L)
     assert(r.getDouble(3) == 0.4)
     // perfect agreement -> 1; single-label degenerate -> NULL
     val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
