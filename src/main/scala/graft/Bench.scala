@@ -16,10 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     SPARK_GRAFT_BENCH_REPS (default 3) total. Cheap queries are where
   *     host noise dominates and median-of-3 pays off; a 10 s query's median
   *     is not worth 20 more seconds of wall.
-  *  3. CUMULATIVE BUDGET. SPARK_GRAFT_BENCH_BUDGET seconds (default 360)
-  *     bounds the TIMED region: once spent, remaining extra reps are
-  *     skipped (pass 1 always completes — coverage wins over the budget).
-  *     The JSON line prints whatever was measured either way.
+  *  3. CUMULATIVE BUDGET. SPARK_GRAFT_BENCH_BUDGET seconds (default
+  *     scales with the suite: max(600, 2.5·n_queries)) bounds the TIMED
+  *     region: once spent, remaining extra reps are skipped (pass 1
+  *     always completes — coverage wins over the budget). The JSON line
+  *     prints whatever was measured either way.
   *  4. ERRORS ARE VISIBLE. A throwing query used to record a fast fake
   *     median and look healthy; now its first exception class lands in an
   *     "errors" map after the queries map and its timing is still reported
@@ -35,7 +36,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val longQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_LONGQ", "5").toDouble
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toDouble
     require(maxReps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $maxReps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,6 +54,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Budget scales with suite size (r7 lesson: at 288 queries pass 1
+    // ALONE consumed the fixed 360 s, so every multi-second query's
+    // "median" was one cold sample and the artifact showed phantom
+    // 2-4x regressions that targeted probes refuted). 2.5 s/query,
+    // floored at 600 s, keeps ~2-3 samples for the sub-5 s tail —
+    // where medians actually fix noise — at any suite size.
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(math.max(600.0, 2.5 * queries.size))
 
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -69,6 +77,14 @@ object Bench {
       samples(name) = elapsed :: samples.getOrElse(name, Nil)
       spent += elapsed
       elapsed
+    }
+    // Cold-start sacrifice: the FIRST timed query used to absorb the
+    // residual JVM/codegen cold cost (~5-7 s, NOTES.md) that the table
+    // warmup above doesn't cover — run it once UNTIMED so pass 1's
+    // first sample is warm like the rest.
+    queries.headOption.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // Pass 1: one sample per query, unconditionally (coverage first).
     queries.foreach { case (name, fn) => runOnce(name, fn) }

@@ -7674,7 +7674,8 @@ object SparkEntry {
       """WITH c AS (SELECT l_linestatus AS k, l_quantity AS v,
         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS cb
-        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT *,
         |    CAST(SUM(ca) OVER win AS HUGEINT) AS cuma,
         |    CAST(SUM(cb) OVER win AS HUGEINT) AS cumb
@@ -7698,7 +7699,8 @@ object SparkEntry {
       """WITH c AS (SELECT o_orderpriority AS k, o_totalprice AS v,
         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS cb
-        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT *, ca + cb AS t,
         |    CAST(SUM(ca + cb) OVER win AS HUGEINT) AS cum
         |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
@@ -8021,7 +8023,8 @@ object SparkEntry {
     "q288_pr_curve" ->
       """WITH ps AS (SELECT value AS threshold, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |  FROM events WHERE value IS NOT NULL
+        |    AND user_id IS NOT NULL GROUP BY 1),
         |tt AS (SELECT CAST(SUM(p) AS BIGINT) AS totp FROM ps),
         |cw AS (SELECT *,
         |    CAST(SUM(n) OVER wd AS BIGINT) AS n_ge,
@@ -8182,7 +8185,8 @@ object SparkEntry {
       """WITH c AS (SELECT event_type AS k, value AS v,
         |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |  FROM events WHERE value IS NOT NULL
+        |    AND user_id IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT *, ca + cb AS t,
         |    CAST(SUM(ca + cb) OVER win AS HUGEINT) AS cum
         |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v

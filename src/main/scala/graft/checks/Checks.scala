@@ -191,7 +191,13 @@ class CheckSuite(constraints: Seq[Constraint]) {
   *  {"type":"no_rows_where","label":"neg","predicate":"amount < 0"}]
   * }}}
   * `references.parent` resolves through the caller's `tables` map —
-  * config stays engine-agnostic table NAMES, binding happens here. */
+  * config stays engine-agnostic table NAMES, binding happens here.
+  *
+  * TRUST MODEL: `no_rows_where` predicates (and column names) compile
+  * verbatim through `expr(...)`, so a check catalog is EXECUTABLE SQL
+  * with the caller's privileges — review it as code, never accept it
+  * from an untrusted channel (same contract as
+  * `graft.operators.Metrics`). */
 object CheckConfig {
   def fromJson(spark: org.apache.spark.sql.SparkSession, json: String,
                tables: Map[String, DataFrame] = Map.empty): CheckSuite = {

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
 object Encode {
 
   /** OOF encoding table. `idCol` seeds the fold draw (any stable row
-    * id); `nFolds` ≥ 2; rows with NULL target are excluded from means
-    * (SQL AVG semantics). Categories seen in only one fold fall back
+    * id — it must be NON-NULL: md5(NULL) is NULL and a silent NULL
+    * fold bucket would skew every fold's OOF mean, so NULL-id rows are
+    * rejected loudly below, matching the repo's loud-failure
+    * convention); `nFolds` ≥ 2; rows with NULL target are excluded
+    * from means (SQL AVG semantics). Categories seen in only one fold
+    * fall back
     * to the GLOBAL mean for that fold's rows (`is_prior` = true) —
     * there is no other-fold evidence to use.
     *
@@ -38,7 +42,13 @@ object Encode {
       .filter(col(targetCol).isNotNull)
       .select(col(catCol).as("category"),
         col(targetCol).cast("decimal(20,6)").as("__t"),
-        (conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        // loud contract check: raise_error (not a silent NULL bucket)
+        // on NULL ids — evaluated per row map-side, no extra pass
+        (conv(substring(md5(concat(
+          when(col(idCol).isNull, raise_error(lit(
+            s"targetEncodeOOF: NULL $idCol — the fold draw needs a " +
+              "non-null stable row id")))
+            .otherwise(col(idCol).cast("string")), lit(salt))),
           1, 8), 16, 10).cast("long") % nFolds).cast("int").as("fold"))
     val perFold = rows.groupBy(col("category"), col("fold"))
       .agg(count(lit(1)).as("n_in_fold"),

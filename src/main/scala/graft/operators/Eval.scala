@@ -28,6 +28,25 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Pre-quantizer for the distinct-score lattice operators
+    * ([[prCurve]], [[gainsTable]], [[aucByKey]]): replaces `scoreCol`
+    * with `floor(score/grid)·grid`, collapsing a genuinely continuous
+    * score — where every row is distinct, the "values-scale" lattice
+    * degenerates to row scale, and the ordered window becomes exactly
+    * the global raw-row sort these operators exist to avoid — to at
+    * most range/grid distinct values. The chain is one correctly-
+    * rounded division, an exact floor, one correctly-rounded multiply:
+    * bit-identical on every IEEE engine (the q264 portability class),
+    * so quantized thresholds are oracle-safe. Thresholds are reported
+    * at grid resolution — the eval tables are decile/cutoff-granular
+    * anyway, so grid ≈ the smallest score difference anyone acts on
+    * (1e-4 for probabilities keeps ≤10k lattice values at any row
+    * count). NULL scores stay NULL. */
+  def quantizeScores(df: DataFrame, scoreCol: String, grid: Double): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
+    df.withColumn(scoreCol, floor(col(scoreCol) / grid) * grid)
+  }
+
   /** Precision/recall curve at every DISTINCT score threshold
     * ("predict positive when score ≥ t"): per threshold — rows at or
     * above, positives at or above, precision, recall. The
@@ -35,8 +54,9 @@ object Eval {
     * decision; AUC ([[aucByKey]]) summarizes, this chooses.
     *
     * Same machinery and contracts as [[gainsTable]]: distinct-score
-    * lattice (quantized-score scale contract), DESC cumulative counts,
-    * precision/recall as single divisions of exact BIGINTs.
+    * lattice (quantized-score scale contract — [[quantizeScores]] is
+    * the enforcement path for continuous scores), DESC cumulative
+    * counts, precision/recall as single divisions of exact BIGINTs.
     *
     * Output: (threshold, n_ge, pos_ge, precision, recall). */
   def prCurve(df: DataFrame, scoreCol: String, isPositive: Column): DataFrame = {
@@ -143,9 +163,10 @@ object Eval {
     * SCORE frame. Model scores are bounded-grid values in practice
     * (float probabilities quantize to ≤1e6 distinct values at a 1e-6
     * grid — metadata-scale); for a genuinely continuous unbounded
-    * score, pre-quantize (the gains table is decile-granular anyway)
-    * or range-bucket-decompose as [[Profile.percentileNormalize]]
-    * does. Output: (bin, n, n_pos, cum_n, cum_pos, capture_rate,
+    * score, pre-quantize with [[quantizeScores]] (the gains table is
+    * decile-granular anyway) or range-bucket-decompose as
+    * [[Profile.percentileNormalize]] does.
+    * Output: (bin, n, n_pos, cum_n, cum_pos, capture_rate,
     * cum_lift). */
   def gainsTable(df: DataFrame, scoreCol: String, isPositive: Column,
                  nBins: Int = 10): DataFrame = {

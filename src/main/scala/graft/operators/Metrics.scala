@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   * one pass, not N.
   *
   * Determinism is the CONFIG AUTHOR's contract exactly as when writing
-  * the aggregates inline: follow the repo rules (decimal-path sums via
-  * `SUM(CAST(x AS DECIMAL(20,6)))`, exact counts, single final
-  * divisions). Unknown/missing fields fail loudly at compile time. */
+  * the aggregates inline: follow the repo rules (decimal-path sums
+  * internally, BIGINT/double in compared output, exact counts, single
+  * final divisions). Unknown/missing fields fail loudly at compile
+  * time.
+  *
+  * TRUST MODEL: descriptors compile verbatim through `expr(...)`, so a
+  * metrics catalog is EXECUTABLE SQL with the caller's privileges —
+  * exactly like a dbt model file. Treat catalogs as code (review them
+  * in the same lane as source); never feed this function strings from
+  * an untrusted channel. The same contract applies to
+  * `graft.checks.CheckConfig`. */
 object Metrics {
 
   def fromJson(spark: SparkSession, df: DataFrame, json: String,

@@ -133,15 +133,15 @@ object RankStats {
     * Output: (key, n, total_micro BIGINT, gini). Keys with a zero total
     * get NULL gini (concentration of nothing is undefined).
     *
-    * Contract enforcement (negative / out-of-grid inputs): a value that
-    * is negative, or whose magnitude overflows the decimal(12,2) grid,
-    * violates the stated contract — rather than silently producing a
-    * meaningless statistic (negatives) or a spurious NULL distinct
-    * group (overflow → NULL under non-ANSI cast), the WHOLE key is
-    * NULLed out loudly: the key's row survives (when it has ≥1 valid
-    * row; `n` counts valid rows) with `total_micro` and `gini` NULL —
-    * the mortonCode out-of-range-goes-NULL discipline. A key with NO
-    * valid rows drops entirely. */
+    * Contract enforcement (negative / out-of-grid inputs): a NEGATIVE
+    * value violates the stated contract — rather than silently
+    * producing a meaningless statistic, the WHOLE key is NULLed out
+    * loudly (the key's row survives when it has ≥1 valid row, `n`
+    * counting valid rows, with `total_micro` and `gini` NULL — the
+    * mortonCode out-of-range-goes-NULL discipline; a key with NO valid
+    * rows drops entirely). A magnitude OVERFLOWING the decimal(12,2)
+    * grid throws under Spark's default ANSI cast — the loudest
+    * failure, never a spurious NULL distinct group. */
   def giniByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val micro = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol),

@@ -29,13 +29,44 @@ object Streaming {
     * table's `last_batch_id` so the monitor sinks can commit the
     * snapshot append BEFORE the state swap: a crash between the two
     * replays the batch with the append fenced off and only the state
-    * swap re-applying, so neither effect double-applies. */
+    * swap re-applying, so neither effect double-applies. Torn files
+    * cannot occur: every log append goes through [[atomicAppendOne]]
+    * (write temp, ONE rename), so the fence read never sees a partial
+    * footer. */
   private def appendLogFence(spark: org.apache.spark.sql.SparkSession,
                              path: String): Option[Long] =
     graft.sources.Tables.readParquetIfExists(spark, path).flatMap { s =>
       val row = s.select(max(col("batch_id"))).head
       if (row.isNullAt(0)) None else Some(row.getLong(0))
     }
+
+  /** Crash-safe append for the monitor sinks' snapshot/alarm logs
+    * (these snapshots are one-row to key-scale, so a single part file
+    * is the right physical shape anyway): the batch's rows are written
+    * to a sibling temp dir first, then the ONE part file is renamed
+    * into the log directory — a single atomic filesystem op. A direct
+    * `mode("append")` could die mid-write and leave a torn parquet
+    * footer that either wedges every later [[appendLogFence]] read
+    * (corrupt-footer throw) or, worse, suppresses the complete
+    * re-append forever (fence already sees the batch id). With the
+    * rename commit a crash leaves only the temp dir, which the next
+    * attempt overwrites. Part names carry Spark's per-write UUID, so
+    * renames from different batches never collide. */
+  private def atomicAppendOne(df: DataFrame, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      s"_tmp_append_${dst.getName}.__graft__")
+    df.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = dst.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dst)
+    fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach(p => fs.rename(p.getPath,
+        new org.apache.hadoop.fs.Path(dst, p.getPath.getName)))
+    fs.delete(tmp, true)
+  }
 
   /** The monitor sinks' merge algebras, exposed as plain BATCH
     * functions: each sink's foreachBatch calls one of these verbatim,
@@ -622,9 +653,8 @@ object Streaming {
           if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId))
             graft.checks.Drift
               .totalVariationFromCounts(refCounts, out.drop("last_batch_id"))
-              .withColumn("batch_id", lit(batchId))
-              .coalesce(1) // one-row snapshot
-              .write.mode("append").parquet(snapshotsPath)
+              .withColumn("batch_id", lit(batchId)) // one-row snapshot
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
           graft.incremental.Writers.atomicRewrite(out, countsPath)
         }
       }
@@ -675,9 +705,8 @@ object Streaming {
               .cusumFromDaily(out.drop("last_batch_id"), keyCol,
                 slackMicro, hMicro)
               .filter(col("alarm_up") || col("alarm_down"))
-              .withColumn("batch_id", lit(batchId))
-              .coalesce(1) // alarm snapshots are days-scale
-              .write.mode("append").parquet(alarmsPath)
+              .withColumn("batch_id", lit(batchId)) // days-scale snapshot
+              .transform { d => atomicAppendOne(d, alarmsPath); d }
           graft.incremental.Writers.atomicRewrite(out, countsPath)
         }
       }
@@ -730,9 +759,8 @@ object Streaming {
               .withColumn("lag_seconds", expr("__lag_us div 1000000"))
               .drop("__lag_us")
               .withColumn("is_stale", col("lag_seconds") > maxLagSeconds)
-              .withColumn("batch_id", lit(batchId))
-              .coalesce(1) // key-scale snapshot
-              .write.mode("append").parquet(snapshotsPath)
+              .withColumn("batch_id", lit(batchId)) // key-scale snapshot
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
           }
           graft.incremental.Writers.atomicRewrite(out, marksPath)
         }
