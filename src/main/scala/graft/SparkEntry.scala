@@ -2760,6 +2760,90 @@ object SparkEntry {
             (sum(col("l_extendedprice").cast("decimal(12,2)")
               .cast("decimal(38,2)")) * 100).cast("long").as("revenue_cents")),
         "n_items", "revenue_cents", lo = 0.0, width = 100.0, nBins = 20)),
+
+    // SCD2 sink replay (q258-q260 pattern): the month's attribute
+    // stream folded through scd2Sink's EXACT merge call chain in three
+    // batches must equal a one-shot re-sequencing (oracle computes the
+    // version chain directly with lag/lead windows)
+    "q290_scd2_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def slice(lo: String, hi: String) = ev
+        .filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz"))
+      val b1 = graft.incremental.Scd2.resequence(
+        slice("2024-01-01", "2024-01-11"), "user_id", Seq("event_type"), "ts")
+      val b2 = graft.incremental.Scd2.merge(b1,
+        slice("2024-01-11", "2024-01-21"), "user_id", Seq("event_type"), "ts")
+      graft.incremental.Scd2.merge(b2,
+        slice("2024-01-21", "2024-02-01"), "user_id", Seq("event_type"), "ts")
+    }),
+
+    // aggregate-maintenance sink replay: three day-sliced batches
+    // folded through aggMergeSink's dailyPartial+merge algebra (nested
+    // exactly as the sink folds), finished to the external row shape —
+    // must equal the direct one-shot daily aggregate
+    "q291_aggmerge_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def part(lo: String, hi: String) = graft.operators.AggMerge
+        .dailyPartial(ev.filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz")), "ts", "value")
+      val folded = graft.operators.AggMerge.merge(Seq(
+        graft.operators.AggMerge.merge(Seq(
+          part("2024-01-01", "2024-01-11"), part("2024-01-11", "2024-01-21"))),
+        part("2024-01-21", "2024-02-01")))
+      graft.operators.AggMerge.finish(folded)
+    }),
+
+    // CDC-maintenance replay: insert the first half, then a second
+    // batch inserting the rest AND deleting every fifth first-half row
+    // — the retraction algebra must land on the daily aggregate of
+    // exactly the surviving facts
+    "q292_cdc_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      val half1 = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz"))
+      val half2 = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz"))
+      val b1 = half1.withColumn("op", lit("insert"))
+      val b2 = half2.withColumn("op", lit("insert")).unionByName(
+        half1.filter(col("event_id") % 5 === 0).withColumn("op", lit("delete")))
+      val empty = ev.filter(lit(false))
+      val p1 = graft.operators.AggMerge.applyCdc(
+        graft.operators.AggMerge.dailyPartial(empty, "ts", "value"),
+        empty, b1, "event_id", "ts", "value", "op")
+      val p2 = graft.operators.AggMerge.applyCdc(
+        p1, half1, b2, "event_id", "ts", "value", "op")
+      graft.operators.AggMerge.finish(p2)
+    }),
+
+    // join-view-maintenance replay: two interleaved insert batches
+    // folded through joinMaintSink's delta rule dA><(B u dB) UNION
+    // A_old><dB; the accumulated view must equal the direct join
+    "q293_joinmaint_replay" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("a_seg"))
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          col("o_totalprice"))
+      val a1 = c.filter(col("k") % 2 === 0)
+      val a2 = c.filter(col("k") % 2 =!= 0)
+      val b1 = o.filter(col("o_orderkey") % 2 === 0)
+      val b2 = o.filter(col("o_orderkey") % 2 =!= 0)
+      val v1 = graft.incremental.ViewMaint.joinDelta(
+        a1.filter(lit(false)), b1.filter(lit(false)), a1, b1, Seq("k"))
+      val v2 = graft.incremental.ViewMaint.joinDelta(a1, b1, a2, b2, Seq("k"))
+      v1.unionByName(v2)
+    }),
+
+    // q288's PR curve under the quantizeScores contract path: the
+    // continuous-score lattice collapsed to a 50-unit grid — proves
+    // the floor(s/g)*g chain is engine-identical
+    "q294_pr_curve_quantized" -> ((s, d) =>
+      graft.operators.Eval.prCurve(
+        graft.operators.Eval.quantizeScores(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          "value", 50.0),
+        "value", col("user_id") % 3 === 0)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8277,5 +8361,71 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM s b
         |  WHERE b.n_items >= a.n_items AND b.revenue_cents >= a.revenue_cents
         |    AND (b.n_items > a.n_items OR b.revenue_cents > a.revenue_cents))""".stripMargin,
+
+    // one-shot SCD2 re-sequencing: change rows via lag over the
+    // (ts, attr) total order, valid_to via lead over the changed set
+    "q290_scd2_replay" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2024-02-01'),
+        |w AS (SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS prev
+        |  FROM e),
+        |ch AS (SELECT user_id, event_type, ts FROM w
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
+
+    // direct one-shot daily aggregate in the partials' exact shapes
+    "q291_aggmerge_replay" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-01'
+        |  AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1""".stripMargin,
+
+    // daily aggregate over exactly the SURVIVING facts (second half
+    // fully inserted; first half minus every fifth event)
+    "q292_cdc_replay" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16' OR event_id % 5 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    // the maintained join view must equal the direct join
+    "q293_joinmaint_replay" ->
+      """SELECT c_custkey AS k, c_mktsegment AS a_seg, o_orderkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
+    // q288's lattice over the quantized grid: floor(v/50)*50 is the
+    // identical IEEE chain on both engines
+    "q294_pr_curve_quantized" ->
+      """WITH ps AS (SELECT floor(value / 50.0) * 50.0 AS threshold,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events WHERE value IS NOT NULL
+        |    AND user_id IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(p) AS BIGINT) AS totp FROM ps),
+        |cw AS (SELECT *,
+        |    CAST(SUM(n) OVER wd AS BIGINT) AS n_ge,
+        |    CAST(SUM(p) OVER wd AS BIGINT) AS pos_ge
+        |  FROM ps WINDOW wd AS (ORDER BY threshold DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT threshold, n_ge, pos_ge,
+        |  CAST(pos_ge AS DOUBLE) / CAST(n_ge AS DOUBLE) AS precision,
+        |  CASE WHEN totp > 0 THEN CAST(pos_ge AS DOUBLE) / CAST(totp AS DOUBLE) END
+        |    AS recall
+        |FROM cw, tt""".stripMargin,
   )
 }

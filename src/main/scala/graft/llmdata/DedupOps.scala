@@ -940,7 +940,14 @@ object DedupOps {
     out
   }
 
-  /** Edit-distance near-dup pairs: every pair of documents with
+  /** EXACT edit-distance near-dup pairs — the AUDIT TOOL, not the
+    * scale default: reach for [[editDistancePairsBlocked]] first (the
+    * simhash-blocked variant, ~3x cheaper on this corpus and the one a
+    * production pipeline should schedule); use THIS operator to audit
+    * the blocked variant's recall on a sample, or on corpora small
+    * enough that provable 100% recall is worth the fat-bucket cost.
+    *
+    * Finds every pair of documents with
     * Levenshtein distance <= maxDist, found WITHOUT an all-pairs scan via
     * length blocking — |len(a) - len(b)| <= maxDist is a hard necessary
     * condition for edit distance (each edit changes length by at most 1),

@@ -625,11 +625,11 @@ object Streaming {
     * append commits BEFORE the swap under its OWN fence (the log's max
     * `batch_id` — see [[appendLogFence]]): a crash between the two
     * replays the batch with the append fenced off and only the swap
-    * re-applying, so neither effect double-applies. The one remaining
-    * corner is a crash MID-append (a partial snapshot for that batch id
-    * that the replay then fences off) — superseded by the next batch's
-    * snapshot, since readers treat snapshots as a log where the
-    * latest batch id wins. */
+    * re-applying, so neither effect double-applies. A crash MID-append
+    * cannot tear or half-commit the log: appends go through
+    * [[atomicAppendOne]] (temp write + one rename), so the snapshot
+    * for a batch id is either fully present or absent — and an absent
+    * one is re-appended on replay. */
   def driftMonitorSink(df: DataFrame, catCol: String, refCounts: DataFrame,
                        countsPath: String, snapshotsPath: String,
                        checkpoint: String)
