@@ -2844,6 +2844,65 @@ object SparkEntry {
           t(s, d, "events").filter(col("user_id").isNotNull),
           "value", 50.0),
         "value", col("user_id") % 3 === 0)),
+
+    // Kruskal-Wallis inputs per (return flag, line status): pooled
+    // doubled midranks rolled to exact per-group parts (SRM-style
+    // order-free emission; the caller sums the handful for H)
+    "q295_kruskal_wallis" -> ((s, d) =>
+      graft.operators.RankStats.kruskalWallis(t(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+
+    // Kendall tau-b per return flag (quantity vs discount, both
+    // gridded): concordant/discordant from the distinct-cell self-join
+    "q296_kendall_tau" -> ((s, d) =>
+      graft.operators.RankStats.kendallTau(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity", "l_discount")),
+
+    // Kaplan-Meier life table per user cohort: activity-span durations
+    // in days, churned = silent before Jan 25 (else right-censored)
+    "q297_kaplan_meier" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val units = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__first"),
+          max(to_date(col("ts"))).as("__last"))
+        .select((col("user_id") % 3).as("cohort"),
+          datediff(col("__last"), col("__first")).cast("long").as("dur"),
+          (col("__last") < lit("2024-01-25").cast("date")).as("churned"))
+      graft.operators.Survival.kaplanMeier(units, "cohort", "dur", "churned")
+    }),
+
+    // Benjamini-Hochberg FDR gate over the per-(type, day) share table
+    // (the multiple-testing control on a wall of per-slice screens)
+    "q298_bh_fdr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("__c"))
+      val dayTot = daily.groupBy(col("day")).agg(sum(col("__c")).as("__dt"))
+      val tests = daily.join(graft.operators.Broadcasts.maybeBroadcast(dayTot), Seq("day"))
+        .select(col("event_type"), col("day"),
+          (col("__c").cast("double") / col("__dt").cast("double")).as("p"))
+      graft.operators.Robust.benjaminiHochberg(tests, "p", 0.1,
+        Seq("event_type", "day"))
+    }),
+
+    // CUPED variance-reduced effect: pre-period activity count as the
+    // covariate, in-period count as the metric, user-parity arms
+    "q299_cuped" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val units = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < lit("2024-01-16").cast("timestamp_ntz"),
+          1L).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= lit("2024-01-16").cast("timestamp_ntz"),
+            1L).otherwise(0L)).as("y"))
+        .withColumn("treated", col("user_id") % 2 === 0)
+      graft.operators.Robust.cuped(units, "treated", "x", "y")
+    }),
+
+    // chi-square independence of order priority x order status: exact
+    // per-cell residuals and denominators, one division per cell
+    "q300_chi2_independence" -> ((s, d) =>
+      graft.operators.Robust.chiSquareIndependence(t(s, d, "orders"),
+        "o_orderpriority", "o_orderstatus")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8427,5 +8486,172 @@ object SparkEntry {
         |  CASE WHEN totp > 0 THEN CAST(pos_ge AS DOUBLE) / CAST(totp AS DOUBLE) END
         |    AS recall
         |FROM cw, tt""".stripMargin,
+
+    // pooled doubled-midrank lattice rolled to per-group exact parts
+    "q295_kruskal_wallis" ->
+      """WITH c AS (SELECT l_returnflag AS k, l_linestatus AS g,
+        |    l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linestatus IS NOT NULL GROUP BY 1, 2, 3),
+        |p AS (SELECT k, v, CAST(SUM(cnt) AS BIGINT) AS t FROM c GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(t) OVER win AS HUGEINT) AS cum
+        |  FROM p WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rd AS (SELECT k, v, 2 * (cum - t) + t + 1 AS rd FROM w),
+        |pk AS (SELECT k, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_cubed_sum
+        |  FROM p GROUP BY 1),
+        |g AS (SELECT c.k, c.g, CAST(SUM(c.cnt) AS BIGINT) AS n_j,
+        |    CAST(SUM(CAST(c.cnt AS HUGEINT) * rd.rd) AS BIGINT) AS r_sum_doubled
+        |  FROM c JOIN rd ON c.k = rd.k AND c.v = rd.v GROUP BY 1, 2)
+        |SELECT g.k AS l_returnflag, g.g AS l_linestatus, n_j, r_sum_doubled,
+        |  n, tie_cubed_sum
+        |FROM g JOIN pk ON g.k = pk.k""".stripMargin,
+
+    // distinct-cell self-join concordance; tie pairs per axis; tau_b
+    // as division over sqrt (correctly rounded, portable)
+    "q296_kendall_tau" ->
+      """WITH cells AS (SELECT l_returnflag AS k, l_quantity AS x,
+        |    l_discount AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL GROUP BY 1, 2, 3),
+        |pa AS (SELECT a.k,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS BIGINT) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS BIGINT) AS discordant
+        |  FROM cells a JOIN cells b ON a.k = b.k AND a.x < b.x GROUP BY 1),
+        |tx AS (SELECT k, CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS BIGINT)
+        |    AS tie_pairs_x
+        |  FROM (SELECT k, x, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT k, CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS BIGINT)
+        |    AS tie_pairs_y
+        |  FROM (SELECT k, y, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |j AS (SELECT tot.k, n, COALESCE(concordant, 0) AS concordant,
+        |    COALESCE(discordant, 0) AS discordant, tie_pairs_x, tie_pairs_y,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) AS n0
+        |  FROM tot LEFT JOIN pa ON tot.k = pa.k
+        |    JOIN tx ON tot.k = tx.k JOIN ty ON tot.k = ty.k)
+        |SELECT k AS l_returnflag, n, concordant, discordant,
+        |  tie_pairs_x, tie_pairs_y,
+        |  CASE WHEN n0 - tie_pairs_x > 0 AND n0 - tie_pairs_y > 0 THEN
+        |    CAST(concordant - discordant AS DOUBLE)
+        |      / (sqrt(CAST(n0 - tie_pairs_x AS DOUBLE))
+        |        * sqrt(CAST(n0 - tie_pairs_y AS DOUBLE))) END AS tau_b
+        |FROM j""".stripMargin,
+
+    // distinct-duration lattice: DESC-risk identity, one division/row
+    "q297_kaplan_meier" ->
+      """WITH u AS (SELECT user_id % 3 AS cohort,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS BIGINT) AS duration,
+        |    MAX(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+        |  FROM events GROUP BY 1, user_id),
+        |cells AS (SELECT cohort, duration,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM u GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(n_events + n_censored) OVER win AS BIGINT) AS cum,
+        |    CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort)
+        |      AS BIGINT) AS n_total
+        |  FROM cells WINDOW win AS (PARTITION BY cohort ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, duration,
+        |  n_total - (cum - n_events - n_censored) AS n_risk,
+        |  n_events, n_censored,
+        |  CAST(n_events AS DOUBLE)
+        |    / CAST(n_total - (cum - n_events - n_censored) AS DOUBLE) AS hazard
+        |FROM w""".stripMargin,
+
+    // total-order BH: rank by (p, type, day); k* via conditional max
+    "q298_bh_fdr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |dt AS (SELECT day, CAST(SUM(c) AS BIGINT) AS dtot FROM d GROUP BY 1),
+        |tests AS (SELECT event_type, d.day,
+        |    CAST(c AS DOUBLE) / CAST(dtot AS DOUBLE) AS p_value
+        |  FROM d JOIN dt ON d.day = dt.day),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value, event_type,
+        |      day) AS BIGINT) AS bh_rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM tests),
+        |th AS (SELECT *, (CAST(bh_rank AS DOUBLE) * 0.1) / CAST(m AS DOUBLE)
+        |    AS bh_threshold FROM r),
+        |k AS (SELECT COALESCE(MAX(CASE WHEN p_value <= bh_threshold
+        |    THEN bh_rank END), 0) AS kstar FROM th)
+        |SELECT event_type, day, p_value, bh_rank, bh_threshold,
+        |  bh_rank <= kstar AS rejected
+        |FROM th, k""".stripMargin,
+
+    // q264-template moments: exact integer sums, fixed double chains
+    "q299_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    user_id % 2 = 0 AS tr
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |    CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_ctrl,
+        |    CAST(SUM(CASE WHEN tr THEN x ELSE 0 END) AS BIGINT) AS sum_x_treat,
+        |    CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS sum_y_treat,
+        |    CAST(SUM(CASE WHEN NOT tr THEN x ELSE 0 END) AS BIGINT) AS sum_x_ctrl,
+        |    CAST(SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS BIGINT) AS sum_y_ctrl,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM u),
+        |f AS (SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+        |      - (CAST(sum_x_treat + sum_x_ctrl AS DOUBLE)
+        |        * CAST(sum_x_treat + sum_x_ctrl AS DOUBLE)) AS var_n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+        |      - (CAST(sum_x_treat + sum_x_ctrl AS DOUBLE)
+        |        * CAST(sum_y_treat + sum_y_ctrl AS DOUBLE)) AS cov_n
+        |  FROM a)
+        |SELECT n, n_treat, n_ctrl, sum_x_treat, sum_y_treat,
+        |  sum_x_ctrl, sum_y_ctrl,
+        |  CASE WHEN var_n > 0 AND n_treat > 0 AND n_ctrl > 0
+        |    THEN cov_n / var_n END AS theta,
+        |  CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+        |    (CAST(sum_y_treat AS DOUBLE) / CAST(n_treat AS DOUBLE))
+        |      - (CAST(sum_y_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE)) END
+        |    AS raw_effect,
+        |  CASE WHEN var_n > 0 AND n_treat > 0 AND n_ctrl > 0 THEN
+        |    ((CAST(sum_y_treat AS DOUBLE) / CAST(n_treat AS DOUBLE))
+        |      - (CAST(sum_y_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE)))
+        |    - (cov_n / var_n)
+        |      * ((CAST(sum_x_treat AS DOUBLE) / CAST(n_treat AS DOUBLE))
+        |        - (CAST(sum_x_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))) END
+        |    AS adjusted_effect
+        |FROM f""".stripMargin,
+
+    // margins + per-cell residual/denominator; square inside the one
+    // exact decimal division only
+    "q300_chi2_independence" ->
+      """WITH cells AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+        |    CAST(o_orderstatus AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(SUM(n_cell) AS BIGINT) AS row_total
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT b, CAST(SUM(n_cell) AS BIGINT) AS col_total
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT cells.a, cells.b, n_cell, row_total, col_total, n,
+        |    CAST(n AS HUGEINT) * n_cell
+        |      - CAST(row_total AS HUGEINT) * col_total AS d,
+        |    CAST(n AS HUGEINT) * row_total * col_total AS td
+        |  FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b, tt)
+        |SELECT a, b, n_cell, row_total, col_total, n,
+        |  CAST(d AS BIGINT) AS delta_num, CAST(td AS BIGINT) AS term_den,
+        |  CASE WHEN td > 0 THEN CAST(d * d AS DOUBLE) / CAST(td AS DOUBLE) END
+        |    AS chi2_term
+        |FROM j""".stripMargin,
   )
 }

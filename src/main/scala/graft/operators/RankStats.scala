@@ -181,6 +181,112 @@ object RankStats {
       .drop("__two_ix", "__tm", "__nbad", "__ok")
   }
 
+  /** Kruskal–Wallis H test inputs per (key, group) — the k-sample
+    * extension of [[mannWhitneyU]] (does ANY of k groups stochastically
+    * dominate?): pooled doubled midranks over the per-key DISTINCT-
+    * VALUE lattice, rolled to per-group doubled rank sums. Following
+    * the [[Robust.sampleRatioMismatch]] convention the output is the
+    * EXACT PER-GROUP PARTS, order-free and engine-portable — the
+    * caller sums the handful of group terms for
+    * `H = 12/(n(n+1)) · Σ_j (R_j²/n_j) − 3(n+1)` over `R_j =
+    * r_sum_doubled/2`, divided by the tie correction
+    * `1 − tie_cubed_sum/(n³−n)` (a float Σ_j over groups inside the
+    * engine would be partition-order-dependent; k is variant-scale, so
+    * driver-side finishing is free).
+    *
+    * Output per (key, group): n_j, r_sum_doubled, n, tie_cubed_sum
+    * (Σ_v t³−t over the key's tie groups) — all BIGINT (decimal
+    * internals; exact while per-key n ≤ ~2e6 for the t³ term at
+    * worst-case single-value keys, ~3e9 otherwise — past that the ANSI
+    * cast fails loudly). Rows where value or group is NULL are
+    * excluded. */
+  def kruskalWallis(df: DataFrame, keyCol: String, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(keyCol), col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = cells.groupBy(col(keyCol), col("__v"))
+      .agg(sum(col("__c")).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .select(col(keyCol), col("__v"),
+        (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+          .cast("decimal(38,0)").as("__rd"),
+        col("__t"))
+    val perKey = pooled.groupBy(col(keyCol))
+      .agg(sum(col("__t")).as("n"),
+        sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+          - col("__t")).cast("decimal(38,0)").cast("long")
+          .as("tie_cubed_sum"))
+    cells
+      .join(pooled.select(col(keyCol), col("__v"), col("__rd")),
+        Seq(keyCol, "__v"))
+      .groupBy(col(keyCol), col("__g").as(groupCol))
+      .agg(sum(col("__c")).as("n_j"),
+        sum(col("__c").cast("decimal(38,0)") * col("__rd"))
+          .cast("decimal(38,0)").cast("long").as("r_sum_doubled"))
+      .join(Broadcasts.maybeBroadcast(perKey), Seq(keyCol))
+  }
+
+  /** Kendall's τ-b per key with exact tie handling: concordant /
+    * discordant pair counts from a self-join of the per-key DISTINCT
+    * (x, y) CELL frame (never raw rows — the bounded-grid contract of
+    * the quantile partials: cells-scale², fine for the gridded/
+    * categorical values this test is for; a genuinely continuous pair
+    * should be pre-quantized, [[graft.operators.Eval.quantizeScores]]).
+    * `τ_b = (C−D)/(√(n0−n1)·√(n0−n2))` with `n0 = n(n−1)/2`, `n1/n2`
+    * the x/y tie-pair counts — cross products ride decimal, emitted
+    * BIGINT, τ_b is division-over-sqrt (correctly rounded, portable).
+    *
+    * Output: (key, n, concordant, discordant, tie_pairs_x, tie_pairs_y,
+    * tau_b). Keys fully tied on either axis yield NULL τ_b. */
+  def kendallTau(df: DataFrame, keyCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // consumed 4x below — never replay lineage
+    val a = cells.select(col(keyCol), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__c").as("__ca"))
+    val b = cells.select(col(keyCol), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__c").as("__cb"))
+    val pairAgg = a.join(b, Seq(keyCol))
+      .filter(col("__xa") < col("__xb"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__ya") < col("__yb"),
+          col("__ca").cast("decimal(38,0)") * col("__cb")))
+          .cast("decimal(38,0)").cast("long").as("concordant"),
+        sum(when(col("__ya") > col("__yb"),
+          col("__ca").cast("decimal(38,0)") * col("__cb")))
+          .cast("decimal(38,0)").cast("long").as("discordant"))
+    def tiePairs(vCol: String, out: String) = cells
+      .groupBy(col(keyCol), col(vCol)).agg(sum(col("__c")).as("__t"))
+      .groupBy(col(keyCol))
+      .agg((sum(col("__t").cast("decimal(38,0)") * (col("__t") - 1)) / 2)
+        .cast("decimal(38,0)").cast("long").as(out))
+    val totals = cells.groupBy(col(keyCol)).agg(sum(col("__c")).as("n"))
+    totals
+      .join(pairAgg, Seq(keyCol), "left")
+      .join(tiePairs("__x", "tie_pairs_x"), Seq(keyCol))
+      .join(tiePairs("__y", "tie_pairs_y"), Seq(keyCol))
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
+      .withColumn("__n0",
+        (col("n").cast("decimal(38,0)") * (col("n") - 1) / 2)
+          .cast("decimal(38,0)").cast("long"))
+      .withColumn("tau_b", {
+        val dx = (col("__n0") - col("tie_pairs_x")).cast("double")
+        val dy = (col("__n0") - col("tie_pairs_y")).cast("double")
+        when(dx > 0.0 && dy > 0.0,
+          (col("concordant") - col("discordant")).cast("double")
+            / (sqrt(dx) * sqrt(dy)))
+      })
+      .select(col(keyCol), col("n"), col("concordant"), col("discordant"),
+        col("tie_pairs_x"), col("tie_pairs_y"), col("tau_b"))
+  }
+
   /** Spearman rank correlation per key: Pearson over exact doubled
     * midranks of x and y (average-rank ties; the doubling cancels in
     * ρ). Midranks come from per-key distinct-value cumulative counts

@@ -242,6 +242,161 @@ object Robust {
         col("__td").cast("long").as("term_den"), col("srm_term"))
   }
 
+  /** Benjamini–Hochberg FDR control over a PER-TEST p-value table (one
+    * row per test — metadata-scale by construction, like a metrics
+    * catalog; this is not a row-scale operator): rank tests by
+    * (p, tiebreak) ascending, find the largest rank k with
+    * `p ≤ k·α/m`, reject ranks 1..k. The multiple-testing gate that
+    * turns a wall of per-slice drift/SRM screens into a
+    * false-discovery-controlled alert list.
+    *
+    * Determinism: the rank order is TOTAL (p, then `tieBreakCols` —
+    * pass enough to break all ties, enforced loudly via a duplicate
+    * check); the threshold compare `p ≤ (k·α)/m` is a fixed
+    * double chain (long·double product, one division), identical on
+    * every IEEE engine. The one ordered window runs over the tests
+    * frame — tests-scale, never rows.
+    *
+    * Output: tieBreakCols..., p_value, bh_rank, bh_threshold,
+    * rejected. */
+  def benjaminiHochberg(tests: DataFrame, pCol: String, alpha: Double,
+                        tieBreakCols: Seq[String]): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1) required, got $alpha")
+    require(tieBreakCols.nonEmpty, "tieBreakCols required for a total order")
+    import org.apache.spark.sql.expressions.Window
+    val base = tests.select(
+      (tieBreakCols.map(col) :+ col(pCol).cast("double").as("p_value")): _*)
+      .filter(col("p_value").isNotNull)
+    val w = Window.orderBy(
+      (col("p_value").asc +: tieBreakCols.map(col(_).asc)): _*)
+    val ranked = base.withColumn("bh_rank", row_number().over(w).cast("long"))
+    // total-order enforcement: a duplicated (p, tiebreak) tuple would
+    // make row_number partition-order-dependent — fail loudly in-plan
+    val dupW = Window.partitionBy(
+      (col("p_value") +: tieBreakCols.map(col)): _*)
+    val checked = ranked
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .withColumn("bh_rank",
+        when(col("__dup") > 1, raise_error(lit(
+          "benjaminiHochberg: tieBreakCols do not give a total order " +
+            "(duplicate (p, tiebreak) tuple)")))
+          .otherwise(col("bh_rank")))
+      .drop("__dup")
+    val m = checked.agg(count(lit(1)).as("__m"))
+    val thresh = checked.crossJoin(broadcast(m))
+      .withColumn("bh_threshold",
+        (col("bh_rank").cast("double") * lit(alpha))
+          / col("__m").cast("double"))
+      .withColumn("__hit", col("p_value") <= col("bh_threshold"))
+    val kStar = thresh.agg(
+      coalesce(max(when(col("__hit"), col("bh_rank"))), lit(0L)).as("__k"))
+    thresh.crossJoin(broadcast(kStar))
+      .withColumn("rejected", col("bh_rank") <= col("__k"))
+      .drop("__m", "__hit", "__k")
+  }
+
+  /** CUPED variance-reduced treatment-effect readout (the standard
+    * pre-experiment-covariate adjustment): one row with
+    * `θ = cov(x,y)/var(x)` over ALL units pooled and the adjusted
+    * effect `(ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c)` — x the pre-period metric,
+    * y the in-experiment metric, one (x, y) pair per UNIT (aggregate
+    * upstream; this operator never sees raw events).
+    *
+    * Exactness (the q264 Spearman template): per-arm counts and x/y
+    * sums plus the pooled moments Σxy/Σxx ride decimal(38,0) on the
+    * integer grid (cast x/y to whole units or micro-units upstream);
+    * compared columns are the BIGINT counts/sums; θ and the two effect
+    * scalars are fixed double chains over those exact integers.
+    * Degenerate var(x)=0 (or an empty arm) yields NULL scalars. */
+  def cuped(df: DataFrame, treatedCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull
+      && col(treatedCol).isNotNull)
+      .select(col(treatedCol).as("__tr"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__tr"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("__tr"), 1L).otherwise(0L)).as("n_ctrl"),
+      sum(when(col("__tr"), col("__x")).otherwise(0L))
+        .cast(d38).cast("long").as("sum_x_treat"),
+      sum(when(col("__tr"), col("__y")).otherwise(0L))
+        .cast(d38).cast("long").as("sum_y_treat"),
+      sum(when(!col("__tr"), col("__x")).otherwise(0L))
+        .cast(d38).cast("long").as("sum_x_ctrl"),
+      sum(when(!col("__tr"), col("__y")).otherwise(0L))
+        .cast(d38).cast("long").as("sum_y_ctrl"),
+      sum(col("__x").cast(d38) * col("__x")).cast(d38).as("__sxx"),
+      sum(col("__x").cast(d38) * col("__y")).cast(d38).as("__sxy"))
+    val nD = col("n").cast("double")
+    val sxD = (col("sum_x_treat") + col("sum_x_ctrl")).cast("double")
+    val syD = (col("sum_y_treat") + col("sum_y_ctrl")).cast("double")
+    // parenthesized one-line subtractions (leading-`-` trap, NOTES.md)
+    val varN = (nD * col("__sxx").cast("double")) - (sxD * sxD)
+    val covN = (nD * col("__sxy").cast("double")) - (sxD * syD)
+    val rawEffect =
+      (col("sum_y_treat").cast("double") / col("n_treat").cast("double")) -
+        (col("sum_y_ctrl").cast("double") / col("n_ctrl").cast("double"))
+    val xGap =
+      (col("sum_x_treat").cast("double") / col("n_treat").cast("double")) -
+        (col("sum_x_ctrl").cast("double") / col("n_ctrl").cast("double"))
+    agg
+      .withColumn("theta",
+        when(varN > 0.0 && col("n_treat") > 0 && col("n_ctrl") > 0,
+          covN / varN))
+      .withColumn("raw_effect",
+        when(col("n_treat") > 0 && col("n_ctrl") > 0, rawEffect))
+      .withColumn("adjusted_effect",
+        when(col("theta").isNotNull,
+          col("raw_effect") - col("theta") * xGap))
+      .drop("__sxx", "__sxy")
+  }
+
+  /** Chi-square test of independence for two categorical columns,
+    * emitted as EXACT PER-CELL PARTS (the [[sampleRatioMismatch]]
+    * convention — a float Σ over cells would be partition-order-
+    * dependent; cells are labels²-scale, so the caller sums the
+    * handful): per observed cell, `term_num = (n·c − r·s)²` and
+    * `term_den = n·r·s` over the margins r (row total) and s (column
+    * total), with `chi2_term = term_num/term_den` the one division.
+    * The SQUARED numerator is deliberately NOT emitted (it overflows
+    * BIGINT already near n ≈ 55k at full concentration); instead the
+    * SIGNED residual `delta_num = n·c − r·s` is (|delta| ≤ n², BIGINT-
+    * safe to n ≈ 3e9) alongside `term_den = n·r·s` (≤ n³ at full
+    * concentration — past ~2e6 fully-concentrated rows the ANSI cast
+    * fails loudly; realistic margins keep it far smaller). The square
+    * happens inside the exact decimal division for chi2_term only.
+    * NULL in either column drops the row. */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint(true) // consumed 3x (margins + cells)
+    val rm = cells.groupBy(col("a")).agg(sum(col("n_cell")).as("row_total"))
+    val cm = cells.groupBy(col("b")).agg(sum(col("n_cell")).as("col_total"))
+    val tot = cells.agg(sum(col("n_cell")).cast("long").as("n"))
+    cells
+      .join(Broadcasts.maybeBroadcast(rm), Seq("a"))
+      .join(Broadcasts.maybeBroadcast(cm), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        (col("n").cast(d38) * col("n_cell")
+          - col("row_total").cast(d38) * col("col_total")).cast(d38))
+      .withColumn("__td",
+        (col("n").cast(d38) * col("row_total") * col("col_total")).cast(d38))
+      .withColumn("chi2_term",
+        when(col("__td") > 0,
+          (col("__d") * col("__d")).cast(d38).cast("double")
+            / col("__td").cast("double")))
+      .select(col("a"), col("b"), col("n_cell"), col("row_total"),
+        col("col_total"), col("n"), col("__d").cast("long").as("delta_num"),
+        col("__td").cast("long").as("term_den"), col("chi2_term"))
+  }
+
   /** Deterministic NULL imputation with provenance — the data-repair
     * step every feature pipeline runs before training, made
     * reproducible: numeric NULLs fill with the column's per-group EXACT

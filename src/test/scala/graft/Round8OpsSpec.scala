@@ -108,4 +108,118 @@ class Round8OpsSpec extends SparkSpec {
       Seq("x").toDF("c"), Seq("x", "y").toDF("c"), col("c"))
     assert(tv.schema("tv_numerator").dataType == LongType)
   }
+
+  // ---- Kruskal-Wallis ---------------------------------------------------
+
+  test("kruskalWallis: hand-computed doubled rank sums with a cross-group tie") {
+    // A=[1,2], B=[2,3], C=[5]: doubled midranks 2,5,5,8,10
+    val df = Seq(("k", "A", 1.0), ("k", "A", 2.0), ("k", "B", 2.0),
+      ("k", "B", 3.0), ("k", "C", 5.0)).toDF("g", "grp", "v")
+    val out = graft.operators.RankStats.kruskalWallis(df, "g", "grp", "v")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out("A").getLong(2) == 2L && out("A").getLong(3) == 7L)
+    assert(out("B").getLong(2) == 2L && out("B").getLong(3) == 13L)
+    assert(out("C").getLong(2) == 1L && out("C").getLong(3) == 10L)
+    assert(out("A").getLong(4) == 5L)            // n
+    assert(out("A").getLong(5) == 6L)            // one tie group of 2: 2^3-2
+    // identity: sum of doubled rank sums = 2 * n(n+1)/2 = n(n+1)
+    assert(out.values.map(_.getLong(3)).sum == 30L)
+  }
+
+  // ---- Kendall tau-b ----------------------------------------------------
+
+  test("kendallTau: concordant/discordant with ties, tau_b hand value") {
+    // cells: (1,1)x2, (2,3)x1, (3,2)x1 -> C=4, D=1, tx=ty=1, n0=6
+    val df = Seq(("k", 1.0, 1.0), ("k", 1.0, 1.0), ("k", 2.0, 3.0),
+      ("k", 3.0, 2.0)).toDF("g", "x", "y")
+    val r = graft.operators.RankStats.kendallTau(df, "g", "x", "y").head()
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L)
+    // sqrt(5)*sqrt(5) = 5.000000000000001 — the engine's chain exactly
+    assert(r.getDouble(6) == 3.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+    // fully tied x -> NULL tau_b
+    val tied = Seq(("k", 1.0, 1.0), ("k", 1.0, 2.0)).toDF("g", "x", "y")
+    assert(graft.operators.RankStats.kendallTau(tied, "g", "x", "y")
+      .head().isNullAt(6))
+  }
+
+  // ---- Kaplan-Meier -----------------------------------------------------
+
+  test("kaplanMeier: at-risk identity, censoring split, per-row hazard") {
+    val units = Seq(("k", 1L, true), ("k", 1L, false), ("k", 2L, true),
+      ("k", 3L, true), ("k", 3L, false)).toDF("g", "dur", "ev")
+    val out = graft.operators.Survival.kaplanMeier(units, "g", "dur", "ev")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getLong(2) == 5L && out(1L).getLong(3) == 1L
+      && out(1L).getLong(4) == 1L && out(1L).getDouble(5) == 0.2)
+    assert(out(2L).getLong(2) == 3L && out(2L).getDouble(5) == 1.0 / 3.0)
+    assert(out(3L).getLong(2) == 2L && out(3L).getLong(4) == 1L
+      && out(3L).getDouble(5) == 0.5)
+  }
+
+  // ---- Benjamini-Hochberg -----------------------------------------------
+
+  test("benjaminiHochberg: step-up rescues earlier ranks; total-order enforced") {
+    import graft.operators.Robust
+    // p=[0.05,0.051,0.052] at alpha=0.1: rank-1 fails its own threshold
+    // (0.0333) but k*=3 rejects ALL — the step-up property Bonferroni
+    // lacks
+    val tests = Seq(("t1", 0.05), ("t2", 0.051), ("t3", 0.052))
+      .toDF("test_id", "p")
+    val out = Robust.benjaminiHochberg(tests, "p", 0.1, Seq("test_id"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(out == Map("t1" -> true, "t2" -> true, "t3" -> true))
+    // a clearly null p stays out; a large p is not rejected
+    val mixed = Seq(("a", 0.001), ("b", 0.9)).toDF("test_id", "p")
+    val m2 = Robust.benjaminiHochberg(mixed, "p", 0.1, Seq("test_id"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(m2("a") && !m2("b"))
+    // duplicate (p, tiebreak) tuple -> loud in-plan failure
+    val dup = Seq(("t", 0.5), ("t", 0.5)).toDF("test_id", "p")
+    intercept[Exception] {
+      Robust.benjaminiHochberg(dup, "p", 0.1, Seq("test_id")).collect()
+    }
+  }
+
+  // ---- CUPED ------------------------------------------------------------
+
+  test("cuped: hand-computed theta and adjusted effect") {
+    // treated (1,3),(3,7); control (2,4),(4,8): theta=1.8,
+    // raw=-1, xGap=-1, adjusted=0.8
+    val units = Seq((true, 1L, 3L), (true, 3L, 7L),
+      (false, 2L, 4L), (false, 4L, 8L)).toDF("tr", "x", "y")
+    val r = graft.operators.Robust.cuped(units, "tr", "x", "y").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 10L) // sum_x/y treat
+    assert(r.getLong(5) == 6L && r.getLong(6) == 12L) // sum_x/y ctrl
+    assert(r.getDouble(7) == 1.8)
+    assert(r.getDouble(8) == -1.0)
+    assert(math.abs(r.getDouble(9) - 0.8) < 1e-12)
+    // degenerate var(x)=0 -> NULL scalars
+    val flat = Seq((true, 1L, 3L), (false, 1L, 4L)).toDF("tr", "x", "y")
+    val f = graft.operators.Robust.cuped(flat, "tr", "x", "y").head()
+    assert(f.isNullAt(7) && f.isNullAt(9))
+  }
+
+  // ---- chi-square independence ------------------------------------------
+
+  test("chiSquareIndependence: exact per-cell residuals on a 2x2 table") {
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val out = graft.operators.Robust
+      .chiSquareIndependence(rows.toDF("u", "v"), "u", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ax = out(("a", "x"))
+    assert(ax.getLong(2) == 10L && ax.getLong(3) == 30L && ax.getLong(4) == 40L)
+    assert(ax.getLong(6) == -200L)          // 100*10 - 30*40
+    assert(ax.getLong(7) == 120000L)        // 100*30*40
+    assert(ax.getDouble(8) == 40000.0 / 120000.0)
+    // independence-consistent table: every residual 0
+    val indep = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))
+    assert(graft.operators.Robust
+      .chiSquareIndependence(indep.toDF("u", "v"), "u", "v")
+      .collect().forall(r => r.getLong(6) == 0L && r.getDouble(8) == 0.0))
+  }
 }
