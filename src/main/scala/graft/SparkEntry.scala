@@ -2903,6 +2903,42 @@ object SparkEntry {
     "q300_chi2_independence" -> ((s, d) =>
       graft.operators.Robust.chiSquareIndependence(t(s, d, "orders"),
         "o_orderpriority", "o_orderstatus")),
+
+    // golden-record survivorship: three deterministic variants of each
+    // customer (one name-smudged, one segment-NULLed) collapse back to
+    // the clean row by per-attribute mode (ties -> smallest)
+    "q301_golden_records" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      def variant(i: Int, name: Column, seg: Column) = c.select(
+        (col("c_custkey") * 10 + i).as("rec_id"),
+        col("c_custkey").as("cluster"), name.as("name"), seg.as("seg"))
+      val records = variant(0, col("c_name"), col("c_mktsegment"))
+        .unionByName(variant(1,
+          when(col("c_custkey") % 3 === 0,
+            regexp_replace(col("c_name"), "1", "l")).otherwise(col("c_name")),
+          col("c_mktsegment")))
+        .unionByName(variant(2, col("c_name"),
+          when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment"))))
+      graft.operators.Linkage.goldenRecords(
+        records.select(col("rec_id"), col("name"), col("seg")), "rec_id",
+        records.select(col("rec_id"), col("cluster")), "cluster",
+        Seq("name", "seg"))
+    }),
+
+    // snapshot column-drift audit: second half renames nothing but
+    // retypes user_id, drops value, adds props — plus exact null
+    // accounting for the surviving columns
+    "q302_column_drift" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val ref = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz"))
+        .select(col("user_id"), col("event_type"), col("value"))
+      val cur = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz"))
+        .select(col("user_id").cast("string").as("user_id"),
+          col("event_type"), col("props"))
+      graft.operators.Diff.columnDriftReport(ref, cur)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8653,5 +8689,67 @@ object SparkEntry {
         |  CASE WHEN td > 0 THEN CAST(d * d AS DOUBLE) / CAST(td AS DOUBLE) END
         |    AS chi2_term
         |FROM j""".stripMargin,
+
+    // per-attribute mode survivorship (ties -> smallest), NULLs carry
+    // no vote; cluster sizes exact
+    "q301_golden_records" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |recs AS (
+        |  SELECT c_custkey AS cluster, c_name AS name, c_mktsegment AS seg
+        |    FROM c
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '1', 'l')
+        |      ELSE c_name END, c_mktsegment FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |      ELSE c_mktsegment END FROM c),
+        |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_records
+        |  FROM recs GROUP BY 1),
+        |nb AS (SELECT cluster, name FROM (
+        |  SELECT cluster, name, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY cnt DESC, name ASC) AS rk
+        |  FROM (SELECT cluster, name, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM recs WHERE name IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1),
+        |sb AS (SELECT cluster, seg FROM (
+        |  SELECT cluster, seg, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY cnt DESC, seg ASC) AS rk
+        |  FROM (SELECT cluster, seg, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM recs WHERE seg IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1)
+        |SELECT sizes.cluster, n_records, name, seg
+        |FROM sizes LEFT JOIN nb USING (cluster) LEFT JOIN sb USING (cluster)""".stripMargin,
+
+    // schema membership as literals (the compare is metadata), null
+    // accounting as exact fused counts per side
+    "q302_column_drift" ->
+      """WITH r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_uid,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_et,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_val
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_uid,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_et,
+        |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_props
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |rows_ AS (
+        |  SELECT 'user_id' AS column_name, 'type_changed' AS status,
+        |    'BIGINT' AS ref_type, 'STRING' AS cur_type,
+        |    r.n AS n_ref, r.z_uid AS n_null_ref,
+        |    c.n AS n_cur, c.z_uid AS n_null_cur FROM r, c
+        |  UNION ALL
+        |  SELECT 'event_type', 'kept', 'STRING', 'STRING',
+        |    r.n, r.z_et, c.n, c.z_et FROM r, c
+        |  UNION ALL
+        |  SELECT 'value', 'removed', 'DOUBLE', NULL,
+        |    r.n, r.z_val, NULL, NULL FROM r, c
+        |  UNION ALL
+        |  SELECT 'props', 'added', NULL, 'STRING',
+        |    NULL, NULL, c.n, c.z_props FROM r, c)
+        |SELECT *,
+        |  CASE WHEN n_ref > 0 THEN CAST(n_null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS null_frac_ref,
+        |  CASE WHEN n_cur > 0 THEN CAST(n_null_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) END AS null_frac_cur
+        |FROM rows_""".stripMargin,
   )
 }

@@ -125,4 +125,58 @@ object Diff {
       .join(dels.distinct(), keys, "left_anti")
       .unionByName(inss.select(snapshot.columns.map(col): _*))
   }
+
+  /** Snapshot-vs-snapshot COLUMN drift report — the schema-and-
+    * nullness complement of [[tableDiff]] (which aligns ROWS): one row
+    * per column name across both snapshots with its membership status
+    * ('added' = cur only, 'removed' = ref only, 'type_changed',
+    * 'kept'), the type on each side, and exact row/null counts — the
+    * first thing a pipeline migration audit reads, and the
+    * upstream-contract check that catches a source silently widening a
+    * type or starting to emit NULLs.
+    *
+    * Cost: schema compare is driver-side metadata; the null counts are
+    * ONE fused aggregate pass per side (every column's
+    * `SUM(IS NULL)` in a single scan — k columns over 100 TB cost one
+    * pass, not k), whose single result row is collected (metadata-
+    * scale, the freshness-asOf convention). `null_frac_ref/cur` are
+    * single exact divisions; NULL where the column is absent on that
+    * side. Output ordering carries no meaning (hash-gate sorts). */
+  def columnDriftReport(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def stats(df: DataFrame): (Long, Map[String, Long]) = {
+      val cols = df.columns.toSeq
+      val aggs = count(lit(1)).as("__n") +:
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      (row.getAs[Long]("__n"),
+        cols.map(c => c -> row.getAs[Long](s"__z_$c")).toMap)
+    }
+    val (nRef, zRef) = stats(ref)
+    val (nCur, zCur) = stats(cur)
+    val tRef = ref.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val tCur = cur.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val names = (ref.columns ++ cur.columns).distinct.toSeq
+    val rows = names.map { c =>
+      val status = (tRef.get(c), tCur.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "kept"
+        case (Some(_), Some(_)) => "type_changed"
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (None, None) => sys.error("unreachable")
+      }
+      (c, status, tRef.get(c).orNull, tCur.get(c).orNull,
+        tRef.get(c).map(_ => nRef), zRef.get(c),
+        tCur.get(c).map(_ => nCur), zCur.get(c))
+    }
+    rows.toDF("column_name", "status", "ref_type", "cur_type",
+      "n_ref", "n_null_ref", "n_cur", "n_null_cur")
+      .withColumn("null_frac_ref",
+        when(col("n_ref") > 0,
+          col("n_null_ref").cast("double") / col("n_ref").cast("double")))
+      .withColumn("null_frac_cur",
+        when(col("n_cur") > 0,
+          col("n_null_cur").cast("double") / col("n_cur").cast("double")))
+  }
 }

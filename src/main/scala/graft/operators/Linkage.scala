@@ -170,4 +170,45 @@ object Linkage {
       .select(col("value"), col("__best.v").as("canonical"),
         col("n_value"), col("__best.n").as("n_canonical"))
   }
+
+  /** Golden-record survivorship — entity resolution's LAST step, after
+    * match pairs are clustered ([[linkRecords]] →
+    * `graft.llmdata.DedupOps.connectedComponents`): collapse each
+    * cluster of duplicate records to ONE canonical row, choosing every
+    * attribute by deterministic MODE survivorship — the most frequent
+    * NON-NULL value in the cluster, ties broken by smallest value (the
+    * repo's argmax convention, same as [[canonicalizeCategories]] and
+    * `Robust.impute`'s categorical rule). A cluster whose every value
+    * for an attribute is NULL survives as NULL.
+    *
+    * Shape: one unpivot-free pass PER ATTRIBUTE — `k` attributes cost
+    * k hash aggregates over (cluster, value) frames (values-scale
+    * after the first aggregate) joined back on cluster id; no windows,
+    * no all-pairs. At 100 TB the per-attribute aggregates all reuse
+    * the cluster-id shuffle partitioning.
+    *
+    * `assign`: (idCol, clusterCol) mapping — every record id must
+    * appear. Output: one row per cluster: clusterCol, n_records, and
+    * each attribute under its original name. */
+  def goldenRecords(records: DataFrame, idCol: String,
+                    assign: DataFrame, clusterCol: String,
+                    attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols required")
+    val tagged = records.join(assign, Seq(idCol))
+    val sizes = tagged.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_records"))
+    attrCols.foldLeft(sizes) { (acc, a) =>
+      // min(struct) forces SortAggregate — fine here: the frame is
+      // (cluster × distinct-value) scale, never record scale (NOTES.md
+      // string-min trap applies to row-scale aggregates only)
+      val best = tagged.filter(col(a).isNotNull)
+        .groupBy(col(clusterCol), col(a).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(clusterCol))
+        .agg(min(struct((-col("__c")).as("negn"), col("__v").as("v")))
+          .as("__best"))
+        .select(col(clusterCol), col("__best.v").as(a))
+      acc.join(best, Seq(clusterCol), "left")
+    }
+  }
 }

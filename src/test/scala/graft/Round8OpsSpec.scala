@@ -222,4 +222,46 @@ class Round8OpsSpec extends SparkSpec {
       .chiSquareIndependence(indep.toDF("u", "v"), "u", "v")
       .collect().forall(r => r.getLong(6) == 0L && r.getDouble(8) == 0.0))
   }
+
+  // ---- golden records ---------------------------------------------------
+
+  test("goldenRecords: per-attribute mode survivorship, ties break smallest, " +
+    "all-NULL attribute survives NULL") {
+    val records = Seq(
+      (1L, "Ann", "GOLD"), (2L, "Ann", null), (3L, "Amn", null), // cluster 10
+      (4L, "Bob", null), (5L, "Bpb", null),                      // cluster 20
+      (6L, "Cat", "SILVER"), (7L, "Dog", "BRONZE")               // cluster 30
+    ).toDF("rec_id", "name", "seg")
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 30L), (7L, 30L)).toDF("rec_id", "cluster")
+    val out = graft.operators.Linkage
+      .goldenRecords(records, "rec_id", assign, "cluster", Seq("name", "seg"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getLong(1) == 3L)
+    assert(out(10L).getString(2) == "Ann")          // 2-vs-1 mode
+    assert(out(10L).getString(3) == "GOLD")         // single non-null vote
+    assert(out(20L).getString(2) == "Bob")          // 1-1 tie -> smallest
+    assert(out(20L).isNullAt(3))                    // all NULL -> NULL
+    assert(out(30L).getString(2) == "Cat")          // tie -> smallest
+    assert(out(30L).getString(3) == "BRONZE")       // tie -> smallest
+  }
+
+  // ---- column drift report ----------------------------------------------
+
+  test("columnDriftReport: added/removed/type_changed/kept with exact null counts") {
+    val ref = Seq((Some(1L), "a", Some(1.5)), (None, "b", None))
+      .toDF("id", "tag", "v")
+    val cur = Seq(("1", "a", "x"), ("2", null, "y"), ("3", "c", "z"))
+      .toDF("id", "tag", "extra")
+    val out = graft.operators.Diff.columnDriftReport(ref, cur)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("id").getString(1) == "type_changed")
+    assert(out("tag").getString(1) == "kept")
+    assert(out("v").getString(1) == "removed" && out("v").isNullAt(6))
+    assert(out("extra").getString(1) == "added" && out("extra").isNullAt(4))
+    assert(out("id").getLong(4) == 2L && out("id").getLong(5) == 1L)
+    assert(out("tag").getLong(6) == 3L && out("tag").getLong(7) == 1L)
+    assert(out("v").getLong(5) == 1L)
+    assert(out("tag").getDouble(9) == 1.0 / 3.0)    // null_frac_cur
+  }
 }
