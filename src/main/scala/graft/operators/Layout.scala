@@ -76,4 +76,37 @@ object Layout {
       xl >= 0 && xl < lim && yl >= 0 && yl < lim,
       terms.reduce(_ + _).cast("long"))
   }
+
+  /** Zone-map reader: per parquet FILE min/max/count for `cols` — the
+    * skipping statistics a scan planner consults before opening files.
+    * The READ-side pairing of [[ZOrder.layout]] (which produces the
+    * write layout these stats reward): one aggregate pass grouped by
+    * `input_file_name()`; output is file-count-scale metadata. Column
+    * order: path, n_rows, then `<col>_min`, `<col>_max` per requested
+    * column. */
+  def skippingStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files a box predicate `lo <= col <= hi` (per column) cannot rule
+    * out, given [[skippingStats]] output — the planner's candidate
+    * set. A file is skippable iff ANY predicate's range misses the
+    * file's [min, max] entirely; NULL bounds (all-NULL file column)
+    * keep the file (no evidence to skip — the conservative zone-map
+    * rule). */
+  def candidateFiles(stats: DataFrame,
+                     box: Seq[(String, Long, Long)]): DataFrame = {
+    require(box.nonEmpty, "box predicates required")
+    val keep = box.map { case (c, lo, hi) =>
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+    }.reduce(_ && _)
+    stats.filter(keep)
+  }
 }

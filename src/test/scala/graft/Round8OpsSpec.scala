@@ -264,4 +264,38 @@ class Round8OpsSpec extends SparkSpec {
     assert(out("v").getLong(5) == 1L)
     assert(out("tag").getDouble(9) == 1.0 / 3.0)    // null_frac_cur
   }
+
+  // ---- z-order layout ---------------------------------------------------
+
+  test("zone-map reader over ZOrder.layout: single-dimension predicates " +
+    "prune files a one-column sort cannot; candidates reproduce the exact " +
+    "filter result") {
+    import graft.operators.{Layout, ZOrder}
+    // decorrelated (x, y) in [0, 1024)^2 via integer hashing
+    val df = spark.range(40000L).select(
+      ((col("id") * 2654435761L) % 1024).as("x"),
+      ((col("id") * 40503L + 7) % 1024).as("y"))
+    val zPath = "/tmp/graft-test-zorder"
+    val lPath = "/tmp/graft-test-linear"
+    ZOrder.layout(df, "x", "y", 10, 16).write.mode("overwrite").parquet(zPath)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(lPath)
+    val zStats = Layout.skippingStats(spark, zPath, Seq("x", "y"))
+      .localCheckpoint(true)
+    val lStats = Layout.skippingStats(spark, lPath, Seq("x", "y"))
+    assert(zStats.count() == 16L && lStats.count() == 16L)
+    // a y-only box: the x-sorted layout cannot skip ANY file (every
+    // file spans full y); the z layout confines y's high bits per file
+    val box = Seq(("y", 100L, 200L))
+    val zCand = Layout.candidateFiles(zStats, box)
+    val lCand = Layout.candidateFiles(lStats, box).count()
+    assert(lCand == 16L, "one-column sort should be unable to skip on y")
+    assert(zCand.count() <= 8L,
+      s"z-order should prune at least half the files, kept ${zCand.count()}")
+    // candidate files alone reproduce the exact filter result
+    val paths = zCand.collect().map(_.getString(0)).toSeq
+    val fromCandidates = spark.read.parquet(paths: _*)
+      .filter(col("y").between(100, 200)).count()
+    assert(fromCandidates == df.filter(col("y").between(100, 200)).count())
+  }
 }
