@@ -2939,6 +2939,55 @@ object SparkEntry {
           col("event_type"), col("props"))
       graft.operators.Diff.columnDriftReport(ref, cur)
     }),
+
+    // contract-monitor sink replay (q258 pattern): three batches'
+    // per-column (n, n_null) partials folded through the sink's merge
+    // algebra, judged against the pinned first-half reference profile
+    "q303_contract_monitor_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cols = Seq("user_id", "event_type", "value", "props")
+      def cc(lo: String, hi: String) = graft.streaming.Streaming
+        .columnCountsOf(ev.filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz")), cols)
+      val folded = graft.streaming.Streaming.mergeColumnCounts(
+        graft.streaming.Streaming.mergeColumnCounts(
+          cc("2024-01-01", "2024-01-11"), cc("2024-01-11", "2024-01-21")),
+        cc("2024-01-21", "2024-02-01"))
+      val ref = graft.streaming.Streaming
+        .columnCountsOf(
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz")), cols)
+        .select(col("column_name"), col("n").as("n_ref"),
+          col("n_null").as("n_null_ref"))
+      folded.join(ref, Seq("column_name"), "left")
+        .withColumn("null_frac",
+          when(col("n") > 0,
+            col("n_null").cast("double") / col("n").cast("double")))
+        .withColumn("null_frac_ref",
+          when(col("n_ref") > 0, col("n_null_ref").cast("double")
+            / col("n_ref").cast("double")))
+        .withColumn("null_frac_delta", col("null_frac") - col("null_frac_ref"))
+    }),
+
+    // split-conformal calibration quantile per event type: exact
+    // rational rank threshold over the distinct-residual lattice
+    "q304_conformal_quantile" -> ((s, d) =>
+      graft.operators.Eval.conformalQuantile(
+        t(s, d, "events")
+          .filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz"))
+          .withColumn("resid", abs(col("value") - 100.0)),
+        "event_type", "resid", alphaNum = 1, alphaDen = 10)),
+
+    // conformal coverage on the held-out second half: the finite-sample
+    // guarantee check (coverage should sit near 0.9)
+    "q305_conformal_coverage" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("resid", abs(col("value") - 100.0))
+      val qhat = graft.operators.Eval.conformalQuantile(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp_ntz")),
+        "event_type", "resid", alphaNum = 1, alphaDen = 10)
+      graft.operators.Eval.conformalCoverage(
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz")),
+        "event_type", "resid", qhat)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8751,5 +8800,78 @@ object SparkEntry {
         |  CASE WHEN n_ref > 0 THEN CAST(n_null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS null_frac_ref,
         |  CASE WHEN n_cur > 0 THEN CAST(n_null_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) END AS null_frac_cur
         |FROM rows_""".stripMargin,
+
+    // one-shot per-column cumulative counts vs the pinned first-half
+    // profile — the fold through mergeColumnCounts must equal this
+    "q303_contract_monitor_replay" ->
+      """WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_uid,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_et,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_val,
+        |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_pr
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2024-02-01'),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_uid,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_et,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_val,
+        |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_pr
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |rows_ AS (
+        |  SELECT 'user_id' AS column_name, f.n, f.z_uid AS n_null,
+        |    r.n AS n_ref, r.z_uid AS n_null_ref FROM f, r
+        |  UNION ALL SELECT 'event_type', f.n, f.z_et, r.n, r.z_et FROM f, r
+        |  UNION ALL SELECT 'value', f.n, f.z_val, r.n, r.z_val FROM f, r
+        |  UNION ALL SELECT 'props', f.n, f.z_pr, r.n, r.z_pr FROM f, r)
+        |SELECT *,
+        |  CASE WHEN n > 0 THEN CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) END
+        |    AS null_frac,
+        |  CASE WHEN n_ref > 0 THEN CAST(n_null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) END
+        |    AS null_frac_ref,
+        |  (CASE WHEN n > 0 THEN CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) END)
+        |    - (CASE WHEN n_ref > 0 THEN CAST(n_null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) END)
+        |    AS null_frac_delta
+        |FROM rows_""".stripMargin,
+
+    // rational rank threshold k = ceil((n+1)*9/10) over the distinct-
+    // residual lattice; qhat = smallest residual with cum >= k
+    "q304_conformal_quantile" ->
+      """WITH c AS (SELECT event_type AS k, abs(value - 100.0) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST((((SUM(cnt) + 1) * 9) + 9) // 10 AS BIGINT) AS k_rank
+        |  FROM c GROUP BY 1),
+        |w AS (SELECT c.k, v, CAST(SUM(cnt) OVER win AS BIGINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY c.k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t.k AS event_type, n, k_rank,
+        |  MIN(CASE WHEN cum >= k_rank THEN v END) AS qhat
+        |FROM w JOIN t ON w.k = t.k GROUP BY 1, 2, 3""".stripMargin,
+
+    // held-out coverage of the conformal interval, one division/key
+    "q305_conformal_coverage" ->
+      """WITH c AS (SELECT event_type AS k, abs(value - 100.0) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST((((SUM(cnt) + 1) * 9) + 9) // 10 AS BIGINT) AS k_rank
+        |  FROM c GROUP BY 1),
+        |w AS (SELECT c.k, v, CAST(SUM(cnt) OVER win AS BIGINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY c.k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT t.k, MIN(CASE WHEN cum >= k_rank THEN v END) AS qhat
+        |  FROM w JOIN t ON w.k = t.k GROUP BY 1)
+        |SELECT q.k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN abs(value - 100.0) <= qhat THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CASE WHEN MAX(CASE WHEN qhat IS NULL THEN 1 ELSE 0 END) = 0 THEN
+        |    CAST(SUM(CASE WHEN abs(value - 100.0) <= qhat THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) END AS coverage
+        |FROM events JOIN q ON events.event_type = q.k
+        |WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -28,6 +28,62 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Split-conformal calibration quantile per key: the
+    * `⌈(n+1)(1−α)⌉`-th smallest calibration residual — the `q̂` that
+    * makes `[pred − q̂, pred + q̂]` a finite-sample (1−α) prediction
+    * interval under exchangeability (the distribution-free guarantee;
+    * Vovk et al.'s split-conformal recipe). α arrives as the RATIONAL
+    * `alphaNum/alphaDen` so the rank threshold
+    * `k = ⌈(n+1)·(alphaDen−alphaNum)/alphaDen⌉` is exact integer
+    * arithmetic (the q216 rational-threshold-quantile discipline — no
+    * float rank, no interpolation). q̂ is the smallest DISTINCT
+    * residual whose cumulative count reaches k, found on the per-key
+    * distinct-value lattice; keys where k > n (α too small for the
+    * calibration size) emit NULL q̂ — the honest "need more
+    * calibration data" signal, never a clamped value.
+    *
+    * Output: (key, n, k_rank, qhat). */
+  def conformalQuantile(df: DataFrame, keyCol: String, residualCol: String,
+                        alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): got $alphaNum/$alphaDen")
+    val counts = df.filter(col(residualCol).isNotNull)
+      .groupBy(col(keyCol), col(residualCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(Broadcasts.maybeBroadcast(
+        counts.groupBy(col(keyCol)).agg(sum(col("__c")).as("n"))), Seq(keyCol))
+      .withColumn("k_rank",
+        expr(s"(((n + 1) * ${alphaDen - alphaNum}) + ${alphaDen - 1}) div $alphaDen")
+          .cast("long"))
+      .groupBy(col(keyCol), col("n"), col("k_rank"))
+      .agg(min(when(col("__cum") >= col("k_rank"), col("__v"))).as("qhat"))
+      .select(col(keyCol), col("n"), col("k_rank"), col("qhat"))
+  }
+
+  /** Empirical coverage of the conformal interval on a TEST frame:
+    * joins each key's `qhat` ([[conformalQuantile]]) and counts test
+    * rows whose residual is ≤ q̂ — `coverage = n_covered/n_test`, one
+    * exact division. Keys with NULL q̂ report NULL coverage (the
+    * interval is infinite/undefined, not 100%-by-accident). */
+  def conformalCoverage(test: DataFrame, keyCol: String,
+                        residualCol: String, qhat: DataFrame): DataFrame =
+    test.filter(col(residualCol).isNotNull)
+      .join(Broadcasts.maybeBroadcast(
+        qhat.select(col(keyCol), col("qhat"))), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col(residualCol) <= col("qhat"), 1L).otherwise(0L))
+          .cast("long").as("n_covered"),
+        max(col("qhat").isNull.cast("int")).as("__noq"))
+      .withColumn("coverage",
+        when(col("__noq") === 0,
+          col("n_covered").cast("double") / col("n_test").cast("double")))
+      .drop("__noq")
+
   /** Pre-quantizer for the distinct-score lattice operators
     * ([[prCurve]], [[gainsTable]], [[aucByKey]]): replaces `scoreCol`
     * with `floor(score/grid)·grid`, collapsing a genuinely continuous

@@ -91,6 +91,30 @@ object Streaming {
     stored.unionByName(delta).groupBy(col(keyCol))
       .agg(max(col("last_ts")).as("last_ts"))
 
+  /** Merge algebra of [[contractMonitorSink]]: per-column (rows seen,
+    * nulls seen) partials — plain sums, associative/commutative like
+    * the category-count algebra above. Frames are k-row metadata
+    * (one row per monitored column). */
+  def mergeColumnCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta).groupBy(col("column_name"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("n_null")).cast("long").as("n_null"))
+
+  /** One batch's per-column (n, n_null) counts as a k-row frame — ONE
+    * fused aggregate over the batch (k columns over any batch size
+    * cost one pass), exploded to rows via a literal struct array so
+    * the shape matches [[mergeColumnCounts]]. */
+  def columnCountsOf(batch: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"))
+    batch.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("__n").as("n"),
+        col(s"__z_$c").as("n_null"))): _*)).as("__r"))
+      .select(col("__r.column_name"), col("__r.n"), col("__r.n_null"))
+  }
+
   /** File-source micro-batch ingest (the streaming analog of the monthly
     * loader): one file per trigger mirrors one month per run. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String,
@@ -763,6 +787,59 @@ object Streaming {
               .transform { d => atomicAppendOne(d, snapshotsPath); d }
           }
           graft.incremental.Writers.atomicRewrite(out, marksPath)
+        }
+      }
+      .start()
+
+  /** Streaming data-CONTRACT monitor — the fourth monitor sink beside
+    * drift (mix), CUSUM (level), and freshness (lag): maintain
+    * cumulative per-column (rows, nulls) counts ([[columnCountsOf]] /
+    * [[mergeColumnCounts]] — a mergeable-partial algebra with the
+    * aggMergeSink batch-id fence) and, each applied batch, append one
+    * contract snapshot: the cumulative null fraction per column
+    * against a PINNED reference profile `refStats`
+    * (column_name, n_ref, n_null_ref — e.g. last month's accepted
+    * load), with `null_frac_delta` the single-division drift readout.
+    * Catches the upstream-contract failure class
+    * [[graft.operators.Diff.columnDriftReport]] audits in batch — a
+    * source silently starting to emit NULLs — within one micro-batch.
+    *
+    * Replay contract: identical to [[driftMonitorSink]] — counts swap
+    * atomically with the fence; the snapshot commits FIRST under the
+    * append log's own fence via [[atomicAppendOne]]. */
+  def contractMonitorSink(df: DataFrame, cols: Seq[String],
+                          refStats: DataFrame, countsPath: String,
+                          snapshotsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, countsPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = columnCountsOf(batch, cols)
+          val merged = stored match {
+            case Some(s) => mergeColumnCounts(s.drop("last_batch_id"), delta)
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second
+          if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId))
+            out.drop("last_batch_id")
+              .join(refStats, Seq("column_name"), "left")
+              .withColumn("null_frac",
+                when(col("n") > 0,
+                  col("n_null").cast("double") / col("n").cast("double")))
+              .withColumn("null_frac_ref",
+                when(col("n_ref") > 0, col("n_null_ref").cast("double")
+                  / col("n_ref").cast("double")))
+              .withColumn("null_frac_delta",
+                col("null_frac") - col("null_frac_ref"))
+              .withColumn("batch_id", lit(batchId)) // k-row snapshot
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
+          graft.incremental.Writers.atomicRewrite(out, countsPath)
         }
       }
       .start()

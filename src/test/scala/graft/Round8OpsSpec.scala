@@ -298,4 +298,42 @@ class Round8OpsSpec extends SparkSpec {
       .filter(col("y").between(100, 200)).count()
     assert(fromCandidates == df.filter(col("y").between(100, 200)).count())
   }
+
+  // ---- split conformal --------------------------------------------------
+
+  test("conformalQuantile: exact rational rank, tie handling, k>n -> NULL") {
+    import graft.operators.Eval
+    // residuals 1..9: alpha=1/10 -> k=ceil(10*9/10)=9 -> qhat=9;
+    // alpha=2/10 -> k=8 -> qhat=8
+    val df = (1 to 9).map(i => ("k", i.toDouble)).toDF("g", "r")
+    val a1 = Eval.conformalQuantile(df, "g", "r", 1, 10).head()
+    assert(a1.getLong(1) == 9L && a1.getLong(2) == 9L
+      && a1.getDouble(3) == 9.0)
+    val a2 = Eval.conformalQuantile(df, "g", "r", 2, 10).head()
+    assert(a2.getLong(2) == 8L && a2.getDouble(3) == 8.0)
+    // alpha=1/20: k=ceil(10*19/20)=10 > n=9 -> NULL qhat (not clamped)
+    assert(Eval.conformalQuantile(df, "g", "r", 1, 20).head().isNullAt(3))
+    // ties: residuals [1,2,2,2,5], alpha=2/6 -> k=ceil(6*4/6)=4 ->
+    // cum at v=2 is 4 -> qhat=2 (the tie group carries the rank)
+    val tied = Seq(1.0, 2.0, 2.0, 2.0, 5.0).map(("k", _)).toDF("g", "r")
+    assert(Eval.conformalQuantile(tied, "g", "r", 2, 6).head()
+      .getDouble(3) == 2.0)
+  }
+
+  test("conformalCoverage: guaranteed-level sanity and NULL-qhat honesty") {
+    import graft.operators.Eval
+    val cal = (1 to 99).map(i => ("k", i.toDouble)).toDF("g", "r")
+    val qhat = Eval.conformalQuantile(cal, "g", "r", 1, 10)
+    assert(qhat.head().getDouble(3) == 90.0) // k=ceil(100*9/10)=90
+    val test = (1 to 100).map(i => ("k", i.toDouble)).toDF("g", "r")
+    val cov = Eval.conformalCoverage(test, "g", "r", qhat).head()
+    assert(cov.getLong(1) == 100L && cov.getLong(2) == 90L)
+    assert(cov.getDouble(3) == 0.9)
+    // a key with NULL qhat reports NULL coverage, never 0 or 1
+    val tiny = Seq(("k2", 1.0)).toDF("g", "r")
+    val noq = Eval.conformalQuantile(tiny, "g", "r", 1, 10)
+    val c2 = Eval.conformalCoverage(Seq(("k2", 0.5)).toDF("g", "r"),
+      "g", "r", noq).head()
+    assert(c2.isNullAt(3))
+  }
 }

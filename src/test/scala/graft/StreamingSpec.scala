@@ -735,6 +735,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/snaps").count() == 2L)
   }
 
+  test("contractMonitorSink: fenced cumulative null accounting, per-batch " +
+    "contract snapshots vs the pinned profile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-contract").toString
+    // reference profile: tag was never NULL in the accepted load
+    val ref = Seq(("id", 4L, 0L), ("tag", 4L, 0L))
+      .toDF("column_name", "n_ref", "n_null_ref")
+    val in = MemoryStream[(Option[Long], Option[String])]
+    val q = Streaming.contractMonitorSink(in.toDF().toDF("id", "tag"),
+      Seq("id", "tag"), ref, dir + "/counts", dir + "/snaps", dir + "/ckpt")
+    try {
+      in.addData((Some(1L), Some("a")), (Some(2L), Some("b")))
+      q.processAllAvailable()
+      in.addData((Some(3L), None), (None, None)) // tag null-rate jumps
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.read.parquet(dir + "/counts")
+      .select("column_name", "n", "n_null").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts == Map("id" -> ((4L, 1L)), "tag" -> ((4L, 2L))))
+    val last = spark.read.parquet(dir + "/snaps")
+      .filter(col("batch_id") === 1L)
+      .collect().map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Double]("null_frac"), r.getAs[Double]("null_frac_delta")))
+      .toMap
+    assert(last("tag") == ((0.5, 0.5)))
+    assert(last("id") == ((0.25, 0.25)))
+    // replay batch 0 through a fresh checkpoint: fenced, no double count
+    val in2 = MemoryStream[(Option[Long], Option[String])]
+    val q2 = Streaming.contractMonitorSink(in2.toDF().toDF("id", "tag"),
+      Seq("id", "tag"), ref, dir + "/counts", dir + "/snaps", dir + "/ckpt2")
+    try { in2.addData((Some(9L), Some("x"))); q2.processAllAvailable() }
+    finally q2.stop()
+    val counts2 = spark.read.parquet(dir + "/counts")
+      .select("column_name", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts2 == Map("id" -> 4L, "tag" -> 4L), "replay must be fenced")
+    assert(spark.read.parquet(dir + "/snaps").count() == 4L) // 2 cols x 2 batches
+  }
+
   test("joinMaintSink: delta-maintained view equals the direct join; replay fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
