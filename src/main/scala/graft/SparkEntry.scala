@@ -2988,6 +2988,16 @@ object SparkEntry {
         ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp_ntz")),
         "event_type", "resid", qhat)
     }),
+
+    // exact midpoint-convention ECE over q242's reliability input:
+    // BIGINT numerator, one final division
+    "q306_ece" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        graft.llmdata.Sampling.hashFraction(col("event_id")).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      graft.operators.Profile.expectedCalibrationError(
+        ev, "score", "label", nBins = 10)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8873,5 +8883,25 @@ object SparkEntry {
         |FROM events JOIN q ON events.event_type = q.k
         |WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // q242's binning; ECE numerator |2*nBins*pos - (2b+1)*n| summed as
+    // exact BIGINT, one division
+    "q306_ece" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS score,
+        |    event_type = 'purchase' AS label FROM events),
+        |b2 AS (SELECT *, CAST(CAST(score AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS sm FROM b),
+        |b3 AS (SELECT *, least((sm * 10) // 1000000, 9) AS bin
+        |  FROM b2 WHERE sm BETWEEN 0 AND 1000000),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM b3 GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(ABS(20 * p - (2 * bin + 1) * n)) AS BIGINT) AS ece_num,
+        |  CASE WHEN SUM(n) > 0 THEN
+        |    CAST(SUM(ABS(20 * p - (2 * bin + 1) * n)) AS DOUBLE)
+        |      / (20.0 * CAST(SUM(n) AS DOUBLE)) END AS ece
+        |FROM g""".stripMargin,
   )
 }

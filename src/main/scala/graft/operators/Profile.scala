@@ -685,6 +685,40 @@ object Profile {
           - col("__ssum") / col("n").cast("double")).as("calibration_gap"))
   }
 
+  /** Expected calibration error (ECE) in the exact MIDPOINT
+    * convention: per [[calibration]] bin, confidence is the bin
+    * midpoint `(2b+1)/(2·nBins)` (a fixed rational — the mean-score
+    * convention would put a float sum in the statistic; the midpoint
+    * form is the standard reliability-diagram summary and stays
+    * integer-exact), so
+    * `ECE = Σ_b n_b·|acc_b − mid_b| / N
+    *      = Σ_b |2·nBins·pos_b − (2b+1)·n_b| / (2·nBins·N)` —
+    * an exact BIGINT numerator (`ece_num ≤ 2·nBins·N`) and ONE final
+    * division. Same micro-unit binning as [[calibration]] (edge scores
+    * land identically on every engine; 1.0 clamps into the last bin).
+    *
+    * Output: one row (n, ece_num, ece). */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+                               labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__sm",
+        (col(scoreCol).cast("decimal(20,6)") * 1000000).cast("long"))
+      .filter(col("__sm") >= 0 && col("__sm") <= 1000000L)
+      .withColumn("bin",
+        least(expr(s"(__sm * $nBins) div 1000000"), lit(nBins - 1L)))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__p"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        sum(abs(lit(2L * nBins) * col("__p")
+          - (lit(2L) * col("bin") + 1) * col("__n")))
+          .cast("long").as("ece_num"))
+      .withColumn("ece",
+        when(col("n") > 0, col("ece_num").cast("double")
+          / (lit(2.0 * nBins) * col("n").cast("double"))))
+  }
+
   /** Percentile normalization against a REFERENCE distribution: each
     * row's value mapped to `F_ref(v) = #{ref ≤ v} / n_ref` — the score
     * recalibration every model-version migration needs (new model's

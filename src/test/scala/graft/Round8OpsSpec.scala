@@ -336,4 +336,25 @@ class Round8OpsSpec extends SparkSpec {
       "g", "r", noq).head()
     assert(c2.isNullAt(3))
   }
+
+  // ---- expected calibration error ---------------------------------------
+
+  test("expectedCalibrationError: exact midpoint ECE; perfectly calibrated " +
+    "bins score zero") {
+    import graft.operators.Profile
+    // nBins=2: bin0 holds 4 rows / 1 pos (acc .25 = mid .25, term 0);
+    // bin1 holds 4 rows / 1 pos (acc .25, mid .75, term |4-12|=8)
+    val df = Seq(
+      (0.1, 1L), (0.2, 0L), (0.3, 0L), (0.4, 0L),
+      (0.6, 1L), (0.7, 0L), (0.8, 0L), (0.9, 0L)).toDF("s", "y")
+    val r = Profile.expectedCalibrationError(df, "s", "y", 2).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 8.0 / (4.0 * 8.0))
+    // perfectly midpoint-calibrated: 1/4 pos low bin, 3/4 pos high bin
+    val perfect = Seq(
+      (0.1, 1L), (0.2, 0L), (0.3, 0L), (0.4, 0L),
+      (0.6, 1L), (0.7, 1L), (0.8, 1L), (0.9, 0L)).toDF("s", "y")
+    val p = Profile.expectedCalibrationError(perfect, "s", "y", 2).head()
+    assert(p.getLong(1) == 0L && p.getDouble(2) == 0.0)
+  }
 }
