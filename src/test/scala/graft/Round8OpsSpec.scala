@@ -337,6 +337,91 @@ class Round8OpsSpec extends SparkSpec {
     assert(c2.isNullAt(3))
   }
 
+  // ---- plan shape -------------------------------------------------------
+
+  test("round-8 statistics keep windows over aggregated frames only " +
+    "(plan shape)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    import graft.operators.{RankStats, Survival, Eval}
+    val df = Seq(("k", "A", 1.0, 2.0)).toDF("g", "grp", "x", "y")
+    val units = Seq(("k", 1L, true)).toDF("g", "dur", "ev")
+    val plans = Seq(
+      RankStats.kruskalWallis(df, "g", "grp", "x"),
+      Survival.kaplanMeier(units, "g", "dur", "ev"),
+      Eval.conformalQuantile(df, "g", "x", 1, 10))
+      .map(_.queryExecution.optimizedPlan)
+    plans.foreach { p =>
+      val ws = p.collect { case w: LW => w }
+      assert(ws.nonEmpty)
+      ws.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w")
+        assert(w.collectFirst { case a: Aggregate => a }.isDefined,
+          s"window over an un-aggregated frame:\n$w")
+      }
+    }
+    // kendallTau runs no window at all — cell joins only
+    val ktPlan = RankStats.kendallTau(df, "g", "x", "y")
+      .queryExecution.optimizedPlan
+    assert(ktPlan.collect { case w: LW => w }.isEmpty)
+  }
+
+  // ---- brute-force cross-checks (r7 KS/MWU/Gini pattern) ----------------
+
+  test("KW/Kendall/KM/conformal agree with brute-force references on a " +
+    "hashed fixture") {
+    def h(i: Int, salt: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val rows = (1 to 200).map(i =>
+      (h(i, "v") % 13, "g" + (h(i, "s") % 3), h(i, "y") % 7))
+    // --- Kruskal-Wallis: pooled average ranks -> per-group doubled sums
+    val df = rows.map { case (v, g, _) => ("k", g, v.toDouble) }
+      .toDF("key", "grp", "v")
+    val all = rows.map(_._1.toDouble)
+    val sortedAll = all.sorted
+    def avgRankDoubled(x: Double): Long = {
+      val lo = sortedAll.indexWhere(_ == x) + 1
+      val hi = sortedAll.lastIndexWhere(_ == x) + 1
+      lo + hi // 2 * (lo+hi)/2
+    }
+    val expectedRs = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(r => avgRankDoubled(r._1.toDouble)).sum
+    }
+    val kw = graft.operators.RankStats.kruskalWallis(df, "key", "grp", "v")
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(kw == expectedRs)
+    // --- Kendall tau-b: brute pair scan
+    val xy = rows.map(r => (r._1.toDouble, r._3.toDouble))
+    var c = 0L; var d = 0L
+    for (i <- xy.indices; j <- (i + 1) until xy.size) {
+      val s = (xy(i)._1 - xy(j)._1) * (xy(i)._2 - xy(j)._2)
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    val kt = graft.operators.RankStats.kendallTau(
+      rows.map(r => ("k", r._1.toDouble, r._3.toDouble)).toDF("key", "x", "y"),
+      "key", "x", "y").head()
+    assert(kt.getLong(2) == c && kt.getLong(3) == d)
+    // --- Kaplan-Meier: brute at-risk / events at each distinct duration
+    val units = rows.map(r => ("k", r._1, r._3 % 2 == 0))
+    val km = graft.operators.Survival.kaplanMeier(
+      units.toDF("key", "dur", "ev"), "key", "dur", "ev")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    units.map(_._2).distinct.foreach { t =>
+      val atRisk = units.count(_._2 >= t).toLong
+      val events = units.count(u => u._2 == t && u._3).toLong
+      assert(km(t) == ((atRisk, events)), s"KM mismatch at t=$t")
+    }
+    // --- conformal: k-th smallest of the sorted residuals (alpha=1/10)
+    val resid = rows.map(_._1.toDouble)
+    val kRank = ((resid.size + 1) * 9 + 9) / 10
+    val brute = resid.sorted.apply(kRank - 1)
+    val cq = graft.operators.Eval.conformalQuantile(
+      resid.map(("k", _)).toDF("key", "r"), "key", "r", 1, 10).head()
+    assert(cq.getLong(2) == kRank && cq.getDouble(3) == brute)
+  }
+
   // ---- expected calibration error ---------------------------------------
 
   test("expectedCalibrationError: exact midpoint ECE; perfectly calibrated " +
