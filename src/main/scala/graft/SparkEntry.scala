@@ -2998,6 +2998,20 @@ object SparkEntry {
       graft.operators.Profile.expectedCalibrationError(
         ev, "score", "label", nBins = 10)
     }),
+
+    // the raw-SQL surface: SqlCatalog view names + spark.sql text (the
+    // dbt-user interface) — Catalyst still sees one plan end-to-end
+    "q307_sql_surface" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql("""SELECT o_orderpriority,
+        |  date_format(o_orderdate, 'yyyy-MM') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2""".stripMargin)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8903,5 +8917,16 @@ object SparkEntry {
         |    CAST(SUM(ABS(20 * p - (2 * bin + 1) * n)) AS DOUBLE)
         |      / (20.0 * CAST(SUM(n) AS DOUBLE)) END AS ece
         |FROM g""".stripMargin,
+
+    // the same SQL, DuckDB dialect (strftime for the month key)
+    "q307_sql_surface" ->
+      """SELECT o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -422,6 +422,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(cq.getLong(2) == kRank && cq.getDouble(3) == brute)
   }
 
+  // ---- SQL catalog ------------------------------------------------------
+
+  test("SqlCatalog: the dbt-style named-view surface resolves raw SQL " +
+    "through the full medallion lineage") {
+    import org.apache.spark.sql.Row
+    import graft.model.Schemas
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def trip(pay: Integer, fare: Double, pickup: String): Row =
+      Row(Integer.valueOf(1), ts(pickup),
+        ts("2024-01-01 02:10:00"), Integer.valueOf(1),
+        java.lang.Double.valueOf(1.5), Integer.valueOf(1), "N",
+        Integer.valueOf(1), Integer.valueOf(1), pay,
+        java.lang.Double.valueOf(fare), java.lang.Double.valueOf(0.5),
+        java.lang.Double.valueOf(0.5), java.lang.Double.valueOf(2.0),
+        java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.3),
+        java.lang.Double.valueOf(13.3), java.lang.Double.valueOf(2.5),
+        java.lang.Double.valueOf(1.25))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        trip(1, 10.0, "2024-01-01 00:00:00"),
+        trip(2, 20.0, "2024-01-01 01:00:00"),
+        trip(7, 30.0, "2024-01-01 02:00:00"))), // pay=7 filtered
+      Schemas.trip)
+    graft.sql.SqlCatalog.registerLayers(spark, raw)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM silver_yellow_tripdata").head().getLong(0) == 2L)
+    // a gold mart answers by NAME, matching the DataFrame path
+    val viaSql = spark.sql(
+      "SELECT trip_count FROM gold_payment_summary ORDER BY payment_description")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(1L, 1L)) // Cash + Credit card, one trip each
+    // source tables register under their own names
+    graft.sql.SqlCatalog.registerTables(spark, "/root/testdata/sf0.001")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0) > 0L)
+  }
+
   // ---- expected calibration error ---------------------------------------
 
   test("expectedCalibrationError: exact midpoint ECE; perfectly calibrated " +
