@@ -3012,6 +3012,19 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2""".stripMargin)
     }),
+
+    // daily OHLC bars per event type: total-order open/close (event_id
+    // tiebreak), exact extremes, decimal-path volume
+    "q308_ohlc_bars" -> ((s, d) =>
+      graft.operators.Timeseries.ohlcBars(
+        t(s, d, "events").withColumn("day", to_date(col("ts"))),
+        "event_type", "day", "ts", "event_id", "value")),
+
+    // gaps-and-islands activity streaks per user — islands identity
+    // day_number - row_number over the distinct-day frame
+    "q309_streaks" -> ((s, d) =>
+      graft.operators.Retention.streaks(t(s, d, "events"),
+        "user_id", "ts")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8928,5 +8941,45 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2""".stripMargin,
+
+    // open/close via total-order row_number; extremes/volume direct
+    "q308_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts ASC, event_id ASC, value ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC, value DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // islands identity day_number - row_number on distinct days;
+    // last_streak via the (end, len) argmax
+    "q309_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |n AS (SELECT user_id,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) AS dn FROM d),
+        |i AS (SELECT user_id, dn,
+        |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS island
+        |  FROM n),
+        |g AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |    CAST(MAX(dn) AS BIGINT) AS e FROM i GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY e DESC, len DESC) AS rk FROM g),
+        |a AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |    CAST(MAX(len) AS BIGINT) AS longest_streak FROM g GROUP BY 1)
+        |SELECT a.user_id, n_active_days, n_streaks, longest_streak,
+        |  CAST(r.len AS BIGINT) AS last_streak
+        |FROM a JOIN r ON a.user_id = r.user_id AND r.rk = 1""".stripMargin,
   )
 }

@@ -290,4 +290,35 @@ object Retention {
       .select(col(segmentCol), col("t_day"), col("n_at_risk"),
         col("n_deaths"), col("n_censored"), col("survival"))
   }
+
+  /** Activity streaks (gaps-and-islands) per user: consecutive-day
+    * runs over the DISTINCT active-day frame — the classic islands
+    * identity `island = day_number − row_number` (consecutive days
+    * share it; both sides integer, no date arithmetic edge). One
+    * summary row per user: active-day count, number of streaks,
+    * longest streak, and the streak ending at the user's LAST
+    * active day (`last_streak` — the "current streak as of the data's
+    * end" readout).
+    *
+    * Windows run per-user over distinct DAYS (values-scale after the
+    * first aggregate — the RankStats discipline); all outputs exact
+    * BIGINTs. */
+  def streaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+      .withColumn("__dn", datediff(col("__day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__dn").asc)
+    val islands = days
+      .withColumn("__island", col("__dn") - row_number().over(w))
+      .groupBy(col(userCol), col("__island"))
+      .agg(count(lit(1)).as("__len"), max(col("__dn")).as("__end"))
+    islands.groupBy(col(userCol))
+      .agg(sum(col("__len")).cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).cast("long").as("longest_streak"),
+        max(struct(col("__end").as("e"), col("__len").as("l"))).getField("l")
+          .cast("long").as("last_streak"))
+  }
+
 }

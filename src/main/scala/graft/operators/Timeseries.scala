@@ -621,4 +621,48 @@ object Timeseries {
       .withColumn("mae",
         col("sum_abs_err").cast("double") / col("n_days").cast("double"))
   }
+
+  /** OHLC bars per (key, bucket): open/high/low/close/volume — the
+    * market-data rollup, generalized to any event stream (first/last
+    * value per bucket with exact tie order, extremes, decimal-exact
+    * volume). `bucketCol` is any caller-derived bucket (day, hour,
+    * month key); `tieCol` breaks equal timestamps so open/close are
+    * TOTAL-ORDER deterministic (the W1 dedup discipline).
+    *
+    * Shape: one hash aggregate over the stream for counts/extremes and
+    * the boundary instants (min/max ts — primitive, hash-friendly);
+    * open/close VALUES come from a second, boundary-restricted pass —
+    * the bars frame (keys × buckets) joins back and keeps only rows AT
+    * a boundary instant, so the struct-ordered tie aggregate runs on a
+    * boundary-scale frame, never row-scale (the NOTES.md
+    * min(struct)-SortAggregate trap stays out of the hot path).
+    *
+    * Output: (key, bucket, n_events, volume, open, high, low, close). */
+  def ohlcBars(df: DataFrame, keyCol: String, bucketCol: String,
+               tsCol: String, tieCol: String, valueCol: String): DataFrame = {
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull
+      && col(tieCol).isNotNull)
+    val bars = base.groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.ScalarFns.exactSum(col(valueCol)).as("volume"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        min(col(tsCol)).as("__ots"), max(col(tsCol)).as("__cts"))
+    val boundary = base.join(
+      Broadcasts.maybeBroadcast(bars.select(col(keyCol), col(bucketCol),
+        col("__ots"), col("__cts"))),
+      Seq(keyCol, bucketCol))
+      .filter(col(tsCol) === col("__ots") || col(tsCol) === col("__cts"))
+      .groupBy(col(keyCol), col(bucketCol))
+      .agg(
+        min(when(col(tsCol) === col("__ots"),
+          struct(col(tieCol).as("t"), col(valueCol).as("v")))).as("__o"),
+        max(when(col(tsCol) === col("__cts"),
+          struct(col(tieCol).as("t"), col(valueCol).as("v")))).as("__c"))
+      .select(col(keyCol), col(bucketCol),
+        col("__o.v").as("open"), col("__c.v").as("close"))
+    bars.join(boundary, Seq(keyCol, bucketCol))
+      .select(col(keyCol), col(bucketCol), col("n_events"), col("volume"),
+        col("open"), col("high"), col("low"), col("close"))
+  }
+
 }

@@ -422,6 +422,49 @@ class Round8OpsSpec extends SparkSpec {
     assert(cq.getLong(2) == kRank && cq.getDouble(3) == brute)
   }
 
+  // ---- OHLC bars --------------------------------------------------------
+
+  test("ohlcBars: tie-broken open/close, exact extremes and volume") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two events share the OPEN instant: tiebreak (id) picks id=1's 5.0;
+    // close is the max-(ts,id) row's 2.0
+    val df = Seq(
+      ("a", ts("2024-01-01 09:00:00"), 2L, 9.0),
+      ("a", ts("2024-01-01 09:00:00"), 1L, 5.0),
+      ("a", ts("2024-01-01 15:59:00"), 3L, 1.0),
+      ("a", ts("2024-01-01 15:59:00"), 4L, 2.0))
+      .toDF("k", "ts", "id", "v")
+      .withColumn("day", to_date(col("ts")))
+    val r = graft.operators.Timeseries
+      .ohlcBars(df, "k", "day", "ts", "id", "v").head()
+    assert(r.getLong(2) == 4L)                    // n_events
+    assert(r.getDouble(3) == 17.0)                // volume
+    assert(r.getDouble(4) == 5.0)                 // open (tie -> id 1)
+    assert(r.getDouble(5) == 9.0 && r.getDouble(6) == 1.0) // high/low
+    assert(r.getDouble(7) == 2.0)                 // close (max ts, id)
+  }
+
+  // ---- streaks ----------------------------------------------------------
+
+  test("streaks: islands split on gaps; longest and last streak exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // user 1: 1-2-3 Jan, gap, 6-7 Jan -> streaks 3 and 2, last=2
+    // user 2: one day
+    val df = (Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-06",
+      "2024-01-07").map(d => (1L, ts(d))) :+ ((2L, ts("2024-01-05"))))
+      .toDF("u", "ts")
+    val out = graft.operators.Retention.streaks(df, "u", "ts")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getLong(3) == 3L && out(1L).getLong(4) == 2L)
+    assert(out(2L).getLong(3) == 1L && out(2L).getLong(4) == 1L)
+    // duplicate same-day events do not inflate streaks
+    val dup = Seq((3L, ts("2024-01-01")), (3L, ts("2024-01-01")))
+      .toDF("u", "ts")
+    assert(graft.operators.Retention.streaks(dup, "u", "ts")
+      .head().getLong(3) == 1L)
+  }
+
   // ---- SQL catalog ------------------------------------------------------
 
   test("SqlCatalog: the dbt-style named-view surface resolves raw SQL " +
