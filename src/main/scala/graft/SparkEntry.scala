@@ -3025,6 +3025,21 @@ object SparkEntry {
     "q309_streaks" -> ((s, d) =>
       graft.operators.Retention.streaks(t(s, d, "events"),
         "user_id", "ts")),
+
+    // P90 pinball loss of a flat 100.00 forecast per event type —
+    // exact cent-unit integer numerator, one division
+    "q310_pinball_loss" -> ((s, d) =>
+      graft.operators.Eval.pinballLoss(
+        t(s, d, "events").withColumn("fc", lit(100.0)),
+        "event_type", "value", "fc", qNum = 9, qDen = 10)),
+
+    // deterministic Poisson bootstrap (B=50, md5 multiplicities from
+    // the pinned cumulative table) + rational-rank percentile CI
+    "q311_bootstrap_ci" -> ((s, d) => {
+      val reps = graft.operators.Robust.poissonBootstrap(
+        t(s, d, "events"), "event_id", "value", b = 50, salt = "r8")
+      graft.operators.Robust.bootstrapCI(reps, 1, 40, 39, 40)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -8981,5 +8996,55 @@ object SparkEntry {
         |SELECT a.user_id, n_active_days, n_streaks, longest_streak,
         |  CAST(r.len AS BIGINT) AS last_streak
         |FROM a JOIN r ON a.user_id = r.user_id AND r.rk = 1""".stripMargin,
+
+    // cent-unit pinball terms GREATEST(9e, -e) summed exact
+    "q310_pinball_loss" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) - 10000 AS ec
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(GREATEST(9 * ec, -1 * ec)) AS BIGINT) AS pinball_num,
+        |  CAST(SUM(GREATEST(9 * ec, -1 * ec)) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS mean_pinball
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // md5 multiplicities against the pinned Poisson table; exact
+    // per-replicate partials; rational-rank order-stat CI
+    "q311_bootstrap_ci" ->
+      """WITH base AS (SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |reps AS (SELECT unnest(generate_series(0, 49)) AS replicate),
+        |x AS (SELECT replicate, c,
+        |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#'
+        |      || CAST(replicate AS VARCHAR) || '#' || 'r8'), 1, 8) AS BIGINT)
+        |      AS DOUBLE) / 4294967296.0 AS h
+        |  FROM base, reps),
+        |m AS (SELECT replicate, c,
+        |    CASE WHEN h < 0.36787944117144233 THEN 0
+        |      WHEN h < 0.7357588823428847 THEN 1
+        |      WHEN h < 0.9196986029286058 THEN 2
+        |      WHEN h < 0.9810118431238462 THEN 3
+        |      WHEN h < 0.9963401531726563 THEN 4
+        |      WHEN h < 0.9994058151824183 THEN 5
+        |      WHEN h < 0.9999167588507119 THEN 6
+        |      WHEN h < 0.9999897508033253 THEN 7
+        |      WHEN h < 0.9999988747974049 THEN 8
+        |      WHEN h < 0.9999998885745216 THEN 9
+        |      ELSE 10 END AS mlt
+        |  FROM x),
+        |g AS (SELECT replicate, CAST(SUM(mlt) AS BIGINT) AS n,
+        |    CAST(SUM(mlt * c) AS BIGINT) AS sum_cents FROM m GROUP BY 1),
+        |mn AS (SELECT replicate, CASE WHEN n > 0 THEN
+        |    CAST(sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) END AS mean
+        |  FROM g),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY mean, replicate)
+        |      AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS b
+        |  FROM mn WHERE mean IS NOT NULL)
+        |SELECT CAST(MAX(b) AS BIGINT) AS n_replicates,
+        |  MIN(CASE WHEN rk * 40 >= b * 1 THEN mean END) AS ci_lo,
+        |  MIN(CASE WHEN rk * 40 >= b * 39 THEN mean END) AS ci_hi
+        |FROM r""".stripMargin,
   )
 }

@@ -28,6 +28,37 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Pinball (quantile) loss per key — the eval for quantile
+    * forecasts (P50/P90 capacity planning, the
+    * [[graft.operators.Timeseries.seasonalNaiveBacktest]] family at a
+    * quantile other than the median):
+    * `L_q(e) = max(q·e, (q−1)·e)` over error `e = actual − forecast`.
+    * With q the RATIONAL `qNum/qDen` and errors on the 2-dp money grid
+    * (cast to cent units), `qDen·100·Σ L_q` is an EXACT BIGINT —
+    * emitted as `pinball_num` with the one final division giving the
+    * mean loss. Inputs off the 2-dp grid violate the documented
+    * contract (ANSI decimal cast throws — loud).
+    *
+    * Output: (key, n, pinball_num, mean_pinball) where
+    * `mean_pinball = pinball_num / (n·qDen·100)`. */
+  def pinballLoss(df: DataFrame, keyCol: String, actualCol: String,
+                  forecastCol: String, qNum: Int, qDen: Int): DataFrame = {
+    require(qDen > 0 && qNum > 0 && qNum < qDen,
+      s"quantile must be a rational in (0,1): got $qNum/$qDen")
+    val eCents = (col(actualCol).cast("decimal(12,2)") * 100).cast("long") -
+      (col(forecastCol).cast("decimal(12,2)") * 100).cast("long")
+    val term = greatest(lit(qNum.toLong) * eCents,
+      lit((qNum - qDen).toLong) * eCents)
+    df.filter(col(actualCol).isNotNull && col(forecastCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(term.cast("decimal(38,0)")).cast("decimal(38,0)").cast("long")
+          .as("pinball_num"))
+      .withColumn("mean_pinball",
+        col("pinball_num").cast("double")
+          / (col("n").cast("double") * lit(qDen * 100.0)))
+  }
+
   /** Split-conformal calibration quantile per key: the
     * `⌈(n+1)(1−α)⌉`-th smallest calibration residual — the `q̂` that
     * makes `[pred − q̂, pred + q̂]` a finite-sample (1−α) prediction

@@ -242,6 +242,79 @@ object Robust {
         col("__td").cast("long").as("term_den"), col("srm_term"))
   }
 
+  /** Cumulative Poisson(1) probabilities P(K ≤ m) for m = 0..9, as
+    * PINNED double literals (the Benford-table discipline: `exp` is
+    * libm and must never be evaluated in-engine). Multiplicities are
+    * capped at 10 — P(K > 10) ≈ 1e-8, negligible for any CI use. */
+  private val poissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974049,
+    0.9999998885745216)
+
+  /** Distributed Poisson bootstrap — THE bootstrap that scales (the
+    * classic resample-with-replacement needs a global draw per
+    * replicate; Poissonization makes each row's multiplicity in each
+    * replicate an independent Poisson(1), so the whole thing is one
+    * MAP-side pass): row r's multiplicity in replicate b comes from
+    * the md5 hash fraction of (id, b, salt) cut against the pinned
+    * cumulative-Poisson table — fully deterministic, engine-portable,
+    * reproducible by salt. Emits per-replicate EXACT partials (row
+    * count with multiplicity, cent-unit sum — 2-dp-grid contract);
+    * the replicate mean is one division. Cost: one scan with a
+    * `B`-way explode — bound B (100-1000) like any bootstrap.
+    *
+    * Output: (replicate, n, sum_cents, mean) — feed to
+    * [[bootstrapCI]]. */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       b: Int, salt: String = ""): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates, got $b")
+    val h = (conv(substring(md5(concat_ws("#", col(idCol).cast("string"),
+      col("replicate").cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0)
+    val mult = poissonCum.zipWithIndex.foldRight(lit(10L)) {
+      case ((t, m), rest) => when(h < t, m.toLong).otherwise(rest)
+    }
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+      .withColumn("replicate", explode(array((0 until b).map(i => lit(i)): _*)))
+      .withColumn("__m", mult)
+      .groupBy(col("replicate"))
+      .agg(sum(col("__m")).cast("long").as("n"),
+        sum(col("__m") * col("__c")).cast("decimal(38,0)").cast("long")
+          .as("sum_cents"))
+      .withColumn("mean",
+        when(col("n") > 0,
+          col("sum_cents").cast("double") / (col("n").cast("double") * 100.0)))
+  }
+
+  /** Percentile confidence interval over bootstrap replicate means:
+    * the (loNum/loDen, hiNum/hiDen) rational-rank order statistics of
+    * the B means — `k = ⌈B·p⌉`-th smallest, the exact selection rule
+    * (no interpolation, engine-portable; the one window is B-row
+    * metadata scale). The mean-of-means is deliberately NOT emitted —
+    * a float sum over replicates would be partition-order-dependent;
+    * average the exact per-replicate partials yourself if needed.
+    * One row: (n_replicates, ci_lo, ci_hi). */
+  def bootstrapCI(replicates: DataFrame, loNum: Int, loDen: Int,
+                  hiNum: Int, hiDen: Int): DataFrame = {
+    require(loDen > 0 && hiDen > 0 && loNum > 0 && hiNum > 0
+      && loNum < loDen && hiNum < hiDen, "bounds must be rationals in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("mean").asc, col("replicate").asc)
+    val ranked = replicates.filter(col("mean").isNotNull)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    val withB = ranked.crossJoin(broadcast(
+      ranked.agg(count(lit(1)).as("__b"))))
+    withB.agg(
+      max(col("__b")).cast("long").as("n_replicates"),
+      min(when(col("__rk") * loDen >= col("__b") * loNum, col("mean")))
+        .as("ci_lo"),
+      min(when(col("__rk") * hiDen >= col("__b") * hiNum, col("mean")))
+        .as("ci_hi"))
+  }
+
   /** Benjamini–Hochberg FDR control over a PER-TEST p-value table (one
     * row per test — metadata-scale by construction, like a metrics
     * catalog; this is not a row-scale operator): rank tests by

@@ -465,6 +465,65 @@ class Round8OpsSpec extends SparkSpec {
       .head().getLong(3) == 1L)
   }
 
+  // ---- pinball loss -----------------------------------------------------
+
+  test("pinballLoss: exact cent-unit asymmetric terms at q=9/10") {
+    // actual 110 vs forecast 100 -> e=+1000c, term 9*1000=9000
+    // actual  90 vs forecast 100 -> e=-1000c, term -(-1)*... = 1000
+    val df = Seq(("k", 110.0, 100.0), ("k", 90.0, 100.0))
+      .toDF("g", "a", "f")
+    val r = graft.operators.Eval.pinballLoss(df, "g", "a", "f", 9, 10).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 10000L)
+    // mean = 10000 / (2 * 10 * 100) = 5.0 currency units
+    assert(r.getDouble(3) == 5.0)
+    // under-forecast hurts 9x more than over-forecast at q=0.9
+    val under = graft.operators.Eval.pinballLoss(
+      Seq(("k", 110.0, 100.0)).toDF("g", "a", "f"), "g", "a", "f", 9, 10)
+      .head().getLong(2)
+    val over = graft.operators.Eval.pinballLoss(
+      Seq(("k", 90.0, 100.0)).toDF("g", "a", "f"), "g", "a", "f", 9, 10)
+      .head().getLong(2)
+    assert(under == 9L * over)
+  }
+
+  // ---- Poisson bootstrap ------------------------------------------------
+
+  test("poissonBootstrap: deterministic md5 multiplicities, exact partials, " +
+    "CI brackets the point estimate") {
+    import graft.operators.Robust
+    val df = (1 to 500).map(i => (i.toLong, 10.0 + (i % 7))).toDF("id", "v")
+    val reps = Robust.poissonBootstrap(df, "id", "v", b = 40, salt = "t")
+      .localCheckpoint(true)
+    assert(reps.count() == 40L)
+    // determinism: same salt -> identical partials; new salt -> different
+    val again = Robust.poissonBootstrap(df, "id", "v", b = 40, salt = "t")
+    assert(reps.orderBy("replicate").collect().toSeq ==
+      again.orderBy("replicate").collect().toSeq)
+    val other = Robust.poissonBootstrap(df, "id", "v", b = 40, salt = "u")
+    assert(reps.orderBy("replicate").collect().toSeq !=
+      other.orderBy("replicate").collect().toSeq)
+    // replicate 0 matches a host-side md5 replica
+    def mult(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#0#t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+      val cum = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+        0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+        0.9999988747974049, 0.9999998885745216)
+      cum.indexWhere(h < _) match { case -1 => 10L case m => m.toLong }
+    }
+    val expN = (1 to 500).map(i => mult(i.toLong)).sum
+    val r0 = reps.filter(col("replicate") === 0).head()
+    assert(r0.getLong(1) == expN)
+    // CI brackets the true mean and is ordered
+    val ci = Robust.bootstrapCI(reps, 1, 40, 39, 40).head()
+    val trueMean = (1 to 500).map(i => 10.0 + (i % 7)).sum / 500.0
+    assert(ci.getLong(0) == 40L)
+    assert(ci.getDouble(1) <= ci.getDouble(2))
+    assert(ci.getDouble(1) <= trueMean && trueMean <= ci.getDouble(2))
+  }
+
   // ---- SQL catalog ------------------------------------------------------
 
   test("SqlCatalog: the dbt-style named-view surface resolves raw SQL " +
