@@ -243,4 +243,103 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- round-8 statistics: algebraic identities on random data ----------
+
+  private def rankRows: Seq[Seq[(String, Int, Boolean)]] = samples(
+    Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0, 12),
+      Gen.oneOf(true, false))))
+
+  test("MWU/KS invariants: U_A + U_B = 2 nA nB; 0 <= D_num <= nA*nB") {
+    rankRows.foreach { rows =>
+      val df = rows.toDF("g", "v", "s")
+      graft.operators.RankStats.mannWhitneyU(df, "g", "v", col("s"))
+        .collect().foreach { r =>
+          assert(r.getLong(3) + r.getLong(4) == 2L * r.getLong(1) * r.getLong(2))
+          assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+        }
+      graft.operators.RankStats.ksTwoSample(df, "g", "v", col("s"))
+        .collect().foreach { r =>
+          assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(1) * r.getLong(2))
+          assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+        }
+    }
+  }
+
+  test("Kruskal-Wallis conservation: sum of doubled rank sums = n(n+1); " +
+    "group sizes sum to n") {
+    rankRows.foreach { rows =>
+      val df = rows.map { case (g, v, s) => ("k", g + (if (s) "1" else "2"), v) }
+        .toDF("key", "grp", "v")
+      val out = graft.operators.RankStats.kruskalWallis(df, "key", "grp", "v")
+        .collect()
+      if (out.nonEmpty) {
+        val n = out.head.getLong(4)
+        assert(out.map(_.getLong(2)).sum == n)
+        assert(out.map(_.getLong(3)).sum == n * (n + 1))
+      }
+    }
+  }
+
+  test("Kendall tau-b bounds and pair accounting on random grids") {
+    rankRows.foreach { rows =>
+      val df = rows.map { case (_, v, s) => ("k", v, if (s) v % 5 else v % 3) }
+        .toDF("key", "x", "y")
+      graft.operators.RankStats.kendallTau(df, "key", "x", "y")
+        .collect().foreach { r =>
+          val n = r.getLong(1); val n0 = n * (n - 1) / 2
+          val cd = r.getLong(2) + r.getLong(3)
+          assert(cd <= n0 - math.max(r.getLong(4), r.getLong(5)))
+          assert(cd >= n0 - r.getLong(4) - r.getLong(5))
+          if (!r.isNullAt(6))
+            assert(r.getDouble(6) >= -1.0 - 1e-12 && r.getDouble(6) <= 1.0 + 1e-12)
+        }
+    }
+  }
+
+  test("Kaplan-Meier conservation: first at-risk = all units; exits sum to n; " +
+    "n_risk strictly decreasing") {
+    rankRows.foreach { rows =>
+      val units = rows.map { case (_, v, s) => ("k", v.toLong, s) }
+        .toDF("key", "dur", "ev")
+      val out = graft.operators.Survival.kaplanMeier(units, "key", "dur", "ev")
+        .orderBy(col("duration").asc).collect()
+      val total = rows.size.toLong
+      assert(out.head.getLong(2) == total)
+      assert(out.map(r => r.getLong(3) + r.getLong(4)).sum == total)
+      out.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) > b.getLong(2))
+        case _ => ()
+      }
+    }
+  }
+
+  test("BH rejections form a rank prefix and grow monotonically with alpha") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1, 999))
+    samples(gen).foreach { ps =>
+      val tests = ps.distinct.zipWithIndex
+        .map { case (p, i) => (s"t$i", p / 1000.0) }.toDF("id", "p")
+      def rejected(alpha: Double) = graft.operators.Robust
+        .benjaminiHochberg(tests, "p", alpha, Seq("id"))
+        .collect().map(r => (r.getLong(2), r.getBoolean(4)))
+      val r10 = rejected(0.1)
+      val k = r10.filter(_._2).map(_._1).sorted
+      assert(k.toSeq == (1L to k.size.toLong).toSeq) // prefix of the rank order
+      val r25 = rejected(0.25).filter(_._2).map(_._1).toSet
+      assert(k.toSet.subsetOf(r25))
+    }
+  }
+
+  test("conformal qhat is an observed residual at the exact rational rank") {
+    rankRows.foreach { rows =>
+      val df = rows.map { case (_, v, _) => ("k", v.toDouble) }.toDF("g", "r")
+      val out = graft.operators.Eval.conformalQuantile(df, "g", "r", 1, 5)
+        .head()
+      val n = out.getLong(1)
+      assert(out.getLong(2) == ((n + 1) * 4 + 4) / 5)
+      if (!out.isNullAt(3))
+        assert(rows.map(_._2.toDouble).contains(out.getDouble(3)))
+    }
+  }
+
 }
