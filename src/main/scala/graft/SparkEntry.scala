@@ -3040,6 +3040,20 @@ object SparkEntry {
         t(s, d, "events"), "event_id", "value", b = 50, salt = "r8")
       graft.operators.Robust.bootstrapCI(reps, 1, 40, 39, 40)
     }),
+
+    // churn training labels: Jan 1-16 observation features, 10-day
+    // outcome horizon — leakage-free by construction
+    "q312_churn_labels" -> ((s, d) =>
+      graft.operators.Retention.churnLabels(t(s, d, "events"),
+        "user_id", "ts", "value", "2024-01-01", "2024-01-16",
+        horizonDays = 10)),
+
+    // Qini uplift curve: parity arms, planted outcome, event value as
+    // the targeting score (quantized grid)
+    "q313_qini_curve" -> ((s, d) =>
+      graft.operators.Eval.qiniCurve(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "value", col("user_id") % 2 === 0, col("event_type") === "purchase")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9046,5 +9060,58 @@ object SparkEntry {
         |  MIN(CASE WHEN rk * 40 >= b * 1 THEN mean END) AS ci_lo,
         |  MIN(CASE WHEN rk * 40 >= b * 39 THEN mean END) AS ci_hi
         |FROM r""".stripMargin,
+
+    // observation-window conditional aggregates; label = silent in the
+    // 10-day horizon; zero-feature users excluded
+    "q312_churn_labels" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_events_obs,
+        |  CAST(COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2024-01-16' THEN CAST(ts AS DATE) END)
+        |    AS BIGINT) AS n_active_days_obs,
+        |  CAST(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |      AND ts < TIMESTAMP '2024-01-16' THEN CAST(ts AS DATE) END)
+        |    - MIN(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |      AND ts < TIMESTAMP '2024-01-16' THEN CAST(ts AS DATE) END)
+        |    AS BIGINT) AS span_days_obs,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2024-01-16'
+        |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS value_cents_obs,
+        |  SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |    AND ts < TIMESTAMP '2024-01-26' THEN 1 ELSE 0 END) = 0 AS churned
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1
+        |HAVING SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |  AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    // desc score lattice; cross-product uplift numerator in HUGEINT
+    "q313_qini_curve" ->
+      """WITH ps AS (SELECT value AS threshold,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1),
+        |cw AS (SELECT threshold,
+        |    CAST(SUM(t) OVER wd AS BIGINT) AS cum_t,
+        |    CAST(SUM(tp) OVER wd AS BIGINT) AS cum_t_pos,
+        |    CAST(SUM(c) OVER wd AS BIGINT) AS cum_c,
+        |    CAST(SUM(cp) OVER wd AS BIGINT) AS cum_c_pos
+        |  FROM ps WINDOW wd AS (ORDER BY threshold DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT threshold, cum_t, cum_t_pos, cum_c, cum_c_pos,
+        |  CAST(CAST(cum_t_pos AS HUGEINT) * cum_c
+        |    - CAST(cum_c_pos AS HUGEINT) * cum_t AS BIGINT) AS q_num,
+        |  CASE WHEN cum_t > 0 AND cum_c > 0 THEN
+        |    CAST(CAST(cum_t_pos AS HUGEINT) * cum_c
+        |      - CAST(cum_c_pos AS HUGEINT) * cum_t AS DOUBLE)
+        |      / (CAST(cum_t AS DOUBLE) * CAST(cum_c AS DOUBLE)) END AS uplift
+        |FROM cw""".stripMargin,
   )
 }

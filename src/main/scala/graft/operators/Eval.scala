@@ -28,6 +28,50 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Qini (uplift) curve at every distinct score threshold — the
+    * targeting-model eval [[gainsTable]] cannot express: with a
+    * TREATED flag alongside the outcome, the question is not "does the
+    * top decile convert" but "does it convert BECAUSE we treated it".
+    * At each distinct score (descending, "target when score ≥ t"):
+    * cumulative treated/control volumes and responders, plus the Qini
+    * numerator `q_num = cum_t_pos·cum_c − cum_c_pos·cum_t` (exact
+    * cross products — decimal internally, BIGINT out, the engine's
+    * uplift in responders at that cutoff scaled by cum_t·cum_c) and
+    * `uplift = q_num/(cum_t·cum_c)` as the one division (the
+    * treated-rate minus control-rate difference). Same distinct-score
+    * lattice contract as [[prCurve]] ([[quantizeScores]] for
+    * continuous scores); NULL score/flag/outcome rows drop.
+    *
+    * Output: (threshold, cum_t, cum_t_pos, cum_c, cum_c_pos, q_num,
+    * uplift — NULL until both arms appear). */
+  def qiniCurve(df: DataFrame, scoreCol: String, isTreated: Column,
+                isPositive: Column): DataFrame = {
+    val perScore = df.filter(col(scoreCol).isNotNull
+      && isTreated.isNotNull && isPositive.isNotNull)
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(when(isTreated, 1L).otherwise(0L)).as("__t"),
+        sum(when(isTreated && isPositive, 1L).otherwise(0L)).as("__tp"),
+        sum(when(!isTreated, 1L).otherwise(0L)).as("__c"),
+        sum(when(!isTreated && isPositive, 1L).otherwise(0L)).as("__cp"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("cum_t", sum(col("__t")).over(w).cast("long"))
+      .withColumn("cum_t_pos", sum(col("__tp")).over(w).cast("long"))
+      .withColumn("cum_c", sum(col("__c")).over(w).cast("long"))
+      .withColumn("cum_c_pos", sum(col("__cp")).over(w).cast("long"))
+      .withColumn("q_num",
+        (col("cum_t_pos").cast("decimal(38,0)") * col("cum_c")
+          - col("cum_c_pos").cast("decimal(38,0)") * col("cum_t"))
+          .cast("decimal(38,0)").cast("long"))
+      .withColumn("uplift",
+        when(col("cum_t") > 0 && col("cum_c") > 0,
+          col("q_num").cast("double")
+            / (col("cum_t").cast("double") * col("cum_c").cast("double"))))
+      .select(col("threshold"), col("cum_t"), col("cum_t_pos"),
+        col("cum_c"), col("cum_c_pos"), col("q_num"), col("uplift"))
+  }
+
   /** Pinball (quantile) loss per key — the eval for quantile
     * forecasts (P50/P90 capacity planning, the
     * [[graft.operators.Timeseries.seasonalNaiveBacktest]] family at a

@@ -321,4 +321,44 @@ object Retention {
           .cast("long").as("last_streak"))
   }
 
+
+  /** Churn-label training-set builder — the standard
+    * observation/outcome-window construction for churn models, made
+    * deterministic: features come ONLY from events in
+    * `[obsStart, obsEnd)` (count, active days, span, value sum in
+    * cents), the label is "no activity in `[obsEnd, obsEnd+horizon)"
+    * — users with no observation-window activity are excluded (no
+    * features to learn from), so the frame is leakage-free by
+    * construction: nothing after `obsEnd` touches a feature column.
+    *
+    * One pass over the event stream (two conditional aggregates per
+    * user); all features exact BIGINTs (cent-unit value sums — 2-dp
+    * grid contract). Output: (user, n_events_obs, n_active_days_obs,
+    * span_days_obs, value_cents_obs, churned). */
+  def churnLabels(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, obsStart: String, obsEnd: String,
+                  horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    val obsS = lit(obsStart).cast("timestamp_ntz")
+    val obsE = lit(obsEnd).cast("timestamp_ntz")
+    val outE = date_add(lit(obsEnd).cast("date"), horizonDays)
+      .cast("timestamp_ntz")
+    val inObs = col(tsCol) >= obsS && col(tsCol) < obsE
+    val inOut = col(tsCol) >= obsE && col(tsCol) < outE
+    events.filter(col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(inObs, 1L).otherwise(0L)).as("n_events_obs"),
+        count_distinct(when(inObs, to_date(col(tsCol))))
+          .cast("long").as("n_active_days_obs"),
+        (datediff(max(when(inObs, to_date(col(tsCol)))),
+          min(when(inObs, to_date(col(tsCol))))))
+          .cast("long").as("span_days_obs"),
+        sum(when(inObs,
+          (col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .otherwise(0L)).cast("long").as("value_cents_obs"),
+        (sum(when(inOut, 1L).otherwise(0L)) === 0L).as("churned"))
+      .filter(col("n_events_obs") > 0L)
+  }
+
 }

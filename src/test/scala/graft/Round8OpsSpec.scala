@@ -524,6 +524,53 @@ class Round8OpsSpec extends SparkSpec {
     assert(ci.getDouble(1) <= trueMean && trueMean <= ci.getDouble(2))
   }
 
+  // ---- churn labels -----------------------------------------------------
+
+  test("churnLabels: leakage-free windows, exact features, honest label") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: active in obs, active in horizon -> retained
+      (1L, ts("2024-01-02 10:00:00"), 10.0),
+      (1L, ts("2024-01-05 10:00:00"), 20.0),
+      (1L, ts("2024-01-18 10:00:00"), 99.0),  // outcome window only
+      // user 2: active in obs, silent after -> churned
+      (2L, ts("2024-01-03 10:00:00"), 5.0),
+      // user 3: only post-obs activity -> EXCLUDED (no features)
+      (3L, ts("2024-01-20 10:00:00"), 7.0))
+      .toDF("u", "ts", "v")
+    val out = graft.operators.Retention.churnLabels(ev, "u", "ts", "v",
+      "2024-01-01", "2024-01-16", horizonDays = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getLong(3) == 3L)              // Jan 2 -> Jan 5 span
+    assert(out(1L).getLong(4) == 3000L)           // 10+20 in cents, obs only
+    assert(!out(1L).getBoolean(5))
+    assert(out(2L).getBoolean(5))
+    // an event AFTER the horizon does not rescue the label
+    val late = ev.union(Seq((2L, ts("2024-02-20 10:00:00"), 1.0))
+      .toDF("u", "ts", "v"))
+    assert(graft.operators.Retention.churnLabels(late, "u", "ts", "v",
+      "2024-01-01", "2024-01-16", 10)
+      .filter(col("u") === 2L).head().getBoolean(5))
+  }
+
+  // ---- Qini curve -------------------------------------------------------
+
+  test("qiniCurve: hand-computed uplift; one-arm prefixes yield NULL") {
+    // scores desc: 0.9 T+, 0.8 C-, 0.7 T-, 0.6 C+
+    val df = Seq((0.9, true, true), (0.8, false, false),
+      (0.7, true, false), (0.6, false, true)).toDF("s", "tr", "y")
+    val rows = graft.operators.Eval.qiniCurve(df, "s", col("tr"), col("y"))
+      .orderBy(col("threshold").desc).collect()
+    // t=0.9: only the treated arm present -> NULL uplift
+    assert(rows(0).getLong(1) == 1L && rows(0).isNullAt(6))
+    // t=0.8: 1T/1pos vs 1C/0pos -> uplift 1.0
+    assert(rows(1).getLong(5) == 1L && rows(1).getDouble(6) == 1.0)
+    // t=0.6 (all): 2T/1pos vs 2C/1pos -> uplift 0
+    assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
+  }
+
   // ---- SQL catalog ------------------------------------------------------
 
   test("SqlCatalog: the dbt-style named-view surface resolves raw SQL " +
