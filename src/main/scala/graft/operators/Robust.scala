@@ -338,7 +338,13 @@ object Robust {
     require(tieBreakCols.nonEmpty, "tieBreakCols required for a total order")
     import org.apache.spark.sql.expressions.Window
     val base = tests.select(
-      (tieBreakCols.map(col) :+ col(pCol).cast("double").as("p_value")): _*)
+      (tieBreakCols.map(col) :+
+        // a p outside [0,1] is caller corruption, not a test result —
+        // raise in-plan (the loud-failure convention) rather than
+        // silently ranking garbage
+        when(col(pCol) < 0.0 || col(pCol) > 1.0, raise_error(lit(
+          s"benjaminiHochberg: $pCol outside [0,1]")))
+          .otherwise(col(pCol).cast("double")).as("p_value")): _*)
       .filter(col("p_value").isNotNull)
     val w = Window.orderBy(
       (col("p_value").asc +: tieBreakCols.map(col(_).asc)): _*)

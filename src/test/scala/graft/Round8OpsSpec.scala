@@ -180,6 +180,11 @@ class Round8OpsSpec extends SparkSpec {
     intercept[Exception] {
       Robust.benjaminiHochberg(dup, "p", 0.1, Seq("test_id")).collect()
     }
+    // p outside [0,1] -> loud in-plan failure, never silently ranked
+    val junk = Seq(("t1", 0.5), ("t2", 1.5)).toDF("test_id", "p")
+    intercept[Exception] {
+      Robust.benjaminiHochberg(junk, "p", 0.1, Seq("test_id")).collect()
+    }
   }
 
   // ---- CUPED ------------------------------------------------------------
