@@ -3054,6 +3054,20 @@ object SparkEntry {
       graft.operators.Eval.qiniCurve(
         t(s, d, "events").filter(col("user_id").isNotNull),
         "value", col("user_id") % 2 === 0, col("event_type") === "purchase")),
+
+    // isotonic (PAV) calibration over the q242 reliability input; the
+    // oracle realizes the same fit through the minimax identity
+    // cal(b) = max_{i<=b} min_{j>=b} mean(i..j) — rounding is
+    // monotone, so double min/max equals the rounded exact minimax,
+    // which equals the PAV block rational. num/den dropped (witness
+    // representation differs; the VALUE is the contract).
+    "q314_isotonic" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        graft.llmdata.Sampling.hashFraction(col("event_id")).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      graft.operators.Profile.isotonicCalibration(ev, "score", "label", 10)
+        .drop("cal_num", "cal_den")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9113,5 +9127,35 @@ object SparkEntry {
         |      - CAST(cum_c_pos AS HUGEINT) * cum_t AS DOUBLE)
         |      / (CAST(cum_t AS DOUBLE) * CAST(cum_c AS DOUBLE)) END AS uplift
         |FROM cw""".stripMargin,
+
+    // PAV via the minimax identity over prefix sums (nBins=10 -> the
+    // i<=b<=j triple join is 10^3-scale metadata)
+    "q314_isotonic" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS score,
+        |    event_type = 'purchase' AS label FROM events),
+        |b2 AS (SELECT *, CAST(CAST(score AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS sm FROM b),
+        |b3 AS (SELECT *, least((sm * 10) // 1000000, 9) AS bin
+        |  FROM b2 WHERE sm BETWEEN 0 AND 1000000),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM b3 GROUP BY 1),
+        |pre AS (SELECT bin, n, p,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+        |    CAST(SUM(p) OVER w AS BIGINT) AS cp
+        |  FROM g WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pairs AS (SELECT i.bin AS i, j.bin AS j,
+        |    CAST(j.cp - (i.cp - i.p) AS DOUBLE)
+        |      / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS mean_ij
+        |  FROM pre i JOIN pre j ON i.bin <= j.bin),
+        |inner_ AS (SELECT g.bin AS b, pairs.i,
+        |    MIN(mean_ij) AS inner_min
+        |  FROM g JOIN pairs ON pairs.i <= g.bin AND pairs.j >= g.bin
+        |  GROUP BY 1, 2)
+        |SELECT g.bin, g.n, g.p AS n_pos, MAX(inner_min) AS calibrated
+        |FROM g JOIN inner_ ON inner_.b = g.bin
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -719,6 +719,63 @@ object Profile {
           / (lit(2.0 * nBins) * col("n").cast("double"))))
   }
 
+  /** Isotonic (PAV) calibration over the reliability binning — the
+    * monotone score→probability map Platt/beta fits approximate,
+    * computed exactly: bin-level (n, pos) counts reduce on the cluster
+    * (one [[calibration]]-binning aggregate), then pool-adjacent-
+    * violators runs on the DRIVER over the ≤ nBins rows (the
+    * metadata-scale-collect convention: PAV is inherently sequential,
+    * and nBins ≤ a few hundred makes the sequential step free — same
+    * pattern as the IVF centroid inlining). Pooling keeps EXACT
+    * rational block means (pos-sum / n-sum, compared cross-multiplied
+    * — no float enters the pooling decision), so the fitted map is
+    * bit-reproducible on any engine or executor count.
+    *
+    * Output: one row per input bin: (bin, n, n_pos, cal_num, cal_den,
+    * calibrated) — `calibrated = cal_num/cal_den` is the pooled
+    * monotone estimate (the one division); adjacent bins sharing a
+    * pooled block share the identical rational. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000,
+      s"nBins must be in [2, 10000], got $nBins")
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__sm",
+        (col(scoreCol).cast("decimal(20,6)") * 1000000).cast("long"))
+      .filter(col("__sm") >= 0 && col("__sm") <= 1000000L)
+      .withColumn("bin",
+        least(expr(s"(__sm * $nBins) div 1000000"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+    // ≤ nBins rows — metadata-scale collect, the IVF-centroid pattern
+    val bins = binned.orderBy(col("bin").asc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV with exact rational block means: merge while mean(prev) >
+    // mean(next), compared as cross products
+    case class Block(bins: List[Long], n: Long, pos: Long)
+    val pooled = bins.foldLeft(List.empty[Block]) { (acc, b) =>
+      var stack = Block(List(b._1), b._2, b._3) :: acc
+      while (stack.tail.nonEmpty &&
+        stack.tail.head.pos * stack.head.n > stack.head.pos * stack.tail.head.n) {
+        val top = stack.head; val prev = stack.tail.head
+        stack = Block(prev.bins ++ top.bins, prev.n + top.n,
+          prev.pos + top.pos) :: stack.tail.tail
+      }
+      stack
+    }
+    val fitted: Seq[(Long, Long, Long)] = pooled.flatMap(bl =>
+      bl.bins.map(bi => (bi, bl.pos, bl.n)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = fitted.toDF("bin", "cal_num", "cal_den")
+    binned.join(Broadcasts.maybeBroadcast(fit), Seq("bin"))
+      .withColumn("calibrated",
+        col("cal_num").cast("double") / col("cal_den").cast("double"))
+      .select(col("bin"), col("n"), col("n_pos"), col("cal_num"),
+        col("cal_den"), col("calibrated"))
+  }
+
   /** Percentile normalization against a REFERENCE distribution: each
     * row's value mapped to `F_ref(v) = #{ref ≤ v} / n_ref` — the score
     * recalibration every model-version migration needs (new model's

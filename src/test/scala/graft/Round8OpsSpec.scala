@@ -576,6 +576,35 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- isotonic calibration ---------------------------------------------
+
+  test("isotonicCalibration: violating bins pool to the exact rational; " +
+    "monotone fits untouched; output non-decreasing") {
+    import graft.operators.Profile
+    // nBins=2: bin0 3/4 positive, bin1 1/4 — a violation; PAV pools to 4/8
+    val viol = (Seq.fill(3)((0.2, 1L)) ++ Seq((0.2, 0L)) ++
+      Seq((0.7, 1L)) ++ Seq.fill(3)((0.7, 0L))).toDF("s", "y")
+    val out = Profile.isotonicCalibration(viol, "s", "y", 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(3) == 4L && out(0L).getLong(4) == 8L)
+    assert(out(1L).getLong(3) == 4L && out(1L).getLong(4) == 8L)
+    assert(out(0L).getDouble(5) == 0.5 && out(1L).getDouble(5) == 0.5)
+    // already-monotone rates pass through exactly
+    val mono = (Seq((0.2, 0L)) ++ Seq.fill(3)((0.2, 1L)).map(t => (t._1, 0L))
+      ++ Seq.fill(3)((0.7, 1L)) ++ Seq((0.7, 0L))).toDF("s", "y")
+    val m = Profile.isotonicCalibration(mono, "s", "y", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(m(0L) == 0.0 && m(1L) == 0.75)
+    // monotonicity on a hashed multi-bin fixture
+    val big = (1 to 400).map { i =>
+      val h = (i * 2654435761L) % 1000
+      (h / 1000.0, if ((i * 40503 + h) % 7 < 3) 1L else 0L)
+    }.toDF("s", "y")
+    val fit = Profile.isotonicCalibration(big, "s", "y", 10)
+      .orderBy(col("bin").asc).collect().map(_.getDouble(5))
+    fit.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+  }
+
   // ---- SQL catalog ------------------------------------------------------
 
   test("SqlCatalog: the dbt-style named-view surface resolves raw SQL " +
