@@ -3068,6 +3068,13 @@ object SparkEntry {
       graft.operators.Profile.isotonicCalibration(ev, "score", "label", 10)
         .drop("cal_num", "cal_den")
     }),
+
+    // exact Brier score of the q242 reliability input per event type
+    "q315_brier" -> ((s, d) =>
+      graft.operators.Eval.brierScore(
+        t(s, d, "events").withColumn("score",
+          graft.llmdata.Sampling.hashFraction(col("event_id"))),
+        "event_type", "score", col("event_type") === "purchase")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9157,5 +9164,20 @@ object SparkEntry {
         |SELECT g.bin, g.n, g.p AS n_pos, MAX(inner_min) AS calibrated
         |FROM g JOIN inner_ ON inner_.b = g.bin
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // micro-grid squared residuals summed in HUGEINT, BIGINT out
+    "q315_brier" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS y
+        |  FROM events),
+        |f AS (SELECT event_type, y - sm AS d FROM b
+        |  WHERE sm BETWEEN 0 AND 1000000)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS brier_num,
+        |  CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS brier
+        |FROM f GROUP BY 1""".stripMargin,
   )
 }

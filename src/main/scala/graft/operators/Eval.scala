@@ -28,6 +28,36 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Exact Brier score — the proper scoring rule for probability
+    * forecasts (log-loss needs libm; Brier is pure arithmetic): with
+    * scores on the [[Profile.calibration]] micro grid (exact-scaled via
+    * decimal — off-grid inputs quantize exactly, out-of-[0,1] rows
+    * drop), `Σ (label·1e6 − score_micro)²` is an exact integer
+    * (decimal internally — per-row terms reach 1e12, the sum overflows
+    * BIGINT only past ~9e6 rows per key if emitted raw, so it is
+    * emitted in micro² units as BIGINT with the documented ≤9e6·1e12
+    * bound — past that the ANSI cast fails loudly) and
+    * `brier = num / (n·1e12)` is the one division.
+    *
+    * Output: (key, n, brier_num, brier). */
+  def brierScore(df: DataFrame, keyCol: String, scoreCol: String,
+                 isPositive: Column): DataFrame = {
+    val sm = (col(scoreCol).cast("decimal(20,6)") * 1000000).cast("long")
+    df.filter(col(scoreCol).isNotNull && isPositive.isNotNull)
+      .select(col(keyCol), sm.as("__sm"),
+        when(isPositive, 1000000L).otherwise(0L).as("__y"))
+      .filter(col("__sm") >= 0 && col("__sm") <= 1000000L)
+      .withColumn("__d", col("__y") - col("__sm"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__d").cast("decimal(38,0)") * col("__d"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").cast("long")
+          .as("brier_num"))
+      .withColumn("brier",
+        col("brier_num").cast("double")
+          / (col("n").cast("double") * 1.0e12))
+  }
+
   /** Qini (uplift) curve at every distinct score threshold — the
     * targeting-model eval [[gainsTable]] cannot express: with a
     * TREATED flag alongside the outcome, the question is not "does the

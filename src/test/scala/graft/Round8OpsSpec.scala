@@ -576,6 +576,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- Brier score ------------------------------------------------------
+
+  test("brierScore: exact micro-grid residuals; perfect forecasts score 0") {
+    import graft.operators.Eval
+    // (score, label): (0.8, true) -> d=0.2 -> 4e10; (0.4, false) -> 1.6e11
+    val df = Seq(("k", 0.8, true), ("k", 0.4, false)).toDF("g", "s", "y")
+    val r = Eval.brierScore(df, "g", "s", col("y")).head()
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 40000000000L + 160000000000L)
+    assert(r.getDouble(3) == 0.1)       // (0.04 + 0.16) / 2
+    val perfect = Seq(("k", 1.0, true), ("k", 0.0, false)).toDF("g", "s", "y")
+    val p = Eval.brierScore(perfect, "g", "s", col("y")).head()
+    assert(p.getLong(2) == 0L && p.getDouble(3) == 0.0)
+    // out-of-[0,1] scores drop rather than poison the statistic
+    val junk = Seq(("k", 0.5, true), ("k", 1.5, true)).toDF("g", "s", "y")
+    assert(Eval.brierScore(junk, "g", "s", col("y")).head().getLong(1) == 1L)
+  }
+
   // ---- isotonic calibration ---------------------------------------------
 
   test("isotonicCalibration: violating bins pool to the exact rational; " +
