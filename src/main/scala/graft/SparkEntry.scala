@@ -3075,6 +3075,30 @@ object SparkEntry {
         t(s, d, "events").withColumn("score",
           graft.llmdata.Sampling.hashFraction(col("event_id"))),
         "event_type", "score", col("event_type") === "purchase")),
+
+    // Bayesian-average purchase rate per customer segment proxy:
+    // exact cross-multiplied smoothing toward the global rate
+    "q316_bayesian_average" -> ((s, d) =>
+      graft.operators.Encode.bayesianAverage(
+        t(s, d, "events").withColumn("seg", col("user_id") % 20),
+        "seg", col("event_type") === "purchase", strength = 50L)),
+
+    // McNemar paired test: per user, "purchased in first half" vs
+    // "purchased in second half" — the paired before/after design
+    "q317_mcnemar" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val pairs = ev.groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("event_type") === "purchase"
+            && col("ts") < lit("2024-01-16").cast("timestamp_ntz"), 1L)
+            .otherwise(0L)) > 0).as("before"),
+          (sum(when(col("event_type") === "purchase"
+            && col("ts") >= lit("2024-01-16").cast("timestamp_ntz"), 1L)
+            .otherwise(0L)) > 0).as("after"))
+        .withColumn("cohort", col("user_id") % 3)
+      graft.operators.Robust.mcnemar(pairs, "cohort",
+        col("before"), col("after"))
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9179,5 +9203,51 @@ object SparkEntry {
         |  CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)
         |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS brier
         |FROM f GROUP BY 1""".stripMargin,
+
+    // cross-multiplied additive smoothing toward the global rate
+    "q316_bayesian_average" ->
+      """WITH c AS (SELECT user_id % 20 AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn,
+        |    CAST(SUM(n_pos) AS BIGINT) AS gp FROM c)
+        |SELECT seg, n, n_pos,
+        |  CAST(CAST(n_pos AS HUGEINT) * gn + 50 * CAST(gp AS HUGEINT)
+        |    AS BIGINT) AS smooth_num,
+        |  CAST(CAST(gn AS HUGEINT) * (n + 50) AS BIGINT) AS smooth_den,
+        |  CAST(CAST(n_pos AS HUGEINT) * gn + 50 * CAST(gp AS HUGEINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(gn AS HUGEINT) * (n + 50) AS DOUBLE) AS smoothed
+        |FROM c, g""".stripMargin,
+
+    // discordant-cell counts per cohort; chi2 = delta^2/(n01+n10)
+    "q317_mcnemar" ->
+      """WITH p AS (SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) > 0 AS bf,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) > 0 AS af
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT user_id % 3 AS cohort, bf, af FROM p)
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN bf AND af THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN NOT bf AND NOT af THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_neither,
+        |  CAST(SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |  CAST(SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) AS BIGINT) AS delta,
+        |  CASE WHEN SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST((SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END))
+        |      * (SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END)) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END)
+        |        + SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS chi2
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Leakage-safe categorical feature encoding for model-training
@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
   * one-row global prior broadcast-crossed in. Nothing global, no
   * windows. */
 object Encode {
+
+  /** Bayesian-average (additive-smoothed) rate table — the standard
+    * fix for small-sample rate ranking (a 1/1 item must not outrank a
+    * 980/1000 one): per category,
+    * `smoothed = (pos + s·p_global)/(n + s)` with integer pseudo-count
+    * strength `s` and the GLOBAL rate as the prior. Exact: cross-
+    * multiplied to `(pos·gN + s·gPos)/(gN·(n + s))` — numerator and
+    * denominator are exact integers (decimal internally, BIGINT out;
+    * num ≤ n·gN so the BIGINT emission holds while n·gN ≤ 9e18 —
+    * category-scale counts, comfortably inside at any real corpus),
+    * and the smoothed rate is ONE division. Rows with NULL category or
+    * flag drop.
+    *
+    * Output: (category, n, n_pos, smooth_num, smooth_den, smoothed). */
+  def bayesianAverage(df: DataFrame, catCol: String, isPositive: Column,
+                      strength: Long): DataFrame = {
+    require(strength >= 1, s"strength must be >= 1, got $strength")
+    val d38 = "decimal(38,0)"
+    val perCat = df.filter(col(catCol).isNotNull && isPositive.isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isPositive, 1L).otherwise(0L)).as("n_pos"))
+    val globals = perCat.agg(sum(col("n")).cast("long").as("__gn"),
+      sum(col("n_pos")).cast("long").as("__gp"))
+    perCat.crossJoin(broadcast(globals))
+      .withColumn("smooth_num",
+        (col("n_pos").cast(d38) * col("__gn")
+          + lit(strength).cast(d38) * col("__gp")).cast(d38).cast("long"))
+      .withColumn("smooth_den",
+        (col("__gn").cast(d38) * (col("n") + strength)).cast(d38)
+          .cast("long"))
+      .withColumn("smoothed",
+        col("smooth_num").cast("double") / col("smooth_den").cast("double"))
+      .drop("__gn", "__gp")
+  }
 
   /** OOF encoding table. `idCol` seeds the fold draw (any stable row
     * id — it must be NON-NULL: md5(NULL) is NULL and a silent NULL

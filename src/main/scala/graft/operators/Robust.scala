@@ -242,6 +242,38 @@ object Robust {
         col("__td").cast("long").as("term_den"), col("srm_term"))
   }
 
+  /** McNemar's paired-binary test parts — the A/B test for PAIRED
+    * designs (same unit measured under both conditions: old vs new
+    * model on the same examples, before/after per user) where the
+    * independent-sample chi-square is wrong: only the DISCORDANT cells
+    * carry evidence. Emits exact integers per key — concordant counts,
+    * `n01` (a only) / `n10` (b only), the signed `delta = n01 − n10`,
+    * and the continuity-free statistic numerator `delta²` as
+    * `(n01−n10)²/(n01+n10) = chi2` in one division (NULL when no
+    * discordant pairs — no evidence, not zero). NULL in either flag
+    * drops the pair.
+    *
+    * Output: (key, n_pairs, n_both, n_neither, n01, n10, delta,
+    * chi2). delta² stays inside the division (a raw emission would
+    * overflow BIGINT at ~3e9 discordant pairs; delta itself is safe). */
+  def mcnemar(df: DataFrame, keyCol: String, aCol: Column,
+              bCol: Column): DataFrame = {
+    val base = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(aCol && bCol, 1L).otherwise(0L)).as("n_both"),
+        sum(when(!aCol && !bCol, 1L).otherwise(0L)).as("n_neither"),
+        sum(when(aCol && !bCol, 1L).otherwise(0L)).as("n01"),
+        sum(when(!aCol && bCol, 1L).otherwise(0L)).as("n10"))
+    base
+      .withColumn("delta", col("n01") - col("n10"))
+      .withColumn("chi2",
+        when(col("n01") + col("n10") > 0,
+          (col("delta").cast("decimal(38,0)") * col("delta"))
+            .cast("decimal(38,0)").cast("double")
+            / (col("n01") + col("n10")).cast("double")))
+  }
+
   /** Cumulative Poisson(1) probabilities P(K ≤ m) for m = 0..9, as
     * PINNED double literals (the Benford-table discipline: `exp` is
     * libm and must never be evaluated in-engine). Multiplicities are

@@ -576,6 +576,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- Bayesian average -------------------------------------------------
+
+  test("bayesianAverage: small samples shrink to the prior, big samples " +
+    "dominate it; exact cross-multiplied rational") {
+    import graft.operators.Encode
+    // global rate 50/150; cat a: 1/1 raw 100%, cat b: 49/149
+    val rows = Seq(("a", true)) ++
+      (1 to 149).map(i => ("b", i <= 49))
+    val out = Encode.bayesianAverage(rows.toDF("c", "y"), "c", col("y"), 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: (1*150 + 10*50) / (150*11) = 650/1650
+    assert(out("a").getLong(3) == 650L && out("a").getLong(4) == 1650L)
+    assert(out("a").getDouble(5) == 650.0 / 1650.0)
+    // the 1/1 category must NOT outrank the well-sampled 49/149 by much:
+    // its smoothed rate is pulled well below 1.0, toward 1/3
+    assert(out("a").getDouble(5) < 0.45)
+    // b barely moves: (49*150 + 500)/(150*159)
+    assert(out("b").getLong(3) == 49L * 150L + 500L)
+    assert(math.abs(out("b").getDouble(5) - 49.0 / 149.0) < 0.01)
+  }
+
+  // ---- McNemar ----------------------------------------------------------
+
+  test("mcnemar: only discordant cells drive the statistic") {
+    import graft.operators.Robust
+    // 3 both, 2 neither, 4 a-only, 1 b-only -> delta 3, chi2 9/5
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq.fill(4)((true, false)) ++ Seq.fill(1)((false, true))
+    val df = rows.toDF("a", "b").withColumn("k", lit("k"))
+    val r = Robust.mcnemar(df, "k", col("a"), col("b")).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 4L && r.getLong(5) == 1L && r.getLong(6) == 3L)
+    assert(r.getDouble(7) == 9.0 / 5.0)
+    // perfectly concordant -> NULL statistic (no evidence, not zero)
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+      .withColumn("k", lit("k"))
+    assert(Robust.mcnemar(conc, "k", col("a"), col("b")).head().isNullAt(7))
+  }
+
   // ---- Brier score ------------------------------------------------------
 
   test("brierScore: exact micro-grid residuals; perfect forecasts score 0") {
