@@ -3099,6 +3099,28 @@ object SparkEntry {
       graft.operators.Robust.mcnemar(pairs, "cohort",
         col("before"), col("after"))
     }),
+
+    // Lorenz curve of order totals per priority — the inequality curve
+    // behind the q263 gini scalar
+    "q318_lorenz_curve" -> ((s, d) =>
+      graft.operators.RankStats.lorenzCurve(t(s, d, "orders"),
+        "o_orderpriority", "o_totalprice")),
+
+    // Fleiss kappa: each user's first three event types as three
+    // "ratings" of the user — the multi-rater annotation-QA statistic
+    "q319_fleiss_kappa" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val first3 = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+      val eligible = first3.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") === 3)
+        .select("user_id")
+      graft.operators.Eval.fleissKappa(
+        first3.join(eligible, Seq("user_id")), "user_id", "event_type")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9249,5 +9271,65 @@ object SparkEntry {
         |        + SUM(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) AS DOUBLE)
         |  END AS chi2
         |FROM g GROUP BY 1""".stripMargin,
+
+    // distinct-value cumulations on the micro grid, two share divisions
+    "q318_lorenz_curve" ->
+      """WITH m AS (SELECT o_orderpriority AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000
+        |      AS value_micro
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT k, value_micro, CAST(COUNT(*) AS BIGINT) AS n_at_value
+        |  FROM m GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(n_at_value) OVER win AS BIGINT) AS cum_n,
+        |    CAST(SUM(CAST(value_micro AS HUGEINT) * n_at_value) OVER win
+        |      AS BIGINT) AS cum_micro
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY value_micro
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT k, CAST(SUM(n_at_value) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value_micro AS HUGEINT) * n_at_value) AS BIGINT)
+        |      AS total_micro
+        |  FROM c GROUP BY 1)
+        |SELECT w.k AS o_orderpriority, value_micro, n_at_value, cum_n,
+        |  cum_micro, n, total_micro,
+        |  CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share,
+        |  CASE WHEN total_micro > 0 THEN
+        |    CAST(cum_micro AS DOUBLE) / CAST(total_micro AS DOUBLE) END
+        |    AS mass_share
+        |FROM w JOIN t ON w.k = t.k""".stripMargin,
+
+    // first-3-ratings construction, then the exact Fleiss integers
+    "q319_fleiss_kappa" ->
+      """WITH r3 AS (SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3),
+        |el AS (SELECT user_id FROM r3 GROUP BY 1 HAVING COUNT(*) = 3),
+        |f AS (SELECT r3.user_id, event_type FROM r3 JOIN el USING (user_id)),
+        |cells AS (SELECT user_id, event_type AS c, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM f GROUP BY 1, 2),
+        |pi AS (SELECT user_id, CAST(SUM(k) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(k AS HUGEINT) * (k - 1)) AS BIGINT) AS agree
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(MAX(n) AS BIGINT) AS n_ratings,
+        |    CAST(SUM(agree) AS BIGINT) AS po_num FROM pi),
+        |pc AS (SELECT CAST(SUM(CAST(m AS HUGEINT) * m) AS BIGINT) AS pe_num
+        |  FROM (SELECT c, CAST(SUM(k) AS BIGINT) AS m FROM cells GROUP BY 1))
+        |SELECT n_items, n_ratings, po_num, pe_num,
+        |  CASE WHEN n_ratings > 1 AND CAST(pe_num AS DOUBLE)
+        |      / (CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |        * CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)) < 1.0
+        |  THEN (CAST(po_num AS DOUBLE)
+        |      / (CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |        * CAST(n_ratings - 1 AS DOUBLE))
+        |    - CAST(pe_num AS DOUBLE)
+        |      / (CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |        * CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)))
+        |    / (1.0 - CAST(pe_num AS DOUBLE)
+        |      / (CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |        * CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)))
+        |  END AS kappa
+        |FROM tt, pc""".stripMargin,
   )
 }

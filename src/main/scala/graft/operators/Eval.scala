@@ -28,6 +28,55 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Fleiss' kappa — multi-rater chance-corrected agreement (the
+    * annotation-QA statistic for LLM-labeling pipelines where
+    * [[cohenKappa]]'s two fixed raters don't apply): items each
+    * receive exactly `n` categorical ratings (VALIDATED in-plan — a
+    * ragged item raises; subsample or pad upstream), and
+    * `κ = (P̄_o − P̄_e)/(1 − P̄_e)` with
+    * `P̄_o = Σ_i Σ_c c_ic(c_ic−1) / (N·n·(n−1))` and
+    * `P̄_e = Σ_c (Σ_i c_ic)² / (N·n)²` — all four quantities exact
+    * integers (decimal internally, BIGINT out; the P̄_e numerator is
+    * ≤ (N·n)², within BIGINT while N·n ≤ ~3e9 — past that the ANSI
+    * cast fails loudly), κ the one fixed double chain. Degenerate
+    * (P̄_e = 1) yields NULL.
+    *
+    * Output: one row (n_items, n_ratings, po_num, pe_num, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  categoryCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol), col(categoryCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(true) // consumed 3x (per-item, per-cat, totals)
+    val perItem = cells.groupBy(col(itemCol))
+      .agg(sum(col("__k")).as("__n"),
+        sum(col("__k").cast(d38) * (col("__k") - 1)).cast(d38).as("__agree"))
+    val check = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
+      sum(col("__agree")).cast(d38).cast("long").as("po_num"))
+      .withColumn("n_ratings",
+        when(col("__nmin") =!= col("__nmax"), raise_error(lit(
+          "fleissKappa: ragged rating counts — every item must have " +
+            "exactly n ratings; subsample or pad upstream")))
+          .otherwise(col("__nmax")).cast("long"))
+    val perCat = cells.groupBy(col("__c")).agg(sum(col("__k")).as("__m"))
+      .agg(sum(col("__m").cast(d38) * col("__m")).cast(d38).cast("long")
+        .as("pe_num"))
+    check.crossJoin(broadcast(perCat))
+      .select(col("n_items"), col("n_ratings"), col("po_num"), col("pe_num"))
+      .withColumn("kappa", {
+        val nn = col("n_items").cast("double") * col("n_ratings").cast("double")
+        val po = col("po_num").cast("double") /
+          (nn * (col("n_ratings") - 1).cast("double"))
+        val pe = col("pe_num").cast("double") / (nn * nn)
+        // n=1 has no within-item pairs (P_o undefined); P_e=1 is the
+        // single-category degenerate — both NULL, never a 0/0
+        when(col("n_ratings") > 1 && pe < 1.0, (po - pe) / (lit(1.0) - pe))
+      })
+  }
+
   /** Exact Brier score — the proper scoring rule for probability
     * forecasts (log-loss needs libm; Brier is pure arithmetic): with
     * scores on the [[Profile.calibration]] micro grid (exact-scaled via

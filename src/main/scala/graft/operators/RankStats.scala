@@ -287,6 +287,47 @@ object RankStats {
         col("tie_pairs_x"), col("tie_pairs_y"), col("tau_b"))
   }
 
+  /** Lorenz curve table per key — the inequality CURVE behind
+    * [[giniByKey]]'s scalar ("the top 1% of documents hold 40% of the
+    * token mass"): one row per distinct value with cumulative
+    * population and mass counts, ascending by value. Exact integers on
+    * the micro grid (same non-negative 2-dp contract as gini —
+    * negative values raise in-plan, the loud-failure convention; grid
+    * overflow throws via the ANSI cast); the two shares are single
+    * divisions. Windows run over the per-key distinct-value frame
+    * only.
+    *
+    * Output: (key, value_micro, n_at_value, cum_n, cum_micro, n,
+    * total_micro, pop_share, mass_share). */
+  def lorenzCurve(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val micro = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        when(col(valueCol) < 0, raise_error(lit(
+          s"lorenzCurve: negative $valueCol — the mass curve needs " +
+            "non-negative values")))
+          .otherwise((col(valueCol).cast("decimal(12,2)") * 100)
+            .cast("long") * 10000L).as("__mu"))
+    val counts = micro.groupBy(col(keyCol), col("__mu").as("value_micro"))
+      .agg(count(lit(1)).as("n_at_value"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("value_micro").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.groupBy(col(keyCol))
+      .agg(sum(col("n_at_value")).as("n"),
+        sum(col("value_micro").cast("decimal(38,0)") * col("n_at_value"))
+          .cast("decimal(38,0)").cast("long").as("total_micro"))
+    counts
+      .withColumn("cum_n", sum(col("n_at_value")).over(w).cast("long"))
+      .withColumn("cum_micro",
+        sum(col("value_micro").cast("decimal(38,0)") * col("n_at_value"))
+          .over(w).cast("decimal(38,0)").cast("long"))
+      .join(Broadcasts.maybeBroadcast(totals), Seq(keyCol))
+      .withColumn("pop_share",
+        col("cum_n").cast("double") / col("n").cast("double"))
+      .withColumn("mass_share",
+        when(col("total_micro") > 0,
+          col("cum_micro").cast("double") / col("total_micro").cast("double")))
+  }
+
   /** Spearman rank correlation per key: Pearson over exact doubled
     * midranks of x and y (average-rank ties; the doubling cancels in
     * ρ). Midranks come from per-key distinct-value cumulative counts

@@ -576,6 +576,50 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- Lorenz curve -----------------------------------------------------
+
+  test("lorenzCurve: cumulative shares end at 1; one-holder is maximally " +
+    "bowed; negatives raise") {
+    import graft.operators.RankStats
+    val df = Seq(("k", 0.0), ("k", 0.0), ("k", 0.0), ("k", 100.0))
+      .toDF("g", "v")
+    val rows = RankStats.lorenzCurve(df, "g", "v")
+      .orderBy(col("value_micro").asc).collect()
+    // first point: 3/4 of the population holds 0 mass
+    assert(rows(0).getLong(3) == 3L && rows(0).getLong(4) == 0L)
+    assert(rows(0).getDouble(7) == 0.75 && rows(0).getDouble(8) == 0.0)
+    // last point closes at (1, 1)
+    assert(rows(1).getDouble(7) == 1.0 && rows(1).getDouble(8) == 1.0)
+    intercept[Exception] {
+      RankStats.lorenzCurve(Seq(("k", -1.0)).toDF("g", "v"), "g", "v")
+        .collect()
+    }
+  }
+
+  // ---- Fleiss kappa -----------------------------------------------------
+
+  test("fleissKappa: textbook integers; perfect agreement -> 1; ragged raises") {
+    import graft.operators.Eval
+    // 3 items x 3 raters: item1 AAA, item2 AAB, item3 BBB
+    val df = Seq((1, "A"), (1, "A"), (1, "A"), (2, "A"), (2, "A"), (2, "B"),
+      (3, "B"), (3, "B"), (3, "B")).toDF("item", "cat")
+    val r = Eval.fleissKappa(df, "item", "cat").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 6L + 2L + 6L)  // sum k(k-1): 6, (2+0), 6
+    assert(r.getLong(3) == 25L + 16L)     // margins 5,4 squared
+    // hand kappa: Po = 14/18, Pe = 41/81
+    val po = 14.0 / 18.0; val pe = 41.0 / 81.0
+    assert(math.abs(r.getDouble(4) - (po - pe) / (1 - pe)) < 1e-12)
+    // perfect agreement
+    val perfect = Seq((1, "A"), (1, "A"), (2, "B"), (2, "B")).toDF("item", "cat")
+    assert(Eval.fleissKappa(perfect, "item", "cat").head().getDouble(4) == 1.0)
+    // ragged rating counts raise
+    val ragged = Seq((1, "A"), (1, "A"), (2, "B")).toDF("item", "cat")
+    intercept[Exception] {
+      Eval.fleissKappa(ragged, "item", "cat").collect()
+    }
+  }
+
   // ---- Bayesian average -------------------------------------------------
 
   test("bayesianAverage: small samples shrink to the prior, big samples " +
