@@ -3121,6 +3121,20 @@ object SparkEntry {
       graft.operators.Eval.fleissKappa(
         first3.join(eligible, Seq("user_id")), "user_id", "event_type")
     }),
+
+    // effect size next to the q300 significance: purchase odds/risk by
+    // user parity per cohort
+    "q320_odds_ratio" -> ((s, d) =>
+      graft.operators.Robust.oddsRatio(
+        t(s, d, "events").withColumn("cohort", col("user_id") % 3),
+        "cohort", col("user_id") % 2 === 0,
+        col("event_type") === "purchase")),
+
+    // Flesch reading-ease features per document — exact word/sentence/
+    // vowel-group integers, literal-constant score chain
+    "q321_readability" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.readability(
+        t(s, d, "documents"), "doc_id", "text")),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9331,5 +9345,46 @@ object SparkEntry {
         |        * CAST(n_items AS DOUBLE) * CAST(n_ratings AS DOUBLE)))
         |  END AS kappa
         |FROM tt, pc""".stripMargin,
+
+    // 2x2 cells + cross products; OR/RR single divisions
+    "q320_odds_ratio" ->
+      """WITH g AS (SELECT user_id % 3 AS cohort,
+        |    user_id % 2 = 0 AS ex, event_type = 'purchase' AS oc
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT cohort,
+        |    CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM g GROUP BY 1)
+        |SELECT cohort, a, b, c, d,
+        |  CAST(CAST(a AS HUGEINT) * d AS BIGINT) AS or_num,
+        |  CAST(CAST(b AS HUGEINT) * c AS BIGINT) AS or_den,
+        |  CASE WHEN b * c > 0 THEN CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+        |    / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) END AS odds_ratio,
+        |  CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 THEN
+        |    (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+        |      / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) END AS risk_ratio
+        |FROM c""".stripMargin,
+
+    // whitespace-run words, [.!?]+ sentence runs floored at 1,
+    // vowel-group syllables; the literal Flesch chain
+    "q321_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN length(lower(trim(text))) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |        AS BIGINT) END AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |      1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  END AS flesch
+        |FROM f""".stripMargin,
   )
 }

@@ -209,6 +209,40 @@ object TextAnalysis {
             least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3 +
             when(col("punct_ratio") > 0, 0.2).otherwise(0.0)), 6))
 
+  /** Flesch reading-ease features — the readability member of the
+    * quality-heuristic family (a curation lens orthogonal to length/
+    * stopword ratios: academic scraped text scores low, chat logs
+    * high): exact integer counts of words (whitespace runs), sentences
+    * (`[.!?]+` runs, floored at 1 — headline-like docs count as one
+    * sentence), and syllables (the vowel-GROUP heuristic: maximal
+    * `[aeiouy]+` runs in the lowercased text — groups never span
+    * whitespace, so the doc-level count equals the per-word sum), then
+    * `flesch = 206.835 − 1.015·(w/s) − 84.6·(syl/w)` as a fixed
+    * literal-constant chain over two exact divisions (clamped nowhere
+    * — out-of-[0,100] values are the standard behavior for extreme
+    * text and carry signal). Empty/whitespace docs emit NULL score.
+    *
+    * Output: idCol + (n_words, n_sentences, n_syllables, flesch). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lowered = lower(trim(col(textCol)))
+    val nWords = when(length(lowered) === 0, 0L)
+      .otherwise(size(split(lowered, "\\s+")).cast("long"))
+    val nSent = greatest(
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"),
+      lit(1L))
+    val nSyl = size(expr(
+      s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)")).cast("long")
+    df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+  }
+
   /** Source-level curation decision table — the rollup a curation
     * operator reads to decide which SOURCES to keep, sample, or drop
     * (doc-level gates like q107's pipeline act after this): per source,

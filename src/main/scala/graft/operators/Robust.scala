@@ -242,6 +242,39 @@ object Robust {
         col("__td").cast("long").as("term_den"), col("srm_term"))
   }
 
+  /** Odds ratio and risk ratio per key from the 2×2 exposure/outcome
+    * table — the effect-SIZE readout next to the chi-square tests
+    * (significance without size is how tiny effects ship): exact cell
+    * counts `a` (exposed+outcome), `b` (exposed−), `c` (unexposed+),
+    * `d` (unexposed−), the exact BIGINT cross products `or_num = a·d`
+    * / `or_den = b·c` (decimal internally; ≤ n²/4, safe to n ≈ 6e9),
+    * and the two ratios as single divisions — odds ratio `ad/bc`
+    * (NULL when bc = 0) and risk ratio `(a/(a+b))/(c/(c+d))` (NULL
+    * when either denominator or c is 0). NULL flags drop the row. */
+  def oddsRatio(df: DataFrame, keyCol: String, isExposed: Column,
+                isOutcome: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(isExposed.isNotNull && isOutcome.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(isExposed && isOutcome, 1L).otherwise(0L)).as("a"),
+        sum(when(isExposed && !isOutcome, 1L).otherwise(0L)).as("b"),
+        sum(when(!isExposed && isOutcome, 1L).otherwise(0L)).as("c"),
+        sum(when(!isExposed && !isOutcome, 1L).otherwise(0L)).as("d"))
+      .withColumn("or_num",
+        (col("a").cast(d38) * col("d")).cast(d38).cast("long"))
+      .withColumn("or_den",
+        (col("b").cast(d38) * col("c")).cast(d38).cast("long"))
+      .withColumn("odds_ratio",
+        when(col("or_den") > 0,
+          col("or_num").cast("double") / col("or_den").cast("double")))
+      .withColumn("risk_ratio",
+        when(col("a") + col("b") > 0 && col("c") + col("d") > 0
+          && col("c") > 0,
+          (col("a").cast("double") / (col("a") + col("b")).cast("double")) /
+            (col("c").cast("double") / (col("c") + col("d")).cast("double"))))
+  }
+
   /** McNemar's paired-binary test parts — the A/B test for PAIRED
     * designs (same unit measured under both conditions: old vs new
     * model on the same examples, before/after per user) where the

@@ -576,6 +576,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- odds / risk ratio ------------------------------------------------
+
+  test("oddsRatio: textbook 2x2; zero cells go NULL, never infinity") {
+    import graft.operators.Robust
+    // a=10 b=90 c=5 d=95: OR = 950/450, RR = (10/100)/(5/100) = 2
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(90)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(95)((false, false))
+    val df = rows.toDF("ex", "oc").withColumn("k", lit("k"))
+    val r = Robust.oddsRatio(df, "k", col("ex"), col("oc")).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 90L
+      && r.getLong(3) == 5L && r.getLong(4) == 95L)
+    assert(r.getLong(5) == 950L && r.getLong(6) == 450L)
+    assert(r.getDouble(7) == 950.0 / 450.0)
+    assert(r.getDouble(8) == 2.0)
+    // no unexposed outcomes -> NULL ratios (not +inf)
+    val zc = (Seq.fill(3)((true, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("ex", "oc").withColumn("k", lit("k"))
+    val z = Robust.oddsRatio(zc, "k", col("ex"), col("oc")).head()
+    assert(z.isNullAt(7) && z.isNullAt(8))
+  }
+
+  // ---- readability ------------------------------------------------------
+
+  test("readability: exact word/sentence/syllable counts and the Flesch chain") {
+    import graft.llmdata.TextAnalysis
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "no sentence punctuation here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 6 words, 2 sentences, syllables: e-a-a-e-o-a = 6 groups
+    assert(out(1L).getLong(1) == 6L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getLong(3) == 6L)
+    val expected = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(out(1L).getDouble(4) == expected)
+    // punctuation-free doc floors at one sentence
+    assert(out(2L).getLong(2) == 1L)
+    // empty doc: zero words, NULL score
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(4))
+  }
+
   // ---- Lorenz curve -----------------------------------------------------
 
   test("lorenzCurve: cumulative shares end at 1; one-holder is maximally " +
