@@ -3135,6 +3135,15 @@ object SparkEntry {
     "q321_readability" -> ((s, d) =>
       graft.llmdata.TextAnalysis.readability(
         t(s, d, "documents"), "doc_id", "text")),
+
+    // burstiness check: variance-to-mean ratio of per-(user, day)
+    // event counts, keyed by event type
+    "q322_dispersion" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Profile.dispersionCheck(daily, "event_type", "cnt")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9386,5 +9395,18 @@ object SparkEntry {
         |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
         |  END AS flesch
         |FROM f""".stripMargin,
+
+    // q264-template exact moments; one fixed VMR chain
+    "q322_dispersion" ->
+      """WITH daily AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cnt) AS BIGINT) AS sum_x,
+        |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS sum_x2,
+        |  CASE WHEN SUM(cnt) > 0 THEN
+        |    ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE))
+        |      - (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) END AS vmr
+        |FROM daily GROUP BY 1""".stripMargin,
   )
 }

@@ -719,6 +719,32 @@ object Profile {
           / (lit(2.0 * nBins) * col("n").cast("double"))))
   }
 
+  /** Overdispersion check per key — is a count column Poisson-like or
+    * bursty? The variance-to-mean ratio
+    * `VMR = (n·Σx² − (Σx)²)/(n·Σx)` (≈1 Poisson, ≫1 bursty/clumped —
+    * the contagion signal for event streams, and the "is a negative
+    * binomial needed" pre-check). q264 template: exact integer moments
+    * (counts are integers; Σx² rides decimal, BIGINT out — safe while
+    * per-key Σx² ≤ 9e18), the ratio one fixed double chain. Keys with
+    * zero total emit NULL.
+    *
+    * Output: (key, n, sum_x, sum_x2, vmr). */
+  def dispersionCheck(df: DataFrame, keyCol: String,
+                      countCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(countCol).cast("long")
+    df.filter(col(countCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("long").as("sum_x"),
+        sum(x.cast(d38) * x).cast(d38).cast("long").as("sum_x2"))
+      .withColumn("vmr",
+        when(col("sum_x") > 0,
+          ((col("n").cast("double") * col("sum_x2").cast("double")) -
+            (col("sum_x").cast("double") * col("sum_x").cast("double"))) /
+            (col("n").cast("double") * col("sum_x").cast("double"))))
+  }
+
   /** Isotonic (PAV) calibration over the reliability binning — the
     * monotone score→probability map Platt/beta fits approximate,
     * computed exactly: bin-level (n, pos) counts reduce on the cluster

@@ -576,6 +576,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- dispersion -------------------------------------------------------
+
+  test("dispersionCheck: constant counts -> VMR 0; planted burst >> 1") {
+    import graft.operators.Profile
+    val const = Seq.fill(10)(("k", 5L)).toDF("g", "c")
+    assert(Profile.dispersionCheck(const, "g", "c").head().getDouble(4) == 0.0)
+    // 9 zeros + one 100: mean 10, variance-to-mean ratio >> 1
+    val burst = (Seq.fill(9)(("k", 0L)) :+ (("k", 100L))).toDF("g", "c")
+    val r = Profile.dispersionCheck(burst, "g", "c").head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 100L
+      && r.getLong(3) == 10000L)
+    // (10*10000 - 100*100) / (10*100) = 90
+    assert(r.getDouble(4) == 90.0)
+    // zero-total key -> NULL
+    val z = Seq(("k", 0L)).toDF("g", "c")
+    assert(Profile.dispersionCheck(z, "g", "c").head().isNullAt(4))
+  }
+
   // ---- odds / risk ratio ------------------------------------------------
 
   test("oddsRatio: textbook 2x2; zero cells go NULL, never infinity") {
