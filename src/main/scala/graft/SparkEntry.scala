@@ -2867,7 +2867,7 @@ object SparkEntry {
           max(to_date(col("ts"))).as("__last"))
         .select((col("user_id") % 3).as("cohort"),
           datediff(col("__last"), col("__first")).cast("long").as("dur"),
-          (col("__last") < lit("2024-01-25").cast("date")).as("churned"))
+          (col("__last") < lit("2024-01-30").cast("date")).as("churned"))
       graft.operators.Survival.kaplanMeier(units, "cohort", "dur", "churned")
     }),
 
@@ -3143,6 +3143,19 @@ object SparkEntry {
         .groupBy(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("cnt"))
       graft.operators.Profile.dispersionCheck(daily, "event_type", "cnt")
+    }),
+
+    // log-rank parts: do the parity arms' churn curves differ —
+    // per-event-time exact observed/expected integers
+    "q323_log_rank" -> ((s, d) => {
+      val units = t(s, d, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__first"),
+          max(to_date(col("ts"))).as("__last"))
+        .select(col("user_id"),
+          datediff(col("__last"), col("__first")).cast("long").as("dur"),
+          (col("__last") < lit("2024-01-30").cast("date")).as("churned"))
+      graft.operators.Survival.logRankParts(units,
+        col("user_id") % 2 === 0, "dur", "churned")
     }),
   )
 
@@ -8789,7 +8802,7 @@ object SparkEntry {
       """WITH u AS (SELECT user_id % 3 AS cohort,
         |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
         |      MAX(CAST(ts AS DATE))) AS BIGINT) AS duration,
-        |    MAX(CAST(ts AS DATE)) < DATE '2024-01-25' AS churned
+        |    MAX(CAST(ts AS DATE)) < DATE '2024-01-30' AS churned
         |  FROM events GROUP BY 1, user_id),
         |cells AS (SELECT cohort, duration,
         |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
@@ -9408,5 +9421,39 @@ object SparkEntry {
         |      - (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)))
         |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) END AS vmr
         |FROM daily GROUP BY 1""".stripMargin,
+
+    // per-event-time at-risk identity and expected-events parts
+    "q323_log_rank" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+        |      AS dur,
+        |    MAX(CAST(ts AS DATE)) < DATE '2024-01-30' AS churned,
+        |    user_id % 2 = 0 AS arm_a
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT dur AS duration,
+        |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS xb,
+        |    CAST(SUM(CASE WHEN arm_a AND churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_a,
+        |    CAST(SUM(CASE WHEN NOT arm_a AND churned THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_b
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT CAST(SUM(xa) AS BIGINT) AS na,
+        |    CAST(SUM(xb) AS BIGINT) AS nb FROM cells),
+        |w AS (SELECT *,
+        |    CAST(SUM(xa) OVER win AS BIGINT) AS cuma,
+        |    CAST(SUM(xb) OVER win AS BIGINT) AS cumb
+        |  FROM cells WINDOW win AS (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT duration,
+        |  na - (cuma - xa) AS n_risk_a, nb - (cumb - xb) AS n_risk_b,
+        |  d_a, d_b,
+        |  CAST(CAST(d_a + d_b AS HUGEINT) * (na - (cuma - xa)) AS BIGINT)
+        |    AS e_num,
+        |  (na - (cuma - xa)) + (nb - (cumb - xb)) AS e_den,
+        |  CAST(CAST(d_a + d_b AS HUGEINT) * (na - (cuma - xa)) AS DOUBLE)
+        |    / CAST((na - (cuma - xa)) + (nb - (cumb - xb)) AS DOUBLE)
+        |    AS expected_a
+        |FROM w, t WHERE d_a + d_b > 0""".stripMargin,
   )
 }

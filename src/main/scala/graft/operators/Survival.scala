@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -61,5 +61,58 @@ object Survival {
         col("n_events").cast("double") / col("n_risk").cast("double"))
       .select(col(keyCol), col("duration"), col("n_risk"), col("n_events"),
         col("n_censored"), col("hazard"))
+  }
+
+  /** Log-rank test PARTS — "do two survival curves differ?", the
+    * churn A/B test over [[kaplanMeier]]: at each distinct EVENT time,
+    * the at-risk and event counts per arm plus the exact integer parts
+    * of arm-A's expected events under the null
+    * (`E_A(t) = d_t·n_At/n_t` — emitted as `e_num = d_t·n_At` over
+    * `e_den = n_t`, with `expected_a` the one division). Per the SRM
+    * order-free convention the per-TIME rows are the output — the
+    * statistic `(Σd_A − ΣE_A)²/ΣV` sums a values-scale handful of
+    * times, which a float Σ inside the engine would make
+    * partition-order-dependent; the caller (or a driver-side line)
+    * folds them in time order. Same DESC-cumulation at-risk identity
+    * as [[kaplanMeier]]; times with no events in either arm are
+    * dropped (they contribute nothing).
+    *
+    * Output per event time: (duration, n_risk_a, n_risk_b, d_a, d_b,
+    * e_num, e_den, expected_a). */
+  def logRankParts(units: DataFrame, isGroupA: Column, durationCol: String,
+                   eventCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = units.filter(col(durationCol).isNotNull
+      && col(eventCol).isNotNull && isGroupA.isNotNull)
+      .select(isGroupA.as("__a"), col(durationCol).as("duration"),
+        col(eventCol).as("__e"))
+    val cells = base.groupBy(col("duration"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__xa"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__xb"),
+        sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("d_a"),
+        sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("d_b"))
+    val w = Window.orderBy(col("duration").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = cells.agg(sum(col("__xa")).as("__na"),
+      sum(col("__xb")).as("__nb"))
+    cells
+      .withColumn("__cuma", sum(col("__xa")).over(w))
+      .withColumn("__cumb", sum(col("__xb")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("n_risk_a",
+        (col("__na") - (col("__cuma") - col("__xa"))).cast("long"))
+      .withColumn("n_risk_b",
+        (col("__nb") - (col("__cumb") - col("__xb"))).cast("long"))
+      .filter(col("d_a") + col("d_b") > 0)
+      .withColumn("e_num",
+        ((col("d_a") + col("d_b")).cast(d38) * col("n_risk_a"))
+          .cast(d38).cast("long"))
+      .withColumn("e_den", (col("n_risk_a") + col("n_risk_b")).cast("long"))
+      .withColumn("expected_a",
+        col("e_num").cast("double") / col("e_den").cast("double"))
+      .select(col("duration"), col("n_risk_a"), col("n_risk_b"),
+        col("d_a"), col("d_b"), col("e_num"), col("e_den"),
+        col("expected_a"))
   }
 }

@@ -576,6 +576,30 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- log-rank ---------------------------------------------------------
+
+  test("logRankParts: hand-computed observed/expected at each event time") {
+    import graft.operators.Survival
+    // arm A: events at t=1,2; arm B: event at t=2, censored at t=3
+    val units = Seq((true, 1L, true), (true, 2L, true),
+      (false, 2L, true), (false, 3L, false)).toDF("a", "dur", "ev")
+    val out = Survival.logRankParts(units, col("a"), "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // t=1: risk A=2 B=2, d=1+0 -> E_A = 1*2/4
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getLong(3) == 1L && out(1L).getLong(4) == 0L)
+    assert(out(1L).getLong(5) == 2L && out(1L).getLong(6) == 4L)
+    assert(out(1L).getDouble(7) == 0.5)
+    // t=2: risk A=1 B=2, d=1+1 -> E_A = 2*1/3
+    assert(out(2L).getLong(1) == 1L && out(2L).getLong(2) == 2L)
+    assert(out(2L).getLong(5) == 2L && out(2L).getLong(6) == 3L)
+    assert(out(2L).getDouble(7) == 2.0 / 3.0)
+    // t=3 has no events in either arm -> dropped
+    assert(!out.contains(3L))
+    // observed-vs-expected conservation: sum d_a + d_b = sum d over rows
+    assert(out.values.map(r => r.getLong(3) + r.getLong(4)).sum == 3L)
+  }
+
   // ---- dispersion -------------------------------------------------------
 
   test("dispersionCheck: constant counts -> VMR 0; planted burst >> 1") {
