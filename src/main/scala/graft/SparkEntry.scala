@@ -3157,6 +3157,21 @@ object SparkEntry {
       graft.operators.Survival.logRankParts(units,
         col("user_id") % 2 === 0, "dur", "churned")
     }),
+
+    // NDCG@3 over the REAL kNN graph (q287's construction): pinned
+    // micro log2 discounts, exact dcg/idcg sums, micro-averaged ratio
+    "q324_ndcg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val knn = graft.llmdata.Similarity
+        .knnGraph(emb, "vec_id", "embedding", k = 3, bits = 8)
+        .join(labels.select(col("vec_id").as("node_id"),
+          col("label").as("__la")), "node_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__lb")), "neighbor_id")
+      graft.operators.Eval.ndcgAtK(knn, "node_id", "rank",
+        col("__la") === col("__lb"), k = 3)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9455,5 +9470,37 @@ object SparkEntry {
         |    / CAST((na - (cuma - xa)) + (nb - (cumb - xb)) AS DOUBLE)
         |    AS expected_a
         |FROM w, t WHERE d_a + d_b > 0""".stripMargin,
+
+    // q287's knn CTE -> pinned-discount dcg/idcg integer sums
+    "q324_ndcg" -> {
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+         |    ${bucketSql(8)} AS bucket FROM embeddings),
+         |knn AS (SELECT node_id, la, lb, rank FROM (
+         |  SELECT a.vec_id AS node_id, a.label AS la, b.label AS lb,
+         |    CAST(row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
+         |  FROM v a JOIN v b
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
+         |  WHERE NOT isnan(${cos("a.emb", "b.emb")})) WHERE rank <= 3),
+         |per AS (SELECT node_id,
+         |    CAST(SUM(CASE WHEN la = lb THEN
+         |      CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |        WHEN 3 THEN 500000 END ELSE 0 END) AS BIGINT) AS dcg,
+         |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS nrel
+         |  FROM knn GROUP BY 1),
+         |per2 AS (SELECT node_id, dcg,
+         |    CASE nrel WHEN 0 THEN 0 WHEN 1 THEN 1000000
+         |      WHEN 2 THEN 1630930 ELSE 2130930 END AS idcg
+         |  FROM per)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(dcg) AS BIGINT) AS sum_dcg_micro,
+         |  CAST(SUM(idcg) AS BIGINT) AS sum_idcg_micro,
+         |  CASE WHEN SUM(idcg) > 0 THEN
+         |    CAST(SUM(dcg) AS DOUBLE) / CAST(SUM(idcg) AS DOUBLE) END
+         |    AS micro_avg_ndcg
+         |FROM per2""".stripMargin
+    },
   )
 }

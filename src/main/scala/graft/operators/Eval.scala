@@ -28,6 +28,56 @@ object Eval {
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("auc"))
 
+  /** Micro-scaled log2 position discounts `round(1e6/log2(i+1))` for
+    * ranks 1..20, PINNED literals (log2 is libm — the Benford-table
+    * discipline: never evaluated in-engine). */
+  private val ndcgDiscountMicro: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
+    315465L, 301030L, 289065L, 278943L, 270238L, 262650L, 255958L,
+    250000L, 244651L, 239812L, 235409L, 231378L, 227670L)
+
+  /** NDCG@k over a pre-truncated ranking table (one row per
+    * (query, candidate) with its 1-based rank) — completes the
+    * retrieval-eval family next to [[rankingReport]]'s hit@k/MRR with
+    * the POSITION-GRADED metric: binary relevance, discounts from the
+    * pinned micro-integer table (k ≤ 20), so per-query
+    * `dcg_micro = Σ_{rel} w_rank` and the ideal
+    * `idcg_micro = Σ_{i≤n_rel∧i≤k} w_i` are EXACT BIGINTs,
+    * and the corpus rollup reports the exact micro sums with
+    * `micro_avg_ndcg = Σdcg/Σidcg` as the ONE division — the
+    * MICRO-averaged NDCG, order-free by construction (a float Σ of
+    * per-query ndcg ratios would be partition-order-dependent;
+    * macro-averaging, if wanted, is a caller-side fold over a
+    * per-query emission).
+    *
+    * Output: one row (n_queries, sum_dcg_micro, sum_idcg_micro,
+    * micro_avg_ndcg). */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+              isRelevant: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscountMicro.size,
+      s"k must be in [1, ${ndcgDiscountMicro.size}], got $k")
+    val w = ndcgDiscountMicro.take(k)
+    val discount = w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wi, i)) =>
+      when(col(rankCol) === (i + 1), wi).otherwise(acc)
+    }
+    val idealPrefix = w.scanLeft(0L)(_ + _) // idcg for n_rel = 0..k
+    val idcgOf = idealPrefix.zipWithIndex.foldLeft(lit(idealPrefix.last)) {
+      case (acc, (s, n)) => when(col("__nrel") === n, s).otherwise(acc)
+    }
+    val perQuery = ranked.filter(col(rankCol) <= k && isRelevant.isNotNull)
+      .groupBy(col(queryCol).as("__q"))
+      .agg(sum(when(isRelevant, discount).otherwise(0L)).as("__dcg"),
+        sum(when(isRelevant, 1L).otherwise(0L)).as("__nrel"))
+      .withColumn("__idcg", idcgOf)
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      sum(col("__dcg")).cast("long").as("sum_dcg_micro"),
+      sum(col("__idcg")).cast("long").as("sum_idcg_micro"))
+      .withColumn("micro_avg_ndcg",
+        when(col("sum_idcg_micro") > 0,
+          col("sum_dcg_micro").cast("double")
+            / col("sum_idcg_micro").cast("double")))
+  }
+
   /** Fleiss' kappa — multi-rater chance-corrected agreement (the
     * annotation-QA statistic for LLM-labeling pipelines where
     * [[cohenKappa]]'s two fixed raters don't apply): items each

@@ -576,6 +576,30 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(3).getLong(5) == 0L && rows(3).getDouble(6) == 0.0)
   }
 
+  // ---- NDCG -------------------------------------------------------------
+
+  test("ndcgAtK: pinned discounts, exact micro sums, micro-averaged ratio") {
+    import graft.operators.Eval
+    // q1: rel at ranks 1,3 (dcg 1.5e6, nrel 2 -> idcg 1630930)
+    // q2: rel at rank 2 only (dcg 630930, idcg 1e6)
+    // q3: nothing relevant (0/0 -> contributes nothing)
+    val df = Seq(
+      ("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
+      ("q2", 1, false), ("q2", 2, true), ("q2", 3, false),
+      ("q3", 1, false), ("q3", 2, false), ("q3", 3, false))
+      .toDF("q", "rank", "rel")
+    val r = Eval.ndcgAtK(df, "q", "rank", col("rel"), k = 3).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1500000L + 630930L)
+    assert(r.getLong(2) == 1630930L + 1000000L)
+    assert(r.getDouble(3) == 2130930.0 / 2630930.0)
+    // perfect ranking -> exactly 1
+    val perfect = Seq(("q", 1, true), ("q", 2, true), ("q", 3, false))
+      .toDF("q", "rank", "rel")
+    assert(Eval.ndcgAtK(perfect, "q", "rank", col("rel"), 3)
+      .head().getDouble(3) == 1.0)
+  }
+
   // ---- log-rank ---------------------------------------------------------
 
   test("logRankParts: hand-computed observed/expected at each event time") {
