@@ -9459,17 +9459,26 @@ object SparkEntry {
         |    CAST(SUM(xa) OVER win AS BIGINT) AS cuma,
         |    CAST(SUM(xb) OVER win AS BIGINT) AS cumb
         |  FROM cells WINDOW win AS (ORDER BY duration
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT duration,
-        |  na - (cuma - xa) AS n_risk_a, nb - (cumb - xb) AS n_risk_b,
-        |  d_a, d_b,
-        |  CAST(CAST(d_a + d_b AS HUGEINT) * (na - (cuma - xa)) AS BIGINT)
-        |    AS e_num,
-        |  (na - (cuma - xa)) + (nb - (cumb - xb)) AS e_den,
-        |  CAST(CAST(d_a + d_b AS HUGEINT) * (na - (cuma - xa)) AS DOUBLE)
-        |    / CAST((na - (cuma - xa)) + (nb - (cumb - xb)) AS DOUBLE)
-        |    AS expected_a
-        |FROM w, t WHERE d_a + d_b > 0""".stripMargin,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT duration,
+        |    na - (cuma - xa) AS n_risk_a, nb - (cumb - xb) AS n_risk_b,
+        |    d_a, d_b, d_a + d_b AS dd,
+        |    (na - (cuma - xa)) + (nb - (cumb - xb)) AS nt
+        |  FROM w, t WHERE d_a + d_b > 0)
+        |SELECT duration, n_risk_a, n_risk_b, d_a, d_b,
+        |  CAST(CAST(dd AS HUGEINT) * n_risk_a AS BIGINT) AS e_num,
+        |  nt AS e_den,
+        |  CAST(CAST(dd AS HUGEINT) * n_risk_a AS DOUBLE)
+        |    / CAST(nt AS DOUBLE) AS expected_a,
+        |  CAST(CAST(dd AS HUGEINT) * (nt - dd) * n_risk_a * n_risk_b
+        |    AS BIGINT) AS v_num,
+        |  CAST(CAST(nt AS HUGEINT) * nt * (nt - 1) AS BIGINT) AS v_den,
+        |  CASE WHEN nt > 1 THEN
+        |    CAST(CAST(dd AS HUGEINT) * (nt - dd) * n_risk_a * n_risk_b
+        |      AS DOUBLE)
+        |    / CAST(CAST(nt AS HUGEINT) * nt * (nt - 1) AS DOUBLE) END
+        |    AS variance
+        |FROM f""".stripMargin,
 
     // q287's knn CTE -> pinned-discount dcg/idcg integer sums
     "q324_ndcg" -> {

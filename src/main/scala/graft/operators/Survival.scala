@@ -77,8 +77,16 @@ object Survival {
     * as [[kaplanMeier]]; times with no events in either arm are
     * dropped (they contribute nothing).
     *
+    * The hypergeometric VARIANCE parts complete the statistic:
+    * `V_t = d_t(n_t−d_t)·n_At·n_Bt / (n_t²(n_t−1))` — emitted as
+    * `v_num`/`v_den` exact BIGINTs (decimal internally; v_den = n³
+    * scale, loud ANSI overflow past ~2e6 at-risk — realistic cohort
+    * tables sit far below) with `variance` the one division, NULL at
+    * n_t = 1. The caller folds `(Σd_A − Σexpected_A)²/Σvariance` over
+    * the values-scale times for the χ²₁ statistic.
+    *
     * Output per event time: (duration, n_risk_a, n_risk_b, d_a, d_b,
-    * e_num, e_den, expected_a). */
+    * e_num, e_den, expected_a, v_num, v_den, variance). */
   def logRankParts(units: DataFrame, isGroupA: Column, durationCol: String,
                    eventCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -111,8 +119,18 @@ object Survival {
       .withColumn("e_den", (col("n_risk_a") + col("n_risk_b")).cast("long"))
       .withColumn("expected_a",
         col("e_num").cast("double") / col("e_den").cast("double"))
+      .withColumn("__d", col("d_a") + col("d_b"))
+      .withColumn("v_num",
+        (col("__d").cast(d38) * (col("e_den") - col("__d"))
+          * col("n_risk_a") * col("n_risk_b")).cast(d38).cast("long"))
+      .withColumn("v_den",
+        (col("e_den").cast(d38) * col("e_den") * (col("e_den") - 1))
+          .cast(d38).cast("long"))
+      .withColumn("variance",
+        when(col("v_den") > 0,
+          col("v_num").cast("double") / col("v_den").cast("double")))
       .select(col("duration"), col("n_risk_a"), col("n_risk_b"),
         col("d_a"), col("d_b"), col("e_num"), col("e_den"),
-        col("expected_a"))
+        col("expected_a"), col("v_num"), col("v_den"), col("variance"))
   }
 }

@@ -622,6 +622,12 @@ class Round8OpsSpec extends SparkSpec {
     assert(!out.contains(3L))
     // observed-vs-expected conservation: sum d_a + d_b = sum d over rows
     assert(out.values.map(r => r.getLong(3) + r.getLong(4)).sum == 3L)
+    // hypergeometric variance parts: t=1 -> 1*3*2*2 / (4*4*3)
+    assert(out(1L).getLong(8) == 12L && out(1L).getLong(9) == 48L)
+    assert(out(1L).getDouble(10) == 0.25)
+    // t=2 -> 2*1*1*2 / (3*3*2)
+    assert(out(2L).getLong(8) == 4L && out(2L).getLong(9) == 18L)
+    assert(out(2L).getDouble(10) == 4.0 / 18.0)
   }
 
   // ---- dispersion -------------------------------------------------------
