@@ -343,6 +343,11 @@ object Robust {
     df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol),
         (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+      // source files often arrive in a handful of partitions; the
+      // B-way explode + md5 is the CPU stage, so spread the input
+      // across the full shuffle fan-out first (one cheap row-scale
+      // shuffle buys b-way-parallel hashing)
+      .repartition(col(idCol))
       .withColumn("replicate", explode(array((0 until b).map(i => lit(i)): _*)))
       .withColumn("__m", mult)
       .groupBy(col("replicate"))
@@ -368,7 +373,12 @@ object Robust {
       && loNum < loDen && hiNum < hiDen, "bounds must be rationals in (0,1)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("mean").asc, col("replicate").asc)
+    // the replicate frame is consumed twice below (rank + count) — a
+    // B-row materialization severs the EXPENSIVE upstream lineage
+    // (poissonBootstrap's B-way explode would otherwise replay per
+    // consumer: the q127/multi-consumer trap, measured 2x on q311)
     val ranked = replicates.filter(col("mean").isNotNull)
+      .localCheckpoint(true)
       .withColumn("__rk", row_number().over(w).cast("long"))
     val withB = ranked.crossJoin(broadcast(
       ranked.agg(count(lit(1)).as("__b"))))
