@@ -242,6 +242,10 @@ object Retention {
   /** [[kaplanMeier]] stratified by a segment column (acquisition
     * channel, plan tier, cohort) — the form survival analysis actually
     * ships as: one curve PER SEGMENT so channels can be compared.
+    * (Division of labor: this is the event-stream convenience with the
+    * finished survival curve; `Survival.kaplanMeier` is the
+    * units-frame LIFE-TABLE core — exact integers only, hash-exact for
+    * the oracle gate — and `Survival.logRankParts` its two-arm test.)
     * Same estimator, same ordered-fold determinism; the day-table
     * windows partition by the segment, the censoring horizon stays the
     * GLOBAL stream end (segments share one wall clock — a per-segment

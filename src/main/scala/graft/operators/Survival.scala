@@ -18,7 +18,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Survival {
 
-  /** Kaplan–Meier life table per key: one row per distinct observed
+  /** Kaplan–Meier LIFE TABLE per key: one row per distinct observed
+    * duration with exact at-risk/event/censor INTEGERS and the per-row
+    * hazard — the ORACLE-COMPARABLE core. Division of labor with
+    * [[Retention.kaplanMeierBy]] (which stays the event-stream
+    * convenience wrapper): Retention derives durations + censoring
+    * from a raw event stream and finishes the SURVIVAL PRODUCT via its
+    * documented ordered fold; this operator takes an already-built
+    * UNITS frame (any duration/censor definition — subscriptions,
+    * device uptimes, ticket ages) and deliberately stops at the exact
+    * integers, because the float product has no engine-portable form
+    * (see below). Use Retention for the one-call curve over events;
+    * use this + [[logRankParts]] when the gate needs hash-exact rows
+    * or a two-arm comparison.
+    *
+    * One row per distinct observed
     * duration `t` with the at-risk count `n_risk` (units whose
     * duration ≥ t), event count `n_events` (units with an EVENT at t),
     * censored count `n_censored` (units still alive when observation
