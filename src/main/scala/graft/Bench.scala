@@ -11,11 +11,13 @@ import org.apache.spark.sql.SparkSession
   *  1. COVERAGE FIRST. Pass 1 runs every query exactly once, cheapest-known
   *     risk order (alphabetical, as always), so even a budget-exhausted run
   *     has a sample for every query.
-  *  2. ADAPTIVE REPS. Only queries whose first rep came in under
+  *  2. ADAPTIVE REPS. Queries whose first rep came in under
   *     SPARK_GRAFT_BENCH_LONGQ seconds (default 5) get extra reps, up to
-  *     SPARK_GRAFT_BENCH_REPS (default 3) total. Cheap queries are where
-  *     host noise dominates and median-of-3 pays off; a 10 s query's median
-  *     is not worth 20 more seconds of wall.
+  *     SPARK_GRAFT_BENCH_REPS (default 3) total; queries ABOVE the
+  *     threshold get exactly ONE extra sample (median-of-2 — the upper
+  *     mid) so no artifact median is ever a single cold sample, without
+  *     spending 2x the long tail's cost. Cheap queries are where host
+  *     noise dominates and median-of-3 pays off.
   *  3. CUMULATIVE BUDGET. SPARK_GRAFT_BENCH_BUDGET seconds (default
   *     scales with the suite: max(600, 2.5·n_queries)) bounds the TIMED
   *     region: once spent, remaining extra reps are skipped (pass 1
@@ -98,10 +100,14 @@ object Bench {
     // Cheapest-first banks the cheap queries' reps for minimal budget
     // before any multi-second query spends it.
     val byCost = queries.sortBy { case (name, _) => samples(name).last }
-    (2 to maxReps).foreach { _ =>
+    (2 to maxReps).foreach { pass =>
       byCost.foreach { case (name, fn) =>
         val first = samples(name).last // pass-1 sample (list is prepended)
-        if (spent < budget && first < longQ && !errors.contains(name)) runOnce(name, fn)
+        // long queries get exactly ONE extra sample (on pass 2, after
+        // their first), so no artifact median is ever a single cold
+        // sample; short queries keep the full rep allowance
+        val eligible = first < longQ || pass == 2
+        if (spent < budget && eligible && !errors.contains(name)) runOnce(name, fn)
       }
     }
     val results = queries.map { case (name, _) =>
