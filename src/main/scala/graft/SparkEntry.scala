@@ -24,6 +24,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.read(s, dir, name)
 
+  /** The REAL kNN graph (q96's construction) with both endpoints'
+    * labels — the shared retrieval-eval input of q287/q324/q325/q327
+    * (columns: node_id, neighbor_id, rank, __la, __lb). */
+  private def knnLabeled(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    graft.llmdata.Similarity
+      .knnGraph(emb, "vec_id", "embedding", k = 3, bits = 8)
+      .join(labels.select(col("vec_id").as("node_id"),
+        col("label").as("__la")), "node_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__lb")), "neighbor_id")
+  }
+
   /** Flagship query (SURVEY.md §7.2): silver-style clean of lineitem →
     * monthly gold aggregate. Driver smoke-checks rows>0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2636,18 +2650,9 @@ object SparkEntry {
 
     // retrieval eval over the REAL kNN graph: same-label neighbors as
     // relevance, hit@3 + fixed-point MRR (exact integer sums)
-    "q287_ranking_eval" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val labels = emb.select(col("vec_id"), col("label"))
-      val knn = graft.llmdata.Similarity
-        .knnGraph(emb, "vec_id", "embedding", k = 3, bits = 8)
-        .join(labels.select(col("vec_id").as("node_id"),
-          col("label").as("__la")), "node_id")
-        .join(labels.select(col("vec_id").as("neighbor_id"),
-          col("label").as("__lb")), "neighbor_id")
-      graft.operators.Eval.rankingReport(knn, "node_id", "rank",
-        col("__la") === col("__lb"))
-    }),
+    "q287_ranking_eval" -> ((s, d) =>
+      graft.operators.Eval.rankingReport(knnLabeled(s, d), "node_id", "rank",
+        col("__la") === col("__lb"))),
 
     // chance-corrected agreement of the REAL langid predictions vs
     // planted labels — exact integer kappa over the q32 composition
@@ -3160,18 +3165,27 @@ object SparkEntry {
 
     // NDCG@3 over the REAL kNN graph (q287's construction): pinned
     // micro log2 discounts, exact dcg/idcg sums, micro-averaged ratio
-    "q324_ndcg" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val labels = emb.select(col("vec_id"), col("label"))
-      val knn = graft.llmdata.Similarity
-        .knnGraph(emb, "vec_id", "embedding", k = 3, bits = 8)
-        .join(labels.select(col("vec_id").as("node_id"),
-          col("label").as("__la")), "node_id")
-        .join(labels.select(col("vec_id").as("neighbor_id"),
-          col("label").as("__lb")), "neighbor_id")
-      graft.operators.Eval.ndcgAtK(knn, "node_id", "rank",
-        col("__la") === col("__lb"), k = 3)
-    }),
+    "q324_ndcg" -> ((s, d) =>
+      graft.operators.Eval.ndcgAtK(knnLabeled(s, d), "node_id", "rank",
+        col("__la") === col("__lb"), k = 3)),
+
+    // macro-averaged NDCG@3 on the same graph: per-query floored micro
+    // ratios sum to an exact BIGINT; zero-relevant queries excluded
+    "q325_ndcg_macro" -> ((s, d) =>
+      graft.operators.Eval.ndcgMacroAtK(knnLabeled(s, d), "node_id", "rank",
+        col("__la") === col("__lb"), k = 3)),
+
+    // DeLong variance parts for the q279 AUC: doubled placements from
+    // the same distinct-value lattice, pinned double variance chain
+    "q326_delong" -> ((s, d) =>
+      graft.operators.Eval.deLongVariance(t(s, d, "events"),
+        "event_type", "value", col("user_id") % 3 === 0)),
+
+    // MAP@3 on the knn graph: lcm(1..10)-scaled exact AP numerators,
+    // floored micro grid, zero-hit queries count as zero
+    "q327_map" -> ((s, d) =>
+      graft.operators.Eval.mapAtK(knnLabeled(s, d), "node_id", "rank",
+        col("__la") === col("__lb"), k = 3)),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -3181,6 +3195,36 @@ object SparkEntry {
     "CAST(" + (0 until bits).map(j =>
       s"(CASE WHEN embedding[${2 * j + 1}] >= embedding[${2 * j + 2}] THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ") + " AS BIGINT)"
+
+  /** Shared oracle CTEs for the labeled kNN graph ([[knnLabeled]]):
+    * `v` + `knn(node_id, la, lb, rank ≤ 3)`. */
+  private lazy val knnLabelCte: String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+       |    ${bucketSql(8)} AS bucket FROM embeddings),
+       |knn AS (SELECT node_id, la, lb, rank FROM (
+       |  SELECT a.vec_id AS node_id, a.label AS la, b.label AS lb,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
+       |  FROM v a JOIN v b
+       |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
+       |  WHERE NOT isnan(${cos("a.emb", "b.emb")})) WHERE rank <= 3)""".stripMargin
+  }
+
+  /** Per-query exact dcg/idcg micro CTEs over [[knnLabelCte]]'s `knn`
+    * (k = 3, pinned discounts) — shared by q324/q325. */
+  private lazy val ndcgPerQueryCte: String =
+    """per AS (SELECT node_id,
+      |    CAST(SUM(CASE WHEN la = lb THEN
+      |      CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+      |        WHEN 3 THEN 500000 END ELSE 0 END) AS BIGINT) AS dcg,
+      |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS nrel
+      |  FROM knn GROUP BY 1),
+      |per2 AS (SELECT node_id, dcg,
+      |    CASE nrel WHEN 0 THEN 0 WHEN 1 THEN 1000000
+      |      WHEN 2 THEN 1630930 ELSE 2130930 END AS idcg
+      |  FROM per)""".stripMargin
 
   private val stopwordSql: String =
     Seq(" the ", " and ", " a ", " of ", " to ", " in ")
@@ -9481,35 +9525,101 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     // q287's knn CTE -> pinned-discount dcg/idcg integer sums
-    "q324_ndcg" -> {
-      def cos(a: String, b: String) =
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
-         |    ${bucketSql(8)} AS bucket FROM embeddings),
-         |knn AS (SELECT node_id, la, lb, rank FROM (
-         |  SELECT a.vec_id AS node_id, a.label AS la, b.label AS lb,
-         |    CAST(row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS INT) AS rank
-         |  FROM v a JOIN v b
-         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
-         |  WHERE NOT isnan(${cos("a.emb", "b.emb")})) WHERE rank <= 3),
-         |per AS (SELECT node_id,
-         |    CAST(SUM(CASE WHEN la = lb THEN
-         |      CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
-         |        WHEN 3 THEN 500000 END ELSE 0 END) AS BIGINT) AS dcg,
-         |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS nrel
-         |  FROM knn GROUP BY 1),
-         |per2 AS (SELECT node_id, dcg,
-         |    CASE nrel WHEN 0 THEN 0 WHEN 1 THEN 1000000
-         |      WHEN 2 THEN 1630930 ELSE 2130930 END AS idcg
-         |  FROM per)
+    "q324_ndcg" ->
+      s"""WITH $knnLabelCte,
+         |$ndcgPerQueryCte
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          |  CAST(SUM(dcg) AS BIGINT) AS sum_dcg_micro,
          |  CAST(SUM(idcg) AS BIGINT) AS sum_idcg_micro,
          |  CASE WHEN SUM(idcg) > 0 THEN
          |    CAST(SUM(dcg) AS DOUBLE) / CAST(SUM(idcg) AS DOUBLE) END
          |    AS micro_avg_ndcg
-         |FROM per2""".stripMargin
-    },
+         |FROM per2""".stripMargin,
+
+    // per-query floored micro ratios -> exact macro sum; idcg=0
+    // queries counted but excluded from the mean
+    "q325_ndcg_macro" ->
+      s"""WITH $knnLabelCte,
+         |$ndcgPerQueryCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CASE WHEN idcg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_rel,
+         |  CAST(SUM(CASE WHEN idcg > 0 THEN (1000000 * dcg) // idcg
+         |    ELSE 0 END) AS BIGINT) AS sum_ndcg_micro,
+         |  CASE WHEN COUNT(*) > SUM(CASE WHEN idcg = 0 THEN 1 ELSE 0 END)
+         |    THEN CAST(SUM(CASE WHEN idcg > 0 THEN (1000000 * dcg) // idcg
+         |        ELSE 0 END) AS DOUBLE)
+         |      / (CAST(COUNT(*) - SUM(CASE WHEN idcg = 0 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) * 1000000.0) END AS macro_avg_ndcg
+         |FROM per2""".stripMargin,
+
+    // q279's lattice -> doubled placements p/q, exact part sums,
+    // pinned double variance chain (same operation order as Spark)
+    "q326_delong" ->
+      """WITH c AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL
+        |    AND user_id IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(ca) OVER win AS HUGEINT) AS cuma,
+        |    CAST(SUM(cb) OVER win AS HUGEINT) AS cumb
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cb) AS BIGINT) AS n_neg FROM c GROUP BY 1),
+        |p AS (SELECT w.k, ca, cb,
+        |    2 * (cumb - cb) + cb AS pd,
+        |    2 * (n_pos - cuma) + ca AS qd
+        |  FROM w JOIN t ON w.k = t.k
+        |  WHERE n_pos > 0 AND n_neg > 0),
+        |g AS (SELECT k,
+        |    CAST(SUM(CAST(ca AS HUGEINT) * pd) AS BIGINT) AS sum_v10_doubled,
+        |    CAST(SUM(CAST(ca AS HUGEINT) * pd * pd) AS BIGINT) AS sum_v10_sq,
+        |    CAST(SUM(CAST(cb AS HUGEINT) * qd) AS BIGINT) AS sum_v01_doubled,
+        |    CAST(SUM(CAST(cb AS HUGEINT) * qd * qd) AS BIGINT) AS sum_v01_sq
+        |  FROM p GROUP BY 1)
+        |SELECT k AS event_type, n_pos, n_neg,
+        |  sum_v10_doubled, sum_v10_sq, sum_v01_doubled, sum_v01_sq,
+        |  CAST(sum_v10_doubled AS DOUBLE)
+        |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+        |  CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+        |    (CAST(n_pos AS DOUBLE) * CAST(sum_v10_sq AS DOUBLE)
+        |        - CAST(sum_v10_doubled AS DOUBLE) * CAST(sum_v10_doubled AS DOUBLE))
+        |      / (CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) - 1.0))
+        |      / (4.0 * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |      / CAST(n_pos AS DOUBLE)
+        |    + (CAST(n_neg AS DOUBLE) * CAST(sum_v01_sq AS DOUBLE)
+        |        - CAST(sum_v01_doubled AS DOUBLE) * CAST(sum_v01_doubled AS DOUBLE))
+        |      / (CAST(n_neg AS DOUBLE) * (CAST(n_neg AS DOUBLE) - 1.0))
+        |      / (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE))
+        |      / CAST(n_neg AS DOUBLE)
+        |  END AS var_auc
+        |FROM g JOIN t USING (k)""".stripMargin,
+
+    // lcm(1..10)=2520-scaled exact AP terms; floored micro macro sum
+    "q327_map" ->
+      s"""WITH $knnLabelCte,
+         |h AS (SELECT node_id, la, lb, rank,
+         |    SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY node_id ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+         |  FROM knn),
+         |ap AS (SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS r_k,
+         |    CAST(SUM(CASE WHEN la = lb THEN (2520 * hits) // rank
+         |      ELSE 0 END) AS BIGINT) AS ap_scaled
+         |  FROM h GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CASE WHEN r_k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_with_hits,
+         |  CAST(SUM(CASE WHEN r_k > 0
+         |    THEN (1000000 * ap_scaled) // (2520 * r_k) ELSE 0 END) AS BIGINT)
+         |    AS sum_ap_micro,
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    CAST(SUM(CASE WHEN r_k > 0
+         |      THEN (1000000 * ap_scaled) // (2520 * r_k) ELSE 0 END) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) END AS macro_map
+         |FROM ap""".stripMargin,
   )
 }

@@ -53,7 +53,25 @@ object Eval {
     * Output: one row (n_queries, sum_dcg_micro, sum_idcg_micro,
     * micro_avg_ndcg). */
   def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
-              isRelevant: Column, k: Int): DataFrame = {
+              isRelevant: Column, k: Int): DataFrame =
+    ndcgPerQuery(ranked, queryCol, rankCol, isRelevant, k)
+      .agg(count(lit(1)).as("n_queries"),
+      sum(col("__dcg")).cast("long").as("sum_dcg_micro"),
+      sum(col("__idcg")).cast("long").as("sum_idcg_micro"))
+      .withColumn("micro_avg_ndcg",
+        when(col("sum_idcg_micro") > 0,
+          col("sum_dcg_micro").cast("double")
+            / col("sum_idcg_micro").cast("double")))
+
+  /** Per-query NDCG@k frame shared by [[ndcgAtK]] (micro rollup) and
+    * [[ndcgMacroAtK]]: (`__q`, `__dcg`, `__nrel`, `__idcg`) — exact
+    * micro-integer DCG/IDCG per query from the pinned discount table.
+    * One hash aggregate over the pre-truncated ranking rows; the
+    * discount and ideal-prefix lookups are literal CASE chains
+    * (metadata-free, codegen-friendly). */
+  private def ndcgPerQuery(ranked: DataFrame, queryCol: String,
+                           rankCol: String, isRelevant: Column,
+                           k: Int): DataFrame = {
     require(k >= 1 && k <= ndcgDiscountMicro.size,
       s"k must be in [1, ${ndcgDiscountMicro.size}], got $k")
     val w = ndcgDiscountMicro.take(k)
@@ -64,19 +82,174 @@ object Eval {
     val idcgOf = idealPrefix.zipWithIndex.foldLeft(lit(idealPrefix.last)) {
       case (acc, (s, n)) => when(col("__nrel") === n, s).otherwise(acc)
     }
-    val perQuery = ranked.filter(col(rankCol) <= k && isRelevant.isNotNull)
+    ranked.filter(col(rankCol) <= k && isRelevant.isNotNull)
       .groupBy(col(queryCol).as("__q"))
       .agg(sum(when(isRelevant, discount).otherwise(0L)).as("__dcg"),
         sum(when(isRelevant, 1L).otherwise(0L)).as("__nrel"))
       .withColumn("__idcg", idcgOf)
-    perQuery.agg(count(lit(1)).as("n_queries"),
-      sum(col("__dcg")).cast("long").as("sum_dcg_micro"),
-      sum(col("__idcg")).cast("long").as("sum_idcg_micro"))
-      .withColumn("micro_avg_ndcg",
-        when(col("sum_idcg_micro") > 0,
-          col("sum_dcg_micro").cast("double")
-            / col("sum_idcg_micro").cast("double")))
   }
+
+  /** MACRO-averaged NDCG@k — every query votes equally, regardless of
+    * how many relevant candidates it has (the micro average of
+    * [[ndcgAtK]] weights queries by IDCG mass). The order-free trick:
+    * each query's ratio is floored onto the micro grid
+    * (`ndcg_micro = 1e6·dcg div idcg` — exact integer division of
+    * exact BIGINTs, engine-portable), so the corpus sum is an exact
+    * BIGINT at any parallelism and the macro mean is ONE final
+    * division. Queries with no relevant candidate in the top-k
+    * (IDCG = 0, NDCG undefined) are counted in `n_zero_rel` and
+    * excluded from the mean — never averaged in as fake zeros.
+    *
+    * Output: one row (n_queries, n_zero_rel, sum_ndcg_micro,
+    * macro_avg_ndcg = Σ/( (n_queries−n_zero_rel)·1e6 ), NULL when every
+    * query lacks relevant candidates). */
+  def ndcgMacroAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+                   isRelevant: Column, k: Int): DataFrame =
+    ndcgPerQuery(ranked, queryCol, rankCol, isRelevant, k)
+      .withColumn("__nm",
+        when(col("__idcg") > 0,
+          expr("(1000000 * __dcg) div __idcg")).otherwise(0L))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__idcg") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero_rel"),
+        sum(col("__nm")).cast("long").as("sum_ndcg_micro"))
+      .withColumn("macro_avg_ndcg",
+        when(col("n_queries") > col("n_zero_rel"),
+          col("sum_ndcg_micro").cast("double")
+            / ((col("n_queries") - col("n_zero_rel")).cast("double")
+              * lit(1000000.0))))
+
+  /** DeLong variance parts for [[aucByKey]] — the standard error that
+    * turns an AUC point estimate into a confidence interval / paired
+    * test (DeLong, DeLong & Clarke-Pearson 1988): per key, the
+    * placement sums and sums-of-squares of both structural components,
+    * in the repo's DOUBLED-integer convention (a positive at distinct
+    * value v has doubled placement `p = 2·(#neg below) + #neg tied`;
+    * a negative symmetrically against positives above), computed on
+    * the per-key distinct-value lattice — one hash aggregate, two
+    * key-partitioned values-scale windows, no raw-row ranks. The
+    * doubled sums satisfy `Σca·p = Σcb·q = 2·n_pos·n_neg·AUC` exactly
+    * (spec-pinned identity).
+    *
+    * `var_auc = S10/n_pos + S01/n_neg` with
+    * `S10 = (n_pos·Σp² − (Σp)²) / (n_pos·(n_pos−1)·4·n_neg²)` is ONE
+    * pinned double chain over the exact BIGINT parts (the q264
+    * portability class; the oracle mirrors the same operation order).
+    * BIGINT bounds: Σp ≤ 2·n_pos·n_neg (~3e9 rows/side), Σp² ≤
+    * n_pos·4·n_neg² — exact while n_pos·n_neg² ≤ ~2e18 (e.g. 1e6 pos ×
+    * 1e6 neg); past that the ANSI cast fails loudly. Keys needing a
+    * variance (n_pos ≥ 2 and n_neg ≥ 2) emit it; smaller keys emit
+    * NULL. Keys with an empty class drop (AUC undefined).
+    *
+    * Output: (key, n_pos, n_neg, sum_v10_doubled, sum_v10_sq,
+    * sum_v01_doubled, sum_v01_sq, auc, var_auc). */
+  def deLongVariance(df: DataFrame, keyCol: String, scoreCol: String,
+                     isPositive: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val counts = RankStats.splitCounts(df, keyCol, scoreCol, isPositive)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).as("n_pos"), sum(col("__cb")).as("n_neg"))
+    val placed = counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(Broadcasts.maybeBroadcast(totals), Seq(keyCol))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("__p",
+        (lit(2L) * (col("__cumb") - col("__cb")) + col("__cb")).cast(d38))
+      .withColumn("__q",
+        (lit(2L) * (col("n_pos") - col("__cuma")) + col("__ca")).cast(d38))
+    val parts = placed.groupBy(col(keyCol))
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        sum(col("__ca").cast(d38) * col("__p")).cast(d38).cast("long")
+          .as("sum_v10_doubled"),
+        sum(col("__ca").cast(d38) * col("__p") * col("__p")).cast(d38)
+          .cast("long").as("sum_v10_sq"),
+        sum(col("__cb").cast(d38) * col("__q")).cast(d38).cast("long")
+          .as("sum_v01_doubled"),
+        sum(col("__cb").cast(d38) * col("__q") * col("__q")).cast(d38)
+          .cast("long").as("sum_v01_sq"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    // pinned double chains (identical operation order in the oracle)
+    val s10 = (np * col("sum_v10_sq").cast("double") -
+      col("sum_v10_doubled").cast("double")
+        * col("sum_v10_doubled").cast("double")) /
+      (np * (np - lit(1.0)))
+    val s01 = (nn * col("sum_v01_sq").cast("double") -
+      col("sum_v01_doubled").cast("double")
+        * col("sum_v01_doubled").cast("double")) /
+      (nn * (nn - lit(1.0)))
+    parts
+      .withColumn("auc",
+        col("sum_v10_doubled").cast("double")
+          / (lit(2.0) * np * nn))
+      .withColumn("var_auc",
+        when(col("n_pos") > 1 && col("n_neg") > 1,
+          s10 / (lit(4.0) * nn * nn) / np + s01 / (lit(4.0) * np * np) / nn))
+  }
+
+  /** Average precision at k per query over a pre-truncated ranking
+    * table (one row per (query, candidate) with its UNIQUE 1-based
+    * rank ≤ k per query — the [[ndcgAtK]] input contract): the exact
+    * fixed-point trick is scaling by 2520 = lcm(1..10), so every
+    * precision term `hits_i / i` (i ≤ k ≤ 10) is an exact integer
+    * `hits_i · (2520 div i)` and the per-query AP numerator
+    * `ap_scaled = Σ_{relevant i} 2520·hits_i/i` is an exact BIGINT —
+    * no float sum anywhere. The denominator is the number of relevant
+    * candidates IN the list (r_k), the standard AP@k convention for
+    * truncated rankings. The one window is per-query over ≤k rows
+    * (key-partitioned, bounded by construction).
+    *
+    * Output per query: (query, n_eval, r_k, ap_scaled,
+    * ap = ap_scaled/(2520·r_k), NULL when r_k = 0). */
+  def averagePrecisionAtK(ranked: DataFrame, queryCol: String,
+                          rankCol: String, isRelevant: Column,
+                          k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1, 10], got $k")
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.filter(col(rankCol) <= k && isRelevant.isNotNull)
+      .withColumn("__rel", when(isRelevant, 1L).otherwise(0L))
+      .withColumn("__hits", sum(col("__rel")).over(w))
+      .withColumn("__term",
+        when(col("__rel") === 1L,
+          expr(s"(2520 * __hits) div $rankCol")).otherwise(0L))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("__rel")).cast("long").as("r_k"),
+        sum(col("__term")).cast("long").as("ap_scaled"))
+      .withColumn("ap",
+        when(col("r_k") > 0,
+          col("ap_scaled").cast("double")
+            / (lit(2520.0) * col("r_k").cast("double"))))
+  }
+
+  /** Mean average precision at k — the macro rollup of
+    * [[averagePrecisionAtK]]: each query's AP floors onto the micro
+    * grid (`ap_micro = 1e6·ap_scaled div (2520·r_k)` — exact integer
+    * division), queries with no relevant candidate contribute 0 (the
+    * standard MAP convention: a retrieval that found nothing scores
+    * zero, unlike NDCG where the ideal is undefined), and the corpus
+    * sum is an exact BIGINT — order-free, one final division.
+    *
+    * Output: one row (n_queries, n_with_hits, sum_ap_micro,
+    * macro_map = Σ/(n_queries·1e6)). */
+  def mapAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+             isRelevant: Column, k: Int): DataFrame =
+    averagePrecisionAtK(ranked, queryCol, rankCol, isRelevant, k)
+      .withColumn("__apm",
+        when(col("r_k") > 0,
+          expr("(1000000 * ap_scaled) div (2520 * r_k)")).otherwise(0L))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("r_k") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_with_hits"),
+        sum(col("__apm")).cast("long").as("sum_ap_micro"))
+      .withColumn("macro_map",
+        when(col("n_queries") > 0,
+          col("sum_ap_micro").cast("double")
+            / (col("n_queries").cast("double") * lit(1000000.0))))
 
   /** Fleiss' kappa — multi-rater chance-corrected agreement (the
     * annotation-QA statistic for LLM-labeling pipelines where

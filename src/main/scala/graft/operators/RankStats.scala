@@ -39,8 +39,8 @@ object RankStats {
     * (key, __v, __ca, __cb) — the shared reduction. Rows where the
     * membership predicate is NULL are EXCLUDED (they belong to neither
     * sample — silently counting them as B would bias every test). */
-  private def splitCounts(df: DataFrame, keyCol: String, valueCol: String,
-                          isA: Column): DataFrame =
+  private[operators] def splitCounts(df: DataFrame, keyCol: String,
+                                     valueCol: String, isA: Column): DataFrame =
     df.filter(col(valueCol).isNotNull && isA.isNotNull)
       .groupBy(col(keyCol), col(valueCol).as("__v"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: macro NDCG, DeLong AUC variance, AP/MAP@k —
+  * hand-computed fixtures plus the algebraic identities that pin the
+  * doubled-placement and fixed-point conventions. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Eval
+
+  // ---- macro NDCG ---------------------------------------------------------
+
+  test("ndcgMacroAtK: floored per-query micro ratios, zero-rel exclusion") {
+    // q1: rel at ranks 1,3 (dcg 1.5e6, idcg 1630930)
+    // q2: rel at rank 2 (dcg 630930, idcg 1e6) -> micro exactly 630930
+    // q3: nothing relevant -> counted, excluded from the mean
+    val df = Seq(
+      ("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
+      ("q2", 1, false), ("q2", 2, true), ("q2", 3, false),
+      ("q3", 1, false), ("q3", 2, false), ("q3", 3, false))
+      .toDF("q", "rank", "rel")
+    val r = Eval.ndcgMacroAtK(df, "q", "rank", col("rel"), k = 3).head()
+    val expected = 1500000L * 1000000L / 1630930L + 630930L
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == expected)
+    assert(r.getDouble(3) == expected.toDouble / (2.0 * 1000000.0))
+    // all-zero-relevant corpus: NULL macro, never a 0/0
+    val none = Seq(("q", 1, false)).toDF("q", "rank", "rel")
+    assert(Eval.ndcgMacroAtK(none, "q", "rank", col("rel"), 3)
+      .head().isNullAt(3))
+  }
+
+  test("ndcgMacroAtK vs ndcgAtK: perfect ranking scores 1 on both averages") {
+    val perfect = Seq(("a", 1, true), ("a", 2, true), ("a", 3, false),
+      ("b", 1, true), ("b", 2, false), ("b", 3, false))
+      .toDF("q", "rank", "rel")
+    assert(Eval.ndcgAtK(perfect, "q", "rank", col("rel"), 3)
+      .head().getDouble(3) == 1.0)
+    // floored micro grid: each query lands exactly on 1e6
+    val m = Eval.ndcgMacroAtK(perfect, "q", "rank", col("rel"), 3).head()
+    assert(m.getLong(2) == 2000000L && m.getDouble(3) == 1.0)
+  }
+
+  // ---- DeLong variance ----------------------------------------------------
+
+  test("deLongVariance: hand-computed placements, variance, tie midpoints") {
+    // pos values {1,3}, neg {2,2}: doubled placements p={0,4}, q={2,2}
+    val df = Seq(("k", 1.0, true), ("k", 3.0, true),
+      ("k", 2.0, false), ("k", 2.0, false)).toDF("g", "v", "pos")
+    val r = Eval.deLongVariance(df, "g", "v", col("pos")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)   // n_pos, n_neg
+    assert(r.getLong(3) == 4L && r.getLong(4) == 16L)  // sum p, sum p^2
+    assert(r.getLong(5) == 4L && r.getLong(6) == 8L)   // sum q, sum q^2
+    assert(r.getDouble(7) == 0.5)                       // auc
+    assert(r.getDouble(8) == 0.25)                      // var_auc
+    // a fully tied pair: placement is the exact midpoint, variance NULL
+    val tied = Seq(("k", 2.0, true), ("k", 2.0, false)).toDF("g", "v", "pos")
+    val tr = Eval.deLongVariance(tied, "g", "v", col("pos")).head()
+    assert(tr.getLong(3) == 1L && tr.getDouble(7) == 0.5 && tr.isNullAt(8))
+  }
+
+  test("deLongVariance identities: both placement sums equal 2*np*nn*auc " +
+    "and match aucByKey") {
+    val df = (1 to 200).map { i =>
+      ("k", (i * 7919 % 23).toDouble, i % 3 == 0)
+    }.toDF("g", "v", "pos")
+    val r = Eval.deLongVariance(df, "g", "v", col("pos")).head()
+    val np = r.getLong(1); val nn = r.getLong(2)
+    assert(r.getLong(3) == r.getLong(5)) // sum_v10_doubled == sum_v01_doubled
+    assert(r.getDouble(7) ==
+      r.getLong(3).toDouble / (2.0 * np.toDouble * nn.toDouble))
+    val auc = Eval.aucByKey(df, "g", "v", col("pos")).head().getDouble(3)
+    assert(r.getDouble(7) == auc)
+    assert(!r.isNullAt(8) && r.getDouble(8) > 0.0)
+  }
+
+  // ---- AP / MAP -----------------------------------------------------------
+
+  test("averagePrecisionAtK: exact 2520-scaled terms, hand-checked APs") {
+    val df = Seq(
+      ("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
+      ("q2", 1, false), ("q2", 2, true), ("q2", 3, false),
+      ("q3", 1, false), ("q3", 2, false), ("q3", 3, false))
+      .toDF("q", "rank", "rel")
+    val out = Eval.averagePrecisionAtK(df, "q", "rank", col("rel"), k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // q1: 2520*1/1 + 2520*2/3 = 2520 + 1680; AP = (1 + 2/3)/2
+    assert(out("q1").getLong(3) == 4200L)
+    assert(out("q1").getDouble(4) == 4200.0 / (2520.0 * 2.0))
+    // q2: 2520*1/2; AP = 0.5
+    assert(out("q2").getLong(3) == 1260L && out("q2").getDouble(4) == 0.5)
+    // q3: no hits -> NULL AP
+    assert(out("q3").getLong(2) == 0L && out("q3").isNullAt(4))
+  }
+
+  test("mapAtK: floored micro APs, zero-hit queries count as zero") {
+    val df = Seq(
+      ("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
+      ("q2", 1, false), ("q2", 2, true),
+      ("q3", 1, false)).toDF("q", "rank", "rel")
+    val r = Eval.mapAtK(df, "q", "rank", col("rel"), k = 3).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    val expected = 1000000L * 4200L / 5040L + 500000L
+    assert(r.getLong(2) == expected)
+    assert(r.getDouble(3) == expected.toDouble / (3.0 * 1000000.0))
+    // perfect retrieval: MAP exactly 1
+    val perfect = Seq(("q", 1, true), ("q", 2, true)).toDF("q", "rank", "rel")
+    assert(Eval.mapAtK(perfect, "q", "rank", col("rel"), 3)
+      .head().getDouble(3) == 1.0)
+  }
+}
