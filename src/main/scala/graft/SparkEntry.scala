@@ -3186,6 +3186,41 @@ object SparkEntry {
     "q327_map" -> ((s, d) =>
       graft.operators.Eval.mapAtK(knnLabeled(s, d), "node_id", "rank",
         col("__la") === col("__lb"), k = 3)),
+
+    // calibration-monitor replay: fold q306's bin partials over three
+    // arrival windows through the sink's exact merge, finish once —
+    // streamed state ≡ the one-shot ECE (the q290-q293 sink pattern)
+    "q328_ece_monitor_replay" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("ts"),
+        graft.llmdata.Sampling.hashFraction(col("event_id")).as("score"),
+        (col("event_type") === "purchase").as("label"))
+      def bins(lo: String, hi: String) = graft.operators.Profile
+        .calibrationBins(ev.filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz")),
+          "score", "label", nBins = 10)
+      val folded = graft.streaming.Streaming.mergeBinCounts(
+        graft.streaming.Streaming.mergeBinCounts(
+          bins("2024-01-01", "2024-01-11"), bins("2024-01-11", "2024-01-21")),
+        bins("2024-01-21", "2024-02-01"))
+      graft.operators.Profile.eceFromBins(folded, nBins = 10)
+    }),
+
+    // conformal-monitor replay: fold the distinct-residual counts over
+    // three arrival windows, finish the rational-rank quantile once
+    "q329_conformal_monitor_replay" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("ts"), abs(col("value") - 100.0).as("residual"))
+      def cnts(lo: String, hi: String) = ev
+        .filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+          && col("ts") < lit(hi).cast("timestamp_ntz"))
+        .groupBy(col("residual")).agg(count(lit(1)).as("cnt"))
+      val folded = graft.streaming.Streaming.mergeResidualCounts(
+        graft.streaming.Streaming.mergeResidualCounts(
+          cnts("2024-01-01", "2024-01-11"), cnts("2024-01-11", "2024-01-21")),
+        cnts("2024-01-21", "2024-02-01"))
+      graft.operators.Eval.conformalQuantileFromCounts(folded,
+        alphaNum = 1, alphaDen = 10)
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9621,5 +9656,42 @@ object SparkEntry {
          |      THEN (1000000 * ap_scaled) // (2520 * r_k) ELSE 0 END) AS DOUBLE)
          |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) END AS macro_map
          |FROM ap""".stripMargin,
+
+    // one-shot over the full stream ≡ the sink's three-batch fold
+    "q328_ece_monitor_replay" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS score,
+        |    event_type = 'purchase' AS label FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+        |b2 AS (SELECT *, CAST(CAST(score AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS sm FROM b),
+        |b3 AS (SELECT *, least((sm * 10) // 1000000, 9) AS bin
+        |  FROM b2 WHERE sm BETWEEN 0 AND 1000000),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM b3 GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(ABS(20 * p - (2 * bin + 1) * n)) AS BIGINT) AS ece_num,
+        |  CASE WHEN SUM(n) > 0 THEN
+        |    CAST(SUM(ABS(20 * p - (2 * bin + 1) * n)) AS DOUBLE)
+        |      / (20.0 * CAST(SUM(n) AS DOUBLE)) END AS ece
+        |FROM g""".stripMargin,
+
+    // q304's rational-rank quantile, global, one-shot over the stream
+    "q329_conformal_monitor_replay" ->
+      """WITH c AS (SELECT abs(value - 100.0) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST((((SUM(cnt) + 1) * 9) + 9) // 10 AS BIGINT) AS k_rank
+        |  FROM c),
+        |w AS (SELECT v, CAST(SUM(cnt) OVER win AS BIGINT) AS cum
+        |  FROM c WINDOW win AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT n, k_rank,
+        |  MIN(CASE WHEN cum >= k_rank THEN v END) AS qhat
+        |FROM w, t GROUP BY 1, 2""".stripMargin,
   )
 }

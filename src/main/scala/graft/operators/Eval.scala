@@ -441,6 +441,34 @@ object Eval {
       .select(col(keyCol), col("n"), col("k_rank"), col("qhat"))
   }
 
+  /** [[conformalQuantile]]'s finishing step over a PRE-AGGREGATED
+    * distinct-residual count table `(residual, cnt)` — the mergeable
+    * partial the streaming conformal monitor
+    * ([[graft.streaming.Streaming.conformalMonitorSink]]) maintains
+    * (same-residual counts from different batches just sum). Global
+    * (single-population) form: one ordered window over the
+    * distinct-value lattice, exact rational rank threshold.
+    *
+    * Output: one row (n, k_rank, qhat — NULL when k_rank > n). */
+  def conformalQuantileFromCounts(counts: DataFrame, alphaNum: Int,
+                                  alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): got $alphaNum/$alphaDen")
+    val w = Window.orderBy(col("residual").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("cnt")).cast("long").as("n"))))
+      .withColumn("k_rank",
+        expr(s"(((n + 1) * ${alphaDen - alphaNum}) + ${alphaDen - 1}) div $alphaDen")
+          .cast("long"))
+      .groupBy(col("n"), col("k_rank"))
+      .agg(min(when(col("__cum") >= col("k_rank"), col("residual")))
+        .as("qhat"))
+      .select(col("n"), col("k_rank"), col("qhat"))
+  }
+
   /** Empirical coverage of the conformal interval on a TEST frame:
     * joins each key's `qhat` ([[conformalQuantile]]) and counts test
     * rows whose residual is ≤ q̂ — `coverage = n_covered/n_test`, one

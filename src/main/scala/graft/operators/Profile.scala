@@ -699,25 +699,40 @@ object Profile {
     *
     * Output: one row (n, ece_num, ece). */
   def expectedCalibrationError(df: DataFrame, scoreCol: String,
-                               labelCol: String, nBins: Int): DataFrame = {
+                               labelCol: String, nBins: Int): DataFrame =
+    eceFromBins(calibrationBins(df, scoreCol, labelCol, nBins), nBins)
+
+  /** The mergeable PARTIAL behind [[expectedCalibrationError]]: per-bin
+    * (bin, n, n_pos) counts on the exact micro-unit binning — a pure
+    * COUNT algebra (same-bin rows from different batches just sum), so
+    * the streaming calibration monitor
+    * ([[graft.streaming.Streaming.calibrationMonitorSink]]) can fold
+    * batches into a stored bins table and re-derive the ECE each batch
+    * without rescanning history. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    val binned = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .withColumn("__sm",
         (col(scoreCol).cast("decimal(20,6)") * 1000000).cast("long"))
       .filter(col("__sm") >= 0 && col("__sm") <= 1000000L)
       .withColumn("bin",
         least(expr(s"(__sm * $nBins) div 1000000"), lit(nBins - 1L)))
-    binned.groupBy(col("bin"))
-      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__p"))
-      .agg(sum(col("__n")).cast("long").as("n"),
-        sum(abs(lit(2L * nBins) * col("__p")
-          - (lit(2L) * col("bin") + 1) * col("__n")))
-          .cast("long").as("ece_num"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+  }
+
+  /** Finish [[expectedCalibrationError]] from a (bin, n, n_pos) partial
+    * table ([[calibrationBins]] or a streamed merge of them): the exact
+    * midpoint-convention ECE — BIGINT numerator, one division. */
+  def eceFromBins(bins: DataFrame, nBins: Int): DataFrame =
+    bins.agg(sum(col("n")).cast("long").as("n"),
+      sum(abs(lit(2L * nBins) * col("n_pos")
+        - (lit(2L) * col("bin") + 1) * col("n")))
+        .cast("long").as("ece_num"))
       .withColumn("ece",
         when(col("n") > 0, col("ece_num").cast("double")
           / (lit(2.0 * nBins) * col("n").cast("double"))))
-  }
 
   /** Overdispersion check per key — is a count column Poisson-like or
     * bursty? The variance-to-mean ratio

@@ -100,6 +100,22 @@ object Streaming {
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("n_null")).cast("long").as("n_null"))
 
+  /** Merge algebra of [[calibrationMonitorSink]]: per-bin (n, n_pos)
+    * reliability partials ([[graft.operators.Profile.calibrationBins]])
+    * — plain sums over the ≤nBins-row frame. */
+  def mergeBinCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta).groupBy(col("bin"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("n_pos")).cast("long").as("n_pos"))
+
+  /** Merge algebra of [[conformalMonitorSink]]: distinct-residual
+    * counts — plain sums over the residual lattice (the q304 contract:
+    * residuals live on a bounded grid, so the state stays
+    * values-scale). */
+  def mergeResidualCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta).groupBy(col("residual"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
   /** One batch's per-column (n, n_null) counts as a k-row frame — ONE
     * fused aggregate over the batch (k columns over any batch size
     * cost one pass), exploded to rows via a literal struct array so
@@ -838,6 +854,101 @@ object Streaming {
               .withColumn("null_frac_delta",
                 col("null_frac") - col("null_frac_ref"))
               .withColumn("batch_id", lit(batchId)) // k-row snapshot
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
+          graft.incremental.Writers.atomicRewrite(out, countsPath)
+        }
+      }
+      .start()
+
+  /** Streaming model-CALIBRATION monitor — the fifth monitor sink
+    * beside drift (mix), CUSUM (level), freshness (lag), and contract
+    * (nulls): maintain cumulative per-bin reliability counts
+    * ([[graft.operators.Profile.calibrationBins]] /
+    * [[mergeBinCounts]] — a mergeable COUNT partial with the
+    * aggMergeSink batch-id fence) and, each applied batch, append one
+    * calibration snapshot: the exact midpoint-convention ECE
+    * ([[graft.operators.Profile.eceFromBins]]) of the cumulative
+    * stream. The streaming form of the q306 gate — a model whose
+    * score distribution decays against outcomes surfaces within one
+    * micro-batch, with per-batch cost one delta-sized aggregate + an
+    * nBins-sized merge + an nBins-sized finish (never a history
+    * rescan).
+    *
+    * Replay contract: identical to [[driftMonitorSink]] — bins swap
+    * atomically with the fence; the one-row snapshot commits FIRST
+    * under the append log's own fence via [[atomicAppendOne]]. */
+  def calibrationMonitorSink(df: DataFrame, scoreCol: String,
+                             labelCol: String, nBins: Int,
+                             binsPath: String, snapshotsPath: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, binsPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = graft.operators.Profile
+            .calibrationBins(batch, scoreCol, labelCol, nBins)
+          val merged = stored match {
+            case Some(s) => mergeBinCounts(s.drop("last_batch_id"), delta)
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second
+          if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId))
+            graft.operators.Profile
+              .eceFromBins(out.drop("last_batch_id"), nBins)
+              .withColumn("batch_id", lit(batchId)) // one-row snapshot
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
+          graft.incremental.Writers.atomicRewrite(out, binsPath)
+        }
+      }
+      .start()
+
+  /** Streaming CONFORMAL-INTERVAL monitor — the sixth monitor sink:
+    * maintain cumulative distinct-residual counts
+    * ([[mergeResidualCounts]], the q304 grid contract keeps the state
+    * values-scale) and, each applied batch, append one conformal
+    * snapshot: the exact rational-rank calibration quantile
+    * ([[graft.operators.Eval.conformalQuantileFromCounts]]) of the
+    * cumulative residual stream — the live `q̂` behind a
+    * `[pred − q̂, pred + q̂]` prediction band, re-derived from the
+    * merged lattice each batch (late residuals just merge in; no
+    * carried window state to invalidate).
+    *
+    * Replay contract: identical to [[driftMonitorSink]] — counts swap
+    * atomically with the fence; the one-row snapshot commits FIRST
+    * under the append log's own fence via [[atomicAppendOne]]. */
+  def conformalMonitorSink(df: DataFrame, residualCol: String,
+                           alphaNum: Int, alphaDen: Int,
+                           countsPath: String, snapshotsPath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, countsPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = batch.filter(col(residualCol).isNotNull)
+            .groupBy(col(residualCol).as("residual"))
+            .agg(count(lit(1)).as("cnt"))
+          val merged = stored match {
+            case Some(s) => mergeResidualCounts(s.drop("last_batch_id"), delta)
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second
+          if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId))
+            graft.operators.Eval
+              .conformalQuantileFromCounts(out.drop("last_batch_id"),
+                alphaNum, alphaDen)
+              .withColumn("batch_id", lit(batchId)) // one-row snapshot
               .transform { d => atomicAppendOne(d, snapshotsPath); d }
           graft.incremental.Writers.atomicRewrite(out, countsPath)
         }

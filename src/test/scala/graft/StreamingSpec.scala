@@ -777,6 +777,82 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/snaps").count() == 4L) // 2 cols x 2 batches
   }
 
+  test("calibrationMonitorSink: fenced cumulative bins, per-batch ECE " +
+    "snapshots equal the one-shot batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-calmon").toString
+    val in = MemoryStream[(Double, Long)]
+    val q = Streaming.calibrationMonitorSink(in.toDF().toDF("score", "label"),
+      "score", "label", nBins = 2,
+      dir + "/bins", dir + "/snaps", dir + "/ckpt")
+    val b1 = Seq((0.1, 1L), (0.2, 0L), (0.3, 0L), (0.4, 0L))
+    val b2 = Seq((0.6, 1L), (0.7, 0L), (0.8, 0L), (0.9, 0L))
+    try {
+      in.addData(b1: _*) // bin0 perfectly midpoint-calibrated -> ECE 0
+      q.processAllAvailable()
+      in.addData(b2: _*) // bin1 off by |4-12|=8 -> cumulative ECE 0.25
+      q.processAllAvailable()
+    } finally q.stop()
+    val bins = spark.read.parquet(dir + "/bins")
+      .select("bin", "n", "n_pos").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bins == Map(0L -> ((4L, 1L)), 1L -> ((4L, 1L))))
+    val snaps = spark.read.parquet(dir + "/snaps").orderBy("batch_id")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("ece_num"), r.getAs[Double]("ece")))
+    assert(snaps.toSeq == Seq((0L, 0L, 0.0), (1L, 8L, 0.25)))
+    // streamed cumulative state ≡ the one-shot batch ECE
+    val oneShot = graft.operators.Profile.expectedCalibrationError(
+      (b1 ++ b2).toDF("score", "label"), "score", "label", 2).head()
+    assert(oneShot.getLong(1) == 8L && oneShot.getDouble(2) == 0.25)
+    // replay batch 0 through a fresh checkpoint: fenced, no double count
+    val in2 = MemoryStream[(Double, Long)]
+    val q2 = Streaming.calibrationMonitorSink(in2.toDF().toDF("score", "label"),
+      "score", "label", nBins = 2,
+      dir + "/bins", dir + "/snaps", dir + "/ckpt2")
+    try { in2.addData((0.1, 1L)); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(dir + "/bins")
+      .agg(sum("n")).head().getLong(0) == 8L, "replay must be fenced")
+    assert(spark.read.parquet(dir + "/snaps").count() == 2L)
+  }
+
+  test("conformalMonitorSink: fenced residual lattice, per-batch qhat " +
+    "snapshots equal the one-shot rational-rank quantile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-confmon").toString
+    val in = MemoryStream[Double]
+    val q = Streaming.conformalMonitorSink(in.toDF().toDF("r"), "r",
+      alphaNum = 1, alphaDen = 10,
+      dir + "/counts", dir + "/snaps", dir + "/ckpt")
+    try {
+      in.addData((1 to 9).map(_.toDouble): _*) // n=9, k=ceil(10*9/10)=9 -> qhat 9
+      q.processAllAvailable()
+      in.addData(10.0)                  // n=10, k=ceil(11*9/10)=10 -> qhat 10
+      q.processAllAvailable()
+    } finally q.stop()
+    val snaps = spark.read.parquet(dir + "/snaps").orderBy("batch_id")
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n"),
+        r.getAs[Long]("k_rank"), r.getAs[Double]("qhat")))
+    assert(snaps.toSeq == Seq((0L, 9L, 9L, 9.0), (1L, 10L, 10L, 10.0)))
+    // streamed cumulative lattice ≡ the one-shot per-key operator
+    val oneShot = graft.operators.Eval.conformalQuantile(
+      (1 to 10).map(i => ("k", i.toDouble)).toDF("k", "r"), "k", "r", 1, 10)
+      .head()
+    assert(oneShot.getLong(2) == 10L && oneShot.getDouble(3) == 10.0)
+    // replay batch 0 through a fresh checkpoint: fenced
+    val in2 = MemoryStream[Double]
+    val q2 = Streaming.conformalMonitorSink(in2.toDF().toDF("r"), "r",
+      1, 10, dir + "/counts", dir + "/snaps", dir + "/ckpt2")
+    try { in2.addData(1.0); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(dir + "/counts")
+      .agg(sum("cnt")).head().getLong(0) == 10L, "replay must be fenced")
+    assert(spark.read.parquet(dir + "/snaps").count() == 2L)
+  }
+
   test("joinMaintSink: delta-maintained view equals the direct join; replay fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
