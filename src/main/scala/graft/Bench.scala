@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   *     region: once spent, remaining extra reps are skipped (pass 1
   *     always completes — coverage wins over the budget). The JSON line
   *     prints whatever was measured either way.
-  *  4. ERRORS ARE VISIBLE. A throwing query used to record a fast fake
+  *  4. RE-VOTE ON DISAGREEMENT. A query left with exactly two samples
+  *     that differ by more than 2x gets a tie-breaking third sample
+  *     (worst-first, budget-permitting) — a median of two interfered
+  *     samples still lies (r8: q167 recorded 9.4x its quiet median).
+  *  5. ERRORS ARE VISIBLE. A throwing query used to record a fast fake
   *     median and look healthy; now its first exception class lands in an
   *     "errors" map after the queries map and its timing is still reported
   *     (the time-to-failure, honest but flagged).
@@ -109,6 +113,25 @@ object Bench {
         val eligible = first < longQ || pass == 2
         if (spent < budget && eligible && !errors.contains(name)) runOnce(name, fn)
       }
+    }
+    // Re-vote on disagreement (r8 lesson: the artifact recorded q167 at
+    // 9.7 s — 9.4x its quiet-window 1.04 s — because a median of TWO
+    // interfered samples still lies; the judge's re-probe refuted both
+    // "regressions"). Any query whose two samples differ by more than
+    // 2x gets a tie-breaking THIRD sample while the budget holds,
+    // worst-disagreement-first so the most suspect medians are fixed
+    // before budget runs out.
+    val disputed = queries
+      .filter { case (name, _) =>
+        val s = samples(name)
+        s.length == 2 && !errors.contains(name) &&
+          s.max > 2.0 * math.max(s.min, 1e-9)
+      }
+      .sortBy { case (name, _) =>
+        val s = samples(name); -(s.max / math.max(s.min, 1e-9))
+      }
+    disputed.foreach { case (name, fn) =>
+      if (spent < budget) runOnce(name, fn)
     }
     val results = queries.map { case (name, _) =>
       val sorted = samples(name).sorted

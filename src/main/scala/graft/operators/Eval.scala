@@ -82,10 +82,15 @@ object Eval {
     val idcgOf = idealPrefix.zipWithIndex.foldLeft(lit(idealPrefix.last)) {
       case (acc, (s, n)) => when(col("__nrel") === n, s).otherwise(acc)
     }
-    ranked.filter(col(rankCol) <= k && isRelevant.isNotNull)
+    // NULL relevance counts as NOT-relevant (coalesce to false), never
+    // as row-dropped: dropping would erase a query whose retained rows
+    // are all NULL-labeled from n_queries, while the SQL oracles keep
+    // the row and score it non-relevant — same convention here.
+    val rel = coalesce(isRelevant, lit(false))
+    ranked.filter(col(rankCol) <= k)
       .groupBy(col(queryCol).as("__q"))
-      .agg(sum(when(isRelevant, discount).otherwise(0L)).as("__dcg"),
-        sum(when(isRelevant, 1L).otherwise(0L)).as("__nrel"))
+      .agg(sum(when(rel, discount).otherwise(0L)).as("__dcg"),
+        sum(when(rel, 1L).otherwise(0L)).as("__nrel"))
       .withColumn("__idcg", idcgOf)
   }
 
@@ -210,8 +215,11 @@ object Eval {
     require(k >= 1 && k <= 10, s"k must be in [1, 10], got $k")
     val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked.filter(col(rankCol) <= k && isRelevant.isNotNull)
-      .withColumn("__rel", when(isRelevant, 1L).otherwise(0L))
+    // NULL relevance = not-relevant (see ndcgPerQuery): the row stays in
+    // n_eval and the rank sequence, matching the SQL-oracle convention.
+    ranked.filter(col(rankCol) <= k)
+      .withColumn("__rel",
+        when(coalesce(isRelevant, lit(false)), 1L).otherwise(0L))
       .withColumn("__hits", sum(col("__rel")).over(w))
       .withColumn("__term",
         when(col("__rel") === 1L,
@@ -263,6 +271,16 @@ object Eval {
     * ≤ (N·n)², within BIGINT while N·n ≤ ~3e9 — past that the ANSI
     * cast fails loudly), κ the one fixed double chain. Degenerate
     * (P̄_e = 1) yields NULL.
+    *
+    * Materialization bound: the (item, category) cell frame is
+    * `localCheckpoint`ed for its three consumers — that frame is
+    * RATING-TABLE scale (≤ N·n rows, one per observed item×category
+    * cell), NOT values-scale. Fine for the stated annotation-QA
+    * domain (items × a small label set); for a corpus where N·n
+    * rivals the raw event count, drop the checkpoint and accept the
+    * 3× lineage replay, or persist to disk instead — the same
+    * documented-collect convention as [[graft.operators.Robust]]'s
+    * poissonBootstrap/bootstrapCI.
     *
     * Output: one row (n_items, n_ratings, po_num, pe_num, kappa). */
   def fleissKappa(df: DataFrame, itemCol: String,

@@ -149,8 +149,10 @@ object RankStats {
           (col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
           .as("__mu"))
       .withColumn("__mu", col("__mu") * 10000L) // 2-dp grid -> micro
-    // per-key contract violations (negative => NULL above; decimal
-    // overflow => NULL cast): key-cardinality frame, one extra agg
+    // per-key contract violations: ONLY negatives take the NULL path
+    // (the `when` above leaves them NULL); a decimal-grid overflow
+    // THROWS under ANSI before any NULL could reach this counter —
+    // see the scaladoc contract. Key-cardinality frame, one extra agg
     val bad = micro.groupBy(col(keyCol))
       .agg(sum(when(col("__mu").isNull, 1L).otherwise(0L)).as("__nbad"))
     val counts = micro.filter(col("__mu").isNotNull)

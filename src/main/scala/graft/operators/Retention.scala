@@ -345,8 +345,12 @@ object Retention {
     require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
     val obsS = lit(obsStart).cast("timestamp_ntz")
     val obsE = lit(obsEnd).cast("timestamp_ntz")
-    val outE = date_add(lit(obsEnd).cast("date"), horizonDays)
-      .cast("timestamp_ntz")
+    // derive the outcome end from obsE ITSELF (not a date-truncated
+    // copy): if obsEnd carries a time-of-day, date_add at midnight
+    // would shorten the outcome window below horizonDays and skew the
+    // churn labels; obsE + exact day-time interval keeps the window
+    // width exactly horizonDays regardless of obsEnd's clock time
+    val outE = obsE + make_dt_interval(lit(horizonDays))
     val inObs = col(tsCol) >= obsS && col(tsCol) < obsE
     val inOut = col(tsCol) >= obsE && col(tsCol) < outE
     events.filter(col(tsCol).isNotNull)

@@ -352,8 +352,13 @@ object Robust {
       .withColumn("__m", mult)
       .groupBy(col("replicate"))
       .agg(sum(col("__m")).cast("long").as("n"),
-        sum(col("__m") * col("__c")).cast("decimal(38,0)").cast("long")
-          .as("sum_cents"))
+        // cast the per-row product to decimal BEFORE summing: a LongType
+        // sum aggregate can itself overflow BIGINT before any final
+        // cast, shrinking the "exact partials" range the decimal cast
+        // pretends to provide; decimal(38,0) accumulation keeps the
+        // full headroom (and ANSI still throws loudly past 38 digits)
+        sum((col("__m").cast("decimal(38,0)") * col("__c")))
+          .cast("decimal(38,0)").cast("long").as("sum_cents"))
       .withColumn("mean",
         when(col("n") > 0,
           col("sum_cents").cast("double") / (col("n").cast("double") * 100.0)))

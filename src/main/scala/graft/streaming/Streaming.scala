@@ -63,8 +63,15 @@ object Streaming {
     fs.mkdirs(dst)
     fs.listStatus(tmp).iterator
       .filter(_.getPath.getName.startsWith("part-"))
-      .foreach(p => fs.rename(p.getPath,
-        new org.apache.hadoop.fs.Path(dst, p.getPath.getName)))
+      .foreach { p =>
+        val target = new org.apache.hadoop.fs.Path(dst, p.getPath.getName)
+        // rename can fail by RETURNING false (cross-FS moves, permission
+        // quirks) without throwing; silently continuing would drop the
+        // snapshot while the caller's fence still records the batch id —
+        // a permanent, unreplayable gap. Loud-failure convention: throw.
+        require(fs.rename(p.getPath, target),
+          s"atomicAppendOne: rename failed for ${p.getPath} -> $target")
+      }
     fs.delete(tmp, true)
   }
 

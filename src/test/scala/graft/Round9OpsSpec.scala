@@ -94,6 +94,41 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("q3").getLong(2) == 0L && out("q3").isNullAt(4))
   }
 
+  test("NULL relevance counts as non-relevant, never row-dropped " +
+    "(oracle convention)") {
+    // q1's only retained row is NULL-labeled: the query must still be
+    // counted (n_queries) with idcg=0 / r_k=0, exactly as the DuckDB
+    // oracles score it — dropping the row would erase the query.
+    val df = Seq(("q1", 1, None: Option[Boolean]),
+      ("q2", 1, Some(true)), ("q2", 2, None)).toDF("q", "rank", "rel")
+    val n = Eval.ndcgMacroAtK(df, "q", "rank", col("rel"), k = 3).head()
+    assert(n.getLong(0) == 2L && n.getLong(1) == 1L) // q1 counted, zero-rel
+    val ap = Eval.averagePrecisionAtK(df, "q", "rank", col("rel"), k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ap("q1").getLong(1) == 1L && ap("q1").getLong(2) == 0L)
+    assert(ap("q2").getLong(1) == 2L && ap("q2").getLong(2) == 1L)
+    val m = Eval.mapAtK(df, "q", "rank", col("rel"), k = 3).head()
+    assert(m.getLong(0) == 2L && m.getLong(1) == 1L)
+  }
+
+  test("churnLabels: outcome window derived from obsEnd's full timestamp") {
+    import graft.operators.Retention
+    // obsEnd carries 12:00 — an event 23h after obsEnd must count as
+    // outcome activity for horizonDays=1 (window [obsE, obsE+24h)); the
+    // old date-midnight derivation made the window only 12h wide.
+    val ev = Seq(
+      ("u1", "2024-01-05 08:00:00", 10.0),            // obs activity
+      ("u1", "2024-01-10 11:00:00", 5.0),             // 23h into horizon
+      ("u2", "2024-01-05 09:00:00", 20.0))            // churns
+      .toDF("user_id", "ts", "amount")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = Retention.churnLabels(ev, "user_id", "ts", "amount",
+      obsStart = "2024-01-01 00:00:00", obsEnd = "2024-01-09 12:00:00",
+      horizonDays = 1)
+      .collect().map(x => x.getString(0) -> x.getBoolean(5)).toMap
+    assert(!r("u1") && r("u2"))
+  }
+
   test("mapAtK: floored micro APs, zero-hit queries count as zero") {
     val df = Seq(
       ("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
