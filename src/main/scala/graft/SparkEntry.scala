@@ -3221,6 +3221,43 @@ object SparkEntry {
       graft.operators.Eval.conformalQuantileFromCounts(folded,
         alphaNum = 1, alphaDen = 10)
     }),
+
+    // Zone-map pruned read (VERDICT r8 #1): lineitem is rewritten
+    // range-partitioned on l_orderkey (16 tight-range files), then the
+    // box probe goes through Tables.readPruned — footer-only stats →
+    // candidateFiles → a scan over ONLY the surviving files. The probe
+    // keeps ≲1/8 of the key range, so >half the files are skipped
+    // (the spec asserts the opened-file count; prunedFraction below
+    // RAISES in-query if the skip regresses), and the oracle computes
+    // the same filter+aggregate over the ORIGINAL table — pruned-read
+    // ≡ full-scan, the zone-map false-negative-freedom proof.
+    "q330_pruned_read" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pruned")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(dir)
+      // scale-free box: the bottom 1/8th of the actual key range (one
+      // scalar collect — metadata scale; the oracle mirrors it as a
+      // scalar subquery), so the prune ratio is SF-invariant
+      val hi = li.agg(max(col("l_orderkey"))).head().getLong(0) / 8L
+      val pruned = graft.sources.Tables.readPruned(s, dir,
+        Seq(("l_orderkey", 1L, hi)))
+      val total = 16
+      require(pruned.inputFiles.length * 2 < total,
+        s"zone-map prune regressed: opened ${pruned.inputFiles.length}" +
+          s" of $total files for a 1/8th-range box probe")
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("qty_cents"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -9693,5 +9730,18 @@ object SparkEntry {
         |SELECT n, k_rank,
         |  MIN(CASE WHEN cum >= k_rank THEN v END) AS qhat
         |FROM w, t GROUP BY 1, 2""".stripMargin,
+
+    // the oracle reads the ORIGINAL table with the same box predicate:
+    // equality proves the pruned scan dropped no qualifying row
+    "q330_pruned_read" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND
+        |  (SELECT MAX(l_orderkey) // 8 FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

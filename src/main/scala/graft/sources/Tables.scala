@@ -47,6 +47,179 @@ object Tables {
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
   }
 
+  /** Per-file zone-map statistics read from parquet FOOTERS ONLY — no
+    * data pages are touched, so the cost is one footer seek per file
+    * (kilobytes), not a table scan. This is the metadata source that
+    * makes [[readPruned]] a genuine I/O skip: at 100 TB the stats pass
+    * costs O(n_files) footer reads instead of a full scan, the same
+    * asymptotics as Delta/Iceberg manifest stats (which cache exactly
+    * these values).
+    *
+    * Output schema matches [[graft.operators.Layout.skippingStats]]
+    * (`path, n_rows, <col>_min, <col>_max`) so
+    * [[graft.operators.Layout.candidateFiles]] consumes either source
+    * interchangeably — skippingStats recomputes from data (the audit
+    * view), footerStats trusts the writer's footers (the planner view).
+    *
+    * Bounds come back as LONGs for integral parquet types (INT32 /
+    * INT64 — the box-predicate domain); any other physical type, a
+    * missing column, or a chunk without statistics yields NULL bounds,
+    * which candidateFiles treats as "cannot rule out" — the
+    * conservative zone-map rule, never a wrong skip. Multi-row-group
+    * files fold min/max across row groups. Footer reads run on the
+    * DRIVER over the recursive file listing — file-count metadata
+    * scale, the same class of work as Spark's own scan-planning
+    * listing (a real deployment lifts these into a manifest the way
+    * the scaladoc above describes). */
+  def footerStats(spark: SparkSession, path: String,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+        && !n.startsWith("."))
+        files += f.getPath.toString
+    }
+    val rows = files.sorted.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), hconf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var nRows = 0L
+        val mins = Array.fill[Option[Long]](cols.size)(None)
+        val maxs = Array.fill[Option[Long]](cols.size)(None)
+        val ok = Array.fill(cols.size)(true) // false => NULL bounds
+        val iter = blocks.iterator()
+        while (iter.hasNext) {
+          val b = iter.next()
+          nRows += b.getRowCount
+          cols.zipWithIndex.foreach { case (c, i) =>
+            if (ok(i)) {
+              val chunk = b.getColumns.iterator()
+              var found: Option[(Long, Long)] = None
+              var missing = true
+              while (chunk.hasNext && found.isEmpty) {
+                val cc = chunk.next()
+                if (cc.getPath.toDotString == c) {
+                  missing = false
+                  val st = cc.getStatistics
+                  if (st != null && st.hasNonNullValue) {
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                        found = Some((lo.longValue, hi.longValue))
+                      case (lo: java.lang.Long, hi: java.lang.Long) =>
+                        found = Some((lo.longValue, hi.longValue))
+                      case _ => // non-integral physical type
+                    }
+                  } else if (st != null && st.isNumNullsSet
+                    && st.getNumNulls == b.getRowCount) {
+                    // all-NULL chunk: contributes no bound, stays ok
+                    found = None
+                  }
+                }
+              }
+              found match {
+                case Some((lo, hi)) =>
+                  mins(i) = Some(mins(i).fold(lo)(math.min(_, lo)))
+                  maxs(i) = Some(maxs(i).fold(hi)(math.max(_, hi)))
+                case None =>
+                  // column missing / no usable stats in this row group:
+                  // without a bound for EVERY row group the file-level
+                  // min/max would be wrong, so NULL the file's bounds
+                  if (missing || !ok(i)) ok(i) = false
+                  else {
+                    val st = blockChunkStats(b, c)
+                    if (st.isEmpty) ok(i) = false
+                  }
+              }
+            }
+          }
+        }
+        val bounds = cols.indices.flatMap { i =>
+          if (ok(i)) Seq(mins(i).map(java.lang.Long.valueOf).orNull,
+            maxs(i).map(java.lang.Long.valueOf).orNull)
+          else Seq(null, null)
+        }
+        org.apache.spark.sql.Row.fromSeq(f +: java.lang.Long.valueOf(nRows)
+          +: bounds)
+      } finally reader.close()
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false) ::
+        org.apache.spark.sql.types.StructField("n_rows", LongType,
+          nullable = false) ::
+        cols.toList.flatMap(c => List(
+          org.apache.spark.sql.types.StructField(s"${c}_min", LongType),
+          org.apache.spark.sql.types.StructField(s"${c}_max", LongType))))
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      schema)
+  }
+
+  /** Whether row group `b` carries a statistics object for column `c`
+    * at all (used to distinguish "all-NULL chunk, bound-free but
+    * safe" from "stats absent, must NULL the file's bounds"). */
+  private def blockChunkStats(
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      c: String): Option[org.apache.parquet.column.statistics.Statistics[_]] = {
+    val it = b.getColumns.iterator()
+    while (it.hasNext) {
+      val cc = it.next()
+      if (cc.getPath.toDotString == c)
+        return Option(cc.getStatistics).filter(st =>
+          st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+    }
+    None
+  }
+
+  /** Pruned parquet read: the scan path that CONSUMES the zone-map
+    * answer ([[footerStats]] → [[graft.operators.Layout.candidateFiles]])
+    * instead of just reporting it — the 100 TB generalization of the
+    * reference's month-partition pruning
+    * (dbt/nyc_taxi/models/bronze/bronze_yellow_tripdata.sql:33-35,
+    * which prunes one month directory; this prunes ANY file set a
+    * conjunctive box predicate `lo ≤ col ≤ hi` rules out via per-file
+    * min/max, rewarding sorted / z-ordered layouts on any column mix).
+    *
+    * Mechanics: footer-only stats (no data pages) → conservative
+    * candidate filter (NULL bounds keep the file) → a parquet scan
+    * over ONLY the candidate paths → the predicate re-applied
+    * row-level (zone maps admit false positives, never false
+    * negatives — re-filtering restores exact semantics; Spark's
+    * row-group skipping then prunes WITHIN the kept files using the
+    * same pushed predicate). The candidate list is a file-count-scale
+    * driver collect — the documented metadata-collect convention.
+    *
+    * An empty candidate set returns an empty frame with the table's
+    * real schema (one footer read), so downstream plans resolve
+    * normally. Schema is pinned from the full table either way —
+    * a pruned file subset can never silently narrow the schema. */
+  def readPruned(spark: SparkSession, path: String,
+                 box: Seq[(String, Long, Long)]): DataFrame = {
+    require(box.nonEmpty, "box predicates required")
+    val stats = footerStats(spark, path, box.map(_._1))
+    val cand = graft.operators.Layout.candidateFiles(stats, box)
+      .select(col("path")).collect().map(_.getString(0))
+    val schema = spark.read.parquet(path).schema
+    val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    if (cand.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema).filter(pred)
+    else spark.read.schema(schema).parquet(cand.toIndexedSeq: _*).filter(pred)
+  }
+
   /** The engine's ONE absent-table idiom: a parquet read where only
     * "table does not exist yet" (missing path, or an existing dir with no
     * data files to infer from) maps to None — every other failure

@@ -75,6 +75,51 @@ class Round9OpsSpec extends SparkSpec {
     assert(!r.isNullAt(8) && r.getDouble(8) > 0.0)
   }
 
+  // ---- pruned read (footer zone maps) -------------------------------------
+
+  test("footerStats + readPruned: footer-only stats prune files, " +
+    "pruned scan ≡ full scan, opened-file count bounded") {
+    import graft.sources.Tables
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune")
+      .toString + "/t"
+    spark.range(0, 16000)
+      .select(col("id").as("x"), (col("id") % 97).as("y"),
+        concat(lit("s"), col("id")).as("s"))
+      .repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    val stats = Tables.footerStats(spark, dir, Seq("x", "y"))
+    assert(stats.count() == 16)
+    assert(stats.agg(sum("n_rows")).head().getLong(0) == 16000L)
+    // x-sorted layout: a narrow x-box keeps at most 2 of 16 files
+    assert(Layout.candidateFiles(stats, Seq(("x", 0L, 999L))).count() <= 2)
+    val pruned = Tables.readPruned(spark, dir, Seq(("x", 0L, 999L)))
+    assert(pruned.inputFiles.length <= 2) // the actual I/O skip
+    val full = spark.read.parquet(dir)
+      .filter(col("x").between(0L, 999L))
+    assert(pruned.count() == 1000L && full.count() == 1000L)
+    assert(pruned.agg(sum("y")).head().getLong(0)
+      == full.agg(sum("y")).head().getLong(0))
+    // y is uncorrelated with the sort: every file's y-range covers the
+    // probe, nothing prunes — the conservative rule, never a wrong skip
+    assert(Layout.candidateFiles(stats, Seq(("y", 5L, 5L))).count() == 16)
+    // empty candidate set: zero rows, schema pinned from the full table
+    val none = Tables.readPruned(spark, dir, Seq(("x", 100000L, 200000L)))
+    assert(none.count() == 0L
+      && none.schema.fieldNames.sameElements(Array("x", "y", "s")))
+    // footer bounds agree with the data-recomputed audit view
+    val audit = Layout.skippingStats(spark, dir, Seq("x"))
+      .select("x_min", "x_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val foot = stats.select("x_min", "x_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(audit.sameElements(foot))
+    // non-integral column: NULL bounds => file kept (no evidence rule)
+    val sStats = Tables.footerStats(spark, dir, Seq("s"))
+    assert(sStats.filter(col("s_min").isNull).count() == 16)
+    assert(Layout.candidateFiles(sStats, Seq(("s", 0L, 0L))).count() == 16)
+  }
+
   // ---- AP / MAP -----------------------------------------------------------
 
   test("averagePrecisionAtK: exact 2520-scaled terms, hand-checked APs") {
