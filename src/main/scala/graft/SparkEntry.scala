@@ -3296,6 +3296,95 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin)
     }),
 
+    // ---- sink replay oracles, continued (VERDICT r8 #4): fold each
+    // sink's exact foreachBatch function chain over a time-split
+    // corpus, oracle the ONE-SHOT computation (q290-q293 pattern).
+
+    // quantilePartialSink replay: three sequential micro-batches of
+    // grouped value→count partials merged pairwise (the sink's stored ∪
+    // delta merge), finished to exact per-type P50/P90 — merge is a
+    // count-sum algebra, so any fold tree ≡ one-shot
+    "q335_quantile_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("cents",
+          (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      def part(lo: String, hi: String) = graft.operators.Profile
+        .quantilePartialBy(
+          ev.filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+            && col("ts") < lit(hi).cast("timestamp_ntz")),
+          "event_type", "cents")
+      val folded = graft.operators.Profile.mergeQuantilePartialsBy(Seq(
+        graft.operators.Profile.mergeQuantilePartialsBy(Seq(
+          part("2024-01-01", "2024-01-11"), part("2024-01-11", "2024-01-21"))),
+        part("2024-01-21", "2024-02-01")))
+      graft.operators.Profile.quantilesFromCountsBy(folded,
+        Seq((1, 2), (9, 10)))
+    }),
+
+    // heavyHitterSink replay: three sequential time-sliced MG partials
+    // folded with the sink's stored∪delta merge (capacity 16 > distinct
+    // event types, so weights are EXACT and the oracle is the direct
+    // per-day GROUP BY — q149's contract under the SINK's fold shape)
+    "q336_heavyhitter_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cap = 16
+      def part(lo: String, hi: String) = graft.functions.MisraGries
+        .dailyTopKPartial(
+          ev.filter(col("ts") >= lit(lo).cast("timestamp_ntz")
+            && col("ts") < lit(hi).cast("timestamp_ntz")),
+          "ts", "event_type", cap)
+      val folded = graft.functions.MisraGries.mergeTopK(Seq(
+        graft.functions.MisraGries.mergeTopK(Seq(
+          part("2024-01-01", "2024-01-11"), part("2024-01-11", "2024-01-21")),
+          cap),
+        part("2024-01-21", "2024-02-01")), cap)
+      graft.functions.MisraGries.finishTopK(folded, k = 3)
+    }),
+
+    // ivfAppendSink replay: index written from the even-id seed, two
+    // sequential odd-id batches appended against the STORED centroids
+    // (the sink's exact chain) — final assignment table must equal the
+    // one-shot assignment of every vector to the seed-fitted centroids
+    "q337_ivf_sink_replay" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfsink")
+        .toString + "/idx"
+      graft.llmdata.Similarity.ivfIndexWrite(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+        nCells = 16, lloydIters = 2)
+      graft.llmdata.Similarity.ivfIndexAppend(s, path,
+        emb.filter(col("vec_id") % 4 === 1), "vec_id", "embedding")
+      graft.llmdata.Similarity.ivfIndexAppend(s, path,
+        emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      s.read.parquet(s"$path/assigned")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    }),
+
+    // dedupAdmissionSink replay: the sink's exact per-batch chain —
+    // admit against the stored index, append admitted signatures — run
+    // for TWO sequential batches; union of admissions must equal the
+    // one-shot q74 admit rule over the whole stream (valid because on
+    // this corpus every near-dup pair's lower id is itself admitted —
+    // rejected docs never become sole blockers)
+    "q338_dedup_sink_replay" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-dsink")
+        .toString + "/idx"
+      DedupOps.signatureWrite(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", path, shingleSize = 3, bands = 4, rows = 4)
+      val b1 = DedupOps.incrementalDedupIndexed(s, path,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+        jaccardThreshold = 0.4).localCheckpoint(true)
+      DedupOps.signatureAppend(b1, "doc_id", "text", path,
+        shingleSize = 3, bands = 4, rows = 4)
+      val b2 = DedupOps.incrementalDedupIndexed(s, path,
+        docs.filter(col("doc_id") >= 375),
+        "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+        jaccardThreshold = 0.4)
+      b1.unionByName(b2).select("doc_id", "lang")
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -9854,5 +9943,77 @@ object SparkEntry {
         |    AS n_days,
         |  CAST(SUM(l_linenumber) AS BIGINT) AS pax
         |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'""".stripMargin,
+
+    // one-shot exact per-type quantiles over the sliced range (q155's
+    // cumulative-count rule on the cent grid)
+    "q335_quantile_sink_replay" ->
+      """WITH c AS (SELECT event_type AS grp,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT grp, value,
+        |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY value) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n FROM c),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(q_num, q_den))
+        |SELECT grp, q_num, q_den, MIN(value) AS quantile_value,
+        |  CAST(MIN(n) AS BIGINT) AS n
+        |FROM qs JOIN cum ON cum.cum * qs.q_den >= qs.q_num * cum.n
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // one-shot per-day top-3 (q149's exactness-regime contract)
+    "q336_heavyhitter_sink_replay" ->
+      """SELECT day, item, weight, CAST(rn AS INT) AS rank FROM (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS weight,
+        |    ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+        |      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1, 2)
+        |WHERE rn <= 3""".stripMargin,
+
+    // one-shot: centroids fitted on the EVEN-id seed (2 Lloyd rounds,
+    // q45's exact decimal-mean CTEs), then EVERY vector assigned to the
+    // final centroids — the append sink's staleness contract
+    "q337_ivf_sink_replay" -> {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      def assignCte(src: String, centTbl: String, outTbl: String) =
+        s"""$outTbl AS (
+           |  SELECT vec_id, emb, cell FROM (
+           |    SELECT t.vec_id, t.emb, c.cell_id AS cell,
+           |      row_number() OVER (PARTITION BY t.vec_id
+           |        ORDER BY ${cos("t.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+           |    FROM $src t CROSS JOIN $centTbl c) WHERE rn = 1)""".stripMargin
+      def meanCte(assignTbl: String, outTbl: String) =
+        s"""$outTbl AS (
+           |  SELECT cell AS cell_id, list(m ORDER BY i) AS centroid FROM (
+           |    SELECT cell, i,
+           |      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+           |    FROM (SELECT cell, unnest(emb) AS x,
+           |            unnest(generate_series(1, len(emb))) AS i
+           |          FROM $assignTbl)
+           |    GROUP BY cell, i)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sv AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         |cent0 AS (SELECT vec_id AS cell_id, emb AS centroid FROM sv ORDER BY vec_id LIMIT 16),
+         |${assignCte("sv", "cent0", "asg0")},
+         |${meanCte("asg0", "cent1")},
+         |${assignCte("sv", "cent1", "asg1")},
+         |${meanCte("asg1", "cent2")},
+         |${assignCte("v", "cent2", "assigned")}
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assigned""".stripMargin
+    },
+
+    // the q74 one-shot admit rule over the full ≥250 stream
+    "q338_dedup_sink_replay" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id >= 250
+         |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
   )
 }
