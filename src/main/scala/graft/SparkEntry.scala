@@ -3385,6 +3385,61 @@ object SparkEntry {
       b1.unionByName(b2).select("doc_id", "lang")
     }),
 
+    // end-to-end multi-month pipeline replay (VERDICT r8 #5): THREE
+    // consecutive Pipeline.runOnce months against a temp lake — cursor
+    // advance, RUNNING→SUCCESS ledger transitions, watermark drops,
+    // inclusive gold re-aggregation, quality gates — then the final
+    // gold_monthly is joined to the ledger's per-month run counts and
+    // oracled against the ONE-SHOT monthly aggregate over the same 3
+    // months (the I1-I6 composition proof, previously split across
+    // q08/q09/q21/q22/q24 + PipelineSpec)
+    "q339_pipeline_replay" -> ((s, d) => {
+      val lake = java.nio.file.Files.createTempDirectory("graft-lake339")
+        .toString
+      val raw = tripWithTotal(t(s, d, "lineitem")).localCheckpoint(true)
+      val p = new graft.pipeline.Pipeline(s, lake,
+        m => raw.filter(
+          date_format(col("tpep_pickup_datetime"), "yyyy-MM") === m))
+      // seed the cursor so the three runs target 1996-01..1996-03
+      new graft.incremental.MetadataLedger(s, s"$lake/metadata")
+        .upsertRun("seed", "yellow_taxi_full_pipeline", "1995-12", "SUCCESS")
+      (1 to 3).foreach(_ => p.runOnce(maxRetries = 0, retryDelayMs = 0))
+      val gm = s.read.parquet(s"$lake/gold_monthly").drop("rev_month")
+      val runs = s.read.parquet(s"$lake/metadata")
+        .filter(col("run_id") =!= "seed")
+        .groupBy(col("target_month"))
+        .agg(count(lit(1)).as("n_runs"),
+          sum(when(col("status") === "SUCCESS", 1L).otherwise(0L))
+            .cast("long").as("n_success"))
+      gm.withColumn("month", date_format(col("revenue_month"), "yyyy-MM"))
+        .join(runs, col("month") === col("target_month"))
+        .select(col("month"), col("total_monthly_revenue"),
+          col("total_monthly_passengers"), col("total_monthly_trips"),
+          col("avg_trip_distance"), col("n_runs"), col("n_success"))
+    }),
+
+    // survivalMonitorSink replay (7th monitor): q297's unit table split
+    // into three disjoint user slices, folded through the sink's exact
+    // cell-merge algebra, finished to the KM life table — must equal
+    // the one-shot q297 computation
+    "q340_survival_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val units = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__first"),
+          max(to_date(col("ts"))).as("__last"))
+        .select(col("user_id"), (col("user_id") % 3).as("cohort"),
+          datediff(col("__last"), col("__first")).cast("long").as("dur"),
+          (col("__last") < lit("2024-01-30").cast("date")).as("churned"))
+      def cells(pred: Column) = graft.operators.Survival
+        .survivalCells(units.filter(pred), "cohort", "dur", "churned")
+      val folded = graft.streaming.Streaming.mergeSurvivalCells(
+        graft.streaming.Streaming.mergeSurvivalCells(
+          cells(col("user_id") % 5 <= 1),
+          cells(col("user_id") % 5 === 2 || col("user_id") % 5 === 3)),
+        cells(col("user_id") % 5 === 4))
+      graft.operators.Survival.kaplanMeierFromCells(folded, "cohort")
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10008,6 +10063,44 @@ object SparkEntry {
          |${assignCte("v", "cent2", "assigned")}
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assigned""".stripMargin
     },
+
+    // the one-shot monthly gold over the three loaded months; each
+    // month ran exactly once and succeeded
+    "q339_pipeline_replay" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT strftime(pickup, '%Y-%m') AS month,
+           |  ${sqlSum("total_amount")} AS total_monthly_revenue,
+           |  CAST(SUM(passenger_count) AS BIGINT) AS total_monthly_passengers,
+           |  COUNT(*) AS total_monthly_trips,
+           |  ${sqlAvg("trip_distance")} AS avg_trip_distance,
+           |  CAST(1 AS BIGINT) AS n_runs, CAST(1 AS BIGINT) AS n_success
+           |FROM silver
+           |WHERE strftime(pickup, '%Y-%m') IN ('1996-01', '1996-02', '1996-03')
+           |GROUP BY 1""".stripMargin),
+
+    // the one-shot q297 life table (fold ≡ one-shot by count algebra)
+    "q340_survival_sink_replay" ->
+      """WITH u AS (SELECT user_id % 3 AS cohort,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS BIGINT) AS duration,
+        |    MAX(CAST(ts AS DATE)) < DATE '2024-01-30' AS churned
+        |  FROM events GROUP BY 1, user_id),
+        |cells AS (SELECT cohort, duration,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM u GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(n_events + n_censored) OVER win AS BIGINT) AS cum,
+        |    CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort)
+        |      AS BIGINT) AS n_total
+        |  FROM cells WINDOW win AS (PARTITION BY cohort ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, duration,
+        |  n_total - (cum - n_events - n_censored) AS n_risk,
+        |  n_events, n_censored,
+        |  CAST(n_events AS DOUBLE)
+        |    / CAST(n_total - (cum - n_events - n_censored) AS DOUBLE) AS hazard
+        |FROM w""".stripMargin,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -54,12 +54,29 @@ object Survival {
     * t)`) so the only window is the per-key distinct-duration
     * cumulative — values-scale, never unit-scale. */
   def kaplanMeier(units: DataFrame, keyCol: String, durationCol: String,
-                  eventCol: String): DataFrame = {
-    val cells = units
+                  eventCol: String): DataFrame =
+    kaplanMeierFromCells(
+      survivalCells(units, keyCol, durationCol, eventCol), keyCol)
+
+  /** The (key, duration) → (n_events, n_censored) cell PARTIAL of
+    * [[kaplanMeier]] — a mergeable COUNT algebra (cells from disjoint
+    * unit slices merge by summing counts per cell), which is what lets
+    * [[graft.streaming.Streaming.survivalMonitorSink]] maintain live
+    * churn curves: per-batch cost is one delta-sized aggregate + a
+    * cells-scale merge, never a unit-table rescan. */
+  def survivalCells(units: DataFrame, keyCol: String, durationCol: String,
+                    eventCol: String): DataFrame =
+    units
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
       .groupBy(col(keyCol), col(durationCol).as("duration"))
       .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"),
         sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
+
+  /** Finish a [[survivalCells]] frame to the KM life table (the second
+    * half of [[kaplanMeier]] — see its scaladoc for the at-risk
+    * identity and exactness contract). `cells` must carry
+    * (`keyCol`, duration, n_events, n_censored). */
+  def kaplanMeierFromCells(cells: DataFrame, keyCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("duration").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = cells.groupBy(col(keyCol))

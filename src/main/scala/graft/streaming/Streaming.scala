@@ -115,6 +115,19 @@ object Streaming {
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("n_pos")).cast("long").as("n_pos"))
 
+  /** Merge algebra of [[survivalMonitorSink]]: (key, duration) cells
+    * of (n_events, n_censored) — [[graft.operators.Survival
+    * .survivalCells]] partials from disjoint unit slices sum per
+    * cell. Associative + commutative, so any fold tree reproduces the
+    * one-shot cell table bit-for-bit (q340's replay proof). */
+  def mergeSurvivalCells(stored: DataFrame, delta: DataFrame): DataFrame = {
+    val keyCol = stored.columns.head // survivalCells puts the key first
+    stored.unionByName(delta)
+      .groupBy(col(keyCol), col("duration"))
+      .agg(sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("n_censored")).cast("long").as("n_censored"))
+  }
+
   /** Merge algebra of [[conformalMonitorSink]]: distinct-residual
     * counts — plain sums over the residual lattice (the q304 contract:
     * residuals live on a bounded grid, so the state stays
@@ -958,6 +971,59 @@ object Streaming {
               .withColumn("batch_id", lit(batchId)) // one-row snapshot
               .transform { d => atomicAppendOne(d, snapshotsPath); d }
           graft.incremental.Writers.atomicRewrite(out, countsPath)
+        }
+      }
+      .start()
+
+  /** Streaming SURVIVAL-drift monitor — the seventh monitor sink
+    * (drift: mix; CUSUM: level; freshness: lag; contract: nulls;
+    * calibration: reliability; conformal: interval width; this:
+    * churn curves): maintain cumulative per-(key, duration) survival
+    * cells ([[graft.operators.Survival.survivalCells]] /
+    * [[mergeSurvivalCells]] — a mergeable COUNT partial with the
+    * aggMergeSink batch-id fence) and, each applied batch, append the
+    * Kaplan–Meier life table of the cumulative unit stream
+    * ([[graft.operators.Survival.kaplanMeierFromCells]]) stamped with
+    * the batch id — live churn curves per cohort, re-derived from the
+    * merged cells each batch (late units just merge in). The snapshot
+    * is key × distinct-durations rows — VALUES-scale, not unit-scale
+    * (the KM life table's own shape), the one monitor whose snapshot
+    * is a curve rather than one row.
+    *
+    * Input rows are UNITS (one per subject: key, duration, event flag)
+    * — dedup/last-observation upstream; a subject spanning batches
+    * must arrive exactly once, the standard survival-table contract.
+    *
+    * Replay contract: identical to [[driftMonitorSink]] — cells swap
+    * atomically with the fence; the snapshot commits FIRST under the
+    * append log's own fence via [[atomicAppendOne]]. */
+  def survivalMonitorSink(df: DataFrame, keyCol: String,
+                          durationCol: String, eventCol: String,
+                          cellsPath: String, snapshotsPath: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, cellsPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = graft.operators.Survival
+            .survivalCells(batch, keyCol, durationCol, eventCol)
+          val merged = stored match {
+            case Some(s) => mergeSurvivalCells(s.drop("last_batch_id"), delta)
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second
+          if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId))
+            graft.operators.Survival
+              .kaplanMeierFromCells(out.drop("last_batch_id"), keyCol)
+              .withColumn("batch_id", lit(batchId))
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
+          graft.incremental.Writers.atomicRewrite(out, cellsPath)
         }
       }
       .start()

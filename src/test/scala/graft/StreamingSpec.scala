@@ -853,6 +853,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/snaps").count() == 2L)
   }
 
+  test("survivalMonitorSink: fenced cumulative cells, per-batch KM life " +
+    "tables equal the one-shot batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-survmon").toString
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = Streaming.survivalMonitorSink(
+      in.toDF().toDF("cohort", "dur", "churned"), "cohort", "dur", "churned",
+      dir + "/cells", dir + "/snaps", dir + "/ckpt")
+    val b1 = Seq(("a", 1L, true), ("a", 2L, false))
+    val b2 = Seq(("a", 1L, true), ("a", 3L, true))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.read.parquet(dir + "/cells")
+      .select("duration", "n_events", "n_censored").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cells == Map(1L -> ((2L, 0L)), 2L -> ((0L, 1L)), 3L -> ((1L, 0L))))
+    // batch-0 snapshot: KM of b1 alone; batch-1: KM of the cumulative
+    val snaps = spark.read.parquet(dir + "/snaps")
+      .select("batch_id", "duration", "n_risk", "hazard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(snaps == Map(
+      (0L, 1L) -> ((2L, 0.5)), (0L, 2L) -> ((1L, 0.0)),
+      (1L, 1L) -> ((4L, 0.5)), (1L, 2L) -> ((2L, 0.0)),
+      (1L, 3L) -> ((1L, 1.0))))
+    // streamed cumulative cells ≡ the one-shot batch operator
+    val oneShot = graft.operators.Survival.kaplanMeier(
+      (b1 ++ b2).toDF("cohort", "dur", "churned"), "cohort", "dur", "churned")
+      .select("duration", "n_risk", "hazard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(oneShot == Map(1L -> ((4L, 0.5)), 2L -> ((2L, 0.0)),
+      3L -> ((1L, 1.0))))
+    // replay batch 0 through a fresh checkpoint: fenced, no double count
+    val in2 = MemoryStream[(String, Long, Boolean)]
+    val q2 = Streaming.survivalMonitorSink(
+      in2.toDF().toDF("cohort", "dur", "churned"), "cohort", "dur", "churned",
+      dir + "/cells", dir + "/snaps", dir + "/ckpt2")
+    try { in2.addData(("a", 1L, true)); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(spark.read.parquet(dir + "/cells")
+      .agg(sum(col("n_events") + col("n_censored"))).head().getLong(0) == 4L,
+      "replay must be fenced")
+    assert(spark.read.parquet(dir + "/snaps")
+      .select("batch_id").distinct().count() == 2L)
+  }
+
   test("joinMaintSink: delta-maintained view equals the direct join; replay fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
