@@ -3440,6 +3440,39 @@ object SparkEntry {
       graft.operators.Survival.kaplanMeierFromCells(folded, "cohort")
     }),
 
+    // Welch unequal-variance t-test: exact cent/cent² moment partials
+    // per event type across the user-parity split, one fixed double
+    // chain for t and the Welch-Satterthwaite df
+    "q341_welch_ttest" -> ((s, d) =>
+      graft.operators.Robust.welchTTest(t(s, d, "events"),
+        "event_type", "value", col("user_id") % 2 === 0)),
+
+    // Mann-Kendall trend test over per-type daily counts — the
+    // hypothesis-test companion of q247's Theil-Sen slope
+    "q342_mann_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      graft.operators.RankStats.mannKendall(daily, "event_type", "x", "y")
+    }),
+
+    // Krippendorff's alpha over ragged pseudo-annotations (items =
+    // blocks of 8 consecutive event ids, categories = event types;
+    // block boundaries make rater counts naturally variable)
+    "q343_krippendorff" -> ((s, d) =>
+      graft.operators.Eval.krippendorffAlpha(
+        t(s, d, "events").withColumn("item", expr("event_id div 8")),
+        "item", "event_type")),
+
+    // Cramér's V effect size of event_type × user segment — micro-grid
+    // floored chi² terms, exact BIGINT table sum, one double chain
+    "q344_cramers_v" -> ((s, d) =>
+      graft.operators.Robust.cramersV(
+        t(s, d, "events").withColumn("seg", col("user_id") % 5),
+        "event_type", "seg")),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10101,6 +10134,148 @@ object SparkEntry {
         |  CAST(n_events AS DOUBLE)
         |    / CAST(n_total - (cum - n_events - n_censored) AS DOUBLE) AS hazard
         |FROM w""".stripMargin,
+
+    // exact moment partials mirrored, then the IDENTICAL double chain
+    // (every operand an exact integer or a prior double term, so each
+    // IEEE op is correctly rounded in both engines)
+    "q341_welch_ttest" ->
+      """WITH b AS (SELECT event_type, user_id % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS sum_a_cents,
+        |    CAST(SUM(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT)
+        |      AS sum_b_cents,
+        |    CAST(SUM(CASE WHEN a THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+        |      AS BIGINT) AS ssq_a_cents2,
+        |    CAST(SUM(CASE WHEN NOT a THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+        |      AS BIGINT) AS ssq_b_cents2
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(sum_a_cents AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * 100.0) END AS mean_a,
+        |    CASE WHEN n_b > 0 THEN CAST(sum_b_cents AS DOUBLE)
+        |      / (CAST(n_b AS DOUBLE) * 100.0) END AS mean_b,
+        |    CASE WHEN n_a > 1 THEN
+        |      CAST(CAST(n_a AS HUGEINT) * ssq_a_cents2
+        |          - CAST(sum_a_cents AS HUGEINT) * sum_a_cents AS DOUBLE)
+        |        / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) * 10000 AS DOUBLE)
+        |      END AS va,
+        |    CASE WHEN n_b > 1 THEN
+        |      CAST(CAST(n_b AS HUGEINT) * ssq_b_cents2
+        |          - CAST(sum_b_cents AS HUGEINT) * sum_b_cents AS DOUBLE)
+        |        / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) * 10000 AS DOUBLE)
+        |      END AS vb
+        |  FROM g),
+        |se AS (SELECT *, va / CAST(n_a AS DOUBLE) AS sea,
+        |    vb / CAST(n_b AS DOUBLE) AS seb FROM m),
+        |s2 AS (SELECT *, sea + seb AS se2 FROM se)
+        |SELECT event_type, n_a, n_b, sum_a_cents, sum_b_cents,
+        |  ssq_a_cents2, ssq_b_cents2, mean_a, mean_b,
+        |  CASE WHEN se2 > 0.0 THEN (mean_a - mean_b) / sqrt(se2) END
+        |    AS t_stat,
+        |  CASE WHEN se2 > 0.0 THEN (se2 * se2)
+        |    / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+        |      + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) END AS df_welch
+        |FROM s2""".stripMargin,
+
+    // pairwise sign sum over the daily lattice + tie-corrected
+    // variance; continuity-corrected z mirrored term-for-term
+    "q342_mann_kendall" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM cells a JOIN cells b
+        |    ON a.event_type = b.event_type AND a.x < b.x
+        |  GROUP BY 1),
+        |t AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        |  FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (SELECT t.event_type, n, COALESCE(s_stat, 0) AS s_stat,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT) AS var_num
+        |  FROM t LEFT JOIN p ON t.event_type = p.event_type),
+        |v AS (SELECT *, CASE WHEN n > 1
+        |    THEN CAST(var_num AS DOUBLE) / 18.0 END AS var_s FROM f)
+        |SELECT event_type, n, s_stat, var_num, var_s,
+        |  CASE WHEN var_s > 0.0 THEN
+        |    CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |    ELSE 0.0 END END AS z
+        |FROM v""".stripMargin,
+
+    // coincidence-matrix alpha with the lcm(1..20) exact-denominator
+    // clearing; items with < 2 ratings dropped from N and the margins
+    "q343_krippendorff" ->
+      """WITH cells AS (SELECT event_id // 8 AS item,
+        |    CAST(event_type AS VARCHAR) AS c, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(SUM(k) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(k AS HUGEINT) * k) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY 1 HAVING SUM(k) >= 2),
+        |so AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(m) AS BIGINT) AS n_ratings,
+        |    CAST(SUM((CAST(m AS HUGEINT) * m - ssq)
+        |      * (232792560 // (m - 1))) AS BIGINT) AS do_num
+        |  FROM pi),
+        |de AS (SELECT CAST(SUM(CAST(nc AS HUGEINT) * nc) AS BIGINT) AS sncsq
+        |  FROM (SELECT c, SUM(k) AS nc FROM cells JOIN pi USING (item)
+        |        GROUP BY 1))
+        |SELECT n_items, n_ratings, do_num,
+        |  CAST(CAST(n_ratings AS HUGEINT) * n_ratings - sncsq AS BIGINT)
+        |    AS de_num,
+        |  CASE WHEN CAST(n_ratings AS HUGEINT) * n_ratings - sncsq > 0 THEN
+        |    1.0 - CAST(CAST(n_ratings - 1 AS HUGEINT) * do_num AS DOUBLE)
+        |      / CAST(CAST(232792560 AS HUGEINT)
+        |        * (CAST(n_ratings AS HUGEINT) * n_ratings - sncsq) AS DOUBLE)
+        |  END AS alpha
+        |FROM so, de""".stripMargin,
+
+    // q300's cell machinery + micro-grid floored terms, exact BIGINT
+    // table sum, the identical final double chain
+    "q344_cramers_v" ->
+      """WITH cells AS (SELECT CAST(event_type AS VARCHAR) AS a,
+        |    CAST(user_id % 5 AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(SUM(n_cell) AS BIGINT) AS row_total
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT b, CAST(SUM(n_cell) AS BIGINT) AS col_total
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT cells.a, cells.b, n_cell, row_total, col_total, n,
+        |    CAST(n AS HUGEINT) * n_cell
+        |      - CAST(row_total AS HUGEINT) * col_total AS d,
+        |    CAST(n AS HUGEINT) * row_total * col_total AS td
+        |  FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b, tt),
+        |agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_cats_a,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cats_b,
+        |    CAST(SUM((1000000 * (d * d)) // td)
+        |      + (1000000 * MAX(n)
+        |        - SUM((1000000 * (CAST(row_total AS HUGEINT) * col_total))
+        |            // n))
+        |      AS BIGINT) AS chi2_micro
+        |  FROM j)
+        |SELECT n, n_cats_a, n_cats_b, chi2_micro,
+        |  CASE WHEN n > 0 AND least(n_cats_a, n_cats_b) > 1 THEN
+        |    sqrt(CAST(chi2_micro AS DOUBLE)
+        |      / (1000000.0 * CAST(n AS DOUBLE)
+        |        * (CAST(least(n_cats_a, n_cats_b) AS DOUBLE) - 1.0)))
+        |  END AS cramers_v
+        |FROM agg""".stripMargin,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -318,6 +318,75 @@ object Eval {
       })
   }
 
+  /** Krippendorff's alpha (nominal) — the agreement coefficient for
+    * VARIABLE rater counts and missing ratings, which is exactly where
+    * [[fleissKappa]]'s fixed-n contract raises (division of labor:
+    * every item rated by the same n raters → Fleiss; ragged/partial
+    * annotation — the common crowd-labeling shape — → this):
+    * `α = 1 − D_o/D_e` with observed disagreement
+    * `D_o ∝ Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1)` and expected
+    * `D_e ∝ (N² − Σ_c N_c²)/(N − 1)` over the pooled margins.
+    *
+    * Exactness: the per-item rational denominators (m_i − 1) clear
+    * against the pinned constant `L = lcm(1..20) = 232792560`, so the
+    * observed-disagreement sum is an EXACT BIGINT
+    * (`Σ_i (m_i²−Σn²)·(L div (m_i−1))`) — which requires m_i ≤ 21
+    * (raised in-plan; realistic annotation has single-digit raters) —
+    * and `α = 1 − ((N−1)·do_num)/(L·de_num)` is one fixed double
+    * chain. Items with m_i < 2 are dropped entirely (their ratings
+    * leave N and the margins — Krippendorff's own rule: a unit no one
+    * can disagree on carries no information).
+    *
+    * Materialization bound: the (item, category) cell frame is
+    * checkpointed for its consumers — RATING-TABLE scale, same
+    * convention as [[fleissKappa]].
+    *
+    * Output: one row (n_items, n_ratings, do_num, de_num, alpha) —
+    * alpha NULL when D_e = 0 (single observed category) or no item
+    * has ≥ 2 ratings. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val L = 232792560L // lcm(1..20): clears every (m_i - 1) ≤ 20
+    val cells = df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol), col(categoryCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(true) // rating-table scale (fleissKappa convention)
+    val perItem = cells.groupBy(col(itemCol))
+      .agg(sum(col("__k")).cast("long").as("__m"),
+        sum(col("__k").cast(d38) * col("__k")).cast(d38).cast("long")
+          .as("__ssq"))
+      .filter(col("__m") >= 2)
+      .withColumn("__m",
+        when(col("__m") > 21, raise_error(lit(
+          "krippendorffAlpha: more than 21 ratings on one item — the " +
+            "lcm(1..20) exact-denominator regime is exceeded; " +
+            "subsample raters upstream"))).otherwise(col("__m")))
+      .localCheckpoint(true) // item-scale; consumed for margins + sums
+    val so = perItem.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      sum(col("__m")).cast("long").as("n_ratings"),
+      sum((col("__m").cast(d38) * col("__m") - col("__ssq"))
+        * expr(s"${L}L div (__m - 1)")).cast(d38).cast("long").as("do_num"))
+    // pooled category margins over KEPT items only
+    val de = cells.join(perItem.select(col(itemCol)), Seq(itemCol))
+      .groupBy(col("__c")).agg(sum(col("__k")).as("__nc"))
+      .agg(sum(col("__nc").cast(d38) * col("__nc")).cast(d38).cast("long")
+        .as("__sncsq"))
+    so.crossJoin(broadcast(de))
+      .withColumn("de_num",
+        (col("n_ratings").cast(d38) * col("n_ratings") - col("__sncsq"))
+          .cast(d38).cast("long"))
+      .withColumn("alpha",
+        when(col("de_num") > 0,
+          lit(1.0) -
+            ((col("n_ratings") - 1).cast(d38) * col("do_num")).cast(d38)
+              .cast("double")
+              / (lit(L).cast(d38) * col("de_num")).cast(d38).cast("double")))
+      .select(col("n_items"), col("n_ratings"), col("do_num"),
+        col("de_num"), col("alpha"))
+  }
+
   /** Exact Brier score — the proper scoring rule for probability
     * forecasts (log-loss needs libm; Brier is pure arithmetic): with
     * scores on the [[Profile.calibration]] micro grid (exact-scaled via

@@ -377,4 +377,70 @@ object RankStats {
     m.select(col(keyCol), col("n"),
       when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("rho"))
   }
+
+  /** Mann–Kendall trend TEST per key — "is this series monotonically
+    * trending?", the hypothesis-test companion of
+    * [[graft.operators.Timeseries.theilSen]]'s trend ESTIMATE (same
+    * input shape; run both — the slope says how much, this says
+    * whether it's distinguishable from noise):
+    * `S = Σ_{i<j} sign(y_j − y_i)` over the time-ordered series, with
+    * the tie-corrected null variance
+    * `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18` and the
+    * continuity-corrected `z = (S ∓ 1)/√Var(S)` (0 at S = 0). S and
+    * the variance numerator are exact BIGINTs; z is one fixed double
+    * chain.
+    *
+    * `(key, x)` must be UNIQUE (pre-aggregate to daily/period grain
+    * upstream — the standard MK setting); a duplicate x raises
+    * in-plan rather than silently double-counting pairs. Cost is the
+    * C(n,2) per-key pair join — the [[kendallTau]] bounded-series
+    * contract (daily/weekly aggregates, n in the tens-to-hundreds),
+    * NOT raw event scale.
+    *
+    * Output per key: (key, n, s_stat, var_num, var_s = var_num/18,
+    * z) — var/z NULL when n < 2 or Var(S) = 0. */
+  def mannKendall(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"), max(col(yCol)).as("__y"))
+      .withColumn("__y",
+        when(col("__cx") > 1, raise_error(lit(
+          "mannKendall: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__y")))
+      .drop("__cx")
+      .localCheckpoint(true) // consumed 3x (pairs both sides + ties)
+    val a = cells.select(col(keyCol), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = cells.select(col(keyCol), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val s = a.join(b, Seq(keyCol))
+      .filter(col("__xa") < col("__xb"))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("__yb") > col("__ya"), 1L)
+        .when(col("__yb") < col("__ya"), -1L).otherwise(0L))
+        .cast("long").as("s_stat"))
+    val ties = cells.groupBy(col(keyCol), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__nv"), sum(col("__t")).cast("long").as("n"),
+        sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5))
+          .cast("long").as("__tie_sum"))
+    ties.join(s, Seq(keyCol), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L))) // n = 1
+      .withColumn("var_num",
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - col("__tie_sum")).cast("long"))
+      .withColumn("var_s",
+        when(col("n") > 1, col("var_num").cast("double") / 18.0))
+      .withColumn("z",
+        when(col("var_s") > 0.0,
+          when(col("s_stat") > 0,
+            (col("s_stat").cast("double") - 1.0) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0,
+              (col("s_stat").cast("double") + 1.0) / sqrt(col("var_s")))
+            .otherwise(lit(0.0))))
+      .select(col(keyCol), col("n"), col("s_stat"), col("var_num"),
+        col("var_s"), col("z"))
+  }
 }

@@ -556,6 +556,127 @@ object Robust {
         col("__td").cast("long").as("term_den"), col("chi2_term"))
   }
 
+  /** Welch's unequal-variance t-test PARTS per key — the two-sample
+    * mean comparison that does NOT assume equal variances (the safe
+    * default for A/B metrics with heterogeneous arms; Welch 1947):
+    * per key, exact integer moment partials for both arms — counts,
+    * cent-unit sums (2-dp-grid contract), and cent²-unit sums of
+    * squares — then `t = (x̄_A − x̄_B)/√(s²_A/n_A + s²_B/n_B)` and the
+    * Welch–Satterthwaite degrees of freedom as ONE fixed double chain
+    * per key (divisions and √ of exact integers are correctly rounded
+    * IEEE — engine-portable; no float accumulates across rows).
+    *
+    * Variances are the unbiased sample form computed from the exact
+    * identity `n·Σx² − (Σx)²` inside decimal(38,0) (the signed-
+    * residual discipline: the square lives in exact decimal, never a
+    * BIGINT intermediate). BIGINT emission bounds: `ssq_*_cents2`
+    * overflows past Σx² ~ 9e18 cent² (e.g. 1e9 rows of ~$30k values)
+    * — the ANSI cast fails loudly, never silently.
+    *
+    * Output per key: (key, n_a, n_b, sum_a_cents, sum_b_cents,
+    * ssq_a_cents2, ssq_b_cents2, mean_a, mean_b, t_stat, df_welch) —
+    * t/df NULL when either arm has < 2 rows or both variances are 0. */
+  def welchTTest(df: DataFrame, keyCol: String, valueCol: String,
+                 isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && isA.isNotNull)
+      .select(col(keyCol), isA.as("__a"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+    val agg = base.groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), col("__c")).otherwise(0L)).cast("long")
+          .as("sum_a_cents"),
+        sum(when(!col("__a"), col("__c")).otherwise(0L)).cast("long")
+          .as("sum_b_cents"),
+        sum(when(col("__a"), col("__c").cast(d38) * col("__c"))
+          .otherwise(lit(0).cast(d38))).cast(d38).cast("long")
+          .as("ssq_a_cents2"),
+        sum(when(!col("__a"), col("__c").cast(d38) * col("__c"))
+          .otherwise(lit(0).cast(d38))).cast(d38).cast("long")
+          .as("ssq_b_cents2"))
+      .filter(col("n_a") > 0 || col("n_b") > 0)
+    // one fixed double chain from the exact integer partials; the
+    // variance numerator n·Σx² − (Σx)² stays in exact decimal and the
+    // 1e4 divisor converts cent² to dollars² before the double cast
+    def mean(s: String, n: String) =
+      col(s).cast("double") / (col(n).cast("double") * 100.0)
+    def variance(n: String, s: String, q: String) =
+      (col(n).cast(d38) * col(q) - col(s).cast(d38) * col(s)).cast(d38)
+        .cast("double") /
+        ((col(n).cast(d38) * (col(n) - 1) * 10000).cast(d38).cast("double"))
+    agg
+      .withColumn("mean_a", when(col("n_a") > 0, mean("sum_a_cents", "n_a")))
+      .withColumn("mean_b", when(col("n_b") > 0, mean("sum_b_cents", "n_b")))
+      .withColumn("__va", when(col("n_a") > 1,
+        variance("n_a", "sum_a_cents", "ssq_a_cents2")))
+      .withColumn("__vb", when(col("n_b") > 1,
+        variance("n_b", "sum_b_cents", "ssq_b_cents2")))
+      .withColumn("__sea", col("__va") / col("n_a").cast("double"))
+      .withColumn("__seb", col("__vb") / col("n_b").cast("double"))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .withColumn("t_stat",
+        when(col("__se2") > 0.0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("__se2"))))
+      .withColumn("df_welch",
+        when(col("__se2") > 0.0,
+          (col("__se2") * col("__se2")) /
+            (col("__sea") * col("__sea") / (col("n_a").cast("double") - 1.0)
+              + col("__seb") * col("__seb")
+                / (col("n_b").cast("double") - 1.0))))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("sum_a_cents"),
+        col("sum_b_cents"), col("ssq_a_cents2"), col("ssq_b_cents2"),
+        col("mean_a"), col("mean_b"), col("t_stat"), col("df_welch"))
+  }
+
+  /** Cramér's V — the [0, 1] effect size of [[chiSquareIndependence]]
+    * (a χ² alone grows with n; V = √(χ²/(n·(min(r,c)−1))) is the
+    * sample-size-free association strength reviewers actually compare):
+    * per-cell χ² terms floor onto the MICRO grid
+    * (`1e6·Δ² div term_den` — exact integer division of exact
+    * decimals, the ndcg-flooring discipline), so the table sum is an
+    * exact BIGINT at any parallelism — no float ever accumulates
+    * across cells — and V is one fixed double chain.
+    *
+    * [[chiSquareIndependence]] emits OBSERVED cells only, but an EMPTY
+    * cell still contributes `(0−E)²/E = E` to χ² — that mass is added
+    * back exactly as `n − Σ_observed E` (each observed E floored onto
+    * the same micro grid), so sparse tables score correctly without
+    * materializing the r×c dense grid.
+    *
+    * Output: one row (n, n_cats_a, n_cats_b, chi2_micro, cramers_v) —
+    * `chi2 ≈ chi2_micro/1e6` (floored per term); V NULL for a
+    * degenerate table (min(r,c) < 2 or n = 0). */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame =
+    chiSquareIndependence(df, colA, colB)
+      .withColumn("__tm",
+        expr("(1000000 * (CAST(delta_num AS DECIMAL(38,0)) * delta_num))" +
+          " div term_den"))
+      // this cell's expected count on the micro grid: 1e6·rt·ct div n
+      .withColumn("__em",
+        expr("(1000000 * (CAST(row_total AS DECIMAL(38,0)) * col_total))" +
+          " div n"))
+      .agg(max(col("n")).cast("long").as("n"),
+        count_distinct(col("a")).cast("long").as("n_cats_a"),
+        count_distinct(col("b")).cast("long").as("n_cats_b"),
+        sum(col("__tm")).cast("long").as("__obs_micro"),
+        sum(col("__em")).cast("long").as("__obs_e_micro"))
+      // + the empty cells' (0−E)²/E = E mass: n − Σ_observed E
+      .withColumn("chi2_micro",
+        (col("__obs_micro")
+          + (lit(1000000L) * col("n") - col("__obs_e_micro")))
+          .cast("long"))
+      .withColumn("__k",
+        least(col("n_cats_a"), col("n_cats_b")).cast("double"))
+      .withColumn("cramers_v",
+        when(col("n") > 0 && col("__k") > 1.0,
+          sqrt(col("chi2_micro").cast("double")
+            / (lit(1000000.0) * col("n").cast("double")
+              * (col("__k") - 1.0)))))
+      .select(col("n"), col("n_cats_a"), col("n_cats_b"),
+        col("chi2_micro"), col("cramers_v"))
+
   /** Deterministic NULL imputation with provenance — the data-repair
     * step every feature pipeline runs before training, made
     * reproducible: numeric NULLs fill with the column's per-group EXACT

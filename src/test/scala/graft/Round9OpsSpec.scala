@@ -120,6 +120,91 @@ class Round9OpsSpec extends SparkSpec {
     assert(Layout.candidateFiles(sStats, Seq(("s", 0L, 0L))).count() == 16)
   }
 
+  // ---- Welch / Mann-Kendall / Krippendorff / Cramér ----------------------
+
+  test("welchTTest: hand-computed moments, t and Welch-Satterthwaite df") {
+    import graft.operators.Robust
+    val df = Seq(("k", true, 1.0), ("k", true, 2.0), ("k", true, 3.0),
+      ("k", false, 2.0), ("k", false, 4.0)).toDF("g", "a", "v")
+    val r = Robust.welchTTest(df, "g", "v", col("a")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 600L && r.getLong(4) == 600L)
+    assert(r.getLong(5) == 140000L && r.getLong(6) == 200000L)
+    assert(r.getDouble(7) == 2.0 && r.getDouble(8) == 3.0)
+    // va = 1.0, vb = 2.0 -> se2 = 1/3 + 1 ; replicate the exact chain
+    val sea = 1.0 / 3.0; val seb = 2.0 / 2.0; val se2 = sea + seb
+    assert(r.getDouble(9) == (2.0 - 3.0) / math.sqrt(se2))
+    assert(r.getDouble(10) ==
+      (se2 * se2) / (sea * sea / 2.0 + seb * seb / 1.0))
+    // single-row arm: t/df NULL, never a 0-div
+    val one = Seq(("k", true, 1.0), ("k", false, 2.0)).toDF("g", "a", "v")
+    assert(Robust.welchTTest(one, "g", "v", col("a")).head().isNullAt(9))
+  }
+
+  test("mannKendall: pair signs, tie-corrected variance, duplicate-x raise") {
+    import graft.operators.RankStats
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 2L), ("k", 4L, 3L))
+      .toDF("g", "x", "y")
+    val r = RankStats.mannKendall(df, "g", "x", "y").head()
+    assert(r.getLong(1) == 4L)     // n
+    assert(r.getLong(2) == 5L)     // S = 6 pairs: +,+,+,0,+,+ = 5
+    assert(r.getLong(3) == 138L)   // 4*3*13 - 2*1*9
+    assert(r.getDouble(4) == 138.0 / 18.0)
+    assert(r.getDouble(5) == (5.0 - 1.0) / math.sqrt(138.0 / 18.0))
+    // S < 0 branch: reversed series, continuity correction from above
+    val rev = Seq(("k", 1L, 3L), ("k", 2L, 2L), ("k", 3L, 1L))
+      .toDF("g", "x", "y")
+    val rr = RankStats.mannKendall(rev, "g", "x", "y").head()
+    assert(rr.getLong(2) == -3L)
+    assert(rr.getDouble(5) == (-3.0 + 1.0) / math.sqrt(rr.getDouble(4)))
+    val dup = Seq(("k", 1L, 1L), ("k", 1L, 2L)).toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      RankStats.mannKendall(dup, "g", "x", "y").collect()
+    }
+    assert(e.getMessage.contains("duplicate x"))
+  }
+
+  test("krippendorffAlpha: textbook ragged fixture, m<2 drop, m>21 raise") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"),             // no disagreement
+      (2L, "a"), (2L, "b"),             // full disagreement
+      (3L, "b"), (3L, "b"), (3L, "b"),  // no disagreement
+      (4L, "a"))                        // single rating: dropped
+      .toDF("item", "cat")
+    val r = Eval.krippendorffAlpha(df, "item", "cat").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L)
+    assert(r.getLong(2) == 2L * 232792560L)  // item2's (4-2)*L/1
+    assert(r.getLong(3) == 49L - 9L - 16L)   // N² - Σ N_c²
+    assert(r.getDouble(4) == 0.5)            // 1 - 6*2L/(L*24)
+    // all-dropped corpus: alpha NULL (de undefined), counts zero
+    val singles = Seq((1L, "a"), (2L, "b")).toDF("item", "cat")
+    val s = Eval.krippendorffAlpha(singles, "item", "cat").head()
+    assert(s.getLong(0) == 0L && s.isNullAt(4))
+    val over = (1 to 22).map(i => (1L, s"r$i")).toDF("item", "cat")
+    val e = intercept[Exception] {
+      Eval.krippendorffAlpha(over, "item", "cat").collect()
+    }
+    assert(e.getMessage.contains("21"))
+  }
+
+  test("cramersV: perfect 2x2 association scores V = 1 (empty-cell mass)") {
+    import graft.operators.Robust
+    val rows = (1 to 10).map(_ => ("a", "x")) ++ (1 to 10).map(_ => ("b", "y"))
+    val r = Robust.cramersV(rows.toDF("u", "v"), "u", "v").head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // chi2 = n = 20 exactly: 10 micro-units observed + 10 empty-mass
+    assert(r.getLong(3) == 20L * 1000000L)
+    assert(r.getDouble(4) == 1.0)
+    // independence: chi2 terms vanish, V = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val ri = Robust.cramersV(ind, "u", "v").head()
+    assert(ri.getLong(3) == 0L && ri.getDouble(4) == 0.0)
+    // degenerate single column: V NULL
+    val deg = Seq(("a", "x"), ("b", "x")).toDF("u", "v")
+    assert(Robust.cramersV(deg, "u", "v").head().isNullAt(4))
+  }
+
   // ---- AP / MAP -----------------------------------------------------------
 
   test("averagePrecisionAtK: exact 2520-scaled terms, hand-checked APs") {
