@@ -3473,6 +3473,52 @@ object SparkEntry {
         t(s, d, "events").withColumn("seg", col("user_id") % 5),
         "event_type", "seg")),
 
+    // z-order + pruned read end-to-end: lineitem laid out by the Morton
+    // key of two derived columns, then a BOTH-column box probe through
+    // readPruned — the multi-column skip a single-column sort cannot
+    // give (the q330 machinery on the q100 layout)
+    "q345_zorder_pruned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zprune")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+        .withColumn("zx", (col("l_partkey") % 64).cast("long"))
+        .withColumn("zy", (col("l_suppkey") % 64).cast("long"))
+      li.withColumn("__z",
+          graft.operators.Layout.mortonCode(col("zx"), col("zy"), 6))
+        .repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(dir)
+      val pruned = graft.sources.Tables.readPruned(s, dir,
+        Seq(("zx", 0L, 15L), ("zy", 0L, 15L)))
+      require(pruned.inputFiles.length * 2 < 16,
+        s"z-order prune regressed: opened ${pruned.inputFiles.length}" +
+          " of 16 files for a 1/16th-area box probe")
+      pruned.agg(count(lit(1)).as("n"),
+        sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+          .cast("long").as("qty_cents"),
+        sum(col("zx")).cast("long").as("sum_zx"),
+        sum(col("zy")).cast("long").as("sum_zy"))
+    }),
+
+    // t-closeness release gate: per user-segment class, exact EMD of
+    // the event-type distribution vs global (ordinal ground distance)
+    "q346_t_closeness" -> ((s, d) =>
+      graft.checks.Privacy.tCloseness(
+        t(s, d, "events").withColumn("seg", col("user_id") % 20),
+        Seq("seg"), "event_type", t = 0.2)),
+
+    // Count-Min sketch: two disjoint partials merged (count algebra ≡
+    // one-shot grid), point estimates for every observed event type
+    "q347_countmin" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sk = graft.functions.CountMin.merge(Seq(
+        graft.functions.CountMin.partial(
+          ev.filter(col("event_id") % 2 === 0), "event_type", 3, 64, "cm9"),
+        graft.functions.CountMin.partial(
+          ev.filter(col("event_id") % 2 === 1), "event_type", 3, 64, "cm9")))
+      graft.functions.CountMin.estimate(sk, ev, "event_type", 3, 64, "cm9")
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10276,6 +10322,74 @@ object SparkEntry {
         |        * (CAST(least(n_cats_a, n_cats_b) AS DOUBLE) - 1.0)))
         |  END AS cramers_v
         |FROM agg""".stripMargin,
+
+    // the same filter+aggregate over the ORIGINAL table — pruned
+    // multi-column scan drops no qualifying row
+    "q345_zorder_pruned" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(l_partkey % 64) AS BIGINT) AS sum_zx,
+        |  CAST(SUM(l_suppkey % 64) AS BIGINT) AS sum_zy
+        |FROM lineitem WHERE l_partkey % 64 BETWEEN 0 AND 15
+        |  AND l_suppkey % 64 BETWEEN 0 AND 15""".stripMargin,
+
+    // per-class cumulative-difference EMD with cleared denominators;
+    // NULL-safe class join mirrors the operator's NULL-qi-is-a-value
+    // convention
+    "q346_t_closeness" ->
+      """WITH b AS (SELECT user_id % 20 AS seg,
+        |    CAST(event_type AS VARCHAR) AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (SELECT seg, s, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |cls AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1),
+        |g AS (SELECT s, CAST(SUM(cnt) AS BIGINT) AS gc FROM cells GROUP BY 1),
+        |gcum AS (SELECT s, CAST(SUM(gc) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumg FROM g),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |    CAST(COUNT(DISTINCT s) AS BIGINT) AS m FROM cells),
+        |lat AS (SELECT cls.seg, cls.class_size, gcum.s, gcum.cumg,
+        |    tot.n_total, tot.m FROM cls CROSS JOIN gcum CROSS JOIN tot),
+        |cc AS (SELECT lat.*, COALESCE(cells.cnt, 0) AS cnt
+        |  FROM lat LEFT JOIN cells
+        |    ON lat.seg IS NOT DISTINCT FROM cells.seg AND lat.s = cells.s),
+        |cw AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY seg ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumc FROM cc),
+        |f AS (SELECT seg, class_size, n_total, m,
+        |    CAST(SUM(ABS(cumc * n_total - cumg * class_size)) AS BIGINT)
+        |      AS emd_num
+        |  FROM cw GROUP BY 1, 2, 3, 4)
+        |SELECT seg, class_size, emd_num,
+        |  CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
+        |    / (CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |      * (CAST(m AS DOUBLE) - 1.0)) END AS emd,
+        |  CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
+        |    / (CAST(class_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |      * (CAST(m AS DOUBLE) - 1.0)) > 0.2 END AS at_risk_t
+        |FROM f""".stripMargin,
+
+    // identical md5 grid arithmetic (15-hex-char BIGINT convention);
+    // the split-merge equals the one-shot grid by count algebra
+    "q347_countmin" -> {
+      def h(item: String) =
+        s"CAST('0x' || substr(md5($item || '#' || CAST(d AS VARCHAR)" +
+          s" || '#cm9'), 1, 15) AS BIGINT) % 64"
+      s"""WITH items AS (SELECT event_type FROM events
+         |  WHERE event_type IS NOT NULL),
+         |ds AS (SELECT unnest([0, 1, 2]) AS d),
+         |grid AS (SELECT d, CAST(${h("event_type")} AS BIGINT) AS w,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM items CROSS JOIN ds GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT event_type AS item FROM items),
+         |pb AS (SELECT item, d, CAST(${h("item")} AS BIGINT) AS w
+         |  FROM probes CROSS JOIN ds)
+         |SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+         |FROM pb LEFT JOIN grid USING (d, w) GROUP BY 1""".stripMargin
+    },
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

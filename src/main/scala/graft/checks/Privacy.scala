@@ -1,6 +1,7 @@
 package graft.checks
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy risk profiling for publishable datasets: k-anonymity and
@@ -135,5 +136,87 @@ object Privacy {
       .withColumn("flagged",
         col("email_share") >= flagAt || col("phone_share") >= flagAt ||
           col("card_share") >= flagAt)
+  }
+
+  /** t-closeness over an ORDINAL sensitive attribute — the third leg of
+    * the release gate (k-anonymity bounds re-identification,
+    * l-diversity bounds uniform disclosure; t-closeness bounds how much
+    * a class's sensitive DISTRIBUTION leaks vs the global one —
+    * Li/Li/Venkatasubramanian 2007): per equivalence class, the Earth
+    * Mover's Distance to the global distribution under the
+    * equal-spaced ordinal ground distance,
+    * `EMD = Σ_v |CumP_v − CumQ_v| / (m−1)` over the ordered sensitive
+    * domain.
+    *
+    * Exactness: the cumulative-difference sum clears denominators —
+    * `emd_num = Σ_v |cumc_v·N − cumg_v·n|` is an exact BIGINT over the
+    * (class × sensitive-domain) lattice (classes join the broadcast
+    * m-value global lattice, absent cells count 0), and
+    * `emd = emd_num/(n·N·(m−1))` is one division. The last lattice
+    * value's term is identically 0 (both cums hit their totals), so
+    * summing all m values equals the defining m−1-term sum. BIGINT
+    * bound: emd_num ≤ m·n·N — past ~2e18 (e.g. N=1e9, n=2e3, m=1e6)
+    * the ANSI cast fails loudly.
+    *
+    * NULL sensitive rows are EXCLUDED (an ordinal distance needs an
+    * ordered value; NULL has no position — unlike the k/l gates where
+    * NULL is a value). NULL quasi-identifiers group as values, the
+    * [[equivalenceClasses]] convention.
+    *
+    * Scale shape: one (qi, sensitive) aggregate, a broadcast join to
+    * the m-row global lattice, one per-class values-scale window.
+    *
+    * Output per class: (qiCols…, class_size, emd_num, emd,
+    * at_risk_t = emd > t). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "quasi-identifier columns required")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    val cells = base
+      .groupBy(qiCols.map(col) :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true) // consumed for classes + lattice join
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__cnt")).cast("long").as("class_size"))
+    // global ordered lattice with its own cumulative counts (m rows)
+    val gw = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = cells.groupBy(col("__s"))
+      .agg(sum(col("__cnt")).cast("long").as("__gc"))
+      .withColumn("__cumg", sum(col("__gc")).over(gw).cast("long"))
+      .crossJoin(broadcast(
+        cells.agg(sum(col("__cnt")).cast("long").as("__n_total"),
+          count_distinct(col("__s")).cast("long").as("__m"))))
+      .localCheckpoint(true) // m-row metadata frame, consumed per class
+    val cw = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-safe (<=>) equality on the quasi-identifiers: a NULL qi is a
+    // VALUE (scaladoc convention) and must still match its own cells
+    val cellsR = cells.select(
+      qiCols.map(c => col(c).as(s"__r_$c")) :+ col("__s").as("__rs")
+        :+ col("__cnt"): _*)
+    val joinCond = qiCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _) && col("__s") === col("__rs")
+    classes
+      .join(broadcast(global)) // class × m lattice
+      .join(cellsR, joinCond, "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
+      .withColumn("__cumc", sum(col("__cnt")).over(cw).cast("long"))
+      .withColumn("__term",
+        abs(col("__cumc") * col("__n_total")
+          - col("__cumg") * col("class_size")))
+      .groupBy(qiCols.map(col) :+ col("class_size") :+ col("__n_total")
+        :+ col("__m"): _*)
+      .agg(sum(col("__term")).cast("long").as("emd_num"))
+      .withColumn("emd",
+        when(col("__m") > 1,
+          col("emd_num").cast("double")
+            / (col("class_size").cast("double")
+              * col("__n_total").cast("double")
+              * (col("__m").cast("double") - 1.0))))
+      .withColumn("at_risk_t", col("emd") > t)
+      .select(qiCols.map(col) ++ Seq(col("class_size"), col("emd_num"),
+        col("emd"), col("at_risk_t")): _*)
   }
 }

@@ -205,6 +205,65 @@ class Round9OpsSpec extends SparkSpec {
     assert(Robust.cramersV(deg, "u", "v").head().isNullAt(4))
   }
 
+  // ---- t-closeness / Count-Min --------------------------------------------
+
+  test("tCloseness: hand EMD, NULL qi is a class, NULL sensitive excluded") {
+    import graft.checks.Privacy
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "b"), ("g2", "b"), ("g2", "b"))
+      .toDF("seg", "s")
+    val r = Privacy.tCloseness(df, Seq("seg"), "s", t = 0.2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    // global: a=2, b=4, N=6, m=2; both classes: |cumc*6 - 2*3| = 6
+    assert(r("g1") == ((3L, 6L, 6.0 / 18.0, true)))
+    assert(r("g2") == ((3L, 6L, 6.0 / 18.0, true)))
+    // NULL qi forms its own class and still matches its cells
+    val withNull = Seq((Some("g1"), "a"), (None: Option[String], "a"),
+      (None, "b")).toDF("seg", "s")
+    val nr = Privacy.tCloseness(withNull, Seq("seg"), "s", 0.2)
+      .filter(col("seg").isNull).head()
+    assert(nr.getLong(1) == 2L) // the NULL class saw both its rows
+    // NULL sensitive rows are excluded entirely
+    val ns = Seq(("g", Some("a")), ("g", None: Option[String]))
+      .toDF("seg", "s")
+    assert(Privacy.tCloseness(ns, Seq("seg"), "s", 0.2)
+      .head().getLong(1) == 1L)
+    // identical distribution => EMD 0, not at risk
+    val same = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"))
+      .toDF("seg", "s")
+    assert(Privacy.tCloseness(same, Seq("seg"), "s", 0.2)
+      .collect().forall(x => x.getLong(2) == 0L && !x.getBoolean(4)))
+  }
+
+  test("countMin: exact in the no-collision regime, merge ≡ one-shot, " +
+    "est is an upper bound, unseen probe -> 0") {
+    import graft.functions.CountMin
+    val items = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .toDF("item")
+    val oneShot = CountMin.partial(items, "item", 3, 256, "s")
+    val merged = CountMin.merge(Seq(
+      CountMin.partial(items.limit(4), "item", 3, 256, "s"),
+      CountMin.partial(
+        items.withColumn("__r", monotonically_increasing_id())
+          .filter(col("__r") >= 4).drop("__r"), "item", 3, 256, "s")))
+    val a = oneShot.orderBy("d", "w").collect().toSeq
+    val b = merged.orderBy("d", "w").collect().toSeq
+    assert(a == b)
+    val est = CountMin.estimate(oneShot,
+      Seq("x", "y", "z", "never").toDF("item"), "item", 3, 256, "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("x") == 5L && est("y") == 3L && est("z") == 1L)
+    assert(est("never") == 0L)
+    // collision regime (width 2): still an upper bound on every count
+    val tight = CountMin.estimate(
+      CountMin.partial(items, "item", 2, 2, "s"),
+      Seq("x", "y", "z").toDF("item"), "item", 2, 2, "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight("x") >= 5L && tight("y") >= 3L && tight("z") >= 1L)
+  }
+
   // ---- AP / MAP -----------------------------------------------------------
 
   test("averagePrecisionAtK: exact 2520-scaled terms, hand-checked APs") {
