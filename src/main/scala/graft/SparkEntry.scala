@@ -3519,6 +3519,44 @@ object SparkEntry {
       graft.functions.CountMin.estimate(sk, ev, "event_type", 3, 64, "cm9")
     }),
 
+    // Hilbert key per 64×64 cell (+ per-key coordinate min=max proves
+    // injectivity in-query); the locality-optimal sibling of q100
+    "q348_hilbert_key" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("hx", (col("l_partkey") % 64).cast("long"))
+        .withColumn("hy", (col("l_suppkey") % 64).cast("long"))
+      graft.operators.Layout.withHilbert(li, "hx", "hy", 6, "hkey")
+        .groupBy(col("hkey"))
+        .agg(count(lit(1)).as("n"),
+          min(col("hx")).as("min_x"), max(col("hx")).as("max_x"),
+          min(col("hy")).as("min_y"), max(col("hy")).as("max_y"))
+    }),
+
+    // Hilbert-laid-out lineitem through the q330 pruned-read path: the
+    // same both-column box probe as q345, against the Hilbert layout —
+    // same oracle answer, adjacent-cell locality on disk
+    "q349_hilbert_pruned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-hprune")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+        .withColumn("zx", (col("l_partkey") % 64).cast("long"))
+        .withColumn("zy", (col("l_suppkey") % 64).cast("long"))
+      graft.operators.Layout.withHilbert(li, "zx", "zy", 6, "__h")
+        .repartitionByRange(16, col("__h")).sortWithinPartitions("__h")
+        .drop("__h")
+        .write.parquet(dir)
+      val pruned = graft.sources.Tables.readPruned(s, dir,
+        Seq(("zx", 0L, 15L), ("zy", 0L, 15L)))
+      require(pruned.inputFiles.length * 2 < 16,
+        s"hilbert prune regressed: opened ${pruned.inputFiles.length}" +
+          " of 16 files for a 1/16th-area box probe")
+      pruned.agg(count(lit(1)).as("n"),
+        sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+          .cast("long").as("qty_cents"),
+        sum(col("zx")).cast("long").as("sum_zx"),
+        sum(col("zy")).cast("long").as("sum_zy"))
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10390,6 +10428,47 @@ object SparkEntry {
          |SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
          |FROM pb LEFT JOIN grid USING (d, w) GROUP BY 1""".stripMargin
     },
+
+    // the same rotate-and-accumulate walk, one CTE pair per scale
+    // (rx/ry first, then the reflect+transpose update) — mechanical
+    // mirror of Layout.withHilbert's per-projection rounds
+    "q348_hilbert_key" -> {
+      val b = new StringBuilder(
+        "WITH h0 AS (SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,\n" +
+          "    l_partkey % 64 AS ox, l_suppkey % 64 AS oy,\n" +
+          "    CAST(0 AS BIGINT) AS d FROM lineitem)")
+      var s = 32; var i = 0
+      while (s > 0) {
+        b ++= s""",
+           |r$i AS (SELECT x, y, ox, oy, d,
+           |  CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$i),
+           |h${i + 1} AS (SELECT
+           |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 63 - y ELSE y END
+           |    ELSE x END AS x,
+           |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 63 - x ELSE x END
+           |    ELSE y END AS y,
+           |  ox, oy, d + ${s.toLong * s} * xor(3 * rx, ry) AS d FROM r$i)"""
+          .stripMargin
+        s >>= 1; i += 1
+      }
+      b ++= s"""
+         |SELECT d AS hkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(ox) AS BIGINT) AS min_x, CAST(MAX(ox) AS BIGINT) AS max_x,
+         |  CAST(MIN(oy) AS BIGINT) AS min_y, CAST(MAX(oy) AS BIGINT) AS max_y
+         |FROM h$i GROUP BY 1""".stripMargin
+      b.toString
+    },
+
+    // identical to q345's oracle: the layout changed, the answer must not
+    "q349_hilbert_pruned" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(l_partkey % 64) AS BIGINT) AS sum_zx,
+        |  CAST(SUM(l_suppkey % 64) AS BIGINT) AS sum_zy
+        |FROM lineitem WHERE l_partkey % 64 BETWEEN 0 AND 15
+        |  AND l_suppkey % 64 BETWEEN 0 AND 15""".stripMargin,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -77,6 +77,68 @@ object Layout {
       terms.reduce(_ + _).cast("long"))
   }
 
+  /** Hilbert-curve key of two non-negative ints below `2^bits` — the
+    * locality-optimal sibling of [[mortonCode]]: a Hilbert walk visits
+    * every cell of the 2^bits × 2^bits grid through ADJACENT cells
+    * only (|Δx|+|Δy| = 1 between consecutive keys), so equal key
+    * ranges cover more compact boxes than the Z-curve's diagonal
+    * jumps — tighter per-file min/max under [[skippingStats]] /
+    * [[graft.sources.Tables.readPruned]], the property that matters
+    * when files are cut by key range. Z-order keeps one advantage:
+    * the key is a pure bit-interleave (cheap, streamable); Hilbert
+    * costs `bits` dependent rounds. Pick Hilbert for cold layout
+    * rewrites, Morton for on-the-fly keys.
+    *
+    * Implementation: the classic per-scale rotate-and-accumulate walk
+    * (d += s²·((3·rx)⊕ry), then reflect/transpose the lower bits),
+    * expressed as one chained projection per scale — `bits`
+    * projections of plain long arithmetic, each referencing the
+    * previous (NOT a single expression: the rotation reads x and y
+    * twice per round, so inlining would grow the tree 3^bits).
+    * Coordinates out of [0, 2^bits) yield a NULL key — the
+    * [[mortonCode]] loud-in-any-sort rule.
+    *
+    * Returns `df` with `outCol` appended; helper columns are dropped. */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  outCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val lim = 1L << bits
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__hd",
+          col("__hd") + lit(s) * lit(s)
+            * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // reflect (full-grid complement — bits below s flip exactly)
+        // then transpose, only in the ry = 0 half
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(lim - 1) - col("__hy"))
+              .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(lim - 1) - col("__hx"))
+              .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+      s >>= 1
+    }
+    cur
+      .withColumn(outCol,
+        when(col(xCol).isNotNull && col(yCol).isNotNull
+          && col(xCol).cast("long").between(0, lim - 1)
+          && col(yCol).cast("long").between(0, lim - 1), col("__hd")))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
+  }
+
   /** Zone-map reader: per parquet FILE min/max/count for `cols` — the
     * skipping statistics a scan planner consults before opening files.
     * The READ-side pairing of [[ZOrder.layout]] (which produces the

@@ -205,6 +205,60 @@ class Round9OpsSpec extends SparkSpec {
     assert(Robust.cramersV(deg, "u", "v").head().isNullAt(4))
   }
 
+  // ---- Hilbert curve -------------------------------------------------------
+
+  test("withHilbert: matches the reference walk, bijective, and every " +
+    "consecutive key step moves to an ADJACENT cell (the anti-Morton)") {
+    import graft.operators.Layout
+    // plain-Scala reference (classic xy2d)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val df = grid.toDF("x", "y")
+    val got = Layout.withHilbert(df, "x", "y", bits, "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == xy2d(bits, x, y), s"($x,$y)")
+    }
+    // bijection onto 0..255
+    assert(got.values.toSet == (0L until 256L).toSet)
+    // Hilbert hallmark: consecutive keys are edge-adjacent cells
+    val byD = got.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"step $d")
+    }
+    // Morton, by contrast, has long diagonal jumps — the locality gap
+    val mgot = df.withColumn("m",
+        Layout.mortonCode(col("x"), col("y"), bits))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .toMap
+    val mortonMaxStep = (0L until 255L).map { d =>
+      val (x1, y1) = mgot(d); val (x2, y2) = mgot(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(mortonMaxStep > 1)
+    // out-of-range / NULL coordinates yield NULL keys
+    val bad = Seq((16L, 0L), (0L, -1L)).toDF("x", "y")
+    assert(Layout.withHilbert(bad, "x", "y", bits, "h")
+      .filter(col("h").isNull).count() == 2)
+  }
+
   // ---- t-closeness / Count-Min --------------------------------------------
 
   test("tCloseness: hand EMD, NULL qi is a class, NULL sensitive excluded") {
