@@ -3557,6 +3557,40 @@ object SparkEntry {
         sum(col("zy")).cast("long").as("sum_zy"))
     }),
 
+    // per-item vote profile with deterministic majority (annotation QC)
+    "q350_preference_majority" -> ((s, d) =>
+      graft.operators.Eval.preferenceStats(
+        t(s, d, "events").withColumn("item", expr("event_id div 8")),
+        "item", "event_type")),
+
+    // per-rater agreement with the item majority (spammer screen)
+    "q351_annotator_agreement" -> ((s, d) =>
+      graft.operators.Eval.annotatorAgreement(
+        t(s, d, "events").withColumn("item", expr("event_id div 8"))
+          .withColumn("rater", col("user_id") % 7),
+        "item", "rater", "event_type")),
+
+    // CM join-size estimate: lineitem×part equi-join cardinality from
+    // two 3×256 summaries — the planner's broadcast-vs-shuffle input
+    "q352_cm_join_size" -> ((s, d) => {
+      val a = graft.functions.CountMin.partial(
+        t(s, d, "lineitem"), "l_partkey", 3, 256, "ip")
+      val b = graft.functions.CountMin.partial(
+        t(s, d, "part").filter(col("p_size") < 10)
+          .withColumn("l_partkey", col("p_partkey")),
+        "l_partkey", 3, 256, "ip")
+      graft.functions.CountMin.innerProduct(a, b, 3)
+    }),
+
+    // purged K-fold with 1-day embargo over the event stream: per
+    // (fold, role) row counts — the leakage-safe CV assignment table
+    "q353_purged_kfold" -> ((s, d) =>
+      graft.llmdata.Sampling.purgedKFold(
+        t(s, d, "events").select(col("event_id"), col("ts")),
+        "ts", k = 5, embargoSeconds = 86400L)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"))),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10469,6 +10503,85 @@ object SparkEntry {
         |  CAST(SUM(l_suppkey % 64) AS BIGINT) AS sum_zy
         |FROM lineitem WHERE l_partkey % 64 BETWEEN 0 AND 15
         |  AND l_suppkey % 64 BETWEEN 0 AND 15""".stripMargin,
+
+    "q350_preference_majority" ->
+      """WITH v AS (SELECT event_id // 8 AS item,
+        |    CAST(event_type AS VARCHAR) AS c, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY nv DESC, c ASC) AS rn FROM v)
+        |SELECT item, CAST(SUM(nv) AS BIGINT) AS n_ratings,
+        |  CAST(COUNT(*) AS BIGINT) AS n_choices,
+        |  MAX(CASE WHEN rn = 1 THEN c END) AS majority_choice,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN nv END) AS BIGINT) AS majority_votes,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN nv END) AS DOUBLE)
+        |    / CAST(SUM(nv) AS DOUBLE) AS majority_share
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q351_annotator_agreement" ->
+      """WITH b AS (SELECT event_id // 8 AS item, user_id % 7 AS rater,
+        |    CAST(event_type AS VARCHAR) AS c
+        |  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |v AS (SELECT item, c, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM b GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY nv DESC, c ASC) AS rn FROM v),
+        |m AS (SELECT item, MAX(CASE WHEN rn = 1 THEN c END) AS mc,
+        |    CAST(SUM(nv) AS BIGINT) AS nr FROM r GROUP BY 1)
+        |SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_ballots,
+        |  CAST(SUM(CASE WHEN b.c = m.mc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  CAST(SUM(CASE WHEN b.c = m.mc THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS agree_share
+        |FROM b JOIN m USING (item) WHERE m.nr >= 2 GROUP BY 1""".stripMargin,
+
+    // identical md5 grids for both tables; dot per hash row; min over
+    // the full d lattice (absent rows are genuine zero dots)
+    "q352_cm_join_size" -> {
+      def h(item: String) =
+        s"CAST('0x' || substr(md5(CAST($item AS VARCHAR) || '#' ||" +
+          s" CAST(d AS VARCHAR) || '#ip'), 1, 15) AS BIGINT) % 256"
+      s"""WITH ds AS (SELECT unnest([0, 1, 2]) AS d),
+         |ga AS (SELECT d, CAST(${h("l_partkey")} AS BIGINT) AS w,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem CROSS JOIN ds WHERE l_partkey IS NOT NULL
+         |  GROUP BY 1, 2),
+         |gb AS (SELECT d, CAST(${h("p_partkey")} AS BIGINT) AS w,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM part CROSS JOIN ds WHERE p_size < 10 GROUP BY 1, 2),
+         |dots AS (SELECT d,
+         |    CAST(SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT) AS dot
+         |  FROM ga a JOIN gb b USING (d, w) GROUP BY 1)
+         |SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS est
+         |FROM ds LEFT JOIN dots USING (d)""".stripMargin
+    },
+
+    // the same lattice fold-cut + embargo role rule, one-shot
+    "q353_purged_kfold" ->
+      """WITH b AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |lat AS (SELECT ts, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |cum AS (SELECT ts, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM lat),
+        |f AS (SELECT ts, CAST(((cum - cnt) * 5) // n AS INT) AS fold
+        |  FROM cum),
+        |spans AS (SELECT fold AS sf, MIN(ts) AS fmin, MAX(ts) AS fmax
+        |  FROM f GROUP BY 1),
+        |asn AS (SELECT b.event_id, b.ts, f.fold AS own
+        |  FROM b JOIN f USING (ts)),
+        |role AS (SELECT sf AS fold, CASE WHEN own = sf THEN 'test'
+        |    WHEN epoch_us(ts) < epoch_us(fmin) - 86400000000 THEN 'train'
+        |    WHEN epoch_us(ts) > epoch_us(fmax) + 86400000000 THEN 'train'
+        |    ELSE 'purged' END AS role
+        |  FROM asn CROSS JOIN spans)
+        |SELECT fold, role, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM role GROUP BY 1, 2""".stripMargin,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -64,6 +64,36 @@ object CountMin {
       .agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** Inner-product estimate of two sketches (same depth/width/salt):
+    * `est = min_d Σ_w a[d][w]·b[d][w]` — the CM join-SIZE estimator
+    * (Σ_k f_A(k)·f_B(k) is exactly the row count of an equi-join on k),
+    * an upper bound that lets a planner pick broadcast vs shuffle from
+    * two d·w-cell summaries without touching either table. Exact
+    * integer arithmetic (decimal(38,0) dot accumulations, loud ANSI
+    * past ~1e38); absent cells are zero, and a hash row with no
+    * overlapping cells yields dot 0 — the d-lattice left join keeps
+    * that row so the min is never taken over a silently-shrunk set.
+    * Output: one row (est). */
+  def innerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val d38 = "decimal(38,0)"
+    val dots = a.join(
+      b.select(col("d"), col("w"), col("cnt").as("__cb")), Seq("d", "w"))
+      .groupBy(col("d"))
+      .agg(sum(col("cnt").cast(d38) * col("__cb")).cast(d38).cast("long")
+        .as("__dot"))
+    val spark = a.sparkSession
+    import scala.jdk.CollectionConverters._
+    val lattice = spark.createDataFrame(
+      (0 until depth).map(i =>
+        org.apache.spark.sql.Row(i)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.IntegerType))))
+    lattice.join(dots, Seq("d"), "left")
+      .agg(min(coalesce(col("__dot"), lit(0L))).cast("long").as("est"))
+  }
+
   /** Point-query a sketch for each probe item: `est = min_d grid[d][h_d
     * (item)]` — the classic CM upper bound (`est ≥ true count`, exact
     * when no probe row collides in any hash row). The probe side is

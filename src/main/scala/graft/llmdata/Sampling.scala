@@ -622,4 +622,58 @@ object Sampling {
       .withColumn("quantile",
         col("pos").cast("double") / (col("n") + lit(1L)).cast("double"))
   }
+
+  /** Purged K-fold with embargo — leakage-safe cross-validation for
+    * TEMPORAL data (López de Prado 2018's answer to the fact that
+    * plain K-fold leaks: a train row whose timestamp abuts the test
+    * window carries overlapping information): the time axis is cut
+    * into `k` row-balanced contiguous folds, and for each fold the
+    * remaining rows are TRAIN only if they sit strictly more than
+    * `embargoSeconds` outside the fold's [min, max] time span —
+    * everything in the margin is PURGED (excluded from both sides).
+    *
+    * Fold boundaries come from the distinct-timestamp lattice
+    * (cumulative row counts → `fold = (cum_before·k) div n`), so every
+    * distinct instant lands wholly in one fold — ties never straddle a
+    * boundary and the purge rule is well-defined. The lattice
+    * cumulative is the one global window (values-scale, documented);
+    * fold spans are a k-row broadcast.
+    *
+    * Output: `k` rows per input row — (input columns…, fold, role ∈
+    * 'test' | 'train' | 'purged') — the assignment table a CV driver
+    * joins against; cost is the deliberate k-way explode (k is 5-10).
+    * NULL-timestamp rows are excluded (no position on the time axis). */
+  def purgedKFold(df: DataFrame, tsCol: String, k: Int,
+                  embargoSeconds: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(embargoSeconds >= 0, s"embargoSeconds must be >= 0")
+    val base = df.filter(col(tsCol).isNotNull)
+    val w = Window.orderBy(col("__ts").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lattice = base.groupBy(col(tsCol).as("__ts"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .withColumn("fold",
+        expr(s"((__cum - __cnt) * $k) div __n").cast("int"))
+    val spans = lattice.groupBy(col("fold"))
+      .agg(min(col("__ts")).as("__f_min"), max(col("__ts")).as("__f_max"))
+    val assigned = base.join(lattice.select(col("__ts"), col("fold")
+      .as("__own_fold")), base(tsCol) === col("__ts"))
+      .drop("__ts")
+    assigned
+      .crossJoin(broadcast(spans))
+      .withColumn("role",
+        when(col("__own_fold") === col("fold"), lit("test"))
+          .when(
+            unix_micros(col(tsCol).cast("timestamp"))
+              < unix_micros(col("__f_min").cast("timestamp"))
+                - lit(embargoSeconds * 1000000L), lit("train"))
+          .when(
+            unix_micros(col(tsCol).cast("timestamp"))
+              > unix_micros(col("__f_max").cast("timestamp"))
+                + lit(embargoSeconds * 1000000L), lit("train"))
+          .otherwise(lit("purged")))
+      .drop("__own_fold", "__f_min", "__f_max")
+  }
 }

@@ -387,6 +387,65 @@ object Eval {
         col("de_num"), col("alpha"))
   }
 
+  /** Per-item preference/label vote profile — the first QC table over
+    * pairwise-preference or multi-label annotation data (RLHF reward
+    * corpora, crowd labels): per item, the vote counts, the MAJORITY
+    * choice under the deterministic argmax rule (most votes, ties →
+    * smallest choice — the engine's mode convention), and its share.
+    * One (item, choice) aggregate + a per-item values-scale window.
+    *
+    * A rater voting twice counts twice (the table records BALLOTS;
+    * dedupe (item, rater) upstream for one-vote-per-rater semantics).
+    *
+    * Output per item: (item, n_ratings, n_choices, majority_choice,
+    * majority_votes, majority_share). */
+  def preferenceStats(df: DataFrame, itemCol: String,
+                      choiceCol: String): DataFrame = {
+    val votes = df.filter(col(itemCol).isNotNull && col(choiceCol).isNotNull)
+      .groupBy(col(itemCol), col(choiceCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__v"))
+    val w = Window.partitionBy(col(itemCol))
+      .orderBy(col("__v").desc, col("__c").asc)
+    votes
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(itemCol))
+      .agg(sum(col("__v")).cast("long").as("n_ratings"),
+        count(lit(1)).cast("long").as("n_choices"),
+        max(when(col("__rn") === 1, col("__c"))).as("majority_choice"),
+        max(when(col("__rn") === 1, col("__v"))).cast("long")
+          .as("majority_votes"))
+      .withColumn("majority_share",
+        col("majority_votes").cast("double") / col("n_ratings").cast("double"))
+  }
+
+  /** Per-rater agreement with the item majority — the annotator-QC
+    * rollup of [[preferenceStats]] (a rater far below the corpus
+    * agreement rate is a spammer, a misread guideline, or a genuinely
+    * ambiguous-slice specialist — all worth a look before their labels
+    * train anything): each ballot is scored against its item's
+    * majority (the rater's OWN vote included — the simple convention,
+    * stated here because leave-one-out shifts majorities on small
+    * items; compare raters against the same yardstick, not each their
+    * own). Single-ballot items are excluded (agreement with yourself
+    * alone is noise).
+    *
+    * Output per rater: (rater, n_ballots, n_agree, agree_share). */
+  def annotatorAgreement(df: DataFrame, itemCol: String, raterCol: String,
+                         choiceCol: String): DataFrame = {
+    val base = df.filter(col(itemCol).isNotNull && col(choiceCol).isNotNull
+      && col(raterCol).isNotNull)
+    val maj = preferenceStats(base, itemCol, choiceCol)
+      .filter(col("n_ratings") >= 2)
+      .select(col(itemCol), col("majority_choice"))
+    base.join(maj, Seq(itemCol))
+      .groupBy(col(raterCol))
+      .agg(count(lit(1)).cast("long").as("n_ballots"),
+        sum(when(col(choiceCol).cast("string") === col("majority_choice"),
+          1L).otherwise(0L)).cast("long").as("n_agree"))
+      .withColumn("agree_share",
+        col("n_agree").cast("double") / col("n_ballots").cast("double"))
+  }
+
   /** Exact Brier score — the proper scoring rule for probability
     * forecasts (log-loss needs libm; Brier is pure arithmetic): with
     * scores on the [[Profile.calibration]] micro grid (exact-scaled via

@@ -259,6 +259,68 @@ class Round9OpsSpec extends SparkSpec {
       .filter(col("h").isNull).count() == 2)
   }
 
+  // ---- preference QC / CM inner product / purged k-fold -------------------
+
+  test("preferenceStats + annotatorAgreement: deterministic majority, " +
+    "tie -> smallest, single-ballot items excluded from agreement") {
+    val df = Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "b"), // majority a
+      (2L, "r1", "b"), (2L, "r2", "a"),                  // tie -> 'a'
+      (3L, "r3", "b"))                                   // single ballot
+      .toDF("item", "rater", "choice")
+    val ps = Eval.preferenceStats(df, "item", "choice")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(ps(1L) == ((3L, 2L, "a", 2L)))
+    assert(ps(2L) == ((2L, 2L, "a", 1L))) // tie broken to smallest choice
+    assert(ps(3L) == ((1L, 1L, "b", 1L)))
+    val aa = Eval.annotatorAgreement(df, "item", "rater", "choice")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // item 3 (single ballot) is excluded: r3 has 1 counted ballot
+    assert(aa("r1") == ((2L, 1L))) // a@1 agree, b@2 disagree
+    assert(aa("r2") == ((2L, 2L))) // a@1 agree, a@2 agree (tie majority)
+    assert(aa("r3") == ((1L, 0L))) // only the item-1 'b' vote counts
+  }
+
+  test("countMin innerProduct: exact join size in the no-collision " +
+    "regime, zero overlap -> 0") {
+    import graft.functions.CountMin
+    val a = CountMin.partial(Seq("x", "x", "y").toDF("i"), "i", 3, 256, "t")
+    val b = CountMin.partial(Seq("x", "z").toDF("i"), "i", 3, 256, "t")
+    // true join size = f_A(x)·f_B(x) = 2
+    assert(CountMin.innerProduct(a, b, 3).head().getLong(0) == 2L)
+    val c = CountMin.partial(Seq("q").toDF("i"), "i", 3, 256, "t")
+    assert(CountMin.innerProduct(a, c, 3).head().getLong(0) == 0L)
+  }
+
+  test("purgedKFold: contiguous row-balanced folds, embargo purges the " +
+    "margin, ties never straddle a boundary") {
+    import graft.llmdata.Sampling
+    val ts = (1 to 10).map(i => (i.toLong, f"2024-01-$i%02d 00:00:00"))
+    val df = ts.toDF("id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Sampling.purgedKFold(df, "ts", k = 2, embargoSeconds = 86400L)
+    val byRole = out.groupBy("fold", "role").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // fold 0 = days 1-5, fold 1 = days 6-10
+    assert(byRole((0, "test")) == 5L && byRole((1, "test")) == 5L)
+    // day 6 is exactly min+1d from day 5: NOT strictly outside -> purged
+    assert(byRole((0, "purged")) == 1L && byRole((0, "train")) == 4L)
+    assert(byRole((1, "purged")) == 1L && byRole((1, "train")) == 4L)
+    // duplicate timestamps stay in one fold (no straddle)
+    val dup = (1 to 4).map(i => (i.toLong, "2024-01-01 00:00:00")) ++
+      (5 to 8).map(i => (i.toLong, "2024-01-05 00:00:00"))
+    val dout = Sampling.purgedKFold(
+      dup.toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp_ntz")),
+      "ts", 2, 0L)
+    val folds = dout.filter(col("role") === "test")
+      .select("ts", "fold").distinct().collect()
+      .map(r => r.get(0).toString -> r.getInt(1)).toMap
+    assert(folds.size == 2 && folds.values.toSet == Set(0, 1))
+  }
+
   // ---- t-closeness / Count-Min --------------------------------------------
 
   test("tCloseness: hand EMD, NULL qi is a class, NULL sensitive excluded") {
