@@ -3591,6 +3591,38 @@ object SparkEntry {
         .groupBy(col("fold"), col("role"))
         .agg(count(lit(1)).as("n"))),
 
+    // label-noise screen: per node, the share of kNN neighbors whose
+    // label disagrees — the confident-learning-style flag that routes
+    // suspect labels to re-annotation before they train anything
+    "q354_label_noise" -> ((s, d) =>
+      knnLabeled(s, d)
+        .groupBy(col("node_id"), col("__la").as("label"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          sum(when(col("__la") =!= col("__lb"), 1L).otherwise(0L))
+            .cast("long").as("n_disagree"))
+        .withColumn("noise_share",
+          col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
+        .withColumn("flagged",
+          col("n_disagree") * 3 >= col("n_neighbors") * 2)),
+
+    // Cochran-Armitage: does the value>100 success rate trend across
+    // the day-of-month, per event type (exact parts, one z chain)
+    "q355_cochran_armitage" -> ((s, d) =>
+      graft.operators.Robust.cochranArmitage(
+        t(s, d, "events").filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            dayofmonth(col("ts")).cast("long").as("w"),
+            when(col("value") > 100.0, 1L).otherwise(0L).as("r")),
+        "event_type", "w", "r")),
+
+    // correlated NOT EXISTS through the SQL catalog — the anti-join
+    // dialect form (q10/q23's RI check as SQL text); identical text in
+    // both engines
+    "q356_sql_not_exists" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlNotExistsText)
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -3614,6 +3646,18 @@ object SparkEntry {
       col("fare_amount") + col("extra") + col("mta_tax") + col("tip_amount")
         + col("tolls_amount") + col("improvement_surcharge")
         + col("congestion_surcharge") + col("airport_fee"))
+
+  /** q356's SQL — shared-dialect correlated NOT EXISTS (anti-join):
+    * customers who never placed a large order, per segment (every
+    * customer has SOME order in this corpus, so the correlated
+    * predicate is what gives the anti-join mass). */
+  private val sqlNotExistsText: String =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers_no_big_order
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
+      |GROUP BY 1""".stripMargin
 
   /** q331's SQL — ONE text executed verbatim by BOTH engines (the
     * shared-dialect subset: CTE chain, equi-join, ranking window with
@@ -10582,6 +10626,48 @@ object SparkEntry {
         |  FROM asn CROSS JOIN spans)
         |SELECT fold, role, CAST(COUNT(*) AS BIGINT) AS n
         |FROM role GROUP BY 1, 2""".stripMargin,
+
+    // per-node disagreement over the same knn CTE as q324-q327
+    "q354_label_noise" ->
+      (s"WITH $knnLabelCte\n" +
+        """SELECT node_id, la AS label, CAST(COUNT(*) AS BIGINT)
+          |    AS n_neighbors,
+          |  CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_disagree,
+          |  CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(COUNT(*) AS DOUBLE) AS noise_share,
+          |  SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) * 3 >= COUNT(*) * 2
+          |    AS flagged
+          |FROM knn GROUP BY 1, 2""".stripMargin),
+
+    // exact CA parts mirrored; z = t_num / sqrt(rn_r*na_b2/n)
+    "q355_cochran_armitage" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS BIGINT) AS w,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS successes,
+        |    CAST(SUM(w) AS BIGINT) AS sb,
+        |    CAST(SUM(CAST(w AS HUGEINT) * w) AS BIGINT) AS sa,
+        |    CAST(SUM(CAST(w AS HUGEINT) * r) AS BIGINT) AS swr
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT event_type, n, successes,
+        |    CAST(CAST(n AS HUGEINT) * swr
+        |      - CAST(successes AS HUGEINT) * sb AS BIGINT) AS t_num,
+        |    CAST(CAST(successes AS HUGEINT) * (n - successes) AS BIGINT)
+        |      AS rn_r,
+        |    CAST(CAST(n AS HUGEINT) * sa
+        |      - CAST(sb AS HUGEINT) * sb AS BIGINT) AS na_b2
+        |  FROM g)
+        |SELECT event_type, n, successes, t_num, rn_r, na_b2,
+        |  CASE WHEN rn_r > 0 AND na_b2 > 0 THEN
+        |    CAST(t_num AS DOUBLE)
+        |      / sqrt(CAST(rn_r AS DOUBLE) * CAST(na_b2 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) END AS z
+        |FROM p""".stripMargin,
+
+    "q356_sql_not_exists" -> sqlNotExistsText,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -677,6 +677,61 @@ object Robust {
       .select(col("n"), col("n_cats_a"), col("n_cats_b"),
         col("chi2_micro"), col("cramers_v"))
 
+  /** Cochran–Armitage trend test PARTS per key — "does the success
+    * rate TREND across ordered doses/buckets?" (the 2×k ordered
+    * companion of [[chiSquareIndependence]]'s unordered independence
+    * and [[graft.operators.RankStats.mannKendall]]'s continuous
+    * trend): with per-row ordinal weight `w` and 0/1 success `r`,
+    * `T = Σwr − (R/N)·Σw` and `Var(T|H₀) = R(N−R)(N·Σw²−(Σw)²)/N³`.
+    *
+    * Exact emission: `t_num = N·Σwr − R·Σw` (T·N), and the variance in
+    * its two BIGINT factors `rn_r = R(N−R)` and `na_b2 = N·Σw² −
+    * (Σw)²` (their product overflows BIGINT at corpus scale — the
+    * same reason chi² emits signed residuals); `z = t_num/√(rn_r·
+    * na_b2/N)` is one fixed double chain (algebra: T/√Var =
+    * (t_num/N)/√(rn_r·na_b2/N³)). Degenerate keys (all successes,
+    * none, or constant weight) give NULL z. BIGINT bounds documented
+    * per factor; decimal internally, loud ANSI past them.
+    *
+    * `successCol` must be 0/1 (validated in-plan — anything else
+    * raises); NULL weight/success rows are excluded.
+    *
+    * Output per key: (key, n, successes, t_num, rn_r, na_b2, z). */
+  def cochranArmitage(df: DataFrame, keyCol: String, weightCol: String,
+                      successCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(weightCol).isNotNull && col(successCol).isNotNull)
+      .select(col(keyCol), col(weightCol).cast("long").as("__w"),
+        when(col(successCol).isin(0, 1), col(successCol).cast("long"))
+          .otherwise(raise_error(lit(
+            "cochranArmitage: successCol must be 0/1")).cast("long"))
+          .as("__r"))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__r")).cast("long").as("successes"),
+        sum(col("__w")).cast("long").as("__b"),
+        sum(col("__w").cast(d38) * col("__w")).cast(d38).cast("long")
+          .as("__a"),
+        sum(col("__w").cast(d38) * col("__r")).cast(d38).cast("long")
+          .as("__swr"))
+      .withColumn("t_num",
+        (col("n").cast(d38) * col("__swr")
+          - col("successes").cast(d38) * col("__b")).cast(d38).cast("long"))
+      .withColumn("rn_r",
+        (col("successes").cast(d38) * (col("n") - col("successes")))
+          .cast(d38).cast("long"))
+      .withColumn("na_b2",
+        (col("n").cast(d38) * col("__a")
+          - col("__b").cast(d38) * col("__b")).cast(d38).cast("long"))
+      .withColumn("z",
+        when(col("rn_r") > 0 && col("na_b2") > 0,
+          col("t_num").cast("double")
+            / sqrt(col("rn_r").cast("double") * col("na_b2").cast("double")
+              / col("n").cast("double"))))
+      .select(col(keyCol), col("n"), col("successes"), col("t_num"),
+        col("rn_r"), col("na_b2"), col("z"))
+  }
+
   /** Deterministic NULL imputation with provenance — the data-repair
     * step every feature pipeline runs before training, made
     * reproducible: numeric NULLs fill with the column's per-group EXACT

@@ -259,6 +259,32 @@ class Round9OpsSpec extends SparkSpec {
       .filter(col("h").isNull).count() == 2)
   }
 
+  // ---- Cochran-Armitage ---------------------------------------------------
+
+  test("cochranArmitage: hand-computed trend parts, degenerate NULL z, " +
+    "non-binary success raises") {
+    import graft.operators.Robust
+    // doses 1,2,3 with success counts 0/2, 1/2, 2/2 — a clean trend
+    val df = Seq(("k", 1L, 0L), ("k", 1L, 0L), ("k", 2L, 0L), ("k", 2L, 1L),
+      ("k", 3L, 1L), ("k", 3L, 1L)).toDF("g", "w", "r")
+    val r = Robust.cochranArmitage(df, "g", "w", "r").head()
+    // N=6 R=3 B=12 A=28 Swr=8: t=6*8-3*12=12; rn=9; nab=6*28-144=24
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 12L && r.getLong(4) == 9L && r.getLong(5) == 24L)
+    assert(r.getDouble(6) == 12.0 / math.sqrt(9.0 * 24.0 / 6.0))
+    // all-success key: rn_r = 0 -> NULL z
+    val allS = Seq(("k", 1L, 1L), ("k", 2L, 1L)).toDF("g", "w", "r")
+    assert(Robust.cochranArmitage(allS, "g", "w", "r").head().isNullAt(6))
+    // constant weight: na_b2 = 0 -> NULL z
+    val cw = Seq(("k", 2L, 0L), ("k", 2L, 1L)).toDF("g", "w", "r")
+    assert(Robust.cochranArmitage(cw, "g", "w", "r").head().isNullAt(6))
+    val bad = Seq(("k", 1L, 2L)).toDF("g", "w", "r")
+    val e = intercept[Exception] {
+      Robust.cochranArmitage(bad, "g", "w", "r").collect()
+    }
+    assert(e.getMessage.contains("0/1"))
+  }
+
   // ---- preference QC / CM inner product / purged k-fold -------------------
 
   test("preferenceStats + annotatorAgreement: deterministic majority, " +
