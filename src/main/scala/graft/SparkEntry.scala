@@ -3623,6 +3623,70 @@ object SparkEntry {
       s.sql(sqlNotExistsText)
     }),
 
+    // string zone maps: lineitem laid out by ship-month, a month-RANGE
+    // probe through readPrunedString — the reference's month-directory
+    // pruning (bronze_yellow_tripdata.sql:33-35) generalized to any
+    // lexically-ordered string key, no partition directories needed
+    "q357_pruned_month" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mprune")
+        .toString + "/li"
+      t(s, d, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartitionByRange(16, col("ship_month"), col("l_shipdate"))
+        .sortWithinPartitions("ship_month")
+        .write.parquet(dir)
+      val pruned = graft.sources.Tables.readPrunedString(s, dir,
+        Seq(("ship_month", "1996-01", "1996-03")))
+      require(pruned.inputFiles.length * 2 < 16,
+        s"month prune regressed: opened ${pruned.inputFiles.length}" +
+          " of 16 files for a 3-of-~40-months probe")
+      pruned.groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("qty_cents"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // curationIngestSink replay: the FULL per-batch admission chain —
+    // quality gate → batch-internal exact dedup → corpus fingerprint
+    // anti-join → near-dup admission + index/corpus appends — run for
+    // two sequential batches from an empty seed; union of admissions
+    // must equal the one-shot composition of the same oracled pieces
+    "q358_curation_sink_replay" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft-cursink")
+        .toString
+      val indexPath = base + "/idx"; val corpusPath = base + "/corpus"
+      DedupOps.signatureWrite(docs.filter(lit(false)), "doc_id", "text",
+        indexPath, shingleSize = 3, bands = 4, rows = 4)
+      def runBatch(batch: DataFrame): DataFrame = {
+        val keep = batch.columns.map(col)
+        val gated = TextAnalysis.qualityScore(batch, "text")
+          .filter(col("quality_score") >= 0.3).select(keep: _*)
+        val fp = gated.withColumn("fingerprint",
+          TextAnalysis.fingerprint(col("text")))
+        val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+        val uniq = fp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fresh = graft.sources.Tables.readParquetIfExists(s, corpusPath)
+          .fold(uniq)(c => uniq.join(c.select(col("fingerprint")),
+            Seq("fingerprint"), "left_anti"))
+          .localCheckpoint(true)
+        val admitted = DedupOps.incrementalDedupIndexed(s, indexPath, fresh,
+          "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+          jaccardThreshold = 0.4).localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.write.mode("append").parquet(corpusPath)
+          DedupOps.signatureAppend(admitted, "doc_id", "text", indexPath,
+            shingleSize = 3, bands = 4, rows = 4)
+        }
+        admitted
+      }
+      val a1 = runBatch(docs.filter(col("doc_id") < 250))
+      val a2 = runBatch(docs.filter(col("doc_id") >= 250))
+      a1.unionByName(a2).select("doc_id", "lang")
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10668,6 +10732,36 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     "q356_sql_not_exists" -> sqlNotExistsText,
+
+    // month-range filter on the original table — string-pruned scan
+    // drops no qualifying row
+    "q357_pruned_month" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one-shot composition of the oracled pieces: quality >= 0.3, min
+    // doc_id per normalized fingerprint, then the q74 near-dup admit
+    // rule computed over the kept doc set only
+    "q358_curation_sink_replay" ->
+      (s"""WITH q AS ($qualityScoreSql),
+          |gated AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+          |  JOIN q USING (doc_id) WHERE q.quality_score >= 0.3),
+          |fps AS (SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+          |  FROM gated),
+          |keepers AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+          |""".stripMargin +
+        minhashPairsCtesWhere(
+          "WHERE doc_id IN (SELECT doc_id FROM keepers)") + "\n" +
+        """SELECT g.doc_id, g.lang FROM gated g
+          |JOIN keepers USING (doc_id)
+          |WHERE g.doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin),
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -139,6 +139,31 @@ object Layout {
       .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
   }
 
+  /** One-call clustered rewrite — the table-maintenance action that
+    * makes [[graft.sources.Tables.readPruned]] pay: lay `df` out in
+    * `nFiles` range-cut files ordered by the chosen space-filling
+    * curve over two key columns ('morton' for cheap streamable keys,
+    * 'hilbert' for the tighter adjacent-cell boxes — see
+    * [[withHilbert]]), dropping the key before write. Run it from the
+    * compaction/maintenance window (cold rewrite), then box probes on
+    * EITHER column skip files via the footer zone maps. */
+  def rewriteClustered(df: DataFrame, xCol: String, yCol: String,
+                       bits: Int, nFiles: Int, path: String,
+                       curve: String = "hilbert"): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val keyed = curve match {
+      case "hilbert" => withHilbert(df, xCol, yCol, bits, "__cluster_key")
+      case "morton" => df.withColumn("__cluster_key",
+        mortonCode(col(xCol), col(yCol), bits))
+      case other => throw new IllegalArgumentException(
+        s"curve must be 'hilbert' or 'morton', got '$other'")
+    }
+    keyed.repartitionByRange(nFiles, col("__cluster_key"))
+      .sortWithinPartitions("__cluster_key")
+      .drop("__cluster_key")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   /** Zone-map reader: per parquet FILE min/max/count for `cols` — the
     * skipping statistics a scan planner consults before opening files.
     * The READ-side pairing of [[ZOrder.layout]] (which produces the

@@ -78,18 +78,7 @@ object Tables {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(hconf)
-    val it = fs.listFiles(root, true)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_")
-        && !n.startsWith("."))
-        files += f.getPath.toString
-    }
-    val rows = files.sorted.map { f =>
+    val rows = listDataFiles(spark, path).map { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), hconf))
       try {
@@ -181,6 +170,141 @@ object Tables {
           st.isNumNullsSet && st.getNumNulls == b.getRowCount)
     }
     None
+  }
+
+  /** Recursive data-file listing for [[footerStats]] /
+    * [[footerStatsString]] — parquet part files only, metadata and
+    * hidden entries skipped. */
+  private def listDataFiles(spark: SparkSession,
+                            path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+        && !n.startsWith("."))
+        files += f.getPath.toString
+    }
+    files.sorted.toSeq
+  }
+
+  /** [[footerStats]] for STRING columns — per-file min/max of BINARY
+    * (UTF8) parquet chunks, read from footers only. This is what
+    * generalizes the reference's month-directory pruning
+    * (bronze_yellow_tripdata.sql:33-35) to ANY lexically-ordered
+    * string column: a lake sorted by a `yyyy-MM` month key gets
+    * per-file month ranges, and [[readPrunedString]] skips every file
+    * outside the probe months without a partition directory in sight.
+    *
+    * Bounds are NULL (conservative keep) for non-binary physical
+    * types, missing columns, or statless chunks — same rules as the
+    * integral reader. Comparison is Java/UTF-16 lexical order on the
+    * decoded strings, matching Spark's own string ordering for the
+    * ASCII keys (dates, months, ids) this path targets. */
+  def footerStatsString(spark: SparkSession, path: String,
+                        cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rows = listDataFiles(spark, path).map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), hconf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var nRows = 0L
+        val mins = Array.fill[Option[String]](cols.size)(None)
+        val maxs = Array.fill[Option[String]](cols.size)(None)
+        val ok = Array.fill(cols.size)(true)
+        val iter = blocks.iterator()
+        while (iter.hasNext) {
+          val b = iter.next()
+          nRows += b.getRowCount
+          cols.zipWithIndex.foreach { case (c, i) =>
+            if (ok(i)) {
+              val chunk = b.getColumns.iterator()
+              var seen = false
+              var bounded = false
+              while (chunk.hasNext && !bounded) {
+                val cc = chunk.next()
+                if (cc.getPath.toDotString == c) {
+                  seen = true
+                  val st = cc.getStatistics
+                  if (st != null && st.hasNonNullValue) {
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (lo: org.apache.parquet.io.api.Binary,
+                            hi: org.apache.parquet.io.api.Binary) =>
+                        val (ls, hs) = (lo.toStringUsingUTF8,
+                          hi.toStringUsingUTF8)
+                        mins(i) = Some(mins(i).fold(ls)(m =>
+                          if (ls < m) ls else m))
+                        maxs(i) = Some(maxs(i).fold(hs)(m =>
+                          if (hs > m) hs else m))
+                        bounded = true
+                      case _ => ok(i) = false // non-binary physical type
+                    }
+                  } else if (st == null || !st.isNumNullsSet
+                    || st.getNumNulls != b.getRowCount) {
+                    ok(i) = false // stats absent for a data-bearing chunk
+                  } else bounded = true // all-NULL chunk: bound-free, safe
+                }
+              }
+              if (!seen) ok(i) = false
+            }
+          }
+        }
+        val bounds = cols.indices.flatMap { i =>
+          if (ok(i)) Seq(mins(i).orNull, maxs(i).orNull)
+          else Seq(null, null)
+        }
+        org.apache.spark.sql.Row.fromSeq(f +: java.lang.Long.valueOf(nRows)
+          +: bounds)
+      } finally reader.close()
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false) ::
+        org.apache.spark.sql.types.StructField("n_rows", LongType,
+          nullable = false) ::
+        cols.toList.flatMap(c => List(
+          org.apache.spark.sql.types.StructField(s"${c}_min",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(s"${c}_max",
+            org.apache.spark.sql.types.StringType))))
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** [[readPruned]] over STRING box predicates `lo ≤ col ≤ hi`
+    * (lexical): footer string stats → conservative candidate filter
+    * (same NULL-bounds-keep rule — Layout.candidateFiles' comparisons
+    * work unchanged on strings) → scan only survivors → re-apply the
+    * predicate. The month-range scan a dbt user writes
+    * (`WHERE month BETWEEN '2024-01' AND '2024-03'`) against a
+    * month-sorted lake touches only the files carrying those months. */
+  def readPrunedString(spark: SparkSession, path: String,
+                       box: Seq[(String, String, String)]): DataFrame = {
+    require(box.nonEmpty, "box predicates required")
+    val stats = footerStatsString(spark, path, box.map(_._1))
+    val keep = box.map { case (c, lo, hi) =>
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+    }.reduce(_ && _)
+    val cand = stats.filter(keep)
+      .select(col("path")).collect().map(_.getString(0))
+    val schema = spark.read.parquet(path).schema
+    val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    if (cand.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema).filter(pred)
+    else spark.read.schema(schema).parquet(cand.toIndexedSeq: _*).filter(pred)
   }
 
   /** Pruned parquet read: the scan path that CONSUMES the zone-map

@@ -120,6 +120,65 @@ class Round9OpsSpec extends SparkSpec {
     assert(Layout.candidateFiles(sStats, Seq(("s", 0L, 0L))).count() == 16)
   }
 
+  test("footerStatsString + readPrunedString: lexical zone maps prune " +
+    "month-sorted files, pruned ≡ full") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprune")
+      .toString + "/t"
+    val months = (1 to 12).map(m => f"2024-$m%02d")
+    val df = months.flatMap(m => (1 to 100).map(i => (m, i.toLong)))
+      .toDF("month", "v")
+    df.repartitionByRange(12, col("month")).sortWithinPartitions("month")
+      .write.parquet(dir)
+    val stats = Tables.footerStatsString(spark, dir, Seq("month"))
+    assert(stats.count() == 12)
+    // every file's [min, max] is one month (tight string bounds)
+    assert(stats.filter(col("month_min") === col("month_max")).count() == 12)
+    val pruned = Tables.readPrunedString(spark, dir,
+      Seq(("month", "2024-03", "2024-05")))
+    assert(pruned.inputFiles.length <= 3)
+    val full = spark.read.parquet(dir)
+      .filter(col("month").between("2024-03", "2024-05"))
+    assert(pruned.count() == 300L && full.count() == 300L)
+    assert(pruned.agg(sum("v")).head().getLong(0)
+      == full.agg(sum("v")).head().getLong(0))
+    // out-of-domain probe: zero candidates, schema preserved
+    val none = Tables.readPrunedString(spark, dir,
+      Seq(("month", "2030-01", "2030-02")))
+    assert(none.count() == 0L
+      && none.schema.fieldNames.sameElements(Array("month", "v")))
+    // integral column probed through the STRING path: NULL bounds, kept
+    val vStats = Tables.footerStatsString(spark, dir, Seq("v"))
+    assert(vStats.filter(col("v_min").isNull).count() == 12)
+  }
+
+  test("footerStats handles INT64 timestamps (micros bounds) and " +
+    "rewriteClustered enables both-column pruning") {
+    import graft.sources.Tables
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsprune")
+      .toString + "/t"
+    val df = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+        expr("timestampadd(HOUR, CAST(id AS INT), " +
+          "timestamp_ntz'2024-01-01 00:00:00')").as("ts"))
+    Layout.rewriteClustered(df, "x", "y", bits = 6, nFiles = 16, dir)
+    // timestamp column: INT64 micros stats come back as long bounds
+    val ts = Tables.footerStats(spark, dir, Seq("ts"))
+    assert(ts.count() == 16 && ts.filter(col("ts_min").isNull).count() == 0)
+    val loMicros = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(ts.agg(min("ts_min")).head().getLong(0) == loMicros)
+    // hilbert-clustered: a both-column box prunes most files
+    val pruned = Tables.readPruned(spark, dir,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L)))
+    assert(pruned.inputFiles.length * 2 < 16)
+    assert(pruned.count() ==
+      spark.read.parquet(dir)
+        .filter(col("x").between(0L, 15L) && col("y").between(0L, 15L))
+        .count())
+  }
+
   // ---- Welch / Mann-Kendall / Krippendorff / Cramér ----------------------
 
   test("welchTTest: hand-computed moments, t and Welch-Satterthwaite df") {
