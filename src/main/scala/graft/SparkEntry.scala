@@ -3687,6 +3687,27 @@ object SparkEntry {
       a1.unionByName(a2).select("doc_id", "lang")
     }),
 
+    // q333's EXACT SQL text against MATERIALIZED models (dbt-run
+    // parity: each layer written once, queries read tables) — same
+    // oracle as q333. The bench time INCLUDES the one-time 8-model
+    // build (the dominant cost — see SqlCatalog scaladoc for the
+    // honest build-vs-query amortization ledger)
+    "q359_sql_materialized" -> ((s, d) => {
+      val lake = java.nio.file.Files.createTempDirectory("graft-matcat")
+        .toString
+      graft.sql.SqlCatalog.registerLayersMaterialized(s,
+        tripWithTotal(t(s, d, "lineitem")), lake)
+      s.sql("""SELECT s.vendor_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(d.total_trips) AS BIGINT) AS sum_day_trips,
+        |  CAST(MAX(v.total_trips) AS BIGINT) AS vendor_trips
+        |FROM silver_yellow_tripdata s
+        |JOIN gold_daily_summary d
+        |  ON CAST(s.tpep_pickup_datetime AS DATE) = d.trip_date
+        |JOIN gold_vendor_summary v ON s.vendor_name = v.vendor_name
+        |GROUP BY 1""".stripMargin)
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10762,6 +10783,21 @@ object SparkEntry {
         """SELECT g.doc_id, g.lang FROM gated g
           |JOIN keepers USING (doc_id)
           |WHERE g.doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin),
+
+    // q333's oracle verbatim — materialization must not change answers
+    "q359_sql_materialized" ->
+      (tripSilverSql + ",\n" +
+        """d AS (SELECT CAST(pickup AS DATE) AS trip_date,
+          |    COUNT(*) AS total_trips FROM silver GROUP BY 1),
+          |v AS (SELECT vendor_name, COUNT(*) AS total_trips
+          |  FROM silver GROUP BY 1)
+          |SELECT s.vendor_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(d.total_trips) AS BIGINT) AS sum_day_trips,
+          |  CAST(MAX(v.total_trips) AS BIGINT) AS vendor_trips
+          |FROM silver s
+          |JOIN d ON CAST(s.pickup AS DATE) = d.trip_date
+          |JOIN v ON s.vendor_name = v.vendor_name
+          |GROUP BY 1""".stripMargin),
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

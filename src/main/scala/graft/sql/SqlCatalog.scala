@@ -52,4 +52,43 @@ object SqlCatalog {
     Layers.goldVendor(silver).createOrReplaceTempView("gold_vendor_summary")
     Layers.goldPayment(silver).createOrReplaceTempView("gold_payment_summary")
   }
+
+  /** [[registerLayers]] with MATERIALIZED models — what `dbt run`
+    * actually does (each model writes a table; downstream queries read
+    * tables, never re-derive lineage): every layer is computed ONCE,
+    * written to parquet under `lakeRoot`, and the view names point at
+    * the files. The lazy [[registerLayers]] is right for ad-hoc
+    * exploration (zero write cost, full pushdown through the lineage);
+    * this is right for the dbt-parity SERVING shape: pay the build
+    * once, then every query scans small tables instead of re-running
+    * the silver clean once per consumer. The honest ledger (q333 vs
+    * q359 at sf0.1): a SINGLE query + build is SLOWER materialized
+    * (~12 s vs ~7 s — eight model writes dominate), and the lazy view
+    * only computes what the one query needs; materialization wins when
+    * the build amortizes over many queries — the post-build join alone
+    * is sub-second. At 100 TB the lazy form re-derives the corpus once
+    * per consumer per query; the mart form scans it once per `dbt
+    * run`. Pick by query-to-build ratio, exactly like dbt. */
+  def registerLayersMaterialized(spark: SparkSession, raw: DataFrame,
+                                 lakeRoot: String,
+                                 targetMonth: Option[String] = None): Unit = {
+    import graft.operators.Layers
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lakeRoot/$name")
+      val back = spark.read.parquet(s"$lakeRoot/$name")
+      back.createOrReplaceTempView(name)
+      back
+    }
+    val staging = mat(Layers.stage(raw), "staging_yellow_tripdata")
+    val bronze = mat(Layers.bronze(staging, targetMonth),
+      "bronze_yellow_tripdata")
+    val silver = mat(Layers.silver(bronze), "silver_yellow_tripdata")
+    mat(Layers.goldDaily(silver), "gold_daily_summary")
+    mat(Layers.goldMonthly(silver), "gold_monthly_summary")
+    mat(Layers.goldZone(silver), "gold_zone_summary")
+    mat(Layers.goldVendor(silver), "gold_vendor_summary")
+    mat(Layers.goldPayment(silver), "gold_payment_summary")
+    ()
+  }
 }
