@@ -3708,6 +3708,22 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin)
     }),
 
+    // cmSketchSink replay (8th monitor): three disjoint slices folded
+    // through the sink's grid-merge algebra, then point estimates for
+    // every observed type — must equal q347's one-shot grid (same
+    // depth/width/salt, count algebra ⇒ any fold tree ≡ one-shot)
+    "q360_cm_sink_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def part(pred: Column) = graft.functions.CountMin.partial(
+        ev.filter(pred), "event_type", 3, 64, "cm9")
+      val folded = graft.functions.CountMin.merge(Seq(
+        graft.functions.CountMin.merge(Seq(
+          part(col("event_id") % 3 === 0), part(col("event_id") % 3 === 1))),
+        part(col("event_id") % 3 === 2)))
+      graft.functions.CountMin.estimate(folded, ev, "event_type", 3, 64,
+        "cm9")
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -10798,6 +10814,24 @@ object SparkEntry {
           |JOIN d ON CAST(s.pickup AS DATE) = d.trip_date
           |JOIN v ON s.vendor_name = v.vendor_name
           |GROUP BY 1""".stripMargin),
+
+    // q347's one-shot grid oracle verbatim (same sketch parameters)
+    "q360_cm_sink_replay" -> {
+      def h(item: String) =
+        s"CAST('0x' || substr(md5($item || '#' || CAST(d AS VARCHAR)" +
+          s" || '#cm9'), 1, 15) AS BIGINT) % 64"
+      s"""WITH items AS (SELECT event_type FROM events
+         |  WHERE event_type IS NOT NULL),
+         |ds AS (SELECT unnest([0, 1, 2]) AS d),
+         |grid AS (SELECT d, CAST(${h("event_type")} AS BIGINT) AS w,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM items CROSS JOIN ds GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT event_type AS item FROM items),
+         |pb AS (SELECT item, d, CAST(${h("item")} AS BIGINT) AS w
+         |  FROM probes CROSS JOIN ds)
+         |SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+         |FROM pb LEFT JOIN grid USING (d, w) GROUP BY 1""".stripMargin
+    },
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -1028,6 +1028,58 @@ object Streaming {
       }
       .start()
 
+  /** Streaming Count-Min frequency monitor — the eighth monitor sink
+    * (and the unbounded-domain sibling of [[heavyHitterSink]]'s
+    * Misra-Gries list): maintain the cumulative d×w CM grid
+    * ([[graft.functions.CountMin.partial]]/[[graft.functions.CountMin
+    * .merge]] — a mergeable COUNT partial with the aggMergeSink
+    * batch-id fence) and, each applied batch, append one snapshot of
+    * point estimates for the fixed `probes` watch-list
+    * ([[graft.functions.CountMin.estimate]] over the cumulative
+    * grid, stamped with the batch id) — live "how often has X
+    * occurred so far" for a probe set chosen up front, with state
+    * bounded at d·w cells no matter how many distinct items stream
+    * by.
+    *
+    * Replay contract: identical to [[driftMonitorSink]] — the grid
+    * swaps atomically with the fence; the probes-scale snapshot
+    * commits FIRST under the append log's own fence via
+    * [[atomicAppendOne]]. */
+  def cmSketchSink(df: DataFrame, itemCol: String, depth: Int, width: Int,
+                   probes: Seq[String], salt: String,
+                   gridPath: String, snapshotsPath: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stored = graft.sources.Tables.readParquetIfExists(spark, gridPath)
+        val lastApplied = storedFence(stored)
+        if (!lastApplied.exists(_ >= batchId)) {
+          val delta = graft.functions.CountMin
+            .partial(batch, itemCol, depth, width, salt)
+          val merged = stored match {
+            case Some(s) => graft.functions.CountMin.merge(
+              Seq(s.drop("last_batch_id"), delta))
+            case None => delta
+          }
+          val out = merged.withColumn("last_batch_id", lit(batchId))
+            .localCheckpoint(true) // sever lineage pre-swap
+          // append FIRST (own fence), state swap second
+          if (!appendLogFence(spark, snapshotsPath).exists(_ >= batchId)) {
+            import spark.implicits._
+            graft.functions.CountMin
+              .estimate(out.drop("last_batch_id"),
+                probes.toDF("item"), "item", depth, width, salt)
+              .withColumn("batch_id", lit(batchId))
+              .transform { d => atomicAppendOne(d, snapshotsPath); d }
+          }
+          graft.incremental.Writers.atomicRewrite(out, gridPath)
+        }
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -179,6 +179,26 @@ class Round9OpsSpec extends SparkSpec {
         .count())
   }
 
+  test("readPruned plan shape: box predicate reaches PushedFilters and " +
+    "ReadSchema stays pruned (file + row-group + column prune stack)") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-planp")
+      .toString + "/t"
+    spark.range(0, 8000)
+      .select(col("id").as("x"), (col("id") % 7).as("y"),
+        (col("id") % 11).as("z"))
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    val plan = Tables.readPruned(spark, dir, Seq(("x", 0L, 999L)))
+      .groupBy(col("y")).agg(sum(col("x")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(x,0)") &&
+      plan.contains("LessThanOrEqual(x,999)"))
+    // column prune: the unreferenced z never reaches the scan
+    assert(plan.contains("ReadSchema: struct<x:bigint,y:bigint>"))
+  }
+
   // ---- Welch / Mann-Kendall / Krippendorff / Cramér ----------------------
 
   test("welchTTest: hand-computed moments, t and Welch-Satterthwaite df") {

@@ -903,6 +903,45 @@ class StreamingSpec extends SparkSpec {
       .select("batch_id").distinct().count() == 2L)
   }
 
+  test("cmSketchSink: fenced cumulative grid, per-batch probe estimates " +
+    "equal the one-shot batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cmmon").toString
+    val in = MemoryStream[String]
+    val q = Streaming.cmSketchSink(in.toDF().toDF("item"), "item",
+      depth = 3, width = 256, probes = Seq("x", "y", "never"), salt = "s",
+      dir + "/grid", dir + "/snaps", dir + "/ckpt")
+    try {
+      in.addData("x", "x", "y"); q.processAllAvailable()
+      in.addData("x", "y", "y"); q.processAllAvailable()
+    } finally q.stop()
+    val snaps = spark.read.parquet(dir + "/snaps")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("item")) -> r.getAs[Long]("est")).toMap
+    // no-collision regime at width 256: estimates are exact counts
+    assert(snaps == Map((0L, "x") -> 2L, (0L, "y") -> 1L,
+      (0L, "never") -> 0L, (1L, "x") -> 3L, (1L, "y") -> 3L,
+      (1L, "never") -> 0L))
+    // streamed cumulative grid ≡ the one-shot batch sketch
+    val oneShot = graft.functions.CountMin.estimate(
+      graft.functions.CountMin.partial(
+        Seq("x", "x", "y", "x", "y", "y").toDF("item"), "item", 3, 256, "s"),
+      Seq("x", "y").toDF("item"), "item", 3, 256, "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneShot == Map("x" -> 3L, "y" -> 3L))
+    // replay batch 0 through a fresh checkpoint: fenced, no double count
+    val in2 = MemoryStream[String]
+    val q2 = Streaming.cmSketchSink(in2.toDF().toDF("item"), "item",
+      3, 256, Seq("x"), "s", dir + "/grid", dir + "/snaps", dir + "/ckpt2")
+    try { in2.addData("x"); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(dir + "/grid")
+      .agg(sum("cnt")).head().getLong(0) == 18L, "replay must be fenced")
+    assert(spark.read.parquet(dir + "/snaps")
+      .select("batch_id").distinct().count() == 2L)
+  }
+
   test("joinMaintSink: delta-maintained view equals the direct join; replay fenced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
