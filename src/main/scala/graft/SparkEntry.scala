@@ -3724,6 +3724,44 @@ object SparkEntry {
         "cm9")
     }),
 
+    // Cohen's d / Hedges' g on the same split as q341 — effect SIZE
+    // beside the t-test's significance, from the same exact moments
+    "q361_cohens_d" -> ((s, d) =>
+      graft.operators.Robust.cohensD(t(s, d, "events"),
+        "event_type", "value", col("user_id") % 2 === 0)),
+
+    // Jonckheere-Terpstra: does value shift upward across the ordered
+    // weekday groups, per event type (doubled-U over the cell grid)
+    "q362_jonckheere" -> ((s, d) =>
+      graft.operators.RankStats.jonckheereTerpstra(
+        t(s, d, "events").filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            pmod(datediff(to_date(col("ts")),
+              lit("1970-01-01").cast("date")) + 3, lit(7)).cast("long")
+              .as("wd"),
+            floor(col("value")).cast("long").as("v")),
+        "event_type", "wd", "v")),
+
+    // k-core peel (k=30, 4 bounded rounds) over the thresholded
+    // part×supp co-occurrence graph; convergence reported in-row
+    "q363_kcore" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .select((col("l_partkey") % 500).as("x"),
+          (col("l_suppkey") % 500).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).drop("c")
+      graft.operators.Graph.kCorePeel(e, "a", "b", k = 30, rounds = 4)
+    }),
+
+    // INTERSECT / EXCEPT as shared-dialect SQL text over the catalog
+    "q364_sql_setops" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlSetOpsText)
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -3747,6 +3785,18 @@ object SparkEntry {
       col("fare_amount") + col("extra") + col("mta_tax") + col("tip_amount")
         + col("tolls_amount") + col("improvement_surcharge")
         + col("congestion_surcharge") + col("airport_fee"))
+
+  /** q364's SQL — shared-dialect INTERSECT / EXCEPT set operations. */
+  private val sqlSetOpsText: String =
+    """SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+      |UNION ALL
+      |SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)""".stripMargin
 
   /** q356's SQL — shared-dialect correlated NOT EXISTS (anti-join):
     * customers who never placed a large order, per segment (every
@@ -10832,6 +10882,117 @@ object SparkEntry {
          |SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
          |FROM pb LEFT JOIN grid USING (d, w) GROUP BY 1""".stripMargin
     },
+
+    // q341's moment chain extended with pooled variance, d, and the
+    // Hedges small-sample factor — identical double tree
+    "q361_cohens_d" ->
+      """WITH b AS (SELECT event_type, user_id % 2 = 0 AS a,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS sum_a_cents,
+        |    CAST(SUM(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT)
+        |      AS sum_b_cents,
+        |    CAST(SUM(CASE WHEN a THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+        |      AS BIGINT) AS qa,
+        |    CAST(SUM(CASE WHEN NOT a THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+        |      AS BIGINT) AS qb
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(sum_a_cents AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * 100.0) END AS mean_a,
+        |    CASE WHEN n_b > 0 THEN CAST(sum_b_cents AS DOUBLE)
+        |      / (CAST(n_b AS DOUBLE) * 100.0) END AS mean_b,
+        |    CASE WHEN n_a > 1 THEN
+        |      CAST(CAST(n_a AS HUGEINT) * qa
+        |          - CAST(sum_a_cents AS HUGEINT) * sum_a_cents AS DOUBLE)
+        |        / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) * 10000 AS DOUBLE)
+        |      END AS va,
+        |    CASE WHEN n_b > 1 THEN
+        |      CAST(CAST(n_b AS HUGEINT) * qb
+        |          - CAST(sum_b_cents AS HUGEINT) * sum_b_cents AS DOUBLE)
+        |        / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) * 10000 AS DOUBLE)
+        |      END AS vb
+        |  FROM g),
+        |p AS (SELECT *,
+        |    ((CAST(n_a AS DOUBLE) - 1.0) * va + (CAST(n_b AS DOUBLE) - 1.0)
+        |      * vb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+        |      AS sp2 FROM m),
+        |dd AS (SELECT *, CASE WHEN sp2 > 0.0
+        |    THEN (mean_a - mean_b) / sqrt(sp2) END AS cohens_d FROM p)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b, cohens_d,
+        |  cohens_d * (1.0 - 3.0
+        |    / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)) AS hedges_g
+        |FROM dd""".stripMargin,
+
+    // doubled-U cell-grid sum + no-tie null moments, mirrored
+    "q362_jonckheere" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3)
+        |      % 7 AS BIGINT) AS g,
+        |    CAST(FLOOR(value) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT event_type, g, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |j AS (SELECT x.event_type,
+        |    CAST(SUM(CAST(x.c AS HUGEINT) * y.c
+        |      * (CASE WHEN x.v < y.v THEN 2 WHEN x.v = y.v THEN 1
+        |         ELSE 0 END)) AS BIGINT) AS j2
+        |  FROM cells x JOIN cells y
+        |    ON x.event_type = y.event_type AND x.g < y.g
+        |  GROUP BY 1),
+        |sz AS (SELECT event_type, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CAST(ng AS HUGEINT) * ng) AS BIGINT) AS sn2,
+        |    CAST(SUM(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS BIGINT)
+        |      AS sn23
+        |  FROM (SELECT event_type, g, CAST(SUM(c) AS BIGINT) AS ng
+        |        FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (SELECT sz.event_type, n, n_groups, COALESCE(j2, 0) AS j2,
+        |    CAST(CAST(n AS HUGEINT) * n - sn2 AS BIGINT) AS mean4,
+        |    CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 AS BIGINT)
+        |      AS var_num
+        |  FROM sz LEFT JOIN j ON sz.event_type = j.event_type)
+        |SELECT event_type, n, n_groups, j2, mean4, var_num,
+        |  CASE WHEN var_num > 0 THEN
+        |    ((CAST(j2 AS DOUBLE) - CAST(mean4 AS DOUBLE) / 2.0) / 2.0)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 72.0) END AS z
+        |FROM f""".stripMargin,
+
+    // 4 unrolled peel rounds; converged = the last round was a no-op
+    "q363_kcore" ->
+      """WITH e0 AS (SELECT a, b FROM (
+    SELECT least(x, y) AS a, greatest(x, y) AS b FROM (
+      SELECT l_partkey % 500 AS x, l_suppkey % 500 AS y FROM lineitem)
+    WHERE x <> y) GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+d1 AS (SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+k1 AS (SELECT n FROM d1 WHERE deg >= 30),
+e1 AS (SELECT e0.a, e0.b FROM e0
+  JOIN k1 ka ON e0.a = ka.n JOIN k1 kb ON e0.b = kb.n),
+d2 AS (SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+k2 AS (SELECT n FROM d2 WHERE deg >= 30),
+e2 AS (SELECT e1.a, e1.b FROM e1
+  JOIN k2 ka ON e1.a = ka.n JOIN k2 kb ON e1.b = kb.n),
+d3 AS (SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+k3 AS (SELECT n FROM d3 WHERE deg >= 30),
+e3 AS (SELECT e2.a, e2.b FROM e2
+  JOIN k3 ka ON e2.a = ka.n JOIN k3 kb ON e2.b = kb.n),
+d4 AS (SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+k4 AS (SELECT n FROM d4 WHERE deg >= 30),
+e4 AS (SELECT e3.a, e3.b FROM e3
+  JOIN k4 ka ON e3.a = ka.n JOIN k4 kb ON e3.b = kb.n)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree,
+  (SELECT COUNT(*) FROM e4) = (SELECT COUNT(*) FROM e3) AS converged
+FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
+
+    "q364_sql_setops" -> sqlSetOpsText,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

@@ -633,4 +633,53 @@ object Graph {
           .as("jaccard"),
         (col("deg_a") * col("deg_b")).as("pref_attachment"))
   }
+
+  /** k-core peeling, bounded rounds — "who survives when hangers-on
+    * leave?": each round drops every node whose CURRENT degree is
+    * below `k`, removing its edges, which can push neighbors below the
+    * bar next round; after `rounds` rounds the survivors approximate
+    * the k-core (exactly the k-core once a round removes nobody — the
+    * fixed-round honest contract of [[labelPropagation]]: at corpus
+    * scale you budget rounds, you do not iterate to an unbounded
+    * fixpoint; `converged` reports whether the LAST round was already
+    * stable so the caller can see an unfinished peel loudly).
+    *
+    * Edges canonicalize internally (undirected, self-loops dropped,
+    * duplicates collapsed). Each round is one degree aggregate + two
+    * semi-joins, eagerly checkpointed so round N's plan never nests
+    * round N−1's (the pageRank discipline).
+    *
+    * Output: (node, degree) of survivors after the final round, plus
+    * the constant `converged` column. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    var e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull
+        && col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .distinct()
+      .localCheckpoint(true)
+    var stable = false
+    for (_ <- 0 until rounds if !stable) {
+      val deg = e.select(col("__a").as("__n"))
+        .unionAll(e.select(col("__b").as("__n")))
+        .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select(col("__n"))
+        .localCheckpoint(true)
+      val e2 = e
+        .join(keep.withColumnRenamed("__n", "__a"), Seq("__a"), "left_semi")
+        .join(keep.withColumnRenamed("__n", "__b"), Seq("__b"), "left_semi")
+        .localCheckpoint(true)
+      // node-scale metadata counts (the pageRank fixpoint-probe pattern)
+      stable = e2.count() == e.count()
+      e = e2
+    }
+    e.select(col("__a").as("node")).unionAll(e.select(col("__b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
+      .withColumn("converged", lit(stable))
+  }
 }

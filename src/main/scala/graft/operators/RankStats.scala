@@ -443,4 +443,71 @@ object RankStats {
       .select(col(keyCol), col("n"), col("s_stat"), col("var_num"),
         col("var_s"), col("z"))
   }
+
+  /** Jonckheere–Terpstra ordered-alternative test per key — "does the
+    * OUTCOME shift upward across ORDERED groups?" (the continuous-
+    * outcome sibling of [[graft.operators.Robust.cochranArmitage]]'s
+    * binary trend, and the ordered refinement of Kruskal–Wallis's
+    * any-difference question): `J = Σ_{g<h} U_{gh}` over all ordered
+    * group pairs, each U a Mann–Whitney count. DOUBLED convention
+    * keeps ties integer: `J2 = Σ_{cells (g,v1)×(h,v2), g<h}
+    * c1·c2·(2·[v1<v2] + [v1=v2])`, an exact BIGINT from the
+    * distinct-CELL self-join — the [[kendallTau]] bounded-grid
+    * contract (pre-quantize continuous outcomes with
+    * [[graft.operators.Eval.quantizeScores]]).
+    *
+    * Null moments (the standard no-tie form — with heavy ties the z
+    * is mildly conservative, the documented convention):
+    * `E[J] = (N² − Σn_g²)/4` (emitted DOUBLED+×2 as mean4 = N²−Σn²),
+    * `Var(J) = [N²(2N+3) − Σn_g²(2n_g+3)]/72`; z =
+    * `(2·J2 − 2·mean4/... )` — concretely `z = (J2 − mean4/2) /
+    * (2·√(var_num/72))` computed as one fixed double chain from the
+    * exact integers (J = J2/2, so J − E[J] = (J2 − mean4/2)/2... the
+    * chain below is literally `((j2 − mean4/2)/2)/√(var_num/72)`).
+    *
+    * Output per key: (key, n, n_groups, j2, mean4, var_num, z) — z
+    * NULL when var_num = 0 (single group or constant outcome). */
+  def jonckheereTerpstra(df: DataFrame, keyCol: String, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // consumed 3x (pair join both sides + sizes)
+    val a = cells.select(col(keyCol), col("__g").as("__ga"),
+      col("__v").as("__va"), col("__c").as("__ca"))
+    val b = cells.select(col(keyCol), col("__g").as("__gb"),
+      col("__v").as("__vb"), col("__c").as("__cb"))
+    val j = a.join(b, Seq(keyCol))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__ca").cast(d38) * col("__cb")
+        * (when(col("__va") < col("__vb"), 2L)
+          .when(col("__va") === col("__vb"), 1L).otherwise(0L)))
+        .cast(d38).cast("long").as("j2"))
+    val sizes = cells.groupBy(col(keyCol), col("__g"))
+      .agg(sum(col("__c")).as("__ng"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__ng")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(col("__ng").cast(d38) * col("__ng")).cast(d38).cast("long")
+          .as("__sn2"),
+        sum(col("__ng").cast(d38) * col("__ng")
+          * (lit(2L) * col("__ng") + 3)).cast(d38).cast("long").as("__sn23"))
+    sizes.join(j, Seq(keyCol), "left")
+      .withColumn("j2", coalesce(col("j2"), lit(0L))) // single group
+      .withColumn("mean4",
+        (col("n").cast(d38) * col("n") - col("__sn2")).cast(d38)
+          .cast("long"))
+      .withColumn("var_num",
+        (col("n").cast(d38) * col("n") * (lit(2L) * col("n") + 3)
+          - col("__sn23")).cast(d38).cast("long"))
+      .withColumn("z",
+        when(col("var_num") > 0,
+          ((col("j2").cast("double") - col("mean4").cast("double") / 2.0)
+            / 2.0)
+            / sqrt(col("var_num").cast("double") / 72.0)))
+      .select(col(keyCol), col("n"), col("n_groups"), col("j2"),
+        col("mean4"), col("var_num"), col("z"))
+  }
 }

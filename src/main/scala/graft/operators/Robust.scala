@@ -677,6 +677,48 @@ object Robust {
       .select(col("n"), col("n_cats_a"), col("n_cats_b"),
         col("chi2_micro"), col("cramers_v"))
 
+  /** Cohen's d / Hedges' g effect size per key — "HOW BIG is the mean
+    * difference, in pooled-SD units?" ([[welchTTest]] answers whether
+    * it's distinguishable from noise; report both): built on the SAME
+    * exact integer moment partials (this calls welchTTest and
+    * re-derives the variances from the emitted BIGINT moments, so the
+    * two statistics can never drift apart), with
+    * `d = (x̄_A−x̄_B)/s_pooled`, `s²_pooled = ((n_A−1)s²_A +
+    * (n_B−1)s²_B)/(n_A+n_B−2)`, and Hedges'
+    * `g = d·(1 − 3/(4(n_A+n_B)−9))` — the standard small-sample
+    * correction (the exact Γ-ratio factor needs libm; this
+    * approximation is the one every stats package reports). One fixed
+    * double chain; NULL when either arm has < 2 rows or the pooled
+    * variance is 0.
+    *
+    * Output per key: (key, n_a, n_b, mean_a, mean_b, cohens_d,
+    * hedges_g). */
+  def cohensD(df: DataFrame, keyCol: String, valueCol: String,
+              isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def variance(n: String, s: String, q: String) =
+      (col(n).cast(d38) * col(q) - col(s).cast(d38) * col(s)).cast(d38)
+        .cast("double") /
+        ((col(n).cast(d38) * (col(n) - 1) * 10000).cast(d38).cast("double"))
+    welchTTest(df, keyCol, valueCol, isA)
+      .withColumn("__va", when(col("n_a") > 1,
+        variance("n_a", "sum_a_cents", "ssq_a_cents2")))
+      .withColumn("__vb", when(col("n_b") > 1,
+        variance("n_b", "sum_b_cents", "ssq_b_cents2")))
+      .withColumn("__sp2",
+        ((col("n_a").cast("double") - 1.0) * col("__va")
+          + (col("n_b").cast("double") - 1.0) * col("__vb"))
+          / (col("n_a").cast("double") + col("n_b").cast("double") - 2.0))
+      .withColumn("cohens_d",
+        when(col("__sp2") > 0.0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("__sp2"))))
+      .withColumn("hedges_g",
+        col("cohens_d") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n_a") + col("n_b")).cast("double") - 9.0)))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("cohens_d"), col("hedges_g"))
+  }
+
   /** Cochran–Armitage trend test PARTS per key — "does the success
     * rate TREND across ordered doses/buckets?" (the 2×k ordered
     * companion of [[chiSquareIndependence]]'s unordered independence

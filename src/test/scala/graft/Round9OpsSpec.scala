@@ -338,6 +338,64 @@ class Round9OpsSpec extends SparkSpec {
       .filter(col("h").isNull).count() == 2)
   }
 
+  test("cohensD: pooled-SD effect size + Hedges factor from the welch " +
+    "moments, degenerate NULL") {
+    import graft.operators.Robust
+    val df = Seq(("k", true, 1.0), ("k", true, 2.0), ("k", true, 3.0),
+      ("k", false, 2.0), ("k", false, 4.0)).toDF("g", "a", "v")
+    val r = Robust.cohensD(df, "g", "v", col("a")).head()
+    // va = 1, vb = 2 -> sp2 = (2*1 + 1*2)/3
+    val sp2 = (2.0 * 1.0 + 1.0 * 2.0) / 3.0
+    val d = (2.0 - 3.0) / math.sqrt(sp2)
+    assert(r.getDouble(5) == d)
+    assert(r.getDouble(6) == d * (1.0 - 3.0 / (4.0 * 5.0 - 9.0)))
+    // constant values: zero pooled variance -> NULL d
+    val const = Seq(("k", true, 2.0), ("k", true, 2.0),
+      ("k", false, 2.0), ("k", false, 2.0)).toDF("g", "a", "v")
+    assert(Robust.cohensD(const, "g", "v", col("a")).head().isNullAt(5))
+  }
+
+  test("jonckheereTerpstra: hand-computed doubled U, tie cell, moments") {
+    import graft.operators.RankStats
+    // groups 1,2,3 with values {1,2}, {2,3}, {4}: U12 pairs:
+    // (1,2)+2 (1,3)+2 (2,2)+1 (2,3)+2 ; U13: (1,4)+2 (2,4)+2
+    // U23: (2,4)+2 (3,4)+2 -> J2 = 7 + 4 + 4 = 15
+    val df = Seq(("k", 1L, 1L), ("k", 1L, 2L), ("k", 2L, 2L),
+      ("k", 2L, 3L), ("k", 3L, 4L)).toDF("g", "grp", "v")
+    val r = RankStats.jonckheereTerpstra(df, "g", "grp", "v").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 15L)
+    assert(r.getLong(4) == 25L - (4L + 4L + 1L))         // mean4 = 16
+    assert(r.getLong(5) == 25L * 13L - (4 * 7 + 4 * 7 + 1 * 5)) // 264
+    assert(r.getDouble(6) ==
+      ((15.0 - 16.0 / 2.0) / 2.0) / math.sqrt(264.0 / 72.0))
+    // single group: J2 = 0, var 0 -> NULL z
+    val one = Seq(("k", 1L, 1L), ("k", 1L, 2L)).toDF("g", "grp", "v")
+    assert(RankStats.jonckheereTerpstra(one, "g", "grp", "v")
+      .head().isNullAt(6))
+  }
+
+  test("kCorePeel: cascading peel, convergence flag, canonicalization") {
+    import graft.operators.Graph
+    // triangle {1,2,3} + a chain 3-4-5: k=2 peels 5 then 4, keeps the
+    // triangle; needs 2 rounds, converges on the 3rd
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (3L, 3L)) // duplicate reversed edge + self-loop dropped
+      .toDF("s", "t")
+    val r = Graph.kCorePeel(e, "s", "t", k = 2, rounds = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2))))
+      .toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r.values.forall { case (deg, conv) => deg == 2L && conv })
+    // rounds too few to converge: flag false, partial peel reported
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val p = Graph.kCorePeel(chain, "s", "t", k = 2, rounds = 1)
+    assert(!p.head().getBoolean(2)) // one round only removed 1 and 5
+    // full peel of a pure chain at k=2: empty core
+    assert(Graph.kCorePeel(chain, "s", "t", 2, 6).count() == 0)
+  }
+
   // ---- Cochran-Armitage ---------------------------------------------------
 
   test("cochranArmitage: hand-computed trend parts, degenerate NULL z, " +
