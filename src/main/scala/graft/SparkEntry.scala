@@ -3762,6 +3762,30 @@ object SparkEntry {
       s.sql(sqlSetOpsText)
     }),
 
+    // Friedman test over the zero-filled (day × type) daily-count
+    // design: blocked repeated-measures ranks, doubled midranks
+    "q365_friedman" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val spine = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("event_type")).distinct())
+        .join(daily, Seq("day", "event_type"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      graft.operators.RankStats.friedmanParts(spine, "day", "event_type", "y")
+    }),
+
+    // Durbin-Watson over per-type daily counts (exact integral
+    // centering e = n·x − Σx; d scale-invariant)
+    "q366_durbin_watson" -> ((s, d) =>
+      graft.operators.Timeseries.durbinWatson(
+        dailyCountSeries(s, d), "event_type", "x", "y")),
+
+    // Wald-Wolfowitz runs test on the same centered series
+    "q367_runs_test" -> ((s, d) =>
+      graft.operators.Timeseries.runsTest(
+        dailyCountSeries(s, d), "event_type", "x", "y")),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -3785,6 +3809,16 @@ object SparkEntry {
       col("fare_amount") + col("extra") + col("mta_tax") + col("tip_amount")
         + col("tolls_amount") + col("improvement_surcharge")
         + col("congestion_surcharge") + col("airport_fee"))
+
+  /** Per-type daily-count series (x = epoch day, y = count) shared by
+    * q366/q367 — the pre-aggregated unique-x series the DW/runs
+    * contract requires. */
+  private def dailyCountSeries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
 
   /** q364's SQL — shared-dialect INTERSECT / EXCEPT set operations. */
   private val sqlSetOpsText: String =
@@ -10993,6 +11027,108 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS degree,
 FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
 
     "q364_sql_setops" -> sqlSetOpsText,
+
+    // zero-filled spine, within-block doubled midranks, chi2 chain
+    "q365_friedman" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |spine AS (SELECT dd.day, tt.event_type, COALESCE(daily.y, 0) AS y
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily ON daily.day = dd.day
+        |    AND daily.event_type = tt.event_type),
+        |cells AS (SELECT day, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM spine GROUP BY 1, 2),
+        |rk AS (SELECT day, y, 2 * (cum - c) + c + 1 AS rd FROM (
+        |  SELECT *, CAST(SUM(c) OVER (PARTITION BY day ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM cells)),
+        |r2 AS (SELECT s.event_type AS treatment, rk.rd
+        |  FROM spine s JOIN rk ON s.day = rk.day AND s.y = rk.y),
+        |pt AS (SELECT treatment, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(rd) AS BIGINT) AS r2_sum FROM r2 GROUP BY 1),
+        |shape AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nb,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM spine),
+        |ss AS (SELECT CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS BIGINT)
+        |    AS sr2 FROM pt)
+        |SELECT treatment, n_blocks, k AS k_treatments, r2_sum,
+        |  3.0 * CAST(sr2 AS DOUBLE)
+        |    / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0))
+        |  - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS chi2
+        |FROM pt, shape, ss""".stripMargin,
+
+    // integral centering e = n·y_cents − Σ, lag window, one division
+    "q366_durbin_watson" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, x,
+        |    CAST(CAST(y AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM daily),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s FROM c GROUP BY 1),
+        |e AS (SELECT c.event_type, x,
+        |    CAST(n AS HUGEINT) * v - s AS ev, n
+        |  FROM c JOIN t USING (event_type)),
+        |l AS (SELECT *, lag(ev) OVER (PARTITION BY event_type ORDER BY x)
+        |    AS pe FROM e)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pe IS NOT NULL THEN (ev - pe) * (ev - pe)
+        |    ELSE 0 END) AS BIGINT) AS dw_num,
+        |  CAST(SUM(ev * ev) AS BIGINT) AS dw_den,
+        |  CASE WHEN MAX(n) > 1 AND SUM(ev * ev) > 0 THEN
+        |    CAST(SUM(CASE WHEN pe IS NOT NULL THEN (ev - pe) * (ev - pe)
+        |      ELSE 0 END) AS DOUBLE) / CAST(SUM(ev * ev) AS DOUBLE)
+        |  END AS dw
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // nonzero signs, run breaks, exact counts, fixed z chain
+    "q367_runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, x,
+        |    CAST(CAST(y AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM daily),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s FROM c GROUP BY 1),
+        |e AS (SELECT c.event_type, x, CAST(n AS HUGEINT) * v - s AS ev
+        |  FROM c JOIN t USING (event_type)),
+        |sg AS (SELECT event_type, x,
+        |    CASE WHEN ev > 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM e WHERE ev <> 0),
+        |l AS (SELECT *, lag(sgn) OVER (PARTITION BY event_type ORDER BY x)
+        |    AS prev FROM sg),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sgn THEN 1
+        |      ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_pos, n_neg, n_runs,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1
+        |      AND (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |        * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |          - (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))))
+        |        / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |          * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |          * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0))
+        |        > 0.0 THEN
+        |    (CAST(n_runs AS DOUBLE) - (1.0
+        |      + 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |        / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))))
+        |    / sqrt((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |        * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |          - (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))))
+        |      / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |        * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |        * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0)))
+        |  END AS z
+        |FROM g""".stripMargin,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

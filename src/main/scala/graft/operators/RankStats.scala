@@ -510,4 +510,78 @@ object RankStats {
       .select(col(keyCol), col("n"), col("n_groups"), col("j2"),
         col("mean4"), col("var_num"), col("z"))
   }
+
+  /** Friedman test PARTS — the repeated-measures / blocked-design rank
+    * test ([[kruskalWallis]] asks "do k independent samples differ?";
+    * this asks "do k TREATMENTS differ when every block receives all
+    * k?" — per-day metric across variants, per-document score across
+    * models): within each block, treatments take doubled average-rank
+    * midranks from the block's distinct-value cells (`2·C_prev + t +
+    * 1` — the house tie convention), per-treatment doubled rank sums
+    * accumulate exactly, and the statistic
+    * `χ²_F = 12/(n·k·(k+1))·Σ_j R_j² − 3·n·(k+1)` evaluates as ONE
+    * fixed double chain from the exact integers (with R_j = R2_j/2:
+    * `3·Σ R2_j²/(n·k·(k+1)) − 3·n·(k+1)`). Ties within a block use
+    * midranks; the no-tie χ² form is the documented convention
+    * (mildly conservative under heavy ties).
+    *
+    * Every block must contain EVERY treatment exactly once —
+    * validated in-plan (a ragged block raises); zero-fill or aggregate
+    * upstream. Blocks×treatments is the whole frame — values-scale
+    * windows only.
+    *
+    * Output per treatment: (treatment, n_blocks, k_treatments,
+    * r2_sum, chi2) — chi2 identical on every row (the one-row
+    * broadcast attach); NULL when k < 2. */
+  def friedmanParts(df: DataFrame, blockCol: String, treatmentCol: String,
+                    valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(blockCol).isNotNull
+      && col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"), col(valueCol).as("__v"))
+    // within-block doubled midranks from distinct-value cells
+    val cells = base.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__rd",
+        lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L)
+    val rows = base.join(ranked.select(col("__b"), col("__v"), col("__rd")),
+      Seq("__b", "__v"))
+    val perTreat = rows.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(col("__rd").cast(d38)).cast(d38).cast("long").as("r2_sum"))
+    // completeness: every block has every treatment exactly once
+    val shape = rows.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__rows"),
+        count_distinct(col("__t")).as("__kt"))
+      .agg(count(lit(1)).cast("long").as("__nb"),
+        min(col("__rows")).as("__rmin"), max(col("__rows")).as("__rmax"),
+        min(col("__kt")).as("__kmin"), max(col("__kt")).as("__kmax"))
+      .withColumn("__k",
+        when(col("__rmin") =!= col("__rmax")
+          || col("__kmin") =!= col("__kmax")
+          || col("__rmin") =!= col("__kmin"), raise_error(lit(
+          "friedmanParts: ragged design — every block must contain " +
+            "every treatment exactly once; zero-fill upstream")))
+          .otherwise(col("__kmax")).cast("long"))
+      .select(col("__nb"), col("__k"))
+    val ssum = perTreat.agg(
+      sum(col("r2_sum").cast(d38) * col("r2_sum")).cast(d38).cast("long")
+        .as("__sr2"))
+    perTreat.crossJoin(broadcast(shape)).crossJoin(broadcast(ssum))
+      .withColumn("k_treatments", col("__k"))
+      .withColumn("chi2",
+        when(col("__k") > 1,
+          lit(3.0) * col("__sr2").cast("double")
+            / (col("__nb").cast("double") * col("__k").cast("double")
+              * (col("__k").cast("double") + 1.0))
+            - lit(3.0) * col("__nb").cast("double")
+              * (col("__k").cast("double") + 1.0)))
+      .select(col("__t").as("treatment"), col("n_blocks"),
+        col("k_treatments"), col("r2_sum"), col("chi2"))
+  }
 }

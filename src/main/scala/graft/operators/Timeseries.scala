@@ -665,4 +665,109 @@ object Timeseries {
         col("open"), col("high"), col("low"), col("close"))
   }
 
+
+  /** Durbin–Watson statistic per key — "are the residuals of this
+    * series serially correlated?" (the first diagnostic after any
+    * per-key trend fit; d ≈ 2 is uncorrelated, → 0 positive, → 4
+    * negative autocorrelation): `d = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²`
+    * over the x-ordered series. Exactness via scale-invariance: the
+    * caller's values are mean-centered INTEGRALLY as
+    * `e_t = n·x_t − Σx` (multiplying through by n leaves d unchanged —
+    * both sums scale by n²), so numerator and denominator are exact
+    * BIGINTs on the cent grid and d is one division. `(key, x)` must
+    * be unique (the [[graft.operators.RankStats.mannKendall]]
+    * pre-aggregated-series contract — duplicates raise); the lag
+    * window is per-key series-scale. BIGINT bound: Σe² ≤ n³·x_max² —
+    * loud ANSI overflow past it.
+    *
+    * Output per key: (key, n, dw_num, dw_den, dw) — dw NULL when the
+    * series is constant (den = 0) or has < 2 points. */
+  def durbinWatson(df: DataFrame, keyCol: String, xCol: String,
+                   valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "durbinWatson: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val tot = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).cast("long").as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__e",
+        (col("__n").cast(d38) * col("__v") - col("__s")).cast(d38))
+      .withColumn("__lag", lag(col("__e"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).cast("long").as("n"),
+        sum(when(col("__lag").isNotNull,
+          (col("__e") - col("__lag")) * (col("__e") - col("__lag")))
+          .otherwise(lit(0).cast(d38))).cast(d38).cast("long").as("dw_num"),
+        sum(col("__e") * col("__e")).cast(d38).cast("long").as("dw_den"))
+      .withColumn("dw",
+        when(col("n") > 1 && col("dw_den") > 0,
+          col("dw_num").cast("double") / col("dw_den").cast("double")))
+  }
+
+  /** Wald–Wolfowitz runs test per key — "do the residual SIGNS cluster
+    * or alternate more than chance?" (the randomness companion of
+    * [[durbinWatson]]'s magnitude view, and robust to any monotone
+    * value transform): over the x-ordered series with the same exact
+    * integral centering `e_t = n·x_t − Σx`, count sign runs
+    * `R = 1 + Σ[sign(e_t) ≠ sign(e_{t−1})]` among NONZERO residuals
+    * (zeros carry no sign — excluded, the standard convention,
+    * documented rather than smuggled into either side), then
+    * `E[R] = 1 + 2pm/(p+m)` and
+    * `Var[R] = 2pm(2pm−p−m)/((p+m)²(p+m−1))`; z is one fixed double
+    * chain from the exact integers. Same unique-x contract as
+    * [[durbinWatson]].
+    *
+    * Output per key: (key, n_pos, n_neg, n_runs, z) — z NULL when
+    * either sign is absent or p+m < 2. */
+  def runsTest(df: DataFrame, keyCol: String, xCol: String,
+               valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "runsTest: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val tot = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).cast("long").as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    val signed = cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__e",
+        (col("__n").cast(d38) * col("__v") - col("__s")).cast(d38))
+      .filter(col("__e") =!= 0)
+      .withColumn("__sgn", when(col("__e") > 0, 1L).otherwise(-1L))
+      .withColumn("__prev", lag(col("__sgn"), 1).over(w))
+    signed.groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__sgn") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_pos"),
+        sum(when(col("__sgn") === -1L, 1L).otherwise(0L)).cast("long")
+          .as("n_neg"),
+        (sum(when(col("__prev").isNotNull
+          && col("__prev") =!= col("__sgn"), 1L).otherwise(0L)) + 1L)
+          .cast("long").as("n_runs"))
+      .withColumn("z", {
+        val p = col("n_pos").cast("double"); val m = col("n_neg").cast("double")
+        val nn = p + m
+        val er = lit(1.0) + lit(2.0) * p * m / nn
+        val vr = (lit(2.0) * p * m * (lit(2.0) * p * m - nn)) /
+          (nn * nn * (nn - 1.0))
+        when(col("n_pos") > 0 && col("n_neg") > 0
+          && col("n_pos") + col("n_neg") > 1 && vr > 0.0,
+          (col("n_runs").cast("double") - er) / sqrt(vr))
+      })
+  }
 }

@@ -396,6 +396,66 @@ class Round9OpsSpec extends SparkSpec {
     assert(Graph.kCorePeel(chain, "s", "t", 2, 6).count() == 0)
   }
 
+  test("friedmanParts: textbook blocked ranks, tie midranks, ragged raise") {
+    import graft.operators.RankStats
+    // 3 blocks × 3 treatments, values give within-block ranks
+    // b1: t1=1,t2=2,t3=3 ; b2: t1=1,t2=3,t3=2 ; b3: t1=1,t2=2,t3=3
+    val df = Seq(
+      ("b1", "t1", 10L), ("b1", "t2", 20L), ("b1", "t3", 30L),
+      ("b2", "t1", 5L), ("b2", "t2", 25L), ("b2", "t3", 15L),
+      ("b3", "t1", 1L), ("b3", "t2", 2L), ("b3", "t3", 3L))
+      .toDF("b", "t", "v")
+    val r = RankStats.friedmanParts(df, "b", "t", "v")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // doubled rank sums: t1: 2+2+2=6, t2: 4+6+4=14, t3: 6+4+6=16
+    assert(r("t1")._3 == 6L && r("t2")._3 == 14L && r("t3")._3 == 16L)
+    // chi2 = 3*(36+196+256)/(3*3*4) - 3*3*4 = 488/12*... replicate chain
+    val chi2 = 3.0 * 488.0 / (3.0 * 3.0 * 4.0) - 3.0 * 3.0 * 4.0
+    assert(r("t1")._4 == chi2 && r("t1")._1 == 3L && r("t1")._2 == 3L)
+    // a tie within a block takes the doubled midrank
+    val tie = Seq(("b", "t1", 1L), ("b", "t2", 1L), ("b", "t3", 2L))
+      .toDF("b", "t", "v")
+    val tr = RankStats.friedmanParts(tie, "b", "t", "v")
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(tr("t1") == 3L && tr("t2") == 3L && tr("t3") == 6L)
+    val ragged = Seq(("b1", "t1", 1L), ("b1", "t2", 2L), ("b2", "t1", 1L))
+      .toDF("b", "t", "v")
+    val e = intercept[Exception] {
+      RankStats.friedmanParts(ragged, "b", "t", "v").collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("durbinWatson + runsTest: hand series, alternating vs trending") {
+    import graft.operators.Timeseries
+    // y = 1,3,1,3 (n=4, S=8 -> e = 4y-8 = -4,4,-4,4 cents*100)
+    val alt = Seq(("k", 1L, 1.0), ("k", 2L, 3.0), ("k", 3L, 1.0),
+      ("k", 4L, 3.0)).toDF("g", "x", "v")
+    val dw = Timeseries.durbinWatson(alt, "g", "x", "v").head()
+    // e in cents: -400,400,-400,400; num = 3*(800^2); den = 4*400^2
+    assert(dw.getLong(2) == 3L * 800L * 800L)
+    assert(dw.getLong(3) == 4L * 400L * 400L)
+    assert(dw.getDouble(4) == (3.0 * 640000.0) / 640000.0)
+    val rt = Timeseries.runsTest(alt, "g", "x", "v").head()
+    assert(rt.getLong(1) == 2L && rt.getLong(2) == 2L && rt.getLong(3) == 4L)
+    // max runs for 2+2: z = (4 - (1 + 2*2*2/4)) / sqrt(vr)
+    val p = 2.0; val m = 2.0; val nn = 4.0
+    val vr = (2.0 * p * m * (2.0 * p * m - nn)) / (nn * nn * (nn - 1.0))
+    assert(rt.getDouble(4) == (4.0 - (1.0 + 2.0 * p * m / nn)) /
+      math.sqrt(vr))
+    // monotone series: minimal runs (2), DW small
+    val tr2 = Timeseries.runsTest(Seq(("k", 1L, 1.0), ("k", 2L, 2.0),
+      ("k", 3L, 8.0), ("k", 4L, 9.0)).toDF("g", "x", "v"),
+      "g", "x", "v").head()
+    assert(tr2.getLong(3) == 2L)
+    // duplicate x raises
+    val dup = Seq(("k", 1L, 1.0), ("k", 1L, 2.0)).toDF("g", "x", "v")
+    assert(intercept[Exception] {
+      Timeseries.durbinWatson(dup, "g", "x", "v").collect()
+    }.getMessage.contains("duplicate x"))
+  }
+
   // ---- Cochran-Armitage ---------------------------------------------------
 
   test("cochranArmitage: hand-computed trend parts, degenerate NULL z, " +
