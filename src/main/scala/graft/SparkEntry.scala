@@ -3786,6 +3786,39 @@ object SparkEntry {
       graft.operators.Timeseries.runsTest(
         dailyCountSeries(s, d), "event_type", "x", "y")),
 
+    // Bowker symmetry of consecutive event-type transitions per user:
+    // do users move i→j as often as j→i? (k-category McNemar)
+    "q368_bowker_symmetry" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      graft.operators.Robust.bowkerSymmetry(trans, "prev", "event_type")
+    }),
+
+    // Lin's CCC between consecutive per-user event values — agreement
+    // (not just correlation) of y_t with y_{t-1}
+    "q369_lin_ccc" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val paired = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull
+          && col("value").isNotNull)
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_v").isNotNull)
+      graft.operators.Eval.linConcordance(paired, "event_type",
+        "value", "prev_v")
+    }),
+
+    // GROUPING SETS as shared-dialect SQL text (segment subtotals +
+    // grand total in one pass, GROUPING() marker)
+    "q370_sql_grouping_sets" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlGroupingSetsText)
+    }),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -3819,6 +3852,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("y"))
       .withColumn("x",
         datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+
+  /** q370's SQL — shared-dialect GROUPING SETS (subtotals + grand
+    * total in one aggregate pass, GROUPING() marker cast to BIGINT). */
+  private val sqlGroupingSetsText: String =
+    """SELECT c_mktsegment,
+      |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS is_total,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), ())""".stripMargin
 
   /** q364's SQL — shared-dialect INTERSECT / EXCEPT set operations. */
   private val sqlSetOpsText: String =
@@ -11129,6 +11173,64 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |        * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0)))
         |  END AS z
         |FROM g""".stripMargin,
+
+    // transition cells via the same total-order lag; full-outer pair
+    // matching with zero fills; micro-grid floored terms
+    "q368_bowker_symmetry" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |cells AS (SELECT CAST(prev AS VARCHAR) AS a,
+        |    CAST(event_type AS VARCHAR) AS b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM o WHERE prev IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT COALESCE(u.a, l.a) AS a, COALESCE(u.b, l.b) AS b,
+        |    COALESCE(u.nij, 0) AS nij, COALESCE(l.nji, 0) AS nji
+        |  FROM (SELECT a, b, n AS nij FROM cells WHERE a < b) u
+        |  FULL OUTER JOIN (SELECT b AS a, a AS b, n AS nji FROM cells
+        |    WHERE a > b) l ON u.a = l.a AND u.b = l.b),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM((1000000 * (CAST(nij - nji AS HUGEINT)
+        |      * (nij - nji))) // (nij + nji)) AS BIGINT) AS chi2_micro
+        |  FROM p),
+        |k AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS k_categories
+        |  FROM (SELECT a AS c FROM cells UNION ALL SELECT b FROM cells)),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_obs FROM cells)
+        |SELECT n_obs, k_categories, df, chi2_micro,
+        |  CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2
+        |FROM t, k, tot""".stripMargin,
+
+    // cleared-denominator num/den mirrored; one division
+    "q369_lin_ccc" ->
+      """WITH o AS (SELECT event_type, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_v
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(prev_v AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM o WHERE prev_v IS NOT NULL),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    CAST(2 * (CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy) AS BIGINT) AS ccc_num,
+        |    CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      + (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+        |      + CAST(sx - sy AS HUGEINT) * (sx - sy) AS BIGINT) AS ccc_den
+        |  FROM g)
+        |SELECT event_type, n, ccc_num, ccc_den,
+        |  CASE WHEN ccc_den > 0 THEN CAST(ccc_num AS DOUBLE)
+        |    / CAST(ccc_den AS DOUBLE) END AS ccc
+        |FROM f""".stripMargin,
+
+    "q370_sql_grouping_sets" -> sqlGroupingSetsText,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

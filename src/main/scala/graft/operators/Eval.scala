@@ -446,6 +446,52 @@ object Eval {
         col("n_agree").cast("double") / col("n_ballots").cast("double"))
   }
 
+  /** Lin's concordance correlation coefficient per key — "do paired
+    * continuous measurements AGREE?" (Pearson r rewards any linear
+    * relation; CCC additionally penalizes scale and location shifts —
+    * the agreement statistic for model-vs-model score comparison or
+    * repeated measurements; Lin 1989): with population moments,
+    * `ccc = 2·cov(x,y) / (var x + var y + (x̄ − ȳ)²)`. Multiplying
+    * num/den through by n² clears every division:
+    * `num = 2·(n·Σxy − Σx·Σy)`, `den = (n·Σx² − (Σx)²) + (n·Σy² −
+    * (Σy)²) + (Σx − Σy)²` — ALL exact cent-grid integers (decimal
+    * internally; BIGINT out with the [[graft.operators.Robust
+    * .welchTTest]] magnitude bounds), and ccc is the ONE division.
+    * Degenerate pairs (den = 0: both constant and equal-mean) give
+    * NULL.
+    *
+    * Output per key: (key, n, ccc_num, ccc_den, ccc). */
+  def linConcordance(df: DataFrame, keyCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol),
+        (col(xCol).cast("decimal(12,2)") * 100).cast("long").as("__x"),
+        (col(yCol).cast("decimal(12,2)") * 100).cast("long").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__x")).cast("long").as("__sx"),
+        sum(col("__y")).cast("long").as("__sy"),
+        sum(col("__x").cast(d38) * col("__x")).cast(d38).as("__sxx"),
+        sum(col("__y").cast(d38) * col("__y")).cast(d38).as("__syy"),
+        sum(col("__x").cast(d38) * col("__y")).cast(d38).as("__sxy"))
+      .withColumn("ccc_num",
+        (lit(2L).cast(d38) * (col("n").cast(d38) * col("__sxy")
+          - col("__sx").cast(d38) * col("__sy"))).cast(d38).cast("long"))
+      .withColumn("ccc_den",
+        ((col("n").cast(d38) * col("__sxx")
+          - col("__sx").cast(d38) * col("__sx"))
+          + (col("n").cast(d38) * col("__syy")
+            - col("__sy").cast(d38) * col("__sy"))
+          + (col("__sx") - col("__sy")).cast(d38)
+            * (col("__sx") - col("__sy"))).cast(d38).cast("long"))
+      .withColumn("ccc",
+        when(col("ccc_den") > 0,
+          col("ccc_num").cast("double") / col("ccc_den").cast("double")))
+      .select(col(keyCol), col("n"), col("ccc_num"), col("ccc_den"),
+        col("ccc"))
+  }
+
   /** Exact Brier score — the proper scoring rule for probability
     * forecasts (log-loss needs libm; Brier is pure arithmetic): with
     * scores on the [[Profile.calibration]] micro grid (exact-scaled via

@@ -677,6 +677,50 @@ object Robust {
       .select(col("n"), col("n_cats_a"), col("n_cats_b"),
         col("chi2_micro"), col("cramers_v"))
 
+  /** Bowker symmetry test — "is the k×k PAIRED transition table
+    * symmetric?" (the k-category generalization of [[mcnemar]]'s 2×2:
+    * do labels migrate i→j as often as j→i between two model
+    * versions / annotation rounds / consecutive events?):
+    * `χ²_B = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji)` over cell pairs
+    * with any traffic, df = number of such pairs. Per-pair terms
+    * floor onto the MICRO grid (`1e6·d² div s` — exact integer
+    * division), so the table sum is an exact BIGINT at any
+    * parallelism (the [[cramersV]] discipline) and χ² is one
+    * division. Diagonal cells never contribute (i = j agrees with
+    * itself).
+    *
+    * Output: one row (n_obs, k_categories, df, chi2_micro, chi2). */
+  def bowkerSymmetry(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumed 3x (pairing + k + total)
+    val pairs = cells.filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b"), col("__n").as("__nij"))
+      .join(cells.filter(col("__a") > col("__b"))
+        .select(col("__b").as("__a"), col("__a").as("__b"),
+          col("__n").as("__nji")),
+        Seq("__a", "__b"), "full_outer")
+      .withColumn("__nij", coalesce(col("__nij"), lit(0L)))
+      .withColumn("__nji", coalesce(col("__nji"), lit(0L)))
+      .withColumn("__d", (col("__nij") - col("__nji")).cast(d38))
+      .withColumn("__tm",
+        expr("(1000000 * (CAST(__d AS DECIMAL(38,0)) * __d))" +
+          " div (__nij + __nji)"))
+    val k = cells
+      .select(col("__a").as("__c")).unionAll(cells.select(col("__b")))
+      .agg(count_distinct(col("__c")).cast("long").as("k_categories"))
+    val tot = cells.agg(sum(col("__n")).cast("long").as("n_obs"))
+    pairs.agg(count(lit(1)).cast("long").as("df"),
+      sum(col("__tm")).cast("long").as("chi2_micro"))
+      .crossJoin(broadcast(k)).crossJoin(broadcast(tot))
+      .withColumn("chi2", col("chi2_micro").cast("double") / 1000000.0)
+      .select(col("n_obs"), col("k_categories"), col("df"),
+        col("chi2_micro"), col("chi2"))
+  }
+
   /** Cohen's d / Hedges' g effect size per key — "HOW BIG is the mean
     * difference, in pooled-SD units?" ([[welchTTest]] answers whether
     * it's distinguishable from noise; report both): built on the SAME

@@ -456,6 +456,42 @@ class Round9OpsSpec extends SparkSpec {
     }.getMessage.contains("duplicate x"))
   }
 
+  test("bowkerSymmetry: hand 3x3 transitions, one-sided pairs, diagonal " +
+    "ignored") {
+    import graft.operators.Robust
+    // n_ab=3, n_ba=1 -> term (2)²/4 = 1.0 ; n_ac=2, n_ca=0 -> 4/2 = 2.0
+    // n_bc=n_cb=0 -> pair absent ; diagonals never contribute
+    val rows = Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(2)(("a", "c")) ++ Seq.fill(4)(("a", "a")) ++ Seq(("c", "c"))
+    val r = Robust.bowkerSymmetry(rows.toDF("x", "y"), "x", "y").head()
+    assert(r.getLong(0) == 11L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L) // two traffic-bearing pairs
+    assert(r.getLong(3) == 3000000L && r.getDouble(4) == 3.0)
+    // perfectly symmetric table: chi2 = 0
+    val sym = Seq(("a", "b"), ("b", "a")).toDF("x", "y")
+    assert(Robust.bowkerSymmetry(sym, "x", "y").head().getLong(3) == 0L)
+  }
+
+  test("linConcordance: perfect agreement = 1, shift penalized below " +
+    "Pearson, degenerate NULL") {
+    val same = Seq(("k", 1.0, 1.0), ("k", 2.0, 2.0), ("k", 3.0, 3.0))
+      .toDF("g", "x", "y")
+    assert(Eval.linConcordance(same, "g", "x", "y").head().getDouble(4)
+      == 1.0)
+    // y = x + 10: Pearson r = 1 but CCC < 1 (location shift penalized)
+    val shift = Seq(("k", 1.0, 11.0), ("k", 2.0, 12.0), ("k", 3.0, 13.0))
+      .toDF("g", "x", "y")
+    val r = Eval.linConcordance(shift, "g", "x", "y").head()
+    // num = 2*(3*Σxy − ΣxΣy); hand: x=100,200,300 y=1100,1200,1300
+    // cov part: 3*(110000+240000+390000) − 600*3600 = 2220000−2160000
+    assert(r.getLong(2) == 2L * 60000L)
+    assert(r.getLong(3) == 60000L + 60000L + 3000L * 3000L)
+    assert(r.getDouble(4) == 120000.0 / 9120000.0)
+    // constant equal pair: den 0 -> NULL
+    val const = Seq(("k", 2.0, 2.0), ("k", 2.0, 2.0)).toDF("g", "x", "y")
+    assert(Eval.linConcordance(const, "g", "x", "y").head().isNullAt(4))
+  }
+
   // ---- Cochran-Armitage ---------------------------------------------------
 
   test("cochranArmitage: hand-computed trend parts, degenerate NULL z, " +
