@@ -3819,6 +3819,25 @@ object SparkEntry {
       s.sql(sqlGroupingSetsText)
     }),
 
+    // Kendall's W over the q365 design — how strongly days agree on
+    // the event-type ordering (Friedman's effect size, same parts)
+    "q371_kendall_w" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val spine = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("event_type")).distinct())
+        .join(daily, Seq("day", "event_type"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      graft.operators.RankStats.kendallW(spine, "day", "event_type", "y")
+    }),
+
+    // Cliff's delta on the q262 split — the ordinal effect size from
+    // the same doubled-U integers
+    "q372_cliffs_delta" -> ((s, d) =>
+      graft.operators.RankStats.cliffsDelta(t(s, d, "orders"),
+        "o_orderpriority", "o_totalprice", col("o_orderstatus") === "F")),
+
     // month-scoped bronze as SQL — the Jinja-conditional incremental
     // predicate (bronze_yellow_tripdata.sql:33-35) resolved to one
     // month, queried through the bronze view by name
@@ -11231,6 +11250,70 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |FROM f""".stripMargin,
 
     "q370_sql_grouping_sets" -> sqlGroupingSetsText,
+
+    // q365's chain collapsed to the one-row W readout
+    "q371_kendall_w" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |spine AS (SELECT dd.day, tt.event_type, COALESCE(daily.y, 0) AS y
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily ON daily.day = dd.day
+        |    AND daily.event_type = tt.event_type),
+        |cells AS (SELECT day, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM spine GROUP BY 1, 2),
+        |rk AS (SELECT day, y, 2 * (cum - c) + c + 1 AS rd FROM (
+        |  SELECT *, CAST(SUM(c) OVER (PARTITION BY day ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM cells)),
+        |r2 AS (SELECT s.event_type AS treatment, rk.rd
+        |  FROM spine s JOIN rk ON s.day = rk.day AND s.y = rk.y),
+        |pt AS (SELECT treatment, CAST(SUM(rd) AS BIGINT) AS r2_sum
+        |  FROM r2 GROUP BY 1),
+        |shape AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nb,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM spine),
+        |ss AS (SELECT CAST(SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS BIGINT)
+        |    AS sr2 FROM pt),
+        |f AS (SELECT nb AS n_blocks, k AS k_treatments,
+        |    3.0 * CAST(sr2 AS DOUBLE)
+        |      / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) + 1.0))
+        |    - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS chi2
+        |  FROM shape, ss)
+        |SELECT n_blocks, k_treatments, chi2,
+        |  CASE WHEN k_treatments > 1 THEN chi2
+        |    / (CAST(n_blocks AS DOUBLE) * (CAST(k_treatments AS DOUBLE)
+        |      - 1.0)) END AS kendall_w
+        |FROM f""".stripMargin,
+
+    // q262's doubled-U chain + the delta division
+    "q372_cliffs_delta" ->
+      """WITH c AS (SELECT o_orderpriority AS k, o_totalprice AS v,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *, ca + cb AS t,
+        |    CAST(SUM(ca + cb) OVER win AS HUGEINT) AS cum
+        |  FROM c WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * (cum - t) + t + 1)) AS ra_d
+        |  FROM w GROUP BY 1),
+        |u AS (SELECT k AS o_orderpriority, n_a, n_b,
+        |    CAST(ra_d - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+        |      AS u_a_doubled,
+        |    CAST(2 * CAST(n_a AS HUGEINT) * n_b
+        |      - (ra_d - CAST(n_a AS HUGEINT) * (n_a + 1)) AS BIGINT)
+        |      AS u_b_doubled
+        |  FROM g WHERE n_a > 0 AND n_b > 0)
+        |SELECT o_orderpriority, n_a, n_b, u_a_doubled, u_b_doubled,
+        |  CAST(u_a_doubled - u_b_doubled AS DOUBLE)
+        |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      AS cliffs_delta
+        |FROM u""".stripMargin,
 
     // the q74 one-shot admit rule over the full ≥250 stream
     "q338_dedup_sink_replay" ->

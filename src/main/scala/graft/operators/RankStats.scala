@@ -584,4 +584,41 @@ object RankStats {
       .select(col("__t").as("treatment"), col("n_blocks"),
         col("k_treatments"), col("r2_sum"), col("chi2"))
   }
+
+  /** Kendall's W (coefficient of concordance) — the [0, 1] EFFECT SIZE
+    * of [[friedmanParts]] ("the χ² says the treatments differ; W says
+    * how strongly the blocks AGREE on the ordering"): `W = χ²_F /
+    * (n·(k−1))`. One row, derived from the same exact parts — the
+    * [[graft.operators.Robust.cohensD]] no-drift convention (this
+    * calls friedmanParts; the two can never disagree). NULL when
+    * k < 2. Same complete-design contract (ragged raises upstream).
+    *
+    * Output: one row (n_blocks, k_treatments, chi2, kendall_w). */
+  def kendallW(df: DataFrame, blockCol: String, treatmentCol: String,
+               valueCol: String): DataFrame =
+    friedmanParts(df, blockCol, treatmentCol, valueCol)
+      .groupBy(col("n_blocks"), col("k_treatments"))
+      .agg(max(col("chi2")).as("chi2")) // identical on every row
+      .withColumn("kendall_w",
+        when(col("k_treatments") > 1,
+          col("chi2") / (col("n_blocks").cast("double")
+            * (col("k_treatments").cast("double") - 1.0))))
+
+  /** Cliff's delta — the ordinal effect size of [[mannWhitneyU]]
+    * ("the U test says the two samples differ; δ ∈ [−1, 1] says how
+    * often an A draw beats a B draw"): `δ = (#(a>b) − #(a<b))/(nA·nB)`
+    * `= (u_a_doubled − u_b_doubled)/(2·nA·nB)` — derived from the SAME
+    * doubled-U integers (ties cancel exactly in the difference), one
+    * division. The conventional bands (|δ| < .147 negligible, < .33
+    * small, < .474 medium) are the caller's readout.
+    *
+    * Output per key: (key, n_a, n_b, u_a_doubled, u_b_doubled,
+    * cliffs_delta). */
+  def cliffsDelta(df: DataFrame, keyCol: String, valueCol: String,
+                  isA: Column): DataFrame =
+    mannWhitneyU(df, keyCol, valueCol, isA)
+      .withColumn("cliffs_delta",
+        (col("u_a_doubled") - col("u_b_doubled")).cast("double")
+          / (lit(2.0) * col("n_a").cast("double")
+            * col("n_b").cast("double")))
 }

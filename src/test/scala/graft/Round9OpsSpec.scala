@@ -492,6 +492,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(Eval.linConcordance(const, "g", "x", "y").head().isNullAt(4))
   }
 
+  test("kendallW: perfect block agreement -> W = 1; cliffsDelta: full " +
+    "separation -> ±1, identity a+d") {
+    import graft.operators.RankStats
+    // every block ranks t1 < t2 < t3 identically -> W = 1
+    val agree = (1 to 4).flatMap(b => Seq((s"b$b", "t1", 1L),
+      (s"b$b", "t2", 2L), (s"b$b", "t3", 3L))).toDF("b", "t", "v")
+    val w = RankStats.kendallW(agree, "b", "t", "v").head()
+    assert(w.getDouble(3) == 1.0)
+    // A strictly above B: delta = +1; reversed: -1; overlap: between
+    val sep = Seq(("k", true, 10.0), ("k", true, 11.0),
+      ("k", false, 1.0), ("k", false, 2.0)).toDF("g", "a", "v")
+    assert(RankStats.cliffsDelta(sep, "g", "v", col("a"))
+      .head().getDouble(5) == 1.0)
+    assert(RankStats.cliffsDelta(sep, "g", "v", !col("a"))
+      .head().getDouble(5) == -1.0)
+    val tie = Seq(("k", true, 1.0), ("k", false, 1.0)).toDF("g", "a", "v")
+    assert(RankStats.cliffsDelta(tie, "g", "v", col("a"))
+      .head().getDouble(5) == 0.0)
+  }
+
   // ---- Cochran-Armitage ---------------------------------------------------
 
   test("cochranArmitage: hand-computed trend parts, degenerate NULL z, " +
