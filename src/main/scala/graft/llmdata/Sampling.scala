@@ -661,18 +661,18 @@ object Sampling {
     val assigned = base.join(lattice.select(col("__ts"), col("fold")
       .as("__own_fold")), base(tsCol) === col("__ts"))
       .drop("__ts")
+    // the embargo compares timestamps DIRECTLY in their own type
+    // (timestamp_ntz stays ntz): an earlier unix_micros(cast(...))
+    // form routed ntz values through the session timezone, which is
+    // nonlinear across a DST transition in a non-UTC session — an
+    // embargo window straddling the jump would mislabel rows by ±1h
+    val emb = expr(s"make_dt_interval(0, 0, 0, ${embargoSeconds}L)")
     assigned
       .crossJoin(broadcast(spans))
       .withColumn("role",
         when(col("__own_fold") === col("fold"), lit("test"))
-          .when(
-            unix_micros(col(tsCol).cast("timestamp"))
-              < unix_micros(col("__f_min").cast("timestamp"))
-                - lit(embargoSeconds * 1000000L), lit("train"))
-          .when(
-            unix_micros(col(tsCol).cast("timestamp"))
-              > unix_micros(col("__f_max").cast("timestamp"))
-                + lit(embargoSeconds * 1000000L), lit("train"))
+          .when(col(tsCol) < col("__f_min") - emb, lit("train"))
+          .when(col(tsCol) > col("__f_max") + emb, lit("train"))
           .otherwise(lit("purged")))
       .drop("__own_fold", "__f_min", "__f_max")
   }

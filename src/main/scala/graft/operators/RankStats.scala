@@ -554,17 +554,25 @@ object RankStats {
     val perTreat = rows.groupBy(col("__t"))
       .agg(count(lit(1)).cast("long").as("n_blocks"),
         sum(col("__rd").cast(d38)).cast(d38).cast("long").as("r2_sum"))
-    // completeness: every block has every treatment exactly once
+    // completeness: every block has every treatment exactly once —
+    // including GLOBALLY the same treatments: per-block counts alone
+    // would pass two equal-size blocks with DISJOINT treatment sets
+    // ({t1,t2} vs {t3,t4}), silently producing a wrong chi2 (k from
+    // the per-block max while each treatment spans < n_blocks), so
+    // the global distinct-treatment count must equal the per-block k
+    val gk = base.agg(count_distinct(col("__t")).as("__kg"))
     val shape = rows.groupBy(col("__b"))
       .agg(count(lit(1)).as("__rows"),
         count_distinct(col("__t")).as("__kt"))
       .agg(count(lit(1)).cast("long").as("__nb"),
         min(col("__rows")).as("__rmin"), max(col("__rows")).as("__rmax"),
         min(col("__kt")).as("__kmin"), max(col("__kt")).as("__kmax"))
+      .crossJoin(broadcast(gk))
       .withColumn("__k",
         when(col("__rmin") =!= col("__rmax")
           || col("__kmin") =!= col("__kmax")
-          || col("__rmin") =!= col("__kmin"), raise_error(lit(
+          || col("__rmin") =!= col("__kmin")
+          || col("__kmax") =!= col("__kg"), raise_error(lit(
           "friedmanParts: ragged design — every block must contain " +
             "every treatment exactly once; zero-fill upstream")))
           .otherwise(col("__kmax")).cast("long"))

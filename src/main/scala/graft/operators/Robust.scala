@@ -646,8 +646,13 @@ object Robust {
     * materializing the r×c dense grid.
     *
     * Output: one row (n, n_cats_a, n_cats_b, chi2_micro, cramers_v) —
-    * `chi2 ≈ chi2_micro/1e6` (floored per term); V NULL for a
-    * degenerate table (min(r,c) < 2 or n = 0). */
+    * `chi2 ≈ chi2_micro/1e6`. Rounding direction: each OBSERVED term
+    * floors, but the empty-cell mass is computed as `1e6·n − Σ floored
+    * observed E`, so every observed cell's flooring remainder (< 1
+    * micro-unit) transfers INTO the empty mass — the net bias is
+    * slightly UPWARD (≤ one micro-unit per observed cell), not a
+    * strict under-approximation. V NULL for a degenerate table
+    * (min(r,c) < 2 or n = 0). */
   def cramersV(df: DataFrame, colA: String, colB: String): DataFrame =
     chiSquareIndependence(df, colA, colB)
       .withColumn("__tm",

@@ -425,6 +425,15 @@ class Round9OpsSpec extends SparkSpec {
       RankStats.friedmanParts(ragged, "b", "t", "v").collect()
     }
     assert(e.getMessage.contains("ragged"))
+    // equal-size blocks with DISJOINT treatment sets are ALSO ragged
+    // (per-block counts alone would pass them; the global-k guard
+    // catches the disjoint design) — the r9 ADVICE case
+    val disjoint = Seq(("b1", "t1", 1L), ("b1", "t2", 2L),
+      ("b2", "t3", 1L), ("b2", "t4", 2L)).toDF("b", "t", "v")
+    val e2 = intercept[Exception] {
+      RankStats.friedmanParts(disjoint, "b", "t", "v").collect()
+    }
+    assert(e2.getMessage.contains("ragged"))
   }
 
   test("durbinWatson + runsTest: hand series, alternating vs trending") {
