@@ -3850,6 +3850,174 @@ object SparkEntry {
         |  CAST(SUM(passenger_count) AS BIGINT) AS pax
         |FROM bronze_yellow_tripdata""".stripMargin)
     }),
+
+    // DOUBLE-typed zone maps (VERDICT r9 #2): a money-column box over a
+    // price-sorted lake — the reference's own SLO predicates are all on
+    // DOUBLE amounts (validation_utils.py:115-116,122-125), so this is
+    // the first range scan a real analyst writes; the in-query require
+    // proves the footer Double bounds actually skip files
+    "q373_pruned_double" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dprune")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+      li.repartitionByRange(16, col("l_extendedprice"))
+        .sortWithinPartitions("l_extendedprice")
+        .write.parquet(dir)
+      // scale-free box: the bottom 1/8th of the price range (IEEE +,-,/
+      // are correctly rounded, so the bound is engine-portable; the
+      // oracle mirrors it as a scalar subquery)
+      val mm = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi")).head()
+      val lo = mm.getDouble(0)
+      val hi = lo + (mm.getDouble(1) - lo) / 8.0
+      val pruned = graft.sources.Tables.readPrunedBox(s, dir,
+        Seq(("l_extendedprice", lo, hi)))
+      require(pruned.inputFiles.length * 2 < 16,
+        s"double zone-map prune regressed: opened" +
+          s" ${pruned.inputFiles.length} of 16 files for a 1/8th-range" +
+          " money box")
+      def pc(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        f((col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("qty_cents"),
+          pc(sum).cast("long").as("price_cents"),
+          pc(min).as("min_pc"), pc(max).as("max_pc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // pruned SQL view (VERDICT r9 #4): the dbt user's month-scoped SQL
+    // (q334's shape) over a view backed by readPrunedBox — the SQL
+    // surface finally consumes the zone maps, and the require proves
+    // the month box opened under half the files
+    "q374_pruned_sql_view" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-view374")
+        .toString + "/trips"
+      tripWithTotal(t(s, d, "lineitem"))
+        .withColumn("pickup_month",
+          date_format(col("tpep_pickup_datetime"), "yyyy-MM"))
+        .repartitionByRange(16, col("pickup_month"),
+          col("tpep_pickup_datetime"))
+        .sortWithinPartitions("pickup_month")
+        .write.parquet(dir)
+      val pruned = graft.sql.SqlCatalog.registerPruned(s, "trips_pruned",
+        dir, Seq(("pickup_month", "1996-02", "1996-03")))
+      require(pruned.inputFiles.length * 2 < 16,
+        s"pruned view regressed: opened ${pruned.inputFiles.length}" +
+          " of 16 files for a 2-month box")
+      s.sql("""SELECT pickup_month AS month, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(passenger_count) AS BIGINT) AS pax,
+        |  CAST(COUNT(DISTINCT CAST(tpep_pickup_datetime AS DATE)) AS BIGINT)
+        |    AS n_days
+        |FROM trips_pruned GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // distinctMergeSink replay (VERDICT r9 #5 — the last sink without a
+    // replay row): three time-sliced batches folded through the sink's
+    // exact partial+merge chain must equal the one-shot sketch
+    // register-for-register (HLL union is register max — idempotent,
+    // associative), and the estimate must sit within 5%+1 of the exact
+    // per-day distinct count the oracle recomputes
+    "q375_distinct_sink_replay" -> ((s, d) => {
+      import graft.operators.AggMerge
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val dom = dayofmonth(col("ts"))
+      def slice(pred: org.apache.spark.sql.Column) =
+        AggMerge.dailyDistinctPartial(ev.filter(pred), "ts", "user_id")
+      val folded = AggMerge.mergeDistinct(Seq(
+        AggMerge.mergeDistinct(Seq(slice(dom <= 10),
+          slice(dom > 10 && dom <= 20))),
+        slice(dom > 20)))
+      val one = AggMerge.mergeDistinct(Seq(
+        AggMerge.dailyDistinctPartial(ev, "ts", "user_id")))
+      val f = AggMerge.finishDistinct(folded)
+        .withColumnRenamed("n_distinct_approx", "est_f")
+      val o = AggMerge.finishDistinct(one)
+        .withColumnRenamed("n_distinct_approx", "est_o")
+      val diverged = f.join(o, Seq("day"), "full")
+        .filter(!(col("est_f") <=> col("est_o"))).count()
+      require(diverged == 0,
+        s"distinctMergeSink replay diverged on $diverged days:" +
+          " fold-of-slices must equal the one-shot sketch (register-max)")
+      val exact = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count_distinct(col("user_id")).cast("long").as("n_exact"))
+      val joined = exact.join(f, Seq("day")).localCheckpoint(true)
+      val offBy = joined.filter(
+        abs(col("est_f") - col("n_exact").cast("double"))
+          > col("n_exact").cast("double") * 0.05 + 1.0).count()
+      require(offBy == 0,
+        s"HLL estimate off by >5%+1 on $offBy days vs exact distinct")
+      joined.select(col("day"), col("n_exact")).orderBy(col("day"))
+    }),
+
+    // 3-D Morton clustering (VERDICT r9 #6): a (orderkey, partkey,
+    // suppkey) clustered rewrite, then a box on ALL THREE columns
+    // through readPruned — the multi-dimension layout a 2-D key can't
+    // give; pruned ≡ full with an in-query skipped-file require
+    "q376_morton3d" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-m3d")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+      graft.operators.Layout.rewriteClusteredN(li,
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), bits = 20,
+        nFiles = 16, dir)
+      val mm = li.agg(max(col("l_orderkey").cast("long")).as("ok"),
+        max(col("l_partkey").cast("long")).as("pk"),
+        max(col("l_suppkey").cast("long")).as("sk")).head()
+      val box = Seq(("l_orderkey", 1L, mm.getLong(0) / 4L),
+        ("l_partkey", 1L, mm.getLong(1) / 4L),
+        ("l_suppkey", 1L, mm.getLong(2) / 4L))
+      val pruned = graft.sources.Tables.readPruned(s, dir, box)
+      require(pruned.inputFiles.length * 2 < 16,
+        s"3-D Morton prune regressed: opened ${pruned.inputFiles.length}" +
+          " of 16 files for a quarter-range box on all three cluster" +
+          " columns")
+      pruned.agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("sum_ok"),
+        sum(col("l_partkey")).cast("long").as("sum_pk"),
+        sum(col("l_suppkey")).cast("long").as("sum_sk"),
+        sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+          .cast("long").as("qty_cents"))
+    }),
+
+    // pruned pipeline ingest (VERDICT r9 #7): Pipeline.runOnce reads
+    // its month through readPrunedString on a month-sorted staging
+    // lake instead of a full-scan filter — the incremental load path
+    // itself skips I/O; ledger-seeded single-month run, gold_monthly
+    // oracled one-shot, opened-file require on the ingest scan
+    "q377_pipeline_pruned" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-lake377")
+        .toString
+      val rawDir = s"$root/rawlake"
+      tripWithTotal(t(s, d, "lineitem"))
+        .withColumn("pickup_month",
+          date_format(col("tpep_pickup_datetime"), "yyyy-MM"))
+        .repartitionByRange(16, col("pickup_month"),
+          col("tpep_pickup_datetime"))
+        .sortWithinPartitions("pickup_month")
+        .write.parquet(rawDir)
+      val nTotal = s.read.parquet(rawDir).inputFiles.length
+      val opened = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val p = new graft.pipeline.Pipeline(s, s"$root/lake", m => {
+        val pr = graft.sources.Tables.readPrunedString(s, rawDir,
+          Seq(("pickup_month", m, m)))
+        opened.set(pr.inputFiles.length)
+        pr.drop("pickup_month")
+      })
+      new graft.incremental.MetadataLedger(s, s"$root/lake/metadata")
+        .upsertRun("seed", "yellow_taxi_full_pipeline", "1995-12", "SUCCESS")
+      p.runOnce(maxRetries = 0, retryDelayMs = 0)
+      require(opened.get() * 2 < nTotal,
+        s"pipeline pruned ingest regressed: opened ${opened.get()} of" +
+          s" $nTotal staging files for a one-month load")
+      s.read.parquet(s"$root/lake/gold_monthly").drop("rev_month")
+        .withColumn("month", date_format(col("revenue_month"), "yyyy-MM"))
+        .select(col("month"), col("total_monthly_revenue"),
+          col("total_monthly_passengers"), col("total_monthly_trips"),
+          col("avg_trip_distance"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -11321,5 +11489,72 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id >= 250
          |  AND d.doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_b >= 250)""".stripMargin,
+
+    // the same scale-free 1/8th money box as a scalar subquery; every
+    // IEEE +,-,/ operand is a double MIN/MAX, so the bound is
+    // bit-identical in both engines
+    "q373_pruned_double" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) AS lo,
+        |    MIN(l_extendedprice)
+        |      + (MAX(l_extendedprice) - MIN(l_extendedprice)) / 8.0 AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS min_pc,
+        |  CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS max_pc
+        |FROM lineitem, b WHERE l_extendedprice BETWEEN b.lo AND b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the trip mapping's month box directly over lineitem (pickup =
+    // l_shipdate, passenger_count = l_linenumber)
+    "q374_pruned_sql_view" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS pax,
+        |  CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_days
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-02' AND '1996-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact per-day distinct users — the sketch side is pinned by the
+    // in-query requires (fold ≡ one-shot, estimate within 5%+1)
+    "q375_distinct_sink_replay" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same quarter-range 3-column box as scalar subqueries
+    "q376_morton3d" ->
+      """WITH b AS (SELECT MAX(l_orderkey) // 4 AS ok,
+        |    MAX(l_partkey) // 4 AS pk, MAX(l_suppkey) // 4 AS sk
+        |  FROM lineitem)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+        |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_sk,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN 1 AND b.ok
+        |  AND l_partkey BETWEEN 1 AND b.pk
+        |  AND l_suppkey BETWEEN 1 AND b.sk""".stripMargin,
+
+    // the one-shot monthly gold for the single pruned-ingest month
+    "q377_pipeline_pruned" ->
+      (tripSilverSql + "\n" +
+        s"""SELECT strftime(pickup, '%Y-%m') AS month,
+           |  ${sqlSum("total_amount")} AS total_monthly_revenue,
+           |  CAST(SUM(passenger_count) AS BIGINT) AS total_monthly_passengers,
+           |  COUNT(*) AS total_monthly_trips,
+           |  ${sqlAvg("trip_distance")} AS avg_trip_distance
+           |FROM silver
+           |WHERE strftime(pickup, '%Y-%m') = '1996-01'
+           |GROUP BY 1""".stripMargin),
   )
 }

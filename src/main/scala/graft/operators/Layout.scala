@@ -77,6 +77,37 @@ object Layout {
       terms.reduce(_ + _).cast("long"))
   }
 
+  /** N-dimensional Z-order (Morton) key — [[mortonCode]] generalized
+    * past two columns: bit i of input column j lands at interleaved
+    * position `i·n + j`, so sorting by the key co-locates rows close
+    * in ALL n dimensions at once (real lakes cluster 3-4 columns —
+    * e.g. (month, customer, product) — and a 2-D key leaves the third
+    * predicate unpruned). `n·bits ≤ 62` keeps the key inside a signed
+    * long — 3 columns × 20 bits or 4 × 15 cover realistic key
+    * cardinalities. Any input NULL or out of [0, 2^bits) yields a
+    * NULL key (loud in any downstream sort), the [[mortonCode]] rule.
+    * Like the 2-D form it is a pure shift/mask/add tree — whole-stage
+    * codegen collapses it to straight-line long arithmetic, cheap
+    * enough for on-the-fly keys (Hilbert stays 2-D: its rotation
+    * rounds are where the locality win lives, and the 2-D walk is the
+    * documented cold-rewrite tool). */
+  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"n*bits must be <= 62, got ${cols.size} * $bits")
+    val lim = 1L << bits
+    val longs = cols.map(_.cast("long"))
+    val n = cols.size
+    val terms: Seq[Column] = (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftright(c, i).bitwiseAND(1L) * (1L << (i * n + j))
+      }
+    }
+    val inRange = longs.map(c => c.isNotNull && c >= 0 && c < lim)
+      .reduce(_ && _)
+    when(inRange, terms.reduce(_ + _).cast("long"))
+  }
+
   /** Hilbert-curve key of two non-negative ints below `2^bits` — the
     * locality-optimal sibling of [[mortonCode]]: a Hilbert walk visits
     * every cell of the 2^bits × 2^bits grid through ADJACENT cells
@@ -158,11 +189,24 @@ object Layout {
       case other => throw new IllegalArgumentException(
         s"curve must be 'hilbert' or 'morton', got '$other'")
     }
+    writeByKey(keyed, nFiles, path)
+  }
+
+  /** [[rewriteClustered]] for 3+ cluster columns via [[mortonCodeN]] —
+    * the layout a box probe on ANY of the n columns then prunes
+    * through [[graft.sources.Tables.readPruned]]. */
+  def rewriteClusteredN(df: DataFrame, clusterCols: Seq[String], bits: Int,
+                        nFiles: Int, path: String): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    writeByKey(df.withColumn("__cluster_key",
+      mortonCodeN(clusterCols.map(col), bits)), nFiles, path)
+  }
+
+  private def writeByKey(keyed: DataFrame, nFiles: Int, path: String): Unit =
     keyed.repartitionByRange(nFiles, col("__cluster_key"))
       .sortWithinPartitions("__cluster_key")
       .drop("__cluster_key")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-  }
 
   /** Zone-map reader: per parquet FILE min/max/count for `cols` — the
     * skipping statistics a scan planner consults before opening files.

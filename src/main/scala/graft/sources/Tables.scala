@@ -66,110 +66,189 @@ object Tables {
     * missing column, or a chunk without statistics yields NULL bounds,
     * which candidateFiles treats as "cannot rule out" — the
     * conservative zone-map rule, never a wrong skip. Multi-row-group
-    * files fold min/max across row groups. Footer reads run on the
-    * DRIVER over the recursive file listing — file-count metadata
-    * scale, the same class of work as Spark's own scan-planning
-    * listing (a real deployment lifts these into a manifest the way
-    * the scaladoc above describes). */
+    * files fold min/max across row groups. Footer reads run
+    * DISTRIBUTED over the parallelized file listing (see
+    * [[footerStatsKinds]]) — at 10⁵-10⁶ files the pass is
+    * cluster-parallel, and only file-count-scale bound rows return to
+    * the driver (a real deployment lifts them into a manifest the way
+    * the scaladoc above describes). Mixed-type boxes: use
+    * [[footerStatsTyped]] / [[readPrunedBox]]. */
   def footerStats(spark: SparkSession, path: String,
-                  cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "cols required")
+                  cols: Seq[String]): DataFrame =
+    footerStatsKinds(spark, path, cols, cols.map(_ => 'L'))
+
+  /** Per-file footer bounds of one file — the executor-side unit of
+    * [[footerStatsTyped]]'s distributed pass. Pure function of the
+    * file + requested (column, kind) pairs; touches only the footer.
+    * `kinds` per column: 'L' integral (INT32/INT64, incl. date days /
+    * timestamp micros → Long), 'D' floating (FLOAT/DOUBLE → Double),
+    * 'S' string (BINARY UTF8), anything else → always-NULL bounds.
+    * Bound rules per row group (the zone-map safety contract):
+    *  - usable stats of the expected physical type → fold into min/max;
+    *  - all-NULL chunk (numNulls == rowCount) → bound-free but safe;
+    *  - column missing, stats absent on a data-bearing chunk, type
+    *    mismatch, or a NaN float bound (parquet-mr omits stats for
+    *    NaN-bearing chunks, but guard anyway — NaN orders ambiguously)
+    *    → the FILE's bounds go NULL (conservative keep, never a wrong
+    *    skip).
+    * Returns (path, n_rows, bounds) with bounds laid out
+    * [min0, max0, min1, max1, …] as boxed Long/Double/String or null. */
+  private[sources] def footerBoundsOne(file: String, cols: Seq[String],
+      kinds: Seq[Char], confProps: Array[(String, String)])
+      : (String, Long, Array[Any]) = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val rows = listDataFiles(spark, path).map { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(f), hconf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        var nRows = 0L
-        val mins = Array.fill[Option[Long]](cols.size)(None)
-        val maxs = Array.fill[Option[Long]](cols.size)(None)
-        val ok = Array.fill(cols.size)(true) // false => NULL bounds
-        val iter = blocks.iterator()
-        while (iter.hasNext) {
-          val b = iter.next()
-          nRows += b.getRowCount
-          cols.zipWithIndex.foreach { case (c, i) =>
-            if (ok(i)) {
-              val chunk = b.getColumns.iterator()
-              var found: Option[(Long, Long)] = None
-              var missing = true
-              while (chunk.hasNext && found.isEmpty) {
-                val cc = chunk.next()
-                if (cc.getPath.toDotString == c) {
-                  missing = false
-                  val st = cc.getStatistics
-                  if (st != null && st.hasNonNullValue) {
-                    (st.genericGetMin, st.genericGetMax) match {
-                      case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                        found = Some((lo.longValue, hi.longValue))
-                      case (lo: java.lang.Long, hi: java.lang.Long) =>
-                        found = Some((lo.longValue, hi.longValue))
-                      case _ => // non-integral physical type
+    val hconf = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => hconf.set(k, v) }
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), hconf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var nRows = 0L
+      val mins = Array.fill[Any](cols.size)(null)
+      val maxs = Array.fill[Any](cols.size)(null)
+      val ok = Array.tabulate(cols.size)(i => "LDS".contains(kinds(i)))
+      val iter = blocks.iterator()
+      while (iter.hasNext) {
+        val b = iter.next()
+        nRows += b.getRowCount
+        cols.indices.foreach { i =>
+          if (ok(i)) {
+            val c = cols(i)
+            val chunk = b.getColumns.iterator()
+            var seen = false
+            var bounded = false
+            while (chunk.hasNext && !bounded && ok(i)) {
+              val cc = chunk.next()
+              if (cc.getPath.toDotString == c) {
+                seen = true
+                val st = cc.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  val lohi: Option[(Any, Any)] =
+                    (kinds(i), st.genericGetMin, st.genericGetMax) match {
+                      case ('L', lo: java.lang.Integer, hi: java.lang.Integer) =>
+                        Some((lo.longValue, hi.longValue))
+                      case ('L', lo: java.lang.Long, hi: java.lang.Long) =>
+                        Some((lo.longValue, hi.longValue))
+                      case ('D', lo: java.lang.Float, hi: java.lang.Float)
+                          if !lo.isNaN && !hi.isNaN =>
+                        Some((lo.doubleValue, hi.doubleValue))
+                      case ('D', lo: java.lang.Double, hi: java.lang.Double)
+                          if !lo.isNaN && !hi.isNaN =>
+                        Some((lo.doubleValue, hi.doubleValue))
+                      case ('S', lo: org.apache.parquet.io.api.Binary,
+                            hi: org.apache.parquet.io.api.Binary) =>
+                        Some((lo.toStringUsingUTF8, hi.toStringUsingUTF8))
+                      case _ => None // physical type / kind mismatch, NaN
                     }
-                  } else if (st != null && st.isNumNullsSet
-                    && st.getNumNulls == b.getRowCount) {
-                    // all-NULL chunk: contributes no bound, stays ok
-                    found = None
+                  lohi match {
+                    case Some((lo, hi)) =>
+                      def lt(a: Any, b: Any): Boolean = (a, b) match {
+                        case (x: Long, y: Long) => x < y
+                        case (x: Double, y: Double) => x < y
+                        case (x: String, y: String) => x < y
+                        case _ => false
+                      }
+                      if (mins(i) == null || lt(lo, mins(i))) mins(i) = lo
+                      if (maxs(i) == null || lt(maxs(i), hi)) maxs(i) = hi
+                      bounded = true
+                    case None => ok(i) = false
                   }
-                }
-              }
-              found match {
-                case Some((lo, hi)) =>
-                  mins(i) = Some(mins(i).fold(lo)(math.min(_, lo)))
-                  maxs(i) = Some(maxs(i).fold(hi)(math.max(_, hi)))
-                case None =>
-                  // column missing / no usable stats in this row group:
-                  // without a bound for EVERY row group the file-level
-                  // min/max would be wrong, so NULL the file's bounds
-                  if (missing || !ok(i)) ok(i) = false
-                  else {
-                    val st = blockChunkStats(b, c)
-                    if (st.isEmpty) ok(i) = false
-                  }
+                } else if (st == null || !st.isNumNullsSet
+                  || st.getNumNulls != b.getRowCount) {
+                  ok(i) = false // stats absent for a data-bearing chunk
+                } else bounded = true // all-NULL chunk: bound-free, safe
               }
             }
+            if (!seen) ok(i) = false
           }
         }
-        val bounds = cols.indices.flatMap { i =>
-          if (ok(i)) Seq(mins(i).map(java.lang.Long.valueOf).orNull,
-            maxs(i).map(java.lang.Long.valueOf).orNull)
-          else Seq(null, null)
-        }
-        org.apache.spark.sql.Row.fromSeq(f +: java.lang.Long.valueOf(nRows)
-          +: bounds)
-      } finally reader.close()
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType, nullable = false) ::
-        org.apache.spark.sql.types.StructField("n_rows", LongType,
-          nullable = false) ::
-        cols.toList.flatMap(c => List(
-          org.apache.spark.sql.types.StructField(s"${c}_min", LongType),
-          org.apache.spark.sql.types.StructField(s"${c}_max", LongType))))
-    spark.createDataFrame(
-      new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-      schema)
+      }
+      val bounds = new Array[Any](2 * cols.size)
+      cols.indices.foreach { i =>
+        bounds(2 * i) = if (ok(i)) mins(i) else null
+        bounds(2 * i + 1) = if (ok(i)) maxs(i) else null
+      }
+      (file, nRows, bounds)
+    } finally reader.close()
   }
 
-  /** Whether row group `b` carries a statistics object for column `c`
-    * at all (used to distinguish "all-NULL chunk, bound-free but
-    * safe" from "stats absent, must NULL the file's bounds"). */
-  private def blockChunkStats(
-      b: org.apache.parquet.hadoop.metadata.BlockMetaData,
-      c: String): Option[org.apache.parquet.column.statistics.Statistics[_]] = {
-    val it = b.getColumns.iterator()
-    while (it.hasNext) {
-      val cc = it.next()
-      if (cc.getPath.toDotString == c)
-        return Option(cc.getStatistics).filter(st =>
-          st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+  /** Footer-stats pass with caller-pinned per-column kinds — the shared
+    * engine behind [[footerStats]] ('L' for every column),
+    * [[footerStatsString]] ('S'), and [[footerStatsTyped]]
+    * (schema-derived). The footer reads run DISTRIBUTED — the file
+    * list is parallelized and each task reads its files' footers
+    * (kilobytes each), so at 10⁵-10⁶ files the stats pass is
+    * cluster-parallel metadata I/O instead of minutes of
+    * single-threaded driver time; only the per-file bound rows (still
+    * file-count scale) come back to the driver. `distributed = false`
+    * keeps the driver loop — the reference path specs assert equality
+    * against. */
+  private[graft] def footerStatsKinds(spark: SparkSession, path: String,
+      cols: Seq[String], kinds: Seq[Char],
+      distributed: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, DoubleType}
+    val files = listDataFiles(spark, path)
+    val colsV = cols.toVector
+    val kindsV = kinds.toVector
+    val confProps = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
     }
-    None
+    val triples =
+      if (distributed && files.nonEmpty)
+        spark.sparkContext
+          .parallelize(files, math.max(1, math.min(files.size, 64)))
+          .map(f => footerBoundsOne(f, colsV, kindsV, confProps))
+          .collect().sortBy(_._1).toSeq
+      else files.map(f => footerBoundsOne(f, colsV, kindsV, confProps))
+    val rows = triples.map { case (f, n, bounds) =>
+      org.apache.spark.sql.Row.fromSeq(
+        f +: java.lang.Long.valueOf(n) +: bounds.toSeq)
+    }
+    def boundType(k: Char) = k match {
+      case 'D' => DoubleType
+      case 'S' => StringType
+      case _ => LongType // 'L' and unsupported kinds (always-NULL bounds)
+    }
+    val schema = StructType(
+      StructField("path", StringType, nullable = false) ::
+        StructField("n_rows", LongType, nullable = false) ::
+        colsV.toList.zip(kindsV).flatMap { case (c, k) => List(
+          StructField(s"${c}_min", boundType(k)),
+          StructField(s"${c}_max", boundType(k))) })
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** [[footerStats]] with SCHEMA-DERIVED bound types — one stats pass
+    * over a heterogeneous column mix: integral columns (ints, longs,
+    * dates, timestamps — INT32/INT64 physical) get Long bounds,
+    * FLOAT/DOUBLE columns get Double bounds (the reference's own SLO
+    * predicates are money-typed — validation_utils.py:115-116,122-125 —
+    * so range scans on amounts are the first predicates a real user
+    * writes), STRING columns get lexical bounds. Any other logical
+    * type (decimal — its INT64 physical holds UNSCALED values, so a
+    * Long bound would lie — boolean, nested) gets always-NULL bounds:
+    * conservative keep, never a wrong skip. */
+  def footerStatsTyped(spark: SparkSession, path: String,
+                       cols: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    import org.apache.spark.sql.types._
+    def kindOf(c: String): Char =
+      schema.find(_.name == c).map(_.dataType).map {
+        case ByteType | ShortType | IntegerType | LongType | DateType
+             | TimestampType | TimestampNTZType => 'L'
+        case FloatType | DoubleType => 'D'
+        case StringType => 'S'
+        case _ => 'X'
+      }.getOrElse('X')
+    footerStatsKinds(spark, path, cols, cols.map(kindOf))
   }
 
   /** Recursive data-file listing for [[footerStats]] /
@@ -206,80 +285,8 @@ object Tables {
     * decoded strings, matching Spark's own string ordering for the
     * ASCII keys (dates, months, ids) this path targets. */
   def footerStatsString(spark: SparkSession, path: String,
-                        cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "cols required")
-    import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val rows = listDataFiles(spark, path).map { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(f), hconf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        var nRows = 0L
-        val mins = Array.fill[Option[String]](cols.size)(None)
-        val maxs = Array.fill[Option[String]](cols.size)(None)
-        val ok = Array.fill(cols.size)(true)
-        val iter = blocks.iterator()
-        while (iter.hasNext) {
-          val b = iter.next()
-          nRows += b.getRowCount
-          cols.zipWithIndex.foreach { case (c, i) =>
-            if (ok(i)) {
-              val chunk = b.getColumns.iterator()
-              var seen = false
-              var bounded = false
-              while (chunk.hasNext && !bounded) {
-                val cc = chunk.next()
-                if (cc.getPath.toDotString == c) {
-                  seen = true
-                  val st = cc.getStatistics
-                  if (st != null && st.hasNonNullValue) {
-                    (st.genericGetMin, st.genericGetMax) match {
-                      case (lo: org.apache.parquet.io.api.Binary,
-                            hi: org.apache.parquet.io.api.Binary) =>
-                        val (ls, hs) = (lo.toStringUsingUTF8,
-                          hi.toStringUsingUTF8)
-                        mins(i) = Some(mins(i).fold(ls)(m =>
-                          if (ls < m) ls else m))
-                        maxs(i) = Some(maxs(i).fold(hs)(m =>
-                          if (hs > m) hs else m))
-                        bounded = true
-                      case _ => ok(i) = false // non-binary physical type
-                    }
-                  } else if (st == null || !st.isNumNullsSet
-                    || st.getNumNulls != b.getRowCount) {
-                    ok(i) = false // stats absent for a data-bearing chunk
-                  } else bounded = true // all-NULL chunk: bound-free, safe
-                }
-              }
-              if (!seen) ok(i) = false
-            }
-          }
-        }
-        val bounds = cols.indices.flatMap { i =>
-          if (ok(i)) Seq(mins(i).orNull, maxs(i).orNull)
-          else Seq(null, null)
-        }
-        org.apache.spark.sql.Row.fromSeq(f +: java.lang.Long.valueOf(nRows)
-          +: bounds)
-      } finally reader.close()
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType, nullable = false) ::
-        org.apache.spark.sql.types.StructField("n_rows", LongType,
-          nullable = false) ::
-        cols.toList.flatMap(c => List(
-          org.apache.spark.sql.types.StructField(s"${c}_min",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField(s"${c}_max",
-            org.apache.spark.sql.types.StringType))))
-    spark.createDataFrame(
-      new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-  }
+                        cols: Seq[String]): DataFrame =
+    footerStatsKinds(spark, path, cols, cols.map(_ => 'S'))
 
   /** [[readPruned]] over STRING box predicates `lo ≤ col ≤ hi`
     * (lexical): footer string stats → conservative candidate filter
@@ -289,23 +296,8 @@ object Tables {
     * (`WHERE month BETWEEN '2024-01' AND '2024-03'`) against a
     * month-sorted lake touches only the files carrying those months. */
   def readPrunedString(spark: SparkSession, path: String,
-                       box: Seq[(String, String, String)]): DataFrame = {
-    require(box.nonEmpty, "box predicates required")
-    val stats = footerStatsString(spark, path, box.map(_._1))
-    val keep = box.map { case (c, lo, hi) =>
-      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
-        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
-    }.reduce(_ && _)
-    val cand = stats.filter(keep)
-      .select(col("path")).collect().map(_.getString(0))
-    val schema = spark.read.parquet(path).schema
-    val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .reduce(_ && _)
-    if (cand.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        schema).filter(pred)
-    else spark.read.schema(schema).parquet(cand.toIndexedSeq: _*).filter(pred)
-  }
+                       box: Seq[(String, String, String)]): DataFrame =
+    readPrunedBox(spark, path, box.map { case (c, lo, hi) => (c, lo, hi) })
 
   /** Pruned parquet read: the scan path that CONSUMES the zone-map
     * answer ([[footerStats]] → [[graft.operators.Layout.candidateFiles]])
@@ -330,14 +322,51 @@ object Tables {
     * normally. Schema is pinned from the full table either way —
     * a pruned file subset can never silently narrow the schema. */
   def readPruned(spark: SparkSession, path: String,
-                 box: Seq[(String, Long, Long)]): DataFrame = {
+                 box: Seq[(String, Long, Long)]): DataFrame =
+    readPrunedBox(spark, path, box.map { case (c, lo, hi) => (c, lo, hi) })
+
+  /** [[readPruned]] over a HETEROGENEOUS box — Long, Double, and
+    * String bounds mixed in one call, so the predicate a real user
+    * writes (`month BETWEEN '1996-01' AND '1996-03' AND
+    * l_extendedprice <= 1000.0 AND l_orderkey <= 1800`) prunes files
+    * on ALL its columns at once. Bound kinds are derived from the
+    * table schema ([[footerStatsTyped]]) independently of the Scala
+    * type passed — an Int/Long bound on an integral column, a
+    * Double bound on a FLOAT/DOUBLE column, a String bound on a
+    * string column; a bound whose kind cannot prune (unsupported
+    * logical type) still FILTERS rows, it just never skips files.
+    *
+    * Same mechanics as [[readPruned]]: one distributed footer-stats
+    * pass over every box column → conservative candidate filter (NULL
+    * bounds keep the file) → scan only survivors → re-apply the exact
+    * predicate row-level (zone maps admit false positives, never
+    * negatives). Schema is pinned from the full table either way, and
+    * the full-table schema inference is done ONCE per call (shared by
+    * the empty and non-empty branches). */
+  def readPrunedBox(spark: SparkSession, path: String,
+                    box: Seq[(String, Any, Any)]): DataFrame = {
     require(box.nonEmpty, "box predicates required")
-    val stats = footerStats(spark, path, box.map(_._1))
-    val cand = graft.operators.Layout.candidateFiles(stats, box)
+    def l(v: Any): org.apache.spark.sql.Column = v match {
+      case x: Long => lit(x)
+      case x: Int => lit(x.toLong)
+      case x: Double => lit(x)
+      case x: Float => lit(x.toDouble)
+      case x: String => lit(x)
+      case other => throw new IllegalArgumentException(
+        s"unsupported bound type: ${other.getClass.getName}" +
+          " (Long, Double, and String bounds are prunable)")
+    }
+    val stats = footerStatsTyped(spark, path, box.map(_._1))
+    val keep = box.map { case (c, lo, hi) =>
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        (col(s"${c}_max") >= l(lo) && col(s"${c}_min") <= l(hi))
+    }.reduce(_ && _)
+    val cand = stats.filter(keep)
       .select(col("path")).collect().map(_.getString(0))
     val schema = spark.read.parquet(path).schema
-    val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .reduce(_ && _)
+    val pred = box.map { case (c, lo, hi) =>
+      col(c) >= l(lo) && col(c) <= l(hi)
+    }.reduce(_ && _)
     if (cand.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema).filter(pred)

@@ -69,6 +69,26 @@ object SqlCatalog {
     * is sub-second. At 100 TB the lazy form re-derives the corpus once
     * per consumer per query; the mart form scans it once per `dbt
     * run`. Pick by query-to-build ratio, exactly like dbt. */
+  /** Register a PRUNED view: `name` resolves to
+    * [[graft.sources.Tables.readPrunedBox]] under `box`, so the dbt
+    * user's month-scoped SQL (`SELECT … FROM bronze WHERE month
+    * BETWEEN …`) actually SKIPS FILES via the footer zone maps instead
+    * of relying on row-group skipping alone — the connection between
+    * the SQL surface and the pruned scan path. The box is evaluated at
+    * registration (one distributed footer pass, file-count metadata);
+    * the view re-applies the exact predicate row-level, so any SQL
+    * over it is exactly SQL over the boxed subset of the full table.
+    * Re-register after appends — the candidate file list is pinned at
+    * registration time, the same snapshot semantics as a dbt model's
+    * compiled-at-run-start source list. Returns the pruned frame so
+    * callers can assert skipping (`inputFiles`). */
+  def registerPruned(spark: SparkSession, name: String, path: String,
+                     box: Seq[(String, Any, Any)]): DataFrame = {
+    val pruned = graft.sources.Tables.readPrunedBox(spark, path, box)
+    pruned.createOrReplaceTempView(name)
+    pruned
+  }
+
   def registerLayersMaterialized(spark: SparkSession, raw: DataFrame,
                                  lakeRoot: String,
                                  targetMonth: Option[String] = None): Unit = {

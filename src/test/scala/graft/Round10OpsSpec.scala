@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: typed (Long|Double|String) footer zone maps,
+  * the distributed footer pass, and heterogeneous-box pruned reads. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("footerStatsTyped: Double + String + Long bounds in one pass, " +
+    "distributed ≡ driver loop, unsupported types NULL") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed")
+      .toString + "/t"
+    spark.range(0, 8000)
+      .select(col("id").as("x"),
+        (col("id").cast("double") / 100.0).as("price"),
+        concat(lit("m"), lpad(expr("id div 1000").cast("string"), 2, "0"))
+          .as("mk"),
+        col("id").cast("decimal(10,2)").as("dec"))
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    val cols = Seq("x", "price", "mk", "dec")
+    val dist = Tables.footerStatsKinds(spark, dir, cols,
+      Seq('L', 'D', 'S', 'X'), distributed = true)
+    val loop = Tables.footerStatsKinds(spark, dir, cols,
+      Seq('L', 'D', 'S', 'X'), distributed = false)
+    assert(dist.count() == 8 && loop.count() == 8)
+    // distributed pass ≡ the reference driver loop, row for row
+    val d = dist.orderBy("path").collect().map(_.toSeq)
+    val l = loop.orderBy("path").collect().map(_.toSeq)
+    assert(d.length == l.length && d.zip(l).forall { case (a, b) => a == b })
+    // schema-derived kinds agree with the pinned ones
+    val typed = Tables.footerStatsTyped(spark, dir, cols)
+      .orderBy("path").collect().map(_.toSeq)
+    assert(typed.zip(d).forall { case (a, b) => a == b })
+    // double bounds agree with the data-recomputed audit view
+    import graft.operators.Layout
+    val audit = Layout.skippingStats(spark, dir, Seq("price"))
+      .select("price_min", "price_max").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val foot = dist.select("price_min", "price_max").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    assert(audit.sameElements(foot))
+    // decimal (unscaled INT64 physical would lie) => always-NULL bounds
+    assert(dist.filter(col("dec_min").isNull && col("dec_max").isNull)
+      .count() == 8)
+  }
+
+  test("readPrunedBox: mixed Long+Double+String box prunes files and " +
+    "matches the full scan; double-only money box prunes too") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-box")
+      .toString + "/t"
+    spark.range(0, 8000)
+      .select(col("id").as("x"),
+        (col("id").cast("double") / 100.0).as("price"),
+        concat(lit("m"), lpad(expr("id div 1000").cast("string"), 2, "0"))
+          .as("mk"))
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    // value-sorted layout => x, price, and mk are all correlated with
+    // the file cut; a mixed box on all three keeps ~1 of 8 files
+    val pruned = Tables.readPrunedBox(spark, dir,
+      Seq(("x", 0L, 999L), ("price", 0.0, 9.99), ("mk", "m00", "m00")))
+    assert(pruned.inputFiles.length <= 2)
+    val full = spark.read.parquet(dir).filter(
+      col("x").between(0L, 999L) && col("price").between(0.0, 9.99)
+        && col("mk").between("m00", "m00"))
+    assert(pruned.count() == full.count() && full.count() == 1000L)
+    assert(pruned.agg(sum("x")).head().getLong(0)
+      == full.agg(sum("x")).head().getLong(0))
+    // the money-column box alone (the reference's SLO predicate shape)
+    val money = Tables.readPrunedBox(spark, dir,
+      Seq(("price", 70.0, 75.5)))
+    assert(money.inputFiles.length <= 2)
+    assert(money.count() == spark.read.parquet(dir)
+      .filter(col("price").between(70.0, 75.5)).count())
+    // empty candidates: schema pinned, zero rows
+    val none = Tables.readPrunedBox(spark, dir, Seq(("price", 1e9, 2e9)))
+    assert(none.count() == 0L
+      && none.schema.fieldNames.sameElements(Array("x", "price", "mk")))
+  }
+
+  test("mortonCodeN: 3-D interleave matches plain-Scala reference, " +
+    "2-col form ≡ mortonCode, NULL on out-of-range") {
+    import graft.operators.Layout
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(i => xs.zipWithIndex.map { case (x, j) =>
+        ((x >> i) & 1L) << (i * xs.size + j)
+      }).sum
+    val grid = for (x <- 0L to 7L; y <- 0L to 7L; z <- 0L to 7L)
+      yield (x, y, z)
+    val df = grid.toDF("x", "y", "z")
+      .withColumn("k",
+        Layout.mortonCodeN(Seq(col("x"), col("y"), col("z")), 3))
+    val rows = df.collect()
+    assert(rows.forall(r =>
+      r.getLong(3) == ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 3)))
+    // bijection over the full 8x8x8 grid
+    assert(df.select("k").distinct().count() == 512)
+    // 2-column form agrees with the original mortonCode
+    val two = Seq((3L, 5L), (0L, 0L), (7L, 1L)).toDF("x", "y")
+      .withColumn("a", Layout.mortonCode(col("x"), col("y"), 3))
+      .withColumn("b", Layout.mortonCodeN(Seq(col("x"), col("y")), 3))
+    assert(two.filter(col("a") =!= col("b")).count() == 0)
+    // out-of-range / NULL => NULL key (loud in any sort)
+    val bad = Seq((8L, 0L, 0L), (-1L, 0L, 0L)).toDF("x", "y", "z")
+      .withColumn("k",
+        Layout.mortonCodeN(Seq(col("x"), col("y"), col("z")), 3))
+    assert(bad.filter(col("k").isNull).count() == 2)
+    // n*bits budget guard
+    intercept[IllegalArgumentException] {
+      Layout.mortonCodeN(Seq(col("x"), col("y"), col("z")), 21)
+    }
+  }
+}
