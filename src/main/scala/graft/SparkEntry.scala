@@ -4018,6 +4018,49 @@ object SparkEntry {
           col("total_monthly_passengers"), col("total_monthly_trips"),
           col("avg_trip_distance"))
     }),
+
+    // Goodman-Kruskal γ + Somers' D_yx derived from kendallTau's exact
+    // pair counts (the no-drift convention) — line number (1-7) vs
+    // quantity (1-50): a 350-cell bounded grid per return flag
+    "q378_ordinal_assoc" -> ((s, d) =>
+      graft.operators.RankStats.ordinalAssociation(t(s, d, "lineitem"),
+        "l_returnflag", "l_linenumber", "l_quantity")),
+
+    // Page's trend test over the q365/q371 zero-filled spine —
+    // treatments in ascending event_type order as the hypothesized
+    // trend; l2 exact from the same friedman doubled rank sums
+    "q379_page_trend" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val spine = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("event_type")).distinct())
+        .join(daily, Seq("day", "event_type"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      graft.operators.RankStats.pageTrend(spine, "day", "event_type", "y")
+    }),
+
+    // Cochran's Q over per-day presence indicators — "do the event
+    // types light up the same days?"; the binary blocked test, one
+    // division of exact BIGINTs
+    "q380_cochran_q" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val spine = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("event_type")).distinct())
+        .join(daily, Seq("day", "event_type"), "left")
+        .withColumn("s", (coalesce(col("y"), lit(0L)) > 0).cast("int"))
+      graft.operators.RankStats.cochranQ(spine, "day", "event_type", "s")
+    }),
+
+    // Mood's median test: user segments vs the grand value median —
+    // the outlier-immune k-sample location check (exact lattice
+    // median, micro-grid chi² via cramersV)
+    "q381_mood_median" -> ((s, d) =>
+      graft.operators.Robust.moodMedian(
+        t(s, d, "events").withColumn("seg", col("user_id") % 5),
+        "seg", "value")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -11556,5 +11599,159 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
            |FROM silver
            |WHERE strftime(pickup, '%Y-%m') = '1996-01'
            |GROUP BY 1""".stripMargin),
+
+    // q296's cell chain on the (linenumber, quantity) grid + the two
+    // derived divisions
+    "q378_ordinal_assoc" ->
+      """WITH cells AS (SELECT l_returnflag AS k, l_linenumber AS x,
+        |    l_quantity AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_linenumber IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2, 3),
+        |pa AS (SELECT a.k,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS BIGINT) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS BIGINT) AS discordant
+        |  FROM cells a JOIN cells b ON a.k = b.k AND a.x < b.x GROUP BY 1),
+        |tx AS (SELECT k, CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS BIGINT)
+        |    AS tie_pairs_x
+        |  FROM (SELECT k, x, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT k, CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS BIGINT)
+        |    AS tie_pairs_y
+        |  FROM (SELECT k, y, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |j AS (SELECT tot.k, n, COALESCE(concordant, 0) AS concordant,
+        |    COALESCE(discordant, 0) AS discordant, tie_pairs_x, tie_pairs_y,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) AS n0
+        |  FROM tot LEFT JOIN pa ON tot.k = pa.k
+        |    JOIN tx ON tot.k = tx.k JOIN ty ON tot.k = ty.k)
+        |SELECT k AS l_returnflag, n, concordant, discordant,
+        |  tie_pairs_x, tie_pairs_y,
+        |  CASE WHEN n0 - tie_pairs_x > 0 AND n0 - tie_pairs_y > 0 THEN
+        |    CAST(concordant - discordant AS DOUBLE)
+        |      / (sqrt(CAST(n0 - tie_pairs_x AS DOUBLE))
+        |        * sqrt(CAST(n0 - tie_pairs_y AS DOUBLE))) END AS tau_b,
+        |  CASE WHEN concordant + discordant > 0 THEN
+        |    CAST(concordant - discordant AS DOUBLE)
+        |      / CAST(concordant + discordant AS DOUBLE) END AS gamma,
+        |  CASE WHEN n0 - tie_pairs_x > 0 THEN
+        |    CAST(concordant - discordant AS DOUBLE)
+        |      / CAST(n0 - tie_pairs_x AS DOUBLE) END AS somers_d_yx
+        |FROM j""".stripMargin,
+
+    // the q365 friedman chain, then L2 = Σ j·R2_j with j the ascending
+    // treatment rank; exact e2, no-tie variance in double
+    "q379_page_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |spine AS (SELECT dd.day, tt.event_type, COALESCE(daily.y, 0) AS y
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily ON daily.day = dd.day
+        |    AND daily.event_type = tt.event_type),
+        |cells AS (SELECT day, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM spine GROUP BY 1, 2),
+        |rk AS (SELECT day, y, 2 * (cum - c) + c + 1 AS rd FROM (
+        |  SELECT *, CAST(SUM(c) OVER (PARTITION BY day ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM cells)),
+        |r2 AS (SELECT s.event_type AS treatment, rk.rd
+        |  FROM spine s JOIN rk ON s.day = rk.day AND s.y = rk.y),
+        |pt AS (SELECT treatment, CAST(SUM(rd) AS BIGINT) AS r2_sum
+        |  FROM r2 GROUP BY 1),
+        |sh AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nb,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM spine),
+        |l AS (SELECT CAST(SUM(CAST(j AS HUGEINT) * r2_sum) AS BIGINT) AS l2
+        |  FROM (SELECT r2_sum,
+        |    ROW_NUMBER() OVER (ORDER BY treatment) AS j FROM pt)),
+        |f AS (SELECT nb, k, l2,
+        |    CAST((CAST(nb AS HUGEINT) * k * (k + 1) * (k + 1)) // 2
+        |      AS BIGINT) AS e2,
+        |    CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0)
+        |      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / 144.0
+        |      AS var FROM sh, l)
+        |SELECT nb AS n_blocks, k AS k_treatments, l2,
+        |  CASE WHEN k >= 3 AND var > 0.0 THEN
+        |    CAST(l2 - e2 AS DOUBLE) / (2.0 * sqrt(var)) END AS z
+        |FROM f""".stripMargin,
+
+    // column/row success totals on the zero-filled spine; Q is one
+    // division of exact integers
+    "q380_cochran_q" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |spine AS (SELECT dd.day, tt.event_type,
+        |    CASE WHEN COALESCE(daily.y, 0) > 0 THEN 1 ELSE 0 END AS s
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily ON daily.day = dd.day
+        |    AND daily.event_type = tt.event_type),
+        |ct AS (SELECT event_type, CAST(SUM(s) AS BIGINT) AS cj
+        |  FROM spine GROUP BY 1),
+        |rt AS (SELECT day, CAST(SUM(s) AS BIGINT) AS r FROM spine GROUP BY 1),
+        |sh AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nb,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM spine),
+        |ca AS (SELECT CAST(SUM(cj) AS BIGINT) AS nsucc,
+        |    CAST(SUM(CAST(cj AS HUGEINT) * cj) AS BIGINT) AS sc2 FROM ct),
+        |ra AS (SELECT CAST(SUM(CAST(r AS HUGEINT) * r) AS BIGINT) AS sr2
+        |  FROM rt),
+        |f AS (SELECT nb, k, nsucc,
+        |    CAST((k - 1) * (CAST(k AS HUGEINT) * sc2
+        |      - CAST(nsucc AS HUGEINT) * nsucc) AS BIGINT) AS q_num,
+        |    CAST(CAST(k AS HUGEINT) * nsucc - sr2 AS BIGINT) AS q_den
+        |  FROM sh, ca, ra)
+        |SELECT nb AS n_blocks, k AS k_treatments, nsucc AS n_success,
+        |  q_num, q_den,
+        |  CASE WHEN q_den > 0 THEN CAST(q_num AS DOUBLE)
+        |    / CAST(q_den AS DOUBLE) END AS q_stat
+        |FROM f""".stripMargin,
+
+    // exact lattice median (min v with 2·cum ≥ n), then the q344
+    // cramersV chain over groups × {above, at_or_below}
+    "q381_mood_median" ->
+      """WITH base AS (SELECT CAST(user_id % 5 AS VARCHAR) AS a, value AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |lat AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1),
+        |tcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM base),
+        |med AS (SELECT MIN(v) AS median FROM
+        |  (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM lat), tcnt WHERE cum * 2 >= nt),
+        |cells AS (SELECT a,
+        |    CASE WHEN v > median THEN 'above' ELSE 'at_or_below' END AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell
+        |  FROM base, med GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(SUM(n_cell) AS BIGINT) AS row_total
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT b, CAST(SUM(n_cell) AS BIGINT) AS col_total
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT cells.a, cells.b, n_cell, row_total, col_total, n,
+        |    CAST(n AS HUGEINT) * n_cell
+        |      - CAST(row_total AS HUGEINT) * col_total AS d,
+        |    CAST(n AS HUGEINT) * row_total * col_total AS td
+        |  FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b, tt),
+        |agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_cats_a,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cats_b,
+        |    CAST(SUM((1000000 * (d * d)) // td)
+        |      + (1000000 * MAX(n)
+        |        - SUM((1000000 * (CAST(row_total AS HUGEINT) * col_total))
+        |            // n))
+        |      AS BIGINT) AS chi2_micro
+        |  FROM j)
+        |SELECT n, n_cats_a, n_cats_b, chi2_micro,
+        |  CASE WHEN n > 0 AND least(n_cats_a, n_cats_b) > 1 THEN
+        |    sqrt(CAST(chi2_micro AS DOUBLE)
+        |      / (1000000.0 * CAST(n AS DOUBLE)
+        |        * (CAST(least(n_cats_a, n_cats_b) AS DOUBLE) - 1.0)))
+        |  END AS cramers_v, median
+        |FROM agg, med""".stripMargin,
   )
 }

@@ -289,6 +289,146 @@ object RankStats {
         col("tie_pairs_x"), col("tie_pairs_y"), col("tau_b"))
   }
 
+  /** Goodman–Kruskal γ and Somers' D — the two remaining classical
+    * ordinal-association readouts, DERIVED from [[kendallTau]]'s exact
+    * concordant/discordant/tie-pair integers (the
+    * [[graft.operators.Robust.cohensD]] no-drift convention: this
+    * calls kendallTau, so the four statistics can never disagree on
+    * their shared parts). γ = (C−D)/(C+D) ignores ties entirely —
+    * the "among untied pairs, how often does y agree with x"
+    * association; Somers' D_yx = (C−D)/(n0−n1) penalizes y-ties but
+    * not x-ties — the asymmetric form for "x predicts y" (the
+    * ROC-AUC relative, AUC = (D_yx+1)/2 for a binary y). Each is one
+    * division over the exact BIGINTs. Same bounded-grid contract as
+    * kendallTau (pre-quantize continuous pairs).
+    *
+    * Output: kendallTau's columns + (gamma, somers_d_yx); both NULL
+    * on degenerate keys (no untied pairs / all x tied). */
+  def ordinalAssociation(df: DataFrame, keyCol: String, xCol: String,
+                         yCol: String): DataFrame =
+    kendallTau(df, keyCol, xCol, yCol)
+      .withColumn("__n0",
+        (col("n").cast("decimal(38,0)") * (col("n") - 1) / 2)
+          .cast("decimal(38,0)").cast("long"))
+      .withColumn("gamma",
+        when(col("concordant") + col("discordant") > 0,
+          (col("concordant") - col("discordant")).cast("double")
+            / (col("concordant") + col("discordant")).cast("double")))
+      .withColumn("somers_d_yx",
+        when(col("__n0") - col("tie_pairs_x") > 0,
+          (col("concordant") - col("discordant")).cast("double")
+            / (col("__n0") - col("tie_pairs_x")).cast("double")))
+      .drop("__n0")
+
+  /** Page's trend test — [[friedmanParts]]' ORDERED-alternative
+    * sibling (Friedman asks "do the treatments differ at all?"; Page
+    * asks "do they increase in a hypothesized order?" — the blocked
+    * analogue of [[jonckheereTerpstra]]): `L = Σ_j w_j·R_j` with
+    * weights w_j = 1..k in ascending TREATMENT order (the caller
+    * encodes the hypothesized order in the treatment key — zero-pad
+    * or prefix to sort). Derived from friedmanParts' exact doubled
+    * rank sums: `l2 = Σ j·R2_j = 2L` is an exact BIGINT (the j-rank
+    * window runs over the k-row parts frame — metadata scale), the
+    * null mean `E[2L] = n·k·(k+1)²/2` is exact (k(k+1)² is always
+    * even), and z uses the no-tie variance `Var[L] =
+    * n·k²·(k+1)·(k²−1)/144` — the documented mildly-conservative
+    * convention under ties, same as friedman's χ². Complete-design
+    * contract inherited (ragged raises).
+    *
+    * Output: one row (n_blocks, k_treatments, l2, z); z NULL when
+    * k < 3 (no order to trend over). */
+  def pageTrend(df: DataFrame, blockCol: String, treatmentCol: String,
+                valueCol: String): DataFrame = {
+    val w = Window.orderBy(col("treatment").asc)
+    friedmanParts(df, blockCol, treatmentCol, valueCol)
+      .withColumn("__j", row_number().over(w).cast("long"))
+      .groupBy(col("n_blocks"), col("k_treatments"))
+      .agg(sum(col("__j").cast("decimal(38,0)") * col("r2_sum"))
+        .cast("decimal(38,0)").cast("long").as("l2"))
+      .withColumn("__e2",
+        expr("(n_blocks * k_treatments * (k_treatments + 1)" +
+          " * (k_treatments + 1)) div 2"))
+      .withColumn("__var",
+        col("n_blocks").cast("double")
+          * col("k_treatments").cast("double")
+          * col("k_treatments").cast("double")
+          * (col("k_treatments").cast("double") + 1.0)
+          * (col("k_treatments").cast("double")
+            * col("k_treatments").cast("double") - 1.0) / 144.0)
+      .withColumn("z",
+        when(col("k_treatments") >= 3 && col("__var") > 0.0,
+          (col("l2") - col("__e2")).cast("double")
+            / (lit(2.0) * sqrt(col("__var")))))
+      .select(col("n_blocks"), col("k_treatments"), col("l2"), col("z"))
+  }
+
+  /** Cochran's Q — [[friedmanParts]] for BINARY outcomes ("did the
+    * k checkers/models/treatments flag the same blocks?"): with
+    * column totals C_j (per-treatment successes), row totals R_i
+    * (per-block successes), and N = ΣC_j, the whole statistic clears
+    * to one division of exact BIGINTs:
+    * `Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)`.
+    * Complete-design contract (every block contains every treatment
+    * exactly once, globally identical treatment sets — the
+    * [[friedmanParts]] guard); non-0/1 success values raise in-plan.
+    * BIGINT bound: k·ΣC_j² ≤ k²·n_blocks² — exact past 10⁸ blocks at
+    * k ≤ 20 (ANSI throws loudly beyond).
+    *
+    * Output: one row (n_blocks, k_treatments, n_success, q_num,
+    * q_den, q_stat) — q_stat NULL when q_den = 0 (all blocks all-0
+    * or all-1: no within-block information). */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               successCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(blockCol).isNotNull
+      && col(treatmentCol).isNotNull && col(successCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"),
+        when(col(successCol).cast("long").isin(0L, 1L),
+          col(successCol).cast("long"))
+          .otherwise(raise_error(lit(
+            "cochranQ: success must be boolean / 0-1"))).as("__s"))
+    val gk = base.agg(count_distinct(col("__t")).as("__kg"))
+    val shape = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__rows"),
+        count_distinct(col("__t")).as("__kt"),
+        sum(col("__s")).as("__r"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        min(col("__rows")).as("__rmin"), max(col("__rows")).as("__rmax"),
+        min(col("__kt")).as("__kmin"), max(col("__kt")).as("__kmax"),
+        sum(col("__r").cast(d38) * col("__r")).cast(d38).cast("long")
+          .as("__sr2"))
+      .crossJoin(broadcast(gk))
+      .withColumn("k_treatments",
+        when(col("__rmin") =!= col("__rmax")
+          || col("__kmin") =!= col("__kmax")
+          || col("__rmin") =!= col("__kmin")
+          || col("__kmax") =!= col("__kg"), raise_error(lit(
+          "cochranQ: ragged design — every block must contain every" +
+            " treatment exactly once; zero-fill upstream")))
+          .otherwise(col("__kmax")).cast("long"))
+      .select(col("n_blocks"), col("k_treatments"), col("__sr2"))
+    val colTotals = base.groupBy(col("__t"))
+      .agg(sum(col("__s")).cast("long").as("__cj"))
+      .agg(sum(col("__cj")).cast("long").as("n_success"),
+        sum(col("__cj").cast(d38) * col("__cj")).cast(d38).cast("long")
+          .as("__sc2"))
+    colTotals.crossJoin(broadcast(shape))
+      .withColumn("q_num",
+        ((col("k_treatments") - 1).cast(d38)
+          * (col("k_treatments").cast(d38) * col("__sc2")
+            - col("n_success").cast(d38) * col("n_success")))
+          .cast(d38).cast("long"))
+      .withColumn("q_den",
+        (col("k_treatments").cast(d38) * col("n_success")
+          - col("__sr2")).cast(d38).cast("long"))
+      .withColumn("q_stat",
+        when(col("q_den") > 0,
+          col("q_num").cast("double") / col("q_den").cast("double")))
+      .select(col("n_blocks"), col("k_treatments"), col("n_success"),
+        col("q_num"), col("q_den"), col("q_stat"))
+  }
+
   /** Lorenz curve table per key — the inequality CURVE behind
     * [[giniByKey]]'s scalar ("the top 1% of documents hold 40% of the
     * token mass"): one row per distinct value with cumulative

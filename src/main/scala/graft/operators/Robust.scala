@@ -682,6 +682,39 @@ object Robust {
       .select(col("n"), col("n_cats_a"), col("n_cats_b"),
         col("chi2_micro"), col("cramers_v"))
 
+  /** Mood's median test — "do the k groups straddle the pooled median
+    * the same way?": dichotomize every row against the GRAND median
+    * (ties at the median count as at-or-below — the classical
+    * convention), then χ² of the groups × {above, at_or_below} table
+    * via [[cramersV]] (micro-grid exact table sum, one double chain).
+    * The robust k-sample location test when only medians are trusted
+    * — [[graft.operators.RankStats.kruskalWallis]]' blunter, outlier-
+    * immune sibling.
+    *
+    * The grand median is the exact selection rule `min(v : 2·cum ≥ n)`
+    * over the distinct-value lattice (the house quantile convention —
+    * engine-portable, no interpolation); the lattice cumulative is the
+    * one global window (values-scale, documented). Output: one row —
+    * [[cramersV]]'s columns + the median value. */
+  def moodMedian(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = base.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .agg(min(col("__v")).as("median"))
+    val sided = base.crossJoin(broadcast(med))
+      .withColumn("__side",
+        when(col(valueCol) > col("median"), "above")
+          .otherwise("at_or_below"))
+    cramersV(sided, groupCol, "__side").crossJoin(broadcast(med))
+  }
+
   /** Bowker symmetry test — "is the k×k PAIRED transition table
     * symmetric?" (the k-category generalization of [[mcnemar]]'s 2×2:
     * do labels migrate i→j as often as j→i between two model

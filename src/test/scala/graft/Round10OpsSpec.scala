@@ -114,4 +114,78 @@ class Round10OpsSpec extends SparkSpec {
       Layout.mortonCodeN(Seq(col("x"), col("y"), col("z")), 21)
     }
   }
+
+  test("ordinalAssociation: hand-counted C/D/ties give gamma, Somers' D, " +
+    "tau_b on one fixture") {
+    import graft.operators.RankStats
+    // cells (x,y): (1,1),(1,2),(2,1),(2,2),(3,3) — C=5, D=1,
+    // tie_x=2 (two x-groups of 2), tie_y=2, n0=10
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("x", "y").withColumn("k", lit("a"))
+    val r = RankStats.ordinalAssociation(df, "k", "x", "y").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 5L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 2L)
+    assert(r.getDouble(6) == 4.0 / (math.sqrt(8.0) * math.sqrt(8.0))) // tau_b
+    assert(r.getDouble(7) == 4.0 / 6.0)  // gamma
+    assert(r.getDouble(8) == 4.0 / 8.0)  // somers_d_yx
+  }
+
+  test("pageTrend: perfect monotone trend scores the textbook z") {
+    import graft.operators.RankStats
+    // 2 blocks x 3 ascending treatments: ranks 1,2,3 in every block ->
+    // R2 = (4, 8, 12), l2 = 56, E[2L] = 48, Var[L] = 4, z = 2
+    val df = Seq(
+      ("b1", "t1", 10L), ("b1", "t2", 20L), ("b1", "t3", 30L),
+      ("b2", "t1", 1L), ("b2", "t2", 2L), ("b2", "t3", 3L))
+      .toDF("b", "t", "v")
+    val r = RankStats.pageTrend(df, "b", "t", "v").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 56L && r.getDouble(3) == 2.0)
+    // k = 2: l2 still exact, z NULL (no order to trend over)
+    val two = Seq(("b1", "t1", 1L), ("b1", "t2", 2L)).toDF("b", "t", "v")
+    assert(RankStats.pageTrend(two, "b", "t", "v").head().isNullAt(3))
+  }
+
+  test("cochranQ: textbook 3x3 binary fixture, ragged + non-binary raise") {
+    import graft.operators.RankStats
+    // C = (2,1,0), R = (2,1,0), N = 3:
+    // q_num = 2*(3*5 - 9) = 12, q_den = 9 - 5 = 4, Q = 3
+    val df = Seq(
+      ("b1", "t1", 1), ("b1", "t2", 1), ("b1", "t3", 0),
+      ("b2", "t1", 1), ("b2", "t2", 0), ("b2", "t3", 0),
+      ("b3", "t1", 0), ("b3", "t2", 0), ("b3", "t3", 0))
+      .toDF("b", "t", "s")
+    val r = RankStats.cochranQ(df, "b", "t", "s").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 12L && r.getLong(4) == 4L
+      && r.getDouble(5) == 3.0)
+    // degenerate: every block all-1 -> q_den = 0 -> NULL Q
+    val allOne = Seq(("b1", "t1", 1), ("b1", "t2", 1),
+      ("b2", "t1", 1), ("b2", "t2", 1)).toDF("b", "t", "s")
+    assert(RankStats.cochranQ(allOne, "b", "t", "s").head().isNullAt(5))
+    val ragged = Seq(("b1", "t1", 1), ("b2", "t1", 0), ("b2", "t2", 1))
+      .toDF("b", "t", "s")
+    val e = intercept[Exception] {
+      RankStats.cochranQ(ragged, "b", "t", "s").collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+    val nonBin = Seq(("b1", "t1", 2), ("b1", "t2", 0)).toDF("b", "t", "s")
+    val e2 = intercept[Exception] {
+      RankStats.cochranQ(nonBin, "b", "t", "s").collect()
+    }
+    assert(e2.getMessage.contains("0-1"))
+  }
+
+  test("moodMedian: perfect 2-group split scores chi2 = n, " +
+    "median from the exact lattice rule") {
+    import graft.operators.Robust
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+      ("b", 5.0)).toDF("g", "v")
+    val r = Robust.moodMedian(df, "g", "v").head()
+    // median = min v with 2*cum >= 5 -> 3.0; A all at_or_below,
+    // B all above -> perfect association: chi2_micro = 5e6, V = 1
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 5000000L && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 3.0)
+  }
 }
