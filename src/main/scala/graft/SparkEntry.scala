@@ -4061,6 +4061,46 @@ object SparkEntry {
       graft.operators.Robust.moodMedian(
         t(s, d, "events").withColumn("seg", col("user_id") % 5),
         "seg", "value")),
+
+    // bloomMembershipSink replay (9th monitor): three member slices —
+    // one REPLAYED — OR-folded through the sink's exact merge algebra
+    // must equal the one-shot filter bitwise (idempotence by algebra,
+    // no fence), zero false negatives by construction, and the
+    // deterministic md5 positions let DuckDB mirror the EXACT hit
+    // counts including false positives — a bit-level cross-engine pin
+    "q382_bloom_sink_replay" -> ((s, d) => {
+      import graft.functions.Bloom
+      val docs = t(s, d, "documents")
+      val members = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("string").as("item"))
+        .localCheckpoint(true) // consumed by 4 slices + one-shot
+      def slice(r: Long) = Bloom.partial(
+        members.filter(col("item").cast("long") % 3 === r),
+        "item", 2048L, 4)
+      val folded = Bloom.merge(Seq(
+        Bloom.merge(Seq(slice(0), slice(1))), slice(2), slice(1)))
+      val one = Bloom.partial(members, "item", 2048L, 4)
+      val diff = folded
+        .join(one.withColumnRenamed("bits", "__b2"), Seq("word_idx"),
+          "full")
+        .filter(!(col("bits") <=> col("__b2"))).count()
+      require(diff == 0,
+        s"bloom fold (incl. a replayed slice) diverged from the" +
+          s" one-shot filter on $diff words")
+      val probes = docs
+        .select(col("doc_id").cast("string").as("item"),
+          (col("doc_id") < 300).as("is_member"))
+      val hits = Bloom.contains(one, probes, "item", 2048L, 4)
+        .join(probes, Seq("item")).localCheckpoint(true)
+      val fn = hits.filter(col("is_member") && !col("might_contain"))
+        .count()
+      require(fn == 0, s"bloom false negatives: $fn — impossible by" +
+        " construction")
+      hits.groupBy(col("is_member"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("might_contain").cast("long")).cast("long").as("n_hits"))
+        .orderBy(col("is_member"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -11753,5 +11793,28 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |        * (CAST(least(n_cats_a, n_cats_b) AS DOUBLE) - 1.0)))
         |  END AS cramers_v, median
         |FROM agg, med""".stripMargin,
+
+    // the filter's bit array IS the set of occupied positions, so the
+    // oracle mirrors membership as position-set containment over the
+    // identical md5 positions — exact hit counts, false positives
+    // included
+    "q382_bloom_sink_replay" ->
+      """WITH probes AS (SELECT CAST(doc_id AS VARCHAR) AS item,
+        |    doc_id < 300 AS is_member FROM documents),
+        |hs AS (SELECT UNNEST(generate_series(0, 3)) AS i),
+        |mpos AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(item || '#' || CAST(i AS VARCHAR)
+        |      || '#'), 1, 15) AS BIGINT) % 2048 AS p
+        |  FROM probes, hs WHERE is_member),
+        |ppos AS (SELECT item, is_member,
+        |    CAST('0x' || substr(md5(item || '#' || CAST(i AS VARCHAR)
+        |      || '#'), 1, 15) AS BIGINT) % 2048 AS p
+        |  FROM probes, hs),
+        |hit AS (SELECT item, is_member,
+        |    MIN(CASE WHEN mpos.p IS NOT NULL THEN 1 ELSE 0 END) AS c
+        |  FROM ppos LEFT JOIN mpos ON ppos.p = mpos.p GROUP BY 1, 2)
+        |SELECT is_member, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(c) AS BIGINT) AS n_hits
+        |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

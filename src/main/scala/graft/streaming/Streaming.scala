@@ -1080,6 +1080,43 @@ object Streaming {
       }
       .start()
 
+  /** Streaming Bloom-membership maintenance (9th monitor sink) — the
+    * MEMBERSHIP member of the mergeable-sketch family (HLL distinct:
+    * [[distinctMergeSink]]; CM frequency: [[cmSketchSink]]): each
+    * micro-batch's items are hashed into a
+    * [[graft.functions.Bloom.partial]] word table and bitwise-OR'd
+    * into the persisted filter with an atomic swap. Like the HLL sink
+    * and UNLIKE the COUNT-partial sinks, NO batch-id fence is needed:
+    * OR is idempotent, so a crash-replayed batch re-sets the identical
+    * bits — idempotence by algebra, not bookkeeping.
+    *
+    * The read side is [[graft.functions.Bloom.contains]]: "was this
+    * doc-id / URL / fingerprint ever seen?" with zero false negatives
+    * and the (mBits, k)-tuned false-positive rate — the
+    * decontamination / dedup-admission prefilter whose state is
+    * bounded at mBits/64 words over an unbounded item domain.
+    * Per-batch cost: one delta-sized k-way explode + a words-scale
+    * union. */
+  def bloomMembershipSink(df: DataFrame, itemCol: String, mBits: Long,
+                          k: Int, salt: String, path: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.functions.Bloom.partial(batch, itemCol, mBits, k,
+          salt)
+        val merged = graft.sources.Tables.readParquetIfExists(spark, path)
+          match {
+            case Some(s) => graft.functions.Bloom.merge(Seq(s, delta))
+            case None => delta
+          }
+        val out = merged.localCheckpoint(true) // sever lineage pre-swap
+        graft.incremental.Writers.atomicRewrite(out, path)
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -176,6 +176,40 @@ class Round10OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("0-1"))
   }
 
+  test("Bloom: no false negatives, word-boundary bits, fold idempotent, " +
+    "absent words zero") {
+    import graft.functions.Bloom
+    val members = (0 until 50).map(i => s"doc-$i").toDF("item")
+    // mBits = 64: every position lands in word 0 including bit 63 —
+    // the sign-bit edge of the shiftleft/bitwiseAND path
+    val tiny = Bloom.partial(members, "item", 64L, 4)
+    assert(tiny.count() == 1 && tiny.head().getLong(0) == 0L)
+    val f = Bloom.partial(members, "item", 1024L, 4)
+    val probes = ((0 until 50).map(i => s"doc-$i")
+      ++ (0 until 50).map(i => s"ghost-$i")).toDF("item")
+    val got = Bloom.contains(f, probes, "item", 1024L, 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // zero false negatives
+    assert((0 until 50).forall(i => got(s"doc-$i")))
+    // at 50*4/1024 fill the ghosts are mostly rejected (FP ~ 2%)
+    assert((0 until 50).count(i => got(s"ghost-$i")) < 10)
+    // fold of slices (one replayed) ≡ one-shot, bitwise
+    val s0 = Bloom.partial(members.filter(length(col("item")) === 5),
+      "item", 1024L, 4)
+    val s1 = Bloom.partial(members.filter(length(col("item")) =!= 5),
+      "item", 1024L, 4)
+    val folded = Bloom.merge(Seq(Bloom.merge(Seq(s0, s1)), s1))
+    assert(folded.join(f.withColumnRenamed("bits", "b2"), Seq("word_idx"),
+      "full").filter(!(col("bits") <=> col("b2"))).count() == 0)
+    // param guards
+    intercept[IllegalArgumentException] {
+      Bloom.partial(members, "item", 100L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.partial(members, "item", 1024L, 0)
+    }
+  }
+
   test("moodMedian: perfect 2-group split scores chi2 = n, " +
     "median from the exact lattice rule") {
     import graft.operators.Robust

@@ -636,6 +636,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("2024-02-01" -> 2L, "2024-02-02" -> 2L), s"got $got")
   }
 
+  test("bloomMembershipSink: streamed filter equals the one-shot, " +
+    "replay is a bitwise no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bloomsink").toString
+    val (table, ckpt) = (dir + "/filter", dir + "/ckpt")
+    val items = (0 until 40).map(i => s"doc-$i")
+    val in = MemoryStream[String]
+    val q = Streaming.bloomMembershipSink(in.toDF().toDF("item"),
+      "item", 512L, 4, "", table, ckpt)
+    try {
+      in.addData(items.take(25): _*); q.processAllAvailable()
+      in.addData(items.drop(25): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the SECOND batch through a fresh checkpoint: OR is
+    // idempotent, the stored words must be bit-identical
+    val in2 = MemoryStream[String]
+    val q2 = Streaming.bloomMembershipSink(in2.toDF().toDF("item"),
+      "item", 512L, 4, "", table, ckpt + "2")
+    try { in2.addData(items.drop(25): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val replayed = spark.read.parquet(table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == streamed)
+    // and both equal the one-shot batch filter
+    val one = graft.functions.Bloom.partial(items.toDF("item"),
+      "item", 512L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == one)
+    // read side: every member found
+    val hits = graft.functions.Bloom.contains(spark.read.parquet(table),
+      items.toDF("item"), "item", 512L, 4)
+    assert(hits.filter(!$"might_contain").count() == 0)
+  }
+
   test("ivfAppendSink: streamed vectors become searchable in the index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
