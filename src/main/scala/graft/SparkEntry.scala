@@ -4101,6 +4101,13 @@ object SparkEntry {
           sum(col("might_contain").cast("long")).cast("long").as("n_hits"))
         .orderBy(col("is_member"))
     }),
+
+    // Ljung-Box joint-whiteness test at lags 1..3 over the q366/q367
+    // centered daily series — exact BIGINT lag products on one window
+    // shuffle, Q as one fixed IEEE chain
+    "q383_ljung_box" -> ((s, d) =>
+      graft.operators.Timeseries.ljungBox(
+        dailyCountSeries(s, d), "event_type", "x", "y", maxLag = 3)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -11816,5 +11823,52 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT is_member, CAST(COUNT(*) AS BIGINT) AS n_probes,
         |  CAST(SUM(c) AS BIGINT) AS n_hits
         |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q366 centering, three lag windows on one shuffle, Q as the
+    // IDENTICAL left-to-right double chain
+    "q383_ljung_box" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, x,
+        |    CAST(CAST(y AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM daily),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s FROM c GROUP BY 1),
+        |e AS (SELECT c.event_type, x,
+        |    CAST(n AS HUGEINT) * v - s AS ev, n
+        |  FROM c JOIN t USING (event_type)),
+        |l AS (SELECT *,
+        |    lag(ev, 1) OVER win AS l1, lag(ev, 2) OVER win AS l2,
+        |    lag(ev, 3) OVER win AS l3
+        |  FROM e WINDOW win AS (PARTITION BY event_type ORDER BY x)),
+        |a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(ev * ev) AS BIGINT) AS acf_den,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN ev * l1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN ev * l2 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN ev * l3 ELSE 0 END)
+        |      AS BIGINT) AS n3
+        |  FROM l GROUP BY 1),
+        |q AS (SELECT *, CASE WHEN n > 3 AND acf_den > 0 THEN
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (
+        |      (CAST(n1 AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        / CAST(n - 1 AS DOUBLE)
+        |      + (CAST(n2 AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        * (CAST(n2 AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        / CAST(n - 2 AS DOUBLE)
+        |      + (CAST(n3 AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        * (CAST(n3 AS DOUBLE) / CAST(acf_den AS DOUBLE))
+        |        / CAST(n - 3 AS DOUBLE)) END AS q_stat FROM a)
+        |SELECT event_type, lag, n, acf_num, acf_den,
+        |  CASE WHEN acf_den > 0 THEN
+        |    CAST(acf_num AS DOUBLE) / CAST(acf_den AS DOUBLE) END AS r,
+        |  q_stat
+        |FROM (SELECT event_type, n, acf_den, q_stat, 1 AS lag,
+        |    n1 AS acf_num FROM q
+        |  UNION ALL SELECT event_type, n, acf_den, q_stat, 2, n2 FROM q
+        |  UNION ALL SELECT event_type, n, acf_den, q_stat, 3, n3 FROM q)""".stripMargin,
   )
 }

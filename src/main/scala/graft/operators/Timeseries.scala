@@ -770,4 +770,79 @@ object Timeseries {
           (col("n_runs").cast("double") - er) / sqrt(vr))
       })
   }
+
+  /** Ljung–Box portmanteau test per key — "is there ANY autocorrelation
+    * in the first m lags?" ([[durbinWatson]] sees lag 1; this is the
+    * standard joint whiteness check before trusting i.i.d.-assuming
+    * statistics on a per-key series): `Q = n·(n+2)·Σ_{k≤m} r_k²/(n−k)`
+    * with `r_k = Σ_t e_t·e_{t−k} / Σ_t e_t²` over the same exact
+    * integral centering `e_t = n·x_t − Σx` as DW (scale-invariant: the
+    * n· multiplier cancels in every ratio), so every numerator and the
+    * shared denominator are exact BIGINTs — all m lag products ride
+    * one (key, x-order) window shuffle. Lags are STEPS in x order (the
+    * DW adjacency convention — gap-fill upstream if calendar lags are
+    * meant); duplicate x raises; same 2-dp value contract. BIGINT
+    * bound: |e| ≤ n·max_cents, so Σe·e' needs n³·max_cents² < 9e18 —
+    * loud ANSI overflow past it.
+    *
+    * Output per (key, lag): (key, lag, n, acf_num, acf_den, r,
+    * q_stat) — q_stat identical on a key's rows (the friedman
+    * broadcast-attach convention), NULL when n ≤ maxLag or the series
+    * is constant. */
+  def ljungBox(df: DataFrame, keyCol: String, xCol: String,
+               valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32,
+      s"maxLag must be in [1,32], got $maxLag")
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "ljungBox: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val tot = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).cast("long").as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    val lags = 1 to maxLag
+    val e = cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__e",
+        (col("__n").cast(d38) * col("__v") - col("__s")).cast(d38))
+    val withLags = lags.foldLeft(e) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col("__e"), k).over(w))
+    }
+    val numAggs = lags.map(k =>
+      sum(when(col(s"__l$k").isNotNull, col("__e") * col(s"__l$k"))
+        .otherwise(lit(0).cast(d38))).cast(d38).cast("long")
+        .as(s"__num$k"))
+    val agg = withLags.groupBy(col(keyCol))
+      .agg(max(col("__n")).cast("long").as("n"),
+        (sum(col("__e") * col("__e")).cast(d38).cast("long")
+          .as("acf_den") +: numAggs): _*)
+    // Q as ONE fixed left-to-right double expression over the exact
+    // integer parts (never a float aggregation — summation order would
+    // be engine/partition dependent; a literal t1+t2+…+tm tree is the
+    // same IEEE chain in any engine)
+    val terms = lags.map { k =>
+      val r = col(s"__num$k").cast("double") / col("acf_den").cast("double")
+      r * r / (col("n") - k).cast("double")
+    }
+    agg
+      .withColumn("q_stat",
+        when(col("n") > maxLag && col("acf_den") > 0,
+          col("n").cast("double") * (col("n").cast("double") + 2.0)
+            * terms.reduceLeft(_ + _)))
+      .select(col(keyCol), col("n"), col("acf_den"),
+        expr(s"stack(${maxLag}, " +
+          lags.map(k => s"$k, __num$k").mkString(", ") +
+          ") as (lag, acf_num)"), col("q_stat"))
+      .withColumn("r",
+        when(col("acf_den") > 0,
+          col("acf_num").cast("double") / col("acf_den").cast("double")))
+      .select(col(keyCol), col("lag"), col("n"), col("acf_num"),
+        col("acf_den"), col("r"), col("q_stat"))
+  }
 }

@@ -210,6 +210,38 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("ljungBox: alternating series — hand-computed exact lag products " +
+    "and the replicated Q chain") {
+    import graft.operators.Timeseries
+    // y = 1,3,1,3,1,3 -> v cents alternate 100/300, s = 1200,
+    // e = 6v - 1200 = ∓600 alternating; den = 6*360000
+    val df = (1L to 6L).map(i => ("k", i, if (i % 2 == 1) 1.0 else 3.0))
+      .toDF("g", "x", "v")
+    val rows = Timeseries.ljungBox(df, "g", "x", "v", 3)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(rows(1)._2 == -1800000L && rows(2)._2 == 1440000L
+      && rows(3)._2 == -1080000L)
+    assert(rows(1)._3 == 2160000L && rows(1)._1 == 6L)
+    val (r1, r2, r3) = (-1800000.0 / 2160000.0, 1440000.0 / 2160000.0,
+      -1080000.0 / 2160000.0)
+    val q = 6.0 * (6.0 + 2.0) *
+      (r1 * r1 / 5.0 + r2 * r2 / 4.0 + r3 * r3 / 3.0)
+    assert(rows(1)._5 == q && rows(2)._5 == q && rows(3)._5 == q)
+    assert(rows(1)._4 == r1 && rows(2)._4 == r2 && rows(3)._4 == r3)
+    // n <= maxLag: exact parts still emitted, Q NULL
+    val short = (1L to 3L).map(i => ("k", i, i.toDouble)).toDF("g", "x", "v")
+    assert(Timeseries.ljungBox(short, "g", "x", "v", 3)
+      .filter(col("q_stat").isNotNull).count() == 0)
+    // duplicate x raises (the DW contract)
+    val dup = Seq(("k", 1L, 1.0), ("k", 1L, 2.0)).toDF("g", "x", "v")
+    val e = intercept[Exception] {
+      Timeseries.ljungBox(dup, "g", "x", "v", 2).collect()
+    }
+    assert(e.getMessage.contains("duplicate x"))
+  }
+
   test("moodMedian: perfect 2-group split scores chi2 = n, " +
     "median from the exact lattice rule") {
     import graft.operators.Robust
