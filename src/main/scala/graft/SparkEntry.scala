@@ -4108,6 +4108,47 @@ object SparkEntry {
     "q383_ljung_box" -> ((s, d) =>
       graft.operators.Timeseries.ljungBox(
         dailyCountSeries(s, d), "event_type", "x", "y", maxLag = 3)),
+
+    // manifest-lifted pruning: the zone maps PERSISTED at maintenance
+    // time (writeManifest) and consumed per-query without any footer
+    // pass — the Delta/Iceberg amortization shape; the requires prove
+    // (a) files skipped, (b) the manifest plan opens the IDENTICAL
+    // file set as the live-footer plan
+    "q384_manifest_pruned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(dir)
+      graft.sources.Tables.writeManifest(s, dir,
+        Seq("l_orderkey", "l_extendedprice"))
+      val hi = li.agg(max(col("l_orderkey"))).head().getLong(0) / 8L
+      val box = Seq[(String, Any, Any)](("l_orderkey", 1L, hi))
+      val pruned = graft.sources.Tables.readPrunedManifest(s, dir, box)
+      require(pruned.inputFiles.length * 2 < 16,
+        s"manifest prune regressed: opened ${pruned.inputFiles.length}" +
+          " of 16 files for a 1/8th-range box")
+      val live = graft.sources.Tables.readPrunedBox(s, dir, box)
+      require(pruned.inputFiles.sorted.sameElements(live.inputFiles.sorted),
+        "manifest plan diverged from the live-footer plan")
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("qty_cents"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Hoeffding's D on the q378 grid — the dependence test that sees
+    // what tau/gamma can't (non-monotone association); exact doubled/
+    // quadrupled rank parts, one correctly-rounded decimal→double cast
+    "q385_hoeffding_d" -> ((s, d) =>
+      graft.operators.RankStats.hoeffdingD(t(s, d, "lineitem"),
+        "l_returnflag", "l_linenumber", "l_quantity")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -11870,5 +11911,69 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    n1 AS acf_num FROM q
         |  UNION ALL SELECT event_type, n, acf_den, q_stat, 2, n2 FROM q
         |  UNION ALL SELECT event_type, n, acf_den, q_stat, 3, n3 FROM q)""".stripMargin,
+
+    // same scale-free box as q330 — the manifest changes the PLANNING
+    // cost, never the result
+    "q384_manifest_pruned" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND
+        |  (SELECT MAX(l_orderkey) // 8 FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the identical doubled/quadrupled rank construction: dominance
+    // masses from the cells² join, midranks from lattice cumulatives,
+    // D as one HUGEINT→DOUBLE chain
+    "q385_hoeffding_d" ->
+      """WITH cells AS (SELECT l_returnflag AS k, l_linenumber AS x,
+        |    l_quantity AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_linenumber IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2, 3),
+        |dom AS (SELECT b.k, b.x, b.y, b.c,
+        |    CAST(COALESCE(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+        |      THEN a.c END), 0) AS BIGINT) AS am,
+        |    CAST(COALESCE(SUM(CASE WHEN a.x = b.x AND a.y < b.y
+        |      THEN a.c END), 0) AS BIGINT) AS bxm,
+        |    CAST(COALESCE(SUM(CASE WHEN a.x < b.x AND a.y = b.y
+        |      THEN a.c END), 0) AS BIGINT) AS bym
+        |  FROM cells b LEFT JOIN cells a ON a.k = b.k
+        |    AND ((a.x < b.x AND a.y <= b.y) OR (a.x = b.x AND a.y < b.y))
+        |  GROUP BY 1, 2, 3, 4),
+        |rx AS (SELECT k, x, 2 * (cum - t) + t + 1 AS r2 FROM (
+        |  SELECT k, x, t, CAST(SUM(t) OVER (PARTITION BY k ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM (SELECT k, x, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2))),
+        |ry AS (SELECT k, y, 2 * (cum - t) + t + 1 AS s2 FROM (
+        |  SELECT k, y, t, CAST(SUM(t) OVER (PARTITION BY k ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM (SELECT k, y, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2))),
+        |rws AS (SELECT dom.k, dom.c,
+        |    4 * am + 2 * bxm + 2 * bym + dom.c + 3 AS q4, r2, s2
+        |  FROM dom JOIN rx ON dom.k = rx.k AND dom.x = rx.x
+        |    JOIN ry ON dom.k = ry.k AND dom.y = ry.y),
+        |parts AS (SELECT k,
+        |    SUM(CAST(c AS HUGEINT) * (q4 - 4) * (q4 - 8)) AS d1,
+        |    SUM(CAST(c AS HUGEINT) * (r2 - 2) * (r2 - 4) * (s2 - 2)
+        |      * (s2 - 4)) AS d2,
+        |    SUM(CAST(c AS HUGEINT) * (r2 - 4) * (s2 - 4) * (q4 - 4)) AS d3
+        |  FROM rws GROUP BY 1),
+        |nt AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+        |SELECT nt.k AS l_returnflag, n,
+        |  CAST(d1 AS BIGINT) AS d1_16, CAST(d3 AS BIGINT) AS d3_16,
+        |  CASE WHEN n >= 5 THEN
+        |    30.0 * CAST(CAST(CAST(n - 2 AS HUGEINT) * (n - 3) * d1 + d2
+        |      - 2 * CAST(n - 2 AS HUGEINT) * d3 AS VARCHAR) AS DOUBLE)
+        |    / (16.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |      * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+        |      * (CAST(n AS DOUBLE) - 4.0)) END AS hoeffding_d
+        |FROM nt JOIN parts ON nt.k = parts.k""".stripMargin,
   )
 }

@@ -429,6 +429,105 @@ object RankStats {
         col("q_num"), col("q_den"), col("q_stat"))
   }
 
+  /** Hoeffding's D per key — the ordinal association test that sees
+    * NON-MONOTONE dependence ([[kendallTau]] / [[ordinalAssociation]]
+    * score a U-shape as ~0; D detects ANY departure from
+    * independence): the classical statistic over midranks R, S and
+    * bivariate ranks Q, with every part an exact integer on doubled /
+    * quadrupled grids. Conventions (the SAS/Hollander-Wolfe form):
+    * `R2 = 2·C_prev + t + 1` (house doubled midranks per axis),
+    * `Q4 = 4·A + 2·Bx + 2·By + c + 3` where A is the strictly-below-
+    * left cell mass and Bx/By the same-x/same-y strips below — ties
+    * on one axis count ½, on both ¼. Then with
+    * `D1·16 = Σ c·(Q4−4)(Q4−8)`,
+    * `D2·16 = Σ c·(R2−2)(R2−4)(S2−2)(S2−4)`,
+    * `D3·16 = Σ c·(R2−4)(S2−4)(Q4−4)`:
+    * `D = 30·[(n−2)(n−3)·D1·16 + D2·16 − 2(n−2)·D3·16] /
+    * (16·n(n−1)(n−2)(n−3)(n−4))` — the numerator rides decimal(38,0)
+    * (D2·16 ≤ 16·n⁵ passes BIGINT near n ≈ 4000, far under the
+    * decimal ceiling to n ≈ 10⁶·…; ANSI throws loudly past 38 digits)
+    * and the one emitted statistic is a fixed IEEE chain from the
+    * exact decimal (Spark's decimal→double is correctly rounded —
+    * engine-portable like sqrt; NOTE for mirrors: DuckDB's direct
+    * HUGEINT→DOUBLE cast is NOT — it landed 1 ulp off on this very
+    * statistic — route through VARCHAR, whose strtod parse is
+    * correctly rounded). D ∈ [−0.5, 1] with 1 = perfect dependence.
+    *
+    * Same bounded-grid contract as [[kendallTau]] (the A/Bx/By
+    * dominance masses come from one cells² self-join per key —
+    * pre-quantize continuous pairs); NULL D when n < 5.
+    *
+    * Output per key: (key, n, d1_16, d3_16, hoeffding_d) — d1/d3
+    * emitted exact (BIGINT-safe to n ≈ 10⁶); the n⁵-scale d2 lives
+    * only inside the decimal chain. */
+  def hoeffdingD(df: DataFrame, keyCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // consumed 5x below — never replay lineage
+    // dominance masses per target cell from the cells² self-join
+    val a = cells.select(col(keyCol), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__c").as("__ca"))
+    val dom = a.join(cells, Seq(keyCol))
+      .filter((col("__xa") < col("__x") && col("__ya") <= col("__y"))
+        || (col("__xa") === col("__x") && col("__ya") < col("__y")))
+      .groupBy(col(keyCol), col("__x"), col("__y"))
+      .agg(
+        sum(when(col("__xa") < col("__x") && col("__ya") < col("__y"),
+          col("__ca"))).cast("long").as("__A"),
+        sum(when(col("__xa") === col("__x") && col("__ya") < col("__y"),
+          col("__ca"))).cast("long").as("__Bx"),
+        sum(when(col("__xa") < col("__x") && col("__ya") === col("__y"),
+          col("__ca"))).cast("long").as("__By"))
+    // doubled midranks per axis from distinct-value cumulatives
+    def axisRank(vCol: String, out: String) = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(vCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.groupBy(col(keyCol), col(vCol))
+        .agg(sum(col("__c")).as("__t"))
+        .withColumn("__cum", sum(col("__t")).over(w))
+        .select(col(keyCol), col(vCol),
+          (lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+            .as(out))
+    }
+    val n = cells.groupBy(col(keyCol))
+      .agg(sum(col("__c")).cast("long").as("n"))
+    val rows = cells
+      .join(dom, Seq(keyCol, "__x", "__y"), "left")
+      .join(axisRank("__x", "__r2"), Seq(keyCol, "__x"))
+      .join(axisRank("__y", "__s2"), Seq(keyCol, "__y"))
+      .withColumn("__q4",
+        lit(4L) * coalesce(col("__A"), lit(0L))
+          + lit(2L) * coalesce(col("__Bx"), lit(0L))
+          + lit(2L) * coalesce(col("__By"), lit(0L))
+          + col("__c") + lit(3L))
+    val parts = rows.groupBy(col(keyCol))
+      .agg(
+        sum(col("__c").cast(d38) * (col("__q4") - 4) * (col("__q4") - 8))
+          .cast(d38).as("__d1"),
+        sum(col("__c").cast(d38) * (col("__r2") - 2) * (col("__r2") - 4)
+          * (col("__s2") - 2) * (col("__s2") - 4)).cast(d38).as("__d2"),
+        sum(col("__c").cast(d38) * (col("__r2") - 4) * (col("__s2") - 4)
+          * (col("__q4") - 4)).cast(d38).as("__d3"))
+    n.join(parts, Seq(keyCol))
+      .withColumn("__num",
+        ((col("n") - 2).cast(d38) * (col("n") - 3) * col("__d1")
+          + col("__d2")
+          - lit(2).cast(d38) * (col("n") - 2) * col("__d3")).cast(d38))
+      .withColumn("hoeffding_d", {
+        val nd = col("n").cast("double")
+        when(col("n") >= 5,
+          lit(30.0) * col("__num").cast("double")
+            / (lit(16.0) * nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0)
+              * (nd - 4.0)))
+      })
+      .select(col(keyCol), col("n"),
+        col("__d1").cast("long").as("d1_16"),
+        col("__d3").cast("long").as("d3_16"), col("hoeffding_d"))
+  }
+
   /** Lorenz curve table per key — the inequality CURVE behind
     * [[giniByKey]]'s scalar ("the top 1% of documents hold 40% of the
     * token mass"): one row per distinct value with cumulative

@@ -252,23 +252,68 @@ object Tables {
   }
 
   /** Recursive data-file listing for [[footerStats]] /
-    * [[footerStatsString]] — parquet part files only, metadata and
-    * hidden entries skipped. */
+    * [[footerStatsString]] — parquet part files only; metadata and
+    * hidden entries (any `_`/`.`-prefixed path component under the
+    * root, e.g. the [[writeManifest]] directory) skipped, matching
+    * Spark's own scan-listing rules. */
   private def listDataFiles(spark: SparkSession,
                             path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toString
     val it = fs.listFiles(root, true)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_")
-        && !n.startsWith("."))
-        files += f.getPath.toString
+      val full = f.getPath.toString
+      val rel = full.stripPrefix(rootUri).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (f.isFile && full.endsWith(".parquet") && !hidden)
+        files += full
     }
     files.sorted.toSeq
+  }
+
+  /** Lift the zone maps into a MANIFEST — the Delta/Iceberg shape the
+    * footer readers' scaladocs promise: one [[footerStatsTyped]] pass
+    * persisted as a tiny parquet table under `_graft_manifest` beside
+    * the data (a `_`-prefixed directory, invisible to data scans and
+    * to [[listDataFiles]]). At 10⁵-10⁶ files this amortizes the
+    * per-query footer pass to ONE table-maintenance-time pass: a
+    * [[readPrunedManifest]] probe then plans from a words-of-metadata
+    * read instead of 10⁵ footer opens. Staleness contract: the
+    * manifest snapshots the file set at write time — re-run it from
+    * the same maintenance window that rewrites the layout
+    * ([[graft.operators.Layout.rewriteClustered]] /
+    * `rewriteClusteredN`), exactly like a Delta checkpoint. Returns
+    * the manifest path. */
+  def writeManifest(spark: SparkSession, path: String,
+                    cols: Seq[String]): String = {
+    val mp = s"$path/_graft_manifest"
+    footerStatsTyped(spark, path, cols)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mp)
+    mp
+  }
+
+  /** [[readPrunedBox]] planning from the persisted [[writeManifest]]
+    * table instead of a live footer pass — the per-query cost drops
+    * from O(n_files) footer reads to one metadata-table scan. A box
+    * column absent from the manifest has no bound columns at all, so
+    * it still FILTERS rows but cannot skip files (raise loudly rather
+    * than silently full-scan: the caller asked for pruning the
+    * manifest cannot provide). */
+  def readPrunedManifest(spark: SparkSession, path: String,
+                         box: Seq[(String, Any, Any)]): DataFrame = {
+    require(box.nonEmpty, "box predicates required")
+    val stats = spark.read.parquet(s"$path/_graft_manifest")
+    box.map(_._1).foreach { c =>
+      require(stats.columns.contains(s"${c}_min"),
+        s"manifest at $path/_graft_manifest has no bounds for '$c' —" +
+          " re-run writeManifest with it included")
+    }
+    prunedScan(spark, path, stats, box)
   }
 
   /** [[footerStats]] for STRING columns — per-file min/max of BINARY
@@ -346,26 +391,38 @@ object Tables {
   def readPrunedBox(spark: SparkSession, path: String,
                     box: Seq[(String, Any, Any)]): DataFrame = {
     require(box.nonEmpty, "box predicates required")
-    def l(v: Any): org.apache.spark.sql.Column = v match {
-      case x: Long => lit(x)
-      case x: Int => lit(x.toLong)
-      case x: Double => lit(x)
-      case x: Float => lit(x.toDouble)
-      case x: String => lit(x)
-      case other => throw new IllegalArgumentException(
-        s"unsupported bound type: ${other.getClass.getName}" +
-          " (Long, Double, and String bounds are prunable)")
-    }
-    val stats = footerStatsTyped(spark, path, box.map(_._1))
+    prunedScan(spark, path, footerStatsTyped(spark, path, box.map(_._1)),
+      box)
+  }
+
+  private def boundLit(v: Any): org.apache.spark.sql.Column = v match {
+    case x: Long => lit(x)
+    case x: Int => lit(x.toLong)
+    case x: Double => lit(x)
+    case x: Float => lit(x.toDouble)
+    case x: String => lit(x)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bound type: ${other.getClass.getName}" +
+        " (Long, Double, and String bounds are prunable)")
+  }
+
+  /** The shared candidate-filter + survivor-scan step behind
+    * [[readPrunedBox]] (live footer stats) and [[readPrunedManifest]]
+    * (persisted stats): NULL bounds keep the file, the exact predicate
+    * re-applies row-level, schema pins from the full table (inferred
+    * once, shared by both branches). */
+  private def prunedScan(spark: SparkSession, path: String,
+                         stats: DataFrame,
+                         box: Seq[(String, Any, Any)]): DataFrame = {
     val keep = box.map { case (c, lo, hi) =>
       col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
-        (col(s"${c}_max") >= l(lo) && col(s"${c}_min") <= l(hi))
+        (col(s"${c}_max") >= boundLit(lo) && col(s"${c}_min") <= boundLit(hi))
     }.reduce(_ && _)
     val cand = stats.filter(keep)
       .select(col("path")).collect().map(_.getString(0))
     val schema = spark.read.parquet(path).schema
     val pred = box.map { case (c, lo, hi) =>
-      col(c) >= l(lo) && col(c) <= l(hi)
+      col(c) >= boundLit(lo) && col(c) <= boundLit(hi)
     }.reduce(_ && _)
     if (cand.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -176,6 +176,57 @@ class Round10OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("0-1"))
   }
 
+  test("writeManifest + readPrunedManifest: manifest plan ≡ live-footer " +
+    "plan, data scans don't see the manifest dir, absent column raises") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-mspec")
+      .toString + "/t"
+    spark.range(0, 8000)
+      .select(col("id").as("x"), (col("id") % 97).as("y"))
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    val before = Tables.footerStats(spark, dir, Seq("x"))
+      .orderBy("path").collect().map(_.toSeq)
+    Tables.writeManifest(spark, dir, Seq("x"))
+    // the _-prefixed manifest dir is invisible to data scans AND to a
+    // fresh footer pass over the same root
+    assert(spark.read.parquet(dir).count() == 8000L)
+    val after = Tables.footerStats(spark, dir, Seq("x"))
+      .orderBy("path").collect().map(_.toSeq)
+    assert(before.length == after.length
+      && before.zip(after).forall { case (a, b) => a == b })
+    val box = Seq[(String, Any, Any)](("x", 0L, 999L))
+    val m = Tables.readPrunedManifest(spark, dir, box)
+    val live = Tables.readPrunedBox(spark, dir, box)
+    assert(m.inputFiles.sorted.sameElements(live.inputFiles.sorted))
+    assert(m.inputFiles.length <= 2 && m.count() == 1000L)
+    // a column the manifest doesn't carry raises (never a silent
+    // full scan)
+    intercept[IllegalArgumentException] {
+      Tables.readPrunedManifest(spark, dir, Seq[(String, Any, Any)](
+        ("y", 0L, 1L)))
+    }
+  }
+
+  test("hoeffdingD: perfect monotone scores exactly 1; hand-computed " +
+    "tied-U fixture parts; NULL below n = 5") {
+    import graft.operators.RankStats
+    val mono = (1L to 5L).map(i => ("a", i, i)).toDF("k", "x", "y")
+    val m = RankStats.hoeffdingD(mono, "k", "x", "y").head()
+    assert(m.getLong(1) == 5L && m.getDouble(4) == 1.0)
+    // U-shape with y-ties: hand-computed doubled/quadrupled parts
+    // (Q4 = 4,4,4,10,18; R2 = 2,4,6,8,10; S2 = 9,5,2,5,9)
+    // d1_16 = 152, d3_16 = 444, num16 = 6*152 + 1752 - 6*444 = 0
+    val u = Seq(("a", 1L, 4L), ("a", 2L, 1L), ("a", 3L, 0L),
+      ("a", 4L, 1L), ("a", 5L, 4L)).toDF("k", "x", "y")
+    val r = RankStats.hoeffdingD(u, "k", "x", "y").head()
+    assert(r.getLong(2) == 152L && r.getLong(3) == 444L)
+    assert(r.getDouble(4) == 0.0)
+    // n = 4: exact parts still emitted, D NULL
+    val four = (1L to 4L).map(i => ("a", i, i)).toDF("k", "x", "y")
+    assert(RankStats.hoeffdingD(four, "k", "x", "y").head().isNullAt(4))
+  }
+
   test("Bloom: no false negatives, word-boundary bits, fold idempotent, " +
     "absent words zero") {
     import graft.functions.Bloom
