@@ -4149,6 +4149,27 @@ object SparkEntry {
     "q385_hoeffding_d" -> ((s, d) =>
       graft.operators.RankStats.hoeffdingD(t(s, d, "lineitem"),
         "l_returnflag", "l_linenumber", "l_quantity")),
+
+    // exact skewness / excess kurtosis per return flag from raw-moment
+    // cent partials — S1..S4 exact, two fixed IEEE chains
+    "q386_moments" -> ((s, d) =>
+      graft.operators.Robust.momentsByKey(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity")),
+
+    // Benford first-digit conformance of the money column — exact
+    // digit counts vs the pinned log10(1+1/d) literals
+    "q387_benford" -> ((s, d) =>
+      graft.operators.Robust.benfordTest(t(s, d, "lineitem"),
+        "l_extendedprice")),
+
+    // vocabulary growth at scale-free quartile checkpoints of doc_id —
+    // the Heaps-law curve from exact first-occurrence counts
+    "q388_vocab_growth" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      graft.llmdata.TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        Seq(mx / 4, mx / 2, 3 * mx / 4, mx))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -11975,5 +11996,119 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |      * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
         |      * (CAST(n AS DOUBLE) - 4.0)) END AS hoeffding_d
         |FROM nt JOIN parts ON nt.k = parts.k""".stripMargin,
+
+    // HUGEINT raw moments, VARCHAR-routed big casts (the hoeffdingD
+    // 1-ulp trap), the identical two double chains
+    "q386_moments" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2,
+        |    SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+        |    SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT k, n, s1, s2, s3,
+        |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2n,
+        |    CAST(n AS HUGEINT) * n * s3
+        |      - 3 * CAST(n AS HUGEINT) * s2 * s1
+        |      + 2 * s1 * s1 * s1 AS m3n,
+        |    CAST(n AS HUGEINT) * n * n * s4
+        |      - 4 * CAST(n AS HUGEINT) * n * s3 * s1
+        |      + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1
+        |      - 3 * s1 * s1 * s1 * s1 AS m4n
+        |  FROM a)
+        |SELECT k AS l_returnflag, n, CAST(s1 AS BIGINT) AS s1_cents,
+        |  CAST(s2 AS BIGINT) AS s2_cents2, CAST(s3 AS BIGINT) AS s3_cents3,
+        |  CASE WHEN n >= 2 AND m2n > 0 THEN
+        |    CAST(CAST(m3n AS VARCHAR) AS DOUBLE)
+        |      / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+        |        * sqrt(CAST(CAST(m2n AS VARCHAR) AS DOUBLE))) END
+        |    AS skewness,
+        |  CASE WHEN n >= 2 AND m2n > 0 THEN
+        |    CAST(CAST(m4n AS VARCHAR) AS DOUBLE)
+        |      / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(m2n AS VARCHAR) AS DOUBLE)) - 3.0 END
+        |    AS kurtosis_excess
+        |FROM m""".stripMargin,
+
+    // exact cent-grid first digits, the same pinned literals, the same
+    // 9-term chain — generated from Robust.benfordProbs (one source)
+    "q387_benford" -> {
+      val p = graft.operators.Robust.benfordProbs
+      val oCols = (1 to 9).map(dg =>
+        s"CAST(SUM(CASE WHEN digit = $dg THEN n_obs ELSE 0 END)" +
+          s" AS BIGINT) AS o$dg").mkString(",\n    ")
+      // literals QUOTED through strtod: a bare 0.1249... literal is a
+      // DECIMAL to DuckDB, whose decimal->double conversion is 1 ulp
+      // off (caught live on digit 3); CAST('...' AS DOUBLE) is the
+      // correctly-rounded parse both engines share
+      def pl(dg: Int) = s"CAST('${p(dg - 1)}' AS DOUBLE)"
+      val terms = (1 to 9).map(dg =>
+        s"(CAST(o$dg AS DOUBLE) - CAST(n AS DOUBLE) * ${pl(dg)})" +
+          s" * (CAST(o$dg AS DOUBLE) - CAST(n AS DOUBLE) * ${pl(dg)})" +
+          s" / (CAST(n AS DOUBLE) * ${pl(dg)})").mkString("\n    + ")
+      val pcase = (1 to 9).map(dg => s"WHEN $dg THEN ${pl(dg)}")
+        .mkString(" ")
+      s"""WITH c AS (SELECT
+         |    abs(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS c
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |dg AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+         |    AS digit FROM c WHERE c > 0),
+         |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM dg
+         |  GROUP BY 1),
+         |lat AS (SELECT UNNEST(generate_series(1, 9)) AS digit),
+         |f AS (SELECT lat.digit, CAST(COALESCE(n_obs, 0) AS BIGINT)
+         |    AS n_obs
+         |  FROM lat LEFT JOIN o ON lat.digit = o.digit),
+         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+         |    $oCols
+         |  FROM f),
+         |q AS (SELECT n, CASE WHEN n > 0 THEN
+         |    $terms END AS chi2 FROM t)
+         |SELECT f.digit, f.n_obs,
+         |  CAST(n AS DOUBLE) * (CASE f.digit $pcase END) AS expected,
+         |  CASE WHEN n > 0 THEN
+         |    (CAST(f.n_obs AS DOUBLE)
+         |      - CAST(n AS DOUBLE) * (CASE f.digit $pcase END))
+         |    * (CAST(f.n_obs AS DOUBLE)
+         |      - CAST(n AS DOUBLE) * (CASE f.digit $pcase END))
+         |    / (CAST(n AS DOUBLE) * (CASE f.digit $pcase END)) END
+         |    AS chi2_term,
+         |  chi2, n
+         |FROM f, q""".stripMargin
+    },
+
+    // first-occurrence lattice counts at the same quartile checkpoints
+    "q388_vocab_growth" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |cps AS (SELECT m // 4 AS checkpoint FROM mx
+        |  UNION ALL SELECT m // 2 FROM mx
+        |  UNION ALL SELECT 3 * m // 4 FROM mx
+        |  UNION ALL SELECT m FROM mx),
+        |toks AS (SELECT doc_id AS id, t.term
+        |  FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS t(term)
+        |  WHERE length(t.term) > 0),
+        |fd AS (SELECT term, MIN(id) AS fdoc FROM toks GROUP BY 1),
+        |va AS (SELECT checkpoint,
+        |    CAST(SUM(CASE WHEN fdoc <= checkpoint THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vocab_size
+        |  FROM fd, cps GROUP BY 1),
+        |pd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks
+        |  GROUP BY 1),
+        |sa AS (SELECT checkpoint,
+        |    CAST(SUM(CASE WHEN id <= checkpoint THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN id <= checkpoint THEN nt ELSE 0 END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM pd, cps GROUP BY 1)
+        |SELECT sa.checkpoint, n_docs, n_tokens, vocab_size
+        |FROM sa JOIN va ON sa.checkpoint = va.checkpoint
+        |ORDER BY 1""".stripMargin,
   )
 }

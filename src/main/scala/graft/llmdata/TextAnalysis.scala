@@ -546,6 +546,50 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Vocabulary growth curve (the Heaps-law readout): distinct-term
+    * count and cumulative token count after each document-id
+    * checkpoint — the "is more data still buying new vocabulary?"
+    * diagonal a tokenizer-training / corpus-acquisition pipeline
+    * plots before paying for the next crawl tranche. Exact and
+    * order-free: each term's FIRST document (min doc id) is computed
+    * once, then every checkpoint counts terms whose first doc is ≤ it
+    * — no sequential scan, one term aggregate + one checkpoints-scale
+    * lattice join (checkpoints are a handful of literals). Same
+    * whitespace/lowercase tokenization as [[vocabTopK]].
+    *
+    * Output per checkpoint: (checkpoint, n_docs, n_tokens,
+    * vocab_size), ascending. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints required")
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val lattice = spark.createDataFrame(
+      checkpoints.sorted.map(c => org.apache.spark.sql.Row(c)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("checkpoint",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(true) // consumed by first-doc AND per-doc counts
+    val firstDoc = toks.groupBy(col("term"))
+      .agg(min(col("__id")).as("__first"))
+    val vocabAt = firstDoc.crossJoin(broadcast(lattice))
+      .groupBy(col("checkpoint"))
+      .agg(sum(when(col("__first") <= col("checkpoint"), 1L).otherwise(0L))
+        .cast("long").as("vocab_size"))
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nt"))
+    val sizeAt = perDoc.crossJoin(broadcast(lattice))
+      .groupBy(col("checkpoint"))
+      .agg(sum(when(col("__id") <= col("checkpoint"), 1L).otherwise(0L))
+        .cast("long").as("n_docs"),
+        sum(when(col("__id") <= col("checkpoint"), col("__nt"))
+          .otherwise(0L)).cast("long").as("n_tokens"))
+    sizeAt.join(vocabAt, Seq("checkpoint")).orderBy(col("checkpoint"))
+  }
+
   /** Vocabulary drift between two corpus slices (last month's crawl vs
     * this month's): per term, occurrence counts and frequency-per-
     * million on each side, the fpm ratio, and a status — `new` / `gone`

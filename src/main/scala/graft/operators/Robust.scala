@@ -682,6 +682,143 @@ object Robust {
       .select(col("n"), col("n_cats_a"), col("n_cats_b"),
         col("chi2_micro"), col("cramers_v"))
 
+  /** Exact higher-moment profile per key — population skewness g1 and
+    * excess kurtosis g2 from EXACT raw-moment partials on the cent
+    * grid (the distribution-shape screen before trusting symmetric
+    * confidence intervals or z-scores on a money/size column; the
+    * 3rd/4th-moment extension of [[welchTTest]]'s cent/cent²
+    * discipline): with S_k = Σ c^k exact, the scale-free central
+    * numerators `m2n = n·S2 − S1²`, `m3n = n²·S3 − 3n·S2·S1 + 2·S1³`,
+    * `m4n = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3·S1⁴` satisfy
+    * `g1 = m3n / (m2n·√m2n)` and `g2 = m4n/m2n² − 3` with every n and
+    * cent power cancelling — two fixed IEEE chains from exact
+    * decimals. Biased (population) moment convention, documented
+    * rather than silently "corrected".
+    *
+    * Bounds: the decimal(38,0) internals need n³·S4 < 10³⁸ — holds to
+    * ~10⁶ rows/key at cents ≤ 10⁴ (ANSI throws loudly past it); S1-S3
+    * are emitted as exact BIGINTs (S3 ≤ n·c³ — safe to cents ~10⁵ at
+    * 10⁶ rows). Mirrors: cast the big decimals to double THROUGH
+    * VARCHAR on the DuckDB side (the [[graft.operators.RankStats
+    * .hoeffdingD]] 1-ulp HUGEINT-cast trap).
+    *
+    * Output per key: (key, n, s1_cents, s2_cents2, s3_cents3,
+    * skewness, kurtosis_excess) — NULLs when n < 2 or the key is
+    * constant (m2n = 0). */
+  def momentsByKey(df: DataFrame, keyCol: String,
+                   valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+    val agg = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__c").cast(d38)).cast(d38).as("__s1"),
+        sum(col("__c").cast(d38) * col("__c")).cast(d38).as("__s2"),
+        sum(col("__c").cast(d38) * col("__c") * col("__c")).cast(d38)
+          .as("__s3"),
+        sum(col("__c").cast(d38) * col("__c") * col("__c") * col("__c"))
+          .cast(d38).as("__s4"))
+    val n38 = col("n").cast(d38)
+    agg
+      .withColumn("__m2n", (n38 * col("__s2") - col("__s1") * col("__s1"))
+        .cast(d38))
+      .withColumn("__m3n",
+        (n38 * n38 * col("__s3")
+          - lit(3).cast(d38) * n38 * col("__s2") * col("__s1")
+          + lit(2).cast(d38) * col("__s1") * col("__s1") * col("__s1"))
+          .cast(d38))
+      .withColumn("__m4n",
+        (n38 * n38 * n38 * col("__s4")
+          - lit(4).cast(d38) * n38 * n38 * col("__s3") * col("__s1")
+          + lit(6).cast(d38) * n38 * col("__s2") * col("__s1") * col("__s1")
+          - lit(3).cast(d38) * col("__s1") * col("__s1") * col("__s1")
+            * col("__s1")).cast(d38))
+      .withColumn("skewness",
+        when(col("n") >= 2 && col("__m2n") > 0,
+          col("__m3n").cast("double")
+            / (col("__m2n").cast("double")
+              * sqrt(col("__m2n").cast("double")))))
+      .withColumn("kurtosis_excess",
+        when(col("n") >= 2 && col("__m2n") > 0,
+          col("__m4n").cast("double")
+            / (col("__m2n").cast("double") * col("__m2n").cast("double"))
+            - lit(3.0)))
+      .select(col(keyCol), col("n"),
+        col("__s1").cast("long").as("s1_cents"),
+        col("__s2").cast("long").as("s2_cents2"),
+        col("__s3").cast("long").as("s3_cents3"),
+        col("skewness"), col("kurtosis_excess"))
+  }
+
+  /** Benford first-digit conformance — the classic fabricated-data /
+    * unit-mixup screen for a money column (the reference's quality
+    * gates bound amounts; Benford asks whether their DIGITS look
+    * organically generated): observed counts of the first significant
+    * digit of the EXACT cent representation (first digit is scale-
+    * invariant under ×100, and integer→string rendering is engine-
+    * identical, unlike double→string) against the pinned
+    * log10(1+1/d) literals, with the χ² attached as one fixed 9-term
+    * IEEE chain from the exact counts (the friedman same-value-on-
+    * every-row convention — no float aggregation whose order could
+    * drift). Zero/NULL values carry no leading digit and are excluded
+    * (count them upstream if their share matters).
+    *
+    * Output: 9 rows (digit, n_obs, expected, chi2_term, chi2, n) —
+    * digits with zero observations still appear (their E still
+    * contributes). */
+  /** The pinned Benford first-digit probabilities log10(1 + 1/d),
+    * d = 1..9 — LITERALS, because log itself is libm-unsafe
+    * cross-engine while a decimal literal parses identically
+    * everywhere. Public so mirrors build from the same source. */
+  val benfordProbs: Seq[Double] = Seq(0.3010299956639812,
+    0.17609125905568124, 0.12493873660829993, 0.09691001300805642,
+    0.07918124604762482, 0.06694678963061322, 0.05799194697768673,
+    0.05115252244738129, 0.04575749056067514)
+
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val p = benfordProbs
+    val spark = df.sparkSession
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(abs((col(valueCol).cast("decimal(12,2)") * 100)
+        .cast("long")).as("__c"))
+      .filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = base.groupBy(col("digit")).agg(count(lit(1)).as("__o"))
+    import scala.jdk.CollectionConverters._
+    val lattice = spark.createDataFrame(
+      (1 to 9).map(d => org.apache.spark.sql.Row(d)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digit",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val full = lattice.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("__o"), lit(0L)).cast("long"))
+    // one row of the 9 exact counts -> chi2 as a literal 9-term chain
+    val aggs = sum(col("n_obs")).cast("long").as("__n") +:
+      (1 to 9).map(d => sum(when(col("digit") === d, col("n_obs"))
+        .otherwise(0L)).cast("long").as(s"__o$d"))
+    val pivot = full.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast("double")
+    val chi2 = (1 to 9).map { d =>
+      val e = nD * lit(p(d - 1))
+      (col(s"__o$d").cast("double") - e) * (col(s"__o$d").cast("double") - e) / e
+    }.reduceLeft(_ + _)
+    val withChi = pivot.withColumn("chi2", when(col("__n") > 0, chi2))
+      .select(col("__n").cast("long").as("n"), col("chi2"))
+    full.select(col("digit"), col("n_obs"))
+      .crossJoin(broadcast(withChi))
+      .withColumn("expected", col("n").cast("double")
+        * element_at(array(p.map(lit): _*), col("digit")))
+      .withColumn("chi2_term",
+        when(col("n") > 0,
+          (col("n_obs").cast("double") - col("expected"))
+            * (col("n_obs").cast("double") - col("expected"))
+            / col("expected")))
+      .select(col("digit"), col("n_obs"), col("expected"),
+        col("chi2_term"), col("chi2"), col("n"))
+  }
+
   /** Mood's median test — "do the k groups straddle the pooled median
     * the same way?": dichotomize every row against the GRAND median
     * (ties at the median count as at-or-below — the classical

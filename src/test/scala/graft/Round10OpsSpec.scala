@@ -227,6 +227,56 @@ class Round10OpsSpec extends SparkSpec {
     assert(RankStats.hoeffdingD(four, "k", "x", "y").head().isNullAt(4))
   }
 
+  test("momentsByKey: uniform 3-point fixture — exact partials, skew 0, " +
+    "excess kurtosis -1.5; constant key NULLs") {
+    import graft.operators.Robust
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("k", "v")
+    val r = Robust.momentsByKey(df, "k", "v").head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 600L
+      && r.getLong(3) == 140000L && r.getLong(4) == 36000000L)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == -1.5)
+    val const = Seq(("a", 5.0), ("a", 5.0)).toDF("k", "v")
+    val c = Robust.momentsByKey(const, "k", "v").head()
+    assert(c.isNullAt(5) && c.isNullAt(6))
+  }
+
+  test("benfordTest: one-of-each-digit fixture — exact counts, replicated " +
+    "chi2 chain, zero excluded, negative takes its abs digit") {
+    import graft.operators.Robust
+    val df = ((1 to 9).map(_.toDouble) ++ Seq(0.0)).toDF("v")
+    val rows = Robust.benfordTest(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.size == 9 && rows.values.forall(_.getLong(5) == 9L))
+    assert(rows.values.forall(_.getLong(1) == 1L))
+    val p = Robust.benfordProbs
+    (1 to 9).foreach { d =>
+      assert(rows(d).getDouble(2) == 9.0 * p(d - 1))
+      val e = 9.0 * p(d - 1)
+      assert(rows(d).getDouble(3) == (1.0 - e) * (1.0 - e) / e)
+    }
+    val chi2 = (1 to 9).map { d =>
+      val e = 9.0 * p(d - 1); (1.0 - e) * (1.0 - e) / e
+    }.reduceLeft(_ + _)
+    assert(rows(1).getDouble(4) == chi2)
+    // negative value contributes its |cents| leading digit
+    val neg = Seq(-2.5).toDF("v")
+    assert(Robust.benfordTest(neg, "v")
+      .filter(col("digit") === 2 && col("n_obs") === 1L).count() == 1)
+  }
+
+  test("vocabGrowth: first-occurrence counts at checkpoints") {
+    import graft.llmdata.TextAnalysis
+    val docs = Seq((1L, "a b"), (2L, "b c"), (4L, "a d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+      Seq(1L, 2L, 4L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) == ((1L, 2L, 2L)))
+    assert(got(2L) == ((2L, 4L, 3L)))
+    assert(got(4L) == ((3L, 7L, 5L)))
+  }
+
   test("Bloom: no false negatives, word-boundary bits, fold idempotent, " +
     "absent words zero") {
     import graft.functions.Bloom
