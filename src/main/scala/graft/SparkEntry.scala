@@ -4170,6 +4170,33 @@ object SparkEntry {
       graft.llmdata.TextAnalysis.vocabGrowth(docs, "doc_id", "text",
         Seq(mx / 4, mx / 2, 3 * mx / 4, mx))
     }),
+
+    // Quade test on the q365 spine — friedman weighted by block-range
+    // ranks; quadrupled scores exact, F one division of decimal-held
+    // integers
+    "q389_quade" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val spine = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("event_type")).distinct())
+        .join(daily, Seq("day", "event_type"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+      graft.operators.RankStats.quadeParts(spine, "day", "event_type", "y")
+    }),
+
+    // Dunn's post-hoc pairwise z after Kruskal-Wallis — derived from
+    // the same exact rank parts (no-drift), one pair row per group pair
+    "q390_dunn" -> ((s, d) =>
+      graft.operators.RankStats.dunnTest(
+        t(s, d, "events").withColumn("k", lit("all")),
+        "k", "event_type", "value")),
+
+    // Brown-Forsythe spread test: per-type |value − median| deviations,
+    // cent²-floored ANOVA terms, F one division
+    "q391_brown_forsythe" -> ((s, d) =>
+      graft.operators.Robust.brownForsythe(t(s, d, "events"),
+        "event_type", "value")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12110,5 +12137,117 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT sa.checkpoint, n_docs, n_tokens, vocab_size
         |FROM sa JOIN va ON sa.checkpoint = va.checkpoint
         |ORDER BY 1""".stripMargin,
+
+    // the friedman spine + within-day doubled midranks, range ranks
+    // across days, quadrupled scores, F via VARCHAR-routed casts
+    "q389_quade" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |spine AS (SELECT dd.day, tt.event_type, COALESCE(daily.y, 0) AS y
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily ON daily.day = dd.day
+        |    AND daily.event_type = tt.event_type),
+        |cells AS (SELECT day, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM spine GROUP BY 1, 2),
+        |rk AS (SELECT day, y, 2 * (cum - c) + c + 1 AS rd FROM (
+        |  SELECT *, CAST(SUM(c) OVER (PARTITION BY day ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM cells)),
+        |rng AS (SELECT day, MAX(y) - MIN(y) AS rg FROM spine GROUP BY 1),
+        |rcl AS (SELECT rg, CAST(COUNT(*) AS BIGINT) AS rc FROM rng
+        |  GROUP BY 1),
+        |q2 AS (SELECT rg, 2 * (rcum - rc) + rc + 1 AS q2 FROM (
+        |  SELECT rg, rc, CAST(SUM(rc) OVER (ORDER BY rg
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rcum FROM rcl)),
+        |sh AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nb,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM spine),
+        |sc AS (SELECT s.event_type,
+        |    CAST(q2.q2 AS HUGEINT) * (rk.rd - (sh.k + 1)) AS s4
+        |  FROM spine s JOIN rk ON s.day = rk.day AND s.y = rk.y
+        |    JOIN rng ON s.day = rng.day JOIN q2 ON rng.rg = q2.rg, sh),
+        |a16 AS (SELECT SUM(s4 * s4) AS a16 FROM sc),
+        |pt AS (SELECT event_type AS treatment,
+        |    CAST(SUM(s4) AS HUGEINT) AS sj4 FROM sc GROUP BY 1),
+        |b16 AS (SELECT SUM(sj4 * sj4) AS b16 FROM pt),
+        |f AS (SELECT nb, k,
+        |    CASE WHEN CAST(nb AS HUGEINT) * a16 - b16 > 0 THEN
+        |      CAST(CAST((nb - 1) * b16 AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(CAST(nb AS HUGEINT) * a16 - b16 AS VARCHAR)
+        |          AS DOUBLE) END AS f_stat
+        |  FROM sh, a16, b16)
+        |SELECT treatment, nb AS n_blocks, k AS k_treatments,
+        |  CAST(sj4 AS BIGINT) AS s4_sum, f_stat
+        |FROM pt, f""".stripMargin,
+
+    // KW pooled doubled midranks -> per-group parts -> pairwise z with
+    // the identical variance/mean-rank double chain
+    "q390_dunn" ->
+      """WITH b AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b
+        |  GROUP BY 1, 2),
+        |pooled AS (SELECT v, t, 2 * (cum - t) + t + 1 AS rd FROM (
+        |  SELECT v, t, CAST(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1))),
+        |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS nj,
+        |    CAST(SUM(CAST(c AS HUGEINT) * rd) AS BIGINT) AS r2
+        |  FROM cells JOIN pooled ON cells.v = pooled.v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie3
+        |  FROM pooled)
+        |SELECT 'all' AS k, a.g AS group_a, b2.g AS group_b,
+        |  a.nj AS n_a, b2.nj AS n_b,
+        |  CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) / 12.0
+        |      > 0.0 THEN
+        |    (CAST(a.r2 AS DOUBLE) / (2.0 * CAST(a.nj AS DOUBLE))
+        |      - CAST(b2.r2 AS DOUBLE) / (2.0 * CAST(b2.nj AS DOUBLE)))
+        |    / sqrt(((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) / 12.0)
+        |      * (1.0 / CAST(a.nj AS DOUBLE) + 1.0 / CAST(b2.nj AS DOUBLE)))
+        |  END AS z
+        |FROM pg a JOIN pg b2 ON a.g < b2.g, tot""".stripMargin,
+
+    // per-type lattice medians, |c − med| deviations, cent²-floored
+    // ANOVA terms, one F division
+    "q391_brown_forsythe" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |lat AS (SELECT g, c AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+        |  GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ngr FROM b
+        |  GROUP BY 1),
+        |md AS (SELECT g, MIN(v) AS med FROM (
+        |  SELECT lat.g, v, ngr, CAST(SUM(cnt) OVER (PARTITION BY lat.g
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM lat JOIN ng ON lat.g = ng.g)
+        |  WHERE cum * 2 >= ngr GROUP BY 1),
+        |z AS (SELECT b.g, abs(c - med) AS z FROM b JOIN md ON b.g = md.g),
+        |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+        |    SUM(CAST(z AS HUGEINT)) AS sz,
+        |    CAST(SUM(CAST(z AS HUGEINT) * z) AS BIGINT) AS sz2
+        |  FROM z GROUP BY 1),
+        |pt AS (SELECT *, CAST((sz * sz) // nj AS BIGINT) AS term FROM pg),
+        |a AS (SELECT CAST(SUM(nj) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(sz) AS zt, CAST(SUM(sz2) AS BIGINT) AS zz,
+        |    CAST(SUM(term) AS BIGINT) AS terms FROM pt)
+        |SELECT n, k AS k_groups,
+        |  CAST(terms - (zt * zt) // n AS BIGINT) AS ssb_cents2,
+        |  zz - terms AS ssw_cents2,
+        |  CASE WHEN k >= 2 AND zz - terms > 0 THEN
+        |    (CAST(n - k AS DOUBLE)
+        |      * CAST(terms - (zt * zt) // n AS DOUBLE))
+        |    / (CAST(k - 1 AS DOUBLE) * CAST(zz - terms AS DOUBLE))
+        |  END AS f_stat
+        |FROM a""".stripMargin,
   )
 }

@@ -289,6 +289,140 @@ object RankStats {
         col("tie_pairs_x"), col("tie_pairs_y"), col("tau_b"))
   }
 
+  /** Dunn's post-hoc test — the pairwise follow-up [[kruskalWallis]]
+    * points at ("KW says SOME group differs; Dunn says WHICH pairs"):
+    * for each group pair, `z = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j))`
+    * with `σ² = (n(n+1) − T/(n−1))/12`, T = Σ(t³−t) the tie
+    * correction — DERIVED from kruskalWallis' exact per-group parts
+    * (r_sum_doubled, n_j, tie_cubed_sum; the cohensD no-drift
+    * convention), so mean ranks are `r_sum_doubled/(2n_j)` and z is
+    * one fixed double chain per pair. The pair fan-out is k²-scale
+    * metadata (groups, not rows). Pairs ordered group_a < group_b
+    * (string order) — each pair once.
+    *
+    * Output per (key, group_a, group_b): (key, group_a, group_b, n_a,
+    * n_b, z) — z NULL when σ² ≤ 0 (degenerate all-tied key). */
+  def dunnTest(df: DataFrame, keyCol: String, groupCol: String,
+               valueCol: String): DataFrame = {
+    val kw = kruskalWallis(df, keyCol, groupCol, valueCol)
+      .localCheckpoint(true) // consumed twice (pair self-join)
+    val a = kw.select(col(keyCol), col(groupCol).cast("string").as("group_a"),
+      col("n_j").as("__na"), col("r_sum_doubled").as("__ra"),
+      col("n").as("__n"), col("tie_cubed_sum").as("__t"))
+    val b = kw.select(col(keyCol), col(groupCol).cast("string").as("group_b"),
+      col("n_j").as("__nb"), col("r_sum_doubled").as("__rb"))
+    a.join(b, Seq(keyCol)).filter(col("group_a") < col("group_b"))
+      .withColumn("__var",
+        (col("__n").cast("double") * (col("__n").cast("double") + 1.0)
+          - col("__t").cast("double") / (col("__n").cast("double") - 1.0))
+          / 12.0)
+      .withColumn("z", {
+        // binary operators at END of line — a leading `/` silently (or
+        // here loudly) ends the previous statement
+        val meanA = col("__ra").cast("double") /
+          (lit(2.0) * col("__na").cast("double"))
+        val meanB = col("__rb").cast("double") /
+          (lit(2.0) * col("__nb").cast("double"))
+        val se = sqrt(col("__var") * (lit(1.0) / col("__na").cast("double")
+          + lit(1.0) / col("__nb").cast("double")))
+        when(col("__var") > 0.0, (meanA - meanB) / se)
+      })
+      .select(col(keyCol), col("group_a"), col("group_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"), col("z"))
+  }
+
+  /** Quade test — [[friedmanParts]] weighted by block INFORMATIVENESS
+    * (Friedman treats every block equally; Quade weights blocks by the
+    * rank of their value RANGE, so blocks where treatments actually
+    * separate count more — the standard k-treatment blocked test when
+    * effect sizes vary by block): with within-block doubled value
+    * midranks r2, across-block doubled range-ranks q2 (range = max−min
+    * cents, exact), the quadrupled scores `S4 = q2·(r2 − (k+1))`
+    * accumulate exactly, and with `A·16 = Σ S4²`,
+    * `Sj·4 = Σ_blocks S4` per treatment:
+    * `F = (n−1)·Σ_j Sj4² / (n·A16 − Σ_j Sj4²)` — the 16s cancel, one
+    * division of exact decimal-held integers (VARCHAR-route the big
+    * casts in mirrors — the hoeffdingD trap). Complete-design contract
+    * as friedman (ragged raises); F NULL when the denominator is 0
+    * (all blocks internally constant).
+    *
+    * Output per treatment: (treatment, n_blocks, k_treatments, s4_sum,
+    * f_stat) — f_stat identical on every row. */
+  def quadeParts(df: DataFrame, blockCol: String, treatmentCol: String,
+                 valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(blockCol).isNotNull
+      && col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__v"))
+    // within-block doubled midranks (the friedman chain)
+    val cells = base.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("__b")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .select(col("__b"), col("__v"),
+        (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L)
+          .as("__r2"))
+    // across-block doubled midranks of block ranges
+    val ranges = base.groupBy(col("__b"))
+      .agg((max(col("__v")) - min(col("__v"))).as("__range"),
+        count(lit(1)).as("__rows"),
+        count_distinct(col("__t")).as("__kt"))
+    val wr = Window.orderBy(col("__range").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rcells = ranges.groupBy(col("__range"))
+      .agg(count(lit(1)).as("__rc"))
+      .withColumn("__rcum", sum(col("__rc")).over(wr))
+      .select(col("__range"),
+        (lit(2L) * (col("__rcum") - col("__rc")) + col("__rc") + 1L)
+          .as("__q2"))
+    val gk = base.agg(count_distinct(col("__t")).as("__kg"))
+    val shape = ranges
+      .agg(count(lit(1)).cast("long").as("__nb"),
+        min(col("__rows")).as("__rmin"), max(col("__rows")).as("__rmax"),
+        min(col("__kt")).as("__kmin"), max(col("__kt")).as("__kmax"))
+      .crossJoin(broadcast(gk))
+      .withColumn("__k",
+        when(col("__rmin") =!= col("__rmax")
+          || col("__kmin") =!= col("__kmax")
+          || col("__rmin") =!= col("__kmin")
+          || col("__kmax") =!= col("__kg"), raise_error(lit(
+          "quadeParts: ragged design — every block must contain every" +
+            " treatment exactly once; zero-fill upstream")))
+          .otherwise(col("__kmax")).cast("long"))
+      .select(col("__nb"), col("__k"))
+    val scored = base
+      .join(ranked, Seq("__b", "__v"))
+      .join(ranges.select(col("__b"), col("__range")), Seq("__b"))
+      .join(Broadcasts.maybeBroadcast(rcells), Seq("__range"))
+      .crossJoin(broadcast(shape))
+      .withColumn("__s4",
+        (col("__q2").cast(d38) * (col("__r2") - (col("__k") + 1)))
+          .cast(d38))
+    val a16 = scored.agg(
+      sum(col("__s4") * col("__s4")).cast(d38).as("__a16"))
+    val perTreat = scored.groupBy(col("__t"))
+      .agg(max(col("__nb")).as("n_blocks"), max(col("__k"))
+        .as("k_treatments"),
+        sum(col("__s4")).cast(d38).as("__sj4"))
+    val bsum = perTreat.agg(
+      sum(col("__sj4") * col("__sj4")).cast(d38).as("__b16"))
+    perTreat.crossJoin(broadcast(a16)).crossJoin(broadcast(bsum))
+      .withColumn("__den",
+        (col("n_blocks").cast(d38) * col("__a16") - col("__b16"))
+          .cast(d38))
+      .withColumn("f_stat",
+        when(col("__den") > 0,
+          ((col("n_blocks") - 1).cast(d38) * col("__b16")).cast(d38)
+            .cast("double") / col("__den").cast("double")))
+      .select(col("__t").as("treatment"), col("n_blocks"),
+        col("k_treatments"), col("__sj4").cast("long").as("s4_sum"),
+        col("f_stat"))
+  }
+
   /** Goodman–Kruskal γ and Somers' D — the two remaining classical
     * ordinal-association readouts, DERIVED from [[kendallTau]]'s exact
     * concordant/discordant/tie-pair integers (the

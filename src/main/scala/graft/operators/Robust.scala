@@ -819,6 +819,71 @@ object Robust {
         col("chi2_term"), col("chi2"), col("n"))
   }
 
+  /** Brown–Forsythe test — "do the k groups have the same SPREAD?"
+    * (the robust Levene variant: one-way ANOVA on absolute deviations
+    * from each group's MEDIAN, immune to the outliers and skew that
+    * break a raw variance-ratio test — the homoscedasticity gate
+    * before pooling variances in [[welchTTest]]-style comparisons):
+    * per-group exact lattice medians (the [[moodMedian]] selection
+    * rule, per group), deviations `z = |c − med_g|` exact cents, then
+    * F from the one-way ANOVA identity with every per-group rational
+    * `(Σz_j)²/n_j` FLOORED onto the cent² grid (`(Σz_j)² div n_j` —
+    * exact integer division of exact decimals, the [[cramersV]]
+    * flooring discipline; the error is < 1 cent² per group against
+    * SS terms ~10¹⁵), so SSB/SSW are exact BIGINTs at any parallelism
+    * and F is one division: `F = ((N−k)·SSB) / ((k−1)·SSW)`.
+    *
+    * Output: one row (n, k_groups, ssb_cents2, ssw_cents2, f_stat) —
+    * F NULL when SSW = 0 or k < 2. BIGINT bound: (Σz_j)²/n_j needs
+    * n_j·z̄² < 9e18 — cents ~10⁵ are safe past 10⁸ rows/group (ANSI
+    * throws loudly beyond). */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = base.groupBy(col("__g"), col("__c").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .join(Broadcasts.maybeBroadcast(
+        base.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))), Seq("__g"))
+      .filter(col("__cum") * 2 >= col("__ng"))
+      .groupBy(col("__g")).agg(min(col("__v")).as("__med"))
+    val z = base.join(Broadcasts.maybeBroadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__c") - col("__med")).as("__z"))
+    val perGroup = z.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__nj"),
+        sum(col("__z").cast(d38)).cast(d38).as("__sz"),
+        sum(col("__z").cast(d38) * col("__z")).cast(d38).cast("long")
+          .as("__sz2"))
+      .withColumn("__term", expr("(__sz * __sz) div __nj"))
+    val agg = perGroup.agg(
+      sum(col("__nj")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("k_groups"),
+      sum(col("__sz")).cast(d38).as("__z_total"),
+      sum(col("__sz2")).cast("long").as("__zz_total"),
+      sum(col("__term")).cast("long").as("__terms"))
+    agg
+      .withColumn("__grand",
+        expr("(__z_total * __z_total) div n"))
+      .withColumn("ssb_cents2", (col("__terms") - col("__grand"))
+        .cast("long"))
+      .withColumn("ssw_cents2", (col("__zz_total") - col("__terms"))
+        .cast("long"))
+      .withColumn("f_stat",
+        when(col("k_groups") >= 2 && col("ssw_cents2") > 0,
+          ((col("n") - col("k_groups")).cast("double")
+            * col("ssb_cents2").cast("double"))
+            / ((col("k_groups") - 1).cast("double")
+              * col("ssw_cents2").cast("double"))))
+      .select(col("n"), col("k_groups"), col("ssb_cents2"),
+        col("ssw_cents2"), col("f_stat"))
+  }
+
   /** Mood's median test — "do the k groups straddle the pooled median
     * the same way?": dichotomize every row against the GRAND median
     * (ties at the median count as at-or-below — the classical

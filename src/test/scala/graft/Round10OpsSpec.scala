@@ -227,6 +227,56 @@ class Round10OpsSpec extends SparkSpec {
     assert(RankStats.hoeffdingD(four, "k", "x", "y").head().isNullAt(4))
   }
 
+  test("quadeParts: hand-computed weighted-block fixture, zero-range " +
+    "block contributes nothing, ragged raise") {
+    import graft.operators.RankStats
+    // ranges 200,200,0 -> q2 = 5,5,2; r2 = (2,4),(2,4),(3,3);
+    // S4: (-5,5),(-5,5),(0,0) -> A16=100, Sj4=(-10,10), B16=200,
+    // F = 2*200/(3*100-200) = 4
+    val df = Seq(("b1", "t1", 1.0), ("b1", "t2", 3.0),
+      ("b2", "t1", 2.0), ("b2", "t2", 4.0),
+      ("b3", "t1", 5.0), ("b3", "t2", 5.0)).toDF("b", "t", "v")
+    val r = RankStats.quadeParts(df, "b", "t", "v")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    assert(r("t1") == ((3L, 2L, -10L, 4.0)))
+    assert(r("t2") == ((3L, 2L, 10L, 4.0)))
+    val ragged = Seq(("b1", "t1", 1.0), ("b2", "t1", 1.0),
+      ("b2", "t2", 2.0)).toDF("b", "t", "v")
+    val e = intercept[Exception] {
+      RankStats.quadeParts(ragged, "b", "t", "v").collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("dunnTest: two clean groups reproduce the textbook z chain") {
+    import graft.operators.RankStats
+    val df = Seq(("all", "a", 1.0), ("all", "a", 2.0),
+      ("all", "b", 3.0), ("all", "b", 4.0)).toDF("k", "g", "v")
+    val r = RankStats.dunnTest(df, "k", "g", "v").head()
+    assert(r.getString(1) == "a" && r.getString(2) == "b")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    val vr = (4.0 * (4.0 + 1.0) - 0.0 / (4.0 - 1.0)) / 12.0
+    val z = (6.0 / (2.0 * 2.0) - 14.0 / (2.0 * 2.0)) /
+      math.sqrt(vr * (1.0 / 2.0 + 1.0 / 2.0))
+    assert(r.getDouble(5) == z)
+  }
+
+  test("brownForsythe: hand-floored cent² terms, F = 4 on the " +
+    "spread-vs-constant fixture") {
+    import graft.operators.Robust
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    // a: med 2, z = (100,0,100) -> term = 40000 div 3 = 13333
+    // b: z = 0 -> term 0; grand = 40000 div 6 = 6666
+    // ssb = 6667, ssw = 6667, F = 4*6667/6667 = 4
+    val r = Robust.brownForsythe(df, "g", "v").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 6667L && r.getLong(3) == 6667L)
+    assert(r.getDouble(4) == 4.0)
+  }
+
   test("momentsByKey: uniform 3-point fixture — exact partials, skew 0, " +
     "excess kurtosis -1.5; constant key NULLs") {
     import graft.operators.Robust
