@@ -4197,6 +4197,54 @@ object SparkEntry {
     "q391_brown_forsythe" -> ((s, d) =>
       graft.operators.Robust.brownForsythe(t(s, d, "events"),
         "event_type", "value")),
+
+    // incremental manifest refresh: append 4 files to a 12-file lake,
+    // refresh scans ONLY the new footers (require), the refreshed
+    // manifest equals a full rebuild row-for-row (require), and the
+    // manifest-planned pruned read still matches the full scan
+    "q392_manifest_refresh" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mref")
+        .toString + "/li"
+      val li = t(s, d, "lineitem")
+      val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2L
+      li.filter(col("l_orderkey") <= mid)
+        .repartitionByRange(12, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey").write.parquet(dir)
+      graft.sources.Tables.writeManifest(s, dir, Seq("l_orderkey"))
+      val before = s.read.parquet(dir).inputFiles.length
+      li.filter(col("l_orderkey") > mid)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      val after = s.read.parquet(dir).inputFiles.length
+      val scanned = graft.sources.Tables.refreshManifest(s, dir,
+        Seq("l_orderkey"))
+      require(scanned == (after - before).toLong,
+        s"manifest refresh scanned $scanned footers, expected only the" +
+          s" ${after - before} appended files")
+      val full = graft.sources.Tables.footerStatsTyped(s, dir,
+        Seq("l_orderkey")).orderBy(col("path")).collect().map(_.toSeq)
+      val man = s.read.parquet(s"$dir/_graft_manifest")
+        .orderBy(col("path")).collect().map(_.toSeq)
+      require(full.length == man.length
+        && full.zip(man).forall { case (x, y) => x == y },
+        "refreshed manifest diverged from a full rebuild")
+      val hi = li.agg(max(col("l_orderkey"))).head().getLong(0) / 8L
+      val pruned = graft.sources.Tables.readPrunedManifest(s, dir,
+        Seq[(String, Any, Any)](("l_orderkey", 1L, hi)))
+      require(pruned.inputFiles.length * 2 < after,
+        s"refreshed-manifest prune regressed:" +
+          s" opened ${pruned.inputFiles.length} of $after files")
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("qty_cents"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12249,5 +12297,18 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    / (CAST(k - 1 AS DOUBLE) * CAST(zz - terms AS DOUBLE))
         |  END AS f_stat
         |FROM a""".stripMargin,
+
+    // manifest refresh changes planning only — the q330 box over the
+    // whole (base + appended) table
+    "q392_manifest_refresh" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND
+        |  (SELECT MAX(l_orderkey) // 8 FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -225,6 +225,42 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Clustering-depth readout from zone-map stats — "how good is this
+    * layout for column `c`?" as one number instead of a per-probe
+    * experiment: for each file, the count of OTHER files whose
+    * [min, max] range on `c` overlaps it. Perfectly range-cut files
+    * score 0 (a point probe opens 1 file); a layout ignoring `c`
+    * scores ~n_files (every probe opens everything) — the metric a
+    * maintenance planner reads to decide whether a
+    * [[rewriteClustered]] on `c` would pay, the same signal Delta's
+    * OPTIMIZE clustering-depth reports. NULL-bounded files overlap
+    * everything by the conservative rule and are counted as such.
+    * Input is file-count-scale metadata, so the pairwise comparison
+    * is a metadata² self-join — fine to ~10⁴ files; lift to a sort +
+    * sweep if manifests grow past that.
+    *
+    * Output: one row (n_files, n_bounded, total_overlaps,
+    * max_overlaps, avg_overlaps). */
+  def overlapDepth(stats: DataFrame, c: String): DataFrame = {
+    val a = stats.select(col("path").as("__pa"),
+      col(s"${c}_min").as("__la"), col(s"${c}_max").as("__ha"))
+    val b = stats.select(col("path").as("__pb"),
+      col(s"${c}_min").as("__lb"), col(s"${c}_max").as("__hb"))
+    val overlapping = a.crossJoin(b)
+      .filter(col("__pa") =!= col("__pb"))
+      .filter(col("__la").isNull || col("__lb").isNull ||
+        (col("__ha") >= col("__lb") && col("__la") <= col("__hb")))
+      .groupBy(col("__pa")).agg(count(lit(1)).as("__ov"))
+    a.join(overlapping, Seq("__pa"), "left")
+      .withColumn("__ov", coalesce(col("__ov"), lit(0L)))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(when(col("__la").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_bounded"),
+        sum(col("__ov")).cast("long").as("total_overlaps"),
+        max(col("__ov")).cast("long").as("max_overlaps"),
+        avg(col("__ov").cast("double")).as("avg_overlaps"))
+  }
+
   /** Files a box predicate `lo <= col <= hi` (per column) cannot rule
     * out, given [[skippingStats]] output — the planner's candidate
     * set. A file is skippable iff ANY predicate's range misses the

@@ -187,10 +187,11 @@ object Tables {
     * against. */
   private[graft] def footerStatsKinds(spark: SparkSession, path: String,
       cols: Seq[String], kinds: Seq[Char],
-      distributed: Boolean = true): DataFrame = {
+      distributed: Boolean = true,
+      onlyFiles: Option[Seq[String]] = None): DataFrame = {
     require(cols.nonEmpty, "cols required")
     import org.apache.spark.sql.types.{StructType, StructField, StringType, DoubleType}
-    val files = listDataFiles(spark, path)
+    val files = onlyFiles.getOrElse(listDataFiles(spark, path))
     val colsV = cols.toVector
     val kindsV = kinds.toVector
     val confProps = {
@@ -295,6 +296,66 @@ object Tables {
     footerStatsTyped(spark, path, cols)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mp)
     mp
+  }
+
+  /** Incremental manifest maintenance — the append-path companion of
+    * [[writeManifest]]: footer stats are computed ONLY for data files
+    * the manifest doesn't know yet (the normal case: a lake grows by
+    * appends, and re-reading 10⁵ old footers per refresh would defeat
+    * the manifest), manifest rows for files no longer listed are
+    * dropped (compaction/vacuum), and the merged table swaps in. The
+    * per-refresh cost is O(new files) footer reads + one
+    * file-count-scale metadata rewrite — the Delta checkpoint-delta
+    * shape. The manifest's column set is pinned at [[writeManifest]]
+    * time; refreshing with a different `cols` raises (a half-covered
+    * manifest would silently stop pruning the missing columns).
+    * Returns the number of newly scanned files. */
+  def refreshManifest(spark: SparkSession, path: String,
+                      cols: Seq[String]): Long = {
+    val mp = s"$path/_graft_manifest"
+    readParquetIfExists(spark, mp) match {
+      case None =>
+        writeManifest(spark, path, cols)
+        listDataFiles(spark, path).size.toLong
+      case Some(m) =>
+        cols.foreach { c =>
+          require(m.columns.contains(s"${c}_min"),
+            s"manifest at $mp has no bounds for '$c' — re-run" +
+              " writeManifest to change the column set")
+        }
+        val files = listDataFiles(spark, path)
+        val known = m.select(col("path")).collect().map(_.getString(0))
+          .toSet
+        val newFiles = files.filterNot(known)
+        val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val filesDf = spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              files.map(f => org.apache.spark.sql.Row(f))).asJava),
+          fileSchema)
+        val kept = m.join(filesDf, Seq("path")) // drop vanished files
+        val merged =
+          if (newFiles.isEmpty) kept
+          else {
+            val schema = spark.read.parquet(path).schema
+            import org.apache.spark.sql.types._
+            def kindOf(c: String): Char =
+              schema.find(_.name == c).map(_.dataType).map {
+                case ByteType | ShortType | IntegerType | LongType
+                     | DateType | TimestampType | TimestampNTZType => 'L'
+                case FloatType | DoubleType => 'D'
+                case StringType => 'S'
+                case _ => 'X'
+              }.getOrElse('X')
+            kept.unionByName(footerStatsKinds(spark, path, cols,
+              cols.map(kindOf), onlyFiles = Some(newFiles)))
+          }
+        val out = merged.localCheckpoint(true) // read side of the swap
+        out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mp)
+        newFiles.size.toLong
+    }
   }
 
   /** [[readPrunedBox]] planning from the persisted [[writeManifest]]

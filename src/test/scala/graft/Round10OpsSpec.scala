@@ -208,6 +208,58 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("refreshManifest: only new footers scanned, vanished files " +
+    "dropped, column-set mismatch raises") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-rspec")
+      .toString + "/t"
+    spark.range(0, 4000).select(col("id").as("x"))
+      .repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    Tables.writeManifest(spark, dir, Seq("x"))
+    // no change -> nothing scanned, manifest intact
+    assert(Tables.refreshManifest(spark, dir, Seq("x")) == 0L)
+    spark.range(4000, 6000).select(col("id").as("x"))
+      .repartitionByRange(2, col("x")).sortWithinPartitions("x")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val n = spark.read.parquet(dir).inputFiles.length
+    assert(Tables.refreshManifest(spark, dir, Seq("x")) == (n - 4).toLong)
+    val man = spark.read.parquet(s"$dir/_graft_manifest")
+    assert(man.count() == n)
+    val full = Tables.footerStatsTyped(spark, dir, Seq("x"))
+      .orderBy("path").collect().map(_.toSeq)
+    assert(man.orderBy("path").collect().map(_.toSeq).toSeq
+      == full.toSeq)
+    // a column the manifest was not built with raises
+    intercept[IllegalArgumentException] {
+      Tables.refreshManifest(spark, dir, Seq("x", "nope"))
+    }
+  }
+
+  test("overlapDepth: disjoint files score 0, interleaved count each " +
+    "other, NULL bounds overlap everything") {
+    import graft.operators.Layout
+    def stats(rows: Seq[(String, Any, Any)]) =
+      rows.map { case (p, lo, hi) =>
+        (p, Option(lo).map(_.asInstanceOf[Long].longValue()),
+          Option(hi).map(_.asInstanceOf[Long].longValue()))
+      }.toDF("path", "x_min", "x_max")
+    val disjoint = stats(Seq(("a", 0L, 9L), ("b", 10L, 19L),
+      ("c", 20L, 29L)))
+    val d = Layout.overlapDepth(disjoint, "x").head()
+    assert(d.getLong(0) == 3L && d.getLong(2) == 0L && d.getLong(3) == 0L)
+    val inter = stats(Seq(("a", 0L, 20L), ("b", 10L, 30L),
+      ("c", 15L, 25L)))
+    val i = Layout.overlapDepth(inter, "x").head()
+    assert(i.getLong(2) == 6L && i.getLong(3) == 2L
+      && i.getDouble(4) == 2.0)
+    // a NULL-bounded file overlaps (and is overlapped by) everything
+    val withNull = stats(Seq(("a", 0L, 9L), ("b", 20L, 29L),
+      ("n", null, null)))
+    val w = Layout.overlapDepth(withNull, "x").head()
+    assert(w.getLong(1) == 2L && w.getLong(2) == 4L && w.getLong(3) == 2L)
+  }
+
   test("hoeffdingD: perfect monotone scores exactly 1; hand-computed " +
     "tied-U fixture parts; NULL below n = 5") {
     import graft.operators.RankStats
