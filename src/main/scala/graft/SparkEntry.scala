@@ -4245,6 +4245,58 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // lakeIngestSink replay: two batches folded through the sink's
+    // exact foreachBatch body (batch-scoped overwrite + manifest
+    // refresh), the SECOND batch then crash-REPLAYED — path-determined
+    // idempotence must leave contents and manifest equal to a full
+    // rebuild, and the manifest-planned scan must match the one-shot
+    // table
+    "q393_lake_ingest_replay" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+        .toString + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), dayofmonth(col("ts")).as("dom"))
+      def ingest(batchId: Long, pred: org.apache.spark.sql.Column): Unit = {
+        ev.filter(pred).repartitionByRange(4, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/batch-$batchId")
+        graft.sources.Tables.refreshManifest(s, dir, Seq("user_id"))
+      }
+      ingest(0L, col("dom") <= 15)
+      ingest(1L, col("dom") > 15)
+      ingest(1L, col("dom") > 15) // crash replay of batch 1
+      val full = graft.sources.Tables.footerStatsTyped(s, dir,
+        Seq("user_id")).orderBy(col("path")).collect().map(_.toSeq)
+      val man = s.read.parquet(s"$dir/_graft_manifest")
+        .orderBy(col("path")).collect().map(_.toSeq)
+      require(full.length == man.length
+        && full.zip(man).forall { case (x, y) => x == y },
+        "post-replay manifest diverged from a full rebuild")
+      val nFiles = s.read.option("recursiveFileLookup", "true")
+        .parquet(dir).inputFiles.length
+      val hiU = ev.agg(max(col("user_id"))).head().getLong(0) / 8L
+      val pruned = graft.sources.Tables.readPrunedManifest(s, dir,
+        Seq[(String, Any, Any)](("user_id", 0L, hiU)))
+      require(pruned.inputFiles.length * 2 < nFiles,
+        s"ingested-lake prune regressed: opened" +
+          s" ${pruned.inputFiles.length} of $nFiles files")
+      pruned.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"),
+          count_distinct(col("event_id")).cast("long").as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // two-sample Cramér-von Mises per event type across the user-parity
+    // split — the integrated EDF distance beside the KS max-gap; exact
+    // doubled-midrank U, one double chain
+    "q394_cvm" -> ((s, d) =>
+      graft.operators.RankStats.cramerVonMises(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12310,5 +12362,54 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |FROM lineitem WHERE l_orderkey BETWEEN 1 AND
         |  (SELECT MAX(l_orderkey) // 8 FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ingest + replay change nothing semantically: the same user-range
+    // box over the one-shot events table
+    "q393_lake_ingest_replay" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+        |FROM events
+        |WHERE ts IS NOT NULL AND user_id BETWEEN 0 AND
+        |  (SELECT MAX(user_id) // 8 FROM events WHERE ts IS NOT NULL)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pooled + own-sample doubled midranks on the value lattice, exact
+    // U4, the identical T chain
+    "q394_cvm" ->
+      """WITH cells AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT k, ca, cb,
+        |    2 * (cum - t) + t + 1 AS rd,
+        |    2 * (cuma - ca) + ca + 1 AS ida,
+        |    2 * (cumb - cb) + cb + 1 AS idb
+        |  FROM (SELECT *, ca + cb AS t,
+        |    CAST(SUM(ca + cb) OVER win AS BIGINT) AS cum,
+        |    CAST(SUM(ca) OVER win AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER win AS BIGINT) AS cumb
+        |  FROM cells WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))),
+        |p AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (rd - ida) * (rd - ida)) AS ua,
+        |    SUM(CAST(cb AS HUGEINT) * (rd - idb) * (rd - idb)) AS ub
+        |  FROM r GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CAST(CAST(n_a AS HUGEINT) * ua + CAST(n_b AS HUGEINT) * ub
+        |    AS BIGINT) AS u4,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(CAST(n_a AS HUGEINT) * ua + CAST(n_b AS HUGEINT) * ub
+        |      AS BIGINT)
+        |    / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |    - (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - 1.0)
+        |      / (6.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |  END AS t_stat
+        |FROM p""".stripMargin,
   )
 }

@@ -289,6 +289,64 @@ object RankStats {
         col("tie_pairs_x"), col("tie_pairs_y"), col("tau_b"))
   }
 
+  /** Two-sample Cramér–von Mises test per key — the INTEGRATED
+    * EDF-distance sibling of the KS test (KS reads the single worst
+    * gap between the two empirical CDFs; CvM integrates the squared
+    * gap over the whole pooled sample, so spread-out moderate
+    * differences that never spike past KS's maximum still register):
+    * Anderson's rank form `U = n·Σ_i (r_i − i)² + m·Σ_j (s_j − j)²`
+    * with r/s the pooled ranks and i/j the within-sample positions,
+    * computed on DOUBLED midranks (`U·4 = n·Σ(rd−id)² + m·Σ(sd−jd)²`
+    * — ties take midranks on both the pooled and own axes, every term
+    * an exact BIGINT-in-decimal), then
+    * `T = U4/(4·n·m·(n+m)) − (4nm−1)/(6(n+m))` as one fixed double
+    * chain. All cumulatives run over per-key distinct-VALUE lattices
+    * (the doubled-midrank house pattern — never a row rank).
+    *
+    * Output per key: (key, n_a, n_b, u4, t_stat) — NULL T when either
+    * side is empty. */
+  def cramerVonMises(df: DataFrame, keyCol: String, valueCol: String,
+                     isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      // pooled and own-sample doubled midranks at this value
+      .withColumn("__rd",
+        lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+      .withColumn("__ida",
+        lit(2L) * (col("__cuma") - col("__ca")) + col("__ca") + 1L)
+      .withColumn("__idb",
+        lit(2L) * (col("__cumb") - col("__cb")) + col("__cb") + 1L)
+    val parts = ranked.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        sum(col("__ca").cast(d38) * (col("__rd") - col("__ida"))
+          * (col("__rd") - col("__ida"))).cast(d38).as("__ua"),
+        sum(col("__cb").cast(d38) * (col("__rd") - col("__idb"))
+          * (col("__rd") - col("__idb"))).cast(d38).as("__ub"))
+    parts
+      .withColumn("u4",
+        (col("n_a").cast(d38) * col("__ua")
+          + col("n_b").cast(d38) * col("__ub")).cast(d38).cast("long"))
+      .withColumn("t_stat", {
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("u4").cast("double") / (lit(4.0) * na * nb * (na + nb)) -
+            (lit(4.0) * na * nb - 1.0) / (lit(6.0) * (na + nb)))
+      })
+      .select(col(keyCol), col("n_a"), col("n_b"), col("u4"),
+        col("t_stat"))
+  }
+
   /** Dunn's post-hoc test — the pairwise follow-up [[kruskalWallis]]
     * points at ("KW says SOME group differs; Dunn says WHICH pairs"):
     * for each group pair, `z = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j))`

@@ -239,7 +239,8 @@ object Tables {
     * conservative keep, never a wrong skip. */
   def footerStatsTyped(spark: SparkSession, path: String,
                        cols: Seq[String]): DataFrame = {
-    val schema = spark.read.parquet(path).schema
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
     import org.apache.spark.sql.types._
     def kindOf(c: String): Char =
       schema.find(_.name == c).map(_.dataType).map {
@@ -339,7 +340,8 @@ object Tables {
         val merged =
           if (newFiles.isEmpty) kept
           else {
-            val schema = spark.read.parquet(path).schema
+            val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
             import org.apache.spark.sql.types._
             def kindOf(c: String): Char =
               schema.find(_.name == c).map(_.dataType).map {
@@ -481,7 +483,8 @@ object Tables {
     }.reduce(_ && _)
     val cand = stats.filter(keep)
       .select(col("path")).collect().map(_.getString(0))
-    val schema = spark.read.parquet(path).schema
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
     val pred = box.map { case (c, lo, hi) =>
       col(c) >= boundLit(lo) && col(c) <= boundLit(hi)
     }.reduce(_ && _)

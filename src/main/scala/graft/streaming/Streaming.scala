@@ -1117,6 +1117,33 @@ object Streaming {
       }
       .start()
 
+  /** Streaming lake ingest WITH manifest upkeep — the write path that
+    * keeps [[graft.sources.Tables.readPrunedManifest]] honest on a
+    * growing lake: each micro-batch lands in its own batch-scoped
+    * subdirectory (`batch-<id>` — deterministic path, so a
+    * crash-replayed batch OVERWRITES its own directory instead of
+    * appending duplicates: idempotence by path, the monthOverwrite
+    * rule, no fence table needed), then
+    * [[graft.sources.Tables.refreshManifest]] folds ONLY the new
+    * files' footers into the manifest (a replay's rewritten files
+    * appear as new + vanished rows — refresh reconciles both sides).
+    * Sort `df` by the manifest columns upstream (or rewrite in the
+    * maintenance window) for tight per-file bounds; per-batch cost is
+    * the batch write + O(batch files) footer reads. */
+  def lakeIngestSink(df: DataFrame, path: String,
+                     manifestCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/batch-$batchId")
+        graft.sources.Tables.refreshManifest(batch.sparkSession, path,
+          manifestCols)
+        ()
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -329,6 +329,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 4.0)
   }
 
+  test("cramerVonMises: hand-ranked fixture, identical samples score " +
+    "exactly 0") {
+    import graft.operators.RankStats
+    // X={1,2}, Y={3}: rd=2,4,6; ida=2,4; idb=2 -> U4 = 1*(6-2)^2 = 16
+    val df = Seq(("k", 1.0, true), ("k", 2.0, true), ("k", 3.0, false))
+      .toDF("g", "v", "a")
+    val r = RankStats.cramerVonMises(df, "g", "v", col("a")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L && r.getLong(3) == 16L)
+    val expT = 16.0 / (4.0 * 2.0 * 1.0 * (2.0 + 1.0)) -
+      (4.0 * 2.0 * 1.0 - 1.0) / (6.0 * (2.0 + 1.0))
+    assert(r.getDouble(4) == expT)
+    // identical (fully tied) samples: midranks align, T = 0 exactly
+    val same = Seq(("k", 1.0, true), ("k", 1.0, false)).toDF("g", "v", "a")
+    val s2 = RankStats.cramerVonMises(same, "g", "v", col("a")).head()
+    assert(s2.getLong(3) == 2L && s2.getDouble(4) == 0.0)
+  }
+
   test("momentsByKey: uniform 3-point fixture — exact partials, skew 0, " +
     "excess kurtosis -1.5; constant key NULLs") {
     import graft.operators.Robust

@@ -673,6 +673,36 @@ class StreamingSpec extends SparkSpec {
     assert(hits.filter(!$"might_contain").count() == 0)
   }
 
+  test("lakeIngestSink: batches land in batch dirs, manifest stays " +
+    "equal to a full rebuild, pruned reads work on the ingested lake") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ingestsink").toString
+    val lake = dir + "/lake"
+    val in = MemoryStream[(Long, Long)]
+    val q = Streaming.lakeIngestSink(in.toDF().toDF("x", "y"),
+      lake, Seq("x"), dir + "/ckpt")
+    try {
+      in.addData((0L until 40L).map(i => (i, i % 7)): _*)
+      q.processAllAvailable()
+      in.addData((40L until 80L).map(i => (i, i % 7)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val data = spark.read.option("recursiveFileLookup", "true")
+      .parquet(lake)
+    assert(data.count() == 80L)
+    val man = spark.read.parquet(s"$lake/_graft_manifest")
+      .orderBy("path").collect().map(_.toSeq)
+    val full = graft.sources.Tables.footerStatsTyped(spark, lake, Seq("x"))
+      .orderBy("path").collect().map(_.toSeq)
+    assert(man.length == full.length
+      && man.zip(full).forall { case (a, b) => a == b })
+    // the manifest-planned read returns the boxed subset exactly
+    val pruned = graft.sources.Tables.readPrunedManifest(spark, lake,
+      Seq[(String, Any, Any)](("x", 0L, 39L)))
+    assert(pruned.count() == 40L)
+  }
+
   test("ivfAppendSink: streamed vectors become searchable in the index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
