@@ -4297,6 +4297,19 @@ object SparkEntry {
       graft.operators.RankStats.cramerVonMises(
         t(s, d, "events").filter(col("user_id").isNotNull),
         "event_type", "value", col("user_id") % 2 === 0)),
+
+    // single mean-shift changepoint per event type over the daily
+    // series — exact cleared split statistic, deterministic tie-break
+    "q395_changepoint" -> ((s, d) =>
+      graft.operators.Timeseries.changePointMeanShift(
+        dailyCountSeries(s, d), "event_type", "x", "y")),
+
+    // shared-dialect RANGE window frames (value-distance frames +
+    // explicit NULLS FIRST) — identical SQL text in both engines
+    "q396_sql_range_frame" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlRangeFrameText)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -4357,6 +4370,25 @@ object SparkEntry {
   /** q331's SQL — ONE text executed verbatim by BOTH engines (the
     * shared-dialect subset: CTE chain, equi-join, ranking window with
     * a total-order tiebreak, decimal-grid cents). */
+  /** q396's SQL — shared-dialect RANGE window frames (value-distance
+    * frames, not row counts: the rolling "orders within 1000 keys"
+    * shape) with an explicit NULLS FIRST pin (Spark's ASC default;
+    * DuckDB defaults NULLS LAST — the one ordering divergence a
+    * shared text must name). Scoped by a scalar subquery so the
+    * global-ordered window runs over a bounded slice. */
+  private val sqlRangeFrameText: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |    AS BIGINT)) OVER (ORDER BY o_orderkey ASC NULLS FIRST
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS win_cents,
+      |  CAST(COUNT(*) OVER (ORDER BY o_orderkey ASC NULLS FIRST
+      |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+      |    AS n_near
+      |FROM orders
+      |WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 5000 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val sqlCteWindowText: String =
     """WITH rev AS (
       |  SELECT o_custkey, o_orderkey,
@@ -12411,5 +12443,38 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |      / (6.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
         |  END AS t_stat
         |FROM p""".stripMargin,
+
+    // prefix sums over the daily series, cleared split statistic,
+    // (g desc, x asc) pick
+    "q395_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, x,
+        |    CAST(CAST(y AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM daily),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s FROM c GROUP BY 1),
+        |sc AS (SELECT c.event_type, x, n, s,
+        |    CAST(ROW_NUMBER() OVER win AS BIGINT) AS k,
+        |    CAST(SUM(v) OVER (PARTITION BY c.event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p
+        |  FROM c JOIN t USING (event_type)
+        |  WINDOW win AS (PARTITION BY c.event_type ORDER BY x)),
+        |g AS (SELECT *,
+        |    CAST(((CAST(n AS HUGEINT) * p - CAST(k AS HUGEINT) * s)
+        |      * (CAST(n AS HUGEINT) * p - CAST(k AS HUGEINT) * s))
+        |      // (k * (n - k)) AS BIGINT) AS g_floor
+        |  FROM sc WHERE k < n),
+        |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY g_floor DESC, x ASC) AS rn FROM g)
+        |SELECT event_type, n, x AS split_x, k AS left_n,
+        |  p AS left_sum_cents, n - k AS right_n,
+        |  s - p AS right_sum_cents, g_floor
+        |FROM pick WHERE rn = 1""".stripMargin,
+
+    // the shared text verbatim
+    "q396_sql_range_frame" -> sqlRangeFrameText,
   )
 }

@@ -771,6 +771,66 @@ object Timeseries {
       })
   }
 
+  /** Single mean-shift changepoint per key — "WHERE did the level
+    * change?" (the localization companion of [[cusum]]'s when-did-it-
+    * drift alarm: binary segmentation's first split): over the
+    * x-ordered series, the best split k maximizes the scaled
+    * between-means statistic, and with prefix sums P_k the whole
+    * argmax clears to exact integers:
+    * `G_k ∝ (n·P_k − k·S)² / (k·(n−k))` — numerator exact decimal,
+    * FLOORED by the exact integer division (`div`, the [[graft
+    * .operators.Robust.cramersV]] discipline; the floor shifts G by
+    * < 1 against magnitudes ~10¹⁵ and cannot move the argmax except
+    * across exact ties, which the deterministic (g desc, x asc)
+    * tie-break already owns). Emits the split AFTER which the mean
+    * changes, with both sides' exact sums so the caller reads the
+    * means without re-scanning. Same unique-x / 2-dp contracts as
+    * [[durbinWatson]]. BIGINT bound: (n·P)²/k(n−k) — at daily-count
+    * scale ~10¹⁵; ANSI throws loudly past 9e18.
+    *
+    * Output per key: (key, n, split_x, left_n, left_sum_cents,
+    * right_n, right_sum_cents, g_floor) — NULL-free for n ≥ 2; keys
+    * with n < 2 are dropped (no interior split exists). */
+  def changePointMeanShift(df: DataFrame, keyCol: String, xCol: String,
+                           valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "changePointMeanShift: duplicate x within a key — " +
+            "pre-aggregate to one row per (key, x)")))
+          .otherwise(col("__v")))
+      .drop("__cx")
+    val tot = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).cast("long").as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    val scored = cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .filter(col("__k") < col("__n")) // interior splits only
+      .withColumn("__d",
+        (col("__n").cast(d38) * col("__p")
+          - col("__k").cast(d38) * col("__s")).cast(d38))
+      .withColumn("g_floor",
+        expr("(__d * __d) div (__k * (__n - __k))"))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("g_floor").desc, col("__x").asc)
+    scored.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").cast("long").as("n"),
+        col("__x").as("split_x"), col("__k").as("left_n"),
+        col("__p").as("left_sum_cents"),
+        (col("__n") - col("__k")).cast("long").as("right_n"),
+        (col("__s") - col("__p")).cast("long").as("right_sum_cents"),
+        col("g_floor").cast("long").as("g_floor"))
+  }
+
   /** Ljung–Box portmanteau test per key — "is there ANY autocorrelation
     * in the first m lags?" ([[durbinWatson]] sees lag 1; this is the
     * standard joint whiteness check before trusting i.i.d.-assuming

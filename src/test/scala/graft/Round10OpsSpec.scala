@@ -329,6 +329,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 4.0)
   }
 
+  test("changePointMeanShift: level shift found at the true split, " +
+    "exact side sums, duplicate x raises") {
+    import graft.operators.Timeseries
+    // 1,1,1,5,5 -> g_floor peaks at k=3 (hand: 960000 vs 160000/
+    // 426666/360000)
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 1.0), ("k", 3L, 1.0),
+      ("k", 4L, 5.0), ("k", 5L, 5.0)).toDF("g", "x", "v")
+    val r = Timeseries.changePointMeanShift(df, "g", "x", "v").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 300L)
+    assert(r.getLong(5) == 2L && r.getLong(6) == 1000L)
+    assert(r.getLong(7) == 960000L)
+    val dup = Seq(("k", 1L, 1.0), ("k", 1L, 2.0)).toDF("g", "x", "v")
+    val e = intercept[Exception] {
+      Timeseries.changePointMeanShift(dup, "g", "x", "v").collect()
+    }
+    assert(e.getMessage.contains("duplicate x"))
+    // n = 1: no interior split, key dropped
+    val one = Seq(("k", 1L, 1.0)).toDF("g", "x", "v")
+    assert(Timeseries.changePointMeanShift(one, "g", "x", "v")
+      .count() == 0)
+  }
+
   test("cramerVonMises: hand-ranked fixture, identical samples score " +
     "exactly 0") {
     import graft.operators.RankStats
