@@ -4310,6 +4310,20 @@ object SparkEntry {
       graft.sql.SqlCatalog.registerTables(s, d)
       s.sql(sqlRangeFrameText)
     }),
+
+    // two-sample Anderson-Darling (tail-weighted EDF member) on the
+    // q394 split — tie-aware Scholz-Stephens terms, unit-grid floors
+    "q397_anderson_darling" -> ((s, d) =>
+      graft.operators.RankStats.andersonDarling2(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
+
+    // energy distance on the same split — actual cent distances via
+    // the sorted-prefix identity, never an all-pairs join
+    "q398_energy_distance" -> ((s, d) =>
+      graft.operators.RankStats.energyDistance(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12476,5 +12490,88 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
 
     // the shared text verbatim
     "q396_sql_range_frame" -> sqlRangeFrameText,
+
+    // pooled lattice cumulatives, floored Scholz-Stephens terms, the
+    // identical A² chain
+    "q397_anderson_darling" ->
+      """WITH cells AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(ca) + SUM(cb) AS BIGINT) AS nn FROM cells
+        |  GROUP BY 1),
+        |r AS (SELECT cells.k, ca + cb AS t, na, nb, nn,
+        |    CAST(SUM(ca + cb) OVER win AS BIGINT) AS bj,
+        |    CAST(SUM(ca) OVER win AS BIGINT) AS ma,
+        |    CAST(SUM(cb) OVER win AS BIGINT) AS mb
+        |  FROM cells JOIN tot ON cells.k = tot.k
+        |  WINDOW win AS (PARTITION BY cells.k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT * FROM r WHERE bj < nn),
+        |a AS (SELECT k, CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b, CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(SUM((t * ((CAST(nn AS HUGEINT) * ma
+        |        - CAST(na AS HUGEINT) * bj)
+        |      * (CAST(nn AS HUGEINT) * ma - CAST(na AS HUGEINT) * bj)))
+        |      // (bj * (nn - bj))) AS BIGINT) AS sum_a_floor,
+        |    CAST(SUM((t * ((CAST(nn AS HUGEINT) * mb
+        |        - CAST(nb AS HUGEINT) * bj)
+        |      * (CAST(nn AS HUGEINT) * mb - CAST(nb AS HUGEINT) * bj)))
+        |      // (bj * (nn - bj))) AS BIGINT) AS sum_b_floor
+        |  FROM f GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, sum_a_floor, sum_b_floor,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (CAST(sum_a_floor AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      + CAST(sum_b_floor AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / CAST(nn AS DOUBLE) END AS a2_stat
+        |FROM a""".stripMargin,
+
+    // prefix (count, sum) pairs on the cent lattice, the identical
+    // e-statistic chain
+    "q398_energy_distance" ->
+      """WITH cells AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    CAST(SUM(ca) OVER win AS BIGINT) - ca AS cna,
+        |    CAST(SUM(cb) OVER win AS BIGINT) - cb AS cnb,
+        |    SUM(CAST(ca AS HUGEINT) * v) OVER win
+        |      - CAST(ca AS HUGEINT) * v AS csa,
+        |    SUM(CAST(cb AS HUGEINT) * v) OVER win
+        |      - CAST(cb AS HUGEINT) * v AS csb
+        |  FROM cells WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS HUGEINT)
+        |        * (CAST(v AS HUGEINT) * cnb - csb)
+        |      + CAST(cb AS HUGEINT) * (CAST(v AS HUGEINT) * cna - csa))
+        |      AS BIGINT) AS sab_cents,
+        |    CAST(SUM(CAST(ca AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * cna - csa)) AS BIGINT) AS saa_cents,
+        |    CAST(SUM(CAST(cb AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * cnb - csb)) AS BIGINT) AS sbb_cents
+        |  FROM cum GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, sab_cents, saa_cents,
+        |  sbb_cents,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    2.0 * CAST(sab_cents AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    - 2.0 * CAST(saa_cents AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+        |    - 2.0 * CAST(sbb_cents AS DOUBLE)
+        |      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |  END AS e_stat_cents
+        |FROM p""".stripMargin,
   )
 }

@@ -347,6 +347,130 @@ object RankStats {
         col("t_stat"))
   }
 
+  /** Two-sample Anderson–Darling test per key — the TAIL-WEIGHTED
+    * member of the EDF family (KS reads the worst gap, [[cramerVonMises]]
+    * integrates it uniformly; AD divides by B(N−B), so distribution
+    * differences in the TAILS — exactly where corpus quality filters
+    * bite — weigh most): the Scholz–Stephens tie-aware form
+    * `A² = (1/N)·Σ_i (1/n_i)·Σ_j t_j·(N·M_ij − n_i·B_j)²/(B_j(N−B_j))`
+    * over distinct pooled values j (the B_j = N endpoint drops — its
+    * weight is a removable 0/0), with each variable-denominator term
+    * FLOORED by exact integer division on the unit grid (the
+    * [[graft.operators.Robust.cramersV]] flooring discipline — the
+    * numerators are exact decimals, each floor loses < 1 against term
+    * sums ~10¹²⁺). One lattice cumulative per key; A² is one fixed
+    * double chain from the two exact per-sample sums.
+    *
+    * Output per key: (key, n_a, n_b, sum_a_floor, sum_b_floor,
+    * a2_stat) — NULL A² when either side is empty. */
+  def andersonDarling2(df: DataFrame, keyCol: String, valueCol: String,
+                       isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("__na"),
+        sum(col("__cb")).cast("long").as("__nb"))
+      .withColumn("__nn", col("__na") + col("__nb"))
+    val ranked = cells
+      .withColumn("__bj", sum(col("__t")).over(w))
+      .withColumn("__ma", sum(col("__ca")).over(w))
+      .withColumn("__mb", sum(col("__cb")).over(w))
+      .join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .filter(col("__bj") < col("__nn")) // the B = N endpoint drops
+      .withColumn("__da",
+        (col("__nn").cast(d38) * col("__ma")
+          - col("__na").cast(d38) * col("__bj")).cast(d38))
+      .withColumn("__db",
+        (col("__nn").cast(d38) * col("__mb")
+          - col("__nb").cast(d38) * col("__bj")).cast(d38))
+    val sums = ranked.groupBy(col(keyCol))
+      .agg(
+        sum(expr("(__t * (__da * __da)) div (__bj * (__nn - __bj))"))
+          .cast("long").as("__sa"),
+        sum(expr("(__t * (__db * __db)) div (__bj * (__nn - __bj))"))
+          .cast("long").as("__sb"))
+    // a key whose only value IS the B = N endpoint (fully tied
+    // identical samples) has no interior terms — that's A² = 0, not a
+    // dropped key
+    tot.join(sums, Seq(keyCol), "left")
+      .withColumn("sum_a_floor", coalesce(col("__sa"), lit(0L)))
+      .withColumn("sum_b_floor", coalesce(col("__sb"), lit(0L)))
+      .withColumn("a2_stat",
+        when(col("__na") > 0 && col("__nb") > 0,
+          (col("sum_a_floor").cast("double") / col("__na").cast("double") +
+            col("sum_b_floor").cast("double") / col("__nb").cast("double"))
+            / col("__nn").cast("double")))
+      .select(col(keyCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("sum_a_floor"), col("sum_b_floor"), col("a2_stat"))
+  }
+
+  /** Energy distance per key — the two-sample test that reads ACTUAL
+    * distances, not just ranks (Székely's e-statistic: `E = 2·E|X−Y|
+    * − E|X−X'| − E|Y−Y'|` ≥ 0, = 0 iff the distributions match — so
+    * unlike rank tests it also prices HOW FAR apart the masses sit,
+    * in the column's own units): every pairwise-|difference| sum
+    * clears to exact integers via the sorted-prefix identity
+    * `Σ_{j<i} c_j·(v_i − v_j) = v_i·ΣC_prev − ΣS_prev` on the cent
+    * grid — three running (count, sum) pairs on ONE per-key value-
+    * lattice window, never an all-pairs join. Sums count each
+    * unordered pair once and ride decimal (cast BIGINT out — safe to
+    * ~10¹⁸ cent-pair mass, loud past it).
+    *
+    * Output per key: (key, n_a, n_b, sab_cents, saa_cents, sbb_cents,
+    * e_stat_cents) — e_stat in CENTS (the value column's 2-dp grid
+    * ×100); NULL when either side is empty. */
+  def energyDistance(df: DataFrame, keyCol: String, valueCol: String,
+                     isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("__cna", sum(col("__ca")).over(w) - col("__ca"))
+      .withColumn("__cnb", sum(col("__cb")).over(w) - col("__cb"))
+      .withColumn("__csa",
+        sum(col("__ca").cast(d38) * col("__v")).over(w)
+          - col("__ca").cast(d38) * col("__v"))
+      .withColumn("__csb",
+        sum(col("__cb").cast(d38) * col("__v")).over(w)
+          - col("__cb").cast(d38) * col("__v"))
+    cum.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        // cross pairs: this cell's a-mass against all LOWER b-mass,
+        // plus this cell's b-mass against all lower a-mass
+        sum(col("__ca").cast(d38)
+          * (col("__v").cast(d38) * col("__cnb") - col("__csb"))
+          + col("__cb").cast(d38)
+          * (col("__v").cast(d38) * col("__cna") - col("__csa")))
+          .cast(d38).cast("long").as("sab_cents"),
+        sum(col("__ca").cast(d38)
+          * (col("__v").cast(d38) * col("__cna") - col("__csa")))
+          .cast(d38).cast("long").as("saa_cents"),
+        sum(col("__cb").cast(d38)
+          * (col("__v").cast(d38) * col("__cnb") - col("__csb")))
+          .cast(d38).cast("long").as("sbb_cents"))
+      .withColumn("e_stat_cents", {
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        when(col("n_a") > 0 && col("n_b") > 0,
+          lit(2.0) * col("sab_cents").cast("double") / (na * nb) -
+            lit(2.0) * col("saa_cents").cast("double") / (na * na) -
+            lit(2.0) * col("sbb_cents").cast("double") / (nb * nb))
+      })
+      .select(col(keyCol), col("n_a"), col("n_b"), col("sab_cents"),
+        col("saa_cents"), col("sbb_cents"), col("e_stat_cents"))
+  }
+
   /** Dunn's post-hoc test — the pairwise follow-up [[kruskalWallis]]
     * points at ("KW says SOME group differs; Dunn says WHICH pairs"):
     * for each group pair, `z = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j))`

@@ -369,6 +369,40 @@ class Round10OpsSpec extends SparkSpec {
     assert(s2.getLong(3) == 2L && s2.getDouble(4) == 0.0)
   }
 
+  test("andersonDarling2: hand-floored interleaved fixture, identical " +
+    "samples score 0, endpoint term drops") {
+    import graft.operators.RankStats
+    // X={1,3}, Y={2,4}: floored terms (1,0,1) per side -> sums 2,2,
+    // A2 = (2/2 + 2/2)/4 = 0.5
+    val df = Seq(("k", 1.0, true), ("k", 2.0, false), ("k", 3.0, true),
+      ("k", 4.0, false)).toDF("g", "v", "a")
+    val r = RankStats.andersonDarling2(df, "g", "v", col("a")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.5)
+    // fully tied identical samples: only the B = N endpoint exists
+    // per value... the single shared value IS the endpoint -> sums 0
+    val same = Seq(("k", 1.0, true), ("k", 1.0, false)).toDF("g", "v", "a")
+    val s2 = RankStats.andersonDarling2(same, "g", "v", col("a")).head()
+    assert(s2.getLong(3) == 0L && s2.getLong(4) == 0L
+      && s2.getDouble(5) == 0.0)
+  }
+
+  test("energyDistance: exact cent pair sums from the prefix identity, " +
+    "identical samples score 0") {
+    import graft.operators.RankStats
+    val df = Seq(("k", 0.0, true), ("k", 2.0, false)).toDF("g", "v", "a")
+    val r = RankStats.energyDistance(df, "g", "v", col("a")).head()
+    assert(r.getLong(3) == 200L && r.getLong(4) == 0L
+      && r.getLong(5) == 0L)
+    assert(r.getDouble(6) == 400.0)
+    val same = Seq(("k", 0.0, true), ("k", 2.0, true),
+      ("k", 0.0, false), ("k", 2.0, false)).toDF("g", "v", "a")
+    val s2 = RankStats.energyDistance(same, "g", "v", col("a")).head()
+    assert(s2.getLong(3) == 400L && s2.getLong(4) == 200L
+      && s2.getLong(5) == 200L && s2.getDouble(6) == 0.0)
+  }
+
   test("momentsByKey: uniform 3-point fixture — exact partials, skew 0, " +
     "excess kurtosis -1.5; constant key NULLs") {
     import graft.operators.Robust
