@@ -4324,6 +4324,65 @@ object SparkEntry {
       graft.operators.RankStats.energyDistance(
         t(s, d, "events").filter(col("user_id").isNotNull),
         "event_type", "value", col("user_id") % 2 === 0)),
+
+    // partial correlation of quantity↔price holding discount fixed,
+    // plus the 2-predictor R² — three exact moment-derived r's, two
+    // fixed chains
+    "q399_partial_corr" -> ((s, d) =>
+      graft.operators.Robust.partialCorrelation(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")),
+
+    // full table-maintenance cycle: 3-D clustered rewrite → manifest →
+    // overlapDepth requires (clustered beats the row-order layout on
+    // every cluster column) → manifest-planned box scan ≡ full scan
+    "q400_maintenance_cycle" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-maint")
+        .toString
+      val li = t(s, d, "lineitem")
+      li.repartition(16).write.parquet(s"$root/raw") // row-order layout
+      // balance the dimensions onto one 2^20 grid before interleaving
+      // (unbalanced spans starve the narrow column of high key bits —
+      // the first probe of this query measured ZERO partkey narrowing
+      // on the raw-span key); scaling is monotone, so raw-column
+      // bounds still narrow per file
+      val mm0 = li.agg(max(col("l_orderkey").cast("long")).as("ok"),
+        max(col("l_partkey").cast("long")).as("pk")).head()
+      val b20 = 1L << 20
+      li.withColumn("__ck", graft.operators.Layout.mortonCodeN(Seq(
+          expr(s"(l_orderkey * ${b20}L) div ${mm0.getLong(0) + 1}"),
+          expr(s"(l_partkey * ${b20}L) div ${mm0.getLong(1) + 1}")), 20))
+        .repartitionByRange(16, col("__ck"))
+        .sortWithinPartitions("__ck").drop("__ck")
+        .write.parquet(s"$root/clustered")
+      graft.sources.Tables.writeManifest(s, s"$root/clustered",
+        Seq("l_orderkey", "l_partkey"))
+      val rawStats = graft.sources.Tables.footerStatsTyped(s,
+        s"$root/raw", Seq("l_orderkey", "l_partkey"))
+      val cluStats = s.read.parquet(s"$root/clustered/_graft_manifest")
+      Seq("l_orderkey", "l_partkey").foreach { c =>
+        val rd = graft.operators.Layout.overlapDepth(rawStats, c)
+          .head().getLong(2)
+        val cd = graft.operators.Layout.overlapDepth(cluStats, c)
+          .head().getLong(2)
+        require(cd < rd,
+          s"clustered layout did not reduce $c overlap depth:" +
+            s" clustered $cd vs raw $rd")
+      }
+      val mm = li.agg(max(col("l_orderkey").cast("long")).as("ok"),
+        max(col("l_partkey").cast("long")).as("pk")).head()
+      val pruned = graft.sources.Tables.readPrunedManifest(s,
+        s"$root/clustered",
+        Seq[(String, Any, Any)](("l_orderkey", 1L, mm.getLong(0) / 4L),
+          ("l_partkey", 1L, mm.getLong(1) / 4L)))
+      require(pruned.inputFiles.length * 2 < 16,
+        s"maintenance-cycle prune regressed:" +
+          s" opened ${pruned.inputFiles.length} of 16 files")
+      pruned.agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("sum_ok"),
+        sum(col("l_partkey")).cast("long").as("sum_pk"),
+        sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
+          .cast("long").as("qty_cents"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12573,5 +12632,77 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
         |  END AS e_stat_cents
         |FROM p""".stripMargin,
+
+    // HUGEINT moment partials, VARCHAR-routed casts, identical r /
+    // partial / R² chains
+    "q399_partial_corr" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS z
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(z AS HUGEINT)) AS sz,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(z AS HUGEINT) * z) AS szz,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * z) AS sxz,
+        |    SUM(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT k, n,
+        |    CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |      AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+        |      CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |        AS DOUBLE)
+        |      / (sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+        |          AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |          AS VARCHAR) AS DOUBLE))) END AS r_xy,
+        |    CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |      AND CAST(n AS HUGEINT) * szz - sz * sz > 0 THEN
+        |      CAST(CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS VARCHAR)
+        |        AS DOUBLE)
+        |      / (sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+        |          AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(CAST(n AS HUGEINT) * szz - sz * sz
+        |          AS VARCHAR) AS DOUBLE))) END AS r_xz,
+        |    CASE WHEN CAST(n AS HUGEINT) * syy - sy * sy > 0
+        |      AND CAST(n AS HUGEINT) * szz - sz * sz > 0 THEN
+        |      CAST(CAST(CAST(n AS HUGEINT) * syz - sy * sz AS VARCHAR)
+        |        AS DOUBLE)
+        |      / (sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |          AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(CAST(n AS HUGEINT) * szz - sz * sz
+        |          AS VARCHAR) AS DOUBLE))) END AS r_yz
+        |  FROM m)
+        |SELECT k AS l_returnflag, n, r_xy, r_xz, r_yz,
+        |  CASE WHEN sqrt(1.0 - r_xz * r_xz) * sqrt(1.0 - r_yz * r_yz)
+        |      > 0.0 THEN
+        |    (r_xy - r_xz * r_yz)
+        |      / (sqrt(1.0 - r_xz * r_xz) * sqrt(1.0 - r_yz * r_yz))
+        |  END AS partial_xy_z,
+        |  CASE WHEN 1.0 - r_xz * r_xz > 0.0 THEN
+        |    (r_xy * r_xy + r_yz * r_yz - 2.0 * r_xy * r_xz * r_yz)
+        |      / (1.0 - r_xz * r_xz) END AS r2_y_xz
+        |FROM r""".stripMargin,
+
+    // the maintenance cycle changes planning only — the q376-class box
+    // on the two cluster columns
+    "q400_maintenance_cycle" ->
+      """WITH b AS (SELECT MAX(l_orderkey) // 4 AS ok,
+        |    MAX(l_partkey) // 4 AS pk FROM lineitem)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN 1 AND b.ok
+        |  AND l_partkey BETWEEN 1 AND b.pk""".stripMargin,
   )
 }

@@ -751,6 +751,71 @@ object Robust {
         col("skewness"), col("kurtosis_excess"))
   }
 
+  /** Partial correlation and two-predictor R² per key — "does x still
+    * track y once z is held fixed?" (the confounder screen before
+    * reading any pairwise correlation causally: quantity and revenue
+    * correlate trivially through discount tiers; the partial removes
+    * the shared-z channel): all three Pearson r's come from EXACT
+    * cent-grid moment partials (n, ΣaΣb, Σab — decimal internals, the
+    * [[momentsByKey]] discipline), then
+    * `r_xy·z = (r_xy − r_xz·r_yz) / (√(1−r_xz²)·√(1−r_yz²))` and
+    * `R²_y|xz = (r_xy² + r_yz² − 2·r_xy·r_xz·r_yz) / (1 − r_xz²)`
+    * are fixed IEEE chains over those three doubles. Mirrors:
+    * VARCHAR-route the big decimal→double casts (n·Σab exceeds 2⁵³).
+    *
+    * Output per key: (key, n, r_xy, r_xz, r_yz, partial_xy_z,
+    * r2_y_xz) — NULLs on degenerate variance or |r| = 1 guards. */
+  def partialCorrelation(df: DataFrame, keyCol: String, xCol: String,
+                         yCol: String, zCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def cents(c: String) =
+      (col(c).cast("decimal(12,2)") * 100).cast("long")
+    val base = df.filter(col(keyCol).isNotNull && col(xCol).isNotNull
+      && col(yCol).isNotNull && col(zCol).isNotNull)
+      .select(col(keyCol), cents(xCol).as("__x"), cents(yCol).as("__y"),
+        cents(zCol).as("__z"))
+    val m = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("__x").cast(d38)).cast(d38).as("__sx"),
+      sum(col("__y").cast(d38)).cast(d38).as("__sy"),
+      sum(col("__z").cast(d38)).cast(d38).as("__sz"),
+      sum(col("__x").cast(d38) * col("__x")).cast(d38).as("__sxx"),
+      sum(col("__y").cast(d38) * col("__y")).cast(d38).as("__syy"),
+      sum(col("__z").cast(d38) * col("__z")).cast(d38).as("__szz"),
+      sum(col("__x").cast(d38) * col("__y")).cast(d38).as("__sxy"),
+      sum(col("__x").cast(d38) * col("__z")).cast(d38).as("__sxz"),
+      sum(col("__y").cast(d38) * col("__z")).cast(d38).as("__syz"))
+    val n38 = col("n").cast(d38)
+    def dev(saa: String, sa: String) =
+      (n38 * col(saa) - col(sa) * col(sa)).cast(d38)
+    def r(sab: String, sa: String, sb: String, daa: Column, dbb: Column) =
+      when(daa > 0 && dbb > 0,
+        (n38 * col(sab) - col(sa) * col(sb)).cast(d38).cast("double")
+          / (sqrt(daa.cast("double")) * sqrt(dbb.cast("double"))))
+    val withR = m
+      .withColumn("r_xy", r("__sxy", "__sx", "__sy",
+        dev("__sxx", "__sx"), dev("__syy", "__sy")))
+      .withColumn("r_xz", r("__sxz", "__sx", "__sz",
+        dev("__sxx", "__sx"), dev("__szz", "__sz")))
+      .withColumn("r_yz", r("__syz", "__sy", "__sz",
+        dev("__syy", "__sy"), dev("__szz", "__sz")))
+    withR
+      .withColumn("partial_xy_z", {
+        val den = sqrt(lit(1.0) - col("r_xz") * col("r_xz")) *
+          sqrt(lit(1.0) - col("r_yz") * col("r_yz"))
+        when(den > 0.0,
+          (col("r_xy") - col("r_xz") * col("r_yz")) / den)
+      })
+      .withColumn("r2_y_xz", {
+        val den = lit(1.0) - col("r_xz") * col("r_xz")
+        when(den > 0.0,
+          (col("r_xy") * col("r_xy") + col("r_yz") * col("r_yz") -
+            lit(2.0) * col("r_xy") * col("r_xz") * col("r_yz")) / den)
+      })
+      .select(col(keyCol), col("n"), col("r_xy"), col("r_xz"),
+        col("r_yz"), col("partial_xy_z"), col("r2_y_xz"))
+  }
+
   /** Benford first-digit conformance — the classic fabricated-data /
     * unit-mixup screen for a money column (the reference's quality
     * gates bound amounts; Benford asks whether their DIGITS look

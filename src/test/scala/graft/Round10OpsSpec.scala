@@ -369,6 +369,44 @@ class Round10OpsSpec extends SparkSpec {
     assert(s2.getLong(3) == 2L && s2.getDouble(4) == 0.0)
   }
 
+  test("partialCorrelation: replicated exact-moment chains; collinear " +
+    "predictor NULLs the partial") {
+    import graft.operators.Robust
+    val rows = Seq((1.0, 11.0, 1.0), (2.0, 2.0, 0.0), (3.0, 13.0, 1.0),
+      (4.0, 4.0, 0.0))
+    val df = rows.map { case (x, y, z) => ("k", x, y, z) }
+      .toDF("k", "x", "y", "z")
+    val r = Robust.partialCorrelation(df, "k", "x", "y", "z").head()
+    // replicate the exact integer moments + the identical double chains
+    val cs = rows.map { case (x, y, z) =>
+      ((x * 100).toLong, (y * 100).toLong, (z * 100).toLong) }
+    val n = cs.size.toLong
+    def s(f: ((Long, Long, Long)) => Long) = cs.map(f).sum
+    val (sx, sy, sz) = (s(_._1), s(_._2), s(_._3))
+    val (sxx, syy, szz) = (s(c => c._1 * c._1), s(c => c._2 * c._2),
+      s(c => c._3 * c._3))
+    val (sxy, sxz, syz) = (s(c => c._1 * c._2), s(c => c._1 * c._3),
+      s(c => c._2 * c._3))
+    def pr(sab: Long, sa: Long, sb: Long, saa: Long, sbb: Long) =
+      (n * sab - sa * sb).toDouble /
+        (math.sqrt((n * saa - sa * sa).toDouble) *
+          math.sqrt((n * sbb - sb * sb).toDouble))
+    val (rxy, rxz, ryz) = (pr(sxy, sx, sy, sxx, syy),
+      pr(sxz, sx, sz, sxx, szz), pr(syz, sy, sz, syy, szz))
+    assert(r.getLong(1) == n && r.getDouble(2) == rxy
+      && r.getDouble(3) == rxz && r.getDouble(4) == ryz)
+    val part = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    val r2 = (rxy * rxy + ryz * ryz - 2.0 * rxy * rxz * ryz) /
+      (1.0 - rxz * rxz)
+    assert(r.getDouble(5) == part && r.getDouble(6) == r2)
+    // x ≡ z: r_xz = 1, the partial's denominator vanishes -> NULL
+    val col3 = Seq(("k", 1.0, 2.0, 1.0), ("k", 2.0, 1.0, 2.0),
+      ("k", 3.0, 5.0, 3.0)).toDF("k", "x", "y", "z")
+    assert(Robust.partialCorrelation(col3, "k", "x", "y", "z")
+      .head().isNullAt(5))
+  }
+
   test("andersonDarling2: hand-floored interleaved fixture, identical " +
     "samples score 0, endpoint term drops") {
     import graft.operators.RankStats
