@@ -4383,6 +4383,17 @@ object SparkEntry {
         sum((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"))
           .cast("long").as("qty_cents"))
     }),
+
+    // 10%-trimmed mean of the money column per return flag — exact
+    // rank-window overlap on the value lattice, one division
+    "q401_trimmed_mean" -> ((s, d) =>
+      graft.operators.Robust.trimmedMean(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice", 1, 10)),
+
+    // Jarque-Bera normality gate derived from the q386 moment chains
+    "q402_jarque_bera" -> ((s, d) =>
+      graft.operators.Robust.jarqueBera(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12704,5 +12715,76 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |FROM lineitem, b
         |WHERE l_orderkey BETWEEN 1 AND b.ok
         |  AND l_partkey BETWEEN 1 AND b.pk""".stripMargin,
+
+    // lattice rank-window overlap mirrored; mean = kept cents / 100n
+    "q401_trimmed_mean" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT k, c, CAST(COUNT(*) AS BIGINT) AS t FROM b
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(SUM(t) OVER (PARTITION BY k ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM cells),
+        |tot AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST((COUNT(*) * 1) // 10 AS BIGINT) AS kk FROM b GROUP BY 1),
+        |f AS (SELECT cum.k,
+        |    GREATEST(0, LEAST(cum, n - kk)
+        |      - GREATEST(cum - t + 1, kk + 1) + 1) AS cin, c, n
+        |  FROM cum JOIN tot ON cum.k = tot.k),
+        |a AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(cin) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CAST(cin AS HUGEINT) * c) AS BIGINT)
+        |      AS kept_sum_cents
+        |  FROM f GROUP BY 1)
+        |SELECT k AS l_returnflag, n, n_kept, kept_sum_cents,
+        |  CASE WHEN n_kept > 0 THEN CAST(kept_sum_cents AS DOUBLE)
+        |    / (CAST(n_kept AS DOUBLE) * 100.0) END AS trimmed_mean
+        |FROM a""".stripMargin,
+
+    // the q386 moment chains + the JB composition
+    "q402_jarque_bera" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2,
+        |    SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+        |    SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT k, n, s1, s2, s3,
+        |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2n,
+        |    CAST(n AS HUGEINT) * n * s3
+        |      - 3 * CAST(n AS HUGEINT) * s2 * s1
+        |      + 2 * s1 * s1 * s1 AS m3n,
+        |    CAST(n AS HUGEINT) * n * n * s4
+        |      - 4 * CAST(n AS HUGEINT) * n * s3 * s1
+        |      + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1
+        |      - 3 * s1 * s1 * s1 * s1 AS m4n
+        |  FROM a),
+        |g AS (SELECT k, n, CAST(s1 AS BIGINT) AS s1_cents,
+        |    CAST(s2 AS BIGINT) AS s2_cents2, CAST(s3 AS BIGINT)
+        |      AS s3_cents3,
+        |    CASE WHEN n >= 2 AND m2n > 0 THEN
+        |      CAST(CAST(m3n AS VARCHAR) AS DOUBLE)
+        |        / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+        |          * sqrt(CAST(CAST(m2n AS VARCHAR) AS DOUBLE))) END
+        |      AS skewness,
+        |    CASE WHEN n >= 2 AND m2n > 0 THEN
+        |      CAST(CAST(m4n AS VARCHAR) AS DOUBLE)
+        |        / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+        |          * CAST(CAST(m2n AS VARCHAR) AS DOUBLE)) - 3.0 END
+        |      AS kurtosis_excess
+        |  FROM m)
+        |SELECT k AS l_returnflag, n, s1_cents, s2_cents2, s3_cents3,
+        |  skewness, kurtosis_excess,
+        |  CASE WHEN skewness IS NOT NULL AND kurtosis_excess IS NOT NULL
+        |    THEN CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
+        |      + kurtosis_excess * kurtosis_excess / 4.0) END AS jb_stat
+        |FROM g""".stripMargin,
   )
 }

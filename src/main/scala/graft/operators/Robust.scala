@@ -751,6 +751,72 @@ object Robust {
         col("skewness"), col("kurtosis_excess"))
   }
 
+  /** Trimmed mean per key — the robust location estimate between
+    * [[moodMedian]]'s median and the raw mean (drop the k lowest and
+    * k highest rows, k = ⌊α·n⌋, average the rest — the convention
+    * when a money column carries a few corrupt extremes that
+    * [[winsorize]] would merely clamp): exact on the cent grid via
+    * rank-window overlap on the distinct-value lattice — each value
+    * cell occupies ranks [cum−t+1, cum], its overlap with the kept
+    * window [k+1, n−k] is `min(cum, n−k) − max(cum−t+1, k+1) + 1`
+    * rows — so the kept sum and count are exact BIGINTs at any
+    * parallelism and the mean is one division. No row ever sorts
+    * globally; the one window is the per-key values-scale lattice
+    * cumulative.
+    *
+    * Output per key: (key, n, n_kept, kept_sum_cents, trimmed_mean) —
+    * mean in the column's units (cents/100); NULL when the trim
+    * swallows everything (n ≤ 2k). */
+  def trimmedMean(df: DataFrame, keyCol: String, valueCol: String,
+                  alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum >= 0 && 2 * alphaNum < alphaDen,
+      s"alpha must be in [0, 0.5), got $alphaNum/$alphaDen")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = base.groupBy(col(keyCol), col("__c"))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+    val tot = base.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__k",
+        expr(s"(__n * $alphaNum) div $alphaDen").cast("long"))
+    cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__in",
+        greatest(lit(0L),
+          least(col("__cum"), col("__n") - col("__k"))
+            - greatest(col("__cum") - col("__t") + 1, col("__k") + 1)
+            + 1L))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).cast("long").as("n"),
+        sum(col("__in")).cast("long").as("n_kept"),
+        sum(col("__in").cast("decimal(38,0)") * col("__c"))
+          .cast("decimal(38,0)").cast("long").as("kept_sum_cents"))
+      .withColumn("trimmed_mean",
+        when(col("n_kept") > 0,
+          col("kept_sum_cents").cast("double")
+            / (col("n_kept").cast("double") * 100.0)))
+  }
+
+  /** Jarque–Bera normality test per key — DERIVED from
+    * [[momentsByKey]]'s exact skewness/kurtosis (the no-drift
+    * convention: one source for the moment chains): `JB = n/6 ·
+    * (g1² + g2²/4)` — the quick "is this column even roughly normal"
+    * gate before z-score-based outlier rules. One fixed double chain;
+    * NULL on degenerate keys.
+    *
+    * Output per key: momentsByKey's columns + jb_stat. */
+  def jarqueBera(df: DataFrame, keyCol: String,
+                 valueCol: String): DataFrame =
+    momentsByKey(df, keyCol, valueCol)
+      .withColumn("jb_stat",
+        when(col("skewness").isNotNull && col("kurtosis_excess").isNotNull,
+          col("n").cast("double") / 6.0
+            * (col("skewness") * col("skewness")
+              + col("kurtosis_excess") * col("kurtosis_excess") / 4.0)))
+
   /** Partial correlation and two-predictor R² per key — "does x still
     * track y once z is held fixed?" (the confounder screen before
     * reading any pairwise correlation causally: quantity and revenue

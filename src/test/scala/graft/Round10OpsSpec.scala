@@ -369,6 +369,37 @@ class Round10OpsSpec extends SparkSpec {
     assert(s2.getLong(3) == 2L && s2.getDouble(4) == 0.0)
   }
 
+  test("trimmedMean: rank-window overlap drops exactly k each side, " +
+    "tied cells split correctly, over-trim NULLs") {
+    import graft.operators.Robust
+    // n=5, alpha=1/5 -> k=1: drop min and max, keep 2,3,4 -> mean 3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0)).toDF("k", "v")
+    val r = Robust.trimmedMean(df, "k", "v", 1, 5).head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L
+      && r.getLong(3) == 900L && r.getDouble(4) == 3.0)
+    // a tied cell straddling the trim boundary contributes only its
+    // in-window rows: values 1,1,1,2 with k=1 keeps ranks 2..3 = two 1s
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 2.0))
+      .toDF("k", "v")
+    val t2 = Robust.trimmedMean(tied, "k", "v", 1, 4).head()
+    assert(t2.getLong(2) == 2L && t2.getLong(3) == 200L
+      && t2.getDouble(4) == 1.0)
+    // alpha guard
+    intercept[IllegalArgumentException] {
+      Robust.trimmedMean(df, "k", "v", 1, 2)
+    }
+  }
+
+  test("jarqueBera: derived from the same moment chains — uniform " +
+    "3-point fixture gives JB = n/6 * (0 + 1.5^2/4)") {
+    import graft.operators.Robust
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("k", "v")
+    val r = Robust.jarqueBera(df, "k", "v").head()
+    val jb = 3.0 / 6.0 * (0.0 * 0.0 + (-1.5) * (-1.5) / 4.0)
+    assert(r.getDouble(7) == jb)
+  }
+
   test("partialCorrelation: replicated exact-moment chains; collinear " +
     "predictor NULLs the partial") {
     import graft.operators.Robust
