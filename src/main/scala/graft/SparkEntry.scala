@@ -4394,6 +4394,21 @@ object SparkEntry {
     "q402_jarque_bera" -> ((s, d) =>
       graft.operators.Robust.jarqueBera(t(s, d, "lineitem"),
         "l_returnflag", "l_quantity")),
+
+    // Wilson score interval for per-type success proportions — exact
+    // counts, pinned z literal, one fixed chain
+    "q403_wilson_ci" -> ((s, d) =>
+      graft.operators.Robust.wilsonCI(
+        t(s, d, "events").withColumn("ok", col("user_id") % 3 === 0),
+        "event_type", "ok")),
+
+    // k-sample Anderson-Darling parts across all five event types at
+    // once — per-group floored sums + one-division contributions (the
+    // logRankParts fold-it-yourself convention)
+    "q404_ad_ksample" -> ((s, d) =>
+      graft.operators.RankStats.andersonDarlingK(
+        t(s, d, "events").withColumn("k", lit("all")),
+        "k", "event_type", "value")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12786,5 +12801,73 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    THEN CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
         |      + kurtosis_excess * kurtosis_excess / 4.0) END AS jb_stat
         |FROM g""".stripMargin,
+
+    // the identical Wilson chain; z and z² rendered from the SAME
+    // Scala constants (quoted-literal parse, the Benford rule)
+    "q403_wilson_ci" -> {
+      val z = 1.959963984540054
+      val (zs, z2s) = (s"CAST('$z' AS DOUBLE)", s"CAST('${z * z}' AS DOUBLE)")
+      s"""WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_success
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND user_id IS NOT NULL GROUP BY 1),
+         |c AS (SELECT *, CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE)
+         |    AS p, 1.0 + $z2s / CAST(n AS DOUBLE) AS denom FROM a)
+         |SELECT event_type, n, n_success,
+         |  CASE WHEN n > 0 THEN p END AS p_hat,
+         |  CASE WHEN n > 0 THEN GREATEST(0.0,
+         |    (p + $z2s / (2.0 * CAST(n AS DOUBLE))) / denom
+         |    - $zs * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+         |      + $z2s / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      / denom) END AS ci_lo,
+         |  CASE WHEN n > 0 THEN LEAST(1.0,
+         |    (p + $z2s / (2.0 * CAST(n AS DOUBLE))) / denom
+         |    + $zs * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+         |      + $z2s / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      / denom) END AS ci_hi
+         |FROM c""".stripMargin
+    },
+
+    // the zero-filled (pooled value × group) lattice mirrored; floored
+    // Scholz-Stephens sums per group, one contribution division
+    "q404_ad_ksample" ->
+      """WITH base AS (SELECT 'all' AS k, CAST(event_type AS VARCHAR)
+        |    AS g, value AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (SELECT k, v, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |pooled AS (SELECT k, v, t, CAST(SUM(t) OVER (PARTITION BY k
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS bj
+        |  FROM (SELECT k, v, CAST(SUM(c) AS BIGINT) AS t FROM cells
+        |    GROUP BY 1, 2)),
+        |grs AS (SELECT k, g, CAST(SUM(c) AS BIGINT) AS ni FROM cells
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT k, CAST(SUM(ni) AS BIGINT) AS nn FROM grs
+        |  GROUP BY 1),
+        |lat AS (SELECT p.k, p.v, p.t, p.bj, gr.g, gr.ni,
+        |    COALESCE(c.c, 0) AS c0
+        |  FROM pooled p JOIN grs gr ON p.k = gr.k
+        |  LEFT JOIN cells c ON c.k = p.k AND c.v = p.v AND c.g = gr.g),
+        |mm AS (SELECT *, CAST(SUM(c0) OVER (PARTITION BY k, g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS mcum FROM lat),
+        |f AS (SELECT mm.*, nn FROM mm JOIN tt ON mm.k = tt.k
+        |  WHERE bj < nn),
+        |s AS (SELECT k, g,
+        |    CAST(SUM((t * ((CAST(nn AS HUGEINT) * mcum
+        |        - CAST(ni AS HUGEINT) * bj)
+        |      * (CAST(nn AS HUGEINT) * mcum - CAST(ni AS HUGEINT) * bj)))
+        |      // (bj * (nn - bj))) AS BIGINT) AS sf
+        |  FROM f GROUP BY 1, 2)
+        |SELECT grs.k, grs.g AS "group", ni AS n_i,
+        |  COALESCE(sf, 0) AS sum_floor,
+        |  CASE WHEN ni > 0 AND nn > 0 THEN
+        |    CAST(COALESCE(sf, 0) AS DOUBLE)
+        |      / (CAST(ni AS DOUBLE) * CAST(nn AS DOUBLE)) END
+        |    AS a2_contrib
+        |FROM grs JOIN tt ON grs.k = tt.k
+        |LEFT JOIN s ON s.k = grs.k AND s.g = grs.g""".stripMargin,
   )
 }

@@ -410,6 +410,70 @@ object RankStats {
         col("sum_a_floor"), col("sum_b_floor"), col("a2_stat"))
   }
 
+  /** k-sample Anderson–Darling PARTS per key — [[andersonDarling2]]
+    * generalized to any group count (Scholz–Stephens' actual setting:
+    * "did ANY of the k sources drift?" in one test instead of k²/2
+    * pairwise ones): the same tie-aware floored terms
+    * `Σ_j t_j·(N·M_ij − n_i·B_j)²/(B_j(N−B_j))` accumulate per GROUP
+    * over the zero-filled (pooled value × group) lattice, and each
+    * group row carries its own one-division contribution
+    * `a2_contrib = sum_floor/(n_i·N)` — the statistic
+    * `A²kN = Σ_i a2_contrib` folds over the k-row output (the
+    * [[graft.operators.Survival.logRankParts]] SRM order-free
+    * convention: a float Σ inside the engine would be partition-
+    * order-dependent; k rows are the caller's to fold). At k = 2 the
+    * two sums equal [[andersonDarling2]]'s exactly (spec-pinned).
+    *
+    * Output per (key, group): (key, group, n_i, sum_floor,
+    * a2_contrib). */
+  def andersonDarlingK(df: DataFrame, keyCol: String, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(keyCol), col(groupCol).cast("string").as("__g"),
+        col(valueCol).as("__v"))
+    val cells = base.groupBy(col(keyCol), col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds pooled, groups, and the lattice
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = cells.groupBy(col(keyCol), col("__v"))
+      .agg(sum(col("__c")).as("__t"))
+      .withColumn("__bj", sum(col("__t")).over(w))
+    val groups = cells.groupBy(col(keyCol), col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__ni"))
+    val totals = groups.groupBy(col(keyCol))
+      .agg(sum(col("__ni")).cast("long").as("__nn"))
+    val wm = Window.partitionBy(col(keyCol), col("__g"))
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lattice = pooled.join(groups, Seq(keyCol)) // values × groups
+      .join(cells, Seq(keyCol, "__v", "__g"), "left")
+      .withColumn("__c0", coalesce(col("__c"), lit(0L)))
+      .withColumn("__m", sum(col("__c0")).over(wm))
+      .join(Broadcasts.maybeBroadcast(totals), Seq(keyCol))
+      .filter(col("__bj") < col("__nn"))
+      .withColumn("__d",
+        (col("__nn").cast(d38) * col("__m")
+          - col("__ni").cast(d38) * col("__bj")).cast(d38))
+    val sums = lattice.groupBy(col(keyCol), col("__g"))
+      .agg(max(col("__ni")).as("__ni2"), max(col("__nn")).as("__nn2"),
+        sum(expr("(__t * (__d * __d)) div (__bj * (__nn - __bj))"))
+          .cast("long").as("__sf"))
+    // degenerate keys (single pooled value = the endpoint) keep their
+    // group rows with zero sums — the andersonDarling2 rule
+    groups.join(Broadcasts.maybeBroadcast(totals), Seq(keyCol))
+      .join(sums.select(col(keyCol), col("__g"), col("__sf")),
+        Seq(keyCol, "__g"), "left")
+      .withColumn("sum_floor", coalesce(col("__sf"), lit(0L)))
+      .withColumn("a2_contrib",
+        when(col("__ni") > 0 && col("__nn") > 0,
+          col("sum_floor").cast("double")
+            / (col("__ni").cast("double") * col("__nn").cast("double"))))
+      .select(col(keyCol), col("__g").as("group"),
+        col("__ni").as("n_i"), col("sum_floor"), col("a2_contrib"))
+  }
+
   /** Energy distance per key — the two-sample test that reads ACTUAL
     * distances, not just ranks (Székely's e-statistic: `E = 2·E|X−Y|
     * − E|X−X'| − E|Y−Y'|` ≥ 0, = 0 iff the distributions match — so

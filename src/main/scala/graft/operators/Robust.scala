@@ -751,6 +751,44 @@ object Robust {
         col("skewness"), col("kurtosis_excess"))
   }
 
+  /** Wilson score interval per key — the binomial proportion CI that
+    * stays honest at extreme p̂ and small n (the Wald interval a naive
+    * `p ± z√(pq/n)` gives collapses to zero width at p̂ ∈ {0,1} and
+    * escapes [0,1]; Wilson never does — the right readout for pass
+    * rates, defect rates, and conversion proportions): with exact
+    * (n, s) counts, `center = (p̂ + z²/2n)/(1 + z²/n)` and
+    * `half = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)` — one fixed IEEE
+    * chain; z is the PINNED two-sided literal for the requested level
+    * (95% → 1.959963984540054; log/erf are libm-unsafe, a literal
+    * parses identically everywhere — the Benford rule).
+    *
+    * Output per key: (key, n, n_success, p_hat, ci_lo, ci_hi) —
+    * NULL CI when n = 0; bounds clamped into [0, 1]. */
+  def wilsonCI(df: DataFrame, keyCol: String, successCol: String,
+               z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val agg = df.filter(col(keyCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L))
+          .cast("long").as("n_success"))
+    val nD = col("n").cast("double")
+    val p = col("n_success").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD)) / denom
+    agg
+      .withColumn("p_hat", when(col("n") > 0, p))
+      .withColumn("ci_lo",
+        when(col("n") > 0, greatest(lit(0.0), center - half)))
+      .withColumn("ci_hi",
+        when(col("n") > 0, least(lit(1.0), center + half)))
+      .select(col(keyCol), col("n"), col("n_success"), col("p_hat"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Trimmed mean per key — the robust location estimate between
     * [[moodMedian]]'s median and the raw mean (drop the k lowest and
     * k highest rows, k = ⌊α·n⌋, average the rest — the convention

@@ -441,6 +441,59 @@ class Round10OpsSpec extends SparkSpec {
       .head().isNullAt(5))
   }
 
+  test("wilsonCI: replicated chain, extreme proportions stay in [0,1] " +
+    "with nonzero width") {
+    import graft.operators.Robust
+    val df = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true), ("b", true),
+      ("c", false), ("c", false)).toDF("k", "ok")
+    val got = Robust.wilsonCI(df, "k", "ok").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z = 1.959963984540054
+    val (n, s) = (4.0, 1.0)
+    val p = s / n; val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    val a = got("a")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 1L
+      && a.getDouble(3) == p)
+    assert(a.getDouble(4) == math.max(0.0, center - half)
+      && a.getDouble(5) == math.min(1.0, center + half))
+    // p̂ = 1: Wald width would be 0; Wilson still opens downward
+    val b = got("b")
+    assert(b.getDouble(3) == 1.0 && b.getDouble(4) < 1.0
+      && b.getDouble(5) == 1.0)
+    // p̂ = 0: opens upward, floor at 0
+    val c = got("c")
+    assert(c.getDouble(3) == 0.0 && c.getDouble(4) == 0.0
+      && c.getDouble(5) > 0.0)
+  }
+
+  test("andersonDarlingK: k = 2 reproduces andersonDarling2's sums and " +
+    "statistic exactly; 3 groups fold to one A2") {
+    import graft.operators.RankStats
+    val df2 = Seq(("k", 1.0, "a"), ("k", 2.0, "b"), ("k", 3.0, "a"),
+      ("k", 4.0, "b")).toDF("g", "v", "grp")
+    val parts = RankStats.andersonDarlingK(df2, "g", "grp", "v")
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // the q397-spec fixture: floored sums 2 and 2, A2 = 0.5
+    assert(parts("a")._2 == 2L && parts("b")._2 == 2L)
+    assert(parts("a")._3 + parts("b")._3 == 0.5)
+    val ad2 = RankStats.andersonDarling2(
+      df2.withColumn("isa", col("grp") === "a"), "g", "v", col("isa"))
+      .head()
+    assert(ad2.getLong(3) == parts("a")._2
+      && ad2.getLong(4) == parts("b")._2)
+    // 3 groups: contributions present for every group, each n_i right
+    val df3 = Seq(("k", 1.0, "a"), ("k", 2.0, "b"), ("k", 3.0, "c"),
+      ("k", 4.0, "a")).toDF("g", "v", "grp")
+    val p3 = RankStats.andersonDarlingK(df3, "g", "grp", "v")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(p3 == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("andersonDarling2: hand-floored interleaved fixture, identical " +
     "samples score 0, endpoint term drops") {
     import graft.operators.RankStats
