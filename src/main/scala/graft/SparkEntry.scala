@@ -4409,6 +4409,14 @@ object SparkEntry {
       graft.operators.RankStats.andersonDarlingK(
         t(s, d, "events").withColumn("k", lit("all")),
         "k", "event_type", "value")),
+
+    // Ansari-Bradley scale test on the q394 split — fold-in doubled
+    // scores, exact finite-population moments (tie-exact by reading
+    // the actual score multiset)
+    "q405_ansari_bradley" -> ((s, d) =>
+      graft.operators.RankStats.ansariBradley(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -12869,5 +12877,49 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS a2_contrib
         |FROM grs JOIN tt ON grs.k = tt.k
         |LEFT JOIN s ON s.k = grs.k AND s.g = grs.g""".stripMargin,
+
+    // pooled doubled midranks folded into both-end scores, exact
+    // finite-population moments, the identical z chain
+    "q405_ansari_bradley" ->
+      """WITH cells AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT k, CAST(SUM(ca + cb) AS BIGINT) AS nn FROM cells
+        |  GROUP BY 1),
+        |r AS (SELECT cells.k, ca, cb, ca + cb AS t, nn,
+        |    LEAST(2 * (cum - (ca + cb)) + (ca + cb) + 1,
+        |      2 * (nn + 1) - (2 * (cum - (ca + cb)) + (ca + cb) + 1))
+        |      AS s2
+        |  FROM (SELECT *, CAST(SUM(ca + cb) OVER (PARTITION BY k
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS cum FROM cells) cells
+        |  JOIN tt ON cells.k = tt.k),
+        |a AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS HUGEINT) * s2) AS BIGINT) AS w2,
+        |    CAST(SUM(CAST(t AS HUGEINT) * s2) AS BIGINT) AS s2_sum,
+        |    CAST(SUM(CAST(t AS HUGEINT) * s2 * s2) AS BIGINT) AS ss2_sum,
+        |    CAST(MAX(nn) AS BIGINT) AS nn
+        |  FROM r GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, w2, s2_sum, ss2_sum,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * CAST(ss2_sum AS DOUBLE)
+        |        - CAST(s2_sum AS DOUBLE) * CAST(s2_sum AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)) > 0.0 THEN
+        |    (CAST(w2 AS DOUBLE) - CAST(n_a AS DOUBLE)
+        |      * CAST(s2_sum AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * CAST(ss2_sum AS DOUBLE)
+        |        - CAST(s2_sum AS DOUBLE) * CAST(s2_sum AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)))
+        |  END AS z
+        |FROM a""".stripMargin,
   )
 }

@@ -410,6 +410,67 @@ object RankStats {
         col("sum_a_floor"), col("sum_b_floor"), col("a2_stat"))
   }
 
+  /** Ansari–Bradley scale test per key — "same center, different
+    * SPREAD?" (the rank test for dispersion: scores fold in from both
+    * ends, `a = min(rank, N+1−rank)`, so a sample hugging the middle
+    * scores high and one spilling into both tails scores low — the
+    * distribution-free sibling of [[graft.operators.Robust
+    * .brownForsythe]]): doubled scores `s2 = min(rd, 2(N+1) − rd)`
+    * from the pooled doubled midranks keep every part an exact
+    * BIGINT, and the null moments come from the FINITE-POPULATION
+    * identity (under H0 sample A is a uniform n_a-subset of the
+    * pooled score multiset — ties need no special correction because
+    * the moments read the ACTUAL scores): `E[W2] = n_a·Σs2/N`,
+    * `Var[W2] = n_a·n_b·(N·Σs2² − (Σs2)²)/(N²(N−1))`; z is one fixed
+    * double chain (all inputs BIGINT→double, correctly rounded in
+    * every engine — unlike HUGEINT/decimal casts).
+    *
+    * Output per key: (key, n_a, n_b, w2, s2_sum, ss2_sum, z) — z NULL
+    * when either side is empty or the variance vanishes. */
+  def ansariBradley(df: DataFrame, keyCol: String, valueCol: String,
+                    isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy(col(keyCol))
+      .agg(sum(col("__t")).cast("long").as("__nn"))
+    val scored = cells
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .withColumn("__rd",
+        lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+      .join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__s2",
+        least(col("__rd"), lit(2L) * (col("__nn") + 1) - col("__rd")))
+    scored.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        sum(col("__ca").cast(d38) * col("__s2")).cast(d38).cast("long")
+          .as("w2"),
+        sum(col("__t").cast(d38) * col("__s2")).cast(d38).cast("long")
+          .as("s2_sum"),
+        sum(col("__t").cast(d38) * col("__s2") * col("__s2")).cast(d38)
+          .cast("long").as("ss2_sum"),
+        max(col("__nn")).as("__nn"))
+      .withColumn("z", {
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val nn = col("__nn").cast("double")
+        val e = na * col("s2_sum").cast("double") / nn
+        val vr = na * nb *
+          (nn * col("ss2_sum").cast("double") -
+            col("s2_sum").cast("double") * col("s2_sum").cast("double")) /
+          (nn * nn * (nn - 1.0))
+        when(col("n_a") > 0 && col("n_b") > 0 && vr > 0.0,
+          (col("w2").cast("double") - e) / sqrt(vr))
+      })
+      .select(col(keyCol), col("n_a"), col("n_b"), col("w2"),
+        col("s2_sum"), col("ss2_sum"), col("z"))
+  }
+
   /** k-sample Anderson–Darling PARTS per key — [[andersonDarling2]]
     * generalized to any group count (Scholz–Stephens' actual setting:
     * "did ANY of the k sources drift?" in one test instead of k²/2

@@ -494,6 +494,27 @@ class Round10OpsSpec extends SparkSpec {
     assert(p3 == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("ansariBradley: tails-vs-middle fixture — hand scores, exact " +
+    "finite-population moments, spread side scores negative z") {
+    import graft.operators.RankStats
+    // A = {1,4} (tails), B = {2,3} (middle): s2 = (2,4,4,2),
+    // W2 = 4, S2 = 12, SS2 = 40 -> E = 6, Var = 4/3
+    val df = Seq(("k", 1.0, true), ("k", 2.0, false), ("k", 3.0, false),
+      ("k", 4.0, true)).toDF("g", "v", "a")
+    val r = RankStats.ansariBradley(df, "g", "v", col("a")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 12L
+      && r.getLong(5) == 40L)
+    val z = (4.0 - 2.0 * 12.0 / 4.0) /
+      math.sqrt(2.0 * 2.0 * (4.0 * 40.0 - 12.0 * 12.0) /
+        (4.0 * 4.0 * (4.0 - 1.0)))
+    assert(r.getDouble(6) == z && z < 0.0)
+    // fully tied pooled sample: every score equal -> Var 0 -> NULL z
+    val tied = Seq(("k", 1.0, true), ("k", 1.0, false)).toDF("g", "v", "a")
+    assert(RankStats.ansariBradley(tied, "g", "v", col("a"))
+      .head().isNullAt(6))
+  }
+
   test("andersonDarling2: hand-floored interleaved fixture, identical " +
     "samples score 0, endpoint term drops") {
     import graft.operators.RankStats
