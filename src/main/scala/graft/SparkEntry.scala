@@ -4417,6 +4417,20 @@ object SparkEntry {
       graft.operators.RankStats.ansariBradley(
         t(s, d, "events").filter(col("user_id").isNotNull),
         "event_type", "value", col("user_id") % 2 === 0)),
+
+    // Conover squared-ranks on the same split — the tail-quadratic
+    // scale test from the same finite-population identity
+    "q406_conover_ranks" -> ((s, d) =>
+      graft.operators.RankStats.conoverSquaredRanks(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
+
+    // shared-dialect LATERAL correlated subquery — identical text in
+    // both engines
+    "q407_sql_lateral" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlLateralText)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -4495,6 +4509,20 @@ object SparkEntry {
       |FROM orders
       |WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 5000 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q407's SQL — shared-dialect LATERAL correlated subquery (the
+    * per-row derived table both engines spell identically; the modern
+    * form of the correlated-scalar pattern q332 pins). Scoped to a
+    * bounded order slice. */
+  private val sqlLateralText: String =
+    """SELECT o.o_orderkey, o.o_orderpriority, t.n_lines, t.max_qty_cents
+      |FROM orders o,
+      |  LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(MAX(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS max_qty_cents
+      |   FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS t
+      |WHERE o.o_orderkey <= (SELECT MIN(o_orderkey) + 2000 FROM orders)
+      |ORDER BY o.o_orderkey""".stripMargin
 
   private val sqlCteWindowText: String =
     """WITH rev AS (
@@ -12921,5 +12949,52 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |        * (CAST(nn AS DOUBLE) - 1.0)))
         |  END AS z
         |FROM a""".stripMargin,
+
+    // quadrupled centered-rank scores, VARCHAR-routed Σs4² cast, the
+    // identical finite-population z chain
+    "q406_conover_ranks" ->
+      """WITH cells AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT k, CAST(SUM(ca + cb) AS BIGINT) AS nn FROM cells
+        |  GROUP BY 1),
+        |r AS (SELECT cells.k, ca, cb, ca + cb AS t, nn,
+        |    (2 * (cum - (ca + cb)) + (ca + cb) + 1 - (nn + 1))
+        |      * (2 * (cum - (ca + cb)) + (ca + cb) + 1 - (nn + 1)) AS s4
+        |  FROM (SELECT *, CAST(SUM(ca + cb) OVER (PARTITION BY k
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS cum FROM cells) cells
+        |  JOIN tt ON cells.k = tt.k),
+        |a AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS HUGEINT) * s4) AS BIGINT) AS w4,
+        |    CAST(SUM(CAST(t AS HUGEINT) * s4) AS BIGINT) AS s4_sum,
+        |    CAST(CAST(SUM(CAST(t AS HUGEINT) * s4 * s4) AS VARCHAR)
+        |      AS DOUBLE) AS ss4_sum_d,
+        |    CAST(MAX(nn) AS BIGINT) AS nn
+        |  FROM r GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b, w4, s4_sum, ss4_sum_d,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * ss4_sum_d
+        |        - CAST(s4_sum AS DOUBLE) * CAST(s4_sum AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)) > 0.0 THEN
+        |    (CAST(w4 AS DOUBLE) - CAST(n_a AS DOUBLE)
+        |      * CAST(s4_sum AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * ss4_sum_d
+        |        - CAST(s4_sum AS DOUBLE) * CAST(s4_sum AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)))
+        |  END AS z
+        |FROM a""".stripMargin,
+
+    // the shared text verbatim
+    "q407_sql_lateral" -> sqlLateralText,
   )
 }

@@ -471,6 +471,67 @@ object RankStats {
         col("s2_sum"), col("ss2_sum"), col("z"))
   }
 
+  /** Conover squared-ranks scale test per key — [[ansariBradley]]'s
+    * higher-power sibling (AB folds ranks in from both ends; Conover
+    * SQUARES the centered ranks, so far-tail mass weighs
+    * quadratically — the usual pick when the spread difference is
+    * tail-heavy): quadrupled scores `s4 = (rd − (N+1))²` from the
+    * pooled doubled midranks (untied: (2r − (N+1))² = 4·(r −
+    * (N+1)/2)²), null moments from the same FINITE-POPULATION
+    * identity over the actual score multiset (tie-exact):
+    * `E[W4] = n_a·Σs4/N`,
+    * `Var[W4] = n_a·n_b·(N·Σs4² − (Σs4)²)/(N²(N−1))`. Σs4² rides
+    * decimal (≈N⁵ — BIGINT dies near 10⁴ rows) and is emitted as a
+    * DOUBLE via the correctly-rounded decimal cast (mirrors:
+    * VARCHAR-route it — the hoeffdingD trap); everything else is an
+    * exact BIGINT.
+    *
+    * Output per key: (key, n_a, n_b, w4, s4_sum, ss4_sum_d, z). */
+  def conoverSquaredRanks(df: DataFrame, keyCol: String, valueCol: String,
+                          isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy(col(keyCol))
+      .agg(sum(col("__t")).cast("long").as("__nn"))
+    val scored = cells
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .withColumn("__rd",
+        lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+      .join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__s4",
+        (col("__rd") - (col("__nn") + 1)) * (col("__rd") - (col("__nn") + 1)))
+    scored.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        sum(col("__ca").cast(d38) * col("__s4")).cast(d38).cast("long")
+          .as("w4"),
+        sum(col("__t").cast(d38) * col("__s4")).cast(d38).cast("long")
+          .as("s4_sum"),
+        sum(col("__t").cast(d38) * col("__s4") * col("__s4")).cast(d38)
+          .as("__ss4"),
+        max(col("__nn")).as("__nn"))
+      .withColumn("ss4_sum_d", col("__ss4").cast("double"))
+      .withColumn("z", {
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val nn = col("__nn").cast("double")
+        val e = na * col("s4_sum").cast("double") / nn
+        val vr = na * nb *
+          (nn * col("ss4_sum_d") -
+            col("s4_sum").cast("double") * col("s4_sum").cast("double")) /
+          (nn * nn * (nn - 1.0))
+        when(col("n_a") > 0 && col("n_b") > 0 && vr > 0.0,
+          (col("w4").cast("double") - e) / sqrt(vr))
+      })
+      .select(col(keyCol), col("n_a"), col("n_b"), col("w4"),
+        col("s4_sum"), col("ss4_sum_d"), col("z"))
+  }
+
   /** k-sample Anderson–Darling PARTS per key — [[andersonDarling2]]
     * generalized to any group count (Scholz–Stephens' actual setting:
     * "did ANY of the k sources drift?" in one test instead of k²/2

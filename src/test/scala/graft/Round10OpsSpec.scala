@@ -515,6 +515,21 @@ class Round10OpsSpec extends SparkSpec {
       .head().isNullAt(6))
   }
 
+  test("conoverSquaredRanks: quadrupled centered scores on the AB " +
+    "fixture — spread side scores POSITIVE z (opposite AB)") {
+    import graft.operators.RankStats
+    // s4 = (rd-5)^2 = (9,1,1,9): W4 = 18, S4 = 20, SS4 = 164
+    val df = Seq(("k", 1.0, true), ("k", 2.0, false), ("k", 3.0, false),
+      ("k", 4.0, true)).toDF("g", "v", "a")
+    val r = RankStats.conoverSquaredRanks(df, "g", "v", col("a")).head()
+    assert(r.getLong(3) == 18L && r.getLong(4) == 20L
+      && r.getDouble(5) == 164.0)
+    val z = (18.0 - 2.0 * 20.0 / 4.0) /
+      math.sqrt(2.0 * 2.0 * (4.0 * 164.0 - 20.0 * 20.0) /
+        (4.0 * 4.0 * (4.0 - 1.0)))
+    assert(r.getDouble(6) == z && z > 0.0)
+  }
+
   test("andersonDarling2: hand-floored interleaved fixture, identical " +
     "samples score 0, endpoint term drops") {
     import graft.operators.RankStats
