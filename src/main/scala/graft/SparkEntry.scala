@@ -4488,9 +4488,6 @@ object SparkEntry {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)
       |GROUP BY 1""".stripMargin
 
-  /** q331's SQL — ONE text executed verbatim by BOTH engines (the
-    * shared-dialect subset: CTE chain, equi-join, ranking window with
-    * a total-order tiebreak, decimal-grid cents). */
   /** q396's SQL — shared-dialect RANGE window frames (value-distance
     * frames, not row counts: the rolling "orders within 1000 keys"
     * shape) with an explicit NULLS FIRST pin (Spark's ASC default;
@@ -4524,6 +4521,9 @@ object SparkEntry {
       |WHERE o.o_orderkey <= (SELECT MIN(o_orderkey) + 2000 FROM orders)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** q331's SQL — ONE text executed verbatim by BOTH engines (the
+    * shared-dialect subset: CTE chain, equi-join, ranking window with
+    * a total-order tiebreak, decimal-grid cents). */
   private val sqlCteWindowText: String =
     """WITH rev AS (
       |  SELECT o_custkey, o_orderkey,

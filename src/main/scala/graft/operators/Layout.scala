@@ -182,10 +182,14 @@ object Layout {
                        bits: Int, nFiles: Int, path: String,
                        curve: String = "hilbert"): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val scaled = gridScaled(df, Seq(xCol, yCol), bits)
     val keyed = curve match {
-      case "hilbert" => withHilbert(df, xCol, yCol, bits, "__cluster_key")
+      case "hilbert" =>
+        withHilbert(df.withColumn("__gx", scaled(0))
+          .withColumn("__gy", scaled(1)), "__gx", "__gy", bits,
+          "__cluster_key").drop("__gx", "__gy")
       case "morton" => df.withColumn("__cluster_key",
-        mortonCode(col(xCol), col(yCol), bits))
+        mortonCode(scaled(0), scaled(1), bits))
       case other => throw new IllegalArgumentException(
         s"curve must be 'hilbert' or 'morton', got '$other'")
     }
@@ -199,7 +203,43 @@ object Layout {
                         nFiles: Int, path: String): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     writeByKey(df.withColumn("__cluster_key",
-      mortonCodeN(clusterCols.map(col), bits)), nFiles, path)
+      mortonCodeN(gridScaled(df, clusterCols, bits), bits)), nFiles, path)
+  }
+
+  /** Cluster columns scaled onto the FULL [0, 2^bits) grid —
+    * `(x · 2^bits) div (max+1)`, monotone, so raw-column footer bounds
+    * still narrow per file — applied INSIDE the rewrite entry points
+    * for two reasons proven live (q400's first probe): (1) a raw value
+    * ≥ 2^bits makes the interleave key NULL, silently degrading the
+    * whole rewrite to an unclustered layout (NULLs all sort together);
+    * (2) UNBALANCED dimension spans starve the narrow column of high
+    * key bits — a raw-span (60k × 20k) 2-D key gave ZERO narrowing on
+    * the small column. One metadata-scale `agg().head()` per rewrite
+    * (per-column min/max — the documented driver-collect convention;
+    * a rewrite is a maintenance action, the extra pass is the cheap
+    * part of a full table rewrite). Negative values raise (the grid is
+    * non-negative by construction); NULLs still yield NULL keys — the
+    * [[mortonCode]] loud-in-any-sort rule. The multiply rides
+    * decimal(38,0) so `x · 2^bits` can never overflow a long. */
+  private def gridScaled(df: DataFrame, clusterCols: Seq[String],
+                         bits: Int): Seq[Column] = {
+    val lim = 1L << bits
+    val aggs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    clusterCols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i + 1)) col(c).cast("long") // empty / all-NULL
+      else {
+        val mn = row.getLong(2 * i)
+        val mx = row.getLong(2 * i + 1)
+        require(mn >= 0,
+          s"cluster column '$c' has negative values (min $mn) — the" +
+            s" 2^$bits grid is non-negative; shift or encode upstream")
+        expr(s"(cast($c as decimal(38,0)) * ${lim}L)" +
+          s" div (cast(${mx}L as decimal(38,0)) + 1)").cast("long")
+      }
+    }
   }
 
   private def writeByKey(keyed: DataFrame, nFiles: Int, path: String): Unit =

@@ -147,7 +147,7 @@ object Tables {
                       def lt(a: Any, b: Any): Boolean = (a, b) match {
                         case (x: Long, y: Long) => x < y
                         case (x: Double, y: Double) => x < y
-                        case (x: String, y: String) => x < y
+                        case (x: String, y: String) => utf8Lt(x, y)
                         case _ => false
                       }
                       if (mins(i) == null || lt(lo, mins(i))) mins(i) = lo
@@ -172,6 +172,28 @@ object Tables {
       }
       (file, nRows, bounds)
     } finally reader.close()
+  }
+
+  /** UTF-8 byte-order string comparison (unsigned lexicographic) — the
+    * order Spark itself compares strings in (UTF8String) and the order
+    * parquet-mr sorts BINARY/UTF8 statistics by. Folding row-group
+    * string bounds with Java's UTF-16 `String.<` instead would misorder
+    * supplementary-plane characters (UTF-16 surrogates 0xD800-0xDFFF
+    * sort BELOW 0xE000-0xFFFF code points, but their UTF-8 encodings
+    * sort ABOVE) — a wrong file bound and thus a wrong skip in
+    * [[prunedScan]], whose comparisons evaluate in Spark. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val xi = x(i) & 0xff
+      val yi = y(i) & 0xff
+      if (xi != yi) return xi < yi
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Footer-stats pass with caller-pinned per-column kinds — the shared
@@ -241,16 +263,41 @@ object Tables {
                        cols: Seq[String]): DataFrame = {
     val schema = spark.read.option("recursiveFileLookup", "true")
       .parquet(path).schema
+    val (names, kinds) = resolveKinds(schema, cols)
+    footerStatsKinds(spark, path, names, kinds)
+  }
+
+  /** Case-INSENSITIVE column→bound-kind resolution against a table
+    * schema — the engine resolves identifiers case-insensitively
+    * everywhere else (spark.sql.caseSensitive=false, SURVEY §1.2), so
+    * the zone-map path must too: a case-mismatched box column that
+    * silently resolved to kind 'X' would produce always-NULL bounds —
+    * a correct-but-never-pruning scan, the silent perf cliff the
+    * raise-loudly convention exists to prevent. A column with NO
+    * case-insensitive schema match raises; a matched column of a
+    * non-prunable logical type (decimal — its INT64 physical holds
+    * UNSCALED values — boolean, nested) still maps to 'X'
+    * (always-NULL bounds: it filters rows, never skips files).
+    * Returns the SCHEMA-cased names (what parquet footers index
+    * chunks by) alongside the kinds. */
+  private def resolveKinds(schema: org.apache.spark.sql.types.StructType,
+                           cols: Seq[String]): (Seq[String], Seq[Char]) = {
     import org.apache.spark.sql.types._
-    def kindOf(c: String): Char =
-      schema.find(_.name == c).map(_.dataType).map {
+    val resolved = cols.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$c' has no case-insensitive match in table schema" +
+            s" [${schema.fieldNames.mkString(", ")}]"))
+      val k = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType
              | TimestampType | TimestampNTZType => 'L'
         case FloatType | DoubleType => 'D'
         case StringType => 'S'
         case _ => 'X'
-      }.getOrElse('X')
-    footerStatsKinds(spark, path, cols, cols.map(kindOf))
+      }
+      (f.name, k)
+    }
+    (resolved.map(_._1), resolved.map(_._2))
   }
 
   /** Recursive data-file listing for [[footerStats]] /
@@ -307,10 +354,24 @@ object Tables {
     * dropped (compaction/vacuum), and the merged table swaps in. The
     * per-refresh cost is O(new files) footer reads + one
     * file-count-scale metadata rewrite — the Delta checkpoint-delta
-    * shape. The manifest's column set is pinned at [[writeManifest]]
-    * time; refreshing with a different `cols` raises (a half-covered
-    * manifest would silently stop pruning the missing columns).
-    * Returns the number of newly scanned files. */
+    * shape.
+    *
+    * SCHEMA EVOLUTION: `cols` may be a SUPERSET of the manifest's
+    * pinned column set — bounds for the added columns are
+    * footer-scanned across the KNOWN files in one extra pass
+    * (documented O(known files) worst case, paid once per added
+    * column set, never per refresh) and joined onto the kept rows, so
+    * adding a bounds column no longer forces a full
+    * [[writeManifest]] rebuild — at 10⁵ files a full rebuild is
+    * exactly the cost the manifest exists to avoid. Columns already
+    * in the manifest but absent from `cols` are KEPT (the manifest
+    * column set only grows); a manifest column that has vanished from
+    * the table schema gets always-NULL bounds on newly scanned files
+    * (conservative keep), while a REQUESTED column absent from the
+    * schema raises — the caller asked for pruning the table cannot
+    * provide. Returns the number of newly scanned files (added-column
+    * backfill reads are extra footer opens over known files, not new
+    * files). */
   def refreshManifest(spark: SparkSession, path: String,
                       cols: Seq[String]): Long = {
     val mp = s"$path/_graft_manifest"
@@ -319,15 +380,38 @@ object Tables {
         writeManifest(spark, path, cols)
         listDataFiles(spark, path).size.toLong
       case Some(m) =>
-        cols.foreach { c =>
-          require(m.columns.contains(s"${c}_min"),
-            s"manifest at $mp has no bounds for '$c' — re-run" +
-              " writeManifest to change the column set")
+        val schema = spark.read.option("recursiveFileLookup", "true")
+          .parquet(path).schema
+        val (names, kinds) = resolveKinds(schema, cols)
+        // manifest-pinned bound columns, in manifest order
+        val pinned = m.columns.toSeq.filter(_.endsWith("_min"))
+          .map(_.stripSuffix("_min"))
+        def pinnedHas(c: String) = pinned.exists(_.equalsIgnoreCase(c))
+        val added = names.zip(kinds).filterNot { case (c, _) => pinnedHas(c) }
+        // kinds for the pinned set on NEW files: resolve against the
+        // current schema; a pinned column the schema no longer carries
+        // degrades to 'X' (always-NULL bounds — conservative keep)
+        val pinnedKinds = pinned.map { c =>
+          schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+            .map {
+              case org.apache.spark.sql.types.ByteType
+                   | org.apache.spark.sql.types.ShortType
+                   | org.apache.spark.sql.types.IntegerType
+                   | org.apache.spark.sql.types.LongType
+                   | org.apache.spark.sql.types.DateType
+                   | org.apache.spark.sql.types.TimestampType
+                   | org.apache.spark.sql.types.TimestampNTZType => 'L'
+              case org.apache.spark.sql.types.FloatType
+                   | org.apache.spark.sql.types.DoubleType => 'D'
+              case org.apache.spark.sql.types.StringType => 'S'
+              case _ => 'X'
+            }.getOrElse('X')
         }
         val files = listDataFiles(spark, path)
         val known = m.select(col("path")).collect().map(_.getString(0))
           .toSet
         val newFiles = files.filterNot(known)
+        val keptFiles = files.filter(known)
         val fileSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("path",
             org.apache.spark.sql.types.StringType, nullable = false)))
@@ -336,24 +420,34 @@ object Tables {
             scala.jdk.CollectionConverters.SeqHasAsJava(
               files.map(f => org.apache.spark.sql.Row(f))).asJava),
           fileSchema)
-        val kept = m.join(filesDf, Seq("path")) // drop vanished files
+        val kept0 = m.join(filesDf, Seq("path")) // drop vanished files
+        // added-column backfill: ONE footer pass over known files for
+        // ONLY the new columns, joined on path (inner — same file set)
+        val kept =
+          if (added.isEmpty || keptFiles.isEmpty) {
+            added.foldLeft(kept0) { case (df, (c, k)) =>
+              // no known files to backfill: still materialize the new
+              // bound columns so the manifest schema is uniform
+              val t = k match {
+                case 'D' => "double"
+                case 'S' => "string"
+                case _ => "long"
+              }
+              df.withColumn(s"${c}_min", lit(null).cast(t))
+                .withColumn(s"${c}_max", lit(null).cast(t))
+            }
+          } else {
+            val backfill = footerStatsKinds(spark, path, added.map(_._1),
+              added.map(_._2), onlyFiles = Some(keptFiles))
+              .drop("n_rows")
+            kept0.join(backfill, Seq("path"), "left")
+          }
+        val allCols = pinned ++ added.map(_._1)
+        val allKinds = pinnedKinds ++ added.map(_._2)
         val merged =
           if (newFiles.isEmpty) kept
-          else {
-            val schema = spark.read.option("recursiveFileLookup", "true")
-      .parquet(path).schema
-            import org.apache.spark.sql.types._
-            def kindOf(c: String): Char =
-              schema.find(_.name == c).map(_.dataType).map {
-                case ByteType | ShortType | IntegerType | LongType
-                     | DateType | TimestampType | TimestampNTZType => 'L'
-                case FloatType | DoubleType => 'D'
-                case StringType => 'S'
-                case _ => 'X'
-              }.getOrElse('X')
-            kept.unionByName(footerStatsKinds(spark, path, cols,
-              cols.map(kindOf), onlyFiles = Some(newFiles)))
-          }
+          else kept.unionByName(footerStatsKinds(spark, path, allCols,
+            allKinds, onlyFiles = Some(newFiles)))
         val out = merged.localCheckpoint(true) // read side of the swap
         out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mp)
         newFiles.size.toLong
@@ -368,14 +462,44 @@ object Tables {
     * than silently full-scan: the caller asked for pruning the
     * manifest cannot provide). */
   def readPrunedManifest(spark: SparkSession, path: String,
-                         box: Seq[(String, Any, Any)]): DataFrame = {
+                         box: Seq[(String, Any, Any)],
+                         reconcile: Boolean = false): DataFrame = {
     require(box.nonEmpty, "box predicates required")
-    val stats = spark.read.parquet(s"$path/_graft_manifest")
+    val stats0 = spark.read.parquet(s"$path/_graft_manifest")
     box.map(_._1).foreach { c =>
-      require(stats.columns.contains(s"${c}_min"),
+      require(stats0.columns.exists(_.equalsIgnoreCase(s"${c}_min")),
         s"manifest at $path/_graft_manifest has no bounds for '$c' —" +
           " re-run writeManifest with it included")
     }
+    // STALENESS: the manifest snapshots the file set at its last
+    // write/refresh, so a reader racing a writer (e.g. inside
+    // [[graft.streaming.Streaming.lakeIngestSink]]'s window between
+    // the batch write and its refreshManifest, or after a crash until
+    // the batch replays) would silently miss files the manifest does
+    // not know. `reconcile = true` closes the window: one extra file
+    // listing, and every listed-but-unknown file joins the candidate
+    // set UNCONDITIONALLY (NULL bounds — conservative keep; its rows
+    // still pass through the exact row-level re-filter). Cost is the
+    // listing plus reading the unknown files — the price of reading
+    // an un-manifested lake slice, paid only when asked for.
+    val stats =
+      if (!reconcile) stats0
+      else {
+        val known = stats0.select(col("path")).collect()
+          .map(_.getString(0)).toSet
+        val unknown = listDataFiles(spark, path).filterNot(known)
+        if (unknown.isEmpty) stats0
+        else {
+          val relaxed = org.apache.spark.sql.types.StructType(
+            stats0.schema.fields.map(_.copy(nullable = true)))
+          val rows = unknown.map(f => org.apache.spark.sql.Row.fromSeq(
+            f +: Seq.fill(stats0.schema.length - 1)(null)))
+          stats0.unionByName(spark.createDataFrame(
+            new java.util.ArrayList(
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            relaxed))
+        }
+      }
     prunedScan(spark, path, stats, box)
   }
 
@@ -389,9 +513,11 @@ object Tables {
     *
     * Bounds are NULL (conservative keep) for non-binary physical
     * types, missing columns, or statless chunks — same rules as the
-    * integral reader. Comparison is Java/UTF-16 lexical order on the
-    * decoded strings, matching Spark's own string ordering for the
-    * ASCII keys (dates, months, ids) this path targets. */
+    * integral reader. Multi-row-group bounds fold in UTF-8 BYTE order
+    * ([[utf8Lt]]) — the order Spark compares strings in (UTF8String)
+    * and the order parquet sorts BINARY statistics by — so the folded
+    * file bound is correct for ANY string content, supplementary-plane
+    * characters included. */
   def footerStatsString(spark: SparkSession, path: String,
                         cols: Seq[String]): DataFrame =
     footerStatsKinds(spark, path, cols, cols.map(_ => 'S'))
@@ -458,6 +584,165 @@ object Tables {
       box)
   }
 
+  /** [[readPrunedBox]] over a HIVE-PARTITIONED lake (`k=v` directory
+    * layout — the physical form of the reference's month partitions,
+    * bronze_yellow_tripdata.sql:33-35) where the partition columns
+    * SURVIVE in the output schema. The plain pruned readers read
+    * explicit file lists, which loses directory-derived columns — the
+    * first thing a user with a conventionally-partitioned lake hits.
+    * This reader:
+    *
+    *  1. resolves each box column as a PARTITION column (present in
+    *     the partition-aware discovered schema but not in the data
+    *     files) or a DATA column;
+    *  2. prunes on partition columns FIRST, driver-side, from the
+    *     `k=v` path segments — exact values, so this prune is exact,
+    *     not conservative, and costs zero I/O (the 100-TB ordering:
+    *     directory pruning shrinks the file set BEFORE any footer is
+    *     opened);
+    *  3. runs the footer-stats pass for data-column bounds over ONLY
+    *     the partition survivors, then the usual conservative
+    *     candidate filter;
+    *  4. scans survivors with `basePath` pinned to the lake root, so
+    *     Spark re-derives the partition columns from the paths — they
+    *     appear in the output schema with their discovered types —
+    *     and re-applies the FULL predicate row-level.
+    *
+    * Partition values parse per the discovered schema type (integral →
+    * Long, float → Double, else string compared in UTF-8 byte order —
+    * Spark's own ordering); an unparsable or `__HIVE_DEFAULT_PARTITION__`
+    * (null) value keeps the file conservatively. Schema pins from the
+    * partition-aware full-table read either way. */
+  def readPrunedPartitioned(spark: SparkSession, path: String,
+                            box: Seq[(String, Any, Any)]): DataFrame = {
+    require(box.nonEmpty, "box predicates required")
+    val table = spark.read.parquet(path) // partition-aware discovery
+    val schema = table.schema
+    val files = listDataFiles(spark, path)
+    // k=v assignments per file, from the path segments under the root
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toString
+    def partsOf(file: String): Map[String, String] =
+      file.stripPrefix(rootUri).stripPrefix("/").split('/').toSeq
+        .filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          (seg.substring(0, i), unescapePathName(seg.substring(i + 1)))
+        }.toMap
+    val partKeys: Set[String] =
+      files.headOption.map(partsOf(_).keySet).getOrElse(Set.empty)
+    val (partBox, dataBox) = box.partition { case (c, _, _) =>
+      partKeys.exists(_.equalsIgnoreCase(c))
+    }
+    // exact directory prune (driver-side, zero I/O)
+    val partCand = files.filter { f =>
+      val kv = partsOf(f)
+      partBox.forall { case (c, lo, hi) =>
+        kv.keys.find(_.equalsIgnoreCase(c)) match {
+          case None => true // segment absent for this file: keep
+          case Some(key) =>
+        val raw = kv(key)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") true // null: keep
+        else {
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType)
+          import org.apache.spark.sql.types._
+          (dt, lo, hi) match {
+            case (Some(ByteType | ShortType | IntegerType | LongType),
+                  _, _) =>
+              try {
+                val v = raw.toLong
+                v >= toL(lo) && v <= toL(hi)
+              } catch { case _: NumberFormatException => true }
+            case (Some(FloatType | DoubleType), _, _) =>
+              try {
+                val v = raw.toDouble
+                v >= toD(lo) && v <= toD(hi)
+              } catch { case _: NumberFormatException => true }
+            case (_, l: String, h: String) =>
+              !utf8Lt(raw, l) && !utf8Lt(h, raw) // l <= raw <= h
+            case _ => true // untyped/mixed: conservative keep
+          }
+        }
+        }
+      }
+    }
+    val cand =
+      if (dataBox.isEmpty || partCand.isEmpty) partCand
+      else {
+        val dataSchema = spark.read.option("recursiveFileLookup", "true")
+          .parquet(path).schema
+        val (names, kinds) = resolveKinds(dataSchema, dataBox.map(_._1))
+        val stats = footerStatsKinds(spark, path, names, kinds,
+          onlyFiles = Some(partCand))
+        val keep = dataBox.map { case (c, lo, hi) =>
+          col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+            (col(s"${c}_max") >= boundLit(lo) &&
+              col(s"${c}_min") <= boundLit(hi))
+        }.reduce(_ && _)
+        stats.filter(keep).select(col("path")).collect()
+          .map(_.getString(0)).toSeq
+      }
+    val pred = box.map { case (c, lo, hi) =>
+      col(c) >= boundLit(lo) && col(c) <= boundLit(hi)
+    }.reduce(_ && _)
+    if (cand.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(pred)
+    else spark.read.option("basePath", path).schema(schema)
+      .parquet(cand.toIndexedSeq: _*).filter(pred)
+  }
+
+  private def toL(v: Any): Long = v match {
+    case x: Long => x
+    case x: Int => x.toLong
+    case other => throw new IllegalArgumentException(
+      s"integral partition bound required, got ${other.getClass.getName}")
+  }
+
+  private def toD(v: Any): Double = v match {
+    case x: Double => x
+    case x: Float => x.toDouble
+    case x: Long => x.toDouble
+    case x: Int => x.toDouble
+    case other => throw new IllegalArgumentException(
+      s"numeric partition bound required, got ${other.getClass.getName}")
+  }
+
+  /** Minimal inverse of Spark/Hive's partition-path escaping: `%XX`
+    * sequences decode to their byte; everything else passes through
+    * (the escaping Spark applies via ExternalCatalogUtils — `%` and
+    * filesystem-special characters become `%XX`). */
+  private[sources] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) { // need two hex chars after %
+          val hex = s.substring(i + 1, i + 3)
+          try {
+            out.write(Integer.parseInt(hex, 16))
+            i += 3
+          } catch {
+            case _: NumberFormatException =>
+              out.write(c.toInt); i += 1
+          }
+        } else {
+          val bytes = c.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(bytes, 0, bytes.length)
+          i += 1
+        }
+      }
+      new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   private def boundLit(v: Any): org.apache.spark.sql.Column = v match {
     case x: Long => lit(x)
     case x: Int => lit(x.toLong)
@@ -473,10 +758,35 @@ object Tables {
     * [[readPrunedBox]] (live footer stats) and [[readPrunedManifest]]
     * (persisted stats): NULL bounds keep the file, the exact predicate
     * re-applies row-level, schema pins from the full table (inferred
-    * once, shared by both branches). */
+    * once, shared by both branches).
+    *
+    * Bound TYPES are validated against the stats columns' kinds before
+    * any comparison: a String bound against numeric bounds (or vice
+    * versa) would implicit-cast to NULL inside the candidate filter,
+    * silently DROPPING files whose rows the row-level predicate
+    * matches — a wrong skip, the one outcome the zone-map contract
+    * forbids — so the mismatch raises instead. Numeric-width mixes
+    * (a Long bound on Double bounds and vice versa) are safe: both
+    * sides promote to double, never NULL. */
   private def prunedScan(spark: SparkSession, path: String,
                          stats: DataFrame,
                          box: Seq[(String, Any, Any)]): DataFrame = {
+    box.foreach { case (c, lo, hi) =>
+      val f = stats.schema.fields
+        .find(_.name.equalsIgnoreCase(s"${c}_min")).getOrElse(
+          throw new IllegalArgumentException(
+            s"stats frame has no '${c}_min' bound column"))
+      val isStrCol = f.dataType == org.apache.spark.sql.types.StringType
+      Seq(lo, hi).foreach { v =>
+        val isStrBound = v.isInstanceOf[String]
+        require(isStrBound == isStrCol,
+          s"box bound type mismatch on '$c': " +
+            (if (isStrCol) s"string bounds required, got ${v.getClass.getName}"
+             else s"numeric bounds required, got a String ('$v')") +
+            " — a mistyped bound would NULL inside the candidate filter" +
+            " and wrongly skip files")
+      }
+    }
     val keep = box.map { case (c, lo, hi) =>
       col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
         (col(s"${c}_max") >= boundLit(lo) && col(s"${c}_min") <= boundLit(hi))

@@ -1129,7 +1129,17 @@ object Streaming {
     * appear as new + vanished rows — refresh reconciles both sides).
     * Sort `df` by the manifest columns upstream (or rewrite in the
     * maintenance window) for tight per-file bounds; per-batch cost is
-    * the batch write + O(batch files) footer reads. */
+    * the batch write + O(batch files) footer reads.
+    *
+    * STALENESS WINDOW: between a batch directory landing and its
+    * `refreshManifest` completing (or, after a crash in that window,
+    * until the batch replays and self-heals), a concurrent
+    * `readPrunedManifest` plans only from manifest rows and silently
+    * misses the newest batch's files. Readers that must see
+    * in-flight batches pass `reconcile = true` to
+    * [[graft.sources.Tables.readPrunedManifest]] — one extra listing,
+    * and listed-but-unknown files join the candidate set
+    * unconditionally. */
   def lakeIngestSink(df: DataFrame, path: String,
                      manifestCols: Seq[String], checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

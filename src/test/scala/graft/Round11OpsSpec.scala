@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 hardening + operators: UTF-8 string bound folds,
+  * case-insensitive zone-map column resolution, bound-type validation,
+  * partition-column-preserving pruned reads, manifest schema
+  * evolution, manifest reconcile, and grid-scaled clustered rewrites. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("utf8Lt: unsigned UTF-8 byte order, diverges from UTF-16 on " +
+    "supplementary-plane strings") {
+    import graft.sources.Tables
+    // U+FF5E (UTF-16 0xFF5E; UTF-8 EF BD 9E) vs U+1F600 (UTF-16
+    // surrogate D83D DE00; UTF-8 F0 9F 98 80): Java String.< says
+    // emoji < tilde, UTF-8 bytes say tilde < emoji
+    val tilde = "～"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji < tilde) // the UTF-16 order the old fold used
+    assert(Tables.utf8Lt(tilde, emoji)) // the Spark/parquet order
+    assert(!Tables.utf8Lt(emoji, tilde))
+    // prefix rule + plain ASCII sanity
+    assert(Tables.utf8Lt("ab", "abc") && !Tables.utf8Lt("abc", "ab"))
+    assert(Tables.utf8Lt("2024-01", "2024-02"))
+  }
+
+  test("footer string bounds fold in UTF-8 order across row groups: " +
+    "folded file bound == Spark's own min/max") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-utf8")
+      .toString + "/t"
+    val tilde = "～"
+    val emoji = new String(Character.toChars(0x1F600))
+    // small row groups force a multi-row-group file so the FOLD (not
+    // parquet's per-chunk stats) decides the file bound; pad with
+    // enough rows that the writer actually cuts groups
+    val pad = (0 until 4000).map(i => f"m$i%05d")
+    val df = (pad :+ tilde :+ emoji).toDF("s").coalesce(1)
+    df.write.option("parquet.block.size", "4096")
+      .option("parquet.page.size", "1024").parquet(dir)
+    val nGroups = {
+      val f = spark.read.parquet(dir).inputFiles.head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          spark.sparkContext.hadoopConfiguration))
+      try reader.getFooter.getBlocks.size finally reader.close()
+    }
+    assert(nGroups > 1, s"need a multi-row-group file, got $nGroups")
+    val stats = Tables.footerStatsString(spark, dir, Seq("s")).head()
+    val own = spark.read.parquet(dir)
+      .agg(min(col("s")), max(col("s"))).head()
+    assert(stats.getString(2) == own.getString(0)) // s_min
+    assert(stats.getString(3) == own.getString(1)) // s_max == emoji
+    assert(stats.getString(3) == emoji)
+  }
+
+  test("case-insensitive zone-map columns: mixed-case box prunes " +
+    "identically; absent column raises") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-ci")
+      .toString + "/t"
+    spark.range(0, 8000).select(col("id").as("x"),
+        concat(lit("m"), lpad(expr("id div 1000").cast("string"), 2, "0"))
+          .as("mk"))
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    val exact = Tables.footerStatsTyped(spark, dir, Seq("x", "mk"))
+    val mixed = Tables.footerStatsTyped(spark, dir, Seq("X", "MK"))
+    // same bounds row-for-row (output columns carry the schema case)
+    assert(mixed.columns.toSeq == exact.columns.toSeq)
+    val a = exact.orderBy("path").collect().map(_.toSeq)
+    val b = mixed.orderBy("path").collect().map(_.toSeq)
+    assert(a.zip(b).forall { case (l, r) => l == r })
+    // mixed-case pruned read: same files opened, same rows
+    val p1 = Tables.readPrunedBox(spark, dir, Seq(("x", 0L, 999L)))
+    val p2 = Tables.readPrunedBox(spark, dir, Seq(("X", 0L, 999L)))
+    assert(p1.inputFiles.sorted.sameElements(p2.inputFiles.sorted))
+    assert(p1.count() == p2.count())
+    val e = intercept[IllegalArgumentException](
+      Tables.footerStatsTyped(spark, dir, Seq("nope")))
+    assert(e.getMessage.contains("no case-insensitive match"))
+  }
+
+  test("prunedScan bound-type validation: string bound on numeric " +
+    "column (and vice versa) raises instead of wrong-skipping") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-btype")
+      .toString + "/t"
+    spark.range(0, 2000).select(col("id").as("x"),
+        concat(lit("k"), col("id").cast("string")).as("s"))
+      .repartitionByRange(2, col("x")).write.parquet(dir)
+    val e1 = intercept[IllegalArgumentException](
+      Tables.readPrunedBox(spark, dir,
+        Seq[(String, Any, Any)](("x", "0", "999"))))
+    assert(e1.getMessage.contains("bound type mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      Tables.readPrunedBox(spark, dir,
+        Seq[(String, Any, Any)](("s", 0L, 999L))))
+    assert(e2.getMessage.contains("bound type mismatch"))
+    // numeric-width mixes stay allowed (promote to double, never NULL)
+    assert(Tables.readPrunedBox(spark, dir,
+      Seq[(String, Any, Any)](("x", 0, 999))).count() == 1000L)
+  }
+
+  test("readPrunedPartitioned: k=v partition column survives in the " +
+    "output schema, directory prune + footer prune compose") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+      .toString + "/t"
+    // 4 partitions x 2 files each, data column x sorted within
+    spark.range(0, 8000)
+      .select(col("id").as("x"), (col("id") % 4).as("p"))
+      .repartitionByRange(8, col("p"), col("x"))
+      .write.partitionBy("p").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val nAll = all.inputFiles.length
+    // box on BOTH the partition column and a data column
+    val pr = Tables.readPrunedPartitioned(spark, dir,
+      Seq[(String, Any, Any)](("p", 1L, 2L), ("x", 0L, 3000L)))
+    // partition column is in the output schema
+    assert(pr.columns.map(_.toLowerCase).contains("p"))
+    // directory prune alone halves the file set; footer prune cuts more
+    assert(pr.inputFiles.length * 2 <= nAll)
+    val full = all.filter(col("p").between(1L, 2L)
+      && col("x").between(0L, 3000L))
+    assert(pr.count() == full.count() && full.count() > 0)
+    assert(pr.agg(sum("x")).head().getLong(0)
+      == full.agg(sum("x")).head().getLong(0))
+    // grouping by the partition column works on the pruned frame
+    // (discovery types the directory value as int — cast to compare)
+    val g = pr.groupBy(col("p").cast("long").as("p"))
+      .agg(count(lit(1)).as("n")).orderBy("p").collect()
+    assert(g.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // empty candidates: schema (incl. partition col) pinned, zero rows
+    val none = Tables.readPrunedPartitioned(spark, dir,
+      Seq[(String, Any, Any)](("p", 9L, 9L)))
+    assert(none.count() == 0
+      && none.columns.map(_.toLowerCase).contains("p"))
+    // string partition values go through the UTF-8 path
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-part2")
+      .toString + "/t"
+    spark.range(0, 4000)
+      .select(col("id").as("x"),
+        concat(lit("m"), lpad(expr("id div 1000").cast("string"), 2, "0"))
+          .as("mon"))
+      .repartition(4, col("mon"))
+      .write.partitionBy("mon").parquet(dir2)
+    val sp = Tables.readPrunedPartitioned(spark, dir2,
+      Seq[(String, Any, Any)](("mon", "m01", "m02")))
+    assert(sp.select(countDistinct(col("mon"))).head().getLong(0) == 2L)
+    assert(sp.count() == 2000L)
+    assert(sp.inputFiles.length < spark.read.parquet(dir2)
+      .inputFiles.length)
+  }
+
+  test("refreshManifest schema evolution: superset cols backfill known " +
+    "files for the new column only; old pruning unchanged, new live") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo")
+      .toString + "/t"
+    spark.range(0, 8000)
+      .select(col("id").as("x"), (col("id").cast("double") / 100.0)
+        .as("price"))
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    Tables.writeManifest(spark, dir, Seq("x"))
+    val m0 = spark.read.parquet(s"$dir/_graft_manifest")
+    assert(!m0.columns.exists(_.startsWith("price")))
+    // superset refresh: no new files, price bounds backfilled
+    val scanned = Tables.refreshManifest(spark, dir, Seq("x", "price"))
+    assert(scanned == 0L)
+    val m1 = spark.read.parquet(s"$dir/_graft_manifest")
+    assert(m1.columns.contains("price_min") && m1.count() == 8)
+    assert(m1.filter(col("price_min").isNull).count() == 0)
+    // old-column pruning unchanged
+    val p1 = Tables.readPrunedManifest(spark, dir,
+      Seq[(String, Any, Any)](("x", 0L, 999L)))
+    assert(p1.inputFiles.length <= 2 && p1.count() == 1000L)
+    // new-column pruning live
+    val p2 = Tables.readPrunedManifest(spark, dir,
+      Seq[(String, Any, Any)](("price", 0.0, 9.99)))
+    assert(p2.inputFiles.length <= 2 && p2.count() == 1000L)
+    // subset refresh keeps the superset manifest intact
+    spark.range(8000, 9000).select(col("id").as("x"),
+        (col("id").cast("double") / 100.0).as("price"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val scanned2 = Tables.refreshManifest(spark, dir, Seq("x"))
+    assert(scanned2 == 1L)
+    val m2 = spark.read.parquet(s"$dir/_graft_manifest")
+    assert(m2.count() == 9
+      && m2.filter(col("price_min").isNull).count() == 0)
+    // requested column absent from the schema raises
+    val e = intercept[IllegalArgumentException](
+      Tables.refreshManifest(spark, dir, Seq("x", "ghost")))
+    assert(e.getMessage.contains("no case-insensitive match"))
+  }
+
+  test("readPrunedManifest reconcile: un-manifested files are seen " +
+    "with reconcile=true, missed without") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-rec")
+      .toString + "/t"
+    spark.range(0, 4000).select(col("id").as("x"))
+      .repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    Tables.writeManifest(spark, dir, Seq("x"))
+    // a batch lands AFTER the manifest snapshot (the lakeIngestSink
+    // crash window): rows in range, invisible to the stale manifest
+    spark.range(4000, 5000).select(col("id").as("x"))
+      .coalesce(1).write.parquet(s"$dir/late")
+    val stale = Tables.readPrunedManifest(spark, dir,
+      Seq[(String, Any, Any)](("x", 3500L, 4500L)))
+    assert(stale.count() == 500L) // misses the late batch
+    val healed = Tables.readPrunedManifest(spark, dir,
+      Seq[(String, Any, Any)](("x", 3500L, 4500L)), reconcile = true)
+    assert(healed.count() == 1001L) // 3500..4500 inclusive
+    // reconcile still prunes: manifest-known out-of-range files skipped
+    assert(healed.inputFiles.length < spark.read
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .inputFiles.length)
+  }
+
+  test("gridScaled rewrites: values >= 2^bits no longer degrade to " +
+    "NULL keys; unbalanced spans still narrow the small column") {
+    import graft.sources.Tables
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-grid")
+      .toString + "/t"
+    // y max is far above 2^8: the raw interleave would NULL every key
+    val df = spark.range(0, 8192).select(
+      (col("id") % 64).as("xx"), (col("id") * 1000L).as("yy"))
+    Layout.rewriteClusteredN(df, Seq("xx", "yy"), bits = 8,
+      nFiles = 8, dir)
+    val stats = Tables.footerStatsTyped(spark, dir, Seq("xx", "yy"))
+    // a clustered layout narrows per-file spans on BOTH columns: the
+    // widest yy span must be well under the full domain
+    val spans = stats.select((col("yy_max") - col("yy_min")).as("s"))
+      .agg(max("s")).head().getLong(0)
+    assert(spans < 8191L * 1000L / 2L,
+      s"yy span $spans suggests an unclustered (NULL-keyed) layout")
+    val pruned = Tables.readPruned(spark, dir,
+      Seq(("xx", 0L, 15L), ("yy", 0L, 2047000L)))
+    assert(pruned.inputFiles.length < 8)
+    assert(pruned.count() == spark.read.parquet(dir)
+      .filter(col("xx").between(0, 15) && col("yy").between(0, 2047000L))
+      .count())
+    // negative cluster values raise loudly
+    val e = intercept[IllegalArgumentException](
+      Layout.rewriteClusteredN(
+        spark.range(0, 10).select((col("id") - 5).as("a"), col("id").as("b")),
+        Seq("a", "b"), bits = 4, nFiles = 2,
+        java.nio.file.Files.createTempDirectory("graft-neg").toString + "/t"))
+    assert(e.getMessage.contains("negative"))
+  }
+}
