@@ -4476,6 +4476,31 @@ object SparkEntry {
           sum((col("o_totalprice").cast("decimal(12,2)") * 100)
             .cast("long")).cast("long").as("price_cents"))
     }),
+
+    // Savage exponential-scores test (VERDICT r10 #6) on the q405/q406
+    // split — completing the location/scale/extreme rank-test triple
+    // via the uncensored-log-rank identity; exact hypergeometric parts
+    // per (event_type, value), variance as one fixed double chain
+    "q410_savage_parts" -> ((s, d) =>
+      graft.operators.RankStats.savageParts(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
+
+    // PSI drift parts (VERDICT r10 #8): month-half split of events by
+    // event_type — exact integer share-delta and log-ratio parts; the
+    // ln fold is caller-side (libm stays out of hashed output)
+    "q411_psi_parts" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      graft.checks.Drift.psiParts(
+        ev.filter(dayofmonth(col("ts")) <= 15),
+        ev.filter(dayofmonth(col("ts")) > 15), col("event_type"))
+    }),
+
+    // Theil's U parts (VERDICT r10 #8): event_type vs deterministic
+    // user segment — per-cell mutual-information integer parts
+    "q412_theils_u_parts" -> ((s, d) =>
+      graft.checks.Drift.theilsUParts(t(s, d, "events"),
+        col("event_type"), col("user_id") % 7)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13067,5 +13092,85 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |WHERE o_orderdate >= DATE '1995-01-01'
         |  AND o_orderdate <= DATE '1995-12-31'
         |GROUP BY 1""".stripMargin,
+
+    // q410: the keyed uncensored log-rank lattice — cumulative group
+    // counts per distinct value give at-risk sets; the variance chain
+    // mirrors the Spark tree token for token
+    "q410_savage_parts" ->
+      """WITH cells AS (SELECT event_type, value,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS d_b
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value, d_a, d_b,
+        |    SUM(d_a) OVER (PARTITION BY event_type ORDER BY value ASC)
+        |      AS cuma,
+        |    SUM(d_b) OVER (PARTITION BY event_type ORDER BY value ASC)
+        |      AS cumb,
+        |    SUM(d_a) OVER (PARTITION BY event_type) AS na,
+        |    SUM(d_b) OVER (PARTITION BY event_type) AS nb
+        |  FROM cells),
+        |parts AS (SELECT event_type, value, d_a, d_b,
+        |    CAST(na - (cuma - d_a) AS BIGINT) AS n_risk_a,
+        |    CAST(nb - (cumb - d_b) AS BIGINT) AS n_risk_b,
+        |    CAST((d_a + d_b) * (na - (cuma - d_a)) AS BIGINT) AS e_num,
+        |    CAST((na - (cuma - d_a)) + (nb - (cumb - d_b)) AS BIGINT)
+        |      AS e_den,
+        |    CAST(d_a + d_b AS BIGINT) AS dd
+        |  FROM cum)
+        |SELECT event_type, value, n_risk_a, n_risk_b, d_a, d_b,
+        |  e_num, e_den,
+        |  CAST(e_num AS DOUBLE) / CAST(e_den AS DOUBLE) AS expected_a,
+        |  CASE WHEN e_den > 1 THEN
+        |    (CAST(dd AS DOUBLE) * CAST(e_den - dd AS DOUBLE))
+        |      * (CAST(n_risk_a AS DOUBLE) * CAST(n_risk_b AS DOUBLE))
+        |      / ((CAST(e_den AS DOUBLE) * CAST(e_den AS DOUBLE))
+        |        * CAST(e_den - 1 AS DOUBLE))
+        |  END AS variance
+        |FROM parts""".stripMargin,
+
+    // q411: exact PSI parts over the month-half split
+    "q411_psi_parts" ->
+      """WITH r AS (SELECT event_type AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS ref_cnt
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND EXTRACT(DAY FROM ts) <= 15 GROUP BY 1),
+        |c AS (SELECT event_type AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS cur_cnt
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND EXTRACT(DAY FROM ts) > 15 GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |    COALESCE(r.ref_cnt, 0) AS ref_cnt,
+        |    COALESCE(c.cur_cnt, 0) AS cur_cnt
+        |  FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |t AS (SELECT SUM(ref_cnt) AS rt, SUM(cur_cnt) AS ct FROM j)
+        |SELECT j.category, j.ref_cnt, j.cur_cnt,
+        |  CAST(t.rt AS BIGINT) AS ref_total,
+        |  CAST(t.ct AS BIGINT) AS cur_total,
+        |  CAST(j.cur_cnt * t.rt - j.ref_cnt * t.ct AS BIGINT)
+        |    AS delta_num,
+        |  CAST(j.cur_cnt * t.rt AS BIGINT) AS log_num,
+        |  CAST(j.ref_cnt * t.ct AS BIGINT) AS log_den
+        |FROM j, t""".stripMargin,
+
+    // q412: per-cell mutual-information parts (margins via the cell
+    // table — one pass over the raw rows in both engines)
+    "q412_theils_u_parts" ->
+      """WITH base AS (SELECT event_type AS x, user_id % 7 AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM base GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+        |  FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+        |SELECT cells.x, cells.y, cells.n_xy, mx.n_x, my.n_y, t.n,
+        |  CAST(t.n * cells.n_xy AS BIGINT) AS mi_log_num,
+        |  CAST(mx.n_x * my.n_y AS BIGINT) AS mi_log_den
+        |FROM cells JOIN mx USING (x) JOIN my USING (y), t""".stripMargin,
   )
 }

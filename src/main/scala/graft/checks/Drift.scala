@@ -204,6 +204,81 @@ object Drift {
     * oracle hash gate (NOTES.md cheat-sheet: no libm in oracle-compared
     * scores). Rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate,
     * > 0.25 drifted. */
+  /** PSI in PARTS-EMISSION form — the oracle-hashable sibling of
+    * [[psiReport]] (whose in-engine `ln` is libm, banned from
+    * hash-compared output): every column is an EXACT integer, and the
+    * log step is CALLER-SIDE. Per category:
+    * `psi_term = delta_num/(ref_total·cur_total) ·
+    * ln(log_num/log_den)` where `delta_num = cur_cnt·ref_total −
+    * ref_cnt·cur_total` (the share delta cleared of divisions) and
+    * `log_num/log_den = (cur_cnt·ref_total)/(ref_cnt·cur_total)` is
+    * exactly `p_cur/p_ref`; `PSI = Σ psi_term`. A zero count on
+    * either side makes the ratio 0 or ∞ — emitted raw (0 in the
+    * integer column); the caller applies its epsilon-floor convention
+    * before the log, exactly where [[psiReport]] applies `eps`.
+    * Products ride decimal(38,0) internally and emit as BIGINT —
+    * exact while each side's total stays under ~3e9 rows (the
+    * [[totalVariationFromCounts]] documented bound; beyond it the
+    * cast NULLs loudly rather than wrapping). */
+  def psiParts(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    aligned(ref, cur, cat)
+      .withColumn("delta_num",
+        (col("cur_cnt").cast(d38) * col("ref_total")
+          - col("ref_cnt").cast(d38) * col("cur_total"))
+          .cast(d38).cast("long"))
+      .withColumn("log_num",
+        (col("cur_cnt").cast(d38) * col("ref_total")).cast(d38)
+          .cast("long"))
+      .withColumn("log_den",
+        (col("ref_cnt").cast(d38) * col("cur_total")).cast(d38)
+          .cast("long"))
+      .select(col("category"), col("ref_cnt"), col("cur_cnt"),
+        col("ref_total").cast("long").as("ref_total"),
+        col("cur_total").cast("long").as("cur_total"),
+        col("delta_num"), col("log_num"), col("log_den"))
+  }
+
+  /** Theil's U (uncertainty coefficient) in PARTS-EMISSION form — the
+    * categorical-association drift check ("how much does knowing x
+    * tell you about y?", asymmetric, 0..1) whose entropies need `ln`
+    * (libm, cross-engine-divergent), emitted as the exact integer
+    * parts the caller takes logs over:
+    *
+    *   `U(y|x) = MI(x,y) / H(y)`,
+    *   `MI = Σ_cells (n_xy/n) · ln(mi_log_num/mi_log_den)` with
+    *   `mi_log_num = n·n_xy`, `mi_log_den = n_x·n_y`,
+    *   `H(y) = ln n − (1/n)·Σ_y n_y·ln n_y` (from the `n_y`, `n`
+    *   columns of any one x-slice, or the distinct (y, n_y) pairs).
+    *
+    * One hash aggregate over the input builds the cell table; margins
+    * join back broadcast-sized (cell/margin cardinality, not row
+    * scale). Products ride decimal(38,0), emit BIGINT — exact to ~3e9
+    * rows. Output per observed cell: (x, y, n_xy, n_x, n_y, n,
+    * mi_log_num, mi_log_den). Empty cells contribute 0 to MI
+    * (lim p·ln p = 0) so observed-cells-only emission is complete —
+    * unlike the chi-square family's empty-cell term (NOTES r9). */
+  def theilsUParts(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("x"), y.as("y"))
+    val cells = base.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).cast("long")
+      .as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).cast("long")
+      .as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).cast("long").as("n"))
+    cells.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_log_num",
+        (col("n").cast(d38) * col("n_xy")).cast(d38).cast("long"))
+      .withColumn("mi_log_den",
+        (col("n_x").cast(d38) * col("n_y")).cast(d38).cast("long"))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n"), col("mi_log_num"), col("mi_log_den"))
+  }
+
   def psiReport(ref: DataFrame, cur: DataFrame, cat: Column,
       eps: Double = 1e-6): DataFrame = {
     val refShare = greatest(

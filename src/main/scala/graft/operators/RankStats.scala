@@ -532,6 +532,80 @@ object RankStats {
         col("s4_sum"), col("ss4_sum_d"), col("z"))
   }
 
+  /** Savage (exponential-scores) two-sample test per key — the
+    * EXTREME-value member of the rank-score triple ([[ansariBradley]]
+    * location-free spread, [[conoverSquaredRanks]] tail-quadratic
+    * spread, Savage for exponential-ish right tails: the locally most
+    * powerful rank test under proportional hazards / Lehmann
+    * alternatives). The harmonic Savage scores
+    * `a(r) = Σ_{j≤r} 1/(N+1−j) − 1` are IRRATIONAL partial sums — not
+    * representable in the exact-BIGINT score discipline the AB/Conover
+    * finite-population identity rides — so the engine emits the test
+    * through the CLASSICAL IDENTITY instead: with no censoring the
+    * Savage test IS the log-rank test (Savage's statistic and the
+    * log-rank O−E agree up to sign/scale; Hájek & Šidák §III.4),
+    * whose per-distinct-value parts ARE exact integers. Ties follow
+    * the hypergeometric (log-rank) convention — the standard
+    * generalization.
+    *
+    * Parts per (key, value), the keyed sibling of
+    * [[graft.operators.Survival.logRankParts]]'s fold-it-yourself
+    * convention (a float Σ inside the engine would be
+    * partition-order-dependent): `d_a, d_b` = per-group counts at the
+    * value, `n_risk_a/b` = at-risk (value ≥ v) counts,
+    * `e_num = d·n_risk_a` / `e_den = r` (exact BIGINTs; ≤ N², safe),
+    * `expected_a` their one division, and `variance` the
+    * hypergeometric `d(r−d)·r_a·r_b / (r²(r−1))` as ONE FIXED double
+    * chain `((d·(r−d))·(r_a·r_b)) / (((r·r)·(r−1)))` — each
+    * multiplication correctly rounded, tree mirrored verbatim by the
+    * oracle (the raw v_num integer would exceed BIGINT near N≈55k —
+    * the r8 squared-residual lesson — so it is never emitted).
+    * Caller folds `z = Σ(d_a − expected_a) / sqrt(Σ variance)`.
+    *
+    * Output per (key, value): (key, value, n_risk_a, n_risk_b, d_a,
+    * d_b, e_num, e_den, expected_a, variance) — variance NULL when
+    * r ≤ 1. */
+  def savageParts(df: DataFrame, keyCol: String, valueCol: String,
+                  isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("value"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("d_a"),
+        sum(when(isA, 0L).otherwise(1L)).as("d_b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy(col(keyCol))
+      .agg(sum(col("d_a")).cast("long").as("__na"),
+        sum(col("d_b")).cast("long").as("__nb"))
+    cells
+      .withColumn("__cuma", sum(col("d_a")).over(w))
+      .withColumn("__cumb", sum(col("d_b")).over(w))
+      .join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("n_risk_a",
+        (col("__na") - (col("__cuma") - col("d_a"))).cast("long"))
+      .withColumn("n_risk_b",
+        (col("__nb") - (col("__cumb") - col("d_b"))).cast("long"))
+      .withColumn("__d", (col("d_a") + col("d_b")).cast("long"))
+      .withColumn("e_den",
+        (col("n_risk_a") + col("n_risk_b")).cast("long"))
+      .withColumn("e_num",
+        (col("__d").cast(d38) * col("n_risk_a")).cast(d38).cast("long"))
+      .withColumn("expected_a",
+        col("e_num").cast("double") / col("e_den").cast("double"))
+      .withColumn("variance",
+        when(col("e_den") > 1,
+          (col("__d").cast("double")
+            * (col("e_den") - col("__d")).cast("double"))
+            * (col("n_risk_a").cast("double")
+              * col("n_risk_b").cast("double"))
+            / ((col("e_den").cast("double") * col("e_den").cast("double"))
+              * (col("e_den") - 1).cast("double"))))
+      .select(col(keyCol), col("value"), col("n_risk_a"),
+        col("n_risk_b"), col("d_a").cast("long").as("d_a"),
+        col("d_b").cast("long").as("d_b"), col("e_num"), col("e_den"),
+        col("expected_a"), col("variance"))
+  }
+
   /** k-sample Anderson–Darling PARTS per key — [[andersonDarling2]]
     * generalized to any group count (Scholz–Stephens' actual setting:
     * "did ANY of the k sources drift?" in one test instead of k²/2

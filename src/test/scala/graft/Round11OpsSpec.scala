@@ -254,4 +254,95 @@ class Round11OpsSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-neg").toString + "/t"))
     assert(e.getMessage.contains("negative"))
   }
+
+  test("savageParts: hand-computed hypergeometric lattice, and the " +
+    "uncensored-log-rank identity vs Survival.logRankParts") {
+    import graft.operators.RankStats
+    // A = {1, 2}, B = {2, 3}: three distinct values
+    val df = Seq(("k", true, 1L), ("k", true, 2L), ("k", false, 2L),
+      ("k", false, 3L)).toDF("k", "a", "v")
+    val r = RankStats.savageParts(df, "k", "v", col("a"))
+      .orderBy("value").collect()
+    // v=1: r_a=2 r_b=2 d=1 -> e=2/4, var=1*3*2*2/(16*3)=0.25
+    assert(r(0).getLong(2) == 2L && r(0).getLong(3) == 2L)
+    assert(r(0).getLong(4) == 1L && r(0).getLong(5) == 0L)
+    assert(r(0).getLong(6) == 2L && r(0).getLong(7) == 4L)
+    assert(r(0).getDouble(8) == 0.5 && r(0).getDouble(9) == 0.25)
+    // v=2: r_a=1 r_b=2 d=2 -> e_num=2 e_den=3, var=2*1*1*2/(9*2)
+    assert(r(1).getLong(2) == 1L && r(1).getLong(3) == 2L)
+    assert(r(1).getLong(6) == 2L && r(1).getLong(7) == 3L)
+    assert(r(1).getDouble(9) == (2.0 * 1.0) * (1.0 * 2.0) / ((3.0 * 3.0) * 2.0))
+    // v=3: r=1 -> variance NULL
+    assert(r(2).getLong(7) == 1L && r(2).isNullAt(9))
+    // identity: one key, all-event units == logRankParts row for row
+    val units = Seq((true, 5L, true), (true, 7L, true), (false, 5L, true),
+      (false, 9L, true), (false, 9L, true)).toDF("a", "dur", "ev")
+    val lr = graft.operators.Survival.logRankParts(units, col("a"),
+      "dur", "ev").orderBy("duration").collect()
+    val sv = RankStats.savageParts(
+      units.withColumn("k", lit("x")), "k", "dur", col("a"))
+      .orderBy("value").collect()
+    assert(lr.length == sv.length)
+    lr.zip(sv).foreach { case (l, s) =>
+      assert(l.getLong(1) == s.getLong(2)) // n_risk_a
+      assert(l.getLong(2) == s.getLong(3)) // n_risk_b
+      assert(l.getLong(3) == s.getLong(4)) // d_a
+      assert(l.getLong(4) == s.getLong(5)) // d_b
+      assert(l.getLong(5) == s.getLong(6)) // e_num
+      assert(l.getLong(6) == s.getLong(7)) // e_den
+      assert(l.getDouble(7) == s.getDouble(8)) // expected_a
+      val lv = if (l.isNullAt(10)) Double.NaN else l.getDouble(10)
+      val svv = if (s.isNullAt(9)) Double.NaN else s.getDouble(9)
+      assert(lv.isNaN == svv.isNaN
+        && (lv.isNaN || math.abs(lv - svv) < 1e-12))
+    }
+  }
+
+  test("psiParts: hand-computed exact parts; caller-side ln fold " +
+    "matches psiReport on eps-free categories") {
+    import graft.checks.Drift
+    val ref = Seq("a", "a", "b").toDF("c")
+    val cur = Seq("a", "b", "b", "b").toDF("c")
+    val p = Drift.psiParts(ref, cur, col("c")).orderBy("category")
+      .collect()
+    // a: delta = 1*3 - 2*4 = -5; log 3/8.  b: delta = 3*3 - 1*4 = 5
+    assert(p(0).getString(0) == "a" && p(0).getLong(1) == 2L
+      && p(0).getLong(2) == 1L && p(0).getLong(3) == 3L
+      && p(0).getLong(4) == 4L && p(0).getLong(5) == -5L
+      && p(0).getLong(6) == 3L && p(0).getLong(7) == 8L)
+    assert(p(1).getLong(5) == 5L && p(1).getLong(6) == 9L
+      && p(1).getLong(7) == 4L)
+    // fold: psi = sum delta/(rt*ct) * ln(num/den) == psiReport's sum
+    val psi = p.map(r => r.getLong(5).toDouble / (3.0 * 4.0)
+      * math.log(r.getLong(6).toDouble / r.getLong(7))).sum
+    val rep = Drift.psiReport(ref, cur, col("c"))
+      .agg(sum("psi_contribution")).head().getDouble(0)
+    assert(math.abs(psi - rep) < 1e-12)
+  }
+
+  test("theilsUParts: hand-computed cell/margin parts; U(y|x) folds " +
+    "to the entropy definition") {
+    import graft.checks.Drift
+    val df = Seq(("p", 0L), ("p", 0L), ("p", 1L), ("q", 1L))
+      .toDF("xx", "yy")
+    val parts = Drift.theilsUParts(df, col("xx"), col("yy"))
+      .orderBy("x", "y").collect()
+    // cells: (p,0)=2 (p,1)=1 (q,1)=1; n_x p=3 q=1; n_y 0=2 1=2; n=4
+    assert(parts.length == 3)
+    val p0 = parts(0) // (p, 0)
+    assert(p0.getString(0) == "p" && p0.getLong(1) == 0L
+      && p0.getLong(2) == 2L && p0.getLong(3) == 3L
+      && p0.getLong(4) == 2L && p0.getLong(5) == 4L
+      && p0.getLong(6) == 8L && p0.getLong(7) == 6L)
+    // fold MI and H(y) caller-side and compare to direct entropies
+    val mi = parts.map(r => r.getLong(2).toDouble / 4.0
+      * math.log(r.getLong(6).toDouble / r.getLong(7))).sum
+    val hy = math.log(4.0) -
+      Seq(2.0, 2.0).map(ny => ny * math.log(ny)).sum / 4.0
+    // direct: H(y) - H(y|x) with H(y|x) = sum_x p(x) H(y|X=x)
+    val hyGivenX = 3.0 / 4.0 * (-(2.0 / 3.0) * math.log(2.0 / 3.0)
+      - (1.0 / 3.0) * math.log(1.0 / 3.0)) + 1.0 / 4.0 * 0.0
+    assert(math.abs(mi - (hy - hyGivenX)) < 1e-12)
+    assert(mi / hy > 0.0 && mi / hy < 1.0)
+  }
 }
