@@ -64,6 +64,18 @@ object LakeFixtures {
         nFiles = 16, dir)
     }
 
+  /** q413's lake: same three cluster columns as [[morton3dLineitem]]
+    * but keyed by the N-D HILBERT walk — the adjacent-cell curve whose
+    * equal key ranges cover tighter boxes; q413 proves it opens no
+    * more (measured: strictly fewer) files than the Morton twin on
+    * the same quarter-range box. */
+  def hilbert3dLineitem(s: SparkSession, d: String): String =
+    once("h3d", d) { dir =>
+      graft.operators.Layout.rewriteClusteredN(li(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), bits = 20,
+        nFiles = 16, dir, curve = "hilbert")
+    }
+
   /** q400's BEFORE lake: row-order (shuffled) 16-file layout — the
     * baseline the clustered layout must beat on overlap depth. */
   def raw16Lineitem(s: SparkSession, d: String): String =

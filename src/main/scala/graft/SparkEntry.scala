@@ -4501,6 +4501,38 @@ object SparkEntry {
     "q412_theils_u_parts" -> ((s, d) =>
       graft.checks.Drift.theilsUParts(t(s, d, "events"),
         col("event_type"), col("user_id") % 7)),
+
+    // N-D Hilbert clustering (VERDICT r10 #7): the same 3-column
+    // quarter-range box as q376 against a HILBERT-keyed 16-file lake;
+    // in-query requires pin that the adjacent-cell walk prunes at
+    // least as hard as the Morton twin (measured strictly fewer:
+    // 2 vs 3 files at sf0.01 — NOTES.md)
+    "q413_hilbert3d" -> ((s, d) => {
+      val hDir = LakeFixtures.hilbert3dLineitem(s, d)
+      val mDir = LakeFixtures.morton3dLineitem(s, d)
+      val li = t(s, d, "lineitem")
+      val mm = li.agg(max(col("l_orderkey").cast("long")).as("ok"),
+        max(col("l_partkey").cast("long")).as("pk"),
+        max(col("l_suppkey").cast("long")).as("sk")).head()
+      val box = Seq(("l_orderkey", 1L, mm.getLong(0) / 4L),
+        ("l_partkey", 1L, mm.getLong(1) / 4L),
+        ("l_suppkey", 1L, mm.getLong(2) / 4L))
+      val hp = graft.sources.Tables.readPruned(s, hDir, box)
+      val np = graft.sources.Tables.readPruned(s, mDir, box)
+        .inputFiles.length
+      require(hp.inputFiles.length * 2 < 16,
+        s"hilbert 3-D prune regressed: opened ${hp.inputFiles.length}" +
+          " of 16")
+      require(hp.inputFiles.length <= np,
+        s"hilbert opened ${hp.inputFiles.length} files vs morton $np" +
+          " on the same box — the locality claim inverted")
+      hp.agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("sum_ok"),
+        sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("price_cents"),
+        sum((col("l_discount").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("disc_cents"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13172,5 +13204,22 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  CAST(t.n * cells.n_xy AS BIGINT) AS mi_log_num,
         |  CAST(mx.n_x * my.n_y AS BIGINT) AS mi_log_den
         |FROM cells JOIN mx USING (x) JOIN my USING (y), t""".stripMargin,
+
+    // q413: the hilbert-pruned read ≡ the same quarter box as q376,
+    // different aggregate columns
+    "q413_hilbert3d" ->
+      """WITH b AS (SELECT MAX(l_orderkey) // 4 AS ok,
+        |    MAX(l_partkey) // 4 AS pk, MAX(l_suppkey) // 4 AS sk
+        |  FROM lineitem)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS disc_cents
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN 1 AND b.ok
+        |  AND l_partkey BETWEEN 1 AND b.pk
+        |  AND l_suppkey BETWEEN 1 AND b.sk""".stripMargin,
   )
 }

@@ -170,6 +170,91 @@ object Layout {
       .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
   }
 
+  /** N-dimensional Hilbert key — [[withHilbert]] generalized past two
+    * columns via Skilling's transpose algorithm ("Programming the
+    * Hilbert curve", AIP Conf. Proc. 707, 2004): the per-scale
+    * invert/exchange walk runs MSB→LSB over the n coordinate columns
+    * (the "inverse undo" pass), a Gray-code pass follows, and the
+    * resulting TRANSPOSED index interleaves into one long with X[0]
+    * carrying the most significant bit of each level. Like
+    * [[withHilbert]] it is expressed as CHAINED PROJECTIONS — one
+    * small projection per (scale, axis) step, each referencing the
+    * previous — because the exchange step reads state twice per round
+    * and a single inlined expression would grow exponentially
+    * (CollapseProject does not re-inline non-cheap multi-referenced
+    * exprs; the r9 lesson). ~3·bits·n projections of plain long
+    * bitwise arithmetic, all inside whole-stage codegen.
+    *
+    * The walk visits adjacent cells only (|Δ| = 1 in exactly one
+    * coordinate between consecutive keys — spec-pinned over full
+    * grids), so equal key ranges cover compact n-boxes: tighter
+    * per-file bounds than [[mortonCodeN]]'s diagonal jumps on EVERY
+    * axis at once. `n·bits ≤ 62` keeps the key in a signed long.
+    * Inputs out of [0, 2^bits) or NULL yield a NULL key — the
+    * [[mortonCode]] loud-in-any-sort rule. Returns `df` with `outCol`
+    * appended; helper columns dropped. */
+  def withHilbertN(df: DataFrame, cols: Seq[String], bits: Int,
+                   outCol: String): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"n*bits must be <= 62, got ${cols.size} * $bits")
+    val n = cols.size
+    val lim = 1L << bits
+    def x(i: Int) = col(s"__hn$i")
+    var cur = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__hn$i", col(c).cast("long"))
+    }
+    // inverse undo: Q from 2^(bits-1) down to 2
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      // i = 0 reduces to a self-invert (the exchange with itself is a
+      // no-op): X0 ^= P only when X0 & Q
+      cur = cur.withColumn("__hn0",
+        when(x(0).bitwiseAND(q) > 0, x(0).bitwiseXOR(p)).otherwise(x(0)))
+      (1 until n).foreach { i =>
+        cur = cur
+          .withColumn("__ht",
+            when(x(i).bitwiseAND(q) > 0, lit(0L))
+              .otherwise(x(0).bitwiseXOR(x(i)).bitwiseAND(p)))
+          .withColumn("__hn0",
+            when(x(i).bitwiseAND(q) > 0, x(0).bitwiseXOR(p))
+              .otherwise(x(0).bitwiseXOR(col("__ht"))))
+          .withColumn(s"__hn$i", x(i).bitwiseXOR(col("__ht")))
+      }
+      q >>= 1
+    }
+    // Gray encode (sequential: each axis folds the PREVIOUS updated one)
+    (1 until n).foreach { i =>
+      cur = cur.withColumn(s"__hn$i", x(i).bitwiseXOR(x(i - 1)))
+    }
+    // trailing exchange: t accumulates over scales from the LAST axis
+    cur = cur.withColumn("__ht", lit(0L))
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      cur = cur.withColumn("__ht",
+        when(x(n - 1).bitwiseAND(q) > 0, col("__ht").bitwiseXOR(q - 1))
+          .otherwise(col("__ht")))
+      q >>= 1
+    }
+    (0 until n).foreach { i =>
+      cur = cur.withColumn(s"__hn$i", x(i).bitwiseXOR(col("__ht")))
+    }
+    // transposed -> single key: bit b of axis i lands at position
+    // b·n + (n-1-i)  (X[0] most significant within each level)
+    val terms: Seq[Column] = (0 until bits).flatMap { b =>
+      (0 until n).map { i =>
+        shiftright(x(i), b).bitwiseAND(1L) * (1L << (b * n + (n - 1 - i)))
+      }
+    }
+    val inRange = cols.map(c =>
+      col(c).isNotNull && col(c).cast("long").between(0, lim - 1))
+      .reduce(_ && _)
+    cur
+      .withColumn(outCol, when(inRange, terms.reduce(_ + _).cast("long")))
+      .drop(((0 until n).map(i => s"__hn$i") :+ "__ht"): _*)
+  }
+
   /** One-call clustered rewrite — the table-maintenance action that
     * makes [[graft.sources.Tables.readPruned]] pay: lay `df` out in
     * `nFiles` range-cut files ordered by the chosen space-filling
@@ -196,14 +281,32 @@ object Layout {
     writeByKey(keyed, nFiles, path)
   }
 
-  /** [[rewriteClustered]] for 3+ cluster columns via [[mortonCodeN]] —
-    * the layout a box probe on ANY of the n columns then prunes
-    * through [[graft.sources.Tables.readPruned]]. */
+  /** [[rewriteClustered]] for 3+ cluster columns — the layout a box
+    * probe on ANY of the n columns then prunes through
+    * [[graft.sources.Tables.readPruned]]. `curve` picks the key:
+    * 'morton' ([[mortonCodeN]] — cheap streamable interleave, the
+    * on-the-fly default) or 'hilbert' ([[withHilbertN]] — adjacent-
+    * cell walk, tighter boxes per key range, the cold-rewrite
+    * choice). Both run on grid-scaled inputs ([[gridScaled]]). */
   def rewriteClusteredN(df: DataFrame, clusterCols: Seq[String], bits: Int,
-                        nFiles: Int, path: String): Unit = {
+                        nFiles: Int, path: String,
+                        curve: String = "morton"): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    writeByKey(df.withColumn("__cluster_key",
-      mortonCodeN(gridScaled(df, clusterCols, bits), bits)), nFiles, path)
+    val scaled = gridScaled(df, clusterCols, bits)
+    val keyed = curve match {
+      case "morton" =>
+        df.withColumn("__cluster_key", mortonCodeN(scaled, bits))
+      case "hilbert" =>
+        val tmp = clusterCols.indices.map(i => s"__g$i")
+        val withG = scaled.zipWithIndex.foldLeft(df) {
+          case (d, (c, i)) => d.withColumn(s"__g$i", c)
+        }
+        withHilbertN(withG, tmp, bits, "__cluster_key")
+          .drop(tmp: _*)
+      case other => throw new IllegalArgumentException(
+        s"curve must be 'morton' or 'hilbert', got '$other'")
+    }
+    writeByKey(keyed, nFiles, path)
   }
 
   /** Cluster columns scaled onto the FULL [0, 2^bits) grid —

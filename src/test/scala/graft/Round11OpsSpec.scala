@@ -255,6 +255,42 @@ class Round11OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("negative"))
   }
 
+  test("withHilbertN: bijective over the full 3-D grid, every " +
+    "consecutive key step is grid-adjacent, 2-D case equals " +
+    "withHilbert exactly, out-of-range yields NULL") {
+    import graft.operators.Layout
+    val bits = 3; val lim = 1L << bits
+    val grid = spark.range(0, lim * lim * lim).select(
+      (col("id") % lim).as("x"),
+      ((col("id") / lim) % lim).cast("long").as("y"),
+      (col("id") / (lim * lim)).cast("long").as("z"))
+    val rows = Layout.withHilbertN(grid, Seq("x", "y", "z"), bits, "h")
+      .orderBy("h").collect()
+    assert(rows.length == 512)
+    assert(rows.map(_.getLong(3)).toSeq == (0L until 512L))
+    // THE defining Hilbert property: consecutive keys are adjacent
+    // cells (|dx|+|dy|+|dz| == 1) — no diagonal Morton jumps
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val d = math.abs(a.getLong(0) - b.getLong(0)) +
+        math.abs(a.getLong(1) - b.getLong(1)) +
+        math.abs(a.getLong(2) - b.getLong(2))
+      assert(d == 1, s"non-adjacent step at key ${a.getLong(3)}")
+    }
+    // n=2 reduces to the classic walk (same curve, same orientation)
+    val g2 = spark.range(0, 256).select((col("id") % 16).as("x"),
+      (col("id") / 16).cast("long").as("y"))
+    val a2 = Layout.withHilbertN(g2, Seq("x", "y"), 4, "h")
+      .orderBy("x", "y").collect()
+    val b2 = Layout.withHilbert(g2, "x", "y", 4, "h")
+      .orderBy("x", "y").collect()
+    assert(a2.zip(b2).forall { case (p, q) => p.getLong(2) == q.getLong(2) })
+    // out-of-range input -> NULL key (loud in any sort)
+    val bad = Seq((8L, 1L, 1L), (1L, 2L, 3L)).toDF("x", "y", "z")
+    val r = Layout.withHilbertN(bad, Seq("x", "y", "z"), 3, "h")
+      .orderBy("x").collect()
+    assert(!r(0).isNullAt(3) && r(1).isNullAt(3))
+  }
+
   test("savageParts: hand-computed hypergeometric lattice, and the " +
     "uncensored-log-rank identity vs Survival.logRankParts") {
     import graft.operators.RankStats
