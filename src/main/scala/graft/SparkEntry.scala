@@ -4533,6 +4533,56 @@ object SparkEntry {
         sum((col("l_discount").cast("decimal(12,2)") * 100)
           .cast("long")).cast("long").as("disc_cents"))
     }),
+
+    // Bartlett homogeneity-of-variance parts (NOTES r10 roadmap #3 —
+    // the libm family in parts-emission form): per-flag exact
+    // variance numerators on the cents lattice, ln fold caller-side
+    "q414_bartlett_parts" -> ((s, d) =>
+      graft.operators.Robust.bartlettParts(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+
+    // Fligner-Killeen scale-test parts: per-group median-centered
+    // cents lattice with pooled doubled midranks; the Φ⁻¹ scoring
+    // fold is caller-side
+    "q415_fligner_parts" -> ((s, d) =>
+      graft.operators.RankStats.flignerParts(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+
+    // shared-dialect FILTER-clause aggregates — identical text in
+    // both engines
+    "q416_sql_filter" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlFilterClauseText)
+    }),
+
+    // shared-dialect INTERSECT ALL / EXCEPT ALL multiset ops
+    "q417_sql_set_all" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlSetAllText)
+    }),
+
+    // shared-dialect RANGE frame with an INTERVAL bound over a
+    // timestamp order (trailing-24h rolling count)
+    "q418_sql_range_interval" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlRangeIntervalText)
+    }),
+
+    // per-doc n-gram novelty vs a reference corpus half (the
+    // admission-side complement of q106's contamination): exact
+    // unseen-shingle fractions, doc-parity split
+    "q419_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llmdata.DedupOps.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }),
+
+    // pairwise vocabulary Jaccard between language slices — exact
+    // set arithmetic on the (lang, term) distinct pairs
+    "q420_vocab_jaccard" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.vocabJaccard(t(s, d, "documents"),
+        "lang", "text")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -4622,6 +4672,55 @@ object SparkEntry {
       |   FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS t
       |WHERE o.o_orderkey <= (SELECT MIN(o_orderkey) + 2000 FROM orders)
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q416's SQL — shared-dialect FILTER-clause aggregates (the
+    * modern conditional-aggregation form both engines spell
+    * identically; the dialect trap: FILTER attaches DIRECTLY to the
+    * aggregate call, with any CAST wrapping the whole — NOTES.md). */
+  private val sqlFilterClauseText: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_all,
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+      |    AS n_heavy,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |    AS BIGINT)) FILTER (WHERE l_discount >= 0.05) AS BIGINT)
+      |    AS disc_price_cents
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** q417's SQL — shared-dialect MULTISET set operations (INTERSECT
+    * ALL keeps min-multiplicity, EXCEPT ALL subtracts multiplicities —
+    * the bag semantics the plain INTERSECT/EXCEPT text of q364 cannot
+    * express; repeat buyers make the ALL counts strictly larger). */
+  private val sqlSetAllText: String =
+    """SELECT 'int_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT 'exc_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+      .stripMargin
+
+  /** q418's SQL — shared-dialect TIME-RANGE window frames (RANGE with
+    * an INTERVAL bound over a timestamp order: the rolling trailing-
+    * 24h count every monitoring query wants; q396 pins the integer
+    * RANGE form). RANGE frames include ORDER-BY peers in both
+    * engines, so tied timestamps are deterministic; scoped by a
+    * scalar subquery so the global-ordered window runs over a bounded
+    * slice. */
+  private val sqlRangeIntervalText: String =
+    """SELECT event_id,
+      |  CAST(COUNT(*) OVER (ORDER BY ts ASC NULLS FIRST
+      |    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_24h
+      |FROM events
+      |WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |  AND ts <= (SELECT MIN(ts) + INTERVAL 30 DAY FROM events
+      |    WHERE event_type = 'purchase')
+      |ORDER BY event_id""".stripMargin
 
   /** q331's SQL — ONE text executed verbatim by BOTH engines (the
     * shared-dialect subset: CTE chain, equi-join, ranking window with
@@ -13221,5 +13320,92 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |WHERE l_orderkey BETWEEN 1 AND b.ok
         |  AND l_partkey BETWEEN 1 AND b.pk
         |  AND l_suppkey BETWEEN 1 AND b.sk""".stripMargin,
+
+    // q414: exact variance-numerator parts per flag (HUGEINT cross
+    // products, VARCHAR-routed double emission — the hoeffdingD rule)
+    "q414_bartlett_parts" ->
+      """WITH base AS (SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |  CAST(CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)
+        |    AS VARCHAR) AS DOUBLE) AS ss_num_d
+        |FROM base GROUP BY 1""".stripMargin,
+
+    // q415: per-group lattice medians -> |centered| pooled doubled
+    // midranks (the house selection + midrank conventions)
+    "q415_fligner_parts" ->
+      """WITH base AS (SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |ng AS (SELECT grp, COUNT(*) AS n FROM base GROUP BY 1),
+        |cum0 AS (SELECT grp, c, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+        |medsel AS (SELECT grp, c,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY c ASC) AS cum
+        |  FROM cum0),
+        |med AS (SELECT medsel.grp, MIN(c) AS med
+        |  FROM medsel JOIN ng USING (grp) WHERE cum * 2 >= n
+        |  GROUP BY 1),
+        |av AS (SELECT base.grp, ABS(base.c - med.med) AS a_cents
+        |  FROM base JOIN med USING (grp)),
+        |cells AS (SELECT grp, a_cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM av GROUP BY 1, 2),
+        |lat AS (SELECT a_cents, SUM(cnt) AS t FROM cells GROUP BY 1),
+        |rk AS (SELECT a_cents,
+        |    CAST(2 * (SUM(t) OVER (ORDER BY a_cents ASC) - t) + t + 1
+        |      AS BIGINT) AS rd
+        |  FROM lat),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM av)
+        |SELECT cells.grp, cells.a_cents, cells.cnt, rk.rd, n.n_total
+        |FROM cells JOIN rk USING (a_cents), n""".stripMargin,
+
+    // the shared texts verbatim
+    "q416_sql_filter" -> sqlFilterClauseText,
+    "q417_sql_set_all" -> sqlSetAllText,
+    "q418_sql_range_interval" -> sqlRangeIntervalText,
+
+    // q419: same 3-gram construction as the minhash oracles
+    "q419_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |refsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+        |cursh AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM cursh c LEFT JOIN refsh r USING (s) GROUP BY 1"""
+        .stripMargin,
+
+    // q420: vocabulary Jaccard over (lang, term) distinct pairs
+    "q420_vocab_jaccard" ->
+      """WITH raw AS (SELECT lang AS g,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS term
+        |  FROM documents WHERE lang IS NOT NULL),
+        |p AS (SELECT DISTINCT g, term FROM raw WHERE length(term) > 0),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1),
+        |inter AS (SELECT a.g AS g_a, b.g AS g_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM p a JOIN p b USING (term) WHERE a.g < b.g GROUP BY 1, 2)
+        |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union,
+        |  CAST(n_inter AS DOUBLE)
+        |    / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON inter.g_a = sa.g
+        |  JOIN sizes sb ON inter.g_b = sb.g""".stripMargin,
   )
 }

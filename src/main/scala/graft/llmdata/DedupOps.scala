@@ -652,6 +652,39 @@ object DedupOps {
       .select("query_id", "doc_id", "n_shared", "containment")
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * admission-side complement of [[contamination]] (that one flags
+    * overlap with a SMALL benchmark set, min-shared-filtered; this one
+    * scores every candidate document by the fraction of its distinct
+    * word n-grams UNSEEN in a large reference corpus — the "is this
+    * crawl tranche new information or a rehash?" signal a curation
+    * pipeline thresholds before paying for processing). Exact counts,
+    * no sketches: `novelty = n_novel / n_shingles` is one division of
+    * two BIGINTs.
+    *
+    * Shape at 100 TB: one shingle pass per side ([[shingleStream]] +
+    * distinct — set semantics per doc on the candidate side, global
+    * set on the reference side), one hash equi-join on the gram (the
+    * reference set is shuffle-joined, never collected), one per-doc
+    * count aggregate with map-side combine. Documents shorter than
+    * the shingle size have no windows and are absent from the output
+    * (callers treat them as undefined novelty, the [[shingles]] empty
+    * rule). */
+  def ngramNovelty(ref: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String, shingleSize: Int = 3): DataFrame = {
+    val refSet = shingleStream(ref, idCol, textCol, shingleSize)
+      .select(col("s")).distinct().withColumn("__seen", lit(1L))
+    val curSet = shingleStream(cur, idCol, textCol, shingleSize)
+      .distinct() // per-doc set semantics
+    curSet.join(refSet, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as added / removed / modified / unchanged, comparing
     * CONTENT by the normalized fingerprint

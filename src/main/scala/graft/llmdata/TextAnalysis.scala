@@ -536,6 +536,48 @@ object TextAnalysis {
     * vocab-stats pass a tokenizer-training pipeline runs. One explode +
     * one hash aggregate; the top-k is a TakeOrdered (per-partition top-k
     * then a k-row driver merge), so no global sort materializes. */
+  /** Pairwise vocabulary Jaccard between corpus SLICES (languages,
+    * sources, snapshots): how much word-level vocabulary two slices
+    * share — the corpus-composition diagnostic behind "are these two
+    * sources redundant?" and "did the new crawl change the language
+    * mix?". Exact set arithmetic, no sketches:
+    * `jaccard = |V_a ∩ V_b| / |V_a ∪ V_b|` with the union derived as
+    * `n_a + n_b − n_inter` (all BIGINTs; one final division).
+    *
+    * Shape at 100 TB: the (slice, term) DISTINCT pairs come from one
+    * hash aggregate over the token stream (vocabulary-scale, not
+    * token-scale, after the distinct); the pair intersection is a
+    * self-equi-join ON THE TERM (vocab-scale shuffle) — never a
+    * document cross join — and the output is slice-pair-scale. Same
+    * whitespace/lowercase tokenization as [[vocabTopK]]. Output per
+    * unordered pair (g_a < g_b): (g_a, g_b, n_a, n_b, n_inter,
+    * n_union, jaccard). */
+  def vocabJaccard(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val pairs = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val sizes = pairs.groupBy(col("g")).agg(count(lit(1)).cast("long")
+      .as("n"))
+    val inter = pairs.select(col("g").as("g_a"), col("term"))
+      .join(pairs.select(col("g").as("g_b"), col("term")), Seq("term"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).cast("long").as("n_inter"))
+    inter
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        sizes.select(col("g").as("g_a"), col("n").as("n_a"))), Seq("g_a"))
+      .join(graft.operators.Broadcasts.maybeBroadcast(
+        sizes.select(col("g").as("g_b"), col("n").as("n_b"))), Seq("g_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
   def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))

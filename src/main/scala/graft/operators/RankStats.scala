@@ -606,6 +606,64 @@ object RankStats {
         col("expected_a"), col("variance"))
   }
 
+  /** Fligner–Killeen scale test in PARTS-EMISSION form — the
+    * median-centered rank test for dispersion (the robust default
+    * `fligner.test` in R: center each group by ITS OWN median, rank
+    * the pooled |centered| values, score with normal quantiles). The
+    * scores need `Φ⁻¹` — libm, cross-engine-divergent — so the engine
+    * emits the exact integer lattice and the scoring fold is
+    * CALLER-side (the [[graft.operators.Robust.bartlettParts]] /
+    * psiParts convention):
+    *
+    *   per (group, distinct |c − med_g| cents value): `cnt` (group
+    *   count at that centered value), `rd` = POOLED doubled midrank
+    *   (`2·cum_before + t + 1` over the ascending a-lattice — ties
+    *   exact by construction), and `n_total`.
+    *
+    * Caller scores `s = Φ⁻¹((1 + r̄/(N+1))/2)` with `r̄ = rd/2`, then
+    * folds the k-sample statistic
+    * `X² = Σ_g n_g(s̄_g − s̄)²/V` with `V = Σ(s − s̄)²/(N−1)` — every
+    * input to those sums is one of the emitted exact parts. Group
+    * medians use the house lattice selection rule
+    * `min(v : 2·cum ≥ n_g)` ([[graft.operators.Robust.brownForsythe]]);
+    * the a-lattice cumulative is the one global window (values-scale,
+    * the documented exception). Output: distinct-(group, a)-scale. */
+  def flignerParts(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = base.groupBy(col("grp"), col("__c").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(wg))
+      .join(Broadcasts.maybeBroadcast(
+        base.groupBy(col("grp")).agg(count(lit(1)).as("__ng"))),
+        Seq("grp"))
+      .filter(col("__cum") * 2 >= col("__ng"))
+      .groupBy(col("grp")).agg(min(col("__v")).as("__med"))
+    val av = base.join(Broadcasts.maybeBroadcast(med), Seq("grp"))
+      .select(col("grp"), abs(col("__c") - col("__med")).as("a_cents"))
+    val cells = av.groupBy(col("grp"), col("a_cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val lat = cells.groupBy(col("a_cents"))
+      .agg(sum(col("cnt")).cast("long").as("__t"))
+    val wa = Window.orderBy(col("a_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = lat
+      .withColumn("__cum", sum(col("__t")).over(wa))
+      .withColumn("rd",
+        (lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+          .cast("long"))
+      .select(col("a_cents"), col("rd"))
+    val tot = av.agg(count(lit(1)).cast("long").as("n_total"))
+    cells.join(Broadcasts.maybeBroadcast(ranked), Seq("a_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("a_cents"), col("cnt"), col("rd"),
+        col("n_total"))
+  }
+
   /** k-sample Anderson–Darling PARTS per key — [[andersonDarling2]]
     * generalized to any group count (Scholz–Stephens' actual setting:
     * "did ANY of the k sources drift?" in one test instead of k²/2

@@ -1053,6 +1053,44 @@ object Robust {
         col("ssw_cents2"), col("f_stat"))
   }
 
+  /** Bartlett's homogeneity-of-variance test in PARTS-EMISSION form —
+    * the NORMAL-theory sibling of [[brownForsythe]] (higher power when
+    * groups are near-normal, fragile otherwise; users expect both).
+    * The statistic needs `ln` of the group variances — libm,
+    * cross-engine-divergent (NOTES.md determinism rules) — so the
+    * engine emits the EXACT parts and the log fold is CALLER-side
+    * (the [[graft.checks.Drift.psiParts]] convention):
+    *
+    *   per group: `n_i`, `sum_cents = Σc`, and
+    *   `ss_num_d = n_i·Σc² − (Σc)²` — the variance numerator cleared
+    *   of divisions (`S²_i = ss_num/(n_i(n_i−1))`,
+    *   `SS_i = ss_num/n_i`); it rides decimal(38,0) internally
+    *   (n·Σc² exceeds BIGINT past ~10⁵ rows of 10⁵-cent values — the
+    *   r8 squared-residual lesson) and emits as DOUBLE via the
+    *   correctly-rounded decimal cast (oracle mirrors VARCHAR-route:
+    *   the hoeffdingD trap).
+    *
+    * Caller folds `T = (N−k)·ln S²_p − Σ(n_i−1)·ln S²_i` with
+    * `S²_p = (Σ_i ss_num_i/n_i)/(N−k)` and Bartlett's correction
+    * `C = 1 + (Σ 1/(n_i−1) − 1/(N−k))/(3(k−1))`; `T/C ~ χ²_{k−1}`.
+    * One hash aggregate over the input; output is k rows. */
+  def bartlettParts(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("__c"))
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_i"),
+        sum(col("__c")).cast("long").as("sum_cents"),
+        sum((col("__c") * col("__c")).cast(d38)).cast(d38).as("__sc2"),
+        sum(col("__c").cast(d38)).cast(d38).as("__sc"))
+      .withColumn("ss_num_d",
+        (col("n_i").cast(d38) * col("__sc2") - col("__sc") * col("__sc"))
+          .cast(d38).cast("double"))
+      .select(col("grp"), col("n_i"), col("sum_cents"), col("ss_num_d"))
+  }
+
   /** Mood's median test — "do the k groups straddle the pooled median
     * the same way?": dichotomize every row against the GRAND median
     * (ties at the median count as at-or-below — the classical

@@ -334,6 +334,41 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("bartlettParts: hand-computed variance numerators on the " +
+    "cents lattice") {
+    import graft.operators.Robust
+    val df = Seq(("k", 1.00), ("k", 2.00), ("k", 3.00),
+      ("m", 1.00), ("m", 1.00)).toDF("g", "v")
+    val r = Robust.bartlettParts(df, "g", "v").orderBy("grp").collect()
+    // k: n=3 sum=600 ss_num = 3*140000 - 360000 = 60000
+    assert(r(0).getString(0) == "k" && r(0).getLong(1) == 3L
+      && r(0).getLong(2) == 600L && r(0).getDouble(3) == 60000.0)
+    // m: constant group -> zero variance numerator
+    assert(r(1).getString(0) == "m" && r(1).getLong(1) == 2L
+      && r(1).getLong(2) == 200L && r(1).getDouble(3) == 0.0)
+    // caller fold: S2_k = 60000/(3*2) = 10000 cents^2 = var of {1,2,3}
+    assert(r(0).getDouble(3) / (3.0 * 2.0) == 10000.0)
+  }
+
+  test("flignerParts: per-group lattice medians, pooled doubled " +
+    "midranks of the centered values") {
+    import graft.operators.RankStats
+    val df = Seq(("A", 1.00), ("A", 2.00), ("A", 3.00),
+      ("B", 5.00), ("B", 5.00)).toDF("g", "v")
+    val r = RankStats.flignerParts(df, "g", "v")
+      .orderBy("grp", "a_cents").collect()
+    // A med=200 -> a in {0:1, 100:2}; B med=500 -> a {0:2}
+    // lattice: a=0 t=3 rd=4; a=100 t=2 rd=2*3+2+1=9
+    assert(r.length == 3)
+    assert(r(0).getString(0) == "A" && r(0).getLong(1) == 0L
+      && r(0).getLong(2) == 1L && r(0).getLong(3) == 4L
+      && r(0).getLong(4) == 5L)
+    assert(r(1).getString(0) == "A" && r(1).getLong(1) == 100L
+      && r(1).getLong(2) == 2L && r(1).getLong(3) == 9L)
+    assert(r(2).getString(0) == "B" && r(2).getLong(1) == 0L
+      && r(2).getLong(2) == 2L && r(2).getLong(3) == 4L)
+  }
+
   test("psiParts: hand-computed exact parts; caller-side ln fold " +
     "matches psiReport on eps-free categories") {
     import graft.checks.Drift
