@@ -145,6 +145,17 @@ object LakeFixtures {
         .write.parquet(dir)
     }
 
+  /** q421's source: orders shattered into 64 tiny files — the
+    * small-file problem a compactor exists to fix (immutable; the
+    * compaction output goes to a fresh per-call dir). */
+  def orders64Small(s: SparkSession, d: String): String =
+    once("ord64", d) { dir =>
+      graft.sources.Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .repartition(64).write.parquet(dir)
+    }
+
   /** Fresh (non-shared) temp dir that still participates in the
     * exit-time cleanup — for per-call MUTABLE targets (q377's pipeline
     * lake, manifest-evolution scratch). */

@@ -4583,6 +4583,64 @@ object SparkEntry {
     "q420_vocab_jaccard" -> ((s, d) =>
       graft.llmdata.TextAnalysis.vocabJaccard(t(s, d, "documents"),
         "lang", "text")),
+
+    // compaction EXECUTION (the action side of the q115-class plan):
+    // 64 tiny files -> one shuffle pass -> exactly one file per
+    // next-fit group; in-query requires pin the file-count collapse
+    // and the one-file-per-group invariant, the oracle pins content
+    "q421_compaction_cycle" -> ((s, d) => {
+      val src = LakeFixtures.orders64Small(s, d)
+      val dst = LakeFixtures.freshRoot("compacted") + "/lake"
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(src), true)
+        var sum = 0L
+        while (it.hasNext) { val f = it.next()
+          if (f.getPath.toString.endsWith(".parquet")) sum += f.getLen }
+        sum
+      }
+      val plan = graft.operators.Layout.compactExecute(s, src, dst,
+        math.max(total / 8, 1L))
+      val nGroups = plan.select(col("group_id")).distinct().count()
+      val out = s.read.parquet(dst)
+      require(out.inputFiles.length == nGroups,
+        s"compaction must write exactly one file per group:" +
+          s" ${out.inputFiles.length} files for $nGroups groups")
+      require(out.inputFiles.length.toLong * 4 < 64,
+        s"compaction barely collapsed: ${out.inputFiles.length} of 64")
+      out.agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("price_cents"),
+        min(col("o_orderkey")).cast("long").as("min_ok"),
+        max(col("o_orderkey")).cast("long").as("max_ok"))
+    }),
+
+    // snapshot log + time travel: append-only lake, two commits; a
+    // v1 reader pinned BEFORE the append still sees only 1995 orders
+    // after it; the retention sweep finds nothing unreferenced
+    "q422_time_travel" -> ((s, d) => {
+      val root = LakeFixtures.freshRoot("snap") + "/lake"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      o.filter(year(col("o_orderdate")) <= 1995)
+        .coalesce(4).write.parquet(root)
+      val v1 = graft.incremental.Snapshots.commit(s, root)
+      o.filter(year(col("o_orderdate")) > 1995)
+        .coalesce(4).write.mode("append").parquet(root)
+      val v2 = graft.incremental.Snapshots.commit(s, root)
+      require(v1 == 1L && v2 == 2L, s"version log broke: $v1, $v2")
+      require(graft.incremental.Snapshots.unreferencedFiles(s, root)
+        .isEmpty, "every data file must be referenced by a snapshot")
+      def agg(v: Long) = graft.incremental.Snapshots
+        .readVersion(s, root, v)
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .withColumn("version", lit(v))
+        .select("version", "n", "price_cents")
+      agg(1L).unionAll(agg(2L))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13407,5 +13465,28 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON inter.g_a = sa.g
         |  JOIN sizes sb ON inter.g_b = sb.g""".stripMargin,
+
+    // q421: compacted lake content ≡ orders (layout-independent)
+    "q421_compaction_cycle" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_ok
+        |FROM orders""".stripMargin,
+
+    // q422: the two pinned snapshots ≡ the year-split aggregates
+    "q422_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1995
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders""".stripMargin,
   )
 }

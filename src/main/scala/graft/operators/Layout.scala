@@ -351,6 +351,68 @@ object Layout {
       .drop("__cluster_key")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** EXECUTE a small-file compaction — the action side of
+    * [[compactionPlan]] (which only plans): the source lake's files
+    * are grouped by the next-fit plan and rewritten into `dst` with
+    * EXACTLY ONE file per group, each landing in its own
+    * `compaction_group=N` directory. One listing + ONE shuffle pass:
+    * every row is read once, tagged with its file's group id via a
+    * broadcast (file-count-scale) map join on `input_file_name()`,
+    * hash-repartitioned BY GROUP so each group's rows reach exactly
+    * one task, and written `partitionBy(compaction_group)` — a hash
+    * collision merely makes one task write two groups sequentially,
+    * never two files for one group. No driver loop over groups, no
+    * per-group job storm: the rewrite cost is one full pass at any
+    * file count, which is the floor for a compactor.
+    *
+    * `dst` is a NEW location (rewrite-to-new + swap, the atomic
+    * maintenance convention — in-place deletion of source files is
+    * the caller's retention decision, see the snapshot log's
+    * unreferenced-file sweep). Returns the plan frame
+    * ([[compactionPlan]] columns) so callers can assert group shapes. */
+  def compactExecute(spark: org.apache.spark.sql.SparkSession,
+                     src: String, dst: String,
+                     targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(src)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val listed = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (f.isFile && rel.endsWith(".parquet") && !hidden)
+        listed += ((rel, f.getLen))
+    }
+    import scala.jdk.CollectionConverters._
+    val filesDf = spark.createDataFrame(
+      listed.sorted.map { case (p, b) =>
+        org.apache.spark.sql.Row(p, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val plan = compactionPlan(filesDf, "path", "bytes", targetBytes)
+      .localCheckpoint(true) // consumed by the join AND returned
+    val nGroups = plan.select(col("group_id")).distinct().count().toInt
+    // join key normalized on BOTH sides: input_file_name() renders
+    // file:///x while Hadoop's Path.toString renders file:/x
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    spark.read.parquet(src)
+      .withColumn("__f", norm(input_file_name()))
+      .join(broadcast(plan.select(norm(col("path")).as("__f"),
+        col("group_id").as("compaction_group"))), Seq("__f"))
+      .drop("__f")
+      .repartition(math.max(1, nGroups), col("compaction_group"))
+      .write.partitionBy("compaction_group")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst)
+    plan
+  }
+
   /** Zone-map reader: per parquet FILE min/max/count for `cols` — the
     * skipping statistics a scan planner consults before opening files.
     * The READ-side pairing of [[ZOrder.layout]] (which produces the

@@ -334,6 +334,62 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("compactExecute: one shuffle pass, exactly one file per " +
+    "next-fit group, content preserved") {
+    import graft.operators.Layout
+    val root = java.nio.file.Files.createTempDirectory("graft-cex")
+      .toString
+    val src = s"$root/small"
+    spark.range(0, 4000).select(col("id").as("x"),
+        (col("id") % 7).as("y"))
+      .repartition(16).write.parquet(src)
+    val plan = Layout.compactExecute(spark, src, s"$root/out",
+      targetBytes = 40000L)
+    val nGroups = plan.select(col("group_id")).distinct().count()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.inputFiles.length.toLong == nGroups && nGroups < 16)
+    // per-group single file (one writer task per group)
+    val perDir = out.inputFiles.groupBy(f =>
+      f.split('/').find(_.startsWith("compaction_group=")).get)
+    assert(perDir.values.forall(_.length == 1))
+    // content identical (partition column aside)
+    assert(out.count() == 4000L)
+    assert(out.agg(sum("x")).head().getLong(0)
+      == spark.read.parquet(src).agg(sum("x")).head().getLong(0))
+    assert(out.select("x").except(spark.read.parquet(src).select("x"))
+      .count() == 0)
+  }
+
+  test("Snapshots: commit/readVersion pin file sets, append-only " +
+    "writers don't disturb v1, unreferenced sweep is exact") {
+    import graft.incremental.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toString + "/lake"
+    spark.range(0, 100).select(col("id").as("x"))
+      .coalesce(2).write.parquet(root)
+    val v1 = Snapshots.commit(spark, root)
+    assert(v1 == 1L)
+    spark.range(100, 150).select(col("id").as("x"))
+      .coalesce(1).write.mode("append").parquet(root)
+    // the appended file is unreferenced until the next commit
+    assert(Snapshots.unreferencedFiles(spark, root).size == 1)
+    val v2 = Snapshots.commit(spark, root)
+    assert(v2 == 2L)
+    assert(Snapshots.unreferencedFiles(spark, root).isEmpty)
+    // time travel: v1 readers see the pre-append lake
+    assert(Snapshots.readVersion(spark, root, 1L).count() == 100L)
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 150L)
+    val vs = Snapshots.versions(spark, root).orderBy("version").collect()
+    assert(vs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L), (2L, 3L)))
+    // unknown version raises
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readVersion(spark, root, 9L))
+    assert(e.getMessage.contains("no snapshot"))
+    // snapshot metadata is invisible to data scans
+    assert(spark.read.parquet(root).count() == 150L)
+  }
+
   test("bartlettParts: hand-computed variance numerators on the " +
     "cents lattice") {
     import graft.operators.Robust
