@@ -4641,6 +4641,104 @@ object SparkEntry {
         .select("version", "n", "price_cents")
       agg(1L).unionAll(agg(2L))
     }),
+
+    // streaming snapshot ingest replayed through the sink's exact
+    // foreachBatch body (the q393 fold convention): two batches + a
+    // crash replay of the second — the replay commits an EXTRA version
+    // whose content equals the previous (idempotent by path), and the
+    // v1 reader pinned before batch 1 still sees only batch 0
+    "q423_snapshot_ingest" -> ((s, d) => {
+      val dir = LakeFixtures.freshRoot("snapingest") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), dayofmonth(col("ts")).as("dom"))
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Long = {
+        ev.filter(pred).coalesce(2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/batch-$id")
+        graft.incremental.Snapshots.commit(s, dir)
+      }
+      ingest(0L, col("dom") <= 15)
+      ingest(1L, col("dom") > 15)
+      // pin v2's content BEFORE the replay: the batch-scoped overwrite
+      // rewrites batch-1 with fresh part names, so v2's pinned paths
+      // dangle after it (the documented sink trade-off) while v3 must
+      // reproduce the same content
+      val n2 = graft.incremental.Snapshots.readVersion(s, dir, 2L).count()
+      val v3 = ingest(1L, col("dom") > 15) // crash replay of batch 1
+      require(v3 == 3L, s"commit sequence broke: got v$v3")
+      val n3 = graft.incremental.Snapshots.readVersion(s, dir, 3L).count()
+      require(n2 == n3,
+        s"replayed batch changed content: v2=$n2 rows, v3=$n3 rows")
+      def agg(v: Long) = graft.incremental.Snapshots
+        .readVersion(s, dir, v)
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"),
+          count_distinct(col("event_id")).cast("long").as("n_events"))
+        .withColumn("version", lit(v))
+        .select("version", "n", "sum_uid", "n_events")
+      agg(1L).unionAll(agg(3L))
+    }),
+
+    // shared-dialect GROUP BY ALL — identical text in both engines
+    "q424_sql_group_by_all" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlGroupByAllText)
+    }),
+
+    // shared-dialect TRY_CAST — the reference's lossy garbage→NULL
+    // coercion (S3) as one text both engines run verbatim
+    "q425_sql_try_cast" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlTryCastText)
+    }),
+
+    // EXACT mergeable quantiles: per-day (cents, cnt) partials folded
+    // in two different slice orders must equal the one-shot lattice
+    // (require), and the finished quantiles are the house selection
+    // rule — zero-approximation rollup quantiles at any day range
+    "q426_mergeable_quantiles" -> ((s, d) => {
+      import graft.operators.AggMerge
+      val li = t(s, d, "lineitem")
+      val dom = dayofmonth(col("l_shipdate"))
+      def slice(p: org.apache.spark.sql.Column) =
+        AggMerge.dailyValuePartial(li.filter(p), "l_shipdate",
+          "l_extendedprice")
+      val folded = AggMerge.mergeValueCounts(Seq(
+        AggMerge.mergeValueCounts(Seq(slice(dom <= 10),
+          slice(dom > 10 && dom <= 20))),
+        slice(dom > 20)))
+      val one = AggMerge.dailyValuePartial(li, "l_shipdate",
+        "l_extendedprice")
+      val diverged = folded.withColumnRenamed("cnt", "cnt_f")
+        .join(one.withColumnRenamed("cnt", "cnt_o"),
+          Seq("day", "cents"), "full")
+        .filter(!(col("cnt_f") <=> col("cnt_o"))).count()
+      require(diverged == 0,
+        s"fold-of-slices diverged from one-shot on $diverged lattice" +
+          " cells")
+      AggMerge.finishQuantiles(folded,
+        Seq((1, 4), (2, 4), (3, 4), (9, 10)))
+    }),
+
+    // partitioned pruned SQL VIEW: the q408 lake behind a view name —
+    // SQL text groups by the partition column, the require pins that
+    // the view's scan opened a pruned file set
+    "q427_sql_pruned_partitioned" -> ((s, d) => {
+      val dir = LakeFixtures.flagPartitionedLineitem(s, d)
+      val nAll = s.read.parquet(dir).inputFiles.length
+      val pruned = graft.sql.SqlCatalog.registerPrunedPartitioned(s,
+        "part_lineitem", dir,
+        Seq[(String, Any, Any)](("l_returnflag", "A", "N"),
+          ("l_extendedprice", 900.0, 10000.0)))
+      require(pruned.inputFiles.length * 2 < nAll,
+        s"partitioned view prune regressed:" +
+          s" ${pruned.inputFiles.length} of $nAll")
+      s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM part_lineitem GROUP BY 1""".stripMargin)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -4779,6 +4877,31 @@ object SparkEntry {
       |  AND ts <= (SELECT MIN(ts) + INTERVAL 30 DAY FROM events
       |    WHERE event_type = 'purchase')
       |ORDER BY event_id""".stripMargin
+
+  /** q424's SQL — shared-dialect GROUP BY ALL (group by every
+    * non-aggregated select item — the modern shorthand both engines
+    * resolve identically). */
+  private val sqlGroupByAllText: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem
+      |GROUP BY ALL""".stripMargin
+
+  /** q425's SQL — shared-dialect TRY_CAST: the reference's lossy
+    * garbage→NULL int coercion (stg model CAST chain; SURVEY S3) in
+    * one verbatim text — unparsable strings count as NULL in both
+    * engines, parsable clerk-id suffixes aggregate. */
+  private val sqlTryCastText: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(TRY_CAST(c_mktsegment AS BIGINT)) AS BIGINT)
+      |    AS n_numeric_segments,
+      |  CAST(COUNT(TRY_CAST(SUBSTR(c_name, 10) AS BIGINT)) AS BIGINT)
+      |    AS n_numeric_ids,
+      |  CAST(SUM(COALESCE(TRY_CAST(SUBSTR(c_name, 10) AS BIGINT), 0))
+      |    AS BIGINT) AS id_sum
+      |FROM customer""".stripMargin
 
   /** q331's SQL — ONE text executed verbatim by BOTH engines (the
     * shared-dialect subset: CTE chain, equi-join, ranking window with
@@ -13488,5 +13611,61 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
         |    AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders""".stripMargin,
+
+    // q423: v1 = first-half batch, v3 = replay-stable full lake
+    // (v2's content is pinned in-query BEFORE the replay dangles it)
+    "q423_snapshot_ingest" ->
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+        |FROM events WHERE ts IS NOT NULL AND EXTRACT(DAY FROM ts) <= 15
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+        |FROM events WHERE ts IS NOT NULL""".stripMargin,
+
+    // the shared texts verbatim
+    "q424_sql_group_by_all" -> sqlGroupByAllText,
+    "q425_sql_try_cast" -> sqlTryCastText,
+
+    // q426: the house selection rule per quantile over the cents
+    // lattice
+    "q426_mergeable_quantiles" ->
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * 100 AS BIGINT) AS cents, COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT cents, SUM(cnt) OVER (ORDER BY cents ASC) AS cum
+        |  FROM c),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS q_num, CAST(4 AS BIGINT) AS q_den,
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 4 >= n * 1) AS value_cents, n.n AS n_rows FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 4 >= n * 2), n.n FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 4 >= n * 3), n.n FROM n
+        |UNION ALL
+        |SELECT CAST(9 AS BIGINT), CAST(10 AS BIGINT),
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 10 >= n * 9), n.n FROM n""".stripMargin,
+
+    // q427: the partitioned view's boxed subset, grouped by the
+    // partition column
+    "q427_sql_pruned_partitioned" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |WHERE l_returnflag >= 'A' AND l_returnflag <= 'N'
+        |  AND l_extendedprice >= 900.0 AND l_extendedprice <= 10000.0
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -171,4 +171,55 @@ object AggMerge {
   def finishDistinct(partials: DataFrame): DataFrame =
     partials.select(col("day"),
       hll_sketch_estimate(col("hll_sketch")).as("n_distinct_approx"))
+
+  /** EXACT mergeable quantile partials — the lattice alternative to
+    * t-digest/KLL for 2-dp money columns: the partial is the per-day
+    * (cents, cnt) VALUE-COUNT table (bounded by the value lattice, not
+    * the row count — a 100 TB day of payments still holds at most a
+    * few million distinct cents), merging is count addition
+    * (associative, idempotent under re-partition, order-free), and the
+    * finish is the house exact selection rule — so a rollup service
+    * answers ANY quantile over ANY day range from partials, bit-exact
+    * to a one-shot computation over the raw rows (q375's fold ≡
+    * one-shot discipline, here with zero approximation). */
+  def dailyValuePartial(events: DataFrame, tsCol: String,
+                        valueCol: String): DataFrame =
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Merge value-count partials: one hash aggregate, counts add. */
+  def mergeValueCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeValueCounts needs at least one frame")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("day"), col("cents"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** Finish: exact quantiles over the MERGED lattice (all days pooled
+    * — pre-filter the partials for a day range). Each requested
+    * quantile q = num/den selects `min(v : cum·den ≥ n·num)` — the
+    * house engine-portable selection rule (no interpolation). Output
+    * per quantile: (q_num, q_den, value_cents, n_rows). */
+  def finishQuantiles(partials: DataFrame,
+                      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "quantiles required")
+    import org.apache.spark.sql.expressions.Window
+    val lat = partials.groupBy(col("cents"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    val w = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lat.withColumn("__cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(lat.agg(sum(col("cnt")).cast("long")
+        .as("__n"))))
+    quantiles.map { case (num, den) =>
+      cum.filter(col("__cum") * den >= col("__n") * num)
+        .agg(min(col("cents")).cast("long").as("value_cents"),
+          max(col("__n")).cast("long").as("n_rows"))
+        .select(lit(num.toLong).as("q_num"), lit(den.toLong).as("q_den"),
+          col("value_cents"), col("n_rows"))
+    }.reduce(_.unionAll(_))
+  }
 }

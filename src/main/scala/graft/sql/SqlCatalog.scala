@@ -89,6 +89,21 @@ object SqlCatalog {
     pruned
   }
 
+  /** [[registerPruned]] over a HIVE-PARTITIONED lake — the view
+    * resolves through [[graft.sources.Tables.readPrunedPartitioned]],
+    * so the SQL user's predicate on a `k=v` partition column prunes
+    * DIRECTORIES before any footer opens, data-column bounds prune
+    * files after, and the partition column is a real column of the
+    * view. Same registration-time snapshot semantics as
+    * [[registerPruned]]. */
+  def registerPrunedPartitioned(spark: SparkSession, name: String,
+                                path: String,
+                                box: Seq[(String, Any, Any)]): DataFrame = {
+    val pruned = graft.sources.Tables.readPrunedPartitioned(spark, path, box)
+    pruned.createOrReplaceTempView(name)
+    pruned
+  }
+
   def registerLayersMaterialized(spark: SparkSession, raw: DataFrame,
                                  lakeRoot: String,
                                  targetMonth: Option[String] = None): Unit = {

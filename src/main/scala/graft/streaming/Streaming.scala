@@ -1154,6 +1154,36 @@ object Streaming {
       }
       .start()
 
+  /** Streaming lake ingest WITH SNAPSHOT COMMITS — [[lakeIngestSink]]'s
+    * time-travel sibling: each micro-batch lands in its own
+    * batch-scoped directory (`batch-<id>`, crash-replay overwrites
+    * itself — idempotence by path) and then
+    * [[graft.incremental.Snapshots.commit]] pins the post-batch file
+    * set as a new version. Readers pinned to a version NEVER see later
+    * batches — the reproducible-training-run contract — and a
+    * crash-replayed batch commits an extra version whose CONTENT
+    * equals the previous one (versions are commit events; content is
+    * idempotent, spec- and oracle-pinned). TRADE-OFF, documented: the
+    * replay overwrite rewrites the batch directory with fresh part
+    * names, so versions pinned BETWEEN the original batch and its
+    * replay reference deleted paths and dangle — path-determined
+    * idempotence without tombstones; a reader needing replay-proof
+    * history pins versions committed before the failed batch, or the
+    * lake adopts unique-per-attempt file names (the Delta approach)
+    * upstream of this sink. Per-batch cost: the batch write + one
+    * listing + one metadata write. */
+  def snapshotIngestSink(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/batch-$batchId")
+        graft.incremental.Snapshots.commit(batch.sparkSession, path)
+        ()
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -390,6 +390,55 @@ class Round11OpsSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == 150L)
   }
 
+  test("snapshotIngestSink: each micro-batch commits a version, " +
+    "pinned versions see only their batches") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsink")
+      .toString
+    val lake = dir + "/lake"
+    val in = MemoryStream[(Long, Long)]
+    val q = Streaming.snapshotIngestSink(in.toDF().toDF("x", "y"),
+      lake, dir + "/ckpt")
+    try {
+      in.addData((0L until 30L).map(i => (i, i % 3)): _*)
+      q.processAllAvailable()
+      in.addData((30L until 50L).map(i => (i, i % 3)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import graft.incremental.Snapshots
+    val vs = Snapshots.versions(spark, lake).orderBy("version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(1L, 2L))
+    assert(Snapshots.readVersion(spark, lake, 1L).count() == 30L)
+    assert(Snapshots.readVersion(spark, lake, 2L).count() == 50L)
+    assert(Snapshots.unreferencedFiles(spark, lake).isEmpty)
+  }
+
+  test("mergeable exact quantiles: fold-of-slices == one-shot, " +
+    "selection rule on a hand lattice") {
+    import graft.operators.AggMerge
+    val df = Seq.tabulate(10)(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-0${i % 3 + 1} 00:00:00"),
+        (i + 1).toDouble)) // values 1.00..10.00
+      .toDF("ts", "v")
+    val parts = AggMerge.mergeValueCounts(Seq(
+      AggMerge.dailyValuePartial(df.filter(col("v") <= 5.0), "ts", "v"),
+      AggMerge.dailyValuePartial(df.filter(col("v") > 5.0), "ts", "v")))
+    val one = AggMerge.dailyValuePartial(df, "ts", "v")
+    assert(parts.except(one).count() == 0 && one.except(parts).count() == 0)
+    val qs = AggMerge.finishQuantiles(parts,
+      Seq((1, 2), (1, 4), (9, 10), (1, 1)))
+      .orderBy("q_num", "q_den").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // n=10: median = min(v: cum*2 >= 10) = 5th value = 500 cents
+    assert(qs((1L, 2L)) == 500L)
+    assert(qs((1L, 4L)) == 300L) // cum*4 >= 10 -> 3rd value
+    assert(qs((9L, 10L)) == 900L) // cum*10 >= 90 -> 9th
+    assert(qs((1L, 1L)) == 1000L) // max
+  }
+
   test("bartlettParts: hand-computed variance numerators on the " +
     "cents lattice") {
     import graft.operators.Robust
