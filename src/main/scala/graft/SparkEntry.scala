@@ -4739,6 +4739,24 @@ object SparkEntry {
         |    AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM part_lineitem GROUP BY 1""".stripMargin)
     }),
+
+    // shared-dialect RECURSIVE CTE month spine with zero-filled gaps
+    "q428_sql_recursive" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlRecursiveText)
+    }),
+
+    // shared-dialect NTILE + pinned-frame NTH_VALUE
+    "q429_sql_ntile" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlNtileText)
+    }),
+
+    // Spearman footrule on the q264 axes — the L1 rank-stability
+    // statistic as an exact doubled-midrank BIGINT
+    "q430_footrule" -> ((s, d) =>
+      graft.operators.RankStats.footrule(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -4902,6 +4920,41 @@ object SparkEntry {
       |  CAST(SUM(COALESCE(TRY_CAST(SUBSTR(c_name, 10) AS BIGINT), 0))
       |    AS BIGINT) AS id_sum
       |FROM customer""".stripMargin
+
+  /** q428's SQL — shared-dialect RECURSIVE CTE (Spark 4 finally
+    * speaks WITH RECURSIVE; DuckDB always did): the calendar-spine
+    * gap-fill every reporting query wants — months with no orders
+    * surface as zero rows instead of vanishing, which a plain GROUP
+    * BY can never do. The spine arithmetic stays DATE-typed in both
+    * engines via the explicit CAST. */
+  private val sqlRecursiveText: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      |  WHERE m < DATE '1998-12-01'
+      |)
+      |SELECT m, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |    * 100 AS BIGINT)), 0) AS BIGINT) AS rev_cents
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m""".stripMargin
+
+  /** q429's SQL — shared-dialect NTILE + NTH_VALUE (both engines use
+    * the same remainder-to-leading-buckets ntile definition; the
+    * nth_value frame is pinned to the full partition so the answer is
+    * order-stable). Scoped by a scalar subquery, the q396 rule. */
+  private val sqlNtileText: String =
+    """SELECT o_orderkey,
+      |  CAST(ntile(4) OVER (ORDER BY o_orderkey ASC NULLS FIRST)
+      |    AS BIGINT) AS quartile,
+      |  CAST(nth_value(o_orderkey, 3) OVER (ORDER BY o_orderkey ASC
+      |    NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+      |    FOLLOWING) AS BIGINT) AS third_key
+      |FROM orders
+      |WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 2000 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q331's SQL — ONE text executed verbatim by BOTH engines (the
     * shared-dialect subset: CTE chain, equi-join, ranking window with
@@ -13667,5 +13720,29 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |WHERE l_returnflag >= 'A' AND l_returnflag <= 'N'
         |  AND l_extendedprice >= 900.0 AND l_extendedprice <= 10000.0
         |GROUP BY 1""".stripMargin,
+
+    // the shared texts verbatim
+    "q428_sql_recursive" -> sqlRecursiveText,
+    "q429_sql_ntile" -> sqlNtileText,
+
+    // q430: the q264 midrank lattice, folded through |rdx - rdy|
+    "q430_footrule" ->
+      """WITH b AS (SELECT l_returnflag AS k, l_quantity AS x,
+        |    l_extendedprice AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL GROUP BY 1, 2, 3),
+        |rx AS (SELECT k, x, 2 * (CAST(SUM(SUM(c)) OVER win AS HUGEINT) - SUM(c))
+        |      + SUM(c) + 1 AS rd
+        |  FROM b GROUP BY 1, 2 WINDOW win AS (PARTITION BY k ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ry AS (SELECT k, y, 2 * (CAST(SUM(SUM(c)) OVER win AS HUGEINT) - SUM(c))
+        |      + SUM(c) + 1 AS rd
+        |  FROM b GROUP BY 1, 2 WINDOW win AS (PARTITION BY k ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT b.k AS l_returnflag, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c AS HUGEINT) * ABS(rx.rd - ry.rd)) AS BIGINT)
+        |    AS f2
+        |FROM b JOIN rx ON b.k = rx.k AND b.x = rx.x
+        |JOIN ry ON b.k = ry.k AND b.y = ry.y GROUP BY 1""".stripMargin,
   )
 }

@@ -1251,6 +1251,46 @@ object RankStats {
       when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("rho"))
   }
 
+  /** Spearman's FOOTRULE per key — the L1 sibling of [[spearmanByKey]]
+    * (|rank difference| sum instead of squared-rank correlation: less
+    * sensitive to a single wild displacement, the classic
+    * rank-stability readout for "did the leaderboard shuffle?"
+    * monitoring). Doubled midranks keep ties exact, so the emitted
+    * statistic `f2 = Σ c·|rdx − rdy|` is TWICE the classical footrule
+    * `D = Σ|r_x − r_y|` — an exact BIGINT at any parallelism (no
+    * division, no floats in-engine); the normalized
+    * `1 − 3D/(n²−1)·…` variants are one caller-side chain from
+    * (n, f2). Same distinct-value cumulative-count midrank machinery
+    * as [[spearmanByKey]] — hash aggregates and values-scale windows
+    * only.
+    *
+    * Output: (key, n, f2). */
+  def footrule(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def midranks(vCol: String, out: String) = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(keyCol), col(vCol).as("__v"))
+        .agg(sum(col("__c")).as("__t"))
+        .withColumn("__cum", sum(col("__t")).over(w))
+        .select(col(keyCol), col("__v").as(vCol),
+          (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+            .cast("long").as(out))
+    }
+    base
+      .join(midranks("__x", "__rx"), Seq(keyCol, "__x"))
+      .join(midranks("__y", "__ry"), Seq(keyCol, "__y"))
+      .groupBy(col(keyCol)).agg(
+        sum(col("__c")).cast("long").as("n"),
+        sum(col("__c").cast("decimal(38,0)")
+          * abs(col("__rx") - col("__ry"))).cast("decimal(38,0)")
+          .cast("long").as("f2"))
+      .select(col(keyCol), col("n"), col("f2"))
+  }
+
   /** Mann–Kendall trend TEST per key — "is this series monotonically
     * trending?", the hypothesis-test companion of
     * [[graft.operators.Timeseries.theilSen]]'s trend ESTIMATE (same

@@ -390,6 +390,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == 150L)
   }
 
+  test("footrule: hand-computed doubled-midrank L1 with and without " +
+    "ties") {
+    import graft.operators.RankStats
+    val noTies = Seq(("k", 1L, 10L), ("k", 2L, 30L), ("k", 3L, 20L))
+      .toDF("g", "x", "y")
+    val r1 = RankStats.footrule(noTies, "g", "x", "y").head()
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 4L) // 2*D, D=2
+    val ties = Seq(("k", 1L, 10L), ("k", 2L, 30L), ("k", 3L, 20L),
+      ("k", 3L, 20L)).toDF("g", "x", "y")
+    val r2 = RankStats.footrule(ties, "g", "x", "y").head()
+    // rdx: 1->2, 2->4, 3->7; rdy: 10->2, 20->5, 30->8 (2x midranks
+    // 1, 2, 3.5 / 1, 2.5, 4) ; f2 = |2-2| + |4-8| + 2*|7-5| = 8
+    assert(r2.getLong(1) == 4L && r2.getLong(2) == 8L)
+  }
+
+  test("readPrunedPartitioned plan: data predicate reaches " +
+    "PushedFilters, partition column stays directory-derived") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-pplan")
+      .toString + "/t"
+    spark.range(0, 4000)
+      .select(col("id").as("x"), (col("id") % 2).as("p"))
+      .repartitionByRange(4, col("p"), col("x"))
+      .write.partitionBy("p").parquet(dir)
+    val pr = Tables.readPrunedPartitioned(spark, dir,
+      Seq[(String, Any, Any)](("p", 0L, 0L), ("x", 0L, 999L)))
+    val plan = pr.groupBy(col("p")).agg(sum(col("x")))
+      .queryExecution.executedPlan.toString
+    // data-column box is pushed to the parquet scan
+    assert(plan.contains("PushedFilters")
+      && plan.contains("GreaterThanOrEqual(x,0)")
+      && plan.contains("LessThanOrEqual(x,999)"))
+    // the partition column is NOT read from data pages — it comes
+    // from the k=v directories, so ReadSchema carries only x
+    assert(plan.contains("ReadSchema: struct<x:bigint>"))
+  }
+
   test("snapshotIngestSink: each micro-batch commits a version, " +
     "pinned versions see only their batches") {
     import graft.streaming.Streaming
