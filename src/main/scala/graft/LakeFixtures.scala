@@ -145,6 +145,63 @@ object LakeFixtures {
         .write.parquet(dir)
     }
 
+  /** q330/q384's lake: lineitem orderkey-sorted into 16 range-cut
+    * files (q384 additionally writes its own `_graft_manifest` into
+    * the dir per call — idempotent overwrite with a fixed column set,
+    * invisible to data scans). */
+  def orderkeySorted16(s: SparkSession, d: String): String =
+    once("oks16", d) { dir =>
+      li(s, d).repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(dir)
+    }
+
+  /** q345's lake: Morton-keyed (partkey%64, suppkey%64) layout with
+    * the derived zx/zy columns retained. */
+  def zorder64(s: SparkSession, d: String): String =
+    once("z64", d) { dir =>
+      val df = li(s, d)
+        .withColumn("zx", (col("l_partkey") % 64).cast("long"))
+        .withColumn("zy", (col("l_suppkey") % 64).cast("long"))
+      df.withColumn("__z",
+          graft.operators.Layout.mortonCode(col("zx"), col("zy"), 6))
+        .repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(dir)
+    }
+
+  /** q349's lake: the same zx/zy columns under the 2-D Hilbert walk. */
+  def hilbert64(s: SparkSession, d: String): String =
+    once("h64", d) { dir =>
+      val df = li(s, d)
+        .withColumn("zx", (col("l_partkey") % 64).cast("long"))
+        .withColumn("zy", (col("l_suppkey") % 64).cast("long"))
+      graft.operators.Layout.withHilbert(df, "zx", "zy", 6, "__h")
+        .repartitionByRange(16, col("__h")).sortWithinPartitions("__h")
+        .drop("__h")
+        .write.parquet(dir)
+    }
+
+  /** q357's lake: lineitem with a `ship_month` string key,
+    * month-sorted into 16 range-cut files. */
+  def shipMonthSorted16(s: SparkSession, d: String): String =
+    once("shipm16", d) { dir =>
+      li(s, d)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartitionByRange(16, col("ship_month"), col("l_shipdate"))
+        .sortWithinPartitions("ship_month")
+        .write.parquet(dir)
+    }
+
+  /** q373's lake: lineitem price-sorted into 16 range-cut files (the
+    * money-column zone-map substrate). */
+  def priceSorted16(s: SparkSession, d: String): String =
+    once("price16", d) { dir =>
+      li(s, d).repartitionByRange(16, col("l_extendedprice"))
+        .sortWithinPartitions("l_extendedprice")
+        .write.parquet(dir)
+    }
+
   /** q421's source: orders shattered into 64 tiny files — the
     * small-file problem a compactor exists to fix (immutable; the
     * compaction output goes to a fresh per-call dir). */

@@ -3232,12 +3232,8 @@ object SparkEntry {
     // the same filter+aggregate over the ORIGINAL table — pruned-read
     // ≡ full-scan, the zone-map false-negative-freedom proof.
     "q330_pruned_read" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-pruned")
-        .toString + "/li"
+      val dir = LakeFixtures.orderkeySorted16(s, d)
       val li = t(s, d, "lineitem")
-      li.repartitionByRange(16, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.parquet(dir)
       // scale-free box: the bottom 1/8th of the actual key range (one
       // scalar collect — metadata scale; the oracle mirrors it as a
       // scalar subquery), so the prune ratio is SF-invariant
@@ -3478,16 +3474,7 @@ object SparkEntry {
     // readPruned — the multi-column skip a single-column sort cannot
     // give (the q330 machinery on the q100 layout)
     "q345_zorder_pruned" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-zprune")
-        .toString + "/li"
-      val li = t(s, d, "lineitem")
-        .withColumn("zx", (col("l_partkey") % 64).cast("long"))
-        .withColumn("zy", (col("l_suppkey") % 64).cast("long"))
-      li.withColumn("__z",
-          graft.operators.Layout.mortonCode(col("zx"), col("zy"), 6))
-        .repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
-        .drop("__z")
-        .write.parquet(dir)
+      val dir = LakeFixtures.zorder64(s, d)
       val pruned = graft.sources.Tables.readPruned(s, dir,
         Seq(("zx", 0L, 15L), ("zy", 0L, 15L)))
       require(pruned.inputFiles.length * 2 < 16,
@@ -3536,15 +3523,7 @@ object SparkEntry {
     // same both-column box probe as q345, against the Hilbert layout —
     // same oracle answer, adjacent-cell locality on disk
     "q349_hilbert_pruned" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-hprune")
-        .toString + "/li"
-      val li = t(s, d, "lineitem")
-        .withColumn("zx", (col("l_partkey") % 64).cast("long"))
-        .withColumn("zy", (col("l_suppkey") % 64).cast("long"))
-      graft.operators.Layout.withHilbert(li, "zx", "zy", 6, "__h")
-        .repartitionByRange(16, col("__h")).sortWithinPartitions("__h")
-        .drop("__h")
-        .write.parquet(dir)
+      val dir = LakeFixtures.hilbert64(s, d)
       val pruned = graft.sources.Tables.readPruned(s, dir,
         Seq(("zx", 0L, 15L), ("zy", 0L, 15L)))
       require(pruned.inputFiles.length * 2 < 16,
@@ -3628,13 +3607,7 @@ object SparkEntry {
     // pruning (bronze_yellow_tripdata.sql:33-35) generalized to any
     // lexically-ordered string key, no partition directories needed
     "q357_pruned_month" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-mprune")
-        .toString + "/li"
-      t(s, d, "lineitem")
-        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-        .repartitionByRange(16, col("ship_month"), col("l_shipdate"))
-        .sortWithinPartitions("ship_month")
-        .write.parquet(dir)
+      val dir = LakeFixtures.shipMonthSorted16(s, d)
       val pruned = graft.sources.Tables.readPrunedString(s, dir,
         Seq(("ship_month", "1996-01", "1996-03")))
       require(pruned.inputFiles.length * 2 < 16,
@@ -3857,12 +3830,8 @@ object SparkEntry {
     // the first range scan a real analyst writes; the in-query require
     // proves the footer Double bounds actually skip files
     "q373_pruned_double" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-dprune")
-        .toString + "/li"
+      val dir = LakeFixtures.priceSorted16(s, d)
       val li = t(s, d, "lineitem")
-      li.repartitionByRange(16, col("l_extendedprice"))
-        .sortWithinPartitions("l_extendedprice")
-        .write.parquet(dir)
       // scale-free box: the bottom 1/8th of the price range (IEEE +,-,/
       // are correctly rounded, so the bound is engine-portable; the
       // oracle mirrors it as a scalar subquery)
@@ -3892,15 +3861,10 @@ object SparkEntry {
     // surface finally consumes the zone maps, and the require proves
     // the month box opened under half the files
     "q374_pruned_sql_view" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-view374")
-        .toString + "/trips"
-      tripWithTotal(t(s, d, "lineitem"))
-        .withColumn("pickup_month",
-          date_format(col("tpep_pickup_datetime"), "yyyy-MM"))
-        .repartitionByRange(16, col("pickup_month"),
-          col("tpep_pickup_datetime"))
-        .sortWithinPartitions("pickup_month")
-        .write.parquet(dir)
+      val dir = LakeFixtures.monthStaging(s, d)(
+        tripWithTotal(t(s, d, "lineitem"))
+          .withColumn("pickup_month",
+            date_format(col("tpep_pickup_datetime"), "yyyy-MM")))
       val pruned = graft.sql.SqlCatalog.registerPruned(s, "trips_pruned",
         dir, Seq(("pickup_month", "1996-02", "1996-03")))
       require(pruned.inputFiles.length * 2 < 16,
@@ -4111,12 +4075,8 @@ object SparkEntry {
     // (a) files skipped, (b) the manifest plan opens the IDENTICAL
     // file set as the live-footer plan
     "q384_manifest_pruned" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
-        .toString + "/li"
+      val dir = LakeFixtures.orderkeySorted16(s, d)
       val li = t(s, d, "lineitem")
-      li.repartitionByRange(16, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.parquet(dir)
       graft.sources.Tables.writeManifest(s, dir,
         Seq("l_orderkey", "l_extendedprice"))
       val hi = li.agg(max(col("l_orderkey"))).head().getLong(0) / 8L
@@ -4757,6 +4717,13 @@ object SparkEntry {
     "q430_footrule" -> ((s, d) =>
       graft.operators.RankStats.footrule(t(s, d, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // pairwise post-hoc contrast parts per flag pair — exact
+    // cleared-of-division mean diffs + Bartlett variance numerators;
+    // critical values stay caller-side
+    "q431_pairwise_contrasts" -> ((s, d) =>
+      graft.operators.Robust.pairwiseContrastParts(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13744,5 +13711,26 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS f2
         |FROM b JOIN rx ON b.k = rx.k AND b.x = rx.x
         |JOIN ry ON b.k = ry.k AND b.y = ry.y GROUP BY 1""".stripMargin,
+
+    // q431: the q414 per-group parts self-paired
+    "q431_pairwise_contrasts" ->
+      """WITH base AS (SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS c
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+        |    CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |    CAST(CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)
+        |      AS VARCHAR) AS DOUBLE) AS ss_num_d
+        |  FROM base GROUP BY 1)
+        |SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |  a.n_i AS n_a, b.n_i AS n_b,
+        |  a.sum_cents AS sum_a, b.sum_cents AS sum_b,
+        |  a.ss_num_d AS ss_num_a_d, b.ss_num_d AS ss_num_b_d,
+        |  CAST(CAST(a.sum_cents AS HUGEINT) * b.n_i
+        |    - CAST(b.sum_cents AS HUGEINT) * a.n_i AS BIGINT)
+        |    AS diff_num
+        |FROM g a JOIN g b ON a.grp < b.grp""".stripMargin,
   )
 }

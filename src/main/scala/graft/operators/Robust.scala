@@ -1091,6 +1091,42 @@ object Robust {
       .select(col("grp"), col("n_i"), col("sum_cents"), col("ss_num_d"))
   }
 
+  /** Pairwise mean-contrast PARTS — the parametric post-hoc
+    * companion of [[graft.operators.RankStats.dunnTest]] (that one
+    * ranks; this one feeds Welch/Games-Howell/Tukey-style contrasts):
+    * for every unordered group pair, the exact integers a post-hoc
+    * procedure needs, with the studentized-range / t critical values
+    * left CALLER-side (distribution tables are where libm lives):
+    *
+    *   `diff_num = sum_a·n_b − sum_b·n_a` — the mean difference
+    *   cleared of divisions (`mean_a − mean_b = diff_num/(n_a·n_b)`
+    *   cents, exact BIGINT), plus each side's `n`, `sum_cents`, and
+    *   [[bartlettParts]] variance numerator
+    *   (`S²_i = ss_num/(n_i(n_i−1))`, so Welch's
+    *   `SE² = ss_num_a/(n_a²(n_a−1)) + ss_num_b/(n_b²(n_b−1))` is one
+    *   caller-side chain).
+    *
+    * One [[bartlettParts]] aggregate (a single pass over the rows),
+    * then a k²-bounded broadcast self-pair of the k-row group frame —
+    * group-count scale, never row scale. */
+  def pairwiseContrastParts(df: DataFrame, groupCol: String,
+                            valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = bartlettParts(df, groupCol, valueCol).localCheckpoint(true)
+    val a = g.select(col("grp").as("grp_a"), col("n_i").as("n_a"),
+      col("sum_cents").as("sum_a"), col("ss_num_d").as("ss_num_a_d"))
+    val b = g.select(col("grp").as("grp_b"), col("n_i").as("n_b"),
+      col("sum_cents").as("sum_b"), col("ss_num_d").as("ss_num_b_d"))
+    a.crossJoin(broadcast(b))
+      .filter(col("grp_a") < col("grp_b"))
+      .withColumn("diff_num",
+        (col("sum_a").cast(d38) * col("n_b")
+          - col("sum_b").cast(d38) * col("n_a")).cast(d38).cast("long"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("sum_a"), col("sum_b"), col("ss_num_a_d"),
+        col("ss_num_b_d"), col("diff_num"))
+  }
+
   /** Mood's median test — "do the k groups straddle the pooled median
     * the same way?": dichotomize every row against the GRAND median
     * (ties at the median count as at-or-below — the classical

@@ -492,6 +492,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(r(0).getDouble(3) / (3.0 * 2.0) == 10000.0)
   }
 
+  test("pairwiseContrastParts: hand-computed cleared-of-division " +
+    "mean diffs on the bartlett fixture") {
+    import graft.operators.Robust
+    val df = Seq(("k", 1.00), ("k", 2.00), ("k", 3.00),
+      ("m", 1.00), ("m", 1.00)).toDF("g", "v")
+    val r = Robust.pairwiseContrastParts(df, "g", "v").collect()
+    assert(r.length == 1)
+    val p = r(0)
+    assert(p.getString(0) == "k" && p.getString(1) == "m")
+    assert(p.getLong(2) == 3L && p.getLong(3) == 2L)
+    assert(p.getLong(4) == 600L && p.getLong(5) == 200L)
+    // diff_num = 600*2 - 200*3 = 600 -> mean diff 600/(3*2) = 100c
+    assert(p.getLong(8) == 600L)
+    assert(p.getLong(8).toDouble / (3.0 * 2.0) == 100.0)
+    assert(p.getDouble(6) == 60000.0 && p.getDouble(7) == 0.0)
+  }
+
   test("flignerParts: per-group lattice medians, pooled doubled " +
     "midranks of the centered values") {
     import graft.operators.RankStats
