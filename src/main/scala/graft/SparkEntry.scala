@@ -4724,6 +4724,45 @@ object SparkEntry {
     "q431_pairwise_contrasts" -> ((s, d) =>
       graft.operators.Robust.pairwiseContrastParts(t(s, d, "lineitem"),
         "l_returnflag", "l_extendedprice")),
+
+    // bucketed co-located join: both sides written bucketBy(custkey),
+    // broadcast disabled during planning — the join plan must carry
+    // ZERO Exchange (the repeated fact-to-dim join at 100 TB is a
+    // full-cluster shuffle per run without this); the oracle pins the
+    // join result
+    "q432_bucketed_join" -> ((s, d) => {
+      val root = LakeFixtures.freshRoot("bucketed")
+      graft.sources.Bucketing.writeBucketedAt(
+        t(s, d, "orders"), "bkt_orders", "o_custkey", 8, s"$root/o")
+      graft.sources.Bucketing.writeBucketedAt(
+        t(s, d, "customer"), "bkt_customer", "c_custkey", 8, s"$root/c")
+      val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val prevA = scala.util.Try(s.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+        .filter(_ != null)
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val j = s.table("bkt_orders").join(s.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "bucketed join must plan with zero Exchange on either side")
+        j.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("long")).cast("long").as("price_cents"))
+          .localCheckpoint(true) // pin the exchange-free execution
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        prevA match {
+          case Some(v) => s.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13732,5 +13771,13 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    - CAST(b.sum_cents AS HUGEINT) * a.n_i AS BIGINT)
         |    AS diff_num
         |FROM g a JOIN g b ON a.grp < b.grp""".stripMargin,
+
+    // q432: the bucketed join ≡ the plain join (layout-independent)
+    "q432_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -43,4 +43,21 @@ object Bucketing {
     * so the scan reports hash partitioning to the planner). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** [[writeBucketed]] as an EXTERNAL table at an explicit `path` —
+    * the form a lake deployment uses (data lives in the lake, only
+    * bucket metadata rides the catalog), and the form tests use to
+    * keep managed-warehouse state out of the working directory. */
+  def writeBucketedAt(df: DataFrame, table: String, keyCol: String,
+                      nBuckets: Int, path: String): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }
