@@ -4763,6 +4763,25 @@ object SparkEntry {
         }
       }
     }),
+
+    // Matryoshka two-stage retrieval: 16-dim prefix scoring over the
+    // corpus, full-dim rerank of the top-50 — deterministic by the
+    // double total-order tiebreak; exact vs the oracle's identical
+    // two-stage construction
+    "q433_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llmdata.Similarity.matryoshkaTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        prefixDims = 16, m = 50, k = 5)
+    }),
+
+    // Brunner-Munzel placement parts on the q405 split — the
+    // unequal-variance two-sample default; exact pooled/within
+    // doubled-midrank sums, caller folds t and df
+    "q434_brunner_munzel" -> ((s, d) =>
+      graft.operators.RankStats.brunnerMunzelParts(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "event_type", "value", col("user_id") % 2 === 0)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13779,5 +13798,64 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // q433: the same two-stage construction — prefix slice, rerank,
+    // double total-order tiebreaks
+    "q433_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |pre AS (SELECT query_id, neighbor_id, qv, cv,
+        |    list_dot_product(qv[1:16], cv[1:16])
+        |      / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+        |        * sqrt(list_dot_product(cv[1:16], cv[1:16])))
+        |      AS pre_cosine
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY pre_cosine DESC, neighbor_id ASC) AS prer
+        |  FROM pre),
+        |rer AS (SELECT query_id, neighbor_id,
+        |    CAST(prer AS BIGINT) AS pre_rank,
+        |    list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |        * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM cand WHERE prer <= 50),
+        |fin AS (SELECT query_id, neighbor_id, pre_rank, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM rer)
+        |SELECT query_id, neighbor_id, pre_rank, cosine, rank
+        |FROM fin WHERE rank <= 5""".stripMargin,
+
+    // q434: three cumulative midrank windows on the shared lattice
+    "q434_brunner_munzel" ->
+      """WITH cells AS (SELECT event_type AS k, value AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT k, ca, cb,
+        |    2 * (CAST(SUM(ca + cb) OVER win AS HUGEINT) - (ca + cb))
+        |      + (ca + cb) + 1 AS rd,
+        |    2 * (CAST(SUM(ca) OVER win AS HUGEINT) - ca) + ca + 1
+        |      AS rda,
+        |    2 * (CAST(SUM(cb) OVER win AS HUGEINT) - cb) + cb + 1
+        |      AS rdb
+        |  FROM cells WINDOW win AS (PARTITION BY k ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_b,
+        |  CAST(SUM(ca * rd) AS BIGINT) AS rda_sum,
+        |  CAST(SUM(cb * rd) AS BIGINT) AS rdb_sum,
+        |  CAST(SUM(ca * (rd - rda)) AS BIGINT) AS da_sum,
+        |  CAST(SUM(ca * (rd - rda) * (rd - rda)) AS BIGINT) AS da2_sum,
+        |  CAST(SUM(cb * (rd - rdb)) AS BIGINT) AS db_sum,
+        |  CAST(SUM(cb * (rd - rdb) * (rd - rdb)) AS BIGINT) AS db2_sum
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }

@@ -66,6 +66,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Matryoshka (prefix-dimension) two-stage retrieval — the MRL
+    * serving pattern (Kusupati et al. 2022): embeddings trained so
+    * every PREFIX is itself a valid embedding let stage 1 score all
+    * candidates on the first `prefixDims` dims (prefixDims/dim of the
+    * arithmetic) and stage 2 re-score only the top `m` survivors at
+    * full dimension. Exact given the two-stage contract: the output
+    * is THE top-k by full cosine among stage-1 survivors (ties broken
+    * by neighbor id at both stages — fully deterministic; recall vs
+    * brute force is governed by m, the caller's dial).
+    *
+    * Scale posture matches [[bruteForceTopK]] (small broadcast query
+    * side, partition-parallel corpus scan) — the prefix trick cuts
+    * per-pair compute, and composes with [[ivfTopK]]'s cell pruning
+    * when the corpus side also needs cutting. Returns (query_id,
+    * neighbor_id, pre_rank, cosine, rank ≤ k). */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, prefixDims: Int, m: Int,
+                     k: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val pre = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("pre_cosine", cosineNative(
+        slice(col("qv"), 1, prefixDims), slice(col("cv"), 1, prefixDims)))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_cosine").desc, col("neighbor_id").asc)
+    val cand = pre.withColumn("pre_rank", row_number().over(w1))
+      .filter(col("pre_rank") <= m)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("pre_rank").cast("long").as("pre_rank"), col("cosine"),
+        col("rank"))
+  }
+
   /** Sign-LSH bucket id: bit j is the sign of the fixed hyperplane
     * (e_{2j} − e_{2j+1})·v — deterministic, engine-portable, no randomness
     * needed (a fixed orthogonal family is a valid cosine-LSH). */

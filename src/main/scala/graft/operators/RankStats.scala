@@ -1291,6 +1291,70 @@ object RankStats {
       .select(col(keyCol), col("n"), col("f2"))
   }
 
+  /** Brunner–Munzel PARTS per key — the modern replacement for
+    * [[mannWhitneyU]] when the two samples may differ in SHAPE as
+    * well as location (BM does not assume equal variances of the
+    * placement distributions; the recommended default two-sample test
+    * in much of the methodological literature). The statistic runs on
+    * PLACEMENTS `P_i = R_i − R_i^(g)` (pooled rank minus within-group
+    * rank); on doubled midranks every placement is an exact integer,
+    * so the engine emits the exact parts and the caller runs the two
+    * fixed chains:
+    *
+    *   `p̂ = (rdb_sum/(2·n_b) − (n_b+1)/2)/n_a` (the stochastic
+    *   superiority estimate; equivalently from the A side),
+    *   `S²_g` from `(dg_sum, dg2_sum)` — the within-group placement
+    *   sums and squared sums (`d2 = rd − rd_g`, so
+    *   `S²_g = (dg2_sum − dg_sum²/(2n_g)·…)/4` in the caller's
+    *   un-doubling), then the BM t and Welch-like df.
+    *
+    * All sums ride decimal(38,0) and emit as BIGINT (d2² ≤ (2N)², so
+    * the sum is ≤ 4N³ — inside BIGINT to N ≈ 10⁶; beyond that the
+    * cast NULLs loudly). Same distinct-value lattice machinery as
+    * [[ansariBradley]]: three cumulative midrank windows (pooled,
+    * A-only, B-only), hash aggregates everywhere else.
+    *
+    * Output per key: (key, n_a, n_b, rda_sum, rdb_sum, da_sum,
+    * da2_sum, db_sum, db2_sum). */
+  def brunnerMunzelParts(df: DataFrame, keyCol: String, valueCol: String,
+                         isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .withColumn("rd",
+        lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("rda",
+        lit(2L) * (col("__cuma") - col("__ca")) + col("__ca") + 1L)
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("rdb",
+        lit(2L) * (col("__cumb") - col("__cb")) + col("__cb") + 1L)
+    ranked.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        sum(col("__ca").cast(d38) * col("rd")).cast(d38).cast("long")
+          .as("rda_sum"),
+        sum(col("__cb").cast(d38) * col("rd")).cast(d38).cast("long")
+          .as("rdb_sum"),
+        sum(col("__ca").cast(d38) * (col("rd") - col("rda"))).cast(d38)
+          .cast("long").as("da_sum"),
+        sum(col("__ca").cast(d38) * (col("rd") - col("rda"))
+          * (col("rd") - col("rda"))).cast(d38).cast("long")
+          .as("da2_sum"),
+        sum(col("__cb").cast(d38) * (col("rd") - col("rdb"))).cast(d38)
+          .cast("long").as("db_sum"),
+        sum(col("__cb").cast(d38) * (col("rd") - col("rdb"))
+          * (col("rd") - col("rdb"))).cast(d38).cast("long")
+          .as("db2_sum"))
+  }
+
   /** Mann–Kendall trend TEST per key — "is this series monotonically
     * trending?", the hypothesis-test companion of
     * [[graft.operators.Timeseries.theilSen]]'s trend ESTIMATE (same

@@ -528,6 +528,49 @@ class Round11OpsSpec extends SparkSpec {
       && r(2).getLong(2) == 2L && r(2).getLong(3) == 4L)
   }
 
+  test("brunnerMunzelParts: hand-computed placement lattice; rank " +
+    "sums recover the stochastic-superiority estimate") {
+    import graft.operators.RankStats
+    // A = {1, 2}, B = {2, 3}
+    val df = Seq(("k", true, 1L), ("k", true, 2L), ("k", false, 2L),
+      ("k", false, 3L)).toDF("k", "a", "v")
+    val r = RankStats.brunnerMunzelParts(df, "k", "v", col("a")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 7L && r.getLong(4) == 13L) // pooled rank sums
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1L) // A placements
+    assert(r.getLong(7) == 7L && r.getLong(8) == 25L) // B placements
+    // p-hat = (mean pooled midrank of B - (n_b+1)/2)/n_a = 0.875,
+    // which equals P(A<B) + P(A=B)/2 over the 4 pairs (3 + 0.5)/4
+    val pHat = (r.getLong(4).toDouble / 2.0 / 2.0 - 1.5) / 2.0
+    assert(pHat == 0.875)
+  }
+
+  test("matryoshkaTopK: with an unrestricted stage-1 budget the " +
+    "result equals brute force; tight budgets stay deterministic") {
+    import graft.llmdata.Similarity
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    val full = Similarity.matryoshkaTopK(emb, queries, "vec_id",
+      "embedding", prefixDims = 16, m = n, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(full.length == brute.length
+      && full.zip(brute).forall { case (a, b) => a == b })
+    // tight budget: still k results per query, ranks 1..k
+    val tight = Similarity.matryoshkaTopK(emb, queries, "vec_id",
+      "embedding", prefixDims = 8, m = 10, k = 3)
+      .groupBy("query_id").agg(count(lit(1)).as("n"),
+        max(col("rank")).as("mx")).collect()
+    assert(tight.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
+  }
+
   test("psiParts: hand-computed exact parts; caller-side ln fold " +
     "matches psiReport on eps-free categories") {
     import graft.checks.Drift
