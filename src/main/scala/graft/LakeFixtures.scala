@@ -202,6 +202,20 @@ object LakeFixtures {
         .write.parquet(dir)
     }
 
+  /** q435's lake: orders date-sorted with a `maybe_price` column NULL
+    * for pre-1998 rows — date-clustered nulls, so the null-count zone
+    * maps prune both IS NULL and IS NOT NULL probes. */
+  def ordersNullBanded(s: SparkSession, d: String): String =
+    once("ordnull", d) { dir =>
+      graft.sources.Tables.read(s, d, "orders")
+        .withColumn("maybe_price",
+          when(year(col("o_orderdate")) <= 1997, lit(null))
+            .otherwise(col("o_totalprice")))
+        .repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(dir)
+    }
+
   /** q421's source: orders shattered into 64 tiny files — the
     * small-file problem a compactor exists to fix (immutable; the
     * compaction output goes to a fresh per-call dir). */

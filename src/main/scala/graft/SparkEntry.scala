@@ -4782,6 +4782,30 @@ object SparkEntry {
       graft.operators.RankStats.brunnerMunzelParts(
         t(s, d, "events").filter(col("user_id").isNotNull),
         "event_type", "value", col("user_id") % 2 === 0)),
+
+    // NULL-count zone maps: a date-banded nullable column lets BOTH
+    // IS NULL and IS NOT NULL probes skip files via footer numNulls —
+    // the pruning dimension min/max stats can't give; each probe's
+    // opened-file require + one oracled union
+    "q435_null_pruned" -> ((s, d) => {
+      val dir = LakeFixtures.ordersNullBanded(s, d)
+      val nAll = s.read.parquet(dir).inputFiles.length
+      val pNull = graft.sources.Tables.readPrunedNulls(s, dir,
+        "maybe_price", wantNull = true)
+      val pNot = graft.sources.Tables.readPrunedNulls(s, dir,
+        "maybe_price", wantNull = false)
+      require(pNull.inputFiles.length < nAll,
+        s"IS NULL prune regressed: ${pNull.inputFiles.length}/$nAll")
+      require(pNot.inputFiles.length < nAll,
+        s"IS NOT NULL prune regressed: ${pNot.inputFiles.length}/$nAll")
+      val a = pNull.agg(count(lit(1)).as("n"),
+        count(col("maybe_price")).cast("long").as("n_priced"))
+        .withColumn("probe", lit("is_null"))
+      val b = pNot.agg(count(lit(1)).as("n"),
+        count(col("maybe_price")).cast("long").as("n_priced"))
+        .withColumn("probe", lit("not_null"))
+      a.unionAll(b).select("probe", "n", "n_priced")
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13857,5 +13881,16 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  CAST(SUM(cb * (rd - rdb)) AS BIGINT) AS db_sum,
         |  CAST(SUM(cb * (rd - rdb) * (rd - rdb)) AS BIGINT) AS db2_sum
         |FROM r GROUP BY 1""".stripMargin,
+
+    // q435: the null-banded derivation recomputed from orders
+    "q435_null_pruned" ->
+      """SELECT 'is_null' AS probe, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS n_priced
+        |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997
+        |UNION ALL
+        |SELECT 'not_null' AS probe, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_priced
+        |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) > 1997"""
+        .stripMargin,
   )
 }

@@ -300,6 +300,118 @@ object Tables {
     (resolved.map(_._1), resolved.map(_._2))
   }
 
+  /** Per-file NULL-count stats from parquet FOOTERS — the zone-map
+    * dimension the min/max readers don't carry: `numNulls` per column
+    * chunk, folded across row groups. Two prunes fall out:
+    * an `IS NULL` probe skips every file with ZERO nulls, and an
+    * `IS NOT NULL` probe (the shape of every inner-join key filter
+    * and NOT NULL quality gate) skips every file that is ALL null.
+    * Chunks without a null count (stats absent) make the file's count
+    * NULL — conservative keep, the footer contract. Distributed like
+    * [[footerStatsKinds]]. Output: (path, n_rows, <col>_nulls …). */
+  def footerNullStats(spark: SparkSession, path: String,
+                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val files = listDataFiles(spark, path)
+    val colsV = cols.toVector
+    val confProps = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val triples =
+      if (files.nonEmpty)
+        spark.sparkContext
+          .parallelize(files, math.max(1, math.min(files.size, 64)))
+          .map(f => footerNullsOne(f, colsV, confProps))
+          .collect().sortBy(_._1).toSeq
+      else Seq.empty
+    val rows = triples.map { case (f, n, nulls) =>
+      org.apache.spark.sql.Row.fromSeq(
+        f +: java.lang.Long.valueOf(n) +: nulls.toSeq)
+    }
+    val schema = StructType(
+      StructField("path", StringType, nullable = false) ::
+        StructField("n_rows", LongType, nullable = false) ::
+        colsV.toList.map(c => StructField(s"${c}_nulls", LongType)))
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Executor-side unit of [[footerNullStats]]: fold numNulls per
+    * requested column across a file's row groups; a chunk without a
+    * null count (or a missing column) NULLs the file's count. */
+  private[sources] def footerNullsOne(file: String, cols: Seq[String],
+      confProps: Array[(String, String)]): (String, Long, Array[Any]) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hconf = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => hconf.set(k, v) }
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), hconf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var nRows = 0L
+      val counts = Array.fill[Long](cols.size)(0L)
+      val ok = Array.fill[Boolean](cols.size)(true)
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        nRows += b.getRowCount
+        cols.indices.foreach { i =>
+          if (ok(i)) {
+            var seen = false
+            val chunk = b.getColumns.iterator()
+            while (chunk.hasNext && !seen) {
+              val cc = chunk.next()
+              if (cc.getPath.toDotString == cols(i)) {
+                seen = true
+                val st = cc.getStatistics
+                if (st == null || !st.isNumNullsSet) ok(i) = false
+                else counts(i) += st.getNumNulls
+              }
+            }
+            if (!seen) ok(i) = false
+          }
+        }
+      }
+      val out = new Array[Any](cols.size)
+      cols.indices.foreach { i =>
+        out(i) = if (ok(i)) java.lang.Long.valueOf(counts(i)) else null
+      }
+      (file, nRows, out)
+    } finally reader.close()
+  }
+
+  /** NULL-predicate pruned read: scan only files the footer null
+    * counts cannot rule out for `col IS NULL` (`wantNull = true`,
+    * skips zero-null files) or `col IS NOT NULL` (`wantNull = false`,
+    * skips all-null files), then re-apply the exact predicate
+    * row-level — the [[readPruned]] conservative mechanics on the
+    * null-count dimension. Unknown counts keep the file. */
+  def readPrunedNulls(spark: SparkSession, path: String, c: String,
+                      wantNull: Boolean): DataFrame = {
+    val stats = footerNullStats(spark, path, Seq(c))
+    val keep =
+      if (wantNull) col(s"${c}_nulls").isNull || col(s"${c}_nulls") > 0
+      else col(s"${c}_nulls").isNull || col(s"${c}_nulls") < col("n_rows")
+    val cand = stats.filter(keep)
+      .select(col("path")).collect().map(_.getString(0))
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
+    val pred = if (wantNull) col(c).isNull else col(c).isNotNull
+    if (cand.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(pred)
+    else spark.read.schema(schema).parquet(cand.toIndexedSeq: _*)
+      .filter(pred)
+  }
+
   /** Recursive data-file listing for [[footerStats]] /
     * [[footerStatsString]] — parquet part files only; metadata and
     * hidden entries (any `_`/`.`-prefixed path component under the

@@ -476,6 +476,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(qs((1L, 1L)) == 1000L) // max
   }
 
+  test("footerNullStats + readPrunedNulls: numNulls folds across " +
+    "files, IS NULL and IS NOT NULL probes skip the right files") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullzm")
+      .toString + "/t"
+    // 4 files: all-null, half-null, zero-null, zero-null
+    spark.range(0, 4000)
+      .select(col("id").as("x"),
+        when(col("id") < 1000, lit(null).cast("long"))
+          .when(col("id") < 1500, col("id"))
+          .otherwise(col("id") * 2).as("v"),
+        when(col("id") >= 1000 && col("id") < 1500, lit(null)
+          .cast("long")).otherwise(col("id")).as("w"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    val stats = Tables.footerNullStats(spark, dir, Seq("v"))
+      .orderBy("path").collect()
+    assert(stats.map(_.getLong(2)).toSeq == Seq(1000L, 0L, 0L, 0L))
+    val isNull = Tables.readPrunedNulls(spark, dir, "v", wantNull = true)
+    assert(isNull.inputFiles.length == 1 && isNull.count() == 1000L)
+    val notNull = Tables.readPrunedNulls(spark, dir, "v",
+      wantNull = false)
+    assert(notNull.inputFiles.length == 3 && notNull.count() == 3000L)
+    // a column with scattered nulls prunes nothing but stays correct
+    val wNull = Tables.readPrunedNulls(spark, dir, "w", wantNull = true)
+    assert(wNull.count() == 500L)
+  }
+
   test("bartlettParts: hand-computed variance numerators on the " +
     "cents lattice") {
     import graft.operators.Robust
