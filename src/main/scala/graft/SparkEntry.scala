@@ -4806,6 +4806,18 @@ object SparkEntry {
         .withColumn("probe", lit("not_null"))
       a.unionAll(b).select("probe", "n", "n_priced")
     }),
+
+    // shared-dialect named WINDOW clause
+    "q436_sql_named_window" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlNamedWindowText)
+    }),
+
+    // shared-dialect VALUES constructor + IS DISTINCT FROM
+    "q437_sql_values_distinct" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlValuesDistinctText)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -5004,6 +5016,38 @@ object SparkEntry {
       |FROM orders
       |WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 2000 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q436's SQL — shared-dialect named WINDOW clause (one window
+    * definition reused by several functions — the de-duplication form
+    * both engines and the oracles themselves rely on). */
+  private val sqlNamedWindowText: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS run_cents,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
+      |  CAST(row_number() OVER w2 AS BIGINT) AS rn
+      |FROM (SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 3000 FROM orders))
+      |WINDOW w AS (ORDER BY o_orderkey ASC NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (ORDER BY o_orderkey ASC NULLS FIRST)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q437's SQL — shared-dialect VALUES table constructor joined to a
+    * fact table, plus IS DISTINCT FROM (null-safe inequality). */
+  private val sqlValuesDistinctText: String =
+    """SELECT t.flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem l
+      |JOIN (VALUES ('A', 'accepted'), ('R', 'returned'),
+      |  ('N', 'neither')) AS t(rf, flag)
+      |  ON l.l_returnflag = t.rf
+      |WHERE CAST(l.l_shipdate AS DATE) IS DISTINCT FROM
+      |  DATE '1996-06-17'
+      |GROUP BY t.flag""".stripMargin
 
   /** q331's SQL — ONE text executed verbatim by BOTH engines (the
     * shared-dialect subset: CTE chain, equi-join, ranking window with
@@ -13892,5 +13936,9 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  CAST(COUNT(*) AS BIGINT) AS n_priced
         |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) > 1997"""
         .stripMargin,
+
+    // the shared texts verbatim
+    "q436_sql_named_window" -> sqlNamedWindowText,
+    "q437_sql_values_distinct" -> sqlValuesDistinctText,
   )
 }
