@@ -4818,6 +4818,19 @@ object SparkEntry {
       graft.sql.SqlCatalog.registerTables(s, d)
       s.sql(sqlValuesDistinctText)
     }),
+
+    // LOCF resampling of the irregular event stream onto a 6-hour
+    // grid — last value carried forward per type; unique (key, sec)
+    // by a max() pre-aggregate, grid spine + one per-key window
+    "q438_resample_locf" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("sec",
+          expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .groupBy(col("event_type"), col("sec"))
+        .agg(max(col("value")).as("v"))
+      graft.operators.Timeseries.resampleLocf(ev, "event_type", "sec",
+        "v", 21600L)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13940,5 +13953,26 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
     // the shared texts verbatim
     "q436_sql_named_window" -> sqlNamedWindowText,
     "q437_sql_values_distinct" -> sqlValuesDistinctText,
+
+    // q438: the same spine + IGNORE NULLS carry (the q110 parity)
+    "q438_resample_locf" ->
+      """WITH obs AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 1000000 AS t, MAX(value) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |rng AS (SELECT k, ((MIN(t) + 21599) // 21600) * 21600 AS g0,
+        |    MAX(t) AS g1 FROM obs GROUP BY 1),
+        |grid AS (SELECT k, unnest(range(g0, g1 + 1, 21600)) AS t
+        |  FROM rng),
+        |u AS (SELECT k, t, 0 AS tag, v FROM obs
+        |  UNION ALL SELECT k, t, 1 AS tag, NULL AS v FROM grid),
+        |f AS (SELECT k, t, tag,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY t ASC, tag ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS value_locf
+        |  FROM u)
+        |SELECT k AS event_type, CAST(t AS BIGINT) AS grid_sec,
+        |  value_locf
+        |FROM f WHERE tag = 1""".stripMargin,
   )
 }

@@ -181,7 +181,14 @@ object AggMerge {
     * finish is the house exact selection rule — so a rollup service
     * answers ANY quantile over ANY day range from partials, bit-exact
     * to a one-shot computation over the raw rows (q375's fold ≡
-    * one-shot discipline, here with zero approximation). */
+    * one-shot discipline, here with zero approximation).
+    *
+    * Division of labor vs [[graft.operators.Profile.quantilePartial]]:
+    * Profile's trio is the UNKEYED one-table profiling form (micro-unit
+    * lattice, no rollup dimension); this trio carries the DAY key so a
+    * streaming/incremental rollup can answer day-range quantiles from
+    * persisted partials — the AggMerge partial/merge/finish shape the
+    * HLL trio above established. */
   def dailyValuePartial(events: DataFrame, tsCol: String,
                         valueCol: String): DataFrame =
     events.filter(col(valueCol).isNotNull)

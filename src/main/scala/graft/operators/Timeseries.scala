@@ -40,6 +40,63 @@ object Timeseries {
     * the key, so AQE coalesces them into adjacent stages of the same
     * lineage — no driver-side state anywhere.
     */
+  /** LOCF resampling of an IRREGULAR series onto a fixed grid —
+    * last-observation-carried-forward, the standard "sensor readings /
+    * account balances at arbitrary times → one value per step"
+    * normalization ([[gapFillDaily]] zero-fills COUNTS; this carries
+    * the last VALUE forward). Input is a LONG seconds column with
+    * UNIQUE (key, sec) pairs — pre-aggregate duplicates upstream (a
+    * duplicate raises IN-PLAN via the guard column, never a silent
+    * nondeterministic pick — the mannKendall rule).
+    *
+    * Mechanics (one union + ONE per-key window — no per-grid-point
+    * join): each key's grid spans `ceil(min/step)·step .. max` by
+    * `step`; grid rows (tag 1, value NULL) union with observations
+    * (tag 0), and `last(value, ignoreNulls)` over (sec, tag) order
+    * carries the newest observation ≤ each grid point. Grid points
+    * before the first observation emit NULL (honest — there is
+    * nothing to carry). Output: (key, grid_sec, value_locf). */
+  def resampleLocf(df: DataFrame, keyCol: String, secCol: String,
+                   valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    val obs0 = df.filter(col(secCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(secCol).cast("long").as("__t"),
+        col(valueCol).as("__v"))
+    // in-plan duplicate guard: a second observation at the same
+    // (key, sec) makes LOCF order-dependent — raise, don't guess
+    val wDup = Window.partitionBy(col("__k"), col("__t"))
+    val obs = obs0
+      .withColumn("__v",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("resampleLocf: duplicate (key, sec) at ("),
+            col("__k").cast("string"), lit(", "),
+            col("__t").cast("string"),
+            lit(") — pre-aggregate to unique seconds"))))
+          .otherwise(col("__v")))
+      .withColumn("__tag", lit(0))
+    val grid = obs0.groupBy(col("__k"))
+      .agg(min(col("__t")).as("__mn"), max(col("__t")).as("__mx"))
+      .withColumn("__g0",
+        expr(s"((__mn + ${stepSeconds - 1}L) div ${stepSeconds}L)" +
+          s" * ${stepSeconds}L"))
+      // a key whose span contains no grid point emits nothing (an
+      // unguarded sequence(start > stop) raises)
+      .filter(col("__g0") <= col("__mx"))
+      .select(col("__k"),
+        explode(sequence(col("__g0"), col("__mx"), lit(stepSeconds)))
+          .as("__t"))
+      .withColumn("__v", lit(null).cast(obs0.schema("__v").dataType))
+      .withColumn("__tag", lit(1))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn("__locf", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__k").as(keyCol), col("__t").as("grid_sec"),
+        col("__locf").as("value_locf"))
+  }
+
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String): DataFrame = {
     val daily = df

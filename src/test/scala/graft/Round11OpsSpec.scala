@@ -599,6 +599,40 @@ class Round11OpsSpec extends SparkSpec {
     assert(tight.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L))
   }
 
+  test("resampleLocf: carries last value onto the grid, NULL before " +
+    "first observation, duplicate (key, sec) raises in-plan") {
+    import graft.operators.Timeseries
+    // key k: obs at 5->1.0, 12->2.0, 31->3.0; step 10 -> grid 10,20,30
+    val df = Seq(("k", 5L, 1.0), ("k", 12L, 2.0), ("k", 31L, 3.0))
+      .toDF("g", "sec", "v")
+    val r = Timeseries.resampleLocf(df, "g", "sec", "v", 10L)
+      .orderBy("grid_sec").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 2.0))
+    // grid point before the first obs: key m obs at 15 only, step 10
+    // -> grid starts at ceil(15/10)*10 = 20 (no pre-obs point here);
+    // key with obs at 25 and 31: grid 30 only
+    val r2 = Timeseries.resampleLocf(
+      Seq(("m", 25L, 5.0), ("m", 31L, 6.0)).toDF("g", "sec", "v"),
+      "g", "sec", "v", 10L).collect()
+    assert(r2.length == 1 && r2(0).getLong(1) == 30L
+      && r2(0).getDouble(2) == 5.0)
+    // a key whose span holds no grid point emits nothing, no crash
+    val r3 = Timeseries.resampleLocf(
+      Seq(("s", 5L, 1.0)).toDF("g", "sec", "v"), "g", "sec", "v", 10L)
+      .collect()
+    assert(r3.isEmpty)
+    // duplicate (key, sec) raises in-plan (span includes a grid point
+    // so the window actually evaluates)
+    val dup = Seq(("k", 5L, 1.0), ("k", 5L, 2.0), ("k", 22L, 3.0))
+      .toDF("g", "sec", "v")
+    val e = intercept[Exception](
+      Timeseries.resampleLocf(dup, "g", "sec", "v", 10L).collect())
+    assert(e.getMessage.contains("duplicate (key, sec)")
+      || (e.getCause != null
+        && e.getCause.getMessage.contains("duplicate (key, sec)")))
+  }
+
   test("psiParts: hand-computed exact parts; caller-side ln fold " +
     "matches psiReport on eps-free categories") {
     import graft.checks.Drift
