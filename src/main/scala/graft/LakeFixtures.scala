@@ -216,6 +216,18 @@ object LakeFixtures {
         .write.parquet(dir)
     }
 
+  /** q439's lake: lineitem with a SIGNED `centered` price column
+    * (price − 50000.00, IEEE-exact on the cents grid), value-sorted
+    * into 16 files — the abs-range pushdown substrate. */
+  def centeredSorted16(s: SparkSession, d: String): String =
+    once("cent16", d) { dir =>
+      li(s, d)
+        .withColumn("centered", col("l_extendedprice") - lit(50000.0))
+        .repartitionByRange(16, col("centered"))
+        .sortWithinPartitions("centered")
+        .write.parquet(dir)
+    }
+
   /** q421's source: orders shattered into 64 tiny files — the
     * small-file problem a compactor exists to fix (immutable; the
     * compaction output goes to a fresh per-call dir). */

@@ -4831,6 +4831,28 @@ object SparkEntry {
       graft.operators.Timeseries.resampleLocf(ev, "event_type", "sec",
         "v", 21600L)
     }),
+
+    // custom Catalyst optimizer rule end-to-end: abs(x) <= c rewrites
+    // to a pushable range — the in-query require pins that the
+    // predicate actually reached PushedFilters (it cannot without the
+    // rule); the oracle recomputes the abs filter from lineitem
+    "q439_abs_pushdown" -> ((s, d) => {
+      graft.plans.AbsRangeRewrite.register(s)
+      val dir = LakeFixtures.centeredSorted16(s, d)
+      val pr = s.read.parquet(dir)
+        .filter(abs(col("centered")) <= lit(5000.0))
+      val plan = pr.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters")
+        && plan.contains("GreaterThanOrEqual(centered,-5000.0)")
+        && plan.contains("LessThanOrEqual(centered,5000.0)"),
+        "AbsRangeRewrite did not reach PushedFilters — the abs" +
+          " predicate is scanning every row group")
+      pr.agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("price_cents"),
+        min(col("centered")).as("min_centered"),
+        max(col("centered")).as("max_centered"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -13974,5 +13996,16 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT k AS event_type, CAST(t AS BIGINT) AS grid_sec,
         |  value_locf
         |FROM f WHERE tag = 1""".stripMargin,
+
+    // q439: the abs band recomputed from lineitem (the subtraction is
+    // one exact-rounded IEEE op, portable)
+    "q439_abs_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  MIN(l_extendedprice - 50000.0) AS min_centered,
+        |  MAX(l_extendedprice - 50000.0) AS max_centered
+        |FROM lineitem
+        |WHERE ABS(l_extendedprice - 50000.0) <= 5000.0""".stripMargin,
   )
 }

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    // optimizer surface: abs-range predicates become pushable ranges
+    ext.injectOptimizerRule(_ => graft.plans.AbsRangeRewrite)
   }
 }
 

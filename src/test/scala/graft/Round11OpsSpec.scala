@@ -633,6 +633,38 @@ class Round11OpsSpec extends SparkSpec {
         && e.getCause.getMessage.contains("duplicate (key, sec)")))
   }
 
+  test("AbsRangeRewrite: abs predicates become pushed ranges, " +
+    "results unchanged incl. NaN and NULL, degenerate bounds skipped") {
+    import graft.plans.AbsRangeRewrite
+    AbsRangeRewrite.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-absr")
+      .toString + "/t"
+    spark.range(0, 2000)
+      .select((col("id") - 1000).cast("double").as("c"), col("id").as("x"))
+      .repartitionByRange(4, col("c")).sortWithinPartitions("c")
+      .write.parquet(dir)
+    val pr = spark.read.parquet(dir).filter(abs(col("c")) <= lit(100.0))
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(c,-100.0)")
+      && plan.contains("LessThanOrEqual(c,100.0)"))
+    assert(pr.count() == 201L)
+    // strict form
+    assert(spark.read.parquet(dir).filter(abs(col("c")) < lit(100.0))
+      .count() == 199L)
+    // NaN / NULL semantics unchanged by the rewrite
+    val tricky = Seq(Some(Double.NaN), Some(-5.0), None, Some(5.0))
+      .toDF("c")
+    assert(tricky.filter(abs(col("c")) <= lit(10.0)).count() == 2L)
+    // negative literal bound: unrewritten AND still correct (empty)
+    assert(tricky.filter(abs(col("c")) <= lit(-1.0)).count() == 0L)
+    // rule really is the difference: a session without it keeps Abs
+    // out of PushedFilters
+    val bare = spark.newSession()
+    val plan2 = bare.read.parquet(dir).filter(abs(col("c")) <= lit(100.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("GreaterThanOrEqual(c,-100.0)"))
+  }
+
   test("psiParts: hand-computed exact parts; caller-side ln fold " +
     "matches psiReport on eps-free categories") {
     import graft.checks.Drift
