@@ -4853,6 +4853,15 @@ object SparkEntry {
         min(col("centered")).as("min_centered"),
         max(col("centered")).as("max_centered"))
     }),
+
+    // Cochran-Mantel-Haenszel parts: user-parity exposure vs
+    // high-value outcome, stratified by event_type — the
+    // confounder-adjusted 2x2 family in the logRankParts convention
+    "q440_cmh_parts" -> ((s, d) =>
+      graft.operators.RankStats.cmhParts(
+        t(s, d, "events").filter(col("user_id").isNotNull
+          && col("value").isNotNull),
+        "event_type", col("user_id") % 2 === 0, col("value") > 34.59)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14007,5 +14016,31 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  MAX(l_extendedprice - 50000.0) AS max_centered
         |FROM lineitem
         |WHERE ABS(l_extendedprice - 50000.0) <= 5000.0""".stripMargin,
+
+    // q440: the stratified 2x2 hypergeometric lattice
+    "q440_cmh_parts" ->
+      """WITH base AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ex,
+        |    CASE WHEN value > 34.59 THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(ex * pos) AS BIGINT) AS a,
+        |    CAST(SUM(ex) AS BIGINT) AS r1,
+        |    CAST(SUM(pos) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, a, r1, c1, n,
+        |  CAST(r1 * c1 AS BIGINT) AS e_num, n AS e_den,
+        |  CAST(r1 * c1 AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  CAST(CAST(r1 AS HUGEINT) * (n - r1) * c1 * (n - c1)
+        |    AS BIGINT) AS v_num,
+        |  CAST(CAST(n AS HUGEINT) * n * (n - 1) AS BIGINT) AS v_den,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(CAST(CAST(r1 AS HUGEINT) * (n - r1) * c1 * (n - c1)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * n * (n - 1) AS BIGINT)
+        |      AS DOUBLE)
+        |  END AS variance
+        |FROM g""".stripMargin,
   )
 }

@@ -1355,6 +1355,55 @@ object RankStats {
           .as("db2_sum"))
   }
 
+  /** Cochran–Mantel–Haenszel PARTS — stratified 2×2 association
+    * ("does exposure associate with outcome CONTROLLING for the
+    * stratum?" — the confounder-adjusted test a flat chi-square
+    * cannot give; Simpson's-paradox-proof by construction). Per
+    * stratum the hypergeometric parts are exact integers, the
+    * [[graft.operators.Survival.logRankParts]] convention (CMH is
+    * the log-rank machinery on strata instead of time points):
+    *
+    *   `a` = exposed-and-positive count, `r1` = exposed row total,
+    *   `c1` = positive column total, `n` = stratum total,
+    *   `e_num/e_den` = expectation `r1·c1 / n` cleared of division,
+    *   `v_num/v_den` = variance `r1·r2·c1·c2 / (n²(n−1))` — and
+    *   `CMH = (|Σ(a − E)| − ½)² / ΣV` folds caller-side over the
+    *   stratum rows (a float Σ in-engine would be
+    *   partition-order-dependent).
+    *
+    * One hash aggregate over the rows → stratum-count-scale output:
+    * (stratum, a, r1, c1, n, e_num, e_den, expected, v_num, v_den,
+    * variance). v_num ≤ n⁴ rides decimal and emits BIGINT — exact to
+    * n ≈ 50k rows per stratum; beyond that the cast NULLs loudly
+    * (the r8 bound discipline). */
+  def cmhParts(df: DataFrame, stratumCol: String, isExposed: Column,
+               isPositive: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(stratumCol).isNotNull
+        && isExposed.isNotNull && isPositive.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(
+        sum(when(isExposed && isPositive, 1L).otherwise(0L)).cast("long")
+          .as("a"),
+        sum(when(isExposed, 1L).otherwise(0L)).cast("long").as("r1"),
+        sum(when(isPositive, 1L).otherwise(0L)).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("n"))
+      .withColumn("e_num",
+        (col("r1").cast(d38) * col("c1")).cast(d38).cast("long"))
+      .withColumn("e_den", col("n"))
+      .withColumn("expected",
+        col("e_num").cast("double") / col("e_den").cast("double"))
+      .withColumn("v_num",
+        (col("r1").cast(d38) * (col("n") - col("r1")) * col("c1")
+          * (col("n") - col("c1"))).cast(d38).cast("long"))
+      .withColumn("v_den",
+        (col("n").cast(d38) * col("n") * (col("n") - 1)).cast(d38)
+          .cast("long"))
+      .withColumn("variance",
+        when(col("n") > 1,
+          col("v_num").cast("double") / col("v_den").cast("double")))
+  }
+
   /** Mann–Kendall trend TEST per key — "is this series monotonically
     * trending?", the hypothesis-test companion of
     * [[graft.operators.Timeseries.theilSen]]'s trend ESTIMATE (same

@@ -665,6 +665,20 @@ class Round11OpsSpec extends SparkSpec {
     assert(!plan2.contains("GreaterThanOrEqual(c,-100.0)"))
   }
 
+  test("cmhParts: hand-computed hypergeometric 2x2 parts") {
+    import graft.operators.RankStats
+    val rows = Seq.fill(3)(("s", true, true)) ++ Seq(("s", true, false)) ++
+      Seq(("s", false, true)) ++ Seq.fill(2)(("s", false, false))
+    val df = rows.toDF("st", "ex", "pos")
+    val r = RankStats.cmhParts(df, "st", col("ex"), col("pos")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 4L
+      && r.getLong(3) == 4L && r.getLong(4) == 7L)
+    assert(r.getLong(5) == 16L && r.getLong(6) == 7L)
+    assert(r.getDouble(7) == 16.0 / 7.0)
+    assert(r.getLong(8) == 144L && r.getLong(9) == 294L)
+    assert(r.getDouble(10) == 144.0 / 294.0)
+  }
+
   test("psiParts: hand-computed exact parts; caller-side ln fold " +
     "matches psiReport on eps-free categories") {
     import graft.checks.Drift
