@@ -4862,6 +4862,12 @@ object SparkEntry {
         t(s, d, "events").filter(col("user_id").isNotNull
           && col("value").isNotNull),
         "event_type", col("user_id") % 2 === 0, col("value") > 34.59)),
+
+    // Spearman correlation MATRIX over three lineitem measures — each
+    // column midranked once, all pair moments in one aggregate pass
+    "q441_spearman_matrix" -> ((s, d) =>
+      graft.operators.RankStats.spearmanMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14042,5 +14048,76 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |      AS DOUBLE)
         |  END AS variance
         |FROM g""".stripMargin,
+
+    // q441: per-column global midranks joined back, one moment pass,
+    // three rho chains (VARCHAR-routed HUGEINT→DOUBLE — the r10 rule)
+    "q441_spearman_matrix" ->
+      """WITH base AS (SELECT l_quantity AS q, l_extendedprice AS p,
+        |    l_discount AS d
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |cq AS (SELECT q AS v, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM base GROUP BY 1),
+        |rq AS (SELECT v, CAST(2 * (CAST(SUM(t) OVER w AS HUGEINT) - t)
+        |    + t + 1 AS BIGINT) AS r
+        |  FROM cq WINDOW w AS (ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cp AS (SELECT p AS v, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM base GROUP BY 1),
+        |rp AS (SELECT v, CAST(2 * (CAST(SUM(t) OVER w AS HUGEINT) - t)
+        |    + t + 1 AS BIGINT) AS r
+        |  FROM cp WINDOW w AS (ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cd AS (SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM base GROUP BY 1),
+        |rd AS (SELECT v, CAST(2 * (CAST(SUM(t) OVER w AS HUGEINT) - t)
+        |    + t + 1 AS BIGINT) AS r
+        |  FROM cd WINDOW w AS (ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT rq.r AS r1, rp.r AS r2, rd.r AS r3
+        |  FROM base JOIN rq ON base.q = rq.v
+        |  JOIN rp ON base.p = rp.v JOIN rd ON base.d = rd.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(r1) AS s1, SUM(r2) AS s2, SUM(r3) AS s3,
+        |    SUM(r1 * r1) AS ss1, SUM(r2 * r2) AS ss2,
+        |    SUM(r3 * r3) AS ss3,
+        |    SUM(r1 * r2) AS sp12, SUM(r1 * r3) AS sp13,
+        |    SUM(r2 * r3) AS sp23
+        |  FROM j)
+        |SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b, n,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sp12 AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss1 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss2 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))) AS rho
+        |FROM m
+        |UNION ALL
+        |SELECT 'l_discount', 'l_quantity', n,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sp13 AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(s3 AS VARCHAR) AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss1 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss3 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s3 AS VARCHAR) AS DOUBLE))) AS rho
+        |FROM m
+        |UNION ALL
+        |SELECT 'l_discount', 'l_extendedprice', n,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sp23 AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(s3 AS VARCHAR) AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss2 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss3 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s3 AS VARCHAR) AS DOUBLE))) AS rho
+        |FROM m""".stripMargin,
   )
 }

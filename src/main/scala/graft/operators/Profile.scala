@@ -241,7 +241,11 @@ object Profile {
     * [[quantilesFromCounts]] orders the DISTINCT-VALUE table in one
     * partition — deliberate and bounded, same trade as rrfFuse's top-k
     * lists; the rational-threshold join is a broadcast nested loop of
-    * that value table against a literal handful of quantile rows. */
+    * that value table against a literal handful of quantile rows.
+    * Division of labor vs [[graft.operators.AggMerge.dailyValuePartial]]:
+    * that trio carries a DAY rollup key (the streaming/incremental
+    * partial a rollup service persists and range-merges); this one is
+    * the unkeyed one-table profiling form. */
   def quantilePartial(df: DataFrame, colName: String): DataFrame =
     df.filter(col(colName).isNotNull)
       .groupBy(col(colName).as("value"))

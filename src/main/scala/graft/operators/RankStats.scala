@@ -1355,6 +1355,65 @@ object RankStats {
           .as("db2_sum"))
   }
 
+  /** Spearman rank-correlation MATRIX over k columns — the rank twin
+    * of [[graft.operators.Profile.correlationMatrix]] (that one is
+    * Pearson on raw values; this one is Pearson on exact doubled
+    * midranks, so monotone-but-curved relations score |ρ| ≈ 1 and
+    * outliers lose their leverage — the matrix a feature-screening
+    * pass actually wants). Each column is midranked ONCE over its
+    * global distinct-value lattice (k vocab-scale windows), the
+    * ranked columns join back onto the row stream by value (k hash
+    * equi-joins, never row-pairwise), and ALL k² pair moments
+    * accumulate in ONE aggregate pass. Same ρ chain as
+    * [[spearmanByKey]] (exact decimal moments, sqrt correctly
+    * rounded). Output per unordered pair (col_a < col_b
+    * lexicographically): (col_a, col_b, n, rho). Rows with a NULL in
+    * ANY of the k columns are dropped (listwise deletion — the
+    * correlationMatrix convention, so every pair sees the same n). */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val d38 = "decimal(38,0)"
+    val base0 = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(col): _*)
+    def ranked(c: String): DataFrame = {
+      val w = Window.orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base0.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
+        .withColumn("__cum", sum(col("__t")).over(w))
+        .select(col("__v").as(c),
+          (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+            .cast("long").as(s"__r_$c"))
+    }
+    val withRanks = cols.foldLeft(base0) { (d, c) =>
+      d.join(Broadcasts.maybeBroadcast(ranked(c)), Seq(c))
+    }
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      cols.flatMap { c => Seq(
+        sum(col(s"__r_$c").cast(d38)).cast(d38).as(s"__s_$c"),
+        sum((col(s"__r_$c") * col(s"__r_$c")).cast(d38)).cast(d38)
+          .as(s"__ss_$c"))
+      } ++: cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum((col(s"__r_$a") * col(s"__r_$b")).cast(d38)).cast(d38)
+          .as(s"__sp_${a}__$b")
+      }
+    val m = withRanks.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a0, b0) =>
+      // rho is symmetric; the emitted pair label is lexicographic
+      val (a, b) = if (a0 <= b0) (a0, b0) else (b0, a0)
+      val nD = col("n").cast("double")
+      val num = (nD * col(s"__sp_${a0}__$b0").cast("double")) -
+        (col(s"__s_$a0").cast("double") * col(s"__s_$b0").cast("double"))
+      val dx = (nD * col(s"__ss_$a0").cast("double")) -
+        (col(s"__s_$a0").cast("double") * col(s"__s_$a0").cast("double"))
+      val dy = (nD * col(s"__ss_$b0").cast("double")) -
+        (col(s"__s_$b0").cast("double") * col(s"__s_$b0").cast("double"))
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
+          .as("rho"))
+    }
+    pairs.reduce(_.unionAll(_))
+  }
+
   /** Cochran–Mantel–Haenszel PARTS — stratified 2×2 association
     * ("does exposure associate with outcome CONTROLLING for the
     * stratum?" — the confounder-adjusted test a flat chi-square

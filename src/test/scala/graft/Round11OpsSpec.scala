@@ -493,12 +493,19 @@ class Round11OpsSpec extends SparkSpec {
       .write.parquet(dir)
     val stats = Tables.footerNullStats(spark, dir, Seq("v"))
       .orderBy("path").collect()
-    assert(stats.map(_.getLong(2)).toSeq == Seq(1000L, 0L, 0L, 0L))
+    // repartitionByRange boundaries are SAMPLE-based — per-file splits
+    // wobble; the fold total and the zero-null tail are stable
+    assert(stats.map(_.getLong(2)).sum == 1000L)
+    val nNullFiles = stats.count(_.getLong(2) > 0)
+    assert(nNullFiles <= 2 && stats.length == 4)
     val isNull = Tables.readPrunedNulls(spark, dir, "v", wantNull = true)
-    assert(isNull.inputFiles.length == 1 && isNull.count() == 1000L)
+    assert(isNull.inputFiles.length == nNullFiles
+      && isNull.count() == 1000L)
     val notNull = Tables.readPrunedNulls(spark, dir, "v",
       wantNull = false)
-    assert(notNull.inputFiles.length == 3 && notNull.count() == 3000L)
+    val nDataFiles = stats.count(r => r.getLong(2) < r.getLong(1))
+    assert(notNull.inputFiles.length == nDataFiles
+      && notNull.count() == 3000L)
     // a column with scattered nulls prunes nothing but stays correct
     val wNull = Tables.readPrunedNulls(spark, dir, "w", wantNull = true)
     assert(wNull.count() == 500L)
@@ -663,6 +670,27 @@ class Round11OpsSpec extends SparkSpec {
     val plan2 = bare.read.parquet(dir).filter(abs(col("c")) <= lit(100.0))
       .queryExecution.executedPlan.toString
     assert(!plan2.contains("GreaterThanOrEqual(c,-100.0)"))
+  }
+
+  test("spearmanMatrix: every pair's rho equals spearmanByKey run on " +
+    "that pair") {
+    import graft.operators.RankStats
+    val df = Seq((1.0, 10.0, 5.0), (2.0, 20.0, 4.0), (3.0, 15.0, 4.0),
+      (4.0, 40.0, 2.0), (5.0, 35.0, 1.0)).toDF("a", "b", "c")
+    val m = RankStats.spearmanMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.size == 3)
+    for ((x, y) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val single = RankStats.spearmanByKey(
+        df.withColumn("k", lit("x")), "k", x, y).head()
+      val got = m((x, y))
+      assert(got._1 == single.getLong(1))
+      assert(math.abs(got._2 - single.getDouble(2)) < 1e-12,
+        s"pair ($x,$y): ${got._2} vs ${single.getDouble(2)}")
+    }
+    // monotone-decreasing pair scores rho ~ -1 on ranks
+    assert(m(("a", "c"))._2 < -0.9)
   }
 
   test("cmhParts: hand-computed hypergeometric 2x2 parts") {
