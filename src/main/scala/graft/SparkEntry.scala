@@ -4868,6 +4868,36 @@ object SparkEntry {
     "q441_spearman_matrix" -> ((s, d) =>
       graft.operators.RankStats.spearmanMatrix(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // streaming quantile-delta maintenance replayed through the
+    // sink's exact foreachBatch body (the q393 fold convention):
+    // batch-scoped delta overwrite makes count partials replay-safe;
+    // fold-of-deltas ≡ one-shot partial (require), quantiles oracled
+    "q442_quantile_maint" -> ((s, d) => {
+      val dir = LakeFixtures.freshRoot("qmaint") + "/counts"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("dom", dayofmonth(col("ts")))
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Unit =
+        graft.operators.AggMerge.dailyValuePartial(ev.filter(pred),
+          "ts", "value")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/delta-$id")
+      ingest(0L, col("dom") <= 15)
+      ingest(1L, col("dom") > 15)
+      ingest(1L, col("dom") > 15) // crash replay: overwrite, not add
+      val folded = graft.streaming.Streaming.readQuantileCounts(s, dir)
+      val one = graft.operators.AggMerge.dailyValuePartial(ev, "ts",
+        "value")
+      val diverged = folded.withColumnRenamed("cnt", "cnt_f")
+        .join(one.withColumnRenamed("cnt", "cnt_o"),
+          Seq("day", "cents"), "full")
+        .filter(!(col("cnt_f") <=> col("cnt_o"))).count()
+      require(diverged == 0,
+        s"replayed delta fold diverged from one-shot on $diverged" +
+          " lattice cells — batch-path idempotence broke")
+      graft.operators.AggMerge.finishQuantiles(folded,
+        Seq((1, 4), (2, 4), (3, 4)))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14119,5 +14149,27 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |      - CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
         |        * CAST(CAST(s3 AS VARCHAR) AS DOUBLE))) AS rho
         |FROM m""".stripMargin,
+
+    // q442: the events value lattice through the house selection rule
+    "q442_quantile_maint" ->
+      """WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS cents, COUNT(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (SELECT cents, SUM(cnt) OVER (ORDER BY cents ASC) AS cum
+        |  FROM c),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS q_num, CAST(4 AS BIGINT) AS q_den,
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 4 >= n * 1) AS value_cents, n.n AS n_rows FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 4 >= n * 2), n.n FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+        |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
+        |    WHERE cum * 4 >= n * 3), n.n FROM n""".stripMargin,
   )
 }

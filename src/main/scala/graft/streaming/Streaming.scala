@@ -1184,6 +1184,39 @@ object Streaming {
       }
       .start()
 
+  /** Streaming maintenance of the EXACT mergeable quantile partials
+    * ([[graft.operators.AggMerge.dailyValuePartial]]): each
+    * micro-batch writes ITS OWN (day, cents, cnt) delta under a
+    * batch-scoped directory — counts are NOT replay-idempotent under
+    * re-merge (unlike the HLL register-max of distinctMergeSink), so
+    * idempotence comes from the PATH: a crash-replayed batch
+    * overwrites its own delta instead of double-counting (the
+    * monthOverwrite rule). Readers fold the whole delta directory
+    * through [[graft.operators.AggMerge.mergeValueCounts]] (counts
+    * add, order-free) and answer any quantile exactly via
+    * `finishQuantiles` — the zero-approximation rollup at any batch
+    * count. Per-batch cost: one value-lattice-scale aggregate +
+    * write. */
+  def quantileDeltaSink(df: DataFrame, tsCol: String, valueCol: String,
+                        path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AggMerge.dailyValuePartial(batch, tsCol, valueCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/delta-$batchId")
+        ()
+      }
+      .start()
+
+  /** Read side of [[quantileDeltaSink]]: fold every delta into one
+    * (day, cents, cnt) table. */
+  def readQuantileCounts(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    graft.operators.AggMerge.mergeValueCounts(Seq(
+      spark.read.option("recursiveFileLookup", "true").parquet(path)))
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

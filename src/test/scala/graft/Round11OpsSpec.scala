@@ -453,6 +453,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(Snapshots.unreferencedFiles(spark, lake).isEmpty)
   }
 
+  test("quantileDeltaSink: streamed per-batch deltas fold to the " +
+    "one-shot partial") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsink")
+      .toString
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Streaming.quantileDeltaSink(in.toDF().toDF("ts", "v"),
+      dir + "/counts", dir + "/ckpt")
+    val rows = (1 to 40).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-${i % 9 + 1} 00:00:00"),
+        (i % 7 + 1).toDouble))
+    try {
+      in.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = Streaming.readQuantileCounts(spark, dir + "/counts")
+    val one = graft.operators.AggMerge.dailyValuePartial(
+      rows.toDF("ts", "v"), "ts", "v")
+    assert(folded.except(one).count() == 0
+      && one.except(folded).count() == 0)
+  }
+
   test("mergeable exact quantiles: fold-of-slices == one-shot, " +
     "selection rule on a hand lattice") {
     import graft.operators.AggMerge
