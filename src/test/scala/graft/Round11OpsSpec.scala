@@ -462,7 +462,7 @@ class Round11OpsSpec extends SparkSpec {
       .toString
     val in = MemoryStream[(java.sql.Timestamp, Double)]
     val q = Streaming.quantileDeltaSink(in.toDF().toDF("ts", "v"),
-      dir + "/counts", dir + "/ckpt")
+      "ts", "v", dir + "/counts", dir + "/ckpt")
     val rows = (1 to 40).map(i =>
       (java.sql.Timestamp.valueOf(s"2024-01-${i % 9 + 1} 00:00:00"),
         (i % 7 + 1).toDouble))
