@@ -4898,6 +4898,14 @@ object SparkEntry {
       graft.operators.AggMerge.finishQuantiles(folded,
         Seq((1, 4), (2, 4), (3, 4)))
     }),
+
+    // Cronbach's alpha over three lineitem measures — exact lattice
+    // variance numerators (common denominator cancels), one fixed
+    // double chain; the survey-reliability classic beside the
+    // kappa/Krippendorff agreement family
+    "q443_cronbach_alpha" -> ((s, d) =>
+      graft.operators.Eval.cronbachAlpha(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14171,5 +14179,38 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT),
         |  (SELECT CAST(MIN(cents) AS BIGINT) FROM cum, n
         |    WHERE cum * 4 >= n * 3), n.n FROM n""".stripMargin,
+
+    // q443: the same exact lattice chain (left-assoc item-ss sum,
+    // VARCHAR-routed HUGEINT→DOUBLE)
+    "q443_cronbach_alpha" ->
+      """WITH base AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS c1,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS c2,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS c3
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |b2 AS (SELECT c1, c2, c3, c1 + c2 + c3 AS t FROM base),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(c1) AS s1, SUM(c1 * c1) AS ss1,
+        |    SUM(c2) AS s2, SUM(c2 * c2) AS ss2,
+        |    SUM(c3) AS s3, SUM(c3 * c3) AS ss3,
+        |    SUM(t) AS st, SUM(t * t) AS sst
+        |  FROM b2),
+        |f AS (SELECT n,
+        |    CAST(CAST(n * ss1 - s1 * s1 AS VARCHAR) AS DOUBLE) AS v1,
+        |    CAST(CAST(n * ss2 - s2 * s2 AS VARCHAR) AS DOUBLE) AS v2,
+        |    CAST(CAST(n * ss3 - s3 * s3 AS VARCHAR) AS DOUBLE) AS v3,
+        |    CAST(CAST(n * sst - st * st AS VARCHAR) AS DOUBLE) AS vt
+        |  FROM m)
+        |SELECT n, CAST(3 AS BIGINT) AS k_items,
+        |  (v1 + v2) + v3 AS ss_items_d, vt AS ss_total_d,
+        |  CASE WHEN vt > 0 THEN
+        |    (CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE))
+        |      * (CAST(1 AS DOUBLE) - ((v1 + v2) + v3) / vt)
+        |  END AS alpha
+        |FROM f""".stripMargin,
   )
 }

@@ -283,6 +283,49 @@ object Eval {
     * poissonBootstrap/bootstrapCI.
     *
     * Output: one row (n_items, n_ratings, po_num, pe_num, kappa). */
+  /** Cronbach's alpha — internal-consistency reliability of k numeric
+    * item columns (the survey/rubric-QC classic beside
+    * [[fleissKappa]]/[[krippendorffAlpha]]'s categorical agreement):
+    * `α = k/(k−1) · (1 − Σ_i Var(item_i) / Var(Σ_i item_i))`. On the
+    * cents lattice every variance NUMERATOR `n·Σx² − (Σx)²` is an
+    * exact integer (decimal-held) and the common `n(n−1)` denominator
+    * CANCELS in the ratio, so α is one fixed double chain over exact
+    * parts — emitted alongside them (ss_items_d, ss_total_d) so the
+    * oracle pins both. ONE aggregate pass; rows with any NULL item
+    * are dropped (listwise, the matrix convention). α is NULL when
+    * the total variance vanishes. */
+  def cronbachAlpha(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 item columns, got ${cols.size}")
+    val d38 = "decimal(38,0)"
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        (col(c).cast("decimal(12,2)") * 100).cast("long").as(s"__c_$c"))
+        : _*)
+      .withColumn("__tot", cols.map(c => col(s"__c_$c")).reduce(_ + _))
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      (cols.map(c => Seq(
+        sum(col(s"__c_$c").cast(d38)).cast(d38).as(s"__s_$c"),
+        sum((col(s"__c_$c") * col(s"__c_$c")).cast(d38)).cast(d38)
+          .as(s"__ss_$c"))).flatten ++ Seq(
+        sum(col("__tot").cast(d38)).cast(d38).as("__st"),
+        sum((col("__tot") * col("__tot")).cast(d38)).cast(d38)
+          .as("__sst")))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast(d38)
+    def ssNum(s: org.apache.spark.sql.Column,
+              ss: org.apache.spark.sql.Column) =
+      (nD * ss - s * s).cast(d38).cast("double")
+    val itemSs = cols.map(c =>
+      ssNum(col(s"__s_$c"), col(s"__ss_$c"))).reduce(_ + _)
+    val totSs = ssNum(col("__st"), col("__sst"))
+    m.select(col("n"), lit(cols.size.toLong).as("k_items"),
+      itemSs.as("ss_items_d"), totSs.as("ss_total_d"))
+      .withColumn("alpha",
+        when(col("ss_total_d") > 0.0,
+          (lit(cols.size.toDouble) / (cols.size - 1).toDouble)
+            * (lit(1.0) - col("ss_items_d") / col("ss_total_d"))))
+  }
+
   def fleissKappa(df: DataFrame, itemCol: String,
                   categoryCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

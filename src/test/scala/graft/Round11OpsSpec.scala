@@ -719,6 +719,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(m(("a", "c"))._2 < -0.9)
   }
 
+  test("cronbachAlpha: identical items give alpha 1, anti-aligned " +
+    "items go negative, zero total variance yields NULL") {
+    import graft.operators.Eval
+    val same = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val r1 = Eval.cronbachAlpha(same, Seq("x", "y")).head()
+    assert(r1.getLong(0) == 3L && r1.getDouble(4) == 1.0)
+    // x={1,2,3}, y={3,1,2}: ss_items = 120000, ss_total = 60000
+    // -> alpha = 2*(1 - 2) = -2
+    val anti = Seq((1.0, 3.0), (2.0, 1.0), (3.0, 2.0)).toDF("x", "y")
+    val r2 = Eval.cronbachAlpha(anti, Seq("x", "y")).head()
+    assert(r2.getDouble(2) == 120000.0 && r2.getDouble(3) == 60000.0)
+    assert(r2.getDouble(4) == -2.0)
+    // y = 4 - x: total is constant -> variance 0 -> alpha NULL
+    val const = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Eval.cronbachAlpha(const, Seq("x", "y")).head().isNullAt(4))
+  }
+
   test("cmhParts: hand-computed hypergeometric 2x2 parts") {
     import graft.operators.RankStats
     val rows = Seq.fill(3)(("s", true, true)) ++ Seq(("s", true, false)) ++
