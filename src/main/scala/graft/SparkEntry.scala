@@ -4906,6 +4906,92 @@ object SparkEntry {
     "q443_cronbach_alpha" -> ((s, d) =>
       graft.operators.Eval.cronbachAlpha(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // equality-delete lifecycle (merge-on-read): two tombstone
+    // commits → one null-safe anti-join live view; compaction folds
+    // tombstones into a fresh zero-delete lake whose live view must
+    // match bidirectionally (require)
+    "q444_equality_deletes" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("dels") + "/lake"
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      li.repartition(4).write.parquet(root)
+      Deletes.writeDeletes(s, root,
+        li.filter(col("l_orderkey") % 10 === 3)
+          .select("l_orderkey").distinct())
+      Deletes.writeDeletes(s, root,
+        li.filter(col("l_orderkey") % 10 === 6)
+          .select("l_orderkey").distinct())
+      val live = Deletes.readWithDeletes(s, root)
+      val dst = LakeFixtures.freshRoot("delc") + "/compacted"
+      Deletes.compact(s, root, dst, 2)
+      require(Deletes.nDeleteCommits(s, dst) == 0L,
+        "compacted lake must carry zero delete commits")
+      val compacted = Deletes.readWithDeletes(s, dst)
+      require(compacted.exceptAll(live).count() == 0L
+        && live.exceptAll(compacted).count() == 0L,
+        "compaction changed the live view")
+      live.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("qty_cents"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // weighted Cohen's kappa (linear + quadratic) — ordinal near-miss
+    // costs |i−j|^p; exact BIGINT disagreement parts, one division
+    "q445_weighted_kappa" -> ((s, d) =>
+      graft.operators.Eval.weightedKappa(
+        t(s, d, "lineitem")
+          .filter(col("l_quantity").isNotNull
+            && col("l_linenumber").isNotNull)
+          .select((col("l_quantity").cast("long") % 5).as("rate_a"),
+            ((col("l_quantity").cast("long") + col("l_linenumber")) % 5)
+              .as("rate_b")),
+        "rate_a", "rate_b")),
+
+    // EWMA smoother over the per-type daily series — the ordered
+    // left fold (KM-product class), oracle replays the same fold via
+    // a recursive CTE; alpha dyadic so 1−α is exact cross-engine
+    "q446_ewma" -> ((s, d) =>
+      graft.operators.Timeseries.ewma(
+        dailyCountSeries(s, d).select("event_type", "day", "y"),
+        "event_type", "day", "y", alpha = 0.25)),
+
+    // Kendall τ-b matrix over three quantized lineitem measures —
+    // the concordance twin of q441's Spearman matrix; exact C/D/tie
+    // integers per pair from cells-scale grid self-joins
+    "q447_kendall_matrix" -> ((s, d) =>
+      graft.operators.RankStats.kendallMatrix(
+        t(s, d, "lineitem")
+          .select(
+            (col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+              .as("qty_cents"),
+            (col("l_discount").cast("decimal(12,2)") * 100).cast("long")
+              .as("disc_cents"),
+            col("l_linenumber").cast("long").as("lnum")),
+        Seq("qty_cents", "disc_cents", "lnum"))),
+
+    // MMR diverse selection: distributed relevance pass keeps 20
+    // candidates, driver-greedy picks 5 by λ·rel − (1−λ)·max-sim;
+    // oracle unrolls the 5 argmax levels over the same exact doubles
+    "q448_mmr_select" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llmdata.Similarity.mmrSelect(emb,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        candK = 20, m = 5, lambda = 0.5)
+    }),
+
+    // shared-dialect regexp_extract — identical text (explicit group
+    // index: the engines' defaults differ) over documents
+    "q449_sql_regexp" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlRegexpText)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -5048,6 +5134,22 @@ object SparkEntry {
   /** q424's SQL — shared-dialect GROUP BY ALL (group by every
     * non-aggregated select item — the modern shorthand both engines
     * resolve identically). */
+  /** q449's SQL — shared-dialect regexp_extract over documents. The
+    * group index is EXPLICIT (Spark defaults idx to 1, DuckDB to 0 —
+    * the one signature divergence); the plain character-class
+    * patterns parse identically under Java regex and RE2, and both
+    * engines return '' (never NULL) for a non-NULL string with no
+    * match. */
+  private val sqlRegexpText: String =
+    """SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN regexp_extract(text, '(sp[a-z]+k)', 1) <> ''
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS with_sp_k_word,
+      |  CAST(SUM(LENGTH(regexp_extract(text, '([a-z]{6,})', 1)))
+      |    AS BIGINT) AS first_long_word_chars
+      |FROM documents
+      |GROUP BY lang""".stripMargin
+
   private val sqlGroupByAllText: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(COUNT(*) AS BIGINT) AS n,
@@ -14212,5 +14314,171 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |      * (CAST(1 AS DOUBLE) - ((v1 + v2) + v3) / vt)
         |  END AS alpha
         |FROM f""".stripMargin,
+
+    // q444: tombstoned keys are exactly orderkey ≡ 3 or 6 (mod 10) —
+    // the anti-join reduces to a key predicate the oracle states
+    "q444_equality_deletes" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_orderkey % 10 NOT IN (3, 6)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q445: exact disagreement parts; N·w_obs routed HUGEINT→BIGINT
+    // →DOUBLE (< 2^53, exact in both engines)
+    "q445_weighted_kappa" ->
+      """WITH base AS (SELECT CAST(l_quantity AS BIGINT) % 5 AS a,
+        |    (CAST(l_quantity AS BIGINT) + l_linenumber) % 5 AS b
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linenumber IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+        |ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells
+        |  GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells
+        |  GROUP BY 1),
+        |o1 AS (SELECT CAST(SUM(CAST(ABS(a - b) AS HUGEINT) * n)
+        |  AS BIGINT) AS w_obs FROM cells),
+        |e1 AS (SELECT CAST(SUM(CAST(ABS(ra.a - cb.b) AS HUGEINT)
+        |    * ra.r * cb.c) AS BIGINT) AS w_exp FROM ra, cb),
+        |o2 AS (SELECT CAST(SUM(CAST(ABS(a - b) AS HUGEINT)
+        |    * ABS(a - b) * n) AS BIGINT) AS w_obs FROM cells),
+        |e2 AS (SELECT CAST(SUM(CAST(ABS(ra.a - cb.b) AS HUGEINT)
+        |    * ABS(ra.a - cb.b) * ra.r * cb.c) AS BIGINT) AS w_exp
+        |  FROM ra, cb)
+        |SELECT CAST(1 AS BIGINT) AS power, nn.n, o1.w_obs, e1.w_exp,
+        |  CASE WHEN e1.w_exp > 0 THEN CAST(1 AS DOUBLE)
+        |    - CAST(CAST(CAST(nn.n AS HUGEINT) * o1.w_obs AS BIGINT)
+        |        AS DOUBLE) / CAST(e1.w_exp AS DOUBLE) END AS kappa
+        |FROM nn, o1, e1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), nn.n, o2.w_obs, e2.w_exp,
+        |  CASE WHEN e2.w_exp > 0 THEN CAST(1 AS DOUBLE)
+        |    - CAST(CAST(CAST(nn.n AS HUGEINT) * o2.w_obs AS BIGINT)
+        |        AS DOUBLE) / CAST(e2.w_exp AS DOUBLE) END AS kappa
+        |FROM nn, o2, e2""".stripMargin,
+
+    // q446: the SAME ascending left fold, step s·0.75 + y·0.25, via a
+    // recursive CTE — bit-exact (dyadic α, identical IEEE ops)
+    "q446_ewma" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, y, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, y, rn, CAST(y AS DOUBLE) AS s
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.y, d.rn,
+        |    r.s * 0.75 + CAST(d.y AS DOUBLE) * 0.25
+        |  FROM r JOIN d ON d.event_type = r.event_type
+        |    AND d.rn = r.rn + 1)
+        |SELECT event_type, day, y, s AS ewma FROM r""".stripMargin,
+
+    // q447: q296's exact C/D/tie machinery replayed per column pair
+    "q447_kendall_matrix" -> {
+      val base = """base AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS qty_cents,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS disc_cents,
+        |    CAST(l_linenumber AS BIGINT) AS lnum
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND l_linenumber IS NOT NULL)""".stripMargin
+      def blk(i: Int, a: String, b: String) =
+        s"""cells_$i AS (SELECT $a AS x, $b AS y,
+           |    CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+           |pa_$i AS (SELECT
+           |    CAST(COALESCE(SUM(CASE WHEN a.y < b.y
+           |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS BIGINT)
+           |      AS concordant,
+           |    CAST(COALESCE(SUM(CASE WHEN a.y > b.y
+           |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS BIGINT)
+           |      AS discordant
+           |  FROM cells_$i a JOIN cells_$i b ON a.x < b.x),
+           |tx_$i AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2)
+           |    AS BIGINT) AS tie_a
+           |  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM cells_$i
+           |    GROUP BY 1)),
+           |ty_$i AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2)
+           |    AS BIGINT) AS tie_b
+           |  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM cells_$i
+           |    GROUP BY 1)),
+           |tot_$i AS (SELECT n, CAST(CAST(n AS HUGEINT) * (n - 1) // 2
+           |    AS BIGINT) AS n0
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells_$i)),
+           |sel_$i AS (SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |    concordant, discordant, tie_a AS tie_pairs_a,
+           |    tie_b AS tie_pairs_b,
+           |    CASE WHEN n0 - tie_a > 0 AND n0 - tie_b > 0 THEN
+           |      CAST(concordant - discordant AS DOUBLE)
+           |        / (sqrt(CAST(n0 - tie_a AS DOUBLE))
+           |          * sqrt(CAST(n0 - tie_b AS DOUBLE))) END AS tau_b
+           |  FROM tot_$i, pa_$i, tx_$i, ty_$i)""".stripMargin
+      s"""WITH $base,
+         |${blk(1, "disc_cents", "qty_cents")},
+         |${blk(2, "lnum", "qty_cents")},
+         |${blk(3, "disc_cents", "lnum")}
+         |SELECT * FROM sel_1
+         |UNION ALL SELECT * FROM sel_2
+         |UNION ALL SELECT * FROM sel_3""".stripMargin
+    },
+
+    // q448: candidates + pair sims once, then the five greedy argmax
+    // levels unrolled (the fixed-unroll oracle convention); same
+    // double arithmetic as the driver loop — list_dot_product is the
+    // q433 bridge
+    "q448_mmr_select" -> {
+      val head = """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |rel AS (SELECT id, v,
+        |    list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |        * sqrt(list_dot_product(v, v))) AS rel
+        |  FROM c, q),
+        |cand AS (SELECT id, v, rel FROM rel
+        |  ORDER BY rel DESC, id ASC LIMIT 20),
+        |pairs AS (SELECT a.id AS ia, b.id AS ib,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |        * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM cand a JOIN cand b ON a.id <> b.id),
+        |s1 AS (SELECT id, rel FROM cand
+        |  ORDER BY rel DESC, id ASC LIMIT 1)""".stripMargin
+      def lvl(k: Int) = {
+        val prev = (1 until k).map(j => s"SELECT id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""p$k AS (SELECT c.id, c.rel,
+           |    (SELECT MAX(p.sim) FROM pairs p WHERE p.ia = c.id
+           |      AND p.ib IN ($prev)) AS ms
+           |  FROM cand c WHERE c.id NOT IN ($prev)),
+           |s$k AS (SELECT id, rel, ms, 0.5 * rel - 0.5 * ms AS score
+           |  FROM p$k ORDER BY score DESC, id ASC LIMIT 1)""".stripMargin
+      }
+      s"""$head,
+         |${lvl(2)},
+         |${lvl(3)},
+         |${lvl(4)},
+         |${lvl(5)}
+         |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id,
+         |  rel AS relevance, CAST(NULL AS DOUBLE) AS max_sim_selected,
+         |  CAST(NULL AS DOUBLE) AS mmr_score FROM s1
+         |UNION ALL SELECT 2, id, rel, ms, score FROM s2
+         |UNION ALL SELECT 3, id, rel, ms, score FROM s3
+         |UNION ALL SELECT 4, id, rel, ms, score FROM s4
+         |UNION ALL SELECT 5, id, rel, ms, score FROM s5""".stripMargin
+    },
+
+    // q449: the shared text verbatim
+    "q449_sql_regexp" -> sqlRegexpText,
   )
 }

@@ -1006,4 +1006,96 @@ object Similarity {
         when(col("__l2sq").isNotNull, sqrt(col("__l2sq")))
           .as("centroid_l2"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) — pick `m` items that are RELEVANT to one query vector
+    * but DIVERSE among themselves: after the relevance-best seed, each
+    * step takes `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    * The training-data use is prompt/example selection: top-k alone
+    * returns near-duplicates; MMR trades λ of relevance for coverage.
+    *
+    * Two stages, the
+    * [[graft.operators.Profile.isotonicCalibration]]-class split:
+    * distributed — relevance cosine over the whole corpus
+    * ([[cosineNative]], one pass, no shuffle beyond TakeOrdered) keeps
+    * the `candK` best (relevance desc, id asc); driver — the greedy
+    * selection over the candK×candK sim grid, metadata-scale by
+    * construction (candK ≤ ~10³; the IVF-centroid collect convention).
+    * Driver cosines replay [[dot]]'s exact left fold, so every number
+    * is oracle-mirrorable (DuckDB `list_dot_product` on DOUBLE[] —
+    * the q433 bridge). λ must be dyadic so `1−λ` is exact
+    * cross-engine. Ties break (score desc, id asc) at every step.
+    *
+    * Output: (rank 1..m, vec_id, relevance, max_sim_selected,
+    * mmr_score) — the seed row carries NULL max_sim/score (it is
+    * chosen on relevance alone). */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, idCol: String,
+                vecCol: String, candK: Int, m: Int,
+                lambda: Double): DataFrame = {
+    require(candK >= m && m >= 1, s"need candK >= m >= 1, got $candK/$m")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0,1], got $lambda")
+    require((lambda * (1L << 30)).isWhole,
+      s"lambda must be dyadic for the cross-engine 1-λ, got $lambda")
+    val spark = corpus.sparkSession
+    val qRows = query.select(col(idCol).cast("long").as("__qid"),
+      col(vecCol).as("__qv"))
+    require(qRows.count() == 1, "mmrSelect takes exactly ONE query row")
+    val q = broadcast(qRows)
+    val cand = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__cv"))
+      .join(q, col("vec_id") =!= col("__qid"))
+      .withColumn("relevance", cosineNative(col("__qv"), col("__cv")))
+      .select(col("vec_id"), col("relevance"),
+        col("__cv").cast("array<double>").as("__v"))
+      .orderBy(col("relevance").desc, col("vec_id").asc)
+      .limit(candK)
+      .collect() // candK-scale metadata — the documented collect class
+    require(cand.length >= m,
+      s"only ${cand.length} candidates for m=$m — corpus too small")
+    case class C(id: Long, rel: Double, v: Array[Double])
+    val cs = cand.map { r =>
+      C(r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray)
+    }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val beta = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[C]
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val remaining = scala.collection.mutable.ArrayBuffer(cs.toSeq: _*)
+    // seed: best relevance, tie → lowest id (cand is already in that
+    // order, but re-derive rather than trust collect order)
+    val seed = remaining.reduceLeft { (x, y) =>
+      if (y.rel > x.rel || (y.rel == x.rel && y.id < x.id)) y else x
+    }
+    selected += seed; remaining -= seed
+    rows += org.apache.spark.sql.Row(1L, seed.id, seed.rel, null, null)
+    var rank = 2L
+    while (selected.size < m) {
+      val scoredStep = remaining.map { c =>
+        val ms = selected.map(s => cosD(c.v, s.v)).max
+        (c, ms, lambda * c.rel - beta * ms)
+      }
+      val (bc, bms, bscore) = scoredStep.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1.id < x._1.id)) y else x
+      }
+      selected += bc; remaining -= bc
+      rows += org.apache.spark.sql.Row(rank, bc.id, bc.rel, bms, bscore)
+      rank += 1L
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("relevance", DoubleType, nullable = false),
+      StructField("max_sim_selected", DoubleType, nullable = true),
+      StructField("mmr_score", DoubleType, nullable = true))))
+  }
 }

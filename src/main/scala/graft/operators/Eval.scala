@@ -898,4 +898,55 @@ object Eval {
             / (col("__totp").cast("double") / col("__tot").cast("double"))))
       .drop("__tot", "__totp")
   }
+
+  /** WEIGHTED Cohen's kappa over two INTEGER ordinal rating columns —
+    * the ordinal completion of [[cohenKappa]]'s
+    * family (unweighted kappa scores any off-diagonal disagreement
+    * equally; here a near-miss costs `|i−j|^p` — Cohen 1968). Emitted
+    * in the disagreement form, which is denominator-free and exactly
+    * integral:
+    *
+    *   `κ_w = 1 − N·Σ|i−j|^p·n_ij / Σ|i−j|^p·r_i·c_j`
+    *
+    * (the weight-matrix normalization `1 − (|i−j|/(k−1))^p` cancels —
+    * numerator and denominator scale by the same `(k−1)^p`). `w_obs`
+    * and `w_exp` are exact BIGINTs (cells from ONE hash aggregate; the
+    * expectation from the level-scale margin cross join, both sides
+    * broadcast); κ is one double division over exact integers. Emits
+    * one row per power p ∈ {1 (linear), 2 (quadratic)}: (power, n,
+    * w_obs, w_exp, kappa) — NULL κ when `w_exp` = 0 (all mass on one
+    * level pair). NULL ratings drop pairwise. */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumed by w_obs and both margins
+    val n = cells.agg(sum(col("__n")).cast("long").as("n"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
+    def row(p: Int): DataFrame = {
+      def w(i: Column, j: Column): Column = {
+        val d = abs(i - j).cast(d38)
+        if (p == 1) d else (d * d).cast(d38)
+      }
+      val wobs = cells
+        .agg(sum(w(col("__a"), col("__b")) * col("__n")).cast(d38)
+          .cast("long").as("w_obs"))
+      val wexp = ra.crossJoin(broadcast(cb))
+        .agg(sum(w(col("__a"), col("__b"))
+          * (col("__r").cast(d38) * col("__c")).cast(d38)).cast(d38)
+          .cast("long").as("w_exp"))
+      n.crossJoin(broadcast(wobs)).crossJoin(broadcast(wexp))
+        .select(lit(p.toLong).as("power"), col("n"), col("w_obs"),
+          col("w_exp"),
+          when(col("w_exp") > 0L,
+            lit(1.0) - (col("n").cast(d38) * col("w_obs")).cast(d38)
+              .cast("double") / col("w_exp").cast("double"))
+            .as("kappa"))
+    }
+    row(1).unionAll(row(2))
+  }
 }

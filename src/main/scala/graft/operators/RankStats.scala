@@ -1714,4 +1714,35 @@ object RankStats {
         (col("u_a_doubled") - col("u_b_doubled")).cast("double")
           / (lit(2.0) * col("n_a").cast("double")
             * col("n_b").cast("double")))
+
+  /** Kendall τ-b MATRIX over k columns — the concordance twin of
+    * [[spearmanMatrix]] (Spearman reads rank-linear association;
+    * Kendall reads pairwise concordance, more robust to a few wild
+    * ranks and the quantity sketch-comparison papers quote). Each
+    * unordered pair runs [[kendallTau]]'s distinct-CELL machinery
+    * (exact C/D/tie integers from the per-pair value-grid self-join —
+    * the bounded-grid contract applies to every column: pre-quantize
+    * continuous inputs). C(k,2) grid self-joins, each cells-scale,
+    * never row-pairwise. Listwise NULL deletion (rows with a NULL in
+    * ANY column drop), so every pair sees the same n — the
+    * [[spearmanMatrix]] convention.
+    *
+    * Output per lexicographic pair: (col_a, col_b, n, concordant,
+    * discordant, tie_pairs_a, tie_pairs_b, tau_b). */
+  def kendallMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val base = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(col): _*)
+      .localCheckpoint(true) // consumed by C(k,2) pair plans
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a0, b0) =>
+      val (a, b) = if (a0 <= b0) (a0, b0) else (b0, a0)
+      kendallTau(base.withColumn("__one", lit(1)), "__one", a, b)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("concordant"), col("discordant"),
+          col("tie_pairs_x").as("tie_pairs_a"),
+          col("tie_pairs_y").as("tie_pairs_b"), col("tau_b"))
+    }
+    pairs.reduce(_.unionAll(_))
+  }
 }

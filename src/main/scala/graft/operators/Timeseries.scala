@@ -962,4 +962,60 @@ object Timeseries {
       .select(col(keyCol), col("lag"), col("n"), col("acf_num"),
         col("acf_den"), col("r"), col("q_stat"))
   }
+
+  /** Exponentially weighted moving average per key — the classic
+    * monitoring smoother `s_t = α·x_t + (1−α)·s_{t−1}`, seeded
+    * `s_1 = x_1`. The recursion is ORDER-DEPENDENT (like the
+    * Kaplan–Meier survival product, the one aggregate class that
+    * cannot be an unordered fold), so it runs as an explicit ascending
+    * left fold: `aggregate(collect_list(x) OVER running-frame)` with
+    * the first element as the seed — and the oracle replicates the
+    * SAME left fold via a recursive CTE, step arithmetic
+    * `acc·(1−α) + x·α` written identically in both engines, so results
+    * are bit-exact when α is dyadic (0.25, 0.5, …; a non-dyadic α
+    * raises — its `1−α` rounding would be a silent cross-engine
+    * hazard for the oracle contract, not for the math).
+    *
+    * Cost contract: the running collect_list is O(series²) per key —
+    * fine on the pre-aggregated SERIES frames this operator is for
+    * (daily/hourly rollups; the [[durbinWatson]] contract), wrong on
+    * raw events. Duplicate (key, x-order) rows raise in-plan (a
+    * second observation at the same instant makes the fold
+    * order-dependent — the [[resampleLocf]] guard). NULL values
+    * raise too: the fold has no skip rule; impute or drop upstream.
+    *
+    * Output: (key, <order col>, <value col>, ewma). */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String,
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    // dyadic check: alpha * 2^30 integral ⇒ alpha and 1−alpha exact
+    require((alpha * (1L << 30)).isWhole,
+      s"alpha must be dyadic (k/2^30) for the cross-engine fold, got $alpha")
+    val beta = 1.0 - alpha
+    val wDup = Window.partitionBy(col(keyCol), col(orderCol))
+    val base = df
+      .withColumn("__x",
+        when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+          .otherwise(raise_error(concat(lit("ewma: NULL value at ("),
+            col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"), lit(") — impute upstream")))))
+      .withColumn("__x",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("ewma: duplicate (key, order) at ("),
+            col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"),
+            lit(") — pre-aggregate the series"))))
+          .otherwise(col("__x")))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__xs", collect_list(col("__x")).over(wRun))
+      .withColumn("ewma",
+        aggregate(
+          slice(col("__xs"), lit(2),
+            greatest(size(col("__xs")) - 1, lit(0))),
+          element_at(col("__xs"), 1),
+          (acc, x) => acc * lit(beta) + x * lit(alpha)))
+      .drop("__x", "__xs")
+  }
 }

@@ -797,4 +797,127 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(mi - (hy - hyGivenX)) < 1e-12)
     assert(mi / hy > 0.0 && mi / hy < 1.0)
   }
+
+  test("equality deletes: null-safe anti-join live view, pinned key " +
+    "set, compaction clears tombstones without changing the view") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-delspec").toString + "/lake"
+    Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Option("d"), 40L))
+      .toDF("id", "k", "v").write.parquet(root)
+    assert(Deletes.nDeleteCommits(spark, root) == 0L)
+    assert(Deletes.readWithDeletes(spark, root).count() == 4L)
+    Deletes.writeDeletes(spark, root, Seq("b").toDF("k"))
+    assert(Deletes.readWithDeletes(spark, root).count() == 3L)
+    // NULL key is a value (<=>): tombstoning NULL removes row 3
+    Deletes.writeDeletes(spark, root,
+      Seq(Option.empty[String]).toDF("k"))
+    assert(Deletes.readWithDeletes(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // a second commit with a DIFFERENT key set raises
+    val e = intercept[IllegalArgumentException](
+      Deletes.writeDeletes(spark, root, Seq(1L).toDF("id")))
+    assert(e.getMessage.contains("one key set per lake"))
+    // compaction: fresh zero-tombstone lake, identical live view
+    val dst = root + "-compacted"
+    Deletes.compact(spark, root, dst, 1)
+    assert(Deletes.nDeleteCommits(spark, dst) == 0L)
+    assert(Deletes.readWithDeletes(spark, dst)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("weightedKappa: hand table — exact disagreement parts for " +
+    "linear and quadratic weights; degenerate table NULLs kappa") {
+    import graft.operators.Eval
+    // pairs: (0,0)x2 (1,1)x1 (0,1)x1 (2,0)x1 -> n=5
+    // p=1: w_obs=3, w_exp=17; p=2: w_obs=5, w_exp=23
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 1L), (0L, 1L), (2L, 0L))
+      .toDF("a", "b")
+    val r = Eval.weightedKappa(df, "a", "b").orderBy("power").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 5L
+      && r(0).getLong(2) == 3L && r(0).getLong(3) == 17L)
+    assert(r(0).getDouble(4) == 1.0 - 15.0 / 17.0)
+    assert(r(1).getLong(0) == 2L && r(1).getLong(2) == 5L
+      && r(1).getLong(3) == 23L)
+    assert(r(1).getDouble(4) == 1.0 - 25.0 / 23.0)
+    // all mass on one level pair: w_exp = 0 -> NULL kappa
+    val deg = Eval.weightedKappa(
+      Seq((1L, 1L), (1L, 1L)).toDF("a", "b"), "a", "b").collect()
+    assert(deg.forall(_.isNullAt(4)))
+  }
+
+  test("ewma: ordered left fold matches the hand recursion; " +
+    "duplicates and NULLs raise in-plan; non-dyadic alpha raises") {
+    import graft.operators.Timeseries
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L),
+      ("k", 4L, 40L)).toDF("g", "t", "y")
+    val r = Timeseries.ewma(df, "g", "t", "y", alpha = 0.5)
+      .orderBy("t").select("ewma").as[Double].collect().toSeq
+    assert(r == Seq(10.0, 15.0, 22.5, 31.25))
+    val dup = Seq(("k", 1L, 10L), ("k", 1L, 11L)).toDF("g", "t", "y")
+    val e1 = intercept[Exception](
+      Timeseries.ewma(dup, "g", "t", "y", 0.5).collect())
+    assert(e1.getMessage.contains("duplicate (key, order)"))
+    val withNull = Seq(("k", 1L, Option(10L)), ("k", 2L, Option.empty[Long]))
+      .toDF("g", "t", "y")
+    val e2 = intercept[Exception](
+      Timeseries.ewma(withNull, "g", "t", "y", 0.5).collect())
+    assert(e2.getMessage.contains("NULL value"))
+    val e3 = intercept[IllegalArgumentException](
+      Timeseries.ewma(df, "g", "t", "y", 0.3))
+    assert(e3.getMessage.contains("dyadic"))
+  }
+
+  test("kendallMatrix: hand triple — perfect concordance and " +
+    "perfect discordance, exact C/D integers") {
+    import graft.operators.RankStats
+    // a=(1,2,3) b=(1,2,3) c=(3,2,1): tau(a,b)=1, tau(a,c)=tau(b,c)=-1
+    val df = Seq((1L, 1L, 3L), (2L, 2L, 2L), (3L, 3L, 1L))
+      .toDF("a", "b", "c")
+    val m = RankStats.kendallMatrix(df, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b").collect()
+    assert(m.length == 3)
+    // the tau chain is division-over-sqrt: 3/(√3·√3) is 1.0+1ulp —
+    // assert the exact replicated chain, not the algebraic 1.0
+    val one = 3.0 / (math.sqrt(3.0) * math.sqrt(3.0))
+    val ab = m(0) // (a, b)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b"
+      && ab.getLong(2) == 3L && ab.getLong(3) == 3L
+      && ab.getLong(4) == 0L && ab.getDouble(7) == one)
+    val ac = m(1)
+    assert(ac.getString(1) == "c" && ac.getLong(3) == 0L
+      && ac.getLong(4) == 3L && ac.getDouble(7) == -one)
+    val bc = m(2)
+    assert(bc.getString(0) == "b" && bc.getDouble(7) == -one)
+  }
+
+  test("mmrSelect: diversity overrides raw relevance rank; seed row " +
+    "carries NULL score; guards raise") {
+    import graft.llmdata.Similarity
+    // query (1,0); id1 nearly parallel, id2 slightly less relevant but
+    // near-duplicate of id1, id3 orthogonal-ish: with lambda=0.25 the
+    // diverse id3 must outrank the redundant id2
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", candK = 3, m = 3, lambda = 0.25)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(r(0).isNullAt(3) && r(0).isNullAt(4))
+    assert(!r(1).isNullAt(3) && !r(1).isNullAt(4))
+    // relevance of the seed is the global max
+    assert(r.map(_.getDouble(2)).max == r(0).getDouble(2))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 2),
+        "vec_id", "embedding", 3, 3, 0.25))
+    assert(e1.getMessage.contains("ONE query row"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", 3, 3, 0.3))
+    assert(e2.getMessage.contains("dyadic"))
+  }
 }
