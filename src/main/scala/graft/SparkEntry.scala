@@ -4992,6 +4992,77 @@ object SparkEntry {
       graft.sql.SqlCatalog.registerTables(s, d)
       s.sql(sqlRegexpText)
     }),
+
+    // merge-on-read upsert (sequence-number rule): two overlapping
+    // upserts — zero data-file rewrites; a delete applies only to
+    // SMALLER-op adds, so each upsert's tombstones spare its own
+    // inserts and last-writer-wins falls out of the ordering
+    "q450_upsert_merged" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("upsert") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val merged = Deletes.readMerged(s, root)
+      require(merged.count() == base.count(),
+        "upsert must preserve the key population")
+      merged.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // per-row weighted Bernoulli sample — keep probability rides the
+    // row's own weight; md5 hash bridge mirrored in the oracle
+    "q451_weighted_sample" -> ((s, d) =>
+      graft.llmdata.Sampling.weightedSample(
+        t(s, d, "documents")
+          .withColumn("w", (col("n_chars") % 1000).cast("double")),
+        "doc_id", "w", scale = 1000.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+        .orderBy(col("lang"))),
+
+    // streaming EWMA maintenance: 3 batch deltas + a crash replay
+    // fold to the exact daily series (path idempotence), smoother
+    // runs at read time; require pins fold ≡ one-shot bit-for-bit
+    "q452_ewma_maint" -> ((s, d) => {
+      val dir = LakeFixtures.freshRoot("ewmam") + "/deltas"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("dom", dayofmonth(col("ts")))
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Unit =
+        graft.streaming.Streaming.ewmaDeltaBatch(ev.filter(pred),
+          "event_type", "ts")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/delta-$id")
+      ingest(0L, col("dom") <= 10)
+      ingest(1L, col("dom") > 10 && col("dom") <= 20)
+      ingest(2L, col("dom") > 20)
+      ingest(2L, col("dom") > 20) // crash replay: overwrite, not add
+      val folded = graft.streaming.Streaming.readEwma(s, dir, 0.5)
+      val one = graft.operators.Timeseries.ewma(
+        graft.streaming.Streaming.ewmaDeltaBatch(ev, "event_type", "ts")
+          .withColumnRenamed("cnt", "y"),
+        "key", "day", "y", 0.5)
+      val diverged = folded.withColumnRenamed("ewma", "e_f")
+        .join(one.withColumnRenamed("ewma", "e_o"), Seq("key", "day"))
+        .filter(!(col("e_f") <=> col("e_o"))).count()
+      require(diverged == 0,
+        s"replayed EWMA fold diverged from one-shot on $diverged days")
+      folded
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14480,5 +14551,47 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
 
     // q449: the shared text verbatim
     "q449_sql_regexp" -> sqlRegexpText,
+
+    // q450: last-writer-wins reduces to a CASE on the final upsert's
+    // key predicate (both upserts derive from the base rows)
+    "q450_upsert_merged" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 IN (0, 10)
+        |      THEN o_totalprice + 3000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q451: the md5 hash-fraction bridge (q88 convention), weight =
+    // n_chars per-mille
+    "q451_weighted_sample" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM (SELECT lang, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS frac
+        |  FROM documents)
+        |WHERE n_chars IS NOT NULL
+        |  AND frac * 1000.0 < CAST(n_chars % 1000 AS DOUBLE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q452: q446's recursive left fold at alpha = 0.5 over the
+    // per-type daily counts
+    "q452_ewma_maint" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS key,
+        |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT key, day, y, CAST(row_number() OVER (
+        |    PARTITION BY key ORDER BY day ASC) AS BIGINT) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT key, day, y, rn, CAST(y AS DOUBLE) AS s
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.key, d.day, d.y, d.rn,
+        |    r.s * 0.5 + CAST(d.y AS DOUBLE) * 0.5
+        |  FROM r JOIN d ON d.key = r.key AND d.rn = r.rn + 1)
+        |SELECT key, day, y, s AS ewma FROM r""".stripMargin,
   )
 }

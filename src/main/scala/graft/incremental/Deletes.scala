@@ -115,4 +115,96 @@ object Deletes {
       .repartition(nFiles)
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(dst)
   }
+
+  // ---- sequenced tier: merge-on-read UPSERT ------------------------
+  // The flat tier above applies every tombstone to every data file —
+  // right for pure deletion, wrong for upsert (a batch's tombstones
+  // would kill its own inserts). The sequenced tier is Iceberg's
+  // sequence-number rule at minimum size: every ADD lands under
+  // `add-N`, every delete commit carries its op number, and a delete
+  // applies ONLY to rows from adds with a SMALLER op. An upsert is
+  // then one op: tombstone the batch's keys at op N + add the batch
+  // at op N — old versions die, the new rows (op N, not < N) survive,
+  // and NO data file is ever rewritten. Last-writer-wins across
+  // upserts falls out of the ordering.
+
+  private def listAddIds(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("add-") => n.stripPrefix("add-") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted
+  }
+
+  /** Seed a sequenced lake: `df` becomes `add-0`. */
+  def initBase(spark: SparkSession, path: String, df: DataFrame,
+               nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(listAddIds(spark, path).isEmpty
+      && listDeleteIds(spark, path).isEmpty,
+      s"$path already holds a sequenced lake")
+    df.repartition(nFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$path/add-0")
+  }
+
+  /** Merge-on-read upsert: one op = tombstone the batch's keys +
+    * append the batch. The batch must be UNIQUE on `keyCols` (two
+    * versions of a key in one op have no order — raises). Returns the
+    * op id. Cost: one key-list write + one batch append — zero data
+    * files rewritten, the O(batch) upsert a 100 TB lake needs. */
+  def upsert(spark: SparkSession, path: String, batch: DataFrame,
+             keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "keyCols required")
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dup == 0,
+      s"upsert batch has $dup duplicate key tuples — one version per op")
+    val op = (listAddIds(spark, path) ++ listDeleteIds(spark, path))
+      .foldLeft(0L)(math.max) + 1L
+    writeDeletesAt(spark, path, batch.select(keyCols.map(col): _*), op)
+    batch.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$path/add-$op")
+    op
+  }
+
+  private def writeDeletesAt(spark: SparkSession, path: String,
+                             keys: DataFrame, op: Long): Unit =
+    keys.distinct().coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"${delRoot(path)}/d=$op")
+
+  /** Read a sequenced lake: every row is tagged with its add's op
+    * (from the file path — no schema pollution), tombstones with
+    * theirs, and the anti-join keeps a row unless some delete with a
+    * LARGER op names its key (null-safe). One scan + one anti-join;
+    * the tombstone side stays key-count-scale. */
+  def readMerged(spark: SparkSession, path: String): DataFrame = {
+    val addIds = listAddIds(spark, path)
+    require(addIds.nonEmpty, s"no add-N directories under $path")
+    val data = spark.read
+      .option("recursiveFileLookup", "true").parquet(path)
+      .withColumn("__op",
+        regexp_extract(input_file_name(), "add-([0-9]+)/", 1)
+          .cast("long"))
+    val delIds = listDeleteIds(spark, path)
+    if (delIds.isEmpty) data.drop("__op")
+    else {
+      val dels0 = spark.read
+        .parquet(delIds.map(d => s"${delRoot(path)}/d=$d"): _*)
+        .withColumn("__dop",
+          regexp_extract(input_file_name(), "d=([0-9]+)/", 1)
+            .cast("long"))
+      val keyCols = dels0.columns.filterNot(_ == "__dop").toSeq
+      val dels = graft.operators.Broadcasts.maybeBroadcast(dels0)
+      val cond = keyCols.map(c => data(c) <=> dels(c)).reduce(_ && _) &&
+        dels("__dop") > data("__op")
+      data.join(dels, cond, "left_anti").drop("__op")
+    }
+  }
 }

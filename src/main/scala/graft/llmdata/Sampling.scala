@@ -32,6 +32,24 @@ object Sampling {
     df.filter(hashFraction(col(keyCol)) < rate)
   }
 
+  /** PER-ROW weighted Bernoulli sample: keep a row iff
+    * `hashFraction(key)·scale < weight` — i.e. with probability
+    * weight/scale, deterministically from the key hash. The
+    * quality-weighted corpus downsampler ([[stratifiedSample]] keys
+    * the rate on a stratum COLUMN VALUE; here every row carries its
+    * own keep probability, e.g. a quality score): same md5 contract —
+    * map-only, reproducible across runs/engines/corpus growth, and
+    * the oracle mirrors the exact hash. Weights outside [0, scale]
+    * behave as clamp (≤0 never keeps, ≥scale always keeps); NULL
+    * weight drops the row (no silent default). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     scale: Double): DataFrame = {
+    require(scale > 0.0, s"scale must be > 0, got $scale")
+    df.filter(col(weightCol).isNotNull &&
+      hashFraction(col(keyCol)) * lit(scale)
+        < col(weightCol).cast("double"))
+  }
+
   /** Deterministic train/val/test assignment: the hash fraction falls
     * into cumulative-weight buckets — (name, weight) splits in order,
     * weights normalized, the LAST split absorbing the full tail (so

@@ -1217,6 +1217,51 @@ object Streaming {
     graft.operators.AggMerge.mergeValueCounts(Seq(
       spark.read.option("recursiveFileLookup", "true").parquet(path)))
 
+  /** Streaming maintenance of a per-key EWMA over daily counts — the
+    * ORDER-DEPENDENT smoother ([[graft.operators.Timeseries.ewma]])
+    * made replay-safe by storing only MERGEABLE series partials: each
+    * micro-batch writes its own (key, day, cnt) delta under a
+    * batch-scoped directory (crash replay overwrites its own path —
+    * the [[quantileDeltaSink]] rule), and [[readEwma]] folds the
+    * deltas into the exact daily series before running the batch
+    * smoother over it. Carrying the smoothed value itself as state
+    * would double-apply on replay and could never absorb a late row
+    * for a past day; count partials sum order-free, so streamed ≡
+    * one-shot by construction at any batch split. Per-batch cost: one
+    * (key, day)-scale aggregate + write; the O(series²) fold is paid
+    * only at read time over the days-scale merged series. */
+  def ewmaDeltaSink(df: DataFrame, keyCol: String, tsCol: String,
+                    path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ewmaDeltaBatch(batch, keyCol, tsCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/delta-$batchId")
+        ()
+      }
+      .start()
+
+  /** [[ewmaDeltaSink]]'s exact per-batch body, exposed for fold
+    * oracles (the q442 convention). */
+  def ewmaDeltaBatch(batch: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame =
+    batch.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Read side of [[ewmaDeltaSink]]: merge every delta into the exact
+    * daily series, then smooth. */
+  def readEwma(spark: org.apache.spark.sql.SparkSession, path: String,
+               alpha: Double): DataFrame = {
+    val series = spark.read
+      .option("recursiveFileLookup", "true").parquet(path)
+      .groupBy(col("key"), col("day"))
+      .agg(sum(col("cnt")).cast("long").as("y"))
+    graft.operators.Timeseries.ewma(series, "key", "day", "y", alpha)
+  }
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -920,4 +920,88 @@ class Round11OpsSpec extends SparkSpec {
         "vec_id", "embedding", 3, 3, 0.3))
     assert(e2.getMessage.contains("dyadic"))
   }
+
+  test("sequenced upsert: a delete applies only to smaller-op adds — " +
+    "an upsert's tombstones spare its own inserts; last-writer-wins; " +
+    "duplicate-key batches raise") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upspec").toString + "/lake"
+    Deletes.initBase(spark,
+      root, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1)
+    // update k=1, insert k=3 — one op
+    Deletes.upsert(spark, root,
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), Seq("k"))
+    def view = graft.incremental.Deletes.readMerged(spark, root)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(view == Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+    // second upsert overwrites the first's version of k=1
+    Deletes.upsert(spark, root, Seq((1L, 12L)).toDF("k", "v"), Seq("k"))
+    assert(view == Seq((1L, 12L), (2L, 20L), (3L, 30L)))
+    // duplicate keys within one op have no order — raise
+    val e = intercept[IllegalArgumentException](Deletes.upsert(spark,
+      root, Seq((5L, 1L), (5L, 2L)).toDF("k", "v"), Seq("k")))
+    assert(e.getMessage.contains("duplicate key"))
+    // re-seeding an existing lake raises
+    val e2 = intercept[IllegalArgumentException](
+      Deletes.initBase(spark, root, Seq((9L, 9L)).toDF("k", "v"), 1))
+    assert(e2.getMessage.contains("already holds"))
+  }
+
+  test("weightedSample: zero weight never keeps, full weight always " +
+    "keeps, NULL drops, and lower-weight picks nest in higher") {
+    import graft.llmdata.Sampling
+    val ids = (1L to 200L).map(i => (i, i))
+    val df = ids.toDF("id", "x")
+    val all = Sampling.weightedSample(
+      df.withColumn("w", lit(1000.0)), "id", "w", 1000.0)
+    assert(all.count() == 200L)
+    val none = Sampling.weightedSample(
+      df.withColumn("w", lit(0.0)), "id", "w", 1000.0)
+    assert(none.count() == 0L)
+    val nulls = Sampling.weightedSample(
+      df.withColumn("w", lit(null).cast("double")), "id", "w", 1000.0)
+    assert(nulls.count() == 0L)
+    def kept(w: Double): Set[Long] = Sampling.weightedSample(
+      df.withColumn("w", lit(w)), "id", "w", 1000.0)
+      .select("id").as[Long].collect().toSet
+    val lo = kept(300.0); val hi = kept(700.0)
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size < 200)
+    // deterministic: same call, same set
+    assert(kept(300.0) == lo)
+  }
+
+  test("ewmaDeltaBatch/readEwma: misaligned batch splits merge to " +
+    "the exact series; fold == one-shot smoother bit-for-bit") {
+    import graft.streaming.Streaming
+    import graft.operators.Timeseries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ewmaspec").toString + "/deltas"
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-0${h / 24 + 1}%d ${h % 24}%02d:00:00")
+    // day1: 3 events, day2: 2, day3: 1 for key "k" — split so day1
+    // straddles both batches (merge must SUM, not overwrite)
+    val rows = Seq(ts(1), ts(2), ts(3), ts(25), ts(26), ts(49))
+      .map(t => ("k", t))
+    val b1 = rows.take(2).toDF("g", "t")   // 2 of day1
+    val b2 = rows.drop(2).toDF("g", "t")   // 1 of day1 + day2 + day3
+    Streaming.ewmaDeltaBatch(b1, "g", "t").write.parquet(s"$dir/delta-0")
+    Streaming.ewmaDeltaBatch(b2, "g", "t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/delta-1")
+    // crash replay of batch 1: overwrite its own path, never add
+    Streaming.ewmaDeltaBatch(b2, "g", "t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/delta-1")
+    val folded = Streaming.readEwma(spark, dir, 0.5)
+      .orderBy("day").select("y", "ewma")
+      .as[(Long, Double)].collect().toSeq
+    // series 3, 2, 1 -> ewma 3.0, 2.5, 1.75
+    assert(folded == Seq((3L, 3.0), (2L, 2.5), (1L, 1.75)))
+    val one = Timeseries.ewma(
+      Streaming.ewmaDeltaBatch(rows.toDF("g", "t"), "g", "t")
+        .withColumnRenamed("cnt", "y"), "key", "day", "y", 0.5)
+      .orderBy("day").select("y", "ewma")
+      .as[(Long, Double)].collect().toSeq
+    assert(folded == one)
+  }
 }
