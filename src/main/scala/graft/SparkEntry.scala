@@ -5063,6 +5063,29 @@ object SparkEntry {
         s"replayed EWMA fold diverged from one-shot on $diverged days")
       folded
     }),
+
+    // custom Catalyst OPERATOR tier (LogicalPlan + Strategy +
+    // SparkPlan): bounded-heap top-k per key — one hash exchange, a
+    // streaming heap pass, NO per-partition sort (require pins the
+    // sort-free plan); ≡ the window row_number form under total order
+    "q453_topk_heap" -> ((s, d) => {
+      val out = graft.operators.TopK.perKey(
+        t(s, d, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_orderkey"),
+        Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true)), 3)
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.contains("TopKPerKey") && !phys.contains("Sort "),
+        "custom top-k must plan heap-based and sort-free")
+      out
+    }),
+
+    // ICC(C,1) over the q443 item trio — exact two-way ANOVA
+    // numerators on the cents lattice; Spearman-Brown ties it to
+    // Cronbach's alpha (spec-pinned)
+    "q454_icc_consistency" -> ((s, d) =>
+      graft.operators.Eval.iccConsistency(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14593,5 +14616,48 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    r.s * 0.5 + CAST(d.y AS DOUBLE) * 0.5
         |  FROM r JOIN d ON d.key = r.key AND d.rn = r.rn + 1)
         |SELECT key, day, y, s AS ewma FROM r""".stripMargin,
+
+    // q453: the window form IS the oracle — the custom operator must
+    // reproduce it exactly under the total (price DESC, orderkey ASC)
+    "q453_topk_heap" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3""".stripMargin,
+
+    // q454: exact HUGEINT SS numerators, VARCHAR-routed to double,
+    // ICC as the same fixed chain
+    "q454_icc_consistency" ->
+      """WITH base AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS c1,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS c2,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS c3
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |b2 AS (SELECT c1, c2, c3, c1 + c2 + c3 AS t FROM base),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(c1) AS s1, SUM(c1 * c1) AS ss1,
+        |    SUM(c2) AS s2, SUM(c2 * c2) AS ss2,
+        |    SUM(c3) AS s3, SUM(c3 * c3) AS ss3,
+        |    SUM(t) AS st, SUM(t * t) AS sst
+        |  FROM b2),
+        |f AS (SELECT n,
+        |    CAST(CAST(n * sst - st * st AS VARCHAR) AS DOUBLE) AS bd,
+        |    CAST(CAST(3 * ((s1 * s1 + s2 * s2) + s3 * s3) - st * st
+        |      AS VARCHAR) AS DOUBLE) AS cd,
+        |    CAST(CAST(n * 3 * ((ss1 + ss2) + ss3) - n * sst
+        |        - 3 * ((s1 * s1 + s2 * s2) + s3 * s3) + st * st
+        |      AS VARCHAR) AS DOUBLE) AS ed
+        |  FROM m)
+        |SELECT n, CAST(3 AS BIGINT) AS k_items, bd AS ss_rows_d,
+        |  cd AS ss_cols_d, ed AS ss_err_d,
+        |  CASE WHEN 2.0 * (bd + ed) > 0 THEN
+        |    (bd * 2.0 - ed) / (2.0 * (bd + ed)) END AS icc
+        |FROM f""".stripMargin,
   )
 }

@@ -326,6 +326,63 @@ object Eval {
             * (lit(1.0) - col("ss_items_d") / col("ss_total_d"))))
   }
 
+  /** ICC(C,1) — the consistency intraclass correlation for a FIXED
+    * rater/item panel (Shrout & Fleiss ICC(3,1) / McGraw & Wong
+    * ICC(C,1)): subjects are rows, the k item columns are the raters,
+    * and the question is "how consistently do the items order the
+    * subjects?" — [[cronbachAlpha]]'s single-rating sibling (Spearman–
+    * Brown: α = k·ICC/(1 + (k−1)·ICC), spec-pinned). Two-way ANOVA on
+    * the cents lattice with every sum-of-squares numerator EXACT — the
+    * nk-cleared forms
+    *
+    *   B = n·ΣRᵢ² − T²  (subjects), C = k·ΣCⱼ² − T²  (items),
+    *   E = nk·Σx² − n·ΣRᵢ² − k·ΣCⱼ² + T²  (residual)
+    *
+    * ride decimal(38,0) (they overflow BIGINT at corpus scale) and are
+    * emitted as correctly-rounded doubles (oracle mirrors VARCHAR-
+    * route the HUGEINTs);
+    * `ICC = (B·(k−1) − E) / ((k−1)·(B + E))` is one fixed double
+    * chain. ONE aggregate pass; listwise NULL deletion. Output:
+    * (n, k_items, ss_rows_d, ss_cols_d, ss_err_d, icc) — NULL icc on
+    * a degenerate table (B + E = 0). */
+  def iccConsistency(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 item columns, got ${cols.size}")
+    val d38 = "decimal(38,0)"
+    val k = cols.size
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        (col(c).cast("decimal(12,2)") * 100).cast("long").as(s"__c_$c"))
+        : _*)
+      .withColumn("__tot", cols.map(c => col(s"__c_$c")).reduce(_ + _))
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      (cols.map(c => Seq(
+        sum(col(s"__c_$c").cast(d38)).cast(d38).as(s"__s_$c"),
+        sum((col(s"__c_$c") * col(s"__c_$c")).cast(d38)).cast(d38)
+          .as(s"__ss_$c"))).flatten ++ Seq(
+        sum(col("__tot").cast(d38)).cast(d38).as("__st"),
+        sum((col("__tot") * col("__tot")).cast(d38)).cast(d38)
+          .as("__sst")))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast(d38)
+    val sx2 = cols.map(c => col(s"__ss_$c")).reduce(_ + _).cast(d38)
+    val scj2 = cols.map(c => (col(s"__s_$c") * col(s"__s_$c")).cast(d38))
+      .reduce(_ + _).cast(d38)
+    val t2 = (col("__st") * col("__st")).cast(d38)
+    val b = (nD * col("__sst") - t2).cast(d38)
+    val c = (lit(k.toLong).cast(d38) * scj2 - t2).cast(d38)
+    val e = (nD * lit(k.toLong) * sx2 - nD * col("__sst")
+      - lit(k.toLong).cast(d38) * scj2 + t2).cast(d38)
+    m.select(col("n"), lit(k.toLong).as("k_items"),
+        b.cast("double").as("ss_rows_d"), c.cast("double").as("ss_cols_d"),
+        e.cast("double").as("ss_err_d"))
+      .withColumn("icc", {
+        val den = lit((k - 1).toDouble) *
+          (col("ss_rows_d") + col("ss_err_d"))
+        when(den > 0.0,
+          (col("ss_rows_d") * (k - 1).toDouble - col("ss_err_d")) / den)
+      })
+  }
+
   def fleissKappa(df: DataFrame, itemCol: String,
                   categoryCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

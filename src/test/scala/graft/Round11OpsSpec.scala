@@ -1004,4 +1004,59 @@ class Round11OpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(folded == one)
   }
+
+  test("TopK.perKey: equals the window row_number form under a total " +
+    "order; plan has the custom exec, an exchange, and NO sort") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 400).map(i =>
+      (s"g${i % 5}", (i * 37) % 97, i.toLong)).toDF("g", "v", "id")
+    val custom = TopK.perKey(df, Seq("g"),
+      Seq(("v", false), ("id", true)), 3)
+    val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(custom.count() == 15)
+    assert(custom.exceptAll(win).count() == 0
+      && win.exceptAll(custom).count() == 0)
+    val phys = custom.queryExecution.executedPlan.toString
+    assert(phys.contains("TopKPerKey"))
+    assert(phys.contains("Exchange"))
+    assert(!phys.contains("Sort "), s"unexpected sort in:\n$phys")
+    // boundary ties under a total order: deterministic kept set
+    val ties = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 1L, 3L),
+      ("a", 0L, 4L)).toDF("g", "v", "id")
+    val kept = TopK.perKey(ties, Seq("g"),
+      Seq(("v", false), ("id", true)), 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+    // NULL ordering matches the window defaults (DESC -> NULLS LAST)
+    val withNull = Seq(("a", Option(5L), 1L), ("a", Option.empty[Long], 2L),
+      ("a", Option(7L), 3L)).toDF("g", "v", "id")
+    val k2 = TopK.perKey(withNull, Seq("g"), Seq(("v", false), ("id", true)), 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(k2 == Seq(1L, 3L))
+  }
+
+  test("iccConsistency: additive subject+item table gives ICC 1 " +
+    "exactly; Spearman-Brown ties ICC(C,1) to Cronbach's alpha") {
+    import graft.operators.Eval
+    // x_ij = s_i + b_j: zero residual -> ICC exactly 1
+    val add = Seq((10.0, 11.0, 13.0), (20.0, 21.0, 23.0),
+      (5.0, 6.0, 8.0), (40.0, 41.0, 43.0)).toDF("i1", "i2", "i3")
+    val r1 = Eval.iccConsistency(add, Seq("i1", "i2", "i3")).collect()(0)
+    assert(r1.getDouble(4) == 0.0) // ss_err_d
+    assert(r1.getDouble(5) == 1.0)
+    // noisy table: alpha == k*icc / (1 + (k-1)*icc) (Spearman-Brown);
+    // both sides are double chains off exact numerators -> tight tol
+    val noisy = Seq((10.0, 14.0, 9.0), (20.0, 19.0, 24.0),
+      (5.0, 9.0, 3.0), (40.0, 35.0, 44.0), (15.0, 18.0, 13.0))
+      .toDF("i1", "i2", "i3")
+    val icc = Eval.iccConsistency(noisy, Seq("i1", "i2", "i3"))
+      .collect()(0).getDouble(5)
+    val alpha = Eval.cronbachAlpha(noisy, Seq("i1", "i2", "i3"))
+      .collect()(0).getDouble(4)
+    assert(math.abs(alpha - 3.0 * icc / (1.0 + 2.0 * icc)) < 1e-12)
+  }
 }
