@@ -5086,6 +5086,31 @@ object SparkEntry {
     "q454_icc_consistency" -> ((s, d) =>
       graft.operators.Eval.iccConsistency(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // Scott's pi + Gwet's AC1 on the q445 rating pair — the
+    // prevalence-robust agreement pair, exact BIGINT ratios
+    "q455_agreement_coefficients" -> ((s, d) =>
+      graft.operators.Eval.agreementCoefficients(
+        t(s, d, "lineitem")
+          .filter(col("l_quantity").isNotNull
+            && col("l_linenumber").isNotNull)
+          .select((col("l_quantity").cast("long") % 5).as("rate_a"),
+            ((col("l_quantity").cast("long") + col("l_linenumber")) % 5)
+              .as("rate_b")),
+        "rate_a", "rate_b")),
+
+    // Holt linear trend — the two-state ordered fold (struct
+    // accumulator); oracle replays both IEEE chains recursively
+    "q456_holt_linear" -> ((s, d) =>
+      graft.operators.Timeseries.holtLinear(
+        dailyCountSeries(s, d).select("event_type", "day", "y"),
+        "event_type", "day", "y", alpha = 0.5, gamma = 0.25)),
+
+    // shared-dialect GREATEST/LEAST/NULLIF — identical text
+    "q457_sql_greatest" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlGreatestText)
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -5243,6 +5268,21 @@ object SparkEntry {
       |    AS BIGINT) AS first_long_word_chars
       |FROM documents
       |GROUP BY lang""".stripMargin
+
+  /** q457's SQL — shared-dialect GREATEST/LEAST/NULLIF over non-NULL
+    * BIGINT operands (NULL-input semantics of GREATEST/LEAST differ
+    * across engine versions, so the text keeps NULLs out of those two
+    * by construction; NULLIF's NULL-on-equal is the tested case). */
+  private val sqlGreatestText: String =
+    """WITH b AS (SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+      |    CAST(l_linenumber AS BIGINT) * 100 AS lc
+      |  FROM lineitem)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(GREATEST(qc, lc)) AS BIGINT) AS g_sum,
+      |  CAST(SUM(LEAST(qc, lc)) AS BIGINT) AS l_sum,
+      |  CAST(COUNT(NULLIF(qc, lc)) AS BIGINT) AS n_diff
+      |FROM b GROUP BY flag""".stripMargin
 
   private val sqlGroupByAllText: String =
     """SELECT l_returnflag, l_linestatus,
@@ -14659,5 +14699,67 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  CASE WHEN 2.0 * (bd + ed) > 0 THEN
         |    (bd * 2.0 - ed) / (2.0 * (bd + ed)) END AS icc
         |FROM f""".stripMargin,
+
+    // q455: exact-BIGINT agreement ratios over the cells/margins
+    "q455_agreement_coefficients" ->
+      """WITH base AS (SELECT
+        |    CAST(CAST(l_quantity AS BIGINT) % 5 AS VARCHAR) AS a,
+        |    CAST((CAST(l_quantity AS BIGINT) + l_linenumber) % 5
+        |      AS VARCHAR) AS b
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linenumber IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+        |dg AS (SELECT CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0)
+        |  AS BIGINT) AS diag_sum FROM cells),
+        |ra AS (SELECT a AS q, CAST(SUM(n) AS BIGINT) AS r FROM cells
+        |  GROUP BY 1),
+        |cb AS (SELECT b AS q, CAST(SUM(n) AS BIGINT) AS c FROM cells
+        |  GROUP BY 1),
+        |mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cats,
+        |    CAST(SUM(CAST(m AS HUGEINT) * m) AS BIGINT) AS margin_sq_sum
+        |  FROM (SELECT COALESCE(r, 0) + COALESCE(c, 0) AS m
+        |    FROM ra FULL JOIN cb ON ra.q = cb.q))
+        |SELECT nn.n, k_cats, diag_sum, margin_sq_sum,
+        |  CASE WHEN 4 * n * n - margin_sq_sum <> 0 THEN
+        |    CAST(4 * n * diag_sum - margin_sq_sum AS DOUBLE)
+        |      / CAST(4 * n * n - margin_sq_sum AS DOUBLE)
+        |  END AS scott_pi,
+        |  CASE WHEN k_cats > 1
+        |      AND 4 * n * n * (k_cats - 1) - 4 * n * n + margin_sq_sum
+        |        <> 0 THEN
+        |    CAST(4 * n * diag_sum * (k_cats - 1) - 4 * n * n
+        |        + margin_sq_sum AS DOUBLE)
+        |      / CAST(4 * n * n * (k_cats - 1) - 4 * n * n
+        |        + margin_sq_sum AS DOUBLE)
+        |  END AS gwet_ac1
+        |FROM nn, dg, mg""".stripMargin,
+
+    // q456: both IEEE chains replayed; b_t's reference to l_t is the
+    // repeated expression in both engines
+    "q456_holt_linear" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, y, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, y, rn, CAST(y AS DOUBLE) AS l,
+        |    CAST(0 AS DOUBLE) AS b
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.y, d.rn,
+        |    CAST(d.y AS DOUBLE) * 0.5 + (r.l + r.b) * 0.5,
+        |    (CAST(d.y AS DOUBLE) * 0.5 + (r.l + r.b) * 0.5 - r.l)
+        |      * 0.25 + r.b * 0.75
+        |  FROM r JOIN d ON d.event_type = r.event_type
+        |    AND d.rn = r.rn + 1)
+        |SELECT event_type, day, y, l AS level, b AS trend
+        |FROM r""".stripMargin,
+
+    // q457: the shared text verbatim
+    "q457_sql_greatest" -> sqlGreatestText,
   )
 }

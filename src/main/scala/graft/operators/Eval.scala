@@ -326,6 +326,68 @@ object Eval {
             * (lit(1.0) - col("ss_items_d") / col("ss_total_d"))))
   }
 
+  /** Scott's π and Gwet's AC1 — the two-rater chance-corrected
+    * agreement pair completing the family around [[cohenKappa]]
+    * (Cohen's expectation multiplies the raters' OWN margins; Scott
+    * pools them — the paradox-prone high-prevalence case — and Gwet's
+    * AC1 is the prevalence-ROBUST correction reviewers ask for when
+    * kappa collapses on skewed labels). With A = Σ diagonal cells,
+    * B = Σ_q (r_q + c_q)² over the category union, N rows and k
+    * categories, both reduce to exact-BIGINT ratios:
+    *
+    *   π   = (4·N·A − B) / (4·N² − B)
+    *   AC1 = (4·N·A·(k−1) − 4·N² + B) / (4·N²·(k−1) − 4·N² + B)
+    *
+    * (Gwet's Pe = (1 − B/4N²)/(k−1), using Σπ_q = 1.) One cells
+    * aggregate + level-scale margins; each statistic is one double
+    * division over exact longs. Output: (n, k_cats, diag_sum,
+    * margin_sq_sum, scott_pi, gwet_ac1) — NULLs when a denominator
+    * vanishes (all mass on one category for π; k = 1 for AC1). */
+  def agreementCoefficients(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // consumed by diag, margins, total
+    val n = cells.agg(sum(col("__n")).cast("long").as("n"))
+    val diag = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).cast("long").as("diag_sum"))
+    val ra = cells.groupBy(col("__a").as("__q"))
+      .agg(sum(col("__n")).as("__r"))
+    val cb = cells.groupBy(col("__b").as("__q"))
+      .agg(sum(col("__n")).as("__c"))
+    val margins = ra.join(cb, Seq("__q"), "full")
+      .select(col("__q"),
+        (coalesce(col("__r"), lit(0L)) + coalesce(col("__c"), lit(0L)))
+          .as("__m"))
+      .agg(count(lit(1)).cast("long").as("k_cats"),
+        sum((col("__m").cast(d38) * col("__m")).cast(d38)).cast(d38)
+          .cast("long").as("margin_sq_sum"))
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(margins))
+      .withColumn("scott_pi", {
+        val num = (lit(4L).cast(d38) * col("n") * col("diag_sum"))
+          .cast(d38).cast("long") - col("margin_sq_sum")
+        val den = (lit(4L).cast(d38) * col("n") * col("n")).cast(d38)
+          .cast("long") - col("margin_sq_sum")
+        when(den =!= 0L, num.cast("double") / den.cast("double"))
+      })
+      .withColumn("gwet_ac1", {
+        val n2x4 = (lit(4L).cast(d38) * col("n") * col("n")).cast(d38)
+          .cast("long")
+        val num = ((lit(4L).cast(d38) * col("n") * col("diag_sum")
+          * (col("k_cats") - 1)).cast(d38).cast("long")
+          - n2x4) + col("margin_sq_sum")
+        val den = ((n2x4.cast(d38) * (col("k_cats") - 1)).cast(d38)
+          .cast("long") - n2x4) + col("margin_sq_sum")
+        when(col("k_cats") > 1L && den =!= 0L,
+          num.cast("double") / den.cast("double"))
+      })
+      .select(col("n"), col("k_cats"), col("diag_sum"),
+        col("margin_sq_sum"), col("scott_pi"), col("gwet_ac1"))
+  }
+
   /** ICC(C,1) — the consistency intraclass correlation for a FIXED
     * rater/item panel (Shrout & Fleiss ICC(3,1) / McGraw & Wong
     * ICC(C,1)): subjects are rows, the k item columns are the raters,

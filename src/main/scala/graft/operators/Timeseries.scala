@@ -1018,4 +1018,69 @@ object Timeseries {
           (acc, x) => acc * lit(beta) + x * lit(alpha)))
       .drop("__x", "__xs")
   }
+
+  /** Holt's linear-trend smoother per key — [[ewma]]'s TWO-STATE
+    * sibling (EWMA lags behind a trending series by construction;
+    * Holt carries a level AND a trend):
+    *
+    *   `l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})`
+    *   `b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}`
+    *
+    * seeded `l_1 = x_1, b_1 = 0` (the zero-trend seed — stated
+    * contract; callers wanting the x_2−x_1 seed difference their
+    * series upstream). Same ordered-left-fold machinery as [[ewma]]
+    * with a STRUCT accumulator, and the same cross-engine contract:
+    * both α and γ dyadic (raise otherwise), the oracle's recursive
+    * CTE replays the identical IEEE chains — `b_t`'s reference to
+    * `l_t` is textually repeated in both engines (same expression,
+    * same doubles). Same guards (NULL value raises, duplicate
+    * (key, order) raises) and the same O(series²)-per-key cost
+    * contract (pre-aggregated series only).
+    *
+    * Output: input columns + (level, trend). */
+  def holtLinear(df: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String, alpha: Double,
+                 gamma: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    require(gamma > 0.0 && gamma <= 1.0, s"gamma in (0,1], got $gamma")
+    require((alpha * (1L << 30)).isWhole && (gamma * (1L << 30)).isWhole,
+      s"alpha and gamma must be dyadic, got $alpha / $gamma")
+    val beta = 1.0 - alpha
+    val delta = 1.0 - gamma
+    val wDup = Window.partitionBy(col(keyCol), col(orderCol))
+    val base = df
+      .withColumn("__x",
+        when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+          .otherwise(raise_error(concat(lit("holtLinear: NULL value at ("),
+            col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"), lit(") — impute upstream")))))
+      .withColumn("__x",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("holtLinear: duplicate (key, order)" +
+            " at ("), col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"),
+            lit(") — pre-aggregate the series"))))
+          .otherwise(col("__x")))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def step(acc: org.apache.spark.sql.Column,
+             x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val lNew = x * lit(alpha) + (acc.getField("l") + acc.getField("b")) *
+        lit(beta)
+      val bNew = (lNew - acc.getField("l")) * lit(gamma) +
+        acc.getField("b") * lit(delta)
+      struct(lNew.as("l"), bNew.as("b"))
+    }
+    base
+      .withColumn("__xs", collect_list(col("__x")).over(wRun))
+      .withColumn("__st",
+        aggregate(
+          slice(col("__xs"), lit(2),
+            greatest(size(col("__xs")) - 1, lit(0))),
+          struct(element_at(col("__xs"), 1).as("l"), lit(0.0).as("b")),
+          step))
+      .withColumn("level", col("__st").getField("l"))
+      .withColumn("trend", col("__st").getField("b"))
+      .drop("__x", "__xs", "__st")
+  }
 }

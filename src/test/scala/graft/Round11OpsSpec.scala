@@ -1059,4 +1059,46 @@ class Round11OpsSpec extends SparkSpec {
       .collect()(0).getDouble(4)
     assert(math.abs(alpha - 3.0 * icc / (1.0 + 2.0 * icc)) < 1e-12)
   }
+
+  test("agreementCoefficients: perfect agreement gives pi = AC1 = 1; " +
+    "hand table matches the cleared-denominator formulas") {
+    import graft.operators.Eval
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"))
+      .toDF("a", "b")
+    val p = Eval.agreementCoefficients(perfect, "a", "b").collect()(0)
+    assert(p.getDouble(4) == 1.0 && p.getDouble(5) == 1.0)
+    // hand table: (x,x)x3 (y,y)x1 (x,y)x1 (y,x)x1 -> n=6, A=4
+    // margins: r_x=4 r_y=2 c_x=4 c_y=2 -> m_x=8 m_y=4 -> B=80, k=2
+    // pi  = (4*6*4-80)/(4*36-80) = 16/64
+    // AC1 = (96*1-144+80)/(144*1-144+80) = 32/80
+    val hand = Seq(("x", "x"), ("x", "x"), ("x", "x"), ("y", "y"),
+      ("x", "y"), ("y", "x")).toDF("a", "b")
+    val h = Eval.agreementCoefficients(hand, "a", "b").collect()(0)
+    assert(h.getLong(0) == 6L && h.getLong(1) == 2L
+      && h.getLong(2) == 4L && h.getLong(3) == 80L)
+    assert(h.getDouble(4) == 16.0 / 64.0)
+    assert(h.getDouble(5) == 32.0 / 80.0)
+    // all mass on one category: pi denominator 0 -> NULL; k=1 -> AC1 NULL
+    val deg = Eval.agreementCoefficients(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(deg.isNullAt(4) && deg.isNullAt(5))
+  }
+
+  test("holtLinear: hand two-state recursion; level+trend track a " +
+    "perfect linear series after the seed steps") {
+    import graft.operators.Timeseries
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L))
+      .toDF("g", "t", "y")
+    val r = Timeseries.holtLinear(df, "g", "t", "y", 0.5, 0.25)
+      .orderBy("t").select("level", "trend")
+      .as[(Double, Double)].collect().toSeq
+    // seed: l=10 b=0
+    // t2: l = 20*.5 + (10+0)*.5 = 15 ; b = (15-10)*.25 + 0*.75 = 1.25
+    // t3: l = 30*.5 + (15+1.25)*.5 = 23.125
+    //     b = (23.125-15)*.25 + 1.25*.75 = 2.96875
+    assert(r == Seq((10.0, 0.0), (15.0, 1.25), (23.125, 2.96875)))
+    val e = intercept[IllegalArgumentException](
+      Timeseries.holtLinear(df, "g", "t", "y", 0.5, 0.3))
+    assert(e.getMessage.contains("dyadic"))
+  }
 }
