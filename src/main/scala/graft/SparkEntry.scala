@@ -5111,6 +5111,83 @@ object SparkEntry {
       graft.sql.SqlCatalog.registerTables(s, d)
       s.sql(sqlGreatestText)
     }),
+
+    // temperature-scaled (τ=1/2) corpus mixing weights — sqrt is the
+    // one engine-portable power; the Σ√n normalizer folds over the
+    // group-sorted list (deterministic double sum)
+    "q458_temperature_mix" -> ((s, d) =>
+      graft.llmdata.Sampling.temperatureMixWeights(
+        t(s, d, "documents"), "lang").orderBy(col("lang"))),
+
+    // RFM quartile scores per user — exact lattice thresholds
+    // (min v with 4·cum ≥ j·n), stream-wide recency anchor
+    "q459_rfm_scores" -> ((s, d) =>
+      graft.operators.Profile.rfmScores(t(s, d, "events"),
+        "user_id", "ts", "value")),
+
+    // exact distinct via 32-bit bitmap words — mergeable OR partials
+    // (idempotent under replay re-merge, require-pinned vs the direct
+    // count_distinct)
+    "q460_bitmap_distinct" -> ((s, d) => {
+      import graft.operators.AggMerge
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("dom", dayofmonth(col("ts")))
+      val p1 = AggMerge.bitmapDistinctPartial(
+        ev.filter(col("dom") <= 10), "event_type", "user_id")
+      val p2 = AggMerge.bitmapDistinctPartial(
+        ev.filter(col("dom") > 10 && col("dom") <= 20), "event_type",
+        "user_id")
+      val p3 = AggMerge.bitmapDistinctPartial(
+        ev.filter(col("dom") > 20), "event_type", "user_id")
+      // p3 twice: a replayed delta re-merges; OR is idempotent
+      val merged = AggMerge.mergeBitmapPartials(Seq(p1, p2, p3, p3))
+      val counts = AggMerge.bitmapDistinctCount(merged)
+      val direct = ev.groupBy(col("event_type").as("key"))
+        .agg(count_distinct(col("user_id")).cast("long").as("__direct"))
+      val diverged = counts.join(direct, Seq("key"))
+        .filter(col("n_distinct") =!= col("__direct")).count()
+      require(diverged == 0,
+        s"bitmap distinct diverged from direct on $diverged keys")
+      counts.orderBy(col("key"))
+    }),
+
+    // streaming exact-distinct maintenance: 2 bitmap deltas + crash
+    // replay, OR-fold at read; require pins fold ≡ direct distinct
+    "q461_bitmap_sink" -> ((s, d) => {
+      import graft.operators.AggMerge
+      val dir = LakeFixtures.freshRoot("bds") + "/deltas"
+      val ev = t(s, d, "events")
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .withColumn("dom", dayofmonth(col("ts")))
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Unit =
+        AggMerge.bitmapDistinctPartial(ev.filter(pred), "event_type",
+          "event_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/delta-$id")
+      ingest(0L, col("dom") <= 15)
+      ingest(1L, col("dom") > 15)
+      ingest(1L, col("dom") > 15) // crash replay: overwrite, not add
+      val folded = graft.streaming.Streaming.readBitmapDistinct(s, dir)
+      val direct = ev.groupBy(col("event_type").as("key"))
+        .agg(count_distinct(col("event_id")).cast("long")
+          .as("__direct"))
+      val diverged = folded.join(direct, Seq("key"))
+        .filter(col("n_distinct") =!= col("__direct")).count()
+      require(diverged == 0,
+        s"streamed bitmap fold diverged from direct on $diverged keys")
+      folded.orderBy(col("key"))
+    }),
+
+    // Hodges-Lehmann shift: median of pairwise differences off the
+    // cells x cells grid — the MWU-inverting robust shift estimate
+    "q462_hodges_lehmann" -> ((s, d) =>
+      graft.operators.RankStats.hodgesLehmannShift(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+            .as("qc"),
+          col("l_linestatus")),
+        "l_returnflag", "qc", col("l_linestatus") === "F")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14761,5 +14838,112 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
 
     // q457: the shared text verbatim
     "q457_sql_greatest" -> sqlGreatestText,
+
+    // q458: ordered list_reduce mirrors the group-sorted fold (0.0
+    // seed + x1 ≡ x1 bit-exactly, so the folds agree)
+    "q458_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS sqrt_n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT list_reduce(list(sqrt_n ORDER BY lang ASC),
+        |    (a, b) -> a + b) AS total FROM c)
+        |SELECT lang, n_docs, sqrt_n, sqrt_n / total AS weight
+        |FROM c, t ORDER BY lang""".stripMargin,
+
+    // q459: the same lattice threshold rule, three times
+    "q459_rfm_scores" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    COALESCE(CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |      AS BIGINT), 0) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id, MAX(day) AS last_day,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM ev GROUP BY 1),
+        |e AS (SELECT MAX(last_day) AS end_day FROM u),
+        |u2 AS (SELECT user_id,
+        |    CAST(date_diff('day', last_day, end_day) AS BIGINT)
+        |      AS recency_days,
+        |    frequency, monetary_cents FROM u, e),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u2),
+        |cr AS (SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum
+        |  FROM (SELECT recency_days AS v, COUNT(*) AS c FROM u2
+        |    GROUP BY 1)),
+        |tr AS (SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 4 >= n * 2 THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM cr, nn),
+        |cf AS (SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum
+        |  FROM (SELECT frequency AS v, COUNT(*) AS c FROM u2
+        |    GROUP BY 1)),
+        |tf AS (SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 4 >= n * 2 THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM cf, nn),
+        |cm AS (SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum
+        |  FROM (SELECT monetary_cents AS v, COUNT(*) AS c FROM u2
+        |    GROUP BY 1)),
+        |tm AS (SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 4 >= n * 2 THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM cm, nn)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(1 + CASE WHEN recency_days > tr.q1 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days > tr.q2 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days > tr.q3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS r_score,
+        |  CAST(1 + CASE WHEN frequency > tf.q1 THEN 1 ELSE 0 END
+        |    + CASE WHEN frequency > tf.q2 THEN 1 ELSE 0 END
+        |    + CASE WHEN frequency > tf.q3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS f_score,
+        |  CAST(1 + CASE WHEN monetary_cents > tm.q1 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary_cents > tm.q2 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary_cents > tm.q3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS m_score
+        |FROM u2, tr, tf, tm""".stripMargin,
+
+    // q460: the bitmap fold is require-pinned to the direct distinct;
+    // the oracle states the direct form
+    "q460_bitmap_distinct" ->
+      """SELECT event_type AS key,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q461: the direct distinct is the oracle; the fold path is
+    // require-pinned in-query
+    "q461_bitmap_sink" ->
+      """SELECT event_type AS key,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q462: grid-weighted difference lattice, house lower-median rule
+    "q462_hodges_lehmann" ->
+      """WITH base AS (SELECT l_returnflag AS k,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS ia
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |cells AS (SELECT k, v, CAST(SUM(ia) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS cb
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(CAST(SUM(ca) AS HUGEINT) * SUM(cb) AS BIGINT)
+        |      AS n_pairs
+        |  FROM cells GROUP BY 1),
+        |diffs AS (SELECT a.k, a.v - b.v AS d,
+        |    CAST(SUM(CAST(a.ca AS HUGEINT) * b.cb) AS BIGINT) AS w
+        |  FROM cells a JOIN cells b ON a.k = b.k
+        |  WHERE a.ca > 0 AND b.cb > 0 GROUP BY 1, 2),
+        |cum AS (SELECT k, d,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY d ASC) AS cum
+        |  FROM diffs),
+        |hl AS (SELECT cum.k,
+        |    MIN(CASE WHEN cum * 2 >= n_pairs THEN d END) AS hl_shift
+        |  FROM cum JOIN tot ON cum.k = tot.k GROUP BY 1)
+        |SELECT tot.k AS l_returnflag, n_a, n_b, n_pairs, hl_shift
+        |FROM tot LEFT JOIN hl ON tot.k = hl.k""".stripMargin,
   )
 }

@@ -50,6 +50,33 @@ object Sampling {
         < col(weightCol).cast("double"))
   }
 
+  /** Temperature-scaled corpus mixing weights at τ = 1/2 — the
+    * multilingual-LM sampling classic (sample language i with
+    * probability ∝ n_i^τ: τ=1 reproduces raw frequency and starves
+    * low-resource groups, τ→0 approaches uniform and overfits them;
+    * τ = 1/2 is the common middle and the ONE temperature whose power
+    * is engine-portable — `sqrt` is IEEE-correctly-rounded everywhere,
+    * while a general `pow` is libm and oracle-unsafe, which is why τ
+    * is fixed rather than a parameter). Per group: exact count, its
+    * sqrt, and the normalized weight. The normalizing Σ√n_i is a
+    * DOUBLE sum over groups — order-dependent — so it folds over the
+    * group-sorted list (`aggregate(sort_array(...))`), deterministic
+    * and mirrored by the oracle's ordered `list_reduce`. Groups-scale
+    * output; one aggregate + one broadcast. */
+  def temperatureMixWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("sqrt_n", sqrt(col("n_docs").cast("double")))
+    val total = counts
+      .agg(aggregate(
+        sort_array(collect_list(struct(col(groupCol), col("sqrt_n")))),
+        lit(0.0), (acc, x) => acc + x.getField("sqrt_n")).as("__total"))
+    counts.join(org.apache.spark.sql.functions.broadcast(total))
+      .withColumn("weight", col("sqrt_n") / col("__total"))
+      .drop("__total")
+  }
+
   /** Deterministic train/val/test assignment: the hash fraction falls
     * into cumulative-weight buckets — (name, weight) splits in order,
     * weights normalized, the LAST split absorbing the full tail (so

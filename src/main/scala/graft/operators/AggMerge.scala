@@ -229,4 +229,41 @@ object AggMerge {
           col("value_cents"), col("n_rows"))
     }.reduce(_.unionAll(_))
   }
+
+  /** EXACT distinct-count partials as 32-bit BITMAP words — the
+    * zero-error alternative to an HLL sketch when the id domain is
+    * bounded (user ids, item ids): per (key, word = id div 32) one
+    * BIGINT holding the OR of `1 << (id mod 32)` bits. Partials MERGE
+    * by bitwise OR (idempotent AND commutative — re-merging a replayed
+    * delta cannot double-count, the register-max property HLL has and
+    * plain counts lack), and the exact distinct count is
+    * `Σ bit_count(bits)`. State is O(domain/32) per key — the honest
+    * bound to weigh against HLL's constant size. 32-bit words keep
+    * every shift below the sign bit (a 63-shift BIGINT is an overflow
+    * hazard in some engines). Negative ids raise in-plan (div/mod
+    * floor-vs-truncate would diverge). */
+  def bitmapDistinctPartial(df: DataFrame, keyCol: String,
+                            idCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__id",
+        when(col(idCol) < 0, raise_error(
+          lit("bitmapDistinctPartial: negative id — shift/keys need" +
+            " a non-negative domain")))
+          .otherwise(col(idCol).cast("long")))
+      .select(col(keyCol).as("key"),
+        expr("__id div 32").as("word"),
+        expr("shiftleft(1L, cast(__id % 32 as int))").as("__bit"))
+      .groupBy(col("key"), col("word"))
+      .agg(expr("bit_or(__bit)").as("bits"))
+
+  /** OR-merge any number of bitmap partials. */
+  def mergeBitmapPartials(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionAll(_))
+      .groupBy(col("key"), col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Finish: exact distinct ids per key. */
+  def bitmapDistinctCount(partial: DataFrame): DataFrame =
+    partial.groupBy(col("key"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"))
 }

@@ -916,4 +916,66 @@ object Profile {
       .filter(col(yCol) === col("__maxy"))
       .drop("__maxy")
   }
+
+  /** Quartile score 1..4 for one metric column: `1 + Σ_j [v > q_j]`
+    * with thresholds from the house lattice selection rule
+    * `q_j = min(v : 4·cum ≥ j·n)` — exact, tie-stable, mirrored
+    * verbatim by SQL. The cum window is values-scale (the documented
+    * exception class). Ascending convention: a LARGER metric gives a
+    * LARGER score; flip upstream for lower-is-better metrics. */
+  def quartileScore(df: DataFrame, metric: String,
+                    out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.groupBy(col(metric).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val th = cum.join(broadcast(tot))
+      .agg(
+        min(when(col("__cum") * 4 >= col("__n"), col("__v"))).as("__q1"),
+        min(when(col("__cum") * 4 >= col("__n") * 2, col("__v")))
+          .as("__q2"),
+        min(when(col("__cum") * 4 >= col("__n") * 3, col("__v")))
+          .as("__q3"))
+    df.join(broadcast(th))
+      .withColumn(out, lit(1L)
+        + (col(metric) > col("__q1")).cast("long")
+        + (col(metric) > col("__q2")).cast("long")
+        + (col(metric) > col("__q3")).cast("long"))
+      .drop("__q1", "__q2", "__q3")
+  }
+
+  /** RFM scoring — the classic customer segmentation readout: per
+    * entity, Recency (days since last event, against the STREAM-WIDE
+    * last day so silent users age), Frequency (event count), Monetary
+    * (exact value cents, NULL values count 0), each quartile-scored
+    * 1..4 by [[quartileScore]]. NOTE the recency convention: the raw
+    * metric is ascending days-since-last, so `r_score` 4 = LEAST
+    * recent (stalest) — segmentation rules wanting "4 = best" read
+    * `5 − r_score`, stated rather than silently flipped. Output:
+    * (user, recency_days, frequency, monetary_cents, r_score,
+    * f_score, m_score). */
+  def rfmScores(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(col(tsCol).cast("date")).as("__last"),
+        count(lit(1)).cast("long").as("frequency"),
+        sum(coalesce((col(valueCol).cast("decimal(12,2)") * 100)
+          .cast("long"), lit(0L))).cast("long").as("monetary_cents"))
+    val end = perUser.agg(max(col("__last")).as("__end"))
+    val users = perUser.join(broadcast(end))
+      .withColumn("recency_days",
+        datediff(col("__end"), col("__last")).cast("long"))
+      .drop("__last", "__end")
+    val scored = quartileScore(quartileScore(quartileScore(users,
+      "recency_days", "r_score"), "frequency", "f_score"),
+      "monetary_cents", "m_score")
+    scored.select(col(userCol), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_score"), col("f_score"),
+      col("m_score"))
+  }
 }

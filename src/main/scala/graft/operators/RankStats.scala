@@ -1715,6 +1715,56 @@ object RankStats {
           / (lit(2.0) * col("n_a").cast("double")
             * col("n_b").cast("double")))
 
+  /** Hodges–Lehmann two-sample shift estimator per key — the robust
+    * "how much is A shifted above B?" companion to [[mannWhitneyU]]
+    * (MWU answers whether a shift exists; HL estimates it as the
+    * MEDIAN of all pairwise differences x_a − x_b — 50% breakdown,
+    * no moments assumed — the estimator that inverts the MWU test).
+    * Runs on per-key distinct-VALUE grids (the bounded-grid contract:
+    * pre-quantize continuous inputs): the difference multiset is the
+    * lattice_a × lattice_b join with count products as weights —
+    * cells², never rows² — and the median uses the house lower-median
+    * rule `min(d : 2·cum ≥ n_a·n_b)` over the ascending difference
+    * lattice. Everything exact integers.
+    *
+    * Output per key: (key, n_a, n_b, n_pairs, hl_shift) in the value
+    * column's own units (pass cents in, get cents out). NULL shift
+    * when either side is empty. */
+  def hodgesLehmannShift(df: DataFrame, keyCol: String, valueCol: String,
+                         isA: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .localCheckpoint(true) // consumed by both sides of the grid join
+    val a = cells.filter(col("__ca") > 0)
+      .select(col(keyCol), col("__v").as("__va"), col("__ca"))
+    val b = cells.filter(col("__cb") > 0)
+      .select(col(keyCol), col("__v").as("__vb"), col("__cb"))
+    val diffs = a.join(b, Seq(keyCol))
+      .groupBy(col(keyCol), (col("__va") - col("__vb")).as("__d"))
+      .agg(sum((col("__ca").cast(d38) * col("__cb")).cast(d38))
+        .cast(d38).cast("long").as("__w"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"))
+      .withColumn("n_pairs",
+        (col("n_a").cast(d38) * col("n_b")).cast(d38).cast("long"))
+    val hl = diffs
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(Broadcasts.maybeBroadcast(tot.select(col(keyCol),
+        col("n_pairs").as("__t"))), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(min(when(col("__cum") * 2 >= col("__t"), col("__d")))
+        .as("hl_shift"))
+    tot.join(hl, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_a"), col("n_b"), col("n_pairs"),
+        col("hl_shift"))
+  }
+
   /** Kendall τ-b MATRIX over k columns — the concordance twin of
     * [[spearmanMatrix]] (Spearman reads rank-linear association;
     * Kendall reads pairwise concordance, more robust to a few wild

@@ -1262,6 +1262,38 @@ object Streaming {
     graft.operators.Timeseries.ewma(series, "key", "day", "y", alpha)
   }
 
+  /** Streaming EXACT distinct-count maintenance over a bounded id
+    * domain — the zero-error twin of distinctMergeSink's HLL: each
+    * micro-batch writes its (key, word, bits) bitmap partial
+    * ([[graft.operators.AggMerge.bitmapDistinctPartial]]) under a
+    * batch-scoped directory, and the read side OR-merges everything.
+    * DOUBLY replay-proof: the path overwrite absorbs a replayed
+    * batch, and even a re-MERGED delta cannot move the count (OR is
+    * idempotent — the register-max property plain counts lack).
+    * State: O(domain/32) longs per key — exactness paid in bounded,
+    * known space. */
+  def bitmapDistinctSink(df: DataFrame, keyCol: String, idCol: String,
+                         path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AggMerge.bitmapDistinctPartial(batch, keyCol,
+          idCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/delta-$batchId")
+        ()
+      }
+      .start()
+
+  /** Read side of [[bitmapDistinctSink]]: OR-fold all deltas, count
+    * bits. */
+  def readBitmapDistinct(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    graft.operators.AggMerge.bitmapDistinctCount(
+      graft.operators.AggMerge.mergeBitmapPartials(Seq(
+        spark.read.option("recursiveFileLookup", "true").parquet(path))))
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -1101,4 +1101,77 @@ class Round11OpsSpec extends SparkSpec {
       Timeseries.holtLinear(df, "g", "t", "y", 0.5, 0.3))
     assert(e.getMessage.contains("dyadic"))
   }
+
+  test("temperatureMixWeights: sqrt-count weights with a " +
+    "deterministic ordered normalizer") {
+    import graft.llmdata.Sampling
+    val df = (Seq.fill(4)("en") ++ Seq("fr")).map(l => (l, 1))
+      .toDF("lang", "x")
+    val r = Sampling.temperatureMixWeights(df, "lang")
+      .orderBy("lang").collect()
+    assert(r(0).getString(0) == "en" && r(0).getLong(1) == 4L
+      && r(0).getDouble(2) == 2.0 && r(0).getDouble(3) == 2.0 / 3.0)
+    assert(r(1).getString(0) == "fr" && r(1).getDouble(3) == 1.0 / 3.0)
+  }
+
+  test("quartileScore: lattice thresholds give exact 1..4 scores on " +
+    "1..8; rfmScores wires the three metrics") {
+    import graft.operators.Profile
+    val df = (1L to 8L).map(v => (v, v)).toDF("id", "v")
+    val s = Profile.quartileScore(df, "v", "s")
+      .orderBy("v").select("s").as[Long].collect().toSeq
+    assert(s == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+    val ev = Seq(
+      (1L, "2024-01-10 00:00:00", 10.0), // recent, 1 event
+      (2L, "2024-01-01 00:00:00", 50.0), // stale, 2 events
+      (2L, "2024-01-02 00:00:00", 40.0))
+      .toDF("u", "tss", "value")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val rfm = Profile.rfmScores(ev, "u", "ts", "value")
+      .orderBy("u").collect()
+    assert(rfm(0).getLong(1) == 0L && rfm(0).getLong(2) == 1L
+      && rfm(0).getLong(3) == 1000L)
+    assert(rfm(1).getLong(1) == 8L && rfm(1).getLong(2) == 2L
+      && rfm(1).getLong(3) == 9000L)
+  }
+
+  test("bitmapDistinctPartial: word-boundary ids, OR-idempotent " +
+    "merge, exact counts; negative id raises") {
+    import graft.operators.AggMerge
+    val a = Seq(("k", 0L), ("k", 31L), ("k", 32L), ("k", 63L),
+      ("k", 64L), ("k", 31L)).toDF("g", "id")
+    val p1 = AggMerge.bitmapDistinctPartial(a, "g", "id")
+    // 5 distinct ids across words 0,1,2
+    assert(AggMerge.bitmapDistinctCount(p1).collect()(0).getLong(1) == 5L)
+    val b = Seq(("k", 31L), ("k", 100L)).toDF("g", "id")
+    val p2 = AggMerge.bitmapDistinctPartial(b, "g", "id")
+    // re-merge p2 twice: OR idempotence — still 6 distinct
+    val m = AggMerge.mergeBitmapPartials(Seq(p1, p2, p2))
+    assert(AggMerge.bitmapDistinctCount(m).collect()(0).getLong(1) == 6L)
+    val neg = Seq(("k", -1L)).toDF("g", "id")
+    val e = intercept[Exception](
+      AggMerge.bitmapDistinctPartial(neg, "g", "id").collect())
+    assert(e.getMessage.contains("negative id"))
+  }
+
+  test("hodgesLehmannShift: lower median of the pairwise-difference " +
+    "multiset; empty side gives NULL shift") {
+    import graft.operators.RankStats
+    // A = {1, 3}, B = {2}: diffs {-1, +1}, T=2 -> lower median -1
+    val df = Seq(("k", 1L, true), ("k", 3L, true), ("k", 2L, false),
+      ("m", 5L, true)).toDF("g", "v", "ia")
+    val r = RankStats.hodgesLehmannShift(df, "g", "v", col("ia"))
+      .orderBy("g").collect()
+    assert(r(0).getString(0) == "k" && r(0).getLong(1) == 2L
+      && r(0).getLong(2) == 1L && r(0).getLong(3) == 2L
+      && r(0).getLong(4) == -1L)
+    assert(r(1).getString(0) == "m" && r(1).getLong(3) == 0L
+      && r(1).isNullAt(4))
+    // tie weights: A = {1,1,3}, B = {1}: diffs 0(x2), 2(x1), T=3
+    // cum(0)=2, 2*2>=3 -> median 0
+    val t2 = Seq(("k", 1L, true), ("k", 1L, true), ("k", 3L, true),
+      ("k", 1L, false)).toDF("g", "v", "ia")
+    assert(RankStats.hodgesLehmannShift(t2, "g", "v", col("ia"))
+      .collect()(0).getLong(4) == 0L)
+  }
 }
