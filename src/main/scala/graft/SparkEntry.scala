@@ -5188,6 +5188,50 @@ object SparkEntry {
             .as("qc"),
           col("l_linestatus")),
         "l_returnflag", "qc", col("l_linestatus") === "F")),
+
+    // sequenced-lake compaction: the whole upsert history folds into
+    // a fresh add-0 base with zero tombstones; requires pin the
+    // merged view unchanged bidirectionally
+    "q463_compact_sequenced" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("cseq") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val dst = LakeFixtures.freshRoot("cseqd") + "/lake"
+      Deletes.compactSequenced(s, root, dst, 2)
+      require(Deletes.nDeleteCommits(s, dst) == 0L,
+        "compacted lake must carry zero delete commits")
+      val m0 = Deletes.readMerged(s, root)
+      val m1 = Deletes.readMerged(s, dst)
+      require(m1.exceptAll(m0).count() == 0L
+        && m0.exceptAll(m1).count() == 0L,
+        "sequenced compaction changed the merged view")
+      m1.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // one-sample KS vs the uniform on the empirical range — the
+    // rational-CDF goodness-of-fit; parts exact, one division
+    "q464_ks_uniform" -> ((s, d) =>
+      graft.operators.RankStats.ksUniformParts(
+        t(s, d, "events").select(col("event_type"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("vc")),
+        "event_type", "vc")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -14945,5 +14989,42 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  FROM cum JOIN tot ON cum.k = tot.k GROUP BY 1)
         |SELECT tot.k AS l_returnflag, n_a, n_b, n_pairs, hl_shift
         |FROM tot LEFT JOIN hl ON tot.k = hl.k""".stripMargin,
+
+    // q463: same final state as q450 — the compacted lake's merged
+    // view is the identical last-writer-wins CASE
+    "q463_compact_sequenced" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 IN (0, 10)
+        |      THEN o_totalprice + 3000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q464: the cleared-denominator KS terms over the value lattice
+    "q464_ks_uniform" ->
+      """WITH base AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(MIN(v) AS BIGINT) AS lo,
+        |    CAST(MAX(v) AS BIGINT) AS hi, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |cum AS (SELECT k, v, c,
+        |    SUM(c) OVER (PARTITION BY k ORDER BY v ASC) AS cum
+        |  FROM cells),
+        |t AS (SELECT cum.k, b.n, b.lo, b.hi,
+        |    GREATEST(CAST(cum * (hi - lo) - (v - lo) * n AS BIGINT),
+        |      CAST((v - lo) * n - (cum - c) * (hi - lo) AS BIGINT))
+        |      AS term
+        |  FROM cum JOIN b ON cum.k = b.k)
+        |SELECT k AS event_type, n, lo, hi,
+        |  CAST(MAX(term) AS BIGINT) AS d_num,
+        |  CAST(n * (hi - lo) AS BIGINT) AS d_den,
+        |  CASE WHEN n * (hi - lo) > 0 THEN
+        |    CAST(MAX(term) AS DOUBLE) / CAST(n * (hi - lo) AS DOUBLE)
+        |  END AS d_stat
+        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
   )
 }

@@ -207,4 +207,13 @@ object Deletes {
       data.join(dels, cond, "left_anti").drop("__op")
     }
   }
+
+  /** Fold a sequenced lake's whole op history into a fresh base:
+    * `dst` gets the merged view as its `add-0` and ZERO delete
+    * commits, resetting the op counter — the periodic maintenance
+    * that keeps [[readMerged]]'s tombstone join small. Source
+    * untouched (rewrite-to-new, as [[compact]]). */
+  def compactSequenced(spark: SparkSession, path: String, dst: String,
+                       nFiles: Int): Unit =
+    initBase(spark, dst, readMerged(spark, path), nFiles)
 }

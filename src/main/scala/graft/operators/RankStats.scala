@@ -1715,6 +1715,59 @@ object RankStats {
           / (lit(2.0) * col("n_a").cast("double")
             * col("n_b").cast("double")))
 
+  /** One-sample Kolmogorov–Smirnov against the UNIFORM on the key's
+    * own empirical [min, max] — the goodness-of-fit member completing
+    * the EDF family (two-sample KS/CvM/AD exist; the one-sample
+    * normal needs Φ, libm, oracle-unsafe — uniform is the reference
+    * distribution whose CDF is RATIONAL, so the whole statistic
+    * clears to integers). Over the per-key distinct-value lattice
+    * with R = hi − lo and n rows:
+    *
+    *   D⁺ at v: cum(v)·R − (v − lo)·n     (empirical above uniform)
+    *   D⁻ at v: (v − lo)·n − cum_before(v)·R  (below, at the jump)
+    *   d_num = max over v of max(D⁺, D⁻),  d_den = n·R,
+    *   D = d_num / d_den — one division over exact BIGINTs.
+    *
+    * Integral values only (the cents contract). Output per key:
+    * (key, n, lo, hi, d_num, d_den, d_stat) — NULL D when R = 0 (a
+    * single-valued key has no range to test). */
+  def ksUniformParts(df: DataFrame, keyCol: String,
+                     valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = cells.groupBy(col(keyCol))
+      .agg(min(col("__v")).cast("long").as("lo"),
+        max(col("__v")).cast("long").as("hi"),
+        sum(col("__c")).cast("long").as("n"))
+    cells
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(Broadcasts.maybeBroadcast(bounds), Seq(keyCol))
+      .withColumn("__r", col("hi") - col("lo"))
+      .withColumn("__tp",
+        (col("__cum").cast(d38) * col("__r")
+          - (col("__v") - col("lo")).cast(d38) * col("n")).cast(d38)
+          .cast("long"))
+      .withColumn("__tm",
+        ((col("__v") - col("lo")).cast(d38) * col("n")
+          - (col("__cum") - col("__c")).cast(d38) * col("__r"))
+          .cast(d38).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        max(greatest(col("__tp"), col("__tm"))).as("d_num"),
+        max((col("n").cast(d38) * col("__r")).cast(d38).cast("long"))
+          .as("d_den"))
+      .withColumn("d_stat",
+        when(col("d_den") > 0L,
+          col("d_num").cast("double") / col("d_den").cast("double")))
+      .select(col(keyCol), col("n"), col("lo"), col("hi"),
+        col("d_num"), col("d_den"), col("d_stat"))
+  }
+
   /** Hodges–Lehmann two-sample shift estimator per key — the robust
     * "how much is A shifted above B?" companion to [[mannWhitneyU]]
     * (MWU answers whether a shift exists; HL estimates it as the

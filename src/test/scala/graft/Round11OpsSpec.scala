@@ -946,6 +946,33 @@ class Round11OpsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Deletes.initBase(spark, root, Seq((9L, 9L)).toDF("k", "v"), 1))
     assert(e2.getMessage.contains("already holds"))
+    // compaction folds history into a fresh base (op counter reset)
+    // and the compacted lake accepts further upserts
+    val dst = root + "-compacted"
+    Deletes.compactSequenced(spark, root, dst, 1)
+    assert(Deletes.nDeleteCommits(spark, dst) == 0L)
+    assert(Deletes.readMerged(spark, dst).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+      == Seq((1L, 12L), (2L, 20L), (3L, 30L)))
+    Deletes.upsert(spark, dst, Seq((2L, 99L)).toDF("k", "v"), Seq("k"))
+    assert(Deletes.readMerged(spark, dst).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+      == Seq((1L, 12L), (2L, 99L), (3L, 30L)))
+  }
+
+  test("ksUniformParts: hand lattice terms; single-valued key gives " +
+    "NULL statistic") {
+    import graft.operators.RankStats
+    // {0,5,10}: D+ peaks at v=0 (10), D- at v=10 (10) -> D = 10/30
+    val df = Seq(("k", 0L), ("k", 5L), ("k", 10L), ("m", 7L))
+      .toDF("g", "v")
+    val r = RankStats.ksUniformParts(df, "g", "v")
+      .orderBy("g").collect()
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 0L
+      && r(0).getLong(3) == 10L && r(0).getLong(4) == 10L
+      && r(0).getLong(5) == 30L
+      && r(0).getDouble(6) == 10.0 / 30.0)
+    assert(r(1).getLong(5) == 0L && r(1).isNullAt(6))
   }
 
   test("weightedSample: zero weight never keeps, full weight always " +
