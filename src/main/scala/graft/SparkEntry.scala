@@ -5232,6 +5232,77 @@ object SparkEntry {
           (col("value").cast("decimal(12,2)") * 100).cast("long")
             .as("vc")),
         "event_type", "vc")),
+
+    // time travel on the sequenced upsert lake: asOf op1 shows the
+    // first upsert's state, untouched by the second; asOf 0 is the
+    // base (require)
+    "q465_upsert_time_travel" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("tt") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      val op1 = Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      require(Deletes.readMergedAsOf(s, root, 0L).count() == base.count(),
+        "asOf 0 must be the untouched base")
+      Deletes.readMergedAsOf(s, root, op1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // functional-dependency checks: the unique key holds, the
+    // customer->status dependency is violated
+    "q466_functional_dependency" -> ((s, d) => {
+      def fd(det: String, dep: String) =
+        graft.checks.FunctionalDeps.functionalDependency(t(s, d, "orders"),
+          det, dep)
+          .withColumn("fd", lit(s"$det->$dep"))
+          .select("fd", "n_det_values", "n_violating_values",
+            "n_violating_rows", "holds")
+      fd("o_orderkey", "o_orderdate")
+        .unionAll(fd("o_custkey", "o_orderstatus"))
+    }),
+
+    // FIFO lot matching as cumulative-interval intersection — no
+    // iteration; require pins the conservation identity (matched
+    // total = min(supply, demand) per key)
+    "q467_fifo_match" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_partkey").isNotNull)
+        .withColumn("k", col("l_partkey") % 50)
+      def side(status: String) =
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("k"), col("l_orderkey").as("seq"))
+          .agg(sum((col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("qty"))
+      val sup = side("F"); val dem = side("O")
+      val matched = graft.operators.Allocate.fifoMatch(sup, dem,
+        "k", "seq", "qty")
+      val out = matched.groupBy(col("k"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("matched_qty")).cast("long").as("matched_cents"))
+      val totals = sup.groupBy("k")
+        .agg(sum(col("qty")).cast("long").as("__s"))
+        .join(dem.groupBy("k")
+          .agg(sum(col("qty")).cast("long").as("__d")), Seq("k"))
+        .withColumn("__want", least(col("__s"), col("__d")))
+      val broken = out.join(totals, Seq("k"))
+        .filter(col("matched_cents") =!= col("__want")).count()
+      require(broken == 0,
+        s"FIFO conservation identity broke on $broken keys")
+      out.orderBy(col("k"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15026,5 +15097,74 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    CAST(MAX(term) AS DOUBLE) / CAST(n * (hi - lo) AS DOUBLE)
         |  END AS d_stat
         |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q465: the mid-history state — only the FIRST upsert applied
+    "q465_upsert_time_travel" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 = 0
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q466: per-determinant distinct-dependent rollup, twice
+    "q466_functional_dependency" ->
+      """WITH g1 AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS nv,
+        |    CAST(SUM(n) AS BIGINT) AS nr
+        |  FROM (SELECT o_orderkey AS det, o_orderdate AS dep,
+        |      CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g2 AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS nv,
+        |    CAST(SUM(n) AS BIGINT) AS nr
+        |  FROM (SELECT o_custkey AS det, o_orderstatus AS dep,
+        |      CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT 'o_orderkey->o_orderdate' AS fd,
+        |  CAST(COUNT(*) AS BIGINT) AS n_det_values,
+        |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_values,
+        |  CAST(SUM(CASE WHEN nv > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |    AS n_violating_rows,
+        |  CAST(CASE WHEN SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM g1
+        |UNION ALL
+        |SELECT 'o_custkey->o_orderstatus',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN nv > 1 THEN nr ELSE 0 END) AS BIGINT),
+        |  CAST(CASE WHEN SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT)
+        |FROM g2""".stripMargin,
+
+    // q467: the same cumulative-interval construction in SQL
+    "q467_fifo_match" ->
+      """WITH li AS (SELECT l_partkey % 50 AS k, l_orderkey AS seq,
+        |    l_linestatus AS st,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS qc
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |sup AS (SELECT k, seq, CAST(SUM(qc) AS BIGINT) AS q FROM li
+        |  WHERE st = 'F' GROUP BY 1, 2),
+        |dem AS (SELECT k, seq, CAST(SUM(qc) AS BIGINT) AS q FROM li
+        |  WHERE st = 'O' GROUP BY 1, 2),
+        |sc AS (SELECT k, seq, SUM(q) OVER w - q AS lo,
+        |    SUM(q) OVER w AS hi
+        |  FROM sup WINDOW w AS (PARTITION BY k ORDER BY seq ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dc AS (SELECT k, seq, SUM(q) OVER w - q AS lo,
+        |    SUM(q) OVER w AS hi
+        |  FROM dem WINDOW w AS (PARTITION BY k ORDER BY seq ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT sc.k,
+        |    LEAST(sc.hi, dc.hi) - GREATEST(sc.lo, dc.lo) AS mq
+        |  FROM sc JOIN dc ON sc.k = dc.k
+        |  WHERE sc.hi > dc.lo AND dc.hi > sc.lo)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(mq) AS BIGINT) AS matched_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -473,4 +473,35 @@ object Quarantine {
     (annotated.filter(col("quarantine_reasons").isNull).drop("quarantine_reasons"),
       annotated.filter(col("quarantine_reasons").isNotNull))
   }
+
+}
+
+/** Dependency-structure checks over a single table. */
+object FunctionalDeps {
+
+  /** Functional-dependency check `det → dep` — does every determinant
+    * value map to exactly ONE dependent value? The profiling question
+    * behind candidate keys, denormalization safety, and "is this
+    * column derivable?" (dbt's unique test is the det→rowid special
+    * case). NULL dep is a VALUE (repo convention — two rows (x, NULL)
+    * and (x, 'a') are a violation); NULL det rows drop (no
+    * determinant to check). ONE cells aggregate + one det-scale
+    * rollup. Output one row: (n_det_values, n_violating_values,
+    * n_violating_rows, holds 0/1). */
+  def functionalDependency(df: DataFrame, detCol: String,
+                           depCol: String): DataFrame = {
+    val perDet = df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol), col(depCol).cast("string").as("__dep"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(detCol))
+      .agg(count(lit(1)).as("__nvals"), sum(col("__n")).as("__nrows"))
+    perDet.agg(
+      count(lit(1)).cast("long").as("n_det_values"),
+      sum(when(col("__nvals") > 1, 1L).otherwise(0L)).cast("long")
+        .as("n_violating_values"),
+      sum(when(col("__nvals") > 1, col("__nrows")).otherwise(0L))
+        .cast("long").as("n_violating_rows"))
+      .withColumn("holds",
+        when(col("n_violating_values") === 0L, 1L).otherwise(0L))
+  }
 }

@@ -184,15 +184,27 @@ object Deletes {
     * theirs, and the anti-join keeps a row unless some delete with a
     * LARGER op names its key (null-safe). One scan + one anti-join;
     * the tombstone side stays key-count-scale. */
-  def readMerged(spark: SparkSession, path: String): DataFrame = {
-    val addIds = listAddIds(spark, path)
-    require(addIds.nonEmpty, s"no add-N directories under $path")
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    readMergedAsOf(spark, path, Long.MaxValue)
+
+  /** TIME TRAVEL on the sequenced lake: the merged view as it stood
+    * after op `asOf` — only adds ≤ asOf scan, only deletes ≤ asOf
+    * apply. Free by construction (ops are already the total order);
+    * the reproducible-training-run read for an upsert lake, the
+    * [[Snapshots.readVersion]] analog without a snapshot log.
+    * Raises when no add ≤ asOf exists (asking for history before the
+    * base is a caller bug). */
+  def readMergedAsOf(spark: SparkSession, path: String,
+                     asOf: Long): DataFrame = {
+    val addIds = listAddIds(spark, path).filter(_ <= asOf)
+    require(addIds.nonEmpty,
+      s"no add-N directories at or before op $asOf under $path")
     val data = spark.read
-      .option("recursiveFileLookup", "true").parquet(path)
+      .parquet(addIds.map(i => s"$path/add-$i"): _*)
       .withColumn("__op",
         regexp_extract(input_file_name(), "add-([0-9]+)/", 1)
           .cast("long"))
-    val delIds = listDeleteIds(spark, path)
+    val delIds = listDeleteIds(spark, path).filter(_ <= asOf)
     if (delIds.isEmpty) data.drop("__op")
     else {
       val dels0 = spark.read

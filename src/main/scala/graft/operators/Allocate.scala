@@ -68,4 +68,63 @@ object Allocate {
         col("allocated_micro"),
         (col("allocated_micro").cast("double") / M).as("allocated"))
   }
+
+  /** FIFO lot matching WITHOUT iteration — the cost-basis /
+    * inventory-consumption classic (match each demand against supply
+    * lots oldest-first) recast as interval intersection: in FIFO
+    * order, lot i owns the quantity interval
+    * `[cumSupply_{i−1}, cumSupply_i)` and demand j consumes
+    * `[cumDemand_{j−1}, cumDemand_j)`; the quantity FIFO assigns pair
+    * (i, j) is exactly the OVERLAP of those intervals. Two per-key
+    * running-sum windows + one equi-join on the key with the overlap
+    * predicate — no loop, no recursion, bit-exact integers.
+    *
+    * Contract: quantities must be > 0 (raise — a zero/negative lot
+    * has no FIFO meaning) and `seqCol` unique per key on each side
+    * (raise — ties have no order). Join cost is O(lots·demands) per
+    * key before the overlap filter; for hot keys the banded upgrade
+    * is [[RangeJoin.pointInInterval]]'s bucketing over the cumulative
+    * axis (same intervals, bucket equi-join).
+    *
+    * Output: (key, supply_seq, demand_seq, matched_qty > 0), plus the
+    * per-pair interval edges for audit. Unmatched supply tail /
+    * demand overhang simply produce no pairs past the shorter
+    * cumulative axis. */
+  def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
+                seqCol: String, qtyCol: String): DataFrame = {
+    def cumified(df: DataFrame, tag: String): DataFrame = {
+      val wDup = Window.partitionBy(col(keyCol), col(seqCol))
+      val wCum = Window.partitionBy(col(keyCol))
+        .orderBy(col(seqCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df
+        .withColumn("__q",
+          when(col(qtyCol).isNull || col(qtyCol) <= 0,
+            raise_error(concat(lit(s"fifoMatch: $tag qty must be > 0" +
+              " at ("), col(keyCol).cast("string"), lit(", "),
+              col(seqCol).cast("string"), lit(")"))))
+            .otherwise(col(qtyCol).cast("long")))
+        .withColumn("__q",
+          when(count(lit(1)).over(wDup) > 1,
+            raise_error(concat(lit(s"fifoMatch: duplicate $tag seq" +
+              " at ("), col(keyCol).cast("string"), lit(", "),
+              col(seqCol).cast("string"), lit(")"))))
+            .otherwise(col("__q")))
+        .withColumn("__hi", sum(col("__q")).over(wCum))
+        .withColumn("__lo", col("__hi") - col("__q"))
+        .select(col(keyCol), col(seqCol).as(s"${tag}_seq"),
+          col("__lo").as(s"__${tag}_lo"), col("__hi").as(s"__${tag}_hi"))
+    }
+    val s = cumified(supply, "supply")
+    val d = cumified(demand, "demand")
+    s.join(d, Seq(keyCol))
+      .filter(col("__supply_hi") > col("__demand_lo")
+        && col("__demand_hi") > col("__supply_lo"))
+      .select(col(keyCol), col("supply_seq"), col("demand_seq"),
+        (least(col("__supply_hi"), col("__demand_hi"))
+          - greatest(col("__supply_lo"), col("__demand_lo")))
+          .as("matched_qty"),
+        col("__supply_lo").as("supply_from"),
+        col("__demand_lo").as("demand_from"))
+  }
 }

@@ -975,6 +975,67 @@ class Round11OpsSpec extends SparkSpec {
     assert(r(1).getLong(5) == 0L && r(1).isNullAt(6))
   }
 
+  test("readMergedAsOf: every intermediate state reconstructs; " +
+    "pre-base asOf raises") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ttspec").toString + "/lake"
+    Deletes.initBase(spark,
+      root, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1)
+    val op1 = Deletes.upsert(spark, root,
+      Seq((1L, 11L)).toDF("k", "v"), Seq("k"))
+    val op2 = Deletes.upsert(spark, root,
+      Seq((2L, 22L), (3L, 33L)).toDF("k", "v"), Seq("k"))
+    def at(op: Long) = Deletes.readMergedAsOf(spark, root, op)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(at(0L) == Seq((1L, 10L), (2L, 20L)))
+    assert(at(op1) == Seq((1L, 11L), (2L, 20L)))
+    assert(at(op2) == Seq((1L, 11L), (2L, 22L), (3L, 33L)))
+    val e = intercept[IllegalArgumentException](
+      Deletes.readMergedAsOf(spark, root, -1L))
+    assert(e.getMessage.contains("no add-N"))
+  }
+
+  test("functionalDependency: held and violated dependencies, NULL " +
+    "dependent is a value") {
+    import graft.checks.FunctionalDeps
+    val df = Seq((1L, Option("a")), (1L, Option("a")),
+      (2L, Option("b")), (2L, Option.empty[String]),
+      (3L, Option("c"))).toDF("det", "dep")
+    val r = FunctionalDeps.functionalDependency(df, "det", "dep")
+      .collect()(0)
+    // det=2 maps to {b, NULL}: 1 violating value over 2 rows
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L
+      && r.getLong(2) == 2L && r.getLong(3) == 0L)
+    val ok = FunctionalDeps.functionalDependency(
+      df.filter(col("det") =!= 2L), "det", "dep").collect()(0)
+    assert(ok.getLong(1) == 0L && ok.getLong(3) == 1L)
+  }
+
+  test("fifoMatch: interval intersection reproduces the textbook " +
+    "FIFO walk; conservation; guards raise") {
+    import graft.operators.Allocate
+    // lots: (s1, 5), (s2, 3); demands: (d1, 4), (d2, 4)
+    // FIFO: d1 <- 4 of s1; d2 <- 1 of s1 + 3 of s2
+    val sup = Seq(("k", 1L, 5L), ("k", 2L, 3L)).toDF("g", "seq", "q")
+    val dem = Seq(("k", 1L, 4L), ("k", 2L, 4L)).toDF("g", "seq", "q")
+    val m = Allocate.fifoMatch(sup, dem, "g", "seq", "q")
+      .orderBy("supply_seq", "demand_seq")
+      .select("supply_seq", "demand_seq", "matched_qty")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m == Seq((1L, 1L, 4L), (1L, 2L, 1L), (2L, 2L, 3L)))
+    // demand overhang: supply exhausted, matched total = 8
+    assert(m.map(_._3).sum == 8L)
+    val bad = Seq(("k", 1L, 0L)).toDF("g", "seq", "q")
+    val e = intercept[Exception](
+      Allocate.fifoMatch(bad, dem, "g", "seq", "q").collect())
+    assert(e.getMessage.contains("qty must be > 0"))
+    val dup = Seq(("k", 1L, 2L), ("k", 1L, 3L)).toDF("g", "seq", "q")
+    val e2 = intercept[Exception](
+      Allocate.fifoMatch(dup, dem, "g", "seq", "q").collect())
+    assert(e2.getMessage.contains("duplicate supply seq"))
+  }
+
   test("weightedSample: zero weight never keeps, full weight always " +
     "keeps, NULL drops, and lower-weight picks nest in higher") {
     import graft.llmdata.Sampling
