@@ -5303,6 +5303,52 @@ object SparkEntry {
         s"FIFO conservation identity broke on $broken keys")
       out.orderBy(col("k"))
     }),
+
+    // change data feed between lake versions — Delta's CDF on the
+    // upsert lake; require pins the apply round-trip identity
+    "q468_lake_cdc_feed" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("cdcf") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      val op1 = Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      val op2 = Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val feed = Deletes.cdcBetween(s, root, op1, op2,
+        Seq("o_orderkey"))
+      val applied = graft.operators.Diff.applyCdcFeed(
+        Deletes.readMergedAsOf(s, root, op1), feed, Seq("o_orderkey"))
+      val to = Deletes.readMergedAsOf(s, root, op2)
+      require(applied.exceptAll(to).count() == 0L
+        && to.exceptAll(applied).count() == 0L,
+        "CDC apply round-trip diverged from the target version")
+      feed.groupBy(col("op"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("op"))
+    }),
+
+    // the reference's DISTINCT ON (W1) through the custom heap
+    // operator — k=1 is first-row-per-key with NO per-partition sort
+    "q469_distinct_on_heap" -> ((s, d) => {
+      val out = graft.operators.TopK.perKey(
+        t(s, d, "events")
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+        Seq("user_id"), Seq(("ts", true), ("event_id", true)), 1)
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.contains("TopKPerKey") && !phys.contains("Sort "),
+        "heap DISTINCT ON must plan sort-free")
+      out
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15166,5 +15212,30 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(mq) AS BIGINT) AS matched_cents
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q468: between op1 and op2 every %20∈{0,10} key changed —
+    // deletes carry the op1 values, inserts the op2 values
+    "q468_lake_cdc_feed" ->
+      """WITH k AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 20 IN (0, 10))
+        |SELECT 'delete' AS op, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 = 0
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM k
+        |UNION ALL
+        |SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(CAST(o_totalprice + 3000.0 AS DECIMAL(14,2))
+        |    * 100 AS BIGINT)) AS BIGINT)
+        |FROM k""".stripMargin,
+
+    // q469: q12's window form is the oracle for the heap operator
+    "q469_distinct_on_heap" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
   )
 }

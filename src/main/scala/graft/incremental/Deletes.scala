@@ -220,6 +220,22 @@ object Deletes {
     }
   }
 
+  /** CHANGE DATA FEED between two ops of a sequenced lake — "what
+    * changed between version i and version j?" as delete/insert
+    * retraction events, Delta's CDF on the upsert lake: pure
+    * composition of [[readMergedAsOf]] with
+    * [[graft.operators.Diff.toCdcFeed]], so
+    * `applyCdcFeed(asOf(i), cdcBetween(i, j)) ≡ asOf(j)` holds by the
+    * Diff round-trip identity (q236). `keyCols` are the lake's upsert
+    * keys. */
+  def cdcBetween(spark: SparkSession, path: String, fromOp: Long,
+                 toOp: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromOp <= toOp, s"fromOp $fromOp > toOp $toOp")
+    graft.operators.Diff.toCdcFeed(
+      readMergedAsOf(spark, path, fromOp),
+      readMergedAsOf(spark, path, toOp), keyCols)
+  }
+
   /** Fold a sequenced lake's whole op history into a fresh base:
     * `dst` gets the merged view as its `add-0` and ZERO delete
     * commits, resetting the op counter — the periodic maintenance
