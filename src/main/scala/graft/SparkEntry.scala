@@ -5349,6 +5349,24 @@ object SparkEntry {
         "heap DISTINCT ON must plan sort-free")
       out
     }),
+
+    // exact audience-overlap matrix from ONE bitmap partial — word-
+    // aligned AND, never an id-level self-join; disjoint pairs emit 0
+    "q470_bitmap_overlap" -> ((s, d) => {
+      import graft.operators.AggMerge
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      AggMerge.bitmapOverlap(
+        AggMerge.bitmapDistinctPartial(ev, "event_type", "user_id"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // deterministic bottom-k sample per language — mergeable uniform
+    // without-replacement draw, running on the heap operator
+    "q471_bottom_k_sample" -> ((s, d) =>
+      graft.llmdata.Sampling.bottomK(
+        t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", 10)
+        .select("lang", "doc_id", "n_chars", "frac")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15237,5 +15255,40 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    // q470: id-level distinct pairs state the same overlaps
+    "q470_bitmap_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM du GROUP BY 1),
+        |i AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+        |    CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS key_a, cb.event_type AS key_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  CAST(COALESCE(ni, 0) AS BIGINT) AS n_intersect,
+        |  CAST(ca.n + cb.n - COALESCE(ni, 0) AS BIGINT) AS n_union,
+        |  CASE WHEN ca.n + cb.n - COALESCE(ni, 0) > 0 THEN
+        |    CAST(COALESCE(ni, 0) AS DOUBLE)
+        |      / CAST(ca.n + cb.n - COALESCE(ni, 0) AS DOUBLE)
+        |  END AS jaccard
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.key_a = ca.event_type
+        |  AND i.key_b = cb.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q471: the q88 md5 bridge under a per-stratum rank cut
+    "q471_bottom_k_sample" ->
+      """WITH f AS (SELECT lang, doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) / 4294967296.0 AS frac
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, frac FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY frac ASC, doc_id ASC) AS rn FROM f)
+        |WHERE rn <= 10""".stripMargin,
   )
 }

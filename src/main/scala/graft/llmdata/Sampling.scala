@@ -50,6 +50,24 @@ object Sampling {
         < col(weightCol).cast("double"))
   }
 
+  /** Deterministic uniform k-sample WITHOUT replacement per stratum —
+    * the BOTTOM-K construction: keep the k rows whose md5 hash
+    * fractions are smallest (ties by key). Because the hash is a
+    * fixed function of the key, bottom-k is MERGEABLE (the bottom-k
+    * of a union is the bottom-k of the parts' bottom-ks — the
+    * classic distributed-sample/bottom-k-sketch property) and stable
+    * under corpus growth except where a new row genuinely enters the
+    * bottom set. Runs on [[graft.operators.TopK.perKey]] (the
+    * bounded-heap operator), so no per-stratum sort — one hash
+    * exchange + a streaming heap. Output: input columns + `frac`. */
+  def bottomK(df: DataFrame, keyCol: String, stratumCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.operators.TopK.perKey(
+      df.withColumn("frac", hashFraction(col(keyCol))),
+      Seq(stratumCol), Seq(("frac", true), (keyCol, true)), k)
+  }
+
   /** Temperature-scaled corpus mixing weights at τ = 1/2 — the
     * multilingual-LM sampling classic (sample language i with
     * probability ∝ n_i^τ: τ=1 reproduces raw frequency and starves

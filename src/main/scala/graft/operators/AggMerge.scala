@@ -266,4 +266,41 @@ object AggMerge {
   def bitmapDistinctCount(partial: DataFrame): DataFrame =
     partial.groupBy(col("key"))
       .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"))
+
+  /** EXACT pairwise audience overlap from ONE bitmap partial — the
+    * "how many ids do key A and key B share?" matrix (audience
+    * overlap, co-visitation, feature co-occurrence) with zero
+    * sketch error: for each unordered key pair the intersection is
+    * `Σ_word bit_count(bits_a & bits_b)` — a word-aligned equi-join,
+    * never an id-level self-join — and union/Jaccard follow by
+    * inclusion-exclusion. Cost: words-scale self-join per co-present
+    * word; the id-level alternative joins row-scale. Every unordered
+    * key pair emits (disjoint audiences carry n_intersect = 0 — the
+    * pair frame is the keys-scale cross of the count table, broadcast
+    * both sides). Output per pair (key_a < key_b): (key_a, key_b,
+    * n_a, n_b, n_intersect, n_union, jaccard). */
+  def bitmapOverlap(partial: DataFrame): DataFrame = {
+    val counts = bitmapDistinctCount(partial)
+    val a = partial.select(col("key").as("key_a"), col("word"),
+      col("bits").as("__ba"))
+    val b = partial.select(col("key").as("key_b"), col("word"),
+      col("bits").as("__bb"))
+    val inter = a.join(b, Seq("word"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(sum(expr("bit_count(__ba & __bb)")).cast("long")
+        .as("__ni"))
+    counts.select(col("key").as("key_a"), col("n_distinct").as("n_a"))
+      .crossJoin(broadcast(counts.select(col("key").as("key_b"),
+        col("n_distinct").as("n_b"))))
+      .filter(col("key_a") < col("key_b"))
+      .join(inter, Seq("key_a", "key_b"), "left")
+      .withColumn("n_intersect", coalesce(col("__ni"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_intersect"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0L,
+          col("n_intersect").cast("double") / col("n_union").cast("double")))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        col("n_intersect"), col("n_union"), col("jaccard"))
+  }
 }

@@ -1262,4 +1262,39 @@ class Round11OpsSpec extends SparkSpec {
     assert(RankStats.hodgesLehmannShift(t2, "g", "v", col("ia"))
       .collect()(0).getLong(4) == 0L)
   }
+
+  test("bitmapOverlap: exact intersections across word boundaries; " +
+    "disjoint pair emits zero") {
+    import graft.operators.AggMerge
+    // a: {1, 33, 40}; b: {33, 40, 99}; c: {500} (disjoint from both)
+    val df = Seq(("a", 1L), ("a", 33L), ("a", 40L),
+      ("b", 33L), ("b", 40L), ("b", 99L), ("c", 500L)).toDF("g", "id")
+    val r = AggMerge.bitmapOverlap(
+      AggMerge.bitmapDistinctPartial(df, "g", "id"))
+      .orderBy("key_a", "key_b").collect()
+    assert(r.length == 3)
+    val ab = r(0)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b"
+      && ab.getLong(2) == 3L && ab.getLong(3) == 3L
+      && ab.getLong(4) == 2L && ab.getLong(5) == 4L
+      && ab.getDouble(6) == 0.5)
+    assert(r(1).getString(1) == "c" && r(1).getLong(4) == 0L)
+    assert(r(2).getString(0) == "b" && r(2).getLong(4) == 0L)
+  }
+
+  test("bottomK: mergeable — bottom-k of the union equals bottom-k " +
+    "of the parts' bottom-ks") {
+    import graft.llmdata.Sampling
+    val all = (1L to 300L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "s")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomK(df, "id", "s", 5)
+        .select("s", "id").as[(String, Long)].collect().toSet
+    val whole = ids(all)
+    val parts = ids(Sampling.bottomK(all.filter(col("id") <= 150),
+      "id", "s", 5).select("id", "s")
+      .unionAll(Sampling.bottomK(all.filter(col("id") > 150),
+        "id", "s", 5).select("id", "s")))
+    assert(whole == parts && whole.size == 10)
+  }
 }
