@@ -5367,6 +5367,20 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "lang", "n_chars"),
         "doc_id", "lang", 10)
         .select("lang", "doc_id", "n_chars", "frac")),
+
+    // shared-dialect TPC-H Q3 shape — segment join + date band +
+    // top-10, identical text, exact integer revenue
+    "q472_sql_q3_shape" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlQ3Text)
+    }),
+
+    // max drawdown over the per-type daily count series — running
+    // peak minus value, exact integers, first trough reported
+    "q473_max_drawdown" -> ((s, d) =>
+      graft.operators.Timeseries.maxDrawdown(
+        dailyCountSeries(s, d).select("event_type", "day", "y"),
+        "event_type", "day", "y")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -5524,6 +5538,27 @@ object SparkEntry {
       |    AS BIGINT) AS first_long_word_chars
       |FROM documents
       |GROUP BY lang""".stripMargin
+
+  /** q472's SQL — the TPC-H Q3 shape (segment-filtered 3-table join,
+    * date band on both sides, top-10 by revenue) as ONE shared text:
+    * revenue in exact integer micro-units (price_cents · (100 −
+    * disc_cents)), DATE literals, ORDER BY + LIMIT — the "complex
+    * analytical join" dialect pin. */
+  private val sqlQ3Text: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)
+      |    * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+      |      AS BIGINT))) AS BIGINT) AS revenue_micro
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < DATE '1998-03-15'
+      |  AND l_shipdate > DATE '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue_micro DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
 
   /** q457's SQL — shared-dialect GREATEST/LEAST/NULLIF over non-NULL
     * BIGINT operands (NULL-input semantics of GREATEST/LEAST differ
@@ -15279,6 +15314,28 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |LEFT JOIN i ON i.key_a = ca.event_type
         |  AND i.key_b = cb.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    // q472: the shared text verbatim
+    "q472_sql_q3_shape" -> sqlQ3Text,
+
+    // q473: running peak + drawdown windows over the daily lattice
+    "q473_max_drawdown" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT k, day, y,
+        |    MAX(y) OVER (PARTITION BY k ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+        |  FROM daily),
+        |dd AS (SELECT k, day, y, pk, pk - y AS d FROM r),
+        |m AS (SELECT k, CAST(MAX(d) AS BIGINT) AS mdd FROM dd
+        |  GROUP BY 1)
+        |SELECT dd.k AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(dd.y) AS BIGINT) AS peak,
+        |  CAST(MAX(dd.d) AS BIGINT) AS max_drawdown,
+        |  MIN(CASE WHEN dd.d = m.mdd THEN dd.day END) AS trough_order
+        |FROM dd JOIN m ON dd.k = m.k
+        |GROUP BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

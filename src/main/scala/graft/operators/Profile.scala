@@ -951,7 +951,15 @@ object Profile {
     * entity, Recency (days since last event, against the STREAM-WIDE
     * last day so silent users age), Frequency (event count), Monetary
     * (exact value cents, NULL values count 0), each quartile-scored
-    * 1..4 by [[quartileScore]]. NOTE the recency convention: the raw
+    * 1..4 by [[quartileScore]].
+    *
+    * Division of labor vs [[graft.operators.Retention.rfm]] (which
+    * predates this): Retention.rfm cuts with NTILE (equal-SIZE bins —
+    * ties can straddle a bin edge, matching SQL NTILE exactly); this
+    * one scores by value THRESHOLDS from the lattice rule, so tied
+    * values always share a score (the reproducible-segmentation
+    * property) at the cost of unequal bin sizes. Pick by whether tied
+    * customers must agree. NOTE the recency convention: the raw
     * metric is ascending days-since-last, so `r_score` 4 = LEAST
     * recent (stalest) — segmentation rules wanting "4 = best" read
     * `5 − r_score`, stated rather than silently flipped. Output:

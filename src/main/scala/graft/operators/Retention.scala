@@ -138,7 +138,12 @@ object Retention {
     *
     * Shape at 100 TB: one user-keyed aggregate, then three
     * globalNtile passes over the USER-level frame (users ≪ events),
-    * joined back on the user key. */
+    * joined back on the user key.
+    *
+    * Division of labor vs [[graft.operators.Profile.rfmScores]]:
+    * this one is NTILE semantics (equal-size bins, ties may straddle
+    * an edge); that one scores by value thresholds (tied values always
+    * agree, bins uneven). */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
           valueCol: String, nBuckets: Int = 5): DataFrame = {
     val perUser = events.groupBy(col(userCol))

@@ -1019,6 +1019,41 @@ object Timeseries {
       .drop("__x", "__xs")
   }
 
+  /** Maximum drawdown per key — the risk classic: with the running
+    * peak `P_t = max_{s≤t} x_s`, the drawdown at t is `P_t − x_t` and
+    * the max drawdown is its maximum over the series. Two
+    * key-partitioned windows over the pre-aggregated series (the
+    * [[durbinWatson]] series contract), all exact integers in the
+    * value's own units. Duplicate (key, order) raises (the running
+    * max is order-dependent across ties of the SAME instant). Output
+    * per key: (key, n, peak, max_drawdown, trough_order) —
+    * trough_order is the FIRST order value attaining the max
+    * drawdown. */
+  def maxDrawdown(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val wDup = Window.partitionBy(col(keyCol), col(orderCol))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__x",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("maxDrawdown: duplicate (key, order)" +
+            " at ("), col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"),
+            lit(") — pre-aggregate the series"))))
+          .otherwise(col(valueCol).cast("long")))
+      .withColumn("__peak", max(col("__x")).over(wRun))
+      .withColumn("__dd", col("__peak") - col("__x"))
+      .withColumn("__mdd",
+        max(col("__dd")).over(Window.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("__x")).cast("long").as("peak"),
+        max(col("__dd")).cast("long").as("max_drawdown"),
+        min(when(col("__dd") === col("__mdd"), col(orderCol)))
+          .as("trough_order"))
+  }
+
   /** Holt's linear-trend smoother per key — [[ewma]]'s TWO-STATE
     * sibling (EWMA lags behind a trending series by construction;
     * Holt carries a level AND a trend):

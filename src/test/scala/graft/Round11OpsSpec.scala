@@ -1297,4 +1297,20 @@ class Round11OpsSpec extends SparkSpec {
         "id", "s", 5).select("id", "s")))
     assert(whole == parts && whole.size == 10)
   }
+
+  test("maxDrawdown: peak/trough hand series; first trough wins; " +
+    "duplicate order raises") {
+    import graft.operators.Timeseries
+    // 10, 7, 12, 5, 9, 5: peaks 10,10,12,12,12,12; dd 0,3,0,7,3,7
+    // max dd 7, FIRST trough at t=4
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 7L), ("k", 3L, 12L),
+      ("k", 4L, 5L), ("k", 5L, 9L), ("k", 6L, 5L)).toDF("g", "t", "y")
+    val r = Timeseries.maxDrawdown(df, "g", "t", "y").collect()(0)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 12L
+      && r.getLong(3) == 7L && r.getLong(4) == 4L)
+    val dup = Seq(("k", 1L, 1L), ("k", 1L, 2L)).toDF("g", "t", "y")
+    val e = intercept[Exception](
+      Timeseries.maxDrawdown(dup, "g", "t", "y").collect())
+    assert(e.getMessage.contains("duplicate (key, order)"))
+  }
 }
