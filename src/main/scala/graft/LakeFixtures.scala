@@ -145,6 +145,19 @@ object LakeFixtures {
         .write.parquet(dir)
     }
 
+  /** q474's lake: orders with a true DATE-typed `o_date` column
+    * (the synthetic o_orderdate is a timestamp — a cast blocks
+    * pushdown, which is exactly what the rewrite-vs-fixture split
+    * demonstrates), date-sorted into 8 range-cut files. */
+  def ordersDateTyped(s: SparkSession, d: String): String =
+    once("orddt", d) { dir =>
+      graft.sources.Tables.read(s, d, "orders")
+        .withColumn("o_date", col("o_orderdate").cast("date"))
+        .repartitionByRange(8, col("o_date"))
+        .sortWithinPartitions("o_date")
+        .write.parquet(dir)
+    }
+
   /** q330/q384's lake: lineitem orderkey-sorted into 16 range-cut
     * files (q384 additionally writes its own `_graft_manifest` into
     * the dir per call — idempotent overwrite with a fixed column set,

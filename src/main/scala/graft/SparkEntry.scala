@@ -5381,6 +5381,31 @@ object SparkEntry {
       graft.operators.Timeseries.maxDrawdown(
         dailyCountSeries(s, d).select("event_type", "day", "y"),
         "event_type", "day", "y")),
+
+    // optimizer rule #2: year(d) = c — the reference's P4 month/year
+    // equality class — becomes a pushable date range; requires pin
+    // PushedFilters AND a pruned file set on the date-sorted lake
+    "q474_year_eq_pushdown" -> ((s, d) => {
+      graft.plans.DateTruncRangeRewrite.register(s)
+      val dir = LakeFixtures.ordersDateTyped(s, d)
+      val pr = s.read.parquet(dir)
+        .filter(year(col("o_date")) === 1998)
+      val plan = pr.queryExecution.executedPlan.toString
+      require(plan.contains("GreaterThanOrEqual(o_date,1998-01-01)")
+        && plan.contains("LessThan(o_date,1999-01-01)"),
+        "DateTruncRangeRewrite did not reach PushedFilters — the" +
+          " year() predicate is scanning every row group")
+      // (file COUNTS don't shrink here — pushed filters prune row
+      // groups at read time, not the file index; file-level pruning
+      // is the zone-map path's job, q330-class)
+      pr.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15336,6 +15361,16 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  MIN(CASE WHEN dd.d = m.mdd THEN dd.day END) AS trough_order
         |FROM dd JOIN m ON dd.k = m.k
         |GROUP BY 1""".stripMargin,
+
+    // q474: the year predicate stated directly (the rewrite is
+    // semantics-preserving; the plan evidence lives in the requires)
+    "q474_year_eq_pushdown" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

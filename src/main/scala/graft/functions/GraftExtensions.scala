@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     // optimizer surface: abs-range predicates become pushable ranges
     ext.injectOptimizerRule(_ => graft.plans.AbsRangeRewrite)
+    // calendar-bucket equality on dates becomes a pushable range
+    ext.injectOptimizerRule(_ => graft.plans.DateTruncRangeRewrite)
     // planner surface: bounded-heap top-k per key (no per-partition sort)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -1298,6 +1298,48 @@ class Round11OpsSpec extends SparkSpec {
     assert(whole == parts && whole.size == 10)
   }
 
+  test("DateTruncRangeRewrite: year/trunc equality rewrites to the " +
+    "half-open range with identical row results; misaligned trunc " +
+    "literals stay unrewritten") {
+    import graft.plans.DateTruncRangeRewrite
+    DateTruncRangeRewrite.register(spark)
+    // parquet-backed (a LocalRelation filter constant-folds away
+    // before the plan can be inspected)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dtr").toString + "/t"
+    Seq("1997-12-31", "1998-01-01", "1998-07-15", "1998-12-31",
+      "1999-01-01").map(s => Tuple1(java.sql.Date.valueOf(s)))
+      .toDF("d").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    // year(): boundary-exact — 3 rows of 1998
+    val y = df.filter(expr("year(d) = 1998"))
+    assert(y.count() == 3L)
+    val yPlan = y.queryExecution.optimizedPlan.toString
+    assert(yPlan.contains(">= 1998-01-01") || yPlan.contains("1998-01-01"))
+    assert(!yPlan.contains("year("), s"year() survived rewrite:\n$yPlan")
+    // trunc month, aligned literal
+    val m = df.filter(expr("trunc(d, 'month') = DATE '1998-12-01'"))
+    assert(m.count() == 1L)
+    assert(!m.queryExecution.optimizedPlan.toString.contains("trunc("))
+    // misaligned literal: unrewritten (and still correct: no match)
+    val bad = df.filter(expr("trunc(d, 'month') = DATE '1998-12-02'"))
+    assert(bad.queryExecution.optimizedPlan.toString.contains("trunc("))
+    assert(bad.count() == 0L)
+    // trunc year, aligned
+    val ty = df.filter(expr("trunc(d, 'year') = DATE '1998-01-01'"))
+    assert(ty.count() == 3L)
+    assert(!ty.queryExecution.optimizedPlan.toString.contains("trunc("))
+    // year(timestamp) rewrites THROUGH the analyzer's cast-to-date
+    // (the zone stays inside the cast) — still row-correct
+    val tdir = dir + "-ts"
+    Seq(Tuple1(java.sql.Timestamp.valueOf("1998-06-01 12:00:00")),
+      Tuple1(java.sql.Timestamp.valueOf("1997-12-31 23:59:59")))
+      .toDF("t").write.parquet(tdir)
+    val tq = spark.read.parquet(tdir).filter(expr("year(t) = 1998"))
+    assert(tq.count() == 1L)
+    assert(!tq.queryExecution.optimizedPlan.toString.contains("year("))
+  }
+
   test("maxDrawdown: peak/trough hand series; first trough wins; " +
     "duplicate order raises") {
     import graft.operators.Timeseries
