@@ -5406,6 +5406,14 @@ object SparkEntry {
           max(col("o_orderdate")).as("max_date"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Holt-Winters additive (weekly season) — the 3-state fold;
+    // oracle carries the 7 season columns recursively
+    "q475_holt_winters" -> ((s, d) =>
+      graft.operators.Timeseries.holtWinters(
+        dailyCountSeries(s, d).select("event_type", "day", "y"),
+        "event_type", "day", "y",
+        alpha = 0.5, gamma = 0.25, delta = 0.25, period = 7)),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15371,6 +15379,47 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
         |FROM orders WHERE year(o_orderdate) = 1998
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q475: generated recursive CTE — the 7 season columns ride the
+    // recursion; l_t's expression repeats textually inside b_t/s_t
+    // exactly as the fold lambda's Column tree does
+    "q475_holt_winters" -> {
+      val m = 7
+      val sCase = "(CASE CAST((d.rn - 1) % 7 AS BIGINT) " +
+        (0 until m).map(j => s"WHEN $j THEN r.s$j").mkString(" ") +
+        " END)"
+      val lNew =
+        s"((CAST(d.y AS DOUBLE) - $sCase) * 0.5 + (r.l + r.b) * 0.5)"
+      val sCols = (0 until m).map(j =>
+        s"    CASE WHEN CAST((d.rn - 1) % 7 AS BIGINT) = $j THEN" +
+          s" (CAST(d.y AS DOUBLE) - $lNew) * 0.25 + r.s$j * 0.75" +
+          s" ELSE r.s$j END AS s$j").mkString(",\n")
+      val seasonSel = "(CASE CAST((rn - 1) % 7 AS BIGINT) " +
+        (0 until m).map(j => s"WHEN $j THEN s$j").mkString(" ") +
+        " END)"
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+         |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |d AS (SELECT event_type, day, y, CAST(row_number() OVER (
+         |    PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS rn
+         |  FROM daily),
+         |r AS (
+         |  SELECT event_type, day, y, rn, CAST(y AS DOUBLE) AS l,
+         |    CAST(0 AS DOUBLE) AS b,
+         |    ${(0 until m).map(j => s"CAST(0 AS DOUBLE) AS s$j")
+              .mkString(", ")}
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.event_type, d.day, d.y, d.rn,
+         |    $lNew AS l,
+         |    ($lNew - r.l) * 0.25 + r.b * 0.75 AS b,
+         |$sCols
+         |  FROM r JOIN d ON d.event_type = r.event_type
+         |    AND d.rn = r.rn + 1)
+         |SELECT event_type, day, y, l AS level, b AS trend,
+         |  $seasonSel AS season
+         |FROM r""".stripMargin
+    },
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

@@ -1118,4 +1118,92 @@ object Timeseries {
       .withColumn("trend", col("__st").getField("b"))
       .drop("__x", "__xs", "__st")
   }
+
+  /** Holt–Winters ADDITIVE smoother per key — the THREE-state member
+    * completing the exponential family ([[ewma]] level,
+    * [[holtLinear]] level+trend, here level+trend+`period` seasonal
+    * slots):
+    *
+    *   `l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})`
+    *   `b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}`
+    *   `s_t = δ·(x_t − l_t) + (1−δ)·s_{t−m}`
+    *
+    * seeded `l_1 = x_1, b_1 = 0, s = 0⃗` (the cold-start seed — stated
+    * contract; production initializations fit the first season
+    * upstream). The seasonal slot of position p (1-based, per key) is
+    * `(p−1) mod period` — slots live as `period` struct fields in the
+    * fold accumulator, selected and updated by when-chains, so the
+    * whole state stays one expression-level struct (no arrays, no
+    * UDFs). Same dyadic/guard/O(series²)/oracle-replay contract as
+    * [[holtLinear]] — the oracle's recursive CTE carries the m season
+    * columns and repeats the `l_t` expression textually inside `b_t`
+    * and `s_t`, exactly as the fold lambda does.
+    *
+    * Output: input columns + (level, trend, season) — `season` is the
+    * row's own slot AFTER its update. */
+  def holtWinters(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String, alpha: Double, gamma: Double,
+                  delta: Double, period: Int): DataFrame = {
+    require(period >= 2 && period <= 24,
+      s"period in [2, 24], got $period")
+    Seq(("alpha", alpha), ("gamma", gamma), ("delta", delta)).foreach {
+      case (n, v) =>
+        require(v > 0.0 && v <= 1.0, s"$n in (0,1], got $v")
+        require((v * (1L << 30)).isWhole, s"$n must be dyadic, got $v")
+    }
+    val (beta, gbar, dbar) = (1.0 - alpha, 1.0 - gamma, 1.0 - delta)
+    val wDup = Window.partitionBy(col(keyCol), col(orderCol))
+    val base = df
+      .withColumn("__x",
+        when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+          .otherwise(raise_error(concat(lit("holtWinters: NULL value" +
+            " at ("), col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"), lit(") — impute upstream")))))
+      .withColumn("__x",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("holtWinters: duplicate (key," +
+            " order) at ("), col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"),
+            lit(") — pre-aggregate the series"))))
+          .otherwise(col("__x")))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    type C = org.apache.spark.sql.Column
+    def slotOf(p: C): C = (p - 1) % period
+    def pick(st: C, slot: C): C =
+      (0 until period).foldLeft(lit(Double.NaN)) { (acc, j) =>
+        when(slot === j, st.getField(s"s$j")).otherwise(acc)
+      }
+    def step(acc: C, x: C): C = {
+      val p = acc.getField("t") + 1
+      val slot = slotOf(p)
+      val sCur = pick(acc, slot)
+      val lNew = (x - sCur) * lit(alpha) +
+        (acc.getField("l") + acc.getField("b")) * lit(beta)
+      val bNew = (lNew - acc.getField("l")) * lit(gamma) +
+        acc.getField("b") * lit(gbar)
+      val sFields = (0 until period).map { j =>
+        when(slot === j,
+          (x - lNew) * lit(delta) + acc.getField(s"s$j") * lit(dbar))
+          .otherwise(acc.getField(s"s$j")).as(s"s$j")
+      }
+      struct((lNew.as("l") +: bNew.as("b") +: sFields) :+ p.as("t"): _*)
+    }
+    val seed = struct(
+      (element_at(col("__xs"), 1).as("l") +: lit(0.0).as("b") +:
+        (0 until period).map(j => lit(0.0).as(s"s$j"))) :+
+        lit(1L).as("t"): _*)
+    base
+      .withColumn("__xs", collect_list(col("__x")).over(wRun))
+      .withColumn("__st",
+        aggregate(
+          slice(col("__xs"), lit(2),
+            greatest(size(col("__xs")) - 1, lit(0))),
+          seed, step))
+      .withColumn("level", col("__st").getField("l"))
+      .withColumn("trend", col("__st").getField("b"))
+      .withColumn("season",
+        pick(col("__st"), slotOf(size(col("__xs")).cast("long"))))
+      .drop("__x", "__xs", "__st")
+  }
 }

@@ -1340,6 +1340,25 @@ class Round11OpsSpec extends SparkSpec {
     assert(!tq.queryExecution.optimizedPlan.toString.contains("year("))
   }
 
+  test("holtWinters: hand three-state recursion at period 2; " +
+    "non-dyadic delta raises") {
+    import graft.operators.Timeseries
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L))
+      .toDF("g", "t", "y")
+    val r = Timeseries.holtWinters(df, "g", "t", "y",
+      0.5, 0.25, 0.25, period = 2)
+      .orderBy("t").select("level", "trend", "season")
+      .as[(Double, Double, Double)].collect().toSeq
+    // t1: seed (10, 0), season slot0 = 0
+    // t2 slot1: l=15, b=1.25, s1=1.25
+    // t3 slot0: l=23.125, b=2.96875, s0=1.71875
+    assert(r == Seq((10.0, 0.0, 0.0), (15.0, 1.25, 1.25),
+      (23.125, 2.96875, 1.71875)))
+    val e = intercept[IllegalArgumentException](
+      Timeseries.holtWinters(df, "g", "t", "y", 0.5, 0.25, 0.3, 2))
+    assert(e.getMessage.contains("dyadic"))
+  }
+
   test("maxDrawdown: peak/trough hand series; first trough wins; " +
     "duplicate order raises") {
     import graft.operators.Timeseries
