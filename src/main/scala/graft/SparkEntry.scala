@@ -5414,6 +5414,37 @@ object SparkEntry {
         dailyCountSeries(s, d).select("event_type", "day", "y"),
         "event_type", "day", "y",
         alpha = 0.5, gamma = 0.25, delta = 0.25, period = 7)),
+
+    // FIFO remaining inventory per lot — q467's complement; require
+    // pins conservation (per key: Σ remaining = max(0, S − D))
+    "q476_fifo_remaining" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_partkey").isNotNull)
+        .withColumn("k", col("l_partkey") % 50)
+      def side(status: String) =
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("k"), col("l_orderkey").as("seq"))
+          .agg(sum((col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("qty"))
+      val sup = side("F"); val dem = side("O")
+      val rem = graft.operators.Allocate.fifoRemaining(sup, dem,
+        "k", "seq", "qty")
+      val out = rem.groupBy(col("k"))
+        .agg(count(lit(1)).cast("long").as("n_lots"),
+          sum(when(col("remaining_qty") > 0, 1L).otherwise(0L))
+            .cast("long").as("n_open_lots"),
+          sum(col("remaining_qty")).cast("long").as("remaining_cents"))
+      val totals = sup.groupBy("k")
+        .agg(sum(col("qty")).cast("long").as("__s"))
+        .join(dem.groupBy("k")
+          .agg(sum(col("qty")).cast("long").as("__d")), Seq("k"))
+        .withColumn("__want",
+          greatest(lit(0L), col("__s") - col("__d")))
+      val broken = out.join(totals, Seq("k"))
+        .filter(col("remaining_cents") =!= col("__want")).count()
+      require(broken == 0,
+        s"FIFO remaining conservation broke on $broken keys")
+      out.orderBy(col("k"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15420,6 +15451,31 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
          |  $seasonSel AS season
          |FROM r""".stripMargin
     },
+
+    // q476: per-lot remaining = max(0, hi − max(lo, D))
+    "q476_fifo_remaining" ->
+      """WITH li AS (SELECT l_partkey % 50 AS k, l_orderkey AS seq,
+        |    l_linestatus AS st,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS qc
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |sup AS (SELECT k, seq, CAST(SUM(qc) AS BIGINT) AS q FROM li
+        |  WHERE st = 'F' GROUP BY 1, 2),
+        |dem AS (SELECT k, CAST(SUM(qc) AS BIGINT) AS dtot FROM li
+        |  WHERE st = 'O' GROUP BY 1),
+        |sc AS (SELECT k, seq, SUM(q) OVER w - q AS lo,
+        |    SUM(q) OVER w AS hi
+        |  FROM sup WINDOW w AS (PARTITION BY k ORDER BY seq ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT sc.k, sc.seq, hi - lo AS lot_qty,
+        |    GREATEST(0, hi - GREATEST(lo, COALESCE(dtot, 0)))
+        |      AS remaining
+        |  FROM sc LEFT JOIN dem ON sc.k = dem.k)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_lots,
+        |  CAST(SUM(CASE WHEN remaining > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_open_lots,
+        |  CAST(SUM(remaining) AS BIGINT) AS remaining_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

@@ -69,6 +69,33 @@ object Allocate {
         (col("allocated_micro").cast("double") / M).as("allocated"))
   }
 
+  /** Guarded per-side cumulative [lo, hi) intervals both FIFO
+    * operators share (qty > 0 and unique-seq raises live here). */
+  private def cumifiedFifo(df: DataFrame, keyCol: String, seqCol: String,
+                           qtyCol: String, tag: String): DataFrame = {
+      val wDup = Window.partitionBy(col(keyCol), col(seqCol))
+      val wCum = Window.partitionBy(col(keyCol))
+        .orderBy(col(seqCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df
+        .withColumn("__q",
+          when(col(qtyCol).isNull || col(qtyCol) <= 0,
+            raise_error(concat(lit(s"fifoMatch: $tag qty must be > 0" +
+              " at ("), col(keyCol).cast("string"), lit(", "),
+              col(seqCol).cast("string"), lit(")"))))
+            .otherwise(col(qtyCol).cast("long")))
+        .withColumn("__q",
+          when(count(lit(1)).over(wDup) > 1,
+            raise_error(concat(lit(s"fifoMatch: duplicate $tag seq" +
+              " at ("), col(keyCol).cast("string"), lit(", "),
+              col(seqCol).cast("string"), lit(")"))))
+            .otherwise(col("__q")))
+        .withColumn("__hi", sum(col("__q")).over(wCum))
+        .withColumn("__lo", col("__hi") - col("__q"))
+        .select(col(keyCol), col(seqCol).as(s"${tag}_seq"),
+          col("__lo").as(s"__${tag}_lo"), col("__hi").as(s"__${tag}_hi"))
+  }
+
   /** FIFO lot matching WITHOUT iteration — the cost-basis /
     * inventory-consumption classic (match each demand against supply
     * lots oldest-first) recast as interval intersection: in FIFO
@@ -92,29 +119,8 @@ object Allocate {
     * cumulative axis. */
   def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
                 seqCol: String, qtyCol: String): DataFrame = {
-    def cumified(df: DataFrame, tag: String): DataFrame = {
-      val wDup = Window.partitionBy(col(keyCol), col(seqCol))
-      val wCum = Window.partitionBy(col(keyCol))
-        .orderBy(col(seqCol).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df
-        .withColumn("__q",
-          when(col(qtyCol).isNull || col(qtyCol) <= 0,
-            raise_error(concat(lit(s"fifoMatch: $tag qty must be > 0" +
-              " at ("), col(keyCol).cast("string"), lit(", "),
-              col(seqCol).cast("string"), lit(")"))))
-            .otherwise(col(qtyCol).cast("long")))
-        .withColumn("__q",
-          when(count(lit(1)).over(wDup) > 1,
-            raise_error(concat(lit(s"fifoMatch: duplicate $tag seq" +
-              " at ("), col(keyCol).cast("string"), lit(", "),
-              col(seqCol).cast("string"), lit(")"))))
-            .otherwise(col("__q")))
-        .withColumn("__hi", sum(col("__q")).over(wCum))
-        .withColumn("__lo", col("__hi") - col("__q"))
-        .select(col(keyCol), col(seqCol).as(s"${tag}_seq"),
-          col("__lo").as(s"__${tag}_lo"), col("__hi").as(s"__${tag}_hi"))
-    }
+    def cumified(df: DataFrame, tag: String): DataFrame =
+      cumifiedFifo(df, keyCol, seqCol, qtyCol, tag)
     val s = cumified(supply, "supply")
     val d = cumified(demand, "demand")
     s.join(d, Seq(keyCol))
@@ -126,5 +132,27 @@ object Allocate {
           .as("matched_qty"),
         col("__supply_lo").as("supply_from"),
         col("__demand_lo").as("demand_from"))
+  }
+
+  /** [[fifoMatch]]'s complement — the REMAINING inventory per lot
+    * after FIFO consumption: with total demand D per key, lot i
+    * (interval [lo, hi)) keeps `max(0, hi − max(lo, D))`. Same
+    * cumulative construction, no pair join at all (only the demand
+    * TOTAL matters for what's left). Output: (key, supply_seq,
+    * lot_qty, remaining_qty) — every lot emits, consumed lots with
+    * remaining 0; the aging report is a filter away. Conservation:
+    * Σ remaining = max(0, S − D) per key (the q476 require). */
+  def fifoRemaining(supply: DataFrame, demand: DataFrame, keyCol: String,
+                    seqCol: String, qtyCol: String): DataFrame = {
+    val s = cumifiedFifo(supply, keyCol, seqCol, qtyCol, "supply")
+    val totals = cumifiedFifo(demand, keyCol, seqCol, qtyCol, "demand")
+      .groupBy(col(keyCol)).agg(max(col("__demand_hi")).as("__dtot"))
+    s.join(Broadcasts.maybeBroadcast(totals), Seq(keyCol), "left")
+      .withColumn("__d", coalesce(col("__dtot"), lit(0L)))
+      .select(col(keyCol), col("supply_seq"),
+        (col("__supply_hi") - col("__supply_lo")).as("lot_qty"),
+        greatest(lit(0L), col("__supply_hi")
+          - greatest(col("__supply_lo"), col("__d")))
+          .as("remaining_qty"))
   }
 }

@@ -1034,6 +1034,21 @@ class Round11OpsSpec extends SparkSpec {
     val e2 = intercept[Exception](
       Allocate.fifoMatch(dup, dem, "g", "seq", "q").collect())
     assert(e2.getMessage.contains("duplicate supply seq"))
+    // remaining: D=8 consumes all of s1 (5) and all of s2 (3) -> 0;
+    // with demand 6: s1 fully consumed, s2 keeps 2
+    val rem = Allocate.fifoRemaining(sup,
+      Seq(("k", 1L, 6L)).toDF("g", "seq", "q"), "g", "seq", "q")
+      .orderBy("supply_seq")
+      .select("supply_seq", "lot_qty", "remaining_qty")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rem == Seq((1L, 5L, 0L), (2L, 3L, 2L)))
+    // no demand at all: everything remains
+    val rem0 = Allocate.fifoRemaining(sup,
+      Seq.empty[(String, Long, Long)].toDF("g", "seq", "q"),
+      "g", "seq", "q")
+      .orderBy("supply_seq").select("remaining_qty")
+      .as[Long].collect().toSeq
+    assert(rem0 == Seq(5L, 3L))
   }
 
   test("weightedSample: zero weight never keeps, full weight always " +
