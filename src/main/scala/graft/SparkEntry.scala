@@ -5445,6 +5445,51 @@ object SparkEntry {
         s"FIFO remaining conservation broke on $broken keys")
       out.orderBy(col("k"))
     }),
+
+    // one-step-ahead Holt-Winters anomaly residuals — pure window
+    // composition over q475's output (forecast = lag level + lag
+    // trend + own-slot lagged season)
+    "q477_hw_anomaly" -> ((s, d) => {
+      val hw = graft.operators.Timeseries.holtWinters(
+        dailyCountSeries(s, d).select("event_type", "day", "y"),
+        "event_type", "day", "y", 0.5, 0.25, 0.25, 7)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").asc)
+      hw.withColumn("forecast",
+          lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w)
+            + coalesce(lag(col("season"), 7).over(w), lit(0.0)))
+        .filter(col("forecast").isNotNull)
+        .select(col("event_type"), col("day"), col("y"),
+          col("forecast"),
+          (col("y").cast("double") - col("forecast")).as("residual"))
+    }),
+
+    // MERGE-style mixed batch: deletes + upserts in ONE op on the
+    // sequenced lake; require pins the surviving key population
+    "q478_merge_batch" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("mb") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      val batch = base.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("__op", lit("delete"))
+        .unionAll(base.filter(col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+          .withColumn("__op", lit("upsert")))
+      Deletes.applyMergeBatch(s, root, batch, Seq("o_orderkey"), "__op")
+      val m = Deletes.readMerged(s, root)
+      val expect = base.count() -
+        base.filter(col("o_orderkey") % 20 === 0).count()
+      require(m.count() == expect,
+        "merge batch must delete exactly the delete-op keys")
+      m.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -5602,6 +5647,46 @@ object SparkEntry {
       |    AS BIGINT) AS first_long_word_chars
       |FROM documents
       |GROUP BY lang""".stripMargin
+
+  /** Season selector shared by the q475/q477 oracles. */
+  private val holtWintersSeasonSel: String =
+    "(CASE CAST((rn - 1) % 7 AS BIGINT) " +
+      (0 until 7).map(j => s"WHEN $j THEN s$j").mkString(" ") + " END)"
+
+  /** Shared WITH body for the q475/q477 oracles — the Holt-Winters
+    * recursion at (α, γ, δ) = (0.5, 0.25, 0.25), period 7, over the
+    * per-type daily counts; `r` carries l, b, s0..s6. */
+  private val holtWintersOracleWith: String = {
+    val m = 7
+    val sCase = "(CASE CAST((d.rn - 1) % 7 AS BIGINT) " +
+      (0 until m).map(j => s"WHEN $j THEN r.s$j").mkString(" ") +
+      " END)"
+    val lNew =
+      s"((CAST(d.y AS DOUBLE) - $sCase) * 0.5 + (r.l + r.b) * 0.5)"
+    val sCols = (0 until m).map(j =>
+      s"    CASE WHEN CAST((d.rn - 1) % 7 AS BIGINT) = $j THEN" +
+        s" (CAST(d.y AS DOUBLE) - $lNew) * 0.25 + r.s$j * 0.75" +
+        s" ELSE r.s$j END AS s$j").mkString(",\n")
+    s"""WITH RECURSIVE daily AS (SELECT event_type,
+       |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       |d AS (SELECT event_type, day, y, CAST(row_number() OVER (
+       |    PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS rn
+       |  FROM daily),
+       |r AS (
+       |  SELECT event_type, day, y, rn, CAST(y AS DOUBLE) AS l,
+       |    CAST(0 AS DOUBLE) AS b,
+       |    ${(0 until m).map(j => s"CAST(0 AS DOUBLE) AS s$j")
+            .mkString(", ")}
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.event_type, d.day, d.y, d.rn,
+       |    $lNew AS l,
+       |    ($lNew - r.l) * 0.25 + r.b * 0.75 AS b,
+       |$sCols
+       |  FROM r JOIN d ON d.event_type = r.event_type
+       |    AND d.rn = r.rn + 1)""".stripMargin
+  }
 
   /** q472's SQL — the TPC-H Q3 shape (segment-filtered 3-table join,
     * date band on both sides, top-10 by revenue) as ONE shared text:
@@ -15414,43 +15499,28 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
     // q475: generated recursive CTE — the 7 season columns ride the
     // recursion; l_t's expression repeats textually inside b_t/s_t
     // exactly as the fold lambda's Column tree does
-    "q475_holt_winters" -> {
-      val m = 7
-      val sCase = "(CASE CAST((d.rn - 1) % 7 AS BIGINT) " +
-        (0 until m).map(j => s"WHEN $j THEN r.s$j").mkString(" ") +
-        " END)"
-      val lNew =
-        s"((CAST(d.y AS DOUBLE) - $sCase) * 0.5 + (r.l + r.b) * 0.5)"
-      val sCols = (0 until m).map(j =>
-        s"    CASE WHEN CAST((d.rn - 1) % 7 AS BIGINT) = $j THEN" +
-          s" (CAST(d.y AS DOUBLE) - $lNew) * 0.25 + r.s$j * 0.75" +
-          s" ELSE r.s$j END AS s$j").mkString(",\n")
-      val seasonSel = "(CASE CAST((rn - 1) % 7 AS BIGINT) " +
-        (0 until m).map(j => s"WHEN $j THEN s$j").mkString(" ") +
-        " END)"
-      s"""WITH RECURSIVE daily AS (SELECT event_type,
-         |    CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
-         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-         |d AS (SELECT event_type, day, y, CAST(row_number() OVER (
-         |    PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS rn
-         |  FROM daily),
-         |r AS (
-         |  SELECT event_type, day, y, rn, CAST(y AS DOUBLE) AS l,
-         |    CAST(0 AS DOUBLE) AS b,
-         |    ${(0 until m).map(j => s"CAST(0 AS DOUBLE) AS s$j")
-              .mkString(", ")}
-         |  FROM d WHERE rn = 1
-         |  UNION ALL
-         |  SELECT d.event_type, d.day, d.y, d.rn,
-         |    $lNew AS l,
-         |    ($lNew - r.l) * 0.25 + r.b * 0.75 AS b,
-         |$sCols
-         |  FROM r JOIN d ON d.event_type = r.event_type
-         |    AND d.rn = r.rn + 1)
+    "q475_holt_winters" ->
+      s"""$holtWintersOracleWith
          |SELECT event_type, day, y, l AS level, b AS trend,
-         |  $seasonSel AS season
-         |FROM r""".stripMargin
-    },
+         |  $holtWintersSeasonSel AS season
+         |FROM r""".stripMargin,
+
+    // q477: q475's recursion + window lags — forecast_t =
+    // lag(level) + lag(trend) + lag-of-own-slot season
+    "q477_hw_anomaly" ->
+      s"""$holtWintersOracleWith,
+         |o AS (SELECT event_type, day, y, l AS level, b AS trend,
+         |    $holtWintersSeasonSel AS season
+         |  FROM r),
+         |f AS (SELECT event_type, day, y, level, trend, season,
+         |    lag(level) OVER w + lag(trend) OVER w
+         |      + COALESCE(lag(season, 7) OVER w, CAST(0 AS DOUBLE))
+         |      AS forecast
+         |  FROM o WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY day ASC))
+         |SELECT event_type, day, y, forecast,
+         |  CAST(y AS DOUBLE) - forecast AS residual
+         |FROM f WHERE forecast IS NOT NULL""".stripMargin,
 
     // q476: per-lot remaining = max(0, hi − max(lo, D))
     "q476_fifo_remaining" ->
@@ -15476,6 +15546,17 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS BIGINT) AS n_open_lots,
         |  CAST(SUM(remaining) AS BIGINT) AS remaining_cents
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q478: survivors = base minus delete keys, upsert keys at +500
+    "q478_merge_batch" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 = 10
+        |      THEN o_totalprice + 500.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 20 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

@@ -220,6 +220,38 @@ object Deletes {
     }
   }
 
+  /** MERGE-style mixed batch on the sequenced lake — Delta's
+    * `WHEN MATCHED [AND cond] THEN DELETE / UPDATE, WHEN NOT MATCHED
+    * INSERT` reduced to its storage effect: `batch` carries an `opCol`
+    * of 'upsert' (insert-or-replace the key) or 'delete' (tombstone
+    * the key), and ONE op applies both — every batch key is
+    * tombstoned at op N, and only the upsert rows are appended at op
+    * N. Same cost shape as [[upsert]]: one key-list write + one
+    * (smaller) append, zero rewrites. The batch must be unique on
+    * `keyCols` and `opCol` values must be exactly 'upsert'/'delete'
+    * (raise otherwise). Returns the op id. */
+  def applyMergeBatch(spark: SparkSession, path: String,
+                      batch: DataFrame, keyCols: Seq[String],
+                      opCol: String): Long = {
+    require(keyCols.nonEmpty, "keyCols required")
+    val bad = batch.filter(col(opCol).isNull
+      || !col(opCol).isin("upsert", "delete")).count()
+    require(bad == 0, s"$bad rows carry an op other than" +
+      " 'upsert'/'delete'")
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dup == 0,
+      s"merge batch has $dup duplicate key tuples — one verdict per key")
+    val op = (listAddIds(spark, path) ++ listDeleteIds(spark, path))
+      .foldLeft(0L)(math.max) + 1L
+    writeDeletesAt(spark, path, batch.select(keyCols.map(col): _*), op)
+    val inserts = batch.filter(col(opCol) === "upsert").drop(opCol)
+    if (inserts.limit(1).count() > 0)
+      inserts.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$path/add-$op")
+    op
+  }
+
   /** CHANGE DATA FEED between two ops of a sequenced lake — "what
     * changed between version i and version j?" as delete/insert
     * retraction events, Delta's CDF on the upsert lake: pure

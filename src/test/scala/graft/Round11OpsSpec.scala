@@ -975,6 +975,38 @@ class Round11OpsSpec extends SparkSpec {
     assert(r(1).getLong(5) == 0L && r(1).isNullAt(6))
   }
 
+  test("applyMergeBatch: delete + upsert + insert in one op; " +
+    "bad op values and duplicate keys raise; delete-only batch " +
+    "writes no add directory but still advances the op") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mbspec").toString + "/lake"
+    Deletes.initBase(spark,
+      root, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), 1)
+    // delete k=1, update k=2, insert k=9 — one op
+    Deletes.applyMergeBatch(spark, root,
+      Seq((1L, 0L, "delete"), (2L, 22L, "upsert"), (9L, 90L, "upsert"))
+        .toDF("k", "v", "op"), Seq("k"), "op")
+    def view = Deletes.readMerged(spark, root)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(view == Seq((2L, 22L), (3L, 30L), (9L, 90L)))
+    // delete-only batch: no add dir, op still advances, next op works
+    Deletes.applyMergeBatch(spark, root,
+      Seq((3L, 0L, "delete")).toDF("k", "v", "op"), Seq("k"), "op")
+    assert(view == Seq((2L, 22L), (9L, 90L)))
+    Deletes.upsert(spark, root, Seq((2L, 23L)).toDF("k", "v"), Seq("k"))
+    assert(view == Seq((2L, 23L), (9L, 90L)))
+    val e1 = intercept[IllegalArgumentException](
+      Deletes.applyMergeBatch(spark, root,
+        Seq((2L, 1L, "drop")).toDF("k", "v", "op"), Seq("k"), "op"))
+    assert(e1.getMessage.contains("'upsert'/'delete'"))
+    val e2 = intercept[IllegalArgumentException](
+      Deletes.applyMergeBatch(spark, root,
+        Seq((5L, 1L, "upsert"), (5L, 2L, "delete"))
+          .toDF("k", "v", "op"), Seq("k"), "op"))
+    assert(e2.getMessage.contains("duplicate key"))
+  }
+
   test("readMergedAsOf: every intermediate state reconstructs; " +
     "pre-base asOf raises") {
     import graft.incremental.Deletes
