@@ -5490,6 +5490,34 @@ object SparkEntry {
             .cast("long")).cast("long").as("price_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // streaming upsert replay: two batches through the sink's exact
+    // per-batch body (op = batchId + 1), the second crash-replayed —
+    // path overwrite keeps history AND content stable (require)
+    "q479_upsert_sink_replay" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("usink") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      def b1 = base.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      def b2 = base.filter(col("o_orderkey") % 20 === 0
+          || col("o_orderkey") % 20 === 10)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0))
+      Deletes.upsertAt(s, root, b1, Seq("o_orderkey"), 1L)
+      Deletes.upsertAt(s, root, b2, Seq("o_orderkey"), 2L)
+      Deletes.upsertAt(s, root, b2, Seq("o_orderkey"), 2L) // replay
+      val m = Deletes.readMerged(s, root)
+      require(m.count() == base.count(),
+        "replayed upsert changed the key population")
+      m.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15556,6 +15584,16 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS price_cents
         |FROM orders
         |WHERE o_orderkey % 5 = 0 AND o_orderkey % 20 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q479: same final state as q450 (last-writer-wins CASE)
+    "q479_upsert_sink_replay" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 IN (0, 10)
+        |      THEN o_totalprice + 3000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut

@@ -179,6 +179,31 @@ object Deletes {
       .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .parquet(s"${delRoot(path)}/d=$op")
 
+  /** [[upsert]] with a CALLER-CHOSEN op id and overwrite semantics —
+    * the streaming form ([[graft.streaming.Streaming.upsertSink]]
+    * derives op = batchId + 1 from the checkpointed batch id, so a
+    * crash-REPLAYED batch overwrites its own delete file and add
+    * directory instead of appending a fresh op — idempotence by
+    * path, the monthOverwrite rule). Raises when `op` would break
+    * monotonicity against ops OTHER than itself (an out-of-order op
+    * could resurrect rows a later delete killed). */
+  def upsertAt(spark: SparkSession, path: String, batch: DataFrame,
+               keyCols: Seq[String], op: Long): Unit = {
+    require(keyCols.nonEmpty, "keyCols required")
+    val others = (listAddIds(spark, path) ++ listDeleteIds(spark, path))
+      .filter(_ != op)
+    require(others.forall(_ < op),
+      s"op $op is not the frontier — existing ops ${others.sorted}")
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dup == 0, "upsert batch has duplicate key tuples")
+    batch.select(keyCols.map(col): _*).distinct().coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${delRoot(path)}/d=$op")
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/add-$op")
+  }
+
   /** Read a sequenced lake: every row is tagged with its add's op
     * (from the file path — no schema pollution), tombstones with
     * theirs, and the anti-join keeps a row unless some delete with a

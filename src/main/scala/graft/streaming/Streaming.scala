@@ -1294,6 +1294,28 @@ object Streaming {
       graft.operators.AggMerge.mergeBitmapPartials(Seq(
         spark.read.option("recursiveFileLookup", "true").parquet(path))))
 
+  /** Streaming UPSERT into a sequenced merge-on-read lake
+    * ([[graft.incremental.Deletes]]): each micro-batch becomes ONE op
+    * (op = batchId + 1, so the base's add-0 stays op 0) via
+    * [[graft.incremental.Deletes.upsertAt]]'s overwrite semantics — a
+    * crash-replayed batch rewrites its own op directories instead of
+    * appending a new op, so the lake's history and content are both
+    * replay-stable (path idempotence; the quantileDeltaSink rule
+    * extended to a WRITE-side maintenance op). Within-batch duplicate
+    * keys raise in the batch body (one version per op). Per-batch
+    * cost: one key-list write + one append — never a rewrite. */
+  def upsertSink(df: DataFrame, path: String, keyCols: Seq[String],
+                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.incremental.Deletes.upsertAt(batch.sparkSession, path,
+          batch, keyCols, batchId + 1L)
+        ()
+      }
+      .start()
+
   def exactDedupStream(df: DataFrame, tsCol: String, textCol: String,
                        lateness: String): DataFrame =
     df.withColumn("__fp", graft.llmdata.TextAnalysis.fingerprint(col(textCol)))

@@ -1007,6 +1007,30 @@ class Round11OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate key"))
   }
 
+  test("upsertAt: replay overwrites its own op (history and content " +
+    "stable); out-of-order op raises") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-uaspec").toString + "/lake"
+    Deletes.initBase(spark,
+      root, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1)
+    Deletes.upsertAt(spark, root,
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), Seq("k"), 1L)
+    // crash replay of op 1: same content, same history
+    Deletes.upsertAt(spark, root,
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), Seq("k"), 1L)
+    assert(Deletes.readMerged(spark, root).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+      == Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+    Deletes.upsertAt(spark, root,
+      Seq((2L, 22L)).toDF("k", "v"), Seq("k"), 2L)
+    // op 1 after op 2 exists would resurrect — raises
+    val e = intercept[IllegalArgumentException](
+      Deletes.upsertAt(spark, root,
+        Seq((9L, 9L)).toDF("k", "v"), Seq("k"), 1L))
+    assert(e.getMessage.contains("not the frontier"))
+  }
+
   test("readMergedAsOf: every intermediate state reconstructs; " +
     "pre-base asOf raises") {
     import graft.incremental.Deletes
