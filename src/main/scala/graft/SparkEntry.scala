@@ -5518,6 +5518,41 @@ object SparkEntry {
             .cast("long")).cast("long").as("price_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // merge-on-read + zone maps capstone: a selective key box over
+    // the clustered upsert lake opens few base files (requires pin
+    // the skip AND pruned ≡ unpruned-filtered)
+    "q480_merged_pruned" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("mprn") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBaseClustered(s, root, base, 8, Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val hi = base.agg(max(col("o_orderkey"))).head().getLong(0) / 8L
+      val pruned = Deletes.readMergedPruned(s, root,
+        Seq(("o_orderkey", 1L, hi)))
+      val opened = pruned.inputFiles.count(_.contains("add-"))
+      val total = s.read.option("recursiveFileLookup", "true")
+        .parquet(root).inputFiles.length
+      require(opened * 2 < total,
+        s"merged-pruned skip regressed: opened $opened of $total" +
+          " add files for a 1/8th key box")
+      val full = Deletes.readMerged(s, root)
+        .filter(col("o_orderkey").between(1L, hi))
+      require(pruned.exceptAll(full).count() == 0L
+        && full.exceptAll(pruned).count() == 0L,
+        "pruned merge-on-read diverged from the full merged view")
+      pruned.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15594,6 +15629,19 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q480: last-writer CASE under the same scale-free key box
+    "q480_merged_pruned" ->
+      """WITH hi AS (SELECT MAX(o_orderkey) // 8 AS h FROM orders
+        |  WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 = 0
+        |      THEN o_totalprice + 3000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders, hi
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey BETWEEN 1 AND hi.h
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut

@@ -153,6 +153,70 @@ object Deletes {
       .parquet(s"$path/add-0")
   }
 
+  /** [[initBase]] with a CLUSTERED layout — range-cut and sorted on
+    * `sortCols`, so the base's parquet footers carry tight min/max
+    * bounds and [[readMergedPruned]] can skip base files. Upsert adds
+    * are whatever the batch is (small, rarely worth clustering);
+    * compaction re-clusters by re-seeding through this. */
+  def initBaseClustered(spark: SparkSession, path: String, df: DataFrame,
+                        nFiles: Int, sortCols: Seq[String]): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(sortCols.nonEmpty, "sortCols required")
+    require(listAddIds(spark, path).isEmpty
+      && listDeleteIds(spark, path).isEmpty,
+      s"$path already holds a sequenced lake")
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$path/add-0")
+  }
+
+  /** ZONE-MAP-PRUNED merge-on-read: [[readMerged]] where the data
+    * scan opens only the add files whose footer bounds can intersect
+    * `box` ([[graft.sources.Tables.prunedCandidateFiles]] — the
+    * conservative never-wrong-skip contract), then applies tombstones
+    * and re-applies the box row-level. Correctness composes because
+    * pruning only drops rows the ROW predicate would drop anyway —
+    * tombstones never resurrect a pruned row (they only remove more).
+    * The `_graft_deletes` side is never pruned (tombstones must apply
+    * whole). The merge-on-read + zone-map capstone: at 100 TB a
+    * selective probe over an upsert lake opens the few clustered base
+    * files plus the small recent adds, not the lake. */
+  def readMergedPruned(spark: SparkSession, path: String,
+                       box: Seq[(String, Any, Any)]): DataFrame = {
+    val addIds = listAddIds(spark, path)
+    require(addIds.nonEmpty, s"no add-N directories under $path")
+    val cand = graft.sources.Tables.prunedCandidateFiles(spark, path, box)
+    val schema = spark.read
+      .option("recursiveFileLookup", "true").parquet(path).schema
+    val pred = graft.sources.Tables.boxPredicate(box)
+    if (cand.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(pred)
+    val data = spark.read.schema(schema)
+      .parquet(cand.toIndexedSeq: _*)
+      .withColumn("__op",
+        regexp_extract(input_file_name(), "add-([0-9]+)/", 1)
+          .cast("long"))
+    val delIds = listDeleteIds(spark, path)
+    val live =
+      if (delIds.isEmpty) data.drop("__op")
+      else {
+        val dels0 = spark.read
+          .parquet(delIds.map(i => s"${delRoot(path)}/d=$i"): _*)
+          .withColumn("__dop",
+            regexp_extract(input_file_name(), "d=([0-9]+)/", 1)
+              .cast("long"))
+        val keyCols = dels0.columns.filterNot(_ == "__dop").toSeq
+        val dels = graft.operators.Broadcasts.maybeBroadcast(dels0)
+        val cond = keyCols.map(c => data(c) <=> dels(c)).reduce(_ && _) &&
+          dels("__dop") > data("__op")
+        data.join(dels, cond, "left_anti").drop("__op")
+      }
+    live.filter(pred)
+  }
+
   /** Merge-on-read upsert: one op = tombstone the batch's keys +
     * append the batch. The batch must be UNIQUE on `keyCols` (two
     * versions of a key in one op have no order — raises). Returns the

@@ -880,6 +880,48 @@ object Tables {
     * forbids — so the mismatch raises instead. Numeric-width mixes
     * (a Long bound on Double bounds and vice versa) are safe: both
     * sides promote to double, never NULL. */
+  /** The row-level predicate a box states — public so composed
+    * readers (e.g. [[graft.incremental.Deletes.readMergedPruned]])
+    * re-apply exactly the predicate the candidate filter was
+    * conservative about. */
+  def boxPredicate(box: Seq[(String, Any, Any)]): org.apache.spark.sql.Column =
+    box.map { case (c, lo, hi) =>
+      col(c) >= boundLit(lo) && col(c) <= boundLit(hi)
+    }.reduce(_ && _)
+
+  /** Conservative candidate FILE list for a box over `path`'s footers
+    * — the file-skip half of [[readPrunedBox]], exposed for composed
+    * readers that must keep extra per-file context (op tags, custom
+    * joins). Same bound-TYPE validation and never-wrong-skip contract
+    * as the flat readers. */
+  def prunedCandidateFiles(spark: SparkSession, path: String,
+                           box: Seq[(String, Any, Any)]): Seq[String] = {
+    require(box.nonEmpty, "box predicates required")
+    val stats = footerStatsTyped(spark, path, box.map(_._1))
+    box.foreach { case (c, lo, hi) =>
+      val f = stats.schema.fields
+        .find(_.name.equalsIgnoreCase(s"${c}_min")).getOrElse(
+          throw new IllegalArgumentException(
+            s"stats frame has no '${c}_min' bound column"))
+      val isStrCol = f.dataType == org.apache.spark.sql.types.StringType
+      Seq(lo, hi).foreach { v =>
+        val isStrBound = v.isInstanceOf[String]
+        require(isStrBound == isStrCol,
+          s"box bound type mismatch on '$c': " +
+            (if (isStrCol) s"string bounds required, got ${v.getClass.getName}"
+             else s"numeric bounds required, got a String ('$v')") +
+            " — a mistyped bound would NULL inside the candidate filter" +
+            " and wrongly skip files")
+      }
+    }
+    val keep = box.map { case (c, lo, hi) =>
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        (col(s"${c}_max") >= boundLit(lo) && col(s"${c}_min") <= boundLit(hi))
+    }.reduce(_ && _)
+    stats.filter(keep).select(col("path")).collect()
+      .map(_.getString(0)).toSeq
+  }
+
   private def prunedScan(spark: SparkSession, path: String,
                          stats: DataFrame,
                          box: Seq[(String, Any, Any)]): DataFrame = {
@@ -907,9 +949,7 @@ object Tables {
       .select(col("path")).collect().map(_.getString(0))
     val schema = spark.read.option("recursiveFileLookup", "true")
       .parquet(path).schema
-    val pred = box.map { case (c, lo, hi) =>
-      col(c) >= boundLit(lo) && col(c) <= boundLit(hi)
-    }.reduce(_ && _)
+    val pred = boxPredicate(box)
     if (cand.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema).filter(pred)
