@@ -1031,6 +1031,31 @@ class Round11OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("not the frontier"))
   }
 
+  test("readMergedPruned: tombstoned rows stay dead inside candidate " +
+    "files; pruning never changes the filtered merged view") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mpspec").toString + "/lake"
+    // clustered base: ids 1..100 over 4 files
+    Deletes.initBaseClustered(spark, root,
+      (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v"), 4, Seq("k"))
+    // upsert k=5 (inside the low box) and k=90 (outside)
+    Deletes.upsert(spark, root,
+      Seq((5L, 555L), (90L, 900L)).toDF("k", "v"), Seq("k"))
+    val pruned = Deletes.readMergedPruned(spark, root,
+      Seq(("k", 1L, 25L)))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    val full = Deletes.readMerged(spark, root)
+      .filter(col("k").between(1L, 25L))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(pruned == full)
+    assert(pruned.find(_._1 == 5L).map(_._2).contains(555L))
+    assert(pruned.size == 25)
+    // empty box: typed empty frame, no rows
+    assert(Deletes.readMergedPruned(spark, root,
+      Seq(("k", 1000L, 2000L))).count() == 0L)
+  }
+
   test("readMergedAsOf: every intermediate state reconstructs; " +
     "pre-base asOf raises") {
     import graft.incremental.Deletes
