@@ -5553,6 +5553,13 @@ object SparkEntry {
             .cast("long")).cast("long").as("price_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Siegel repeated-median slope — theilSen's 50%-breakdown
+    // upgrade; two nested lower-median selections, same exact slopes
+    "q481_siegel_slope" -> ((s, d) =>
+      graft.operators.Timeseries.siegelSlope(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        "event_type", "ts", "value")),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15643,6 +15650,32 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |FROM orders, hi
         |WHERE o_orderkey % 5 = 0 AND o_orderkey BETWEEN 1 AND hi.h
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q481: q247's slope substrate under two nested median rules
+    "q481_siegel_slope" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.d AS i, b.d AS j,
+        |    (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.d < b.d),
+        |pp AS (SELECT event_type, i AS pt, slope FROM p
+        |  UNION ALL SELECT event_type, j AS pt, slope FROM p),
+        |r1 AS (SELECT event_type, pt, slope,
+        |    row_number() OVER (PARTITION BY event_type, pt
+        |      ORDER BY slope) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, pt) AS n FROM pp),
+        |med AS (SELECT event_type, pt, MIN(slope) AS m FROM r1
+        |  WHERE 2 * rn >= n GROUP BY 1, 2),
+        |r2 AS (SELECT event_type, m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY m)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM med)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_points,
+        |  MIN(m) AS siegel_slope
+        |FROM r2 WHERE 2 * rn >= n GROUP BY 1""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

@@ -550,6 +550,56 @@ object Timeseries {
         min(col("__slope")).as("theil_sen_slope"))
   }
 
+  /** Siegel repeated-median slope per key — [[theilSen]]'s
+    * 50%-breakdown upgrade (Theil–Sen's single median over all pair
+    * slopes breaks down at ~29% outliers; Siegel medians TWICE — per
+    * point over its slopes to every other point, then over the
+    * per-point medians — and survives until half the POINTS are bad).
+    * Same exact substrate as theilSen (daily exactSum values, integer
+    * day deltas, the positional lower-median rule at both levels);
+    * each unordered pair contributes its slope to BOTH endpoints, so
+    * the per-point frames have n−1 slopes each. C(n,2) pair cost per
+    * key — the documented theilSen contract.
+    *
+    * Output per key: (key, n_points, siegel_slope). Keys with < 2
+    * days have no slope and drop (the theilSen convention). */
+  def siegelSlope(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(graft.functions.ScalarFns.exactSum(col(valCol)).as("__v"))
+      .withColumn("__d",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.__d") < col("b.__d"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        col("a.__d").as("__i"), col("b.__d").as("__j"),
+        ((col("b.__v") - col("a.__v"))
+          / (col("b.__d") - col("a.__d")).cast("double")).as("__slope"))
+    // each slope belongs to BOTH endpoints' per-point frames
+    val perPoint = pairs.select(col(keyCol),
+        explode(array(col("__i"), col("__j"))).as("__pt"),
+        col("__slope"))
+    val wOrd1 = Window.partitionBy(col(keyCol), col("__pt"))
+      .orderBy(col("__slope").asc)
+    val wAll1 = Window.partitionBy(col(keyCol), col("__pt"))
+    val med = perPoint
+      .withColumn("__rn", row_number().over(wOrd1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll1))
+      .filter(lit(2L) * col("__rn") >= col("__n"))
+      .groupBy(col(keyCol), col("__pt"))
+      .agg(min(col("__slope")).as("__med"))
+    val wOrd2 = Window.partitionBy(col(keyCol)).orderBy(col("__med").asc)
+    val wAll2 = Window.partitionBy(col(keyCol))
+    med
+      .withColumn("__rn", row_number().over(wOrd2).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll2))
+      .filter(lit(2L) * col("__rn") >= col("__n"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).cast("long").as("n_points"),
+        min(col("__med")).as("siegel_slope"))
+  }
+
   def burstDetect(df: DataFrame, tsCol: String, bucketSeconds: Long,
                   trailingN: Int, factorNum: Long, factorDen: Long): DataFrame = {
     require(bucketSeconds > 0 && trailingN >= 1 && factorNum > 0 && factorDen > 0,

@@ -1455,6 +1455,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("dyadic"))
   }
 
+  test("siegelSlope: breakdown beyond Theil-Sen — one wild point " +
+    "cannot move the repeated median off a clean line") {
+    import graft.operators.Timeseries
+    // days 1..5 on y = 2x, day 5 wildly corrupted (y = 1000)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:00:00")
+    val clean = (1 to 4).map(i => ("k", ts(i), 2.0 * i))
+    val df = (clean :+ (("k", ts(5), 1000.0))).toDF("g", "t", "v")
+    val r = Timeseries.siegelSlope(df, "g", "t", "v").collect()(0)
+    assert(r.getLong(1) == 5L)
+    // per clean point, the median of its 4 slopes is 2.0 (3 clean
+    // slopes of 2.0 vs 1 wild); the wild point's median is wild —
+    // the outer median over {2,2,2,2,wild} is 2.0
+    assert(r.getDouble(2) == 2.0)
+  }
+
   test("maxDrawdown: peak/trough hand series; first trough wins; " +
     "duplicate order raises") {
     import graft.operators.Timeseries
