@@ -5560,6 +5560,24 @@ object SparkEntry {
       graft.operators.Timeseries.siegelSlope(
         t(s, d, "events").filter(col("ts").isNotNull),
         "event_type", "ts", "value")),
+
+    // Benjamini-Yekutieli FDR over the q298 test table — the
+    // any-dependence gate; harmonic c(m) folds in ascending order
+    "q482_by_fdr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("__c"))
+      val dayTot = daily.groupBy(col("day"))
+        .agg(sum(col("__c")).as("__dt"))
+      val tests = daily
+        .join(graft.operators.Broadcasts.maybeBroadcast(dayTot),
+          Seq("day"))
+        .select(col("event_type"), col("day"),
+          (col("__c").cast("double") / col("__dt").cast("double"))
+            .as("p"))
+      graft.operators.Robust.benjaminiYekutieli(tests, "p", 0.3,
+        Seq("event_type", "day"))
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15676,6 +15694,31 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_points,
         |  MIN(m) AS siegel_slope
         |FROM r2 WHERE 2 * rn >= n GROUP BY 1""".stripMargin,
+
+    // q482: q298's machinery + ordered harmonic list_reduce
+    "q482_by_fdr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |dt AS (SELECT day, CAST(SUM(c) AS BIGINT) AS dtot FROM d
+        |  GROUP BY 1),
+        |tests AS (SELECT event_type, d.day,
+        |    CAST(c AS DOUBLE) / CAST(dtot AS DOUBLE) AS p_value
+        |  FROM d JOIN dt ON d.day = dt.day),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
+        |      event_type, day) AS BIGINT) AS bh_rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM tests),
+        |hc AS (SELECT m, list_reduce(list_transform(
+        |      generate_series(1, m), i -> CAST(1 AS DOUBLE) / i),
+        |    (a, b) -> a + b) AS cm
+        |  FROM (SELECT DISTINCT m FROM r)),
+        |th AS (SELECT r.*, (CAST(bh_rank AS DOUBLE) * 0.3)
+        |    / (CAST(r.m AS DOUBLE) * hc.cm) AS by_threshold
+        |  FROM r JOIN hc ON r.m = hc.m),
+        |k AS (SELECT COALESCE(MAX(CASE WHEN p_value <= by_threshold
+        |    THEN bh_rank END), 0) AS kstar FROM th)
+        |SELECT event_type, day, p_value, bh_rank, by_threshold,
+        |  bh_rank <= kstar AS rejected
+        |FROM th, k""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

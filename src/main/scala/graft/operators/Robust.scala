@@ -415,6 +415,23 @@ object Robust {
   def benjaminiHochberg(tests: DataFrame, pCol: String, alpha: Double,
                         tieBreakCols: Seq[String]): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1) required, got $alpha")
+    val thresh = fdrRanked(tests, pCol, tieBreakCols)
+      .withColumn("bh_threshold",
+        (col("bh_rank").cast("double") * lit(alpha))
+          / col("__m").cast("double"))
+      .withColumn("__hit", col("p_value") <= col("bh_threshold"))
+    val kStar = thresh.agg(
+      coalesce(max(when(col("__hit"), col("bh_rank"))), lit(0L)).as("__k"))
+    thresh.crossJoin(broadcast(kStar))
+      .withColumn("rejected", col("bh_rank") <= col("__k"))
+      .drop("__m", "__hit", "__k")
+  }
+
+  /** The (p, tiebreak)-ranked test table both FDR gates share:
+    * validated p, total-order enforcement, rank, and the test count
+    * as `__m`. */
+  private def fdrRanked(tests: DataFrame, pCol: String,
+                        tieBreakCols: Seq[String]): DataFrame = {
     require(tieBreakCols.nonEmpty, "tieBreakCols required for a total order")
     import org.apache.spark.sql.expressions.Window
     val base = tests.select(
@@ -442,16 +459,38 @@ object Robust {
           .otherwise(col("bh_rank")))
       .drop("__dup")
     val m = checked.agg(count(lit(1)).as("__m"))
-    val thresh = checked.crossJoin(broadcast(m))
-      .withColumn("bh_threshold",
+    checked.crossJoin(broadcast(m))
+  }
+
+  /** Benjamini–Yekutieli FDR — [[benjaminiHochberg]] hardened for
+    * ARBITRARY dependence between tests (BH's guarantee needs
+    * independence/PRDS; BY pays a `c(m) = Σ_{i≤m} 1/i` factor and
+    * holds under any correlation — the gate for overlapping slices
+    * that share rows). Same ranked machinery; the harmonic sum is a
+    * data-dependent DOUBLE, so it folds in ascending-i order
+    * (`aggregate(sequence(1, m))` — deterministic, and mirrored by
+    * the oracle's ordered `list_reduce`, which starts at the first
+    * element: equal because 0.0 + x is exact). Threshold
+    * `(k·α)/(m·c(m))` is one fixed chain.
+    *
+    * Output: tieBreakCols..., p_value, bh_rank, by_threshold,
+    * rejected. */
+  def benjaminiYekutieli(tests: DataFrame, pCol: String, alpha: Double,
+                         tieBreakCols: Seq[String]): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1) required, got $alpha")
+    val thresh = fdrRanked(tests, pCol, tieBreakCols)
+      .withColumn("__c",
+        aggregate(sequence(lit(1L), col("__m")), lit(0.0),
+          (acc, i) => acc + lit(1.0) / i.cast("double")))
+      .withColumn("by_threshold",
         (col("bh_rank").cast("double") * lit(alpha))
-          / col("__m").cast("double"))
-      .withColumn("__hit", col("p_value") <= col("bh_threshold"))
+          / (col("__m").cast("double") * col("__c")))
+      .withColumn("__hit", col("p_value") <= col("by_threshold"))
     val kStar = thresh.agg(
       coalesce(max(when(col("__hit"), col("bh_rank"))), lit(0L)).as("__k"))
     thresh.crossJoin(broadcast(kStar))
       .withColumn("rejected", col("bh_rank") <= col("__k"))
-      .drop("__m", "__hit", "__k")
+      .drop("__m", "__c", "__hit", "__k")
   }
 
   /** CUPED variance-reduced treatment-effect readout (the standard

@@ -1470,6 +1470,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getDouble(2) == 2.0)
   }
 
+  test("benjaminiYekutieli: threshold is BH's over c(m); rejections " +
+    "are a subset of BH's at the same alpha") {
+    import graft.operators.Robust
+    val tests = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.9))
+      .toDF("id", "p")
+    val bh = Robust.benjaminiHochberg(tests, "p", 0.2, Seq("id"))
+      .filter(col("rejected")).select("id").as[String].collect().toSet
+    val by = Robust.benjaminiYekutieli(tests, "p", 0.2, Seq("id"))
+    val byR = by.filter(col("rejected")).select("id")
+      .as[String].collect().toSet
+    assert(byR.subsetOf(bh))
+    // m=4: c = 1 + 1/2 + 1/3 + 1/4 (exact double chain); rank-1
+    // threshold = 0.2/(4*c)
+    val c = ((1.0 + 1.0 / 2.0) + 1.0 / 3.0) + 1.0 / 4.0
+    val t1 = by.filter(col("bh_rank") === 1L)
+      .select("by_threshold").as[Double].collect()(0)
+    assert(t1 == (1.0 * 0.2) / (4.0 * c))
+    // 0.01 <= 0.024...: rank 1 rejected under BY too
+    assert(byR.contains("a"))
+  }
+
   test("maxDrawdown: peak/trough hand series; first trough wins; " +
     "duplicate order raises") {
     import graft.operators.Timeseries
