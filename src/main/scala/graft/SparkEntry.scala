@@ -5563,19 +5563,20 @@ object SparkEntry {
 
     // Benjamini-Yekutieli FDR over the q298 test table — the
     // any-dependence gate; harmonic c(m) folds in ascending order
-    "q482_by_fdr" -> ((s, d) => {
-      val daily = t(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("__c"))
-      val dayTot = daily.groupBy(col("day"))
-        .agg(sum(col("__c")).as("__dt"))
-      val tests = daily
-        .join(graft.operators.Broadcasts.maybeBroadcast(dayTot),
-          Seq("day"))
-        .select(col("event_type"), col("day"),
-          (col("__c").cast("double") / col("__dt").cast("double"))
-            .as("p"))
-      graft.operators.Robust.benjaminiYekutieli(tests, "p", 0.3,
+    "q482_by_fdr" -> ((s, d) =>
+      graft.operators.Robust.benjaminiYekutieli(fdrTestTable(s, d),
+        "p", 0.3, Seq("event_type", "day"))),
+
+    // Holm step-down FWER over the same test table — the
+    // any-dependence family-wise gate
+    "q483_holm_fwer" -> ((s, d) => {
+      graft.operators.Robust.holm(fdrTestTable(s, d), "p", 0.3,
+        Seq("event_type", "day"))
+    }),
+
+    // Hochberg step-up FWER — the sharper PRDS-valid sibling
+    "q484_hochberg_fwer" -> ((s, d) => {
+      graft.operators.Robust.hochberg(fdrTestTable(s, d), "p", 0.3,
         Seq("event_type", "day"))
     }),
   )
@@ -5589,6 +5590,19 @@ object SparkEntry {
       col("fare_amount") + col("extra") + col("mta_tax") + col("tip_amount")
         + col("tolls_amount") + col("improvement_surcharge")
         + col("congestion_surcharge") + col("airport_fee"))
+
+  /** The q298/q482/q483/q484 multiple-testing table: per-(type, day)
+    * share of the day's events as the deterministic pseudo-p. */
+  private def fdrTestTable(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("__c"))
+    val dayTot = daily.groupBy(col("day")).agg(sum(col("__c")).as("__dt"))
+    daily.join(graft.operators.Broadcasts.maybeBroadcast(dayTot),
+        Seq("day"))
+      .select(col("event_type"), col("day"),
+        (col("__c").cast("double") / col("__dt").cast("double")).as("p"))
+  }
 
   /** Per-type daily-count series (x = epoch day, y = count) shared by
     * q366/q367 — the pre-aggregated unique-x series the DW/runs
@@ -15717,6 +15731,47 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |k AS (SELECT COALESCE(MAX(CASE WHEN p_value <= by_threshold
         |    THEN bh_rank END), 0) AS kstar FROM th)
         |SELECT event_type, day, p_value, bh_rank, by_threshold,
+        |  bh_rank <= kstar AS rejected
+        |FROM th, k""".stripMargin,
+
+    // q483: step-down — the FIRST failure stops everything after
+    "q483_holm_fwer" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |dt AS (SELECT day, CAST(SUM(c) AS BIGINT) AS dtot FROM d
+        |  GROUP BY 1),
+        |tests AS (SELECT event_type, d.day,
+        |    CAST(c AS DOUBLE) / CAST(dtot AS DOUBLE) AS p_value
+        |  FROM d JOIN dt ON d.day = dt.day),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
+        |      event_type, day) AS BIGINT) AS bh_rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM tests),
+        |th AS (SELECT *, 0.3 / CAST(m - bh_rank + 1 AS DOUBLE)
+        |    AS holm_threshold FROM r),
+        |k AS (SELECT COALESCE(MIN(CASE WHEN p_value > holm_threshold
+        |    THEN bh_rank END), MAX(bh_rank) + 1) AS kstop FROM th)
+        |SELECT event_type, day, p_value, bh_rank, holm_threshold,
+        |  bh_rank < kstop AS rejected
+        |FROM th, k""".stripMargin,
+
+    // q484: step-up — the largest passing rank wins
+    "q484_hochberg_fwer" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |dt AS (SELECT day, CAST(SUM(c) AS BIGINT) AS dtot FROM d
+        |  GROUP BY 1),
+        |tests AS (SELECT event_type, d.day,
+        |    CAST(c AS DOUBLE) / CAST(dtot AS DOUBLE) AS p_value
+        |  FROM d JOIN dt ON d.day = dt.day),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
+        |      event_type, day) AS BIGINT) AS bh_rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM tests),
+        |th AS (SELECT *, 0.3 / CAST(m - bh_rank + 1 AS DOUBLE)
+        |    AS hochberg_threshold FROM r),
+        |k AS (SELECT COALESCE(MAX(CASE WHEN
+        |    p_value <= hochberg_threshold THEN bh_rank END), 0)
+        |    AS kstar FROM th)
+        |SELECT event_type, day, p_value, bh_rank, hochberg_threshold,
         |  bh_rank <= kstar AS rejected
         |FROM th, k""".stripMargin,
 

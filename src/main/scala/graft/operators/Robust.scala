@@ -493,6 +493,48 @@ object Robust {
       .drop("__m", "__c", "__hit", "__k")
   }
 
+  /** Holm step-DOWN FWER gate — the uniformly-more-powerful
+    * Bonferroni: walk ranks ascending with thresholds `α/(m−k+1)`;
+    * the FIRST failure stops everything after it (family-wise error
+    * control under any dependence, no FDR slack). Same
+    * [[benjaminiHochberg]] ranked core; k* and thresholds are fixed
+    * double chains. Output: tieBreakCols..., p_value, bh_rank,
+    * holm_threshold, rejected. */
+  def holm(tests: DataFrame, pCol: String, alpha: Double,
+           tieBreakCols: Seq[String]): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1) required, got $alpha")
+    val thresh = fdrRanked(tests, pCol, tieBreakCols)
+      .withColumn("holm_threshold",
+        lit(alpha) / (col("__m") - col("bh_rank") + 1L).cast("double"))
+      .withColumn("__fail", col("p_value") > col("holm_threshold"))
+    val kStop = thresh.agg(
+      coalesce(min(when(col("__fail"), col("bh_rank"))),
+        max(col("bh_rank")) + 1L).as("__k"))
+    thresh.crossJoin(broadcast(kStop))
+      .withColumn("rejected", col("bh_rank") < col("__k"))
+      .drop("__m", "__fail", "__k")
+  }
+
+  /** Hochberg step-UP FWER gate — [[holm]]'s sharper sibling (same
+    * `α/(m−k+1)` thresholds walked from the LARGEST p down: reject
+    * ranks 1..k* where k* is the largest rank passing; valid under
+    * independence/PRDS, like BH). Output: tieBreakCols..., p_value,
+    * bh_rank, hochberg_threshold, rejected. */
+  def hochberg(tests: DataFrame, pCol: String, alpha: Double,
+               tieBreakCols: Seq[String]): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1) required, got $alpha")
+    val thresh = fdrRanked(tests, pCol, tieBreakCols)
+      .withColumn("hochberg_threshold",
+        lit(alpha) / (col("__m") - col("bh_rank") + 1L).cast("double"))
+      .withColumn("__hit", col("p_value") <= col("hochberg_threshold"))
+    val kStar = thresh.agg(
+      coalesce(max(when(col("__hit"), col("bh_rank"))), lit(0L))
+        .as("__k"))
+    thresh.crossJoin(broadcast(kStar))
+      .withColumn("rejected", col("bh_rank") <= col("__k"))
+      .drop("__m", "__hit", "__k")
+  }
+
   /** CUPED variance-reduced treatment-effect readout (the standard
     * pre-experiment-covariate adjustment): one row with
     * `θ = cov(x,y)/var(x)` over ALL units pooled and the adjusted

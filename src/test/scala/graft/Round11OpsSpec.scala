@@ -1491,6 +1491,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(byR.contains("a"))
   }
 
+  test("holm vs hochberg: shared thresholds, step direction differs " +
+    "— the classic (0.06, 0.08) case splits them") {
+    import graft.operators.Robust
+    // alpha 0.1, m=2: thresholds 0.05 (rank 1), 0.1 (rank 2)
+    val tests = Seq(("a", 0.06), ("b", 0.08)).toDF("id", "p")
+    val h = Robust.holm(tests, "p", 0.1, Seq("id"))
+      .filter(col("rejected")).count()
+    assert(h == 0L) // step-down: rank 1 fails, everything stops
+    val hb = Robust.hochberg(tests, "p", 0.1, Seq("id"))
+      .filter(col("rejected")).select("id").as[String].collect().toSet
+    assert(hb == Set("a", "b")) // step-up: rank 2 passes, both reject
+    // all-pass case: both gates agree
+    val easy = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.9))
+      .toDF("id", "p")
+    val he = Robust.holm(easy, "p", 0.2, Seq("id"))
+      .filter(col("rejected")).select("id").as[String].collect().toSet
+    val he2 = Robust.hochberg(easy, "p", 0.2, Seq("id"))
+      .filter(col("rejected")).select("id").as[String].collect().toSet
+    assert(he == Set("a", "b", "c") && he2 == he)
+  }
+
   test("maxDrawdown: peak/trough hand series; first trough wins; " +
     "duplicate order raises") {
     import graft.operators.Timeseries
