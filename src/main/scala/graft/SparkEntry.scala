@@ -120,6 +120,9 @@ object SparkEntry {
 
   // ---- queries ----------------------------------------------------------
 
+  // Query ids are contiguous from q01 EXCEPT q29: retired in round 7 (its operator
+  // was folded into q30's exact-dedup family) and the id is never reused,
+  // so CORRECTNESS artifacts legitimately skip from q28 to q30.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1+P4+F11+S5: explicit projection, month-key filter
     "q01_bronze_project" -> ((s, d) =>
@@ -4612,24 +4615,28 @@ object SparkEntry {
       val ev = t(s, d, "events").filter(col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), dayofmonth(col("ts")).as("dom"))
-      def ingest(id: Long, pred: org.apache.spark.sql.Column): Long = {
+      // the snapshotIngestSink foreachBatch body, replayed by hand:
+      // versions are KEYED BY BATCH ID (commitAt(id+1)), so a
+      // crash-replayed batch re-commits its OWN version — history is
+      // replay-stable (round-12: the pre-r12 extra-version trade-off
+      // and its dangling pinned paths are gone)
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Unit = {
         ev.filter(pred).coalesce(2)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$dir/batch-$id")
-        graft.incremental.Snapshots.commit(s, dir)
+        graft.incremental.Snapshots.commitAt(s, dir, id + 1)
       }
       ingest(0L, col("dom") <= 15)
       ingest(1L, col("dom") > 15)
-      // pin v2's content BEFORE the replay: the batch-scoped overwrite
-      // rewrites batch-1 with fresh part names, so v2's pinned paths
-      // dangle after it (the documented sink trade-off) while v3 must
-      // reproduce the same content
       val n2 = graft.incremental.Snapshots.readVersion(s, dir, 2L).count()
-      val v3 = ingest(1L, col("dom") > 15) // crash replay of batch 1
-      require(v3 == 3L, s"commit sequence broke: got v$v3")
-      val n3 = graft.incremental.Snapshots.readVersion(s, dir, 3L).count()
-      require(n2 == n3,
-        s"replayed batch changed content: v2=$n2 rows, v3=$n3 rows")
+      ingest(1L, col("dom") > 15) // crash replay of batch 1
+      val vs = graft.incremental.Snapshots.versions(s, dir)
+        .select("version").collect().map(_.getLong(0)).sorted.toSeq
+      require(vs == Seq(1L, 2L),
+        s"replay appended a version: got ${vs.mkString(",")}")
+      val n2r = graft.incremental.Snapshots.readVersion(s, dir, 2L).count()
+      require(n2 == n2r,
+        s"replayed batch changed content: $n2 rows -> $n2r rows")
       def agg(v: Long) = graft.incremental.Snapshots
         .readVersion(s, dir, v)
         .agg(count(lit(1)).as("n"),
@@ -4637,7 +4644,7 @@ object SparkEntry {
           count_distinct(col("event_id")).cast("long").as("n_events"))
         .withColumn("version", lit(v))
         .select("version", "n", "sum_uid", "n_events")
-      agg(1L).unionAll(agg(3L))
+      agg(1L).unionAll(agg(2L))
     }),
 
     // shared-dialect GROUP BY ALL — identical text in both engines
@@ -5578,6 +5585,70 @@ object SparkEntry {
     "q484_hochberg_fwer" -> ((s, d) => {
       graft.operators.Robust.hochberg(fdrTestTable(s, d), "p", 0.3,
         Seq("event_type", "day"))
+    }),
+
+    // SNAPSHOT-TRANSACTIONAL COMPACTION (round-12 capstone): the
+    // q421 rewrite + q422 time-travel subsystems composed into one
+    // safe maintenance loop. append -> v1, append -> v2, compact as
+    // v3 (atomic commit pins ONLY rewritten files); requires pin:
+    // asOf(v2) bit-stable ACROSS the rewrite, file count collapsed,
+    // vacuum a no-op while history is retained, expire+vacuum sweep
+    // EXACTLY the superseded files, and the compacted version still
+    // reads after the sweep. Content oracled at all three stages.
+    "q485_snapshot_compact" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("snapcompact") + "/lake"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      o.filter(year(col("o_orderdate")) <= 1997)
+        .repartition(16).write.parquet(root)
+      val v1 = Snapshots.commit(s, root)
+      o.filter(year(col("o_orderdate")) > 1997)
+        .repartition(16).write.mode("append").parquet(root)
+      val v2 = Snapshots.commit(s, root)
+      require(v1 == 1L && v2 == 2L, s"version log broke: $v1, $v2")
+      def aggOf(df: DataFrame, stage: String) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          sum(col("o_orderkey")).cast("long").as("sum_ok"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "n", "price_cents", "sum_ok")
+      val preV2 = aggOf(Snapshots.readVersion(s, root, 2L), "v2_pre")
+        .localCheckpoint(true) // pin BEFORE the rewrite
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val v2Files = Snapshots.readVersion(s, root, 2L).inputFiles
+      val total = v2Files.map(f => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val v3 = Snapshots.compact(s, root, math.max(total / 6, 1L))
+      require(v3 == 3L, s"compaction committed v$v3, expected v3")
+      // time travel crosses the rewrite bit-stably
+      val postV2 = aggOf(Snapshots.readVersion(s, root, 2L), "v2_pre")
+      require(preV2.exceptAll(postV2).isEmpty
+        && postV2.exceptAll(preV2).isEmpty,
+        "asOf(v2) changed across the compaction rewrite")
+      val f2 = Snapshots.readVersion(s, root, 2L).inputFiles.length
+      val f3 = Snapshots.readVersion(s, root, 3L).inputFiles.length
+      require(f3 * 2 < f2,
+        s"compaction barely collapsed: $f2 files -> $f3")
+      // retained history protects every file from the sweep
+      require(Snapshots.vacuum(s, root).isEmpty,
+        "vacuum must be a no-op while v1/v2 retain the originals")
+      val v3Agg = aggOf(Snapshots.readVersion(s, root, 3L), "v3")
+        .localCheckpoint(true)
+      // expire history -> the sweep reclaims EXACTLY the superseded
+      // files (none of the compacted version's)
+      val dropped = Snapshots.expire(s, root, keepLast = 1)
+      require(dropped == Seq(1L, 2L),
+        s"expire dropped ${dropped.mkString(",")}, expected 1,2")
+      val swept = Snapshots.vacuum(s, root)
+      require(swept.size == f2 && !swept.exists(_.contains("compact-v")),
+        s"sweep must reclaim the $f2 superseded files only, got" +
+          s" ${swept.size}")
+      val postVacuum = aggOf(Snapshots.readLatest(s, root),
+        "v3_post_vacuum")
+      preV2.unionAll(v3Agg).unionAll(postVacuum)
     }),
   )
 
@@ -14624,8 +14695,8 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders""".stripMargin,
 
-    // q423: v1 = first-half batch, v3 = replay-stable full lake
-    // (v2's content is pinned in-query BEFORE the replay dangles it)
+    // q423: v1 = first-half batch, v2 = full lake, REPLAY-STABLE
+    // (the replayed batch re-commits v2 — version count == batch count)
     "q423_snapshot_ingest" ->
       """SELECT CAST(1 AS BIGINT) AS version,
         |  CAST(COUNT(*) AS BIGINT) AS n,
@@ -14633,7 +14704,7 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
         |FROM events WHERE ts IS NOT NULL AND EXTRACT(DAY FROM ts) <= 15
         |UNION ALL
-        |SELECT CAST(3 AS BIGINT) AS version,
+        |SELECT CAST(2 AS BIGINT) AS version,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
@@ -15774,6 +15845,18 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT event_type, day, p_value, bh_rank, hochberg_threshold,
         |  bh_rank <= kstar AS rejected
         |FROM th, k""".stripMargin,
+
+    // q485: all three stages (pre-compaction v2, compacted v3,
+    // post-vacuum v3) pin the SAME full-orders content — the
+    // compaction arc is content-neutral by construction
+    "q485_snapshot_compact" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok FROM orders)
+        |SELECT s.stage, a.n, a.price_cents, a.sum_ok
+        |FROM a, (VALUES ('v2_pre'), ('v3'), ('v3_post_vacuum'))
+        |  AS s(stage)""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

@@ -110,7 +110,14 @@ class CheckSuite(constraints: Seq[Constraint]) {
       case c @ AcceptedValues(cn, vs) =>
         (c, count(when(col(cn).isNotNull && !col(cn).isin(vs: _*), 1)), count(col(cn)))
       case c @ Unique(cols) =>
-        (c, count(lit(1)) - countDistinct(cols.head, cols.tail: _*), count(lit(1)))
+        // dbt `unique` semantics: NULL keys are exempt (the dbt test body
+        // filters `WHERE col IS NOT NULL`; SQL COUNT(DISTINCT a, b) already
+        // drops any-NULL tuples). Multi-column contract: a row whose key
+        // tuple contains ANY NULL component is excluded from BOTH terms —
+        // the countDistinct convention — so two (1, NULL) rows do not fail.
+        val keyed = cols.map(col(_).isNotNull).reduce(_ && _)
+        (c, count(when(keyed, 1)) - countDistinct(cols.head, cols.tail: _*),
+          count(when(keyed, 1)))
       case c @ NoRowsWhere(_, p) =>
         (c, count(when(p, 1)), count(lit(1)))
       case c @ RowCountBetween(_, _) =>

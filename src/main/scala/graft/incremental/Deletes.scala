@@ -221,7 +221,14 @@ object Deletes {
     * append the batch. The batch must be UNIQUE on `keyCols` (two
     * versions of a key in one op have no order — raises). Returns the
     * op id. Cost: one key-list write + one batch append — zero data
-    * files rewritten, the O(batch) upsert a 100 TB lake needs. */
+    * files rewritten, the O(batch) upsert a 100 TB lake needs.
+    * Mid-commit visibility matches [[upsertAt]]: add directory first,
+    * delete file second — a concurrent reader between the two writes
+    * sees transient duplicate-version rows, never missing keys. A
+    * crash between them surfaces LOUDLY on the next `upsert` call
+    * (the half-commit detector below), never as silent loss or
+    * silent permanent duplicates; repair = replay the batch through
+    * [[upsertAt]] at the flagged op. */
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
              keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "keyCols required")
@@ -229,11 +236,17 @@ object Deletes {
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
     require(dup == 0,
       s"upsert batch has $dup duplicate key tuples — one version per op")
-    val op = (listAddIds(spark, path) ++ listDeleteIds(spark, path))
-      .foldLeft(0L)(math.max) + 1L
-    writeDeletesAt(spark, path, batch.select(keyCols.map(col): _*), op)
+    val adds = listAddIds(spark, path)
+    val dels = listDeleteIds(spark, path)
+    val frontierAdd = adds.foldLeft(0L)(math.max)
+    require(frontierAdd == 0L || dels.contains(frontierAdd),
+      s"half-committed op $frontierAdd (add directory without its delete " +
+        s"file) — replay that batch via upsertAt(op=$frontierAdd) to " +
+        "repair before appending new ops")
+    val op = (adds ++ dels).foldLeft(0L)(math.max) + 1L
     batch.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .parquet(s"$path/add-$op")
+    writeDeletesAt(spark, path, batch.select(keyCols.map(col): _*), op)
     op
   }
 
@@ -250,7 +263,18 @@ object Deletes {
     * directory instead of appending a fresh op — idempotence by
     * path, the monthOverwrite rule). Raises when `op` would break
     * monotonicity against ops OTHER than itself (an out-of-order op
-    * could resurrect rows a later delete killed). */
+    * could resurrect rows a later delete killed).
+    *
+    * Mid-commit visibility: the two writes are NOT atomic (plain
+    * parquet directories have no commit protocol). The ADD directory
+    * is written FIRST, the delete file second, so a concurrent
+    * `readMerged` landing between them — or after a crash, until the
+    * checkpointed batch replays — sees the upserted keys with BOTH
+    * versions live (transient duplicate-version rows), never with
+    * their rows missing. Duplicates-over-losses is the deliberate
+    * choice: a reader that retries converges, while transiently
+    * vanished keys silently corrupt any downstream join. Replay of
+    * the same op overwrites both paths and restores exactly-once. */
   def upsertAt(spark: SparkSession, path: String, batch: DataFrame,
                keyCols: Seq[String], op: Long): Unit = {
     require(keyCols.nonEmpty, "keyCols required")
@@ -261,11 +285,11 @@ object Deletes {
     val dup = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
     require(dup == 0, "upsert batch has duplicate key tuples")
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/add-$op")
     batch.select(keyCols.map(col): _*).distinct().coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${delRoot(path)}/d=$op")
-    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/add-$op")
   }
 
   /** Read a sequenced lake: every row is tagged with its add's op

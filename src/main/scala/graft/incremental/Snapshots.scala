@@ -64,10 +64,61 @@ object Snapshots {
   /** Commit the CURRENT data-file set as the next version. Returns the
     * new version number (1-based). Re-committing an unchanged lake
     * creates a new version with the same file list — versions are
-    * commit events, not content hashes (matching Delta's behavior). */
+    * commit events, not content hashes (matching Delta's behavior).
+    *
+    * SUPERSEDED files are excluded: a file referenced by SOME snapshot
+    * but absent from the LATEST one was removed from the live table by
+    * a prior commit (a [[compact]] rewrote it away) and survives on
+    * disk only as time-travel history — re-pinning it would duplicate
+    * its rows against its compacted replacement. A file referenced by
+    * NO snapshot is a fresh append and joins the pin; a file in the
+    * latest snapshot stays. So plain append-then-commit composes with
+    * compaction with no caller changes. Cost: one metadata read over
+    * the snapshot log (file-count × version-count rows). */
   def commit(spark: SparkSession, path: String): Long = {
     val v = listVersions(spark, path).lastOption.getOrElse(0L) + 1L
-    val files = listDataFiles(spark, path)
+    writeSnapshot(spark, path, v, livePin(spark, path), overwrite = false)
+    v
+  }
+
+  /** The live file set a plain commit pins: every data file on disk
+    * EXCEPT superseded history (see [[commit]]'s scaladoc). */
+  private def livePin(spark: SparkSession, path: String): Seq[String] = {
+    val vs = listVersions(spark, path)
+    val all = listDataFiles(spark, path)
+    if (vs.isEmpty) all
+    else {
+      val ever = spark.read
+        .parquet(vs.map(x => s"${snapRoot(path)}/v=$x"): _*)
+        .select(col("path")).collect().map(_.getString(0)).toSet
+      val latest = spark.read.parquet(s"${snapRoot(path)}/v=${vs.last}")
+        .select(col("path")).collect().map(_.getString(0)).toSet
+      all.filter(f => latest.contains(f) || !ever.contains(f))
+    }
+  }
+
+  /** [[commit]] with a CALLER-CHOSEN version id and overwrite
+    * semantics — the streaming form
+    * ([[graft.streaming.Streaming.snapshotIngestSink]] derives
+    * v = batchId + 1 from the checkpointed batch id, so a
+    * crash-REPLAYED batch re-commits ITS OWN version with the
+    * re-listed file set instead of appending a content-equal extra
+    * one — replay-stable history, the
+    * [[graft.incremental.Deletes.upsertAt]] discipline). Raises when
+    * `version` would break monotonicity against versions OTHER than
+    * itself (an out-of-order commit would rewrite history a later
+    * version already built on). */
+  def commitAt(spark: SparkSession, path: String, version: Long): Unit = {
+    require(version >= 1, s"versions are 1-based, got $version")
+    val others = listVersions(spark, path).filter(_ != version)
+    require(others.forall(_ < version),
+      s"version $version is not the frontier — existing: ${others.sorted}")
+    writeSnapshot(spark, path, version, livePin(spark, path),
+      overwrite = true)
+  }
+
+  private def writeSnapshot(spark: SparkSession, path: String, v: Long,
+                            files: Seq[String], overwrite: Boolean): Unit = {
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(
       files.map(f => org.apache.spark.sql.Row(f)).asJava,
@@ -75,9 +126,9 @@ object Snapshots {
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType, nullable = false))))
     df.coalesce(1).write
-      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.ErrorIfExists)
       .parquet(s"${snapRoot(path)}/v=$v")
-    v
   }
 
   /** The version log: (version, n_files), ascending — the audit
@@ -129,5 +180,90 @@ object Snapshots {
       else spark.read.parquet(vs.map(v => s"${snapRoot(path)}/v=$v"): _*)
         .select(col("path")).collect().map(_.getString(0)).toSet
     listDataFiles(spark, path).filterNot(referenced)
+  }
+
+  /** The latest committed version as a frame — the default read of a
+    * snapshot-logged lake (a DIRECTORY scan of such a lake is wrong
+    * once history accumulates: it would see superseded pre-compaction
+    * files alongside their replacements). */
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val vs = listVersions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path — commit first")
+    readVersion(spark, path, vs.last)
+  }
+
+  /** SNAPSHOT-TRANSACTIONAL small-file compaction — the maintenance
+    * loop that makes [[graft.operators.Layout.compactExecute]] safe
+    * under concurrent readers: the rewrite lands as ONE atomic
+    * version instead of mutating files in place.
+    *
+    *  1. reads exactly the files the LATEST version pins (never a
+    *     directory listing — a concurrent append between listing and
+    *     rewrite can neither be lost nor double-counted);
+    *  2. rewrites them via the next-fit plan
+    *     ([[graft.operators.Layout.compactRewrite]], one shuffle
+    *     pass, one file per group) into a version-scoped directory
+    *     `compact-v<N+1>/` INSIDE the lake;
+    *  3. commits version N+1 pinning ONLY the new files.
+    *
+    * Readers pinned to any version ≤ N keep seeing the original
+    * files (they stay on disk as history until [[expire]] +
+    * [[vacuum]] reclaim them), a reader landing mid-rewrite sees no
+    * change at all (the new directory is unreferenced until the
+    * commit), and time travel crosses the rewrite: asOf(N) is
+    * bit-stable. A crash before step 3 leaves only an unreferenced
+    * directory that the next [[vacuum]] sweeps and a re-run
+    * overwrites — the commit IS the transaction. Plain [[commit]]
+    * composes afterwards (superseded files never re-pin).
+    * Returns the new version. Single compactor at a time (the
+    * engine-wide single-maintenance-writer contract); readers need
+    * no coordination. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(spark, path)
+    require(vs.nonEmpty,
+      s"compact requires a snapshot-logged lake — commit $path first")
+    val latest = vs.last
+    val files = spark.read.parquet(s"${snapRoot(path)}/v=$latest")
+      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    require(files.nonEmpty, s"version $latest pins no files — nothing to compact")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sized = files.map(f => (f, fs.getFileStatus(new Path(f)).getLen))
+    val v = latest + 1
+    graft.operators.Layout.compactRewrite(spark, sized,
+      s"$path/compact-v$v", targetBytes)
+    writeSnapshot(spark, path, v,
+      listDataFiles(spark, s"$path/compact-v$v"), overwrite = false)
+    v
+  }
+
+  /** Drop all but the last `keepLast` versions from the log —
+    * metadata-only (data files remain until [[vacuum]]). Returns the
+    * dropped versions. */
+  def expire(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = listVersions(spark, path).dropRight(keepLast)
+    drop.foreach(v => fs.delete(new Path(s"${snapRoot(path)}/v=$v"), true))
+    drop
+  }
+
+  /** DELETE the files no retained snapshot references — the exact
+    * sweep [[unreferencedFiles]] licenses. Raises on an unlogged lake
+    * (there, EVERY file is unreferenced and the sweep would delete
+    * the table). Returns the deleted paths. */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    require(listVersions(spark, path).nonEmpty,
+      s"vacuum on unlogged lake $path would delete every file — commit first")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = unreferencedFiles(spark, path)
+    dead.foreach(f => fs.delete(new Path(f), false))
+    dead
   }
 }

@@ -85,8 +85,9 @@ object DedupOps {
     * defaults. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
-                 jaccardThreshold: Double = 0.7): DataFrame =
-    lshVerified(df, idCol, textCol, shingleSize, bands, rows)
+                 jaccardThreshold: Double = 0.7,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame =
+    lshVerified(df, idCol, textCol, shingleSize, bands, rows, maxBucketSize)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
 
@@ -211,7 +212,8 @@ object DedupOps {
     * ~3s (this). Returns ALL verified candidates with jaccard and both
     * containments, eagerly checkpointed (see exactJaccard contract). */
   private def lshVerified(df: DataFrame, idCol: String, textCol: String,
-                          shingleSize: Int, bands: Int, rows: Int): DataFrame = {
+                          shingleSize: Int, bands: Int, rows: Int,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val shingleRows = shingleStream(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist the signatures too: the band self-join consumes `banded`
@@ -225,11 +227,57 @@ object DedupOps {
     // Candidate pairs, deduped across bands BEFORE verification (a pair
     // colliding in 3 bands verifies once), eagerly materialized so
     // exactJaccard's several consumers don't replay the band join.
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "band_hash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    //
+    // HOT-BUCKET GUARD (`maxBucketSize`): within one (band, band_hash)
+    // bucket the self-join pairs ALL members — correct, but a
+    // pathological corpus (millions of byte-identical boilerplate docs
+    // share every band hash) makes one bucket quadratic. Buckets larger
+    // than `maxBucketSize` switch to STAR topology: every member pairs
+    // only with the bucket's minimum doc_id — O(size) candidates, and
+    // near-identical members still verify at jaccard ≈ 1 against the
+    // star center, so keeper-based dedup and [[nearDupClusters]]
+    // connectivity are preserved (the component stays connected through
+    // the center). Recall effect, documented: a non-center pair inside
+    // an oversized bucket is emitted only if some OTHER bucket ≤ the cap
+    // also holds it — for the threshold-grade pairs the S-curve targets,
+    // oversized buckets are precisely the near-identical clumps where
+    // the star already witnesses every membership. The default is OFF
+    // (Int.MaxValue): the supported composition for degenerate corpora
+    // remains exact-dedup FIRST ([[exact]]), then LSH over keepers;
+    // the cap is the belt for pipelines that skip that stage. With the
+    // cap OFF the window pass is skipped entirely — zero cost on the
+    // default path; with it ON, both window functions share one
+    // unordered frame over the join key (a single WindowExec on the
+    // exchange the join needs anyway).
+    var sizedCache: Option[DataFrame] = None
+    val rawPairs =
+      if (maxBucketSize == Int.MaxValue)
+        banded.as("a").join(banded.as("b"), Seq("band", "band_hash"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      else {
+        require(maxBucketSize >= 2,
+          s"maxBucketSize must be >= 2, got $maxBucketSize")
+        val bw = Window.partitionBy(col("band"), col("band_hash"))
+        val sized = banded
+          .withColumn("__bsz", count(lit(1)).over(bw))
+          .withColumn("__bmin", min(col("doc_id")).over(bw))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sizedCache = Some(sized)
+        val small = sized.filter(col("__bsz") <= maxBucketSize)
+          .select(col("doc_id"), col("band"), col("band_hash"))
+        val allPairs = small.as("a").join(small.as("b"), Seq("band", "band_hash"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val starPairs = sized.filter(col("__bsz") > maxBucketSize)
+          .filter(col("doc_id") =!= col("__bmin"))
+          .select(col("__bmin").as("id_a"), col("doc_id").as("id_b"))
+        allPairs.union(starPairs)
+      }
+    val candidates = rawPairs
       .distinct()
       .localCheckpoint(true)
+    sizedCache.foreach(_.unpersist())
     banded.unpersist()
 
     val jac = exactJaccard(candidates, shingleRows)

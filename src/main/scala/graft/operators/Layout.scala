@@ -386,9 +386,22 @@ object Layout {
       if (f.isFile && rel.endsWith(".parquet") && !hidden)
         listed += ((rel, f.getLen))
     }
+    compactRewrite(spark, listed.sorted.toSeq, dst, targetBytes)
+  }
+
+  /** The rewrite core of [[compactExecute]] over an EXPLICIT
+    * (path, bytes) file list — factored out so snapshot-transactional
+    * compaction ([[graft.incremental.Snapshots.compact]]) can rewrite
+    * exactly the files its pinned version references, not whatever a
+    * directory listing happens to see. Same single-shuffle contract
+    * as [[compactExecute]] (whose scaladoc is the spec). */
+  private[graft] def compactRewrite(spark: org.apache.spark.sql.SparkSession,
+                                    listed: Seq[(String, Long)], dst: String,
+                                    targetBytes: Long): DataFrame = {
+    require(listed.nonEmpty, "no data files to compact")
     import scala.jdk.CollectionConverters._
     val filesDf = spark.createDataFrame(
-      listed.sorted.map { case (p, b) =>
+      listed.map { case (p, b) =>
         org.apache.spark.sql.Row(p, b) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
@@ -402,7 +415,7 @@ object Layout {
     // file:///x while Hadoop's Path.toString renders file:/x
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
-    spark.read.parquet(src)
+    spark.read.parquet(listed.map(_._1): _*)
       .withColumn("__f", norm(input_file_name()))
       .join(broadcast(plan.select(norm(col("path")).as("__f"),
         col("group_id").as("compaction_group"))), Seq("__f"))

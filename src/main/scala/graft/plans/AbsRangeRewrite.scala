@@ -29,6 +29,17 @@ import org.apache.spark.sql.types._
   *    degenerate (always false) and, for integral types, negating
   *    `Long.MinValue` would overflow under ANSI — those rare shapes
   *    stay unrewritten rather than risk a fold-time throw.
+  *  - DATA-side integral overflow — `x = Int.MinValue`/`Long.MinValue`
+  *    — is the ONE documented divergence, and it is intentional: the
+  *    rewrite implements MATHEMATICAL abs (|MinValue| = 2^63 > any
+  *    representable c, row excluded, no error), where Spark's `Abs`
+  *    under ANSI (the Spark 4 default, and this engine's supported
+  *    mode) THROWS ARITHMETIC_OVERFLOW, and under ANSI-off wraps to
+  *    MinValue so `abs(x) <= c` wrongly ADMITS the row. The rewrite
+  *    is out of contract for ANSI-off wrapped-abs semantics; under
+  *    ANSI it turns a runtime throw into the mathematically correct
+  *    exclusion (Round12OpsSpec pins both the exclusion and the
+  *    unrewritten throw).
   * Only deterministic children rewrite (a nondeterministic x must
   * not be duplicated into two conjuncts). */
 object AbsRangeRewrite extends Rule[LogicalPlan] {

@@ -1158,20 +1158,20 @@ object Streaming {
     * time-travel sibling: each micro-batch lands in its own
     * batch-scoped directory (`batch-<id>`, crash-replay overwrites
     * itself — idempotence by path) and then
-    * [[graft.incremental.Snapshots.commit]] pins the post-batch file
-    * set as a new version. Readers pinned to a version NEVER see later
-    * batches — the reproducible-training-run contract — and a
-    * crash-replayed batch commits an extra version whose CONTENT
-    * equals the previous one (versions are commit events; content is
-    * idempotent, spec- and oracle-pinned). TRADE-OFF, documented: the
-    * replay overwrite rewrites the batch directory with fresh part
-    * names, so versions pinned BETWEEN the original batch and its
-    * replay reference deleted paths and dangle — path-determined
-    * idempotence without tombstones; a reader needing replay-proof
-    * history pins versions committed before the failed batch, or the
-    * lake adopts unique-per-attempt file names (the Delta approach)
-    * upstream of this sink. Per-batch cost: the batch write + one
-    * listing + one metadata write. */
+    * [[graft.incremental.Snapshots.commitAt]] pins the post-batch file
+    * set as version `batchId + 1` — versions are KEYED BY THE
+    * CHECKPOINTED BATCH ID (the [[upsertSink]] discipline), so a
+    * crash-replayed batch re-commits its OWN version with the
+    * re-listed file set instead of appending a content-equal extra
+    * one: history is replay-stable, version count == batch count, and
+    * no version is ever left referencing the replay-overwritten part
+    * files (the pre-round-12 dangling-version trade-off is gone).
+    * Readers pinned to a version NEVER see later batches — the
+    * reproducible-training-run contract. The lake must be owned by
+    * this sink (external committers would collide with the batch-id
+    * version line; commitAt raises rather than interleave).
+    * Per-batch cost: the batch write + one listing + one metadata
+    * write. */
   def snapshotIngestSink(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
@@ -1179,7 +1179,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$path/batch-$batchId")
-        graft.incremental.Snapshots.commit(batch.sparkSession, path)
+        graft.incremental.Snapshots.commitAt(batch.sparkSession, path,
+          batchId + 1)
         ()
       }
       .start()
