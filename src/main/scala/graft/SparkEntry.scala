@@ -5650,6 +5650,29 @@ object SparkEntry {
         "v3_post_vacuum")
       preV2.unionAll(v3Agg).unionAll(postVacuum)
     }),
+
+    // Q7 NULL-key contract (round-12): dbt's unique test EXEMPTS NULL
+    // keys — a key column whose non-null values duplicate fails on
+    // exactly those, while a column unique over its non-null tuples
+    // PASSES no matter how many NULL-key rows exist (the pre-r12
+    // fused form counted them as duplicates). Multi-column rule:
+    // any-NULL tuples are exempt (the COUNT(DISTINCT) convention).
+    "q486_unique_nullable" -> ((s, d) => {
+      import graft.checks._
+      val o = t(s, d, "orders").select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 1000).as("k"),
+        col("o_orderkey"))
+      val results = new CheckSuite(Seq(
+        Unique(Seq("k")),
+        Unique(Seq("k", "o_orderkey")),
+        Unique(Seq("o_orderkey")))).run(o)
+      import s.implicits._
+      results.map(r =>
+          (r.constraint, r.column.orNull, r.passed, r.unexpectedPercent))
+        .toDF("constraint_name", "column_name", "passed",
+          "unexpected_percent")
+    }),
   )
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -15857,6 +15880,30 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |SELECT s.stage, a.n, a.price_cents, a.sum_ok
         |FROM a, (VALUES ('v2_pre'), ('v3'), ('v3_post_vacuum'))
         |  AS s(stage)""".stripMargin,
+
+    // q486: NULL-exempt unique semantics — bad = non-null rows minus
+    // distinct non-null keys (any-NULL tuples exempt on multi-column)
+    "q486_unique_nullable" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |    ELSE o_orderkey % 1000 END AS k, o_orderkey FROM orders),
+        |s1 AS (SELECT CAST(COUNT(k) AS BIGINT) AS den,
+        |  CAST(COUNT(k) - COUNT(DISTINCT k) AS BIGINT) AS bad FROM o),
+        |s2 AS (SELECT
+        |  CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS den,
+        |  CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) -
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT k, o_orderkey
+        |      FROM o WHERE k IS NOT NULL)) AS BIGINT) AS bad FROM o),
+        |s3 AS (SELECT CAST(COUNT(o_orderkey) AS BIGINT) AS den,
+        |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+        |    AS BIGINT) AS bad FROM o)
+        |SELECT 'unique(k)' AS constraint_name, 'k' AS column_name,
+        |  bad = 0 AS passed,
+        |  CAST(bad AS DOUBLE) / den * 100 AS unexpected_percent FROM s1
+        |UNION ALL SELECT 'unique(k,o_orderkey)', 'k,o_orderkey',
+        |  bad = 0, CAST(bad AS DOUBLE) / den * 100 FROM s2
+        |UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey',
+        |  bad = 0, CAST(bad AS DOUBLE) / den * 100 FROM s3""".stripMargin,
 
     // q471: the q88 md5 bridge under a per-stratum rank cut
     "q471_bottom_k_sample" ->

@@ -844,7 +844,7 @@ object Tables {
     * sequences decode to their byte; everything else passes through
     * (the escaping Spark applies via ExternalCatalogUtils — `%` and
     * filesystem-special characters become `%XX`). */
-  private[sources] def unescapePathName(s: String): String = {
+  private[graft] def unescapePathName(s: String): String = {
     if (!s.contains('%')) s
     else {
       // Non-escaped characters append as UTF-16 chars directly (so a

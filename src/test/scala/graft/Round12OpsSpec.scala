@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 hardening + operators: Unique NULL-key exemption,
+  * snapshot-transactional compaction (compact/expire/vacuum),
+  * batch-id-keyed snapshot commits, upsert commit ordering +
+  * half-commit detection, LSH hot-bucket star guard, surrogate-pair
+  * partition values, readPrunedPartitioned bound-type validation, and
+  * the AbsRangeRewrite MinValue contract. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // Unique: dbt NULL-key semantics
+  // ---------------------------------------------------------------
+
+  test("Unique exempts NULL keys: two NULL-keyed rows pass, duplicated " +
+    "non-null keys fail with NULLs out of the denominator") {
+    import graft.checks._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (null, "c"), (null, "d"))
+      .toDF("k", "v")
+    val ok = new CheckSuite(Seq(Unique(Seq("k")))).run(df)
+    assert(ok.head.passed, "NULL keys must be exempt (dbt contract)")
+    assert(ok.head.unexpectedPercent == 0.0)
+
+    val dup = Seq[(java.lang.Long, String)](
+      (1L, "a"), (1L, "b"), (2L, "c"), (null, "d"), (null, "e"))
+      .toDF("k", "v")
+    val bad = new CheckSuite(Seq(Unique(Seq("k")))).run(dup)
+    assert(!bad.head.passed)
+    // 3 non-null rows, 2 distinct -> 1 bad over den 3
+    assert(math.abs(bad.head.unexpectedPercent - 100.0 / 3.0) < 1e-12)
+  }
+
+  test("Unique multi-column: any-NULL tuples are exempt (the " +
+    "COUNT DISTINCT convention)") {
+    import graft.checks._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (1L, 2L), (1L, null), (1L, null), (null, 5L), (null, 5L))
+      .toDF("a", "b")
+    val r = new CheckSuite(Seq(Unique(Seq("a", "b")))).run(df)
+    assert(r.head.passed,
+      "tuples with a NULL component must not count as duplicates")
+    val dup = df.union(Seq[(java.lang.Long, java.lang.Long)]((1L, 2L))
+      .toDF("a", "b"))
+    val r2 = new CheckSuite(Seq(Unique(Seq("a", "b")))).run(dup)
+    assert(!r2.head.passed, "a duplicated fully-non-null tuple still fails")
+  }
+
+  // ---------------------------------------------------------------
+  // Snapshots: commitAt / compact / expire / vacuum
+  // ---------------------------------------------------------------
+
+  test("commitAt is replay-stable and raises off the frontier") {
+    import graft.incremental.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-commitat")
+      .toString + "/lake"
+    (1 to 10).toDF("x").coalesce(1).write.parquet(s"$root/batch-0")
+    Snapshots.commitAt(spark, root, 1L)
+    (11 to 20).toDF("x").coalesce(1).write.parquet(s"$root/batch-1")
+    Snapshots.commitAt(spark, root, 2L)
+    // replay of batch 1: overwrite dir, re-commit SAME version
+    (11 to 20).toDF("x").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/batch-1")
+    Snapshots.commitAt(spark, root, 2L)
+    val vs = Snapshots.versions(spark, root)
+      .select("version").collect().map(_.getLong(0)).toSeq.sorted
+    assert(vs == Seq(1L, 2L), s"replay appended a version: $vs")
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 20L)
+    assert(Snapshots.unreferencedFiles(spark, root).isEmpty,
+      "the re-pinned v2 must reference the replayed files, no danglers")
+    // out-of-order commit raises
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAt(spark, root, 1L)
+    }
+  }
+
+  test("compact commits the rewrite as one atomic version; time travel " +
+    "crosses it; expire+vacuum reclaim exactly the superseded files") {
+    import graft.incremental.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-snapcomp")
+      .toString + "/lake"
+    (1 to 400).toDF("x").repartition(8).write.parquet(root)
+    assert(Snapshots.commit(spark, root) == 1L)
+    (401 to 800).toDF("x").repartition(8)
+      .write.mode("append").parquet(root)
+    assert(Snapshots.commit(spark, root) == 2L)
+    val preSum = Snapshots.readVersion(spark, root, 2L)
+      .agg(sum("x")).head.getLong(0)
+    val v3 = Snapshots.compact(spark, root, Long.MaxValue / 4)
+    assert(v3 == 3L)
+    // asOf(2) bit-stable across the rewrite, and still 16 files
+    assert(Snapshots.readVersion(spark, root, 2L)
+      .agg(sum("x")).head.getLong(0) == preSum)
+    assert(Snapshots.readVersion(spark, root, 2L).inputFiles.length == 16)
+    // one giant target -> one group -> one file, same content
+    assert(Snapshots.readVersion(spark, root, 3L).inputFiles.length == 1)
+    assert(Snapshots.readVersion(spark, root, 3L)
+      .agg(sum("x")).head.getLong(0) == preSum)
+    // vacuum is a no-op while history pins the originals
+    assert(Snapshots.vacuum(spark, root).isEmpty)
+    // plain commit AFTER compaction never re-pins superseded files
+    (801 to 900).toDF("x").coalesce(1)
+      .write.mode("append").parquet(s"$root/batch-2")
+    val v4 = Snapshots.commit(spark, root)
+    assert(v4 == 4L)
+    assert(Snapshots.readVersion(spark, root, 4L).count() == 900L,
+      "post-compaction commit must pin compacted + appended, not originals")
+    assert(Snapshots.readVersion(spark, root, 4L).inputFiles.length == 2)
+    // expire history, sweep: exactly the 16 superseded originals go
+    assert(Snapshots.expire(spark, root, keepLast = 2) == Seq(1L, 2L))
+    val swept = Snapshots.vacuum(spark, root)
+    assert(swept.size == 16 && !swept.exists(_.contains("compact-v")))
+    assert(Snapshots.readLatest(spark, root).count() == 900L)
+    assert(Snapshots.readVersion(spark, root, 3L)
+      .agg(sum("x")).head.getLong(0) == preSum)
+  }
+
+  test("vacuum refuses an unlogged lake; compact refuses one too") {
+    import graft.incremental.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-unlogged")
+      .toString + "/lake"
+    (1 to 5).toDF("x").write.parquet(root)
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, root)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, root, 1024L)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Deletes: commit ordering + half-commit detector
+  // ---------------------------------------------------------------
+
+  test("upsert detects a half-committed op (add dir without its delete " +
+    "file) and upsertAt at that op repairs it") {
+    import graft.incremental.Deletes
+    val root = java.nio.file.Files.createTempDirectory("graft-halfop")
+      .toString + "/lake"
+    Deletes.initBase(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 1)
+    Deletes.upsert(spark, root, Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    // simulate a crash between the add write and the delete write:
+    // add-2 exists, d=2 does not
+    Seq((1L, "a2")).toDF("id", "v").write.parquet(s"$root/add-2")
+    val e = intercept[IllegalArgumentException] {
+      Deletes.upsert(spark, root, Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("half-committed"))
+    // mid-window read shows BOTH versions of key 1 (duplicates, never
+    // missing keys — the documented add-first ordering)
+    val mid = Deletes.readMerged(spark, root)
+      .filter(col("id") === 1L).count()
+    assert(mid == 2L)
+    // replaying the batch at the flagged op repairs
+    Deletes.upsertAt(spark, root, Seq((1L, "a2")).toDF("id", "v"),
+      Seq("id"), 2L)
+    val fixed = Deletes.readMerged(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fixed == Seq((1L, "a2"), (2L, "b2")))
+    // and the next auto-op proceeds
+    Deletes.upsert(spark, root, Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(Deletes.readMerged(spark, root).count() == 3L)
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash LSH: hot-bucket star guard
+  // ---------------------------------------------------------------
+
+  test("minhashLsh hot-bucket cap: an all-identical corpus produces " +
+    "O(n) star pairs instead of O(n^2), connectivity preserved") {
+    import graft.llmdata.DedupOps
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val docs = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val capped = DedupOps.minhashLsh(docs, "doc_id", "text",
+      maxBucketSize = 8).collect()
+    // star topology: every doc pairs with the bucket min (doc 1)
+    assert(capped.length == 59, s"expected 59 star pairs, got ${capped.length}")
+    assert(capped.forall(_.getDouble(2) == 1.0))
+    assert(capped.forall(_.getLong(0) == 1L),
+      "every pair must anchor at the bucket-min keeper")
+    // uncapped default: full quadratic pair set (the contract q34 pins)
+    val full = DedupOps.minhashLsh(docs, "doc_id", "text")
+    assert(full.count() == 60L * 59 / 2)
+    // mixed corpus: the cap must not disturb sparse buckets
+    val mixed = docs.union(Seq((100L, "completely different words here"),
+      (101L, "completely different words here")).toDF("doc_id", "text"))
+    val pairs = DedupOps.minhashLsh(mixed, "doc_id", "text",
+      maxBucketSize = 8)
+    assert(pairs.filter(col("id_a") === 100L && col("id_b") === 101L)
+      .count() == 1L, "the sparse-bucket pair must survive the cap")
+  }
+
+  // ---------------------------------------------------------------
+  // AbsRangeRewrite: MinValue contract
+  // ---------------------------------------------------------------
+
+  test("AbsRangeRewrite on Long.MinValue data: unrewritten Abs throws " +
+    "under ANSI, the rewrite excludes the row (mathematical abs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-absmin")
+      .toString + "/t"
+    Seq(Long.MinValue, -5L, 0L, 5L, 99L).toDF("x").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    // baseline: Spark's Abs under ANSI (the default) throws on MinValue
+    val e = intercept[Exception] {
+      df.filter(abs(col("x")) <= 10L).count()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW")
+      || e.getMessage.toLowerCase.contains("overflow"))
+    // with the rule: no throw, MinValue row excluded (|MinValue| > 10)
+    graft.plans.AbsRangeRewrite.register(spark)
+    try {
+      val kept = df.filter(abs(col("x")) <= 10L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(-5L, 0L, 5L))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.AbsRangeRewrite)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Pruned partitioned reads: bound-type validation + surrogate pairs
+  // ---------------------------------------------------------------
+
+  test("readPrunedPartitioned raises on mistyped bounds instead of " +
+    "wrongly skipping files") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-btype")
+      .toString + "/lake"
+    Seq((1L, "a", "2024-01"), (2L, "b", "2024-02"))
+      .toDF("id", "s", "month")
+      .write.partitionBy("month").parquet(dir)
+    // numeric bound against the STRING data column s
+    val e1 = intercept[IllegalArgumentException] {
+      Tables.readPrunedPartitioned(spark, dir,
+        Seq(("s", 1L, 5L))).count()
+    }
+    assert(e1.getMessage.contains("bound type mismatch"))
+    // numeric bound against the STRING partition column month
+    val e2 = intercept[IllegalArgumentException] {
+      Tables.readPrunedPartitioned(spark, dir,
+        Seq(("month", 1L, 5L))).count()
+    }
+    assert(e2.getMessage.contains("bound type mismatch"))
+    // well-typed call still prunes + returns the partition column
+    val ok = Tables.readPrunedPartitioned(spark, dir,
+      Seq(("month", "2024-01", "2024-01")))
+    assert(ok.inputFiles.length == 1 && ok.count() == 1L)
+    assert(ok.columns.contains("month"))
+  }
+
+  test("unescapePathName keeps surrogate pairs intact next to escapes") {
+    import graft.sources.Tables
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Tables.unescapePathName(s"a%20b${emoji}c") == s"a b${emoji}c")
+    assert(Tables.unescapePathName(emoji) == emoji)
+    // multi-byte UTF-8 split across consecutive escapes reassembles
+    assert(Tables.unescapePathName("%C3%A9") == "é")
+    // mixed: chars AROUND escapes stay chars (no byte round-trip)
+    assert(Tables.unescapePathName(s"${emoji}%2F${emoji}") ==
+      s"${emoji}/${emoji}")
+    // %-escaped partition VALUE ('=' and space escape on write): the
+    // exact directory prune must keep the matching partition. (A
+    // surrogate-pair directory name is not writable on this
+    // container's POSIX-locale local FS — the pure-function
+    // assertions above cover that path.)
+    val dir = java.nio.file.Files.createTempDirectory("graft-surr")
+      .toString + "/lake"
+    val v = "x=b c"
+    Seq((1L, v), (2L, "plain")).toDF("id", "tag")
+      .write.partitionBy("tag").parquet(dir)
+    val got = Tables.readPrunedPartitioned(spark, dir,
+      Seq(("tag", v, v)))
+    assert(got.count() == 1L && got.inputFiles.length == 1)
+    assert(got.select("id").head.getLong(0) == 1L)
+  }
+
+  test("readParquetIfExists: absent path and empty dir map to None " +
+    "without a spark.read attempt; corruption still raises") {
+    import graft.sources.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft-rpe")
+      .toString
+    assert(Tables.readParquetIfExists(spark, s"$base/nope").isEmpty)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/empty"))
+    assert(Tables.readParquetIfExists(spark, s"$base/empty").isEmpty)
+    // a dir holding only hidden files is still "absent"
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/hiddenonly"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/hiddenonly/_SUCCESS"),
+      Array.emptyByteArray)
+    assert(Tables.readParquetIfExists(spark, s"$base/hiddenonly").isEmpty)
+    // corruption raises eagerly (the contract the probe must not relax)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/corrupt.parquet"),
+      "not parquet at all".getBytes)
+    intercept[Exception] {
+      Tables.readParquetIfExists(spark, s"$base/corrupt.parquet",
+        eager = true)
+    }
+    // real data reads
+    Seq(1, 2, 3).toDF("x").write.parquet(s"$base/real")
+    assert(Tables.readParquetIfExists(spark, s"$base/real")
+      .get.count() == 3L)
+  }
+}
