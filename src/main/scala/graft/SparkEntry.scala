@@ -5673,7 +5673,91 @@ object SparkEntry {
         .toDF("constraint_name", "column_name", "passed",
           "unexpected_percent")
     }),
+
+    // IVF-PQ (round-12): coarse cells route, m-byte ADC codes score,
+    // exact rerank repairs — with an unrestricted candidate budget the
+    // rerank sees every probed vector, so the output EQUALS the flat
+    // IVF search at the same probes (q45's oracle verbatim); the
+    // in-query require pins the budgeted ADC path's recall against
+    // that exact probed ranking
+    "q487_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val root = LakeFixtures.freshRoot("ivfpq") + "/index"
+      Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", root,
+        dim = 64, m = 16, kSub = 16, nCells = 16, lloydIters = 2,
+        pqIters = 2)
+      val queries = emb.filter(col("vec_id") < 16)
+      val full = Similarity.ivfPqTopKIndexed(s, root, queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, overfetch = Int.MaxValue / 3)
+        .localCheckpoint(true)
+      def hitsAt(overfetch: Int): Long = Similarity
+        .ivfPqTopKIndexed(s, root, queries, "vec_id", "embedding",
+          k = 3, nprobe = 2, overfetch = overfetch)
+        .select("query_id", "neighbor_id")
+        .join(full.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val (h4, h8, h16) = (hitsAt(4), hitsAt(8), hitsAt(16))
+      val tot = full.count()
+      // recall is MONOTONE in the candidate budget (candidates(8) ⊇
+      // candidates(4); the exact rerank keeps every true-top-k member
+      // present) — a structural guarantee, required as such
+      require(h4 <= h8 && h8 <= h16 && h16 <= tot,
+        s"budget monotonicity broke: $h4 <= $h8 <= $h16 <= $tot expected")
+      require(h16 * 4 >= tot * 3,
+        s"budgeted ADC recall@3 too low at overfetch 16: $h16/$tot")
+      full.select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+    }),
   )
+
+  /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
+    * lowest-id vectors, 2 Lloyd rounds with decimal-exact element
+    * means) + nprobe=2 flat search over the 16-cell assignment. q487
+    * (IVF-PQ, unrestricted candidate budget) reranks every probed
+    * vector exactly, so its output equals this flat result. */
+  private lazy val ivfFlatOracleSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def assignCte(centTbl: String, outTbl: String) =
+      s"""$outTbl AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+         |    FROM v CROSS JOIN $centTbl c) WHERE rn = 1)""".stripMargin
+    // zipped unnests (DuckDB SELECT-list unnest semantics) stand in for
+    // WITH ORDINALITY: (element, 1-based index) rows per vector
+    def meanCte(assignTbl: String, outTbl: String) =
+      s"""$outTbl AS (
+         |  SELECT cell AS cell_id, list(m ORDER BY i) AS centroid FROM (
+         |    SELECT cell, i,
+         |      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(emb) AS x,
+         |            unnest(generate_series(1, len(emb))) AS i
+         |          FROM $assignTbl)
+         |    GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent0 AS (SELECT vec_id AS cell_id, emb AS centroid FROM v ORDER BY vec_id LIMIT 16),
+       |${assignCte("cent0", "asg0")},
+       |${meanCte("asg0", "cent1")},
+       |${assignCte("cent1", "asg1")},
+       |${meanCte("asg1", "cent2")},
+       |${assignCte("cent2", "assigned")},
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, emb AS qemb, cell FROM (
+       |    SELECT q.vec_id, q.emb, c.cell_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+       |    FROM (SELECT * FROM v WHERE vec_id < 16) q CROSS JOIN cent2 c) WHERE rn <= 2)
+       |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cos("q.qemb", "c.emb")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cos("q.qemb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
+       |  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id
+       |) WHERE rank <= 3""".stripMargin
+  }
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
     * 19-column trip schema carries (bronze's explicit projection needs
@@ -7320,51 +7404,14 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |) WHERE side = 1""".stripMargin,
 
-    "q45_ivf_topk" -> {
-      // mirrors Similarity.fitCentroids (seed = lowest-id vectors, 2 Lloyd
-      // rounds with decimal-exact element means) + nprobe=2 search
-      val cos = (a: String, b: String) =>
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      def assignCte(centTbl: String, outTbl: String) =
-        s"""$outTbl AS (
-           |  SELECT vec_id, emb, cell FROM (
-           |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
-           |    FROM v CROSS JOIN $centTbl c) WHERE rn = 1)""".stripMargin
-      // zipped unnests (DuckDB SELECT-list unnest semantics) stand in for
-      // WITH ORDINALITY: (element, 1-based index) rows per vector
-      def meanCte(assignTbl: String, outTbl: String) =
-        s"""$outTbl AS (
-           |  SELECT cell AS cell_id, list(m ORDER BY i) AS centroid FROM (
-           |    SELECT cell, i,
-           |      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
-           |    FROM (SELECT cell, unnest(emb) AS x,
-           |            unnest(generate_series(1, len(emb))) AS i
-           |          FROM $assignTbl)
-           |    GROUP BY cell, i)
-           |  GROUP BY cell)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cent0 AS (SELECT vec_id AS cell_id, emb AS centroid FROM v ORDER BY vec_id LIMIT 16),
-         |${assignCte("cent0", "asg0")},
-         |${meanCte("asg0", "cent1")},
-         |${assignCte("cent1", "asg1")},
-         |${meanCte("asg1", "cent2")},
-         |${assignCte("cent2", "assigned")},
-         |qprobe AS (
-         |  SELECT vec_id AS query_id, emb AS qemb, cell FROM (
-         |    SELECT q.vec_id, q.emb, c.cell_id AS cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cos("q.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
-         |    FROM (SELECT * FROM v WHERE vec_id < 16) q CROSS JOIN cent2 c) WHERE rn <= 2)
-         |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    ${cos("q.qemb", "c.emb")} AS cosine,
-         |    CAST(row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${cos("q.qemb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
-         |  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id
-         |) WHERE rank <= 3""".stripMargin
-    },
+    "q45_ivf_topk" -> ivfFlatOracleSql,
+
+    // q487: the IVF-PQ search with an unrestricted candidate budget
+    // reranks EVERY probed vector exactly, so its output is the flat
+    // IVF result — the SAME oracle text as q45 (the composition's
+    // equivalence contract; the in-query requires cover the
+    // budgeted-ADC recall floor)
+    "q487_ivfpq_topk" -> ivfFlatOracleSql,
 
     "q43_salted_agg" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty

@@ -856,7 +856,8 @@ object Similarity {
     * expressions — ZERO exchanges; a crossJoin+rank form would shuffle
     * the m-times-exploded corpus on a unique key. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+               codebook: DataFrame, dim: Int, m: Int,
+               keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.DotProduct.dot_product
     require(m >= 1 && dim % m == 0, s"m must divide dim ($m, $dim)")
     val sub = dim / m
@@ -880,7 +881,8 @@ object Similarity {
       }: _*)
       array_min(scored).getField("cell").cast("int")
     }
-    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+    corpus.select(col(idCol) +: array(codeCols: _*).as("codes")
+      +: keep.map(col): _*)
   }
 
   /** PQ ANN search with asymmetric distance computation (ADC) + exact
@@ -934,6 +936,143 @@ object Similarity {
         Seq("neighbor_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("cosine", cosineNative(col("qv"), col("cv")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Materialize an IVF-PQ index — the composition of [[ivfIndexWrite]]
+    * (coarse cell routing) and [[pqTrain]]/[[pqEncode]] (m-byte codes),
+    * the standard next rung past [[ivfIndexWriteQuantized]] on the ANN
+    * memory ladder: int8 keeps `dim` bytes per vector, PQ keeps `m`
+    * (8 here vs 64) — at 1e11 vectors the difference between a 6.4 TB
+    * and a 0.8 TB resident scan set, which decides whether the probed
+    * cells' ADC pass stays in memory. Codes are trained and encoded on
+    * RAW vectors, not per-cell residuals (FAISS IndexIVFPQ's
+    * `by_residual=false` mode): inner-product ADC then needs ONE
+    * distance table per query instead of one per (query, probed cell),
+    * and the exact-rerank stage repairs the (small) precision the
+    * residual form would buy.
+    *
+    * Layout: `path/centroids` (nCells rows), `path/codebook`
+    * (m·kSub rows), `path/assigned` = (id, codes) partitioned by
+    * `cell` — the ADC scan set, m small ints per vector — and
+    * `path/vectors` = the full-precision store read ONLY at candidate
+    * scale by the rerank (at 100 TB this is typically the existing
+    * corpus table; it is co-written here so the index is
+    * self-contained). Build cost: one persisted corpus feeding the
+    * coarse fit, the m per-subspace fits, and two map-stage writes —
+    * no shuffles outside the (cell, dim)-scale Lloyd aggregates. */
+  def ivfPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, dim: Int, m: Int, kSub: Int = 16,
+                      nCells: Int = 16, lloydIters: Int = 2,
+                      pqIters: Int = 2): Unit = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim ($m, $dim)")
+    require(kSub >= 2 && kSub <= 256,
+      s"kSub must fit one byte per code (2..256), got $kSub")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corp = corpus.select(col(idCol), col(vecCol)).persist(mem)
+    val centroids = broadcast(
+      fitCentroids(corp, idCol, vecCol, nCells, lloydIters)
+        .localCheckpoint(true))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val codebook = pqTrain(corp, idCol, vecCol, dim, m, kSub, pqIters)
+      .localCheckpoint(true)
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    // one map pass: coarse cell + m codes + the vector NORM per row,
+    // zero exchanges. The norm (8 bytes) rides with the codes so the
+    // ADC pass can rank by approximate COSINE (approx_dot / norm) —
+    // the metric the rerank and every other ANN surface use; ranking
+    // by raw dot mis-orders corpora with varied norms (the FAISS
+    // store-the-norm convention for IP/cosine IVF-PQ indexes).
+    val assigned = assignCorpusCells(corp, idCol, vecCol, centroids)
+      .withColumn("vnorm", sqrt(
+        graft.functions.DotProduct.dot_product(col("__v"), col("__v"))))
+    pqEncode(assigned, idCol, "__v", codebook, dim, m,
+      keep = Seq("cell", "vnorm"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    corp.write.mode("overwrite").parquet(s"$path/vectors")
+    corp.unpersist()
+    ()
+  }
+
+  /** Search an IVF-PQ index ([[ivfPqIndexWrite]]): probe each query's
+    * `nprobe` nearest cells, ADC-score ONLY those cells' m-byte codes
+    * (one broadcast distance table of query·codebook contributions,
+    * |Q|·m·kSub rows; the approximate dot of a corpus vector is the
+    * sum of its codes' contributions — a map-side-combined hash
+    * aggregate), keep the top `k·overfetch` approximate candidates per
+    * query, and rerank them by EXACT cosine against the full-precision
+    * store — candidate-sized reads only. Output and tie-break semantics
+    * match every other ANN surface (`query_id, neighbor_id, cosine,
+    * rank`; cosine desc, neighbor asc, self-pairs excluded).
+    *
+    * `overfetch` is the recall dial: with a budget covering the whole
+    * probed cells the result is EXACTLY [[ivfTopKIndexed]] at equal
+    * nprobe (the rerank sees every probed vector — spec- and
+    * oracle-pinned); smaller budgets trade candidate reads for the
+    * chance that ADC quantization error drops a true neighbor below
+    * the cut. At 100 TB the ADC pass touches m bytes per probed
+    * vector — the point of PQ — and the only full-width reads are the
+    * ≤ k·overfetch candidates per query. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nprobe: Int = 2,
+                       overfetch: Int = 4): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && overfetch >= 1,
+      "k, nprobe, overfetch must be >= 1")
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val meta = codebook.agg(
+        (max(col("sub_id")) + 1).cast("int").as("m"),
+        max(size(col("centroid"))).cast("int").as("sub")).head()
+    val (m, sub) = (meta.getInt(0), meta.getInt(1))
+    val qOnce = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .localCheckpoint(true))
+    // ADC distance table: contribution of every (sub, code) centroid
+    val qsub = (0 until m).map { s2 =>
+      qOnce.select(col("query_id"), lit(s2).as("sub_id"),
+        slice(col("qv"), s2 * sub + 1, sub).as("__qs"))
+    }.reduce(_ unionByName _)
+    val distTable = broadcast(
+      qsub.join(broadcast(codebook), Seq("sub_id"))
+        .select(col("query_id"), col("sub_id"),
+          col("cell_id").cast("int").as("code"),
+          dot(col("__qs"), col("centroid")).as("contrib"))
+        .localCheckpoint(true))
+    // probed cells -> candidate (query, neighbor) pairs over codes only
+    val probes = broadcast(
+      assignCells(queries, idCol, vecCol, centroids, n = nprobe)
+        .select(col(idCol).as("query_id"), col("cell"))
+        .localCheckpoint(true))
+    val approx = spark.read.parquet(s"$path/assigned")
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("cell"),
+        col("vnorm"))
+      .join(probes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("vnorm"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+      .join(distTable, Seq("query_id", "sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("vnorm"))
+      .agg(sum(col("contrib")).as("approx_dot"))
+      // approximate COSINE: the stored norm normalizes the corpus side
+      // (the query norm is constant per window — irrelevant to rank)
+      .withColumn("approx_cos", col("approx_dot") / col("vnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val candidates = approx.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k.toLong * overfetch)
+      .select("query_id", "neighbor_id")
+    val reranked = candidates
+      .join(spark.read.parquet(s"$path/vectors")
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(qOnce, Seq("query_id"))
       .withColumn("cosine", cosineNative(col("qv"), col("cv")))
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

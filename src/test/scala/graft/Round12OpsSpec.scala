@@ -195,6 +195,46 @@ class Round12OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // IVF-PQ: ADC scan + exact rerank over the materialized index
+  // ---------------------------------------------------------------
+
+  test("ivfPqTopKIndexed with an unrestricted candidate budget equals " +
+    "ivfTopKIndexed at equal probes; codes are one byte per subspace") {
+    import graft.llmdata.Similarity
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .toString
+    Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$dir/pq",
+      dim = 64, m = 8, kSub = 16, nCells = 8, lloydIters = 1, pqIters = 1)
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", s"$dir/flat",
+      nCells = 8, lloydIters = 1)
+    val queries = emb.filter(col("vec_id") < 8)
+    val pq = Similarity.ivfPqTopKIndexed(spark, s"$dir/pq", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2,
+      overfetch = Int.MaxValue / 3)
+    val flat = Similarity.ivfTopKIndexed(spark, s"$dir/flat", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    // rerank over ALL probed vectors == the flat ranking, bit-exact
+    assert(pq.exceptAll(flat).isEmpty && flat.exceptAll(pq).isEmpty)
+    // the memory claim: m codes per vector, each in [0, kSub) — one
+    // byte per subspace (8 bytes vs 64 dims * 8 = 512 full-precision)
+    val codes = spark.read.parquet(s"$dir/pq/assigned")
+    val shape = codes.agg(
+      min(size(col("codes"))).as("mn"), max(size(col("codes"))).as("mx"),
+      min(array_min(col("codes"))).as("lo"),
+      max(array_max(col("codes"))).as("hi")).head()
+    assert(shape.getInt(0) == 8 && shape.getInt(1) == 8)
+    assert(shape.getInt(2) >= 0 && shape.getInt(3) < 16)
+    // a modest overfetch still returns k rows per query (recall may
+    // dip, cardinality must not)
+    val modest = Similarity.ivfPqTopKIndexed(spark, s"$dir/pq", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, overfetch = 2)
+    assert(modest.groupBy("query_id").count()
+      .filter(col("count") =!= 3L).count() == 0)
+  }
+
+  // ---------------------------------------------------------------
   // AbsRangeRewrite: MinValue contract
   // ---------------------------------------------------------------
 
