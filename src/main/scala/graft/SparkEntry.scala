@@ -3745,7 +3745,7 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
       val spine = daily.select(col("day")).distinct()
-        .crossJoin(daily.select(col("event_type")).distinct())
+        .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
         .join(daily, Seq("day", "event_type"), "left")
         .withColumn("y", coalesce(col("y"), lit(0L)))
       graft.operators.RankStats.friedmanParts(spine, "day", "event_type", "y")
@@ -3802,7 +3802,7 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
       val spine = daily.select(col("day")).distinct()
-        .crossJoin(daily.select(col("event_type")).distinct())
+        .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
         .join(daily, Seq("day", "event_type"), "left")
         .withColumn("y", coalesce(col("y"), lit(0L)))
       graft.operators.RankStats.kendallW(spine, "day", "event_type", "y")
@@ -3997,7 +3997,7 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
       val spine = daily.select(col("day")).distinct()
-        .crossJoin(daily.select(col("event_type")).distinct())
+        .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
         .join(daily, Seq("day", "event_type"), "left")
         .withColumn("y", coalesce(col("y"), lit(0L)))
       graft.operators.RankStats.pageTrend(spine, "day", "event_type", "y")
@@ -4011,7 +4011,7 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
       val spine = daily.select(col("day")).distinct()
-        .crossJoin(daily.select(col("event_type")).distinct())
+        .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
         .join(daily, Seq("day", "event_type"), "left")
         .withColumn("s", (coalesce(col("y"), lit(0L)) > 0).cast("int"))
       graft.operators.RankStats.cochranQ(spine, "day", "event_type", "s")
@@ -4138,7 +4138,7 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("y"))
       val spine = daily.select(col("day")).distinct()
-        .crossJoin(daily.select(col("event_type")).distinct())
+        .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
         .join(daily, Seq("day", "event_type"), "left")
         .withColumn("y", coalesce(col("y"), lit(0L)))
       graft.operators.RankStats.quadeParts(spine, "day", "event_type", "y")
@@ -5708,6 +5708,20 @@ object SparkEntry {
       full.select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
     }),
+
+    // BPE vocabulary TRAINING (round-12): the real iterative trainer
+    // (q90's bpePairCounts is one round's statistic) — 6 greedy
+    // merge rounds over the weighted distinct-word table; the oracle
+    // replays the identical loop (pair counts -> argmax -> leftmost
+    // non-overlapping application) with per-round recursive CTEs
+    "q488_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      graft.llmdata.TextAnalysis
+        .bpeTrain(t(s, d, "documents"), "doc_id", "text", nMerges = 6)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("merge_step", "lhs", "rhs")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -5757,6 +5771,55 @@ object SparkEntry {
        |      ORDER BY ${cos("q.qemb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
        |  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id
        |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** q488 oracle: replay TextAnalysis.bpeTrain's greedy loop — per
+    * round, pair counts over the weighted distinct-word symbol table
+    * (HAVING n >= 2, argmax by n desc / pair asc), then the leftmost
+    * non-overlapping merge application as a per-word recursive cursor
+    * walk (depth = max word length). CTEs are MATERIALIZED: without
+    * it DuckDB inlines each round's words table into the next round's
+    * THREE references and the recursion chain re-evaluates
+    * exponentially (measured: a 6-round plan that never finishes vs
+    * 0.1 s materialized). */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    def roundSql(r: Int): String = {
+      val prev = s"words_${r - 1}"
+      s"""merge_$r AS MATERIALIZED (
+         |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+         |  FROM (
+         |    SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(wc) AS n
+         |    FROM (SELECT wc, syms, unnest(generate_series(1, len(syms)-1)) AS i
+         |          FROM $prev)
+         |    GROUP BY 1 HAVING SUM(wc) >= 2
+         |    ORDER BY n DESC, pair ASC LIMIT 1)),
+         |step_$r (w, wc, pos, acc) AS (
+         |  SELECT w, wc, 1, CAST([] AS VARCHAR[]) FROM $prev, merge_$r
+         |  UNION ALL
+         |  SELECT s.w, s.wc,
+         |    CASE WHEN s.pos < len(p.syms) AND p.syms[s.pos] = m.a
+         |           AND p.syms[s.pos+1] = m.b
+         |         THEN s.pos + 2 ELSE s.pos + 1 END,
+         |    CASE WHEN s.pos < len(p.syms) AND p.syms[s.pos] = m.a
+         |           AND p.syms[s.pos+1] = m.b
+         |         THEN list_append(s.acc, m.a || m.b)
+         |         ELSE list_append(s.acc, p.syms[s.pos]) END
+         |  FROM step_$r s JOIN $prev p USING (w), merge_$r m
+         |  WHERE s.pos <= len(p.syms)),
+         |words_$r AS MATERIALIZED (
+         |  SELECT s.w, s.wc, s.acc AS syms FROM step_$r s JOIN $prev p USING (w)
+         |  WHERE s.pos = len(p.syms) + 1)""".stripMargin
+    }
+    s"""WITH RECURSIVE words_0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
+       |    regexp_split_to_array(w, '') AS syms
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE LENGTH(w) > 0 GROUP BY w),
+       |${(1 to nMerges).map(roundSql).mkString(",\n")}
+       |${(1 to nMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_step, a AS lhs, b AS rhs FROM merge_$r")
+          .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -7412,6 +7475,9 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q488: the same greedy trainer replayed round by round
+    "q488_bpe_train" -> bpeTrainOracleSql(6),
 
     "q43_salted_agg" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty

@@ -20,7 +20,13 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   *  - **Unbounded cross join**: a Cartesian product where neither side
   *    is provably ≤ 1 row. The broadcast-one-row-totals pattern
   *    (`crossJoin(broadcast(df.agg(...)))`) stays silent because a
-  *    global Aggregate reports `maxRows = 1`.
+  *    global Aggregate reports `maxRows = 1`; a cross join with an
+  *    EXPLICIT broadcast hint on either side also stays silent — the
+  *    author declared that side small, which is precisely the scale
+  *    decision this lint exists to force into the open (the flagged
+  *    defect is the UNDECLARED cartesian). A hinted-but-actually-huge
+  *    side fails loudly at runtime on the broadcast size limit, so the
+  *    declaration is not a silent escape hatch.
   *
   * `audit` returns findings (empty = clean); `assertScaleSafe` throws
   * with all findings listed — drop it in a smoke test the way this
@@ -37,8 +43,12 @@ object PlanAudit {
         PlanFinding("global-window-over-raw-rows",
           w.windowExpressions.map(_.sql).mkString(", "))
     }
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    def declaredSmall(j: Join): Boolean =
+      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
     val unboundedCross = plan.collect {
-      case j: Join if j.joinType == Cross &&
+      case j: Join if j.joinType == Cross && !declaredSmall(j) &&
           !j.left.maxRows.exists(_ <= 1L) && !j.right.maxRows.exists(_ <= 1L) =>
         PlanFinding("unbounded-cross-join",
           s"left=${j.left.nodeName} right=${j.right.nodeName}")
