@@ -5722,6 +5722,76 @@ object SparkEntry {
         .map { case ((a, b), i) => (i + 1L, a, b) }
         .toDF("merge_step", "lhs", "rhs")
     }),
+
+    // CLUSTERED snapshot compaction (the OPTIMIZE ZORDER analog):
+    // two interleaved unsorted appends (every file spans the whole
+    // key range — zone maps useless) -> compactClustered commits a
+    // range-cut sorted rewrite as one atomic version -> the SAME box
+    // probe now opens a fraction of the files (require), asOf(v2) is
+    // bit-stable across it, and expire+vacuum reclaim exactly the
+    // unsorted originals. Content oracled at both versions plus the
+    // box slice.
+    "q489_clustered_compaction" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("snapcluster") + "/lake"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .repartition(16).write.parquet(root)
+      Snapshots.commit(s, root)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .repartition(16).write.mode("append").parquet(root)
+      val v2 = Snapshots.commit(s, root)
+      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val box = Seq(("o_orderkey", mx / 2, mx / 2 + mx / 8))
+      val candPre = graft.sources.Tables
+        .prunedCandidateFiles(s, root, box).length
+      def aggOf(df: DataFrame, stage: String) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          sum(col("o_orderkey")).cast("long").as("sum_ok"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "n", "price_cents", "sum_ok")
+      val preV2 = aggOf(Snapshots.readVersion(s, root, v2), "v2_pre")
+        .localCheckpoint(true)
+      val v3 = Snapshots.compactClustered(s, root, nFiles = 8,
+        Seq("o_orderkey"))
+      val candPost = graft.sources.Tables
+        .prunedCandidateFiles(s, s"$root/compact-v$v3", box).length
+      require(candPost * 4 <= candPre,
+        s"clustering must collapse the box probe: $candPre -> $candPost")
+      val postV2 = aggOf(Snapshots.readVersion(s, root, v2), "v2_pre")
+      require(preV2.exceptAll(postV2).isEmpty
+        && postV2.exceptAll(preV2).isEmpty,
+        "asOf(v2) changed across the clustered rewrite")
+      require(Snapshots.vacuum(s, root).isEmpty,
+        "vacuum must be a no-op while v1/v2 retain the originals")
+      val v3Agg = aggOf(Snapshots.readVersion(s, root, v3), "v3")
+        .localCheckpoint(true)
+      Snapshots.expire(s, root, keepLast = 1)
+      val swept = Snapshots.vacuum(s, root)
+      require(swept.size == 32 && !swept.exists(_.contains("compact-v")),
+        s"sweep must reclaim the 32 unsorted originals, got ${swept.size}")
+      val boxAgg = aggOf(graft.sources.Tables
+        .readPruned(s, s"$root/compact-v$v3",
+          Seq(("o_orderkey", mx / 2, mx / 2 + mx / 8))), "pruned_box")
+      preV2.unionAll(v3Agg).unionAll(boxAgg)
+    }),
+
+    // BPE fertility per language — the compression readout under the
+    // q488-trained vocabulary: exact word/token/char counts per lang
+    // (chars per token is one caller-side division); merges apply to
+    // the DISTINCT-word table only, broadcast back onto the stream
+    "q490_bpe_fertility" -> ((s, d) =>
+      graft.llmdata.TextAnalysis.bpeFertility(t(s, d, "documents"),
+        "text", "lang", nMerges = 6)),
+
+    // shared-dialect correlated LATERAL (top-1-per-outer-row)
+    "q491_sql_lateral" -> ((s, d) => {
+      graft.sql.SqlCatalog.registerTables(s, d)
+      s.sql(sqlLateralTopKText)
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -5782,7 +5852,8 @@ object SparkEntry {
     * THREE references and the recursion chain re-evaluates
     * exponentially (measured: a 6-round plan that never finishes vs
     * 0.1 s materialized). */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
+  private def bpeTrainOracleSql(nMerges: Int,
+                                finalSelect: Option[String] = None): String = {
     def roundSql(r: Int): String = {
       val prev = s"words_${r - 1}"
       s"""merge_$r AS MATERIALIZED (
@@ -5817,9 +5888,9 @@ object SparkEntry {
        |        FROM documents)
        |  WHERE LENGTH(w) > 0 GROUP BY w),
        |${(1 to nMerges).map(roundSql).mkString(",\n")}
-       |${(1 to nMerges).map(r =>
+       |${finalSelect.getOrElse((1 to nMerges).map(r =>
           s"SELECT CAST($r AS BIGINT) AS merge_step, a AS lhs, b AS rhs FROM merge_$r")
-          .mkString("\nUNION ALL\n")}""".stripMargin
+          .mkString("\nUNION ALL\n"))}""".stripMargin
   }
 
   /** [[tripFromLineitem]] plus the raw `total_amount` column the full
@@ -6066,6 +6137,21 @@ object SparkEntry {
       |  CAST(SUM(LEAST(qc, lc)) AS BIGINT) AS l_sum,
       |  CAST(COUNT(NULLIF(qc, lc)) AS BIGINT) AS n_diff
       |FROM b GROUP BY flag""".stripMargin
+
+  /** q491's SQL — shared-dialect correlated LATERAL with its own
+    * ORDER BY/LIMIT (top-1 per outer row — the apply-form sibling of
+    * q407's aggregate-LATERAL sqlLateralText): the comma-join LATERAL
+    * is an inner apply in both engines, so nations without customers
+    * drop identically. */
+  private val sqlLateralTopKText: String =
+    """SELECT n_name, top_cust, top_bal_cents
+      |FROM nation, LATERAL (
+      |  SELECT c_name AS top_cust,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS top_bal_cents
+      |  FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 1)""".stripMargin
 
   private val sqlGroupByAllText: String =
     """SELECT l_returnflag, l_linestatus,
@@ -7478,6 +7564,40 @@ object SparkEntry {
 
     // q488: the same greedy trainer replayed round by round
     "q488_bpe_train" -> bpeTrainOracleSql(6),
+
+    // q489: both versions pin full-orders content; the box stage is
+    // the exact key-band slice (lo = max//2, hi = lo + max//8)
+    "q489_clustered_compaction" ->
+      """WITH m AS (SELECT MAX(o_orderkey) // 2 AS lo,
+        |  MAX(o_orderkey) // 2 + MAX(o_orderkey) // 8 AS hi FROM orders),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok FROM orders),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok
+        |  FROM orders, m WHERE o_orderkey BETWEEN lo AND hi)
+        |SELECT 'v2_pre' AS stage, n, price_cents, sum_ok FROM a
+        |UNION ALL SELECT 'v3', n, price_cents, sum_ok FROM a
+        |UNION ALL SELECT 'pruned_box', n, price_cents, sum_ok FROM b"""
+        .stripMargin,
+
+    // q490: the q488 merge chain, finished by joining the trained
+    // word table back onto the per-language word stream
+    "q490_bpe_fertility" -> bpeTrainOracleSql(6, finalSelect = Some(
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars
+        |FROM (SELECT lang,
+        |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents) ws
+        |JOIN words_6 USING (w)
+        |GROUP BY lang""".stripMargin)),
+
+    // q491: shared text verbatim
+    "q491_sql_lateral" -> sqlLateralTopKText,
 
     "q43_salted_agg" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty

@@ -239,6 +239,39 @@ object Snapshots {
     v
   }
 
+  /** [[compact]] with a CLUSTERED rewrite — the Delta `OPTIMIZE
+    * ZORDER`/Iceberg `rewrite_data_files(sort)` analog: the latest
+    * version's files rewrite range-cut AND sorted on `sortCols`, so
+    * the new files carry tight, disjoint footer bounds and every
+    * zone-map reader ([[graft.sources.Tables.prunedCandidateFiles]]
+    * family) skips all but the value-carrying files afterwards. Same
+    * commit-is-the-transaction contract as [[compact]]: readers
+    * pinned at ≤ N never notice, asOf crosses the rewrite, a crash
+    * before the commit leaves only an unreferenced directory. One
+    * range shuffle over the pinned set. Returns the new version. */
+  def compactClustered(spark: SparkSession, path: String, nFiles: Int,
+                       sortCols: Seq[String]): Long = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(sortCols.nonEmpty, "sortCols required")
+    val vs = listVersions(spark, path)
+    require(vs.nonEmpty,
+      s"compactClustered requires a snapshot-logged lake — commit $path first")
+    val latest = vs.last
+    val files = spark.read.parquet(s"${snapRoot(path)}/v=$latest")
+      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    require(files.nonEmpty,
+      s"version $latest pins no files — nothing to compact")
+    val v = latest + 1
+    spark.read.parquet(files: _*)
+      .repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/compact-v$v")
+    writeSnapshot(spark, path, v,
+      listDataFiles(spark, s"$path/compact-v$v"), overwrite = false)
+    v
+  }
+
   /** Drop all but the last `keepLast` versions from the log —
     * metadata-only (data files remain until [[vacuum]]). Returns the
     * dropped versions. */

@@ -1140,6 +1140,38 @@ object TextAnalysis {
       .toDF("doc_id", "tokens", "n_bpe_tokens")
   }
 
+  /** Per-group BPE fertility — the compression readout a tokenizer
+    * owner tracks per language/domain slice: words, BPE tokens (under
+    * a vocabulary trained by [[bpeTrain]] on THIS corpus), and
+    * characters, all exact BIGINTs (chars per token and tokens per
+    * word are one caller-side division away). Scale shape: the merges
+    * apply to the DISTINCT-word table only (vocabulary-scale — the
+    * same trick that makes [[bpeTrain]] cheap), broadcast back onto
+    * the word stream, one hash aggregate per group. The per-merge
+    * expression fold is depth-`nMerges` interpreted HOF over the
+    * vocab — fine at statistic-grade merge counts; a full production
+    * vocab goes through [[bpeEncode]]'s mapPartitions closure
+    * instead. */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String,
+                   nMerges: Int): DataFrame = {
+    val merges = bpeTrain(df, groupCol, textCol, nMerges)
+    val words = df
+      .select(col(groupCol), explode(DedupOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val symCol = merges.foldLeft(split(col("w"), "")) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    }
+    val encoded = words.select(col("w")).distinct()
+      .select(col("w"), size(symCol).cast("long").as("__toks"),
+        length(col("w")).cast("long").as("__chars"))
+    words
+      .join(graft.operators.Broadcasts.maybeBroadcast(encoded), Seq("w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__toks")).cast("long").as("n_tokens"),
+        sum(col("__chars")).cast("long").as("n_chars"))
+  }
+
   /** BM25 retrieval scores for a literal query-term set: the `k` best
     * documents per term. Uses the LINEAR idf (N/df, no logarithm) for the
     * same engine-portability reason as [[tfidfTopTerms]]; k1/b defaults

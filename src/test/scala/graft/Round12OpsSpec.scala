@@ -118,6 +118,62 @@ class Round12OpsSpec extends SparkSpec {
       .agg(sum("x")).head.getLong(0) == preSum)
   }
 
+  test("compactClustered: range-cut sorted rewrite commits atomically " +
+    "and tightens footer bounds to disjoint ranges") {
+    import graft.incremental.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-cluscomp")
+      .toString + "/lake"
+    // interleaved writes: every file spans the whole key range
+    (1 to 800).filter(_ % 2 == 0).toDF("x").repartition(4)
+      .write.parquet(root)
+    Snapshots.commit(spark, root)
+    (1 to 800).filter(_ % 2 == 1).toDF("x").repartition(4)
+      .write.mode("append").parquet(root)
+    Snapshots.commit(spark, root)
+    val v3 = Snapshots.compactClustered(spark, root, nFiles = 4, Seq("x"))
+    assert(v3 == 3L)
+    val post = Snapshots.readVersion(spark, root, 3L)
+    assert(post.count() == 800L && post.agg(sum("x")).head.getLong(0)
+      == 800L * 801 / 2)
+    // disjoint bounds: a one-quarter box opens exactly one file
+    val cand = graft.sources.Tables.prunedCandidateFiles(spark,
+      s"$root/compact-v3", Seq(("x", 1L, 200L)))
+    assert(cand.length == 1, s"expected 1 candidate file, got ${cand.length}")
+    // raises on an unlogged lake like its siblings
+    val plain = java.nio.file.Files.createTempDirectory("graft-cc2")
+      .toString + "/t"
+    (1 to 5).toDF("x").write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Snapshots.compactClustered(spark, plain, 2, Seq("x"))
+    }
+  }
+
+  test("bpeFertility: chars are conserved across merges and tokens " +
+    "shrink by exactly the applied merge count") {
+    import graft.llmdata.TextAnalysis
+    val docs = Seq(
+      (1L, "en", "aaab aaab cc"),
+      (2L, "en", "aaab cc cc"),
+      (3L, "de", "bbbb aaab")).toDF("doc_id", "lang", "text")
+    val f = TextAnalysis.bpeFertility(docs, "text", "lang", nMerges = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // merges learned on this corpus: round 1 (a,a)=8 beats all;
+    // round 2 ties (aa,a)=4 vs (a,b)=4 and "a b" < "aa a" wins the
+    // pair-string-asc tie-break -> ("a","b")
+    val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text", 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+    // aaab: [a,a,a,b] -(a,a)-> [aa,a,b] -(a,b)-> [aa,ab] = 2 tokens
+    assert(f.toSeq == Seq(
+      ("de", 2L, 6L, 8L),   // bbbb=4 toks 4 chars; aaab=2 toks 4 chars
+      ("en", 6L, 12L, 18L)))// 3*aaab(2 toks,4ch) + 3*cc(2 toks,2ch)
+    // chars conserved: n_chars equals the raw word-length sum
+    val raw = docs.select(explode(split(trim(lower(col("text"))), "\\s+"))
+      .as("w")).filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(f.map(_._4).sum == raw)
+  }
+
   test("vacuum refuses an unlogged lake; compact refuses one too") {
     import graft.incremental.Snapshots
     val root = java.nio.file.Files.createTempDirectory("graft-unlogged")
