@@ -5792,6 +5792,79 @@ object SparkEntry {
       graft.sql.SqlCatalog.registerTables(s, d)
       s.sql(sqlLateralTopKText)
     }),
+
+    // GX pair expectation (expect_column_pair_values_A_to_be_greater
+    // _than_B): strict, or-equal, and NULL-exempt variants through
+    // the fused single-pass suite
+    "q492_pair_check" -> ((s, d) => {
+      import graft.checks._
+      val li = t(s, d, "lineitem").withColumn("tax_n",
+        when(col("l_partkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("l_tax")))
+      val results = new CheckSuite(Seq(
+        PairGreater("l_extendedprice", "l_discount"),
+        PairGreater("l_quantity", "l_linenumber", orEqual = true),
+        PairGreater("tax_n", "l_discount"))).run(li)
+      import s.implicits._
+      results.map(r =>
+          (r.constraint, r.column.orNull, r.passed, r.unexpectedPercent))
+        .toDF("constraint_name", "column_name", "passed",
+          "unexpected_percent")
+    }),
+
+    // MASE parts per event type: seasonal-naive (lag 7) error scaled
+    // by the one-step naive in-sample MAE — exact BIGINT error sums,
+    // one fixed IEEE tree for the ratio
+    "q493_mase" -> ((s, d) =>
+      graft.operators.Timeseries.maseParts(dailyCountSeries(s, d),
+        "event_type", "x", "y", period = 7)),
+
+    // snapshotMaintainSink's foreachBatch body replayed by hand
+    // (compactEvery = 2): ingest versions are a pure function of the
+    // batch id, every 2nd batch compacts as the next version, and a
+    // crash-replayed batch ROLLS BACK its orphan versions then
+    // re-commits the same ids — version count never depends on crash
+    // count (requires), content oracled at v1 / v3 / v4
+    "q494_maintained_ingest" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val dir = LakeFixtures.freshRoot("snapmaintain") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), dayofmonth(col("ts")).as("dom"))
+      def run(b: Long, pred: org.apache.spark.sql.Column): Unit = {
+        ev.filter(pred).coalesce(4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/batch-$b")
+        val iv = b + 1 + b / 2
+        Snapshots.rollback(s, dir, iv - 1)
+        Snapshots.commitAt(s, dir, iv)
+        if ((b + 1) % 2 == 0)
+          Snapshots.compactAt(s, dir, iv + 1, Long.MaxValue / 4)
+      }
+      run(0, col("dom") <= 10)                       // v1
+      run(1, col("dom") > 10 && col("dom") <= 20)    // v2 + compact v3
+      // crash replay of batch 1: rollback drops the orphan v2/v3,
+      // then the same ids re-commit — the healing path
+      run(1, col("dom") > 10 && col("dom") <= 20)
+      run(2, col("dom") > 20)                        // v4
+      val vs = Snapshots.versions(s, dir)
+        .select("version").collect().map(_.getLong(0)).sorted.toSeq
+      require(vs == Seq(1L, 2L, 3L, 4L),
+        s"maintained version line broke: ${vs.mkString(",")}")
+      require(Snapshots.readVersion(s, dir, 3L).inputFiles.length == 1,
+        "the compaction version must hold the single rewritten file")
+      val n2 = Snapshots.readVersion(s, dir, 2L).count()
+      val n3 = Snapshots.readVersion(s, dir, 3L).count()
+      require(n2 == n3, s"compaction changed content: $n2 -> $n3")
+      def aggOf(v: Long, stage: String) = Snapshots.readVersion(s, dir, v)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"),
+          count_distinct(col("event_id")).cast("long").as("n_events"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "n", "sum_uid", "n_events")
+      aggOf(1L, "v1").unionAll(aggOf(3L, "v3_compacted"))
+        .unionAll(aggOf(4L, "v4"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7598,6 +7671,75 @@ object SparkEntry {
 
     // q491: shared text verbatim
     "q491_sql_lateral" -> sqlLateralTopKText,
+
+    // q492: pair expectations — bad/den per variant, NULL-exempt on
+    // the third (either-side-missing rows leave the denominator)
+    "q492_pair_check" ->
+      """WITH li AS (SELECT l_extendedprice, l_discount, l_quantity,
+        |    l_linenumber, l_tax,
+        |    CASE WHEN l_partkey % 5 = 0 THEN NULL ELSE l_tax END AS tax_n
+        |  FROM lineitem),
+        |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS den,
+        |  CAST(COUNT(CASE WHEN NOT (l_extendedprice > l_discount)
+        |    THEN 1 END) AS BIGINT) AS bad FROM li),
+        |s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS den,
+        |  CAST(COUNT(CASE WHEN NOT (l_quantity >= l_linenumber)
+        |    THEN 1 END) AS BIGINT) AS bad FROM li),
+        |s3 AS (SELECT
+        |  CAST(COUNT(CASE WHEN tax_n IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS den,
+        |  CAST(COUNT(CASE WHEN tax_n IS NOT NULL
+        |    AND NOT (tax_n > l_discount) THEN 1 END) AS BIGINT) AS bad
+        |  FROM li)
+        |SELECT 'pair_greater(l_extendedprice,l_discount)'
+        |    AS constraint_name,
+        |  'l_extendedprice,l_discount' AS column_name,
+        |  bad = 0 AS passed,
+        |  CAST(bad AS DOUBLE) / den * 100 AS unexpected_percent FROM s1
+        |UNION ALL SELECT 'pair_greater(l_quantity,l_linenumber,or_equal)',
+        |  'l_quantity,l_linenumber', bad = 0,
+        |  CAST(bad AS DOUBLE) / den * 100 FROM s2
+        |UNION ALL SELECT 'pair_greater(tax_n,l_discount)',
+        |  'tax_n,l_discount', bad = 0,
+        |  CAST(bad AS DOUBLE) / den * 100 FROM s3""".stripMargin,
+
+    // q493: row lags over the day order, exact cents error sums, the
+    // identical ratio tree
+    "q493_mase" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT event_type, v,
+        |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS lp
+        |  FROM d)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(ABS(v - lp)) AS BIGINT) AS abs_err_seasonal,
+        |  CAST(COUNT(lp) AS BIGINT) AS n_seasonal,
+        |  CAST(SUM(ABS(v - l1)) AS BIGINT) AS abs_err_naive,
+        |  CAST(COUNT(l1) AS BIGINT) AS n_naive,
+        |  CASE WHEN COUNT(lp) > 0 AND COUNT(l1) > 0
+        |      AND SUM(ABS(v - l1)) > 0 THEN
+        |    (CAST(SUM(ABS(v - lp)) AS DOUBLE) / COUNT(lp))
+        |      / (CAST(SUM(ABS(v - l1)) AS DOUBLE) / COUNT(l1)) END AS mase
+        |FROM l GROUP BY event_type""".stripMargin,
+
+    // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
+    "q494_maintained_ingest" ->
+      """SELECT 'v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+        |FROM events WHERE ts IS NOT NULL AND EXTRACT(DAY FROM ts) <= 10
+        |UNION ALL
+        |SELECT 'v3_compacted', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(user_id) AS BIGINT),
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        |FROM events WHERE ts IS NOT NULL AND EXTRACT(DAY FROM ts) <= 20
+        |UNION ALL
+        |SELECT 'v4', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(user_id) AS BIGINT),
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        |FROM events WHERE ts IS NOT NULL""".stripMargin,
 
     "q43_salted_agg" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty

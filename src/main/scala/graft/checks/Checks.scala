@@ -21,6 +21,14 @@ case class NotNull(column: String, mostly: Double = 1.0) extends Constraint { va
 case class Between(column: String, lo: Double, hi: Double, mostly: Double = 1.0) extends Constraint { val name = s"between($column,$lo,$hi)" }
 case class InSet(column: String, values: Seq[Any], mostly: Double = 1.0) extends Constraint { val name = s"in_set($column)" }
 case class Unique(columns: Seq[String]) extends Constraint { val name = s"unique(${columns.mkString(",")})" }
+/** GX `expect_column_pair_values_A_to_be_greater_than_B`: rows where
+  * `colA > colB` (or `>=` with `orEqual`). Rows where EITHER side is
+  * NULL are exempt and leave the denominator (GX's default
+  * `ignore_row_if = "either_value_is_missing"`). */
+case class PairGreater(colA: String, colB: String, orEqual: Boolean = false,
+                       mostly: Double = 1.0) extends Constraint {
+  val name = s"pair_greater($colA,$colB${if (orEqual) ",or_equal" else ""})"
+}
 case class AcceptedValues(column: String, values: Seq[Any]) extends Constraint { val name = s"accepted_values($column)" }
 case class References(column: String, parent: DataFrame, parentColumn: String) extends Constraint { val name = s"references($column)" }
 /** dbt singular test: rows satisfying `predicate` must not exist
@@ -118,6 +126,10 @@ class CheckSuite(constraints: Seq[Constraint]) {
         val keyed = cols.map(col(_).isNotNull).reduce(_ && _)
         (c, count(when(keyed, 1)) - countDistinct(cols.head, cols.tail: _*),
           count(when(keyed, 1)))
+      case c @ PairGreater(a, b, orEq, _) =>
+        val both = col(a).isNotNull && col(b).isNotNull
+        val ok = if (orEq) col(a) >= col(b) else col(a) > col(b)
+        (c, count(when(both && !ok, 1)), count(when(both, 1)))
       case c @ NoRowsWhere(_, p) =>
         (c, count(when(p, 1)), count(lit(1)))
       case c @ RowCountBetween(_, _) =>
@@ -140,12 +152,15 @@ class CheckSuite(constraints: Seq[Constraint]) {
           val pct = if (den == 0) 0.0 else bad.toDouble / den * 100.0
           val mostly = c match {
             case NotNull(_, m) => m; case Between(_, _, _, m) => m
-            case InSet(_, _, m) => m; case _ => 1.0
+            case InSet(_, _, m) => m; case PairGreater(_, _, _, m) => m
+            case _ => 1.0
           }
           val columnOf = c match {
             case NotNull(cn, _) => Some(cn); case Between(cn, _, _, _) => Some(cn)
             case InSet(cn, _, _) => Some(cn); case AcceptedValues(cn, _) => Some(cn)
-            case Unique(cs) => Some(cs.mkString(",")); case _ => None
+            case Unique(cs) => Some(cs.mkString(","))
+            case PairGreater(a, b, _, _) => Some(s"$a,$b")
+            case _ => None
           }
           CheckResult(c.name, columnOf, (den - bad).toDouble >= mostly * den - 1e-9, pct)
       }
@@ -212,7 +227,8 @@ object CheckConfig {
     val schema = "type STRING, column STRING, columns ARRAY<STRING>, " +
       "values ARRAY<STRING>, lo DOUBLE, hi DOUBLE, mostly DOUBLE, " +
       "min BIGINT, max BIGINT, parent STRING, parent_column STRING, " +
-      "label STRING, predicate STRING"
+      "label STRING, predicate STRING, column_a STRING, " +
+      "column_b STRING, or_equal BOOLEAN"
     val rows = spark.read.schema(schema).json(Seq(json).toDS).collect()
     val constraints: Seq[Constraint] = rows.toIndexedSeq.map { r =>
       def opt(f: String): Option[String] = Option(r.getAs[String](f))
@@ -246,6 +262,12 @@ object CheckConfig {
               s"references parent table '$p' not in the provided tables map")),
             req("parent_column"))
         case "no_rows_where" => NoRowsWhere(req("label"), expr(req("predicate")))
+        case "pair_greater" =>
+          val orEq = r.schema.fieldNames.contains("or_equal") &&
+            !r.isNullAt(r.fieldIndex("or_equal")) &&
+            r.getBoolean(r.fieldIndex("or_equal"))
+          PairGreater(req("column_a"), req("column_b"), orEq,
+            num("mostly", 1.0))
         case other =>
           throw new IllegalArgumentException(s"unknown constraint type '$other'")
       }

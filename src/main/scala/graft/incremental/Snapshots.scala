@@ -272,6 +272,72 @@ object Snapshots {
     v
   }
 
+  /** [[compact]] with a CALLER-CHOSEN version id — the streaming form
+    * ([[graft.streaming.Streaming.snapshotMaintainSink]] derives the
+    * maintenance version from the checkpointed batch id): rewrites
+    * the files pinned by `version − 1` (a DETERMINISTIC input — not
+    * "latest", so a crash-replayed maintenance batch re-reads exactly
+    * the same file set) and OVERWRITES `version`. Raises when
+    * `version − 1` is absent or a version beyond `version` exists
+    * (rewinding past committed history needs [[rollback]] first). */
+  def compactAt(spark: SparkSession, path: String, version: Long,
+                targetBytes: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(version >= 2, s"compactAt needs a base version, got $version")
+    val vs = listVersions(spark, path)
+    require(vs.contains(version - 1),
+      s"compactAt($version) requires committed version ${version - 1}" +
+        s" — versions: ${vs.mkString(", ")}")
+    val others = vs.filter(_ != version)
+    require(others.forall(_ < version),
+      s"version $version is not the frontier — existing: ${others.sorted}")
+    val files = spark.read.parquet(s"${snapRoot(path)}/v=${version - 1}")
+      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    require(files.nonEmpty,
+      s"version ${version - 1} pins no files — nothing to compact")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sized = files.map(f => (f, fs.getFileStatus(new Path(f)).getLen))
+    graft.operators.Layout.compactRewrite(spark, sized,
+      s"$path/compact-v$version", targetBytes)
+    writeSnapshot(spark, path, version,
+      listDataFiles(spark, s"$path/compact-v$version"), overwrite = true)
+  }
+
+  /** Truncate the log back to `toVersion`: every snapshot ABOVE it is
+    * dropped, ALONG WITH the data files those versions referenced
+    * exclusively (files a retained version also pins survive) — the
+    * pre-`toVersion` state is restored exactly, which the
+    * listing-based [[commit]]/[[commitAt]] depend on: a rolled-back
+    * version's leftover data file would otherwise re-enter the next
+    * pin as a phantom "fresh append" (and a half-overwritten
+    * compaction directory would dangle). Files staged on disk but
+    * never committed to ANY version are untouched — a maintenance
+    * replay writes its batch directory first, then rolls back. The
+    * Iceberg `rollback_to_snapshot` shape with eager exclusive-file
+    * cleanup; the streaming maintenance sink uses it to heal a
+    * crashed un-checkpointed attempt before replaying. No-op when
+    * nothing is above. Returns the dropped versions. */
+  def rollback(spark: SparkSession, path: String,
+               toVersion: Long): Seq[Long] = {
+    require(toVersion >= 0, s"toVersion must be >= 0, got $toVersion")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(spark, path)
+    val drop = vs.filter(_ > toVersion)
+    if (drop.isEmpty) return drop
+    def pinsOf(versions: Seq[Long]): Set[String] =
+      if (versions.isEmpty) Set.empty
+      else spark.read
+        .parquet(versions.map(v => s"${snapRoot(path)}/v=$v"): _*)
+        .select(col("path")).collect().map(_.getString(0)).toSet
+    val exclusive = pinsOf(drop) -- pinsOf(vs.filter(_ <= toVersion))
+    exclusive.foreach(f => fs.delete(new Path(f), false))
+    drop.foreach(v => fs.delete(new Path(s"${snapRoot(path)}/v=$v"), true))
+    drop
+  }
+
   /** Drop all but the last `keepLast` versions from the log —
     * metadata-only (data files remain until [[vacuum]]). Returns the
     * dropped versions. */

@@ -820,6 +820,56 @@ object Timeseries {
           col("dw_num").cast("double") / col("dw_den").cast("double")))
   }
 
+  /** Mean absolute scaled error (Hyndman & Koehler 2006) parts per
+    * key — the forecast-accuracy readout for the SEASONAL-NAIVE
+    * forecast (ŷ_t = y_{t−period}), scaled by the one-step naive
+    * in-sample MAE: mase = (Σ|y_t − y_{t−period}|/n_p) /
+    * (Σ|y_t − y_{t−1}|/n_1). MASE < 1 means the seasonal pattern
+    * carries real signal beyond persistence.
+    *
+    * Exactness (the parts-emission convention): values cents-scale to
+    * BIGINT (2-dp grid, the [[durbinWatson]] cell contract incl. the
+    * duplicate-x raise), both absolute-error sums are exact BIGINTs,
+    * and `mase` is one fixed IEEE tree over them — oracle-hashable
+    * end to end. Lags are ROW lags over the x-order: on a gappy index
+    * the statistic is still exact and engine-identical, but its
+    * seasonal interpretation assumes a dense index (gap-fill
+    * upstream via [[gapFillDaily]]/[[resampleLocf]] when days can be
+    * missing). NULL when either error window is empty or the naive
+    * MAE is zero (constant series — MASE undefined).
+    * One window pass + one hash aggregate per key. */
+  def maseParts(df: DataFrame, keyCol: String, xCol: String,
+                valueCol: String, period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "maseParts: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    cells
+      .withColumn("__l1", lag(col("__v"), 1).over(w))
+      .withColumn("__lp", lag(col("__v"), period).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(abs(col("__v") - col("__lp"))).cast("long")
+          .as("abs_err_seasonal"),
+        count(col("__lp")).cast("long").as("n_seasonal"),
+        sum(abs(col("__v") - col("__l1"))).cast("long")
+          .as("abs_err_naive"),
+        count(col("__l1")).cast("long").as("n_naive"))
+      .withColumn("mase",
+        when(col("n_seasonal") > 0 && col("n_naive") > 0
+            && col("abs_err_naive") > 0,
+          (col("abs_err_seasonal").cast("double") / col("n_seasonal")) /
+            (col("abs_err_naive").cast("double") / col("n_naive"))))
+  }
+
   /** Wald–Wolfowitz runs test per key — "do the residual SIGNS cluster
     * or alternate more than chance?" (the randomness companion of
     * [[durbinWatson]]'s magnitude view, and robust to any monotone

@@ -1185,6 +1185,46 @@ object Streaming {
       }
       .start()
 
+  /** [[snapshotIngestSink]] WITH INLINE MAINTENANCE — the full safe
+    * loop (ingest → commit → periodic compaction → time travel) as
+    * one streaming sink: every micro-batch lands batch-scoped and
+    * commits its ingest version; every `compactEvery`-th batch then
+    * runs a snapshot-transactional compaction
+    * ([[graft.incremental.Snapshots.compactAt]]) as the NEXT version,
+    * so small batch files never accumulate while pinned readers stay
+    * undisturbed and asOf crosses every rewrite.
+    *
+    * Version line is a pure function of the batch id — ingest(b) =
+    * b + 1 + ⌊b / compactEvery⌋, compaction = ingest + 1 on
+    * triggering batches — so replay is exact: a replayed batch first
+    * [[graft.incremental.Snapshots.rollback]]s any orphan versions a
+    * crashed un-checkpointed attempt left above its own ingest
+    * version (normally a no-op), then re-commits/re-compacts the same
+    * version ids with overwrite semantics. History is replay-stable:
+    * version count never depends on crash count. Lake must be owned
+    * by this sink. Retention (expire + vacuum of superseded
+    * pre-compaction files) stays a caller-scheduled decision. */
+  def snapshotMaintainSink(df: DataFrame, path: String, checkpoint: String,
+                           compactEvery: Int, targetBytes: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val ingestV = batchId + 1 + batchId / compactEvery
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/batch-$batchId")
+        graft.incremental.Snapshots.rollback(s, path, ingestV - 1)
+        graft.incremental.Snapshots.commitAt(s, path, ingestV)
+        if ((batchId + 1) % compactEvery == 0)
+          graft.incremental.Snapshots.compactAt(s, path, ingestV + 1,
+            targetBytes)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of the EXACT mergeable quantile partials
     * ([[graft.operators.AggMerge.dailyValuePartial]]): each
     * micro-batch writes ITS OWN (day, cents, cnt) delta under a

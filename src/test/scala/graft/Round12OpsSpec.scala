@@ -187,6 +187,115 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("rollback restores the pre-version state exactly: exclusive " +
+    "files go, shared and uncommitted files survive") {
+    import graft.incremental.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-rollback")
+      .toString + "/lake"
+    (1 to 10).toDF("x").coalesce(1).write.parquet(s"$root/batch-0")
+    Snapshots.commitAt(spark, root, 1L)
+    (11 to 20).toDF("x").coalesce(1).write.parquet(s"$root/batch-1")
+    Snapshots.commitAt(spark, root, 2L)
+    // stage an UNCOMMITTED batch too — rollback must not touch it
+    (21 to 30).toDF("x").coalesce(1).write.parquet(s"$root/batch-2")
+    assert(Snapshots.rollback(spark, root, 1L) == Seq(2L))
+    // v2's exclusive files (batch-1) are gone; v1's and the staged
+    // batch-2 survive
+    assert(spark.read.parquet(s"$root/batch-0").count() == 10L)
+    assert(spark.read.parquet(s"$root/batch-2").count() == 10L)
+    intercept[Exception] { spark.read.parquet(s"$root/batch-1").count() }
+    // the next commit sees exactly v1's files + the staged batch
+    Snapshots.commitAt(spark, root, 2L)
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 20L)
+    assert(Snapshots.rollback(spark, root, 5L).isEmpty) // no-op above
+  }
+
+  test("snapshotMaintainSink: ingest + periodic compaction, version " +
+    "line a pure function of the batch id") {
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mainsink")
+      .toString
+    val lake = dir + "/lake"
+    val in = MemoryStream[(Long, Long)]
+    val q = Streaming.snapshotMaintainSink(in.toDF().toDF("x", "y"),
+      lake, dir + "/ckpt", compactEvery = 2, targetBytes = Long.MaxValue / 4)
+    try {
+      in.addData((0L until 30L).map(i => (i, i % 3)): _*)
+      q.processAllAvailable()
+      in.addData((30L until 50L).map(i => (i, i % 3)): _*)
+      q.processAllAvailable()
+      in.addData((50L until 60L).map(i => (i, i % 3)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import graft.incremental.Snapshots
+    // b0 -> v1; b1 -> v2 + compact v3; b2 -> v4
+    val vs = Snapshots.versions(spark, lake).select("version")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(vs == Seq(1L, 2L, 3L, 4L))
+    assert(Snapshots.readVersion(spark, lake, 3L).count() == 50L)
+    assert(Snapshots.readVersion(spark, lake, 3L).inputFiles.length == 1)
+    assert(Snapshots.readVersion(spark, lake, 4L).count() == 60L)
+    // compactAt guards: base version must exist, frontier enforced
+    intercept[IllegalArgumentException] {
+      Snapshots.compactAt(spark, lake, 9L, 1024L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.compactAt(spark, lake, 3L, 1024L)
+    }
+  }
+
+  test("maseParts: exact error sums by hand, seasonal beats naive on " +
+    "a periodic series") {
+    import graft.operators.Timeseries
+    // period-2 alternation 10,20,10,20,... : seasonal lag-2 errors 0,
+    // naive lag-1 errors all 10 -> mase 0
+    val alt = (1 to 8).map(i =>
+      ("k", i.toLong, if (i % 2 == 0) 20.0 else 10.0))
+      .toDF("k", "x", "y")
+    val r = Timeseries.maseParts(alt, "k", "x", "y", period = 2)
+      .head()
+    assert(r.getLong(r.fieldIndex("n")) == 8L)
+    assert(r.getLong(r.fieldIndex("abs_err_seasonal")) == 0L)
+    assert(r.getLong(r.fieldIndex("n_seasonal")) == 6L)
+    assert(r.getLong(r.fieldIndex("abs_err_naive")) == 7L * 1000L)
+    assert(r.getLong(r.fieldIndex("n_naive")) == 7L)
+    assert(r.getDouble(r.fieldIndex("mase")) == 0.0)
+    // constant series: naive MAE 0 -> mase NULL
+    val const = (1 to 5).map(i => ("k", i.toLong, 3.0)).toDF("k", "x", "y")
+    val cr = Timeseries.maseParts(const, "k", "x", "y", 2).head()
+    assert(cr.isNullAt(cr.fieldIndex("mase")))
+    // duplicate x raises
+    intercept[Exception] {
+      Timeseries.maseParts(alt.union(Seq(("k", 1L, 5.0)).toDF("k", "x", "y")),
+        "k", "x", "y", 2).collect()
+    }
+  }
+
+  test("PairGreater: strict / or-equal / NULL-exempt semantics and " +
+    "the JSON config round-trip") {
+    import graft.checks._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (5.0, 1.0), (3.0, 3.0), (2.0, 4.0), (null, 9.0), (7.0, null))
+      .toDF("a", "b")
+    val rs = new CheckSuite(Seq(
+      PairGreater("a", "b"),
+      PairGreater("a", "b", orEqual = true),
+      PairGreater("a", "b", mostly = 0.3))).run(df)
+    // 3 comparable rows: strict passes 1/3 (bad 2), or-equal 2/3
+    assert(!rs(0).passed
+      && math.abs(rs(0).unexpectedPercent - 200.0 / 3.0) < 1e-12)
+    assert(!rs(1).passed
+      && math.abs(rs(1).unexpectedPercent - 100.0 / 3.0) < 1e-12)
+    assert(rs(2).passed, "mostly=0.3 admits 1/3 passing")
+    val parsed = CheckConfig.fromJson(spark,
+      """[{"type": "pair_greater", "column_a": "a", "column_b": "b",
+        |  "or_equal": true}]""".stripMargin).run(df)
+    assert(parsed.head.constraint == "pair_greater(a,b,or_equal)"
+      && math.abs(parsed.head.unexpectedPercent - 100.0 / 3.0) < 1e-12)
+  }
+
   // ---------------------------------------------------------------
   // Deletes: commit ordering + half-commit detector
   // ---------------------------------------------------------------
