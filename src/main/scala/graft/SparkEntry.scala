@@ -5865,6 +5865,39 @@ object SparkEntry {
       aggOf(1L, "v1").unionAll(aggOf(3L, "v3_compacted"))
         .unionAll(aggOf(4L, "v4"))
     }),
+
+    // backward as-of join cross-validated against DuckDB's NATIVE
+    // ASOF JOIN — the strongest semantic pin available for the
+    // operator (two independent implementations of the same
+    // standard): right side is unique per (key, ts) by construction,
+    // so both engines' tie rules coincide
+    "q495_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val right = ev.groupBy(col("user_id"),
+          date_trunc("day", col("ts")).as("ts"))
+        .agg(sum((col("value").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("day_cents"))
+        .withColumn("r_id",
+          datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long"))
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts",
+          "r_id", Seq("day_cents"))
+        .select(col("event_id"), col("asof_r_id"), col("asof_day_cents"))
+    }),
+
+    // Benford first-digit profile over an organically-distributed
+    // money column — exact digit counts off the cents integer
+    "q496_benford" -> ((s, d) =>
+      graft.operators.Profile.benfordCounts(t(s, d, "lineitem"),
+        "l_extendedprice")),
+
+    // Conover-Iman post-hoc pairwise parts after q295's
+    // Kruskal-Wallis — which line statuses differ per return flag;
+    // every rank moment exact off the doubled-midrank lattice
+    "q497_conover_posthoc" -> ((s, d) =>
+      graft.operators.RankStats.conoverParts(t(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity")),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7723,6 +7756,70 @@ object SparkEntry {
         |    (CAST(SUM(ABS(v - lp)) AS DOUBLE) / COUNT(lp))
         |      / (CAST(SUM(ABS(v - l1)) AS DOUBLE) / COUNT(l1)) END AS mase
         |FROM l GROUP BY event_type""".stripMargin,
+
+    // q495: DuckDB's NATIVE ASOF JOIN as the oracle — two independent
+    // implementations of the backward as-of standard must agree row
+    // for row (right side unique per (key, ts), so tie rules coincide)
+    "q495_asof_native" ->
+      """WITH r0 AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS rts,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS day_cents
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(CAST(rts AS DATE) - DATE '1970-01-01'
+        |    AS BIGINT) AS r_id FROM r0),
+        |l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT l.event_id, r.r_id AS asof_r_id,
+        |  r.day_cents AS asof_day_cents
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.rts""".stripMargin,
+
+    // q496: exact first-digit counts off the cents integer
+    "q496_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n, n_total, CAST(n AS DOUBLE) / n_total AS share
+        |FROM g, t""".stripMargin,
+
+    // q497: the q295 lattice extended with the quadrupled rank-square
+    // sum and the group-pair self-join — every moment exact
+    "q497_conover_posthoc" ->
+      """WITH c AS (SELECT l_returnflag AS k, l_linestatus AS g,
+        |    l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linestatus IS NOT NULL GROUP BY 1, 2, 3),
+        |p AS (SELECT k, v, CAST(SUM(cnt) AS BIGINT) AS t FROM c
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(t) OVER win AS HUGEINT) AS cum
+        |  FROM p WINDOW win AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rd AS (SELECT k, v, 2 * (cum - t) + t + 1 AS rd, t FROM w),
+        |pk AS (SELECT k, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(t AS HUGEINT) * rd * rd) AS BIGINT)
+        |      AS sum_r2_quadrupled,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT)
+        |      AS tie_cubed_sum
+        |  FROM rd GROUP BY 1),
+        |g AS (SELECT c.k, c.g, CAST(SUM(c.cnt) AS BIGINT) AS n_j,
+        |    CAST(SUM(CAST(c.cnt AS HUGEINT) * rd.rd) AS BIGINT)
+        |      AS r_sum_doubled
+        |  FROM c JOIN rd ON c.k = rd.k AND c.v = rd.v GROUP BY 1, 2)
+        |SELECT a.k AS l_returnflag, a.g AS g_a, b.g AS g_b,
+        |  a.n_j AS n_a, b.n_j AS n_b,
+        |  a.r_sum_doubled AS rsumd_a, b.r_sum_doubled AS rsumd_b,
+        |  CAST(CAST(a.r_sum_doubled AS HUGEINT) * b.n_j
+        |    - CAST(b.r_sum_doubled AS HUGEINT) * a.n_j AS BIGINT)
+        |    AS diff_doubled_num,
+        |  pk.n, pk.sum_r2_quadrupled, pk.tie_cubed_sum
+        |FROM g a JOIN g b ON a.k = b.k AND a.g < b.g
+        |JOIN pk ON a.k = pk.k""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

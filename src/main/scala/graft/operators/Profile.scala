@@ -986,4 +986,28 @@ object Profile {
       col("monetary_cents"), col("r_score"), col("f_score"),
       col("m_score"))
   }
+
+  /** Benford first-significant-digit profile — the anomaly readout
+    * for organically-grown magnitude columns (amounts, populations):
+    * fabricated or synthetic values drift from the log10(1 + 1/d)
+    * law. Emitted as parts: per digit the exact count and the
+    * observed share (one double division); the expected share and
+    * the χ²/MAD distance are caller-side libm (the parts-emission
+    * convention). Digit extraction is EXACT — values on the 2-dp
+    * grid scale to integer cents whose leading decimal digit equals
+    * the value's first significant digit (×100 shifts the decimal
+    * point, never the mantissa) — no log10 in the hashed frame.
+    * NULL / zero / negative values are excluded (they carry no
+    * leading digit). One hash aggregate; output is 9 rows. */
+  def benfordCounts(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring((col(valueCol).cast("decimal(12,2)") * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val total = digits.agg(sum(col("n")).cast("long").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("n_total"))
+  }
 }

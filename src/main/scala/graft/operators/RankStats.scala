@@ -231,6 +231,64 @@ object RankStats {
       .join(Broadcasts.maybeBroadcast(perKey), Seq(keyCol))
   }
 
+  /** Conover–Iman post-hoc pairwise parts — "WHICH groups differ",
+    * the follow-up [[kruskalWallis]] licenses (Conover & Iman 1979:
+    * pairwise t-tests on the pooled midranks, variance corrected by
+    * the KW statistic). Parts-emission convention: every rank moment
+    * is an exact integer off the doubled-midrank lattice —
+    * per pair (n_a, n_b, r_sum_doubled each, and the cleared mean-rank
+    * difference numerator `rsumd_a·n_b − rsumd_b·n_a`, whose true
+    * denominator is `2·n_a·n_b`), per key (n, `sum_r2_quadrupled` =
+    * Σ t·rd² = 4·ΣR², tie_cubed_sum) — the caller assembles
+    * S² = (sum_r2_quadrupled − n(n+1)²)/(4(n−1)), H, and the t
+    * statistic with its libm sqrt OUTSIDE the oracle-hashed frame
+    * (the psiParts/theilsUParts discipline; summing H's per-group
+    * rational terms in-engine would be partition-order-dependent).
+    * Same single lattice pass as kruskalWallis plus a group-pair
+    * self-join at (groups²)-scale. Emission bound: sum_r2_quadrupled
+    * ≈ 4n³/3 exceeds BIGINT past n ≈ 1.9e6 rows per key — the moment
+    * rides decimal internally and the final cast THROWS under ANSI
+    * (loud, never silent) for larger keys; pre-aggregate or sample
+    * upstream for population-scale keys. */
+  def conoverParts(df: DataFrame, keyCol: String, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(keyCol), col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = cells.groupBy(col(keyCol), col("__v"))
+      .agg(sum(col("__c")).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .select(col(keyCol), col("__v"),
+        (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+          .cast(d38).as("__rd"),
+        col("__t"))
+    val perKey = pooled.groupBy(col(keyCol))
+      .agg(sum(col("__t")).as("n"),
+        sum(col("__t").cast(d38) * col("__rd") * col("__rd"))
+          .cast(d38).cast("long").as("sum_r2_quadrupled"),
+        sum(col("__t").cast(d38) * col("__t") * col("__t")
+          - col("__t")).cast(d38).cast("long").as("tie_cubed_sum"))
+    val byGroup = cells
+      .join(pooled.select(col(keyCol), col("__v"), col("__rd")),
+        Seq(keyCol, "__v"))
+      .groupBy(col(keyCol), col("__g"))
+      .agg(sum(col("__c")).as("__nj"),
+        sum(col("__c").cast(d38) * col("__rd"))
+          .cast(d38).cast("long").as("__rsd"))
+    val a = byGroup.select(col(keyCol), col("__g").as("g_a"),
+      col("__nj").as("n_a"), col("__rsd").as("rsumd_a"))
+    val b = byGroup.select(col(keyCol), col("__g").as("g_b"),
+      col("__nj").as("n_b"), col("__rsd").as("rsumd_b"))
+    a.join(b, Seq(keyCol)).filter(col("g_a") < col("g_b"))
+      .withColumn("diff_doubled_num",
+        (col("rsumd_a").cast(d38) * col("n_b")
+          - col("rsumd_b").cast(d38) * col("n_a")).cast(d38).cast("long"))
+      .join(Broadcasts.maybeBroadcast(perKey), Seq(keyCol))
+  }
+
   /** Kendall's τ-b per key with exact tie handling: concordant /
     * discordant pair counts from a self-join of the per-key DISTINCT
     * (x, y) CELL frame (never raw rows — the bounded-grid contract of

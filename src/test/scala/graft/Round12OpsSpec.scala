@@ -331,6 +331,45 @@ class Round12OpsSpec extends SparkSpec {
     assert(Deletes.readMerged(spark, root).count() == 3L)
   }
 
+  test("conoverParts: exact moments on a hand lattice, consistent " +
+    "with kruskalWallis") {
+    import graft.operators.RankStats
+    // groups A=(1,2,2), B=(2,3): pooled sorted 1,2,2,2,3 ->
+    // midranks 1, 3, 3, 3, 5 (doubled: 2, 6, 6, 6, 10)
+    val df = Seq(("k", "A", 1.0), ("k", "A", 2.0), ("k", "A", 2.0),
+      ("k", "B", 2.0), ("k", "B", 3.0)).toDF("key", "g", "v")
+    val r = RankStats.conoverParts(df, "key", "g", "v").head()
+    assert(r.getString(r.fieldIndex("g_a")) == "A"
+      && r.getString(r.fieldIndex("g_b")) == "B")
+    // rsumd_A = 2+6+6 = 14, rsumd_B = 6+10 = 16
+    assert(r.getLong(r.fieldIndex("rsumd_a")) == 14L)
+    assert(r.getLong(r.fieldIndex("rsumd_b")) == 16L)
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L
+      && r.getLong(r.fieldIndex("n_b")) == 2L)
+    // diff numerator = 14*2 - 16*3 = -20 (true mean-rank diff -20/12)
+    assert(r.getLong(r.fieldIndex("diff_doubled_num")) == -20L)
+    // sum_r2_quadrupled = 1*4 + 3*36 + 1*100 = 212 = 4*(1+9+9+9+25)
+    assert(r.getLong(r.fieldIndex("sum_r2_quadrupled")) == 212L)
+    // tie triple at v=2: 27-3 = 24
+    assert(r.getLong(r.fieldIndex("tie_cubed_sum")) == 24L)
+    assert(r.getLong(r.fieldIndex("n")) == 5L)
+    // group moments agree with kruskalWallis's own emission
+    val kw = RankStats.kruskalWallis(df, "key", "g", "v")
+      .orderBy("g").collect()
+    assert(kw.map(_.getLong(3)).toSeq == Seq(14L, 16L))
+  }
+
+  test("benfordCounts: exact digit extraction off the cents integer, " +
+    "zero/negative/NULL excluded") {
+    import graft.operators.Profile
+    val df = Seq[java.lang.Double](12.34, 0.05, 923.0, 1.0, 0.0, -7.0,
+      null, 0.19).toDF("v")
+    val r = Profile.benfordCounts(df, "v").orderBy("digit").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+    // digits: 12.34->1, 0.05->5, 923->9, 1.0->1, 0.19->1
+    assert(r == Seq((1, 3L, 5L), (5, 1L, 5L), (9, 1L, 5L)))
+  }
+
   // ---------------------------------------------------------------
   // MinHash LSH: hot-bucket star guard
   // ---------------------------------------------------------------
