@@ -5898,6 +5898,24 @@ object SparkEntry {
     "q497_conover_posthoc" -> ((s, d) =>
       graft.operators.RankStats.conoverParts(t(s, d, "lineitem"),
         "l_returnflag", "l_linestatus", "l_quantity")),
+
+    // Croston intermittent-demand smoother over a structurally
+    // zero-heavy series (every 3rd calendar day carries no demand at
+    // any SF, plus natural zeros from the value threshold); oracle =
+    // recursive CTE replaying the identical IEEE chain (dyadic α)
+    "q498_croston" -> ((s, d) => {
+      val dem = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(when(col("value") > 200.0, 1)).as("__c"))
+        .withColumn("demand",
+          when(dayofmonth(col("day")) % 3 === 0, lit(0L))
+            .otherwise(col("__c")))
+        .drop("__c")
+      graft.operators.Timeseries.croston(dem, "event_type", "day",
+          "demand", alpha = 0.25)
+        .select("event_type", "day", "demand", "demand_level",
+          "interval_level", "forecast")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7820,6 +7838,46 @@ object SparkEntry {
         |  pk.n, pk.sum_r2_quadrupled, pk.tie_cubed_sum
         |FROM g a JOIN g b ON a.k = b.k AND a.g < b.g
         |JOIN pk ON a.k = pk.k""".stripMargin,
+
+    // q498: the Croston chain replayed — seed at the first demand
+    // (z = x, p = periods since start), carry on zero days, the
+    // identical term order inside each CASE arm
+    "q498_croston" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) FILTER (WHERE value > 200) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |dm AS (SELECT event_type, day,
+        |    CAST(CASE WHEN EXTRACT(DAY FROM day) % 3 = 0 THEN 0
+        |      ELSE c END AS BIGINT) AS demand,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day ASC) AS BIGINT) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, demand, rn,
+        |    CASE WHEN demand > 0 THEN CAST(demand AS DOUBLE) END AS z,
+        |    CASE WHEN demand > 0 THEN CAST(1 AS DOUBLE) END AS p,
+        |    CASE WHEN demand > 0 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(2 AS DOUBLE) END AS q,
+        |    demand > 0 AS seen
+        |  FROM dm WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.demand, d.rn,
+        |    CASE WHEN d.demand > 0 AND NOT r.seen
+        |        THEN CAST(d.demand AS DOUBLE)
+        |      WHEN d.demand > 0
+        |        THEN CAST(d.demand AS DOUBLE) * 0.25 + r.z * 0.75
+        |      ELSE r.z END,
+        |    CASE WHEN d.demand > 0 AND NOT r.seen THEN r.q
+        |      WHEN d.demand > 0 THEN r.q * 0.25 + r.p * 0.75
+        |      ELSE r.p END,
+        |    CASE WHEN d.demand > 0 THEN CAST(1 AS DOUBLE)
+        |      ELSE r.q + 1 END,
+        |    r.seen OR d.demand > 0
+        |  FROM r JOIN dm d ON d.event_type = r.event_type
+        |    AND d.rn = r.rn + 1)
+        |SELECT event_type, day, demand, z AS demand_level,
+        |  p AS interval_level, z / p AS forecast FROM r""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -969,7 +969,7 @@ object Similarity {
   def ivfPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, dim: Int, m: Int, kSub: Int = 16,
                       nCells: Int = 16, lloydIters: Int = 2,
-                      pqIters: Int = 2): Unit = {
+                      pqIters: Int = 2, byResidual: Boolean = false): Unit = {
     require(m >= 1 && dim % m == 0, s"m must divide dim ($m, $dim)")
     require(kSub >= 2 && kSub <= 256,
       s"kSub must fit one byte per code (2..256), got $kSub")
@@ -979,22 +979,43 @@ object Similarity {
       fitCentroids(corp, idCol, vecCol, nCells, lloydIters)
         .localCheckpoint(true))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val codebook = pqTrain(corp, idCol, vecCol, dim, m, kSub, pqIters)
-      .localCheckpoint(true)
-    codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    // one map pass: coarse cell + m codes + the vector NORM per row,
-    // zero exchanges. The norm (8 bytes) rides with the codes so the
-    // ADC pass can rank by approximate COSINE (approx_dot / norm) —
-    // the metric the rerank and every other ANN surface use; ranking
-    // by raw dot mis-orders corpora with varied norms (the FAISS
-    // store-the-norm convention for IP/cosine IVF-PQ indexes).
-    val assigned = assignCorpusCells(corp, idCol, vecCol, centroids)
+    // RESIDUAL mode (FAISS by_residual=true): the codebook trains on
+    // and the codes encode x − c(cell(x)) — residuals cluster far
+    // tighter than raw vectors, so the same m·kSub budget buys less
+    // quantization error; the ADC side restores the coarse term as
+    // ONE per-(query, probed cell) base dot added to the code
+    // contributions. Raw mode keeps the one-distance-table-per-query
+    // simplicity. The flag persists in `path/meta` so search resolves
+    // the right arithmetic from the index itself.
+    val assigned0 = assignCorpusCells(corp, idCol, vecCol, centroids)
       .withColumn("vnorm", sqrt(
         graft.functions.DotProduct.dot_product(col("__v"), col("__v"))))
+    val assigned =
+      if (!byResidual) assigned0
+      else assigned0
+        .join(broadcast(centroids
+          .select(col("cell_id").as("cell"), col("centroid"))), Seq("cell"))
+        .withColumn("__v",
+          zip_with(col("__v"), col("centroid"),
+            (a, b) => a.cast("double") - b))
+        .drop("centroid")
+        .persist(mem) // consumed by pqTrain's m fits AND pqEncode
+    val codebook = pqTrain(assigned, idCol, "__v", dim, m, kSub, pqIters)
+      .localCheckpoint(true)
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
     pqEncode(assigned, idCol, "__v", codebook, dim, m,
       keep = Seq("cell", "vnorm"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
+    if (byResidual) assigned.unpersist()
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(byResidual)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("by_residual",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     corp.write.mode("overwrite").parquet(s"$path/vectors")
     corp.unpersist()
     ()
@@ -1018,7 +1039,10 @@ object Similarity {
     * chance that ADC quantization error drops a true neighbor below
     * the cut. At 100 TB the ADC pass touches m bytes per probed
     * vector — the point of PQ — and the only full-width reads are the
-    * ≤ k·overfetch candidates per query. */
+    * ≤ k·overfetch candidates per query. Residual-encoded indexes
+    * ([[ivfPqIndexWrite]] `byResidual = true`, resolved from
+    * `path/meta`) add the per-probe coarse base term before the norm
+    * division — same plan shape, one more broadcast column. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                        path: String, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, nprobe: Int = 2,
@@ -1027,6 +1051,9 @@ object Similarity {
       "k, nprobe, overfetch must be >= 1")
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val codebook = spark.read.parquet(s"$path/codebook")
+    val byResidual = graft.sources.Tables
+      .readParquetIfExists(spark, s"$path/meta")
+      .exists(_.select(col("by_residual")).head().getBoolean(0))
     val meta = codebook.agg(
         (max(col("sub_id")) + 1).cast("int").as("m"),
         max(size(col("centroid"))).cast("int").as("sub")).head()
@@ -1045,10 +1072,22 @@ object Similarity {
           col("cell_id").cast("int").as("code"),
           dot(col("__qs"), col("centroid")).as("contrib"))
         .localCheckpoint(true))
-    // probed cells -> candidate (query, neighbor) pairs over codes only
+    // probed cells -> candidate (query, neighbor) pairs over codes
+    // only; in residual mode each probe carries its base term
+    // dot(q, c_cell) — the coarse half of the decomposition
+    // q·x ≈ q·c + q·(x − c)
+    val probes0 = assignCells(queries, idCol, vecCol, centroids,
+        n = nprobe)
+      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("cell"))
     val probes = broadcast(
-      assignCells(queries, idCol, vecCol, centroids, n = nprobe)
-        .select(col(idCol).as("query_id"), col("cell"))
+      (if (!byResidual) probes0.withColumn("base", lit(0.0))
+       else probes0
+         .join(broadcast(centroids
+           .select(col("cell_id").as("cell"), col("centroid"))),
+           Seq("cell"))
+         .withColumn("base", dot(col("qv"), col("centroid")))
+         .drop("centroid"))
+        .select(col("query_id"), col("cell"), col("base"))
         .localCheckpoint(true))
     val approx = spark.read.parquet(s"$path/assigned")
       .select(col(idCol).as("neighbor_id"), col("codes"), col("cell"),
@@ -1056,13 +1095,15 @@ object Similarity {
       .join(probes, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("vnorm"),
-        posexplode(col("codes")).as(Seq("sub_id", "code")))
+        col("base"), posexplode(col("codes")).as(Seq("sub_id", "code")))
       .join(distTable, Seq("query_id", "sub_id", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("vnorm"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("vnorm"),
+        col("base"))
       .agg(sum(col("contrib")).as("approx_dot"))
       // approximate COSINE: the stored norm normalizes the corpus side
       // (the query norm is constant per window — irrelevant to rank)
-      .withColumn("approx_cos", col("approx_dot") / col("vnorm"))
+      .withColumn("approx_cos",
+        (col("base") + col("approx_dot")) / col("vnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
     val candidates = approx.withColumn("__rn", row_number().over(w))

@@ -1173,6 +1173,82 @@ object Timeseries {
     * contract (pre-aggregated series only).
     *
     * Output: input columns + (level, trend). */
+  /** Croston's method per key — the intermittent-demand smoother
+    * (Croston 1972): zero-heavy series (spare parts, rare-event
+    * volumes) break plain exponential smoothing, so demand SIZE and
+    * demand INTERVAL smooth separately and only on demand periods:
+    *
+    *   demand (x > 0):  `z_t = α·x_t + (1−α)·z`, `p_t = α·q + (1−α)·p`,
+    *                    `q → 1`
+    *   no demand:       carry z and p, `q → q + 1`
+    *
+    * seeded at the FIRST demand with `z = x, p = q` (q periods since
+    * series start — the first interval is observed, not guessed).
+    * `forecast = z / p` is the per-period demand rate; rows before
+    * the first demand emit NULLs. Same ordered-left-fold machinery,
+    * dyadic-α / NULL / duplicate-order raises, O(series²) collect_list
+    * frames, and recursive-CTE oracle contract as [[holtLinear]] —
+    * the 4-field struct accumulator (z, p, q, seen) adds the counter
+    * and the cold-start flag to the state. Values must be
+    * non-negative (a negative demand has no Croston meaning —
+    * raises). Output: input columns + (demand_level, interval_level,
+    * forecast). */
+  def croston(df: DataFrame, keyCol: String, orderCol: String,
+              valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    require((alpha * (1L << 30)).isWhole, s"alpha must be dyadic, got $alpha")
+    val beta = 1.0 - alpha
+    val wDup = Window.partitionBy(col(keyCol), col(orderCol))
+    val base = df
+      .withColumn("__x",
+        when(col(valueCol).isNull,
+          raise_error(concat(lit("croston: NULL value at ("),
+            col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"), lit(") — impute upstream"))))
+          .when(col(valueCol) < 0,
+            raise_error(concat(lit("croston: negative demand at ("),
+              col(keyCol).cast("string"), lit(", "),
+              col(orderCol).cast("string"), lit(")"))))
+          .otherwise(col(valueCol).cast("double")))
+      .withColumn("__x",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(lit("croston: duplicate (key, order) at ("),
+            col(keyCol).cast("string"), lit(", "),
+            col(orderCol).cast("string"),
+            lit(") — pre-aggregate the series"))))
+          .otherwise(col("__x")))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def step(acc: org.apache.spark.sql.Column,
+             x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val q = acc.getField("q")
+      val isDemand = x > lit(0.0)
+      val z2 = when(!acc.getField("seen"), x)
+        .otherwise(x * lit(alpha) + acc.getField("z") * lit(beta))
+      val p2 = when(!acc.getField("seen"), q)
+        .otherwise(q * lit(alpha) + acc.getField("p") * lit(beta))
+      when(isDemand,
+        struct(z2.as("z"), p2.as("p"), lit(1.0).as("q"),
+          lit(true).as("seen")))
+        .otherwise(struct(acc.getField("z").as("z"),
+          acc.getField("p").as("p"), (q + lit(1.0)).as("q"),
+          acc.getField("seen").as("seen")))
+    }
+    base
+      .withColumn("__xs", collect_list(col("__x")).over(wRun))
+      .withColumn("__st",
+        aggregate(col("__xs"),
+          struct(lit(null).cast("double").as("z"),
+            lit(null).cast("double").as("p"),
+            lit(1.0).as("q"), lit(false).as("seen")),
+          step))
+      .withColumn("demand_level", col("__st").getField("z"))
+      .withColumn("interval_level", col("__st").getField("p"))
+      .withColumn("forecast",
+        col("__st").getField("z") / col("__st").getField("p"))
+      .drop("__x", "__xs", "__st")
+  }
+
   def holtLinear(df: DataFrame, keyCol: String, orderCol: String,
                  valueCol: String, alpha: Double,
                  gamma: Double): DataFrame = {

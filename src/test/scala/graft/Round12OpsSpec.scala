@@ -273,6 +273,37 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("croston: hand recursion — seed at first demand, interval " +
+    "smoothing on the observed gaps, NULLs before the seed") {
+    import graft.operators.Timeseries
+    val s = Seq(("k", 1L, 0.0), ("k", 2L, 3.0), ("k", 3L, 0.0),
+      ("k", 4L, 0.0), ("k", 5L, 5.0), ("k", 6L, 2.0))
+      .toDF("k", "x", "demand")
+    val r = Timeseries.croston(s, "k", "x", "demand", alpha = 0.5)
+      .orderBy("x").collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("forecast")))
+    // t2: first demand -> z=3, p = 2 periods since start
+    assert(r(1).getDouble(r(1).fieldIndex("demand_level")) == 3.0
+      && r(1).getDouble(r(1).fieldIndex("interval_level")) == 2.0
+      && r(1).getDouble(r(1).fieldIndex("forecast")) == 1.5)
+    // zero days carry the state
+    assert(r(3).getDouble(r(3).fieldIndex("forecast")) == 1.5)
+    // t5 after a 3-period gap: z = 5*.5+3*.5 = 4, p = 3*.5+2*.5 = 2.5
+    assert(r(4).getDouble(r(4).fieldIndex("demand_level")) == 4.0
+      && r(4).getDouble(r(4).fieldIndex("interval_level")) == 2.5
+      && r(4).getDouble(r(4).fieldIndex("forecast")) == 1.6)
+    // t6 immediately after: p = 1*.5+2.5*.5 = 1.75
+    assert(r(5).getDouble(r(5).fieldIndex("demand_level")) == 3.0
+      && r(5).getDouble(r(5).fieldIndex("interval_level")) == 1.75)
+    intercept[Exception] {
+      Timeseries.croston(Seq(("k", 1L, -1.0)).toDF("k", "x", "demand"),
+        "k", "x", "demand", 0.5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.croston(s, "k", "x", "demand", alpha = 0.3)
+    }
+  }
+
   test("PairGreater: strict / or-equal / NULL-exempt semantics and " +
     "the JSON config round-trip") {
     import graft.checks._
@@ -436,6 +467,17 @@ class Round12OpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, nprobe = 2, overfetch = 2)
     assert(modest.groupBy("query_id").count()
       .filter(col("count") =!= 3L).count() == 0)
+    // RESIDUAL encoding (by_residual=true, resolved from path/meta):
+    // same unrestricted-budget equality — the exact rerank is
+    // encoding-independent, only the ADC candidate order differs
+    Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$dir/rpq",
+      dim = 64, m = 8, kSub = 16, nCells = 8, lloydIters = 1,
+      pqIters = 1, byResidual = true)
+    val rpq = Similarity.ivfPqTopKIndexed(spark, s"$dir/rpq", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2,
+      overfetch = Int.MaxValue / 3)
+    assert(rpq.exceptAll(flat).isEmpty && flat.exceptAll(rpq).isEmpty)
+    assert(spark.read.parquet(s"$dir/rpq/meta").head().getBoolean(0))
   }
 
   // ---------------------------------------------------------------
