@@ -5916,6 +5916,31 @@ object SparkEntry {
         .select("event_type", "day", "demand", "demand_level",
           "interval_level", "forecast")
     }),
+
+    // run-over-run ledger regression report: three yearly validation
+    // runs recorded to a CheckLedger, then the drift readout per
+    // constraint (latest two runs side by side, delta, newly-failing
+    // flag); run order is the lexicographic run_id contract
+    "q499_ledger_regressions" -> ((s, d) => {
+      import graft.checks._
+      val path = LakeFixtures.freshRoot("qledger") + "/ledger"
+      val led = new CheckLedger(s, path)
+      val o = t(s, d, "orders")
+      val suite = new CheckSuite(Seq(
+        Between("o_totalprice", 1000.0, 450000.0, mostly = 0.875),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        RowCountBetween(1)))
+      Seq(("r1_1996", 1996), ("r2_1997", 1997), ("r3_1998", 1998))
+        .foreach { case (rid, y) =>
+          led.record(rid, "orders",
+            suite.run(o.filter(year(col("o_orderdate")) === y)))
+        }
+      led.regressions().get
+        .withColumnRenamed("constraint", "constraint_name")
+        .select("layer", "constraint_name", "prev_run", "last_run",
+          "prev_pct", "last_pct", "delta_pct", "prev_passed",
+          "last_passed", "newly_failing")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7878,6 +7903,62 @@ object SparkEntry {
         |    AND d.rn = r.rn + 1)
         |SELECT event_type, day, demand, z AS demand_level,
         |  p AS interval_level, z / p AS forecast FROM r""".stripMargin,
+
+    // q499: the two latest runs' percentages recomputed from the same
+    // yearly slices; passed mirrors the engine's mostly comparison
+    // (0.875 dyadic, so the decimal-vs-double literal product agrees)
+    "q499_ledger_regressions" ->
+      """WITH b97 AS (SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS den,
+        |  CAST(COUNT(CASE WHEN o_totalprice IS NOT NULL AND NOT
+        |    (o_totalprice >= 1000 AND o_totalprice <= 450000)
+        |    THEN 1 END) AS BIGINT) AS bad
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997),
+        |b98 AS (SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS den,
+        |  CAST(COUNT(CASE WHEN o_totalprice IS NOT NULL AND NOT
+        |    (o_totalprice >= 1000 AND o_totalprice <= 450000)
+        |    THEN 1 END) AS BIGINT) AS bad
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998),
+        |i97 AS (SELECT CAST(COUNT(o_orderstatus) AS BIGINT) AS den,
+        |  CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL AND
+        |    o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END) AS BIGINT)
+        |    AS bad
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997),
+        |i98 AS (SELECT CAST(COUNT(o_orderstatus) AS BIGINT) AS den,
+        |  CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL AND
+        |    o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END) AS BIGINT)
+        |    AS bad
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998)
+        |SELECT 'orders' AS layer,
+        |  'between(o_totalprice,1000.0,450000.0)' AS constraint_name,
+        |  'r2_1997' AS prev_run, 'r3_1998' AS last_run,
+        |  (SELECT CAST(bad AS DOUBLE) / den * 100 FROM b97) AS prev_pct,
+        |  (SELECT CAST(bad AS DOUBLE) / den * 100 FROM b98) AS last_pct,
+        |  (SELECT CAST(bad AS DOUBLE) / den * 100 FROM b98)
+        |    - (SELECT CAST(bad AS DOUBLE) / den * 100 FROM b97)
+        |    AS delta_pct,
+        |  (SELECT CAST(den - bad AS DOUBLE) >= 0.875 * den - 1e-9
+        |    FROM b97) AS prev_passed,
+        |  (SELECT CAST(den - bad AS DOUBLE) >= 0.875 * den - 1e-9
+        |    FROM b98) AS last_passed,
+        |  (SELECT CAST(den - bad AS DOUBLE) >= 0.875 * den - 1e-9
+        |    FROM b97) AND NOT (SELECT CAST(den - bad AS DOUBLE)
+        |    >= 0.875 * den - 1e-9 FROM b98) AS newly_failing
+        |UNION ALL
+        |SELECT 'orders', 'in_set(o_orderstatus)', 'r2_1997', 'r3_1998',
+        |  (SELECT CAST(bad AS DOUBLE) / den * 100 FROM i97),
+        |  (SELECT CAST(bad AS DOUBLE) / den * 100 FROM i98),
+        |  (SELECT CAST(bad AS DOUBLE) / den * 100 FROM i98)
+        |    - (SELECT CAST(bad AS DOUBLE) / den * 100 FROM i97),
+        |  (SELECT CAST(den - bad AS DOUBLE) >= den - 1e-9 FROM i97),
+        |  (SELECT CAST(den - bad AS DOUBLE) >= den - 1e-9 FROM i98),
+        |  (SELECT CAST(den - bad AS DOUBLE) >= den - 1e-9 FROM i97)
+        |    AND NOT (SELECT CAST(den - bad AS DOUBLE) >= den - 1e-9
+        |    FROM i98)
+        |UNION ALL
+        |SELECT 'orders', 'row_count_between(1,9223372036854775807)',
+        |  'r2_1997', 'r3_1998',
+        |  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |  TRUE, TRUE, FALSE""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -76,6 +76,24 @@ class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       .write.mode("append").parquet(target)
   }
 
+  /** Run-over-run regression report — the question the per-run gate
+    * cannot answer: "did quality DRIFT since last run?" Per (layer,
+    * constraint), the latest two runs' unexpected percentages side by
+    * side with the delta and a `newly_failing` flag (passed before,
+    * fails now — the page-the-owner condition; a constraint whose
+    * percentage creeps while still under `mostly` shows in
+    * `delta_pct` long before the gate trips).
+    *
+    * Run ORDER is the lexicographic run_id order — the caller issues
+    * monotone ids (date-stamped ids sort correctly); `checked_at`
+    * wall-clock never orders anything (nondeterministic). One row per
+    * (run, layer, constraint) is the [[record]] contract this relies
+    * on. Constraints seen in only one run report NULL prev columns.
+    * Shape: one window pass + one aggregate over the ledger
+    * (runs × constraints — metadata-scale). */
+  def regressions(): Option[org.apache.spark.sql.DataFrame] =
+    read().map(CheckLedger.regressionsOf)
+
   def read(): Option[org.apache.spark.sql.DataFrame] =
     if (!concurrent) graft.sources.Tables.readParquetIfExists(spark, path)
     else {
@@ -93,6 +111,33 @@ class CheckLedger(spark: org.apache.spark.sql.SparkSession, path: String,
           .reduce(_ unionByName _))
       }
     }
+}
+
+object CheckLedger {
+  /** The pure computation behind [[CheckLedger.regressions]] — public
+    * so externally-assembled ledgers (unions across pipelines) get
+    * the same report. */
+  def regressionsOf(ledger: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("layer"), col("constraint"))
+      .orderBy(col("run_id").desc)
+    ledger
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("layer"), col("constraint"))
+      .agg(
+        max(when(col("__rn") === 2, col("run_id"))).as("prev_run"),
+        max(when(col("__rn") === 1, col("run_id"))).as("last_run"),
+        max(when(col("__rn") === 2, col("unexpected_percent")))
+          .as("prev_pct"),
+        max(when(col("__rn") === 1, col("unexpected_percent")))
+          .as("last_pct"),
+        max(when(col("__rn") === 2, col("passed"))).as("prev_passed"),
+        max(when(col("__rn") === 1, col("passed"))).as("last_passed"))
+      .withColumn("delta_pct", col("last_pct") - col("prev_pct"))
+      .withColumn("newly_failing",
+        coalesce(col("prev_passed"), lit(false)) && !col("last_passed"))
+  }
 }
 
 /** Thrown when a suite fails — the engine analog of the reference's

@@ -273,6 +273,34 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("ledger regressions: newly-failing flag, drift delta, and " +
+    "single-run NULL prev columns") {
+    import graft.checks._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledreg")
+      .toString + "/ledger"
+    val led = new CheckLedger(spark, dir)
+    val suite = new CheckSuite(Seq(NotNull("v", mostly = 0.5)))
+    led.record("r1", "t", suite.run(
+      Seq[java.lang.Long](1L, 2L, 3L, null).toDF("v")))     // 25% bad
+    led.record("r2", "t", suite.run(
+      Seq[java.lang.Long](1L, null, null, null).toDF("v"))) // 75% bad
+    // a constraint seen only in the LAST run
+    led.record("r2", "t2", suite.run(Seq[java.lang.Long](1L).toDF("v")))
+    val r = led.regressions().get.orderBy("layer").collect()
+    val t1 = r(0)
+    assert(t1.getString(t1.fieldIndex("prev_run")) == "r1"
+      && t1.getString(t1.fieldIndex("last_run")) == "r2")
+    assert(t1.getDouble(t1.fieldIndex("prev_pct")) == 25.0
+      && t1.getDouble(t1.fieldIndex("last_pct")) == 75.0
+      && t1.getDouble(t1.fieldIndex("delta_pct")) == 50.0)
+    assert(t1.getBoolean(t1.fieldIndex("newly_failing")),
+      "passed at 25% under mostly=0.5, fails at 75% — must flag")
+    val t2 = r(1)
+    assert(t2.isNullAt(t2.fieldIndex("prev_run"))
+      && t2.isNullAt(t2.fieldIndex("prev_pct"))
+      && !t2.getBoolean(t2.fieldIndex("newly_failing")))
+  }
+
   test("croston: hand recursion — seed at first demand, interval " +
     "smoothing on the observed gaps, NULLs before the seed") {
     import graft.operators.Timeseries
