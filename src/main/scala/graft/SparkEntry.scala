@@ -5941,6 +5941,37 @@ object SparkEntry {
           "prev_pct", "last_pct", "delta_pct", "prev_passed",
           "last_passed", "newly_failing")
     }),
+
+    // per-file BLOOM index point lookup — the equality-probe
+    // complement of the zone-map arc: the lake clusters on ts, so
+    // min/max stats can never skip an event_id probe (every file
+    // spans the id domain), while the bloom index opens only the
+    // value-carrying files (require: under half the lake; one probe
+    // is guaranteed absent). Content oracled via the same derived
+    // probe keys.
+    "q500_bloom_point_lookup" -> ((s, d) => {
+      import graft.sources.Tables
+      val root = LakeFixtures.freshRoot("bloomidx") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(root)
+      Tables.bloomIndexWrite(s, root, "event_id")
+      val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val mid = ev.filter(col("event_id") <= lo + (hi - lo) / 2)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val res = Tables.readBloomPruned(s, root, "event_id",
+        Seq(lo, mid, hi, hi * 2 + 1))
+      val total = s.read.parquet(root).inputFiles.length
+      val opened = res.inputFiles.length
+      require(opened * 2 < total,
+        s"bloom index barely pruned: $opened of $total files")
+      res.select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long")
+          .as("value_cents"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7959,6 +7990,18 @@ object SparkEntry {
         |  'r2_1997', 'r3_1998',
         |  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
         |  TRUE, TRUE, FALSE""".stripMargin,
+
+    // q500: the same derived probe keys, exact IN lookup
+    "q500_bloom_point_lookup" ->
+      """WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM e),
+        |m AS (SELECT MAX(event_id) AS mid FROM e, b
+        |  WHERE event_id <= lo + (hi - lo) // 2)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS value_cents
+        |FROM e, b, m
+        |WHERE event_id IN (lo, mid, hi, hi * 2 + 1)""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -33,13 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  private def position(item: Column, i: Int, mBits: Long,
+  private[graft] def position(item: Column, i: Int, mBits: Long,
                        salt: String): Column =
     pmod(conv(substring(md5(concat_ws("#",
       item.cast("string"), lit(i.toString), lit(salt))), 1, 15), 16, 10)
       .cast("long"), lit(mBits)).cast("long")
 
-  private def checkParams(mBits: Long, k: Int): Unit = {
+  private[graft] def checkParams(mBits: Long, k: Int): Unit = {
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     require(mBits >= 64 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")

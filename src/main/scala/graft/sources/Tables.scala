@@ -1025,4 +1025,113 @@ object Tables {
              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
     }
   }
+
+  private def bloomRoot(path: String, column: String) =
+    s"$path/_graft_bloom/$column"
+
+  private def normPath(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:/+", "/")
+
+  /** Per-FILE Bloom membership index — the POINT-LOOKUP complement of
+    * the min/max zone maps ([[footerStats]] family): range stats
+    * cannot skip anything for an equality probe on a column the
+    * layout is NOT sorted by (every file's [min, max] spans the
+    * domain), while a per-file Bloom filter answers "can file F hold
+    * value v?" with no false negatives — the Delta bloom-filter-index
+    * / Iceberg bloom shape. One scan grouped by
+    * (`input_file_name`, word): each file's filter is `mBits/64`
+    * 64-bit words ([[graft.functions.Bloom]] machinery — salted-md5
+    * positions, engine-portable); the index persists under
+    * `_graft_bloom/<column>/` (hidden from data scans) with its
+    * (mBits, k) parameters, file-count × words metadata-scale.
+    * Values hash via their string rendering (the Bloom contract) —
+    * the probe side renders identically. Sizing: false-positive rate
+    * ≈ (1 − e^(−k·n_distinct_per_file/mBits))^k; the 65536/4 default
+    * holds ~1% at 6k distinct values per file. */
+  def bloomIndexWrite(spark: SparkSession, path: String, column: String,
+                      mBits: Long = 65536, k: Int = 4): Unit = {
+    graft.functions.Bloom.checkParams(mBits, k)
+    val words = spark.read.parquet(path)
+      .filter(col(column).isNotNull)
+      .select(col(column).cast("string").as("__i"),
+        normPath(input_file_name()).as("path"))
+      .withColumn("h", explode(array((0 until k).map(lit(_)): _*)))
+      .withColumn("__p",
+        (0 until k).foldLeft(lit(0L)) { (acc, i) =>
+          when(col("h") === i,
+            graft.functions.Bloom.position(col("__i"), i, mBits, ""))
+            .otherwise(acc)
+        })
+      .select(col("path"), expr("__p div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(__p % 64 as int))").as("__m"))
+      .groupBy(col("path"), col("word_idx"))
+      .agg(expr("bit_or(__m)").cast("long").as("bits"))
+    words.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${bloomRoot(path, column)}/words")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(mBits, k)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m_bits",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${bloomRoot(path, column)}/meta")
+  }
+
+  /** Point-lookup scan through a [[bloomIndexWrite]] index: open ONLY
+    * the files whose filter admits at least one probe value, then
+    * re-apply the exact IN predicate row-level (Bloom admits false
+    * positives, never negatives — same conservative contract as every
+    * pruned reader here). Files on disk but ABSENT from the index
+    * (appended after the index build) are kept unconditionally —
+    * staleness degrades skipping, never correctness. Empty candidate
+    * set returns an empty frame with the table's real schema. The
+    * probe plan is index-side only: (files × words) rows joined
+    * against a broadcast probe table of |values|·k bit positions. */
+  def readBloomPruned(spark: SparkSession, path: String, column: String,
+                      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "probe values required")
+    val metaRow = spark.read
+      .parquet(s"${bloomRoot(path, column)}/meta").head()
+    val (mBits, k) = (metaRow.getLong(0), metaRow.getInt(1))
+    val words = spark.read.parquet(s"${bloomRoot(path, column)}/words")
+    val probeItems = values
+      .map(v => spark.range(1).select(lit(v).cast("string").as("item")))
+      .reduce(_ unionByName _)
+    val probeBits = probeItems
+      .withColumn("h", explode(array((0 until k).map(lit(_)): _*)))
+      .withColumn("__p",
+        (0 until k).foldLeft(lit(0L)) { (acc, i) =>
+          when(col("h") === i,
+            graft.functions.Bloom.position(col("item"), i, mBits, ""))
+            .otherwise(acc)
+        })
+      .select(col("item"), expr("__p div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(__p % 64 as int))").as("__m"))
+    // a probe bit whose word row is absent is simply unset: the inner
+    // join drops it and the per-(file, item) hit count stays below k
+    val candFromIndex = words
+      .join(broadcast(probeBits), Seq("word_idx"))
+      .groupBy(col("path"), col("item"))
+      .agg(sum(when(col("bits").bitwiseAND(col("__m")) === col("__m"),
+        1L).otherwise(0L)).as("__hits"))
+      .filter(col("__hits") === k)
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val indexed = words.select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    def norm(s: String) = s.replaceFirst("^file:/+", "/")
+    val unindexed = listDataFiles(spark, path)
+      .filter(f => !indexed.contains(norm(f)))
+    val cand = (candFromIndex.toSeq ++ unindexed).sorted
+    val schema = spark.read.parquet(path).schema
+    val pred = col(column).isin(values: _*)
+    if (cand.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(pred)
+    else spark.read.schema(schema).parquet(cand: _*).filter(pred)
+  }
 }

@@ -508,6 +508,34 @@ class Round12OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/rpq/meta").head().getBoolean(0))
   }
 
+  test("bloom file index: point lookups open only value-carrying " +
+    "files; unindexed late files stay conservatively visible") {
+    import graft.sources.Tables
+    val root = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .toString + "/lake"
+    // 8 files keyed by a column the layout is NOT sorted by
+    (0L until 4000L).map(i => (i, i % 7)).toDF("id", "grp")
+      .repartitionByRange(8, col("grp"), col("id"))
+      .write.parquet(root)
+    Tables.bloomIndexWrite(spark, root, "id")
+    val hit = Tables.readBloomPruned(spark, root, "id",
+      Seq(42L, 3999L))
+    assert(hit.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(42L, 3999L))
+    assert(hit.inputFiles.length <= 3,
+      s"expected <=3 candidate files, got ${hit.inputFiles.length}")
+    // absent value: zero rows even when a bloom false-positive opens
+    // a file (row-level re-filter restores exactness)
+    assert(Tables.readBloomPruned(spark, root, "id", Seq(999999L))
+      .count() == 0L)
+    // a file appended AFTER the index build is kept unconditionally
+    Seq((777777L, 0L)).toDF("id", "grp")
+      .write.mode("append").parquet(root)
+    val late = Tables.readBloomPruned(spark, root, "id", Seq(777777L))
+    assert(late.count() == 1L,
+      "staleness must degrade skipping, never correctness")
+  }
+
   // ---------------------------------------------------------------
   // AbsRangeRewrite: MinValue contract
   // ---------------------------------------------------------------
