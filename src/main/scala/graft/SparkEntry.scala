@@ -5696,13 +5696,13 @@ object SparkEntry {
         .select("query_id", "neighbor_id")
         .join(full.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi").count()
-      val (h4, h8, h16) = (hitsAt(4), hitsAt(8), hitsAt(16))
+      val (h8, h16) = (hitsAt(8), hitsAt(16))
       val tot = full.count()
-      // recall is MONOTONE in the candidate budget (candidates(8) ⊇
-      // candidates(4); the exact rerank keeps every true-top-k member
+      // recall is MONOTONE in the candidate budget (candidates(16) ⊇
+      // candidates(8); the exact rerank keeps every true-top-k member
       // present) — a structural guarantee, required as such
-      require(h4 <= h8 && h8 <= h16 && h16 <= tot,
-        s"budget monotonicity broke: $h4 <= $h8 <= $h16 <= $tot expected")
+      require(h8 <= h16 && h16 <= tot,
+        s"budget monotonicity broke: $h8 <= $h16 <= $tot expected")
       require(h16 * 4 >= tot * 3,
         s"budgeted ADC recall@3 too low at overfetch 16: $h16/$tot")
       full.select(col("query_id"), col("neighbor_id"), col("rank"),

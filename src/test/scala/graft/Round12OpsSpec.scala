@@ -547,6 +547,12 @@ class Round12OpsSpec extends SparkSpec {
     Seq(Long.MinValue, -5L, 0L, 5L, 99L).toDF("x").write.parquet(dir)
     val df = spark.read.parquet(dir)
     // baseline: Spark's Abs under ANSI (the default) throws on MinValue
+    // (deregister first — the shared JVM-wide session may still carry
+    // the rule from another spec's register(); suite order must not
+    // decide what "without the rule" means)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.AbsRangeRewrite)
     val e = intercept[Exception] {
       df.filter(abs(col("x")) <= 10L).count()
     }
