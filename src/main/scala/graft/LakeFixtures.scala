@@ -252,6 +252,18 @@ object LakeFixtures {
         .repartition(64).write.parquet(dir)
     }
 
+  /** q487's IVF-PQ index over the embeddings table — IMMUTABLE once
+    * built (index writes are idempotent overwrites of a fixed input),
+    * so it memoizes like the other lakes: bench reps pay the searches,
+    * not the 30+ Lloyd-fit jobs of the build (the q376 lesson). */
+  def ivfPqEmbeddings(s: SparkSession, d: String): String =
+    once("ivfpq", d) { dir =>
+      graft.llmdata.Similarity.ivfPqIndexWrite(
+        graft.sources.Tables.read(s, d, "embeddings"),
+        "vec_id", "embedding", dir, dim = 64, m = 16, kSub = 16,
+        nCells = 16, lloydIters = 2, pqIters = 2)
+    }
+
   /** Fresh (non-shared) temp dir that still participates in the
     * exit-time cleanup — for per-call MUTABLE targets (q377's pipeline
     * lake, manifest-evolution scratch). */

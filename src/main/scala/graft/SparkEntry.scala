@@ -5682,10 +5682,7 @@ object SparkEntry {
     // that exact probed ranking
     "q487_ivfpq_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val root = LakeFixtures.freshRoot("ivfpq") + "/index"
-      Similarity.ivfPqIndexWrite(emb, "vec_id", "embedding", root,
-        dim = 64, m = 16, kSub = 16, nCells = 16, lloydIters = 2,
-        pqIters = 2)
+      val root = LakeFixtures.ivfPqEmbeddings(s, d)
       val queries = emb.filter(col("vec_id") < 16)
       val full = Similarity.ivfPqTopKIndexed(s, root, queries, "vec_id",
         "embedding", k = 3, nprobe = 2, overfetch = Int.MaxValue / 3)
@@ -5972,6 +5969,48 @@ object SparkEntry {
         (col("value").cast("decimal(12,2)") * 100).cast("long")
           .as("value_cents"))
     }),
+
+    // incremental bloom-index maintenance: a late batch appends, the
+    // refresh indexes ONLY its files (count require + idempotence
+    // require), and lookups spanning old and new keys still prune
+    "q501_bloom_refresh" -> ((s, d) => {
+      import graft.sources.Tables
+      val root = LakeFixtures.freshRoot("bloomref") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val dom = dayofmonth(col("ts"))
+      ev.filter(dom <= 20).repartitionByRange(12, col("ts"))
+        .sortWithinPartitions("ts").write.parquet(root)
+      Tables.bloomIndexWrite(s, root, "event_id")
+      ev.filter(dom > 20).repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts").write.mode("append").parquet(root)
+      val nNew = Tables.bloomIndexRefresh(s, root, "event_id")
+      require(nNew == 4,
+        s"refresh must index exactly the 4 appended files, got $nNew")
+      require(Tables.bloomIndexRefresh(s, root, "event_id") == 0,
+        "refresh on an up-to-date index must be a no-op")
+      val oldKey = ev.filter(dom <= 20).agg(min(col("event_id")))
+        .head().getLong(0)
+      val newKey = ev.filter(dom > 20).agg(max(col("event_id")))
+        .head().getLong(0)
+      val absent = ev.agg(max(col("event_id"))).head().getLong(0) * 2 + 1
+      val res = Tables.readBloomPruned(s, root, "event_id",
+        Seq(oldKey, newKey, absent))
+      val total = s.read.parquet(root).inputFiles.length
+      require(res.inputFiles.length * 2 < total,
+        s"refreshed index barely pruned: ${res.inputFiles.length}/$total")
+      res.select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long")
+          .as("value_cents"))
+    }),
+
+    // CUSUM change-point parts over per-type daily counts — max
+    // |cumulative integrally-centered residual| and its first
+    // position, every column exact off the cents lattice
+    "q502_cusum" -> ((s, d) =>
+      graft.operators.Timeseries.cusumParts(dailyCountSeries(s, d),
+        "event_type", "x", "y")),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8002,6 +8041,41 @@ object SparkEntry {
         |    AS value_cents
         |FROM e, b, m
         |WHERE event_id IN (lo, mid, hi, hi * 2 + 1)""".stripMargin,
+
+    // q501: the old-half min key + new-half max key, exact IN lookup
+    "q501_bloom_refresh" ->
+      """WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        |o AS (SELECT MIN(event_id) AS k FROM e
+        |  WHERE EXTRACT(DAY FROM ts) <= 20),
+        |n AS (SELECT MAX(event_id) AS k FROM e
+        |  WHERE EXTRACT(DAY FROM ts) > 20)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS value_cents
+        |FROM e, o, n WHERE event_id IN (o.k, n.k)""".stripMargin,
+
+    // q502: cumulative e_t = n*v - s over the day order, HUGEINT
+    // internals, first-position tie rule
+    "q502_cusum" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s FROM d GROUP BY 1),
+        |sc AS (SELECT d.event_type, d.x, t.n, t.s,
+        |    SUM(CAST(d.v AS HUGEINT) * t.n - t.s) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM d JOIN t USING (event_type)),
+        |m AS (SELECT event_type, CAST(MAX(ABS(cs)) AS BIGINT)
+        |    AS max_abs_cusum FROM sc GROUP BY 1)
+        |SELECT sc.event_type, CAST(MIN(sc.x) AS BIGINT) AS argmax_x,
+        |  m.max_abs_cusum, CAST(MAX(sc.n) AS BIGINT) AS n,
+        |  CAST(MAX(sc.s) AS BIGINT) AS sum_cents
+        |FROM sc JOIN m USING (event_type)
+        |WHERE CAST(ABS(sc.cs) AS BIGINT) = m.max_abs_cusum
+        |GROUP BY 1, 3""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -1173,6 +1173,52 @@ object Timeseries {
     * contract (pre-aggregated series only).
     *
     * Output: input columns + (level, trend). */
+  /** CUSUM change-point parts per key — "did the level SHIFT, and
+    * where?": over the x-ordered series, the running sum of the
+    * exact integrally-centered residuals `e_t = n·v_t − Σv` (the
+    * [[durbinWatson]] centering — mean-free with zero rational
+    * arithmetic) peaks in magnitude AT the change point under a
+    * one-shift model (Page 1954's statistic, Pettitt's test uses the
+    * rank analog). Emitted as parts: every column is an exact BIGINT
+    * off the cents lattice — n, Σv (cents), max |S_t|, and the FIRST
+    * x attaining it (deterministic tie rule) — the caller scales
+    * (max|S| is n·cents-scaled) and applies its threshold outside the
+    * hashed frame. Same cell contract as durbinWatson (cents grid,
+    * duplicate-x raise); one window pass + two hash aggregates. */
+  def cusumParts(df: DataFrame, keyCol: String, xCol: String,
+                 valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "cusumParts: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val tot = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).cast("long").as("__s"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__e",
+        (col("__n").cast(d38) * col("__v") - col("__s")).cast(d38))
+      .withColumn("__cs", sum(col("__e")).over(wRun).cast(d38))
+    val mx = scored.groupBy(col(keyCol))
+      .agg(max(abs(col("__cs"))).cast(d38).cast("long")
+        .as("max_abs_cusum"))
+    scored.join(Broadcasts.maybeBroadcast(mx), Seq(keyCol))
+      .filter(abs(col("__cs")).cast(d38).cast("long")
+        === col("max_abs_cusum"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__x")).as("argmax_x"),
+        max(col("max_abs_cusum")).as("max_abs_cusum"),
+        max(col("__n")).cast("long").as("n"),
+        max(col("__s")).cast("long").as("sum_cents"))
+  }
+
   /** Croston's method per key — the intermittent-demand smoother
     * (Croston 1972): zero-heavy series (spare parts, rare-event
     * volumes) break plain exponential smoothing, so demand SIZE and

@@ -1080,6 +1080,47 @@ object Tables {
       .parquet(s"${bloomRoot(path, column)}/meta")
   }
 
+  /** Incrementally extend a [[bloomIndexWrite]] index to files the
+    * index does not know yet (appended batches) — ONE scan over only
+    * the new files, appended to the word table; indexed files are
+    * never rescanned (the [[refreshManifest]] incremental contract).
+    * Parameters come from the persisted meta, so refresh can never
+    * fork the index's (mBits, k). Returns the number of newly indexed
+    * files. Idempotent on an up-to-date index (no new files → no
+    * write). */
+  def bloomIndexRefresh(spark: SparkSession, path: String,
+                        column: String): Int = {
+    val metaRow = spark.read
+      .parquet(s"${bloomRoot(path, column)}/meta").head()
+    val (mBits, k) = (metaRow.getLong(0), metaRow.getInt(1))
+    val indexed = spark.read
+      .parquet(s"${bloomRoot(path, column)}/words")
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    def norm(s: String) = s.replaceFirst("^file:/+", "/")
+    val newFiles = listDataFiles(spark, path)
+      .filter(f => !indexed.contains(norm(f)))
+    if (newFiles.isEmpty) return 0
+    spark.read.parquet(newFiles: _*)
+      .filter(col(column).isNotNull)
+      .select(col(column).cast("string").as("__i"),
+        normPath(input_file_name()).as("path"))
+      .withColumn("h", explode(array((0 until k).map(lit(_)): _*)))
+      .withColumn("__p",
+        (0 until k).foldLeft(lit(0L)) { (acc, i) =>
+          when(col("h") === i,
+            graft.functions.Bloom.position(col("__i"), i, mBits, ""))
+            .otherwise(acc)
+        })
+      .select(col("path"), expr("__p div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(__p % 64 as int))").as("__m"))
+      .groupBy(col("path"), col("word_idx"))
+      .agg(expr("bit_or(__m)").cast("long").as("bits"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"${bloomRoot(path, column)}/words")
+    newFiles.size
+  }
+
   /** Point-lookup scan through a [[bloomIndexWrite]] index: open ONLY
     * the files whose filter admits at least one probe value, then
     * re-apply the exact IN predicate row-level (Bloom admits false

@@ -301,6 +301,43 @@ class Round12OpsSpec extends SparkSpec {
       && !t2.getBoolean(t2.fieldIndex("newly_failing")))
   }
 
+  test("cusumParts: hand series — the cumulative centered residual " +
+    "peaks at the level shift, first-position tie rule") {
+    import graft.operators.Timeseries
+    // level shift after t3: 1,1,1,5,5,5 -> mean 3; e_t = 6*v - 18
+    // (cents: 600*v - 1800... v cents = 100,100,100,500,500,500)
+    // e = {-1200,-1200,-1200,+1200,+1200,+1200}; S = -1200,-2400,
+    // -3600,-2400,-1200,0 -> max|S| = 3600 at x=3 (the change point)
+    val s = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "x", "v")
+    val r = Timeseries.cusumParts(s, "k", "x", "v").head()
+    assert(r.getLong(r.fieldIndex("max_abs_cusum")) == 3600L)
+    assert(r.getLong(r.fieldIndex("argmax_x")) == 3L)
+    assert(r.getLong(r.fieldIndex("n")) == 6L
+      && r.getLong(r.fieldIndex("sum_cents")) == 1800L)
+    // constant series: every S_t = 0, argmax = first x
+    val c = Seq(("k", 1L, 2.0), ("k", 2L, 2.0)).toDF("k", "x", "v")
+    val rc = Timeseries.cusumParts(c, "k", "x", "v").head()
+    assert(rc.getLong(rc.fieldIndex("max_abs_cusum")) == 0L
+      && rc.getLong(rc.fieldIndex("argmax_x")) == 1L)
+  }
+
+  test("bloomIndexRefresh indexes only new files and is idempotent") {
+    import graft.sources.Tables
+    val root = java.nio.file.Files.createTempDirectory("graft-bref")
+      .toString + "/lake"
+    (0L until 1000L).map(i => (i, i % 5)).toDF("id", "grp")
+      .repartitionByRange(4, col("grp"), col("id")).write.parquet(root)
+    Tables.bloomIndexWrite(spark, root, "id")
+    (1000L until 1500L).map(i => (i, i % 5)).toDF("id", "grp")
+      .repartition(2).write.mode("append").parquet(root)
+    assert(Tables.bloomIndexRefresh(spark, root, "id") == 2)
+    assert(Tables.bloomIndexRefresh(spark, root, "id") == 0)
+    val hit = Tables.readBloomPruned(spark, root, "id", Seq(1499L))
+    assert(hit.count() == 1L && hit.inputFiles.length <= 3)
+  }
+
   test("croston: hand recursion — seed at first demand, interval " +
     "smoothing on the observed gaps, NULLs before the seed") {
     import graft.operators.Timeseries
