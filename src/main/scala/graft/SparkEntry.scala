@@ -6011,6 +6011,13 @@ object SparkEntry {
     "q502_cusum" -> ((s, d) =>
       graft.operators.Timeseries.cusumParts(dailyCountSeries(s, d),
         "event_type", "x", "y")),
+
+    // Pettitt change point — q502's rank analog (outlier-robust,
+    // monotone-transform-free): U_t = cumrd_t − t(n+1) exact off the
+    // doubled-midrank lattice
+    "q503_pettitt" -> ((s, d) =>
+      graft.operators.RankStats.pettittParts(dailyCountSeries(s, d),
+        "event_type", "x", "y")),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8075,6 +8082,35 @@ object SparkEntry {
         |  CAST(MAX(sc.s) AS BIGINT) AS sum_cents
         |FROM sc JOIN m USING (event_type)
         |WHERE CAST(ABS(sc.cs) AS BIGINT) = m.max_abs_cusum
+        |GROUP BY 1, 3""".stripMargin,
+
+    // q503: midrank lattice -> per-x doubled ranks -> cumulative U
+    "q503_pettitt" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM d GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(t) OVER win AS BIGINT) AS cum FROM p
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rd AS (SELECT event_type, v, 2 * (cum - t) + t + 1 AS rd FROM w),
+        |tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |sc AS (SELECT d.event_type, d.x, tt.n,
+        |    SUM(rd.rd) OVER wx
+        |      - (CAST(row_number() OVER wx AS BIGINT)) * (tt.n + 1) AS u
+        |  FROM d JOIN rd ON d.event_type = rd.event_type AND d.v = rd.v
+        |    JOIN tt ON d.event_type = tt.event_type
+        |  WINDOW wx AS (PARTITION BY d.event_type ORDER BY d.x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT event_type, CAST(MAX(ABS(u)) AS BIGINT)
+        |    AS max_abs_u FROM sc GROUP BY 1)
+        |SELECT sc.event_type, CAST(MIN(sc.x) AS BIGINT) AS argmax_x,
+        |  m.max_abs_u, CAST(MAX(sc.n) AS BIGINT) AS n
+        |FROM sc JOIN m USING (event_type)
+        |WHERE CAST(ABS(sc.u) AS BIGINT) = m.max_abs_u
         |GROUP BY 1, 3""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all

@@ -289,6 +289,57 @@ object RankStats {
       .join(Broadcasts.maybeBroadcast(perKey), Seq(keyCol))
   }
 
+  /** Pettitt change-point parts per key — the RANK analog of
+    * [[graft.operators.Timeseries.cusumParts]] (Pettitt 1979: the
+    * Mann-Whitney statistic between every prefix and its suffix,
+    * maximized over the split): robust to outliers and any monotone
+    * transform where the CUSUM of values is not. On the doubled-
+    * midrank lattice the statistic is exactly
+    * `U_t = cumrd_t − t·(n+1)` (cumrd = 2·Σ midranks of the first t
+    * rows — the doubling cancels the classical 2·R_t), so every
+    * emitted column is an exact BIGINT: n, max |U_t|, and the FIRST x
+    * attaining it (the change-point estimate; significance scaling
+    * caller-side). Same cell contract as the sibling (one row per
+    * (key, x), duplicate raise); one lattice pass + one window. */
+  def pettittParts(df: DataFrame, keyCol: String, xCol: String,
+                   valueCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "pettittParts: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = cells.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(wv))
+      .select(col(keyCol), col("__v"),
+        (lit(2L) * (col("__cum") - col("__t")) + col("__t") + lit(1L))
+          .as("__rd"))
+    val tot = cells.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val wx = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells
+      .join(pooled, Seq(keyCol, "__v"))
+      .join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__pos", count(lit(1)).over(wx))
+      .withColumn("__u",
+        sum(col("__rd")).over(wx) - col("__pos") * (col("__n") + 1L))
+    val mx = scored.groupBy(col(keyCol))
+      .agg(max(abs(col("__u"))).cast("long").as("max_abs_u"))
+    scored.join(Broadcasts.maybeBroadcast(mx), Seq(keyCol))
+      .filter(abs(col("__u")) === col("max_abs_u"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__x")).as("argmax_x"),
+        max(col("max_abs_u")).as("max_abs_u"),
+        max(col("__n")).cast("long").as("n"))
+  }
+
   /** Kendall's τ-b per key with exact tie handling: concordant /
     * discordant pair counts from a self-join of the per-key DISTINCT
     * (x, y) CELL frame (never raw rows — the bounded-grid contract of

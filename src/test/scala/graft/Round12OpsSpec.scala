@@ -323,6 +323,28 @@ class Round12OpsSpec extends SparkSpec {
       && rc.getLong(rc.fieldIndex("argmax_x")) == 1L)
   }
 
+  test("pettittParts: the hand level-shift series peaks at the same " +
+    "change point as CUSUM, exact U off the midrank lattice") {
+    import graft.operators.RankStats
+    // 1,1,1,5,5,5: midranks 2,2,2,5,5,5 (doubled 4,10); cumrd =
+    // 4,8,12,22,32,42; U_t = cumrd - 7t = -3,-6,-9,-6,-3,0
+    val s = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "x", "v")
+    val r = RankStats.pettittParts(s, "k", "x", "v").head()
+    assert(r.getLong(r.fieldIndex("max_abs_u")) == 9L)
+    assert(r.getLong(r.fieldIndex("argmax_x")) == 3L)
+    assert(r.getLong(r.fieldIndex("n")) == 6L)
+    // an outlier that breaks value-CUSUM barely moves the rank U:
+    // same series with 5 -> 5000 in one slot keeps the change point
+    val o = Seq(1.0, 1.0, 1.0, 5.0, 5000.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "x", "v")
+    val ro = RankStats.pettittParts(o, "k", "x", "v").head()
+    assert(ro.getLong(ro.fieldIndex("argmax_x")) == 3L
+      && ro.getLong(ro.fieldIndex("max_abs_u")) == 9L)
+  }
+
   test("bloomIndexRefresh indexes only new files and is idempotent") {
     import graft.sources.Tables
     val root = java.nio.file.Files.createTempDirectory("graft-bref")
