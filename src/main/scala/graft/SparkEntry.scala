@@ -6018,6 +6018,167 @@ object SparkEntry {
     "q503_pettitt" -> ((s, d) =>
       graft.operators.RankStats.pettittParts(dailyCountSeries(s, d),
         "event_type", "x", "y")),
+
+    // METADATA-ONLY aggregates: COUNT/COUNT-NULL/MIN/MAX answered
+    // from parquet footers alone — live AND as-of-version (via the
+    // snapshot pin), with the footer answer required identical to the
+    // full scan at both stages. The 100 TB shape: manifest arithmetic
+    // instead of a cluster pass (Iceberg/Delta metadata-only queries).
+    "q504_metadata_agg" -> ((s, d) => {
+      import graft.sources.Tables
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("metaagg") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 15).repartition(6).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      ev.filter(col("day") > 15).repartition(3)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v2 (live)
+      val cols = Seq("event_id", "user_id", "day")
+      val asOf1 = Tables.metadataAgg(s, root, cols,
+          Some(Snapshots.pinnedFiles(s, root, 1)))
+        .withColumn("stage", lit("v1"))
+      val live = Tables.metadataAgg(s, root, cols)
+        .withColumn("stage", lit("live"))
+      val out = asOf1.unionByName(live)
+        .select(col("stage"), col("column").as("col_name"),
+          col("n_rows"), col("n_nulls"), col("min_v"), col("max_v"))
+      // the footer answer must equal the scan answer — both stages
+      def scanOf(df: DataFrame, stage: String) = {
+        val aggs = cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nn"),
+          min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))) :+
+          count(lit(1)).as("__n")
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.map(c => (stage, c, r.getLong(r.fieldIndex("__n")),
+          r.getLong(r.fieldIndex(s"${c}__nn")),
+          r.getLong(r.fieldIndex(s"${c}__mn")),
+          r.getLong(r.fieldIndex(s"${c}__mx"))))
+      }
+      val expect = (scanOf(ev.filter(col("day") <= 15), "v1") ++
+        scanOf(ev, "live")).toSet
+      val got = out.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      require(got == expect,
+        s"metadata-only answer diverges from the scan:\n$got\nvs\n$expect")
+      out
+    }),
+
+    // Named snapshot refs (Iceberg tags): tag v1 "baseline", append,
+    // compact; expire(keepLast=1) drops ONLY the untagged middle
+    // version, vacuum sweeps only the files no retained ref pins, and
+    // the tagged read is bit-stable across all of it — the
+    // reproducible-training-run pin. Content oracled at both refs.
+    "q505_snapshot_tags" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("snaptags") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 10).repartition(4).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      Snapshots.tag(s, root, "baseline", 1L)
+      ev.filter(col("day") > 10).repartition(4)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v2
+      Snapshots.compact(s, root, targetBytes = 1L << 26) // v3
+      val dropped = Snapshots.expire(s, root, keepLast = 1)
+      require(dropped == Seq(2L),
+        s"expire must drop only the untagged v2, dropped: $dropped")
+      val swept = Snapshots.vacuum(s, root)
+      require(swept.nonEmpty,
+        "vacuum must sweep v2's exclusively-referenced files")
+      val vs = Snapshots.versions(s, root).select("version")
+        .collect().map(_.getLong(0)).toSet
+      require(vs == Set(1L, 3L), s"retained versions must be {1,3}: $vs")
+      def stageAgg(df: DataFrame, stage: String) = df
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+        .withColumn("stage", lit(stage))
+      stageAgg(Snapshots.readTag(s, root, "baseline"), "baseline")
+        .unionByName(stageAgg(Snapshots.readLatest(s, root), "latest"))
+        .select("stage", "day_bucket", "n", "sum_uid")
+    }),
+
+    // KMV distinct sketch per segment: two half-month partials merged
+    // ≡ the one-shot sketch (the mergeable-sketch fold require), then
+    // the (k−1)/θ estimate off the pinned md5 hash — every value
+    // deterministic and oracle-replayed exactly
+    "q506_kmv_distinct" -> ((s, d) => {
+      import graft.functions.Kmv
+      val k = 64
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val dom = dayofmonth(col("ts"))
+      val parts = Seq(ev.filter(dom <= 15), ev.filter(dom > 15))
+        .map(df => Kmv.sketch(df, Seq("event_type"), "user_id", k))
+      val folded = Kmv.merge(parts, Seq("event_type"), k)
+      val oneShot = Kmv.sketch(ev, Seq("event_type"), "user_id", k)
+      require(folded.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(folded).isEmpty,
+        "KMV fold must equal the one-shot sketch")
+      Kmv.estimate(oneShot, Seq("event_type"), k)
+        .select("event_type", "sketch_n", "theta_h", "distinct_est")
+    }),
+
+    // Theta-sketch set operations between two behavioral segments
+    // (clicking users vs purchasing users): union/intersection/
+    // Jaccard ESTIMATES from two k=64 sketches beside the exact
+    // answers — the segment-overlap matrix no exact method affords
+    // at 10⁹ ids per segment
+    "q507_theta_setops" -> ((s, d) => {
+      import graft.functions.Kmv
+      val k = 64
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      def seg(tp: String) = ev.filter(col("event_type") === tp)
+        .withColumn("__g", lit(1))
+      val skA = Kmv.sketch(seg("click"), Seq("__g"), "user_id", k)
+      val skB = Kmv.sketch(seg("purchase"), Seq("__g"), "user_id", k)
+      val est = Kmv.setOps(skA, skB, k)
+      val exact = seg("click").select(col("user_id")).distinct()
+        .withColumn("__in_b", lit(0))
+        .unionByName(seg("purchase").select(col("user_id")).distinct()
+          .withColumn("__in_b", lit(1)))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("exact_union"),
+          count(when(col("__c") === 2, 1)).as("exact_inter"))
+      est.crossJoin(broadcast(exact))
+        .select("n_a", "n_b", "n_union_sketch", "n_inter_theta",
+          "union_est", "inter_est", "jaccard_est",
+          "exact_union", "exact_inter")
+    }),
+
+    // PAA: the per-type 30-day count series reduced to 6 segment
+    // means — exact integer segment assignment, exact BIGINT sums,
+    // one IEEE division for the mean (the series-index admission
+    // step; q509 symbolizes on top)
+    "q508_paa" -> ((s, d) =>
+      graft.operators.Timeseries.paa(dailyCountSeries(s, d),
+        "event_type", "x", "y", nSeg = 6)
+        .select("event_type", "seg", "seg_start_x", "seg_n",
+          "sum_cents", "mean_cents")),
+
+    // Rank-SAX motif discovery: each (event_type, week) 7-day series
+    // becomes a 7-letter word over per-type exact quartile cutpoints
+    // (alphabet 4); identical words = identical coarse weekly shapes,
+    // counted by plain GROUP BY — the iSAX bucketing substrate
+    "q509_sax_motifs" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("__day", dayofmonth(col("ts")).cast("long"))
+        .filter(col("__day") <= 28) // full ISO weeks (Jan 2024 starts Monday)
+        .groupBy(col("event_type"), col("__day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("week", floor((col("__day") - 1) / 7).cast("long"))
+      val words = graft.operators.Timeseries.saxWords(daily,
+        Seq("event_type", "week"), "__day", "y",
+        Seq("event_type"), nSeg = 7, alphabet = 4)
+      words.withColumn("n_sharing",
+          count(lit(1)).over(Window.partitionBy(col("word"))))
+        .select(col("event_type"), col("week"), col("word"),
+          col("n_sharing").cast("long").as("n_sharing"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8112,6 +8273,168 @@ object SparkEntry {
         |FROM sc JOIN m USING (event_type)
         |WHERE CAST(ABS(sc.u) AS BIGINT) = m.max_abs_u
         |GROUP BY 1, 3""".stripMargin,
+
+    // q504: the footer answer per (stage, column) — the scan truth the
+    // in-query require already pinned the footers against
+    "q504_metadata_agg" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT 'v1' AS stage, * FROM e WHERE day <= 15
+        |      UNION ALL SELECT 'live', * FROM e)
+        |SELECT stage, 'event_id' AS col_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+        |  CAST(MIN(event_id) AS BIGINT) AS min_v,
+        |  CAST(MAX(event_id) AS BIGINT) AS max_v FROM s GROUP BY 1
+        |UNION ALL
+        |SELECT stage, 'user_id', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+        |  CAST(MIN(user_id) AS BIGINT), CAST(MAX(user_id) AS BIGINT)
+        |FROM s GROUP BY 1
+        |UNION ALL
+        |SELECT stage, 'day', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(day) AS BIGINT),
+        |  CAST(MIN(day) AS BIGINT), CAST(MAX(day) AS BIGINT)
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // q505: baseline = the tagged v1 (days <= 10), latest = everything
+    "q505_snapshot_tags" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT 'baseline' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e WHERE day <= 10 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'latest', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // q506: bottom-64 distinct md5 hash values per type, (k-1)/theta
+    // estimator on the same IEEE chain as the engine
+    "q506_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 64)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 4294967296.0) END
+        |    AS distinct_est
+        |FROM sk GROUP BY 1""".stripMargin,
+
+    // q507: two bottom-64 hash sketches, union bottom-64 -> theta,
+    // sample-intersection below theta, the theta estimators, and the
+    // exact user-id set arithmetic beside them
+    "q507_theta_setops" ->
+      """WITH ua AS (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'click'),
+        |ub AS (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |ska AS (SELECT h FROM ua ORDER BY h ASC LIMIT 64),
+        |skb AS (SELECT h FROM ub ORDER BY h ASC LIMIT 64),
+        |un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        |       ORDER BY h ASC LIMIT 64),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+        |         MAX(h) AS uh FROM un),
+        |it AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_theta
+        |       FROM ska JOIN skb USING (h), st
+        |       WHERE st.n_union_sketch < 64 OR h <= st.uh),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS exact_inter
+        |       FROM (SELECT user_id,
+        |               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |             FROM events WHERE ts IS NOT NULL
+        |               AND event_type IN ('click', 'purchase')
+        |             GROUP BY 1)),
+        |est AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ska) AS n_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM skb) AS n_b,
+        |  st.n_union_sketch, it.n_inter_theta,
+        |  CASE WHEN st.n_union_sketch < 64
+        |       THEN CAST(st.n_union_sketch AS DOUBLE)
+        |       ELSE 63.0 / (CAST(st.uh AS DOUBLE) / 4294967296.0) END
+        |    AS union_est,
+        |  CASE WHEN st.n_union_sketch < 64
+        |       THEN CAST(it.n_inter_theta AS DOUBLE)
+        |       ELSE CAST(it.n_inter_theta AS DOUBLE)
+        |         / (CAST(st.uh AS DOUBLE) / 4294967296.0) END
+        |    AS inter_est,
+        |  ex.exact_union, ex.exact_inter
+        |  FROM st, it, ex)
+        |SELECT n_a, n_b, n_union_sketch, n_inter_theta, union_est,
+        |  inter_est, inter_est / union_est AS jaccard_est,
+        |  exact_union, exact_inter
+        |FROM est""".stripMargin,
+
+    // q508: equi-width integer segment assignment over the day order,
+    // exact sums, one division for the mean
+    "q508_paa" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY x ASC) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT event_type, CAST((rn - 1) * 6 // n AS BIGINT) AS seg,
+        |  CAST(MIN(x) AS BIGINT) AS seg_start_x,
+        |  CAST(COUNT(*) AS BIGINT) AS seg_n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // q509: per-type exact quartile cutpoints off the raw-value
+    // lattice, symbol = cutpoints exceeded, word = in-order letters
+    "q509_sax_motifs" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND EXTRACT(DAY FROM ts) <= 28 GROUP BY 1, 2),
+        |lat AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |cw AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+        |    ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS tot FROM lat),
+        |cuts AS (SELECT event_type,
+        |    MIN(CASE WHEN 4 * cum >= tot THEN v END) AS c1,
+        |    MIN(CASE WHEN 4 * cum >= 2 * tot THEN v END) AS c2,
+        |    MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS c3
+        |  FROM cw GROUP BY 1),
+        |sg AS (SELECT event_type, CAST((day - 1) // 7 AS BIGINT) AS week,
+        |    day, v, row_number() OVER (PARTITION BY event_type,
+        |      (day - 1) // 7 ORDER BY day ASC) AS rn
+        |  FROM d),
+        |sym AS (SELECT s.event_type, s.week, s.rn - 1 AS seg,
+        |    substr('abcdefgh',
+        |      1 + (CASE WHEN s.v > c.c1 THEN 1 ELSE 0 END
+        |         + CASE WHEN s.v > c.c2 THEN 1 ELSE 0 END
+        |         + CASE WHEN s.v > c.c3 THEN 1 ELSE 0 END), 1) AS sym
+        |  FROM sg s JOIN cuts c USING (event_type)),
+        |w AS (SELECT event_type, week,
+        |    string_agg(sym, '' ORDER BY seg ASC) AS word
+        |  FROM sym GROUP BY 1, 2)
+        |SELECT event_type, week, word,
+        |  CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS n_sharing
+        |FROM w""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct sketch with theta-style SET
+  * OPERATIONS — the third member of the engine's distinct-count
+  * ladder: [[graft.operators.AggMerge.bitmapDistinctPartial]] is
+  * exact but domain-bounded, the HLL partial family is
+  * constant-space but union-only; KMV sits between — k hash values
+  * per group (Bar-Yossef et al. 2002, the theta-sketch substrate of
+  * Apache DataSketches) — because keeping the actual bottom-k SAMPLE
+  * of the hash space is what makes INTERSECTION (and so Jaccard /
+  * overlap) estimable, which no HLL can do directly.
+  *
+  * Determinism (the house sketch contract): the hash is the engine's
+  * pinned md5 fraction ([[graft.llmdata.Sampling.hashFraction]]'s
+  * integer numerator — first 8 md5 hex chars as a BIGINT in
+  * [0, 2³²)), so sketches, estimates, and set operations are
+  * bit-identical across runs, engines, and cluster sizes, and every
+  * DuckDB oracle replays them exactly. No `rand()`, ever.
+  *
+  * Mergeability: a KMV sketch is the bottom-k of DISTINCT hash
+  * values, and bottom-k of a union is the bottom-k of the parts'
+  * bottom-ks — [[merge]] is therefore exact over any fold tree
+  * (partition partials, streaming batches, replays), the idempotent
+  * [[graft.operators.AggMerge.mergeDistinct]] regime. Estimator:
+  * with fewer than k distinct hashes the sketch IS the distinct set
+  * (exact regime — the [[MisraGries]] exactness-mirror convention);
+  * at capacity, `(k−1)/θ` with θ = h₍ₖ₎/2³² (unbiased, relative
+  * error ≈ 1/√(k−2)).
+  *
+  * Scale shape: [[sketch]] is one distinct (hash-partitioned) plus
+  * one bounded-heap top-k ([[graft.operators.TopK.perKey]] — no
+  * sort); everything downstream operates on ≤k-row-per-group
+  * metadata-scale frames. At 10⁹ ids per group the sketch is still k
+  * rows — the segment-overlap matrix a 100 TB event store cannot
+  * afford to compute exactly.
+  */
+object Kmv {
+
+  /** The pinned 32-bit portable hash: first 8 md5 hex chars of the
+    * key's string form, as a BIGINT in [0, 2³²). */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Per-group KMV sketch: the ≤k smallest DISTINCT `hash32` values
+    * of `idCol`, as (groupCols…, h) rows. One distinct + one
+    * bounded-heap top-k; output is ≤k rows per group. */
+  def sketch(df: DataFrame, groupCols: Seq[String], idCol: String,
+             k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the estimator needs k-1), got $k")
+    require(groupCols.nonEmpty, "groupCols required")
+    val hashed = df.select(
+      groupCols.map(col) :+ hash32(col(idCol)).as("h"): _*).distinct()
+    graft.operators.TopK.perKey(hashed, groupCols, Seq(("h", true)), k)
+  }
+
+  /** Merge partial sketches — exact under any fold tree (bottom-k of
+    * a union = bottom-k of the parts' bottom-ks). Parts must share
+    * the [[sketch]] schema and the same k. */
+  def merge(parts: Seq[DataFrame], groupCols: Seq[String],
+            k: Int): DataFrame = {
+    require(parts.nonEmpty, "parts required")
+    val all = parts.reduce(_ unionByName _).distinct()
+    graft.operators.TopK.perKey(all, groupCols, Seq(("h", true)), k)
+  }
+
+  /** Distinct-count estimate per group off a [[sketch]]:
+    * `(group…, sketch_n, theta_h, distinct_est)`. Below capacity the
+    * sketch saw every distinct hash — the estimate is the exact
+    * sketch size (theta_h NULL: no threshold is in play); at
+    * capacity `(k−1)/θ`, θ = h₍ₖ₎/2³². The division chain is two
+    * IEEE ops on exact integers — deterministic, oracle-mirrored. */
+  def estimate(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    sk.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("sketch_n"), max(col("h")).as("__hmax"))
+      .withColumn("theta_h",
+        when(col("sketch_n") === k, col("__hmax")))
+      .withColumn("distinct_est",
+        when(col("sketch_n") < k, col("sketch_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("__hmax").cast("double") / lit(4294967296.0))))
+      .drop("__hmax")
+  }
+
+  /** Theta-sketch SET OPERATIONS between two single-set sketches
+    * (column `h`, same k): one row
+    * `(n_a, n_b, n_union_sketch, n_inter_theta, union_est, inter_est,
+    * jaccard_est)`.
+    *
+    * Union sketch = bottom-k of the hash union; θ = its kth value.
+    * Intersection counts the hashes BOTH sketches retain below θ —
+    * every hash < θ that either set contains is present in its
+    * sketch (both sketches are complete below their own thetas,
+    * which are ≥ θ), so the count is an exact sample-intersection
+    * and `count/θ` the theta estimator (Dasgupta et al. 2016, the
+    * DataSketches union/intersect semantics). Exact regime: a union
+    * sketch below capacity means BOTH inputs were below capacity
+    * (a capped input alone contributes k hashes), so union and
+    * intersection are exact set arithmetic. All frames here are
+    * ≤k-row metadata; the scalar attach is the engine's
+    * broadcast-1-row convention. */
+  def setOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ua = a.select(col("h")).distinct()
+    val ub = b.select(col("h")).distinct()
+    val unionSk = ua.unionByName(ub).distinct()
+      .orderBy(col("h").asc).limit(k)
+    val stats = unionSk.agg(count(lit(1)).as("n_union_sketch"),
+      max(col("h")).as("__uhmax"))
+    val inter = ua.join(ub, "h")
+      .crossJoin(broadcast(stats.select(col("__uhmax"), col("n_union_sketch"))))
+      .filter(col("n_union_sketch") < k || col("h") <= col("__uhmax"))
+      .agg(count(lit(1)).as("n_inter_theta"))
+    val counts = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(inter))
+    val theta = col("__uhmax").cast("double") / lit(4294967296.0)
+    val exact = col("n_union_sketch") < k
+    counts
+      .withColumn("union_est",
+        when(exact, col("n_union_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / theta))
+      .withColumn("inter_est",
+        when(exact, col("n_inter_theta").cast("double"))
+          .otherwise(col("n_inter_theta").cast("double") / theta))
+      .withColumn("jaccard_est", col("inter_est") / col("union_est"))
+      .select("n_a", "n_b", "n_union_sketch", "n_inter_theta",
+        "union_est", "inter_est", "jaccard_est")
+  }
+}

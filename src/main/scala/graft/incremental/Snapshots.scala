@@ -131,6 +131,102 @@ object Snapshots {
       .parquet(s"${snapRoot(path)}/v=$v")
   }
 
+  private def tagRoot(path: String) = s"${snapRoot(path)}/tags"
+
+  private def listTags(spark: SparkSession,
+                       path: String): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tagRoot(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .map { n =>
+        val v = spark.read.parquet(s"${tagRoot(path)}/$n")
+          .select(col("version")).head().getLong(0)
+        (n, v)
+      }.sortBy(_._1)
+  }
+
+  /** Create or move a NAMED REF to a committed version — the Iceberg
+    * tag: a human-meaningful pin ("training-run-2024-06",
+    * "audit-baseline") that survives log retention. [[expire]] never
+    * drops a tagged version (so [[vacuum]] never sweeps its files) —
+    * the reproducible-training-run contract: data a tag references
+    * stays bit-stable until the tag itself is dropped. Re-tagging an
+    * existing name moves it (create-or-replace, the Iceberg
+    * behavior). Tag storage is one tiny parquet per name under the
+    * snapshot root — metadata-scale, invisible to data scans. Raises
+    * on an uncommitted version (a tag must always resolve). Names are
+    * restricted to `[A-Za-z0-9._-]` so the tag IS its directory name
+    * on every filesystem. */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name must be [A-Za-z0-9._-], got '$name'")
+    require(listVersions(spark, path).contains(version),
+      s"cannot tag uncommitted version $version at $path — versions: " +
+        listVersions(spark, path).mkString(", "))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(java.lang.Long.valueOf(version))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${tagRoot(path)}/$name")
+  }
+
+  /** The tag registry: (tag, version), tag-name ascending. */
+  def tags(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      listTags(spark, path).map { case (n, v) =>
+        org.apache.spark.sql.Row(n, java.lang.Long.valueOf(v)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** [[readVersion]] through a named ref. Raises on an unknown tag. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val t = listTags(spark, path).collectFirst { case (n, v) if n == name => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag '$name' at $path — tags: " +
+          listTags(spark, path).map(_._1).mkString(", ")))
+    readVersion(spark, path, t)
+  }
+
+  /** Drop a named ref — after this the tagged version is ordinary
+    * history ([[expire]]-able, then [[vacuum]]-able). Raises on an
+    * unknown tag (dropping nothing silently hides a typo'd cleanup). */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(listTags(spark, path).exists(_._1 == name),
+      s"no tag '$name' at $path — tags: " +
+        listTags(spark, path).map(_._1).mkString(", "))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"${tagRoot(path)}/$name"), true)
+  }
+
+  /** The exact file list a version pins — the metadata unit
+    * composed readers build on ([[graft.sources.Tables.metadataAgg]]
+    * answers aggregates AS OF a version from these files' footers
+    * without touching data pages). Raises on an unknown version. */
+  def pinnedFiles(spark: SparkSession, path: String,
+                  version: Long): Seq[String] = {
+    require(listVersions(spark, path).contains(version),
+      s"no snapshot v=$version at $path — versions: " +
+        listVersions(spark, path).mkString(", "))
+    spark.read.parquet(s"${snapRoot(path)}/v=$version")
+      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+  }
+
   /** The version log: (version, n_files), ascending — the audit
     * readout. */
   def versions(spark: SparkSession, path: String): DataFrame = {
@@ -321,6 +417,11 @@ object Snapshots {
   def rollback(spark: SparkSession, path: String,
                toVersion: Long): Seq[Long] = {
     require(toVersion >= 0, s"toVersion must be >= 0, got $toVersion")
+    val pinnedAbove = listTags(spark, path).filter(_._2 > toVersion)
+    require(pinnedAbove.isEmpty,
+      s"rollback($toVersion) would orphan tags " +
+        pinnedAbove.map { case (n, v) => s"$n=v$v" }.mkString(", ") +
+        " — dropTag first (a tag must always resolve)")
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -339,14 +440,19 @@ object Snapshots {
   }
 
   /** Drop all but the last `keepLast` versions from the log —
-    * metadata-only (data files remain until [[vacuum]]). Returns the
-    * dropped versions. */
+    * metadata-only (data files remain until [[vacuum]]). TAGGED
+    * versions are exempt (see [[tag]]): retention reclaims unnamed
+    * history, never a named ref's target — so
+    * `expire` + [[vacuum]] is always safe to run on a tagged lake.
+    * Returns the dropped versions. */
   def expire(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagged = listTags(spark, path).map(_._2).toSet
     val drop = listVersions(spark, path).dropRight(keepLast)
+      .filterNot(tagged)
     drop.foreach(v => fs.delete(new Path(s"${snapRoot(path)}/v=$v"), true))
     drop
   }

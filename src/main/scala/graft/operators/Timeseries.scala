@@ -1428,4 +1428,133 @@ object Timeseries {
         pick(col("__st"), slotOf(size(col("__xs")).cast("long"))))
       .drop("__x", "__xs", "__st")
   }
+
+  /** Piecewise Aggregate Approximation (PAA, Keogh et al. 2001) — the
+    * dimensionality reducer behind every SAX/iSAX series index: a
+    * length-n series per key collapses to `nSeg` segment means, each
+    * segment covering `⌊(rn−1)·nSeg/n⌋` (the standard equi-width
+    * assignment, exact in integer arithmetic — no float boundary).
+    * At 100 TB of series this is the admission step that turns
+    * billions of raw points into fixed-width signatures a similarity
+    * index can bucket (see [[saxWords]]).
+    *
+    * Exactness: values go through the cents lattice
+    * (`decimal(12,2)·100 → long`, the [[cusumParts]] convention);
+    * per-segment `sum_cents`/`seg_n` are exact BIGINTs and
+    * `mean_cents` ONE IEEE division of exact integers — the oracle
+    * mirrors all three. Duplicate x within a key raises (the
+    * [[graft.operators.RankStats.mannKendall]] rule); a series
+    * shorter than `nSeg` raises (PAA is a REDUCTION — asking for
+    * more segments than points is a caller bug, not padding).
+    * Output: (key, seg, seg_start_x, seg_n, sum_cents, mean_cents).
+    * One row_number window per key + one aggregate — scales as any
+    * keyed window. */
+  def paa(df: DataFrame, keyCol: String, xCol: String, valueCol: String,
+          nSeg: Int): DataFrame = {
+    require(nSeg >= 1, s"nSeg must be >= 1, got $nSeg")
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "paa: duplicate x within a key — pre-aggregate to one row " +
+            "per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val tot = cells.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc)
+    cells.join(Broadcasts.maybeBroadcast(tot), Seq(keyCol))
+      .withColumn("__n",
+        when(col("__n") < nSeg, raise_error(lit(
+          s"paa: series shorter than nSeg=$nSeg — PAA reduces, " +
+            "never pads"))).otherwise(col("__n")))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      // integer division (Spark's `/` on longs is DOUBLE division)
+      .withColumn("seg", expr(s"(__rn - 1) * $nSeg DIV __n"))
+      .groupBy(col(keyCol), col("seg"))
+      .agg(min(col("__x")).as("seg_start_x"),
+        count(lit(1)).as("seg_n"),
+        sum(col("__v")).cast("long").as("sum_cents"))
+      .withColumn("mean_cents",
+        col("sum_cents").cast("double") / col("seg_n").cast("double"))
+  }
+
+  /** SAX words (Lin et al. 2003) in the engine's RANK form: each
+    * series ([[paa]]-reduced to `nSeg` segment means) symbolizes
+    * against per-SCOPE empirical quantile cutpoints instead of the
+    * classic z-normalize + Gaussian breakpoints — rank cutpoints are
+    * EXACT on the cents lattice (the
+    * [[graft.operators.RankStats]] distinct-value-lattice doctrine),
+    * so no libm (mean/stddev) ever enters a compared column, and the
+    * symbols are invariant to any monotone value transform.
+    *
+    * Cutpoint k (k = 1…alphabet−1) per scope is the smallest lattice
+    * value with `alphabet·cum_cnt ≥ k·n` over the scope's raw
+    * points; a segment's symbol is the count of cutpoints its mean
+    * exceeds, decided by the cross-multiplied exact predicate
+    * `sum_cents > c_k·seg_n` (a rational mean never touches a
+    * float). The word is the in-order symbol string — identical
+    * words = identical coarse shapes, so a plain `GROUP BY word`
+    * does motif discovery and near-pattern dedup at corpus scale
+    * (the iSAX indexing substrate).
+    *
+    * `scopeCols ⊆ seriesCols` defines where cutpoints pool (e.g.
+    * cutpoints per event_type, one word per (event_type, week)).
+    * Output: (seriesCols…, word). Costs [[paa]] + one lattice
+    * aggregate per scope + one bounded (≤nSeg) word fold per series.
+    * Raises: [[paa]]'s rules; alphabet 2–8 (symbols are single
+    * letters a…h). */
+  def saxWords(df: DataFrame, seriesCols: Seq[String], xCol: String,
+               valueCol: String, scopeCols: Seq[String], nSeg: Int,
+               alphabet: Int): DataFrame = {
+    require(alphabet >= 2 && alphabet <= 8,
+      s"alphabet must be in [2, 8], got $alphabet")
+    require(seriesCols.nonEmpty, "seriesCols required")
+    require(scopeCols.nonEmpty && scopeCols.forall(seriesCols.contains),
+      s"scopeCols must be a subset of seriesCols")
+    // composite series key for paa (paa takes ONE key column)
+    val keyed = df.withColumn("__series",
+      concat_ws("\u0001", seriesCols.map(c => col(c).cast("string")): _*))
+    val segs = paa(keyed, "__series", xCol, valueCol, nSeg)
+      .join(keyed.select((seriesCols :+ "__series").map(col): _*).distinct(),
+        Seq("__series"))
+    // per-scope raw-value lattice -> alphabet-1 rank cutpoints
+    val cells = keyed
+      .filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col("__series"), col(xCol))
+      .agg(max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+        .as("__v"))
+      .join(keyed.select((seriesCols :+ "__series").map(col): _*).distinct(),
+        Seq("__series"))
+    val lat = cells.groupBy(scopeCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(scopeCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(scopeCols.map(col): _*)
+    val cuts = lat
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__tot", sum(col("__c")).over(wAll))
+      .groupBy(scopeCols.map(col): _*)
+      .agg(
+        min(when(lit(alphabet) * col("__cum") >= col("__tot"),
+          col("__v"))).as("__cut1"),
+        (2 until alphabet).map(kk =>
+          min(when(lit(alphabet) * col("__cum") >= lit(kk) * col("__tot"),
+            col("__v"))).as(s"__cut$kk")): _*)
+    val symbol = (1 until alphabet)
+      .map(kk => when(col("sum_cents") > col(s"__cut$kk") * col("seg_n"),
+        1).otherwise(0))
+      .reduce(_ + _)
+    segs.join(Broadcasts.maybeBroadcast(cuts), scopeCols)
+      .withColumn("__sym",
+        element_at(array("abcdefgh".map(ch => lit(ch.toString)): _*),
+          symbol + 1))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("seg"), col("__sym")))),
+          x => x.getField("__sym")), "").as("word"))
+  }
 }

@@ -310,10 +310,11 @@ object Tables {
     * NULL — conservative keep, the footer contract. Distributed like
     * [[footerStatsKinds]]. Output: (path, n_rows, <col>_nulls …). */
   def footerNullStats(spark: SparkSession, path: String,
-                      cols: Seq[String]): DataFrame = {
+                      cols: Seq[String],
+                      onlyFiles: Option[Seq[String]] = None): DataFrame = {
     require(cols.nonEmpty, "cols required")
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
-    val files = listDataFiles(spark, path)
+    val files = onlyFiles.getOrElse(listDataFiles(spark, path))
     val colsV = cols.toVector
     val confProps = {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
@@ -410,6 +411,87 @@ object Tables {
         .filter(pred)
     else spark.read.schema(schema).parquet(cand.toIndexedSeq: _*)
       .filter(pred)
+  }
+
+  /** METADATA-ONLY aggregate: `COUNT(*)`, `COUNT(col IS NULL)`,
+    * `MIN(col)`, `MAX(col)` for integral columns answered from
+    * parquet FOOTERS alone — no data page is read, so the cost is
+    * O(n_files) footer seeks (kilobytes each, distributed) instead of
+    * a table scan: at 100 TB this is the difference between
+    * milliseconds of manifest arithmetic and a full-cluster pass, the
+    * same trick as Iceberg/Delta metadata-only queries (Spark's own
+    * `OptimizeMetadataOnlyQuery` does it for partition keys only;
+    * this extends it to any footer-covered column).
+    *
+    * `onlyFiles` scopes the answer to an explicit file set — pass
+    * [[graft.incremental.Snapshots.pinnedFiles]] to aggregate AS OF a
+    * snapshot version without reading it.
+    *
+    * Soundness: an answer is returned ONLY when the footers can prove
+    * it. Integral columns only (floats may carry NaN-omitted stats,
+    * string stats may be writer-truncated — both raise here rather
+    * than risk a wrong answer). Per column the pass raises loudly —
+    * never silently degrades — when any file lacks a null count, or
+    * carries rows but no usable min/max bounds (bounds of an ALL-null
+    * file are legitimately absent and excluded from the fold, exactly
+    * like SQL MIN/MAX's null treatment). Output: one row per column
+    * `(column, n_rows, n_nulls, min_v, max_v)`; an overall-all-NULL
+    * column answers NULL bounds, matching SQL. */
+  def metadataAgg(spark: SparkSession, path: String, cols: Seq[String],
+                  onlyFiles: Option[Seq[String]] = None): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
+    val (names, kinds) = resolveKinds(schema, cols)
+    val bad = names.zip(kinds).filterNot(_._2 == 'L')
+    require(bad.isEmpty,
+      "metadataAgg answers integral (int/long/date/timestamp) columns " +
+        s"only — footer stats of ${bad.map(_._1).mkString(", ")} are not " +
+        "sound to answer from (float NaN omission / string truncation)")
+    val bounds = footerStatsKinds(spark, path, names, kinds,
+      onlyFiles = onlyFiles)
+    val nulls = footerNullStats(spark, path, names, onlyFiles)
+      .drop("n_rows")
+    val j = bounds.join(nulls, Seq("path"))
+    val aggs = count(lit(1)).as("__files") +:
+      coalesce(sum(col("n_rows")), lit(0L)).as("__rows") +:
+      names.flatMap { c => Seq(
+        coalesce(sum(col(s"${c}_nulls")), lit(0L)).as(s"${c}__nulls"),
+        count(when(col(s"${c}_nulls").isNull, 1)).as(s"${c}__unk_nulls"),
+        min(col(s"${c}_min")).as(s"${c}__min"),
+        max(col(s"${c}_max")).as(s"${c}__max"),
+        count(when(col(s"${c}_min").isNull &&
+            (col(s"${c}_nulls").isNull ||
+              col(s"${c}_nulls") < col("n_rows")), 1))
+          .as(s"${c}__unk_bounds"))
+      }
+    val r = j.agg(aggs.head, aggs.tail: _*).head()
+    def l(field: String): Long = r.getLong(r.fieldIndex(field))
+    def opt(field: String): Any =
+      if (r.isNullAt(r.fieldIndex(field))) null
+      else java.lang.Long.valueOf(r.getLong(r.fieldIndex(field)))
+    val rows = names.map { c =>
+      require(l(s"${c}__unk_nulls") == 0,
+        s"metadataAgg: ${l(s"${c}__unk_nulls")} file(s) carry no null " +
+          s"count for '$c' — the footers cannot prove the answer")
+      require(l(s"${c}__unk_bounds") == 0,
+        s"metadataAgg: ${l(s"${c}__unk_bounds")} data-bearing file(s) " +
+          s"carry no usable min/max for '$c' — the footers cannot " +
+          "prove the answer")
+      org.apache.spark.sql.Row(c, java.lang.Long.valueOf(l("__rows")),
+        java.lang.Long.valueOf(l(s"${c}__nulls")),
+        opt(s"${c}__min"), opt(s"${c}__max"))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("min_v", LongType),
+        StructField("max_v", LongType))))
   }
 
   /** Recursive data-file listing for [[footerStats]] /

@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 wave B: snapshot tags (named refs with retention
+  * exemption), metadata-only footer aggregates, the KMV/theta distinct
+  * sketch family, and PAA/rank-SAX series symbolization. */
+class Round12bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"r12b_$tag").toString
+
+  // ---------------------------------------------------------------
+  // Snapshot tags
+  // ---------------------------------------------------------------
+
+  test("tag pins a version across expire+vacuum; untagged history is " +
+    "reclaimed; readTag is bit-stable") {
+    import graft.incremental.Snapshots
+    val root = tmp("tags") + "/lake"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2)
+      .write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.tag(spark, root, "baseline", 1L)
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    Snapshots.compact(spark, root, targetBytes = 1L << 20) // v3
+    val dropped = Snapshots.expire(spark, root, keepLast = 1)
+    assert(dropped == Seq(2L), s"only untagged v2 expires: $dropped")
+    Snapshots.vacuum(spark, root)
+    val base = Snapshots.readTag(spark, root, "baseline")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(base.toSeq == Seq((1L, "a"), (2L, "b")),
+      "tagged content must survive expire+vacuum bit-stable")
+    val latest = Snapshots.readLatest(spark, root).count()
+    assert(latest == 3L)
+    intercept[Exception] { Snapshots.readVersion(spark, root, 2L) }
+  }
+
+  test("tag registry: list, move (create-or-replace), drop; unknown " +
+    "targets raise") {
+    import graft.incremental.Snapshots
+    val root = tmp("tagreg") + "/lake"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    intercept[IllegalArgumentException] {
+      Snapshots.tag(spark, root, "t", 9L) // uncommitted
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.tag(spark, root, "bad name", 1L) // illegal chars
+    }
+    Snapshots.tag(spark, root, "t", 1L)
+    assert(Snapshots.readTag(spark, root, "t").count() == 1L)
+    Snapshots.tag(spark, root, "t", 2L) // move
+    assert(Snapshots.readTag(spark, root, "t").count() == 2L)
+    val reg = Snapshots.tags(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(reg.toSeq == Seq(("t", 2L)))
+    intercept[IllegalArgumentException] {
+      Snapshots.dropTag(spark, root, "nope")
+    }
+    Snapshots.dropTag(spark, root, "t")
+    assert(Snapshots.tags(spark, root).count() == 0L)
+  }
+
+  test("rollback refuses to orphan a tag above the target; after " +
+    "dropTag it proceeds") {
+    import graft.incremental.Snapshots
+    val root = tmp("tagroll") + "/lake"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    Snapshots.tag(spark, root, "pin2", 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, root, 1L)
+    }
+    Snapshots.dropTag(spark, root, "pin2")
+    assert(Snapshots.rollback(spark, root, 1L) == Seq(2L))
+    assert(Snapshots.readLatest(spark, root).count() == 1L)
+  }
+
+  // ---------------------------------------------------------------
+  // metadataAgg
+  // ---------------------------------------------------------------
+
+  test("metadataAgg answers count/nulls/min/max from footers, " +
+    "matching the scan — including an all-NULL file excluded from " +
+    "the bound fold") {
+    import graft.sources.Tables
+    val root = tmp("metaagg") + "/lake"
+    Seq[(Long, java.lang.Long)]((1L, 10L), (2L, null), (3L, 30L))
+      .toDF("id", "v").coalesce(1).write.parquet(root)
+    // second file: v is ALL null — bounds legitimately absent
+    Seq[(Long, java.lang.Long)]((4L, null), (5L, null))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(root)
+    val out = Tables.metadataAgg(spark, root, Seq("id", "v"))
+      .orderBy("column").collect()
+    assert(out.length == 2)
+    val id = out(0)
+    assert(id.getString(0) == "id" && id.getLong(1) == 5L &&
+      id.getLong(2) == 0L && id.getLong(3) == 1L && id.getLong(4) == 5L)
+    val v = out(1)
+    assert(v.getString(0) == "v" && v.getLong(1) == 5L &&
+      v.getLong(2) == 3L && v.getLong(3) == 10L && v.getLong(4) == 30L)
+  }
+
+  test("metadataAgg: onlyFiles scopes the answer; float columns raise") {
+    import graft.sources.Tables
+    val root = tmp("metascope") + "/lake"
+    Seq((1L, 1.5), (2L, 2.5)).toDF("id", "d").coalesce(1)
+      .write.parquet(root)
+    Seq((9L, 9.5)).toDF("id", "d").coalesce(1)
+      .write.mode("append").parquet(root)
+    val one = spark.read.parquet(root).inputFiles.sorted.take(1).toSeq
+    val scoped = Tables.metadataAgg(spark, root, Seq("id"), Some(one))
+      .head()
+    assert(scoped.getLong(1) < 3L, "scoped answer must cover one file")
+    intercept[IllegalArgumentException] {
+      Tables.metadataAgg(spark, root, Seq("d"))
+    }
+  }
+
+  test("metadataAgg on an all-NULL-bound column with data-bearing " +
+    "rows and no usable stats raises rather than answering wrong") {
+    import graft.sources.Tables
+    // decimal resolves to kind 'X' -> caught by the integral require
+    val root = tmp("metadec") + "/lake"
+    Seq((1L, BigDecimal("1.20"))).toDF("id", "m").write.parquet(root)
+    intercept[IllegalArgumentException] {
+      Tables.metadataAgg(spark, root, Seq("m"))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // KMV / theta sketches
+  // ---------------------------------------------------------------
+
+  test("KMV below capacity is the exact distinct set; estimate " +
+    "reports the exact count with NULL theta") {
+    import graft.functions.Kmv
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L))
+      .toDF("grp", "id")
+    val sk = Kmv.sketch(df, Seq("grp"), "id", k = 8)
+    assert(sk.count() == 3L, "3 distinct ids -> 3 hashes")
+    val est = Kmv.estimate(sk, Seq("grp"), k = 8).head()
+    assert(est.getLong(est.fieldIndex("sketch_n")) == 3L)
+    assert(est.isNullAt(est.fieldIndex("theta_h")))
+    assert(est.getDouble(est.fieldIndex("distinct_est")) == 3.0)
+  }
+
+  test("KMV merge of arbitrary splits equals the one-shot sketch; at " +
+    "capacity the estimator is (k-1)/theta of the kth hash") {
+    import graft.functions.Kmv
+    val ids = (1L to 300L).map(i => ("g", i))
+    val df = ids.toDF("grp", "id")
+    val k = 16
+    val one = Kmv.sketch(df, Seq("grp"), "id", k)
+    val parts = Seq(
+      df.filter(col("id") % 3 === 0), df.filter(col("id") % 3 === 1),
+      df.filter(col("id") % 3 === 2))
+      .map(p => Kmv.sketch(p, Seq("grp"), "id", k))
+    val folded = Kmv.merge(parts, Seq("grp"), k)
+    assert(folded.exceptAll(one).isEmpty && one.exceptAll(folded).isEmpty,
+      "bottom-k of parts' bottom-ks must equal the one-shot bottom-k")
+    val est = Kmv.estimate(one, Seq("grp"), k).head()
+    val kth = one.agg(max(col("h"))).head().getLong(0)
+    assert(est.getLong(est.fieldIndex("theta_h")) == kth)
+    val expected = (k - 1).toDouble / (kth.toDouble / 4294967296.0)
+    assert(est.getDouble(est.fieldIndex("distinct_est")) == expected)
+    // sanity: 300 distinct, k=16 -> relative error ~ 1/sqrt(14)
+    val e = est.getDouble(est.fieldIndex("distinct_est"))
+    assert(e > 100 && e < 900, s"estimate wildly off: $e")
+  }
+
+  test("theta setOps exact regime: union/intersection are exact set " +
+    "arithmetic when both sketches are below capacity") {
+    import graft.functions.Kmv
+    val a = Seq(1L, 2L, 3L, 4L).map(("g", _)).toDF("grp", "id")
+    val b = Seq(3L, 4L, 5L).map(("g", _)).toDF("grp", "id")
+    val k = 32
+    val ops = Kmv.setOps(
+      Kmv.sketch(a, Seq("grp"), "id", k),
+      Kmv.sketch(b, Seq("grp"), "id", k), k).head()
+    assert(ops.getDouble(ops.fieldIndex("union_est")) == 5.0)
+    assert(ops.getDouble(ops.fieldIndex("inter_est")) == 2.0)
+    assert(ops.getDouble(ops.fieldIndex("jaccard_est")) == 0.4)
+  }
+
+  test("theta setOps at capacity: sample intersection counts only " +
+    "common hashes at or below the union theta") {
+    import graft.functions.Kmv
+    val k = 8
+    val a = (1L to 100L).map(("g", _)).toDF("grp", "id")
+    val b = (51L to 150L).map(("g", _)).toDF("grp", "id")
+    val ska = Kmv.sketch(a, Seq("grp"), "id", k)
+    val skb = Kmv.sketch(b, Seq("grp"), "id", k)
+    val ops = Kmv.setOps(ska, skb, k).head()
+    // recompute the contract by hand from the sketch hashes
+    val ha = ska.select("h").collect().map(_.getLong(0)).toSet
+    val hb = skb.select("h").collect().map(_.getLong(0)).toSet
+    val theta = (ha ++ hb).toSeq.sorted.take(k).max
+    val inter = (ha intersect hb).count(_ <= theta)
+    assert(ops.getLong(ops.fieldIndex("n_inter_theta")) == inter.toLong)
+    val thetaF = theta.toDouble / 4294967296.0
+    assert(ops.getDouble(ops.fieldIndex("union_est")) ==
+      (k - 1).toDouble / thetaF)
+    assert(ops.getDouble(ops.fieldIndex("inter_est")) ==
+      inter.toDouble / thetaF)
+  }
+
+  // ---------------------------------------------------------------
+  // PAA / rank-SAX
+  // ---------------------------------------------------------------
+
+  test("paa: equi-width integer segments (4/3/3 for n=10, nSeg=3), " +
+    "exact sums, mean = one division") {
+    import graft.operators.Timeseries
+    val df = (1L to 10L).map(i => ("s", i, i.toDouble)).toDF("k", "x", "v")
+    val out = Timeseries.paa(df, "k", "x", "v", nSeg = 3)
+      .orderBy("seg").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("seg_n"))).toSeq ==
+      Seq(4L, 3L, 3L))
+    // segment sums of 1..4, 5..7, 8..10 in cents
+    assert(out.map(_.getLong(out.head.fieldIndex("sum_cents"))).toSeq ==
+      Seq(1000L, 1800L, 2700L))
+    assert(out.map(_.getDouble(out.head.fieldIndex("mean_cents"))).toSeq ==
+      Seq(250.0, 600.0, 900.0))
+    assert(out.map(_.getLong(out.head.fieldIndex("seg_start_x"))).toSeq ==
+      Seq(1L, 5L, 8L))
+  }
+
+  test("paa raises on duplicate x and on a series shorter than nSeg") {
+    import graft.operators.Timeseries
+    val dup = Seq(("s", 1L, 1.0), ("s", 1L, 2.0)).toDF("k", "x", "v")
+    val e1 = intercept[Exception] {
+      Timeseries.paa(dup, "k", "x", "v", 2).collect()
+    }
+    assert(e1.getMessage.contains("duplicate x") ||
+      e1.getCause != null)
+    val short = Seq(("s", 1L, 1.0), ("s", 2L, 2.0)).toDF("k", "x", "v")
+    val e2 = intercept[Exception] {
+      Timeseries.paa(short, "k", "x", "v", 5).collect()
+    }
+    assert(e2.getMessage.contains("shorter than nSeg") ||
+      e2.getCause != null)
+  }
+
+  test("saxWords: rank quartile cutpoints per scope, strict-greater " +
+    "symbols, in-order word") {
+    import graft.operators.Timeseries
+    // one scope, two 4-point series over values 1..8:
+    // lattice cuts (alphabet 4, cents): c1=200, c2=400, c3=600
+    val df = Seq(
+      ("t", 0L, 1L, 1.0), ("t", 0L, 2L, 2.0),
+      ("t", 0L, 3L, 3.0), ("t", 0L, 4L, 4.0),
+      ("t", 1L, 5L, 5.0), ("t", 1L, 6L, 6.0),
+      ("t", 1L, 7L, 7.0), ("t", 1L, 8L, 8.0))
+      .toDF("typ", "series", "x", "v")
+    val words = Timeseries.saxWords(df, Seq("typ", "series"), "x", "v",
+        Seq("typ"), nSeg = 4, alphabet = 4)
+      .orderBy("series").collect()
+    assert(words.map(_.getString(words.head.fieldIndex("word"))).toSeq ==
+      Seq("aabb", "ccdd"))
+  }
+
+  test("saxWords scope pooling: identical shapes in different series " +
+    "share a word (the motif contract)") {
+    import graft.operators.Timeseries
+    val df = Seq(
+      ("t", 0L, 1L, 1.0), ("t", 0L, 2L, 9.0),
+      ("t", 1L, 3L, 1.0), ("t", 1L, 4L, 9.0),
+      ("t", 2L, 5L, 9.0), ("t", 2L, 6L, 1.0))
+      .toDF("typ", "series", "x", "v")
+    val words = Timeseries.saxWords(df, Seq("typ", "series"), "x", "v",
+        Seq("typ"), nSeg = 2, alphabet = 2)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toMap
+    assert(words(0L) == words(1L), "same shape -> same word")
+    assert(words(0L) != words(2L), "inverted shape -> different word")
+  }
+}
