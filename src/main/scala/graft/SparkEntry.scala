@@ -6179,6 +6179,58 @@ object SparkEntry {
         .select(col("event_type"), col("week"), col("word"),
           col("n_sharing").cast("long").as("n_sharing"))
     }),
+
+    // Estimated audience-overlap matrix from KMV sketches — the
+    // sketch sibling of q470's exact bitmap overlap: every unordered
+    // type pair gets union/intersection/both-difference/Jaccard
+    // estimates from k=64 rows per segment (the shape that still
+    // works at 10³ segments × 10⁹ ids, where exact bitmaps don't fit)
+    "q510_kmv_overlap_matrix" -> ((s, d) => {
+      import graft.functions.Kmv
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val sk = Kmv.sketch(ev, Seq("event_type"), "user_id", k = 64)
+      Kmv.overlapMatrix(sk, "event_type", k = 64)
+        .select("g_a", "g_b", "n_union_sketch", "n_inter_theta",
+          "union_est", "inter_est", "anotb_est", "bnota_est",
+          "jaccard_est")
+    }),
+
+    // Streaming KMV maintenance: per-batch sketch deltas (incl. a
+    // crash replay — batch-id-keyed overwrite) folded read-side with
+    // NO batch fence, required ≡ the one-shot sketch of the full
+    // stream — the mergeable-sketch monitor algebra at k rows/group
+    "q511_kmv_sink" -> ((s, d) => {
+      import graft.functions.Kmv
+      val k = 64
+      val dir = LakeFixtures.freshRoot("kmvsink") + "/deltas"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val dom = dayofmonth(col("ts"))
+      def ingest(id: Long, pred: Column): Unit =
+        Kmv.sketch(ev.filter(pred), Seq("event_type"), "user_id", k)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/delta-$id")
+      ingest(0L, dom <= 10)
+      ingest(1L, dom > 10 && dom <= 20)
+      ingest(2L, dom > 20)
+      ingest(1L, dom > 10 && dom <= 20) // crash replay: overwrite
+      val folded = graft.streaming.Streaming.readKmvEstimate(s, dir,
+        "event_type", k)
+      val oneShot = Kmv.estimate(
+        Kmv.sketch(ev, Seq("event_type"), "user_id", k),
+        Seq("event_type"), k)
+      require(folded.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(folded).isEmpty,
+        "replayed streamed KMV fold must equal the one-shot sketch")
+      folded.select("event_type", "sketch_n", "theta_h", "distinct_est")
+    }),
+
+    // Banded DTW distance matrix between the per-type 30-day count
+    // series — exact all-integer dynamic programming on the cents
+    // lattice (Sakoe-Chiba band 5), every pair's DP replayed
+    // cell-for-cell by the oracle's recursive wavefront
+    "q512_dtw_matrix" -> ((s, d) =>
+      graft.operators.Timeseries.dtwMatrix(dailyCountSeries(s, d),
+        "event_type", "x", "y", band = 5)),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8435,6 +8487,128 @@ object SparkEntry {
         |SELECT event_type, week, word,
         |  CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS n_sharing
         |FROM w""".stripMargin,
+
+    // q510: pairwise theta-region counts below the per-pair union
+    // theta, the same estimator chain as the engine
+    "q510_kmv_overlap_matrix" ->
+      """WITH hh AS (SELECT DISTINCT event_type AS g,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL),
+        |sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER (
+        |    PARTITION BY g ORDER BY h ASC) AS rn FROM hh)
+        |  WHERE rn <= 64),
+        |pairs AS (SELECT a.g AS g_a, b.g AS g_b
+        |  FROM (SELECT DISTINCT g FROM sk) a,
+        |       (SELECT DISTINCT g FROM sk) b
+        |  WHERE a.g < b.g),
+        |flags AS (SELECT g_a, g_b, h, MAX(in_a) AS in_a,
+        |    MAX(in_b) AS in_b FROM (
+        |    SELECT p.g_a, p.g_b, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM pairs p JOIN sk s ON s.g = p.g_a
+        |    UNION ALL
+        |    SELECT p.g_a, p.g_b, s.h, 0, 1
+        |    FROM pairs p JOIN sk s ON s.g = p.g_b)
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b
+        |    ORDER BY h ASC) AS rn FROM flags),
+        |st AS (SELECT g_a, g_b,
+        |    CAST(COUNT(CASE WHEN rn <= 64 THEN 1 END) AS BIGINT)
+        |      AS n_union_sketch,
+        |    MAX(CASE WHEN rn <= 64 THEN h END) AS uh
+        |  FROM rk GROUP BY 1, 2),
+        |cnts AS (SELECT r.g_a, r.g_b, st.n_union_sketch, st.uh,
+        |    CAST(COUNT(CASE WHEN (st.n_union_sketch < 64 OR r.h <= st.uh)
+        |      AND r.in_a = 1 AND r.in_b = 1 THEN 1 END) AS BIGINT)
+        |      AS n_inter_theta,
+        |    CAST(COUNT(CASE WHEN (st.n_union_sketch < 64 OR r.h <= st.uh)
+        |      AND r.in_a = 1 AND r.in_b = 0 THEN 1 END) AS BIGINT)
+        |      AS nab,
+        |    CAST(COUNT(CASE WHEN (st.n_union_sketch < 64 OR r.h <= st.uh)
+        |      AND r.in_a = 0 AND r.in_b = 1 THEN 1 END) AS BIGINT)
+        |      AS nba
+        |  FROM rk r JOIN st USING (g_a, g_b) GROUP BY 1, 2, 3, 4),
+        |est AS (SELECT g_a, g_b, n_union_sketch, n_inter_theta,
+        |    CASE WHEN n_union_sketch < 64
+        |         THEN CAST(n_union_sketch AS DOUBLE)
+        |         ELSE 63.0 / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |      AS union_est,
+        |    CASE WHEN n_union_sketch < 64
+        |         THEN CAST(n_inter_theta AS DOUBLE)
+        |         ELSE CAST(n_inter_theta AS DOUBLE)
+        |           / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |      AS inter_est,
+        |    CASE WHEN n_union_sketch < 64 THEN CAST(nab AS DOUBLE)
+        |         ELSE CAST(nab AS DOUBLE)
+        |           / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |      AS anotb_est,
+        |    CASE WHEN n_union_sketch < 64 THEN CAST(nba AS DOUBLE)
+        |         ELSE CAST(nba AS DOUBLE)
+        |           / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |      AS bnota_est
+        |  FROM cnts)
+        |SELECT g_a, g_b, n_union_sketch, n_inter_theta, union_est,
+        |  inter_est, anotb_est, bnota_est,
+        |  inter_est / union_est AS jaccard_est
+        |FROM est""".stripMargin,
+
+    // q511: the stream fold is require-pinned to the one-shot sketch,
+    // so the oracle is q506's estimator verbatim
+    "q511_kmv_sink" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 64)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 4294967296.0) END
+        |    AS distinct_est
+        |FROM sk GROUP BY 1""".stripMargin,
+
+    // q512: the identical DP over the linearized (i,j) table — a
+    // recursive wavefront appending one cell per step; cell (i,j) at
+    // 0-based position i*(nb+1)+j reads its three predecessors from
+    // the carried list; the sentinel saturates under least()
+    "q512_dtw_matrix" ->
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type AS key, list(v ORDER BY x) AS arr,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |pairs AS (SELECT a.key AS key_a, b.key AS key_b, a.arr AS aa,
+        |    b.arr AS bb, a.n AS na, b.n AS nb
+        |  FROM ser a, ser b WHERE a.key < b.key),
+        |dp AS (
+        |  SELECT key_a, key_b, na, nb, aa, bb, 0 AS t,
+        |    [CAST(0 AS BIGINT)] AS vals FROM pairs
+        |  UNION ALL
+        |  SELECT key_a, key_b, na, nb, aa, bb, t + 1,
+        |    list_append(vals, CAST(CASE
+        |      WHEN (t + 1) // (nb + 1) = 0 OR (t + 1) % (nb + 1) = 0
+        |        THEN 1000000000000000
+        |      WHEN abs((t + 1) // (nb + 1) - (t + 1) % (nb + 1)) > 5
+        |        THEN 1000000000000000
+        |      ELSE least(
+        |        abs(aa[CAST((t + 1) // (nb + 1) AS INT)]
+        |            - bb[CAST((t + 1) % (nb + 1) AS INT)])
+        |          + least(
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) + 1 AS INT)],
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) AS INT)],
+        |            vals[CAST(t + 1 AS INT)]),
+        |        1000000000000000) END AS BIGINT))
+        |  FROM dp WHERE t < (na + 1) * (nb + 1) - 1)
+        |SELECT key_a, key_b, na AS n_a, nb AS n_b,
+        |  CAST(vals[CAST((na + 1) * (nb + 1) AS INT)] AS BIGINT)
+        |    AS dtw_cents
+        |FROM dp WHERE t = (na + 1) * (nb + 1) - 1""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

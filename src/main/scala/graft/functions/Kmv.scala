@@ -131,4 +131,74 @@ object Kmv {
       .select("n_a", "n_b", "n_union_sketch", "n_inter_theta",
         "union_est", "inter_est", "jaccard_est")
   }
+
+  /** PAIRWISE overlap matrix over grouped sketches — the sketch
+    * sibling of [[graft.operators.AggMerge.bitmapOverlap]] (exact,
+    * domain-bounded) for segment counts × id cardinalities where
+    * exact bitmaps don't fit: every unordered group pair gets
+    * union / intersection / both A∖B directions / Jaccard estimates
+    * from k-row sketches. `sk` is [[sketch]] output (groupCol, h).
+    *
+    * Mechanics per pair: the pair's union sketch is the bottom-k of
+    * the two sketches' hash union; θ its kth value; intersection and
+    * difference counts take only hashes ≤ θ (every such hash is
+    * known to BOTH sides — each sketch is complete below its own
+    * theta ≥ θ); `cnt/θ` estimates each region, the [[setOps]]
+    * exact-regime rule applying when the union sketch is below
+    * capacity. Cost: groups²·k rows — sketch-scale, never
+    * id-scale (the point: 10³ segments × 10⁹ ids is unpayable
+    * exactly, trivial here). Output one row per pair (g_a < g_b):
+    * (g_a, g_b, n_union_sketch, n_inter_theta, union_est, inter_est,
+    * anotb_est, bnota_est, jaccard_est). */
+  def overlapMatrix(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val g = sk.select(col(groupCol)).distinct()
+    val pairs = broadcast(g.select(col(groupCol).as("g_a")))
+      .crossJoin(broadcast(g.select(col(groupCol).as("g_b"))))
+      .filter(col("g_a") < col("g_b"))
+    val sa = pairs.join(sk.select(col(groupCol).as("g_a"), col("h")),
+        Seq("g_a"))
+      .select(col("g_a"), col("g_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val sb = pairs.join(sk.select(col(groupCol).as("g_b"), col("h")),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val flags = sa.unionByName(sb)
+      .groupBy(col("g_a"), col("g_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wPair = Window.partitionBy(col("g_a"), col("g_b"))
+      .orderBy(col("h").asc)
+    val ranked = flags.withColumn("__rn", row_number().over(wPair))
+    val st = ranked.groupBy(col("g_a"), col("g_b"))
+      .agg(count(when(col("__rn") <= k, 1)).as("n_union_sketch"),
+        max(when(col("__rn") <= k, col("h"))).as("__uh"))
+    val exact = col("n_union_sketch") < k
+    val below = exact || col("h") <= col("__uh")
+    val theta = col("__uh").cast("double") / lit(4294967296.0)
+    def regionEst(cnt: Column): Column =
+      when(exact, cnt.cast("double"))
+        .otherwise(cnt.cast("double") / theta)
+    ranked.join(graft.operators.Broadcasts.maybeBroadcast(st),
+        Seq("g_a", "g_b"))
+      .groupBy(col("g_a"), col("g_b"), col("n_union_sketch"), col("__uh"))
+      .agg(
+        count(when(below && col("in_a") === 1 && col("in_b") === 1, 1))
+          .as("n_inter_theta"),
+        count(when(below && col("in_a") === 1 && col("in_b") === 0, 1))
+          .as("__n_anotb"),
+        count(when(below && col("in_a") === 0 && col("in_b") === 1, 1))
+          .as("__n_bnota"))
+      .withColumn("union_est",
+        when(exact, col("n_union_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / theta))
+      .withColumn("inter_est", regionEst(col("n_inter_theta")))
+      .withColumn("anotb_est", regionEst(col("__n_anotb")))
+      .withColumn("bnota_est", regionEst(col("__n_bnota")))
+      .withColumn("jaccard_est", col("inter_est") / col("union_est"))
+      .select("g_a", "g_b", "n_union_sketch", "n_inter_theta",
+        "union_est", "inter_est", "anotb_est", "bnota_est",
+        "jaccard_est")
+  }
 }

@@ -1557,4 +1557,85 @@ object Timeseries {
           array_sort(collect_list(struct(col("seg"), col("__sym")))),
           x => x.getField("__sym")), "").as("word"))
   }
+
+  /** Pairwise DTW (dynamic time warping) distance matrix with a
+    * Sakoe–Chiba band — the alignment-tolerant series distance
+    * Euclidean point-wise comparison can't give (two identical
+    * shapes shifted by a day are "far" point-wise, near under DTW).
+    * Every unordered key pair gets the exact banded DTW cost over
+    * the cents lattice:
+    *
+    *   dp(i,j) = |aᵢ − bⱼ| + min(dp(i−1,j), dp(i−1,j−1), dp(i,j−1)),
+    *   cells with |i − j| > band are walled off (Sakoe–Chiba 1978).
+    *
+    * All-integer arithmetic: costs are exact cents BIGINTs, the wall
+    * a saturating sentinel (min keeps it stable, never overflows) —
+    * so the distance is EXACT and the DuckDB oracle replays the
+    * identical DP cell-for-cell (a recursive wavefront over the
+    * linearized table). The fold is one whole-stage expression per
+    * pair (an ordered `aggregate` over rows carrying the previous DP
+    * row — no driver loop, no UDF); pairs evaluate independently, so
+    * the matrix distributes across the cluster like any join.
+    *
+    * Scale posture: per-pair cost is O(n·m) cells on rows that hold
+    * both series — this is the SHORT-SERIES distance (calendar
+    * series, profile curves). For long series compose with [[paa]]
+    * first (the standard PAA→DTW reduction: 10⁴ points → 32 segment
+    * means → DTW on 32), which is also what keeps the keys²
+    * pair fan-out payable: pair enumeration is series-count scale,
+    * never point scale, and the crossed frame carries the explicit
+    * broadcast declaration ([[graft.operators.PlanAudit]] contract).
+    * Raises: duplicate x (the [[paa]] rule); `band < |n_a − n_b|`
+    * (the corner is unreachable — a caller bug, not an INF answer).
+    * Output: (key_a, key_b, n_a, n_b, dtw_cents). */
+  def dtwMatrix(df: DataFrame, keyCol: String, xCol: String,
+                valueCol: String, band: Int): DataFrame = {
+    require(band >= 0, s"band must be >= 0, got $band")
+    val INF = 1000000000000000L // saturating wall: INF + cost < 2^63
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("__v"))
+      .withColumn("__v",
+        when(col("__cx") > 1, raise_error(lit(
+          "dtwMatrix: duplicate x within a key — pre-aggregate to " +
+            "one row per (key, x)"))).otherwise(col("__v")))
+      .drop("__cx")
+    val ser = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        transform(array_sort(collect_list(struct(col("__x"), col("__v")))),
+          x => x.getField("__v")).as("arr"))
+    val a = ser.select(col(keyCol).as("key_a"), col("arr").as("__a"),
+      col("n").as("n_a"))
+    val b = ser.select(col(keyCol).as("key_b"), col("arr").as("__b"),
+      col("n").as("n_b"))
+    val dpSql =
+      s"""element_at(
+         |  aggregate(
+         |    sequence(1L, n_a),
+         |    concat(array(0L), transform(sequence(1L, n_b), j -> ${INF}L)),
+         |    (prev, i) -> aggregate(
+         |      sequence(1L, n_b),
+         |      array(${INF}L),
+         |      (acc, j) -> concat(acc, array(
+         |        CASE WHEN abs(i - j) > $band THEN ${INF}L
+         |             ELSE least(
+         |               abs(element_at(__a, CAST(i AS INT))
+         |                   - element_at(__b, CAST(j AS INT)))
+         |                 + least(element_at(prev, CAST(j + 1 AS INT)),
+         |                         element_at(prev, CAST(j AS INT)),
+         |                         element_at(acc, size(acc))),
+         |               ${INF}L) END)))),
+         |  CAST(n_b + 1 AS INT))""".stripMargin
+    a.crossJoin(broadcast(b))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("n_a",
+        when(abs(col("n_a") - col("n_b")) > band, raise_error(lit(
+          s"dtwMatrix: band $band < |n_a - n_b| — the (n, m) corner " +
+            "is unreachable; widen the band or length-align the series")))
+          .otherwise(col("n_a")))
+      .withColumn("dtw_cents", expr(dpSql))
+      .select("key_a", "key_b", "n_a", "n_b", "dtw_cents")
+  }
 }

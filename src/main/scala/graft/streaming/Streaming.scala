@@ -1335,6 +1335,45 @@ object Streaming {
       graft.operators.AggMerge.mergeBitmapPartials(Seq(
         spark.read.option("recursiveFileLookup", "true").parquet(path))))
 
+  /** Streaming KMV distinct-sketch maintenance: each micro-batch
+    * writes its own per-group bottom-k hash sketch
+    * ([[graft.functions.Kmv.sketch]]) to `delta-<batchId>` — batch-id
+    * keyed OVERWRITE, so a crash-replayed batch rewrites its own
+    * delta (path idempotence) — and because a KMV sketch is the
+    * bottom-k of an idempotent distinct-set union, the read-side fold
+    * needs NO batch fence (the [[bitmapDistinctSink]] /
+    * mergeDistinct regime, not the fenced COUNT regime): merging any
+    * delta twice changes nothing. Per-batch cost: one distinct + one
+    * bounded heap over the batch; state on disk is k rows per group
+    * per batch until [[readKmvEstimate]] folds them. The streaming
+    * complement of [[graft.functions.Kmv.overlapMatrix]]: segment
+    * cardinalities and overlaps maintained forever at k rows per
+    * segment. */
+  def kmvSink(df: DataFrame, groupCol: String, idCol: String, k: Int,
+              path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.Kmv.sketch(batch, Seq(groupCol), idCol, k)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/delta-$batchId")
+        ()
+      }
+      .start()
+
+  /** Read side of [[kmvSink]]: fold every delta through
+    * [[graft.functions.Kmv.merge]] (exact under any fold tree) and
+    * estimate — identical to the one-shot sketch of the full stream
+    * by the mergeability contract. */
+  def readKmvEstimate(spark: org.apache.spark.sql.SparkSession,
+                      path: String, groupCol: String, k: Int): DataFrame =
+    graft.functions.Kmv.estimate(
+      graft.functions.Kmv.merge(Seq(
+        spark.read.option("recursiveFileLookup", "true").parquet(path)),
+        Seq(groupCol), k),
+      Seq(groupCol), k)
+
   /** Streaming UPSERT into a sequenced merge-on-read lake
     * ([[graft.incremental.Deletes]]): each micro-batch becomes ONE op
     * (op = batchId + 1, so the base's add-0 stays op 0) via

@@ -267,6 +267,139 @@ class Round12bOpsSpec extends SparkSpec {
       Seq("aabb", "ccdd"))
   }
 
+  test("overlapMatrix exact regime: every unordered pair, exact set " +
+    "arithmetic below capacity including both difference directions") {
+    import graft.functions.Kmv
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L),
+      ("c", 9L)).toDF("grp", "id")
+    val sk = Kmv.sketch(df, Seq("grp"), "id", k = 16)
+    val m = Kmv.overlapMatrix(sk, "grp", k = 16).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(r.fieldIndex("union_est")),
+          r.getDouble(r.fieldIndex("inter_est")),
+          r.getDouble(r.fieldIndex("anotb_est")),
+          r.getDouble(r.fieldIndex("bnota_est"))))).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(m(("a", "b")) == ((5.0, 2.0, 1.0, 2.0)))
+    assert(m(("a", "c")) == ((4.0, 0.0, 3.0, 1.0)))
+    assert(m(("b", "c")) == ((5.0, 0.0, 4.0, 1.0)))
+  }
+
+  test("overlapMatrix at capacity matches setOps on the same pair") {
+    import graft.functions.Kmv
+    val k = 8
+    val df = ((1L to 80L).map(("a", _)) ++ (41L to 120L).map(("b", _)))
+      .toDF("grp", "id")
+    val sk = Kmv.sketch(df, Seq("grp"), "id", k)
+    val mx = Kmv.overlapMatrix(sk, "grp", k).head()
+    val ops = Kmv.setOps(
+      sk.filter(col("grp") === "a"), sk.filter(col("grp") === "b"), k)
+      .head()
+    assert(mx.getLong(mx.fieldIndex("n_union_sketch")) ==
+      ops.getLong(ops.fieldIndex("n_union_sketch")))
+    assert(mx.getLong(mx.fieldIndex("n_inter_theta")) ==
+      ops.getLong(ops.fieldIndex("n_inter_theta")))
+    assert(mx.getDouble(mx.fieldIndex("union_est")) ==
+      ops.getDouble(ops.fieldIndex("union_est")))
+    assert(mx.getDouble(mx.fieldIndex("inter_est")) ==
+      ops.getDouble(ops.fieldIndex("inter_est")))
+  }
+
+  test("kmvSink: streamed per-batch deltas fold to the one-shot " +
+    "sketch estimate (MemoryStream, fence-free merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Kmv
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("kmvsink")
+    val in = MemoryStream[(String, Long)]
+    val src = in.toDF().toDF("grp", "id")
+    val q = Streaming.kmvSink(src, "grp", "id", k = 8,
+      s"$root/state", s"$root/ckpt")
+    try {
+      in.addData(("g", 1L), ("g", 2L), ("h", 10L))
+      q.processAllAvailable()
+      in.addData(("g", 2L), ("g", 3L), ("h", 11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = Streaming.readKmvEstimate(spark, s"$root/state", "grp", 8)
+    val oneShot = Kmv.estimate(
+      Kmv.sketch(Seq(("g", 1L), ("g", 2L), ("g", 3L), ("h", 10L),
+        ("h", 11L)).toDF("grp", "id"), Seq("grp"), "id", 8),
+      Seq("grp"), 8)
+    assert(folded.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(folded).isEmpty)
+    // duplicate-merge idempotence: folding a delta twice changes nothing
+    val doubled = Kmv.estimate(Kmv.merge(Seq(
+      spark.read.parquet(s"$root/state/delta-0"),
+      spark.read.parquet(s"$root/state/delta-0"),
+      spark.read.parquet(s"$root/state/delta-1")), Seq("grp"), 8),
+      Seq("grp"), 8)
+    assert(doubled.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(doubled).isEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // DTW
+  // ---------------------------------------------------------------
+
+  test("dtwMatrix: hand-checked alignment — a one-step shift of the " +
+    "same shape costs only the boundary, not the point-wise gap") {
+    import graft.operators.Timeseries
+    // a: 0 0 5 0 0 ; b: 0 0 0 5 0  (same pulse, shifted by one)
+    val df = (Seq((0L, 0.0), (1L, 0.0), (2L, 5.0), (3L, 0.0), (4L, 0.0))
+        .map { case (x, v) => ("a", x, v) } ++
+      Seq((0L, 0.0), (1L, 0.0), (2L, 0.0), (3L, 5.0), (4L, 0.0))
+        .map { case (x, v) => ("b", x, v) })
+      .toDF("k", "x", "v")
+    val out = Timeseries.dtwMatrix(df, "k", "x", "v", band = 2).head()
+    // DTW aligns the pulses: total cost 0 (warped path matches 5 to 5)
+    assert(out.getLong(out.fieldIndex("dtw_cents")) == 0L,
+      s"shifted pulse must align to cost 0, got $out")
+    // point-wise (no warp) would cost |5-0|*2 = 1000 cents — DTW wins
+  }
+
+  test("dtwMatrix equals the hand DP on a 3x3 example and respects " +
+    "the band wall") {
+    import graft.operators.Timeseries
+    // a = 1,2,3 ; b = 3,2,1 (cents 100,200,300 / 300,200,100)
+    // full DP (band >= 2): dtw = 400 cents
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 1L, 3.0), ("b", 2L, 2.0), ("b", 3L, 1.0))
+      .toDF("k", "x", "v")
+    val full = Timeseries.dtwMatrix(df, "k", "x", "v", band = 2).head()
+    assert(full.getLong(full.fieldIndex("dtw_cents")) == 400L)
+    // band 0 forces the diagonal: |1-3|+|2-2|+|3-1| = 400 too;
+    // a band-0 vs band-2 divergence needs an off-diagonal optimum:
+    // a = 1,1,9 ; b = 1,9,9 -> diagonal 0+800+0=800, warped 0
+    val df2 = Seq(("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 9.0),
+      ("b", 1L, 1.0), ("b", 2L, 9.0), ("b", 3L, 9.0))
+      .toDF("k", "x", "v")
+    val diag = Timeseries.dtwMatrix(df2, "k", "x", "v", band = 0).head()
+    val warp = Timeseries.dtwMatrix(df2, "k", "x", "v", band = 1).head()
+    assert(diag.getLong(diag.fieldIndex("dtw_cents")) == 800L)
+    assert(warp.getLong(warp.fieldIndex("dtw_cents")) == 0L)
+  }
+
+  test("dtwMatrix raises when the band cannot reach the corner and " +
+    "composes with paa for long series") {
+    import graft.operators.Timeseries
+    val df = (Seq.tabulate(6)(i => ("a", i.toLong, i.toDouble)) ++
+      Seq.tabulate(3)(i => ("b", i.toLong, i.toDouble)))
+      .toDF("k", "x", "v")
+    val e = intercept[Exception] {
+      Timeseries.dtwMatrix(df, "k", "x", "v", band = 1).collect()
+    }
+    assert(e.getMessage.contains("band") || e.getCause != null)
+    // PAA -> DTW: reduce both to 3 segments, then dtw runs banded
+    val red = Timeseries.paa(df, "k", "x", "v", nSeg = 3)
+      .select(col("k"), col("seg"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("v"))
+    val out = Timeseries.dtwMatrix(red, "k", "seg", "v", band = 1)
+    assert(out.count() == 1L)
+  }
+
   test("saxWords scope pooling: identical shapes in different series " +
     "share a word (the motif contract)") {
     import graft.operators.Timeseries
