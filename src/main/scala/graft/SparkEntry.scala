@@ -6231,6 +6231,58 @@ object SparkEntry {
     "q512_dtw_matrix" -> ((s, d) =>
       graft.operators.Timeseries.dtwMatrix(dailyCountSeries(s, d),
         "event_type", "x", "y", band = 5)),
+
+    // LB_Keogh beside the exact DTW — the index-pruning primitive:
+    // the envelope bound costs O(n·band) vs the DP's O(n·m), and its
+    // soundness (lb <= dtw) is enforced IN-PLAN (a violated bound
+    // raises); both columns oracled
+    "q513_dtw_lb_keogh" -> ((s, d) =>
+      graft.operators.Timeseries.dtwWithLbKeogh(dailyCountSeries(s, d),
+        "event_type", "x", "y", band = 5)),
+
+    // Snapshot incremental scan: each consumer reads ONLY the rows
+    // that entered between its last version and now (O(delta), never
+    // a rescan) — required ≡ content except, and refusing ranges a
+    // rewrite crossed; the two consumed deltas reassemble the lake
+    "q514_incremental_scan" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("incscan") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 10).repartition(3).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      ev.filter(col("day") > 10 && col("day") <= 20).repartition(3)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v2
+      ev.filter(col("day") > 20).repartition(3)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v3
+      val d12 = Snapshots.addedBetween(s, root, 1L, 2L)
+      val d23 = Snapshots.addedBetween(s, root, 2L, 3L)
+      val expect12 = ev.filter(col("day") > 10 && col("day") <= 20)
+      require(d12.exceptAll(expect12).isEmpty &&
+          expect12.exceptAll(d12).isEmpty,
+        "v1->v2 delta must be exactly the second batch")
+      // the deltas + base reassemble the latest lake
+      val assembled = Snapshots.readVersion(s, root, 1L)
+        .unionByName(d12).unionByName(d23)
+      require(assembled.exceptAll(ev).isEmpty &&
+          ev.exceptAll(assembled).isEmpty,
+        "base + consumed deltas must reassemble the lake")
+      // a compaction makes the range non-append -> the scan refuses
+      Snapshots.compact(s, root, targetBytes = 1L << 26) // v4
+      val refused =
+        try { Snapshots.addedBetween(s, root, 3L, 4L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "incremental scan must refuse a range a rewrite crossed")
+      d12.unionByName(d23)
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"),
+          count_distinct(col("event_id")).cast("long").as("n_events"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8609,6 +8661,67 @@ object SparkEntry {
         |  CAST(vals[CAST((na + 1) * (nb + 1) AS INT)] AS BIGINT)
         |    AS dtw_cents
         |FROM dp WHERE t = (na + 1) * (nb + 1) - 1""".stripMargin,
+
+    // q513: q512's DP wavefront + the envelope bound as a list fold —
+    // per position, max/min over the banded slice of the other series
+    "q513_dtw_lb_keogh" ->
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type AS key, list(v ORDER BY x) AS arr,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |pairs AS (SELECT a.key AS key_a, b.key AS key_b, a.arr AS aa,
+        |    b.arr AS bb, a.n AS na, b.n AS nb
+        |  FROM ser a, ser b WHERE a.key < b.key),
+        |dp AS (
+        |  SELECT key_a, key_b, na, nb, aa, bb, 0 AS t,
+        |    [CAST(0 AS BIGINT)] AS vals FROM pairs
+        |  UNION ALL
+        |  SELECT key_a, key_b, na, nb, aa, bb, t + 1,
+        |    list_append(vals, CAST(CASE
+        |      WHEN (t + 1) // (nb + 1) = 0 OR (t + 1) % (nb + 1) = 0
+        |        THEN 1000000000000000
+        |      WHEN abs((t + 1) // (nb + 1) - (t + 1) % (nb + 1)) > 5
+        |        THEN 1000000000000000
+        |      ELSE least(
+        |        abs(aa[CAST((t + 1) // (nb + 1) AS INT)]
+        |            - bb[CAST((t + 1) % (nb + 1) AS INT)])
+        |          + least(
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) + 1 AS INT)],
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) AS INT)],
+        |            vals[CAST(t + 1 AS INT)]),
+        |        1000000000000000) END AS BIGINT))
+        |  FROM dp WHERE t < (na + 1) * (nb + 1) - 1)
+        |SELECT p.key_a, p.key_b, p.na AS n,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(1, CAST(p.na AS INT)), j ->
+        |      GREATEST(0,
+        |        p.aa[j] - list_aggregate(
+        |          p.bb[CAST(GREATEST(1, j - 5) AS INT)
+        |               :CAST(LEAST(p.nb, j + 5) AS INT)], 'max'),
+        |        list_aggregate(
+        |          p.bb[CAST(GREATEST(1, j - 5) AS INT)
+        |               :CAST(LEAST(p.nb, j + 5) AS INT)], 'min')
+        |          - p.aa[j]))) AS BIGINT) AS lb_cents,
+        |  CAST(dp.vals[CAST((p.na + 1) * (p.nb + 1) AS INT)] AS BIGINT)
+        |    AS dtw_cents
+        |FROM pairs p JOIN dp ON dp.key_a = p.key_a
+        |  AND dp.key_b = p.key_b
+        |  AND dp.t = (p.na + 1) * (p.nb + 1) - 1""".stripMargin,
+
+    // q514: the consumed deltas are everything after day 10
+    "q514_incremental_scan" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+        |FROM e WHERE day > 10 GROUP BY 1""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -227,6 +227,41 @@ object Snapshots {
       .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
   }
 
+  /** INCREMENTAL scan: the rows that ENTERED the lake between two
+    * committed versions — exactly the files `toVersion` pins that
+    * `fromVersion` didn't (the Iceberg incremental-append-scan
+    * shape): a downstream consumer reads each version range once and
+    * never rescans history, the O(delta) consumption pattern that
+    * keeps a 100 TB lake's consumers linear in ARRIVALS, not in lake
+    * size. Sound ONLY across append-only history: if `fromVersion`
+    * pins a file that `toVersion` dropped, a rewrite (compaction /
+    * upsert fold) crossed the range and the file diff no longer
+    * means "new rows" — raises loudly (Iceberg's incremental scan
+    * refuses non-append snapshots the same way; diff CONTENT across
+    * rewrites with [[graft.incremental.Deletes.cdcBetween]] instead).
+    * File-set arithmetic is snapshot-metadata scale. An empty delta
+    * returns an empty frame with the lake's schema. */
+  def addedBetween(spark: SparkSession, path: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"addedBetween needs fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    val from = pinnedFiles(spark, path, fromVersion).toSet
+    val to = pinnedFiles(spark, path, toVersion)
+    val dropped = from -- to.toSet
+    require(dropped.isEmpty,
+      s"addedBetween($fromVersion, $toVersion): ${dropped.size} file(s) " +
+        s"pinned at v$fromVersion are gone by v$toVersion — a rewrite " +
+        "crossed the range; use Deletes.cdcBetween for content diffs")
+    val added = to.filterNot(from)
+    if (added.isEmpty) {
+      val schema = spark.read.option("recursiveFileLookup", "true")
+        .parquet(path).schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else spark.read.parquet(added: _*)
+  }
+
   /** The version log: (version, n_files), ascending — the audit
     * readout. */
   def versions(spark: SparkSession, path: String): DataFrame = {

@@ -1589,7 +1589,15 @@ object Timeseries {
     * (the corner is unreachable — a caller bug, not an INF answer).
     * Output: (key_a, key_b, n_a, n_b, dtw_cents). */
   def dtwMatrix(df: DataFrame, keyCol: String, xCol: String,
-                valueCol: String, band: Int): DataFrame = {
+                valueCol: String, band: Int): DataFrame =
+    dtwPairs(df, keyCol, xCol, valueCol, band)
+      .select("key_a", "key_b", "n_a", "n_b", "dtw_cents")
+
+  /** [[dtwMatrix]]'s pair frame WITH the series arrays still aboard —
+    * the shared substrate [[dtwWithLbKeogh]] builds its envelope
+    * bound on. */
+  private def dtwPairs(df: DataFrame, keyCol: String, xCol: String,
+                       valueCol: String, band: Int): DataFrame = {
     require(band >= 0, s"band must be >= 0, got $band")
     val INF = 1000000000000000L // saturating wall: INF + cost < 2^63
     val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
@@ -1636,6 +1644,53 @@ object Timeseries {
             "is unreachable; widen the band or length-align the series")))
           .otherwise(col("n_a")))
       .withColumn("dtw_cents", expr(dpSql))
-      .select("key_a", "key_b", "n_a", "n_b", "dtw_cents")
+  }
+
+  /** [[dtwMatrix]] with the LB_Keogh lower bound (Keogh &
+    * Ratanamahatana 2005) beside the exact distance — the pruning
+    * primitive of every real DTW index: the bound needs only the
+    * banded ENVELOPE of one series (per position, the min/max over
+    * `[j−band, j+band]`) and one linear pass
+    * `Σ max(0, aⱼ−Uⱼ, Lⱼ−aⱼ)`, O(n·band) versus the DP's O(n·m) —
+    * at corpus scale a search computes cheap bounds for every
+    * candidate and runs the full DP only where the bound beats the
+    * current best (here both are emitted and the bound's soundness
+    * `lb ≤ dtw` is enforced IN-PLAN — a violated bound raises, so
+    * the pruning contract is load-bearing, not a comment). Equal
+    * lengths required (the aligned-envelope form; [[paa]]-reduce to
+    * a common width first). Output: (key_a, key_b, n, lb_cents,
+    * dtw_cents). */
+  def dtwWithLbKeogh(df: DataFrame, keyCol: String, xCol: String,
+                     valueCol: String, band: Int): DataFrame = {
+    val lbSql =
+      s"""aggregate(
+         |  sequence(1L, n_a),
+         |  0L,
+         |  (acc, j) -> acc + greatest(
+         |    0L,
+         |    element_at(__a, CAST(j AS INT))
+         |      - array_max(slice(__b,
+         |          CAST(greatest(1L, j - $band) AS INT),
+         |          CAST(least(n_b, j + $band)
+         |            - greatest(1L, j - $band) + 1 AS INT))),
+         |    array_min(slice(__b,
+         |        CAST(greatest(1L, j - $band) AS INT),
+         |        CAST(least(n_b, j + $band)
+         |          - greatest(1L, j - $band) + 1 AS INT)))
+         |      - element_at(__a, CAST(j AS INT))))""".stripMargin
+    dtwPairs(df, keyCol, xCol, valueCol, band)
+      .withColumn("n_a",
+        when(col("n_a") =!= col("n_b"), raise_error(lit(
+          "dtwWithLbKeogh: LB_Keogh's aligned envelope needs equal " +
+            "lengths — paa-reduce to a common width first")))
+          .otherwise(col("n_a")))
+      .withColumn("lb_cents", expr(lbSql))
+      .withColumn("lb_cents",
+        when(col("lb_cents") > col("dtw_cents"), raise_error(lit(
+          "dtwWithLbKeogh: lower bound exceeded the exact distance — " +
+            "the pruning contract is broken (engine bug)")))
+          .otherwise(col("lb_cents")))
+      .select(col("key_a"), col("key_b"), col("n_a").as("n"),
+        col("lb_cents"), col("dtw_cents"))
   }
 }

@@ -400,6 +400,67 @@ class Round12bOpsSpec extends SparkSpec {
     assert(out.count() == 1L)
   }
 
+  test("dtwWithLbKeogh: the envelope bound is sound (in-plan require " +
+    "passes), tight on band-aligned identical series, and raises on " +
+    "unequal lengths") {
+    import graft.operators.Timeseries
+    val df = (Seq.tabulate(8)(i => ("a", i.toLong, (i % 4).toDouble)) ++
+      Seq.tabulate(8)(i => ("b", i.toLong, ((i + 1) % 4).toDouble)))
+      .toDF("k", "x", "v")
+    val out = Timeseries.dtwWithLbKeogh(df, "k", "x", "v", band = 2)
+      .head()
+    val lb = out.getLong(out.fieldIndex("lb_cents"))
+    val dtw = out.getLong(out.fieldIndex("dtw_cents"))
+    assert(lb <= dtw, s"bound must hold: $lb > $dtw")
+    // identical series: lb = dtw = 0
+    val same = (Seq.tabulate(6)(i => ("a", i.toLong, i.toDouble)) ++
+      Seq.tabulate(6)(i => ("b", i.toLong, i.toDouble)))
+      .toDF("k", "x", "v")
+    val z = Timeseries.dtwWithLbKeogh(same, "k", "x", "v", band = 1)
+      .head()
+    assert(z.getLong(z.fieldIndex("lb_cents")) == 0L &&
+      z.getLong(z.fieldIndex("dtw_cents")) == 0L)
+    val ragged = (Seq.tabulate(6)(i => ("a", i.toLong, 1.0)) ++
+      Seq.tabulate(4)(i => ("b", i.toLong, 1.0))).toDF("k", "x", "v")
+    val e = intercept[Exception] {
+      Timeseries.dtwWithLbKeogh(ragged, "k", "x", "v", band = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("equal") || e.getCause != null)
+  }
+
+  // ---------------------------------------------------------------
+  // Snapshot incremental scan
+  // ---------------------------------------------------------------
+
+  test("addedBetween reads exactly the appended delta, returns an " +
+    "empty frame for a no-op commit, and refuses rewritten ranges") {
+    import graft.incremental.Snapshots
+    val root = tmp("incscan") + "/lake"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    val delta = Snapshots.addedBetween(spark, root, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(delta.toSeq == Seq((3L, "c")))
+    Snapshots.commit(spark, root) // v3: no new files
+    val empty = Snapshots.addedBetween(spark, root, 2L, 3L)
+    assert(empty.isEmpty &&
+      empty.columns.toSeq == Seq("id", "v"),
+      "empty delta keeps the lake schema")
+    Snapshots.compact(spark, root, targetBytes = 1L << 20) // v4 rewrite
+    intercept[IllegalArgumentException] {
+      Snapshots.addedBetween(spark, root, 3L, 4L)
+    }
+    // post-rewrite appends are incremental again
+    Seq((4L, "d")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v5
+    val d45 = Snapshots.addedBetween(spark, root, 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d45.toSeq == Seq((4L, "d")))
+  }
+
   test("saxWords scope pooling: identical shapes in different series " +
     "share a word (the motif contract)") {
     import graft.operators.Timeseries
