@@ -6283,6 +6283,76 @@ object SparkEntry {
           sum(col("user_id")).cast("long").as("sum_uid"),
           count_distinct(col("event_id")).cast("long").as("n_events"))
     }),
+
+    // Classical additive decomposition of the per-type daily series
+    // (weekday period 7) in exact rational parts — trend/seasonal/
+    // remainder carried as integer numerators so the reconstruction
+    // identity holds bit-for-bit in both engines
+    "q515_seasonal_decompose" -> ((s, d) =>
+      graft.operators.Timeseries.classicalDecompose(dailyCountSeries(s, d),
+        "event_type", "x", "y", period = 7)),
+
+    // Pruned DTW top-k: LB_Keogh bounds for all pairs, exact DP only
+    // for bound-survivors — REQUIRED identical to the brute-force
+    // matrix (the provable-bound form of overfetch-then-rerank)
+    "q516_dtw_topk" -> ((s, d) => {
+      import graft.operators.Timeseries
+      val k = 2
+      val series = dailyCountSeries(s, d)
+      val pruned = Timeseries.dtwTopK(series, "event_type", "x", "y",
+        band = 5, k = k)
+      val w = Window.partitionBy(col("query_key"))
+        .orderBy(col("dtw_cents").asc, col("neighbor").asc)
+      val brute = Timeseries.dtwMatrix(series, "event_type", "x", "y",
+          band = 5)
+        .select(col("key_a").as("query_key"), col("key_b").as("neighbor"),
+          col("dtw_cents"))
+        .unionByName(Timeseries.dtwMatrix(series, "event_type", "x", "y",
+            band = 5)
+          .select(col("key_b").as("query_key"), col("key_a").as("neighbor"),
+            col("dtw_cents")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select("query_key", "neighbor", "rank", "dtw_cents")
+      val got = pruned.select("query_key", "neighbor", "rank", "dtw_cents")
+      require(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+        "pruned DTW top-k must equal the brute-force matrix")
+      pruned
+    }),
+
+    // Snapshot history audit with METADATA-ONLY row counts: per
+    // retained version, rows/min/max answered from the pinned files'
+    // footers (never a data read) — incl. across a compaction, which
+    // must preserve every count (required in-query)
+    "q517_snapshot_history" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      import graft.sources.Tables
+      val root = LakeFixtures.freshRoot("snaphist") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 10).repartition(3).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      ev.filter(col("day") > 10 && col("day") <= 20).repartition(3)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v2
+      ev.filter(col("day") > 20).repartition(3)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v3
+      Snapshots.compact(s, root, targetBytes = 1L << 26) // v4
+      val hist = Snapshots.versions(s, root)
+        .select(col("version")).collect().map(_.getLong(0)).sorted
+        .map { v =>
+          val r = Tables.metadataAgg(s, root, Seq("day"),
+            Some(Snapshots.pinnedFiles(s, root, v))).head()
+          (v, r.getLong(1), r.getLong(3), r.getLong(4))
+        }
+      require(hist.find(_._1 == 4L).map(_._2) ==
+          hist.find(_._1 == 3L).map(_._2),
+        "compaction must preserve the footer row count")
+      import s.implicits._
+      hist.toSeq.toDF("version", "n_rows", "min_day", "max_day")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8722,6 +8792,110 @@ object SparkEntry {
         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
         |FROM e WHERE day > 10 GROUP BY 1""".stripMargin,
+
+    // q515: centered 7-MA trend, per-slot detrended means, exact
+    // integer reconstruction parts
+    "q515_seasonal_decompose" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, v,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+        |b AS (SELECT *, (rn - 1) % 7 AS slot, v * 7 - tn AS detr
+        |  FROM r WHERE rn > 3 AND rn <= n - 3),
+        |s AS (SELECT event_type, slot,
+        |    CAST(SUM(detr) AS BIGINT) AS seas_num,
+        |    CAST(COUNT(*) * 7 AS BIGINT) AS seas_den
+        |  FROM b GROUP BY 1, 2)
+        |SELECT b.event_type, b.x, CAST(b.slot AS BIGINT) AS slot,
+        |  b.v AS v_cents, b.tn AS trend_num, s.seas_num, s.seas_den,
+        |  CAST(b.v * (s.seas_den * 7) - b.tn * s.seas_den
+        |    - s.seas_num * 7 AS BIGINT) AS resid_num,
+        |  CAST(s.seas_den * 7 AS BIGINT) AS resid_den
+        |FROM b JOIN s USING (event_type, slot)""".stripMargin,
+
+    // q516: brute-force directed top-2 by the shared DP, plus the
+    // directed envelope bound — the engine's pruned search must match
+    "q516_dtw_topk" ->
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type AS key, list(v ORDER BY x) AS arr,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |pairs AS (SELECT a.key AS key_a, b.key AS key_b, a.arr AS aa,
+        |    b.arr AS bb, a.n AS na, b.n AS nb
+        |  FROM ser a, ser b WHERE a.key < b.key),
+        |dp AS (
+        |  SELECT key_a, key_b, na, nb, aa, bb, 0 AS t,
+        |    [CAST(0 AS BIGINT)] AS vals FROM pairs
+        |  UNION ALL
+        |  SELECT key_a, key_b, na, nb, aa, bb, t + 1,
+        |    list_append(vals, CAST(CASE
+        |      WHEN (t + 1) // (nb + 1) = 0 OR (t + 1) % (nb + 1) = 0
+        |        THEN 1000000000000000
+        |      WHEN abs((t + 1) // (nb + 1) - (t + 1) % (nb + 1)) > 5
+        |        THEN 1000000000000000
+        |      ELSE least(
+        |        abs(aa[CAST((t + 1) // (nb + 1) AS INT)]
+        |            - bb[CAST((t + 1) % (nb + 1) AS INT)])
+        |          + least(
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) + 1 AS INT)],
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) AS INT)],
+        |            vals[CAST(t + 1 AS INT)]),
+        |        1000000000000000) END AS BIGINT))
+        |  FROM dp WHERE t < (na + 1) * (nb + 1) - 1),
+        |dtw AS (SELECT key_a, key_b,
+        |    CAST(vals[CAST((na + 1) * (nb + 1) AS INT)] AS BIGINT)
+        |      AS dtw_cents
+        |  FROM dp WHERE t = (na + 1) * (nb + 1) - 1),
+        |dir AS (SELECT a.key AS query_key, b.key AS neighbor,
+        |    a.arr AS qa, b.arr AS qb, a.n AS nq, b.n AS nc
+        |  FROM ser a, ser b WHERE a.key <> b.key),
+        |lb AS (SELECT query_key, neighbor,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(1, CAST(nq AS INT)), j ->
+        |        GREATEST(0,
+        |          qa[j] - list_aggregate(
+        |            qb[CAST(GREATEST(1, j - 5) AS INT)
+        |               :CAST(LEAST(nc, j + 5) AS INT)], 'max'),
+        |          list_aggregate(
+        |            qb[CAST(GREATEST(1, j - 5) AS INT)
+        |               :CAST(LEAST(nc, j + 5) AS INT)], 'min')
+        |            - qa[j]))) AS BIGINT) AS lb_cents
+        |  FROM dir),
+        |ranked AS (SELECT l.query_key, l.neighbor, l.lb_cents,
+        |    w.dtw_cents,
+        |    CAST(row_number() OVER (PARTITION BY l.query_key
+        |      ORDER BY w.dtw_cents ASC, l.neighbor ASC) AS INT) AS rank
+        |  FROM lb l JOIN dtw w
+        |    ON w.key_a = LEAST(l.query_key, l.neighbor)
+        |   AND w.key_b = GREATEST(l.query_key, l.neighbor))
+        |SELECT query_key, neighbor, rank, lb_cents, dtw_cents
+        |FROM ranked WHERE rank <= 2""".stripMargin,
+
+    // q517: footer answers per retained version (compaction preserves)
+    "q517_snapshot_history" ->
+      """WITH e AS (SELECT CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(day) AS min_day,
+        |  MAX(day) AS max_day FROM e WHERE day <= 10
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT), MIN(day), MAX(day)
+        |FROM e WHERE day <= 20
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT), MIN(day), MAX(day) FROM e
+        |UNION ALL
+        |SELECT 4, CAST(COUNT(*) AS BIGINT), MIN(day), MAX(day)
+        |FROM e""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

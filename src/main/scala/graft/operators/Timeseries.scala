@@ -1598,8 +1598,25 @@ object Timeseries {
     * bound on. */
   private def dtwPairs(df: DataFrame, keyCol: String, xCol: String,
                        valueCol: String, band: Int): DataFrame = {
-    require(band >= 0, s"band must be >= 0, got $band")
-    val INF = 1000000000000000L // saturating wall: INF + cost < 2^63
+    val ser = dtwSeries(df, keyCol, xCol, valueCol)
+    val a = ser.select(col(keyCol).as("key_a"), col("arr").as("__a"),
+      col("n").as("n_a"))
+    val b = ser.select(col(keyCol).as("key_b"), col("arr").as("__b"),
+      col("n").as("n_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("n_a",
+        when(abs(col("n_a") - col("n_b")) > band, raise_error(lit(
+          s"dtwMatrix: band $band < |n_a - n_b| — the (n, m) corner " +
+            "is unreachable; widen the band or length-align the series")))
+          .otherwise(col("n_a")))
+      .withColumn("dtw_cents", expr(dtwDpSql(band)))
+  }
+
+  /** One (key, n, value-array) row per series — the cents-lattice
+    * array substrate of the DTW family (duplicate-x raises). */
+  private def dtwSeries(df: DataFrame, keyCol: String, xCol: String,
+                        valueCol: String): DataFrame = {
     val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol), col(xCol).as("__x"))
       .agg(count(lit(1)).as("__cx"),
@@ -1610,40 +1627,34 @@ object Timeseries {
           "dtwMatrix: duplicate x within a key — pre-aggregate to " +
             "one row per (key, x)"))).otherwise(col("__v")))
       .drop("__cx")
-    val ser = cells.groupBy(col(keyCol))
+    cells.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         transform(array_sort(collect_list(struct(col("__x"), col("__v")))),
           x => x.getField("__v")).as("arr"))
-    val a = ser.select(col(keyCol).as("key_a"), col("arr").as("__a"),
-      col("n").as("n_a"))
-    val b = ser.select(col(keyCol).as("key_b"), col("arr").as("__b"),
-      col("n").as("n_b"))
-    val dpSql =
-      s"""element_at(
-         |  aggregate(
-         |    sequence(1L, n_a),
-         |    concat(array(0L), transform(sequence(1L, n_b), j -> ${INF}L)),
-         |    (prev, i) -> aggregate(
-         |      sequence(1L, n_b),
-         |      array(${INF}L),
-         |      (acc, j) -> concat(acc, array(
-         |        CASE WHEN abs(i - j) > $band THEN ${INF}L
-         |             ELSE least(
-         |               abs(element_at(__a, CAST(i AS INT))
-         |                   - element_at(__b, CAST(j AS INT)))
-         |                 + least(element_at(prev, CAST(j + 1 AS INT)),
-         |                         element_at(prev, CAST(j AS INT)),
-         |                         element_at(acc, size(acc))),
-         |               ${INF}L) END)))),
-         |  CAST(n_b + 1 AS INT))""".stripMargin
-    a.crossJoin(broadcast(b))
-      .filter(col("key_a") < col("key_b"))
-      .withColumn("n_a",
-        when(abs(col("n_a") - col("n_b")) > band, raise_error(lit(
-          s"dtwMatrix: band $band < |n_a - n_b| — the (n, m) corner " +
-            "is unreachable; widen the band or length-align the series")))
-          .otherwise(col("n_a")))
-      .withColumn("dtw_cents", expr(dpSql))
+  }
+
+  private val dtwInf = 1000000000000000L // saturating wall: INF+cost < 2^63
+
+  /** The banded DP as one SQL expression over (__a, __b, n_a, n_b). */
+  private def dtwDpSql(band: Int): String = {
+    require(band >= 0, s"band must be >= 0, got $band")
+    s"""element_at(
+       |  aggregate(
+       |    sequence(1L, n_a),
+       |    concat(array(0L), transform(sequence(1L, n_b), j -> ${dtwInf}L)),
+       |    (prev, i) -> aggregate(
+       |      sequence(1L, n_b),
+       |      array(${dtwInf}L),
+       |      (acc, j) -> concat(acc, array(
+       |        CASE WHEN abs(i - j) > $band THEN ${dtwInf}L
+       |             ELSE least(
+       |               abs(element_at(__a, CAST(i AS INT))
+       |                   - element_at(__b, CAST(j AS INT)))
+       |                 + least(element_at(prev, CAST(j + 1 AS INT)),
+       |                         element_at(prev, CAST(j AS INT)),
+       |                         element_at(acc, size(acc))),
+       |               ${dtwInf}L) END)))),
+       |  CAST(n_b + 1 AS INT))""".stripMargin
   }
 
   /** [[dtwMatrix]] with the LB_Keogh lower bound (Keogh &
@@ -1662,29 +1673,13 @@ object Timeseries {
     * dtw_cents). */
   def dtwWithLbKeogh(df: DataFrame, keyCol: String, xCol: String,
                      valueCol: String, band: Int): DataFrame = {
-    val lbSql =
-      s"""aggregate(
-         |  sequence(1L, n_a),
-         |  0L,
-         |  (acc, j) -> acc + greatest(
-         |    0L,
-         |    element_at(__a, CAST(j AS INT))
-         |      - array_max(slice(__b,
-         |          CAST(greatest(1L, j - $band) AS INT),
-         |          CAST(least(n_b, j + $band)
-         |            - greatest(1L, j - $band) + 1 AS INT))),
-         |    array_min(slice(__b,
-         |        CAST(greatest(1L, j - $band) AS INT),
-         |        CAST(least(n_b, j + $band)
-         |          - greatest(1L, j - $band) + 1 AS INT)))
-         |      - element_at(__a, CAST(j AS INT))))""".stripMargin
     dtwPairs(df, keyCol, xCol, valueCol, band)
       .withColumn("n_a",
         when(col("n_a") =!= col("n_b"), raise_error(lit(
           "dtwWithLbKeogh: LB_Keogh's aligned envelope needs equal " +
             "lengths — paa-reduce to a common width first")))
           .otherwise(col("n_a")))
-      .withColumn("lb_cents", expr(lbSql))
+      .withColumn("lb_cents", expr(dtwLbSql(band)))
       .withColumn("lb_cents",
         when(col("lb_cents") > col("dtw_cents"), raise_error(lit(
           "dtwWithLbKeogh: lower bound exceeded the exact distance — " +
@@ -1692,5 +1687,145 @@ object Timeseries {
           .otherwise(col("lb_cents")))
       .select(col("key_a"), col("key_b"), col("n_a").as("n"),
         col("lb_cents"), col("dtw_cents"))
+  }
+
+  /** LB_Keogh as one SQL expression over (__a, __b, n_a, n_b). */
+  private def dtwLbSql(band: Int): String =
+    s"""aggregate(
+       |  sequence(1L, n_a),
+       |  0L,
+       |  (acc, j) -> acc + greatest(
+       |    0L,
+       |    element_at(__a, CAST(j AS INT))
+       |      - array_max(slice(__b,
+       |          CAST(greatest(1L, j - $band) AS INT),
+       |          CAST(least(n_b, j + $band)
+       |            - greatest(1L, j - $band) + 1 AS INT))),
+       |    array_min(slice(__b,
+       |        CAST(greatest(1L, j - $band) AS INT),
+       |        CAST(least(n_b, j + $band)
+       |          - greatest(1L, j - $band) + 1 AS INT)))
+       |      - element_at(__a, CAST(j AS INT))))""".stripMargin
+
+  /** Pruned DTW top-k search — the LB_Keogh bound doing its real
+    * job: for every query series, the k nearest corpus series by
+    * exact banded DTW, computed WITHOUT running the DP against the
+    * whole corpus. Three stages, each a provable superset of the
+    * answer:
+    *
+    *  1. bounds: LB_Keogh for every (query, candidate) pair — the
+    *     O(n·band) linear pass;
+    *  2. seeds: the k best candidates BY BOUND get exact DTW; their
+    *     kth exact distance τ upper-bounds the true kth-nearest
+    *     (k seeds already sit at ≤ τ);
+    *  3. exact: only pairs with `lb ≤ τ` run the DP — every true
+    *     top-k member has `lb ≤ dtw ≤ kth ≤ τ`, so none is pruned
+    *     (the q433/q487 overfetch-then-rerank discipline with a
+    *     PROVABLE bound instead of a recall floor).
+    *
+    * The result is REQUIRED identical to the brute-force matrix by
+    * construction; pin it in calling code with [[dtwMatrix]] when
+    * the corpus is small enough to afford it (q516 does). Both heap
+    * selections run on [[graft.operators.TopK.perKey]] — no sort.
+    * Equal lengths required (the envelope form). Output:
+    * (query_key, neighbor, rank, lb_cents, dtw_cents). */
+  def dtwTopK(df: DataFrame, keyCol: String, xCol: String,
+              valueCol: String, band: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ser = dtwSeries(df, keyCol, xCol, valueCol)
+    val q = ser.select(col(keyCol).as("query_key"), col("arr").as("__a"),
+      col("n").as("n_a"))
+    val c = ser.select(col(keyCol).as("neighbor"), col("arr").as("__b"),
+      col("n").as("n_b"))
+    val pairs = q.crossJoin(broadcast(c))
+      .filter(col("query_key") =!= col("neighbor"))
+      .withColumn("n_a",
+        when(col("n_a") =!= col("n_b"), raise_error(lit(
+          "dtwTopK: LB_Keogh's aligned envelope needs equal lengths " +
+            "— paa-reduce to a common width first")))
+          .otherwise(col("n_a")))
+      .withColumn("lb_cents", expr(dtwLbSql(band)))
+    val seeds = graft.operators.TopK.perKey(pairs, Seq("query_key"),
+      Seq(("lb_cents", true), ("neighbor", true)), k)
+    val tau = seeds.withColumn("__dtw", expr(dtwDpSql(band)))
+      .groupBy(col("query_key"))
+      .agg(max(col("__dtw")).as("__tau"))
+    val survivors = pairs
+      .join(Broadcasts.maybeBroadcast(tau), Seq("query_key"))
+      .filter(col("lb_cents") <= col("__tau"))
+      .withColumn("dtw_cents", expr(dtwDpSql(band)))
+    val top = graft.operators.TopK.perKey(survivors, Seq("query_key"),
+      Seq(("dtw_cents", true), ("neighbor", true)), k)
+    top.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_key"))
+          .orderBy(col("dtw_cents").asc, col("neighbor").asc))
+          .cast("int"))
+      .select("query_key", "neighbor", "rank", "lb_cents", "dtw_cents")
+  }
+
+  /** Classical additive seasonal decomposition in EXACT RATIONAL
+    * PARTS — trend = centered `period`-point moving average, seasonal
+    * index = per-slot mean of the detrended series, remainder = the
+    * rest; the textbook method (the moving-average half of STL)
+    * with every component carried as (numerator, denominator)
+    * integers instead of floats, so the identity
+    *
+    *   `v·p·sd = trend_num·sd + seas_num·p + resid_num`
+    *
+    * holds EXACTLY row-for-row (p = period, sd = the slot's seasonal
+    * denominator p·slot_count) and the DuckDB oracle hash-matches
+    * with zero float drift. Positional slots (`(row − 1) % period`)
+    * — the series must be regularly sampled (gap-fill first with
+    * [[fillDaily]]-class repair if not); `period` must be odd (the
+    * centered window is symmetric; even periods need the 2×m
+    * convention — not offered rather than approximated). Seasonal
+    * indices are NOT centered (slot counts differ on partial cycles,
+    * so centering would force per-key denominator products; center
+    * consumer-side if needed — documented trade-off). Rows without a
+    * full trend window (the first/last (p−1)/2) are omitted, as the
+    * textbook method does. One row_number window + one rows-frame
+    * sum + one slot aggregate per key — scales as any keyed window.
+    * Output: (key, x, slot, v_cents, trend_num, seas_num, seas_den,
+    * resid_num, resid_den). */
+  def classicalDecompose(df: DataFrame, keyCol: String, xCol: String,
+                         valueCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (centered window), got $period")
+    val h = (period - 1) / 2
+    val cells = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(xCol).as("x"))
+      .agg(count(lit(1)).as("__cx"),
+        max((col(valueCol).cast("decimal(12,2)") * 100).cast("long"))
+          .as("v_cents"))
+      .withColumn("v_cents",
+        when(col("__cx") > 1, raise_error(lit(
+          "classicalDecompose: duplicate x within a key — " +
+            "pre-aggregate to one row per (key, x)")))
+          .otherwise(col("v_cents")))
+      .drop("__cx")
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("x").asc)
+    val wMa = wOrd.rowsBetween(-h, h)
+    val based = cells
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(keyCol))).cast("long"))
+      .withColumn("slot", (col("__rn") - 1) % period)
+      .withColumn("__tn", sum(col("v_cents")).over(wMa).cast("long"))
+      .filter(col("__rn") > h && col("__rn") <= col("__n") - h)
+      .withColumn("trend_num", col("__tn"))
+      .withColumn("__detr_num",
+        col("v_cents") * period - col("trend_num")) // den = period
+    val seas = based.groupBy(col(keyCol), col("slot"))
+      .agg(sum(col("__detr_num")).cast("long").as("seas_num"),
+        (count(lit(1)) * period).cast("long").as("seas_den"))
+    based.join(Broadcasts.maybeBroadcast(seas), Seq(keyCol, "slot"))
+      .withColumn("resid_den", col("seas_den") * period)
+      .withColumn("resid_num",
+        col("v_cents") * col("resid_den")
+          - col("trend_num") * col("seas_den")
+          - col("seas_num") * period)
+      .select(col(keyCol), col("x"), col("slot"), col("v_cents"),
+        col("trend_num"), col("seas_num"), col("seas_den"),
+        col("resid_num"), col("resid_den"))
   }
 }

@@ -461,6 +461,88 @@ class Round12bOpsSpec extends SparkSpec {
     assert(d45.toSeq == Seq((4L, "d")))
   }
 
+  test("classicalDecompose: a linear series has zero seasonal and " +
+    "zero remainder; trend is the exact centered sum") {
+    import graft.operators.Timeseries
+    val df = (1 to 10).map(i => ("s", i.toLong, i.toDouble))
+      .toDF("k", "x", "v")
+    val out = Timeseries.classicalDecompose(df, "k", "x", "v", period = 3)
+      .orderBy("x").collect()
+    assert(out.length == 8, "first/last h rows omitted")
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("seas_num")) == 0L)
+      assert(r.getLong(r.fieldIndex("resid_num")) == 0L)
+    }
+    val t2 = out.head
+    assert(t2.getLong(t2.fieldIndex("trend_num")) == 600L) // (1+2+3)*100
+  }
+
+  test("classicalDecompose recovers a pure period-3 pattern exactly: " +
+    "all remainder numerators zero, slot indices = the offsets") {
+    import graft.operators.Timeseries
+    val pat = Seq(100.0, 200.0, 300.0)
+    val df = (0 until 9).map(i => ("s", (i + 1).toLong, pat(i % 3)))
+      .toDF("k", "x", "v")
+    val out = Timeseries.classicalDecompose(df, "k", "x", "v", period = 3)
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("trend_num")) == 60000L)
+      assert(r.getLong(r.fieldIndex("resid_num")) == 0L)
+      // identity v*p*sd = tn*sd + sn*p + rn
+      val v = r.getLong(r.fieldIndex("v_cents"))
+      val sd = r.getLong(r.fieldIndex("seas_den"))
+      val sn = r.getLong(r.fieldIndex("seas_num"))
+      val tn = r.getLong(r.fieldIndex("trend_num"))
+      val rn = r.getLong(r.fieldIndex("resid_num"))
+      assert(v * 3 * sd == tn * sd + sn * 3 + rn)
+    }
+    val bySlot = out.map(r => (r.getLong(r.fieldIndex("slot")),
+      (r.getLong(r.fieldIndex("seas_num")),
+        r.getLong(r.fieldIndex("seas_den"))))).distinct.toMap
+    assert(bySlot(2L) == ((60000L, 6L)))  // +100 index
+    assert(bySlot(0L) == ((-60000L, 6L))) // -100 index
+    assert(bySlot(1L) == ((0L, 9L)))
+  }
+
+  test("classicalDecompose raises on even periods") {
+    import graft.operators.Timeseries
+    val df = Seq(("s", 1L, 1.0)).toDF("k", "x", "v")
+    intercept[IllegalArgumentException] {
+      Timeseries.classicalDecompose(df, "k", "x", "v", period = 4)
+    }
+  }
+
+  test("dtwTopK: the pruned search equals brute-force ranks on a " +
+    "deterministic 6-series fixture; unequal lengths raise") {
+    import graft.operators.Timeseries
+    import org.apache.spark.sql.expressions.Window
+    // 6 series, values from a fixed congruential pattern
+    val df = (for { s <- 0 until 6; i <- 0 until 12 }
+      yield (s"s$s", i.toLong, ((s * 7 + i * 3) % 11).toDouble))
+      .toDF("k", "x", "v")
+    val pruned = Timeseries.dtwTopK(df, "k", "x", "v", band = 3, k = 2)
+      .select("query_key", "neighbor", "rank", "dtw_cents")
+    val m = Timeseries.dtwMatrix(df, "k", "x", "v", band = 3)
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("dtw_cents").asc, col("neighbor").asc)
+    val brute = m.select(col("key_a").as("query_key"),
+        col("key_b").as("neighbor"), col("dtw_cents"))
+      .unionByName(m.select(col("key_b").as("query_key"),
+        col("key_a").as("neighbor"), col("dtw_cents")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 2)
+      .select("query_key", "neighbor", "rank", "dtw_cents")
+    assert(pruned.exceptAll(brute).isEmpty &&
+      brute.exceptAll(pruned).isEmpty)
+    val ragged = (Seq.tabulate(6)(i => ("a", i.toLong, 1.0)) ++
+      Seq.tabulate(4)(i => ("b", i.toLong, 1.0))).toDF("k", "x", "v")
+    val e = intercept[Exception] {
+      Timeseries.dtwTopK(ragged, "k", "x", "v", band = 3, k = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("equal") || e.getCause != null)
+  }
+
   test("saxWords scope pooling: identical shapes in different series " +
     "share a word (the motif contract)") {
     import graft.operators.Timeseries
