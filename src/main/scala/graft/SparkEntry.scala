@@ -6353,6 +6353,62 @@ object SparkEntry {
       import s.implicits._
       hist.toSeq.toDF("version", "n_rows", "min_day", "max_day")
     }),
+
+    // Unicode-canonicalized dedup through the codegen'd NfcNormalize
+    // expression (custom Catalyst Expression #2): precomposed "é" and
+    // decomposed "e+◌́" twins of every document fold into one NFC
+    // group while their RAW forms stay distinct — the normalization
+    // step hash-dedup is silently wrong without. DuckDB's native
+    // nfc_normalize is the independent second implementation.
+    "q518_nfc_dedup" -> ((s, d) => {
+      import graft.functions.NfcNormalize.nfc_normalize
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val precomposed = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caf"), lit("\u00e9")).as("text"))
+      val decomposed = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" cafe"), lit("\u0301")).as("text"))
+      precomposed.unionByName(decomposed)
+        .groupBy(md5(nfc_normalize(col("text"))).as("nfc_key"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_raw_forms"),
+          min(col("doc_id")).as("keeper"))
+    }),
+
+    // Hellinger / Bhattacharyya drift between the two half-month type
+    // distributions — exact BIGINT parts per category, the √-only
+    // coefficient folded over the category-sorted list (sqrt is
+    // IEEE-correctly-rounded: the ONE portable member of the
+    // divergence family that needs no log parts)
+    "q519_hellinger_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val dom = dayofmonth(col("ts"))
+      graft.checks.Drift.hellingerParts(
+        ev.filter(dom <= 15), ev.filter(dom > 15), col("event_type"))
+    }),
+
+    // Largest-remainder apportionment: a 997-slot sampling budget per
+    // order priority split across statuses by revenue weight — whole
+    // units, exact integer quota arithmetic, per-group sum required
+    // back to exactly 997
+    "q520_largest_remainder" -> ((s, d) => {
+      val out = graft.operators.Allocate.largestRemainder(
+        t(s, d, "orders"), Seq("o_orderpriority"), "o_orderstatus",
+        "o_totalprice", total = 997L)
+      val bad = out.groupBy(col("o_orderpriority"))
+        .agg(sum(col("units")).as("__s"))
+        .filter(col("__s") =!= 997L).count()
+      require(bad == 0,
+        s"apportioned units must sum to 997 in every group ($bad bad)")
+      out
+    }),
+
+    // Exact lower weighted median: quantity-weighted price midpoint
+    // per return flag off the distinct-value lattice — the integer
+    // predicate 2·cum ≥ W, no interpolation, no float quantile
+    "q521_weighted_median" -> ((s, d) =>
+      graft.operators.Robust.weightedMedian(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity")),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8896,6 +8952,95 @@ object SparkEntry {
         |UNION ALL
         |SELECT 4, CAST(COUNT(*) AS BIGINT), MIN(day), MAX(day)
         |FROM e""".stripMargin,
+
+    // q518: DuckDB's native nfc_normalize is the independent second
+    // implementation of the canonicalization
+    "q518_nfc_dedup" ->
+      """WITH o AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' cafe' || chr(769)
+        |  FROM documents)
+        |SELECT md5(nfc_normalize(text)) AS nfc_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_forms,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper
+        |FROM o GROUP BY 1""".stripMargin,
+
+    // q519: exact parts + the category-ordered sqrt fold
+    "q519_hellinger_drift" ->
+      """WITH r AS (SELECT event_type AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS ref_cnt
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND EXTRACT(DAY FROM ts) <= 15 GROUP BY 1),
+        |c AS (SELECT event_type AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS cur_cnt
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND EXTRACT(DAY FROM ts) > 15 GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |    COALESCE(ref_cnt, 0) AS ref_cnt,
+        |    COALESCE(cur_cnt, 0) AS cur_cnt
+        |  FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |t AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+        |    CAST(SUM(cur_cnt) AS BIGINT) AS cur_total FROM j),
+        |p AS (SELECT j.category, j.ref_cnt, j.cur_cnt, t.ref_total,
+        |    t.cur_total,
+        |    CAST(j.ref_cnt * j.cur_cnt AS BIGINT) AS bc_num,
+        |    CAST(t.ref_total * t.cur_total AS BIGINT) AS bc_den,
+        |    sqrt(CAST(j.ref_cnt * j.cur_cnt AS DOUBLE)
+        |      / CAST(t.ref_total * t.cur_total AS DOUBLE)) AS term
+        |  FROM j, t),
+        |b AS (SELECT list_reduce(list(term ORDER BY category ASC),
+        |    (a, x) -> a + x) AS bc FROM p)
+        |SELECT category, ref_cnt, cur_cnt, ref_total, cur_total,
+        |  bc_num, bc_den, b.bc AS bc_coefficient,
+        |  sqrt(GREATEST(0.0, 1.0 - b.bc)) AS hellinger
+        |FROM p, b""".stripMargin,
+
+    // q520: floor quotas + one-each leftovers by remainder rank
+    "q520_largest_remainder" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderstatus AS member,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS weight
+        |  FROM orders GROUP BY 1, 2),
+        |q AS (SELECT *, CAST(SUM(weight) OVER (
+        |    PARTITION BY o_orderpriority) AS BIGINT) AS tw FROM b),
+        |q2 AS (SELECT *, CAST(997 * weight // tw AS BIGINT)
+        |      AS base_units,
+        |    997 * weight - (997 * weight // tw) * tw AS rem FROM q),
+        |q3 AS (SELECT *, CAST(997 - SUM(base_units) OVER (
+        |      PARTITION BY o_orderpriority) AS BIGINT) AS leftover,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY rem DESC, member ASC) AS rk FROM q2)
+        |SELECT o_orderpriority, member, weight, base_units,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS INT)
+        |    AS extra_unit,
+        |  CAST(base_units + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS units
+        |FROM q3""".stripMargin,
+
+    // q521: the integer mass predicate 2*cum >= W on the lattice
+    "q521_weighted_median" ->
+      """WITH lat AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) AS v,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS wsum,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(SUM(wsum) OVER win AS BIGINT) AS cum,
+        |    CAST(SUM(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS tot,
+        |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS nr
+        |  FROM lat WINDOW win AS (PARTITION BY l_returnflag
+        |    ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW))
+        |SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS median_cents,
+        |  CAST(MAX(tot) AS BIGINT) AS total_weight_cents,
+        |  CAST(MAX(nr) AS BIGINT) AS n_rows
+        |FROM c WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

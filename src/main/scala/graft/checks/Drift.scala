@@ -239,6 +239,52 @@ object Drift {
         col("delta_num"), col("log_num"), col("log_den"))
   }
 
+  /** Hellinger distance / Bhattacharyya coefficient between the two
+    * categorical distributions — the bounded, symmetric member of the
+    * divergence family ([[totalVariation]] is exact-rational,
+    * [[psiParts]] log-based; Hellinger is the one with a true metric
+    * and a √-only formula, which matters here because `sqrt` is
+    * IEEE-CORRECTLY-ROUNDED — engine-portable — while `ln`/`pow` are
+    * libm, the [[graft.llmdata.Sampling.temperatureMixWeights]]
+    * precedent):
+    *
+    *   `BC = Σ_c √(p_c·q_c)`, `H = √(1 − BC)`.
+    *
+    * Per-category parts are exact BIGINTs
+    * (`bc_num = ref_cnt·cur_cnt`, `bc_den = ref_total·cur_total`);
+    * the coefficient folds over the CATEGORY-SORTED term list
+    * (`aggregate(sort_array(...))` — double sums are
+    * order-dependent, so the order is pinned and the oracle's
+    * ordered `list_reduce` replays the identical IEEE chain). BC ≤ 1
+    * by Cauchy–Schwarz; the 1−BC clamp guards the ≤1-ulp float
+    * excursion so H never goes NaN. Category-cardinality cost.
+    * Output per category: parts + the scalar (bc_coefficient,
+    * hellinger) attached broadcast. */
+  def hellingerParts(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val parts = aligned(ref, cur, cat)
+      .withColumn("bc_num",
+        (col("ref_cnt").cast(d38) * col("cur_cnt")).cast(d38).cast("long"))
+      .withColumn("bc_den",
+        (col("ref_total").cast(d38) * col("cur_total")).cast(d38)
+          .cast("long"))
+      .withColumn("__term",
+        sqrt(col("bc_num").cast("double") / col("bc_den").cast("double")))
+    val bc = parts.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("category"), col("__term")))),
+        lit(0.0), (acc, x) => acc + x.getField("__term"))
+        .as("bc_coefficient"))
+      .withColumn("hellinger",
+        sqrt(greatest(lit(0.0), lit(1.0) - col("bc_coefficient"))))
+    parts.crossJoin(broadcast(bc))
+      .select(col("category"), col("ref_cnt"), col("cur_cnt"),
+        col("ref_total").cast("long").as("ref_total"),
+        col("cur_total").cast("long").as("cur_total"),
+        col("bc_num"), col("bc_den"), col("bc_coefficient"),
+        col("hellinger"))
+  }
+
   /** Theil's U (uncertainty coefficient) in PARTS-EMISSION form — the
     * categorical-association drift check ("how much does knowing x
     * tell you about y?", asymmetric, 0..1) whose entropies need `ln`

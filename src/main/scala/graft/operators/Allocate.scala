@@ -182,4 +182,66 @@ object Allocate {
           - greatest(col("__supply_lo"), col("__d")))
           .as("remaining_qty"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: per group, split an
+    * integer `total` of indivisible units (sampling slots, shard
+    * counts, seats) across members proportionally to weight so the
+    * units SUM BACK EXACTLY — [[prorate]]'s sibling for WHOLE units
+    * (prorate spreads a divisible amount; here each member gets
+    * `⌊total·w/W⌋` and the `total − Σ⌊⌋` leftover units go ONE EACH
+    * to the largest fractional remainders, ties → smallest member id
+    * — the canonical quota method, every step exact integer
+    * arithmetic on decimal(38,0) products). The training-mix use:
+    * turning fractional corpus proportions into an exact
+    * whole-document sampling budget. NULL/negative weights raise
+    * (an apportionment over them has no meaning); an all-zero-weight
+    * group raises (no quota exists — choose an explicit equal-split
+    * upstream if that's the intent). Per-group windows on the
+    * member-cardinality frame — group-scale, never row-scale.
+    * Output: (groupCols…, member, weight, base_units, extra_unit,
+    * units). */
+  def largestRemainder(df: DataFrame, groupCols: Seq[String],
+                       memberCol: String, weightCol: String,
+                       total: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols required")
+    require(total >= 0, s"total must be >= 0, got $total")
+    val d38 = "decimal(38,0)"
+    val w = col(weightCol).cast("decimal(12,2)")
+    val base = df
+      .withColumn("__w",
+        when(col(weightCol).isNull || w < 0, raise_error(lit(
+          "largestRemainder: NULL or negative weight — apportionment " +
+            "needs non-negative weights")))
+          .otherwise((w * 100).cast("long")))
+      .groupBy(groupCols.map(col) :+ col(memberCol).as("member"): _*)
+      .agg(sum(col("__w")).cast("long").as("weight"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val quoted = base
+      .withColumn("__tw", sum(col("weight")).over(wAll).cast("long"))
+      .withColumn("__tw",
+        when(col("__tw") <= 0, raise_error(lit(
+          "largestRemainder: zero total weight in a group — no quota " +
+            "exists; equal-split explicitly upstream if intended")))
+          .otherwise(col("__tw")))
+      // floor() on the decimal quotient — a bare decimal->decimal cast
+      // would ROUND (HALF_UP), not floor; quotient scale (>=21 digits)
+      // cannot round across an integer boundary at these magnitudes
+      .withColumn("base_units",
+        floor(lit(total).cast(d38) * col("weight") / col("__tw"))
+          .cast("long"))
+      .withColumn("__rem",
+        (lit(total).cast(d38) * col("weight")).cast(d38).cast("long")
+          - col("base_units") * col("__tw"))
+    quoted
+      .withColumn("__leftover",
+        lit(total) - sum(col("base_units")).over(wAll).cast("long"))
+      .withColumn("__rk",
+        row_number().over(wAll.orderBy(col("__rem").desc,
+          col("member").asc)).cast("long"))
+      .withColumn("extra_unit", (col("__rk") <= col("__leftover"))
+        .cast("int"))
+      .withColumn("units", col("base_units") + col("extra_unit"))
+      .select(groupCols.map(col) :+ col("member") :+ col("weight") :+
+        col("base_units") :+ col("extra_unit") :+ col("units"): _*)
+  }
 }

@@ -1438,4 +1438,54 @@ object Robust {
     filled.withColumn("imputed_cols",
       when(length(col("imputed_cols")) > 0, col("imputed_cols")))
   }
+
+  /** Lower WEIGHTED median per group — [[moodMedian]]'s selection
+    * generalized to weighted mass: the smallest lattice value whose
+    * cumulative weight reaches half the total (`2·cum ≥ W`, the exact
+    * integer predicate — no float quantile, no interpolation), which
+    * is what robust aggregation over importance-weighted rows needs
+    * (corpus quality weights, quantity-weighted prices). Runs on the
+    * distinct-value lattice (RankStats doctrine): one hash aggregate
+    * to (group, value, weight-sum) cells, one cumulative window over
+    * values, one selection — never a raw-row global window. Values
+    * and weights ride the cents lattice; NULL or negative weights
+    * raise (silent zero would skew the mass); zero-total-weight
+    * groups raise (no mass, no median). Output: (groupCols…,
+    * median_cents, total_weight_cents, n_rows). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupCols required")
+    val w = col(weightCol).cast("decimal(12,2)")
+    val lat = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__w",
+        when(col(weightCol).isNull || w < 0, raise_error(lit(
+          "weightedMedian: NULL or negative weight — weighted mass " +
+            "needs non-negative weights")))
+          .otherwise((w * 100).cast("long")))
+      .groupBy(groupCols.map(col) :+
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long")
+          .as("__v"): _*)
+      .agg(sum(col("__w")).cast("long").as("__wsum"),
+        count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    lat
+      .withColumn("__cum", sum(col("__wsum")).over(wCum).cast("long"))
+      .withColumn("__tot", sum(col("__wsum")).over(wAll).cast("long"))
+      .withColumn("__tot",
+        when(col("__tot") <= 0, raise_error(lit(
+          "weightedMedian: zero total weight in a group — no mass, " +
+            "no median")))
+          .otherwise(col("__tot")))
+      .withColumn("__rows", sum(col("__n")).over(wAll).cast("long"))
+      .filter(lit(2) * col("__cum") >= col("__tot"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__v")).as("median_cents"),
+        max(col("__tot")).as("total_weight_cents"),
+        max(col("__rows")).as("n_rows"))
+  }
 }

@@ -543,6 +543,97 @@ class Round12bOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("equal") || e.getCause != null)
   }
 
+  test("NfcNormalize: decomposed and precomposed forms fold to the " +
+    "same string, NULL propagates, interpreted eval == codegen path") {
+    import graft.functions.NfcNormalize.nfc_normalize
+    val df = Seq(
+      ("pre", "café"), ("dec", "café"),
+      ("plain", "cafe"), ("nul", null))
+      .toDF("id", "s")
+    val out = df.withColumn("n", nfc_normalize(col("s")))
+      .collect().map(r => (r.getString(0), Option(r.getString(2)))).toMap
+    assert(out("pre") == Some("caf\u00e9"))
+    assert(out("dec") == Some("caf\u00e9"), "decomposed must compose")
+    assert(out("plain") == Some("cafe"))
+    assert(out("nul").isEmpty)
+    // the filter pushes the expression through codegen'd predicates —
+    // same answer as the projected (row-eval'd) value above
+    assert(df.filter(nfc_normalize(col("s")) === "caf\u00e9")
+      .count() == 2L)
+    intercept[Exception] {
+      Seq((1L, 2L)).toDF("a", "b")
+        .select(nfc_normalize(col("b"))).collect()
+    }
+  }
+
+  test("hellingerParts: identical halves give BC=1/H=0; disjoint " +
+    "categories give BC=0/H=1; parts are the exact products") {
+    import graft.checks.Drift
+    val x = Seq("a", "a", "b", "b", "b").toDF("c")
+    val same = Drift.hellingerParts(x, x, col("c")).head()
+    assert(math.abs(
+      same.getDouble(same.fieldIndex("bc_coefficient")) - 1.0) < 1e-12)
+    assert(same.getDouble(same.fieldIndex("hellinger")) < 1e-6)
+    val y = Seq("c", "d").toDF("c")
+    val far = Drift.hellingerParts(x, y, col("c"))
+      .orderBy("category").collect()
+    assert(far.forall(r => r.getLong(r.fieldIndex("bc_num")) == 0L))
+    assert(far.head.getDouble(far.head.fieldIndex("hellinger")) == 1.0)
+    val ab = far.find(_.getString(0) == "a").get
+    assert(ab.getLong(ab.fieldIndex("ref_cnt")) == 2L &&
+      ab.getLong(ab.fieldIndex("cur_cnt")) == 0L &&
+      ab.getLong(ab.fieldIndex("bc_den")) == 10L)
+  }
+
+  test("largestRemainder: hand quota — 10 units over weights 5/3/1 " +
+    "give 5/3/1 plus the leftover to the largest remainder; sums " +
+    "exact; zero-weight group and negative weights raise") {
+    import graft.operators.Allocate
+    // weights 50,30,10 cents, total 10: quotas 50/9=5.55->5, 3.33->3,
+    // 1.11->1; leftover 1 goes to 'a' (remainder .55)
+    val df = Seq(("g", "a", 0.50), ("g", "b", 0.30), ("g", "c", 0.10))
+      .toDF("grp", "m", "w")
+    val out = Allocate.largestRemainder(df, Seq("grp"), "m", "w", 10L)
+      .collect().map(r => (r.getString(1),
+        (r.getLong(r.fieldIndex("base_units")),
+          r.getLong(r.fieldIndex("units"))))).toMap
+    assert(out("a") == ((5L, 6L)))
+    assert(out("b") == ((3L, 3L)))
+    assert(out("c") == ((1L, 1L)))
+    intercept[Exception] {
+      Allocate.largestRemainder(
+        Seq(("g", "a", 0.0)).toDF("grp", "m", "w"),
+        Seq("grp"), "m", "w", 5L).collect()
+    }
+    intercept[Exception] {
+      Allocate.largestRemainder(
+        Seq(("g", "a", -1.0)).toDF("grp", "m", "w"),
+        Seq("grp"), "m", "w", 5L).collect()
+    }
+  }
+
+  test("weightedMedian: the mass midpoint, not the row midpoint; " +
+    "NULL weight raises") {
+    import graft.operators.Robust
+    // values 1..4, weights 1,1,1,10 -> half of W=13 is reached at v=4
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 10.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("grp", "v", "w")
+    val r = Robust.weightedMedian(df, Seq("grp"), "v", "w").head()
+    assert(r.getLong(r.fieldIndex("median_cents")) == 400L)
+    assert(r.getLong(r.fieldIndex("total_weight_cents")) == 1300L)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 4L)
+    // equal weights reduce to the ordinary lower median
+    val eq = Seq(1.0, 2.0, 3.0, 4.0).map(v => ("g", v, 1.0))
+      .toDF("grp", "v", "w")
+    val m = Robust.weightedMedian(eq, Seq("grp"), "v", "w").head()
+    assert(m.getLong(m.fieldIndex("median_cents")) == 200L)
+    intercept[Exception] {
+      Robust.weightedMedian(
+        Seq(("g", 1.0, null.asInstanceOf[java.lang.Double]))
+          .toDF("grp", "v", "w"), Seq("grp"), "v", "w").collect()
+    }
+  }
+
   test("saxWords scope pooling: identical shapes in different series " +
     "share a word (the motif contract)") {
     import graft.operators.Timeseries
