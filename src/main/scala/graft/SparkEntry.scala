@@ -6409,6 +6409,60 @@ object SparkEntry {
     "q521_weighted_median" -> ((s, d) =>
       graft.operators.Robust.weightedMedian(t(s, d, "lineitem"),
         Seq("l_returnflag"), "l_extendedprice", "l_quantity")),
+
+    // Write-audit-publish on snapshot BRANCHES: risky batches stage
+    // on an isolated writable ref (hidden from every main scan and
+    // pin), pass their quality gate there, and publish as one atomic
+    // main version; a failing batch's branch drops with zero main
+    // effect. Requires pin the invisibility, the publish, and the
+    // audit verdicts; content oracled at v1 / published / final.
+    "q522_wap_branch" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      import graft.checks._
+      val root = LakeFixtures.freshRoot("wap") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 10).repartition(3).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      val v1n = Snapshots.readLatest(s, root).count()
+      // stage the next batch on a branch
+      Snapshots.createBranch(s, root, "audit", 1L)
+      Snapshots.appendBranch(s, root, "audit",
+        ev.filter(col("day") > 10 && col("day") <= 20).repartition(2))
+      // main cannot see staged data: directory scan AND pinned read
+      require(s.read.parquet(root).count() == v1n,
+        "staged branch data leaked into the main directory scan")
+      require(Snapshots.readLatest(s, root).count() == v1n,
+        "staged branch data leaked into the main pin")
+      // audit ON THE BRANCH passes -> publish
+      val good = new CheckSuite(Seq(NotNull("event_id"),
+        RowCountBetween(1))).run(Snapshots.readBranch(s, root, "audit"))
+      require(good.forall(_.passed), s"audit must pass: $good")
+      val v2 = Snapshots.mergeBranch(s, root, "audit")
+      require(v2 == 2L, s"publish must be main v2, got $v2")
+      // a bad batch fails its audit -> branch drops, main unaffected
+      Snapshots.createBranch(s, root, "risky", 2L)
+      Snapshots.appendBranch(s, root, "risky",
+        ev.filter(col("day") > 20)
+          .withColumn("event_id",
+            when(col("day") % 2 === 1, lit(null).cast("long"))
+              .otherwise(col("event_id"))))
+      val bad = new CheckSuite(Seq(NotNull("event_id")))
+        .run(Snapshots.readBranch(s, root, "risky"))
+      require(bad.exists(!_.passed), "the poisoned batch must fail")
+      Snapshots.dropBranch(s, root, "risky")
+      require(Snapshots.branches(s, root).count() == 0L)
+      // final: main holds exactly days 1-20; v1 time travel intact
+      def stageAgg(df: DataFrame, stage: String) = df
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+        .withColumn("stage", lit(stage))
+      stageAgg(Snapshots.readVersion(s, root, 1L), "v1")
+        .unionByName(stageAgg(Snapshots.readLatest(s, root), "published"))
+        .select("stage", "day_bucket", "n", "sum_uid")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9041,6 +9095,22 @@ object SparkEntry {
         |  CAST(MAX(tot) AS BIGINT) AS total_weight_cents,
         |  CAST(MAX(nr) AS BIGINT) AS n_rows
         |FROM c WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
+
+    // q522: v1 = days 1-10, published = days 1-20 (the dropped risky
+    // batch never lands)
+    "q522_wap_branch" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT 'v1' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e WHERE day <= 10 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'published', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE day <= 20 GROUP BY 1, 2""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

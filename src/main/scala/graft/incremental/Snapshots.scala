@@ -227,6 +227,231 @@ object Snapshots {
       .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
   }
 
+  // ----------------------------------------------------------------
+  // Branches — isolated writable refs (the WAP substrate)
+  // ----------------------------------------------------------------
+
+  private def branchRoot(path: String, name: String) =
+    s"${snapRoot(path)}/branches/$name"
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9._-], got '$name'")
+
+  private def listBranchNames(spark: SparkSession,
+                              path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"${snapRoot(path)}/branches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  private def branchFork(spark: SparkSession, path: String,
+                         name: String): Long =
+    spark.read.parquet(s"${branchRoot(path, name)}/meta")
+      .select(col("fork_version")).head().getLong(0)
+
+  private def branchVersionList(spark: SparkSession, path: String,
+                                name: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(branchRoot(path, name))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted
+  }
+
+  /** Fork an isolated WRITABLE ref off a committed main version — the
+    * Iceberg branch, and the substrate of the write-audit-publish
+    * (WAP) pattern: stage risky writes on a branch, audit them there,
+    * and only [[mergeBranch]] (publish) makes them visible to main
+    * readers — who, until then, CANNOT observe the staged data even
+    * by accident, because branch data files live under a
+    * `_`-prefixed directory that every directory scan and every main
+    * pin listing skips by the hidden-file rule. Branch state is
+    * snapshot-metadata scale: a pin list per branch version plus one
+    * fork-version meta row. The fork version becomes
+    * retention-exempt while the branch lives ([[expire]]) and
+    * [[rollback]] below it raises — a branch must always resolve. */
+  def createBranch(spark: SparkSession, path: String, name: String,
+                   fromVersion: Long): Unit = {
+    requireRefName(name)
+    require(listVersions(spark, path).contains(fromVersion),
+      s"cannot branch off uncommitted version $fromVersion — versions: " +
+        listVersions(spark, path).mkString(", "))
+    require(!listBranchNames(spark, path).contains(name),
+      s"branch '$name' already exists at $path")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(java.lang.Long.valueOf(fromVersion)))
+          .asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fork_version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1).write.parquet(s"${branchRoot(path, name)}/meta")
+    writeRefSnapshot(spark, branchRoot(path, name), 1L,
+      pinnedFiles(spark, path, fromVersion))
+  }
+
+  private def writeRefSnapshot(spark: SparkSession, refRoot: String,
+                               v: Long, files: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        files.map(f => org.apache.spark.sql.Row(f)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      .coalesce(1).write.parquet(s"$refRoot/v=$v")
+  }
+
+  /** Append a batch to a branch: the files land under the hidden
+    * `_branch-<name>/` staging area (invisible to main scans and
+    * pins), and the branch's next version pins previous + new.
+    * Returns the new branch version. */
+  def appendBranch(spark: SparkSession, path: String, name: String,
+                   df: DataFrame): Long = {
+    require(listBranchNames(spark, path).contains(name),
+      s"no branch '$name' at $path — branches: " +
+        listBranchNames(spark, path).mkString(", "))
+    val vs = branchVersionList(spark, path, name)
+    val v = vs.last + 1
+    val stage = s"$path/_branch-$name/b-$v"
+    df.write.parquet(stage)
+    val prev = spark.read
+      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
+      .select(col("path")).collect().map(_.getString(0)).toSeq
+    writeRefSnapshot(spark, branchRoot(path, name), v,
+      (prev ++ listDataFilesIncludingHidden(spark, stage)).sorted)
+    v
+  }
+
+  /** Like [[listDataFiles]] but WITHOUT the hidden-segment filter
+    * below `root` — used for branch staging dirs, whose whole point
+    * is being `_`-hidden from main. */
+  private def listDataFilesIncludingHidden(spark: SparkSession,
+                                           root: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val base = f.getPath.getName
+      if (f.isFile && f.getPath.toString.endsWith(".parquet") &&
+          !base.startsWith("_") && !base.startsWith("."))
+        files += f.getPath.toString
+    }
+    files.sorted.toSeq
+  }
+
+  /** The branch head as a frame (explicit pinned files — the staging
+    * area's hidden-ness never matters to an explicit-path read). */
+  def readBranch(spark: SparkSession, path: String,
+                 name: String): DataFrame = {
+    require(listBranchNames(spark, path).contains(name),
+      s"no branch '$name' at $path — branches: " +
+        listBranchNames(spark, path).mkString(", "))
+    val vs = branchVersionList(spark, path, name)
+    val files = spark.read
+      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
+      .select(col("path")).collect().map(_.getString(0)).sorted
+    if (files.isEmpty) {
+      val schema = spark.read.option("recursiveFileLookup", "true")
+        .parquet(path).schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** The branch registry: (branch, fork_version, n_versions). */
+  def branches(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = listBranchNames(spark, path).map { n =>
+      org.apache.spark.sql.Row(n,
+        java.lang.Long.valueOf(branchFork(spark, path, n)),
+        java.lang.Long.valueOf(branchVersionList(spark, path, n).size.toLong))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("branch",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("fork_version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_versions",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** PUBLISH: fast-forward the branch into main as the next main
+    * version. Requires main's head to still be the branch's fork
+    * version (main advanced → raise; rebase is not offered — re-stage
+    * on a fresh branch instead, the append-only discipline). The
+    * branch's staged files RENAME (a metadata move, not a copy) into
+    * the visible `merge-v<N+1>/` directory so the published version,
+    * like every other, is discoverable by the plain listing-based
+    * [[commit]] afterwards; the branch refs are then dropped. A crash
+    * mid-rename leaves renamed files unreferenced (next [[vacuum]]
+    * sweeps them) and the branch intact minus some staged files — the
+    * one maintenance op here that is re-stageable rather than
+    * replayable, documented trade-off. */
+  def mergeBranch(spark: SparkSession, path: String,
+                  name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    require(listBranchNames(spark, path).contains(name),
+      s"no branch '$name' at $path")
+    val fork = branchFork(spark, path, name)
+    val mainHead = listVersions(spark, path).last
+    require(mainHead == fork,
+      s"main advanced to v$mainHead past the fork v$fork — merge would " +
+        "drop main's newer commits; re-stage on a fresh branch")
+    val vs = branchVersionList(spark, path, name)
+    val head = spark.read
+      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
+      .select(col("path")).collect().map(_.getString(0)).toSeq
+    val forkPins = pinnedFiles(spark, path, fork).toSet
+    val staged = head.filterNot(forkPins)
+    val v = mainHead + 1
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val destDir = new Path(s"$path/merge-v$v")
+    fs.mkdirs(destDir)
+    val moved = staged.map { f =>
+      val dest = new Path(destDir, new Path(f).getName)
+      require(fs.rename(new Path(f), dest),
+        s"mergeBranch: rename failed for $f")
+      dest.toString
+    }
+    writeSnapshot(spark, path, v,
+      (forkPins.toSeq ++ moved.map(m =>
+        fs.makeQualified(new Path(m)).toString)).sorted,
+      overwrite = false)
+    fs.delete(new Path(branchRoot(path, name)), true)
+    fs.delete(new Path(s"$path/_branch-$name"), true)
+    v
+  }
+
+  /** Abandon a branch: refs AND its hidden staged data are deleted
+    * (staged files are invisible to [[vacuum]] by the hidden rule, so
+    * the eager delete is what reclaims them). Main is untouched —
+    * the audit-failed half of WAP. */
+  def dropBranch(spark: SparkSession, path: String,
+                 name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(listBranchNames(spark, path).contains(name),
+      s"no branch '$name' at $path — branches: " +
+        listBranchNames(spark, path).mkString(", "))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(branchRoot(path, name)), true)
+    fs.delete(new Path(s"$path/_branch-$name"), true)
+  }
+
   /** INCREMENTAL scan: the rows that ENTERED the lake between two
     * committed versions — exactly the files `toVersion` pins that
     * `fromVersion` didn't (the Iceberg incremental-append-scan
@@ -457,6 +682,13 @@ object Snapshots {
       s"rollback($toVersion) would orphan tags " +
         pinnedAbove.map { case (n, v) => s"$n=v$v" }.mkString(", ") +
         " — dropTag first (a tag must always resolve)")
+    val forkedAbove = listBranchNames(spark, path)
+      .map(n => (n, branchFork(spark, path, n)))
+      .filter(_._2 > toVersion)
+    require(forkedAbove.isEmpty,
+      s"rollback($toVersion) would orphan branches " +
+        forkedAbove.map { case (n, v) => s"$n@v$v" }.mkString(", ") +
+        " — merge or drop them first (a branch must always resolve)")
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -476,18 +708,20 @@ object Snapshots {
 
   /** Drop all but the last `keepLast` versions from the log —
     * metadata-only (data files remain until [[vacuum]]). TAGGED
-    * versions are exempt (see [[tag]]): retention reclaims unnamed
-    * history, never a named ref's target — so
-    * `expire` + [[vacuum]] is always safe to run on a tagged lake.
-    * Returns the dropped versions. */
+    * versions and live BRANCH FORK versions are exempt (see [[tag]] /
+    * [[createBranch]]): retention reclaims unnamed history, never a
+    * ref's target — so `expire` + [[vacuum]] is always safe to run on
+    * a tagged or branched lake. Returns the dropped versions. */
   def expire(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tagged = listTags(spark, path).map(_._2).toSet
+    val forks = listBranchNames(spark, path)
+      .map(n => branchFork(spark, path, n)).toSet
     val drop = listVersions(spark, path).dropRight(keepLast)
-      .filterNot(tagged)
+      .filterNot(v => tagged(v) || forks(v))
     drop.foreach(v => fs.delete(new Path(s"${snapRoot(path)}/v=$v"), true))
     drop
   }

@@ -84,6 +84,85 @@ class Round12bOpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Branches (WAP)
+  // ---------------------------------------------------------------
+
+  test("branch: staged data is invisible to main scans and pins, " +
+    "visible on the branch, and publishes atomically as the next " +
+    "main version; plain commits compose afterwards") {
+    import graft.incremental.Snapshots
+    val root = tmp("branch") + "/lake"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.createBranch(spark, root, "wap", 1L)
+    Snapshots.appendBranch(spark, root, "wap",
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    assert(spark.read.parquet(root).count() == 2L,
+      "main directory scan must not see staged files")
+    assert(Snapshots.readLatest(spark, root).count() == 2L)
+    assert(Snapshots.readBranch(spark, root, "wap").count() == 4L)
+    // second staged batch accumulates on the branch
+    Snapshots.appendBranch(spark, root, "wap",
+      Seq((5L, "e")).toDF("id", "v"))
+    assert(Snapshots.readBranch(spark, root, "wap").count() == 5L)
+    val v2 = Snapshots.mergeBranch(spark, root, "wap")
+    assert(v2 == 2L)
+    assert(Snapshots.readLatest(spark, root).count() == 5L)
+    assert(Snapshots.branches(spark, root).count() == 0L,
+      "merge drops the branch refs")
+    // v1 time travel unchanged; plain append-then-commit still works
+    assert(Snapshots.readVersion(spark, root, 1L).count() == 2L)
+    Seq((6L, "f")).toDF("id", "v").write.mode("append").parquet(root)
+    assert(Snapshots.commit(spark, root) == 3L)
+    assert(Snapshots.readLatest(spark, root).count() == 6L,
+      "published files must survive the next listing-based commit")
+  }
+
+  test("branch: merge refuses when main advanced past the fork; " +
+    "dropBranch reclaims staged data with zero main effect") {
+    import graft.incremental.Snapshots
+    val root = tmp("branch2") + "/lake"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.createBranch(spark, root, "stale", 1L)
+    Snapshots.appendBranch(spark, root, "stale",
+      Seq((2L, "b")).toDF("id", "v"))
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2: main advanced
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, root, "stale")
+    }
+    Snapshots.dropBranch(spark, root, "stale")
+    assert(Snapshots.branches(spark, root).count() == 0L)
+    assert(Snapshots.readLatest(spark, root).count() == 2L)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$root/_branch-stale")),
+      "dropBranch must reclaim the hidden staging area eagerly")
+  }
+
+  test("branch: fork versions are expire-exempt while the branch " +
+    "lives; rollback below a fork raises") {
+    import graft.incremental.Snapshots
+    val root = tmp("branch3") + "/lake"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.createBranch(spark, root, "pin", 1L)
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v3
+    val dropped = Snapshots.expire(spark, root, keepLast = 1)
+    assert(dropped == Seq(2L), s"fork v1 must survive: $dropped")
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, root, 0L)
+    }
+    Snapshots.dropBranch(spark, root, "pin")
+    assert(Snapshots.expire(spark, root, keepLast = 1) == Seq(1L))
+  }
+
+  // ---------------------------------------------------------------
   // metadataAgg
   // ---------------------------------------------------------------
 
