@@ -6463,6 +6463,63 @@ object SparkEntry {
         .unionByName(stageAgg(Snapshots.readLatest(s, root), "published"))
         .select("stage", "day_bucket", "n", "sum_uid")
     }),
+
+    // Streaming WAP: per-batch stage->audit->publish/quarantine with
+    // crash-replay idempotence — a good batch publishes, the poisoned
+    // batch quarantines with its verdicts and NEVER touches main, a
+    // corrected batch publishes after it, and replaying every batch
+    // changes nothing (history AND content replay-stable)
+    "q523_wap_sink" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      import graft.checks._
+      import graft.streaming.Streaming
+      val base = LakeFixtures.freshRoot("wapsink")
+      val root = base + "/lake"
+      val quar = base + "/quarantine"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 10).repartition(3).write.parquet(root)
+      Snapshots.commit(s, root) // v1 base
+      val suite = new CheckSuite(Seq(NotNull("event_id"),
+        RowCountBetween(1)))
+      val good0 = ev.filter(col("day") > 10 && col("day") <= 15)
+      val poisoned = ev.filter(col("day") > 15 && col("day") <= 20)
+        .withColumn("event_id",
+          when(col("day") % 2 === 1, lit(null).cast("long"))
+            .otherwise(col("event_id")))
+      val fixed = ev.filter(col("day") > 15 && col("day") <= 20)
+      Streaming.wapBatch(good0, 0L, root, suite, quar)    // -> v2
+      Streaming.wapBatch(poisoned, 1L, root, suite, quar) // -> quarantine
+      Streaming.wapBatch(fixed, 2L, root, suite, quar)    // -> v3
+      // crash replays: all three must be no-ops
+      Streaming.wapBatch(good0, 0L, root, suite, quar)
+      Streaming.wapBatch(poisoned, 1L, root, suite, quar)
+      Streaming.wapBatch(fixed, 2L, root, suite, quar)
+      val vs = Snapshots.versions(s, root).select("version")
+        .collect().map(_.getLong(0)).toSet
+      require(vs == Set(1L, 2L, 3L),
+        s"replay must not mint versions: $vs")
+      require(Snapshots.branches(s, root).count() == 0L,
+        "no branch may survive a resolved batch")
+      val verdicts = s.read.parquet(s"$quar/batch-1/verdicts")
+      require(verdicts.filter(!col("passed")).count() > 0,
+        "the poisoned batch's failing verdict must be quarantined")
+      val qrows = s.read.parquet(s"$quar/batch-1/rows")
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid")).head()
+      def stageAgg(df: DataFrame, stage: String) = df
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+        .withColumn("stage", lit(stage))
+      import s.implicits._
+      stageAgg(Snapshots.readLatest(s, root), "published")
+        .unionByName(Seq(("quarantined", -1L, qrows.getLong(0),
+          qrows.getLong(1)))
+          .toDF("stage", "day_bucket", "n", "sum_uid"))
+        .select("stage", "day_bucket", "n", "sum_uid")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9111,6 +9168,22 @@ object SparkEntry {
         |SELECT 'published', CAST(FLOOR(day / 10.0) AS BIGINT),
         |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
         |FROM e WHERE day <= 20 GROUP BY 1, 2""".stripMargin,
+
+    // q523: published = days 1-20 (good path), quarantined = the
+    // poisoned batch's rows (16-20) with its unchanged uid sum
+    "q523_wap_sink" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT 'published' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e WHERE day <= 20 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'quarantined', -1, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE day > 15 AND day <= 20""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->

@@ -1374,6 +1374,91 @@ object Streaming {
         Seq(groupCol), k),
       Seq(groupCol), k)
 
+  /** Streaming WRITE-AUDIT-PUBLISH: every micro-batch stages on its
+    * own snapshot branch ([[graft.incremental.Snapshots.createBranch]]
+    * — hidden from all main readers), runs the quality suite THERE,
+    * and only a passing batch publishes (fast-forward merge as the
+    * next main version); a failing batch lands in
+    * `<quarantine>/batch-<id>` with its verdicts and main never sees
+    * a row of it. This closes the loop between the engine's two
+    * arcs — the reference's validation gate (SURVEY Q-family) and
+    * the snapshot lake: bad data is not merely FLAGGED after landing
+    * (the monitor-sink posture), it is structurally unable to land.
+    *
+    * Replay contract: branch names are batch-id-keyed; a
+    * crash-replayed batch drops its own half-staged branch and
+    * re-stages, a batch replayed AFTER its publish is skipped by the
+    * quarantine/publish markers — content and history both
+    * replay-stable (the upsertSink discipline on the WAP shape).
+    * Per-batch cost: one staged write + the suite's single fused
+    * aggregate + (pass) a rename-scale merge. */
+  def wapSink(df: DataFrame, path: String,
+              suite: graft.checks.CheckSuite, quarantine: String,
+              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        wapBatch(batch, batchId, path, suite, quarantine)
+      }
+      .start()
+
+  /** The [[wapSink]] batch body — exposed for batch-path tests and
+    * replay fixtures (the engine convention: every sink's semantics
+    * live in a deterministic batch function). */
+  def wapBatch(batch: DataFrame, batchId: Long, path: String,
+               suite: graft.checks.CheckSuite, quarantine: String): Unit = {
+    import graft.incremental.Snapshots
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = s"wap-b$batchId"
+    val doneMarker = new Path(s"$quarantine/published-b$batchId")
+    val quarDir = new Path(s"$quarantine/batch-$batchId")
+    // replay after the batch resolved either way: nothing to do
+    if (fs.exists(doneMarker) || fs.exists(quarDir)) return
+    // replay of a crashed half-staged attempt: re-stage from scratch
+    if (Snapshots.branches(spark, path).filter(col("branch") === name)
+        .count() > 0)
+      Snapshots.dropBranch(spark, path, name)
+    val vframe = Snapshots.versions(spark, path)
+    require(vframe.count() > 0,
+      s"wapSink needs a committed base version at $path — commit the " +
+        "(possibly empty) lake before starting the stream")
+    val head = vframe.agg(max(col("version"))).head().getLong(0)
+    Snapshots.createBranch(spark, path, name, head)
+    Snapshots.appendBranch(spark, path, name, batch)
+    val results = suite.run(Snapshots.readBranch(spark, path, name))
+    if (results.forall(_.passed)) {
+      Snapshots.mergeBranch(spark, path, name)
+      fs.create(doneMarker, true).close()
+    } else {
+      // quarantine the batch + its verdicts, main untouched
+      batch.write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarDir/rows")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+          results.map(r => org.apache.spark.sql.Row(
+            r.constraint, r.column.orNull, r.passed,
+            r.unexpectedPercent)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("constraint",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("column",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("passed",
+              org.apache.spark.sql.types.BooleanType, nullable = false),
+            org.apache.spark.sql.types.StructField("unexpected_pct",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+        .coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarDir/verdicts")
+      Snapshots.dropBranch(spark, path, name)
+    }
+  }
+
   /** Streaming UPSERT into a sequenced merge-on-read lake
     * ([[graft.incremental.Deletes]]): each micro-batch becomes ONE op
     * (op = batchId + 1, so the base's add-0 stays op 0) via

@@ -162,6 +162,41 @@ class Round12bOpsSpec extends SparkSpec {
     assert(Snapshots.expire(spark, root, keepLast = 1) == Seq(1L))
   }
 
+  test("wapSink (MemoryStream): a passing batch publishes, a failing " +
+    "batch quarantines with verdicts, main never sees a bad row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.incremental.Snapshots
+    import graft.checks._
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp("wapstream")
+    val root = s"$base/lake"
+    val quar = s"$base/quar"
+    Seq((1L, "seed")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // base v1
+    val in = MemoryStream[(java.lang.Long, String)]
+    val suite = new CheckSuite(Seq(NotNull("id")))
+    val q = Streaming.wapSink(in.toDF().toDF("id", "v"), root, suite,
+      quar, s"$base/ckpt")
+    try {
+      in.addData((2L: java.lang.Long, "good"))
+      q.processAllAvailable()
+      in.addData((null.asInstanceOf[java.lang.Long], "bad"))
+      q.processAllAvailable()
+      in.addData((3L: java.lang.Long, "good2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val main = Snapshots.readLatest(spark, root)
+      .collect().map(_.getString(1)).toSet
+    assert(main == Set("seed", "good", "good2"),
+      s"main must hold only audited rows: $main")
+    assert(Snapshots.versions(spark, root).count() == 3L) // v1+2 merges
+    val verd = spark.read.parquet(s"$quar/batch-1/verdicts")
+    assert(verd.filter(!col("passed")).count() == 1L)
+    assert(spark.read.parquet(s"$quar/batch-1/rows").count() == 1L)
+    assert(Snapshots.branches(spark, root).count() == 0L)
+  }
+
   // ---------------------------------------------------------------
   // metadataAgg
   // ---------------------------------------------------------------
