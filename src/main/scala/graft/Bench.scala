@@ -58,6 +58,11 @@ object Bench {
       .foreach(tbl =>
         try graft.sources.Tables.read(spark, sfDir, tbl).count()
         catch { case _: Throwable => () })
+    // Memoized lake fixtures model PRE-EXISTING layouts — build them
+    // untimed so a rep-starved window can't fold a one-time 20-40 s
+    // layout build into some query's n=1 "median" (LakeFixtures
+    // scaladoc; the r12 q413 artifact).
+    LakeFixtures.warmAll(spark, sfDir)
     // dev convenience, mirroring Verify's SPARK_GRAFT_ONLY: probe a
     // subset when chasing one query's timing (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -268,4 +268,25 @@ object LakeFixtures {
     * exit-time cleanup — for per-call MUTABLE targets (q377's pipeline
     * lake, manifest-evolution scratch). */
   def freshRoot(tag: String): String = tempRoot(tag).toString
+
+  /** Build every memoized (immutable, once-per-JVM) fixture — the
+    * bench warm-up hook: the fixtures model PRE-EXISTING lake layouts
+    * (the queries measure the reads and maintenance over them, never
+    * the one-time layout build), so Bench invokes this OUTSIDE the
+    * timed region. Without it, whichever query first touches a
+    * fixture in a rep-starved window records the 20-40 s build as its
+    * "median" (the r12 q413 n=1 artifact: 0.74 s quiet vs 43 s with
+    * the Hilbert lake build folded in). Idempotent via [[once]]. */
+  def warmAll(s: SparkSession, d: String): Unit = {
+    def quiet(b: => String): Unit =
+      try { b; () } catch { case _: Throwable => () }
+    quiet(morton3dLineitem(s, d)); quiet(hilbert3dLineitem(s, d))
+    quiet(raw16Lineitem(s, d)); quiet(clustered2dLineitem(s, d))
+    quiet(flagPartitionedLineitem(s, d)); quiet(ordersDateSorted(s, d))
+    quiet(ordersDateTyped(s, d)); quiet(orderkeySorted16(s, d))
+    quiet(zorder64(s, d)); quiet(hilbert64(s, d))
+    quiet(shipMonthSorted16(s, d)); quiet(priceSorted16(s, d))
+    quiet(ordersNullBanded(s, d)); quiet(centeredSorted16(s, d))
+    quiet(orders64Small(s, d)); quiet(ivfPqEmbeddings(s, d))
+  }
 }
