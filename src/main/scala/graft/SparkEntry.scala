@@ -6520,6 +6520,24 @@ object SparkEntry {
           .toDF("stage", "day_bucket", "n", "sum_uid"))
         .select("stage", "day_bucket", "n", "sum_uid")
     }),
+
+    // The PAA->DTW long-series composition at real length: 720-slot
+    // hourly series per type reduce to 30 exact segment sums, then
+    // banded DTW over the reduced width — the documented scale path
+    // (points never reach the pair DP), oracled end-to-end
+    "q524_paa_dtw" -> ((s, d) => {
+      import graft.operators.Timeseries
+      val hourly = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts")))
+            .cast("long").as("hx"))
+        .agg(count(lit(1)).as("y"))
+      val red = Timeseries.paa(hourly, "event_type", "hx", "y",
+          nSeg = 30)
+        .select(col("event_type"), col("seg"),
+          (col("sum_cents") / 100.0).as("v")) // dollars; dtw re-cents
+      Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9184,6 +9202,53 @@ object SparkEntry {
         |SELECT 'quarantined', -1, CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(user_id) AS BIGINT)
         |FROM e WHERE day > 15 AND day <= 20""".stripMargin,
+
+    // q524: hourly counts -> positional 30-segment sums -> the q512
+    // DP wavefront at band 3 over the reduced arrays
+    "q524_paa_dtw" ->
+      """WITH RECURSIVE h AS (SELECT event_type,
+        |    CAST((EXTRACT(DAY FROM ts) - 1) * 24
+        |      + EXTRACT(HOUR FROM ts) AS BIGINT) AS hx,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, hx, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hx ASC) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM h),
+        |segs AS (SELECT event_type, (rn - 1) * 30 // n AS seg,
+        |    CAST(SUM(v) AS BIGINT) AS sv FROM r GROUP BY 1, 2),
+        |ser AS (SELECT event_type AS key, list(sv ORDER BY seg) AS arr,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM segs GROUP BY 1),
+        |pairs AS (SELECT a.key AS key_a, b.key AS key_b, a.arr AS aa,
+        |    b.arr AS bb, a.n AS na, b.n AS nb
+        |  FROM ser a, ser b WHERE a.key < b.key),
+        |dp AS (
+        |  SELECT key_a, key_b, na, nb, aa, bb, 0 AS t,
+        |    [CAST(0 AS BIGINT)] AS vals FROM pairs
+        |  UNION ALL
+        |  SELECT key_a, key_b, na, nb, aa, bb, t + 1,
+        |    list_append(vals, CAST(CASE
+        |      WHEN (t + 1) // (nb + 1) = 0 OR (t + 1) % (nb + 1) = 0
+        |        THEN 1000000000000000
+        |      WHEN abs((t + 1) // (nb + 1) - (t + 1) % (nb + 1)) > 3
+        |        THEN 1000000000000000
+        |      ELSE least(
+        |        abs(aa[CAST((t + 1) // (nb + 1) AS INT)]
+        |            - bb[CAST((t + 1) % (nb + 1) AS INT)])
+        |          + least(
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) + 1 AS INT)],
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) AS INT)],
+        |            vals[CAST(t + 1 AS INT)]),
+        |        1000000000000000) END AS BIGINT))
+        |  FROM dp WHERE t < (na + 1) * (nb + 1) - 1)
+        |SELECT key_a, key_b, na AS n_a, nb AS n_b,
+        |  CAST(vals[CAST((na + 1) * (nb + 1) AS INT)] AS BIGINT)
+        |    AS dtw_cents
+        |FROM dp WHERE t = (na + 1) * (nb + 1) - 1""".stripMargin,
 
     // q494: v1 = first 10 days, v3 = compacted first 20, v4 = all
     "q494_maintained_ingest" ->
