@@ -6538,6 +6538,57 @@ object SparkEntry {
           (col("sum_cents") / 100.0).as("v")) // dollars; dtw re-cents
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
+
+    // Concurrent-writer WAP conflict (round-13): two writers stage
+    // branches off the SAME main head; the first publish wins, the
+    // second merge must RAISE (optimistic concurrency — the Iceberg
+    // commit-conflict semantics: merging would silently drop the
+    // winner's commit), and the loser re-stages off the new head.
+    // History is provably single: each version's content is pinned
+    // and aggregated in the output
+    "q525_wap_conflict" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("wapconflict") + "/lake"
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+      ev.filter(col("day") <= 10).repartition(3).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      Snapshots.createBranch(s, root, "w1", 1L)
+      Snapshots.createBranch(s, root, "w2", 1L)
+      Snapshots.appendBranch(s, root, "w1",
+        ev.filter(col("day") > 10 && col("day") <= 20).repartition(2))
+      Snapshots.appendBranch(s, root, "w2",
+        ev.filter(col("day") > 20).repartition(2))
+      val v2 = Snapshots.mergeBranch(s, root, "w1")
+      require(v2 == 2L, s"first publish must win as v2, got $v2")
+      val refused =
+        try { Snapshots.mergeBranch(s, root, "w2"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("main advanced") }
+      require(refused,
+        "the conflicting merge must raise the main-advanced conflict")
+      // the loser's rows never reached main
+      require(Snapshots.readLatest(s, root)
+          .filter(col("day") > 20).count() == 0L,
+        "conflicted branch data leaked into main")
+      // sanctioned recovery: drop, re-stage off the new head, publish
+      Snapshots.dropBranch(s, root, "w2")
+      Snapshots.createBranch(s, root, "w2b", 2L)
+      Snapshots.appendBranch(s, root, "w2b",
+        ev.filter(col("day") > 20).repartition(2))
+      require(Snapshots.mergeBranch(s, root, "w2b") == 3L)
+      require(Snapshots.branches(s, root).count() == 0L)
+      def stageAgg(v: Long, stage: String) =
+        Snapshots.readVersion(s, root, v)
+          .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("long").as("sum_uid"))
+          .withColumn("stage", lit(stage))
+      stageAgg(1L, "v1").unionByName(stageAgg(2L, "v2"))
+        .unionByName(stageAgg(3L, "v3"))
+        .select("stage", "day_bucket", "n", "sum_uid")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -8676,7 +8727,7 @@ object SparkEntry {
     // estimator on the same IEEE chain as the engine
     "q506_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT event_type, h, row_number() OVER (
@@ -8686,7 +8737,7 @@ object SparkEntry {
         |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
         |    AS theta_h,
         |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
-        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 4294967296.0) END
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0) END
         |    AS distinct_est
         |FROM sk GROUP BY 1""".stripMargin,
 
@@ -8695,11 +8746,11 @@ object SparkEntry {
     // exact user-id set arithmetic beside them
     "q507_theta_setops" ->
       """WITH ua AS (SELECT DISTINCT
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM events WHERE ts IS NOT NULL AND event_type = 'click'),
         |ub AS (SELECT DISTINCT
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
         |ska AS (SELECT h FROM ua ORDER BY h ASC LIMIT 64),
@@ -8726,12 +8777,12 @@ object SparkEntry {
         |  st.n_union_sketch, it.n_inter_theta,
         |  CASE WHEN st.n_union_sketch < 64
         |       THEN CAST(st.n_union_sketch AS DOUBLE)
-        |       ELSE 63.0 / (CAST(st.uh AS DOUBLE) / 4294967296.0) END
+        |       ELSE 63.0 / (CAST(st.uh AS DOUBLE) / 1152921504606846976.0) END
         |    AS union_est,
         |  CASE WHEN st.n_union_sketch < 64
         |       THEN CAST(it.n_inter_theta AS DOUBLE)
         |       ELSE CAST(it.n_inter_theta AS DOUBLE)
-        |         / (CAST(st.uh AS DOUBLE) / 4294967296.0) END
+        |         / (CAST(st.uh AS DOUBLE) / 1152921504606846976.0) END
         |    AS inter_est,
         |  ex.exact_union, ex.exact_inter
         |  FROM st, it, ex)
@@ -8799,7 +8850,7 @@ object SparkEntry {
     // theta, the same estimator chain as the engine
     "q510_kmv_overlap_matrix" ->
       """WITH hh AS (SELECT DISTINCT event_type AS g,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM events WHERE ts IS NOT NULL),
         |sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER (
@@ -8838,20 +8889,20 @@ object SparkEntry {
         |est AS (SELECT g_a, g_b, n_union_sketch, n_inter_theta,
         |    CASE WHEN n_union_sketch < 64
         |         THEN CAST(n_union_sketch AS DOUBLE)
-        |         ELSE 63.0 / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |         ELSE 63.0 / (CAST(uh AS DOUBLE) / 1152921504606846976.0) END
         |      AS union_est,
         |    CASE WHEN n_union_sketch < 64
         |         THEN CAST(n_inter_theta AS DOUBLE)
         |         ELSE CAST(n_inter_theta AS DOUBLE)
-        |           / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |           / (CAST(uh AS DOUBLE) / 1152921504606846976.0) END
         |      AS inter_est,
         |    CASE WHEN n_union_sketch < 64 THEN CAST(nab AS DOUBLE)
         |         ELSE CAST(nab AS DOUBLE)
-        |           / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |           / (CAST(uh AS DOUBLE) / 1152921504606846976.0) END
         |      AS anotb_est,
         |    CASE WHEN n_union_sketch < 64 THEN CAST(nba AS DOUBLE)
         |         ELSE CAST(nba AS DOUBLE)
-        |           / (CAST(uh AS DOUBLE) / 4294967296.0) END
+        |           / (CAST(uh AS DOUBLE) / 1152921504606846976.0) END
         |      AS bnota_est
         |  FROM cnts)
         |SELECT g_a, g_b, n_union_sketch, n_inter_theta, union_est,
@@ -8863,7 +8914,7 @@ object SparkEntry {
     // so the oracle is q506's estimator verbatim
     "q511_kmv_sink" ->
       """WITH h AS (SELECT DISTINCT event_type,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT event_type, h, row_number() OVER (
@@ -8873,7 +8924,7 @@ object SparkEntry {
         |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
         |    AS theta_h,
         |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
-        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 4294967296.0) END
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0) END
         |    AS distinct_est
         |FROM sk GROUP BY 1""".stripMargin,
 
@@ -9202,6 +9253,26 @@ object SparkEntry {
         |SELECT 'quarantined', -1, CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(user_id) AS BIGINT)
         |FROM e WHERE day > 15 AND day <= 20""".stripMargin,
+
+    // q525: v1 = days 1-10, v2 = days 1-20 (winner's publish),
+    // v3 = all days (loser re-staged off the new head)
+    "q525_wap_conflict" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT 'v1' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e WHERE day <= 10 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v2', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE day <= 20 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v3', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // q524: hourly counts -> positional 30-segment sums -> the q512
     // DP wavefront at band 3 over the reduced arrays

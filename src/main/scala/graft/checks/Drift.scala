@@ -196,14 +196,19 @@ object Drift {
         "chi2_contribution")
   }
 
-  /** Population-stability-index report: per-category
-    * `(p_cur - p_ref) * ln(p_cur / p_ref)` with epsilon-floored shares
-    * (the industry PSI convention; eps keeps new/vanished categories
-    * finite). Uses `ln` — libm, last-ulp divergent across engines — so
-    * this report is for USERS and tolerance-based specs, never for the
-    * oracle hash gate (NOTES.md cheat-sheet: no libm in oracle-compared
-    * scores). Rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate,
-    * > 0.25 drifted. */
+  /** Exact BIGINT emission for a decimal(38,0) product (round-13
+    * ADVICE): the non-ANSI `decimal -> long` cast NULLs silently on
+    * overflow, and a NULL part propagates through downstream sqrt /
+    * ordered-fold chains as a silently-nulled score. Category counts
+    * above ~3e9 push the cross products past Long.MaxValue -- raise
+    * loudly there instead (the engine convention), values below are
+    * emitted unchanged. */
+  private[graft] def longExact(c: Column, what: String): Column =
+    when(abs(c) > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(lit(s"$what exceeds BIGINT -- category counts past " +
+        "the ~3e9 exactness bound; pre-scale or bucket the counts")))
+      .otherwise(c.cast("long"))
+
   /** PSI in PARTS-EMISSION form — the oracle-hashable sibling of
     * [[psiReport]] (whose in-engine `ln` is libm, banned from
     * hash-compared output): every column is an EXACT integer, and the
@@ -218,21 +223,21 @@ object Drift {
     * before the log, exactly where [[psiReport]] applies `eps`.
     * Products ride decimal(38,0) internally and emit as BIGINT —
     * exact while each side's total stays under ~3e9 rows (the
-    * [[totalVariationFromCounts]] documented bound; beyond it the
-    * cast NULLs loudly rather than wrapping). */
+    * [[totalVariationFromCounts]] documented bound; beyond it
+    * [[longExact]] raises rather than silently NULLing). */
   def psiParts(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
     val d38 = "decimal(38,0)"
     aligned(ref, cur, cat)
-      .withColumn("delta_num",
+      .withColumn("delta_num", longExact(
         (col("cur_cnt").cast(d38) * col("ref_total")
           - col("ref_cnt").cast(d38) * col("cur_total"))
-          .cast(d38).cast("long"))
-      .withColumn("log_num",
-        (col("cur_cnt").cast(d38) * col("ref_total")).cast(d38)
-          .cast("long"))
-      .withColumn("log_den",
-        (col("ref_cnt").cast(d38) * col("cur_total")).cast(d38)
-          .cast("long"))
+          .cast(d38), "psiParts: delta_num"))
+      .withColumn("log_num", longExact(
+        (col("cur_cnt").cast(d38) * col("ref_total")).cast(d38),
+        "psiParts: log_num"))
+      .withColumn("log_den", longExact(
+        (col("ref_cnt").cast(d38) * col("cur_total")).cast(d38),
+        "psiParts: log_den"))
       .select(col("category"), col("ref_cnt"), col("cur_cnt"),
         col("ref_total").cast("long").as("ref_total"),
         col("cur_total").cast("long").as("cur_total"),
@@ -263,11 +268,12 @@ object Drift {
   def hellingerParts(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
     val d38 = "decimal(38,0)"
     val parts = aligned(ref, cur, cat)
-      .withColumn("bc_num",
-        (col("ref_cnt").cast(d38) * col("cur_cnt")).cast(d38).cast("long"))
-      .withColumn("bc_den",
-        (col("ref_total").cast(d38) * col("cur_total")).cast(d38)
-          .cast("long"))
+      .withColumn("bc_num", longExact(
+        (col("ref_cnt").cast(d38) * col("cur_cnt")).cast(d38),
+        "hellingerParts: bc_num"))
+      .withColumn("bc_den", longExact(
+        (col("ref_total").cast(d38) * col("cur_total")).cast(d38),
+        "hellingerParts: bc_den"))
       .withColumn("__term",
         sqrt(col("bc_num").cast("double") / col("bc_den").cast("double")))
     val bc = parts.agg(
@@ -318,13 +324,23 @@ object Drift {
     cells.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
       .crossJoin(broadcast(tot))
       .withColumn("mi_log_num",
-        (col("n").cast(d38) * col("n_xy")).cast(d38).cast("long"))
+        longExact((col("n").cast(d38) * col("n_xy")).cast(d38),
+          "theilsUParts: mi_log_num"))
       .withColumn("mi_log_den",
-        (col("n_x").cast(d38) * col("n_y")).cast(d38).cast("long"))
+        longExact((col("n_x").cast(d38) * col("n_y")).cast(d38),
+          "theilsUParts: mi_log_den"))
       .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
         col("n"), col("mi_log_num"), col("mi_log_den"))
   }
 
+  /** Population-stability-index report: per-category
+    * `(p_cur - p_ref) * ln(p_cur / p_ref)` with epsilon-floored shares
+    * (the industry PSI convention; eps keeps new/vanished categories
+    * finite). Uses `ln` — libm, last-ulp divergent across engines — so
+    * this report is for USERS and tolerance-based specs, never for the
+    * oracle hash gate (NOTES.md cheat-sheet: no libm in oracle-compared
+    * scores). Rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate,
+    * > 0.25 drifted. */
   def psiReport(ref: DataFrame, cur: DataFrame, cat: Column,
       eps: Double = 1e-6): DataFrame = {
     val refShare = greatest(

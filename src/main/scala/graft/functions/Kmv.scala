@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   * of the hash space is what makes INTERSECTION (and so Jaccard /
   * overlap) estimable, which no HLL can do directly.
   *
-  * Determinism (the house sketch contract): the hash is the engine's
-  * pinned md5 fraction ([[graft.llmdata.Sampling.hashFraction]]'s
-  * integer numerator — first 8 md5 hex chars as a BIGINT in
-  * [0, 2³²)), so sketches, estimates, and set operations are
+  * Determinism (the house sketch contract): the hash is a pinned md5
+  * fraction in the [[graft.llmdata.Sampling.hashFraction]] family but
+  * WIDENED to 60 bits — first 15 md5 hex chars as a BIGINT in
+  * [0, 2⁶⁰) — so sketches, estimates, and set operations are
   * bit-identical across runs, engines, and cluster sizes, and every
-  * DuckDB oracle replays them exactly. No `rand()`, ever.
+  * DuckDB oracle replays them exactly. No `rand()`, ever. 60 bits,
+  * not 32 (round-13 ADVICE): a distinct sketch counts distinct
+  * HASHES, so at the 10⁹-ids-per-group scale this file advertises a
+  * 32-bit domain loses ~5-6% to birthday collisions and saturates
+  * near 2³²; DataSketches theta sketches use 64-bit hashes for the
+  * same reason. 60 (not 64) keeps the value exactly representable as
+  * a non-negative signed BIGINT in both engines' hex-parse paths.
   *
   * Mergeability: a KMV sketch is the bottom-k of DISTINCT hash
   * values, and bottom-k of a union is the bottom-k of the parts'
@@ -27,7 +33,7 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.AggMerge.mergeDistinct]] regime. Estimator:
   * with fewer than k distinct hashes the sketch IS the distinct set
   * (exact regime — the [[MisraGries]] exactness-mirror convention);
-  * at capacity, `(k−1)/θ` with θ = h₍ₖ₎/2³² (unbiased, relative
+  * at capacity, `(k−1)/θ` with θ = h₍ₖ₎/2⁶⁰ (unbiased, relative
   * error ≈ 1/√(k−2)).
   *
   * Scale shape: [[sketch]] is one distinct (hash-partitioned) plus
@@ -39,12 +45,16 @@ import org.apache.spark.sql.functions._
   */
 object Kmv {
 
-  /** The pinned 32-bit portable hash: first 8 md5 hex chars of the
-    * key's string form, as a BIGINT in [0, 2³²). */
-  def hash32(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+  /** The hash domain: 2⁶⁰ as an IEEE double (exactly representable —
+    * a power of two). */
+  val hashDomain: Double = 1152921504606846976.0d
 
-  /** Per-group KMV sketch: the ≤k smallest DISTINCT `hash32` values
+  /** The pinned 60-bit portable hash: first 15 md5 hex chars of the
+    * key's string form, as a BIGINT in [0, 2⁶⁰). */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group KMV sketch: the ≤k smallest DISTINCT `hash60` values
     * of `idCol`, as (groupCols…, h) rows. One distinct + one
     * bounded-heap top-k; output is ≤k rows per group. */
   def sketch(df: DataFrame, groupCols: Seq[String], idCol: String,
@@ -52,7 +62,7 @@ object Kmv {
     require(k >= 2, s"k must be >= 2 (the estimator needs k-1), got $k")
     require(groupCols.nonEmpty, "groupCols required")
     val hashed = df.select(
-      groupCols.map(col) :+ hash32(col(idCol)).as("h"): _*).distinct()
+      groupCols.map(col) :+ hash60(col(idCol)).as("h"): _*).distinct()
     graft.operators.TopK.perKey(hashed, groupCols, Seq(("h", true)), k)
   }
 
@@ -70,7 +80,7 @@ object Kmv {
     * `(group…, sketch_n, theta_h, distinct_est)`. Below capacity the
     * sketch saw every distinct hash — the estimate is the exact
     * sketch size (theta_h NULL: no threshold is in play); at
-    * capacity `(k−1)/θ`, θ = h₍ₖ₎/2³². The division chain is two
+    * capacity `(k−1)/θ`, θ = h₍ₖ₎/2⁶⁰. The division chain is two
     * IEEE ops on exact integers — deterministic, oracle-mirrored. */
   def estimate(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
@@ -81,7 +91,7 @@ object Kmv {
       .withColumn("distinct_est",
         when(col("sketch_n") < k, col("sketch_n").cast("double"))
           .otherwise(lit((k - 1).toDouble) /
-            (col("__hmax").cast("double") / lit(4294967296.0))))
+            (col("__hmax").cast("double") / lit(hashDomain))))
       .drop("__hmax")
   }
 
@@ -118,7 +128,7 @@ object Kmv {
       .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(inter))
-    val theta = col("__uhmax").cast("double") / lit(4294967296.0)
+    val theta = col("__uhmax").cast("double") / lit(hashDomain)
     val exact = col("n_union_sketch") < k
     counts
       .withColumn("union_est",
@@ -176,7 +186,7 @@ object Kmv {
         max(when(col("__rn") <= k, col("h"))).as("__uh"))
     val exact = col("n_union_sketch") < k
     val below = exact || col("h") <= col("__uh")
-    val theta = col("__uh").cast("double") / lit(4294967296.0)
+    val theta = col("__uh").cast("double") / lit(hashDomain)
     def regionEst(cnt: Column): Column =
       when(exact, cnt.cast("double"))
         .otherwise(cnt.cast("double") / theta)

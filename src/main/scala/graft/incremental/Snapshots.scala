@@ -393,18 +393,25 @@ object Snapshots {
     * version (main advanced → raise; rebase is not offered — re-stage
     * on a fresh branch instead, the append-only discipline). The
     * branch's staged files RENAME (a metadata move, not a copy) into
-    * the visible `merge-v<N+1>/` directory so the published version,
-    * like every other, is discoverable by the plain listing-based
-    * [[commit]] afterwards; the branch refs are then dropped. A crash
+    * the visible `merge-v<N+1>/` directory (or `merge-<tag>-v<N+1>/`
+    * when `mergeTag` is given — the WAP replay fence: the publishing
+    * SNAPSHOT then carries the tag in its pinned paths, so "was batch
+    * b published?" is answerable from the atomic commit record itself,
+    * never from a separate marker a crash could miss) so the published
+    * version, like every other, is discoverable by the plain
+    * listing-based [[commit]] afterwards; the branch refs are then
+    * dropped. A crash
     * mid-rename leaves renamed files unreferenced (next [[vacuum]]
     * sweeps them) and the branch intact minus some staged files — the
     * one maintenance op here that is re-stageable rather than
     * replayable, documented trade-off. */
   def mergeBranch(spark: SparkSession, path: String,
-                  name: String): Long = {
+                  name: String, mergeTag: Option[String] = None): Long = {
     import org.apache.hadoop.fs.Path
     require(listBranchNames(spark, path).contains(name),
       s"no branch '$name' at $path")
+    mergeTag.foreach(t => require(t.nonEmpty && !t.contains("/") &&
+      !t.contains("-v"), s"mergeTag must be a plain dir token, got '$t'"))
     val fork = branchFork(spark, path, name)
     val mainHead = listVersions(spark, path).last
     require(mainHead == fork,
@@ -419,7 +426,8 @@ object Snapshots {
     val v = mainHead + 1
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val destDir = new Path(s"$path/merge-v$v")
+    val destDir = new Path(
+      mergeTag.fold(s"$path/merge-v$v")(t => s"$path/merge-$t-v$v"))
     fs.mkdirs(destDir)
     val moved = staged.map { f =>
       val dest = new Path(destDir, new Path(f).getName)
@@ -434,6 +442,38 @@ object Snapshots {
     fs.delete(new Path(branchRoot(path, name)), true)
     fs.delete(new Path(s"$path/_branch-$name"), true)
     v
+  }
+
+  /** Every file path pinned by ANY retained main version — one
+    * metadata read over the whole snapshot log (file-count ×
+    * version-count rows). The WAP publish fence
+    * ([[graft.streaming.Streaming.wapBatch]]) greps this for its
+    * batch-tagged merge directory. Empty lake -> empty. */
+  def allPinnedPaths(spark: SparkSession, path: String): Seq[String] = {
+    val vs = listVersions(spark, path)
+    if (vs.isEmpty) Seq.empty
+    else spark.read
+      .parquet(vs.map(x => s"${snapRoot(path)}/v=$x"): _*)
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** The branch head's STAGED files — those its fork version does not
+    * pin (metadata-scale: two snapshot reads). What [[mergeBranch]]
+    * would move; lets a caller detect an effectively-empty branch
+    * (an empty staged batch writes zero part files) before minting a
+    * content-identical main version. */
+  def stagedFiles(spark: SparkSession, path: String,
+                  name: String): Seq[String] = {
+    require(listBranchNames(spark, path).contains(name),
+      s"no branch '$name' at $path")
+    val fork = branchFork(spark, path, name)
+    val vs = branchVersionList(spark, path, name)
+    val head = spark.read
+      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
+      .select(col("path")).collect().map(_.getString(0)).toSeq
+    val forkPins = pinnedFiles(spark, path, fork).toSet
+    head.filterNot(forkPins).sorted
   }
 
   /** Abandon a branch: refs AND its hidden staged data are deleted

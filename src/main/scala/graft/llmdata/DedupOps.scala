@@ -86,7 +86,7 @@ object DedupOps {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 4, rows: Int = 4,
                  jaccardThreshold: Double = 0.7,
-                 maxBucketSize: Int = Int.MaxValue): DataFrame =
+                 maxBucketSize: Int = 256): DataFrame =
     lshVerified(df, idCol, textCol, shingleSize, bands, rows, maxBucketSize)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
@@ -213,7 +213,7 @@ object DedupOps {
     * containments, eagerly checkpointed (see exactJaccard contract). */
   private def lshVerified(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int, bands: Int, rows: Int,
-                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                          maxBucketSize: Int = 256): DataFrame = {
     val shingleRows = shingleStream(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist the signatures too: the band self-join consumes `banded`
@@ -241,14 +241,19 @@ object DedupOps {
     // an oversized bucket is emitted only if some OTHER bucket ≤ the cap
     // also holds it — for the threshold-grade pairs the S-curve targets,
     // oversized buckets are precisely the near-identical clumps where
-    // the star already witnesses every membership. The default is OFF
-    // (Int.MaxValue): the supported composition for degenerate corpora
-    // remains exact-dedup FIRST ([[exact]]), then LSH over keepers;
-    // the cap is the belt for pipelines that skip that stage. With the
-    // cap OFF the window pass is skipped entirely — zero cost on the
-    // default path; with it ON, both window functions share one
-    // unordered frame over the join key (a single WindowExec on the
-    // exchange the join needs anyway).
+    // the star already witnesses every membership. The default is ON
+    // at 256 (round-13: the safe default — a 100 TB pipeline that
+    // skips the exact-dedup-first composition must not get a silent
+    // quadratic bucket; worst per-bucket cost is now 256² ≈ 65k
+    // pairs, and at every measured operating point on the synthetic
+    // corpus the largest bucket is far below the cap, so the pinned
+    // q34/q63/q141 pair sets are byte-unchanged). Pass Int.MaxValue
+    // to opt OUT (the pre-r13 behavior; then the supported degenerate-
+    // corpus composition is exact-dedup FIRST ([[exact]]), LSH over
+    // keepers). With the cap off the window pass is skipped entirely;
+    // with it on, both window functions share one unordered frame over
+    // the join key (a single WindowExec on the exchange the join
+    // needs anyway).
     var sizedCache: Option[DataFrame] = None
     val rawPairs =
       if (maxBucketSize == Int.MaxValue)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1610,7 +1610,7 @@ object Timeseries {
           s"dtwMatrix: band $band < |n_a - n_b| — the (n, m) corner " +
             "is unreachable; widen the band or length-align the series")))
           .otherwise(col("n_a")))
-      .withColumn("dtw_cents", expr(dtwDpSql(band)))
+      .withColumn("dtw_cents", guardDtw(expr(dtwDpSql(band))))
   }
 
   /** One (key, n, value-array) row per series — the cents-lattice
@@ -1634,6 +1634,21 @@ object Timeseries {
   }
 
   private val dtwInf = 1000000000000000L // saturating wall: INF+cost < 2^63
+
+  /** Sentinel guard on a finished DP distance (round-13 ADVICE): the
+    * band-wall `require` already guarantees the (n, m) corner is
+    * REACHABLE, so the returned distance equalling the saturating
+    * sentinel can only mean a genuine path cost hit 10¹⁵ cents and
+    * was silently clamped (possible for decimal(12,2) values near the
+    * cap over a few hundred points) — indistinguishable from a
+    * banding wall and therefore WRONG to return. Raise instead; the
+    * caller rescales or [[paa]]-reduces. */
+  private def guardDtw(dp: Column): Column =
+    when(dp === dtwInf, raise_error(lit(
+      "dtw: distance reached the saturating sentinel — the exact " +
+        "path cost clamped at 10^15 cents (input magnitude x length " +
+        "over budget); rescale the values or paa-reduce the series")))
+      .otherwise(dp)
 
   /** The banded DP as one SQL expression over (__a, __b, n_a, n_b). */
   private def dtwDpSql(band: Int): String = {
@@ -1747,13 +1762,13 @@ object Timeseries {
       .withColumn("lb_cents", expr(dtwLbSql(band)))
     val seeds = graft.operators.TopK.perKey(pairs, Seq("query_key"),
       Seq(("lb_cents", true), ("neighbor", true)), k)
-    val tau = seeds.withColumn("__dtw", expr(dtwDpSql(band)))
+    val tau = seeds.withColumn("__dtw", guardDtw(expr(dtwDpSql(band))))
       .groupBy(col("query_key"))
       .agg(max(col("__dtw")).as("__tau"))
     val survivors = pairs
       .join(Broadcasts.maybeBroadcast(tau), Seq("query_key"))
       .filter(col("lb_cents") <= col("__tau"))
-      .withColumn("dtw_cents", expr(dtwDpSql(band)))
+      .withColumn("dtw_cents", guardDtw(expr(dtwDpSql(band))))
     val top = graft.operators.TopK.perKey(survivors, Seq("query_key"),
       Seq(("dtw_cents", true), ("neighbor", true)), k)
     top.withColumn("rank",

@@ -1385,13 +1385,31 @@ object Streaming {
     * the snapshot lake: bad data is not merely FLAGGED after landing
     * (the monitor-sink posture), it is structurally unable to land.
     *
-    * Replay contract: branch names are batch-id-keyed; a
-    * crash-replayed batch drops its own half-staged branch and
-    * re-stages, a batch replayed AFTER its publish is skipped by the
-    * quarantine/publish markers — content and history both
-    * replay-stable (the upsertSink discipline on the WAP shape).
-    * Per-batch cost: one staged write + the suite's single fused
-    * aggregate + (pass) a rename-scale merge. */
+    * Replay contract (round-13 rework — both resolution records are
+    * COMMIT-ATOMIC, no freestanding marker files): branch names are
+    * batch-id-keyed; a crash-replayed batch drops its own
+    * half-staged branch and re-stages. "Published" is read off the
+    * snapshot log itself — the merge lands the batch's files under
+    * `merge-b<id>-v<N>/`, so the atomic snapshot write that creates
+    * version N IS the publish record, and a crash anywhere before it
+    * leaves a replayable (unresolved) state, never a duplicated one.
+    * "Quarantined" is the COMPLETED verdicts write (its `_SUCCESS`);
+    * the branch drops BEFORE the quarantine write, so no branch can
+    * survive behind a resolution marker (the pre-r13 hole: a crash
+    * between the rows write and the drop left an immortal branch
+    * blocking expire/rollback forever). An EMPTY staged batch whose
+    * audit passes resolves as a structural no-op (no version minted
+    * — a content-identical version would carry no batch tag for the
+    * fence to see, and replaying a no-op is itself a no-op).
+    * Fence durability bound (documented, Iceberg-shaped): the
+    * publish fence lives in the publishing snapshot's pinned paths,
+    * so [[graft.incremental.Snapshots.expire]]-ing BELOW a batch's
+    * publishing version while a checkpoint old enough to replay that
+    * batch still exists re-opens the replay window — retain
+    * snapshots at least as long as stream checkpoints, the standard
+    * lakehouse retention rule. Per-batch cost: one staged write +
+    * the suite's single fused aggregate + (pass) a rename-scale
+    * merge + one snapshot-metadata fence read. */
   def wapSink(df: DataFrame, path: String,
               suite: graft.checks.CheckSuite, quarantine: String,
               checkpoint: String)
@@ -1414,10 +1432,16 @@ object Streaming {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val name = s"wap-b$batchId"
-    val doneMarker = new Path(s"$quarantine/published-b$batchId")
     val quarDir = new Path(s"$quarantine/batch-$batchId")
-    // replay after the batch resolved either way: nothing to do
-    if (fs.exists(doneMarker) || fs.exists(quarDir)) return
+    // resolved-as-quarantined: ONLY the completed verdicts write
+    // counts (its _SUCCESS is the last thing the quarantine path
+    // creates) — a half-written quarantine dir is an unresolved
+    // crash and replays from scratch
+    if (fs.exists(new Path(s"$quarDir/verdicts/_SUCCESS"))) return
+    // resolved-as-published: the publishing SNAPSHOT pins this
+    // batch's merge-b<id>-v<N> files — the fence is the atomic
+    // commit record itself, so no crash window can separate them
+    if (publishedBatch(spark, path, batchId)) return
     // replay of a crashed half-staged attempt: re-stage from scratch
     if (Snapshots.branches(spark, path).filter(col("branch") === name)
         .count() > 0)
@@ -1431,10 +1455,22 @@ object Streaming {
     Snapshots.appendBranch(spark, path, name, batch)
     val results = suite.run(Snapshots.readBranch(spark, path, name))
     if (results.forall(_.passed)) {
-      Snapshots.mergeBranch(spark, path, name)
-      fs.create(doneMarker, true).close()
+      if (Snapshots.stagedFiles(spark, path, name).isEmpty)
+        // empty staged batch: publishing would mint a content-equal
+        // version with NO batch tag in its pins (nothing to rename),
+        // leaving the fence blind and history growing per replay —
+        // resolve as a structural no-op instead (re-running this
+        // whole path on replay changes nothing)
+        Snapshots.dropBranch(spark, path, name)
+      else
+        Snapshots.mergeBranch(spark, path, name,
+          mergeTag = Some(s"b$batchId"))
     } else {
-      // quarantine the batch + its verdicts, main untouched
+      // quarantine the batch + its verdicts, main untouched; the
+      // branch drops FIRST so no branch can outlive a resolution
+      // record (a crash below this line replays cleanly: no marker,
+      // no branch, Overwrite rewrites the half-written dirs)
+      Snapshots.dropBranch(spark, path, name)
       batch.write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$quarDir/rows")
@@ -1455,8 +1491,18 @@ object Streaming {
         .coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$quarDir/verdicts")
-      Snapshots.dropBranch(spark, path, name)
     }
+  }
+
+  /** The publish-fence read: does ANY retained main snapshot pin a
+    * file under this batch's tagged merge directory? One
+    * snapshot-metadata read (file-count × version-count rows, never
+    * data-scale). The `-v` suffix in the needle keeps b1 from
+    * matching b11. */
+  private def publishedBatch(spark: org.apache.spark.sql.SparkSession,
+                             path: String, batchId: Long): Boolean = {
+    val pins = graft.incremental.Snapshots.allPinnedPaths(spark, path)
+    pins.exists(_.contains(s"/merge-b$batchId-v"))
   }
 
   /** Streaming UPSERT into a sequenced merge-on-read lake

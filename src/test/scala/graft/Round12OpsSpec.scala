@@ -504,9 +504,21 @@ class Round12OpsSpec extends SparkSpec {
     assert(capped.forall(_.getDouble(2) == 1.0))
     assert(capped.forall(_.getLong(0) == 1L),
       "every pair must anchor at the bucket-min keeper")
-    // uncapped default: full quadratic pair set (the contract q34 pins)
+    // default cap (256): buckets below it keep the full quadratic
+    // pair set (the contract q34 pins at its measured operating point)
     val full = DedupOps.minhashLsh(docs, "doc_id", "text")
     assert(full.count() == 60L * 59 / 2)
+    // ...and a degenerate corpus LARGER than the default cap completes
+    // in O(n) star pairs with no caller opt-in (round-13: the safe
+    // default — a pipeline that skips exact-dedup-first must not get
+    // a silent quadratic bucket)
+    val big = (1 to 300).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val defaulted = DedupOps.minhashLsh(big, "doc_id", "text")
+    assert(defaulted.count() == 299L,
+      "default cap must star-collapse a 300-doc identical bucket")
+    // explicit opt-out restores the quadratic set
+    assert(DedupOps.minhashLsh(big, "doc_id", "text",
+      maxBucketSize = Int.MaxValue).count() == 300L * 299 / 2)
     // mixed corpus: the cap must not disturb sparse buckets
     val mixed = docs.union(Seq((100L, "completely different words here"),
       (101L, "completely different words here")).toDF("doc_id", "text"))

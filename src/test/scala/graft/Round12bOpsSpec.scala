@@ -283,7 +283,7 @@ class Round12bOpsSpec extends SparkSpec {
     val est = Kmv.estimate(one, Seq("grp"), k).head()
     val kth = one.agg(max(col("h"))).head().getLong(0)
     assert(est.getLong(est.fieldIndex("theta_h")) == kth)
-    val expected = (k - 1).toDouble / (kth.toDouble / 4294967296.0)
+    val expected = (k - 1).toDouble / (kth.toDouble / graft.functions.Kmv.hashDomain)
     assert(est.getDouble(est.fieldIndex("distinct_est")) == expected)
     // sanity: 300 distinct, k=16 -> relative error ~ 1/sqrt(14)
     val e = est.getDouble(est.fieldIndex("distinct_est"))
@@ -319,7 +319,7 @@ class Round12bOpsSpec extends SparkSpec {
     val theta = (ha ++ hb).toSeq.sorted.take(k).max
     val inter = (ha intersect hb).count(_ <= theta)
     assert(ops.getLong(ops.fieldIndex("n_inter_theta")) == inter.toLong)
-    val thetaF = theta.toDouble / 4294967296.0
+    val thetaF = theta.toDouble / graft.functions.Kmv.hashDomain
     assert(ops.getDouble(ops.fieldIndex("union_est")) ==
       (k - 1).toDouble / thetaF)
     assert(ops.getDouble(ops.fieldIndex("inter_est")) ==

@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13: WAP commit-atomic resolution fences (the ADVICE-medium
+  * crash windows), concurrent-writer merge conflicts, and the
+  * overflow/sentinel loudness fixes. */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"r13_$tag").toString
+
+  // ---------------------------------------------------------------
+  // WAP replay fences
+  // ---------------------------------------------------------------
+
+  test("wapBatch publish fence lives in the snapshot itself: a replay " +
+    "with NO marker files cannot re-publish (the crash-between-merge-" +
+    "and-marker window is gone)") {
+    import graft.incremental.Snapshots
+    import graft.streaming.Streaming
+    import graft.checks._
+    val base = tmp("wapfence")
+    val root = s"$base/lake"; val quar = s"$base/quar"
+    Seq((1L, "seed")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    val suite = new CheckSuite(Seq(NotNull("id")))
+    val b = Seq((2L, "good")).toDF("id", "v")
+    Streaming.wapBatch(b, 0L, root, suite, quar) // -> v2
+    // the quarantine dir holds NOTHING for a published batch — the
+    // fence must come from the snapshot pins alone
+    val fs = new org.apache.hadoop.fs.Path(quar)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(quar)) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(quar)).isEmpty,
+      "publish must leave no quarantine-side marker")
+    Streaming.wapBatch(b, 0L, root, suite, quar) // replay
+    Streaming.wapBatch(b, 0L, root, suite, quar) // replay again
+    assert(Snapshots.versions(spark, root).count() == 2L,
+      "replays must not mint versions")
+    assert(Snapshots.readLatest(spark, root).count() == 2L,
+      "replays must not duplicate rows")
+    // the publishing snapshot carries the batch tag in its pins
+    val pins = Snapshots.allPinnedPaths(spark, root)
+    assert(pins.exists(_.contains("/merge-b0-v2/")),
+      s"publish record must be in the pinned paths: $pins")
+  }
+
+  test("wapBatch publish fence: b1 does not mask b11 (tag needle " +
+    "includes the -v suffix)") {
+    import graft.incremental.Snapshots
+    import graft.streaming.Streaming
+    import graft.checks._
+    val base = tmp("wapmask")
+    val root = s"$base/lake"; val quar = s"$base/quar"
+    Seq((1L, "seed")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root)
+    val suite = new CheckSuite(Seq(NotNull("id")))
+    Streaming.wapBatch(Seq((2L, "b1")).toDF("id", "v"), 1L, root, suite,
+      quar)
+    // batch 11 must still publish though "merge-b1" is a substring
+    // of its would-be needle's neighborhood
+    Streaming.wapBatch(Seq((3L, "b11")).toDF("id", "v"), 11L, root,
+      suite, quar)
+    assert(Snapshots.readLatest(spark, root).count() == 3L)
+    assert(Snapshots.versions(spark, root).count() == 3L)
+  }
+
+  test("wapBatch quarantine crash window: a half-written quarantine " +
+    "dir (rows but no completed verdicts) is UNRESOLVED — replay " +
+    "re-quarantines and no branch survives") {
+    import graft.incremental.Snapshots
+    import graft.streaming.Streaming
+    import graft.checks._
+    val base = tmp("wapquar")
+    val root = s"$base/lake"; val quar = s"$base/quar"
+    Seq((1L, "seed")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root)
+    val suite = new CheckSuite(Seq(NotNull("id")))
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "bad"))
+      .toDF("id", "v")
+    // simulate the pre-r13 crash state: rows landed, verdicts did
+    // not, and (worse) the branch survived
+    bad.write.parquet(s"$quar/batch-7/rows")
+    Snapshots.createBranch(spark, root, "wap-b7", 1L)
+    Snapshots.appendBranch(spark, root, "wap-b7", bad)
+    Streaming.wapBatch(bad, 7L, root, suite, quar) // replay
+    assert(Snapshots.branches(spark, root).count() == 0L,
+      "no branch may survive a resolved batch")
+    val verd = spark.read.parquet(s"$quar/batch-7/verdicts")
+    assert(verd.filter(!col("passed")).count() == 1L,
+      "replay must complete the quarantine record")
+    assert(Snapshots.versions(spark, root).count() == 1L,
+      "the bad batch must never touch main")
+    // now resolved: a further replay is a no-op (still one version,
+    // verdicts unchanged)
+    Streaming.wapBatch(bad, 7L, root, suite, quar)
+    assert(Snapshots.versions(spark, root).count() == 1L)
+  }
+
+  test("wapBatch empty staged batch with a passing audit is a " +
+    "structural no-op: no version minted, replay-stable") {
+    import graft.incremental.Snapshots
+    import graft.streaming.Streaming
+    import graft.checks._
+    val base = tmp("wapempty")
+    val root = s"$base/lake"; val quar = s"$base/quar"
+    Seq((1L, "seed")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root)
+    val suite = new CheckSuite(Seq(NotNull("id"))) // passes on base
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    Streaming.wapBatch(empty, 3L, root, suite, quar)
+    // Spark may stage a schema-bearing empty part file (then the
+    // publish is tagged like any other) or nothing at all (then the
+    // batch resolves as a structural no-op) — EITHER way the replay
+    // contract is what matters: history and content are stable
+    val vAfter = Snapshots.versions(spark, root).count()
+    val nAfter = Snapshots.readLatest(spark, root).count()
+    assert(nAfter == 1L, "an empty batch must not add rows")
+    Streaming.wapBatch(empty, 3L, root, suite, quar) // replay
+    Streaming.wapBatch(empty, 3L, root, suite, quar) // replay again
+    assert(Snapshots.versions(spark, root).count() == vAfter,
+      "empty-batch replays must not mint content-identical versions")
+    assert(Snapshots.readLatest(spark, root).count() == 1L)
+    assert(Snapshots.branches(spark, root).count() == 0L)
+  }
+
+  // ---------------------------------------------------------------
+  // Concurrent-writer merge conflict
+  // ---------------------------------------------------------------
+
+  test("two branches forked at the same head: first merge wins, the " +
+    "second raises (optimistic concurrency), history stays single") {
+    import graft.incremental.Snapshots
+    val root = tmp("conflict") + "/lake"
+    Seq((1L, "base")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.createBranch(spark, root, "w1", 1L)
+    Snapshots.createBranch(spark, root, "w2", 1L)
+    Snapshots.appendBranch(spark, root, "w1",
+      Seq((2L, "from-w1")).toDF("id", "v"))
+    Snapshots.appendBranch(spark, root, "w2",
+      Seq((3L, "from-w2")).toDF("id", "v"))
+    val v2 = Snapshots.mergeBranch(spark, root, "w1")
+    assert(v2 == 2L)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, root, "w2")
+    }
+    assert(ex.getMessage.contains("main advanced"),
+      s"conflict must name the cause: ${ex.getMessage}")
+    // the loser's data never reached main; re-staging off the new
+    // head is the sanctioned path
+    assert(Snapshots.readLatest(spark, root).count() == 2L)
+    Snapshots.dropBranch(spark, root, "w2")
+    Snapshots.createBranch(spark, root, "w2b", 2L)
+    Snapshots.appendBranch(spark, root, "w2b",
+      Seq((3L, "from-w2")).toDF("id", "v"))
+    assert(Snapshots.mergeBranch(spark, root, "w2b") == 3L)
+    assert(Snapshots.readLatest(spark, root).count() == 3L)
+  }
+
+  test("stagedFiles: metadata-scale staged-set readout; empty for a " +
+    "fresh branch, the appended files after a stage") {
+    import graft.incremental.Snapshots
+    val root = tmp("staged") + "/lake"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(root)
+    Snapshots.commit(spark, root)
+    Snapshots.createBranch(spark, root, "s", 1L)
+    assert(Snapshots.stagedFiles(spark, root, "s").isEmpty)
+    Snapshots.appendBranch(spark, root, "s",
+      Seq((2L, "b")).toDF("id", "v").repartition(2))
+    val staged = Snapshots.stagedFiles(spark, root, "s")
+    assert(staged.nonEmpty && staged.forall(_.contains("/_branch-s/")))
+  }
+
+  // ---------------------------------------------------------------
+  // Loudness fixes: DTW sentinel, drift product overflow
+  // ---------------------------------------------------------------
+
+  test("dtw raises when the exact path cost reaches the saturating " +
+    "sentinel instead of returning a clamped distance") {
+    import graft.operators.Timeseries
+    // two flat series ~10^12 CENTS apart over 1100 points: every DP
+    // cell costs ~10^12, the minimal path crosses >= 1100 cells, so
+    // the true distance (>= 1.1x10^15) crosses the 10^15 sentinel
+    // and the pre-r13 code would have returned the clamp silently
+    val rows = (1L to 1100L).flatMap(i =>
+      Seq(("lo", i, 0.01), ("hi", i, 9.999999999e9)))
+      .toDF("k", "x", "v")
+    val ex = intercept[Exception] {
+      Timeseries.dtwMatrix(rows, "k", "x", "v", band = 2).collect()
+    }
+    assert(ex.getMessage != null &&
+      exMsg(ex).contains("saturating sentinel"),
+      s"expected the sentinel raise, got: ${exMsg(ex)}")
+  }
+
+  private def exMsg(e: Throwable): String = {
+    var t: Throwable = e
+    val sb = new StringBuilder
+    while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+    sb.toString
+  }
+
+  test("drift parts raise on BIGINT overflow instead of silently " +
+    "NULLing the score chain; in-range products pass unchanged") {
+    import graft.checks.Drift
+    // the guard itself (the public parts APIs only reach it past
+    // ~3e9 input rows — unpayable in a spec, so drive the expression
+    // directly): a 20-digit product raises, Long.MaxValue passes
+    val over = Seq(1).toDF("x").select(Drift.longExact(
+      lit("99999999999999999999").cast("decimal(38,0)"), "t").as("y"))
+    val ex = intercept[Exception] { over.collect() }
+    assert(exMsg(ex).contains("exceeds BIGINT"), exMsg(ex))
+    val edge = Seq(1).toDF("x").select(Drift.longExact(
+      lit(Long.MaxValue).cast("decimal(38,0)"), "t").as("y")).head()
+    assert(edge.getLong(0) == Long.MaxValue)
+    // and the normal-regime parts are byte-unchanged
+    val ok = Drift.hellingerParts(
+      Seq("a", "a", "b").toDF("c"), Seq("a", "b", "b").toDF("c"),
+      col("c")).orderBy("category").collect()
+    assert(ok.length == 2)
+    assert(ok.forall(r => !r.isNullAt(r.fieldIndex("bc_num"))))
+  }
+
+  test("KMV hash is 60-bit: values exceed 2^32 and stay below 2^60") {
+    import graft.functions.Kmv
+    val sk = Kmv.sketch((1L to 2000L).map(("g", _)).toDF("grp", "id"),
+      Seq("grp"), "id", k = 2000)
+    val hs = sk.select("h").collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0L && h < (1L << 60)))
+    // with 2000 draws from a 60-bit space, some must exceed 2^32
+    // (probability of all landing below is ~(2^-28)^2000)
+    assert(hs.exists(_ > (1L << 32)), "hash domain still looks 32-bit")
+    assert(hs.distinct.length == 2000, "2000 ids must not collide")
+  }
+}
