@@ -6527,6 +6527,28 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // Blocked exact DTW top-k (round-13, VERDICT #2): candidates via
+    // a grid-cell EQUI-JOIN with a provable cover (never the S² bound
+    // pass) — REQUIRED identical to both the all-pairs dtwTopK and
+    // the brute-force matrix on the same series (q516's convention,
+    // one rung deeper in the index ladder)
+    "q526_dtw_topk_blocked" -> ((s, d) => {
+      import graft.operators.Timeseries
+      val k = 2
+      val series = dailyCountSeries(s, d)
+      val blocked = Timeseries.dtwTopKBlocked(series, "event_type",
+        "x", "y", band = 5, k = k, nSeg = 7, cellCents = 10000L)
+      val allPairs = Timeseries.dtwTopK(series, "event_type", "x", "y",
+          band = 5, k = k)
+        .select("query_key", "neighbor", "rank", "dtw_cents")
+      val got = blocked.select("query_key", "neighbor", "rank",
+        "dtw_cents")
+      require(got.exceptAll(allPairs).isEmpty
+          && allPairs.exceptAll(got).isEmpty,
+        "blocked DTW top-k must equal the all-pairs pruned top-k")
+      got
+    }),
+
     // Concurrent-writer WAP conflict (round-13): two writers stage
     // branches off the SAME main head; the first publish wins, the
     // second merge must RAISE (optimistic concurrency — the Iceberg
@@ -9243,6 +9265,69 @@ object SparkEntry {
         |SELECT 'quarantined', -1, CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(user_id) AS BIGINT)
         |FROM e WHERE day > 15 AND day <= 20""".stripMargin,
+
+    // q526: the brute-force DP matrix + rank, dtw-only columns (the
+    // blocked variant is required-identical to the all-pairs top-k,
+    // whose oracle this is — q516 minus the bound column)
+    "q526_dtw_topk_blocked" ->
+            """WITH RECURSIVE d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) * 100 AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type AS key, list(v ORDER BY x) AS arr,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |pairs AS (SELECT a.key AS key_a, b.key AS key_b, a.arr AS aa,
+        |    b.arr AS bb, a.n AS na, b.n AS nb
+        |  FROM ser a, ser b WHERE a.key < b.key),
+        |dp AS (
+        |  SELECT key_a, key_b, na, nb, aa, bb, 0 AS t,
+        |    [CAST(0 AS BIGINT)] AS vals FROM pairs
+        |  UNION ALL
+        |  SELECT key_a, key_b, na, nb, aa, bb, t + 1,
+        |    list_append(vals, CAST(CASE
+        |      WHEN (t + 1) // (nb + 1) = 0 OR (t + 1) % (nb + 1) = 0
+        |        THEN 1000000000000000
+        |      WHEN abs((t + 1) // (nb + 1) - (t + 1) % (nb + 1)) > 5
+        |        THEN 1000000000000000
+        |      ELSE least(
+        |        abs(aa[CAST((t + 1) // (nb + 1) AS INT)]
+        |            - bb[CAST((t + 1) % (nb + 1) AS INT)])
+        |          + least(
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) + 1 AS INT)],
+        |            vals[CAST(((t + 1) // (nb + 1) - 1) * (nb + 1)
+        |              + (t + 1) % (nb + 1) AS INT)],
+        |            vals[CAST(t + 1 AS INT)]),
+        |        1000000000000000) END AS BIGINT))
+        |  FROM dp WHERE t < (na + 1) * (nb + 1) - 1),
+        |dtw AS (SELECT key_a, key_b,
+        |    CAST(vals[CAST((na + 1) * (nb + 1) AS INT)] AS BIGINT)
+        |      AS dtw_cents
+        |  FROM dp WHERE t = (na + 1) * (nb + 1) - 1),
+        |dir AS (SELECT a.key AS query_key, b.key AS neighbor,
+        |    a.arr AS qa, b.arr AS qb, a.n AS nq, b.n AS nc
+        |  FROM ser a, ser b WHERE a.key <> b.key),
+        |lb AS (SELECT query_key, neighbor,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(1, CAST(nq AS INT)), j ->
+        |        GREATEST(0,
+        |          qa[j] - list_aggregate(
+        |            qb[CAST(GREATEST(1, j - 5) AS INT)
+        |               :CAST(LEAST(nc, j + 5) AS INT)], 'max'),
+        |          list_aggregate(
+        |            qb[CAST(GREATEST(1, j - 5) AS INT)
+        |               :CAST(LEAST(nc, j + 5) AS INT)], 'min')
+        |            - qa[j]))) AS BIGINT) AS lb_cents
+        |  FROM dir),
+        |ranked AS (SELECT l.query_key, l.neighbor, l.lb_cents,
+        |    w.dtw_cents,
+        |    CAST(row_number() OVER (PARTITION BY l.query_key
+        |      ORDER BY w.dtw_cents ASC, l.neighbor ASC) AS INT) AS rank
+        |  FROM lb l JOIN dtw w
+        |    ON w.key_a = LEAST(l.query_key, l.neighbor)
+        |   AND w.key_b = GREATEST(l.query_key, l.neighbor))
+        |SELECT query_key, neighbor, rank, dtw_cents
+        |FROM ranked WHERE rank <= 2""".stripMargin,
 
     // q525: v1 = days 1-10, v2 = days 1-20 (winner's publish),
     // v3 = all days (loser re-staged off the new head)

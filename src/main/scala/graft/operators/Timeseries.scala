@@ -1778,6 +1778,176 @@ object Timeseries {
       .select("query_key", "neighbor", "rank", "lb_cents", "dtw_cents")
   }
 
+  /** BLOCKED exact DTW top-k — [[dtwTopK]] without the all-pairs
+    * bound stage (round-13, VERDICT #2): at corpus scale even the
+    * O(n·band) LB_Keogh pass over every (query, candidate) pair is
+    * S² work on a broadcast corpus. This variant generates candidates
+    * through an EQUI-JOIN on a discrete grid key with a PROVABLE
+    * cover guarantee, so the answer is still REQUIRED identical to
+    * the brute-force matrix while bound evaluations stay strictly
+    * below S² whenever the grid prunes anything. The ladder (each
+    * rung a provable superset of the true top-k):
+    *
+    *  1. τ per query: candidates sharing the query's first-segment
+    *     grid cell (plus a deterministic k+1-key fill for queries
+    *     with thin blocks) get the aligned-L1 UPPER bound
+    *     (the diagonal DP path: `Σ|qᵢ−cᵢ| ≥ DTW_band` for any band
+    *     including the diagonal); the k-th smallest UB of ANY ≥k
+    *     candidates upper-bounds the true k-th-nearest DTW — τ needs
+    *     no quality from the blocking, only size.
+    *  2. Candidate cover: for equal-width PAA segments with the
+    *     BANDED query envelope (Û_j = max U over the segment's
+    *     indices, L̂_j = min L), each segment alone lower-bounds the
+    *     distance: `DTW ≥ max(0, S_j(c) − len_j·Û_j, len_j·L̂_j −
+    *     S_j(c))` (the L1 form of Keogh's LB_PAA, per-segment). So a
+    *     candidate with DTW ≤ τ must have its first-segment sum in
+    *     `[len·L̂₁ − τ, len·Û₁ + τ]` — the query enumerates exactly
+    *     the grid cells overlapping that interval (`sequence` +
+    *     `explode`) and equi-joins candidates on `floor(S₁/cell)`.
+    *     Never a cross join; candidate volume is interval/cellCents
+    *     cells per query.
+    *  3. LB_PAA over ALL segments prunes survivors > τ (exact
+    *     BIGINT arithmetic on segment sums — no means, no floats).
+    *  4. LB_Keogh (the [[dtwWithLbKeogh]] bound) prunes the rest > τ.
+    *  5. The exact banded DP runs only on what remains; the per-query
+    *     bottom-k by (dtw, neighbor) is the true top-k because every
+    *     true member has DTW ≤ kth-best ≤ τ and therefore survived
+    *     every rung.
+    *
+    * Equal lengths required (the envelope form — [[paa]]-reduce long
+    * series first, the q524 composition). `cellCents` sets the grid
+    * pitch on the first-segment CENTS-SUM scale: correctness never
+    * depends on it, candidate volume does (small cells → more probe
+    * cells per query, large cells → fatter blocks). Output:
+    * (query_key, neighbor, rank, lb_cents, dtw_cents) — [[dtwTopK]]'s
+    * schema, pinned REQUIRED-identical to it (and so to the brute
+    * matrix) in q526. */
+  def dtwTopKBlocked(df: DataFrame, keyCol: String, xCol: String,
+                     valueCol: String, band: Int, k: Int, nSeg: Int,
+                     cellCents: Long): DataFrame =
+    dtwTopKBlockedWithCands(df, keyCol, xCol, valueCol, band, k, nSeg,
+      cellCents)._1
+
+  /** [[dtwTopKBlocked]] plus its stage-2 candidate frame — the
+    * package-private instrumentation the spec uses to prove bound
+    * evaluations stay strictly below S² (the whole point of the
+    * blocked variant). */
+  private[graft] def dtwTopKBlockedWithCands(
+      df: DataFrame, keyCol: String, xCol: String, valueCol: String,
+      band: Int, k: Int, nSeg: Int, cellCents: Long)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nSeg >= 1, s"nSeg must be >= 1, got $nSeg")
+    require(cellCents >= 1, s"cellCents must be >= 1, got $cellCents")
+    val ser = dtwSeries(df, keyCol, xCol, valueCol)
+      .select(col(keyCol).as("key"), col("n"), col("arr"))
+    // per-series segment stats: exact sums + BANDED-envelope bounds
+    // (u_bound = len_j * max(arr[lo_j−band .. hi_j+band]), the Û side)
+    val pts = ser.select(col("key"), col("n"),
+        posexplode(col("arr")).as(Seq("pos", "v")))
+      .withColumn("seg", expr(s"pos * $nSeg DIV n"))
+    val segs = pts.groupBy(col("key"), col("seg"))
+      .agg(sum(col("v")).cast("long").as("s_sum"),
+        min(col("pos")).as("lo0"), max(col("pos")).as("hi0"),
+        count(lit(1)).as("seg_len"))
+    def envSlice = {
+      val start = greatest(lit(1L), col("lo0") - band + 1L)
+      val end = least(col("n"), col("hi0") + band + 1L)
+      slice(col("arr"), start.cast("int"),
+        (end - start + 1L).cast("int"))
+    }
+    val segB = segs
+      .join(Broadcasts.maybeBroadcast(ser), Seq("key"))
+      .withColumn("u_bound", col("seg_len") * array_max(envSlice))
+      .withColumn("l_bound", col("seg_len") * array_min(envSlice))
+    def vec(c: String) = transform(
+      array_sort(collect_list(struct(col("seg"), col(c)))),
+      x => x.getField(c))
+    val segVec = segB.groupBy(col("key"))
+      .agg(vec("s_sum").as("ssums"), vec("u_bound").as("ubounds"),
+        vec("l_bound").as("lbounds"))
+    // exact long floor-division (SQL DIV truncates toward zero, so
+    // negative sums need the pmod form; doubles could disagree at a
+    // cell boundary between the probe range and the candidate key)
+    def cellOf(v: Column): Column = {
+      // (v - pmod) is exactly divisible, so truncating DIV == floor;
+      // stays in long arithmetic end to end (Spark's `/` on longs is
+      // double division — lossy past 2^53)
+      val floored = v - pmod(v, lit(cellCents))
+      call_function("div", floored, lit(cellCents)).cast("long")
+    }
+    val base = ser.join(Broadcasts.maybeBroadcast(segVec), Seq("key"))
+      .withColumn("cell0", cellOf(element_at(col("ssums"), 1)))
+    val q = base.select(col("key").as("query_key"), col("n").as("n_a"),
+      col("arr").as("__a"), col("ubounds").as("__qu"),
+      col("lbounds").as("__ql"), col("cell0"))
+    val c = base.select(col("key").as("neighbor"), col("n").as("n_b"),
+      col("arr").as("__b"), col("ssums").as("__cs"), col("cell0"))
+    val eqLen = when(col("n_a") =!= col("n_b"), raise_error(lit(
+      "dtwTopKBlocked: the envelope/aligned-UB form needs equal " +
+        "lengths — paa-reduce to a common width first")))
+      .otherwise(col("n_a"))
+    val ubExpr = expr(
+      "aggregate(zip_with(__a, __b, (x, y) -> abs(x - y)), 0L, " +
+        "(acc, d) -> acc + d)")
+    // stage 1: τ from same-cell candidates + deterministic fill
+    val sameBlock = q.join(c, Seq("cell0"))
+      .filter(col("query_key") =!= col("neighbor"))
+      .withColumn("n_a", eqLen)
+      .withColumn("ub", ubExpr)
+      .select("query_key", "neighbor", "ub")
+    val blockCnt = sameBlock.groupBy(col("query_key"))
+      .agg(count(lit(1)).as("__nb"))
+    val deficient = q
+      .join(Broadcasts.maybeBroadcast(blockCnt), Seq("query_key"), "left")
+      .filter(coalesce(col("__nb"), lit(0L)) < k)
+      .select(col("query_key"), col("n_a"), col("__a"))
+    val fillKeys = broadcast(
+      c.orderBy(col("neighbor").asc).limit(k + 1)
+        .select(col("neighbor"), col("n_b"), col("__b")))
+    val fillUb = deficient.crossJoin(fillKeys)
+      .filter(col("query_key") =!= col("neighbor"))
+      .withColumn("n_a", eqLen)
+      .withColumn("ub", ubExpr)
+      .select("query_key", "neighbor", "ub")
+    val tauSeed = graft.operators.TopK.perKey(
+      sameBlock.unionByName(fillUb).groupBy(col("query_key"),
+          col("neighbor")).agg(min(col("ub")).as("ub")),
+      Seq("query_key"), Seq(("ub", true), ("neighbor", true)), k)
+    val tau = tauSeed.groupBy(col("query_key"))
+      .agg(max(col("ub")).as("__tau"))
+    // stage 2: the provable candidate cover — probe cells overlapping
+    // [len·L̂₁ − τ, len·Û₁ + τ], equi-join on the candidates' cell
+    val probes = q.drop("cell0")
+      .join(Broadcasts.maybeBroadcast(tau), Seq("query_key"))
+      .withColumn("cell0", explode(sequence(
+        cellOf(element_at(col("__ql"), 1) - col("__tau")),
+        cellOf(element_at(col("__qu"), 1) + col("__tau")))))
+    val cands = probes.join(c, Seq("cell0"))
+      .filter(col("query_key") =!= col("neighbor"))
+      .withColumn("n_a", eqLen)
+    // stage 3: LB_PAA (all segments, exact BIGINTs)
+    val lbPaa = expr(
+      "aggregate(sequence(1, size(__cs)), 0L, (acc, j) -> acc + " +
+        "greatest(0L, element_at(__cs, j) - element_at(__qu, j), " +
+        "element_at(__ql, j) - element_at(__cs, j)))")
+    val afterPaa = cands.withColumn("__lb_paa", lbPaa)
+      .filter(col("__lb_paa") <= col("__tau"))
+    // stage 4: LB_Keogh; stage 5: exact DP on the remainder
+    val afterKeogh = afterPaa
+      .withColumn("lb_cents", expr(dtwLbSql(band)))
+      .filter(col("lb_cents") <= col("__tau"))
+      .withColumn("dtw_cents", guardDtw(expr(dtwDpSql(band))))
+    val top = graft.operators.TopK.perKey(afterKeogh, Seq("query_key"),
+      Seq(("dtw_cents", true), ("neighbor", true)), k)
+    val out = top.withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_key"))
+          .orderBy(col("dtw_cents").asc, col("neighbor").asc))
+          .cast("int"))
+      .select("query_key", "neighbor", "rank", "lb_cents", "dtw_cents")
+    (out, cands.select("query_key", "neighbor"))
+  }
+
   /** Classical additive seasonal decomposition in EXACT RATIONAL
     * PARTS — trend = centered `period`-point moving average, seasonal
     * index = per-slot mean of the detrended series, remainder = the

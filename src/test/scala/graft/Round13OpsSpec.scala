@@ -224,6 +224,68 @@ class Round13OpsSpec extends SparkSpec {
     assert(ok.forall(r => !r.isNullAt(r.fieldIndex("bc_num"))))
   }
 
+  // ---------------------------------------------------------------
+  // Blocked exact DTW top-k
+  // ---------------------------------------------------------------
+
+  test("dtwTopKBlocked equals the brute-force matrix top-k on a " +
+    "multi-regime corpus while evaluating strictly fewer than S(S-1) " +
+    "candidate pairs — including a lone-block series served by the " +
+    "tau fill") {
+    import graft.operators.Timeseries
+    import org.apache.spark.sql.expressions.Window
+    val kTop = 2
+    // 4 regimes x 6 series, 1e6-cent level gaps, tiny within-regime
+    // jitter; plus one series alone in its grid cell (block < k ->
+    // its tau must come from the deterministic fill)
+    val rows = (for {
+      r <- 0 until 4; i <- 0 until 6; x <- 1 to 16
+    } yield (f"g${r}_$i", x.toLong,
+      r * 10000.0 + ((i + x) % 3) * 0.01)) ++
+      (1 to 16).map(x => ("h_lone", x.toLong, 50000.0 + (x % 2) * 0.01))
+    val df = rows.toDF("k", "x", "v")
+    val sCount = 25L
+    val (blocked, cands) = Timeseries.dtwTopKBlockedWithCands(df, "k",
+      "x", "v", band = 2, k = kTop, nSeg = 4, cellCents = 100000L)
+    val nCands = cands.count()
+    assert(nCands < sCount * (sCount - 1),
+      s"blocked candidates must stay below S(S-1): $nCands")
+    assert(nCands < 300,
+      s"grid blocking barely pruned: $nCands pairs for 25 series")
+    // brute-force ground truth off the exact DP matrix (the q516
+    // convention: blocked superset-ladder must end REQUIRED identical)
+    val m = Timeseries.dtwMatrix(df, "k", "x", "v", band = 2)
+    val w = Window.partitionBy(col("query_key"))
+      .orderBy(col("dtw_cents").asc, col("neighbor").asc)
+    val brute = m.select(col("key_a").as("query_key"),
+        col("key_b").as("neighbor"), col("dtw_cents"))
+      .unionByName(m.select(col("key_b").as("query_key"),
+        col("key_a").as("neighbor"), col("dtw_cents")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= kTop)
+      .select("query_key", "neighbor", "rank", "dtw_cents")
+    val got = blocked.select("query_key", "neighbor", "rank",
+      "dtw_cents")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "blocked top-k diverged from the brute-force matrix")
+    // every query answered (no one lost to thin blocks)
+    assert(blocked.select("query_key").distinct().count() == sCount)
+  }
+
+  test("dtwTopKBlocked matches dtwTopK (including lb_cents) on the " +
+    "same corpus at a coarse grid where blocking admits everything") {
+    import graft.operators.Timeseries
+    val rows = (for { i <- 0 until 8; x <- 1 to 12 }
+      yield (s"s$i", x.toLong, (i * 3 + x % 5) * 1.0)).toDF("k", "x", "v")
+    val blocked = Timeseries.dtwTopKBlocked(rows, "k", "x", "v",
+      band = 3, k = 3, nSeg = 3, cellCents = 1L)
+    val allPairs = Timeseries.dtwTopK(rows, "k", "x", "v", band = 3,
+      k = 3)
+    assert(blocked.exceptAll(allPairs).isEmpty &&
+      allPairs.exceptAll(blocked).isEmpty,
+      "blocked and all-pairs variants diverged")
+  }
+
   test("KMV hash is 60-bit: values exceed 2^32 and stay below 2^60") {
     import graft.functions.Kmv
     val sk = Kmv.sketch((1L to 2000L).map(("g", _)).toDF("grp", "id"),
