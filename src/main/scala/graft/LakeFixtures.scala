@@ -388,6 +388,49 @@ object LakeFixtures {
         .write.parquet(s"$base/b2")
     }
 
+  /** q527's base indexes: the IVF-PQ and flat-IVF indexes over
+    * corpus A (vec_id %% 5 != 0) — the pre-existing fitted models an
+    * append admits new batches against. Immutable (appends go to
+    * per-call [[copyTree]] clones). */
+  def ivfPqCorpusA(s: SparkSession, d: String): String =
+    once("ivfpqA", d) { dir =>
+      graft.llmdata.Similarity.ivfPqIndexWrite(
+        graft.sources.Tables.read(s, d, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", dir, dim = 64, m = 16, kSub = 16,
+        nCells = 16, lloydIters = 2, pqIters = 2)
+    }
+
+  def ivfFlatCorpusA(s: SparkSession, d: String): String =
+    once("ivfflatA", d) { dir =>
+      graft.llmdata.Similarity.ivfIndexWrite(
+        graft.sources.Tables.read(s, d, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", dir, nCells = 16, lloydIters = 2)
+    }
+
+  /** Recursive clone of a fixture tree into a per-call dest — for
+    * index/lake bases a query MUTATES per rep (appends): the memoized
+    * base stays pristine, the clone takes the writes. Committer
+    * artifacts (`_`/`.`-prefixed FILES) are skipped; directories
+    * (hive partition dirs like `cell=3`) recurse. */
+  def copyTree(s: SparkSession, srcDir: String, destDir: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(srcDir); val dst = new Path(destDir)
+    val sfs = src.getFileSystem(conf); val dfs = dst.getFileSystem(conf)
+    if (dfs.exists(dst)) dfs.delete(dst, true)
+    dfs.mkdirs(dst)
+    sfs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) copyTree(s, st.getPath.toString,
+        new Path(dst, name).toString)
+      else if (!name.startsWith("_") && !name.startsWith("."))
+        FileUtil.copy(sfs, st.getPath, dfs, new Path(dst, name),
+          false, conf)
+    }
+  }
+
   /** Filesystem copy of a fixture batch dir into a per-call lake
     * (OVERWRITE semantics: dest is replaced; `append = true` adds
     * beside existing files — part-file uuids keep names collision-free)
@@ -440,5 +483,6 @@ object LakeFixtures {
     quiet(materializedLayers(s, d)); quiet(pipelineReplayLake(s, d))
     quiet(curationSinkLake(s, d)); quiet(ordersYearSplit(s, d))
     quiet(eventsDayBatches(s, d)); quiet(eventsDomBatches(s, d))
+    quiet(ivfPqCorpusA(s, d)); quiet(ivfFlatCorpusA(s, d))
   }
 }

@@ -6527,6 +6527,40 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // IVF-PQ incremental APPEND (round-13, VERDICT #5): a batch
+    // admits against the STORED centroids + codebook (no refit, no
+    // corpus rescan), and with an unrestricted candidate budget the
+    // appended index's search is REQUIRED identical to the flat IVF
+    // index grown through the same stored-centroid append path — the
+    // quantized and full-precision admission ladders must agree
+    // exactly (the q74 signature-lake convention); the oracle replays
+    // the fit-on-A / search-the-union computation in DuckDB
+    "q527_ivfpq_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val b = emb.filter(col("vec_id") % 5 === 0)
+      val queries = emb.filter(col("vec_id") < 16)
+      val pqRoot = LakeFixtures.freshRoot("pqappend") + "/idx"
+      LakeFixtures.copyTree(s, LakeFixtures.ivfPqCorpusA(s, d), pqRoot)
+      Similarity.ivfPqIndexAppend(s, pqRoot, b, "vec_id", "embedding")
+      val flatRoot = LakeFixtures.freshRoot("flatappend") + "/idx"
+      LakeFixtures.copyTree(s, LakeFixtures.ivfFlatCorpusA(s, d),
+        flatRoot)
+      Similarity.ivfIndexAppend(s, flatRoot, b, "vec_id", "embedding")
+      val pq = Similarity.ivfPqTopKIndexed(s, pqRoot, queries, "vec_id",
+          "embedding", k = 3, nprobe = 2, overfetch = Int.MaxValue / 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .localCheckpoint(true)
+      val flat = Similarity.ivfTopKIndexed(s, flatRoot, queries,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+      require(pq.exceptAll(flat).isEmpty && flat.exceptAll(pq).isEmpty,
+        "appended IVF-PQ (unrestricted budget) must equal the " +
+          "appended flat IVF at the same probes")
+      pq
+    }),
+
     // Blocked exact DTW top-k (round-13, VERDICT #2): candidates via
     // a grid-cell EQUI-JOIN with a provable cover (never the S² bound
     // pass) — REQUIRED identical to both the all-pairs dtwTopK and
@@ -6630,6 +6664,55 @@ object SparkEntry {
        |${assignCte("cent1", "asg1")},
        |${meanCte("asg1", "cent2")},
        |${assignCte("cent2", "assigned")},
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, emb AS qemb, cell FROM (
+       |    SELECT q.vec_id, q.emb, c.cell_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+       |    FROM (SELECT * FROM v WHERE vec_id < 16) q CROSS JOIN cent2 c) WHERE rn <= 2)
+       |SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cos("q.qemb", "c.emb")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cos("q.qemb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
+       |  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** q527 oracle: the q45/q487 flat-IVF mirror with the FIT
+    * restricted to corpus A (vec_id %% 5 != 0 — the pre-append index
+    * corpus) and the SEARCH over the union: centroids seed from A's
+    * lowest ids, both Lloyd rounds assign/mean over A only, the final
+    * assignment routes EVERY vector (A and the appended batch) through
+    * the stored cent2 — exactly what stored-centroid admission does. */
+  private lazy val ivfAppendOracleSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def assignCte(srcTbl: String, centTbl: String, outTbl: String) =
+      s"""$outTbl AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+         |    FROM $srcTbl v CROSS JOIN $centTbl c) WHERE rn = 1)""".stripMargin
+    def meanCte(assignTbl: String, outTbl: String) =
+      s"""$outTbl AS (
+         |  SELECT cell AS cell_id, list(m ORDER BY i) AS centroid FROM (
+         |    SELECT cell, i,
+         |      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(emb) AS x,
+         |            unnest(generate_series(1, len(emb))) AS i
+         |          FROM $assignTbl)
+         |    GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |va AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |cent0 AS (SELECT vec_id AS cell_id, emb AS centroid FROM va ORDER BY vec_id LIMIT 16),
+       |${assignCte("va", "cent0", "asg0")},
+       |${meanCte("asg0", "cent1")},
+       |${assignCte("va", "cent1", "asg1")},
+       |${meanCte("asg1", "cent2")},
+       |${assignCte("v", "cent2", "assigned")},
        |qprobe AS (
        |  SELECT vec_id AS query_id, emb AS qemb, cell FROM (
        |    SELECT q.vec_id, q.emb, c.cell_id AS cell,
@@ -8370,6 +8453,10 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q527: the flat mirror with fit-on-A / assign-the-union (the
+    // stored-centroid append semantics), q45's search verbatim
+    "q527_ivfpq_append" -> ivfAppendOracleSql,
 
     // q488: the same greedy trainer replayed round by round
     "q488_bpe_train" -> bpeTrainOracleSql(6),

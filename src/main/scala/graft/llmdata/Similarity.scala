@@ -1021,6 +1021,65 @@ object Similarity {
     ()
   }
 
+  /** Append a batch to a materialized IVF-PQ index
+    * ([[ivfPqIndexWrite]]) WITHOUT refitting: new vectors route
+    * through the STORED centroids (and, in residual mode resolved
+    * from `path/meta`, subtract their cell's centroid), encode
+    * against the STORED codebook, append to the affected cell
+    * partitions of the code table, and land full-precision in
+    * `path/vectors` for the rerank. Per-batch cost is batch-sized —
+    * independent of the indexed corpus, the flat-IVF
+    * [[ivfIndexAppend]] contract carried to the quantized index (a
+    * 100 TB corpus admits batches against fitted models; it never
+    * re-runs the Lloyd fits per admission).
+    *
+    * EQUIVALENCE (the q74 signature-lake convention, pinned by q527):
+    * because search only ever reads models + per-vector rows, the
+    * appended index is bit-identical in behavior to a from-scratch
+    * index over the union corpus USING THE SAME MODELS — and with an
+    * unrestricted candidate budget the rerank repairs all quantization
+    * error, so post-append top-k EQUALS the flat IVF search over the
+    * union at equal probes. Same staleness contract as
+    * [[ivfIndexAppend]]: models do not move, so rebuild once appended
+    * mass or drift dominates (~30-50% rule of thumb, or a recall
+    * probe's alarm). Appends are plain parquet file-adds — atomic per
+    * file, single-writer curation loop, readers never see partial
+    * rows. */
+  def ivfPqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame, idCol: String,
+                       vecCol: String): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val byResidual = graft.sources.Tables
+      .readParquetIfExists(spark, s"$path/meta")
+      .exists(_.select(col("by_residual")).head().getBoolean(0))
+    val meta = codebook.agg(
+        (max(col("sub_id")) + 1).cast("int").as("m"),
+        max(size(col("centroid"))).cast("int").as("sub")).head()
+    val (m, sub) = (meta.getInt(0), meta.getInt(1))
+    val dim = m * sub
+    val corp = batch.select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    val assigned0 = assignCorpusCells(corp, idCol, vecCol, centroids)
+      .withColumn("vnorm", sqrt(
+        graft.functions.DotProduct.dot_product(col("__v"), col("__v"))))
+    val assigned =
+      if (!byResidual) assigned0
+      else assigned0
+        .join(broadcast(centroids
+          .select(col("cell_id").as("cell"), col("centroid"))), Seq("cell"))
+        .withColumn("__v",
+          zip_with(col("__v"), col("centroid"),
+            (a, b) => a.cast("double") - b))
+        .drop("centroid")
+    pqEncode(assigned, idCol, "__v", codebook, dim, m,
+      keep = Seq("cell", "vnorm"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    corp.write.mode("append").parquet(s"$path/vectors")
+    ()
+  }
+
   /** Search an IVF-PQ index ([[ivfPqIndexWrite]]): probe each query's
     * `nprobe` nearest cells, ADC-score ONLY those cells' m-byte codes
     * (one broadcast distance table of query·codebook contributions,

@@ -225,6 +225,55 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // IVF-PQ incremental append
+  // ---------------------------------------------------------------
+
+  test("ivfPqIndexAppend (residual mode): appended vectors route " +
+    "through the stored centroids, and the unrestricted-budget search " +
+    "equals the flat index grown through the same append path") {
+    import graft.llmdata.Similarity
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val a = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("pqappend")
+    Similarity.ivfPqIndexWrite(a, "vec_id", "embedding", s"$dir/pq",
+      dim = 64, m = 16, kSub = 16, nCells = 8, lloydIters = 2,
+      pqIters = 2, byResidual = true)
+    Similarity.ivfPqIndexAppend(spark, s"$dir/pq", b, "vec_id",
+      "embedding")
+    // appended rows sit in exactly the cells the STORED centroids
+    // route them to
+    val centroids = spark.read.parquet(s"$dir/pq/centroids")
+    val expected = Similarity.assignCorpusCells(b, "vec_id",
+        "embedding", broadcast(centroids))
+      .select(col("vec_id"), col("cell"))
+    val onDisk = spark.read.parquet(s"$dir/pq/assigned")
+      .join(b.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell").cast("long"))
+    assert(onDisk.exceptAll(expected).isEmpty &&
+      expected.exceptAll(onDisk).isEmpty,
+      "appended cell membership diverged from stored-centroid routing")
+    // full-width vectors landed for the rerank
+    assert(spark.read.parquet(s"$dir/pq/vectors").count() == emb.count())
+    // search parity with the flat append twin
+    Similarity.ivfIndexWrite(a, "vec_id", "embedding", s"$dir/flat",
+      nCells = 8, lloydIters = 2)
+    Similarity.ivfIndexAppend(spark, s"$dir/flat", b, "vec_id",
+      "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.ivfPqTopKIndexed(spark, s"$dir/pq", queries,
+        "vec_id", "embedding", k = 3, nprobe = 2,
+        overfetch = Int.MaxValue / 3)
+      .select("query_id", "neighbor_id", "rank")
+    val flat = Similarity.ivfTopKIndexed(spark, s"$dir/flat", queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+    assert(pq.exceptAll(flat).isEmpty && flat.exceptAll(pq).isEmpty,
+      "residual PQ append search diverged from the flat append twin")
+  }
+
+  // ---------------------------------------------------------------
   // Blocked exact DTW top-k
   // ---------------------------------------------------------------
 
