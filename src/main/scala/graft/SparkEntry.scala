@@ -6527,6 +6527,26 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // BPE ENCODE at corpus scale (round-13, VERDICT #6): apply the
+    // q488-trained merge list (driver-resident in the task closure —
+    // the mapPartitions path a real 32k-merge vocabulary needs) to
+    // every document, emitting the full token sequence + exact token
+    // count per doc; the oracle replays training AND encoding as the
+    // q488 recursive chain joined back onto the per-doc word stream.
+    // Token IDs are a bijection of the token strings (dense-rank over
+    // the vocab), so pinning the strings pins the ids
+    "q528_bpe_encode" -> ((s, d) => {
+      import graft.llmdata.TextAnalysis
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text",
+        nMerges = 6)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        // the oracle's word-join omits wordless docs; mirror it
+        .filter(col("n_bpe_tokens") > 0)
+        .withColumn("token_str", array_join(col("tokens"), " "))
+        .select("doc_id", "n_bpe_tokens", "token_str")
+    }),
+
     // IVF-PQ incremental APPEND (round-13, VERDICT #5): a batch
     // admits against the STORED centroids + codebook (no refit, no
     // corpus rescan), and with an unrestricted candidate budget the
@@ -8491,6 +8511,24 @@ object SparkEntry {
         |      FROM documents) ws
         |JOIN words_6 USING (w)
         |GROUP BY lang""".stripMargin)),
+
+    // q528: the q488 merge chain, finished by re-walking each doc's
+    // word stream in position order through the trained word table
+    "q528_bpe_encode" -> bpeTrainOracleSql(6, finalSelect = Some(
+      """SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens,
+        |  string_agg(array_to_string(syms, ' '), ' ' ORDER BY i)
+        |    AS token_str
+        |FROM (SELECT doc_id, w, i FROM (
+        |        SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |            AS w,
+        |          unnest(generate_series(1,
+        |            len(regexp_split_to_array(trim(lower(text)), '\s+'))))
+        |            AS i
+        |        FROM documents)
+        |      WHERE LENGTH(w) > 0) dw
+        |JOIN words_6 USING (w)
+        |GROUP BY doc_id""".stripMargin)),
 
     // q491: shared text verbatim
     "q491_sql_lateral" -> sqlLateralTopKText,
