@@ -29,6 +29,16 @@ object Snapshots {
 
   private def snapRoot(path: String) = s"$path/_graft_snapshots"
 
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Driver-side pin-list read — snapshot metadata costs ZERO Spark
+    * jobs ([[SnapshotIo]], round-13): the log is file-count-scale, and
+    * commit/branch/merge cycles were paying a full job of scheduler
+    * overhead per few-hundred-row lookup. */
+  private def readPins(spark: SparkSession, dir: String): Seq[String] =
+    SnapshotIo.readStrings(hconf(spark), dir, "path")
+
   private def listVersions(spark: SparkSession, path: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(snapRoot(path))
@@ -88,11 +98,10 @@ object Snapshots {
     val all = listDataFiles(spark, path)
     if (vs.isEmpty) all
     else {
-      val ever = spark.read
-        .parquet(vs.map(x => s"${snapRoot(path)}/v=$x"): _*)
-        .select(col("path")).collect().map(_.getString(0)).toSet
-      val latest = spark.read.parquet(s"${snapRoot(path)}/v=${vs.last}")
-        .select(col("path")).collect().map(_.getString(0)).toSet
+      val ever = vs.flatMap(x =>
+        readPins(spark, s"${snapRoot(path)}/v=$x")).toSet
+      val latest =
+        readPins(spark, s"${snapRoot(path)}/v=${vs.last}").toSet
       all.filter(f => latest.contains(f) || !ever.contains(f))
     }
   }
@@ -118,18 +127,9 @@ object Snapshots {
   }
 
   private def writeSnapshot(spark: SparkSession, path: String, v: Long,
-                            files: Seq[String], overwrite: Boolean): Unit = {
-    import scala.jdk.CollectionConverters._
-    val df = spark.createDataFrame(
-      files.map(f => org.apache.spark.sql.Row(f)).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("path",
-          org.apache.spark.sql.types.StringType, nullable = false))))
-    df.coalesce(1).write
-      .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
-            else org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(s"${snapRoot(path)}/v=$v")
-  }
+                            files: Seq[String], overwrite: Boolean): Unit =
+    SnapshotIo.writeStrings(hconf(spark), s"${snapRoot(path)}/v=$v",
+      "path", files, overwrite)
 
   private def tagRoot(path: String) = s"${snapRoot(path)}/tags"
 
@@ -142,8 +142,8 @@ object Snapshots {
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .map { n =>
-        val v = spark.read.parquet(s"${tagRoot(path)}/$n")
-          .select(col("version")).head().getLong(0)
+        val v = SnapshotIo.readLongs(hconf(spark),
+          s"${tagRoot(path)}/$n", "version").head
         (n, v)
       }.sortBy(_._1)
   }
@@ -168,15 +168,8 @@ object Snapshots {
     require(listVersions(spark, path).contains(version),
       s"cannot tag uncommitted version $version at $path — versions: " +
         listVersions(spark, path).mkString(", "))
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        Seq(org.apache.spark.sql.Row(java.lang.Long.valueOf(version))).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("version",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      .coalesce(1).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${tagRoot(path)}/$name")
+    SnapshotIo.writeLongs(hconf(spark), s"${tagRoot(path)}/$name",
+      "version", Seq(version), overwrite = true)
   }
 
   /** The tag registry: (tag, version), tag-name ascending. */
@@ -223,8 +216,7 @@ object Snapshots {
     require(listVersions(spark, path).contains(version),
       s"no snapshot v=$version at $path — versions: " +
         listVersions(spark, path).mkString(", "))
-    spark.read.parquet(s"${snapRoot(path)}/v=$version")
-      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    readPins(spark, s"${snapRoot(path)}/v=$version").sorted
   }
 
   // ----------------------------------------------------------------
@@ -251,8 +243,8 @@ object Snapshots {
 
   private def branchFork(spark: SparkSession, path: String,
                          name: String): Long =
-    spark.read.parquet(s"${branchRoot(path, name)}/meta")
-      .select(col("fork_version")).head().getLong(0)
+    SnapshotIo.readLongs(hconf(spark),
+      s"${branchRoot(path, name)}/meta", "fork_version").head
 
   private def branchVersionList(spark: SparkSession, path: String,
                                 name: String): Seq[Long] = {
@@ -287,28 +279,17 @@ object Snapshots {
         listVersions(spark, path).mkString(", "))
     require(!listBranchNames(spark, path).contains(name),
       s"branch '$name' already exists at $path")
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        Seq(org.apache.spark.sql.Row(java.lang.Long.valueOf(fromVersion)))
-          .asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("fork_version",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      .coalesce(1).write.parquet(s"${branchRoot(path, name)}/meta")
+    SnapshotIo.writeLongs(hconf(spark),
+      s"${branchRoot(path, name)}/meta", "fork_version",
+      Seq(fromVersion), overwrite = false)
     writeRefSnapshot(spark, branchRoot(path, name), 1L,
       pinnedFiles(spark, path, fromVersion))
   }
 
   private def writeRefSnapshot(spark: SparkSession, refRoot: String,
-                               v: Long, files: Seq[String]): Unit = {
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-        files.map(f => org.apache.spark.sql.Row(f)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.StringType, nullable = false))))
-      .coalesce(1).write.parquet(s"$refRoot/v=$v")
-  }
+                               v: Long, files: Seq[String]): Unit =
+    SnapshotIo.writeStrings(hconf(spark), s"$refRoot/v=$v", "path",
+      files, overwrite = false)
 
   /** Append a batch to a branch: the files land under the hidden
     * `_branch-<name>/` staging area (invisible to main scans and
@@ -323,9 +304,7 @@ object Snapshots {
     val v = vs.last + 1
     val stage = s"$path/_branch-$name/b-$v"
     df.write.parquet(stage)
-    val prev = spark.read
-      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
-      .select(col("path")).collect().map(_.getString(0)).toSeq
+    val prev = readPins(spark, s"${branchRoot(path, name)}/v=${vs.last}")
     writeRefSnapshot(spark, branchRoot(path, name), v,
       (prev ++ listDataFilesIncludingHidden(spark, stage)).sorted)
     v
@@ -359,9 +338,8 @@ object Snapshots {
       s"no branch '$name' at $path — branches: " +
         listBranchNames(spark, path).mkString(", "))
     val vs = branchVersionList(spark, path, name)
-    val files = spark.read
-      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
-      .select(col("path")).collect().map(_.getString(0)).sorted
+    val files =
+      readPins(spark, s"${branchRoot(path, name)}/v=${vs.last}").sorted
     if (files.isEmpty) {
       val schema = spark.read.option("recursiveFileLookup", "true")
         .parquet(path).schema
@@ -418,9 +396,7 @@ object Snapshots {
       s"main advanced to v$mainHead past the fork v$fork — merge would " +
         "drop main's newer commits; re-stage on a fresh branch")
     val vs = branchVersionList(spark, path, name)
-    val head = spark.read
-      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
-      .select(col("path")).collect().map(_.getString(0)).toSeq
+    val head = readPins(spark, s"${branchRoot(path, name)}/v=${vs.last}")
     val forkPins = pinnedFiles(spark, path, fork).toSet
     val staged = head.filterNot(forkPins)
     val v = mainHead + 1
@@ -450,12 +426,9 @@ object Snapshots {
     * ([[graft.streaming.Streaming.wapBatch]]) greps this for its
     * batch-tagged merge directory. Empty lake -> empty. */
   def allPinnedPaths(spark: SparkSession, path: String): Seq[String] = {
-    val vs = listVersions(spark, path)
-    if (vs.isEmpty) Seq.empty
-    else spark.read
-      .parquet(vs.map(x => s"${snapRoot(path)}/v=$x"): _*)
-      .select(col("path")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    listVersions(spark, path)
+      .flatMap(x => readPins(spark, s"${snapRoot(path)}/v=$x"))
+      .distinct
   }
 
   /** The branch head's STAGED files — those its fork version does not
@@ -469,9 +442,7 @@ object Snapshots {
       s"no branch '$name' at $path")
     val fork = branchFork(spark, path, name)
     val vs = branchVersionList(spark, path, name)
-    val head = spark.read
-      .parquet(s"${branchRoot(path, name)}/v=${vs.last}")
-      .select(col("path")).collect().map(_.getString(0)).toSeq
+    val head = readPins(spark, s"${branchRoot(path, name)}/v=${vs.last}")
     val forkPins = pinnedFiles(spark, path, fork).toSet
     head.filterNot(forkPins).sorted
   }
@@ -533,7 +504,7 @@ object Snapshots {
     val vs = listVersions(spark, path)
     import scala.jdk.CollectionConverters._
     val rows = vs.map { v =>
-      val n = spark.read.parquet(s"${snapRoot(path)}/v=$v").count()
+      val n = readPins(spark, s"${snapRoot(path)}/v=$v").size.toLong
       org.apache.spark.sql.Row(v, n)
     }
     spark.createDataFrame(rows.asJava,
@@ -554,8 +525,7 @@ object Snapshots {
     require(listVersions(spark, path).contains(version),
       s"no snapshot v=$version at $path — versions: " +
         listVersions(spark, path).mkString(", "))
-    val files = spark.read.parquet(s"${snapRoot(path)}/v=$version")
-      .select(col("path")).collect().map(_.getString(0)).sorted
+    val files = readPins(spark, s"${snapRoot(path)}/v=$version").sorted
     if (files.isEmpty) {
       val schema = spark.read.option("recursiveFileLookup", "true")
         .parquet(path).schema
@@ -572,9 +542,7 @@ object Snapshots {
   def unreferencedFiles(spark: SparkSession, path: String): Seq[String] = {
     val vs = listVersions(spark, path)
     val referenced: Set[String] =
-      if (vs.isEmpty) Set.empty
-      else spark.read.parquet(vs.map(v => s"${snapRoot(path)}/v=$v"): _*)
-        .select(col("path")).collect().map(_.getString(0)).toSet
+      vs.flatMap(v => readPins(spark, s"${snapRoot(path)}/v=$v")).toSet
     listDataFiles(spark, path).filterNot(referenced)
   }
 
@@ -621,8 +589,7 @@ object Snapshots {
     require(vs.nonEmpty,
       s"compact requires a snapshot-logged lake — commit $path first")
     val latest = vs.last
-    val files = spark.read.parquet(s"${snapRoot(path)}/v=$latest")
-      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    val files = readPins(spark, s"${snapRoot(path)}/v=$latest").sorted
     require(files.nonEmpty, s"version $latest pins no files — nothing to compact")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -653,8 +620,7 @@ object Snapshots {
     require(vs.nonEmpty,
       s"compactClustered requires a snapshot-logged lake — commit $path first")
     val latest = vs.last
-    val files = spark.read.parquet(s"${snapRoot(path)}/v=$latest")
-      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    val files = readPins(spark, s"${snapRoot(path)}/v=$latest").sorted
     require(files.nonEmpty,
       s"version $latest pins no files — nothing to compact")
     val v = latest + 1
@@ -687,8 +653,8 @@ object Snapshots {
     val others = vs.filter(_ != version)
     require(others.forall(_ < version),
       s"version $version is not the frontier — existing: ${others.sorted}")
-    val files = spark.read.parquet(s"${snapRoot(path)}/v=${version - 1}")
-      .select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    val files =
+      readPins(spark, s"${snapRoot(path)}/v=${version - 1}").sorted
     require(files.nonEmpty,
       s"version ${version - 1} pins no files — nothing to compact")
     val fs = new Path(path)
@@ -736,10 +702,8 @@ object Snapshots {
     val drop = vs.filter(_ > toVersion)
     if (drop.isEmpty) return drop
     def pinsOf(versions: Seq[Long]): Set[String] =
-      if (versions.isEmpty) Set.empty
-      else spark.read
-        .parquet(versions.map(v => s"${snapRoot(path)}/v=$v"): _*)
-        .select(col("path")).collect().map(_.getString(0)).toSet
+      versions.flatMap(v => readPins(spark, s"${snapRoot(path)}/v=$v"))
+        .toSet
     val exclusive = pinsOf(drop) -- pinsOf(vs.filter(_ <= toVersion))
     exclusive.foreach(f => fs.delete(new Path(f), false))
     drop.foreach(v => fs.delete(new Path(s"${snapRoot(path)}/v=$v"), true))
