@@ -6527,6 +6527,110 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // Snapshot SCHEMA EVOLUTION (round-13): ADD/DROP-only, recorded
+    // per version in a sidecar written atomically WITH the pin list —
+    // an old pin keeps its old shape forever, added columns null-fill
+    // in files that predate them, a drop hides bytes without
+    // rewriting history, and a type change REFUSES (rewrite instead).
+    // All four stages content-oracled; the refusal on a scratch lake
+    "q529_snapshot_evolution" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("snapevo") + "/lake"
+      val o = t(s, d, "orders")
+      o.filter(year(col("o_orderdate")) <= 1997)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .coalesce(2).write.parquet(root)
+      require(Snapshots.commitEvolving(s, root) == 1L)
+      require(Snapshots.schemaOf(s, root, 1L).get.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "v1 must record the 2-column shape")
+      // ADD: later batches carry a priority column
+      o.filter(year(col("o_orderdate")) > 1997)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").as("priority"))
+        .coalesce(2).write.mode("append").parquet(root)
+      require(Snapshots.commitEvolving(s, root) == 2L)
+      require(Snapshots.readVersionAs(s, root, 1L).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "the old pin must keep its old shape")
+      val v2 = Snapshots.readVersionAs(s, root, 2L)
+      require(v2.columns.contains("priority"))
+      // DROP: recorded schema loses the column; files keep the bytes;
+      // the PREVIOUS pin still shows it (history never rewrites)
+      require(Snapshots.commitEvolving(s, root,
+        drop = Seq("priority")) == 3L)
+      require(!Snapshots.readVersionAs(s, root, 3L).columns
+        .contains("priority"), "v3 must hide the dropped column")
+      require(Snapshots.readVersionAs(s, root, 2L).columns
+        .contains("priority"), "v2 must still show it")
+      // a TYPE change refuses (scratch lake — the poison batch stays)
+      val scratch = LakeFixtures.freshRoot("snapevobad") + "/lake"
+      o.limit(50).select(col("o_orderkey"), col("o_totalprice"))
+        .coalesce(1).write.parquet(scratch)
+      Snapshots.commitEvolving(s, scratch)
+      o.limit(50).select(col("o_orderkey"),
+          col("o_totalprice").cast("string").as("o_totalprice"))
+        .coalesce(1).write.mode("append").parquet(scratch)
+      val refused =
+        try { Snapshots.commitEvolving(s, scratch); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "a type change must refuse to commit")
+      def cents(c: Column) =
+        sum((c.cast("decimal(12,2)") * 100).cast("long")).cast("long")
+      def agg(df: DataFrame, stage: String, priCnt: Column) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          cents(col("o_totalprice")).as("cents"),
+          priCnt.cast("long").as("n_pri"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "n", "cents", "n_pri")
+      agg(Snapshots.readVersionAs(s, root, 1L), "v1", lit(0L))
+        .unionByName(agg(v2.filter(col("priority").isNull),
+          "v2_backfill", lit(0L)))
+        .unionByName(agg(v2.filter(col("priority").isNotNull),
+          "v2_new", count_distinct(col("priority"))))
+        .unionByName(agg(Snapshots.readVersionAs(s, root, 3L), "v3",
+          lit(0L)))
+    }),
+
+    // Pruned TIME TRAVEL (round-13): zone-map file skipping composed
+    // with the version pin — an as-of probe on a sorted lake opens
+    // the same few files a live probe would (required in-query at
+    // BOTH versions, across a clustered compaction), with the
+    // pruned ≡ pinned-scan-plus-row-filter identity required too
+    "q530_pruned_time_travel" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("prunedtt") + "/lake"
+      LakeFixtures.copyInto(s, LakeFixtures.ordersDateSorted(s, d), root)
+      Snapshots.commit(s, root) // v1: 8 date-sorted files
+      Snapshots.compactClustered(s, root, nFiles = 4,
+        sortCols = Seq("o_day")) // v2: same content, 4 files
+      val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+      val hi = java.time.LocalDate.of(1996, 3, 31).toEpochDay
+      val box = Seq(("o_day", lo, hi))
+      def boxed(df: DataFrame) =
+        df.filter(col("o_day") >= lo && col("o_day") <= hi)
+      val p1 = Snapshots.readVersionPruned(s, root, 1L, box)
+      require(p1.inputFiles.length <
+          Snapshots.pinnedFiles(s, root, 1L).size,
+        "the as-of-v1 probe must skip files")
+      val f1 = boxed(Snapshots.readVersion(s, root, 1L))
+      require(p1.exceptAll(f1).isEmpty && f1.exceptAll(p1).isEmpty,
+        "pruned time travel must equal the pinned scan + row filter")
+      val p2 = Snapshots.readVersionPruned(s, root, 2L, box)
+      require(p2.inputFiles.length <
+          Snapshots.pinnedFiles(s, root, 2L).size,
+        "the as-of-v2 probe must skip files after the compaction")
+      require(p2.exceptAll(p1).isEmpty && p1.exceptAll(p2).isEmpty,
+        "boxed content must be stable across the compaction")
+      def agg(df: DataFrame, stage: String) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("cents"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "n", "cents")
+      agg(p1, "v1").unionByName(agg(p2, "v2_compacted"))
+    }),
+
     // BPE ENCODE at corpus scale (round-13, VERDICT #6): apply the
     // q488-trained merge list (driver-resident in the task closure —
     // the mapPartitions path a real 32k-merge vocabulary needs) to
@@ -8473,6 +8577,46 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q529: the four evolution stages off the year split
+    "q529_snapshot_evolution" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |    o_orderpriority FROM orders)
+        |SELECT 'v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(0 AS BIGINT) AS n_pri
+        |FROM o WHERE yr <= 1997
+        |UNION ALL
+        |SELECT 'v2_backfill', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM o WHERE yr <= 1997
+        |UNION ALL
+        |SELECT 'v2_new', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+        |FROM o WHERE yr > 1997
+        |UNION ALL
+        |SELECT 'v3', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM o""".stripMargin,
+
+    // q530: the boxed quarter at both versions (content identical —
+    // the compaction only relays out the files)
+    "q530_pruned_time_travel" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) <= DATE '1996-03-31')
+        |SELECT 'v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents FROM b
+        |UNION ALL
+        |SELECT 'v2_compacted', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(cents) AS BIGINT) FROM b""".stripMargin,
 
     // q527: the flat mirror with fit-on-A / assign-the-union (the
     // stored-centroid append semantics), q45's search verbatim

@@ -100,10 +100,12 @@ private[graft] object SnapshotIo {
     * leaves no readable dir). `overwrite = false` refuses an existing
     * dest — the ErrorIfExists commit-race guard. */
   def writeStrings(conf: Configuration, dir: String, column: String,
-                   values: Seq[String], overwrite: Boolean): Unit =
+                   values: Seq[String], overwrite: Boolean,
+                   sidecar: Option[(String, String)] = None): Unit =
     writeAtomic(conf, dir, overwrite,
       s"message manifest { required binary $column (UTF8); }",
-      values.map(v => (g: Group) => { g.append(column, v); () }))
+      values.map(v => (g: Group) => { g.append(column, v); () }),
+      sidecar)
 
   def writeLongs(conf: Configuration, dir: String, column: String,
                  values: Seq[Long], overwrite: Boolean): Unit =
@@ -117,9 +119,32 @@ private[graft] object SnapshotIo {
       s"message manifest { required boolean $column; }",
       values.map(v => (g: Group) => { g.append(column, v); () }))
 
+  /** Read a sidecar text file committed atomically WITH a manifest
+    * dir ([[writeStrings]]' `sidecar`) — how a snapshot carries its
+    * recorded table schema: the schema and the pin list become
+    * visible in the same directory rename or not at all. */
+  def readSidecar(conf: Configuration, dir: String,
+                  name: String): Option[String] = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
   private def writeAtomic(conf: Configuration, dir: String,
                           overwrite: Boolean, schemaStr: String,
-                          rows: Seq[Group => Unit]): Unit = {
+                          rows: Seq[Group => Unit],
+                          sidecar: Option[(String, String)] = None): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.schema.MessageTypeParser
     val dest = new Path(dir)
@@ -137,6 +162,11 @@ private[graft] object SnapshotIo {
     try rows.foreach { fill =>
       val g = factory.newGroup(); fill(g); writer.write(g)
     } finally writer.close()
+    sidecar.foreach { case (name, text) =>
+      val out = fs.create(new Path(tmp, name), true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
     if (fs.exists(dest)) {
       if (!overwrite) {

@@ -534,6 +534,126 @@ object Snapshots {
     } else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Pruned TIME TRAVEL — zone-map file skipping composed with the
+    * version pin: the box prune's footer pass runs over ONLY the
+    * files `version` pins, survivors scan with the PINNED files'
+    * schema, and the exact predicate re-applies row-level (the
+    * [[graft.sources.Tables.readPrunedBox]] conservative contract,
+    * restricted to a snapshot). At 100 TB this is the difference
+    * between "time travel" and "time travel you can afford": an
+    * as-of-last-month probe on a sorted lake opens the same few
+    * files a live probe would, instead of the whole pinned history.
+    * Raises on an unknown version. */
+  def readVersionPruned(spark: SparkSession, path: String, version: Long,
+                        box: Seq[(String, Any, Any)]): DataFrame = {
+    val pins = pinnedFiles(spark, path, version)
+    graft.sources.Tables.readPrunedBox(spark, path, box,
+      onlyFiles = Some(pins))
+  }
+
+  // ----------------------------------------------------------------
+  // Schema evolution — ADD/DROP-only, recorded per version
+  // ----------------------------------------------------------------
+
+  private val schemaSidecar = "_schema.json"
+
+  /** [[commit]] with SCHEMA TRACKING (Iceberg-class evolution, the
+    * ADD/DROP-only subset): the commit records the live file set's
+    * MERGED schema in a `_schema.json` sidecar written atomically
+    * with the pin list (same directory rename — schema and pins are
+    * visible together or not at all), after validating against the
+    * previous recorded schema that every SHARED column keeps its
+    * exact type — a type CHANGE raises (rewrite the data instead;
+    * silent widening corrupts readers pinned on the old type), while
+    * newly-appearing columns are the sanctioned ADD path. `drop`
+    * removes columns from the RECORDED schema without touching data
+    * files (the Iceberg drop: old files keep the bytes, readers stop
+    * seeing them; a later re-add starts null-backed by files that
+    * predate it). Readers: [[readVersionAs]] applies the version's
+    * recorded schema, so an old pin shows the OLD shape and a new pin
+    * null-fills added columns in pre-evolution files. Plain
+    * [[commit]]/[[readVersion]] stay schema-free (file-schema
+    * passthrough) — evolution is opt-in per lake; mixing both styles
+    * on one lake is supported ([[readVersionAs]] falls back to the
+    * files' merged schema when a version predates tracking). */
+  def commitEvolving(spark: SparkSession, path: String,
+                     drop: Seq[String] = Nil): Long = {
+    val v = listVersions(spark, path).lastOption.getOrElse(0L) + 1L
+    val files = livePin(spark, path)
+    require(files.nonEmpty,
+      s"commitEvolving at $path: no live data files to derive a " +
+        "schema from — write the first batch before the first commit")
+    val merged =
+      try spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).schema
+      catch { case e: org.apache.spark.SparkException =>
+        throw new IllegalArgumentException(
+          s"commitEvolving at $path: the live files' schemas do not " +
+            s"merge — a column changed type across batches (only " +
+            s"ADD/DROP evolve; rewrite for type changes): ${e.getMessage}")
+      }
+    schemaOf(spark, path, v - 1).foreach { prev =>
+      prev.fields.foreach { pf =>
+        merged.fields.find(_.name.equalsIgnoreCase(pf.name)).foreach { cf =>
+          require(cf.dataType == pf.dataType,
+            s"commitEvolving at $path: column '${pf.name}' changed " +
+              s"type ${pf.dataType.simpleString} -> " +
+              s"${cf.dataType.simpleString} — only ADD/DROP evolve; " +
+              "rewrite the data for a type change")
+        }
+      }
+    }
+    val dropped = drop.map(_.toLowerCase).toSet
+    dropped.foreach(d => require(
+      merged.fields.exists(_.name.equalsIgnoreCase(d)),
+      s"commitEvolving at $path: cannot drop unknown column '$d' — " +
+        s"columns: ${merged.fieldNames.mkString(", ")}"))
+    val recorded = org.apache.spark.sql.types.StructType(
+      merged.fields.filterNot(f => dropped(f.name.toLowerCase)))
+    SnapshotIo.writeStrings(hconf(spark), s"${snapRoot(path)}/v=$v",
+      "path", files, overwrite = false,
+      sidecar = Some((schemaSidecar, recorded.json)))
+    v
+  }
+
+  /** The schema a version RECORDED at commit time ([[commitEvolving]])
+    * — None for versions committed schema-free. */
+  def schemaOf(spark: SparkSession, path: String,
+               version: Long): Option[org.apache.spark.sql.types.StructType] =
+    SnapshotIo.readSidecar(hconf(spark),
+        s"${snapRoot(path)}/v=$version", schemaSidecar)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** [[readVersion]] under the version's RECORDED schema: added
+    * columns null-fill in files that predate them, dropped columns
+    * disappear even though old files still carry the bytes, and an
+    * old pin keeps its old shape forever. All fields read as
+    * nullable (a pre-evolution file has no values for an added
+    * column — trusting a non-null flag there would let codegen
+    * deref a null). Falls back to the pinned files' own merged
+    * schema for versions that predate tracking. */
+  def readVersionAs(spark: SparkSession, path: String,
+                    version: Long): DataFrame = {
+    require(listVersions(spark, path).contains(version),
+      s"no snapshot v=$version at $path — versions: " +
+        listVersions(spark, path).mkString(", "))
+    val files = readPins(spark, s"${snapRoot(path)}/v=$version").sorted
+    val recorded = schemaOf(spark, path, version).getOrElse {
+      if (files.isEmpty)
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+          .schema
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).schema
+    }
+    val nullable = org.apache.spark.sql.types.StructType(
+      recorded.fields.map(_.copy(nullable = true)))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), nullable)
+    else spark.read.schema(nullable).parquet(files.toIndexedSeq: _*)
+  }
+
   /** Data files referenced by NO snapshot — the exact vacuum
     * candidate set (everything else is load-bearing history). On a
     * lake with no snapshots every file is unreferenced (nothing pins

@@ -260,11 +260,15 @@ object Tables {
     * Long bound would lie — boolean, nested) gets always-NULL bounds:
     * conservative keep, never a wrong skip. */
   def footerStatsTyped(spark: SparkSession, path: String,
-                       cols: Seq[String]): DataFrame = {
-    val schema = spark.read.option("recursiveFileLookup", "true")
-      .parquet(path).schema
+                       cols: Seq[String],
+                       onlyFiles: Option[Seq[String]] = None): DataFrame = {
+    val schema = onlyFiles match {
+      case Some(fs) if fs.nonEmpty => spark.read.parquet(fs: _*).schema
+      case _ => spark.read.option("recursiveFileLookup", "true")
+        .parquet(path).schema
+    }
     val (names, kinds) = resolveKinds(schema, cols)
-    footerStatsKinds(spark, path, names, kinds)
+    footerStatsKinds(spark, path, names, kinds, onlyFiles = onlyFiles)
   }
 
   /** Case-INSENSITIVE column→bound-kind resolution against a table
@@ -772,10 +776,12 @@ object Tables {
     * the full-table schema inference is done ONCE per call (shared by
     * the empty and non-empty branches). */
   def readPrunedBox(spark: SparkSession, path: String,
-                    box: Seq[(String, Any, Any)]): DataFrame = {
+                    box: Seq[(String, Any, Any)],
+                    onlyFiles: Option[Seq[String]] = None): DataFrame = {
     require(box.nonEmpty, "box predicates required")
-    prunedScan(spark, path, footerStatsTyped(spark, path, box.map(_._1)),
-      box)
+    prunedScan(spark, path,
+      footerStatsTyped(spark, path, box.map(_._1), onlyFiles), box,
+      schemaFiles = onlyFiles)
   }
 
   /** [[readPrunedBox]] over a HIVE-PARTITIONED lake (`k=v` directory
@@ -1044,7 +1050,9 @@ object Tables {
 
   private def prunedScan(spark: SparkSession, path: String,
                          stats: DataFrame,
-                         box: Seq[(String, Any, Any)]): DataFrame = {
+                         box: Seq[(String, Any, Any)],
+                         schemaFiles: Option[Seq[String]] = None)
+      : DataFrame = {
     requireBoundTypes(stats.schema, box)
     val keep = box.map { case (c, lo, hi) =>
       col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
@@ -1052,8 +1060,14 @@ object Tables {
     }.reduce(_ && _)
     val cand = stats.filter(keep)
       .select(col("path")).collect().map(_.getString(0))
-    val schema = spark.read.option("recursiveFileLookup", "true")
-      .parquet(path).schema
+    // a restricted (version-pinned) scan pins its schema from the
+    // restricted files — old pins must read with THEIR schema, not
+    // whatever the live directory has evolved to
+    val schema = schemaFiles match {
+      case Some(fs) if fs.nonEmpty => spark.read.parquet(fs: _*).schema
+      case _ => spark.read.option("recursiveFileLookup", "true")
+        .parquet(path).schema
+    }
     val pred = boxPredicate(box)
     if (cand.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -225,6 +225,98 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Schema evolution + pruned time travel
+  // ---------------------------------------------------------------
+
+  test("commitEvolving: add null-fills old files, drop hides bytes " +
+    "without rewriting, re-add starts null-backed, type change raises") {
+    import graft.incremental.Snapshots
+    val root = tmp("evo") + "/lake"
+    Seq((1L, 10.0)).toDF("id", "v").coalesce(1).write.parquet(root)
+    assert(Snapshots.commitEvolving(spark, root) == 1L)
+    Seq((2L, 20.0, "x")).toDF("id", "v", "tag").coalesce(1)
+      .write.mode("append").parquet(root)
+    assert(Snapshots.commitEvolving(spark, root) == 2L)
+    // old pin: old shape
+    assert(Snapshots.readVersionAs(spark, root, 1L).columns.toSeq ==
+      Seq("id", "v"))
+    // new pin: added column null-fills the pre-evolution file
+    val v2 = Snapshots.readVersionAs(spark, root, 2L)
+      .orderBy("id").collect()
+    assert(v2.length == 2)
+    assert(v2(0).isNullAt(2) && v2(1).getString(2) == "x")
+    // drop hides the column at v3; v2 still shows it
+    assert(Snapshots.commitEvolving(spark, root, drop = Seq("tag")) == 3L)
+    assert(!Snapshots.readVersionAs(spark, root, 3L).columns
+      .contains("tag"))
+    assert(Snapshots.readVersionAs(spark, root, 2L).columns
+      .contains("tag"))
+    // re-add after the drop: v4 sees it again, null where absent
+    Seq((3L, 30.0, "y")).toDF("id", "v", "tag").coalesce(1)
+      .write.mode("append").parquet(root)
+    assert(Snapshots.commitEvolving(spark, root) == 4L)
+    val v4 = Snapshots.readVersionAs(spark, root, 4L)
+    assert(v4.filter(col("tag").isNotNull).count() == 2L,
+      "files that carry the bytes resurface them on re-add")
+    // type change refuses
+    Seq(("oops", 1.0)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commitEvolving(spark, root)
+    }
+    assert(ex.getMessage.contains("changed type") ||
+      ex.getMessage.contains("do not merge"), ex.getMessage)
+    // unknown drop refuses
+    val root2 = tmp("evo2") + "/lake"
+    Seq((1L, 1.0)).toDF("id", "v").write.parquet(root2)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitEvolving(spark, root2, drop = Seq("nope"))
+    }
+  }
+
+  test("readVersionAs falls back to the files' merged schema for " +
+    "versions committed schema-free; plain commit stays schema-free") {
+    import graft.incremental.Snapshots
+    val root = tmp("evofb") + "/lake"
+    Seq((1L, "a")).toDF("id", "s").write.parquet(root)
+    Snapshots.commit(spark, root) // schema-free v1
+    assert(Snapshots.schemaOf(spark, root, 1L).isEmpty)
+    assert(Snapshots.readVersionAs(spark, root, 1L).columns.toSeq ==
+      Seq("id", "s"))
+  }
+
+  test("readVersionPruned skips files on a sorted pinned lake and " +
+    "equals the pinned scan + row filter; stale pins prune with " +
+    "THEIR files even after the live table evolves") {
+    import graft.incremental.Snapshots
+    val root = tmp("ptt") + "/lake"
+    // 4 range-cut files sorted on k
+    (1L to 400L).map(i => (i, i * 2)).toDF("k", "w")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    val box = Seq(("k", 10L, 60L))
+    val p1 = Snapshots.readVersionPruned(spark, root, 1L, box)
+    assert(p1.inputFiles.length <
+      Snapshots.pinnedFiles(spark, root, 1L).size)
+    val f1 = Snapshots.readVersion(spark, root, 1L)
+      .filter(col("k") >= 10L && col("k") <= 60L)
+    assert(p1.exceptAll(f1).isEmpty && f1.exceptAll(p1).isEmpty)
+    // append out-of-range rows, commit v2: the v1 probe is unchanged
+    (1000L to 1100L).map(i => (i, i)).toDF("k", "w").coalesce(1)
+      .write.mode("append").parquet(root)
+    Snapshots.commit(spark, root)
+    val p1again = Snapshots.readVersionPruned(spark, root, 1L, box)
+    assert(p1again.count() == p1.count(),
+      "the as-of-v1 probe must not see post-v1 appends")
+    // mistyped bound still raises through the pinned path
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersionPruned(spark, root, 1L,
+        Seq(("k", "a", "z"))).count()
+    }
+  }
+
+  // ---------------------------------------------------------------
   // IVF-PQ incremental append
   // ---------------------------------------------------------------
 
