@@ -6527,6 +6527,65 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // RIGHT-TO-BE-FORGOTTEN purge across retained history (round-13):
+    // a subject's rows cease to exist at EVERY version — affected
+    // files rewrite map-only, every manifest remaps, originals
+    // delete last; version structure and all other rows bit-stable
+    // (required in-query per version), and a re-run is a no-op
+    "q531_purge_history" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("purgehist") + "/lake"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root) // v1
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root) // v2
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v3
+      val pred = col("user_id") % 97 === 0
+      def fxAll = s.read.parquet(s"$fx/b1")
+        .unionByName(s.read.parquet(s"$fx/b2"))
+        .unionByName(s.read.parquet(s"$fx/b3"))
+      val expectPurged = fxAll.filter(pred)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid")).head()
+      val report = Snapshots.purgeWhere(s, root, pred)
+        .localCheckpoint(true).head()
+      require(report.getLong(0) == 3L, "3 versions must remap")
+      require(report.getLong(3) == expectPurged.getLong(0),
+        s"purged ${report.getLong(3)} rows, expected " +
+          expectPurged.getLong(0))
+      // every version: zero subject rows, keep-side bit-stable
+      (1L to 3L).foreach { v =>
+        val got = Snapshots.readVersion(s, root, v)
+        require(got.filter(pred).count() == 0L,
+          s"v$v still holds purged rows")
+        val keep = (if (v == 1L) s.read.parquet(s"$fx/b1")
+          else if (v == 2L) s.read.parquet(s"$fx/b1")
+            .unionByName(s.read.parquet(s"$fx/b2"))
+          else fxAll).filter(!pred)
+        require(got.exceptAll(keep).isEmpty && keep.exceptAll(got).isEmpty,
+          s"v$v keep-side content changed across the purge")
+      }
+      // re-run: a no-op (re-runnable maintenance contract)
+      val again = Snapshots.purgeWhere(s, root, pred).head()
+      require(again.getLong(3) == 0L && again.getLong(1) == 0L,
+        "a second purge must find nothing")
+      def stageAgg(v: Long, stage: String) =
+        Snapshots.readVersion(s, root, v)
+          .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("long").as("sum_uid"))
+          .withColumn("stage", lit(stage))
+          .select("stage", "day_bucket", "n", "sum_uid")
+      import s.implicits._
+      stageAgg(1L, "v1").unionByName(stageAgg(2L, "v2"))
+        .unionByName(stageAgg(3L, "v3"))
+        .unionByName(Seq(("purged", -1L, expectPurged.getLong(0),
+          expectPurged.getLong(1)))
+          .toDF("stage", "day_bucket", "n", "sum_uid"))
+    }),
+
     // Snapshot SCHEMA EVOLUTION (round-13): ADD/DROP-only, recorded
     // per version in a sidecar written atomically WITH the pin list —
     // an old pin keeps its old shape forever, added columns null-fill
@@ -8577,6 +8636,31 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q531: per-version day buckets EXCLUDING the purged subjects,
+    // plus the purged totals
+    "q531_purge_history" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |keep AS (SELECT * FROM e WHERE user_id % 97 <> 0)
+        |SELECT 'v1' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM keep WHERE day <= 10 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v2', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM keep WHERE day <= 20 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v3', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM keep GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'purged', -1, CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE user_id % 97 = 0""".stripMargin,
 
     // q529: the four evolution stages off the year split
     "q529_snapshot_evolution" ->

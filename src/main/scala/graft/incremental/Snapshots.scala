@@ -654,6 +654,116 @@ object Snapshots {
     else spark.read.schema(nullable).parquet(files.toIndexedSeq: _*)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN purge across ALL retained history — the
+    * GDPR/CCPA maintenance op a snapshot lake must have: time travel
+    * deliberately preserves every pinned byte, so deleting a subject
+    * from the LIVE table is not deletion at all while old versions
+    * still replay them. This rewrites every affected retained file
+    * WITHOUT the subject's rows and REMAPS every version's manifest
+    * to the replacement, preserving the version structure (counts,
+    * lineage, as-of semantics for every OTHER row) while the purged
+    * rows cease to exist at every point in history.
+    *
+    * Mechanics: one distributed pass over the distinct retained pins
+    * finds affected files (`input_file_name` group — never a
+    * driver-side scan); each affected file rewrites MAP-ONLY (its own
+    * rows, its own schema — per-file schemas survive evolution) into
+    * `purge-<id>/`; every version manifest rewrites with old→new
+    * paths (schema sidecars carried over); originals delete last. A
+    * file purged to emptiness drops out of its manifests entirely.
+    *
+    * Crash contract (re-runnable maintenance): replacements land
+    * before any manifest changes, manifests remap one version at a
+    * time (each rewrite is [[SnapshotIo]]-atomic), originals delete
+    * only after every manifest moved — a crash anywhere leaves every
+    * version readable (old pins still on disk) and a re-run
+    * re-detects the still-referenced originals and completes. Live
+    * branches must resolve first (their staged pins are invisible
+    * here and would dangle); tags keep working — their CONTENT
+    * changes, which is the entire point of a purge.
+    *
+    * Scale shape: detection is one metadata-pruned scan; rewrite cost
+    * is proportional to AFFECTED files only (cluster the lake on the
+    * subject key and zone maps keep that set small — the q530
+    * composition); manifest remaps are driver-side metadata. Returns
+    * one summary row: (n_versions, n_files_rewritten, n_files_dropped,
+    * rows_purged). */
+  def purgeWhere(spark: SparkSession, path: String,
+                 pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(spark, path)
+    require(vs.nonEmpty, s"purgeWhere on unlogged lake $path — commit first")
+    require(listBranchNames(spark, path).isEmpty,
+      s"purgeWhere at $path: live branches must resolve first — " +
+        s"branches: ${listBranchNames(spark, path).mkString(", ")}")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def norm(p: String): String =
+      fs.makeQualified(new Path(p)).toString
+    val pinsByV: Seq[(Long, Seq[String])] =
+      vs.map(v => v -> readPins(spark, s"${snapRoot(path)}/v=$v"))
+    val files = pinsByV.flatMap(_._2).distinct.sorted
+    // affected detection: one distributed pass, grouped by file
+    val hits = spark.read.parquet(files: _*)
+      .select(input_file_name().as("__f"),
+        when(pred, 1L).otherwise(0L).as("__m"))
+      .groupBy(col("__f")).agg(sum(col("__m")).cast("long").as("n_purge"))
+      .filter(col("n_purge") > 0)
+      .collect().map(r => (norm(r.getString(0)), r.getLong(1))).toMap
+    val affected = files.filter(f => hits.contains(norm(f)))
+    val purgeDir = s"$path/purge-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    // per-affected-file map-only rewrite; None = purged to emptiness
+    val mapping: Map[String, Option[String]] =
+      affected.zipWithIndex.map { case (f, i) =>
+        val sub = s"$purgeDir/f-$i"
+        spark.read.parquet(f)
+          .filter(!coalesce(pred, lit(false)))
+          .coalesce(1)
+          .write.parquet(sub)
+        val out = listDataFiles(spark, sub)
+        require(out.size <= 1,
+          s"purgeWhere: single-file rewrite produced ${out.size} files")
+        // an all-purged file may still write one schema-bearing empty
+        // part; keep it only if it holds rows (one-row probe)
+        val kept = out.headOption
+          .filter(o => !spark.read.parquet(o).isEmpty)
+        f -> kept
+      }.toMap
+    // remap every version manifest (atomic per version; sidecar rides)
+    pinsByV.foreach { case (v, pins) =>
+      val remapped = pins.flatMap(p => mapping.get(p) match {
+        case None => Some(p)          // untouched file
+        case Some(rep) => rep         // replaced or dropped
+      }).sorted
+      if (remapped != pins.sorted) {
+        val dir = s"${snapRoot(path)}/v=$v"
+        val sidecar = SnapshotIo.readSidecar(hconf(spark), dir,
+          "_schema.json").map(("_schema.json", _))
+        SnapshotIo.writeStrings(hconf(spark), dir, "path", remapped,
+          overwrite = true, sidecar = sidecar)
+      }
+    }
+    // originals delete LAST — a crash above leaves every pin readable
+    affected.foreach(f => fs.delete(new Path(f), false))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(
+        java.lang.Long.valueOf(vs.size.toLong),
+        java.lang.Long.valueOf(mapping.count(_._2.isDefined).toLong),
+        java.lang.Long.valueOf(mapping.count(_._2.isEmpty).toLong),
+        java.lang.Long.valueOf(hits.values.sum))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_versions",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files_rewritten",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files_dropped",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_purged",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Data files referenced by NO snapshot — the exact vacuum
     * candidate set (everything else is load-bearing history). On a
     * lake with no snapshots every file is unreferenced (nothing pins

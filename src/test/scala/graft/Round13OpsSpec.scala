@@ -317,6 +317,53 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // History purge (right to be forgotten)
+  // ---------------------------------------------------------------
+
+  test("purgeWhere: a file purged to emptiness drops from every " +
+    "manifest; tagged versions purge too; live branches refuse; " +
+    "compaction history purges coherently") {
+    import graft.incremental.Snapshots
+    val root = tmp("purge") + "/lake"
+    // file A: only subject rows; file B: mixed; file C: clean
+    Seq((7L, "s1"), (7L, "s2")).toDF("uid", "v").coalesce(1)
+      .write.parquet(root)
+    Snapshots.commit(spark, root) // v1 = {A}
+    Seq((7L, "s3"), (1L, "k1")).toDF("uid", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    Seq((2L, "k2")).toDF("uid", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2 = {A, B, C}
+    Snapshots.tag(spark, root, "audit", 2L)
+    // a live branch refuses the purge
+    Snapshots.createBranch(spark, root, "wip", 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.purgeWhere(spark, root, col("uid") === 7L)
+    }
+    Snapshots.dropBranch(spark, root, "wip")
+    val report = Snapshots.purgeWhere(spark, root, col("uid") === 7L)
+      .head()
+    assert(report.getLong(3) == 3L, s"3 subject rows: $report")
+    assert(report.getLong(2) >= 1L,
+      "the all-subject file must drop, not rewrite")
+    // v1 pinned ONLY the all-subject file -> now empty but readable
+    assert(Snapshots.readVersion(spark, root, 1L).count() == 0L)
+    val v2 = Snapshots.readVersion(spark, root, 2L)
+      .collect().map(_.getString(1)).toSet
+    assert(v2 == Set("k1", "k2"), s"keep-side must survive: $v2")
+    // the TAG reads the purged content (the point of a purge)
+    assert(Snapshots.readTag(spark, root, "audit").count() == 2L)
+    // NULL predicate rows are KEPT (purge where pred is TRUE only)
+    val root2 = tmp("purgenull") + "/lake"
+    Seq[(java.lang.Long, String)]((null, "n"), (7L, "s"), (1L, "k"))
+      .toDF("uid", "v").coalesce(1).write.parquet(root2)
+    Snapshots.commit(spark, root2)
+    Snapshots.purgeWhere(spark, root2, col("uid") === 7L)
+    assert(Snapshots.readLatest(spark, root2).count() == 2L,
+      "NULL-predicate rows must survive a purge")
+  }
+
+  // ---------------------------------------------------------------
   // IVF-PQ incremental append
   // ---------------------------------------------------------------
 
