@@ -6527,6 +6527,28 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // Stats catalog / ANALYZE (round-13): per-version KMV NDV
+    // sketches stored in the snapshot log — the "how many distinct
+    // join keys?" answer a planner reads at metadata cost instead of
+    // rescanning 100 TB; exact regime below capacity (day: 31 < 64),
+    // theta regime above (user_id, event_id); the oracle replays the
+    // identical bottom-64 hash math per column
+    "q532_analyze_ndv" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("analyze") + "/lake"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v1
+      Snapshots.analyze(s, root, 1L,
+        Seq("user_id", "event_id", "day"), k = 64)
+      // idempotent: re-ANALYZE overwrites to the same sketches
+      Snapshots.analyze(s, root, 1L, Seq("user_id"), k = 64)
+      Snapshots.ndvStats(s, root, 1L,
+        Seq("user_id", "event_id", "day"), k = 64)
+    }),
+
     // RIGHT-TO-BE-FORGOTTEN purge across retained history (round-13):
     // a subject's rows cease to exist at EVERY version — affected
     // files rewrite map-only, every manifest remaps, originals
@@ -8636,6 +8658,44 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q532: the bottom-64 distinct-hash estimator per column
+    "q532_analyze_ndv" ->
+      """SELECT 'user_id' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
+        |         / 1152921504606846976.0) END AS distinct_est
+        |FROM (SELECT h FROM (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |  ORDER BY h ASC LIMIT 64)
+        |UNION ALL
+        |SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
+        |         / 1152921504606846976.0) END AS distinct_est
+        |FROM (SELECT h FROM (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
+        |  ORDER BY h ASC LIMIT 64)
+        |UNION ALL
+        |SELECT 'day' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
+        |         / 1152921504606846976.0) END AS distinct_est
+        |FROM (SELECT h FROM (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND CAST(EXTRACT(DAY FROM ts) AS BIGINT) IS NOT NULL)
+        |  ORDER BY h ASC LIMIT 64)""".stripMargin,
 
     // q531: per-version day buckets EXCLUDING the purged subjects,
     // plus the purged totals

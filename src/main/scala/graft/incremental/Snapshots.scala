@@ -654,6 +654,80 @@ object Snapshots {
     else spark.read.schema(nullable).parquet(files.toIndexedSeq: _*)
   }
 
+  // ----------------------------------------------------------------
+  // Column statistics catalog (ANALYZE) — per-version NDV sketches
+  // ----------------------------------------------------------------
+
+  private def statsDir(path: String, version: Long, colName: String) =
+    s"${snapRoot(path)}/stats/v=$version/$colName"
+
+  /** ANALYZE for a snapshot-logged lake: per-column KMV sketches
+    * ([[graft.functions.Kmv]], 60-bit md5 hashes, ≤k rows each)
+    * computed over exactly the files `version` pins and stored under
+    * the snapshot root — the stats catalog a planner (or a human
+    * sizing a broadcast) reads instead of re-scanning a 100 TB table
+    * to ask "how many distinct join keys?". Deterministic (md5, no
+    * rand), so stats are reproducible and re-ANALYZE is idempotent
+    * (overwrite). NDV is over NON-NULL values (the SQL convention).
+    * Sketches MERGE across versions/partitions (bottom-k of
+    * bottom-ks), so incremental stats maintenance needs only the new
+    * files' sketches. Column names must be directory-safe
+    * `[A-Za-z0-9_]`. Cost: one distinct + bounded heap per column
+    * over the pinned scan. */
+  def analyze(spark: SparkSession, path: String, version: Long,
+              cols: Seq[String], k: Int = 64): Unit = {
+    require(cols.nonEmpty, "cols required")
+    cols.foreach(c => require(c.nonEmpty && c.forall(ch =>
+        ch.isLetterOrDigit || ch == '_'),
+      s"column name must be [A-Za-z0-9_] for the stats dir, got '$c'"))
+    val df = readVersion(spark, path, version)
+    cols.foreach { c =>
+      val sk = graft.functions.Kmv.sketch(
+        df.filter(col(c).isNotNull).select(col(c))
+          .withColumn("__g", lit(1)),
+        Seq("__g"), c, k)
+      val hs = sk.select(col("h")).collect().map(_.getLong(0)).sorted
+      SnapshotIo.writeLongs(hconf(spark), statsDir(path, version, c),
+        "h", hs.toIndexedSeq, overwrite = true)
+    }
+  }
+
+  /** The stats-catalog readout: one row per analyzed column —
+    * (column, sketch_n, theta_h, distinct_est), the
+    * [[graft.functions.Kmv.estimate]] columns. Exact regime below
+    * capacity (the sketch IS the distinct set), `(k−1)/θ` at
+    * capacity. Raises on a column [[analyze]] never ran for. */
+  def ndvStats(spark: SparkSession, path: String, version: Long,
+               cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "cols required")
+    import scala.jdk.CollectionConverters._
+    val rows = cols.map { c =>
+      val hs = SnapshotIo.readLongs(hconf(spark),
+        statsDir(path, version, c), "h")
+      require(hs.nonEmpty,
+        s"no stats for '$c' at v$version — run analyze first")
+      val n = hs.size.toLong
+      val thetaH: java.lang.Long =
+        if (n == k.toLong) java.lang.Long.valueOf(hs.max) else null
+      val est =
+        if (n < k) n.toDouble
+        else (k - 1).toDouble /
+          (hs.max.toDouble / graft.functions.Kmv.hashDomain)
+      org.apache.spark.sql.Row(c, java.lang.Long.valueOf(n), thetaH,
+        java.lang.Double.valueOf(est))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("sketch_n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("theta_h",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("distinct_est",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN purge across ALL retained history — the
     * GDPR/CCPA maintenance op a snapshot lake must have: time travel
     * deliberately preserves every pinned byte, so deleting a subject

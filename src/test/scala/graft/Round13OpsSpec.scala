@@ -322,7 +322,7 @@ class Round13OpsSpec extends SparkSpec {
 
   test("purgeWhere: a file purged to emptiness drops from every " +
     "manifest; tagged versions purge too; live branches refuse; " +
-    "compaction history purges coherently") {
+    "NULL-predicate rows survive") {
     import graft.incremental.Snapshots
     val root = tmp("purge") + "/lake"
     // file A: only subject rows; file B: mixed; file C: clean
@@ -361,6 +361,25 @@ class Round13OpsSpec extends SparkSpec {
     Snapshots.purgeWhere(spark, root2, col("uid") === 7L)
     assert(Snapshots.readLatest(spark, root2).count() == 2L,
       "NULL-predicate rows must survive a purge")
+  }
+
+  test("purgeWhere across a compaction: pre- and post-compaction " +
+    "versions both lose the subject, keep-side stable at both") {
+    import graft.incremental.Snapshots
+    val root = tmp("purgecomp") + "/lake"
+    (1L to 100L).map(i => (i, s"r$i")).toDF("uid", "v")
+      .repartition(4).write.parquet(root)
+    Snapshots.commit(spark, root) // v1: 4 files
+    Snapshots.compact(spark, root, targetBytes = 1L << 26) // v2: 1 file
+    val report = Snapshots.purgeWhere(spark, root,
+      col("uid") % 10 === 0).head()
+    assert(report.getLong(3) == 20L,
+      s"10 subjects pinned by BOTH v1 and v2 files: $report")
+    Seq(1L, 2L).foreach { v =>
+      val got = Snapshots.readVersion(spark, root, v)
+      assert(got.filter(col("uid") % 10 === 0).count() == 0L)
+      assert(got.count() == 90L, s"v$v keep-side must hold 90 rows")
+    }
   }
 
   // ---------------------------------------------------------------
