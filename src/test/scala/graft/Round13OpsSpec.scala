@@ -383,6 +383,39 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Stats catalog (ANALYZE)
+  // ---------------------------------------------------------------
+
+  test("analyze/ndvStats: exact regime below capacity, theta regime " +
+    "at capacity, NULLs excluded, unanalyzed column raises") {
+    import graft.incremental.Snapshots
+    val root = tmp("ndv") + "/lake"
+    (1L to 500L).map(i => (i, i % 7, if (i % 5 == 0) null else s"u$i"))
+      .toDF("id", "small", "tag")
+      .write.parquet(root)
+    Snapshots.commit(spark, root)
+    Snapshots.analyze(spark, root, 1L, Seq("id", "small", "tag"), k = 32)
+    val stats = Snapshots.ndvStats(spark, root, 1L,
+      Seq("id", "small", "tag"), k = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // small: 7 distinct < 32 -> exact
+    assert(stats("small") == ((7L, 7.0)))
+    // id: 500 distinct -> theta regime, estimate in a sane band
+    val (n, est) = stats("id")
+    assert(n == 32L && est > 250 && est < 1000, s"id est: $est")
+    // tag: 400 non-null distinct (NULLs excluded) -> theta, sane band
+    assert(stats("tag")._2 > 200 && stats("tag")._2 < 800)
+    intercept[IllegalArgumentException] {
+      Snapshots.ndvStats(spark, root, 1L, Seq("nope"), k = 32)
+    }
+    // bad column name for the stats dir raises
+    intercept[IllegalArgumentException] {
+      Snapshots.analyze(spark, root, 1L, Seq("a/b"), k = 32)
+    }
+  }
+
+  // ---------------------------------------------------------------
   // IVF-PQ incremental append
   // ---------------------------------------------------------------
 
