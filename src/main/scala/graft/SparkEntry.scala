@@ -6527,6 +6527,71 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // Snapshot-TAIL consumer (round-13): the read side of the lake
+    // loop — two consumer sessions drain v1..v3 one version at a
+    // time (cursor advanced per version), a crash replay of the last
+    // version is a no-op downstream (version-keyed overwrite), the
+    // folded downstream deltas are REQUIRED equal to the one-shot
+    // aggregate of the latest lake, and a compaction-crossed tail
+    // RAISES instead of double-reading rewritten rows
+    "q533_snapshot_tail" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val base = LakeFixtures.freshRoot("tail")
+      val root = s"$base/lake"; val cursor = s"$base/cursor"
+      val out = s"$base/downstream"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      def process(delta: DataFrame, v: Long): Unit =
+        delta.groupBy(floor(col("day") / 10).cast("long")
+            .as("day_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("long").as("sum_uid"))
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/delta-v$v")
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root) // v1
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root) // v2
+      // session 1: drains v1, v2
+      val d1 = Snapshots.consumeTail(s, root, cursor, process)
+      require(d1 == Seq(1L, 2L), s"session 1 must drain v1..v2: $d1")
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v3
+      // session 2: drains only the arrival
+      val d2 = Snapshots.consumeTail(s, root, cursor, process)
+      require(d2 == Seq(3L), s"session 2 must drain only v3: $d2")
+      // quiet tail: nothing to do
+      require(Snapshots.consumeTail(s, root, cursor, process).isEmpty)
+      // crash replay of the last version (cursor rolled back by hand):
+      // the version-keyed overwrite makes it a downstream no-op
+      graft.incremental.SnapshotIo.writeLongs(
+        s.sparkContext.hadoopConfiguration, cursor, "v", Seq(2L),
+        overwrite = true)
+      require(Snapshots.consumeTail(s, root, cursor, process)
+        == Seq(3L))
+      // folded downstream == one-shot over the latest lake
+      val folded = s.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .groupBy(col("day_bucket"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_uid")).cast("long").as("sum_uid"))
+      val oneShot = Snapshots.readLatest(s, root)
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+      require(folded.exceptAll(oneShot).isEmpty
+          && oneShot.exceptAll(folded).isEmpty,
+        "folded consumer deltas must equal the one-shot aggregate")
+      // a rewrite-crossed tail refuses
+      Snapshots.compact(s, root, targetBytes = 1L << 26) // v4
+      val refused =
+        try { Snapshots.consumeTail(s, root, cursor, process); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "the tail must refuse a compaction-crossed range")
+      folded.select(col("day_bucket"), col("n"), col("sum_uid"))
+    }),
+
     // Stats catalog / ANALYZE (round-13): per-version KMV NDV
     // sketches stored in the snapshot log — the "how many distinct
     // join keys?" answer a planner reads at metadata cost instead of
@@ -8658,6 +8723,16 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q533: day buckets over the full events table (the folded
+    // consumer view of the complete lake)
+    "q533_snapshot_tail" ->
+      """SELECT CAST(FLOOR(CAST(EXTRACT(DAY FROM ts) AS BIGINT)
+        |    / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // q532: the bottom-64 distinct-hash estimator per column
     "q532_analyze_ndv" ->

@@ -654,6 +654,39 @@ object Snapshots {
     else spark.read.schema(nullable).parquet(files.toIndexedSeq: _*)
   }
 
+  /** O(delta) snapshot-TAIL consumer — the read side of the
+    * produce→maintain→consume loop: process every version committed
+    * past the recorded cursor, ONE VERSION PER CALL to `process`
+    * (batch id = the version number, so an idempotent processor gets
+    * exactly-once semantics), advancing the cursor AFTER each
+    * processed version. A crash between process and cursor-advance
+    * replays exactly that version (at-least-once; version-keyed
+    * overwrite in the processor makes it exactly-once — the
+    * [[graft.streaming.Streaming]] sink discipline). Deltas come from
+    * [[addedBetween]], so a compaction-crossed range RAISES — the
+    * consumer must resync (full [[readLatest]] + cursor reset), never
+    * silently double-read rewritten rows. Cost per call: snapshot
+    * metadata + the NEW files only — a 100 TB lake's consumers stay
+    * linear in arrivals. Returns the versions processed. */
+  def consumeTail(spark: SparkSession, path: String, cursorDir: String,
+                  process: (DataFrame, Long) => Unit): Seq[Long] = {
+    val conf = hconf(spark)
+    val cur = SnapshotIo.readLongs(conf, cursorDir, "v")
+      .headOption.getOrElse(0L)
+    val head = listVersions(spark, path).lastOption.getOrElse(0L)
+    val done = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (cur + 1 to head).foreach { v =>
+      val delta =
+        if (v == 1L) readVersion(spark, path, 1L)
+        else addedBetween(spark, path, v - 1, v)
+      process(delta, v)
+      SnapshotIo.writeLongs(conf, cursorDir, "v", Seq(v),
+        overwrite = true)
+      done += v
+    }
+    done.toSeq
+  }
+
   // ----------------------------------------------------------------
   // Column statistics catalog (ANALYZE) — per-version NDV sketches
   // ----------------------------------------------------------------
