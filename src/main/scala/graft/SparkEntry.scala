@@ -6527,6 +6527,63 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // Lake CLONE / replication (round-13): copy retained history to
+    // a new root with pinned paths REWRITTEN (pins are absolute — a
+    // byte copy would read, and vacuum, the source); every version's
+    // content REQUIRED identical across the clone, and maintenance on
+    // the clone (compaction + a purge) REQUIRED to leave the source
+    // bit-stable — full independence
+    "q534_lake_clone" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val base = LakeFixtures.freshRoot("clone")
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", src)
+      Snapshots.commit(s, src) // v1
+      LakeFixtures.copyInto(s, s"$fx/b2", src, append = true)
+      Snapshots.commit(s, src) // v2
+      Snapshots.tag(s, src, "baseline", 1L)
+      Snapshots.cloneLake(s, src, dst)
+      // every version + the tag read identically at the clone
+      (1L to 2L).foreach { v =>
+        val a = Snapshots.readVersion(s, src, v)
+        val b = Snapshots.readVersion(s, dst, v)
+        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"clone diverged at v$v")
+      }
+      require(Snapshots.readTag(s, dst, "baseline").count() ==
+        Snapshots.readTag(s, src, "baseline").count())
+      // the clone reads ITS OWN files, not the source's
+      require(Snapshots.readLatest(s, dst).inputFiles
+          .forall(_.contains("/dst/")),
+        "clone pins must point inside the clone")
+      // independence: maintenance on the clone leaves the source alone
+      val srcPre = Snapshots.readLatest(s, src)
+        .agg(count(lit(1)).cast("long"), sum(col("user_id")).cast("long"))
+        .head()
+      Snapshots.compact(s, dst, targetBytes = 1L << 26) // dst v3
+      Snapshots.dropTag(s, dst, "baseline")
+      Snapshots.expire(s, dst, keepLast = 1)
+      Snapshots.vacuum(s, dst)
+      Snapshots.purgeWhere(s, dst, col("user_id") % 97 === 0)
+      val srcPost = Snapshots.readLatest(s, src)
+        .agg(count(lit(1)).cast("long"), sum(col("user_id")).cast("long"))
+        .head()
+      require(srcPre == srcPost,
+        "clone maintenance must never touch the source")
+      require(Snapshots.versions(s, src).count() == 2L)
+      // output: the maintained CLONE (days 1-20 minus the purged
+      // subjects) beside the untouched SOURCE (days 1-20, everyone)
+      def agg(df: DataFrame, stage: String) = df
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "day_bucket", "n", "sum_uid")
+      agg(Snapshots.readLatest(s, src), "source")
+        .unionByName(agg(Snapshots.readLatest(s, dst), "clone_purged"))
+    }),
+
     // Snapshot-TAIL consumer (round-13): the read side of the lake
     // loop — two consumer sessions drain v1..v3 one version at a
     // time (cursor advanced per version), a crash replay of the last
@@ -8723,6 +8780,23 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q534: days 1-20 for everyone (source) and minus the purged
+    // subjects (maintained clone)
+    "q534_lake_clone" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL AND
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) <= 20)
+        |SELECT 'source' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'clone_purged', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE user_id % 97 <> 0 GROUP BY 1, 2""".stripMargin,
 
     // q533: day buckets over the full events table (the folded
     // consumer view of the complete lake)

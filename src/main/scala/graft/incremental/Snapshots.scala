@@ -654,6 +654,69 @@ object Snapshots {
     else spark.read.schema(nullable).parquet(files.toIndexedSeq: _*)
   }
 
+  /** Lake CLONE / replication export: copy every RETAINED pinned
+    * data file plus the whole snapshot log (version manifests with
+    * schema sidecars, tags, stats sketches) to a new root, REWRITING
+    * the pinned paths — pins are absolute, so a byte copy alone
+    * would leave the clone reading (and, worse, vacuuming) the
+    * source. The disaster-recovery / environment-promotion op every
+    * versioned lake needs. Superseded-but-unpinned files do NOT
+    * travel (the clone starts with exactly the retained history;
+    * vacuum-eligible garbage stays behind). Live branches must
+    * resolve first (their staged pins would dangle); pins outside
+    * the source root raise (external-location files are not
+    * relocatable by a copy). The clone is fully independent:
+    * maintenance there (compact/expire/vacuum/purge) never touches
+    * the source. Cost: one file copy per retained file +
+    * metadata-scale manifest rewrites. */
+  def cloneLake(spark: SparkSession, src: String, dst: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = hconf(spark)
+    val vs = listVersions(spark, src)
+    require(vs.nonEmpty, s"cloneLake: no snapshots at $src — commit first")
+    require(listBranchNames(spark, src).isEmpty,
+      s"cloneLake at $src: live branches must resolve first")
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val srcUri = fs.makeQualified(srcPath).toString
+    val dstPath = new Path(dst)
+    val dfs = dstPath.getFileSystem(conf)
+    require(!dfs.exists(dstPath) || dfs.listStatus(dstPath).isEmpty,
+      s"cloneLake: destination $dst is not empty")
+    val dstUri = dfs.makeQualified(dstPath).toString
+    val pinsByV = vs.map(v => v -> readPins(spark, s"${snapRoot(src)}/v=$v"))
+    val files = pinsByV.flatMap(_._2).distinct.sorted
+    def rel(p: String): String = {
+      val q = fs.makeQualified(new Path(p)).toString
+      require(q.startsWith(srcUri + "/"),
+        s"cloneLake: pin $p lies outside the source root $srcUri — " +
+          "external-location files cannot relocate by copy")
+      q.stripPrefix(srcUri + "/")
+    }
+    files.foreach { f =>
+      val r = rel(f)
+      FileUtil.copy(fs, new Path(f), dfs, new Path(s"$dst/$r"),
+        false, conf)
+    }
+    pinsByV.foreach { case (v, pins) =>
+      val dir = s"${snapRoot(src)}/v=$v"
+      val sidecar = SnapshotIo.readSidecar(conf, dir, "_schema.json")
+        .map(("_schema.json", _))
+      SnapshotIo.writeStrings(conf, s"${snapRoot(dst)}/v=$v", "path",
+        pins.map(p => s"$dstUri/${rel(p)}").sorted,
+        overwrite = false, sidecar = sidecar)
+    }
+    // tags + stats ride along (metadata-scale)
+    listTags(spark, src).foreach { case (n, v) =>
+      SnapshotIo.writeLongs(conf, s"${tagRoot(dst)}/$n", "version",
+        Seq(v), overwrite = false)
+    }
+    val statsRoot = new Path(s"${snapRoot(src)}/stats")
+    if (fs.exists(statsRoot))
+      FileUtil.copy(fs, statsRoot, dfs,
+        new Path(s"${snapRoot(dst)}/stats"), false, conf)
+  }
+
   /** O(delta) snapshot-TAIL consumer — the read side of the
     * produce→maintain→consume loop: process every version committed
     * past the recorded cursor, ONE VERSION PER CALL to `process`
@@ -1079,6 +1142,16 @@ object Snapshots {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = unreferencedFiles(spark, path)
     dead.foreach(f => fs.delete(new Path(f), false))
+    // crashed SnapshotIo commits leave hidden `.tmp-*` staging dirs
+    // under the snapshot root — invisible to every reader (never a
+    // readable version), reclaimed here under the engine-wide
+    // single-maintenance-writer contract (no concurrent commit can
+    // be mid-stage while vacuum runs)
+    val snap = new Path(snapRoot(path))
+    if (fs.exists(snap))
+      fs.listStatus(snap).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".tmp-"))
+        .foreach(st => fs.delete(st.getPath, true))
     dead
   }
 }

@@ -383,6 +383,69 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Lake clone + tail consumer edges + vacuum tmp sweep
+  // ---------------------------------------------------------------
+
+  test("cloneLake: refuses non-empty dest and live branches; " +
+    "schema sidecars ride; superseded unpinned files stay behind") {
+    import graft.incremental.Snapshots
+    val base = tmp("clonesp")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(src)
+    Snapshots.commitEvolving(spark, src) // schema-tracked v1
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra").coalesce(1)
+      .write.mode("append").parquet(src)
+    Snapshots.commitEvolving(spark, src) // v2
+    Snapshots.expire(spark, src, keepLast = 2)
+    Snapshots.createBranch(spark, src, "wip", 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneLake(spark, src, dst)
+    }
+    Snapshots.dropBranch(spark, src, "wip")
+    Snapshots.cloneLake(spark, src, dst)
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneLake(spark, src, dst) // dest not empty
+    }
+    // recorded schemas traveled: the old pin keeps its old shape
+    assert(Snapshots.readVersionAs(spark, dst, 1L).columns.toSeq ==
+      Seq("id", "v"))
+    assert(Snapshots.readVersionAs(spark, dst, 2L).columns
+      .contains("extra"))
+  }
+
+  test("consumeTail resync after a rewrite: cursor reset + full read " +
+    "is the sanctioned path; vacuum sweeps crashed .tmp manifests") {
+    import graft.incremental.{SnapshotIo, Snapshots}
+    val base = tmp("tailresync")
+    val root = s"$base/lake"; val cursor = s"$base/cur"
+    Seq((1L, 5L)).toDF("id", "day").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    var seen = 0L
+    Snapshots.consumeTail(spark, root, cursor,
+      (df, _) => seen += df.count())
+    assert(seen == 1L)
+    Snapshots.compact(spark, root, targetBytes = 1L << 26) // v2
+    intercept[IllegalArgumentException] {
+      Snapshots.consumeTail(spark, root, cursor, (_, _) => ())
+    }
+    // resync: full read + cursor fast-forward to head
+    val head = 2L
+    seen = Snapshots.readVersion(spark, root, head).count()
+    SnapshotIo.writeLongs(spark.sparkContext.hadoopConfiguration,
+      cursor, "v", Seq(head), overwrite = true)
+    assert(Snapshots.consumeTail(spark, root, cursor,
+      (_, _) => ()).isEmpty)
+    // crashed manifest staging dir: vacuum reclaims it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpDir = new org.apache.hadoop.fs.Path(
+      s"$root/_graft_snapshots/.tmp-v=9-dead")
+    fs.mkdirs(tmpDir)
+    Snapshots.vacuum(spark, root)
+    assert(!fs.exists(tmpDir), "vacuum must sweep crashed .tmp dirs")
+  }
+
+  // ---------------------------------------------------------------
   // Stats catalog (ANALYZE)
   // ---------------------------------------------------------------
 
