@@ -6527,6 +6527,49 @@ object SparkEntry {
       Timeseries.dtwMatrix(red, "event_type", "seg", "v", band = 3)
     }),
 
+    // Cross-arc: training-data lake HYGIENE (round-13 post-close) —
+    // NEAR-dup LOSERS purged from a snapshotted document lake's whole
+    // history: the q63 dedup pipeline names the keepers (LSH
+    // candidates -> exact-jaccard verify -> connected components ->
+    // min-id keeper), and purgeWhere erases every loser at every
+    // version — loser bytes cease to exist even for time travel. The
+    // loser list collects driver-side (dup clusters are tiny); at
+    // 100 TB the same purge runs per-shard off a keeper semi-join
+    "q535_dedup_purge_history" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("dedupurge") + "/lake"
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      docs.filter(col("doc_id") < 250).coalesce(2).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      docs.filter(col("doc_id") >= 250).coalesce(2)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v2
+      val keepers = DedupOps.dedupCorpus(docs, "doc_id", "text",
+          shingleSize = 3, bands = 4, rows = 4, jaccardThreshold = 0.4)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val losers = docs.select(col("doc_id")).collect()
+        .map(_.getLong(0)).filterNot(keepers).sorted
+      require(losers.nonEmpty, "the corpus must contain near-dups")
+      val report = Snapshots.purgeWhere(s, root,
+        col("doc_id").isin(losers: _*)).head()
+      require(report.getLong(3) >= losers.length,
+        "every loser pinned at least once must purge")
+      // every version is now loser-free and keeper-complete
+      (1L to 2L).foreach { v =>
+        val got = Snapshots.readVersion(s, root, v)
+        require(got.filter(col("doc_id").isin(losers: _*)).count() == 0L,
+          s"v$v still holds losers")
+        require(got.filter(!col("doc_id").isin(losers: _*)).count()
+            == got.count(), s"v$v lost keeper rows")
+      }
+      Snapshots.readLatest(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .select("lang", "n_docs", "n_chars")
+    }),
+
     // Lake CLONE / replication (round-13): copy retained history to
     // a new root with pinned paths REWRITTEN (pins are absolute — a
     // byte copy would read, and vacuum, the source); every version's
@@ -8780,6 +8823,25 @@ object SparkEntry {
     // equivalence contract; the in-query requires cover the
     // budgeted-ADC recall floor)
     "q487_ivfpq_topk" -> ivfFlatOracleSql,
+
+    // q535: per-lang doc/char counts over the q63 KEEPERS (LSH
+    // cluster min-id survivors)
+    "q535_dedup_purge_history" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a, id_b FROM mh_pairs
+         |          UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON e.id_b = r.id),
+         |losers AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY 1 HAVING id <> MIN(label))
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(LENGTH(d.text)) AS BIGINT) AS n_chars
+         |FROM documents d
+         |LEFT JOIN losers x ON d.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL
+         |GROUP BY 1""".stripMargin,
 
     // q534: days 1-20 for everyone (source) and minus the purged
     // subjects (maintained clone)
