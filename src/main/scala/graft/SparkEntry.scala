@@ -6570,6 +6570,47 @@ object SparkEntry {
         .select("lang", "n_docs", "n_chars")
     }),
 
+    // Evolution-aware tail consumption (round-13 post-close): the
+    // producer ADDS a column mid-stream (commitEvolving), the
+    // consumer drains per-version deltas whose schemas differ, and
+    // the mergeSchema fold of the downstream deltas is REQUIRED
+    // equal to the one-shot readVersionAs of the evolved head —
+    // O(delta) consumption survives schema evolution
+    "q536_evolving_tail" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val base = LakeFixtures.freshRoot("evotail")
+      val root = s"$base/lake"; val cursor = s"$base/cursor"
+      val out = s"$base/downstream"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      def process(delta: DataFrame, v: Long): Unit =
+        delta.coalesce(2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/delta-v$v")
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commitEvolving(s, root) // v1: (event_id, user_id, day)
+      require(Snapshots.consumeTail(s, root, cursor, process)
+        == Seq(1L))
+      // the producer starts emitting a flag column
+      s.read.parquet(s"$fx/b2")
+        .withColumn("flag", (col("day") % 2).cast("long"))
+        .coalesce(2).write.mode("append").parquet(root)
+      Snapshots.commitEvolving(s, root) // v2: + flag
+      require(Snapshots.consumeTail(s, root, cursor, process)
+        == Seq(2L))
+      def agg(df: DataFrame) = df
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          count(col("flag")).cast("long").as("n_flag"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+      val folded = agg(s.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true").parquet(out))
+      val oneShot = agg(Snapshots.readVersionAs(s, root, 2L))
+      require(folded.exceptAll(oneShot).isEmpty
+          && oneShot.exceptAll(folded).isEmpty,
+        "evolved-schema fold must equal the one-shot evolved read")
+      folded.select("day_bucket", "n", "n_flag", "sum_uid")
+    }),
+
     // Lake CLONE / replication (round-13): copy retained history to
     // a new root with pinned paths REWRITTEN (pins are absolute — a
     // byte copy would read, and vacuum, the source); every version's
@@ -8842,6 +8883,20 @@ object SparkEntry {
          |LEFT JOIN losers x ON d.doc_id = x.doc_id
          |WHERE x.doc_id IS NULL
          |GROUP BY 1""".stripMargin,
+
+    // q536: day buckets over days 1-20; flag exists only for the
+    // second batch's rows (day > 10)
+    "q536_evolving_tail" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL AND
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) <= 20)
+        |SELECT CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN day > 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flag,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e GROUP BY 1""".stripMargin,
 
     // q534: days 1-20 for everyone (source) and minus the purged
     // subjects (maintained clone)
