@@ -873,8 +873,15 @@ object Snapshots {
     val pinsByV: Seq[(Long, Seq[String])] =
       vs.map(v => v -> readPins(spark, s"${snapRoot(path)}/v=$v"))
     val files = pinsByV.flatMap(_._2).distinct.sorted
-    // affected detection: one distributed pass, grouped by file
-    val hits = spark.read.parquet(files: _*)
+    // affected detection: one distributed pass, grouped by file.
+    // mergeSchema so a predicate on an EVOLVED column resolves against
+    // pre-evolution files too (their rows read NULL there -> pred
+    // false -> unaffected, which is exactly right: the column did not
+    // exist, so no subject rows can hide in them); affected files
+    // therefore always carry the predicate's columns and the per-file
+    // rewrite below reads each with its own schema safely
+    val hits = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*)
       .select(input_file_name().as("__f"),
         when(pred, 1L).otherwise(0L).as("__m"))
       .groupBy(col("__f")).agg(sum(col("__m")).cast("long").as("n_purge"))

@@ -478,6 +478,28 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("purgeWhere on an EVOLVED column: pre-evolution files are " +
+    "unaffected (the column did not exist there) and stay untouched") {
+    import graft.incremental.Snapshots
+    val root = tmp("purgeevo") + "/lake"
+    Seq((1L, "old")).toDF("id", "v").coalesce(1).write.parquet(root)
+    Snapshots.commitEvolving(spark, root) // v1: (id, v)
+    Seq((2L, "new", "subject"), (3L, "new", "other"))
+      .toDF("id", "v", "owner").coalesce(1)
+      .write.mode("append").parquet(root)
+    Snapshots.commitEvolving(spark, root) // v2: + owner
+    val report = Snapshots.purgeWhere(spark, root,
+      col("owner") === "subject").head()
+    assert(report.getLong(3) == 1L, s"one subject row: $report")
+    assert(report.getLong(1) == 1L,
+      "only the post-evolution file rewrites")
+    assert(Snapshots.readVersionAs(spark, root, 1L).count() == 1L,
+      "the pre-evolution file must be untouched")
+    val v2 = Snapshots.readVersionAs(spark, root, 2L)
+    assert(v2.count() == 2L &&
+      v2.filter(col("owner") === "subject").count() == 0L)
+  }
+
   // ---------------------------------------------------------------
   // IVF-PQ incremental append
   // ---------------------------------------------------------------
