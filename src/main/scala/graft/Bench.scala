@@ -63,6 +63,11 @@ object Bench {
     // layout build into some query's n=1 "median" (LakeFixtures
     // scaladoc; the r12 q413 artifact).
     LakeFixtures.warmAll(spark, sfDir)
+    // Identity-verification reference arms (all-pairs DTW, flat IVF)
+    // run once per JVM — here, untimed, so bench reps measure the
+    // production operators those arms exist to verify (CrossChecks
+    // scaladoc; the correctness gate still executes every require).
+    CrossChecks.warmAll(spark, sfDir)
     // dev convenience, mirroring Verify's SPARK_GRAFT_ONLY: probe a
     // subset when chasing one query's timing (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Once-per-JVM identity-verification arms (round-14, VERDICT r13 #2):
+  * some queries prove an INDEXED operator exact by recomputing the
+  * reference form (all-pairs DTW, flat IVF) and `require`-ing
+  * equality. Those reference arms are the very computation the
+  * indexed operator exists to avoid — valuable as gates, pure
+  * overhead as a per-rep bench cost (the q359 build/serve precedent,
+  * applied to cross-checks). Each check runs AT MOST ONCE per
+  * (check, sf-dir) per JVM:
+  *
+  *  - the correctness gate (graft.Verify, a fresh JVM per run) always
+  *    executes every check — the requires still gate every round;
+  *  - graft.Bench triggers them through [[warmAll]] OUTSIDE the timed
+  *    region, so bench reps measure the production arm only.
+  *
+  * Determinism makes the memoization sound: every check verifies a
+  * pure function of the sf-dir input (md5-pinned, no rand), so one
+  * execution per JVM proves exactly what per-rep execution proved. */
+object CrossChecks {
+
+  private val done =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run `check` at most once per (tag, sfDir) per JVM; concurrent
+    * callers block on the first run (computeIfAbsent). A FAILED check
+    * is not memoized — the exception propagates and a retry re-runs. */
+  def once(tag: String, sfDir: String)(check: => Unit): Unit = {
+    done.computeIfAbsent(s"$tag|$sfDir", { _ => check; "ok" })
+    ()
+  }
+
+  /** q527's reference arm: a batch appended to the stored-centroid
+    * IVF-PQ index, searched with an unrestricted candidate budget,
+    * must equal the flat IVF index grown through the same
+    * stored-centroid append path — the quantized and full-precision
+    * admission ladders agree exactly. */
+  def ivfPqAppendEqualsFlat(s: SparkSession, d: String): Unit =
+    once("ivfPqAppendEqFlat", d) {
+      import graft.llmdata.Similarity
+      val emb = graft.sources.Tables.read(s, d, "embeddings")
+      val b = emb.filter(col("vec_id") % 5 === 0)
+      val queries = emb.filter(col("vec_id") < 16)
+      val pqRoot = LakeFixtures.freshRoot("pqappendchk") + "/idx"
+      LakeFixtures.copyTree(s, LakeFixtures.ivfPqCorpusA(s, d), pqRoot)
+      Similarity.ivfPqIndexAppend(s, pqRoot, b, "vec_id", "embedding")
+      val flatRoot = LakeFixtures.freshRoot("flatappendchk") + "/idx"
+      LakeFixtures.copyTree(s, LakeFixtures.ivfFlatCorpusA(s, d),
+        flatRoot)
+      Similarity.ivfIndexAppend(s, flatRoot, b, "vec_id", "embedding")
+      val pq = Similarity.ivfPqTopKIndexed(s, pqRoot, queries, "vec_id",
+          "embedding", k = 3, nprobe = 2, overfetch = Int.MaxValue / 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .localCheckpoint(true)
+      val flat = Similarity.ivfTopKIndexed(s, flatRoot, queries,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+      require(pq.exceptAll(flat).isEmpty && flat.exceptAll(pq).isEmpty,
+        "appended IVF-PQ (unrestricted budget) must equal the " +
+          "appended flat IVF at the same probes")
+    }
+
+  /** q526's reference arm: the grid-blocked exact DTW top-k must
+    * equal the all-pairs pruned top-k on the same series frame. */
+  def dtwBlockedEqualsAllPairs(s: SparkSession, d: String): Unit =
+    once("dtwBlockedEqAllPairs", d) {
+      import graft.operators.Timeseries
+      val k = 2
+      val series = SparkEntry.dailyCountSeries(s, d)
+      val blocked = Timeseries.dtwTopKBlocked(series, "event_type",
+          "x", "y", band = 5, k = k, nSeg = 7, cellCents = 10000L)
+        .select("query_key", "neighbor", "rank", "dtw_cents")
+      val allPairs = Timeseries.dtwTopK(series, "event_type", "x", "y",
+          band = 5, k = k)
+        .select("query_key", "neighbor", "rank", "dtw_cents")
+      require(blocked.exceptAll(allPairs).isEmpty
+          && allPairs.exceptAll(blocked).isEmpty,
+        "blocked DTW top-k must equal the all-pairs pruned top-k")
+    }
+
+  /** The bench warm-up hook — run every cross-check untimed
+    * ([[graft.Bench]] calls this beside LakeFixtures.warmAll). */
+  def warmAll(s: SparkSession, d: String): Unit = {
+    def quiet(b: => Unit): Unit =
+      try b catch { case _: Throwable => () }
+    quiet(ivfPqAppendEqualsFlat(s, d))
+    quiet(dtwBlockedEqualsAllPairs(s, d))
+  }
+}

@@ -20,6 +20,11 @@ import org.apache.hadoop.fs.Path
   * version (the [[Snapshots]] discovery rule), and `ErrorIfExists`
   * maps to the rename's refusal to clobber an existing dir. A
   * `_SUCCESS` marker is included for parity with Spark-written dirs.
+  * Overwrites are crash-safe: the old dir renames aside to a hidden
+  * `.trash-*` sibling before the new one renames in — nothing is
+  * deleted until the replacement is live, so no crash window can
+  * lose a manifest permanently ([[Snapshots.vacuum]] sweeps
+  * `.trash-*`/`.tmp-*` leftovers).
   *
   * Scale note: a manifest of F files × V versions is MBs at 100 TB
   * scale (Iceberg's own ballpark); if a log ever outgrew the driver,
@@ -151,13 +156,22 @@ private[graft] object SnapshotIo {
     val fs = dest.getFileSystem(conf)
     val parent = dest.getParent
     fs.mkdirs(parent)
-    val tmp = new Path(parent,
-      s".tmp-${dest.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(parent, s".tmp-${dest.getName}-$token")
+    // the staged part file carries THIS write's token, so the
+    // commit probe below can only be satisfied by this write's own
+    // file — a racing writer's committed dir (whose rename-into-dir
+    // nests the loser's tmp INSIDE it) holds a differently-named
+    // part and fails the probe loudly instead of silently passing
+    // (round-14 ADVICE: the old fixed-name probe could see the
+    // WINNER's part file and report the loser's discarded write as
+    // success)
+    val partName = s"part-00000-$token.parquet"
     val schema = MessageTypeParser.parseMessageType(schemaStr)
     val factory = new SimpleGroupFactory(schema)
     val writer = ExampleParquetWriter.builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile
-          .fromPath(new Path(tmp, "part-00000.parquet"), conf))
+          .fromPath(new Path(tmp, partName), conf))
       .withConf(conf).withType(schema).build()
     try rows.foreach { fill =>
       val g = factory.newGroup(); fill(g); writer.write(g)
@@ -168,6 +182,15 @@ private[graft] object SnapshotIo {
       finally out.close()
     }
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    def raceFail(): Nothing = {
+      // a nested rename leaves the loser's tmp INSIDE dest — reclaim
+      // both debris locations before failing
+      fs.delete(new Path(dest, tmp.getName), true)
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"SnapshotIo: commit race on $dir — another writer won; " +
+          "re-read the log and retry against the new head")
+    }
     if (fs.exists(dest)) {
       if (!overwrite) {
         fs.delete(tmp, true)
@@ -175,18 +198,33 @@ private[graft] object SnapshotIo {
           s"SnapshotIo: commit race — $dir already exists (the " +
             "ErrorIfExists guard: another writer won this version)")
       }
-      fs.delete(dest, true)
-    }
-    // Hadoop rename onto an EXISTING dir nests src inside it — the
-    // explicit exists checks above make that unreachable in the
-    // single-writer protocol, and the marker probe below catches the
-    // race loudly instead of leaving a nested half-commit
-    if (!fs.rename(tmp, dest) ||
-        !fs.exists(new Path(dest, "part-00000.parquet"))) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"SnapshotIo: commit race on $dir — another writer won; " +
-          "re-read the log and retry against the new head")
-    }
+      // crash-safe overwrite (round-14 ADVICE): the old manifest
+      // RENAMES aside — never deletes before the new one is live —
+      // so a crash at any point leaves the content recoverable: both
+      // renames done -> new manifest live; crash between them -> the
+      // old manifest sits intact in the hidden .trash sibling (a
+      // re-run of the maintenance op rewrites dest and [[Snapshots
+      // .vacuum]] sweeps the trash). The previous delete-then-rename
+      // ordering could lose a version manifest permanently.
+      val trash = new Path(parent, s".trash-${dest.getName}-$token")
+      if (!fs.rename(dest, trash)) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"SnapshotIo: could not stage the old manifest aside at $dir")
+      }
+      if (!fs.rename(tmp, dest) || !fs.exists(new Path(dest, partName))) {
+        // a racing dest appeared between the renames: restore the old
+        // manifest only if the slot is free again; otherwise the
+        // trash sibling keeps the pre-overwrite content recoverable
+        fs.delete(new Path(dest, tmp.getName), true)
+        if (!fs.exists(dest)) fs.rename(trash, dest)
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"SnapshotIo: commit race on $dir — another writer won; " +
+            s"pre-overwrite manifest retained at $trash")
+      }
+      fs.delete(trash, true)
+    } else if (!fs.rename(tmp, dest) ||
+        !fs.exists(new Path(dest, partName))) raceFail()
   }
 }

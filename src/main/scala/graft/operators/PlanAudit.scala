@@ -64,6 +64,44 @@ object PlanAudit {
       case e: ShuffleExchangeExec => e
     }.size
 
+  /** Documented bound for VALUE-LATTICE global windows (round-14,
+    * VERDICT r13 #3): operators like
+    * [[graft.operators.Survival.logRankParts]] and
+    * [[graft.operators.Robust.moodMedian]] window with
+    * `Window.orderBy(...)` and no partitioning over a
+    * distinct-VALUE lattice — the documented metadata-scale exception
+    * [[audit]] exempts. That exemption is sound only while the
+    * lattice stays values-scale: a CONTINUOUS key (exact timestamps,
+    * unrounded doubles) makes the lattice row-cardinality and lands
+    * the whole dataset on one task. ~4.2M lattice rows (≈100 MB of
+    * cumulative-window state on a single task) is the loud refusal
+    * point — far above any discretized lattice, far below a raw-row
+    * collapse at 100 TB. */
+  val MaxLatticeRows: Long = 1L << 22
+
+  /** In-plan lattice-cardinality guard: returns `onCol` unless `nLat`
+    * (the lattice row count, from the SAME aggregate that computes
+    * the operator's totals — no extra pass) exceeds
+    * [[MaxLatticeRows]], in which case evaluation raises with a
+    * remediation hint. Fold it into a column the plan provably
+    * CONSUMES (a window/join input or an output column) — a guard on
+    * a column the next select drops is a guard the optimizer deletes
+    * (the r13 dtwTopKBlocked ADVICE lesson). */
+  def latticeGuard(onCol: org.apache.spark.sql.Column,
+                   nLat: org.apache.spark.sql.Column,
+                   op: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(nLat > MaxLatticeRows,
+      raise_error(concat(
+        lit(s"$op: the distinct-value lattice holds "),
+        nLat.cast("string"),
+        lit(s" rows (> $MaxLatticeRows) — the global cumulative " +
+          "window would collapse onto one task; round or bucket the " +
+          "value column (cents -> dollars, timestamp -> day) to a " +
+          "bounded lattice first"))))
+      .otherwise(onCol)
+  }
+
   /** Throw (listing every finding) if [[audit]] flags anything. */
   def assertScaleSafe(df: DataFrame): Unit = {
     val fs = audit(df)

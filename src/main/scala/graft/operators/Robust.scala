@@ -1228,10 +1228,20 @@ object Robust {
     val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
     val w = Window.orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __nlat (distinct-value count, same single aggregate pass over
+    // the rows) guards the values-scale lattice claim: a continuous
+    // value column refuses loudly instead of one-task collapse. The
+    // guard replaces __c BELOW the window — per-row, on the
+    // distributed side of the single-partition exchange, so the raise
+    // fires before any one-task sort materializes
+    // (PlanAudit.latticeGuard — round-14, VERDICT r13 #3)
     val med = base.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"),
+        count_distinct(col(valueCol)).as("__nlat"))))
+      .withColumn("__c", PlanAudit.latticeGuard(col("__c"),
+        col("__nlat"), "moodMedian"))
       .withColumn("__cum", sum(col("__c")).over(w))
-      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
       .filter(col("__cum") * 2 >= col("__n"))
       .agg(min(col("__v")).as("median"))
     val sided = base.crossJoin(broadcast(med))

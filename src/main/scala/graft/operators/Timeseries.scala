@@ -1876,24 +1876,37 @@ object Timeseries {
       val floored = v - pmod(v, lit(cellCents))
       call_function("div", floored, lit(cellCents)).cast("long")
     }
+    // TOTAL equal-length guard (round-14 ADVICE): the per-pair
+    // raise_error used to ride a column the next select dropped, so
+    // the optimizer could prune it, and zip_with's null-padding of
+    // unequal arrays could flow a NULL ub into a silently-thin τ /
+    // candidate cover. The global distinct-length count instead rides
+    // `cell0` — the equi-join KEY of both stages, evaluated for every
+    // series row whenever any candidate exists — so mixed-length
+    // input ALWAYS raises, never silently drops pairs.
+    val lenChk = ser.agg(count_distinct(col("n")).cast("long")
+      .as("__nlen"))
     val base = ser.join(Broadcasts.maybeBroadcast(segVec), Seq("key"))
-      .withColumn("cell0", cellOf(element_at(col("ssums"), 1)))
+      .crossJoin(broadcast(lenChk))
+      .withColumn("cell0",
+        when(col("__nlen") > 1, raise_error(lit(
+          "dtwTopKBlocked: the envelope/aligned-UB form needs equal " +
+            "lengths — the series frame holds multiple distinct " +
+            "lengths; paa-reduce to a common width first"))
+          .cast("long"))
+        .otherwise(cellOf(element_at(col("ssums"), 1))))
+      .drop("__nlen")
     val q = base.select(col("key").as("query_key"), col("n").as("n_a"),
       col("arr").as("__a"), col("ubounds").as("__qu"),
       col("lbounds").as("__ql"), col("cell0"))
     val c = base.select(col("key").as("neighbor"), col("n").as("n_b"),
       col("arr").as("__b"), col("ssums").as("__cs"), col("cell0"))
-    val eqLen = when(col("n_a") =!= col("n_b"), raise_error(lit(
-      "dtwTopKBlocked: the envelope/aligned-UB form needs equal " +
-        "lengths — paa-reduce to a common width first")))
-      .otherwise(col("n_a"))
     val ubExpr = expr(
       "aggregate(zip_with(__a, __b, (x, y) -> abs(x - y)), 0L, " +
         "(acc, d) -> acc + d)")
     // stage 1: τ from same-cell candidates + deterministic fill
     val sameBlock = q.join(c, Seq("cell0"))
       .filter(col("query_key") =!= col("neighbor"))
-      .withColumn("n_a", eqLen)
       .withColumn("ub", ubExpr)
       .select("query_key", "neighbor", "ub")
     val blockCnt = sameBlock.groupBy(col("query_key"))
@@ -1907,7 +1920,6 @@ object Timeseries {
         .select(col("neighbor"), col("n_b"), col("__b")))
     val fillUb = deficient.crossJoin(fillKeys)
       .filter(col("query_key") =!= col("neighbor"))
-      .withColumn("n_a", eqLen)
       .withColumn("ub", ubExpr)
       .select("query_key", "neighbor", "ub")
     val tauSeed = graft.operators.TopK.perKey(
@@ -1925,7 +1937,6 @@ object Timeseries {
         cellOf(element_at(col("__qu"), 1) + col("__tau")))))
     val cands = probes.join(c, Seq("cell0"))
       .filter(col("query_key") =!= col("neighbor"))
-      .withColumn("n_a", eqLen)
     // stage 3: LB_PAA (all segments, exact BIGINTs)
     val lbPaa = expr(
       "aggregate(sequence(1, size(__cs)), 0L, (acc, j) -> acc + " +

@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14: join-based history purge (purgeMatching), the purge
+  * fence/schema-evolution hardening, and SnapshotIo's crash-safe
+  * overwrite protocol (the r13 ADVICE items). */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"r14_$tag").toString
+
+  // ---------------------------------------------------------------
+  // purgeMatching — set-valued RTBF without a driver collect
+  // ---------------------------------------------------------------
+
+  private def twoVersionLake(root: String): Unit = {
+    import graft.incremental.Snapshots
+    (0L until 40L).map(k => (k, s"payload-$k")).toDF("k", "v")
+      .coalesce(2).write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    (40L until 60L).map(k => (k, s"payload-$k")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+  }
+
+  test("purgeMatching(subjects frame) ≡ purgeWhere(isin literals): " +
+    "same report, same surviving content at every version; NULL " +
+    "subject keys are ignored (isin semantics)") {
+    import graft.incremental.Snapshots
+    val a = tmp("pmA") + "/lake"; val b = tmp("pmB") + "/lake"
+    twoVersionLake(a); twoVersionLake(b)
+    val keys = Seq(3L, 7L, 41L, 59L, 999L) // 999 matches nothing
+    val subjects = (keys.map(java.lang.Long.valueOf) :+
+        null.asInstanceOf[java.lang.Long])
+      .toDF("k")
+    val repA = Snapshots.purgeMatching(spark, a, subjects, "k").head()
+    val repB = Snapshots.purgeWhere(spark, b,
+      col("k").isin(keys: _*)).head()
+    assert(repA == repB, s"reports diverged: $repA vs $repB")
+    assert(repA.getLong(3) == 4L) // 3, 7, 41, 59 each pinned once
+    (1L to 2L).foreach { v =>
+      val ga = Snapshots.readVersion(spark, a, v)
+      val gb = Snapshots.readVersion(spark, b, v)
+      assert(ga.exceptAll(gb).isEmpty && gb.exceptAll(ga).isEmpty,
+        s"v$v content diverged between the join and predicate purges")
+      assert(ga.filter(col("k").isin(keys: _*)).count() == 0L)
+    }
+  }
+
+  test("purgeMatching scales past the isin comfort zone: a 50k-key " +
+    "subject frame purges correctly (VERDICT r13 #1's done bar)") {
+    import graft.incremental.Snapshots
+    val root = tmp("pm50k") + "/lake"
+    spark.range(0, 2500).select(col("id").as("k"))
+      .coalesce(1).write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    spark.range(2500, 5000).select(col("id").as("k"))
+      .coalesce(1).write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    // 50_000 subjects; 4_000 of them (1000..4999) live in the lake
+    val subjects = spark.range(1000, 51000).select(col("id").as("k"))
+    val rep = Snapshots.purgeMatching(spark, root, subjects, "k").head()
+    assert(rep.getLong(3) == 4000L,
+      s"expected 4000 purged rows, got ${rep.getLong(3)}")
+    assert(Snapshots.readVersion(spark, root, 1L).count() == 1000L)
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 1000L)
+    assert(Snapshots.readLatest(spark, root)
+      .agg(max(col("k"))).head().getLong(0) == 999L)
+  }
+
+  // ---------------------------------------------------------------
+  // purge preserves path-encoded markers (the WAP publish fence)
+  // ---------------------------------------------------------------
+
+  test("purge rewrites keep the WAP batch tag in the pinned paths: a " +
+    "published batch's merge-b<id>-v<N> segment survives the purge, " +
+    "so a checkpoint replay still sees the publish fence") {
+    import graft.incremental.Snapshots
+    val root = tmp("pfence") + "/lake"
+    Seq((1L, "seed")).toDF("k", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.createBranch(spark, root, "w", 1L)
+    Snapshots.appendBranch(spark, root, "w",
+      Seq((2L, "keep"), (3L, "forget")).toDF("k", "v").coalesce(1))
+    Snapshots.mergeBranch(spark, root, "w", mergeTag = Some("b3")) // v2
+    assert(Snapshots.allPinnedPaths(spark, root)
+      .exists(_.contains("/merge-b3-v2/")))
+    val rep = Snapshots.purgeWhere(spark, root, col("k") === 3L).head()
+    assert(rep.getLong(3) == 1L)
+    val pins = Snapshots.allPinnedPaths(spark, root)
+    assert(pins.exists(_.contains("/merge-b3-v2/")),
+      s"the publish fence segment must survive the purge: $pins")
+    // the surviving pin is the REPLACEMENT, not the original
+    assert(pins.filter(_.contains("/merge-b3-v2/"))
+      .forall(_.contains("/purge-")),
+      s"the fence-tagged pin should be the purge replacement: $pins")
+    assert(Snapshots.readLatest(spark, root)
+      .filter(col("k") === 3L).count() == 0L)
+    assert(Snapshots.readLatest(spark, root).count() == 2L)
+  }
+
+  // ---------------------------------------------------------------
+  // purge under schema evolution: disjunctive predicates
+  // ---------------------------------------------------------------
+
+  test("purgeWhere with a disjunctive predicate on an EVOLVED column " +
+    "null-fills pre-evolution affected files instead of throwing " +
+    "(r13 ADVICE low)") {
+    import graft.incremental.Snapshots
+    val root = tmp("pevo") + "/lake"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "old_col")
+      .coalesce(1).write.parquet(root)
+    Snapshots.commitEvolving(spark, root) // v1: (k, old_col)
+    Seq((4L, "d", 10L), (5L, "e", 20L)).toDF("k", "old_col", "new_col")
+      .coalesce(1).write.mode("append").parquet(root)
+    Snapshots.commitEvolving(spark, root) // v2: + new_col
+    // old_col='b' lives only in the pre-evolution file (no new_col);
+    // new_col=20 lives only in the evolved file
+    val rep = Snapshots.purgeWhere(spark, root,
+      col("old_col") === "b" || col("new_col") === 20L).head()
+    assert(rep.getLong(3) == 2L, s"expected 2 purged rows, got $rep")
+    val v2 = Snapshots.readVersionAs(spark, root, 2L)
+    assert(v2.count() == 3L)
+    assert(v2.filter(col("old_col") === "b" ||
+      col("new_col") === 20L).count() == 0L)
+    val v1 = Snapshots.readVersionAs(spark, root, 1L)
+    assert(v1.columns.toSeq == Seq("k", "old_col"))
+    assert(v1.count() == 2L && v1.filter(col("old_col") === "b")
+      .count() == 0L)
+  }
+
+  // ---------------------------------------------------------------
+  // SnapshotIo crash-safe overwrite protocol
+  // ---------------------------------------------------------------
+
+  test("manifest overwrite leaves no .trash debris on success, and " +
+    "planted .tmp-/.trash- leftovers (a crashed write's residue) are " +
+    "invisible to discovery and swept by vacuum") {
+    import graft.incremental.Snapshots
+    import org.apache.hadoop.fs.Path
+    val root = tmp("trash") + "/lake"
+    Seq((1L, "x")).toDF("k", "v").write.parquet(root)
+    Snapshots.commit(spark, root)          // v1
+    Snapshots.commitAt(spark, root, 2L)    // v2 (fresh)
+    Snapshots.commitAt(spark, root, 2L)    // v2 again: OVERWRITE path
+    Snapshots.tag(spark, root, "t1", 1L)
+    Snapshots.tag(spark, root, "t1", 2L)   // re-tag: overwrite path
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hiddenDirs(): Seq[String] = {
+      val it = fs.listFiles(new Path(root), true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.contains("/.trash-") || p.contains("/.tmp-")) out += p
+      }
+      out.toSeq
+    }
+    assert(hiddenDirs().isEmpty,
+      s"successful overwrites must clean their staging: ${hiddenDirs()}")
+    // a crashed overwrite's residue: old manifest parked in .trash
+    val snap = s"$root/_graft_snapshots"
+    fs.mkdirs(new Path(s"$snap/.trash-v=2-dead"))
+    fs.mkdirs(new Path(s"$snap/tags/.trash-t1-dead"))
+    fs.mkdirs(new Path(s"$snap/.tmp-v=3-dead"))
+    assert(Snapshots.versions(spark, root).count() == 2L,
+      "trash/tmp dirs must not read as versions")
+    assert(Snapshots.tags(spark, root).collect().map(_.getString(0))
+      .toSeq == Seq("t1"), "trash dirs must not read as tags")
+    Snapshots.vacuum(spark, root)
+    assert(hiddenDirs().isEmpty, s"vacuum must sweep: ${hiddenDirs()}")
+    assert(Snapshots.readTag(spark, root, "t1").count() == 1L)
+  }
+
+  // ---------------------------------------------------------------
+  // value-lattice global windows: continuous keys refuse loudly
+  // ---------------------------------------------------------------
+
+  test("moodMedian refuses a continuous value column (lattice ≈ rows) " +
+    "instead of collapsing the cumulative window onto one task " +
+    "(VERDICT r13 #3)") {
+    import graft.operators.{PlanAudit, Robust}
+    val n = PlanAudit.MaxLatticeRows + 2
+    val df = spark.range(0, n, 1, 8)
+      .select((col("id") % 2).as("g"), col("id").as("v"))
+    val e = intercept[Exception] {
+      Robust.moodMedian(df, "g", "v").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("moodMedian") && chain(e).contains("lattice"),
+      s"expected the lattice refusal, got: ${chain(e).take(500)}")
+  }
+
+  test("logRankParts refuses a continuous duration column " +
+    "(VERDICT r13 #3); a discretized lattice on the same data passes") {
+    import graft.operators.{PlanAudit, Survival}
+    val n = PlanAudit.MaxLatticeRows + 2
+    val units = spark.range(0, n, 1, 8)
+      .select((col("id") % 2 === 0).as("a"), col("id").as("dur"),
+        lit(true).as("ev"))
+    val e = intercept[Exception] {
+      // consume n_risk_a (count() would prune the window AND the
+      // guard — the lint only holds for consumed columns)
+      Survival.logRankParts(units, col("a"), "dur", "ev")
+        .agg(sum(col("n_risk_a"))).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("logRankParts") &&
+      chain(e).contains("lattice"),
+      s"expected the lattice refusal, got: ${chain(e).take(500)}")
+    // the documented remediation: bucket the continuous key first
+    val bucketed = units.withColumn("dur",
+      (col("dur") / 100000L).cast("long"))
+    assert(Survival.logRankParts(bucketed, col("a"), "dur", "ev")
+      .agg(sum(col("n_risk_a"))).head().getLong(0) > 0L)
+  }
+
+  // ---------------------------------------------------------------
+  // blocked DTW: mixed lengths must ALWAYS raise
+  // ---------------------------------------------------------------
+
+  test("dtwTopKBlocked raises loudly on mixed series lengths (the " +
+    "guard rides the equi-join key, so no plan pruning or zip_with " +
+    "null-padding can silently thin the candidate cover)") {
+    import graft.operators.Timeseries
+    // three 4-point series plus one 3-point series
+    val rows = (Seq("a", "b", "c").flatMap(k =>
+        (1 to 4).map(x => (k, x.toLong, (x * 10).toDouble))) ++
+        (1 to 3).map(x => ("short", x.toLong, 5.0)))
+      .toDF("k", "x", "v")
+    val e = intercept[Exception] {
+      Timeseries.dtwTopKBlocked(rows, "k", "x", "v",
+        band = 2, k = 1, nSeg = 2, cellCents = 1000L).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("equal"),
+      s"expected the equal-length refusal, got: ${chain(e)}")
+  }
+
+  test("ErrorIfExists manifest write refuses an existing version dir " +
+    "and stages nothing nested inside it (commit-race guard)") {
+    import graft.incremental.Snapshots
+    import org.apache.hadoop.fs.Path
+    val root = tmp("race") + "/lake"
+    Seq((1L, "x")).toDF("k", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    intercept[IllegalStateException] {
+      // commitAt(1) targets the same version dir with overwrite=true —
+      // exercise the refusal through a plain re-commit race instead:
+      // a second commit of v1 via the ErrorIfExists path
+      graft.incremental.SnapshotIo.writeStrings(
+        spark.sparkContext.hadoopConfiguration,
+        s"$root/_graft_snapshots/v=1", "path", Seq("phantom"),
+        overwrite = false)
+    }
+    // the losing write must leave the winner's manifest intact and
+    // nothing nested inside it
+    assert(Snapshots.readVersion(spark, root, 1L).count() == 1L)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nested = fs.listStatus(new Path(s"$root/_graft_snapshots/v=1"))
+      .filter(_.isDirectory)
+    assert(nested.isEmpty, s"no nested staging may survive: " +
+      nested.map(_.getPath.getName).mkString(", "))
+  }
+}
