@@ -7031,6 +7031,23 @@ object SparkEntry {
         .unionByName(stageAgg(3L, "v3"))
         .select("stage", "day_bucket", "n", "sum_uid")
     }),
+
+    // IVF staleness TELEMETRY (round-14, VERDICT r13 #4): appends
+    // never move the stored centroids (the documented contract), so
+    // the curation loop measures per-cell drift — exact member counts
+    // and micro-grid cosine-to-centroid sums split fitted-vs-appended,
+    // with drift = mean_sim_orig − mean_sim_new the rebuild alarm.
+    // The oracle replays fit-on-A / assign-the-union (the q527 CTE
+    // chain) and the same micro-grid aggregate in DuckDB
+    "q537_ivf_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val b = emb.filter(col("vec_id") % 5 === 0)
+      val root = LakeFixtures.freshRoot("ivfdrift") + "/idx"
+      LakeFixtures.copyTree(s, LakeFixtures.ivfFlatCorpusA(s, d), root)
+      Similarity.ivfIndexAppend(s, root, b, "vec_id", "embedding")
+      Similarity.ivfDriftStats(s, root, b.select(col("vec_id")),
+        "vec_id", "embedding")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7129,6 +7146,63 @@ object SparkEntry {
        |      ORDER BY ${cos("q.qemb", "c.emb")} DESC, c.vec_id ASC) AS INT) AS rank
        |  FROM qprobe q JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id
        |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** q537 oracle: the q527 fit-on-A / assign-the-union CTE chain,
+    * finished with the drift aggregate instead of the search — per
+    * cell, exact counts and micro-grid (`FLOOR(1e6·cos)`) cosine sums
+    * split fitted (vec_id %% 5 != 0) vs appended, means as one
+    * division each off the exact integers, drift their difference. */
+  private lazy val ivfDriftOracleSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def assignCte(srcTbl: String, centTbl: String, outTbl: String) =
+      s"""$outTbl AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cos("v.emb", "c.centroid")} DESC, c.cell_id ASC) AS rn
+         |    FROM $srcTbl v CROSS JOIN $centTbl c) WHERE rn = 1)""".stripMargin
+    def meanCte(assignTbl: String, outTbl: String) =
+      s"""$outTbl AS (
+         |  SELECT cell AS cell_id, list(m ORDER BY i) AS centroid FROM (
+         |    SELECT cell, i,
+         |      CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(emb) AS x,
+         |            unnest(generate_series(1, len(emb))) AS i
+         |          FROM $assignTbl)
+         |    GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |va AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |cent0 AS (SELECT vec_id AS cell_id, emb AS centroid FROM va ORDER BY vec_id LIMIT 16),
+       |${assignCte("va", "cent0", "asg0")},
+       |${meanCte("asg0", "cent1")},
+       |${assignCte("va", "cent1", "asg1")},
+       |${meanCte("asg1", "cent2")},
+       |${assignCte("v", "cent2", "assigned")},
+       |cells AS (
+       |  SELECT CAST(a.cell AS BIGINT) AS cell,
+       |    CAST(SUM(CASE WHEN a.vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orig,
+       |    CAST(SUM(CASE WHEN a.vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(SUM(CASE WHEN a.vec_id % 5 <> 0
+       |      THEN CAST(FLOOR(1000000.0 * ${cos("a.emb", "c.centroid")}) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS sim_micro_orig,
+       |    CAST(SUM(CASE WHEN a.vec_id % 5 = 0
+       |      THEN CAST(FLOOR(1000000.0 * ${cos("a.emb", "c.centroid")}) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS sim_micro_new
+       |  FROM assigned a JOIN cent2 c ON a.cell = c.cell_id
+       |  GROUP BY 1)
+       |SELECT cell, n_orig, n_new, sim_micro_orig, sim_micro_new,
+       |  mean_sim_orig, mean_sim_new,
+       |  mean_sim_orig - mean_sim_new AS drift
+       |FROM (
+       |  SELECT *,
+       |    CASE WHEN n_orig > 0 THEN CAST(sim_micro_orig AS DOUBLE)
+       |      / CAST(1000000 * n_orig AS DOUBLE) END AS mean_sim_orig,
+       |    CASE WHEN n_new > 0 THEN CAST(sim_micro_new AS DOUBLE)
+       |      / CAST(1000000 * n_new AS DOUBLE) END AS mean_sim_new
+       |  FROM cells)""".stripMargin
   }
 
   /** q488 oracle: replay TextAnalysis.bpeTrain's greedy loop — per
@@ -9023,6 +9097,10 @@ object SparkEntry {
     // q527: the flat mirror with fit-on-A / assign-the-union (the
     // stored-centroid append semantics), q45's search verbatim
     "q527_ivfpq_append" -> ivfAppendOracleSql,
+
+    // q537: fit-on-A / assign-the-union drift telemetry (micro-grid
+    // cosine sums, one division per mean)
+    "q537_ivf_drift" -> ivfDriftOracleSql,
 
     // q488: the same greedy trainer replayed round by round
     "q488_bpe_train" -> bpeTrainOracleSql(6),

@@ -175,6 +175,126 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // IVF staleness telemetry (VERDICT r13 #4)
+  // ---------------------------------------------------------------
+
+  test("ivfDriftStats scores appended-population drift, monotone in " +
+    "the injected perturbation; a no-drift append scores ~zero") {
+    import graft.llmdata.Similarity
+    def vec(main: Int, off: Double, jit: Double) =
+      Seq(0, 1, 2, 3).map(i =>
+        (if (i == main) 1.0 - off else if (i == (main + 1) % 4) off
+         else 0.0) + (if (i == main) jit else 0.0))
+    // fitted corpus: two tight clusters on axes 0 and 1, ALTERNATING
+    // by id so the lowest-id centroid seeds land one per cluster
+    val base = (1L to 20L).map(id =>
+        (id, vec(if (id % 2 == 1) 0 else 1, 0.0, 0.001 * id)))
+      .toDF("id", "v")
+    def driftOf(off: Double): Double = {
+      val idx = tmp(s"drift$off") + "/idx"
+      Similarity.ivfIndexWrite(base, "id", "v", idx, nCells = 2,
+        lloydIters = 2)
+      val batch = (101L to 120L).map(id =>
+          (id, vec(if (id % 2 == 1) 0 else 1, off, 0.001 * (id - 100))))
+        .toDF("id", "v")
+      Similarity.ivfIndexAppend(spark, idx, batch, "id", "v")
+      val rows = Similarity.ivfDriftStats(spark, idx,
+          batch.select(col("id")), "id", "v")
+        .filter(col("drift").isNotNull).collect()
+      assert(rows.nonEmpty)
+      rows.map(_.getAs[Double]("drift")).sum / rows.length
+    }
+    val none = driftOf(0.0)
+    val mild = driftOf(0.1)
+    val strong = driftOf(0.3)
+    assert(math.abs(none) < 0.01,
+      s"identically-distributed append must score ~0, got $none")
+    assert(mild > 0.001 && strong > mild,
+      s"drift must grow with the perturbation: $none < $mild < $strong")
+  }
+
+  // ---------------------------------------------------------------
+  // ANALYZE catalog as a planner input (VERDICT r13 #6)
+  // ---------------------------------------------------------------
+
+  test("ndvOf reads the ANALYZE catalog with ZERO Spark jobs, and the " +
+    "stat flips keyedDeleteInsert's broadcast-vs-shuffle plan without " +
+    "scanning any data") {
+    import graft.incremental.{Snapshots, Writers}
+    val root = tmp("ndv") + "/lake"
+    spark.range(0, 1000).select((col("id") % 50).as("k"),
+        col("id").as("x"))
+      .coalesce(1).write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.analyze(spark, root, 1L, Seq("k"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val ndv =
+      try {
+        val n = Snapshots.ndvOf(spark, root, 1L, "k")
+        Thread.sleep(500) // let the listener bus drain
+        n
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(ndv.contains(50.0), s"50 distinct keys, exact regime: $ndv")
+    assert(jobs == 0, s"the stats read must cost zero Spark jobs: $jobs")
+    assert(Snapshots.ndvOf(spark, root, 1L, "x").isEmpty,
+      "a never-analyzed column has no stats row")
+    // the decision flips on the stat alone (auto-broadcast off, so
+    // the only broadcast source is the stats-driven hint)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val existing = spark.range(0, 10000)
+        .select(col("id").as("k"), lit(1L).as("x"))
+      val incoming = Snapshots.readVersion(spark, root, 1L)
+      val hinted = Writers.keyedDeleteInsert(Some(existing), incoming,
+        Seq("k"), keyNdv = ndv)
+      val unhinted = Writers.keyedDeleteInsert(Some(existing), incoming,
+        Seq("k"), keyNdv = Some(1e12)) // catalog says: too big
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "small catalog NDV must broadcast the key side")
+      assert(!unhinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "huge catalog NDV must leave the anti-join shuffled")
+      // both plans produce identical rows — the stat changes shape only
+      assert(hinted.exceptAll(unhinted).isEmpty
+        && unhinted.exceptAll(hinted).isEmpty)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("readVersionHinted broadcasts iff the version's pinned bytes " +
+    "(fs metadata, no scan) fit the gate") {
+    import graft.incremental.Snapshots
+    val root = tmp("rvh") + "/lake"
+    spark.range(0, 500).select(col("id").as("k")).coalesce(1)
+      .write.parquet(root)
+    Snapshots.commit(spark, root)
+    val bytes = Snapshots.pinnedBytes(spark, root, 1L)
+    assert(bytes > 0L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.range(0, 5000).select((col("id") % 500).as("k"))
+      val small = fact.join(
+        Snapshots.readVersionHinted(spark, root, 1L), Seq("k"))
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val tooBig = fact.join(Snapshots.readVersionHinted(spark, root,
+        1L, maxBytes = bytes - 1), Seq("k"))
+      assert(!tooBig.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  // ---------------------------------------------------------------
   // value-lattice global windows: continuous keys refuse loudly
   // ---------------------------------------------------------------
 
