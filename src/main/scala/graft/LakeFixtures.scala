@@ -409,6 +409,96 @@ object LakeFixtures {
         "vec_id", "embedding", dir, nCells = 16, lloydIters = 2)
     }
 
+  /** q539's END-TO-END lifecycle lake (round-14, VERDICT r13 #7): the
+    * full produce → O(delta) consume → incremental dedup → WAP publish
+    * loop run ONCE per JVM, plus a crash-replay drain and a one-shot
+    * reference arm, with the invariants PERSISTED so the query
+    * re-asserts them per call (the q358/q339 convention):
+    *
+    *  - `<base>/raw`     — the ingest lake: three id-range document
+    *                       batches, one snapshot commit each
+    *  - `<base>/curated` — the WAP-published dedup output lake (seed
+    *                       version + one tagged publish per raw
+    *                       version)
+    *  - `<base>/oneshot` — the single-batch reference admission (same
+    *                       chain, fresh index, whole corpus at once)
+    *  - `<base>/audit`   — one row: (n_versions_after_drain,
+    *                       n_versions_after_replay, tail_v3_files,
+    *                       pinned_v3_files)
+    *
+    * The consume loop is [[graft.incremental.Snapshots.consumeTail]]
+    * (per-version delta, cursor advanced after each); the replay
+    * resets the cursor to 1 and re-drains — the WAP fence
+    * (batch-tagged pins) and the index's self-pair rejection make the
+    * second drain a provable no-op. Batch 3's delta read is recorded
+    * as FILE COUNTS so the query can pin O(delta) consumption. */
+  def lifecycleLake(s: SparkSession, d: String): String =
+    once("lifecycle539", d) { base =>
+      import graft.incremental.Snapshots
+      import graft.llmdata.DedupOps
+      import graft.checks.{CheckSuite, NotNull}
+      val raw = s"$base/raw"; val curated = s"$base/curated"
+      val idx = s"$base/idx"; val cursor = s"$base/cursor"
+      val quar = s"$base/quar"
+      val docs = graft.sources.Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      // PRODUCE: three id-range batches (id-ordered arrival, so the
+      // incremental fold's keeper rule is the oracle's id_b rule)
+      docs.filter(col("doc_id") < 170).coalesce(2).write.parquet(raw)
+      Snapshots.commit(s, raw) // v1
+      docs.filter(col("doc_id") >= 170 && col("doc_id") < 340)
+        .coalesce(2).write.mode("append").parquet(raw)
+      Snapshots.commit(s, raw) // v2
+      docs.filter(col("doc_id") >= 340).coalesce(2)
+        .write.mode("append").parquet(raw)
+      Snapshots.commit(s, raw) // v3
+      // curated lake seed (wapBatch needs a committed base) + index
+      docs.filter(lit(false)).write.parquet(curated)
+      Snapshots.commit(s, curated) // curated v1
+      DedupOps.signatureWrite(docs.filter(lit(false)), "doc_id", "text",
+        idx, shingleSize = 3, bands = 4, rows = 4)
+      val suite = new CheckSuite(Seq(NotNull("doc_id")))
+      var tailV3Files = -1; var pinnedV3Files = -1
+      def drain(): Unit =
+        Snapshots.consumeTail(s, raw, cursor, (delta, v) => {
+          if (v == 3L) {
+            tailV3Files = delta.inputFiles.length
+            pinnedV3Files = Snapshots.pinnedFiles(s, raw, 3L).size
+          }
+          val admitted = DedupOps.incrementalDedupIndexed(s, idx, delta,
+              "doc_id", "text", shingleSize = 3, bands = 4, rows = 4,
+              jaccardThreshold = 0.4)
+            .localCheckpoint(true)
+          graft.streaming.Streaming.wapBatch(admitted, v, curated,
+            suite, quar)
+          if (!admitted.isEmpty)
+            DedupOps.signatureAppend(admitted, "doc_id", "text", idx,
+              shingleSize = 3, bands = 4, rows = 4)
+          ()
+        })
+      drain() // v1..v3 -> curated v2..v4, tags b1..b3
+      val afterDrain = Snapshots.versions(s, curated).count()
+      // CRASH REPLAY: rewind the cursor and re-drain — the publish
+      // fence and the index's self-pair rejection must both hold
+      graft.sql.SqlCatalog.advanceLakeTail(s, cursor, 1L)
+      drain()
+      val afterReplay = Snapshots.versions(s, curated).count()
+      // one-shot reference arm: same chain, fresh index, one batch
+      val oneIdx = s"$base/idx1"
+      DedupOps.signatureWrite(docs.filter(lit(false)), "doc_id", "text",
+        oneIdx, shingleSize = 3, bands = 4, rows = 4)
+      DedupOps.incrementalDedupIndexed(s, oneIdx, docs, "doc_id",
+          "text", shingleSize = 3, bands = 4, rows = 4,
+          jaccardThreshold = 0.4)
+        .select(col("doc_id")).write.parquet(s"$base/oneshot")
+      import s.implicits._
+      Seq((afterDrain, afterReplay, tailV3Files.toLong,
+          pinnedV3Files.toLong))
+        .toDF("n_versions_after_drain", "n_versions_after_replay",
+          "tail_v3_files", "pinned_v3_files")
+        .coalesce(1).write.parquet(s"$base/audit")
+    }
+
   /** Recursive clone of a fixture tree into a per-call dest — for
     * index/lake bases a query MUTATES per rep (appends): the memoized
     * base stays pristine, the clone takes the writes. Committer
@@ -484,5 +574,6 @@ object LakeFixtures {
     quiet(curationSinkLake(s, d)); quiet(ordersYearSplit(s, d))
     quiet(eventsDayBatches(s, d)); quiet(eventsDomBatches(s, d))
     quiet(ivfPqCorpusA(s, d)); quiet(ivfFlatCorpusA(s, d))
+    quiet(lifecycleLake(s, d))
   }
 }

@@ -7048,6 +7048,79 @@ object SparkEntry {
       Similarity.ivfDriftStats(s, root, b.select(col("vec_id")),
         "vec_id", "embedding")
     }),
+
+    // SQL surface for the snapshot lake (round-14, VERDICT r13 #5):
+    // time travel, tags, and O(delta) tail consumption as plain view
+    // names — every SELECT below is spark.sql TEXT, the reference's
+    // everything-is-SQL posture (dbt models are pure SQL). The tail
+    // view is REQUIRED to read only the new files (O(delta), not lake
+    // size), and the process-then-advance cursor contract is the
+    // consumeTail one with the processing step being SQL
+    "q538_lake_sql" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      import graft.sql.SqlCatalog
+      val base = LakeFixtures.freshRoot("lakesql")
+      val root = s"$base/lake"; val cursor = s"$base/cursor"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root) // v1
+      Snapshots.tag(s, root, "baseline", 1L)
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root) // v2
+      // first drain covers v1..v2; the consumer records its progress
+      val p1 = SqlCatalog.registerLakeTail(s, root, cursor, "lake538_tail")
+      require(p1 == Seq(1L, 2L), s"expected v1..v2 pending, got $p1")
+      SqlCatalog.advanceLakeTail(s, cursor, 2L)
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v3
+      val p2 = SqlCatalog.registerLakeTail(s, root, cursor, "lake538_tail")
+      require(p2 == Seq(3L), s"O(delta): only v3 may be pending, got $p2")
+      require(s.table("lake538_tail").inputFiles.length <
+          Snapshots.pinnedFiles(s, root, 3L).size,
+        "the tail view must read the NEW files only, never the lake")
+      SqlCatalog.registerLake(s, root, "lake538")
+      def agg(view: String, stage: String) =
+        s"""SELECT '$stage' AS stage,
+           |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+           |FROM $view GROUP BY 1, 2""".stripMargin
+      s.sql(Seq(
+        agg("lake538_v1", "v1"),
+        agg("lake538_at_baseline", "tag_baseline"),
+        agg("lake538", "latest"),
+        agg("lake538_tail", "tail_after_v2")).mkString("\nUNION ALL\n"))
+    }),
+
+    // The streaming lifecycle COMPOSED end to end (round-14, VERDICT
+    // r13 #7): produce (3 snapshot commits) → O(delta) tail consume →
+    // incremental LSH dedup → WAP publish, plus a crash-replay drain
+    // — built once per JVM (LakeFixtures.lifecycleLake, the q339
+    // convention) with the invariants persisted and RE-ASSERTED per
+    // call: the replay mints nothing, batch 3's consume read only the
+    // delta files, and the 3-batch fold equals the one-shot admission
+    "q539_lifecycle_e2e" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val base = LakeFixtures.lifecycleLake(s, d)
+      val audit = s.read.parquet(s"$base/audit").head()
+      require(audit.getAs[Long]("n_versions_after_drain") == 4L,
+        "the drain must publish one curated version per raw commit")
+      require(audit.getAs[Long]("n_versions_after_replay") == 4L,
+        "the crash-replay drain must mint NO versions (fence + " +
+          "self-pair rejection)")
+      require(audit.getAs[Long]("tail_v3_files") <
+          audit.getAs[Long]("pinned_v3_files"),
+        "batch-3 consumption must read the delta files only")
+      val curated = Snapshots.readLatest(s, s"$base/curated")
+      val oneShot = s.read.parquet(s"$base/oneshot")
+      require(curated.select(col("doc_id")).exceptAll(oneShot).isEmpty
+          && oneShot.exceptAll(curated.select(col("doc_id"))).isEmpty,
+        "the per-version fold must equal the one-shot admission")
+      curated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .select("lang", "n_docs", "n_chars")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9101,6 +9174,42 @@ object SparkEntry {
     // q537: fit-on-A / assign-the-union drift telemetry (micro-grid
     // cosine sums, one division per mean)
     "q537_ivf_drift" -> ivfDriftOracleSql,
+
+    // q538: v1 and the baseline tag pin days 1-10, latest sees all
+    // days, the post-v2 tail delta is days 21+ (b3)
+    "q538_lake_sql" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT 'v1' AS stage,
+        |  CAST(FLOOR(day / 10.0) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM e WHERE day <= 10 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'tag_baseline', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE day <= 10 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'latest', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'tail_after_v2', CAST(FLOOR(day / 10.0) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+        |FROM e WHERE day > 20 GROUP BY 1, 2""".stripMargin,
+
+    // q539: per-lang counts over the docs the incremental chain
+    // admits — the q358 keeper rule (a doc is dropped iff it is the
+    // id_b side of an LSH-verified pair), which the in-query require
+    // proves equal to both the per-version fold and the one-shot run
+    "q539_lifecycle_e2e" ->
+      (s"WITH $minhashPairsCtes\n" +
+        """SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(LENGTH(d.text)) AS BIGINT) AS n_chars
+          |FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT id_b FROM mh_pairs)
+          |GROUP BY 1""".stripMargin),
 
     // q488: the same greedy trainer replayed round by round
     "q488_bpe_train" -> bpeTrainOracleSql(6),
