@@ -83,6 +83,25 @@ object CrossChecks {
         "blocked DTW top-k must equal the all-pairs pruned top-k")
     }
 
+  /** q426's reference arm: the three-slice fold of mergeable daily
+    * value-count partials must equal the one-shot partial on every
+    * lattice cell. */
+  def aggMergeFoldEqualsOneShot(s: SparkSession, d: String): Unit =
+    once("aggMergeFoldEqOneShot", d) {
+      import graft.operators.AggMerge
+      val folded = SparkEntry.mergedDailyValueCounts(s, d)
+      val one = AggMerge.dailyValuePartial(
+        graft.sources.Tables.read(s, d, "lineitem"), "l_shipdate",
+        "l_extendedprice")
+      val diverged = folded.withColumnRenamed("cnt", "cnt_f")
+        .join(one.withColumnRenamed("cnt", "cnt_o"),
+          Seq("day", "cents"), "full")
+        .filter(!(col("cnt_f") <=> col("cnt_o"))).count()
+      require(diverged == 0,
+        s"fold-of-slices diverged from one-shot on $diverged lattice" +
+          " cells")
+    }
+
   /** The bench warm-up hook — run every cross-check untimed
     * ([[graft.Bench]] calls this beside LakeFixtures.warmAll). */
   def warmAll(s: SparkSession, d: String): Unit = {
@@ -90,5 +109,6 @@ object CrossChecks {
       try b catch { case _: Throwable => () }
     quiet(ivfPqAppendEqualsFlat(s, d))
     quiet(dtwBlockedEqualsAllPairs(s, d))
+    quiet(aggMergeFoldEqualsOneShot(s, d))
   }
 }

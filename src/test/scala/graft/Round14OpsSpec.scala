@@ -175,6 +175,30 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // no row-scale collect on SparkEntry data paths (VERDICT r13 #1)
+  // ---------------------------------------------------------------
+
+  test("every .collect() in SparkEntry is metadata-scale: each site " +
+    "must sit beside a version/path/metadata marker (the q535 " +
+    "loser-collect class is banned — purgeMatching exists for that)") {
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val marker = "(?i)(version|path|metadata|footer)".r
+    val bad = lines.zipWithIndex
+      .filter(_._1.contains(".collect()"))
+      .filterNot { case (_, i) =>
+        val window = lines.slice(math.max(0, i - 2), i + 1).mkString(" ")
+        marker.findFirstIn(window).isDefined
+      }
+    assert(bad.isEmpty,
+      "row-scale collect suspects in SparkEntry (add a metadata-scale " +
+        "marker comment if genuinely metadata, or rewrite on a join):\n" +
+        bad.map { case (l, i) => s"  line ${i + 1}: ${l.trim}" }
+          .mkString("\n"))
+  }
+
+  // ---------------------------------------------------------------
   // IVF staleness telemetry (VERDICT r13 #4)
   // ---------------------------------------------------------------
 
