@@ -218,9 +218,16 @@ object AggMerge {
       .agg(sum(col("cnt")).cast("long").as("cnt"))
     val w = Window.orderBy(col("cents").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = lat.withColumn("__cum", sum(col("cnt")).over(w))
+    // lattice guard below the window (round-14, VERDICT r13 #3): a
+    // continuous-valued "cents" lattice (≈ one row per input row)
+    // refuses loudly, per-row on the distributed side of the
+    // single-partition exchange — see PlanAudit.latticeGuard
+    val cum = lat
       .crossJoin(broadcast(lat.agg(sum(col("cnt")).cast("long")
-        .as("__n"))))
+        .as("__n"), count(lit(1)).as("__nlat"))))
+      .withColumn("cnt", PlanAudit.latticeGuard(col("cnt"),
+        col("__nlat"), "finishQuantiles"))
+      .withColumn("__cum", sum(col("cnt")).over(w))
     quantiles.map { case (num, den) =>
       cum.filter(col("__cum") * den >= col("__n") * num)
         .agg(min(col("cents")).cast("long").as("value_cents"),

@@ -928,11 +928,18 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lattice guard below the window (round-14, VERDICT r13 #3): a
+    // continuous metric (lattice ≈ rows) refuses loudly before the
+    // single-partition exchange; __nlat rides the same totals pass
+    val tot = df.agg(count(lit(1)).as("__n"),
+      count_distinct(col(metric)).as("__nlat"))
     val cum = df.groupBy(col(metric).as("__v"))
       .agg(count(lit(1)).as("__c"))
+      .join(broadcast(tot))
+      .withColumn("__c", PlanAudit.latticeGuard(col("__c"),
+        col("__nlat"), "quartileScore"))
       .withColumn("__cum", sum(col("__c")).over(w))
-    val tot = df.agg(count(lit(1)).as("__n"))
-    val th = cum.join(broadcast(tot))
+    val th = cum
       .agg(
         min(when(col("__cum") * 4 >= col("__n"), col("__v"))).as("__q1"),
         min(when(col("__cum") * 4 >= col("__n") * 2, col("__v")))
