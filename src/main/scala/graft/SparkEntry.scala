@@ -7115,6 +7115,35 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("n_chars"))
         .select("lang", "n_docs", "n_chars")
     }),
+
+    // O(delta) INCREMENTAL ANALYZE (round-14): after an append, the
+    // stats catalog refreshes by merging the stored KMV sketch with a
+    // sketch over ONLY the new files — bottom-k-of-union is
+    // bit-identical to the full re-analyze (pure md5 hashing), so the
+    // oracle is q532's full-table replay verbatim. Delta-only I/O is
+    // REQUIRED in-query: the pre-append files are physically deleted
+    // before the incremental pass runs, so any lake rescan would
+    // throw — spec-grade proof the maintenance is linear in arrivals
+    "q540_incremental_analyze" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("incanalyze") + "/lake"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root) // v1
+      val cols = Seq("user_id", "event_id", "day")
+      Snapshots.analyze(s, root, 1L, cols, k = 64)
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v2
+      // destroy the pre-append data files: the incremental pass must
+      // never need them (addedBetween reads metadata + NEW files only)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Snapshots.pinnedFiles(s, root, 1L).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      Snapshots.analyzeIncremental(s, root, 1L, 2L, cols, k = 64)
+      Snapshots.ndvStats(s, root, 2L, cols, k = 64)
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -7271,6 +7300,46 @@ object SparkEntry {
        |      / CAST(1000000 * n_new AS DOUBLE) END AS mean_sim_new
        |  FROM cells)""".stripMargin
   }
+
+  /** q532/q540 oracle: the full-table bottom-64 KMV replay per
+    * analyzed column (the incremental merge is bit-identical to
+    * the full analyze, so both queries share it). */
+  private lazy val ndvOracle64Sql: String =
+    """SELECT 'user_id' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
+        |         / 1152921504606846976.0) END AS distinct_est
+        |FROM (SELECT h FROM (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |  ORDER BY h ASC LIMIT 64)
+        |UNION ALL
+        |SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
+        |         / 1152921504606846976.0) END AS distinct_est
+        |FROM (SELECT h FROM (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
+        |  ORDER BY h ASC LIMIT 64)
+        |UNION ALL
+        |SELECT 'day' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
+        |    AS theta_h,
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
+        |         / 1152921504606846976.0) END AS distinct_est
+        |FROM (SELECT h FROM (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(CAST(CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND CAST(EXTRACT(DAY FROM ts) AS BIGINT) IS NOT NULL)
+        |  ORDER BY h ASC LIMIT 64)""".stripMargin
 
   /** q488 oracle: replay TextAnalysis.bpeTrain's greedy loop — per
     * round, pair counts over the weighted distinct-word symbol table
@@ -9077,42 +9146,12 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // q532: the bottom-64 distinct-hash estimator per column
-    "q532_analyze_ndv" ->
-      """SELECT 'user_id' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
-        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
-        |    AS theta_h,
-        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
-        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
-        |         / 1152921504606846976.0) END AS distinct_est
-        |FROM (SELECT h FROM (SELECT DISTINCT
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-        |      1, 15)) AS BIGINT) AS h
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
-        |  ORDER BY h ASC LIMIT 64)
-        |UNION ALL
-        |SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
-        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
-        |    AS theta_h,
-        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
-        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
-        |         / 1152921504606846976.0) END AS distinct_est
-        |FROM (SELECT h FROM (SELECT DISTINCT
-        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
-        |      1, 15)) AS BIGINT) AS h
-        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
-        |  ORDER BY h ASC LIMIT 64)
-        |UNION ALL
-        |SELECT 'day' AS column, CAST(COUNT(*) AS BIGINT) AS sketch_n,
-        |  CASE WHEN COUNT(*) = 64 THEN CAST(MAX(h) AS BIGINT) END
-        |    AS theta_h,
-        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
-        |       ELSE 63.0 / (CAST(MAX(h) AS DOUBLE)
-        |         / 1152921504606846976.0) END AS distinct_est
-        |FROM (SELECT h FROM (SELECT DISTINCT
-        |    CAST(concat('0x', substr(md5(CAST(CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS VARCHAR)),
-        |      1, 15)) AS BIGINT) AS h
-        |  FROM events WHERE ts IS NOT NULL AND CAST(EXTRACT(DAY FROM ts) AS BIGINT) IS NOT NULL)
-        |  ORDER BY h ASC LIMIT 64)""".stripMargin,
+    "q532_analyze_ndv" -> ndvOracle64Sql,
+
+    // q540: the incremental merge is BIT-IDENTICAL to the full
+    // analyze (bottom-k-of-union property + pure md5 hashing), so the
+    // oracle is q532's full-table bottom-64 replay verbatim
+    "q540_incremental_analyze" -> ndvOracle64Sql,
 
     // q531: per-version day buckets EXCLUDING the purged subjects,
     // plus the purged totals

@@ -794,6 +794,44 @@ object Snapshots {
     }
   }
 
+  /** O(delta) STATS MAINTENANCE (round-14): re-ANALYZE after an
+    * append without rescanning the lake — KMV sketches merge by
+    * bottom-k of the union (any of the k smallest hashes of A ∪ B is
+    * among the k smallest of its own side), and the hash is a pure
+    * md5 of the value, so merging `fromVersion`'s stored sketch with
+    * a sketch over ONLY the appended files is BIT-IDENTICAL to a full
+    * [[analyze]] of `toVersion` — at delta cost. The 100 TB posture:
+    * stats stay fresh per commit for the price of sketching the
+    * arrivals (the [[consumeTail]] argument applied to the catalog).
+    * Deltas come from [[addedBetween]], so a compaction-crossed range
+    * RAISES (re-run the full [[analyze]] after a rewrite — rewritten
+    * files carry the same values, but the file diff no longer means
+    * "new rows"). Raises when `fromVersion` has no stats row for a
+    * column. Idempotent (overwrite). */
+  def analyzeIncremental(spark: SparkSession, path: String,
+                         fromVersion: Long, toVersion: Long,
+                         cols: Seq[String], k: Int = 64): Unit = {
+    require(cols.nonEmpty, "cols required")
+    cols.foreach(c => require(c.nonEmpty && c.forall(ch =>
+        ch.isLetterOrDigit || ch == '_'),
+      s"column name must be [A-Za-z0-9_] for the stats dir, got '$c'"))
+    val delta = addedBetween(spark, path, fromVersion, toVersion)
+    cols.foreach { c =>
+      val stored = SnapshotIo.readLongs(hconf(spark),
+        statsDir(path, fromVersion, c), "h")
+      require(stored.nonEmpty,
+        s"no stats for '$c' at v$fromVersion — run analyze first")
+      val sk = graft.functions.Kmv.sketch(
+        delta.filter(col(c).isNotNull).select(col(c))
+          .withColumn("__g", lit(1)),
+        Seq("__g"), c, k)
+      val deltaHs = sk.select(col("h")).collect().map(_.getLong(0))
+      val merged = (stored ++ deltaHs).distinct.sorted.take(k)
+      SnapshotIo.writeLongs(hconf(spark), statsDir(path, toVersion, c),
+        "h", merged, overwrite = true)
+    }
+  }
+
   /** The stats-catalog readout: one row per analyzed column —
     * (column, sketch_n, theta_h, distinct_est), the
     * [[graft.functions.Kmv.estimate]] columns. Exact regime below

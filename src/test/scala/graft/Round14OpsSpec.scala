@@ -238,6 +238,46 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // O(delta) incremental ANALYZE
+  // ---------------------------------------------------------------
+
+  test("analyzeIncremental ≡ full analyze (bottom-k-of-union), " +
+    "tolerates an empty delta, refuses a compaction-crossed range, " +
+    "and raises without base stats") {
+    import graft.incremental.Snapshots
+    val root = tmp("incan") + "/lake"
+    spark.range(0, 300).select((col("id") % 40).as("k"))
+      .coalesce(1).write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Snapshots.analyze(spark, root, 1L, Seq("k"))
+    spark.range(300, 600).select((col("id") % 90).as("k"))
+      .coalesce(1).write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    // full-analyze reference, captured before the incremental overwrite
+    Snapshots.analyze(spark, root, 2L, Seq("k"))
+    val full = Snapshots.ndvStats(spark, root, 2L, Seq("k")).collect()
+      .toSeq
+    Snapshots.analyzeIncremental(spark, root, 1L, 2L, Seq("k"))
+    val inc = Snapshots.ndvStats(spark, root, 2L, Seq("k")).collect()
+      .toSeq
+    assert(inc == full, s"incremental merge diverged: $inc vs $full")
+    // empty delta: a re-commit of the unchanged lake merges to the same
+    Snapshots.commit(spark, root) // v3, same file set
+    Snapshots.analyzeIncremental(spark, root, 2L, 3L, Seq("k"))
+    assert(Snapshots.ndvStats(spark, root, 3L, Seq("k")).collect()
+      .toSeq == full)
+    // missing base stats raise
+    intercept[IllegalArgumentException] {
+      Snapshots.analyzeIncremental(spark, root, 1L, 2L, Seq("never"))
+    }
+    // a compaction-crossed range refuses (addedBetween contract)
+    Snapshots.compact(spark, root, targetBytes = 1L << 26) // v4
+    intercept[IllegalArgumentException] {
+      Snapshots.analyzeIncremental(spark, root, 3L, 4L, Seq("k"))
+    }
+  }
+
+  // ---------------------------------------------------------------
   // ANALYZE catalog as a planner input (VERDICT r13 #6)
   // ---------------------------------------------------------------
 
