@@ -7144,6 +7144,60 @@ object SparkEntry {
       Snapshots.analyzeIncremental(s, root, 1L, 2L, cols, k = 64)
       Snapshots.ndvStats(s, root, 2L, cols, k = 64)
     }),
+
+    // RIGHT-TO-BE-FORGOTTEN on the SEQUENCED merge-on-read lake
+    // (round-14): tombstoning only hides a subject — the bytes live
+    // in every add-N and the tombstones carry the subject's KEY; the
+    // q450 upsert lake purges a subject FRAME so adds, time travel,
+    // and the tombstone files are all subject-free (required
+    // in-query, incl. a bit-stable as-of view for everyone else and
+    // a no-op re-run), then aggregates the merged survivors
+    "q541_mor_purge" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("morpurge") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val subjects = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"))
+      val preOther = Deletes.readMergedAsOf(s, root, 1L)
+        .filter(col("o_orderkey") % 7 =!= 0).localCheckpoint(true)
+      val rep = Deletes.purgeMatching(s, root, subjects,
+        Seq("o_orderkey")).head()
+      require(rep.getLong(2) > 0L, "subjects must have lived in adds")
+      (0L to 2L).foreach { op =>
+        require(Deletes.readMergedAsOf(s, root, op)
+            .filter(col("o_orderkey") % 7 === 0).count() == 0L,
+          s"subjects visible as of op $op")
+      }
+      val postOther = Deletes.readMergedAsOf(s, root, 1L)
+      require(postOther.exceptAll(preOther).isEmpty
+          && preOther.exceptAll(postOther).isEmpty,
+        "non-subject history must stay bit-stable across the purge")
+      Deletes.deleteKeys(s, root).foreach(k =>
+        require(k.filter(col("o_orderkey") % 7 === 0).count() == 0L,
+          "tombstone files must not retain the subject's key"))
+      val rep2 = Deletes.purgeMatching(s, root, subjects,
+        Seq("o_orderkey")).head()
+      require(rep2.getLong(2) == 0L && rep2.getLong(3) == 0L,
+        "a purge re-run must be a no-op")
+      Deletes.readMerged(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -18216,6 +18270,16 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q541: q450's merged view minus the purged subjects
+    "q541_mor_purge" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 IN (0, 10)
+        |      THEN o_totalprice + 3000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q451: the md5 hash-fraction bridge (q88 convention), weight =

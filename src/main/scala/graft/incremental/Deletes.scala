@@ -389,4 +389,151 @@ object Deletes {
   def compactSequenced(spark: SparkSession, path: String, dst: String,
                        nFiles: Int): Unit =
     initBase(spark, dst, readMerged(spark, path), nFiles)
+
+  // ----------------------------------------------------------------
+  // Right to be forgotten on the sequenced lake (round-14)
+  // ----------------------------------------------------------------
+
+  /** RIGHT-TO-BE-FORGOTTEN purge on a SEQUENCED merge-on-read lake —
+    * the [[Snapshots.purgeMatching]] twin for the other lake
+    * substrate: tombstoning a subject only HIDES it from the merged
+    * view; the bytes survive in every `add-N` file, time travel
+    * ([[readMergedAsOf]]) replays them, and the tombstone files
+    * themselves carry the subject's KEY (which is usually the
+    * personal identifier). This erases all three: every affected
+    * `add-N` op directory rewrites WITHOUT the subject's rows
+    * (op assignment — the path — is preserved, so ordering,
+    * last-writer-wins, time travel, and CDC stay intact for every
+    * other row), and every affected tombstone commit rewrites without
+    * the subject's keys (safe once no add row carries them — a
+    * subject tombstone then kills nothing).
+    *
+    * The subject set is a FRAME end to end (semi-join detection,
+    * anti-join rewrites; broadcast under the
+    * [[graft.operators.Broadcasts]] gate via a count-based estimate).
+    * NULL subject keys are dropped (NULL never matches — the
+    * engine-wide isin/anti-join semantics). Rewrite unit is the OP
+    * DIRECTORY (batch-sized by construction; the base `add-0` is the
+    * worst case and only pays when subjects hit it).
+    *
+    * Crash contract (single-maintenance-writer, re-runnable): each
+    * affected dir swaps via stage (`.purge-<dir>-<token>`, hidden) →
+    * rename dir aside (`.trash-<dir>-<token>`) → rename stage in →
+    * drop trash; [[purgeMatching]] repairs any interrupted swap
+    * before starting (promote a staged dir whose visible twin
+    * vanished, drop orphans), so a crash anywhere loses nothing and a
+    * re-run completes. Returns one row: (n_add_dirs_rewritten,
+    * n_tombstone_dirs_rewritten, rows_purged, tombstone_keys_purged). */
+  def purgeMatching(spark: SparkSession, path: String,
+                    subjects: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(keyCols.nonEmpty, "keyCols required")
+    repairPurgeSwaps(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subj0 = subjects.select(keyCols.map(col): _*)
+      .na.drop("any", keyCols).distinct().localCheckpoint(true)
+    val nSubj = subj0.count()
+    val subj =
+      if (nSubj * 64L * keyCols.size <=
+          graft.operators.Broadcasts.DefaultMaxBytes) broadcast(subj0)
+      else subj0
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    // affected DIRS: one distributed semi-join pass per side, grouped
+    // by file, folded to parent dirs on the driver (file-count scale)
+    def affected(dirs: Seq[String], cols: Seq[String]): Map[String, Long] =
+      if (dirs.isEmpty) Map.empty
+      else spark.read.parquet(dirs: _*)
+        .select(input_file_name().as("__f") +: cols.map(col): _*)
+        .join(subj, cols, "left_semi")
+        .groupBy(col("__f")).agg(count(lit(1)).cast("long").as("__n"))
+        .collect()
+        .map(r => (new Path(r.getString(0)).getParent.toString,
+          r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // swap one op directory for its subject-free rewrite
+    def swap(dir: String): Unit = {
+      val p = new Path(dir); val parent = p.getParent
+      val name = p.getName
+      val staged = new Path(parent, s".purge-$name-$token")
+      spark.read.parquet(dir).join(subj, keyCols, "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(staged.toString)
+      val trash = new Path(parent, s".trash-$name-$token")
+      require(fs.rename(p, trash) && fs.rename(staged, p),
+        s"purgeMatching: directory swap failed for $dir")
+      fs.delete(trash, true)
+    }
+    val addDirs = listAddIds(spark, path).map(i => s"$path/add-$i")
+    val addHits = affected(addDirs, keyCols)
+    addHits.keys.toSeq.sorted.foreach(swap)
+    val delDirs = listDeleteIds(spark, path)
+      .map(d => s"${delRoot(path)}/d=$d")
+    // tombstone key columns must cover the subject keys to match
+    val delHits =
+      if (delDirs.isEmpty) Map.empty[String, Long]
+      else {
+        val delCols = spark.read.parquet(delDirs.head).columns.toSeq
+        if (keyCols.forall(k => delCols.exists(_.equalsIgnoreCase(k))))
+          affected(delDirs, keyCols)
+        else Map.empty[String, Long]
+      }
+    delHits.keys.toSeq.sorted.foreach(swap)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(
+        java.lang.Long.valueOf(addHits.size.toLong),
+        java.lang.Long.valueOf(delHits.size.toLong),
+        java.lang.Long.valueOf(addHits.values.sum),
+        java.lang.Long.valueOf(delHits.values.sum))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_add_dirs_rewritten",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "n_tombstone_dirs_rewritten",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_purged",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tombstone_keys_purged",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Complete or roll back any purge swap a crash interrupted (see
+    * [[purgeMatching]]'s crash contract): a staged dir whose visible
+    * twin vanished promotes (the swap was mid-flight); a staged dir
+    * whose visible twin still exists is a pre-swap orphan and drops
+    * (the re-run redoes the rewrite); a trash dir whose visible twin
+    * exists drops (the swap completed). Idempotent; called by
+    * [[purgeMatching]] before every run. */
+  private def repairPurgeSwaps(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    def repairIn(parent: Path): Unit = {
+      if (!fs.exists(parent)) return
+      val entries = fs.listStatus(parent).filter(_.isDirectory)
+      val pat = "^\\.(purge|trash)-(.+)-[0-9a-f]{8}$".r
+      entries.foreach { st =>
+        st.getPath.getName match {
+          case pat(kind, orig) =>
+            val visible = new Path(parent, orig)
+            kind match {
+              case "purge" =>
+                if (!fs.exists(visible)) {
+                  require(fs.rename(st.getPath, visible),
+                    s"purge repair: promote failed for ${st.getPath}")
+                } else fs.delete(st.getPath, true)
+              case "trash" =>
+                if (fs.exists(visible)) fs.delete(st.getPath, true)
+                else require(fs.rename(st.getPath, visible),
+                  s"purge repair: restore failed for ${st.getPath}")
+            }
+          case _ => ()
+        }
+      }
+    }
+    repairIn(new Path(path))
+    repairIn(new Path(delRoot(path)))
+  }
 }

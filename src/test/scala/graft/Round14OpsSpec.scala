@@ -238,6 +238,82 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // RTBF on the sequenced merge-on-read lake
+  // ---------------------------------------------------------------
+
+  test("Deletes.purgeMatching erases a subject from every op of a " +
+    "sequenced lake — adds, time travel, AND the tombstone keys — " +
+    "while every other row's history stays bit-stable") {
+    import graft.incremental.Deletes
+    val root = tmp("morpurge") + "/lake"
+    val base = (1L to 30L).map(k => (k, s"v0-$k")).toDF("k", "v")
+    Deletes.initBase(spark, root, base, 2)
+    // op1 updates keys 1..10; op2 updates 5..15 (subject 7 in both)
+    Deletes.upsert(spark, root,
+      (1L to 10L).map(k => (k, s"v1-$k")).toDF("k", "v"), Seq("k"))
+    Deletes.upsert(spark, root,
+      (5L to 15L).map(k => (k, s"v2-$k")).toDF("k", "v"), Seq("k"))
+    val preAsOf1 = Deletes.readMergedAsOf(spark, root, 1L)
+      .filter(col("k") =!= 7L && col("k") =!= 20L).collect().toSet
+    val subjects = Seq(7L, 20L, 999L).toDF("k") // 999 matches nothing
+    val rep = Deletes.purgeMatching(spark, root, subjects, Seq("k"))
+      .head()
+    // 7 lives in add-0/add-1/add-2, 20 in add-0 → rows_purged = 4;
+    // tombstones: d=1 (keys 1..10) and d=2 (keys 5..15) carry 7
+    assert(rep.getLong(2) == 4L, s"rows_purged: $rep")
+    assert(rep.getLong(3) == 2L, s"tombstone_keys_purged: $rep")
+    // merged + every as-of view subject-free
+    (0L to 2L).foreach { op =>
+      assert(Deletes.readMergedAsOf(spark, root, op)
+        .filter(col("k").isin(7L, 20L)).count() == 0L, s"op $op")
+    }
+    // other rows' history bit-stable
+    assert(Deletes.readMergedAsOf(spark, root, 1L)
+      .filter(col("k") =!= 7L && col("k") =!= 20L)
+      .collect().toSet == preAsOf1)
+    assert(Deletes.readMerged(spark, root).count() == 28L)
+    // the tombstone FILES no longer carry the subject key
+    assert(Deletes.deleteKeys(spark, root).get
+      .filter(col("k").isin(7L, 20L)).count() == 0L)
+    // re-run is a no-op
+    val rep2 = Deletes.purgeMatching(spark, root, subjects, Seq("k"))
+      .head()
+    assert(rep2.getLong(2) == 0L && rep2.getLong(3) == 0L)
+  }
+
+  test("Deletes.purgeMatching repairs an interrupted directory swap " +
+    "before running (crash contract)") {
+    import graft.incremental.Deletes
+    import org.apache.hadoop.fs.Path
+    val root = tmp("morrepair") + "/lake"
+    val base = (1L to 10L).map(k => (k, k * 10.0)).toDF("k", "x")
+    Deletes.initBase(spark, root, base, 1)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a mid-swap crash: staged rewrite exists, visible dir
+    // renamed to trash, promote never happened
+    val add0 = new Path(s"$root/add-0")
+    val staged = new Path(s"$root/.purge-add-0-deadbeef")
+    spark.read.parquet(add0.toString).filter(col("k") =!= 3L)
+      .write.parquet(staged.toString)
+    assert(fs.rename(add0, new Path(s"$root/.trash-add-0-deadbeef")))
+    // the next purge run repairs first: the staged dir promotes (or
+    // the trash restores — either way the lake reads consistently)
+    val rep = Deletes.purgeMatching(spark, root,
+      Seq(999L).toDF("k"), Seq("k")).head()
+    assert(rep.getLong(2) == 0L)
+    val n = Deletes.readMerged(spark, root).count()
+    assert(n == 9L || n == 10L,
+      s"repair must leave a consistent lake (9 if promoted, 10 if " +
+        s"restored), got $n")
+    // no hidden swap debris survives
+    val leftovers = fs.listStatus(new Path(root))
+      .map(_.getPath.getName)
+      .filter(nm => nm.startsWith(".purge-") || nm.startsWith(".trash-"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
+  // ---------------------------------------------------------------
   // O(delta) incremental ANALYZE
   // ---------------------------------------------------------------
 
