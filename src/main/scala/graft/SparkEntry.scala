@@ -7198,6 +7198,22 @@ object SparkEntry {
             .cast("long")).cast("long").as("price_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // TEMPERATURE-SCALED source mixing (round-14): the multilingual
+    // rebalancing rule (weight ∝ √n_i, T = 2 — sqrt is the one
+    // IEEE-correctly-rounded power, so the kept SET is
+    // engine-reproducible); per-source keep rates derive from the
+    // corpus itself, the Σ√n folds sequentially in source order, and
+    // the oracle replays rates + fold (recursive CTE) + the md5
+    // hash-fraction bridge exactly
+    "q542_temperature_mix" -> ((s, d) => {
+      graft.llmdata.Sampling.temperatureMix(
+          t(s, d, "documents"), "doc_id", "lang", targetRows = 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+        .select("lang", "n_kept", "chars_kept")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -18281,6 +18297,33 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q542: per-source keep rate min(1, ((300·√n)/Σ√n)/n), Σ folded
+    // in lang order via the recursive CTE; selection = the q451 md5
+    // hash-fraction bridge
+    "q542_temperature_mix" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |ordered AS (SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS i
+        |  FROM counts),
+        |fold(i, tot) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT o.i, f.tot + sqrt(CAST(o.n AS DOUBLE))
+        |  FROM fold f JOIN ordered o ON o.i = f.i + 1),
+        |total AS (SELECT tot FROM fold ORDER BY i DESC LIMIT 1),
+        |rates AS (SELECT lang,
+        |    LEAST(1.0, ((300.0 * sqrt(CAST(n AS DOUBLE)))
+        |      / (SELECT tot FROM total)) / CAST(n AS DOUBLE)) AS r
+        |  FROM ordered)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN rates USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT) / 4294967296.0 < r
+        |GROUP BY 1""".stripMargin,
 
     // q451: the md5 hash-fraction bridge (q88 convention), weight =
     // n_chars per-mille

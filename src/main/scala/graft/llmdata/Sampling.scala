@@ -20,6 +20,43 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
       lit(4294967296.0)
 
+  /** TEMPERATURE-SCALED source mixing (round-14) — the multilingual /
+    * multi-source rebalancing rule every large pretraining mix uses:
+    * sample source i with weight ∝ n_i^α so small sources up-weight
+    * relative to their raw share. α is FIXED at 1/2 (temperature
+    * T = 2): `sqrt` is the one power IEEE requires correctly rounded,
+    * which is what keeps the per-source keep-rates — and therefore
+    * the exact kept SET — bit-reproducible across engines (a general
+    * n^α runs through libm `pow`, which carries no such guarantee;
+    * for other temperatures compute the rates offline and call
+    * [[stratifiedSample]] directly — the general mechanism stays
+    * caller-controlled). Keep-rate per source:
+    * `min(1, ((target·√n_i) / Σ_j√n_j) / n_i)` with the Σ folded
+    * SEQUENTIALLY in source-name order (a parallel double Σ is
+    * partition-order-dependent; sources are metadata-scale, so the
+    * fold runs on the driver and the oracle replays it as a recursive
+    * CTE). Selection is the [[hashFraction]] md5 bridge — one map
+    * stage, no shuffle, no rand(). NULL sources drop. */
+  def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
+                     targetRows: Long): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val nonNull = df.filter(col(sourceCol).isNotNull)
+    val counts = nonNull
+      .groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: no non-null sources")
+    var tot = 0.0
+    counts.foreach { case (_, n) => tot += math.sqrt(n.toDouble) }
+    val rates = counts.map { case (s0, n) =>
+      s0 -> math.min(1.0,
+        ((targetRows.toDouble * math.sqrt(n.toDouble)) / tot)
+          / n.toDouble)
+    }.toMap
+    stratifiedSample(nonNull, keyCol, sourceCol, rates,
+      defaultRate = 0.0)
+  }
+
   /** Stratified Bernoulli sample with per-stratum rates: keep a row iff
     * its key's hash fraction falls under its stratum's rate (`defaultRate`
     * for unlisted strata). The classic training-mix downsampler (e.g.

@@ -238,6 +238,40 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // temperature-scaled source mixing
+  // ---------------------------------------------------------------
+
+  test("temperatureMix up-weights small sources (∝ √n), is " +
+    "deterministic, caps rates at 1, and drops NULL sources") {
+    import graft.llmdata.Sampling
+    // big source: 3200 rows; small source: 200 rows; one NULL source
+    val df = (spark.range(0, 3200).select(col("id"), lit("big").as("s"))
+      unionByName spark.range(10000, 10200)
+        .select(col("id"), lit("small").as("s"))
+      unionByName spark.range(20000, 20010)
+        .select(col("id"), lit(null.asInstanceOf[String]).as("s")))
+    val kept = Sampling.temperatureMix(df, "id", "s", targetRows = 800L)
+      .groupBy(col("s")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights: √3200 : √200 = 4 : 1 → targets 640 / 160; rates
+    // 640/3200 = 0.2 and 160/200 = 0.8 — the small source keeps a 4x
+    // LARGER fraction. md5 selection is ~uniform; allow wide slack
+    assert(!kept.contains(null), "NULL sources must drop")
+    val fracBig = kept("big").toDouble / 3200.0
+    val fracSmall = kept("small").toDouble / 200.0
+    assert(fracSmall > 2.0 * fracBig,
+      s"small source must be up-weighted: $fracSmall vs $fracBig")
+    assert(math.abs(kept.values.sum - 800L) < 200L,
+      s"total should land near the target: ${kept.values.sum}")
+    // determinism
+    val again = Sampling.temperatureMix(df, "id", "s", 800L).count()
+    assert(again == kept.values.sum)
+    // a target past the corpus caps every rate at 1 (no oversampling)
+    assert(Sampling.temperatureMix(df, "id", "s", 1000000L).count()
+      == 3400L)
+  }
+
+  // ---------------------------------------------------------------
   // RTBF on the sequenced merge-on-read lake
   // ---------------------------------------------------------------
 
