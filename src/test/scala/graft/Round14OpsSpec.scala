@@ -238,6 +238,66 @@ class Round14OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // lake SQL surface edges
+  // ---------------------------------------------------------------
+
+  test("registerLakeTail: empty pending range registers an empty " +
+    "view, re-registration sees new commits, and a rewrite-crossed " +
+    "range refuses (addedBetween contract)") {
+    import graft.incremental.Snapshots
+    import graft.sql.SqlCatalog
+    val base = tmp("lakesqledge"); val root = s"$base/lake"
+    val cursor = s"$base/cur"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    assert(SqlCatalog.registerLakeTail(spark, root, cursor, "t14e")
+      == Seq(1L))
+    SqlCatalog.advanceLakeTail(spark, cursor, 1L)
+    // nothing pending: empty view, schema intact
+    assert(SqlCatalog.registerLakeTail(spark, root, cursor, "t14e")
+      .isEmpty)
+    assert(spark.table("t14e").count() == 0L)
+    assert(spark.table("t14e").columns.toSeq == Seq("k", "v"))
+    // a new commit shows up on re-registration
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2
+    assert(SqlCatalog.registerLakeTail(spark, root, cursor, "t14e")
+      == Seq(2L))
+    assert(spark.sql("SELECT k FROM t14e").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    SqlCatalog.advanceLakeTail(spark, cursor, 2L)
+    // compaction crosses the next range: the tail refuses
+    Snapshots.compact(spark, root, targetBytes = 1L << 26) // v3
+    intercept[IllegalArgumentException] {
+      SqlCatalog.registerLakeTail(spark, root, cursor, "t14e")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // CrossChecks memoization contract
+  // ---------------------------------------------------------------
+
+  test("CrossChecks.once memoizes SUCCESS only: a failed check is not " +
+    "cached (a retry re-runs it), and a passed check runs exactly once") {
+    var runs = 0
+    val tag = s"r14spec-${System.identityHashCode(this)}"
+    intercept[RuntimeException] {
+      CrossChecks.once(tag, "sfX") { runs += 1; sys.error("boom") }
+    }
+    intercept[RuntimeException] {
+      CrossChecks.once(tag, "sfX") { runs += 1; sys.error("boom") }
+    }
+    assert(runs == 2, "a failed check must re-run on retry")
+    var ok = 0
+    CrossChecks.once(tag + "-ok", "sfX") { ok += 1 }
+    CrossChecks.once(tag + "-ok", "sfX") { ok += 1 }
+    assert(ok == 1, "a passed check must run once per (tag, sfDir)")
+    CrossChecks.once(tag + "-ok", "sfY") { ok += 1 }
+    assert(ok == 2, "a different sf dir is a different memo key")
+  }
+
+  // ---------------------------------------------------------------
   // temperature-scaled source mixing
   // ---------------------------------------------------------------
 
