@@ -7214,6 +7214,37 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("chars_kept"))
         .select("lang", "n_kept", "chars_kept")
     }),
+
+    // STATS-DRIVEN broadcast join (round-14, VERDICT r13 #6 as gated
+    // surface): a snapshot-lake dimension commits + ANALYZEs, the
+    // catalog answers "is it broadcastable?" at zero jobs (ndvOf +
+    // pinned byte sum), readVersionHinted attaches the hint from the
+    // CATALOG — and the fact-to-dim join plan is REQUIRED to carry a
+    // BroadcastHashJoin; the aggregate is oracled
+    "q543_stats_broadcast_join" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("statsjoin") + "/lake"
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type").isNotNull)
+        .select(col("event_type")).distinct()
+        .withColumn("category", substring(col("event_type"), 1, 1))
+        .coalesce(1).write.parquet(root)
+      Snapshots.commit(s, root) // v1
+      Snapshots.analyze(s, root, 1L, Seq("event_type"))
+      val ndv = Snapshots.ndvOf(s, root, 1L, "event_type")
+      require(ndv.exists(_ <= 64.0),
+        "the dim's key NDV must come from the catalog, exact regime")
+      val dim = Snapshots.readVersionHinted(s, root, 1L)
+      val joined = ev.join(dim, Seq("event_type"))
+      require(joined.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "the stats-gated dimension must broadcast")
+      joined.groupBy(col("category"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("value_cents"))
+        .select("category", "n_events", "value_cents")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -18323,6 +18354,17 @@ FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""",
         |FROM documents d JOIN rates USING (lang)
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
         |    1, 8)) AS BIGINT) / 4294967296.0 < r
+        |GROUP BY 1""".stripMargin,
+
+    // q543: the fact-dim join is key-preserving (dim = distinct
+    // non-null event types), so the aggregate is a plain group over
+    // events with the derived category
+    "q543_stats_broadcast_join" ->
+      """SELECT substr(event_type, 1, 1) AS category,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
     // q451: the md5 hash-fraction bridge (q88 convention), weight =
