@@ -105,8 +105,13 @@ object CrossChecks {
   /** The bench warm-up hook — run every cross-check untimed
     * ([[graft.Bench]] calls this beside LakeFixtures.warmAll). */
   def warmAll(s: SparkSession, d: String): Unit = {
+    // NonFatal only (round-15 ADVICE): a fatal JVM error (OOM,
+    // interrupt) during warm-up must propagate immediately — swallowed
+    // here it would just resurface inside the timed rep and skew the
+    // very measurement this hook protects. A NonFatal failure stays
+    // quiet: the correctness gate re-runs the check and raises there.
     def quiet(b: => Unit): Unit =
-      try b catch { case _: Throwable => () }
+      try b catch { case scala.util.control.NonFatal(_) => () }
     quiet(ivfPqAppendEqualsFlat(s, d))
     quiet(dtwBlockedEqualsAllPairs(s, d))
     quiet(aggMergeFoldEqualsOneShot(s, d))

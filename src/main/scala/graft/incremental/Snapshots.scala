@@ -1330,20 +1330,44 @@ object Snapshots {
     * (there, EVERY file is unreferenced and the sweep would delete
     * the table). Returns the deleted paths. */
   def vacuum(spark: SparkSession, path: String): Seq[String] = {
-    require(listVersions(spark, path).nonEmpty,
-      s"vacuum on unlogged lake $path would delete every file — commit first")
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // REPAIR FIRST (round-15 ADVICE): a crash between [[SnapshotIo]]'s
+    // rename(dest, trash) and rename(tmp, dest) leaves the ONLY copy of
+    // a manifest in `.trash-<name>-<token>` with its visible twin
+    // missing. Sweeping that trash would lose the manifest permanently
+    // — and it must restore BEFORE unreferencedFiles runs, or the
+    // missing version's exclusive files would count as unreferenced and
+    // be deleted out from under the restored manifest. Mirrors
+    // [[Deletes]]' repairPurgeSwaps promote/restore logic.
+    val trashPat = "^\\.trash-(.+)-[0-9a-f]{8}$".r
+    def repairIn(dir: Path): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.isDirectory).foreach { st =>
+          st.getPath.getName match {
+            case trashPat(orig) =>
+              val visible = new Path(dir, orig)
+              if (!fs.exists(visible))
+                require(fs.rename(st.getPath, visible),
+                  s"vacuum repair: restore failed for ${st.getPath}")
+            case _ => repairIn(st.getPath)
+          }
+        }
+    repairIn(new Path(snapRoot(path)))
+    require(listVersions(spark, path).nonEmpty,
+      s"vacuum on unlogged lake $path would delete every file — commit first")
     val dead = unreferencedFiles(spark, path)
     dead.foreach(f => fs.delete(new Path(f), false))
     // crashed SnapshotIo commits leave hidden `.tmp-*` staging dirs
-    // (and crashed OVERWRITES leave `.trash-*` old-manifest siblings)
-    // under the snapshot root — invisible to every reader (never a
-    // readable version), reclaimed here under the engine-wide
-    // single-maintenance-writer contract (no concurrent commit can
-    // be mid-stage while vacuum runs). Trash dirs are recursed one
-    // level so leftovers beside tag/branch manifests sweep too.
+    // (and completed OVERWRITES may leave `.trash-*` old-manifest
+    // siblings whose visible twin exists — the repair above already
+    // restored any orphaned trash) under the snapshot root — invisible
+    // to every reader (never a readable version), reclaimed here under
+    // the engine-wide single-maintenance-writer contract (no concurrent
+    // commit can be mid-stage while vacuum runs). Trash dirs are
+    // recursed one level so leftovers beside tag/branch manifests
+    // sweep too.
     def sweepHidden(dir: Path): Unit =
       if (fs.exists(dir))
         fs.listStatus(dir).filter(_.isDirectory).foreach { st =>

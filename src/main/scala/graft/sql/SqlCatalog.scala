@@ -147,9 +147,26 @@ object SqlCatalog {
         Snapshots.readVersionAs(spark, path, v)
           .createOrReplaceTempView(s"${name}_v$v")
       }
-    Snapshots.tags(spark, path).collect().foreach { r =>
-      Snapshots.readVersionAs(spark, path, r.getLong(1))
-        .createOrReplaceTempView(s"${name}_at_${r.getString(0)}")
+    // Tag names allow '.'/'-' ([[graft.incremental.Snapshots.tag]])
+    // but temp-view identifiers don't — a dotted tag used to throw
+    // mid-registration and fail the whole lake (round-15 ADVICE).
+    // Sanitize into view-safe names; two tags colliding post-sanitize
+    // raise loudly rather than silently shadowing one another.
+    val tagRows = Snapshots.tags(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viewNames = tagRows.map { case (t, v) =>
+      (t.map(c => if (c.isLetterOrDigit || c == '_') c else '_'), v)
+    }
+    viewNames.groupBy(_._1).foreach { case (vn, grp) =>
+      require(grp.length == 1,
+        s"tags ${tagRows.map(_._1).filter(t => t.map(c =>
+          if (c.isLetterOrDigit || c == '_') c else '_') == vn)
+          .mkString("'", "', '", "'")} collide as view name " +
+          s"'${name}_at_$vn' — rename one before registering")
+    }
+    viewNames.foreach { case (vn, v) =>
+      Snapshots.readVersionAs(spark, path, v)
+        .createOrReplaceTempView(s"${name}_at_$vn")
     }
     Snapshots.versions(spark, path)
       .createOrReplaceTempView(s"${name}_versions")
@@ -170,9 +187,14 @@ object SqlCatalog {
                        cursorDir: String, name: String): Seq[Long] = {
     import graft.incremental.Snapshots
     val cur = lakeTailCursor(spark, cursorDir)
-    val head = Snapshots.versions(spark, path).collect()
-      .map(_.getLong(0)).sorted.lastOption.getOrElse(0L)
-    val pending = (cur + 1) to head
+    val retained = Snapshots.versions(spark, path).collect()
+      .map(_.getLong(0)).sorted
+    val head = retained.lastOption.getOrElse(0L)
+    // intersect with the RETAINED log (round-15 ADVICE): after expire,
+    // the naive (cur+1)..head range would report expired/nonexistent
+    // versions as pending while the cur==0 view reads only the head —
+    // the returned list must name versions that actually exist
+    val pending = ((cur + 1) to head).filter(retained.toSet)
     val delta =
       if (pending.isEmpty)
         Snapshots.readLatest(spark, path).limit(0)
