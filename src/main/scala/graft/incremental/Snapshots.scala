@@ -1023,7 +1023,17 @@ object Snapshots {
         .join(subj, Seq(keyCol), "left_semi")
         .groupBy(col("__f"))
         .agg(count(lit(1)).cast("long").as("n_purge")),
-      keep = (fileDf, _) => fileDf.join(subj, Seq(keyCol), "left_anti"))
+      keep = (fileDf, _) => fileDf.join(subj, Seq(keyCol), "left_anti"),
+      // zone-map prune (round-15, VERDICT r14 #2): detection scans
+      // only files whose footer bounds can intersect the subjects'
+      // key hull — on a key-clustered lake a small deletion batch
+      // reads a handful of files, not the corpus. Conservative
+      // (NULL bounds keep; non-prunable key types fall back to the
+      // full read); detection re-checks exactly, so hull false
+      // positives cost I/O only, never correctness.
+      prune = (files, mergedSchema) =>
+        graft.sources.Tables.subjectCandidateFiles(spark, files,
+          mergedSchema, Seq(keyCol), subj0))
   }
 
   /** Shared purge engine: `detect` maps the mergeSchema read of every
@@ -1040,7 +1050,10 @@ object Snapshots {
   private def purgeImpl(spark: SparkSession, path: String, opName: String,
                         detect: DataFrame => DataFrame,
                         keep: (DataFrame,
-                          org.apache.spark.sql.types.StructType) => DataFrame)
+                          org.apache.spark.sql.types.StructType) => DataFrame,
+                        prune: (Seq[String],
+                          org.apache.spark.sql.types.StructType)
+                          => Seq[String] = (fs, _) => fs)
       : DataFrame = {
     import org.apache.hadoop.fs.Path
     val vs = listVersions(spark, path)
@@ -1056,16 +1069,23 @@ object Snapshots {
     val pinsByV: Seq[(Long, Seq[String])] =
       vs.map(v => v -> readPins(spark, s"${snapRoot(path)}/v=$v"))
     val files = pinsByV.flatMap(_._2).distinct.sorted
-    // affected detection: one distributed pass, grouped by file.
-    // mergeSchema so a predicate/key on an EVOLVED column resolves
-    // against pre-evolution files too (their rows read NULL there ->
+    // affected detection: one distributed pass, grouped by file,
+    // zone-map-restricted to `prune`'s candidates (identity for
+    // predicate purges — an arbitrary Column predicate has no sound
+    // hull). The merged schema still derives from ALL files
+    // (footer-only metadata) and pins the candidate read explicitly,
+    // so a key/predicate on an EVOLVED column resolves against
+    // pre-evolution candidate files too (their rows read NULL there ->
     // no match -> unaffected, which is exactly right: the column did
     // not exist, so no subject rows can hide in them)
-    val mergedRead = spark.read.option("mergeSchema", "true")
-      .parquet(files: _*)
-    val mergedSchema = mergedRead.schema
-    val hits = detect(mergedRead)
-      .collect().map(r => (norm(r.getString(0)), r.getLong(1))).toMap
+    val mergedSchema = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).schema
+    val scanFiles = prune(files, mergedSchema)
+    val hits =
+      if (scanFiles.isEmpty) Map.empty[String, Long]
+      else detect(spark.read.schema(mergedSchema)
+          .parquet(scanFiles: _*))
+        .collect().map(r => (norm(r.getString(0)), r.getLong(1))).toMap
     val affected = files.filter(f => hits.contains(norm(f)))
     val purgeDir = s"$path/purge-" +
       java.util.UUID.randomUUID().toString.take(8)

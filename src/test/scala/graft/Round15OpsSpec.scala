@@ -109,4 +109,129 @@ class Round15OpsSpec extends SparkSpec {
       s"every file is referenced post-repair, yet swept $swept")
     assert(!fs.exists(trash), "the restored trash dir must be gone")
   }
+
+  // ---------------------------------------------------------------
+  // Zone-map-pruned purge detection (VERDICT r14 #2)
+  // ---------------------------------------------------------------
+
+  test("subjectCandidateFiles: hull prune on long keys, string keys, " +
+    "empty subjects, and the non-prunable fallback") {
+    val root = tmp("candfiles") + "/lake"
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("k"), col("id").cast("string").as("s"),
+          (col("id") * 1.5).as("x"))
+        .coalesce(1)
+        .write.mode(if (i == 0) "errorifexists" else "append")
+        .parquet(root)
+    }
+    val files = spark.read.parquet(root).inputFiles.toSeq.sorted
+    assert(files.size == 4)
+    val schema = spark.read.parquet(root).schema
+    def cand(subj: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      graft.sources.Tables.subjectCandidateFiles(spark, files, schema,
+        cols, subj)
+    def fileRange(f: String): (Long, Long) = {
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // long key, subjects inside one file's range
+    val one = cand(Seq(7L, 55L).toDF("k"), Seq("k"))
+    assert(one.size == 1 && fileRange(one.head) == (0L, 99L))
+    // subjects spanning two files
+    assert(cand(Seq(7L, 155L).toDF("k"), Seq("k")).size >= 2)
+    // empty subject frame: nothing can match
+    assert(cand(Seq.empty[Long].toDF("k"), Seq("k")).isEmpty)
+    // string key prunes lexically: hull ["101","150"] overlaps file 0
+    // ("0".."99" — "101" sorts below "99") and file 1 ("100".."199"),
+    // but rules out files 2 and 3 ("2..".."3..")
+    val sCand = cand(Seq("101", "150").toDF("s"), Seq("s"))
+    assert(sCand.size == 2 &&
+      sCand.map(fileRange).toSet == Set((0L, 99L), (100L, 199L)))
+    // double key: no sound hull -> full fallback
+    assert(cand(Seq(7.5, 8.5).toDF("x"), Seq("x")) == files)
+  }
+
+  test("purgeMatching detection SCANS only the candidate files " +
+    "(scan metrics: subjects hit 1 of 4 files -> every lake scan " +
+    "during the purge reads at most 1 file)") {
+    import graft.incremental.Snapshots
+    val root = tmp("zmpurge") + "/lake"
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("k"),
+          concat(lit("p"), col("id")).as("v"))
+        .coalesce(1)
+        .write.mode(if (i == 0) "errorifexists" else "append")
+        .parquet(root)
+      Snapshots.commit(spark, root) // v1..v4
+    }
+    val subjects = Seq(7L, 55L).toDF("k")
+    val lakeScans =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def recordScans(plan: org.apache.spark.sql.execution.SparkPlan): Unit =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => recordScans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          if (f.relation.location.rootPaths
+              .exists(_.toString.contains("/lake")))
+            lakeScans.add(f.metrics("numFiles").value)
+        case p => p.children.foreach(recordScans)
+      }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = recordScans(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val rep =
+      try {
+        val r = Snapshots.purgeMatching(spark, root, subjects, "k").head()
+        // listener events are async: poll until the detection + keep
+        // scans (>= 2 lake scans) have landed
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (lakeScans.size < 2 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        r
+      } finally spark.listenerManager.unregister(listener)
+    assert(rep.getLong(3) == 2L, s"rows_purged: $rep")
+    import scala.jdk.CollectionConverters._
+    val sizes = lakeScans.asScala.map(_.longValue()).toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ <= 1L),
+      s"purge scanned more than the 1 candidate file: $sizes")
+    // correctness: every version subject-free, keepers intact
+    (1L to 4L).foreach { v =>
+      val got = Snapshots.readVersion(spark, root, v)
+      assert(got.filter(col("k").isin(7L, 55L)).count() == 0L)
+      assert(got.count() == v * 100L - (if (v >= 1) 2L else 0L))
+    }
+  }
+
+  test("Deletes.purgeMatching with a clustered base: pruned detection " +
+    "reports and content equal the unclustered twin's") {
+    import graft.incremental.Deletes
+    val base = spark.range(0L, 400L)
+      .select(col("id").as("k"), (col("id") % 7).as("grp"))
+    val a = tmp("morzmA") + "/lake"; val b = tmp("morzmB") + "/lake"
+    Deletes.initBaseClustered(spark, a, base, 4, Seq("k"))
+    Deletes.initBase(spark, b, base, 1)
+    Seq(a, b).foreach { root =>
+      Deletes.upsert(spark, root,
+        base.filter(col("k") < 10)
+          .withColumn("grp", col("grp") + 100), Seq("k"))
+    }
+    val subjects = Seq(3L, 5L, 77L).toDF("k")
+    val ra = Deletes.purgeMatching(spark, a, subjects, Seq("k")).head()
+    val rb = Deletes.purgeMatching(spark, b, subjects, Seq("k")).head()
+    // same rows/keys purged (dir counts differ by layout, rows never)
+    assert(ra.getLong(2) == rb.getLong(2) && ra.getLong(3) == rb.getLong(3))
+    val va = Deletes.readMerged(spark, a)
+    val vb = Deletes.readMerged(spark, b)
+    assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
+    assert(va.filter(col("k").isin(3L, 5L, 77L)).count() == 0L)
+  }
 }
