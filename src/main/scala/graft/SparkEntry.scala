@@ -7214,6 +7214,32 @@ object SparkEntry {
             .cast("long").as("value_cents"))
         .select("category", "n_events", "value_cents")
     }),
+
+    // AUTO-ANALYZE ON COMMIT (round-15, VERDICT r14 #4): stats columns
+    // DECLARED once in the snapshot log; every commit then refreshes
+    // the KMV catalog itself — full analyze at the first commit,
+    // O(delta) incremental merge on the append commit (delta-only I/O
+    // spec-pinned via scan metrics, Round15OpsSpec) — so ndvOf answers
+    // fresh with ZERO analyze calls in the pipeline. Output = the
+    // catalog readout at the head, oracled by the exact md5 KMV
+    // replay (q532/q540's oracle — bottom-k-of-union ≡ full analyze)
+    "q544_auto_analyze_commit" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("autoanalyze") + "/lake"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      val cols = Seq("user_id", "event_id", "day")
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.setStatsColumns(s, root, cols)
+      Snapshots.commit(s, root) // v1: full analyze, automatic
+      require(cols.forall(c => Snapshots.ndvOf(s, root, 1L, c).isDefined),
+        "v1 must carry auto stats")
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v2: O(delta) incremental, automatic
+      require(cols.forall(c => Snapshots.ndvOf(s, root, 2L, c).isDefined),
+        "v2 must carry auto stats with no analyze call in the pipeline")
+      Snapshots.ndvStats(s, root, 2L, cols, k = 64)
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9222,6 +9248,7 @@ object SparkEntry {
     // analyze (bottom-k-of-union property + pure md5 hashing), so the
     // oracle is q532's full-table bottom-64 replay verbatim
     "q540_incremental_analyze" -> ndvOracle64Sql,
+    "q544_auto_analyze_commit" -> ndvOracle64Sql,
 
     // q531: per-version day buckets EXCLUDING the purged subjects,
     // plus the purged totals

@@ -167,40 +167,10 @@ class Round15OpsSpec extends SparkSpec {
       Snapshots.commit(spark, root) // v1..v4
     }
     val subjects = Seq(7L, 55L).toDF("k")
-    val lakeScans =
-      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-    def recordScans(plan: org.apache.spark.sql.execution.SparkPlan): Unit =
-      plan match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => recordScans(a.executedPlan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          if (f.relation.location.rootPaths
-              .exists(_.toString.contains("/lake")))
-            lakeScans.add(f.metrics("numFiles").value)
-        case p => p.children.foreach(recordScans)
-      }
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = recordScans(qe.executedPlan)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
+    val (rep, sizes) = withLakeScanSizes("/lake") {
+      Snapshots.purgeMatching(spark, root, subjects, "k").head()
     }
-    spark.listenerManager.register(listener)
-    val rep =
-      try {
-        val r = Snapshots.purgeMatching(spark, root, subjects, "k").head()
-        // listener events are async: poll until the detection + keep
-        // scans (>= 2 lake scans) have landed
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (lakeScans.size < 2 && System.nanoTime() < deadline)
-          Thread.sleep(50)
-        r
-      } finally spark.listenerManager.unregister(listener)
     assert(rep.getLong(3) == 2L, s"rows_purged: $rep")
-    import scala.jdk.CollectionConverters._
-    val sizes = lakeScans.asScala.map(_.longValue()).toSeq
     assert(sizes.nonEmpty && sizes.forall(_ <= 1L),
       s"purge scanned more than the 1 candidate file: $sizes")
     // correctness: every version subject-free, keepers intact
@@ -233,5 +203,101 @@ class Round15OpsSpec extends SparkSpec {
     val vb = Deletes.readMerged(spark, b)
     assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
     assert(va.filter(col("k").isin(3L, 5L, 77L)).count() == 0L)
+  }
+
+  // ---------------------------------------------------------------
+  // Auto-ANALYZE on commit (VERDICT r14 #4)
+  // ---------------------------------------------------------------
+
+  /** Scan-metrics recorder shared by the delta-only proofs: collects
+    * numFiles of every FileSourceScan whose root paths hit `marker`. */
+  private def withLakeScanSizes[A](marker: String)(body: => A)
+      : (A, Seq[Long]) = {
+    val sizes =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def rec(plan: org.apache.spark.sql.execution.SparkPlan): Unit =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => rec(a.executedPlan)
+        // AQE materializes finished stages as LEAF wrappers — their
+        // scans live under .plan, not .children
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => rec(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          if (f.relation.location.rootPaths
+              .exists(_.toString.contains(marker)))
+            sizes.add(f.metrics("numFiles").value)
+        case p => p.children.foreach(rec)
+      }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = rec(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out =
+      try {
+        val a = body
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (sizes.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        Thread.sleep(200) // drain stragglers
+        a
+      } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    (out, sizes.asScala.map(_.longValue()).toSeq)
+  }
+
+  test("declared stats columns auto-refresh on commit: the append " +
+    "commit's refresh reads ONLY the new files (scan metrics) and " +
+    "its sketch is bit-identical to a full re-analyze") {
+    import graft.incremental.Snapshots
+    val root = tmp("autostats") + "/lake"
+    spark.range(0L, 3000L)
+      .select(col("id").as("k"), (col("id") % 17).as("grp"))
+      .coalesce(4).write.parquet(root)
+    Snapshots.setStatsColumns(spark, root, Seq("k", "grp"))
+    Snapshots.commit(spark, root) // v1: full analyze, automatic
+    assert(Snapshots.ndvOf(spark, root, 1L, "grp").contains(17.0))
+    // append ONE new file; the auto-refresh may read only it
+    spark.range(3000L, 3300L)
+      .select(col("id").as("k"), (col("id") % 23).as("grp"))
+      .coalesce(1).write.mode("append").parquet(root)
+    val (_, sizes) = withLakeScanSizes("/lake") {
+      Snapshots.commit(spark, root) // v2: incremental, automatic
+    }
+    assert(sizes.nonEmpty && sizes.forall(_ <= 1L),
+      s"the append commit's stats refresh scanned old files: $sizes")
+    assert(Snapshots.ndvOf(spark, root, 2L, "grp").contains(23.0))
+    // bit-identical to a from-scratch analyze of v2
+    val conf = spark.sparkContext.hadoopConfiguration
+    def hashes(c: String) = graft.incremental.SnapshotIo.readLongs(
+      conf, s"$root/_graft_snapshots/stats/v=2/$c", "h")
+    val auto = Seq("k", "grp").map(hashes)
+    Snapshots.analyze(spark, root, 2L, Seq("k", "grp"))
+    assert(Seq("k", "grp").map(hashes) == auto,
+      "auto-incremental sketch diverged from the full re-analyze")
+  }
+
+  test("compact commits COPY the declared stats forward (zero scan, " +
+    "NDV identical); a commit with nothing declared stays stat-free") {
+    import graft.incremental.Snapshots
+    val root = tmp("autocompact") + "/lake"
+    spark.range(0L, 500L).select(col("id").as("k"))
+      .coalesce(3).write.parquet(root)
+    Snapshots.setStatsColumns(spark, root, Seq("k"))
+    Snapshots.commit(spark, root) // v1
+    Snapshots.compact(spark, root, targetBytes = 1L << 26) // v2
+    assert(Snapshots.ndvOf(spark, root, 2L, "k") ==
+      Snapshots.ndvOf(spark, root, 1L, "k"))
+    // an undeclared lake: commit writes no stats
+    val bare = tmp("nostats") + "/lake"
+    spark.range(0L, 10L).select(col("id").as("k"))
+      .coalesce(1).write.parquet(bare)
+    Snapshots.commit(spark, bare)
+    assert(Snapshots.ndvOf(spark, bare, 1L, "k").isEmpty)
   }
 }
