@@ -7240,6 +7240,47 @@ object SparkEntry {
         "v2 must carry auto stats with no analyze call in the pipeline")
       Snapshots.ndvStats(s, root, 2L, cols, k = 64)
     }),
+
+    // MERGE-ON-READ lake SQL surface (round-15, VERDICT r14 #5): the
+    // sequenced upsert lake registers as plain view names (live
+    // merged + as-of time travel), and the WHOLE query — aggregate
+    // over the live view UNION the op-1 as-of view — runs through
+    // spark.sql TEXT, matching the reference's everything-is-SQL
+    // posture. Oracle: DuckDB replays last-writer-wins with CASE
+    // arithmetic over the pinned upsert recipe
+    "q545_mor_sql" -> ((s, d) => {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("morsql") + "/lake"
+      val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4) // op 0
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey")) // op 1
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey")) // op 2
+      graft.sql.SqlCatalog.registerMorLake(s, root, "morlake")
+      require(s.sql("SELECT count(*) FROM morlake_ops").head()
+        .getLong(0) == 3L, "the op log must list ops 0..2")
+      s.sql("""
+        SELECT 'live' AS stage, o_orderstatus,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+            AS BIGINT)) AS BIGINT) AS price_cents
+        FROM morlake GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'asof1' AS stage, o_orderstatus,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+            AS BIGINT)) AS BIGINT) AS price_cents
+        FROM morlake_asof_1 GROUP BY o_orderstatus
+      """)
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9249,6 +9290,25 @@ object SparkEntry {
     // oracle is q532's full-table bottom-64 replay verbatim
     "q540_incremental_analyze" -> ndvOracle64Sql,
     "q544_auto_analyze_commit" -> ndvOracle64Sql,
+
+    // q545: last-writer-wins replay — live = op2's +3000 for keys
+    // %20 in (0,10), base otherwise; as-of op1 = +1000 for %20 = 0
+    "q545_mor_sql" ->
+      """SELECT 'live' AS stage, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 IN (0, 10)
+        |      THEN o_totalprice + 3000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'asof1' AS stage, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 20 = 0
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 2""".stripMargin,
 
     // q531: per-version day buckets EXCLUDING the purged subjects,
     // plus the purged totals

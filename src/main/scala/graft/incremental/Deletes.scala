@@ -333,6 +333,51 @@ object Deletes {
     }
   }
 
+  /** The sequenced lake's op log: one row per op id —
+    * (op, n_add_files, n_tombstone_files), ascending. Op 0 is the
+    * base; a pure-delete op has zero add files; file counts come from
+    * directory listings (metadata-scale, zero Spark jobs beyond the
+    * frame build). The audit readout behind the SQL surface's
+    * `<name>_ops` view ([[graft.sql.SqlCatalog.registerMorLake]]). */
+  def ops(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(dir: String): Long = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val nm = f.getPath.getName
+          if (f.isFile && nm.endsWith(".parquet") &&
+              !nm.startsWith("_") && !nm.startsWith(".")) n += 1
+        }
+        n
+      }
+    }
+    val adds = listAddIds(spark, path).toSet
+    val dels = listDeleteIds(spark, path).toSet
+    import scala.jdk.CollectionConverters._
+    val rows = (adds ++ dels).toSeq.sorted.map { op =>
+      org.apache.spark.sql.Row(op,
+        java.lang.Long.valueOf(
+          if (adds(op)) nFiles(s"$path/add-$op") else 0L),
+        java.lang.Long.valueOf(
+          if (dels(op)) nFiles(s"${delRoot(path)}/d=$op") else 0L))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_add_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tombstone_files",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** MERGE-style mixed batch on the sequenced lake — Delta's
     * `WHEN MATCHED [AND cond] THEN DELETE / UPDATE, WHEN NOT MATCHED
     * INSERT` reduced to its storage effect: `batch` carries an `opCol`

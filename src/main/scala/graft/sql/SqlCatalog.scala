@@ -172,6 +172,36 @@ object SqlCatalog {
       .createOrReplaceTempView(s"${name}_versions")
   }
 
+  /** SQL surface for the SEQUENCED merge-on-read lake (round-15,
+    * VERDICT r14 #5): [[registerLake]]'s twin for the other lake
+    * substrate. The upsert lake's reads are DataFrame-first
+    * ([[graft.incremental.Deletes.readMerged]] / `readMergedAsOf`),
+    * but the reference's users live in SQL text — so the merged view
+    * and its op history register as plain view names:
+    *
+    *  - `<name>`            — the LIVE merged view (all adds, all
+    *                          tombstones, sequence rule applied)
+    *  - `<name>_asof_<op>`  — the merged view as of every op (time
+    *                          travel on the upsert lake)
+    *  - `<name>_ops`        — the (op, n_add_files,
+    *                          n_tombstone_files) audit log
+    *
+    * Views are lazy plans over the op directories — registration is
+    * metadata-only, and a query against `<name>_asof_2` scans exactly
+    * the adds ≤ 2 with tombstones ≤ 2 applied. Same snapshot-the-log
+    * registration semantics as [[registerLake]]: re-register after
+    * new ops. */
+  def registerMorLake(spark: SparkSession, path: String,
+                      name: String): Unit = {
+    import graft.incremental.Deletes
+    Deletes.readMerged(spark, path).createOrReplaceTempView(name)
+    Deletes.ops(spark, path).collect().map(_.getLong(0)).foreach { op =>
+      Deletes.readMergedAsOf(spark, path, op)
+        .createOrReplaceTempView(s"${name}_asof_$op")
+    }
+    Deletes.ops(spark, path).createOrReplaceTempView(s"${name}_ops")
+  }
+
   /** The O(delta) TAIL as a SQL view: registers everything committed
     * PAST the recorded cursor (one
     * [[graft.incremental.Snapshots.addedBetween]] range — raises if a

@@ -300,4 +300,50 @@ class Round15OpsSpec extends SparkSpec {
     Snapshots.commit(spark, bare)
     assert(Snapshots.ndvOf(spark, bare, 1L, "k").isEmpty)
   }
+
+  // ---------------------------------------------------------------
+  // MOR lake SQL surface (VERDICT r14 #5)
+  // ---------------------------------------------------------------
+
+  test("registerMorLake: live merged view, as-of time travel, and the " +
+    "op audit log all answer through spark.sql text") {
+    import graft.incremental.Deletes
+    val root = tmp("morsql") + "/lake"
+    val base = (0L until 100L).map(k => (k, s"v0-$k")).toDF("k", "v")
+    Deletes.initBase(spark, root, base, 2) // op 0
+    Deletes.upsert(spark, root,
+      (0L until 10L).map(k => (k, s"v1-$k")).toDF("k", "v"),
+      Seq("k")) // op 1
+    Deletes.upsert(spark, root,
+      (5L until 15L).map(k => (k, s"v2-$k")).toDF("k", "v"),
+      Seq("k")) // op 2
+    graft.sql.SqlCatalog.registerMorLake(spark, root, "morspec")
+    // live: keys 5..14 carry v2, 0..4 carry v1, rest v0
+    assert(spark.sql(
+      "SELECT count(*) FROM morspec WHERE v LIKE 'v2-%'")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT count(*) FROM morspec WHERE v LIKE 'v1-%'")
+      .head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM morspec")
+      .head().getLong(0) == 100L)
+    // as-of op1: keys 0..9 carry v1, none carry v2
+    assert(spark.sql(
+      "SELECT count(*) FROM morspec_asof_1 WHERE v LIKE 'v1-%'")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT count(*) FROM morspec_asof_1 WHERE v LIKE 'v2-%'")
+      .head().getLong(0) == 0L)
+    // as-of op0: the untouched base
+    assert(spark.sql(
+      "SELECT count(*) FROM morspec_asof_0 WHERE v LIKE 'v0-%'")
+      .head().getLong(0) == 100L)
+    // op audit: 3 ops; op 0 has adds only, ops 1-2 both sides
+    val ops = spark.sql(
+      "SELECT op, n_add_files, n_tombstone_files FROM morspec_ops " +
+        "ORDER BY op").collect()
+    assert(ops.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(ops(0).getLong(1) == 2L && ops(0).getLong(2) == 0L)
+    assert(ops(1).getLong(1) >= 1L && ops(1).getLong(2) == 1L)
+  }
 }
