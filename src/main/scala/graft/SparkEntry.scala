@@ -7281,6 +7281,46 @@ object SparkEntry {
         FROM morlake_asof_1 GROUP BY o_orderstatus
       """)
     }),
+
+    // OPTIMISTIC MULTI-WRITER COMMIT (round-15, VERDICT r14 #6): two
+    // writers race the same version — the loser's ErrorIfExists
+    // failure now RETRIES against the re-listed head instead of
+    // failing the pipeline; both writers' batches land and the final
+    // pin is the union (REQUIRED in-query: the seam injects the
+    // winner between the loser's log re-list and manifest write, so
+    // the race is deterministic, not timing-dependent)
+    "q546_concurrent_commit" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("concommit") + "/lake"
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 4 === 0).coalesce(2).write.parquet(root)
+      Snapshots.commit(s, root) // v1: writer A's first batch
+      // writer B stages its batch, then commits OPTIMISTICALLY while
+      // writer A lands another batch at the same version
+      o.filter(col("o_orderkey") % 2 === 1).coalesce(2)
+        .write.mode("append").parquet(root)
+      var attempts = 0
+      val landed = Snapshots.commitRetry(s, root, beforeWrite = _ => {
+        attempts += 1
+        if (attempts == 1) {
+          o.filter(col("o_orderkey") % 4 === 2).coalesce(2)
+            .write.mode("append").parquet(root)
+          Snapshots.commit(s, root) // writer A wins v2
+        }
+      })
+      require(attempts == 2 && landed == 3L,
+        s"the loser must retry once and land v3, got " +
+          s"attempts=$attempts landed=$landed")
+      def agg(df: DataFrame, stage: String) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"))
+        .withColumn("stage", lit(stage))
+        .select("stage", "n", "price_cents")
+      agg(Snapshots.readVersion(s, root, 1L), "v1")
+        .unionByName(agg(Snapshots.readLatest(s, root), "head"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9309,6 +9349,19 @@ object SparkEntry {
         |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 2""".stripMargin,
+
+    // q546: v1 = writer A's first batch (%4 = 0); head = the union of
+    // all three raced batches (%4 = 0, %4 = 2, odd keys = everything)
+    "q546_concurrent_commit" ->
+      """SELECT 'v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT 'head' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders""".stripMargin,
 
     // q531: per-version day buckets EXCLUDING the purged subjects,
     // plus the purged totals

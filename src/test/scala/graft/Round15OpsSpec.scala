@@ -346,4 +346,43 @@ class Round15OpsSpec extends SparkSpec {
     assert(ops(0).getLong(1) == 2L && ops(0).getLong(2) == 0L)
     assert(ops(1).getLong(1) >= 1L && ops(1).getLong(2) == 1L)
   }
+
+  // ---------------------------------------------------------------
+  // Optimistic multi-writer commit (VERDICT r14 #6)
+  // ---------------------------------------------------------------
+
+  test("commitRetry: the race loser re-lists and lands the next " +
+    "version with BOTH batches pinned; pathological contention " +
+    "raises after maxAttempts") {
+    import graft.incremental.Snapshots
+    val root = tmp("ccommit") + "/lake"
+    (0L until 50L).map(k => (k, "a")).toDF("k", "w")
+      .coalesce(1).write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    (50L until 80L).map(k => (k, "b")).toDF("k", "w")
+      .coalesce(1).write.mode("append").parquet(root)
+    var n = 0
+    val landed = Snapshots.commitRetry(spark, root, beforeWrite = _ => {
+      n += 1
+      if (n == 1) {
+        (80L until 90L).map(k => (k, "a2")).toDF("k", "w")
+          .coalesce(1).write.mode("append").parquet(root)
+        Snapshots.commit(spark, root) // the winner takes v2
+      }
+    })
+    assert(n == 2 && landed == 3L)
+    assert(Snapshots.versions(spark, root).count() == 3L)
+    val head = Snapshots.readLatest(spark, root)
+    assert(head.count() == 90L, "both raced batches must be pinned")
+    assert(head.filter(col("w") === "b").count() == 30L)
+    // a winner on EVERY attempt exhausts maxAttempts and raises
+    val raised =
+      try {
+        Snapshots.commitRetry(spark, root, maxAttempts = 2,
+          beforeWrite = v => Snapshots.commitAt(spark, root, v))
+        false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("lost the commit race") }
+    assert(raised, "straight losses must surface, not spin")
+  }
 }
