@@ -7321,6 +7321,34 @@ object SparkEntry {
       agg(Snapshots.readVersion(s, root, 1L), "v1")
         .unionByName(agg(Snapshots.readLatest(s, root), "head"))
     }),
+
+    // MJPEG-in-AVI FRAME DECODE (round-15, VERDICT r14 #8 — the one
+    // documented codec stub, closed): each asset is a real RIFF-AVI
+    // whose '00dc' chunks hold REAL JDK-encoded JPEGs (full-range
+    // gradient frames, direction = (asset+frame) % 4); the operator
+    // demuxes the container, JPEG-decodes every frame, and emits the
+    // perceptual aHash. The oracle bridge: a 0..255 gradient clears
+    // every aHash cell's decision margin by ~30 luma levels (JPEG
+    // error ~±3), so each direction's hash is an ANALYTIC constant
+    // DuckDB states in a CASE — decoded pixels verified end-to-end
+    // without a codec in the oracle engine
+    "q547_mjpeg_frames" -> ((s, d) => {
+      import graft.llmdata.Multimodal
+      import s.implicits._
+      val media = t(s, d, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.mjpegAviBytes(
+            (0 until 6).map(f =>
+              Multimodal.jpegGradientFrame(64, 64, ((id + f) % 4).toInt)),
+            usPerFrame = 40000L, width = 64, height = 64))
+        }).toDF("asset_id", "payload")
+      val frames = Multimodal.aviMjpegFrames(media)
+      require(frames.filter(!col("decoded")).isEmpty,
+        "every MJPEG frame must decode")
+      frames.select(col("asset_id"), col("frame_index"),
+        col("width"), col("height"), col("ahash"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9349,6 +9377,23 @@ object SparkEntry {
         |    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 2""".stripMargin,
+
+    // q547: the frame grid is (doc_id < 24) × frames 0..5; each
+    // frame's aHash is the analytic constant of its gradient
+    // direction (asset+frame) % 4 — signed-BIGINT forms of
+    // 0xF0F0..F0, 0x0F0F..0F, 0xFFFFFFFF00000000, 0x00000000FFFFFFFF
+    "q547_mjpeg_frames" ->
+      """SELECT d.doc_id AS asset_id, f.frame_index,
+        |  CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |  CASE CAST((d.doc_id + f.frame_index) % 4 AS INT)
+        |    WHEN 0 THEN CAST(-1085102592571150096 AS BIGINT)
+        |    WHEN 1 THEN CAST(1085102592571150095 AS BIGINT)
+        |    WHEN 2 THEN CAST(-4294967296 AS BIGINT)
+        |    ELSE CAST(4294967295 AS BIGINT) END AS ahash
+        |FROM documents d
+        |CROSS JOIN (SELECT CAST(unnest(generate_series(0, 5)) AS BIGINT)
+        |  AS frame_index) f
+        |WHERE d.doc_id < 24""".stripMargin,
 
     // q546: v1 = writer A's first batch (%4 = 0); head = the union of
     // all three raced batches (%4 = 0, %4 = 2, odd keys = everything)
