@@ -7349,6 +7349,46 @@ object SparkEntry {
       frames.select(col("asset_id"), col("frame_index"),
         col("width"), col("height"), col("ahash"))
     }),
+
+    // AUTO-MANIFEST ON COMMIT + MANIFEST-PLANNED TIME TRAVEL
+    // (round-15): zone-map manifest columns DECLARED once in the
+    // snapshot log; every commit refreshes the manifest (footer reads
+    // for NEW files only), and a version-pinned range probe then
+    // plans from the manifest table — ZERO footer reads on the query
+    // path, REQUIRED in-query to open only the value-carrying
+    // tranche's files out of the version's pins
+    "q548_auto_manifest" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("automanifest") + "/lake"
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      val maxK = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val c1 = maxK / 3; val c2 = 2L * maxK / 3
+      li.filter(col("l_orderkey") <= c1).coalesce(2)
+        .write.parquet(root)
+      Snapshots.setManifestColumns(s, root, Seq("l_orderkey"))
+      Snapshots.commit(s, root) // v1: tranche 1, manifest auto-built
+      li.filter(col("l_orderkey") > c1 && col("l_orderkey") <= c2)
+        .coalesce(2).write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v2: + tranche 2, O(new) refresh
+      li.filter(col("l_orderkey") > c2).coalesce(2)
+        .write.mode("append").parquet(root)
+      Snapshots.commit(s, root) // v3: + tranche 3
+      // as-of v2, probe the FIRST tranche: the manifest must prune
+      // the pinned 4 files down to tranche 1's 2
+      val probe = Snapshots.readVersionPrunedManifest(s, root, 2L,
+        Seq(("l_orderkey", 0L, c1)))
+      val nPinned = Snapshots.pinnedFiles(s, root, 2L).size
+      require(probe.inputFiles.length <= 2 &&
+          probe.inputFiles.length < nPinned,
+        s"manifest must prune the probe below the $nPinned pinned " +
+          s"files, opened ${probe.inputFiles.length}")
+      probe.agg(count(lit(1)).cast("long").as("n"),
+        sum((col("l_quantity").cast("decimal(14,2)") * 100)
+          .cast("long")).cast("long").as("qty_cents"),
+        sum((col("l_extendedprice").cast("decimal(14,2)") * 100)
+          .cast("long")).cast("long").as("price_cents"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9394,6 +9434,19 @@ object SparkEntry {
         |CROSS JOIN (SELECT CAST(unnest(generate_series(0, 5)) AS BIGINT)
         |  AS frame_index) f
         |WHERE d.doc_id < 24""".stripMargin,
+
+    // q548: the probe is tranche 1 (keys ≤ max/3, integer division)
+    // of the full lineitem — the pruning is plan-shape (required
+    // in-query), the content is this aggregate
+    "q548_auto_manifest" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 3 FROM lineitem)
+        |  AND l_orderkey >= 0""".stripMargin,
 
     // q546: v1 = writer A's first batch (%4 = 0); head = the union of
     // all three raced batches (%4 = 0, %4 = 2, odd keys = everything)

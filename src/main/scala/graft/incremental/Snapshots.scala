@@ -89,6 +89,7 @@ object Snapshots {
     val v = listVersions(spark, path).lastOption.getOrElse(0L) + 1L
     writeSnapshot(spark, path, v, livePin(spark, path), overwrite = false)
     autoAnalyze(spark, path, v)
+    autoManifest(spark, path)
     v
   }
 
@@ -137,6 +138,7 @@ object Snapshots {
         writeSnapshot(spark, path, v, livePin(spark, path),
           overwrite = false)
         autoAnalyze(spark, path, v)
+        autoManifest(spark, path)
         return v
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
@@ -167,6 +169,7 @@ object Snapshots {
     writeSnapshot(spark, path, version, livePin(spark, path),
       overwrite = true)
     autoAnalyze(spark, path, version)
+    autoManifest(spark, path)
   }
 
   private def writeSnapshot(spark: SparkSession, path: String, v: Long,
@@ -663,6 +666,7 @@ object Snapshots {
       "path", files, overwrite = false,
       sidecar = Some((schemaSidecar, recorded.json)))
     autoAnalyze(spark, path, v)
+    autoManifest(spark, path)
     v
   }
 
@@ -980,6 +984,51 @@ object Snapshots {
     }
     if (incremental) analyzeIncremental(spark, path, prev.get, v, cols)
     else analyze(spark, path, v, cols)
+  }
+
+  private def manifestColsDir(path: String) =
+    s"${snapRoot(path)}/manifestcols"
+
+  /** DECLARE the lake's ZONE-MAP manifest columns (round-15 — the
+    * [[setStatsColumns]] pattern applied to the file-skipping
+    * catalog): once declared, every [[commit]]/[[commitAt]]/
+    * [[commitEvolving]] runs [[graft.sources.Tables.refreshManifest]]
+    * — footer stats for NEW files only, vanished files dropped — so
+    * the `_graft_manifest` table is always fresh and a
+    * [[readVersionPrunedManifest]] probe plans from a metadata read
+    * instead of a per-query footer pass over the pinned set. At 10⁵
+    * files that is the difference between manifest-planned and
+    * footer-planned time travel. An empty `cols` clears the
+    * declaration. */
+  def setManifestColumns(spark: SparkSession, path: String,
+                         cols: Seq[String]): Unit =
+    SnapshotIo.writeStrings(hconf(spark), manifestColsDir(path), "c",
+      cols, overwrite = true)
+
+  /** The declared manifest columns ([[setManifestColumns]]) — empty
+    * when none are declared. */
+  def manifestColumns(spark: SparkSession, path: String): Seq[String] =
+    SnapshotIo.readStrings(hconf(spark), manifestColsDir(path), "c")
+
+  private def autoManifest(spark: SparkSession, path: String): Unit = {
+    val cols = manifestColumns(spark, path)
+    if (cols.nonEmpty)
+      graft.sources.Tables.refreshManifest(spark, path, cols)
+  }
+
+  /** [[readVersionPruned]] planned from the PERSISTED manifest
+    * (round-15): manifest rows intersect the version's pins, a pinned
+    * file the manifest doesn't know keeps NULL bounds (conservative —
+    * purge replacements stay visible), survivors scan with the pinned
+    * schema, and the exact predicate re-applies row-level. Zero
+    * footer reads on the probe path — the manifest (auto-refreshed
+    * per commit under [[setManifestColumns]]) already paid them, once,
+    * at commit time. */
+  def readVersionPrunedManifest(spark: SparkSession, path: String,
+      version: Long, box: Seq[(String, Any, Any)]): DataFrame = {
+    val pins = pinnedFiles(spark, path, version)
+    graft.sources.Tables.readPrunedManifest(spark, path, box,
+      onlyFiles = Some(pins))
   }
 
   /** Copy a version's sketches forward across a content-preserving
@@ -1325,6 +1374,7 @@ object Snapshots {
     writeSnapshot(spark, path, v,
       listDataFiles(spark, s"$path/compact-v$v"), overwrite = false)
     copyStatsForward(spark, path, latest, v)
+    autoManifest(spark, path)
     v
   }
 
@@ -1358,6 +1408,7 @@ object Snapshots {
     writeSnapshot(spark, path, v,
       listDataFiles(spark, s"$path/compact-v$v"), overwrite = false)
     copyStatsForward(spark, path, latest, v)
+    autoManifest(spark, path)
     v
   }
 
@@ -1392,6 +1443,7 @@ object Snapshots {
     writeSnapshot(spark, path, version,
       listDataFiles(spark, s"$path/compact-v$version"), overwrite = true)
     copyStatsForward(spark, path, version - 1, version)
+    autoManifest(spark, path)
   }
 
   /** Truncate the log back to `toVersion`: every snapshot ABOVE it is

@@ -661,13 +661,42 @@ object Tables {
     * manifest cannot provide). */
   def readPrunedManifest(spark: SparkSession, path: String,
                          box: Seq[(String, Any, Any)],
-                         reconcile: Boolean = false): DataFrame = {
+                         reconcile: Boolean = false,
+                         onlyFiles: Option[Seq[String]] = None)
+      : DataFrame = {
     require(box.nonEmpty, "box predicates required")
-    val stats0 = spark.read.parquet(s"$path/_graft_manifest")
+    val statsAll = spark.read.parquet(s"$path/_graft_manifest")
     box.map(_._1).foreach { c =>
-      require(stats0.columns.exists(_.equalsIgnoreCase(s"${c}_min")),
+      require(statsAll.columns.exists(_.equalsIgnoreCase(s"${c}_min")),
         s"manifest at $path/_graft_manifest has no bounds for '$c' —" +
           " re-run writeManifest with it included")
+    }
+    // `onlyFiles` restricts planning to a caller-pinned file set (the
+    // snapshot-version composition, [[graft.incremental.Snapshots
+    // .readVersionPrunedManifest]]): manifest rows intersect the pins,
+    // and any pinned file the manifest does not know joins with NULL
+    // bounds (conservative keep — purge replacements and other
+    // not-yet-refreshed files stay visible). The scan schema pins from
+    // the restricted files, matching [[readPrunedBox]]'s onlyFiles.
+    val stats0 = onlyFiles match {
+      case None => statsAll
+      case Some(pins) =>
+        val pinSet = pins.toSet
+        val known = statsAll.select(col("path")).collect()
+          .map(_.getString(0)).filter(pinSet).toSet
+        val restricted = statsAll.filter(col("path").isin(pins: _*))
+        val unknown = pins.filterNot(known)
+        if (unknown.isEmpty) restricted
+        else {
+          val relaxed = org.apache.spark.sql.types.StructType(
+            statsAll.schema.fields.map(_.copy(nullable = true)))
+          val rows = unknown.map(f => org.apache.spark.sql.Row.fromSeq(
+            f +: Seq.fill(statsAll.schema.length - 1)(null)))
+          restricted.unionByName(spark.createDataFrame(
+            new java.util.ArrayList(
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            relaxed))
+        }
     }
     // STALENESS: the manifest snapshots the file set at its last
     // write/refresh, so a reader racing a writer (e.g. inside
@@ -681,7 +710,7 @@ object Tables {
     // listing plus reading the unknown files — the price of reading
     // an un-manifested lake slice, paid only when asked for.
     val stats =
-      if (!reconcile) stats0
+      if (!reconcile || onlyFiles.isDefined) stats0
       else {
         val known = stats0.select(col("path")).collect()
           .map(_.getString(0)).toSet
@@ -698,7 +727,7 @@ object Tables {
             relaxed))
         }
       }
-    prunedScan(spark, path, stats, box)
+    prunedScan(spark, path, stats, box, schemaFiles = onlyFiles)
   }
 
   /** [[footerStats]] for STRING columns — per-file min/max of BINARY

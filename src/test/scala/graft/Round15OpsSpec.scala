@@ -420,4 +420,51 @@ class Round15OpsSpec extends SparkSpec {
       .toDF("asset_id", "payload")
     assert(Multimodal.aviMjpegFrames(junk).count() == 0L)
   }
+
+  // ---------------------------------------------------------------
+  // Auto-manifest on commit + manifest-planned time travel (r15)
+  // ---------------------------------------------------------------
+
+  test("declared manifest columns auto-refresh on commit; " +
+    "readVersionPrunedManifest prunes to the value-carrying tranche, " +
+    "matches the live-footer pruned read, and keeps purge " +
+    "replacements visible via NULL-bounds conservatism") {
+    import graft.incremental.Snapshots
+    val root = tmp("automani") + "/lake"
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("k"), (col("id") * 3).as("v"))
+        .coalesce(1)
+        .write.mode(if (i == 0) "errorifexists" else "append")
+        .parquet(root)
+      // declare after the first batch lands (the declaration dir
+      // makes the lake root exist) — the first commit then builds
+      // the manifest, later commits refresh it O(new files)
+      if (i == 0) Snapshots.setManifestColumns(spark, root, Seq("k"))
+      Snapshots.commit(spark, root)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_graft_manifest")), "commit must auto-build the manifest")
+    // probe as-of v2 for tranche 1 only: 1 of the 2 pinned files opens
+    val probe = Snapshots.readVersionPrunedManifest(spark, root, 2L,
+      Seq(("k", 0L, 99L)))
+    assert(probe.inputFiles.length == 1)
+    assert(probe.count() == 100L)
+    // equals the live-footer pruned composition
+    val live = Snapshots.readVersionPruned(spark, root, 2L,
+      Seq(("k", 0L, 99L)))
+    assert(probe.exceptAll(live).isEmpty && live.exceptAll(probe).isEmpty)
+    // purge rewrites a pinned file to a path the manifest doesn't
+    // know; the probe must still see the replacement (NULL bounds
+    // keep) and drop the purged key everywhere
+    Snapshots.purgeMatching(spark, root, Seq(7L).toDF("k"), "k")
+    val post = Snapshots.readVersionPrunedManifest(spark, root, 2L,
+      Seq(("k", 0L, 99L)))
+    assert(post.count() == 99L)
+    assert(post.filter(col("k") === 7L).count() == 0L)
+    assert(post.filter(col("k") === 8L).count() == 1L,
+      "the replacement file's rows must stay visible")
+  }
 }
