@@ -7389,6 +7389,31 @@ object SparkEntry {
         sum((col("l_extendedprice").cast("decimal(14,2)") * 100)
           .cast("long")).cast("long").as("price_cents"))
     }),
+
+    // CROSS-VIDEO frame near-dup (round-15): each video's frames are
+    // quadrant-pattern MJPEGs whose decoded aHash is an ANALYTIC
+    // function of the frame's 4-bit code — so "videos sharing ≥ 2
+    // frame hashes" reduces, in the oracle, to pure set arithmetic on
+    // the code grid while the ENGINE path really demuxes AVIs,
+    // JPEG-decodes frames, hashes pixels, and equi-joins hash buckets
+    // (the exact-dedup shape: per-bucket candidates, never all-pairs)
+    "q549_video_neardup" -> ((s, d) => {
+      import graft.llmdata.Multimodal
+      import s.implicits._
+      val media = t(s, d, "documents").filter(col("doc_id") < 12)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.mjpegAviBytes(
+            (0 until 8).map(f => Multimodal.jpegQuadFrame(64, 64,
+              (((id * 3 + f * 5) % 14) + 1).toInt)),
+            usPerFrame = 40000L, width = 64, height = 64))
+        }).toDF("asset_id", "payload")
+      val frames = Multimodal.aviMjpegFrames(media)
+      require(frames.filter(!col("decoded")).isEmpty,
+        "codes 1..14 are never flat — every frame must hash")
+      Multimodal.videoNearDupPairs(frames, minShared = 2)
+        .select("asset_a", "asset_b", "n_shared")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9447,6 +9472,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 3 FROM lineitem)
         |  AND l_orderkey >= 0""".stripMargin,
+
+    // q549: frame hashes are injective in the 4-bit quadrant code, so
+    // shared-hash counts reduce to shared-CODE counts on the
+    // (doc_id < 12) × frames 0..7 grid with code = ((id·3+f·5)%14)+1
+    "q549_video_neardup" ->
+      """WITH g AS (
+        |  SELECT d.doc_id AS asset_id,
+        |    ((d.doc_id * 3 + f.f * 5) % 14) + 1 AS code
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+        |  WHERE d.doc_id < 12),
+        |dd AS (SELECT DISTINCT asset_id, code FROM g)
+        |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM dd x JOIN dd y
+        |  ON x.code = y.code AND x.asset_id < y.asset_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     // q546: v1 = writer A's first batch (%4 = 0); head = the union of
     // all three raced batches (%4 = 0, %4 = 2, odd keys = everything)

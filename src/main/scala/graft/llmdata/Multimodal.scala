@@ -771,6 +771,64 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic JPEG fixture frame #2: a 2×2 QUADRANT pattern —
+    * quadrant b (row-major: 0 = top-left, 1 = top-right, 2 =
+    * bottom-left, 3 = bottom-right) is LIGHT (luma 200) iff bit b of
+    * `code` is set, DARK (luma 50) otherwise. For codes 1..14 (≥1
+    * light AND ≥1 dark — 0 and 15 are flat and aHash-excluded) the
+    * decoded frame's aHash is the OR of the light quadrants' cell
+    * masks — an analytic function of `code` with a 75-luma decision
+    * margin, so frame IDENTITY survives JPEG bit-exactly: the
+    * fixture for cross-video frame dedup ([[videoNearDupPairs]]). */
+  def jpegQuadFrame(width: Int, height: Int, code: Int): Array[Byte] = {
+    require(code >= 0 && code <= 15, s"code must be 0..15, got $code")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val b = (if (y * 2 / height == 1) 2 else 0) +
+          (if (x * 2 / width == 1) 1 else 0)
+        val v = if (((code >> b) & 1) == 1) 200 else 50
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** CROSS-VIDEO frame-level near-dup (round-15): videos sharing at
+    * least `minShared` distinct frame aHashes — the video analog of
+    * exact text dedup, and the first pass of video dedup in a
+    * multimodal training pipeline (a re-encoded or re-containered
+    * copy shares most frame hashes; a trailer shares a few). Input is
+    * [[aviMjpegFrames]]' output (or any frame-hash frame). Exact-hash
+    * equi-join on the distinct (asset, hash) set — the same
+    * hash-bucket shape as exact dedup: candidate pairs are per-bucket,
+    * never all-pairs, and a pathological hash shared by H videos
+    * costs H² bucket pairs exactly like a duplicated fingerprint
+    * (cap upstream with a hot-bucket filter if a real corpus carries
+    * degenerate frames — the [[graft.llmdata.DedupOps]] convention).
+    * Undecoded/flat frames are excluded (they carry no identity). */
+  def videoNearDupPairs(frames: Dataset[VideoFrameHash],
+                        minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val f = frames.toDF().filter(col("decoded"))
+      .select(col("asset_id"), col("ahash")).distinct()
+    f.as("a").join(f.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** PER-FRAME pixel decode for MJPEG AVIs — the tier
     * [[videoContainerMeta]] documents as next: walk RIFF to the
     * `movi` list, take every `frameStep`-th '00dc'/'00db' chunk,

@@ -467,4 +467,46 @@ class Round15OpsSpec extends SparkSpec {
     assert(post.filter(col("k") === 8L).count() == 1L,
       "the replacement file's rows must stay visible")
   }
+
+  test("quadrant-pattern frames: decoded aHash equals the analytic " +
+    "OR of light-quadrant masks; videoNearDupPairs counts shared " +
+    "frame hashes per video pair") {
+    import graft.llmdata.Multimodal
+    val masks = Seq(252645135L, 4042322160L, 1085102592318504960L,
+      -1085102596613472256L) // M00 M10 M01 M11 (bottom-right signed)
+    def expected(code: Int): Long =
+      (0 until 4).map(b => if (((code >> b) & 1) == 1) masks(b) else 0L)
+        .reduce(_ | _)
+    val media = (1 to 14).map { code =>
+      (code.toLong, Multimodal.mjpegAviBytes(
+        Seq(Multimodal.jpegQuadFrame(64, 64, code)),
+        usPerFrame = 40000L, width = 64, height = 64))
+    }.toDF("asset_id", "payload")
+    val frames = Multimodal.aviMjpegFrames(media).collect()
+    assert(frames.length == 14 && frames.forall(_.decoded))
+    frames.foreach(f => assert(f.ahash == expected(f.asset_id.toInt),
+      s"code ${f.asset_id}: got ${f.ahash}, want " +
+        s"${expected(f.asset_id.toInt)}"))
+    // flat codes (0, 15) are excluded like undecodable payloads
+    val flat = (0 to 15 by 15).map { code =>
+      (code.toLong, Multimodal.mjpegAviBytes(
+        Seq(Multimodal.jpegQuadFrame(64, 64, code)),
+        usPerFrame = 40000L, width = 64, height = 64))
+    }.toDF("asset_id", "payload")
+    assert(Multimodal.aviMjpegFrames(flat).collect()
+      .forall(!_.decoded))
+    // pair counting: videos A{1,2,3}, B{2,3,4}, C{9} -> (A,B) share 2
+    val vids = Seq(
+      (100L, Seq(1, 2, 3)), (101L, Seq(2, 3, 4)), (102L, Seq(9)))
+      .map { case (id, codes) =>
+        (id, Multimodal.mjpegAviBytes(
+          codes.map(Multimodal.jpegQuadFrame(64, 64, _)),
+          usPerFrame = 40000L, width = 64, height = 64))
+      }.toDF("asset_id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(
+      Multimodal.aviMjpegFrames(vids), minShared = 2).collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getLong(0) == 100L && pairs.head.getLong(1) == 101L &&
+      pairs.head.getLong(2) == 2L)
+  }
 }
