@@ -7414,6 +7414,39 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(frames, minShared = 2)
         .select("asset_a", "asset_b", "n_shared")
     }),
+
+    // TEMPORAL clip alignment (round-15): asset 1 is BY CONSTRUCTION
+    // frames 6..11 of asset 0 (its quadrant codes are asset 0's code
+    // sequence shifted by 6), so the offset-vote histogram must carry
+    // (0,1) at frame_offset 6 with all 6 clip frames — while the
+    // ENGINE path demuxes, JPEG-decodes, hashes, and offset-votes for
+    // real, the oracle replays the same histogram as pure arithmetic
+    // on the injective code grid
+    "q550_video_align" -> ((s, d) => {
+      import graft.llmdata.Multimodal
+      import s.implicits._
+      def code(id: Long, f: Int): Int = id match {
+        case 0L => ((f * f * 5 + f * 3) % 13) + 1
+        case 1L => val g = f + 6; ((g * g * 5 + g * 3) % 13) + 1
+        case _  => ((f * 9 + 2) % 13) + 1
+      }
+      val nFrames = Map(0L -> 16, 1L -> 6, 2L -> 10)
+      val media = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.mjpegAviBytes(
+            (0 until nFrames(id)).map(f =>
+              Multimodal.jpegQuadFrame(64, 64, code(id, f))),
+            usPerFrame = 40000L, width = 64, height = 64))
+        }).toDF("asset_id", "payload")
+      val aligned = Multimodal.videoAlignPairs(
+        Multimodal.aviMjpegFrames(media), minAligned = 2)
+      require(aligned.filter(col("asset_a") === 0L &&
+        col("asset_b") === 1L && col("frame_offset") === 6L &&
+        col("n_aligned") === 6L).count() == 1L,
+        "the designed clip must align at offset 6 with all 6 frames")
+      aligned.select("asset_a", "asset_b", "frame_offset", "n_aligned")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9489,6 +9522,31 @@ object SparkEntry {
         |FROM dd x JOIN dd y
         |  ON x.code = y.code AND x.asset_id < y.asset_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // q550: frame hashes are injective in the quadrant code, so the
+    // offset-vote histogram reduces to code-grid arithmetic; asset 1's
+    // codes are asset 0's shifted by 6 (the designed clip), asset 2 is
+    // an unrelated linear sequence — documents only gates existence
+    "q550_video_align" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 3),
+        |f AS (
+        |  SELECT i.doc_id AS asset_id, g.f AS frame_index,
+        |    CASE WHEN i.doc_id = 0
+        |           THEN ((g.f*g.f*5 + g.f*3) % 13) + 1
+        |         WHEN i.doc_id = 1
+        |           THEN (((g.f+6)*(g.f+6)*5 + (g.f+6)*3) % 13) + 1
+        |         ELSE ((g.f*9 + 2) % 13) + 1 END AS code
+        |  FROM ids i
+        |  JOIN (SELECT unnest(generate_series(0, 15)) AS f) g
+        |    ON g.f < CASE i.doc_id WHEN 0 THEN 16 WHEN 1 THEN 6
+        |             ELSE 10 END)
+        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |  CAST(a.frame_index - b.frame_index AS BIGINT)
+        |    AS frame_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_aligned
+        |FROM f a JOIN f b
+        |  ON a.code = b.code AND a.asset_id < b.asset_id
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""".stripMargin,
 
     // q546: v1 = writer A's first batch (%4 = 0); head = the union of
     // all three raced batches (%4 = 0, %4 = 2, odd keys = everything)

@@ -829,6 +829,36 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** TEMPORAL clip alignment (round-15): for each ordered video pair,
+    * vote on the frame-index offset at which their frame hashes line
+    * up — the offset-histogram trick from audio fingerprinting
+    * (Wang 2003, "An Industrial-Strength Audio Search Algorithm")
+    * applied to decoded frame aHashes. A trimmed clip, a re-muxed
+    * copy with a shifted start, or an embedded segment all surface as
+    * ONE dominant offset whose vote count ≈ the clip's frame count;
+    * coincidental shared frames scatter across offsets and die under
+    * `minAligned`. Complements [[videoNearDupPairs]] (set overlap,
+    * order-blind): this is the order-AWARE second pass of video dedup.
+    * Shape: hash equi-join (per-bucket candidates, never all-pairs)
+    * → groupBy (pair, offset) count — two key shuffles, both linear
+    * in matched frames; the same hot-bucket caveat as
+    * [[videoNearDupPairs]] applies to degenerate repeated frames. */
+  def videoAlignPairs(frames: Dataset[VideoFrameHash],
+                      minAligned: Int): DataFrame = {
+    require(minAligned >= 1, s"minAligned must be >= 1, got $minAligned")
+    val f = frames.toDF().filter(col("decoded"))
+      .select(col("asset_id"), col("frame_index"), col("ahash"))
+    f.as("a").join(f.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"),
+        (col("a.frame_index") - col("b.frame_index"))
+          .as("frame_offset"))
+      .agg(count(lit(1)).cast("long").as("n_aligned"))
+      .filter(col("n_aligned") >= minAligned)
+  }
+
   /** PER-FRAME pixel decode for MJPEG AVIs — the tier
     * [[videoContainerMeta]] documents as next: walk RIFF to the
     * `movi` list, take every `frameStep`-th '00dc'/'00db' chunk,

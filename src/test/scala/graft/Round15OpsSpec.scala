@@ -509,4 +509,41 @@ class Round15OpsSpec extends SparkSpec {
       pairs.head.getLong(0) == 100L && pairs.head.getLong(1) == 101L &&
       pairs.head.getLong(2) == 2L)
   }
+
+  test("videoAlignPairs: a trimmed clip aligns at one dominant " +
+    "offset with votes = clip length; scattered coincidences stay " +
+    "below the threshold") {
+    import graft.llmdata.Multimodal
+    def vid(id: Long, codes: Seq[Int]) =
+      (id, Multimodal.mjpegAviBytes(
+        codes.map(Multimodal.jpegQuadFrame(64, 64, _)),
+        usPerFrame = 40000L, width = 64, height = 64))
+    // Y = frames 3..5 of X; Z shares code 2 with X (one scattered hit)
+    val media = Seq(
+      vid(10L, Seq(1, 2, 3, 4, 5, 6, 7, 8)),
+      vid(11L, Seq(4, 5, 6)),
+      vid(12L, Seq(9, 2, 11))).toDF("asset_id", "payload")
+    val frames = Multimodal.aviMjpegFrames(media)
+    val aligned = Multimodal.videoAlignPairs(frames, minAligned = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(aligned == Set((10L, 11L, 3L, 3L)),
+      s"only the clip offset survives minAligned=2, got $aligned")
+    // the full histogram still carries the scattered single votes
+    val all = Multimodal.videoAlignPairs(frames, minAligned = 1)
+      .collect()
+    assert(all.exists(r => r.getLong(0) == 10L && r.getLong(1) == 12L
+      && r.getLong(2) == 0L && r.getLong(3) == 1L),
+      "X~Z share code 2 at offset 1-1=0 with a single vote")
+    // duplicate frames vote once per (aFrame, bFrame) pair: X' has
+    // code 5 twice, so the clip offset AND the duplicate's second
+    // offset both appear
+    val dup = Seq(vid(20L, Seq(5, 1, 5, 2)), vid(21L, Seq(5)))
+      .toDF("asset_id", "payload")
+    val hist = Multimodal.videoAlignPairs(
+      Multimodal.aviMjpegFrames(dup), minAligned = 1).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(hist == Set((0L, 1L), (2L, 1L)),
+      s"each duplicate frame votes at its own offset, got $hist")
+  }
 }
