@@ -7447,6 +7447,41 @@ object SparkEntry {
         "the designed clip must align at offset 6 with all 6 frames")
       aligned.select("asset_a", "asset_b", "frame_offset", "n_aligned")
     }),
+
+    // ACOUSTIC clip alignment (round-15): asset 1's audio is BY
+    // CONSTRUCTION windows 6..11 of asset 0 (constant-amplitude
+    // windows whose level sequence is asset 0's shifted by 6), so the
+    // fingerprint offset histogram must carry (0,1) at window_offset 6
+    // — the ENGINE path decodes real WAV PCM, computes window RMS,
+    // quantizes, shingles, and offset-votes; the oracle replays the
+    // histogram as arithmetic on the level grid (RMS of a constant
+    // window is exact, so fingerprint identity ≡ level-shingle
+    // identity)
+    "q551_audio_align" -> ((s, d) => {
+      import graft.llmdata.Multimodal
+      import s.implicits._
+      def lvl(id: Long, w: Int): Int = id match {
+        case 0L => ((w * w * 5 + w * 3) % 7) + 1
+        case 1L => val g = w + 6; ((g * g * 5 + g * 3) % 7) + 1
+        case _  => ((w * 9 + 2) % 7) + 1
+      }
+      val nWin = Map(0L -> 16, 1L -> 6, 2L -> 10)
+      val media = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.pcmWavBytes(
+            (0 until nWin(id)).map(w => lvl(id, w)),
+            windowFrames = 256))
+        }).toDF("asset_id", "payload")
+      val fps = Multimodal.audioFingerprints(media,
+        windowFrames = 256, shingle = 4, levels = 16)
+      val aligned = Multimodal.audioAlignPairs(fps, minAligned = 2)
+      require(aligned.filter(col("asset_a") === 0L &&
+        col("asset_b") === 1L && col("window_offset") === 6L &&
+        col("n_aligned") === 3L).count() == 1L,
+        "the designed clip must align at offset 6 with its 3 shingles")
+      aligned.select("asset_a", "asset_b", "window_offset", "n_aligned")
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9546,6 +9581,38 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_aligned
         |FROM f a JOIN f b
         |  ON a.code = b.code AND a.asset_id < b.asset_id
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // q551: constant-amplitude windows make RMS (and so the quantized
+    // level) exact, and the 4-shingle fingerprint is injective in its
+    // level run — the offset histogram reduces to arithmetic on the
+    // level grid; asset 1's levels are asset 0's shifted by 6
+    "q551_audio_align" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 3),
+        |lv AS (
+        |  SELECT i.doc_id AS asset_id, g.w AS w,
+        |    CASE WHEN i.doc_id = 0
+        |           THEN ((g.w*g.w*5 + g.w*3) % 7) + 1
+        |         WHEN i.doc_id = 1
+        |           THEN (((g.w+6)*(g.w+6)*5 + (g.w+6)*3) % 7) + 1
+        |         ELSE ((g.w*9 + 2) % 7) + 1 END AS lvl
+        |  FROM ids i
+        |  JOIN (SELECT unnest(generate_series(0, 15)) AS w) g
+        |    ON g.w < CASE i.doc_id WHEN 0 THEN 16 WHEN 1 THEN 6
+        |             ELSE 10 END),
+        |fp AS (
+        |  SELECT a.asset_id, a.w AS window_index,
+        |    a.lvl*4096 + b.lvl*256 + c.lvl*16 + d.lvl AS fp
+        |  FROM lv a
+        |  JOIN lv b ON b.asset_id = a.asset_id AND b.w = a.w + 1
+        |  JOIN lv c ON c.asset_id = a.asset_id AND c.w = a.w + 2
+        |  JOIN lv d ON d.asset_id = a.asset_id AND d.w = a.w + 3)
+        |SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+        |  CAST(x.window_index - y.window_index AS BIGINT)
+        |    AS window_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_aligned
+        |FROM fp x JOIN fp y
+        |  ON x.fp = y.fp AND x.asset_id < y.asset_id
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""".stripMargin,
 
     // q546: v1 = writer A's first batch (%4 = 0); head = the union of

@@ -829,34 +829,179 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** TEMPORAL clip alignment (round-15): for each ordered video pair,
-    * vote on the frame-index offset at which their frame hashes line
-    * up — the offset-histogram trick from audio fingerprinting
-    * (Wang 2003, "An Industrial-Strength Audio Search Algorithm")
-    * applied to decoded frame aHashes. A trimmed clip, a re-muxed
-    * copy with a shifted start, or an embedded segment all surface as
-    * ONE dominant offset whose vote count ≈ the clip's frame count;
-    * coincidental shared frames scatter across offsets and die under
-    * `minAligned`. Complements [[videoNearDupPairs]] (set overlap,
-    * order-blind): this is the order-AWARE second pass of video dedup.
-    * Shape: hash equi-join (per-bucket candidates, never all-pairs)
-    * → groupBy (pair, offset) count — two key shuffles, both linear
-    * in matched frames; the same hot-bucket caveat as
-    * [[videoNearDupPairs]] applies to degenerate repeated frames. */
-  def videoAlignPairs(frames: Dataset[VideoFrameHash],
-                      minAligned: Int): DataFrame = {
+  /** Shared offset-vote core for [[videoAlignPairs]] /
+    * [[audioAlignPairs]]: `sigs` carries (asset_id, idx, sig); for
+    * each ordered asset pair, vote on the idx offset at which the
+    * signatures line up — the offset-histogram trick from audio
+    * fingerprinting (Wang 2003, "An Industrial-Strength Audio Search
+    * Algorithm"). Shape: signature equi-join (per-bucket candidates,
+    * never all-pairs) → groupBy (pair, offset) count — two key
+    * shuffles, both linear in matched signatures; a degenerate
+    * signature shared by H assets costs H² bucket pairs (cap upstream
+    * with a hot-bucket filter, the [[graft.llmdata.DedupOps]]
+    * convention). */
+  private def offsetVotes(sigs: DataFrame, offsetCol: String,
+                          minAligned: Int): DataFrame = {
     require(minAligned >= 1, s"minAligned must be >= 1, got $minAligned")
-    val f = frames.toDF().filter(col("decoded"))
-      .select(col("asset_id"), col("frame_index"), col("ahash"))
-    f.as("a").join(f.as("b"),
-        col("a.ahash") === col("b.ahash") &&
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") &&
           col("a.asset_id") < col("b.asset_id"))
       .groupBy(col("a.asset_id").as("asset_a"),
         col("b.asset_id").as("asset_b"),
-        (col("a.frame_index") - col("b.frame_index"))
-          .as("frame_offset"))
+        (col("a.idx") - col("b.idx")).as(offsetCol))
       .agg(count(lit(1)).cast("long").as("n_aligned"))
       .filter(col("n_aligned") >= minAligned)
+  }
+
+  /** TEMPORAL clip alignment (round-15): [[offsetVotes]] over decoded
+    * frame aHashes. A trimmed clip, a re-muxed copy with a shifted
+    * start, or an embedded segment all surface as ONE dominant
+    * frame offset whose vote count ≈ the clip's frame count;
+    * coincidental shared frames scatter across offsets and die under
+    * `minAligned`. Complements [[videoNearDupPairs]] (set overlap,
+    * order-blind): this is the order-AWARE second pass of video
+    * dedup. */
+  def videoAlignPairs(frames: Dataset[VideoFrameHash],
+                      minAligned: Int): DataFrame =
+    offsetVotes(frames.toDF().filter(col("decoded"))
+      .select(col("asset_id"), col("frame_index").as("idx"),
+        col("ahash").as("sig")),
+      "frame_offset", minAligned)
+
+  /** Typed row for [[audioFingerprints]]: one packed energy-contour
+    * fingerprint per full window position; undecodable payloads emit
+    * a single `decoded=false` row (flag-and-continue). */
+  case class AudioFingerprint(asset_id: Long, window_index: Long,
+                              fp: Long, decoded: Boolean)
+
+  /** Energy-contour acoustic fingerprints: per full `windowFrames`
+    * window compute RMS (channel-interleaved samples pooled, the
+    * [[audioSilenceProfile]] convention), quantize it into `levels`
+    * equal buckets, and pack each run of `shingle` consecutive
+    * window levels into one base-`levels` integer — the
+    * energy-envelope cousin of Chromaprint's band-delta shingles,
+    * deliberately codec-light (JDK PCM decode only) so the pipeline
+    * plumbing is real end-to-end. fp(w) = Σ_j lvl(w+j)·levels^(s−1−j).
+    * The trailing partial window is dropped (its RMS is not
+    * comparable across trims). Decode path and flag-and-continue
+    * contract are [[audioStats]]' verbatim. Map-only mapPartitions,
+    * no shuffle; feed [[audioAlignPairs]] for cross-asset matching. */
+  def audioFingerprints(media: DataFrame, windowFrames: Int = 1024,
+                        shingle: Int = 4,
+                        levels: Int = 16): Dataset[AudioFingerprint] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    require(levels >= 2 && math.pow(levels, shingle) < 9e18,
+      s"levels^shingle must fit a long, got $levels^$shingle")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          var in: javax.sound.sampled.AudioInputStream = null
+          try {
+            in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val pcmSigned = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcmSigned || (bits != 16 && bits != 8))
+              Seq(AudioFingerprint(id, 0L, 0L, decoded = false))
+            else {
+              val data = in.readAllBytes()
+              val bytesPerSample = bits / 8
+              val nSamples = data.length / bytesPerSample
+              def sample(i: Int): Double =
+                if (bits == 8) data(i).toDouble / 128.0
+                else {
+                  val off = i * 2
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (data(off + 1), data(off))
+                    else (data(off), data(off + 1))
+                  (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+                    .toDouble / 32768.0
+                }
+              val windowSamples =
+                windowFrames * math.max(fmt.getChannels, 1)
+              val nFull = nSamples / windowSamples
+              val lvl = new Array[Long](nFull)
+              var w = 0
+              while (w < nFull) {
+                val start = w * windowSamples
+                var ss = 0.0
+                var i = start
+                while (i < start + windowSamples) {
+                  val s = sample(i); ss += s * s; i += 1
+                }
+                val rms = math.sqrt(ss / windowSamples)
+                lvl(w) = math.min(levels - 1L,
+                  math.floor(rms * levels).toLong)
+                w += 1
+              }
+              (0 to nFull - shingle).map { w =>
+                var fp = 0L
+                var j = 0
+                while (j < shingle) { fp = fp * levels + lvl(w + j); j += 1 }
+                AudioFingerprint(id, w.toLong, fp, decoded = true)
+              }
+            }
+          } catch {
+            case _: Exception =>
+              Seq(AudioFingerprint(id, 0L, 0L, decoded = false))
+          } finally if (in != null) in.close()
+        }
+      }
+  }
+
+  /** Cross-asset acoustic clip alignment: [[offsetVotes]] over
+    * [[audioFingerprints]] — a trimmed or re-encoded audio clip
+    * surfaces as one dominant window offset, scattered energy
+    * coincidences die under `minAligned`. The audio face of
+    * [[videoAlignPairs]]; together with it and the image/text dedup
+    * families this completes the modality matrix of duplicate
+    * detection. */
+  def audioAlignPairs(fps: Dataset[AudioFingerprint],
+                      minAligned: Int): DataFrame =
+    offsetVotes(fps.toDF().filter(col("decoded"))
+      .select(col("asset_id"), col("window_index").as("idx"),
+        col("fp").as("sig")),
+      "window_offset", minAligned)
+
+  /** Deterministic audio fixture writer: mono 16-bit little-endian
+    * PCM WAV where window w's `windowFrames` samples are ALL the
+    * constant `round(32768·level(w)/levels)` — so each window's RMS
+    * is exactly level/levels in double arithmetic (constant samples
+    * with power-of-two denominators) and [[audioFingerprints]]'
+    * quantized level recovers `level(w)` bit-exactly: fingerprint
+    * identity becomes an analytic function of the level sequence,
+    * the audio analog of [[jpegQuadFrame]]. */
+  def pcmWavBytes(windowLevels: Seq[Int], windowFrames: Int,
+                  levels: Int = 16,
+                  sampleRate: Int = 8000): Array[Byte] = {
+    require(windowLevels.forall(l => l >= 0 && l < levels),
+      s"levels must be in [0, $levels)")
+    val n = windowLevels.length * windowFrames
+    val pcm = new Array[Byte](n * 2)
+    for ((l, w) <- windowLevels.zipWithIndex) {
+      val s = math.round(32768.0 * l / levels).toInt.min(32767)
+      var i = w * windowFrames
+      while (i < (w + 1) * windowFrames) {
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
   }
 
   /** PER-FRAME pixel decode for MJPEG AVIs — the tier

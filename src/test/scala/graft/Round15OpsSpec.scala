@@ -546,4 +546,40 @@ class Round15OpsSpec extends SparkSpec {
     assert(hist == Set((0L, 1L), (2L, 1L)),
       s"each duplicate frame votes at its own offset, got $hist")
   }
+
+  test("audioFingerprints: constant-amplitude windows recover exact " +
+    "quantized levels; audioAlignPairs finds the clip offset; " +
+    "partial windows and non-audio payloads are handled") {
+    import graft.llmdata.Multimodal
+    // levels 3,1,4,1,5 with shingle 2 / levels 16 -> fps 49,20,65,21
+    val wav = Multimodal.pcmWavBytes(Seq(3, 1, 4, 1, 5),
+      windowFrames = 128)
+    val media = Seq((1L, wav),
+      (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val fps = Multimodal.audioFingerprints(media, windowFrames = 128,
+      shingle = 2, levels = 16).collect()
+    val ok = fps.filter(_.decoded).map(f => f.window_index -> f.fp).toMap
+    assert(ok == Map(0L -> 49L, 1L -> 20L, 2L -> 65L, 3L -> 21L),
+      s"got $ok")
+    assert(fps.exists(f => f.asset_id == 2L && !f.decoded))
+    // the trailing partial window is dropped: 640 samples read with
+    // 96-frame windows -> floor(640/96)=6 full windows, 64 samples
+    // discarded -> exactly 6-2+1 = 5 shingle positions
+    val ragged = Multimodal.audioFingerprints(
+      Seq((3L, wav)).toDF("asset_id", "payload"),
+      windowFrames = 96, shingle = 2, levels = 16).collect()
+    assert(ragged.count(_.decoded) == 5, s"got ${ragged.length}")
+    // clip alignment: B = windows 2..4 of A -> offset 2, 2 shingles
+    val a = Multimodal.pcmWavBytes(Seq(3, 1, 4, 1, 5, 9, 2, 6), 128)
+    val b = Multimodal.pcmWavBytes(Seq(4, 1, 5, 9), 128)
+    val pair = Seq((10L, a), (11L, b)).toDF("asset_id", "payload")
+    val aligned = Multimodal.audioAlignPairs(
+      Multimodal.audioFingerprints(pair, windowFrames = 128,
+        shingle = 2, levels = 16), minAligned = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(aligned == Set((10L, 11L, 2L, 3L)),
+      s"clip of 4 windows -> 3 two-shingles at offset 2, got $aligned")
+  }
 }
