@@ -7482,6 +7482,44 @@ object SparkEntry {
         "the designed clip must align at offset 6 with its 3 shingles")
       aligned.select("asset_a", "asset_b", "window_offset", "n_aligned")
     }),
+
+    // CONSTRAINT-CHECKED LAKE WRITES (round-15): the reference's
+    // validation posture (dbt tests / GX suites,
+    // dags/validation_utils.py:15-127) fused into the lake WRITE path
+    // — CHECK predicates declared once in the snapshot log split
+    // every appended batch at commit time: passing rows land + commit
+    // v1, violating rows quarantine tagged with the failed constraint
+    // names in declaration order. Output: per-bucket counts + exact
+    // cents over live ∪ quarantine; DuckDB replays the split as
+    // WHERE/CASE arithmetic over the same orders slice
+    "q552_checked_append" -> ((s, d) => {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("checked") + "/lake"
+      val quar = LakeFixtures.freshRoot("checkedq") + "/quarantine"
+      val batch = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Snapshots.setConstraints(s, root, Seq(
+        "status_known" -> "o_orderstatus IN ('O','F')",
+        "total_upper" -> "o_totalprice < 400000.0"))
+      val (v, nGood, nBad) =
+        Snapshots.appendChecked(s, root, batch, quar)
+      require(v == 1L && nGood > 0L && nBad > 0L &&
+        nGood + nBad == batch.count(),
+        "the checked append must split without losing a row")
+      def cents(c: org.apache.spark.sql.Column) =
+        sum((c.cast("decimal(14,2)") * 100).cast("long")).cast("long")
+      val live = Snapshots.readLatest(s, root)
+        .agg(count(lit(1)).cast("long").as("n"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .withColumn("bucket", lit("live"))
+      val quarantined = s.read.parquet(quar)
+        .groupBy(col("violated_constraints").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          cents(col("o_totalprice")).as("price_cents"))
+      live.select("bucket", "n", "price_cents")
+        .unionByName(quarantined.select("bucket", "n", "price_cents"))
+    }),
   )
 
   /** Shared q45/q487 oracle: mirrors Similarity.fitCentroids (seed =
@@ -9614,6 +9652,26 @@ object SparkEntry {
         |FROM fp x JOIN fp y
         |  ON x.fp = y.fp AND x.asset_id < y.asset_id
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // q552: the checked-append split replayed as CASE arithmetic —
+    // a row is live iff every predicate COALESCEs to TRUE, else its
+    // bucket is the CSV of failed constraint names in declaration
+    // order (NOT COALESCE(p, FALSE) mirrors the engine's
+    // conservative NULL-is-violation gate)
+    "q552_checked_append" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |    CONCAT_WS(',',
+        |      CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F'),
+        |        FALSE) THEN 'status_known' END,
+        |      CASE WHEN NOT COALESCE(o_totalprice < 400000.0,
+        |        FALSE) THEN 'total_upper' END) AS v
+        |  FROM orders)
+        |SELECT CASE WHEN v = '' THEN 'live' ELSE v END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM t GROUP BY 1""".stripMargin,
 
     // q546: v1 = writer A's first batch (%4 = 0); head = the union of
     // all three raced batches (%4 = 0, %4 = 2, odd keys = everything)

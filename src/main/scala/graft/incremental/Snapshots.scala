@@ -1031,6 +1031,83 @@ object Snapshots {
       onlyFiles = Some(pins))
   }
 
+  private def constraintsDir(path: String) =
+    s"${snapRoot(path)}/constraints"
+
+  /** DECLARE the lake's write-time CHECK constraints (round-15 — the
+    * reference's validation posture, dbt tests / Great Expectations
+    * suites (reference dags/validation_utils.py:15-127), fused into
+    * the lake WRITE path instead of bolted on after): each entry is
+    * (name, boolean SQL predicate over the batch's columns). Once
+    * declared (persisted in the snapshot log, metadata-only),
+    * [[appendChecked]] enforces them on every batch it lands. Names
+    * must be `[A-Za-z0-9_]` (they travel in the quarantine's
+    * `violated_constraints` CSV column); an empty `cs` clears the
+    * declaration. Predicates are stored as text and parsed per use —
+    * a malformed predicate fails the WRITE loudly, never silently
+    * admits rows. */
+  def setConstraints(spark: SparkSession, path: String,
+                     cs: Seq[(String, String)]): Unit = {
+    cs.foreach { case (n, p) =>
+      require(n.nonEmpty && n.forall(ch => ch.isLetterOrDigit || ch == '_'),
+        s"constraint name must be [A-Za-z0-9_], got '$n'")
+      require(p.trim.nonEmpty, s"constraint '$n' has an empty predicate")
+    }
+    require(cs.map(_._1).distinct.size == cs.size,
+      s"duplicate constraint names in ${cs.map(_._1)}")
+    SnapshotIo.writeStrings(hconf(spark), constraintsDir(path), "c",
+      cs.map { case (n, p) => s"$n\t$p" }, overwrite = true)
+  }
+
+  /** The declared constraints ([[setConstraints]]) in declaration
+    * order — empty when none are declared. */
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] =
+    SnapshotIo.readStrings(hconf(spark), constraintsDir(path), "c")
+      .map { s =>
+        val i = s.indexOf('\t')
+        (s.substring(0, i), s.substring(i + 1))
+      }
+
+  /** CONSTRAINT-CHECKED append + commit: split `batch` by the
+    * declared predicates — rows where EVERY predicate evaluates TRUE
+    * append to the lake and commit ([[commitRetry]], so concurrent
+    * checked writers both land); rows where any predicate is FALSE
+    * **or NULL** (the conservative gate: an unknown is not an
+    * admission — dbt's not_null and GX's strict semantics, not
+    * three-valued WHERE) land in the `quarantine` directory with a
+    * `violated_constraints` CSV column naming every failed predicate
+    * in declaration order. The split is one violation-array
+    * projection read through two filtered writes — passes over the
+    * DELTA only, never the corpus; both writes are plain appends, so
+    * the quarantine is itself a queryable parquet table (triage =
+    * groupBy violated_constraints). With nothing declared this is
+    * exactly append + commit. Returns (version, nValid,
+    * nQuarantined). */
+  def appendChecked(spark: SparkSession, path: String,
+                    batch: DataFrame,
+                    quarantine: String): (Long, Long, Long) = {
+    val cs = constraints(spark, path)
+    if (cs.isEmpty) {
+      val n = batch.count()
+      batch.write.mode("append").parquet(path)
+      (commitRetry(spark, path), n, 0L)
+    } else {
+      val viol = array_compact(array(cs.map { case (n, p) =>
+        when(!coalesce(expr(p), lit(false)), lit(n))
+      }: _*))
+      val tagged = batch.withColumn("violated_constraints",
+        concat_ws(",", viol))
+      val bad = tagged.filter(col("violated_constraints") =!= "")
+      val good = tagged.filter(col("violated_constraints") === "")
+        .drop("violated_constraints")
+      val nBad = bad.count()
+      if (nBad > 0) bad.write.mode("append").parquet(quarantine)
+      val nGood = good.count()
+      if (nGood > 0) good.write.mode("append").parquet(path)
+      (commitRetry(spark, path), nGood, nBad)
+    }
+  }
+
   /** Copy a version's sketches forward across a content-preserving
     * rewrite ([[compact]] family): same rows → same md5 hashes → the
     * sketch is bit-identical by construction, at zero scan cost. Only

@@ -582,4 +582,62 @@ class Round15OpsSpec extends SparkSpec {
     assert(aligned == Set((10L, 11L, 2L, 3L)),
       s"clip of 4 windows -> 3 two-shingles at offset 2, got $aligned")
   }
+
+  test("appendChecked: declared constraints split each batch at " +
+    "commit time — NULL predicates quarantine (conservative gate), " +
+    "the CSV names failures in declaration order, versions advance " +
+    "per checked append, and no declaration means plain append") {
+    import graft.incremental.Snapshots
+    val root = tmp("checked") + "/lake"
+    val quar = tmp("checkedq") + "/q"
+    // no declaration: plain append + commit
+    val b0 = Seq((1L, "ok", 10.0)).toDF("k", "status", "amt")
+    val (v0, g0, q0) = Snapshots.appendChecked(spark, root, b0, quar)
+    assert(v0 == 1L && g0 == 1L && q0 == 0L)
+    assert(!new java.io.File(quar).exists())
+    Snapshots.setConstraints(spark, root, Seq(
+      "status_ok" -> "status IN ('ok','fine')",
+      "amt_pos" -> "amt > 0"))
+    assert(Snapshots.constraints(spark, root).map(_._1) ==
+      Seq("status_ok", "amt_pos"))
+    val b1 = Seq(
+      (2L, "ok", 5.0), // clean
+      (3L, "bad", 7.0), // status only
+      (4L, "ok", -1.0), // amount only
+      (5L, "bad", -2.0), // both -> declaration order in the CSV
+      (6L, null.asInstanceOf[String], 3.0) // NULL -> violation
+    ).toDF("k", "status", "amt")
+    val (v1, g1, q1) = Snapshots.appendChecked(spark, root, b1, quar)
+    assert(v1 == 2L && g1 == 1L && q1 == 4L)
+    val quarRows = spark.read.parquet(quar)
+      .select("k", "violated_constraints").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quarRows == Map(3L -> "status_ok", 4L -> "amt_pos",
+      5L -> "status_ok,amt_pos", 6L -> "status_ok"), s"got $quarRows")
+    // live table holds exactly the clean rows across both commits
+    assert(Snapshots.readLatest(spark, root).select("k")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // quarantine accumulates across appends; live version advances
+    val (v2, g2, q2) = Snapshots.appendChecked(spark, root,
+      Seq((7L, "fine", 1.0), (8L, "nope", 1.0)).toDF("k", "status", "amt"),
+      quar)
+    assert(v2 == 3L && g2 == 1L && q2 == 1L)
+    assert(spark.read.parquet(quar).count() == 5L)
+    // a malformed predicate fails the write loudly, admits nothing
+    Snapshots.setConstraints(spark, root, Seq("broken" -> "not a (("))
+    intercept[Exception] {
+      Snapshots.appendChecked(spark, root,
+        Seq((9L, "ok", 1.0)).toDF("k", "status", "amt"), quar)
+    }
+    assert(Snapshots.readLatest(spark, root).count() == 3L,
+      "the failed write must not admit rows")
+    // name hygiene
+    intercept[IllegalArgumentException] {
+      Snapshots.setConstraints(spark, root, Seq("bad name" -> "1=1"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.setConstraints(spark, root,
+        Seq("a" -> "1=1", "a" -> "2=2"))
+    }
+  }
 }
