@@ -106,6 +106,76 @@ object Similarity {
         col("rank"))
   }
 
+  /** Sign-bit (1-bit) BINARY quantization of an embedding column —
+    * the 32× compression tier below [[quantizeInt8]] (4×) and
+    * [[pqAssign]] (codebook): dim d packs into bit (d mod 64) of word
+    * (d div 64), bit set iff v_d > 0. Each 64-dim word accumulates by
+    * OR-ing shifted bits (bitwise ops are wrap-exact under ANSI mode,
+    * where an arithmetic 2^63 would overflow-error — the top bit
+    * lands in the long's sign bit by design). The packed
+    * `Array[Long]` IS the stored index at scale:
+    * Hamming distance between packed vectors is a handful of XOR +
+    * popcount word ops ([[binaryHammingTopK]]), and sign agreement is
+    * a well-behaved cosine proxy for high-dim embeddings (Charikar
+    * 2002 — P[signs agree] = 1 − θ/π). */
+  def binarySign(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val nWords = (dims + 63) / 64
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => {
+          val d = w * 64 + b // 0-based dim of this bit
+          when(d < dims &&
+            element_at(vec, d + 1).cast("double") > 0d,
+            acc.bitwiseOR(call_function("shiftleft", lit(1L), b)))
+            .otherwise(acc)
+        }))
+  }
+
+  /** Hamming distance between two [[binarySign]]-packed vectors:
+    * Σ popcount(xor) over the word arrays. */
+  def binaryHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, w) => acc + w.cast("long"))
+
+  /** BINARY-QUANTIZED two-stage retrieval — the modern vector-DB
+    * serving pattern (1-bit index + rerank): stage 1 scores ALL
+    * candidates by Hamming distance over [[binarySign]] words (d/64
+    * word ops per pair on a 32×-smaller index) and keeps the `m`
+    * closest per query (ties by neighbor id — fully deterministic);
+    * stage 2 re-scores only the survivors with exact full-precision
+    * cosine. Exact given the two-stage contract: the output is THE
+    * top-k by cosine among stage-1 survivors; recall vs brute force
+    * is governed by m, the caller's dial. Scale posture matches
+    * [[bruteForceTopK]]: small broadcast query side, one
+    * partition-parallel corpus scan, per-query bounded candidate
+    * frame. Returns (query_id, neighbor_id, hamming, cosine,
+    * rank ≤ k). */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, dims: Int,
+                        m: Int, k: Int): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      binarySign(col(vecCol), dims).as("qb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      binarySign(col(vecCol), dims).as("cb"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", binaryHamming(col("qb"), col("cb")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("hrank", row_number().over(w1))
+      .filter(col("hrank") <= m)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine", cosineNative(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cosine"), col("rank"))
+  }
+
   /** Sign-LSH bucket id: bit j is the sign of the fixed hyperplane
     * (e_{2j} − e_{2j+1})·v — deterministic, engine-portable, no randomness
     * needed (a fixed orthogonal family is a valid cosine-LSH). */

@@ -640,4 +640,42 @@ class Round15OpsSpec extends SparkSpec {
         Seq("a" -> "1=1", "a" -> "2=2"))
     }
   }
+
+  test("binarySign packs sign bits exactly (incl. the wrapping top " +
+    "bit and multi-word vectors); binaryHammingTopK with m = corpus " +
+    "equals brute force") {
+    import graft.llmdata.Similarity
+    // dim d positive iff d in {0, 5, 63, 64, 70}: word0 has bits
+    // 0,5,63 (top bit -> negative long), word1 has bits 0,6
+    val v = (0 until 80).map(d =>
+      if (Set(0, 5, 63, 64, 70)(d)) 1.0f else -1.0f).toArray
+    val zero = Array.fill(80)(0.0f) // sign(0) = 0 everywhere
+    val df = Seq((1L, v), (2L, zero)).toDF("vec_id", "embedding")
+      .withColumn("b", Similarity.binarySign(col("embedding"), 80))
+    val packed = df.select("vec_id", "b").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val w0 = (1L << 0) | (1L << 5) | (1L << 63)
+    assert(packed(1L) == Seq(w0, (1L << 0) | (1L << 6)),
+      s"got ${packed(1L)}")
+    assert(w0 < 0L, "bit 63 must wrap into the sign bit")
+    assert(packed(2L) == Seq(0L, 0L))
+    // hamming(v, zero) = popcount(v's bits) = 5
+    val h = df.filter(col("vec_id") === 1L)
+      .select(Similarity.binaryHamming(col("b"),
+        array(lit(0L), lit(0L)))).head().getLong(0)
+    assert(h == 5L)
+    // with m = full corpus the two-stage result IS brute force
+    val emb = graft.sources.Tables.read(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val bin = Similarity.binaryHammingTopK(emb, queries, "vec_id",
+        "embedding", dims = 64, m = 500, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(bin == brute, s"binary(m=all) must equal brute force")
+  }
 }
