@@ -177,6 +177,77 @@ object Snapshots {
     SnapshotIo.writeStrings(hconf(spark), s"${snapRoot(path)}/v=$v",
       "path", files, overwrite)
 
+  /** RESTORE as a new commit (round-15, Delta's `RESTORE TABLE ...
+    * VERSION AS OF` — the NON-destructive sibling of [[rollback]],
+    * which truncates the log): the head moves to a NEW version
+    * pinning exactly `toVersion`'s file set — zero data I/O (a
+    * pin-list copy), full history preserved (the undone versions
+    * stay time-travelable until [[expire]]), and every downstream
+    * surface (tags, SQL views, [[consumeTail]], [[changesBetween]])
+    * sees an ordinary commit. Stats sketches copy forward from
+    * `toVersion` (identical content ⇒ identical sketches, zero
+    * scan); the zone-map manifest refreshes if declared. A later
+    * plain [[commit]] does NOT resurrect the undone files:
+    * [[livePin]] treats every ever-pinned file outside the latest
+    * pin as superseded history. Returns the new version. */
+  def restore(spark: SparkSession, path: String,
+              toVersion: Long): Long = {
+    val vs = listVersions(spark, path)
+    require(vs.contains(toVersion),
+      s"version $toVersion not in the log — existing: ${vs.sorted}")
+    val v = vs.last + 1
+    writeSnapshot(spark, path, v,
+      readPins(spark, s"${snapRoot(path)}/v=$toVersion"),
+      overwrite = false)
+    copyStatsForward(spark, path, toVersion, v)
+    autoManifest(spark, path)
+    v
+  }
+
+  /** CHANGE DATA FEED between two versions (round-15) — the
+    * snapshot-lake incremental read, Iceberg's contract extended one
+    * step: walk each commit in `(fromVersion, toVersion]` and emit
+    * appended files' rows as `_change_type = 'insert'` and dropped
+    * files' rows as `'delete'`, each stamped `_commit_version`. I/O
+    * is O(changed files) — a consumer pays for the delta, never the
+    * corpus (the [[consumeTail]] economics, with the delete side
+    * added: a [[restore]] commit surfaces as deletes of exactly the
+    * restored-away rows). A commit that BOTH adds and drops files is a
+    * rewrite (purge, compaction) whose file diff over-reports
+    * unchanged rows — it raises loudly; route those ranges to the
+    * content diff ([[graft.operators.Diff.toCdcFeed]] /
+    * `Deletes.cdcBetween`), which is honest about being
+    * corpus-scale. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    val vs = listVersions(spark, path)
+      .filter(v => v > fromVersion && v <= toVersion)
+    require(vs.nonEmpty, s"no versions in ($fromVersion, $toVersion]")
+    val steps = (fromVersion +: vs).sliding(2).toSeq
+    val slices = steps.flatMap { case Seq(prev, v) =>
+      val from = pinnedFiles(spark, path, prev).toSet
+      val to = pinnedFiles(spark, path, v)
+      val added = to.filterNot(from)
+      val dropped = (from -- to.toSet).toSeq.sorted
+      require(added.isEmpty || dropped.isEmpty,
+        s"commit v$v both adds ${added.size} and drops " +
+          s"${dropped.size} file(s) — a rewrite crossed the range; " +
+          "use a content diff (Diff.toCdcFeed) for rewrite commits")
+      val (files, kind) =
+        if (added.nonEmpty) (added, "insert") else (dropped, "delete")
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v)))
+    }
+    require(slices.nonEmpty,
+      s"every commit in ($fromVersion, $toVersion] is a no-op")
+    slices.reduce(_ unionByName _)
+  }
+
   private def tagRoot(path: String) = s"${snapRoot(path)}/tags"
 
   private def listTags(spark: SparkSession,

@@ -678,4 +678,51 @@ class Round15OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
     assert(bin == brute, s"binary(m=all) must equal brute force")
   }
+
+  test("restore mints a new version pinning the old file set; a " +
+    "later append does not resurrect restored-away rows; " +
+    "changesBetween streams inserts/deletes per commit and raises " +
+    "on rewrite commits") {
+    import graft.incremental.Snapshots
+    val root = tmp("restorecdf") + "/lake"
+    (0L until 40L).map(k => (k, k % 7)).toDF("k", "grp")
+      .coalesce(2).write.parquet(root)
+    Snapshots.commit(spark, root) // v1: 0..39
+    (40L until 60L).map(k => (k, k % 7)).toDF("k", "grp")
+      .coalesce(1).write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v2: + 40..59
+    assert(Snapshots.restore(spark, root, 1L) == 3L)
+    assert(Snapshots.readLatest(spark, root).count() == 40L)
+    // history intact: v2 still time-travels
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 60L)
+    // append after rollback: 40..59 must stay superseded
+    (100L until 110L).map(k => (k, k % 7)).toDF("k", "grp")
+      .coalesce(1).write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v4
+    assert(Snapshots.readLatest(spark, root).select("k")
+      .as[Long].collect().toSet == ((0L until 40L) ++
+        (100L until 110L)).toSet,
+      "the rolled-back batch must not resurrect")
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, root, 99L)
+    }
+    // CDF: v2 insert 40..59, v3 delete 40..59, v4 insert 100..109
+    val feed = Snapshots.changesBetween(spark, root, 1L, 4L)
+      .select(col("_commit_version"), col("_change_type"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byStep = feed.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._3).toSet }
+    assert(byStep == Map(
+      (2L, "insert") -> (40L until 60L).toSet,
+      (3L, "delete") -> (40L until 60L).toSet,
+      (4L, "insert") -> (100L until 110L).toSet), s"got $byStep")
+    // a compaction (add+drop in one commit) poisons the range
+    Snapshots.compact(spark, root, targetBytes = 1L << 30) // v5
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 4L, 5L)
+    }
+    // ranges that stop before the rewrite still read
+    assert(Snapshots.changesBetween(spark, root, 3L, 4L)
+      .count() == 10L)
+  }
 }
