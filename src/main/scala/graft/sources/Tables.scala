@@ -1154,7 +1154,15 @@ object Tables {
       col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
         (col(s"${c}_max") >= boundLit(lo) && col(s"${c}_min") <= boundLit(hi))
     }.reduce(_ && _)
-    val cand = stats.filter(keep)
+    // a file the stats KNOW holds zero rows is provably empty — prune
+    // it even though its bounds are NULL (empty files are exactly the
+    // case where NULL bounds do NOT mean "unknown"); rows with NULL
+    // n_rows (reconciled/unknown files) stay conservative
+    val nonEmpty =
+      if (stats.columns.contains("n_rows"))
+        col("n_rows").isNull || col("n_rows") > 0L
+      else lit(true)
+    val cand = stats.filter(nonEmpty && keep)
       .select(col("path")).collect().map(_.getString(0))
     // a restricted (version-pinned) scan pins its schema from the
     // restricted files — old pins must read with THEIR schema, not

@@ -725,4 +725,30 @@ class Round15OpsSpec extends SparkSpec {
     assert(Snapshots.changesBetween(spark, root, 3L, 4L)
       .count() == 10L)
   }
+
+  test("manifest planning prunes provably-empty files (n_rows = 0 " +
+    "with NULL bounds) — the coalesce-empty-partition shape that " +
+    "would otherwise defeat zone-map pruning") {
+    import graft.incremental.Snapshots
+    val root = tmp("emptyfile") + "/lake"
+    val df = spark.range(0L, 100L).select(col("id").as("k"))
+    df.coalesce(1).write.parquet(root)
+    // an empty part file: zero rows, NULL footer bounds
+    df.filter(col("k") < 0L).coalesce(1)
+      .write.mode("append").parquet(root)
+    df.filter(col("k") >= 50L && col("k") < 60L).coalesce(1)
+      .write.mode("append").parquet(root)
+    Snapshots.setManifestColumns(spark, root, Seq("k"))
+    Snapshots.commit(spark, root)
+    val m = spark.read.parquet(s"$root/_graft_manifest")
+    assert(m.count() == 3L &&
+      m.filter(col("n_rows") === 0L).count() == 1L,
+      "the manifest must know the empty file")
+    val probe = Snapshots.readVersionPrunedManifest(spark, root, 1L,
+      Seq(("k", 50L, 59L)))
+    assert(probe.inputFiles.length == 2,
+      s"the empty file must be pruned despite NULL bounds, opened " +
+        s"${probe.inputFiles.length}")
+    assert(probe.count() == 20L) // rows 50..59 from both live files
+  }
 }
