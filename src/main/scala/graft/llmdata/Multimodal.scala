@@ -1,6 +1,7 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,14 +10,18 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, operator
-  * signatures) is real and tested. Image decode is REAL via the JDK's
-  * `javax.imageio` ([[imageIoCodec]], [[imageStats]] — PNG/JPEG/BMP/GIF,
-  * true pixel dimensions and luma stats); audio/video codecs remain a
-  * clearly marked STUB ([[stubCodec]] — no such libraries exist in this
-  * container) producing deterministic features from the raw bytes, with
-  * undecodable payloads falling back to the same stub shape. Either way
-  * the pipeline shape is a partition-parallel map stage over binary
-  * blobs — the Scala analog of `mapInPandas`.
+  * signatures) is real and tested, and so are the JDK-native codecs:
+  * image decode via `javax.imageio` ([[imageIoCodec]], [[imageStats]] —
+  * PNG/JPEG/BMP/GIF, true pixel dimensions and luma stats), audio
+  * decode via `javax.sound.sampled` ([[audioStats]],
+  * [[audioEnergyWindows]] — WAV/AIFF/AU PCM), and MJPEG-in-AVI video
+  * frame decode ([[aviMjpegFrames]] — RIFF demux + per-frame JPEG).
+  * Inter-frame video codecs (H.264-class) remain the one clearly
+  * marked STUB ([[stubCodec]] — no such library ships in this
+  * container), producing deterministic features from the raw bytes,
+  * with undecodable payloads falling back to the same stub shape.
+  * Either way the pipeline shape is a partition-parallel map stage
+  * over binary blobs — the Scala analog of `mapInPandas`.
   */
 object Multimodal {
 
@@ -969,6 +974,142 @@ object Multimodal {
       .select(col("asset_id"), col("window_index").as("idx"),
         col("fp").as("sig")),
       "window_offset", minAligned)
+
+  /** SCENE-CHANGE segmentation (round-15): split each video into
+    * scenes at frames whose perceptual-hash Hamming distance from
+    * the PREVIOUS frame is ≥ `minHamming` — the shot-boundary
+    * detector that feeds keyframe sampling (caption/embed one frame
+    * per scene instead of every frame, the standard video-curation
+    * reduction). A cut flips many aHash cells at once; within-shot
+    * motion flips few. Per-asset lag + running boundary sum + one
+    * groupBy — a single key shuffle, windows partitioned by asset
+    * (never global). Undecoded frames are excluded; the first frame
+    * always opens scene 0. Returns (asset_id, scene_index,
+    * start_frame, end_frame, n_frames). */
+  def videoScenes(frames: Dataset[VideoFrameHash],
+                  minHamming: Int): DataFrame = {
+    require(minHamming >= 1, s"minHamming must be >= 1, got $minHamming")
+    val w = Window.partitionBy(col("asset_id"))
+      .orderBy(col("frame_index"))
+    val flagged = frames.toDF().filter(col("decoded"))
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull, lit(1L))
+          .when(bit_count(col("ahash").bitwiseXOR(col("prev")))
+            .cast("long") >= minHamming, lit(1L))
+          .otherwise(lit(0L)))
+    flagged
+      .withColumn("scene_index",
+        sum(col("boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - 1L)
+      .groupBy(col("asset_id"), col("scene_index"))
+      .agg(min(col("frame_index")).as("start_frame"),
+        max(col("frame_index")).as("end_frame"),
+        count(lit(1)).cast("long").as("n_frames"))
+  }
+
+  /** Typed row for [[audioEnergyWindows]]: one full analysis window's
+    * RMS; undecodable payloads emit a single `decoded=false` row. */
+  case class AudioWindowEnergy(asset_id: Long, window_index: Long,
+                               rms: Double, decoded: Boolean)
+
+  /** Per-window RMS energy over decodable PCM audio — the window
+    * frame [[audioSilenceProfile]] aggregates and
+    * [[audioFingerprints]] quantizes, exposed as ROWS so downstream
+    * segmentation ([[audioVadSegments]]) can run as ordinary
+    * DataFrame ops. Trailing partial windows are dropped (the
+    * [[audioFingerprints]] contract); decode path and
+    * flag-and-continue are [[audioStats]]' verbatim. Map-only
+    * mapPartitions, no shuffle. */
+  def audioEnergyWindows(media: DataFrame,
+                         windowFrames: Int = 1024): Dataset[AudioWindowEnergy] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          var in: javax.sound.sampled.AudioInputStream = null
+          try {
+            in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val pcmSigned = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcmSigned || (bits != 16 && bits != 8))
+              Seq(AudioWindowEnergy(id, 0L, Double.NaN, decoded = false))
+            else {
+              val data = in.readAllBytes()
+              val bytesPerSample = bits / 8
+              val nSamples = data.length / bytesPerSample
+              def sample(i: Int): Double =
+                if (bits == 8) data(i).toDouble / 128.0
+                else {
+                  val off = i * 2
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (data(off + 1), data(off))
+                    else (data(off), data(off + 1))
+                  (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+                    .toDouble / 32768.0
+                }
+              val windowSamples =
+                windowFrames * math.max(fmt.getChannels, 1)
+              val nFull = nSamples / windowSamples
+              (0 until nFull).map { w =>
+                val start = w * windowSamples
+                var ss = 0.0
+                var i = start
+                while (i < start + windowSamples) {
+                  val s = sample(i); ss += s * s; i += 1
+                }
+                AudioWindowEnergy(id, w.toLong,
+                  math.sqrt(ss / windowSamples), decoded = true)
+              }
+            }
+          } catch {
+            case _: Exception =>
+              Seq(AudioWindowEnergy(id, 0L, Double.NaN, decoded = false))
+          } finally if (in != null) in.close()
+        }
+      }
+  }
+
+  /** VOICE-ACTIVITY segments (round-15): contiguous runs of
+    * non-silent windows (RMS ≥ `silenceRms`) per asset, at least
+    * `minWindows` long — the speech-segmentation gate that carves a
+    * long recording into utterances before a transcription or
+    * embedding pass (and drops coughs/clicks shorter than
+    * `minWindows`). Gaps-and-islands over the voiced window rows:
+    * window_index − per-asset voiced row_number is constant within a
+    * run — one key shuffle, windows partitioned by asset. Returns
+    * (asset_id, segment_index, start_window, end_window,
+    * n_windows). */
+  def audioVadSegments(wins: Dataset[AudioWindowEnergy],
+                       silenceRms: Double,
+                       minWindows: Int = 1): DataFrame = {
+    require(minWindows >= 1, s"minWindows must be >= 1, got $minWindows")
+    val w = Window.partitionBy(col("asset_id"))
+      .orderBy(col("window_index"))
+    val voiced = wins.toDF().filter(col("decoded") &&
+      col("rms") >= silenceRms)
+    voiced
+      .withColumn("island",
+        col("window_index") - row_number().over(w).cast("long"))
+      .groupBy(col("asset_id"), col("island"))
+      .agg(min(col("window_index")).as("start_window"),
+        max(col("window_index")).as("end_window"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      .withColumn("segment_index",
+        row_number().over(Window.partitionBy(col("asset_id"))
+          .orderBy(col("start_window"))).cast("long") - 1L)
+      .select(col("asset_id"), col("segment_index"),
+        col("start_window"), col("end_window"), col("n_windows"))
+  }
 
   /** Deterministic audio fixture writer: mono 16-bit little-endian
     * PCM WAV where window w's `windowFrames` samples are ALL the

@@ -751,4 +751,35 @@ class Round15OpsSpec extends SparkSpec {
         s"${probe.inputFiles.length}")
     assert(probe.count() == 20L) // rows 50..59 from both live files
   }
+
+  test("videoScenes cuts where the frame-hash Hamming jump crosses " +
+    "the threshold and keeps within-scene runs together; " +
+    "audioVadSegments carves voiced islands with the min-run gate") {
+    import graft.llmdata.Multimodal
+    // codes 1,1,2,2,2,8,1: cuts at f=2 (1^2: 2 bits = 32 cells) and
+    // f=5 (2^8), f=6 (8^1) -> scenes [0,1],[2,4],[5,5],[6,6]
+    val media = Seq((5L, Multimodal.mjpegAviBytes(
+      Seq(1, 1, 2, 2, 2, 8, 1).map(Multimodal.jpegQuadFrame(64, 64, _)),
+      usPerFrame = 40000L, width = 64, height = 64)))
+      .toDF("asset_id", "payload")
+    val scenes = Multimodal.videoScenes(
+      Multimodal.aviMjpegFrames(media), minHamming = 17).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(scenes == Set((0L, 0L, 1L, 2L), (1L, 2L, 4L, 3L),
+      (2L, 5L, 5L, 1L), (3L, 6L, 6L, 1L)), s"got $scenes")
+    // VAD: levels 0,3,3,0,4,0,5,5,5 -> voiced islands [1,2],[4,4],
+    // [6,8]; minWindows=2 drops the singleton, indexes re-number
+    val wav = Multimodal.pcmWavBytes(Seq(0, 3, 3, 0, 4, 0, 5, 5, 5),
+      windowFrames = 96)
+    val segs = Multimodal.audioVadSegments(
+      Multimodal.audioEnergyWindows(
+        Seq((9L, wav), (10L, "noise".getBytes("UTF-8")))
+          .toDF("asset_id", "payload"), windowFrames = 96),
+      silenceRms = 1.0 / 32, minWindows = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(segs == Set((9L, 0L, 1L, 2L, 2L), (9L, 1L, 6L, 8L, 3L)),
+      s"got $segs")
+  }
 }
