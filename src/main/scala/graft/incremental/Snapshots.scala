@@ -206,7 +206,8 @@ object Snapshots {
 
   /** CHANGE DATA FEED between two versions (round-15) — the
     * snapshot-lake incremental read, Iceberg's contract extended one
-    * step: walk each commit in `(fromVersion, toVersion]` and emit
+    * step: walk each commit in `(fromVersion, toVersion]`
+    * (`fromVersion = 0` = table inception, an empty base) and emit
     * appended files' rows as `_change_type = 'insert'` and dropped
     * files' rows as `'delete'`, each stamped `_commit_version`. I/O
     * is O(changed files) — a consumer pays for the delta, never the
@@ -223,13 +224,26 @@ object Snapshots {
     require(fromVersion < toVersion,
       s"changesBetween needs fromVersion < toVersion, got " +
         s"$fromVersion >= $toVersion")
-    val vs = listVersions(spark, path)
-      .filter(v => v > fromVersion && v <= toVersion)
+    val all = listVersions(spark, path)
+    val vs = all.filter(v => v > fromVersion && v <= toVersion)
     require(vs.nonEmpty, s"no versions in ($fromVersion, $toVersion]")
-    val steps = (fromVersion +: vs).sliding(2).toSeq
-    val slices = steps.flatMap { case Seq(prev, v) =>
-      val from = pinnedFiles(spark, path, prev).toSet
-      val to = pinnedFiles(spark, path, v)
+    // fromVersion = 0 streams from table INCEPTION (empty base —
+    // the Delta/Iceberg starting-version contract); any other
+    // fromVersion must itself be a retained snapshot
+    require(fromVersion == 0L || all.contains(fromVersion),
+      s"fromVersion $fromVersion is not a retained snapshot " +
+        s"(existing: ${all.sorted}); use 0 to stream from inception")
+    // each version's pins read exactly ONCE (a k-commit range costs
+    // k+1 manifest reads and one log listing, not 2k of each — the
+    // object-store metadata latency an incremental poll pays for)
+    val chain = fromVersion +: vs
+    val pins: Map[Long, Seq[String]] = chain.map { v =>
+      v -> (if (v == 0L) Seq.empty
+            else readPins(spark, s"${snapRoot(path)}/v=$v"))
+    }.toMap
+    val slices = chain.sliding(2).toSeq.flatMap { case Seq(prev, v) =>
+      val from = pins(prev).toSet
+      val to = pins(v)
       val added = to.filterNot(from)
       val dropped = (from -- to.toSet).toSeq.sorted
       require(added.isEmpty || dropped.isEmpty,
@@ -1120,7 +1134,9 @@ object Snapshots {
   def setConstraints(spark: SparkSession, path: String,
                      cs: Seq[(String, String)]): Unit = {
     cs.foreach { case (n, p) =>
-      require(n.nonEmpty && n.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      require(n.nonEmpty && n.forall(ch =>
+          (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+            (ch >= '0' && ch <= '9') || ch == '_'),
         s"constraint name must be [A-Za-z0-9_], got '$n'")
       require(p.trim.nonEmpty, s"constraint '$n' has an empty predicate")
     }
@@ -1166,8 +1182,14 @@ object Snapshots {
       val viol = array_compact(array(cs.map { case (n, p) =>
         when(!coalesce(expr(p), lit(false)), lit(n))
       }: _*))
+      // ONE evaluation of the batch + predicates (localCheckpoint
+      // materializes the tagged frame): a time-dependent or
+      // non-deterministic predicate, or a batch over a changing
+      // source, must not re-evaluate differently between the
+      // quarantine write and the live write — that could land a
+      // boundary row in both tables or in neither
       val tagged = batch.withColumn("violated_constraints",
-        concat_ws(",", viol))
+        concat_ws(",", viol)).localCheckpoint(true)
       val bad = tagged.filter(col("violated_constraints") =!= "")
       val good = tagged.filter(col("violated_constraints") === "")
         .drop("violated_constraints")

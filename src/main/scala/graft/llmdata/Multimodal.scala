@@ -873,6 +873,61 @@ object Multimodal {
         col("ahash").as("sig")),
       "frame_offset", minAligned)
 
+  /** The ONE shared PCM decode + full-window RMS body behind
+    * [[audioFingerprints]] and [[audioEnergyWindows]] (the
+    * [[audioStats]] decode contract: JDK WAV/AIFF/AU readers,
+    * PCM_SIGNED 8/16-bit either endianness, channel-interleaved
+    * samples pooled): None = undecodable/unsupported
+    * (flag-and-continue), Some = RMS per FULL window, trailing
+    * partial dropped. A decode fix lands here once, not per
+    * operator. */
+  private def pcmWindowRms(bytes: Array[Byte],
+                           windowFrames: Int): Option[Array[Double]] = {
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val pcmSigned = fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (!pcmSigned || (bits != 16 && bits != 8)) None
+      else {
+        val data = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val nSamples = data.length / bytesPerSample
+        def sample(i: Int): Double =
+          if (bits == 8) data(i).toDouble / 128.0
+          else {
+            val off = i * 2
+            val (lo, hi) =
+              if (fmt.isBigEndian) (data(off + 1), data(off))
+              else (data(off), data(off + 1))
+            (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+              .toDouble / 32768.0
+          }
+        val windowSamples = windowFrames * math.max(fmt.getChannels, 1)
+        val nFull = nSamples / windowSamples
+        val out = new Array[Double](nFull)
+        var w = 0
+        while (w < nFull) {
+          val start = w * windowSamples
+          var ss = 0.0
+          var i = start
+          while (i < start + windowSamples) {
+            val s = sample(i); ss += s * s; i += 1
+          }
+          out(w) = math.sqrt(ss / windowSamples)
+          w += 1
+        }
+        Some(out)
+      }
+    } catch {
+      case _: Exception => None
+    } finally if (in != null) in.close()
+  }
+
   /** Typed row for [[audioFingerprints]]: one packed energy-contour
     * fingerprint per full window position; undecodable payloads emit
     * a single `decoded=false` row (flag-and-continue). */
@@ -904,59 +959,19 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          var in: javax.sound.sampled.AudioInputStream = null
-          try {
-            in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.BufferedInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
-            val fmt = in.getFormat
-            val bits = fmt.getSampleSizeInBits
-            val pcmSigned = fmt.getEncoding ==
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcmSigned || (bits != 16 && bits != 8))
+          pcmWindowRms(bytes, windowFrames) match {
+            case None =>
               Seq(AudioFingerprint(id, 0L, 0L, decoded = false))
-            else {
-              val data = in.readAllBytes()
-              val bytesPerSample = bits / 8
-              val nSamples = data.length / bytesPerSample
-              def sample(i: Int): Double =
-                if (bits == 8) data(i).toDouble / 128.0
-                else {
-                  val off = i * 2
-                  val (lo, hi) =
-                    if (fmt.isBigEndian) (data(off + 1), data(off))
-                    else (data(off), data(off + 1))
-                  (((hi & 0xff) << 8) | (lo & 0xff)).toShort
-                    .toDouble / 32768.0
-                }
-              val windowSamples =
-                windowFrames * math.max(fmt.getChannels, 1)
-              val nFull = nSamples / windowSamples
-              val lvl = new Array[Long](nFull)
-              var w = 0
-              while (w < nFull) {
-                val start = w * windowSamples
-                var ss = 0.0
-                var i = start
-                while (i < start + windowSamples) {
-                  val s = sample(i); ss += s * s; i += 1
-                }
-                val rms = math.sqrt(ss / windowSamples)
-                lvl(w) = math.min(levels - 1L,
-                  math.floor(rms * levels).toLong)
-                w += 1
-              }
-              (0 to nFull - shingle).map { w =>
+            case Some(rms) =>
+              val lvl = rms.map(r =>
+                math.min(levels - 1L, math.floor(r * levels).toLong))
+              (0 to rms.length - shingle).map { w =>
                 var fp = 0L
                 var j = 0
                 while (j < shingle) { fp = fp * levels + lvl(w + j); j += 1 }
                 AudioFingerprint(id, w.toLong, fp, decoded = true)
               }
-            }
-          } catch {
-            case _: Exception =>
-              Seq(AudioFingerprint(id, 0L, 0L, decoded = false))
-          } finally if (in != null) in.close()
+          }
         }
       }
   }
@@ -1031,49 +1046,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          var in: javax.sound.sampled.AudioInputStream = null
-          try {
-            in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.BufferedInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
-            val fmt = in.getFormat
-            val bits = fmt.getSampleSizeInBits
-            val pcmSigned = fmt.getEncoding ==
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcmSigned || (bits != 16 && bits != 8))
+          pcmWindowRms(bytes, windowFrames) match {
+            case None =>
               Seq(AudioWindowEnergy(id, 0L, Double.NaN, decoded = false))
-            else {
-              val data = in.readAllBytes()
-              val bytesPerSample = bits / 8
-              val nSamples = data.length / bytesPerSample
-              def sample(i: Int): Double =
-                if (bits == 8) data(i).toDouble / 128.0
-                else {
-                  val off = i * 2
-                  val (lo, hi) =
-                    if (fmt.isBigEndian) (data(off + 1), data(off))
-                    else (data(off), data(off + 1))
-                  (((hi & 0xff) << 8) | (lo & 0xff)).toShort
-                    .toDouble / 32768.0
-                }
-              val windowSamples =
-                windowFrames * math.max(fmt.getChannels, 1)
-              val nFull = nSamples / windowSamples
-              (0 until nFull).map { w =>
-                val start = w * windowSamples
-                var ss = 0.0
-                var i = start
-                while (i < start + windowSamples) {
-                  val s = sample(i); ss += s * s; i += 1
-                }
-                AudioWindowEnergy(id, w.toLong,
-                  math.sqrt(ss / windowSamples), decoded = true)
+            case Some(rms) =>
+              rms.toIndexedSeq.zipWithIndex.map { case (r, w) =>
+                AudioWindowEnergy(id, w.toLong, r, decoded = true)
               }
-            }
-          } catch {
-            case _: Exception =>
-              Seq(AudioWindowEnergy(id, 0L, Double.NaN, decoded = false))
-          } finally if (in != null) in.close()
+          }
         }
       }
   }

@@ -109,11 +109,10 @@ object Similarity {
   /** Sign-bit (1-bit) BINARY quantization of an embedding column —
     * the 32× compression tier below [[quantizeInt8]] (4×) and
     * [[pqAssign]] (codebook): dim d packs into bit (d mod 64) of word
-    * (d div 64), bit set iff v_d > 0. Each 64-dim word accumulates by
-    * OR-ing shifted bits (bitwise ops are wrap-exact under ANSI mode,
-    * where an arithmetic 2^63 would overflow-error — the top bit
-    * lands in the long's sign bit by design). The packed
-    * `Array[Long]` IS the stored index at scale:
+    * (d div 64), bit set iff v_d > 0. Each word ORs Scala-literal
+    * shifted bit masks (1L << 63 wraps into the sign bit at compile
+    * time — no runtime arithmetic to overflow under ANSI mode). The
+    * packed `Array[Long]` IS the stored index at scale:
     * Hamming distance between packed vectors is a handful of XOR +
     * popcount word ops ([[binaryHammingTopK]]), and sign agreement is
     * a well-behaved cosine proxy for high-dim embeddings (Charikar
@@ -121,22 +120,31 @@ object Similarity {
   def binarySign(vec: Column, dims: Int): Column = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val nWords = (dims + 63) / 64
-    transform(sequence(lit(0), lit(nWords - 1)), w =>
-      aggregate(sequence(lit(0), lit(63)), lit(0L),
-        (acc, b) => {
-          val d = w * 64 + b // 0-based dim of this bit
-          when(d < dims &&
-            element_at(vec, d + 1).cast("double") > 0d,
-            acc.bitwiseOR(call_function("shiftleft", lit(1L), b)))
-            .otherwise(acc)
-        }))
+    // statically UNROLLED (dims is an operator parameter, not data):
+    // each word is a codegen'd OR-reduction of literal-shift bit
+    // tests — no interpreted HOF lambda on the per-row pack path
+    // (the dotFixed convention; an aggregate/transform form costs
+    // ~100μs/row interpreted at dim 64)
+    array((0 until nWords).map { w =>
+      (w * 64 until math.min(w * 64 + 64, dims)).map { d =>
+        when(element_at(vec, d + 1).cast("double") > 0d,
+          lit(1L << (d % 64))).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
   }
 
   /** Hamming distance between two [[binarySign]]-packed vectors:
-    * Σ popcount(xor) over the word arrays. */
-  def binaryHamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0L), (acc, w) => acc + w.cast("long"))
+    * Σ popcount(xor) over the word arrays — statically unrolled over
+    * `nWords` literal indices so the PER-PAIR candidate stage (the
+    * whole point of the 1-bit tier) stays inside whole-stage codegen
+    * instead of an interpreted zip_with/aggregate lambda. */
+  def binaryHamming(a: Column, b: Column, nWords: Int): Column = {
+    require(nWords >= 1, s"nWords must be >= 1, got $nWords")
+    (0 until nWords).map { i =>
+      bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+        .cast("long")
+    }.reduce(_ + _)
+  }
 
   /** BINARY-QUANTIZED two-stage retrieval — the modern vector-DB
     * serving pattern (1-bit index + rerank): stage 1 scores ALL
@@ -162,7 +170,8 @@ object Similarity {
       col(vecCol).as("cv"),
       binarySign(col(vecCol), dims).as("cb"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("hamming", binaryHamming(col("qb"), col("cb")))
+      .withColumn("hamming",
+        binaryHamming(col("qb"), col("cb"), (dims + 63) / 64))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     val cand = scored.withColumn("hrank", row_number().over(w1))

@@ -631,9 +631,12 @@ class Round15OpsSpec extends SparkSpec {
     }
     assert(Snapshots.readLatest(spark, root).count() == 3L,
       "the failed write must not admit rows")
-    // name hygiene
+    // name hygiene (ASCII-only: Unicode letters must refuse too)
     intercept[IllegalArgumentException] {
       Snapshots.setConstraints(spark, root, Seq("bad name" -> "1=1"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.setConstraints(spark, root, Seq("statut_é" -> "1=1"))
     }
     intercept[IllegalArgumentException] {
       Snapshots.setConstraints(spark, root,
@@ -662,7 +665,7 @@ class Round15OpsSpec extends SparkSpec {
     // hamming(v, zero) = popcount(v's bits) = 5
     val h = df.filter(col("vec_id") === 1L)
       .select(Similarity.binaryHamming(col("b"),
-        array(lit(0L), lit(0L)))).head().getLong(0)
+        array(lit(0L), lit(0L)), nWords = 2)).head().getLong(0)
     assert(h == 5L)
     // with m = full corpus the two-stage result IS brute force
     val emb = graft.sources.Tables.read(spark,
@@ -724,6 +727,15 @@ class Round15OpsSpec extends SparkSpec {
     // ranges that stop before the rewrite still read
     assert(Snapshots.changesBetween(spark, root, 3L, 4L)
       .count() == 10L)
+    // fromVersion = 0 streams from inception: v1's rows arrive as
+    // inserts too
+    val full = Snapshots.changesBetween(spark, root, 0L, 4L)
+    assert(full.filter(col("_commit_version") === 1L &&
+      col("_change_type") === "insert").count() == 40L)
+    // a non-retained, nonzero fromVersion raises with guidance
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, -3L, 4L)
+    }
   }
 
   test("manifest planning prunes provably-empty files (n_rows = 0 " +
