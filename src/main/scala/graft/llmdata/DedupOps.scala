@@ -1061,16 +1061,25 @@ object DedupOps {
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
         length(col(textCol)).cast("long").as("__n"))
       .withColumn("__b", expr(s"__n DIV ${bucketWidth}L"))
+    // Probe UP only (own bucket + the next): a qualifying pair either
+    // spans adjacent buckets — found once when its LOWER-bucket side
+    // probes up — or shares a bucket — found once under the id rule.
+    // Half the probe fan-out of the naive {b-1, b, b+1} explode, and
+    // the explode side carries the text payload, so this is a third
+    // fewer text bytes through the exchange (guide §2.3). Exactly-once
+    // is preserved (the kept-pair predicate is a partition of the pair
+    // space), so no distinct; ids re-canonicalize via least/greatest.
     val probes = d.withColumn("__pb",
-      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
+      explode(array(col("__b"), col("__b") + 1)))
     probes.as("a").join(d.as("b"),
         col("a.__pb") === col("b.__b") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.__b") < col("b.__b") || col("a.doc_id") < col("b.doc_id")) &&
           abs(col("a.__n") - col("b.__n")) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col("a.__t"), col("b.__t"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0) // thresholded form returns -1 past k
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
         col("edit_dist"))
   }
 

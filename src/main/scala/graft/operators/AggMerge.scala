@@ -228,13 +228,25 @@ object AggMerge {
       .withColumn("cnt", PlanAudit.latticeGuard(col("cnt"),
         col("__nlat"), "finishQuantiles"))
       .withColumn("__cum", sum(col("cnt")).over(w))
-    quantiles.map { case (num, den) =>
-      cum.filter(col("__cum") * den >= col("__n") * num)
-        .agg(min(col("cents")).cast("long").as("value_cents"),
-          max(col("__n")).cast("long").as("n_rows"))
-        .select(lit(num.toLong).as("q_num"), lit(den.toLong).as("q_den"),
-          col("value_cents"), col("n_rows"))
-    }.reduce(_.unionAll(_))
+    // ONE pass over the cumulated lattice: each quantile's selection
+    // `min(v : cum·den ≥ n·num)` is a conditional MIN, so all requested
+    // quantiles ride a single aggregate job and `stack` restores the
+    // per-quantile row shape. (Was: one filter+agg branch per quantile
+    // unioned — each branch re-built the lattice, its broadcast total,
+    // and the single-partition window; 4 quantiles = 4× the work for
+    // byte-identical output. Guide §1.2: remove redundant passes first.)
+    val aggCols = quantiles.zipWithIndex.map { case ((num, den), i) =>
+      min(when(col("__cum") * den >= col("__n") * num, col("cents")))
+        .cast("long").as(s"__v$i")
+    } :+ max(col("__n")).cast("long").as("__nr")
+    val one = cum.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = quantiles.zipWithIndex
+      .map { case ((num, den), i) => s"${num}L, ${den}L, __v$i" }
+      .mkString(", ")
+    one.select(
+      expr(s"stack(${quantiles.size}, $stackArgs)" +
+        " AS (q_num, q_den, value_cents)"),
+      col("__nr").as("n_rows"))
   }
 
   /** EXACT distinct-count partials as 32-bit BITMAP words — the

@@ -118,6 +118,13 @@ object Graph {
     // Duplicate (src, dst) rows SUM their weights; keep rank·weight
     // inside BIGINT (ranks carry ~1e6·mass — fine up to ~1e12 total
     // weight per edge, far past any real co-occurrence count).
+    // The edge frame is consumed by EVERY iteration's contrib join plus
+    // the node-universe and out-degree builds — without materialization
+    // each consumer re-derives it from the caller's lineage (for the
+    // corpus bigram graph that is tokenize→explode→distinct, re-run
+    // ~2 times per iteration). Persist it once (MEMORY_AND_DISK spills
+    // at scale — the standard iterative-graph posture) and release it
+    // before returning.
     val e = weightCol.fold(
       edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")).distinct()
@@ -125,7 +132,7 @@ object Graph {
       edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"), col(wc).cast("long").as("w"))
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // personalized (random-walk-with-restart) variant: `teleportTo`
     // restricts BOTH the initial mass and the restart term to the seed
     // set (first column, restricted to graph nodes) — rank becomes
@@ -150,7 +157,10 @@ object Graph {
       if (teleportTo.isDefined && redistributeDangling)
         nodes.filter(col("__seed")).count()
       else nNodes
+    // nodes-scale and re-joined (broadcast) every iteration — persist so
+    // iterations reuse the one aggregation instead of re-shuffling e
     val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+      .persist()
     val base = when(col("__seed"), lit((100 - dampingPct) * Micro / 100))
       .otherwise(lit(0L))
     var ranks = nodes.withColumn("rank_micro",
@@ -212,6 +222,8 @@ object Graph {
       iter += 1
     }
     nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
     ranks.drop("__seed")
   }
 
