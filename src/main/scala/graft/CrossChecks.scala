@@ -219,6 +219,306 @@ object CrossChecks {
         "a purge re-run must be a no-op")
     }
 
+  /** q516's reference arm (optimization r15, the q526/q426 pattern):
+    * the LB_Keogh-pruned DTW top-k must equal the brute-force matrix
+    * top-k — the brute matrix is the quadratic computation the pruned
+    * operator exists to avoid, run here once per JVM instead of twice
+    * per bench rep. */
+  def dtwPrunedEqualsBrute(s: SparkSession, d: String): Unit =
+    once("dtwPrunedEqBrute", d) {
+      import graft.operators.Timeseries
+      import org.apache.spark.sql.expressions.Window
+      val k = 2
+      val series = SparkEntry.dailyCountSeries(s, d)
+      val pruned = Timeseries.dtwTopK(series, "event_type", "x", "y",
+          band = 5, k = k)
+        .select("query_key", "neighbor", "rank", "dtw_cents")
+      val w = Window.partitionBy(col("query_key"))
+        .orderBy(col("dtw_cents").asc, col("neighbor").asc)
+      val m = Timeseries.dtwMatrix(series, "event_type", "x", "y",
+        band = 5).localCheckpoint(true)
+      val brute = m
+        .select(col("key_a").as("query_key"), col("key_b").as("neighbor"),
+          col("dtw_cents"))
+        .unionByName(m.select(col("key_b").as("query_key"),
+          col("key_a").as("neighbor"), col("dtw_cents")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select("query_key", "neighbor", "rank", "dtw_cents")
+      require(pruned.exceptAll(brute).isEmpty
+          && brute.exceptAll(pruned).isEmpty,
+        "pruned DTW top-k must equal the brute-force matrix")
+    }
+
+  /** q487's budget-monotonicity arm: IVF-PQ recall at overfetch 8/16
+    * vs the unrestricted budget — two extra full ANN searches per
+    * check, a structural property of the operator (candidates(16) ⊇
+    * candidates(8)), not of the benchmarked plan. */
+  def ivfPqBudgetMonotone(s: SparkSession, d: String): Unit =
+    once("ivfPqBudgetMonotone", d) {
+      import graft.llmdata.Similarity
+      val emb = graft.sources.Tables.read(s, d, "embeddings")
+      val root = LakeFixtures.ivfPqEmbeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 16)
+      val full = Similarity.ivfPqTopKIndexed(s, root, queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, overfetch = Int.MaxValue / 3)
+        .localCheckpoint(true)
+      def hitsAt(overfetch: Int): Long = Similarity
+        .ivfPqTopKIndexed(s, root, queries, "vec_id", "embedding",
+          k = 3, nprobe = 2, overfetch = overfetch)
+        .select("query_id", "neighbor_id")
+        .join(full.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val (h8, h16) = (hitsAt(8), hitsAt(16))
+      val tot = full.count()
+      require(h8 <= h16 && h16 <= tot,
+        s"budget monotonicity broke: $h8 <= $h16 <= $tot expected")
+      require(h16 * 4 >= tot * 3,
+        s"budgeted ADC recall@3 too low at overfetch 16: $h16/$tot")
+    }
+
+  /** q467's conservation arm: the FIFO interval match must pay out
+    * exactly min(supply, demand) on every key — re-derives both sides
+    * and the matched totals once per JVM. */
+  def fifoConservation(s: SparkSession, d: String): Unit =
+    once("fifoConservation", d) {
+      val li = graft.sources.Tables.read(s, d, "lineitem")
+        .filter(col("l_partkey").isNotNull)
+        .withColumn("k", col("l_partkey") % 50)
+      def side(status: String) =
+        li.filter(col("l_linestatus") === status)
+          .groupBy(col("k"), col("l_orderkey").as("seq"))
+          .agg(sum((col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("qty"))
+      val sup = side("F"); val dem = side("O")
+      val matched = graft.operators.Allocate.fifoMatch(sup, dem,
+        "k", "seq", "qty")
+      val out = matched.groupBy(col("k"))
+        .agg(sum(col("matched_qty")).cast("long").as("matched_cents"))
+      val totals = sup.groupBy("k")
+        .agg(sum(col("qty")).cast("long").as("__s"))
+        .join(dem.groupBy("k")
+          .agg(sum(col("qty")).cast("long").as("__d")), Seq("k"))
+        .withColumn("__want", least(col("__s"), col("__d")))
+      val broken = out.join(totals, Seq("k"))
+        .filter(col("matched_cents") =!= col("__want")).count()
+      require(broken == 0,
+        s"FIFO conservation identity broke on $broken keys")
+    }
+
+  /** q468's apply-round-trip arm: a CDC feed applied to the from-
+    * version must reproduce the to-version bit-exactly. Fresh lake,
+    * the query's exact recipe, once per JVM. */
+  def cdcApplyRoundTrip(s: SparkSession, d: String): Unit =
+    once("cdcApplyRoundTrip", d) {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("cdcfchk") + "/lake"
+      val base = graft.sources.Tables.read(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      val op1 = Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      val op2 = Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val feed = Deletes.cdcBetween(s, root, op1, op2, Seq("o_orderkey"))
+      val applied = graft.operators.Diff.applyCdcFeed(
+        Deletes.readMergedAsOf(s, root, op1), feed, Seq("o_orderkey"))
+      val to = Deletes.readMergedAsOf(s, root, op2)
+      require(applied.exceptAll(to).count() == 0L
+          && to.exceptAll(applied).count() == 0L,
+        "CDC apply round-trip diverged from the target version")
+    }
+
+  /** q444's compaction arm: compacting the equality-delete lake must
+    * preserve the live view and shed every delete commit. */
+  def deleteCompactionPreservesLive(s: SparkSession, d: String): Unit =
+    once("deleteCompactionPreservesLive", d) {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("delschk") + "/lake"
+      val li = graft.sources.Tables.read(s, d, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      li.repartition(4).write.parquet(root)
+      Deletes.writeDeletes(s, root,
+        li.filter(col("l_orderkey") % 10 === 3)
+          .select("l_orderkey").distinct())
+      Deletes.writeDeletes(s, root,
+        li.filter(col("l_orderkey") % 10 === 6)
+          .select("l_orderkey").distinct())
+      val live = Deletes.readWithDeletes(s, root)
+      val dst = LakeFixtures.freshRoot("delcchk") + "/compacted"
+      Deletes.compact(s, root, dst, 2)
+      require(Deletes.nDeleteCommits(s, dst) == 0L,
+        "compacted lake must carry zero delete commits")
+      val compacted = Deletes.readWithDeletes(s, dst)
+      require(compacted.exceptAll(live).count() == 0L
+          && live.exceptAll(compacted).count() == 0L,
+        "compaction changed the live view")
+    }
+
+  /** q463's equivalence arm: sequenced compaction must preserve the
+    * merged view bit-exactly (fresh lake, the query's recipe). */
+  def sequencedCompactionPreservesMerged(s: SparkSession, d: String): Unit =
+    once("sequencedCompactionPreservesMerged", d) {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("cseqchk") + "/lake"
+      val base = graft.sources.Tables.read(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val dst = LakeFixtures.freshRoot("cseqdchk") + "/lake"
+      Deletes.compactSequenced(s, root, dst, 2)
+      val m0 = Deletes.readMerged(s, root)
+      val m1 = Deletes.readMerged(s, dst)
+      require(m1.exceptAll(m0).count() == 0L
+          && m0.exceptAll(m1).count() == 0L,
+        "sequenced compaction changed the merged view")
+    }
+
+  /** q392/q393's rebuild-equality arm: an incrementally-refreshed
+    * footer manifest must equal a from-scratch footer rebuild —
+    * verified on a fresh two-append lake (q392's recipe), and on the
+    * crash-replayed ingest lake (q393's recipe). */
+  def manifestRefreshEqualsRebuild(s: SparkSession, d: String): Unit =
+    once("manifestRefreshEqRebuild", d) {
+      import graft.sources.Tables
+      def assertManifestEqualsRebuild(dir: String, c: String): Unit = {
+        val full = Tables.footerStatsTyped(s, dir, Seq(c))
+          .orderBy(col("path")).collect().map(_.toSeq)
+        val man = s.read.parquet(s"$dir/_graft_manifest")
+          .orderBy(col("path")).collect().map(_.toSeq)
+        require(full.length == man.length
+            && full.zip(man).forall { case (x, y) => x == y },
+          "refreshed manifest diverged from a full rebuild")
+      }
+      // q392 recipe: range-sorted base + append, incremental refresh
+      val dir = LakeFixtures.freshRoot("mrefchk") + "/li"
+      val li = graft.sources.Tables.read(s, d, "lineitem")
+      val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2L
+      li.filter(col("l_orderkey") <= mid)
+        .repartitionByRange(12, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey").write.parquet(dir)
+      Tables.writeManifest(s, dir, Seq("l_orderkey"))
+      li.filter(col("l_orderkey") > mid)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      Tables.refreshManifest(s, dir, Seq("l_orderkey"))
+      assertManifestEqualsRebuild(dir, "l_orderkey")
+      // q393 recipe: batch-overwrite ingest with a crash replay
+      val lake = LakeFixtures.freshRoot("ingestchk") + "/lake"
+      val ev = graft.sources.Tables.read(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), dayofmonth(col("ts")).as("dom"))
+      def ingest(batchId: Long, pred: org.apache.spark.sql.Column): Unit = {
+        ev.filter(pred).repartitionByRange(4, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$lake/batch-$batchId")
+        Tables.refreshManifest(s, lake, Seq("user_id"))
+      }
+      ingest(0L, col("dom") <= 15)
+      ingest(1L, col("dom") > 15)
+      ingest(1L, col("dom") > 15) // crash replay of batch 1
+      assertManifestEqualsRebuild(lake, "user_id")
+    }
+
+  /** q514's reassembly arm: version deltas must equal the batches
+    * they landed as, base + deltas must reassemble the lake, and an
+    * incremental scan must refuse a range a compaction rewrite
+    * crossed. Fresh lake from the same memoized batch fixture. */
+  def incrementalScanReassembles(s: SparkSession, d: String): Unit =
+    once("incrementalScanReassembles", d) {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("incscanchk") + "/lake"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      val ev = s.read.parquet(s"$fx/b1")
+        .unionByName(s.read.parquet(s"$fx/b2"))
+        .unionByName(s.read.parquet(s"$fx/b3"))
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root) // v1
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root) // v2
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v3
+      val d12 = Snapshots.addedBetween(s, root, 1L, 2L)
+      val d23 = Snapshots.addedBetween(s, root, 2L, 3L)
+      val expect12 = s.read.parquet(s"$fx/b2")
+      require(d12.exceptAll(expect12).isEmpty &&
+          expect12.exceptAll(d12).isEmpty,
+        "v1->v2 delta must be exactly the second batch")
+      val assembled = Snapshots.readVersion(s, root, 1L)
+        .unionByName(d12).unionByName(d23)
+      require(assembled.exceptAll(ev).isEmpty &&
+          ev.exceptAll(assembled).isEmpty,
+        "base + consumed deltas must reassemble the lake")
+      Snapshots.compact(s, root, targetBytes = 1L << 26) // v4
+      val refused =
+        try { Snapshots.addedBetween(s, root, 3L, 4L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "incremental scan must refuse a range a rewrite crossed")
+    }
+
+  /** q523's replay arm: re-running every WAP batch (good, poisoned,
+    * fixed) must be a fenced no-op — no new versions, no surviving
+    * branches. Fresh lake + quarantine, the query's exact recipe. */
+  def wapReplayIsNoOp(s: SparkSession, d: String): Unit =
+    once("wapReplayIsNoOp", d) {
+      import graft.incremental.Snapshots
+      import graft.checks._
+      import graft.streaming.Streaming
+      val base = LakeFixtures.freshRoot("wapsinkchk")
+      val root = base + "/lake"
+      val quar = base + "/quarantine"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root) // v1 base
+      val suite = new CheckSuite(Seq(NotNull("event_id"),
+        RowCountBetween(1)))
+      val mid = s.read.parquet(s"$fx/b2")
+      val good0 = mid.filter(col("day") <= 15)
+      val poisoned = mid.filter(col("day") > 15)
+        .withColumn("event_id",
+          when(col("day") % 2 === 1, lit(null).cast("long"))
+            .otherwise(col("event_id")))
+      val fixed = mid.filter(col("day") > 15)
+      Streaming.wapBatch(good0, 0L, root, suite, quar)    // -> v2
+      Streaming.wapBatch(poisoned, 1L, root, suite, quar) // -> quarantine
+      Streaming.wapBatch(fixed, 2L, root, suite, quar)    // -> v3
+      Streaming.wapBatch(good0, 0L, root, suite, quar)
+      Streaming.wapBatch(poisoned, 1L, root, suite, quar)
+      Streaming.wapBatch(fixed, 2L, root, suite, quar)
+      val vs = Snapshots.versions(s, root).select("version")
+        .collect().map(_.getLong(0)).toSet
+      require(vs == Set(1L, 2L, 3L),
+        s"replay must not mint versions: $vs")
+      require(Snapshots.branches(s, root).count() == 0L,
+        "no branch may survive a resolved batch")
+      val verdicts = s.read.parquet(s"$quar/batch-1/verdicts")
+      require(verdicts.filter(!col("passed")).count() > 0,
+        "the poisoned batch's failing verdict must be quarantined")
+    }
+
   /** The bench warm-up hook — run every cross-check untimed
     * ([[graft.Bench]] calls this beside LakeFixtures.warmAll). */
   def warmAll(s: SparkSession, d: String): Unit = {
@@ -235,5 +535,14 @@ object CrossChecks {
     quiet(purgeWhereForensics(s, d))
     quiet(dedupPurgeForensics(s, d))
     quiet(morPurgeForensics(s, d))
+    quiet(dtwPrunedEqualsBrute(s, d))
+    quiet(ivfPqBudgetMonotone(s, d))
+    quiet(fifoConservation(s, d))
+    quiet(cdcApplyRoundTrip(s, d))
+    quiet(deleteCompactionPreservesLive(s, d))
+    quiet(sequencedCompactionPreservesMerged(s, d))
+    quiet(manifestRefreshEqualsRebuild(s, d))
+    quiet(incrementalScanReassembles(s, d))
+    quiet(wapReplayIsNoOp(s, d))
   }
 }

@@ -61,9 +61,11 @@ class GraphSpec extends SparkSpec {
       // converged result = the round-2 values, held at the fixpoint
       assert(r == Map("A" -> 150000L, "D" -> 277500L))
       // 3 executed rounds cost a handful of jobs (round agg + broadcasts
-      // + setup + final collect); 50 rounds would cost ≥ 50. The bound is
-      // deliberately loose — it proves early exit, not a job budget.
-      assert(jobs.get() < 30,
+      // + setup + final collect, plus the edge/outdeg cache
+      // materializations added in optimization r15); 50 rounds would
+      // cost ≥ 50. The bound is deliberately loose — it proves early
+      // exit, not a job budget.
+      assert(jobs.get() < 40,
         s"expected early exit after ~3 rounds, saw ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
