@@ -519,6 +519,289 @@ object CrossChecks {
         "the poisoned batch's failing verdict must be quarantined")
     }
 
+  /** q450's population arm: upserting existing keys must preserve the
+    * key population of the base (fresh lake, the query's recipe). */
+  def upsertPreservesKeyPopulation(s: SparkSession, d: String): Unit =
+    once("upsertPreservesKeyPopulation", d) {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("upsertchk") + "/lake"
+      val base = graft.sources.Tables.read(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBase(s, root, base, 4)
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+        Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0
+            || col("o_orderkey") % 20 === 10)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      require(Deletes.readMerged(s, root).count() == base.count(),
+        "upsert must preserve the key population")
+      // q465's arm: as-of op 0 is the untouched base
+      require(Deletes.readMergedAsOf(s, root, 0L).count() == base.count(),
+        "asOf 0 must be the untouched base")
+    }
+
+  /** q530's equivalence arms: pruned time travel must equal the
+    * pinned scan + row filter at v1, and the boxed content must be
+    * stable across a clustered compaction. Fresh lake, the query's
+    * recipe. */
+  def prunedTimeTravelEqualsFiltered(s: SparkSession, d: String): Unit =
+    once("prunedTimeTravelEqualsFiltered", d) {
+      import graft.incremental.Snapshots
+      val root = LakeFixtures.freshRoot("prunedttchk") + "/lake"
+      LakeFixtures.copyInto(s, LakeFixtures.ordersDateSorted(s, d), root)
+      Snapshots.commit(s, root) // v1
+      Snapshots.compactClustered(s, root, nFiles = 4,
+        sortCols = Seq("o_day")) // v2
+      val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+      val hi = java.time.LocalDate.of(1996, 3, 31).toEpochDay
+      val box = Seq(("o_day", lo, hi))
+      val p1 = Snapshots.readVersionPruned(s, root, 1L, box)
+      val f1 = Snapshots.readVersion(s, root, 1L)
+        .filter(col("o_day") >= lo && col("o_day") <= hi)
+      require(p1.exceptAll(f1).isEmpty && f1.exceptAll(p1).isEmpty,
+        "pruned time travel must equal the pinned scan + row filter")
+      val p2 = Snapshots.readVersionPruned(s, root, 2L, box)
+      require(p2.exceptAll(p1).isEmpty && p1.exceptAll(p2).isEmpty,
+        "boxed content must be stable across the compaction")
+    }
+
+  /** q452's fold arm: the streamed EWMA delta fold (including a crash
+    * replay) must equal the one-shot smoother bit-for-bit. */
+  def ewmaFoldEqualsOneShot(s: SparkSession, d: String): Unit =
+    once("ewmaFoldEqualsOneShot", d) {
+      val dir = LakeFixtures.freshRoot("ewmamchk") + "/deltas"
+      val ev = graft.sources.Tables.read(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .withColumn("dom", dayofmonth(col("ts")))
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Unit =
+        graft.streaming.Streaming.ewmaDeltaBatch(ev.filter(pred),
+          "event_type", "ts")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/delta-$id")
+      ingest(0L, col("dom") <= 10)
+      ingest(1L, col("dom") > 10 && col("dom") <= 20)
+      ingest(2L, col("dom") > 20)
+      ingest(2L, col("dom") > 20) // crash replay: overwrite, not add
+      val folded = graft.streaming.Streaming.readEwma(s, dir, 0.5)
+      val one = graft.operators.Timeseries.ewma(
+        graft.streaming.Streaming.ewmaDeltaBatch(ev, "event_type", "ts")
+          .withColumnRenamed("cnt", "y"),
+        "key", "day", "y", 0.5)
+      val diverged = folded.withColumnRenamed("ewma", "e_f")
+        .join(one.withColumnRenamed("ewma", "e_o"),
+          Seq("key", "day"), "full")
+        .filter(!(col("e_f") <=> col("e_o"))).count()
+      require(diverged == 0,
+        s"replayed EWMA fold diverged from one-shot on $diverged days")
+    }
+
+  /** q480's equivalence arm: the zone-map-pruned merge-on-read view
+    * must equal the full merged view filtered to the same box. */
+  def mergedPrunedEqualsFull(s: SparkSession, d: String): Unit =
+    once("mergedPrunedEqualsFull", d) {
+      import graft.incremental.Deletes
+      val root = LakeFixtures.freshRoot("mprnchk") + "/lake"
+      val base = graft.sources.Tables.read(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Deletes.initBaseClustered(s, root, base, 8, Seq("o_orderkey"))
+      Deletes.upsert(s, root,
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(3000.0)),
+        Seq("o_orderkey"))
+      val hi = base.agg(max(col("o_orderkey"))).head().getLong(0) / 8L
+      val pruned = Deletes.readMergedPruned(s, root,
+        Seq(("o_orderkey", 1L, hi)))
+      val full = Deletes.readMerged(s, root)
+        .filter(col("o_orderkey").between(1L, hi))
+      require(pruned.exceptAll(full).count() == 0L
+          && full.exceptAll(pruned).count() == 0L,
+        "pruned merge-on-read diverged from the full merged view")
+    }
+
+  /** q506/q511's fold arms: a KMV slice fold AND the streamed sink
+    * fold (including a crash replay) must equal one-shot sketches. */
+  def kmvFoldEqualsOneShot(s: SparkSession, d: String): Unit =
+    once("kmvFoldEqualsOneShot", d) {
+      import graft.functions.Kmv
+      val k = 64
+      val ev = graft.sources.Tables.read(s, d, "events")
+        .filter(col("ts").isNotNull)
+      val dom = dayofmonth(col("ts"))
+      // q506: two-slice fold vs one-shot sketch rows
+      val parts = Seq(ev.filter(dom <= 15), ev.filter(dom > 15))
+        .map(df => Kmv.sketch(df, Seq("event_type"), "user_id", k))
+      val folded = Kmv.merge(parts, Seq("event_type"), k)
+      val oneShot = Kmv.sketch(ev, Seq("event_type"), "user_id", k)
+      require(folded.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(folded).isEmpty,
+        "KMV fold must equal the one-shot sketch")
+      // q511: sink-delta fold with a crash replay vs one-shot estimate
+      val dir = LakeFixtures.freshRoot("kmvsinkchk") + "/deltas"
+      def ingest(id: Long, pred: org.apache.spark.sql.Column): Unit =
+        Kmv.sketch(ev.filter(pred), Seq("event_type"), "user_id", k)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/delta-$id")
+      ingest(0L, dom <= 10)
+      ingest(1L, dom > 10 && dom <= 20)
+      ingest(2L, dom > 20)
+      ingest(1L, dom > 10 && dom <= 20) // crash replay: overwrite
+      val sinkFolded = graft.streaming.Streaming.readKmvEstimate(s, dir,
+        "event_type", k)
+      val sinkOne = Kmv.estimate(oneShot, Seq("event_type"), k)
+      require(sinkFolded.exceptAll(sinkOne).isEmpty &&
+          sinkOne.exceptAll(sinkFolded).isEmpty,
+        "replayed streamed KMV fold must equal the one-shot sketch")
+    }
+
+  /** q533's forensic arms: a hand-rolled cursor rollback re-drains the
+    * last version as a downstream no-op, the folded downstream deltas
+    * equal the one-shot aggregate, and a compaction-crossed tail
+    * refuses. Fresh lake + cursor + downstream, the query's recipe. */
+  def tailConsumerForensics(s: SparkSession, d: String): Unit =
+    once("tailConsumerForensics", d) {
+      import graft.incremental.Snapshots
+      val base = LakeFixtures.freshRoot("tailchk")
+      val root = s"$base/lake"; val cursor = s"$base/cursor"
+      val out = s"$base/downstream"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      def process(delta: org.apache.spark.sql.DataFrame, v: Long): Unit =
+        delta.groupBy(floor(col("day") / 10).cast("long")
+            .as("day_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("long").as("sum_uid"))
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/delta-v$v")
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root) // v1
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root) // v2
+      require(Snapshots.consumeTail(s, root, cursor, process)
+        == Seq(1L, 2L))
+      LakeFixtures.copyInto(s, s"$fx/b3", root, append = true)
+      Snapshots.commit(s, root) // v3
+      require(Snapshots.consumeTail(s, root, cursor, process)
+        == Seq(3L))
+      // crash replay of the last version (cursor rolled back by hand)
+      graft.incremental.SnapshotIo.writeLongs(
+        s.sparkContext.hadoopConfiguration, cursor, "v", Seq(2L),
+        overwrite = true)
+      require(Snapshots.consumeTail(s, root, cursor, process)
+        == Seq(3L))
+      val folded = s.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .groupBy(col("day_bucket"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_uid")).cast("long").as("sum_uid"))
+      val oneShot = Snapshots.readLatest(s, root)
+        .groupBy(floor(col("day") / 10).cast("long").as("day_bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("user_id")).cast("long").as("sum_uid"))
+      require(folded.exceptAll(oneShot).isEmpty
+          && oneShot.exceptAll(folded).isEmpty,
+        "folded consumer deltas must equal the one-shot aggregate")
+      Snapshots.compact(s, root, targetBytes = 1L << 26) // v4
+      val refused =
+        try { Snapshots.consumeTail(s, root, cursor, process); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "the tail must refuse a compaction-crossed range")
+    }
+
+  /** q534's forensic arms: every version + tag of a clone reads
+    * identically, the clone pins its OWN files, and maintenance on
+    * the clone never touches the source. Fresh src/dst pair. */
+  def cloneForensics(s: SparkSession, d: String): Unit =
+    once("cloneForensics", d) {
+      import graft.incremental.Snapshots
+      val base = LakeFixtures.freshRoot("clonechk")
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val fx = LakeFixtures.eventsDayBatches(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", src)
+      Snapshots.commit(s, src) // v1
+      LakeFixtures.copyInto(s, s"$fx/b2", src, append = true)
+      Snapshots.commit(s, src) // v2
+      Snapshots.tag(s, src, "baseline", 1L)
+      Snapshots.cloneLake(s, src, dst)
+      (1L to 2L).foreach { v =>
+        val a = Snapshots.readVersion(s, src, v)
+        val b = Snapshots.readVersion(s, dst, v)
+        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"clone diverged at v$v")
+      }
+      require(Snapshots.readTag(s, dst, "baseline").count() ==
+        Snapshots.readTag(s, src, "baseline").count())
+      require(Snapshots.readLatest(s, dst).inputFiles
+          .forall(_.contains("/dst/")),
+        "clone pins must point inside the clone")
+      val srcPre = Snapshots.readLatest(s, src)
+        .agg(count(lit(1)).cast("long"), sum(col("user_id")).cast("long"))
+        .head()
+      Snapshots.compact(s, dst, targetBytes = 1L << 26) // dst v3
+      Snapshots.dropTag(s, dst, "baseline")
+      Snapshots.expire(s, dst, keepLast = 1)
+      Snapshots.vacuum(s, dst)
+      Snapshots.purgeWhere(s, dst, col("user_id") % 97 === 0)
+      val srcPost = Snapshots.readLatest(s, src)
+        .agg(count(lit(1)).cast("long"), sum(col("user_id")).cast("long"))
+        .head()
+      require(srcPre == srcPost,
+        "clone maintenance must never touch the source")
+      require(Snapshots.versions(s, src).count() == 2L)
+    }
+
+  /** q485/q489's time-travel arm: asOf(v2) must read bit-stably
+    * ACROSS a compaction rewrite — verified for both the plain and
+    * the clustered compactor on fresh lakes. */
+  def rewriteAsOfStability(s: SparkSession, d: String): Unit =
+    once("rewriteAsOfStability", d) {
+      import graft.incremental.Snapshots
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          sum(col("o_orderkey")).cast("long").as("sum_ok"))
+      // plain compactor (q485 recipe)
+      val root = LakeFixtures.freshRoot("snapcompchk") + "/lake"
+      val fx = LakeFixtures.ordersYearSplit(s, d)
+      LakeFixtures.copyInto(s, s"$fx/b1", root)
+      Snapshots.commit(s, root)
+      LakeFixtures.copyInto(s, s"$fx/b2", root, append = true)
+      Snapshots.commit(s, root)
+      val pre = aggOf(Snapshots.readVersion(s, root, 2L))
+        .localCheckpoint(true)
+      Snapshots.compact(s, root, 1L)
+      val post = aggOf(Snapshots.readVersion(s, root, 2L))
+      require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+        "asOf(v2) changed across the compaction rewrite")
+      // clustered compactor (q489 recipe)
+      val cr = LakeFixtures.freshRoot("snapclustchk") + "/lake"
+      val o = graft.sources.Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .repartition(16).write.parquet(cr)
+      Snapshots.commit(s, cr)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .repartition(16).write.mode("append").parquet(cr)
+      val v2 = Snapshots.commit(s, cr)
+      val cpre = aggOf(Snapshots.readVersion(s, cr, v2))
+        .localCheckpoint(true)
+      Snapshots.compactClustered(s, cr, nFiles = 8, Seq("o_orderkey"))
+      val cpost = aggOf(Snapshots.readVersion(s, cr, v2))
+      require(cpre.exceptAll(cpost).isEmpty
+          && cpost.exceptAll(cpre).isEmpty,
+        "asOf(v2) changed across the clustered rewrite")
+    }
+
   /** The bench warm-up hook — run every cross-check untimed
     * ([[graft.Bench]] calls this beside LakeFixtures.warmAll). */
   def warmAll(s: SparkSession, d: String): Unit = {
@@ -544,5 +827,13 @@ object CrossChecks {
     quiet(manifestRefreshEqualsRebuild(s, d))
     quiet(incrementalScanReassembles(s, d))
     quiet(wapReplayIsNoOp(s, d))
+    quiet(upsertPreservesKeyPopulation(s, d))
+    quiet(ewmaFoldEqualsOneShot(s, d))
+    quiet(mergedPrunedEqualsFull(s, d))
+    quiet(kmvFoldEqualsOneShot(s, d))
+    quiet(tailConsumerForensics(s, d))
+    quiet(cloneForensics(s, d))
+    quiet(rewriteAsOfStability(s, d))
+    quiet(prunedTimeTravelEqualsFiltered(s, d))
   }
 }
