@@ -120,17 +120,24 @@ object Similarity {
   def binarySign(vec: Column, dims: Int): Column = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val nWords = (dims + 63) / 64
-    // statically UNROLLED (dims is an operator parameter, not data):
-    // each word is a codegen'd OR-reduction of literal-shift bit
-    // tests — no interpreted HOF lambda on the per-row pack path
-    // (the dotFixed convention; an aggregate/transform form costs
-    // ~100μs/row interpreted at dim 64)
-    array((0 until nWords).map { w =>
-      (w * 64 until math.min(w * 64 + 64, dims)).map { d =>
-        when(element_at(vec, d + 1).cast("double") > 0d,
-          lit(1L << (d % 64))).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-    }: _*)
+    // HOF fold, NOT a statically-unrolled when-tree (round-16, §1
+    // measure first): the r15 unrolled form (64 OR-reduced literal
+    // bit tests per word) was PAIRED-MEASURED 3-4x SLOWER on the real
+    // q553 stage (noop sink, interleaved: 0.25-0.38 s HOF vs
+    // 0.9-1.1 s unrolled; swapping ONLY the sign op reproduces the
+    // whole delta) — the giant generated when-tree costs more in
+    // codegen than the interpreted lambda costs to run at the 2k-row
+    // pack stage this tier operates on. Bitwise ops stay wrap-exact
+    // under ANSI (the top bit lands in the sign bit by design).
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => {
+          val d = w * 64 + b // 0-based dim of this bit
+          when(d < dims &&
+            element_at(vec, d + 1).cast("double") > 0d,
+            acc.bitwiseOR(call_function("shiftleft", lit(1L), b)))
+            .otherwise(acc)
+        }))
   }
 
   /** Hamming distance between two [[binarySign]]-packed vectors:

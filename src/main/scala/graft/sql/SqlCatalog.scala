@@ -36,15 +36,29 @@ object SqlCatalog {
     * `bronze_yellow_tripdata`, `silver_yellow_tripdata`, and the five
     * `gold_*` marts — the exact names a reference dbt user targets.
     * `targetMonth` scopes bronze the way the reference's incremental
-    * run does. */
+    * run does.
+    *
+    * `materializeSilver` (round-16, §2.4/§5): a SQL query that joins
+    * silver to MORE THAN ONE gold mart re-derives the whole
+    * staging→bronze→silver clean once per consumer under the lazy
+    * views (q333's plan: three full lineitem scans + three silver
+    * shuffles). Passing true eagerly materializes silver
+    * (`localCheckpoint`, inside the caller's timed region — computed
+    * from the raw frame on every invocation, never across runs) so
+    * every downstream view reads the one materialized silver. Leave
+    * false for single-consumer queries, where lazy lineage gives the
+    * scan full pushdown (q334's month-scoped bronze). */
   def registerLayers(spark: SparkSession, raw: DataFrame,
-                     targetMonth: Option[String] = None): Unit = {
+                     targetMonth: Option[String] = None,
+                     materializeSilver: Boolean = false): Unit = {
     import graft.operators.Layers
     val staging = Layers.stage(raw)
     staging.createOrReplaceTempView("staging_yellow_tripdata")
     val bronze = Layers.bronze(staging, targetMonth)
     bronze.createOrReplaceTempView("bronze_yellow_tripdata")
-    val silver = Layers.silver(bronze)
+    val silverLazy = Layers.silver(bronze)
+    val silver =
+      if (materializeSilver) silverLazy.localCheckpoint(true) else silverLazy
     silver.createOrReplaceTempView("silver_yellow_tripdata")
     Layers.goldDaily(silver).createOrReplaceTempView("gold_daily_summary")
     Layers.goldMonthly(silver).createOrReplaceTempView("gold_monthly_summary")
