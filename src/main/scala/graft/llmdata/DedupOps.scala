@@ -1183,16 +1183,25 @@ object DedupOps {
     // space), so no distinct; ids re-canonicalize via least/greatest.
     val probes = d.withColumn("__pb",
       explode(array(col("__b"), col("__b") + 1)))
+    // The thresholded levenshtein is a CONJUNCT OF THE JOIN CONDITION,
+    // placed LAST so codegen short-circuits it behind the cheap bucket
+    // /id/length conjuncts (round-16, §4.4-class fix): the previous
+    // shape computed it in a projection and filtered `>= 0` after,
+    // and predicate pushdown folded that filter back into the join
+    // where it ran BEFORE the |Δlen| <= maxDist test — the banded DP
+    // executed on every bucket-collision pair (~3.5M at sf0.1) instead
+    // of the 271k length-qualified ones (measured 8.4 s -> 2.5 s).
+    // The projection re-evaluates the DP only for the few pairs that
+    // PASS (251 at sf0.1) — output rows and values are unchanged.
     probes.as("a").join(d.as("b"),
         col("a.__pb") === col("b.__b") &&
           (col("a.__b") < col("b.__b") || col("a.doc_id") < col("b.doc_id")) &&
-          abs(col("a.__n") - col("b.__n")) <= maxDist)
-      .withColumn("edit_dist",
-        levenshtein(col("a.__t"), col("b.__t"), maxDist).cast("long"))
-      .filter(col("edit_dist") >= 0) // thresholded form returns -1 past k
+          abs(col("a.__n") - col("b.__n")) <= maxDist &&
+          levenshtein(col("a.__t"), col("b.__t"), maxDist) >= 0)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
-        col("edit_dist"))
+        levenshtein(col("a.__t"), col("b.__t"), maxDist).cast("long")
+          .as("edit_dist"))
   }
 
   /** Exact duplicated-substring SPAN removal — the within-document
@@ -1304,16 +1313,21 @@ object DedupOps {
         length(col(textCol)).cast("long").as("__n"))
     val cand = simhashPairs(d, "doc_id", "__t", maxHamming)
       .select("id_a", "id_b")
+    // one conjoined filter, cheap length gate FIRST and the banded DP
+    // short-circuited behind it (same §4.4-class fix as
+    // [[editDistancePairs]]: a separate `edit_dist >= 0` filter gets
+    // pushed back past the length gate and runs the DP on every
+    // simhash candidate); survivors re-derive the distance (few rows)
     cand
       .join(d.select(col("doc_id").as("id_a"),
         col("__t").as("__ta"), col("__n").as("__na")), "id_a")
       .join(d.select(col("doc_id").as("id_b"),
         col("__t").as("__tb"), col("__n").as("__nb")), "id_b")
-      .filter(abs(col("__na") - col("__nb")) <= maxDist)
-      .withColumn("edit_dist",
-        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
-      .filter(col("edit_dist") >= 0) // thresholded form returns -1 past k
-      .select(col("id_a"), col("id_b"), col("edit_dist"))
+      .filter(abs(col("__na") - col("__nb")) <= maxDist &&
+        levenshtein(col("__ta"), col("__tb"), maxDist) >= 0)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long")
+          .as("edit_dist"))
   }
 
   /** Pair-set audit: measure a candidate pair generator against a ground-
